@@ -1,13 +1,442 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, Upsert}
+import graft.functions.{text => T, vectors => V}
+import graft.multimodal.Multimodal
+
+/** Driver contract — one `queries` entry per SURVEY.md §2 operator,
+  * with DuckDB `oracleSql` wherever the semantics are SQL-expressible.
+  *
+  * Float-parity rule used throughout: any order-sensitive double
+  * aggregate goes through `CAST(... AS DECIMAL(30,s))` on BOTH sides,
+  * so the sum is exact and engine-order-independent, then is cast back
+  * to double (bit-identical in Spark and DuckDB). Per-row double
+  * arithmetic mirrors the oracle expression structure exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+
+  /** Exact, order-independent sums of double expressions. The decimal
+    * scale must match the true decimal width of the data (all money
+    * columns in the corpus are 2dp; 2dp×2dp products are 4dp, triple
+    * products 6dp): value×10^scale then stays well inside the exactly
+    * representable double range, so Spark's exact binary→decimal
+    * conversion and DuckDB's multiply-and-round cast land on the same
+    * decimal, making the sum bit-identical across engines. Products
+    * are rounded to their true width first (no midpoint exists — the
+    * true value IS a grid point — so both engines agree).
+    */
+  private def dsum(c: Column): Column = F.sum(c.cast("decimal(30,2)")).cast("double")
+  private def dsum4(c: Column): Column = F.sum(F.round(c, 4).cast("decimal(30,4)")).cast("double")
+  private def dsum6(c: Column): Column = F.sum(F.round(c, 6).cast("decimal(30,6)")).cast("double")
+  /** Exact-parity average (decimal sum / count). */
+  private def davg(c: Column): Column = dsum(c) / F.count(F.lit(1))
+
+  private def evDay(c: Column): Column = F.to_date(F.date_trunc("day", c))
+
+  // Reference load-strategy fixtures: the "existing table" is events
+  // minus every 10th row; the incoming "batch" is every 3rd row (so it
+  // overlaps the table — the interesting idempotency case).
+  private def fxTarget(e: DataFrame): DataFrame =
+    e.filter(F.col("event_id") % 10 =!= 0).select("event_id", "user_id", "value")
+  private def fxBatch(e: DataFrame): DataFrame =
+    e.filter(F.col("event_id") % 3 === 0).select("event_id", "user_id", "value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────────────────── A. reference FX-ETL semantics ─────────────────────────
+    "fx_ingest_json" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.select(
+          F.col("event_id"),
+          F.from_json(F.col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"),
+          F.col("event_type"), F.col("value"))
+        .orderBy("event_id")
+    }),
+    "fx_idempotent_append" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Upsert.idempotentAppend(fxTarget(e), fxBatch(e), Seq("event_id")).orderBy("event_id")
+    }),
+    "fx_merge_upsert" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val source = fxBatch(e).withColumn("value", F.col("value") * 2)
+      Upsert.merge(fxTarget(e), source, Seq("event_id")).orderBy("event_id")
+    }),
+    "fx_daily_report" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(evDay(F.col("ts")).as("day"), F.col("event_type"))
+        .agg(davg(F.col("value")).as("avg_value"), F.count(F.lit(1)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+    "fx_latest_n_avg" -> ((s, d) => {
+      Tables.events(s, d)
+        .orderBy(F.col("ts").desc, F.col("event_id").desc).limit(10)
+        .agg(davg(F.col("value")).as("avg_rate"), F.count(F.lit(1)).as("n"))
+    }),
+    "fx_current_day_avg" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("day", evDay(F.col("ts")))
+      val maxd = e.agg(F.max("day").as("day"))
+      e.join(F.broadcast(maxd), "day")
+        .groupBy("day", "event_type")
+        .agg(davg(F.col("value")).as("avg_value"))
+        .orderBy("day", "event_type")
+    }),
+    "fx_dedup_latest" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "event_id", "value", "ts")
+      Upsert.dedupLatest(e, Seq("user_id", "event_type"), "ts", Seq("event_id"))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // ───────────────────────── B. SQL analytics surface ─────────────────────────
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(F.col("l_shipdate") <= F.lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(F.col("l_quantity")).as("sum_qty"),
+          dsum(F.col("l_extendedprice")).as("sum_base_price"),
+          dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("sum_disc_price"),
+          dsum6(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))).as("sum_charge"),
+          davg(F.col("l_quantity")).as("avg_qty"),
+          davg(F.col("l_extendedprice")).as("avg_price"),
+          davg(F.col("l_discount")).as("avg_disc"),
+          F.count(F.lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_join_topn" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(F.col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(F.col("o_orderdate") < F.lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      val l = Tables.lineitem(s, d)
+        .filter(F.col("l_shipdate") > F.lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      l.join(o, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy(F.col("l_orderkey"), F.to_date(F.col("o_orderdate")).as("orderdate"))
+        .agg(dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_multijoin" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(F.col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") === F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") === F.col("c_custkey") && F.col("c_nationkey") === F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") === F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") === F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("n_name"))
+    }),
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(F.col("o_custkey"), F.col("o_orderkey"), F.col("o_totalprice"),
+          F.row_number().over(w).as("rnk"),
+          F.lag("o_totalprice", 1).over(w).as("prev_price"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    }),
+    "q_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val hasO = c.join(o, F.col("c_custkey") === F.col("o_custkey"), "left_semi")
+        .select(F.col("c_custkey"), F.lit("has_orders").as("tag"))
+      val noO = c.join(o, F.col("c_custkey") === F.col("o_custkey"), "left_anti")
+        .select(F.col("c_custkey"), F.lit("no_orders").as("tag"))
+      hasO.unionByName(noO).orderBy("c_custkey")
+    }),
+    "q_rollup" -> ((s, d) => {
+      Tables.customer(s, d).as("c")
+        .join(F.broadcast(Tables.nation(s, d).as("n")), F.col("c.c_nationkey") === F.col("n.n_nationkey"))
+        .join(F.broadcast(Tables.region(s, d).as("r")), F.col("n.n_regionkey") === F.col("r.r_regionkey"))
+        .rollup(F.col("r.r_name").as("r_name"), F.col("n.n_name").as("n_name"))
+        .agg(F.count(F.lit(1)).as("n_cust"), dsum(F.col("c_acctbal")).as("total_bal"))
+        .select(F.coalesce(F.col("r_name"), F.lit("ALL")).as("region_name"),
+          F.coalesce(F.col("n_name"), F.lit("ALL")).as("nation_name"),
+          F.col("n_cust"), F.col("total_bal"))
+        .orderBy("region_name", "nation_name")
+    }),
+    "q_distinct_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          F.countDistinct(F.col("o_custkey")).as("n_cust"),
+          F.count(F.lit(1)).as("n_orders"),
+          dsum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")).otherwise(0.0)).as("big_rev"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))
+        .limit(20)
+    }),
+    "q_running_sum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(evDay(F.col("ts")).as("day"))
+        .agg(F.sum(F.col("value").cast("decimal(30,2)")).as("daily_dec"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(F.col("day"), F.col("daily_dec").cast("double").as("daily"),
+          F.sum("daily_dec").over(w).cast("double").as("running"))
+        .orderBy("day")
+    }),
+
+    // ───────────────────────── C. dedup family ─────────────────────────
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy("keep_id")
+    }),
+    "dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
+    }),
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
+    }),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
+    }),
+    "dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ───────────────────────── D. similarity search ─────────────────────────
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, q, 10).orderBy("qid", "rank")
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.lshTopK(e, q, 10).orderBy("qid", "rank")
+    }),
+
+    // ───────────────────────── E. text analysis ─────────────────────────
+    "text_quality" -> ((s, d) => {
+      val t = F.col("text")
+      Tables.documents(s, d).select(
+        F.col("doc_id"), F.length(t).as("len"),
+        T.tokenCount(t).as("n_tokens"),
+        T.distinctTokenRatio(t).as("distinct_ratio"),
+        T.stopwordRatio(t).as("stopword_ratio"),
+        T.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "text_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(F.col("doc_id"), T.langGuess(F.col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+    "text_tokens" -> ((s, d) => {
+      val t = F.col("text")
+      Tables.documents(s, d).select(
+        F.col("doc_id"),
+        T.tokenCount(t).as("ws_tokens"),
+        T.bpeishCount(t).as("bpeish_tokens"),
+        F.length(t).as("n_chars_text"))
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(F.col("doc_id"), T.fingerprint(F.col("text")).as("fp"),
+          F.size(F.array_distinct(T.tokens(F.col("text")))).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ───────────────────────── F. multimodal plumbing ─────────────────────────
+    "mm_meta_extract" -> ((s, d) => {
+      val withBin = Multimodal.withPayload(Tables.documents(s, d))
+      Multimodal.decodeFeatures(s, withBin)
+        .join(withBin.select(F.col("doc_id"), F.col("meta.source").as("source")), "doc_id")
+        .select("doc_id", "byte_len", "head_byte", "source")
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (driver's correctness oracle).
+    * Keys absent here (minhash/simhash/ngram/lsh/lang-id) get the
+    * driver's weaker rows-only check; their semantics are verified
+    * against brute-force ground truth in the ScalaTest suite instead.
+    */
+  def oracleSql: Map[String, String] = {
+    val dot = (a: String, b: String) =>
+      s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), 'sum')"
+    Map(
+      "fx_ingest_json" ->
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type, value
+          |FROM events ORDER BY event_id""".stripMargin,
+      "fx_idempotent_append" ->
+        """WITH target AS (SELECT event_id, user_id, value FROM events WHERE event_id % 10 <> 0),
+          |     batch  AS (SELECT event_id, user_id, value FROM events WHERE event_id % 3 = 0)
+          |SELECT event_id, user_id, value FROM target
+          |UNION ALL
+          |SELECT b.event_id, b.user_id, b.value FROM batch b
+          |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.event_id = b.event_id)
+          |ORDER BY event_id""".stripMargin,
+      "fx_merge_upsert" ->
+        """WITH t AS (SELECT event_id, user_id, value FROM events WHERE event_id % 10 <> 0),
+          |     s AS (SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 3 = 0)
+          |SELECT COALESCE(s.event_id, t.event_id) AS event_id,
+          |       CASE WHEN s.event_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+          |       CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
+          |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+          |ORDER BY event_id""".stripMargin,
+      "fx_daily_report" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "fx_latest_n_avg" ->
+        """SELECT CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_rate,
+          |       COUNT(*) AS n
+          |FROM (SELECT value FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 10)""".stripMargin,
+      "fx_current_day_avg" ->
+        """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value FROM events)
+          |SELECT day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
+          |FROM e WHERE day = (SELECT MAX(day) FROM e)
+          |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      "fx_dedup_latest" ->
+        """SELECT user_id, event_type, event_id, value FROM (
+          |  SELECT user_id, event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1
+          |ORDER BY user_id, event_type""".stripMargin,
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax), 6) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          |  CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          |  COUNT(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_join_topn" ->
+        """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON o_custkey = c_custkey
+          |              JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q5_multijoin" ->
+        """SELECT n_name,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+          |FROM customer, orders, lineitem, supplier, nation, region
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+          |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      "q_window_rank" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rnk, prev_price FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER w AS rnk,
+          |         lag(o_totalprice, 1) OVER w AS prev_price
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+          |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+      "q_semi_anti" ->
+        """SELECT c_custkey, 'has_orders' AS tag FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |UNION ALL
+          |SELECT c_custkey, 'no_orders' AS tag FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q_rollup" ->
+        """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+          |       COUNT(*) AS n_cust,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |              JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name""".stripMargin,
+      "q_distinct_agg" ->
+        """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE) AS big_rev
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q_topk_orders" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+      "q_running_sum" ->
+        """SELECT day, CAST(daily_dec AS DOUBLE) AS daily,
+          |       CAST(SUM(daily_dec) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+          |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          |             SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
+          |      FROM events GROUP BY 1)
+          |ORDER BY day""".stripMargin,
+      "dedup_exact" ->
+        """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+      "dedup_embedding" ->
+        s"""WITH p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |         ${dot("a.embedding", "b.embedding")} AS dp,
+          |         sqrt(${dot("a.embedding", "a.embedding")}) AS na,
+          |         sqrt(${dot("b.embedding", "b.embedding")}) AS nb
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.label = b.label AND a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, dp/(na*nb) AS cos FROM p
+          |WHERE dp/(na*nb) >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      "ann_bruteforce_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.qid, e.vec_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
+          |  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      "text_quality" ->
+        """SELECT doc_id, LENGTH(text) AS len,
+          |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+          |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+          |    / len(string_split_regex(lower(trim(text)), '\s+')) AS distinct_ratio,
+          |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |        t -> t IN ('the','a','an','of','to','and','in','is','on','for','with','at','by'))) AS DOUBLE)
+          |    / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio,
+          |  (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.3)
+          |   + ((CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+          |       / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.4)
+          |   + ((1.0 - ABS((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |        t -> t IN ('the','a','an','of','to','and','in','is','on','for','with','at','by'))) AS DOUBLE)
+          |       / len(string_split_regex(lower(trim(text)), '\s+'))) - 0.3)) * 0.3) AS quality
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens,
+          |  LENGTH(text) AS n_chars_text
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp,
+          |  len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_distinct_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_meta_extract" ->
+        """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+          |       ascii(substr(text, 1, 1)) AS head_byte, source
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Text-analysis column functions for the training-data pipeline
+  * (SURVEY.md §2 E-block). All pure `Column` compositions over
+  * Spark's codegen'd built-ins — no UDFs — so they run inside
+  * whole-stage codegen over arbitrarily large corpora.
+  */
+object text {
+
+  /** Whitespace tokenization of trimmed, lowercased text. */
+  def tokens(c: Column): Column = F.split(F.lower(F.trim(c)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = F.size(tokens(c))
+
+  /** BPE-ish subword segment count: alpha runs, digit runs, and single
+    * non-alphanumeric marks — a cheap proxy for tokenizer load.
+    */
+  def bpeishCount(c: Column): Column =
+    F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)))
+
+  /** Fraction of tokens found in a small English stopword list. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for", "with", "at", "by")
+
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    F.size(F.filter(t, x => x.isin(stopwords: _*))).cast("double") / F.size(t)
+  }
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(c: Column): Column =
+    F.length(F.regexp_replace(F.lower(c), "[^a-z]", "")).cast("double") / F.length(c)
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(c: Column): Column =
+    F.length(F.regexp_replace(c, "[^.,;:!?]", "")).cast("double") / F.length(c)
+
+  /** Distinct-token / token ratio — low values flag degenerate
+    * repetition (a standard LLM-corpus quality signal).
+    */
+  def distinctTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    F.size(F.array_distinct(t)).cast("double") / F.size(t)
+  }
+
+  /** Composite quality score in [0,1]: rewards lexical diversity and a
+    * natural stopword rate, penalizes extreme lengths.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenTerm = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
+    val diversity = distinctTokenRatio(c)
+    val sw = stopwordRatio(c)
+    val swTerm = F.lit(1.0) - F.abs(sw - 0.3)
+    (lenTerm * 0.3) + (diversity * 0.4) + (swTerm * 0.3)
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted set of
+    * lowercase tokens. Collapses shuffled/duplicated-word variants —
+    * the classic "fingerprint" fuzzy-exact dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(c)))))
+
+  /** Stopword-profile language guess over a tiny per-language lexicon.
+    * Deterministic argmax with fixed language priority on ties.
+    */
+  val langLexicon: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "que", "dans"))
+
+  def langGuess(c: Column): Column = {
+    val t = tokens(c)
+    val n = F.greatest(F.size(t), F.lit(1)).cast("double")
+    val scored = langLexicon.map { case (lang, lex) =>
+      F.struct((F.size(F.filter(t, x => x.isin(lex: _*))).cast("double") / n).as("score"), F.lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: highest score wins; lang ascending
+    // breaks exact ties deterministically via struct comparison.
+    val best = F.array_max(F.array(scored: _*))
+    F.when(best.getField("score") > 0.0, best.getField("lang")).otherwise(F.lit("und"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.functions.{text, vectors}
+
+/** Deduplication family for LLM training-data pipelines (SURVEY.md §2
+  * C-block). Everything is shuffle-bounded: candidate generation is
+  * always a bucketed equi-join (LSH band, simhash band, or IVF-cell
+  * block) — never an O(n²) cross join — so each stage is a single
+  * keyed shuffle that scales linearly with corpus size.
+  *
+  * Performance note: Spark evaluates higher-order-function lambdas
+  * interpreted, re-evaluating any non-attribute subtree per element.
+  * Each derivation (tokens → shingles → signature → bands) is
+  * therefore staged as its own projection so lambda bodies only
+  * dereference row slots — collapsing these stages into one expression
+  * turns an O(k·n) signature into an O(k·n²·|text|) one.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest id.
+    * One shuffle on a 128-bit hash — at 100 TB this is the cheapest
+    * possible exact pass (hash is computed map-side, rows collapse in
+    * the partial aggregation before the exchange).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(F.md5(F.col(textCol)).as("h"))
+      .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles (distinct) from an already-materialized
+    * token-array column.
+    */
+  def shingleOf(toks: Column, n: Int): Column =
+    F.array_distinct(
+      F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n)))))
+
+  /** MinHash signature from a materialized shingle-array column: k
+    * permutations approximated by seeded xxhash64, min per slot.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    F.transform(
+      F.sequence(F.lit(0), F.lit(k - 1)),
+      i => F.array_min(F.transform(sh, s => F.xxhash64(s, i))))
+
+  /** LSH band hashes from a materialized signature column. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    F.transform(
+      F.sequence(F.lit(0), F.lit(bands - 1)),
+      b => F.xxhash64(F.slice(sig, b * rows + 1, F.lit(rows))))
+
+  /** (id, sh, sig) per document — tokens, shingles, and signature each
+    * staged as their own projection (see perf note above).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 64, shingleN: Int = 3): DataFrame =
+    df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("id"), shingleOf(F.col("__toks"), shingleN).as("sh"))
+      .select(F.col("id"), F.col("sh"), minhashSignature(F.col("sh"), k).as("sig"))
+
+  /** Candidate pairs (idA < idB) sharing at least one LSH bucket.
+    * posexplode + self-equi-join on (band, bucket): one shuffle per
+    * side; AQE splits hot buckets.
+    */
+  def candidatesFromSignatures(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(
+      F.col("id"), F.posexplode(bandHashes(F.col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs with estimated Jaccard (fraction of equal
+    * signature slots) ≥ `threshold`. The signature table (k longs per
+    * doc — orders of magnitude smaller than the corpus) is cached so
+    * candidate generation and verification share one computation.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = signatures(df, idCol, textCol, k).select("id", "sig").cache()
+    val sigA = sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a"))
+    val sigB = sigs.select(F.col("id").as("id_b"), F.col("sig").as("sig_b"))
+    candidatesFromSignatures(sigs, bands, rows)
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .filter(F.col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard (|A∩B| / |A∪B| on true shingle sets) over
+    * LSH candidates — the estimate-free verify step.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5, shingleN: Int = 3,
+                        k: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, k, shingleN).cache()
+    val shA = sigs.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
+    val shB = sigs.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))
+    candidatesFromSignatures(sigs, bands, k / bands)
+      .join(shA, "id_a").join(shB, "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        (F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
+          F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash from a materialized token-hash-array column: the
+    * 64 bit-counters are integer folds over the row-local array.
+    */
+  def simhashOfHashes(hs: Column): Column = {
+    val bits = (0 until 64).map { bit =>
+      val cnt = F.aggregate(hs, F.lit(0),
+        (acc, h) => acc + F.when(F.shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      F.when(cnt > 0, F.lit(1L << bit)).otherwise(F.lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (id, sim) per document, staged: tokens → hashes → simhash. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("id"), F.transform(F.col("__toks"), t => F.xxhash64(t)).as("__hs"))
+      .select(F.col("id"), simhashOfHashes(F.col("__hs")).as("sim"))
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, then exact
+    * Hamming distance ≤ `maxHamming` verify via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSim = simhashes(df, idCol, textCol)
+    val banded = withSim.select(
+      F.col("id"), F.col("sim"),
+      F.posexplode(F.array((0 until 4).map(b =>
+        F.shiftright(F.col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(F.col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: IVF-style blocking on a coarse cell id
+    * (here the precomputed cluster `label`), exact cosine inside each
+    * cell. At 100 TB the cell id comes from a coarse quantizer; the
+    * join stays a keyed equi-join either way.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+                     threshold: Double = 0.95): DataFrame = {
+    val e = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"), F.col(cellCol).as("cell"))
+    e.as("a").join(e.as("b"),
+        F.col("a.cell") === F.col("b.cell") && F.col("a.id") < F.col("b.id"))
+      .withColumn("cos", vectors.cosine(F.col("a.v"), F.col("b.v")))
+      .filter(F.col("cos") >= threshold)
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"), F.col("cos"))
+  }
+}

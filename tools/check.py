@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify
+first (sbt "runMain graft.Verify <sfDir> <outDir>"), then this script
+compares each query's parquet dump against its DuckDB oracle on the
+same tables. Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name in sorted(os.listdir(out_dir)):
+    qdir = os.path.join(out_dir, name)
+    if not os.path.isdir(qdir):
+        continue
+    got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+    if name not in oracle:
+        print(f"[rows-only] {name}: {len(got)} rows")
+        continue
+    want = con.execute(oracle[name]).fetchdf()
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    status = []
+    if list(got.columns) != list(want.columns):
+        status.append(f"schema: got {list(got.columns)} want {list(want.columns)}")
+    if len(got) != len(want):
+        status.append(f"rows: got {len(got)} want {len(want)}")
+    if not status:
+        g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            status.append("values: " + str(e).split("\n")[0])
+            # show first mismatching rows
+            neq = (g != w) & ~(g.isna() & w.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                status.append(f"  first diff row {i}: got={g.loc[i].to_dict()} want={w.loc[i].to_dict()}")
+    if status:
+        fails += 1
+        print(f"[FAIL] {name}: " + " | ".join(status))
+    else:
+        print(f"[ok] {name}: {len(got)} rows")
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
