@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Physical-layout operator (SURVEY.md §2 A8): the reference README's
+  * "partition by DATE(date), cluster by (from_cur,to_cur)" advice,
+  * re-expressed as Spark table layout. Day-partitioned directories
+  * give partition pruning on date filters; sorting within partitions
+  * gives parquet min/max row-group pruning on the cluster keys —
+  * the same two effects BigQuery partitioning + clustering buy.
+  */
+object Layout {
+
+  /** Write `df` day-partitioned on `tsCol` and sorted by `clusterCols`
+    * within each partition. `repartition` on the partition value keeps
+    * one shuffle task per day-file set (avoids the classic
+    * every-task-writes-every-partition small-files explosion).
+    */
+  def writePartitioned(df: DataFrame, path: String, tsCol: String,
+                       clusterCols: Seq[String]): Unit =
+    df.withColumn("p_day", F.to_date(F.col(tsCol)))
+      .repartition(F.col("p_day"))
+      .sortWithinPartitions(clusterCols.map(F.col): _*)
+      .write.mode("overwrite").partitionBy("p_day").parquet(path)
+}

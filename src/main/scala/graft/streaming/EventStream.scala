@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.Upsert
+
+/** Structured-Streaming re-expression of the reference's cadence
+  * (SURVEY.md §2 G-block): DAG-1's every-minute ingestion becomes a
+  * stream source; DAG-2's periodic aggregation becomes an event-time
+  * windowed aggregate with a watermark; the report-table MERGE becomes
+  * a foreachBatch upsert reusing the exact batch operator.
+  *
+  * The same pipeline runs unchanged against a Kafka/file/socket source
+  * on a cluster — only the `readStream` format changes.
+  */
+object EventStream {
+
+  /** events.parquet schema as the stream source sees it (ts arrives as
+    * parquet TIMESTAMP(NANOS) = epoch-nanos long under nanosAsLong).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of an events directory, ts normalized to µs. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000L).cast("long")))
+
+  /** G1: event-time windowed aggregate with watermark — the streaming
+    * analogue of fx_daily_report (per-window avg/count by type).
+    */
+  def windowedReport(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
+      .agg(F.avg("value").as("avg_value"), F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as("window_start"), F.col("event_type"),
+        F.col("avg_value"), F.col("n"))
+
+  /** G2: streaming idempotent ingest — keyed dedup bounded by the
+    * watermark (state stays finite at 100 TB/day because expired keys
+    * are dropped with the watermark).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** G3: MERGE-upsert sink — every micro-batch merges into the target
+    * via the same batch operator (reference's staged-MERGE pattern).
+    * `readTarget`/`writeTarget` abstract the table store (parquet dir
+    * here; Delta/Iceberg on a real deployment).
+    */
+  def mergeSink(stream: DataFrame, keys: Seq[String],
+                readTarget: () => Option[DataFrame],
+                writeTarget: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = readTarget() match {
+          case Some(t) => Upsert.merge(t, batch, keys)
+          case None    => batch
+        }
+        writeTarget(merged)
+      }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exact dedup collapses identical texts to min id") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash est_jaccard tracks exact n-gram jaccard on near-identical docs") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a + " tomorrow"          // high overlap
+    val c = "completely different words nothing shared here at all whatsoever believe me"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)), "near-identical pair must survive LSH + threshold")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 2L)) > 0.5)
+  }
+
+  test("ngram jaccard pairs verify exact overlap on LSH candidates") {
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every reported pair's jaccard must genuinely exceed the threshold,
+    // recomputed independently per pair
+    val byId = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(t: String): Set[String] =
+      t.trim.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    got.foreach { case (a, b, j) =>
+      val (sa, sb) = (sh(byId(a)), sh(byId(b)))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(exact - j) < 1e-9, s"pair ($a,$b)")
+      assert(j >= 0.5)
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("simhash hamming distance is 0 for identical docs, large for disjoint ones") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val c = "one two three four five six seven eight"
+    val df = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+    val sims = Dedup.simhashes(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 10)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embedding pairs match brute-force within-cell cosine at threshold") {
+    val e = Tables.embeddings(spark, sf)
+    val got = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val want = (for {
+      (ia, va, la) <- rows; (ib, vb, lb) <- rows
+      if la == lb && ia < ib && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.{Layout, Tables}
+import org.apache.spark.sql.{functions => F}
+import java.nio.file.Files
+
+/** Scale-shape checks: these assert on the *physical plan*, because at
+  * 100 TB the plan is the contract — filters must reach the scan,
+  * small dims must broadcast, dedup must never degenerate to a cross
+  * join, and day-partitioned layouts must prune.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1 prunes columns: scan reads only the 7 needed of 11") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"), readSchema)
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q5 broadcasts the small dimensions") {
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup candidate generation is an equi-join, never a cross join") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cross join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to BNLJ")
+    }
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with "*(stageId)" markers
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"), p.take(1500))
+  }
+
+  test("partitioned layout writes day directories and prunes on day filters") {
+    val out = Files.createTempDirectory("graft-layout-").toString
+    Layout.writePartitioned(Tables.events(spark, sf), out, "ts", Seq("event_type", "user_id"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("p_day=")) > 20, dirs.mkString(","))
+    val pruned = spark.read.parquet(out).filter(F.col("p_day") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter present and scan limited to one partition's files
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(pruned.count() > 0)
+  }
+}

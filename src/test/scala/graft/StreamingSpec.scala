@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.streaming.EventStream
+import graft.sources.Tables
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSuite {
+
+  private def eventsDir: String = {
+    // stream source wants a directory of parquet; copy the single file
+    val d = Files.createTempDirectory("graft-stream-").toString
+    val src = new java.io.File(s"$sf/events.parquet")
+    Files.copy(src.toPath, new java.io.File(s"$d/events.parquet").toPath)
+    d
+  }
+
+  test("G1: windowed report over the stream equals the batch aggregate") {
+    val dir = eventsDir
+    val q = EventStream.windowedReport(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("g1").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("g1")
+      .agg(F.sum("n")).collect().head.getLong(0)
+    // watermark drops nothing in a replay of a finite set appended once,
+    // except possibly the tail windows never closed — compare with batch
+    val batchTotal = Tables.events(spark, sf).count()
+    assert(streamed <= batchTotal)
+    assert(streamed > batchTotal * 0.9, s"too many rows lost: $streamed / $batchTotal")
+    // per-(window,type) values must match the equivalent batch aggregation
+    val batchAgg = Tables.events(spark, sf)
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as("window_start"), F.col("event_type"), F.col("n"))
+    val b = batchAgg.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    spark.table("g1").collect().foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(b(k) == r.getLong(3), s"window $k")
+    }
+  }
+
+  test("G2: streaming dedup emits each key once") {
+    val dir = eventsDir
+    val q = EventStream.dedupStream(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("g2").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("g2")
+    assert(out.count() == out.select("event_id").distinct().count())
+    assert(out.count() == Tables.events(spark, sf).count()) // source has unique ids
+  }
+
+  test("G3: foreachBatch merge-upsert applies the batch MERGE operator") {
+    val dir = eventsDir
+    var state: Option[DataFrame] = None
+    val stream = EventStream.readEvents(spark, dir)
+      .select(F.col("event_id"), F.col("user_id"), F.col("value"))
+    val q = EventStream.mergeSink(stream, Seq("event_id"),
+        () => state, merged => { state = Some(merged.cache()) })
+      .start()
+    q.awaitTermination(60000)
+    val got = state.get
+    val want = Tables.events(spark, sf).count()
+    assert(got.count() == want)
+    assert(got.select("event_id").distinct().count() == want)
+  }
+}
