@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
-import graft.functions.{text, vectors}
+import graft.functions.{native, text, vectors}
 
 /** Deduplication family for LLM training-data pipelines (SURVEY.md §2
   * C-block). Everything is shuffle-bounded: candidate generation is
@@ -56,8 +56,8 @@ object Dedup {
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 64, shingleN: Int = 3): DataFrame =
     df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
-      .select(F.col("id"), shingleOf(F.col("__toks"), shingleN).as("sh"))
-      .select(F.col("id"), F.col("sh"), minhashSignature(F.col("sh"), k).as("sig"))
+      .select(F.col("id"), native.word_shingles(F.col("__toks"), shingleN).as("sh"))
+      .select(F.col("id"), F.col("sh"), native.minhash_signature(F.col("sh"), k).as("sig"))
 
   /** Candidate pairs (idA < idB) sharing at least one LSH bucket.
     * posexplode + self-equi-join on (band, bucket): one shuffle per
@@ -125,8 +125,7 @@ object Dedup {
   /** (id, sim) per document, staged: tokens → hashes → simhash. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
-      .select(F.col("id"), F.transform(F.col("__toks"), t => F.xxhash64(t)).as("__hs"))
-      .select(F.col("id"), simhashOfHashes(F.col("__hs")).as("sim"))
+      .select(F.col("id"), native.simhash64(F.col("__toks")).as("sim"))
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact
     * Hamming distance ≤ `maxHamming` verify via bit_count(xor).
@@ -158,7 +157,7 @@ object Dedup {
     val e = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"), F.col(cellCol).as("cell"))
     e.as("a").join(e.as("b"),
         F.col("a.cell") === F.col("b.cell") && F.col("a.id") < F.col("b.id"))
-      .withColumn("cos", vectors.cosine(F.col("a.v"), F.col("b.v")))
+      .withColumn("cos", native.cosine_sim(F.col("a.v"), F.col("b.v")))
       .filter(F.col("cos") >= threshold)
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"), F.col("cos"))
   }

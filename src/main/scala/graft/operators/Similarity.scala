@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import graft.functions.vectors
+import graft.functions.{native, vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2 D-block).
@@ -19,7 +19,7 @@ object Similarity {
                      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val scored = corpus.as("c")
       .join(F.broadcast(queries.as("q")), F.col(qidCol) =!= F.col(idCol))
-      .withColumn("cos", vectors.cosine(F.col(qvecCol), F.col(vecCol)))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
     // per-query top-k: rank via max_by-style aggregation would lose the
     // full k rows, so use a window — but the partition key is the tiny
     // query id set, so every partition is small and sort cost is bounded.
@@ -57,7 +57,7 @@ object Similarity {
           F.col(qidCol) =!= F.col(idCol))
       .select(F.col(qidCol), F.col(qvecCol), F.col(idCol), F.col(vecCol))
       .distinct()
-    val scored = candidates.withColumn("cos", vectors.cosine(F.col(qvecCol), F.col(vecCol)))
+    val scored = candidates.withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(F.col(qidCol)).orderBy(F.col("cos").desc, F.col(idCol).asc)
     scored.withColumn("rank", F.row_number().over(w))
