@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query and
-  * total wall seconds. `count()` forces full evaluation.
+  * total wall seconds.
+  *
+  * Each query is forced through the `noop` sink — unlike `count()`,
+  * which lets Catalyst prune every projected column and would time a
+  * hollowed-out plan for scan-shaped queries. A short warmup run
+  * absorbs JVM/codegen/session startup so query times measure the
+  * engine, not initialization.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -12,14 +18,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark: SparkSession = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // warmup: one cheap scan-agg + one sketch query primes codegen,
+    // parquet footer caches, and shuffle machinery
+    try { force("q1_agg"); force("dedup_exact") } catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -422,6 +422,21 @@ object SparkEntry {
           |        t -> t IN ('the','a','an','of','to','and','in','is','on','for','with','at','by'))) AS DOUBLE)
           |       / len(string_split_regex(lower(trim(text)), '\s+'))) - 0.3)) * 0.3) AS quality
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_lang_id" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+          |s AS (SELECT doc_id,
+          |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS DOUBLE) / greatest(len(toks),1) AS s_en,
+          |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','del'))) AS DOUBLE) / greatest(len(toks),1) AS s_es,
+          |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS DOUBLE) / greatest(len(toks),1) AS s_de,
+          |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','des','est','une','que','dans'))) AS DOUBLE) / greatest(len(toks),1) AS s_fr
+          |  FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN greatest(s_en,s_es,s_de,s_fr) <= 0 THEN 'und'
+          |       WHEN s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+          |       WHEN s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+          |       WHEN s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+          |       ELSE 'de' END AS lang_guess
+          |FROM s ORDER BY doc_id""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

@@ -79,8 +79,8 @@ object text {
     val scored = langLexicon.map { case (lang, lex) =>
       F.struct((F.size(F.filter(t, x => x.isin(lex: _*))).cast("double") / n).as("score"), F.lit(lang).as("lang"))
     }
-    // array_max on (score, lang) structs: highest score wins; lang ascending
-    // breaks exact ties deterministically via struct comparison.
+    // array_max on (score, lang) structs: highest score wins; exact ties
+    // break deterministically to the largest lang string (struct order).
     val best = F.array_max(F.array(scored: _*))
     F.when(best.getField("score") > 0.0, best.getField("lang")).otherwise(F.lit("und"))
   }
