@@ -138,6 +138,17 @@ object SparkEntry {
         .agg(dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("revenue"))
         .orderBy(F.col("revenue").desc, F.col("n_name"))
     }),
+    "q14_promo" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(F.col("l_shipdate") >= F.lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          F.col("l_shipdate") < F.lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      l.join(F.broadcast(Tables.part(s, d)), F.col("l_partkey") === F.col("p_partkey"))
+        .agg((F.lit(100.0) *
+          dsum4(F.when(F.col("p_type") === "PROMO",
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).otherwise(0.0)) /
+          dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+          .as("promo_revenue"))
+    }),
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))
       Tables.orders(s, d)
@@ -346,6 +357,13 @@ object SparkEntry {
           |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
           |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      "q14_promo" ->
+        """SELECT 100.0 *
+          |  CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END, 4) AS DECIMAL(30,4))) AS DOUBLE) /
+          |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS promo_revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
       "q_window_rank" ->
         """SELECT o_custkey, o_orderkey, o_totalprice, rnk, prev_price FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,

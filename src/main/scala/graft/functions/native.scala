@@ -151,6 +151,64 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH signature of a float vector: bit p = sign of
+  * Σᵢ vᵢ·w(p,i) with deterministic pseudo-random weights
+  * w = mix(seed ⊕ p·G ⊕ i·G²) scaled to [-1,1]. One pass per plane,
+  * no per-element expression trees.
+  */
+case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val w = Hashing.mix(seed ^ (p * Hashing.Golden) ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        proj += arr.getFloat(i) * (w.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard similarity |A∩B| / |A∪B| of two string arrays
+  * (set semantics) — the n-gram dedup verify step as one hash-set
+  * pass instead of interpreted array_intersect + array_union.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val sa = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val sb = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    i = 0
+    while (i < b.numElements()) {
+      val e = b.getUTF8String(i)
+      if (sb.add(e) && sa.contains(e)) inter += 1
+      i += 1
+    }
+    val union = sa.size + sb.size - inter
+    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   def minhash_signature(tokens: Column, k: Int): Column =
@@ -161,6 +219,10 @@ object native {
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplane_sig(vec: Column, planes: Int, seed: Long = 42L): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, seed))
+  def jaccard_sim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
     * / graft_cosine) on a session for spark.sql use.

@@ -105,8 +105,7 @@ object Dedup {
     candidatesFromSignatures(sigs, bands, k / bands)
       .join(shA, "id_a").join(shB, "id_b")
       .select(F.col("id_a"), F.col("id_b"),
-        (F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
-          F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))).as("jaccard"))
+        native.jaccard_sim(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
       .filter(F.col("jaccard") >= threshold)
   }
 

@@ -1,17 +1,29 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import graft.functions.{native, vectors}
+import graft.functions.{aggregates, native}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2 D-block).
   *
   * Scale shape: the query set is small and broadcast; the corpus side
-  * streams through map-side codegen'd cosine + per-partition partial
-  * top-k. No corpus shuffle in the brute-force path at all — the only
-  * exchange is the final k-row-per-query merge.
+  * streams through a native cosine + a bounded TopKByScore aggregate.
+  * Map-side partial aggregation reduces every partition to ≤ k rows
+  * per query BEFORE the exchange, so no corpus-sized shuffle or sort
+  * exists anywhere in the top-k path (a window row_number() would
+  * sort every candidate per query across the cluster).
   */
 object Similarity {
+
+  /** Per-query top-k over a scored frame via the bounded aggregate;
+    * ordering (cos desc, id asc) is deterministic, rank is 1-based.
+    */
+  private def topK(scored: DataFrame, qidCol: String, idCol: String, k: Int): DataFrame =
+    scored.groupBy(F.col(qidCol))
+      .agg(aggregates.top_k_by_score(F.col("cos"), F.col(idCol), k).as("top"))
+      .select(F.col(qidCol), F.posexplode(F.col("top")).as(Seq("pos", "t")))
+      .select(F.col(qidCol), F.col("t.id").as(idCol), F.col("t.score").as("cos"),
+        (F.col("pos") + 1).cast("int").as("rank"))
 
   /** Exact cosine top-k per query vector (the correctness baseline). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -20,21 +32,14 @@ object Similarity {
     val scored = corpus.as("c")
       .join(F.broadcast(queries.as("q")), F.col(qidCol) =!= F.col(idCol))
       .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
-    // per-query top-k: rank via max_by-style aggregation would lose the
-    // full k rows, so use a window — but the partition key is the tiny
-    // query id set, so every partition is small and sort cost is bounded.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(F.col(qidCol)).orderBy(F.col("cos").desc, F.col(idCol).asc)
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select(F.col(qidCol), F.col(idCol), F.col("cos"), F.col("rank"))
+    topK(scored, qidCol, idCol, k)
   }
 
-  /** LSH-bucketed ANN: random-hyperplane signatures; candidates =
-    * corpus rows whose signature is within `maxHammingBits` of the
-    * query signature on any of the probe rotations, ranked by exact
-    * cosine. Trades recall for never touching most of the corpus —
-    * the scale path when brute force is too hot.
+  /** LSH-bucketed ANN: native random-hyperplane signatures, banded so
+    * a candidate only needs one matching 4-bit band of the 16-bit
+    * signature; exact cosine ranks the candidates. Trades recall for
+    * never touching most of the corpus — the scale path when brute
+    * force is too hot.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -42,14 +47,12 @@ object Similarity {
     val bands = 4
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
-    def withBands(df: DataFrame, vec: String, id: String, prefix: String): DataFrame = {
-      val sig = vectors.hyperplaneSignature(F.col(vec), planes)
-      df.withColumn(s"${prefix}sig", sig)
-        .select(F.col(id), F.col(vec), F.col(s"${prefix}sig"),
+    def withBands(df: DataFrame, vec: String, id: String, prefix: String): DataFrame =
+      df.withColumn(s"${prefix}sig", native.hyperplane_sig(F.col(vec), planes))
+        .select(F.col(id), F.col(vec),
           F.posexplode(F.array((0 until bands).map(b =>
             F.shiftright(F.col(s"${prefix}sig"), b * bandBits).bitwiseAND(mask)): _*))
             .as(Seq(s"${prefix}band", s"${prefix}bucket")))
-    }
     val c = withBands(corpus, vecCol, idCol, "c_")
     val q = withBands(queries, qvecCol, qidCol, "q_")
     val candidates = c.join(F.broadcast(q),
@@ -58,10 +61,6 @@ object Similarity {
       .select(F.col(qidCol), F.col(qvecCol), F.col(idCol), F.col(vecCol))
       .distinct()
     val scored = candidates.withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(F.col(qidCol)).orderBy(F.col("cos").desc, F.col(idCol).asc)
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select(F.col(qidCol), F.col(idCol), F.col("cos"), F.col("rank"))
+    topK(scored, qidCol, idCol, k)
   }
 }
