@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, Upsert}
+import graft.operators.{AsOf, Dedup, Similarity, Skew, Upsert}
 import graft.functions.{text => T, vectors => V}
 import graft.multimodal.Multimodal
 
@@ -91,6 +91,23 @@ object SparkEntry {
       Upsert.dedupLatest(e, Seq("user_id", "event_type"), "ts", Seq("event_id"))
         .select("user_id", "event_type", "event_id", "value")
         .orderBy("user_id", "event_type")
+    }),
+
+    "fx_asof_rate" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(F.col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val rates = e.filter(F.col("event_type") === "signup")
+        .select(F.col("user_id"), F.col("ts"), F.col("value").as("rate"))
+      AsOf.join(purchases, rates, Seq("user_id"), "ts", "ts", Seq("rate"))
+        .select("event_id", "user_id", "rate")
+        .orderBy("event_id")
+    }),
+    "fx_salted_daily_report" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("day", evDay(F.col("ts")))
+      Skew.saltedStats(e, Seq("day", "event_type"), "value")
+        .select(F.col("day"), F.col("event_type"), F.col("avg").as("avg_value"), F.col("n"))
+        .orderBy("day", "event_type")
     }),
 
     // ───────────────────────── B. SQL analytics surface ─────────────────────────
@@ -327,6 +344,17 @@ object SparkEntry {
           |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
           |  FROM events) WHERE rn = 1
           |ORDER BY user_id, event_type""".stripMargin,
+      "fx_asof_rate" ->
+        """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase'),
+          |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS rate FROM events WHERE event_type = 'signup')
+          |SELECT l.event_id, l.user_id, r.rate
+          |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+          |ORDER BY event_id""".stripMargin,
+      "fx_salted_daily_report" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

@@ -209,6 +209,26 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fraction of equal slots between two equal-length long arrays —
+  * the MinHash Jaccard estimator, one loop instead of
+  * zip_with + filter + size interpreted trees.
+  */
+case class SigMatchFraction(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFraction =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   def minhash_signature(tokens: Column, k: Int): Column =
@@ -223,6 +243,8 @@ object native {
     Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, seed))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+  def sig_match_fraction(a: Column, b: Column): Column =
+    Bridge.column(SigMatchFraction(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
     * / graft_cosine) on a session for spark.sql use.

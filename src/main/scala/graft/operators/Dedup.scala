@@ -88,8 +88,7 @@ object Dedup {
     candidatesFromSignatures(sigs, bands, rows)
       .join(sigA, "id_a").join(sigB, "id_b")
       .select(F.col("id_a"), F.col("id_b"),
-        (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k).as("est_jaccard"))
+        native.sig_match_fraction(F.col("sig_a"), F.col("sig_b")).as("est_jaccard"))
       .filter(F.col("est_jaccard") >= threshold)
   }
 
