@@ -220,6 +220,16 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q_percentile" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(
+          F.expr("percentile(value, 0.25)").as("p25"),
+          F.expr("percentile(value, 0.5)").as("p50"),
+          F.expr("percentile(value, 0.9)").as("p90"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // ───────────────────────── C. dedup family ─────────────────────────
     "dedup_exact" -> ((s, d) => {
       Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy("keep_id")
@@ -428,6 +438,13 @@ object SparkEntry {
           |             SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
           |      FROM events GROUP BY 1)
           |ORDER BY day""".stripMargin,
+      "q_percentile" ->
+        """SELECT event_type,
+          |  quantile_cont(value, 0.25) AS p25,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.9) AS p90,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

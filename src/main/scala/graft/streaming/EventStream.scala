@@ -49,6 +49,57 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** G4: sessionization via flatMapGroupsWithState — groups a user's
+    * events into sessions closed by `gapMinutes` of inactivity. The
+    * canonical custom-state streaming operator: state per user is one
+    * small (start, last, n, sum) tuple, bounded by the event-time
+    * timeout, so state size is O(active users) regardless of input
+    * volume.
+    */
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", watermark)
+      .select(F.col("user_id"), F.col("ts"), F.col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          for ((_, ts, v) <- sorted) {
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
+              case Some(s) =>
+                closed += SessionOut(user, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, v))
+              case None =>
+                cur = Some(SessionState(t, t, 1, v))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(s => closed += SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sum))
+            state.remove()
+          } else cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+          closed.result().iterator
+        })
+  }
+
   /** G3: MERGE-upsert sink — every micro-batch merges into the target
     * via the same batch operator (reference's staged-MERGE pattern).
     * `readTarget`/`writeTarget` abstract the table store (parquet dir
