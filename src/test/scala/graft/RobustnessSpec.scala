@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{AsOf, Dedup, Upsert}
+import org.apache.spark.sql.{AnalysisException, functions => F}
+
+class RobustnessSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("merge fails loudly when source is missing target columns") {
+    val target = Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+    val bad = Seq((1L, 2.0)).toDF("k", "v") // no "name"
+    intercept[AnalysisException] {
+      Upsert.merge(target, bad, Seq("k")).collect()
+    }
+  }
+
+  test("operators degrade cleanly on empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+
+    val target = Seq((1L, 1.0)).toDF("k", "v")
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(Upsert.merge(target, empty, Seq("k")).count() == 1)
+    assert(Upsert.idempotentAppend(target, empty, Seq("k")).count() == 1)
+    assert(Upsert.merge(empty, target, Seq("k")).count() == 1)
+  }
+
+  test("asof join with empty right side: inner drops all, outer null-fills") {
+    val left = Seq((1L, "EUR", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "cur", "ts")
+    val right = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("cur", "ts", "rate")
+    assert(AsOf.join(left, right, Seq("cur"), "ts", "ts", Seq("rate")).count() == 0)
+    val outer = AsOf.join(left, right, Seq("cur"), "ts", "ts", Seq("rate"), inner = false)
+    assert(outer.count() == 1 && outer.head().isNullAt(3))
+  }
+
+  test("GraftExtensions injects SQL functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force suite session init first
+    // getOrCreate returns the live session (ignoring withExtensions), so
+    // clear the active/default pointers to force a genuinely new session
+    // over the same SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = GraftSession.builder(2)
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      graft.sources.Typed.registerAllViews(s2, sf)
+      val out = s2.sql(
+        """SELECT graft_jaccard(graft_shingles(split(lower(text), '\\s+'), 3),
+          |                     graft_shingles(split(lower(text), '\\s+'), 3)) AS self_j
+          |FROM documents LIMIT 3""".stripMargin).collect()
+      assert(out.forall(_.getDouble(0) == 1.0))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+}
