@@ -22,4 +22,24 @@ object Layout {
       .repartition(F.col("p_day"))
       .sortWithinPartitions(clusterCols.map(F.col): _*)
       .write.mode("overwrite").partitionBy("p_day").parquet(path)
+
+  /** Replace ONLY the day partitions present in `df`, leaving all other
+    * days untouched — the reference's per-day WRITE_TRUNCATE
+    * disposition ("latest analysis of the day overwrites previous",
+    * reference README.md), done safely at table scale with dynamic
+    * partition overwrite instead of a full-table truncate.
+    */
+  def overwriteDayPartitions(df: DataFrame, path: String, tsCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      df.withColumn("p_day", F.to_date(F.col(tsCol)))
+        .repartition(F.col("p_day"))
+        .write.mode("overwrite").partitionBy("p_day").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -48,6 +48,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"), p.take(1500))
   }
 
+  test("dynamic partition overwrite replaces only the incoming days") {
+    val out = Files.createTempDirectory("graft-dpo-").toString
+    val e = Tables.events(spark, sf)
+    Layout.writePartitioned(e, out, "ts", Seq("event_type"))
+    val before = spark.read.parquet(out).count()
+    // re-report one day with a single replacement row
+    val oneDay = e.filter(F.to_date(F.col("ts")) === "2024-01-05").limit(1)
+    Layout.overwriteDayPartitions(oneDay, out, "ts")
+    val after = spark.read.parquet(out)
+    val otherDays = after.filter(F.col("p_day") =!= "2024-01-05").count()
+    val thatDay = after.filter(F.col("p_day") === "2024-01-05").count()
+    assert(thatDay == 1, "overwritten day should hold only the new rows")
+    assert(otherDays == before - e.filter(F.to_date(F.col("ts")) === "2024-01-05").count(),
+      "untouched days must survive")
+  }
+
   test("partitioned layout writes day directories and prunes on day filters") {
     val out = Files.createTempDirectory("graft-layout-").toString
     Layout.writePartitioned(Tables.events(spark, sf), out, "ts", Seq("event_type", "user_id"))
