@@ -229,6 +229,45 @@ case class SigMatchFraction(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Stopword-profile language guess over fixed per-language lexicons:
+  * score = |tokens ∩ lexicon| / max(|tokens|,1); winner = max score,
+  * exact ties to the largest language code (mirroring the struct-max
+  * tie-break of the Column-composed form); all-zero → "und".
+  */
+case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  // langs sorted so equal scores resolve to the largest code, as struct
+  // max over (score, lang) does
+  private val ordered: Array[(UTF8String, java.util.HashSet[UTF8String])] =
+    lexicons.sortBy(_._1).reverse.map { case (lang, words) =>
+      val set = new java.util.HashSet[UTF8String](words.size * 2)
+      words.foreach(w => set.add(UTF8String.fromString(w)))
+      (UTF8String.fromString(lang), set)
+    }.toArray
+  private val und = UTF8String.fromString("und")
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val denom = math.max(n, 1).toDouble
+    var bestScore = 0.0
+    var best: UTF8String = und
+    var li = 0
+    while (li < ordered.length) {
+      val (lang, set) = ordered(li)
+      var hits = 0
+      var i = 0
+      while (i < n) { if (set.contains(arr.getUTF8String(i))) hits += 1; i += 1 }
+      val score = hits / denom
+      if (score > bestScore) { bestScore = score; best = lang }
+      li += 1
+    }
+    if (bestScore > 0.0) best else und
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangGuess =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   def minhash_signature(tokens: Column, k: Int): Column =
@@ -245,6 +284,8 @@ object native {
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def sig_match_fraction(a: Column, b: Column): Column =
     Bridge.column(SigMatchFraction(Bridge.expression(a), Bridge.expression(b)))
+  def lang_guess(tokens: Column, lexicons: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangGuess(Bridge.expression(tokens), lexicons))
 
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
     * / graft_cosine) on a session for spark.sql use.

@@ -73,15 +73,6 @@ object text {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "que", "dans"))
 
-  def langGuess(c: Column): Column = {
-    val t = tokens(c)
-    val n = F.greatest(F.size(t), F.lit(1)).cast("double")
-    val scored = langLexicon.map { case (lang, lex) =>
-      F.struct((F.size(F.filter(t, x => x.isin(lex: _*))).cast("double") / n).as("score"), F.lit(lang).as("lang"))
-    }
-    // array_max on (score, lang) structs: highest score wins; exact ties
-    // break deterministically to the largest lang string (struct order).
-    val best = F.array_max(F.array(scored: _*))
-    F.when(best.getField("score") > 0.0, best.getField("lang")).otherwise(F.lit("und"))
-  }
+  def langGuess(c: Column): Column =
+    graft.functions.native.lang_guess(tokens(c), langLexicon)
 }
