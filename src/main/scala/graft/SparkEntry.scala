@@ -262,6 +262,13 @@ object SparkEntry {
       Similarity.lshTopK(e, q, 10).orderBy("qid", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, q, 10, nprobe = 3).orderBy("qid", "rank")
+    }),
+
     // ───────────────────────── E. text analysis ─────────────────────────
     "text_quality" -> ((s, d) => {
       val t = F.col("text")

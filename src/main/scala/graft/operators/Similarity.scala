@@ -35,6 +35,47 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** IVF ANN: coarse-quantize the corpus into cells, search only the
+    * `nprobe` cells whose centroids are nearest each query. Centroids
+    * are computed with plain DataFrame aggregation (posexplode +
+    * per-dimension mean → rebuilt array) — at 100 TB the centroid
+    * table is tiny and broadcasts; the corpus is touched only for the
+    * probed cells (partition-prunable when the table is written
+    * partitioned by cell).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 3,
+              cellCol: String = "label",
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // per-cell centroid: mean per dimension, reassembled in index order
+    val centroids = corpus
+      .select(F.col(cellCol).as("cell"), F.posexplode(F.col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(F.avg("x").as("mx"))
+      .groupBy("cell")
+      .agg(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mx")))).as("pairs"))
+      .select(F.col("cell"),
+        F.transform(F.col("pairs"), p => p.getField("mx").cast("float")).as("centroid"))
+    // nprobe nearest cells per query
+    val probed = queries.join(F.broadcast(centroids))
+      .withColumn("ccos", native.cosine_sim(F.col(qvecCol), F.col("centroid")))
+    val probeTop = topKGeneric(probed, qidCol, "cell", "ccos", nprobe)
+      .select(F.col(qidCol), F.col("cell"))
+    // search only the probed cells
+    val scored = corpus.withColumnRenamed(cellCol, "cell")
+      .join(F.broadcast(probeTop.join(queries, qidCol)), Seq("cell"))
+      .filter(F.col(qidCol) =!= F.col(idCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
+  /** topK over an arbitrary long-castable id column. */
+  private def topKGeneric(scored: DataFrame, qidCol: String, idCol: String,
+                          scoreCol: String, k: Int): DataFrame =
+    scored.groupBy(F.col(qidCol))
+      .agg(aggregates.top_k_by_score(F.col(scoreCol), F.col(idCol).cast("long"), k).as("top"))
+      .select(F.col(qidCol), F.explode(F.col("top")).as("t"))
+      .select(F.col(qidCol), F.col("t.id").as(idCol))
+
   /** LSH-bucketed ANN: native random-hyperplane signatures, banded so
     * a candidate only needs one matching 4-bit band of the 16-bit
     * signature; exact cosine ranks the candidates. Trades recall for

@@ -30,6 +30,17 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivfTopK with nprobe=3 of 10 cells reaches reasonable recall") {
+    val approx = Similarity.ivfTopK(corpus, queries, 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until 5L).map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall $mean too low: $recalls")
+  }
+
   test("lshTopK reaches reasonable recall vs exact top-10") {
     val approx = Similarity.lshTopK(corpus, queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
