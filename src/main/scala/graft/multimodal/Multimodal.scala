@@ -40,6 +40,40 @@ object Multimodal {
       F.col("text").cast("binary").as("payload"),
       F.struct(F.col("source"), F.col("lang"), F.col("n_chars")).as("meta"))
 
+  /** STUB resize: stands in for image rescale. Deterministically maps
+    * the payload to a fixed-size "thumbnail" byte array (strided
+    * sampling of the source bytes — replace with a real scaler). The
+    * pipeline contract it exercises is real: binary in → smaller
+    * binary out, metadata updated, fully codegen-compatible schema.
+    */
+  def resizeStub(withBin: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val resize = F.udf { (payload: Array[Byte]) =>
+      if (payload.isEmpty) Array.emptyByteArray
+      else Array.tabulate(math.min(targetBytes, payload.length)) { i =>
+        payload((i.toLong * payload.length / math.min(targetBytes, payload.length)).toInt)
+      }
+    }
+    withBin.withColumn("thumb", resize(F.col("payload")))
+      .withColumn("thumb_len", F.length(F.col("thumb")))
+  }
+
+  /** STUB frame sampling: stands in for video frame extraction. Splits
+    * the payload into fixed-size "frames" and keeps every `stride`-th
+    * one, exploded to (doc_id, frame_idx, frame) rows — the shape a
+    * real decoder feeds downstream per-frame featurizers with. Frames
+    * per row are bounded, so the explode fan-out is controlled.
+    */
+  def frameSampleStub(withBin: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val split = F.udf { (payload: Array[Byte]) =>
+      payload.grouped(frameBytes).zipWithIndex
+        .collect { case (frame, idx) if idx % stride == 0 => (idx, frame) }
+        .toSeq
+    }
+    withBin
+      .select(F.col("doc_id"), F.explode(split(F.col("payload"))).as("f"))
+      .select(F.col("doc_id"), F.col("f._1").as("frame_idx"), F.col("f._2").as("frame"))
+  }
+
   /** Batched per-partition decode → feature rows. */
   def decodeFeatures(spark: SparkSession, withBin: DataFrame): DataFrame = {
     val rdd = withBin.select("doc_id", "payload").rdd.mapPartitions { it =>

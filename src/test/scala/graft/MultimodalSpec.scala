@@ -22,4 +22,21 @@ class MultimodalSpec extends SparkSuite {
       assert(sum == s)
     }
   }
+
+  test("resize stub emits bounded thumbnails; frame sampling strides deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val withBin = Multimodal.withPayload(docs)
+    val resized = Multimodal.resizeStub(withBin, targetBytes = 64)
+    assert(resized.agg(org.apache.spark.sql.functions.max("thumb_len")).head().getInt(0) <= 64)
+    assert(resized.count() == docs.count())
+
+    val frames = Multimodal.frameSampleStub(withBin, frameBytes = 32, stride = 4)
+    val one = frames.filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .orderBy("frame_idx").collect()
+    assert(one.nonEmpty)
+    assert(one.map(_.getInt(1)).forall(_ % 4 == 0), "only every 4th frame kept")
+    val text0 = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .head().getString(1)
+    assert(one.head.getAs[Array[Byte]](2).sameElements(text0.getBytes("UTF-8").take(32)))
+  }
 }
