@@ -55,6 +55,14 @@ class RobustnessSpec extends SparkSuite {
           |                     graft_shingles(split(lower(text), '\\s+'), 3)) AS self_j
           |FROM documents LIMIT 3""".stripMargin).collect()
       assert(out.forall(_.getDouble(0) == 1.0))
+      // optimizer rule folds the self-similarity to a literal: the
+      // optimized plan must not contain a JaccardSim call at all
+      val optimized = s2.sql(
+        """SELECT graft_jaccard(graft_shingles(split(lower(text), '\s+'), 3),
+          |                     graft_shingles(split(lower(text), '\s+'), 3)) AS self_j
+          |FROM documents""".stripMargin).queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("jaccardsim") && !optimized.toLowerCase.contains("jaccard"),
+        optimized.take(500))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)
