@@ -18,9 +18,13 @@ import graft.multimodal.Multimodal
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * q1_agg: always 6 (returnflag, linestatus) groups — robust to the
+    * sparse dimension chains of the smallest scale factor (q5 yields a
+    * single row there).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** Exact, order-independent sums of double expressions. The decimal
     * scale must match the true decimal width of the data (all money
