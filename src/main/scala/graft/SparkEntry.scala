@@ -224,6 +224,16 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q_grouping_sets" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              |       COALESCE(o_orderpriority, 'ALL') AS prio,
+              |       COUNT(*) AS n,
+              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY status, prio""".stripMargin)
+    }),
     "q_percentile" -> ((s, d) => {
       Tables.events(s, d).groupBy("event_type")
         .agg(
@@ -449,6 +459,14 @@ object SparkEntry {
           |             SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
           |      FROM events GROUP BY 1)
           |ORDER BY day""".stripMargin,
+      "q_grouping_sets" ->
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |       COALESCE(o_orderpriority, 'ALL') AS prio,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, prio""".stripMargin,
       "q_percentile" ->
         """SELECT event_type,
           |  quantile_cont(value, 0.25) AS p25,
