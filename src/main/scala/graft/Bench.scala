@@ -28,19 +28,23 @@ object Bench {
     try { force("q1_agg"); force("dedup_exact") } catch { case _: Throwable => }
 
     // min of two runs per query: one-off JIT/GC/IO noise would otherwise
-    // double a query's reported time (observed 2-3x swings locally)
+    // double a query's reported time (observed 2-3x swings locally).
+    // A crashed run records -1 — a time-to-crash must never pass as a
+    // (flatteringly fast) benchmark number.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try force(name) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try { force(name); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v == -1.0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

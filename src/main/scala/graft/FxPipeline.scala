@@ -36,9 +36,7 @@ object FxPipeline {
         F.col("event_type"),
         F.col("value").as("rate"))
       .observe("fx_ingest", F.count(F.lit(1)).as("batch_rows"))
-    val existing =
-      try Some(spark.read.parquet(rawPath))
-      catch { case _: Exception => None }
+    val existing = readTableIfExists(spark, rawPath)
     val merged = existing match {
       case Some(t) => Upsert.idempotentAppend(t.drop("p_day"), typed, Seq("event_id"))
       case None    => typed
@@ -46,6 +44,15 @@ object FxPipeline {
     stageAndSwap(rawPath)(Layout.writePartitioned(merged, _, "ts", Seq("event_type", "user_id")))
     spark.read.parquet(rawPath)
   }
+
+  /** First-run detection must be precise: treating ANY read failure as
+    * "table absent" would let a transient error (permissions, corrupt
+    * footer, interrupted swap) silently replace the full table with
+    * one batch. Only a genuinely missing path qualifies; everything
+    * else propagates.
+    */
+  private def readTableIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
 
   /** Write to a staging directory then swap — a lazily-planned merge
     * reads the very files an in-place overwrite deletes (the reference
@@ -80,9 +87,7 @@ object FxPipeline {
       .agg(F.avg("rate").as("avg_rate"), F.count(F.lit(1)).as("n"))
       .withColumn("ts", F.col("day").cast("timestamp"))
       .observe("fx_report", F.count(F.lit(1)).as("report_rows"))
-    val existing =
-      try Some(spark.read.parquet(reportPath).drop("p_day"))
-      catch { case _: Exception => None }
+    val existing = readTableIfExists(spark, reportPath).map(_.drop("p_day"))
     val merged = existing match {
       case Some(t) => Upsert.merge(t, agg, Seq("day", "event_type"))
       case None    => agg

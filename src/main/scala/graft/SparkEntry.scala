@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.{AsOf, Dedup, Similarity, Skew, Upsert}
-import graft.functions.{text => T, vectors => V}
+import graft.functions.{text => T}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one `queries` entry per SURVEY.md §2 operator,

@@ -21,8 +21,13 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // java.lang.Double.compare orders NaN greatest — the same total order
+  // Spark uses for double sorts, so results match a row_number() window
+  // even when zero-norm vectors produce NaN cosines
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return

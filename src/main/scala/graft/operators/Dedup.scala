@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
-import graft.functions.{native, text, vectors}
+import graft.functions.{native, text}
 
 /** Deduplication family for LLM training-data pipelines (SURVEY.md §2
   * C-block). Everything is shuffle-bounded: candidate generation is
@@ -26,23 +26,6 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(F.md5(F.col(textCol)).as("h"))
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_dups"))
-
-  /** Word n-gram shingles (distinct) from an already-materialized
-    * token-array column.
-    */
-  def shingleOf(toks: Column, n: Int): Column =
-    F.array_distinct(
-      F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n)))))
-
-  /** MinHash signature from a materialized shingle-array column: k
-    * permutations approximated by seeded xxhash64, min per slot.
-    */
-  def minhashSignature(sh: Column, k: Int): Column =
-    F.transform(
-      F.sequence(F.lit(0), F.lit(k - 1)),
-      i => F.array_min(F.transform(sh, s => F.xxhash64(s, i))))
 
   /** LSH band hashes from a materialized signature column. */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
@@ -75,14 +58,16 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with estimated Jaccard (fraction of equal
-    * signature slots) ≥ `threshold`. The signature table (k longs per
-    * doc — orders of magnitude smaller than the corpus) is cached so
-    * candidate generation and verification share one computation.
+    * signature slots) ≥ `threshold`. The signature table is recomputed
+    * by the verify join rather than cached — native signatures are
+    * cheap, and a library-held cache() leaks storage blocks for the
+    * session lifetime (callers owning a long-lived session can cache
+    * `signatures(...)` themselves).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sigs = signatures(df, idCol, textCol, k).select("id", "sig").cache()
+    val sigs = signatures(df, idCol, textCol, k).select("id", "sig")
     val sigA = sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a"))
     val sigB = sigs.select(F.col("id").as("id_b"), F.col("sig").as("sig_b"))
     candidatesFromSignatures(sigs, bands, rows)
@@ -98,7 +83,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, shingleN: Int = 3,
                         k: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, k, shingleN).cache()
+    val sigs = signatures(df, idCol, textCol, k, shingleN)
     val shA = sigs.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
     val shB = sigs.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))
     candidatesFromSignatures(sigs, bands, k / bands)
@@ -108,19 +93,7 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from a materialized token-hash-array column: the
-    * 64 bit-counters are integer folds over the row-local array.
-    */
-  def simhashOfHashes(hs: Column): Column = {
-    val bits = (0 until 64).map { bit =>
-      val cnt = F.aggregate(hs, F.lit(0),
-        (acc, h) => acc + F.when(F.shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      F.when(cnt > 0, F.lit(1L << bit)).otherwise(F.lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** (id, sim) per document, staged: tokens → hashes → simhash. */
+  /** (id, sim) per document, staged: tokens → simhash. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
       .select(F.col("id"), native.simhash64(F.col("__toks")).as("sim"))

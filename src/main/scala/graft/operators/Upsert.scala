@@ -26,7 +26,9 @@ object Upsert {
     * per-batch) granularity — strictly more precise idempotency.
     */
   def idempotentAppend(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
-    val fresh = batch.join(target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+    val fresh = batch
+      .dropDuplicates(keys) // a key delivered twice IN the batch is still one logical row
+      .join(target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
     target.unionByName(fresh)
   }
 
@@ -40,17 +42,29 @@ object Upsert {
     * schema; `source` must contain them all.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    // "matched" must be detected by row presence, not key-null checks —
+    // keys join null-safely (<=>), so a null-keyed source row is a
+    // legitimate match whose update would otherwise be dropped
     val t = target.alias("t")
-    val s = source.alias("s")
+    val s = source.withColumn("__s_present", F.lit(1)).alias("s")
     val cond = keys.map(k => F.col(s"t.$k") <=> F.col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
+    val matched = F.col("s.__s_present").isNotNull
     val cols: Seq[Column] = target.columns.toSeq.map { c =>
-      if (keys.contains(c)) F.coalesce(F.col(s"s.$c"), F.col(s"t.$c")).as(c)
-      else F.when(keys.map(k => F.col(s"s.$k").isNotNull).reduce(_ && _), F.col(s"s.$c"))
-        .otherwise(F.col(s"t.$c")).as(c)
+      F.when(matched, F.col(s"s.$c")).otherwise(F.col(s"t.$c")).as(c)
     }
     joined.select(cols: _*)
   }
+
+  /** MERGE with a possibly-duplicated source: keep only the newest
+    * source row per key (by `ts`, then `tieBreak`) before merging —
+    * `merge` itself requires unique source keys (a duplicated key
+    * would fan the full-outer join out; BigQuery MERGE raises an
+    * error in that situation).
+    */
+  def mergeLatest(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  ts: String, tieBreak: Seq[String] = Nil): DataFrame =
+    merge(target, dedupLatest(source, keys, ts, tieBreak), keys)
 
   /** Keep the single newest row per key, ordered by `ts` descending
     * with `tieBreak` columns as deterministic tie-breakers.

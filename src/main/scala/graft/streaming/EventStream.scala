@@ -27,7 +27,7 @@ object EventStream {
   /** Streaming read of an events directory, ts normalized to µs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000L).cast("long")))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
   /** G1: event-time windowed aggregate with watermark — the streaming
     * analogue of fx_daily_report (per-window avg/count by type).
@@ -112,9 +112,12 @@ object EventStream {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // at-least-once sources can redeliver a key within one micro-batch;
+        // merge requires unique source keys (it would fan out otherwise)
+        val deduped = batch.dropDuplicates(keys)
         val merged = readTarget() match {
-          case Some(t) => Upsert.merge(t, batch, keys)
-          case None    => batch
+          case Some(t) => Upsert.merge(t, deduped, keys)
+          case None    => deduped
         }
         writeTarget(merged)
       }

@@ -15,10 +15,16 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+try:
+    expected = json.load(open(f"{out_dir}/queries.json"))
+except FileNotFoundError:
+    expected = sorted(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
 fails = 0
-for name in sorted(os.listdir(out_dir)):
+for name in expected:
     qdir = os.path.join(out_dir, name)
     if not os.path.isdir(qdir):
+        fails += 1
+        print(f"[FAIL] {name}: no result dump (query crashed in Verify)")
         continue
     got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
     if name not in oracle:
