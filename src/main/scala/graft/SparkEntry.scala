@@ -224,6 +224,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q_setops" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(F.col("c_custkey").as("k"))
+      val o = Tables.orders(s, d).select(F.col("o_custkey").as("k"))
+      val noOrders = c.exceptAll(o.distinct()).withColumn("src", F.lit("customers_without_orders"))
+      val both = c.intersect(o).withColumn("src", F.lit("customers_with_orders"))
+      noOrders.unionByName(both).orderBy("src", "k")
+    }),
+    "q_string_ops" -> ((s, d) => {
+      Tables.part(s, d).select(
+          F.col("p_partkey"),
+          F.upper(F.col("p_name")).as("name_upper"),
+          F.substring(F.col("p_type"), 1, 3).as("type_prefix"),
+          F.col("p_brand").like("Brand#1%").as("is_brand1x"),
+          F.concat_ws("/", F.col("p_brand"), F.col("p_type")).as("brand_type"),
+          F.length(F.col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    }),
     "q_grouping_sets" -> ((s, d) => {
       graft.sources.Typed.registerAllViews(s, d)
       s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -459,6 +476,25 @@ object SparkEntry {
           |             SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
           |      FROM events GROUP BY 1)
           |ORDER BY day""".stripMargin,
+      "q_setops" ->
+        """SELECT k, 'customers_without_orders' AS src FROM (
+          |  SELECT c_custkey AS k FROM customer
+          |  EXCEPT ALL
+          |  SELECT DISTINCT o_custkey AS k FROM orders)
+          |UNION ALL
+          |SELECT k, 'customers_with_orders' AS src FROM (
+          |  SELECT c_custkey AS k FROM customer
+          |  INTERSECT
+          |  SELECT o_custkey AS k FROM orders)
+          |ORDER BY src, k""".stripMargin,
+      "q_string_ops" ->
+        """SELECT p_partkey,
+          |  upper(p_name) AS name_upper,
+          |  substr(p_type, 1, 3) AS type_prefix,
+          |  p_brand LIKE 'Brand#1%' AS is_brand1x,
+          |  concat_ws('/', p_brand, p_type) AS brand_type,
+          |  LENGTH(p_name) AS name_len
+          |FROM part ORDER BY p_partkey""".stripMargin,
       "q_grouping_sets" ->
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
           |       COALESCE(o_orderpriority, 'ALL') AS prio,
