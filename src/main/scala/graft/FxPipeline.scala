@@ -49,10 +49,14 @@ object FxPipeline {
     * "table absent" would let a transient error (permissions, corrupt
     * footer, interrupted swap) silently replace the full table with
     * one batch. Only a genuinely missing path qualifies; everything
-    * else propagates.
+    * else propagates. Existence goes through the Hadoop FileSystem API
+    * so hdfs:///s3a:// paths resolve correctly, not just local ones.
     */
-  private def readTableIfExists(spark: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+  private def readTableIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
 
   /** Write to a staging directory then swap — a lazily-planned merge
     * reads the very files an in-place overwrite deletes (the reference
@@ -61,24 +65,33 @@ object FxPipeline {
     * deployment).
     */
   private def stageAndSwap(path: String)(write: String => Unit): Unit = {
-    val staging = path + ".staging"
-    write(staging)
-    val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
-    if (!new java.io.File(staging).renameTo(dir))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    write(staging.toString)
+    // retire-then-promote: the live table is renamed aside (not deleted)
+    // before the staging copy moves in, so a failure at any step leaves
+    // at least one complete copy on disk
+    if (fs.exists(retired)) fs.delete(retired, true)
+    val hadOld = fs.exists(target)
+    if (hadOld && !fs.rename(target, retired))
+      throw new java.io.IOException(s"could not retire $path")
+    if (!fs.rename(staging, target)) {
+      if (hadOld) fs.rename(retired, target) // roll back
       throw new java.io.IOException(s"swap failed: $staging -> $path")
+    }
+    if (hadOld) fs.delete(retired, true)
     // drop the session-wide cached file listing for the swapped path
-    org.apache.spark.sql.SparkSession.active.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(path)
   }
 
-  /** Per-day averages MERGE'd into the report table — only the days
-    * present in the new aggregate are rewritten (dynamic partition
-    * overwrite = the reference's "latest analysis of the day
-    * overwrites previous").
+  /** Per-day averages MERGE'd into the report table. The merged result
+    * covers every day, so the whole (small — one row per day×type)
+    * report table is rewritten via stage-and-swap; a raw-sized table
+    * would instead aggregate only fresh days and route through
+    * `Layout.overwriteDayPartitions` to rewrite O(changed days).
     */
   def report(spark: SparkSession, rawPath: String, reportPath: String): DataFrame = {
     val raw = spark.read.parquet(rawPath)

@@ -39,17 +39,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Foldable-int argument with a user-facing error instead of a raw
+    * ClassCastException / IndexOutOfBoundsException from deep inside
+    * Catalyst.
+    */
+  private def intArg(fn: String, es: Seq[Expression], i: Int): Int = {
+    if (es.length <= i)
+      throw new IllegalArgumentException(s"$fn expects ${i + 1} arguments, got ${es.length}")
+    val e = es(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn argument ${i + 1} must be a constant")
+    e.eval() match {
+      case n: Int  => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be an integer, got $other")
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSelfSimilarity)
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(tokens, k) - MinHash signature of a string array"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => MinHashSignature(es.head, intArg("graft_minhash", es, 1))))
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a string array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-grams"),
-      (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => WordShingles(es.head, intArg("graft_shingles", es, 1))))
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))))

@@ -29,7 +29,8 @@ final class TopKBuffer(val k: Int) {
     c > 0 || (c == 0 && i1 < i2)
   }
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(s0: Double, id: Long): Unit = {
+    val s = s0 + 0.0 // normalize -0.0: Spark sorts ±0.0 equal, Double.compare does not
     if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return
     var pos = if (size < k) size else k - 1
     while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) {

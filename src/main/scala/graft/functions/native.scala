@@ -270,6 +270,17 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
 
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
+  private def constInt(fn: String, es: Seq[Expression], i: Int): Int = {
+    require(es.length > i, s"$fn expects ${i + 1} arguments, got ${es.length}")
+    require(es(i).foldable, s"$fn argument ${i + 1} must be a constant")
+    es(i).eval() match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be an integer, got $other")
+    }
+  }
+
   def minhash_signature(tokens: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), k))
   def simhash64(tokens: Column): Column =
@@ -288,15 +299,17 @@ object native {
     Bridge.column(LangGuess(Bridge.expression(tokens), lexicons))
 
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
-    * / graft_cosine) on a session for spark.sql use.
+    * / graft_cosine / graft_jaccard) on a session for spark.sql use —
+    * the same set `graft.GraftExtensions` injects via configuration.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+      es => MinHashSignature(es.head, constInt("graft_minhash", es, 1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
-      es => WordShingles(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+      es => WordShingles(es.head, constInt("graft_shingles", es, 1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard", es => JaccardSim(es.head, es(1)), "built-in")
   }
 }

@@ -13,14 +13,16 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 object Skew {
 
   /** Per-key (n, sum, avg) of `valueCol` with two-phase salted
-    * aggregation. The salt is derived from the value bytes — any
-    * spread works; determinism of the RESULT comes from the exact
-    * decimal algebra, not the salt.
+    * aggregation. The salt comes from the input partition id — it
+    * spreads a hot key unconditionally (a value-derived salt collapses
+    * when the hot key's rows share one constant value, which is the
+    * typical skew shape). Determinism of the RESULT comes from the
+    * exact decimal algebra, not from salt placement.
     */
   def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
                   salts: Int = 16): DataFrame = {
     val keyCols = keys.map(F.col)
-    df.withColumn("__salt", F.pmod(F.xxhash64(F.col(valueCol)), F.lit(salts)))
+    df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salts)))
       .groupBy(keyCols :+ F.col("__salt"): _*)
       .agg(
         F.count(F.lit(1)).as("__n"),

@@ -79,7 +79,10 @@ object EventStream {
             val t = ts.getTime
             cur match {
               case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
+                // late (pre-watermark) rows may arrive out of order: the
+                // session window only ever widens
+                cur = Some(s.copy(start = math.min(s.start, t),
+                  last = math.max(s.last, t), n = s.n + 1, sum = s.sum + v))
               case Some(s) =>
                 closed += SessionOut(user, new java.sql.Timestamp(s.start),
                   new java.sql.Timestamp(s.last), s.n, s.sum)
@@ -107,14 +110,20 @@ object EventStream {
     */
   def mergeSink(stream: DataFrame, keys: Seq[String],
                 readTarget: () => Option[DataFrame],
-                writeTarget: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+                writeTarget: DataFrame => Unit,
+                orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // at-least-once sources can redeliver a key within one micro-batch;
-        // merge requires unique source keys (it would fan out otherwise)
-        val deduped = batch.dropDuplicates(keys)
+        // merge requires unique source keys (it would fan out otherwise).
+        // With an order column the newest row wins deterministically;
+        // without one, duplicates are assumed to be exact redeliveries.
+        val deduped = orderCol match {
+          case Some(ts) => Upsert.dedupLatest(batch, keys, ts)
+          case None     => batch.dropDuplicates(keys)
+        }
         val merged = readTarget() match {
           case Some(t) => Upsert.merge(t, deduped, keys)
           case None    => deduped

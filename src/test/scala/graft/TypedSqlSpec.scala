@@ -54,8 +54,16 @@ class TypedSqlSpec extends SparkSuite {
       assert(!r.getTimestamp(1).after(r.getTimestamp(2)))
       assert(r.getLong(3) >= 1)
     }
-    // deterministic lower bound: users with two events >30min apart
-    // produce at least one closed session each batch replay
-    assert(sessions.count() >= 0)
+    // deterministic lower bound: a user whose consecutive events are
+    // >30min apart closes a session at each such gap within the batch
+    import spark.implicits._
+    val gaps = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().groupBy(_._1).values.map { rows =>
+        val ts = rows.map(_._2.getTime).sorted
+        ts.zip(ts.drop(1)).count { case (a, b) => b - a > 30L * 60 * 1000 }
+      }.sum
+    assert(sessions.count() >= gaps,
+      s"expected at least $gaps closed sessions, got ${sessions.count()}")
   }
 }
