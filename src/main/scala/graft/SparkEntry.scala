@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOf, Dedup, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, Dedup, Profile, Similarity, Skew, Upsert}
 import graft.functions.{text => T}
 import graft.multimodal.Multimodal
 
@@ -250,6 +250,13 @@ object SparkEntry {
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY status, prio""".stripMargin)
+    }),
+    "q_profile" -> ((s, d) => {
+      // int/string columns only: double/timestamp min/max stringification
+      // is engine-specific and would break hash parity
+      Profile.columnsExact(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")
     }),
     "q_percentile" -> ((s, d) => {
       Tables.events(s, d).groupBy("event_type")
@@ -503,6 +510,21 @@ object SparkEntry {
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, prio""".stripMargin,
+      "q_profile" ->
+        """SELECT * FROM (
+          |  SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+          |         COUNT(DISTINCT o_orderkey) AS n_distinct,
+          |         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value, CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM orders
+          |  UNION ALL
+          |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+          |         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+          |  UNION ALL
+          |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+          |         CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+          |  UNION ALL
+          |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+          |         CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
+          |ORDER BY "column" """.stripMargin,
       "q_percentile" ->
         """SELECT event_type,
           |  quantile_cont(value, 0.25) AS p25,
