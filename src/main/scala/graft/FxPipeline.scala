@@ -25,8 +25,15 @@ import graft.sources.{Layout, Tables}
 object FxPipeline {
 
   /** Parse a raw JSON-ish batch (here: the events feed) into the typed
-    * rate schema and idempotently append into `rawPath` (day-keyed
-    * anti-join; re-delivered rows are dropped).
+    * rate schema and idempotently append into `rawPath`.
+    *
+    * Incremental by construction: only the anti-join survivors (rows
+    * whose key is genuinely new) are written, as NEW files appended
+    * into the day-partitioned layout — O(batch) I/O per run, matching
+    * the reference's WRITE_APPEND disposition
+    * (idempotent_fx_pipeline.py:89-106). Existing files are never
+    * rewritten; at 100 TB a full-table stage-and-swap per micro-batch
+    * would be an O(table) write for an O(batch) logical change.
     */
   def ingest(spark: SparkSession, batch: DataFrame, rawPath: String): DataFrame = {
     val typed = batch.select(
@@ -36,13 +43,32 @@ object FxPipeline {
         F.col("event_type"),
         F.col("value").as("rate"))
       .observe("fx_ingest", F.count(F.lit(1)).as("batch_rows"))
-    val existing = readTableIfExists(spark, rawPath)
-    val merged = existing match {
-      case Some(t) => Upsert.idempotentAppend(t.drop("p_day"), typed, Seq("event_id"))
-      case None    => typed
+    recoverInterrupted(spark, rawPath)
+    readTableIfExists(spark, rawPath) match {
+      case None =>
+        Layout.writePartitioned(typed, rawPath, "ts", Seq("event_type", "user_id"))
+      case Some(t) =>
+        val fresh = Upsert.freshRows(prunedToBatchDays(t, typed), typed, Seq("event_id"))
+        Layout.appendPartitioned(fresh, rawPath, "ts", Seq("event_type", "user_id"))
     }
-    stageAndSwap(rawPath)(Layout.writePartitioned(merged, _, "ts", Seq("event_type", "user_id")))
+    spark.catalog.refreshByPath(rawPath)
     spark.read.parquet(rawPath)
+  }
+
+  /** Restrict the idempotency key lookup to the batch's day range.
+    * An event's key determines its day, so a redelivered key can only
+    * collide inside the batch's own [min(day), max(day)] window — the
+    * anti-join never needs the rest of the table. The literal day
+    * bounds (one 2-value driver fetch over the tiny batch) become
+    * `PartitionFilters` on the target scan, so a 100 TB table is read
+    * only for its touched partitions.
+    */
+  private[graft] def prunedToBatchDays(target: DataFrame, batch: DataFrame): DataFrame = {
+    val range = batch
+      .agg(F.min(F.to_date(F.col("ts"))).as("lo"), F.max(F.to_date(F.col("ts"))).as("hi"))
+      .head()
+    if (range.isNullAt(0)) target.limit(0)
+    else target.filter(F.col("p_day").between(range.getDate(0), range.getDate(1)))
   }
 
   /** First-run detection must be precise: treating ANY read failure as
@@ -58,6 +84,27 @@ object FxPipeline {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  /** Heal the crash window of a previous `stageAndSwap`: if a run died
+    * between retiring the live table and promoting staging, the target
+    * path is missing while the complete previous copy sits in
+    * '<path>.old'. Left alone, the next run would treat the missing
+    * target as first-run and silently rebuild the table from a single
+    * batch — so every pipeline entry point restores the retired copy
+    * first (rename back, then delete any half-written staging dir).
+    */
+  private[graft] def recoverInterrupted(spark: SparkSession, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val retired = new org.apache.hadoop.fs.Path(path + ".old")
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(retired)) {
+      if (!fs.rename(retired, target))
+        throw new java.io.IOException(s"could not restore interrupted swap: $retired -> $path")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      spark.catalog.refreshByPath(path)
+    }
+  }
+
   /** Write to a staging directory then swap — a lazily-planned merge
     * reads the very files an in-place overwrite deletes (the reference
     * hits the same hazard and stages through temp BigQuery tables;
@@ -70,6 +117,12 @@ object FxPipeline {
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val retired = new org.apache.hadoop.fs.Path(path + ".old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a missing target alongside a retired copy means an interrupted
+    // swap the caller failed to recover — aborting beats deleting the
+    // only complete copy below
+    if (!fs.exists(target) && fs.exists(retired))
+      throw new java.io.IOException(
+        s"interrupted swap detected for $path (recoverInterrupted not run)")
     write(staging.toString)
     // retire-then-promote: the live table is renamed aside (not deleted)
     // before the staging copy moves in, so a failure at any step leaves
@@ -94,6 +147,7 @@ object FxPipeline {
     * `Layout.overwriteDayPartitions` to rewrite O(changed days).
     */
   def report(spark: SparkSession, rawPath: String, reportPath: String): DataFrame = {
+    recoverInterrupted(spark, reportPath)
     val raw = spark.read.parquet(rawPath)
     val agg = raw
       .groupBy(F.to_date(F.col("ts")).as("day"), F.col("event_type"))

@@ -25,12 +25,18 @@ object Upsert {
     * one distributed pass, no driver decision point, per-key (not
     * per-batch) granularity — strictly more precise idempotency.
     */
-  def idempotentAppend(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
-    val fresh = batch
+  def idempotentAppend(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(freshRows(target, batch, keys))
+
+  /** Just the batch rows whose key is absent from `target` — the
+    * incremental-write half of `idempotentAppend`. Pipelines that
+    * append files (instead of materializing the union) write ONLY
+    * this frame: O(batch) output regardless of table size.
+    */
+  def freshRows(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    batch
       .dropDuplicates(keys) // a key delivered twice IN the batch is still one logical row
       .join(target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
-    target.unionByName(fresh)
-  }
 
   /** MERGE: rows in both sides take `source`'s non-key values; rows
     * only in `target` or only in `source` pass through. Equivalent to

@@ -23,6 +23,20 @@ object Layout {
       .sortWithinPartitions(clusterCols.map(F.col): _*)
       .write.mode("overwrite").partitionBy("p_day").parquet(path)
 
+  /** Append `df` as NEW files into an existing day-partitioned layout,
+    * leaving every existing file untouched — the reference's
+    * WRITE_APPEND disposition. Cost is O(batch) regardless of table
+    * size; combined with a keyed anti-join upstream this is the
+    * idempotent-ingest write path that survives 100 TB (a rewrite of
+    * the full table per micro-batch would be O(table)).
+    */
+  def appendPartitioned(df: DataFrame, path: String, tsCol: String,
+                        clusterCols: Seq[String]): Unit =
+    df.withColumn("p_day", F.to_date(F.col(tsCol)))
+      .repartition(F.col("p_day"))
+      .sortWithinPartitions(clusterCols.map(F.col): _*)
+      .write.mode("append").partitionBy("p_day").parquet(path)
+
   /** Replace ONLY the day partitions present in `df`, leaving all other
     * days untouched — the reference's per-day WRITE_TRUNCATE
     * disposition ("latest analysis of the day overwrites previous",

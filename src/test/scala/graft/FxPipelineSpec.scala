@@ -41,4 +41,70 @@ class FxPipelineSpec extends SparkSuite {
     val out2 = FxPipeline.report(spark, raw, rep)
     assert(out2.count() == firstCount)
   }
+
+  /** (path, length, mtime) of every data file under the table root. */
+  private def fileStamps(root: String): Map[String, (Long, Long)] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(base).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("ingest is incremental: a second batch leaves existing files untouched") {
+    val root = Files.createTempDirectory("graft-fxincr-").toString
+    val raw = s"$root/exchange_rate"
+    val events = Tables.events(spark, sf)
+    val batch1 = events.filter(F.col("event_id") < 500)
+    FxPipeline.ingest(spark, batch1, raw)
+    val stamps1 = fileStamps(raw)
+    assert(stamps1.nonEmpty)
+
+    // second run redelivers batch1 and adds the rest: every file from
+    // run 1 must survive bit-for-bit (same path, length, mtime) — the
+    // O(batch) append contract, vs an O(table) rewrite
+    FxPipeline.ingest(spark, events, raw)
+    val stamps2 = fileStamps(raw)
+    for ((p, s) <- stamps1)
+      assert(stamps2.get(p).contains(s), s"run-1 file rewritten or removed: $p")
+    assert(spark.read.parquet(raw).count() == events.count())
+
+    // pure redelivery appends nothing at all
+    FxPipeline.ingest(spark, events, raw)
+    assert(fileStamps(raw) == stamps2, "no-op ingest must not write files")
+  }
+
+  test("idempotency anti-join prunes the target scan to the batch's days") {
+    val root = Files.createTempDirectory("graft-fxprune-").toString
+    val raw = s"$root/exchange_rate"
+    val events = Tables.events(spark, sf)
+    FxPipeline.ingest(spark, events, raw)
+    val oneDay = events.filter(F.to_date(F.col("ts")) === "2024-01-05")
+    assert(oneDay.count() > 0)
+    val pruned = FxPipeline.prunedToBatchDays(spark.read.parquet(raw), oneDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("p_day >= ") || plan.contains("(p_day")), plan)
+    // and the pruning is sound: all rows of the day survive
+    assert(pruned.count() == oneDay.count())
+  }
+
+  test("recoverInterrupted restores a table stranded mid-swap") {
+    val root = Files.createTempDirectory("graft-fxrecover-").toString
+    val raw = s"$root/exchange_rate"
+    val rep = s"$root/exchange_rate_report"
+    val events = Tables.events(spark, sf)
+    FxPipeline.ingest(spark, events, raw)
+    val expected = FxPipeline.report(spark, raw, rep).count()
+
+    // simulate a crash between retire and promote: target gone, .old holds the data
+    val fs = new org.apache.hadoop.fs.Path(rep)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(rep), new org.apache.hadoop.fs.Path(rep + ".old")))
+
+    // next run must restore the retired copy, not rebuild from one batch
+    val out = FxPipeline.report(spark, raw, rep)
+    assert(out.count() == expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(rep + ".old")))
+  }
 }
