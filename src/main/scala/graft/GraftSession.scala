@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Session factory for the graft engine.
   *
-  * Tuned for correctness-parity with the DuckDB oracle (UTC, ANSI off
-  * for permissive casts) and for scale (AQE on, shuffle partitions
-  * sized to the machine rather than Spark's default 200). On a real
+  * Tuned for correctness-parity with the DuckDB oracle (UTC timezone)
+  * and for scale (AQE on, shuffle partitions sized to the machine
+  * rather than Spark's default 200). ANSI mode stays at the Spark 4
+  * default (ON): overflow and invalid casts throw instead of silently
+  * nulling — the same strictness the DuckDB oracle applies. On a real
   * cluster the same builder applies — only master/partitions change.
   */
 object GraftSession {

@@ -598,9 +598,15 @@ object SparkEntry {
           |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp,
           |  len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_distinct_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // byte-level semantics on BOTH sides: encode() is DuckDB's UTF-8
+      // encoder (CAST(text AS BLOB) rejects non-ASCII), hex-prefix is
+      // the first byte — matches stubDecode's payload(0)&0xff / -1,
+      // including non-ASCII heads and empty docs
       "mm_meta_extract" ->
-        """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-          |       ascii(substr(text, 1, 1)) AS head_byte, source
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+          |            ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) END AS head_byte,
+          |       source
           |FROM documents ORDER BY doc_id""".stripMargin
     )
   }

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -14,9 +14,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted per array element; for k=64 signatures over ~100-shingle
   * documents that is ~10⁴ interpreted expression-node evaluations per
   * row. These expressions do the same math as one tight JVM loop per
-  * row — the difference is ~20× on the dedup benchmark — while staying
-  * inside Tungsten row processing (single eval call per row;
-  * CodegenFallback only wraps the call site, the loop itself is JIT'd).
+  * row — the difference is ~20× on the dedup benchmark.
+  *
+  * All of them implement `doGenCode` (no CodegenFallback): the call
+  * site stays inside whole-stage codegen, so a sketch projection fuses
+  * with its surrounding scan/filter/project stage instead of breaking
+  * the stage at every expression boundary. The generated code makes
+  * one virtual call per row into the JIT'd `compute` loop — the same
+  * shape Spark's own `StaticInvoke`-backed expressions produce.
+  *
+  * Null semantics: a null input array yields null (null-intolerant
+  * default); null ELEMENTS inside an array are skipped (hash/sketch
+  * functions treat them as absent tokens) rather than NPE-ing.
   */
 object Hashing {
   final val Golden = 0x9e3779b97f4a7c15L
@@ -40,24 +49,31 @@ object Hashing {
   * cheap mixes — O(|set|·(len + k)) per row.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h0 = Hashing.hashUTF8(arr.getUTF8String(j), 42L)
-      var i = 0
-      while (i < k) {
-        val h = Hashing.mix(h0 ^ (i * Hashing.Golden))
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h0 = Hashing.hashUTF8(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < k) {
+          val h = Hashing.mix(h0 ^ (i * Hashing.Golden))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }
     new GenericArrayData(sig)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -67,49 +83,65 @@ case class MinHashSignature(child: Expression, k: Int)
   * sign fold — one pass, no per-bit expression trees.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h = Hashing.hashUTF8(arr.getUTF8String(j), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!arr.isNullAt(j)) {
+        val h = Hashing.hashUTF8(arr.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
     var sim = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sim)
+    sim
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
 /** Distinct word n-gram shingles from a token array (order of first
-  * appearance; set semantics).
+  * appearance; set semantics). Null tokens are skipped before
+  * windowing.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   private val space = UTF8String.fromString(" ")
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val len = arr.numElements()
+  def compute(arr: ArrayData): ArrayData = {
+    val len0 = arr.numElements()
+    val toks = new Array[UTF8String](len0)
+    var len = 0
+    var t = 0
+    while (t < len0) {
+      if (!arr.isNullAt(t)) { toks(len) = arr.getUTF8String(t); len += 1 }
+      t += 1
+    }
     val count = math.max(len - n + 1, 1)
     val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
     var i = 0
-    while (i < count) {
+    while (i < count && len > 0) {
       val m = math.min(n, len - i)
       val parts = new Array[UTF8String](m)
       var j = 0
-      while (j < m) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      while (j < m) { parts(j) = toks(i + j); j += 1 }
       seen.add(UTF8String.concatWs(space, parts: _*))
       i += 1
     }
@@ -118,6 +150,11 @@ case class WordShingles(child: Expression, n: Int)
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -131,21 +168,26 @@ case class WordShingles(child: Expression, n: Int)
   * parity survives the native fast path.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
@@ -157,10 +199,10 @@ case class CosineSim(left: Expression, right: Expression)
   * no per-element expression trees.
   */
 case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     var sig = 0L
     var p = 0
@@ -168,14 +210,22 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val w = Hashing.mix(seed ^ (p * Hashing.Golden) ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
-        proj += arr.getFloat(i) * (w.toDouble / Long.MaxValue.toDouble)
+        if (!arr.isNullAt(i)) {
+          val w = Hashing.mix(seed ^ (p * Hashing.Golden) ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+          proj += arr.getFloat(i) * (w.toDouble / Long.MaxValue.toDouble)
+        }
         i += 1
       }
       if (proj >= 0) sig |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplane", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
@@ -186,24 +236,31 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
   * pass instead of interpreted array_intersect + array_union.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String](a.numElements() * 2)
     var i = 0
-    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    while (i < a.numElements()) { if (!a.isNullAt(i)) sa.add(a.getUTF8String(i)); i += 1 }
     var inter = 0
     val sb = new java.util.HashSet[UTF8String](b.numElements() * 2)
     i = 0
     while (i < b.numElements()) {
-      val e = b.getUTF8String(i)
-      if (sb.add(e) && sa.contains(e)) inter += 1
+      if (!b.isNullAt(i)) {
+        val e = b.getUTF8String(i)
+        if (sb.add(e) && sa.contains(e)) inter += 1
+      }
       i += 1
     }
     val union = sa.size + sb.size - inter
-    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)
@@ -214,16 +271,24 @@ case class JaccardSim(left: Expression, right: Expression)
   * zip_with + filter + size interpreted trees.
   */
 case class SigMatchFraction(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0
     var i = 0
-    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
-    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigmatch", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFraction =
     copy(left = l, right = r)
@@ -235,7 +300,8 @@ case class SigMatchFraction(left: Expression, right: Expression)
   * tie-break of the Column-composed form); all-zero → "und".
   */
 case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = StringType
   // langs sorted so equal scores resolve to the largest code, as struct
   // max over (score, lang) does
@@ -246,8 +312,7 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
       (UTF8String.fromString(lang), set)
     }.toArray
   private val und = UTF8String.fromString("und")
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val denom = math.max(n, 1).toDouble
     var bestScore = 0.0
@@ -257,12 +322,20 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
       val (lang, set) = ordered(li)
       var hits = 0
       var i = 0
-      while (i < n) { if (set.contains(arr.getUTF8String(i))) hits += 1; i += 1 }
+      while (i < n) {
+        if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) hits += 1
+        i += 1
+      }
       val score = hits / denom
       if (score > bestScore) { bestScore = score; best = lang }
       li += 1
     }
     if (bestScore > 0.0) best else und
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langGuess", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): LangGuess =
     copy(child = newChild)
@@ -270,6 +343,9 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
 
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    require(es.length == n, s"$fn expects $n arguments, got ${es.length}")
+
   private def constInt(fn: String, es: Seq[Expression], i: Int): Int = {
     require(es.length > i, s"$fn expects ${i + 1} arguments, got ${es.length}")
     require(es(i).foldable, s"$fn argument ${i + 1} must be a constant")
@@ -301,15 +377,23 @@ object native {
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
     * / graft_cosine / graft_jaccard) on a session for spark.sql use —
     * the same set `graft.GraftExtensions` injects via configuration.
+    * Wrong arity surfaces as an AnalysisException-friendly
+    * IllegalArgumentException, not an IndexOutOfBounds deep in
+    * planning.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSignature(es.head, constInt("graft_minhash", es, 1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "built-in")
+      es => { arity("graft_minhash", es, 2); MinHashSignature(es.head, constInt("graft_minhash", es, 1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => { arity("graft_simhash", es, 1); SimHash64(es.head) }, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
-      es => WordShingles(es.head, constInt("graft_shingles", es, 1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_jaccard", es => JaccardSim(es.head, es(1)), "built-in")
+      es => { arity("graft_shingles", es, 2); WordShingles(es.head, constInt("graft_shingles", es, 1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => { arity("graft_cosine", es, 2); CosineSim(es.head, es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      es => { arity("graft_jaccard", es, 2); JaccardSim(es.head, es(1)) }, "built-in")
   }
 }

@@ -66,6 +66,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands (trailing signature slots would be silently unbanded)")
     val rows = k / bands
     val sigs = signatures(df, idCol, textCol, k).select("id", "sig")
     val sigA = sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a"))
@@ -83,6 +85,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, shingleN: Int = 3,
                         k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands (trailing signature slots would be silently unbanded)")
     val sigs = signatures(df, idCol, textCol, k, shingleN)
     val shA = sigs.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
     val shB = sigs.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSignature, SimHash64, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit tests of the native expressions: the LSH hash family is
+  * PINNED to fixed values (any change to seed/mix/weight derivation
+  * silently reshuffles every bucket and tanks recall — this test makes
+  * that loud), and null-element arrays must be skipped, not NPE.
+  */
+class NativeExprSpec extends AnyFunSuite {
+
+  private def floats(v: Float*): Literal =
+    Literal(new GenericArrayData(v.map(x => x: Any).toArray), ArrayType(FloatType))
+  private def strings(v: String*): Literal =
+    Literal(new GenericArrayData(v.map(s => if (s == null) null else UTF8String.fromString(s)).toArray),
+      ArrayType(StringType, containsNull = true))
+
+  test("HyperplaneSig hash family is pinned (seed=42, planes=16)") {
+    def sig(l: Literal): Long = HyperplaneSig(l, 16, 42L).eval(null).asInstanceOf[Long]
+    assert(sig(floats(1f, 0f, 0f, 0f)) == 3256L)
+    assert(sig(floats(0f, 1f, 0f, 0f)) == 25130L)
+    assert(sig(floats(0.5f, -0.25f, 0.75f, -1f)) == 26781L)
+    // sign flip flips every plane's side: bitwise complement in 16 bits
+    assert(sig(floats(-1f, 0f, 0f, 0f)) == (3256L ^ 0xFFFFL))
+  }
+
+  test("identical vectors share all bands; similar vectors share most planes") {
+    def sig(l: Literal): Long = HyperplaneSig(l, 16, 42L).eval(null).asInstanceOf[Long]
+    val a = sig(floats(0.3f, 0.7f, -0.2f, 0.9f))
+    val b = sig(floats(0.3f, 0.7f, -0.2f, 0.9f))
+    assert(a == b)
+    val near = sig(floats(0.31f, 0.69f, -0.2f, 0.9f))
+    assert(java.lang.Long.bitCount(a ^ near) <= 3, s"near-identical vectors differ in too many planes")
+  }
+
+  test("null array elements are skipped, never NPE") {
+    val withNulls = strings("alpha", null, "beta", "gamma", null)
+    val clean = strings("alpha", "beta", "gamma")
+    assert(MinHashSignature(withNulls, 16).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq ==
+      MinHashSignature(clean, 16).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq)
+    assert(SimHash64(withNulls).eval(null) == SimHash64(clean).eval(null))
+    assert(WordShingles(withNulls, 2).eval(null).asInstanceOf[ArrayData].numElements() ==
+      WordShingles(clean, 2).eval(null).asInstanceOf[ArrayData].numElements())
+    assert(JaccardSim(withNulls, clean).eval(null) == java.lang.Double.valueOf(1.0))
+  }
+
+  test("CosineSim matches a plain-Scala cosine") {
+    val a = Array(0.5f, -0.25f, 0.75f, -1f)
+    val b = Array(0.1f, 0.9f, -0.4f, 0.2f)
+    val want = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val got = CosineSim(floats(a.toIndexedSeq: _*), floats(b.toIndexedSeq: _*))
+      .eval(null).asInstanceOf[Double]
+    assert(got == want)
+  }
+}

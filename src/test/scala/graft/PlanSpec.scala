@@ -48,6 +48,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"), p.take(1500))
   }
 
+  test("native sketch expressions run inside whole-stage codegen spans") {
+    import graft.operators.Dedup
+    // the signature projection (tokens → shingles → minhash) must fuse
+    // with its stage: every plan line mentioning a native expression
+    // has the "*(n)" codegen marker — no CodegenFallback boundary
+    val sigs = Dedup.signatures(Tables.documents(spark, sf), "doc_id", "text")
+    sigs.collect()
+    val plan = sigs.queryExecution.executedPlan.toString
+    val exprLines = plan.linesIterator
+      .filter(l => l.contains("minhashsignature") || l.contains("wordshingles") ||
+        l.contains("simhash") || l.contains("cosinesim"))
+      .toSeq
+    assert(exprLines.nonEmpty, plan.take(2000))
+    for (l <- exprLines) // codegen'd operators carry the "*(stageId)" marker
+      assert(l.contains("*("), s"native expression outside codegen span: $l")
+  }
+
   test("dynamic partition overwrite replaces only the incoming days") {
     val out = Files.createTempDirectory("graft-dpo-").toString
     val e = Tables.events(spark, sf)

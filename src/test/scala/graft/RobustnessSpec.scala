@@ -36,6 +36,29 @@ class RobustnessSpec extends SparkSuite {
     assert(outer.count() == 1 && outer.head().isNullAt(3))
   }
 
+  test("SQL-registered sketch functions reject wrong arity loudly") {
+    graft.functions.native.registerAll(spark)
+    graft.sources.Typed.registerAllViews(spark, sf)
+    for (bad <- Seq(
+        "SELECT graft_cosine(array(1.0F)) FROM documents LIMIT 1",
+        "SELECT graft_jaccard(array('a')) FROM documents LIMIT 1",
+        "SELECT graft_minhash(split(text, ' ')) FROM documents LIMIT 1",
+        "SELECT graft_simhash(split(text, ' '), 3) FROM documents LIMIT 1")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("arguments")), s"$bad -> $e")
+    }
+  }
+
+  test("dedup banding rejects k not divisible by bands") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "doc_id", "text", k = 60, bands = 16)
+    }
+    assert(e.getMessage.contains("multiple of bands"))
+  }
+
   test("GraftExtensions injects SQL functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // force suite session init first
