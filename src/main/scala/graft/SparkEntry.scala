@@ -304,7 +304,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
-      Similarity.ivfTopK(e, q, 10, nprobe = 3).orderBy("qid", "rank")
+      Similarity.ivfTopK(e, q, 10, nprobe = 5).orderBy("qid", "rank")
     }),
 
     // ───────────────────────── E. text analysis ─────────────────────────

@@ -231,6 +231,55 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Nearest-centroid cell id for a float vector: argmax over the
+  * (small, plan-embedded) centroid table of cosine(vec, centroid),
+  * ties to the first (lowest) cell id. This is the IVF assignment
+  * step as a map-only expression — the centroid table is bounded
+  * (cells × dim, the same payload a broadcast would ship), so
+  * embedding it in the plan costs nothing and the assignment adds
+  * zero shuffles. Centroids are L2-normalized once at construction;
+  * per row the argmax is then a plain dot-product sweep.
+  */
+case class NearestCell(child: Expression, cells: Seq[Long], centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cells.nonEmpty && cells.length == centroids.length,
+    s"NearestCell needs one cell id per centroid (got ${cells.length} ids, ${centroids.length} centroids)")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  private val ids: Array[Long] = cells.toArray
+  private val normed: Array[Array[Double]] = centroids.map { c =>
+    val a = c.toArray.map(_.toDouble)
+    val n = math.sqrt(a.map(x => x * x).sum)
+    if (n == 0.0) a else a.map(_ / n)
+  }.toArray
+  def compute(arr: ArrayData): Long = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var ci = 0
+    while (ci < normed.length) {
+      val c = normed(ci)
+      val n = math.min(arr.numElements(), c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) dot += arr.getFloat(i) * c(i)
+        i += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = ci }
+      ci += 1
+    }
+    ids(best)
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCell", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard similarity |A∩B| / |A∪B| of two string arrays
   * (set semantics) — the n-gram dedup verify step as one hash-set
   * pass instead of interpreted array_intersect + array_union.
@@ -373,6 +422,8 @@ object native {
     Bridge.column(SigMatchFraction(Bridge.expression(a), Bridge.expression(b)))
   def lang_guess(tokens: Column, lexicons: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangGuess(Bridge.expression(tokens), lexicons))
+  def nearest_cell(vec: Column, cells: Seq[Long], centroids: Seq[Array[Float]]): Column =
+    Bridge.column(NearestCell(Bridge.expression(vec), cells, centroids.map(_.toSeq)))
 
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
     * / graft_cosine / graft_jaccard) on a session for spark.sql use —

@@ -35,33 +35,85 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
-  /** IVF ANN: coarse-quantize the corpus into cells, search only the
-    * `nprobe` cells whose centroids are nearest each query. Centroids
-    * are computed with plain DataFrame aggregation (posexplode +
-    * per-dimension mean → rebuilt array) — at 100 TB the centroid
-    * table is tiny and broadcasts; the corpus is touched only for the
-    * probed cells (partition-prunable when the table is written
-    * partitioned by cell).
+  /** Per-cell centroids of a (cell, vec) assignment: mean per
+    * dimension, reassembled in index order — plain DataFrame algebra
+    * (posexplode collapses in the partial aggregation, so the shuffle
+    * moves one row per cell×dim). The result is tiny and broadcasts.
+    * At 100 TB compute this ONCE and persist it; `ivfTopK` accepts the
+    * precomputed frame so repeated query sets never re-scan the corpus
+    * for centroids.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 3,
-              cellCol: String = "label",
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    // per-cell centroid: mean per dimension, reassembled in index order
-    val centroids = corpus
+  def ivfCentroids(corpus: DataFrame, cellCol: String = "label",
+                   vecCol: String = "embedding"): DataFrame =
+    corpus
       .select(F.col(cellCol).as("cell"), F.posexplode(F.col(vecCol)).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(F.avg("x").as("mx"))
       .groupBy("cell")
       .agg(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mx")))).as("pairs"))
       .select(F.col("cell"),
         F.transform(F.col("pairs"), p => p.getField("mx").cast("float")).as("centroid"))
+
+  /** Refine label-seeded centroids with `iters` Lloyd steps under the
+    * cosine metric: assign every vector to its nearest centroid (map-
+    * only NearestCell pass), recompute per-cell means. Each iteration
+    * costs one corpus aggregation — the training loop a 100 TB
+    * deployment runs once per corpus version and persists.
+    */
+  def trainCentroids(corpus: DataFrame, cellCol: String = "label",
+                     vecCol: String = "embedding", iters: Int = 2): DataFrame = {
+    var centroids = ivfCentroids(corpus, cellCol, vecCol)
+    var it = 0
+    while (it < iters) {
+      val cent = centroids.select(F.col("cell").cast("long"), F.col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val assigned = corpus.withColumn("__cell",
+        native.nearest_cell(F.col(vecCol), cent.map(_._1), cent.map(_._2)))
+      centroids = ivfCentroids(assigned, "__cell", vecCol)
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN: coarse-quantize the corpus into cells, search only the
+    * `nprobe` cells whose centroids are nearest each query.
+    *
+    * Centroids seed from `cellCol`'s per-cell means, then every corpus
+    * vector is RE-assigned to its nearest centroid by cosine (one
+    * Lloyd step). The raw label partition is whatever upstream chose —
+    * often not cosine-tight — while probing ranks cells by centroid
+    * cosine; unless assignment uses the same metric, true neighbors
+    * sit in cells the probe never ranks highly and recall collapses.
+    * The reassignment is a map-only native expression over the
+    * driver-collected centroid table (bounded: cells × dim — the same
+    * data a broadcast would ship), so it adds ZERO shuffles.
+    *
+    * Pass `precomputed` to reuse a persisted centroid table — the
+    * 100 TB shape: centroids computed once per corpus version, the
+    * assignment written as a partition column, a query touching only
+    * nprobe cells' partitions.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 3,
+              cellCol: String = "label", lloydIters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec",
+              precomputed: Option[DataFrame] = None): DataFrame = {
+    val centroids = precomputed.getOrElse(
+      trainCentroids(corpus, cellCol, vecCol, lloydIters))
+    val cent = centroids.select(F.col("cell").cast("long"), F.col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // deterministic argmax tie-break: smallest cell id
+    val assigned = corpus.withColumn("cell",
+      native.nearest_cell(F.col(vecCol), cent.map(_._1), cent.map(_._2)))
     // nprobe nearest cells per query
     val probed = queries.join(F.broadcast(centroids))
       .withColumn("ccos", native.cosine_sim(F.col(qvecCol), F.col("centroid")))
     val probeTop = topKGeneric(probed, qidCol, "cell", "ccos", nprobe)
       .select(F.col(qidCol), F.col("cell"))
     // search only the probed cells
-    val scored = corpus.withColumnRenamed(cellCol, "cell")
+    val scored = assigned
       .join(F.broadcast(probeTop.join(queries, qidCol)), Seq("cell"))
       .filter(F.col(qidCol) =!= F.col(idCol))
       .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
@@ -77,25 +129,46 @@ object Similarity {
       .select(F.col(qidCol), F.col("t.id").as(idCol))
 
   /** LSH-bucketed ANN: native random-hyperplane signatures, banded so
-    * a candidate only needs one matching 4-bit band of the 16-bit
-    * signature; exact cosine ranks the candidates. Trades recall for
-    * never touching most of the corpus — the scale path when brute
-    * force is too hot.
+    * a candidate only needs one matching band of the signature; exact
+    * cosine ranks the candidates. Trades recall for never touching
+    * most of the corpus — the scale path when brute force is too hot.
+    *
+    * Recall comes from two knobs that cost nothing corpus-side:
+    * `bands` (more bands = more independent chances to collide; the
+    * corpus emits one row per band either way) and `multiprobe`
+    * (each QUERY band also probes every Hamming-1 bucket variant —
+    * a near-miss on one plane of a band still finds the bucket).
+    * Multiprobe multiplies only the tiny broadcast query side by
+    * (1 + bandBits); the corpus side and the join fan-in stay put.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 16,
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 48,
+              bands: Int = 8, multiprobe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val bands = 4
+    require(planes % bands == 0, s"planes=$planes must be a multiple of bands=$bands")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
-    def withBands(df: DataFrame, vec: String, id: String, prefix: String): DataFrame =
-      df.withColumn(s"${prefix}sig", native.hyperplane_sig(F.col(vec), planes))
+    def withBands(df: DataFrame, vec: String, id: String, prefix: String,
+                  probe: Boolean): DataFrame = {
+      // signature staged as its own projection: the band/probe structs
+      // reference it bands×(1+bits) times, and a row slot is evaluated
+      // once while an embedded subtree may not be
+      val sigged = df.select(F.col(id), F.col(vec),
+        native.hyperplane_sig(F.col(vec), planes).as("__sig"))
+      val pairs = for {
+        b <- 0 until bands
+        v <- 0 to (if (probe) bandBits else 0)
+      } yield {
+        val base = F.shiftright(F.col("__sig"), b * bandBits).bitwiseAND(mask)
+        val bucket = if (v == 0) base else base.bitwiseXOR(F.lit(1L << (v - 1)))
+        F.struct(F.lit(b).as("band"), bucket.as("bucket"))
+      }
+      sigged.select(F.col(id), F.col(vec), F.explode(F.array(pairs: _*)).as("bb"))
         .select(F.col(id), F.col(vec),
-          F.posexplode(F.array((0 until bands).map(b =>
-            F.shiftright(F.col(s"${prefix}sig"), b * bandBits).bitwiseAND(mask)): _*))
-            .as(Seq(s"${prefix}band", s"${prefix}bucket")))
-    val c = withBands(corpus, vecCol, idCol, "c_")
-    val q = withBands(queries, qvecCol, qidCol, "q_")
+          F.col("bb.band").as(s"${prefix}band"), F.col("bb.bucket").as(s"${prefix}bucket"))
+    }
+    val c = withBands(corpus, vecCol, idCol, "c_", probe = false)
+    val q = withBands(queries, qvecCol, qidCol, "q_", probe = multiprobe)
     val candidates = c.join(F.broadcast(q),
         F.col("c_band") === F.col("q_band") && F.col("c_bucket") === F.col("q_bucket") &&
           F.col(qidCol) =!= F.col(idCol))
