@@ -62,6 +62,22 @@ object SparkEntry {
           F.col("event_type"), F.col("value"))
         .orderBy("event_id")
     }),
+    // the reference's actual extract output shape: raw JSON FILES →
+    // explicit-schema typed load (LoadJobConfig equivalent). The JSON
+    // feed is materialized from the events table (deterministic
+    // round-trip), then read back through the RawJson loader.
+    "fx_ingest_raw_json" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_rawjson_${math.abs(d.hashCode)}"
+      e.select(F.to_json(F.struct(
+          F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+          F.unix_micros(F.col("ts")).as("ts_us"))).as("value"))
+        .write.mode("overwrite").text(jsonDir)
+      graft.sources.RawJson.loadEvents(s, jsonDir)
+        .select(F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+          F.to_date(F.col("ts")).as("day"))
+        .orderBy("event_id")
+    }),
     "fx_idempotent_append" -> ((s, d) => {
       val e = Tables.events(s, d)
       Upsert.idempotentAppend(fxTarget(e), fxBatch(e), Seq("event_id")).orderBy("event_id")
@@ -360,6 +376,10 @@ object SparkEntry {
     Map(
       "fx_ingest_json" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type, value
+          |FROM events ORDER BY event_id""".stripMargin,
+      "fx_ingest_raw_json" ->
+        """SELECT event_id, user_id, event_type, value,
+          |       CAST(date_trunc('day', ts) AS DATE) AS day
           |FROM events ORDER BY event_id""".stripMargin,
       "fx_idempotent_append" ->
         """WITH target AS (SELECT event_id, user_id, value FROM events WHERE event_id % 10 <> 0),
