@@ -29,6 +29,47 @@ object EventStream {
     spark.readStream.schema(rawSchema).parquet(dir)
       .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
+  /** Kafka source wiring — the reference's every-minute extract as a
+    * real stream. `spark-sql-kafka-0-10` must sit on the deployment
+    * classpath (this container has no broker or connector jar, so
+    * tests exercise `decodeKafka` on wire-shaped frames and this
+    * method's option plumbing stops at the provider lookup).
+    *
+    * `maxOffsetsPerTrigger` bounds micro-batch size — the backfill
+    * safety valve at 100 TB topic depth; `failOnDataLoss=true` keeps
+    * expired-offset gaps loud (silent gaps poison the idempotent
+    * ingest's "seen key" assumption).
+    */
+  def readKafka(spark: SparkSession, bootstrapServers: String, topic: String,
+                startingOffsets: String = "earliest",
+                maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "true")
+    maxOffsetsPerTrigger.foreach(n => r = r.option("maxOffsetsPerTrigger", n.toString))
+    decodeKafka(r.load())
+  }
+
+  /** Kafka wire frame (binary key/value + topic/partition/offset) →
+    * typed events: the JSON payload decodes under the same explicit
+    * schema as the raw-JSON batch loader (graft.sources.RawJson), so
+    * batch backfill and stream tail agree field-for-field. Malformed
+    * payloads are dropped here (a Kafka DLQ owns quarantine on a real
+    * deployment); decode is one codegen'd from_json projection.
+    */
+  def decodeKafka(wire: DataFrame): DataFrame = {
+    import graft.sources.RawJson
+    val schema = RawJson.eventSchema.add(RawJson.CorruptCol, StringType)
+    wire
+      .select(F.from_json(F.col("value").cast("string"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> RawJson.CorruptCol)).as("r"))
+      .select("r.*")
+      .filter(F.col(RawJson.CorruptCol).isNull).drop(RawJson.CorruptCol)
+      .withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+  }
+
   /** G1: event-time windowed aggregate with watermark — the streaming
     * analogue of fx_daily_report (per-window avg/count by type).
     */

@@ -49,6 +49,55 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() == Tables.events(spark, sf).count()) // source has unique ids
   }
 
+  test("Kafka decode path: wire-shaped stream equals the file-source pipeline") {
+    val dir = eventsDir
+    // shape the file stream exactly like spark-sql-kafka output:
+    // binary key/value + topic/partition/offset/timestamp columns
+    val wire = EventStream.readEvents(spark, dir).select(
+      F.col("event_id").cast("string").cast("binary").as("key"),
+      F.to_json(F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+        F.unix_micros(F.col("ts")).as("ts_us"))).cast("binary").as("value"),
+      F.lit("events").as("topic"), F.lit(0).as("partition"),
+      F.col("event_id").as("offset"), F.col("ts").as("timestamp"),
+      F.lit(0).as("timestampType"))
+    val q = EventStream.windowedReport(EventStream.decodeKafka(wire))
+      .writeStream.outputMode("append").format("memory").queryName("kdec").start()
+    q.processAllAvailable(); q.stop()
+    val batchAgg = Tables.events(spark, sf)
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as("window_start"), F.col("event_type"), F.col("n"))
+    val b = batchAgg.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = spark.table("kdec").collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(b(k) == r.getLong(3), s"window $k")
+    }
+  }
+
+  test("Kafka decode drops malformed payloads instead of failing the stream") {
+    import spark.implicits._
+    val wire = Seq(
+      ("""{"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.0, "ts_us": 1704067200000000}""", 0),
+      ("""NOT JSON AT ALL""", 1),
+      ("""{"event_id": 2, "user_id": 2, "event_type": "view", "value": 2.0, "ts_us": 1704067260000000}""", 2))
+      .toDF("v", "offset")
+      .select(F.col("v").cast("binary").as("value"), F.col("offset"))
+    val out = EventStream.decodeKafka(wire).orderBy("event_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("readKafka wiring reaches the Kafka provider lookup (connector absent here)") {
+    val e = intercept[Exception] {
+      EventStream.readKafka(spark, "localhost:9092", "events")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.contains("kafka"), s"unexpected failure: $e")
+  }
+
   test("G3: foreachBatch merge-upsert applies the batch MERGE operator") {
     val dir = eventsDir
     var state: Option[DataFrame] = None
