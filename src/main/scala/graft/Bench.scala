@@ -28,17 +28,19 @@ object Bench {
     // parquet footer caches, and shuffle machinery
     try { force("q1_agg"); force("dedup_exact") } catch { case _: Throwable => }
 
-    // min of two runs per query: one-off JIT/GC/IO noise would otherwise
-    // double a query's reported time (observed 2-3x swings locally).
-    // A crashed run records -1 — a time-to-crash must never pass as a
-    // (flatteringly fast) benchmark number.
+    // median of three runs per query: one-off JIT/GC/IO noise would
+    // otherwise double a query's reported time (observed 2-3x swings
+    // locally), and a median is robust to one outlier in either
+    // direction where min would hide a real regression behind one
+    // lucky run. A crashed run records -1 — a time-to-crash must never
+    // pass as a (flatteringly fast) benchmark number.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { force(name); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

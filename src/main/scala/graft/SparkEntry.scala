@@ -234,6 +234,10 @@ object SparkEntry {
       val daily = Tables.events(s, d)
         .groupBy(evDay(F.col("ts")).as("day"))
         .agg(F.sum(F.col("value").cast("decimal(30,2)")).as("daily_dec"))
+      // unpartitioned window is INTENTIONAL and bounded: it runs over
+      // the day-level pre-aggregate (≤ one row per day — thousands of
+      // rows at 100× data), never the raw table. The bench log's
+      // "WindowExec: No Partition Defined" warning refers to this.
       val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.select(F.col("day"), F.col("daily_dec").cast("double").as("daily"),
           F.sum("daily_dec").over(w).cast("double").as("running"))
