@@ -231,6 +231,36 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Strided byte resample of a binary payload: output slot i takes
+  * input byte ⌊i·len/m⌋ where m = min(n, len) — a deterministic
+  * fixed-budget downsample (the "thumbnail" shape of an image rescale
+  * without a codec). Binary in → bounded binary out, codegen'd; the
+  * multimodal resize stage runs entirely inside whole-stage codegen
+  * instead of through a Scala UDF's serialization boundary.
+  */
+case class StridedBytes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"StridedBytes target must be positive, got $n")
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  def compute(payload: Array[Byte]): Array[Byte] =
+    if (payload.isEmpty) Array.emptyByteArray
+    else {
+      val m = math.min(n, payload.length)
+      val out = new Array[Byte](m)
+      var i = 0
+      while (i < m) { out(i) = payload((i.toLong * payload.length / m).toInt); i += 1 }
+      out
+    }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("strided", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StridedBytes =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid cell id for a float vector: argmax over the
   * (small, plan-embedded) centroid table of cosine(vec, centroid),
   * ties to the first (lowest) cell id. This is the IVF assignment
@@ -424,6 +454,8 @@ object native {
     Bridge.column(LangGuess(Bridge.expression(tokens), lexicons))
   def nearest_cell(vec: Column, cells: Seq[Long], centroids: Seq[Array[Float]]): Column =
     Bridge.column(NearestCell(Bridge.expression(vec), cells, centroids.map(_.toSeq)))
+  def strided_bytes(payload: Column, n: Int): Column =
+    Bridge.column(StridedBytes(Bridge.expression(payload), n))
 
   /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
     * / graft_cosine / graft_jaccard) on a session for spark.sql use —

@@ -2,14 +2,24 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
 import org.apache.spark.sql.types._
+import graft.functions.native
 
-/** Multimodal-column plumbing (SURVEY.md §2 F1): media payloads travel
-  * as opaque `binary` columns next to a typed metadata struct; decode /
-  * feature-extraction runs batched per partition so a real codec
-  * (image decode, audio resample, frame sampling) would amortize its
-  * per-batch setup. The container has no codec libraries, so
-  * `stubDecode` below is a clearly-marked deterministic fake — the
-  * schema, partitioning, and batch shape are the real contract.
+/** Multimodal-column plumbing (SURVEY.md §2 F-block): media payloads
+  * travel as opaque `binary` columns next to a typed metadata struct.
+  *
+  * Three stages, three mechanisms — each the strongest Spark shape its
+  * semantics allow:
+  *  - decode/feature-extract: `mapPartitions` behind an explicit
+  *    `PayloadCodec` contract (a real codec amortizes native-lib setup
+  *    per partition; the container has no codec libraries, so
+  *    `StubCodec` computes deterministic byte-level features).
+  *  - resize: a native codegen'd expression (`StridedBytes`) — binary
+  *    in, bounded binary out, no UDF serialization boundary. Only the
+  *    SAMPLING RULE stands in for a real scaler; the dataflow is the
+  *    production dataflow.
+  *  - frame sampling: pure built-in Column composition (`sequence` +
+  *    binary `substring`) — byte-exact frame slicing with bounded,
+  *    stride-controlled explode fan-out; nothing stubbed at all.
   */
 object Multimodal {
 
@@ -19,15 +29,31 @@ object Multimodal {
     StructField("head_byte", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
-  /** STUB decoder: stands in for image/audio decode. Deterministic
-    * byte-level features only — replace the body with a real codec
-    * call per batch in production.
+  /** The codec contract a deployment fills in: `open` runs once per
+    * partition (load the native library, allocate decode contexts,
+    * spin worker threads), `decode` runs per payload against that
+    * amortized setup, `close` releases it at task completion. This is
+    * the batch shape that makes per-image/per-frame JNI affordable at
+    * 100 TB — setup cost divides by partition size, not row count.
     */
-  private def stubDecode(payload: Array[Byte]): (Long, Int, Long) = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-    (payload.length.toLong, if (payload.isEmpty) -1 else payload(0) & 0xff, sum)
+  trait PayloadCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(payload: Array[Byte]): (Long, Int, Long)
+    def close(): Unit = ()
+  }
+
+  /** STUB codec: stands in for image/audio decode (no codec libs in
+    * this container). Deterministic byte-level features only — a
+    * deployment swaps in a PayloadCodec whose decode calls the real
+    * library; nothing else changes.
+    */
+  object StubCodec extends PayloadCodec {
+    def decode(payload: Array[Byte]): (Long, Int, Long) = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      (payload.length.toLong, if (payload.isEmpty) -1 else payload(0) & 0xff, sum)
+    }
   }
 
   /** Attach an opaque payload column + metadata struct to `documents`
@@ -40,45 +66,46 @@ object Multimodal {
       F.col("text").cast("binary").as("payload"),
       F.struct(F.col("source"), F.col("lang"), F.col("n_chars")).as("meta"))
 
-  /** STUB resize: stands in for image rescale. Deterministically maps
-    * the payload to a fixed-size "thumbnail" byte array (strided
-    * sampling of the source bytes — replace with a real scaler). The
-    * pipeline contract it exercises is real: binary in → smaller
-    * binary out, metadata updated, fully codegen-compatible schema.
+  /** Resize: deterministic fixed-budget byte downsample via the native
+    * `StridedBytes` expression — binary → bounded binary inside
+    * whole-stage codegen, metadata updated. Swap the expression for a
+    * codec-backed one to get true pixel rescaling; the schema and the
+    * plan shape stay identical.
     */
-  def resizeStub(withBin: DataFrame, targetBytes: Int = 64): DataFrame = {
-    val resize = F.udf { (payload: Array[Byte]) =>
-      if (payload.isEmpty) Array.emptyByteArray
-      else Array.tabulate(math.min(targetBytes, payload.length)) { i =>
-        payload((i.toLong * payload.length / math.min(targetBytes, payload.length)).toInt)
-      }
-    }
-    withBin.withColumn("thumb", resize(F.col("payload")))
+  def resizeStub(withBin: DataFrame, targetBytes: Int = 64): DataFrame =
+    withBin.withColumn("thumb", native.strided_bytes(F.col("payload"), targetBytes))
       .withColumn("thumb_len", F.length(F.col("thumb")))
-  }
 
-  /** STUB frame sampling: stands in for video frame extraction. Splits
-    * the payload into fixed-size "frames" and keeps every `stride`-th
-    * one, exploded to (doc_id, frame_idx, frame) rows — the shape a
-    * real decoder feeds downstream per-frame featurizers with. Frames
-    * per row are bounded, so the explode fan-out is controlled.
+  /** Frame sampling: split the payload into fixed-size frames, keep
+    * every `stride`-th one, exploded to (doc_id, frame_idx, frame)
+    * rows. Pure built-in composition — `sequence` generates exactly
+    * the kept indices (so the explode fan-out is len/(frameBytes·
+    * stride), never len/frameBytes) and binary `substring` slices
+    * byte-exactly. This stage has no stub in it: only downstream
+    * interpretation of the slices as video frames needs a codec.
     */
   def frameSampleStub(withBin: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
-    val split = F.udf { (payload: Array[Byte]) =>
-      payload.grouped(frameBytes).zipWithIndex
-        .collect { case (frame, idx) if idx % stride == 0 => (idx, frame) }
-        .toSeq
-    }
+    val nFrames = F.ceil(F.length(F.col("payload")).cast("double") / frameBytes).cast("int")
     withBin
-      .select(F.col("doc_id"), F.explode(split(F.col("payload"))).as("f"))
-      .select(F.col("doc_id"), F.col("f._1").as("frame_idx"), F.col("f._2").as("frame"))
+      .filter(F.length(F.col("payload")) > 0)
+      .select(F.col("doc_id"), F.col("payload"),
+        F.explode(F.sequence(F.lit(0), nFrames - 1, F.lit(stride))).as("frame_idx"))
+      .select(F.col("doc_id"), F.col("frame_idx"),
+        F.substring(F.col("payload"), F.col("frame_idx") * frameBytes + 1, F.lit(frameBytes))
+          .as("frame"))
   }
 
-  /** Batched per-partition decode → feature rows. */
-  def decodeFeatures(spark: SparkSession, withBin: DataFrame): DataFrame = {
+  /** Batched per-partition decode → feature rows, through the codec
+    * contract: open once per partition, close on task completion.
+    */
+  def decodeFeatures(spark: SparkSession, withBin: DataFrame,
+                     codec: PayloadCodec = StubCodec): DataFrame = {
     val rdd = withBin.select("doc_id", "payload").rdd.mapPartitions { it =>
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+      codec.open()
       it.map { r =>
-        val (len, head, sum) = stubDecode(r.getAs[Array[Byte]]("payload"))
+        val (len, head, sum) = codec.decode(r.getAs[Array[Byte]]("payload"))
         Row(r.getAs[Long]("doc_id"), len, head, sum)
       }
     }
