@@ -64,10 +64,7 @@ object Similarity {
     var centroids = ivfCentroids(corpus, cellCol, vecCol)
     var it = 0
     while (it < iters) {
-      val cent = centroids.select(F.col("cell").cast("long"), F.col("centroid"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+      val cent = collectCentroids(centroids)
       val assigned = corpus.withColumn("__cell",
         native.nearest_cell(F.col(vecCol), cent.map(_._1), cent.map(_._2)))
       centroids = ivfCentroids(assigned, "__cell", vecCol)
@@ -101,10 +98,7 @@ object Similarity {
               precomputed: Option[DataFrame] = None): DataFrame = {
     val centroids = precomputed.getOrElse(
       trainCentroids(corpus, cellCol, vecCol, lloydIters))
-    val cent = centroids.select(F.col("cell").cast("long"), F.col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1) // deterministic argmax tie-break: smallest cell id
+    val cent = collectCentroids(centroids)
     val assigned = corpus.withColumn("cell",
       native.nearest_cell(F.col(vecCol), cent.map(_._1), cent.map(_._2)))
     // nprobe nearest cells per query
@@ -119,6 +113,59 @@ object Similarity {
       .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
     topK(scored, qidCol, idCol, k)
   }
+
+  /** Write the corpus CELL-PARTITIONED: the nearest-centroid
+    * assignment becomes a partition directory, so an ANN probe prunes
+    * at the file-listing level — at 100 TB a query reads only
+    * nprobe/ncells of the table and no job ever lists the rest. This
+    * is the persisted half of the IVF design; `ivfTopKFromLayout`
+    * is the read half.
+    */
+  def writeCellLayout(corpus: DataFrame, path: String, centroids: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cent = collectCentroids(centroids)
+    corpus.withColumn("cell",
+        native.nearest_cell(F.col(vecCol), cent.map(_._1), cent.map(_._2)))
+      .repartition(F.col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** ANN top-k over a cell-partitioned layout written by
+    * `writeCellLayout`. The probe step ranks cells per query against
+    * the (tiny) centroid table, the union of probed cell ids becomes a
+    * literal partition filter (`cell IN (...)`) — PartitionFilters in
+    * the scan, only those directories read — and the per-query cell
+    * routing then happens with a broadcast join inside the pruned
+    * scan. The driver materializes only |queries|×nprobe probe pairs.
+    */
+  def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int, nprobe: Int = 3,
+                        centroids: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val probed = queries.join(F.broadcast(centroids))
+      .withColumn("ccos", native.cosine_sim(F.col(qvecCol), F.col("centroid")))
+    val probeTop = topKGeneric(probed, qidCol, "cell", "ccos", nprobe)
+      .select(F.col(qidCol), F.col("cell"))
+    val wantedCells = probeTop.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = spark.read.parquet(path)
+      .filter(F.col("cell").isin(wantedCells: _*))
+    val scored = pruned
+      .join(F.broadcast(probeTop.join(queries, qidCol)), Seq("cell"))
+      .filter(F.col(qidCol) =!= F.col(idCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
+  /** Driver-side image of a centroid frame, sorted for deterministic
+    * argmax tie-breaks (bounded: cells × dim).
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+    centroids.select(F.col("cell").cast("long"), F.col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
   /** topK over an arbitrary long-castable id column. */
   private def topKGeneric(scored: DataFrame, qidCol: String, idCol: String,

@@ -144,6 +144,30 @@ object EventStream {
         })
   }
 
+  /** G6: stream-stream interval join — each purchase event joins the
+    * same user's signup (rate-bearing) events from the preceding
+    * `maxAge` window. Both sides carry watermarks and the join
+    * predicate carries the time interval, so Spark bounds the buffered
+    * state on each side to the watermark+interval horizon — O(recent
+    * traffic), not O(stream history), which is what keeps a
+    * stream-stream join alive at 100 TB/day. Inner join ⇒ append-mode
+    * output.
+    */
+  def enrichPurchases(events: DataFrame, maxAge: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id"), F.col("user_id"), F.col("ts").as("p_ts"),
+        F.col("value").as("amount"))
+      .withWatermark("p_ts", watermark)
+    val signups = events.filter(F.col("event_type") === "signup")
+      .select(F.col("user_id").as("s_user"), F.col("ts").as("s_ts"),
+        F.col("value").as("rate"))
+      .withWatermark("s_ts", watermark)
+    purchases.join(signups, F.expr(
+      s"user_id = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL $maxAge"))
+      .select("event_id", "user_id", "p_ts", "amount", "s_ts", "rate")
+  }
+
   /** G3: MERGE-upsert sink — every micro-batch merges into the target
     * via the same batch operator (reference's staged-MERGE pattern).
     * `readTarget`/`writeTarget` abstract the table store (parquet dir

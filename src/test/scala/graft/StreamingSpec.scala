@@ -98,6 +98,23 @@ class StreamingSpec extends SparkSuite {
     assert(msgs(e).toLowerCase.contains("kafka"), s"unexpected failure: $e")
   }
 
+  test("G6: stream-stream interval join equals the batch interval join") {
+    val dir = eventsDir
+    val q = EventStream.enrichPurchases(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("g6").start()
+    q.processAllAvailable(); q.stop()
+    val e = Tables.events(spark, sf)
+    val p = e.filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id"), F.col("user_id"), F.col("ts").as("p_ts"))
+    val s = e.filter(F.col("event_type") === "signup")
+      .select(F.col("user_id").as("s_user"), F.col("ts").as("s_ts"))
+    val batchCount = p.join(s, F.expr(
+      "user_id = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 hour")).count()
+    val streamed = spark.table("g6")
+    assert(streamed.count() == batchCount, "stream-stream join must match batch interval join")
+    assert(streamed.count() > 0)
+  }
+
   test("G3: foreachBatch merge-upsert applies the batch MERGE operator") {
     val dir = eventsDir
     var state: Option[DataFrame] = None
