@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Scale-shape probe (SURVEY.md §6): replicates the sf0.1 tables
+  * (events ×20 with day-shifted replicas, documents/embeddings ×10
+  * with id offsets), times the headline operators at both sizes, and
+  * measures the incremental-ingest contract directly — appending one
+  * replica-worth of batch into the full-size table must cost O(batch),
+  * not O(table).
+  *
+  * Diagnostic main, not part of the driver contract:
+  *   sbt "runMain graft.ScaleProbe"   (SPARK_GRAFT_SF_DIR to override)
+  */
+object ScaleProbe {
+  private val root = "/tmp/graft_scale"
+
+  private def buildIfAbsent(spark: SparkSession, sfDir: String): Unit = {
+    val done = new java.io.File(s"$root/_BUILT")
+    if (done.exists()) return
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val maxId = e.agg(F.max("event_id")).head().getLong(0) + 1
+    val e20 = (0 until 20).map { i =>
+      e.withColumn("event_id", F.col("event_id") + F.lit(i * maxId))
+        .withColumn("ts", F.col("ts") + F.expr(s"INTERVAL $i DAYS"))
+    }.reduce(_ unionByName _)
+    e20.write.mode("overwrite").parquet(s"$root/events.parquet")
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val maxDoc = d.agg(F.max("doc_id")).head().getLong(0) + 1
+    (0 until 10).map(i => d.withColumn("doc_id", F.col("doc_id") + F.lit(i * maxDoc)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val v = graft.sources.Tables.embeddings(spark, sfDir)
+    val maxVec = v.agg(F.max("vec_id")).head().getLong(0) + 1
+    (0 until 10).map(i => v.withColumn("vec_id", F.col("vec_id") + F.lit(i * maxVec)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    done.createNewFile()
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  /** min-of-2 wall seconds (same policy as Bench's noise guard). */
+  private def time(f: => Unit): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    buildIfAbsent(spark, sfDir)
+
+    val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate",
+      "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+      "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
+    force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
+    val rows = ops.map { name =>
+      val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
+      val big = time(force(SparkEntry.queries(name)(spark, root)))
+      f"""{"op":"$name","base_sec":$base%.2f,"scaled_sec":$big%.2f}"""
+    }
+
+    // incremental-ingest contract: append one fresh day-shifted replica
+    // batch into the full 2M-row table; cost must track the batch.
+    // Single timed run — a repeat would be a pure redelivery no-op.
+    val rawPath = s"$root/ingest_probe/exchange_rate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ingest_probe"))
+    val big = spark.read.parquet(s"$root/events.parquet")
+    val maxId = big.agg(F.max("event_id")).head().getLong(0) + 1
+    FxPipeline.ingest(spark, big, rawPath) // build the big table (O(table), once)
+    val batch = spark.read.parquet(s"$root/events.parquet")
+      .filter(F.col("event_id") < 100000)
+      .withColumn("event_id", F.col("event_id") + F.lit(maxId))
+      .withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+    val t0 = System.nanoTime()
+    FxPipeline.ingest(spark, batch, rawPath)
+    val tIngest = (System.nanoTime() - t0) / 1e9
+    val tableRows = spark.read.parquet(rawPath).count()
+
+    println("{\"probe\":\"scale\",\"ops\":[" + rows.mkString(",") +
+      f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
+    spark.stop()
+  }
+}

@@ -261,6 +261,29 @@ object SparkEntry {
           F.length(F.col("p_name")).as("name_len"))
         .orderBy("p_partkey")
     }),
+    // BigQuery PIVOT surface: wide per-status columns from long rows.
+    // Pivot values are pinned (F/O/P) so the output schema is static;
+    // empty count cells coalesce to 0 to match SQL FILTER semantics.
+    "q_pivot" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(F.count(F.lit(1)).as("n"), dsum(F.col("o_totalprice")).as("rev"))
+      val cols = F.col("o_orderpriority") +: Seq("F", "O", "P").flatMap(st => Seq(
+        F.coalesce(F.col(s"${st}_n"), F.lit(0L)).as(s"${st}_n"),
+        F.col(s"${st}_rev").as(s"${st}_rev")))
+      wide.select(cols: _*).orderBy("o_orderpriority")
+    }),
+    // BigQuery UNPIVOT surface: two measure columns melted to
+    // (key, measure, value) long rows.
+    "q_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(F.col("p_partkey"), F.col("p_size").cast("double").as("size"),
+          F.col("p_retailprice").as("retailprice"))
+        .unpivot(Array(F.col("p_partkey")), Array(F.col("size"), F.col("retailprice")),
+          "measure", "value")
+        .orderBy("p_partkey", "measure")
+    }),
     "q_grouping_sets" -> ((s, d) => {
       graft.sources.Typed.registerAllViews(s, d)
       s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -526,6 +549,20 @@ object SparkEntry {
           |  concat_ws('/', p_brand, p_type) AS brand_type,
           |  LENGTH(p_name) AS name_len
           |FROM part ORDER BY p_partkey""".stripMargin,
+      "q_pivot" ->
+        """SELECT o_orderpriority,
+          |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F_n",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F_rev",
+          |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O_n",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O_rev",
+          |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P_n",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_rev"
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q_unpivot" ->
+        """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+          |UNION ALL
+          |SELECT p_partkey, 'retailprice', p_retailprice FROM part
+          |ORDER BY p_partkey, measure""".stripMargin,
       "q_grouping_sets" ->
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
           |       COALESCE(o_orderpriority, 'ALL') AS prio,
