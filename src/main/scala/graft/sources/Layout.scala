@@ -37,6 +37,27 @@ object Layout {
       .sortWithinPartitions(clusterCols.map(F.col): _*)
       .write.mode("append").partitionBy("p_day").parquet(path)
 
+  /** Write `df` hash-BUCKETED on `bucketCols` (and sorted inside each
+    * bucket) as an external table at `path`. Two tables bucketed the
+    * same way on the join key co-locate: Spark plans their join with
+    * NO shuffle exchange on either side — at 100 TB this turns the
+    * nightly fact⋈fact join from two full-table shuffles into a
+    * map-side merge. The bucket count is part of the physical
+    * contract: pick it once per table family (same count both sides)
+    * and size it so a bucket fits an executor core's memory.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .option("path", path)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Replace ONLY the day partitions present in `df`, leaving all other
     * days untouched — the reference's per-day WRITE_TRUNCATE
     * disposition ("latest analysis of the day overwrites previous",

@@ -65,6 +65,33 @@ class PlanSpec extends SparkSuite {
       assert(l.contains("*("), s"native expression outside codegen span: $l")
   }
 
+  test("bucketed co-located join plans with no shuffle exchange") {
+    val dir = Files.createTempDirectory("graft-bucket-").toString
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Layout.writeBucketed(o, "b_orders", s"$dir/o", 8, Seq("o_orderkey"))
+    Layout.writeBucketed(l, "b_lineitem", s"$dir/l", 8, Seq("l_orderkey"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the SMJ path
+    try {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), F.col("o_orderkey") === F.col("l_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // matched bucketing on both sides ⇒ map-side merge, zero Exchange
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // sanity: the join result is correct
+      assert(j.count() == Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          F.col("l_orderkey") === F.col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("dynamic partition overwrite replaces only the incoming days") {
     val out = Files.createTempDirectory("graft-dpo-").toString
     val e = Tables.events(spark, sf)
