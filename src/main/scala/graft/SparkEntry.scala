@@ -311,6 +311,53 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // BigQuery correlated-scalar-subquery surface, through spark.sql
+    // (planned as outer joins by both engines; integer/decimal outputs
+    // keep hash parity trivially)
+    "q_corr_subquery" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      s.sql("""SELECT c_custkey,
+              |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+              |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+              |     FROM orders WHERE o_custkey = c_custkey) AS total
+              |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
+    // BigQuery RANGE window: trailing 7-day sum over the daily series
+    // (RANGE frame with an interval bound, not a row count)
+    "q_range_window" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      s.sql("""WITH daily AS (
+              |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+              |         SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
+              |  FROM events GROUP BY 1, 2)
+              |SELECT day, event_type, CAST(daily_dec AS DOUBLE) AS daily,
+              |       CAST(SUM(daily_dec) OVER (PARTITION BY event_type ORDER BY day
+              |            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+              |         AS trailing_7d
+              |FROM daily ORDER BY event_type, day""".stripMargin)
+    }),
+    // batch sessionization: gap>30min starts a new session; epoch-micros
+    // arithmetic on both sides dodges engine interval-comparison corners
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(F.col("user_id"), F.col("event_id"), F.col("value"),
+          F.unix_micros(F.col("ts")).as("ts_us"))
+        .withColumn("new_s",
+          F.when(F.col("ts_us") - F.lag("ts_us", 1).over(w) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("session_id", F.sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).as("n_events"), dsum(F.col("value")).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+    // posting-list stats: the distributed heart of TF-IDF over the corpus
+    "text_tf_df" -> ((s, d) => {
+      graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("token")
+    }),
+
     // ───────────────────────── C. dedup family ─────────────────────────
     "dedup_exact" -> ((s, d) => {
       Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy("keep_id")
@@ -593,6 +640,40 @@ object SparkEntry {
           |  quantile_cont(value, 0.9) AS p90,
           |  COUNT(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q_corr_subquery" ->
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+          |     FROM orders WHERE o_custkey = c_custkey) AS total
+          |FROM customer ORDER BY c_custkey""".stripMargin,
+      "q_range_window" ->
+        """WITH daily AS (
+          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |         SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
+          |  FROM events GROUP BY 1, 2)
+          |SELECT day, event_type, CAST(daily_dec AS DOUBLE) AS daily,
+          |       CAST(SUM(daily_dec) OVER (PARTITION BY event_type ORDER BY day
+          |            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |         AS trailing_7d
+          |FROM daily ORDER BY event_type, day""".stripMargin,
+      "q_sessionize" ->
+        """WITH e AS (SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+          |g AS (SELECT user_id, event_id, value, ts_us,
+          |        CASE WHEN ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          |s AS (SELECT user_id, value,
+          |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |      FROM g)
+          |SELECT user_id, session_id, COUNT(*) AS n_events,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "text_tf_df" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          |           FROM documents),
+          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+          |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+          |FROM tf GROUP BY token ORDER BY token""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

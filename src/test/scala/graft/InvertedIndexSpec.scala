@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.InvertedIndex
+
+class InvertedIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "dogs ran fast")).toDF("doc_id", "text")
+
+  test("termStats: df counts documents, tf_total counts occurrences") {
+    val stats = InvertedIndex.termStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats("the") == ((2L, 2L)))
+    assert(stats("cat") == ((2L, 2L)))
+    assert(stats("ran") == ((2L, 2L)))
+    assert(stats("sat") == ((1L, 1L)))
+    assert(stats("dogs") == ((1L, 1L)))
+    assert(stats.size == 6)
+  }
+
+  test("termStats counts repeated tokens within one doc once for df, n times for tf") {
+    val rep = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val stats = InvertedIndex.termStats(rep, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats("a") == ((1L, 3L)))
+    assert(stats("b") == ((1L, 1L)))
+  }
+
+  test("tfidf: weight = tf * ln((N+1)/(df+1)), rare tokens outweigh common ones") {
+    val w = InvertedIndex.tfidf(docs, "doc_id", "text", corpusSize = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val idfCommon = math.log(4.0 / 3.0) // df=2
+    val idfRare = math.log(4.0 / 2.0)   // df=1
+    assert(math.abs(w((1L, "the")) - idfCommon) < 1e-12)
+    assert(math.abs(w((1L, "sat")) - idfRare) < 1e-12)
+    assert(w((1L, "sat")) > w((1L, "the")))
+  }
+
+  test("no countDistinct Expand in the termStats plan") {
+    val plan = InvertedIndex.termStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+}
