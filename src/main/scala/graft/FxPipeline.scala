@@ -46,7 +46,11 @@ object FxPipeline {
     recoverInterrupted(spark, rawPath)
     readTableIfExists(spark, rawPath) match {
       case None =>
-        Layout.writePartitioned(typed, rawPath, "ts", Seq("event_type", "user_id"))
+        // first run applies the same intra-batch key dedup freshRows
+        // applies on every later run — a key delivered twice in the
+        // very first batch must still be one stored row
+        Layout.writePartitioned(typed.dropDuplicates(Seq("event_id")), rawPath,
+          "ts", Seq("event_type", "user_id"))
       case Some(t) =>
         val fresh = Upsert.freshRows(prunedToBatchDays(t, typed), typed, Seq("event_id"))
         Layout.appendPartitioned(fresh, rawPath, "ts", Seq("event_type", "user_id"))
@@ -56,10 +60,17 @@ object FxPipeline {
   }
 
   /** Restrict the idempotency key lookup to the batch's day range.
-    * An event's key determines its day, so a redelivered key can only
-    * collide inside the batch's own [min(day), max(day)] window — the
-    * anti-join never needs the rest of the table. The literal day
-    * bounds (one 2-value driver fetch over the tiny batch) become
+    *
+    * CONTRACT (same one a partition-pruned BigQuery MERGE states): a
+    * redelivered key arrives with its ORIGINAL event timestamp, so it
+    * can only collide inside the batch's own [min(day), max(day)]
+    * window and the anti-join never needs the rest of the table. A
+    * producer that re-stamps timestamps on retry (clock drift,
+    * ingestion-time stamping) breaks this silently — such feeds must
+    * skip pruning and anti-join against the full key set
+    * (`Upsert.freshRows(t, batch, keys)` directly), trading an
+    * O(table-keys) scan for global uniqueness. The literal day bounds
+    * (one 2-value driver fetch over the tiny batch) become
     * `PartitionFilters` on the target scan, so a 100 TB table is read
     * only for its touched partitions.
     */

@@ -57,22 +57,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n arguments, got ${es.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSelfSimilarity)
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(tokens, k) - MinHash signature of a string array"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, intArg("graft_minhash", es, 1))))
+      (es: Seq[Expression]) => { arity("graft_minhash", es, 2)
+        MinHashSignature(es.head, intArg("graft_minhash", es, 1)) }))
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a string array"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      (es: Seq[Expression]) => { arity("graft_simhash", es, 1); SimHash64(es.head) }))
     e.injectFunction((FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-grams"),
-      (es: Seq[Expression]) => WordShingles(es.head, intArg("graft_shingles", es, 1))))
+      (es: Seq[Expression]) => { arity("graft_shingles", es, 2)
+        WordShingles(es.head, intArg("graft_shingles", es, 1)) }))
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors"),
-      (es: Seq[Expression]) => CosineSim(es.head, es(1))))
+      (es: Seq[Expression]) => { arity("graft_cosine", es, 2); CosineSim(es.head, es(1)) }))
     e.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of string arrays"),
-      (es: Seq[Expression]) => JaccardSim(es.head, es(1))))
+      (es: Seq[Expression]) => { arity("graft_jaccard", es, 2); JaccardSim(es.head, es(1)) }))
   }
 }

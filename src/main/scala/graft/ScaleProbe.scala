@@ -41,11 +41,14 @@ object ScaleProbe {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  /** min-of-2 wall seconds (same policy as Bench's noise guard). */
+  /** median-of-3 wall seconds (same policy as Bench: robust to one
+    * outlier in either direction, where min would mask a regression
+    * behind one lucky cached run).
+    */
   private def time(f: => Unit): Double =
-    (1 to 2).map { _ =>
+    (1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }.min
+    }.sorted.apply(1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,14 +96,20 @@ object Multimodal {
   }
 
   /** Batched per-partition decode → feature rows, through the codec
-    * contract: open once per partition, close on task completion.
+    * contract. Takes a FACTORY, not an instance: each task constructs
+    * its own codec, so concurrent partitions never share decode state
+    * (a serialized singleton instance would deserialize to one shared
+    * JVM object under local[N], and the first task to finish would
+    * close() contexts its siblings still use). `close` registers only
+    * after `open` succeeds — a failed open has nothing to release.
     */
   def decodeFeatures(spark: SparkSession, withBin: DataFrame,
-                     codec: PayloadCodec = StubCodec): DataFrame = {
+                     codecFactory: () => PayloadCodec = () => StubCodec): DataFrame = {
     val rdd = withBin.select("doc_id", "payload").rdd.mapPartitions { it =>
+      val codec = codecFactory()
+      codec.open()
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-      codec.open()
       it.map { r =>
         val (len, head, sum) = codec.decode(r.getAs[Array[Byte]]("payload"))
         Row(r.getAs[Long]("doc_id"), len, head, sum)

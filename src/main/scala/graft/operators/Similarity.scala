@@ -70,7 +70,12 @@ object Similarity {
       centroids = ivfCentroids(assigned, "__cell", vecCol)
       it += 1
     }
-    centroids
+    // pin the final result as a local relation: callers re-collect the
+    // returned frame (ivfTopK does), and returning the lazy aggregation
+    // would re-run the last iteration's full-corpus pass a second time
+    val finalCent = collectCentroids(centroids)
+    import corpus.sparkSession.implicits._
+    finalCent.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
   }
 
   /** IVF ANN: coarse-quantize the corpus into cells, search only the

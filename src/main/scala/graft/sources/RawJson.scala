@@ -53,10 +53,25 @@ object RawJson {
            mode: String = "PERMISSIVE"): DataFrame = {
     val full = schema.add(CorruptCol, StringType)
     val parseMode = if (mode == "DROPMALFORMED") "PERMISSIVE" else mode
-    val parsed = spark.read.text(path)
+    val base = spark.read.text(path)
       .filter(F.length(F.trim(F.col("value"))) > 0) // json source skips blank lines; match it
-      .select(F.from_json(F.col("value"), full,
+      .select(F.col("value"), F.from_json(F.col("value"), full,
         Map("mode" -> parseMode, "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+    // the valid-JSON literal `null` parses to a NULL struct — neither
+    // typed nor quarantined. Route it to the corrupt channel (or fail
+    // the load under FAILFAST) instead of leaking an all-null "clean"
+    // row whose null key would poison downstream idempotency joins.
+    val guarded =
+      if (parseMode == "FAILFAST")
+        base.filter(F.when(F.col("r").isNotNull, F.lit(true))
+          .otherwise(F.raise_error(F.concat(
+            F.lit("[MALFORMED_RECORD_IN_PARSING] null JSON literal: "), F.col("value"))).isNotNull))
+      else base
+    val nullRow = F.struct(
+      schema.fields.map(f => F.lit(null).cast(f.dataType).as(f.name)) :+
+        F.col("value").cast(StringType).as(CorruptCol): _*)
+    val parsed = guarded
+      .select(F.coalesce(F.col("r"), nullRow).as("r"))
       .select("r.*")
     // from_json has no DROPMALFORMED; emulate by dropping quarantined rows
     if (mode == "DROPMALFORMED") parsed.filter(F.col(CorruptCol).isNull) else parsed

@@ -65,6 +65,7 @@ object EventStream {
     wire
       .select(F.from_json(F.col("value").cast("string"), schema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> RawJson.CorruptCol)).as("r"))
+      .filter(F.col("r").isNotNull) // the JSON literal `null` parses to a NULL struct: malformed, drop it
       .select("r.*")
       .filter(F.col(RawJson.CorruptCol).isNull).drop(RawJson.CorruptCol)
       .withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")

@@ -74,6 +74,16 @@ class FxPipelineSpec extends SparkSuite {
     assert(fileStamps(raw) == stamps2, "no-op ingest must not write files")
   }
 
+  test("first-run ingest dedups intra-batch key redelivery like every later run") {
+    val root = Files.createTempDirectory("graft-fxfirstdup-").toString
+    val raw = s"$root/exchange_rate"
+    val events = Tables.events(spark, sf).filter(F.col("event_id") < 100)
+    val withDup = events.unionByName(events.limit(5)) // 5 keys delivered twice in batch 1
+    FxPipeline.ingest(spark, withDup, raw)
+    assert(spark.read.parquet(raw).count() == events.count(),
+      "intra-batch duplicates must collapse on the very first run")
+  }
+
   test("idempotency anti-join prunes the target scan to the batch's days") {
     val root = Files.createTempDirectory("graft-fxprune-").toString
     val raw = s"$root/exchange_rate"

@@ -61,12 +61,12 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("a custom codec flows through decodeFeatures (contract is swappable)") {
+  test("a custom codec factory flows through decodeFeatures (contract is swappable)") {
     val docs = Tables.documents(spark, sf).limit(10)
-    val constCodec = new Multimodal.PayloadCodec {
-      def decode(payload: Array[Byte]): (Long, Int, Long) = (7L, 7, 7L)
-    }
-    val out = Multimodal.decodeFeatures(spark, Multimodal.withPayload(docs), constCodec)
+    val out = Multimodal.decodeFeatures(spark, Multimodal.withPayload(docs),
+        () => new Multimodal.PayloadCodec {
+          def decode(payload: Array[Byte]): (Long, Int, Long) = (7L, 7, 7L)
+        })
       .collect()
     assert(out.length == 10 && out.forall(r => r.getLong(1) == 7L && r.getInt(2) == 7))
   }

@@ -48,6 +48,21 @@ class RawJsonSpec extends SparkSuite {
     assert(df.drop(RawJson.CorruptCol).na.drop("all").count() == 2)
   }
 
+  test("the JSON literal `null` is quarantined, not a clean all-null row") {
+    val dir = writeFeed(good :+ "null")
+    val df = RawJson.load(spark, dir, RawJson.eventSchema)
+    assert(RawJson.clean(df).count() == 2, "null literal must not pass as clean")
+    assert(RawJson.corruptRecords(df).collect()
+      .map(_.getAs[String](RawJson.CorruptCol)).toSet == Set("null"))
+    // FAILFAST treats it as malformed too
+    intercept[Exception] {
+      RawJson.load(spark, writeFeed(good :+ "null"), RawJson.eventSchema,
+        mode = "FAILFAST").collect()
+    }
+    // and the Kafka decode path drops it (covered again in StreamingSpec)
+    assert(RawJson.load(spark, dir, RawJson.eventSchema, mode = "DROPMALFORMED").count() == 2)
+  }
+
   test("declared schema is enforced, not inferred: extra fields ignored, missing fields null") {
     val dir = writeFeed(Seq(
       """{"event_id": 7, "user_id": 70, "event_type": "click", "value": 3.5, "ts_us": 1704067200000000, "surprise_field": "zzz"}""",

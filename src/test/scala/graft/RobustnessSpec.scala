@@ -78,6 +78,13 @@ class RobustnessSpec extends SparkSuite {
           |                     graft_shingles(split(lower(text), '\\s+'), 3)) AS self_j
           |FROM documents LIMIT 3""".stripMargin).collect()
       assert(out.forall(_.getDouble(0) == 1.0))
+      // extension-injected functions validate arity like registerAll does
+      val arityErr = intercept[Exception] {
+        s2.sql("SELECT graft_cosine(array(1.0F)) FROM documents LIMIT 1").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(arityErr).exists(_.contains("arguments")), arityErr.toString)
       // optimizer rule folds the self-similarity to a literal: the
       // optimized plan must not contain a JaccardSim call at all
       val optimized = s2.sql(

@@ -82,6 +82,7 @@ class StreamingSpec extends SparkSuite {
     val wire = Seq(
       ("""{"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.0, "ts_us": 1704067200000000}""", 0),
       ("""NOT JSON AT ALL""", 1),
+      ("""null""", 3),
       ("""{"event_id": 2, "user_id": 2, "event_type": "view", "value": 2.0, "ts_us": 1704067260000000}""", 2))
       .toDF("v", "offset")
       .select(F.col("v").cast("binary").as("value"), F.col("offset"))
