@@ -384,6 +384,13 @@ object SparkEntry {
       Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.35)
         .orderBy("id_a", "id_b")
     }),
+    // cross-cell variant: LSH banding candidates + exact cosine verify
+    // (no blocking column needed; no DuckDB equivalent for the
+    // hyperplane family -> rows-only, recall/exactness in DedupSpec)
+    "dedup_embedding_lsh" -> ((s, d) => {
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
 
     // ───────────────────────── D. similarity search ─────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => {

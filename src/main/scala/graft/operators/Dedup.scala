@@ -125,7 +125,9 @@ object Dedup {
   /** Embedding near-dup pairs: IVF-style blocking on a coarse cell id
     * (here the precomputed cluster `label`), exact cosine inside each
     * cell. At 100 TB the cell id comes from a coarse quantizer; the
-    * join stays a keyed equi-join either way.
+    * join stays a keyed equi-join either way. Blind spot by design:
+    * near-dups STRADDLING a cell boundary are never candidates — use
+    * `embeddingPairsLsh` when cross-cell recall matters.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
                      threshold: Double = 0.95): DataFrame = {
@@ -135,5 +137,47 @@ object Dedup {
       .withColumn("cos", native.cosine_sim(F.col("a.v"), F.col("b.v")))
       .filter(F.col("cos") >= threshold)
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"), F.col("cos"))
+  }
+
+  /** Embedding near-dup pairs WITHOUT a blocking column: hyperplane-LSH
+    * banding generates candidates (cross-cell capable), exact cosine
+    * verifies. Asymmetric multiprobe keeps the self-join linear: one
+    * side emits its exact band buckets, the other also emits every
+    * Hamming-1 variant — a near-threshold pair missing one band plane
+    * still collides, at ×(1+bandBits) fan-out on a single side.
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 48, bands: Int = 8,
+                        multiprobe: Boolean = true): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes must be a multiple of bands=$bands")
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+    val sigged = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      native.hyperplane_sig(F.col(vecCol), planes).as("__sig"))
+    def banded(probe: Boolean): DataFrame = {
+      val pairs = for {
+        b <- 0 until bands
+        vn <- 0 to (if (probe) bandBits else 0)
+      } yield {
+        val base = F.shiftright(F.col("__sig"), b * bandBits).bitwiseAND(mask)
+        val bucket = if (vn == 0) base else base.bitwiseXOR(F.lit(1L << (vn - 1)))
+        F.struct(F.lit(b).as("band"), bucket.as("bucket"))
+      }
+      sigged.select(F.col("id"), F.explode(F.array(pairs: _*)).as("bb"))
+        .select(F.col("id"), F.col("bb.band").as("band"), F.col("bb.bucket").as("bucket"))
+    }
+    val candidates = banded(probe = multiprobe).as("a")
+      .join(banded(probe = false).as("b"),
+        F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    candidates
+      .join(vecs.select(F.col("id").as("id_a"), F.col("v").as("v_a")), "id_a")
+      .join(vecs.select(F.col("id").as("id_b"), F.col("v").as("v_b")), "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        native.cosine_sim(F.col("v_a"), F.col("v_b")).as("cos"))
+      .filter(F.col("cos") >= threshold)
   }
 }

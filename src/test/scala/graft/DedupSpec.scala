@@ -5,6 +5,37 @@ import graft.operators.Dedup
 import graft.sources.Tables
 
 class DedupSpec extends SparkSuite {
+
+  test("embeddingPairsLsh finds cross-cell near-dups the cell-blocked variant misses") {
+    import org.apache.spark.sql.{functions => F}
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    // ground truth: ALL pairs at cos >= 0.35, regardless of cell
+    val rows = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val truth = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if cos(rows(i)._2, rows(j)._2) >= 0.35
+    } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+
+    val got = graft.operators.Dedup.embeddingPairsLsh(e, "vec_id", "embedding", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives (exact cosine verify) and solid recall
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall too low (${got.size}/${truth.size})")
+
+    // and it must find pairs the label-blocked variant cannot see
+    val blocked = graft.operators.Dedup.embeddingPairs(e, "vec_id", "embedding", "label",
+        threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.diff(blocked).nonEmpty, "fixture has no cross-cell pairs; test is vacuous")
+    assert(got.diff(blocked).nonEmpty, "LSH variant found nothing beyond cell blocking")
+  }
   import spark.implicits._
 
   test("exact dedup collapses identical texts to min id") {

@@ -99,6 +99,37 @@ class FxPipelineSpec extends SparkSuite {
     assert(pruned.count() == oneDay.count())
   }
 
+  test("full reference DAG from raw JSON: feed -> typed load -> idempotent ingest -> report") {
+    val root = Files.createTempDirectory("graft-fxdag-").toString
+    val feed = s"$root/feed"
+    val raw = s"$root/exchange_rate"
+    val rep = s"$root/exchange_rate_report"
+    // the extract step's output: newline-JSON with a malformed line mixed in
+    val events = Tables.events(spark, sf)
+    events.select(F.to_json(F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+        F.unix_micros(F.col("ts")).as("ts_us"))).as("value"))
+      .write.mode("overwrite").text(feed)
+    java.nio.file.Files.write(java.nio.file.Paths.get(feed, "bad.json"),
+      "{\"event_id\": broken\nnull".getBytes("UTF-8"))
+
+    // transform+load: typed parse (bad lines quarantined) -> idempotent append
+    FxPipeline.ingest(spark, graft.sources.RawJson.loadEvents(spark, feed), raw)
+    assert(spark.read.parquet(raw).count() == events.count(), "clean rows land, bad lines don't")
+
+    // re-running the whole DAG (redelivered feed) changes nothing
+    FxPipeline.ingest(spark, graft.sources.RawJson.loadEvents(spark, feed), raw)
+    assert(spark.read.parquet(raw).count() == events.count())
+
+    // report step: per-day averages match direct aggregation over the feed
+    val out = FxPipeline.report(spark, raw, rep)
+    val want = events.groupBy(F.to_date(F.col("ts")).as("day"), F.col("event_type"))
+      .agg(F.avg("value").as("avg_rate"))
+    assert(out.count() == want.count())
+    assert(out.select("day", "event_type", "avg_rate")
+      .exceptAll(want).count() == 0)
+  }
+
   test("recoverInterrupted restores a table stranded mid-swap") {
     val root = Files.createTempDirectory("graft-fxrecover-").toString
     val raw = s"$root/exchange_rate"
