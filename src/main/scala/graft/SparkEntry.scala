@@ -310,6 +310,14 @@ object SparkEntry {
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")
     }),
+    // the 100 TB routing of B15: single algebraic pass with HLL
+    // distincts (no countDistinct Expand). HLL estimates are
+    // engine-specific -> rows-only; accuracy pinned in ProfileSpec
+    "q_profile_approx" -> ((s, d) => {
+      Profile.columns(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")
+    }),
     "q_percentile" -> ((s, d) => {
       Tables.events(s, d).groupBy("event_type")
         .agg(
