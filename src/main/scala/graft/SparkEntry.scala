@@ -400,6 +400,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // deterministic k-per-key sample via the bounded TopK aggregate
+    // (reservoir-sample replacement that parallelizes; md5-hash order)
+    "sample_per_key" -> ((s, d) => {
+      graft.operators.Sampling.perKeyDeterministic(
+          Tables.events(s, d), Seq("user_id"), "event_id", k = 3)
+        .orderBy("user_id", "event_id")
+    }),
+
     // ───────────────────────── D. similarity search ─────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -698,6 +706,14 @@ object SparkEntry {
           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2)
           |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
           |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+      "sample_per_key" ->
+        """SELECT user_id, event_id FROM (
+          |  SELECT user_id, event_id,
+          |         row_number() OVER (PARTITION BY user_id
+          |           ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT),
+          |                    event_id) AS rn
+          |  FROM events) WHERE rn <= 3
+          |ORDER BY user_id, event_id""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.functions.aggregates
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `perKeyDeterministic` keeps the k rows with the smallest
+  * md5-derived hash per key: uniform over rows, reproducible (same
+  * input ⇒ same sample, no RNG state), and bounded-memory — the
+  * TopKByScore aggregate carries at most k rows per partition per key
+  * into the exchange, so this is the reservoir-sample replacement
+  * that actually parallelizes at 100 TB (a row_number window would
+  * sort every row of every key cluster-wide).
+  *
+  * The hash is the first 13 hex chars (52 bits) of md5: small enough
+  * to be EXACTLY representable in the aggregate's double-typed score,
+  * so ordering matches an engine comparing the integer hash —
+  * ties (≈2⁻⁵² per pair) break by id ascending on both sides.
+  */
+object Sampling {
+
+  /** 52-bit uniform deterministic hash of a column's string form. */
+  def hash52(c: Column): Column =
+    F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 13), 16, 10).cast("long")
+
+  /** The k sample rows per key, as (keys..., idCol) pairs sorted by
+    * sample order. Join back on idCol for full rows.
+    */
+  def perKeyDeterministic(df: DataFrame, keys: Seq[String], idCol: String, k: Int): DataFrame = {
+    val keyCols = keys.map(F.col)
+    df.select(keyCols :+ F.col(idCol): _*)
+      .groupBy(keyCols: _*)
+      // negate: TopKByScore keeps the LARGEST scores, we want smallest hashes
+      .agg(aggregates.top_k_by_score(-hash52(F.col(idCol)).cast("double"),
+        F.col(idCol), k).as("top"))
+      .select(keyCols :+ F.explode(F.col("top.id")).as(idCol): _*)
+  }
+}

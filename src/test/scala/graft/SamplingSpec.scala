@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Sampling
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+class SamplingSpec extends SparkSuite {
+
+  test("perKeyDeterministic keeps at most k rows per key, deterministically") {
+    val e = Tables.events(spark, sf)
+    val s1 = Sampling.perKeyDeterministic(e, Seq("user_id"), "event_id", 3)
+    val s2 = Sampling.perKeyDeterministic(e, Seq("user_id"), "event_id", 3)
+    val counts = s1.groupBy("user_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= 3))
+    // keys with >= 3 rows yield exactly 3
+    val bigKeys = e.groupBy("user_id").count().filter(F.col("count") >= 3).count()
+    assert(counts.count(_.getLong(1) == 3) == bigKeys)
+    // repeatable: same input, same sample (no RNG state)
+    assert(s1.collect().toSet == s2.collect().toSet)
+  }
+
+  test("sample matches a window row_number over the same hash order") {
+    val e = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(Sampling.hash52(F.col("event_id")), F.col("event_id"))
+    val want = e.select(F.col("user_id"), F.col("event_id"),
+        F.row_number().over(w).as("rn"))
+      .filter(F.col("rn") <= 3).select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Sampling.perKeyDeterministic(e, Seq("user_id"), "event_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "bounded aggregate must equal the window formulation")
+  }
+
+  test("sampled row IS the md5-argmin of each key (pins the hash family)") {
+    import java.security.MessageDigest
+    def refHash(i: Long): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    val e = Tables.events(spark, sf)
+    val perUser = e.select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sampled = Sampling.perKeyDeterministic(e, Seq("user_id"), "event_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == perUser.keySet)
+    for ((u, ids) <- perUser)
+      assert(sampled(u) == ids.minBy(i => (refHash(i), i)),
+        s"user $u: sampler disagrees with reference md5 argmin")
+  }
+}
