@@ -407,6 +407,14 @@ object SparkEntry {
           Tables.events(s, d), Seq("user_id"), "event_id", k = 3)
         .orderBy("user_id", "event_id")
     }),
+    // deterministic 90/10 train/holdout split by document hash:
+    // map-only, no RNG, stable under incremental re-processing
+    "sample_split" -> ((s, d) => {
+      graft.operators.Sampling.splitByHash(Tables.documents(s, d), "doc_id", 9, 10)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).as("n"), F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
 
     // ───────────────────────── D. similarity search ─────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -714,6 +722,14 @@ object SparkEntry {
           |                    event_id) AS rn
           |  FROM events) WHERE rn <= 3
           |ORDER BY user_id, event_id""".stripMargin,
+      "sample_split" ->
+        s"""WITH s AS (
+          |  SELECT doc_id,
+          |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          |                   < ${(1L << 52) / 10 * 9} THEN 'train' ELSE 'holdout' END AS split
+          |  FROM documents)
+          |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          |FROM s GROUP BY split ORDER BY split""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

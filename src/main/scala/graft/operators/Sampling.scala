@@ -24,6 +24,21 @@ object Sampling {
   def hash52(c: Column): Column =
     F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 13), 16, 10).cast("long")
 
+  /** Deterministic dataset split: rows whose hash falls under
+    * `numer/denom` of the hash space get `trainLabel`, the rest
+    * `holdoutLabel`. Map-only (no shuffle, no RNG), stable across
+    * re-runs and engines — the train/val split that stays consistent
+    * when the corpus is re-processed incrementally: a document's split
+    * never changes because OTHER documents arrived.
+    */
+  def splitByHash(df: DataFrame, idCol: String, numer: Int, denom: Int,
+                  trainLabel: String = "train", holdoutLabel: String = "holdout"): DataFrame = {
+    require(numer > 0 && numer < denom, s"split fraction $numer/$denom must be in (0,1)")
+    val threshold = (1L << 52) / denom * numer // exact integer boundary both engines
+    df.withColumn("split",
+      F.when(hash52(F.col(idCol)) < threshold, trainLabel).otherwise(holdoutLabel))
+  }
+
   /** The k sample rows per key, as (keys..., idCol) pairs sorted by
     * sample order. Join back on idCol for full rows.
     */

@@ -32,6 +32,23 @@ class SamplingSpec extends SparkSuite {
     assert(got == want, "bounded aggregate must equal the window formulation")
   }
 
+  test("splitByHash is a partition, roughly at the requested fraction, stable under subsets") {
+    val docs = Tables.documents(spark, sf)
+    val split = Sampling.splitByHash(docs, "doc_id", 9, 10)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    assert(counts.values.sum == total, "split must be a partition")
+    val trainFrac = counts.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac far from 0.9")
+    // incremental stability: a document's split never depends on the rest
+    val subset = Sampling.splitByHash(docs.filter(F.col("doc_id") < 100), "doc_id", 9, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.filter(F.col("doc_id") < 100)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset == full)
+  }
+
   test("sampled row IS the md5-argmin of each key (pins the hash family)") {
     import java.security.MessageDigest
     def refHash(i: Long): Long = java.lang.Long.parseLong(
