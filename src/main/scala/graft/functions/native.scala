@@ -457,26 +457,29 @@ object native {
   def strided_bytes(payload: Column, n: Int): Column =
     Bridge.column(StridedBytes(Bridge.expression(payload), n))
 
-  /** Register SQL names (graft_minhash / graft_simhash / graft_shingles
-    * / graft_cosine / graft_jaccard) on a session for spark.sql use —
-    * the same set `graft.GraftExtensions` injects via configuration.
-    * Wrong arity surfaces as an AnalysisException-friendly
-    * IllegalArgumentException, not an IndexOutOfBounds deep in
-    * planning.
+  /** (name, usage, arity-validated builder) for every SQL-exposed
+    * function — the ONE list both registration paths consume
+    * (`registerAll` below and `graft.GraftExtensions`' injection), so
+    * their behavior cannot drift. Wrong arity surfaces as an
+    * IllegalArgumentException with the function's name, not an
+    * IndexOutOfBounds deep in planning.
     */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash", "graft_minhash(tokens, k) - MinHash signature of a string array",
+      es => { arity("graft_minhash", es, 2); MinHashSignature(es.head, constInt("graft_minhash", es, 1)) }),
+    ("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a string array",
+      es => { arity("graft_simhash", es, 1); SimHash64(es.head) }),
+    ("graft_shingles", "graft_shingles(tokens, n) - distinct word n-grams",
+      es => { arity("graft_shingles", es, 2); WordShingles(es.head, constInt("graft_shingles", es, 1)) }),
+    ("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors",
+      es => { arity("graft_cosine", es, 2); CosineSim(es.head, es(1)) }),
+    ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of string arrays",
+      es => { arity("graft_jaccard", es, 2); JaccardSim(es.head, es(1)) }))
+
+  /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_minhash",
-      es => { arity("graft_minhash", es, 2); MinHashSignature(es.head, constInt("graft_minhash", es, 1)) },
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => { arity("graft_simhash", es, 1); SimHash64(es.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      es => { arity("graft_shingles", es, 2); WordShingles(es.head, constInt("graft_shingles", es, 1)) },
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      es => { arity("graft_cosine", es, 2); CosineSim(es.head, es(1)) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_jaccard",
-      es => { arity("graft_jaccard", es, 2); JaccardSim(es.head, es(1)) }, "built-in")
+    for ((name, _, builder) <- sqlFunctions)
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
   }
 }

@@ -149,23 +149,9 @@ object Dedup {
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 48, bands: Int = 8,
                         multiprobe: Boolean = true): DataFrame = {
-    require(planes % bands == 0, s"planes=$planes must be a multiple of bands=$bands")
-    val bandBits = planes / bands
-    val mask = (1L << bandBits) - 1
-    val sigged = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
-      native.hyperplane_sig(F.col(vecCol), planes).as("__sig"))
-    def banded(probe: Boolean): DataFrame = {
-      val pairs = for {
-        b <- 0 until bands
-        vn <- 0 to (if (probe) bandBits else 0)
-      } yield {
-        val base = F.shiftright(F.col("__sig"), b * bandBits).bitwiseAND(mask)
-        val bucket = if (vn == 0) base else base.bitwiseXOR(F.lit(1L << (vn - 1)))
-        F.struct(F.lit(b).as("band"), bucket.as("bucket"))
-      }
-      sigged.select(F.col("id"), F.explode(F.array(pairs: _*)).as("bb"))
-        .select(F.col("id"), F.col("bb.band").as("band"), F.col("bb.bucket").as("bucket"))
-    }
+    val renamed = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    def banded(probe: Boolean): DataFrame =
+      Lsh.hyperplaneBands(renamed, "id", "v", planes, bands, probe)
     val candidates = banded(probe = multiprobe).as("a")
       .join(banded(probe = false).as("b"),
         F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket") &&

@@ -44,7 +44,11 @@ object Sampling {
     */
   def perKeyDeterministic(df: DataFrame, keys: Seq[String], idCol: String, k: Int): DataFrame = {
     val keyCols = keys.map(F.col)
-    df.select(keyCols :+ F.col(idCol): _*)
+    // contract: null ids are excluded up front — a null key has no
+    // deterministic hash position (engines rank nulls differently),
+    // so it can never be part of a reproducible sample
+    df.filter(F.col(idCol).isNotNull)
+      .select(keyCols :+ F.col(idCol): _*)
       .groupBy(keyCols: _*)
       // negate: TopKByScore keeps the LARGEST scores, we want smallest hashes
       .agg(aggregates.top_k_by_score(-hash52(F.col(idCol)).cast("double"),

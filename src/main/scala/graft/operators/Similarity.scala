@@ -197,28 +197,11 @@ object Similarity {
               bands: Int = 8, multiprobe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    require(planes % bands == 0, s"planes=$planes must be a multiple of bands=$bands")
-    val bandBits = planes / bands
-    val mask = (1L << bandBits) - 1
     def withBands(df: DataFrame, vec: String, id: String, prefix: String,
-                  probe: Boolean): DataFrame = {
-      // signature staged as its own projection: the band/probe structs
-      // reference it bands×(1+bits) times, and a row slot is evaluated
-      // once while an embedded subtree may not be
-      val sigged = df.select(F.col(id), F.col(vec),
-        native.hyperplane_sig(F.col(vec), planes).as("__sig"))
-      val pairs = for {
-        b <- 0 until bands
-        v <- 0 to (if (probe) bandBits else 0)
-      } yield {
-        val base = F.shiftright(F.col("__sig"), b * bandBits).bitwiseAND(mask)
-        val bucket = if (v == 0) base else base.bitwiseXOR(F.lit(1L << (v - 1)))
-        F.struct(F.lit(b).as("band"), bucket.as("bucket"))
-      }
-      sigged.select(F.col(id), F.col(vec), F.explode(F.array(pairs: _*)).as("bb"))
-        .select(F.col(id), F.col(vec),
-          F.col("bb.band").as(s"${prefix}band"), F.col("bb.bucket").as(s"${prefix}bucket"))
-    }
+                  probe: Boolean): DataFrame =
+      Lsh.hyperplaneBands(df, id, vec, planes, bands, probe, keepVec = true)
+        .withColumnRenamed("band", s"${prefix}band")
+        .withColumnRenamed("bucket", s"${prefix}bucket")
     val c = withBands(corpus, vecCol, idCol, "c_", probe = false)
     val q = withBands(queries, qvecCol, qidCol, "q_", probe = multiprobe)
     val candidates = c.join(F.broadcast(q),

@@ -121,13 +121,18 @@ class FxPipelineSpec extends SparkSuite {
     FxPipeline.ingest(spark, graft.sources.RawJson.loadEvents(spark, feed), raw)
     assert(spark.read.parquet(raw).count() == events.count())
 
-    // report step: per-day averages match direct aggregation over the feed
+    // report step: per-day averages match direct aggregation over the
+    // feed. Round to 9dp before comparing — the two aggregations sum
+    // the same values in DIFFERENT physical orders (day-partitioned
+    // sorted layout vs original file order), which legitimately moves
+    // ~1 ULP on double sums; bit-exact equality here would couple the
+    // test to Spark's split planning
     val out = FxPipeline.report(spark, raw, rep)
+      .select(F.col("day"), F.col("event_type"), F.round(F.col("avg_rate"), 9).as("r"))
     val want = events.groupBy(F.to_date(F.col("ts")).as("day"), F.col("event_type"))
-      .agg(F.avg("value").as("avg_rate"))
+      .agg(F.round(F.avg("value"), 9).as("r"))
     assert(out.count() == want.count())
-    assert(out.select("day", "event_type", "avg_rate")
-      .exceptAll(want).count() == 0)
+    assert(out.exceptAll(want).count() == 0)
   }
 
   test("recoverInterrupted restores a table stranded mid-swap") {
