@@ -5,14 +5,13 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Direct unit tests of the native expressions: the LSH hash family is
   * PINNED to fixed values (any change to seed/mix/weight derivation
   * silently reshuffles every bucket and tanks recall — this test makes
   * that loud), and null-element arrays must be skipped, not NPE.
   */
-class NativeExprSpec extends AnyFunSuite {
+class NativeExprSpec extends SparkSuite {
 
   private def floats(v: Float*): Literal =
     Literal(new GenericArrayData(v.map(x => x: Any).toArray), ArrayType(FloatType))
@@ -47,6 +46,29 @@ class NativeExprSpec extends AnyFunSuite {
     assert(WordShingles(withNulls, 2).eval(null).asInstanceOf[ArrayData].numElements() ==
       WordShingles(clean, 2).eval(null).asInstanceOf[ArrayData].numElements())
     assert(JaccardSim(withNulls, clean).eval(null) == java.lang.Double.valueOf(1.0))
+  }
+
+  test("codegen and interpreted paths agree on the full sketch pipeline") {
+    // run the minhash signature pipeline with whole-stage codegen ON
+    // (default; exercises doGenCode) and OFF (forces the eval path),
+    // and require identical signatures — pins that the two
+    // implementations of every native expression are the same math
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+    def run(): Seq[(Long, Seq[Long])] =
+      graft.operators.Dedup.signatures(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](2).toSeq)).toSeq.sortBy(_._1)
+    val withCodegen = run()
+    val prevWS = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFM = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWS)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFM)
+    }
   }
 
   test("CosineSim matches a plain-Scala cosine") {
