@@ -59,6 +59,16 @@ object FxPipeline {
     spark.read.parquet(rawPath)
   }
 
+  /** The reference DAG-1 in one call: raw newline-JSON feed → typed
+    * rows under the explicit schema (malformed lines quarantined) →
+    * idempotent O(batch) append. `extract` (the HTTP fetch) stays with
+    * the orchestrator; everything after the bytes land is here.
+    */
+  def ingestJson(spark: SparkSession, feedPath: String, rawPath: String): DataFrame = {
+    val typed = graft.sources.RawJson.loadEvents(spark, feedPath)
+    ingest(spark, typed, rawPath)
+  }
+
   /** Restrict the idempotency key lookup to the batch's day range.
     *
     * CONTRACT (same one a partition-pruned BigQuery MERGE states): a

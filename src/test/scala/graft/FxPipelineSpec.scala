@@ -114,11 +114,11 @@ class FxPipelineSpec extends SparkSuite {
       "{\"event_id\": broken\nnull".getBytes("UTF-8"))
 
     // transform+load: typed parse (bad lines quarantined) -> idempotent append
-    FxPipeline.ingest(spark, graft.sources.RawJson.loadEvents(spark, feed), raw)
+    FxPipeline.ingestJson(spark, feed, raw)
     assert(spark.read.parquet(raw).count() == events.count(), "clean rows land, bad lines don't")
 
     // re-running the whole DAG (redelivered feed) changes nothing
-    FxPipeline.ingest(spark, graft.sources.RawJson.loadEvents(spark, feed), raw)
+    FxPipeline.ingestJson(spark, feed, raw)
     assert(spark.read.parquet(raw).count() == events.count())
 
     // report step: per-day averages match direct aggregation over the
