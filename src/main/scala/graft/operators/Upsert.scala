@@ -43,9 +43,18 @@ object Upsert {
     * BigQuery `MERGE ... WHEN MATCHED THEN UPDATE SET <all non-key>
     * WHEN NOT MATCHED THEN INSERT *`.
     *
-    * Implemented as a full-outer join on the key with per-column
-    * COALESCE(source, target). Columns are taken from `target`'s
-    * schema; `source` must contain them all.
+    * Decomposed into UPDATE ∪ INSERT rather than one full-outer join,
+    * because Spark cannot broadcast a full-outer join — that shape
+    * forces BOTH sides through a full-width shuffle+sort even when
+    * the delta is 30 rows (the reference's per-run case):
+    *  - UPDATE: `target LEFT OUTER source` with per-column
+    *    presence-based pick — the small delta broadcasts and the
+    *    100 TB target streams map-side, never shuffled;
+    *  - INSERT: `source LEFT ANTI target.keys` — only the slim key
+    *    projection of the target moves, never its payload columns.
+    * Columns come from `target`'s schema; `source` must contain them
+    * all. A duplicate-keyed target updates every matching row, like
+    * BigQuery MERGE.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     // "matched" must be detected by row presence, not key-null checks —
@@ -54,12 +63,15 @@ object Upsert {
     val t = target.alias("t")
     val s = source.withColumn("__s_present", F.lit(1)).alias("s")
     val cond = keys.map(k => F.col(s"t.$k") <=> F.col(s"s.$k")).reduce(_ && _)
-    val joined = t.join(s, cond, "full_outer")
     val matched = F.col("s.__s_present").isNotNull
-    val cols: Seq[Column] = target.columns.toSeq.map { c =>
+    val updateCols: Seq[Column] = target.columns.toSeq.map { c =>
       F.when(matched, F.col(s"s.$c")).otherwise(F.col(s"t.$c")).as(c)
     }
-    joined.select(cols: _*)
+    val updated = t.join(s, cond, "left_outer").select(updateCols: _*)
+    val antiCond = keys.map(k => F.col(s"s.$k") <=> F.col(s"t.$k")).reduce(_ && _)
+    val inserts = s.join(t.select(keys.map(F.col): _*).alias("t"), antiCond, "left_anti")
+      .select(target.columns.toSeq.map(c => F.col(s"s.$c").as(c)): _*)
+    updated.unionByName(inserts)
   }
 
   /** MERGE with a possibly-duplicated source: keep only the newest

@@ -65,6 +65,18 @@ class PlanSpec extends SparkSuite {
       assert(l.contains("*("), s"native expression outside codegen span: $l")
   }
 
+  test("MERGE with a small delta broadcasts: the target's payload never shuffles") {
+    import graft.operators.Upsert
+    val target = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val delta = target.limit(30) // the reference's per-run batch size
+    val merged = Upsert.merge(target, delta, Seq("event_id"))
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan.toString
+    // the UPDATE half must be a broadcast join (full-outer could never
+    // broadcast, which is why merge is decomposed)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("bucketed co-located join plans with no shuffle exchange") {
     val dir = Files.createTempDirectory("graft-bucket-").toString
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
