@@ -77,8 +77,8 @@ object Upsert {
   /** MERGE with a possibly-duplicated source: keep only the newest
     * source row per key (by `ts`, then `tieBreak`) before merging —
     * `merge` itself requires unique source keys (a duplicated key
-    * would fan the full-outer join out; BigQuery MERGE raises an
-    * error in that situation).
+    * would fan the update join out; BigQuery MERGE raises an error in
+    * that situation).
     */
   def mergeLatest(target: DataFrame, source: DataFrame, keys: Seq[String],
                   ts: String, tieBreak: Seq[String] = Nil): DataFrame =
