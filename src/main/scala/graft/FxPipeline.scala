@@ -60,7 +60,9 @@ object FxPipeline {
   }
 
   /** The reference DAG-1 in one call: raw newline-JSON feed → typed
-    * rows under the explicit schema (malformed lines quarantined) →
+    * rows under the explicit schema (malformed lines DROPPED on this
+    * path — a feed that needs auditing should inspect
+    * `RawJson.corruptRecords(RawJson.load(...))` before ingesting) →
     * idempotent O(batch) append. `extract` (the HTTP fetch) stays with
     * the orchestrator; everything after the bytes land is here.
     */

@@ -13,10 +13,13 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   *  - `dedupLatest` — README "dedupe logic / unique keys": keep the
   *    newest row per key.
   *
-  * All are plain `DataFrame => DataFrame` transforms: Catalyst plans a
-  * single shuffle on the key (or a broadcast join when one side is
-  * small — the reference's per-run batches are tiny, so the delta side
-  * broadcasts and the 100 TB target table never shuffles).
+  * All are plain `DataFrame => DataFrame` transforms. The plan-shape
+  * contract: with the reference's tiny per-run batches, the delta side
+  * broadcasts and the 100 TB target's payload never shuffles —
+  * `idempotentAppend`/`freshRows` via a broadcastable anti-join,
+  * `merge` via its UPDATE ∪ INSERT decomposition (see its scaladoc;
+  * the insert half additionally moves the target's slim key
+  * projection once).
   */
 object Upsert {
 
@@ -55,6 +58,15 @@ object Upsert {
     * Columns come from `target`'s schema; `source` must contain them
     * all. A duplicate-keyed target updates every matching row, like
     * BigQuery MERGE.
+    *
+    * `source` feeds BOTH halves, so it must be deterministic (a
+    * rand()/sample()-derived delta could update with one evaluation
+    * and insert from another); cache an expensive source upstream if
+    * recomputation matters. When the delta is too large to broadcast,
+    * the update half degrades to the same full-width shuffle the old
+    * full-outer shape always paid, plus one slim key-projection
+    * shuffle for the insert half — the small-delta case this is
+    * optimized for is the reference's every-run reality.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     // "matched" must be detected by row presence, not key-null checks —

@@ -72,9 +72,13 @@ class PlanSpec extends SparkSuite {
     val merged = Upsert.merge(target, delta, Seq("event_id"))
     merged.collect()
     val plan = merged.queryExecution.executedPlan.toString
-    // the UPDATE half must be a broadcast join (full-outer could never
-    // broadcast, which is why merge is decomposed)
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the UPDATE half — the LeftOuter join carrying the full-width
+    // target — must specifically be the broadcast join (the INSERT
+    // anti-join can broadcast on its own at test scale and would mask
+    // an update-half regression under a bare contains check)
+    assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert("SortMergeJoin.*LeftOuter".r.findFirstIn(plan).isEmpty,
+      s"update half regressed to a full-width shuffle join: ${plan.take(2000)}")
   }
 
   test("bucketed co-located join plans with no shuffle exchange") {
