@@ -139,6 +139,17 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // dense daily series with last-observation-carried-forward fill
+    // (the FX weekend-gap fill; AsOf answers point lookups, this
+    // materializes the dense table)
+    "fx_gapfill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(F.col("event_type"), evDay(F.col("ts")).as("day"))
+        .agg(davg(F.col("value")).as("avg_value"))
+      graft.operators.Resample.forwardFillDaily(daily, Seq("event_type"), "day", "avg_value")
+        .orderBy("event_type", "day")
+    }),
+
     // ───────────────────────── B. SQL analytics surface ─────────────────────────
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -544,6 +555,21 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "fx_gapfill" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
+          |  FROM events GROUP BY 1, 2),
+          |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+          |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+          |grid AS (SELECT ks.event_type AS event_type, days.day AS day
+          |         FROM (SELECT DISTINCT event_type FROM daily) ks CROSS JOIN days)
+          |SELECT g.event_type AS event_type, g.day AS day,
+          |       last_value(d.avg_value IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+          |       COALESCE(CAST(d.avg_value IS NOT NULL AS INT), 0) AS observed
+          |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+          |ORDER BY event_type, day""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
