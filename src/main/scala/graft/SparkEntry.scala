@@ -380,6 +380,16 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_events"), dsum(F.col("value")).as("session_value"))
         .orderBy("user_id", "session_id")
     }),
+    // contamination check: corpus docs (id>=25) sharing >=5 distinct
+    // 3-gram shingles with any "benchmark" doc (id<25) — the pre-train
+    // eval-set overlap sweep; fires on the corpus's replicated docs
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.InvertedIndex.contaminationPairs(
+          docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25),
+          "doc_id", "text", minShared = 5)
+        .orderBy("corpus_id", "bench_id")
+    }),
     // posting-list stats: the distributed heart of TF-IDF over the corpus
     "text_tf_df" -> ((s, d) => {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
@@ -734,6 +744,16 @@ object SparkEntry {
           |SELECT user_id, session_id, COUNT(*) AS n_events,
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "text_contamination" ->
+        """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+          |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-2, 1))) AS g(i)),
+          |cs AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id >= 25),
+          |bs AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25)
+          |SELECT corpus_id, bench_id, COUNT(*) AS n_shared
+          |FROM cs JOIN bs USING (sh)
+          |GROUP BY corpus_id, bench_id HAVING COUNT(*) >= 5
+          |ORDER BY corpus_id, bench_id""".stripMargin,
       "text_tf_df" ->
         """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
           |           FROM documents),

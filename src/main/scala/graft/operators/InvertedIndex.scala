@@ -28,6 +28,40 @@ object InvertedIndex {
       .groupBy("token")
       .agg(F.count(F.lit(1)).as("df"), F.sum("tf").as("tf_total"))
 
+  /** Train/benchmark CONTAMINATION detection: corpus documents sharing
+    * ≥ `minShared` distinct word n-gram shingles with any benchmark
+    * document — the overlap check run before training so eval sets
+    * aren't memorized. Both sides' shingles are per-document sets
+    * (WordShingles), so a plain count after the equi-join IS the
+    * distinct-shared count: no countDistinct Expand.
+    *
+    * Scale shape: the benchmark side is small (eval suites) and
+    * broadcasts; the corpus side streams map-side through the shingle
+    * join. `maxBenchDf` drops shingles present in more than that many
+    * benchmark docs (ubiquitous phrases carry no contamination signal
+    * and are exactly the keys that would skew the join).
+    */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int = 3,
+                         minShared: Int = 5,
+                         maxBenchDf: Int = Int.MaxValue): DataFrame = {
+    def shingled(df: DataFrame, outId: String): DataFrame =
+      df.select(F.col(idCol).as(outId), text.tokens(F.col(textCol)).as("__toks"))
+        .select(F.col(outId),
+          F.explode(graft.functions.native.word_shingles(F.col("__toks"), shingleN)).as("sh"))
+    val cs = shingled(corpus, "corpus_id")
+    val bsAll = shingled(bench, "bench_id")
+    val rare = bsAll.groupBy("sh")
+      .agg(F.count(F.lit(1)).as("bench_df")) // shingles are distinct per doc already
+      .filter(F.col("bench_df") <= maxBenchDf)
+      .select("sh")
+    val bs = bsAll.join(rare, "sh")
+    cs.join(F.broadcast(bs), "sh")
+      .groupBy("corpus_id", "bench_id")
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** TF-IDF weights per (doc, token): tf · ln((N+1)/(df+1)). The idf
     * table is tiny (vocabulary-sized) and broadcasts; N comes in as an
     * argument so callers amortize the corpus count.

@@ -39,6 +39,23 @@ class InvertedIndexSpec extends SparkSuite {
     assert(w((1L, "sat")) > w((1L, "the")))
   }
 
+  test("contaminationPairs finds exactly the docs sharing enough shingles") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // verbatim copy: contaminated
+      (11L, "a quick brown fox jumps over the lazy dog yesterday"), // heavy overlap
+      (12L, "completely different words about something else entirely here now"))
+      .toDF("doc_id", "text")
+    val pairs = InvertedIndex.contaminationPairs(corpus, bench, "doc_id", "text", minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(pairs.map(_._1).toSeq == Seq(10L, 11L), s"got $pairs")
+    assert(pairs.head._3 == 8, "verbatim copy shares every shingle (10 tokens -> 8 trigrams)")
+    // maxBenchDf drops ubiquitous shingles: with cap 0 nothing can match
+    assert(InvertedIndex.contaminationPairs(corpus, bench, "doc_id", "text",
+      minShared = 1, maxBenchDf = 0).count() == 0)
+  }
+
   test("no countDistinct Expand in the termStats plan") {
     val plan = InvertedIndex.termStats(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
