@@ -738,8 +738,8 @@ object SparkEntry {
           |        CASE WHEN ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
           |s AS (SELECT user_id, value,
-          |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |      FROM g)
           |SELECT user_id, session_id, COUNT(*) AS n_events,
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value

@@ -36,6 +36,14 @@ for name in expected:
     status = []
     if list(got.columns) != list(want.columns):
         status.append(f"schema: got {list(got.columns)} want {list(want.columns)}")
+    else:
+        # the driver's value-hash is dtype-sensitive across the int/float
+        # divide (bigint 3 vs HUGEINT->float64 3.0 hash differently even
+        # when values match) — flag that class here so it can't slip
+        for c in got.columns:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            if {gk, wk} <= {"i", "u", "f"} and ("f" in (gk, wk)) != (gk == wk == "f"):
+                status.append(f"dtype-class: {c} got {got[c].dtype} want {want[c].dtype} (int vs float hashes differently)")
     if len(got) != len(want):
         status.append(f"rows: got {len(got)} want {len(want)}")
     if not status:
