@@ -329,12 +329,30 @@ object SparkEntry {
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")
     }),
+    // exact interpolated percentiles (BigQuery PERCENTILE_CONT). ORACLE-/
+    // BOUNDED-GROUP-ONLY: Spark's exact `percentile` buffers every value
+    // of a group in one aggregation buffer — at 100 TB a hot group is an
+    // OOM, not a slow query. The 100 TB routing is q_percentile_approx.
     "q_percentile" -> ((s, d) => {
       Tables.events(s, d).groupBy("event_type")
         .agg(
           F.expr("percentile(value, 0.25)").as("p25"),
           F.expr("percentile(value, 0.5)").as("p50"),
           F.expr("percentile(value, 0.9)").as("p90"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    // the 100 TB routing of B11: approx_percentile keeps a bounded
+    // KLL-style sketch per group (mergeable partials, map-side combine)
+    // instead of buffering every value. Sketch estimates are
+    // engine-specific -> rows-only; accuracy pinned vs exact in
+    // ProfileSpec (matches BigQuery's own APPROX_QUANTILES surface).
+    "q_percentile_approx" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(
+          F.expr("approx_percentile(value, 0.25, 10000)").as("p25"),
+          F.expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+          F.expr("approx_percentile(value, 0.9, 10000)").as("p90"),
           F.count(F.lit(1)).as("n"))
         .orderBy("event_type")
     }),
@@ -749,7 +767,9 @@ object SparkEntry {
           |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
           |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-2, 1))) AS g(i)),
           |cs AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id >= 25),
-          |bs AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25)
+          |bs0 AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25),
+          |rare AS (SELECT sh FROM bs0 GROUP BY sh HAVING COUNT(*) <= 100),
+          |bs AS (SELECT bench_id, bs0.sh FROM bs0 JOIN rare USING (sh))
           |SELECT corpus_id, bench_id, COUNT(*) AS n_shared
           |FROM cs JOIN bs USING (sh)
           |GROUP BY corpus_id, bench_id HAVING COUNT(*) >= 5

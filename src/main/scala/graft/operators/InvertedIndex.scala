@@ -39,12 +39,17 @@ object InvertedIndex {
     * broadcasts; the corpus side streams map-side through the shingle
     * join. `maxBenchDf` drops shingles present in more than that many
     * benchmark docs (ubiquitous phrases carry no contamination signal
-    * and are exactly the keys that would skew the join).
+    * and are exactly the keys that would skew the join): a
+    * stopword-ish shingle shared by B bench docs multiplies every
+    * corpus row that carries it by B exactly on the hottest keys, so
+    * the cap is ON by default (100 — far above any phrase that still
+    * identifies a specific benchmark item, far below eval-suite
+    * boilerplate). Pass `Int.MaxValue` to disable deliberately.
     */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, shingleN: Int = 3,
                          minShared: Int = 5,
-                         maxBenchDf: Int = Int.MaxValue): DataFrame = {
+                         maxBenchDf: Int = 100): DataFrame = {
     def shingled(df: DataFrame, outId: String): DataFrame =
       df.select(F.col(idCol).as(outId), text.tokens(F.col(textCol)).as("__toks"))
         .select(F.col(outId),
@@ -62,15 +67,24 @@ object InvertedIndex {
       .filter(F.col("n_shared") >= minShared)
   }
 
-  /** TF-IDF weights per (doc, token): tf · ln((N+1)/(df+1)). The idf
-    * table is tiny (vocabulary-sized) and broadcasts; N comes in as an
-    * argument so callers amortize the corpus count.
+  /** TF-IDF weights per (doc, token): tf · ln((N+1)/(df+1)). N comes in
+    * as an argument so callers amortize the corpus count.
+    *
+    * The idf table is VOCABULARY-sized. For curated corpora that is
+    * small (≤ a few million tokens) and broadcasting it turns the join
+    * map-side — the default. But a web-scale corpus has 10⁸–10⁹
+    * distinct "tokens" (typos, ids, hashes); a broadcast that size
+    * kills the driver. Set `broadcastIdf = false` there: both sides are
+    * already keyed by `token`, so the shuffle join re-uses the
+    * groupBy(token) partitioning and moves only (token, idf) pairs.
     */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String, corpusSize: Long): DataFrame = {
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, corpusSize: Long,
+            broadcastIdf: Boolean = true): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val idf = tf.groupBy("token").agg(F.count(F.lit(1)).as("df"))
       .withColumn("idf", F.log(F.lit(corpusSize + 1.0) / (F.col("df") + 1.0)))
-    tf.join(F.broadcast(idf.select("token", "idf")), "token")
+      .select("token", "idf")
+    tf.join(if (broadcastIdf) F.broadcast(idf) else idf.hint("shuffle_hash"), "token")
       .select(F.col("doc_id"), F.col("token"), (F.col("tf") * F.col("idf")).as("weight"))
   }
 }

@@ -56,6 +56,49 @@ class InvertedIndexSpec extends SparkSuite {
       minShared = 1, maxBenchDf = 0).count() == 0)
   }
 
+  test("tfidf non-broadcast path: same weights, no BroadcastExchange") {
+    val broad = InvertedIndex.tfidf(docs, "doc_id", "text", corpusSize = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val shuffled = InvertedIndex.tfidf(docs, "doc_id", "text", corpusSize = 3, broadcastIdf = false)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan.take(1500))
+    val sw = shuffled.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sw == broad, "broadcast and shuffle paths must produce identical weights")
+  }
+
+  test("maxBenchDf caps join fan-out on a skewed ubiquitous shingle") {
+    // every bench doc shares one boilerplate phrase ("answer the following
+    // question now") — the skew hazard: a corpus doc carrying it would
+    // otherwise pair with EVERY bench doc
+    val nBench = 40
+    val bench = (1L to nBench.toLong)
+      .map(i => (i, s"answer the following question now item$i detail$i extra$i"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "answer the following question now unrelated filler text here"), // boilerplate only
+      (101L, s"answer the following question now item7 detail7 extra7"))       // true copy of bench 7
+      .toDF("doc_id", "text")
+    // uncapped: doc 100 pairs with all 40 bench docs off 3 boilerplate shingles
+    val uncapped = InvertedIndex.contaminationPairs(corpus, bench, "doc_id", "text",
+      minShared = 1, maxBenchDf = Int.MaxValue)
+    assert(uncapped.filter($"corpus_id" === 100L).count() == nBench.toLong,
+      "without the cap the ubiquitous shingle fans doc 100 out to every bench doc")
+    // default cap (100) is above nBench here, so it must not fire either —
+    // proves the default only removes genuinely eval-suite-wide boilerplate
+    assert(InvertedIndex.contaminationPairs(corpus, bench, "doc_id", "text", minShared = 1)
+      .filter($"corpus_id" === 100L).count() == nBench.toLong)
+    // a cap below the boilerplate's bench-df kills the skew pairs but keeps
+    // the true contamination signal (doc 101 still matches bench doc 7 on
+    // its unique-content shingles)
+    val capped = InvertedIndex.contaminationPairs(corpus, bench, "doc_id", "text",
+      minShared = 1, maxBenchDf = 10)
+    assert(capped.filter($"corpus_id" === 100L).count() == 0,
+      "cap must drop pairs supported only by the ubiquitous shingle")
+    val hits = capped.filter($"corpus_id" === 101L).collect()
+    assert(hits.map(_.getLong(1)).toSeq == Seq(7L),
+      s"true copy must survive the cap, got ${hits.mkString(",")}")
+  }
+
   test("no countDistinct Expand in the termStats plan") {
     val plan = InvertedIndex.termStats(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
