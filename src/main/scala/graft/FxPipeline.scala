@@ -35,7 +35,16 @@ object FxPipeline {
     * rewritten; at 100 TB a full-table stage-and-swap per micro-batch
     * would be an O(table) write for an O(batch) logical change.
     */
-  def ingest(spark: SparkSession, batch: DataFrame, rawPath: String): DataFrame = {
+  /** @param pruneToBatchDays restrict the idempotency key lookup to the
+    *   batch's day range (default). Correct ONLY under the
+    *   `prunedToBatchDays` contract — redelivered keys keep their
+    *   original event timestamp. A feed whose producer re-stamps `ts`
+    *   on retry (ingestion-time stamping, clock drift) must pass
+    *   `false` to anti-join against the full key set: O(table-keys)
+    *   instead of O(touched partitions), but globally unique.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame, rawPath: String,
+             pruneToBatchDays: Boolean = true): DataFrame = {
     val typed = batch.select(
         F.col("event_id"),
         F.col("ts"),
@@ -52,7 +61,8 @@ object FxPipeline {
         Layout.writePartitioned(typed.dropDuplicates(Seq("event_id")), rawPath,
           "ts", Seq("event_type", "user_id"))
       case Some(t) =>
-        val fresh = Upsert.freshRows(prunedToBatchDays(t, typed), typed, Seq("event_id"))
+        val lookup = if (pruneToBatchDays) prunedToBatchDays(t, typed) else t
+        val fresh = Upsert.freshRows(lookup, typed, Seq("event_id"))
         Layout.appendPartitioned(fresh, rawPath, "ts", Seq("event_type", "user_id"))
     }
     spark.catalog.refreshByPath(rawPath)
@@ -78,9 +88,9 @@ object FxPipeline {
     * can only collide inside the batch's own [min(day), max(day)]
     * window and the anti-join never needs the rest of the table. A
     * producer that re-stamps timestamps on retry (clock drift,
-    * ingestion-time stamping) breaks this silently — such feeds must
-    * skip pruning and anti-join against the full key set
-    * (`Upsert.freshRows(t, batch, keys)` directly), trading an
+    * ingestion-time stamping) breaks this silently — such feeds stay
+    * inside the pipeline and pass `ingest(..., pruneToBatchDays =
+    * false)` to anti-join against the full key set, trading an
     * O(table-keys) scan for global uniqueness. The literal day bounds
     * (one 2-value driver fetch over the tiny batch) become
     * `PartitionFilters` on the target scan, so a 100 TB table is read

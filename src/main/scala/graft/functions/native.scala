@@ -197,23 +197,46 @@ case class CosineSim(left: Expression, right: Expression)
   * Σᵢ vᵢ·w(p,i) with deterministic pseudo-random weights
   * w = mix(seed ⊕ p·G ⊕ i·G²) scaled to [-1,1]. One pass per plane,
   * no per-element expression trees.
+  *
+  * The weight matrix is derived only from (seed, planes, dim), so it is
+  * materialized once per expression instance (growing if wider vectors
+  * appear) instead of re-running `mix` planes×dim times per row — the
+  * per-row cost drops to the dot products themselves. The matrix lives
+  * behind a volatile reference to an immutable array: concurrent tasks
+  * may race to grow it, but every racer computes identical values, so
+  * last-write-wins is correct.
   */
 case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
+  require(planes >= 1 && planes <= 64,
+    s"HyperplaneSig packs bits into one long: planes must be in [1,64], got $planes")
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
+  // weights(p)(i), bit-identical to the formula in weightAt
+  @transient @volatile private var cached: Array[Array[Double]] = _
+  private def weightAt(p: Int, i: Int): Double = {
+    val w = Hashing.mix(seed ^ (p * Hashing.Golden) ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+    w.toDouble / Long.MaxValue.toDouble
+  }
+  private def weights(dim: Int): Array[Array[Double]] = {
+    var m = cached
+    if (m == null || m(0).length < dim) {
+      m = Array.tabulate(planes, dim)(weightAt)
+      cached = m
+    }
+    m
+  }
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
+    val w = weights(math.max(n, 1))
     var sig = 0L
     var p = 0
     while (p < planes) {
+      val wp = w(p)
       var proj = 0.0
       var i = 0
       while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val w = Hashing.mix(seed ^ (p * Hashing.Golden) ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
-          proj += arr.getFloat(i) * (w.toDouble / Long.MaxValue.toDouble)
-        }
+        if (!arr.isNullAt(i)) proj += arr.getFloat(i) * wp(i)
         i += 1
       }
       if (proj >= 0) sig |= (1L << p)
@@ -276,12 +299,16 @@ case class NearestCell(child: Expression, cells: Seq[Long], centroids: Seq[Seq[F
     s"NearestCell needs one cell id per centroid (got ${cells.length} ids, ${centroids.length} centroids)")
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
-  private val ids: Array[Long] = cells.toArray
-  private val normed: Array[Array[Double]] = centroids.map { c =>
+  // sorted together by cell id so the documented lowest-id tie-break
+  // holds regardless of the order the caller passes centroids in
+  // (compute keeps the FIRST best, which after sorting is the lowest id)
+  private val byId: Array[(Long, Seq[Float])] = cells.zip(centroids).sortBy(_._1).toArray
+  private val ids: Array[Long] = byId.map(_._1)
+  private val normed: Array[Array[Double]] = byId.map { case (_, c) =>
     val a = c.toArray.map(_.toDouble)
     val n = math.sqrt(a.map(x => x * x).sum)
     if (n == 0.0) a else a.map(_ / n)
-  }.toArray
+  }
   def compute(arr: ArrayData): Long = {
     var best = 0
     var bestDot = Double.NegativeInfinity

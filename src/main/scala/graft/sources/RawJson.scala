@@ -57,21 +57,31 @@ object RawJson {
       .filter(F.length(F.trim(F.col("value"))) > 0) // json source skips blank lines; match it
       .select(F.col("value"), F.from_json(F.col("value"), full,
         Map("mode" -> parseMode, "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
-    // the valid-JSON literal `null` parses to a NULL struct — neither
-    // typed nor quarantined. Route it to the corrupt channel (or fail
-    // the load under FAILFAST) instead of leaking an all-null "clean"
-    // row whose null key would poison downstream idempotency joins.
+    // Two shapes parse "successfully" but violate the declared schema:
+    // the valid-JSON literal `null` (a NULL struct — neither typed nor
+    // quarantined) and rows MISSING a nullable=false field (from_json
+    // does not enforce the schema's nullability, so {"user_id":5}
+    // yields a null event_id). Both must hit the corrupt channel (or
+    // fail the load under FAILFAST): a null key row would otherwise
+    // never match downstream idempotency anti-joins (Upsert.freshRows'
+    // using-column equality is not null-safe) and be re-appended on
+    // every redelivery.
+    val keyViolated = schema.fields.filter(!_.nullable)
+      .map(f => F.col("r").getField(f.name).isNull)
+      .reduceOption(_ || _).getOrElse(F.lit(false))
+    val invalid = F.col("r").isNull || keyViolated
     val guarded =
       if (parseMode == "FAILFAST")
-        base.filter(F.when(F.col("r").isNotNull, F.lit(true))
+        base.filter(F.when(!invalid, F.lit(true))
           .otherwise(F.raise_error(F.concat(
-            F.lit("[MALFORMED_RECORD_IN_PARSING] null JSON literal: "), F.col("value"))).isNotNull))
+            F.lit("[MALFORMED_RECORD_IN_PARSING] null literal or null non-nullable field: "),
+            F.col("value"))).isNotNull))
       else base
     val nullRow = F.struct(
       schema.fields.map(f => F.lit(null).cast(f.dataType).as(f.name)) :+
         F.col("value").cast(StringType).as(CorruptCol): _*)
     val parsed = guarded
-      .select(F.coalesce(F.col("r"), nullRow).as("r"))
+      .select(F.when(!invalid, F.col("r")).otherwise(nullRow).as("r"))
       .select("r.*")
     // from_json has no DROPMALFORMED; emulate by dropping quarantined rows
     if (mode == "DROPMALFORMED") parsed.filter(F.col(CorruptCol).isNull) else parsed

@@ -99,6 +99,28 @@ class FxPipelineSpec extends SparkSuite {
     assert(pruned.count() == oneDay.count())
   }
 
+  test("pruneToBatchDays=false catches redeliveries whose producer re-stamped ts") {
+    val root = Files.createTempDirectory("graft-fxrestamp-").toString
+    val events = Tables.events(spark, sf).filter(F.col("event_id") < 200)
+    // the redelivery arrives with ts shifted out of the original day
+    // range — exactly the feed the pruning contract forbids
+    val restamped = events.withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+
+    // default pruning MISSES the restamped keys (the documented hazard):
+    val prunedRaw = s"$root/pruned"
+    FxPipeline.ingest(spark, events, prunedRaw)
+    FxPipeline.ingest(spark, restamped, prunedRaw)
+    assert(spark.read.parquet(prunedRaw).count() == 2 * events.count(),
+      "restamped redelivery lands outside the pruned window: duplicates (why the flag exists)")
+
+    // the full-key anti-join stays exact:
+    val fullRaw = s"$root/full"
+    FxPipeline.ingest(spark, events, fullRaw)
+    FxPipeline.ingest(spark, restamped, fullRaw, pruneToBatchDays = false)
+    assert(spark.read.parquet(fullRaw).count() == events.count(),
+      "pruneToBatchDays=false must dedup re-stamped redeliveries globally")
+  }
+
   test("full reference DAG from raw JSON: feed -> typed load -> idempotent ingest -> report") {
     val root = Files.createTempDirectory("graft-fxdag-").toString
     val feed = s"$root/feed"

@@ -71,6 +71,31 @@ class NativeExprSpec extends SparkSuite {
     }
   }
 
+  test("HyperplaneSig weight cache grows correctly when vector widths vary") {
+    // one INSTANCE evaluated narrow-first then wide: the wide call must
+    // rebuild the cache, not read past the narrow matrix or reuse wrong
+    // weights. Fresh instances pin the expected values.
+    val e = HyperplaneSig(floats(1f), 16, 42L) // literal child ignored by eval-with-arg below
+    def evalWith(inst: HyperplaneSig, v: Float*): Long =
+      inst.compute(new GenericArrayData(v.map(x => x: Any).toArray))
+    val narrowFirst = evalWith(e, 1f, 0f)
+    val wideAfter = evalWith(e, 0.5f, -0.25f, 0.75f, -1f)
+    assert(narrowFirst == evalWith(HyperplaneSig(floats(1f), 16, 42L), 1f, 0f))
+    assert(wideAfter == 26781L, "wide-after-narrow must match the pinned fresh-instance signature")
+  }
+
+  test("NearestCell ties break to the lowest cell id regardless of input order") {
+    import graft.functions.NearestCell
+    val c = Seq(1f, 0f)
+    // two identical centroids => a perfect tie; pass the higher id first
+    val e = NearestCell(floats(1f, 0f), cells = Seq(9L, 2L), centroids = Seq(c, c))
+    assert(e.eval(null) == 2L, "tie must go to the lowest cell id even when passed unsorted")
+    // and sorting must keep ids paired with their own centroids
+    val e2 = NearestCell(floats(0f, 1f), cells = Seq(9L, 2L),
+      centroids = Seq(Seq(0f, 1f), Seq(1f, 0f)))
+    assert(e2.eval(null) == 9L, "sorting ids must not detach them from their centroids")
+  }
+
   test("CosineSim matches a plain-Scala cosine") {
     val a = Array(0.5f, -0.25f, 0.75f, -1f)
     val b = Array(0.1f, 0.9f, -0.4f, 0.2f)

@@ -63,6 +63,30 @@ class RawJsonSpec extends SparkSuite {
     assert(RawJson.load(spark, dir, RawJson.eventSchema, mode = "DROPMALFORMED").count() == 2)
   }
 
+  test("a row missing a non-nullable key field is quarantined, not clean") {
+    // {"user_id":5} parses fine but has no event_id — from_json does not
+    // enforce nullable=false, so without the guard this row would pass
+    // as clean and its null key would be re-appended on every
+    // redelivery by the idempotency anti-join
+    val noKey = """{"user_id": 5, "event_type": "click", "value": 1.0, "ts_us": 1704067200000000}"""
+    val nullKey = """{"event_id": null, "user_id": 6, "event_type": "view", "value": 2.0, "ts_us": 1704067260000000}"""
+    val dir = writeFeed(good ++ Seq(noKey, nullKey))
+    val df = RawJson.load(spark, dir, RawJson.eventSchema)
+    assert(RawJson.clean(df).count() == 2, "null-key rows must not pass as clean")
+    assert(RawJson.clean(df).filter("event_id IS NULL").count() == 0)
+    assert(RawJson.corruptRecords(df).collect()
+      .map(_.getAs[String](RawJson.CorruptCol)).toSet == Set(noKey, nullKey))
+    // FAILFAST aborts on the schema violation, DROPMALFORMED drops it
+    intercept[Exception] {
+      RawJson.load(spark, dir, RawJson.eventSchema, mode = "FAILFAST").collect()
+    }
+    assert(RawJson.load(spark, dir, RawJson.eventSchema, mode = "DROPMALFORMED").count() == 2)
+    // nullable fields may still be null in clean rows
+    val noUser = """{"event_id": 7, "event_type": "click", "value": 1.0, "ts_us": 1704067200000000}"""
+    val df2 = RawJson.load(spark, writeFeed(Seq(noUser)), RawJson.eventSchema)
+    assert(RawJson.clean(df2).count() == 1)
+  }
+
   test("declared schema is enforced, not inferred: extra fields ignored, missing fields null") {
     val dir = writeFeed(Seq(
       """{"event_id": 7, "user_id": 70, "event_type": "click", "value": 3.5, "ts_us": 1704067200000000, "surprise_field": "zzz"}""",
