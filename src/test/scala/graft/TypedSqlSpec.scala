@@ -37,6 +37,73 @@ class TypedSqlSpec extends SparkSuite {
     assert(sketch.count() == 5)
   }
 
+  test("GraftSql.merge runs the reference's MERGE statement verbatim") {
+    import spark.implicits._
+    // the reference's exchange_rate table + temp-table delta
+    // (fx_pipeline_with_merge.py:90-104), same columns, same statement
+    // shape — day 1 gets updated rates, day 3 is new
+    Seq(
+      ("2024-01-01", "EUR", "USD", 1.08, "2024-01-01T10:00:00Z"),
+      ("2024-01-01", "EUR", "GBP", 0.86, "2024-01-01T10:00:00Z"),
+      ("2024-01-02", "EUR", "USD", 1.09, "2024-01-02T10:00:00Z"))
+      .toDF("date", "from_cur", "to_cur", "rate", "timestamp")
+      .createOrReplaceTempView("exchange_rate")
+    Seq(
+      ("2024-01-01", "EUR", "USD", 1.10, "2024-01-03T10:00:00Z"), // matched: update
+      ("2024-01-03", "EUR", "USD", 1.11, "2024-01-03T10:00:00Z")) // not matched: insert
+      .toDF("date", "from_cur", "to_cur", "rate", "timestamp")
+      .createOrReplaceTempView("exchange_rate_temp")
+    val merged = GraftSql.merge(spark,
+      """MERGE INTO exchange_rate T
+        |USING exchange_rate_temp S
+        |ON T.date = S.date
+        |   AND T.from_cur = S.from_cur
+        |   AND T.to_cur = S.to_cur
+        |WHEN MATCHED THEN
+        |    UPDATE SET
+        |        T.rate = S.rate,
+        |        T.timestamp = S.timestamp
+        |WHEN NOT MATCHED THEN
+        |    INSERT (date, from_cur, to_cur, rate, timestamp)
+        |    VALUES (S.date, S.from_cur, S.to_cur, S.rate, S.timestamp)""".stripMargin)
+    val got = merged.orderBy("date", "to_cur")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getDouble(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", "GBP", 0.86, "2024-01-01T10:00:00Z"),
+      ("2024-01-01", "USD", 1.10, "2024-01-03T10:00:00Z"), // updated in place
+      ("2024-01-02", "USD", 1.09, "2024-01-02T10:00:00Z"),
+      ("2024-01-03", "USD", 1.11, "2024-01-03T10:00:00Z"))) // inserted
+    // library-call equivalence: the SQL surface IS Upsert.merge
+    val lib = graft.operators.Upsert.merge(
+      spark.table("exchange_rate"), spark.table("exchange_rate_temp"),
+      Seq("date", "from_cur", "to_cur"))
+    assert(merged.exceptAll(lib).count() == 0 && lib.exceptAll(merged).count() == 0)
+  }
+
+  test("GraftSql.merge: insert-only MERGE is the check-then-append DAG; bad shapes are loud") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("tgt")
+    Seq((2L, "REDELIVERED"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("src")
+    // WHEN NOT MATCHED alone = idempotent append (existing key untouched)
+    val appended = GraftSql.merge(spark,
+      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN NOT MATCHED THEN INSERT *")
+    val got = appended.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // UPDATE SET * / INSERT * full upsert also parses
+    val full = GraftSql.merge(spark,
+      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(full.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "REDELIVERED"), (3L, "c")))
+    // unsupported shapes fail loudly instead of merging wrong
+    for (bad <- Seq(
+      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED AND S.v = 'x' THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "MERGE INTO tgt T USING src S ON T.k < S.k WHEN NOT MATCHED THEN INSERT *",
+      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = S.v",
+      "SELECT 1"))
+      intercept[IllegalArgumentException] { GraftSql.merge(spark, bad) }
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
