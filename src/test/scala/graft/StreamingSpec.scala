@@ -99,6 +99,65 @@ class StreamingSpec extends SparkSuite {
     assert(msgs(e).toLowerCase.contains("kafka"), s"unexpected failure: $e")
   }
 
+  test("G4: streaming sessions equal batch q_sessionize sessions, per session") {
+    val dir = eventsDir
+    val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("g4parity").start()
+    q.processAllAvailable(); q.stop()
+    // sums rounded to 1e-6: stream and batch add the same doubles in
+    // potentially different tie-orders for equal timestamps
+    val closed = spark.table("g4parity").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), math.round(r.getDouble(4) * 1e6)))
+      .toSet
+
+    // ground truth: the batch gap rule over the same events
+    val gapMs = 30L * 60 * 1000
+    val events = Tables.events(spark, sf)
+      .select(F.col("user_id"), F.col("ts"), F.col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val batchSessions: Seq[(Long, Long, Long, Long, Double)] =
+      events.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+        var start = 0L; var last = 0L; var n = 0L; var sum = 0.0
+        for ((_, t, v) <- rows.sortBy(_._2)) {
+          if (n == 0L || t - last > gapMs) {
+            if (n > 0L) out += ((user, start, last, n, sum))
+            start = t; last = t; n = 1L; sum = v
+          } else { last = t; n += 1; sum += v }
+        }
+        if (n > 0L) out += ((user, start, last, n, sum))
+        out.toSeq
+      }
+    val truthSet = batchSessions.map(s => (s._1, s._2, s._3, s._4, math.round(s._5 * 1e6))).toSet
+
+    // 1. no invented sessions: every closed streaming session is a batch session
+    assert(closed.subsetOf(truthSet),
+      s"streaming emitted sessions absent from batch truth: ${(closed -- truthSet).take(3)}")
+    // 2. completeness: every batch session that must have closed in the
+    //    replay did — a non-final session closes when the next one opens;
+    //    a final session closes when its timeout passes the final
+    //    watermark (max event ts - 2h delay)
+    val wmFinal = events.map(_._2).max - 2L * 60 * 60 * 1000
+    val lastPerUser = batchSessions.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    val mustClose = batchSessions.filter(s =>
+      !lastPerUser.contains(s) || s._3 + gapMs < wmFinal)
+      .map(s => (s._1, s._2, s._3, s._4, math.round(s._5 * 1e6))).toSet
+    assert(mustClose.subsetOf(closed),
+      s"batch sessions the stream should have closed but didn't: ${(mustClose -- closed).take(3)}")
+    assert(mustClose.nonEmpty, "fixture must exercise closed sessions")
+
+    // 3. the same truth reproduces q_sessionize's per-session aggregates,
+    //    so stream and driver query agree transitively
+    val q_sess = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), math.round(r.getDouble(3) * 1e6)))).toMap
+    val fromTruth = batchSessions.groupBy(_._1).flatMap { case (user, ss) =>
+      ss.sortBy(_._2).zipWithIndex.map { case (s, i) =>
+        (user, i.toLong) -> ((s._4, math.round(s._5 * 1e6))) }
+    }
+    assert(fromTruth == q_sess, "gap-rule ground truth must reproduce q_sessionize exactly")
+  }
+
   test("G6: stream-stream interval join equals the batch interval join") {
     val dir = eventsDir
     val q = EventStream.enrichPurchases(EventStream.readEvents(spark, dir))
