@@ -58,8 +58,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     buildIfAbsent(spark, sfDir)
 
-    val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate",
+    val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+      "dedup_embedding_lsh", "dedup_embedding_droplist", "text_contamination",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
@@ -67,6 +68,27 @@ object ScaleProbe {
       val big = time(force(SparkEntry.queries(name)(spark, root)))
       f"""{"op":"$name","base_sec":$base%.2f,"scaled_sec":$big%.2f}"""
     }
+
+    // D4: cell-partitioned ANN layout — layout build is a one-time
+    // (amortized) cost; the timed path is the nprobe-pruned query
+    def layoutProbe(dir: String, tag: String): Double = {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val layout = s"$root/cell_layout_$tag"
+      val centPath = s"$layout.centroids"
+      if (!new java.io.File(s"$layout/_SUCCESS").exists()) {
+        Similarity.trainCentroids(e).write.mode("overwrite").parquet(centPath)
+        Similarity.writeCellLayout(e, layout, spark.read.parquet(centPath))
+      }
+      val cents = spark.read.parquet(centPath)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      time(force(Similarity.ivfTopKFromLayout(spark, layout, q, 10, nprobe = 3, centroids = cents)))
+    }
+    val layoutBase = layoutProbe(sfDir, "base")
+    val layoutBig = layoutProbe(root, "big")
+    val layoutRow =
+      f"""{"op":"ann_ivf_from_layout","base_sec":$layoutBase%.2f,"scaled_sec":$layoutBig%.2f}"""
 
     // incremental-ingest contract: append one fresh day-shifted replica
     // batch into the full 2M-row table; cost must track the batch.
@@ -85,7 +107,7 @@ object ScaleProbe {
     val tIngest = (System.nanoTime() - t0) / 1e9
     val tableRows = spark.read.parquet(rawPath).count()
 
-    println("{\"probe\":\"scale\",\"ops\":[" + rows.mkString(",") +
+    println("{\"probe\":\"scale\",\"ops\":[" + (rows :+ layoutRow).mkString(",") +
       f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()
   }

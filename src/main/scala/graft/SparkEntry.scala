@@ -413,6 +413,50 @@ object SparkEntry {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("token")
     }),
+    // Gopher/C4-style repetition quality signal: fraction of a doc's
+    // 3-gram positions occupied by repeated shingles. Map-only (tokens
+    // -> shingle set are staged native projections); the int/int double
+    // division is IEEE-deterministic so it hashes bit-equal to DuckDB
+    "text_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(F.col("doc_id"), T.tokens(F.col("text")).as("__toks"))
+        .select(F.col("doc_id"), F.size(F.col("__toks")).as("__n"),
+          graft.functions.native.word_shingles(F.col("__toks"), 3).as("__sh"))
+        .filter(F.col("__n") >= 3)
+        .select(F.col("doc_id"),
+          (F.col("__n") - 2).cast("long").as("n_grams"),
+          F.size(F.col("__sh")).cast("long").as("n_distinct"))
+        .withColumn("repetition",
+          F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // BigQuery JSON surface (JSON_VALUE / JSON_EXTRACT over a string
+    // payload column): one codegen'd from_json projection under an
+    // explicit schema — never schema inference — then plain aggregation
+    "q_json_extract" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val k = F.from_json(F.col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k")
+      Tables.events(s, d)
+        .select(F.col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.count(F.col("k")).as("n_with_k"),
+          F.sum("k").as("k_sum"), F.min("k").as("k_min"), F.max("k").as("k_max"))
+        .orderBy("event_type")
+    }),
+
+    // BigQuery STRING_AGG surface: ordered listagg per key through the
+    // spark.sql view layer (WITHIN GROUP is the ANSI form BigQuery's
+    // ORDER BY argument maps to); deterministic via the event_id
+    // tie-break
+    "q_string_agg" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      s.sql("""SELECT user_id,
+              |  listagg(event_type, ',') WITHIN GROUP (ORDER BY unix_micros(ts), event_id) AS type_seq,
+              |  COUNT(*) AS n
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
 
     // ───────────────────────── C. dedup family ─────────────────────────
     "dedup_exact" -> ((s, d) => {
@@ -437,6 +481,14 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => {
       Dedup.embeddingPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
         .orderBy("id_a", "id_b")
+    }),
+    // linear-output routing of the above: the DROP LIST a dedup
+    // pipeline actually consumes — exact clusters collapse before the
+    // LSH stage, each duplicate id appears exactly once (pairs are
+    // quadratic in cluster size; see Dedup.embeddingDropList scaladoc)
+    "dedup_embedding_droplist" -> ((s, d) => {
+      Dedup.embeddingDropList(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+        .orderBy("drop_id")
     }),
 
     // deterministic k-per-key sample via the bounded TopK aggregate
@@ -780,6 +832,31 @@ object SparkEntry {
           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2)
           |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
           |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+      "text_repetition" ->
+        """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          |             FROM documents),
+          |base AS (SELECT doc_id, len(toks) AS n_toks FROM tok WHERE len(toks) >= 3),
+          |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+          |       FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS g(i)
+          |       WHERE len(toks) >= 3),
+          |dist AS (SELECT doc_id, COUNT(*) AS n_distinct FROM sh GROUP BY doc_id)
+          |SELECT b.doc_id, CAST(b.n_toks - 2 AS BIGINT) AS n_grams,
+          |       CAST(d.n_distinct AS BIGINT) AS n_distinct,
+          |       CAST(1 AS DOUBLE) - CAST(d.n_distinct AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
+          |         AS repetition
+          |FROM base b JOIN dist d USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "q_json_extract" ->
+        """WITH e AS (SELECT event_type,
+          |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |           FROM events)
+          |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q_string_agg" ->
+        """SELECT user_id,
+          |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "sample_per_key" ->
         """SELECT user_id, event_id FROM (
           |  SELECT user_id, event_id,

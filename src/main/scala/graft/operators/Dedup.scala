@@ -139,6 +139,54 @@ object Dedup {
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"), F.col("cos"))
   }
 
+  /** Linear-output embedding dedup ROUTING: who to drop, not all pairs.
+    *
+    * The pairs APIs (`embeddingPairs*`) are quadratic in
+    * duplicate-cluster size BY CONTRACT — a document duplicated c
+    * times contributes c·(c−1)/2 pairs, so one viral boilerplate doc
+    * repeated 10⁶ times yields ~5·10¹¹ output rows (ScaleProbe
+    * measures exactly this blow-up: ×10 exact replicas made the pair
+    * query 34× slower at 10× data). A dedup pipeline doesn't need the
+    * pairs; it needs the DROP LIST. This routing keeps every stage
+    * linear in duplicate mass:
+    *
+    *  1. exact collapse — group by the vector VALUE (no hash-collision
+    *     caveat), one shuffle with map-side combine; each exact cluster
+    *     reduces to its min-id representative, and the (id → rep)
+    *     assignment is one row per duplicate;
+    *  2. near-dup LSH runs on REPRESENTATIVES ONLY — the pathological
+    *     quadratic case (exact-duplicate buckets) no longer exists by
+    *     construction, and candidate fan-out is bounded by banding as
+    *     usual;
+    *  3. a representative drops if ANY verified neighbor has a smaller
+    *     id (min-struct aggregate, one shuffle) — one row per dropped
+    *     rep, witness pair attached.
+    *
+    * Output: (drop_id, keep_id, reason ∈ exact|near, cos); each
+    * dropped id appears EXACTLY once. `keep_id` is the dedup witness,
+    * not a transitive canonical root — survivors are the ids absent
+    * from the drop list (single pass, no union-find iteration; every
+    * dropped id chains to a survivor).
+    */
+  def embeddingDropList(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 48, bands: Int = 8,
+                        multiprobe: Boolean = true): DataFrame = {
+    val e = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    val rep = e.groupBy("v").agg(F.min("id").as("rep_id"))
+    val assign = e.join(rep, "v") // same key as the groupBy: exchange reuse
+    val exactDrops = assign.filter(F.col("id") =!= F.col("rep_id"))
+      .select(F.col("id").as("drop_id"), F.col("rep_id").as("keep_id"),
+        F.lit("exact").as("reason"), F.lit(1.0).as("cos"))
+    val nearDrops = embeddingPairsLsh(
+        rep.select(F.col("rep_id").as("rid"), F.col("v")), "rid", "v",
+        threshold, planes, bands, multiprobe)
+      .groupBy(F.col("id_b").as("drop_id"))
+      .agg(F.min(F.struct(F.col("id_a").as("keep_id"), F.col("cos"))).as("m"))
+      .select(F.col("drop_id"), F.col("m.keep_id"),
+        F.lit("near").as("reason"), F.col("m.cos"))
+    exactDrops.unionByName(nearDrops)
+  }
+
   /** Embedding near-dup pairs WITHOUT a blocking column: hyperplane-LSH
     * banding generates candidates (cross-cell capable), exact cosine
     * verifies. Asymmetric multiprobe keeps the self-join linear: one

@@ -58,6 +58,56 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Compact the small files that O(batch) appends accumulate. A
+    * 5-minute ingest cadence writes ~288 files per day partition; at
+    * 100 TB that is millions of sub-row-group files whose open/footer
+    * costs dominate scans. Rewrites ONLY day partitions holding more
+    * than `maxFilesPerDay` files — read with partition pruning,
+    * re-sorted on `clusterCols` (appends are sorted per-file only;
+    * compaction restores the per-day sort and with it the min/max
+    * row-group pruning A8 promises), committed via dynamic partition
+    * overwrite so untouched days never rewrite and a mid-job crash
+    * leaves the original files in place (staging commit).
+    *
+    * Returns the compacted day values. Driver-side work is one
+    * partition-directory listing — O(days), metadata only.
+    */
+  def compactDays(spark: org.apache.spark.sql.SparkSession, path: String,
+                  clusterCols: Seq[String], maxFilesPerDay: Int = 8): Seq[String] = {
+    require(maxFilesPerDay >= 1, s"maxFilesPerDay must be >= 1, got $maxFilesPerDay")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val crowded = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        d.getPath.getName.stripPrefix("p_day=") -> files
+      }
+      .collect { case (day, n) if n > maxFilesPerDay => day }
+    if (crowded.isEmpty) return Nil
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.read.parquet(path)
+        .filter(F.col("p_day").isInCollection(crowded.map(java.sql.Date.valueOf)))
+        // Spark (rightly) refuses to overwrite a path its plan reads
+        // from; localCheckpoint truncates the lineage to executor-held
+        // blocks. Only the crowded days materialize — bounded per run —
+        // and a failure before the commit leaves every original file in
+        // place (compaction is idempotent: just re-run).
+        .localCheckpoint()
+        .repartition(F.col("p_day"))
+        .sortWithinPartitions(clusterCols.map(F.col): _*)
+        .write.mode("overwrite").partitionBy("p_day").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshByPath(path)
+    crowded
+  }
+
   /** Replace ONLY the day partitions present in `df`, leaving all other
     * days untouched — the reference's per-day WRITE_TRUNCATE
     * disposition ("latest analysis of the day overwrites previous",

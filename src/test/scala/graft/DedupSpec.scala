@@ -89,6 +89,43 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embeddingDropList: exact clusters collapse, near reps drop, survivors are clean") {
+    // 3 exact clusters (A: 1,4,7 / B: 2,5 / C: 3) where A≈B near-dup
+    // and C is orthogonal-ish
+    val a = Array(1.0f, 0.0f, 0.0f, 0.1f)
+    val b = Array(0.99f, 0.05f, 0.0f, 0.1f) // cos(a,b) ~ 0.995
+    val c = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = Seq((1L, a), (4L, a), (7L, a), (2L, b), (5L, b), (3L, c))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDropList(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // exact: 4,7 -> 1 and 5 -> 2; near: rep 2 drops against rep 1
+    assert(got.toSeq == Seq((2L, 1L, "near"), (4L, 1L, "exact"), (5L, 2L, "exact"), (7L, 1L, "exact")))
+    // survivors = everything minus drop list = {1, 3}
+    val dropped = got.map(_._1).toSet
+    assert(Set(1L, 2L, 3L, 4L, 5L, 7L).diff(dropped) == Set(1L, 3L))
+  }
+
+  test("embeddingDropList output is LINEAR in replicas where pairs are quadratic") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val maxId = 1000L
+    val replicated = (0 until 5).map(i =>
+      e.select((F.col("vec_id") + F.lit(i * maxId)).as("vec_id"), F.col("embedding")))
+      .reduce(_ unionByName _)
+    val n = replicated.count()
+    val drops = Dedup.embeddingDropList(replicated, "vec_id", "embedding", threshold = 0.35)
+    // every id appears at most once => output bounded by corpus size
+    assert(drops.count() == drops.select("drop_id").distinct().count())
+    assert(drops.count() < n)
+    // each replica beyond the first must drop as an exact dup: >= 4/5 of rows
+    assert(drops.filter($"reason" === "exact").count() == (n - n / 5),
+      "all exact replicas beyond the representative must drop")
+    // whereas the pairs API on the same corpus is quadratic in cluster size:
+    val pairCount = Dedup.embeddingPairsLsh(replicated, "vec_id", "embedding", threshold = 0.35).count()
+    assert(pairCount > 2 * drops.count(),
+      s"fixture sanity: pairs ($pairCount) should dwarf drop rows (${drops.count()})")
+  }
+
   test("embedding pairs match brute-force within-cell cosine at threshold") {
     val e = Tables.embeddings(spark, sf)
     val got = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", threshold = 0.3)

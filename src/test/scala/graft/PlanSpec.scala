@@ -124,6 +124,39 @@ class PlanSpec extends SparkSuite {
       "untouched days must survive")
   }
 
+  test("compactDays collapses crowded day partitions, leaves quiet days' files untouched") {
+    val out = Files.createTempDirectory("graft-compact-").toString
+    val e = Tables.events(spark, sf)
+    val crowdedDay = "2024-01-05"
+    val quiet = e.filter(F.to_date(F.col("ts")) =!= crowdedDay)
+    val onDay = e.filter(F.to_date(F.col("ts")) === crowdedDay)
+    assert(onDay.count() >= 10)
+    Layout.writePartitioned(quiet, out, "ts", Seq("event_type", "user_id"))
+    // simulate a high-cadence ingest: 10 tiny appends into one day
+    val ids = onDay.select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    ids.grouped(math.max(1, ids.length / 10)).foreach { chunk =>
+      Layout.appendPartitioned(onDay.filter(F.col("event_id").isInCollection(chunk)),
+        out, "ts", Seq("event_type", "user_id"))
+    }
+    def filesIn(day: String): Array[java.io.File] =
+      new java.io.File(s"$out/p_day=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(filesIn(crowdedDay).length >= 10, "fixture must be fragmented")
+    val quietDay = "2024-01-08"
+    val quietStampsBefore = filesIn(quietDay).map(f => (f.getPath, f.length, f.lastModified)).toSet
+    val before = spark.read.parquet(out).orderBy("event_id").collect().toSeq
+
+    val compacted = Layout.compactDays(spark, out, Seq("event_type", "user_id"), maxFilesPerDay = 8)
+    assert(compacted == Seq(crowdedDay), s"only the crowded day compacts, got $compacted")
+    assert(filesIn(crowdedDay).length == 1, "compacted day collapses to one file")
+    assert(filesIn(quietDay).map(f => (f.getPath, f.length, f.lastModified)).toSet == quietStampsBefore,
+      "quiet days' files must not be rewritten")
+    assert(spark.read.parquet(out).orderBy("event_id").collect().toSeq == before,
+      "compaction must be a physical-only change")
+    // second run is a no-op
+    assert(Layout.compactDays(spark, out, Seq("event_type", "user_id"), maxFilesPerDay = 8).isEmpty)
+  }
+
   test("partitioned layout writes day directories and prunes on day filters") {
     val out = Files.createTempDirectory("graft-layout-").toString
     Layout.writePartitioned(Tables.events(spark, sf), out, "ts", Seq("event_type", "user_id"))
