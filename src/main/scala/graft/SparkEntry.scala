@@ -491,6 +491,17 @@ object SparkEntry {
         .orderBy("drop_id")
     }),
 
+    // int8 embedding quantization (4× storage/shuffle-width cut for the
+    // ANN/dedup corpus): native codegen'd expression; exploded to
+    // (vec_id, pos, code) scalar rows so the oracle hash is robust
+    "ann_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(F.col("vec_id"), graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+        .select(F.col("vec_id"), F.col("q.scale").as("scale"),
+          F.posexplode(F.col("q.codes")).as(Seq("pos", "code")))
+        .orderBy("vec_id", "pos")
+    }),
+
     // deterministic k-per-key sample via the bounded TopK aggregate
     // (reservoir-sample replacement that parallelizes; md5-hash order)
     "sample_per_key" -> ((s, d) => {
@@ -857,6 +868,14 @@ object SparkEntry {
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,
           |  COUNT(*) AS n
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "ann_quantize" ->
+        """WITH q AS (SELECT vec_id, embedding,
+          |             list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS scale
+          |           FROM embeddings)
+          |SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos,
+          |       CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / scale) AS TINYINT) AS code
+          |FROM q, UNNEST(generate_series(1, len(embedding))) AS g(i)
+          |ORDER BY vec_id, pos""".stripMargin,
       "sample_per_key" ->
         """SELECT user_id, event_id FROM (
           |  SELECT user_id, event_id,

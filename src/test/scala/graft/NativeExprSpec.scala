@@ -96,6 +96,34 @@ class NativeExprSpec extends SparkSuite {
     assert(e2.eval(null) == 9L, "sorting ids must not detach them from their centroids")
   }
 
+  test("Int8Quantize: codes bounded, ties away from zero, round-trip error <= scale/254") {
+    import graft.functions.{native, Int8Quantize}
+    import org.apache.spark.sql.catalyst.InternalRow
+    def quant(v: Float*): (Double, Seq[Byte]) = {
+      val r = Int8Quantize(floats(v: _*)).eval(null).asInstanceOf[InternalRow]
+      (r.getDouble(0), r.getArray(1).toByteArray().toSeq)
+    }
+    val (scale, codes) = quant(0.5f, -0.25f, 0.75f, -1f)
+    assert(scale == 1.0)
+    assert(codes == Seq[Byte](64, -32, 95, -127)) // 63.5 rounds away to 64
+    assert(quant(0f, 0f) == ((0.0, Seq[Byte](0, 0))), "zero vector quantizes to zeros")
+    // round-trip on real corpus data: worst-case error is half a step
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(200)
+      .select(org.apache.spark.sql.functions.col("embedding"),
+        native.int8_quantize(org.apache.spark.sql.functions.col("embedding")).as("q"))
+    e.collect().foreach { r =>
+      val v = r.getSeq[Float](0)
+      val q = r.getStruct(1)
+      val s = q.getDouble(0)
+      val c = q.getSeq[Byte](1)
+      v.indices.foreach { i =>
+        val back = c(i).toDouble * s / 127.0
+        assert(math.abs(back - v(i)) <= s / 254.0 + 1e-12,
+          s"elem $i: $back vs ${v(i)} (scale $s)")
+      }
+    }
+  }
+
   test("CosineSim matches a plain-Scala cosine") {
     val a = Array(0.5f, -0.25f, 0.75f, -1f)
     val b = Array(0.1f, 0.9f, -0.4f, 0.2f)
