@@ -59,7 +59,7 @@ object ScaleProbe {
     buildIfAbsent(spark, sfDir)
 
     val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
-      "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+      "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "text_contamination",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup

@@ -465,6 +465,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),
+    // linear-output routing of the above (see dedup_embedding_droplist)
+    "dedup_text_droplist" -> ((s, d) => {
+      Dedup.textDropList(Tables.documents(s, d), "doc_id", "text").orderBy("drop_id")
+    }),
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),

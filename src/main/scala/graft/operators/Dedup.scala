@@ -139,6 +139,31 @@ object Dedup {
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"), F.col("cos"))
   }
 
+  /** Linear-output TEXT dedup routing — `embeddingDropList`'s shape for
+    * documents: exact clusters collapse on the C1 content hash first
+    * (the pathological quadratic buckets vanish before LSH), MinHash
+    * near-dup runs on representatives only, output is one
+    * (drop_id, keep_id, reason ∈ exact|near, est_jaccard) row per
+    * duplicate. See `embeddingDropList` for the full scale rationale.
+    */
+  def textDropList(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame = {
+    val e = df.select(F.col(idCol).as("id"), F.col(textCol).as("t"))
+      .withColumn("h", F.md5(F.col("t")))
+    val rep = e.groupBy("h").agg(F.min("id").as("rep_id"))
+    val assign = e.join(rep, "h") // same key as the groupBy: exchange reuse
+    val exactDrops = assign.filter(F.col("id") =!= F.col("rep_id"))
+      .select(F.col("id").as("drop_id"), F.col("rep_id").as("keep_id"),
+        F.lit("exact").as("reason"), F.lit(1.0).as("est_jaccard"))
+    val reps = assign.filter(F.col("id") === F.col("rep_id")).select("id", "t")
+    val nearDrops = minhashPairs(reps, "id", "t", k, bands, threshold)
+      .groupBy(F.col("id_b").as("drop_id"))
+      .agg(F.min(F.struct(F.col("id_a").as("keep_id"), F.col("est_jaccard"))).as("m"))
+      .select(F.col("drop_id"), F.col("m.keep_id"),
+        F.lit("near").as("reason"), F.col("m.est_jaccard"))
+    exactDrops.unionByName(nearDrops)
+  }
+
   /** Linear-output embedding dedup ROUTING: who to drop, not all pairs.
     *
     * The pairs APIs (`embeddingPairs*`) are quadratic in

@@ -126,6 +126,24 @@ class DedupSpec extends SparkSuite {
       s"fixture sanity: pairs ($pairCount) should dwarf drop rows (${drops.count()})")
   }
 
+  test("textDropList: exact clusters collapse on content hash, near reps drop via minhash") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a + " tomorrow" // near-dup of a
+    val c = "completely different words nothing shared here at all whatsoever believe me"
+    val df = Seq((1L, a), (4L, a), (7L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.textDropList(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 1L, "near"), (4L, 1L, "exact"), (7L, 1L, "exact")))
+    // output linear under replication: every id at most once
+    val rep5 = (0 until 5).map(i =>
+      df.select((F.col("doc_id") + F.lit(i * 100L)).as("doc_id"), F.col("text")))
+      .reduce(_ unionByName _)
+    val drops = Dedup.textDropList(rep5, "doc_id", "text", threshold = 0.3)
+    assert(drops.count() == drops.select("drop_id").distinct().count())
+    assert(drops.filter($"reason" === "exact").count() >= 20,
+      "each text now has 5 exact copies: 4/5 of every cluster must drop exact")
+  }
+
   test("embedding pairs match brute-force within-cell cosine at threshold") {
     val e = Tables.embeddings(spark, sf)
     val got = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", threshold = 0.3)
