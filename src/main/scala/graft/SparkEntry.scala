@@ -529,6 +529,15 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.bruteForceTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // the 4×-narrower-corpus routing of D1: float queries score int8
+    // codes directly (cosine is scale-invariant) — oracle recomputes
+    // the same quantization in SQL, so this one IS hash-checkable
+    "ann_bruteforce_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.bruteForceTopKInt8(e, q, 10).orderBy("qid", "rank")
+    }),
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
@@ -916,6 +925,24 @@ object SparkEntry {
           |         ${dot("q.qvec", "e.embedding")} /
           |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
           |  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      "ann_bruteforce_int8" ->
+        s"""WITH qz AS (SELECT vec_id, embedding,
+          |              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+          |            FROM embeddings),
+          |codes AS (SELECT vec_id,
+          |            list_transform(embedding, e -> round(CAST(e AS DOUBLE) * 127 / s)) AS c
+          |          FROM qz),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.qid, c.vec_id,
+          |         ${dot("q.qvec", "c.c")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("c.c", "c.c")})) AS cos
+          |  FROM q JOIN codes c ON c.vec_id <> q.qid)
           |SELECT qid, vec_id, cos, rank FROM (
           |  SELECT qid, vec_id, cos,
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank

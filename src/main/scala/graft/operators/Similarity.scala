@@ -35,6 +35,28 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** Top-k over an int8-QUANTIZED corpus: cosine is scale-invariant,
+    * so the codes score DIRECTLY against float queries — no dequantize
+    * multiply anywhere, just a byte→float widening cast inside codegen.
+    * The corpus representation is 4× narrower than float vectors, which
+    * at 100 TB is 4× less scan I/O and 4× less of every downstream
+    * shuffle/broadcast; the price is quantization noise in the ranking
+    * (recall vs the float baseline pinned in SimilaritySpec). In a
+    * persisted deployment the codes column is what sits on disk
+    * (`native.int8_quantize` at write time) — the inline quantize here
+    * is for API symmetry with the float variant.
+    */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val qc = corpus.select(F.col(idCol),
+      native.int8_quantize(F.col(vecCol)).getField("codes").cast("array<float>").as("__codes"))
+    val scored = qc.as("c")
+      .join(F.broadcast(queries.as("q")), F.col(qidCol) =!= F.col(idCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col("__codes")))
+    topK(scored, qidCol, idCol, k)
+  }
+
   /** Per-cell centroids of a (cell, vec) assignment: mean per
     * dimension, reassembled in index order — plain DataFrame algebra
     * (posexplode collapses in the partial aggregation, so the shuffle

@@ -44,6 +44,12 @@ class SimilaritySpec extends SparkSuite {
   // the hash family, banding, or probe logic fails loudly — a bar of
   // 0.3 would let an ANN that loses 2/3 of true neighbors pass.
 
+  test("int8-quantized brute force: quantization noise costs little recall") {
+    val r = recalls(Similarity.bruteForceTopKInt8(corpus, queries, 10))
+    assert(r.sum / r.size >= 0.9, s"mean recall ${r.sum / r.size} too low: $r")
+    assert(r.forall(_ >= 0.8), s"per-query recall floor broken: $r")
+  }
+
   test("ivfTopK at nprobe=5 of 10 cells: mean recall >= 0.6, every query >= 0.5") {
     val r = recalls(Similarity.ivfTopK(corpus, queries, 10, nprobe = 5))
     assert(r.sum / r.size >= 0.6, s"mean recall ${r.sum / r.size} too low: $r")
