@@ -521,6 +521,16 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n"), F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
         .orderBy("split")
     }),
+    // class-rebalancing pass: keep all purchases, 1/10 of clicks, 3/10
+    // of views, half of everything else — map-only, RNG-free, stable
+    // under incremental re-processing (same md5-prefix hash as S2)
+    "sample_stratified" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedByHash(Tables.events(s, d), "event_id", "event_type",
+          Map("purchase" -> ((1, 1)), "click" -> ((1, 10)), "view" -> ((3, 10))),
+          defaultFraction = (1, 2))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
 
     // ───────────────────────── D. similarity search ─────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -905,6 +915,15 @@ object SparkEntry {
           |  FROM documents)
           |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
           |FROM s GROUP BY split ORDER BY split""".stripMargin,
+      "sample_stratified" ->
+        s"""SELECT event_id, event_type FROM events
+          |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          |      < CASE event_type
+          |          WHEN 'purchase' THEN ${1L << 52}
+          |          WHEN 'click' THEN ${(1L << 52) / 10 * 1}
+          |          WHEN 'view' THEN ${(1L << 52) / 10 * 3}
+          |          ELSE ${(1L << 52) / 2 * 1} END
+          |ORDER BY event_id""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -39,6 +39,33 @@ object Sampling {
       F.when(hash52(F.col(idCol)) < threshold, trainLabel).otherwise(holdoutLabel))
   }
 
+  /** STRATIFIED deterministic sample: each stratum keeps its own
+    * `numer/denom` fraction (e.g. keep every rare `purchase` row but
+    * 1/10 of `click`s — the class-rebalancing pass a training-data
+    * pipeline runs before mixing). Map-only like `splitByHash`, same
+    * 52-bit hash, so membership is reproducible, subset-stable under
+    * incremental re-processing, and independent across strata — a
+    * row's fate never changes because other rows arrived or because
+    * its stratum's fraction applies elsewhere. Strata absent from
+    * `fractions` keep `defaultFraction` (whole-fraction default 1/1 =
+    * keep everything, the safe bias for audit-style pipelines).
+    */
+  def stratifiedByHash(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, (Int, Int)],
+                       defaultFraction: (Int, Int) = (1, 1)): DataFrame = {
+    for ((s, (n, d)) <- fractions)
+      require(n > 0 && n <= d, s"fraction $n/$d for stratum '$s' must be in (0,1]")
+    require(defaultFraction._1 > 0 && defaultFraction._1 <= defaultFraction._2,
+      s"default fraction must be in (0,1]")
+    def threshold(n: Int, d: Int): Long =
+      if (n == d) 1L << 52 else (1L << 52) / d * n // exact integer boundary both engines
+    val cutoff = fractions.foldLeft(F.lit(threshold(defaultFraction._1, defaultFraction._2))) {
+      case (acc, (s, (n, d))) =>
+        F.when(F.col(stratumCol) === s, F.lit(threshold(n, d))).otherwise(acc)
+    }
+    df.filter(hash52(F.col(idCol)) < cutoff)
+  }
+
   /** The k sample rows per key, as (keys..., idCol) pairs sorted by
     * sample order. Join back on idCol for full rows.
     */

@@ -49,6 +49,29 @@ class SamplingSpec extends SparkSuite {
     assert(subset == full)
   }
 
+  test("stratifiedByHash: per-stratum fractions, exact membership, subset-stable") {
+    val e = Tables.events(spark, sf)
+    val fr = Map("purchase" -> ((1, 1)), "click" -> ((1, 10)), "view" -> ((3, 10)))
+    val s = Sampling.stratifiedByHash(e, "event_id", "event_type", fr, defaultFraction = (1, 2))
+    val kept = s.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = e.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("purchase") == total("purchase"), "1/1 stratum keeps every row")
+    val clickFrac = kept.getOrElse("click", 0L).toDouble / total("click")
+    assert(clickFrac > 0.03 && clickFrac < 0.2, s"click fraction $clickFrac far from 0.1")
+    val errFrac = kept.getOrElse("error", 0L).toDouble / total("error")
+    assert(errFrac > 0.35 && errFrac < 0.65, s"default 1/2 fraction broken: $errFrac")
+    // membership is exactly the hash rule — a row's fate is a pure
+    // function of (id, stratum), independent of the rest of the corpus
+    val subset = Sampling.stratifiedByHash(
+        e.filter(F.col("event_id") < 500), "event_id", "event_type", fr, (1, 2))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val full = s.filter(F.col("event_id") < 500)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(subset == full, "stratified membership must be subset-stable")
+  }
+
   test("sampled row IS the md5-argmin of each key (pins the hash family)") {
     import java.security.MessageDigest
     def refHash(i: Long): Long = java.lang.Long.parseLong(
