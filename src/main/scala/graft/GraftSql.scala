@@ -37,6 +37,13 @@ import graft.operators.Upsert
   * target column so the statement means the same thing as
   * `Upsert.merge`'s take-all-from-source semantics.
   *
+  * Statement semantics are SQL's, not the library's: a null key never
+  * matches under `=` (null-keyed source rows insert; null-keyed target
+  * rows pass through — `Upsert.merge` alone would match them
+  * null-safely), and a source with more than one row per key raises
+  * `MERGE_CARDINALITY_VIOLATION` at execution, exactly as BigQuery
+  * does, instead of silently fanning matched target rows out.
+  *
   * Returns the merged frame (view-over-parquet tables are immutable
   * snapshots — persist via `FxPipeline`'s stage-and-swap or
   * `Layout`'s partition overwrite, same as every library-call merge).
@@ -74,6 +81,8 @@ object GraftSql {
       case Seq(UpdateStarAction(None)) => true
       case Seq(u: UpdateAction) if u.condition.isEmpty =>
         val assigned = u.assignments.map(sameNameAssignment(_, targetQuals, sourceQuals))
+        assigned.foreach(c => require(targetCols.contains(c),
+          s"UPDATE SET assigns '$c', which is not a target column"))
         val missing = targetCols.diff(assigned ++ keys)
         require(missing.isEmpty,
           s"UPDATE SET must cover every non-key target column (missing: ${missing.mkString(", ")}); " +
@@ -89,6 +98,8 @@ object GraftSql {
       case Seq(InsertStarAction(None)) => true
       case Seq(i: InsertAction) if i.condition.isEmpty =>
         val assigned = i.assignments.map(sameNameAssignment(_, targetQuals, sourceQuals))
+        assigned.foreach(c => require(targetCols.contains(c),
+          s"INSERT names '$c', which is not a target column"))
         val missing = targetCols.diff(assigned)
         require(missing.isEmpty,
           s"INSERT must provide every target column (missing: ${missing.mkString(", ")})")
@@ -100,10 +111,38 @@ object GraftSql {
     val keyNames = targetDf.columns.filter(c => keys.contains(c.toLowerCase)).toSeq
     require(keyNames.length == keys.distinct.length,
       s"ON-clause keys ${keys.mkString(", ")} must all exist in the target")
+
+    import org.apache.spark.sql.{functions => F}
+    val src = sourceDf.select(targetDf.columns.map(F.col).toSeq: _*)
+    // SQL `=` never matches a null key, but Upsert.merge's library
+    // contract joins null-safely (<=>). Route null-keyed source rows
+    // AROUND the merge: under the statement's semantics they can match
+    // nothing, so they are pure inserts, and null-keyed target rows
+    // pass through untouched — statement semantics, not library ones.
+    val anyKeyNull = keyNames.map(F.col(_).isNull).reduce(_ || _)
+    val srcMatchable = src.filter(!anyKeyNull)
+    val srcNullKeyed = src.filter(anyKeyNull)
+    // BigQuery raises when a target row matches more than one source
+    // row; Upsert.merge's update join would silently fan the target row
+    // out instead. The check is declarative (raise_error inside the
+    // plan) so the returned frame stays lazy; cost is one window over
+    // the small delta side.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
+    val checked = srcMatchable
+      .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
+      .filter(F.when(F.col("__src_key_count") === 1, F.lit(true))
+        .otherwise(F.raise_error(F.concat(F.lit(
+          "[MERGE_CARDINALITY_VIOLATION] more than one source row for key ("),
+          F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
+      .drop("__src_key_count")
     (hasUpdate, hasInsert) match {
-      case (true, true)  => Upsert.merge(targetDf, sourceDf, keyNames)
-      case (false, true) => Upsert.idempotentAppend(targetDf, sourceDf.select(
-        targetDf.columns.map(org.apache.spark.sql.functions.col).toSeq: _*), keyNames)
+      case (true, true) =>
+        Upsert.merge(targetDf, checked, keyNames).unionByName(srcNullKeyed)
+      case (false, true) =>
+        // freshRows' anti-join already gives SQL null semantics (null
+        // keys never match -> always insert), but its key-dedup would
+        // collapse DISTINCT null-keyed rows to one; bypass them
+        Upsert.idempotentAppend(targetDf, checked, keyNames).unionByName(srcNullKeyed)
       case (true, false) => throw new IllegalArgumentException(
         "update-only MERGE (no WHEN NOT MATCHED) is not supported; add the INSERT clause")
       case (false, false) => throw new IllegalArgumentException(

@@ -896,7 +896,9 @@ object SparkEntry {
           |             list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS scale
           |           FROM embeddings)
           |SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos,
-          |       CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / scale) AS TINYINT) AS code
+          |       CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
+          |            ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / scale) AS TINYINT)
+          |       END AS code
           |FROM q, UNNEST(generate_series(1, len(embedding))) AS g(i)
           |ORDER BY vec_id, pos""".stripMargin,
       "sample_per_key" ->

@@ -147,20 +147,34 @@ object Dedup {
     * duplicate. See `embeddingDropList` for the full scale rationale.
     */
   def textDropList(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame = {
-    val e = df.select(F.col(idCol).as("id"), F.col(textCol).as("t"))
-      .withColumn("h", F.md5(F.col("t")))
-    val rep = e.groupBy("h").agg(F.min("id").as("rep_id"))
-    val assign = e.join(rep, "h") // same key as the groupBy: exchange reuse
+                   threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame =
+    dropList(
+      df.select(F.col(idCol).as("id"), F.col(textCol).as("t"))
+        .withColumn("__key", F.md5(F.col("t"))),
+      simCol = "est_jaccard",
+      nearPairsOfReps = reps => minhashPairs(reps.select("id", "t"), "id", "t", k, bands, threshold))
+
+  /** Shared drop-list assembly (C7/C8): `e` is (id, __key, payload...)
+    * where `__key` is the exact-equality key. One groupBy+join pair on
+    * `__key` (exchange reuse) collapses exact clusters; `nearPairsOfReps`
+    * generates verified (id_a, id_b, simCol) pairs over representatives
+    * only; the min-struct aggregate picks each dropped rep's lowest-id
+    * witness. Output: one (drop_id, keep_id, reason, simCol) row per
+    * duplicate.
+    */
+  private def dropList(e: DataFrame, simCol: String,
+                       nearPairsOfReps: DataFrame => DataFrame): DataFrame = {
+    val rep = e.groupBy("__key").agg(F.min("id").as("rep_id"))
+    val assign = e.join(rep, "__key")
     val exactDrops = assign.filter(F.col("id") =!= F.col("rep_id"))
       .select(F.col("id").as("drop_id"), F.col("rep_id").as("keep_id"),
-        F.lit("exact").as("reason"), F.lit(1.0).as("est_jaccard"))
-    val reps = assign.filter(F.col("id") === F.col("rep_id")).select("id", "t")
-    val nearDrops = minhashPairs(reps, "id", "t", k, bands, threshold)
+        F.lit("exact").as("reason"), F.lit(1.0).as(simCol))
+    val reps = assign.filter(F.col("id") === F.col("rep_id"))
+    val nearDrops = nearPairsOfReps(reps)
       .groupBy(F.col("id_b").as("drop_id"))
-      .agg(F.min(F.struct(F.col("id_a").as("keep_id"), F.col("est_jaccard"))).as("m"))
+      .agg(F.min(F.struct(F.col("id_a").as("keep_id"), F.col(simCol))).as("m"))
       .select(F.col("drop_id"), F.col("m.keep_id"),
-        F.lit("near").as("reason"), F.col("m.est_jaccard"))
+        F.lit("near").as("reason"), F.col(s"m.$simCol"))
     exactDrops.unionByName(nearDrops)
   }
 
@@ -195,22 +209,15 @@ object Dedup {
     */
   def embeddingDropList(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 48, bands: Int = 8,
-                        multiprobe: Boolean = true): DataFrame = {
-    val e = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-    val rep = e.groupBy("v").agg(F.min("id").as("rep_id"))
-    val assign = e.join(rep, "v") // same key as the groupBy: exchange reuse
-    val exactDrops = assign.filter(F.col("id") =!= F.col("rep_id"))
-      .select(F.col("id").as("drop_id"), F.col("rep_id").as("keep_id"),
-        F.lit("exact").as("reason"), F.lit(1.0).as("cos"))
-    val nearDrops = embeddingPairsLsh(
-        rep.select(F.col("rep_id").as("rid"), F.col("v")), "rid", "v",
-        threshold, planes, bands, multiprobe)
-      .groupBy(F.col("id_b").as("drop_id"))
-      .agg(F.min(F.struct(F.col("id_a").as("keep_id"), F.col("cos"))).as("m"))
-      .select(F.col("drop_id"), F.col("m.keep_id"),
-        F.lit("near").as("reason"), F.col("m.cos"))
-    exactDrops.unionByName(nearDrops)
-  }
+                        multiprobe: Boolean = true): DataFrame =
+    dropList(
+      // the vector VALUE is its own exact-equality key (no
+      // hash-collision caveat)
+      df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"), F.col(vecCol).as("__key")),
+      simCol = "cos",
+      nearPairsOfReps = reps => embeddingPairsLsh(
+        reps.select(F.col("id").as("rid"), F.col("v")), "rid", "v",
+        threshold, planes, bands, multiprobe))
 
   /** Embedding near-dup pairs WITHOUT a blocking column: hyperplane-LSH
     * banding generates candidates (cross-cell capable), exact cosine

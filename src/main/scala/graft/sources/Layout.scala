@@ -84,11 +84,14 @@ object Layout {
         val files = fs.listStatus(d.getPath).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
         d.getPath.getName.stripPrefix("p_day=") -> files
       }
-      .collect { case (day, n) if n > maxFilesPerDay => day }
+      // a null-day partition (__HIVE_DEFAULT_PARTITION__, e.g. rows
+      // whose nullable ts loaded as null) is not date-addressable by
+      // the overwrite filter — skip it rather than crash every
+      // subsequent compaction run on Date.valueOf
+      .collect { case (day, n) if n > maxFilesPerDay &&
+        scala.util.Try(java.sql.Date.valueOf(day)).isSuccess => day }
     if (crowded.isEmpty) return Nil
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+    withDynamicPartitionOverwrite(spark) {
       spark.read.parquet(path)
         .filter(F.col("p_day").isInCollection(crowded.map(java.sql.Date.valueOf)))
         // Spark (rightly) refuses to overwrite a path its plan reads
@@ -100,12 +103,23 @@ object Layout {
         .repartition(F.col("p_day"))
         .sortWithinPartitions(clusterCols.map(F.col): _*)
         .write.mode("overwrite").partitionBy("p_day").parquet(path)
+    }
+    spark.catalog.refreshByPath(path)
+    crowded
+  }
+
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * previous session setting afterwards.
+    */
+  private def withDynamicPartitionOverwrite(
+      spark: org.apache.spark.sql.SparkSession)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try body
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    spark.catalog.refreshByPath(path)
-    crowded
   }
 
   /** Replace ONLY the day partitions present in `df`, leaving all other
@@ -114,17 +128,10 @@ object Layout {
     * reference README.md), done safely at table scale with dynamic
     * partition overwrite instead of a full-table truncate.
     */
-  def overwriteDayPartitions(df: DataFrame, path: String, tsCol: String): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+  def overwriteDayPartitions(df: DataFrame, path: String, tsCol: String): Unit =
+    withDynamicPartitionOverwrite(df.sparkSession) {
       df.withColumn("p_day", F.to_date(F.col(tsCol)))
         .repartition(F.col("p_day"))
         .write.mode("overwrite").partitionBy("p_day").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-  }
 }

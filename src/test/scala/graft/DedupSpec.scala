@@ -107,8 +107,8 @@ class DedupSpec extends SparkSuite {
   }
 
   test("embeddingDropList output is LINEAR in replicas where pairs are quadratic") {
-    val e = Tables.embeddings(spark, sf).limit(50)
-    val maxId = 1000L
+    val e = Tables.embeddings(spark, sf).orderBy("vec_id").limit(50)
+    val maxId = e.agg(F.max("vec_id")).head().getLong(0) + 1
     val replicated = (0 until 5).map(i =>
       e.select((F.col("vec_id") + F.lit(i * maxId)).as("vec_id"), F.col("embedding")))
       .reduce(_ unionByName _)

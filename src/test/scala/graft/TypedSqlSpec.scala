@@ -104,6 +104,37 @@ class TypedSqlSpec extends SparkSuite {
       intercept[IllegalArgumentException] { GraftSql.merge(spark, bad) }
   }
 
+  test("GraftSql.merge follows SQL semantics on null keys and raises on duplicate source keys") {
+    import spark.implicits._
+    // SQL `=` never matches null: the null-keyed target row must pass
+    // through untouched and the null-keyed source row must INSERT
+    // (Upsert.merge alone would null-safely match them)
+    Seq((Some(1L), "t1"), (None, "tnull")).toDF("k", "v").createOrReplaceTempView("ntgt")
+    Seq((Some(1L), "s1"), (None, "snull")).toDF("k", "v").createOrReplaceTempView("nsrc")
+    val merged = GraftSql.merge(spark,
+      "MERGE INTO ntgt T USING nsrc S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toSeq.sorted
+    assert(merged == Seq((-1L, "snull"), (-1L, "tnull"), (1L, "s1")),
+      s"null keys must not match under SQL '=': got $merged")
+    // BigQuery raises when one target row matches several source rows;
+    // a silent fan-out would duplicate the target
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("dtgt")
+    Seq((1L, "a"), (1L, "b")).toDF("k", "v").createOrReplaceTempView("dsrc")
+    val e = intercept[Exception] {
+      GraftSql.merge(spark,
+        "MERGE INTO dtgt T USING dsrc S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        .collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("MERGE_CARDINALITY_VIOLATION"), s"got: $e")
+    // a ghost column in UPDATE SET is a loud error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      GraftSql.merge(spark,
+        "MERGE INTO dtgt T USING dsrc S ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = S.v, T.ghost = S.ghost WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
