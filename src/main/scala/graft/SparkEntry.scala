@@ -446,6 +446,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // BigQuery date/time scalar surface: EXTRACT / FORMAT_DATE /
+    // DATE_DIFF / DATE_ADD. Integer parts cast to long so both engines
+    // hash the same width; dayofweek follows BigQuery (Sunday=1 —
+    // DuckDB's DOW is Sunday=0, mapped in the oracle)
+    "q_date_ops" -> ((s, d) => {
+      val ts = F.col("ts")
+      Tables.events(s, d).select(
+          F.col("event_id"),
+          F.year(ts).cast("long").as("y"),
+          F.month(ts).cast("long").as("m"),
+          F.dayofweek(ts).cast("long").as("dow"),
+          F.weekofyear(ts).cast("long").as("iso_week"),
+          F.date_format(ts, "yyyy-MM-dd").as("day_str"),
+          F.datediff(F.lit("2025-01-01").cast("date"), F.to_date(ts)).cast("long").as("days_to_2025"),
+          F.date_add(F.to_date(ts), 30).as("plus30"))
+        .orderBy("event_id")
+    }),
+
     // BigQuery STRING_AGG surface: ordered listagg per key through the
     // spark.sql view layer (WITHIN GROUP is the ANSI form BigQuery's
     // ORDER BY argument maps to); deterministic via the event_id
@@ -886,6 +904,17 @@ object SparkEntry {
           |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
           |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q_date_ops" ->
+        """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT event_id,
+          |  EXTRACT(YEAR FROM ts) AS y,
+          |  EXTRACT(MONTH FROM ts) AS m,
+          |  EXTRACT(DOW FROM ts) + 1 AS dow,
+          |  EXTRACT(WEEK FROM ts) AS iso_week,
+          |  strftime(ts, '%Y-%m-%d') AS day_str,
+          |  datediff('day', CAST(ts AS DATE), DATE '2025-01-01') AS days_to_2025,
+          |  CAST(ts AS DATE) + 30 AS plus30
+          |FROM e ORDER BY event_id""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,
