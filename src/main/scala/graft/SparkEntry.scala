@@ -432,8 +432,8 @@ object SparkEntry {
     }),
 
     // BigQuery JSON surface (JSON_VALUE / JSON_EXTRACT over a string
-    // payload column): one codegen'd from_json projection under an
-    // explicit schema — never schema inference — then plain aggregation
+    // payload column): ONE from_json projection under an explicit
+    // schema — never schema inference — then plain aggregation
     "q_json_extract" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val k = F.from_json(F.col("props"), StructType(Seq(StructField("k", LongType))))

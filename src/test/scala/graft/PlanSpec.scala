@@ -124,6 +124,44 @@ class PlanSpec extends SparkSuite {
       "untouched days must survive")
   }
 
+  test("round-3 query plans have the right scale shape") {
+    def plan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize the AQE plan
+      df.queryExecution.executedPlan.toString
+    }
+
+    // JSON extraction: scan prunes to the two referenced columns, and
+    // the parse is ONE projection feeding the partial aggregate (NB
+    // from_json is CodegenFallback by Spark design — the Jackson parse
+    // dominates either way; what matters at scale is pruning + a
+    // single parse per row)
+    val json = plan("q_json_extract")
+    val readSchema = json.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") && readSchema.contains("props") &&
+      !readSchema.contains("user_id"), readSchema)
+    assert(json.linesIterator.exists(l => l.contains("Project") && l.contains("from_json")),
+      json.take(800))
+
+    // repetition score: map-only over the corpus — the only exchanges
+    // are the final presentation sort (+ AQE reading it); no join, no
+    // aggregation
+    val rep = plan("text_repetition")
+    assert(!rep.contains("Join") && !rep.contains("HashAggregate"), rep.take(800))
+
+    // stratified sample: pure filter, no shuffle except the
+    // presentation sort
+    val strat = plan("sample_stratified")
+    assert(!strat.contains("Join") && !strat.contains("HashAggregate"), strat.take(800))
+
+    // quantized ANN: query side broadcasts; corpus never shuffles
+    // full-width (bounded top-k partials carry <= k rows per partition)
+    val int8 = plan("ann_bruteforce_int8")
+    assert(int8.contains("BroadcastExchange"), int8.take(800))
+    assert(!int8.contains("CartesianProduct") || int8.contains("BroadcastNestedLoopJoin"),
+      "corpus x queries must go through the broadcast join")
+  }
+
   test("compactDays collapses crowded day partitions, leaves quiet days' files untouched") {
     val out = Files.createTempDirectory("graft-compact-").toString
     val e = Tables.events(spark, sf)
