@@ -150,6 +150,23 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // daily OHLC bars — the canonical FX resample (open = value at the
+    // day's first tick, close at its last, low/high across it). min_by/
+    // max_by with a (ts, event_id) struct ordering key: one shuffle with
+    // map-side partials, deterministic ties, no window sort anywhere
+    "fx_ohlc" -> ((s, d) => {
+      val ord = F.struct(F.col("ts"), F.col("event_id"))
+      Tables.events(s, d)
+        .groupBy(evDay(F.col("ts")).as("day"), F.col("event_type"))
+        .agg(
+          F.min_by(F.col("value"), ord).as("open"),
+          F.max_by(F.col("value"), ord).as("close"),
+          F.min("value").as("low"),
+          F.max("value").as("high"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
     // ───────────────────────── B. SQL analytics surface ─────────────────────────
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -904,6 +921,20 @@ object SparkEntry {
           |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
           |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "fx_ohlc" ->
+        """WITH e AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+          |             event_type, value,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+          |           FROM events),
+          |r AS (SELECT *,
+          |        row_number() OVER (PARTITION BY day, event_type ORDER BY ts_us, event_id) AS rn_a,
+          |        row_number() OVER (PARTITION BY day, event_type ORDER BY ts_us DESC, event_id DESC) AS rn_d
+          |      FROM e)
+          |SELECT day, event_type,
+          |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+          |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+          |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
+          |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
       "q_date_ops" ->
         """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
           |SELECT event_id,
