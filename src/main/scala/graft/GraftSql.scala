@@ -40,9 +40,11 @@ import graft.operators.Upsert
   * Statement semantics are SQL's, not the library's: a null key never
   * matches under `=` (null-keyed source rows insert; null-keyed target
   * rows pass through — `Upsert.merge` alone would match them
-  * null-safely), and a source with more than one row per key raises
-  * `MERGE_CARDINALITY_VIOLATION` at execution, exactly as BigQuery
-  * does, instead of silently fanning matched target rows out.
+  * null-safely), and a TARGET row matching more than one source row
+  * raises `MERGE_CARDINALITY_VIOLATION` at execution, as BigQuery
+  * does, instead of silently fanning the target row out. Duplicate
+  * source keys that match no target row are legal — each inserts, in
+  * both the upsert and insert-only forms.
   *
   * Returns the merged frame (view-over-parquet tables are immutable
   * snapshots — persist via `FxPipeline`'s stage-and-swap or
@@ -122,27 +124,36 @@ object GraftSql {
     val anyKeyNull = keyNames.map(F.col(_).isNull).reduce(_ || _)
     val srcMatchable = src.filter(!anyKeyNull)
     val srcNullKeyed = src.filter(anyKeyNull)
-    // BigQuery raises when a target row matches more than one source
-    // row; Upsert.merge's update join would silently fan the target row
-    // out instead. The check is declarative (raise_error inside the
-    // plan) so the returned frame stays lazy; cost is one window over
-    // the small delta side.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
-    val checked = srcMatchable
-      .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
-      .filter(F.when(F.col("__src_key_count") === 1, F.lit(true))
-        .otherwise(F.raise_error(F.concat(F.lit(
-          "[MERGE_CARDINALITY_VIOLATION] more than one source row for key ("),
-          F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
-      .drop("__src_key_count")
+    val targetKeys = targetDf.select(keyNames.map(F.col): _*).distinct()
     (hasUpdate, hasInsert) match {
       case (true, true) =>
+        // BigQuery's MERGE_CARDINALITY_VIOLATION is defined for a
+        // TARGET row matching more than one source row — duplicate
+        // source keys that match nothing are legal (each inserts).
+        // Raise declaratively (inside the plan, result stays lazy) for
+        // exactly the matched-duplicate case: one window over the small
+        // delta plus one slim key-projection join.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
+        val checked = srcMatchable
+          .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
+          .join(targetKeys.withColumn("__t_present", F.lit(1)), keyNames, "left")
+          .filter(F.when(F.col("__src_key_count") === 1 || F.col("__t_present").isNull, F.lit(true))
+            .otherwise(F.raise_error(F.concat(F.lit(
+              "[MERGE_CARDINALITY_VIOLATION] target row matches more than one source row for key ("),
+              F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
+          .select(targetDf.columns.map(F.col).toSeq: _*)
+        // Upsert.merge inserts EVERY unmatched source row (its anti-join
+        // does not dedup), so unmatched duplicate keys behave exactly
+        // like BigQuery: both insert
         Upsert.merge(targetDf, checked, keyNames).unionByName(srcNullKeyed)
       case (false, true) =>
-        // freshRows' anti-join already gives SQL null semantics (null
-        // keys never match -> always insert), but its key-dedup would
-        // collapse DISTINCT null-keyed rows to one; bypass them
-        Upsert.idempotentAppend(targetDf, checked, keyNames).unionByName(srcNullKeyed)
+        // insert-only: each source row not matching any target row
+        // inserts — including duplicate source keys (BigQuery inserts
+        // both; no cardinality rule applies without WHEN MATCHED).
+        // freshRows' per-key dedup would collapse them, so anti-join
+        // directly.
+        val inserts = srcMatchable.join(targetKeys, keyNames, "left_anti")
+        targetDf.unionByName(inserts).unionByName(srcNullKeyed)
       case (true, false) => throw new IllegalArgumentException(
         "update-only MERGE (no WHEN NOT MATCHED) is not supported; add the INSERT clause")
       case (false, false) => throw new IllegalArgumentException(

@@ -212,11 +212,12 @@ object Dedup {
                         multiprobe: Boolean = true): DataFrame =
     dropList(
       // the vector VALUE is its own exact-equality key (no
-      // hash-collision caveat)
-      df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"), F.col(vecCol).as("__key")),
+      // hash-collision caveat) — selected ONCE so the collapse
+      // exchanges move one copy of the array, not two
+      df.select(F.col(idCol).as("id"), F.col(vecCol).as("__key")),
       simCol = "cos",
       nearPairsOfReps = reps => embeddingPairsLsh(
-        reps.select(F.col("id").as("rid"), F.col("v")), "rid", "v",
+        reps.select(F.col("id").as("rid"), F.col("__key").as("v")), "rid", "v",
         threshold, planes, bands, multiprobe))
 
   /** Embedding near-dup pairs WITHOUT a blocking column: hyperplane-LSH

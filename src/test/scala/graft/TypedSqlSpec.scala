@@ -116,8 +116,8 @@ class TypedSqlSpec extends SparkSuite {
       .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toSeq.sorted
     assert(merged == Seq((-1L, "snull"), (-1L, "tnull"), (1L, "s1")),
       s"null keys must not match under SQL '=': got $merged")
-    // BigQuery raises when one target row matches several source rows;
-    // a silent fan-out would duplicate the target
+    // BigQuery raises only when one TARGET row matches several source
+    // rows; a silent fan-out would duplicate the target
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("dtgt")
     Seq((1L, "a"), (1L, "b")).toDF("k", "v").createOrReplaceTempView("dsrc")
     val e = intercept[Exception] {
@@ -128,6 +128,16 @@ class TypedSqlSpec extends SparkSuite {
     def msgs(t: Throwable): String =
       if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
     assert(msgs(e).contains("MERGE_CARDINALITY_VIOLATION"), s"got: $e")
+    // ...but duplicate source keys matching NO target row are legal:
+    // each inserts, exactly like BigQuery (both statement forms)
+    Seq((9L, "a"), (9L, "b")).toDF("k", "v").createOrReplaceTempView("usrc")
+    for (stmt <- Seq(
+      "MERGE INTO dtgt T USING usrc S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "MERGE INTO dtgt T USING usrc S ON T.k = S.k WHEN NOT MATCHED THEN INSERT *")) {
+      val out = GraftSql.merge(spark, stmt).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(out == Seq((1L, "x"), (9L, "a"), (9L, "b")), s"$stmt -> $out")
+    }
     // a ghost column in UPDATE SET is a loud error, not a silent no-op
     intercept[IllegalArgumentException] {
       GraftSql.merge(spark,

@@ -69,4 +69,7 @@ if __name__ == "__main__":
     try:
         main()
     except BrokenPipeError:  # e.g. piped into head
+        # point stdout at devnull so the interpreter-shutdown flush
+        # doesn't re-raise on the closed pipe (exit 120 + stderr noise)
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         sys.exit(0)
