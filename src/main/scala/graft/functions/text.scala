@@ -64,6 +64,43 @@ object text {
   def fingerprint(c: Column): Column =
     F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(c)))))
 
+  /** PII redaction patterns: conservative regexes (no catastrophic
+    * backtracking — linear alternations only) for the scrub pass a
+    * training corpus runs before mixing. Each is replaced by a typed
+    * placeholder token so downstream dedup/quality signals stay stable
+    * across redacted variants of the same document.
+    */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    // URLs before emails so an address inside a query string is one
+    // <URL> redaction, not a <URL> and an <EMAIL>; bare emails carry no
+    // scheme and fall through to the email rule
+    "https?://[^\\s]+"                                -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // long CONTIGUOUS digit runs (ids, SSNs, card fragments) before
+    // phones: separator-formatted phones keep each run under 7 digits,
+    // while a bare 8-digit id would otherwise type as <PHONE>
+    "[0-9]{7,}"                                       -> "<NUM>",
+    // phone-ish: 7+ digits allowing separators, anchored to digit ends
+    "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"                  -> "<PHONE>")
+
+  /** Apply the redaction patterns in order — pure chained
+    * `regexp_replace`, codegen'd, map-only at any corpus size.
+    */
+  def redact(c: Column, patterns: Seq[(String, String)] = redactionPatterns): Column =
+    patterns.foldLeft(c) { case (acc, (re, token)) => F.regexp_replace(acc, re, token) }
+
+  /** Count of redactions `redact` would make — the audit/monitoring
+    * side of the scrub (a spike means an upstream source started
+    * leaking PII-shaped content). Pattern i counts on the text with
+    * patterns < i already applied, so the total equals the number of
+    * placeholders `redact` inserts (an email inside a URL is one
+    * redaction, not two).
+    */
+  def redactionCount(c: Column, patterns: Seq[(String, String)] = redactionPatterns): Column =
+    patterns.zipWithIndex.map { case ((re, _), i) =>
+      F.size(F.regexp_extract_all(redact(c, patterns.take(i)), F.lit(re), F.lit(0)))
+    }.reduce(_ + _)
+
   /** Stopword-profile language guess over a tiny per-language lexicon.
     * Deterministic argmax with fixed language priority on ties.
     */

@@ -35,6 +35,32 @@ class TextSpec extends SparkSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("redact scrubs emails, urls, phones, and long digit runs with typed placeholders") {
+    val cases = Seq(
+      ("contact bob.smith+x@example.co.uk for info", "contact <EMAIL> for info"),
+      ("see https://example.com/a?b=1 now", "see <URL> now"),
+      ("call +1 (555) 123-4567 today", "call <PHONE> today"),
+      ("order 12345678 shipped", "order <NUM> shipped"),
+      ("clean text stays clean", "clean text stays clean"),
+      // an email inside a URL is ONE redaction (patterns apply in order)
+      ("https://a.io/mail?to=x@y.org rest", "<URL> rest"))
+    val out = cases.map(_._1).toDF("text")
+      .select(F.col("text"), T.redact(F.col("text")).as("r"), T.redactionCount(F.col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    for ((in, want) <- cases)
+      assert(out(in)._1 == want, s"redact('$in') = '${out(in)._1}'")
+    assert(out("clean text stays clean")._2 == 0)
+    assert(out("contact bob.smith+x@example.co.uk for info")._2 == 1)
+    assert(out("https://a.io/mail?to=x@y.org rest")._2 == 1,
+      "sequential counting must not double-count the email inside the URL")
+    // stability contract: two docs differing only in their PII redact
+    // to the same text (dedup/fingerprint keys survive the scrub)
+    val a = T.redact(F.lit("reach me at alice@a.com or 99887766 thanks"))
+    val b = T.redact(F.lit("reach me at bob@b.org or 11223344 thanks"))
+    val Seq((ra, rb)) = Seq(1).toDF("x").select(a, b).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ra == rb)
+  }
+
   test("language guess picks the matching lexicon") {
     val df = Seq(
       "the cat and the dog is in that house it seems",
