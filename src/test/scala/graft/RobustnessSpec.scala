@@ -27,6 +27,34 @@ class RobustnessSpec extends SparkSuite {
     assert(Upsert.merge(empty, target, Seq("k")).count() == 1)
   }
 
+  test("GraftSql.merge degrades cleanly on edge inputs") {
+    // empty source: target unchanged under both statement forms
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("rtgt")
+    Seq.empty[(Long, String)].toDF("k", "v").createOrReplaceTempView("rsrc_empty")
+    for (stmt <- Seq(
+      "MERGE INTO rtgt T USING rsrc_empty S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "MERGE INTO rtgt T USING rsrc_empty S ON T.k = S.k WHEN NOT MATCHED THEN INSERT *"))
+      assert(GraftSql.merge(spark, stmt).collect().map(_.getString(1)).toSeq == Seq("a"))
+    // empty target: every source row inserts
+    Seq.empty[(Long, String)].toDF("k", "v").createOrReplaceTempView("rtgt_empty")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").createOrReplaceTempView("rsrc")
+    assert(GraftSql.merge(spark,
+      "MERGE INTO rtgt_empty T USING rsrc S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .count() == 2)
+    // source missing a target column fails at analysis, not silently
+    Seq((1L, "x", 9)).toDF("k", "v", "extra").createOrReplaceTempView("rtgt3")
+    intercept[Exception] {
+      GraftSql.merge(spark,
+        "MERGE INTO rtgt3 T USING rsrc S ON T.k = S.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        .collect()
+    }
+    // unknown view name fails loudly
+    intercept[Exception] {
+      GraftSql.merge(spark,
+        "MERGE INTO no_such_view T USING rsrc S ON T.k = S.k WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
   test("asof join with empty right side: inner drops all, outer null-fills") {
     val left = Seq((1L, "EUR", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "cur", "ts")
