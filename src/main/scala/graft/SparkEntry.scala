@@ -953,11 +953,11 @@ object SparkEntry {
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "ann_quantize" ->
         """WITH q AS (SELECT vec_id, embedding,
-          |             list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS scale
+          |             list_max(list_transform(embedding, e -> abs(CAST(COALESCE(e, 0) AS DOUBLE)))) AS scale
           |           FROM embeddings)
           |SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos,
           |       CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
-          |            ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / scale) AS TINYINT)
+          |            ELSE CAST(round(CAST(COALESCE(embedding[i], 0) AS DOUBLE) * 127 / scale) AS TINYINT)
           |       END AS code
           |FROM q, UNNEST(generate_series(1, len(embedding))) AS g(i)
           |ORDER BY vec_id, pos""".stripMargin,

@@ -80,8 +80,15 @@ object text {
     // phones: separator-formatted phones keep each run under 7 digits,
     // while a bare 8-digit id would otherwise type as <PHONE>
     "[0-9]{7,}"                                       -> "<NUM>",
-    // phone-ish: 7+ digits allowing separators, anchored to digit ends
-    "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"                  -> "<PHONE>")
+    // phone: structured groups only — optional +CC, then one or two
+    // 3-digit groups each followed by a dash/space separator (parens
+    // allowed), then a final 4-digit run; >= 7 digits total. '.' is NOT
+    // a separator and ':' never was, so ISO dates (2024-01-05: the
+    // 3-digit+sep groups never line up), decimals (3.14159), version
+    // strings (1.2.3.4) and times pass through unredacted. Residual
+    // ambiguity: a bare 3-3-4 number list ("100 200 3000") is
+    // indistinguishable from a space-separated phone and is redacted.
+    "(?:\\+[0-9]{1,2}[\\- ]?)?(?:\\(?[0-9]{3}\\)?[\\- ]){1,2}[0-9]{4}" -> "<PHONE>")
 
   /** Apply the redaction patterns in order — pure chained
     * `regexp_replace`, codegen'd, map-only at any corpus size.

@@ -69,44 +69,86 @@ object Layout {
     * overwrite so untouched days never rewrite and a mid-job crash
     * leaves the original files in place (staging commit).
     *
+    * Concurrency: the snapshot-then-overwrite shape races with ingest —
+    * an append landing in a snapshotted day between materialization and
+    * commit would be silently deleted by the overwrite. Guard: after the
+    * snapshot materializes, each crowded day's file listing (name,
+    * length, mtime) is re-checked against the pre-snapshot listing and
+    * any day that changed is SKIPPED this run (its new files survive;
+    * the still-crowded day compacts on the next run). The re-check
+    * narrows the window to the commit itself but cannot close it — do
+    * not run compaction truly concurrently with ingest into the same
+    * day; at a 5-minute cadence, skip-on-change makes interleaving safe.
+    *
     * Returns the compacted day values. Driver-side work is one
     * partition-directory listing — O(days), metadata only.
     */
   def compactDays(spark: org.apache.spark.sql.SparkSession, path: String,
-                  clusterCols: Seq[String], maxFilesPerDay: Int = 8): Seq[String] = {
+                  clusterCols: Seq[String], maxFilesPerDay: Int = 8): Seq[String] =
+    compactDaysWithHook(spark, path, clusterCols, maxFilesPerDay, () => ())
+
+  /** [[compactDays]] with a test seam: `afterSnapshot` runs between the
+    * snapshot materializing and the concurrent-change re-check, letting
+    * a spec interleave an append deterministically.
+    */
+  private[graft] def compactDaysWithHook(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      clusterCols: Seq[String], maxFilesPerDay: Int,
+      afterSnapshot: () => Unit): Seq[String] = {
     require(maxFilesPerDay >= 1, s"maxFilesPerDay must be >= 1, got $maxFilesPerDay")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val crowded = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
-      .map { d =>
-        val files = fs.listStatus(d.getPath).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        d.getPath.getName.stripPrefix("p_day=") -> files
-      }
+      .map(d => d.getPath.getName.stripPrefix("p_day=") -> dataFileSignature(fs, d.getPath))
       // a null-day partition (__HIVE_DEFAULT_PARTITION__, e.g. rows
       // whose nullable ts loaded as null) is not date-addressable by
       // the overwrite filter — skip it rather than crash every
       // subsequent compaction run on Date.valueOf
-      .collect { case (day, n) if n > maxFilesPerDay &&
-        scala.util.Try(java.sql.Date.valueOf(day)).isSuccess => day }
+      .collect { case (day, sig) if sig.size > maxFilesPerDay &&
+        scala.util.Try(java.sql.Date.valueOf(day)).isSuccess => day -> sig }
     if (crowded.isEmpty) return Nil
+    var committed: Seq[String] = Nil
     withDynamicPartitionOverwrite(spark) {
-      spark.read.parquet(path)
-        .filter(F.col("p_day").isInCollection(crowded.map(java.sql.Date.valueOf)))
+      val snapshot = spark.read.parquet(path)
+        .filter(F.col("p_day").isInCollection(crowded.map(c => java.sql.Date.valueOf(c._1))))
         // Spark (rightly) refuses to overwrite a path its plan reads
         // from; localCheckpoint truncates the lineage to executor-held
         // blocks. Only the crowded days materialize — bounded per run —
         // and a failure before the commit leaves every original file in
         // place (compaction is idempotent: just re-run).
         .localCheckpoint()
-        .repartition(F.col("p_day"))
-        .sortWithinPartitions(clusterCols.map(F.col): _*)
-        .write.mode("overwrite").partitionBy("p_day").parquet(path)
+      afterSnapshot()
+      // re-list: drop any day whose files changed since the snapshot
+      // (concurrent append) — overwriting it would delete the new rows
+      val unchanged = crowded.collect { case (day, sig)
+        if dataFileSignature(fs, new org.apache.hadoop.fs.Path(root, s"p_day=$day")) == sig => day }
+      if (unchanged.nonEmpty) {
+        snapshot
+          .filter(F.col("p_day").isInCollection(unchanged.map(java.sql.Date.valueOf)))
+          .repartition(F.col("p_day"))
+          .sortWithinPartitions(clusterCols.map(F.col): _*)
+          .write.mode("overwrite").partitionBy("p_day").parquet(path)
+        committed = unchanged
+      }
     }
     spark.catalog.refreshByPath(path)
-    crowded
+    committed
   }
+
+  /** Data files of one partition directory as (name, length, mtime) —
+    * the identity used to detect concurrent writes. Excludes both
+    * Hadoop hidden-file conventions: '_' (e.g. _SUCCESS) AND '.'
+    * (e.g. ChecksumFileSystem's .part-*.crc companions, which would
+    * otherwise double the count and trigger compaction early).
+    */
+  private def dataFileSignature(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path): Set[(String, Long, Long)] =
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSet
 
   /** Run `body` with dynamic partition-overwrite mode, restoring the
     * previous session setting afterwards.

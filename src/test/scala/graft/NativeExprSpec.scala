@@ -107,6 +107,14 @@ class NativeExprSpec extends SparkSuite {
     assert(scale == 1.0)
     assert(codes == Seq[Byte](64, -32, 95, -127)) // 63.5 rounds away to 64
     assert(quant(0f, 0f) == ((0.0, Seq[Byte](0, 0))), "zero vector quantizes to zeros")
+    // null elements: skipped for the scale max, coded as 0 — the same
+    // semantics the DuckDB oracle models with COALESCE(e, 0)
+    val withNull = Literal(new GenericArrayData(Array[Any](0.5f, null, -1f)),
+      ArrayType(FloatType, containsNull = true))
+    val rn = Int8Quantize(withNull).eval(null).asInstanceOf[InternalRow]
+    assert(rn.getDouble(0) == 1.0, "null element must not contribute to scale")
+    assert(rn.getArray(1).toByteArray().toSeq == Seq[Byte](64, 0, -127),
+      "null element quantizes to code 0")
     // round-trip on real corpus data: worst-case error is half a step
     val e = graft.sources.Tables.embeddings(spark, sf).limit(200)
       .select(org.apache.spark.sql.functions.col("embedding"),

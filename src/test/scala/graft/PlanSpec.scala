@@ -195,6 +195,43 @@ class PlanSpec extends SparkSuite {
     assert(Layout.compactDays(spark, out, Seq("event_type", "user_id"), maxFilesPerDay = 8).isEmpty)
   }
 
+  test("compactDays skips (not deletes) a day that takes a concurrent append mid-compaction") {
+    val out = Files.createTempDirectory("graft-compact-race-").toString
+    val e = Tables.events(spark, sf)
+    val racedDay = "2024-01-05"
+    val cleanDay = "2024-01-06"
+    def fragment(day: String): Unit = {
+      val onDay = e.filter(F.to_date(F.col("ts")) === day)
+      val ids = onDay.select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+      assert(ids.length >= 10)
+      ids.grouped(math.max(1, ids.length / 10)).foreach { chunk =>
+        Layout.appendPartitioned(onDay.filter(F.col("event_id").isInCollection(chunk)),
+          out, "ts", Seq("event_type", "user_id"))
+      }
+    }
+    fragment(racedDay); fragment(cleanDay)
+    // the concurrently-landing batch: new rows for the raced day (fresh
+    // ids so loss would be visible), injected between the snapshot
+    // materializing and the pre-commit re-check — the exact window the
+    // round-3 implementation lost rows in
+    val late = e.filter(F.to_date(F.col("ts")) === racedDay)
+      .limit(5).withColumn("event_id", F.col("event_id") + 10000000L)
+    val lateCount = late.count()
+    val beforeCount = spark.read.parquet(out).count()
+    val compacted = Layout.compactDaysWithHook(spark, out, Seq("event_type", "user_id"),
+      maxFilesPerDay = 8,
+      afterSnapshot = () => Layout.appendPartitioned(late, out, "ts", Seq("event_type", "user_id")))
+    assert(compacted == Seq(cleanDay),
+      s"the raced day must be skipped, the untouched day still compacts; got $compacted")
+    spark.catalog.refreshByPath(out)
+    assert(spark.read.parquet(out).count() == beforeCount + lateCount,
+      "the concurrent append must survive compaction")
+    // with no concurrent writer, the still-crowded raced day compacts next run
+    assert(Layout.compactDays(spark, out, Seq("event_type", "user_id"), maxFilesPerDay = 8)
+      == Seq(racedDay))
+    assert(spark.read.parquet(out).count() == beforeCount + lateCount)
+  }
+
   test("partitioned layout writes day directories and prunes on day filters") {
     val out = Files.createTempDirectory("graft-layout-").toString
     Layout.writePartitioned(Tables.events(spark, sf), out, "ts", Seq("event_type", "user_id"))

@@ -40,8 +40,16 @@ class TextSpec extends SparkSuite {
       ("contact bob.smith+x@example.co.uk for info", "contact <EMAIL> for info"),
       ("see https://example.com/a?b=1 now", "see <URL> now"),
       ("call +1 (555) 123-4567 today", "call <PHONE> today"),
+      ("dial 555-123-4567 or 555 0123 now", "dial <PHONE> or <PHONE> now"),
       ("order 12345678 shipped", "order <NUM> shipped"),
       ("clean text stays clean", "clean text stays clean"),
+      // non-PII numeric text must survive the scrub untouched: ISO
+      // dates, decimals, versions, times (the round-3 <PHONE> pattern
+      // over-matched all of these)
+      ("released 2024-01-05 at 12:34:56", "released 2024-01-05 at 12:34:56"),
+      ("pi is 3.14159 not 2.71828", "pi is 3.14159 not 2.71828"),
+      ("upgrade 1.2.3.400 to 10.20.30.40", "upgrade 1.2.3.400 to 10.20.30.40"),
+      ("totals 12 34 56 78 90", "totals 12 34 56 78 90"),
       // an email inside a URL is ONE redaction (patterns apply in order)
       ("https://a.io/mail?to=x@y.org rest", "<URL> rest"))
     val out = cases.map(_._1).toDF("text")
