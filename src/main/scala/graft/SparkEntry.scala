@@ -530,6 +530,17 @@ object SparkEntry {
         .orderBy("drop_id")
     }),
 
+    // transitive duplicate clusters: connected components over the
+    // near-dup pair set (alternating large-star/small-star, O(log²)
+    // rounds of keyed shuffles); every id gets its canonical min-id
+    // root — the oracle recomputes the same clusters with a DuckDB
+    // recursive CTE (transitive closure, fine at oracle scale)
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.embeddingPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.35)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+    }),
+
     // int8 embedding quantization (4× storage/shuffle-width cut for the
     // ANN/dedup corpus): native codegen'd expression; exploded to
     // (vec_id, pos, code) scalar rows so the oracle hash is robust
@@ -999,6 +1010,26 @@ object SparkEntry {
           |    ON a.label = b.label AND a.vec_id < b.vec_id)
           |SELECT id_a, id_b, dp/(na*nb) AS cos FROM p
           |WHERE dp/(na*nb) >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      // same pair set as dedup_embedding; components via recursive-CTE
+      // transitive closure (quadratic in cluster size — oracle-only;
+      // the engine runs the O(log²)-round star algorithm)
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.label = b.label AND a.vec_id < b.vec_id
+          |  WHERE ${dot("a.embedding", "b.embedding")} /
+          |        (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= 0.35),
+          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+          |reach AS (
+          |  SELECT u AS id, v AS r FROM e
+          |  UNION
+          |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+          |root AS (SELECT id, LEAST(id, MIN(r)) AS root FROM reach GROUP BY id)
+          |SELECT r.id, r.root, c.cluster_size
+          |FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)
+          |ORDER BY id""".stripMargin,
       "ann_bruteforce_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
           |scored AS (

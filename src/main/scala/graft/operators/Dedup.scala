@@ -220,6 +220,85 @@ object Dedup {
         reps.select(F.col("id").as("rid"), F.col("__key").as("v")), "rid", "v",
         threshold, planes, bands, multiprobe))
 
+  /** Transitive duplicate CLUSTERS over a near-dup pair set: connected
+    * components by alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — the published
+    * O(log² n)-round algorithm; the reference's BigQuery users script
+    * this as an iterative MERGE loop). The pairs/droplist APIs stop at
+    * witness edges (A~B, B~C may keep both B and C); clustering gives
+    * each document its canonical min-id root, so "keep one per cluster"
+    * is a single filter on `id = root`.
+    *
+    * Each round is two keyed aggregate+join passes over the edge set —
+    * no collect, no driver-side graph. The edge set only shrinks toward
+    * the final star edges (one per non-root node, ≤ initial |pairs|),
+    * and lineage is truncated per round with `localCheckpoint` (on a
+    * real cluster swap in reliable `checkpoint` against the job's
+    * checkpoint dir — same algebra). Convergence is detected by a
+    * (count, hash-sum) signature — two scalar aggregates, no edge-set
+    * diff shuffle; `maxIter` (default 30 ≳ log²(10⁹)) bounds the loop
+    * and non-convergence throws rather than returning a wrong answer.
+    *
+    * Output: one (id, root, cluster_size) row per node appearing in
+    * `pairs`; roots map to themselves. Singleton documents never appear
+    * (they have no pairs) — callers wanting them can left-join.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    // canonical undirected edges u < v; null ids can't cluster
+    val init = pairs
+      .select(F.least(F.col(aCol), F.col(bCol)).as("u"),
+        F.greatest(F.col(aCol), F.col(bCol)).as("v"))
+      .filter(F.col("u").isNotNull && F.col("u") =!= F.col("v"))
+      .distinct()
+
+    // large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(F.col("v").as("u"), F.col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(F.min("v").as("mv"))
+        .select(F.col("u"), F.least(F.col("mv"), F.col("u")).as("m"))
+      nbrs.join(mins, "u").filter(F.col("v") > F.col("u"))
+        .select(F.col("m").as("u"), F.col("v")) // m <= u < v keeps u < v canonical
+        .distinct()
+    }
+    // small-star: every strictly-smaller neighbor (and v itself)
+    // re-points to m = min of v's smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(F.min("u").as("m"))
+      e.join(mins, "v").filter(F.col("u") =!= F.col("m"))
+        .select(F.col("m").as("u"), F.col("u").as("v"))
+        .union(mins.select(F.col("m").as("u"), F.col("v")))
+        .distinct()
+    }
+    // (count, xor of per-edge hashes): order-independent, overflow-free
+    // under ANSI (a sum of hashes would overflow), distinct edges so no
+    // xor self-cancellation
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(F.col("u"), F.col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = init.localCheckpoint()
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds (|edges|=${sig._1})")
+    // converged edges are stars (root=u, child=v): emit children + roots
+    val members = edges.select(F.col("v").as("id"), F.col("u").as("root"))
+      .union(edges.select(F.col("u").as("id"), F.col("u").as("root")).distinct())
+    val sizes = members.groupBy("root").agg(F.count(F.lit(1)).as("cluster_size"))
+    members.join(sizes, "root").select("id", "root", "cluster_size")
+  }
+
   /** Embedding near-dup pairs WITHOUT a blocking column: hyperplane-LSH
     * banding generates candidates (cross-cell capable), exact cosine
     * verifies. Asymmetric multiprobe keeps the self-join linear: one

@@ -144,6 +144,55 @@ class DedupSpec extends SparkSuite {
       "each text now has 5 exact copies: 4/5 of every cluster must drop exact")
   }
 
+  test("connectedComponents matches a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 4) {
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // plain-Scala union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min node id per component is the expected root
+      val rootOf = nodes.groupBy(id => find(id.toInt)).values
+        .flatMap { comp => val m = comp.min; comp.map(_ -> m) }.toMap
+      val sizeOf = rootOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == nodes.toSet, s"trial $trial: node set mismatch")
+      nodes.foreach { id =>
+        assert(got(id)._1 == rootOf(id), s"trial $trial: root($id)")
+        assert(got(id)._2 == sizeOf(rootOf(id)), s"trial $trial: size($id)")
+      }
+    }
+  }
+
+  test("connectedComponents closes transitive chains the drop list leaves open") {
+    // path graph 0-1-2-...-9: max diameter per edge count — A~B, B~C
+    // never gives A~C as a pair, but they are one duplicate cluster
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain, "id_a", "id_b").collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 10L))
+    // two components + duplicate/reversed input pairs
+    val two = Seq((5L, 3L), (3L, 5L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val m = Dedup.connectedComponents(two, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map(3L -> ((3L, 3L)), 4L -> ((3L, 3L)), 5L -> ((3L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+    // empty input: empty output, right schema
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.columns.toSeq == Seq("id", "root", "cluster_size"))
+    assert(empty.count() == 0)
+  }
+
   test("embedding pairs match brute-force within-cell cosine at threshold") {
     val e = Tables.embeddings(spark, sf)
     val got = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", threshold = 0.3)
