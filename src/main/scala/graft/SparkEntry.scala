@@ -373,6 +373,18 @@ object SparkEntry {
           F.count(F.lit(1)).as("n"))
         .orderBy("event_type")
     }),
+    // BigQuery APPROX_TOP_COUNT: bounded mergeable sketch, map-side
+    // partials, no per-item shuffle. maxItemsTracked covers the
+    // distinct count here, so counts are exact and the oracle hash
+    // applies; the sub-capacity estimation regime + sketch-merge
+    // (accumulate/combine/estimate) are pinned in HeavyHittersSpec.
+    // Re-sorted on (count, item) because sketch tie order is unspecified.
+    "q_approx_topk" -> ((s, d) => {
+      graft.operators.HeavyHitters.topCount(
+          Tables.events(s, d), "event_type", k = 3, maxItemsTracked = 16)
+        .select("item", "count_est")
+        .orderBy(F.col("count_est").desc, F.col("item"))
+    }),
 
     // BigQuery correlated-scalar-subquery surface, through spark.sql
     // (planned as outer joins by both engines; integer/decimal outputs
@@ -866,6 +878,12 @@ object SparkEntry {
           |  quantile_cont(value, 0.9) AS p90,
           |  COUNT(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q_approx_topk" ->
+        """SELECT item, count_est FROM (
+          |  SELECT event_type AS item, COUNT(*) AS count_est
+          |  FROM events GROUP BY event_type
+          |  ORDER BY count_est DESC, item LIMIT 3)
+          |ORDER BY count_est DESC, item""".stripMargin,
       "q_corr_subquery" ->
         """SELECT c_custkey,
           |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
