@@ -612,6 +612,16 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.lshTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // fully-quantized candidate path: banding AND scoring on int8
+    // codes, float corpus never touched (hyperplane signs are
+    // scale-invariant). Recall vs float baseline pinned in
+    // SimilaritySpec -> rows-only here like the other LSH paths.
+    "ann_lsh_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.lshTopKInt8(e, q, 10).orderBy("qid", "rank")
+    }),
 
     "ann_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

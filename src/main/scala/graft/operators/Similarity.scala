@@ -234,4 +234,44 @@ object Similarity {
     val scored = candidates.withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
     topK(scored, qidCol, idCol, k)
   }
+
+  /** LSH ANN over an int8-QUANTIZED corpus — the fully-quantized
+    * candidate path: banding AND scoring both run on the codes, so the
+    * float corpus vectors are never touched (with a persisted codes
+    * column, never even read: 4× less scan I/O, and every banding
+    * exchange moves byte arrays, not floats).
+    *
+    * Why this is sound: a hyperplane signature bit is sign(w·x), and
+    * codes ≈ x·127/scale with scale > 0 — a positive multiple, so the
+    * codes produce the SAME signature as the float vector up to
+    * rounding noise on near-zero dots; and cosine is scale-invariant,
+    * so the codes score directly against float queries (the D6
+    * argument). Queries stay float (they are tiny and broadcast);
+    * corpus signatures come from the same hyperplane family, so the
+    * band join is cross-representation-consistent. Recall vs the
+    * float brute force is pinned in SimilaritySpec.
+    */
+  def lshTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 48,
+                  bands: Int = 8, multiprobe: Boolean = true,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // one quantize pass; in a persisted deployment this column is what
+    // sits on disk (see bruteForceTopKInt8)
+    val qc = corpus.select(F.col(idCol),
+      native.int8_quantize(F.col(vecCol)).getField("codes").cast("array<float>").as("__codes"))
+    val c = Lsh.hyperplaneBands(qc, idCol, "__codes", planes, bands,
+        probe = false, keepVec = true)
+      .withColumnRenamed("band", "c_band").withColumnRenamed("bucket", "c_bucket")
+    val q = Lsh.hyperplaneBands(queries, qidCol, qvecCol, planes, bands,
+        probe = multiprobe, keepVec = true)
+      .withColumnRenamed("band", "q_band").withColumnRenamed("bucket", "q_bucket")
+    val candidates = c.join(F.broadcast(q),
+        F.col("c_band") === F.col("q_band") && F.col("c_bucket") === F.col("q_bucket") &&
+          F.col(qidCol) =!= F.col(idCol))
+      .select(F.col(qidCol), F.col(qvecCol), F.col(idCol), F.col("__codes"))
+      .distinct()
+    val scored = candidates.withColumn("cos",
+      native.cosine_sim(F.col(qvecCol), F.col("__codes")))
+    topK(scored, qidCol, idCol, k)
+  }
 }

@@ -62,6 +62,18 @@ class SimilaritySpec extends SparkSuite {
     assert(r.forall(_ >= 0.5), s"per-query recall floor broken: $r")
   }
 
+  test("lshTopKInt8: fully-quantized candidate path holds the LSH recall bar") {
+    val r = recalls(Similarity.lshTopKInt8(corpus, queries, 10))
+    assert(r.sum / r.size >= 0.7, s"mean recall ${r.sum / r.size} too low: $r")
+    assert(r.forall(_ >= 0.5), s"per-query recall floor broken: $r")
+    // code-space signatures track float-space signatures: the int8
+    // candidate set can only diverge by quantization noise, so its
+    // recall must stay within one neighbor of the float LSH path
+    val f = recalls(Similarity.lshTopK(corpus, queries, 10))
+    for ((qi, (ri, fi)) <- (0 until 5).zip(r.zip(f)))
+      assert(ri >= fi - 0.1, s"query $qi: int8 LSH recall $ri vs float $fi")
+  }
+
   test("multiprobe only widens the candidate set: recall dominates single-probe") {
     val single = recalls(Similarity.lshTopK(corpus, queries, 10, multiprobe = false))
     val multi = recalls(Similarity.lshTopK(corpus, queries, 10, multiprobe = true))
