@@ -589,6 +589,15 @@ object SparkEntry {
         .select("event_id", "event_type")
         .orderBy("event_id")
     }),
+    // corpus mixing: √-temperature source re-weighting before the
+    // training mix — rare sources keep more, the web-crawl-sized one
+    // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
+    // the DuckDB oracle reproduces membership bit-for-bit
+    "corpus_mix" -> ((s, d) => {
+      graft.operators.Mixing.temperatureMixBySqrt(Tables.documents(s, d), "doc_id", "source", 1, 2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
 
     // ───────────────────────── D. similarity search ─────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -1025,6 +1034,26 @@ object SparkEntry {
           |          WHEN 'view' THEN ${(1L << 52) / 10 * 3}
           |          ELSE ${(1L << 52) / 2 * 1} END
           |ORDER BY event_id""".stripMargin,
+      // mirrors Mixing.temperatureMixBySqrt's threshold tree verbatim:
+      // every float op (sqrt, *, /) is IEEE exactly-rounded over exact
+      // integer-valued operands, left-associated — bit-identical across
+      // engines; membership is then an integer hash comparison
+      "corpus_mix" ->
+        s"""WITH counts AS (
+          |  SELECT source, COUNT(*) AS n FROM documents
+          |  WHERE doc_id IS NOT NULL AND source IS NOT NULL GROUP BY source),
+          |w AS (SELECT source, n,
+          |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+          |      FROM counts),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(SUM(w) AS BIGINT) AS wsum FROM w),
+          |thr AS (SELECT source,
+          |          least(CAST(${1L << 52} AS BIGINT),
+          |                CAST(floor(CAST((total * 1) // 2 AS DOUBLE) * w / wsum / n
+          |                           * 4503599627370496.0) AS BIGINT)) AS h
+          |        FROM w, tot)
+          |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < h
+          |ORDER BY d.doc_id""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
