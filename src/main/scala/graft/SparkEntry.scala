@@ -598,6 +598,14 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // sequence packing: greedy fill of 1000-char context windows in
+    // hash-bucketed (hash, id) order — streaming sorted-group scan,
+    // O(1) state per bucket; oracle replays the law as a recursive CTE
+    "pack_sequences" -> ((s, d) => {
+      graft.operators.Packing.packGreedy(Tables.documents(s, d), "doc_id", "n_chars",
+          budget = 1000L, buckets = 8)
+        .orderBy("doc_id")
+    }),
 
     // ───────────────────────── D. similarity search ─────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -1054,6 +1062,30 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < h
           |ORDER BY d.doc_id""".stripMargin,
+      // replays Packing.packGreedy's law sequentially per bucket: all
+      // quantities exact integers, same (hash, id) order — parity is
+      // arithmetic-free; recursion depth = max docs per bucket
+      "pack_sequences" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT doc_id, n_chars AS cost,
+          |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+          |o AS (
+          |  SELECT doc_id, cost, h % 8 AS bucket,
+          |         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+          |  FROM t),
+          |packed AS (
+          |  SELECT doc_id, cost, bucket, rn,
+          |         CAST(0 AS BIGINT) AS seq, CAST(1 AS BIGINT) AS slot, cost AS fill
+          |  FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.doc_id, o.cost, o.bucket, o.rn,
+          |         CASE WHEN p.fill + o.cost <= 1000 THEN p.seq ELSE p.seq + 1 END,
+          |         CASE WHEN p.fill + o.cost <= 1000 THEN p.slot + 1 ELSE CAST(1 AS BIGINT) END,
+          |         CASE WHEN p.fill + o.cost <= 1000 THEN p.fill + o.cost ELSE o.cost END
+          |  FROM o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+          |SELECT doc_id, bucket, seq, slot FROM packed ORDER BY doc_id""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Sequence packing: the training-sequence assembly stage of an LLM
+  * data pipeline. Documents are concatenated greedily into fixed
+  * token-budget sequences (context windows); padding waste is the
+  * fraction of the budget left unfilled, so the packer's job is to
+  * fill windows densely while staying deterministic and distributed.
+  *
+  * Distributed shape: the corpus is hash-bucketed (`bucket =
+  * hash52(id) mod buckets` — uniform, engine-reproducible), sequences
+  * never cross buckets, and each bucket is packed independently by a
+  * STREAMING scan over its docs in (hash, id) order via
+  * `flatMapSortedGroups`: Spark sorts within groups during the
+  * exchange, the packer keeps O(1) state (current fill / seq / slot)
+  * and buffers nothing — a bucket of any size streams through. At
+  * 100 TB, `buckets` scales the parallelism (one task per bucket
+  * group) and the only data movement is the one hash exchange.
+  *
+  * Greedy law (anchored, reproducible): docs in (hash52(id), id)
+  * order; a doc opens a new sequence iff the current one is non-empty
+  * and adding the doc would exceed `budget`. An oversized doc
+  * (cost > budget) therefore sits alone in its own sequence. The
+  * DuckDB oracle replays the same law as a recursive CTE over the
+  * same integer ordering — every quantity is an exact integer, so
+  * parity is arithmetic-free.
+  *
+  * Reference anchor: brief-mandated LLM-pipeline family (no direct
+  * reference-file analog; BigQuery users run this as an export-side
+  * loader step, which is exactly why the engine should own it).
+  */
+object Packing {
+
+  // public: encoder-generated code instantiates these reflectively
+  case class DocSlot(bucket: Long, h: Long, doc_id: Long, cost: Long)
+  case class Packed(doc_id: Long, bucket: Long, seq: Long, slot: Long)
+
+  /** Pack docs into `budget`-bounded sequences; returns one row per
+    * doc: (idCol, bucket, seq, slot) with seq dense from 0 per bucket
+    * and slot 1-based within the sequence.
+    *
+    * Contract: rows with null id or null/non-positive cost are
+    * excluded up front (a null id has no deterministic hash position;
+    * a non-positive cost is a corrupt length upstream).
+    */
+  def packGreedy(df: DataFrame, idCol: String, costCol: String,
+                 budget: Long, buckets: Int): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(buckets > 0, s"buckets $buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .filter(F.col(idCol).isNotNull && F.col(costCol).isNotNull && F.col(costCol) > 0)
+      .select(
+        F.pmod(Sampling.hash52(F.col(idCol)), F.lit(buckets.toLong)).as("bucket"),
+        Sampling.hash52(F.col(idCol)).as("h"),
+        F.col(idCol).cast("long").as("doc_id"),
+        F.col(costCol).cast("long").as("cost"))
+      .as[DocSlot]
+    prepared
+      .groupByKey(_.bucket)
+      .flatMapSortedGroups($"h", $"doc_id") { (bucket, docs) =>
+        var seq = 0L; var fill = 0L; var slot = 0L
+        docs.map { d =>
+          if (fill > 0 && fill + d.cost > budget) { seq += 1; fill = 0; slot = 0 }
+          fill += d.cost; slot += 1
+          Packed(d.doc_id, bucket, seq, slot)
+        }
+      }
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Packing, Sampling}
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+class PackingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val budget = 1000L
+  private val buckets = 8
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val packed =
+    Packing.packGreedy(docs, "doc_id", "n_chars", budget, buckets).cache()
+
+  test("every eligible doc is packed exactly once") {
+    val eligible = docs.filter(F.col("doc_id").isNotNull && F.col("n_chars") > 0).count()
+    assert(packed.count() == eligible)
+    assert(packed.select("doc_id").distinct().count() == eligible)
+  }
+
+  test("no sequence exceeds the budget unless it is a single oversized doc") {
+    val seqs = packed.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("bucket", "seq")
+      .agg(F.sum("n_chars").as("total"), F.count(F.lit(1)).as("n"))
+      .collect()
+    for (r <- seqs) {
+      val (total, n) = (r.getLong(2), r.getLong(3))
+      assert(total <= budget || n == 1, s"bucket ${r.getLong(0)} seq ${r.getLong(1)}: $total in $n docs")
+    }
+  }
+
+  test("greedy is tight: consecutive sequences cannot merge") {
+    // for every non-final sequence in a bucket: its fill plus the
+    // FIRST doc of the next sequence must exceed the budget — else
+    // greedy would not have split there
+    val withCost = packed.join(docs.select("doc_id", "n_chars"), "doc_id")
+    val fills = withCost.groupBy("bucket", "seq").agg(F.sum("n_chars").as("fill"))
+    val heads = withCost.filter(F.col("slot") === 1)
+      .select(F.col("bucket"), F.col("seq"), F.col("n_chars").as("head_cost"))
+    val joined = fills.join(heads.withColumn("seq", F.col("seq") - 1), Seq("bucket", "seq"))
+      .collect()
+    assert(joined.nonEmpty)
+    for (r <- joined)
+      assert(r.getLong(2) + r.getLong(3) > budget,
+        s"bucket ${r.getLong(0)} seq ${r.getLong(1)}: ${r.getLong(2)}+${r.getLong(3)} <= $budget")
+  }
+
+  test("seq is dense from 0 and slot is dense from 1 in sorted order") {
+    val bySeq = packed.groupBy("bucket").agg(
+      F.min("seq").as("mn"), F.max("seq").as("mx"),
+      F.count_distinct(F.col("seq")).as("n")).collect()
+    for (r <- bySeq) {
+      assert(r.getLong(1) == 0, s"bucket ${r.getLong(0)}: first seq ${r.getLong(1)}")
+      assert(r.getLong(3) == r.getLong(2) + 1, s"bucket ${r.getLong(0)}: seqs not dense")
+    }
+    val bySlot = packed.groupBy("bucket", "seq").agg(
+      F.min("slot").as("mn"), F.max("slot").as("mx"), F.count(F.lit(1)).as("n")).collect()
+    for (r <- bySlot)
+      assert(r.getLong(2) == 1 && r.getLong(3) == r.getLong(4),
+        s"bucket ${r.getLong(0)} seq ${r.getLong(1)}: slots not dense")
+  }
+
+  test("assignment matches a driver-side replay of the greedy law") {
+    val input = docs.filter(F.col("n_chars") > 0)
+      .select(F.col("doc_id"), F.col("n_chars"),
+        Sampling.hash52(F.col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = input
+      .groupBy { case (id, _, h) => ((h % buckets) + buckets) % buckets }
+      .flatMap { case (bucket, ds) =>
+        var seq = 0L; var fill = 0L; var slot = 0L
+        ds.toList.sortBy { case (id, _, h) => (h, id) }.map { case (id, cost, _) =>
+          if (fill > 0 && fill + cost > budget) { seq += 1; fill = 0; slot = 0 }
+          fill += cost; slot += 1
+          (id, bucket, seq, slot)
+        }
+      }.toSet
+    val got = packed.select("doc_id", "bucket", "seq", "slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("an oversized doc is isolated in its own sequence") {
+    val data = Seq((1L, 300L), (2L, 5000L), (3L, 400L), (4L, 200L), (5L, 900L))
+      .toDF("doc_id", "n_chars")
+    val p = Packing.packGreedy(data, "doc_id", "n_chars", budget, buckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val oversizedSeq = p(2L)._1
+    assert(p.count { case (_, (s, _)) => s == oversizedSeq } == 1,
+      s"oversized doc must sit alone: $p")
+  }
+
+  test("null ids and non-positive costs are excluded") {
+    val data = Seq((Option(1L), Option(300L)), (Option.empty[Long], Option(10L)),
+        (Option(3L), Option(0L)), (Option(4L), Option.empty[Long]))
+      .toDF("doc_id", "n_chars")
+    val p = Packing.packGreedy(data, "doc_id", "n_chars", budget, buckets = 2)
+    assert(p.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+}
