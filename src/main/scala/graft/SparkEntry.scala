@@ -598,6 +598,15 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // line-level boilerplate removal: lines appearing in >= 2 distinct
+    // docs are chrome, everything else survives in order; on this
+    // single-line corpus that empties exact-duplicate docs (multi-line
+    // behavior is BoilerplateSpec's job)
+    "dedup_lines" -> ((s, d) => {
+      graft.operators.Boilerplate.dropBoilerplateLines(
+          Tables.documents(s, d), "doc_id", "text", minDf = 2)
+        .orderBy("doc_id")
+    }),
     // sequence packing: greedy fill of 1000-char context windows in
     // hash-bucketed (hash, id) order — streaming sorted-group scan,
     // O(1) state per bucket; oracle replays the law as a recursive CTE
@@ -1061,6 +1070,32 @@ object SparkEntry {
           |        FROM w, tot)
           |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < h
+          |ORDER BY d.doc_id""".stripMargin,
+      // line df over distinct docs, then anti-join + ordered rebuild;
+      // DuckDB groups raw lines where Spark groups md5(line) — equal
+      // up to md5 collisions (the dedup_exact equivalence)
+      "dedup_lines" ->
+        """WITH lines AS (
+          |  SELECT doc_id, ls[i] AS line, i AS pos
+          |  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents) t,
+          |       UNNEST(generate_series(1, len(ls))) AS u(i)),
+          |dfc AS (
+          |  SELECT line FROM (
+          |    SELECT line, COUNT(*) AS df FROM (
+          |      SELECT DISTINCT doc_id, line FROM lines WHERE line <> '') GROUP BY line)
+          |  WHERE df >= 2),
+          |kept AS (
+          |  SELECT l.doc_id, l.line, l.pos FROM lines l
+          |  LEFT JOIN dfc d ON l.line = d.line WHERE d.line IS NULL),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+          |         COUNT(*) AS n_kept
+          |  FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(r.clean_text, '') AS clean_text,
+          |       CAST(len(string_split(coalesce(d.text, ''), chr(10)))
+          |            - coalesce(r.n_kept, 0) AS BIGINT) AS lines_dropped
+          |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
       // replays Packing.packGreedy's law sequentially per bucket: all
       // quantities exact integers, same (hash, id) order — parity is
