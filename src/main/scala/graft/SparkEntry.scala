@@ -386,6 +386,38 @@ object SparkEntry {
         .orderBy(F.col("count_est").desc, F.col("item"))
     }),
 
+    // BigQuery ARRAY surface: ARRAY_AGG(... ORDER BY ... LIMIT 3) +
+    // UNNEST WITH OFFSET — per-customer top-3 orders as an ordered
+    // array, exploded back to scalar rows (arrays in the output frame
+    // are hash-fragile; scalar rows are the proven compare shape)
+    "q_array_ops" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(F.slice(F.reverse(F.array_sort(
+          F.collect_list(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))))), 1, 3).as("top3"))
+        .select(F.col("o_custkey"), F.posexplode(F.col("top3")))
+        .select(F.col("o_custkey"), F.col("pos"),
+          F.col("col.o_orderkey").as("orderkey"), F.col("col.o_totalprice").as("price"))
+        .orderBy("o_custkey", "pos")
+    }),
+    // BigQuery conditional scalar surface: COUNTIF, SAFE_DIVIDE
+    // (= nullif-guarded ANSI division), IFNULL, ANY_VALUE (sound for
+    // the oracle because c_name is functionally dependent on the
+    // grouping key after the join — any value IS the min)
+    "q_cond_ops" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(F.broadcast(Tables.customer(s, d)),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(
+          F.expr("any_value(c_name)").as("name"),
+          F.expr("count_if(o_orderstatus = 'F')").as("n_f"),
+          F.expr("count_if(o_orderstatus = 'O')").as("n_o"))
+        .withColumn("f_over_o",
+          F.expr("ifnull(cast(n_f as double) / cast(nullif(n_o, 0) as double), cast(-1 as double))"))
+        .orderBy("o_custkey")
+    }),
+
     // BigQuery correlated-scalar-subquery surface, through spark.sql
     // (planned as outer joins by both engines; integer/decimal outputs
     // keep hash parity trivially)
@@ -920,6 +952,28 @@ object SparkEntry {
           |  FROM events GROUP BY event_type
           |  ORDER BY count_est DESC, item LIMIT 3)
           |ORDER BY count_est DESC, item""".stripMargin,
+      // list(... ORDER BY price DESC, key DESC)[1:3] ≡ Spark's
+      // slice(reverse(array_sort(struct(price, key))), 1, 3); both
+      // sides explode to (custkey, pos, orderkey, price) scalar rows
+      "q_array_ops" ->
+        """WITH top3 AS (
+          |  SELECT o_custkey,
+          |         (list({'orderkey': o_orderkey, 'price': o_totalprice}
+          |                ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3] AS arr
+          |  FROM orders GROUP BY o_custkey)
+          |SELECT o_custkey, CAST(i - 1 AS INT) AS pos,
+          |       arr[i].orderkey AS orderkey, arr[i].price AS price
+          |FROM top3, UNNEST(generate_series(1, len(arr))) AS u(i)
+          |ORDER BY o_custkey, pos""".stripMargin,
+      "q_cond_ops" ->
+        """SELECT o_custkey, min(c_name) AS name,
+          |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+          |       coalesce(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+          |                / CAST(nullif(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE),
+          |                CAST(-1 AS DOUBLE)) AS f_over_o
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
       "q_corr_subquery" ->
         """SELECT c_custkey,
           |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
