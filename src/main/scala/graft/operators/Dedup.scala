@@ -164,12 +164,23 @@ object Dedup {
     */
   private def dropList(e: DataFrame, simCol: String,
                        nearPairsOfReps: DataFrame => DataFrame): DataFrame = {
-    val rep = e.groupBy("__key").agg(F.min("id").as("rep_id"))
-    val assign = e.join(rep, "__key")
-    val exactDrops = assign.filter(F.col("id") =!= F.col("rep_id"))
+    val payloadCols = e.columns.filter(c => c != "id" && c != "__key").toSeq
+    // ONE aggregate yields the representative (min-id) row per key —
+    // min_by over the full-row struct, so no join-back is needed to
+    // recover the representative's payload. This matters because the
+    // reps subtree is instantiated several times downstream (both LSH
+    // banding sides + both verify-join sides): as a single scan+agg it
+    // costs a fraction of the old groupBy+join shape per instance
+    // (the old shape re-scanned the source twice per use — 20 scans
+    // in the droplist plan; this one plans 6)
+    val rep = e.groupBy("__key").agg(
+      F.min_by(F.struct(("id" +: payloadCols).map(F.col): _*), F.col("id")).as("__rep"))
+    val exactDrops = e.join(rep.select(F.col("__key"), F.col("__rep.id").as("rep_id")), "__key")
+      .filter(F.col("id") =!= F.col("rep_id"))
       .select(F.col("id").as("drop_id"), F.col("rep_id").as("keep_id"),
         F.lit("exact").as("reason"), F.lit(1.0).as(simCol))
-    val reps = assign.filter(F.col("id") === F.col("rep_id"))
+    val reps = rep.select(
+      F.col("__rep.id").as("id") +: payloadCols.map(c => F.col(s"__rep.$c").as(c)) :+ F.col("__key"): _*)
     val nearDrops = nearPairsOfReps(reps)
       .groupBy(F.col("id_b").as("drop_id"))
       .agg(F.min(F.struct(F.col("id_a").as("keep_id"), F.col(simCol))).as("m"))
