@@ -60,8 +60,9 @@ object ScaleProbe {
 
     val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
-      "dedup_embedding_lsh", "dedup_embedding_droplist", "text_contamination",
-      "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
+      "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
+      "text_contamination", "corpus_mix", "pack_sequences", "q_approx_topk",
+      "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk")
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
       val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
