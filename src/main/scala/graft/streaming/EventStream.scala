@@ -196,4 +196,27 @@ object EventStream {
         }
         writeTarget(merged)
       }
+
+  /** G7: streaming corpus ingest — each micro-batch of documents
+    * dedups against the persisted [[graft.operators.DedupIndex]]
+    * (exact + near dups of everything already ingested, then of the
+    * batch itself) and only the survivors reach `writeSurvivors`. The
+    * index append keeps per-batch cost O(batch) no matter how large
+    * the accumulated corpus grows — the streaming face of C11, exactly
+    * as mergeSink is the streaming face of A3. At-least-once
+    * redelivery is absorbed by the index's idempotency: a redelivered
+    * doc matches its own already-appended signature and drops.
+    */
+  def dedupIngestSink(stream: DataFrame, indexName: String, indexPath: String,
+                      idCol: String, textCol: String, threshold: Double = 0.5,
+                      writeSurvivors: DataFrame => Unit = _ => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = graft.operators.DedupIndex.ingest(
+          batch.sparkSession, indexName, indexPath, batch, idCol, textCol, threshold)
+        writeSurvivors(survivors)
+      }
 }
