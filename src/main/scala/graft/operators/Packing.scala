@@ -36,6 +36,38 @@ object Packing {
   case class DocSlot(bucket: Long, h: Long, doc_id: Long, cost: Long)
   case class Packed(doc_id: Long, bucket: Long, seq: Long, slot: Long)
 
+  /** Materialize packed sequences as training shards: one row per
+    * SEQUENCE — (bucket, seq, text = member docs joined by `sep` in
+    * slot order, n_docs, total_cost) — written as bucket-partitioned
+    * parquet with `maxSeqsPerFile` bounding shard size (training
+    * loaders want many same-sized files, not one giant one; at 100 TB
+    * the writer's per-file record cap is what keeps shard size flat as
+    * the corpus grows). The assembly adds ONE shuffle on (bucket, seq)
+    * past [[packGreedy]]'s own; per-sequence state is bounded by the
+    * budget. The last mile of the corpus pipeline: mix (S4) → pack
+    * (S5) → export.
+    */
+  def exportSequences(df: DataFrame, idCol: String, textCol: String, costCol: String,
+                      budget: Long, buckets: Int, path: String,
+                      maxSeqsPerFile: Int = 1024, sep: String = "\n\n"): Unit = {
+    require(maxSeqsPerFile > 0, s"maxSeqsPerFile $maxSeqsPerFile must be positive")
+    val assigned = packGreedy(df, idCol, costCol, budget, buckets)
+    assigned
+      .join(df.select(F.col(idCol), F.col(textCol), F.col(costCol)), idCol)
+      .groupBy("bucket", "seq")
+      .agg(
+        F.concat_ws(sep,
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col(textCol)))),
+            x => x.getField(textCol))).as("text"),
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col(costCol)).cast("long").as("total_cost"))
+      .repartition(F.col("bucket"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxSeqsPerFile.toLong)
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
   /** Pack docs into `budget`-bounded sequences; returns one row per
     * doc: (idCol, bucket, seq, slot) with seq dense from 0 per bucket
     * and slot 1-based within the sequence.

@@ -93,6 +93,39 @@ class PackingSpec extends SparkSuite {
       s"oversized doc must sit alone: $p")
   }
 
+  test("exportSequences writes slot-ordered shards bounded by maxSeqsPerFile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-export-").toString
+    Packing.exportSequences(docs, "doc_id", "text", "n_chars", budget, buckets,
+      dir, maxSeqsPerFile = 5, sep = "")
+    val shards = spark.read.parquet(dir)
+    // every sequence from the assignment is exported, docs conserved
+    val nSeqs = packed.select("bucket", "seq").distinct().count()
+    assert(shards.count() == nSeqs)
+    val eligible = docs.filter(F.col("n_chars") > 0).count()
+    assert(shards.agg(F.sum("n_docs")).head().getLong(0) == eligible)
+    // text is the members joined in slot order
+    val wantText = packed.join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("bucket", "seq")
+      .agg(F.concat_ws("",
+        F.transform(F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("text")))),
+          x => x.getField("text"))).as("want"))
+    val joined = shards.join(wantText, Seq("bucket", "seq"))
+    assert(joined.filter(F.col("text") =!= F.col("want")).count() == 0)
+    assert(joined.count() == nSeqs)
+    // total_cost equals the sequence fill
+    val wantCost = packed.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("bucket", "seq").agg(F.sum("n_chars").as("want_cost"))
+    assert(shards.join(wantCost, Seq("bucket", "seq"))
+      .filter(F.col("total_cost") =!= F.col("want_cost")).count() == 0)
+    // shard-size bound: no parquet file holds more than maxSeqsPerFile rows
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files)
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 5,
+        s"${f.getName} exceeds maxSeqsPerFile")
+  }
+
   test("null ids and non-positive costs are excluded") {
     val data = Seq((Option(1L), Option(300L)), (Option.empty[Long], Option(10L)),
         (Option(3L), Option(0L)), (Option(4L), Option.empty[Long]))
