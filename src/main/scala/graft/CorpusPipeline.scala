@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.functions.text
+import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling}
+
+/** The corpus-preparation pipeline end-to-end: what [[FxPipeline]] is
+  * to the reference's FX DAGs, this is to the brief's LLM-training-data
+  * surface — the individual operators (quality/lang filters, PII
+  * redaction, boilerplate removal, dedup droplist, √-temperature mix,
+  * sequence packing, shard export) wired in their canonical order as
+  * ONE lazy plan per stage boundary, with `observe` metrics at every
+  * stage so a production run reports its own funnel (docs in → kept by
+  * filters → surviving dedup → selected by mix) without extra passes.
+  *
+  * Stage order is the standard one (filter cheap-first, dedup before
+  * mix so duplicate mass cannot distort source shares, pack last):
+  *
+  *   1. FILTER   — language allow-list + quality floor (map-only)
+  *   2. CLEAN    — PII redaction + cross-doc boilerplate line removal
+  *   3. DEDUP    — exact + MinHash-LSH droplist over the CLEANED text
+  *                 (cleaning first, or chrome/PII variants defeat
+  *                 exact-hash collapse)
+  *   4. MIX      — √-temperature source reweighting
+  *   5. PACK     — greedy budget packing → bucket-partitioned shards
+  *
+  * Every stage is deterministic (hash-law sampling, anchored-greedy
+  * packing), so re-running the pipeline on the same input byte-for-byte
+  * reproduces the shards — the property that makes a 100 TB corpus
+  * build debuggable at all.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3,
+      boilerplateMinDf: Int = 2,
+      dedupThreshold: Double = 0.5,
+      mixNumer: Int = 1, mixDenom: Int = 2,
+      packBudget: Long = 2048L, packBuckets: Int = 32,
+      maxSeqsPerShard: Int = 1024)
+
+  /** Stages 1–2: language/quality gate, then redaction + boilerplate
+    * removal. Returns (idCol, sourceCol, clean text under textCol).
+    */
+  def filterAndClean(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                     cfg: Config): DataFrame = {
+    val gated = docs
+      .observe("corpus_in", F.count(F.lit(1)).as("docs_in"))
+      .filter(text.langGuess(F.col(textCol)).isin(cfg.langs: _*) &&
+        text.qualityScore(F.col(textCol)) >= cfg.minQuality)
+      .select(F.col(idCol), F.col(sourceCol), text.redact(F.col(textCol)).as(textCol))
+      .observe("corpus_filtered", F.count(F.lit(1)).as("docs_kept"))
+    Boilerplate.dropBoilerplateLines(gated, idCol, textCol, cfg.boilerplateMinDf)
+      .join(gated.select(idCol, sourceCol), idCol)
+      .select(F.col(idCol), F.col(sourceCol), F.col("clean_text").as(textCol))
+  }
+
+  /** Stage 3: drop exact + near duplicates of the cleaned text (one
+    * row per survivor; the drop list itself is available separately
+    * via [[Dedup.textDropList]] for audit).
+    */
+  def dedup(cleaned: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val drops = Dedup.textDropList(cleaned, idCol, textCol, cfg.dedupThreshold)
+      .select(F.col("drop_id").as(idCol))
+    cleaned.join(drops, Seq(idCol), "left_anti")
+      .observe("corpus_deduped", F.count(F.lit(1)).as("docs_surviving"))
+  }
+
+  /** Stages 4–5: mix, pack, export. Writes shards to `shardPath` and
+    * returns the mixed frame (pre-packing) for inspection.
+    */
+  def mixAndPack(deduped: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                 shardPath: String, cfg: Config): DataFrame = {
+    val mixed = Mixing.temperatureMixBySqrt(deduped, idCol, sourceCol, cfg.mixNumer, cfg.mixDenom)
+      .withColumn("__cost", F.length(F.col(textCol)).cast("long"))
+      .observe("corpus_mixed", F.count(F.lit(1)).as("docs_selected"))
+    Packing.exportSequences(mixed, idCol, textCol, "__cost",
+      cfg.packBudget, cfg.packBuckets, shardPath, cfg.maxSeqsPerShard)
+    mixed.drop("__cost")
+  }
+
+  /** The whole pipeline: docs(id, text, source) → shards at
+    * `shardPath`; returns the surviving mixed docs.
+    */
+  def run(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+          sourceCol: String, shardPath: String, cfg: Config = Config()): DataFrame = {
+    val cleaned = filterAndClean(docs, idCol, textCol, sourceCol, cfg)
+    val survivors = dedup(cleaned, idCol, textCol, cfg)
+    mixAndPack(survivors, idCol, textCol, sourceCol, shardPath, cfg)
+  }
+}

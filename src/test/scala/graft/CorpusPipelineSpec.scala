@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+class CorpusPipelineSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val header = "SITE NAVIGATION: home about contact the and of to"
+
+  /** Synthetic corpus exercising every stage: boilerplate chrome,
+    * an exact dup pair, a near-dup pair, a junk (low-quality) doc,
+    * and skewed sources.
+    */
+  private lazy val corpus = {
+    val body = (1 to 40).map(i =>
+      (100L + i, s"$header\nthe quick document number $i talks about the state of the " +
+        s"engine and of the data it is processing in run $i today", "web"))
+    val rare = Seq(
+      (1L, s"$header\nthe rare book source document one about the history of the engine and its design", "books"),
+      (2L, s"$header\nthe rare book source document two about the future of the engine and its users", "books"))
+    val dups = Seq(
+      (11L, s"$header\nthe exact duplicate candidate document about the cost of the shuffle in the engine", "web"),
+      (12L, s"$header\nthe exact duplicate candidate document about the cost of the shuffle in the engine", "web"),
+      (13L, s"$header\nthe near duplicate candidate document about the cost of the shuffle in the engine today", "web"))
+    val junk = Seq((21L, "zzz", "web")) // fails the quality floor
+    (body ++ rare ++ dups ++ junk).toDF("doc_id", "text", "source")
+  }
+
+  test("end-to-end: filters junk, strips chrome, drops dups, mixes, packs, exports") {
+    val dir = Files.createTempDirectory("graft-corpus-").toString
+    val cfg = CorpusPipeline.Config(packBuckets = 4, packBudget = 512L, maxSeqsPerShard = 4)
+    val mixed = CorpusPipeline.run(spark, corpus, "doc_id", "text", "source", dir, cfg)
+      .cache()
+    val kept = mixed.select("doc_id").as[Long].collect().toSet
+
+    // junk doc gated out; at most one of the exact-dup pair (and the
+    // near dup of it) survives into the mix candidates
+    assert(!kept.contains(21L))
+    assert(Seq(11L, 12L, 13L).count(kept.contains) <= 1)
+
+    // chrome is stripped from every surviving doc
+    val texts = mixed.select("text").as[String].collect()
+    assert(texts.nonEmpty && texts.forall(!_.contains("SITE NAVIGATION")))
+
+    // shards exist, are readable, and every sequence respects the budget
+    val shards = spark.read.parquet(dir)
+    assert(shards.count() > 0)
+    assert(shards.agg(F.sum("n_docs")).head().getLong(0) == mixed.count())
+    val overBudget = shards.filter(F.col("total_cost") > cfg.packBudget && F.col("n_docs") > 1)
+    assert(overBudget.count() == 0)
+  }
+
+  test("the pipeline is deterministic: two runs produce identical shards") {
+    val d1 = Files.createTempDirectory("graft-corpus-a-").toString
+    val d2 = Files.createTempDirectory("graft-corpus-b-").toString
+    val cfg = CorpusPipeline.Config(packBuckets = 4, packBudget = 512L)
+    CorpusPipeline.run(spark, corpus, "doc_id", "text", "source", d1, cfg)
+    CorpusPipeline.run(spark, corpus, "doc_id", "text", "source", d2, cfg)
+    val a = spark.read.parquet(d1).orderBy("bucket", "seq")
+      .collect().map(_.toString).toSeq
+    val b = spark.read.parquet(d2).orderBy("bucket", "seq")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "same input must produce byte-identical shard rows")
+  }
+
+  test("dedup runs on CLEANED text: chrome variants still collapse as duplicates") {
+    // docs identical except for their (stripped) chrome line — exact
+    // dups only AFTER boilerplate removal
+    // each chrome line appears in TWO docs (so it clears minDf and is
+    // stripped); 31/32 share a payload but differ in chrome, so they
+    // become exact dups only AFTER cleaning
+    val tricky = corpus.unionByName(Seq(
+      (31L, s"EXTRA CHROME A: the and of to in is that it\nthe payload shared by chrome variants about the engine state",
+        "web"),
+      (32L, s"EXTRA CHROME B: the and of to in is that it\nthe payload shared by chrome variants about the engine state",
+        "web"),
+      (33L, s"EXTRA CHROME A: the and of to in is that it\nthe unrelated first filler document about the chrome host page",
+        "web"),
+      (34L, s"EXTRA CHROME B: the and of to in is that it\nthe unrelated second filler document about the chrome host page",
+        "web")).toDF("doc_id", "text", "source"))
+    val cleaned = CorpusPipeline.filterAndClean(tricky, "doc_id", "text", "source",
+      CorpusPipeline.Config())
+    val survivors = CorpusPipeline.dedup(cleaned, "doc_id", "text", CorpusPipeline.Config())
+      .select("doc_id").as[Long].collect().toSet
+    assert(Seq(31L, 32L).count(survivors.contains) <= 1,
+      s"chrome variants must collapse after cleaning: $survivors")
+  }
+}
