@@ -38,6 +38,19 @@ import graft.sources.Layout
   * Contract: ids must be unique corpus-wide (they are the index key);
   * the index stores ids and signatures only — corpus payloads live in
   * the caller's table layout.
+  *
+  * Concurrency/crash semantics: ingest is SINGLE-WRITER — two
+  * concurrent ingests each probe the pre-append index and can both
+  * admit the same near-dup (the check-then-append race the reference's
+  * idempotent DAG also serializes; run ingests from one scheduler
+  * slot, as [[Layout.compactDays]] documents for compaction vs
+  * ingest). A crash between the sig and band appends leaves the tail
+  * batch's docs invisible to candidate probes, so re-ingesting that
+  * batch re-admits them and appends again. RESULTS stay correct —
+  * duplicate index rows only fan out candidate pairs, and the
+  * `distinct()` on candidates plus the drop-set `distinct()` absorb
+  * the fan-out — but the index accrues redundant rows bounded by the
+  * crashed batch (rebuild with `create` to reclaim).
   */
 object DedupIndex {
 

@@ -91,6 +91,29 @@ class DedupIndexSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("empty batch ingests as a no-op") {
+    val path = freshIndex("empty")
+    val s = DedupIndex.ingest(spark, "dix_empty", path,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(s.count() == 0)
+    assert(spark.table("dix_empty_sigs").count() == corpusRows.size)
+  }
+
+  test("duplicate index rows (crash-retry residue) fan out candidates but not results") {
+    val path = freshIndex("crash")
+    // simulate a crash-retry double append: every corpus sig/band row twice
+    val sigs = spark.table("dix_crash_sigs")
+    sigs.write.mode("append").format("parquet")
+      .bucketBy(4, "id").sortBy("id").saveAsTable("dix_crash_sigs")
+    val bands = spark.table("dix_crash_bands")
+    bands.write.mode("append").format("parquet")
+      .bucketBy(4, "band", "bucket").sortBy("band", "bucket").saveAsTable("dix_crash_bands")
+    val survivors = DedupIndex.ingest(spark, "dix_crash", path,
+        batchRows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(13L, 14L), s"duplicate index rows must not change results: $survivors")
+  }
+
   test("survivors keep the batch's full schema") {
     val path = freshIndex("schema")
     val batch = batchRows.toDF("doc_id", "text").withColumn("source", F.lit("crawl"))

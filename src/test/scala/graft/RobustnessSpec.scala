@@ -27,6 +27,38 @@ class RobustnessSpec extends SparkSuite {
     assert(Upsert.merge(empty, target, Seq("k")).count() == 1)
   }
 
+  test("round-4 operators degrade cleanly on empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(graft.operators.Mixing
+      .temperatureMixBySqrt(emptyDocs, "doc_id", "source", 1, 2).count() == 0)
+    assert(graft.operators.Packing
+      .packGreedy(emptyDocs.withColumn("n", F.lit(1L)), "doc_id", "n", 100L, 4).count() == 0)
+    assert(graft.operators.Boilerplate
+      .dropBoilerplateLines(emptyDocs, "doc_id", "text", 2).count() == 0)
+    assert(graft.operators.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+
+    // single-source mix degenerates to the plain hash split fraction
+    val one = (1 to 400).map(i => (i.toLong, "only")).toDF("doc_id", "source")
+    val kept = graft.operators.Mixing
+      .temperatureMixBySqrt(one, "doc_id", "source", 1, 2).count()
+    val split = graft.operators.Sampling.splitByHash(one, "doc_id", 1, 2)
+      .filter(F.col("split") === "train").count()
+    assert(kept == split, s"single-source mix $kept must equal the 1/2 hash split $split")
+
+    // mix fraction bounds reject loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Mixing.temperatureMixBySqrt(one, "doc_id", "source", 3, 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.packGreedy(one.withColumn("n", F.lit(1L)), "doc_id", "n", 0L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Boilerplate.dropBoilerplateLines(one.withColumn("text", F.lit("x")),
+        "doc_id", "text", 1)
+    }
+  }
+
   test("GraftSql.merge degrades cleanly on edge inputs") {
     // empty source: target unchanged under both statement forms
     Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("rtgt")
