@@ -255,10 +255,41 @@ object Similarity {
                   bands: Int = 8, multiprobe: Boolean = true,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    // one quantize pass; in a persisted deployment this column is what
-    // sits on disk (see bruteForceTopKInt8)
+    // one quantize pass; the persisted deployment shape is
+    // writeInt8CodesLayout + lshTopKInt8FromLayout
     val qc = corpus.select(F.col(idCol),
       native.int8_quantize(F.col(vecCol)).getField("codes").cast("array<float>").as("__codes"))
+    int8CodesTopK(qc, queries, k, planes, bands, multiprobe, idCol, qidCol, qvecCol)
+  }
+
+  /** Persist the int8 codes column: (idCol, codes array<tinyint>) —
+    * ~1 byte per element on disk (parquet dictionary/bit-pack) vs 4
+    * for the float vectors. Queries over the layout
+    * ([[lshTopKInt8FromLayout]]) scan ONLY this narrow table; the
+    * float corpus is never read (spec-asserted on the scan schema).
+    * Quantize once at write time, not per query — the D4 layout
+    * principle applied to the code representation.
+    */
+  def writeInt8CodesLayout(corpus: DataFrame, path: String,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(F.col(idCol),
+        native.int8_quantize(F.col(vecCol)).getField("codes").as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[lshTopKInt8]] over a persisted [[writeInt8CodesLayout]] table. */
+  def lshTopKInt8FromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                            queries: DataFrame, k: Int, planes: Int = 48,
+                            bands: Int = 8, multiprobe: Boolean = true,
+                            idCol: String = "vec_id",
+                            qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val qc = spark.read.parquet(path)
+      .select(F.col(idCol), F.col("codes").cast("array<float>").as("__codes"))
+    int8CodesTopK(qc, queries, k, planes, bands, multiprobe, idCol, qidCol, qvecCol)
+  }
+
+  private def int8CodesTopK(qc: DataFrame, queries: DataFrame, k: Int, planes: Int,
+                            bands: Int, multiprobe: Boolean,
+                            idCol: String, qidCol: String, qvecCol: String): DataFrame = {
     val c = Lsh.hyperplaneBands(qc, idCol, "__codes", planes, bands,
         probe = false, keepVec = true)
       .withColumnRenamed("band", "c_band").withColumnRenamed("bucket", "c_bucket")

@@ -74,6 +74,24 @@ class SimilaritySpec extends SparkSuite {
       assert(ri >= fi - 0.1, s"query $qi: int8 LSH recall $ri vs float $fi")
   }
 
+  test("int8 codes layout: from-layout results equal the inline path and never read floats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8-layout-").toString
+    Similarity.writeInt8CodesLayout(corpus, dir)
+    val fromLayout = Similarity.lshTopKInt8FromLayout(spark, dir, queries, 10)
+    val inline = Similarity.lshTopKInt8(corpus, queries, 10)
+    assert(fromLayout.collect().map(_.toString).sorted.toSeq ==
+      inline.collect().map(_.toString).sorted.toSeq)
+    // the CORPUS side scans only the narrow codes table; the float
+    // embeddings file may appear ONLY as the tiny query side (its scan
+    // carries the query predicate vec_id < 5, pushed to parquet)
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan"))
+    assert(scans.exists(_.contains("codes:array<tinyint>")), "codes layout must be scanned")
+    val floatScans = scans.filter(_.contains("embedding:array<float>"))
+    assert(floatScans.forall(_.contains("LessThan(vec_id,5)")),
+      s"every float scan must be the filtered query side:\n${floatScans.mkString("\n")}")
+  }
+
   test("multiprobe only widens the candidate set: recall dominates single-probe") {
     val single = recalls(Similarity.lshTopK(corpus, queries, 10, multiprobe = false))
     val multi = recalls(Similarity.lshTopK(corpus, queries, 10, multiprobe = true))
