@@ -389,15 +389,22 @@ object SparkEntry {
     // BigQuery ARRAY surface: ARRAY_AGG(... ORDER BY ... LIMIT 3) +
     // UNNEST WITH OFFSET — per-customer top-3 orders as an ordered
     // array, exploded back to scalar rows (arrays in the output frame
-    // are hash-fragile; scalar rows are the proven compare shape)
+    // are hash-fragile; scalar rows are the proven compare shape).
+    // The bounded top_k_payload aggregate is the point: ARRAY_AGG with
+    // LIMIT k must hold O(k) state per key, not collect_list's whole
+    // group (PlanSpec asserts no collect_list survives in this plan).
+    // ORDER BY price DESC, key DESC ⇒ tieId = -key (asc on the
+    // negation); the payload struct carries the output columns.
     "q_array_ops" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(F.slice(F.reverse(F.array_sort(
-          F.collect_list(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))))), 1, 3).as("top3"))
+        .agg(graft.functions.aggregates.top_k_payload(
+          F.col("o_totalprice"), -F.col("o_orderkey"),
+          F.struct(F.col("o_orderkey").as("orderkey"), F.col("o_totalprice").as("price")),
+          3).as("top3"))
         .select(F.col("o_custkey"), F.posexplode(F.col("top3")))
         .select(F.col("o_custkey"), F.col("pos"),
-          F.col("col.o_orderkey").as("orderkey"), F.col("col.o_totalprice").as("price"))
+          F.col("col.orderkey").as("orderkey"), F.col("col.price").as("price"))
         .orderBy("o_custkey", "pos")
     }),
     // BigQuery conditional scalar surface: COUNTIF, SAFE_DIVIDE

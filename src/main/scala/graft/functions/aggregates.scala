@@ -111,9 +111,147 @@ case class TopKByScore(
     copy(score = cs(0), id = cs(1))
 }
 
+/** [[TopKBuffer]] with an opaque payload value carried per entry —
+  * same bounded O(k) state and best-first parallel arrays.
+  */
+final class TopKPayloadBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val payloads = new Array[Any](k)
+  var size = 0
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
+
+  def insert(s0: Double, id: Long, p: Any): Unit = {
+    val s = s0 + 0.0 // normalize -0.0 (see TopKBuffer)
+    if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return
+    var pos = if (size < k) size else k - 1
+    while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) {
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); payloads(pos) = payloads(pos - 1)
+      pos -= 1
+    }
+    scores(pos) = s; ids(pos) = id; payloads(pos) = p
+    if (size < k) size += 1
+  }
+
+  def mergeFrom(other: TopKPayloadBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i), other.payloads(i)); i += 1 }
+  }
+}
+
+/** Bounded ARRAY_AGG(payload ORDER BY score DESC, tieId ASC LIMIT k):
+  * the k best payload values per group, in rank order. BigQuery's
+  * `ARRAY_AGG(x ORDER BY s DESC LIMIT k)` compiles to exactly this
+  * bounded shape; Spark's only built-in spelling is
+  * slice(reverse(array_sort(collect_list(...)))), which buffers EVERY
+  * row of the group in one aggregation buffer before sorting — on a
+  * skewed key at 100 TB that buffer is the OOM. Here map-side partials
+  * carry ≤ k payloads per partition into the exchange, like
+  * [[TopKByScore]], with the payload riding in the buffer (serialized
+  * via UnsafeProjection, so any Spark SQL type works).
+  *
+  * Descending-score / ascending-tie is the fixed contract; for a
+  * descending tie-break pass the negated id (ORDER BY price DESC, key
+  * DESC ≡ tieId = -key).
+  */
+case class TopKPayloadByScore(
+    score: Expression, id: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPayloadBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id, payload)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_payload"
+  override def dataType: DataType =
+    ArrayType(payload.dataType, containsNull = payload.nullable)
+
+  @transient private lazy val payloadProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Array(payload.dataType))
+  @transient private lazy val payloadRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+  override def createAggregationBuffer(): TopKPayloadBuffer = new TopKPayloadBuffer(k)
+
+  override def update(buf: TopKPayloadBuffer, input: InternalRow): TopKPayloadBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      // copy: eval of struct/array children may return a reused row
+      val p = InternalRow.copyValue(payload.eval(input))
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long], p)
+    }
+    buf
+  }
+
+  override def merge(buf: TopKPayloadBuffer, other: TopKPayloadBuffer): TopKPayloadBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKPayloadBuffer): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) { out(i) = buf.payloads(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKPayloadBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out.writeDouble(buf.scores(i)); out.writeLong(buf.ids(i))
+      payloadRow.update(0, buf.payloads(i))
+      val bytes = payloadProj(payloadRow).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPayloadBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKPayloadBuffer(k)
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble(); val id = in.readLong()
+      val len = in.readInt()
+      val pb = new Array[Byte](len)
+      in.readFully(pb)
+      row.pointTo(pb, len)
+      // copy out of the transient byte buffer before the next iteration
+      buf.insert(s, id, InternalRow.copyValue(row.get(0, payload.dataType)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPayloadByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPayloadByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKPayloadByScore =
+    copy(score = cs(0), id = cs(1), payload = cs(2))
+}
+
 object aggregates {
   /** Column form: array of the k best (score, id) structs per group. */
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKByScore(Bridge.expression(score), Bridge.expression(id), k).toAggregateExpression())
+
+  /** Bounded ARRAY_AGG(... ORDER BY score DESC, tieId ASC LIMIT k):
+    * array of the k best `payload` values per group, rank-ordered.
+    */
+  def top_k_payload(score: Column, tieId: Column, payload: Column, k: Int): Column =
+    Bridge.column(
+      TopKPayloadByScore(
+        Bridge.expression(score.cast("double")), Bridge.expression(tieId.cast("long")),
+        Bridge.expression(payload), k).toAggregateExpression())
 }

@@ -162,6 +162,18 @@ class PlanSpec extends SparkSuite {
       "corpus x queries must go through the broadcast join")
   }
 
+  test("q_array_ops plans the bounded top-k aggregate, not a whole-group collect_list") {
+    val df = SparkEntry.queries("q_array_ops")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"),
+      s"ARRAY_AGG(... LIMIT k) must not buffer whole groups: ${p.take(1500)}")
+    assert(p.contains("top_k_payload"), p.take(1500))
+    // partial aggregation runs map-side: ObjectHashAggregate appears in
+    // both partial and final mode around the exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
   test("compactDays collapses crowded day partitions, leaves quiet days' files untouched") {
     val out = Files.createTempDirectory("graft-compact-").toString
     val e = Tables.events(spark, sf)
