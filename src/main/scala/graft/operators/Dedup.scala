@@ -243,9 +243,12 @@ object Dedup {
     * Each round is two keyed aggregate+join passes over the edge set —
     * no collect, no driver-side graph. The edge set only shrinks toward
     * the final star edges (one per non-root node, ≤ initial |pairs|),
-    * and lineage is truncated per round with `localCheckpoint` (on a
-    * real cluster swap in reliable `checkpoint` against the job's
-    * checkpoint dir — same algebra). Convergence is detected by a
+    * and lineage is truncated per round via [[Staging.stage]]: pass
+    * `checkpointDir = Some(dir)` on a real cluster (durable stages —
+    * an executor loss mid-iteration recomputes from files; each round
+    * drops the previous round's stage, the last one lives until the
+    * caller deletes `dir`), leave `None` on local[n] (executor-block
+    * `localCheckpoint`). Convergence is detected by a
     * (count, hash-sum) signature — two scalar aggregates, no edge-set
     * diff shuffle; `maxIter` (default 30 ≳ log²(10⁹)) bounds the loop
     * and non-convergence throws rather than returning a wrong answer.
@@ -255,7 +258,8 @@ object Dedup {
     * (they have no pairs) — callers wanting them can left-join.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // canonical undirected edges u < v; null ids can't cluster
     val init = pairs
       .select(F.least(F.col(aCol), F.col(bCol)).as("u"),
@@ -289,12 +293,14 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var edges = init.localCheckpoint()
+    var edges = Staging.stage(init, checkpointDir, "edges-0")
     var sig = signature(edges)
     var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = Staging.stage(smallStar(largeStar(edges)), checkpointDir, s"edges-${iter + 1}")
+      // the new stage is durable: the previous round's files are garbage
+      checkpointDir.foreach(d => Staging.drop(pairs.sparkSession, s"$d/edges-$iter"))
       val next = signature(edges)
       converged = next == sig
       sig = next

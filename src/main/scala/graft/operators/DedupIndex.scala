@@ -109,16 +109,26 @@ object DedupIndex {
   /** Dedup `batch` against the index (then against itself), append the
     * survivors' signatures, and return the surviving batch rows with
     * their original schema. Set `append = false` for a dry-run check.
+    *
+    * `checkpointDir`: staging durability for the materialized batch
+    * signatures and survivor set ([[Staging]] — `None` =
+    * `localCheckpoint`, executor-block-backed, the local[n] default;
+    * `Some(dir)` = durable parquet stages, the cluster setting: an
+    * executor loss mid-ingest recomputes from files instead of killing
+    * the job on truncated lineage). The returned frame reads from the
+    * last stage — delete `dir` only after consuming it.
     */
   def ingest(spark: SparkSession, name: String, path: String,
              batch: DataFrame, idCol: String, textCol: String,
-             threshold: Double = 0.5, append: Boolean = true): DataFrame = {
+             threshold: Double = 0.5, append: Boolean = true,
+             checkpointDir: Option[String] = None): DataFrame = {
     val m = readMeta(spark, path)
     // the batch is bounded (that is the point of incremental ingest) —
     // materialize its signatures once instead of re-sketching per use
-    // (probe, verify, internal pairs, append); executor-block-backed,
-    // same pattern as FxPipeline's batch staging
-    val bsigs = Dedup.signatures(batch, idCol, textCol, m.k).select("id", "sig").localCheckpoint()
+    // (probe, verify, internal pairs, append); same pattern as
+    // FxPipeline's batch staging
+    val bsigs = Staging.stage(
+      Dedup.signatures(batch, idCol, textCol, m.k).select("id", "sig"), checkpointDir, "batch-sigs")
     val probe = bandedOf(bsigs, m).select(
       F.col("id").as("batch_id"), F.col("band"), F.col("bucket"))
     val candidates = spark.table(bandTable(name))
@@ -138,16 +148,24 @@ object DedupIndex {
     // the pre-append index state — lazily evaluated after the append,
     // the dedup would re-run against the grown index and every
     // survivor would match its own just-appended signature (an empty
-    // result). Executor-block-backed like the batch signatures.
-    val survivors = afterCorpus.join(internalDrops,
-      afterCorpus(idCol) === internalDrops("__drop"), "left_anti").localCheckpoint()
+    // result). Staged like the batch signatures.
+    val survivors = Staging.stage(
+      afterCorpus.join(internalDrops,
+        afterCorpus(idCol) === internalDrops("__drop"), "left_anti"),
+      checkpointDir, "survivors")
     if (append) {
-      val newSigs = Dedup.signatures(survivors, idCol, textCol, m.k).select("id", "sig")
-        .localCheckpoint()
+      val newSigs = Staging.stage(
+        Dedup.signatures(survivors, idCol, textCol, m.k).select("id", "sig"),
+        checkpointDir, "new-sigs")
       newSigs.write.mode("append").format("parquet")
         .bucketBy(m.buckets, "id").sortBy("id").saveAsTable(sigTable(name))
       bandedOf(newSigs, m).write.mode("append").format("parquet")
         .bucketBy(m.buckets, "band", "bucket").sortBy("band", "bucket").saveAsTable(bandTable(name))
+      // both appends are complete: the sig stage is garbage (the
+      // survivors stage still backs the returned frame — caller-owned)
+      checkpointDir.foreach { d =>
+        Staging.drop(spark, s"$d/new-sigs"); Staging.drop(spark, s"$d/batch-sigs")
+      }
     }
     survivors
   }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Lineage truncation for iterative / multi-stage operators, with a
+  * caller-chosen durability level.
+  *
+  * `localCheckpoint` blocks live on EXECUTORS: fast (no FS round
+  * trip), but losing one executor mid-job kills the computation
+  * unrecoverably — truncated lineage cannot recompute. That is an
+  * acceptable trade on local[n] (one JVM: if it dies the job dies
+  * anyway) and a bad one on a 1000-executor cluster, where executor
+  * churn is routine. Operators that truncate lineage therefore take
+  * `checkpointDir: Option[String]`:
+  *
+  *  - `None`   → `localCheckpoint()` (single-JVM / dev default);
+  *  - `Some(d)`→ a durable parquet stage under `d` — any executor loss
+  *    recomputes from the staged files, like `RDD.checkpoint` but with
+  *    columnar storage, deterministic per-stage paths, and explicit
+  *    cleanup (Spark's own checkpoint files are neither inspectable
+  *    nor reliably cleaned).
+  *
+  * Ownership contract: the LAST stage backs whatever frame the
+  * operator returns, so the operator must not delete it; the caller
+  * deletes `checkpointDir` when done with the result. Intermediate
+  * stages are the operator's to drop as soon as a later stage has
+  * materialized.
+  */
+object Staging {
+
+  /** Truncate `df`'s lineage under the chosen durability level.
+    * `name` keys the stage's subdirectory (must be unique within one
+    * operator invocation's `checkpointDir`).
+    */
+  def stage(df: DataFrame, checkpointDir: Option[String], name: String): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+    }
+
+  /** Recursively delete a staged path (no-op if absent). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}

@@ -52,6 +52,26 @@ class DedupIndexSpec extends SparkSuite {
     assert(again.count() == 0, "idempotency: previously-appended survivors must now match")
   }
 
+  test("ingest reliable-checkpoint path: identical survivors, only the survivors stage remains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix-ckpt-").toString
+    val path = freshIndex("ckpt")
+    val survivors = DedupIndex.ingest(spark, "dix_ckpt", path,
+        batchRows.toDF("doc_id", "text"), "doc_id", "text", checkpointDir = Some(dir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(13L, 14L), s"got $survivors")
+    // batch-sigs and new-sigs are dropped once the appends land; the
+    // survivors stage backs the returned frame (caller deletes the dir)
+    val stages = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(stages == Set("survivors"), s"got $stages")
+    // idempotency through the durable path too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-dix-ckpt2-").toString
+    val again = DedupIndex.ingest(spark, "dix_ckpt", path,
+      batchRows.toDF("doc_id", "text"), "doc_id", "text", checkpointDir = Some(dir2))
+    assert(again.count() == 0)
+    graft.operators.Staging.drop(spark, dir)
+    graft.operators.Staging.drop(spark, dir2)
+  }
+
   test("append=false is a dry run: the index does not grow") {
     val path = freshIndex("dry")
     val a = DedupIndex.ingest(spark, "dix_dry", path,

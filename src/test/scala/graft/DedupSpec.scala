@@ -193,6 +193,23 @@ class DedupSpec extends SparkSuite {
     assert(empty.count() == 0)
   }
 
+  test("connectedComponents reliable-checkpoint path: identical result, intermediate stages cleaned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-").toString
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val durable = Dedup.connectedComponents(chain, "id_a", "id_b", checkpointDir = Some(dir))
+    val got = durable.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == local)
+    // rotation: every round dropped its predecessor — exactly one
+    // edges-* stage (the last, backing the returned frame) remains
+    val stages = new java.io.File(dir).listFiles().filter(_.getName.startsWith("edges-"))
+    assert(stages.length == 1, s"stale stages: ${stages.map(_.getName).mkString(",")}")
+    // caller-owned cleanup releases everything
+    graft.operators.Staging.drop(spark, dir)
+    assert(!new java.io.File(dir).exists())
+  }
+
   test("embedding pairs match brute-force within-cell cosine at threshold") {
     val e = Tables.embeddings(spark, sf)
     val got = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", threshold = 0.3)
