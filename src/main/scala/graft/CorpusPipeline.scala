@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.functions.text
-import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling}
+import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling, Staging}
 
 /** The corpus-preparation pipeline end-to-end: what [[FxPipeline]] is
   * to the reference's FX DAGs, this is to the brief's LLM-training-data
@@ -38,10 +38,22 @@ object CorpusPipeline {
       dedupThreshold: Double = 0.5,
       mixNumer: Int = 1, mixDenom: Int = 2,
       packBudget: Long = 2048L, packBuckets: Int = 32,
-      maxSeqsPerShard: Int = 1024)
+      maxSeqsPerShard: Int = 1024,
+      stagingDir: Option[String] = None)
 
   /** Stages 1–2: language/quality gate, then redaction + boilerplate
     * removal. Returns (idCol, sourceCol, clean text under textCol).
+    *
+    * The gate (langGuess + qualityScore + redact — three regex-heavy
+    * passes over full text, the pipeline's most expensive map stage)
+    * is STAGED so it evaluates exactly once: boilerplate removal
+    * references its input several times (df/droplist/rebuild
+    * subtrees), and an unstaged plan would re-run the regexes per
+    * reference — and double-fire the `corpus_filtered` observe
+    * metric. `cfg.stagingDir` picks the durability ([[Staging]]:
+    * None = localCheckpoint, Some(dir) = durable parquet — the
+    * cluster setting). `sourceCol` rides through the boilerplate pass
+    * as a payload column instead of a join-back against the gate.
     */
   def filterAndClean(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
                      cfg: Config): DataFrame = {
@@ -51,8 +63,9 @@ object CorpusPipeline {
         text.qualityScore(F.col(textCol)) >= cfg.minQuality)
       .select(F.col(idCol), F.col(sourceCol), text.redact(F.col(textCol)).as(textCol))
       .observe("corpus_filtered", F.count(F.lit(1)).as("docs_kept"))
-    Boilerplate.dropBoilerplateLines(gated, idCol, textCol, cfg.boilerplateMinDf)
-      .join(gated.select(idCol, sourceCol), idCol)
+    val staged = Staging.stage(gated, cfg.stagingDir, "gated")
+    Boilerplate.dropBoilerplateLines(staged, idCol, textCol, cfg.boilerplateMinDf,
+        payloadCols = Seq(sourceCol))
       .select(F.col(idCol), F.col(sourceCol), F.col("clean_text").as(textCol))
   }
 

@@ -22,27 +22,41 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * lines), `broadcastDroplist = false` routes the anti-join through a
   * plain shuffle instead (same guard the tfidf idf table has).
   *
+  * The input is scanned ONCE: per-doc line totals (and any
+  * `payloadCols` riding along) come from the same exploded-lines
+  * subtree as the rebuild, aggregated per doc and joined to the
+  * rebuilt text on the id partitioning both aggregations already
+  * share (exchange reuse — no second scan of `df`, no self-join).
+  * That matters when `df` is an expensive subtree (CorpusPipeline's
+  * regex gate): the number of upstream evaluations stays constant
+  * instead of doubling.
+  *
   * Contract: empty lines are structure, not content — they never count
   * toward df and are never dropped, so paragraph breaks survive
   * cleaning. Line matching is exact (md5 of the raw line; 128-bit
-  * space makes collisions ignorable, as in dedup_exact).
+  * space makes collisions ignorable, as in dedup_exact). Ids must be
+  * unique (duplicate ids would collapse into one output row).
   */
 object Boilerplate {
 
-  /** Returns (idCol, clean text under `outCol`, `lines_dropped`) —
-    * one row per input row, text rebuilt from surviving lines in
-    * original order; a doc whose every line is boilerplate keeps an
-    * empty string.
+  /** Returns (idCol, payloadCols..., clean text under `outCol`,
+    * `lines_dropped`) — one row per input id, text rebuilt from
+    * surviving lines in original order; a doc whose every line is
+    * boilerplate keeps an empty string. `payloadCols` are carried
+    * through unchanged (constant per id), saving the caller a
+    * join-back against the (possibly expensive) input subtree.
     */
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String, minDf: Int,
                            broadcastDroplist: Boolean = true,
-                           outCol: String = "clean_text"): DataFrame = {
+                           outCol: String = "clean_text",
+                           payloadCols: Seq[String] = Nil): DataFrame = {
     require(minDf >= 2, s"minDf $minDf must be >= 2 (1 would drop every line)")
     val id = F.col(idCol)
+    val pays = payloadCols.map(F.col)
     // staged split: one split() per row, never under a lambda
     val lines = df
-      .select(id, F.split(F.coalesce(F.col(textCol), F.lit("")), "\n").as("__ls"))
-      .select(id, F.posexplode(F.col("__ls")).as(Seq("__pos", "__line")))
+      .select(id +: pays :+ F.split(F.coalesce(F.col(textCol), F.lit("")), "\n").as("__ls"): _*)
+      .select(id +: pays :+ F.posexplode(F.col("__ls")).as(Seq("__pos", "__line")): _*)
     val droplist = lines
       .filter(F.col("__line") =!= "")
       .select(id, F.md5(F.col("__line")).as("__lh")).distinct()
@@ -56,11 +70,16 @@ object Boilerplate {
         F.transform(F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__line")))),
           (x: Column) => x.getField("__line"))).as(outCol),
       F.count(F.lit(1)).as("__kept"))
-    df.select(id, F.col(textCol))
-      .withColumn("__total", F.size(F.split(F.coalesce(F.col(textCol), F.lit("")), "\n")).cast("long"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(id,
-        F.coalesce(F.col(outCol), F.lit("")).as(outCol),
-        (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0L))).as("lines_dropped"))
+    // per-doc totals + payload from the SAME lines subtree (split("")
+    // yields one element, so every id has ≥1 line row); first() is
+    // sound — payloads are constant within an id
+    val totals = lines.groupBy(idCol).agg(
+      F.count(F.lit(1)).as("__total"),
+      payloadCols.map(c => F.first(F.col(c)).as(c)): _*)
+    // a doc whose every non-empty line is boilerplate has no kept rows
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(id +: pays :+
+        F.coalesce(F.col(outCol), F.lit("")).as(outCol) :+
+        (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0L))).as("lines_dropped"): _*)
   }
 }

@@ -63,4 +63,18 @@ class BoilerplateSpec extends SparkSuite {
     assert(out.count() == corpus.count())
     assert(out.select("doc_id").distinct().count() == corpus.count())
   }
+
+  test("payloadCols ride through unchanged, in schema order, without a join-back") {
+    val withSrc = corpus.withColumn("source", F.concat(F.lit("s"), F.col("doc_id") % 2))
+    val out = Boilerplate.dropBoilerplateLines(withSrc, "doc_id", "text", 3,
+      payloadCols = Seq("source"))
+    assert(out.columns.toSeq == Seq("doc_id", "source", "clean_text", "lines_dropped"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == withSrc.select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // the cleaned text is identical with or without payload threading
+    val base = cleanMap(3)
+    val withPay = out.collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(withPay == base)
+  }
 }

@@ -66,6 +66,39 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(a == b, "same input must produce byte-identical shard rows")
   }
 
+  test("the regex gate evaluates once: downstream plans read the stage, not the gate subtree") {
+    val cleaned = CorpusPipeline.filterAndClean(corpus, "doc_id", "text", "source",
+      CorpusPipeline.Config())
+    val plan = cleaned.queryExecution.optimizedPlan.toString
+    // staging materialized langGuess/quality/redact already — if any
+    // regex or observe node survives here, the gate would re-run per
+    // downstream reference (and double-fire the funnel metric)
+    assert(!plan.toLowerCase.contains("regexp"), plan.take(1500))
+    assert(!plan.contains("CollectMetrics"), plan.take(1500))
+    // durable staging path: byte-identical result
+    val dir = Files.createTempDirectory("graft-corpus-stage-").toString
+    val durable = CorpusPipeline.filterAndClean(corpus, "doc_id", "text", "source",
+      CorpusPipeline.Config(stagingDir = Some(s"$dir/stages")))
+    assert(durable.orderBy("doc_id").collect().toSeq == cleaned.orderBy("doc_id").collect().toSeq)
+    graft.operators.Staging.drop(spark, dir)
+  }
+
+  test("funnel metrics fire exactly once per run") {
+    import org.apache.spark.sql.Observation
+    // Observation registers a listener keyed to the observe name; a
+    // double-evaluated gate subtree would throw on re-registration or
+    // report a doubled count. 43 gated docs = 48 - junk(21) - 4 books/web
+    // chrome... counted directly against the corpus below.
+    val obs = Observation("corpus_gate_check")
+    val gated = corpus
+      .observe(obs, F.count(F.lit(1)).as("docs_in"))
+    val cfg = CorpusPipeline.Config()
+    val cleaned = CorpusPipeline.filterAndClean(gated, "doc_id", "text", "source", cfg)
+    cleaned.collect()
+    assert(obs.get("docs_in") == corpus.count(),
+      "the input subtree must be evaluated exactly once (staged), not once per reference")
+  }
+
   test("dedup runs on CLEANED text: chrome variants still collapse as duplicates") {
     // docs identical except for their (stripped) chrome line — exact
     // dups only AFTER boilerplate removal
