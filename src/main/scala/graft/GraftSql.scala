@@ -52,6 +52,102 @@ import graft.operators.Upsert
   */
 object GraftSql {
 
+  /** One SQL entry point for every load idiom the reference's DAGs
+    * use: dispatches on the parsed statement class —
+    * `MERGE` → [[merge]], `INSERT INTO ... SELECT` → [[insert]],
+    * `CREATE TABLE ... AS SELECT` → [[createTableAs]]. A migrating
+    * BigQuery user feeds their load scripts here unchanged.
+    */
+  def load(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case _: MergeIntoTable => merge(spark, sql)
+      case _: InsertIntoStatement => insert(spark, sql)
+      case _: CreateTableAsSelect => createTableAs(spark, sql)
+      case other => throw new IllegalArgumentException(
+        s"not a load statement (parsed to ${other.nodeName}); " +
+          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT")
+    }
+
+  /** SQL-statement INSERT — the reference's two non-MERGE load
+    * dispositions as SQL text (the DAGs issue them through the client
+    * API: WRITE_APPEND loads, ` FXRate_Reporting_Pipeline.py`:75-90,
+    * and the COUNT-guarded check-then-append,
+    * idempotent_fx_pipeline.py:73-92):
+    *
+    *  - `INSERT INTO t [(cols)] SELECT ...` → append (WRITE_APPEND);
+    *  - `INSERT OVERWRITE [TABLE] t SELECT ...` → replace
+    *    (WRITE_TRUNCATE);
+    *  - `INSERT INTO t SELECT ... FROM s WHERE NOT EXISTS (SELECT 1
+    *    FROM t WHERE t.k = s.k ...)` — the check-then-append idiom a
+    *    BigQuery user writes as one statement instead of the DAG's
+    *    COUNT round trip. The correlated NOT EXISTS needs no special
+    *    routing: Catalyst's subquery rewrite plans it as a LEFT ANTI
+    *    join against the target's key projection — exactly
+    *    `Upsert.freshRows`' shape (asserted in TypedSqlSpec), with
+    *    per-key granularity instead of the reference's per-batch skip.
+    *
+    * SQL semantics throughout: positional column mapping (an explicit
+    * column list permutes but must cover every target column —
+    * parquet views have no DEFAULT values), values cast to the target
+    * schema, and NO batch dedup — a key delivered twice in the batch
+    * inserts twice unless the statement's own NOT EXISTS guards it
+    * (BigQuery behaves the same; `Upsert.idempotentAppend` is the
+    * stricter library surface).
+    *
+    * Like [[merge]], returns the loaded frame — view-over-parquet
+    * tables are immutable snapshots; persist via `FxPipeline`'s
+    * append/stage-and-swap.
+    */
+  def insert(spark: SparkSession, sql: String): DataFrame = {
+    val ins = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case i: InsertIntoStatement => i
+      case other => throw new IllegalArgumentException(
+        s"not an INSERT statement (parsed to ${other.nodeName})")
+    }
+    require(ins.partitionSpec.isEmpty,
+      "PARTITION spec is not supported: day layouts route through Layout.writePartitioned")
+    require(!ins.ifPartitionNotExists, "IF NOT EXISTS is not supported")
+    val (targetDf, _) = resolve(spark, ins.table)
+    val rows = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, ins.query)
+
+    import org.apache.spark.sql.{functions => F}
+    val names: Seq[String] =
+      if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols else targetDf.columns.toSeq
+    require(names.map(_.toLowerCase).distinct.length == names.length,
+      s"duplicate column in INSERT column list: ${names.mkString(", ")}")
+    require(names.map(_.toLowerCase).sorted == targetDf.columns.map(_.toLowerCase).sorted.toSeq,
+      s"INSERT must provide every target column (got ${names.mkString(", ")}; " +
+        s"target has ${targetDf.columns.mkString(", ")}) — parquet views have no DEFAULTs")
+    require(rows.columns.length == names.length,
+      s"INSERT column arity mismatch: query yields ${rows.columns.length} columns, " +
+        s"statement names ${names.length}")
+    val aligned = rows.toDF(names: _*)
+      .select(targetDf.schema.fields.toSeq.map(f => F.col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (ins.overwrite) aligned else targetDf.unionByName(aligned)
+  }
+
+  /** `CREATE TABLE name AS SELECT ...` — executed natively (Spark
+    * plans CTAS over the session catalog; the provider is forced to
+    * parquet so the reference's bare BigQuery CTAS text, with no
+    * USING clause, lands on the engine's own storage format), then
+    * the created table is returned for inspection.
+    */
+  def createTableAs(spark: SparkSession, sql: String): DataFrame = {
+    val name = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case c: CreateTableAsSelect => c.name match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
+          parts.mkString(".")
+        case other => throw new IllegalArgumentException(s"unexpected CTAS identifier: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"not a CTAS statement (parsed to ${other.nodeName})")
+    }
+    // bare CTAS (no USING) must mean a parquet table, not a Hive one
+    spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
+    spark.sql(sql)
+    spark.table(name)
+  }
+
   def merge(spark: SparkSession, sql: String): DataFrame = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val m = plan match {

@@ -145,6 +145,87 @@ class TypedSqlSpec extends SparkSuite {
     }
   }
 
+  test("GraftSql.insert runs the reference's check-then-append as one SQL statement") {
+    import spark.implicits._
+    // the reference's fx table + incoming batch (idempotent_fx_pipeline
+    // .py:73-92 checks COUNT(*) on the day-key then appends; as SQL
+    // text that is one INSERT ... WHERE NOT EXISTS statement)
+    Seq(
+      ("2024-01-01", "EUR", "USD", 1.08),
+      ("2024-01-01", "EUR", "GBP", 0.86))
+      .toDF("date", "from_cur", "to_cur", "rate")
+      .createOrReplaceTempView("fx_rates")
+    Seq(
+      ("2024-01-01", "EUR", "USD", 9.99), // key present: must NOT append
+      ("2024-01-02", "EUR", "USD", 1.09)) // fresh key: appends
+      .toDF("date", "from_cur", "to_cur", "rate")
+      .createOrReplaceTempView("fx_batch")
+    val stmt =
+      """INSERT INTO fx_rates
+        |SELECT b.date, b.from_cur, b.to_cur, b.rate FROM fx_batch b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fx_rates t
+        |  WHERE t.date = b.date AND t.from_cur = b.from_cur AND t.to_cur = b.to_cur)""".stripMargin
+    val out = GraftSql.load(spark, stmt)
+    val got = out.orderBy("date", "to_cur").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", "GBP", 0.86), ("2024-01-01", "USD", 1.08), ("2024-01-02", "USD", 1.09)))
+    // library-call equivalence: the statement IS Upsert.idempotentAppend
+    val lib = graft.operators.Upsert.idempotentAppend(
+      spark.table("fx_rates"), spark.table("fx_batch"),
+      Seq("date", "from_cur", "to_cur"))
+    assert(out.exceptAll(lib).count() == 0 && lib.exceptAll(out).count() == 0)
+    // scale shape: Catalyst plans the NOT EXISTS as a LEFT ANTI join
+    // (freshRows' shape) — never a per-row subquery or nested loop over
+    // non-broadcast sides
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+  }
+
+  test("GraftSql.insert dispositions: append, explicit column order, OVERWRITE; bad shapes loud") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("ins_tgt")
+    Seq(("c", 3L)).toDF("v", "k").createOrReplaceTempView("ins_src")
+    // explicit column list permutes positionally
+    val appended = GraftSql.load(spark,
+      "INSERT INTO ins_tgt (v, k) SELECT v, k FROM ins_src")
+    assert(appended.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // implicit list is positional against the target schema, with casts
+    val cast = GraftSql.insert(spark, "INSERT INTO ins_tgt SELECT 4, 'd'")
+    assert(cast.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    assert(cast.schema == spark.table("ins_tgt").schema)
+    // INSERT OVERWRITE = WRITE_TRUNCATE: only the batch survives
+    val replaced = GraftSql.insert(spark, "INSERT OVERWRITE TABLE ins_tgt SELECT k, v FROM ins_src")
+    assert(replaced.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((3L, "c")))
+    // SQL semantics: no batch dedup without a NOT EXISTS guard
+    Seq((9L, "x"), (9L, "x")).toDF("k", "v").createOrReplaceTempView("ins_dup")
+    assert(GraftSql.insert(spark, "INSERT INTO ins_tgt SELECT * FROM ins_dup")
+      .filter($"k" === 9L).count() == 2)
+    for (bad <- Seq(
+      "INSERT INTO ins_tgt (v) SELECT v FROM ins_src", // missing column
+      "INSERT INTO ins_tgt SELECT k FROM ins_src", // arity
+      "INSERT INTO ins_tgt (k, k) SELECT k, k FROM ins_src", // duplicate
+      "SELECT 1"))
+      intercept[IllegalArgumentException] { GraftSql.insert(spark, bad) }
+  }
+
+  test("GraftSql.createTableAs executes bare BigQuery CTAS text onto parquet") {
+    spark.sql("DROP TABLE IF EXISTS ctas_report")
+    val df = GraftSql.load(spark,
+      """CREATE TABLE ctas_report AS
+        |SELECT from_cur, to_cur, rate FROM fx_batch WHERE rate > 1.0""".stripMargin)
+    assert(df.count() == spark.table("fx_batch").filter("rate > 1.0").count())
+    // it landed as a parquet (not Hive) table in the session catalog
+    val provider = spark.sql("DESCRIBE TABLE EXTENDED ctas_report")
+      .filter("col_name = 'Provider'").collect()
+    assert(provider.length == 1 && provider(0).getString(1).equalsIgnoreCase("parquet"))
+    spark.sql("DROP TABLE ctas_report")
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
