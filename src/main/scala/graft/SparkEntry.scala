@@ -555,6 +555,21 @@ object SparkEntry {
     "dedup_text_droplist" -> ((s, d) => {
       Dedup.textDropList(Tables.documents(s, d), "doc_id", "text").orderBy("drop_id")
     }),
+    // the droplist's EXACT half under a full hash oracle: reason-filter
+    // pushes through the union and folds the randomized LSH branch to
+    // an empty relation (PlanSpec-asserted), leaving the deterministic
+    // content-hash collapse — min-id witness per duplicate. The corpus
+    // is the documents table plus a re-keyed copy of every 50th doc
+    // (the small SFs carry no exact duplicates; same derived-fixture
+    // pattern as the fx target/batch queries, modeled identically in
+    // the oracle)
+    "dedup_text_droplist_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val rekeyed = docs.filter(F.col("doc_id") % 50 === 0)
+        .select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text"))
+      Dedup.textDropList(docs.unionByName(rekeyed), "doc_id", "text")
+        .filter(F.col("reason") === "exact").orderBy("drop_id")
+    }),
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),
@@ -1185,6 +1200,19 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+      "dedup_text_droplist_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+          |rep AS (
+          |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+          |  FROM corpus GROUP BY md5(text))
+          |SELECT c.doc_id AS drop_id, r.keep_id,
+          |       'exact' AS reason, CAST(1.0 AS DOUBLE) AS est_jaccard
+          |FROM corpus c JOIN rep r ON md5(c.text) = r.h
+          |WHERE c.doc_id <> r.keep_id
+          |ORDER BY drop_id""".stripMargin,
       "dedup_embedding" ->
         s"""WITH p AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -174,6 +174,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(1500))
   }
 
+  test("dedup_text_droplist_exact folds the LSH branch away: only the hash collapse executes") {
+    val df = SparkEntry.queries("dedup_text_droplist_exact")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the reason='exact' filter pushes through the union and constant-
+    // folds the near branch to an empty relation — no sketching, no
+    // banding join, survives in the plan
+    assert(!p.contains("minhashsignature") && !p.contains("wordshingles"), p.take(2000))
+  }
+
   test("compactDays collapses crowded day partitions, leaves quiet days' files untouched") {
     val out = Files.createTempDirectory("graft-compact-").toString
     val e = Tables.events(spark, sf)
