@@ -49,6 +49,14 @@ import graft.operators.Upsert
   * Returns the merged frame (view-over-parquet tables are immutable
   * snapshots — persist via `FxPipeline`'s stage-and-swap or
   * `Layout`'s partition overwrite, same as every library-call merge).
+  *
+  * ISOLATION: statement semantics only — the snapshot-derived result
+  * is not an atomic table mutation, so merges must be serialized per
+  * target (single writer), unlike BigQuery's snapshot-isolated MERGE.
+  * On a Delta/Iceberg catalog the same statement text executes
+  * natively with ACID semantics; this object's validation accepts a
+  * strict subset of those dialects, so statements migrate unchanged.
+  * See README "Isolation contract".
   */
 object GraftSql {
 

@@ -91,6 +91,60 @@ object ScaleProbe {
     val layoutRow =
       f"""{"op":"ann_ivf_from_layout","base_sec":$layoutBase%.2f,"scaled_sec":$layoutBig%.2f}"""
 
+    // C11: DedupIndex.ingest — the O(batch)-per-tick contract. The
+    // SAME batch (one re-keyed replica of the sf0.1 docs) ingests into
+    // an index over the base corpus and one over the 10× corpus; flat
+    // timing = ingest cost is independent of corpus size. Single timed
+    // run each (a repeat would be a pure self-match no-op).
+    def indexProbe(corpusDir: String, tag: String): Double = {
+      import graft.operators.DedupIndex
+      val ipath = s"$root/dedup_index_$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ipath))
+      spark.sql(s"DROP TABLE IF EXISTS dix_probe_${tag}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS dix_probe_${tag}_bands")
+      val corpus = graft.sources.Tables.documents(spark, corpusDir).select("doc_id", "text")
+      DedupIndex.create(spark, s"dix_probe_$tag", ipath, corpus, "doc_id", "text")
+      val batch = graft.sources.Tables.documents(spark, sfDir)
+        .select((F.col("doc_id") + 10000000L).as("doc_id"), F.col("text"))
+      val t0 = System.nanoTime()
+      DedupIndex.ingest(spark, s"dix_probe_$tag", ipath, batch, "doc_id", "text").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ixBase = indexProbe(sfDir, "base")
+    val ixBig = indexProbe(root, "big")
+    val indexRow =
+      f"""{"op":"dedup_index_ingest","base_sec":$ixBase%.2f,"scaled_sec":$ixBig%.2f}"""
+
+    // S6: packed-shard export end-to-end (pack + slot-ordered rebuild +
+    // bucket-partitioned write)
+    def exportProbe(corpusDir: String, tag: String): Double = {
+      import graft.operators.Packing
+      val docs = graft.sources.Tables.documents(spark, corpusDir)
+        .select(F.col("doc_id"), F.col("text"))
+        .withColumn("__cost", F.length(F.col("text")).cast("long"))
+      time(Packing.exportSequences(docs, "doc_id", "text", "__cost",
+        2048L, 32, s"$root/shards_$tag", 1024))
+    }
+    val exBase = exportProbe(sfDir, "base")
+    val exBig = exportProbe(root, "big")
+    val exportRow =
+      f"""{"op":"pack_export","base_sec":$exBase%.2f,"scaled_sec":$exBig%.2f}"""
+
+    // S7: the corpus pipeline end-to-end (filter→clean→dedup→mix→pack→
+    // export) — the composed system, not just its stages
+    def pipelineProbe(corpusDir: String, tag: String): Double = {
+      val docs = graft.sources.Tables.documents(spark, corpusDir)
+        .select("doc_id", "text", "source")
+      time(CorpusPipeline.run(spark, docs, "doc_id", "text", "source",
+        s"$root/corpus_$tag",
+        CorpusPipeline.Config(langs = graft.functions.text.langLexicon.map(_._1),
+          minQuality = 0.0)))
+    }
+    val cpBase = pipelineProbe(sfDir, "base")
+    val cpBig = pipelineProbe(root, "big")
+    val pipelineRow =
+      f"""{"op":"corpus_pipeline","base_sec":$cpBase%.2f,"scaled_sec":$cpBig%.2f}"""
+
     // incremental-ingest contract: append one fresh day-shifted replica
     // batch into the full 2M-row table; cost must track the batch.
     // Single timed run — a repeat would be a pure redelivery no-op.
@@ -108,7 +162,8 @@ object ScaleProbe {
     val tIngest = (System.nanoTime() - t0) / 1e9
     val tableRows = spark.read.parquet(rawPath).count()
 
-    println("{\"probe\":\"scale\",\"ops\":[" + (rows :+ layoutRow).mkString(",") +
+    println("{\"probe\":\"scale\",\"ops\":[" +
+      (rows ++ Seq(layoutRow, indexRow, exportRow, pipelineRow)).mkString(",") +
       f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()
   }
