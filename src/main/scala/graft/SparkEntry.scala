@@ -596,6 +596,19 @@ object SparkEntry {
         .orderBy("drop_id")
     }),
 
+    // the embedding droplist's EXACT half under a full hash oracle —
+    // same construction as dedup_text_droplist_exact: the reason
+    // filter folds the randomized LSH branch away, leaving the
+    // vector-VALUE collapse (DuckDB groups by the list directly);
+    // duplicates derive from a re-keyed copy of every 50th vector
+    "dedup_embedding_droplist_exact" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val rekeyed = vecs.filter(F.col("vec_id") % 50 === 0)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      Dedup.embeddingDropList(vecs.unionByName(rekeyed), "vec_id", "embedding", threshold = 0.35)
+        .filter(F.col("reason") === "exact").orderBy("drop_id")
+    }),
+
     // transitive duplicate clusters: connected components over the
     // near-dup pair set (alternating large-star/small-star, O(log²)
     // rounds of keyed shuffles); every id gets its canonical min-id
@@ -1223,6 +1236,19 @@ object SparkEntry {
           |    ON a.label = b.label AND a.vec_id < b.vec_id)
           |SELECT id_a, id_b, dp/(na*nb) AS cos FROM p
           |WHERE dp/(na*nb) >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_embedding_droplist_exact" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          |rep AS (
+          |  SELECT embedding AS v, MIN(vec_id) AS keep_id
+          |  FROM corpus GROUP BY embedding)
+          |SELECT c.vec_id AS drop_id, r.keep_id,
+          |       'exact' AS reason, CAST(1.0 AS DOUBLE) AS cos
+          |FROM corpus c JOIN rep r ON c.embedding = r.v
+          |WHERE c.vec_id <> r.keep_id
+          |ORDER BY drop_id""".stripMargin,
       // same pair set as dedup_embedding; components via recursive-CTE
       // transitive closure (quadratic in cluster size — oracle-only;
       // the engine runs the O(log²)-round star algorithm)
