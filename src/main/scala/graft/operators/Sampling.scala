@@ -67,7 +67,8 @@ object Sampling {
   }
 
   /** The k sample rows per key, as (keys..., idCol) pairs sorted by
-    * sample order. Join back on idCol for full rows.
+    * sample order. Join back on idCol for full rows — or use
+    * [[perKeyDeterministicRows]] to skip the join-back.
     */
   def perKeyDeterministic(df: DataFrame, keys: Seq[String], idCol: String, k: Int): DataFrame = {
     val keyCols = keys.map(F.col)
@@ -81,5 +82,24 @@ object Sampling {
       .agg(aggregates.top_k_by_score(-hash52(F.col(idCol)).cast("double"),
         F.col(idCol), k).as("top"))
       .select(keyCols :+ F.explode(F.col("top.id")).as(idCol): _*)
+  }
+
+  /** Same sample, FULL rows in one pass: the row struct rides the
+    * bounded top-k buffer (`top_k_payload`), so there is no join-back
+    * rescan of the source — ≤ k full rows per partition per key enter
+    * the single exchange. Prefer this when the sampled payload is
+    * needed downstream; prefer [[perKeyDeterministic]] + join when k
+    * is large and rows are very wide (slim-key shuffle, payload moves
+    * only for winners).
+    */
+  def perKeyDeterministicRows(df: DataFrame, keys: Seq[String], idCol: String, k: Int): DataFrame = {
+    val keyCols = keys.map(F.col)
+    val row = F.struct(df.columns.map(F.col).toSeq: _*)
+    df.filter(F.col(idCol).isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(aggregates.top_k_payload(-hash52(F.col(idCol)).cast("double"),
+        F.col(idCol), row, k).as("top"))
+      .select(F.explode(F.col("top")).as("__r"))
+      .select(F.col("__r.*"))
   }
 }

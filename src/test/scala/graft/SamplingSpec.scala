@@ -19,6 +19,16 @@ class SamplingSpec extends SparkSuite {
     assert(s1.collect().toSet == s2.collect().toSet)
   }
 
+  test("perKeyDeterministicRows returns the SAME sample with full rows, no join-back") {
+    val e = Tables.events(spark, sf)
+    val rows = Sampling.perKeyDeterministicRows(e, Seq("user_id"), "event_id", 3)
+    assert(rows.columns.toSeq == e.columns.toSeq, "full original schema")
+    val viaJoin = Sampling.perKeyDeterministic(e, Seq("user_id"), "event_id", 3)
+      .select("event_id").join(e, "event_id")
+      .select(e.columns.map(F.col).toSeq: _*)
+    assert(rows.collect().map(_.toString).toSet == viaJoin.collect().map(_.toString).toSet)
+  }
+
   test("sample matches a window row_number over the same hash order") {
     val e = Tables.events(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
