@@ -68,9 +68,9 @@ object GraftSql {
     */
   def load(spark: SparkSession, sql: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sql) match {
-      case _: MergeIntoTable => merge(spark, sql)
-      case _: InsertIntoStatement => insert(spark, sql)
-      case _: CreateTableAsSelect => createTableAs(spark, sql)
+      case m: MergeIntoTable => mergeParsed(spark, m)
+      case i: InsertIntoStatement => insertParsed(spark, i)
+      case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
       case other => throw new IllegalArgumentException(
         s"not a load statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT")
@@ -106,12 +106,14 @@ object GraftSql {
     * tables are immutable snapshots; persist via `FxPipeline`'s
     * append/stage-and-swap.
     */
-  def insert(spark: SparkSession, sql: String): DataFrame = {
-    val ins = spark.sessionState.sqlParser.parsePlan(sql) match {
-      case i: InsertIntoStatement => i
+  def insert(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case i: InsertIntoStatement => insertParsed(spark, i)
       case other => throw new IllegalArgumentException(
         s"not an INSERT statement (parsed to ${other.nodeName})")
     }
+
+  private def insertParsed(spark: SparkSession, ins: InsertIntoStatement): DataFrame = {
     require(ins.partitionSpec.isEmpty,
       "PARTITION spec is not supported: day layouts route through Layout.writePartitioned")
     require(!ins.ifPartitionNotExists, "IF NOT EXISTS is not supported")
@@ -119,17 +121,29 @@ object GraftSql {
     val rows = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, ins.query)
 
     import org.apache.spark.sql.{functions => F}
-    val names: Seq[String] =
-      if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols else targetDf.columns.toSeq
-    require(names.map(_.toLowerCase).distinct.length == names.length,
-      s"duplicate column in INSERT column list: ${names.mkString(", ")}")
-    require(names.map(_.toLowerCase).sorted == targetDf.columns.map(_.toLowerCase).sorted.toSeq,
-      s"INSERT must provide every target column (got ${names.mkString(", ")}; " +
+    // BY NAME maps the query's own output names; otherwise mapping is
+    // positional (against the explicit column list, or the full target
+    // schema) — SQL INSERT semantics in both dialects
+    val renamed =
+      if (ins.byName) {
+        require(ins.userSpecifiedCols.isEmpty,
+          "BY NAME cannot be combined with an explicit column list")
+        rows
+      } else {
+        val names: Seq[String] =
+          if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols else targetDf.columns.toSeq
+        require(rows.columns.length == names.length,
+          s"INSERT column arity mismatch: query yields ${rows.columns.length} columns, " +
+            s"statement names ${names.length}")
+        rows.toDF(names: _*)
+      }
+    require(renamed.columns.map(_.toLowerCase).distinct.length == renamed.columns.length,
+      s"duplicate column in INSERT column list: ${renamed.columns.mkString(", ")}")
+    require(renamed.columns.map(_.toLowerCase).sorted.toSeq ==
+        targetDf.columns.map(_.toLowerCase).sorted.toSeq,
+      s"INSERT must provide every target column (got ${renamed.columns.mkString(", ")}; " +
         s"target has ${targetDf.columns.mkString(", ")}) — parquet views have no DEFAULTs")
-    require(rows.columns.length == names.length,
-      s"INSERT column arity mismatch: query yields ${rows.columns.length} columns, " +
-        s"statement names ${names.length}")
-    val aligned = rows.toDF(names: _*)
+    val aligned = renamed
       .select(targetDf.schema.fields.toSeq.map(f => F.col(f.name).cast(f.dataType).as(f.name)): _*)
     if (ins.overwrite) aligned else targetDf.unionByName(aligned)
   }
@@ -140,29 +154,43 @@ object GraftSql {
     * USING clause, lands on the engine's own storage format), then
     * the created table is returned for inspection.
     */
-  def createTableAs(spark: SparkSession, sql: String): DataFrame = {
-    val name = spark.sessionState.sqlParser.parsePlan(sql) match {
-      case c: CreateTableAsSelect => c.name match {
-        case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
-          parts.mkString(".")
-        case other => throw new IllegalArgumentException(s"unexpected CTAS identifier: $other")
-      }
+  def createTableAs(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
       case other => throw new IllegalArgumentException(
         s"not a CTAS statement (parsed to ${other.nodeName})")
     }
-    // bare CTAS (no USING) must mean a parquet table, not a Hive one
-    spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
-    spark.sql(sql)
+
+  private def ctasParsed(spark: SparkSession, c: CreateTableAsSelect, sql: String): DataFrame = {
+    val name = c.name match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
+        // re-quote each part: a quoted name containing '.' must not be
+        // re-parsed as database.table
+        parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+      case other => throw new IllegalArgumentException(s"unexpected CTAS identifier: $other")
+    }
+    // bare CTAS (no USING) must mean a parquet table, not a Hive one —
+    // applied only for THIS statement (save/restore: a library call
+    // must not change the session's behavior for unrelated user SQL)
+    val key = "spark.sql.legacy.createHiveTableByDefault"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.sql(sql)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     spark.table(name)
   }
 
-  def merge(spark: SparkSession, sql: String): DataFrame = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    val m = plan match {
-      case mi: MergeIntoTable => mi
+  def merge(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case mi: MergeIntoTable => mergeParsed(spark, mi)
       case other => throw new IllegalArgumentException(
         s"not a MERGE statement (parsed to ${other.nodeName})")
     }
+
+  private def mergeParsed(spark: SparkSession, m: MergeIntoTable): DataFrame = {
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported: parquet-view merges are upserts, not syncs")
 

@@ -10,12 +10,15 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-/** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
-  * Insertion is O(k) — k is small (10..100) and the buffer lives
-  * per-group per-partition, so map-side partial aggregation reduces
-  * each partition's contribution to ≤ k rows BEFORE the shuffle.
+/** Bounded best-first insertion over parallel (score desc, id asc)
+  * arrays — the one copy of the ordered-insert invariant both top-k
+  * buffers share. Insertion is O(k) — k is small (10..100) and the
+  * buffer lives per-group per-partition, so map-side partial
+  * aggregation reduces each partition's contribution to ≤ k rows
+  * BEFORE the shuffle. Subclasses with extra per-entry state hook
+  * `shiftPayload` and write their slot after `insertSlot` returns.
   */
-final class TopKBuffer(val k: Int) {
+sealed abstract class TopKBufferBase(val k: Int) {
   // parallel arrays, kept sorted best-first
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -24,21 +27,34 @@ final class TopKBuffer(val k: Int) {
   // java.lang.Double.compare orders NaN greatest — the same total order
   // Spark uses for double sorts, so results match a row_number() window
   // even when zero-norm vectors produce NaN cosines
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+  @inline protected final def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
     val c = java.lang.Double.compare(s1, s2)
     c > 0 || (c == 0 && i1 < i2)
   }
 
-  def insert(s0: Double, id: Long): Unit = {
+  /** Move any per-entry payload from slot `from` to slot `to`. */
+  protected def shiftPayload(to: Int, from: Int): Unit = ()
+
+  /** Place (score, id), shifting worse entries down; returns the slot
+    * index the entry landed in, or -1 if it did not make the top k.
+    */
+  protected final def insertSlot(s0: Double, id: Long): Int = {
     val s = s0 + 0.0 // normalize -0.0: Spark sorts ±0.0 equal, Double.compare does not
-    if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return
+    if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return -1
     var pos = if (size < k) size else k - 1
     while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) {
-      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); shiftPayload(pos, pos - 1)
+      pos -= 1
     }
     scores(pos) = s; ids(pos) = id
     if (size < k) size += 1
+    pos
   }
+}
+
+/** Payload-free top-k: the k best (score desc, id asc) pairs. */
+final class TopKBuffer(k0: Int) extends TopKBufferBase(k0) {
+  def insert(s: Double, id: Long): Unit = insertSlot(s, id)
 
   def mergeFrom(other: TopKBuffer): Unit = {
     var i = 0
@@ -112,29 +128,17 @@ case class TopKByScore(
 }
 
 /** [[TopKBuffer]] with an opaque payload value carried per entry —
-  * same bounded O(k) state and best-first parallel arrays.
+  * same bounded O(k) state, same shared insertion invariant.
   */
-final class TopKPayloadBuffer(val k: Int) {
-  val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
+final class TopKPayloadBuffer(k0: Int) extends TopKBufferBase(k0) {
   val payloads = new Array[Any](k)
-  var size = 0
 
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
-    c > 0 || (c == 0 && i1 < i2)
-  }
+  override protected def shiftPayload(to: Int, from: Int): Unit =
+    payloads(to) = payloads(from)
 
-  def insert(s0: Double, id: Long, p: Any): Unit = {
-    val s = s0 + 0.0 // normalize -0.0 (see TopKBuffer)
-    if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return
-    var pos = if (size < k) size else k - 1
-    while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) {
-      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); payloads(pos) = payloads(pos - 1)
-      pos -= 1
-    }
-    scores(pos) = s; ids(pos) = id; payloads(pos) = p
-    if (size < k) size += 1
+  def insert(s: Double, id: Long, p: Any): Unit = {
+    val pos = insertSlot(s, id)
+    if (pos >= 0) payloads(pos) = p
   }
 
   def mergeFrom(other: TopKPayloadBuffer): Unit = {

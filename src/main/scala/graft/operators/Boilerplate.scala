@@ -22,14 +22,16 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * lines), `broadcastDroplist = false` routes the anti-join through a
   * plain shuffle instead (same guard the tfidf idf table has).
   *
-  * The input is scanned ONCE: per-doc line totals (and any
-  * `payloadCols` riding along) come from the same exploded-lines
-  * subtree as the rebuild, aggregated per doc and joined to the
-  * rebuilt text on the id partitioning both aggregations already
-  * share (exchange reuse — no second scan of `df`, no self-join).
-  * That matters when `df` is an expensive subtree (CorpusPipeline's
-  * regex gate): the number of upstream evaluations stays constant
-  * instead of doubling.
+  * The exploded-lines projection feeds three consumers — droplist
+  * document-frequency, the rebuild, and per-doc totals — and they
+  * aggregate DIFFERENT subtrees (the rebuild sits below the
+  * anti-join), so ReuseExchange cannot collapse them: an expensive
+  * upstream `df` is evaluated up to 3×. Callers with a costly
+  * subtree must stage it first — [[graft.CorpusPipeline]] stages its
+  * regex gate via [[Staging.stage]] before calling here, after which
+  * each pass is a cheap columnar re-read. `payloadCols` then ride
+  * the staged frame through to the output, saving the caller a
+  * join-back against `df`.
   *
   * Contract: empty lines are structure, not content — they never count
   * toward df and are never dropped, so paragraph breaks survive

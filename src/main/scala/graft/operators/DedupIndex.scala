@@ -153,6 +153,10 @@ object DedupIndex {
       afterCorpus.join(internalDrops,
         afterCorpus(idCol) === internalDrops("__drop"), "left_anti"),
       checkpointDir, "survivors")
+    // the survivors stage is durable: the batch-sigs stage (feeding
+    // only the pre-survivor joins) is garbage in BOTH the append and
+    // dry-run paths
+    checkpointDir.foreach(d => Staging.drop(spark, s"$d/batch-sigs"))
     if (append) {
       val newSigs = Staging.stage(
         Dedup.signatures(survivors, idCol, textCol, m.k).select("id", "sig"),

@@ -31,14 +31,25 @@ object Staging {
 
   /** Truncate `df`'s lineage under the chosen durability level.
     * `name` keys the stage's subdirectory (must be unique within one
-    * operator invocation's `checkpointDir`).
+    * operator invocation's `checkpointDir`). An already-existing stage
+    * path is a LOUD error: it means two operator invocations share a
+    * `checkpointDir`, and overwriting would silently corrupt the frame
+    * the earlier invocation returned (which still reads those files) —
+    * give each invocation a fresh directory.
     */
   def stage(df: DataFrame, checkpointDir: Option[String], name: String): DataFrame =
     checkpointDir match {
       case None => df.localCheckpoint()
       case Some(dir) =>
         val path = s"$dir/$name"
-        df.write.mode("overwrite").parquet(path)
+        val p = new Path(path)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          throw new IllegalStateException(
+            s"stage path $path already exists — checkpointDir '$dir' is being reused across " +
+              "operator invocations; use a fresh directory per invocation (the previous " +
+              "invocation's returned frame still reads its last stage)")
+        df.write.parquet(path)
         df.sparkSession.read.parquet(path)
     }
 
