@@ -424,6 +424,21 @@ object SparkEntry {
           F.expr("ifnull(cast(n_f as double) / cast(nullif(n_o, 0) as double), cast(-1 as double))"))
         .orderBy("o_custkey")
     }),
+    // BigQuery QUALIFY idiom: filter on a window function without a
+    // wrapping subquery — latest order per customer. The DataFrame
+    // spelling (window + filter) plans to ONE Window over the
+    // partition shuffle, no self-join; the oracle uses DuckDB's
+    // native QUALIFY clause so the idiom round-trips across engines.
+    // Deterministic tie-break on o_orderkey.
+    "q_qualify" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").desc, F.col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        .orderBy("o_custkey")
+    }),
 
     // BigQuery correlated-scalar-subquery surface, through spark.sql
     // (planned as outer joins by both engines; integer/decimal outputs
@@ -480,6 +495,24 @@ object SparkEntry {
     "text_tf_df" -> ((s, d) => {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("token")
+    }),
+    // Corpus-relative rare-token signal: per doc, how many of its
+    // distinct tokens appear in <= dfMax documents corpus-wide —
+    // high counts flag OCR noise / gibberish / boilerplate IDs (the
+    // CCNet-family vocabulary filter). Integer counts only, so the
+    // oracle is hash-exact. Scale shape: tf collapses the exploded
+    // stream to one row per (doc, token) BEFORE the df join, and the
+    // join is a plain shuffle hash join on token (the vocabulary at
+    // 100 TB is far past broadcast size).
+    "text_rare_tokens" -> ((s, d) => {
+      val tf = graft.operators.InvertedIndex
+        .termFrequencies(Tables.documents(s, d), "doc_id", "text")
+      val df = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
+      tf.join(df, "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_distinct"),
+          F.sum(F.when(F.col("__df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .orderBy("doc_id")
     }),
     // Gopher/C4-style repetition quality signal: fraction of a doc's
     // 3-gram positions occupied by repeated shingles. Map-only (tokens
@@ -1009,6 +1042,12 @@ object SparkEntry {
           |                CAST(-1 AS DOUBLE)) AS f_over_o
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      "q_qualify" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+          |FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey
+          |        ORDER BY o_orderdate DESC, o_orderkey) = 1
+          |ORDER BY o_custkey""".stripMargin,
       "q_corr_subquery" ->
         """SELECT c_custkey,
           |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
@@ -1055,6 +1094,15 @@ object SparkEntry {
           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2)
           |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
           |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+      "text_rare_tokens" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          |           FROM documents),
+          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+          |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+          |SELECT doc_id, COUNT(*) AS n_distinct,
+          |       CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          |FROM tf JOIN dfx USING (token)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_repetition" ->
         """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
           |             FROM documents),
