@@ -755,6 +755,16 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.ivfTopK(e, q, 10, nprobe = 5).orderBy("qid", "rank")
     }),
+    // product-quantized ADC path (D8): m-byte codes (32× narrower
+    // than the float vectors), per-row scoring = m LUT lookups,
+    // exact-cosine re-rank of the bounded candidate set. Rows-only:
+    // recall vs brute force is pinned in SimilaritySpec
+    "ann_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.pqTopK(e, q, 10).orderBy("qid", "rank")
+    }),
 
     // ───────────────────────── E. text analysis ─────────────────────────
     "text_quality" -> ((s, d) => {

@@ -493,6 +493,199 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** L2-normalized copy of a float vector (double accumulation, cast
+  * back to float). Null elements normalize to 0; an all-zero vector
+  * passes through unchanged. After normalization, dot(q, x̂) ranks
+  * identically to cosine(q, x) per query — the identity the PQ/ADC
+  * path below relies on.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { val x = arr.getFloat(i).toDouble; ss += x * x }
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i) || norm == 0.0)
+          (if (norm == 0.0 && !arr.isNullAt(i)) arr.getFloat(i) else 0.0f)
+        else (arr.getFloat(i).toDouble / norm).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2norm", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** Product-quantization encode: the vector (optionally L2-normalized
+  * first) is split into m contiguous subvectors; each is replaced by
+  * the index of its nearest codeword (L2 metric) in that subspace's
+  * codebook. Output is the m-byte code array — for dim=64 floats and
+  * m=8 that is 8 bytes per vector vs 256, a 32× narrower corpus
+  * representation. Codebooks are plan-embedded (m × ksub × dsub
+  * floats — the payload a broadcast would ship); ties go to the
+  * lowest codeword index. The map-only encode is the write-time step
+  * of the persisted-codes layout; queries never touch it.
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]],
+                    normalize: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty, "PqEncode needs at least one codebook")
+  require(codebooks.forall(_.nonEmpty), "PqEncode: empty codebook")
+  require(codebooks.forall(_.length <= 256), "PqEncode: ksub must be <= 256 (byte codes)")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  private val m = codebooks.length
+  private val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray.map(_.toDouble)).toArray).toArray
+  private val dsub = books(0)(0).length
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { v(i) = arr.getFloat(i).toDouble; ss += v(i) * v(i) }
+      i += 1
+    }
+    if (normalize && ss > 0.0) {
+      val norm = math.sqrt(ss)
+      i = 0
+      while (i < n) { v(i) /= norm; i += 1 }
+    }
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val c = book(j)
+        var d = 0.0
+        var t = 0
+        while (t < c.length) {
+          val x = (if (off + t < n) v(off + t) else 0.0) - c(t)
+          d += x * x
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = (best & 0xff).toByte
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: lut[s·ksub + j] = dot(q_s, C_s[j]) —
+  * m × ksub doubles, computed ONCE per query row (queries are tiny
+  * and broadcast) so the per-corpus-row score is m array lookups
+  * ([[PqAdcScore]]), not a dim-length dot product. Requires every
+  * codebook to have the same ksub (the layout the lookup indexes).
+  */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "PqLut: empty codebook")
+  require(codebooks.map(_.length).distinct.length == 1,
+    "PqLut: all codebooks must share one ksub")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private val m = codebooks.length
+  private val ksub = codebooks.head.length
+  private val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray.map(_.toDouble)).toArray).toArray
+  private val dsub = books(0)(0).length
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var j = 0
+      while (j < ksub) {
+        val c = book(j)
+        var dot = 0.0
+        var t = 0
+        while (t < c.length) {
+          if (off + t < n && !arr.isNullAt(off + t)) dot += arr.getFloat(off + t).toDouble * c(t)
+          t += 1
+        }
+        out(s * ksub + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance score: Σ_s lut[s·ksub + codes[s]] ≈ dot(query,
+  * normalized corpus vector) — m lookups per corpus row, the whole
+  * point of PQ. ksub is recovered from the operand shapes
+  * (lut.length / codes.length), so one expression serves any (m,
+  * ksub) pairing produced by [[PqEncode]]/[[PqLut]] together.
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(ByteType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val ksub = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val j = codes.getByte(s) & 0xff
+      val idx = s * ksub + j
+      if (j < ksub && idx < lut.numElements()) acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -531,6 +724,15 @@ object native {
     Bridge.column(StridedBytes(Bridge.expression(payload), n))
   def int8_quantize(vec: Column): Column =
     Bridge.column(Int8Quantize(Bridge.expression(vec)))
+  def l2_normalize(vec: Column): Column =
+    Bridge.column(L2Normalize(Bridge.expression(vec)))
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Float]]],
+                normalize: Boolean = true): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), codebooks, normalize))
+  def pq_lut(qvec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
+    Bridge.column(PqLut(Bridge.expression(qvec), codebooks))
+  def pq_adc(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(lut)))
   /** Inverse of `int8_quantize`: codeᵢ·scale/127 as double. The lambda
     * body only dereferences the two staged struct fields, so keep the
     * quantized struct as its OWN projection column (HOF lambdas are

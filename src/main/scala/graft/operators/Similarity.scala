@@ -305,4 +305,127 @@ object Similarity {
       native.cosine_sim(F.col(qvecCol), F.col("__codes")))
     topK(scored, qidCol, idCol, k)
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** Train product-quantization codebooks: m per-subspace codebooks of
+    * ksub codewords each, fit with `iters` Lloyd steps (L2 metric) on
+    * the L2-NORMALIZED corpus — normalization makes dot(q, x̂) rank
+    * identically to cosine(q, x), which is what lets the decomposed
+    * ADC sum stand in for the cosine the rest of the D-block ranks by.
+    *
+    * Deterministic end to end: codewords seed from the ksub corpus
+    * vectors ranked first by xxhash64(id), every iteration is one
+    * corpus aggregation (encode is a map-only plan-embedded
+    * expression, the per-(subspace, code, dim) means shuffle
+    * m·ksub·dsub rows), and empty clusters keep their previous
+    * codeword. The returned structure is m × ksub × dsub floats —
+    * kilobytes; at 100 TB this trains ONCE per corpus version (on a
+    * sample if desired) and persists alongside the codes table.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 64, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    val normed = corpus.select(F.col(idCol).as("__id"),
+      native.l2_normalize(F.col(vecCol)).as("__nv"))
+    val seedRows = normed.withColumn("__h", F.xxhash64(F.col("__id")))
+      .orderBy("__h", "__id").limit(ksub)
+      .select("__nv").collect().map(_.getSeq[Float](0).toArray)
+    require(seedRows.nonEmpty, "pqTrain: empty corpus")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      Array.tabulate(seedRows.length) { j => seedRows(j).slice(s * dsub, (s + 1) * dsub) }
+    }
+    var it = 0
+    while (it < iters) {
+      val cb = books.map(_.map(_.toSeq).toSeq).toSeq
+      // one corpus pass: encode, fan each row out to its m (subspace,
+      // code, subvector) triples, mean per (subspace, code, dim) —
+      // the ivfCentroids shape, collapsed in partial aggregation
+      val means = normed
+        .select(F.col("__nv"),
+          native.pq_encode(F.col("__nv"), cb, normalize = false).as("__codes"))
+        .select(F.explode(F.array((0 until m).map(s => F.struct(
+            F.lit(s).as("s"),
+            F.element_at(F.col("__codes"), s + 1).cast("int").as("code"),
+            F.slice(F.col("__nv"), s * dsub + 1, dsub).as("sub"))): _*)).as("sc"))
+        .select(F.col("sc.s").as("s"), F.col("sc.code").as("code"),
+          F.posexplode(F.col("sc.sub")).as(Seq("dim", "x")))
+        .groupBy("s", "code", "dim").agg(F.avg("x").as("mx"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val (s, code) = (r.getInt(0), r.getInt(1))
+        if (code < next(s).length) next(s)(code)(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      books = next
+      it += 1
+    }
+    books.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** ANN top-k over PQ codes with exact re-rank: every corpus vector
+    * is an m-byte code (32× narrower than dim=64 floats), a query
+    * scores a row with m LUT lookups (PqAdcScore), the bounded top-k
+    * aggregate keeps the best `rerank` candidates per query, and ONLY
+    * those rows come back for an exact-cosine re-rank against the
+    * float vectors (a broadcast of |queries|·rerank ids into the
+    * corpus scan).
+    *
+    * Scale shape: the ADC scan is map-only over the codes table +
+    * one bounded exchange; the re-rank touches `rerank` corpus rows
+    * per query. Nothing shuffles the corpus. With
+    * [[writePqCodesLayout]] persisted, the hot scan reads m bytes per
+    * vector ([[pqTopKFromLayout]]) and the float table is touched
+    * only by the (tiny) re-rank join.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             ksub: Int = 64, iters: Int = 3, rerank: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             qidCol: String = "qid", qvecCol: String = "qvec",
+             codebooks: Option[Seq[Seq[Seq[Float]]]] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqTrain(corpus, m, ksub, iters, idCol, vecCol))
+    val codes = corpus.select(F.col(idCol),
+      native.pq_encode(F.col(vecCol), cb).as("__codes"))
+    adcRerankTopK(codes, corpus, queries, k, rerank, cb, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** Persist the PQ codes column: (idCol, m-byte codes). The ADC scan
+    * of [[pqTopKFromLayout]] reads ONLY this table — for dim=64,
+    * m=8 that is 32× less scan I/O than the float vectors, and the
+    * exchange that follows is bounded top-k rows, not corpus rows.
+    */
+  def writePqCodesLayout(corpus: DataFrame, path: String, codebooks: Seq[Seq[Seq[Float]]],
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(F.col(idCol),
+        native.pq_encode(F.col(vecCol), codebooks).as("__codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[pqTopK]] over a persisted [[writePqCodesLayout]] table; the
+    * float `corpus` frame is touched only by the bounded re-rank join.
+    */
+  def pqTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                       corpus: DataFrame, queries: DataFrame, k: Int,
+                       codebooks: Seq[Seq[Seq[Float]]], rerank: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val codes = spark.read.parquet(path)
+    adcRerankTopK(codes, corpus, queries, k, rerank, codebooks, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  private def adcRerankTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                            k: Int, rerank: Int, cb: Seq[Seq[Seq[Float]]],
+                            idCol: String, vecCol: String,
+                            qidCol: String, qvecCol: String): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = queries.select(F.col(qidCol), native.pq_lut(F.col(qvecCol), cb).as("__lut"))
+    val adcScored = codes.join(F.broadcast(q), F.col(qidCol) =!= F.col(idCol))
+      .withColumn("adc", native.pq_adc(F.col("__codes"), F.col("__lut")))
+    val cand = topKGeneric(adcScored, qidCol, idCol, "adc", rerank)
+    val scored = corpus.select(F.col(idCol), F.col(vecCol))
+      .join(F.broadcast(cand.join(queries, qidCol)), Seq(idCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
 }

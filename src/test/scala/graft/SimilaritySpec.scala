@@ -126,4 +126,49 @@ class SimilaritySpec extends SparkSuite {
       .orderBy("qid", "rank").collect().toSeq
     assert(inline == reused)
   }
+
+  test("PQ ADC score decomposes exactly: expression = driver-side codeword dot sum") {
+    import graft.functions.native
+    val cb = Similarity.pqTrain(corpus, m = 8, ksub = 16, iters = 1)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    val one = corpus.filter(F.col("vec_id") === 7L)
+      .select(native.pq_encode(F.col("embedding"), cb).as("codes"),
+        native.l2_normalize(F.col("embedding")).as("nv"))
+      .head()
+    val codes = one.getSeq[Byte](0)
+    val qvec = corpus.filter(F.col("vec_id") === 3L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // expression path: lut from the query vector, adc over row 7's codes
+    val lutRow = queries.filter(F.col("qid") === 3L)
+      .select(native.pq_lut(F.col("qvec"), cb).as("lut")).head().getSeq[Double](0)
+    val exprScore = corpus.filter(F.col("vec_id") === 7L)
+      .select(native.pq_adc(native.pq_encode(F.col("embedding"), cb),
+        F.typedLit(lutRow).cast("array<double>")).as("s")).head().getDouble(0)
+    // driver path: sum over subspaces of dot(q_s, codeword)
+    val want = (0 until 8).map { s =>
+      val cw = cb(s)(codes(s) & 0xff)
+      (0 until 8).map(t => qvec(s * 8 + t).toDouble * cw(t)).sum
+    }.sum
+    assert(math.abs(exprScore - want) < 1e-9, s"$exprScore vs $want")
+  }
+
+  test("pqTopK (ADC + exact re-rank): high recall from an m-byte corpus representation") {
+    val r = recalls(Similarity.pqTopK(corpus, queries, 10))
+    assert(r.sum / r.size >= 0.8, s"mean recall ${r.sum / r.size} too low: $r")
+    assert(r.forall(_ >= 0.6), s"per-query recall floor broken: $r")
+  }
+
+  test("PQ codes layout: from-layout equals inline; the ADC scan reads only m-byte codes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-layout-").toString
+    val cb = Similarity.pqTrain(corpus)
+    Similarity.writePqCodesLayout(corpus, dir, cb)
+    val fromLayout = Similarity.pqTopKFromLayout(spark, dir, corpus, queries, 10, cb)
+    val inline = Similarity.pqTopK(corpus, queries, 10, codebooks = Some(cb))
+    assert(fromLayout.orderBy("qid", "rank").collect().toSeq ==
+      inline.orderBy("qid", "rank").collect().toSeq)
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan"))
+    assert(scans.exists(_.contains("__codes:array<tinyint>")),
+      s"codes layout must be scanned:\n${scans.mkString("\n")}")
+  }
 }
