@@ -686,6 +686,45 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Morton (z-order) interleave of two bucketed keys: output bit 2i is
+  * bit i of the left key, bit 2i+1 is bit i of the right key, over the
+  * low `bits` bits of each (bits ≤ 31). Monotone in each coordinate —
+  * x₁ ≤ x₂ ∧ y₁ ≤ y₂ ⟹ z₁ ≤ z₂ — so sorting by z clusters rows into
+  * axis-aligned rectangles of the (x, y) key space: each output file's
+  * min/max stats are narrow on BOTH columns, and a predicate on EITHER
+  * column prunes files/row-groups (the Delta/Iceberg OPTIMIZE ZORDER
+  * layout effect). Inputs are pre-bucketed longs in [0, 2^bits) —
+  * [[graft.sources.Layout.writeZOrdered]] does the min/max scaling;
+  * out-of-range values are masked, nulls enter as 0 via the caller.
+  */
+case class MortonInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits > 0 && bits <= 31, s"MortonInterleave: bits must be in [1,31], got $bits")
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  private val mask = (1L << bits) - 1L
+  def compute(x: Long, y: Long): Long = {
+    val xm = x & mask
+    val ym = y & mask
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((xm >>> i) & 1L) << (2 * i)
+      z |= ((ym >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(compute(l.asInstanceOf[Long], r.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("morton", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MortonInterleave =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -733,6 +772,8 @@ object native {
     Bridge.column(PqLut(Bridge.expression(qvec), codebooks))
   def pq_adc(codes: Column, lut: Column): Column =
     Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(lut)))
+  def morton_interleave(x: Column, y: Column, bits: Int): Column =
+    Bridge.column(MortonInterleave(Bridge.expression(x), Bridge.expression(y), bits))
   /** Inverse of `int8_quantize`: codeᵢ·scale/127 as double. The lambda
     * body only dereferences the two staged struct fields, so keep the
     * quantized struct as its OWN projection column (HOF lambdas are

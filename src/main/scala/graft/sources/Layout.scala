@@ -37,6 +37,44 @@ object Layout {
       .sortWithinPartitions(clusterCols.map(F.col): _*)
       .write.mode("append").partitionBy("p_day").parquet(path)
 
+  /** Write `df` Z-ORDER clustered on two numeric columns — the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY (x, y)` layout as plain
+    * parquet. Each key is min/max-scaled into [0, 2^bits) (one tiny
+    * 4-value aggregate collected driver-side), the two bucket streams
+    * interleave into a Morton z-value (native codegen'd expression),
+    * and the frame range-partitions + sorts on z before the write.
+    * Because the z curve is monotone in each coordinate, every output
+    * file covers an axis-aligned rectangle of (x, y) space: its
+    * parquet min/max stats are NARROW ON BOTH columns, so a predicate
+    * on EITHER key prunes files and row groups. A single-column sort
+    * gets this only for its leading key — the trailing key's per-file
+    * span stays ~the full domain (ZOrderSpec measures exactly this).
+    * At 100 TB this is the layout for tables filtered on two
+    * independent dimensions (e.g. user × time, document × source):
+    * clustering quality degrades gracefully with skew because ranks
+    * come from the value DISTRIBUTION bounds; heavily-skewed keys
+    * should be bucketed by rank (ntile) upstream first.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int = 16, numFiles: Int = 8): Unit = {
+    val b = df.agg(F.min(F.col(xCol)).cast("double"), F.max(F.col(xCol)).cast("double"),
+      F.min(F.col(yCol)).cast("double"), F.max(F.col(yCol)).cast("double")).head()
+    require(!b.anyNull, s"writeZOrdered: $xCol/$yCol must have non-null bounds")
+    val top = (1L << bits) - 1
+    def bucket(c: String, lo: Double, hi: Double) =
+      if (hi == lo) F.lit(0L)
+      else F.least(F.lit(top), F.greatest(F.lit(0L),
+        ((F.col(c).cast("double") - lo) / (hi - lo) * top).cast("long")))
+    val z = graft.functions.native.morton_interleave(
+      bucket(xCol, b.getDouble(0), b.getDouble(1)),
+      bucket(yCol, b.getDouble(2), b.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, F.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` hash-BUCKETED on `bucketCols` (and sorted inside each
     * bucket) as an external table at `path`. Two tables bucketed the
     * same way on the join key co-locate: Spark plans their join with
