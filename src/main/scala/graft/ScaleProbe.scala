@@ -61,8 +61,10 @@ object ScaleProbe {
     val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
-      "text_contamination", "corpus_mix", "pack_sequences", "q_approx_topk",
-      "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk")
+      "text_contamination", "text_rare_tokens", "corpus_mix", "pack_sequences",
+      "q_approx_topk",
+      "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
+      "ann_pq_topk")
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
       val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
@@ -90,6 +92,32 @@ object ScaleProbe {
     val layoutBig = layoutProbe(root, "big")
     val layoutRow =
       f"""{"op":"ann_ivf_from_layout","base_sec":$layoutBase%.2f,"scaled_sec":$layoutBig%.2f}"""
+
+    // D8: persisted PQ codes — the timed path scans m bytes/vector +
+    // the bounded re-rank; codebook training and the codes write are
+    // the one-time layout cost
+    def pqLayoutProbe(dir: String, tag: String): Double = {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val layout = s"$root/pq_layout_$tag"
+      val cbPath = s"$layout.codebooks"
+      if (!new java.io.File(s"$layout/_SUCCESS").exists()) {
+        val cb = Similarity.pqTrain(e)
+        import spark.implicits._
+        cb.zipWithIndex.map { case (book, s) => (s, book.map(_.toArray).toArray) }
+          .toDF("s", "book").write.mode("overwrite").parquet(cbPath)
+        Similarity.writePqCodesLayout(e, layout, cb)
+      }
+      val cb = spark.read.parquet(cbPath).orderBy("s").collect()
+        .map(_.getSeq[scala.collection.Seq[Float]](1).map(_.toSeq).toSeq).toSeq
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      time(force(Similarity.pqTopKFromLayout(spark, layout, e, q, 10, cb)))
+    }
+    val pqBase = pqLayoutProbe(sfDir, "base")
+    val pqBig = pqLayoutProbe(root, "big")
+    val pqRow =
+      f"""{"op":"ann_pq_from_layout","base_sec":$pqBase%.2f,"scaled_sec":$pqBig%.2f}"""
 
     // C11: DedupIndex.ingest — the O(batch)-per-tick contract. The
     // SAME batch (one re-keyed replica of the sf0.1 docs) ingests into
@@ -163,7 +191,7 @@ object ScaleProbe {
     val tableRows = spark.read.parquet(rawPath).count()
 
     println("{\"probe\":\"scale\",\"ops\":[" +
-      (rows ++ Seq(layoutRow, indexRow, exportRow, pipelineRow)).mkString(",") +
+      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow)).mkString(",") +
       f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()
   }
