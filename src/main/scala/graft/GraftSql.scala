@@ -71,10 +71,94 @@ object GraftSql {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
       case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
+      case d: DeleteFromTable => deleteParsed(spark, d)
+      case u: UpdateTable => updateParsed(spark, u)
       case other => throw new IllegalArgumentException(
-        s"not a load statement (parsed to ${other.nodeName}); " +
-          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT")
+        s"not a DML statement (parsed to ${other.nodeName}); " +
+          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, DELETE, UPDATE")
     }
+
+  /** `DELETE FROM t [AS a] WHERE cond` — BigQuery's row-deletion DML
+    * as SQL text. Plain parquet Spark parses the statement
+    * (`DeleteFromTable`) but cannot execute it without a row-level-
+    * operation catalog; here it routes to the snapshot rewrite: keep
+    * every row the predicate does NOT select. SQL three-valued logic
+    * applies — a row whose predicate evaluates NULL is KEPT (BigQuery
+    * deletes only WHERE-true rows), which `filter(not(cond))` alone
+    * would get wrong.
+    *
+    * Same contract as [[merge]]: returns the surviving frame; persist
+    * via stage-and-swap / partition overwrite, single writer per
+    * target. On Delta/Iceberg the same text executes natively.
+    */
+  def delete(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case d: DeleteFromTable => deleteParsed(spark, d)
+      case other => throw new IllegalArgumentException(
+        s"not a DELETE statement (parsed to ${other.nodeName})")
+    }
+
+  private def deleteParsed(spark: SparkSession, d: DeleteFromTable): DataFrame = {
+    val (targetDf, _) = resolve(spark, d.table)
+    import org.apache.spark.sql.{functions => F}
+    val cond = org.apache.spark.sql.graftbridge.Bridge.column(d.condition)
+    targetDf.filter(!F.coalesce(cond, F.lit(false)))
+  }
+
+  /** `UPDATE t [AS a] SET c = expr, ... WHERE cond` — BigQuery's
+    * in-place DML as SQL text, routed to the snapshot rewrite: every
+    * assigned column becomes `CASE WHEN cond THEN expr ELSE old END`,
+    * cast back to the column's existing type so the table schema
+    * never drifts (BigQuery rejects type-changing UPDATEs). Rows the
+    * predicate does not select — including NULL evaluations — pass
+    * through bit-untouched. Unlike MERGE's deliberately-strict
+    * column-copy assignments, SET accepts arbitrary expressions over
+    * the target row (`SET rate = rate * 2`): there is no second table
+    * whose semantics could silently diverge.
+    *
+    * Same persistence/isolation contract as [[delete]].
+    */
+  def update(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case u: UpdateTable => updateParsed(spark, u)
+      case other => throw new IllegalArgumentException(
+        s"not an UPDATE statement (parsed to ${other.nodeName})")
+    }
+
+  private def updateParsed(spark: SparkSession, u: UpdateTable): DataFrame = {
+    val (targetDf, targetQuals) = resolve(spark, u.table)
+    import org.apache.spark.sql.{functions => F}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val cond = u.condition.map(bridge.column)
+      .getOrElse(F.lit(true)) // BigQuery requires WHERE; Spark's parser does too — belt and braces
+    val byName = targetDf.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val assigned = u.assignments.map { as =>
+      val name = as.key match {
+        case k: UnresolvedAttribute => k.nameParts match {
+          case Seq(col) => col
+          case Seq(qual, col) if targetQuals(qual.toLowerCase) => col
+          case _ => throw new IllegalArgumentException(
+            s"SET target must be a target column: ${as.key}")
+        }
+        case other => throw new IllegalArgumentException(
+          s"SET target must be a column, got: $other")
+      }
+      val field = byName.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+        s"SET assigns '$name', which is not a target column"))
+      field.name -> bridge.column(as.value)
+    }
+    require(assigned.map(_._1.toLowerCase).distinct.length == assigned.length,
+      s"duplicate column in SET list: ${assigned.map(_._1).mkString(", ")}")
+    val sets = assigned.toMap
+    targetDf.select(targetDf.schema.fields.toSeq.map { f =>
+      sets.get(f.name) match {
+        case Some(v) =>
+          F.when(F.coalesce(cond, F.lit(false)), v.cast(f.dataType))
+            .otherwise(F.col(f.name)).as(f.name)
+        case None => F.col(f.name)
+      }
+    }: _*)
+  }
 
   /** SQL-statement INSERT — the reference's two non-MERGE load
     * dispositions as SQL text (the DAGs issue them through the client

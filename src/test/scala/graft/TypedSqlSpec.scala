@@ -226,6 +226,41 @@ class TypedSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE ctas_report")
   }
 
+  test("GraftSql.delete: WHERE-true rows go, NULL-predicate rows stay (3VL)") {
+    import spark.implicits._
+    Seq((1L, Some(2.0)), (2L, Some(0.5)), (3L, None))
+      .toDF("k", "rate").createOrReplaceTempView("del_t")
+    val out = GraftSql.load(spark, "DELETE FROM del_t WHERE rate > 1.0")
+    // rate > 1.0 is NULL for k=3 — BigQuery keeps it; filter(not(cond))
+    // alone would drop it
+    assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // hash parity with the library spelling of the survivor set
+    val lib = spark.table("del_t").filter(!F.coalesce(F.col("rate") > 1.0, F.lit(false)))
+    assert(out.collect().toSet == lib.collect().toSet)
+    val e = intercept[IllegalArgumentException](
+      GraftSql.delete(spark, "SELECT 1"))
+    assert(e.getMessage.contains("not a DELETE"))
+  }
+
+  test("GraftSql.update: expression SET on selected rows only, schema never drifts") {
+    import spark.implicits._
+    Seq((1L, 2.0f, "a"), (2L, 0.5f, "b"), (3L, 4.0f, "c"))
+      .toDF("k", "rate", "tag").createOrReplaceTempView("upd_t")
+    val out = GraftSql.load(spark,
+      "UPDATE upd_t SET rate = rate * 2, tag = upper(tag) WHERE k >= 2")
+    // schema preserved: rate stays FloatType although rate * 2 widens to double
+    assert(out.schema("rate").dataType == org.apache.spark.sql.types.FloatType)
+    val got = out.orderBy("k").collect().map(r => (r.getLong(0), r.getFloat(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 2.0f, "a"), (2L, 1.0f, "B"), (3L, 8.0f, "C")))
+    // unknown SET column and duplicate SET are loud
+    val e1 = intercept[IllegalArgumentException](
+      GraftSql.update(spark, "UPDATE upd_t SET nope = 1 WHERE k = 1"))
+    assert(e1.getMessage.contains("not a target column"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftSql.update(spark, "UPDATE upd_t SET rate = 1, rate = 2 WHERE k = 1"))
+    assert(e2.getMessage.contains("duplicate column"))
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
