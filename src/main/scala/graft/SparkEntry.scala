@@ -138,6 +138,19 @@ object SparkEntry {
         .select(F.col("day"), F.col("event_type"), F.col("avg").as("avg_value"), F.col("n"))
         .orderBy("day", "event_type")
     }),
+    // salted fact⋈dim join for a skewed broadcast-ineligible key:
+    // result-identical to the plain join by construction (each fact
+    // row meets exactly the one dim replica carrying its salt), so the
+    // oracle IS the plain join — hash-checked, salt placement free
+    "q_salted_join" -> ((s, d) => {
+      val fact = Tables.orders(s, d)
+      val dim = Tables.customer(s, d)
+        .select(F.col("c_custkey").as("o_custkey"), F.col("c_nationkey"))
+      Skew.saltedJoin(fact, dim, Seq("o_custkey"), salts = 8)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).as("n_orders"), dsum(F.col("o_totalprice")).as("revenue"))
+        .orderBy("c_nationkey")
+    }),
 
     // dense daily series with last-observation-carried-forward fill
     // (the FX weekend-gap fill; AsOf answers point lookups, this
@@ -873,6 +886,11 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_salted_join" ->
+        """SELECT c_nationkey, COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
       "fx_gapfill" ->
         """WITH daily AS (
           |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -34,4 +34,31 @@ object Skew {
         F.col("__total").cast("double").as("sum"),
         (F.col("__total").cast("double") / F.col("n")).as("avg")): _*)
   }
+
+  /** Salted equi-join for a skewed FACT side against a dimension too
+    * big to broadcast: the fact side gains a partition-id salt, the
+    * dimension side REPLICATES ×`salts` (one row per salt value —
+    * explode of a literal range, map-only), and the join runs on
+    * (keys, salt). A key carrying 1% of 100 TB spreads over `salts`
+    * reducers instead of funnelling one; the dimension pays
+    * |dim|·salts shuffle rows — the classic trade, sized by the
+    * caller (salts × dim must stay well under the fact side).
+    *
+    * Result-identical to `fact.join(dim, keys, "inner")` by
+    * construction — each fact row meets exactly the one dim replica
+    * carrying its salt — so the driver's oracle can hash-check it
+    * against the plain join. When AQE's skew-join splitting already
+    * handles the pattern (sort-merge, post-shuffle), prefer that; the
+    * explicit salt is for the cases AQE can't see: a skewed
+    * broadcast-ineligible hash join, or engines/stages where the
+    * runtime stats arrive too late.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val salted = fact.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salts)))
+    val replicated = dim.withColumn("__salt",
+      F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
+  }
 }
