@@ -527,6 +527,14 @@ object SparkEntry {
           F.sum(F.when(F.col("__df") <= 2, 1L).otherwise(0L)).as("n_rare"))
         .orderBy("doc_id")
     }),
+    // BPE vocabulary induction over the corpus's word-frequency dict:
+    // the merge table is fully deterministic (weight desc, pair asc
+    // ties) but SQL-inexpressible — rows-only; BpeSpec pins the whole
+    // table against an independent driver-side reference BPE
+    "text_bpe_vocab" -> ((s, d) => {
+      graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10)
+        .orderBy("rank")
+    }),
     // Gopher/C4-style repetition quality signal: fraction of a doc's
     // 3-gram positions occupied by repeated shingles. Map-only (tokens
     // -> shingle set are staged native projections); the int/int double

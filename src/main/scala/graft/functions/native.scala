@@ -725,6 +725,114 @@ case class MortonInterleave(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** One leftmost-greedy merge pass: every adjacent (a, b) symbol pair
+  * becomes the single symbol a+b, scanning left to right and skipping
+  * past each merge (so [a,a,a] with pair (a,a) → [aa, a], the BPE
+  * convention). One training round of [[graft.operators.Bpe]] applies
+  * this map-only over the word-frequency table. Null elements are
+  * dropped (absent symbols).
+  */
+case class MergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private val ua = UTF8String.fromString(a)
+  private val ub = UTF8String.fromString(b)
+  private val merged = UTF8String.fromString(a + b)
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val cur = arr.getUTF8String(i)
+        if (cur.equals(ua) && i + 1 < n && !arr.isNullAt(i + 1) &&
+            arr.getUTF8String(i + 1).equals(ub)) {
+          out.add(merged)
+          i += 1 // consume both halves
+        } else out.add(cur)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergePair", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergePair =
+    copy(child = newChild)
+}
+
+/** BPE encode: apply a ranked merge table to a symbol array the way
+  * training did — repeatedly find the lowest-rank merge whose pair is
+  * present and run one leftmost-greedy pass for it, until no merge
+  * applies. Encoding a training word with the final merge table
+  * reproduces that word's end-of-training symbols exactly (the BPE
+  * round-trip invariant, pinned in BpeSpec). O(len · applied merges)
+  * per row; the merge table is plan-embedded (ranks × 2 strings — the
+  * payload a broadcast would ship).
+  */
+case class ApplyBpe(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private val rank = {
+    val m = new java.util.HashMap[(UTF8String, UTF8String), Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      m.putIfAbsent((UTF8String.fromString(a), UTF8String.fromString(b)), r)
+    }
+    m
+  }
+  private val mergedSym: Array[UTF8String] =
+    merges.map { case (a, b) => UTF8String.fromString(a + b) }.toArray
+  private val pairs: Array[(UTF8String, UTF8String)] =
+    merges.map { case (a, b) => (UTF8String.fromString(a), UTF8String.fromString(b)) }.toArray
+  def compute(arr: ArrayData): ArrayData = {
+    var syms = new java.util.ArrayList[UTF8String](arr.numElements())
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) syms.add(arr.getUTF8String(i))
+      i += 1
+    }
+    var done = false
+    while (!done && syms.size > 1) {
+      // lowest-rank applicable merge
+      var best = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = rank.get((syms.get(j), syms.get(j + 1)))
+        if (r != null && (best == -1 || r < best)) best = r
+        j += 1
+      }
+      if (best == -1) done = true
+      else {
+        val (pa, pb) = pairs(best)
+        val out = new java.util.ArrayList[UTF8String](syms.size)
+        j = 0
+        while (j < syms.size) {
+          if (j + 1 < syms.size && syms.get(j).equals(pa) && syms.get(j + 1).equals(pb)) {
+            out.add(mergedSym(best)); j += 2
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        syms = out
+      }
+    }
+    val res = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) { res(k) = syms.get(k); k += 1 }
+    new GenericArrayData(res)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("applyBpe", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ApplyBpe =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -774,6 +882,10 @@ object native {
     Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(lut)))
   def morton_interleave(x: Column, y: Column, bits: Int): Column =
     Bridge.column(MortonInterleave(Bridge.expression(x), Bridge.expression(y), bits))
+  def merge_pair(symbols: Column, a: String, b: String): Column =
+    Bridge.column(MergePair(Bridge.expression(symbols), a, b))
+  def apply_bpe(symbols: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(ApplyBpe(Bridge.expression(symbols), merges))
   /** Inverse of `int8_quantize`: codeᵢ·scale/127 as double. The lambda
     * body only dereferences the two staged struct fields, so keep the
     * quantized struct as its OWN projection column (HOF lambdas are

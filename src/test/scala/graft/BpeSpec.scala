@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** BPE vocabulary induction: exact equality with an independent
+  * driver-side reference implementation, the encode/train round-trip
+  * invariant, and monotone compression.
+  */
+class BpeSpec extends SparkSuite {
+
+  /** Reference BPE on a word-frequency dict — written independently of
+    * the operator (plain Scala collections, no Spark), same contract:
+    * weight-desc / pair-asc ties, pairs with weight < 2 never merge.
+    */
+  private def referenceBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, n) => n }(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && out.size < rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- dict; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) continue = false
+      else {
+        val ((a, b), w) = eligible.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b, w))
+        dict = dict.groupMapReduce { case (syms, _) =>
+          val res = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) { res += (a + b); i += 2 }
+            else { res += syms(i); i += 1 }
+          }
+          res.result()
+        } { case (_, n) => n }(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordFreqs(n: Int): Map[String, Long] = {
+    val docs = Tables.documents(spark, sf)
+    docs.select(F.explode(graft.functions.text.tokens(F.col("text"))).as("w"))
+      .filter(F.length(F.col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("train matches the independent reference implementation merge for merge") {
+    val got = Bpe.train(Tables.documents(spark, sf), "text", rounds = 15)
+    val want = referenceBpe(wordFreqs(0), rounds = 15)
+    assert(got == want, s"\n got: $got\nwant: $want")
+    assert(got.nonEmpty, "corpus should yield at least one merge")
+  }
+
+  test("encode reproduces end-of-training symbols (the BPE round-trip invariant)") {
+    val docs = Tables.documents(spark, sf)
+    val merges3 = Bpe.train(docs, "text", rounds = 12).map { case (a, b, _) => (a, b) }
+    // train-side final state: replay the merges over the word dict
+    val words = docs.select(F.explode(graft.functions.text.tokens(F.col("text"))).as("w"))
+      .filter(F.length(F.col("w")) > 0).distinct()
+    var syms = words.select(F.col("w"),
+      F.array_remove(F.split(F.col("w"), ""), "").as("sym"))
+    for ((a, b) <- merges3)
+      syms = syms.select(F.col("w"), graft.functions.native.merge_pair(F.col("sym"), a, b).as("sym"))
+    val trained = syms.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // encode-side: one ApplyBpe pass from raw chars
+    val encoded = words.select(F.col("w"),
+        Bpe.encode(F.array_remove(F.split(F.col("w"), ""), ""), merges3).as("sym"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(encoded == trained)
+  }
+
+  test("each merge strictly shrinks the weighted symbol count; tokenCount is consistent") {
+    val docs = Tables.documents(spark, sf)
+    val freqs = wordFreqs(0)
+    val merges = Bpe.train(docs, "text", rounds = 10)
+    // weighted total symbols after k merges drops by the k-th weight
+    def total(ms: Seq[(String, String)]): Long = {
+      val counted = freqs.map { case (w, n) =>
+        var syms = w.map(_.toString).toVector
+        for ((a, b) <- ms) {
+          val res = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) { res += (a + b); i += 2 }
+            else { res += syms(i); i += 1 }
+          }
+          syms = res.result()
+        }
+        syms.size * n
+      }
+      counted.sum
+    }
+    val prefix = merges.map { case (a, b, _) => (a, b) }
+    // each merge removes one symbol per greedy occurrence: strictly
+    // positive, and bounded by the counted weight (overlapping
+    // self-pairs like (x,x) in "xxx" count 2 but merge once)
+    for (k <- 1 to merges.size) {
+      val before = total(prefix.take(k - 1))
+      val after = total(prefix.take(k))
+      assert(after < before, s"merge $k (${merges(k - 1)}) must shrink the corpus")
+      assert(after >= before - merges(k - 1)._3,
+        s"merge $k (${merges(k - 1)}) removed more symbols than its weight")
+    }
+    // tokenCount: per-doc BPE tokens <= whitespace-token chars, >= word count
+    val tc = Bpe.tokenCount(docs, "doc_id", "text", prefix)
+    val base = docs.select(F.col("doc_id"),
+      F.size(graft.functions.text.tokens(F.col("text"))).as("n_words"),
+      F.length(F.regexp_replace(F.col("text"), "\\s", "")).as("n_chars"))
+    val joined = tc.join(base, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (bpe, words, chars) = (r.getLong(1), r.getInt(2), r.getInt(3))
+      assert(bpe >= words && bpe <= chars, s"doc ${r.getLong(0)}: $bpe not in [$words, $chars]")
+    }
+  }
+
+  test("durable staging path trains identically to localCheckpoint") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-stage-").toString
+    val a = Bpe.train(docs, "text", rounds = 8, checkpointDir = None, stageEvery = 3)
+    val b = Bpe.train(docs, "text", rounds = 8, checkpointDir = Some(dir), stageEvery = 3)
+    assert(a == b)
+    // stages actually materialized on disk
+    assert(new java.io.File(s"$dir/bpe").exists())
+  }
+}
