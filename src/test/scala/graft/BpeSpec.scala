@@ -120,6 +120,28 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("BPE token counts drive sequence packing: real-tokenizer context budgets") {
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.train(docs, "text", rounds = 10).map { case (a, b, _) => (a, b) }
+    val costed = docs.select(F.col("doc_id"), F.col("text"))
+      .join(Bpe.tokenCount(docs, "doc_id", "text", merges), "doc_id")
+    val budget = 512L
+    val packed = graft.operators.Packing
+      .packGreedy(costed, "doc_id", "n_bpe_tokens", budget, buckets = 8)
+    val seqs = packed.join(costed, "doc_id")
+      .groupBy("bucket", "seq").agg(F.sum("n_bpe_tokens").as("toks"), F.count(F.lit(1)).as("n"))
+      .collect()
+    assert(seqs.nonEmpty)
+    // every multi-doc sequence respects the BPE-token budget; docs
+    // individually over budget sit alone in their sequence
+    seqs.foreach { r =>
+      assert(r.getLong(2) <= budget || r.getLong(3) == 1,
+        s"bucket ${r.get(0)} seq ${r.get(1)}: ${r.getLong(2)} tokens in ${r.getLong(3)} docs")
+    }
+    // nothing dropped
+    assert(packed.count() == costed.count())
+  }
+
   test("durable staging path trains identically to localCheckpoint") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-stage-").toString

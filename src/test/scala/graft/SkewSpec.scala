@@ -37,4 +37,32 @@ class SkewSpec extends SparkSuite {
     assert(joined.count() == fact.count())
     assert(joined.filter(F.col("k") === 42L).select("name").distinct().count() == 1)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the planner-side complement)") {
+    import spark.implicits._
+    // Skew.saltedJoin's scaladoc routes sort-merge-joinable skew to
+    // AQE; this pins that the session's AQE config actually fires.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = ((1 to 200000).map(i => (42L, i.toLong)) ++
+        (1 to 20000).map(i => (i.toLong % 200, i.toLong))).toDF("k", "lv")
+      val right = (0L to 200L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() drives THIS Dataset's own query execution, so its
+      // AdaptiveSparkPlan finalizes (a write/count would execute a copy)
+      assert(joined.collect().length == left.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot-key join skewed:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
