@@ -129,8 +129,12 @@ object GraftSql {
     val (targetDf, targetQuals) = resolve(spark, u.table)
     import org.apache.spark.sql.{functions => F}
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val cond = u.condition.map(bridge.column)
-      .getOrElse(F.lit(true)) // BigQuery requires WHERE; Spark's parser does too — belt and braces
+    // BigQuery REJECTS a bare UPDATE (users write WHERE TRUE for a
+    // full-table rewrite); Spark's parser allows omitting WHERE, so
+    // guard loudly rather than silently updating every row
+    val cond = u.condition.map(bridge.column).getOrElse(throw new IllegalArgumentException(
+      "UPDATE requires a WHERE clause (BigQuery semantics); write WHERE TRUE explicitly " +
+        "for a full-table update"))
     val byName = targetDf.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val assigned = u.assignments.map { as =>
       val name = as.key match {
@@ -382,12 +386,15 @@ object GraftSql {
     */
   private def resolve(spark: SparkSession, p: LogicalPlan): (DataFrame, Set[String]) = p match {
     case SubqueryAlias(ident, u: UnresolvedRelation) =>
-      (spark.table(u.multipartIdentifier.mkString(".")),
+      // carry the statement's alias onto the frame so alias-qualified
+      // expressions (DELETE ... AS d WHERE d.x, UPDATE ... SET a.y)
+      // resolve; MERGE re-derives columns by name and is indifferent
+      (spark.table(u.multipartIdentifier.mkString(".")).as(ident.name),
         Set(ident.name.toLowerCase, u.multipartIdentifier.last.toLowerCase))
     case u: UnresolvedRelation =>
       (spark.table(u.multipartIdentifier.mkString(".")), Set(u.multipartIdentifier.last.toLowerCase))
     case other => throw new IllegalArgumentException(
-      s"MERGE endpoints must be named tables/views, got: ${other.nodeName}")
+      s"DML endpoints must be named tables/views, got: ${other.nodeName}")
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -57,6 +57,7 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
     var exhausted = false
+    var prevStage: Option[String] = None
     while (round < rounds && !exhausted) {
       val top = bestPair(symbols)
       top match {
@@ -66,8 +67,16 @@ object Bpe {
           symbols = symbols.select(
             native.merge_pair(F.col("__sym"), a, b).as("__sym"), F.col("__n"))
           round += 1
-          if (round % stageEvery == 0 && round < rounds)
+          if (round % stageEvery == 0 && round < rounds) {
             symbols = Staging.stage(symbols, checkpointDir.map(d => s"$d/bpe"), s"round_$round")
+            // superseded stages are ours to drop (Staging ownership
+            // contract) — the new stage has materialized, and nothing
+            // we return reads the old one (train returns driver data)
+            checkpointDir.foreach { d =>
+              prevStage.foreach(p => Staging.drop(docs.sparkSession, p))
+              prevStage = Some(s"$d/bpe/round_$round")
+            }
+          }
       }
     }
     merges.toSeq

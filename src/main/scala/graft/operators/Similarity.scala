@@ -348,7 +348,10 @@ object Similarity {
           native.pq_encode(F.col("__nv"), cb, normalize = false).as("__codes"))
         .select(F.explode(F.array((0 until m).map(s => F.struct(
             F.lit(s).as("s"),
-            F.element_at(F.col("__codes"), s + 1).cast("int").as("code"),
+            // codes are stored as signed bytes; pmod undoes the sign
+            // extension so codewords >= 128 (ksub up to 256) index
+            // correctly — the driver-side mirror of `getByte & 0xff`
+            F.pmod(F.element_at(F.col("__codes"), s + 1).cast("int"), F.lit(256)).as("code"),
             F.slice(F.col("__nv"), s * dsub + 1, dsub).as("sub"))): _*)).as("sc"))
         .select(F.col("sc.s").as("s"), F.col("sc.code").as("code"),
           F.posexplode(F.col("sc.sub")).as(Seq("dim", "x")))

@@ -61,10 +61,13 @@ object Layout {
       F.min(F.col(yCol)).cast("double"), F.max(F.col(yCol)).cast("double")).head()
     require(!b.anyNull, s"writeZOrdered: $xCol/$yCol must have non-null bounds")
     val top = (1L << bits) - 1
+    // null keys bucket to 0 (the origin corner), as MortonInterleave's
+    // contract states — a null bucket would give those rows a null
+    // z-value and park them un-clustered in the nulls-first partition
     def bucket(c: String, lo: Double, hi: Double) =
       if (hi == lo) F.lit(0L)
-      else F.least(F.lit(top), F.greatest(F.lit(0L),
-        ((F.col(c).cast("double") - lo) / (hi - lo) * top).cast("long")))
+      else F.coalesce(F.least(F.lit(top), F.greatest(F.lit(0L),
+        ((F.col(c).cast("double") - lo) / (hi - lo) * top).cast("long"))), F.lit(0L))
     val z = graft.functions.native.morton_interleave(
       bucket(xCol, b.getDouble(0), b.getDouble(1)),
       bucket(yCol, b.getDouble(2), b.getDouble(3)), bits)

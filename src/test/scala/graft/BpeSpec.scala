@@ -26,6 +26,11 @@ class BpeSpec extends SparkSuite {
       val eligible = counts.filter(_._2 >= 2)
       if (eligible.isEmpty) continue = false
       else {
+        // tie order must be Spark's UTF8String binary order, not Java
+        // UTF-16 String order — they disagree for supplementary chars
+        implicit val u8: Ordering[String] =
+          (x: String, y: String) => org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
         val ((a, b), w) = eligible.minBy { case ((x, y), c) => (-c, x, y) }
         out += ((a, b, w))
         dict = dict.groupMapReduce { case (syms, _) =>

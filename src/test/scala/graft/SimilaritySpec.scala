@@ -152,6 +152,12 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(exprScore - want) < 1e-9, s"$exprScore vs $want")
   }
 
+  test("pqTrain survives ksub > 128 (signed-byte codes index codebooks unsigned)") {
+    val cb = Similarity.pqTrain(corpus, m = 8, ksub = 160, iters = 1)
+    assert(cb.length == 8 && cb.forall(_.length == 160))
+    assert(cb.forall(_.forall(_.forall(f => !f.isNaN && !f.isInfinite))))
+  }
+
   test("pqTopK (ADC + exact re-rank): high recall from an m-byte corpus representation") {
     val r = recalls(Similarity.pqTopK(corpus, queries, 10))
     assert(r.sum / r.size >= 0.8, s"mean recall ${r.sum / r.size} too low: $r")

@@ -259,6 +259,23 @@ class TypedSqlSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](
       GraftSql.update(spark, "UPDATE upd_t SET rate = 1, rate = 2 WHERE k = 1"))
     assert(e2.getMessage.contains("duplicate column"))
+    // a bare UPDATE never silently rewrites the whole table (BigQuery
+    // rejects it; WHERE TRUE is the explicit spelling)
+    val e3 = intercept[IllegalArgumentException](
+      GraftSql.update(spark, "UPDATE upd_t SET rate = 0"))
+    assert(e3.getMessage.contains("WHERE"))
+    assert(GraftSql.update(spark, "UPDATE upd_t SET rate = 0 WHERE TRUE")
+      .select(F.sum("rate")).head().getDouble(0) == 0.0)
+  }
+
+  test("GraftSql.delete/update resolve statement aliases in WHERE and SET") {
+    import spark.implicits._
+    Seq((1L, 2.0), (2L, 0.5)).toDF("k", "rate").createOrReplaceTempView("alias_t")
+    val del = GraftSql.delete(spark, "DELETE FROM alias_t AS d WHERE d.rate > 1.0")
+    assert(del.select("k").as[Long].collect().toSeq == Seq(2L))
+    val upd = GraftSql.update(spark,
+      "UPDATE alias_t AS a SET a.rate = a.rate * 10 WHERE a.k = 2")
+    assert(upd.orderBy("k").select("rate").as[Double].collect().toSeq == Seq(2.0, 5.0))
   }
 
   test("streaming sessionization groups events by inactivity gap") {

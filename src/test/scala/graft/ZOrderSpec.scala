@@ -84,6 +84,13 @@ class ZOrderSpec extends SparkSuite {
     assert(hit(zPrice) < hit(lPrice),
       s"z pruning (${hit(zPrice)}/${zPrice.size}) must beat linear (${hit(lPrice)}/${lPrice.size})")
 
+    // null keys bucket to the origin corner instead of getting a null
+    // z-value (which would park them un-clustered, nulls-first)
+    val withNulls = orders.withColumn("o_totalprice",
+      F.when(F.col("o_orderkey") % 100 === 0, F.lit(null)).otherwise(F.col("o_totalprice")))
+    Layout.writeZOrdered(withNulls, base + "/znull", "o_custkey", "o_totalprice", numFiles = 4)
+    assert(spark.read.parquet(base + "/znull").count() == orders.count())
+
     // layout is a reorganization, not a transformation
     assert(spark.read.parquet(zpath).count() == orders.count())
     assert(spark.read.parquet(zpath).agg(F.sum(F.crc32(F.concat_ws(",",
