@@ -61,7 +61,8 @@ object ScaleProbe {
     val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
-      "text_contamination", "text_rare_tokens", "corpus_mix", "pack_sequences",
+      "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
+      "corpus_mix", "pack_sequences",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
       "ann_pq_topk")

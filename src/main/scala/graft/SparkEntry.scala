@@ -535,6 +535,26 @@ object SparkEntry {
       graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10)
         .orderBy("rank")
     }),
+    // unigram cross-entropy under the corpus's own unigram LM — the
+    // CCNet-family perplexity quality signal (high = rare-token-heavy
+    // doc). ln() lands in doubles whose bit pattern is libm-dependent,
+    // so rows-only; InvertedIndexSpec pins values against a driver-
+    // side recompute. Same scale shape as text_rare_tokens: (doc,
+    // token) collapse, token-keyed shuffle join, broadcast 1-row total
+    "text_surprisal" -> ((s, d) => {
+      val tf = graft.operators.InvertedIndex
+        .termFrequencies(Tables.documents(s, d), "doc_id", "text")
+      val stats = tf.groupBy("token").agg(F.sum("tf").as("__ct"))
+      val total = tf.agg(F.sum("tf").cast("double").as("__N"))
+      tf.join(stats, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+          (F.sum(F.col("tf") * -F.log(F.col("__ct") / F.col("__N"))) / F.sum("tf"))
+            .as("avg_surprisal"),
+          F.sum("tf").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // Gopher/C4-style repetition quality signal: fraction of a doc's
     // 3-gram positions occupied by repeated shingles. Map-only (tokens
     // -> shingle set are staged native projections); the int/int double

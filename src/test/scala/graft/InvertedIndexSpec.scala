@@ -104,4 +104,30 @@ class InvertedIndexSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(1500))
   }
+
+  test("text_surprisal equals a driver-side unigram cross-entropy recompute") {
+    val spark2 = spark
+    val got = graft.SparkEntry.queries("text_surprisal")(spark2, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // independent recompute: corpus unigram counts, per-doc weighted
+    // mean of -ln(p(token))
+    val tf = InvertedIndex.termFrequencies(
+        graft.sources.Tables.documents(spark2, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val corpusCt = tf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = corpusCt.values.sum.toDouble
+    val byDoc = tf.groupBy(_._1)
+    assert(got.keySet == byDoc.keySet)
+    for ((doc, rows) <- byDoc) {
+      val toks = rows.map(_._3).sum
+      val want = rows.map { case (_, t, k) => k * -math.log(corpusCt(t) / n) }.sum / toks
+      val (gotS, gotN) = got(doc)
+      assert(gotN == toks, s"doc $doc token count")
+      assert(math.abs(gotS - want) < 1e-9, s"doc $doc: $gotS vs $want")
+    }
+    // sanity: a doc made of the corpus's most common token scores the
+    // minimum possible surprisal
+    val minP = -math.log(corpusCt.values.max / n)
+    assert(got.values.forall(_._1 >= minP - 1e-9))
+  }
 }
