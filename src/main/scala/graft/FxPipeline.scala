@@ -179,6 +179,57 @@ object FxPipeline {
     * would instead aggregate only fresh days and route through
     * `Layout.overwriteDayPartitions` to rewrite O(changed days).
     */
+  /** Airflow-style BACKFILL: replay the daily ingest for every day in
+    * [fromDay, toDay], oldest first — one "task instance" per day,
+    * exactly how `airflow dags backfill` re-runs the reference's
+    * @daily DAG over a missed window (the reference makes its loads
+    * idempotent for precisely this replay, idempotent_fx_pipeline.py
+    * :75-92). Each day's slice goes through [[ingest]], so a crashed
+    * backfill resumes by re-running the same call: completed days
+    * no-op through the event-key anti-join, a partially-ingested day
+    * tops up, and each instance stays O(that day's batch) with the
+    * key lookup pruned to its day.
+    *
+    * The loop is driver-side over CALENDAR DAYS (bounded, like
+    * `Layout.compactDays`), not over data.
+    */
+  def backfill(spark: SparkSession, source: DataFrame, rawPath: String,
+               fromDay: java.time.LocalDate, toDay: java.time.LocalDate): DataFrame = {
+    require(!fromDay.isAfter(toDay), s"backfill window is empty: $fromDay > $toDay")
+    var day = fromDay
+    while (!day.isAfter(toDay)) {
+      val slice = source.filter(F.to_date(F.col("ts")) === F.lit(java.sql.Date.valueOf(day)))
+      ingest(spark, slice, rawPath)
+      day = day.plusDays(1)
+    }
+    spark.read.parquet(rawPath)
+  }
+
+  /** Airflow's `catchup=True` on schedule resume: ingest every source
+    * day from the table's newest ingested day (inclusive — a partial
+    * tail day tops up; idempotency dedups the overlap) through the
+    * source's newest day. A missing table backfills the whole source
+    * span. Returns the up-to-date table.
+    */
+  def catchUp(spark: SparkSession, source: DataFrame, rawPath: String): DataFrame = {
+    val span = source.agg(
+      F.min(F.to_date(F.col("ts"))).as("lo"), F.max(F.to_date(F.col("ts"))).as("hi")).head()
+    if (span.isNullAt(0)) return spark.read.parquet(rawPath) // empty source: nothing to do
+    val (srcLo, srcHi) = (span.getDate(0).toLocalDate, span.getDate(1).toLocalDate)
+    val from = readTableIfExists(spark, rawPath) match {
+      case None => srcLo
+      case Some(t) =>
+        val last = t.agg(F.max(F.to_date(F.col("ts")))).head()
+        if (last.isNullAt(0)) srcLo
+        else {
+          val d = last.getDate(0).toLocalDate
+          if (d.isBefore(srcLo)) srcLo else d
+        }
+    }
+    if (from.isAfter(srcHi)) spark.read.parquet(rawPath)
+    else backfill(spark, source, rawPath, from, srcHi)
+  }
+
   def report(spark: SparkSession, rawPath: String, reportPath: String): DataFrame = {
     recoverInterrupted(spark, reportPath)
     val raw = spark.read.parquet(rawPath)
