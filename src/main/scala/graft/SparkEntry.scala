@@ -180,6 +180,65 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // incremental report maintenance: the events table arrives as three
+    // disjoint batches; each folds into a mergeable partial-aggregate
+    // state (decimal sums + counts) O(batch), and the report derives
+    // avg at read time. Hash-green vs the full recompute — merging IS
+    // the aggregation, exactly.
+    "fx_incremental_report" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("day", evDay(F.col("ts")))
+      val keys = Seq("day", "event_type")
+      def part(b: DataFrame) = graft.operators.Incremental.partials(b, keys, Seq(
+        F.sum(F.col("value").cast("decimal(30,2)")).as("value_sum"),
+        F.count(F.lit(1)).as("n_cnt")))
+      val state = graft.operators.Incremental.mergeAll(
+        (0 to 2).map(i => part(e.filter(F.pmod(F.col("event_id"), F.lit(3)) === i))), keys)
+      state.select(F.col("day"), F.col("event_type"),
+          (F.col("value_sum").cast("double") / F.col("n_cnt")).as("avg_value"),
+          F.col("n_cnt").as("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // the sketch face of the same state table: COUNT(DISTINCT user) per
+    // type maintained incrementally via mergeable HLL binaries — the
+    // measure a raw-sum state cannot carry (distincts don't add).
+    // Rows-only in the driver (Datasketches estimates aren't SQL-
+    // reproducible); IncrementalSpec pins split-invariance + accuracy.
+    "fx_incremental_users" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val keys = Seq("event_type")
+      def part(b: DataFrame) = graft.operators.Incremental.partials(b, keys, Seq(
+        F.hll_sketch_agg(F.col("user_id"), 14).as("users_hll"),
+        F.count(F.lit(1)).as("n_cnt")))
+      val state = graft.operators.Incremental.mergeAll(
+        (0 to 3).map(i => part(e.filter(F.pmod(F.col("event_id"), F.lit(4)) === i))), keys)
+      state.select(F.col("event_type"),
+          F.hll_sketch_estimate(F.col("users_hll")).as("approx_users"),
+          F.col("n_cnt").as("n"))
+        .orderBy("event_type")
+    }),
+
+    // range (interval) join via the binning rewrite — a bare inequality
+    // join would plan as BroadcastNestedLoopJoin; RangeJoin turns it
+    // into a shuffled equi-join on (priority, bin) with ≤2× build-side
+    // replication. Intervals: a ±5000 price band around every 100th
+    // order; points: all orders of the same priority.
+    "q_range_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val points = o.select(F.col("o_orderkey").as("point_key"),
+        F.col("o_totalprice"), F.col("o_orderpriority"))
+      val intervals = o.filter(F.col("o_orderkey") % 100 === 0)
+        .select(F.col("o_orderkey").as("range_key"),
+          (F.col("o_totalprice") - 5000.0).as("lo"),
+          (F.col("o_totalprice") + 5000.0).as("hi"),
+          F.col("o_orderpriority"))
+      graft.operators.RangeJoin.join(points, intervals, "o_totalprice", "lo", "hi",
+          keys = Seq("o_orderpriority"), binWidth = Some(10000.0))
+        .groupBy("range_key")
+        .agg(F.count(F.lit(1)).as("n_points"), dsum(F.col("o_totalprice")).as("sum_price"))
+        .orderBy("range_key")
+    }),
+
     // ───────────────────────── B. SQL analytics surface ─────────────────────────
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -919,6 +978,23 @@ object SparkEntry {
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      // the whole point: three O(batch) merges reproduce the full-scan
+      // aggregate bit-for-bit (decimal state sums are exact and
+      // order-free), so the oracle IS the full recompute
+      "fx_incremental_report" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_range_join" ->
+        """WITH r AS (SELECT o_orderkey AS range_key, o_totalprice - 5000.0 AS lo,
+          |                  o_totalprice + 5000.0 AS hi, o_orderpriority
+          |           FROM orders WHERE o_orderkey % 100 = 0)
+          |SELECT r.range_key, COUNT(*) AS n_points,
+          |       CAST(SUM(CAST(p.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+          |FROM orders p JOIN r ON p.o_orderpriority = r.o_orderpriority
+          |                    AND p.o_totalprice >= r.lo AND p.o_totalprice < r.hi
+          |GROUP BY r.range_key ORDER BY r.range_key""".stripMargin,
       "fx_gapfill" ->
         """WITH daily AS (
           |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
