@@ -867,6 +867,22 @@ object SparkEntry {
     }),
 
     // ───────────────────────── E. text analysis ─────────────────────────
+    // markup extraction: each document rendered into a deterministic
+    // HTML page (tags, chrome comment, script, entities), then
+    // stripped back to text — the web-crawl extraction stage; the
+    // oracle replays the identical wrap+strip in SQL
+    "text_strip_markup" -> ((s, d) => {
+      val page = F.concat(
+        F.lit("<!DOCTYPE html><html><head><style>p{color:red}</style>" +
+          "<script>if(1<2)track(\"x\")</script></head><body>" +
+          "<h1>Q&amp;A &lt;notes&gt;</h1><!-- chrome --><p class=\"lead\">"),
+        F.col("text"),
+        F.lit("</p></body></html>"))
+      Tables.documents(s, d)
+        .select(F.col("doc_id"), T.stripMarkup(page).as("clean"))
+        .withColumn("clean_len", F.length(F.col("clean")))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, d) => {
       val t = F.col("text")
       Tables.documents(s, d).select(
@@ -1479,6 +1495,24 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      "text_strip_markup" ->
+        """WITH w AS (SELECT doc_id,
+          |  '<!DOCTYPE html><html><head><style>p{color:red}</style><script>if(1<2)track("x")</script></head><body><h1>Q&amp;A &lt;notes&gt;</h1><!-- chrome --><p class="lead">'
+          |    || text || '</p></body></html>' AS h
+          |  FROM documents),
+          |s AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          |    '(?s)<!--.*?-->', ' ', 'g'),
+          |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |    '<[^>]*>', ' ', 'g') AS h FROM w),
+          |e AS (SELECT doc_id,
+          |  replace(replace(replace(replace(replace(replace(h,
+          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h
+          |  FROM s)
+          |SELECT doc_id, trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g')) AS clean,
+          |       length(trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g'))) AS clean_len
+          |FROM e ORDER BY doc_id""".stripMargin,
       "text_quality" ->
         """SELECT doc_id, LENGTH(text) AS len,
           |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,

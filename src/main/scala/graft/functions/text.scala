@@ -108,6 +108,36 @@ object text {
       F.size(F.regexp_extract_all(redact(c, patterns.take(i)), F.lit(re), F.lit(0)))
     }.reduce(_ + _)
 
+  /** Strip HTML/XML markup down to text — the extraction stage a
+    * web-crawl corpus runs before any quality/dedup signal (the
+    * trafilatura/justext slot in a CCNet-style pipeline, reduced to
+    * its deterministic core). Order matters and is the safe one:
+    * structural removal first (comments, script/style subtrees, then
+    * any remaining tag), entity decode after (so literal `&lt;p&gt;`
+    * in prose decodes to visible "<p>" instead of being stripped as
+    * markup), `&amp;` last (so `&amp;lt;` yields "&lt;", not "<").
+    * Patterns use only the Java-regex ∩ RE2 dialect — no lookaround,
+    * no backreferences — so an external SQL engine reproduces the
+    * transform byte-for-byte; all chained `regexp_replace`/`replace`
+    * built-ins, codegen'd and map-only at any corpus size.
+    */
+  def stripMarkup(c: Column): Column = {
+    val structural = Seq(
+      "(?s)<!--.*?-->"                 -> " ",
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>"   -> " ",
+      "<[^>]*>"                        -> " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val stripped = structural.foldLeft(c) { case (acc, (re, r)) => F.regexp_replace(acc, re, r) }
+    val decoded = entities.foldLeft(stripped) { case (acc, (e, r)) =>
+      F.replace(acc, F.lit(e), F.lit(r)) }
+    // explicit ASCII whitespace class: Java \s and RE2 \s agree on it,
+    // but spelling it out keeps the cross-engine contract obvious
+    F.trim(F.regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
   /** Stopword-profile language guess over a tiny per-language lexicon.
     * Deterministic argmax with fixed language priority on ties.
     */

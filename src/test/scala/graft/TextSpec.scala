@@ -69,6 +69,29 @@ class TextSpec extends SparkSuite {
     assert(ra == rb)
   }
 
+  test("stripMarkup removes structure, keeps prose, decodes entities in the safe order") {
+    def strip(s: String): String = {
+      val df = Seq(s).toDF("x")
+      df.select(T.stripMarkup(F.col("x"))).collect()(0).getString(0)
+    }
+    assert(strip("<html><body><p>hello <b>world</b></p></body></html>") == "hello world")
+    // script/style subtrees go entirely, including their text and any
+    // '<' in code; comments too, even multi-line
+    assert(strip("a<script>if(1<2)x(\"q\")</script>b<style>p{}</style>c<!-- x\ny -->d") == "a b c d")
+    // entities decode AFTER tag removal: literal &lt;p&gt; in prose
+    // survives as visible text, never stripped as markup
+    assert(strip("Q&amp;A says &lt;p&gt; is a tag") == "Q&A says <p> is a tag")
+    // &amp; decodes last: double-escaped stays single-escaped
+    assert(strip("&amp;lt;") == "&lt;")
+    assert(strip("x&nbsp;&#39;y&#39;&nbsp;&quot;z&quot;") == "x 'y' \"z\"")
+    // attributes (with quotes and slashes) vanish with the tag; doctype too
+    assert(strip("<!DOCTYPE html><a href=\"http://e.com/p?a=1\">link</a>") == "link")
+    // plain text is a fixed point
+    assert(strip("no markup here, just text.") == "no markup here, just text.")
+    // whitespace collapses to single spaces, trimmed
+    assert(strip("  a\t\tb\r\nc  ") == "a b c")
+  }
+
   test("language guess picks the matching lexicon") {
     val df = Seq(
       "the cat and the dog is in that house it seems",
