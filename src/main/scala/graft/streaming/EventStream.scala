@@ -219,4 +219,48 @@ object EventStream {
           batch.sparkSession, indexName, indexPath, batch, idCol, textCol, threshold)
         writeSurvivors(survivors)
       }
+
+  /** One micro-batch of the incremental-report sink: aggregate the
+    * batch to partials and fold them into the state — UNLESS this
+    * batchId is already applied. foreachBatch is at-least-once (after
+    * a crash between the state write and the checkpoint commit, the
+    * SAME batchId replays), and additive `_sum`/`_cnt` measures are
+    * not idempotent — re-merging would double-count. The guard is the
+    * standard foreachBatch exactly-once recipe: persist (state,
+    * lastBatchId) atomically (stage-and-swap on parquet, one
+    * transaction on Delta/Iceberg) and skip any batchId ≤ the stored
+    * one (batchIds are monotone within a checkpointed query).
+    * Returns None when the batch was a replay (nothing to write).
+    */
+  def applyReportBatch(state: Option[(DataFrame, Long)], batch: DataFrame, batchId: Long,
+                       keys: Seq[String], measures: Seq[org.apache.spark.sql.Column])
+      : Option[DataFrame] =
+    state match {
+      case Some((_, last)) if batchId <= last => None
+      case _ =>
+        val delta = graft.operators.Incremental.partials(batch, keys, measures)
+        Some(state.fold(delta) { case (st, _) => graft.operators.Incremental.merge(st, delta, keys) })
+    }
+
+  /** G8: incremental-report sink — the streaming face of
+    * [[graft.operators.Incremental]], as mergeSink is of A3: each
+    * micro-batch folds O(batch) partial aggregates into the persisted
+    * report state; the raw stream is never retained, yet the state
+    * table answers the full-history report (including `_hll` distinct
+    * sketches) at any moment. `readState`/`writeState` abstract the
+    * store: writeState MUST persist the batchId with the state in one
+    * atomic commit for the replay guard to hold.
+    */
+  def incrementalReportSink(stream: DataFrame, keys: Seq[String],
+                            measures: Seq[org.apache.spark.sql.Column],
+                            readState: () => Option[(DataFrame, Long)],
+                            writeState: (DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyReportBatch(readState(), batch, batchId, keys, measures)
+          .foreach(writeState(_, batchId))
+      }
 }

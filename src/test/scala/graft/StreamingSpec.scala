@@ -221,4 +221,36 @@ class StreamingSpec extends SparkSuite {
     q2.awaitTermination(60000)
     assert(survived == Seq(12L), s"redelivered batch must drop entirely, got $survived")
   }
+
+  test("G8: incremental-report sink equals the batch aggregate; replayed batchIds are skipped") {
+    val dir = eventsDir
+    val keys = Seq("event_type")
+    val measures = Seq(
+      F.sum(F.col("value").cast("decimal(30,2)")).as("value_sum"),
+      F.count(F.lit(1)).as("n_cnt"))
+    var state: Option[(DataFrame, Long)] = None
+    val stream = EventStream.readEvents(spark, dir)
+      .select(F.col("event_type"), F.col("value"))
+    val q = EventStream.incrementalReportSink(stream, keys, measures,
+        () => state, (st, id) => state = Some((st.cache(), id)))
+      .start()
+    q.awaitTermination(60000)
+    val (got, lastId) = state.get
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(F.sum(F.col("value").cast("decimal(30,2)")).as("value_sum"),
+        F.count(F.lit(1)).as("n_cnt"))
+    def canon(df: DataFrame) = df.orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(canon(got) == canon(want))
+    // replay guard: re-applying any already-seen batchId is a no-op,
+    // while the next id folds in (additive sums are not idempotent —
+    // without the guard a crash-replay would double-count)
+    val extra = Tables.events(spark, sf).select("event_type", "value").limit(10)
+    assert(EventStream.applyReportBatch(state, extra, lastId, keys, measures).isEmpty)
+    assert(EventStream.applyReportBatch(state, extra, 0L, keys, measures).isEmpty)
+    val next = EventStream.applyReportBatch(state, extra, lastId + 1, keys, measures)
+    assert(next.isDefined)
+    assert(next.get.agg(F.sum("n_cnt")).collect()(0).getLong(0)
+      == Tables.events(spark, sf).count() + 10)
+  }
 }
