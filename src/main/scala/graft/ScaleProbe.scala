@@ -174,6 +174,42 @@ object ScaleProbe {
     val pipelineRow =
       f"""{"op":"corpus_pipeline","base_sec":$cpBase%.2f,"scaled_sec":$cpBig%.2f}"""
 
+    // RangeJoin: a FIXED interval set (derived from the base table)
+    // probed by 1× vs 20× points — output grows linearly with points,
+    // so flat-to-linear timing means the binned equi-join is doing the
+    // work, with no nested-loop blow-up anywhere
+    def rangeProbe(dir: String): Double = {
+      val base = graft.sources.Tables.events(spark, sfDir)
+      val intervals = base.filter(F.col("event_id") % 1000 === 0)
+        .select(F.col("event_id").as("range_key"),
+          (F.col("value") - 0.05).as("lo"), (F.col("value") + 0.05).as("hi"))
+      val points = graft.sources.Tables.events(spark, dir)
+        .select(F.col("event_id").as("point_key"), F.col("value"))
+      time(force(graft.operators.RangeJoin.join(points, intervals, "value", "lo", "hi",
+          binWidth = Some(0.1))
+        .groupBy("range_key").agg(F.count(F.lit(1)).as("n"))))
+    }
+    val rjRow =
+      f"""{"op":"range_join","base_sec":${rangeProbe(sfDir)}%.2f,"scaled_sec":${rangeProbe(root)}%.2f}"""
+
+    // Incremental.merge: fold the SAME fixed batch of partials into a
+    // 1× vs 20× state table — the state side is map-only (broadcast
+    // combine + slim-key anti), so the delta's cost cannot grow faster
+    // than a state scan
+    def mergeProbe(dir: String): Double = {
+      import graft.operators.Incremental
+      val keys = Seq("day", "event_type")
+      def part(df: DataFrame) = Incremental.partials(
+        df.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts")))), keys, Seq(
+          F.sum(F.col("value").cast("decimal(30,2)")).as("value_sum"),
+          F.count(F.lit(1)).as("n_cnt")))
+      val state = part(graft.sources.Tables.events(spark, dir))
+      val delta = part(graft.sources.Tables.events(spark, sfDir).filter(F.col("event_id") % 20 === 0))
+      time(force(Incremental.merge(state, delta, keys)))
+    }
+    val imRow =
+      f"""{"op":"incremental_merge","base_sec":${mergeProbe(sfDir)}%.2f,"scaled_sec":${mergeProbe(root)}%.2f}"""
+
     // incremental-ingest contract: append one fresh day-shifted replica
     // batch into the full 2M-row table; cost must track the batch.
     // Single timed run — a repeat would be a pure redelivery no-op.
@@ -192,7 +228,7 @@ object ScaleProbe {
     val tableRows = spark.read.parquet(rawPath).count()
 
     println("{\"probe\":\"scale\",\"ops\":[" +
-      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow)).mkString(",") +
+      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, imRow)).mkString(",") +
       f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()
   }

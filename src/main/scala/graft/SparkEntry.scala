@@ -512,6 +512,22 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // distribution-window surface: NTILE / PERCENT_RANK / CUME_DIST
+    // per priority — one Window over one partition shuffle; unique
+    // (totalprice, orderkey) ordering makes every rank deterministic,
+    // and the rank ratios are exact small-integer divisions, so the
+    // doubles hash-match across engines
+    "q_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+      Tables.orders(s, d).select(
+          F.col("o_orderkey"), F.col("o_orderpriority"),
+          F.ntile(4).over(w).as("quartile"),
+          F.percent_rank().over(w).as("pct_rank"),
+          F.cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
     // BigQuery correlated-scalar-subquery surface, through spark.sql
     // (planned as outer joins by both engines; integer/decimal outputs
     // keep hash parity trivially)
@@ -867,6 +883,19 @@ object SparkEntry {
     }),
 
     // ───────────────────────── E. text analysis ─────────────────────────
+    // the E7 scrub as a driver-gated query: the corpus carries no PII,
+    // so each document gets a deterministic PII-bearing suffix, then
+    // redact + audit-count run over it; the oracle replays the exact
+    // pattern chain (Java-regex ∩ RE2 dialect) in SQL
+    "text_redact" -> ((s, d) => {
+      val decorated = F.concat(F.col("text"), F.lit(
+        " Contact: alice@example.com or (555) 123-4567, id 123456789, at https://ex.com/a?b=1&c=2 end"))
+      Tables.documents(s, d).select(
+          F.col("doc_id"),
+          T.redact(decorated).as("redacted"),
+          T.redactionCount(decorated).cast("long").as("n_redactions"))
+        .orderBy("doc_id")
+    }),
     // markup extraction: each document rendered into a deterministic
     // HTML page (tags, chrome comment, script, entities), then
     // stripped back to text — the web-crawl extraction stage; the
@@ -1196,6 +1225,14 @@ object SparkEntry {
           |QUALIFY row_number() OVER (PARTITION BY o_custkey
           |        ORDER BY o_orderdate DESC, o_orderkey) = 1
           |ORDER BY o_custkey""".stripMargin,
+      "q_ntile" ->
+        """SELECT o_orderkey, o_orderpriority,
+          |       ntile(4)       OVER w AS quartile,
+          |       percent_rank() OVER w AS pct_rank,
+          |       cume_dist()    OVER w AS cume
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin,
       "q_corr_subquery" ->
         """SELECT c_custkey,
           |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
@@ -1495,6 +1532,22 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // staged CTEs replay redact's sequential-count contract exactly:
+      // pattern i counts on the text with patterns < i already applied
+      "text_redact" ->
+        """WITH w AS (SELECT doc_id,
+          |  text || ' Contact: alice@example.com or (555) 123-4567, id 123456789, at https://ex.com/a?b=1&c=2 end' AS t
+          |  FROM documents),
+          |s1 AS (SELECT doc_id, t AS t0, regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t FROM w),
+          |s2 AS (SELECT doc_id, t0, t AS t1, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM s1),
+          |s3 AS (SELECT doc_id, t0, t1, t AS t2, regexp_replace(t, '[0-9]{7,}', '<NUM>', 'g') AS t FROM s2),
+          |s4 AS (SELECT doc_id, t0, t1, t2, t AS t3, regexp_replace(t, '(?:\+[0-9]{1,2}[\- ]?)?(?:\(?[0-9]{3}\)?[\- ]){1,2}[0-9]{4}', '<PHONE>', 'g') AS t FROM s3)
+          |SELECT doc_id, t AS redacted,
+          |  len(regexp_extract_all(t0, 'https?://[^\s]+'))
+          |  + len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |  + len(regexp_extract_all(t2, '[0-9]{7,}'))
+          |  + len(regexp_extract_all(t3, '(?:\+[0-9]{1,2}[\- ]?)?(?:\(?[0-9]{3}\)?[\- ]){1,2}[0-9]{4}')) AS n_redactions
+          |FROM s4 ORDER BY doc_id""".stripMargin,
       "text_strip_markup" ->
         """WITH w AS (SELECT doc_id,
           |  '<!DOCTYPE html><html><head><style>p{color:red}</style><script>if(1<2)track("x")</script></head><body><h1>Q&amp;A &lt;notes&gt;</h1><!-- chrome --><p class="lead">'
