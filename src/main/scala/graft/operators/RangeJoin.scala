@@ -55,8 +55,11 @@ object RangeJoin {
     // [lo, hi) can still fall in hi's bin, so the bin range is inclusive.
     // explicit aliases: points and intervals are routinely projections
     // of the SAME table (a self-range-join), where unqualified key
-    // equality would resolve trivially true
-    val rBinned = intervals.withColumn("__bin",
+    // equality would resolve trivially true. Inverted intervals
+    // (lo > hi) can never match but would make `sequence` DESCEND —
+    // one corrupt row exploding into |binLo−binHi| rows — so they are
+    // dropped up front (a semantic no-op, a robustness necessity).
+    val rBinned = intervals.filter(F.col(lo) <= F.col(hi)).withColumn("__bin",
       F.explode(F.sequence(bin(F.col(lo)), bin(F.col(hi))))).alias("__r")
     val lBinned = points.withColumn("__bin", bin(F.col(point))).alias("__l")
     val cond = (Seq("__bin") ++ keys)

@@ -74,6 +74,15 @@ class RangeJoinSpec extends SparkSuite {
     assert(pairs(out) == Set((1L, 100L), (3L, 100L))) // 10.0 excluded; nulls drop
   }
 
+  test("an inverted interval (lo > hi) matches nothing and cannot explode") {
+    val points = Seq((1L, 5.0)).toDF("point_key", "x")
+    // the inverted interval spans a huge bin range backwards; without
+    // the guard, sequence() would descend across ~2e7 bins
+    val intervals = Seq((10L, 1e6, -1e6), (20L, 0.0, 10.0)).toDF("range_key", "lo", "hi")
+    val out = RangeJoin.join(points, intervals, "x", "lo", "hi", binWidth = Some(0.1))
+    assert(pairs(out) == Set((1L, 20L)))
+  }
+
   test("negative domains bin correctly") {
     val points = Seq((1L, -7.5), (2L, -0.5), (3L, 2.0)).toDF("point_key", "x")
     val intervals = Seq((10L, -8.0, -1.0), (20L, -1.0, 3.0)).toDF("range_key", "lo", "hi")
