@@ -16,6 +16,7 @@ import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling, Staging}
   * Stage order is the standard one (filter cheap-first, dedup before
   * mix so duplicate mass cannot distort source shares, pack last):
   *
+  *   0. EXTRACT  — optional markup→prose strip for web crawls
   *   1. FILTER   — language allow-list + quality floor (map-only)
   *   2. CLEAN    — PII redaction + cross-doc boilerplate line removal
   *   3. DEDUP    — exact + MinHash-LSH droplist over the CLEANED text
@@ -32,6 +33,7 @@ import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling, Staging}
 object CorpusPipeline {
 
   final case class Config(
+      stripMarkup: Boolean = false,
       langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3,
       boilerplateMinDf: Int = 2,
@@ -57,7 +59,15 @@ object CorpusPipeline {
     */
   def filterAndClean(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
                      cfg: Config): DataFrame = {
-    val gated = docs
+    // stage 0 (web crawls): markup → prose BEFORE any signal runs, so
+    // language/quality score the text a reader sees, not tag soup, and
+    // dedup keys can't diverge on markup-only differences. Part of the
+    // same staged map pass — no extra scan.
+    val extracted =
+      if (cfg.stripMarkup)
+        docs.withColumn(textCol, text.stripMarkup(F.col(textCol)))
+      else docs
+    val gated = extracted
       .observe("corpus_in", F.count(F.lit(1)).as("docs_in"))
       .filter(text.langGuess(F.col(textCol)).isin(cfg.langs: _*) &&
         text.qualityScore(F.col(textCol)) >= cfg.minQuality)

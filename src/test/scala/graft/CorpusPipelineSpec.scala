@@ -99,6 +99,30 @@ class CorpusPipelineSpec extends SparkSuite {
       "the input subtree must be evaluated exactly once (staged), not once per reference")
   }
 
+  test("stage 0: a markup-wrapped crawl yields the same survivors as the plain corpus") {
+    // the same corpus rendered as HTML pages, per-doc distinct tag
+    // attributes so raw texts differ even between exact-dup pairs'
+    // pages; stripMarkup must collapse them back
+    val pages = corpus.select(
+      F.col("doc_id"),
+      F.concat(
+        F.lit("<html><body><div id=\"p"), F.col("doc_id"), F.lit("\"><p>"),
+        F.col("text"), F.lit("</p></div><!-- footer --></body></html>")).as("text"),
+      F.col("source"))
+    val cfg = CorpusPipeline.Config(packBuckets = 4, packBudget = 512L, maxSeqsPerShard = 4)
+    val dirPlain = Files.createTempDirectory("graft-corpus-plain-").toString
+    val dirPages = Files.createTempDirectory("graft-corpus-pages-").toString
+    val plain = CorpusPipeline.run(spark, corpus, "doc_id", "text", "source", dirPlain, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val strippedRun = CorpusPipeline.run(spark, pages, "doc_id", "text", "source", dirPages,
+        cfg.copy(stripMarkup = true)).cache()
+    val stripped = strippedRun.select("doc_id").as[Long].collect().toSet
+    assert(stripped == plain)
+    // and the surviving text is prose, not tag soup
+    assert(strippedRun.filter(F.col("text").contains("<div") ||
+      F.col("text").contains("</p>")).count() == 0)
+  }
+
   test("dedup runs on CLEANED text: chrome variants still collapse as duplicates") {
     // docs identical except for their (stripped) chrome line — exact
     // dups only AFTER boilerplate removal
