@@ -52,6 +52,12 @@ object Incremental {
 
   /** Fold a batch's `partials` into the state table. Output schema ==
     * state schema, bit-exact on untouched rows.
+    *
+    * CONTRACT: both frames carry one row per key — `partials` output,
+    * not raw rows. A delta with duplicate keys would silently fan out
+    * the combine join (each state row merged once per duplicate);
+    * aggregate first. Checking here would cost a count per merge, so
+    * the contract is documented, not enforced.
     */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
     require(state.columns.toSeq == delta.columns.toSeq,
