@@ -809,6 +809,19 @@ object SparkEntry {
     // training mix — rare sources keep more, the web-crawl-sized one
     // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
     // the DuckDB oracle reproduces membership bit-for-bit
+    // per-source quality-calibrated pruning: keep each source's top
+    // half by score — a RELATIVE floor (an absolute one keeps a clean
+    // source's chaff and drops a noisy source's best). Exact-percentile
+    // threshold here for the oracle; the 100 TB routing is the
+    // approx_percentile sketch path (accuracy-pinned in SamplingSpec),
+    // the same exact/approx split as q_percentile.
+    "sample_top_fraction" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("score", F.length(F.col("text")).cast("double"))
+      graft.operators.Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5, exact = true)
+        .select("doc_id", "source", "score")
+        .orderBy("doc_id")
+    }),
     "corpus_mix" -> ((s, d) => {
       graft.operators.Mixing.temperatureMixBySqrt(Tables.documents(s, d), "doc_id", "source", 1, 2)
         .select("doc_id", "source")
@@ -1377,6 +1390,12 @@ object SparkEntry {
       // every float op (sqrt, *, /) is IEEE exactly-rounded over exact
       // integer-valued operands, left-associated — bit-identical across
       // engines; membership is then an integer hash comparison
+      "sample_top_fraction" ->
+        """WITH sc AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS score FROM documents),
+          |th AS (SELECT source, quantile_cont(score, 0.5) AS thr FROM sc GROUP BY source)
+          |SELECT doc_id, sc.source AS source, score
+          |FROM sc JOIN th ON sc.source = th.source
+          |WHERE score >= thr ORDER BY doc_id""".stripMargin,
       "corpus_mix" ->
         s"""WITH counts AS (
           |  SELECT source, COUNT(*) AS n FROM documents

@@ -84,6 +84,38 @@ object Sampling {
       .select(keyCols :+ F.explode(F.col("top.id")).as(idCol): _*)
   }
 
+  /** Per-key quality-calibrated pruning: keep each key's top `frac`
+    * of rows by `scoreCol` — the corpus pass that applies a quality
+    * floor RELATIVE to each source (an absolute floor keeps all of a
+    * high-quality source's chaff and none of a noisy source's best;
+    * the per-source quantile is the standard calibration). Rows at
+    * the threshold are kept (ties keep more than `frac`, never less,
+    * deterministically).
+    *
+    * Two threshold paths, one result shape:
+    *  - `exact = false` (default, the 100 TB routing):
+    *    `approx_percentile` — bounded mergeable sketch per key, one
+    *    small aggregate + a broadcast threshold join + map-only filter.
+    *  - `exact = true`: `percentile` — buffers each key's scores in
+    *    one aggregation buffer (oracle-/bounded-key-cardinality-only,
+    *    same split as q_percentile vs q_percentile_approx).
+    * The grouped threshold table is keys-cardinality-sized — tiny —
+    * so the join back to the corpus broadcasts.
+    */
+  def topFractionByScore(df: DataFrame, keys: Seq[String], scoreCol: String,
+                         frac: Double, exact: Boolean = false,
+                         accuracy: Int = 10000): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac $frac must be in (0,1]")
+    val p = F.lit(1.0 - frac)
+    val thrAgg =
+      if (exact) F.percentile(F.col(scoreCol), p)
+      else F.approx_percentile(F.col(scoreCol), p, F.lit(accuracy))
+    val thresholds = df.groupBy(keys.map(F.col): _*).agg(thrAgg.as("__thr"))
+    df.join(F.broadcast(thresholds), keys)
+      .filter(F.col(scoreCol) >= F.col("__thr"))
+      .drop("__thr")
+  }
+
   /** Same sample, FULL rows in one pass: the row struct rides the
     * bounded top-k buffer (`top_k_payload`), so there is no join-back
     * rescan of the source — ≤ k full rows per partition per key enter

@@ -82,6 +82,40 @@ class SamplingSpec extends SparkSuite {
     assert(subset == full, "stratified membership must be subset-stable")
   }
 
+  test("topFractionByScore: kept/dropped partition cleanly at the per-key threshold") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("score", F.length(F.col("text")).cast("double"))
+    val kept = Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5, exact = true)
+    // per key: every kept score >= every dropped score; kept count is
+    // at least half (ties only ever keep MORE)
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy("source").agg(F.max("score").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val minKept = kept.groupBy("source").agg(F.min("score").as("mn"), F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- totals) {
+      val (mn, nk) = minKept(src)
+      maxDropped.get(src).foreach(mx => assert(mn >= mx, s"$src: kept min $mn < dropped max $mx"))
+      assert(nk >= n / 2, s"$src: kept $nk of $n")
+    }
+  }
+
+  test("topFractionByScore sketch path tracks the exact path and broadcasts the thresholds") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("score", F.length(F.col("text")).cast("double"))
+    val approx = Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5)
+    approx.collect()
+    assert(approx.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // high-accuracy sketch on small keys: same kept fraction ±5%
+    val exactN = Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5, exact = true).count()
+    val approxN = approx.count()
+    assert(math.abs(approxN - exactN).toDouble / exactN < 0.05, s"$approxN vs $exactN")
+    // deterministic: the sketch is seeded by the data alone
+    assert(approxN == Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5).count())
+  }
+
   test("sampled row IS the md5-argmin of each key (pins the hash family)") {
     import java.security.MessageDigest
     def refHash(i: Long): Long = java.lang.Long.parseLong(

@@ -30,6 +30,13 @@ def load(path):
         m = re.findall(r'\{"metric"[^\n]*\}', d.get("tail", ""))
         if m:
             return json.loads(m[-1])
+        # driver artifacts may truncate the metric line mid-way (the
+        # head of `tail` is cut); the per-query pairs that survive are
+        # still a usable diff base — scrape them
+        pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', d.get("tail", ""))
+        qs = {k: float(v) for k, v in pairs if k not in ("metric", "value", "total")}
+        if qs:
+            return {"queries": qs, "value": sum(qs.values()), "truncated": True}
     sys.exit(f"no bench metric line found in {path}")
 
 
