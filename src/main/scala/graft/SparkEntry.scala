@@ -805,10 +805,6 @@ object SparkEntry {
         .select("event_id", "event_type")
         .orderBy("event_id")
     }),
-    // corpus mixing: √-temperature source re-weighting before the
-    // training mix — rare sources keep more, the web-crawl-sized one
-    // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
-    // the DuckDB oracle reproduces membership bit-for-bit
     // per-source quality-calibrated pruning: keep each source's top
     // half by score — a RELATIVE floor (an absolute one keeps a clean
     // source's chaff and drops a noisy source's best). Exact-percentile
@@ -822,6 +818,10 @@ object SparkEntry {
         .select("doc_id", "source", "score")
         .orderBy("doc_id")
     }),
+    // corpus mixing: √-temperature source re-weighting before the
+    // training mix — rare sources keep more, the web-crawl-sized one
+    // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
+    // the DuckDB oracle reproduces membership bit-for-bit
     "corpus_mix" -> ((s, d) => {
       graft.operators.Mixing.temperatureMixBySqrt(Tables.documents(s, d), "doc_id", "source", 1, 2)
         .select("doc_id", "source")
@@ -1386,16 +1386,16 @@ object SparkEntry {
           |          WHEN 'view' THEN ${(1L << 52) / 10 * 3}
           |          ELSE ${(1L << 52) / 2 * 1} END
           |ORDER BY event_id""".stripMargin,
-      // mirrors Mixing.temperatureMixBySqrt's threshold tree verbatim:
-      // every float op (sqrt, *, /) is IEEE exactly-rounded over exact
-      // integer-valued operands, left-associated — bit-identical across
-      // engines; membership is then an integer hash comparison
       "sample_top_fraction" ->
         """WITH sc AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS score FROM documents),
           |th AS (SELECT source, quantile_cont(score, 0.5) AS thr FROM sc GROUP BY source)
           |SELECT doc_id, sc.source AS source, score
           |FROM sc JOIN th ON sc.source = th.source
           |WHERE score >= thr ORDER BY doc_id""".stripMargin,
+      // mirrors Mixing.temperatureMixBySqrt's threshold tree verbatim:
+      // every float op (sqrt, *, /) is IEEE exactly-rounded over exact
+      // integer-valued operands, left-associated — bit-identical across
+      // engines; membership is then an integer hash comparison
       "corpus_mix" ->
         s"""WITH counts AS (
           |  SELECT source, COUNT(*) AS n FROM documents

@@ -79,7 +79,26 @@ object Incremental {
     combined.unionByName(fresh)
   }
 
-  /** Merge-chain convenience: fold many batch partials left to right. */
-  def mergeAll(parts: Seq[DataFrame], keys: Seq[String]): DataFrame =
-    parts.reduceLeft((s, d) => merge(s, d, keys))
+  /** Merge-chain convenience: fold many batch partials left to right.
+    *
+    * Every intermediate state is STAGED ([[Staging]]: localCheckpoint
+    * by default, durable parquet stages under `stagingDir` on a
+    * cluster): `merge` reads its state twice (combine join + slim-key
+    * anti), so an unstaged k-fold chain would embed each earlier
+    * merge's plan in both halves of the next — re-executing the first
+    * fold's work ~2^(k-1) times. Staging makes each fold run once.
+    * Ownership follows the [[Staging]] contract: intermediates are
+    * dropped as soon as the next fold materializes; the last fold's
+    * stage backs the returned frame, so the caller deletes
+    * `stagingDir` when done with the result.
+    */
+  def mergeAll(parts: Seq[DataFrame], keys: Seq[String],
+               stagingDir: Option[String] = None): DataFrame = {
+    require(parts.nonEmpty, "mergeAll needs at least one partials frame")
+    parts.tail.zipWithIndex.foldLeft(parts.head) { case (state, (delta, i)) =>
+      val folded = Staging.stage(merge(state, delta, keys), stagingDir, s"state-${i + 1}")
+      stagingDir.foreach(d => if (i > 0) Staging.drop(folded.sparkSession, s"$d/state-$i"))
+      folded
+    }
+  }
 }

@@ -111,9 +111,14 @@ object Sampling {
       if (exact) F.percentile(F.col(scoreCol), p)
       else F.approx_percentile(F.col(scoreCol), p, F.lit(accuracy))
     val thresholds = df.groupBy(keys.map(F.col): _*).agg(thrAgg.as("__thr"))
-    df.join(F.broadcast(thresholds), keys)
+    // null-safe join-back: groupBy computes a threshold for the
+    // null-key group, and plain equality would never join it back —
+    // silently discarding every null-key row (a null-source crawl
+    // shard must be top-fraction pruned like any other, not dropped)
+    val cond = keys.map(k => F.col(s"__s.$k") <=> F.col(s"__t.$k")).reduce(_ && _)
+    df.alias("__s").join(F.broadcast(thresholds).alias("__t"), cond)
       .filter(F.col(scoreCol) >= F.col("__thr"))
-      .drop("__thr")
+      .select(df.columns.map(c => F.col(s"__s.$c").as(c)): _*)
   }
 
   /** Same sample, FULL rows in one pass: the row struct rides the

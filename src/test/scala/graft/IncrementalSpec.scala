@@ -67,6 +67,17 @@ class IncrementalSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("mergeAll with durable staging: same result, stages rotate, last stage survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mergeall-").toString
+    val parts = (0 until 3).map(i => part(events.filter(F.pmod(F.col("event_id"), F.lit(3)) === i)))
+    val staged = Incremental.mergeAll(parts, keys, stagingDir = Some(dir))
+    assert(canon(staged) == canon(Incremental.mergeAll(parts, keys)))
+    // intermediates dropped, the last fold's stage backs the result
+    val stages = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(stages == Set("state-2"), s"got $stages")
+    graft.operators.Staging.drop(spark, dir)
+  }
+
   test("HLL state: split-merged estimate equals the single-pass estimate and tracks exact distincts") {
     def hpart(b: DataFrame) = Incremental.partials(b, Seq("event_type"), Seq(
       F.hll_sketch_agg(F.col("user_id"), 14).as("users_hll"),

@@ -116,6 +116,19 @@ class SamplingSpec extends SparkSuite {
     assert(approxN == Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5).count())
   }
 
+  test("topFractionByScore prunes a null-key group like any other (regression)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("a"), 1.0),
+      (3L, Option.empty[String], 10.0), (4L, Option.empty[String], 1.0))
+      .toDF("doc_id", "source", "score")
+    val kept = Sampling.topFractionByScore(docs, Seq("source"), "score", 0.5, exact = true)
+      .select("doc_id").as[Long].collect().toSet
+    // a plain-equality join-back would silently drop docs 3 and 4
+    assert(kept == Set(1L, 3L))
+    assert(kept.map(_.toString).nonEmpty) // schema survived the aliased select
+  }
+
   test("sampled row IS the md5-argmin of each key (pins the hash family)") {
     import java.security.MessageDigest
     def refHash(i: Long): Long = java.lang.Long.parseLong(

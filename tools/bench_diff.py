@@ -32,10 +32,16 @@ def load(path):
             return json.loads(m[-1])
         # driver artifacts may truncate the metric line mid-way (the
         # head of `tail` is cut); the per-query pairs that survive are
-        # still a usable diff base — scrape them
+        # still a usable diff base — scrape them. A mid-key head cut
+        # can't mint a bogus name (the regex needs the opening quote),
+        # but ScaleProbe-style artifacts ("base_sec"/"scaled_sec"
+        # floats) could masquerade as queries, so *_sec keys are
+        # excluded and a small scrape is refused loudly rather than
+        # silently diffing garbage.
         pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', d.get("tail", ""))
-        qs = {k: float(v) for k, v in pairs if k not in ("metric", "value", "total")}
-        if qs:
+        qs = {k: float(v) for k, v in pairs
+              if k not in ("metric", "value", "total") and not k.endswith("_sec")}
+        if len(qs) >= 10:
             return {"queries": qs, "value": sum(qs.values()), "truncated": True}
     sys.exit(f"no bench metric line found in {path}")
 
