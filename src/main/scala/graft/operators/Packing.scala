@@ -38,14 +38,22 @@ object Packing {
 
   /** Materialize packed sequences as training shards: one row per
     * SEQUENCE — (bucket, seq, text = member docs joined by `sep` in
-    * slot order, n_docs, total_cost) — written as bucket-partitioned
-    * parquet with `maxSeqsPerFile` bounding shard size (training
-    * loaders want many same-sized files, not one giant one; at 100 TB
-    * the writer's per-file record cap is what keeps shard size flat as
-    * the corpus grows). The assembly adds ONE shuffle on (bucket, seq)
-    * past [[packGreedy]]'s own; per-sequence state is bounded by the
-    * budget. The last mile of the corpus pipeline: mix (S4) → pack
-    * (S5) → export.
+    * slot order, doc_ids, doc_starts, n_docs, total_cost) — written as
+    * bucket-partitioned parquet with `maxSeqsPerFile` bounding shard
+    * size (training loaders want many same-sized files, not one giant
+    * one; at 100 TB the writer's per-file record cap is what keeps
+    * shard size flat as the corpus grows). The assembly adds ONE
+    * shuffle on (bucket, seq) past [[packGreedy]]'s own; per-sequence
+    * state is bounded by the budget. The last mile of the corpus
+    * pipeline: mix (S4) → pack (S5) → export.
+    *
+    * `doc_ids` (slot order) and `doc_starts` (0-based char offset of
+    * each doc in `text`) carry the document boundaries a training
+    * loader needs for cross-document attention masking and for
+    * provenance (which doc produced which span) — without them the
+    * concatenation is irreversible. The prefix sums run as per-
+    * sequence HOF lambdas over budget-bounded arrays (cheap integer
+    * ops — nothing regex/split-shaped rides a lambda).
     */
   def exportSequences(df: DataFrame, idCol: String, textCol: String, costCol: String,
                       budget: Long, buckets: Int, path: String,
@@ -56,11 +64,21 @@ object Packing {
       .join(df.select(F.col(idCol), F.col(textCol), F.col(costCol)), idCol)
       .groupBy("bucket", "seq")
       .agg(
-        F.concat_ws(sep,
-          F.transform(F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col(textCol)))),
-            x => x.getField(textCol))).as("text"),
+        F.array_sort(F.collect_list(F.struct(F.col("slot"),
+          F.col(textCol).as("t"), F.col(idCol).cast("long").as("d")))).as("__m"),
         F.count(F.lit(1)).as("n_docs"),
         F.sum(F.col(costCol)).cast("long").as("total_cost"))
+      .select(
+        F.col("bucket"), F.col("seq"),
+        F.concat_ws(sep, F.transform(F.col("__m"), x => x.getField("t"))).as("text"),
+        F.transform(F.col("__m"), x => x.getField("d")).as("doc_ids"),
+        F.aggregate(F.col("__m"),
+          F.struct(F.array().cast("array<long>").as("arr"), F.lit(0L).as("acc")),
+          (s, x) => F.struct(
+            F.array_append(s.getField("arr"), s.getField("acc")).as("arr"),
+            (s.getField("acc") + F.length(x.getField("t")) + F.lit(sep.length.toLong)).as("acc")),
+          s => s.getField("arr")).as("doc_starts"),
+        F.col("n_docs"), F.col("total_cost"))
       .repartition(F.col("bucket"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxSeqsPerFile.toLong)

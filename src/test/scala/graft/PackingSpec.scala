@@ -126,6 +126,32 @@ class PackingSpec extends SparkSuite {
         s"${f.getName} exceeds maxSeqsPerFile")
   }
 
+  test("doc boundaries: every doc's span in the packed text is recoverable from doc_starts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-bounds-").toString
+    val sep = "\n\n"
+    Packing.exportSequences(docs, "doc_id", "text", "n_chars", budget, buckets, dir, sep = sep)
+    val byId = docs.filter(F.col("n_chars") > 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(dir)
+      .select("text", "doc_ids", "doc_starts", "n_docs").collect()
+    assert(rows.nonEmpty)
+    var checked = 0
+    for (r <- rows) {
+      val text = r.getString(0)
+      val ids = r.getSeq[Long](1)
+      val starts = r.getSeq[Long](2)
+      assert(ids.length == r.getLong(3) && starts.length == ids.length)
+      for ((id, start) <- ids.zip(starts)) {
+        val doc = byId(id)
+        assert(text.substring(start.toInt, start.toInt + doc.length) == doc,
+          s"doc $id span mismatch at offset $start")
+        checked += 1
+      }
+    }
+    assert(checked == byId.size, "every doc's boundary checked exactly once")
+  }
+
   test("null ids and non-positive costs are excluded") {
     val data = Seq((Option(1L), Option(300L)), (Option.empty[Long], Option(10L)),
         (Option(3L), Option(0L)), (Option(4L), Option.empty[Long]))
