@@ -61,6 +61,7 @@ object ScaleProbe {
     val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
+      "dedup_spans",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
       "corpus_mix", "pack_sequences",
       "q_approx_topk",

@@ -805,6 +805,16 @@ object SparkEntry {
         .select("event_id", "event_type")
         .orderBy("event_id")
     }),
+    // duplicated-SPAN removal (the Lee et al. exact-substring dedup,
+    // re-expressed as k-token-window df): windows appearing verbatim
+    // in >= 2 distinct docs are cut from every carrier, each doc's
+    // unique remainder survives — finer-grained than document dedup,
+    // coarser than line boilerplate
+    "dedup_spans" -> ((s, d) => {
+      graft.operators.Spans.dropDuplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // per-source quality-calibrated pruning: keep each source's top
     // half by score — a RELATIVE floor (an absolute one keeps a clean
     // source's chaff and drops a noisy source's best). Exact-percentile
@@ -1386,6 +1396,27 @@ object SparkEntry {
           |          WHEN 'view' THEN ${(1L << 52) / 10 * 3}
           |          ELSE ${(1L << 52) / 2 * 1} END
           |ORDER BY event_id""".stripMargin,
+      // replays the window-df contract: md5 over space-joined 8-token
+      // slices, cross-doc distinct df >= 2, covered = union of
+      // duplicated windows, rebuild in position order
+      "dedup_spans" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+          |w AS (SELECT doc_id, p, md5(array_to_string(toks[p+1:p+8], ' ')) AS h
+          |      FROM (SELECT doc_id, toks, unnest(range(0, greatest(len(toks)-8+1, 0))) AS p FROM t)),
+          |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY h) WHERE df >= 2),
+          |starts AS (SELECT doc_id, p FROM w JOIN dup USING (h)),
+          |cov AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) AS pos FROM starts),
+          |tok AS (SELECT doc_id, pos, toks[pos+1] AS tok
+          |        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t)),
+          |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+          |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos WHERE c.pos IS NULL),
+          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, COUNT(*) AS n_kept
+          |        FROM kept GROUP BY doc_id),
+          |tot AS (SELECT doc_id, len(toks) AS n FROM t)
+          |SELECT tot.doc_id AS doc_id, COALESCE(agg.clean, '') AS clean_text,
+          |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
+          |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "sample_top_fraction" ->
         """WITH sc AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS score FROM documents),
           |th AS (SELECT source, quantile_cont(score, 0.5) AS thr FROM sc GROUP BY source)

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Duplicated-SPAN removal — the token-window analogue of the
+  * exact-substring deduplication used for GPT-3/PaLM-class corpora
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better"): instead of dropping whole near-duplicate documents
+  * ([[Dedup]]) or whole repeated lines ([[Boilerplate]]), cut the
+  * specific k-token windows that appear verbatim in ≥ `minDf` OTHER
+  * documents — quotes, chain letters, license blocks, syndicated
+  * paragraphs — and keep each document's unique remainder. The
+  * published method builds a corpus-wide suffix array; the distributed
+  * re-expression is shingle-df over k-token windows, which finds
+  * exactly the duplicated substrings of length ≥ k (a duplicated
+  * substring of length m ≥ k is a run of m−k+1 duplicated windows, and
+  * the union of those windows is the substring).
+  *
+  * Scale shape (all the heavy keys are 16-byte md5s, never text):
+  * the token split is STAGED as its own projection; window hashes are
+  * one map-only pass (O(k) string work per token — the same work any
+  * engine must do); df is two keyed shuffles (distinct (doc, hash) →
+  * count, no Expand); duplicated starts shuffle-join back on the hash
+  * (the duplicated set is NOT broadcast — at web scale duplicated
+  * content is big); the rebuild collects each doc's start list
+  * (bounded by the doc's own token count) and walks tokens ONCE with
+  * an O(n) sorted-merge fold — no per-token scan of the start set, no
+  * k× position explosion.
+  *
+  * Whitespace is normalized (trim + single-space rebuild): the unit is
+  * the token stream, as in the reference method. Within-doc repetition
+  * is deliberately NOT removed here (that's the `text_repetition`
+  * quality signal's job); a window must recur across ≥ minDf distinct
+  * documents.
+  */
+object Spans {
+
+  /** Returns one row per input id: (idCol, clean text under `outCol`,
+    * `tokens_dropped`). Documents shorter than `k` tokens pass through
+    * untouched (no window exists to be duplicated).
+    */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, minDf: Int = 2,
+                         outCol: String = "clean_text"): DataFrame = {
+    require(k >= 2, s"window k=$k must be >= 2 (k=1 would cut every shared word)")
+    require(minDf >= 2, s"minDf $minDf must be >= 2 (1 would cut every window)")
+    val id = F.col(idCol)
+    // staged split: one split per row, never under a lambda
+    val toked = df.select(id,
+      F.split(F.trim(F.coalesce(F.col(textCol), F.lit(""))), "\\s+").as("__toks"))
+    // window hashes: md5 over the space-joined k-token slice, engine-
+    // reproducible; docs with < k tokens produce no windows
+    val windows = toked
+      .filter(F.size(F.col("__toks")) >= k)
+      .select(id, F.posexplode(F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__toks")) - k),
+        p => F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), p + 1, F.lit(k)))))).as(Seq("__p", "__h")))
+    // cross-document df on the 16-byte key; two keyed shuffles, no Expand
+    val dup = windows.select(id, F.col("__h")).distinct()
+      .groupBy("__h").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") >= minDf)
+      .select("__h")
+    // duplicated window starts per doc (shuffle join on __h — the
+    // duplicated set is corpus-sized, never broadcast), collected to a
+    // per-doc list bounded by the doc's own token count
+    val starts = windows.join(dup, "__h")
+      .groupBy(idCol).agg(F.sort_array(F.collect_list(F.col("__p"))).as("__ss"))
+    // O(n) sorted-merge walk: starts are distinct positions, so at
+    // most one new start opens per token; `cover` is the exclusive end
+    // of the covered region seen so far, `j` the next unconsumed start
+    val rebuilt = toked.join(starts, Seq(idCol), "left").select(
+      id,
+      F.aggregate(
+        F.sequence(F.lit(0), F.size(F.col("__toks")) - 1),
+        F.struct(
+          F.lit(0).as("j"), F.lit(0L).as("cover"),
+          F.array().cast("array<string>").as("kept"), F.lit(0L).as("dropped")),
+        (st: Column, i: Column) => {
+          val ss = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+          val j = st.getField("j")
+          val isStart = (j < F.size(ss)) && (F.element_at(ss, j + 1) === i)
+          val cover = F.when(isStart,
+            F.greatest(st.getField("cover"), i.cast("long") + k)).otherwise(st.getField("cover"))
+          val covered = i.cast("long") < cover
+          F.struct(
+            F.when(isStart, j + 1).otherwise(j).as("j"),
+            cover.as("cover"),
+            F.when(covered, st.getField("kept"))
+              .otherwise(F.array_append(st.getField("kept"),
+                F.element_at(F.col("__toks"), i + 1))).as("kept"),
+            (st.getField("dropped") + F.when(covered, 1L).otherwise(0L)).as("dropped"))
+        },
+        st => st).as("__r"))
+    rebuilt.select(
+      id,
+      F.concat_ws(" ", F.col("__r.kept")).as(outCol),
+      F.col("__r.dropped").as("tokens_dropped"))
+  }
+}
