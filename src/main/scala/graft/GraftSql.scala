@@ -73,9 +73,32 @@ object GraftSql {
       case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
       case d: DeleteFromTable => deleteParsed(spark, d)
       case u: UpdateTable => updateParsed(spark, u)
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable => truncateParsed(spark, t)
       case other => throw new IllegalArgumentException(
         s"not a DML statement (parsed to ${other.nodeName}); " +
-          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, DELETE, UPDATE")
+          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, DELETE, UPDATE, TRUNCATE")
+    }
+
+  /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling
+    * of the WRITE_TRUNCATE disposition A18's INSERT OVERWRITE covers):
+    * returns the empty frame under the target's exact schema. Same
+    * contract as [[delete]]: persist the result (an empty overwrite)
+    * via stage-and-swap; on Delta/Iceberg the same text runs natively.
+    */
+  def truncate(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable => truncateParsed(spark, t)
+      case other => throw new IllegalArgumentException(
+        s"not a TRUNCATE statement (parsed to ${other.nodeName})")
+    }
+
+  private def truncateParsed(spark: SparkSession,
+                             t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable): DataFrame =
+    t.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        spark.table(ut.multipartIdentifier.mkString(".")).limit(0)
+      case other => throw new IllegalArgumentException(
+        s"TRUNCATE target must be a named table, got: ${other.nodeName}")
     }
 
   /** `DELETE FROM t [AS a] WHERE cond` — BigQuery's row-deletion DML

@@ -242,6 +242,19 @@ class TypedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("not a DELETE"))
   }
 
+  test("GraftSql.truncate: empty frame under the exact target schema, via load dispatch too") {
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 0.5)).toDF("k", "name", "rate")
+      .createOrReplaceTempView("trunc_t")
+    val out = GraftSql.load(spark, "TRUNCATE TABLE trunc_t")
+    assert(out.count() == 0)
+    assert(out.schema == spark.table("trunc_t").schema)
+    assert(GraftSql.truncate(spark, "TRUNCATE TABLE trunc_t").count() == 0)
+    val e = intercept[IllegalArgumentException](
+      GraftSql.truncate(spark, "SELECT 1"))
+    assert(e.getMessage.contains("not a TRUNCATE"))
+  }
+
   test("GraftSql.update: expression SET on selected rows only, schema never drifts") {
     import spark.implicits._
     Seq((1L, 2.0f, "a"), (2L, 0.5f, "b"), (3L, 4.0f, "c"))
