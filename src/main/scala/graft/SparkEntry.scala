@@ -151,6 +151,21 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_orders"), dsum(F.col("o_totalprice")).as("revenue"))
         .orderBy("c_nationkey")
     }),
+    // Bloom-reduced anti-join: droplist application when the list is
+    // past broadcast size — definite negatives pass MAP-ONLY (no
+    // false negatives), only bloom hits enter the exact anti-join, so
+    // the shuffled side shrinks from |corpus| to ~|matches|. Result
+    // is exactly the plain anti-join (false positives resolved by the
+    // exact join), so the oracle is the plain NOT EXISTS spelling
+    "q_bloom_anti" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val drop = Tables.orders(s, d).filter(F.col("o_orderstatus") === "F")
+        .select(F.col("o_orderkey").as("l_orderkey"))
+      graft.operators.BloomJoin.antiJoin(li, drop, Seq("l_orderkey"), expectedItems = 10000)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_rows"), dsum(F.col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
 
     // dense daily series with last-observation-carried-forward fill
     // (the FX weekend-gap fill; AsOf answers point lookups, this
@@ -950,6 +965,15 @@ object SparkEntry {
         .select(F.col("doc_id"), T.langGuess(F.col("text")).as("lang_guess"))
         .orderBy("doc_id")
     }),
+    // sliding-window chunking — the embedding/retrieval prep stage;
+    // map-only (explode over an in-row start sequence), all-integer
+    // arithmetic so DuckDB replays the window algebra exactly
+    "text_chunk" -> ((s, d) => {
+      graft.operators.Chunking.chunkByTokens(
+        Tables.documents(s, d), "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "text_tokens" -> ((s, d) => {
       val t = F.col("text")
       Tables.documents(s, d).select(
@@ -1046,6 +1070,15 @@ object SparkEntry {
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      // bloom pre-filter is exact (no false negatives; positives
+      // verified by the exact join) -> plain NOT EXISTS oracle
+      "q_bloom_anti" ->
+        """SELECT l_returnflag, COUNT(*) AS n_rows,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       // the whole point: three O(batch) merges reproduce the full-scan
       // aggregate bit-for-bit (decimal state sums are exact and
       // order-free), so the oracle IS the full recompute
@@ -1646,6 +1679,27 @@ object SparkEntry {
           |       WHEN s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
           |       ELSE 'de' END AS lang_guess
           |FROM s ORDER BY doc_id""".stripMargin,
+      // chunk=64 overlap=16 step=48; n_chunks = 1 for n<=64 else
+      // 1 + ceil((n-64)/48); DuckDB list slicing is 1-based inclusive
+      // and clamps at the end, same as Spark's slice
+      "text_chunk" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |  FROM documents WHERE length(trim(text)) > 0
+          |), s AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |         CASE WHEN len(toks) <= 64 THEN 1
+          |              ELSE CAST(floor((len(toks) - 64 + 47) / 48) AS BIGINT) + 1 END AS n_chunks
+          |  FROM t
+          |), e AS (
+          |  SELECT doc_id, toks, n_tokens,
+          |         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+          |  FROM s
+          |)
+          |SELECT doc_id, chunk_id, n_tokens,
+          |       least(64, n_tokens - chunk_id * 48) AS chunk_len,
+          |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+import graft.functions.bloom
+
+/** Bloom-reduced semi/anti joins — applying a droplist (or allowlist)
+  * to a corpus when the list side is past broadcast size but its KEY
+  * SET still sketches into megabytes.
+  *
+  * The problem shape: `corpus.join(droplist, keys, "left_anti")` with
+  * a droplist of 10⁸⁻⁹ keys. Spark can't broadcast it, so the plan
+  * shuffles the FULL corpus width on the key — at 100 TB that is the
+  * single most expensive stage in a dedup/decontamination pass
+  * (compare C8's droplist application, E5a at web scale). A Bloom
+  * filter of the droplist keys costs ~9.6 bits/key at 1% fpp (120 MB
+  * for 10⁸ keys — closure-shippable where the droplist itself is
+  * not), and Bloom "no" answers are EXACT. So:
+  *
+  *   anti: corpus rows whose key hash misses the filter pass through
+  *         MAP-ONLY (they definitely have no match); only the hits —
+  *         true matches + fpp·|corpus| false positives — enter the
+  *         exact anti-join, whose shuffled left side shrinks from
+  *         |corpus| to roughly |matches|.
+  *   semi: misses are dropped map-only; hits verify via exact
+  *         semi-join (false positives must not survive).
+  *
+  * Both return EXACTLY the rows of the plain join — false positives
+  * are resolved by the exact join on the reduced side, false
+  * negatives don't exist — so the driver oracle hash-checks against
+  * the plain spelling. Multiset semantics (duplicate corpus rows) and
+  * SQL NULL semantics (a NULL key never equals anything: anti keeps
+  * the row, semi drops it) are preserved; NULL-key rows are routed
+  * without probing the filter, whose hash input would otherwise be
+  * the hash seed, not a key value.
+  *
+  * The filter itself is built by [[graft.functions.BloomFilterAgg]]
+  * — one aggregation over the droplist's key projection (map-side
+  * partial bitsets OR-merged; the shuffle carries partitions×filter
+  * bytes, never keys) — and lands on the driver as ONE bounded row
+  * (the documented bounded-collect pattern, like IVF centroids).
+  * At multi-GB filter sizes prefer raising `fpp` (the exact join
+  * absorbs the extra positives) over a bigger sketch.
+  */
+object BloomJoin {
+
+  /** One 64-bit hash over the key columns — the codegen'd built-in
+    * xxhash64, computed identically on both sides so equal keys
+    * always collide (the no-false-negative precondition).
+    */
+  private def keyHash(keys: Seq[String]): Column = F.xxhash64(keys.map(F.col): _*)
+
+  private def anyKeyNull(keys: Seq[String]): Column =
+    keys.map(F.col(_).isNull).reduce(_ || _)
+
+  /** Serialized Bloom filter of `df`'s key tuples. NULL-bearing key
+    * tuples are excluded: they can never match in SQL equality, so
+    * inserting them would only raise the false-positive rate.
+    */
+  def buildFilter(df: DataFrame, keys: Seq[String], expectedItems: Long,
+                  fpp: Double = 0.01): Array[Byte] = {
+    val row = df
+      .filter(!anyKeyNull(keys))
+      .agg(bloom.bloom_agg(keyHash(keys), expectedItems, fpp).as("f"))
+      .head()
+    row.getAs[Array[Byte]]("f")
+  }
+
+  /** Exact `left.join(list, keys, "left_anti")` with the corpus side
+    * reduced map-only before the shuffle. `expectedItems` sizes the
+    * filter (list key-tuple count; overshooting wastes bits,
+    * undershooting raises fpp — both safe).
+    */
+  def antiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
+               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val filter = buildFilter(list, keys, expectedItems, fpp)
+    val probe = bloom.bloom_might_contain(keyHash(keys), filter)
+    // definite negatives (and NULL keys, which never match): map-only pass
+    val misses = left.filter(anyKeyNull(keys) || !probe)
+    // possible positives: exact anti-join on the reduced side
+    val hits = left.filter(!anyKeyNull(keys) && probe)
+      .join(list.select(keys.map(F.col): _*), keys, "left_anti")
+    misses.unionAll(hits)
+  }
+
+  /** Exact `left.join(list, keys, "left_semi")`: misses drop map-only,
+    * hits verify exactly (a false positive must not survive).
+    */
+  def semiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
+               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val filter = buildFilter(list, keys, expectedItems, fpp)
+    val probe = bloom.bloom_might_contain(keyHash(keys), filter)
+    left.filter(!anyKeyNull(keys) && probe)
+      .join(list.select(keys.map(F.col): _*), keys, "left_semi")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import graft.operators.Chunking
+import graft.sources.Tables
+
+class ChunkingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val chunk = 8
+  private val overlap = 3
+  private val step = chunk - overlap
+
+  private def docsOf(ns: Seq[Int]) =
+    ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"w${i}_$t").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("chunks reconstruct the document exactly (all lengths 0..40)") {
+    val out = Chunking.chunkByTokens(docsOf(0 to 40), "doc_id", "text", chunk, overlap)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .groupBy(_.getLong(0))
+    for ((docId, rows) <- out) {
+      val rebuilt = rows.sortBy(_.getLong(1)).zipWithIndex.flatMap { case (r, i) =>
+        val toks = r.getString(4).split(" ").toSeq
+        if (i == 0) toks else toks.drop(overlap)
+      }
+      val expected = (1 to (docId.toInt)).map(t => s"w${docId}_$t")
+      assert(rebuilt.toSeq == expected, s"doc $docId reconstruction mismatch")
+    }
+    // blank/empty docs emit nothing
+    val blank = Seq((99L, "   "), (100L, "")).toDF("doc_id", "text")
+    assert(Chunking.chunkByTokens(blank, "doc_id", "text", chunk, overlap).count() == 0)
+  }
+
+  test("window laws: sizes, overlap, last-chunk reach") {
+    val rows = Chunking.chunkByTokens(docsOf(Seq(1, chunk, chunk + 1, 30)), "doc_id", "text",
+      chunk, overlap).orderBy("doc_id", "chunk_id").collect()
+    // docsOf indexes doc_id 0..3 with n = 1, chunk, chunk+1, 30
+    val byDoc = rows.groupBy(_.getLong(0)).map { case (k, v) => (k, v.sortBy(_.getLong(1))) }
+    // n <= chunk -> exactly one chunk of n tokens
+    assert(byDoc(0L).length == 1 && byDoc(0L).head.getLong(3) == 1L)
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getLong(3) == chunk.toLong)
+    // n = chunk+1 -> two chunks, second longer than overlap
+    assert(byDoc(2L).length == 2)
+    assert(byDoc(2L)(1).getLong(3) > overlap)
+    // general doc: all but last are full, last reaches the end
+    val d30 = byDoc(3L)
+    assert(d30.init.forall(_.getLong(3) == chunk.toLong))
+    val last = d30.last
+    assert(last.getLong(1) * step + last.getLong(3) == 30L, "last chunk must reach the end")
+    // consecutive chunks share exactly `overlap` tokens
+    d30.sliding(2).foreach { case Array(a, b) =>
+      val aToks = a.getString(4).split(" ").toSeq
+      val bToks = b.getString(4).split(" ").toSeq
+      assert(aToks.takeRight(overlap) == bToks.take(overlap))
+    }
+  }
+
+  test("chunking is map-only (no Exchange) and stays in codegen") {
+    val out = Chunking.chunkByTokens(Tables.documents(spark, sf), "doc_id", "text", 64, 16)
+    val exchanges = out.queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, "chunking must not shuffle")
+    // one codegen span holds filter+split+explode+slice (renders as "*(1)")
+    assert(out.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+
+  test("zero overlap partitions the token stream") {
+    val out = Chunking.chunkByTokens(docsOf(Seq(20)), "doc_id", "text", 8, 0)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getLong(3)).sum == 20L)
+    assert(out.flatMap(_.getString(4).split(" ")).length == 20)
+  }
+}
