@@ -35,6 +35,13 @@ object Bench {
     // lucky run. A crashed run records -1 — a time-to-crash must never
     // pass as a (flatteringly fast) benchmark number.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // collect the previous queries' garbage OUTSIDE the timed window:
+      // by query ~50 of a sweep the heap carries tens of GB of dead
+      // shuffle/codegen/scan debris, and its collection lands inside
+      // whichever query triggers it (observed: 3-4x inflation on
+      // queries that time flat in isolation). One explicit GC per
+      // query makes the sweep measure plans, not accumulated history.
+      System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { force(name); (System.nanoTime() - t0) / 1e9 }

@@ -63,6 +63,7 @@ object ScaleProbe {
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
       "dedup_spans",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
+      "text_chunk",
       "corpus_mix", "pack_sequences",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
@@ -211,6 +212,33 @@ object ScaleProbe {
     val imRow =
       f"""{"op":"incremental_merge","base_sec":${mergeProbe(sfDir)}%.2f,"scaled_sec":${mergeProbe(root)}%.2f}"""
 
+    // A24: Bloom-reduced anti-join vs the plain spelling, in the
+    // regime it exists for — droplist past broadcast size (simulated
+    // by disabling auto-broadcast): plain shuffles the whole corpus
+    // on the key; bloom passes definite negatives map-only and
+    // shuffles only the hits. Fixed 5%-of-base droplist against the
+    // 1× and 10× corpus.
+    def bloomProbe(corpusDir: String): (Double, Double) = {
+      import graft.operators.BloomJoin
+      val docs = graft.sources.Tables.documents(spark, corpusDir).select("doc_id", "text")
+      val drop = graft.sources.Tables.documents(spark, sfDir)
+        .filter(F.col("doc_id") % 20 === 0).select("doc_id")
+      val items = math.max(1L, drop.count())
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try {
+        val b = time(force(BloomJoin.antiJoin(docs, drop, Seq("doc_id"), items)))
+        val p = time(force(docs.join(drop, Seq("doc_id"), "left_anti")))
+        (b, p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+    val (blBase, plBase) = bloomProbe(sfDir)
+    val (blBig, plBig) = bloomProbe(root)
+    val bloomRow =
+      f"""{"op":"bloom_anti_join","base_sec":$blBase%.2f,"scaled_sec":$blBig%.2f}"""
+    val plainAntiRow =
+      f"""{"op":"plain_anti_join","base_sec":$plBase%.2f,"scaled_sec":$plBig%.2f}"""
+
     // incremental-ingest contract: append one fresh day-shifted replica
     // batch into the full 2M-row table; cost must track the batch.
     // Single timed run — a repeat would be a pure redelivery no-op.
@@ -229,7 +257,8 @@ object ScaleProbe {
     val tableRows = spark.read.parquet(rawPath).count()
 
     println("{\"probe\":\"scale\",\"ops\":[" +
-      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, imRow)).mkString(",") +
+      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, imRow,
+        bloomRow, plainAntiRow)).mkString(",") +
       f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()
   }

@@ -167,6 +167,39 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // SCD2 history: run-length-encoded validity intervals over a
+    // banded rate attribute — one window shuffle; epoch-micros on
+    // both sides (the proven ts-parity recipe)
+    "fx_scd2" -> ((s, d) => {
+      val h = Tables.events(s, d).select(
+        F.col("event_type"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"),
+        F.floor(F.col("value") / 10).cast("long").as("band"))
+      graft.operators.Scd2.fromHistory(h, Seq("event_type"), "ts_us", "event_id", Seq("band"))
+        .select(F.col("event_type"), F.col("band"),
+          F.col("valid_from").as("vf_us"), F.col("valid_to").as("vt_us"),
+          F.col("is_current"))
+        .orderBy("event_type", "vf_us")
+    }),
+    // the incremental face: fold the post-cutoff observations into
+    // the pre-cutoff interval table; applyBatch ≡ full recompute
+    // (spec-pinned), so the oracle is the SAME full-history SQL
+    "fx_scd2_incremental" -> ((s, d) => {
+      val h = Tables.events(s, d).select(
+        F.col("event_type"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"),
+        F.floor(F.col("value") / 10).cast("long").as("band"))
+      val cut = 1705708800000000L // 2024-01-20T00:00:00Z in epoch micros
+      val current = graft.operators.Scd2.fromHistory(
+        h.filter(F.col("ts_us") < cut), Seq("event_type"), "ts_us", "event_id", Seq("band"))
+      graft.operators.Scd2.applyBatch(current, h.filter(F.col("ts_us") >= cut),
+          Seq("event_type"), "ts_us", "event_id", Seq("band"))
+        .select(F.col("event_type"), F.col("band"),
+          F.col("valid_from").as("vf_us"), F.col("valid_to").as("vt_us"),
+          F.col("is_current"))
+        .orderBy("event_type", "vf_us")
+    }),
+
     // dense daily series with last-observation-carried-forward fill
     // (the FX weekend-gap fill; AsOf answers point lookups, this
     // materializes the dense table)
@@ -375,6 +408,19 @@ object SparkEntry {
       val both = c.intersect(o).withColumn("src", F.lit("customers_with_orders"))
       noOrders.unionByName(both).orderBy("src", "k")
     }),
+    // BigQuery REGEXP_* scalar surface; every pattern sits in the
+    // Java-regex ∩ RE2 shared dialect so DuckDB replays it verbatim
+    "q_regexp_ops" -> ((s, d) => {
+      val t = F.col("text")
+      Tables.documents(s, d).select(
+        F.col("doc_id"),
+        t.rlike("https?://").as("has_url"),
+        F.regexp_extract(t, "[0-9]+", 0).as("first_num"),
+        F.size(F.regexp_extract_all(t, F.lit("[A-Z][a-z]+"), F.lit(0))).as("n_cap_words"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).as("n_vowelless_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_string_ops" -> ((s, d) => {
       Tables.part(s, d).select(
           F.col("p_partkey"),
@@ -1005,6 +1051,23 @@ object SparkEntry {
     * driver's weaker rows-only check; their semantics are verified
     * against brute-force ground truth in the ScalaTest suite instead.
     */
+  private val scd2OracleSql =
+    """WITH h AS (
+      |  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |         CAST(floor(value / 10) AS BIGINT) AS band
+      |  FROM events
+      |), c AS (
+      |  SELECT event_type, event_id, ts_us, band, lag(band) OVER w AS prev
+      |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+      |), s AS (
+      |  SELECT * FROM c WHERE prev IS NULL OR band <> prev
+      |)
+      |SELECT event_type, band, ts_us AS vf_us,
+      |       lead(ts_us) OVER w2 AS vt_us,
+      |       lead(ts_us) OVER w2 IS NULL AS is_current
+      |FROM s WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+      |ORDER BY event_type, vf_us""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val dot = (a: String, b: String) =>
       s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), 'sum')"
@@ -1070,6 +1133,12 @@ object SparkEntry {
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      // SCD2 run collapse as two windows: lag detects run starts,
+      // lead chains valid_to; micros arithmetic on both sides. The
+      // incremental query shares the oracle — applyBatch must equal
+      // the full recompute (Scd2Spec pins the law on random splits)
+      "fx_scd2" -> scd2OracleSql,
+      "fx_scd2_incremental" -> scd2OracleSql,
       // bloom pre-filter is exact (no false negatives; positives
       // verified by the exact join) -> plain NOT EXISTS oracle
       "q_bloom_anti" ->
@@ -1195,6 +1264,13 @@ object SparkEntry {
           |  INTERSECT
           |  SELECT o_custkey AS k FROM orders)
           |ORDER BY src, k""".stripMargin,
+      "q_regexp_ops" ->
+        """SELECT doc_id,
+          |  regexp_matches(text, 'https?://') AS has_url,
+          |  regexp_extract(text, '[0-9]+') AS first_num,
+          |  len(regexp_extract_all(text, '[A-Z][a-z]+')) AS n_cap_words,
+          |  length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowelless_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q_string_ops" ->
         """SELECT p_partkey,
           |  upper(p_name) AS name_upper,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -293,6 +294,126 @@ case class StridedBytes(child: Expression, n: Int)
   * output (scale, codes) keeps the pair atomic; null elements quantize
   * to 0; a zero vector yields scale 0 and all-zero codes.
   */
+/** md5 hex of every k-token window of a token array — bit-identical
+  * to `transform(sequence(0, size-k), p -> md5(concat_ws(" ",
+  * slice(toks, p+1, k))))` (null tokens skipped exactly as concat_ws
+  * skips them), but one tight loop per row instead of an interpreted
+  * HOF lambda re-evaluating a slice+concat+md5 expression tree per
+  * window — the [[graft.operators.Spans]] hot path. Returns an empty
+  * array when fewer than k tokens exist.
+  */
+case class WindowMd5(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"window k=$k must be >= 1")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // MessageDigest is stateful; the expression object is shared across
+  // local-mode task threads, so the instance is per-thread
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val bytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) {
+      bytes(t) = if (arr.isNullAt(t)) null else arr.getUTF8String(t).getBytes
+      t += 1
+    }
+    val digest = md5.get()
+    val out = new Array[AnyRef](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      digest.reset()
+      var j = 0
+      var first = true
+      while (j < k) {
+        val b = bytes(p + j)
+        if (b != null) { // concat_ws skips null elements AND their separator
+          if (!first) digest.update(' '.toByte)
+          digest.update(b)
+          first = false
+        }
+        j += 1
+      }
+      val d = digest.digest()
+      val hex = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+        hex(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+        i += 1
+      }
+      out(p) = UTF8String.fromBytes(hex)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowMd5", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WindowMd5 =
+    copy(child = newChild)
+}
+
+/** The [[graft.operators.Spans]] rebuild: given a doc's token array
+  * and the SORTED distinct start positions of its duplicated k-token
+  * windows, keep every token not covered by any window [s, s+k) and
+  * return struct(kept_text = space-joined survivors, dropped = count
+  * of covered tokens). Bit-identical to the fold spelling
+  * (aggregate over sequence with a cover/j state struct), but one
+  * O(n) imperative walk — the fold's `array_append` accumulator
+  * copies the kept array per token (O(n²)) and every step is an
+  * interpreted expression tree. Null tokens are skipped in the
+  * rebuild exactly as concat_ws skips them.
+  */
+case class RebuildSpans(tokens: Expression, starts: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = tokens
+  override def right: Expression = starts
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("kept", StringType, nullable = false),
+    StructField("dropped", LongType, nullable = false)))
+  private val space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, ss: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val m = ss.numElements()
+    val kept = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var dropped = 0L
+    var cover = 0L
+    var j = 0
+    var i = 0
+    while (i < n) {
+      if (j < m && !ss.isNullAt(j) && ss.getInt(j) == i) {
+        val end = i.toLong + k
+        if (end > cover) cover = end
+        j += 1
+      }
+      if (i.toLong < cover) dropped += 1
+      else if (!toks.isNullAt(i)) kept += toks.getUTF8String(i)
+      i += 1
+    }
+    InternalRow(UTF8String.concatWs(space, kept.toSeq: _*), dropped)
+  }
+  override def nullSafeEval(t: Any, s: Any): Any =
+    compute(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rebuildSpans", this)
+    nullSafeCodeGen(ctx, ev, (t, s) => s"${ev.value} = $ref.compute($t, $s);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RebuildSpans =
+    copy(tokens = l, starts = r)
+}
+
 case class Int8Quantize(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType))
@@ -853,6 +974,10 @@ object native {
     Bridge.column(MinHashSignature(Bridge.expression(tokens), k))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def window_md5(tokens: Column, k: Int): Column =
+    Bridge.column(WindowMd5(Bridge.expression(tokens), k))
+  def rebuild_spans(tokens: Column, starts: Column, k: Int): Column =
+    Bridge.column(RebuildSpans(Bridge.expression(tokens), Bridge.expression(starts), k))
   def word_shingles(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
   def cosine_sim(a: Column, b: Column): Column =

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Slowly-changing-dimension type 2 — the warehouse pattern behind the
+  * reference's MERGE upsert family, extended to keep HISTORY: instead
+  * of overwriting a key's row (SCD1 = `Upsert.merge`, A3), each
+  * attribute change closes the current validity interval and opens a
+  * new one, so point-in-time queries (`AsOf`, A9) can reconstruct any
+  * past state. BigQuery spells this as a MERGE with a
+  * matched-AND-changed UPDATE (close) plus an INSERT (reopen); here
+  * it's a library operator over plain DataFrames.
+  *
+  * Rows carry `valid_from` (first observation of the attribute
+  * tuple), `valid_to` (next change's timestamp, null while current)
+  * and `is_current`. Consecutive observations with UNCHANGED
+  * attributes collapse into one interval (run-length encoding of the
+  * history); ties order by a caller-named unique `tieCol` so every
+  * interval boundary is deterministic.
+  *
+  * Scale shape: `fromHistory` is two window functions over the SAME
+  * (keys) partitioning and (ts, tie) order — Catalyst plans ONE
+  * exchange and one sort, then both windows run in place. No
+  * groupBy, no self-join, no per-key state beyond the window frame.
+  * `applyBatch` is the incremental face: closed intervals are
+  * IMMUTABLE (the point of SCD2), so it touches only each key's open
+  * row plus the batch — O(open ∪ batch) work per tick regardless of
+  * history depth, the same append-only contract as `DedupIndex`.
+  */
+object Scd2 {
+
+  /** Interval table from a full observation history. `attrs` are the
+    * tracked columns; other non-key columns are dropped (they'd make
+    * "changed" ambiguous). Output: keys ++ attrs ++ (valid_from,
+    * valid_to, is_current).
+    */
+  def fromHistory(history: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, attrs: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs must be non-empty")
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(F.col(tsCol), F.col(tieCol))
+    val attrStruct = F.struct(attrs.map(F.col): _*)
+    // run starts: first observation per key (lag is null — null-safe
+    // equality makes that a change) or any attribute-tuple change
+    val starts = history
+      .withColumn("__changed", !(attrStruct <=> F.lag(attrStruct, 1).over(w)))
+      .filter(F.col("__changed"))
+    // same partitioning + order -> the second window reuses the sort
+    starts
+      .withColumn("valid_to", F.lead(F.col(tsCol), 1).over(w))
+      .select(keys.map(F.col) ++ attrs.map(F.col) ++ Seq(
+        F.col(tsCol).as("valid_from"),
+        F.col("valid_to"),
+        F.col("valid_to").isNull.as("is_current")): _*)
+  }
+
+  /** Fold a later batch of observations into an existing interval
+    * table. Precondition (caller-guaranteed, as in a warehouse's
+    * append-only load): every batch timestamp is strictly later than
+    * the open interval's `valid_from` for its key — late-arriving
+    * data needs a history rebuild for the affected keys.
+    *
+    * Result is EXACTLY `fromHistory(history ∪ batch)` (spec-pinned):
+    * the batch run-length-encodes on its own, then stitches to each
+    * key's open interval — an unchanged leading run EXTENDS the open
+    * interval (no spurious version), a changed one closes it. Closed
+    * intervals pass through untouched, so on append-only storage
+    * only open rows + batch are rewritten.
+    */
+  def applyBatch(current: DataFrame, batch: DataFrame, keys: Seq[String], tsCol: String,
+                 tieCol: String, attrs: Seq[String]): DataFrame = {
+    val closed = current.filter(!F.col("is_current"))
+    val open = current.filter(F.col("is_current"))
+      .select(keys.map(F.col) ++ attrs.map(F.col) :+ F.col("valid_from"): _*)
+    val batchRuns = fromHistory(batch, keys, tsCol, tieCol, attrs)
+      .select(keys.map(F.col) ++ attrs.map(F.col) :+ F.col("valid_from"): _*)
+    // re-run the run-collapse over (open ∪ batch runs): each input row
+    // is itself a run boundary candidate, ordered by valid_from;
+    // adjacent equal attribute tuples collapse (keeping the EARLIER
+    // valid_from — the extend case), unequal ones chain valid_to
+    val combined = open.unionByName(batchRuns)
+    fromHistory(combined, keys, "valid_from", "valid_from", attrs)
+      .unionByName(closed.select(
+        keys.map(F.col) ++ attrs.map(F.col) ++
+          Seq(F.col("valid_from"), F.col("valid_to"), F.col("is_current")): _*))
+  }
+}

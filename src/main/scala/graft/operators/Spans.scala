@@ -49,12 +49,14 @@ object Spans {
     val toked = df.select(id,
       F.split(F.trim(F.coalesce(F.col(textCol), F.lit(""))), "\\s+").as("__toks"))
     // window hashes: md5 over the space-joined k-token slice, engine-
-    // reproducible; docs with < k tokens produce no windows
+    // reproducible; docs with < k tokens produce no windows. The
+    // native WindowMd5 is bit-identical to the transform/slice/md5
+    // HOF spelling but runs one tight loop per row (HOF lambdas are
+    // interpreted per window — the documented hot-path trap)
     val windows = toked
       .filter(F.size(F.col("__toks")) >= k)
-      .select(id, F.posexplode(F.transform(
-        F.sequence(F.lit(0), F.size(F.col("__toks")) - k),
-        p => F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), p + 1, F.lit(k)))))).as(Seq("__p", "__h")))
+      .select(id, F.posexplode(
+        graft.functions.native.window_md5(F.col("__toks"), k)).as(Seq("__p", "__h")))
     // cross-document df on the 16-byte key; two keyed shuffles, no Expand
     val dup = windows.select(id, F.col("__h")).distinct()
       .groupBy("__h").agg(F.count(F.lit(1)).as("__df"))
@@ -65,35 +67,18 @@ object Spans {
     // per-doc list bounded by the doc's own token count
     val starts = windows.join(dup, "__h")
       .groupBy(idCol).agg(F.sort_array(F.collect_list(F.col("__p"))).as("__ss"))
-    // O(n) sorted-merge walk: starts are distinct positions, so at
-    // most one new start opens per token; `cover` is the exclusive end
-    // of the covered region seen so far, `j` the next unconsumed start
+    // O(n) sorted-merge walk: starts are distinct sorted positions, so
+    // at most one new start opens per token; the native RebuildSpans
+    // does the cover walk in one imperative pass (the fold spelling
+    // re-copied the kept array per token and interpreted every step)
     val rebuilt = toked.join(starts, Seq(idCol), "left").select(
       id,
-      F.aggregate(
-        F.sequence(F.lit(0), F.size(F.col("__toks")) - 1),
-        F.struct(
-          F.lit(0).as("j"), F.lit(0L).as("cover"),
-          F.array().cast("array<string>").as("kept"), F.lit(0L).as("dropped")),
-        (st: Column, i: Column) => {
-          val ss = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
-          val j = st.getField("j")
-          val isStart = (j < F.size(ss)) && (F.element_at(ss, j + 1) === i)
-          val cover = F.when(isStart,
-            F.greatest(st.getField("cover"), i.cast("long") + k)).otherwise(st.getField("cover"))
-          val covered = i.cast("long") < cover
-          F.struct(
-            F.when(isStart, j + 1).otherwise(j).as("j"),
-            cover.as("cover"),
-            F.when(covered, st.getField("kept"))
-              .otherwise(F.array_append(st.getField("kept"),
-                F.element_at(F.col("__toks"), i + 1))).as("kept"),
-            (st.getField("dropped") + F.when(covered, 1L).otherwise(0L)).as("dropped"))
-        },
-        st => st).as("__r"))
+      graft.functions.native.rebuild_spans(
+        F.col("__toks"),
+        F.coalesce(F.col("__ss"), F.array().cast("array<int>")), k).as("__r"))
     rebuilt.select(
       id,
-      F.concat_ws(" ", F.col("__r.kept")).as(outCol),
+      F.col("__r.kept").as(outCol),
       F.col("__r.dropped").as("tokens_dropped"))
   }
 }

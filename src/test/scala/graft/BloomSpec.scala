@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.execution.exchange.Exchange
 
 import graft.functions.{bloom, BloomBuffer}
 import graft.operators.BloomJoin
@@ -84,10 +83,10 @@ class BloomSpec extends SparkSuite {
     // the pass-through branch in isolation: filter over the source, nothing else
     val misses = left.filter(F.col("l_orderkey").isNull ||
       !bloom.bloom_might_contain(F.xxhash64(F.col("l_orderkey")), filter))
-    val exchanges = misses.queryExecution.executedPlan.collect { case e: Exchange => e }
-    assert(exchanges.isEmpty, "bloom pre-filter must not introduce a shuffle")
-    // and the probe stays inside whole-stage codegen (spans render as "*(n)")
+    // string match: AdaptiveSparkPlanExec hides children from collect
     val plan = misses.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom pre-filter must not shuffle:\n${plan.take(1000)}")
+    // and the probe stays inside whole-stage codegen (spans render as "*(n)")
     assert(plan.contains("*(1) Filter"), s"probe fell out of codegen:\n${plan.take(1000)}")
   }
 

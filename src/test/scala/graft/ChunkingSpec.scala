@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.execution.exchange.Exchange
 
 import graft.operators.Chunking
 import graft.sources.Tables
@@ -62,10 +61,11 @@ class ChunkingSpec extends SparkSuite {
 
   test("chunking is map-only (no Exchange) and stays in codegen") {
     val out = Chunking.chunkByTokens(Tables.documents(spark, sf), "doc_id", "text", 64, 16)
-    val exchanges = out.queryExecution.executedPlan.collect { case e: Exchange => e }
-    assert(exchanges.isEmpty, "chunking must not shuffle")
+    // string match: AdaptiveSparkPlanExec hides children from collect
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(1000)}")
     // one codegen span holds filter+split+explode+slice (renders as "*(1)")
-    assert(out.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(plan.contains("*(1) Project"))
   }
 
   test("zero overlap partitions the token stream") {

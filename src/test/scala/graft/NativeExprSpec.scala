@@ -143,4 +143,29 @@ class NativeExprSpec extends SparkSuite {
       .eval(null).asInstanceOf[Double]
     assert(got == want)
   }
+
+  test("WindowMd5 is bit-identical to the transform/slice/md5 HOF spelling") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two", "one two three", "single",
+      "a a a a a a", // repeated tokens
+      "unicode émojis ünd ßtuff here too").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val df = docs.toDF("id", "text")
+      .select(F.col("id"), F.split(F.col("text"), " ").as("toks"))
+    for (k <- Seq(2, 3, 5)) {
+      val hof = df.select(F.col("id"), F.when(F.size(F.col("toks")) >= k,
+        F.transform(
+          F.sequence(F.lit(0), F.size(F.col("toks")) - k),
+          p => F.md5(F.concat_ws(" ", F.slice(F.col("toks"), p + 1, F.lit(k))))))
+        .otherwise(F.array().cast("array<string>")).as("h"))
+      val nat = df.select(F.col("id"),
+        graft.functions.native.window_md5(F.col("toks"), k).as("h"))
+      val l = hof.orderBy("id").collect().map(_.getSeq[String](1).toList).toList
+      val r = nat.orderBy("id").collect().map(_.getSeq[String](1).toList).toList
+      assert(l == r, s"k=$k window hashes diverged")
+    }
+  }
 }

@@ -59,6 +59,35 @@ class RobustnessSpec extends SparkSuite {
     }
   }
 
+  test("round-5 operators degrade cleanly on empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // chunking: empty corpus -> no chunks; bad overlap rejects loudly
+    assert(graft.operators.Chunking
+      .chunkByTokens(emptyDocs, "doc_id", "text", 8, 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Chunking.chunkByTokens(emptyDocs, "doc_id", "text", 8, 8)
+    }
+    // bloom join: an EMPTY droplist must pass everything (anti) /
+    // nothing (semi); bad fpp rejects loudly
+    val left = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val noList = Seq.empty[(Long, String)].toDF("k", "w")
+    assert(graft.operators.BloomJoin.antiJoin(left, noList, Seq("k"), 10).count() == 50)
+    assert(graft.operators.BloomJoin.semiJoin(left, noList, Seq("k"), 10).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomBuffer.sized(100, 1.5)
+    }
+    // scd2: empty history -> no intervals; empty batch -> state unchanged
+    val noHist = Seq.empty[(String, Long, Long, Int)].toDF("key", "ts", "tie", "attr")
+    assert(graft.operators.Scd2
+      .fromHistory(noHist, Seq("key"), "ts", "tie", Seq("attr")).count() == 0)
+    val st = graft.operators.Scd2.fromHistory(
+      Seq(("a", 1L, 1L, 9)).toDF("key", "ts", "tie", "attr"),
+      Seq("key"), "ts", "tie", Seq("attr"))
+    val merged = graft.operators.Scd2
+      .applyBatch(st, noHist, Seq("key"), "ts", "tie", Seq("attr"))
+    assert(merged.count() == 1 && merged.head().getBoolean(4))
+  }
+
   test("GraftSql.merge degrades cleanly on edge inputs") {
     // empty source: target unchanged under both statement forms
     Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("rtgt")
