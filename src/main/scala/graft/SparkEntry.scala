@@ -408,6 +408,18 @@ object SparkEntry {
       val both = c.intersect(o).withColumn("src", F.lit("customers_with_orders"))
       noOrders.unionByName(both).orderBy("src", "k")
     }),
+    // declarative load-gate constraints (BigQuery ASSERT / dbt-test
+    // shape): row-local rules share ONE scan; unique adds a keyed
+    // aggregate, referential integrity one anti-join
+    "q_constraints" -> ((s, d) => {
+      import graft.operators.Constraints._
+      graft.operators.Constraints.check(Tables.orders(s, d), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 1000.0, 300000.0),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity(Seq("o_custkey"), Tables.customer(s, d), Seq("c_custkey"))))
+    }),
+
     // BigQuery REGEXP_* scalar surface; every pattern sits in the
     // Java-regex ∩ RE2 shared dialect so DuckDB replays it verbatim
     "q_regexp_ops" -> ((s, d) => {
@@ -1264,6 +1276,31 @@ object SparkEntry {
           |  INTERSECT
           |  SELECT o_custkey AS k FROM orders)
           |ORDER BY src, k""".stripMargin,
+      // rule labels must match Constraints.Rule.name exactly (the
+      // report is (rule, violations) rows, hash-compared)
+      "q_constraints" ->
+        """SELECT * FROM (
+          |  SELECT 'not_null(o_custkey)' AS rule,
+          |         CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+          |              AS BIGINT) AS violations
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'in_range(o_totalprice,1000.0,300000.0)',
+          |         CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+          |                           AND (o_totalprice < 1000.0 OR o_totalprice > 300000.0)
+          |                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'unique(o_orderkey)',
+          |         CAST(COALESCE((SELECT SUM(c) FROM (SELECT COUNT(*) AS c FROM orders
+          |                   WHERE o_orderkey IS NOT NULL
+          |                   GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT)
+          |  UNION ALL
+          |  SELECT 'ref_integrity(o_custkey)', COUNT(*)
+          |  FROM orders o
+          |  WHERE o_custkey IS NOT NULL
+          |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
+          |) ORDER BY rule""".stripMargin,
       "q_regexp_ops" ->
         """SELECT doc_id,
           |  regexp_matches(text, 'https?://') AS has_url,

@@ -263,4 +263,45 @@ object EventStream {
         applyReportBatch(readState(), batch, batchId, keys, measures)
           .foreach(writeState(_, batchId))
       }
+
+  /** One micro-batch of the SCD2 sink: fold the batch's observations
+    * into the interval table via [[graft.operators.Scd2.applyBatch]]
+    * — UNLESS this batchId is already applied. applyBatch is NOT
+    * redelivery-idempotent (a replayed non-leading run would re-open
+    * intervals the state already closed, duplicating history rows),
+    * so the same atomic (state, batchId) guard as
+    * [[applyReportBatch]] applies. Returns None on a replay.
+    */
+  def applyScd2Batch(state: Option[(DataFrame, Long)], batch: DataFrame, batchId: Long,
+                     keys: Seq[String], tsCol: String, tieCol: String,
+                     attrs: Seq[String]): Option[DataFrame] =
+    state match {
+      case Some((_, last)) if batchId <= last => None
+      case Some((st, _)) =>
+        Some(graft.operators.Scd2.applyBatch(st, batch, keys, tsCol, tieCol, attrs))
+      case None =>
+        Some(graft.operators.Scd2.fromHistory(batch, keys, tsCol, tieCol, attrs))
+    }
+
+  /** G9: streaming SCD2 maintenance — the streaming face of A25, as
+    * G8 is of A23: each micro-batch of dimension observations
+    * closes/extends/opens validity intervals in the persisted state;
+    * closed intervals are immutable, so per-tick work is
+    * O(open ∪ batch) regardless of history depth. Micro-batches must
+    * arrive time-ordered per key (the streaming source's natural
+    * order for an observation feed); `writeState` MUST persist the
+    * batchId with the state in one atomic commit.
+    */
+  def scd2Sink(stream: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+               attrs: Seq[String],
+               readState: () => Option[(DataFrame, Long)],
+               writeState: (DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd2Batch(readState(), batch, batchId, keys, tsCol, tieCol, attrs)
+          .foreach(writeState(_, batchId))
+      }
 }

@@ -253,4 +253,55 @@ class StreamingSpec extends SparkSuite {
     assert(next.get.agg(F.sum("n_cnt")).collect()(0).getLong(0)
       == Tables.events(spark, sf).count() + 10)
   }
+
+  test("G9: SCD2 sink equals the batch recompute; replayed batchIds are skipped") {
+    import spark.implicits._
+    val keys = Seq("event_type")
+    val attrs = Seq("band")
+    def obs(s: org.apache.spark.sql.SparkSession, d: String) =
+      Tables.events(s, d).select(
+        F.col("event_type"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"),
+        F.floor(F.col("value") / 10).cast("long").as("band"))
+    val full = graft.operators.Scd2.fromHistory(
+      obs(spark, sf), Seq("event_type"), "ts_us", "event_id", attrs)
+
+    // drive the sink's per-batch function with three time-ordered
+    // micro-batches (the streaming delivery contract) and a replay
+    val h = obs(spark, sf)
+    val cuts = Seq(Long.MinValue) ++
+      h.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0).map(_.toLong).toSeq ++
+      Seq(Long.MaxValue)
+    var state: Option[(DataFrame, Long)] = None
+    for ((Seq(lo, hi), i) <- cuts.sliding(2).toSeq.zipWithIndex) {
+      val batch = h.filter(F.col("ts_us") >= lo && F.col("ts_us") < hi)
+      val out = EventStream.applyScd2Batch(state, batch, i.toLong,
+        keys, "ts_us", "event_id", attrs)
+      assert(out.isDefined, s"fresh batchId $i must fold")
+      state = Some((out.get.cache(), i.toLong))
+    }
+    def canon(df: DataFrame) = df.orderBy("event_type", "valid_from")
+      .collect().map(_.toSeq).toSeq
+    assert(canon(state.get._1) == canon(full),
+      "three streamed folds must reproduce the full-history recompute")
+    // replay guard: applyBatch is NOT redelivery-idempotent, so the
+    // guard must reject already-seen ids
+    val replay = h.limit(5)
+    assert(EventStream.applyScd2Batch(state, replay, 2L,
+      keys, "ts_us", "event_id", attrs).isEmpty)
+    assert(EventStream.applyScd2Batch(state, replay, 0L,
+      keys, "ts_us", "event_id", attrs).isEmpty)
+
+    // and the sink wiring end-to-end over a file-source stream
+    val dir = eventsDir
+    var sunk: Option[(DataFrame, Long)] = None
+    val stream = EventStream.readEvents(spark, dir).select(
+      F.col("event_type"), F.col("event_id"),
+      F.unix_micros(F.col("ts")).as("ts_us"),
+      F.floor(F.col("value") / 10).cast("long").as("band"))
+    val q = EventStream.scd2Sink(stream, keys, "ts_us", "event_id", attrs,
+      () => sunk, (st, id) => sunk = Some((st.cache(), id))).start()
+    q.awaitTermination(60000)
+    assert(canon(sunk.get._1) == canon(full))
+  }
 }
