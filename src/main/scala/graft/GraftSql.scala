@@ -79,6 +79,29 @@ object GraftSql {
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, DELETE, UPDATE, TRUNCATE")
     }
 
+  private val AssertRe =
+    """(?is)^\s*ASSERT\s+(.*?)(?:\s+AS\s+'([^']*)')?\s*;?\s*$""".r
+
+  /** BigQuery `ASSERT <bool_expr> [AS 'message']` — the scripting
+    * guard a load script runs before publishing (the statement face
+    * of [[graft.operators.Constraints.assertAll]]). The expression
+    * may hold scalar subqueries over registered views
+    * (`ASSERT (SELECT COUNT(*) FROM stage WHERE key IS NULL) = 0`),
+    * exactly as in BigQuery. Catalyst has no ASSERT statement, so the
+    * verb is recognized here and the expression evaluates through
+    * `spark.sql` — one driver-side boolean. A NULL result fails (an
+    * unprovable assertion is a failed assertion, matching
+    * `Constraints.Satisfies`).
+    */
+  def assertStatement(spark: SparkSession, sql: String): Unit = sql match {
+    case AssertRe(expr, msg) =>
+      val row = spark.sql(s"SELECT CAST(($expr) AS BOOLEAN) AS ok").head()
+      if (row.isNullAt(0) || !row.getBoolean(0))
+        throw new IllegalStateException(
+          Option(msg).getOrElse(s"assertion failed: ${expr.trim}"))
+    case _ => throw new IllegalArgumentException("not an ASSERT statement")
+  }
+
   /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling
     * of the WRITE_TRUNCATE disposition A18's INSERT OVERWRITE covers):
     * returns the empty frame under the target's exact schema. Same

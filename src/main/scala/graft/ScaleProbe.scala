@@ -224,13 +224,18 @@ object ScaleProbe {
       val drop = graft.sources.Tables.documents(spark, sfDir)
         .filter(F.col("doc_id") % 20 === 0).select("doc_id")
       val items = math.max(1L, drop.count())
-      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      // BOTH thresholds: the static one plans the shuffle join, and
+      // AQE's runtime one must not convert it back to broadcast —
+      // otherwise the probe compares two broadcast plans
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> spark.conf.get(k))
+      keys.foreach(spark.conf.set(_, "-1"))
       try {
         val b = time(force(BloomJoin.antiJoin(docs, drop, Seq("doc_id"), items)))
         val p = time(force(docs.join(drop, Seq("doc_id"), "left_anti")))
         (b, p)
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     }
     val (blBase, plBase) = bloomProbe(sfDir)
     val (blBig, plBig) = bloomProbe(root)

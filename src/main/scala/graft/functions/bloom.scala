@@ -81,7 +81,12 @@ object BloomBuffer {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val ln2 = math.log(2.0)
     val bits = math.ceil(-expectedItems.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
-    val words = math.max(1L, (bits + 63L) >>> 6).toInt
+    val words64 = math.max(1L, (bits + 63L) >>> 6)
+    // 2^31 words = 16 GiB of bitset — far past closure-shippable; the
+    // caller should raise fpp (the exact join absorbs the positives)
+    require(words64 <= Int.MaxValue,
+      s"filter would need $words64 words; raise fpp or shrink expectedItems")
+    val words = words64.toInt
     val hashes = math.max(1, math.round(bits.toDouble / expectedItems.toDouble * ln2).toInt)
     new BloomBuffer(hashes, new Array[Long](words))
   }

@@ -67,9 +67,10 @@ object BloomJoin {
   }
 
   /** Exact `left.join(list, keys, "left_anti")` with the corpus side
-    * reduced map-only before the shuffle. `expectedItems` sizes the
-    * filter (list key-tuple count; overshooting wastes bits,
-    * undershooting raises fpp — both safe).
+    * reduced map-only before the shuffle. `keys` name columns present
+    * under the SAME names on both sides (join-using semantics).
+    * `expectedItems` sizes the filter (list key-tuple count;
+    * overshooting wastes bits, undershooting raises fpp — both safe).
     */
   def antiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {

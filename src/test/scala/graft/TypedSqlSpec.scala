@@ -291,6 +291,33 @@ class TypedSqlSpec extends SparkSuite {
     assert(upd.orderBy("k").select("rate").as[Double].collect().toSeq == Seq(2.0, 5.0))
   }
 
+  test("GraftSql.assertStatement: BigQuery ASSERT text guards a load script") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("assert_stage")
+    // a passing assertion with a scalar subquery, BigQuery-style
+    GraftSql.assertStatement(spark,
+      "ASSERT (SELECT COUNT(*) FROM assert_stage WHERE id IS NULL) = 0 AS 'no null keys'")
+    // failing: the message surfaces
+    val e = intercept[IllegalStateException] {
+      GraftSql.assertStatement(spark,
+        "ASSERT (SELECT COUNT(*) FROM assert_stage) = 99 AS 'exactly 99 rows'")
+    }
+    assert(e.getMessage == "exactly 99 rows")
+    // no AS clause -> the expression itself is the message
+    val e2 = intercept[IllegalStateException] {
+      GraftSql.assertStatement(spark, "ASSERT 1 = 2")
+    }
+    assert(e2.getMessage.contains("1 = 2"))
+    // NULL result = unprovable = failed (Constraints.Satisfies semantics)
+    intercept[IllegalStateException] {
+      GraftSql.assertStatement(spark, "ASSERT CAST(NULL AS BOOLEAN)")
+    }
+    // non-ASSERT text rejects loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.assertStatement(spark, "SELECT 1")
+    }
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
