@@ -229,13 +229,16 @@ object ScaleProbe {
       // otherwise the probe compares two broadcast plans
       val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      val saved = keys.map(k => k -> spark.conf.get(k))
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
       keys.foreach(spark.conf.set(_, "-1"))
       try {
         val b = time(force(BloomJoin.antiJoin(docs, drop, Seq("doc_id"), items)))
         val p = time(force(docs.join(drop, Seq("doc_id"), "left_anti")))
         (b, p)
-      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
     val (blBase, plBase) = bloomProbe(sfDir)
     val (blBig, plBig) = bloomProbe(root)
@@ -243,6 +246,19 @@ object ScaleProbe {
       f"""{"op":"bloom_anti_join","base_sec":$blBase%.2f,"scaled_sec":$blBig%.2f}"""
     val plainAntiRow =
       f"""{"op":"plain_anti_join","base_sec":$plBase%.2f,"scaled_sec":$plBig%.2f}"""
+    // the metric wall time can't show at fixture scale (50k rows
+    // shuffle in milliseconds): the fraction of corpus rows entering
+    // the exact join's exchange under bloom — plain shuffles 1.0
+    val bloomHitFraction = {
+      import graft.operators.BloomJoin
+      val docs = graft.sources.Tables.documents(spark, root).select("doc_id", "text")
+      val drop = graft.sources.Tables.documents(spark, sfDir)
+        .filter(F.col("doc_id") % 20 === 0).select("doc_id")
+      val filter = BloomJoin.buildFilter(drop, Seq("doc_id"), math.max(1L, drop.count()))
+      val hits = docs.filter(graft.functions.bloom.bloom_might_contain(
+        F.xxhash64(F.col("doc_id")), filter)).count()
+      hits.toDouble / docs.count()
+    }
 
     // incremental-ingest contract: append one fresh day-shifted replica
     // batch into the full 2M-row table; cost must track the batch.
@@ -264,7 +280,8 @@ object ScaleProbe {
     println("{\"probe\":\"scale\",\"ops\":[" +
       (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, imRow,
         bloomRow, plainAntiRow)).mkString(",") +
-      f"""],"ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
+      f"""],"bloom_hit_fraction":$bloomHitFraction%.4f,""" +
+      f""""ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()
   }
 }

@@ -929,6 +929,22 @@ object SparkEntry {
     }),
 
     // ───────────────────────── D. similarity search ─────────────────────────
+    // hybrid retrieval: RRF fusion of the integer-tf lexical leg and
+    // the D1 cosine leg — ranks come from bounded top-k arrays, and
+    // 1/(60+rank) on integer ranks is bit-exact IEEE division, so
+    // the fused scores hash across engines
+    "search_hybrid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vecs = Tables.embeddings(s, d)
+      val queries = docs.filter(F.col("doc_id") % 50 === 0)
+        .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+        .join(vecs.select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec")), "qid")
+      graft.operators.Hybrid.rrfSearch(docs, "doc_id", "text",
+          vecs, "vec_id", "embedding", queries, "qid", "qtext", "qvec",
+          k = 10, n = 20)
+        .orderBy("qid", "doc_id")
+    }),
+
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
@@ -1698,6 +1714,51 @@ object SparkEntry {
           |SELECT r.id, r.root, c.cluster_size
           |FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)
           |ORDER BY id""".stripMargin,
+      // legs replay exactly: integer Σtf + row_number for the lexical
+      // ranks, the D1 cosine formula for the vector ranks, bit-exact
+      // double division for RRF; CAST(1 AS DOUBLE) keeps DuckDB off
+      // its decimal-division path
+      "search_hybrid" ->
+        s"""WITH q AS (
+          |  SELECT d.doc_id AS qid, d.text AS qtext, e.embedding AS qvec
+          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          |  WHERE d.doc_id % 50 = 0),
+          |tf AS (
+          |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          |    FROM documents) GROUP BY doc_id, token),
+          |qt AS (
+          |  SELECT qid, unnest(list_distinct(string_split_regex(lower(trim(qtext)), '\\s+'))) AS token
+          |  FROM q),
+          |lex AS (
+          |  SELECT qid, doc_id, SUM(tf) AS s FROM qt JOIN tf USING (token) GROUP BY qid, doc_id),
+          |lexn AS (
+          |  SELECT qid, doc_id, lex_rank FROM (
+          |    SELECT qid, doc_id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS lex_rank
+          |    FROM lex) WHERE lex_rank <= 20),
+          |cos AS (
+          |  SELECT q.qid, e.vec_id AS doc_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS c
+          |  FROM q JOIN embeddings e ON TRUE),
+          |cosn AS (
+          |  SELECT qid, doc_id, vec_rank FROM (
+          |    SELECT qid, doc_id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) AS vec_rank
+          |    FROM cos) WHERE vec_rank <= 20),
+          |fused AS (
+          |  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+          |         COALESCE(CAST(1 AS DOUBLE)/(l.lex_rank + 60), CAST(0 AS DOUBLE)) +
+          |           COALESCE(CAST(1 AS DOUBLE)/(v.vec_rank + 60), CAST(0 AS DOUBLE)) AS rrf,
+          |         COALESCE(l.lex_rank, 0) AS lex_rank,
+          |         COALESCE(v.vec_rank, 0) AS vec_rank
+          |  FROM lexn l FULL OUTER JOIN cosn v ON l.qid = v.qid AND l.doc_id = v.doc_id)
+          |SELECT qid, doc_id, rrf, lex_rank, vec_rank FROM (
+          |  SELECT qid, doc_id, rrf, lex_rank, vec_rank,
+          |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+          |  FROM fused) WHERE rn <= 10
+          |ORDER BY qid, doc_id""".stripMargin,
       "ann_bruteforce_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
           |scored AS (

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.Hybrid
+import graft.sources.Tables
+
+class HybridSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("RRF laws on the fixture corpus: self top by vector, bounds, k rows") {
+    val docs = Tables.documents(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+      .join(vecs.select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec")), "qid")
+    val out = Hybrid.rrfSearch(docs, "doc_id", "text", vecs, "vec_id", "embedding",
+      queries, "qid", "qtext", "qvec", k = 10, n = 20).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every query returns exactly k rows (corpus is far bigger than k)
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery == Set(10), s"expected 10 rows per query, got sizes $perQuery")
+    // a query's own document has cosine 1.0 -> vector rank 1
+    val self = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.nonEmpty, "self docs must surface")
+    assert(self.forall(_.getLong(4) == 1L), "self similarity must rank 1 on the vector leg")
+    // rrf bounds: 0 < rrf <= 2/(1+60)
+    assert(rows.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 2.0 / 61.0))
+    // a rank of 0 means the leg missed the doc; then rrf is the other leg alone
+    rows.filter(_.getLong(3) == 0L).foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0 / (r.getLong(4) + 60)) < 1e-15)
+    }
+  }
+
+  test("legs fuse: lexical-only and vector-only docs both surface with rank 0 on the other leg") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota"),
+      (4L, "kappa lambda mu"), (5L, "nu xi omicron")).toDF("doc_id", "text")
+    // embeddings: doc 2 is near the query vector, others far; doc 1 has no vector at all
+    def v(xs: Float*) = xs.toArray
+    val vecs = Seq(
+      (2L, v(1f, 0f)), (3L, v(0f, 1f)), (4L, v(-1f, 0f)), (5L, v(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    // the query's text matches ONLY doc 1; its vector matches doc 2 best
+    val queries = Seq((100L, "alpha beta", v(1f, 0.1f))).toDF("qid", "qtext", "qvec")
+    val out = Hybrid.rrfSearch(docs, "doc_id", "text", vecs, "vec_id", "embedding",
+      queries, "qid", "qtext", "qvec", k = 5, n = 2)
+      .orderBy(F.desc("rrf")).collect()
+    val byDoc = out.map(r => r.getLong(1) -> r).toMap
+    // doc 1: lexical rank 1, vector leg never saw it
+    assert(byDoc(1L).getLong(3) == 1L && byDoc(1L).getLong(4) == 0L)
+    // doc 2: vector rank 1, lexical leg never saw it
+    assert(byDoc(2L).getLong(4) == 1L && byDoc(2L).getLong(3) == 0L)
+    // both fuse to the same rrf (rank 1 on exactly one leg each) and tie
+    assert(byDoc(1L).getDouble(2) == byDoc(2L).getDouble(2))
+    // docs outside both top-n lists don't appear (n=2 vector cutoff)
+    assert(!byDoc.contains(5L) || byDoc(5L).getLong(4) > 0)
+  }
+
+  test("no Window over the corpus: ranks come from bounded top-k arrays") {
+    val docs = Tables.documents(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = docs.filter(F.col("doc_id") === 0)
+      .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+      .join(vecs.select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec")), "qid")
+    val out = Hybrid.rrfSearch(docs, "doc_id", "text", vecs, "vec_id", "embedding",
+      queries, "qid", "qtext", "qvec")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank must not come from a window:\n${plan.take(800)}")
+    assert(plan.toLowerCase.contains("topk"),
+      "bounded top-k aggregate missing from the plan")
+  }
+}
