@@ -67,7 +67,14 @@ object GraftSql {
     * BigQuery user feeds their load scripts here unchanged.
     */
   def load(spark: SparkSession, sql: String): DataFrame =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
+    // recognize it before parsePlan so load scripts run unchanged;
+    // it produces no result set, so a passing assertion yields the
+    // empty frame
+    if (AssertRe.pattern.matcher(sql).matches()) {
+      assertStatement(spark, sql)
+      spark.emptyDataFrame
+    } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
       case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
@@ -76,11 +83,13 @@ object GraftSql {
       case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable => truncateParsed(spark, t)
       case other => throw new IllegalArgumentException(
         s"not a DML statement (parsed to ${other.nodeName}); " +
-          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, DELETE, UPDATE, TRUNCATE")
+          "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
+          "DELETE, UPDATE, TRUNCATE, ASSERT")
     }
 
+  // message accepts SQL-escaped quotes ('' -> '); unescaped on use
   private val AssertRe =
-    """(?is)^\s*ASSERT\s+(.*?)(?:\s+AS\s+'([^']*)')?\s*;?\s*$""".r
+    """(?is)^\s*ASSERT\s+(.*?)(?:\s+AS\s+'((?:[^']|'')*)')?\s*;?\s*$""".r
 
   /** BigQuery `ASSERT <bool_expr> [AS 'message']` — the scripting
     * guard a load script runs before publishing (the statement face
@@ -98,7 +107,8 @@ object GraftSql {
       val row = spark.sql(s"SELECT CAST(($expr) AS BOOLEAN) AS ok").head()
       if (row.isNullAt(0) || !row.getBoolean(0))
         throw new IllegalStateException(
-          Option(msg).getOrElse(s"assertion failed: ${expr.trim}"))
+          Option(msg).map(_.replace("''", "'"))
+            .getOrElse(s"assertion failed: ${expr.trim}"))
     case _ => throw new IllegalArgumentException("not an ASSERT statement")
   }
 

@@ -66,6 +66,34 @@ object BloomJoin {
     row.getAs[Array[Byte]]("f")
   }
 
+  private def buildFilterTyped(df: DataFrame, keys: Seq[String],
+                               types: Seq[org.apache.spark.sql.types.DataType],
+                               expectedItems: Long, fpp: Double): Array[Byte] =
+    df.filter(!anyKeyNull(keys))
+      .agg(bloom.bloom_agg(typedKeyHash(keys, types), expectedItems, fpp).as("f"))
+      .head().getAs[Array[Byte]]("f")
+
+  /** xxhash64 is TYPE-sensitive where SQL equality is not: an INT 5
+    * and a BIGINT 5 join equal but hash differently, which would send
+    * true matches down the definite-negative branch — a silent wrong
+    * answer. Both sides' hash inputs therefore cast to the SQL common
+    * type of each key pair (the same widening the exact join's
+    * equality performs) before hashing.
+    */
+  private def commonKeyTypes(left: DataFrame, list: DataFrame,
+                             keys: Seq[String]): Seq[org.apache.spark.sql.types.DataType] =
+    keys.map { k =>
+      val (lt, rt) = (left.schema(k).dataType, list.schema(k).dataType)
+      if (lt == rt) lt
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(lt, rt).getOrElse(throw new IllegalArgumentException(
+          s"key '$k' has no common type between corpus ($lt) and list ($rt)"))
+    }
+
+  private def typedKeyHash(keys: Seq[String],
+                           types: Seq[org.apache.spark.sql.types.DataType]): Column =
+    F.xxhash64(keys.zip(types).map { case (k, t) => F.col(k).cast(t) }: _*)
+
   /** Exact `left.join(list, keys, "left_anti")` with the corpus side
     * reduced map-only before the shuffle. `keys` name columns present
     * under the SAME names on both sides (join-using semantics).
@@ -74,8 +102,9 @@ object BloomJoin {
     */
   def antiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val filter = buildFilter(list, keys, expectedItems, fpp)
-    val probe = bloom.bloom_might_contain(keyHash(keys), filter)
+    val types = commonKeyTypes(left, list, keys)
+    val filter = buildFilterTyped(list, keys, types, expectedItems, fpp)
+    val probe = bloom.bloom_might_contain(typedKeyHash(keys, types), filter)
     // definite negatives (and NULL keys, which never match): map-only pass
     val misses = left.filter(anyKeyNull(keys) || !probe)
     // possible positives: exact anti-join on the reduced side
@@ -89,8 +118,9 @@ object BloomJoin {
     */
   def semiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val filter = buildFilter(list, keys, expectedItems, fpp)
-    val probe = bloom.bloom_might_contain(keyHash(keys), filter)
+    val types = commonKeyTypes(left, list, keys)
+    val filter = buildFilterTyped(list, keys, types, expectedItems, fpp)
+    val probe = bloom.bloom_might_contain(typedKeyHash(keys, types), filter)
     left.filter(!anyKeyNull(keys) && probe)
       .join(list.select(keys.map(F.col): _*), keys, "left_semi")
   }

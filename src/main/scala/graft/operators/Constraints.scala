@@ -48,7 +48,7 @@ object Constraints {
     def name = s"ref_integrity(${cols.mkString(",")})"
   }
 
-  private def violationCond(df: DataFrame, r: Rule): Column = r match {
+  private def violationCond(r: Rule): Column = r match {
     case NotNull(c) => F.col(c).isNull
     case InRange(c, lo, hi) => F.col(c).isNotNull && (F.col(c) < lo || F.col(c) > hi)
     case Satisfies(_, p) => !F.coalesce(p, F.lit(false))
@@ -61,8 +61,9 @@ object Constraints {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val dupNames = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"duplicate rule names (each name is a report row): ${dupNames.mkString(", ")}")
     val (rowLocal, structural) = rules.partition {
       case _: NotNull | _: InRange | _: Satisfies => true
       case _ => false
@@ -70,7 +71,7 @@ object Constraints {
     val parts = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {
       val counts = rowLocal.map(r =>
-        F.coalesce(F.sum(F.when(violationCond(df, r), 1L).otherwise(0L)), F.lit(0L)).as(r.name))
+        F.coalesce(F.sum(F.when(violationCond(r), 1L).otherwise(0L)), F.lit(0L)).as(r.name))
       // one scan, n conditional sums; unpivot the single row to (rule, violations)
       val row = df.agg(counts.head, counts.tail: _*)
       parts += row.unpivot(Array.empty, rowLocal.map(r => F.col(s"`${r.name}`")).toArray,
@@ -113,5 +114,5 @@ object Constraints {
     * face (bounded by `limit`).
     */
   def violations(df: DataFrame, rule: Rule, limit: Int = 100): DataFrame =
-    df.filter(violationCond(df, rule)).limit(limit)
+    df.filter(violationCond(rule)).limit(limit)
 }

@@ -47,11 +47,20 @@ object Hybrid {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
 
-    // ----- lexical leg: Σ tf of the query's DISTINCT tokens per doc
-    val tf = InvertedIndex.termFrequencies(docs, idCol, textCol)
+    // ----- lexical leg: Σ tf of the query's DISTINCT tokens per doc.
+    // The corpus token stream is SEMI-JOINED against the (small,
+    // broadcast) query-token set BEFORE the tf aggregation — without
+    // it the groupBy would shuffle every (doc, token) pair in the
+    // corpus only for the qTokens join to discard all non-query
+    // tokens; tf per surviving (doc, token) is unchanged
     val qTokens = queries
       .select(F.col(qidCol).as("qid"), F.explode(
         F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
+    val tf = docs
+      .select(F.col(idCol).as("doc_id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("doc_id"), F.explode(F.col("__toks")).as("token"))
+      .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
     val lexTop = qTokens.join(tf, "token")
       .groupBy("qid", "doc_id")
       .agg(F.sum("tf").as("__score"))

@@ -30,29 +30,46 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scd2 {
 
+  /** Run starts with the tie column retained — the internal shape
+    * [[applyBatch]] needs so same-timestamp observations keep their
+    * (ts, tie) order through the re-collapse.
+    */
+  private def runStarts(history: DataFrame, keys: Seq[String], tsCol: String,
+                        tieCol: String, attrs: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs must be non-empty")
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(F.col(tsCol), F.col(tieCol))
+    val attrStruct = F.struct(attrs.map(F.col): _*)
+    // run starts: first observation per key (lag is null — null-safe
+    // equality makes that a change) or any attribute-tuple change
+    history
+      .withColumn("__changed", !(attrStruct <=> F.lag(attrStruct, 1).over(w)))
+      .filter(F.col("__changed"))
+      .select(keys.map(F.col) ++ attrs.map(F.col) ++ Seq(
+        F.col(tsCol).as("valid_from"), F.col(tieCol).as("__tie")): _*)
+  }
+
+  private def chainIntervals(starts: DataFrame, keys: Seq[String],
+                             attrs: Seq[String]): DataFrame = {
+    // same partitioning + (valid_from, tie) order as the run-start
+    // window -> Catalyst reuses one exchange and one sort
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("valid_from"), F.col("__tie"))
+    starts
+      .withColumn("valid_to", F.lead(F.col("valid_from"), 1).over(w))
+      .select(keys.map(F.col) ++ attrs.map(F.col) ++ Seq(
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Interval table from a full observation history. `attrs` are the
     * tracked columns; other non-key columns are dropped (they'd make
     * "changed" ambiguous). Output: keys ++ attrs ++ (valid_from,
     * valid_to, is_current).
     */
   def fromHistory(history: DataFrame, keys: Seq[String], tsCol: String,
-                  tieCol: String, attrs: Seq[String]): DataFrame = {
-    require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs must be non-empty")
-    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(F.col(tsCol), F.col(tieCol))
-    val attrStruct = F.struct(attrs.map(F.col): _*)
-    // run starts: first observation per key (lag is null — null-safe
-    // equality makes that a change) or any attribute-tuple change
-    val starts = history
-      .withColumn("__changed", !(attrStruct <=> F.lag(attrStruct, 1).over(w)))
-      .filter(F.col("__changed"))
-    // same partitioning + order -> the second window reuses the sort
-    starts
-      .withColumn("valid_to", F.lead(F.col(tsCol), 1).over(w))
-      .select(keys.map(F.col) ++ attrs.map(F.col) ++ Seq(
-        F.col(tsCol).as("valid_from"),
-        F.col("valid_to"),
-        F.col("valid_to").isNull.as("is_current")): _*)
-  }
+                  tieCol: String, attrs: Seq[String]): DataFrame =
+    chainIntervals(runStarts(history, keys, tsCol, tieCol, attrs), keys, attrs)
 
   /** Fold a later batch of observations into an existing interval
     * table. Precondition (caller-guaranteed, as in a warehouse's
@@ -70,16 +87,22 @@ object Scd2 {
   def applyBatch(current: DataFrame, batch: DataFrame, keys: Seq[String], tsCol: String,
                  tieCol: String, attrs: Seq[String]): DataFrame = {
     val closed = current.filter(!F.col("is_current"))
+    val batchRuns = runStarts(batch, keys, tsCol, tieCol, attrs)
+    // the open row sorts strictly before every batch run (its
+    // valid_from is earlier by precondition), so its tie value never
+    // matters — a typed null keeps the union schema aligned
+    val tieType = batchRuns.schema("__tie").dataType
     val open = current.filter(F.col("is_current"))
-      .select(keys.map(F.col) ++ attrs.map(F.col) :+ F.col("valid_from"): _*)
-    val batchRuns = fromHistory(batch, keys, tsCol, tieCol, attrs)
-      .select(keys.map(F.col) ++ attrs.map(F.col) :+ F.col("valid_from"): _*)
+      .select(keys.map(F.col) ++ attrs.map(F.col) ++ Seq(
+        F.col("valid_from"), F.lit(null).cast(tieType).as("__tie")): _*)
     // re-run the run-collapse over (open ∪ batch runs): each input row
-    // is itself a run boundary candidate, ordered by valid_from;
+    // is itself a run boundary candidate, ordered by (valid_from,
+    // tie) — the SAME total order the full-history recompute uses, so
+    // same-timestamp batch observations keep their tie order;
     // adjacent equal attribute tuples collapse (keeping the EARLIER
     // valid_from — the extend case), unequal ones chain valid_to
     val combined = open.unionByName(batchRuns)
-    fromHistory(combined, keys, "valid_from", "valid_from", attrs)
+    chainIntervals(runStarts(combined, keys, "valid_from", "__tie", attrs), keys, attrs)
       .unionByName(closed.select(
         keys.map(F.col) ++ attrs.map(F.col) ++
           Seq(F.col("valid_from"), F.col("valid_to"), F.col("is_current")): _*))

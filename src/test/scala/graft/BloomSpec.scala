@@ -20,7 +20,8 @@ class BloomSpec extends SparkSuite {
     inserted.foreach(buf.insert)
     assert(inserted.forall(buf.mightContain), "false negative on an inserted hash")
     // disjoint probes: measured fpp within 3x of nominal
-    val probes = Array.fill(100000)(rng.nextLong()).filterNot(inserted.contains)
+    val insertedSet = inserted.toSet
+    val probes = Array.fill(100000)(rng.nextLong()).filterNot(insertedSet)
     val fp = probes.count(buf.mightContain).toDouble / probes.length
     assert(fp < 0.03, s"measured fpp $fp exceeds 3x the nominal 0.01")
   }
@@ -73,6 +74,18 @@ class BloomSpec extends SparkSuite {
     val plain = li.join(drop, Seq("l_orderkey"), "left_anti")
     val reduced = BloomJoin.antiJoin(li, drop, Seq("l_orderkey"), expectedItems = 10000)
     assert(sig(reduced) == sig(plain))
+  }
+
+  test("mismatched key types still match: hashes align to the SQL common type") {
+    // xxhash64(INT 5) != xxhash64(BIGINT 5); without the common-type
+    // cast every true match would route down the negative branch
+    val left = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val list = (1 to 50).map(i => (i * 2, "w")).toDF("k", "w") // INT keys
+    assert(list.schema("k").dataType != left.schema("k").dataType)
+    val plainAnti = left.join(list.select("k"), Seq("k"), "left_anti")
+    val plainSemi = left.join(list.select("k"), Seq("k"), "left_semi")
+    assert(sig(BloomJoin.antiJoin(left, list, Seq("k"), 50)) == sig(plainAnti))
+    assert(sig(BloomJoin.semiJoin(left, list, Seq("k"), 50)) == sig(plainSemi))
   }
 
   test("the definite-negative path is map-only (no Exchange above its scan)") {

@@ -74,6 +74,14 @@ class ConstraintsSpec extends SparkSuite {
     assert(rows == Set("c", "d"))
   }
 
+  test("duplicate rule names reject loudly (each name is a report row)") {
+    val e = intercept[IllegalArgumentException] {
+      Constraints.check(dirty, Seq(
+        Satisfies("pos", F.col("v") > 0), Satisfies("pos", F.col("k") > 0)))
+    }
+    assert(e.getMessage.contains("satisfies(pos)"))
+  }
+
   test("empty table: zero violations everywhere") {
     val empty = dirty.filter(F.lit(false))
     val report = Constraints.check(empty, Seq(NotNull("k"), Unique(Seq("k"))))

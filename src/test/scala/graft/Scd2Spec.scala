@@ -67,6 +67,24 @@ class Scd2Spec extends SparkSuite {
     }
   }
 
+  test("applyBatch keeps (ts, tie) order for same-timestamp batch observations") {
+    // two observations at the SAME ts in one batch: the tie column
+    // decides the run order, and applyBatch must agree with the full
+    // recompute (regression: the re-collapse used to drop the tie)
+    val h = Seq(
+      ("a", 10L, 1L, 1), // history
+      ("a", 30L, 2L, 2), ("a", 30L, 3L, 3) // batch: same ts, tie-ordered
+    ).toDF("key", "ts", "tie", "attr")
+    val full = Scd2.fromHistory(h, Seq("key"), "ts", "tie", Seq("attr"))
+    val current = Scd2.fromHistory(h.filter(F.col("ts") < 30), Seq("key"), "ts", "tie", Seq("attr"))
+    val merged = Scd2.applyBatch(current, h.filter(F.col("ts") >= 30),
+      Seq("key"), "ts", "tie", Seq("attr"))
+    assert(sig(merged) == sig(full))
+    // attr=3 (the higher tie) must be the current one
+    val cur = merged.filter(F.col("is_current")).collect()
+    assert(cur.length == 1 && cur.head.getInt(1) == 3)
+  }
+
   test("applyBatch handles new keys and untouched keys") {
     val current = Scd2.fromHistory(
       Seq(("a", 10L, 1L, 1), ("a", 20L, 2L, 2)).toDF("key", "ts", "tie", "attr"),

@@ -316,6 +316,18 @@ class TypedSqlSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       GraftSql.assertStatement(spark, "SELECT 1")
     }
+    // SQL-escaped quotes in the message unescape
+    val e3 = intercept[IllegalStateException] {
+      GraftSql.assertStatement(spark, "ASSERT 1 = 2 AS 'can''t load'")
+    }
+    assert(e3.getMessage == "can't load")
+    // the one-entry-point dispatch recognizes the verb too: a load
+    // script with ASSERT lines runs through `load` unchanged
+    assert(GraftSql.load(spark,
+      "ASSERT (SELECT COUNT(*) FROM assert_stage) = 2 AS 'two rows'").count() == 0)
+    intercept[IllegalStateException] {
+      GraftSql.load(spark, "ASSERT 1 = 2 AS 'via load'")
+    }
   }
 
   test("streaming sessionization groups events by inactivity gap") {
