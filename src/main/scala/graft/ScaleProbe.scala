@@ -63,7 +63,7 @@ object ScaleProbe {
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
       "dedup_spans",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
-      "text_chunk",
+      "text_chunk", "search_hybrid",
       "corpus_mix", "pack_sequences",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",

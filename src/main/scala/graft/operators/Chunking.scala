@@ -31,10 +31,13 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 object Chunking {
 
   /** (doc, chunk_id, n_tokens, chunk_len, chunk_text) rows; `idCol`
-    * is carried through, extra columns dropped.
+    * and any `payloadCols` (source, lang — the provenance an
+    * embedding pipeline must keep per chunk) are carried through,
+    * other columns dropped.
     */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
-                    chunkTokens: Int, overlapTokens: Int): DataFrame = {
+                    chunkTokens: Int, overlapTokens: Int,
+                    payloadCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
@@ -43,7 +46,8 @@ object Chunking {
     val toks = F.split(F.trim(F.col(textCol)), "\\s+")
     val withToks = docs
       .filter(F.length(F.trim(F.col(textCol))) > 0)
-      .select(F.col(idCol), toks.as("__toks"), F.size(toks).cast("long").as("n_tokens"))
+      .select(F.col(idCol) +: payloadCols.map(F.col) :+
+        toks.as("__toks") :+ F.size(toks).cast("long").as("n_tokens"): _*)
     // last chunk = first window reaching the end: count = 1 for n<=chunk,
     // else 1 + ceil((n - chunk)/step) via the (a + b - 1) div b spelling
     // (doubles are exact here: token counts sit far below 2^52)
@@ -54,13 +58,12 @@ object Chunking {
 
     withToks
       .withColumn("chunk_id", F.explode(F.sequence(F.lit(0L), nChunks - 1L)))
-      .select(
-        F.col(idCol),
+      .select(F.col(idCol) +: payloadCols.map(F.col) ++: Seq(
         F.col("chunk_id"),
         n.as("n_tokens"),
         F.least(F.lit(chunkTokens.toLong), n - start).as("chunk_len"),
         F.array_join(
           F.slice(F.col("__toks"), (start + 1L).cast("int"), F.lit(chunkTokens)),
-          " ").as("chunk_text"))
+          " ").as("chunk_text")): _*)
   }
 }

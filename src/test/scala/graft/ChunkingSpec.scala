@@ -68,6 +68,17 @@ class ChunkingSpec extends SparkSuite {
     assert(plan.contains("*(1) Project"))
   }
 
+  test("payload columns ride through to every chunk") {
+    val docs = Seq((1L, "web", (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Chunking.chunkByTokens(docs, "doc_id", "text", 8, 3, payloadCols = Seq("source"))
+      .collect()
+    assert(out.length > 1)
+    assert(out.forall(_.getString(1) == "web"), "payload must replicate per chunk")
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "source", "chunk_id", "n_tokens", "chunk_len", "chunk_text"))
+  }
+
   test("zero overlap partitions the token stream") {
     val out = Chunking.chunkByTokens(docsOf(Seq(20)), "doc_id", "text", 8, 0)
       .orderBy("chunk_id").collect()
