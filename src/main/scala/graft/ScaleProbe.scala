@@ -63,7 +63,7 @@ object ScaleProbe {
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
       "dedup_spans",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
-      "text_chunk", "search_hybrid",
+      "text_chunk",
       "corpus_mix", "pack_sequences",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
@@ -212,6 +212,24 @@ object ScaleProbe {
     val imRow =
       f"""{"op":"incremental_merge","base_sec":${mergeProbe(sfDir)}%.2f,"scaled_sec":${mergeProbe(root)}%.2f}"""
 
+    // D9: hybrid retrieval with a FIXED query set (the driver query
+    // grows queries with the corpus, which conflates |Q| and |corpus|
+    // growth — here only the corpus scales, so the slope isolates the
+    // per-corpus-row cost of the two legs)
+    def hybridProbe(dir: String): Double = {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val vecs = graft.sources.Tables.embeddings(spark, dir)
+      val baseDocs = graft.sources.Tables.documents(spark, sfDir)
+      val baseVecs = graft.sources.Tables.embeddings(spark, sfDir)
+      val queries = baseDocs.filter(F.col("doc_id") % 50 === 0)
+        .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+        .join(baseVecs.select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec")), "qid")
+      time(force(graft.operators.Hybrid.rrfSearch(docs, "doc_id", "text",
+        vecs, "vec_id", "embedding", queries, "qid", "qtext", "qvec", k = 10, n = 20)))
+    }
+    val hybridRow =
+      f"""{"op":"search_hybrid_fixedq","base_sec":${hybridProbe(sfDir)}%.2f,"scaled_sec":${hybridProbe(root)}%.2f}"""
+
     // A24: Bloom-reduced anti-join vs the plain spelling, in the
     // regime it exists for — droplist past broadcast size (simulated
     // by disabling auto-broadcast): plain shuffles the whole corpus
@@ -279,7 +297,7 @@ object ScaleProbe {
 
     println("{\"probe\":\"scale\",\"ops\":[" +
       (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, imRow,
-        bloomRow, plainAntiRow)).mkString(",") +
+        hybridRow, bloomRow, plainAntiRow)).mkString(",") +
       f"""],"bloom_hit_fraction":$bloomHitFraction%.4f,""" +
       f""""ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")
     spark.stop()

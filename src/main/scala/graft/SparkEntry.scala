@@ -1730,8 +1730,17 @@ object SparkEntry {
           |qt AS (
           |  SELECT qid, unnest(list_distinct(string_split_regex(lower(trim(qtext)), '\\s+'))) AS token
           |  FROM q),
+          |-- stopword guard: query tokens in > 10% of docs carry no
+          |-- ranking signal and only fan out the join (same cap as the
+          |-- Spark side; df computed over query-matching tokens)
+          |rare AS (
+          |  SELECT token FROM (
+          |    SELECT token, COUNT(*) AS df FROM tf
+          |    WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY token)
+          |  WHERE CAST(df AS DOUBLE) <= (SELECT COUNT(*) FROM documents) * CAST(0.1 AS DOUBLE)),
           |lex AS (
-          |  SELECT qid, doc_id, SUM(tf) AS s FROM qt JOIN tf USING (token) GROUP BY qid, doc_id),
+          |  SELECT qid, doc_id, SUM(tf) AS s FROM qt
+          |  JOIN rare USING (token) JOIN tf USING (token) GROUP BY qid, doc_id),
           |lexn AS (
           |  SELECT qid, doc_id, lex_rank FROM (
           |    SELECT qid, doc_id,

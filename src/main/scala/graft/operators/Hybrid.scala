@@ -43,25 +43,39 @@ object Hybrid {
   def rrfSearch(docs: DataFrame, idCol: String, textCol: String,
                 vecs: DataFrame, vecIdCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qtextCol: String, qvecCol: String,
-                k: Int = 10, n: Int = 20, kRrf: Int = 60): DataFrame = {
+                k: Int = 10, n: Int = 20, kRrf: Int = 60,
+                maxDfFraction: Double = 0.1,
+                knownDocCount: Option[Long] = None): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
 
     // ----- lexical leg: Σ tf of the query's DISTINCT tokens per doc.
-    // The corpus token stream is SEMI-JOINED against the (small,
-    // broadcast) query-token set BEFORE the tf aggregation — without
-    // it the groupBy would shuffle every (doc, token) pair in the
-    // corpus only for the qTokens join to discard all non-query
-    // tokens; tf per surviving (doc, token) is unchanged
+    // Two guards keep the fan-out join bounded (the E5a recipe):
+    //  - the corpus token stream is SEMI-JOINED against the (small,
+    //    broadcast) query-token set BEFORE the tf aggregation, so the
+    //    groupBy shuffles only query-matching tokens;
+    //  - query tokens present in more than `maxDfFraction` of the
+    //    corpus are DROPPED — a stopword shared by q queries and d
+    //    docs multiplies into q·d join rows while carrying no ranking
+    //    signal (every document matches it); the cap is the classic
+    //    stopword filter, made deterministic and oracle-replayable.
     val qTokens = queries
       .select(F.col(qidCol).as("qid"), F.explode(
         F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
+    // table stats supply the count at 100 TB (the corpus_mix
+    // knownCounts pattern); the fixture path just counts
+    val dfCap = knownDocCount.getOrElse(docs.count()) * maxDfFraction
     val tf = docs
       .select(F.col(idCol).as("doc_id"), text.tokens(F.col(textCol)).as("__toks"))
       .select(F.col("doc_id"), F.explode(F.col("__toks")).as("token"))
       .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
-    val lexTop = qTokens.join(tf, "token")
+    val rareTokens = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df").cast("double") <= dfCap)
+      .select("token")
+    val lexTop = qTokens.join(F.broadcast(rareTokens), "token").join(tf, "token")
       .groupBy("qid", "doc_id")
       .agg(F.sum("tf").as("__score"))
       .groupBy("qid")

@@ -45,7 +45,7 @@ class HybridSpec extends SparkSuite {
     // the query's text matches ONLY doc 1; its vector matches doc 2 best
     val queries = Seq((100L, "alpha beta", v(1f, 0.1f))).toDF("qid", "qtext", "qvec")
     val out = Hybrid.rrfSearch(docs, "doc_id", "text", vecs, "vec_id", "embedding",
-      queries, "qid", "qtext", "qvec", k = 5, n = 2)
+      queries, "qid", "qtext", "qvec", k = 5, n = 2, maxDfFraction = 1.0)
       .orderBy(F.desc("rrf")).collect()
     val byDoc = out.map(r => r.getLong(1) -> r).toMap
     // doc 1: lexical rank 1, vector leg never saw it
@@ -56,6 +56,23 @@ class HybridSpec extends SparkSuite {
     assert(byDoc(1L).getDouble(2) == byDoc(2L).getDouble(2))
     // docs outside both top-n lists don't appear (n=2 vector cutoff)
     assert(!byDoc.contains(5L) || byDoc(5L).getLong(4) > 0)
+  }
+
+  test("ubiquitous query tokens are dropped (stopword df cap), rare ones still score") {
+    // "the" appears in every doc — with the cap it must contribute
+    // nothing, so only "needle" decides the lexical ranking
+    val docs = (1L to 20L).map { i =>
+      (i, if (i == 7L) "the needle here" else s"the filler w$i")
+    }.toDF("doc_id", "text")
+    def v(xs: Float*) = xs.toArray
+    val vecs = Seq((1L, v(1f, 0f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, "the needle", v(0f, 1f))).toDF("qid", "qtext", "qvec")
+    val out = Hybrid.rrfSearch(docs, "doc_id", "text", vecs, "vec_id", "embedding",
+      queries, "qid", "qtext", "qvec", k = 5, n = 5, maxDfFraction = 0.5)
+      .collect()
+    val lexRanked = out.filter(_.getLong(3) > 0L)
+    assert(lexRanked.map(_.getLong(1)).toSet == Set(7L),
+      s"only the needle doc may score lexically, got ${lexRanked.mkString(",")}")
   }
 
   test("no Window over the corpus: ranks come from bounded top-k arrays") {
