@@ -945,6 +945,17 @@ object SparkEntry {
         .orderBy("qid", "doc_id")
     }),
 
+    // deterministic training-order shuffle: seeded hash permutation
+    // into balanced shards — membership map-only, order one
+    // exchange+sort per shard key, everything replayable from
+    // (seed, id); the md5-hash-law recipe S2/S3 already prove
+    "pack_shuffle" -> ((s, d) => {
+      graft.operators.Packing.shuffleOrder(
+          Tables.documents(s, d).select("doc_id"), "doc_id", seed = 7L, nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
@@ -1714,6 +1725,14 @@ object SparkEntry {
           |SELECT r.id, r.root, c.cluster_size
           |FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)
           |ORDER BY id""".stripMargin,
+      "pack_shuffle" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+          |  FROM documents)
+          |SELECT doc_id, hv % 8 AS shard,
+          |       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+          |FROM h ORDER BY shard, pos""".stripMargin,
       // legs replay exactly: integer Σtf + row_number for the lexical
       // ranks, the D1 cosine formula for the vector ranks, bit-exact
       // double division for RRF; CAST(1 AS DOUBLE) keeps DuckDB off

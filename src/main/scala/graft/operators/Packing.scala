@@ -121,4 +121,32 @@ object Packing {
       .toDF()
       .withColumnRenamed("doc_id", idCol)
   }
+
+  /** Deterministic global training-order shuffle — the step AFTER
+    * packing: sequences written in pack order are correlated (a
+    * bucket's neighbors share hash locality; a source's docs cluster
+    * in time), and training wants each shard to be an unbiased sample
+    * of the whole corpus. Rows get `shard = pmod(hash52(seed:id),
+    * nShards)` and `pos` = their rank within the shard by (hash, id)
+    * — a seeded pseudo-random permutation with NO global rank
+    * materialized anywhere: membership is map-only, the within-shard
+    * order is one exchange + sort on the shard key (exactly the work
+    * a sorted shard write does), and everything is reproducible from
+    * (seed, id) alone — re-running, or re-processing the corpus
+    * incrementally, yields byte-identical shard order. Changing
+    * `seed` re-deals the permutation (fresh data order per epoch
+    * without materializing N copies).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val h = Sampling.hash52(F.concat_ws(":", F.lit(seed), F.col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(F.col("__h"), F.col(idCol))
+    df.filter(F.col(idCol).isNotNull)
+      .withColumn("__h", h)
+      .withColumn("shard", F.pmod(F.col("__h"), F.lit(nShards.toLong)))
+      .withColumn("pos", F.row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -159,4 +159,29 @@ class PackingSpec extends SparkSuite {
     val p = Packing.packGreedy(data, "doc_id", "n_chars", budget, buckets = 2)
     assert(p.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("shuffleOrder: deterministic seeded permutation into balanced shards") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val a = Packing.shuffleOrder(docs, "doc_id", seed = 7L, nShards = 8)
+      .orderBy("shard", "pos").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Packing.shuffleOrder(docs, "doc_id", seed = 7L, nShards = 8)
+      .orderBy("shard", "pos").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "same seed must reproduce the permutation bit-for-bit")
+    // every doc exactly once; pos dense 1..size within each shard
+    assert(a.map(_._1).toSet.size == 2000)
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // balanced: no shard further than 30% from the mean
+    val sizes = a.groupBy(_._2).values.map(_.length).toSeq
+    assert(sizes.size == 8 && sizes.max < 250 * 1.3 && sizes.min > 250 * 0.7,
+      s"unbalanced shards: $sizes")
+    // a different seed re-deals the order
+    val c = Packing.shuffleOrder(docs, "doc_id", seed = 8L, nShards = 8)
+      .orderBy("shard", "pos").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.toSeq != a.toSeq)
+    // decorrelation: consecutive input ids rarely share a shard
+    val shardOf = a.map(r => r._1 -> r._2).toMap
+    val adjacentSame = (0L until 1999L).count(i => shardOf(i) == shardOf(i + 1))
+    assert(adjacentSame < 2000 * 0.25, s"$adjacentSame adjacent pairs share a shard")
+  }
 }
