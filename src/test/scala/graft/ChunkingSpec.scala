@@ -17,18 +17,20 @@ class ChunkingSpec extends SparkSuite {
       (i.toLong, (1 to n).map(t => s"w${i}_$t").mkString(" "))
     }.toDF("doc_id", "text")
 
-  test("chunks reconstruct the document exactly (all lengths 0..40)") {
-    val out = Chunking.chunkByTokens(docsOf(0 to 40), "doc_id", "text", chunk, overlap)
-      .orderBy("doc_id", "chunk_id")
-      .collect()
-      .groupBy(_.getLong(0))
-    for ((docId, rows) <- out) {
-      val rebuilt = rows.sortBy(_.getLong(1)).zipWithIndex.flatMap { case (r, i) =>
-        val toks = r.getString(4).split(" ").toSeq
-        if (i == 0) toks else toks.drop(overlap)
+  test("chunks reconstruct the document exactly (all lengths 0..40, several windows)") {
+    for ((c, o) <- Seq((chunk, overlap), (5, 0), (5, 4), (12, 6), (1, 0))) {
+      val out = Chunking.chunkByTokens(docsOf(0 to 40), "doc_id", "text", c, o)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+        .groupBy(_.getLong(0))
+      for ((docId, rows) <- out) {
+        val rebuilt = rows.sortBy(_.getLong(1)).zipWithIndex.flatMap { case (r, i) =>
+          val toks = r.getString(4).split(" ").toSeq
+          if (i == 0) toks else toks.drop(o)
+        }
+        val expected = (1 to (docId.toInt)).map(t => s"w${docId}_$t")
+        assert(rebuilt.toSeq == expected, s"doc $docId mismatch at chunk=$c overlap=$o")
       }
-      val expected = (1 to (docId.toInt)).map(t => s"w${docId}_$t")
-      assert(rebuilt.toSeq == expected, s"doc $docId reconstruction mismatch")
     }
     // blank/empty docs emit nothing
     val blank = Seq((99L, "   "), (100L, "")).toDF("doc_id", "text")
