@@ -245,10 +245,18 @@ case class TopKPayloadByScore(
 }
 
 object aggregates {
-  /** Column form: array of the k best (score, id) structs per group. */
+  /** Column form: array of the k best (score, id) structs per group.
+    * Inputs are cast to (double, long) here — the aggregate's buffer
+    * types — so a float score or int id fails at analysis (or is
+    * widened), never as a runtime ClassCastException inside the
+    * aggregate; Catalyst folds the no-op casts away when the columns
+    * already carry the buffer types.
+    */
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     Bridge.column(
-      TopKByScore(Bridge.expression(score), Bridge.expression(id), k).toAggregateExpression())
+      TopKByScore(
+        Bridge.expression(score.cast("double")), Bridge.expression(id.cast("long")),
+        k).toAggregateExpression())
 
   /** Bounded ARRAY_AGG(... ORDER BY score DESC, tieId ASC LIMIT k):
     * array of the k best `payload` values per group, rank-ordered.

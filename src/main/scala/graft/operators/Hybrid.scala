@@ -5,15 +5,24 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 import graft.functions.{aggregates, native, text}
 
 /** Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack et al.
-  * 2009) of a lexical leg and a vector leg, the standard shape of a
-  * modern RAG / retrieval stack: lexical matching catches exact terms
-  * the embedding smooths away, the embedding catches paraphrase the
+  * 2009) of retrieval legs, the standard shape of a modern RAG /
+  * retrieval stack: lexical matching catches exact terms the
+  * embedding smooths away, the embedding catches paraphrase the
   * lexical leg misses, and rank fusion needs no score calibration
-  * between the two (only ranks enter: score = Σ_legs 1/(kRrf+rank)).
+  * between the legs (only ranks enter: score = Σ_legs 1/(kRrf+rank)).
   *
-  * Legs (both bounded by the [[graft.functions.TopKByScore]]
-  * aggregate — ≤ n rows per query per partition enter each exchange,
-  * never a cluster-wide sort):
+  * The fusion core ([[rrfFuse]]) takes PRECOMPUTED rank lists — any
+  * frame of (qid, doc_id, rank) rows — so the vector leg routes
+  * through whichever ANN tier fits the corpus: [[Similarity
+  * .bruteForceTopK]] at fixture scale, [[Similarity.ivfTopKFromLayout]]
+  * / [[Similarity.pqTopKFromLayout]] once the corpus outgrows a
+  * linear scan (their (qid, vec_id, cos, rank) output drops in via
+  * [[leg]]). [[rrfSearch]] is the batteries-included wrapper wiring
+  * the [[lexicalLeg]] and the brute-force [[cosineLeg]].
+  *
+  * Legs (the built-in ones are both bounded by the
+  * [[graft.functions.TopKByScore]] aggregate — ≤ n rows per query per
+  * partition enter each exchange, never a cluster-wide sort):
   *  - lexical: Σ term-frequency of the query's distinct tokens in the
   *    document (query-likelihood form; integer arithmetic, so the
   *    oracle replays it exactly — production stacks can swap in the
@@ -23,59 +32,108 @@ import graft.functions.{aggregates, native, text}
   *    token-keyed shuffle join against the (far smaller) query-token
   *    side.
   *  - vector: exact cosine against broadcast query vectors (the D1
-  *    path; swap in the IVF/LSH/PQ routes of [[Similarity]] when the
-  *    corpus outgrows brute force).
+  *    path).
   *
   * Ranks come from the SORTED top-k arrays via posexplode — rank i is
   * array position i+1, no window over the corpus anywhere. Fusion is
-  * a full outer join of two ≤n-row-per-query rank lists (tiny), and
+  * a full outer join of ≤n-row-per-query rank lists (tiny), and
   * 1/(kRrf+rank) on integer ranks is bit-exact IEEE division, so the
   * whole pipeline hash-replays across engines.
   */
 object Hybrid {
 
-  /** RRF top-`k` per query. `queries`: (qidCol, qtextCol, qvecCol)
-    * rows — one text AND one embedding per query. `docs`:
-    * (idCol, textCol); `vecs`: (vecIdCol aligned with idCol, vecCol).
-    * Output: (qid, doc_id, rrf, lex_rank, vec_rank) — rank 0 means
-    * the leg did not surface the document in its top `n`.
+  /** Adapt a scored top-k frame (the shape every [[Similarity]] topK
+    * variant emits: one row per (query, candidate) with a 1-based
+    * rank column) into the canonical leg shape [[rrfFuse]] consumes:
+    * (qid, doc_id, rank).
     */
-  def rrfSearch(docs: DataFrame, idCol: String, textCol: String,
-                vecs: DataFrame, vecIdCol: String, vecCol: String,
-                queries: DataFrame, qidCol: String, qtextCol: String, qvecCol: String,
-                k: Int = 10, n: Int = 20, kRrf: Int = 60,
-                maxDfFraction: Double = 0.1,
-                knownDocCount: Option[Long] = None): DataFrame = {
-    require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
+  def leg(ranked: DataFrame, qidCol: String, idCol: String,
+          rankCol: String = "rank"): DataFrame =
+    ranked.select(F.col(qidCol).as("qid"), F.col(idCol).cast("long").as("doc_id"),
+      F.col(rankCol).cast("long").as("rank"))
+
+  /** Reciprocal-rank fusion of named precomputed rank lists.
+    *
+    * Each leg is (name, frame of (qid, doc_id, rank) with 1-based
+    * ranks — build via [[leg]]); the output carries one
+    * `<name>_rank` column per leg (0 = the leg did not surface the
+    * document) plus `rrf = Σ 1/(kRrf+rank)` over the legs that did,
+    * summed in leg order (IEEE addition is order-sensitive; fixing
+    * the order keeps reruns and engine replays bit-identical).
+    * Cost shape: the legs are already ≤n rows per query, so the
+    * chained full-outer joins and the final bounded top-k touch
+    * tiny frames regardless of corpus size.
+    */
+  def rrfFuse(legs: Seq[(String, DataFrame)], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg")
+    require(legs.map(_._1).distinct.size == legs.size,
+      s"leg names must be distinct, got ${legs.map(_._1)}")
+    require(k >= 1, s"k must be positive, got $k")
     require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
+    val named = legs.map { case (name, df) =>
+      df.select(F.col("qid"), F.col("doc_id"),
+        F.col("rank").cast("long").as(s"${name}_rank"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("qid", "doc_id"), "full_outer"))
+    val rrf = legs.map { case (name, _) =>
+      F.coalesce(F.lit(1.0) / (F.col(s"${name}_rank") + kRrf), F.lit(0.0))
+    }.reduce(_ + _)
+    val rankCols = legs.map { case (name, _) =>
+      F.coalesce(F.col(s"${name}_rank"), F.lit(0L)).as(s"${name}_rank")
+    }
+    val fused = joined.select(
+      Seq(F.col("qid"), F.col("doc_id"), rrf.as("rrf")) ++ rankCols: _*)
+    val payload = F.struct(
+      Seq(F.col("doc_id"), F.col("rrf")) ++
+        legs.map { case (name, _) => F.col(s"${name}_rank") }: _*)
+    fused
+      .groupBy("qid")
+      .agg(aggregates.top_k_payload(F.col("rrf"), F.col("doc_id"), payload, k).as("__top"))
+      .select(F.col("qid"), F.explode(F.col("__top")).as("__e"))
+      .select(
+        Seq(F.col("qid"), F.col("__e.doc_id").as("doc_id"), F.col("__e.rrf").as("rrf")) ++
+          legs.map { case (name, _) => F.col(s"__e.${name}_rank").as(s"${name}_rank") }: _*)
+  }
+
+  /** Lexical rank list: top-`n` docs per query by Σ tf of the query's
+    * DISTINCT tokens, as (qid, doc_id, rank).
+    *
+    * Two guards keep the fan-out join bounded (the E5a recipe):
+    *  - the corpus token stream is SEMI-JOINED against the (small,
+    *    broadcast) query-token set BEFORE the tf aggregation, so the
+    *    groupBy shuffles only query-matching tokens;
+    *  - query tokens present in more than `maxDfFraction` of the
+    *    corpus are DROPPED — a stopword shared by q queries and d
+    *    docs multiplies into q·d join rows while carrying no ranking
+    *    signal (every document matches it); the cap is the classic
+    *    stopword filter, made deterministic and oracle-replayable.
+    *
+    * When `knownDocCount` is None this runs an EAGER `docs.count()`
+    * Spark job at construction time to size the df cap — at 100 TB
+    * pass the count from table stats (the corpus_mix knownCounts
+    * pattern) so building the plan stays free of jobs.
+    */
+  def lexicalLeg(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 n: Int = 20, maxDfFraction: Double = 0.1,
+                 knownDocCount: Option[Long] = None): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0,1], got $maxDfFraction")
-
-    // ----- lexical leg: Σ tf of the query's DISTINCT tokens per doc.
-    // Two guards keep the fan-out join bounded (the E5a recipe):
-    //  - the corpus token stream is SEMI-JOINED against the (small,
-    //    broadcast) query-token set BEFORE the tf aggregation, so the
-    //    groupBy shuffles only query-matching tokens;
-    //  - query tokens present in more than `maxDfFraction` of the
-    //    corpus are DROPPED — a stopword shared by q queries and d
-    //    docs multiplies into q·d join rows while carrying no ranking
-    //    signal (every document matches it); the cap is the classic
-    //    stopword filter, made deterministic and oracle-replayable.
     val qTokens = queries
       .select(F.col(qidCol).as("qid"), F.explode(
         F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
-    // table stats supply the count at 100 TB (the corpus_mix
-    // knownCounts pattern); the fixture path just counts
     val dfCap = knownDocCount.getOrElse(docs.count()) * maxDfFraction
     val tf = docs
-      .select(F.col(idCol).as("doc_id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        text.tokens(F.col(textCol)).as("__toks"))
       .select(F.col("doc_id"), F.explode(F.col("__toks")).as("token"))
       .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
     val rareTokens = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
       .filter(F.col("__df").cast("double") <= dfCap)
       .select("token")
-    val lexTop = qTokens.join(F.broadcast(rareTokens), "token").join(tf, "token")
+    qTokens.join(F.broadcast(rareTokens), "token").join(tf, "token")
       .groupBy("qid", "doc_id")
       .agg(F.sum("tf").as("__score"))
       .groupBy("qid")
@@ -83,12 +141,21 @@ object Hybrid {
         F.col("__score").cast("double"), F.col("doc_id"), n).as("__top"))
       .select(F.col("qid"), F.posexplode(F.col("__top")).as(Seq("__p", "__e")))
       .select(F.col("qid"), F.col("__e.id").as("doc_id"),
-        (F.col("__p") + 1).cast("long").as("lex_rank"))
+        (F.col("__p") + 1).cast("long").as("rank"))
+  }
 
-    // ----- vector leg: exact cosine vs broadcast queries (D1 shape)
+  /** Brute-force cosine rank list (the D1 shape): top-`n` docs per
+    * query vector as (qid, doc_id, rank). Fine while the corpus fits
+    * a linear scan per query batch; beyond that feed [[rrfFuse]] an
+    * IVF/PQ leg from [[Similarity]] via [[leg]] instead.
+    */
+  def cosineLeg(vecs: DataFrame, vecIdCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                n: Int = 20): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
     val qVecs = queries.select(F.col(qidCol).as("qid"), F.col(qvecCol).as("__qv"))
-    val vecTop = vecs
-      .select(F.col(vecIdCol).as("doc_id"), F.col(vecCol).as("__v"))
+    vecs
+      .select(F.col(vecIdCol).cast("long").as("doc_id"), F.col(vecCol).as("__v"))
       .join(F.broadcast(qVecs))
       .select(F.col("qid"), F.col("doc_id"),
         native.cosine_sim(F.col("__v"), F.col("__qv")).as("__cos"))
@@ -96,23 +163,27 @@ object Hybrid {
       .agg(aggregates.top_k_by_score(F.col("__cos"), F.col("doc_id"), n).as("__top"))
       .select(F.col("qid"), F.posexplode(F.col("__top")).as(Seq("__p", "__e")))
       .select(F.col("qid"), F.col("__e.id").as("doc_id"),
-        (F.col("__p") + 1).cast("long").as("vec_rank"))
-
-    // ----- fusion: two ≤n-row rank lists per query, full outer join;
-    // absent leg contributes nothing (rank reported as 0)
-    val fused = lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
-      .select(F.col("qid"), F.col("doc_id"),
-        (F.coalesce(F.lit(1.0) / (F.col("lex_rank") + kRrf), F.lit(0.0)) +
-          F.coalesce(F.lit(1.0) / (F.col("vec_rank") + kRrf), F.lit(0.0))).as("rrf"),
-        F.coalesce(F.col("lex_rank"), F.lit(0L)).as("lex_rank"),
-        F.coalesce(F.col("vec_rank"), F.lit(0L)).as("vec_rank"))
-    fused
-      .groupBy("qid")
-      .agg(aggregates.top_k_payload(F.col("rrf"), F.col("doc_id"),
-        F.struct(F.col("doc_id"), F.col("rrf"), F.col("lex_rank"), F.col("vec_rank")), k)
-        .as("__top"))
-      .select(F.col("qid"), F.explode(F.col("__top")).as("__e"))
-      .select(F.col("qid"), F.col("__e.doc_id").as("doc_id"), F.col("__e.rrf").as("rrf"),
-        F.col("__e.lex_rank").as("lex_rank"), F.col("__e.vec_rank").as("vec_rank"))
+        (F.col("__p") + 1).cast("long").as("rank"))
   }
+
+  /** RRF top-`k` per query — the convenience wrapper: [[lexicalLeg]]
+    * + brute-force [[cosineLeg]] fused by [[rrfFuse]]. `queries`:
+    * (qidCol, qtextCol, qvecCol) rows — one text AND one embedding
+    * per query. `docs`: (idCol, textCol); `vecs`: (vecIdCol aligned
+    * with idCol, vecCol). Output: (qid, doc_id, rrf, lex_rank,
+    * vec_rank) — rank 0 means the leg did not surface the document in
+    * its top `n`. See [[lexicalLeg]] for the eager-count caveat when
+    * `knownDocCount` is None.
+    */
+  def rrfSearch(docs: DataFrame, idCol: String, textCol: String,
+                vecs: DataFrame, vecIdCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qtextCol: String, qvecCol: String,
+                k: Int = 10, n: Int = 20, kRrf: Int = 60,
+                maxDfFraction: Double = 0.1,
+                knownDocCount: Option[Long] = None): DataFrame =
+    rrfFuse(Seq(
+      "lex" -> lexicalLeg(docs, idCol, textCol, queries, qidCol, qtextCol,
+        n, maxDfFraction, knownDocCount),
+      "vec" -> cosineLeg(vecs, vecIdCol, vecCol, queries, qidCol, qvecCol, n)),
+      k, kRrf)
 }

@@ -75,6 +75,56 @@ class HybridSpec extends SparkSuite {
       s"only the needle doc may score lexically, got ${lexRanked.mkString(",")}")
   }
 
+  test("rrfFuse over the extracted legs is bit-identical to rrfSearch") {
+    val docs = Tables.documents(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+      .join(vecs.select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec")), "qid")
+    val viaWrapper = Hybrid.rrfSearch(docs, "doc_id", "text", vecs, "vec_id", "embedding",
+      queries, "qid", "qtext", "qvec", k = 10, n = 20).collect().map(_.toString).sorted
+    val viaLegs = Hybrid.rrfFuse(Seq(
+      "lex" -> Hybrid.lexicalLeg(docs, "doc_id", "text", queries, "qid", "qtext", n = 20),
+      "vec" -> Hybrid.cosineLeg(vecs, "vec_id", "embedding", queries, "qid", "qvec", n = 20)),
+      k = 10).collect().map(_.toString).sorted
+    assert(viaWrapper.sameElements(viaLegs),
+      "wrapper and explicit-leg fusion must produce identical rows")
+  }
+
+  test("a PQ-layout ANN leg drops into rrfFuse (three-leg fusion)") {
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = docs.filter(F.col("doc_id") % 100 === 0)
+      .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+      .join(vecs.select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec")), "qid")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-pq-").toString
+    val cb = Similarity.pqTrain(vecs, m = 8, ksub = 16, iters = 1)
+    Similarity.writePqCodesLayout(vecs, dir, cb)
+    val pqTop = Similarity.pqTopKFromLayout(spark, dir, vecs, queries, 20, cb)
+    val out = Hybrid.rrfFuse(Seq(
+      "lex" -> Hybrid.lexicalLeg(docs, "doc_id", "text", queries, "qid", "qtext", n = 20),
+      "vec" -> Hybrid.cosineLeg(vecs, "vec_id", "embedding", queries, "qid", "qvec", n = 20),
+      "pq" -> Hybrid.leg(pqTop, "qid", "vec_id")),
+      k = 10).cache()
+    assert(out.columns.toSeq ==
+      Seq("qid", "doc_id", "rrf", "lex_rank", "vec_rank", "pq_rank"))
+    val rows = out.collect()
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery == Set(10), s"expected 10 rows per query, got sizes $perQuery")
+    // rrf on a 3-leg fusion is bounded by 3/(1+60) and the sum of legs
+    rows.foreach { r =>
+      val expected = Seq(r.getLong(3), r.getLong(4), r.getLong(5))
+        .filter(_ > 0).map(rank => 1.0 / (rank + 60)).sum
+      assert(math.abs(r.getDouble(2) - expected) < 1e-15,
+        s"rrf must equal the sum over surfacing legs: $r")
+    }
+    // the PQ leg agrees with the exact vector leg on the easy case:
+    // a query's own vector is its nearest neighbor minus self-exclusion,
+    // so SOME doc must carry a pq_rank — the leg is genuinely fused
+    assert(rows.exists(_.getLong(5) > 0L), "pq leg never surfaced a doc")
+  }
+
   test("no Window over the corpus: ranks come from bounded top-k arrays") {
     val docs = Tables.documents(spark, sf)
     val vecs = Tables.embeddings(spark, sf)
