@@ -1096,10 +1096,15 @@ object SparkEntry {
       |         CAST(floor(value / 10) AS BIGINT) AS band
       |  FROM events
       |), c AS (
-      |  SELECT event_type, event_id, ts_us, band, lag(band) OVER w AS prev
+      |  SELECT event_type, event_id, ts_us, band, lag(band) OVER w AS prev,
+      |         lag(event_id) OVER w AS prev_id
       |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
       |), s AS (
-      |  SELECT * FROM c WHERE prev IS NULL OR band <> prev
+      |  -- run start = first row of the key (prev_id NULL — event_id is
+      |  -- non-null, so this is a true first-row test even if band were
+      |  -- NULL) or a band change under null-safe comparison, matching
+      |  -- Spark's <=> exactly (a non-null→NULL transition is a start)
+      |  SELECT * FROM c WHERE prev_id IS NULL OR band IS DISTINCT FROM prev
       |)
       |SELECT event_type, band, ts_us AS vf_us,
       |       lead(ts_us) OVER w2 AS vt_us,

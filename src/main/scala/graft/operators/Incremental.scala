@@ -31,6 +31,15 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * combined column is cast back to the state column's exact type, so
   * the schema cannot drift across merges (decimal addition would
   * otherwise widen precision by one digit per merge).
+  *
+  * `broadcastDelta` (default true) matches the common shape — a day's
+  * partials over a bounded key space. When the key space is itself
+  * huge (per-user `_hll` state: the delta carries one sketch per user
+  * seen in the batch, easily past broadcast capacity), set it false:
+  * the combine half becomes a shuffle-hash join on the keys and the
+  * result is bit-identical — same rows, same types, just an exchange
+  * of the delta instead of a driver-side broadcast that would OOM.
+  * (The [[InvertedIndex.tfidf]] `broadcastIdf` recipe.)
   */
 object Incremental {
 
@@ -59,11 +68,12 @@ object Incremental {
     * aggregate first. Checking here would cost a count per merge, so
     * the contract is documented, not enforced.
     */
-  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
+            broadcastDelta: Boolean = true): DataFrame = {
     require(state.columns.toSeq == delta.columns.toSeq,
       s"state/delta schema mismatch: ${state.columns.toSeq} vs ${delta.columns.toSeq}")
     val measures = state.columns.filterNot(keys.contains).toSeq
-    val d = F.broadcast(delta)
+    val d = if (broadcastDelta) F.broadcast(delta) else delta.hint("shuffle_hash")
     val cond = keys.map(k => F.col(s"s.$k") <=> F.col(s"d.$k")).reduce(_ && _)
     val combined = state.as("s").join(d.as("d"), cond, "left").select(
       keys.map(k => F.col(s"s.$k").as(k)) ++
@@ -93,10 +103,12 @@ object Incremental {
     * `stagingDir` when done with the result.
     */
   def mergeAll(parts: Seq[DataFrame], keys: Seq[String],
-               stagingDir: Option[String] = None): DataFrame = {
+               stagingDir: Option[String] = None,
+               broadcastDelta: Boolean = true): DataFrame = {
     require(parts.nonEmpty, "mergeAll needs at least one partials frame")
     parts.tail.zipWithIndex.foldLeft(parts.head) { case (state, (delta, i)) =>
-      val folded = Staging.stage(merge(state, delta, keys), stagingDir, s"state-${i + 1}")
+      val folded = Staging.stage(
+        merge(state, delta, keys, broadcastDelta), stagingDir, s"state-${i + 1}")
       stagingDir.foreach(d => if (i > 0) Staging.drop(folded.sparkSession, s"$d/state-$i"))
       folded
     }

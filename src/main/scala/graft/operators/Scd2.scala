@@ -75,7 +75,19 @@ object Scd2 {
     * table. Precondition (caller-guaranteed, as in a warehouse's
     * append-only load): every batch timestamp is strictly later than
     * the open interval's `valid_from` for its key — late-arriving
-    * data needs a history rebuild for the affected keys.
+    * data needs a history rebuild for the affected keys
+    * (`fromHistory` over those keys' full observation history; closed
+    * intervals are derived state, so the rebuild is always possible
+    * from the retained observations).
+    *
+    * A violation does NOT fail on its own — it silently re-orders the
+    * re-collapse and corrupts the affected key's intervals. Set
+    * `assertNoLateData = true` to enforce the precondition: one slim
+    * aggregate (per-key min batch ts vs the open row's `valid_from` —
+    * key columns only, the state payload is untouched) that THROWS
+    * [[IllegalStateException]] listing the violating key count before
+    * anything is written. It runs an eager Spark job at call time,
+    * which is why it is opt-in rather than always-on.
     *
     * Result is EXACTLY `fromHistory(history ∪ batch)` (spec-pinned):
     * the batch run-length-encodes on its own, then stitches to each
@@ -85,7 +97,19 @@ object Scd2 {
     * only open rows + batch are rewritten.
     */
   def applyBatch(current: DataFrame, batch: DataFrame, keys: Seq[String], tsCol: String,
-                 tieCol: String, attrs: Seq[String]): DataFrame = {
+                 tieCol: String, attrs: Seq[String],
+                 assertNoLateData: Boolean = false): DataFrame = {
+    if (assertNoLateData) {
+      val late = batch
+        .groupBy(keys.map(F.col): _*).agg(F.min(F.col(tsCol)).as("__batch_min"))
+        .join(current.filter(F.col("is_current"))
+          .select(keys.map(F.col) :+ F.col("valid_from").as("__open_from"): _*), keys)
+        .filter(F.col("__batch_min") <= F.col("__open_from"))
+        .count()
+      if (late > 0) throw new IllegalStateException(
+        s"applyBatch precondition violated: $late key(s) carry batch observations at or " +
+          s"before their open interval's valid_from; rebuild those keys via fromHistory")
+    }
     val closed = current.filter(!F.col("is_current"))
     val batchRuns = runStarts(batch, keys, tsCol, tieCol, attrs)
     // the open row sorts strictly before every batch run (its

@@ -233,13 +233,15 @@ object EventStream {
     * Returns None when the batch was a replay (nothing to write).
     */
   def applyReportBatch(state: Option[(DataFrame, Long)], batch: DataFrame, batchId: Long,
-                       keys: Seq[String], measures: Seq[org.apache.spark.sql.Column])
+                       keys: Seq[String], measures: Seq[org.apache.spark.sql.Column],
+                       broadcastDelta: Boolean = true)
       : Option[DataFrame] =
     state match {
       case Some((_, last)) if batchId <= last => None
       case _ =>
         val delta = graft.operators.Incremental.partials(batch, keys, measures)
-        Some(state.fold(delta) { case (st, _) => graft.operators.Incremental.merge(st, delta, keys) })
+        Some(state.fold(delta) { case (st, _) =>
+          graft.operators.Incremental.merge(st, delta, keys, broadcastDelta) })
     }
 
   /** G8: incremental-report sink — the streaming face of
@@ -249,18 +251,22 @@ object EventStream {
     * table answers the full-history report (including `_hll` distinct
     * sketches) at any moment. `readState`/`writeState` abstract the
     * store: writeState MUST persist the batchId with the state in one
-    * atomic commit for the replay guard to hold.
+    * atomic commit for the replay guard to hold. `broadcastDelta`
+    * follows [[graft.operators.Incremental.merge]]: set it false when
+    * the per-batch key space (per-user state) outgrows broadcast
+    * capacity.
     */
   def incrementalReportSink(stream: DataFrame, keys: Seq[String],
                             measures: Seq[org.apache.spark.sql.Column],
                             readState: () => Option[(DataFrame, Long)],
-                            writeState: (DataFrame, Long) => Unit)
+                            writeState: (DataFrame, Long) => Unit,
+                            broadcastDelta: Boolean = true)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyReportBatch(readState(), batch, batchId, keys, measures)
+        applyReportBatch(readState(), batch, batchId, keys, measures, broadcastDelta)
           .foreach(writeState(_, batchId))
       }
 
@@ -274,11 +280,13 @@ object EventStream {
     */
   def applyScd2Batch(state: Option[(DataFrame, Long)], batch: DataFrame, batchId: Long,
                      keys: Seq[String], tsCol: String, tieCol: String,
-                     attrs: Seq[String]): Option[DataFrame] =
+                     attrs: Seq[String],
+                     assertNoLateData: Boolean = false): Option[DataFrame] =
     state match {
       case Some((_, last)) if batchId <= last => None
       case Some((st, _)) =>
-        Some(graft.operators.Scd2.applyBatch(st, batch, keys, tsCol, tieCol, attrs))
+        Some(graft.operators.Scd2.applyBatch(st, batch, keys, tsCol, tieCol, attrs,
+          assertNoLateData))
       case None =>
         Some(graft.operators.Scd2.fromHistory(batch, keys, tsCol, tieCol, attrs))
     }
@@ -290,18 +298,23 @@ object EventStream {
     * O(open ∪ batch) regardless of history depth. Micro-batches must
     * arrive time-ordered per key (the streaming source's natural
     * order for an observation feed); `writeState` MUST persist the
-    * batchId with the state in one atomic commit.
+    * batchId with the state in one atomic commit. `assertNoLateData`
+    * follows [[graft.operators.Scd2.applyBatch]]: opt-in per-tick
+    * guard that fails the batch loudly instead of corrupting history
+    * when the source violates the time-ordered contract.
     */
   def scd2Sink(stream: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
                attrs: Seq[String],
                readState: () => Option[(DataFrame, Long)],
-               writeState: (DataFrame, Long) => Unit)
+               writeState: (DataFrame, Long) => Unit,
+               assertNoLateData: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyScd2Batch(readState(), batch, batchId, keys, tsCol, tieCol, attrs)
+        applyScd2Batch(readState(), batch, batchId, keys, tsCol, tieCol, attrs,
+          assertNoLateData)
           .foreach(writeState(_, batchId))
       }
 }

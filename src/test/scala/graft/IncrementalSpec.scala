@@ -59,6 +59,23 @@ class IncrementalSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Incremental.merge(a, a, Seq("k")) }
   }
 
+  test("broadcastDelta=false: bit-identical result via a shuffle join, no broadcast of the delta") {
+    val state = part(events.filter(F.col("event_id") % 2 === 0))
+    val delta = part(events.filter(F.col("event_id") % 2 === 1))
+    val viaBroadcast = Incremental.merge(state, delta, keys)
+    val viaShuffle = Incremental.merge(state, delta, keys, broadcastDelta = false)
+    assert(canon(viaBroadcast) == canon(viaShuffle))
+    assert(viaShuffle.schema == viaBroadcast.schema)
+    // the combine half must not plan a BroadcastHashJoin when disabled
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffled combine join:\n${plan.take(1200)}")
+    // the chain face accepts the flag too
+    val parts = (0 until 3).map(i => part(events.filter(F.pmod(F.col("event_id"), F.lit(3)) === i)))
+    assert(canon(Incremental.mergeAll(parts, keys, broadcastDelta = false)) ==
+      canon(Incremental.mergeAll(parts, keys)))
+  }
+
   test("the state payload is never shuffled: combine half is a broadcast hash join") {
     val parts = (0 until 2).map(i => part(events.filter(F.pmod(F.col("event_id"), F.lit(2)) === i)))
     val merged = Incremental.merge(parts(0), parts(1), keys)

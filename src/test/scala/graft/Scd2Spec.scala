@@ -110,6 +110,30 @@ class Scd2Spec extends SparkSuite {
     assert(merged(1).getLong(2) == 30L && merged(1).getBoolean(4))
   }
 
+  test("assertNoLateData: a late batch throws; an on-time batch passes unchanged") {
+    val current = Scd2.fromHistory(
+      Seq(("a", 10L, 1L, 5), ("a", 50L, 2L, 6), ("b", 20L, 3L, 1))
+        .toDF("key", "ts", "tie", "attr"),
+      Seq("key"), "ts", "tie", Seq("attr"))
+    // key a's open interval starts at 50; a batch observation at 50 (or
+    // earlier) violates the strictly-later precondition
+    val late = Seq(("a", 50L, 9L, 7), ("b", 99L, 10L, 2)).toDF("key", "ts", "tie", "attr")
+    val e = intercept[IllegalStateException] {
+      Scd2.applyBatch(current, late, Seq("key"), "ts", "tie", Seq("attr"),
+        assertNoLateData = true)
+    }
+    assert(e.getMessage.contains("1 key(s)"))
+    // without the guard the same call silently builds a frame (the
+    // documented hazard the flag exists to catch)
+    Scd2.applyBatch(current, late, Seq("key"), "ts", "tie", Seq("attr"))
+    // an on-time batch passes the guard and matches the unguarded fold
+    val ok = Seq(("a", 60L, 9L, 7), ("b", 99L, 10L, 2)).toDF("key", "ts", "tie", "attr")
+    val guarded = Scd2.applyBatch(current, ok, Seq("key"), "ts", "tie", Seq("attr"),
+      assertNoLateData = true)
+    val plain = Scd2.applyBatch(current, ok, Seq("key"), "ts", "tie", Seq("attr"))
+    assert(sig(guarded) == sig(plain))
+  }
+
   test("fromHistory plans ONE exchange (both windows share partitioning and order)") {
     val h = Tables.events(spark, sf).select(
       F.col("event_type"), F.col("event_id"),
