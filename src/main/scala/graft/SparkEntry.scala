@@ -265,6 +265,26 @@ object SparkEntry {
           F.col("n_cnt").as("n"))
         .orderBy("event_type")
     }),
+    // the exact companion face of fx_incremental_users: the SAME
+    // 4-split mergeAll fold, but with the state keyed at
+    // (event_type, user_id) granularity so distinct-users is a plain
+    // row count over the state — fully SQL-replayable, giving the fold
+    // logic (combine join + fresh-key anti + staging) a hash gate the
+    // HLL face can't have. The per-user key space is exactly the shape
+    // where a broadcast delta would OOM at 100 TB, so this runs the
+    // broadcastDelta=false shuffle path — gating it too.
+    "fx_incremental_users_exact" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val keys = Seq("event_type", "user_id")
+      def part(b: DataFrame) = graft.operators.Incremental.partials(b, keys, Seq(
+        F.count(F.lit(1)).as("n_cnt")))
+      val state = graft.operators.Incremental.mergeAll(
+        (0 to 3).map(i => part(e.filter(F.pmod(F.col("event_id"), F.lit(4)) === i))),
+        keys, broadcastDelta = false)
+      state.groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("exact_users"), F.sum("n_cnt").as("n"))
+        .orderBy("event_type")
+    }),
 
     // range (interval) join via the binning rewrite — a bare inequality
     // join would plan as BroadcastNestedLoopJoin; RangeJoin turns it
@@ -285,6 +305,27 @@ object SparkEntry {
         .groupBy("range_key")
         .agg(F.count(F.lit(1)).as("n_points"), dsum(F.col("o_totalprice")).as("sum_price"))
         .orderBy("range_key")
+    }),
+
+    // A27: interval×interval overlap join (binned equi-join + bin-ownership
+    // dedup — each overlapping pair emitted exactly once, no distinct)
+    "q_overlap_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(F.col("o_orderkey") % 50 === 0)
+        .select(F.col("o_orderkey").as("a_key"),
+          (F.col("o_totalprice") - 2500.0).as("a_lo"),
+          (F.col("o_totalprice") + 2500.0).as("a_hi"),
+          F.col("o_orderpriority"))
+      val b = o.filter(F.col("o_orderkey") % 70 === 0)
+        .select(F.col("o_orderkey").as("b_key"),
+          (F.col("o_totalprice") - 2500.0).as("b_lo"),
+          (F.col("o_totalprice") + 2500.0).as("b_hi"),
+          F.col("o_orderpriority"))
+      graft.operators.RangeJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          keys = Seq("o_orderpriority"), binWidth = Some(5000.0))
+        .groupBy("a_key")
+        .agg(F.count(F.lit(1)).as("n_overlaps"), F.sum("b_key").as("sum_b_key"))
+        .orderBy("a_key")
     }),
 
     // ───────────────────────── B. SQL analytics surface ─────────────────────────
@@ -994,6 +1035,22 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.ivfTopK(e, q, 10, nprobe = 5).orderBy("qid", "rank")
     }),
+    // the IVF routing under a FULL hash oracle: centroids pinned to
+    // every 128th corpus vector (taken verbatim from the data, no
+    // k-means), so assignment (normalized-centroid dot, lowest-cell
+    // tie-break), nprobe cell probing, and the in-cell exact top-k are
+    // all deterministic double arithmetic DuckDB replays term-for-term.
+    // ann_ivf_topk keeps the trained-centroid face (rows-only,
+    // recall-pinned); this row proves the routing machinery itself.
+    "ann_ivf_topk_pinned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val cent = e.filter(F.col("vec_id") % 128 === 3)
+        .select(F.col("vec_id").as("cell"), F.col("embedding").as("centroid"))
+      Similarity.ivfTopK(e, q, 10, nprobe = 5, precomputed = Some(cent))
+        .orderBy("qid", "rank")
+    }),
     // product-quantized ADC path (D8): m-byte codes (32× narrower
     // than the float vectors), per-row scoring = m LUT lookups,
     // exact-cosine re-rank of the bounded candidate set. Rows-only:
@@ -1209,6 +1266,17 @@ object SparkEntry {
           |FROM orders p JOIN r ON p.o_orderpriority = r.o_orderpriority
           |                    AND p.o_totalprice >= r.lo AND p.o_totalprice < r.hi
           |GROUP BY r.range_key ORDER BY r.range_key""".stripMargin,
+      "q_overlap_join" ->
+        """WITH a AS (SELECT o_orderkey AS a_key, o_totalprice - 2500.0 AS a_lo,
+          |                  o_totalprice + 2500.0 AS a_hi, o_orderpriority
+          |           FROM orders WHERE o_orderkey % 50 = 0),
+          |     b AS (SELECT o_orderkey AS b_key, o_totalprice - 2500.0 AS b_lo,
+          |                  o_totalprice + 2500.0 AS b_hi, o_orderpriority
+          |           FROM orders WHERE o_orderkey % 70 = 0)
+          |SELECT a.a_key, COUNT(*) AS n_overlaps, CAST(SUM(b.b_key) AS BIGINT) AS sum_b_key
+          |FROM a JOIN b ON a.o_orderpriority = b.o_orderpriority
+          |             AND a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+          |GROUP BY a.a_key ORDER BY a.a_key""".stripMargin,
       "fx_gapfill" ->
         """WITH daily AS (
           |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1792,6 +1860,55 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
           |  FROM fused) WHERE rn <= 10
           |ORDER BY qid, doc_id""".stripMargin,
+      // the state fold at (event_type, user_id) granularity reproduces
+      // the whole-history distinct count exactly — COUNT(DISTINCT) is
+      // the oracle; per-type n re-sums the per-user counts
+      "fx_incremental_users_exact" ->
+        """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // term-for-term replay of the pinned-centroid IVF routing:
+      // NearestCell normalizes each centroid component first (x/nrm,
+      // double), then dots the raw float vector against it — the CASE
+      // keeps a zero-norm centroid unnormalized, as compute() does.
+      // Probe ranking and the in-cell top-k use the CosineSim formula
+      // (dot / (sqrt(qq) * sqrt(cc))); all ties break on the lower id,
+      // matching the aggregates' (score desc, id asc) contract.
+      "ann_ivf_topk_pinned" ->
+        s"""WITH cent AS (
+          |  SELECT vec_id AS cell, embedding AS c,
+          |         sqrt(${dot("embedding", "embedding")}) AS nrm
+          |  FROM embeddings WHERE vec_id % 128 = 3),
+          |cn AS (
+          |  SELECT cell, c, nrm,
+          |         list_transform(c, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+          |                                     ELSE CAST(x AS DOUBLE) / nrm END) AS cnorm
+          |  FROM cent),
+          |assign AS (
+          |  SELECT e.vec_id, cn.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |           ORDER BY ${dot("e.embedding", "cn.cnorm")} DESC, cn.cell ASC) AS rn
+          |  FROM embeddings e CROSS JOIN cn),
+          |a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |probe AS (
+          |  SELECT q.qid, cn.cell,
+          |         row_number() OVER (PARTITION BY q.qid
+          |           ORDER BY ${dot("q.qvec", "cn.c")} /
+          |             (sqrt(${dot("q.qvec", "q.qvec")}) * cn.nrm) DESC, cn.cell ASC) AS prn
+          |  FROM q CROSS JOIN cn),
+          |p AS (SELECT qid, cell FROM probe WHERE prn <= 5),
+          |scored AS (
+          |  SELECT q.qid, e.vec_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
+          |  FROM q JOIN p ON p.qid = q.qid
+          |         JOIN a ON a.cell = p.cell
+          |         JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
       "ann_bruteforce_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
           |scored AS (

@@ -69,4 +69,59 @@ object RangeJoin {
       .select(points.columns.map(c => F.col(s"__l.$c").as(c)) ++
         intervals.columns.filterNot(keys.contains).map(c => F.col(s"__r.$c").as(c)): _*)
   }
+
+  /** Interval×interval overlap join — pair every left interval
+    * `[lLo, lHi)` with each right interval `[rLo, rHi)` it overlaps
+    * (`l.lo < r.hi AND r.lo < l.hi`, the half-open convention),
+    * optionally under extra equi-keys. The session-overlap /
+    * contamination-window shape: "which right-side windows intersect
+    * each left-side window" — the next temporal join BigQuery users
+    * write after point-in-interval.
+    *
+    * Same binning rewrite as [[join]], applied to BOTH sides: each
+    * interval explodes onto the bins it covers (≤2 rows each when
+    * `w >= max interval length` over both inputs), the join is an
+    * ordinary shuffled equi-join on `(keys…, bin)`, and the exact
+    * overlap predicate filters after. An overlapping pair can share
+    * MANY bins, so emission is deduplicated by the bin-OWNERSHIP rule:
+    * the pair is emitted only from the bin containing
+    * `greatest(l.lo, r.lo)` — the start of the intersection, which by
+    * construction lies in both intervals' bin ranges — so each pair
+    * appears exactly once without any post-join distinct (a distinct
+    * would shuffle the whole output; the ownership filter is free).
+    *
+    * EMPTY intervals (`lo >= hi`) are dropped on both sides: a
+    * zero-length window overlaps nothing under the strict predicate,
+    * and inverted bounds would make `sequence` descend (the [[join]]
+    * robustness note).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lLo: String, lHi: String, rLo: String, rHi: String,
+                  keys: Seq[String] = Nil,
+                  binWidth: Option[Double] = None): DataFrame = {
+    val w = binWidth.getOrElse {
+      def maxLen(df: DataFrame, lo: String, hi: String): Double = {
+        val m = df.agg(F.max(F.col(hi).cast("double") - F.col(lo).cast("double"))).head()
+        if (m.isNullAt(0)) 1.0 else m.getDouble(0)
+      }
+      math.max(math.max(maxLen(left, lLo, lHi), maxLen(right, rLo, rHi)),
+        Double.MinPositiveValue)
+    }
+    require(w > 0, s"binWidth must be positive, got $w")
+    def bin(c: org.apache.spark.sql.Column) = F.floor(c.cast("double") / w).cast("long")
+    val lBinned = left.filter(F.col(lLo) < F.col(lHi)).withColumn("__bin",
+      F.explode(F.sequence(bin(F.col(lLo)), bin(F.col(lHi))))).alias("__l")
+    val rBinned = right.filter(F.col(rLo) < F.col(rHi)).withColumn("__bin",
+      F.explode(F.sequence(bin(F.col(rLo)), bin(F.col(rHi))))).alias("__r")
+    val cond = (Seq("__bin") ++ keys)
+      .map(k => F.col(s"__l.$k") === F.col(s"__r.$k")).reduce(_ && _)
+    lBinned.join(rBinned, cond)
+      .filter(F.col(s"__l.$lLo") < F.col(s"__r.$rHi") &&
+        F.col(s"__r.$rLo") < F.col(s"__l.$lHi"))
+      // ownership: exactly the bin holding the intersection's start
+      .filter(F.col("__l.__bin") ===
+        bin(F.greatest(F.col(s"__l.$lLo"), F.col(s"__r.$rLo"))))
+      .select(left.columns.map(c => F.col(s"__l.$c").as(c)) ++
+        right.columns.filterNot(keys.contains).map(c => F.col(s"__r.$c").as(c)): _*)
+  }
 }
