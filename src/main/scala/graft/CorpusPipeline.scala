@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.functions.text
-import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling, Staging}
+import graft.operators.{Boilerplate, Chunking, Dedup, Mixing, Packing, Sampling, Spans, Staging}
 
 /** The corpus-preparation pipeline end-to-end: what [[FxPipeline]] is
   * to the reference's FX DAGs, this is to the brief's LLM-training-data
@@ -19,11 +19,20 @@ import graft.operators.{Boilerplate, Dedup, Mixing, Packing, Sampling, Staging}
   *   0. EXTRACT  — optional markup→prose strip for web crawls
   *   1. FILTER   — language allow-list + quality floor (map-only)
   *   2. CLEAN    — PII redaction + cross-doc boilerplate line removal
+  *   3a. SPANS   — optional cross-document exact-substring span
+  *                 removal (Lee et al. 2022; `spanK` turns it on) —
+  *                 BEFORE document dedup, so near-dup detection sees
+  *                 span-cleaned text
   *   3. DEDUP    — exact + MinHash-LSH droplist over the CLEANED text
   *                 (cleaning first, or chrome/PII variants defeat
   *                 exact-hash collapse)
   *   4. MIX      — √-temperature source reweighting
   *   5. PACK     — greedy budget packing → bucket-partitioned shards
+  *   5b. CHUNK   — optional retrieval fork (`chunkTokens` turns it
+  *                 on): the DEDUPED survivors also chunk into
+  *                 fixed-budget overlapping windows → parquet beside
+  *                 the shards — the embedding-index input, built from
+  *                 the same cleaned corpus as the training shards
   *
   * Every stage is deterministic (hash-law sampling, anchored-greedy
   * packing), so re-running the pipeline on the same input byte-for-byte
@@ -41,6 +50,8 @@ object CorpusPipeline {
       mixNumer: Int = 1, mixDenom: Int = 2,
       packBudget: Long = 2048L, packBuckets: Int = 32,
       maxSeqsPerShard: Int = 1024,
+      spanK: Option[Int] = None, spanMinDf: Int = 2,
+      chunkTokens: Option[Int] = None, chunkOverlap: Int = 0,
       stagingDir: Option[String] = None)
 
   /** Stages 1–2: language/quality gate, then redaction + boilerplate
@@ -79,6 +90,41 @@ object CorpusPipeline {
       .select(F.col(idCol), F.col(sourceCol), F.col("clean_text").as(textCol))
   }
 
+  /** Stage 3a (optional — `cfg.spanK`): cross-document duplicated
+    * SPAN removal over the cleaned text, the C12 operator in its
+    * pipeline slot. The input is staged first: the span operator
+    * references its input from both the window-hash and the rebuild
+    * subtrees, and upstream holds the regex gate that must not
+    * re-run. Provenance (`sourceCol`) joins back on the id (the span
+    * output carries only id + rebuilt text).
+    */
+  def dropSpans(cleaned: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                cfg: Config): DataFrame =
+    cfg.spanK match {
+      case None => cleaned
+      case Some(k) =>
+        val staged = Staging.stage(cleaned, cfg.stagingDir, "pre-spans")
+        Spans.dropDuplicateSpans(staged, idCol, textCol, k, cfg.spanMinDf)
+          .join(staged.select(F.col(idCol), F.col(sourceCol)), Seq(idCol))
+          .select(F.col(idCol), F.col(sourceCol), F.col("clean_text").as(textCol))
+          .observe("corpus_spans", F.count(F.lit(1)).as("docs_span_cleaned"))
+    }
+
+  /** Stage 5b (optional — `cfg.chunkTokens`): the retrieval fork.
+    * Chunks the deduped survivors (what an embedding index should
+    * hold: every surviving document, NOT the mix — source reweighting
+    * is a training-share concern) into fixed-budget overlapping
+    * windows and writes them as parquet. Map-only over rows already
+    * in hand; determinism inherits from the chunk contract.
+    */
+  def chunkFork(survivors: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                chunkPath: String, cfg: Config): Unit =
+    cfg.chunkTokens.foreach { ct =>
+      Chunking.chunkByTokens(survivors, idCol, textCol, ct, cfg.chunkOverlap,
+          payloadCols = Seq(sourceCol))
+        .write.mode("overwrite").parquet(chunkPath)
+    }
+
   /** Stage 3: drop exact + near duplicates of the cleaned text (one
     * row per survivor; the drop list itself is available separately
     * via [[Dedup.textDropList]] for audit).
@@ -109,7 +155,15 @@ object CorpusPipeline {
   def run(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
           sourceCol: String, shardPath: String, cfg: Config = Config()): DataFrame = {
     val cleaned = filterAndClean(docs, idCol, textCol, sourceCol, cfg)
-    val survivors = dedup(cleaned, idCol, textCol, cfg)
+    val spanned = dropSpans(cleaned, idCol, textCol, sourceCol, cfg)
+    val deduped = dedup(spanned, idCol, textCol, cfg)
+    // with the chunk fork on, the survivors feed TWO sinks (shards +
+    // chunks); stage them so the dedup subtree runs once and the
+    // corpus_deduped observe cannot double-fire
+    val survivors =
+      if (cfg.chunkTokens.isDefined) Staging.stage(deduped, cfg.stagingDir, "survivors")
+      else deduped
+    chunkFork(survivors, idCol, textCol, sourceCol, s"$shardPath-chunks", cfg)
     mixAndPack(survivors, idCol, textCol, sourceCol, shardPath, cfg)
   }
 }

@@ -123,6 +123,58 @@ class CorpusPipelineSpec extends SparkSuite {
       F.col("text").contains("</p>")).count() == 0)
   }
 
+  test("spans + chunk stages: duplicated spans cut, chunks forked, determinism and single-fire hold") {
+    import org.apache.spark.sql.Observation
+    // two docs embed the same long span in different surroundings —
+    // exactly what document-level dedup misses and span dedup cuts
+    val span = "the grand canonical replay of the span removal experiment in this pipeline run"
+    val spanny = corpus.unionByName(Seq(
+      (41L, s"$header\nthe first host document where $span appears among otherwise unique prose about graphs", "web"),
+      (42L, s"$header\nthe second host carrier text has $span inside a different story about engines", "web"))
+      .toDF("doc_id", "text", "source"))
+    val cfg = CorpusPipeline.Config(packBuckets = 4, packBudget = 512L, maxSeqsPerShard = 4,
+      spanK = Some(8), chunkTokens = Some(32), chunkOverlap = 8)
+    val d1 = Files.createTempDirectory("graft-corpus-sc1-").toString
+    val d2 = Files.createTempDirectory("graft-corpus-sc2-").toString
+
+    val obs = Observation("corpus_spans_gate_check")
+    val observed = spanny.observe(obs, F.count(F.lit(1)).as("docs_in"))
+    val mixed = CorpusPipeline.run(spark, observed, "doc_id", "text", "source", d1, cfg).cache()
+    // even with BOTH forks on (shards + chunks reference the deduped
+    // survivors), the input subtree evaluated exactly once
+    assert(obs.get("docs_in") == spanny.count(),
+      "input must evaluate once despite the two-sink fan-out")
+
+    // the duplicated span is cut from every surviving text
+    val texts = mixed.select("text").as[String].collect()
+    assert(texts.nonEmpty && texts.forall(!_.contains(span)),
+      "cross-document duplicated span must be removed")
+    // the chunk fork wrote beside the shards: provenance kept, every
+    // chunk within budget, chunk doc_ids ⊆ survivors
+    val chunks = spark.read.parquet(s"$d1-chunks")
+    assert(chunks.columns.contains("source") && chunks.columns.contains("chunk_text"))
+    assert(chunks.filter(F.size(F.split(F.col("chunk_text"), "\\s+")) > 32).count() == 0)
+    val chunkDocs = chunks.select("doc_id").distinct().as[Long].collect().toSet
+    val survivorDocs = CorpusPipeline.dedup(
+      CorpusPipeline.dropSpans(
+        CorpusPipeline.filterAndClean(spanny, "doc_id", "text", "source", cfg),
+        "doc_id", "text", "source", cfg),
+      "doc_id", "text", cfg).select("doc_id").as[Long].collect().toSet
+    assert(chunkDocs.subsetOf(survivorDocs))
+    // hosts survive DOCUMENT-level dedup (their remainders differ) —
+    // the mix stage may still sample either out of the training cut
+    assert(survivorDocs.contains(41L) && survivorDocs.contains(42L))
+
+    // byte-identical rerun: shards AND chunks
+    CorpusPipeline.run(spark, spanny, "doc_id", "text", "source", d2, cfg)
+    def rows(p: String) = spark.read.parquet(p).orderBy("bucket", "seq")
+      .collect().map(_.toString).toSeq
+    def crows(p: String) = spark.read.parquet(p).orderBy("doc_id", "chunk_id")
+      .collect().map(_.toString).toSeq
+    assert(rows(d1) == rows(d2), "span+chunk pipeline must stay shard-deterministic")
+    assert(crows(s"$d1-chunks") == crows(s"$d2-chunks"), "chunk fork must be deterministic")
+  }
+
   test("dedup runs on CLEANED text: chrome variants still collapse as duplicates") {
     // docs identical except for their (stripped) chrome line — exact
     // dups only AFTER boilerplate removal
