@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types.DataType
 
 import graft.functions.bloom
 
@@ -99,11 +100,35 @@ object BloomJoin {
     * under the SAME names on both sides (join-using semantics).
     * `expectedItems` sizes the filter (list key-tuple count;
     * overshooting wastes bits, undershooting raises fpp — both safe).
+    *
+    * `left` is scanned TWICE (misses and hits branches) and `list`
+    * once more than the plain join (the filter build). Both must be
+    * DETERMINISTIC snapshots (a file-backed frame, not a
+    * rand()/monotonically_increasing_id-bearing or re-ingested
+    * source): if the two scans of `left` could disagree, the union of
+    * the filtered branches would drop or duplicate rows relative to
+    * the plain anti-join. Persist nondeterministic inputs first.
     */
   def antiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val types = commonKeyTypes(left, list, keys)
     val filter = buildFilterTyped(list, keys, types, expectedItems, fpp)
+    antiApply(left, list, keys, types, filter)
+  }
+
+  /** Exact `left.join(list, keys, "left_semi")`: misses drop map-only,
+    * hits verify exactly (a false positive must not survive). Same
+    * determinism/snapshot requirement as [[antiJoin]].
+    */
+  def semiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
+               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val types = commonKeyTypes(left, list, keys)
+    val filter = buildFilterTyped(list, keys, types, expectedItems, fpp)
+    semiApply(left, list, keys, types, filter)
+  }
+
+  private def antiApply(left: DataFrame, list: DataFrame, keys: Seq[String],
+                        types: Seq[DataType], filter: Array[Byte]): DataFrame = {
     val probe = bloom.bloom_might_contain(typedKeyHash(keys, types), filter)
     // definite negatives (and NULL keys, which never match): map-only pass
     val misses = left.filter(anyKeyNull(keys) || !probe)
@@ -113,15 +138,62 @@ object BloomJoin {
     misses.unionAll(hits)
   }
 
-  /** Exact `left.join(list, keys, "left_semi")`: misses drop map-only,
-    * hits verify exactly (a false positive must not survive).
-    */
-  def semiJoin(left: DataFrame, list: DataFrame, keys: Seq[String],
-               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val types = commonKeyTypes(left, list, keys)
-    val filter = buildFilterTyped(list, keys, types, expectedItems, fpp)
+  private def semiApply(left: DataFrame, list: DataFrame, keys: Seq[String],
+                        types: Seq[DataType], filter: Array[Byte]): DataFrame = {
     val probe = bloom.bloom_might_contain(typedKeyHash(keys, types), filter)
     left.filter(!anyKeyNull(keys) && probe)
       .join(list.select(keys.map(F.col): _*), keys, "left_semi")
   }
+
+  // ─────────────── persisted filter (multi-query reuse) ───────────────
+
+  /** A saved filter plus the key/type contract it was hashed under —
+    * what [[loadFilter]] returns and the `*Persisted` joins consume.
+    */
+  final case class PersistedFilter(filter: Array[Byte], keys: Seq[String],
+                                   keyTypes: Seq[DataType])
+
+  /** Build the list's filter ONCE and persist it (single-row parquet:
+    * filter bytes + key names + key types as DataType JSON) — the
+    * multi-query reuse surface: a decontamination droplist is built
+    * one time and then applied to every table of a corpus without
+    * re-scanning the list. Keys hash under the LIST's own column
+    * types; at apply time each corpus key casts to the stored type,
+    * which preserves exactness for any corpus key type (a value that
+    * could equal a list key casts losslessly; one that cannot match
+    * lands in either branch safely — a spurious probe hit is absorbed
+    * by the exact join, a miss is a true negative).
+    */
+  def buildAndSaveFilter(spark: SparkSession, list: DataFrame, keys: Seq[String],
+                         expectedItems: Long, path: String,
+                         fpp: Double = 0.01): PersistedFilter = {
+    val types = keys.map(k => list.schema(k).dataType)
+    val bytes = buildFilterTyped(list, keys, types, expectedItems, fpp)
+    import spark.implicits._
+    Seq((bytes, keys, types.map(_.json)))
+      .toDF("filter", "keys", "key_types")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    PersistedFilter(bytes, keys, types)
+  }
+
+  def loadFilter(spark: SparkSession, path: String): PersistedFilter = {
+    val row = spark.read.parquet(path).head()
+    PersistedFilter(
+      row.getAs[Array[Byte]]("filter"),
+      row.getSeq[String](row.fieldIndex("keys")),
+      row.getSeq[String](row.fieldIndex("key_types")).map(DataType.fromJson))
+  }
+
+  /** [[antiJoin]] against a persisted filter: no filter-build job —
+    * only the exact join still reads `list`. Key columns cast to the
+    * stored types before hashing (see [[buildAndSaveFilter]]).
+    */
+  def antiJoinPersisted(left: DataFrame, list: DataFrame,
+                        saved: PersistedFilter): DataFrame =
+    antiApply(left, list, saved.keys, saved.keyTypes, saved.filter)
+
+  /** [[semiJoin]] against a persisted filter. */
+  def semiJoinPersisted(left: DataFrame, list: DataFrame,
+                        saved: PersistedFilter): DataFrame =
+    semiApply(left, list, saved.keys, saved.keyTypes, saved.filter)
 }

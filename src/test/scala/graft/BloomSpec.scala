@@ -88,6 +88,24 @@ class BloomSpec extends SparkSuite {
     assert(sig(BloomJoin.semiJoin(left, list, Seq("k"), 50)) == sig(plainSemi))
   }
 
+  test("persisted filter round-trips and reproduces the build-per-query joins") {
+    val left = Tables.lineitem(spark, sf)
+    val list = Tables.orders(spark, sf).filter(F.col("o_orderstatus") === "F")
+      .select(F.col("o_orderkey").as("l_orderkey"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    val saved = BloomJoin.buildAndSaveFilter(spark, list, Seq("l_orderkey"), 10000, dir)
+    val loaded = BloomJoin.loadFilter(spark, dir)
+    // round-trip: bytes, key names, and types all survive
+    assert(java.util.Arrays.equals(loaded.filter, saved.filter))
+    assert(loaded.keys == saved.keys && loaded.keyTypes == saved.keyTypes)
+    // the persisted joins equal both the plain spelling and the
+    // build-per-query path — multi-query reuse without a rebuild
+    assert(sig(BloomJoin.antiJoinPersisted(left, list, loaded)) ==
+      sig(left.join(list, Seq("l_orderkey"), "left_anti")))
+    assert(sig(BloomJoin.semiJoinPersisted(left, list, loaded)) ==
+      sig(left.join(list, Seq("l_orderkey"), "left_semi")))
+  }
+
   test("the definite-negative path is map-only (no Exchange above its scan)") {
     val left = Tables.lineitem(spark, sf)
     val list = Tables.orders(spark, sf).filter(F.col("o_orderstatus") === "F")
