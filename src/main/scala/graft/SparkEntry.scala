@@ -833,6 +833,15 @@ object SparkEntry {
       Dedup.textDropList(docs.unionByName(rekeyed), "doc_id", "text")
         .filter(F.col("reason") === "exact").orderBy("drop_id")
     }),
+    // the exact all-pairs face of C4 (no banding): every pair's true
+    // shingle Jaccard, fully replayed by DuckDB list arithmetic — the
+    // hash gate for the shingle/jaccard machinery the LSH face reuses.
+    // All-pairs is the point here (calibration-sized input), not the
+    // corpus-scale routing — that stays dedup_ngram_jaccard.
+    "dedup_ngram_jaccard_exact" -> ((s, d) => {
+      Dedup.ngramJaccardAllPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),
@@ -1755,6 +1764,26 @@ object SparkEntry {
           |FROM corpus c JOIN rep r ON md5(c.text) = r.h
           |WHERE c.doc_id <> r.keep_id
           |ORDER BY drop_id""".stripMargin,
+      // list-arithmetic replay of the exact shingle Jaccard: same
+      // tokenization (lower/trim/\s+), same distinct 3-token windows
+      // (short docs -> one whole-doc shingle via the greatest/least
+      // clamps), same inter/union division
+      "dedup_ngram_jaccard_exact" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          |           FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+          |           i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS s
+          |       FROM t),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |             len(list_intersect(a.s, b.s)) AS inter,
+          |             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b,
+          |       CASE WHEN un = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / un END AS jaccard
+          |FROM p
+          |WHERE CASE WHEN un = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / un END >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
       "dedup_embedding" ->
         s"""WITH p AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -79,6 +79,28 @@ object Dedup {
       .filter(F.col("est_jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard over ALL pairs — no banding, no estimate:
+    * the calibration/oracle face of [[ngramJaccardPairs]]. O(n²) by
+    * construction (the join predicate is id_a < id_b — Spark plans a
+    * nested loop), so this is for BOUNDED samples: threshold
+    * calibration against ground truth, recall measurement of the LSH
+    * face, and the driver's hash oracle. Corpus scale routes through
+    * [[ngramJaccardPairs]]; every per-pair value here is bit-identical
+    * to what its verify step computes (same shingle set, same
+    * [[graft.functions.native.jaccard_sim]]).
+    */
+  def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("id"), native.word_shingles(F.col("__toks"), shingleN).as("sh"))
+    val a = sh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
+    val b = sh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))
+    a.join(b, F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        native.jaccard_sim(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard (|A∩B| / |A∪B| on true shingle sets) over
     * LSH candidates — the estimate-free verify step.
     */

@@ -76,6 +76,23 @@ class DedupSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("all-pairs exact jaccard is a superset of the LSH face with identical values") {
+    val docs = Tables.documents(spark, sf)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val all = asMap(Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", threshold = 0.5))
+    val lsh = asMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5))
+    assert(all.nonEmpty)
+    // LSH candidates can only MISS true pairs, never invent them, and
+    // a shared pair's exact value is bit-identical (same expression)
+    assert(lsh.keySet.subsetOf(all.keySet),
+      s"LSH face emitted pairs the exact face lacks: ${lsh.keySet -- all.keySet}")
+    lsh.foreach { case (k, v) => assert(all(k) == v, s"value drift on $k") }
+    // and on this fixture the banding recall is high
+    assert(lsh.size >= (all.size * 0.7).toInt,
+      s"LSH recall collapsed: ${lsh.size}/${all.size}")
+  }
+
   test("simhash hamming distance is 0 for identical docs, large for disjoint ones") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val c = "one two three four five six seven eight"
