@@ -194,6 +194,25 @@ object ScaleProbe {
     val rjRow =
       f"""{"op":"range_join","base_sec":${rangeProbe(sfDir)}%.2f,"scaled_sec":${rangeProbe(root)}%.2f}"""
 
+    // overlapJoin: FIXED left interval set × 1×/20× right intervals —
+    // linear-in-right timing means the bin-ownership dedup emits once
+    // per pair with no quadratic or distinct term anywhere
+    def overlapProbe(dir: String): Double = {
+      val base = graft.sources.Tables.events(spark, sfDir)
+      val a = base.filter(F.col("event_id") % 1000 === 0)
+        .select(F.col("event_id").as("a_key"),
+          (F.col("value") - 0.05).as("a_lo"), (F.col("value") + 0.05).as("a_hi"))
+      val b = graft.sources.Tables.events(spark, dir)
+        .filter(F.col("event_id") % 10 === 0)
+        .select(F.col("event_id").as("b_key"),
+          (F.col("value") - 0.05).as("b_lo"), (F.col("value") + 0.05).as("b_hi"))
+      time(force(graft.operators.RangeJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          binWidth = Some(0.1))
+        .groupBy("a_key").agg(F.count(F.lit(1)).as("n"))))
+    }
+    val ovRow =
+      f"""{"op":"overlap_join","base_sec":${overlapProbe(sfDir)}%.2f,"scaled_sec":${overlapProbe(root)}%.2f}"""
+
     // Incremental.merge: fold the SAME fixed batch of partials into a
     // 1× vs 20× state table — the state side is map-only (broadcast
     // combine + slim-key anti), so the delta's cost cannot grow faster
@@ -296,7 +315,7 @@ object ScaleProbe {
     val tableRows = spark.read.parquet(rawPath).count()
 
     println("{\"probe\":\"scale\",\"ops\":[" +
-      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, imRow,
+      (rows ++ Seq(layoutRow, pqRow, indexRow, exportRow, pipelineRow, rjRow, ovRow, imRow,
         hybridRow, bloomRow, plainAntiRow)).mkString(",") +
       f"""],"bloom_hit_fraction":$bloomHitFraction%.4f,""" +
       f""""ingest_batch_sec":$tIngest%.2f,"ingest_table_rows":$tableRows}""")

@@ -1070,6 +1070,27 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.pqTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // the PQ ADC + re-rank routing under a FULL hash oracle (the D3b
+    // recipe applied to D8): codebooks pinned to the subvector slices
+    // of every 32nd corpus vector (16 anchors, no k-means), so encode
+    // (normalized L2 argmin, lowest-code tie-break), the per-query
+    // LUT, the ADC candidate cut, and the exact-cosine re-rank are all
+    // deterministic double arithmetic DuckDB replays term-for-term.
+    // ann_pq_topk keeps the trained-codebook face (rows-only,
+    // recall-pinned in SimilaritySpec).
+    "ann_pq_topk_pinned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val anchors = e.filter(F.col("vec_id") % 32 === 1).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val m = 8
+      val dsub = anchors.head.length / m
+      val cb: Seq[Seq[Seq[Float]]] = (0 until m).map(sq =>
+        anchors.toSeq.map(a => a.slice(sq * dsub, (sq + 1) * dsub).toSeq))
+      Similarity.pqTopK(e, q, 10, m = m, rerank = 64, codebooks = Some(cb))
+        .orderBy("qid", "rank")
+    }),
 
     // ───────────────────────── E. text analysis ─────────────────────────
     // the E7 scrub as a driver-gated query: the corpus carries no PII,
@@ -1933,6 +1954,63 @@ object SparkEntry {
           |  FROM q JOIN p ON p.qid = q.qid
           |         JOIN a ON a.cell = p.cell
           |         JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // term-for-term replay of the pinned-codebook PQ routing: encode
+      // = argmin squared L2 of each NORMALIZED subvector over the 16
+      // anchor slices (lowest code on ties); lut = RAW query subvector
+      // dotted with each anchor slice; adc sums the m lut hits in
+      // subquantizer order (list(... ORDER BY s) keeps the IEEE
+      // accumulation order of the native expression); rerank-64 cut by
+      // (adc DESC, vec_id), final top-10 by exact cosine
+      "ann_pq_topk_pinned" ->
+        s"""WITH anch AS (
+          |  SELECT (vec_id - 1) // 32 AS j, embedding AS a
+          |  FROM embeddings WHERE vec_id % 32 = 1),
+          |sub AS (
+          |  SELECT sq.s, anch.j, list_slice(anch.a, sq.s*8 + 1, sq.s*8 + 8) AS c
+          |  FROM anch CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sq),
+          |nv AS (
+          |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm, embedding
+          |  FROM embeddings),
+          |nvn AS (
+          |  SELECT vec_id,
+          |         CASE WHEN nrm > 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+          |              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+          |  FROM nv),
+          |enc AS (
+          |  SELECT nvn.vec_id, sub.s, sub.j,
+          |         row_number() OVER (PARTITION BY nvn.vec_id, sub.s ORDER BY
+          |           list_aggregate(list_transform(list_zip(list_slice(nvn.v, sub.s*8 + 1, sub.s*8 + 8), sub.c),
+          |             x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum') ASC,
+          |           sub.j ASC) AS rn
+          |  FROM nvn CROSS JOIN sub),
+          |codes AS (SELECT vec_id, s, j FROM enc WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |lut AS (
+          |  SELECT q.qid, sub.s, sub.j,
+          |         ${dot("list_slice(q.qvec, sub.s*8 + 1, sub.s*8 + 8)", "sub.c")} AS pdot
+          |  FROM q CROSS JOIN sub),
+          |adc AS (
+          |  SELECT l.qid, c.vec_id,
+          |         list_aggregate(list(l.pdot ORDER BY l.s), 'sum') AS adc
+          |  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.j
+          |  WHERE c.vec_id <> l.qid
+          |  GROUP BY l.qid, c.vec_id),
+          |cand AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+          |    FROM adc) WHERE rn <= 64),
+          |scored AS (
+          |  SELECT cand.qid, cand.vec_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
+          |  FROM cand JOIN q ON q.qid = cand.qid
+          |            JOIN embeddings e ON e.vec_id = cand.vec_id)
           |SELECT qid, vec_id, cos, rank FROM (
           |  SELECT qid, vec_id, cos,
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
