@@ -839,7 +839,8 @@ object SparkEntry {
     // All-pairs is the point here (calibration-sized input), not the
     // corpus-scale routing — that stays dedup_ngram_jaccard.
     "dedup_ngram_jaccard_exact" -> ((s, d) => {
-      Dedup.ngramJaccardAllPairs(Tables.documents(s, d), "doc_id", "text")
+      Dedup.ngramJaccardAllPairs(
+          Tables.documents(s, d).filter(F.col("doc_id") % 2 === 0), "doc_id", "text")
         .orderBy("id_a", "id_b")
     }),
     "dedup_simhash" -> ((s, d) => {
@@ -1791,7 +1792,7 @@ object SparkEntry {
       // clamps), same inter/union division
       "dedup_ngram_jaccard_exact" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-          |           FROM documents),
+          |           FROM documents WHERE doc_id % 2 = 0),
           |sh AS (SELECT doc_id,
           |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
           |           i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS s

@@ -504,6 +504,43 @@ case class NearestCell(child: Expression, cells: Seq[Long], centroids: Seq[Seq[F
     copy(child = newChild)
 }
 
+/** [[JaccardSim]] over arrays the caller guarantees are DISTINCT,
+  * NON-NULL and SORTED ascending in UTF8String binary order (exactly
+  * what `array_sort(word_shingles(...))` produces): the intersection
+  * comes from one O(|A|+|B|) merge walk — no per-pair hash sets, no
+  * allocation — which is what makes an n² all-pairs verify
+  * ([[graft.operators.Dedup.ngramJaccardAllPairs]]) tractable.
+  * Value-identical to [[JaccardSim]] on conforming input
+  * (NativeExprSpec pins it); on unsorted/duplicated input the result
+  * is undefined — use [[JaccardSim]].
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedJaccard", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(left = l, right = r)
+}
+
 /** Exact Jaccard similarity |A∩B| / |A∪B| of two string arrays
   * (set semantics) — the n-gram dedup verify step as one hash-set
   * pass instead of interpreted array_intersect + array_union.
@@ -984,6 +1021,8 @@ object native {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def hyperplane_sig(vec: Column, planes: Int, seed: Long = 42L): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, seed))
+  def sorted_jaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def sig_match_fraction(a: Column, b: Column): Column =

@@ -91,14 +91,28 @@ object Dedup {
     */
   def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    // shingles SORTED once per doc so the n² verify walks two sorted
+    // arrays per pair (sorted_jaccard: no per-pair hash sets) — the
+    // difference between a tractable sample sweep and minutes
     val sh = df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
-      .select(F.col("id"), native.word_shingles(F.col("__toks"), shingleN).as("sh"))
+      .select(F.col("id"),
+        F.array_sort(native.word_shingles(F.col("__toks"), shingleN)).as("sh"))
+    // a sample-sized input usually arrives as ONE file split, which
+    // would run the n² nested loop on one core; spreading the stream
+    // side costs a trivial shuffle of n rows and buys full parallelism
     val a = sh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = sh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))
-    a.join(b, F.col("id_a") < F.col("id_b"))
+    // the threshold sits in the JOIN CONDITION, after the id ordering:
+    // a post-join .filter would be pushed into the condition AHEAD of
+    // `id_a < id_b` (And evaluates left-to-right), doubling the n²
+    // jaccard evaluations; here the cheap id test short-circuits half
+    // the pairs. Survivors (a handful) recompute jaccard in the
+    // projection — noise next to the n² term it avoids.
+    a.join(b, F.col("id_a") < F.col("id_b") &&
+        native.sorted_jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
       .select(F.col("id_a"), F.col("id_b"),
-        native.jaccard_sim(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
-      .filter(F.col("jaccard") >= threshold)
+        native.sorted_jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard (|A∩B| / |A∪B| on true shingle sets) over

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSignature, SimHash64, SortedJaccard, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -142,6 +142,22 @@ class NativeExprSpec extends SparkSuite {
     val got = CosineSim(floats(a.toIndexedSeq: _*), floats(b.toIndexedSeq: _*))
       .eval(null).asInstanceOf[Double]
     assert(got == want)
+  }
+
+  test("SortedJaccard equals JaccardSim on distinct sorted arrays, including edge cases") {
+    val rng = new scala.util.Random(7)
+    def randSet(): Seq[String] =
+      Seq.fill(rng.nextInt(30))(s"w${rng.nextInt(40)} x${rng.nextInt(9)}")
+        .distinct.sorted
+    for (_ <- 1 to 200) {
+      val (a, b) = (randSet(), randSet())
+      val viaHash = JaccardSim(strings(a: _*), strings(b: _*)).eval(null)
+      val viaMerge = SortedJaccard(strings(a: _*), strings(b: _*)).eval(null)
+      assert(viaHash == viaMerge, s"diverged on ${a.take(5)}... vs ${b.take(5)}...")
+    }
+    // both-empty -> union 0 -> 1.0 by convention on both paths
+    assert(SortedJaccard(strings(), strings()).eval(null) == 1.0)
+    assert(JaccardSim(strings(), strings()).eval(null) == 1.0)
   }
 
   test("WindowMd5 is bit-identical to the transform/slice/md5 HOF spelling") {
