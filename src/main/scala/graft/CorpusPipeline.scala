@@ -125,6 +125,39 @@ object CorpusPipeline {
         .write.mode("overwrite").parquet(chunkPath)
     }
 
+  /** Corpus health report — the first query a data engineer runs
+    * against a new crawl, as one scan: per (source, lang) doc counts,
+    * token/char volume, and a quality histogram (the E1 score bucketed
+    * at `lowCut`/`highCut`). Every measure is exact and order-free
+    * (integer sums, counts, double min/max — no double SUM, whose
+    * accumulation order would make the report nondeterministic across
+    * runs and engines), so the report itself hash-replays. Scale
+    * shape: ONE scan, one keyed aggregate with map-side partials;
+    * output is |sources × langs| rows — bounded. At 100 TB this is
+    * the cheapest look at the corpus that still decides the
+    * [[Config]] knobs (langs allow-list, minQuality, mix shares).
+    */
+  def sourceReport(docs: DataFrame, textCol: String, sourceCol: String, langCol: String,
+                   lowCut: Double = 0.3, highCut: Double = 0.7): DataFrame = {
+    require(lowCut <= highCut, s"lowCut $lowCut must be <= highCut $highCut")
+    val t = F.col(textCol)
+    val q = F.col("__q")
+    docs
+      .select(F.col(sourceCol), F.col(langCol),
+        text.tokenCount(t).as("__tok"), F.length(t).as("__chars"),
+        text.qualityScore(t).as("__q"))
+      .groupBy(sourceCol, langCol)
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("__tok").cast("long")).as("total_tokens"),
+        F.sum(F.col("__chars").cast("long")).as("total_chars"),
+        F.min(q).as("min_quality"),
+        F.max(q).as("max_quality"),
+        F.sum(F.when(q < lowCut, 1L).otherwise(0L)).as("n_low"),
+        F.sum(F.when(q >= lowCut && q < highCut, 1L).otherwise(0L)).as("n_mid"),
+        F.sum(F.when(q >= highCut, 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Stage 3: drop exact + near duplicates of the cleaned text (one
     * row per survivor; the drop list itself is available separately
     * via [[Dedup.textDropList]] for audit).

@@ -1133,6 +1133,13 @@ object SparkEntry {
         T.qualityScore(t).as("quality"))
         .orderBy("doc_id")
     }),
+    // E13: the corpus health report — per-(source, lang) volume +
+    // quality histogram in ONE scan; all measures exact/order-free
+    // (integer sums, counts, double min/max), so it hash-replays
+    "corpus_report" -> ((s, d) => {
+      graft.CorpusPipeline.sourceReport(Tables.documents(s, d), "text", "source", "lang")
+        .orderBy("source", "lang")
+    }),
     "text_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
         .select(F.col("doc_id"), T.langGuess(F.col("text")).as("lang_guess"))
@@ -2081,6 +2088,26 @@ object SparkEntry {
           |SELECT doc_id, trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g')) AS clean,
           |       length(trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g'))) AS clean_len
           |FROM e ORDER BY doc_id""".stripMargin,
+      // per-row quality replays bit-exactly (the text_quality row), so
+      // the bucket counts and min/max fold to identical values
+      "corpus_report" ->
+        """WITH d AS (SELECT source, lang, LENGTH(text) AS chars,
+          |  len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+          |  (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.3)
+          |   + ((CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+          |       / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.4)
+          |   + ((1.0 - ABS((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |        t -> t IN ('the','a','an','of','to','and','in','is','on','for','with','at','by'))) AS DOUBLE)
+          |       / len(string_split_regex(lower(trim(text)), '\s+'))) - 0.3)) * 0.3) AS q
+          |FROM documents)
+          |SELECT source, lang, COUNT(*) AS n_docs,
+          |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+          |       CAST(SUM(chars) AS BIGINT) AS total_chars,
+          |       MIN(q) AS min_quality, MAX(q) AS max_quality,
+          |       CAST(COUNT(*) FILTER (q < 0.3) AS BIGINT) AS n_low,
+          |       CAST(COUNT(*) FILTER (q >= 0.3 AND q < 0.7) AS BIGINT) AS n_mid,
+          |       CAST(COUNT(*) FILTER (q >= 0.7) AS BIGINT) AS n_high
+          |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
       "text_quality" ->
         """SELECT doc_id, LENGTH(text) AS len,
           |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,

@@ -175,6 +175,31 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(crows(s"$d1-chunks") == crows(s"$d2-chunks"), "chunk fork must be deterministic")
   }
 
+  test("sourceReport: one scan, exact buckets, totals consistent with direct counts") {
+    val docs = Tables.documents(spark, sf)
+    // plan check FIRST: once a report is cached, the cache manager
+    // substitutes InMemoryRelation into any later identical plan
+    val plan = CorpusPipeline.sourceReport(docs, "text", "source", "lang")
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"report must be one scan:\n${plan.take(800)}")
+    val report = CorpusPipeline.sourceReport(docs, "text", "source", "lang").cache()
+    val rows = report.collect()
+    assert(rows.nonEmpty)
+    // bucket partition: n_low + n_mid + n_high == n_docs, every row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_low") + r.getAs[Long]("n_mid") + r.getAs[Long]("n_high") ==
+        r.getAs[Long]("n_docs"), s"buckets must partition the docs: $r")
+      assert(r.getAs[Double]("min_quality") <= r.getAs[Double]("max_quality"))
+    }
+    // grand totals match direct aggregation
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val directTokens = docs.select(F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+      .cast("long"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == directTokens)
+    report.unpersist()
+  }
+
   test("dedup runs on CLEANED text: chrome variants still collapse as duplicates") {
     // docs identical except for their (stripped) chrome line — exact
     // dups only AFTER boilerplate removal
