@@ -814,6 +814,19 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),
+    // the md5-pinned face of the above: same LSH pipeline shape
+    // (signature -> bands -> bucket join -> estimate filter), every
+    // hash an explicit md5 so DuckDB replays the WHOLE pipeline —
+    // candidate generation included — as list arithmetic. The corpus
+    // gets a re-keyed copy of every 50th doc (like the droplist_exact
+    // faces) so true duplicates are guaranteed in the candidate set
+    "dedup_minhash_lsh_pinned" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val rekeyed = docs.filter(F.col("doc_id") % 50 === 0)
+        .select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text"))
+      Dedup.minhashPairsPinned(docs.unionByName(rekeyed), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
     // linear-output routing of the above (see dedup_embedding_droplist)
     "dedup_text_droplist" -> ((s, d) => {
       Dedup.textDropList(Tables.documents(s, d), "doc_id", "text").orderBy("drop_id")
@@ -1797,6 +1810,40 @@ object SparkEntry {
       // tokenization (lower/trim/\s+), same distinct 3-token windows
       // (short docs -> one whole-doc shingle via the greatest/least
       // clamps), same inter/union division
+      // full-pipeline replay of the pinned MinHash-LSH face: same
+      // tokenization/shingles as the jaccard oracle, signature slot i =
+      // min md5('i:' || shingle) (hex minima order identically in both
+      // engines), band bucket = md5 of the '|'-joined 3-slot slice,
+      // candidate pairs from the bucket self-join, estimate = matching
+      // slots / 12
+      "dedup_minhash_lsh_pinned" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+          |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          |      FROM corpus),
+          |sh AS (SELECT doc_id,
+          |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+          |           i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS s
+          |       FROM t),
+          |sig AS (SELECT doc_id,
+          |          [list_min(list_transform(s, x -> md5(i::VARCHAR || ':' || x)))
+          |           for i in range(0, 12)] AS sig
+          |        FROM sh WHERE len(s) > 0),
+          |band AS (SELECT doc_id,
+          |           b, md5(array_to_string(sig[b*3+1 : b*3+3], '|')) AS bucket
+          |         FROM sig, range(0, 4) AS r(b)),
+          |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |      FROM band a JOIN band b
+          |        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          |e AS (SELECT id_a, id_b,
+          |        CAST(len([1 for i in range(1, 13) if sa.sig[i] = sb.sig[i]]) AS DOUBLE) / 12
+          |          AS est_jaccard
+          |      FROM c JOIN sig sa ON c.id_a = sa.doc_id
+          |             JOIN sig sb ON c.id_b = sb.doc_id)
+          |SELECT id_a, id_b, est_jaccard FROM e
+          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
       "dedup_ngram_jaccard_exact" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
           |           FROM documents WHERE doc_id % 2 = 0),

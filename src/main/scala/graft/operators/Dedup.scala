@@ -79,6 +79,54 @@ object Dedup {
       .filter(F.col("est_jaccard") >= threshold)
   }
 
+  /** Cross-engine-replayable MinHash-LSH: identical pipeline shape to
+    * [[minhashPairs]] (staged signature → banding → bucket equi-join →
+    * estimate filter), but every hash is md5 over an explicit
+    * seed-prefixed string, so signature slots are lexicographic minima
+    * of hex digests and band buckets are md5 of the joined slice —
+    * all of it plain SQL any engine computes bit-identically. This is
+    * the hash-oracle face of the C2 surface: the production routing
+    * stays [[minhashPairs]] (xxhash64 signatures are one codegen'd
+    * long op per slot vs an md5 + hex round-trip here), but the LSH
+    * *logic* — banding arithmetic, candidate-pair join, match-fraction
+    * estimate — is shared shape and gets a full DuckDB replay through
+    * this face. Same min-wise estimator (Broder 1997), same one
+    * shuffle per stage; ~8× more bytes/slot than the long path.
+    */
+  def minhashPairsPinned(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+                         shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands (trailing signature slots would be silently unbanded)")
+    val rows = k / bands
+    // staged like signatures(): tokens → shingles → signature, so the
+    // HOF lambdas only dereference row slots (see perf note above)
+    val sh = df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("id"), native.word_shingles(F.col("__toks"), shingleN).as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+    val sigs = sh.select(F.col("id"),
+      F.transform(F.sequence(F.lit(0), F.lit(k - 1)),
+        i => F.array_min(F.transform(F.col("sh"),
+          s => F.md5(F.concat(i.cast("string"), F.lit(":"), s))))).as("sig"))
+    val banded = sigs.select(F.col("id"),
+      F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+        b => F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, F.lit(rows))))))
+        .as(Seq("band", "bucket")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    val sigA = sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a"))
+    val sigB = sigs.select(F.col("id").as("id_b"), F.col("sig").as("sig_b"))
+    cands.join(sigA, "id_a").join(sigB, "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+          (x, y) => x === y), m => m)).cast("double") / k).as("est_jaccard"))
+      .filter(F.col("est_jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard over ALL pairs — no banding, no estimate:
     * the calibration/oracle face of [[ngramJaccardPairs]]. O(n²) by
     * construction (the join predicate is id_a < id_b — Spark plans a

@@ -57,6 +57,30 @@ class DedupSpec extends SparkSuite {
     assert(pairs((1L, 2L)) > 0.5)
   }
 
+  test("pinned minhash face: exact duplicates score 1.0, estimator tracks exact jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a + " tomorrow"          // high overlap
+    val c = "completely different words nothing shared here at all whatsoever believe me"
+    val df = Seq((1L, a), (2L, b), (3L, c), (101L, a)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsPinned(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // an exact duplicate shares every signature slot: estimate is exactly 1.0
+    assert(pairs.get((1L, 101L)).contains(1.0),
+      s"exact duplicate must band together and score 1.0, got $pairs")
+    assert(pairs.contains((1L, 2L)), "near-identical pair must survive banding + threshold")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 2L)) > 0.5)
+    // estimates are multiples of 1/k by construction
+    pairs.values.foreach(v => assert((v * 12).round / 12.0 == v, s"non-slot-fraction estimate $v"))
+  }
+
+  test("pinned minhash face rejects k not divisible by bands") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairsPinned(df, "doc_id", "text", k = 10, bands = 4)
+    }
+  }
+
   test("ngram jaccard pairs verify exact overlap on LSH candidates") {
     val docs = Tables.documents(spark, sf)
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
