@@ -653,6 +653,32 @@ object SparkEntry {
               |     FROM orders WHERE o_custkey = c_custkey) AS total
               |FROM customer ORDER BY c_custkey""".stripMargin)
     }),
+    // BigQuery WITH RECURSIVE surface (B30): bounded-depth hierarchy
+    // walk — the org-chart/category-tree/BOM query class. The tree is
+    // derived from real keys (parent(k) = k div 10, a 10-ary trie over
+    // c_custkey), so both engines walk the identical structure with no
+    // synthetic fixture. Spark 4 plans this as UnionLoop: each
+    // iteration is ONE shuffled equi-join of the frontier against
+    // customer, and depth is bounded by log10(max key) — the shape
+    // recursive CTEs are FOR. Unbounded graph closure (dedup
+    // connectivity) must NOT use this: iterations serialize and the
+    // frontier can't be pruned — that's C9 connectedComponents
+    // (large-star/small-star). Decimal-cast acctbal sum keeps double
+    // parity; count/depth are exact integers.
+    "q_recursive_cte" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      s.sql("""WITH RECURSIVE h AS (
+              |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth, c_acctbal
+              |  FROM customer WHERE c_custkey < 10
+              |  UNION ALL
+              |  SELECT c.c_custkey, h.root, h.depth + 1, c.c_acctbal
+              |  FROM customer c JOIN h ON c.c_custkey DIV 10 = h.k
+              |  WHERE c.c_custkey >= 10)
+              |SELECT root, depth, COUNT(*) AS n_members,
+              |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal_sum
+              |FROM h GROUP BY root, depth
+              |ORDER BY root, depth""".stripMargin)
+    }),
     // BigQuery RANGE window: trailing 7-day sum over the daily series
     // (RANGE frame with an interval bound, not a row count)
     "q_range_window" -> ((s, d) => {
@@ -1559,6 +1585,20 @@ object SparkEntry {
           |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
           |     FROM orders WHERE o_custkey = c_custkey) AS total
           |FROM customer ORDER BY c_custkey""".stripMargin,
+      // same recursive walk in DuckDB's WITH RECURSIVE; // is DuckDB's
+      // integer division (Spark spells it DIV)
+      "q_recursive_cte" ->
+        """WITH RECURSIVE h AS (
+          |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth, c_acctbal
+          |  FROM customer WHERE c_custkey < 10
+          |  UNION ALL
+          |  SELECT c.c_custkey, h.root, h.depth + 1, c.c_acctbal
+          |  FROM customer c JOIN h ON c.c_custkey // 10 = h.k
+          |  WHERE c.c_custkey >= 10)
+          |SELECT root, depth, COUNT(*) AS n_members,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal_sum
+          |FROM h GROUP BY root, depth
+          |ORDER BY root, depth""".stripMargin,
       "q_range_window" ->
         """WITH daily AS (
           |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -37,6 +37,27 @@ class TypedSqlSpec extends SparkSuite {
     assert(sketch.count() == 5)
   }
 
+  test("recursive CTE walk partitions the customer table exactly once, depth-bounded") {
+    Typed.registerAllViews(spark, sf)
+    val out = SparkEntry.queries("q_recursive_cte")(spark, sf).collect()
+    val total = spark.table("customer").count()
+    // every customer lands in the trie exactly once: digits-of-key
+    // parenthood is total over contiguous keys, so member counts
+    // across (root, depth) sum to |customer|
+    assert(out.map(_.getLong(2)).sum == total,
+      s"walk dropped or duplicated members: ${out.map(_.getLong(2)).sum} vs $total")
+    // depth bounded by digits of the max key
+    val maxKey = spark.table("customer").agg(F.max("c_custkey")).head().getLong(0)
+    val maxDepth = out.map(_.getInt(1)).max
+    assert(maxDepth <= maxKey.toString.length - 1, s"depth $maxDepth exceeds digit bound")
+    assert(maxDepth >= 1, "recursion never fired")
+    // roots are exactly the single-digit keys present
+    val roots = out.map(_.getLong(0)).distinct.sorted
+    val expect = spark.table("customer").filter(F.col("c_custkey") < 10)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    assert(roots.sameElements(expect))
+  }
+
   test("GraftSql.merge runs the reference's MERGE statement verbatim") {
     import spark.implicits._
     // the reference's exchange_rate table + temp-table delta
