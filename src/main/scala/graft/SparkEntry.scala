@@ -991,6 +991,16 @@ object SparkEntry {
         .select("doc_id", "source", "score")
         .orderBy("doc_id")
     }),
+    // exactly-k sample allocated across sources proportional to char
+    // volume (largest-remainder apportionment, BigInt-exact), drawn
+    // within each source as the alloc_g smallest-md5 rows — RNG-free,
+    // so DuckDB replays allocation AND draw end to end
+    "sample_apportioned" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = docs.groupBy("source").agg(F.sum("n_chars").as("weight"))
+      graft.operators.Sampling.apportionedSample(docs, Seq("source"), "doc_id", 100, Some(w))
+        .orderBy("source", "doc_id")
+    }),
     // corpus mixing: √-temperature source re-weighting before the
     // training mix — rare sources keep more, the web-crawl-sized one
     // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
@@ -1760,6 +1770,31 @@ object SparkEntry {
           |SELECT doc_id, sc.source AS source, score
           |FROM sc JOIN th ON sc.source = th.source
           |WHERE score >= thr ORDER BY doc_id""".stripMargin,
+      // replays BOTH halves of S10: Hamilton allocation in exact
+      // integer arithmetic (hugeint // and % on DuckDB's side, BigInt
+      // on Spark's driver), then the per-source draw as the alloc_g
+      // smallest-md5 rows — the same hash52 + id tie order as S1
+      "sample_apportioned" ->
+        """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents
+          |             WHERE doc_id IS NOT NULL GROUP BY source),
+          |wt AS (SELECT source, SUM(n_chars) AS w FROM documents GROUP BY source),
+          |g AS (SELECT cnt.source AS source, n, w FROM cnt JOIN wt ON cnt.source = wt.source),
+          |tot AS (SELECT SUM(w) AS tw FROM g),
+          |a0 AS (SELECT source, n, (100 * w) // tw AS base, (100 * w) % tw AS rem FROM g, tot),
+          |a1 AS (SELECT source, n, base,
+          |              row_number() OVER (ORDER BY rem DESC, source) AS rr FROM a0),
+          |lo AS (SELECT 100 - SUM(base) AS leftover FROM a0),
+          |alloc AS (SELECT source,
+          |                 LEAST(base + CASE WHEN rr <= (SELECT leftover FROM lo)
+          |                              THEN 1 ELSE 0 END, n) AS kg FROM a1),
+          |h AS (SELECT source, doc_id,
+          |             row_number() OVER (PARTITION BY source
+          |               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+          |                        doc_id) AS rn
+          |      FROM documents WHERE doc_id IS NOT NULL)
+          |SELECT h.source AS source, h.doc_id AS doc_id
+          |FROM h JOIN alloc ON h.source = alloc.source
+          |WHERE rn <= kg ORDER BY source, doc_id""".stripMargin,
       // mirrors Mixing.temperatureMixBySqrt's threshold tree verbatim:
       // every float op (sqrt, *, /) is IEEE exactly-rounded over exact
       // integer-valued operands, left-associated — bit-identical across

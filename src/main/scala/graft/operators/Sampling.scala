@@ -121,6 +121,100 @@ object Sampling {
       .select(df.columns.map(c => F.col(s"__s.$c").as(c)): _*)
   }
 
+  /** Largest-remainder (Hamilton) allocation of `k` sample slots
+    * across groups, proportional to an integer weight — the "sample
+    * 100k documents, sources represented by byte volume" step of a
+    * corpus audit. Returns (groupCols..., `__n`, `__w`, `__alloc`).
+    *
+    * Allocation is EXACT integer arithmetic (BigInt quotient/
+    * remainder, no doubles), so any engine replays it bit-for-bit:
+    * base = ⌊k·w/W⌋ per group, and the k−Σbase leftover slots go to
+    * the largest remainders (ties by the group key's STRING form
+    * ascending). Each group is then capped at its row count — Hamilton
+    * satisfies quota, so |alloc − k·w/W| < 1 before capping. The
+    * per-group table is |groups|-sized (sources × langs, not rows), so
+    * the BigInt pass runs driver-side like the centroid/codebook
+    * artifacts, and the result broadcasts.
+    *
+    * `weights`: optional (groupCols..., weightCol) frame of
+    * NON-NEGATIVE integer weights; groups absent from it (or weighted
+    * 0) get no slots. Default = group row counts (proportional
+    * allocation = uniform sampling with exact per-group sizes).
+    */
+  def allocations(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int,
+                  weights: Option[DataFrame] = None,
+                  weightCol: String = "weight"): DataFrame = {
+    require(k >= 0, s"k=$k must be non-negative")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val spark = df.sparkSession
+    val keyCols = groupCols.map(F.col)
+    val counts = df.filter(F.col(idCol).isNotNull)
+      .groupBy(keyCols: _*).agg(F.count(F.lit(1)).as("__n"))
+    val weighted = weights match {
+      case None => counts.withColumn("__w", F.col("__n"))
+      case Some(w) =>
+        counts.join(w.select(groupCols.map(F.col) :+
+          F.col(weightCol).cast("long").as("__w"): _*), groupCols)
+    }
+    // bounded collect: one row per group (the |sources×langs| scale),
+    // same contract as the IVF centroid / PQ codebook artifacts
+    val rows = weighted.collect()
+    rows.foreach { r =>
+      val w = r.getAs[Long]("__w")
+      require(w >= 0, s"negative weight $w for group ${groupCols.map(r.getAs[Any]).mkString(",")}")
+    }
+    val totalW = rows.map(r => BigInt(r.getAs[Long]("__w"))).sum
+    val quotas = rows.map { r =>
+      val w = BigInt(r.getAs[Long]("__w"))
+      val (base, rem) = if (totalW == 0) (BigInt(0), BigInt(0))
+                        else (BigInt(k) * w /% totalW)
+      (r, base, rem)
+    }
+    val leftover = if (totalW == 0) 0 else (BigInt(k) - quotas.map(_._2).sum).toInt
+    val bonus = quotas.zipWithIndex
+      .sortBy { case ((r, _, rem), _) =>
+        (-rem, groupCols.map(c => String.valueOf(r.getAs[Any](c))).mkString(" "))
+      }
+      .take(leftover).map(_._2).toSet
+    val allocRows = quotas.zipWithIndex.map { case ((r, base, _), i) =>
+      val n = r.getAs[Long]("__n")
+      val alloc = (base + (if (bonus(i)) 1 else 0)).toLong.min(n)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ alloc)
+    }
+    val schema = org.apache.spark.sql.types.StructType(weighted.schema.fields :+
+      org.apache.spark.sql.types.StructField("__alloc", org.apache.spark.sql.types.LongType))
+    spark.createDataFrame(spark.sparkContext.parallelize(allocRows.toSeq, 1), schema)
+  }
+
+  /** Exactly-`k` deterministic sample, allocated across groups
+    * proportionally to `weights` by [[allocations]] and drawn within
+    * each group as the `alloc_g` smallest-md5 rows — RNG-free,
+    * reproducible, engine-replayable end to end. One corpus shuffle:
+    * the bounded top-k aggregate carries ≤ k ids per group per
+    * partition (k is the TOTAL sample size, so every group's true
+    * need ≤ k rides under the global cap), then each group's array is
+    * sliced to its allocation against the broadcast alloc table. A
+    * group with fewer rows than its allocation yields all of them —
+    * the sample shrinks rather than borrowing from other groups
+    * (document the shortfall; no silent re-weighting).
+    *
+    * Output: (groupCols..., idCol) — join back on idCol for payloads,
+    * as with [[perKeyDeterministic]].
+    */
+  def apportionedSample(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int,
+                        weights: Option[DataFrame] = None,
+                        weightCol: String = "weight"): DataFrame = {
+    val alloc = allocations(df, groupCols, idCol, k, weights, weightCol)
+    val keyCols = groupCols.map(F.col)
+    df.filter(F.col(idCol).isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(aggregates.top_k_by_score(-hash52(F.col(idCol)).cast("double"),
+        F.col(idCol), k).as("__top"))
+      .join(F.broadcast(alloc.select(groupCols.map(F.col) :+ F.col("__alloc"): _*)), groupCols)
+      .select(keyCols :+
+        F.explode(F.slice(F.col("__top.id"), F.lit(1), F.col("__alloc").cast("int"))).as(idCol): _*)
+  }
+
   /** Same sample, FULL rows in one pass: the row struct rides the
     * bounded top-k buffer (`top_k_payload`), so there is no join-back
     * rescan of the source — ≤ k full rows per partition per key enter

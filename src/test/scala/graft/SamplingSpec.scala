@@ -129,6 +129,60 @@ class SamplingSpec extends SparkSuite {
     assert(kept.map(_.toString).nonEmpty) // schema survived the aliased select
   }
 
+  test("apportionedSample: exactly k rows, Hamilton-quota per group, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val k = 97 // prime, so remainders are exercised
+    val got = Sampling.apportionedSample(docs, Seq("source"), "doc_id", k)
+    val perSource = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.sum == k, s"default weights = counts: sample is exactly k=$k")
+    // Hamilton satisfies quota: each group's allocation is within 1 of k*n/N
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    for ((s, n) <- counts) {
+      val exact = k.toDouble * n / total
+      val a = perSource.getOrElse(s, 0L).toDouble
+      assert(a >= math.floor(exact) && a <= math.ceil(exact),
+        s"source $s: alloc $a violates quota (exact $exact)")
+    }
+    // RNG-free: identical across runs
+    val again = Sampling.apportionedSample(docs, Seq("source"), "doc_id", k)
+    assert(got.collect().toSet == again.collect().toSet)
+  }
+
+  test("apportionedSample: caller weights drive allocation; exhausted group caps at its size") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i <= 4) "tiny" else "big")).toDF("id", "g")
+    // weight tiny 9x big: wants 45 of 50 slots but only has 4 rows
+    val w = Seq(("tiny", 9L), ("big", 1L)).toDF("g", "weight")
+    val got = Sampling.apportionedSample(df, Seq("g"), "id", 50, Some(w))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("tiny") == 4L, "allocation capped at group size, no borrowing")
+    assert(got("big") == 5L, "big keeps its own Hamilton share (50*1/10)")
+    // a group absent from the weight table gets nothing
+    val w2 = Seq(("big", 1L)).toDF("g", "weight")
+    val only = Sampling.apportionedSample(df, Seq("g"), "id", 10, Some(w2))
+    assert(only.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("big"))
+    assert(only.count() == 10L)
+  }
+
+  test("apportionedSample draw matches perKeyDeterministic's hash order") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.apportionedSample(docs, Seq("source"), "doc_id", 40)
+    val perSource = got.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // each group's draw must be a PREFIX of the group's md5 order
+    val order = Sampling.perKeyDeterministic(docs, Seq("source"), "doc_id", 40)
+      .withColumn("h", Sampling.hash52(F.col("doc_id")))
+      .orderBy("source", "h", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((s, ids) <- perSource)
+      assert(ids == order(s).take(ids.size).toSet,
+        s"source $s: sample is not the hash-order prefix")
+  }
+
   test("sampled row IS the md5-argmin of each key (pins the hash family)") {
     import java.security.MessageDigest
     def refHash(i: Long): Long = java.lang.Long.parseLong(
