@@ -74,6 +74,8 @@ object GraftSql {
     if (AssertRe.pattern.matcher(sql).matches()) {
       assertStatement(spark, sql)
       spark.emptyDataFrame
+    } else if (ExportRe.pattern.matcher(sql).matches()) {
+      export(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
@@ -84,7 +86,7 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
-          "DELETE, UPDATE, TRUNCATE, ASSERT")
+          "DELETE, UPDATE, TRUNCATE, ASSERT, EXPORT DATA")
     }
 
   // message accepts SQL-escaped quotes ('' -> '); unescaped on use
@@ -110,6 +112,110 @@ object GraftSql {
           Option(msg).map(_.replace("''", "'"))
             .getOrElse(s"assertion failed: ${expr.trim}"))
     case _ => throw new IllegalArgumentException("not an ASSERT statement")
+  }
+
+  private val ExportRe =
+    """(?is)^\s*EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s*AS\s+(.*?)\s*;?\s*$""".r
+
+  /** BigQuery `EXPORT DATA OPTIONS(uri=..., format=...) AS SELECT ...`
+    * — the statement face of a sharded file export (BigQuery docs:
+    * "Exporting table data"; the DAGs' results leave the warehouse
+    * this way). Catalyst has no EXPORT statement, so the verb is
+    * recognized here, the query runs through `spark.sql` over the
+    * registered views, and the result lands as a sharded directory
+    * write — Spark's native parallel sink, one file per partition,
+    * which is exactly BigQuery's `*`-wildcard sharding model.
+    *
+    * Options (the BigQuery names):
+    *  - `uri` (required): must contain exactly one `*`, like
+    *    BigQuery's single-wildcard rule. Files land in the directory
+    *    containing the `*`; shard NAMES are the engine's own
+    *    (`part-NNNNN-...`) — the wildcard position inside the
+    *    basename is advisory, as each engine numbers its own shards.
+    *  - `format` (required): CSV | JSON (newline-delimited, BigQuery's
+    *    export JSON) | PARQUET. AVRO is rejected loudly (no connector
+    *    on this classpath).
+    *  - `overwrite` (default false): false = the target directory
+    *    must not already exist (BigQuery semantics: non-overwrite
+    *    exports never clobber); true = replace.
+    *  - `header`, `field_delimiter` (CSV only), `compression`
+    *    (gzip/snappy/none — passed through to the writer).
+    *
+    * Returns the exported frame (bench/inspection face); the write
+    * has already happened — this statement is a SINK, the one verb in
+    * this object whose side effect is the point.
+    */
+  def export(spark: SparkSession, sql: String): DataFrame = sql match {
+    case ExportRe(optStr, query) =>
+      val opts = parseOptions(optStr)
+      val known = Set("uri", "format", "overwrite", "header", "field_delimiter", "compression")
+      val unknown = opts.keySet -- known
+      require(unknown.isEmpty, s"unsupported EXPORT DATA option(s): ${unknown.mkString(", ")}")
+      val uri = opts.getOrElse("uri", throw new IllegalArgumentException(
+        "EXPORT DATA requires uri='...'"))
+      require(uri.count(_ == '*') == 1,
+        s"uri must contain exactly one '*' wildcard (BigQuery's sharding rule): $uri")
+      val starDir = uri.substring(0, uri.indexOf('*')) match {
+        case d if d.contains('/') => d.substring(0, d.lastIndexOf('/'))
+        case _ => throw new IllegalArgumentException(s"uri has no directory part: $uri")
+      }
+      val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
+        "EXPORT DATA requires format='CSV'|'JSON'|'PARQUET'")).toUpperCase
+      val writerFmt = fmt match {
+        case "CSV" => "csv"
+        case "JSON" => "json" // Spark's json IS newline-delimited — BigQuery's export format
+        case "PARQUET" => "parquet"
+        case "AVRO" => throw new IllegalArgumentException(
+          "AVRO export needs the spark-avro connector, absent from this classpath")
+        case other => throw new IllegalArgumentException(s"unsupported format: $other")
+      }
+      for (o <- Seq("header", "field_delimiter") if opts.contains(o))
+        require(fmt == "CSV", s"option $o applies to CSV only")
+      opts.get("overwrite").foreach(v => require(v == "true" || v == "false",
+        s"overwrite must be true or false, got: $v"))
+      val overwrite = opts.get("overwrite").contains("true")
+      val df = spark.sql(query)
+      var w = df.write.format(writerFmt)
+        .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.ErrorIfExists)
+      opts.get("header").foreach(v => w = w.option("header", v))
+      opts.get("field_delimiter").foreach(v => w = w.option("sep", v))
+      opts.get("compression").foreach(v => w = w.option("compression", v))
+      w.save(starDir)
+      df
+    case _ => throw new IllegalArgumentException("not an EXPORT DATA statement")
+  }
+
+  /** OPTIONS(k='v', k2=true, ...) body → lowercase-keyed map; values
+    * are SQL strings (with '' escapes), booleans, or bare numbers.
+    * One linear scan tracking quote state — a ',' or '=' inside a
+    * quoted value never splits.
+    */
+  private def parseOptions(body: String): Map[String, String] = {
+    val pairs = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur += c }
+      else if (c == ',' && !inQuote) { pairs += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    require(!inQuote, s"unterminated string in OPTIONS: $body")
+    if (cur.nonEmpty) pairs += cur.toString
+    pairs.filter(_.trim.nonEmpty).map { p =>
+      val eq = p.indexOf('=')
+      require(eq > 0, s"OPTIONS entry is not key=value: '$p'")
+      val k = p.substring(0, eq).trim.toLowerCase
+      val raw = p.substring(eq + 1).trim
+      val v =
+        if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+          raw.substring(1, raw.length - 1).replace("''", "'")
+        else raw.toLowerCase
+      k -> v
+    }.toMap
   }
 
   /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling

@@ -351,6 +351,58 @@ class TypedSqlSpec extends SparkSuite {
     }
   }
 
+  test("GraftSql.export: EXPORT DATA statement lands sharded CSV/JSON/parquet") {
+    import spark.implicits._
+    val src = Seq((1L, "a;x", 1.5), (2L, "b", 2.5), (3L, null.asInstanceOf[String], 3.5))
+      .toDF("id", "name", "score")
+    src.createOrReplaceTempView("export_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-").toString
+
+    // CSV with header + custom delimiter (the quoted ';' value must
+    // not split the OPTIONS list)
+    val out = GraftSql.load(spark,
+      s"""EXPORT DATA OPTIONS(
+         |  uri='$dir/csv/shard-*.csv', format='CSV',
+         |  header=true, field_delimiter=';') AS
+         |SELECT id, name FROM export_src ORDER BY id""".stripMargin)
+    assert(out.count() == 3)
+    val back = spark.read.option("header", "true").option("sep", ";").csv(s"$dir/csv")
+    assert(back.columns.toSeq == Seq("id", "name"))
+    assert(back.count() == 3)
+    assert(back.filter(F.col("name") === "a;x").count() == 1, "delimiter inside value survives")
+
+    // JSON (newline-delimited) + round trip
+    GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/json/*.json', format='JSON') AS SELECT * FROM export_src")
+    val j = spark.read.json(s"$dir/json")
+    assert(j.count() == 3 && j.columns.sorted.toSeq == Seq("id", "name", "score"))
+
+    // PARQUET + overwrite semantics: second export without
+    // overwrite=true must refuse; with it, replaces
+    GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/pq/*', format='PARQUET') AS SELECT id FROM export_src")
+    intercept[Exception] {
+      GraftSql.export(spark,
+        s"EXPORT DATA OPTIONS(uri='$dir/pq/*', format='PARQUET') AS SELECT id FROM export_src")
+    }
+    GraftSql.export(spark, s"EXPORT DATA OPTIONS(uri='$dir/pq/*', format='PARQUET', " +
+      "overwrite=true) AS SELECT id FROM export_src WHERE id = 1")
+    assert(spark.read.parquet(s"$dir/pq").count() == 1)
+
+    // bad shapes are loud: no wildcard, two wildcards, AVRO, unknown
+    // option, CSV-only option on parquet
+    intercept[IllegalArgumentException] { GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/x/out.csv', format='CSV') AS SELECT 1") }
+    intercept[IllegalArgumentException] { GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/*/x-*.csv', format='CSV') AS SELECT 1") }
+    intercept[IllegalArgumentException] { GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='AVRO') AS SELECT 1") }
+    intercept[IllegalArgumentException] { GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='PARQUET', banana=1) AS SELECT 1") }
+    intercept[IllegalArgumentException] { GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='PARQUET', header=true) AS SELECT 1") }
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
