@@ -885,6 +885,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),
+    // the md5-pinned face of the above (the C2b pattern): 32-bit
+    // fingerprint from md5-prefix token hashes, so vote fold, banding,
+    // candidate join and bit_count verify ALL replay in DuckDB;
+    // re-keyed every-50th duplicates guarantee hamming-0 pairs
+    "dedup_simhash_pinned" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val rekeyed = docs.filter(F.col("doc_id") % 50 === 0)
+        .select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text"))
+      Dedup.simhashPairsPinned(docs.unionByName(rekeyed), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text").orderBy("id_a", "id_b")
     }),
@@ -1180,6 +1191,14 @@ object SparkEntry {
         T.distinctTokenRatio(t).as("distinct_ratio"),
         T.stopwordRatio(t).as("stopword_ratio"),
         T.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // E14: learned-filter inference — fastText-shape hashed
+    // bag-of-ngrams linear scorer, map-only, weights a plan literal;
+    // integer vote sum ⇒ order-free ⇒ the whole model replays
+    "text_classifier_score" -> ((s, d) => {
+      graft.operators.TextClassifier.score(Tables.documents(s, d), "doc_id", "text",
+          graft.operators.TextClassifier.hashedWeights(4096))
         .orderBy("doc_id")
     }),
     // E13: the corpus health report — per-(source, lang) volume +
@@ -1919,6 +1938,35 @@ object SparkEntry {
           |             JOIN sig sb ON c.id_b = sb.doc_id)
           |SELECT id_a, id_b, est_jaccard FROM e
           |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      // replays the pinned SimHash pipeline term-for-term: 52-bit
+      // md5-prefix token hash, ±1 vote per bit with token MULTIPLICITY
+      // (every occurrence votes), bit set iff the sum is strictly
+      // positive, 4×13-bit banding, bit_count(xor) verify ≤ 4
+      "dedup_simhash_pinned" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+          |tok AS (SELECT doc_id,
+          |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          |        FROM corpus),
+          |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) AS h FROM tok),
+          |vote AS (SELECT doc_id, j,
+          |           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |         FROM h, UNNEST(generate_series(0, 51)) AS g(j)
+          |         GROUP BY doc_id, j),
+          |sim AS (SELECT doc_id,
+          |          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+          |            AS sim
+          |        FROM vote GROUP BY doc_id),
+          |banded AS (SELECT doc_id, sim, band, (sim >> (band * 13)) & 8191 AS bucket
+          |           FROM sim, UNNEST(generate_series(0, 3)) AS bb(band)),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |                CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+          |         FROM banded a JOIN banded b
+          |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, hamming FROM cand
+          |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin,
       "dedup_ngram_jaccard_exact" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
           |           FROM documents WHERE doc_id % 2 = 0),
@@ -2245,6 +2293,26 @@ object SparkEntry {
           |        t -> t IN ('the','a','an','of','to','and','in','is','on','for','with','at','by'))) AS DOUBLE)
           |       / len(string_split_regex(lower(trim(text)), '\s+'))) - 0.3)) * 0.3) AS quality
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // replays the hashed linear model term-for-term: unigram+bigram
+      // features, 52-bit md5 hash → bucket, the demo model's weight
+      // FORMULA inlined where Spark reads the literal array
+      // (hashedWeights(4096): ((b·2654435761) mod 1001) − 500), exact
+      // integer vote sum, one exactly-rounded final division
+      "text_classifier_score" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          |           FROM documents),
+          |f AS (SELECT doc_id, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+          |             ELSE []::VARCHAR[] END) AS feats FROM t),
+          |s AS (SELECT doc_id, len(feats) AS n,
+          |        list_sum(list_transform(feats, x ->
+          |          (((CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 4096)
+          |            * 2654435761) % 1001) - 500)) AS raw
+          |      FROM f)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_features,
+          |       CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS score
+          |FROM s ORDER BY doc_id""".stripMargin,
       "text_lang_id" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
           |s AS (SELECT doc_id,

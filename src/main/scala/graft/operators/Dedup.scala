@@ -206,6 +206,64 @@ object Dedup {
       .filter(F.col("hamming") <= maxHamming)
   }
 
+  /** The hash-oracle face of the C3 surface (same pattern as
+    * [[minhashPairsPinned]]): identical pipeline shape — per-token
+    * hash → per-bit majority vote → banding → bucket join → Hamming
+    * verify — with every hash an explicit md5 so any engine replays
+    * the WHOLE pipeline, candidate generation included, as list
+    * arithmetic. Token hash = first 8 hex chars of md5 (32 bits);
+    * bit j of the fingerprint is set iff the ±1 vote sum over the
+    * doc's tokens (MULTIPLICITY counts — every occurrence votes) is
+    * strictly positive; banding is `bands` equal slices of the `bits`
+    * fingerprint. Production routing stays [[simhashPairs]]
+    * (codegen'd xxhash-family `simhash64`, one long op per token);
+    * the *logic* — vote fold, band blocking, bit_count verify — is
+    * shared shape and gets the full DuckDB gate through this face.
+    *
+    * The vote fold is `bits` conditional sums inside ONE keyed
+    * aggregate (no per-bit explode — the token stream is touched
+    * once, map-side partials apply), so the plan shape survives
+    * corpus scale even though this face exists for oracle/calibration
+    * runs.
+    */
+  def simhashPairsPinned(df: DataFrame, idCol: String, textCol: String,
+                         bits: Int = 52, bands: Int = 4,
+                         maxHamming: Int = 4): DataFrame = {
+    require(bits > 0 && bits <= 52,
+      s"bits=$bits must be in 1..52 (md5-prefix hashes and band buckets must stay exact longs)")
+    require(bits % bands == 0, s"bits=$bits must be a multiple of bands=$bands")
+    val bandWidth = bits / bands
+    val bandMask = (1L << bandWidth) - 1
+    // staged per the HOF rule: tokens as their own projection, THEN
+    // the explode — and the md5 prefix is plain codegen'd expression
+    val toks = df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("id"), F.explode(F.col("__toks")).as("tok"))
+      .select(F.col("id"),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) / 4), 16, 10)
+          .cast("long").bitwiseAND(F.lit((1L << bits) - 1)).as("h"))
+    val votes = (0 until bits).map(j =>
+      F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$j"))
+    val sims = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(F.col("id"),
+        (0 until bits).map(j =>
+          F.when(F.col(s"__b$j") > 0, F.lit(1L << j)).otherwise(F.lit(0L)))
+          .reduce(_ + _).as("sim"))
+    val banded = sims.select(
+      F.col("id"), F.col("sim"),
+      F.posexplode(F.array((0 until bands).map(b =>
+        F.shiftright(F.col("sim"), b * bandWidth).bitwiseAND(F.lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(F.col("hamming") <= maxHamming)
+  }
+
   /** Embedding near-dup pairs: IVF-style blocking on a coarse cell id
     * (here the precomputed cluster `label`), exact cosine inside each
     * cell. At 100 TB the cell id comes from a coarse quantizer; the

@@ -130,6 +130,48 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("pinned simhash face: hamming 0 for identical docs, fingerprint matches a reference fold") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota" // one token differs
+    val c = "one two three four five six seven eight"
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPinned(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0), "identical docs must pair at hamming 0")
+    // no pair with the disjoint doc under the default threshold
+    assert(!pairs.keySet.exists { case (x, y) => x == 4L || y == 4L })
+
+    // fingerprint law: reimplement the vote fold independently
+    def refSim(text: String): Long = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val votes = Array.fill(52)(0L)
+      for (t <- toks) {
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(13), 16)
+        for (j <- 0 until 52) votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+      }
+      (0 until 52).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    // pair (1,3): one-token edit — hamming must equal the reference fingerprints' distance
+    pairs.get((1L, 3L)).foreach { hm =>
+      assert(hm == java.lang.Long.bitCount(refSim(a) ^ refSim(b)))
+    }
+    // and the reference distance itself must be small enough to band-collide
+    assert(java.lang.Long.bitCount(refSim(a) ^ refSim(b)) <
+      java.lang.Long.bitCount(refSim(a) ^ refSim(c)))
+  }
+
+  test("pinned simhash face rejects bits not divisible by bands, bits > 52") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsPinned(df, "doc_id", "text", bits = 30, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsPinned(df, "doc_id", "text", bits = 56, bands = 4)
+    }
+  }
+
   test("embeddingDropList: exact clusters collapse, near reps drop, survivors are clean") {
     // 3 exact clusters (A: 1,4,7 / B: 2,5 / C: 3) where A≈B near-dup
     // and C is orthogonal-ish
