@@ -101,4 +101,42 @@ class TextSpec extends SparkSuite {
     val out = df.select(T.langGuess(F.col("text"))).as[String].collect()
     assert(out.toSeq == Seq("en", "es", "de", "und"))
   }
+
+  test("classifier score matches an independent driver-side fold; model arity is checked") {
+    import graft.operators.TextClassifier
+    val w = TextClassifier.hashedWeights(4096)
+    assert(w.forall(x => x >= -500 && x <= 500))
+    val docs = Seq((1L, "the quick brown fox"), (2L, "single"), (3L, ""),
+      (4L, "a a a repeated a a")).toDF("doc_id", "text")
+    val got = TextClassifier.score(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    def refScore(text: String): (Long, Double) = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val feats = toks ++ toks.zip(toks.drop(1)).map { case (x, y) => s"${x}_$y" }
+      def h52(s: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13), 16)
+      val raw = feats.map(f => w((h52(f) % 4096).toInt).toLong).sum
+      (feats.size.toLong, raw.toDouble / (feats.size.toDouble * 1000.0))
+    }
+    for ((id, text) <- Seq(1L -> "the quick brown fox", 2L -> "single", 3L -> "",
+        4L -> "a a a repeated a a"))
+      assert(got(id) == refScore(text), s"doc $id")
+    // empty text tokenizes to [''] — one unigram feature, never a 0/0
+    assert(got(3L)._1 == 1L)
+
+    intercept[IllegalArgumentException] {
+      TextClassifier.score(docs, "doc_id", "text", w, buckets = 1024)
+    }
+  }
+
+  test("classifier score is map-only: no Exchange in the plan") {
+    import graft.operators.TextClassifier
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextClassifier.score(docs, "doc_id", "text",
+      TextClassifier.hashedWeights(64), buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scorer must not shuffle:\n${plan.take(1000)}")
+  }
 }
