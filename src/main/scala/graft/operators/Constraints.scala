@@ -115,4 +115,25 @@ object Constraints {
     */
   def violations(df: DataFrame, rule: Rule, limit: Int = 100): DataFrame =
     df.filter(violationCond(rule)).limit(limit)
+
+  /** Row-level routing face: every row gains a `violated` array of the
+    * ROW-LOCAL rule names it breaks (empty = clean). One map-only
+    * projection — the conditional array is evaluated beside the scan,
+    * no shuffle, no second pass — so a quarantine split
+    * (`size(violated) = 0` vs `> 0`) costs the scan it was already
+    * paying. Structural rules (Unique/RefIntegrity) have no
+    * single-row blame and are rejected loudly; run [[check]] for
+    * those.
+    */
+  def annotate(df: DataFrame, rules: Seq[Rule], outCol: String = "violated"): DataFrame = {
+    require(rules.nonEmpty, "no rules given")
+    rules.foreach {
+      case _: NotNull | _: InRange | _: Satisfies => ()
+      case r => throw new IllegalArgumentException(
+        s"annotate takes row-local rules only (structural rule ${r.name} has no per-row blame)")
+    }
+    require(!df.columns.contains(outCol), s"column $outCol already exists")
+    val flags = rules.map(r => F.when(violationCond(r), F.lit(r.name)))
+    df.withColumn(outCol, F.array_compact(F.array(flags: _*)))
+  }
 }

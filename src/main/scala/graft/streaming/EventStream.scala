@@ -317,4 +317,39 @@ object EventStream {
           assertNoLateData)
           .foreach(writeState(_, batchId))
       }
+
+  /** G10: streaming quality gate with dead-letter routing — the
+    * streaming face of A26, as G8 is of A23: each micro-batch is
+    * annotated with the row-local rules it breaks
+    * ([[graft.operators.Constraints.annotate]], map-only), clean rows
+    * flow to `writeAccepted` under the stream's own schema, and
+    * violating rows land in `writeDeadLetter` carrying their
+    * `violated` rule list plus the batchId — the
+    * quarantine-not-crash alternative to `assertAll`'s all-or-nothing
+    * gate (a poison message must not wedge an every-minute ingest;
+    * it must park where an operator can inspect and replay it).
+    *
+    * The batch is staged once (localCheckpoint-free: foreachBatch
+    * frames are stable within the tick, and the two sinks each filter
+    * the SAME annotated plan, so the rule columns evaluate beside the
+    * scan both times — cheaper than materializing for map-only
+    * rules). Redelivery contract: both sinks are at-least-once, like
+    * every append path here — downstream dedup is the id-keyed
+    * C11/G7 index or an idempotent writer; dead-letter rows carry
+    * (batch_id, violated) so replays are distinguishable.
+    */
+  def constraintsGateSink(stream: DataFrame,
+                          rules: Seq[graft.operators.Constraints.Rule],
+                          writeAccepted: DataFrame => Unit,
+                          writeDeadLetter: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val annotated = graft.operators.Constraints.annotate(batch, rules)
+        writeAccepted(annotated.filter(F.size(F.col("violated")) === 0).drop("violated"))
+        writeDeadLetter(annotated.filter(F.size(F.col("violated")) > 0)
+          .withColumn("batch_id", F.lit(batchId)))
+      }
 }

@@ -88,4 +88,31 @@ class ConstraintsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(report.values.forall(_ == 0L))
   }
+
+  test("annotate blames each row with exactly the rules it breaks, map-only") {
+    val rules = Seq(NotNull("k"), NotNull("v"), InRange("v", 0.0, 100.0))
+    val out = Constraints.annotate(dirty, rules)
+    val byS = out.collect().map(r =>
+      r.getString(2) -> r.getSeq[String](3).toSet).toMap
+    assert(byS("a") == Set.empty[String] && byS("b") == Set.empty[String])
+    assert(byS("c") == Set("in_range(v,0.0,100.0)"))
+    assert(byS("d") == Set("not_null(k)", "in_range(v,0.0,100.0)"))
+    assert(byS("e") == Set("not_null(v)"))
+    // per-row blame sums to the report's counts
+    val report = Constraints.check(dirty, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val blamed = out.select(F.explode(F.col("violated")).as("rule"))
+      .groupBy("rule").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(blamed == report.filter(_._2 > 0))
+    // map-only: the annotation must not shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"annotate must be map-only:\n${plan.take(800)}")
+    // structural rules have no per-row blame
+    intercept[IllegalArgumentException] {
+      Constraints.annotate(dirty, Seq(Unique(Seq("k"))))
+    }
+    intercept[IllegalArgumentException] {
+      Constraints.annotate(dirty.withColumn("violated", F.lit(1)), Seq(NotNull("k")))
+    }
+  }
 }
