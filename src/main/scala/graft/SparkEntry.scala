@@ -1088,6 +1088,19 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.lshTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // the LSH routing under a FULL hash oracle (the D3b recipe applied
+    // to hyperplanes): planes pinned to every-64th corpus vectors, so
+    // signature signs, banding, the bucket join, and the exact-cosine
+    // re-rank all replay in DuckDB. ann_lsh_topk keeps the
+    // random-family face (rows-only, recall-pinned)
+    "ann_lsh_topk_pinned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val planes = e.filter(F.col("vec_id") % 64 === 2).orderBy("vec_id").limit(16)
+        .select(F.col("vec_id").as("pid"), F.col("embedding").as("pvec"))
+      Similarity.lshTopKPinned(e, q, 10, planes, bands = 4).orderBy("qid", "rank")
+    }),
     // fully-quantized candidate path: banding AND scoring on int8
     // codes, float corpus never touched (hyperplane signs are
     // scale-invariant). Recall vs float baseline pinned in
@@ -2101,6 +2114,46 @@ object SparkEntry {
       // Probe ranking and the in-cell top-k use the CosineSim formula
       // (dot / (sqrt(qq) * sqrt(cc))); all ties break on the lower id,
       // matching the aggregates' (score desc, id asc) contract.
+      // replays the pinned hyperplane-LSH routing: dense plane
+      // positions by pid rank, bit = (dot > 0) — sign-identical to the
+      // Spark side's cosine > 0 (positive norms never flip a sign, and
+      // a zero dot is not-positive through both spellings) — bucket =
+      // Σ bit·2^(pos mod bandBits) per band, candidate join on
+      // (band, bucket), exact-cosine top-10 by (cos DESC, vec_id)
+      "ann_lsh_topk_pinned" ->
+        s"""WITH pl0 AS (
+          |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+          |  WHERE vec_id % 64 = 2 ORDER BY vec_id LIMIT 16),
+          |nb AS (SELECT CAST(count(*) // 4 AS INT) AS bits FROM pl0),
+          |pl AS (
+          |  SELECT pvec,
+          |         CAST((rn - 1) // bits AS INT) AS band,
+          |         CAST(CAST(1 AS BIGINT) << ((rn - 1) % bits) AS BIGINT) AS w
+          |  FROM (SELECT pvec, row_number() OVER (ORDER BY pid) AS rn FROM pl0), nb),
+          |csig AS (
+          |  SELECT e.vec_id, pl.band,
+          |         SUM(CASE WHEN ${dot("e.embedding", "pl.pvec")} > 0 THEN pl.w ELSE 0 END) AS bucket
+          |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, pl.band),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |qsig AS (
+          |  SELECT q.qid, pl.band,
+          |         SUM(CASE WHEN ${dot("q.qvec", "pl.pvec")} > 0 THEN pl.w ELSE 0 END) AS bucket
+          |  FROM q CROSS JOIN pl GROUP BY q.qid, pl.band),
+          |cand AS (
+          |  SELECT DISTINCT qsig.qid, csig.vec_id
+          |  FROM csig JOIN qsig ON csig.band = qsig.band AND csig.bucket = qsig.bucket
+          |  WHERE qsig.qid <> csig.vec_id),
+          |scored AS (
+          |  SELECT c.qid, c.vec_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
+          |  FROM cand c JOIN q ON q.qid = c.qid
+          |         JOIN embeddings e ON e.vec_id = c.vec_id)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
       "ann_ivf_topk_pinned" ->
         s"""WITH cent AS (
           |  SELECT vec_id AS cell, embedding AS c,

@@ -235,6 +235,64 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** The hash-oracle face of the D2 routing (the D3b/D8b recipe
+    * applied to hyperplane LSH): hyperplanes PINNED to caller-chosen
+    * data vectors instead of the seeded random family, so signature
+    * bits (sign of the cosine against each plane), banding, the
+    * bucket equi-join, and the exact-cosine re-rank are ALL
+    * deterministic double arithmetic any engine replays term-for-term
+    * — the banding/bucket/verify LOGIC shared with [[lshTopK]] gets a
+    * full DuckDB gate while D2 keeps the random-family production
+    * face (its per-row codegen'd `hyperplane_sig` needs no plane
+    * join). Bit positions are the DENSE rank of `pid` ascending;
+    * plane p of band b contributes `1 << (pos mod bandBits)` to
+    * bucket b = pos div bandBits.
+    *
+    * Plan shape: the plane table is bounded (bands × bandBits rows,
+    * broadcast); each side's signature is one broadcast cross join +
+    * one keyed aggregate; candidates join on (band, bucket) with the
+    * query side broadcast. The corpus-side cross join is planes× the
+    * scan — acceptable for the oracle/calibration runs this face
+    * exists for; corpus scale stays D2's single-pass signature.
+    */
+  def lshTopKPinned(corpus: DataFrame, queries: DataFrame, k: Int,
+                    hyperplanes: DataFrame, bands: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qidCol: String = "qid", qvecCol: String = "qvec",
+                    pidCol: String = "pid", pvecCol: String = "pvec"): DataFrame = {
+    val nPlanes = hyperplanes.count()
+    require(nPlanes > 0, "no hyperplanes given")
+    require(nPlanes % bands == 0,
+      s"nPlanes=$nPlanes must be a multiple of bands=$bands (trailing planes would be unbanded)")
+    val bandBits = (nPlanes / bands).toInt
+    val w = org.apache.spark.sql.expressions.Window.orderBy(pidCol)
+    // tiny frame: the unpartitioned window is |planes| rows
+    val pl = hyperplanes
+      .withColumn("__pos", F.row_number().over(w) - 1)
+      .select(F.col(pvecCol).as("__pvec"),
+        (F.col("__pos") / bandBits).cast("int").as("__band"),
+        F.expr(s"CAST(shiftleft(CAST(1 AS BIGINT), __pos % $bandBits) AS BIGINT)").as("__w"))
+    def sigs(df: DataFrame, id: String, vec: String): DataFrame =
+      df.crossJoin(F.broadcast(pl))
+        .select(F.col(id), F.col("__band"),
+          F.when(native.cosine_sim(F.col(vec), F.col("__pvec")) > 0, F.col("__w"))
+            .otherwise(0L).as("__c"))
+        .groupBy(F.col(id), F.col("__band"))
+        .agg(F.sum("__c").as("__bucket"))
+    val cSig = sigs(corpus, idCol, vecCol)
+    val qSig = sigs(queries, qidCol, qvecCol)
+      .withColumnRenamed("__band", "__qband").withColumnRenamed("__bucket", "__qbucket")
+    val cands = cSig.join(F.broadcast(qSig),
+        F.col("__band") === F.col("__qband") && F.col("__bucket") === F.col("__qbucket") &&
+          F.col(qidCol) =!= F.col(idCol))
+      .select(F.col(qidCol), F.col(idCol)).distinct()
+    val scored = cands
+      .join(F.broadcast(queries), qidCol)
+      .join(corpus, idCol)
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
   /** LSH ANN over an int8-QUANTIZED corpus — the fully-quantized
     * candidate path: banding AND scoring both run on the codes, so the
     * float corpus vectors are never touched (with a persisted codes

@@ -62,6 +62,45 @@ class SimilaritySpec extends SparkSuite {
     assert(r.forall(_ >= 0.5), s"per-query recall floor broken: $r")
   }
 
+  test("lshTopKPinned equals a driver-side replay of the whole pinned pipeline") {
+    val planes = corpus.filter(F.col("vec_id") % 64 === 2).orderBy("vec_id").limit(16)
+      .select(F.col("vec_id").as("pid"), F.col("embedding").as("pvec"))
+    val got = Similarity.lshTopKPinned(corpus, queries, 10, planes, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // independent reference: same planes, same banding arithmetic
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val byId = rows.toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val pvecs = rows.filter(_._1 % 64 == 2).sortBy(_._1).take(16).map(_._2)
+    val bandBits = pvecs.length / 4
+    def sig(v: Array[Double]): Map[Int, Long] =
+      pvecs.zipWithIndex.groupBy(_._2 / bandBits).view.mapValues(_.map { case (p, pos) =>
+        if (cos(v, p) > 0) 1L << (pos % bandBits) else 0L
+      }.sum).toMap
+    val cSigs = rows.map { case (id, v) => id -> sig(v) }
+    for (q <- 0L until 5L) {
+      val qs = sig(byId(q))
+      val cands = cSigs.filter { case (id, s) =>
+        id != q && s.exists { case (b, bucket) => qs(b) == bucket }
+      }.map(_._1)
+      val want = cands.map(id => (id, cos(byId(q), byId(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+      assert(got.getOrElse(q, Seq.empty) == want, s"query $q")
+    }
+    // pinned recall on the fixture is informative, not a contract —
+    // but it must find SOMETHING for every query
+    assert((0L until 5L).forall(q => got.getOrElse(q, Seq.empty).nonEmpty))
+
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKPinned(corpus, queries, 10, planes.limit(3), bands = 4)
+    }
+  }
+
   test("lshTopKInt8: fully-quantized candidate path holds the LSH recall bar") {
     val r = recalls(Similarity.lshTopKInt8(corpus, queries, 10))
     assert(r.sum / r.size >= 0.7, s"mean recall ${r.sum / r.size} too low: $r")
