@@ -770,6 +770,15 @@ object SparkEntry {
           F.sum("tf").cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    // E15: bigram LM surprisal (the CCNet recipe one order up from
+    // text_surprisal): Laplace-smoothed P(w2|w1), per-doc mean over
+    // bigram occurrences; libm ln => rows-only like E10, independent
+    // recompute pinned in LanguageModelSpec
+    "text_bigram_surprisal" -> ((s, d) => {
+      graft.operators.LanguageModel
+        .bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Gopher/C4-style repetition quality signal: fraction of a doc's
     // 3-gram positions occupied by repeated shingles. Map-only (tokens
     // -> shingle set are staged native projections); the int/int double

@@ -167,6 +167,16 @@ class SamplingSpec extends SparkSuite {
     assert(only.count() == 10L)
   }
 
+  test("apportionedSample shuffles the corpus exactly once (alloc broadcasts)") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Sampling.apportionedSample(docs, Seq("source"), "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected one corpus shuffle, got $shuffles:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      "alloc table must broadcast, not shuffle the corpus again")
+  }
+
   test("apportionedSample draw matches perKeyDeterministic's hash order") {
     val docs = Tables.documents(spark, sf)
     val got = Sampling.apportionedSample(docs, Seq("source"), "doc_id", 40)
