@@ -89,9 +89,42 @@ object GraftSql {
           "DELETE, UPDATE, TRUNCATE, ASSERT, EXPORT DATA")
     }
 
-  // message accepts SQL-escaped quotes ('' -> '); unescaped on use
-  private val AssertRe =
-    """(?is)^\s*ASSERT\s+(.*?)(?:\s+AS\s+'((?:[^']|'')*)')?\s*;?\s*$""".r
+  private val AssertRe = """(?is)^\s*ASSERT\b.*""".r
+
+  /** Split an ASSERT statement into (expression, optional message).
+    * The AS-message clause is found by a QUOTE-AWARE scan, not a
+    * regex: an `AS` inside a string literal (including one whose
+    * literal ends the expression, like `ASSERT c <> 'x AS ''y'''`)
+    * never splits, because only a top-level `AS` followed by a
+    * complete quoted literal running to the end of the statement
+    * counts as the message clause.
+    */
+  private def parseAssert(sql: String): (String, Option[String]) = {
+    val t = sql.trim.stripSuffix(";").trim
+    require(t.length >= 6 && t.substring(0, 6).equalsIgnoreCase("ASSERT") &&
+      (t.length == 6 || Character.isWhitespace(t.charAt(6))),
+      "not an ASSERT statement")
+    val body = t.substring(6).trim
+    val Lit = """(?s)\s*'((?:[^']|'')*)'\s*""".r
+    var inQ = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && (c == 'A' || c == 'a') && i > 0 &&
+          Character.isWhitespace(body.charAt(i - 1)) && i + 2 < body.length &&
+          (body.charAt(i + 1) == 'S' || body.charAt(i + 1) == 's') &&
+          Character.isWhitespace(body.charAt(i + 2))) {
+        body.substring(i + 2) match {
+          case Lit(msg) =>
+            return (body.substring(0, i).trim, Some(msg.replace("''", "'")))
+          case _ => () // AS not followed by a literal-to-end (e.g. CAST(x AS INT))
+        }
+      }
+      i += 1
+    }
+    (body, None)
+  }
 
   /** BigQuery `ASSERT <bool_expr> [AS 'message']` — the scripting
     * guard a load script runs before publishing (the statement face
@@ -104,14 +137,13 @@ object GraftSql {
     * unprovable assertion is a failed assertion, matching
     * `Constraints.Satisfies`).
     */
-  def assertStatement(spark: SparkSession, sql: String): Unit = sql match {
-    case AssertRe(expr, msg) =>
-      val row = spark.sql(s"SELECT CAST(($expr) AS BOOLEAN) AS ok").head()
-      if (row.isNullAt(0) || !row.getBoolean(0))
-        throw new IllegalStateException(
-          Option(msg).map(_.replace("''", "'"))
-            .getOrElse(s"assertion failed: ${expr.trim}"))
-    case _ => throw new IllegalArgumentException("not an ASSERT statement")
+  def assertStatement(spark: SparkSession, sql: String): Unit = {
+    require(AssertRe.pattern.matcher(sql).matches(), "not an ASSERT statement")
+    val (expr, msg) = parseAssert(sql)
+    val row = spark.sql(s"SELECT CAST(($expr) AS BOOLEAN) AS ok").head()
+    if (row.isNullAt(0) || !row.getBoolean(0))
+      throw new IllegalStateException(
+        msg.getOrElse(s"assertion failed: ${expr.trim}"))
   }
 
   private val ExportRe =

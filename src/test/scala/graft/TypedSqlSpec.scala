@@ -349,6 +349,20 @@ class TypedSqlSpec extends SparkSuite {
     intercept[IllegalStateException] {
       GraftSql.load(spark, "ASSERT 1 = 2 AS 'via load'")
     }
+    // quote-aware AS split: a trailing literal shaped like an AS
+    // clause inside the EXPRESSION must not split it
+    GraftSql.assertStatement(spark, "ASSERT 'a' <> 'x AS ''y'''")
+    val e4 = intercept[IllegalStateException] {
+      GraftSql.assertStatement(spark, "ASSERT 'x AS ''y''' <> 'x AS ''y'''")
+    }
+    assert(e4.getMessage.startsWith("assertion failed:"), "expression-only, no bogus message")
+    // a CAST's AS is not a message clause
+    GraftSql.assertStatement(spark, "ASSERT CAST(1 AS INT) = 1")
+    // both at once: tricky literal in the expression AND a real message
+    val e5 = intercept[IllegalStateException] {
+      GraftSql.assertStatement(spark, "ASSERT 'a' = 'x AS ''y''' AS 'real message'")
+    }
+    assert(e5.getMessage == "real message")
   }
 
   test("GraftSql.export: EXPORT DATA statement lands sharded CSV/JSON/parquet") {
