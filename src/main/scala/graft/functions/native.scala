@@ -414,6 +414,85 @@ case class RebuildSpans(tokens: Expression, starts: Expression, k: Int)
     copy(tokens = l, starts = r)
 }
 
+/** The [[graft.operators.TextClassifier]] hot path: one compiled walk
+  * over a token array computing the hashed-bag-of-ngrams integer vote
+  * sum — struct(n_features, raw) where features are unigrams +
+  * adjacent bigrams (joined by '_'), each hashed to the first 52 bits
+  * of its md5 (the `Sampling.hash52` family) mod `weights.length`,
+  * voting its integer weight. Bit-identical to the Column spelling
+  * (aggregate over concat'd feature arrays with element_at lookups)
+  * but the md5s run in one tight per-row loop instead of interpreted
+  * HOF lambdas. Null tokens contribute no features (the Column
+  * spelling's md5(NULL)→NULL would instead poison the whole sum — the
+  * native walk makes the sane choice; token arrays from `split` are
+  * never null in practice). Weights ride the expression as a
+  * reference object — the broadcast-model shape without a 4096-slot
+  * literal in the plan.
+  */
+case class HashedVoteSum(child: Expression, weights: Seq[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(weights.nonEmpty, "empty weight table")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("raw", LongType, nullable = false)))
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @transient private lazy val w = weights.toArray
+
+  private def bucket(digest: java.security.MessageDigest): Int = {
+    // value of the first 13 hex chars = the first 52 bits big-endian:
+    // 6 full bytes + the high nibble of byte 6 (Sampling.hash52)
+    val d = digest.digest()
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((d(6) >> 4) & 0xfL)
+    (v % w.length).toInt
+  }
+
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val digest = md5.get()
+    var raw = 0L
+    var cnt = 0L
+    i = 0
+    while (i < n) {
+      if (bytes(i) != null) {
+        digest.reset(); digest.update(bytes(i))
+        raw += w(bucket(digest)); cnt += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      if (bytes(i) != null && bytes(i + 1) != null) {
+        digest.reset()
+        digest.update(bytes(i)); digest.update('_'.toByte); digest.update(bytes(i + 1))
+        raw += w(bucket(digest)); cnt += 1
+      }
+      i += 1
+    }
+    InternalRow(cnt, raw)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedVoteSum", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedVoteSum =
+    copy(child = newChild)
+}
+
 case class Int8Quantize(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType))
@@ -1013,6 +1092,8 @@ object native {
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def window_md5(tokens: Column, k: Int): Column =
     Bridge.column(WindowMd5(Bridge.expression(tokens), k))
+  def hashed_vote_sum(tokens: Column, weights: Seq[Int]): Column =
+    Bridge.column(HashedVoteSum(Bridge.expression(tokens), weights))
   def rebuild_spans(tokens: Column, starts: Column, k: Int): Column =
     Bridge.column(RebuildSpans(Bridge.expression(tokens), Bridge.expression(starts), k))
   def word_shingles(tokens: Column, n: Int): Column =

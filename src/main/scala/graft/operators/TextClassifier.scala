@@ -44,40 +44,26 @@ object TextClassifier {
     Array.tabulate(buckets)(b => ((b.toLong * 2654435761L) % 1001L).toInt - 500)
   }
 
-  /** 52-bit md5 feature hash → bucket. The hash is part of the MODEL
-    * (weights are trained against a fixed hashing), so there is no
-    * production/pinned split here — md5's cost is paid once per
-    * feature inside the same projection.
-    */
-  private def bucket(feature: Column, buckets: Int): Column =
-    F.pmod(Sampling.hash52(feature), F.lit(buckets.toLong))
-
   /** Score every document: (idCol, n_features, score). One map-only
-    * projection (verify with `.explain` — no Exchange), weights as a
-    * plan literal.
+    * projection (verify with `.explain` — no Exchange); the
+    * unigram+bigram hash/lookup/vote fold runs as ONE codegen'd
+    * native expression per row ([[graft.functions.native.HashedVoteSum]]
+    * — the 52-bit md5 `Sampling.hash52` family, weights riding as a
+    * reference object: the broadcast-model shape). The hash is part
+    * of the MODEL (weights are trained against a fixed hashing), so
+    * there is no production/pinned split here.
     */
   def score(df: DataFrame, idCol: String, textCol: String,
             weights: Array[Int], buckets: Int = 4096): DataFrame = {
     require(weights.length == buckets,
       s"model arity mismatch: ${weights.length} weights for $buckets buckets")
-    val w = F.typedlit(weights)
-    // staged per the HOF rule: split() runs as its own codegen'd
-    // projection; only slot dereferences live under the lambdas
-    val toks = df.select(F.col(idCol), text.tokens(F.col(textCol)).as("__toks"))
-    val bigramLen = F.greatest(F.size(F.col("__toks")) - 1, F.lit(0))
-    val feats = toks.select(F.col(idCol),
-      F.concat(F.col("__toks"),
-        F.zip_with(
-          F.slice(F.col("__toks"), F.lit(1), bigramLen),
-          F.slice(F.col("__toks"), F.lit(2), bigramLen),
-          (a, b) => F.concat(a, F.lit("_"), b))).as("__feats"))
-    feats.select(F.col(idCol),
-        F.size(F.col("__feats")).cast("long").as("n_features"),
-        F.aggregate(F.col("__feats"), F.lit(0L),
-          (acc, f) => acc + F.element_at(w, (bucket(f, buckets) + 1).cast("int")).cast("long"))
-          .as("__raw"))
-      .select(F.col(idCol), F.col("n_features"),
-        (F.col("__raw").cast("double") /
-          (F.col("n_features").cast("double") * 1000.0)).as("score"))
+    // tokens staged as their own codegen'd projection (the HOF rule),
+    // then the native fold consumes the slot
+    df.select(F.col(idCol), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col(idCol),
+        graft.functions.native.hashed_vote_sum(F.col("__toks"), weights.toSeq).as("__v"))
+      .select(F.col(idCol), F.col("__v.n_features").as("n_features"),
+        (F.col("__v.raw").cast("double") /
+          (F.col("__v.n_features").cast("double") * 1000.0)).as("score"))
   }
 }
