@@ -54,6 +54,53 @@ object SparkEntry {
   private def fxBatch(e: DataFrame): DataFrame =
     e.filter(F.col("event_id") % 3 === 0).select("event_id", "user_id", "value")
 
+  // E16/E17 driver-query decorations (the proven E7/E11 recipe): the
+  // fixture corpus is single-line word salad, so each document gains
+  // deterministic rule-triggering structure keyed on doc_id — bullets,
+  // ellipsis lines, symbol runs, numeric and very-long tokens for
+  // Gopher; a rendered multi-line page for C4 — and the oracle replays
+  // the identical CASE/concat construction. Shared with
+  // QualityRulesSpec so the spec pins that every rule fires both ways.
+  private[graft] def gopherDecorated: Column = F.concat(
+    F.col("text"),
+    F.when(F.col("doc_id") % 4 === 0,
+      "\n• bullet point one\n• bullet point two\n* bullet item three").otherwise(""),
+    F.when(F.col("doc_id") % 20 === 0,
+      (1 to 12).map(i => s"\n• extra bullet $i").mkString).otherwise(""),
+    F.when(F.col("doc_id") % 13 === 0,
+      "\nto be continued...\nand more soon...\nstill more...\nnearly done...\nfinal thought...").otherwise(""),
+    F.when(F.col("doc_id") % 6 === 0,
+      " 1234567890 2234567890 3234567890 4234567890 5234567890 6234567890" +
+        " 7234567890 8234567890 9234567890 1034567890 1134567890 1234567891").otherwise(""),
+    F.when(F.col("doc_id") % 11 === 0,
+      " pneumonoultramicroscopicsilicovolcanoconiosis supercalifragilisticexpialidocious" +
+        " honorificabilitudinitatibus floccinaucinihilipilification" +
+        " antidisestablishmentarianism pseudopseudohypoparathyroidism").otherwise(""),
+    F.when(F.col("doc_id") % 17 === 0, " ## ### #").otherwise(""))
+
+  private[graft] val gopherDriverThresholds =
+    graft.operators.QualityRules.GopherThresholds(
+      minWords = 40, maxWords = 100000,
+      minMeanWordLen = 3.0, maxMeanWordLen = 6.0,
+      maxSymbolWordRatio = 0.1, maxBulletLineFrac = 0.9,
+      maxEllipsisLineFrac = 0.3, minAlphaWordFrac = 0.8,
+      minStopwords = 2, stopwords = Seq("the", "a", "and", "of", "to"))
+
+  private[graft] def c4Decorated: Column = F.concat(
+    F.lit("Opening sentence number "), F.col("doc_id").cast("string"),
+    F.lit(" stands here.\n"), F.col("text"),
+    F.when(F.col("doc_id") % 3 === 0,
+      "\nThis sentence ends with a period too.").otherwise(""),
+    F.when(F.col("doc_id") % 5 === 0,
+      "\nAnother good sentence appears right here!").otherwise(""),
+    F.when(F.col("doc_id") % 9 === 0,
+      "\nPlease enable javascript for the dynamic view.").otherwise(""),
+    F.when(F.col("doc_id") % 7 === 0, "\nShort one.").otherwise(""),
+    F.when(F.col("doc_id") % 50 === 0,
+      "\nlorem ipsum dolor sit amet.").otherwise(""),
+    F.when(F.col("doc_id") % 41 === 0,
+      "\nconfig = { debug: true }").otherwise(""))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── A. reference FX-ETL semantics ─────────────────────────
     "fx_ingest_json" -> ((s, d) => {
@@ -1243,6 +1290,27 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
         .orderBy("doc_id", "chunk_id")
     }),
+    // E16: the published Gopher quality-rule gate over deterministically
+    // decorated documents (the E7 recipe — the salad corpus gains
+    // rule-triggering bullets/ellipses/symbols/numerics/long-words
+    // keyed on doc_id); every measure is an integer count or an exact
+    // IEEE division of integers, so the oracle replays measures AND
+    // pass flags bit-for-bit
+    "text_gopher_rules" -> ((s, d) => {
+      graft.operators.QualityRules.gopher(
+          Tables.documents(s, d).withColumn("text", gopherDecorated),
+          "doc_id", "text", gopherDriverThresholds)
+        .orderBy("doc_id")
+    }),
+    // E17: the C4 line/page filter over deterministically rendered
+    // pages; the line predicates are pure string tests (terminal
+    // punctuation, word floor, javascript) the oracle replays
+    "text_c4_filters" -> ((s, d) => {
+      graft.operators.QualityRules.c4Filters(
+          Tables.documents(s, d).withColumn("text", c4Decorated),
+          "doc_id", "text", minLineWords = 3, minKeptLines = 2)
+        .orderBy("doc_id")
+    }),
 
     "text_tokens" -> ((s, d) => {
       val t = F.col("text")
@@ -2411,6 +2479,81 @@ object SparkEntry {
           |       least(64, n_tokens - chunk_id * 48) AS chunk_len,
           |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
           |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+      // replays the Gopher gate end-to-end: the doc_id-keyed
+      // decoration, every measure (integer counts, replace-shrinkage
+      // symbol counting, exact IEEE divisions) and every pass flag
+      "text_gopher_rules" ->
+        """WITH dec AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || '• bullet point one' || chr(10) || '• bullet point two' || chr(10) || '* bullet item three' ELSE '' END ||
+          |    CASE WHEN doc_id % 20 = 0 THEN array_to_string(list_transform(range(1, 13), i -> chr(10) || '• extra bullet ' || CAST(i AS VARCHAR)), '') ELSE '' END ||
+          |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'and more soon...' || chr(10) || 'still more...' || chr(10) || 'nearly done...' || chr(10) || 'final thought...' ELSE '' END ||
+          |    CASE WHEN doc_id % 6 = 0 THEN ' 1234567890 2234567890 3234567890 4234567890 5234567890 6234567890 7234567890 8234567890 9234567890 1034567890 1134567890 1234567891' ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 0 THEN ' pneumonoultramicroscopicsilicovolcanoconiosis supercalifragilisticexpialidocious honorificabilitudinitatibus floccinaucinihilipilification antidisestablishmentarianism pseudopseudohypoparathyroidism' ELSE '' END ||
+          |    CASE WHEN doc_id % 17 = 0 THEN ' ## ### #' ELSE '' END AS text
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+          |    string_split(text, chr(10)) AS ls,
+          |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+          |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell_cnt
+          |  FROM dec),
+          |g AS (
+          |  SELECT doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+          |    CAST(hash_cnt + ell_cnt AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_word_ratio,
+          |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
+          |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac,
+          |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+          |    CAST(len(list_intersect(list_distinct(toks), ['the','a','and','of','to'])) AS BIGINT) AS n_stop_distinct
+          |  FROM m)
+          |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+          |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_distinct,
+          |  (n_words >= 40 AND n_words <= 100000) AS pass_words,
+          |  (mean_word_len >= 3.0 AND mean_word_len <= 6.0) AS pass_mean_word_len,
+          |  (symbol_word_ratio <= 0.1) AS pass_symbol_ratio,
+          |  (bullet_line_frac <= 0.9) AS pass_bullet_lines,
+          |  (ellipsis_line_frac <= 0.3) AS pass_ellipsis_lines,
+          |  (alpha_word_frac >= 0.8) AS pass_alpha_words,
+          |  (n_stop_distinct >= 2) AS pass_stopwords,
+          |  (n_words >= 40 AND n_words <= 100000 AND mean_word_len >= 3.0
+          |   AND mean_word_len <= 6.0 AND symbol_word_ratio <= 0.1
+          |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+          |   AND alpha_word_frac >= 0.8 AND n_stop_distinct >= 2) AS pass
+          |FROM g ORDER BY doc_id""".stripMargin,
+      // replays the C4 gate: rendered page, line predicates (terminal
+      // punctuation / word floor / javascript), page kills
+      "text_c4_filters" ->
+        """WITH dec AS (
+          |  SELECT doc_id,
+          |    'Opening sentence number ' || CAST(doc_id AS VARCHAR) || ' stands here.' || chr(10) || text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'This sentence ends with a period too.' ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Another good sentence appears right here!' ELSE '' END ||
+          |    CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'Please enable javascript for the dynamic view.' ELSE '' END ||
+          |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Short one.' ELSE '' END ||
+          |    CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+          |    CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'config = { debug: true }' ELSE '' END AS text
+          |  FROM documents),
+          |k AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+          |       OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+          |      AND (CASE WHEN trim(l) = '' THEN 0
+          |                ELSE len(string_split_regex(trim(l), '\s+')) END) >= 3
+          |      AND NOT contains(lower(l), 'javascript')) AS kept
+          |  FROM dec)
+          |SELECT doc_id,
+          |  array_to_string(kept, chr(10)) AS clean_text,
+          |  CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+          |  contains(text, '{') AS has_brace,
+          |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+          |   AND len(kept) >= 2) AS keep
+          |FROM k ORDER BY doc_id""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.functions.{text => T}
+
+/** The two canonical published web-corpus filter rule sets, as
+  * map-only report operators: the Gopher quality rules (Rae et al.
+  * 2021, "Scaling Language Models: ... Gopher", Appendix A1.1) and
+  * the C4 line/page filters (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning...", §2.2). Every serious LLM data
+  * pipeline runs one or both before the statistical signals (E1
+  * quality score, E10/E15 LM surprisal, E14 learned classifier);
+  * these are the deterministic rule-based gates that remove the
+  * obviously-broken pages first.
+  *
+  * Both operators emit one row per document with every rule's
+  * MEASURE and pass FLAG (plus the conjunction), not just a filtered
+  * corpus — the report shape is what a pipeline needs to tune
+  * thresholds and audit what a gate dropped (the A26 Constraints
+  * philosophy). Filtering is `.where(col("pass"))` on top.
+  *
+  * Scale shape: both are ONE map-only projection — token/line
+  * statistics are in-row array folds over the split text, thresholds
+  * are plan literals; no shuffle, no UDF, no state. 100 TB filters at
+  * scan speed, and the rules compose with any downstream plan.
+  *
+  * Everything is integer counts and exactly-rounded IEEE divisions
+  * of integers (the corpus_mix discipline), so a SQL oracle replays
+  * every measure and flag bit-for-bit.
+  */
+object QualityRules {
+
+  /** Gopher rule thresholds (defaults = the published Appendix A1.1
+    * values). `stopwords` is the "must contain ≥ minStopwords
+    * distinct members" list — Gopher's is (the, be, to, of, and,
+    * that, have, with); callers tune it per corpus.
+    */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+
+  /** Per-document Gopher rule report: measures
+    * (n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, n_stop_distinct), one
+    * boolean per rule, and `pass` = all rules hold.
+    *
+    * Rule semantics (each a published Gopher filter):
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen];
+    *  - symbol-to-word ratio ('#' chars + '...' occurrences, counted
+    *    by replace-shrinkage so an oracle replays it) ≤ max;
+    *  - fraction of lines starting (after left-trim) with a bullet
+    *    ('•', '-', '*') ≤ max;
+    *  - fraction of lines ending (after right-trim) with '...' or
+    *    '…' ≤ max;
+    *  - fraction of words containing ≥1 ASCII letter ≥ min
+    *    (tokens are lowercased, so [a-z] covers the alphabet);
+    *  - ≥ minStopwords DISTINCT members of `stopwords` present.
+    *
+    * Tokenization is the corpus-wide E3 trim+lower+whitespace-split
+    * convention; lines split on '\n' of the RAW text. A blank
+    * document tokenizes to one empty token (n_words=1, zero-length),
+    * matching every other operator in the engine.
+    */
+  def gopher(docs: DataFrame, idCol: String, textCol: String,
+             t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val txt = F.col(textCol)
+    val toks = T.tokens(txt)
+    val lines = F.split(txt, "\n")
+
+    val nWords = F.size(toks).cast("long")
+    val wordChars = F.aggregate(toks, F.lit(0L),
+      (acc: Column, tk: Column) => acc + F.length(tk).cast("long"))
+    val meanWordLen = wordChars.cast("double") / nWords.cast("double")
+
+    val hashCnt =
+      (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))).cast("long")
+    val ellipsisCnt =
+      ((F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3).cast("long")
+    val symbolRatio = (hashCnt + ellipsisCnt).cast("double") / nWords.cast("double")
+
+    val nLines = F.size(lines).cast("long")
+    val bulletLines = F.size(F.filter(lines, (l: Column) => {
+      val lt = F.ltrim(l)
+      lt.startsWith("•") || lt.startsWith("-") || lt.startsWith("*")
+    })).cast("long")
+    val ellipsisLines = F.size(F.filter(lines, (l: Column) => {
+      val rt = F.rtrim(l)
+      rt.endsWith("...") || rt.endsWith("…")
+    })).cast("long")
+    val bulletFrac = bulletLines.cast("double") / nLines.cast("double")
+    val ellipsisFrac = ellipsisLines.cast("double") / nLines.cast("double")
+
+    val alphaWords =
+      F.size(F.filter(toks, (tk: Column) => tk.rlike("[a-z]"))).cast("long")
+    val alphaFrac = alphaWords.cast("double") / nWords.cast("double")
+
+    val stopDistinct = F.size(F.array_intersect(
+      F.array_distinct(toks),
+      F.array(t.stopwords.map(F.lit): _*))).cast("long")
+
+    val passWords = nWords >= t.minWords && nWords <= t.maxWords
+    val passMeanLen =
+      meanWordLen >= t.minMeanWordLen && meanWordLen <= t.maxMeanWordLen
+    val passSymbol = symbolRatio <= t.maxSymbolWordRatio
+    val passBullet = bulletFrac <= t.maxBulletLineFrac
+    val passEllipsis = ellipsisFrac <= t.maxEllipsisLineFrac
+    val passAlpha = alphaFrac >= t.minAlphaWordFrac
+    val passStop = stopDistinct >= t.minStopwords
+
+    docs.select(
+      F.col(idCol),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopDistinct.as("n_stop_distinct"),
+      passWords.as("pass_words"),
+      passMeanLen.as("pass_mean_word_len"),
+      passSymbol.as("pass_symbol_ratio"),
+      passBullet.as("pass_bullet_lines"),
+      passEllipsis.as("pass_ellipsis_lines"),
+      passAlpha.as("pass_alpha_words"),
+      passStop.as("pass_stopwords"),
+      (passWords && passMeanLen && passSymbol && passBullet &&
+        passEllipsis && passAlpha && passStop).as("pass"))
+  }
+
+  /** C4 line/page filters (Raffel et al. 2020 §2.2), as a
+    * per-document report with the cleaned text:
+    *  - a LINE survives iff, after trimming, it ends in a terminal
+    *    punctuation mark ('.', '!', '?', or a closing double quote),
+    *    has ≥ minLineWords words, and does not contain the word
+    *    "javascript" (case-insensitive) — the published
+    *    boilerplate/code-chrome line rules;
+    *  - the PAGE survives iff its raw text contains neither
+    *    "lorem ipsum" (case-insensitive) nor a curly brace '{', and
+    *    ≥ minKeptLines lines survived.
+    * (C4 also applies a bad-word blocklist; that is a policy list,
+    * not an algorithm — callers compose it as one more
+    * `lower(text) NOT LIKE` conjunct or an A24 Bloom droplist.)
+    *
+    * Output: id, clean_text (surviving lines joined with '\n'; empty
+    * string when none survive), n_lines, n_kept_lines, has_lorem,
+    * has_brace, and keep = the page rule. Word counting treats an
+    * all-whitespace line as 0 words (CASE-guarded identically in the
+    * oracle). Map-only: one projection, in-row list filter + join.
+    */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String,
+                minLineWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val txt = F.col(textCol)
+    val lines = F.split(txt, "\n")
+
+    def lineWords(l: Column): Column =
+      F.when(F.trim(l) === "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(l), "\\s+")))
+
+    def keptLine(l: Column): Column = {
+      val rt = F.rtrim(l)
+      val terminal = rt.endsWith(".") || rt.endsWith("!") ||
+        rt.endsWith("?") || rt.endsWith("\"")
+      terminal && lineWords(l) >= minLineWords &&
+        !F.lower(l).contains("javascript")
+    }
+
+    val kept = F.filter(lines, keptLine _)
+    val nLines = F.size(lines).cast("long")
+    val nKept = F.size(kept).cast("long")
+    val hasLorem = F.lower(txt).contains("lorem ipsum")
+    val hasBrace = txt.contains("{")
+    val keep = !hasLorem && !hasBrace && nKept >= minKeptLines
+
+    docs.select(
+      F.col(idCol),
+      F.array_join(kept, "\n").as("clean_text"),
+      nLines.as("n_lines"),
+      nKept.as("n_kept_lines"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      keep.as("keep"))
+  }
+}

@@ -175,6 +175,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() > 0)
   }
 
+  test("G11: stream-static enrich join equals the batch join and keeps unmatched events") {
+    val dir = eventsDir
+    // static dimension: a tier per even user_id — odd users unmatched
+    val dim = Tables.events(spark, sf).select("user_id").distinct()
+      .where(F.col("user_id") % 2 === 0)
+      .withColumn("tier", F.when(F.col("user_id") % 4 === 0, "gold").otherwise("basic"))
+    val q = EventStream.enrichFromDim(
+        EventStream.readEvents(spark, dir), dim, Seq("user_id"))
+      .select("event_id", "user_id", "tier")
+      .writeStream.outputMode("append").format("memory").queryName("g11").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("g11")
+    val batch = Tables.events(spark, sf).join(F.broadcast(dim), Seq("user_id"), "left_outer")
+      .select("event_id", "user_id", "tier")
+    // left_outer: every event flows through exactly once
+    assert(streamed.count() == Tables.events(spark, sf).count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // odd users really are unmatched (NULL tier), even users enriched
+    assert(streamed.where(F.col("user_id") % 2 === 1 && F.col("tier").isNotNull).isEmpty)
+    assert(streamed.where(F.col("user_id") % 2 === 0 && F.col("tier").isNull).isEmpty)
+  }
+
   test("G3: foreachBatch merge-upsert applies the batch MERGE operator") {
     val dir = eventsDir
     var state: Option[DataFrame] = None
