@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.functions.text
-import graft.operators.{Boilerplate, Chunking, Dedup, Mixing, Packing, Sampling, Spans, Staging}
+import graft.operators.{Boilerplate, Chunking, Dedup, Mixing, Packing, QualityRules, Sampling, Spans, Staging}
 
 /** The corpus-preparation pipeline end-to-end: what [[FxPipeline]] is
   * to the reference's FX DAGs, this is to the brief's LLM-training-data
@@ -17,7 +17,8 @@ import graft.operators.{Boilerplate, Chunking, Dedup, Mixing, Packing, Sampling,
   * mix so duplicate mass cannot distort source shares, pack last):
   *
   *   0. EXTRACT  — optional markup→prose strip for web crawls
-  *   1. FILTER   — language allow-list + quality floor (map-only)
+  *   1. FILTER   — optional Gopher rule gate (`gopherRules`, E16) +
+  *                 language allow-list + quality floor (map-only)
   *   2. CLEAN    — PII redaction + cross-doc boilerplate line removal
   *   3a. SPANS   — optional cross-document exact-substring span
   *                 removal (Lee et al. 2022; `spanK` turns it on) —
@@ -52,6 +53,7 @@ object CorpusPipeline {
       maxSeqsPerShard: Int = 1024,
       spanK: Option[Int] = None, spanMinDf: Int = 2,
       chunkTokens: Option[Int] = None, chunkOverlap: Int = 0,
+      gopherRules: Option[QualityRules.GopherThresholds] = None,
       stagingDir: Option[String] = None)
 
   /** Stages 1–2: language/quality gate, then redaction + boilerplate
@@ -78,9 +80,19 @@ object CorpusPipeline {
       if (cfg.stripMarkup)
         docs.withColumn(textCol, text.stripMarkup(F.col(textCol)))
       else docs
+    // optional published rule gate (E16): the Gopher rules run in the
+    // SAME map pass as the language/quality gate — rule-based filters
+    // go first in every published pipeline (cheap, deterministic,
+    // catches the obviously-broken pages the statistical signals
+    // would mis-score). Applied to the extracted (pre-redaction)
+    // text, which is what the published thresholds are calibrated on.
+    val ruleGate = cfg.gopherRules
+      .map(t => QualityRules.gopherPass(F.col(textCol), t))
+      .getOrElse(F.lit(true))
     val gated = extracted
       .observe("corpus_in", F.count(F.lit(1)).as("docs_in"))
-      .filter(text.langGuess(F.col(textCol)).isin(cfg.langs: _*) &&
+      .filter(ruleGate &&
+        text.langGuess(F.col(textCol)).isin(cfg.langs: _*) &&
         text.qualityScore(F.col(textCol)) >= cfg.minQuality)
       .select(F.col(idCol), F.col(sourceCol), text.redact(F.col(textCol)).as(textCol))
       .observe("corpus_filtered", F.count(F.lit(1)).as("docs_kept"))

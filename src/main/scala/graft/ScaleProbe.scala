@@ -63,7 +63,8 @@ object ScaleProbe {
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
       "dedup_spans",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
-      "text_chunk", "text_classifier_score", "text_bigram_surprisal",
+      "text_chunk", "text_chunk_lines", "text_classifier_score", "text_bigram_surprisal",
+      "text_gopher_rules", "text_c4_filters",
       "corpus_mix", "pack_sequences", "sample_apportioned",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",

@@ -1311,6 +1311,15 @@ object SparkEntry {
           "doc_id", "text", minLineWords = 3, minKeptLines = 2)
         .orderBy("doc_id")
     }),
+    // E12b: line-boundary-respecting chunking over the rendered C4
+    // pages (the multi-line fixture); the greedy fold is all-integer,
+    // so the oracle replays it with a recursive CTE (the S5 recipe)
+    "text_chunk_lines" -> ((s, d) => {
+      graft.operators.Chunking.chunkByLines(
+          Tables.documents(s, d).withColumn("text", c4Decorated),
+          "doc_id", "text", budgetTokens = 25)
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     "text_tokens" -> ((s, d) => {
       val t = F.col("text")
@@ -2554,6 +2563,37 @@ object SparkEntry {
           |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
           |   AND len(kept) >= 2) AS keep
           |FROM k ORDER BY doc_id""".stripMargin,
+      // replays the greedy line-fold with a recursive CTE over the
+      // same rendered pages: cid/acc advance one line per iteration
+      "text_chunk_lines" ->
+        """WITH RECURSIVE dec AS (
+          |  SELECT doc_id,
+          |    'Opening sentence number ' || CAST(doc_id AS VARCHAR) || ' stands here.' || chr(10) || text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'This sentence ends with a period too.' ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Another good sentence appears right here!' ELSE '' END ||
+          |    CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'Please enable javascript for the dynamic view.' ELSE '' END ||
+          |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Short one.' ELSE '' END ||
+          |    CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+          |    CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'config = { debug: true }' ELSE '' END AS text
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+          |    list_transform(string_split(text, chr(10)), x ->
+          |      CASE WHEN trim(x) = '' THEN 0
+          |           ELSE len(string_split_regex(trim(x), '\s+')) END) AS ws
+          |  FROM dec),
+          |f AS (
+          |  SELECT doc_id, ls, ws, 1 AS i, 0 AS cid, ws[1] AS acc FROM w
+          |  UNION ALL
+          |  SELECT doc_id, ls, ws, i + 1,
+          |    CASE WHEN acc + ws[i+1] > 25 AND acc > 0 THEN cid + 1 ELSE cid END,
+          |    CASE WHEN acc + ws[i+1] > 25 AND acc > 0 THEN ws[i+1] ELSE acc + ws[i+1] END
+          |  FROM f WHERE i < len(ws))
+          |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+          |  CAST(COUNT(*) AS BIGINT) AS chunk_lines,
+          |  CAST(SUM(ws[i]) AS BIGINT) AS chunk_tokens,
+          |  string_agg(ls[i], chr(10) ORDER BY i) AS chunk_text
+          |FROM f GROUP BY doc_id, cid ORDER BY doc_id, chunk_id""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

@@ -72,8 +72,19 @@ object QualityRules {
     * matching every other operator in the engine.
     */
   def gopher(docs: DataFrame, idCol: String, textCol: String,
-             t: GopherThresholds = GopherThresholds()): DataFrame = {
-    val txt = F.col(textCol)
+             t: GopherThresholds = GopherThresholds()): DataFrame =
+    docs.select(F.col(idCol) +:
+      gopherCols(F.col(textCol), t).map { case (n, c) => c.as(n) }: _*)
+
+  /** The gate face: ONE boolean column — the conjunction of every
+    * Gopher rule — for inline use in a filter (the CorpusPipeline
+    * stage-1 hook). Bit-identical to the report's `pass` column by
+    * construction (same column tree).
+    */
+  def gopherPass(c: Column, t: GopherThresholds = GopherThresholds()): Column =
+    gopherCols(c, t).last match { case ("pass", col) => col }
+
+  private def gopherCols(txt: Column, t: GopherThresholds): Seq[(String, Column)] = {
     val toks = T.tokens(txt)
     val lines = F.split(txt, "\n")
 
@@ -117,24 +128,23 @@ object QualityRules {
     val passAlpha = alphaFrac >= t.minAlphaWordFrac
     val passStop = stopDistinct >= t.minStopwords
 
-    docs.select(
-      F.col(idCol),
-      nWords.as("n_words"),
-      meanWordLen.as("mean_word_len"),
-      symbolRatio.as("symbol_word_ratio"),
-      bulletFrac.as("bullet_line_frac"),
-      ellipsisFrac.as("ellipsis_line_frac"),
-      alphaFrac.as("alpha_word_frac"),
-      stopDistinct.as("n_stop_distinct"),
-      passWords.as("pass_words"),
-      passMeanLen.as("pass_mean_word_len"),
-      passSymbol.as("pass_symbol_ratio"),
-      passBullet.as("pass_bullet_lines"),
-      passEllipsis.as("pass_ellipsis_lines"),
-      passAlpha.as("pass_alpha_words"),
-      passStop.as("pass_stopwords"),
-      (passWords && passMeanLen && passSymbol && passBullet &&
-        passEllipsis && passAlpha && passStop).as("pass"))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanWordLen,
+      "symbol_word_ratio" -> symbolRatio,
+      "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac,
+      "alpha_word_frac" -> alphaFrac,
+      "n_stop_distinct" -> stopDistinct,
+      "pass_words" -> passWords,
+      "pass_mean_word_len" -> passMeanLen,
+      "pass_symbol_ratio" -> passSymbol,
+      "pass_bullet_lines" -> passBullet,
+      "pass_ellipsis_lines" -> passEllipsis,
+      "pass_alpha_words" -> passAlpha,
+      "pass_stopwords" -> passStop,
+      "pass" -> (passWords && passMeanLen && passSymbol && passBullet &&
+        passEllipsis && passAlpha && passStop))
   }
 
   /** C4 line/page filters (Raffel et al. 2020 §2.2), as a

@@ -87,4 +87,74 @@ class ChunkingSpec extends SparkSuite {
     assert(out.map(_.getLong(3)).sum == 20L)
     assert(out.flatMap(_.getString(4).split(" ")).length == 20)
   }
+
+  // ── chunkByLines (the line-boundary-respecting sibling) ──
+
+  private def lineDocsOf(lineWords: Seq[Seq[Int]]) =
+    lineWords.zipWithIndex.map { case (ls, i) =>
+      (i.toLong,
+        ls.zipWithIndex.map { case (n, j) =>
+          (1 to n).map(t => s"d${i}l${j}w$t").mkString(" ")
+        }.mkString("\n"))
+    }.toDF("doc_id", "text")
+
+  test("chunkByLines: greedy fold against a driver-side reference, every budget 1..40") {
+    val shapes = Seq(
+      Seq(3, 5, 2, 8, 1), Seq(12), Seq(1, 1, 1, 1, 1, 1), Seq(50, 2, 3),
+      Seq(4, 0, 4, 0, 4), Seq(7, 9, 2, 2, 2, 11, 3))
+    val docs = lineDocsOf(shapes.map(_.map(n => n)))
+    for (budget <- 1 to 40) {
+      val got = Chunking.chunkByLines(docs, "doc_id", "text", budget)
+        .orderBy("doc_id", "chunk_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+      shapes.zipWithIndex.foreach { case (ws0, i) =>
+        // blank lines in the fixture come from n=0 (empty string line)
+        val ws = ws0
+        // reference fold
+        var cid = 0; var acc = 0
+        val ref = ws.map { w =>
+          if (acc + w > budget && acc > 0) { cid += 1; acc = w } else acc += w
+          cid
+        }
+        val rows = got(i.toLong)
+        assert(rows.map(_.getLong(1)).toSeq == (0 to ref.max).map(_.toLong),
+          s"budget=$budget doc=$i chunk ids")
+        val tokensPerChunk = ref.zip(ws).groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toMap
+        rows.foreach { r =>
+          assert(r.getLong(3) == tokensPerChunk(r.getLong(1).toInt),
+            s"budget=$budget doc=$i chunk=${r.getLong(1)} tokens")
+        }
+        // reconstruction: chunks joined with \n give back the document
+        val full = docs.where(F.col("doc_id") === i).collect().head.getString(1)
+        assert(rows.map(_.getString(4)).mkString("\n") == full,
+          s"budget=$budget doc=$i reconstruction")
+      }
+    }
+  }
+
+  test("chunkByLines: oversized line sits alone (anchored-greedy law)") {
+    val out = Chunking.chunkByLines(lineDocsOf(Seq(Seq(3, 50, 4))), "doc_id", "text", 10)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L)) // one line per chunk here
+    assert(out(1).getLong(3) == 50L) // the oversized line, alone, over budget
+    assert(out(0).getLong(3) <= 10 && out(2).getLong(3) <= 10)
+  }
+
+  test("chunkByLines is map-only (no Exchange)") {
+    val plan = Chunking.chunkByLines(lineDocsOf(Seq(Seq(3, 4))), "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkByLines must not shuffle:\n${plan.take(800)}")
+  }
+
+  test("chunkByLines: payloads ride through; blank lines flow with their chunk") {
+    val docs = Seq((1L, "web", "a b c\n\nd e f")).toDF("doc_id", "source", "text")
+    val out = Chunking.chunkByLines(docs, "doc_id", "text", 10, payloadCols = Seq("source"))
+      .collect()
+    assert(out.length == 1 && out.head.getString(1) == "web")
+    assert(out.head.getAs[Long]("chunk_lines") == 3L)
+    assert(out.head.getAs[Long]("chunk_tokens") == 6L)
+    assert(out.head.getAs[String]("chunk_text") == "a b c\n\nd e f")
+  }
 }

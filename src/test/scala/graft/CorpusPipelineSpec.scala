@@ -200,6 +200,29 @@ class CorpusPipelineSpec extends SparkSuite {
     report.unpersist()
   }
 
+  test("gopherRules gate: a rule-breaking doc is dropped in stage 1, everything else unchanged") {
+    import graft.operators.QualityRules.GopherThresholds
+    // passes the lang/quality gate but breaks the bullet-line rule
+    val bulletDoc = Seq((31L,
+      header + "\n" + (1 to 12).map(i =>
+        s"• the point number $i about the state of the engine and of the data").mkString("\n"),
+      "web")).toDF("doc_id", "text", "source")
+    val docs = corpus.unionByName(bulletDoc)
+    val t = GopherThresholds(
+      minWords = 5, maxWords = 100000, minMeanWordLen = 1.0, maxMeanWordLen = 20.0,
+      maxSymbolWordRatio = 1.0, maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 1.0,
+      minAlphaWordFrac = 0.5, minStopwords = 1,
+      stopwords = Seq("the", "and", "of", "to"))
+    val off = CorpusPipeline.filterAndClean(docs, "doc_id", "text", "source",
+      CorpusPipeline.Config())
+    val on = CorpusPipeline.filterAndClean(docs, "doc_id", "text", "source",
+      CorpusPipeline.Config(gopherRules = Some(t)))
+    val offIds = off.select("doc_id").collect().map(_.getLong(0)).toSet
+    val onIds = on.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(offIds.contains(31L), "gate off: the bullet doc passes lang/quality")
+    assert(offIds - 31L == onIds, "gate on: exactly the rule-breaking doc is gone")
+  }
+
   test("dedup runs on CLEANED text: chrome variants still collapse as duplicates") {
     // docs identical except for their (stripped) chrome line — exact
     // dups only AFTER boilerplate removal

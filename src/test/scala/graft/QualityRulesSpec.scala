@@ -119,6 +119,14 @@ class QualityRulesSpec extends SparkSuite {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  test("gopherPass gate column is bit-identical to the report's pass column") {
+    val report = QualityRules.gopher(docs, "doc_id", "text", thresholds)
+      .select("doc_id", "pass")
+    val gate = docs.select(F.col("doc_id"),
+      QualityRules.gopherPass(F.col("text"), thresholds).as("pass"))
+    assert(report.exceptAll(gate).isEmpty && gate.exceptAll(report).isEmpty)
+  }
+
   test("both operators are map-only: no Exchange in the plan") {
     for (df <- Seq(
         QualityRules.gopher(docs, "doc_id", "text", thresholds),
