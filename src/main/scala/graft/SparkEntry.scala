@@ -257,6 +257,15 @@ object SparkEntry {
       graft.operators.Resample.forwardFillDaily(daily, Seq("event_type"), "day", "avg_value")
         .orderBy("event_type", "day")
     }),
+    // A29: the (day × key) completeness grid over a feed with
+    // deterministic punched holes (clicks vanish on every 5th
+    // day-of-month) — missing partitions surface as n_rows = 0
+    "fx_completeness" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(
+        !(F.dayofmonth(F.col("ts")) % 5 === 0 && F.col("event_type") === "click"))
+      graft.operators.Audit.completeness(e, "ts", Seq("event_type"))
+        .orderBy("day", "event_type")
+    }),
 
     // daily OHLC bars — the canonical FX resample (open = value at the
     // day's first tick, close at its last, low/high across it). min_by/
@@ -1497,6 +1506,20 @@ object SparkEntry {
           |       COALESCE(CAST(d.avg_value IS NOT NULL AS INT), 0) AS observed
           |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
           |ORDER BY event_type, day""".stripMargin,
+      "fx_completeness" ->
+        """WITH src AS (
+          |  SELECT * FROM events
+          |  WHERE NOT (date_part('day', ts) % 5 = 0 AND event_type = 'click')),
+          |o AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |             COUNT(*) AS n_rows
+          |      FROM src GROUP BY 1, 2),
+          |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+          |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+          |grid AS (SELECT k.event_type AS event_type, days.day AS day
+          |         FROM (SELECT DISTINCT event_type FROM o) k CROSS JOIN days)
+          |SELECT g.day AS day, g.event_type AS event_type, COALESCE(o.n_rows, 0) AS n_rows
+          |FROM grid g LEFT JOIN o ON g.day = o.day AND g.event_type = o.event_type
+          |ORDER BY day, event_type""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
