@@ -1147,6 +1147,19 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.bruteForceTopKInt8(e, q, 10).orderBy("qid", "rank")
     }),
+    // D10: MMR diversification of a brute-force top-20 candidate list
+    // (λ=0.75 so 1−λ=0.25 is exactly representable in both engines);
+    // candidates carry their vectors via a corpus self-join, the fold
+    // replays in SQL as m chained argmax steps
+    "search_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val cands = Similarity.bruteForceTopK(e, q, 20)
+        .join(e.select(F.col("vec_id"), F.col("embedding")), Seq("vec_id"))
+      Similarity.mmrRerank(cands, m = 8, lambda = 0.75)
+        .orderBy("qid", "mmr_rank")
+    }),
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
@@ -1386,7 +1399,45 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val dot = (a: String, b: String) =>
       s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), 'sum')"
+    val cosSql = (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    // the m=8 greedy MMR steps as chained CTEs: pick r = per-qid argmax
+    // of 0.75·score − 0.25·max-cos-to-selected (QUALIFY rn=1, id tie),
+    // state r = the selected ids + vectors so far
+    val mmrSteps = (2 to 8).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+         |  SELECT c.qid, c.vec_id, c.vec,
+         |         0.75*c.score - 0.25*list_max(list_transform(s$p.vecs, sv -> ${cosSql("c.vec", "sv")})) AS mmr
+         |  FROM cand c JOIN s$p ON c.qid = s$p.qid
+         |  WHERE NOT list_contains(s$p.ids, c.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY c.qid ORDER BY mmr DESC, c.vec_id) = 1),
+         |s$r AS (SELECT s$p.qid, list_append(s$p.ids, p$r.vec_id) AS ids,
+         |               list_append(s$p.vecs, p$r.vec) AS vecs
+         |        FROM s$p JOIN p$r ON s$p.qid = p$r.qid),""".stripMargin
+    }.mkString("\n")
+    val mmrUnion = (1 to 8).map(r => s"SELECT qid, vec_id, $r AS r, mmr FROM p$r")
+      .mkString("\n  UNION ALL ")
     Map(
+      "search_mmr" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.qid, e.vec_id, e.embedding AS vec, ${cosSql("q.qvec", "e.embedding")} AS score
+           |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+           |cand AS (
+           |  SELECT qid, vec_id, vec, score FROM (
+           |    SELECT qid, vec_id, vec, score,
+           |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+           |    FROM scored) WHERE rank <= 20),
+           |p1 AS (
+           |  SELECT qid, vec_id, vec, 0.75*score AS mmr FROM cand
+           |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) = 1),
+           |s1 AS (SELECT qid, [vec_id] AS ids, [vec] AS vecs FROM p1),
+           |$mmrSteps
+           |u AS (
+           |  $mmrUnion)
+           |SELECT qid, vec_id, CAST(r AS INT) AS mmr_rank, mmr AS mmr_score
+           |FROM u ORDER BY qid, mmr_rank""".stripMargin,
       "fx_ingest_json" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type, value
           |FROM events ORDER BY event_id""".stripMargin,

@@ -489,4 +489,95 @@ object Similarity {
       .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
     topK(scored, qidCol, idCol, k)
   }
+
+  // public: encoder-generated code instantiates these reflectively
+  final case class MmrCand(qid: Long, id: Long, score: Double, vec: Array[Float])
+  final case class MmrPick(qid: Long, id: Long, mmr_rank: Int, mmr_score: Double)
+
+  /** CosineSim's exact arithmetic (float→double widening, index-order
+    * accumulation, dot/(√na·√nb)) on plain arrays — the MMR fold must
+    * produce the same bits the SQL oracle's list arithmetic does.
+    */
+  private def cosArrays(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** D10: Maximal-Marginal-Relevance diversification (Carbonell &
+    * Goldstein 1998) of a per-query candidate list — the standard
+    * retrieval post-processing step after ANY top-k leg (D1/D2/D3/D8
+    * or a D9 fusion): pick `m` results trading relevance against
+    * redundancy,
+    *   MMR(d) = λ·score(d) − (1−λ)·max_{s ∈ selected} cos(d, s),
+    * with the empty-selected-set penalty 0 (first pick is pure
+    * relevance) and ties broken by lowest id — fully deterministic.
+    *
+    * `candidates` carries (qid, id, score, vec) — a topK output joined
+    * with its vectors. Per-query candidate counts are bounded by the
+    * upstream k, so this is a RERANKER of bounded lists, not a corpus
+    * operator: the per-group buffer is O(k·dim), the whole pass one
+    * hash exchange on qid (`flatMapSortedGroups`), and the greedy fold
+    * costs O(m·k) cosines of the bounded set. Pairwise cosines use
+    * CosineSim's exact arithmetic, so with an exactly-representable λ
+    * (e.g. 0.75) a SQL oracle replays every pick bit-for-bit.
+    */
+  def mmrRerank(candidates: DataFrame, m: Int, lambda: Double,
+                qidCol: String = "qid", idCol: String = "vec_id",
+                scoreCol: String = "cos", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val session = candidates.sparkSession
+    import session.implicits._
+    val ds = candidates.select(
+      F.col(qidCol).cast("long").as("qid"),
+      F.col(idCol).cast("long").as("id"),
+      F.col(scoreCol).cast("double").as("score"),
+      F.col(vecCol).as("vec")).as[MmrCand]
+    ds.groupByKey(_.qid)
+      .flatMapSortedGroups($"score".desc, $"id") { (_, it) =>
+        val cands = it.toArray // bounded by the upstream top-k contract
+        val n = cands.length
+        val take = math.min(m, n)
+        val selected = new Array[Int](take)
+        val used = new Array[Boolean](n)
+        val out = Seq.newBuilder[MmrPick]
+        var r = 0
+        while (r < take) {
+          var best = -1; var bestVal = Double.NegativeInfinity; var bestId = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              var pen = 0.0
+              if (r > 0) {
+                var maxSim = Double.NegativeInfinity
+                var j = 0
+                while (j < r) {
+                  val c = cosArrays(cands(i).vec, cands(selected(j)).vec)
+                  if (c > maxSim) maxSim = c
+                  j += 1
+                }
+                pen = maxSim
+              }
+              val v = lambda * cands(i).score - (1 - lambda) * pen
+              if (v > bestVal || (v == bestVal && cands(i).id < bestId)) {
+                best = i; bestVal = v; bestId = cands(i).id
+              }
+            }
+            i += 1
+          }
+          used(best) = true; selected(r) = best
+          out += MmrPick(cands(best).qid, cands(best).id, r + 1, bestVal)
+          r += 1
+        }
+        out.result()
+      }
+      .toDF()
+      .withColumnRenamed("qid", qidCol)
+      .withColumnRenamed("id", idCol)
+  }
 }

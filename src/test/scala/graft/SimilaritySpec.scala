@@ -216,4 +216,74 @@ class SimilaritySpec extends SparkSuite {
     assert(scans.exists(_.contains("__codes:array<tinyint>")),
       s"codes layout must be scanned:\n${scans.mkString("\n")}")
   }
+
+  // ── D10: MMR diversification ──
+
+  private def mmrReference(cands: Seq[(Long, Double, Array[Float])],
+                           m: Int, lambda: Double): Seq[(Long, Double)] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+    val pool = scala.collection.mutable.ArrayBuffer(cands: _*)
+    (1 to math.min(m, cands.size)).map { _ =>
+      val scoredPool = pool.map { case c @ (id, rel, v) =>
+        val pen = if (picked.isEmpty) 0.0 else picked.map(p => cos(v, p._3)).max
+        (c, lambda * rel - (1 - lambda) * pen)
+      }
+      val best = scoredPool.minBy { case ((id, _, _), v) => (-v, id) }
+      picked += best._1; pool -= best._1
+      (best._1._1, best._2)
+    }
+  }
+
+  test("mmrRerank matches an independent driver-side greedy MMR on the fixture") {
+    val cands = Similarity.bruteForceTopK(corpus, queries, 20)
+      .join(corpus.select(F.col("vec_id"), F.col("embedding")), Seq("vec_id"))
+    val got = Similarity.mmrRerank(cands, m = 8, lambda = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    val raw = cands.collect().map(r =>
+      (r.getLong(1), r.getLong(0), r.getDouble(2), r.getSeq[Float](4).toArray))
+    assert(got.nonEmpty)
+    for (q <- got.keys) {
+      val ref = mmrReference(
+        raw.filter(_._1 == q).map(t => (t._2, t._3, t._4)).toSeq, 8, 0.75)
+      val g = got(q).map(t => (t._2, t._4)).toSeq
+      assert(g == ref, s"query $q: got $g want $ref")
+    }
+  }
+
+  test("mmr first pick is the relevance argmax; a planted near-duplicate is deferred") {
+    import spark.implicits._
+    // qid 0: candidate 1 is best; candidate 2 is 1's near-clone;
+    // candidate 3 is orthogonal-ish with lower relevance. Pure
+    // relevance ranks (1,2,3); MMR at λ=0.5 must defer the clone.
+    val cands = Seq(
+      (0L, 1L, 0.95, Array(1.0f, 0.0f, 0.0f)),
+      (0L, 2L, 0.94, Array(0.999f, 0.04f, 0.0f)),
+      (0L, 3L, 0.80, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("qid", "vec_id", "cos", "embedding")
+    val out = Similarity.mmrRerank(cands, m = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1))
+    assert(out.head == 1L, "first pick = relevance argmax")
+    assert(out.toSeq == Seq(1L, 3L, 2L), "the near-duplicate defers behind the diverse pick")
+  }
+
+  test("mmrRerank is deterministic across reruns and bounded by the candidate count") {
+    val cands = Similarity.bruteForceTopK(corpus, queries, 5)
+      .join(corpus.select(F.col("vec_id"), F.col("embedding")), Seq("vec_id"))
+    val a = Similarity.mmrRerank(cands, m = 8, lambda = 0.75)
+      .orderBy("qid", "mmr_rank").collect().toSeq
+    val b = Similarity.mmrRerank(cands, m = 8, lambda = 0.75)
+      .orderBy("qid", "mmr_rank").collect().toSeq
+    assert(a == b)
+    // only 5 candidates per query: take = min(m, n) = 5
+    assert(a.groupBy(_.getLong(0)).values.forall(_.size == 5))
+  }
 }
