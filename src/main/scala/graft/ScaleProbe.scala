@@ -59,6 +59,7 @@ object ScaleProbe {
     buildIfAbsent(spark, sfDir)
 
     val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
+      "fx_completeness",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
       "dedup_spans",

@@ -35,6 +35,9 @@ object Audit {
                    from: Option[String] = None,
                    to: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "completeness needs at least one key column")
+    for (f <- from; t <- to)
+      require(java.sql.Date.valueOf(f).compareTo(java.sql.Date.valueOf(t)) <= 0,
+        s"audit window is empty: from=$f is after to=$t")
     val keys = keyCols.map(F.col)
     val day = F.to_date(F.date_trunc("day", F.col(tsCol)))
     val bounded = (from, to) match {

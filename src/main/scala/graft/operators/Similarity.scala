@@ -547,7 +547,8 @@ object Similarity {
         val used = new Array[Boolean](n)
         val out = Seq.newBuilder[MmrPick]
         var r = 0
-        while (r < take) {
+        var exhausted = false
+        while (r < take && !exhausted) {
           var best = -1; var bestVal = Double.NegativeInfinity; var bestId = Long.MaxValue
           var i = 0
           while (i < n) {
@@ -570,9 +571,15 @@ object Similarity {
             }
             i += 1
           }
-          used(best) = true; selected(r) = best
-          out += MmrPick(cands(best).qid, cands(best).id, r + 1, bestVal)
-          r += 1
+          // a NaN objective (zero-norm vector ⇒ NaN cosine) never
+          // compares greater: if every remaining candidate is NaN,
+          // stop selecting instead of picking arbitrarily
+          if (best < 0) exhausted = true
+          else {
+            used(best) = true; selected(r) = best
+            out += MmrPick(cands(best).qid, cands(best).id, r + 1, bestVal)
+            r += 1
+          }
         }
         out.result()
       }

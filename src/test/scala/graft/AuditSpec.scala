@@ -55,6 +55,14 @@ class AuditSpec extends SparkSuite {
     assert(out.length == 4)
   }
 
+  test("an inverted audit window fails loudly at construction") {
+    val e = intercept[IllegalArgumentException] {
+      Audit.completeness(feed, "ts", Seq("key"),
+        from = Some("2026-01-04"), to = Some("2026-01-02"))
+    }
+    assert(e.getMessage.contains("audit window is empty"))
+  }
+
   test("fixture events: punched holes are exactly the reported zero cells") {
     val e = sources.Tables.events(spark, sf).filter(
       !(F.dayofmonth(F.col("ts")) % 5 === 0 && F.col("event_type") === "click"))

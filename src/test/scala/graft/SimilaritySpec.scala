@@ -275,6 +275,18 @@ class SimilaritySpec extends SparkSuite {
     assert(out.toSeq == Seq(1L, 3L, 2L), "the near-duplicate defers behind the diverse pick")
   }
 
+  test("mmr: all-NaN objectives (zero-norm vectors) stop selection instead of picking arbitrarily") {
+    import spark.implicits._
+    val cands = Seq(
+      (0L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (0L, 2L, Double.NaN, Array(0.0f, 0.0f)), // zero vector: NaN score and NaN cosine
+      (0L, 3L, Double.NaN, Array(0.0f, 0.0f))
+    ).toDF("qid", "vec_id", "cos", "embedding")
+    val out = Similarity.mmrRerank(cands, m = 3, lambda = 0.75)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L), "only the well-defined candidate is picked")
+  }
+
   test("mmrRerank is deterministic across reruns and bounded by the candidate count") {
     val cands = Similarity.bruteForceTopK(corpus, queries, 5)
       .join(corpus.select(F.col("vec_id"), F.col("embedding")), Seq("vec_id"))
