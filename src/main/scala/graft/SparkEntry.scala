@@ -86,6 +86,14 @@ object SparkEntry {
       maxEllipsisLineFrac = 0.3, minAlphaWordFrac = 0.8,
       minStopwords = 2, stopwords = Seq("the", "a", "and", "of", "to"))
 
+  private[graft] def repetitionDecorated: Column = F.concat(
+    F.col("text"),
+    F.when(F.col("doc_id") % 8 === 0,
+      "\nrepeated chrome line here\nrepeated chrome line here\nrepeated chrome line here")
+      .otherwise(""),
+    F.when(F.col("doc_id") % 12 === 0,
+      " spam spam spam spam spam spam spam spam").otherwise(""))
+
   private[graft] def c4Decorated: Column = F.concat(
     F.lit("Opening sentence number "), F.col("doc_id").cast("string"),
     F.lit(" stands here.\n"), F.col("text"),
@@ -1322,6 +1330,17 @@ object SparkEntry {
       graft.operators.QualityRules.gopher(
           Tables.documents(s, d).withColumn("text", gopherDecorated),
           "doc_id", "text", gopherDriverThresholds)
+        .orderBy("doc_id")
+    }),
+    // E16b: the Gopher REPETITION rules over decorated documents
+    // (repeated chrome lines for the dup-line rules, a spam-phrase run
+    // for the top-gram rules); integer counts + exact divisions, the
+    // top-gram tie resolved identically both sides (count desc, gram
+    // asc) — hash-replayable
+    "text_gopher_repetition" -> ((s, d) => {
+      graft.operators.QualityRules.gopherRepetition(
+          Tables.documents(s, d).withColumn("text", repetitionDecorated),
+          "doc_id", "text")
         .orderBy("doc_id")
     }),
     // E17: the C4 line/page filter over deterministically rendered
@@ -2606,6 +2625,56 @@ object SparkEntry {
           |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
           |   AND alpha_word_frac >= 0.8 AND n_stop_distinct >= 2) AS pass
           |FROM g ORDER BY doc_id""".stripMargin,
+      // replays the repetition rules: dup-line fractions in list
+      // arithmetic, top n-gram via unnest + count + (count desc, gram
+      // asc) pick — the same tie rule the in-row sorted fold applies
+      "text_gopher_repetition" ->
+        """WITH dec AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 8 = 0 THEN chr(10) || 'repeated chrome line here' || chr(10) || 'repeated chrome line here' || chr(10) || 'repeated chrome line here' ELSE '' END ||
+          |    CASE WHEN doc_id % 12 = 0 THEN ' spam spam spam spam spam spam spam spam' ELSE '' END AS text
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+          |         string_split_regex(lower(trim(text)), '\s+') AS toks
+          |  FROM dec),
+          |m AS (
+          |  SELECT doc_id, text, toks,
+          |    CAST(len(ls) AS BIGINT) AS n_lines,
+          |    CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct,
+          |    CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) AS total_chars,
+          |    CAST(list_sum(list_transform(list_distinct(ls), x -> length(x))) AS BIGINT) AS distinct_chars
+          |  FROM l),
+          |b2 AS (
+          |  SELECT doc_id, g, COUNT(*) AS c FROM (
+          |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+          |      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+          |      ELSE []::VARCHAR[] END) AS g FROM l)
+          |  GROUP BY doc_id, g
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+          |b3 AS (
+          |  SELECT doc_id, g, COUNT(*) AS c FROM (
+          |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+          |      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
+          |      ELSE []::VARCHAR[] END) AS g FROM l)
+          |  GROUP BY doc_id, g
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+          |f AS (
+          |  SELECT m.doc_id,
+          |    CAST(m.n_lines - m.n_distinct AS DOUBLE) / CAST(m.n_lines AS DOUBLE) AS dup_line_frac,
+          |    CASE WHEN m.total_chars = 0 THEN 0.0
+          |         ELSE CAST(m.total_chars - m.distinct_chars AS DOUBLE) / CAST(m.total_chars AS DOUBLE) END AS dup_line_char_frac,
+          |    COALESCE(CAST(b2.c * length(b2.g) AS DOUBLE) / CAST(length(m.text) AS DOUBLE), 0.0) AS top2gram_char_frac,
+          |    COALESCE(CAST(b3.c * length(b3.g) AS DOUBLE) / CAST(length(m.text) AS DOUBLE), 0.0) AS top3gram_char_frac
+          |  FROM m LEFT JOIN b2 ON m.doc_id = b2.doc_id LEFT JOIN b3 ON m.doc_id = b3.doc_id)
+          |SELECT doc_id, dup_line_frac, dup_line_char_frac, top2gram_char_frac, top3gram_char_frac,
+          |  (dup_line_frac <= 0.30) AS pass_dup_lines,
+          |  (dup_line_char_frac <= 0.20) AS pass_dup_line_chars,
+          |  (top2gram_char_frac <= 0.20) AS pass_top2gram,
+          |  (top3gram_char_frac <= 0.18) AS pass_top3gram,
+          |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+          |   AND top2gram_char_frac <= 0.20 AND top3gram_char_frac <= 0.18) AS pass
+          |FROM f ORDER BY doc_id""".stripMargin,
       // replays the C4 gate: rendered page, line predicates (terminal
       // punctuation / word floor / javascript), page kills
       "text_c4_filters" ->

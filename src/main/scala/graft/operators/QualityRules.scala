@@ -147,6 +147,107 @@ object QualityRules {
         passEllipsis && passAlpha && passStop))
   }
 
+  /** Gopher repetition-rule thresholds (defaults = the published
+    * Appendix A1.1 repetition table values).
+    */
+  final case class RepetitionThresholds(
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxTop2GramCharFrac: Double = 0.20,
+      maxTop3GramCharFrac: Double = 0.18)
+
+  /** The OTHER half of the Gopher rule set — the repetition filters
+    * (Rae et al. 2021, Appendix A1.1 repetition table), complementing
+    * [[gopher]]'s quality rules. Within-document repetition is the
+    * signature of templated/spammy/looping pages, and these rules are
+    * the published cut-offs:
+    *  - duplicate-LINE fraction: (n_lines − n_distinct_lines)/n_lines
+    *    — the share of line occurrences beyond each line's first;
+    *  - duplicate-line CHARACTER fraction: the same mass weighted by
+    *    line length (total line chars − distinct-line chars)/total;
+    *  - top n-gram character fraction (n = 2, 3): occurrences of the
+    *    most frequent token n-gram × its character length (tokens
+    *    joined with one space), over the document's character length —
+    *    ties on count resolve to the lexicographically smallest gram
+    *    (both sides scan grams in sorted order, so the tie rule is
+    *    "first in sort order", engine-independent for ASCII tokens).
+    * (Gopher also cuts on duplicate PARAGRAPHS; with the corpus-wide
+    * one-line-per-unit rendering, paragraphs ≡ lines here — callers
+    * with blank-line-separated paragraphs re-split and reuse the same
+    * line rules. The longer top-gram tails (n = 4..10) follow the
+    * identical shape; the E6 repetition signal and C12 span dedup
+    * cover the duplicated-window family corpus-wide.)
+    *
+    * Map-only like [[gopher]]: line stats are in-row array folds, the
+    * top-gram search is an in-row fold over the SORTED gram array
+    * (run-length of equal neighbors — no per-doc hash map, no
+    * shuffle). Integer counts + exact IEEE divisions ⇒ a SQL oracle
+    * replays every measure and flag.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+                       t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {
+    val txt = F.col(textCol)
+    val toks = T.tokens(txt)
+    val lines = F.split(txt, "\n")
+
+    val nLines = F.size(lines).cast("long")
+    val nDistinct = F.size(F.array_distinct(lines)).cast("long")
+    val dupLineFrac = (nLines - nDistinct).cast("double") / nLines.cast("double")
+
+    def charSum(arr: Column): Column = F.aggregate(arr, F.lit(0L),
+      (acc: Column, l: Column) => acc + F.length(l).cast("long"))
+    val totalLineChars = charSum(lines)
+    val distinctLineChars = charSum(F.array_distinct(lines))
+    val dupLineCharFrac = F.when(totalLineChars === 0, F.lit(0.0))
+      .otherwise((totalLineChars - distinctLineChars).cast("double") /
+        totalLineChars.cast("double"))
+
+    // most-frequent token n-gram via a run-length fold over the sorted
+    // gram array: (prev, run, best_run, best_gram); a later gram only
+    // replaces on a STRICTLY longer run, so equal counts keep the
+    // lexicographically smallest (first-in-sort-order) gram
+    def topGramFrac(n: Int): Column = {
+      val grams = F.when(F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+          (i: Column) => F.concat_ws(" ",
+            (0 until n).map(o => F.element_at(toks, i + o)): _*)))
+        .otherwise(F.array().cast("array<string>"))
+      val zero = F.struct(F.lit("").as("prev"), F.lit(0L).as("run"),
+        F.lit(0L).as("best_run"), F.lit("").as("best_gram"))
+      val best = F.aggregate(F.array_sort(grams), zero,
+        (a: Column, g: Column) => {
+          val run = F.when(g === a.getField("prev"), a.getField("run") + 1L).otherwise(F.lit(1L))
+          val better = run > a.getField("best_run")
+          F.struct(g.as("prev"), run.as("run"),
+            F.when(better, run).otherwise(a.getField("best_run")).as("best_run"),
+            F.when(better, g).otherwise(a.getField("best_gram")).as("best_gram"))
+        })
+      F.when(F.length(txt) === 0 || best.getField("best_run") === 0, F.lit(0.0))
+        .otherwise(
+          (best.getField("best_run") * F.length(best.getField("best_gram")).cast("long"))
+            .cast("double") / F.length(txt).cast("double"))
+    }
+    val top2 = topGramFrac(2)
+    val top3 = topGramFrac(3)
+
+    val passDupLines = dupLineFrac <= t.maxDupLineFrac
+    val passDupChars = dupLineCharFrac <= t.maxDupLineCharFrac
+    val passTop2 = top2 <= t.maxTop2GramCharFrac
+    val passTop3 = top3 <= t.maxTop3GramCharFrac
+
+    docs.select(
+      F.col(idCol),
+      dupLineFrac.as("dup_line_frac"),
+      dupLineCharFrac.as("dup_line_char_frac"),
+      top2.as("top2gram_char_frac"),
+      top3.as("top3gram_char_frac"),
+      passDupLines.as("pass_dup_lines"),
+      passDupChars.as("pass_dup_line_chars"),
+      passTop2.as("pass_top2gram"),
+      passTop3.as("pass_top3gram"),
+      (passDupLines && passDupChars && passTop2 && passTop3).as("pass"))
+  }
+
   /** C4 line/page filters (Raffel et al. 2020 §2.2), as a
     * per-document report with the cleaned text:
     *  - a LINE survives iff, after trimming, it ends in a terminal

@@ -119,6 +119,62 @@ class QualityRulesSpec extends SparkSuite {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  test("gopherRepetition: measures match a hand-computed reference") {
+    // doc 0: "a b\nc d\na b\ne f" — line "a b" duplicated once
+    //   dup_line_frac = 1/4; chars: total 12, distinct 9 → 3/12
+    //   grams: "a b"×2 (from the flattened token stream: a b c d a b e f
+    //   → "a b" appears twice, also "b c","d a","b e"… top2 = "a b"
+    //   count 2, len 3 → 6/len(text)=6/15
+    val docs = Seq(
+      (0L, "a b\nc d\na b\ne f"),
+      // doc 1: heavy phrase run — "x x" bigram count 5, "x x x" count 4
+      (1L, "x x x x x x"),
+      // doc 2: no repetition at all
+      (2L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val r = QualityRules.gopherRepetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val d0 = r(0)
+    assert(d0.getAs[Double]("dup_line_frac") === 0.25)
+    assert(d0.getAs[Double]("dup_line_char_frac") === 3.0 / 12.0)
+    assert(d0.getAs[Double]("top2gram_char_frac") === 6.0 / 15.0)
+
+    val d1 = r(1)
+    assert(d1.getAs[Double]("top2gram_char_frac") === (5.0 * 3.0) / 11.0)
+    assert(d1.getAs[Double]("top3gram_char_frac") === (4.0 * 5.0) / 11.0)
+    assert(!d1.getAs[Boolean]("pass"))
+
+    val d2 = r(2)
+    assert(d2.getAs[Double]("dup_line_frac") === 0.0)
+    // every bigram unique: count 1 — "alpha beta" len 10 over 22 chars
+    assert(d2.getAs[Double]("top2gram_char_frac") === 10.0 / 22.0)
+  }
+
+  test("gopherRepetition: top-gram count ties resolve to the lexicographically smallest gram") {
+    // "b a b a" → bigrams: "b a"×2, "a b"×1  → top = "b a" (count wins)
+    // "c d a b c d a b" → "c d"×2, "a b"×2, "d a"×2, "b c"×1 → tie on 2
+    //   → smallest gram "a b" (len 3): frac = 6/15
+    val docs = Seq((0L, "c d a b c d a b")).toDF("doc_id", "text")
+    val r = QualityRules.gopherRepetition(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Double]("top2gram_char_frac") === 6.0 / 15.0)
+  }
+
+  test("gopherRepetition is map-only and fires both ways on the decorated fixture") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val g = QualityRules.gopherRepetition(
+      base.withColumn("text", SparkEntry.repetitionDecorated), "doc_id", "text")
+    assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+    val flags = Seq("pass_dup_lines", "pass_dup_line_chars", "pass_top2gram", "pass_top3gram")
+    val agg = g.agg(F.count(F.lit(1)).as("n"),
+      flags.map(f => F.sum(F.when(F.col(f), 1).otherwise(0)).as(f)): _*).collect().head
+    val n = agg.getAs[Long]("n")
+    for (f <- flags) {
+      val k = agg.getAs[Long](f)
+      assert(k > 0 && k < n, s"rule $f must fire both ways on the fixture: $k/$n")
+    }
+  }
+
   test("gopherPass gate column is bit-identical to the report's pass column") {
     val report = QualityRules.gopher(docs, "doc_id", "text", thresholds)
       .select("doc_id", "pass")
