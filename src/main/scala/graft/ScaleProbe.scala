@@ -58,23 +58,33 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     buildIfAbsent(spark, sfDir)
 
-    val ops = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
+    // optional trailing args: probe only these driver-query ops (the
+    // named probes below still run unless any filter is given)
+    val only = args.toSet
+    val allOps = Seq("fx_daily_report", "fx_merge_upsert", "fx_asof_rate", "fx_gapfill",
       "fx_completeness",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
       "dedup_spans",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
       "text_chunk", "text_chunk_lines", "text_classifier_score", "text_bigram_surprisal",
-      "text_gopher_rules", "text_c4_filters",
+      "text_gopher_rules", "text_gopher_repetition", "text_gopher_dup_ngrams",
+      "text_c4_filters",
       "corpus_mix", "pack_sequences", "sample_apportioned",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
       "ann_pq_topk")
+    val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
       val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
       val big = time(force(SparkEntry.queries(name)(spark, root)))
       f"""{"op":"$name","base_sec":$base%.2f,"scaled_sec":$big%.2f}"""
+    }
+    if (only.nonEmpty) { // filtered run: driver-query ops only
+      println("{\"probe\":\"scale\",\"ops\":[" + rows.mkString(",") + "]}")
+      spark.stop()
+      return
     }
 
     // D4: cell-partitioned ANN layout — layout build is a one-time

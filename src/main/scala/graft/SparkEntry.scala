@@ -94,6 +94,21 @@ object SparkEntry {
     F.when(F.col("doc_id") % 12 === 0,
       " spam spam spam spam spam spam spam spam").otherwise(""))
 
+  // E16c fixture: %4 docs gain a 12-token phrase repeated twice (dup
+  // n-grams for every n <= 12 — the fail side of all six rules); %6
+  // docs gain a 5-token phrase repeated twice (dup 5-grams ONLY, and
+  // whether the 5-gram rule fires depends on the doc's own length —
+  // both ways within the %6 cohort)
+  private[graft] val dupPhraseLong: String =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+  private[graft] val dupPhraseShort: String = "foo bar baz qux quux"
+  private[graft] def dupNGramDecorated: Column = F.concat(
+    F.col("text"),
+    F.when(F.col("doc_id") % 4 === 0,
+      s" $dupPhraseLong $dupPhraseLong").otherwise(""),
+    F.when(F.col("doc_id") % 6 === 0,
+      s" $dupPhraseShort $dupPhraseShort").otherwise(""))
+
   private[graft] def c4Decorated: Column = F.concat(
     F.lit("Opening sentence number "), F.col("doc_id").cast("string"),
     F.lit(" stands here.\n"), F.col("text"),
@@ -1340,6 +1355,16 @@ object SparkEntry {
     "text_gopher_repetition" -> ((s, d) => {
       graft.operators.QualityRules.gopherRepetition(
           Tables.documents(s, d).withColumn("text", repetitionDecorated),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // E16c: the duplicated-n-gram tail (n=5..10) of the Gopher
+    // repetition table over phrase-run decorated documents; union
+    // char-coverage accounting is all-integer, so the oracle replays
+    // the dup dictionary, per-position flags, and covered-char fold
+    "text_gopher_dup_ngrams" -> ((s, d) => {
+      graft.operators.QualityRules.gopherDupNGrams(
+          Tables.documents(s, d).withColumn("text", dupNGramDecorated),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -2659,22 +2684,86 @@ object SparkEntry {
           |      ELSE []::VARCHAR[] END) AS g FROM l)
           |  GROUP BY doc_id, g
           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+          |b4 AS (
+          |  SELECT doc_id, g, COUNT(*) AS c FROM (
+          |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 4
+          |      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in range(1, len(toks) - 2)]
+          |      ELSE []::VARCHAR[] END) AS g FROM l)
+          |  GROUP BY doc_id, g
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
           |f AS (
           |  SELECT m.doc_id,
           |    CAST(m.n_lines - m.n_distinct AS DOUBLE) / CAST(m.n_lines AS DOUBLE) AS dup_line_frac,
           |    CASE WHEN m.total_chars = 0 THEN 0.0
           |         ELSE CAST(m.total_chars - m.distinct_chars AS DOUBLE) / CAST(m.total_chars AS DOUBLE) END AS dup_line_char_frac,
           |    COALESCE(CAST(b2.c * length(b2.g) AS DOUBLE) / CAST(length(m.text) AS DOUBLE), 0.0) AS top2gram_char_frac,
-          |    COALESCE(CAST(b3.c * length(b3.g) AS DOUBLE) / CAST(length(m.text) AS DOUBLE), 0.0) AS top3gram_char_frac
-          |  FROM m LEFT JOIN b2 ON m.doc_id = b2.doc_id LEFT JOIN b3 ON m.doc_id = b3.doc_id)
-          |SELECT doc_id, dup_line_frac, dup_line_char_frac, top2gram_char_frac, top3gram_char_frac,
+          |    COALESCE(CAST(b3.c * length(b3.g) AS DOUBLE) / CAST(length(m.text) AS DOUBLE), 0.0) AS top3gram_char_frac,
+          |    COALESCE(CAST(b4.c * length(b4.g) AS DOUBLE) / CAST(length(m.text) AS DOUBLE), 0.0) AS top4gram_char_frac
+          |  FROM m LEFT JOIN b2 ON m.doc_id = b2.doc_id LEFT JOIN b3 ON m.doc_id = b3.doc_id
+          |         LEFT JOIN b4 ON m.doc_id = b4.doc_id)
+          |SELECT doc_id, dup_line_frac, dup_line_char_frac, top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
           |  (dup_line_frac <= 0.30) AS pass_dup_lines,
           |  (dup_line_char_frac <= 0.20) AS pass_dup_line_chars,
           |  (top2gram_char_frac <= 0.20) AS pass_top2gram,
           |  (top3gram_char_frac <= 0.18) AS pass_top3gram,
+          |  (top4gram_char_frac <= 0.16) AS pass_top4gram,
           |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
-          |   AND top2gram_char_frac <= 0.20 AND top3gram_char_frac <= 0.18) AS pass
+          |   AND top2gram_char_frac <= 0.20 AND top3gram_char_frac <= 0.18
+          |   AND top4gram_char_frac <= 0.16) AS pass
           |FROM f ORDER BY doc_id""".stripMargin,
+      // replays the duplicated-n-gram tail per n: gram lists, the
+      // dup dictionary (GROUP BY ... HAVING count >= 2), per-position
+      // flags, and the windowed-exists covered-char fold — all list
+      // arithmetic, joined across the six n values
+      "text_gopher_dup_ngrams" -> {
+        val ns = Seq(5 -> "0.15", 6 -> "0.14", 7 -> "0.13", 8 -> "0.12",
+          9 -> "0.11", 10 -> "0.10")
+        val perN = ns.map { case (n, _) =>
+          s"""g$n AS (
+             |  SELECT doc_id, toks,
+             |    CASE WHEN len(toks) >= $n
+             |      THEN [array_to_string(toks[i:i+${n - 1}], ' ') for i in range(1, len(toks) - ${n - 2})]
+             |      ELSE []::VARCHAR[] END AS gp
+             |  FROM l),
+             |d$n AS (
+             |  SELECT doc_id, list(g) AS dups FROM (
+             |    SELECT doc_id, g FROM (SELECT doc_id, unnest(gp) AS g FROM g$n) t$n
+             |    GROUP BY doc_id, g HAVING COUNT(*) >= 2) h$n
+             |  GROUP BY doc_id),
+             |v$n AS (
+             |  SELECT c.doc_id,
+             |    CAST(list_sum(list_transform(range(1, len(c.toks) + 1),
+             |      j -> CASE WHEN len(list_filter(c.f[greatest(1, j - ${n - 1}):least(j, len(c.f))], x -> x)) > 0
+             |                THEN length(c.toks[j]) ELSE 0 END)) AS BIGINT) AS cov
+             |  FROM (SELECT g$n.doc_id, toks,
+             |          list_transform(gp, x -> coalesce(list_contains(d$n.dups, x), false)) AS f
+             |        FROM g$n LEFT JOIN d$n ON g$n.doc_id = d$n.doc_id) c)""".stripMargin
+        }
+        val fracCols = ns.map { case (n, _) =>
+          s"CASE WHEN total = 0 THEN 0.0 ELSE CAST(v$n.cov AS DOUBLE) / CAST(total AS DOUBLE) END AS dup${n}gram_char_frac"
+        }
+        val joins = ns.map { case (n, _) => s"JOIN v$n ON tot.doc_id = v$n.doc_id" }
+        val flagCols = ns.map { case (n, thr) =>
+          s"(dup${n}gram_char_frac <= $thr) AS pass_dup${n}gram"
+        }
+        val conj = ns.map { case (n, thr) => s"dup${n}gram_char_frac <= $thr" }
+          .mkString(" AND ")
+        s"""WITH dec AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' $dupPhraseLong $dupPhraseLong' ELSE '' END ||
+           |    CASE WHEN doc_id % 6 = 0 THEN ' $dupPhraseShort $dupPhraseShort' ELSE '' END AS text
+           |  FROM documents),
+           |l AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM dec),
+           |${perN.mkString(",\n")},
+           |tot AS (SELECT doc_id, CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total FROM l),
+           |fr AS (
+           |  SELECT tot.doc_id, ${fracCols.mkString(",\n    ")}
+           |  FROM tot ${joins.mkString(" ")})
+           |SELECT doc_id, ${ns.map { case (n, _) => s"dup${n}gram_char_frac" }.mkString(", ")},
+           |  ${flagCols.mkString(",\n  ")},
+           |  ($conj) AS pass
+           |FROM fr ORDER BY doc_id""".stripMargin
+      },
       // replays the C4 gate: rendered page, line predicates (terminal
       // punctuation / word floor / javascript), page kills
       "text_c4_filters" ->

@@ -165,7 +165,66 @@ class QualityRulesSpec extends SparkSuite {
     val g = QualityRules.gopherRepetition(
       base.withColumn("text", SparkEntry.repetitionDecorated), "doc_id", "text")
     assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
-    val flags = Seq("pass_dup_lines", "pass_dup_line_chars", "pass_top2gram", "pass_top3gram")
+    val flags = Seq("pass_dup_lines", "pass_dup_line_chars",
+      "pass_top2gram", "pass_top3gram", "pass_top4gram")
+    val agg = g.agg(F.count(F.lit(1)).as("n"),
+      flags.map(f => F.sum(F.when(F.col(f), 1).otherwise(0)).as(f)): _*).collect().head
+    val n = agg.getAs[Long]("n")
+    for (f <- flags) {
+      val k = agg.getAs[Long](f)
+      assert(k > 0 && k < n, s"rule $f must fire both ways on the fixture: $k/$n")
+    }
+  }
+
+  test("gopherDupNGrams: coverage union matches a hand-computed reference") {
+    val docs = Seq(
+      // "a b c d e" repeated with an x tail: dup 5-gram "a b c d e" at
+      // gram positions 1 and 6 of 7; coverage union = tokens 1..10 of
+      // 11 → 10 covered chars / 11 total; no dup 6..10-grams
+      (0L, "a b c d e a b c d e x"),
+      // 6 identical tokens: both 5-gram windows equal → all 6 tokens
+      // covered → frac 1.0; single 6-gram window can't duplicate → 0
+      (1L, "x x x x x x"),
+      // empty text tokenizes to [""] with zero total chars → all 0.0,
+      // all rules pass (vacuously clean, not a crash)
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val r = QualityRules.gopherDupNGrams(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val d0 = r(0)
+    assert(d0.getAs[Double]("dup5gram_char_frac") === 10.0 / 11.0)
+    for (n <- 6 to 10)
+      assert(d0.getAs[Double](s"dup${n}gram_char_frac") === 0.0, s"n=$n")
+    assert(!d0.getAs[Boolean]("pass_dup5gram") && d0.getAs[Boolean]("pass_dup6gram"))
+
+    val d1 = r(1)
+    assert(d1.getAs[Double]("dup5gram_char_frac") === 1.0)
+    assert(d1.getAs[Double]("dup6gram_char_frac") === 0.0)
+
+    val d2 = r(2)
+    for (n <- 5 to 10)
+      assert(d2.getAs[Double](s"dup${n}gram_char_frac") === 0.0, s"n=$n")
+    assert(d2.getAs[Boolean]("pass"))
+  }
+
+  test("gopherDupNGrams: overlapping duplicate windows count characters once") {
+    // "p q r s t p q r s t p q r s t" (period-5 run of 15 tokens):
+    // every 5..10-gram window inside the run repeats 5 positions later,
+    // so ALL 15 tokens are covered for n=5..10 → frac 1.0 everywhere —
+    // a sum over occurrences would exceed 1, the union cannot
+    val docs = Seq((0L, "p q r s t p q r s t p q r s t")).toDF("doc_id", "text")
+    val r = QualityRules.gopherDupNGrams(docs, "doc_id", "text").collect().head
+    for (n <- 5 to 10)
+      assert(r.getAs[Double](s"dup${n}gram_char_frac") === 1.0, s"n=$n")
+  }
+
+  test("gopherDupNGrams is map-only and fires both ways on the decorated fixture") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val g = QualityRules.gopherDupNGrams(
+      base.withColumn("text", SparkEntry.dupNGramDecorated), "doc_id", "text")
+    assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+    val flags = (5 to 10).map(n => s"pass_dup${n}gram")
     val agg = g.agg(F.count(F.lit(1)).as("n"),
       flags.map(f => F.sum(F.when(F.col(f), 1).otherwise(0)).as(f)): _*).collect().head
     val n = agg.getAs[Long]("n")
