@@ -70,7 +70,7 @@ object ScaleProbe {
       "text_chunk", "text_chunk_lines", "text_classifier_score", "text_bigram_surprisal",
       "text_gopher_rules", "text_gopher_repetition", "text_gopher_dup_ngrams",
       "text_c4_filters",
-      "corpus_mix", "pack_sequences", "sample_apportioned",
+      "corpus_mix", "pack_sequences", "sample_apportioned", "sample_dsir",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
       "ann_pq_topk")

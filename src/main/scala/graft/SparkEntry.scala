@@ -99,6 +99,19 @@ object SparkEntry {
   // docs gain a 5-token phrase repeated twice (dup 5-grams ONLY, and
   // whether the 5-gram rule fires depends on the doc's own length —
   // both ways within the %6 cohort)
+  // S11 fixture: md5-derived integer centi-nat weights (±1000) per
+  // bucket — the same 52-bit md5-prefix law the oracle replays, so the
+  // driver query needs no libm fit
+  private[graft] val dsirBuckets = 4096
+  private[graft] lazy val dsirFixtureWeights: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dsirBuckets).map { b =>
+      val hex = md.digest(s"w:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+    }.toArray
+  }
+
   private[graft] val dupPhraseLong: String =
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
   private[graft] val dupPhraseShort: String = "foo bar baz qux quux"
@@ -1100,6 +1113,17 @@ object SparkEntry {
       graft.operators.Sampling.apportionedSample(docs, Seq("source"), "doc_id", 100, Some(w))
         .orderBy("source", "doc_id")
     }),
+    // S11: DSIR importance-scored selection — hashed unigram+bigram
+    // buckets folded against a weight table riding the plan as a
+    // literal (map-only), then the bounded top-k aggregate; the
+    // fixture weight table is md5-derived integer centi-nats so DuckDB
+    // replays hashing, scoring, and the (score DESC, id) pick exactly
+    // (the real fit path is DsirSpec's job — its ln() is libm)
+    "sample_dsir" -> ((s, d) => {
+      val scored = graft.operators.Dsir.score(
+        Tables.documents(s, d), "doc_id", "text", dsirFixtureWeights)
+      graft.operators.Dsir.selectTopK(scored, "doc_id", 100).orderBy("rank")
+    }),
     // corpus mixing: √-temperature source re-weighting before the
     // training mix — rare sources keep more, the web-crawl-sized one
     // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
@@ -2000,6 +2024,23 @@ object SparkEntry {
           |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // replays S11 end to end: unigram+bigram stream, 52-bit
+      // md5-prefix bucket, the md5-derived centi-nat weight per bucket
+      // (same law the Scala fixture array is built from), integer sum,
+      // and the (score DESC, doc_id) top-100 pick
+      "sample_dsir" ->
+        s"""WITH l AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, list_concat(toks,
+           |        CASE WHEN len(toks) >= 2
+           |          THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+           |          ELSE []::VARCHAR[] END) AS grams FROM l),
+           |s AS (SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform(grams, x ->
+           |    (CAST(('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % $dsirBuckets AS VARCHAR)), 1, 13)) AS BIGINT) % 2001) - 1000)), 0) AS BIGINT) AS dsir_score
+           |  FROM g)
+           |SELECT doc_id, dsir_score,
+           |  CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS INT) AS rank
+           |FROM s QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
       "sample_top_fraction" ->
         """WITH sc AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS score FROM documents),
           |th AS (SELECT source, quantile_cont(score, 0.5) AS thr FROM sc GROUP BY source)
