@@ -65,7 +65,7 @@ object ScaleProbe {
       "fx_completeness",
       "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_text_droplist",
       "dedup_embedding_lsh", "dedup_embedding_droplist", "dedup_clusters", "dedup_lines",
-      "dedup_spans",
+      "dedup_spans", "dedup_semantic",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
       "text_chunk", "text_chunk_lines", "text_classifier_score", "text_bigram_surprisal",
       "text_gopher_rules", "text_gopher_repetition", "text_gopher_dup_ngrams",

@@ -112,6 +112,21 @@ object SparkEntry {
     }.toArray
   }
 
+  // C13 fixture: the embeddings table has no natural near-dups (max
+  // pairwise cosine ≈ 0.51), so inject replicas — ×2-scaled copies
+  // (cosine exactly 1 but different BYTES: semantic, not byte
+  // equality; ×2 is float-exact so both engines see identical bits)
+  // and exact copies, with %40 ids forming 3-member transitive chains
+  private[graft] def semanticFixture(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = e.select("vec_id", "embedding")
+    val scaled = e.filter(F.col("vec_id") % 20 === 0)
+      .select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.transform(F.col("embedding"), (x: Column) => x * F.lit(2.0f)).as("embedding"))
+    val exact = e.filter(F.col("vec_id") % 40 === 0)
+      .select((F.col("vec_id") + 20000L).as("vec_id"), F.col("embedding"))
+    base.unionByName(scaled).unionByName(exact)
+  }
+
   private[graft] val dupPhraseLong: String =
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
   private[graft] val dupPhraseShort: String = "foo bar baz qux quux"
@@ -1042,6 +1057,18 @@ object SparkEntry {
       val pairs = Dedup.embeddingPairs(
         Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.35)
       Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+    }),
+    // C13: SemDeDup over the replica-decorated embeddings with PINNED
+    // centroids (the D3b recipe: every 128th vector verbatim), so
+    // assignment, within-cell pairs, components, and the
+    // boundary-keep rule (lowest cos-to-centroid, id tie) are all
+    // deterministic double arithmetic the oracle replays term-for-term
+    "dedup_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(F.col("vec_id") % 128 === 3)
+        .select(F.col("vec_id").as("cell"), F.col("embedding").as("centroid"))
+      Dedup.semanticDedup(semanticFixture(e), "vec_id", "embedding", cent, tau = 0.98)
+        .orderBy("vec_id")
     }),
 
     // int8 embedding quantization (4× storage/shuffle-width cut for the
@@ -2284,6 +2311,62 @@ object SparkEntry {
           |SELECT r.id, r.root, c.cluster_size
           |FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)
           |ORDER BY id""".stripMargin,
+      // term-for-term SemDeDup replay: decorated corpus, pinned-cell
+      // assignment (normalized-centroid dot, lowest cell on ties),
+      // within-cell pairs at cos >= 0.98, recursive-CTE components
+      // (min-root, the C9 contract), keep = per-root argmin of
+      // (cos_to_centroid, id)
+      "dedup_semantic" ->
+        s"""WITH RECURSIVE
+          |ed AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 20 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id % 40 = 0),
+          |cent AS (
+          |  SELECT vec_id AS cell, embedding AS c,
+          |         sqrt(${dot("embedding", "embedding")}) AS nrm
+          |  FROM embeddings WHERE vec_id % 128 = 3),
+          |cn AS (
+          |  SELECT cell, c, nrm,
+          |         list_transform(c, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+          |                                     ELSE CAST(x AS DOUBLE) / nrm END) AS cnorm
+          |  FROM cent),
+          |assign AS (
+          |  SELECT e.vec_id, cn.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |           ORDER BY ${dot("e.embedding", "cn.cnorm")} DESC, cn.cell ASC) AS rn
+          |  FROM ed e CROSS JOIN cn),
+          |a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+          |cc AS (
+          |  SELECT a.vec_id, a.cell, ${cosSql("e.embedding", "cn.c")} AS ccos
+          |  FROM a JOIN ed e USING (vec_id) JOIN cn ON cn.cell = a.cell),
+          |p AS (
+          |  SELECT ax.vec_id AS id_a, ay.vec_id AS id_b
+          |  FROM a ax JOIN a ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+          |       JOIN ed ex ON ex.vec_id = ax.vec_id
+          |       JOIN ed ey ON ey.vec_id = ay.vec_id
+          |  WHERE ${cosSql("ex.embedding", "ey.embedding")} >= 0.98),
+          |e2 AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+          |reach AS (
+          |  SELECT u AS id, v AS r FROM e2
+          |  UNION
+          |  SELECT e2.u, reach.r FROM e2 JOIN reach ON e2.v = reach.id),
+          |rt AS (SELECT id, LEAST(id, MIN(r)) AS root FROM reach GROUP BY id),
+          |kp AS (
+          |  SELECT root, id AS keep_id FROM (
+          |    SELECT rt.root, rt.id,
+          |           row_number() OVER (PARTITION BY rt.root ORDER BY cc.ccos ASC, rt.id ASC) AS krn
+          |    FROM rt JOIN cc ON cc.vec_id = rt.id) t
+          |  WHERE krn = 1)
+          |SELECT cc.vec_id, cc.cell, COALESCE(rt.root, cc.vec_id) AS component,
+          |       cc.ccos AS cos_centroid,
+          |       (rt.id IS NULL OR cc.vec_id = kp.keep_id) AS keep
+          |FROM cc LEFT JOIN rt ON rt.id = cc.vec_id
+          |        LEFT JOIN kp ON kp.root = rt.root
+          |ORDER BY vec_id""".stripMargin,
       "pack_shuffle" ->
         """WITH h AS (
           |  SELECT doc_id,

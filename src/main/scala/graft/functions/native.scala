@@ -161,6 +161,101 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Duplicated-n-gram character coverage for the Gopher repetition
+  * tail (E16c), all n values in ONE pass per row: for each n, a token
+  * n-gram (tokens joined with one space, null tokens absent — the
+  * `concat_ws` law of the HOF spelling) occurring ≥ 2 times marks its
+  * window's token positions covered; the per-n covered count is the
+  * sum of covered tokens' character lengths, union semantics
+  * (overlaps count once). Returns (total_chars, covered[ns.length]).
+  *
+  * The Column-composed spelling costs 6 gram builds + 6 sorts + 6
+  * interpreted folds per row (8.1 s at sf0.1 even fully staged); this
+  * is one JIT'd loop with a hash-map count per n — same math,
+  * QualityRulesSpec pins bit-equality against the HOF path.
+  */
+case class DupNGramCoverage(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ns.nonEmpty && ns.forall(_ >= 2) && ns == ns.distinct,
+    s"n-gram sizes must be distinct and >= 2: $ns")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_chars", LongType, nullable = false),
+    StructField("covered", ArrayType(LongType, containsNull = false), nullable = false)))
+  private val space = UTF8String.fromString(" ")
+  @transient private lazy val nArr = ns.toArray
+
+  def compute(arr: ArrayData): InternalRow = {
+    val t = arr.numElements()
+    val toks = new Array[UTF8String](t)
+    val lens = new Array[Long](t)
+    var total = 0L
+    var i = 0
+    while (i < t) {
+      if (!arr.isNullAt(i)) {
+        toks(i) = arr.getUTF8String(i)
+        lens(i) = toks(i).numChars().toLong
+        total += lens(i)
+      }
+      i += 1
+    }
+    val covered = new Array[Any](nArr.length)
+    var k = 0
+    while (k < nArr.length) {
+      val n = nArr(k)
+      val m = t - n + 1
+      if (m <= 0) covered(k) = 0L
+      else {
+        // gram strings (null tokens absent, concat_ws law)
+        val grams = new Array[UTF8String](m)
+        val counts = new java.util.HashMap[UTF8String, Integer](m * 2)
+        var g = 0
+        while (g < m) {
+          var present = 0
+          var j = 0
+          while (j < n) { if (toks(g + j) != null) present += 1; j += 1 }
+          val parts = new Array[UTF8String](present)
+          var p = 0
+          j = 0
+          while (j < n) {
+            if (toks(g + j) != null) { parts(p) = toks(g + j); p += 1 }
+            j += 1
+          }
+          val s = UTF8String.concatWs(space, parts: _*)
+          grams(g) = s
+          val prev = counts.get(s)
+          counts.put(s, Integer.valueOf(if (prev == null) 1 else prev.intValue() + 1))
+          g += 1
+        }
+        // union coverage of duplicate-gram windows
+        val cov = new Array[Boolean](t)
+        g = 0
+        while (g < m) {
+          if (counts.get(grams(g)).intValue() >= 2) {
+            var j = g
+            val hi = g + n
+            while (j < hi) { cov(j) = true; j += 1 }
+          }
+          g += 1
+        }
+        var c = 0L
+        i = 0
+        while (i < t) { if (cov(i)) c += lens(i); i += 1 }
+        covered(k) = c
+      }
+      k += 1
+    }
+    InternalRow(total, new GenericArrayData(covered))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupNGramCoverage", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DupNGramCoverage =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float vectors, products and accumulation
   * in double precision, sequential order — semantics chosen to be
   * bit-identical to both the Column-composed form
@@ -1098,6 +1193,8 @@ object native {
     Bridge.column(RebuildSpans(Bridge.expression(tokens), Bridge.expression(starts), k))
   def word_shingles(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
+  def dup_ngram_coverage(tokens: Column, ns: Seq[Int]): Column =
+    Bridge.column(DupNGramCoverage(Bridge.expression(tokens), ns))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def hyperplane_sig(vec: Column, planes: Int, seed: Long = 42L): Column =

@@ -465,6 +465,71 @@ object Dedup {
     members.join(sizes, "root").select("id", "root", "cluster_size")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — cluster-bounded
+    * semantic dedup over an embedding column. The published recipe:
+    * k-means-cluster the embeddings, compare pairs ONLY within a
+    * cluster (clustering is what makes all-pairs tractable at
+    * web scale), connect pairs with cosine ≥ `tau`, and keep per
+    * duplicate group the member with the LOWEST cosine to its cluster
+    * centroid — the paper's rule: boundary examples carry more signal
+    * than the cluster's archetype.
+    *
+    * Composition of existing machinery: `centroids` is a
+    * [[Similarity.trainCentroids]] frame (or any pinned (cell,
+    * centroid) table — the persisted-artifact lifecycle; assignment is
+    * the map-only `nearest_cell` native expression, identical to the
+    * IVF routing), duplicate groups come from [[connectedComponents]]
+    * (cross-CELL edges cannot exist by construction, but transitive
+    * within-cell chains collapse exactly), and the keep rule is one
+    * `min_by` over (cos_to_centroid, id) per group.
+    *
+    * Output: one row per input vector — (idCol, cell, component,
+    * cos_centroid, keep); singletons keep themselves (component = own
+    * id). Filtering is `.where(col("keep"))`.
+    *
+    * Scale shape: one broadcast-assignment map pass, one self-join
+    * shuffled on cell (quadratic IN THE CELL — size cells via the
+    * centroid count so n/cells stays bounded; AQE splits residual hot
+    * cells), the C9 component rounds on the (much smaller) duplicate
+    * edge set, and two keyed joins to decorate. At 100 TB: cells ≈
+    * corpus/10⁴ keeps every cell's pair block in one task's reach, and
+    * the edge set entering connectedComponents is output-sized (only
+    * pairs ≥ tau), not corpus-sized.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, tau: Double,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val cent = Similarity.collectCentroids(centroids)
+    val assigned = vecs
+      .select(F.col(idCol).as("id"), F.col(vecCol).as("__v"))
+      .withColumn("__cell",
+        native.nearest_cell(F.col("__v"), cent.map(_._1).toSeq, cent.map(_._2).toSeq))
+    val withC = assigned
+      .join(F.broadcast(centroids.select(
+        F.col("cell").cast("long").as("__cell"), F.col("centroid").as("__c"))), Seq("__cell"))
+      .withColumn("__ccos", native.cosine_sim(F.col("__v"), F.col("__c")))
+      .select("id", "__cell", "__v", "__ccos")
+    val pairs = withC.select(F.col("id").as("id_a"), F.col("__cell"), F.col("__v").as("__va"))
+      .join(withC.select(F.col("id").as("id_b"), F.col("__cell"), F.col("__v").as("__vb")),
+        Seq("__cell"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .filter(native.cosine_sim(F.col("__va"), F.col("__vb")) >= tau)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs, "id_a", "id_b", checkpointDir = checkpointDir)
+    val joined = withC.join(comps.select(F.col("id"), F.col("root")), Seq("id"), "left")
+    // per group: keep the boundary member — lowest (cos_to_centroid, id)
+    val keepers = joined.filter(F.col("root").isNotNull)
+      .groupBy("root")
+      .agg(F.min_by(F.col("id"), F.struct(F.col("__ccos"), F.col("id"))).as("__keep_id"))
+    joined.join(keepers, Seq("root"), "left")
+      .select(F.col("id").as(idCol),
+        F.col("__cell").as("cell"),
+        F.coalesce(F.col("root"), F.col("id")).as("component"),
+        F.col("__ccos").as("cos_centroid"),
+        (F.col("root").isNull || F.col("id") === F.col("__keep_id")).as("keep"))
+  }
+
   /** Embedding near-dup pairs WITHOUT a blocking column: hyperplane-LSH
     * banding generates candidates (cross-cell capable), exact cosine
     * verifies. Asymmetric multiprobe keeps the self-join linear: one

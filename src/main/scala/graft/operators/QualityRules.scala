@@ -325,6 +325,24 @@ object QualityRules {
     */
   def gopherDupNGrams(docs: DataFrame, idCol: String, textCol: String,
                       t: DupNGramThresholds = DupNGramThresholds()): DataFrame = {
+    val ns = t.maxFracs.map(_._1).sorted
+    val s1 = docs.select(F.col(idCol), T.tokens(F.col(textCol)).as("__toks"))
+    val s2 = s1.select(F.col(idCol),
+      graft.functions.native.dup_ngram_coverage(F.col("__toks"), ns).as("__cov"))
+    val s5 = s2.select(F.col(idCol) +:
+      F.col("__cov").getField("total_chars").as("__total_chars") +:
+      ns.zipWithIndex.map { case (n, ix) =>
+        F.element_at(F.col("__cov").getField("covered"), ix + 1).as(s"__c$n")
+      }: _*)
+    dupNGramFinish(s5, idCol, t)
+  }
+
+  /** The Column-composed (HOF) spelling of [[gopherDupNGrams]] — kept
+    * as the readable executable specification the native expression is
+    * spec-pinned against (the WindowMd5/SortedJaccard discipline).
+    */
+  private[graft] def gopherDupNGramsHof(docs: DataFrame, idCol: String, textCol: String,
+                                        t: DupNGramThresholds = DupNGramThresholds()): DataFrame = {
     val ns = t.maxFracs.map(_._1)
     require(ns.nonEmpty && ns.forall(_ >= 2), s"n-gram sizes must be >= 2: $ns")
     require(ns == ns.distinct, s"duplicate n-gram sizes: $ns")
@@ -409,7 +427,12 @@ object QualityRules {
     val s5 = s4.select(F.col(idCol) +:
       charSumTokens(F.col("__toks")).as("__total_chars") +:
       nsSorted.map(n => coveredChars(F.col("__toks"), F.col(s"__f$n"), n).as(s"__c$n")): _*)
+    dupNGramFinish(s5, idCol, t)
+  }
 
+  /** Shared finish: (id, __total_chars, __c{n}…) → fracs + flags. */
+  private def dupNGramFinish(s5: DataFrame, idCol: String,
+                             t: DupNGramThresholds): DataFrame = {
     val fracs = t.maxFracs.map { case (n, _) =>
       n -> F.when(F.col("__total_chars") === 0, F.lit(0.0))
         .otherwise(F.col(s"__c$n").cast("double") / F.col("__total_chars").cast("double"))

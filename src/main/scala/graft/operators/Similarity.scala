@@ -188,7 +188,7 @@ object Similarity {
   /** Driver-side image of a centroid frame, sorted for deterministic
     * argmax tie-breaks (bounded: cells × dim).
     */
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+  private[operators] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
     centroids.select(F.col("cell").cast("long"), F.col("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

@@ -219,6 +219,19 @@ class QualityRulesSpec extends SparkSuite {
       assert(r.getAs[Double](s"dup${n}gram_char_frac") === 1.0, s"n=$n")
   }
 
+  test("gopherDupNGrams: native coverage expression is bit-identical to the HOF spelling") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("text", SparkEntry.dupNGramDecorated)
+    val crafted = Seq((9000L, "a b c d e a b c d e x"), (9001L, ""),
+      (9002L, "p q r s t p q r s t p q r s t"), (9003L, "lone"))
+      .toDF("doc_id", "text").withColumn("lang", F.lit("en"))
+      .withColumn("source", F.lit("t")).withColumn("n_chars", F.length(F.col("text")))
+    val docs = base.unionByName(crafted.select(base.columns.map(F.col): _*))
+    val a = QualityRules.gopherDupNGrams(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val b = QualityRules.gopherDupNGramsHof(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("gopherDupNGrams is map-only and fires both ways on the decorated fixture") {
     val base = spark.read.parquet(s"$sf/documents.parquet")
     val g = QualityRules.gopherDupNGrams(
