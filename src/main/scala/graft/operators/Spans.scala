@@ -81,4 +81,67 @@ object Spans {
       F.col("__r.kept").as(outCol),
       F.col("__r.dropped").as("tokens_dropped"))
   }
+
+  /** Span-level BENCHMARK DECONTAMINATION — cut from every corpus
+    * document each k-token window that appears verbatim anywhere in
+    * `bench` (an eval/benchmark corpus), keeping the remainder. This
+    * is the token-level decontamination modern pretraining runs apply
+    * (the Llama 3 / GPT-4 reports describe exactly this n-gram-overlap
+    * removal): [[InvertedIndex.contaminationPairs]] FLAGS contaminated
+    * documents for triage; this operator SURGICALLY removes the shared
+    * spans so the document's unique remainder still trains.
+    *
+    * Same window algebra as [[dropDuplicateSpans]] — a shared
+    * substring of length m ≥ k is a run of m−k+1 shared windows whose
+    * union is the substring — except the duplicate set is the BENCH
+    * window set rather than corpus-df ≥ minDf, so a span is cut even
+    * when exactly one corpus document carries it (df-based dedup would
+    * need the benchmark text to recur; contamination doesn't).
+    *
+    * Scale shape: the corpus-side pipeline is [[dropDuplicateSpans]]'s
+    * (staged split, native window md5, per-doc start lists bounded by
+    * the doc's own token count, O(n) native rebuild). The bench window
+    * set is eval-suite-sized — MBs, not corpus-sized — so the semi
+    * join broadcasts it by default (one map-side pass over the corpus,
+    * NO shuffle of the corpus window stream); `broadcastBench = false`
+    * routes to a shuffled semi join for giant holdout sets (the tfidf
+    * broadcast-fallback discipline). Heavy keys are 16-byte md5s.
+    *
+    * Returns one row per corpus id: (idCol, `outCol`, tokens_dropped).
+    * Corpus docs shorter than k tokens pass through untouched; bench
+    * docs shorter than k contribute no windows (nothing to match).
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, outCol: String = "clean_text",
+                         broadcastBench: Boolean = true): DataFrame = {
+    require(k >= 2, s"window k=$k must be >= 2 (k=1 would cut every shared word)")
+    val id = F.col(idCol)
+    val toked = corpus.select(id,
+      F.split(F.trim(F.coalesce(F.col(textCol), F.lit(""))), "\\s+").as("__toks"))
+    val windows = toked
+      .filter(F.size(F.col("__toks")) >= k)
+      .select(id, F.posexplode(
+        graft.functions.native.window_md5(F.col("__toks"), k)).as(Seq("__p", "__h")))
+    // the bench window SET (distinct 16-byte hashes; bench text never
+    // leaves this projection)
+    val benchSet0 = bench
+      .select(F.split(F.trim(F.coalesce(F.col(textCol), F.lit(""))), "\\s+").as("__bt"))
+      .filter(F.size(F.col("__bt")) >= k)
+      .select(F.explode(
+        graft.functions.native.window_md5(F.col("__bt"), k)).as("__h"))
+      .distinct()
+    val benchSet = if (broadcastBench) F.broadcast(benchSet0) else benchSet0
+    val starts = windows.join(benchSet, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(F.sort_array(F.collect_list(F.col("__p"))).as("__ss"))
+    val rebuilt = toked.join(starts, Seq(idCol), "left").select(
+      id,
+      graft.functions.native.rebuild_spans(
+        F.col("__toks"),
+        F.coalesce(F.col("__ss"), F.array().cast("array<int>")), k).as("__r"))
+    rebuilt.select(
+      id,
+      F.col("__r.kept").as(outCol),
+      F.col("__r.dropped").as("tokens_dropped"))
+  }
 }
