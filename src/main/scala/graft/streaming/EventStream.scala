@@ -16,18 +16,35 @@ import graft.operators.Upsert
   */
 object EventStream {
 
-  /** events.parquet schema as the stream source sees it (ts arrives as
-    * parquet TIMESTAMP(NANOS) = epoch-nanos long under nanosAsLong).
+  /** events.parquet schema as the stream source sees it when ts
+    * arrives as parquet TIMESTAMP(NANOS) = epoch-nanos long under
+    * nanosAsLong. Newer feeds write plain timestamp[us] (no zone),
+    * which Spark types TIMESTAMP_NTZ — [[readEvents]] probes the
+    * directory's footer and adapts.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of an events directory, ts normalized to µs. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+  /** Streaming read of an events directory, ts normalized to the
+    * session TIMESTAMP type at µs precision regardless of the feed's
+    * on-disk spelling (epoch-nanos long, timestamp[us] NTZ, or already
+    * zoned). The one-off batch read probes footers only — a streaming
+    * source needs its schema before the first micro-batch.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case LongType => raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", F.col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Kafka source wiring — the reference's every-minute extract as a
     * real stream. `spark-sql-kafka-0-10` must sit on the deployment

@@ -89,6 +89,74 @@ class SpansSpec extends SparkSuite {
     assert(got4(1L)._1.contains(shared))
   }
 
+  /** Driver-side decontamination reference: the contract restated —
+    * covered = union of corpus windows present in the bench window set.
+    */
+  private def referenceDecon(corpus: Seq[(Long, String)], bench: Seq[String],
+                             k: Int): Map[Long, (String, Long)] = {
+    val benchWin = (for {
+      b <- bench; ts = b.trim.split("\\s+").toSeq; if ts.length >= k
+      p <- 0 to ts.length - k
+    } yield ts.slice(p, p + k).mkString(" ")).toSet
+    corpus.map { case (id, t) =>
+      val ts = t.trim.split("\\s+").toSeq
+      val covered = (for {
+        p <- 0 to ts.length - k
+        if benchWin(ts.slice(p, p + k).mkString(" "))
+        i <- p until p + k
+      } yield i).toSet
+      val kept = ts.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> (kept.mkString(" "), covered.size.toLong)
+    }.toMap
+  }
+
+  private def runDecon(corpus: Seq[(Long, String)], bench: Seq[String],
+                       broadcastBench: Boolean = true): Map[Long, (String, Long)] =
+    Spans.decontaminateSpans(corpus.toDF("doc_id", "text"),
+        bench.map(Tuple1(_)).toDF("text"), "doc_id", "text", k,
+        broadcastBench = broadcastBench)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("decontamination: a bench span is cut from its SINGLE corpus carrier") {
+    // the key semantic difference vs dropDuplicateSpans: df-based dedup
+    // needs >= 2 carriers; contamination cuts at df = 1
+    val leak = "which of the following best describes the causes"
+    val corpus = Seq(
+      (1L, s"some scraped page that embeds $leak plus surrounding prose of its own"),
+      (2L, "a perfectly clean document sharing nothing with any benchmark at all"))
+    val bench = Seq(s"exam question one $leak answer key follows")
+    val got = runDecon(corpus, bench)
+    assert(got == referenceDecon(corpus, bench, k))
+    assert(!got(1L)._1.contains("which of the following"))
+    assert(got(1L)._1.startsWith("some scraped page that embeds"))
+    assert(got(2L) == (corpus(1)._2, 0L))
+    // sanity vs the df-2 dedup: the same corpus alone cuts nothing
+    assert(run(corpus)(1L)._2 == 0L)
+  }
+
+  test("decontamination: short corpus docs and short bench docs are inert") {
+    val corpus = Seq((1L, "tiny doc"), (2L, "tiny doc but this one is longer than k tokens"))
+    val bench = Seq("tiny doc", "") // < k tokens: contributes no windows
+    val got = runDecon(corpus, bench)
+    assert(got == referenceDecon(corpus, bench, k))
+    assert(got(1L) == ("tiny doc", 0L))
+    assert(got(2L)._2 == 0L)
+  }
+
+  test("decontamination: overlapping bench windows merge; shuffled-semi path bit-identical") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"lead_in $shared trail_out"),
+      (2L, s"$shared standing at the very front here"),
+      (3L, "unrelated content entirely free of benchmark overlap today"))
+    val bench = Seq(s"prefix words $shared suffix words")
+    val got = runDecon(corpus, bench)
+    assert(got == referenceDecon(corpus, bench, k))
+    assert(got(1L)._1 == "lead_in trail_out" && got(1L)._2 == 8L)
+    // broadcastBench=false (the giant-holdout routing) is bit-identical
+    assert(runDecon(corpus, bench, broadcastBench = false) == got)
+  }
+
   test("matches the reference on the real documents corpus (with its exact duplicates)") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
