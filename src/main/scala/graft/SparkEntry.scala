@@ -1116,6 +1116,21 @@ object SparkEntry {
       graft.operators.Spans.dropDuplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    // span-level BENCHMARK DECONTAMINATION (C14): cut every 8-token
+    // window shared with the bench set from its carriers — even a
+    // SINGLE carrier (df-based dedup can't; contamination doesn't
+    // recur). The bench frame is derived deterministically (the
+    // 12-token prefix of every 25th doc) so contaminated prefixes are
+    // guaranteed and DuckDB re-derives the identical bench windows.
+    "dedup_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = F.split(F.trim(F.col("text")), "\\s+")
+      val bench = docs.filter(F.col("doc_id") % 25 === 0)
+        .filter(F.size(toks) >= 12)
+        .select(F.array_join(F.slice(toks, 1, 12), " ").as("text"))
+      graft.operators.Spans.decontaminateSpans(docs, bench, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
 
     // per-source quality-calibrated pruning: keep each source's top
     // half by score — a RELATIVE floor (an absolute one keeps a clean
@@ -1365,6 +1380,21 @@ object SparkEntry {
       graft.operators.TextClassifier.score(Tables.documents(s, d), "doc_id", "text",
           graft.operators.TextClassifier.hashedWeights(4096))
         .orderBy("doc_id")
+    }),
+    // E14b: the TRAINING face of the classifier — full-batch
+    // perceptron, integer end-to-end, so the whole trajectory
+    // (2 epochs here) replays in DuckDB as chained CTEs: epoch 1 from
+    // zero weights updates on every doc; epoch 2 re-scores under w1
+    // and updates on the still-misclassified. Output = the nonzero
+    // rows of the trained weight table (bounded by buckets)
+    "text_classifier_train" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("y", F.when(F.col("lang") === "en", 1L).otherwise(-1L))
+      val (w, _) = graft.operators.TextClassifier.train(docs, "doc_id", "text", "y",
+        buckets = 4096, epochs = 2)
+      w.zipWithIndex.collect { case (x, b) if x != 0 => (b.toLong, x.toLong) }
+        .toSeq.toDF("bucket", "w").orderBy("bucket")
     }),
     // E13: the corpus health report — per-(source, lang) volume +
     // quality histogram in ONE scan; all measures exact/order-free
@@ -2051,6 +2081,29 @@ object SparkEntry {
           |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // replays C14 end to end: bench = 12-token prefixes of every
+      // 25th doc, bench window hashes, semi-join against corpus
+      // windows, covered-union rebuild in position order
+      "dedup_decontaminate" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+          |b AS (SELECT toks[1:12] AS bt FROM t WHERE doc_id % 25 = 0 AND len(toks) >= 12),
+          |bw AS (SELECT DISTINCT md5(array_to_string(bt[p+1:p+8], ' ')) AS h
+          |       FROM (SELECT bt, unnest(range(0, len(bt)-8+1)) AS p FROM b)),
+          |w AS (SELECT doc_id, p, md5(array_to_string(toks[p+1:p+8], ' ')) AS h
+          |      FROM (SELECT doc_id, toks, unnest(range(0, greatest(len(toks)-8+1, 0))) AS p FROM t)),
+          |starts AS (SELECT DISTINCT doc_id, p FROM w JOIN bw USING (h)),
+          |cov AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) AS pos FROM starts),
+          |tok AS (SELECT doc_id, pos, toks[pos+1] AS tok
+          |        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t)),
+          |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+          |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos WHERE c.pos IS NULL),
+          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, COUNT(*) AS n_kept
+          |        FROM kept GROUP BY doc_id),
+          |tot AS (SELECT doc_id, len(toks) AS n FROM t)
+          |SELECT tot.doc_id AS doc_id, COALESCE(agg.clean, '') AS clean_text,
+          |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
+          |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+          |ORDER BY doc_id""".stripMargin,
       // replays S11 end to end: unigram+bigram stream, 52-bit
       // md5-prefix bucket, the md5-derived centi-nat weight per bucket
       // (same law the Scala fixture array is built from), integer sum,
@@ -2694,6 +2747,27 @@ object SparkEntry {
           |SELECT doc_id, CAST(n AS BIGINT) AS n_features,
           |       CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS score
           |FROM s ORDER BY doc_id""".stripMargin,
+      // replays BOTH perceptron epochs: w1 = Σy over every feature
+      // occurrence (zero weights misclassify everything), r1 = per-doc
+      // raw under w1, m1 = still-missed docs, w2 = w1 + their update
+      "text_classifier_train" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+          |                  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+          |f AS (SELECT doc_id, y, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+          |             ELSE []::VARCHAR[] END) AS feats FROM t),
+          |fx AS (SELECT doc_id, y, CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 4096 AS bucket
+          |       FROM (SELECT doc_id, y, unnest(feats) AS x FROM f)),
+          |w1 AS (SELECT bucket, SUM(y) AS w FROM fx GROUP BY bucket),
+          |r1 AS (SELECT fx.doc_id, any_value(fx.y) AS y, SUM(w1.w) AS raw
+          |       FROM fx JOIN w1 USING (bucket) GROUP BY fx.doc_id),
+          |m1 AS (SELECT doc_id FROM r1 WHERE raw * y <= 0),
+          |d1 AS (SELECT bucket, SUM(fx.y) AS d FROM fx JOIN m1 USING (doc_id) GROUP BY bucket),
+          |w2 AS (SELECT COALESCE(w1.bucket, d1.bucket) AS bucket,
+          |              COALESCE(w1.w, 0) + COALESCE(d1.d, 0) AS w
+          |       FROM w1 FULL JOIN d1 ON w1.bucket = d1.bucket)
+          |SELECT bucket, CAST(w AS BIGINT) AS w FROM w2 WHERE w != 0 ORDER BY bucket""".stripMargin,
       "text_lang_id" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
           |s AS (SELECT doc_id,

@@ -44,6 +44,107 @@ object TextClassifier {
     Array.tabulate(buckets)(b => ((b.toLong * 2654435761L) % 1001L).toInt - 500)
   }
 
+  /** Per-document hashed-feature bucket stream under the SAME law as
+    * [[score]] (unigrams + '_'-joined adjacent bigrams, 52-bit
+    * md5-prefix % buckets — the hash is part of the model, so trainer
+    * and scorer must share it exactly). Staged per the §4 HOF rule:
+    * tokens and the feature stream are each their own projection,
+    * every staged column consumed through ≥2 references.
+    */
+  private def featureBuckets(df: DataFrame, idCol: String, textCol: String,
+                             buckets: Int): DataFrame = {
+    val s1 = df.select(df.col("*"), text.tokens(F.col(textCol)).as("__toks"))
+    val toks = F.col("__toks")
+    val bigrams = F.when(F.size(toks) >= 2,
+      F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+        (i: Column) => F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1))))
+      .otherwise(F.array().cast("array<string>"))
+    val s2 = s1.select(F.col(idCol), F.col("__y"), F.concat(toks, bigrams).as("__feats"))
+    s2.select(F.col(idCol), F.col("__y"),
+      F.when(F.size(F.col("__feats")) === 0, F.array().cast("array<long>"))
+        .otherwise(F.transform(F.col("__feats"),
+          (g: Column) => Dsir.bucketOf(g, buckets))).as("__buckets"))
+  }
+
+  /** TRAIN the linear layer — full-batch perceptron (Rosenblatt's rule
+    * in its batch form; the Collins 2002 structured-perceptron recipe
+    * reduced to binary): for `epochs` rounds, score every doc under
+    * the current weights, and for each MISCLASSIFIED doc (raw·y ≤ 0,
+    * y ∈ {−1,+1}) add lr·y to every feature bucket it carries.
+    *
+    * Why perceptron and not logistic SGD: the update is INTEGER
+    * arithmetic end-to-end — no sigmoid, no learning-rate decay, no
+    * float gradient — so the whole training trajectory is order-free
+    * and bit-reproducible across partitionings AND engines (the E14
+    * determinism contract extended from inference to training; a SQL
+    * oracle can replay every epoch as chained CTEs). A trained
+    * logistic model quantizes into the same integer centi-unit scorer
+    * this produces directly.
+    *
+    * Scale shape: each epoch is ONE corpus pass — the per-doc raw
+    * score is an in-row fold against the weight table riding the plan
+    * as a literal (map-only, the [[score]]/[[Dsir.score]] shape), the
+    * gradient is one keyed aggregate over the misclassified docs'
+    * exploded buckets whose output is bounded by `buckets` (map-side
+    * partials), and the driver folds the bounded delta into the model
+    * (the centroids/codebooks bounded-artifact lifecycle — this is the
+    * distributed-fastText epoch loop). Docs whose label column is not
+    * ±1 are rejected loudly.
+    *
+    * Returns (weights, mistakes-per-epoch). Weights plug straight into
+    * [[score]]; mistake counts are the convergence signal (0 =
+    * linearly separable and solved).
+    */
+  def train(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+            buckets: Int = 4096, epochs: Int = 3, lr: Int = 1): (Array[Int], Seq[Long]) = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    require(epochs >= 1, s"epochs=$epochs must be >= 1")
+    require(lr > 0, s"lr=$lr must be positive")
+    val labeled = df.select(F.col(idCol), F.col(textCol),
+      F.col(labelCol).cast("long").as("__y"))
+    val feats = featureBuckets(labeled, idCol, textCol, buckets)
+    val w = Array.ofDim[Long](buckets)
+    val history = Seq.newBuilder[Long]
+    for (_ <- 1 to epochs) {
+      val lit = F.typedLit(w.toSeq)
+      val scored = feats.select(F.col(idCol), F.col("__y"), F.col("__buckets"),
+        F.when(F.size(F.col("__buckets")) === 0, F.lit(0L))
+          .otherwise(F.aggregate(F.col("__buckets"), F.lit(0L),
+            (acc: Column, b: Column) => acc + F.element_at(lit, b.cast("int") + 1)))
+          .as("__raw"))
+      // label contract checked on the same pass (ANSI: a non-±1 label
+      // fails the require below rather than silently skewing the fold)
+      val missed = scored
+        .filter(F.col("__y") =!= 1L && F.col("__y") =!= -1L ||
+          F.col("__raw") * F.col("__y") <= 0L)
+      // one aggregate for gradient AND mistake count: each missed doc
+      // explodes to a sentinel −1 row (counts the mistake) plus its
+      // bucket occurrences (each contributes y); output ≤ buckets+1 rows
+      val deltas = missed
+        .select(F.col("__y"), F.explode(
+          F.concat(F.array(F.lit(-1L)), F.col("__buckets"))).as("__b"))
+        .groupBy("__b")
+        .agg(F.sum(F.when(F.col("__b") === -1L, F.lit(1L))
+          .otherwise(F.col("__y"))).as("__d"),
+          F.count(F.when(F.col("__y") =!= 1L && F.col("__y") =!= -1L, 1)).as("__bad"))
+        .collect()
+      val bad = deltas.map(_.getLong(2)).sum
+      require(bad == 0, s"labelCol '$labelCol' must be exactly +1/-1; found $bad other-valued feature rows")
+      var mistakes = 0L
+      deltas.foreach { r =>
+        val b = r.getLong(0)
+        if (b == -1L) mistakes = r.getLong(1)
+        else w(b.toInt) += lr.toLong * r.getLong(1)
+      }
+      history += mistakes
+    }
+    val out = w.map { x =>
+      require(x >= Int.MinValue && x <= Int.MaxValue, s"weight overflow: $x")
+      x.toInt
+    }
+    (out, history.result())
+  }
+
   /** Score every document: (idCol, n_features, score). One map-only
     * projection (verify with `.explain` — no Exchange); the
     * unigram+bigram hash/lookup/vote fold runs as ONE codegen'd

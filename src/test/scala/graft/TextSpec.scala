@@ -139,4 +139,80 @@ class TextSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scorer must not shuffle:\n${plan.take(1000)}")
   }
+
+  /** Independent driver-side batch perceptron under the same feature
+    * law (unigrams + '_'-bigrams, 52-bit md5-prefix % buckets).
+    */
+  private def refPerceptron(docs: Seq[(Long, String, Long)], buckets: Int,
+                            epochs: Int, lr: Int): (Array[Long], Seq[Long]) = {
+    def h52(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    val feats = docs.map { case (id, t, y) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      val fs = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"${a}_$b" }
+      (id, y, fs.map(f => (h52(f) % buckets).toInt))
+    }
+    val w = Array.ofDim[Long](buckets)
+    val hist = Seq.newBuilder[Long]
+    for (_ <- 1 to epochs) {
+      var mistakes = 0L
+      val delta = Array.ofDim[Long](buckets)
+      feats.foreach { case (_, y, bs) =>
+        val raw = bs.map(w(_)).sum
+        if (raw * y <= 0) { mistakes += 1; bs.foreach(b => delta(b) += lr.toLong * y) }
+      }
+      for (b <- 0 until buckets) w(b) += delta(b)
+      hist += mistakes
+    }
+    (w, hist.result())
+  }
+
+  test("perceptron trainer matches an independent driver-side reference, epoch by epoch") {
+    import graft.operators.TextClassifier
+    val docs = Seq(
+      (1L, "good clean prose with structure", 1L),
+      (2L, "spam spam buy now spam", -1L),
+      (3L, "good prose again with more structure", 1L),
+      (4L, "buy buy now spam offer", -1L),
+      (5L, "", -1L))
+    for (epochs <- Seq(1, 2, 3)) {
+      val (refW, refHist) = refPerceptron(docs, 256, epochs, lr = 1)
+      val (gotW, gotHist) = TextClassifier.train(
+        docs.toDF("doc_id", "text", "y"), "doc_id", "text", "y",
+        buckets = 256, epochs = epochs)
+      assert(gotW.map(_.toLong).toSeq == refW.toSeq, s"epochs=$epochs")
+      assert(gotHist == refHist, s"epochs=$epochs")
+    }
+  }
+
+  test("perceptron trainer solves a separable corpus; trained weights drive score()") {
+    import graft.operators.TextClassifier
+    val pos = (0 until 20).map(i => (i.toLong, s"alpha beta gamma doc$i", 1L))
+    val neg = (0 until 20).map(i => (100L + i, s"zeta eta theta doc$i", -1L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val (w, hist) = TextClassifier.train(df, "doc_id", "text", "y",
+      buckets = 512, epochs = 8)
+    assert(hist.last == 0L, s"expected convergence on a separable corpus, got $hist")
+    val scored = TextClassifier.score(df, "doc_id", "text", w, buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    pos.foreach { case (id, _, _) => assert(scored(id) > 0, s"doc $id") }
+    neg.foreach { case (id, _, _) => assert(scored(id) < 0, s"doc $id") }
+  }
+
+  test("perceptron training is partition-order-free; labels are validated") {
+    import graft.operators.TextClassifier
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"word$i token${i % 7} filler${i % 3} tail", if (i % 2 == 0) 1L else -1L))
+    val df = docs.toDF("doc_id", "text", "y")
+    val (w1, h1) = TextClassifier.train(df, "doc_id", "text", "y", buckets = 128, epochs = 3)
+    val (w2, h2) = TextClassifier.train(df.repartition(7), "doc_id", "text", "y",
+      buckets = 128, epochs = 3)
+    assert(w1.toSeq == w2.toSeq && h1 == h2)
+    intercept[IllegalArgumentException] {
+      TextClassifier.train(
+        Seq((1L, "some text", 0L)).toDF("doc_id", "text", "y"),
+        "doc_id", "text", "y", buckets = 64, epochs = 1)
+    }
+  }
 }
