@@ -24,6 +24,11 @@ import graft.operators.{Boilerplate, Chunking, Dedup, Mixing, Packing, QualityRu
   *                 removal (Lee et al. 2022; `spanK` turns it on) —
   *                 BEFORE document dedup, so near-dup detection sees
   *                 span-cleaned text
+  *   3b. DECON   — optional span-level benchmark decontamination
+  *                 (`benchDocs` turns it on): every k-token window
+  *                 shared with the eval corpus is cut (C14) BEFORE
+  *                 dedup, so near-dup detection and the training mix
+  *                 never see benchmark text
   *   3. DEDUP    — exact + MinHash-LSH droplist over the CLEANED text
   *                 (cleaning first, or chrome/PII variants defeat
   *                 exact-hash collapse)
@@ -54,6 +59,7 @@ object CorpusPipeline {
       spanK: Option[Int] = None, spanMinDf: Int = 2,
       chunkTokens: Option[Int] = None, chunkOverlap: Int = 0,
       gopherRules: Option[QualityRules.GopherThresholds] = None,
+      benchDocs: Option[DataFrame] = None, benchK: Int = 8,
       stagingDir: Option[String] = None)
 
   /** Stages 1–2: language/quality gate, then redaction + boilerplate
@@ -120,6 +126,27 @@ object CorpusPipeline {
           .join(staged.select(F.col(idCol), F.col(sourceCol)), Seq(idCol))
           .select(F.col(idCol), F.col(sourceCol), F.col("clean_text").as(textCol))
           .observe("corpus_spans", F.count(F.lit(1)).as("docs_span_cleaned"))
+    }
+
+  /** Stage 3b (optional — `cfg.benchDocs`): span-level benchmark
+    * decontamination, the C14 operator in its pipeline slot — every
+    * published pretraining pipeline removes benchmark n-gram overlap
+    * before the corpus reaches the training mix. The bench frame must
+    * carry `textCol`; its window set is eval-suite-sized and
+    * broadcasts (the operator's default). Runs BEFORE dedup so
+    * near-dup detection scores the decontaminated text. The input is
+    * staged for the same two-subtree reason as [[dropSpans]].
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                    cfg: Config): DataFrame =
+    cfg.benchDocs match {
+      case None => docs
+      case Some(bench) =>
+        val staged = Staging.stage(docs, cfg.stagingDir, "pre-decon")
+        Spans.decontaminateSpans(staged, bench, idCol, textCol, cfg.benchK)
+          .join(staged.select(F.col(idCol), F.col(sourceCol)), Seq(idCol))
+          .select(F.col(idCol), F.col(sourceCol), F.col("clean_text").as(textCol))
+          .observe("corpus_decontaminated", F.count(F.lit(1)).as("docs_decontaminated"))
     }
 
   /** Stage 5b (optional — `cfg.chunkTokens`): the retrieval fork.
@@ -201,7 +228,8 @@ object CorpusPipeline {
           sourceCol: String, shardPath: String, cfg: Config = Config()): DataFrame = {
     val cleaned = filterAndClean(docs, idCol, textCol, sourceCol, cfg)
     val spanned = dropSpans(cleaned, idCol, textCol, sourceCol, cfg)
-    val deduped = dedup(spanned, idCol, textCol, cfg)
+    val deconned = decontaminate(spanned, idCol, textCol, sourceCol, cfg)
+    val deduped = dedup(deconned, idCol, textCol, cfg)
     // with the chunk fork on, the survivors feed TWO sinks (shards +
     // chunks); stage them so the dedup subtree runs once and the
     // corpus_deduped observe cannot double-fire

@@ -49,6 +49,16 @@ object SparkEntry {
   // overlaps the table — the interesting idempotency case).
   private val rawJsonFeeds = scala.collection.mutable.Set.empty[String]
 
+  /** E15b fixture: odd docs get a doc_id-derived token no even
+    * (training-half) doc can contain, so the unseen backoff level is
+    * guaranteed to fire alongside tri/bi/uni.
+    */
+  private def backoffFixture(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      F.when(F.col("doc_id") % 2 === 1,
+        F.concat(F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")))
+
   private def fxTarget(e: DataFrame): DataFrame =
     e.filter(F.col("event_id") % 10 =!= 0).select("event_id", "user_id", "value")
   private def fxBatch(e: DataFrame): DataFrame =
@@ -884,6 +894,31 @@ object SparkEntry {
     "text_bigram_surprisal" -> ((s, d) => {
       graft.operators.LanguageModel
         .bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // E15b: Stupid Backoff trigram LM (Brants et al. 2007) — model
+    // trained on the EVEN doc_ids; every doc scored, odd docs
+    // decorated with a doc_id-derived never-seen token so all FOUR
+    // backoff levels fire (the C2b decoration discipline). The integer
+    // face: per-position n-gram order actually used (3/2/1/0) —
+    // count tables, three joins, and the longest-available-context
+    // rule all replay in DuckDB
+    "text_backoff_hits" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val model = graft.operators.LanguageModel.trainStupidBackoff(
+        docs.filter(F.col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.stupidBackoff(docs, "doc_id", "text", Some(model))
+        .select("doc_id", "n_tokens", "n_tri", "n_bi", "n_uni", "n_unseen")
+        .orderBy("doc_id")
+    }),
+    // the libm face of E15b: mean -ln S per doc (rows-only, like E15;
+    // the routing logic is hash-gated by text_backoff_hits)
+    "text_backoff_surprisal" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val model = graft.operators.LanguageModel.trainStupidBackoff(
+        docs.filter(F.col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.stupidBackoff(docs, "doc_id", "text", Some(model))
+        .select("doc_id", "n_tokens", "sb_surprisal")
         .orderBy("doc_id")
     }),
     // Gopher/C4-style repetition quality signal: fraction of a doc's
@@ -2768,6 +2803,36 @@ object SparkEntry {
           |              COALESCE(w1.w, 0) + COALESCE(d1.d, 0) AS w
           |       FROM w1 FULL JOIN d1 ON w1.bucket = d1.bucket)
           |SELECT bucket, CAST(w AS BIGINT) AS w FROM w2 WHERE w != 0 ORDER BY bucket""".stripMargin,
+      // replays E15b's integer face term-for-term: position stream
+      // with (up to 2) context words, count tables from the even-id
+      // half, three left joins, longest-available-context level rule
+      "text_backoff_hits" ->
+        """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
+          |                 THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+          |                 ELSE text END AS text FROM documents),
+          |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM d),
+          |pos AS (SELECT doc_id, toks[i] AS w,
+          |               CASE WHEN i >= 2 THEN toks[i-1] END AS p1,
+          |               CASE WHEN i >= 3 THEN toks[i-2] END AS p2
+          |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+          |tr AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+          |uni AS (SELECT w, COUNT(*) AS c1 FROM tr GROUP BY w),
+          |bi AS (SELECT p1, w, COUNT(*) AS c2 FROM tr WHERE p1 IS NOT NULL GROUP BY p1, w),
+          |tri AS (SELECT p2, p1, w, COUNT(*) AS c3 FROM tr WHERE p2 IS NOT NULL GROUP BY p2, p1, w),
+          |lv AS (SELECT pos.doc_id,
+          |         CASE WHEN pos.p2 IS NOT NULL AND tri.c3 IS NOT NULL THEN 3
+          |              WHEN pos.p1 IS NOT NULL AND bi.c2 IS NOT NULL THEN 2
+          |              WHEN uni.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          |       FROM pos
+          |       LEFT JOIN tri ON pos.p2 = tri.p2 AND pos.p1 = tri.p1 AND pos.w = tri.w
+          |       LEFT JOIN bi ON pos.p1 = bi.p1 AND pos.w = bi.w
+          |       LEFT JOIN uni ON pos.w = uni.w)
+          |SELECT doc_id, COUNT(*) AS n_tokens,
+          |       CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+          |       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+          |       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+          |       CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+          |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_lang_id" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
           |s AS (SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import graft.functions.text
 
 /** Corpus n-gram language-model scoring — the CCNet recipe
@@ -83,5 +83,122 @@ object LanguageModel {
       .select(F.col(idCol),
         F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"),
         F.col("avg_surprisal"))
+  }
+
+  /** A trained Stupid Backoff model (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE published web-scale
+    * LM smoothing, designed at Google precisely because distributed
+    * count tables make Kneser-Ney's normalization impractical: scores
+    * are unnormalized count ratios with a constant backoff factor, so
+    * training is nothing but n-gram counting).
+    *
+    * `bi`/`tri` carry their CONTEXT counts joined in at train time
+    * (count-table-sized joins, not corpus-sized), so scoring touches
+    * the corpus position stream with exactly three equi-joins. All
+    * three tables are corpus-vocabulary-sized at 100 TB — persist
+    * them like any count table; nothing here assumes they broadcast.
+    */
+  final case class BackoffModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                                totalTokens: Long)
+
+  /** Per-doc token-position stream: one row per position i with the
+    * word and its (up to two) preceding context words — p1/p2 NULL at
+    * document starts, which is what makes the scorer's "longest
+    * AVAILABLE context" rule expressible as plain join-misses. Tokens
+    * staged per the §4 HOF rule (size + transform = two references).
+    */
+  private def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cols = Option(idCol).map(F.col).toSeq
+    val toked = docs.select(cols :+ text.tokens(F.col(textCol)).as("__toks"): _*)
+    val toks = F.col("__toks")
+    val stream = F.when(F.size(toks) >= 1,
+      F.transform(F.sequence(F.lit(1), F.size(toks)), (i: Column) =>
+        F.struct(F.element_at(toks, i).as("w"),
+          F.when(i >= 2, F.element_at(toks, i - 1)).as("p1"),
+          F.when(i >= 3, F.element_at(toks, i - 2)).as("p2"))))
+      .otherwise(F.array().cast("array<struct<w:string,p1:string,p2:string>>"))
+    toked.select(cols :+ F.explode(stream).as("__p"): _*)
+      .select(cols :+ F.col("__p.w").as("w") :+ F.col("__p.p1").as("p1")
+        :+ F.col("__p.p2").as("p2"): _*)
+  }
+
+  /** Train the Stupid Backoff count tables on a corpus: three keyed
+    * count aggregates over one position stream (map-side partials),
+    * context counts enriched in via two count-table joins, and the
+    * token total as the one driver scalar. Train once per corpus
+    * version; score any stream against the result.
+    */
+  def trainStupidBackoff(docs: DataFrame, textCol: String): BackoffModel = {
+    val pos = positions(docs, null, textCol)
+    val uni = pos.groupBy("w").agg(F.count(F.lit(1)).as("c1"))
+    val bi = pos.filter(F.col("p1").isNotNull)
+      .groupBy("p1", "w").agg(F.count(F.lit(1)).as("c2"))
+    val tri = pos.filter(F.col("p2").isNotNull)
+      .groupBy("p2", "p1", "w").agg(F.count(F.lit(1)).as("c3"))
+    // context enrichment: bi rows carry their unigram-context count,
+    // tri rows their bigram-context count — joins between count
+    // tables, so the corpus stream is touched exactly once above
+    val biE = bi.join(uni.select(F.col("w").as("p1"), F.col("c1").as("ctx1")), Seq("p1"))
+    val triE = tri.join(
+      bi.select(F.col("p1").as("p2"), F.col("w").as("p1"), F.col("c2").as("ctx2")),
+      Seq("p2", "p1"))
+    val n = uni.agg(F.sum("c1")).head().getLong(0)
+    BackoffModel(uni, biE, triE, n)
+  }
+
+  /** Score every document under Stupid Backoff: for each token
+    * position, S = the count ratio at the LONGEST AVAILABLE context
+    * that has a nonzero count, discounted by `alpha` once per order
+    * backed off (document-start positions use their naturally shorter
+    * context undiscounted — no longer context exists to back off
+    * from); an unseen word floors at 1/N. Per-doc output:
+    *
+    *   (idCol, n_tokens, n_tri, n_bi, n_uni, n_unseen, sb_surprisal)
+    *
+    * where n_* count the order actually used per position (INTEGER,
+    * order-free — the hash-oracle face of the join/backoff routing)
+    * and sb_surprisal is the mean −ln S over positions (libm, the
+    * rows-only face — same split as E15).
+    *
+    * Scale shape: the position stream is map-only; the three count
+    * joins are plain shuffled equi-joins (the E5/E15 discipline); the
+    * per-doc fold is one keyed aggregate. `model = None` self-trains
+    * (the corpus-audit shape); pass a trained model to score a
+    * foreign stream — backoff makes every position finite.
+    */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                    model: Option[BackoffModel] = None,
+                    alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val m = model.getOrElse(trainStupidBackoff(docs, textCol))
+    require(m.totalTokens > 0, "backoff model trained on an empty corpus")
+    val tri = m.tri.select(F.col("p2"), F.col("p1"), F.col("w"), F.col("c3"), F.col("ctx2"))
+    val bi = m.bi.select(F.col("p1"), F.col("w"), F.col("c2"), F.col("ctx1"))
+    val uni = m.uni.select(F.col("w"), F.col("c1"))
+    val j = positions(docs, idCol, textCol)
+      .join(tri, Seq("p2", "p1", "w"), "left")
+      .join(bi, Seq("p1", "w"), "left")
+      .join(uni, Seq("w"), "left")
+    val nTot = F.lit(m.totalTokens.toDouble)
+    val lvl = F.when(F.col("p2").isNotNull && F.col("c3").isNotNull, 3)
+      .when(F.col("p1").isNotNull && F.col("c2").isNotNull, 2)
+      .when(F.col("c1").isNotNull, 1).otherwise(0)
+    val avail = F.when(F.col("p2").isNotNull, 2).when(F.col("p1").isNotNull, 1).otherwise(0)
+    val used = F.when(F.col("__lvl") === 3, 2).when(F.col("__lvl") === 2, 1).otherwise(0)
+    val s = F.when(F.col("__lvl") === 3, F.col("c3").cast("double") / F.col("ctx2").cast("double"))
+      .when(F.col("__lvl") === 2, F.col("c2").cast("double") / F.col("ctx1").cast("double"))
+      .when(F.col("__lvl") === 1, F.col("c1").cast("double") / nTot)
+      .otherwise(F.lit(1.0) / nTot)
+    j.select(F.col(idCol), lvl.as("__lvl"), avail.as("__avail"),
+        F.col("c3"), F.col("ctx2"), F.col("c2"), F.col("ctx1"), F.col("c1"))
+      .select(F.col(idCol), F.col("__lvl"),
+        (-F.log(F.pow(F.lit(alpha), (F.col("__avail") - used).cast("double")) * s)).as("__s"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("__lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        F.sum(F.when(F.col("__lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        F.sum(F.when(F.col("__lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        F.sum(F.when(F.col("__lvl") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        F.avg("__s").as("sb_surprisal"))
   }
 }

@@ -175,6 +175,48 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(crows(s"$d1-chunks") == crows(s"$d2-chunks"), "chunk fork must be deterministic")
   }
 
+  test("benchDocs stage: benchmark spans are cut before dedup and the mix; determinism holds") {
+    // one corpus doc embeds a benchmark question verbatim — the
+    // single-carrier case document dedup AND span-df dedup both miss
+    val leak = "which of the following statements best describes the observed behavior of the system"
+    val contaminated = corpus.unionByName(Seq(
+      (51L, s"$header\nthe scraped page copied $leak into its body beside its own original commentary", "web"))
+      .toDF("doc_id", "text", "source"))
+    val bench = Seq((9001L, s"exam item: $leak answer: none of the above"))
+      .toDF("bench_id", "text")
+    val cfg = CorpusPipeline.Config(packBuckets = 4, packBudget = 512L, maxSeqsPerShard = 4,
+      benchDocs = Some(bench), benchK = 8)
+    val d1 = Files.createTempDirectory("graft-corpus-dc1-").toString
+    val d2 = Files.createTempDirectory("graft-corpus-dc2-").toString
+    val mixed = CorpusPipeline.run(spark, contaminated, "doc_id", "text", "source", d1, cfg).cache()
+
+    // nothing the mix selected carries any bench text
+    assert(mixed.select("text").as[String].collect()
+      .forall(!_.contains("which of the following statements")))
+
+    // at the SURVIVORS level (pre-mix, so the √-temperature draw can't
+    // make the assertion vacuous): the leak is cut, the host's own
+    // prose survives (surgical cut, not a document drop) — and the
+    // decon-off control keeps the leak, proving the stage removed it
+    def survivors(c: CorpusPipeline.Config) = CorpusPipeline.dedup(
+      CorpusPipeline.decontaminate(
+        CorpusPipeline.filterAndClean(contaminated, "doc_id", "text", "source", c),
+        "doc_id", "text", "source", c),
+      "doc_id", "text", c).select("doc_id", "text").as[(Long, String)].collect().toMap
+    val on = survivors(cfg)
+    assert(on.contains(51L) && !on(51L).contains("which of the following statements"))
+    assert(on(51L).contains("original commentary"), s"host remainder must survive: ${on(51L)}")
+    val off = survivors(cfg.copy(benchDocs = None))
+    assert(off(51L).contains(leak),
+      "control: the contaminated text must survive the decon-off pipeline")
+
+    // byte-identical rerun with the stage on
+    CorpusPipeline.run(spark, contaminated, "doc_id", "text", "source", d2, cfg)
+    def rows(p: String) = spark.read.parquet(p).orderBy("bucket", "seq")
+      .collect().map(_.toString).toSeq
+    assert(rows(d1) == rows(d2), "decon pipeline must stay shard-deterministic")
+  }
+
   test("sourceReport: one scan, exact buckets, totals consistent with direct counts") {
     val docs = Tables.documents(spark, sf)
     // plan check FIRST: once a report is cached, the cache manager

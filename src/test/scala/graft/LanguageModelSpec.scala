@@ -67,4 +67,87 @@ class LanguageModelSpec extends SparkSuite {
     assert(out(2L) == ((0L, true)))
     assert(out(3L)._1 == 1L && !out(3L)._2)
   }
+
+  /** Independent driver-side Stupid Backoff: count tables + the
+    * longest-available-context rule, restated from the contract.
+    */
+  private def refBackoff(train: Seq[String], score: Seq[(Long, String)],
+                         alpha: Double): Map[Long, (Seq[Long], Double)] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    val tri = scala.collection.mutable.Map.empty[(String, String, String), Long].withDefaultValue(0L)
+    for (t <- train; ts = toks(t); i <- ts.indices) {
+      uni(ts(i)) += 1
+      if (i >= 1) bi((ts(i - 1), ts(i))) += 1
+      if (i >= 2) tri((ts(i - 2), ts(i - 1), ts(i))) += 1
+    }
+    val n = uni.values.sum.toDouble
+    score.map { case (id, t) =>
+      val ts = toks(t)
+      val perPos = ts.indices.map { i =>
+        val (p1, p2) = (if (i >= 1) Some(ts(i - 1)) else None,
+          if (i >= 2) Some(ts(i - 2)) else None)
+        val avail = if (p2.isDefined) 2 else if (p1.isDefined) 1 else 0
+        val (lvl, s) =
+          if (p2.isDefined && tri((p2.get, p1.get, ts(i))) > 0)
+            (3, tri((p2.get, p1.get, ts(i))).toDouble / bi((p2.get, p1.get)).toDouble)
+          else if (p1.isDefined && bi((p1.get, ts(i))) > 0)
+            (2, bi((p1.get, ts(i))).toDouble / uni(p1.get).toDouble)
+          else if (uni(ts(i)) > 0) (1, uni(ts(i)).toDouble / n)
+          else (0, 1.0 / n)
+        val used = if (lvl == 3) 2 else if (lvl == 2) 1 else 0
+        (lvl, -math.log(math.pow(alpha, (avail - used).toDouble) * s))
+      }
+      val counts = Seq(perPos.size.toLong) ++
+        (3 to 0 by -1).map(l => perPos.count(_._1 == l).toLong)
+      id -> ((counts, perPos.map(_._2).sum / perPos.size))
+    }.toMap
+  }
+
+  test("stupid backoff matches an independent reference; all four levels fire on a foreign stream") {
+    val train = Seq((0L, "the cat sat on the mat every day"),
+      (2L, "the cat sat on a chair near the mat"))
+    val score = train ++ Seq(
+      (1L, "the cat sat quietly"), // tri hits then backoff
+      (3L, "the dog barked loudly"), // bi/uni mix with unseen words
+      (5L, "zzz qqq www")) // unseen everywhere
+    val model = LanguageModel.trainStupidBackoff(train.toDF("doc_id", "text"), "text")
+    val got = LanguageModel.stupidBackoff(score.toDF("doc_id", "text"), "doc_id", "text",
+        Some(model))
+      .collect().map(r => r.getLong(0) ->
+        ((Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          r.getDouble(6)))).toMap
+    val want = refBackoff(train.map(_._2), score, 0.4)
+    for ((id, (wc, ws)) <- want) {
+      assert(got(id)._1 == wc, s"doc $id level counts: ${got(id)._1} vs $wc")
+      assert(math.abs(got(id)._2 - ws) < 1e-9, s"doc $id: ${got(id)._2} vs $ws")
+    }
+    // the foreign docs exercise every backoff level across the fixture
+    val levels = want.collect { case (id, (c, _)) if id % 2 == 1 => c.drop(1) }
+    assert((0 to 3).forall(l => levels.exists(_(3 - l) > 0)),
+      s"fixture must fire all levels: $levels")
+  }
+
+  test("self-trained backoff: every position >= 3 is a trigram hit, nothing unseen") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val out = LanguageModel.stupidBackoff(docs, "doc_id", "text")
+    val bad = out.filter(
+      F.col("n_unseen") =!= 0L ||
+        F.col("n_tri") =!= F.greatest(F.col("n_tokens") - 2, F.lit(0L)))
+    assert(bad.count() == 0, "self-scoring must resolve every full-context position at order 3")
+  }
+
+  test("backoff level counts are partition-order-free") {
+    val train = Seq((0L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val score = (0 until 40).map(i => (i.toLong, s"alpha beta gamma token$i tail"))
+      .toDF("doc_id", "text")
+    val m = LanguageModel.trainStupidBackoff(train, "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.stupidBackoff(df, "doc_id", "text", Some(m))
+        .select("doc_id", "n_tokens", "n_tri", "n_bi", "n_uni", "n_unseen")
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(score) == run(score.repartition(7)))
+  }
 }
