@@ -112,17 +112,26 @@ object TextClassifier {
           .otherwise(F.aggregate(F.col("__buckets"), F.lit(0L),
             (acc: Column, b: Column) => acc + F.element_at(lit, b.cast("int") + 1)))
           .as("__raw"))
-      // label contract checked on the same pass (ANSI: a non-±1 label
-      // fails the require below rather than silently skewing the fold)
-      val missed = scored
-        .filter(F.col("__y") =!= 1L && F.col("__y") =!= -1L ||
-          F.col("__raw") * F.col("__y") <= 0L)
+      // the missed-doc condition lives INSIDE the generator (explode
+      // of a conditional array; an un-missed doc yields the empty
+      // array and vanishes), NOT in a Filter node: PushDownPredicates
+      // would push a filter below the staged projections and inline
+      // the whole tokenize→bigram→hash→fold pipeline into the
+      // predicate — where the bigram lambda re-runs split() per
+      // element (observed 26 s/epoch; reference-count staging blocks
+      // CollapseProject but not predicate pushdown — see §4). Label
+      // contract checked on the same pass (a non-±1 label routes its
+      // doc into the aggregate's __bad count and fails the require).
+      val missedBuckets = F.when(
+        F.col("__y") =!= 1L && F.col("__y") =!= -1L ||
+          F.col("__raw") * F.col("__y") <= 0L,
+        F.concat(F.array(F.lit(-1L)), F.col("__buckets")))
+        .otherwise(F.array().cast("array<long>"))
       // one aggregate for gradient AND mistake count: each missed doc
       // explodes to a sentinel −1 row (counts the mistake) plus its
       // bucket occurrences (each contributes y); output ≤ buckets+1 rows
-      val deltas = missed
-        .select(F.col("__y"), F.explode(
-          F.concat(F.array(F.lit(-1L)), F.col("__buckets"))).as("__b"))
+      val deltas = scored
+        .select(F.col("__y"), F.explode(missedBuckets).as("__b"))
         .groupBy("__b")
         .agg(F.sum(F.when(F.col("__b") === -1L, F.lit(1L))
           .otherwise(F.col("__y"))).as("__d"),
