@@ -1526,6 +1526,22 @@ object SparkEntry {
         .join(withBin.select(F.col("doc_id"), F.col("meta.source").as("source")), "doc_id")
         .select("doc_id", "byte_len", "head_byte", "source")
         .orderBy("doc_id")
+    }),
+    // F4: perceptual near-dup pairs over media payloads — aHash
+    // (strided thumbnail → mean-threshold bits → 60-bit pack) banded
+    // 4×15 the C3 way, exact bit_count(xor) verify. Every stage after
+    // the thumbnail is integer arithmetic, so thumbnail, fingerprint,
+    // banding and verification ALL replay in DuckDB; re-keyed
+    // every-50th-doc replicas (the C2b decoration) guarantee
+    // hamming-0 pairs
+    "mm_phash_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val decorated = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 === 0)
+          .withColumn("doc_id", F.col("doc_id") + 1000000L))
+      val withBin = Multimodal.withPayload(decorated)
+      Multimodal.perceptualPairs(Multimodal.averageHash(withBin), maxHamming = 4)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3109,7 +3125,28 @@ object SparkEntry {
           |       CASE WHEN octet_length(encode(text)) = 0 THEN -1
           |            ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) END AS head_byte,
           |       source
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // replays F4 end to end: strided thumbnail byte sample (the
+      // StridedBytes index law (i*n)//m), floor-mean threshold bits,
+      // little-endian 60-bit pack, 4x15 banding, bit_count(xor) verify
+      "mm_phash_pairs" ->
+        """WITH d AS (SELECT doc_id, text FROM documents
+          |           UNION ALL
+          |           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+          |p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM d),
+          |b0 AS (SELECT doc_id, least(60, n) AS m,
+          |              [CAST(('0x' || substr(hx, 2*((i*n)//least(60,n))+1, 2)) AS BIGINT) for i in range(0, least(60,n))] AS bytes
+          |       FROM p WHERE n > 0),
+          |mn AS (SELECT doc_id, bytes, m, list_sum(bytes) // m AS mean FROM b0),
+          |h AS (SELECT doc_id,
+          |        CAST(coalesce(list_sum([CASE WHEN bytes[j+1] > mean THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END for j in range(0, m)]), 0) AS BIGINT) AS phash
+          |      FROM mn),
+          |bd AS (SELECT doc_id, phash, band, (phash >> (15*band)) & 32767 AS bucket
+          |       FROM h, (SELECT unnest(range(0, 4)) AS band)),
+          |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |       FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

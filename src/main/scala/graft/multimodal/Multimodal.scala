@@ -95,6 +95,87 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** F4: average-hash perceptual fingerprint of the payload — the
+    * aHash member of the pHash family (the published image near-dup
+    * recipe: downsample, threshold each cell against the mean, pack
+    * the bits). The downsample is the F2 `StridedBytes` stage (a real
+    * codec swaps in true pixel decode+rescale; every stage after the
+    * thumbnail is EXACT integer arithmetic, so the whole fingerprint
+    * replays in a SQL oracle): thumb byte j becomes bit j (1 iff
+    * byte > floor(mean)), packed little-endian into one LONG —
+    * `thumbBytes ≤ 60` keeps the hash inside the positive signed-64
+    * range both engines share.
+    *
+    * Emits (idCol, phash); empty payloads surface with NULL phash
+    * (nothing to fingerprint — route them by metadata rules instead).
+    * Map-only; the in-row folds run over ≤ 60 elements.
+    */
+  def averageHash(withBin: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload", thumbBytes: Int = 60): DataFrame = {
+    require(thumbBytes >= 2 && thumbBytes <= 60,
+      s"thumbBytes=$thumbBytes must be in [2, 60] (bit j rides 2^j in a signed long)")
+    val id = F.col(idCol)
+    val hexed = withBin.select(id,
+      F.hex(native.strided_bytes(F.col(payloadCol), thumbBytes)).as("__hex"))
+    // staged hex consumed through >=2 references (guard + transform)
+    val bytes = F.when(F.length(F.col("__hex")) === 0, F.array().cast("array<long>"))
+      .otherwise(F.transform(F.sequence(F.lit(1), (F.length(F.col("__hex")) / 2).cast("int")),
+        (i: org.apache.spark.sql.Column) =>
+          F.conv(F.substring(F.col("__hex"), i * 2 - 1, F.lit(2)), 16, 10).cast("long")))
+    val byted = hexed.select(id, bytes.as("__bytes"))
+    // floor-mean: sums are <= 60*255, exact in double on both engines
+    val staged = byted.select(id, F.col("__bytes"),
+      F.when(F.size(F.col("__bytes")) === 0, F.lit(null).cast("long"))
+        .otherwise(F.floor(
+          F.aggregate(F.col("__bytes"), F.lit(0L),
+            (acc: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => acc + b)
+            .cast("double") / F.size(F.col("__bytes")).cast("double")))
+        .as("__mean"))
+    staged.select(id,
+      F.when(F.col("__mean").isNull, F.lit(null).cast("long"))
+        .otherwise(F.aggregate(
+          F.sequence(F.lit(0), F.size(F.col("__bytes")) - 1), F.lit(0L),
+          (acc: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+            acc + F.when(F.element_at(F.col("__bytes"), j.cast("int") + 1) > F.col("__mean"),
+              F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(F.lit(0L))))
+        .as("phash"))
+  }
+
+  /** F4 pairs: near-duplicate payloads by perceptual-hash banding —
+    * the C3 SimHash contract on media fingerprints: 4 bands × 15 bits
+    * block candidates (two hashes within `maxHamming` ≤ 3 bits ALWAYS
+    * share a band by pigeonhole; at exactly 4 differing bits spread
+    * one-per-band a pair can escape, the standard banding trade
+    * documented at C3), then exact `bit_count(xor)` verifies. The
+    * candidate join shuffles (band, bucket) keys — never all pairs;
+    * bucket skew (constant-color thumbs) is AQE's skew-join case.
+    * Emits (id_a, id_b, hamming) with id_a < id_b, NULL hashes
+    * excluded.
+    */
+  def perceptualPairs(hashed: DataFrame, idCol: String = "doc_id",
+                      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 60, s"maxHamming=$maxHamming out of range")
+    val banded = hashed
+      .filter(F.col("phash").isNotNull)
+      .select(F.col(idCol), F.col("phash"), F.explode(F.array(
+        (0 until 4).map(b => F.struct(
+          F.lit(b).as("band"),
+          (F.shiftright(F.col("phash"), 15 * b).bitwiseAND(F.lit(32767L))).as("bucket"))): _*))
+        .as("__bb"))
+      .select(F.col(idCol), F.col("phash"),
+        F.col("__bb.band").as("band"), F.col("__bb.bucket").as("bucket"))
+    val a = banded.select(F.col(idCol).as("id_a"), F.col("phash").as("__ha"),
+      F.col("band"), F.col("bucket"))
+    val b = banded.select(F.col(idCol).as("id_b"), F.col("phash").as("__hb"),
+      F.col("band"), F.col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long").as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Batched per-partition decode → feature rows, through the codec
     * contract. Takes a FACTORY, not an instance: each task constructs
     * its own codec, so concurrent partitions never share decode state
