@@ -1255,6 +1255,23 @@ object SparkEntry {
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     }),
+    // D11: standalone BM25 ranking (the bm25Leg face) — idf is libm
+    // ln, so rows-only at the driver gate (the D2 discipline); the
+    // scoring contract is pinned against an independent driver-side
+    // BM25 in HybridSpec, and the join/topk routing is already
+    // hash-gated through search_hybrid's lexical leg. The fixture
+    // vocabulary is 31 near-uniform tokens, so the stopword df cap
+    // stays OFF here: idf-downweighting common terms IS BM25's
+    // treatment of them (at web scale the cap guards join fan-out,
+    // which 500 fixture docs don't have)
+    "search_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(F.col("doc_id") % 50 === 0)
+        .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+      graft.operators.Hybrid.bm25Leg(docs, "doc_id", "text", queries, "qid", "qtext",
+          n = 10, maxDfFraction = 1.0)
+        .orderBy("qid", "rank")
+    }),
 
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

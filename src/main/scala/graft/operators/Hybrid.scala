@@ -144,6 +144,85 @@ object Hybrid {
         (F.col("__p") + 1).cast("long").as("rank"))
   }
 
+  /** BM25 rank list (Robertson et al., the standard lexical ranking;
+    * Lucene's positive-idf spelling): top-`n` docs per query by
+    *
+    *   Σ_t ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1) /
+    *       (tf + k1·(1−b + b·dl/avgdl))
+    *
+    * over the query's distinct tokens — the production upgrade of
+    * [[lexicalLeg]]'s raw Σtf (idf downweights common terms, the
+    * saturation stops a 50-occurrence doc beating a 5-occurrence one
+    * 10×, and the length norm stops long docs winning by volume).
+    *
+    * Same scale discipline as [[lexicalLeg]]: corpus token stream
+    * semi-joined against the broadcast query-token set BEFORE the tf
+    * aggregate, stopword df cap kills the q·d fan-out, bounded top-k
+    * per query. Doc lengths join doc-keyed; avgdl rides as a broadcast
+    * one-row frame (pass `knownAvgDl`+`knownDocCount` from table stats
+    * at 100 TB to keep plan construction job-free). Per-(query, doc)
+    * contributions fold in SORTED token order (bounded by the query's
+    * own length), so scores are bit-reproducible across partitionings
+    * — but idf is libm `ln`: rows-only at the driver gate, the E10/E15
+    * discipline. `k1 = 1.25` (exactly representable; inside the
+    * published 1.2–2.0 band), `b = 0.75` (exact).
+    *
+    * Emits (qid, doc_id, bm25, rank) — [[leg]] adapts it for
+    * [[rrfFuse]].
+    */
+  def bm25Leg(docs: DataFrame, idCol: String, textCol: String,
+              queries: DataFrame, qidCol: String, qtextCol: String,
+              n: Int = 20, k1: Double = 1.25, b: Double = 0.75,
+              maxDfFraction: Double = 0.1,
+              knownDocCount: Option[Long] = None,
+              knownAvgDl: Option[Double] = None): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
+    val qTokens = queries
+      .select(F.col(qidCol).as("qid"), F.explode(
+        F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
+    val nDocs = knownDocCount.getOrElse(docs.count())
+    val dfCap = nDocs * maxDfFraction
+    val toked = docs
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        text.tokens(F.col(textCol)).as("__toks"))
+    val dl = toked.select(F.col("doc_id"), F.size(F.col("__toks")).cast("long").as("__dl"))
+    val avgdl = knownAvgDl
+      .map(v => docs.sparkSession.range(1).select(F.lit(v).as("__avgdl")))
+      .getOrElse(dl.agg(F.avg("__dl").as("__avgdl")))
+    val tf = toked
+      .select(F.col("doc_id"), F.explode(F.col("__toks")).as("token"))
+      .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
+    val keep = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df").cast("double") <= dfCap)
+    val idf = F.log(F.lit(1.0) +
+      (F.lit(nDocs.toDouble) - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+    val sat = (F.col("tf") * (k1 + 1.0)) /
+      (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+    qTokens.join(F.broadcast(keep), "token").join(tf, "token")
+      .join(dl, "doc_id")
+      .crossJoin(F.broadcast(avgdl))
+      .select(F.col("qid"), F.col("doc_id"), F.col("token"), (idf * sat).as("__c"))
+      // sorted in-row fold: per-(q,d) sums are order-fixed, so scores
+      // are bit-identical across partitionings (IEEE addition is
+      // order-sensitive; groupBy SUM would not be)
+      .groupBy("qid", "doc_id")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("token"), F.col("__c")))).as("__cs"))
+      .select(F.col("qid"), F.col("doc_id"),
+        F.aggregate(F.col("__cs"), F.lit(0.0),
+          (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+            acc + x.getField("__c")).as("__score"))
+      .groupBy("qid")
+      .agg(aggregates.top_k_payload(F.col("__score"), F.col("doc_id"),
+        F.struct(F.col("doc_id"), F.col("__score")), n).as("__top"))
+      .select(F.col("qid"), F.posexplode(F.col("__top")).as(Seq("__p", "__e")))
+      .select(F.col("qid"), F.col("__e.doc_id").as("doc_id"),
+        F.col("__e.__score").as("bm25"), (F.col("__p") + 1).cast("long").as("rank"))
+  }
+
   /** Brute-force cosine rank list (the D1 shape): top-`n` docs per
     * query vector as (qid, doc_id, rank). Fine while the corpus fits
     * a linear scan per query batch; beyond that feed [[rrfFuse]] an

@@ -125,6 +125,80 @@ class HybridSpec extends SparkSuite {
     assert(rows.exists(_.getLong(5) > 0L), "pq leg never surfaced a doc")
   }
 
+  /** Independent driver-side BM25 under the same contract (Lucene
+    * positive idf, k1/b, length norm, distinct query tokens).
+    */
+  private def refBm25(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+                      k1: Double, b: Double): Map[(Long, Long), Double] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val dl = docs.map { case (id, t) => id -> toks(t).size.toDouble }.toMap
+    val avgdl = dl.values.sum / dl.size
+    val n = docs.size.toDouble
+    val tf = docs.flatMap { case (id, t) => toks(t).map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = tf.keys.groupBy(_._2).map { case (w, v) => w -> v.size.toDouble }
+    (for {
+      (qid, qt) <- queries; w <- toks(qt).distinct
+      ((did, _), f) <- tf.filter(_._1._2 == w)
+    } yield {
+      val idf = math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5))
+      val sat = f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl(did) / avgdl))
+      ((qid, did), idf * sat)
+    }).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+  }
+
+  test("bm25Leg matches an independent reference; idf and length-norm laws hold") {
+    val docs = Seq(
+      (1L, "rare gem inside ordinary prose today"),
+      (2L, "ordinary prose about ordinary things in ordinary ways today"),
+      (3L, "rare rare rare gem gem stacked"),
+      (4L, "a short doc with gem"),
+      (5L, "gem " + (1 to 40).map(i => s"filler$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "rare gem"), (200L, "ordinary today")).toDF("qid", "qtext")
+    val got = Hybrid.bm25Leg(docs, "doc_id", "text", queries, "qid", "qtext",
+        n = 10, maxDfFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val want = refBm25(
+      docs.as[(Long, String)].collect().toSeq,
+      Seq((100L, "rare gem"), (200L, "ordinary today")), k1 = 1.25, b = 0.75)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, s) =>
+      assert(math.abs(got(k)._1 - s) < 1e-9, s"pair $k: ${got(k)._1} vs $s") }
+    // idf law: for query 100, doc 4 ("gem", 5 tokens) must outrank
+    // doc 5 ("gem" + 40 fillers) — same tf, length norm decides
+    assert(got((100L, 4L))._1 > got((100L, 5L))._1, "length norm must favor the short doc")
+    // saturation: doc 3's tf=3 "rare" scores less than 3x doc 1's tf=1
+    val idfRare = math.log(1.0 + (5.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    assert(got((100L, 3L))._1 < 3.0 * got((100L, 1L))._1 + 1e-9)
+    assert(idfRare > 0)
+  }
+
+  test("bm25 scores are bit-identical across partitionings; leg fuses into rrfFuse") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Hybrid.bm25Leg(d, "doc_id", "text", queries, "qid", "qtext", n = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val a = run(docs)
+    assert(a.nonEmpty)
+    // the sorted in-row fold makes double scores BIT-identical, not
+    // merely close, under a different partitioning
+    assert(run(docs.repartition(7)) == a)
+    // pluggability: the bm25 leg fuses beside the raw-tf lexical leg
+    val fused = Hybrid.rrfFuse(Seq(
+      "bm25" -> Hybrid.leg(
+        Hybrid.bm25Leg(docs, "doc_id", "text", queries, "qid", "qtext", n = 10),
+        "qid", "doc_id"),
+      "lex" -> Hybrid.lexicalLeg(docs, "doc_id", "text", queries, "qid", "qtext", n = 10)),
+      k = 5)
+    val rows = fused.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) > 0L || r.getLong(4) > 0L))
+  }
+
   test("no Window over the corpus: ranks come from bounded top-k arrays") {
     val docs = Tables.documents(spark, sf)
     val vecs = Tables.embeddings(spark, sf)
