@@ -74,7 +74,7 @@ object ScaleProbe {
       "corpus_mix", "pack_sequences", "sample_apportioned", "sample_dsir",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
-      "ann_pq_topk")
+      "ann_pq_topk", "ann_ivfpq_topk")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

@@ -49,6 +49,19 @@ object SparkEntry {
   // overlaps the table — the interesting idempotency case).
   private val rawJsonFeeds = scala.collection.mutable.Set.empty[String]
 
+  private val ivfPqLayouts = scala.collection.mutable.Set.empty[String]
+
+  /** D8b/D12 fixture codebooks: subvector slices of every 32nd corpus
+    * vector (anchors taken verbatim from the data, no k-means) — the
+    * pinned law the ann_pq_topk_pinned oracle replays.
+    */
+  private def pinnedPqCodebooks(e: DataFrame, m: Int = 8): Seq[Seq[Seq[Float]]] = {
+    val anchors = e.filter(F.col("vec_id") % 32 === 1).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dsub = anchors.head.length / m
+    (0 until m).map(sq => anchors.toSeq.map(a => a.slice(sq * dsub, (sq + 1) * dsub).toSeq))
+  }
+
   /** E15b fixture: odd docs get a doc_id-derived token no even
     * (training-half) doc can contain, so the unseen backoff level is
     * guaranteed to fire alongside tri/bi/uni.
@@ -1375,13 +1388,32 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
-      val anchors = e.filter(F.col("vec_id") % 32 === 1).orderBy("vec_id")
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val m = 8
-      val dsub = anchors.head.length / m
-      val cb: Seq[Seq[Seq[Float]]] = (0 until m).map(sq =>
-        anchors.toSeq.map(a => a.slice(sq * dsub, (sq + 1) * dsub).toSeq))
-      Similarity.pqTopK(e, q, 10, m = m, rerank = 64, codebooks = Some(cb))
+      Similarity.pqTopK(e, q, 10, m = 8, rerank = 64,
+          codebooks = Some(pinnedPqCodebooks(e)))
+        .orderBy("qid", "rank")
+    }),
+    // D12: IVF-PQ composed — the FAISS production shape: pinned
+    // centroids route each query to nprobe cells (PartitionFilters
+    // prune the layout listing), the pruned scan ADC-scores m bytes
+    // per vector, the bounded candidate set re-ranks exact-cosine
+    // against the float column of the same pruned cells. Layout built
+    // once per (JVM, sf). Rows-only: SimilaritySpec pins recall AND
+    // the probe-all ≡ plain-PQ bit-equality reduction
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val cent = e.filter(F.col("vec_id") % 128 === 3)
+        .select(F.col("vec_id").as("cell"), F.col("embedding").as("centroid"))
+      val cb = pinnedPqCodebooks(e)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${math.abs(d.hashCode)}"
+      ivfPqLayouts.synchronized {
+        if (!ivfPqLayouts.contains(path)) {
+          Similarity.writeIvfPqLayout(e, path, cent, cb)
+          ivfPqLayouts += path
+        }
+      }
+      Similarity.ivfPqTopK(s, path, q, 10, cent, cb, nprobe = 5, rerank = 64)
         .orderBy("qid", "rank")
     }),
 

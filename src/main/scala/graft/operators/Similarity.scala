@@ -475,6 +475,70 @@ object Similarity {
     adcRerankTopK(codes, corpus, queries, k, rerank, codebooks, idCol, vecCol, qidCol, qvecCol)
   }
 
+  /** D12: persist the IVF-PQ layout — the FAISS-production composition
+    * of the D4 cell routing and the D8 PQ compression: every vector
+    * lands in its nearest-centroid cell PARTITION carrying its m-byte
+    * PQ code AND its float vector in one table. The two access
+    * patterns split by parquet's own column pruning: the ADC scan
+    * reads (id, codes) — m bytes a vector — and never deserializes
+    * the embedding column; the bounded re-rank reads (id, embedding)
+    * for candidate rows only. One layout, both halves of the query.
+    */
+  def writeIvfPqLayout(corpus: DataFrame, path: String, centroids: DataFrame,
+                       codebooks: Seq[Seq[Seq[Float]]],
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cent = collectCentroids(centroids)
+    corpus
+      .withColumn("cell",
+        native.nearest_cell(F.col(vecCol), cent.map(_._1), cent.map(_._2)))
+      .withColumn("__codes", native.pq_encode(F.col(vecCol), codebooks))
+      .repartition(F.col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** D12: ANN top-k over an IVF-PQ layout — coarse cell routing THEN
+    * compressed scoring, the shape a 100 TB vector corpus actually
+    * serves: the probe ranks cells against the tiny centroid table,
+    * the union of probed cells becomes a PartitionFilters prune (only
+    * nprobe/ncells of the table is listed or read), the pruned scan
+    * ADC-scores m bytes per vector against per-query LUTs, the
+    * bounded top-`rerank` candidates re-rank exact-cosine against the
+    * float column of the SAME pruned cells. Nothing shuffles the
+    * corpus: probe pairs and LUTs broadcast in, candidates bound
+    * every exchange.
+    *
+    * Probing every cell reduces this EXACTLY to [[pqTopKFromLayout]]
+    * (spec-pinned bit equality) — nprobe trades recall for the prune,
+    * PQ trades scan bytes for the re-rank, independently tunable.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, k: Int, centroids: DataFrame,
+                codebooks: Seq[Seq[Seq[Float]]],
+                nprobe: Int = 3, rerank: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val probed = queries.join(F.broadcast(centroids))
+      .withColumn("ccos", native.cosine_sim(F.col(qvecCol), F.col("centroid")))
+    val probeTop = topKGeneric(probed, qidCol, "cell", "ccos", nprobe)
+      .select(F.col(qidCol), F.col("cell"))
+    val wantedCells = probeTop.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val layout = spark.read.parquet(path)
+      .filter(F.col("cell").isin(wantedCells: _*))
+    val q = queries.select(F.col(qidCol),
+      native.pq_lut(F.col(qvecCol), codebooks).as("__lut"))
+    val adc = layout.select(F.col("cell"), F.col(idCol), F.col("__codes"))
+      .join(F.broadcast(probeTop.join(q, qidCol)), Seq("cell"))
+      .filter(F.col(qidCol) =!= F.col(idCol))
+      .withColumn("adc", native.pq_adc(F.col("__codes"), F.col("__lut")))
+    val cand = topKGeneric(adc, qidCol, idCol, "adc", rerank)
+    val scored = layout.select(F.col(idCol), F.col(vecCol))
+      .join(F.broadcast(cand.join(queries, qidCol)), Seq(idCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
   private def adcRerankTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
                             k: Int, rerank: Int, cb: Seq[Seq[Seq[Float]]],
                             idCol: String, vecCol: String,

@@ -217,6 +217,44 @@ class SimilaritySpec extends SparkSuite {
       s"codes layout must be scanned:\n${scans.mkString("\n")}")
   }
 
+  // ── D12: IVF-PQ composed ──
+
+  test("ivfPqTopK: probe-all reduces bit-exactly to plain PQ; nprobe prunes partitions; recall holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
+    val cb = Similarity.pqTrain(corpus)
+    val cent = corpus.filter(F.col("vec_id") % 128 === 3)
+      .select(F.col("vec_id").as("cell"), F.col("embedding").as("centroid"))
+    val nCells = cent.count().toInt
+    Similarity.writeIvfPqLayout(corpus, dir, cent, cb)
+
+    // probing EVERY cell makes the candidate set identical to plain
+    // PQ over the same codes — the reduction must be bit-exact
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-codes-").toString
+    Similarity.writePqCodesLayout(corpus, pqDir, cb)
+    val all = Similarity.ivfPqTopK(spark, dir, queries, 10, cent, cb,
+      nprobe = nCells, rerank = 64)
+    val plain = Similarity.pqTopKFromLayout(spark, pqDir, corpus, queries, 10, cb)
+    assert(all.orderBy("qid", "rank").collect().toSeq ==
+      plain.orderBy("qid", "rank").collect().toSeq,
+      "probe-all IVF-PQ must equal the plain PQ path bit-for-bit")
+
+    // nprobe path: partition pruning + codes-only ADC scan in the plan
+    val probed = Similarity.ivfPqTopK(spark, dir, queries, 10, cent, cb,
+      nprobe = 3, rerank = 64)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "cell prune must reach the scan")
+    val scans = plan.split("\n").filter(_.contains("FileScan"))
+    assert(scans.exists(l => l.contains("__codes") && !l.contains("embedding")),
+      s"the ADC scan must not read the float column:\n${scans.mkString("\n")}")
+
+    // recall at nprobe=5: the coarse routing costs a little vs plain
+    // PQ (same bars as the IVF family)
+    val r = recalls(Similarity.ivfPqTopK(spark, dir, queries, 10, cent, cb,
+      nprobe = 5, rerank = 64))
+    assert(r.sum / r.size >= 0.6, s"mean recall ${r.sum / r.size} too low: $r")
+    assert(r.forall(_ >= 0.4), s"per-query recall floor broken: $r")
+  }
+
   // ── D10: MMR diversification ──
 
   private def mmrReference(cands: Seq[(Long, Double, Array[Float])],
