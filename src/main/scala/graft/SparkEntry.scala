@@ -56,7 +56,11 @@ object SparkEntry {
     * pinned law the ann_pq_topk_pinned oracle replays.
     */
   private def pinnedPqCodebooks(e: DataFrame, m: Int = 8): Seq[Seq[Seq[Float]]] = {
-    val anchors = e.filter(F.col("vec_id") % 32 === 1).orderBy("vec_id")
+    // the 256 cap is PqEncode's byte-code ceiling; at the oracle
+    // scales (<= 2000 vectors -> <= 63 anchors) it never binds, so the
+    // DuckDB replay needn't model it — it exists for the 10x ScaleProbe
+    // corpus
+    val anchors = e.filter(F.col("vec_id") % 32 === 1).orderBy("vec_id").limit(256)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     val dsub = anchors.head.length / m
     (0 until m).map(sq => anchors.toSeq.map(a => a.slice(sq * dsub, (sq + 1) * dsub).toSeq))
