@@ -197,7 +197,7 @@ object SparkEntry {
       // fixture: materialize the feed once per (JVM, sf) — repeated
       // invocations (bench runs 3×) should time the LOADER, not the
       // deterministic fixture write
-      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_rawjson_${math.abs(d.hashCode)}"
+      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_rawjson_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       rawJsonFeeds.synchronized {
         if (!rawJsonFeeds.contains(jsonDir)) {
           Tables.events(s, d).select(F.to_json(F.struct(
@@ -1410,7 +1410,9 @@ object SparkEntry {
       val cent = e.filter(F.col("vec_id") % 128 === 3)
         .select(F.col("vec_id").as("cell"), F.col("embedding").as("centroid"))
       val cb = pinnedPqCodebooks(e)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${math.abs(d.hashCode)}"
+      // path keyed by the SANITIZED dir, not its hashCode — two data
+      // dirs must never collide onto one cached layout
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       ivfPqLayouts.synchronized {
         if (!ivfPqLayouts.contains(path)) {
           Similarity.writeIvfPqLayout(e, path, cent, cb)
@@ -1582,11 +1584,13 @@ object SparkEntry {
     }),
     // F4: perceptual near-dup pairs over media payloads — aHash
     // (strided thumbnail → mean-threshold bits → 60-bit pack) banded
-    // 4×15 the C3 way, exact bit_count(xor) verify. Every stage after
-    // the thumbnail is integer arithmetic, so thumbnail, fingerprint,
-    // banding and verification ALL replay in DuckDB; re-keyed
-    // every-50th-doc replicas (the C2b decoration) guarantee
-    // hamming-0 pairs
+    // 4×15 the C3 way, exact bit_count(xor) verify. maxHamming=4 is
+    // past the banding's ≤3 recall guarantee: BOTH engines apply the
+    // same band-then-verify rule, so the (identical) subset semantics
+    // hash cleanly. Every stage after the thumbnail is integer
+    // arithmetic, so thumbnail, fingerprint, banding and verification
+    // ALL replay in DuckDB; re-keyed every-50th-doc replicas (the C2b
+    // decoration) guarantee hamming-0 pairs
     "mm_phash_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val decorated = docs.unionByName(

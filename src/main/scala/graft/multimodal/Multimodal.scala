@@ -143,17 +143,22 @@ object Multimodal {
 
   /** F4 pairs: near-duplicate payloads by perceptual-hash banding —
     * the C3 SimHash contract on media fingerprints: 4 bands × 15 bits
-    * block candidates (two hashes within `maxHamming` ≤ 3 bits ALWAYS
-    * share a band by pigeonhole; at exactly 4 differing bits spread
-    * one-per-band a pair can escape, the standard banding trade
-    * documented at C3), then exact `bit_count(xor)` verifies. The
-    * candidate join shuffles (band, bucket) keys — never all pairs;
-    * bucket skew (constant-color thumbs) is AQE's skew-join case.
-    * Emits (id_a, id_b, hamming) with id_a < id_b, NULL hashes
-    * excluded.
+    * block candidates, then exact `bit_count(xor)` verifies. The
+    * default `maxHamming = 3` is the banding's RECALL GUARANTEE: two
+    * hashes within 3 differing bits always share an untouched band by
+    * pigeonhole, so no qualifying pair can be missed. Raising
+    * `maxHamming` past 3 is allowed but returns only the qualifying
+    * pairs that ALSO share a band (≥ 4 bits can spread one-per-band
+    * and escape candidate generation — the standard banding trade,
+    * same as C3's 4×13 at its verify threshold); callers accepting
+    * that subset semantics should say so where they consume the
+    * output. The candidate join shuffles (band, bucket) keys — never
+    * all pairs; bucket skew (constant-color thumbs) is AQE's
+    * skew-join case. Emits (id_a, id_b, hamming) with id_a < id_b,
+    * NULL hashes excluded.
     */
   def perceptualPairs(hashed: DataFrame, idCol: String = "doc_id",
-                      maxHamming: Int = 4): DataFrame = {
+                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 60, s"maxHamming=$maxHamming out of range")
     val banded = hashed
       .filter(F.col("phash").isNotNull)

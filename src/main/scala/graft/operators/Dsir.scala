@@ -52,21 +52,26 @@ object Dsir {
   /** Per-document hashed-feature stream: bucket ids of all unigrams
     * and bigrams, staged per the §4 HOF rule (tokens and the gram
     * stream are each their own projection, consumed through ≥2
-    * references). Emits (idCol, __buckets array<long>).
+    * references). Emits (idCol, carry..., __buckets array<long>).
+    * `sep` is the bigram joiner — part of each caller's hash law
+    * (DSIR uses " ", the E14 classifier "_"); `carry` threads payload
+    * columns (e.g. a label) through the staged projections.
     */
-  private def bucketStream(docs: DataFrame, idCol: String, textCol: String,
-                           buckets: Int): DataFrame = {
-    val s1 = docs.select(F.col(idCol), T.tokens(F.col(textCol)).as("__toks"))
+  private[operators] def bucketStream(docs: DataFrame, idCol: String, textCol: String,
+                                      buckets: Int, sep: String = " ",
+                                      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(F.col)
+    val s1 = docs.select(F.col(idCol) +: carried :+ T.tokens(F.col(textCol)).as("__toks"): _*)
     val toks = F.col("__toks")
     val bigrams = F.when(F.size(toks) >= 2,
       F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-        (i: Column) => F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))))
+        (i: Column) => F.concat_ws(sep, F.element_at(toks, i), F.element_at(toks, i + 1))))
       .otherwise(F.array().cast("array<string>"))
-    val s2 = s1.select(F.col(idCol), F.concat(toks, bigrams).as("__grams"))
-    s2.select(F.col(idCol),
+    val s2 = s1.select(F.col(idCol) +: carried :+ F.concat(toks, bigrams).as("__grams"): _*)
+    s2.select(F.col(idCol) +: carried :+
       F.when(F.size(F.col("__grams")) === 0, F.array().cast("array<long>"))
         .otherwise(F.transform(F.col("__grams"),
-          (g: Column) => bucketOf(g, buckets))).as("__buckets"))
+          (g: Column) => bucketOf(g, buckets))).as("__buckets"): _*)
   }
 
   /** Bucket-count histogram of a corpus: (bucket, cnt), ≤ `buckets`

@@ -158,9 +158,11 @@ object Hybrid {
     * Same scale discipline as [[lexicalLeg]]: corpus token stream
     * semi-joined against the broadcast query-token set BEFORE the tf
     * aggregate, stopword df cap kills the q·d fan-out, bounded top-k
-    * per query. Doc lengths join doc-keyed; avgdl rides as a broadcast
-    * one-row frame (pass `knownAvgDl`+`knownDocCount` from table stats
-    * at 100 TB to keep plan construction job-free). Per-(query, doc)
+    * per query. The doc length rides the token stream into the tf
+    * aggregate (no separate length scan or doc-keyed join), and
+    * (N, avgdl) come from one slim aggregate — or from table stats
+    * via `knownDocCount`+`knownAvgDl`, the 100 TB route that leaves
+    * the corpus tokenized exactly ONCE. Per-(query, doc)
     * contributions fold in SORTED token order (bounded by the query's
     * own length), so scores are bit-reproducible across partitionings
     * — but idf is libm `ln`: rows-only at the driver gate, the E10/E15
@@ -183,28 +185,35 @@ object Hybrid {
     val qTokens = queries
       .select(F.col(qidCol).as("qid"), F.explode(
         F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
-    val nDocs = knownDocCount.getOrElse(docs.count())
-    val dfCap = nDocs * maxDfFraction
     val toked = docs
       .select(F.col(idCol).cast("long").as("doc_id"),
         text.tokens(F.col(textCol)).as("__toks"))
-    val dl = toked.select(F.col("doc_id"), F.size(F.col("__toks")).cast("long").as("__dl"))
-    val avgdl = knownAvgDl
-      .map(v => docs.sparkSession.range(1).select(F.lit(v).as("__avgdl")))
-      .getOrElse(dl.agg(F.avg("__dl").as("__avgdl")))
+    // corpus stats (N, avgdl) in ONE slim aggregate over the length
+    // projection when not supplied — at 100 TB pass both from table
+    // stats so plan construction stays job-free and the corpus is
+    // tokenized exactly once (the tf pass below)
+    val (nDocs, avgDl) = (knownDocCount, knownAvgDl) match {
+      case (Some(n), Some(a)) => (n, a)
+      case _ =>
+        val r = toked.agg(F.count(F.lit(1)), F.avg(F.size(F.col("__toks")))).head()
+        (knownDocCount.getOrElse(r.getLong(0)), knownAvgDl.getOrElse(r.getDouble(1)))
+    }
+    val dfCap = nDocs * maxDfFraction
+    // the doc length rides the token stream into the tf aggregate —
+    // no separate dl scan, no doc-keyed join
     val tf = toked
-      .select(F.col("doc_id"), F.explode(F.col("__toks")).as("token"))
+      .select(F.col("doc_id"), F.size(F.col("__toks")).cast("long").as("__dl"),
+        F.explode(F.col("__toks")).as("token"))
       .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
-      .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
+      .groupBy("doc_id", "token")
+      .agg(F.count(F.lit(1)).as("tf"), F.first("__dl").as("__dl"))
     val keep = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
       .filter(F.col("__df").cast("double") <= dfCap)
     val idf = F.log(F.lit(1.0) +
       (F.lit(nDocs.toDouble) - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
     val sat = (F.col("tf") * (k1 + 1.0)) /
-      (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+      (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgDl)))
     qTokens.join(F.broadcast(keep), "token").join(tf, "token")
-      .join(dl, "doc_id")
-      .crossJoin(F.broadcast(avgdl))
       .select(F.col("qid"), F.col("doc_id"), F.col("token"), (idf * sat).as("__c"))
       // sorted in-row fold: per-(q,d) sums are order-fixed, so scores
       // are bit-identical across partitionings (IEEE addition is

@@ -142,7 +142,10 @@ object LanguageModel {
     val triE = tri.join(
       bi.select(F.col("p1").as("p2"), F.col("w").as("p1"), F.col("c2").as("ctx2")),
       Seq("p2", "p1"))
-    val n = uni.agg(F.sum("c1")).head().getLong(0)
+    // coalesce: SUM over an empty table is NULL — an empty training
+    // corpus must reach stupidBackoff's clean totalTokens require, not
+    // die here with an NPE
+    val n = uni.agg(F.coalesce(F.sum("c1"), F.lit(0L))).head().getLong(0)
     BackoffModel(uni, biE, triE, n)
   }
 

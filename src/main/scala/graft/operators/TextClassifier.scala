@@ -47,24 +47,14 @@ object TextClassifier {
   /** Per-document hashed-feature bucket stream under the SAME law as
     * [[score]] (unigrams + '_'-joined adjacent bigrams, 52-bit
     * md5-prefix % buckets — the hash is part of the model, so trainer
-    * and scorer must share it exactly). Staged per the §4 HOF rule:
-    * tokens and the feature stream are each their own projection,
-    * every staged column consumed through ≥2 references.
+    * and scorer must share it exactly). One shared implementation with
+    * DSIR's feature stream ([[Dsir.bucketStream]], the §4-staged
+    * spelling) — only the bigram separator differs between the two
+    * hash laws.
     */
   private def featureBuckets(df: DataFrame, idCol: String, textCol: String,
-                             buckets: Int): DataFrame = {
-    val s1 = df.select(df.col("*"), text.tokens(F.col(textCol)).as("__toks"))
-    val toks = F.col("__toks")
-    val bigrams = F.when(F.size(toks) >= 2,
-      F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-        (i: Column) => F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1))))
-      .otherwise(F.array().cast("array<string>"))
-    val s2 = s1.select(F.col(idCol), F.col("__y"), F.concat(toks, bigrams).as("__feats"))
-    s2.select(F.col(idCol), F.col("__y"),
-      F.when(F.size(F.col("__feats")) === 0, F.array().cast("array<long>"))
-        .otherwise(F.transform(F.col("__feats"),
-          (g: Column) => Dsir.bucketOf(g, buckets))).as("__buckets"))
-  }
+                             buckets: Int): DataFrame =
+    Dsir.bucketStream(df, idCol, textCol, buckets, sep = "_", carry = Seq("__y"))
 
   /** TRAIN the linear layer — full-batch perceptron (Rosenblatt's rule
     * in its batch form; the Collins 2002 structured-perceptron recipe
@@ -100,8 +90,13 @@ object TextClassifier {
     require(buckets > 0, s"buckets=$buckets must be positive")
     require(epochs >= 1, s"epochs=$epochs must be >= 1")
     require(lr > 0, s"lr=$lr must be positive")
-    val labeled = df.select(F.col(idCol), F.col(textCol),
-      F.col(labelCol).cast("long").as("__y"))
+    // NULL text tokenizes like empty text; a NULL label must surface
+    // in the __bad count below (a silently-dropped doc would train a
+    // subset with no error), so it maps to a sentinel no valid label
+    // can collide with
+    val labeled = df.select(F.col(idCol),
+      F.coalesce(F.col(textCol), F.lit("")).as(textCol),
+      F.coalesce(F.col(labelCol).cast("long"), F.lit(Long.MinValue)).as("__y"))
     val feats = featureBuckets(labeled, idCol, textCol, buckets)
     val w = Array.ofDim[Long](buckets)
     val history = Seq.newBuilder[Long]
@@ -122,10 +117,14 @@ object TextClassifier {
       // CollapseProject but not predicate pushdown — see §4). Label
       // contract checked on the same pass (a non-±1 label routes its
       // doc into the aggregate's __bad count and fails the require).
-      val missedBuckets = F.when(
-        F.col("__y") =!= 1L && F.col("__y") =!= -1L ||
-          F.col("__raw") * F.col("__y") <= 0L,
-        F.concat(F.array(F.lit(-1L)), F.col("__buckets")))
+      // ordered branches: the bad-label test fires FIRST, emitting
+      // ONLY the sentinel (its buckets must not reach the delta sum
+      // with a sentinel label, and raw * MinValue would overflow under
+      // ANSI before the require could diagnose it)
+      val missedBuckets = F
+        .when(F.col("__y") =!= 1L && F.col("__y") =!= -1L, F.array(F.lit(-1L)))
+        .when(F.col("__raw") * F.col("__y") <= 0L,
+          F.concat(F.array(F.lit(-1L)), F.col("__buckets")))
         .otherwise(F.array().cast("array<long>"))
       // one aggregate for gradient AND mistake count: each missed doc
       // explodes to a sentinel −1 row (counts the mistake) plus its

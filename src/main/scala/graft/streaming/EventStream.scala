@@ -31,11 +31,18 @@ object EventStream {
     * session TIMESTAMP type at µs precision regardless of the feed's
     * on-disk spelling (epoch-nanos long, timestamp[us] NTZ, or already
     * zoned). The one-off batch read probes footers only — a streaming
-    * source needs its schema before the first micro-batch.
+    * source needs its schema before the first micro-batch. An EMPTY
+    * (or not-yet-populated) directory cannot be probed and starts
+    * under the legacy epoch-nanos wire schema, preserving the
+    * empty-at-startup behavior a streaming source must have; a
+    * directory must hold ONE generation of files (mixed nanos/µs
+    * generations need a migration rewrite, not schema inference).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema).parquet(dir)

@@ -214,5 +214,18 @@ class TextSpec extends SparkSuite {
         Seq((1L, "some text", 0L)).toDF("doc_id", "text", "y"),
         "doc_id", "text", "y", buckets = 64, epochs = 1)
     }
+    // a NULL label must be rejected, not silently dropped from the fold
+    intercept[IllegalArgumentException] {
+      TextClassifier.train(
+        Seq((1L, "fine text", Some(1L)), (2L, "doc with null label", None))
+          .toDF("doc_id", "text", "y"),
+        "doc_id", "text", "y", buckets = 64, epochs = 1)
+    }
+    // NULL text trains like empty text (one '' feature), no crash
+    val (_, h) = TextClassifier.train(
+      Seq((1L, Some("alpha beta"), 1L), (2L, None, -1L))
+        .toDF("doc_id", "text", "y"),
+      "doc_id", "text", "y", buckets = 64, epochs = 2)
+    assert(h.size == 2)
   }
 }
