@@ -1283,7 +1283,12 @@ object SparkEntry {
     // which 500 fixture docs don't have)
     "search_bm25" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val queries = docs.filter(F.col("doc_id") % 50 === 0)
+      // every 250th doc as a query: with the df cap off, the q·d
+      // token join is the cost, and the uniform fixture vocabulary
+      // matches every query token to every doc — 20 queries at sf0.1
+      // keeps the uncapped join linear in the corpus while still
+      // exercising the full scorer
+      val queries = docs.filter(F.col("doc_id") % 250 === 0)
         .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
       graft.operators.Hybrid.bm25Leg(docs, "doc_id", "text", queries, "qid", "qtext",
           n = 10, maxDfFraction = 1.0)

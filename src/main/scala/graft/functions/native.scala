@@ -357,6 +357,56 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
   * multimodal resize stage runs entirely inside whole-stage codegen
   * instead of through a Scala UDF's serialization boundary.
   */
+/** Average-hash perceptual fingerprint of a binary payload — the
+  * [[StridedBytes]] thumbnail (same index law: out(i) =
+  * payload((i·len/m)), m = min(thumbBytes, len)), floor-mean
+  * threshold per cell, bits packed little-endian into one long
+  * (`thumbBytes ≤ 60` keeps every bit inside the positive signed-64
+  * range a SQL engine shares). One opaque codegen'd node on purpose:
+  * the Column-composed spelling (hex → per-byte conv → mean fold →
+  * bit fold) is torn apart by predicate pushdown — a filter or an
+  * equi-join's implicit IsNotNull on the derived hash re-inlines the
+  * whole staged pipeline into the predicate, re-evaluating the folds
+  * per element (observed 70 s for a count at sf0.1 vs 2 s; SURVEY §4
+  * staging rule 3) — while this expression is a single compute() call
+  * wherever the optimizer copies it. NULL for an empty payload.
+  */
+case class AHash64(child: Expression, thumbBytes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(thumbBytes >= 2 && thumbBytes <= 60,
+    s"thumbBytes=$thumbBytes must be in [2, 60] (bit j rides 2^j in a signed long)")
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  def compute(payload: Array[Byte]): java.lang.Long = {
+    if (payload.isEmpty) return null
+    val m = math.min(thumbBytes, payload.length)
+    val thumb = new Array[Int](m)
+    var sum = 0L
+    var i = 0
+    while (i < m) {
+      thumb(i) = payload((i.toLong * payload.length / m).toInt) & 0xff
+      sum += thumb(i)
+      i += 1
+    }
+    val mean = sum / m
+    var h = 0L
+    i = 0
+    while (i < m) { if (thumb(i) > mean) h |= 1L << i; i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahash", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = $ref.compute($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}
+
 case class StridedBytes(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(n > 0, s"StridedBytes target must be positive, got $n")
@@ -1211,6 +1261,8 @@ object native {
     Bridge.column(NearestCell(Bridge.expression(vec), cells, centroids.map(_.toSeq)))
   def strided_bytes(payload: Column, n: Int): Column =
     Bridge.column(StridedBytes(Bridge.expression(payload), n))
+  def ahash64(payload: Column, thumbBytes: Int): Column =
+    Bridge.column(AHash64(Bridge.expression(payload), thumbBytes))
   def int8_quantize(vec: Column): Column =
     Bridge.column(Int8Quantize(Bridge.expression(vec)))
   def l2_normalize(vec: Column): Column =

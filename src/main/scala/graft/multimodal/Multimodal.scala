@@ -111,35 +111,17 @@ object Multimodal {
     * Map-only; the in-row folds run over ≤ 60 elements.
     */
   def averageHash(withBin: DataFrame, idCol: String = "doc_id",
-                  payloadCol: String = "payload", thumbBytes: Int = 60): DataFrame = {
-    require(thumbBytes >= 2 && thumbBytes <= 60,
-      s"thumbBytes=$thumbBytes must be in [2, 60] (bit j rides 2^j in a signed long)")
-    val id = F.col(idCol)
-    val hexed = withBin.select(id,
-      F.hex(native.strided_bytes(F.col(payloadCol), thumbBytes)).as("__hex"))
-    // staged hex consumed through >=2 references (guard + transform)
-    val bytes = F.when(F.length(F.col("__hex")) === 0, F.array().cast("array<long>"))
-      .otherwise(F.transform(F.sequence(F.lit(1), (F.length(F.col("__hex")) / 2).cast("int")),
-        (i: org.apache.spark.sql.Column) =>
-          F.conv(F.substring(F.col("__hex"), i * 2 - 1, F.lit(2)), 16, 10).cast("long")))
-    val byted = hexed.select(id, bytes.as("__bytes"))
-    // floor-mean: sums are <= 60*255, exact in double on both engines
-    val staged = byted.select(id, F.col("__bytes"),
-      F.when(F.size(F.col("__bytes")) === 0, F.lit(null).cast("long"))
-        .otherwise(F.floor(
-          F.aggregate(F.col("__bytes"), F.lit(0L),
-            (acc: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => acc + b)
-            .cast("double") / F.size(F.col("__bytes")).cast("double")))
-        .as("__mean"))
-    staged.select(id,
-      F.when(F.col("__mean").isNull, F.lit(null).cast("long"))
-        .otherwise(F.aggregate(
-          F.sequence(F.lit(0), F.size(F.col("__bytes")) - 1), F.lit(0L),
-          (acc: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
-            acc + F.when(F.element_at(F.col("__bytes"), j.cast("int") + 1) > F.col("__mean"),
-              F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(F.lit(0L))))
-        .as("phash"))
-  }
+                  payloadCol: String = "payload", thumbBytes: Int = 60): DataFrame =
+    // one codegen'd node ([[graft.functions.AHash64]]): thumbnail
+    // index law + floor-mean + bit pack in a single compute() per row.
+    // A Column-composed spelling here is a §4-rule-3 trap: downstream
+    // filters and the candidate equi-join's implicit IsNotNull push
+    // below the staging and re-evaluate the folds per element. A real
+    // codec deployment decodes/rescales into a thumb column first and
+    // hashes THAT (ahash64 of an already-m-byte payload is the
+    // identity sampling).
+    withBin.select(F.col(idCol),
+      native.ahash64(F.col(payloadCol), thumbBytes).as("phash"))
 
   /** F4 pairs: near-duplicate payloads by perceptual-hash banding —
     * the C3 SimHash contract on media fingerprints: 4 bands × 15 bits
@@ -160,8 +142,13 @@ object Multimodal {
   def perceptualPairs(hashed: DataFrame, idCol: String = "doc_id",
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 60, s"maxHamming=$maxHamming out of range")
+    // NO filter on the derived hash: a Filter node here would be
+    // predicate-pushed below the staged aHash projections, re-inlining
+    // the whole hex->bytes->mean->pack pipeline into the predicate
+    // (observed 175 s at sf0.1 — §4 staging rule 3). NULL phash rows
+    // flow into the banding with NULL buckets and drop out of the
+    // equi-join by SQL join semantics — same exclusion, no Filter.
     val banded = hashed
-      .filter(F.col("phash").isNotNull)
       .select(F.col(idCol), F.col("phash"), F.explode(F.array(
         (0 until 4).map(b => F.struct(
           F.lit(b).as("band"),
