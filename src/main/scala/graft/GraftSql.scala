@@ -83,10 +83,14 @@ object GraftSql {
       case d: DeleteFromTable => deleteParsed(spark, d)
       case u: UpdateTable => updateParsed(spark, u)
       case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable => truncateParsed(spark, t)
+      case a: AddColumns => addColumnsParsed(spark, a)
+      case dc: DropColumns => dropColumnsParsed(spark, dc)
+      case r: RenameColumn => renameColumnParsed(spark, r)
       case other => throw new IllegalArgumentException(
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
-          "DELETE, UPDATE, TRUNCATE, ASSERT, EXPORT DATA")
+          "DELETE, UPDATE, TRUNCATE, ALTER TABLE ADD/DROP/RENAME COLUMN, " +
+          "ASSERT, EXPORT DATA")
     }
 
   private val AssertRe = """(?is)^\s*ASSERT\b.*""".r
@@ -271,6 +275,98 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"TRUNCATE target must be a named table, got: ${other.nodeName}")
     }
+
+  /** BigQuery's schema-evolution DDL as SQL text — `ALTER TABLE t
+    * ADD COLUMN c TYPE`, `DROP COLUMN [IF EXISTS] c`, `RENAME COLUMN
+    * a TO b` — the verbs a warehouse table accumulates over its life.
+    * Routed to the snapshot rewrite like every DML verb here: ADD
+    * appends the column NULL-filled (BigQuery's added columns are
+    * NULLABLE and land at the end; FIRST/AFTER positions and nested
+    * field paths are rejected loudly), DROP removes top-level columns
+    * (honoring IF EXISTS; dropping every column is an error), RENAME
+    * is a pure header rewrite. Same persistence/isolation contract as
+    * [[delete]]: the returned frame is the evolved snapshot — persist
+    * via stage-and-swap; on Delta/Iceberg the same text executes
+    * natively as a metadata-only change.
+    */
+  def alter(spark: SparkSession, sql: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case a: AddColumns => addColumnsParsed(spark, a)
+      case d: DropColumns => dropColumnsParsed(spark, d)
+      case r: RenameColumn => renameColumnParsed(spark, r)
+      case other => throw new IllegalArgumentException(
+        s"not a supported ALTER statement (parsed to ${other.nodeName}); " +
+          "supported: ADD COLUMN(s), DROP COLUMN(s), RENAME COLUMN")
+    }
+
+  private def alterTarget(spark: SparkSession, table: LogicalPlan): DataFrame =
+    table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        spark.table(ut.multipartIdentifier.mkString("."))
+      case other => throw new IllegalArgumentException(
+        s"ALTER target must be a named table, got: ${other.nodeName}")
+    }
+
+  private def addColumnsParsed(spark: SparkSession, a: AddColumns): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val df = alterTarget(spark, a.table)
+    val existing = df.columns.map(_.toLowerCase).toSet
+    a.columnsToAdd.foreach { c =>
+      require(c.path.isEmpty,
+        s"ADD COLUMN supports top-level columns only, got nested path: ${c.name.mkString(".")}")
+      require(c.position.isEmpty,
+        "FIRST/AFTER column positions are unsupported (BigQuery appends added columns)")
+      require(c.default.isEmpty,
+        "DEFAULT on ADD COLUMN is unsupported; backfill with UPDATE after adding")
+      require(c.nullable,
+        s"added column '${c.colName}' must be nullable (BigQuery: added columns are NULLABLE)")
+      require(!existing(c.colName.toLowerCase), s"column already exists: ${c.colName}")
+    }
+    val added = a.columnsToAdd.map(_.colName.toLowerCase)
+    require(added.distinct.length == added.length,
+      s"duplicate column in ADD list: ${a.columnsToAdd.map(_.colName).mkString(", ")}")
+    df.select(df.columns.map(F.col).toSeq ++
+      a.columnsToAdd.map(c => F.lit(null).cast(c.dataType).as(c.colName)): _*)
+  }
+
+  private def dropColumnsParsed(spark: SparkSession, d: DropColumns): DataFrame = {
+    val df = alterTarget(spark, d.table)
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val requested = d.columnsToDrop.map {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+        require(f.name.size == 1,
+          s"DROP COLUMN supports top-level columns only, got: ${f.name.mkString(".")}")
+        f.name.head
+      case other => throw new IllegalArgumentException(
+        s"DROP COLUMN target must be a column name, got: $other")
+    }
+    val (present, missing) = requested.partition(c => byLower.contains(c.toLowerCase))
+    if (missing.nonEmpty && !d.ifExists)
+      throw new IllegalArgumentException(
+        s"cannot DROP missing column(s): ${missing.mkString(", ")} (use IF EXISTS to ignore)")
+    val dropSet = present.map(_.toLowerCase).toSet
+    require(dropSet.size < df.columns.length,
+      "DROP COLUMN would remove every column of the table")
+    df.drop(present.map(c => byLower(c.toLowerCase)): _*)
+  }
+
+  private def renameColumnParsed(spark: SparkSession, r: RenameColumn): DataFrame = {
+    val df = alterTarget(spark, r.table)
+    val old = r.column match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+        require(f.name.size == 1,
+          s"RENAME COLUMN supports top-level columns only, got: ${f.name.mkString(".")}")
+        f.name.head
+      case other => throw new IllegalArgumentException(
+        s"RENAME COLUMN target must be a column name, got: $other")
+    }
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val from = byLower.getOrElse(old.toLowerCase, throw new IllegalArgumentException(
+      s"cannot RENAME missing column: $old"))
+    require(!byLower.contains(r.newName.toLowerCase),
+      s"RENAME target name already exists: ${r.newName}")
+    df.withColumnRenamed(from, r.newName)
+  }
 
   /** `DELETE FROM t [AS a] WHERE cond` — BigQuery's row-deletion DML
     * as SQL text. Plain parquet Spark parses the statement

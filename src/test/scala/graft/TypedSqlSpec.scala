@@ -276,6 +276,41 @@ class TypedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("not a TRUNCATE"))
   }
 
+  test("GraftSql.alter: ADD/DROP/RENAME COLUMN evolve the snapshot; unsupported shapes loud") {
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 0.5)).toDF("k", "name", "rate")
+      .createOrReplaceTempView("alt_t")
+    // ADD: appended, NULL-filled, declared type — via load dispatch too
+    val added = GraftSql.load(spark, "ALTER TABLE alt_t ADD COLUMN region STRING")
+    assert(added.columns.toSeq == Seq("k", "name", "rate", "region"))
+    assert(added.schema("region").dataType == org.apache.spark.sql.types.StringType)
+    assert(added.filter(org.apache.spark.sql.functions.col("region").isNotNull).count() == 0)
+    assert(added.count() == 2)
+    // multiple columns in one statement
+    val added2 = GraftSql.alter(spark,
+      "ALTER TABLE alt_t ADD COLUMNS (region STRING, n INT)")
+    assert(added2.columns.toSeq == Seq("k", "name", "rate", "region", "n"))
+    // DROP: removes the column; IF EXISTS tolerates a missing one
+    val dropped = GraftSql.alter(spark, "ALTER TABLE alt_t DROP COLUMN rate")
+    assert(dropped.columns.toSeq == Seq("k", "name"))
+    assert(GraftSql.alter(spark,
+      "ALTER TABLE alt_t DROP COLUMN IF EXISTS ghost").columns.toSeq ==
+      Seq("k", "name", "rate"))
+    // RENAME: header-only rewrite, values untouched
+    val renamed = GraftSql.alter(spark, "ALTER TABLE alt_t RENAME COLUMN rate TO fx_rate")
+    assert(renamed.columns.toSeq == Seq("k", "name", "fx_rate"))
+    assert(renamed.orderBy("k").select("fx_rate").as[Double].collect().toSeq == Seq(2.0, 0.5))
+    // loud failures: existing name, missing column, nested path, rename collision
+    assert(intercept[IllegalArgumentException](GraftSql.alter(spark,
+      "ALTER TABLE alt_t ADD COLUMN name STRING")).getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](GraftSql.alter(spark,
+      "ALTER TABLE alt_t DROP COLUMN ghost")).getMessage.contains("missing column"))
+    assert(intercept[IllegalArgumentException](GraftSql.alter(spark,
+      "ALTER TABLE alt_t RENAME COLUMN rate TO name")).getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](GraftSql.alter(spark,
+      "ALTER TABLE alt_t DROP COLUMN k, name, rate")).getMessage.contains("every column"))
+  }
+
   test("GraftSql.update: expression SET on selected rows only, schema never drifts") {
     import spark.implicits._
     Seq((1L, 2.0f, "a"), (2L, 0.5f, "b"), (3L, 4.0f, "c"))
