@@ -1149,6 +1149,15 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n"), F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
         .orderBy("split")
     }),
+    // S12: seeded deterministic k-fold assignment — the
+    // cross-validation splitter; map-only, RNG-free, fold membership
+    // engine-replayable (hash52 of "seed:id" mod k)
+    "sample_kfold" -> ((s, d) => {
+      graft.operators.Sampling.kFold(Tables.documents(s, d), "doc_id", k = 5, seed = 7L)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).as("n"), F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
+        .orderBy("fold")
+    }),
     // class-rebalancing pass: keep all purchases, 1/10 of clicks, 3/10
     // of views, half of everything else — map-only, RNG-free, stable
     // under incremental re-processing (same md5-prefix hash as S2)
@@ -2164,6 +2173,14 @@ object SparkEntry {
           |  FROM documents)
           |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
           |FROM s GROUP BY split ORDER BY split""".stripMargin,
+      // replays S12's fold law: 52-bit md5 prefix of "seed:id" mod k
+      "sample_kfold" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 AS fold
+          |  FROM documents)
+          |SELECT fold, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
       "sample_stratified" ->
         s"""SELECT event_id, event_type FROM events
           |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)

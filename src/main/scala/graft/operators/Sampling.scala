@@ -66,6 +66,22 @@ object Sampling {
     df.filter(hash52(F.col(idCol)) < cutoff)
   }
 
+  /** Deterministic k-fold assignment — the cross-validation splitter
+    * (every eval pipeline's "train on k−1 folds, validate on the
+    * k-th"): fold = hash52(seed:id) mod k, map-only like
+    * [[splitByHash]] and with the same stability contract — a row's
+    * fold never changes because other rows arrived, and distinct
+    * seeds give independent foldings (ensembling/repeated CV). The
+    * hash space is uniform so folds balance to ±O(√n); membership is
+    * engine-replayable integer arithmetic.
+    */
+  def kFold(df: DataFrame, idCol: String, k: Int, seed: Long = 0L,
+            foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2 (one fold is not a split)")
+    df.withColumn(foldCol,
+      F.pmod(hash52(F.concat_ws(":", F.lit(seed), F.col(idCol))), F.lit(k.toLong)))
+  }
+
   /** The k sample rows per key, as (keys..., idCol) pairs sorted by
     * sample order. Join back on idCol for full rows — or use
     * [[perKeyDeterministicRows]] to skip the join-back.

@@ -59,6 +59,31 @@ class SamplingSpec extends SparkSuite {
     assert(subset == full)
   }
 
+  test("kFold: exhaustive fold partition, balanced, seed-independent, subset-stable") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val folded = Sampling.kFold(docs, "doc_id", k = 5, seed = 7L)
+    val counts = folded.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every row in exactly one fold 0..k-1
+    assert(counts.keySet.subsetOf((0L until 5L).toSet))
+    assert(counts.values.sum == total)
+    // uniform hash → folds balance (generous ±50% bar at fixture n)
+    counts.values.foreach(n =>
+      assert(n > total / 10 && n < total * 3 / 10, s"unbalanced folds: $counts"))
+    // a different seed re-deals SOME rows (independent foldings)
+    val other = Sampling.kFold(docs, "doc_id", k = 5, seed = 8L)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = folded.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base.exists { case (id, f) => other(id) != f })
+    // incremental stability: a document's fold never depends on the rest
+    val subset = Sampling.kFold(docs.filter(F.col("doc_id") < 100), "doc_id", 5, 7L)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subset == base.filter(_._1 < 100))
+    intercept[IllegalArgumentException](Sampling.kFold(docs, "doc_id", k = 1))
+  }
+
   test("stratifiedByHash: per-stratum fractions, exact membership, subset-stable") {
     val e = Tables.events(spark, sf)
     val fr = Map("purchase" -> ((1, 1)), "click" -> ((1, 10)), "view" -> ((3, 10)))
