@@ -1394,6 +1394,21 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.pqTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // D13: hard-negative mining (the DPR contrastive-training recipe)
+    // — top-k highest-cosine corpus items per query EXCLUDING the
+    // known positives (qid+1, qid+2 here, an arithmetic relevant set
+    // DuckDB re-derives); fetch=20 ≥ k + |positives| so exclusion
+    // can't starve a query. Deterministic double arithmetic end to
+    // end — full hash oracle
+    "ann_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      val pos = (0L until 5L).flatMap(qid => Seq((qid, qid + 1), (qid, qid + 2)))
+        .toDF("qid", "vec_id")
+      Similarity.hardNegatives(e, q, pos, k = 10, fetch = 20).orderBy("qid", "rank")
+    }),
     // the PQ ADC + re-rank routing under a FULL hash oracle (the D3b
     // recipe applied to D8): codebooks pinned to the subvector slices
     // of every 32nd corpus vector (16 anchors, no k-means), so encode
@@ -2769,6 +2784,27 @@ object SparkEntry {
           |  SELECT qid, vec_id, cos,
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // replays D13: brute-force cosine minus the (qid, qid+1/qid+2)
+      // positive pairs, top-10 of the remaining negatives — equal to
+      // Spark's fetch-then-anti because fetch >= k + |positives|
+      "ann_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |pos AS (SELECT qid, qid + o AS vec_id
+          |        FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+          |             (SELECT unnest([1, 2]) AS o)),
+          |scored AS (
+          |  SELECT q.qid, e.vec_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
+          |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+          |neg AS (SELECT s.* FROM scored s
+          |        LEFT JOIN pos p ON s.qid = p.qid AND s.vec_id = p.vec_id
+          |        WHERE p.qid IS NULL)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM neg)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
       "ann_bruteforce_int8" ->
         s"""WITH qz AS (SELECT vec_id, embedding,

@@ -554,6 +554,42 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** D13: hard-negative mining for contrastive training (the DPR
+    * recipe, Karpukhin et al. 2020: a retriever trains on
+    * (query, positive, hard negatives) where the negatives are the
+    * top-scoring NON-relevant corpus items — random negatives are too
+    * easy and the model plateaus). `positives` lists the known
+    * relevant pairs (qidCol, idCol); the miner scores the corpus per
+    * query (any topK leg — brute force here; swap an IVF/PQ frame in
+    * by passing its output as `scored`), anti-joins the positive set
+    * so no relevant item leaks into the negatives, and keeps the
+    * top-`k` hardest per query with a final 1-based rank.
+    *
+    * Scale shape: scoring is the D1 broadcast scan (or the caller's
+    * ANN frame — candidates already bounded); the positive set is
+    * per-query-bounded and broadcast into a left-anti; the rank comes
+    * from the bounded top-k aggregate, never a window. Mining fetches
+    * `fetch ≥ k + max positives per query` candidates so the anti-join
+    * cannot starve a query whose positives fill the top ranks.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+                    k: Int, fetch: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val f = if (fetch > 0) fetch else k * 2
+    require(f >= k, s"fetch ($f) must be >= k ($k)")
+    val cand = bruteForceTopK(corpus, queries, f, idCol, vecCol, qidCol, qvecCol)
+    val pos = positives.select(F.col(qidCol), F.col(idCol).cast("long").as(idCol))
+    val negs = cand.join(F.broadcast(pos), Seq(qidCol, idCol), "left_anti")
+    negs
+      .groupBy(F.col(qidCol))
+      .agg(aggregates.top_k_by_score(F.col("cos"), F.col(idCol), k).as("top"))
+      .select(F.col(qidCol), F.posexplode(F.col("top")).as(Seq("pos", "t")))
+      .select(F.col(qidCol), F.col("t.id").as(idCol), F.col("t.score").as("cos"),
+        (F.col("pos") + 1).cast("int").as("rank"))
+  }
+
   // public: encoder-generated code instantiates these reflectively
   final case class MmrCand(qid: Long, id: Long, score: Double, vec: Array[Float])
   final case class MmrPick(qid: Long, id: Long, mmr_rank: Int, mmr_score: Double)

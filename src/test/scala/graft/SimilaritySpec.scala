@@ -217,6 +217,35 @@ class SimilaritySpec extends SparkSuite {
       s"codes layout must be scanned:\n${scans.mkString("\n")}")
   }
 
+  // ── D13: hard-negative mining ──
+
+  test("hardNegatives: positives never leak, ranks re-close over the gap, starvation guarded") {
+    import spark.implicits._
+    val pos = (0L until 5L).flatMap(q => Seq((q, q + 1), (q, q + 2))).toDF("qid", "vec_id")
+    val got = Similarity.hardNegatives(corpus, queries, pos, k = 10, fetch = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // exactly k per query, no positive in any list, ranks 1..k dense
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q")
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10), s"query $q ranks")
+      assert(!rows.exists(r => r._2 == q + 1 || r._2 == q + 2), s"positive leaked for $q")
+    }
+    // equals brute force minus positives (the fetch >= k + |pos| law)
+    val wantAll = Similarity.bruteForceTopK(corpus, queries, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val want = wantAll.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._3).map(_._2).filterNot(id => id == q + 1 || id == q + 2).take(10).toSeq
+    }
+    byQ.foreach { case (q, rows) =>
+      assert(rows.sortBy(_._3).map(_._2).toSeq == want(q), s"query $q order")
+    }
+    // starvation guard: fetch must cover k + positives
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(corpus, queries, pos, k = 10, fetch = 5))
+  }
+
   // ── D12: IVF-PQ composed ──
 
   test("ivfPqTopK: probe-all reduces bit-exactly to plain PQ; nprobe prunes partitions; recall holds") {
