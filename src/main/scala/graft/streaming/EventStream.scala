@@ -210,6 +210,35 @@ object EventStream {
                     joinType: String = "left_outer"): DataFrame =
     stream.join(F.broadcast(dim), keys, joinType)
 
+  /** G12: streaming corpus filter+score — the per-doc signal family
+    * (E1 quality, E16 Gopher rules, E14 classifier votes) is stateless
+    * map-only Column algebra, so a crawl STREAM filters and scores
+    * through exactly the batch expressions: no state store, no
+    * watermark, Trigger-agnostic, and a doc's verdict is identical to
+    * the batch pipeline's by construction (spec pins parity). This is
+    * the front door of a streaming corpus build: gate cheap-first
+    * (rules, quality floor), decorate survivors with the classifier
+    * score, hand off to the C11/G7 dedup-ingest sink downstream.
+    */
+  def corpusFilterStream(docs: DataFrame, textCol: String,
+                         gopher: graft.operators.QualityRules.GopherThresholds,
+                         minQuality: Double,
+                         weights: Array[Int],
+                         buckets: Int = 4096): DataFrame = {
+    val t = F.col(textCol)
+    val gated = docs.filter(
+      graft.operators.QualityRules.gopherPass(t, gopher) &&
+        graft.functions.text.qualityScore(t) >= minQuality)
+    // the classifier fold is the same native expression the batch
+    // scorer uses; staged token slot per the §4 rule
+    gated
+      .withColumn("__toks", graft.functions.text.tokens(t))
+      .withColumn("__v", graft.functions.native.hashed_vote_sum(F.col("__toks"), weights.toSeq))
+      .withColumn("clf_score",
+        F.col("__v.raw").cast("double") / (F.col("__v.n_features").cast("double") * 1000.0))
+      .drop("__toks", "__v")
+  }
+
   /** G3: MERGE-upsert sink — every micro-batch merges into the target
     * via the same batch operator (reference's staged-MERGE pattern).
     * `readTarget`/`writeTarget` abstract the table store (parquet dir

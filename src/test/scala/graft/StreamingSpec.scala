@@ -380,4 +380,48 @@ class StreamingSpec extends SparkSuite {
     assert(streamBlame.values.exists(_.size >= 1))
     (accepted ++ dead).foreach(_.unpersist())
   }
+
+  test("G12: streaming corpus filter+score is row-for-row identical to the batch expressions") {
+    import graft.operators.{QualityRules, TextClassifier}
+    val d = Files.createTempDirectory("graft-stream-docs-").toString
+    Files.copy(new java.io.File(s"$sf/documents.parquet").toPath,
+      new java.io.File(s"$d/documents.parquet").toPath)
+    val schema = Tables.documents(spark, sf).schema
+    val w = TextClassifier.hashedWeights(4096)
+    // relaxed rule gate (the published thresholds are calibrated for
+    // web text, not the fixture's synthetic prose) + a quality floor
+    // at the corpus median so the gate provably keeps AND drops
+    val thr = QualityRules.GopherThresholds(
+      minWords = 5, maxWords = 100000, minMeanWordLen = 1.0, maxMeanWordLen = 20.0,
+      maxSymbolWordRatio = 1.0, maxBulletLineFrac = 1.0, maxEllipsisLineFrac = 1.0,
+      minAlphaWordFrac = 0.0, minStopwords = 0)
+    val allQ = Tables.documents(spark, sf)
+      .select(graft.functions.text.qualityScore(F.col("text")).as("q"))
+      .collect().map(_.getDouble(0)).sorted
+    val cut = allQ(allQ.length / 2)
+    val stream = EventStream.corpusFilterStream(
+      spark.readStream.schema(schema).parquet(d), "text", thr, cut, w)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("g12").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("g12")
+      .select("doc_id", "clf_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch application of the identical gate + scorer
+    val docs = Tables.documents(spark, sf)
+    val batchKept = docs.filter(
+        QualityRules.gopherPass(F.col("text"), thr) &&
+          graft.functions.text.qualityScore(F.col("text")) >= cut)
+    val batchScores = TextClassifier.score(batchKept, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamed.keySet == batchScores.keySet,
+      s"gate mismatch: ${streamed.size} streamed vs ${batchScores.size} batch")
+    assert(streamed.nonEmpty && streamed.size < docs.count(),
+      "gate must keep some docs and drop some docs for the parity to mean anything")
+    streamed.foreach { case (id, s) =>
+      assert(s == batchScores(id), s"doc $id score drift") }
+    // schema contract: original columns survive, score decorates
+    assert(spark.table("g12").columns.toSeq ==
+      docs.columns.toSeq :+ "clf_score")
+  }
 }
