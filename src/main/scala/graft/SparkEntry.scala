@@ -2716,6 +2716,86 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // replays the COMPOSED IVF-PQ (D12) end to end: the D3b pinned
+      // assignment/probe block routes each query to its 5 cells, the
+      // D8b pinned encode/LUT/ADC block scores ONLY vectors in those
+      // cells, rerank-64 cut by (adc DESC, vec_id), final top-10 by
+      // exact cosine — every stage deterministic double arithmetic
+      "ann_ivfpq_topk" ->
+        s"""WITH cent AS (
+          |  SELECT vec_id AS cell, embedding AS c,
+          |         sqrt(${dot("embedding", "embedding")}) AS nrm
+          |  FROM embeddings WHERE vec_id % 128 = 3),
+          |cn AS (
+          |  SELECT cell, c, nrm,
+          |         list_transform(c, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+          |                                     ELSE CAST(x AS DOUBLE) / nrm END) AS cnorm
+          |  FROM cent),
+          |assign AS (
+          |  SELECT e.vec_id, cn.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |           ORDER BY ${dot("e.embedding", "cn.cnorm")} DESC, cn.cell ASC) AS rn
+          |  FROM embeddings e CROSS JOIN cn),
+          |a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |probe AS (
+          |  SELECT q.qid, cn.cell,
+          |         row_number() OVER (PARTITION BY q.qid
+          |           ORDER BY ${dot("q.qvec", "cn.c")} /
+          |             (sqrt(${dot("q.qvec", "q.qvec")}) * cn.nrm) DESC, cn.cell ASC) AS prn
+          |  FROM q CROSS JOIN cn),
+          |p AS (SELECT qid, cell FROM probe WHERE prn <= 5),
+          |anch AS (
+          |  SELECT (vec_id - 1) // 32 AS j, embedding AS a
+          |  FROM embeddings WHERE vec_id % 32 = 1),
+          |sub AS (
+          |  SELECT sq.s, anch.j, list_slice(anch.a, sq.s*8 + 1, sq.s*8 + 8) AS c
+          |  FROM anch CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sq),
+          |nv AS (
+          |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm, embedding
+          |  FROM embeddings),
+          |nvn AS (
+          |  SELECT vec_id,
+          |         CASE WHEN nrm > 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+          |              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+          |  FROM nv),
+          |enc AS (
+          |  SELECT nvn.vec_id, sub.s, sub.j,
+          |         row_number() OVER (PARTITION BY nvn.vec_id, sub.s ORDER BY
+          |           list_aggregate(list_transform(list_zip(list_slice(nvn.v, sub.s*8 + 1, sub.s*8 + 8), sub.c),
+          |             x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum') ASC,
+          |           sub.j ASC) AS rn
+          |  FROM nvn CROSS JOIN sub),
+          |codes AS (SELECT vec_id, s, j FROM enc WHERE rn = 1),
+          |lut AS (
+          |  SELECT q.qid, sub.s, sub.j,
+          |         ${dot("list_slice(q.qvec, sub.s*8 + 1, sub.s*8 + 8)", "sub.c")} AS pdot
+          |  FROM q CROSS JOIN sub),
+          |adc AS (
+          |  SELECT l.qid, c.vec_id,
+          |         list_aggregate(list(l.pdot ORDER BY l.s), 'sum') AS adc
+          |  FROM codes c
+          |  JOIN a ON a.vec_id = c.vec_id
+          |  JOIN p ON p.cell = a.cell
+          |  JOIN lut l ON l.qid = p.qid AND l.s = c.s AND l.j = c.j
+          |  WHERE c.vec_id <> l.qid
+          |  GROUP BY l.qid, c.vec_id),
+          |cand AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+          |    FROM adc) WHERE rn <= 64),
+          |scored AS (
+          |  SELECT cand.qid, cand.vec_id,
+          |         ${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
+          |  FROM cand JOIN q ON q.qid = cand.qid
+          |            JOIN embeddings e ON e.vec_id = cand.vec_id)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
       // term-for-term replay of the pinned-codebook PQ routing: encode
       // = argmin squared L2 of each NORMALIZED subvector over the 16
       // anchor slices (lowest code on ties); lut = RAW query subvector
