@@ -56,10 +56,10 @@ object SparkEntry {
     * pinned law the ann_pq_topk_pinned oracle replays.
     */
   private def pinnedPqCodebooks(e: DataFrame, m: Int = 8): Seq[Seq[Seq[Float]]] = {
-    // the 256 cap is PqEncode's byte-code ceiling; at the oracle
-    // scales (<= 2000 vectors -> <= 63 anchors) it never binds, so the
-    // DuckDB replay needn't model it — it exists for the 10x ScaleProbe
-    // corpus
+    // the 256 cap is PqEncode's byte-code ceiling; both DuckDB oracles
+    // model it (ORDER BY vec_id LIMIT 256 in their anch CTE), so the
+    // replay stays exact even if the harness ever runs at a scale
+    // (>= ~8200 vectors) where the cap binds
     val anchors = e.filter(F.col("vec_id") % 32 === 1).orderBy("vec_id").limit(256)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     val dsub = anchors.head.length / m
@@ -1430,8 +1430,11 @@ object SparkEntry {
     // prune the layout listing), the pruned scan ADC-scores m bytes
     // per vector, the bounded candidate set re-ranks exact-cosine
     // against the float column of the same pruned cells. Layout built
-    // once per (JVM, sf). Rows-only: SimilaritySpec pins recall AND
-    // the probe-all ≡ plain-PQ bit-equality reduction
+    // once per (JVM, sf). Under a FULL hash oracle: the pinned
+    // centroids + codebooks make the whole composition deterministic
+    // (D3b assignment/probe + D8b encode/LUT/ADC replayed in DuckDB);
+    // SimilaritySpec additionally pins recall AND the probe-all ≡
+    // plain-PQ bit-equality reduction
     "ann_ivfpq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(F.col("vec_id") < 5)
@@ -2747,7 +2750,8 @@ object SparkEntry {
           |p AS (SELECT qid, cell FROM probe WHERE prn <= 5),
           |anch AS (
           |  SELECT (vec_id - 1) // 32 AS j, embedding AS a
-          |  FROM embeddings WHERE vec_id % 32 = 1),
+          |  FROM embeddings WHERE vec_id % 32 = 1
+          |  ORDER BY vec_id LIMIT 256),
           |sub AS (
           |  SELECT sq.s, anch.j, list_slice(anch.a, sq.s*8 + 1, sq.s*8 + 8) AS c
           |  FROM anch CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sq),
@@ -2806,7 +2810,8 @@ object SparkEntry {
       "ann_pq_topk_pinned" ->
         s"""WITH anch AS (
           |  SELECT (vec_id - 1) // 32 AS j, embedding AS a
-          |  FROM embeddings WHERE vec_id % 32 = 1),
+          |  FROM embeddings WHERE vec_id % 32 = 1
+          |  ORDER BY vec_id LIMIT 256),
           |sub AS (
           |  SELECT sq.s, anch.j, list_slice(anch.a, sq.s*8 + 1, sq.s*8 + 8) AS c
           |  FROM anch CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sq),

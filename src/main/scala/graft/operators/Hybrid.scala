@@ -193,10 +193,14 @@ object Hybrid {
     // stats so plan construction stays job-free and the corpus is
     // tokenized exactly once (the tf pass below)
     val (nDocs, avgDl) = (knownDocCount, knownAvgDl) match {
-      case (Some(n), Some(a)) => (n, a)
+      case (Some(nd), Some(ad)) => (nd, ad)
       case _ =>
         val r = toked.agg(F.count(F.lit(1)), F.avg(F.size(F.col("__toks")))).head()
-        (knownDocCount.getOrElse(r.getLong(0)), knownAvgDl.getOrElse(r.getDouble(1)))
+        val counted = r.getLong(0)
+        require(knownDocCount.isDefined || counted > 0,
+          "bm25Leg: empty corpus — no documents to rank (avgdl undefined)")
+        (knownDocCount.getOrElse(counted),
+          knownAvgDl.getOrElse(if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
     }
     val dfCap = nDocs * maxDfFraction
     // the doc length rides the token stream into the tf aggregate —

@@ -32,17 +32,30 @@ object EventStream {
     * on-disk spelling (epoch-nanos long, timestamp[us] NTZ, or already
     * zoned). The one-off batch read probes footers only — a streaming
     * source needs its schema before the first micro-batch. An EMPTY
-    * (or not-yet-populated) directory cannot be probed and starts
-    * under the legacy epoch-nanos wire schema, preserving the
-    * empty-at-startup behavior a streaming source must have; a
-    * directory must hold ONE generation of files (mixed nanos/µs
-    * generations need a migration rewrite, not schema inference).
+    * (or not-yet-populated) directory cannot be probed, so a feed
+    * that starts empty MUST declare its wire type via `wireTsType`
+    * (LongType = legacy epoch-nanos, TimestampNTZType = timestamp[us],
+    * TimestampType = zoned µs); with no declaration and no files the
+    * read FAILS FAST — a silent nanos default would misparse a µs
+    * feed 1000× once files arrive. A directory must hold ONE
+    * generation of files (mixed nanos/µs generations need a migration
+    * rewrite, not schema inference); an explicit `wireTsType` also
+    * skips the probe read entirely.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 wireTsType: Option[DataType] = None): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val tsType =
+    val tsType = wireTsType.getOrElse {
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"readEvents: cannot probe the ts wire type of '$dir' (empty or " +
+              "not yet populated). Pass wireTsType explicitly (LongType for " +
+              "legacy epoch-nanos feeds, TimestampNTZType for timestamp[us]) " +
+              "so the stream starts under the feed's real schema.")
+      }
+    }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema).parquet(dir)

@@ -424,4 +424,35 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("g12").columns.toSeq ==
       docs.columns.toSeq :+ "clf_score")
   }
+
+  test("readEvents: empty directory fails fast unless the wire ts type is declared") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val empty = Files.createTempDirectory("graft-stream-empty-").toString
+    // no files, no declaration: refuse to guess (a silent nanos default
+    // would misparse a timestamp[us] feed 1000x once files arrive)
+    val ex = intercept[IllegalArgumentException] {
+      EventStream.readEvents(spark, empty)
+    }
+    assert(ex.getMessage.contains("wireTsType"))
+    // an explicit declaration starts the stream on the empty dir; once
+    // files arrive under that generation the rows parse correctly
+    val declared = EventStream.readEvents(spark, empty, Some(TimestampNTZType))
+    val q = declared.writeStream.outputMode("append")
+      .format("memory").queryName("empty_start").start()
+    q.processAllAvailable()
+    assert(spark.table("empty_start").count() == 0)
+    // ship one generation of files into the running stream's directory
+    val batch = Tables.events(spark, sf).limit(100)
+      .withColumn("ts", F.col("ts").cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.coalesce(1).write.mode("append").parquet(empty)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("empty_start").count() == 100)
+    assert(spark.table("empty_start").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the declared legacy spelling still parses nanos feeds
+    val legacyDir = Files.createTempDirectory("graft-stream-legacy-").toString
+    val legacy = EventStream.readEvents(spark, legacyDir, Some(LongType))
+    assert(legacy.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
 }
