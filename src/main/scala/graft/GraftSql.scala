@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
-import graft.operators.Upsert
+import graft.operators.{Incremental, Staging, Upsert}
 
 /** SQL-statement MERGE — the reference's users write upserts as SQL
   * text (fx_pipeline_with_merge.py:90-104: `MERGE t USING s ON ...
@@ -76,6 +76,8 @@ object GraftSql {
       spark.emptyDataFrame
     } else if (ExportRe.pattern.matcher(sql).matches()) {
       export(spark, sql)
+    } else if (ViewHeadRe.pattern.matcher(sql).matches()) {
+      createView(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
@@ -90,7 +92,7 @@ object GraftSql {
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
           "DELETE, UPDATE, TRUNCATE, ALTER TABLE ADD/DROP/RENAME COLUMN, " +
-          "ASSERT, EXPORT DATA")
+          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW")
     }
 
   private val AssertRe = """(?is)^\s*ASSERT\b.*""".r
@@ -670,6 +672,348 @@ object GraftSql {
         "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
     }
   }
+
+  // ───────────── CREATE [MATERIALIZED] VIEW ─────────────
+
+  private val ViewHeadRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:(?:MATERIALIZED|(?:GLOBAL\s+)?TEMP(?:ORARY)?)\s+)*VIEW\b.*""".r
+
+  private val ViewRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(MATERIALIZED)\s+|((?:GLOBAL\s+)?TEMP(?:ORARY)?)\s+)*VIEW\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+AS\s+(.+?)\s*;?\s*$""").r
+
+  /** What a materialized view maintains, per SELECT-list aggregate:
+    * `out` is the user-facing column name, `kind` the mergeable class,
+    * `arg` the (unresolved) argument expression. AVG stores two state
+    * columns (`out_sum`, `out_cnt`) and divides at read; the others
+    * store one. The state schema IS the [[Incremental]] suffix
+    * contract, so MV state tables persist/reload like any A23 state.
+    */
+  private case class MvMeasure(out: String, kind: String, arg: Expression)
+
+  private case class MvState(keyOut: Seq[String], keyExprs: Seq[Expression],
+                             child: LogicalPlan, measures: Seq[MvMeasure],
+                             state: DataFrame, generation: Int,
+                             stagingDir: Option[String])
+
+  private val mvRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), MvState]
+
+  private def mvKey(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name.toLowerCase)
+
+  /** `CREATE [OR REPLACE] [MATERIALIZED] VIEW name [IF NOT EXISTS] AS
+    * SELECT ...` — the last BigQuery DDL verbs a daily user hits.
+    *
+    * **Plain view** → temp-view registration of the analyzed query (a
+    * BigQuery view is a named stored query; this engine's tables are
+    * themselves session views, and Spark refuses a *persistent* view
+    * over temp relations, so the temp catalog is the one right target).
+    * `OR REPLACE` swaps, `IF NOT EXISTS` no-ops, a bare re-CREATE of an
+    * existing name raises — BigQuery's three dispositions.
+    *
+    * **Materialized view** → the README "Upsert pattern" generalized:
+    * BigQuery's incremental-MV class (an aggregate over one table with
+    * an optional WHERE) initializes an [[Incremental]] partial-
+    * aggregate state table from the source's current rows, and
+    * [[refreshMaterialized]] folds each new-rows batch in O(batch) —
+    * the state payload never reshuffles, raw history can expire, the
+    * registered view always answers from state. Supported aggregates
+    * map onto the mergeable suffix contract: SUM → `_sum`, COUNT →
+    * `_cnt`, MIN/MAX → `_min`/`_max`, AVG → `_sum`+`_cnt` divided at
+    * read (never stored, so it stays exact under merging), and
+    * APPROX_COUNT_DISTINCT → a Datasketches HLL `_hll` sketch
+    * (union-mergeable; its estimate is the sketch's, which may differ
+    * by approximation noise from Spark's HLL++ `approx_count_distinct`
+    * — both are estimates of the same count). Exact `COUNT(DISTINCT)`
+    * is NOT mergeable and raises with a pointer at the sketch route.
+    * Every aggregate must be aliased (the state schema needs stable
+    * names); every grouping expression must appear in the SELECT list.
+    *
+    * Exactness contract (the A23 discipline): SUM over doubles is
+    * order-sensitive, so an MV whose refresh order must reproduce the
+    * full recompute bit-for-bit should sum exact types (integers or
+    * `CAST(x AS DECIMAL(...))`, as the reference's report queries do).
+    *
+    * Returns the view's current content. MV state is session-scoped
+    * (like the temp views it reads); persist it like any A23 state
+    * table via [[materializedState]] if the report must outlive the
+    * session.
+    */
+  def createView(spark: SparkSession, sql: String): DataFrame = sql match {
+    case ViewRe(orReplace, materialized, temp, ifNotExists, rawName, query) =>
+      require(temp == null || materialized == null,
+        "TEMPORARY MATERIALIZED VIEW is contradictory — materialized state is the point")
+      val name = viewName(rawName)
+      val replace = orReplace != null
+      val skipExisting = ifNotExists != null
+      require(!(replace && skipExisting),
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
+      if (materialized != null) createMaterialized(spark, name, query, replace, skipExisting)
+      else {
+        val exists = spark.catalog.tableExists(name)
+        if (skipExisting && exists) spark.table(name)
+        else {
+          val df = spark.sql(query)
+          if (replace) df.createOrReplaceTempView(name)
+          else {
+            require(!exists, s"view '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
+            df.createTempView(name)
+          }
+          spark.table(name)
+        }
+      }
+    case _ => throw new IllegalArgumentException(
+      "unsupported CREATE VIEW form: expected CREATE [OR REPLACE] [MATERIALIZED] VIEW " +
+        "name [IF NOT EXISTS] AS SELECT ... (no column lists / OPTIONS)")
+  }
+
+  private def viewName(raw: String): String = {
+    // split on dots OUTSIDE backticks, unquote each part
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder; var inTick = false; var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '`' => inTick = !inTick
+        case '.' if !inTick => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    parts += cur.toString
+    require(parts.length == 1,
+      s"view names are single-part in this engine (temp catalog), got '$raw'; " +
+        "dataset-qualified names belong to a real catalog deployment")
+    parts.head
+  }
+
+  private def createMaterialized(spark: SparkSession, name: String, query: String,
+                                 replace: Boolean, skipExisting: Boolean): DataFrame = {
+    val key = mvKey(spark, name)
+    if (skipExisting && mvRegistry.contains(key)) return spark.table(name)
+    require(replace || !mvRegistry.contains(key),
+      s"materialized view '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
+    val agg = spark.sessionState.sqlParser.parsePlan(query) match {
+      case a: Aggregate => a
+      case other => throw new IllegalArgumentException(
+        s"a materialized view must be a GROUP BY aggregate over one table " +
+          s"(BigQuery's incrementally-maintainable class), got ${other.nodeName}; " +
+          "a non-aggregate query has no state to maintain — use a plain CREATE VIEW")
+    }
+    validateMvSource(agg.child)
+    // GROUP BY ordinals (GROUP BY 1, 2) resolve against the select
+    // list — Spark 4's parser emits UnresolvedOrdinal for them
+    def byOrdinal(v: Int): Expression = {
+      require(v >= 1 && v <= agg.aggregateExpressions.length,
+        s"GROUP BY ordinal $v out of range")
+      agg.aggregateExpressions(v - 1) match {
+        case Alias(c, _) => c
+        case e => e
+      }
+    }
+    val groupExprs = agg.groupingExpressions.map {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal(v) => byOrdinal(v)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => byOrdinal(v)
+      case e => e
+    }
+    val groupSql = groupExprs.map(_.sql)
+    val keyOut = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keyExprs = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val measures = scala.collection.mutable.ArrayBuffer.empty[MvMeasure]
+    agg.aggregateExpressions.foreach {
+      case item if stripMvAlias(item).exists(e => groupSql.contains(e.sql)) =>
+        val e = stripMvAlias(item).get
+        keyOut += itemName(item)
+        keyExprs += e
+      case Alias(f: UnresolvedFunction, out) => measures += mvMeasure(f, out)
+      case f: UnresolvedFunction => throw new IllegalArgumentException(
+        s"alias every aggregate in a materialized view (the state schema needs a stable " +
+          s"name): un-aliased ${f.nameParts.mkString(".")}(...)")
+      case UnresolvedAlias(f: UnresolvedFunction, _) => throw new IllegalArgumentException(
+        s"alias every aggregate in a materialized view (the state schema needs a stable " +
+          s"name): un-aliased ${f.nameParts.mkString(".")}(...)")
+      case other => throw new IllegalArgumentException(
+        s"materialized-view SELECT items must be grouping expressions or aliased " +
+          s"aggregates, got: ${other.sql}")
+    }
+    require(keyExprs.map(_.sql).sorted == groupSql.sorted.distinct,
+      "every GROUP BY expression must appear in the SELECT list (the state table is " +
+        s"keyed by the output columns); grouped ${groupSql.mkString(", ")} vs selected " +
+        s"keys ${keyExprs.map(_.sql).mkString(", ")}")
+    val outNames = (keyOut ++ measures.map(_.out)).map(_.toLowerCase)
+    require(outNames.distinct.length == outNames.length,
+      s"duplicate output column in materialized view: ${outNames.mkString(", ")}")
+    require(measures.nonEmpty, "a materialized view needs at least one aggregate measure")
+
+    val source = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, agg.child)
+    val state0 = mvPartials(source, keyOut.toSeq, keyExprs.toSeq, measures.toSeq)
+    val staged = Staging.stage(state0, None, s"$name-state-0")
+    val mv = MvState(keyOut.toSeq, keyExprs.toSeq, agg.child, measures.toSeq,
+      staged, 0, None)
+    mvRegistry(key) = mv
+    registerMvView(spark, name, mv)
+  }
+
+  private def stripMvAlias(e: Expression): Option[Expression] = e match {
+    case Alias(c, _) => Some(c)
+    case UnresolvedAlias(c, _) => Some(c)
+    case a: UnresolvedAttribute => Some(a)
+    case _ => None
+  }
+
+  private def itemName(e: Expression): String = e match {
+    case Alias(_, n) => n
+    case a: UnresolvedAttribute => a.nameParts.last
+    case UnresolvedAlias(a: UnresolvedAttribute, _) => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"alias this grouping expression in the SELECT list: ${other.sql}")
+  }
+
+  private def validateMvSource(p: LogicalPlan): Unit = p match {
+    case _: UnresolvedRelation => ()
+    case SubqueryAlias(_, c) => validateMvSource(c)
+    case Filter(cond, c) =>
+      require(cond.find(_.isInstanceOf[SubqueryExpression]).isEmpty,
+        "materialized-view WHERE clauses cannot contain subqueries (the refresh could " +
+          "not rebind them to a batch)")
+      validateMvSource(c)
+    case other => throw new IllegalArgumentException(
+      s"materialized views read ONE table with an optional WHERE (BigQuery's " +
+        s"incrementally-maintainable class), got ${other.nodeName}; joins and " +
+        "subqueries belong in a plain view or a batch pipeline")
+  }
+
+  private def mvMeasure(f: UnresolvedFunction, out: String): MvMeasure = {
+    require(f.filter.isEmpty, "FILTER (WHERE ...) aggregate clauses are not supported " +
+      "in materialized views — fold the condition into the WHERE or the argument")
+    val fn = f.nameParts.map(_.toLowerCase).mkString(".")
+    if (f.isDistinct) {
+      require(fn != "count", "COUNT(DISTINCT ...) is not mergeable across refreshes; " +
+        "use APPROX_COUNT_DISTINCT — maintained as a Datasketches HLL sketch whose " +
+        "union is exact (the A23 _hll recipe)")
+      throw new IllegalArgumentException(s"DISTINCT aggregates are not mergeable: $fn")
+    }
+    fn match {
+      case "count" => f.arguments match {
+        case Seq(_: UnresolvedStar) => MvMeasure(out, "count_star", Literal(1))
+        case Seq(a) => MvMeasure(out, "count", a)
+        case _ => throw new IllegalArgumentException("COUNT takes one argument or *")
+      }
+      case "sum" | "min" | "max" | "avg" | "mean" | "approx_count_distinct" =>
+        require(f.arguments.length == 1, s"$fn takes exactly one argument")
+        MvMeasure(out, if (fn == "mean") "avg" else fn, f.arguments.head)
+      case other => throw new IllegalArgumentException(
+        s"aggregate '$other' is not mergeable for incremental maintenance; supported: " +
+          "SUM, COUNT, COUNT(*), MIN, MAX, AVG, APPROX_COUNT_DISTINCT")
+    }
+  }
+
+  /** One batch (or the full source) → partial-aggregate state rows
+    * under the [[Incremental]] suffix contract.
+    */
+  private def mvPartials(frame: DataFrame, keyOut: Seq[String],
+                         keyExprs: Seq[Expression], measures: Seq[MvMeasure]): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val keyCols = keyOut.zip(keyExprs).map { case (n, e) => bridge.column(e).as(n) }
+    val stateCols = measures.flatMap { m =>
+      val arg = bridge.column(m.arg)
+      m.kind match {
+        case "sum" => Seq(F.sum(arg).as(s"${m.out}_sum"))
+        case "count_star" => Seq(F.count(F.lit(1)).as(s"${m.out}_cnt"))
+        case "count" => Seq(F.count(arg).as(s"${m.out}_cnt"))
+        case "min" => Seq(F.min(arg).as(s"${m.out}_min"))
+        case "max" => Seq(F.max(arg).as(s"${m.out}_max"))
+        case "avg" => Seq(F.sum(arg).as(s"${m.out}_sum"), F.count(arg).as(s"${m.out}_cnt"))
+        case "approx_count_distinct" => Seq(F.hll_sketch_agg(arg).as(s"${m.out}_hll"))
+      }
+    }
+    frame.groupBy(keyCols: _*).agg(stateCols.head, stateCols.tail: _*)
+  }
+
+  private def mvFinal(mv: MvState): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types.DecimalType
+    mv.state.select(mv.keyOut.map(F.col) ++ mv.measures.map { m =>
+      m.kind match {
+        case "sum" => F.col(s"${m.out}_sum").as(m.out)
+        case "count_star" | "count" => F.col(s"${m.out}_cnt").as(m.out)
+        case "min" => F.col(s"${m.out}_min").as(m.out)
+        case "max" => F.col(s"${m.out}_max").as(m.out)
+        case "avg" =>
+          mv.state.schema(s"${m.out}_sum").dataType match {
+            case dt: DecimalType =>
+              // match native AVG's s+4 result scale: Column-level Divide
+              // goes through DecimalPrecision's precision-loss scale
+              // adjustment (which would truncate back to the sum's
+              // scale), so pre-widen the dividend's scale — the
+              // adjusted division then rounds at s+4, the same digit
+              // native Average's post-analysis cast rounds at
+              val s4 = math.min(38, dt.scale + 4)
+              (F.col(s"${m.out}_sum").cast(DecimalType(38, s4)) /
+                F.col(s"${m.out}_cnt")).cast(DecimalType(38, s4)).as(m.out)
+            case _ => (F.col(s"${m.out}_sum") / F.col(s"${m.out}_cnt")).as(m.out)
+          }
+        case "approx_count_distinct" =>
+          F.hll_sketch_estimate(F.col(s"${m.out}_hll")).as(m.out)
+      }
+    }: _*)
+  }
+
+  private def registerMvView(spark: SparkSession, name: String, mv: MvState): DataFrame = {
+    val fin = mvFinal(mv)
+    fin.createOrReplaceTempView(name)
+    fin
+  }
+
+  /** Fold one batch of NEW SOURCE ROWS into a materialized view's
+    * state — O(batch): the batch re-runs the view's WHERE + partial
+    * aggregation, then [[Incremental.merge]] combines it with the
+    * state (broadcast delta by default; `broadcastDelta=false` for
+    * per-user-scale key spaces). The registered view re-points at the
+    * new state; the returned frame is the refreshed content.
+    *
+    * Each refresh STAGES the merged state ([[Staging]]: localCheckpoint
+    * by default, durable parquet stages under `stagingDir`) — `merge`
+    * reads its state twice, so an unstaged refresh chain would re-run
+    * every earlier fold ~2^k times (the [[Incremental.mergeAll]] note).
+    *
+    * NOT redelivery-idempotent (additive sums): a replayed batch
+    * double-counts. Streaming callers guard on batchId exactly as the
+    * G8 `incrementalReportSink` does.
+    */
+  def refreshMaterialized(spark: SparkSession, name: String, batch: DataFrame,
+                          broadcastDelta: Boolean = true,
+                          stagingDir: Option[String] = None): DataFrame = {
+    val key = mvKey(spark, name)
+    val mv = mvRegistry.getOrElse(key, throw new IllegalArgumentException(
+      s"no materialized view '$name' in this session (plain views don't refresh — " +
+        "they re-read their source on every query)"))
+    // rebind the view's source relation to the batch: the child plan
+    // (alias/WHERE chain) re-applies verbatim over the new rows
+    val rebound = mv.child.transformUp {
+      case _: UnresolvedRelation => batch.queryExecution.analyzed
+    }
+    val batchFrame = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rebound)
+    val delta = mvPartials(batchFrame, mv.keyOut, mv.keyExprs, mv.measures)
+    val gen = mv.generation + 1
+    val dir = stagingDir.orElse(mv.stagingDir)
+    val merged = Staging.stage(
+      Incremental.merge(mv.state, delta, mv.keyOut, broadcastDelta),
+      dir, s"$name-state-$gen")
+    dir.foreach(d => if (mv.generation > 0) Staging.drop(spark, s"$d/$name-state-${mv.generation}"))
+    val next = mv.copy(state = merged, generation = gen, stagingDir = dir)
+    mvRegistry(key) = next
+    registerMvView(spark, name, next)
+  }
+
+  /** The raw partial-aggregate state of a materialized view — the A23
+    * state-table face, for persistence (write it, reload it, re-create
+    * the MV elsewhere) or inspection.
+    */
+  def materializedState(spark: SparkSession, name: String): DataFrame =
+    mvRegistry.getOrElse(mvKey(spark, name), throw new IllegalArgumentException(
+      s"no materialized view '$name' in this session")).state
 
   /** Table reference -> (DataFrame, accepted qualifiers): the explicit
     * alias if given, plus the relation name's last part.

@@ -452,6 +452,135 @@ class TypedSqlSpec extends SparkSuite {
       s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='PARQUET', header=true) AS SELECT 1") }
   }
 
+  test("GraftSql.createView: plain views register the stored query; dispositions match BigQuery") {
+    Typed.registerAllViews(spark, sf)
+    val direct = spark.sql(
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")
+    // through the one-entry load dispatch, like every other statement
+    GraftSql.load(spark,
+      "CREATE VIEW v_counts AS SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")
+    val throughView = spark.sql("SELECT * FROM v_counts")
+    assert(throughView.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(throughView).count() == 0, "view query must equal the direct query")
+    // bare re-create raises; IF NOT EXISTS no-ops; OR REPLACE swaps
+    intercept[IllegalArgumentException] {
+      GraftSql.createView(spark, "CREATE VIEW v_counts AS SELECT 1 AS one")
+    }
+    GraftSql.createView(spark, "CREATE VIEW IF NOT EXISTS v_counts AS SELECT 1 AS one")
+    assert(spark.table("v_counts").columns.toSeq == Seq("event_type", "n"),
+      "IF NOT EXISTS must not replace")
+    GraftSql.createView(spark, "CREATE OR REPLACE VIEW v_counts AS SELECT 1 AS one")
+    assert(spark.table("v_counts").columns.toSeq == Seq("one"))
+    // loud shapes: multi-part names, OR REPLACE + IF NOT EXISTS, column lists
+    intercept[IllegalArgumentException] {
+      GraftSql.createView(spark, "CREATE VIEW ds.v2 AS SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.createView(spark, "CREATE OR REPLACE VIEW IF NOT EXISTS v3 AS SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.createView(spark, "CREATE VIEW v4 (a, b) AS SELECT 1, 2")
+    }
+  }
+
+  test("GraftSql: CREATE MATERIALIZED VIEW initializes state; refreshes fold batches and equal the full recompute") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    def part(i: Int) = ev.filter(F.abs(F.hash(F.col("event_id"))) % 3 === i)
+    part(0).createOrReplaceTempView("mv_events")
+    ev.createOrReplaceTempView("mv_events_full")
+    // expression key via GROUP BY ordinal + every mergeable measure
+    // class; decimal sums so refresh order cannot drift the recompute
+    def query(src: String) =
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |       SUM(CAST(value AS DECIMAL(30,6))) AS v_sum,
+         |       COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max,
+         |       AVG(CAST(value AS DECIMAL(30,6))) AS v_avg
+         |FROM $src WHERE event_type <> 'click' GROUP BY 1, 2""".stripMargin
+    GraftSql.load(spark, s"CREATE MATERIALIZED VIEW mv_report AS ${query("mv_events")}")
+
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Double, Long, Double, Double, Double)] =
+      df.collect().map { r =>
+        (r.getDate(0).toString, r.getString(1)) ->
+          ((r.getDecimal(2).doubleValue, r.getLong(3), r.getDouble(4), r.getDouble(5),
+            r.getDecimal(6).doubleValue))
+      }.toMap
+    // initial content ≡ the direct query over the creation-time source
+    val direct0 = keyed(spark.sql(query("mv_events")))
+    val mv0 = keyed(spark.table("mv_report"))
+    assert(mv0.keySet == direct0.keySet)
+    mv0.foreach { case (k, (s, n, mn, mx, av)) =>
+      val (s2, n2, mn2, mx2, av2) = direct0(k)
+      assert(s == s2 && n == n2 && mn == mn2 && mx == mx2, s"key $k")
+      // avg: Spark's native AVG and the maintained sum/cnt division
+      // round at different decimal scales — equal to well past 1e-9
+      assert(math.abs(av - av2) < 1e-9, s"avg drift at $k: $av vs $av2")
+    }
+    // two O(batch) refreshes, then ≡ the full recompute over ALL rows
+    GraftSql.refreshMaterialized(spark, "mv_report", part(1))
+    GraftSql.refreshMaterialized(spark, "mv_report", part(2))
+    val full = keyed(spark.sql(query("mv_events_full")))
+    val mvN = keyed(spark.table("mv_report"))
+    assert(mvN.keySet == full.keySet, "refresh must surface new keys and keep old ones")
+    mvN.foreach { case (k, (s, n, mn, mx, av)) =>
+      val (s2, n2, mn2, mx2, av2) = full(k)
+      assert(s == s2 && n == n2 && mn == mn2 && mx == mx2, s"key $k after refresh")
+      assert(math.abs(av - av2) < 1e-9, s"avg drift at $k after refresh: $av vs $av2")
+    }
+    // the state table carries the Incremental mergeable-suffix contract
+    assert(GraftSql.materializedState(spark, "mv_report").columns.toSeq ==
+      Seq("day", "event_type", "v_sum_sum", "n_cnt", "v_min_min", "v_max_max",
+        "v_avg_sum", "v_avg_cnt"))
+    // the WHERE re-applies to refresh batches: no clicks ever enter
+    assert(spark.table("mv_report").filter(F.col("event_type") === "click").count() == 0)
+  }
+
+  test("GraftSql materialized views: HLL distinct face is refresh-order invariant; unsupported shapes are loud") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    def part(i: Int) = ev.filter(F.abs(F.hash(F.col("event_id"))) % 3 === i)
+    part(0).createOrReplaceTempView("mv_hll_src")
+    ev.createOrReplaceTempView("mv_hll_full")
+    val q = "SELECT event_type, APPROX_COUNT_DISTINCT(user_id) AS users FROM %s GROUP BY event_type"
+    GraftSql.createView(spark,
+      s"CREATE MATERIALIZED VIEW mv_users AS ${q.format("mv_hll_src")}")
+    GraftSql.refreshMaterialized(spark, "mv_users", part(1))
+    GraftSql.refreshMaterialized(spark, "mv_users", part(2), broadcastDelta = false)
+    // HLL union is order-free and split-invariant: three folds ≡ one
+    // single-shot sketch over the full source
+    GraftSql.createView(spark,
+      s"CREATE MATERIALIZED VIEW mv_users_full AS ${q.format("mv_hll_full")}")
+    val folded = spark.table("mv_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = spark.table("mv_users_full").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == oneShot, s"sketch fold drift: $folded vs $oneShot")
+
+    // loud shapes
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.createView(spark, sql) }.getMessage
+    assert(bad("CREATE MATERIALIZED VIEW m1 AS SELECT e.event_type, COUNT(*) AS n " +
+      "FROM mv_hll_src e JOIN mv_hll_full f ON e.event_id = f.event_id GROUP BY e.event_type")
+      .contains("ONE table"))
+    assert(bad("CREATE MATERIALIZED VIEW m2 AS SELECT event_type, " +
+      "COUNT(DISTINCT user_id) AS u FROM mv_hll_src GROUP BY event_type")
+      .contains("APPROX_COUNT_DISTINCT"))
+    assert(bad("CREATE MATERIALIZED VIEW m3 AS SELECT event_type, COUNT(*) " +
+      "FROM mv_hll_src GROUP BY event_type").contains("alias"))
+    assert(bad("CREATE MATERIALIZED VIEW m4 AS SELECT * FROM mv_hll_src")
+      .contains("GROUP BY aggregate"))
+    assert(bad("CREATE TEMPORARY MATERIALIZED VIEW m5 AS SELECT event_type, COUNT(*) AS n " +
+      "FROM mv_hll_src GROUP BY event_type").contains("contradictory"))
+    assert(bad("CREATE MATERIALIZED VIEW m6 AS SELECT COUNT(*) AS n " +
+      "FROM mv_hll_src GROUP BY event_type").contains("SELECT list"))
+    assert(bad("CREATE MATERIALIZED VIEW m7 AS SELECT event_type, " +
+      "percentile(value, 0.5) AS p FROM mv_hll_src GROUP BY event_type")
+      .contains("not mergeable"))
+    intercept[IllegalArgumentException] {
+      GraftSql.refreshMaterialized(spark, "never_created", ev.limit(1))
+    }
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
