@@ -1227,6 +1227,17 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", dsirFixtureWeights)
       graft.operators.Dsir.selectTopK(scored, "doc_id", 100).orderBy("rank")
     }),
+    // S11's Gumbel-top-k sampling face under a full hash oracle: the
+    // noise is md5-derived (hash -> u in (0,1] -> -ln(-ln u)), RNG-free,
+    // and the EMITTED columns are all integers — the libm ln only
+    // enters the ordering KEY, where md5-uniform noise keeps every
+    // pairwise key gap astronomically wider than cross-engine ulp
+    // drift, so the (key DESC, id) pick replays exactly in DuckDB
+    "sample_dsir_gumbel" -> ((s, d) => {
+      val scored = graft.operators.Dsir.score(
+        Tables.documents(s, d), "doc_id", "text", dsirFixtureWeights)
+      graft.operators.Dsir.sampleGumbel(scored, "doc_id", 100, seed = 7L).orderBy("rank")
+    }),
     // corpus mixing: √-temperature source re-weighting before the
     // training mix — rare sources keep more, the web-crawl-sized one
     // keeps less, overall volume ≈ 1/2; exact-IEEE threshold tree so
@@ -2269,6 +2280,29 @@ object SparkEntry {
            |SELECT doc_id, dsir_score,
            |  CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS INT) AS rank
            |FROM s QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
+      // replays the Gumbel-top-k draw: same score fold, then the
+      // pinned noise key — u = (52-bit md5 prefix of '7:<id>' + 1) /
+      // (2^52 + 1), key = score/1e5 − ln(−ln u) — and the (key DESC,
+      // id) top-100; every emitted column is an integer, so libm ulp
+      // drift in ln cannot reach the hash (it would need two keys
+      // within ~1e-15 of each other, which md5-uniform noise excludes)
+      "sample_dsir_gumbel" ->
+        s"""WITH l AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, list_concat(toks,
+           |        CASE WHEN len(toks) >= 2
+           |          THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+           |          ELSE []::VARCHAR[] END) AS grams FROM l),
+           |s AS (SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform(grams, x ->
+           |    (CAST(('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % $dsirBuckets AS VARCHAR)), 1, 13)) AS BIGINT) % 2001) - 1000)), 0) AS BIGINT) AS dsir_score
+           |  FROM g),
+           |k AS (SELECT doc_id, dsir_score,
+           |  CAST(dsir_score AS DOUBLE) / 100000.0 +
+           |    (- ln(- ln((CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0))) AS gkey
+           |  FROM s)
+           |SELECT doc_id, dsir_score,
+           |  CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS rank
+           |FROM k QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
       "sample_top_fraction" ->
         """WITH sc AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS score FROM documents),
           |th AS (SELECT source, quantile_cont(score, 0.5) AS thr FROM sc GROUP BY source)
