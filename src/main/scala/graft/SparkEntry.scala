@@ -139,6 +139,91 @@ object SparkEntry {
     }.toArray
   }
 
+  // Round-7 URL decorations (the E7 recipe): documents carry no URL,
+  // so derive a deterministic messy URL per doc_id exercising every
+  // normalization rule — mixed scheme/host case, default and explicit
+  // ports, trailing slashes, unsorted query params, fragments, and an
+  // un-normalizable row class (%11) that must surface as NULL
+  private[graft] def messyUrl: Column = {
+    val even = F.col("doc_id") % 2 === 0
+    val host0 = F.concat(F.lit("ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".org"))
+    val built = F.concat(
+      F.when(even, F.lit("HTTP")).otherwise(F.lit("https")), F.lit("://"),
+      F.when(F.col("doc_id") % 3 === 0, F.upper(host0)).otherwise(host0),
+      F.when(F.col("doc_id") % 4 === 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 === 1, F.lit(":443"))
+        .when(F.col("doc_id") % 4 === 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+      F.when(F.col("doc_id") % 9 === 0, F.lit(""))
+        .otherwise(F.concat(F.lit("/a"), (F.col("doc_id") % 5).cast("string"),
+          F.when(even, F.lit("")).otherwise(F.lit("/")))),
+      F.when(F.col("doc_id") % 5 === 0, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 5 === 1, F.lit("?a=1&b=2"))
+        .when(F.col("doc_id") % 5 === 2, F.lit("?z=9"))
+        .otherwise(F.lit("")),
+      F.when(F.col("doc_id") % 6 === 0, F.lit("#sec-2")).otherwise(F.lit("")))
+    F.when(F.col("doc_id") % 11 === 0,
+      F.concat(F.lit("bad url "), F.col("doc_id").cast("string"))).otherwise(built)
+  }
+
+  private val messyUrlSql: String =
+    "CASE WHEN doc_id % 11 = 0 THEN 'bad url ' || CAST(doc_id AS VARCHAR) ELSE " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN upper('ex' || CAST(doc_id % 7 AS VARCHAR) || '.org') " +
+      "ELSE 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443' " +
+      "WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END || " +
+      "CASE WHEN doc_id % 9 = 0 THEN '' ELSE '/a' || CAST(doc_id % 5 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '/' END END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1' WHEN doc_id % 5 = 1 THEN '?a=1&b=2' " +
+      "WHEN doc_id % 5 = 2 THEN '?z=9' ELSE '' END || " +
+      "CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END END"
+
+  // URL-dedup fixture: consecutive id pairs render DIFFERENT messy
+  // spellings of the SAME resource, so normalization is what collapses
+  // them (min-id witness = the even id)
+  private[graft] def dupUrl: Column = {
+    val grp = F.floor(F.col("doc_id") / 2).cast("string")
+    F.when(F.col("doc_id") % 2 === 0,
+      F.concat(F.lit("HTTP://DUP.org:80/p"), grp, F.lit("?b=2&a=1")))
+      .otherwise(F.concat(F.lit("http://dup.org/p"), grp, F.lit("/?a=1&b=2#x")))
+  }
+
+  private val dupUrlSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://DUP.org:80/p' || " +
+      "CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR) || '?b=2&a=1' " +
+      "ELSE 'http://dup.org/p' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR) || " +
+      "'/?a=1&b=2#x' END"
+
+  // the DuckDB replay of Url.normalize over a `u(doc_id, url)` CTE —
+  // shared by the three URL oracles (single-backslash regexes: these
+  // land in non-interpolated SQL through s-string \\ escapes)
+  private def urlNormSql(inner: String): String =
+    s"""$inner,
+       |n AS (SELECT doc_id, url,
+       |  lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  regexp_replace(regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+       |  FROM u),
+       |p AS (SELECT doc_id, url, scheme,
+       |  regexp_extract(nofrag, '^([^/?]*)', 1) AS authority,
+       |  regexp_replace(nofrag, '^[^/?]*', '') AS after_auth FROM n),
+       |q AS (SELECT doc_id, url, scheme,
+       |  lower(regexp_extract(authority, '^([^:]*)', 1)) AS host,
+       |  regexp_extract(authority, ':([0-9]+)$$', 1) AS port,
+       |  regexp_extract(after_auth, '^([^?]*)', 1) AS path,
+       |  regexp_extract(after_auth, '\\?(.*)$$', 1) AS query FROM p),
+       |norm AS (SELECT doc_id, url,
+       |  CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+       |    scheme || '://' || host ||
+       |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443')
+       |         THEN '' ELSE ':' || port END ||
+       |    CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(path, '/+$$', '') END ||
+       |    CASE WHEN query = '' THEN ''
+       |         ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+       |  END AS url_norm FROM q)""".stripMargin
+
   // C13 fixture: the embeddings table has no natural near-dups (max
   // pairwise cosine ≈ 0.51), so inject replicas — ×2-scaled copies
   // (cosine exactly 1 but different BYTES: semantic, not byte
@@ -999,6 +1084,48 @@ object SparkEntry {
               |  listagg(event_type, ',') WITHIN GROUP (ORDER BY unix_micros(ts), event_id) AS type_seq,
               |  COUNT(*) AS n
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    // ──────────────────── U. URL/domain curation ────────────────────
+    // the crawl pipeline's stage zero (C4 blocklist, RefinedWeb URL
+    // dedup + per-domain caps): documents gain deterministic messy
+    // URLs (the E7 decoration recipe) and every stage — RFC 3986
+    // normalization, URL-exact dedup, per-domain cap, Bloom blocklist
+    // — replays in DuckDB over the identical rendered strings
+    "url_normalize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(F.col("doc_id"), messyUrl.as("url"),
+          graft.operators.Url.normalize(messyUrl).as("url_norm"))
+        .orderBy("doc_id")
+    }),
+    // URL-exact dedup over normalized URLs: consecutive-id pairs spell
+    // the same resource two messy ways; normalization collapses them,
+    // min-id witness per group (the C1 rule)
+    "url_dedup" -> ((s, d) => {
+      graft.operators.Url.dedupByUrl(
+          Tables.documents(s, d).withColumn("url", dupUrl), "doc_id", "url")
+        .orderBy("keep_id")
+    }),
+    // per-domain cap (the RefinedWeb anti-mirror rule): each host
+    // keeps its 10 smallest-md5 docs through the bounded TopK
+    // aggregate — the S1 law, replayed as a DuckDB window
+    "url_domain_cap" -> ((s, d) => {
+      graft.operators.Url.capPerDomain(
+          Tables.documents(s, d).withColumn("url", messyUrl), "doc_id", "url", cap = 10)
+        .orderBy("domain", "doc_id")
+    }),
+    // domain blocklist via the A24 Bloom anti-join — definite misses
+    // pass map-only, hits resolve exactly, so the result IS the plain
+    // anti join (the oracle's spelling); NULL-domain rows pass (no
+    // host to block on)
+    "url_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val blocked = Seq("ex0.org", "ex3.org").toDF("domain")
+      graft.operators.Url.dropBlockedDomains(
+          Tables.documents(s, d).withColumn("url", messyUrl), "url", blocked,
+          expectedItems = 16)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
     }),
 
     // ───────────────────────── C. dedup family ─────────────────────────
@@ -2404,6 +2531,48 @@ object SparkEntry {
           |         CASE WHEN p.fill + o.cost <= 1000 THEN p.fill + o.cost ELSE o.cost END
           |  FROM o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1)
           |SELECT doc_id, bucket, seq, slot FROM packed ORDER BY doc_id""".stripMargin,
+      // replays Url.normalize stage by stage over the identical
+      // rendered messy URL (scheme/host case, default ports, fragment,
+      // trailing slashes, byte-order param sort); %11 rows have no
+      // scheme and must surface NULL
+      "url_normalize" ->
+        s"""WITH ${urlNormSql(s"u AS (SELECT doc_id, $messyUrlSql AS url FROM documents)")}
+           |SELECT doc_id, url, url_norm FROM norm ORDER BY doc_id""".stripMargin,
+      // normalization collapses the two messy spellings of each pair;
+      // min-id witness + carrier count (the C1 rule on URL identity)
+      "url_dedup" ->
+        s"""WITH ${urlNormSql(s"u AS (SELECT doc_id, $dupUrlSql AS url FROM documents)")}
+           |SELECT url_norm, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+           |FROM norm WHERE url_norm IS NOT NULL
+           |GROUP BY url_norm ORDER BY keep_id""".stripMargin,
+      // the S1 smallest-md5 law as a window: each domain's 10 lowest
+      // (hash52(doc_id), doc_id) rows survive
+      "url_domain_cap" ->
+        s"""WITH ${urlNormSql(s"u AS (SELECT doc_id, $messyUrlSql AS url FROM documents)")},
+           |dom AS (SELECT doc_id,
+           |  CASE WHEN lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) = ''
+           |       THEN NULL
+           |       ELSE lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) END AS domain
+           |  FROM u),
+           |r AS (SELECT domain, doc_id,
+           |  row_number() OVER (PARTITION BY domain
+           |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+           |             doc_id) AS rn
+           |  FROM dom WHERE domain IS NOT NULL AND doc_id IS NOT NULL)
+           |SELECT domain, doc_id FROM r WHERE rn <= 10
+           |ORDER BY domain, doc_id""".stripMargin,
+      // the Bloom anti-join result IS the plain anti join: survivors =
+      // domains off the list, plus NULL-domain rows (nothing to block)
+      "url_domain_blocklist" ->
+        s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+           |dom AS (SELECT doc_id,
+           |  CASE WHEN lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) = ''
+           |       THEN NULL
+           |       ELSE lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) END AS domain
+           |  FROM u)
+           |SELECT doc_id, domain FROM dom
+           |WHERE domain IS NULL OR domain NOT IN ('ex0.org', 'ex3.org')
+           |ORDER BY doc_id""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -132,17 +132,25 @@ object BloomJoin {
     val probe = bloom.bloom_might_contain(typedKeyHash(keys, types), filter)
     // definite negatives (and NULL keys, which never match): map-only pass
     val misses = left.filter(anyKeyNull(keys) || !probe)
-    // possible positives: exact anti-join on the reduced side
+    // possible positives: exact anti-join on the reduced side. The
+    // using-join moves key columns FIRST in its output (Spark 4, even
+    // for anti joins), so re-select the left frame's own order — the
+    // positional unionAll below would otherwise misalign (and silently
+    // type-coerce) whenever a key is not the leading column
     val hits = left.filter(!anyKeyNull(keys) && probe)
       .join(list.select(keys.map(F.col): _*), keys, "left_anti")
+      .select(left.columns.map(F.col).toSeq: _*)
     misses.unionAll(hits)
   }
 
   private def semiApply(left: DataFrame, list: DataFrame, keys: Seq[String],
                         types: Seq[DataType], filter: Array[Byte]): DataFrame = {
     val probe = bloom.bloom_might_contain(typedKeyHash(keys, types), filter)
+    // same column-order restore as antiApply: keep the left frame's
+    // own order regardless of key position
     left.filter(!anyKeyNull(keys) && probe)
       .join(list.select(keys.map(F.col): _*), keys, "left_semi")
+      .select(left.columns.map(F.col).toSeq: _*)
   }
 
   // ─────────────── persisted filter (multi-query reuse) ───────────────

@@ -121,6 +121,24 @@ class BloomSpec extends SparkSuite {
     assert(plan.contains("*(1) Filter"), s"probe fell out of codegen:\n${plan.take(1000)}")
   }
 
+  test("anti/semi join keep the left frame's column order when the key is not leading") {
+    import spark.implicits._
+    // Spark 4's using-join moves key columns first even for anti/semi
+    // joins; the hits branch must restore the left order or the
+    // positional unionAll with the misses branch silently type-coerces
+    // (regression: found via Url.dropBlockedDomains, string domain
+    // key in third position unioned into a bigint doc_id column)
+    val left = Seq((1L, "u1", "a"), (2L, "u2", "b"), (3L, "u3", "a"), (4L, "u4", null))
+      .toDF("id", "payload", "k")
+    val list = Seq("a").toDF("k")
+    val anti = BloomJoin.antiJoin(left, list, Seq("k"), 4)
+    assert(anti.columns.toSeq == Seq("id", "payload", "k"))
+    assert(anti.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    val semi = BloomJoin.semiJoin(left, list, Seq("k"), 4)
+    assert(semi.columns.toSeq == Seq("id", "payload", "k"))
+    assert(semi.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   private object Hashing {
     def scramble(i: Int): Long = {
       var z = i.toLong * 0x9e3779b97f4a7c15L
