@@ -1013,6 +1013,32 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_tri", "n_bi", "n_uni", "n_unseen")
         .orderBy("doc_id")
     }),
+    // E15c: interpolated Kneser-Ney bigram LM (the normalized
+    // smoothing beside Stupid Backoff) — same E15b fixture recipe:
+    // trained on the even doc_ids, odd docs carry a never-seen token
+    // so all three probability-mass classes fire (observed bigram /
+    // continuation-only / unseen-floor). The integer face: count
+    // tables, continuation counts, and the mass-class routing all
+    // replay in DuckDB
+    "text_kn_hits" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val model = graft.operators.LanguageModel.trainKneserNey(
+        docs.filter(F.col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.kneserNey(docs, "doc_id", "text", Some(model))
+        .select("doc_id", "n_bigrams", "n_big", "n_cont", "n_unseen")
+        .orderBy("doc_id")
+    }),
+    // the libm face of E15c: mean -ln P under interpolated KN
+    // (rows-only; the routing is hash-gated by text_kn_hits, the
+    // value 1e-9-pinned in LanguageModelSpec)
+    "text_kn_surprisal" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val model = graft.operators.LanguageModel.trainKneserNey(
+        docs.filter(F.col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.kneserNey(docs, "doc_id", "text", Some(model))
+        .select("doc_id", "n_bigrams", "kn_surprisal")
+        .orderBy("doc_id")
+    }),
     // the libm face of E15b: mean -ln S per doc (rows-only, like E15;
     // the routing logic is hash-gated by text_backoff_hits)
     "text_backoff_surprisal" -> ((s, d) => {
@@ -3252,6 +3278,36 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
           |       CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
           |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // replays interpolated KN's integer face: even-doc training
+      // bigram counts, continuation counts derived from the SAME
+      // table, then the three-way mass classification per scored
+      // position; <2-token docs would surface 0s via the join-back
+      "text_kn_hits" ->
+        """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
+          |                 THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+          |                 ELSE text END AS text FROM documents),
+          |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM d),
+          |pos AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2
+          |        FROM (SELECT doc_id, toks, unnest(range(2, len(toks)+1)) AS i FROM t)),
+          |tr AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+          |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr GROUP BY w1, w2),
+          |cont AS (SELECT w2, COUNT(*) AS cont2 FROM big GROUP BY w2),
+          |lv AS (SELECT pos.doc_id,
+          |         CASE WHEN big.c12 IS NOT NULL THEN 2
+          |              WHEN cont.cont2 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          |       FROM pos
+          |       LEFT JOIN big ON pos.w1 = big.w1 AND pos.w2 = big.w2
+          |       LEFT JOIN cont ON pos.w2 = cont.w2),
+          |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          |         CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+          |         CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+          |         CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+          |       FROM lv GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(n_bigrams, 0) AS n_bigrams, coalesce(n_big, 0) AS n_big,
+          |       coalesce(n_cont, 0) AS n_cont, coalesce(n_unseen, 0) AS n_unseen
+          |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
       "text_lang_id" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
           |s AS (SELECT doc_id,

@@ -85,6 +85,109 @@ object LanguageModel {
         F.col("avg_surprisal"))
   }
 
+  /** A trained interpolated Kneser-Ney bigram model (Kneser & Ney
+    * 1995; the Chen & Goodman 1999 interpolated form) — the NORMALIZED
+    * smoothing beside Stupid Backoff's unnormalized ratios:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *              + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂)
+    *   P_cont(w₂) = N₁₊(·w₂) / B
+    *
+    * where c(w₁·) = Σ_w c(w₁w) (the context total), N₁₊(w₁·) = distinct
+    * continuations of w₁, N₁₊(·w₂) = distinct contexts preceding w₂,
+    * and B = distinct bigram types. The CONTINUATION counts are what
+    * distinguish KN: a word that appears often but only after one
+    * context ("francisco") gets a low unseen-context probability.
+    *
+    * All four quantities derive from the ONE bigram count table — the
+    * corpus is touched once; `ctx` and `cont` are each one more keyed
+    * aggregate over that table (count-table-sized, the reason KN is
+    * practical here despite Brants et al.'s caveat: no corpus-sized
+    * normalization pass exists at score time).
+    */
+  final case class KnModel(big: DataFrame, ctx: DataFrame, cont: DataFrame,
+                           totalBigramTypes: Long)
+
+  /** Train the interpolated-KN tables: the E15 bigram count pass plus
+    * one keyed aggregate per order (context totals + distinct
+    * continuations by w₁; distinct preceding contexts by w₂) and the
+    * bigram-type total as the one driver scalar.
+    */
+  def trainKneserNey(docs: DataFrame, textCol: String): KnModel = {
+    val big = bigramCounts(docs, textCol)
+    val ctx = big.groupBy("w1")
+      .agg(F.sum("c12").cast("long").as("ctx1"), F.count(F.lit(1)).as("n1p"))
+    val cont = big.groupBy("w2").agg(F.count(F.lit(1)).as("cont2"))
+    KnModel(big, ctx, cont, big.count())
+  }
+
+  /** Score every document under interpolated Kneser-Ney. Per-doc
+    * output:
+    *
+    *   (idCol, n_bigrams, n_big, n_cont, n_unseen, kn_surprisal)
+    *
+    * where the n_* columns count bigram positions by the probability
+    * mass that carried them — n_big: the bigram was observed (the
+    * discounted ML term is live); n_cont: bigram unseen but w₂ is a
+    * known continuation (the interpolated backoff term carries);
+    * n_unseen: w₂ was never a continuation (P would be 0 — floored at
+    * 1/(B+1), one type beyond the observed continuation mass, so
+    * −ln P stays finite; a documented closure, as OOV handling always
+    * is). The n_* face is INTEGER and order-free — the hash-oracle
+    * face of the count tables and join routing (the E15b split) —
+    * while kn_surprisal (mean −ln P) is libm, rows-only, 1e-9-pinned
+    * in LanguageModelSpec. Docs with <2 tokens surface with
+    * n_bigrams = 0 and NULL surprisal (the E15 contract).
+    *
+    * An unseen CONTEXT (c(w₁·) unknown) scores as pure P_cont — the
+    * λ-weight has no ML mass to redistribute, so the continuation
+    * distribution is the whole estimate.
+    *
+    * `discount` defaults to 0.75 — the published fixed-D choice,
+    * exactly representable in binary so both engines see one value.
+    * Scale shape: three shuffled count-table equi-joins over the
+    * map-only bigram stream + one keyed fold (the E15 discipline).
+    */
+  def kneserNey(docs: DataFrame, idCol: String, textCol: String,
+                model: Option[KnModel] = None,
+                discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount must be in (0, 1)")
+    val m = model.getOrElse(trainKneserNey(docs, textCol))
+    require(m.totalBigramTypes > 0, "KN model trained on a corpus with no bigrams")
+    val j = bigrams(docs, idCol, textCol)
+      .join(m.big, Seq("w1", "w2"), "left")
+      .join(m.ctx, Seq("w1"), "left")
+      .join(m.cont, Seq("w2"), "left")
+    val bTot = F.lit(m.totalBigramTypes.toDouble)
+    val pc = F.coalesce(F.col("cont2"), F.lit(0L)).cast("double") / bTot
+    val disc = F.lit(discount)
+    val lvl = F.when(F.col("c12").isNotNull, 2)
+      .when(F.col("cont2").isNotNull, 1).otherwise(0)
+    val pMain = F.when(F.col("ctx1").isNotNull,
+      F.greatest(F.coalesce(F.col("c12"), F.lit(0L)).cast("double") - disc, F.lit(0.0)) /
+        F.col("ctx1").cast("double") +
+        disc * F.col("n1p").cast("double") / F.col("ctx1").cast("double") * pc)
+      .otherwise(pc)
+    val floor = F.lit(1.0 / (m.totalBigramTypes.toDouble + 1.0))
+    val p = F.when(pMain > 0.0, pMain).otherwise(floor)
+    val scored = j
+      .select(F.col(idCol), lvl.as("__lvl"), (-F.log(p)).as("__s"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_bigrams"),
+        F.sum(F.when(F.col("__lvl") === 2, 1L).otherwise(0L)).as("n_big"),
+        F.sum(F.when(F.col("__lvl") === 1, 1L).otherwise(0L)).as("n_cont"),
+        F.sum(F.when(F.col("__lvl") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        F.avg("__s").as("kn_surprisal"))
+    docs.select(F.col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"),
+        F.coalesce(F.col("n_big"), F.lit(0L)).as("n_big"),
+        F.coalesce(F.col("n_cont"), F.lit(0L)).as("n_cont"),
+        F.coalesce(F.col("n_unseen"), F.lit(0L)).as("n_unseen"),
+        F.col("kn_surprisal"))
+  }
+
   /** A trained Stupid Backoff model (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — THE published web-scale
     * LM smoothing, designed at Google precisely because distributed

@@ -138,6 +138,90 @@ class LanguageModelSpec extends SparkSuite {
     assert(bad.count() == 0, "self-scoring must resolve every full-context position at order 3")
   }
 
+  /** Independent interpolated-KN reference: same tokenization law,
+    * plain Scala maps — counts exact, surprisal for the 1e-9 pin.
+    */
+  private def refKn(train: Seq[String], score: Seq[(Long, String)],
+                    d: Double): Map[Long, (Seq[Long], Option[Double])] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val big = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for (t <- train; ts = toks(t); i <- 1 until ts.size) big((ts(i - 1), ts(i))) += 1
+    val ctx = big.groupBy(_._1._1).map { case (w1, m) => w1 -> (m.values.sum, m.size) }
+    val cont = big.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val b = big.size.toDouble
+    score.map { case (id, t) =>
+      val ts = toks(t)
+      val perPos = (1 until ts.size).map { i =>
+        val (w1, w2) = (ts(i - 1), ts(i))
+        val pc = cont.getOrElse(w2, 0).toDouble / b
+        val lvl = if (big((w1, w2)) > 0) 2 else if (cont.contains(w2)) 1 else 0
+        val pMain = ctx.get(w1) match {
+          case Some((tot, n1p)) =>
+            math.max(big((w1, w2)).toDouble - d, 0.0) / tot + d * n1p / tot * pc
+          case None => pc
+        }
+        val p = if (pMain > 0.0) pMain else 1.0 / (b + 1.0)
+        (lvl, -math.log(p))
+      }
+      val counts = Seq(perPos.size.toLong) ++
+        (2 to 0 by -1).map(l => perPos.count(_._1 == l).toLong)
+      id -> ((counts,
+        if (perPos.isEmpty) None else Some(perPos.map(_._2).sum / perPos.size)))
+    }.toMap
+  }
+
+  test("interpolated KN matches an independent reference; all three mass classes fire") {
+    val train = Seq((0L, "the cat sat on the mat every day"),
+      (2L, "the cat sat on a chair near the mat"))
+    val score = train ++ Seq(
+      (1L, "the cat sat quietly"),  // observed bigrams then continuation backoff
+      (3L, "mat the dog"),          // unseen bigram, known continuation ('the')
+      (5L, "zzz qqq www"),          // unseen everywhere -> floor
+      (7L, "single"))               // no bigrams: 0s + NULL surprisal
+    val model = LanguageModel.trainKneserNey(train.toDF("doc_id", "text"), "text")
+    val got = LanguageModel.kneserNey(score.toDF("doc_id", "text"), "doc_id", "text",
+        Some(model))
+      .collect().map(r => r.getLong(0) ->
+        ((Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val want = refKn(train.map(_._2), score, 0.75)
+    for ((id, (wc, ws)) <- want) {
+      assert(got(id)._1 == wc, s"doc $id mass-class counts: ${got(id)._1} vs $wc")
+      (got(id)._2, ws) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-9, s"doc $id: $g vs $w")
+        case (g, w) => assert(g == w, s"doc $id surprisal presence: $g vs $w")
+      }
+    }
+    // the fixture exercises observed / continuation-only / unseen
+    val classes = want.collect { case (id, (c, _)) if id % 2 == 1 => c.drop(1) }
+    assert((0 to 2).forall(l => classes.exists(_(2 - l) > 0)),
+      s"fixture must fire all mass classes: $classes")
+  }
+
+  test("KN probabilities are a proper distribution over the training vocabulary") {
+    // Σ_w2 P(w2|w1) over observed continuations + interpolated mass on
+    // the rest must be 1 for a seen context — the property Stupid
+    // Backoff gives up and KN keeps
+    val train = Seq((0L, "a b a c a b d c a e"))
+    val model = LanguageModel.trainKneserNey(train.toDF("doc_id", "text"), "text")
+    val big = model.big.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ctx = model.ctx.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cont = model.cont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = (big.keys.map(_._1) ++ big.keys.map(_._2)).toSet
+    val b = model.totalBigramTypes.toDouble
+    val d = 0.75
+    for (w1 <- vocab if ctx.contains(w1)) {
+      val (tot, n1p) = ctx(w1)
+      val sum = vocab.toSeq.map { w2 =>
+        val pc = cont.getOrElse(w2, 0L).toDouble / b
+        math.max(big.getOrElse((w1, w2), 0L).toDouble - d, 0.0) / tot + d * n1p / tot * pc
+      }.sum
+      // the continuation distribution sums to 1 over the vocab by
+      // construction, so the interpolation preserves total mass
+      assert(math.abs(sum - 1.0) < 1e-12, s"context '$w1' mass $sum")
+    }
+  }
+
   test("backoff level counts are partition-order-free") {
     val train = Seq((0L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
       .toDF("doc_id", "text")
