@@ -1682,6 +1682,22 @@ object SparkEntry {
       w.zipWithIndex.collect { case (x, b) if x != 0 => (b.toLong, x.toLong) }
         .toSeq.toDF("bucket", "w").orderBy("bucket")
     }),
+    // E18: TRAINED lang-id — the fastText-lang-id production slot
+    // beside E2's stopword heuristic: K one-vs-rest integer perceptron
+    // heads (one corpus pass per epoch for ALL heads) trained on the
+    // documents' own lang labels, then argmax inference, ties to the
+    // lowest class index. Integer end-to-end, so the ENTIRE K-class
+    // train-then-predict trajectory replays in DuckDB with the class
+    // axis as data (a 5-row VALUES table) — the oracle does not grow
+    // with K
+    "text_lang_id_trained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val classes = Seq("de", "en", "es", "fr", "zh")
+      val (ws, _) = graft.operators.TextClassifier.trainOneVsRest(
+        docs, "doc_id", "text", "lang", classes, buckets = 4096, epochs = 2)
+      graft.operators.TextClassifier.predictClasses(docs, "doc_id", "text", classes, ws, 4096)
+        .orderBy("doc_id")
+    }),
     // E13: the corpus health report — per-(source, lang) volume +
     // quality histogram in ONE scan; all measures exact/order-free
     // (integer sums, counts, double min/max), so it hash-replays
@@ -3248,6 +3264,48 @@ object SparkEntry {
           |              COALESCE(w1.w, 0) + COALESCE(d1.d, 0) AS w
           |       FROM w1 FULL JOIN d1 ON w1.bucket = d1.bucket)
           |SELECT bucket, CAST(w AS BIGINT) AS w FROM w2 WHERE w != 0 ORDER BY bucket""".stripMargin,
+      // replays the FULL K-class one-vs-rest trajectory (2 epochs) +
+      // argmax inference with the class axis as data: fxk = feature
+      // occurrences x classes with y=+1/-1 per head; w1 = epoch-1
+      // update (zero weights miss every doc for every head); m1 =
+      // still-missed (doc, head) pairs under w1; w2 = final weights;
+      // r2 = per-(doc, head) raw; argmax ties -> lowest class index
+      "text_lang_id_trained" ->
+        """WITH cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),
+          |t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+          |f AS (SELECT doc_id, lang, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+          |             ELSE []::VARCHAR[] END) AS feats FROM t),
+          |fx AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 4096 AS bucket
+          |       FROM (SELECT doc_id, lang, unnest(feats) AS x FROM f)),
+          |fxk AS (SELECT doc_id, bucket, k, CASE WHEN lang = lang_c THEN 1 ELSE -1 END AS y
+          |        FROM fx CROSS JOIN cls),
+          |w1 AS (SELECT k, bucket, SUM(y) AS w FROM fxk GROUP BY k, bucket),
+          |r1 AS (SELECT doc_id, k, any_value(y) AS y, SUM(w) AS raw
+          |       FROM fxk JOIN w1 USING (k, bucket) GROUP BY doc_id, k),
+          |m1 AS (SELECT doc_id, k FROM r1 WHERE raw * y <= 0),
+          |d1 AS (SELECT fxk.k, fxk.bucket, SUM(fxk.y) AS d
+          |       FROM fxk JOIN m1 USING (doc_id, k) GROUP BY fxk.k, fxk.bucket),
+          |w2 AS (SELECT COALESCE(w1.k, d1.k) AS k, COALESCE(w1.bucket, d1.bucket) AS bucket,
+          |              COALESCE(w1.w, 0) + COALESCE(d1.d, 0) AS w
+          |       FROM w1 FULL JOIN d1 ON w1.k = d1.k AND w1.bucket = d1.bucket),
+          |r2 AS (SELECT fx.doc_id, cls.k, COALESCE(SUM(w2.w), 0) AS raw
+          |       FROM fx CROSS JOIN cls
+          |       LEFT JOIN w2 ON w2.k = cls.k AND w2.bucket = fx.bucket
+          |       GROUP BY fx.doc_id, cls.k),
+          |nf AS (SELECT doc_id, COUNT(*) AS n_features FROM fx GROUP BY doc_id),
+          |best AS (SELECT doc_id, k, raw,
+          |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, k ASC) AS rn
+          |         FROM r2)
+          |SELECT d.doc_id, CAST(COALESCE(nf.n_features, 0) AS BIGINT) AS n_features,
+          |       COALESCE(cls.lang_c, 'de') AS pred,
+          |       CAST(COALESCE(best.raw, 0) AS BIGINT) AS best_raw
+          |FROM documents d
+          |LEFT JOIN nf ON d.doc_id = nf.doc_id
+          |LEFT JOIN best ON d.doc_id = best.doc_id AND best.rn = 1
+          |LEFT JOIN cls ON best.k = cls.k
+          |ORDER BY d.doc_id""".stripMargin,
       // replays E15b's integer face term-for-term: position stream
       // with (up to 2) context words, count tables from the even-id
       // half, three left joins, longest-available-context level rule

@@ -53,8 +53,8 @@ object TextClassifier {
     * hash laws.
     */
   private def featureBuckets(df: DataFrame, idCol: String, textCol: String,
-                             buckets: Int): DataFrame =
-    Dsir.bucketStream(df, idCol, textCol, buckets, sep = "_", carry = Seq("__y"))
+                             buckets: Int, carry: Seq[String] = Seq("__y")): DataFrame =
+    Dsir.bucketStream(df, idCol, textCol, buckets, sep = "_", carry = carry)
 
   /** TRAIN the linear layer — full-batch perceptron (Rosenblatt's rule
     * in its batch form; the Collins 2002 structured-perceptron recipe
@@ -151,6 +151,151 @@ object TextClassifier {
       x.toInt
     }
     (out, history.result())
+  }
+
+  /** TRAIN a MULTICLASS linear layer — one-vs-rest batch perceptrons,
+    * all K classes in ONE corpus pass per epoch (the production
+    * trained-lang-id slot: fastText lang-id is exactly this shape —
+    * hashed bag-of-ngrams, K linear heads, argmax).
+    *
+    * Semantics are K independent copies of [[train]]: class k's head
+    * sees label y_k = +1 when the doc's label equals `classes(k)` and
+    * −1 otherwise, and updates by lr·y_k on every feature bucket of
+    * each doc it misclassifies (raw_k·y_k ≤ 0). Training class k alone
+    * via the binary [[train]] with those ±1 labels produces the SAME
+    * weight table (parity spec-pinned) — but this spelling folds all K
+    * heads' scoring into one staged projection and all K gradients
+    * into one keyed aggregate keyed by (class, bucket), so each epoch
+    * touches the corpus once instead of K times. Integer end-to-end
+    * (the E14 determinism contract): the whole K-class trajectory is
+    * order-free, partition-invariant, and replayable in SQL with the
+    * class axis as DATA (a K-row VALUES table cross-joined in — the
+    * oracle does not grow with K).
+    *
+    * Scale shape: per epoch, one map-only score projection (K in-row
+    * folds against K weight-table literals), one generator whose
+    * condition lives INSIDE the conditional array (the PushDownPredicates
+    * staging rule — see [[train]]), one aggregate bounded by
+    * K·(buckets+1) rows collected driver-side (the bounded-artifact
+    * lifecycle). Docs whose label is not in `classes` (or NULL) are
+    * rejected loudly — a silently-dropped label would train on a
+    * subset with no error.
+    *
+    * Returns (per-class weight tables aligned with `classes`,
+    * per-epoch per-class mistake counts).
+    */
+  def trainOneVsRest(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+                     classes: Seq[String], buckets: Int = 4096, epochs: Int = 3,
+                     lr: Int = 1): (Seq[Array[Int]], Seq[Seq[Long]]) = {
+    require(classes.nonEmpty, "classes must be non-empty")
+    require(classes.distinct == classes, s"duplicate class labels in $classes")
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    require(epochs >= 1, s"epochs=$epochs must be >= 1")
+    require(lr > 0, s"lr=$lr must be positive")
+    val K = classes.length
+    // label -> class index via a when-chain (K is small); an unknown
+    // or NULL label maps to the -1 sentinel and must surface loudly
+    val kCol = classes.zipWithIndex.reverse.foldLeft(F.lit(-1): Column) {
+      case (acc, (c, i)) => F.when(F.col(labelCol) === c, F.lit(i)).otherwise(acc)
+    }
+    val labeled = df.select(F.col(idCol),
+      F.coalesce(F.col(textCol), F.lit("")).as(textCol), kCol.as("__k"))
+    val feats = featureBuckets(labeled, idCol, textCol, buckets, carry = Seq("__k"))
+    val structT = "array<struct<k:int,b:bigint,y:bigint>>"
+    val ws = Array.fill(K)(Array.ofDim[Long](buckets))
+    val history = Seq.newBuilder[Seq[Long]]
+    for (_ <- 1 to epochs) {
+      val lits = ws.map(w => F.typedLit(w.toSeq))
+      val rawCols = (0 until K).map { k =>
+        F.when(F.size(F.col("__buckets")) === 0, F.lit(0L))
+          .otherwise(F.aggregate(F.col("__buckets"), F.lit(0L),
+            (acc: Column, b: Column) => acc + F.element_at(lits(k), b.cast("int") + 1)))
+          .as(s"__raw$k")
+      }
+      val scored = feats.select(
+        Seq(F.col(idCol), F.col("__k"), F.col("__buckets")) ++ rawCols: _*)
+      // per class: a sentinel (k, -1, 1) row counts the mistake, then
+      // the doc's buckets each contribute y_k; un-missed classes and
+      // bad-label docs yield the empty array (bad labels get ONLY the
+      // (-1, -1, 1) diagnostic row — their buckets must never reach
+      // the delta sum). The miss test stays INSIDE the conditional
+      // array, not a Filter node — see the [[train]] staging note.
+      val updates = (0 until K).map { k =>
+        val y = F.when(F.col("__k") === k, F.lit(1L)).otherwise(F.lit(-1L))
+        F.when(F.col("__k") === -1, F.array().cast(structT))
+          .when(F.col(s"__raw$k") * y <= 0L,
+            F.concat(
+              F.array(F.struct(F.lit(k).as("k"), F.lit(-1L).as("b"), F.lit(1L).as("y"))),
+              F.transform(F.col("__buckets"),
+                (b: Column) => F.struct(F.lit(k).as("k"), b.as("b"), y.as("y")))))
+          .otherwise(F.array().cast(structT))
+      }
+      val badRow = F.when(F.col("__k") === -1,
+          F.array(F.struct(F.lit(-1).as("k"), F.lit(-1L).as("b"), F.lit(1L).as("y"))))
+        .otherwise(F.array().cast(structT))
+      val deltas = scored
+        .select(F.explode(F.concat(updates :+ badRow: _*)).as("__u"))
+        .select(F.col("__u.k").as("__uk"), F.col("__u.b").as("__b"), F.col("__u.y").as("__y"))
+        .groupBy("__uk", "__b").agg(F.sum("__y").as("__d"))
+        .collect()
+      val bad = deltas.collect {
+        case r if r.getInt(0) == -1 => r.getLong(2)
+      }.sum
+      require(bad == 0,
+        s"labelCol '$labelCol' must be one of $classes; found $bad docs with other labels")
+      val mistakes = Array.ofDim[Long](K)
+      deltas.foreach { r =>
+        val k = r.getInt(0)
+        if (k >= 0) {
+          val b = r.getLong(1)
+          if (b == -1L) mistakes(k) = r.getLong(2)
+          else ws(k)(b.toInt) += lr.toLong * r.getLong(2)
+        }
+      }
+      history += mistakes.toSeq
+    }
+    val out = ws.toSeq.map(_.map { x =>
+      require(x >= Int.MinValue && x <= Int.MaxValue, s"weight overflow: $x")
+      x.toInt
+    })
+    (out, history.result())
+  }
+
+  /** Multiclass INFERENCE: (idCol, n_features, pred, best_raw) —
+    * argmax over the K heads' integer raw vote sums, ties broken by
+    * LOWEST class index (so a zero-feature doc, all-zero scores,
+    * deterministically predicts `classes.head`). One map-only
+    * projection: tokens staged once, then K codegen'd
+    * [[graft.functions.native.HashedVoteSum]] folds (weights ride as
+    * reference objects — the broadcast-model shape) and an in-row
+    * array_max over (raw, −k) structs. Integer end-to-end ⇒
+    * bit-identical across engines and partitionings — the full
+    * train-then-predict pipeline replays under a SQL hash oracle.
+    */
+  def predictClasses(df: DataFrame, idCol: String, textCol: String,
+                     classes: Seq[String], weights: Seq[Array[Int]],
+                     buckets: Int = 4096): DataFrame = {
+    require(weights.length == classes.length,
+      s"${weights.length} weight tables for ${classes.length} classes")
+    weights.foreach(w => require(w.length == buckets,
+      s"model arity mismatch: ${w.length} weights for $buckets buckets"))
+    val K = classes.length
+    val voteCols = (0 until K).map { k =>
+      graft.functions.native.hashed_vote_sum(F.col("__toks"), weights(k).toSeq).as(s"__v$k")
+    }
+    // max of (raw, -k) structs = max raw, ties -> smallest k
+    val packed = F.array((0 until K).map { k =>
+      F.struct(F.col(s"__v$k.raw").as("raw"), F.lit(-k).as("negk"))
+    }: _*)
+    val predCol = classes.zipWithIndex.reverse.foldLeft(F.lit(classes.head): Column) {
+      case (acc, (c, i)) => F.when(-F.col("__best.negk") === i, F.lit(c)).otherwise(acc)
+    }
+    df.select(F.col(idCol), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col(idCol) +: voteCols: _*)
+      .select(F.col(idCol), F.col("__v0.n_features").as("n_features"),
+        F.array_max(packed).as("__best"))
+      .select(F.col(idCol), F.col("n_features"), predCol.as("pred"),
+        F.col("__best.raw").as("best_raw"))
   }
 
   /** Score every document: (idCol, n_features, score). One map-only

@@ -228,4 +228,86 @@ class TextSpec extends SparkSuite {
       "doc_id", "text", "y", buckets = 64, epochs = 2)
     assert(h.size == 2)
   }
+
+  test("one-vs-rest on 2 classes is exactly the binary perceptron and its mirror") {
+    import graft.operators.TextClassifier
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 3 == 0) "en" else "xx"
+      (i.toLong, s"word$i tok${i % 7} fill${i % 3} tail common", lang)
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val bin = df.withColumn("y", F.when(F.col("lang") === "en", 1L).otherwise(-1L))
+    for (epochs <- Seq(1, 3)) {
+      val (bw, bh) = TextClassifier.train(bin, "doc_id", "text", "y",
+        buckets = 256, epochs = epochs)
+      val (ws, hist) = TextClassifier.trainOneVsRest(df, "doc_id", "text", "lang",
+        Seq("en", "xx"), buckets = 256, epochs = epochs)
+      // head 0 sees the same ±1 labels as the binary trainer; head 1
+      // sees them negated, and the perceptron update is antisymmetric
+      // (raw negates with the weights, so the SAME docs miss), so its
+      // weights are the exact mirror and both heads share the binary
+      // mistake history
+      assert(ws(0).toSeq == bw.toSeq, s"epochs=$epochs head 0")
+      assert(ws(1).toSeq == bw.map(-_).toSeq, s"epochs=$epochs head 1")
+      assert(hist.map(_(0)) == bh && hist.map(_(1)) == bh, s"epochs=$epochs history")
+      // argmax(raw, -raw) with ties to the lower index ⇒ predict
+      // 'en' exactly when the binary raw score is >= 0
+      val pred = TextClassifier.predictClasses(df, "doc_id", "text",
+        Seq("en", "xx"), ws, buckets = 256)
+        .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+      val rawBin = TextClassifier.score(df, "doc_id", "text", bw, buckets = 256)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      docs.foreach { case (id, _, _) =>
+        val expected = if (rawBin(id) >= 0) "en" else "xx"
+        assert(pred(id)._1 == expected, s"doc $id: ${pred(id)} vs raw ${rawBin(id)}")
+      }
+    }
+  }
+
+  test("one-vs-rest solves a separable 3-language corpus; argmax predicts every label") {
+    import graft.operators.TextClassifier
+    val docs =
+      (0 until 15).map(i => (i.toLong, s"alpha beta gamma doc$i", "aa")) ++
+      (0 until 15).map(i => (100L + i, s"zeta eta theta doc$i", "bb")) ++
+      (0 until 15).map(i => (200L + i, s"omega sigma kappa doc$i", "cc"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val classes = Seq("aa", "bb", "cc")
+    val (ws, hist) = TextClassifier.trainOneVsRest(df, "doc_id", "text", "lang",
+      classes, buckets = 512, epochs = 8)
+    assert(hist.last.forall(_ == 0L), s"expected all heads converged, got $hist")
+    val pred = TextClassifier.predictClasses(df, "doc_id", "text", classes, ws, 512)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    docs.foreach { case (id, _, lang) => assert(pred(id) == lang, s"doc $id") }
+  }
+
+  test("one-vs-rest training is partition-order-free; labels outside the class set are loud") {
+    import graft.operators.TextClassifier
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"word$i token${i % 7} filler${i % 3} tail", Seq("aa", "bb", "cc")(i % 3)))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val classes = Seq("aa", "bb", "cc")
+    val (w1, h1) = TextClassifier.trainOneVsRest(df, "doc_id", "text", "lang",
+      classes, buckets = 128, epochs = 3)
+    val (w2, h2) = TextClassifier.trainOneVsRest(df.repartition(7), "doc_id", "text", "lang",
+      classes, buckets = 128, epochs = 3)
+    assert(w1.map(_.toSeq) == w2.map(_.toSeq) && h1 == h2)
+    intercept[IllegalArgumentException] {
+      TextClassifier.trainOneVsRest(
+        Seq((1L, "some text", "zz")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", classes, buckets = 64, epochs = 1)
+    }
+    // a NULL label must be rejected, not silently dropped
+    intercept[IllegalArgumentException] {
+      TextClassifier.trainOneVsRest(
+        Seq((1L, "fine text", Some("aa")), (2L, "null label doc", None))
+          .toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", classes, buckets = 64, epochs = 1)
+    }
+    // zero-feature ties predict the FIRST class deterministically
+    val zeroW = classes.map(_ => Array.ofDim[Int](64))
+    val tied = TextClassifier.predictClasses(
+      Seq((1L, "anything")).toDF("doc_id", "text"), "doc_id", "text",
+      classes, zeroW, buckets = 64).collect()
+    assert(tied.head.getString(2) == "aa" && tied.head.getLong(3) == 0L)
+  }
 }
