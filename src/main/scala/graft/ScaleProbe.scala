@@ -41,6 +41,28 @@ object ScaleProbe {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** 50× documents/embeddings replica dir (the heavy-family decade
+    * probe — one order past the 10× table for the 100 TB claims).
+    * Only the doc/vector tables: the ops probed at 50× never touch
+    * events.
+    */
+  private val root50 = s"$root/x50"
+  private def buildX50(spark: SparkSession, sfDir: String): Unit = {
+    val done = new java.io.File(s"$root50/_BUILT")
+    if (done.exists()) return
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val maxDoc = d.agg(F.max("doc_id")).head().getLong(0) + 1
+    (0 until 50).map(i => d.withColumn("doc_id", F.col("doc_id") + F.lit(i * maxDoc)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root50/documents.parquet")
+    val v = graft.sources.Tables.embeddings(spark, sfDir)
+    val maxVec = v.agg(F.max("vec_id")).head().getLong(0) + 1
+    (0 until 50).map(i => v.withColumn("vec_id", F.col("vec_id") + F.lit(i * maxVec)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root50/embeddings.parquet")
+    done.createNewFile()
+  }
+
   /** median-of-3 wall seconds (same policy as Bench: robust to one
     * outlier in either direction, where min would mask a regression
     * behind one lucky cached run).
@@ -56,6 +78,24 @@ object ScaleProbe {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    // --x50 [ops...]: the decade-further probe — 50× docs/vectors,
+    // default = the three heaviest doc families from the 10× table
+    if (args.headOption.contains("--x50")) {
+      buildX50(spark, sfDir)
+      val ops50 = if (args.length > 1) args.drop(1).toSeq
+        else Seq("dedup_spans", "dedup_semantic", "text_backoff_hits")
+      force(SparkEntry.queries("dedup_exact")(spark, sfDir)) // warmup
+      val rows50 = ops50.map { name =>
+        val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
+        val big = time(force(SparkEntry.queries(name)(spark, root50)))
+        f"""{"op":"$name","base_sec":$base%.2f,"x50_sec":$big%.2f}"""
+      }
+      println("{\"probe\":\"scale50\",\"ops\":[" + rows50.mkString(",") + "]}")
+      spark.stop()
+      return
+    }
+
     buildIfAbsent(spark, sfDir)
 
     // optional trailing args: probe only these driver-query ops (the

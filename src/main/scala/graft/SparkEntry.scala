@@ -466,6 +466,33 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // A31 driver face: the FULL materialized-view lifecycle as SQL
+    // text — CREATE OR REPLACE MATERIALIZED VIEW over a third of
+    // events, two O(batch) refreshes folding the other thirds, read
+    // back from the registered view. The oracle is the plain one-shot
+    // aggregate over ALL rows, so refresh ≡ recompute sits under the
+    // hash gate (decimal sums keep fold order out of the bytes; AVG
+    // stays spec-gated — its read-time decimal division rounds at a
+    // different scale than DuckDB's)
+    "sql_matview_refresh" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def part(i: Int) = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) === i)
+      part(0).createOrReplaceTempView("mv_drv_seed")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE MATERIALIZED VIEW mv_drv_report AS
+          |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       SUM(CAST(value AS DECIMAL(30,6))) AS v_sum, COUNT(*) AS n,
+          |       MIN(value) AS v_min, MAX(value) AS v_max
+          |FROM mv_drv_seed WHERE event_type <> 'click' GROUP BY 1, 2""".stripMargin)
+      graft.GraftSql.refreshMaterialized(s, "mv_drv_report", part(1))
+      graft.GraftSql.refreshMaterialized(s, "mv_drv_report", part(2))
+      s.table("mv_drv_report")
+        .select(F.col("day"), F.col("event_type"),
+          F.col("v_sum").cast("double").as("v_sum"),
+          F.col("n"), F.col("v_min"), F.col("v_max"))
+        .orderBy("day", "event_type")
+    }),
+
     // the sketch face of the same state table: COUNT(DISTINCT user) per
     // type maintained incrementally via mergeable HLL binaries — the
     // measure a raw-sum state cannot carry (distincts don't add).
@@ -1967,6 +1994,14 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // the MV lifecycle's oracle is the one-shot aggregate over ALL
+      // events: a hash match proves create + 2 refreshes ≡ recompute
+      "sql_matview_refresh" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max
+          |FROM events WHERE event_type <> 'click'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q_range_join" ->
         """WITH r AS (SELECT o_orderkey AS range_key, o_totalprice - 5000.0 AS lo,
           |                  o_totalprice + 5000.0 AS hi, o_orderpriority
