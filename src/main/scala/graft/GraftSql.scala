@@ -78,6 +78,8 @@ object GraftSql {
       export(spark, sql)
     } else if (ViewHeadRe.pattern.matcher(sql).matches()) {
       createView(spark, sql)
+    } else if (ExternalHeadRe.pattern.matcher(sql).matches()) {
+      createExternal(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
@@ -92,7 +94,7 @@ object GraftSql {
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
           "DELETE, UPDATE, TRUNCATE, ALTER TABLE ADD/DROP/RENAME COLUMN, " +
-          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW")
+          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE")
     }
 
   private val AssertRe = """(?is)^\s*ASSERT\b.*""".r
@@ -254,6 +256,125 @@ object GraftSql {
         else raw.toLowerCase
       k -> v
     }.toMap
+  }
+
+  // ───────────── CREATE EXTERNAL TABLE ─────────────
+
+  private val ExternalHeadRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\b.*""".r
+  private val ExternalRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?EXTERNAL\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*""" +
+      """(?:\((.*?)\)\s*)?OPTIONS\s*\((.*)\)\s*;?\s*$""").r
+
+  /** Split the `uris = ['a', 'b']` list out of an OPTIONS body (its
+    * commas would otherwise split [[parseOptions]] pairs): one linear
+    * scan tracking quote state finds the bracketed span, which is
+    * removed from the scalar body and comma-split itself. Returns
+    * (body without the uris entry, uri list — empty when absent).
+    */
+  private def extractUris(body: String): (String, Seq[String]) = {
+    val m = """(?is)(^|,)\s*uris\s*=\s*\[""".r.findFirstMatchIn(body) match {
+      case None => return (body, Nil)
+      case Some(x) => x
+    }
+    var i = m.end // first char after '['
+    var inQuote = false
+    while (i < body.length && (inQuote || body.charAt(i) != ']')) {
+      if (body.charAt(i) == '\'') inQuote = !inQuote
+      i += 1
+    }
+    require(i < body.length, s"unterminated uris list in OPTIONS: $body")
+    val items = body.substring(m.end, i)
+    val uris = {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      var q = false
+      items.foreach {
+        case '\'' => q = !q; cur += '\''
+        case ',' if !q => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      if (cur.toString.trim.nonEmpty) parts += cur.toString
+      parts.toSeq.map { raw =>
+        val t = raw.trim
+        require(t.startsWith("'") && t.endsWith("'") && t.length >= 2,
+          s"uris entries must be quoted strings, got: $t")
+        t.substring(1, t.length - 1).replace("''", "'")
+      }
+    }
+    require(uris.nonEmpty, "uris list must not be empty")
+    // drop the whole `uris = [...]` entry, keeping at most one comma
+    val before = body.substring(0, m.start).reverse.dropWhile(_ == ',').reverse
+    val after = body.substring(i + 1).dropWhile(c => c == ' ' || c == ',')
+    val sep = if (before.trim.nonEmpty && after.trim.nonEmpty) "," else ""
+    (before + sep + after, uris)
+  }
+
+  /** BigQuery `CREATE [OR REPLACE] EXTERNAL TABLE [IF NOT EXISTS] name
+    * [(schema)] OPTIONS(format=..., uris=[...])` — the statement that
+    * mounts warehouse-external files as a queryable table (BigQuery
+    * docs: "Create external tables"). This engine's tables are
+    * session views over files already, so the external table IS the
+    * native object: the statement becomes a `spark.read` registration
+    * under the same three dispositions as [[createView]] (bare
+    * re-create raises, IF NOT EXISTS no-ops, OR REPLACE swaps).
+    *
+    * Options: `uris` (required; each entry may carry glob wildcards —
+    * Spark's reader expands them, which is BigQuery's `*` model),
+    * `format` (required: PARQUET | JSON/NEWLINE_DELIMITED_JSON —
+    * Spark's json source IS newline-delimited | CSV; AVRO is rejected
+    * loudly, no connector on this classpath), and for CSV:
+    * `header`/`skip_leading_rows` (0 or 1), `field_delimiter`. The
+    * optional schema list (needed for CSV/JSON typing; parquet carries
+    * its own) is passed to the reader as a DDL string. Schema-less CSV
+    * reads land all-string columns (same as BigQuery without
+    * autodetect); a declared schema is applied verbatim.
+    *
+    * Returns the registered table's frame.
+    */
+  def createExternal(spark: SparkSession, sql: String): DataFrame = sql match {
+    case ExternalRe(orReplace, ifNotExists, rawName, schema, optBody) =>
+      require(orReplace == null || ifNotExists == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
+      val name = viewName(rawName)
+      val (scalarBody, uris) = extractUris(optBody)
+      val opts = parseOptions(scalarBody)
+      val known = Set("format", "header", "skip_leading_rows", "field_delimiter", "compression")
+      val unknown = opts.keySet -- known
+      require(unknown.isEmpty, s"unsupported EXTERNAL TABLE option(s): ${unknown.mkString(", ")}")
+      require(uris.nonEmpty, "CREATE EXTERNAL TABLE requires uris=['...']")
+      val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
+        "CREATE EXTERNAL TABLE requires format='PARQUET'|'JSON'|'CSV'")).toUpperCase
+      val readerFmt = fmt match {
+        case "PARQUET" => "parquet"
+        case "JSON" | "NEWLINE_DELIMITED_JSON" => "json"
+        case "CSV" => "csv"
+        case "AVRO" => throw new IllegalArgumentException(
+          "AVRO needs the spark-avro connector, absent from this classpath")
+        case other => throw new IllegalArgumentException(s"unsupported format: $other")
+      }
+      for (o <- Seq("header", "skip_leading_rows", "field_delimiter") if opts.contains(o))
+        require(readerFmt == "csv", s"option $o applies to CSV only")
+      opts.get("skip_leading_rows").foreach(v => require(v == "0" || v == "1",
+        s"skip_leading_rows must be 0 or 1 (one header line), got: $v"))
+      val exists = spark.catalog.tableExists(name)
+      if (ifNotExists != null && exists) return spark.table(name)
+      require(orReplace != null || !exists,
+        s"table '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
+      var reader = spark.read.format(readerFmt)
+      Option(schema).map(_.trim).filter(_.nonEmpty).foreach(s => reader = reader.schema(s))
+      val header = opts.get("header").contains("true") ||
+        opts.get("skip_leading_rows").contains("1")
+      if (readerFmt == "csv") reader = reader.option("header", header.toString)
+      opts.get("field_delimiter").foreach(v => reader = reader.option("sep", v))
+      opts.get("compression").foreach(v => reader = reader.option("compression", v))
+      val df = reader.load(uris: _*)
+      df.createOrReplaceTempView(name)
+      spark.table(name)
+    case _ => throw new IllegalArgumentException(
+      "not a CREATE EXTERNAL TABLE statement (expected: CREATE [OR REPLACE] EXTERNAL TABLE " +
+        "[IF NOT EXISTS] name [(schema)] OPTIONS(format='...', uris=['...']))")
   }
 
   /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling

@@ -452,6 +452,72 @@ class TypedSqlSpec extends SparkSuite {
       s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='PARQUET', header=true) AS SELECT 1") }
   }
 
+  test("GraftSql.createExternal: EXTERNAL TABLE mounts parquet/CSV/JSON files; dispositions match BigQuery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-").toString
+    val src = Seq((1L, "a", 1.5), (2L, "b,x", 2.5), (3L, "c", 3.5)).toDF("id", "name", "score")
+    src.write.parquet(s"$dir/pq")
+    src.write.option("header", "true").option("sep", ";").csv(s"$dir/csv")
+    src.write.json(s"$dir/json")
+
+    // parquet through the one-entry load dispatch, glob uri
+    GraftSql.load(spark,
+      s"CREATE EXTERNAL TABLE ext_pq OPTIONS(format='PARQUET', uris=['$dir/pq/*.parquet'])")
+    assert(spark.table("ext_pq").count() == 3)
+    assert(spark.sql("SELECT SUM(id) AS s FROM ext_pq").head().getLong(0) == 6L)
+
+    // CSV with a declared schema — the DECIMAL(10,2) comma must not
+    // break the schema capture, the quoted ';' delimiter must not
+    // split the OPTIONS list, skip_leading_rows=1 is the header row
+    GraftSql.createExternal(spark,
+      s"""CREATE EXTERNAL TABLE ext_csv (id BIGINT, name STRING, score DECIMAL(10,2))
+         |OPTIONS(format='CSV', uris=['$dir/csv/*.csv'],
+         |        skip_leading_rows=1, field_delimiter=';')""".stripMargin)
+    val csvBack = spark.table("ext_csv")
+    assert(csvBack.schema("id").dataType.typeName == "long")
+    assert(csvBack.schema("score").dataType.typeName.startsWith("decimal"))
+    assert(csvBack.count() == 3)
+    assert(csvBack.filter(F.col("name") === "b,x").count() == 1,
+      "comma inside a value survives the ';' delimiter")
+
+    // newline-delimited JSON under BigQuery's format name
+    GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_json OPTIONS(format='NEWLINE_DELIMITED_JSON', uris=['$dir/json/*.json'])")
+    assert(spark.table("ext_json").count() == 3 &&
+      spark.table("ext_json").columns.sorted.toSeq == Seq("id", "name", "score"))
+
+    // dispositions: bare re-create raises; IF NOT EXISTS keeps the
+    // original mount (the CSV-without-header columns would be _c0..);
+    // OR REPLACE swaps (two uris double the rows)
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_pq OPTIONS(format='PARQUET', uris=['$dir/pq'])") }
+    GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE IF NOT EXISTS ext_pq OPTIONS(format='CSV', uris=['$dir/csv/*.csv'])")
+    assert(spark.table("ext_pq").columns.sorted.toSeq == Seq("id", "name", "score"),
+      "IF NOT EXISTS must keep the original mount")
+    GraftSql.createExternal(spark,
+      s"CREATE OR REPLACE EXTERNAL TABLE ext_pq OPTIONS(format='PARQUET', " +
+        s"uris=['$dir/pq/*.parquet', '$dir/pq/*.parquet'])")
+    assert(spark.table("ext_pq").count() == 6, "OR REPLACE swapped to the two-uri mount")
+
+    // loud shapes: AVRO, unknown option, missing uris, missing format,
+    // contradictory dispositions, CSV-only option on parquet, >1 header row
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_b1 OPTIONS(format='AVRO', uris=['$dir/pq'])") }
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_b2 OPTIONS(format='PARQUET', uris=['$dir/pq'], banana=1)") }
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      "CREATE EXTERNAL TABLE ext_b3 OPTIONS(format='PARQUET')") }
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_b4 OPTIONS(uris=['$dir/pq'])") }
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE OR REPLACE EXTERNAL TABLE IF NOT EXISTS ext_b5 OPTIONS(format='PARQUET', uris=['$dir/pq'])") }
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_b6 OPTIONS(format='PARQUET', uris=['$dir/pq'], field_delimiter=';')") }
+    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+      s"CREATE EXTERNAL TABLE ext_b7 OPTIONS(format='CSV', uris=['$dir/csv'], skip_leading_rows=2)") }
+  }
+
   test("GraftSql.createView: plain views register the stored query; dispositions match BigQuery") {
     Typed.registerAllViews(spark, sf)
     val direct = spark.sql(
