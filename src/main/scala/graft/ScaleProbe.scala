@@ -79,6 +79,27 @@ object ScaleProbe {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    // --bm25-fixedq: BM25 with a FIXED query set (the driver query
+    // grows queries with the corpus, conflating |Q| and corpus growth
+    // — the D9 hybridProbe rationale), production df cap ON: the
+    // slope isolates the per-corpus-row cost of the lexical scorer
+    if (args.headOption.contains("--bm25-fixedq")) {
+      buildIfAbsent(spark, sfDir)
+      def bm25Probe(dir: String): Double = {
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val queries = graft.sources.Tables.documents(spark, sfDir)
+          .filter(F.col("doc_id") % 250 === 0)
+          .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+        time(force(graft.operators.Hybrid.bm25Leg(docs, "doc_id", "text",
+          queries, "qid", "qtext", n = 10)))
+      }
+      val b1 = bm25Probe(sfDir)
+      val b2 = bm25Probe(root)
+      println(f"""{"probe":"scale","ops":[{"op":"search_bm25_fixedq","base_sec":$b1%.2f,"scaled_sec":$b2%.2f}]}""")
+      spark.stop()
+      return
+    }
+
     // --x50 [ops...]: the decade-further probe — 50× docs/vectors,
     // default = the three heaviest doc families from the 10× table
     if (args.headOption.contains("--x50")) {

@@ -139,6 +139,32 @@ object SparkEntry {
     }.toArray
   }
 
+  // E19 fixture: a pinned WELL-FORMED merge table (every component is
+  // a character or the output of a LOWER-ranked merge — the invariant
+  // every trained table has by construction). Well-formedness is what
+  // makes ApplyBpe's min-rank iterative application equal to the
+  // oracle's sequential one-pass-per-rank replay: a merge's output
+  // symbol only participates in HIGHER-ranked merges, so finishing
+  // rank r can never re-enable a rank < r (and a pair cannot recreate
+  // itself — its output differs from both parts). BpeSpec pins the
+  // equivalence against a driver-side sequential reference.
+  private[graft] val bpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"),
+    ("an", "d"), ("in", "g"), ("o", "u"), ("s", "t"), ("e", "n"), ("o", "r"))
+
+  /** The oracle's sequential-replay spelling of [[bpeFixtureMerges]]:
+    * words ride as `~~`-separated character strings (`~` is absent
+    * from the fixture corpus — pure [a-z0-9 ]), and each merge is one
+    * left-to-right non-overlapping `replace('~a~~b~' -> '~ab~')` —
+    * boundary-anchored on both sides, and the shared `~` between
+    * adjacent occurrences survives because each occurrence consumes
+    * only its own inner separators.
+    */
+  private[graft] def bpeOracleChain(base: String): String =
+    bpeFixtureMerges.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, '~$a~~$b~', '~$a$b~')"
+    }
+
   // Round-7 URL decorations (the E7 recipe): documents carry no URL,
   // so derive a deterministic messy URL per doc_id exercising every
   // normalization rule — mixed scheme/host case, default and explicit
@@ -995,6 +1021,35 @@ object SparkEntry {
     "text_bpe_vocab" -> ((s, d) => {
       graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10)
         .orderBy("rank")
+    }),
+    // E19: BPE ENCODING under a pinned well-formed merge table — the
+    // apply half of the tokenizer (E9 trains; this runs the trained
+    // artifact at corpus scale, the per-doc true-token-count signal).
+    // Map-only: explode words, one codegen'd ApplyBpe per word, then a
+    // per-doc bounded fold (positions are row-bounded, the B25 rule).
+    // Every output is an integer or a deterministic string, so the
+    // DuckDB oracle replays the merge loop as chained boundary-
+    // anchored replaces over separator-joined characters
+    "text_bpe_encode" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(F.col("doc_id"), F.posexplode_outer(T.tokens(F.col("text"))).as(Seq("pos", "__w")))
+        .filter(F.length(F.col("__w")) > 0)
+      val enc = words.select(F.col("doc_id"), F.col("pos"),
+        graft.operators.Bpe.encode(
+          F.array_remove(F.split(F.col("__w"), ""), ""), bpeFixtureMerges).as("__sym"))
+      val agg = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).as("n_words"),
+        F.sum(F.size(F.col("__sym"))).as("n_bpe_tokens"),
+        F.array_join(
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("__sym")))),
+            (x: Column) => F.array_join(x.getField("__sym"), " ")), " ").as("enc"))
+      Tables.documents(s, d).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("n_words"), F.lit(0L)).as("n_words"),
+          F.coalesce(F.col("n_bpe_tokens"), F.lit(0L)).as("n_bpe_tokens"),
+          F.coalesce(F.col("enc"), F.lit("")).as("enc"))
+        .orderBy("doc_id")
     }),
     // unigram cross-entropy under the corpus's own unigram LM — the
     // CCNet-family perplexity quality signal (high = rare-token-heavy
@@ -3340,6 +3395,28 @@ object SparkEntry {
           |LEFT JOIN nf ON d.doc_id = nf.doc_id
           |LEFT JOIN best ON d.doc_id = best.doc_id AND best.rn = 1
           |LEFT JOIN cls ON best.k = cls.k
+          |ORDER BY d.doc_id""".stripMargin,
+      // replays BPE encoding: each word becomes a '~~'-separated
+      // character string, each pinned merge one boundary-anchored
+      // left-to-right replace (sequential per rank ≡ ApplyBpe's
+      // min-rank loop for well-formed tables); token count = '~'
+      // count / 2 - 1, encoded text = separators to spaces
+      "text_bpe_encode" ->
+        s"""WITH t AS (SELECT doc_id, list_filter(
+          |             string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+          |           FROM documents),
+          |w AS (SELECT doc_id, i AS pos, toks[i] AS word
+          |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+          |s0 AS (SELECT doc_id, pos, '~~' || regexp_replace(word, '(.)', '\\1~~', 'g') AS s FROM w),
+          |sk AS (SELECT doc_id, pos, ${bpeOracleChain("s")} AS s FROM s0),
+          |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+          |               SUM((length(s) - length(replace(s, '~', ''))) // 2 - 1) AS n_bpe_tokens,
+          |               string_agg(trim(replace(s, '~~', ' ')), ' ' ORDER BY pos) AS enc
+          |        FROM sk GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+          |       CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+          |       COALESCE(enc, '') AS enc
+          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
           |ORDER BY d.doc_id""".stripMargin,
       // replays E15b's integer face term-for-term: position stream
       // with (up to 2) context words, count tables from the even-id

@@ -156,4 +156,49 @@ class BpeSpec extends SparkSuite {
     // stages actually materialized on disk
     assert(new java.io.File(s"$dir/bpe").exists())
   }
+
+  test("min-rank encode equals sequential one-pass-per-rank application for well-formed tables") {
+    import spark.implicits._
+    // sequential reference: apply each merge in rank order, ONE
+    // left-to-right non-overlapping pass — the E19 oracle's replay
+    def sequential(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val merges = SparkEntry.bpeFixtureMerges
+    // crafted words exercising consecutive occurrences, boundary
+    // anchoring, and chained merges (t+h then th+e), plus the corpus
+    val words = Seq("the", "then", "anthem", "thethe", "ththe", "standing",
+      "inn", "nnn", "ananan", "x", "er", "round", "ininging") ++
+      graft.sources.Tables.documents(spark, sf)
+        .select(F.explode(graft.functions.text.tokens(F.col("text"))))
+        .filter(F.length(F.col("col")) > 0)
+        .limit(2000).collect().map(_.getString(0)).toSeq
+    val got = words.toDF("w")
+      .select(F.col("w"), graft.operators.Bpe.encode(
+        F.array_remove(F.split(F.col("w"), ""), ""), merges).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == sequential(w, merges), s"word '$w'")
+    }
+    // a NON-well-formed table is exactly where the two applications
+    // diverge — documents why the E19 contract demands well-formedness
+    val bad = Seq(("a", "bc"), ("b", "c"))
+    val badGot = Seq("abc").toDF("w")
+      .select(graft.operators.Bpe.encode(
+        F.array_remove(F.split(F.col("w"), ""), ""), bad).as("e"))
+      .head().getSeq[String](0)
+    assert(badGot == Seq("abc"), "min-rank re-enables the rank-0 merge")
+    assert(sequential("abc", bad) == Seq("a", "bc"), "sequential cannot")
+  }
 }
