@@ -130,6 +130,7 @@ object ScaleProbe {
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
       "text_chunk", "text_chunk_lines", "text_classifier_score", "text_bigram_surprisal",
       "text_classifier_train", "text_backoff_hits", "text_lang_id_trained",
+      "text_bpe_encode",
       "text_gopher_rules", "text_gopher_repetition", "text_gopher_dup_ngrams",
       "text_c4_filters",
       "corpus_mix", "pack_sequences", "sample_apportioned", "sample_dsir",
