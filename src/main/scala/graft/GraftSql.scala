@@ -90,6 +90,13 @@ object GraftSql {
       case a: AddColumns => addColumnsParsed(spark, a)
       case dc: DropColumns => dropColumnsParsed(spark, dc)
       case r: RenameColumn => renameColumnParsed(spark, r)
+      // a plain query (SELECT / WITH / UNION / VALUES / TABLE) — the
+      // statements BigQuery scripts interleave with their DML; any
+      // parsed NON-command plan runs over the registered views, so
+      // `load` is the whole script entry point. Unsupported DDL still
+      // parses to a Command and stays loud below.
+      case q if !q.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] =>
+        spark.sql(sql)
       case other => throw new IllegalArgumentException(
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +

@@ -435,4 +435,43 @@ object EventStream {
         writeDeadLetter(annotated.filter(F.size(F.col("violated")) > 0)
           .withColumn("batch_id", F.lit(batchId)))
       }
+
+  /** G13: streaming MATERIALIZED-VIEW maintenance — the streaming face
+    * of A31, as G8 is of A23: each micro-batch of new source rows
+    * folds into the MV's state via `GraftSql.refreshMaterialized`
+    * (O(batch) per tick — the view's WHERE chain rebinds onto the
+    * batch, partials merge without reshuffling state), and the
+    * registered view answers from the refreshed state after every
+    * tick. This is BigQuery's auto-refresh MV loop made explicit.
+    *
+    * Redelivery contract (the G8 guard): `refreshMaterialized` is
+    * additive — a replayed batch double-counts — so the sink folds a
+    * batch ONLY when its batchId exceeds `readLastBatch()`, and
+    * `commitBatch` must persist the applied batchId atomically with
+    * whatever durability the caller gives the MV state
+    * (`GraftSql.materializedState` is the persistable face). The MV
+    * must already exist in this session (create it with the A31
+    * statement before starting the stream) — a missing name fails
+    * the first tick loudly rather than silently creating state.
+    */
+  def materializedViewSink(stream: DataFrame, name: String,
+                           readLastBatch: () => Option[Long],
+                           commitBatch: Long => Unit,
+                           broadcastDelta: Boolean = true)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the MV registry and its registered view live in the STREAM's
+    // session — foreachBatch hands the function a per-batch session
+    // CLONE, whose identity would miss the registry and whose temp
+    // catalog would swallow the refreshed view registration
+    val session = stream.sparkSession
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!readLastBatch().exists(batchId <= _)) {
+          graft.GraftSql.refreshMaterialized(session, name, batch, broadcastDelta)
+          commitBatch(batchId)
+        }
+      }
+  }
 }

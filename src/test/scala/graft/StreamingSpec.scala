@@ -276,6 +276,42 @@ class StreamingSpec extends SparkSuite {
       == Tables.events(spark, sf).count() + 10)
   }
 
+  test("G13: materialized-view sink folds stream batches; view equals the recompute; replays skipped") {
+    val dir = eventsDir
+    // MV created over an EMPTY seed via the A31 statement — every row
+    // the view ever holds arrives through the streaming refresh path
+    Tables.events(spark, sf).filter(F.col("event_id") < 0)
+      .createOrReplaceTempView("mv_stream_seed")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE MATERIALIZED VIEW mv_stream_report AS
+        |SELECT event_type, SUM(CAST(value AS DECIMAL(30,2))) AS v_sum, COUNT(*) AS n
+        |FROM mv_stream_seed GROUP BY event_type""".stripMargin)
+    var last: Option[Long] = None
+    val stream = EventStream.readEvents(spark, dir).select(F.col("event_type"), F.col("value"))
+    val q = EventStream.materializedViewSink(stream, "mv_stream_report",
+        () => last, id => last = Some(id))
+      .start()
+    q.awaitTermination(60000)
+    def canon = spark.table("mv_stream_report")
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(F.sum(F.col("value").cast("decimal(30,2)")).cast("decimal(38,2)").as("v_sum"),
+        F.count(F.lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(canon == want, "streamed MV must equal the one-shot recompute")
+    assert(last.isDefined)
+    // replay: a second checkpoint-less run re-delivers the same file
+    // with batchId 0 — the guard must skip it (additive sums would
+    // otherwise double-count), leaving the view byte-identical
+    val before = canon
+    val q2 = EventStream.materializedViewSink(stream, "mv_stream_report",
+        () => last, id => last = Some(id))
+      .start()
+    q2.awaitTermination(60000)
+    assert(canon == before, "replayed batchIds must not refold")
+  }
+
   test("G9: SCD2 sink equals the batch recompute; replayed batchIds are skipped") {
     import spark.implicits._
     val keys = Seq("event_type")

@@ -452,6 +452,26 @@ class TypedSqlSpec extends SparkSuite {
       s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='PARQUET', header=true) AS SELECT 1") }
   }
 
+  test("GraftSql.load routes plain queries (SELECT/WITH/UNION) through the same entry point") {
+    graft.sources.Typed.registerAllViews(spark, sf)
+    val a = GraftSql.load(spark,
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type")
+    val b = spark.sql(
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    val cte = GraftSql.load(spark,
+      """WITH t AS (SELECT value FROM events WHERE value > 0)
+        |SELECT COUNT(*) AS n FROM t UNION ALL SELECT 0 AS n""".stripMargin)
+    assert(cte.count() == 2)
+    // unsupported DDL still parses to a Command and stays loud with
+    // the dispatcher's own error (not a catalog error from a silent
+    // spark.sql passthrough)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "DROP TABLE no_such_table_xyz")
+    }
+    assert(e.getMessage.contains("not a DML statement"))
+  }
+
   test("GraftSql.createExternal: EXTERNAL TABLE mounts parquet/CSV/JSON files; dispositions match BigQuery") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ext-").toString
