@@ -108,22 +108,36 @@ object Hybrid {
     *    signal (every document matches it); the cap is the classic
     *    stopword filter, made deterministic and oracle-replayable.
     *
-    * When `knownDocCount` is None this runs an EAGER `docs.count()`
-    * Spark job at construction time to size the df cap — at 100 TB
-    * pass the count from table stats (the corpus_mix knownCounts
-    * pattern) so building the plan stays free of jobs.
+    * When `knownDocCount` is None the corpus count that sizes the df
+    * cap rides the PLAN as a broadcast one-row aggregate (no Spark
+    * job at construction time — `deferStats=false` restores the old
+    * eager `docs.count()` for callers that want the cap resolved
+    * up front); at 100 TB pass the count from table stats (the
+    * corpus_mix knownCounts pattern) so even that subtree vanishes.
     */
   def lexicalLeg(docs: DataFrame, idCol: String, textCol: String,
                  queries: DataFrame, qidCol: String, qtextCol: String,
                  n: Int = 20, maxDfFraction: Double = 0.1,
-                 knownDocCount: Option[Long] = None): DataFrame = {
+                 knownDocCount: Option[Long] = None,
+                 deferStats: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0,1], got $maxDfFraction")
     val qTokens = queries
       .select(F.col(qidCol).as("qid"), F.explode(
         F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
-    val dfCap = knownDocCount.getOrElse(docs.count()) * maxDfFraction
+    // one-row (N) frame: a literal relation when known (or eagerly
+    // counted), the plan-embedded aggregate otherwise — downstream
+    // the cap comparison is the same expression tree either way, so
+    // deferred ≡ eager bit-for-bit (HybridSpec)
+    val stats: DataFrame = knownDocCount match {
+      case Some(nd) => docs.sparkSession.range(1)
+        .select(F.lit(nd.toDouble).as("__n"))
+      case None if deferStats => docs
+        .agg(F.count(F.lit(1)).cast("double").as("__n"))
+      case None => docs.sparkSession.range(1)
+        .select(F.lit(docs.count().toDouble).as("__n"))
+    }
     val tf = docs
       .select(F.col(idCol).cast("long").as("doc_id"),
         text.tokens(F.col(textCol)).as("__toks"))
@@ -131,7 +145,8 @@ object Hybrid {
       .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
     val rareTokens = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
-      .filter(F.col("__df").cast("double") <= dfCap)
+      .crossJoin(F.broadcast(stats))
+      .filter(F.col("__df").cast("double") <= F.col("__n") * F.lit(maxDfFraction))
       .select("token")
     qTokens.join(F.broadcast(rareTokens), "token").join(tf, "token")
       .groupBy("qid", "doc_id")
@@ -160,9 +175,16 @@ object Hybrid {
     * aggregate, stopword df cap kills the q·d fan-out, bounded top-k
     * per query. The doc length rides the token stream into the tf
     * aggregate (no separate length scan or doc-keyed join), and
-    * (N, avgdl) come from one slim aggregate — or from table stats
-    * via `knownDocCount`+`knownAvgDl`, the 100 TB route that leaves
-    * the corpus tokenized exactly ONCE. Per-(query, doc)
+    * (N, avgdl) come from one slim aggregate that rides the PLAN as
+    * a broadcast one-row frame (plan construction is job-free;
+    * `deferStats=false` restores the old eager collect) — or from
+    * table stats via `knownDocCount`+`knownAvgDl`, the 100 TB route
+    * that leaves the corpus tokenized exactly ONCE. Whichever route
+    * supplies them, the score expressions read (N, avgdl) from the
+    * same one-row-frame columns, so deferred ≡ eager ≡ known
+    * bit-for-bit (HybridSpec). An empty corpus yields the empty
+    * result under deferral (nothing to rank); the eager route keeps
+    * the loud empty-corpus require. Per-(query, doc)
     * contributions fold in SORTED token order (bounded by the query's
     * own length), so scores are bit-reproducible across partitionings
     * — but idf is libm `ln`: rows-only at the driver gate, the E10/E15
@@ -177,7 +199,8 @@ object Hybrid {
               n: Int = 20, k1: Double = 1.25, b: Double = 0.75,
               maxDfFraction: Double = 0.1,
               knownDocCount: Option[Long] = None,
-              knownAvgDl: Option[Double] = None): DataFrame = {
+              knownAvgDl: Option[Double] = None,
+              deferStats: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
@@ -188,21 +211,37 @@ object Hybrid {
     val toked = docs
       .select(F.col(idCol).cast("long").as("doc_id"),
         text.tokens(F.col(textCol)).as("__toks"))
-    // corpus stats (N, avgdl) in ONE slim aggregate over the length
-    // projection when not supplied — at 100 TB pass both from table
-    // stats so plan construction stays job-free and the corpus is
-    // tokenized exactly once (the tf pass below)
-    val (nDocs, avgDl) = (knownDocCount, knownAvgDl) match {
-      case (Some(nd), Some(ad)) => (nd, ad)
+    // corpus stats (N, avgdl) as a ONE-ROW frame: a literal relation
+    // when both are known (table stats — zero cost) or eagerly
+    // collected (deferStats=false, the old construction-time job,
+    // loud on an empty corpus); otherwise the slim aggregate itself
+    // rides the plan and broadcasts. Downstream the score
+    // expressions read (__n, __avgdl) columns in every route, so the
+    // three spellings are bit-identical (HybridSpec).
+    def statsLit(nd: Double, ad: Double): DataFrame =
+      docs.sparkSession.range(1).select(
+        F.lit(nd).as("__n"), F.lit(ad).as("__avgdl"))
+    val stats: DataFrame = (knownDocCount, knownAvgDl) match {
+      case (Some(nd), Some(ad)) => statsLit(nd.toDouble, ad)
+      case _ if deferStats =>
+        val agg = toked.agg(
+          F.count(F.lit(1)).cast("double").as("__n"),
+          F.avg(F.size(F.col("__toks"))).as("__avgdl"))
+        (knownDocCount, knownAvgDl) match {
+          case (Some(nd), _) => agg.select(
+            F.lit(nd.toDouble).as("__n"), F.col("__avgdl"))
+          case (_, Some(ad)) => agg.select(
+            F.col("__n"), F.lit(ad).as("__avgdl"))
+          case _ => agg
+        }
       case _ =>
         val r = toked.agg(F.count(F.lit(1)), F.avg(F.size(F.col("__toks")))).head()
         val counted = r.getLong(0)
         require(knownDocCount.isDefined || counted > 0,
           "bm25Leg: empty corpus — no documents to rank (avgdl undefined)")
-        (knownDocCount.getOrElse(counted),
+        statsLit(knownDocCount.getOrElse(counted).toDouble,
           knownAvgDl.getOrElse(if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
     }
-    val dfCap = nDocs * maxDfFraction
     // the doc length rides the token stream into the tf aggregate —
     // no separate dl scan, no doc-keyed join
     val tf = toked
@@ -211,12 +250,15 @@ object Hybrid {
       .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("doc_id", "token")
       .agg(F.count(F.lit(1)).as("tf"), F.first("__dl").as("__dl"))
+    // (token, __df, __n, __avgdl) — the stats columns ride the slim
+    // df frame (bounded by |query tokens|) into the scoring join
     val keep = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
-      .filter(F.col("__df").cast("double") <= dfCap)
+      .crossJoin(F.broadcast(stats))
+      .filter(F.col("__df").cast("double") <= F.col("__n") * F.lit(maxDfFraction))
     val idf = F.log(F.lit(1.0) +
-      (F.lit(nDocs.toDouble) - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+      (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
     val sat = (F.col("tf") * (k1 + 1.0)) /
-      (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgDl)))
+      (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
     qTokens.join(F.broadcast(keep), "token").join(tf, "token")
       .select(F.col("qid"), F.col("doc_id"), F.col("token"), (idf * sat).as("__c"))
       // sorted in-row fold: per-(q,d) sums are order-fixed, so scores
@@ -264,8 +306,9 @@ object Hybrid {
     * per query. `docs`: (idCol, textCol); `vecs`: (vecIdCol aligned
     * with idCol, vecCol). Output: (qid, doc_id, rrf, lex_rank,
     * vec_rank) — rank 0 means the leg did not surface the document in
-    * its top `n`. See [[lexicalLeg]] for the eager-count caveat when
-    * `knownDocCount` is None.
+    * its top `n`. When `knownDocCount` is None the df-cap count
+    * rides the plan as a broadcast aggregate (see [[lexicalLeg]] —
+    * no construction-time job).
     */
   def rrfSearch(docs: DataFrame, idCol: String, textCol: String,
                 vecs: DataFrame, vecIdCol: String, vecCol: String,

@@ -199,6 +199,51 @@ class HybridSpec extends SparkSuite {
     assert(rows.forall(r => r.getLong(3) > 0L || r.getLong(4) > 0L))
   }
 
+  test("stats deferral: deferred ≡ eager ≡ table-stats bit-for-bit; construction runs no job") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(F.col("doc_id") % 100 === 0)
+      .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+    def collectB(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val deferred = collectB(Hybrid.bm25Leg(docs, "doc_id", "text",
+      queries, "qid", "qtext", n = 10, maxDfFraction = 0.5))
+    assert(deferred.nonEmpty)
+    // eager collect (the old construction-time job) — bit-identical,
+    // including the df-cap cut at maxDfFraction=0.5
+    val eager = collectB(Hybrid.bm25Leg(docs, "doc_id", "text",
+      queries, "qid", "qtext", n = 10, maxDfFraction = 0.5, deferStats = false))
+    assert(eager == deferred, "deferred stats must equal the eager collect bit-for-bit")
+    // table-stats route: feed the same (N, avgdl) as known values
+    val st = docs.agg(F.count(F.lit(1)),
+      F.avg(F.size(graft.functions.text.tokens(F.col("text"))))).head()
+    val known = collectB(Hybrid.bm25Leg(docs, "doc_id", "text",
+      queries, "qid", "qtext", n = 10, maxDfFraction = 0.5,
+      knownDocCount = Some(st.getLong(0)), knownAvgDl = Some(st.getDouble(1))))
+    assert(known == deferred, "known stats must equal the deferred route bit-for-bit")
+    // lexical leg: deferred ≡ eager under a biting df cap
+    def collectL(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._3)).toSeq
+    val lexD = collectL(Hybrid.lexicalLeg(docs, "doc_id", "text",
+      queries, "qid", "qtext", n = 10, maxDfFraction = 0.5))
+    val lexE = collectL(Hybrid.lexicalLeg(docs, "doc_id", "text",
+      queries, "qid", "qtext", n = 10, maxDfFraction = 0.5, deferStats = false))
+    assert(lexD.nonEmpty && lexD == lexE)
+    // job-freeness, deterministically: a corpus whose SCAN raises must
+    // still CONSTRUCT under deferral (no stats job fires), and only
+    // fail at action time; the eager route fails at construction
+    val poisoned = docs.withColumn("text",
+      F.when(F.col("doc_id") >= 0, F.raise_error(F.lit("scan fired")))
+        .otherwise(F.col("text")).cast("string"))
+    val lazyLeg = Hybrid.bm25Leg(poisoned, "doc_id", "text",
+      queries, "qid", "qtext", n = 10) // must not throw
+    intercept[Exception] { lazyLeg.collect() }
+    intercept[Exception] {
+      Hybrid.bm25Leg(poisoned, "doc_id", "text", queries, "qid", "qtext",
+        n = 10, deferStats = false) // the old eager job fires the poison
+    }
+  }
+
   test("no Window over the corpus: ranks come from bounded top-k arrays") {
     val docs = Tables.documents(spark, sf)
     val vecs = Tables.embeddings(spark, sf)
