@@ -66,7 +66,12 @@ object GraftSql {
     * `CREATE TABLE ... AS SELECT` → [[createTableAs]]. A migrating
     * BigQuery user feeds their load scripts here unchanged.
     */
-  def load(spark: SparkSession, sql: String): DataFrame =
+  def load(spark: SparkSession, sql0: String): DataFrame = {
+    // BigQuery time travel: resolve `t FOR SYSTEM_TIME AS OF <ts>`
+    // references against registered Versioned tables BEFORE dispatch,
+    // so every statement class (SELECT, INSERT ... SELECT, EXPORT)
+    // can read history
+    val sql = rewriteTimeTravel(spark, sql0)
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -103,6 +108,7 @@ object GraftSql {
           "DELETE, UPDATE, TRUNCATE, ALTER TABLE ADD/DROP/RENAME COLUMN, " +
           "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE")
     }
+  }
 
   private val AssertRe = """(?is)^\s*ASSERT\b.*""".r
 
@@ -1211,5 +1217,123 @@ object GraftSql {
       s"assignment must copy the same-named source column, got $keyCol = $valCol; " +
         "renaming through MERGE would silently diverge from the library merge semantics")
     keyCol.toLowerCase
+  }
+
+  // ── BigQuery time travel: `t FOR SYSTEM_TIME AS OF <timestamp>` ──
+  //
+  // Catalyst parses TIMESTAMP AS OF only for v2 catalog tables; this
+  // engine's tables are session views, so the clause is resolved
+  // TEXTUALLY before dispatch: each top-level (outside quotes)
+  // `name FOR SYSTEM_TIME AS OF <literal>` span is replaced by a
+  // fresh temp view over `Versioned.readAsOf(name's registered
+  // directory, literal)`. Only literal UTC timestamps are accepted —
+  // BigQuery allows arbitrary timestamp expressions, but resolving
+  // those would mean evaluating SQL mid-rewrite; a migrating script
+  // inlines the constant (loud error says so). The table must have
+  // been registered via `Versioned.register`: plain session views
+  // keep no history to travel to.
+
+  private val asOfCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private[graft] def rewriteTimeTravel(spark: SparkSession, sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("SYSTEM_TIME")) return sql
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    // top-level match spans of FOR\s+SYSTEM_TIME\s+AS\s+OF, found by a
+    // quote-aware walk ('' escapes inside strings; backticks quote ids)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if (c == 'F' || c == 'f') {
+        val m = TimeTravelRe.pattern.matcher(upper)
+        if (m.find(i) && m.start == i) { spans += ((m.start, m.end)); i = m.end }
+        else i += 1
+      } else i += 1
+    }
+    if (spans.isEmpty) return sql
+    // rewrite right-to-left so earlier spans' indices stay valid
+    var out = sql
+    spans.reverseIterator.foreach { case (start, end) =>
+      // backwards over whitespace to the table identifier
+      var e = start - 1
+      while (e >= 0 && Character.isWhitespace(out.charAt(e))) e -= 1
+      require(e >= 0, "FOR SYSTEM_TIME AS OF with no table reference before it")
+      var s = e
+      val name =
+        if (out.charAt(e) == '`') {
+          s = out.lastIndexOf('`', e - 1)
+          require(s >= 0, "unterminated backtick before FOR SYSTEM_TIME")
+          out.substring(s + 1, e)
+        } else {
+          while (s >= 0 && (Character.isLetterOrDigit(out.charAt(s)) ||
+            out.charAt(s) == '_' || out.charAt(s) == '.')) s -= 1
+          s += 1
+          require(s <= e, "FOR SYSTEM_TIME AS OF must follow a table name")
+          out.substring(s, e + 1)
+        }
+      // forward: optional TIMESTAMP keyword, then a quoted literal
+      var p = end
+      while (p < out.length && Character.isWhitespace(out.charAt(p))) p += 1
+      if (p + 9 <= out.length &&
+        out.substring(p, p + 9).equalsIgnoreCase("TIMESTAMP")) {
+        p += 9
+        while (p < out.length && Character.isWhitespace(out.charAt(p))) p += 1
+      }
+      require(p < out.length && out.charAt(p) == '\'',
+        s"FOR SYSTEM_TIME AS OF needs a literal timestamp (TIMESTAMP '...' or '...'); " +
+          s"expressions are not evaluated here — inline the constant (table $name)")
+      val litStart = p + 1
+      var q = litStart
+      while (q < out.length && out.charAt(q) != '\'') q += 1
+      require(q < out.length, "unterminated timestamp literal after FOR SYSTEM_TIME AS OF")
+      val tsUs = parseTsLiteralUs(out.substring(litStart, q))
+      val path = graft.sources.Versioned.registeredPath(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$name' is not a registered versioned table — Versioned.register(spark, " +
+            s"\"$name\", dir) first; plain session views keep no history to travel to"))
+      val view = s"${name}__asof_${asOfCounter.incrementAndGet()}"
+      graft.sources.Versioned.readAsOf(spark, path, tsUs).createOrReplaceTempView(view)
+      out = out.substring(0, s) + view + out.substring(q + 1)
+    }
+    out
+  }
+
+  private val TimeTravelRe = """FOR\s+SYSTEM_TIME\s+AS\s+OF""".r
+
+  /** Literal → epoch micros, UTC. Accepts `yyyy-MM-dd[ HH:mm:ss[.f…]]`
+    * with an optional `T` separator and an optional explicit-UTC
+    * suffix (`Z`, `+00:00`, ` UTC`); any other zone offset is loud —
+    * the engine's timestamps are zone-naive-as-UTC throughout.
+    */
+  private[graft] def parseTsLiteralUs(raw: String): Long = {
+    var t = raw.trim
+    if (t.length > 10 && (t.charAt(10) == 'T' || t.charAt(10) == 't'))
+      t = t.substring(0, 10) + " " + t.substring(11)
+    Seq(" UTC", "+00:00", "+00", "Z", "z").foreach { suf =>
+      if (t.endsWith(suf)) t = t.dropRight(suf.length).trim }
+    val timePart = if (t.length > 10) t.substring(10) else ""
+    require(!timePart.contains('+') && !timePart.contains('-'),
+      s"FOR SYSTEM_TIME AS OF supports UTC literals only, got '$raw'")
+    try {
+      val ldt =
+        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else {
+          val dot = t.indexOf('.')
+          val (main, nanos) =
+            if (dot < 0) (t, 0L)
+            else (t.substring(0, dot),
+              t.substring(dot + 1).padTo(9, '0').take(9).toLong)
+          java.time.LocalDateTime.parse(main.replace(' ', 'T')).plusNanos(nanos)
+        }
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    } catch {
+      case e @ (_: java.time.format.DateTimeParseException | _: NumberFormatException) =>
+        throw new IllegalArgumentException(
+          s"cannot parse timestamp literal '$raw' (want yyyy-MM-dd[ HH:mm:ss[.ffffff]])", e)
+    }
   }
 }

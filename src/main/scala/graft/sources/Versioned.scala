@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet tables with BigQuery-style time travel.
+  *
+  * BigQuery keeps a 7-day change history on every table and exposes
+  * it as `SELECT ... FROM t FOR SYSTEM_TIME AS OF <timestamp>` — the
+  * daily "what did the report read yesterday / undo the bad load"
+  * verb. Plain parquet directories have no history, so this source
+  * adds the minimal copy-on-write commit log that supports it:
+  *
+  * {{{
+  * table/
+  *   _graft_log/v00000001.json   one tiny manifest per commit:
+  *                               {version, commit_ts_us, action,
+  *                                live: [data dirs]}
+  *   data/commit=00000001/...    immutable files written by commit 1
+  * }}}
+  *
+  * Each commit writes ONLY its own new files into a fresh
+  * `data/commit=N` directory and then one manifest naming the data
+  * directories live at that version — an APPEND's manifest is the
+  * previous live set plus its own directory (no byte of existing data
+  * is rewritten or copied: copy-on-write at commit granularity, the
+  * Delta/Iceberg snapshot idea without their jars), an OVERWRITE's
+  * manifest is its own directory alone (the old files stay on disk,
+  * owned by history). Reading a version is `spark.read.parquet` over
+  * the manifest's live list — the log, not a directory listing,
+  * scopes the scan, so stale files from overwritten versions are
+  * never touched and `readAsOf` needs no per-file timestamps.
+  *
+  * Scale: a commit costs the new data's write + one ~100-byte
+  * manifest; reads open one manifest then scan exactly the live data.
+  * History grows by retained overwrites only — `vacuum` drops
+  * versions older than a horizon and deletes data directories no
+  * retained manifest references (BigQuery's 7-day horizon made
+  * explicit).
+  *
+  * Commit timestamps are caller-suppliable (`commitTsUs`) and must be
+  * strictly increasing — deterministic tests and replayed loads pin
+  * them; the default is wall-clock micros bumped past the previous
+  * commit. Single-writer per table, like every persisted artifact in
+  * this engine (README "Isolation contract"): the manifest write is
+  * create-exclusive, so a racing second writer fails loudly rather
+  * than corrupting the log.
+  *
+  * Mutating verbs route through the existing statement surface: run
+  * the A20 DELETE/UPDATE (snapshot semantics) or A15 MERGE against
+  * `read(...)` and land the result with [[overwrite]] — history keeps
+  * the pre-image readable AS OF any earlier time.
+  */
+object Versioned {
+
+  final case class Commit(version: Long, commitTsUs: Long, action: String,
+                          live: Seq[String])
+
+  private val LogDir = "_graft_log"
+  private val DataDir = "data"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: String, v: Long): Path =
+    new Path(s"$table/$LogDir/v${"%08d".format(v)}.json")
+
+  private def dataSubdir(v: Long): String = s"$DataDir/commit=${"%08d".format(v)}"
+
+  /** All commits in version order (empty for a directory with no log). */
+  def commits(spark: SparkSession, table: String): Seq[Commit] = {
+    val f = fs(spark, table)
+    val log = new Path(s"$table/$LogDir")
+    if (!f.exists(log)) return Seq.empty
+    val files = f.listStatus(log).map(_.getPath).filter(_.getName.matches("v\\d{8}\\.json"))
+    files.sortBy(_.getName).map { p =>
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      parseManifest(txt)
+    }.toSeq
+  }
+
+  // manifests are written by writeManifest below — a flat object with
+  // three scalars and one string array — so a tiny field scanner
+  // (quote-aware for the live entries) is enough; no JSON library
+  // semantics are relied on
+  private def parseManifest(txt: String): Commit = {
+    def longField(name: String): Long = {
+      val m = ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(txt)
+      require(m.isDefined, s"corrupt manifest: missing $name in $txt")
+      m.get.group(1).toLong
+    }
+    def strField(name: String): String = {
+      val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt)
+      require(m.isDefined, s"corrupt manifest: missing $name in $txt")
+      m.get.group(1)
+    }
+    val liveM = "\"live\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+    require(liveM.isDefined, s"corrupt manifest: missing live in $txt")
+    val live = "\"([^\"]*)\"".r.findAllMatchIn(liveM.get.group(1)).map(_.group(1)).toSeq
+    Commit(longField("version"), longField("commit_ts_us"), strField("action"), live)
+  }
+
+  private def writeManifest(f: FileSystem, table: String, c: Commit): Unit = {
+    val json =
+      s"""{"version":${c.version},"commit_ts_us":${c.commitTsUs},"action":"${c.action}",""" +
+        s""""live":[${c.live.map(d => s""""$d"""").mkString(",")}]}"""
+    // create-exclusive: two racing writers of the same version — the
+    // second create(…, overwrite=false) throws instead of clobbering
+    val out = f.create(manifestPath(table, c.version), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def nextCommit(spark: SparkSession, table: String,
+                         commitTsUs: Option[Long]): (Long, Long, Seq[Commit]) = {
+    val prior = commits(spark, table)
+    val v = prior.lastOption.map(_.version + 1).getOrElse(0L)
+    val floor = prior.lastOption.map(_.commitTsUs).getOrElse(Long.MinValue)
+    val ts = commitTsUs.getOrElse(math.max(System.currentTimeMillis() * 1000L, floor + 1))
+    require(ts > floor,
+      s"commit_ts_us must be strictly increasing: $ts <= previous $floor " +
+        "(AS OF resolution orders commits by timestamp)")
+    (v, ts, prior)
+  }
+
+  /** Append `df` as a new commit: writes only the new files plus one
+    * manifest — existing data is not touched (copy-on-write).
+    */
+  def append(df: DataFrame, table: String, commitTsUs: Option[Long] = None): Commit =
+    commitWrite(df, table, "append", commitTsUs)
+
+  /** Replace the table's content as a new commit. Old versions stay
+    * readable AS OF their time until [[vacuum]].
+    */
+  def overwrite(df: DataFrame, table: String, commitTsUs: Option[Long] = None): Commit =
+    commitWrite(df, table, "overwrite", commitTsUs)
+
+  private def commitWrite(df: DataFrame, table: String, action: String,
+                          commitTsUs: Option[Long]): Commit = {
+    val spark = df.sparkSession
+    val (v, ts, prior) = nextCommit(spark, table, commitTsUs)
+    val sub = dataSubdir(v)
+    // crash recovery: a data dir with NO manifest is debris from an
+    // interrupted commit (the manifest write is the commit point) —
+    // no reader can reference it, so a retry reclaims the slot. A
+    // dir WITH a manifest never reaches here (nextCommit skips past
+    // it), so concurrent same-version writers still collide loudly
+    // at the data write or the create-exclusive manifest.
+    val f = fs(spark, table)
+    val dataPath = new Path(s"$table/$sub")
+    if (f.exists(dataPath) && !f.exists(manifestPath(table, v)))
+      f.delete(dataPath, true)
+    df.write.mode("errorifexists").parquet(s"$table/$sub")
+    val live =
+      if (action == "overwrite" || prior.isEmpty) Seq(sub)
+      else prior.last.live :+ sub
+    val c = Commit(v, ts, action, live)
+    writeManifest(f, table, c)
+    c
+  }
+
+  /** Read version `v` (default: latest). The manifest's live list,
+    * not a directory listing, scopes the scan.
+    */
+  def readVersion(spark: SparkSession, table: String, v: Option[Long] = None): DataFrame = {
+    val all = commits(spark, table)
+    require(all.nonEmpty, s"not a versioned table (no $LogDir): $table")
+    val c = v match {
+      case None => all.last
+      case Some(want) =>
+        all.find(_.version == want).getOrElse(throw new IllegalArgumentException(
+          s"version $want not found in $table (have ${all.map(_.version).mkString(",")})"))
+    }
+    readCommit(spark, table, c)
+  }
+
+  /** Latest content. */
+  def read(spark: SparkSession, table: String): DataFrame = readVersion(spark, table)
+
+  /** BigQuery's `FOR SYSTEM_TIME AS OF`: the newest commit whose
+    * timestamp is <= `tsUs`. Loud when the time predates the first
+    * commit — BigQuery errors there too, and silently returning the
+    * empty table would forge history.
+    */
+  def readAsOf(spark: SparkSession, table: String, tsUs: Long): DataFrame = {
+    val all = commits(spark, table)
+    require(all.nonEmpty, s"not a versioned table (no $LogDir): $table")
+    val at = all.filter(_.commitTsUs <= tsUs)
+    require(at.nonEmpty,
+      s"AS OF $tsUs predates the table's first commit (${all.head.commitTsUs})")
+    readCommit(spark, table, at.last)
+  }
+
+  private def readCommit(spark: SparkSession, table: String, c: Commit): DataFrame = {
+    // an empty live list cannot happen by construction (every commit
+    // writes a data dir), but guard the read anyway
+    require(c.live.nonEmpty, s"corrupt manifest v${c.version}: empty live set")
+    spark.read.parquet(c.live.map(d => s"$table/$d"): _*)
+  }
+
+  /** Drop history older than `horizonTsUs`, keeping every commit
+    * needed to serve reads at or after the horizon (i.e. the newest
+    * commit at-or-before it, plus everything later), then delete data
+    * directories no retained manifest references. BigQuery's 7-day
+    * time-travel window, made an explicit maintenance verb.
+    */
+  def vacuum(spark: SparkSession, table: String, horizonTsUs: Long): Seq[Long] = {
+    val all = commits(spark, table)
+    require(all.nonEmpty, s"not a versioned table (no $LogDir): $table")
+    val keepFrom = all.lastIndexWhere(_.commitTsUs <= horizonTsUs) match {
+      case -1 => 0 // nothing at-or-before the horizon: keep all
+      case i => i
+    }
+    val (drop, keep) = all.splitAt(keepFrom)
+    val liveDirs = keep.flatMap(_.live).toSet
+    val f = fs(spark, table)
+    drop.foreach { c =>
+      c.live.filterNot(liveDirs).foreach(d => f.delete(new Path(s"$table/$d"), true))
+      f.delete(manifestPath(table, c.version), false)
+    }
+    drop.map(_.version)
+  }
+
+  // ── SQL surface: session registry consulted by GraftSql's
+  //    FOR SYSTEM_TIME AS OF rewrite ─────────────────────────────────
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def key(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Register a versioned table as session table `name`: the LATEST
+    * version becomes a temp view (refreshed on every register call),
+    * and `name FOR SYSTEM_TIME AS OF <ts>` resolves through
+    * [[GraftSql.load]] from then on.
+    */
+  def register(spark: SparkSession, name: String, table: String): DataFrame = {
+    val df = read(spark, table)
+    df.createOrReplaceTempView(name)
+    registry(key(spark, name)) = table
+    df
+  }
+
+  private[graft] def registeredPath(spark: SparkSession, name: String): Option[String] =
+    registry.get(key(spark, name))
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.sources.Versioned
+
+class VersionedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def table(): String = Files.createTempDirectory("graft-versioned-").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("append/overwrite commits; readVersion and readAsOf resolve history") {
+    val t = table()
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Some(1000L))
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), t, Some(2000L))
+    Versioned.overwrite(Seq((9L, "z")).toDF("id", "v"), t, Some(3000L))
+    assert(Versioned.commits(spark, t).map(c => (c.version, c.commitTsUs, c.action)) ==
+      Seq((0L, 1000L, "append"), (1L, 2000L, "append"), (2L, 3000L, "overwrite")))
+    assert(rows(Versioned.readVersion(spark, t, Some(0L))) == Set((1L, "a"), (2L, "b")))
+    assert(rows(Versioned.readVersion(spark, t, Some(1L))) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(Versioned.read(spark, t)) == Set((9L, "z")))
+    // AS OF: exactly-at picks that commit; between picks the earlier
+    assert(rows(Versioned.readAsOf(spark, t, 2000L)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(Versioned.readAsOf(spark, t, 2999L)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(Versioned.readAsOf(spark, t, 999999L)) == Set((9L, "z")))
+    // before the first commit: loud, not an empty forgery
+    val e = intercept[IllegalArgumentException] { Versioned.readAsOf(spark, t, 999L) }
+    assert(e.getMessage.contains("predates"))
+    intercept[IllegalArgumentException] { Versioned.readVersion(spark, t, Some(7L)) }
+    intercept[IllegalArgumentException] { Versioned.read(spark, table()) } // no log
+  }
+
+  test("copy-on-write: an append never rewrites existing data files") {
+    val t = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(1000L))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamps(sub: String): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(s"$t/$sub")
+      fs.listStatus(d).map(s => s.getPath.getName -> s.getModificationTime).toMap
+    }
+    val before = stamps("data/commit=00000000")
+    Thread.sleep(1100) // HDFS-local mtimes are second-granular
+    Versioned.append(Seq((2L, "b")).toDF("id", "v"), t, Some(2000L))
+    Versioned.overwrite(Seq((3L, "c")).toDF("id", "v"), t, Some(3000L))
+    assert(stamps("data/commit=00000000") == before,
+      "append/overwrite must not touch files owned by earlier commits")
+    // and the overwritten version's files still serve history
+    assert(rows(Versioned.readAsOf(spark, t, 2500L)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("commit timestamps must strictly increase; racing same-version manifests fail loudly") {
+    val t = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(5000L))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((2L, "b")).toDF("id", "v"), t, Some(5000L))
+    }
+    assert(e.getMessage.contains("strictly increasing"))
+    // default timestamps bump past a future-dated previous commit
+    val far = (System.currentTimeMillis() * 1000L) + 3600L * 1000000L
+    val t2 = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), t2, Some(far))
+    val c = Versioned.append(Seq((2L, "b")).toDF("id", "v"), t2)
+    assert(c.commitTsUs == far + 1)
+  }
+
+  test("vacuum drops history before the horizon but keeps the serving commit") {
+    val t = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(1000L))
+    Versioned.overwrite(Seq((2L, "b")).toDF("id", "v"), t, Some(2000L))
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), t, Some(3000L))
+    // horizon inside (2000, 3000): version 1 serves AS OF the horizon
+    // and must survive; version 0 is unreachable and its data dir
+    // (orphaned by the overwrite) is deleted
+    val dropped = Versioned.vacuum(spark, t, 2500L)
+    assert(dropped == Seq(0L))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/commit=00000000")))
+    assert(rows(Versioned.readAsOf(spark, t, 2500L)) == Set((2L, "b")))
+    assert(rows(Versioned.read(spark, t)) == Set((2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] { Versioned.readAsOf(spark, t, 1500L) }
+    // a horizon before all commits drops nothing
+    assert(Versioned.vacuum(spark, t, 100L) == Seq.empty)
+  }
+
+  test("SQL: FOR SYSTEM_TIME AS OF resolves through GraftSql.load") {
+    val t = table()
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t,
+      Some(GraftSql.parseTsLiteralUs("2024-01-01 00:00:00")))
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), t,
+      Some(GraftSql.parseTsLiteralUs("2024-01-02 00:00:00")))
+    Versioned.register(spark, "vt", t)
+    // the registered view serves the LATEST version
+    assert(GraftSql.load(spark, "SELECT count(*) AS n FROM vt").head().getLong(0) == 3L)
+    // time travel to between the commits
+    val old = GraftSql.load(spark,
+      "SELECT id, v FROM vt FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 12:00:00' ORDER BY id")
+    assert(rows(old) == Set((1L, "a"), (2L, "b")))
+    // bare string literal, T separator, explicit UTC suffix
+    assert(GraftSql.load(spark,
+      "SELECT count(*) AS n FROM vt FOR SYSTEM_TIME AS OF '2024-01-01T12:00:00Z'")
+      .head().getLong(0) == 2L)
+    // backticked name; works inside a join arm too
+    val joined = GraftSql.load(spark,
+      """SELECT a.id FROM `vt` FOR SYSTEM_TIME AS OF '2024-01-01' a
+        |JOIN vt b ON a.id = b.id ORDER BY a.id""".stripMargin)
+    assert(joined.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a string literal containing the clause is NOT rewritten
+    val lit = GraftSql.load(spark,
+      "SELECT 'x FOR SYSTEM_TIME AS OF ''2024-01-01''' AS s FROM vt WHERE id = 3")
+    assert(lit.head().getString(0).contains("SYSTEM_TIME"))
+    // unregistered table: loud with the register hint
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM documents FOR SYSTEM_TIME AS OF '2024-01-01'")
+    }
+    assert(e1.getMessage.contains("not a registered versioned table"))
+    // expression instead of a literal: loud
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.load(spark,
+        "SELECT * FROM vt FOR SYSTEM_TIME AS OF TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 1 DAY)")
+    }
+    assert(e2.getMessage.contains("literal"))
+    // non-UTC offset: loud
+    intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM vt FOR SYSTEM_TIME AS OF '2024-01-01 00:00:00+05:30'")
+    }
+  }
+
+  test("timestamp literal parsing: date-only, fractions, UTC spellings") {
+    assert(GraftSql.parseTsLiteralUs("1970-01-01") == 0L)
+    assert(GraftSql.parseTsLiteralUs("1970-01-01 00:00:01") == 1000000L)
+    assert(GraftSql.parseTsLiteralUs("1970-01-01 00:00:00.5") == 500000L)
+    assert(GraftSql.parseTsLiteralUs("1970-01-01 00:00:00.000001") == 1L)
+    assert(GraftSql.parseTsLiteralUs("1970-01-01T00:00:01 UTC") == 1000000L)
+    assert(GraftSql.parseTsLiteralUs("1970-01-01 00:00:01+00:00") == 1000000L)
+    intercept[IllegalArgumentException] { GraftSql.parseTsLiteralUs("not a time") }
+  }
+}
