@@ -48,6 +48,7 @@ object SparkEntry {
   // minus every 10th row; the incoming "batch" is every 3rd row (so it
   // overlaps the table — the interesting idempotency case).
   private val rawJsonFeeds = scala.collection.mutable.Set.empty[String]
+  private val versionedFixtures = scala.collection.mutable.Set.empty[String]
 
   private val ivfPqLayouts = scala.collection.mutable.Set.empty[String]
 
@@ -517,6 +518,50 @@ object SparkEntry {
           F.col("v_sum").cast("double").as("v_sum"),
           F.col("n"), F.col("v_min"), F.col("v_max"))
         .orderBy("day", "event_type")
+    }),
+
+    // A33 driver face: BigQuery time travel over a Versioned table.
+    // Fixture (built once per JVM+sf, pinned commit timestamps):
+    // commit 0 appends the event_id%3==0 third, commit 1 appends the
+    // %3==1 third, commit 2 OVERWRITES with the %3==2 third. The SQL
+    // statement then reads both faces through GraftSql.load — AS OF
+    // between commits 1 and 2 (sees thirds 0+1) and the latest view
+    // (sees only third 2, the overwrite) — so the oracle is two plain
+    // filtered aggregates over events: a hash match proves the commit
+    // log, the AS OF resolution, and the overwrite's live-set cut all
+    // reproduce exact history (decimal sums keep fold order out of
+    // the bytes)
+    "sql_time_travel" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      versionedFixtures.synchronized {
+        if (!versionedFixtures.contains(dir)) {
+          val have = try graft.sources.Versioned.commits(s, dir).size catch { case _: Exception => -1 }
+          if (have != 3) {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+            val e = Tables.events(s, d)
+              .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+            def third(i: Int) = e.filter(F.pmod(F.col("event_id"), F.lit(3)) === i)
+            def ts(lit: String) = Some(graft.GraftSql.parseTsLiteralUs(lit))
+            graft.sources.Versioned.append(third(0), dir, ts("2024-01-01 00:00:00"))
+            graft.sources.Versioned.append(third(1), dir, ts("2024-01-02 00:00:00"))
+            graft.sources.Versioned.overwrite(third(2), dir, ts("2024-01-03 00:00:00"))
+          }
+          versionedFixtures += dir
+        }
+      }
+      graft.sources.Versioned.register(s, "vt_events", dir)
+      graft.GraftSql.load(s,
+        """SELECT 'asof' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM vt_events FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-02 12:00:00'
+          |GROUP BY event_type
+          |UNION ALL
+          |SELECT 'latest' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM vt_events GROUP BY event_type
+          |ORDER BY face, event_type""".stripMargin)
     }),
 
     // the sketch face of the same state table: COUNT(DISTINCT user) per
@@ -2057,6 +2102,17 @@ object SparkEntry {
           |       COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max
           |FROM events WHERE event_type <> 'click'
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // time travel: AS OF between commits 1 and 2 sees thirds 0+1;
+      // the latest view sees only third 2 (commit 2 is an overwrite)
+      "sql_time_travel" ->
+        """SELECT 'asof' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM events WHERE event_id % 3 IN (0, 1) GROUP BY event_type
+          |UNION ALL
+          |SELECT 'latest' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM events WHERE event_id % 3 = 2 GROUP BY event_type
+          |ORDER BY face, event_type""".stripMargin,
       "q_range_join" ->
         """WITH r AS (SELECT o_orderkey AS range_key, o_totalprice - 5000.0 AS lo,
           |                  o_totalprice + 5000.0 AS hi, o_orderpriority
