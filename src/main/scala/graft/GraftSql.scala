@@ -85,6 +85,8 @@ object GraftSql {
       createView(spark, sql)
     } else if (ExternalHeadRe.pattern.matcher(sql).matches()) {
       createExternal(spark, sql)
+    } else if (LoadDataHeadRe.pattern.matcher(sql).matches()) {
+      loadData(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
@@ -106,7 +108,7 @@ object GraftSql {
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
           "DELETE, UPDATE, TRUNCATE, ALTER TABLE ADD/DROP/RENAME COLUMN, " +
-          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE")
+          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE, LOAD DATA")
     }
   }
 
@@ -351,43 +353,107 @@ object GraftSql {
       require(orReplace == null || ifNotExists == null,
         "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
       val name = viewName(rawName)
-      val (scalarBody, uris) = extractUris(optBody)
-      val opts = parseOptions(scalarBody)
-      val known = Set("format", "header", "skip_leading_rows", "field_delimiter", "compression")
-      val unknown = opts.keySet -- known
-      require(unknown.isEmpty, s"unsupported EXTERNAL TABLE option(s): ${unknown.mkString(", ")}")
-      require(uris.nonEmpty, "CREATE EXTERNAL TABLE requires uris=['...']")
-      val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
-        "CREATE EXTERNAL TABLE requires format='PARQUET'|'JSON'|'CSV'")).toUpperCase
-      val readerFmt = fmt match {
-        case "PARQUET" => "parquet"
-        case "JSON" | "NEWLINE_DELIMITED_JSON" => "json"
-        case "CSV" => "csv"
-        case "AVRO" => throw new IllegalArgumentException(
-          "AVRO needs the spark-avro connector, absent from this classpath")
-        case other => throw new IllegalArgumentException(s"unsupported format: $other")
-      }
-      for (o <- Seq("header", "skip_leading_rows", "field_delimiter") if opts.contains(o))
-        require(readerFmt == "csv", s"option $o applies to CSV only")
-      opts.get("skip_leading_rows").foreach(v => require(v == "0" || v == "1",
-        s"skip_leading_rows must be 0 or 1 (one header line), got: $v"))
       val exists = spark.catalog.tableExists(name)
       if (ifNotExists != null && exists) return spark.table(name)
       require(orReplace != null || !exists,
         s"table '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
-      var reader = spark.read.format(readerFmt)
-      Option(schema).map(_.trim).filter(_.nonEmpty).foreach(s => reader = reader.schema(s))
-      val header = opts.get("header").contains("true") ||
-        opts.get("skip_leading_rows").contains("1")
-      if (readerFmt == "csv") reader = reader.option("header", header.toString)
-      opts.get("field_delimiter").foreach(v => reader = reader.option("sep", v))
-      opts.get("compression").foreach(v => reader = reader.option("compression", v))
-      val df = reader.load(uris: _*)
+      val df = readFiles(spark, schema, optBody, "CREATE EXTERNAL TABLE")
       df.createOrReplaceTempView(name)
       spark.table(name)
     case _ => throw new IllegalArgumentException(
       "not a CREATE EXTERNAL TABLE statement (expected: CREATE [OR REPLACE] EXTERNAL TABLE " +
         "[IF NOT EXISTS] name [(schema)] OPTIONS(format='...', uris=['...']))")
+  }
+
+  /** The shared file-reader half of [[createExternal]] and
+    * [[loadData]]: format/uris/CSV options out of an OPTIONS/FILES
+    * body, declared schema applied as a DDL string.
+    */
+  private def readFiles(spark: SparkSession, schema: String, optBody: String,
+                        verb: String): DataFrame = {
+    val (scalarBody, uris) = extractUris(optBody)
+    val opts = parseOptions(scalarBody)
+    val known = Set("format", "header", "skip_leading_rows", "field_delimiter", "compression")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty, s"unsupported $verb option(s): ${unknown.mkString(", ")}")
+    require(uris.nonEmpty, s"$verb requires uris=['...']")
+    val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
+      s"$verb requires format='PARQUET'|'JSON'|'CSV'")).toUpperCase
+    val readerFmt = fmt match {
+      case "PARQUET" => "parquet"
+      case "JSON" | "NEWLINE_DELIMITED_JSON" => "json"
+      case "CSV" => "csv"
+      case "AVRO" => throw new IllegalArgumentException(
+        "AVRO needs the spark-avro connector, absent from this classpath")
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    for (o <- Seq("header", "skip_leading_rows", "field_delimiter") if opts.contains(o))
+      require(readerFmt == "csv", s"option $o applies to CSV only")
+    opts.get("skip_leading_rows").foreach(v => require(v == "0" || v == "1",
+      s"skip_leading_rows must be 0 or 1 (one header line), got: $v"))
+    var reader = spark.read.format(readerFmt)
+    Option(schema).map(_.trim).filter(_.nonEmpty).foreach(s => reader = reader.schema(s))
+    val header = opts.get("header").contains("true") ||
+      opts.get("skip_leading_rows").contains("1")
+    if (readerFmt == "csv") reader = reader.option("header", header.toString)
+    opts.get("field_delimiter").foreach(v => reader = reader.option("sep", v))
+    opts.get("compression").foreach(v => reader = reader.option("compression", v))
+    reader.load(uris: _*)
+  }
+
+  // ───────────── LOAD DATA ─────────────
+
+  private val LoadDataHeadRe =
+    """(?is)^\s*LOAD\s+DATA\b.*""".r
+  private val LoadDataRe =
+    ("""(?is)^\s*LOAD\s+DATA\s+(INTO|OVERWRITE)\s+""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*""" +
+      """(?:\((.*?)\)\s*)?FROM\s+FILES\s*\((.*)\)\s*;?\s*$""").r
+
+  /** BigQuery's `LOAD DATA {INTO | OVERWRITE} table [(schema)] FROM
+    * FILES(format=..., uris=[...])` — the SQL spelling of a load job
+    * (the reference's `LoadJobConfig` path as a statement). Shares
+    * [[createExternal]]'s FILES parser and formats; the difference is
+    * the disposition onto an EXISTING session table:
+    *
+    *  - `INTO` appends — WRITE_APPEND: the new files must carry
+    *    exactly the target's column names (any order); each column is
+    *    cast to the target's type (BigQuery's load-time coercion),
+    *    then the table's view becomes old ∪ new. A missing target is
+    *    simply created (BigQuery's CREATE_IF_NEEDED default).
+    *  - `OVERWRITE` replaces — WRITE_TRUNCATE.
+    *
+    * `WITH PARTITION COLUMNS` / `WITH CONNECTION` / `TEMP TABLE` /
+    * `OVERWRITE PARTITIONS` don't parse here and fail loudly with the
+    * supported shape. Returns the table's new content; persistence
+    * follows the usual stage-and-swap contract.
+    */
+  def loadData(spark: SparkSession, sql: String): DataFrame = sql match {
+    case LoadDataRe(verb, rawName, schema, optBody) =>
+      val name = viewName(rawName)
+      val df = readFiles(spark, schema, optBody, "LOAD DATA")
+      val result =
+        if (verb.equalsIgnoreCase("OVERWRITE") || !spark.catalog.tableExists(name)) df
+        else {
+          val existing = spark.table(name)
+          val have = df.columns.map(_.toLowerCase).toSet
+          val want = existing.columns.map(_.toLowerCase).toSet
+          require(have == want,
+            s"LOAD DATA INTO $name: file columns ${df.columns.sorted.mkString(",")} " +
+              s"do not match table columns ${existing.columns.sorted.mkString(",")} " +
+              "(BigQuery appends by name; evolve the table first via ALTER TABLE)")
+          // load-time coercion: each file column cast to the target's
+          // declared type, in the target's column order
+          val aligned = df.select(existing.schema.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          existing.unionByName(aligned)
+        }
+      result.createOrReplaceTempView(name)
+      spark.table(name)
+    case _ => throw new IllegalArgumentException(
+      "not a supported LOAD DATA statement (expected: LOAD DATA {INTO | OVERWRITE} name " +
+        "[(schema)] FROM FILES(format='...', uris=['...']); PARTITION COLUMNS / " +
+        "CONNECTION / TEMP TABLE clauses are not supported)")
   }
 
   /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling

@@ -538,6 +538,51 @@ class TypedSqlSpec extends SparkSuite {
       s"CREATE EXTERNAL TABLE ext_b7 OPTIONS(format='CSV', uris=['$dir/csv'], skip_leading_rows=2)") }
   }
 
+  test("GraftSql.loadData: LOAD DATA INTO appends with load-time coercion, OVERWRITE truncates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-loaddata-").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score").write.parquet(s"$dir/p1")
+    // batch 2 has the same columns in a DIFFERENT order and id as a
+    // string — LOAD appends by name and coerces to the table's types
+    Seq(("x", "3", 3.5), ("y", "4", 4.5)).toDF("name", "id", "score").write.parquet(s"$dir/p2")
+    Seq((9L, "z", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/p3")
+
+    // missing target: INTO creates it (CREATE_IF_NEEDED)
+    GraftSql.load(spark,
+      s"LOAD DATA INTO ld_t FROM FILES(format='PARQUET', uris=['$dir/p1/*.parquet'])")
+    assert(spark.table("ld_t").count() == 2)
+    // append: by-name, reordered, string id coerced to BIGINT
+    GraftSql.load(spark,
+      s"LOAD DATA INTO ld_t FROM FILES(format='PARQUET', uris=['$dir/p2/*.parquet'])")
+    val t = spark.table("ld_t")
+    assert(t.count() == 4)
+    assert(t.schema("id").dataType.typeName == "long", "coerced to the table's type")
+    assert(t.filter(F.col("id") === 3L && F.col("name") === "x").count() == 1)
+    assert(t.columns.toSeq == Seq("id", "name", "score"), "table column order wins")
+    // OVERWRITE truncates to the new files
+    GraftSql.load(spark,
+      s"LOAD DATA OVERWRITE ld_t FROM FILES(format='PARQUET', uris=['$dir/p3/*.parquet'])")
+    assert(spark.table("ld_t").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // CSV with declared schema loads through the same FILES options
+    Seq((5L, "w", 5.5)).toDF("id", "name", "score")
+      .write.option("header", "true").csv(s"$dir/c1")
+    GraftSql.load(spark,
+      s"""LOAD DATA INTO ld_t (id BIGINT, name STRING, score DOUBLE)
+         |FROM FILES(format='CSV', uris=['$dir/c1/*.csv'], skip_leading_rows=1)""".stripMargin)
+    assert(spark.table("ld_t").count() == 2)
+    // column-set mismatch is loud with the ALTER hint
+    Seq((1L, "q")).toDF("id", "extra").write.parquet(s"$dir/p4")
+    val e = intercept[IllegalArgumentException] { GraftSql.load(spark,
+      s"LOAD DATA INTO ld_t FROM FILES(format='PARQUET', uris=['$dir/p4/*.parquet'])") }
+    assert(e.getMessage.contains("ALTER TABLE"))
+    // unsupported clauses fail with the supported shape
+    val e2 = intercept[IllegalArgumentException] { GraftSql.load(spark,
+      s"LOAD DATA INTO ld_t FROM FILES(format='PARQUET', uris=['$dir/p3']) WITH CONNECTION conn") }
+    assert(e2.getMessage.contains("LOAD DATA"))
+    intercept[IllegalArgumentException] { GraftSql.loadData(spark,
+      s"LOAD DATA INTO TEMP TABLE ld_x FROM FILES(format='PARQUET', uris=['$dir/p3'])") }
+  }
+
   test("GraftSql.createView: plain views register the stored query; dispositions match BigQuery") {
     Typed.registerAllViews(spark, sf)
     val direct = spark.sql(
