@@ -67,11 +67,13 @@ object GraftSql {
     * BigQuery user feeds their load scripts here unchanged.
     */
   def load(spark: SparkSession, sql0: String): DataFrame = {
-    // BigQuery time travel: resolve `t FOR SYSTEM_TIME AS OF <ts>`
-    // references against registered Versioned tables BEFORE dispatch,
-    // so every statement class (SELECT, INSERT ... SELECT, EXPORT)
-    // can read history
-    val sql = rewriteTimeTravel(spark, sql0)
+    // BigQuery time travel + VECTOR_SEARCH: resolve `t FOR
+    // SYSTEM_TIME AS OF <ts>` references against registered Versioned
+    // tables and VECTOR_SEARCH(...) table-function calls BEFORE
+    // dispatch, so every statement class (SELECT, INSERT ... SELECT,
+    // EXPORT) can use them — time travel first, so a TVF's TABLE
+    // argument may itself be an AS OF reference
+    val sql = rewriteVectorSearch(spark, rewriteTimeTravel(spark, sql0))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -1369,6 +1371,124 @@ object GraftSql {
   }
 
   private val TimeTravelRe = """FOR\s+SYSTEM_TIME\s+AS\s+OF""".r
+
+  // ── BigQuery VECTOR_SEARCH table function ────────────────────────
+  //
+  // `FROM VECTOR_SEARCH(TABLE base, 'col', TABLE queries [, 'qcol'],
+  // top_k => 5, distance_type => 'COSINE')` — resolved textually like
+  // time travel (Catalyst has no TVF registry for session views): the
+  // call span is replaced by a temp view over
+  // `Similarity.vectorSearch`, which emits BigQuery's (query STRUCT,
+  // base STRUCT, distance) shape. `options` is rejected loudly —
+  // index choice is explicit here (Similarity.ivfTopK / ivfPqTopK),
+  // not a JSON hint. Composes with time travel: the TABLE arg may be
+  // a versioned table AS OF rewritten first.
+
+  private[graft] def rewriteVectorSearch(spark: SparkSession, sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("VECTOR_SEARCH")) return sql
+    // top-level spans: (start, argStart, argEnd, end) of each
+    // VECTOR_SEARCH ( args ) call, via a quote-aware walk with
+    // balanced parens inside the args
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if ((c == 'V' || c == 'v') && upper.startsWith("VECTOR_SEARCH", i) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')) {
+        var p = i + "VECTOR_SEARCH".length
+        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+        if (p < sql.length && sql.charAt(p) == '(') {
+          val argStart = p + 1
+          var depth = 1; var q = argStart; var s2 = false
+          while (q < sql.length && depth > 0) {
+            val ch = sql.charAt(q)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) q += 1
+          }
+          require(depth == 0, "unbalanced parentheses in VECTOR_SEARCH call")
+          spans += ((i, argStart, q, q + 1))
+          i = q + 1
+        } else i = p
+      } else i += 1
+    }
+    if (spans.isEmpty) return sql
+    var out = sql
+    spans.reverseIterator.foreach { case (start, argStart, argEnd, end) =>
+      val df = vectorSearchFromArgs(spark, out.substring(argStart, argEnd))
+      val view = s"__vector_search_${asOfCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      out = out.substring(0, start) + view + out.substring(end)
+    }
+    out
+  }
+
+  /** Parse a VECTOR_SEARCH argument list and run the search. */
+  private def vectorSearchFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    // split top-level commas (quotes, parens, brackets aware)
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    argBody.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; cur += c }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    val StrRe = """(?s)^'(.*)'$""".r
+    val NamedRe = """(?is)^([A-Za-z_]\w*)\s*=>\s*(.+)$""".r
+    var tables = List.empty[String]
+    var strs = List.empty[String]
+    var named = Map.empty[String, String]
+    parts.map(_.trim).filter(_.nonEmpty).foreach {
+      case TableRe(name) =>
+        require(named.isEmpty && strs.size <= (if (tables.isEmpty) 0 else 1),
+          "VECTOR_SEARCH arguments out of order: TABLE base, 'column', TABLE queries " +
+            "[, 'query_column'], then named arguments")
+        tables :+= name
+      case NamedRe(key, value) => named += key.toLowerCase -> value.trim
+      case StrRe(v) =>
+        require(named.isEmpty, "positional arguments must precede named arguments")
+        strs :+= v.replace("''", "'")
+      case other => throw new IllegalArgumentException(
+        s"unsupported VECTOR_SEARCH argument: $other")
+    }
+    require(tables.size == 2 && strs.nonEmpty && strs.size <= 2,
+      "VECTOR_SEARCH needs (TABLE base, 'column', TABLE queries [, 'query_column'] " +
+        "[, top_k => n] [, distance_type => '...'])")
+    require(!named.contains("options"),
+      "VECTOR_SEARCH options are not supported — index choice is explicit in this " +
+        "engine (Similarity.ivfTopK / ivfPqTopK for ANN; this statement is brute-force)")
+    val unknown = named.keySet -- Set("top_k", "distance_type")
+    require(unknown.isEmpty, s"unknown VECTOR_SEARCH named argument(s): ${unknown.mkString(", ")}")
+    val topK = named.get("top_k").map { v =>
+      require(v.matches("\\d+"), s"top_k must be an integer literal, got $v"); v.toInt
+    }.getOrElse(10)
+    val distance = named.get("distance_type").map {
+      case StrRe(v) => v
+      case other => throw new IllegalArgumentException(
+        s"distance_type must be a string literal, got $other")
+    }.getOrElse("EUCLIDEAN")
+    def strip(n: String) = if (n.startsWith("`")) n.substring(1, n.length - 1) else n
+    val baseCol = strs.head
+    val queryCol = strs.lift(1).getOrElse(baseCol)
+    graft.operators.Similarity.vectorSearch(
+      spark.table(strip(tables.head)), baseCol,
+      spark.table(strip(tables(1))), queryCol, topK, distance)
+  }
 
   /** Literal → epoch micros, UTC. Accepts `yyyy-MM-dd[ HH:mm:ss[.f…]]`
     * with an optional `T` separator and an optional explicit-UTC

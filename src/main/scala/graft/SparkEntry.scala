@@ -1601,6 +1601,27 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.bruteForceTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // D14/SQL: BigQuery's VECTOR_SEARCH TVF through GraftSql.load —
+    // two calls in ONE statement (COSINE and default-EUCLIDEAN
+    // distance), exercising the multi-occurrence rewrite. Both
+    // distance types replay in DuckDB as index-ordered list folds
+    // (the D1 oracle recipe); top-k cut ties can't occur (all
+    // fixture vectors distinct), so the window replay is exact
+    "sql_vector_search" -> ((s, d) => {
+      Tables.embeddings(s, d).createOrReplaceTempView("vsq_base")
+      Tables.embeddings(s, d).filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding"))
+        .createOrReplaceTempView("vsq_q")
+      graft.GraftSql.load(s,
+        """SELECT * FROM (
+          |  SELECT 'cos' AS face, query.qid AS qid, base.vec_id AS vec_id, distance
+          |  FROM VECTOR_SEARCH(TABLE vsq_base, 'embedding', TABLE vsq_q,
+          |                     top_k => 10, distance_type => 'COSINE')
+          |  UNION ALL
+          |  SELECT 'l2' AS face, query.qid AS qid, base.vec_id AS vec_id, distance
+          |  FROM VECTOR_SEARCH(TABLE vsq_base, 'embedding', TABLE vsq_q, top_k => 10)
+          |) ORDER BY face, qid, distance, vec_id""".stripMargin)
+    }),
     // the 4×-narrower-corpus routing of D1: float queries score int8
     // codes directly (cosine is scale-invariant) — oracle recomputes
     // the same quantization in SQL, so this one IS hash-checkable
@@ -3261,6 +3282,32 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // VECTOR_SEARCH replay: same q×base scoring as ann_bruteforce,
+      // but BigQuery semantics — self-match INCLUDED, distance =
+      // 1−cos / L2 (index-ordered list folds), smallest first
+      "sql_vector_search" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |cos_d AS (
+          |  SELECT q.qid, e.vec_id,
+          |         1.0 - (${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")}))) AS distance
+          |  FROM q JOIN embeddings e ON TRUE),
+          |l2_d AS (
+          |  SELECT q.qid, e.vec_id,
+          |         sqrt(list_aggregate(list_transform(list_zip(q.qvec, e.embedding),
+          |              x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))),
+          |              'sum')) AS distance
+          |  FROM q JOIN embeddings e ON TRUE),
+          |both_f AS (
+          |  SELECT 'cos' AS face, qid, vec_id, distance,
+          |         row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rn
+          |  FROM cos_d
+          |  UNION ALL
+          |  SELECT 'l2' AS face, qid, vec_id, distance,
+          |         row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rn
+          |  FROM l2_d)
+          |SELECT face, qid, vec_id, distance FROM both_f
+          |WHERE rn <= 10 ORDER BY face, qid, distance, vec_id""".stripMargin,
       // replays D13: brute-force cosine minus the (qid, qid+1/qid+2)
       // positive pairs, top-10 of the remaining negatives — equal to
       // Spark's fetch-then-anti because fetch >= k + |positives|

@@ -289,6 +289,51 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** BigQuery VECTOR_SEARCH's three distance types in one codegen'd
+  * pass (vector-search docs: EUCLIDEAN is L2 distance, COSINE is
+  * 1 − cosine similarity, DOT_PRODUCT is the NEGATIVE dot product —
+  * all three "smaller is nearer", so one top-k ordering serves all).
+  * Accumulation is strict index order, like [[CosineSim]], so scores
+  * are bit-reproducible across partitionings and DuckDB-replayable
+  * with ordered list folds.
+  */
+case class VecDistance(left: Expression, right: Expression, mode: String)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(VecDistance.Modes.contains(mode),
+    s"distance mode must be one of ${VecDistance.Modes.mkString(", ")}, got $mode")
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      val d = x - y; ss += d * d
+      i += 1
+    }
+    mode match {
+      case "EUCLIDEAN" => math.sqrt(ss)
+      case "COSINE" => 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      case "DOT_PRODUCT" => -dot
+    }
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecdist", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDistance =
+    copy(left = l, right = r)
+}
+
+object VecDistance {
+  val Modes: Set[String] = Set("EUCLIDEAN", "COSINE", "DOT_PRODUCT")
+}
+
 /** Random-hyperplane LSH signature of a float vector: bit p = sign of
   * Σᵢ vᵢ·w(p,i) with deterministic pseudo-random weights
   * w = mix(seed ⊕ p·G ⊕ i·G²) scaled to [-1,1]. One pass per plane,
@@ -1220,6 +1265,17 @@ object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
     require(es.length == n, s"$fn expects $n arguments, got ${es.length}")
 
+  private def constStr(fn: String, es: Seq[Expression], i: Int): String = {
+    require(es.length > i, s"$fn expects ${i + 1} arguments, got ${es.length}")
+    require(es(i).foldable, s"$fn argument ${i + 1} must be a constant string")
+    es(i).eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a string, got $other")
+    }
+  }
+
   private def constInt(fn: String, es: Seq[Expression], i: Int): Int = {
     require(es.length > i, s"$fn expects ${i + 1} arguments, got ${es.length}")
     require(es(i).foldable, s"$fn argument ${i + 1} must be a constant")
@@ -1247,6 +1303,9 @@ object native {
     Bridge.column(DupNGramCoverage(Bridge.expression(tokens), ns))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def vec_distance(a: Column, b: Column, mode: String): Column =
+    Bridge.column(VecDistance(Bridge.expression(a), Bridge.expression(b),
+      mode.toUpperCase(java.util.Locale.ROOT)))
   def hyperplane_sig(vec: Column, planes: Int, seed: Long = 42L): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, seed))
   def sorted_jaccard(a: Column, b: Column): Column =
@@ -1307,6 +1366,11 @@ object native {
       es => { arity("graft_shingles", es, 2); WordShingles(es.head, constInt("graft_shingles", es, 1)) }),
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors",
       es => { arity("graft_cosine", es, 2); CosineSim(es.head, es(1)) }),
+    ("graft_vec_distance",
+      "graft_vec_distance(a, b, 'EUCLIDEAN'|'COSINE'|'DOT_PRODUCT') - BigQuery vector distance",
+      es => { arity("graft_vec_distance", es, 3)
+        VecDistance(es.head, es(1),
+          constStr("graft_vec_distance", es, 2).toUpperCase(java.util.Locale.ROOT)) }),
     ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of string arrays",
       es => { arity("graft_jaccard", es, 2); JaccardSim(es.head, es(1)) }),
     ("graft_int8_quantize", "graft_int8_quantize(vec) - (scale, int8 codes) of a float vector",

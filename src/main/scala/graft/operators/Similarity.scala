@@ -57,6 +57,54 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** BigQuery's `VECTOR_SEARCH` table function, library face (the
+    * SQL route is `GraftSql.load`): for every QUERY ROW, the `topK`
+    * nearest base rows under `distanceType` — EUCLIDEAN (L2, the
+    * BigQuery default), COSINE (1 − cos), or DOT_PRODUCT (negative
+    * dot), all computed by the codegen'd [[native.vec_distance]] in
+    * one index-ordered pass. Output is BigQuery's shape: (`query`
+    * STRUCT of the query row, `base` STRUCT of the base row,
+    * `distance` DOUBLE), smaller distance = nearer; nothing is
+    * excluded (a query that exists in the base table surfaces
+    * itself, as in BigQuery).
+    *
+    * Scale: queries broadcast (the D1 contract — per-query-batch
+    * linear scan of the base side, map-only until the bounded top-k
+    * aggregate, which carries ≤ k rows per partition per query into
+    * one exchange). Duplicate query rows form separate groups via an
+    * internal per-row id; ties inside a group break on a
+    * content-hash of the base row — deterministic for fixed data,
+    * but not meaningful ranking (BigQuery leaves tie order
+    * undefined). Beyond brute-force scale, route through the IVF/PQ
+    * layouts ([[ivfTopK]], [[ivfPqTopK]]) instead — BigQuery's own
+    * `options => '{"use_brute_force": false}'` split.
+    */
+  def vectorSearch(base: DataFrame, baseCol: String,
+                   queries: DataFrame, queryCol: String,
+                   topK: Int = 10,
+                   distanceType: String = "EUCLIDEAN"): DataFrame = {
+    val mode = distanceType.toUpperCase(java.util.Locale.ROOT)
+    require(graft.functions.VecDistance.Modes.contains(mode),
+      s"distance_type must be one of ${graft.functions.VecDistance.Modes.mkString(", ")}, got $distanceType")
+    require(topK >= 1, s"top_k must be positive, got $topK")
+    val qs = queries
+      .withColumn("__qrow", F.monotonically_increasing_id())
+      .select(F.col("__qrow"),
+        F.struct(queries.columns.map(F.col).toIndexedSeq: _*).as("query"),
+        F.col(queryCol).as("__qv"))
+    val bs = base.select(
+      F.struct(base.columns.map(F.col).toIndexedSeq: _*).as("base"),
+      F.col(baseCol).as("__bv"))
+    bs.crossJoin(F.broadcast(qs))
+      .withColumn("distance", native.vec_distance(F.col("__qv"), F.col("__bv"), mode))
+      .groupBy("__qrow")
+      .agg(aggregates.top_k_payload(-F.col("distance"), F.xxhash64(F.col("base")),
+        F.struct(F.col("query"), F.col("base"), F.col("distance")), topK).as("__top"))
+      .select(F.explode(F.col("__top")).as("__e"))
+      .select(F.col("__e.query").as("query"), F.col("__e.base").as("base"),
+        F.col("__e.distance").as("distance"))
+  }
+
   /** Per-cell centroids of a (cell, vec) assignment: mean per
     * dimension, reassembled in index order — plain DataFrame algebra
     * (posexplode collapses in the partial aggregation, so the shuffle

@@ -354,6 +354,50 @@ class SimilaritySpec extends SparkSuite {
     assert(out.map(_.getLong(1)).toSeq == Seq(1L), "only the well-defined candidate is picked")
   }
 
+  test("vectorSearch: BigQuery shape, three distance types, self-match included") {
+    import spark.implicits._
+    def v(xs: Float*) = xs.toArray
+    val base = Seq((1L, "a", v(1f, 0f)), (2L, "b", v(0f, 1f)),
+      (3L, "c", v(0.6f, 0.8f)), (4L, "d", v(-1f, 0f)))
+      .toDF("id", "tag", "emb")
+    val queries = Seq((10L, v(1f, 0f)), (20L, v(0f, 1f))).toDF("qid", "emb")
+    val out = Similarity.vectorSearch(base, "emb", queries, "emb",
+      topK = 2, distanceType = "EUCLIDEAN")
+    assert(out.columns.toSeq == Seq("query", "base", "distance"), "BigQuery's output shape")
+    val got = out.select(F.col("query.qid"), F.col("base.id"), F.col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 4, "top_k rows per query row")
+    // self-match: base row 1 IS query 10's vector -> distance 0, included
+    assert(got.contains((10L, 1L, 0.0)))
+    assert(got.contains((20L, 2L, 0.0)))
+    // euclidean reference: query 10's second-nearest is (3) at |(0.4,-0.8)|
+    val d13 = math.sqrt(0.4 * 0.4 + 0.8 * 0.8)
+    assert(got.exists { case (q, b, d) => q == 10L && b == 3L && math.abs(d - d13) < 1e-12 })
+    // cosine: distance = 1 - cos; colinear pair -> 0, orthogonal -> 1
+    val cosTop = Similarity.vectorSearch(base, "emb", queries, "emb",
+        topK = 4, distanceType = "COSINE")
+      .select(F.col("query.qid"), F.col("base.id"), F.col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cosTop.contains((10L, 1L, 0.0)) && cosTop.contains((10L, 2L, 1.0)) &&
+      cosTop.contains((10L, 4L, 2.0)))
+    // dot product: distance = -dot; nearest by dot for query 10 is base 1
+    val dotFirst = Similarity.vectorSearch(base, "emb", queries, "emb",
+        topK = 1, distanceType = "DOT_PRODUCT")
+      .select(F.col("query.qid"), F.col("base.id"), F.col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dotFirst == Set((10L, 1L, -1.0), (20L, 2L, -1.0)))
+    // duplicate query rows search independently (separate groups)
+    val dup = Similarity.vectorSearch(base, "emb",
+      queries.union(queries.filter(F.col("qid") === 10L)), "emb", topK = 1)
+    assert(dup.count() == 3)
+    intercept[IllegalArgumentException] {
+      Similarity.vectorSearch(base, "emb", queries, "emb", distanceType = "MANHATTAN")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.vectorSearch(base, "emb", queries, "emb", topK = 0)
+    }
+  }
+
   test("mmrRerank is deterministic across reruns and bounded by the candidate count") {
     val cands = Similarity.bruteForceTopK(corpus, queries, 5)
       .join(corpus.select(F.col("vec_id"), F.col("embedding")), Seq("vec_id"))

@@ -583,6 +583,45 @@ class TypedSqlSpec extends SparkSuite {
       s"LOAD DATA INTO TEMP TABLE ld_x FROM FILES(format='PARQUET', uris=['$dir/p3'])") }
   }
 
+  test("GraftSql: VECTOR_SEARCH table function resolves through load") {
+    import spark.implicits._
+    def v(xs: Float*) = xs.toArray
+    Seq((1L, v(1f, 0f)), (2L, v(0f, 1f)), (3L, v(0.6f, 0.8f)))
+      .toDF("id", "emb").createOrReplaceTempView("vs_base")
+    Seq((10L, v(1f, 0f))).toDF("qid", "emb").createOrReplaceTempView("vs_q")
+    // full call: named args, struct field access in the outer SELECT
+    val out = GraftSql.load(spark,
+      """SELECT query.qid AS qid, base.id AS id, distance
+        |FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q,
+        |                   top_k => 2, distance_type => 'COSINE')
+        |ORDER BY distance""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 1L), (10L, 3L)))
+    // 4-arg form: query column named differently
+    Seq((20L, v(0f, 1f))).toDF("qid", "qv").createOrReplaceTempView("vs_q2")
+    val out2 = GraftSql.load(spark,
+      "SELECT base.id AS id FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q2, 'qv', top_k => 1)")
+    assert(out2.head().getLong(0) == 2L)
+    // the default distance type is EUCLIDEAN, default top_k 10
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q)")
+      .head().getLong(0) == 3L)
+    // a string literal containing the call is untouched
+    assert(GraftSql.load(spark,
+      "SELECT 'VECTOR_SEARCH(TABLE x)' AS s").head().getString(0).contains("VECTOR_SEARCH"))
+    // loud shapes: options, unknown named arg, missing args, bad top_k
+    val e1 = intercept[IllegalArgumentException] { GraftSql.load(spark,
+      """SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q,
+        |options => '{"use_brute_force": true}')""".stripMargin) }
+    assert(e1.getMessage.contains("ivfTopK"))
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, banana => 1)") }
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, TABLE vs_q)") }
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, top_k => 'five')") }
+  }
+
   test("GraftSql.createView: plain views register the stored query; dispositions match BigQuery") {
     Typed.registerAllViews(spark, sf)
     val direct = spark.sql(
