@@ -1,0 +1,366 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BigQuery multi-statement scripts (procedural language) over the
+  * [[GraftSql]] statement surface — the form the reference's DAGs
+  * submit their SQL in (a BigQuery job routinely carries
+  * `DECLARE ...; MERGE ...; ASSERT ...;` as one script).
+  *
+  * Supported procedural statements (BigQuery "procedural language"
+  * docs):
+  *  - `DECLARE a [, b ...] TYPE [DEFAULT expr];` — BigQuery types
+  *    INT64/FLOAT64/STRING/BOOL/DATE/TIMESTAMP/NUMERIC (or any Spark
+  *    DDL type); DEFAULT evaluates like SET, otherwise NULL.
+  *  - `SET name = expr;` — expr is any scalar SQL expression,
+  *    including a scalar subquery `(SELECT ...)`; evaluated over the
+  *    session's tables with variables substituted, cast to the
+  *    declared type.
+  *  - `IF cond THEN ... [ELSEIF cond THEN ...] [ELSE ...] END IF;`
+  *  - `WHILE cond DO ... END WHILE;` — bounded by `maxIterations`
+  *    (default 10 000) so a script bug fails loudly instead of
+  *    spinning the driver.
+  *  - `BEGIN ... END;` blocks (single variable scope, not BigQuery's
+  *    per-block scoping — re-DECLARE in a block raises here).
+  *  - every [[GraftSql.load]] statement (SELECT/MERGE/INSERT/CTAS/
+  *    DELETE/UPDATE/TRUNCATE/ALTER/ASSERT/EXPORT/CREATE VIEW/
+  *    EXTERNAL TABLE/LOAD DATA/VECTOR_SEARCH/time travel) as the
+  *    plain statements in between.
+  *
+  * LOOP/REPEAT/LEAVE/CONTINUE/CALL/RETURN/EXCEPTION are rejected
+  * loudly (use WHILE).
+  *
+  * Variable references are substituted TEXTUALLY (quote- and
+  * backtick-aware, whole identifiers only) as typed literals before
+  * each statement runs. BigQuery resolves a name collision between a
+  * variable and a column in favor of the COLUMN; here the variable
+  * wins — scripts that shadow column names with variables are
+  * rejected by nothing, so don't (BigQuery's own style guide says the
+  * same). Values substitute as literals: strings escape their
+  * quotes, dates/timestamps carry their type keyword, NULL
+  * substitutes as a typed CAST(NULL AS t) so expressions keep their
+  * declared type.
+  *
+  * `run` returns the result of the LAST executed statement that
+  * produced rows (BigQuery returns the script's last result set);
+  * an empty frame if none did.
+  *
+  * Scale: scripting is DRIVER-side control flow around fully
+  * distributed statements — each statement plans and runs exactly as
+  * it would standalone; variables hold scalars only (a collect of
+  * one row), never data.
+  */
+object GraftScript {
+
+  private final case class Lit(sparkType: String, value: Option[String]) {
+    // value is the ALREADY-RENDERED literal text (typed), None = NULL
+    def render: String = value.getOrElse(s"CAST(NULL AS $sparkType)")
+  }
+
+  private val bqTypes = Map(
+    "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "STRING" -> "STRING",
+    "BOOL" -> "BOOLEAN", "BOOLEAN" -> "BOOLEAN", "DATE" -> "DATE",
+    "TIMESTAMP" -> "TIMESTAMP", "DATETIME" -> "TIMESTAMP_NTZ",
+    "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
+    "INT" -> "BIGINT", "INTEGER" -> "BIGINT")
+
+  def run(spark: SparkSession, script: String, maxIterations: Int = 10000): DataFrame = {
+    val stmts = parseBlock(new Cursor(script), endKeyword = None)
+    val vars = scala.collection.mutable.LinkedHashMap.empty[String, Lit]
+    var last: Option[DataFrame] = None
+
+    def substitute(sql: String): String = {
+      if (vars.isEmpty) return sql
+      val out = new StringBuilder
+      var i = 0; var inStr = false; var inTick = false
+      var prevWord = "" // last bare word emitted (for the AS-alias rule)
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '`') { out += c; inTick = true; prevWord = ""; i += 1 }
+        else if (Character.isLetter(c) || c == '_') {
+          var j = i
+          while (j < sql.length && (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j += 1
+          val word = sql.substring(i, j)
+          // never a variable reference: a qualified path component
+          // (x.word / word.x) is a column, and the identifier after
+          // AS is an alias or a CAST target type
+          val prevDot = i > 0 && sql.charAt(i - 1) == '.'
+          val nextDot = j < sql.length && sql.charAt(j) == '.'
+          val isAlias = prevWord.equalsIgnoreCase("AS")
+          vars.get(word.toLowerCase) match {
+            case Some(l) if !prevDot && !nextDot && !isAlias => out ++= l.render
+            case _ => out ++= word
+          }
+          prevWord = word
+          i = j
+        } else {
+          if (!Character.isWhitespace(c)) prevWord = ""
+          out += c; i += 1
+        }
+      }
+      out.toString
+    }
+
+    def evalScalar(expr: String, sparkType: String): Lit = {
+      val df = spark.sql(s"SELECT CAST((${substitute(expr)}) AS $sparkType) AS v")
+      val rows = df.collect()
+      require(rows.length == 1,
+        s"scalar expression returned ${rows.length} rows: $expr")
+      val v = rows.head.get(0)
+      Lit(sparkType, Option(v).map(renderLiteral(_, sparkType)))
+    }
+
+    def evalCond(expr: String): Boolean =
+      evalScalar(expr, "BOOLEAN").value.contains("true")
+
+    def exec(ss: Seq[Stmt]): Unit = ss.foreach {
+      case Declare(names, bqType, default) =>
+        val sparkType = bqTypes.getOrElse(bqType.toUpperCase(java.util.Locale.ROOT), bqType)
+        val init = default.map(e => evalScalar(e, sparkType))
+          .getOrElse(Lit(sparkType, None))
+        names.foreach { n =>
+          val k = n.toLowerCase
+          require(!vars.contains(k), s"variable $n already declared")
+          vars(k) = init
+        }
+      case SetVar(name, expr) =>
+        val k = name.toLowerCase
+        val cur = vars.getOrElse(k, throw new IllegalArgumentException(
+          s"SET of undeclared variable $name (DECLARE it first)"))
+        vars(k) = evalScalar(expr, cur.sparkType)
+      case If(branches, orElse) =>
+        branches.find(b => evalCond(b._1)) match {
+          case Some((_, body)) => exec(body)
+          case None => exec(orElse)
+        }
+      case While(cond, body) =>
+        var n = 0
+        while (evalCond(cond)) {
+          n += 1
+          require(n <= maxIterations,
+            s"WHILE exceeded $maxIterations iterations — raise maxIterations " +
+              "if the loop is genuinely that long")
+          exec(body)
+        }
+      case Block(body) => exec(body)
+      case Plain(sql) =>
+        val df = GraftSql.load(spark, substitute(sql))
+        if (df.schema.nonEmpty) last = Some(df)
+    }
+
+    exec(stmts)
+    last.getOrElse(spark.emptyDataFrame)
+  }
+
+  // ── parser ─────────────────────────────────────────────────────────
+
+  private sealed trait Stmt
+  private final case class Plain(sql: String) extends Stmt
+  private final case class Declare(names: Seq[String], bqType: String,
+                                   default: Option[String]) extends Stmt
+  private final case class SetVar(name: String, expr: String) extends Stmt
+  private final case class If(branches: Seq[(String, Seq[Stmt])],
+                              orElse: Seq[Stmt]) extends Stmt
+  private final case class While(cond: String, body: Seq[Stmt]) extends Stmt
+  private final case class Block(body: Seq[Stmt]) extends Stmt
+
+  private final class Cursor(val text: String) {
+    var pos = 0
+    def eof: Boolean = { skipWs(); pos >= text.length }
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < text.length && Character.isWhitespace(text.charAt(pos))) pos += 1
+        if (text.startsWith("--", pos)) {
+          while (pos < text.length && text.charAt(pos) != '\n') pos += 1
+        } else if (text.startsWith("/*", pos)) {
+          val e = text.indexOf("*/", pos + 2)
+          require(e >= 0, "unterminated /* comment */ in script")
+          pos = e + 2
+        } else go = false
+      }
+    }
+    /** Case-insensitive keyword (sequence) at the cursor, consumed if
+      * present; each word must end at an identifier boundary.
+      */
+    def keyword(words: String*): Boolean = {
+      skipWs()
+      val save = pos
+      for (w <- words) {
+        skipWs()
+        // the identifier-boundary check applies to word-like keywords
+        // only ('=' may be followed directly by a digit)
+        if (!text.regionMatches(true, pos, w, 0, w.length) ||
+          (isIdentChar(w.last) && pos + w.length < text.length &&
+            isIdentChar(text.charAt(pos + w.length)))) {
+          pos = save; return false
+        }
+        pos += w.length
+      }
+      true
+    }
+    def peekKeyword(words: String*): Boolean = {
+      val save = pos; val r = keyword(words: _*); pos = save; r
+    }
+    def ident(): String = {
+      skipWs()
+      require(pos < text.length, "unexpected end of script (expected identifier)")
+      if (text.charAt(pos) == '`') {
+        val e = text.indexOf('`', pos + 1)
+        require(e >= 0, "unterminated backtick identifier")
+        val s = text.substring(pos + 1, e); pos = e + 1; s
+      } else {
+        val start = pos
+        while (pos < text.length && isIdentChar(text.charAt(pos))) pos += 1
+        require(pos > start, s"expected identifier at: ${text.substring(start, math.min(start + 30, text.length))}")
+        text.substring(start, pos)
+      }
+    }
+    private def isIdentChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    /** Raw text up to (not consuming) the first of the given
+      * STOPPERS — a top-level ';' or a top-level keyword from `stop`
+      * — quote-aware, paren-aware (keywords inside parens don't
+      * stop: `(SELECT ... WHERE x THEN ...)` can't happen, but a
+      * scalar subquery containing e.g. CASE ... END must not trip
+      * the END matcher).
+      */
+    def until(stopKeywords: Seq[Seq[String]], stopSemicolon: Boolean): String = {
+      skipWs()
+      val start = pos
+      var depth = 0; var inStr = false; var inTick = false
+      while (pos < text.length) {
+        val c = text.charAt(pos)
+        if (inStr) { if (c == '\'') inStr = false; pos += 1 }
+        else if (inTick) { if (c == '`') inTick = false; pos += 1 }
+        else if (c == '\'') { inStr = true; pos += 1 }
+        else if (c == '`') { inTick = true; pos += 1 }
+        else if (c == '(') { depth += 1; pos += 1 }
+        else if (c == ')') { depth -= 1; pos += 1 }
+        else if (depth == 0 && c == ';' && stopSemicolon) {
+          return text.substring(start, pos).trim
+        } else if (depth == 0 && (Character.isLetter(c)) &&
+          (pos == 0 || !isIdentChar(text.charAt(pos - 1))) &&
+          stopKeywords.exists(ks => peekKeywordAt(ks))) {
+          return text.substring(start, pos).trim
+        } else pos += 1
+      }
+      // EOF ends a ';'-terminated scan (the final statement's ';' is
+      // optional); a scan for a mandatory keyword (THEN / DO) must
+      // find it
+      require(stopSemicolon,
+        s"unexpected end of script while scanning for " +
+          s"${stopKeywords.map(_.mkString(" ")).mkString(" / ")}")
+      text.substring(start).trim
+    }
+    private def peekKeywordAt(words: Seq[String]): Boolean = {
+      val save = pos; val r = keyword(words: _*); pos = save; r
+    }
+    def expect(words: String*): Unit =
+      require(keyword(words: _*),
+        s"expected ${words.mkString(" ")} at: ${text.substring(pos, math.min(pos + 40, text.length))}")
+    def semicolon(): Unit = {
+      skipWs()
+      if (pos < text.length && text.charAt(pos) == ';') pos += 1
+    }
+  }
+
+  /** Statements until `endKeyword` (exclusive; None = end of text).
+    * The end keyword is NOT consumed.
+    */
+  private def parseBlock(c: Cursor, endKeyword: Option[Seq[Seq[String]]]): Seq[Stmt] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Stmt]
+    def atEnd: Boolean = c.eof ||
+      endKeyword.exists(_.exists(ks => c.peekKeyword(ks: _*)))
+    while (!atEnd) {
+      for (bad <- Seq("LOOP", "REPEAT", "LEAVE", "CONTINUE", "CALL", "RETURN", "EXCEPTION"))
+        require(!c.peekKeyword(bad),
+          s"$bad is not supported in scripts here (use WHILE ... END WHILE)")
+      if (c.keyword("DECLARE")) {
+        val names = scala.collection.mutable.ListBuffer(c.ident())
+        c.skipWs()
+        while (c.pos < c.text.length && c.text.charAt(c.pos) == ',') {
+          c.pos += 1; names += c.ident(); c.skipWs()
+        }
+        // the type may be multi-token (DECIMAL(38,9)) — read to
+        // DEFAULT or ';'
+        val typeAndMaybe = c.until(Seq(Seq("DEFAULT")), stopSemicolon = true)
+        val default = if (c.keyword("DEFAULT")) {
+          Some(c.until(Nil, stopSemicolon = true))
+        } else None
+        c.semicolon()
+        require(typeAndMaybe.nonEmpty, s"DECLARE ${names.mkString(",")}: missing type")
+        out += Declare(names.toSeq, typeAndMaybe, default)
+      } else if (c.keyword("SET")) {
+        val name = c.ident()
+        c.skipWs(); c.expect("=")
+        val expr = c.until(Nil, stopSemicolon = true)
+        c.semicolon()
+        out += SetVar(name, expr)
+      } else if (c.keyword("IF")) {
+        val branches = scala.collection.mutable.ListBuffer.empty[(String, Seq[Stmt])]
+        val cond = c.until(Seq(Seq("THEN")), stopSemicolon = false)
+        c.expect("THEN")
+        val stops = Seq(Seq("ELSEIF"), Seq("ELSE"), Seq("END", "IF"))
+        branches += cond -> parseBlock(c, Some(stops))
+        while (c.keyword("ELSEIF")) {
+          val cond2 = c.until(Seq(Seq("THEN")), stopSemicolon = false)
+          c.expect("THEN")
+          branches += cond2 -> parseBlock(c, Some(stops))
+        }
+        val orElse = if (c.keyword("ELSE"))
+          parseBlock(c, Some(Seq(Seq("END", "IF")))) else Seq.empty
+        c.expect("END", "IF"); c.semicolon()
+        out += If(branches.toSeq, orElse)
+      } else if (c.keyword("WHILE")) {
+        val cond = c.until(Seq(Seq("DO")), stopSemicolon = false)
+        c.expect("DO")
+        val body = parseBlock(c, Some(Seq(Seq("END", "WHILE"))))
+        c.expect("END", "WHILE"); c.semicolon()
+        out += While(cond, body)
+      } else if (c.keyword("BEGIN")) {
+        val body = parseBlock(c, Some(Seq(Seq("END"))))
+        c.expect("END"); c.semicolon()
+        out += Block(body)
+      } else {
+        // one plain SQL statement to the next top-level ';' — CASE
+        // ... END inside it sits behind no block keyword ambiguity
+        // because plain statements never contain top-level
+        // END IF/END WHILE (those belong to the enclosing block,
+        // which the ';' ends before)
+        val sql = c.until(Nil, stopSemicolon = true)
+        c.semicolon()
+        if (sql.nonEmpty) out += Plain(sql)
+      }
+    }
+    out.toSeq
+  }
+
+  private def renderLiteral(v: Any, sparkType: String): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => b.toString
+    // keep the declared integral width: a bare `99` parses as INT and
+    // would silently narrow an INT64 variable's expressions
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => s"CAST($n AS $sparkType)"
+    case d: java.math.BigDecimal => s"CAST('${d.toPlainString}' AS $sparkType)"
+    case d: Double => doubleLit(d)
+    case f: Float => doubleLit(f.toDouble)
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case t: java.time.LocalDateTime => s"TIMESTAMP_NTZ '${t.toString.replace('T', ' ')}'"
+    case t: java.time.Instant => s"TIMESTAMP '$t'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case other => throw new IllegalArgumentException(
+      s"script variables hold scalars; cannot carry ${other.getClass.getSimpleName} " +
+        "(arrays/structs belong in tables)")
+  }
+
+  private def doubleLit(d: Double): String =
+    if (d.isNaN) "CAST('NaN' AS DOUBLE)"
+    else if (d.isPosInfinity) "CAST('Infinity' AS DOUBLE)"
+    else if (d.isNegInfinity) "CAST('-Infinity' AS DOUBLE)"
+    // 17 significant digits round-trip any double exactly
+    else s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+}

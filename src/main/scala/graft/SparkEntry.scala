@@ -564,6 +564,31 @@ object SparkEntry {
           |ORDER BY face, event_type""".stripMargin)
     }),
 
+    // A35 driver face: a BigQuery multi-statement script (DECLARE /
+    // SET / IF / WHILE around distributed statements) through
+    // GraftScript.run. Every variable is an INT64 scalar derived from
+    // the data, so the whole control-flow trajectory — the IF branch
+    // taken, the WHILE fold across buckets, the final substituted
+    // literals — replays in DuckDB as plain SQL under the hash gate
+    "sql_script" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("script_events")
+      graft.GraftScript.run(s,
+        """DECLARE hi INT64 DEFAULT (SELECT MAX(event_id) FROM script_events);
+          |DECLARE bucket_n INT64;
+          |IF hi >= 100 THEN SET bucket_n = 4; ELSE SET bucket_n = 2; END IF;
+          |DECLARE i INT64 DEFAULT 0;
+          |DECLARE acc INT64 DEFAULT 0;
+          |WHILE i < bucket_n DO
+          |  SET acc = acc + (SELECT COUNT(*) FROM script_events
+          |                   WHERE event_id % bucket_n = i AND event_type <> 'click');
+          |  SET i = i + 1;
+          |END WHILE;
+          |ASSERT acc <= (SELECT COUNT(*) FROM script_events) AS 'fold overflow';
+          |SELECT event_type, COUNT(*) AS n, acc AS nonclick_total, bucket_n AS buckets
+          |FROM script_events WHERE event_id <= hi
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // the sketch face of the same state table: COUNT(DISTINCT user) per
     // type maintained incrementally via mergeable HLL binaries — the
     // measure a raw-sum state cannot carry (distincts don't add).
@@ -2123,6 +2148,14 @@ object SparkEntry {
           |       COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max
           |FROM events WHERE event_type <> 'click'
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // the script's replay: hi = max id covers every row, the IF
+      // picks 4 buckets (every sf has >= 100 events), the WHILE fold
+      // across the 4 residue classes sums to the plain non-click count
+      "sql_script" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |       (SELECT COUNT(*) FROM events WHERE event_type <> 'click') AS nonclick_total,
+          |       CAST(4 AS BIGINT) AS buckets
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // time travel: AS OF between commits 1 and 2 sees thirds 0+1;
       // the latest view sees only third 2 (commit 2 is an overwrite)
       "sql_time_travel" ->

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+class GraftScriptSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("DECLARE / SET / substitution: scalars ride statements as typed literals") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("scr_t")
+    val out = GraftScript.run(spark,
+      """-- a BigQuery-style script
+        |DECLARE cutoff INT64 DEFAULT 1;
+        |DECLARE label STRING;
+        |SET label = (SELECT name FROM scr_t WHERE id = cutoff + 1);
+        |SELECT id, name FROM scr_t WHERE id > cutoff AND name <> label ORDER BY id;
+        |""".stripMargin)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // multiple names per DECLARE; NULL default; typed NULL in exprs
+    val out2 = GraftScript.run(spark,
+      """DECLARE a, b INT64;
+        |SET a = 5;
+        |SELECT a AS a, b AS b, a + b AS s""".stripMargin)
+    val r = out2.head()
+    assert(r.getLong(0) == 5L && r.isNullAt(1) && r.isNullAt(2))
+    // string values escape their quotes on substitution
+    val out3 = GraftScript.run(spark,
+      """DECLARE s STRING DEFAULT 'it''s';
+        |SELECT s AS v, length(s) AS n""".stripMargin)
+    assert(out3.head().getString(0) == "it's" && out3.head().getInt(1) == 4)
+  }
+
+  test("IF / ELSEIF / ELSE and WHILE drive distributed statements") {
+    Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 35.0))
+      .toDF("id", "v").createOrReplaceTempView("scr_u")
+    val out = GraftScript.run(spark,
+      """DECLARE n INT64 DEFAULT (SELECT COUNT(*) FROM scr_u);
+        |DECLARE verdict STRING;
+        |IF n > 100 THEN SET verdict = 'big';
+        |ELSEIF n > 2 THEN SET verdict = 'medium';
+        |ELSE SET verdict = 'small';
+        |END IF;
+        |SELECT verdict AS verdict""".stripMargin)
+    assert(out.head().getString(0) == "medium")
+    // WHILE: fold per-bucket counts through a variable
+    val out2 = GraftScript.run(spark,
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE acc INT64 DEFAULT 0;
+        |WHILE i < 4 DO
+        |  SET acc = acc + (SELECT COUNT(*) FROM scr_u WHERE id % 4 = i);
+        |  SET i = i + 1;
+        |END WHILE;
+        |SELECT acc AS total, i AS iters""".stripMargin)
+    assert(out2.head().getLong(0) == 4L && out2.head().getLong(1) == 4L)
+    // nested IF inside WHILE inside BEGIN
+    val out3 = GraftScript.run(spark,
+      """BEGIN
+        |DECLARE i INT64 DEFAULT 0;
+        |DECLARE odd INT64 DEFAULT 0;
+        |WHILE i < 5 DO
+        |  IF i % 2 = 1 THEN SET odd = odd + i; END IF;
+        |  SET i = i + 1;
+        |END WHILE;
+        |SELECT odd AS odd;
+        |END;""".stripMargin)
+    assert(out3.head().getLong(0) == 4L)
+  }
+
+  test("substitution is quote-aware and leaves qualified column paths alone") {
+    Seq((1L, 7L)).toDF("id", "n").createOrReplaceTempView("scr_q")
+    val out = GraftScript.run(spark,
+      """DECLARE n INT64 DEFAULT 99;
+        |SELECT 'n stays' AS lit, t.n AS coln, n AS varn FROM scr_q t""".stripMargin)
+    val r = out.head()
+    assert(r.getString(0) == "n stays", "inside a string literal: untouched")
+    assert(r.getLong(1) == 7L, "qualified t.n is the column")
+    assert(r.getLong(2) == 99L, "bare n is the variable")
+  }
+
+  test("scripts run GraftSql verbs: ASSERT guards, CREATE VIEW + SELECT chains") {
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").createOrReplaceTempView("scr_v")
+    val out = GraftScript.run(spark,
+      """DECLARE minv FLOAT64 DEFAULT (SELECT MIN(v) FROM scr_v);
+        |ASSERT minv > 0 AS 'values must be positive';
+        |CREATE OR REPLACE VIEW scr_view AS SELECT id, v * 2 AS v2 FROM scr_v;
+        |SELECT SUM(v2) AS s FROM scr_view""".stripMargin)
+    assert(out.head().getDouble(0) == 60.0)
+    val e = intercept[Exception] {
+      GraftScript.run(spark,
+        """DECLARE maxv FLOAT64 DEFAULT (SELECT MAX(v) FROM scr_v);
+          |ASSERT maxv < 15 AS 'cap exceeded';
+          |SELECT 1 AS one""".stripMargin)
+    }
+    assert(e.getMessage.contains("cap exceeded"))
+  }
+
+  test("loud shapes: LOOP, undeclared SET, re-DECLARE, runaway WHILE, missing THEN") {
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "LOOP SELECT 1; END LOOP;")
+    }
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "SET x = 1;")
+    }
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "DECLARE x INT64; DECLARE x INT64;")
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "DECLARE i INT64 DEFAULT 0; WHILE i < 10 DO SET i = i + 0; END WHILE;",
+        maxIterations = 50)
+    }
+    assert(e.getMessage.contains("50 iterations"))
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "IF TRUE SELECT 1; END IF;")
+    }
+  }
+}
