@@ -73,7 +73,8 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteVectorSearch(spark, rewriteTimeTravel(spark, sql0))
+    val sql = rewriteInformationSchema(spark,
+      rewriteVectorSearch(spark, rewriteTimeTravel(spark, sql0)))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -1488,6 +1489,93 @@ object GraftSql {
     graft.operators.Similarity.vectorSearch(
       spark.table(strip(tables.head)), baseCol,
       spark.table(strip(tables(1))), queryCol, topK, distance)
+  }
+
+  // ── INFORMATION_SCHEMA.TABLES / .COLUMNS ─────────────────────────
+  //
+  // BigQuery's metadata views, scoped to this engine's session
+  // catalog (temp views ARE the tables here). Resolved textually like
+  // the other non-Catalyst references: each top-level
+  // `INFORMATION_SCHEMA.TABLES|COLUMNS` becomes a temp view built
+  // from spark.catalog at statement time — metadata-sized, never a
+  // data scan. Column shapes follow BigQuery's: TABLES carries
+  // (table_catalog, table_schema, table_name, table_type), COLUMNS
+  // adds (column_name, ordinal_position, is_nullable, data_type)
+  // with BigQuery type spellings for the common scalars (INT64,
+  // FLOAT64, STRING, BOOL, ...) and Spark DDL for the rest.
+
+  private[graft] def rewriteInformationSchema(spark: SparkSession, sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("INFORMATION_SCHEMA")) return sql
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    var replacedTables = false; var replacedColumns = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if ((c == 'I' || c == 'i') && upper.startsWith("INFORMATION_SCHEMA.", i) &&
+        (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_' && sql.charAt(i - 1) != '.'))) {
+        val rest = i + "INFORMATION_SCHEMA.".length
+        if (upper.startsWith("TABLES", rest) &&
+          (rest + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 6)) && sql.charAt(rest + 6) != '_')) {
+          out ++= "__information_schema_tables"; replacedTables = true; i = rest + 6
+        } else if (upper.startsWith("COLUMNS", rest) &&
+          (rest + 7 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 7)) && sql.charAt(rest + 7) != '_')) {
+          out ++= "__information_schema_columns"; replacedColumns = true; i = rest + 7
+        } else throw new IllegalArgumentException(
+          "only INFORMATION_SCHEMA.TABLES and INFORMATION_SCHEMA.COLUMNS are available " +
+            "(a session catalog has no partitions/jobs/routines metadata)")
+      } else { out += c; i += 1 }
+    }
+    if (replacedTables) tablesView(spark).createOrReplaceTempView("__information_schema_tables")
+    if (replacedColumns) columnsView(spark).createOrReplaceTempView("__information_schema_columns")
+    out.toString
+  }
+
+  private def sessionTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().toSeq
+      .filter(t => !t.name.startsWith("__"))
+      .map(_.name).sorted
+
+  private def tablesView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sessionTables(spark)
+      .map(n => ("graft", "session", n, "VIEW"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
+  private def columnsView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sessionTables(spark).flatMap { n =>
+      spark.table(n).schema.fields.zipWithIndex.map { case (f, idx) =>
+        ("graft", "session", n, f.name, (idx + 1).toLong,
+          if (f.nullable) "YES" else "NO", bqTypeName(f.dataType))
+      }
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "ordinal_position", "is_nullable", "data_type")
+  }
+
+  private def bqTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "INT64"
+      case DoubleType | FloatType => "FLOAT64"
+      case StringType => "STRING"
+      case BooleanType => "BOOL"
+      case BinaryType => "BYTES"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case TimestampNTZType => "DATETIME"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case a: ArrayType => s"ARRAY<${bqTypeName(a.elementType)}>"
+      case s: StructType =>
+        s"STRUCT<${s.fields.map(f => s"${f.name} ${bqTypeName(f.dataType)}").mkString(", ")}>"
+      case other => other.sql
+    }
   }
 
   /** Literal → epoch micros, UTC. Accepts `yyyy-MM-dd[ HH:mm:ss[.f…]]`

@@ -474,4 +474,42 @@ object EventStream {
         }
       }
   }
+
+  /** One micro-batch of the versioned-commit sink: append the batch
+    * to the A33 [[graft.sources.Versioned]] table as the commit whose
+    * timestamp is exactly `baseTsUs + batchId` — UNLESS that
+    * timestamp already exists in the log (a redelivered batch after a
+    * crash between the manifest write — the commit point — and the
+    * checkpoint commit). Deterministic batchId→timestamp mapping
+    * makes the MANIFEST the exactly-once ledger: no side-channel
+    * batchId store (the G8 recipe) is needed, because the commit
+    * timestamp IS the batchId. Returns None on a replay.
+    */
+  def applyVersionedBatch(batch: DataFrame, table: String, baseTsUs: Long,
+                          batchId: Long): Option[graft.sources.Versioned.Commit] = {
+    val ts = baseTsUs + batchId
+    val prior = graft.sources.Versioned.commits(batch.sparkSession, table)
+    if (prior.exists(_.commitTsUs == ts)) None
+    else Some(graft.sources.Versioned.append(batch, table, Some(ts)))
+  }
+
+  /** G14: stream → versioned table, one time-travelable commit per
+    * micro-batch — the streaming face of A33, as G8 is of A23: the
+    * full history of an ingest stream stays queryable AS OF any
+    * commit time, with [[graft.sources.Versioned.vacuum]] as the
+    * retention knob. `baseTsUs` must exceed every pre-stream commit
+    * timestamp in the table (the strictly-increasing commit guard is
+    * loud otherwise) and anchors the batchId→timestamp ledger above;
+    * per-tick cost is the batch write plus one ~100-byte manifest,
+    * O(batch) regardless of table size (copy-on-write appends never
+    * touch existing files).
+    */
+  def versionedAppendSink(stream: DataFrame, table: String, baseTsUs: Long)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyVersionedBatch(batch, table, baseTsUs, batchId); ()
+      }
 }

@@ -461,6 +461,44 @@ class StreamingSpec extends SparkSuite {
       docs.columns.toSeq :+ "clf_score")
   }
 
+  test("G14: versioned-commit sink — one time-travelable commit per batch; replays skipped") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-g14-").toString
+    val table = s"$dir/table"
+    val base = 1000000L
+    // two input files + maxFilesPerTrigger=1 -> two micro-batches
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = EventStream.versionedAppendSink(stream, table, base)
+      .option("checkpointLocation", s"$dir/chk").start()
+    q.awaitTermination(60000)
+    // content: the union of all batches; one commit per batch at
+    // exactly base + batchId
+    assert(Versioned.read(spark, table).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    val commits = Versioned.commits(spark, table)
+    assert(commits.size == 2)
+    assert(commits.map(_.commitTsUs) == commits.indices.map(base + _.toLong))
+    // the ingest history is time-travelable: AS OF the first commit
+    // sees only that batch's rows
+    val firstN = Versioned.readAsOf(spark, table, base).count()
+    assert(firstN == 1L || firstN == 2L)
+    assert(Versioned.readAsOf(spark, table, base + 1).count() == 3L)
+    // redelivery: an already-committed batchId is a no-op (the
+    // manifest is the ledger); the next id commits
+    val extra = Seq((9L, "z")).toDF("id", "v")
+    assert(EventStream.applyVersionedBatch(extra, table, base, 0L).isEmpty)
+    assert(EventStream.applyVersionedBatch(extra, table, base, 1L).isEmpty)
+    assert(Versioned.read(spark, table).count() == 3L)
+    val next = EventStream.applyVersionedBatch(extra, table, base, 2L)
+    assert(next.isDefined && next.get.commitTsUs == base + 2)
+    assert(Versioned.read(spark, table).count() == 4L)
+  }
+
   test("readEvents: empty directory fails fast unless the wire ts type is declared") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val empty = Files.createTempDirectory("graft-stream-empty-").toString

@@ -622,6 +622,33 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, top_k => 'five')") }
   }
 
+  test("GraftSql: INFORMATION_SCHEMA.TABLES/COLUMNS expose the session catalog") {
+    import spark.implicits._
+    Seq((1L, "a", 2.5)).toDF("id", "name", "score").createOrReplaceTempView("is_demo")
+    val t = GraftSql.load(spark,
+      "SELECT table_name, table_type FROM INFORMATION_SCHEMA.TABLES WHERE table_name = 'is_demo'")
+    assert(t.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("is_demo", "VIEW")))
+    val c = GraftSql.load(spark,
+      """SELECT column_name, ordinal_position, data_type
+        |FROM INFORMATION_SCHEMA.COLUMNS WHERE table_name = 'is_demo'
+        |ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(c.toSeq == Seq(("id", 1L, "INT64"), ("name", 2L, "STRING"), ("score", 3L, "FLOAT64")))
+    // joins over the metadata views work like any table
+    val n = GraftSql.load(spark,
+      """SELECT COUNT(*) AS n FROM INFORMATION_SCHEMA.COLUMNS c
+        |JOIN INFORMATION_SCHEMA.TABLES t ON c.table_name = t.table_name
+        |WHERE t.table_name = 'is_demo'""".stripMargin).head().getLong(0)
+    assert(n == 3L)
+    // unsupported metadata views are loud; string literals untouched
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM INFORMATION_SCHEMA.PARTITIONS")
+    }
+    assert(e.getMessage.contains("TABLES"))
+    assert(GraftSql.load(spark, "SELECT 'INFORMATION_SCHEMA.JOBS' AS s")
+      .head().getString(0).contains("JOBS"))
+  }
+
   test("GraftSql.createView: plain views register the stored query; dispositions match BigQuery") {
     Typed.registerAllViews(spark, sf)
     val direct = spark.sql(
