@@ -90,6 +90,8 @@ object GraftSql {
       createExternal(spark, sql)
     } else if (LoadDataHeadRe.pattern.matcher(sql).matches()) {
       loadData(spark, sql)
+    } else if (FunctionHeadRe.pattern.matcher(sql).matches()) {
+      createFunction(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case i: InsertIntoStatement => insertParsed(spark, i)
@@ -111,7 +113,8 @@ object GraftSql {
         s"not a DML statement (parsed to ${other.nodeName}); " +
           "supported: MERGE, INSERT INTO ... SELECT, CREATE TABLE ... AS SELECT, " +
           "DELETE, UPDATE, TRUNCATE, ALTER TABLE ADD/DROP/RENAME COLUMN, " +
-          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE, LOAD DATA")
+          "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE, " +
+          "LOAD DATA, CREATE [TEMP] [TABLE] FUNCTION")
     }
   }
 
@@ -457,6 +460,155 @@ object GraftSql {
       "not a supported LOAD DATA statement (expected: LOAD DATA {INTO | OVERWRITE} name " +
         "[(schema)] FROM FILES(format='...', uris=['...']); PARTITION COLUMNS / " +
         "CONNECTION / TEMP TABLE clauses are not supported)")
+  }
+
+  // ───────────── CREATE [TEMP] [TABLE] FUNCTION ─────────────
+
+  private val FunctionHeadRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE\s+)?FUNCTION\b.*""".r
+  private val FunctionRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(TEMP(?:ORARY)?)\s+)?(?:(TABLE)\s+)?FUNCTION\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*\((.*)$""").r
+
+  /** BigQuery's SQL UDF DDL — `CREATE [OR REPLACE] [TEMP] FUNCTION
+    * name(p T, ...) [RETURNS T] AS (expr)` and the table-function form
+    * `CREATE [TEMP] TABLE FUNCTION name(...) RETURNS TABLE<a T, ...>
+    * AS (SELECT ...)` — translated onto Spark 4's native SQL UDFs
+    * (`CREATE TEMPORARY FUNCTION ... RETURN body`), so the body is
+    * INLINED by Catalyst at every call site (`ResolveSQLFunctions`
+    * rewrites the call into the plan — codegen, pushdown and pruning
+    * all see through it; nothing interprets per row). BigQuery types
+    * map tokenwise (INT64→BIGINT, FLOAT64→DOUBLE, NUMERIC→
+    * DECIMAL(38,9), `RETURNS TABLE<...>`'s outer angles → parens).
+    *
+    * Dialect notes, all loud:
+    *  - `LANGUAGE js` has no engine here; `OPTIONS(...)` /
+    *    `DETERMINISTIC` / templated `ANY TYPE` params are rejected.
+    *  - persistent (non-TEMP) functions register session-scoped like
+    *    every table/view in this engine (the A31 rationale) — a
+    *    dataset-qualified name keeps its last component.
+    *  - `IF NOT EXISTS` is resolved here (registered name → no-op):
+    *    Spark refuses the clause on temporary functions.
+    *  - a TABLE FUNCTION must declare `RETURNS TABLE<...>`: without
+    *    it Spark would register the body as a SCALAR subquery
+    *    expression and table-position calls would not resolve.
+    *
+    * Scalar functions compose (a body may call an earlier UDF);
+    * recursion is refused by Spark's resolver, not silently looped.
+    */
+  def createFunction(spark: SparkSession, sql: String): DataFrame = sql match {
+    case FunctionRe(orReplace, _, tableFn, ifNotExists, rawName, rest0) =>
+      val name = viewName(rawName)
+      if (ifNotExists != null && spark.catalog.functionExists(name))
+        return spark.emptyDataFrame
+      // split `rest0` = "params) [RETURNS ...] AS body" at the
+      // matching close paren (quote-aware; param defaults could carry
+      // parens/commas inside)
+      var i = 0; var depth = 1; var inQ = false
+      while (i < rest0.length && depth > 0) {
+        val c = rest0.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
+      require(depth == 0, s"CREATE FUNCTION $name: unbalanced parameter list")
+      val params = rest0.substring(0, i - 1).trim
+      var tail = rest0.substring(i).trim.stripSuffix(";").trim
+      def checkClauses(text: String): Unit =
+        for (bad <- Seq("LANGUAGE", "OPTIONS", "DETERMINISTIC", "NOT DETERMINISTIC"))
+          require(!s"""(?is)^$bad\\b.*""".r.pattern.matcher(text.trim).matches(),
+            s"CREATE FUNCTION $name: $bad is not supported here " +
+              "(SQL-body functions only: ... [RETURNS T] AS (expr))")
+      checkClauses(tail)
+      require(!"""(?is).*\bANY\s+TYPE\b.*""".r.pattern.matcher(params).matches(),
+        s"CREATE FUNCTION $name: templated ANY TYPE parameters are not supported " +
+          "(declare concrete BigQuery/Spark types)")
+      // optional RETURNS clause
+      var returns = ""
+      if ("""(?is)^RETURNS\b.*""".r.pattern.matcher(tail).matches()) {
+        tail = tail.substring("RETURNS".length).trim
+        if ("""(?is)^TABLE\s*<.*""".r.pattern.matcher(tail).matches()) {
+          val lt = tail.indexOf('<')
+          var j = lt; var d = 0
+          var done = -1
+          while (j < tail.length && done < 0) {
+            val c = tail.charAt(j)
+            if (c == '<') d += 1
+            else if (c == '>') { d -= 1; if (d == 0) done = j }
+            j += 1
+          }
+          require(done > 0, s"CREATE FUNCTION $name: unbalanced RETURNS TABLE<...>")
+          returns = s"RETURNS TABLE(${mapBqTypes(tail.substring(lt + 1, done))})"
+          tail = tail.substring(done + 1).trim
+          checkClauses(tail)
+        } else {
+          // scalar return type runs to the top-level AS keyword
+          val m = """(?is)^(.*?)\bAS\b""".r.findFirstMatchIn(tail).getOrElse(
+            throw new IllegalArgumentException(
+              s"CREATE FUNCTION $name: missing AS (body) after RETURNS"))
+          val typeText = m.group(1).trim
+          // a LANGUAGE/OPTIONS clause between RETURNS and AS would be
+          // swallowed into the type text — reject it there too
+          for (bad <- Seq("LANGUAGE", "OPTIONS", "DETERMINISTIC"))
+            require(!s"""(?is).*\\b$bad\\b.*""".r.pattern.matcher(typeText).matches(),
+              s"CREATE FUNCTION $name: $bad is not supported here " +
+                "(SQL-body functions only: ... [RETURNS T] AS (expr))")
+          returns = s"RETURNS ${mapBqTypes(typeText)}"
+          tail = tail.substring(m.group(1).length).trim
+        }
+      }
+      require(tableFn == null || returns.startsWith("RETURNS TABLE"),
+        s"CREATE TABLE FUNCTION $name: declare RETURNS TABLE<col TYPE, ...> — " +
+          "without it the body would register as a scalar subquery expression " +
+          "and FROM-position calls would not resolve")
+      require("""(?is)^AS\b.*""".r.pattern.matcher(tail).matches(),
+        s"CREATE FUNCTION $name: expected AS (body), got: ${tail.take(40)}")
+      val body = tail.substring(2).trim
+      require(body.nonEmpty, s"CREATE FUNCTION $name: empty body")
+      val rep = if (orReplace != null) "OR REPLACE " else ""
+      // the body is BigQuery dialect too (`CAST(x AS INT64)`) — the
+      // same tokenwise map applies (quote-aware; a column literally
+      // named `int64` would be caught by it, so don't)
+      val ddl = s"CREATE ${rep}TEMPORARY FUNCTION $name(${mapBqTypes(params)}) " +
+        s"$returns RETURN ${mapBqTypes(body)}"
+      spark.sql(ddl)
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a supported CREATE FUNCTION statement (expected: CREATE [OR REPLACE] " +
+        "[TEMP] [TABLE] FUNCTION [IF NOT EXISTS] name(p TYPE, ...) " +
+        "[RETURNS T | RETURNS TABLE<a T, ...>] AS (body))")
+  }
+
+  /** Tokenwise BigQuery→Spark type-name mapping over a parameter list
+    * or type text (quote-aware; identifiers in NAME position are
+    * untouched unless they collide with a BigQuery type keyword —
+    * don't name a parameter `int64`). ARRAY<...>/STRUCT<...> angle
+    * syntax is shared by both dialects and passes through.
+    */
+  private def mapBqTypes(text: String): String = {
+    val map = Map(
+      "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
+      "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
+      "DATETIME" -> "TIMESTAMP_NTZ", "BYTES" -> "BINARY")
+    val out = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { out += c; inQ = true; i += 1 }
+      else if (Character.isLetter(c) &&
+        (i == 0 || !(Character.isLetterOrDigit(text.charAt(i - 1)) || text.charAt(i - 1) == '_'))) {
+        var j = i
+        while (j < text.length && (Character.isLetterOrDigit(text.charAt(j)) || text.charAt(j) == '_')) j += 1
+        val w = text.substring(i, j)
+        out ++= map.getOrElse(w.toUpperCase(java.util.Locale.ROOT), w)
+        i = j
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling

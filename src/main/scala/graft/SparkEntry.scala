@@ -589,6 +589,29 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // A38 driver face: BigQuery SQL UDFs (CREATE TEMP FUNCTION ... AS
+    // (expr)) translated onto Spark 4's native SQL functions, which
+    // Catalyst INLINES at every call site — so the whole query plans
+    // as if the expressions were written in place (codegen, pushdown
+    // intact). Two composed functions (cents quantization + an
+    // integer band rule) drive a grouped aggregate; everything after
+    // ROUND is integer arithmetic, so the DuckDB oracle replays the
+    // query with the function bodies inlined by hand — a hash match
+    // proves the translation + inlining change nothing
+    "sql_udf" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("udf_li")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE TEMP FUNCTION price_cents(p FLOAT64) RETURNS INT64 " +
+          "AS (CAST(ROUND(p * 100) AS INT64))")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE TEMP FUNCTION cents_band(c INT64) AS " +
+          "(CASE WHEN c % 10 < 5 THEN 'low_digit' ELSE 'high_digit' END)")
+      graft.GraftSql.load(s,
+        """SELECT cents_band(price_cents(l_extendedprice)) AS band,
+          |       COUNT(*) AS n, SUM(price_cents(l_extendedprice)) AS cents_sum
+          |FROM udf_li GROUP BY band ORDER BY band""".stripMargin)
+    }),
+
     // the sketch face of the same state table: COUNT(DISTINCT user) per
     // type maintained incrementally via mergeable HLL binaries — the
     // measure a raw-sum state cannot carry (distincts don't add).
@@ -2156,6 +2179,14 @@ object SparkEntry {
           |       (SELECT COUNT(*) FROM events WHERE event_type <> 'click') AS nonclick_total,
           |       CAST(4 AS BIGINT) AS buckets
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the UDF query with both function bodies inlined by hand —
+      // cents are integers after ROUND, so the replay is hash-exact
+      "sql_udf" ->
+        """SELECT CASE WHEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 10 < 5
+          |            THEN 'low_digit' ELSE 'high_digit' END AS band,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+          |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
       // time travel: AS OF between commits 1 and 2 sees thirds 0+1;
       // the latest view sees only third 2 (commit 2 is an overwrite)
       "sql_time_travel" ->

@@ -778,6 +778,64 @@ class TypedSqlSpec extends SparkSuite {
     }
   }
 
+  test("GraftSql.createFunction: BigQuery SQL UDFs translate to Spark SQL functions and inline") {
+    import graft.sources.Tables
+    Tables.part(spark, sf).createOrReplaceTempView("udf_part")
+
+    // scalar with BigQuery types + RETURNS, through load dispatch
+    GraftSql.load(spark,
+      """CREATE TEMP FUNCTION price_cents(p FLOAT64) RETURNS INT64
+        |AS (CAST(ROUND(p * 100) AS INT64));""".stripMargin)
+    // inferred return type + composition (body calls an earlier UDF)
+    GraftSql.load(spark,
+      "CREATE TEMP FUNCTION price_band(p FLOAT64) AS " +
+        "(CASE WHEN price_cents(p) < 91000 THEN 'low' " +
+        "WHEN price_cents(p) < 180000 THEN 'mid' ELSE 'high' END)")
+    val got = GraftSql.load(spark,
+      "SELECT price_band(p_retailprice) AS band, COUNT(*) AS n " +
+        "FROM udf_part GROUP BY band").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.sql(
+      """SELECT CASE WHEN CAST(ROUND(p_retailprice * 100) AS BIGINT) < 91000 THEN 'low'
+        |            WHEN CAST(ROUND(p_retailprice * 100) AS BIGINT) < 180000 THEN 'mid'
+        |            ELSE 'high' END AS band, COUNT(*) AS n
+        |FROM udf_part GROUP BY band""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.values.sum > 0, s"UDF result drift: $got vs $want")
+
+    // dispositions: bare re-create raises (Spark), OR REPLACE swaps,
+    // IF NOT EXISTS no-ops
+    intercept[Exception] {
+      GraftSql.load(spark, "CREATE TEMP FUNCTION price_cents(p FLOAT64) AS (1)")
+    }
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TEMP FUNCTION price_cents(p FLOAT64) RETURNS INT64 AS (0)")
+    GraftSql.load(spark,
+      "CREATE TEMP FUNCTION IF NOT EXISTS price_cents(p FLOAT64) AS ('ignored')")
+    assert(spark.sql("SELECT price_cents(9.9) AS v").head().getLong(0) == 0L)
+
+    // table function with RETURNS TABLE<...> resolves in FROM position
+    GraftSql.load(spark,
+      """CREATE TEMP TABLE FUNCTION pricey(floor FLOAT64)
+        |RETURNS TABLE<p_partkey INT64, p_retailprice FLOAT64>
+        |AS (SELECT p_partkey, p_retailprice FROM udf_part WHERE p_retailprice > floor);""".stripMargin)
+    val tvf = GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM pricey(910.0)").head().getLong(0)
+    val direct = spark.table("udf_part").filter(F.col("p_retailprice") > 910.0).count()
+    assert(tvf == direct && tvf > 0)
+
+    // loud shapes
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("CREATE TEMP TABLE FUNCTION tf1(x INT64) AS (SELECT x)")
+      .contains("RETURNS TABLE"))
+    assert(bad("CREATE TEMP FUNCTION js1(x INT64) RETURNS INT64 LANGUAGE js AS \"return x\"")
+      .contains("LANGUAGE"))
+    assert(bad("CREATE TEMP FUNCTION t2(x ANY TYPE) AS (x)").contains("ANY TYPE"))
+    assert(bad("CREATE TEMP FUNCTION t3(x INT64) OPTIONS(description='d') AS (x)")
+      .contains("OPTIONS"))
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
