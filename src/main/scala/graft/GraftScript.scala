@@ -22,6 +22,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    spinning the driver.
   *  - `BEGIN ... END;` blocks (single variable scope, not BigQuery's
   *    per-block scoping — re-DECLARE in a block raises here).
+  *  - `EXECUTE IMMEDIATE sql_expr [INTO v, ...] [USING expr [AS name],
+  *    ...];` — dynamic SQL: the sql expression evaluates to a STRING
+  *    (it may be built from variables), parameters bind as `@name`
+  *    (named) or `?` (positional) literals quote-aware, the statement
+  *    runs through [[GraftSql.load]]; INTO binds a ≤1-row result's
+  *    columns to declared variables (0 rows → NULLs, >1 loud), as
+  *    BigQuery does. Unbound/unused parameters are loud. Per the
+  *    BigQuery contract the dynamic text itself gets NO variable
+  *    substitution — variables enter only through USING.
+  *  - `FOR v IN (query) DO ... END FOR;` — driver-side iteration over
+  *    a BOUNDED query result (≤ maxIterations rows, loud otherwise);
+  *    the loop variable is the row, referenced `v.col` (substituted
+  *    as typed literals per iteration). Set-based statements remain
+  *    the way to touch big tables — FOR is for orchestration shapes
+  *    (per-partition maintenance, per-table DDL), like the reference
+  *    DAG's per-day task loop.
   *  - every [[GraftSql.load]] statement (SELECT/MERGE/INSERT/CTAS/
   *    DELETE/UPDATE/TRUNCATE/ALTER/ASSERT/EXPORT/CREATE VIEW/
   *    EXTERNAL TABLE/LOAD DATA/VECTOR_SEARCH/time travel) as the
@@ -67,10 +83,13 @@ object GraftScript {
   def run(spark: SparkSession, script: String, maxIterations: Int = 10000): DataFrame = {
     val stmts = parseBlock(new Cursor(script), endKeyword = None)
     val vars = scala.collection.mutable.LinkedHashMap.empty[String, Lit]
+    // FOR-loop row variables: name → (column → literal); referenced as
+    // `v.col` in the body
+    val structVars = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Lit]]
     var last: Option[DataFrame] = None
 
     def substitute(sql: String): String = {
-      if (vars.isEmpty) return sql
+      if (vars.isEmpty && structVars.isEmpty) return sql
       val out = new StringBuilder
       var i = 0; var inStr = false; var inTick = false
       var prevWord = "" // last bare word emitted (for the AS-alias rule)
@@ -90,12 +109,29 @@ object GraftScript {
           val prevDot = i > 0 && sql.charAt(i - 1) == '.'
           val nextDot = j < sql.length && sql.charAt(j) == '.'
           val isAlias = prevWord.equalsIgnoreCase("AS")
-          vars.get(word.toLowerCase) match {
-            case Some(l) if !prevDot && !nextDot && !isAlias => out ++= l.render
-            case _ => out ++= word
+          if (!prevDot && !isAlias && structVars.contains(word.toLowerCase)) {
+            // FOR-loop row variable: must be field-referenced v.col
+            require(nextDot,
+              s"FOR loop variable $word holds a row; reference a column as $word.<name>")
+            var fs = j + 1
+            while (fs < sql.length && (Character.isLetterOrDigit(sql.charAt(fs)) || sql.charAt(fs) == '_')) fs += 1
+            val field = sql.substring(j + 1, fs)
+            require(field.nonEmpty, s"FOR loop variable $word: expected $word.<column>")
+            val lit = structVars(word.toLowerCase).getOrElse(field.toLowerCase,
+              throw new IllegalArgumentException(
+                s"FOR loop variable $word has no column $field " +
+                  s"(columns: ${structVars(word.toLowerCase).keys.mkString(", ")})"))
+            out ++= lit.render
+            prevWord = field
+            i = fs
+          } else {
+            vars.get(word.toLowerCase) match {
+              case Some(l) if !prevDot && !nextDot && !isAlias => out ++= l.render
+              case _ => out ++= word
+            }
+            prevWord = word
+            i = j
           }
-          prevWord = word
-          i = j
         } else {
           if (!Character.isWhitespace(c)) prevWord = ""
           out += c; i += 1
@@ -104,12 +140,16 @@ object GraftScript {
       out.toString
     }
 
-    def evalScalar(expr: String, sparkType: String): Lit = {
+    def evalRaw(expr: String, sparkType: String): Any = {
       val df = spark.sql(s"SELECT CAST((${substitute(expr)}) AS $sparkType) AS v")
       val rows = df.collect()
       require(rows.length == 1,
         s"scalar expression returned ${rows.length} rows: $expr")
-      val v = rows.head.get(0)
+      rows.head.get(0)
+    }
+
+    def evalScalar(expr: String, sparkType: String): Lit = {
+      val v = evalRaw(expr, sparkType)
       Lit(sparkType, Option(v).map(renderLiteral(_, sparkType)))
     }
 
@@ -146,6 +186,65 @@ object GraftScript {
           exec(body)
         }
       case Block(body) => exec(body)
+      case ExecImmediate(sqlExpr, into, using) =>
+        val dyn = evalRaw(sqlExpr, "STRING") match {
+          case s: String => s
+          case _ => throw new IllegalArgumentException(
+            "EXECUTE IMMEDIATE: the sql expression evaluated to NULL (need a STRING)")
+        }
+        // USING params: named → @name placeholders, bare → positional
+        // ?. BigQuery types USING params by their expression; here
+        // each evaluates under its natural type via a typeless SELECT
+        def evalAny(expr: String): Lit = {
+          val df = spark.sql(s"SELECT (${substitute(expr)}) AS v")
+          val rows = df.collect()
+          require(rows.length == 1, s"USING expression returned ${rows.length} rows: $expr")
+          val t = df.schema.head.dataType.sql
+          Lit(t, Option(rows.head.get(0)).map(renderLiteral(_, t)))
+        }
+        val namedLits = using.collect { case (e, Some(n)) => n.toLowerCase -> evalAny(e) }.toMap
+        val posLits = using.collect { case (e, None) => evalAny(e) }
+        require(namedLits.isEmpty || posLits.isEmpty,
+          "EXECUTE IMMEDIATE USING: don't mix named (expr AS name) and positional (expr) parameters")
+        val sqlText = bindParams(dyn, namedLits, posLits)
+        val df = GraftSql.load(spark, sqlText)
+        if (into.nonEmpty) {
+          val rows = df.collect()
+          require(rows.length <= 1,
+            s"EXECUTE IMMEDIATE ... INTO: query returned ${rows.length} rows (at most one)")
+          require(df.schema.length == into.length,
+            s"EXECUTE IMMEDIATE ... INTO: query has ${df.schema.length} columns " +
+              s"for ${into.length} INTO variables")
+          into.zipWithIndex.foreach { case (n, idx) =>
+            val k = n.toLowerCase
+            val cur = vars.getOrElse(k, throw new IllegalArgumentException(
+              s"EXECUTE IMMEDIATE INTO undeclared variable $n (DECLARE it first)"))
+            val v = if (rows.isEmpty) null else rows.head.get(idx)
+            // re-render under the DECLARED type (the value may arrive
+            // under the query's own type — BigQuery coerces on
+            // assignment)
+            vars(k) = Lit(cur.sparkType, Option(v).map(x =>
+              s"CAST(${renderLiteral(x, cur.sparkType)} AS ${cur.sparkType})"))
+          }
+        } else if (df.schema.nonEmpty) last = Some(df)
+      case ForIn(v, query, body) =>
+        val k = v.toLowerCase
+        require(!vars.contains(k) && !structVars.contains(k),
+          s"FOR loop variable $v collides with a declared variable")
+        val df = GraftSql.load(spark, substitute(query))
+        val rows = df.collect()
+        require(rows.length <= maxIterations,
+          s"FOR ... IN: the loop query returned ${rows.length} rows " +
+            s"(> maxIterations=$maxIterations) — FOR iterates driver-side over a " +
+            "BOUNDED result; fold large tables with a set-based statement instead")
+        val fields = df.schema.fields
+        try rows.foreach { r =>
+          structVars(k) = fields.zipWithIndex.map { case (f, i2) =>
+            val t = f.dataType.sql
+            f.name.toLowerCase -> Lit(t, Option(r.get(i2)).map(renderLiteral(_, t)))
+          }.toMap
+          exec(body)
+        } finally structVars.remove(k)
       case Plain(sql) =>
         val df = GraftSql.load(spark, substitute(sql))
         if (df.schema.nonEmpty) last = Some(df)
@@ -166,6 +265,57 @@ object GraftScript {
                               orElse: Seq[Stmt]) extends Stmt
   private final case class While(cond: String, body: Seq[Stmt]) extends Stmt
   private final case class Block(body: Seq[Stmt]) extends Stmt
+  private final case class ExecImmediate(sqlExpr: String, into: Seq[String],
+                                         using: Seq[(String, Option[String])]) extends Stmt
+  private final case class ForIn(varName: String, query: String,
+                                 body: Seq[Stmt]) extends Stmt
+
+  /** Bind EXECUTE IMMEDIATE parameters into the dynamic text:
+    * `@name` → the named literal, top-level `?` → the next positional
+    * literal (quote-aware; `@@system` variables untouched). Unused
+    * and unknown parameters are loud — a silently-unbound `@name`
+    * would reach the engine as an identifier.
+    */
+  private def bindParams(sql: String, named: Map[String, Lit],
+                         positional: Seq[Lit]): String = {
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    var posUsed = 0
+    val namedUsed = scala.collection.mutable.Set.empty[String]
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if (c == '@' && i + 1 < sql.length && sql.charAt(i + 1) != '@') {
+        var j = i + 1
+        while (j < sql.length && (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j += 1
+        val name = sql.substring(i + 1, j)
+        require(name.nonEmpty, s"EXECUTE IMMEDIATE: bare '@' in dynamic sql")
+        val lit = named.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(
+            s"EXECUTE IMMEDIATE: no USING parameter named $name " +
+              s"(have: ${named.keys.mkString(", ")})"))
+        namedUsed += name.toLowerCase
+        out ++= lit.render
+        i = j
+      } else if (c == '?') {
+        require(posUsed < positional.length,
+          s"EXECUTE IMMEDIATE: more ? placeholders than USING parameters (${positional.length})")
+        out ++= positional(posUsed).render
+        posUsed += 1
+        i += 1
+      } else { out += c; i += 1 }
+    }
+    require(posUsed == positional.length,
+      s"EXECUTE IMMEDIATE: ${positional.length} positional USING parameters " +
+        s"but only $posUsed ? placeholders")
+    val unusedNamed = named.keySet -- namedUsed
+    require(unusedNamed.isEmpty,
+      s"EXECUTE IMMEDIATE: USING parameters never referenced: ${unusedNamed.mkString(", ")}")
+    out.toString
+  }
 
   private final class Cursor(val text: String) {
     var pos = 0
@@ -275,9 +425,10 @@ object GraftScript {
     def atEnd: Boolean = c.eof ||
       endKeyword.exists(_.exists(ks => c.peekKeyword(ks: _*)))
     while (!atEnd) {
-      for (bad <- Seq("LOOP", "REPEAT", "LEAVE", "CONTINUE", "CALL", "RETURN", "EXCEPTION"))
+      for (bad <- Seq("LOOP", "REPEAT", "LEAVE", "CONTINUE", "BREAK", "ITERATE",
+        "CALL", "RETURN", "EXCEPTION"))
         require(!c.peekKeyword(bad),
-          s"$bad is not supported in scripts here (use WHILE ... END WHILE)")
+          s"$bad is not supported in scripts here (use WHILE ... END WHILE / FOR ... IN)")
       if (c.keyword("DECLARE")) {
         val names = scala.collection.mutable.ListBuffer(c.ident())
         c.skipWs()
@@ -324,6 +475,32 @@ object GraftScript {
         val body = parseBlock(c, Some(Seq(Seq("END"))))
         c.expect("END"); c.semicolon()
         out += Block(body)
+      } else if (c.keyword("EXECUTE", "IMMEDIATE")) {
+        val sqlExpr = c.until(Seq(Seq("INTO"), Seq("USING")), stopSemicolon = true)
+        require(sqlExpr.nonEmpty, "EXECUTE IMMEDIATE: missing sql expression")
+        val into = if (c.keyword("INTO")) {
+          val ns = scala.collection.mutable.ListBuffer(c.ident())
+          c.skipWs()
+          while (c.pos < c.text.length && c.text.charAt(c.pos) == ',') {
+            c.pos += 1; ns += c.ident(); c.skipWs()
+          }
+          ns.toSeq
+        } else Nil
+        val using = if (c.keyword("USING")) {
+          val text = c.until(Nil, stopSemicolon = true)
+          require(text.nonEmpty, "EXECUTE IMMEDIATE USING: missing parameter list")
+          splitTopLevelCommas(text).map(parseUsingItem)
+        } else Nil
+        c.semicolon()
+        out += ExecImmediate(sqlExpr, into, using)
+      } else if (c.keyword("FOR")) {
+        val v = c.ident()
+        c.expect("IN")
+        val q = c.until(Seq(Seq("DO")), stopSemicolon = false)
+        c.expect("DO")
+        val body = parseBlock(c, Some(Seq(Seq("END", "FOR"))))
+        c.expect("END", "FOR"); c.semicolon()
+        out += ForIn(v, stripOuterParens(q), body)
       } else {
         // one plain SQL statement to the next top-level ';' — CASE
         // ... END inside it sits behind no block keyword ambiguity
@@ -336,6 +513,72 @@ object GraftScript {
       }
     }
     out.toSeq
+  }
+
+  /** Split on top-level commas (quote-, backtick- and paren-aware). */
+  private def splitTopLevelCommas(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var start = 0; var depth = 0; var inStr = false; var inTick = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else if (c == '\'') inStr = true
+      else if (c == '`') inTick = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { out += text.substring(start, i).trim; start = i + 1 }
+      i += 1
+    }
+    out += text.substring(start).trim
+    out.toSeq
+  }
+
+  /** A USING item: `expr [AS name]` — the LAST top-level AS followed
+    * by a lone identifier is the parameter name (an `AS` inside a
+    * string literal or a `CAST(x AS T)`'s parens never splits).
+    */
+  private def parseUsingItem(item: String): (String, Option[String]) = {
+    var lastAs = -1
+    var i = 0; var depth = 0; var inStr = false; var inTick = false
+    while (i < item.length) {
+      val c = item.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == 'A' || c == 'a') &&
+        item.regionMatches(true, i, "AS", 0, 2) &&
+        (i == 0 || !Character.isLetterOrDigit(item.charAt(i - 1)) && item.charAt(i - 1) != '_') &&
+        (i + 2 >= item.length || !Character.isLetterOrDigit(item.charAt(i + 2)) && item.charAt(i + 2) != '_')) {
+        lastAs = i; i += 2
+      } else i += 1
+    }
+    if (lastAs < 0) return (item, None)
+    val name = item.substring(lastAs + 2).trim
+    if ("""^[A-Za-z_]\w*$""".r.pattern.matcher(name).matches())
+      (item.substring(0, lastAs).trim, Some(name))
+    else (item, None)
+  }
+
+  private def stripOuterParens(q0: String): String = {
+    val q = q0.trim
+    if (!q.startsWith("(") || !q.endsWith(")")) return q
+    // only strip if the opening paren matches the FINAL char
+    var depth = 0; var inStr = false
+    var i = 0
+    while (i < q.length - 1) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return q }
+      i += 1
+    }
+    q.substring(1, q.length - 1).trim
   }
 
   private def renderLiteral(v: Any, sparkType: String): String = v match {

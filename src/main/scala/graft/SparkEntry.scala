@@ -589,6 +589,28 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // A36b driver face: the DYNAMIC half of the scripting surface —
+    // FOR ... IN iterates the bounded distinct-type list, each
+    // iteration binds @params into an EXECUTE IMMEDIATE count whose
+    // INTO result folds into a scalar. Every quantity is an INT64 (or
+    // an exact double comparison both engines share), so the whole
+    // loop trajectory — row order, param binding, the fold — replays
+    // in DuckDB as one scalar subquery under the hash gate
+    "sql_script_dynamic" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("script_dyn_events")
+      graft.GraftScript.run(s,
+        """DECLARE total INT64 DEFAULT 0;
+          |DECLARE cnt INT64;
+          |FOR t IN (SELECT DISTINCT event_type AS et FROM script_dyn_events ORDER BY et) DO
+          |  EXECUTE IMMEDIATE
+          |    'SELECT COUNT(*) FROM script_dyn_events WHERE event_type = @et AND value > ' || '@floor'
+          |    INTO cnt USING t.et AS et, 1.0 AS floor;
+          |  SET total = total + cnt;
+          |END FOR;
+          |SELECT event_type, COUNT(*) AS n, total AS gated_total
+          |FROM script_dyn_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // A38 driver face: BigQuery SQL UDFs (CREATE TEMP FUNCTION ... AS
     // (expr)) translated onto Spark 4's native SQL functions, which
     // Catalyst INLINES at every call site — so the whole query plans
@@ -2178,6 +2200,12 @@ object SparkEntry {
         """SELECT event_type, COUNT(*) AS n,
           |       (SELECT COUNT(*) FROM events WHERE event_type <> 'click') AS nonclick_total,
           |       CAST(4 AS BIGINT) AS buckets
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the dynamic script's replay: the FOR/EXECUTE IMMEDIATE fold
+      // over per-type gated counts equals one scalar subquery
+      "sql_script_dynamic" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |       (SELECT COUNT(*) FROM events WHERE value > 1.0) AS gated_total
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the UDF query with both function bodies inlined by hand —
       // cents are integers after ROUND, so the replay is hash-exact

@@ -114,4 +114,93 @@ class GraftScriptSpec extends SparkSuite {
       GraftScript.run(spark, "IF TRUE SELECT 1; END IF;")
     }
   }
+
+  test("EXECUTE IMMEDIATE: dynamic sql with named/positional params and INTO binding") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("exi_t")
+    // dynamic text built from a variable; named @params; INTO binds
+    val out = GraftScript.run(spark,
+      """DECLARE tbl STRING DEFAULT 'exi_t';
+        |DECLARE total FLOAT64;
+        |DECLARE cnt INT64;
+        |EXECUTE IMMEDIATE 'SELECT SUM(v), COUNT(*) FROM ' || tbl || ' WHERE id >= @lo'
+        |  INTO total, cnt USING 2 AS lo;
+        |SELECT total AS total, cnt AS cnt""".stripMargin)
+    val r = out.head()
+    assert(r.getDouble(0) == 50.0 && r.getLong(1) == 2L)
+
+    // positional ? params; result set becomes the script result
+    val out2 = GraftScript.run(spark,
+      "EXECUTE IMMEDIATE 'SELECT id FROM exi_t WHERE id > ? AND name <> ? ORDER BY id' USING 1, 'b';")
+    assert(out2.collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // zero rows → INTO binds NULLs; >1 rows is loud
+    val out3 = GraftScript.run(spark,
+      """DECLARE x INT64 DEFAULT 9;
+        |EXECUTE IMMEDIATE 'SELECT id FROM exi_t WHERE id > 100' INTO x;
+        |SELECT x AS x""".stripMargin)
+    assert(out3.head().isNullAt(0))
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "DECLARE x INT64; EXECUTE IMMEDIATE 'SELECT id FROM exi_t' INTO x;")
+    }
+    // loud: unknown @param, unused USING, mixing named and positional,
+    // non-string sql expression
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "EXECUTE IMMEDIATE 'SELECT @nope' USING 1 AS lo;")
+    }
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "EXECUTE IMMEDIATE 'SELECT 1' USING 1 AS lo;")
+    }
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "EXECUTE IMMEDIATE 'SELECT ? + @lo' USING 1, 2 AS lo;")
+    }
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "EXECUTE IMMEDIATE NULL;")
+    }
+    // per the BigQuery contract, the dynamic text gets NO variable
+    // substitution — an undeclared reference stays an identifier and
+    // fails to resolve (variables enter only through USING)
+    intercept[Exception] {
+      GraftScript.run(spark,
+        "DECLARE lo INT64 DEFAULT 1; EXECUTE IMMEDIATE 'SELECT id FROM exi_t WHERE id > lo';")
+    }
+  }
+
+  test("FOR ... IN iterates a bounded result with v.col row references") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("for_t")
+    // classic orchestration shape: per-row maintenance accumulating
+    // into a scalar — the fold replays the grouped sum
+    val out = GraftScript.run(spark,
+      """DECLARE acc FLOAT64 DEFAULT 0.0;
+        |DECLARE names STRING DEFAULT '';
+        |FOR row IN (SELECT id, name, v FROM for_t WHERE id >= 2 ORDER BY id) DO
+        |  SET acc = acc + row.v;
+        |  SET names = names || row.name;
+        |END FOR;
+        |SELECT acc AS acc, names AS names""".stripMargin)
+    val r = out.head()
+    assert(r.getDouble(0) == 50.0 && r.getString(1) == "bc")
+
+    // loud: bare struct reference, unknown column, unbounded loop
+    // query, variable collision
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "FOR r IN (SELECT id FROM for_t) DO SELECT r; END FOR;")
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "FOR r IN (SELECT id FROM for_t) DO SELECT r.nope; END FOR;")
+    }
+    assert(e.getMessage.contains("no column"))
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "FOR r IN (SELECT id FROM for_t) DO SELECT r.id; END FOR;", maxIterations = 2)
+    }
+    intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "DECLARE r INT64; FOR r IN (SELECT id FROM for_t) DO SELECT r.id; END FOR;")
+    }
+  }
 }
