@@ -1597,6 +1597,37 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // S13: budgeted mixing with UP-sampling — per-source size budgets
+    // drive full-epoch replication plus a hash-gated partial epoch
+    // (the Llama-recipe composition corpus_mix can't express: it only
+    // downsamples). Budgets derive deterministically from per-source
+    // totals (rank mod 4 cycles four regimes: 2 epochs + third,
+    // partial-only, exact-3-multiple with NO partial, 1 + quarter),
+    // so the DuckDB oracle re-derives budgets, allocation, replicas
+    // and the partial-epoch hash gate — integer end-to-end
+    "corpus_mix_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tot = docs.groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("long")).as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budgets = tot.keys.toSeq.sorted.zipWithIndex.map { case (src, i) =>
+        val t = tot(src)
+        src -> (i % 4 match {
+          case 0 => 2 * t + t / 3
+          case 1 => t / 2
+          case 2 => 3 * t
+          case _ => t + t / 4
+        })
+      }.toMap
+      graft.operators.Mixing.mixToBudget(docs, "doc_id", "source", "n_chars", budgets)
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("n_chars").cast("long")).as("size_sum"),
+          F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
+        .orderBy("source", "epoch")
+    }),
+
     // line-level boilerplate removal: lines appearing in >= 2 distinct
     // docs are chrome, everything else survives in order; on this
     // single-line corpus that empties exact-duplicate docs (multi-line
@@ -2782,6 +2813,38 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < h
           |ORDER BY d.doc_id""".stripMargin,
+      // budgeted-mix replay: budgets re-derive from ranked per-source
+      // totals, full epochs via generate_series (empty when full=0 —
+      // unnest drops the row), the partial epoch via the hash52 gate
+      "corpus_mix_budget" ->
+        s"""WITH tot AS (
+          |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t,
+          |         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS rk
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+          |  GROUP BY source),
+          |alloc AS (
+          |  SELECT source, t,
+          |         CASE rk % 4 WHEN 0 THEN 2*t + t // 3 WHEN 1 THEN t // 2
+          |                     WHEN 2 THEN 3*t ELSE t + t // 4 END AS b
+          |  FROM tot),
+          |a2 AS (
+          |  SELECT source, b // t AS full_e,
+          |         CAST(floor(CAST(b % t AS DOUBLE) / CAST(t AS DOUBLE)
+          |                    * 4503599627370496.0) AS BIGINT) AS thr
+          |  FROM alloc),
+          |reps AS (
+          |  SELECT d.doc_id, d.source, d.n_chars,
+          |         unnest(generate_series(0, a2.full_e - 1)) AS epoch
+          |  FROM documents d JOIN a2 USING (source)
+          |  UNION ALL
+          |  SELECT d.doc_id, d.source, d.n_chars, a2.full_e AS epoch
+          |  FROM documents d JOIN a2 USING (source)
+          |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < a2.thr)
+          |SELECT source, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n,
+          |       CAST(SUM(n_chars) AS BIGINT) AS size_sum,
+          |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          |FROM reps GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
       // line df over distinct docs, then anti-join + ordered rebuild;
       // DuckDB groups raw lines where Spark groups md5(line) — equal
       // up to md5 collisions (the dedup_exact equivalence)

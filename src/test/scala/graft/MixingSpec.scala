@@ -90,4 +90,82 @@ class MixingSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"corpus-side join must be broadcast:\n$plan")
   }
+
+  /** Sized corpus for the budget face: every doc carries a size. */
+  private lazy val sized = {
+    val rows = Seq(("web", 400), ("books", 50), ("ref", 8))
+      .flatMap { case (src, n) => (0 until n).map(i =>
+        (s"$src-$i".hashCode.toLong, src, 50L + (i % 7) * 10L)) }
+    rows.toDF("doc_id", "source", "n_tok")
+  }
+
+  test("mixToBudget: full epochs replicate exactly, the partial epoch meets the remainder in expectation") {
+    val tot = sized.groupBy("source").agg(F.sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ref upsamples (3 full + partial), books ~1 epoch + partial,
+    // web downsamples (partial only)
+    val budgets = Map(
+      "ref" -> (3 * tot("ref") + tot("ref") / 2),
+      "books" -> (tot("books") + tot("books") / 4),
+      "web" -> tot("web") / 3)
+    val out = Mixing.mixToBudget(sized, "doc_id", "source", "n_tok", budgets).cache()
+
+    // full epochs: every doc of the source appears once per epoch
+    val refDocs = sized.filter($"source" === "ref").count()
+    for (e <- 0 until 3)
+      assert(out.filter($"source" === "ref" && $"epoch" === e).count() == refDocs,
+        s"ref epoch $e must be a complete copy")
+    assert(out.filter($"source" === "books" && $"epoch" === 0).count() ==
+      sized.filter($"source" === "books").count())
+    // partial epochs carry roughly the remainder's share of size
+    def size(src: String, e: Int): Long =
+      out.filter($"source" === src && $"epoch" === e)
+        .agg(F.sum("n_tok")).head().getLong(0)
+    val refPartial = size("ref", 3).toDouble / tot("ref")
+    assert(refPartial > 0.25 && refPartial < 0.75, s"ref partial carried $refPartial (want ~0.5)")
+    val webPartial = size("web", 0).toDouble / tot("web")
+    assert(webPartial > 0.15 && webPartial < 0.55, s"web partial carried $webPartial (want ~0.33)")
+    // no source exceeds its epoch count; epochs are dense from 0
+    assert(out.filter($"source" === "web" && $"epoch" > 0).count() == 0)
+    assert(out.filter($"source" === "books" && $"epoch" > 1).count() == 0)
+
+    // determinism + subset stability: dropping OTHER sources never
+    // changes a source's replica set
+    val again = Mixing.mixToBudget(sized, "doc_id", "source", "n_tok", budgets)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    val refOnly = Mixing.mixToBudget(sized.filter($"source" === "ref"),
+      "doc_id", "source", "n_tok", Map("ref" -> budgets("ref")))
+    val refFromFull = out.filter($"source" === "ref")
+    assert(refOnly.exceptAll(refFromFull).count() == 0 &&
+      refFromFull.exceptAll(refOnly).count() == 0)
+    out.unpersist()
+  }
+
+  test("mixToBudget: exact-multiple budgets emit no partial epoch; louds fire") {
+    val tot = sized.groupBy("source").agg(F.sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Mixing.mixToBudget(sized, "doc_id", "source", "n_tok",
+      Map("ref" -> 2 * tot("ref")))
+    assert(out.groupBy("epoch").count().collect().map(r =>
+      r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> sized.filter($"source" === "ref").count(),
+          1 -> sized.filter($"source" === "ref").count()))
+
+    // unnamed sources are dropped entirely
+    assert(out.filter($"source" =!= "ref").count() == 0)
+
+    // louds: typo'd source, epoch explosion, non-positive budget
+    val e1 = intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(sized, "doc_id", "source", "n_tok", Map("wep" -> 10L))
+    }
+    assert(e1.getMessage.contains("wep"))
+    val e2 = intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(sized, "doc_id", "source", "n_tok",
+        Map("ref" -> 1000000L * tot("ref")), maxEpochs = 100)
+    }
+    assert(e2.getMessage.contains("maxEpochs"))
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(sized, "doc_id", "source", "n_tok", Map("ref" -> 0L))
+    }
+  }
 }
