@@ -73,8 +73,8 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteInformationSchema(spark,
-      rewriteVectorSearch(spark, rewriteTimeTravel(spark, sql0)))
+    val sql = rewriteTableSample(rewriteInformationSchema(spark,
+      rewriteVectorSearch(spark, rewriteTimeTravel(spark, sql0))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -116,6 +116,44 @@ object GraftSql {
           "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE, " +
           "LOAD DATA, CREATE [TEMP] [TABLE] FUNCTION")
     }
+  }
+
+  /** BigQuery `TABLESAMPLE SYSTEM (n PERCENT)` → Spark
+    * `TABLESAMPLE (n PERCENT)` (quote-aware token drop). Semantics
+    * note, deliberate: BigQuery's SYSTEM samples STORAGE BLOCKS
+    * (approximate, non-uniform over rows); Spark's PERCENT samples
+    * rows Bernoulli — a BETTER estimator under the same "give me
+    * roughly n% cheaply" contract, and `REPEATABLE (seed)` composes
+    * for reproducible runs. Statistical sampling is inherently
+    * engine-specific, so no oracle claims exactness here — the
+    * deterministic sampling surface is the S-block (hash thresholds,
+    * exactly-k, k-fold).
+    */
+  private[graft] def rewriteTableSample(sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("TABLESAMPLE")) return sql
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if ((c == 'T' || c == 't') && sql.regionMatches(true, i, "TABLESAMPLE", 0, 11) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+        (i + 11 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 11)))) {
+        out ++= sql.substring(i, i + 11)
+        i += 11
+        var j = i
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+        if (sql.regionMatches(true, j, "SYSTEM", 0, 6) &&
+          (j + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(j + 6)))) {
+          out += ' '
+          i = j + 6 // drop the SYSTEM token, keep one space
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   private val AssertRe = """(?is)^\s*ASSERT\b.*""".r

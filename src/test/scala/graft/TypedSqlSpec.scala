@@ -836,6 +836,26 @@ class TypedSqlSpec extends SparkSuite {
       .contains("OPTIONS"))
   }
 
+  test("GraftSql: BigQuery TABLESAMPLE SYSTEM runs as Spark row sampling") {
+    import graft.sources.Tables
+    Tables.orders(spark, sf).createOrReplaceTempView("ts_orders")
+    val total = spark.table("ts_orders").count()
+    val sampled = GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM ts_orders TABLESAMPLE SYSTEM (10 PERCENT) REPEATABLE (7)")
+      .head().getLong(0)
+    assert(sampled > 0 && sampled < total / 2,
+      s"10% sample returned $sampled of $total rows")
+    // REPEATABLE makes the sample reproducible run to run
+    val again = GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM ts_orders TABLESAMPLE SYSTEM (10 PERCENT) REPEATABLE (7)")
+      .head().getLong(0)
+    assert(sampled == again)
+    // the rewrite never touches string literals
+    val lit = GraftSql.load(spark,
+      "SELECT 'TABLESAMPLE SYSTEM (5 PERCENT)' AS s").head().getString(0)
+    assert(lit == "TABLESAMPLE SYSTEM (5 PERCENT)")
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
