@@ -1898,6 +1898,27 @@ object SparkEntry {
         .withColumn("clean_len", F.length(F.col("clean")))
         .orderBy("doc_id")
     }),
+    // E20: Unicode normalization — each doc decorated with a suffix
+    // cycling five byte-spelling classes (combining-mark accents,
+    // double marks, composed, ASCII, combining cluster), then NFC'd
+    // and accent-folded through the native NormalizeText expression.
+    // DuckDB's nfc_normalize/strip_accents implement the same UAX #15
+    // tables, so the full normalized TEXT (not just lengths) sits
+    // under the hash gate byte-for-byte
+    "text_normalize" -> ((s, d) => {
+      val suffix = F.element_at(F.array(
+        F.lit("Café"), F.lit("Ångström"), F.lit("plain"),
+        F.lit("mañana"), F.lit("élève")),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"))
+      val deco = Tables.documents(s, d)
+        .withColumn("raw", F.concat(F.col("text"), F.lit(" "), suffix))
+      deco.select(F.col("doc_id"),
+          F.length(F.col("raw")).cast("long").as("raw_len"),
+          T.normalize(F.col("raw")).as("nfc"))
+        .withColumn("nfc_len", F.length(F.col("nfc")).cast("long"))
+        .withColumn("folded", T.foldAccents(F.col("nfc")))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, d) => {
       val t = F.col("text")
       Tables.documents(s, d).select(
@@ -3536,6 +3557,24 @@ object SparkEntry {
           |SELECT doc_id, trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g')) AS clean,
           |       length(trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g'))) AS clean_len
           |FROM e ORDER BY doc_id""".stripMargin,
+      // normalization replay: the suffix rebuilds from chr() codepoints
+      // (combining acute 769, ring 778, diaeresis 776, grave 768,
+      // composed ñ 241), then nfc_normalize/strip_accents — the same
+      // UAX #15 tables java.text.Normalizer implements
+      "text_normalize" ->
+        """WITH deco AS (
+          |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 5 AS INT)
+          |    WHEN 0 THEN 'Cafe' || chr(769)
+          |    WHEN 1 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+          |    WHEN 2 THEN 'plain'
+          |    WHEN 3 THEN 'ma' || chr(241) || 'ana'
+          |    ELSE 'e' || chr(769) || 'le' || chr(768) || 've' END AS raw
+          |  FROM documents),
+          |n AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+          |             nfc_normalize(raw) AS nfc FROM deco)
+          |SELECT doc_id, raw_len, nfc, CAST(length(nfc) AS BIGINT) AS nfc_len,
+          |       strip_accents(lower(nfc)) AS folded
+          |FROM n ORDER BY doc_id""".stripMargin,
       // per-row quality replays bit-exactly (the text_quality row), so
       // the bucket counts and min/max fold to identical values
       "corpus_report" ->

@@ -1260,6 +1260,39 @@ case class ApplyBpe(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Unicode normalization (UAX #15, via `java.text.Normalizer`) as a
+  * codegen'd expression — the corpus-canonicalization stage every
+  * text pipeline runs before hashing/dedup (CCNet normalizes first;
+  * without it byte-variant spellings of the SAME text — composed vs
+  * combining-mark accents, compatibility ligatures — defeat every
+  * hash family from C1 to MinHash). Forms NFC/NFD/NFKC/NFKD; the
+  * already-normalized fast path returns the input UTF8String without
+  * allocating (the common case on clean corpora — `isNormalized` is a
+  * single scan). DuckDB's `nfc_normalize` replays the NFC face
+  * byte-for-byte (both implement UAX #15), which is what puts the
+  * driver face under a hash oracle.
+  */
+case class NormalizeText(child: Expression, form: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown Unicode normalization form $form (NFC/NFD/NFKC/NFKD)")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normText", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -1287,6 +1320,8 @@ object native {
     }
   }
 
+  def normalize_text(s: Column, form: String): Column =
+    Bridge.column(NormalizeText(Bridge.expression(s), form))
   def minhash_signature(tokens: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), k))
   def simhash64(tokens: Column): Column =
@@ -1374,7 +1409,11 @@ object native {
     ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of string arrays",
       es => { arity("graft_jaccard", es, 2); JaccardSim(es.head, es(1)) }),
     ("graft_int8_quantize", "graft_int8_quantize(vec) - (scale, int8 codes) of a float vector",
-      es => { arity("graft_int8_quantize", es, 1); Int8Quantize(es.head) }))
+      es => { arity("graft_int8_quantize", es, 1); Int8Quantize(es.head) }),
+    ("graft_normalize", "graft_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization",
+      es => { arity("graft_normalize", es, 2)
+        NormalizeText(es.head,
+          constStr("graft_normalize", es, 1).toUpperCase(java.util.Locale.ROOT)) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -9,6 +9,22 @@ import org.apache.spark.sql.{Column, functions => F}
   */
 object text {
 
+  /** Unicode normalization (UAX #15; native codegen'd expression).
+    * Run NFC before any hash-keyed stage — composed vs combining-mark
+    * spellings of the same text are different BYTES and defeat every
+    * dedup hash family until canonicalized.
+    */
+  def normalize(c: Column, form: String = "NFC"): Column =
+    native.normalize_text(c, form)
+
+  /** Accent-folded matching form: lower → NFD → strip combining
+    * marks. The fuzzy-matching canonicalization (resume ≡ résumé);
+    * mirrors DuckDB's `strip_accents(lower(s))` on decomposable
+    * Latin, which is what lets a driver face hash-oracle it.
+    */
+  def foldAccents(c: Column): Column =
+    F.regexp_replace(native.normalize_text(F.lower(c), "NFD"), "\\p{Mn}", "")
+
   /** Whitespace tokenization of trimmed, lowercased text. */
   def tokens(c: Column): Column = F.split(F.lower(F.trim(c)), "\\s+")
 

@@ -310,4 +310,53 @@ class TextSpec extends SparkSuite {
       classes, zeroW, buckets = 64).collect()
     assert(tied.head.getString(2) == "aa" && tied.head.getLong(3) == 0L)
   }
+
+  test("normalize/foldAccents: UAX #15 parity with java.text.Normalizer, idempotence, dedup rescue") {
+    import graft.functions.{text => T}
+    val fixtures = Seq(
+      "Café",                    // combining acute → composes
+      "Ångström",          // two combining marks
+      "mañana",                   // already NFC: fast-path no-op
+      "plain ascii",
+      "élève",
+      "ﬁn")                       // ﬁ ligature: NFC keeps, NFKC splits
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = df.select($"id", T.normalize($"s").as("nfc"),
+        T.normalize($"s", "NFKC").as("nfkc"), T.foldAccents($"s").as("folded"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    import java.text.Normalizer
+    got.foreach { case (i, nfc, nfkc, folded) =>
+      val s = fixtures(i.toInt)
+      assert(nfc == Normalizer.normalize(s, Normalizer.Form.NFC), s"NFC drift on $i")
+      assert(nfkc == Normalizer.normalize(s, Normalizer.Form.NFKC), s"NFKC drift on $i")
+      val ref = Normalizer.normalize(s.toLowerCase, Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}", "")
+      assert(folded == ref, s"fold drift on $i")
+    }
+    // the canonical pair: composed and combining spellings become one
+    assert(got(0)._2 == "Café" && got(0)._4 == "cafe")
+    assert(got(5)._3 == "fin") // NFKC splits the ligature
+    // idempotence: normalize ∘ normalize = normalize
+    val twice = df.select(T.normalize(T.normalize($"s")).as("a"), T.normalize($"s").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(twice == 0)
+    // nulls pass through; unknown form is loud at construction
+    assert(Seq((1L, null: String)).toDF("id", "s")
+      .select(T.normalize($"s")).head().isNullAt(0))
+    intercept[IllegalArgumentException] { T.normalize($"s", "NFX") }
+
+    // dedup rescue: the SAME text under two spellings collapses only
+    // after normalization (the reason this stage runs before hashing)
+    val pair = Seq((1L, "Café au lait"), (2L, "Café au lait")).toDF("doc_id", "text")
+    def dupGroups(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Dedup.exact(df, "text", "doc_id").filter($"n_dups" > 1).count()
+    assert(dupGroups(pair) == 0 &&
+      dupGroups(pair.withColumn("text", T.normalize($"text"))) == 1)
+
+    // SQL registration
+    graft.functions.native.registerAll(spark)
+    pair.createOrReplaceTempView("norm_t")
+    assert(spark.sql("SELECT COUNT(DISTINCT graft_normalize(text, 'NFC')) AS n FROM norm_t")
+      .head().getLong(0) == 1L)
+  }
 }
