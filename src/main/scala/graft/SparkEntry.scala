@@ -2081,6 +2081,28 @@ object SparkEntry {
       val withBin = Multimodal.withPayload(decorated)
       Multimodal.perceptualPairs(Multimodal.averageHash(withBin), maxHamming = 4)
         .orderBy("id_a", "id_b")
+    }),
+    // F5: video-style near-dup by shared FRAME fingerprints — F3
+    // frame sampling (32-byte frames, stride 2) composed with F4
+    // aHash per frame, payloads paired by the size of their distinct
+    // fingerprint-set intersection. Decorations: re-keyed exact
+    // replicas (share every sampled frame) and half-prefix truncations
+    // (share the aligned prefix frames — the case the whole-payload
+    // hash F4 misses). Integer end to end after the frame slice, so
+    // frames → hashes → sets → intersection counts replay in DuckDB
+    "mm_frame_phash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val deco = docs
+        .unionByName(docs.filter(F.col("doc_id") % 50 === 0)
+          .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 30 === 0)
+          .select((F.col("doc_id") + 2000000L).as("doc_id"),
+            F.col("text").substr(F.lit(1),
+              (F.length(F.col("text")) / 2).cast("int")).as("text")))
+      val withBin = deco.select(F.col("doc_id"), F.col("text").cast("binary").as("payload"))
+      Multimodal.framePhashPairs(withBin, frameBytes = 32, stride = 2,
+          minShared = 2, maxDf = 1000)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4072,7 +4094,40 @@ object SparkEntry {
           |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
           |              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
           |       FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin
+          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin,
+      // per-frame aHash replay: frames are 32-byte hex slices (≤ 60,
+      // so the thumbnail law is the identity), mean-threshold bits,
+      // distinct sets per payload, pair counts = set intersections
+      "mm_frame_phash" ->
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |         substr(text, 1, CAST(length(text) AS INT) // 2) AS text
+          |  FROM documents WHERE doc_id % 30 = 0),
+          |p AS (SELECT doc_id, hex(encode(text)) AS hx,
+          |             octet_length(encode(text)) AS n
+          |      FROM d WHERE octet_length(encode(text)) > 0),
+          |fi AS (SELECT doc_id, hx,
+          |              unnest(range(0, CAST(ceil(CAST(n AS DOUBLE)/32.0) AS BIGINT), 2)) AS f
+          |       FROM p),
+          |fr AS (SELECT doc_id, substr(hx, 2*(f*32) + 1, 64) AS fhx FROM fi),
+          |fb AS (SELECT doc_id, length(fhx)//2 AS m,
+          |         [CAST(('0x' || substr(fhx, 2*j+1, 2)) AS BIGINT)
+          |          for j in range(0, CAST(length(fhx)//2 AS INT))] AS bytes
+          |       FROM fr),
+          |mn AS (SELECT doc_id, bytes, m, list_sum(bytes) // m AS mean FROM fb),
+          |hz AS (SELECT doc_id,
+          |         CAST(coalesce(list_sum([CASE WHEN bytes[j+1] > mean
+          |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+          |           for j in range(0, CAST(m AS INT))]), 0) AS BIGINT) AS fhash
+          |       FROM mn),
+          |sets AS (SELECT DISTINCT doc_id, fhash FROM hz)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+          |FROM sets a JOIN sets b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

@@ -168,6 +168,59 @@ object Multimodal {
       .distinct()
   }
 
+  /** F5: video-style near-dup by SHARED FRAME FINGERPRINTS — the
+    * composition of F3 (frame sampling) and F4 (perceptual hashing)
+    * that video dedup pipelines actually run: sample every
+    * `stride`-th frame, aHash each frame, and call two payloads
+    * near-duplicates when their distinct frame-fingerprint SETS
+    * intersect in ≥ `minShared` values (|H_a ∩ H_b| — a re-encoded
+    * or truncated copy still shares its aligned keyframes even though
+    * the whole-payload hash (F4) no longer matches; prefix
+    * truncation keeps frame alignment, which is why shared-set
+    * matching catches it).
+    *
+    * Scale shape: frames are a bounded explode (len/(frameBytes·
+    * stride) rows); per-frame aHash is the native codegen'd
+    * expression (one compute per frame — the §4-rule-3-safe join
+    * key); per-payload sets collapse in ONE keyed aggregate before
+    * any join, so a constant frame repeated within a video costs one
+    * row; the frame-df cap (`maxDf`) drops fingerprints carried by
+    * more than `maxDf` payloads BEFORE the pair join — black frames /
+    * intro cards are boilerplate, not signal, and their uncapped
+    * fan-out is quadratic (the E5a ubiquitous-shingle rule). The
+    * pair join shuffles (fingerprint) keys only.
+    *
+    * Emits (id_a, id_b, n_shared), id_a < id_b. Everything after the
+    * thumbnail is integer arithmetic, so frames → hashes → sets →
+    * intersection counts replay in the DuckDB oracle.
+    */
+  def framePhashPairs(withBin: DataFrame, idCol: String = "doc_id",
+                      frameBytes: Int = 32, stride: Int = 4, thumbBytes: Int = 60,
+                      minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
+    val frames = frameSampleStub(withBin, frameBytes, stride)
+    val hashed = frames.select(F.col(idCol),
+      native.ahash64(F.col("frame"), thumbBytes).as("fhash"))
+    // distinct fingerprint set per payload — one keyed aggregate;
+    // in-video repetition collapses here
+    val sets = hashed.groupBy(idCol, "fhash").agg(F.count(F.lit(1)).as("__n"))
+      .select(F.col(idCol), F.col("fhash"))
+    // boilerplate-frame cap: df over payloads, computed on the slim
+    // (id, fhash) set — the filter sits on an aggregate output, safely
+    // above the staged hash derivation
+    val kept = sets.join(
+      sets.groupBy("fhash").agg(F.count(F.lit(1)).as("__df"))
+        .filter(F.col("__df") <= maxDf).select("fhash"),
+      Seq("fhash"))
+    val a = kept.select(F.col(idCol).as("id_a"), F.col("fhash"))
+    val b = kept.select(F.col(idCol).as("id_b"), F.col("fhash"))
+    a.join(b, Seq("fhash"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** Batched per-partition decode → feature rows, through the codec
     * contract. Takes a FACTORY, not an instance: each task constructs
     * its own codec, so concurrent partitions never share decode state

@@ -143,6 +143,77 @@ class MultimodalSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("frame phash pairs: replicas share all frames, truncations share the prefix, boilerplate caps out") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    // synthetic "videos": 8 frames of 32 md5-hex bytes each (distinct
+    // content per frame); vid 2 = exact copy of vid 1, vid 3 =
+    // first-half prefix of vid 1, vid 4 = unrelated
+    def frame(v: Int, f: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v$v-f$f".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def video(v: Int, frames: Int): String = (0 until frames).map(frame(v, _)).mkString
+    val vids = Seq(
+      (1L, video(1, 8)), (2L, video(1, 8)),
+      (3L, video(1, 8).substring(0, 4 * 32)), (4L, video(4, 8)))
+      .toDF("doc_id", "text")
+    val withBin = vids.select($"doc_id", $"text".cast("binary").as("payload"))
+    // reference expectation: distinct aHash sets per video, pair
+    // counts = set intersections (frame hashes may collide — the
+    // reference fold absorbs that instead of assuming 8 distinct)
+    def hashSet(text: String, stride: Int): Set[Long] =
+      text.getBytes("UTF-8").grouped(32).grouped(stride).map(_.head)
+        .flatMap(refAHash(_, 60)).toSet
+    val sets1 = hashSet(video(1, 8), 1)
+    val sets3 = hashSet(video(1, 8).substring(0, 4 * 32), 1)
+    val sets4 = hashSet(video(4, 8), 1)
+    assert(sets1.size >= 4, "fixture frames too collision-prone to test with")
+
+    val pairs = Multimodal.framePhashPairs(withBin, frameBytes = 32, stride = 1,
+        minShared = 1, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == sets1.size.toLong, s"got $pairs want full-set ${sets1.size}")
+    assert(pairs((1L, 3L)) == (sets1 & sets3).size.toLong)
+    assert(pairs((2L, 3L)) == (sets1 & sets3).size.toLong)
+    assert(pairs.get((1L, 4L)).forall(_ == (sets1 & sets4).size.toLong))
+    // no pairs within a single video
+    assert(Multimodal.framePhashPairs(withBin.filter($"doc_id" === 1L),
+      frameBytes = 32, stride = 1, minShared = 1).count() == 0)
+
+    // stride skips frames deterministically (samples 0, 2, 4, ...)
+    val strided = Multimodal.framePhashPairs(withBin, frameBytes = 32, stride = 2,
+        minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(strided((1L, 2L)) == hashSet(video(1, 8), 2).size.toLong)
+
+    // minShared gates: raising it past the 1↔3 intersection drops that
+    // pair but keeps the full replica
+    val gated = Multimodal.framePhashPairs(withBin, frameBytes = 32, stride = 1,
+        minShared = (sets1 & sets3).size + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated.contains((1L, 2L)) && !gated.contains((1L, 3L)))
+
+    // boilerplate cap: an intro frame prepended to EVERY video (df=5
+    // with the intro-only clip) caps out at maxDf=4 — 1↔4 lose their
+    // only shared frame, real pairs lose exactly the intro
+    val intro = frame(9, 0)
+    val introHash = refAHash(intro.getBytes("UTF-8"), 60).get
+    assert(!sets1.contains(introHash) && !sets4.contains(introHash))
+    val withIntro = vids.select($"doc_id",
+      F.concat(F.lit(intro), $"text").cast("binary").as("payload"))
+      .unionByName(Seq((5L, intro)).toDF("doc_id", "text")
+        .select($"doc_id", $"text".cast("binary").as("payload")))
+    val uncapped = Multimodal.framePhashPairs(withIntro, frameBytes = 32, stride = 1,
+        minShared = 1, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val capped = Multimodal.framePhashPairs(withIntro, frameBytes = 32, stride = 1,
+        minShared = 1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(uncapped((1L, 4L)) == 1L + (sets1 & sets4).size.toLong)
+    assert(!capped.contains((1L, 4L)) || capped((1L, 4L)) == (sets1 & sets4).size.toLong)
+    assert(uncapped((1L, 2L)) == capped((1L, 2L)) + 1L)
+    assert(!capped.keys.exists(k => k._2 == 5L || k._1 == 5L))
+  }
+
   test("a custom codec factory flows through decodeFeatures (contract is swappable)") {
     val docs = Tables.documents(spark, sf).limit(10)
     val out = Multimodal.decodeFeatures(spark, Multimodal.withPayload(docs),
