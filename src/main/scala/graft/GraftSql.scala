@@ -92,13 +92,36 @@ object GraftSql {
       loadData(spark, sql)
     } else if (FunctionHeadRe.pattern.matcher(sql).matches()) {
       createFunction(spark, sql)
+    } else if (CloneRe.pattern.matcher(sql).matches()) {
+      createClone(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
-      case m: MergeIntoTable => mergeParsed(spark, m)
-      case i: InsertIntoStatement => insertParsed(spark, i)
+      case m: MergeIntoTable =>
+        commitIfVersioned(spark, dmlTargetName(m.targetTable), "merge")(mergeParsed(spark, m))
+      case i: InsertIntoStatement =>
+        dmlTargetName(i.table).flatMap(n =>
+          graft.sources.Versioned.registeredPath(spark, n).map((n, _))) match {
+          case Some((n, path)) =>
+            // the transactional fast path: an APPEND disposition lands
+            // as an APPEND COMMIT — only the new rows write (O(batch),
+            // the FxPipeline ingest shape), the manifest extends the
+            // live set, and the pre-image stays readable AS OF
+            val (_, aligned, over) = insertAligned(spark, i)
+            if (over) graft.sources.Versioned.overwrite(aligned, path, label = "insert overwrite")
+            else graft.sources.Versioned.append(aligned, path, label = "insert")
+            graft.sources.Versioned.register(spark, n, path)
+          case None => insertParsed(spark, i)
+        }
       case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
-      case d: DeleteFromTable => deleteParsed(spark, d)
-      case u: UpdateTable => updateParsed(spark, u)
-      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable => truncateParsed(spark, t)
+      case d: DeleteFromTable =>
+        commitIfVersioned(spark, dmlTargetName(d.table), "delete")(deleteParsed(spark, d))
+      case u: UpdateTable =>
+        commitIfVersioned(spark, dmlTargetName(u.table), "update")(updateParsed(spark, u))
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        commitIfVersioned(spark, t.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            Some(ut.multipartIdentifier.last)
+          case _ => None
+        }, "truncate")(truncateParsed(spark, t))
       case a: AddColumns => addColumnsParsed(spark, a)
       case dc: DropColumns => dropColumnsParsed(spark, dc)
       case r: RenameColumn => renameColumnParsed(spark, r)
@@ -500,6 +523,52 @@ object GraftSql {
         "CONNECTION / TEMP TABLE clauses are not supported)")
   }
 
+  // ───────────── CREATE [SNAPSHOT] TABLE ... CLONE ─────────────
+
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(SNAPSHOT)\s+)?TABLE\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+CLONE\s+""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""").r
+
+  /** BigQuery's zero-copy clone verbs: `CREATE SNAPSHOT TABLE s CLONE
+    * t [FOR SYSTEM_TIME AS OF ts]` (read-only point-in-time copy) and
+    * `CREATE TABLE c CLONE t` (writable clone). The AS OF clause is
+    * resolved by [[load]]'s time-travel rewrite before this parser
+    * sees the text, so the source here is always a plain name.
+    *
+    * Zero-copy semantics, matching BigQuery's: the clone references
+    * the source's CURRENT data, not a materialized copy. A Versioned
+    * source resolves through its pinned manifest (a true storage-level
+    * snapshot: later DML commits to the source never touch the cloned
+    * files — only `vacuum` past the clone point can, the same horizon
+    * rule BigQuery applies to its 7-day window). A plain view source
+    * pins the source's current PLAN — a file-backed view snapshots;
+    * a derived view stays lazy (materialize via CTAS when the inputs
+    * themselves will mutate). On this engine tables ARE session
+    * views, so "snapshot" and "clone" differ only in intent — both
+    * register the pinned frame under the new name, with A31's three
+    * dispositions.
+    */
+  def createClone(spark: SparkSession, sql: String): DataFrame = sql match {
+    case CloneRe(orReplace, _, ifNotExists, rawName, rawSrc) =>
+      val name = viewName(rawName)
+      val src = viewName(rawSrc)
+      val exists = spark.catalog.tableExists(name)
+      if (exists && ifNotExists != null) return spark.table(name)
+      require(!exists || orReplace != null,
+        s"table $name already exists (use OR REPLACE or IF NOT EXISTS)")
+      val df = graft.sources.Versioned.registeredPath(spark, src) match {
+        case Some(path) => graft.sources.Versioned.read(spark, path)
+        case None => spark.table(src)
+      }
+      df.createOrReplaceTempView(name)
+      spark.table(name)
+    case _ => throw new IllegalArgumentException(
+      "not a supported CLONE statement (expected: CREATE [OR REPLACE] [SNAPSHOT] TABLE " +
+        "[IF NOT EXISTS] name CLONE source [FOR SYSTEM_TIME AS OF ts])")
+  }
+
   // ───────────── CREATE [TEMP] [TABLE] FUNCTION ─────────────
 
   private val FunctionHeadRe =
@@ -887,6 +956,15 @@ object GraftSql {
     }
 
   private def insertParsed(spark: SparkSession, ins: InsertIntoStatement): DataFrame = {
+    val (targetDf, aligned, overwrite) = insertAligned(spark, ins)
+    if (overwrite) aligned else targetDf.unionByName(aligned)
+  }
+
+  /** The INSERT statement's pieces, for callers that commit appends as
+    * appends: (current target, type-aligned new rows, overwrite?).
+    */
+  private def insertAligned(spark: SparkSession,
+                            ins: InsertIntoStatement): (DataFrame, DataFrame, Boolean) = {
     require(ins.partitionSpec.isEmpty,
       "PARTITION spec is not supported: day layouts route through Layout.writePartitioned")
     require(!ins.ifPartitionNotExists, "IF NOT EXISTS is not supported")
@@ -918,7 +996,7 @@ object GraftSql {
         s"target has ${targetDf.columns.mkString(", ")}) — parquet views have no DEFAULTs")
     val aligned = renamed
       .select(targetDf.schema.fields.toSeq.map(f => F.col(f.name).cast(f.dataType).as(f.name)): _*)
-    if (ins.overwrite) aligned else targetDf.unionByName(aligned)
+    (targetDf, aligned, ins.overwrite)
   }
 
   /** `CREATE TABLE name AS SELECT ...` — executed natively (Spark
@@ -1411,6 +1489,42 @@ object GraftSql {
   /** Table reference -> (DataFrame, accepted qualifiers): the explicit
     * alias if given, plus the relation name's last part.
     */
+  /** The unqualified target-table name of a DML endpoint plan, when it
+    * is a plain named relation (what the Versioned registry keys on).
+    */
+  private def dmlTargetName(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(_, u: UnresolvedRelation) => Some(u.multipartIdentifier.last)
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    case _ => None
+  }
+
+  /** Transactional DML: when the statement's target is a REGISTERED
+    * [[graft.sources.Versioned]] table, the verb's result snapshot
+    * lands as a NEW COMMIT (the manifest write is the atomic commit
+    * point — a crash mid-write leaves unreferenced debris the next
+    * commit reclaims, never a half-visible table; racing writers fail
+    * loudly at the create-exclusive manifest) and the session view
+    * refreshes to it. This is the transactional-catalog MERGE story
+    * without Delta/Iceberg jars: same statement text, single-writer
+    * ACID on plain parquet, pre-image readable
+    * `FOR SYSTEM_TIME AS OF` until [[graft.sources.Versioned.vacuum]].
+    * MERGE/DELETE/UPDATE commit full snapshots (BigQuery DML rewrites
+    * too); INSERT's append disposition commits ONLY the new rows
+    * (O(batch) — handled at the dispatch site). Unregistered targets
+    * keep the plain snapshot-return contract.
+    */
+  private def commitIfVersioned(spark: SparkSession, nameOpt: Option[String],
+                                action: String)(result: => DataFrame): DataFrame = {
+    val hit = nameOpt.flatMap(n =>
+      graft.sources.Versioned.registeredPath(spark, n).map(p => (n, p)))
+    hit match {
+      case Some((n, path)) =>
+        graft.sources.Versioned.overwrite(result, path, label = action)
+        graft.sources.Versioned.register(spark, n, path)
+      case None => result
+    }
+  }
+
   private def resolve(spark: SparkSession, p: LogicalPlan): (DataFrame, Set[String]) = p match {
     case SubqueryAlias(ident, u: UnresolvedRelation) =>
       // carry the statement's alias onto the frame so alias-qualified

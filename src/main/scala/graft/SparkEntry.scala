@@ -564,6 +564,41 @@ object SparkEntry {
           |ORDER BY face, event_type""".stripMargin)
     }),
 
+    // A33b driver face: TRANSACTIONAL DML — INSERT/DELETE/UPDATE
+    // statements against a registered Versioned table land as commits
+    // (INSERT as an O(batch) APPEND commit, the mutations as snapshot
+    // commits; the manifest write is the atomic commit point), and
+    // the pre-image stays readable AS OF the pinned first commit.
+    // The oracle replays the whole trajectory as filters + a CASE —
+    // hash-green proves the commit log, the per-verb routing, and the
+    // history cut
+    "sql_versioned_dml" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vdml_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Tables.events(s, d)
+        .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+      def third(i: Int) = e.filter(F.pmod(F.col("event_id"), F.lit(3)) === i)
+      graft.sources.Versioned.overwrite(third(0), dir,
+        Some(graft.GraftSql.parseTsLiteralUs("2024-01-01 00:00:00")))
+      graft.sources.Versioned.register(s, "vd_events", dir)
+      third(1).createOrReplaceTempView("vd_incoming")
+      graft.GraftSql.load(s, "INSERT INTO vd_events SELECT * FROM vd_incoming")
+      graft.GraftSql.load(s, "DELETE FROM vd_events WHERE event_type = 'click'")
+      graft.GraftSql.load(s, "UPDATE vd_events SET value = value * 2 WHERE event_type = 'purchase'")
+      graft.GraftSql.load(s,
+        """SELECT 'asof' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM vd_events FOR SYSTEM_TIME AS OF TIMESTAMP '2024-06-01 00:00:00'
+          |GROUP BY event_type
+          |UNION ALL
+          |SELECT 'latest' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM vd_events GROUP BY event_type
+          |ORDER BY face, event_type""".stripMargin)
+    }),
+
     // A35 driver face: a BigQuery multi-statement script (DECLARE /
     // SET / IF / WHILE around distributed statements) through
     // GraftScript.run. Every variable is an INT64 scalar derived from
@@ -2289,6 +2324,22 @@ object SparkEntry {
           |       COUNT(*) AS n,
           |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
           |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+      // versioned-DML replay: asof = the pinned first commit (third
+      // 0); latest = thirds 0+1 minus clicks with purchase values
+      // doubled (value*2 is exact in IEEE doubles)
+      "sql_versioned_dml" ->
+        """WITH cur AS (
+          |  SELECT event_type,
+          |         CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+          |  FROM events WHERE event_id % 3 IN (0, 1) AND event_type <> 'click')
+          |SELECT 'asof' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+          |UNION ALL
+          |SELECT 'latest' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM cur GROUP BY event_type
+          |ORDER BY face, event_type""".stripMargin,
       // time travel: AS OF between commits 1 and 2 sees thirds 0+1;
       // the latest view sees only third 2 (commit 2 is an overwrite)
       "sql_time_travel" ->

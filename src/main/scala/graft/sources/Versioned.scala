@@ -125,18 +125,22 @@ object Versioned {
 
   /** Append `df` as a new commit: writes only the new files plus one
     * manifest — existing data is not touched (copy-on-write).
+    * `label` names the verb in the manifest (history observability);
+    * the live-set rule follows the append disposition regardless.
     */
-  def append(df: DataFrame, table: String, commitTsUs: Option[Long] = None): Commit =
-    commitWrite(df, table, "append", commitTsUs)
+  def append(df: DataFrame, table: String, commitTsUs: Option[Long] = None,
+             label: String = "append"): Commit =
+    commitWrite(df, table, append = true, label, commitTsUs)
 
   /** Replace the table's content as a new commit. Old versions stay
     * readable AS OF their time until [[vacuum]].
     */
-  def overwrite(df: DataFrame, table: String, commitTsUs: Option[Long] = None): Commit =
-    commitWrite(df, table, "overwrite", commitTsUs)
+  def overwrite(df: DataFrame, table: String, commitTsUs: Option[Long] = None,
+                label: String = "overwrite"): Commit =
+    commitWrite(df, table, append = false, label, commitTsUs)
 
-  private def commitWrite(df: DataFrame, table: String, action: String,
-                          commitTsUs: Option[Long]): Commit = {
+  private def commitWrite(df: DataFrame, table: String, append: Boolean,
+                          action: String, commitTsUs: Option[Long]): Commit = {
     val spark = df.sparkSession
     val (v, ts, prior) = nextCommit(spark, table, commitTsUs)
     val sub = dataSubdir(v)
@@ -152,7 +156,7 @@ object Versioned {
       f.delete(dataPath, true)
     df.write.mode("errorifexists").parquet(s"$table/$sub")
     val live =
-      if (action == "overwrite" || prior.isEmpty) Seq(sub)
+      if (!append || prior.isEmpty) Seq(sub)
       else prior.last.live :+ sub
     val c = Commit(v, ts, action, live)
     writeManifest(f, table, c)

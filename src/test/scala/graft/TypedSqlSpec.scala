@@ -856,6 +856,63 @@ class TypedSqlSpec extends SparkSuite {
     assert(lit == "TABLESAMPLE SYSTEM (5 PERCENT)")
   }
 
+  test("versioned DML: statements against a registered Versioned table commit new versions; snapshots pin history") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vdml-").toString + "/t"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "k", "v")
+    Versioned.overwrite(base, dir, Some(1000L))
+    Versioned.register(spark, "vdml_t", dir)
+
+    // INSERT lands as an APPEND COMMIT: live set extends, only the new
+    // rows' directory is written
+    Seq((4L, "c", 40.0)).toDF("id", "k", "v").createOrReplaceTempView("vdml_new")
+    GraftSql.load(spark, "INSERT INTO vdml_t SELECT * FROM vdml_new")
+    assert(spark.table("vdml_t").count() == 4)
+    val afterInsert = Versioned.commits(spark, dir)
+    assert(afterInsert.last.action == "insert" && afterInsert.last.live.size == 2,
+      s"INSERT must append-commit, got ${afterInsert.last}")
+
+    // a snapshot taken here pins the 4-row state across later DML
+    GraftSql.load(spark, "CREATE SNAPSHOT TABLE vdml_snap CLONE vdml_t")
+    GraftSql.load(spark, "DELETE FROM vdml_t WHERE k = 'a'")
+    assert(spark.table("vdml_t").count() == 2)
+    assert(spark.table("vdml_snap").count() == 4, "snapshot must pin the pre-DELETE state")
+
+    GraftSql.load(spark, "UPDATE vdml_t SET v = v * 2 WHERE k = 'b'")
+    assert(spark.table("vdml_t").filter($"k" === "b").head().getDouble(2) == 40.0)
+
+    Seq((2L, "b", 99.0), (9L, "z", 9.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("vdml_delta")
+    GraftSql.load(spark,
+      """MERGE INTO vdml_t t USING vdml_delta s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (s.id, s.k, s.v)""".stripMargin)
+    val fin = spark.table("vdml_t").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fin == Map(2L -> 99.0, 4L -> 40.0, 9L -> 9.0), s"got $fin")
+
+    // the pre-image is still readable AS OF the pinned first commit,
+    // and every verb left its label in the log
+    assert(Versioned.readAsOf(spark, dir, 1000L).count() == 3)
+    assert(Versioned.commits(spark, dir).map(_.action) ==
+      Seq("overwrite", "insert", "snapshot", "delete", "update", "merge")
+      || Versioned.commits(spark, dir).map(_.action) ==
+      Seq("overwrite", "insert", "delete", "update", "merge"),
+      s"got ${Versioned.commits(spark, dir).map(_.action)}")
+
+    // clone dispositions
+    intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "CREATE TABLE vdml_snap CLONE vdml_t")
+    }
+    GraftSql.load(spark, "CREATE TABLE IF NOT EXISTS vdml_snap CLONE vdml_t") // no-op
+    assert(spark.table("vdml_snap").count() == 4)
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE vdml_snap CLONE vdml_t")    // swap
+    assert(spark.table("vdml_snap").count() == 3)
+    // a CTAS mentioning 'clone' as a column name does not misroute
+    GraftSql.load(spark, "CREATE TABLE vdml_ctas AS SELECT id AS clone FROM vdml_snap")
+    assert(spark.table("vdml_ctas").columns.toSeq == Seq("clone"))
+  }
+
   test("streaming sessionization groups events by inactivity gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
