@@ -1737,6 +1737,19 @@ object SparkEntry {
         .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
       Similarity.bruteForceTopK(e, q, 10).orderBy("qid", "rank")
     }),
+    // D15: Matryoshka two-stage retrieval — prefix-cosine candidate
+    // generation (first 16 of 64 dims) + exact full-dim re-rank of
+    // the bounded top-32. Both stages deterministic double arithmetic
+    // (slice + index-ordered cosine), so the WHOLE composition —
+    // stage-1 cut included — replays in DuckDB under the hash gate
+    // (unlike the trained IVF/LSH routes, nothing needs pinning)
+    "ann_matryoshka_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.matryoshkaTopK(e, q, k = 10, prefixDim = 16, rerank = 32)
+        .orderBy("qid", "rank")
+    }),
     // D14/SQL: BigQuery's VECTOR_SEARCH TVF through GraftSql.load —
     // two calls in ONE statement (COSINE and default-EUCLIDEAN
     // distance), exercising the multi-occurrence rewrite. Both
@@ -3526,6 +3539,30 @@ object SparkEntry {
           |         ${dot("q.qvec", "e.embedding")} /
           |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
           |  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // matryoshka replay: prefix slices via list slicing, the
+      // stage-1 top-32 cut as a window (same (score DESC, id) law as
+      // the bounded aggregate), exact re-rank over the candidates
+      "ann_matryoshka_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |s1 AS (
+          |  SELECT q.qid, e.vec_id,
+          |         ${cosSql("q.qvec[1:16]", "e.embedding[1:16]")} AS pcos
+          |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+          |cand AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rn
+          |    FROM s1)
+          |  WHERE rn <= 32),
+          |scored AS (
+          |  SELECT c.qid, c.vec_id,
+          |         ${cosSql("q.qvec", "e.embedding")} AS cos
+          |  FROM cand c JOIN embeddings e USING (vec_id) JOIN q USING (qid))
           |SELECT qid, vec_id, cos, rank FROM (
           |  SELECT qid, vec_id, cos,
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank

@@ -57,6 +57,53 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** Matryoshka (MRL) two-stage retrieval (Kusupati et al. 2022) —
+    * the dimension-axis member of the compression ladder (int8 cuts
+    * bytes-per-dim 4×, PQ cuts to m codes; MRL cuts the DIMENSIONS:
+    * an MRL-trained embedding's first `prefixDim` coordinates are
+    * themselves a valid embedding). Stage 1 scores the corpus by
+    * PREFIX cosine — with a persisted prefix column the hot scan
+    * reads dim/prefixDim× fewer bytes — and keeps the top `rerank`
+    * candidates per query through the bounded aggregate; stage 2
+    * re-ranks ONLY those candidates by full-dimension exact cosine
+    * (the bounded candidate set broadcasts back against the corpus —
+    * the corpus never shuffles, the D8 re-rank contract).
+    *
+    * Both stages are deterministic double arithmetic (slice + the
+    * exact CosineSim), so unlike the trained-index routes (IVF/LSH)
+    * the WHOLE operator replays in a SQL oracle — recall vs the
+    * full-dim baseline is a property of the embedding's MRL training,
+    * not of any randomness here (on non-MRL embeddings the prefix is
+    * just a lossy projection; SimilaritySpec pins the fixture
+    * recall). `rerank = corpus size` reduces bit-exactly to
+    * [[bruteForceTopK]] (spec-pinned).
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDim: Int, rerank: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim=$prefixDim must be >= 1")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val qPrefix = queries.select(F.col(qidCol),
+      F.slice(F.col(qvecCol), 1, prefixDim).as("__qpre"))
+    val cPrefix = corpus.select(F.col(idCol),
+      F.slice(F.col(vecCol), 1, prefixDim).as("__cpre"))
+    val stage1 = cPrefix.as("c")
+      .join(F.broadcast(qPrefix.as("q")), F.col(qidCol) =!= F.col(idCol))
+      .withColumn("__pcos", native.cosine_sim(F.col("__qpre"), F.col("__cpre")))
+    val candidates = topKGeneric(stage1, qidCol, idCol, "__pcos", rerank)
+    // exact re-rank: the ≤ |q|·rerank candidate list broadcasts into
+    // the corpus (full vectors read only for candidates), queries
+    // broadcast for the final cosine
+    val withVec = corpus.join(
+      F.broadcast(candidates.withColumnRenamed(idCol, "__cid")),
+      F.col(idCol) === F.col("__cid")).drop("__cid")
+    val scored = withVec.as("c")
+      .join(F.broadcast(queries.as("q")), Seq(qidCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
   /** BigQuery's `VECTOR_SEARCH` table function, library face (the
     * SQL route is `GraftSql.load`): for every QUERY ROW, the `topK`
     * nearest base rows under `distanceType` — EUCLIDEAN (L2, the
