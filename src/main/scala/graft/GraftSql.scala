@@ -122,9 +122,12 @@ object GraftSql {
             Some(ut.multipartIdentifier.last)
           case _ => None
         }, "truncate")(truncateParsed(spark, t))
-      case a: AddColumns => addColumnsParsed(spark, a)
-      case dc: DropColumns => dropColumnsParsed(spark, dc)
-      case r: RenameColumn => renameColumnParsed(spark, r)
+      case a: AddColumns =>
+        commitIfVersioned(spark, alterTargetName(a.table), "alter")(addColumnsParsed(spark, a))
+      case dc: DropColumns =>
+        commitIfVersioned(spark, alterTargetName(dc.table), "alter")(dropColumnsParsed(spark, dc))
+      case r: RenameColumn =>
+        commitIfVersioned(spark, alterTargetName(r.table), "alter")(renameColumnParsed(spark, r))
       // a plain query (SELECT / WITH / UNION / VALUES / TABLE) — the
       // statements BigQuery scripts interleave with their DML; any
       // parsed NON-command plan runs over the registered views, so
@@ -499,6 +502,25 @@ object GraftSql {
     case LoadDataRe(verb, rawName, schema, optBody) =>
       val name = viewName(rawName)
       val df = readFiles(spark, schema, optBody, "LOAD DATA")
+      // a registered Versioned target commits the load: INTO as an
+      // O(batch) append commit of only the new files' rows, OVERWRITE
+      // as a snapshot commit — the A39 transactional contract
+      graft.sources.Versioned.registeredPath(spark, name).foreach { path =>
+        val existing = spark.table(name)
+        if (verb.equalsIgnoreCase("OVERWRITE"))
+          graft.sources.Versioned.overwrite(df, path, label = "load overwrite")
+        else {
+          require(df.columns.map(_.toLowerCase).toSet ==
+              existing.columns.map(_.toLowerCase).toSet,
+            s"LOAD DATA INTO $name: file columns ${df.columns.sorted.mkString(",")} " +
+              s"do not match table columns ${existing.columns.sorted.mkString(",")} " +
+              "(BigQuery appends by name; evolve the table first via ALTER TABLE)")
+          val aligned = df.select(existing.schema.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          graft.sources.Versioned.append(aligned, path, label = "load")
+        }
+        return graft.sources.Versioned.register(spark, name, path)
+      }
       val result =
         if (verb.equalsIgnoreCase("OVERWRITE") || !spark.catalog.tableExists(name)) df
         else {
@@ -762,6 +784,12 @@ object GraftSql {
         s"not a supported ALTER statement (parsed to ${other.nodeName}); " +
           "supported: ADD COLUMN(s), DROP COLUMN(s), RENAME COLUMN")
     }
+
+  private def alterTargetName(table: LogicalPlan): Option[String] = table match {
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(ut.multipartIdentifier.last)
+    case _ => None
+  }
 
   private def alterTarget(spark: SparkSession, table: LogicalPlan): DataFrame =
     table match {

@@ -909,8 +909,28 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "CREATE OR REPLACE TABLE vdml_snap CLONE vdml_t")    // swap
     assert(spark.table("vdml_snap").count() == 3)
     // a CTAS mentioning 'clone' as a column name does not misroute
-    GraftSql.load(spark, "CREATE TABLE vdml_ctas AS SELECT id AS clone FROM vdml_snap")
-    assert(spark.table("vdml_ctas").columns.toSeq == Seq("clone"))
+    // (unique name: managed-table locations outlive the session)
+    val ctasName = s"vdml_ctas_${System.nanoTime()}"
+    GraftSql.load(spark, s"CREATE TABLE $ctasName AS SELECT id AS clone FROM vdml_snap")
+    assert(spark.table(ctasName).columns.toSeq == Seq("clone"))
+
+    // ALTER TABLE commits a schema-evolution version; LOAD DATA INTO
+    // commits an append; both stay time-travelable
+    GraftSql.load(spark, "ALTER TABLE vdml_t ADD COLUMN note STRING")
+    assert(spark.table("vdml_t").columns.toSeq == Seq("id", "k", "v", "note"))
+    val ld = java.nio.file.Files.createTempDirectory("graft-vdml-ld-").toString
+    Seq((100L, "ld", 1.0, "loaded")).toDF("id", "k", "v", "note")
+      .write.parquet(s"$ld/p1")
+    GraftSql.load(spark,
+      s"LOAD DATA INTO vdml_t FROM FILES(format='PARQUET', uris=['$ld/p1/*.parquet'])")
+    assert(spark.table("vdml_t").count() == 4)
+    val log = Versioned.commits(spark, dir).map(_.action)
+    assert(log.takeRight(2) == Seq("alter", "load"), s"got $log")
+    assert(log.count(_ == "load") == 1 &&
+      Versioned.commits(spark, dir).last.live.size >= 2,
+      "LOAD DATA INTO must append-commit")
+    // pre-ALTER history still reads under the OLD schema
+    assert(Versioned.readAsOf(spark, dir, 1000L).columns.toSeq == Seq("id", "k", "v"))
   }
 
   test("streaming sessionization groups events by inactivity gap") {
