@@ -133,12 +133,13 @@ object ScaleProbe {
       "text_bpe_encode",
       "text_gopher_rules", "text_gopher_repetition", "text_gopher_dup_ngrams",
       "text_c4_filters",
-      "corpus_mix", "pack_sequences", "sample_apportioned", "sample_dsir",
-      "sample_kfold",
+      "corpus_mix", "corpus_mix_budget", "pack_sequences", "sample_apportioned",
+      "sample_dsir", "sample_kfold",
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
-      "ann_pq_topk", "ann_ivfpq_topk", "ann_hard_negatives",
-      "search_bm25", "text_backoff_surprisal", "mm_phash_pairs")
+      "ann_pq_topk", "ann_ivfpq_topk", "ann_hard_negatives", "ann_matryoshka_topk",
+      "search_bm25", "text_backoff_surprisal", "mm_phash_pairs",
+      "text_normalize", "mm_frame_phash")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
