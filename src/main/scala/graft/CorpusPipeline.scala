@@ -32,7 +32,8 @@ import graft.operators.{Boilerplate, Chunking, Dedup, Mixing, Packing, QualityRu
   *   3. DEDUP    — exact + MinHash-LSH droplist over the CLEANED text
   *                 (cleaning first, or chrome/PII variants defeat
   *                 exact-hash collapse)
-  *   4. MIX      — √-temperature source reweighting
+  *   4. MIX      — √-temperature source reweighting, or budgeted
+  *                 mixing with up-sampling epochs (`cfg.budgets`)
   *   5. PACK     — greedy budget packing → bucket-partitioned shards
   *   5b. CHUNK   — optional retrieval fork (`chunkTokens` turns it
   *                 on): the DEDUPED survivors also chunk into
@@ -56,6 +57,7 @@ object CorpusPipeline {
       mixNumer: Int = 1, mixDenom: Int = 2,
       packBudget: Long = 2048L, packBuckets: Int = 32,
       maxSeqsPerShard: Int = 1024,
+      budgets: Option[Map[String, Long]] = None, maxEpochs: Int = 100,
       spanK: Option[Int] = None, spanMinDf: Int = 2,
       chunkTokens: Option[Int] = None, chunkOverlap: Int = 0,
       gopherRules: Option[QualityRules.GopherThresholds] = None,
@@ -210,15 +212,40 @@ object CorpusPipeline {
 
   /** Stages 4–5: mix, pack, export. Writes shards to `shardPath` and
     * returns the mixed frame (pre-packing) for inspection.
+    *
+    * `cfg.budgets` switches stage 4 from √-temperature DOWN-sampling
+    * (S4) to budgeted mixing with UP-sampling epochs (S13,
+    * [[Mixing.mixToBudget]] on character cost): replica instances
+    * pack as DISTINCT units under an `id#epoch` pack key, so a
+    * 3-epoch source's copies spread across sequences/shards instead
+    * of collapsing into one pack row — the shards' `doc_ids`
+    * provenance then names the replica instance. Both routes stay
+    * fully deterministic (byte-identical reruns, spec-pinned).
     */
   def mixAndPack(deduped: DataFrame, idCol: String, textCol: String, sourceCol: String,
-                 shardPath: String, cfg: Config): DataFrame = {
-    val mixed = Mixing.temperatureMixBySqrt(deduped, idCol, sourceCol, cfg.mixNumer, cfg.mixDenom)
-      .withColumn("__cost", F.length(F.col(textCol)).cast("long"))
-      .observe("corpus_mixed", F.count(F.lit(1)).as("docs_selected"))
-    Packing.exportSequences(mixed, idCol, textCol, "__cost",
-      cfg.packBudget, cfg.packBuckets, shardPath, cfg.maxSeqsPerShard)
-    mixed.drop("__cost")
+                 shardPath: String, cfg: Config): DataFrame = cfg.budgets match {
+    case None =>
+      val mixed = Mixing.temperatureMixBySqrt(deduped, idCol, sourceCol, cfg.mixNumer, cfg.mixDenom)
+        .withColumn("__cost", F.length(F.col(textCol)).cast("long"))
+        .observe("corpus_mixed", F.count(F.lit(1)).as("docs_selected"))
+      Packing.exportSequences(mixed, idCol, textCol, "__cost",
+        cfg.packBudget, cfg.packBuckets, shardPath, cfg.maxSeqsPerShard)
+      mixed.drop("__cost")
+    case Some(budgets) =>
+      val sized = deduped.withColumn("__cost", F.length(F.col(textCol)).cast("long"))
+      // replica instances pack under the injective composite key
+      // id·(maxEpochs+1) + epoch (epoch < maxEpochs+1 ⇒ unique; the
+      // shards' doc_ids provenance decodes as id = key div (maxEpochs
+      // +1), epoch = key mod (maxEpochs+1))
+      val k = cfg.maxEpochs + 1
+      val mixed = Mixing.mixToBudget(sized, idCol, sourceCol, "__cost",
+          budgets, cfg.maxEpochs)
+        .withColumn("__mix_id",
+          F.col(idCol).cast("long") * k + F.col("epoch").cast("long"))
+        .observe("corpus_mixed", F.count(F.lit(1)).as("docs_selected"))
+      Packing.exportSequences(mixed, "__mix_id", textCol, "__cost",
+        cfg.packBudget, cfg.packBuckets, shardPath, cfg.maxSeqsPerShard)
+      mixed.drop("__cost", "__mix_id")
   }
 
   /** The whole pipeline: docs(id, text, source) → shards at

@@ -66,6 +66,57 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(a == b, "same input must produce byte-identical shard rows")
   }
 
+  test("budgeted mix stage: up-sampling epochs pack as distinct units; determinism holds") {
+    // budgets that force the rare 'books' source into 3 full epochs +
+    // a partial, while 'web' downsamples to a partial only
+    val dir1 = Files.createTempDirectory("graft-corpus-bud1-").toString
+    // budgets are set against the totals the mix stage will actually
+    // see — the DEDUPED corpus (the 40 near-dup web bodies collapse
+    // to a handful of survivors)
+    val tot = CorpusPipeline.dedup(
+        CorpusPipeline.filterAndClean(corpus, "doc_id", "text", "source",
+          CorpusPipeline.Config()),
+        "doc_id", "text", CorpusPipeline.Config())
+      .groupBy("source").agg(F.sum(F.length($"text")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cfg = CorpusPipeline.Config(packBuckets = 4, packBudget = 512L,
+      budgets = Some(Map(
+        "books" -> (3 * tot("books") + tot("books") / 2),
+        "web" -> tot("web") / 2)))
+    val mixed = CorpusPipeline.run(spark, corpus, "doc_id", "text", "source", dir1, cfg)
+      .cache()
+    // every surviving books doc appears in epochs 0..2 (full copies)
+    val bookEpochs = mixed.filter($"source" === "books")
+      .groupBy("doc_id").agg(F.collect_set("epoch").as("es")).collect()
+    assert(bookEpochs.nonEmpty)
+    bookEpochs.foreach { r =>
+      val es = r.getSeq[Int](1).toSet
+      assert(Set(0, 1, 2).subsetOf(es), s"books doc ${r.getLong(0)} epochs $es")
+    }
+    // web only ever has epoch 0 (partial downsample)
+    assert(mixed.filter($"source" === "web" && $"epoch" > 0).count() == 0)
+    // shards carry replica instances as distinct pack units under the
+    // composite id·(maxEpochs+1)+epoch key
+    val k = 101L // default maxEpochs + 1
+    val shardDocs = spark.read.parquet(dir1)
+      .select(F.explode(F.col("doc_ids")).as("d")).as[Long].collect()
+    // packGreedy's contract excludes zero-cost rows (doc 11 survives
+    // dedup with an EMPTY cleaned text: its only line was chrome) —
+    // every positive-cost replica instance packs exactly once
+    assert(shardDocs.length == mixed.filter(F.length($"text") > 0).count(),
+      "every positive-cost replica instance must pack exactly once")
+    assert(shardDocs.exists(_ % k == 2L), "3-epoch source must contribute epoch-2 instances")
+    assert(shardDocs.distinct.length == shardDocs.length)
+
+    // determinism: a second run produces identical shards
+    val dir2 = Files.createTempDirectory("graft-corpus-bud2-").toString
+    CorpusPipeline.run(spark, corpus, "doc_id", "text", "source", dir2, cfg)
+    val a = spark.read.parquet(dir1).orderBy("bucket", "seq").collect().map(_.toString).toSeq
+    val b = spark.read.parquet(dir2).orderBy("bucket", "seq").collect().map(_.toString).toSeq
+    assert(a == b)
+    mixed.unpersist()
+  }
+
   test("the regex gate evaluates once: downstream plans read the stage, not the gate subtree") {
     val cleaned = CorpusPipeline.filterAndClean(corpus, "doc_id", "text", "source",
       CorpusPipeline.Config())
