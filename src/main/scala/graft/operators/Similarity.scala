@@ -104,6 +104,52 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** D15 layout: one table carrying (id, prefix, embedding) — the
+    * deployment shape of [[matryoshkaTopK]]. Parquet column pruning
+    * splits the two access patterns (the D12 discipline): the stage-1
+    * scan reads (id, prefix) — dim/prefixDim× fewer vector bytes —
+    * and never deserializes the embedding column; the bounded re-rank
+    * reads (id, embedding) for candidate rows only.
+    */
+  def writePrefixLayout(corpus: DataFrame, path: String, prefixDim: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(prefixDim >= 1, s"prefixDim=$prefixDim must be >= 1")
+    corpus.select(F.col(idCol),
+        F.slice(F.col(vecCol), 1, prefixDim).as("prefix"),
+        F.col(vecCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[matryoshkaTopK]] over a persisted [[writePrefixLayout]] table.
+    * The caller's `prefixDim` must match the stored prefix width (a
+    * silent mismatch would score truncated-vs-padded prefixes — loud
+    * via a one-row probe instead).
+    */
+  def matryoshkaTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                               queries: DataFrame, k: Int, prefixDim: Int, rerank: Int,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val layout = spark.read.parquet(path)
+    val stored = layout.select(F.size(F.col("prefix")).as("n")).limit(1).collect()
+    require(stored.isEmpty || stored.head.getInt(0) == prefixDim,
+      s"layout at $path stores prefix width ${stored.headOption.map(_.getInt(0)).getOrElse(-1)}, " +
+        s"caller asked prefixDim=$prefixDim — rewrite the layout or match the parameter")
+    val qPrefix = queries.select(F.col(qidCol),
+      F.slice(F.col(qvecCol), 1, prefixDim).as("__qpre"))
+    val stage1 = layout.select(F.col(idCol), F.col("prefix").as("__cpre"))
+      .join(F.broadcast(qPrefix), F.col(qidCol) =!= F.col(idCol))
+      .withColumn("__pcos", native.cosine_sim(F.col("__qpre"), F.col("__cpre")))
+    val candidates = topKGeneric(stage1, qidCol, idCol, "__pcos", rerank)
+    val withVec = layout.select(F.col(idCol), F.col(vecCol)).join(
+      F.broadcast(candidates.withColumnRenamed(idCol, "__cid")),
+      F.col(idCol) === F.col("__cid")).drop("__cid")
+    val scored = withVec
+      .join(F.broadcast(queries), Seq(qidCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
   /** BigQuery's `VECTOR_SEARCH` table function, library face (the
     * SQL route is `GraftSql.load`): for every QUERY ROW, the `topK`
     * nearest base rows under `distanceType` — EUCLIDEAN (L2, the

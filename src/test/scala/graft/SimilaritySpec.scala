@@ -81,6 +81,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("matryoshka prefix layout: from-layout equals inline; stage-1 scan never reads the embedding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrl-layout-").toString
+    Similarity.writePrefixLayout(corpus, dir, prefixDim = 16)
+    val fromLayout = Similarity.matryoshkaTopKFromLayout(spark, dir, queries, 10,
+      prefixDim = 16, rerank = 32)
+    val inline = Similarity.matryoshkaTopK(corpus, queries, 10, prefixDim = 16, rerank = 32)
+    assert(fromLayout.orderBy("qid", "rank").collect().toSeq ==
+      inline.orderBy("qid", "rank").collect().toSeq)
+    // the candidate-generation scan reads (vec_id, prefix) only — the
+    // full embedding column is touched by the bounded re-rank scan
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan"))
+    assert(scans.exists(s => s.contains("prefix") && !s.contains("embedding")),
+      s"stage-1 must scan prefix without embedding:\n${scans.mkString("\n")}")
+    // a mismatched prefixDim is loud, not silently wrong
+    val e = intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopKFromLayout(spark, dir, queries, 10, prefixDim = 8, rerank = 32)
+    }
+    assert(e.getMessage.contains("prefix width"))
+  }
+
   test("ivfTopK at nprobe=5 of 10 cells: mean recall >= 0.6, every query >= 0.5") {
     val r = recalls(Similarity.ivfTopK(corpus, queries, 10, nprobe = 5))
     assert(r.sum / r.size >= 0.6, s"mean recall ${r.sum / r.size} too low: $r")
