@@ -94,6 +94,8 @@ object GraftSql {
       createFunction(spark, sql)
     } else if (CloneRe.pattern.matcher(sql).matches()) {
       createClone(spark, sql)
+    } else if (HistoryRe.pattern.matcher(sql).matches()) {
+      describeHistory(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable =>
         commitIfVersioned(spark, dmlTargetName(m.targetTable), "merge")(mergeParsed(spark, m))
@@ -543,6 +545,33 @@ object GraftSql {
       "not a supported LOAD DATA statement (expected: LOAD DATA {INTO | OVERWRITE} name " +
         "[(schema)] FROM FILES(format='...', uris=['...']); PARTITION COLUMNS / " +
         "CONNECTION / TEMP TABLE clauses are not supported)")
+  }
+
+  // ───────────── DESCRIBE HISTORY ─────────────
+
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""".r
+
+  /** `DESCRIBE HISTORY t` — the Delta-spelled audit verb over an A33
+    * Versioned table's commit log (BigQuery exposes the same facts
+    * through INFORMATION_SCHEMA job/change views): one row per commit
+    * with (version, commit_ts TIMESTAMP, action, n_live_dirs),
+    * newest first. Metadata-sized — reads manifests only, never data.
+    */
+  def describeHistory(spark: SparkSession, sql: String): DataFrame = sql match {
+    case HistoryRe(rawName) =>
+      val name = viewName(rawName)
+      val path = graft.sources.Versioned.registeredPath(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"DESCRIBE HISTORY $name: not a registered Versioned table " +
+            "(register via Versioned.register; plain views have no history)"))
+      val cs = graft.sources.Versioned.commits(spark, path)
+      import spark.implicits._
+      cs.sortBy(-_.version).map(c => (c.version,
+          new java.sql.Timestamp(c.commitTsUs / 1000L), c.action, c.live.size))
+        .toDF("version", "commit_ts", "action", "n_live_dirs")
+    case _ => throw new IllegalArgumentException(
+      "not a DESCRIBE HISTORY statement (expected: DESCRIBE HISTORY table)")
   }
 
   // ───────────── CREATE [SNAPSHOT] TABLE ... CLONE ─────────────

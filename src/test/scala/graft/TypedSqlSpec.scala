@@ -914,6 +914,16 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, s"CREATE TABLE $ctasName AS SELECT id AS clone FROM vdml_snap")
     assert(spark.table(ctasName).columns.toSeq == Seq("clone"))
 
+    // DESCRIBE HISTORY reads the commit log (newest first), metadata
+    // only; a plain view is loud
+    val hist = GraftSql.load(spark, "DESCRIBE HISTORY vdml_t").collect()
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("merge", "update", "delete", "insert", "overwrite"), s"got ${hist.toSeq}")
+    assert(hist.map(_.getLong(0)).toSeq == (hist.length - 1 to 0 by -1).map(_.toLong))
+    intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "DESCRIBE HISTORY vdml_snap")
+    }
+
     // ALTER TABLE commits a schema-evolution version; LOAD DATA INTO
     // commits an append; both stay time-travelable
     GraftSql.load(spark, "ALTER TABLE vdml_t ADD COLUMN note STRING")
