@@ -1750,6 +1750,19 @@ object SparkEntry {
       Similarity.matryoshkaTopK(e, q, k = 10, prefixDim = 16, rerank = 32)
         .orderBy("qid", "rank")
     }),
+    // D16: binary-quantized retrieval — sign-bit fingerprints (32
+    // bits/word so every word is a small positive sum both engines
+    // share), hamming-ranked candidates under the (ham ASC, id ASC)
+    // law, exact cosine re-rank of the bounded top-32. Integer stage
+    // 1 + proven-parity stage 2 ⇒ the whole composition replays in
+    // DuckDB — hash-green with ties handled identically
+    "ann_binary_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.binaryTopK(e, q, k = 10, dim = 64, rerank = 32)
+        .orderBy("qid", "rank")
+    }),
     // D14/SQL: BigQuery's VECTOR_SEARCH TVF through GraftSql.load —
     // two calls in ONE statement (COSINE and default-EUCLIDEAN
     // distance), exercising the multi-occurrence rewrite. Both
@@ -3539,6 +3552,35 @@ object SparkEntry {
           |         ${dot("q.qvec", "e.embedding")} /
           |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos
           |  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // binary-quantization replay: 32-bit sign words as list sums,
+      // hamming via bit_count(xor) over the two words, the stage-1
+      // cut as a (ham ASC, id ASC) window, exact re-rank on top
+      "ann_binary_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |qb AS (SELECT qid, qvec,
+          |         [CAST(list_sum([CASE WHEN qvec[32*w + i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+          |                         ELSE CAST(0 AS BIGINT) END for i in range(0, 32)]) AS BIGINT)
+          |          for w in range(0, 2)] AS bits
+          |       FROM q),
+          |cb AS (SELECT vec_id,
+          |         [CAST(list_sum([CASE WHEN embedding[32*w + i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+          |                         ELSE CAST(0 AS BIGINT) END for i in range(0, 32)]) AS BIGINT)
+          |          for w in range(0, 2)] AS bits
+          |       FROM embeddings),
+          |s1 AS (SELECT qb.qid, cb.vec_id,
+          |         bit_count(xor(qb.bits[1], cb.bits[1])) + bit_count(xor(qb.bits[2], cb.bits[2])) AS ham
+          |       FROM qb JOIN cb ON cb.vec_id <> qb.qid),
+          |cand AS (SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+          |    FROM s1) WHERE rn <= 32),
+          |scored AS (
+          |  SELECT c.qid, c.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
+          |  FROM cand c JOIN embeddings e USING (vec_id) JOIN q USING (qid))
           |SELECT qid, vec_id, cos, rank FROM (
           |  SELECT qid, vec_id, cos,
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank

@@ -104,6 +104,68 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** Sign-bit packing for binary quantization: word w carries bits
+    * 32w..32w+31, bit i set iff coordinate > 0 — 32 bits per long
+    * keeps every word a small positive sum both engines replay
+    * exactly (the C3b vote-fold law; packing 64 bits into one long
+    * would put bit 63 on the sign, where `1 << 63` semantics diverge
+    * across engines). A flat static expression — no HOF lambda, all
+    * codegen'd conditionals.
+    */
+  private def packSignBits(vec: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
+    val words = (dim + 31) / 32
+    F.array((0 until words).map { w =>
+      val n = math.min(32, dim - 32 * w)
+      (0 until n).map { i =>
+        F.when(F.element_at(vec, 32 * w + i + 1) > 0f, F.lit(1L << i)).otherwise(F.lit(0L))
+      }.reduce(_ + _).cast("long")
+    }: _*)
+  }
+
+  /** D16: BINARY-quantized retrieval — 1 bit per dimension (the
+    * binary-quantization feature production vector stores ship:
+    * 32× less than float, no training, no codebooks): stage 1 ranks
+    * the corpus by HAMMING distance between sign-bit fingerprints
+    * (bit = coordinate > 0; for high-dimensional unit vectors the
+    * angle is ≈ π·hamming/dim, so hamming order approximates cosine
+    * order), keeping the top `rerank` per query through the bounded
+    * aggregate under the deterministic (hamming ASC, id ASC) law —
+    * hamming TIES are common (integers in 0..dim), which is exactly
+    * why the total order matters; stage 2 re-ranks candidates by
+    * exact full-precision cosine (bounded broadcast back, the D8
+    * contract). A persisted sign-bit column (the [[writePrefixLayout]]
+    * pattern) makes the hot scan dim/8 bytes per vector.
+    *
+    * Everything in stage 1 is integer arithmetic and stage 2 is the
+    * proven exact cosine, so the WHOLE operator replays in a SQL
+    * oracle — no pinning, no randomness. `rerank = corpus` reduces
+    * bit-exactly to [[bruteForceTopK]] (spec-pinned).
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                 rerank: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val qBits = queries.select(F.col(qidCol), packSignBits(F.col(qvecCol), dim).as("__qbits"))
+    val cBits = corpus.select(F.col(idCol), packSignBits(F.col(vecCol), dim).as("__cbits"))
+    val stage1 = cBits.as("c")
+      .join(F.broadcast(qBits.as("q")), F.col(qidCol) =!= F.col(idCol))
+      .withColumn("__ham", F.aggregate(
+        F.zip_with(F.col("__qbits"), F.col("__cbits"),
+          (x, y) => F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0L), (acc, x) => acc + x))
+      .withColumn("__negham", -F.col("__ham").cast("double"))
+    val candidates = topKGeneric(stage1, qidCol, idCol, "__negham", rerank)
+    val withVec = corpus.join(
+      F.broadcast(candidates.withColumnRenamed(idCol, "__cid")),
+      F.col(idCol) === F.col("__cid")).drop("__cid")
+    val scored = withVec
+      .join(F.broadcast(queries), Seq(qidCol))
+      .withColumn("cos", native.cosine_sim(F.col(qvecCol), F.col(vecCol)))
+    topK(scored, qidCol, idCol, k)
+  }
+
   /** D15 layout: one table carrying (id, prefix, embedding) — the
     * deployment shape of [[matryoshkaTopK]]. Parquet column pruning
     * splits the two access patterns (the D12 discipline): the stage-1

