@@ -288,7 +288,14 @@ object GraftScript {
       else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
       else if (c == '\'') { out += c; inStr = true; i += 1 }
       else if (c == '`') { out += c; inTick = true; i += 1 }
-      else if (c == '@' && i + 1 < sql.length && sql.charAt(i + 1) != '@') {
+      else if (c == '@' && i + 1 < sql.length && sql.charAt(i + 1) == '@') {
+        // @@system_variable: not a parameter — emit verbatim
+        out ++= "@@"
+        i += 2
+        while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) || sql.charAt(i) == '_')) {
+          out += sql.charAt(i); i += 1
+        }
+      } else if (c == '@' && i + 1 < sql.length) {
         var j = i + 1
         while (j < sql.length && (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j += 1
         val name = sql.substring(i + 1, j)

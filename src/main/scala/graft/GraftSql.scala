@@ -752,11 +752,13 @@ object GraftSql {
       "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
       "DATETIME" -> "TIMESTAMP_NTZ", "BYTES" -> "BINARY")
     val out = new StringBuilder
-    var i = 0; var inQ = false
+    var i = 0; var inQ = false; var inTick = false
     while (i < text.length) {
       val c = text.charAt(i)
       if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
       else if (c == '\'') { out += c; inQ = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
       else if (Character.isLetter(c) &&
         (i == 0 || !(Character.isLetterOrDigit(text.charAt(i - 1)) || text.charAt(i - 1) == '_'))) {
         var j = i

@@ -142,8 +142,12 @@ object Mixing {
     // bounded: |sources| rows — validate driver-side so a typo'd
     // budget name fails loudly instead of silently missing the mix
     val alloc = totals.join(budgetDf, Seq("__mix_source"))
-      .withColumn("__full", F.expr("__budget div __tot").cast("int"))
-      .withColumn("__rem", F.expr("__budget % __tot"))
+      // guard the division: ANSI mode throws on div-by-zero before
+      // the driver-side loud require below could name the source
+      .withColumn("__full",
+        F.when(F.col("__tot") > 0, F.expr("__budget div __tot")).cast("int"))
+      .withColumn("__rem",
+        F.when(F.col("__tot") > 0, F.expr("__budget % __tot")))
       .withColumn("__thr",
         F.floor(F.col("__rem").cast("double") / F.col("__tot").cast("double")
           * F.lit(4503599627370496.0)).cast("long"))
@@ -154,6 +158,9 @@ object Mixing {
     require(missing.isEmpty,
       s"mixToBudget: budgeted sources absent from the corpus: ${missing.toSeq.sorted.mkString(", ")}")
     alloc.foreach { r =>
+      require(!r.isNullAt(1) && r.getLong(1) > 0,
+        s"mixToBudget: source ${r.getString(0)} has zero/unknown total size — " +
+          "its budget cannot be met (check the size column)")
       require(r.getInt(2) + 1 <= maxEpochs,
         s"mixToBudget: source ${r.getString(0)} needs ${r.getInt(2)} full epochs " +
           s"(budget/total) — past maxEpochs=$maxEpochs; check the budget's units")

@@ -158,6 +158,15 @@ class GraftScriptSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       GraftScript.run(spark, "EXECUTE IMMEDIATE NULL;")
     }
+    // @@system variables pass through verbatim (not parameters): the
+    // statement still parses @@session-style names where the engine
+    // defines them — here we just prove the binder leaves them alone
+    val e2 = intercept[Exception] {
+      GraftScript.run(spark, "EXECUTE IMMEDIATE 'SELECT @@undefined_sysvar';")
+    }
+    assert(!e2.getMessage.contains("USING"),
+      s"@@var must not be treated as a parameter: ${e2.getMessage}")
+
     // per the BigQuery contract, the dynamic text gets NO variable
     // substitution — an undeclared reference stays an identifier and
     // fails to resolve (variables enter only through USING)

@@ -167,5 +167,12 @@ class MixingSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Mixing.mixToBudget(sized, "doc_id", "source", "n_tok", Map("ref" -> 0L))
     }
+    // zero-total source: the budget cannot be met — loud, not a
+    // silent divide-by-zero NULL allocation
+    val zeroed = Seq((1L, "empty", 0L)).toDF("doc_id", "source", "n_tok")
+    val e3 = intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(zeroed, "doc_id", "source", "n_tok", Map("empty" -> 10L))
+    }
+    assert(e3.getMessage.contains("zero"))
   }
 }

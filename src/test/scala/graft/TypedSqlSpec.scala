@@ -834,6 +834,12 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("CREATE TEMP FUNCTION t2(x ANY TYPE) AS (x)").contains("ANY TYPE"))
     assert(bad("CREATE TEMP FUNCTION t3(x INT64) OPTIONS(description='d') AS (x)")
       .contains("OPTIONS"))
+
+    // the type map never touches string literals or backticked
+    // identifiers spelled like type names
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TEMP FUNCTION lit_safe() RETURNS STRING AS ('keep INT64 text')")
+    assert(spark.sql("SELECT lit_safe() AS v").head().getString(0) == "keep INT64 text")
   }
 
   test("GraftSql: BigQuery TABLESAMPLE SYSTEM runs as Spark row sampling") {
@@ -941,6 +947,15 @@ class TypedSqlSpec extends SparkSuite {
       "LOAD DATA INTO must append-commit")
     // pre-ALTER history still reads under the OLD schema
     assert(Versioned.readAsOf(spark, dir, 1000L).columns.toSeq == Seq("id", "k", "v"))
+
+    // TRUNCATE commits an EMPTY version that stays readable (the
+    // empty-write edge: the commit must still carry schema-bearing
+    // files), and the pre-truncate state survives AS OF
+    GraftSql.load(spark, "TRUNCATE TABLE vdml_t")
+    assert(spark.table("vdml_t").count() == 0)
+    assert(spark.table("vdml_t").columns.nonEmpty)
+    assert(Versioned.commits(spark, dir).last.action == "truncate")
+    assert(Versioned.readAsOf(spark, dir, 1000L).count() == 3)
   }
 
   test("streaming sessionization groups events by inactivity gap") {
