@@ -287,11 +287,12 @@ object GraftSql {
         case _ => throw new IllegalArgumentException(s"uri has no directory part: $uri")
       }
       val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
-        "EXPORT DATA requires format='CSV'|'JSON'|'PARQUET'")).toUpperCase
+        "EXPORT DATA requires format='CSV'|'JSON'|'PARQUET'|'ORC'")).toUpperCase
       val writerFmt = fmt match {
         case "CSV" => "csv"
         case "JSON" => "json" // Spark's json IS newline-delimited — BigQuery's export format
         case "PARQUET" => "parquet"
+        case "ORC" => "orc" // Spark ships the ORC source natively
         case "AVRO" => throw new IllegalArgumentException(
           "AVRO export needs the spark-avro connector, absent from this classpath")
         case other => throw new IllegalArgumentException(s"unsupported format: $other")
@@ -450,11 +451,12 @@ object GraftSql {
     require(unknown.isEmpty, s"unsupported $verb option(s): ${unknown.mkString(", ")}")
     require(uris.nonEmpty, s"$verb requires uris=['...']")
     val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
-      s"$verb requires format='PARQUET'|'JSON'|'CSV'")).toUpperCase
+      s"$verb requires format='PARQUET'|'JSON'|'CSV'|'ORC'")).toUpperCase
     val readerFmt = fmt match {
       case "PARQUET" => "parquet"
       case "JSON" | "NEWLINE_DELIMITED_JSON" => "json"
       case "CSV" => "csv"
+      case "ORC" => "orc" // Spark ships the ORC source natively
       case "AVRO" => throw new IllegalArgumentException(
         "AVRO needs the spark-avro connector, absent from this classpath")
       case other => throw new IllegalArgumentException(s"unsupported format: $other")

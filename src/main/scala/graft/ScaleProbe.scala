@@ -138,6 +138,7 @@ object ScaleProbe {
       "q_approx_topk",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_hard_negatives", "ann_matryoshka_topk",
+      "ann_binary_topk",
       "search_bm25", "text_backoff_surprisal", "mm_phash_pairs",
       "text_normalize", "mm_frame_phash")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)

@@ -842,6 +842,22 @@ class TypedSqlSpec extends SparkSuite {
     assert(spark.sql("SELECT lit_safe() AS v").head().getString(0) == "keep INT64 text")
   }
 
+  test("GraftSql: ORC round-trips through EXPORT DATA, EXTERNAL TABLE and LOAD DATA") {
+    import graft.sources.Tables
+    Tables.region(spark, sf).createOrReplaceTempView("orc_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    GraftSql.load(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/out/*.orc', format='ORC') AS SELECT * FROM orc_src")
+    GraftSql.load(spark,
+      s"CREATE EXTERNAL TABLE orc_ext OPTIONS(format='ORC', uris=['$dir/out/*.orc'])")
+    val want = spark.table("orc_src").orderBy("r_regionkey").collect().toSeq
+    assert(spark.table("orc_ext").orderBy("r_regionkey").collect().toSeq == want)
+    spark.table("orc_src").limit(0).createOrReplaceTempView("orc_tgt")
+    GraftSql.load(spark,
+      s"LOAD DATA INTO orc_tgt FROM FILES(format='ORC', uris=['$dir/out/*.orc'])")
+    assert(spark.table("orc_tgt").orderBy("r_regionkey").collect().toSeq == want)
+  }
+
   test("GraftSql: BigQuery TABLESAMPLE SYSTEM runs as Spark row sampling") {
     import graft.sources.Tables
     Tables.orders(spark, sf).createOrReplaceTempView("ts_orders")
