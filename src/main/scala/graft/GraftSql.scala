@@ -96,6 +96,9 @@ object GraftSql {
       createClone(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
+    } else if (OptimizeRe.pattern.matcher(sql).matches() ||
+      VacuumRe.pattern.matcher(sql).matches()) {
+      maintenance(spark, sql)
     } else spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable =>
         commitIfVersioned(spark, dmlTargetName(m.targetTable), "merge")(mergeParsed(spark, m))
@@ -574,6 +577,48 @@ object GraftSql {
         .toDF("version", "commit_ts", "action", "n_live_dirs")
     case _ => throw new IllegalArgumentException(
       "not a DESCRIBE HISTORY statement (expected: DESCRIBE HISTORY table)")
+  }
+
+  // ───────────── OPTIMIZE / VACUUM ─────────────
+
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
+
+  /** Maintenance verbs over A33 Versioned tables (Delta spellings —
+    * BigQuery runs both automatically, so a migrating operator meets
+    * them as background jobs; here they are explicit statements):
+    * `OPTIMIZE t` compacts the live set into one commit
+    * ([[graft.sources.Versioned.compact]] — append-commit file debt),
+    * `VACUUM t RETAIN n HOURS` drops history older than now − n hours
+    * ([[graft.sources.Versioned.vacuum]] — the time-travel horizon,
+    * BigQuery's 7-day window as an explicit knob). Both return a
+    * 1-row report frame.
+    */
+  def maintenance(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    def path(rawName: String): (String, String) = {
+      val name = viewName(rawName)
+      name -> graft.sources.Versioned.registeredPath(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name is not a registered Versioned table (OPTIMIZE/VACUUM maintain " +
+            "the A33 commit log; plain views have no file debt or history)"))
+    }
+    sql match {
+      case OptimizeRe(rawName) =>
+        val (name, p) = path(rawName)
+        val c = graft.sources.Versioned.compact(spark, p)
+        graft.sources.Versioned.register(spark, name, p)
+        Seq(("optimize", name, c.version)).toDF("verb", "table", "new_version")
+      case VacuumRe(rawName, hours) =>
+        val (name, p) = path(rawName)
+        val horizon = System.currentTimeMillis() * 1000L - hours.toLong * 3600L * 1000000L
+        val dropped = graft.sources.Versioned.vacuum(spark, p, horizon)
+        Seq(("vacuum", name, dropped.length.toLong)).toDF("verb", "table", "dropped_versions")
+      case _ => throw new IllegalArgumentException(
+        "not a maintenance statement (expected: OPTIMIZE t | VACUUM t RETAIN n HOURS)")
+    }
   }
 
   // ───────────── CREATE [SNAPSHOT] TABLE ... CLONE ─────────────

@@ -202,6 +202,22 @@ object Versioned {
     spark.read.parquet(c.live.map(d => s"$table/$d"): _*)
   }
 
+  /** Rewrite the live set into ONE fresh commit (content-identical,
+    * label `compact`) — the OPTIMIZE verb for the append-commit debt:
+    * every [[append]] adds a data directory to the live list, and a
+    * reader of commit N opens N directories' files; compaction resets
+    * that to one directory without touching history (older versions
+    * keep their manifests and stay readable AS OF — their directories
+    * are reclaimed only when [[vacuum]] passes them). The same
+    * file-count debt [[graft.sources.Layout.compactDays]] pays at the
+    * day-partition level, paid here at the commit-log level.
+    */
+  def compact(spark: SparkSession, table: String,
+              commitTsUs: Option[Long] = None): Commit = {
+    val cur = read(spark, table)
+    overwrite(cur, table, commitTsUs, label = "compact")
+  }
+
   /** Drop history older than `horizonTsUs`, keeping every commit
     * needed to serve reads at or after the horizon (i.e. the newest
     * commit at-or-before it, plus everything later), then delete data

@@ -512,4 +512,36 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyVersionedBatch(batch, table, baseTsUs, batchId); ()
       }
+
+  /** G15: streaming MERGE upsert into a versioned table — the G3
+    * foreachBatch-MERGE sink landed on the A39 transactional contract
+    * instead of a temp-view snapshot: each micro-batch upserts into
+    * the table's LATEST version via `Upsert.merge` and commits the
+    * result as a labeled snapshot at timestamp `baseTsUs + batchId`,
+    * so the manifest stays the exactly-once ledger (G14's rule: a
+    * replayed batch's timestamp already exists and skips — and unlike
+    * raw appends, a re-MERGED batch would even be idempotent in
+    * CONTENT, but the skip keeps the version history clean too).
+    * Every pre-merge state remains readable AS OF its commit — the
+    * dimension-table ingest that can answer "what did this row say
+    * before tick N". Per-tick cost is the merge (delta broadcasts,
+    * target streams map-side) plus the result write.
+    */
+  def versionedMergeSink(stream: DataFrame, table: String, keys: Seq[String],
+                         baseTsUs: Long)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ts = baseTsUs + batchId
+        val spark = batch.sparkSession
+        val prior = graft.sources.Versioned.commits(spark, table)
+        if (!prior.exists(_.commitTsUs == ts)) {
+          val target = graft.sources.Versioned.read(spark, table)
+          val merged = graft.operators.Upsert.merge(target, batch, keys)
+          graft.sources.Versioned.overwrite(merged, table, Some(ts), label = "merge")
+        }
+        ()
+      }
 }

@@ -499,6 +499,51 @@ class StreamingSpec extends SparkSuite {
     assert(Versioned.read(spark, table).count() == 4L)
   }
 
+  test("G15: versioned MERGE sink — upserts commit labeled snapshots; pre-merge states readable AS OF") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-g15-").toString
+    val table = s"$dir/table"
+    val base = 2000000L
+    // seed the dimension table below the stream's ledger base
+    Versioned.overwrite(Seq((1L, "v0"), (2L, "v0")).toDF("id", "v"), table, Some(1000L))
+    // two micro-batches: batch A updates id 1 + inserts 3; batch B
+    // updates id 3 again
+    Seq((1L, "v1"), (3L, "v1")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    Seq((3L, "v2")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = EventStream.versionedMergeSink(stream, table, Seq("id"), base)
+      .option("checkpointLocation", s"$dir/chk").start()
+    q.awaitTermination(60000)
+
+    val fin = Versioned.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both batches merged in order: 3 ends at its last delivered value
+    assert(fin(2L) == "v0" && fin.contains(3L), s"got $fin")
+    val commits = Versioned.commits(spark, table)
+    assert(commits.map(_.action) == Seq("overwrite", "merge", "merge"))
+    assert(commits.drop(1).map(_.commitTsUs) == Seq(base, base + 1))
+    // pre-merge history: AS OF the seed commit reads the original rows
+    val seed = Versioned.readAsOf(spark, table, 1000L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seed == Map(1L -> "v0", 2L -> "v0"))
+    // replayed batchIds skip (manifest-as-ledger): re-running the same
+    // input against the same table with a FRESH checkpoint leaves
+    // content and version count untouched
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q2 = EventStream.versionedMergeSink(stream2, table, Seq("id"), base)
+      .option("checkpointLocation", s"$dir/chk2").start()
+    q2.awaitTermination(60000)
+    assert(Versioned.commits(spark, table).size == commits.size)
+    assert(Versioned.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == fin)
+  }
+
   test("readEvents: empty directory fails fast unless the wire ts type is declared") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val empty = Files.createTempDirectory("graft-stream-empty-").toString

@@ -964,6 +964,20 @@ class TypedSqlSpec extends SparkSuite {
     // pre-ALTER history still reads under the OLD schema
     assert(Versioned.readAsOf(spark, dir, 1000L).columns.toSeq == Seq("id", "k", "v"))
 
+    // OPTIMIZE compacts the append-commit live-set debt into one dir
+    // (content-identical); VACUUM RETAIN 0 HOURS drops pre-now
+    // history; both loud on plain views
+    val preOpt = spark.table("vdml_t").orderBy("id").collect().toSeq
+    assert(Versioned.commits(spark, dir).last.live.size >= 2)
+    val rep = GraftSql.load(spark, "OPTIMIZE vdml_t").head()
+    assert(rep.getString(0) == "optimize")
+    assert(Versioned.commits(spark, dir).last.live.size == 1)
+    assert(Versioned.commits(spark, dir).last.action == "compact")
+    assert(spark.table("vdml_t").orderBy("id").collect().toSeq == preOpt)
+    intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "OPTIMIZE vdml_snap")
+    }
+
     // TRUNCATE commits an EMPTY version that stays readable (the
     // empty-write edge: the commit must still carry schema-bearing
     // files), and the pre-truncate state survives AS OF
@@ -972,6 +986,15 @@ class TypedSqlSpec extends SparkSuite {
     assert(spark.table("vdml_t").columns.nonEmpty)
     assert(Versioned.commits(spark, dir).last.action == "truncate")
     assert(Versioned.readAsOf(spark, dir, 1000L).count() == 3)
+
+    // VACUUM RETAIN 0 HOURS drops pre-now history; the latest (empty)
+    // state still reads, deep time travel is gone
+    val vac = GraftSql.load(spark, "VACUUM vdml_t RETAIN 0 HOURS").head()
+    assert(vac.getString(0) == "vacuum" && vac.getLong(2) > 0)
+    assert(spark.table("vdml_t").count() == 0)
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, dir, 1000L)
+    }
   }
 
   test("streaming sessionization groups events by inactivity gap") {
