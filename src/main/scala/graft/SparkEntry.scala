@@ -1959,6 +1959,26 @@ object SparkEntry {
         .withColumn("clean_len", F.length(F.col("clean")))
         .orderBy("doc_id")
     }),
+    // B31: BigQuery's SEARCH() scalar, registered under its own name
+    // so migrating WHERE SEARCH(col, 'terms') text runs verbatim —
+    // the ASCII analyzer (lowercase, non-alphanumeric splits, full
+    // token containment; punctuation in the query is analyzer noise,
+    // exercised by q3). DuckDB replays the analyzer with
+    // list_has_all over the same split — hash-green
+    "q_search_fn" -> ((s, d) => {
+      graft.functions.native.registerAll(s)
+      Tables.documents(s, d).createOrReplaceTempView("search_docs")
+      graft.GraftSql.load(s,
+        """SELECT 'q1_and' AS q, COUNT(*) AS n FROM search_docs WHERE SEARCH(text, 'the data')
+          |UNION ALL
+          |SELECT 'q2_miss' AS q, COUNT(*) AS n FROM search_docs WHERE SEARCH(text, 'zz9qx')
+          |UNION ALL
+          |SELECT 'q3_punct' AS q, COUNT(*) AS n FROM search_docs WHERE SEARCH(text, 'Merge, JOIN!')
+          |UNION ALL
+          |SELECT 'q4_empty' AS q, COUNT(*) AS n FROM search_docs WHERE SEARCH(text, '--')
+          |ORDER BY q""".stripMargin)
+    }),
+
     // E20: Unicode normalization — each doc decorated with a suffix
     // cycling five byte-spelling classes (combining-mark accents,
     // double marks, composed, ASCII, combining cluster), then NFC'd
@@ -3709,6 +3729,23 @@ object SparkEntry {
           |SELECT doc_id, trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g')) AS clean,
           |       length(trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g'))) AS clean_len
           |FROM e ORDER BY doc_id""".stripMargin,
+      // SEARCH replay: the same ASCII analyzer as list arithmetic —
+      // list_has_all(data tokens, query tokens); empty token sets
+      // match vacuously
+      "q_search_fn" ->
+        """WITH t AS (
+          |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |                     x -> x <> '') AS toks
+          |  FROM documents),
+          |m AS (
+          |  SELECT 'q1_and' AS q, COUNT(*) FILTER (WHERE list_has_all(toks, ['the','data'])) AS n FROM t
+          |  UNION ALL
+          |  SELECT 'q2_miss', COUNT(*) FILTER (WHERE list_has_all(toks, ['zz9qx'])) FROM t
+          |  UNION ALL
+          |  SELECT 'q3_punct', COUNT(*) FILTER (WHERE list_has_all(toks, ['merge','join'])) FROM t
+          |  UNION ALL
+          |  SELECT 'q4_empty', COUNT(*) FROM t)
+          |SELECT q, n FROM m ORDER BY q""".stripMargin,
       // normalization replay: the suffix rebuilds from chr() codepoints
       // (combining acute 769, ring 778, diaeresis 776, grave 768,
       // composed ñ 241), then nfc_normalize/strip_accents — the same

@@ -920,6 +920,53 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** BigQuery's `SEARCH(data, query)` scalar — TRUE iff every token of
+  * the query appears as a token of the data (BigQuery's default
+  * analyzer contract: tokenize both, require full containment).
+  * Tokenization here is the ASCII analyzer — lowercase, split on
+  * runs of non-[a-z0-9] — one tight loop per row with no
+  * intermediate arrays (compose [[NormalizeText]]/`foldAccents`
+  * upstream for Unicode folding; BigQuery's full NFKC analyzer is a
+  * documented divergence). An empty/token-free query matches
+  * everything (vacuous truth, as BigQuery does); NULL data or query
+  * yields NULL.
+  */
+case class SearchMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  private def tokens(s: String): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && !isTokenChar(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && isTokenChar(lower.charAt(i))) i += 1
+      if (i > start) out.add(lower.substring(start, i))
+    }
+    out
+  }
+  private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  def compute(data: UTF8String, query: UTF8String): Boolean = {
+    val have = tokens(data.toString)
+    val want = tokens(query.toString)
+    val it = want.iterator()
+    while (it.hasNext) if (!have.contains(it.next())) return false
+    true
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("searchMatch", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SearchMatch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2-normalized copy of a float vector (double accumulation, cast
   * back to float). Null elements normalize to 0; an all-zero vector
   * passes through unchanged. After normalization, dot(q, x̂) ranks
@@ -1322,6 +1369,8 @@ object native {
 
   def normalize_text(s: Column, form: String): Column =
     Bridge.column(NormalizeText(Bridge.expression(s), form))
+  def search(data: Column, query: Column): Column =
+    Bridge.column(SearchMatch(Bridge.expression(data), Bridge.expression(query)))
   def minhash_signature(tokens: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), k))
   def simhash64(tokens: Column): Column =
@@ -1413,7 +1462,11 @@ object native {
     ("graft_normalize", "graft_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization",
       es => { arity("graft_normalize", es, 2)
         NormalizeText(es.head,
-          constStr("graft_normalize", es, 1).toUpperCase(java.util.Locale.ROOT)) }))
+          constStr("graft_normalize", es, 1).toUpperCase(java.util.Locale.ROOT)) }),
+    // registered under BigQuery's own name so migrating WHERE
+    // SEARCH(col, 'terms') text runs verbatim
+    ("search", "search(data, query) - BigQuery SEARCH: all query tokens appear in data",
+      es => { arity("search", es, 2); SearchMatch(es.head, es(1)) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -359,4 +359,32 @@ class TextSpec extends SparkSuite {
     assert(spark.sql("SELECT COUNT(DISTINCT graft_normalize(text, 'NFC')) AS n FROM norm_t")
       .head().getLong(0) == 1L)
   }
+
+  test("SEARCH(): all-token containment under the ASCII analyzer; BigQuery spelling registered") {
+    import graft.functions.native
+    val docs = Seq(
+      (1L, "The quick brown Fox, jumps!"),
+      (2L, "quick fox"),
+      (3L, "the slow brown dog"),
+      (4L, null: String)).toDF("id", "t")
+    val got = docs.select($"id",
+        native.search($"t", F.lit("Quick FOX")).as("a"),
+        native.search($"t", F.lit("fox dog")).as("b"),
+        native.search($"t", F.lit("...")).as("c"),
+        native.search($"t", F.lit("jumps")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (0 to 3).map(i => if (r.isNullAt(i + 1)) null else r.getBoolean(i + 1))).toMap
+    assert(got(1L) == Seq(true, false, true, true))   // punctuation splits; case folds
+    assert(got(2L) == Seq(true, false, true, false))
+    assert(got(3L) == Seq(false, false, true, false))
+    assert(got(4L) == Seq(null, null, null, null))    // NULL data → NULL
+    // null query → NULL
+    assert(docs.filter($"id" === 1L)
+      .select(native.search($"t", F.lit(null).cast("string"))).head().isNullAt(0))
+    // BigQuery spelling through SQL
+    native.registerAll(spark)
+    docs.createOrReplaceTempView("search_t")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM search_t WHERE SEARCH(t, 'brown the')").head().getLong(0) == 2L)
+  }
 }
