@@ -1979,6 +1979,20 @@ object SparkEntry {
           |ORDER BY q""".stripMargin)
     }),
 
+    // E21: the classifier-evaluation sweep — label from a
+    // deterministic token rule (the SEARCH analyzer), score from
+    // n_chars; per-distinct-score confusion counts via ONE keyed
+    // aggregate + a window over the bounded score-level frame. Counts
+    // integer, ratios exactly-rounded integer divisions — the whole
+    // curve replays in DuckDB under the hash gate
+    "eval_pr_curve" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        F.when(F.col("text").contains("data"), 1L).otherwise(-1L).as("y"),
+        F.col("n_chars").cast("double").as("s"))
+      graft.operators.Eval.binaryPrCurve(scored, "y", "s")
+        .orderBy(F.desc("threshold"))
+    }),
+
     // E20: Unicode normalization — each doc decorated with a suffix
     // cycling five byte-spelling classes (combining-mark accents,
     // double marks, composed, ASCII, combining cluster), then NFC'd
@@ -3729,6 +3743,32 @@ object SparkEntry {
           |SELECT doc_id, trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g')) AS clean,
           |       length(trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g'))) AS clean_len
           |FROM e ORDER BY doc_id""".stripMargin,
+      // PR-curve replay: per-score confusion counts + cumulative
+      // window, ratios as exactly-rounded integer divisions
+      "eval_pr_curve" ->
+        """WITH r AS (
+          |  SELECT CASE WHEN strpos(text, 'data') > 0 THEN 1 ELSE -1 END AS y,
+          |         CAST(n_chars AS DOUBLE) AS s
+          |  FROM documents),
+          |tot AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |               CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+          |        FROM r),
+          |ps AS (SELECT s AS threshold,
+          |              CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+          |              CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS q
+          |       FROM r GROUP BY s),
+          |c AS (SELECT threshold,
+          |             CAST(SUM(p) OVER w AS BIGINT) AS tp,
+          |             CAST(SUM(q) OVER w AS BIGINT) AS fp
+          |      FROM ps
+          |      WINDOW w AS (ORDER BY threshold DESC
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT threshold, tp, fp,
+          |       (SELECT pos FROM tot) - tp AS fn,
+          |       (SELECT neg FROM tot) - fp AS tn,
+          |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+          |       CAST(tp AS DOUBLE) / CAST((SELECT pos FROM tot) AS DOUBLE) AS recall
+          |FROM c ORDER BY threshold DESC""".stripMargin,
       // SEARCH replay: the same ASCII analyzer as list arithmetic —
       // list_has_all(data tokens, query tokens); empty token sets
       // match vacuously

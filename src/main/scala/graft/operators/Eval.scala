@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Classifier evaluation — the harness every trained data-filter
+  * (E14/E14b/E18, or any score column) needs before its threshold
+  * goes into a pipeline gate: sweep every operating point and report
+  * the confusion counts + precision/recall at each.
+  *
+  * Scale shape (the part a naive window-over-rows gets wrong): rows
+  * first collapse to ONE COUNT PAIR PER DISTINCT SCORE (a keyed
+  * aggregate with map-side partials — the corpus is touched once),
+  * and the cumulative confusion sweep runs as a window over the
+  * SCORE-LEVEL frame, which is bounded by |distinct scores| — for
+  * integer-vote classifiers a few thousand rows, never the corpus.
+  * Continuous scores with corpus-cardinality distincts route through
+  * `buckets` (round to that many quantile-free fixed decimals is the
+  * caller's choice; the standard production knob is bucketing scores
+  * upstream — B11's approx-percentile discipline).
+  *
+  * Contract: labels are +1/−1 (the E14b convention; anything else is
+  * loud, counted in one pass), prediction at threshold t is
+  * `score >= t`, and every distinct score is an operating point —
+  * plus the "predict nothing" point at threshold = max+1 is implicit
+  * in reading the curve from the top. Output: one row per distinct
+  * score, ordered by threshold DESC, with exact integer confusion
+  * counts and their IEEE-exact ratio columns — every quantity
+  * replays bit-for-bit in a SQL oracle.
+  *
+  * Reference anchor: the evaluation step of the published
+  * quality-classifier recipes (CCNet/fastText filters are tuned by
+  * exactly this sweep); SURVEY.md §2 E-block companion.
+  */
+object Eval {
+
+  def binaryPrCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(F.col(labelCol).cast("long").as("__y"),
+      F.col(scoreCol).cast("double").as("__s"))
+      .filter(F.col("__y").isNotNull && F.col("__s").isNotNull)
+    // label validation in the same pass as the totals (no second job)
+    val tot = rows.agg(
+      F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__pos"),
+      F.sum(F.when(F.col("__y") === -1L, 1L).otherwise(0L)).as("__neg"),
+      F.count(F.lit(1)).as("__n")).head()
+    val n = tot.getLong(2)
+    require(n > 0, "binaryPrCurve: empty input")
+    val (pos, neg) = (tot.getLong(0), tot.getLong(1))
+    require(pos + neg == n,
+      s"binaryPrCurve: labels must be +1/-1 (found ${n - pos - neg} other values)")
+    // one count pair per distinct score — the corpus-touching pass
+    val perScore = rows.groupBy(F.col("__s").as("threshold"))
+      .agg(F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__p"),
+        F.sum(F.when(F.col("__y") === -1L, 1L).otherwise(0L)).as("__q"))
+    // cumulative sweep over the bounded score-level frame: at
+    // threshold t, positives-predicted = all rows with score >= t
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("tp", F.sum("__p").over(w))
+      .withColumn("fp", F.sum("__q").over(w))
+      .withColumn("fn", F.lit(pos) - F.col("tp"))
+      .withColumn("tn", F.lit(neg) - F.col("fp"))
+      .withColumn("precision",
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"))
+      .withColumn("recall",
+        if (pos == 0) F.lit(null).cast("double")
+        else F.col("tp").cast("double") / F.lit(pos.toDouble))
+      .select("threshold", "tp", "fp", "fn", "tn", "precision", "recall")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Eval
+import org.apache.spark.sql.{functions => F}
+
+class EvalSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("binaryPrCurve matches a driver-side reference sweep; ties collapse; partition-invariant") {
+    // hand fixture: scores with ties, labels mixed
+    val rows = Seq(
+      (1L, 0.9), (1L, 0.8), (-1L, 0.8), (1L, 0.5), (-1L, 0.5), (-1L, 0.5),
+      (1L, 0.2), (-1L, 0.1))
+    val df = rows.toDF("y", "s")
+    val got = Eval.binaryPrCurve(df, "y", "s")
+      .orderBy(F.desc("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+
+    // reference: for each distinct score t desc, predict positive iff s >= t
+    val pos = rows.count(_._1 == 1L)
+    val neg = rows.count(_._1 == -1L)
+    val want = rows.map(_._2).distinct.sorted.reverse.map { t =>
+      val tp = rows.count(r => r._2 >= t && r._1 == 1L).toLong
+      val fp = rows.count(r => r._2 >= t && r._1 == -1L).toLong
+      (t, tp, fp, pos - tp, neg - fp, tp.toDouble / (tp + fp), tp.toDouble / pos)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // one row per DISTINCT score (ties collapse to one operating point)
+    assert(got.length == rows.map(_._2).distinct.size)
+    // recall is monotone non-increasing as threshold rises
+    assert(got.map(_._7).toSeq == got.map(_._7).sorted.toSeq)
+
+    // partition invariance
+    val again = Eval.binaryPrCurve(df.repartition(7), "y", "s")
+      .orderBy(F.desc("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.map(g => (g._1, g._2, g._3)).toSeq)
+
+    // louds: a non-±1 label, empty input
+    val e = intercept[IllegalArgumentException] {
+      Eval.binaryPrCurve(Seq((0L, 1.0)).toDF("y", "s"), "y", "s")
+    }
+    assert(e.getMessage.contains("+1/-1"))
+    intercept[IllegalArgumentException] {
+      Eval.binaryPrCurve(Seq.empty[(Long, Double)].toDF("y", "s"), "y", "s")
+    }
+  }
+
+  test("binaryPrCurve on classifier output: the E14 integer-vote scores sweep cleanly") {
+    // scores from the classifier-shape fold: label by a token rule the
+    // score partially tracks — the curve must start precise and end at
+    // recall 1.0
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val scored = docs.select(
+      F.when(F.col("text").contains("data"), 1L).otherwise(-1L).as("y"),
+      F.col("n_chars").cast("double").as("s"))
+    val curve = Eval.binaryPrCurve(scored, "y", "s").orderBy(F.desc("threshold")).collect()
+    assert(curve.nonEmpty)
+    // the lowest threshold predicts everything positive: recall 1.0,
+    // precision = base rate
+    val last = curve.last
+    val pos = scored.filter(F.col("y") === 1L).count()
+    val n = scored.count()
+    assert(last.getDouble(6) == 1.0)
+    assert(math.abs(last.getDouble(5) - pos.toDouble / n) < 1e-12)
+    // confusion identities hold on every row
+    curve.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) == pos)
+      assert(r.getLong(2) + r.getLong(4) == n - pos)
+    }
+  }
+}
