@@ -564,6 +564,36 @@ object SparkEntry {
           |ORDER BY face, event_type""".stripMargin)
     }),
 
+    // A28+A34 driver face: the unload → load ROUND TRIP under the
+    // hash gate (both verbs were test-only before): EXPORT DATA
+    // shards events to parquet, CREATE EXTERNAL TABLE mounts the
+    // shards, LOAD DATA INTO lands them in a fresh table, and the
+    // aggregate over the loaded table must equal the aggregate over
+    // the source — file-level fidelity (sharding, mounting, load-time
+    // coercion) is what the oracle's plain aggregate gates
+    "sql_export_load" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_expload_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Tables.events(s, d)
+        .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+        .createOrReplaceTempView("expload_src")
+      graft.GraftSql.load(s,
+        s"EXPORT DATA OPTIONS(uri='$dir/out/part-*.parquet', format='PARQUET') AS " +
+          "SELECT event_id, event_type, value FROM expload_src WHERE event_type <> 'click'")
+      graft.GraftSql.load(s,
+        s"CREATE OR REPLACE EXTERNAL TABLE expload_ext OPTIONS(format='PARQUET', uris=['$dir/out/*.parquet'])")
+      s.sql("SELECT * FROM expload_ext LIMIT 0").createOrReplaceTempView("expload_tgt")
+      graft.GraftSql.load(s,
+        s"LOAD DATA INTO expload_tgt FROM FILES(format='PARQUET', uris=['$dir/out/*.parquet'])")
+      graft.GraftSql.load(s,
+        """SELECT event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       CAST(MIN(event_id) AS BIGINT) AS min_id, CAST(MAX(event_id) AS BIGINT) AS max_id
+          |FROM expload_tgt GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // A33b driver face: TRANSACTIONAL DML — INSERT/DELETE/UPDATE
     // statements against a registered Versioned table land as commits
     // (INSERT as an O(batch) APPEND commit, the mutations as snapshot
@@ -2384,6 +2414,15 @@ object SparkEntry {
           |       COUNT(*) AS n,
           |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
           |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+      // export→load round trip: parquet preserves every byte, so the
+      // loaded table's aggregate equals the source filter's
+      "sql_export_load" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+          |       CAST(MAX(event_id) AS BIGINT) AS max_id
+          |FROM events WHERE event_type <> 'click'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // versioned-DML replay: asof = the pinned first commit (third
       // 0); latest = thirds 0+1 minus clicks with purchase values
       // doubled (value*2 is exact in IEEE doubles)
