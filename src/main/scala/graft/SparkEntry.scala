@@ -854,6 +854,24 @@ object SparkEntry {
         .select(F.col("c_custkey"), F.lit("no_orders").as("tag"))
       hasO.unionByName(noO).orderBy("c_custkey")
     }),
+    // B32: the GROUPING()/GROUPING_ID() companion of q_rollup — the
+    // functions that tell a rollup row WHICH level produced it (a
+    // COALESCE('ALL') sentinel breaks when the data itself contains
+    // the sentinel; GROUPING is BigQuery's, and every engine's,
+    // correct answer). Coalesced keys keep the sort
+    // NULL-convention-free across engines; grouping flags are
+    // integers — hash-exact
+    "q_grouping_fn" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("grp_orders")
+      graft.GraftSql.load(s,
+        """SELECT COALESCE(o_orderpriority, '?') AS pri, COALESCE(o_orderstatus, '?') AS st,
+          |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+          |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum
+          |FROM grp_orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+          |ORDER BY g_pri, g_st, pri, st""".stripMargin)
+    }),
     "q_rollup" -> ((s, d) => {
       Tables.customer(s, d).as("c")
         .join(F.broadcast(Tables.nation(s, d).as("n")), F.col("c.c_nationkey") === F.col("n.n_nationkey"))
@@ -2551,6 +2569,16 @@ object SparkEntry {
           |SELECT c_custkey, 'no_orders' AS tag FROM customer
           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           |ORDER BY c_custkey""".stripMargin,
+      // GROUPING() replay is the identical statement — both engines
+      // implement the SQL-standard grouping flag
+      "q_grouping_fn" ->
+        """SELECT COALESCE(o_orderpriority, '?') AS pri, COALESCE(o_orderstatus, '?') AS st,
+          |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+          |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum
+          |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+          |ORDER BY g_pri, g_st, pri, st""".stripMargin,
       "q_rollup" ->
         """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
           |       COUNT(*) AS n_cust,
