@@ -1029,6 +1029,22 @@ object SparkEntry {
           F.count(F.lit(1)).as("n"))
         .orderBy("event_type")
     }),
+    // B11b: the EXACT-REGIME face of approx_percentile (the B24
+    // recipe — drive the sketch where its answer is provably exact
+    // and the hash oracle applies): Spark's GK sketch at accuracy ≥
+    // group size returns the true rank-selected ELEMENT, which is
+    // exactly DuckDB's quantile_disc — so the SAME routing that runs
+    // approximate at 100 TB is hash-gated here, leaving only the
+    // genuinely approximate regime rows-only
+    "q_percentile_approx_exact" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(
+          F.expr("approx_percentile(value, 0.25, 10000000)").as("p25"),
+          F.expr("approx_percentile(value, 0.5, 10000000)").as("p50"),
+          F.expr("approx_percentile(value, 0.9, 10000000)").as("p90"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
     // BigQuery APPROX_TOP_COUNT: bounded mergeable sketch, map-side
     // partials, no per-item shuffle. maxItemsTracked covers the
     // distinct count here, so counts are exact and the oracle hash
@@ -2688,6 +2704,14 @@ object SparkEntry {
           |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
           |         CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
           |ORDER BY "column" """.stripMargin,
+      // exact-regime GK = rank-selected element = quantile_disc
+      "q_percentile_approx_exact" ->
+        """SELECT event_type,
+          |       quantile_disc(value, 0.25) AS p25,
+          |       quantile_disc(value, 0.5) AS p50,
+          |       quantile_disc(value, 0.9) AS p90,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q_percentile" ->
         """SELECT event_type,
           |  quantile_cont(value, 0.25) AS p25,
