@@ -1324,6 +1324,28 @@ object SparkEntry {
         .select("doc_id", "n_bigrams", "n_big", "n_cont", "n_unseen")
         .orderBy("doc_id")
     }),
+    // E15d: the TRIGRAM interpolated-KN integer face — same fixture
+    // recipe; the four probability-mass classes (observed trigram /
+    // trigram-level continuation / unigram continuation / floor) and
+    // every count table replay in DuckDB
+    "text_kn3_hits" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val model = graft.operators.LanguageModel.trainKneserNey3(
+        docs.filter(F.col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.kneserNey3(docs, "doc_id", "text", Some(model))
+        .select("doc_id", "n_trigrams", "n_tri", "n_cont2", "n_cont1", "n_unseen")
+        .orderBy("doc_id")
+    }),
+    // the libm face of E15d (rows-only; routing hash-gated above,
+    // 1e-9-pinned + proper-distribution property in the spec)
+    "text_kn3_surprisal" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val model = graft.operators.LanguageModel.trainKneserNey3(
+        docs.filter(F.col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.kneserNey3(docs, "doc_id", "text", Some(model))
+        .select("doc_id", "n_trigrams", "kn3_surprisal")
+        .orderBy("doc_id")
+    }),
     // the libm face of E15c: mean -ln P under interpolated KN
     // (rows-only; the routing is hash-gated by text_kn_hits, the
     // value 1e-9-pinned in LanguageModelSpec)
@@ -4093,6 +4115,44 @@ object SparkEntry {
           |SELECT d.doc_id,
           |       coalesce(n_bigrams, 0) AS n_bigrams, coalesce(n_big, 0) AS n_big,
           |       coalesce(n_cont, 0) AS n_cont, coalesce(n_unseen, 0) AS n_unseen
+          |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      // trigram-KN mass classes: trigram types, (w2,w3) continuation
+      // types, bigram-derived unigram continuations — the deepest
+      // table that knows the position classifies it
+      "text_kn3_hits" ->
+        """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
+          |                 THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+          |                 ELSE text END AS text FROM documents),
+          |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM d),
+          |pos AS (SELECT doc_id, toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3
+          |        FROM (SELECT doc_id, toks, unnest(range(3, len(toks)+1)) AS i FROM t)),
+          |trp AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+          |tri AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM trp GROUP BY 1, 2, 3),
+          |n23 AS (SELECT w2, w3, COUNT(*) AS n23 FROM tri GROUP BY 1, 2),
+          |bpos AS (SELECT toks[i-1] AS wa, toks[i] AS wb
+          |         FROM (SELECT doc_id, toks, unnest(range(2, len(toks)+1)) AS i FROM t)
+          |         WHERE doc_id % 2 = 0),
+          |big AS (SELECT wa, wb, COUNT(*) AS cab FROM bpos GROUP BY 1, 2),
+          |cont1 AS (SELECT wb AS w3, COUNT(*) AS cont1 FROM big GROUP BY wb),
+          |lv AS (SELECT pos.doc_id,
+          |         CASE WHEN tri.c123 IS NOT NULL THEN 3
+          |              WHEN n23.n23 IS NOT NULL THEN 2
+          |              WHEN cont1.cont1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          |       FROM pos
+          |       LEFT JOIN tri ON pos.w1 = tri.w1 AND pos.w2 = tri.w2 AND pos.w3 = tri.w3
+          |       LEFT JOIN n23 ON pos.w2 = n23.w2 AND pos.w3 = n23.w3
+          |       LEFT JOIN cont1 ON pos.w3 = cont1.w3),
+          |agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+          |         CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+          |         CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont2,
+          |         CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont1,
+          |         CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+          |       FROM lv GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(n_trigrams, 0) AS n_trigrams, coalesce(n_tri, 0) AS n_tri,
+          |       coalesce(n_cont2, 0) AS n_cont2, coalesce(n_cont1, 0) AS n_cont1,
+          |       coalesce(n_unseen, 0) AS n_unseen
           |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
           |ORDER BY d.doc_id""".stripMargin,
       "text_lang_id" ->

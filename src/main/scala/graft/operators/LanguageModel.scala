@@ -188,6 +188,127 @@ object LanguageModel {
         F.col("kn_surprisal"))
   }
 
+  /** Trigram interpolated Kneser-Ney (E15d) — the full published
+    * recursion one order above [[KnModel]] (Chen & Goodman 1999):
+    *
+    *   P(w₃|w₁w₂) = max(c₁₂₃−D,0)/c(w₁w₂·)
+    *                + D·N₁₊(w₁w₂·)/c(w₁w₂·) · P̂(w₃|w₂)
+    *   P̂(w₃|w₂)  = max(N₁₊(·w₂w₃)−D,0)/N₁₊(·w₂·)
+    *                + D·N₁₊(w₂·*)/N₁₊(·w₂·) · P_cont(w₃)
+    *   P_cont(w₃) = N₁₊(·w₃)/B
+    *
+    * — raw counts at the top order, CONTINUATION (type) counts below:
+    * the lower orders ask "in how many distinct contexts", not "how
+    * often", which is the whole Kneser-Ney idea. Every table derives
+    * from the ONE trigram-type table (plus the bigram table for the
+    * unigram-continuation level): `ctx12`/`n23`/`w2tab` are each one
+    * keyed aggregate over `tri` — count-table-sized, never
+    * corpus-sized, which is what keeps normalized KN practical here
+    * against Brants et al.'s distributed-counts caveat.
+    */
+  final case class Kn3Model(tri: DataFrame, ctx12: DataFrame, n23: DataFrame,
+                            w2tab: DataFrame, cont1: DataFrame,
+                            totalBigramTypes: Long)
+
+  /** Train the trigram-KN tables: one position stream over the corpus
+    * (touched once), a trigram-type count, three aggregates over it,
+    * the bigram-type table for the continuation base, and one driver
+    * scalar (B).
+    */
+  def trainKneserNey3(docs: DataFrame, textCol: String): Kn3Model = {
+    val pos = positions(docs, null, textCol)
+    val tri = pos.filter(F.col("p2").isNotNull)
+      .groupBy(F.col("p2").as("w1"), F.col("p1").as("w2"), F.col("w").as("w3"))
+      .agg(F.count(F.lit(1)).cast("long").as("c123"))
+    val ctx12 = tri.groupBy("w1", "w2")
+      .agg(F.sum("c123").cast("long").as("c12dot"), F.count(F.lit(1)).as("n1p12"))
+    val n23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).as("n23"))
+    // N₁₊(·w₂·) = distinct (w1,w3) per w2 = tri rows per w2;
+    // N₁₊(w₂·*) = distinct w3 continuing w2 in a trigram context
+    val w2tab = tri.groupBy("w2").agg(F.count(F.lit(1)).as("mid2"))
+      .join(n23.groupBy("w2").agg(F.count(F.lit(1)).as("n1p2")), Seq("w2"))
+    val big = pos.filter(F.col("p1").isNotNull)
+      .groupBy(F.col("p1").as("wa"), F.col("w").as("wb"))
+      .agg(F.count(F.lit(1)).as("cab"))
+    val cont1 = big.groupBy(F.col("wb").as("w3")).agg(F.count(F.lit(1)).as("cont1"))
+    Kn3Model(tri, ctx12, n23, w2tab, cont1, big.count())
+  }
+
+  /** Score every document's TRIGRAM positions (i ≥ 3 — both context
+    * words present; the 1-2 prefix positions are the lower-order
+    * models' job) under trigram interpolated KN. Per-doc output:
+    *
+    *   (idCol, n_trigrams, n_tri, n_cont2, n_cont1, n_unseen,
+    *    kn3_surprisal)
+    *
+    * where the n_* columns classify positions by the deepest
+    * probability mass that carried them — n_tri: trigram observed;
+    * n_cont2: unseen trigram whose (w₂,w₃) is a known trigram-level
+    * continuation; n_cont1: only the unigram continuation knows w₃;
+    * n_unseen: w₃ never continues anything (floored at 1/(B+1), the
+    * E15c closure). The integer face is order-free and SQL-replayable
+    * (the E15b/E15c split); kn3_surprisal (mean −ln P) is libm,
+    * rows-only, 1e-9-pinned in the spec. Docs with <3 tokens surface
+    * with n_trigrams = 0 and NULL surprisal. Unseen CONTEXTS at
+    * either order fall through to the next level's whole distribution
+    * (the λ-weight has no mass to redistribute).
+    *
+    * Scale shape: five shuffled count-table equi-joins over the
+    * map-only trigram position stream + one keyed fold — the E15
+    * discipline; all tables persist like any count table.
+    */
+  def kneserNey3(docs: DataFrame, idCol: String, textCol: String,
+                 model: Option[Kn3Model] = None,
+                 discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount must be in (0, 1)")
+    val m = model.getOrElse(trainKneserNey3(docs, textCol))
+    require(m.totalBigramTypes > 0, "KN3 model trained on a corpus with no bigrams")
+    val pos3 = positions(docs, idCol, textCol).filter(F.col("p2").isNotNull)
+      .select(F.col(idCol), F.col("p2").as("w1"), F.col("p1").as("w2"), F.col("w").as("w3"))
+    val j = pos3
+      .join(m.tri, Seq("w1", "w2", "w3"), "left")
+      .join(m.ctx12, Seq("w1", "w2"), "left")
+      .join(m.n23, Seq("w2", "w3"), "left")
+      .join(m.w2tab, Seq("w2"), "left")
+      .join(m.cont1, Seq("w3"), "left")
+    val bTot = F.lit(m.totalBigramTypes.toDouble)
+    val disc = F.lit(discount)
+    val pc = F.coalesce(F.col("cont1"), F.lit(0L)).cast("double") / bTot
+    val p2c = F.when(F.col("mid2").isNotNull,
+      F.greatest(F.coalesce(F.col("n23"), F.lit(0L)).cast("double") - disc, F.lit(0.0)) /
+        F.col("mid2").cast("double") +
+        disc * F.col("n1p2").cast("double") / F.col("mid2").cast("double") * pc)
+      .otherwise(pc)
+    val p3 = F.when(F.col("c12dot").isNotNull,
+      F.greatest(F.coalesce(F.col("c123"), F.lit(0L)).cast("double") - disc, F.lit(0.0)) /
+        F.col("c12dot").cast("double") +
+        disc * F.col("n1p12").cast("double") / F.col("c12dot").cast("double") * p2c)
+      .otherwise(p2c)
+    val floor = F.lit(1.0 / (m.totalBigramTypes.toDouble + 1.0))
+    val p = F.when(p3 > 0.0, p3).otherwise(floor)
+    val lvl = F.when(F.col("c123").isNotNull, 3)
+      .when(F.col("n23").isNotNull, 2)
+      .when(F.col("cont1").isNotNull, 1).otherwise(0)
+    val scored = j
+      .select(F.col(idCol), lvl.as("__lvl"), (-F.log(p)).as("__s"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_trigrams"),
+        F.sum(F.when(F.col("__lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        F.sum(F.when(F.col("__lvl") === 2, 1L).otherwise(0L)).as("n_cont2"),
+        F.sum(F.when(F.col("__lvl") === 1, 1L).otherwise(0L)).as("n_cont1"),
+        F.sum(F.when(F.col("__lvl") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        F.avg("__s").as("kn3_surprisal"))
+    docs.select(F.col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_trigrams"), F.lit(0L)).as("n_trigrams"),
+        F.coalesce(F.col("n_tri"), F.lit(0L)).as("n_tri"),
+        F.coalesce(F.col("n_cont2"), F.lit(0L)).as("n_cont2"),
+        F.coalesce(F.col("n_cont1"), F.lit(0L)).as("n_cont1"),
+        F.coalesce(F.col("n_unseen"), F.lit(0L)).as("n_unseen"),
+        F.col("kn3_surprisal"))
+  }
+
   /** A trained Stupid Backoff model (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — THE published web-scale
     * LM smoothing, designed at Google precisely because distributed

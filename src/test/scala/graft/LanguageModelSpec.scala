@@ -222,6 +222,129 @@ class LanguageModelSpec extends SparkSuite {
     }
   }
 
+  /** Independent trigram interpolated KN (raw counts on top,
+    * continuation counts below), mirroring the operator's contract.
+    */
+  private def refKn3(train: Seq[String], score: Seq[(Long, String)],
+                     d: Double): Map[Long, (Seq[Long], Option[Double])] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val tri = scala.collection.mutable.Map.empty[(String, String, String), Long].withDefaultValue(0L)
+    val big = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for (t <- train; ts = toks(t)) {
+      for (i <- 2 until ts.size) tri((ts(i - 2), ts(i - 1), ts(i))) += 1
+      for (i <- 1 until ts.size) big((ts(i - 1), ts(i))) += 1
+    }
+    val ctx12 = tri.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> (m.values.sum, m.size) }
+    val n23 = tri.groupBy(k => (k._1._2, k._1._3)).map { case (k, m) => k -> m.size }
+    val mid2 = tri.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val n1p2 = n23.groupBy(_._1._1).map { case (w2, m) => w2 -> m.size }
+    val cont1 = big.groupBy(_._1._2).map { case (w3, m) => w3 -> m.size }
+    val b = big.size.toDouble
+    score.map { case (id, t) =>
+      val ts = toks(t)
+      val perPos = (2 until ts.size).map { i =>
+        val (w1, w2, w3) = (ts(i - 2), ts(i - 1), ts(i))
+        val pc = cont1.getOrElse(w3, 0).toDouble / b
+        val p2c = mid2.get(w2) match {
+          case Some(m2) =>
+            math.max(n23.getOrElse((w2, w3), 0).toDouble - d, 0.0) / m2 +
+              d * n1p2(w2) / m2.toDouble * pc
+          case None => pc
+        }
+        val p3 = ctx12.get((w1, w2)) match {
+          case Some((tot, n1p)) =>
+            math.max(tri((w1, w2, w3)).toDouble - d, 0.0) / tot +
+              d * n1p / tot.toDouble * p2c
+          case None => p2c
+        }
+        val lvl = if (tri((w1, w2, w3)) > 0) 3
+          else if (n23.contains((w2, w3))) 2
+          else if (cont1.contains(w3)) 1 else 0
+        val p = if (p3 > 0.0) p3 else 1.0 / (b + 1.0)
+        (lvl, -math.log(p))
+      }
+      val counts = Seq(perPos.size.toLong) ++
+        (3 to 0 by -1).map(l => perPos.count(_._1 == l).toLong)
+      id -> ((counts,
+        if (perPos.isEmpty) None else Some(perPos.map(_._2).sum / perPos.size)))
+    }.toMap
+  }
+
+  test("trigram interpolated KN matches an independent reference; all four mass classes fire") {
+    val train = Seq((0L, "the cat sat on the mat every day"),
+      (2L, "the cat sat on a chair near the mat"))
+    val score = train ++ Seq(
+      (1L, "the cat sat quietly"),   // observed trigram then lower-mass
+      (3L, "mat the cat naps"),      // unseen trigram, known (w2,w3) continuation
+      (5L, "dog saw the mat"),       // 'the mat': continuation; 'saw': cont1-only/unseen
+      (7L, "zzz qqq www vvv"),       // unseen everywhere -> floor
+      (9L, "no"))                    // <3 tokens: no trigram positions
+    val model = LanguageModel.trainKneserNey3(train.toDF("doc_id", "text"), "text")
+    val got = LanguageModel.kneserNey3(score.toDF("doc_id", "text"), "doc_id", "text",
+        Some(model))
+      .collect().map(r => r.getLong(0) ->
+        ((Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val want = refKn3(train.map(_._2), score, 0.75)
+    for ((id, (wc, ws)) <- want) {
+      assert(got(id)._1 == wc, s"doc $id mass-class counts: ${got(id)._1} vs $wc")
+      (got(id)._2, ws) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-9, s"doc $id: $g vs $w")
+        case (g, w) => assert(g == w, s"doc $id surprisal presence: $g vs $w")
+      }
+    }
+    // the fixture exercises every mass class somewhere
+    val classes = want.values.map(_._1.drop(1)).toSeq
+    assert((0 to 3).forall(l => classes.exists(_(3 - l) > 0)),
+      s"fixture must fire all four mass classes: $classes")
+    assert(got(9L)._1.head == 0L && got(9L)._2.isEmpty)
+  }
+
+  test("trigram KN is a proper distribution over the vocabulary for seen contexts") {
+    val train = Seq((0L, "a b a c a b d c a e a b c"))
+    val model = LanguageModel.trainKneserNey3(train.toDF("doc_id", "text"), "text")
+    val tri = model.tri.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val ctx12 = model.ctx12.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val n23 = model.n23.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w2tab = model.w2tab.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cont1 = model.cont1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = cont1.keySet ++ tri.keys.map(_._1)
+    val b = model.totalBigramTypes.toDouble
+    val d = 0.75
+    for (((w1, w2), (tot, n1p)) <- ctx12) {
+      val sum = vocab.toSeq.map { w3 =>
+        val pc = cont1.getOrElse(w3, 0L).toDouble / b
+        val p2c = w2tab.get(w2) match {
+          case Some((m2, np2)) =>
+            math.max(n23.getOrElse((w2, w3), 0L).toDouble - d, 0.0) / m2 +
+              d * np2 / m2.toDouble * pc
+          case None => pc
+        }
+        math.max(tri.getOrElse((w1, w2, w3), 0L).toDouble - d, 0.0) / tot +
+          d * n1p / tot.toDouble * p2c
+      }.sum
+      assert(math.abs(sum - 1.0) < 1e-12, s"context '$w1 $w2' mass $sum")
+    }
+  }
+
+  test("trigram KN level counts are partition-order-free") {
+    val train = Seq((0L, "alpha beta gamma delta epsilon"), (2L, "alpha beta zeta eta theta"))
+      .toDF("doc_id", "text")
+    val score = (0 until 30).map(i => (i.toLong, s"alpha beta gamma token$i tail"))
+      .toDF("doc_id", "text")
+    val m = LanguageModel.trainKneserNey3(train, "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.kneserNey3(df, "doc_id", "text", Some(m))
+        .select("doc_id", "n_trigrams", "n_tri", "n_cont2", "n_cont1", "n_unseen")
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(score) == run(score.repartition(7)))
+  }
+
   test("backoff level counts are partition-order-free") {
     val train = Seq((0L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
       .toDF("doc_id", "text")
