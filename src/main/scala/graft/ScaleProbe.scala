@@ -129,7 +129,7 @@ object ScaleProbe {
       "dedup_spans", "dedup_semantic", "dedup_decontaminate",
       "text_contamination", "text_rare_tokens", "text_surprisal", "text_bpe_vocab",
       "text_chunk", "text_chunk_lines", "text_classifier_score", "text_bigram_surprisal",
-      "text_classifier_train", "text_backoff_hits", "text_lang_id_trained",
+      "text_classifier_train", "text_backoff_hits", "text_kn_hits", "text_kn3_hits", "text_lang_id_trained",
       "text_bpe_encode",
       "text_gopher_rules", "text_gopher_repetition", "text_gopher_dup_ngrams",
       "text_c4_filters",
@@ -140,7 +140,7 @@ object ScaleProbe {
       "ann_pq_topk", "ann_ivfpq_topk", "ann_hard_negatives", "ann_matryoshka_topk",
       "ann_binary_topk",
       "search_bm25", "text_backoff_surprisal", "mm_phash_pairs",
-      "text_normalize", "mm_frame_phash")
+      "text_normalize", "mm_frame_phash", "q_search_fn", "eval_pr_curve")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
