@@ -122,11 +122,8 @@ object GraftSql {
       case u: UpdateTable =>
         commitIfVersioned(spark, dmlTargetName(u.table), "update")(updateParsed(spark, u))
       case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
-        commitIfVersioned(spark, t.table match {
-          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
-            Some(ut.multipartIdentifier.last)
-          case _ => None
-        }, "truncate")(truncateParsed(spark, t))
+        commitIfVersioned(spark, alterTargetName(t.table),
+          "truncate")(truncateParsed(spark, t))
       case a: AddColumns =>
         commitIfVersioned(spark, alterTargetName(a.table), "alter")(addColumnsParsed(spark, a))
       case dc: DropColumns =>
@@ -864,8 +861,9 @@ object GraftSql {
     }
 
   private def alterTargetName(table: LogicalPlan): Option[String] = table match {
-    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
-      Some(ut.multipartIdentifier.last)
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+      if ut.multipartIdentifier.length == 1 =>
+      Some(ut.multipartIdentifier.head)
     case _ => None
   }
 
@@ -1595,12 +1593,17 @@ object GraftSql {
   /** Table reference -> (DataFrame, accepted qualifiers): the explicit
     * alias if given, plus the relation name's last part.
     */
-  /** The unqualified target-table name of a DML endpoint plan, when it
-    * is a plain named relation (what the Versioned registry keys on).
+  /** The target-table name of a DML endpoint plan, when it is a plain
+    * SINGLE-part named relation (what the Versioned registry keys on —
+    * this engine's tables are all single-part session views, and a
+    * qualified `db.events` must NOT silently hit a registered
+    * `events`).
     */
   private def dmlTargetName(p: LogicalPlan): Option[String] = p match {
-    case SubqueryAlias(_, u: UnresolvedRelation) => Some(u.multipartIdentifier.last)
-    case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    case SubqueryAlias(_, u: UnresolvedRelation) if u.multipartIdentifier.length == 1 =>
+      Some(u.multipartIdentifier.head)
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+      Some(u.multipartIdentifier.head)
     case _ => None
   }
 
