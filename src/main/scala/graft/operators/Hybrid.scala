@@ -177,9 +177,12 @@ object Hybrid {
     * aggregate (no separate length scan or doc-keyed join), and
     * (N, avgdl) come from one slim aggregate that rides the PLAN as
     * a broadcast one-row frame (plan construction is job-free;
-    * `deferStats=false` restores the old eager collect) — or from
-    * table stats via `knownDocCount`+`knownAvgDl`, the 100 TB route
-    * that leaves the corpus tokenized exactly ONCE. Whichever route
+    * `deferStats=false` restores the old eager collect). Whenever
+    * that aggregate must scan the corpus, the tokenized projection is
+    * staged LAZILY ([[Staging.stageLazy]]) so the stats subtree and
+    * the tf stream share ONE tokenize pass — still no construction
+    * job. Table stats via `knownDocCount`+`knownAvgDl` remain the
+    * 100 TB route: no staging at all, one uncached streaming pass. Whichever route
     * supplies them, the score expressions read (N, avgdl) from the
     * same one-row-frame columns, so deferred ≡ eager ≡ known
     * bit-for-bit (HybridSpec). An empty corpus yields the empty
@@ -208,9 +211,20 @@ object Hybrid {
     val qTokens = queries
       .select(F.col(qidCol).as("qid"), F.explode(
         F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
-    val toked = docs
+    val toked0 = docs
       .select(F.col(idCol).cast("long").as("doc_id"),
         text.tokens(F.col(textCol)).as("__toks"))
+    // when the stats aggregate must scan the corpus (either deferred
+    // in-plan or eagerly collected), stage the tokenized projection
+    // LAZILY so the corpus is tokenized exactly once: the stats
+    // subtree and the tf stream share one cached materialization
+    // instead of two full passes. No job runs at construction
+    // (lazy), and with both stats known the staging disappears — the
+    // 100 TB route stays a single streaming pass with zero caching.
+    val toked = (knownDocCount, knownAvgDl) match {
+      case (Some(_), Some(_)) => toked0
+      case _                  => Staging.stageLazy(toked0)
+    }
     // corpus stats (N, avgdl) as a ONE-ROW frame: a literal relation
     // when both are known (table stats — zero cost) or eagerly
     // collected (deferStats=false, the old construction-time job,

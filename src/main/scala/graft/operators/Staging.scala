@@ -53,6 +53,25 @@ object Staging {
         df.sparkSession.read.parquet(path)
     }
 
+  /** Lazy lineage truncation: mark `df` for executor-local
+    * materialization WITHOUT running a job now (`localCheckpoint
+    * (eager = false)`). The first action that touches the frame
+    * computes it ONCE and caches the blocks; every further consumer —
+    * including a second subtree of the SAME plan, e.g. a broadcast
+    * stats aggregate alongside the main stream — reads the cached
+    * blocks instead of recomputing the lineage. This is the tool for
+    * "one expensive projection feeds two plan subtrees" (the
+    * search_bm25 shape: the tokenized corpus feeds both the (N,
+    * avgdl) stats aggregate and the tf stream): eager [[stage]] would
+    * fire a construction-time job, no staging scans the corpus twice.
+    * Same durability trade as the `None` branch of [[stage]]: blocks
+    * live on executors, so an executor loss mid-job is unrecoverable —
+    * fine on local[n], use known table stats (not staging at all) on
+    * a 1000-executor cluster.
+    */
+  def stageLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** Recursively delete a staged path (no-op if absent). */
   def drop(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
