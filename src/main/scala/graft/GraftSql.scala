@@ -569,8 +569,15 @@ object GraftSql {
             "(register via Versioned.register; plain views have no history)"))
       val cs = graft.sources.Versioned.commits(spark, path)
       import spark.implicits._
-      cs.sortBy(-_.version).map(c => (c.version,
-          new java.sql.Timestamp(c.commitTsUs / 1000L), c.action, c.live.size))
+      cs.sortBy(-_.version).map { c =>
+          // preserve MICROSECONDS: commits can differ only below 1 ms
+          // (the G14 baseTsUs+batchId ledger, sub-ms test seeds), and a
+          // displayed commit_ts must round-trip into FOR SYSTEM_TIME AS
+          // OF without resolving to an earlier commit
+          val t = new java.sql.Timestamp(c.commitTsUs / 1000L)
+          t.setNanos(((math.floorMod(c.commitTsUs, 1000000L)) * 1000L).toInt)
+          (c.version, t, c.action, c.live.size)
+        }
         .toDF("version", "commit_ts", "action", "n_live_dirs")
     case _ => throw new IllegalArgumentException(
       "not a DESCRIBE HISTORY statement (expected: DESCRIBE HISTORY table)")
@@ -771,11 +778,14 @@ object GraftSql {
       val body = tail.substring(2).trim
       require(body.nonEmpty, s"CREATE FUNCTION $name: empty body")
       val rep = if (orReplace != null) "OR REPLACE " else ""
-      // the body is BigQuery dialect too (`CAST(x AS INT64)`) — the
-      // same tokenwise map applies (quote-aware; a column literally
-      // named `int64` would be caught by it, so don't)
+      // the body is BigQuery dialect too (`CAST(x AS INT64)`), but
+      // unlike the parameter list it mixes type text with arbitrary
+      // identifiers — so the map applies ONLY inside CAST/SAFE_CAST/
+      // TRY_CAST type positions, never to bare identifiers: a column
+      // named `datetime` or `bytes` passes through untouched instead
+      // of being silently rewritten into a type keyword
       val ddl = s"CREATE ${rep}TEMPORARY FUNCTION $name(${mapBqTypes(params)}) " +
-        s"$returns RETURN ${mapBqTypes(body)}"
+        s"$returns RETURN ${mapBqTypesInCasts(body)}"
       spark.sql(ddl)
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException(
@@ -809,6 +819,70 @@ object GraftSql {
         while (j < text.length && (Character.isLetterOrDigit(text.charAt(j)) || text.charAt(j) == '_')) j += 1
         val w = text.substring(i, j)
         out ++= map.getOrElse(w.toUpperCase(java.util.Locale.ROOT), w)
+        i = j
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** [[mapBqTypes]] restricted to TYPE POSITIONS inside a SQL
+    * expression body: only text between a `CAST(`/`SAFE_CAST(`/
+    * `TRY_CAST(` clause's top-level `AS` and its closing paren is
+    * mapped; everything else — including identifiers that happen to
+    * spell a BigQuery type keyword (`bytes`, `numeric`, `bool`,
+    * `datetime`) — passes through verbatim. An `AS` nested deeper
+    * than the cast's own paren (a subquery alias inside the cast
+    * operand) is NOT a type position. Quote- and backtick-aware,
+    * like every scanner in this file; SAFE_CAST itself is spelled to
+    * Spark's TRY_CAST.
+    */
+  private def mapBqTypesInCasts(text: String): String = {
+    val out = new StringBuilder
+    var i = 0; var inQ = false; var inTick = false
+    var depth = 0
+    // stack of open casts: paren depth at which each cast's arg list
+    // opened; typeFrom = that depth once the cast's own AS was seen
+    var castDepths = List.empty[Int]
+    var typeDepths = List.empty[Int]
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inQ = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if (c == '(') { out += c; depth += 1; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (typeDepths.headOption.contains(depth)) { // cast closes
+          typeDepths = typeDepths.tail
+          castDepths = castDepths.tail
+        } else if (castDepths.headOption.contains(depth)) {
+          castDepths = castDepths.tail // cast closed before any AS
+        }
+        out += c; i += 1
+      }
+      else if (Character.isLetter(c) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        var j = i
+        while (j < text.length && isWordChar(text.charAt(j))) j += 1
+        val w = text.substring(i, j)
+        val up = w.toUpperCase(java.util.Locale.ROOT)
+        // lookahead: next non-space char
+        var k = j
+        while (k < text.length && Character.isWhitespace(text.charAt(k))) k += 1
+        if ((up == "CAST" || up == "SAFE_CAST" || up == "TRY_CAST") &&
+            k < text.length && text.charAt(k) == '(') {
+          out ++= (if (up == "SAFE_CAST") "TRY_CAST" else w)
+          castDepths = depth :: castDepths // arg list opens at this depth
+        } else if (up == "AS" && castDepths.nonEmpty &&
+                   castDepths.head == depth - 1 &&
+                   !typeDepths.headOption.contains(depth - 1)) {
+          // the cast's OWN top-level AS: type text runs to its close paren
+          typeDepths = (depth - 1) :: typeDepths
+          out ++= w
+        } else if (typeDepths.headOption.exists(d => depth > d)) {
+          out ++= mapBqTypes(w) // inside a cast's type text
+        } else out ++= w
         i = j
       } else { out += c; i += 1 }
     }

@@ -14,9 +14,11 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * SCORE-LEVEL frame, which is bounded by |distinct scores| — for
   * integer-vote classifiers a few thousand rows, never the corpus.
   * Continuous scores with corpus-cardinality distincts route through
-  * `buckets` (round to that many quantile-free fixed decimals is the
-  * caller's choice; the standard production knob is bucketing scores
-  * upstream — B11's approx-percentile discipline).
+  * `buckets = Some(b)`: scores collapse into `b` equal-width bins
+  * between the observed min and max (computed in the same totals
+  * pass — no extra job), each reported at its LOWER EDGE, so the
+  * sweep frame is bounded by `b` regardless of score cardinality —
+  * the histogram-PR approximation every production eval uses.
   *
   * Contract: labels are +1/−1 (the E14b convention; anything else is
   * loud, counted in one pass), prediction at threshold t is
@@ -33,23 +35,42 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Eval {
 
-  def binaryPrCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+  def binaryPrCurve(df: DataFrame, labelCol: String, scoreCol: String,
+                    buckets: Option[Int] = None): DataFrame = {
+    buckets.foreach(b => require(b >= 1, s"buckets must be positive, got $b"))
     val spark = df.sparkSession
     val rows = df.select(F.col(labelCol).cast("long").as("__y"),
       F.col(scoreCol).cast("double").as("__s"))
       .filter(F.col("__y").isNotNull && F.col("__s").isNotNull)
-    // label validation in the same pass as the totals (no second job)
+    // label validation + score range in the same pass as the totals
+    // (no second job)
     val tot = rows.agg(
       F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__pos"),
       F.sum(F.when(F.col("__y") === -1L, 1L).otherwise(0L)).as("__neg"),
-      F.count(F.lit(1)).as("__n")).head()
+      F.count(F.lit(1)).as("__n"),
+      F.min("__s").as("__lo"), F.max("__s").as("__hi")).head()
     val n = tot.getLong(2)
     require(n > 0, "binaryPrCurve: empty input")
     val (pos, neg) = (tot.getLong(0), tot.getLong(1))
     require(pos + neg == n,
       s"binaryPrCurve: labels must be +1/-1 (found ${n - pos - neg} other values)")
-    // one count pair per distinct score — the corpus-touching pass
-    val perScore = rows.groupBy(F.col("__s").as("threshold"))
+    // the operating-point key: the raw score, or its bucket's lower
+    // edge — floor/multiply/divide are single IEEE ops, so the edges
+    // replay bit-for-bit in a SQL oracle spelled the same way
+    val keyed = buckets match {
+      case Some(b) if tot.getDouble(3) < tot.getDouble(4) =>
+        val lo = tot.getDouble(3)
+        val width = (tot.getDouble(4) - lo) / b
+        val bucket = F.least( // max score lands in the top bucket
+          F.floor((F.col("__s") - F.lit(lo)) / F.lit(width)), F.lit(b - 1L))
+        rows.select(F.col("__y"),
+          (F.lit(lo) + bucket.cast("double") * F.lit(width)).as("threshold"))
+      case _ => // unbucketed, or all scores equal (width 0): raw key
+        rows.select(F.col("__y"), F.col("__s").as("threshold"))
+    }
+    // one count pair per distinct operating point — the
+    // corpus-touching pass
+    val perScore = keyed.groupBy(F.col("threshold"))
       .agg(F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__p"),
         F.sum(F.when(F.col("__y") === -1L, 1L).otherwise(0L)).as("__q"))
     // cumulative sweep over the bounded score-level frame: at

@@ -147,6 +147,19 @@ object Similarity {
                  qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     require(dim >= 1, s"dim=$dim must be >= 1")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    // the caller's dim must match the stored vectors (the matryoshka
+    // layout-probe discipline): a larger dim would element_at past
+    // the array — null sign bits silently zero-pad the fingerprint
+    // and skew the hamming ranking; a smaller dim silently ignores
+    // trailing coordinates. One-row probes, loud on either side.
+    def probeDim(df: DataFrame, col: String, side: String): Unit = {
+      val got = df.select(F.size(F.col(col)).as("n")).limit(1).collect()
+      require(got.isEmpty || got.head.getInt(0) == dim,
+        s"binaryTopK: $side vectors have dim ${got.headOption.map(_.getInt(0)).getOrElse(-1)}, " +
+          s"caller asked dim=$dim — pass the true width")
+    }
+    probeDim(corpus, vecCol, "corpus")
+    probeDim(queries, qvecCol, "query")
     val qBits = queries.select(F.col(qidCol), packSignBits(F.col(qvecCol), dim).as("__qbits"))
     val cBits = corpus.select(F.col(idCol), packSignBits(F.col(vecCol), dim).as("__cbits"))
     val stage1 = cBits.as("c")

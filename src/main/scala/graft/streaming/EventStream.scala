@@ -525,7 +525,11 @@ object EventStream {
     * Every pre-merge state remains readable AS OF its commit — the
     * dimension-table ingest that can answer "what did this row say
     * before tick N". Per-tick cost is the merge (delta broadcasts,
-    * target streams map-side) plus the result write.
+    * target streams map-side) plus the result write. A FRESH target
+    * (no prior commit) bootstraps: merging into an empty target is
+    * pure insert, so the first micro-batch commits directly — the
+    * same self-seeding contract as [[versionedAppendSink]], so a
+    * stream can be pointed at a table that does not exist yet.
     */
   def versionedMergeSink(stream: DataFrame, table: String, keys: Seq[String],
                          baseTsUs: Long)
@@ -538,8 +542,10 @@ object EventStream {
         val spark = batch.sparkSession
         val prior = graft.sources.Versioned.commits(spark, table)
         if (!prior.exists(_.commitTsUs == ts)) {
-          val target = graft.sources.Versioned.read(spark, table)
-          val merged = graft.operators.Upsert.merge(target, batch, keys)
+          val merged =
+            if (prior.isEmpty) batch // bootstrap: merge into empty ≡ insert all
+            else graft.operators.Upsert.merge(
+              graft.sources.Versioned.read(spark, table), batch, keys)
           graft.sources.Versioned.overwrite(merged, table, Some(ts), label = "merge")
         }
         ()

@@ -71,4 +71,36 @@ class EvalSpec extends SparkSuite {
       assert(r.getLong(2) + r.getLong(4) == n - pos)
     }
   }
+
+  test("binaryPrCurve buckets: corpus-cardinality scores collapse to <= b operating points") {
+    // 400 distinct continuous scores — the unbounded-distinct case
+    // the buckets knob exists for
+    val rows = (0 until 400).map(i => (if (i % 3 == 0) 1L else -1L, i / 7.0))
+    val df = rows.toDF("y", "s")
+    val b = 16
+    val got = Eval.binaryPrCurve(df, "y", "s", buckets = Some(b))
+      .orderBy(F.desc("threshold")).collect()
+    assert(got.length <= b && got.length > 1, s"got ${got.length} rows")
+    // driver-side reference with the SAME edge arithmetic
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    val width = (hi - lo) / b
+    def edge(s: Double): Double = lo + math.min(math.floor((s - lo) / width), (b - 1).toDouble) * width
+    val pos = rows.count(_._1 == 1L)
+    val want = rows.map(r => edge(r._2)).distinct.sorted.reverse.map { t =>
+      val tp = rows.count(r => edge(r._2) >= t && r._1 == 1L).toLong
+      val fp = rows.count(r => edge(r._2) >= t && r._1 == -1L).toLong
+      (t, tp, fp)
+    }
+    assert(got.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq == want)
+    // full-recall identity survives bucketing: the bottom edge
+    // predicts everything positive
+    assert(got.last.getDouble(6) == 1.0)
+    // buckets=1: one operating point, everything predicted positive
+    val one = Eval.binaryPrCurve(df, "y", "s", buckets = Some(1)).collect()
+    assert(one.length == 1 && one.head.getLong(1) == pos)
+    // all-equal scores: bucketing degrades to the single raw point
+    val flat = Eval.binaryPrCurve(
+      Seq((1L, 2.0), (-1L, 2.0)).toDF("y", "s"), "y", "s", buckets = Some(8)).collect()
+    assert(flat.length == 1 && flat.head.getDouble(0) == 2.0)
+  }
 }

@@ -544,6 +544,38 @@ class StreamingSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == fin)
   }
 
+  test("G15: versioned MERGE sink bootstraps a fresh (unseeded) table") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-g15b-").toString
+    val table = s"$dir/table" // never seeded: no commit exists yet
+    val base = 1000000L
+    // batch A inserts ids 1,2; batch B upserts 2 and inserts 3
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    Seq((2L, "v2"), (3L, "v1")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    // the first micro-batch must NOT throw "not a versioned table":
+    // merging into an empty target is pure insert, so it commits
+    // directly as the bootstrap version
+    val q = EventStream.versionedMergeSink(stream, table, Seq("id"), base)
+      .option("checkpointLocation", s"$dir/chk").start()
+    q.awaitTermination(60000)
+    val commits = Versioned.commits(spark, table)
+    assert(commits.size == 2, s"expected 2 commits, got $commits")
+    assert(commits.map(_.commitTsUs) == Seq(base, base + 1))
+    val fin = Versioned.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin.keySet == Set(1L, 2L, 3L), s"got $fin")
+    assert(fin(1L) == "v1")
+    // the bootstrap version stays time-travelable: AS OF the first
+    // commit sees exactly one batch's rows
+    assert(Versioned.readAsOf(spark, table, base).count() == 2L)
+  }
+
   test("readEvents: empty directory fails fast unless the wire ts type is declared") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val empty = Files.createTempDirectory("graft-stream-empty-").toString

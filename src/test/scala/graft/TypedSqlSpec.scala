@@ -840,6 +840,25 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark,
       "CREATE OR REPLACE TEMP FUNCTION lit_safe() RETURNS STRING AS ('keep INT64 text')")
     assert(spark.sql("SELECT lit_safe() AS v").head().getString(0) == "keep INT64 text")
+
+    // in the BODY the type map applies only inside CAST type
+    // positions: a column reference spelled like a type keyword
+    // (`datetime`, `bytes`) passes through verbatim instead of
+    // silently becoming TIMESTAMP_NTZ / BINARY — while the CAST
+    // target in the same body still maps (the parameter list and
+    // RETURNS clause stay pure type text, where collisions remain a
+    // documented don't)
+    { import spark.implicits._
+      Seq(("2024", 4L)).toDF("datetime", "bytes").createOrReplaceTempView("udf_coll") }
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TEMP TABLE FUNCTION body_safe() RETURNS TABLE<n INT64> " +
+        "AS (SELECT CAST(LENGTH(datetime) + bytes AS INT64) AS n FROM udf_coll)")
+    assert(GraftSql.load(spark, "SELECT n FROM body_safe()").head().getLong(0) == 8L)
+    // SAFE_CAST spells to TRY_CAST: overflow yields NULL, not an error
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TEMP FUNCTION safe_num(s STRING) AS (SAFE_CAST(s AS INT64))")
+    assert(spark.sql("SELECT safe_num('12') AS v").head().getLong(0) == 12L)
+    assert(spark.sql("SELECT safe_num('nope') AS v").head().isNullAt(0))
   }
 
   test("GraftSql: ORC round-trips through EXPORT DATA, EXTERNAL TABLE and LOAD DATA") {
@@ -942,6 +961,16 @@ class TypedSqlSpec extends SparkSuite {
     assert(hist.map(_.getString(2)).toSeq ==
       Seq("merge", "update", "delete", "insert", "overwrite"), s"got ${hist.toSeq}")
     assert(hist.map(_.getLong(0)).toSeq == (hist.length - 1 to 0 by -1).map(_.toLong))
+    // commit_ts preserves MICROSECONDS: every displayed timestamp
+    // reconstructs the exact commitTsUs, so copying one into FOR
+    // SYSTEM_TIME AS OF resolves to the same commit (the 1000µs seed
+    // and any sub-ms ledger spacing would collapse under ms rounding)
+    val shownUs = hist.map { r =>
+      val t = r.getTimestamp(1)
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    }.toSeq
+    assert(shownUs == Versioned.commits(spark, dir).sortBy(-_.version).map(_.commitTsUs),
+      s"commit_ts lost precision: $shownUs")
     intercept[IllegalArgumentException] {
       GraftSql.load(spark, "DESCRIBE HISTORY vdml_snap")
     }
