@@ -73,8 +73,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteTableSample(rewriteInformationSchema(spark,
-      rewriteVectorSearch(spark, rewriteTimeTravel(spark, sql0))))
+    val sql = rewriteUnnest(rewriteJsonArrayFns(
+      rewriteTableSample(rewriteInformationSchema(spark,
+        rewriteVectorSearch(spark,
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -94,6 +96,8 @@ object GraftSql {
       createFunction(spark, sql)
     } else if (CloneRe.pattern.matcher(sql).matches()) {
       createClone(spark, sql)
+    } else if (PartCtasHeadRe.pattern.matcher(sql).matches()) {
+      createPartitionedTable(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
     } else if (OptimizeRe.pattern.matcher(sql).matches() ||
@@ -550,6 +554,295 @@ object GraftSql {
   }
 
   // ───────────── DESCRIBE HISTORY ─────────────
+
+  // ── BigQuery JSON array surface + UNNEST ─────────────────────────
+
+  /** Expand the BigQuery JSON-array extractors as TEXTUAL macros —
+    * `JSON_EXTRACT_ARRAY` / `JSON_QUERY_ARRAY` (legacy and standard
+    * spellings — BigQuery differs only in path dialect, both accept
+    * `$.a.b` which is the shared subset) and `JSON_VALUE_ARRAY` /
+    * `JSON_EXTRACT_STRING_ARRAY`. Each call `FN(j [, p])` becomes
+    * `from_json(get_json_object(j, p), 'array<string>')` in place
+    * (path defaults to '$'), so the expression works ANYWHERE —
+    * including under a Generate/LATERAL VIEW, where Catalyst refuses
+    * SQL-body UDFs (`UNSUPPORTED_SQL_UDF_USAGE`) — and stays fully
+    * codegen'd. `get_json_object` is NULL on a missing path — lax
+    * semantics, matching JSON_QUERY_ARRAY's lax default. Nested calls
+    * expand via a fixpoint loop.
+    *
+    * Dialect note, deliberate: ELEMENT text follows Spark's JSON
+    * reader — scalars arrive UNQUOTED ('a', '87'), composite elements
+    * arrive as JSON text ('{"b":2}', '[1,2]', re-parseable). BigQuery
+    * quotes string scalars in the EXTRACT/QUERY spellings and
+    * unquotes them in VALUE/STRING; here the four spellings agree on
+    * the unquoted form (the one the UNNEST → CAST pipeline — the real
+    * usage — needs). The hash-gated driver face uses numeric arrays,
+    * where the engines agree bit-for-bit.
+    */
+  private[graft] def rewriteJsonArrayFns(sql0: String): String = {
+    val fns = Seq("JSON_EXTRACT_STRING_ARRAY", "JSON_EXTRACT_ARRAY",
+      "JSON_QUERY_ARRAY", "JSON_VALUE_ARRAY") // longest first
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    def pass(sql: String): String = {
+      val upper = sql.toUpperCase(java.util.Locale.ROOT)
+      val out = new StringBuilder
+      var i = 0; var inStr = false; var inTick = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '`') { out += c; inTick = true; i += 1 }
+        else {
+          val hit = if ((c == 'J' || c == 'j') && (i == 0 || !isWord(sql.charAt(i - 1))))
+            fns.find(f => upper.startsWith(f, i) &&
+              (i + f.length >= sql.length || !isWord(sql.charAt(i + f.length))))
+          else None
+          hit match {
+            case Some(f) =>
+              var p = i + f.length
+              while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+              require(p < sql.length && sql.charAt(p) == '(',
+                s"$f must be called with (json [, path])")
+              // balanced, quote-aware arg scan with top-level comma split
+              var depth = 1; var q = p + 1; var s2 = false
+              var commaAt = -1
+              while (q < sql.length && depth > 0) {
+                val ch = sql.charAt(q)
+                if (s2) { if (ch == '\'') s2 = false }
+                else if (ch == '\'') s2 = true
+                else if (ch == '(') depth += 1
+                else if (ch == ')') depth -= 1
+                else if (ch == ',' && depth == 1) {
+                  require(commaAt < 0, s"$f takes at most (json, path)")
+                  commaAt = q
+                }
+                q += 1
+              }
+              require(depth == 0, s"unbalanced parens in $f(...)")
+              val (j, path) =
+                if (commaAt < 0) (sql.substring(p + 1, q - 1).trim, "'$'")
+                else (sql.substring(p + 1, commaAt).trim,
+                  sql.substring(commaAt + 1, q - 1).trim)
+              require(j.nonEmpty, s"$f needs a json argument")
+              out ++= s"from_json(get_json_object($j, $path), 'array<string>')"
+              i = q
+            case None => out += c; i += 1
+          }
+        }
+      }
+      out.toString
+    }
+    var cur = sql0; var n = 0
+    while (fns.exists(cur.toUpperCase(java.util.Locale.ROOT).contains) && n < 10) {
+      val next = pass(cur)
+      if (next == cur) return cur
+      cur = next; n += 1
+    }
+    cur
+  }
+
+  /** BigQuery `UNNEST` in FROM position → Spark `LATERAL VIEW
+    * explode`: `FROM t, UNNEST(expr) AS x` and `FROM t [CROSS] JOIN
+    * UNNEST(expr) AS x` rewrite to `FROM t LATERAL VIEW explode(expr)
+    * __unnest_N AS x`; `... WITH OFFSET [AS o]` takes posexplode
+    * (offset first, element second — posexplode's output order).
+    * Same row semantics: the comma/CROSS JOIN form drops rows whose
+    * array is NULL or empty, exactly what explode does. Quote-aware;
+    * a standalone `FROM UNNEST(...)` (no driving table) and `LEFT
+    * JOIN UNNEST` are loud — spell the first as a VALUES table and
+    * the second as the comma form over a COALESCEd array.
+    */
+  private[graft] def rewriteUnnest(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("UNNEST")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if ((c == 'U' || c == 'u') && upper.startsWith("UNNEST", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1))) &&
+        (i + 6 >= sql.length || !isWord(sql.charAt(i + 6)))) {
+        // the preceding joiner: strip a trailing comma or [CROSS] JOIN
+        val tail = out.toString
+        val commaM = """(?s)^(.*?),\s*$""".r.pattern.matcher(tail)
+        val joinM = """(?is)^(.*?)(?:\bCROSS\s+)?\bJOIN\s*$""".r.pattern.matcher(tail)
+        val kept =
+          if (commaM.matches()) commaM.group(1)
+          else if (joinM.matches()) joinM.group(1)
+          else throw new IllegalArgumentException(
+            "UNNEST is supported after a driving table only: " +
+              "`FROM t, UNNEST(expr) AS x` or `FROM t [CROSS] JOIN UNNEST(expr) AS x`")
+        out.setLength(0); out ++= kept
+        // UNNEST ( args ) — balanced, quote-aware
+        var p = i + 6
+        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+        require(p < sql.length && sql.charAt(p) == '(', "UNNEST must be called with (expr)")
+        val argStart = p + 1
+        var depth = 1; var q = argStart; var s2 = false
+        while (q < sql.length && depth > 0) {
+          val ch = sql.charAt(q)
+          if (s2) { if (ch == '\'') s2 = false }
+          else if (ch == '\'') s2 = true
+          else if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
+          q += 1
+        }
+        require(depth == 0, "unbalanced parens in UNNEST(...)")
+        val args = sql.substring(argStart, q - 1)
+        // optional [AS] alias
+        var r = q
+        while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
+        if (upper.startsWith("AS", r) && (r + 2 >= sql.length || !isWord(sql.charAt(r + 2)))) {
+          r += 2
+          while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
+        }
+        var a = r
+        while (a < sql.length && isWord(sql.charAt(a))) a += 1
+        require(a > r, "UNNEST(...) needs an element alias: UNNEST(expr) AS x")
+        val alias = sql.substring(r, a)
+        require(!alias.equalsIgnoreCase("WITH"),
+          "UNNEST(...) needs an element alias before WITH OFFSET")
+        // optional WITH OFFSET [AS off]
+        var w = a
+        while (w < sql.length && Character.isWhitespace(sql.charAt(w))) w += 1
+        var offset: Option[String] = None
+        if (upper.startsWith("WITH", w) && (w + 4 >= sql.length || !isWord(sql.charAt(w + 4)))) {
+          var o = w + 4
+          while (o < sql.length && Character.isWhitespace(sql.charAt(o))) o += 1
+          require(upper.startsWith("OFFSET", o),
+            "expected WITH OFFSET after the UNNEST alias")
+          o += 6
+          var o2 = o
+          while (o2 < sql.length && Character.isWhitespace(sql.charAt(o2))) o2 += 1
+          // a custom offset name requires AS (a bare following word is
+          // the next clause keyword, not an alias)
+          if (upper.startsWith("AS", o2) && (o2 + 2 >= sql.length || !isWord(sql.charAt(o2 + 2)))) {
+            o2 += 2
+            while (o2 < sql.length && Character.isWhitespace(sql.charAt(o2))) o2 += 1
+            var o3 = o2
+            while (o3 < sql.length && isWord(sql.charAt(o3))) o3 += 1
+            require(o3 > o2, "WITH OFFSET AS needs a name")
+            offset = Some(sql.substring(o2, o3))
+            w = o3
+          } else {
+            offset = Some("offset") // BigQuery's default column name
+            w = o
+          }
+          a = w
+        }
+        val gen = s"__unnest_${asOfCounter.incrementAndGet()}"
+        offset match {
+          case Some(off) =>
+            out ++= s" LATERAL VIEW posexplode($args) $gen AS $off, $alias"
+            i = w
+          case None =>
+            out ++= s" LATERAL VIEW explode($args) $gen AS $alias"
+            i = a
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  // ── CREATE TABLE ... PARTITION BY ... CLUSTER BY ... AS SELECT ──
+
+  private val PartCtasHeadRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      """((?:PARTITION|CLUSTER)\s+BY\b.*)$""").r
+  private val PartCtasBodyRe =
+    """(?is)^(?:PARTITION\s+BY\s+(.+?)\s+)?(?:CLUSTER\s+BY\s+(.+?)\s+)?AS\s+(.+?)\s*;?\s*$""".r
+
+  /** BigQuery `CREATE TABLE t PARTITION BY <day-expr> [CLUSTER BY
+    * cols] AS SELECT ...` — the physical-design DDL (the README's own
+    * partition+cluster sentence) as a statement. Routing:
+    *
+    *  - `PARTITION BY DATE(ts)` / `TIMESTAMP_TRUNC(ts, DAY)` / a bare
+    *    date column → [[graft.sources.Layout.writePartitioned]]: the
+    *    result lands day-partitioned on a materialized `p_day`
+    *    directory column (this engine's `_PARTITIONDATE` analogue),
+    *    sorted inside each partition on the CLUSTER BY columns — a
+    *    day-filtered read of the registered table shows
+    *    PartitionFilters (PlanSpec-pinned), and min/max row-group
+    *    stats prune on the cluster keys.
+    *  - `CLUSTER BY x, y` with NO partition clause and exactly two
+    *    columns → [[graft.sources.Layout.writeZOrdered]]: every file
+    *    covers an (x, y) rectangle, so predicates on EITHER key prune
+    *    files.
+    *  - `CLUSTER BY cols` otherwise → range-partition + in-file sort
+    *    on the columns (leading-key min/max pruning).
+    *
+    * The table materializes under the session warehouse dir and
+    * registers as a session view (the A31/A32 catalog model); the
+    * query body runs back through [[load]], so wildcard tables, time
+    * travel and the other rewrites compose. Dispositions as
+    * [[createExternal]]: bare re-create raises, IF NOT EXISTS no-ops,
+    * OR REPLACE swaps. Other partition granularities (MONTH,
+    * RANGE_BUCKET, integer-range) are loud — day is the layout this
+    * engine's compaction/pruning contract is built on.
+    */
+  def createPartitionedTable(spark: SparkSession, sql: String): DataFrame = sql match {
+    case PartCtasHeadRe(orReplace, ifNotExists, rawName, rest) =>
+      import org.apache.spark.sql.{functions => F}
+      require(orReplace == null || ifNotExists == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
+      val name = viewName(rawName)
+      val exists = spark.catalog.tableExists(name)
+      if (exists && ifNotExists != null) return spark.table(name)
+      require(!exists || orReplace != null,
+        s"table '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
+      val (pSpec, cSpec, body) = rest match {
+        case PartCtasBodyRe(p, c, b) => (Option(p).map(_.trim),
+          Option(c).map(_.trim), b.trim)
+        case _ => throw new IllegalArgumentException(
+          "expected: CREATE TABLE name [PARTITION BY day_expr] " +
+            "[CLUSTER BY col, ...] AS SELECT ...")
+      }
+      require(pSpec.nonEmpty || cSpec.nonEmpty, "no PARTITION BY or CLUSTER BY clause")
+      val ident = """(?i)^[A-Za-z_][\w$]*$"""
+      val tsCol = pSpec.map { e =>
+        val DateRe = """(?is)^DATE\s*\(\s*([A-Za-z_][\w$]*)\s*\)$""".r
+        val TruncRe = """(?is)^TIMESTAMP_TRUNC\s*\(\s*([A-Za-z_][\w$]*)\s*,\s*DAY\s*\)$""".r
+        e match {
+          case DateRe(c) => c
+          case TruncRe(c) => c
+          case c if c.matches(ident) => c
+          case other => throw new IllegalArgumentException(
+            s"PARTITION BY '$other' is not supported — day partitioning only: " +
+              "DATE(ts_col), TIMESTAMP_TRUNC(ts_col, DAY), or a date column")
+        }
+      }
+      val clusterCols = cSpec.map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      clusterCols.foreach(c => require(c.matches(ident),
+        s"CLUSTER BY column '$c' is not a plain identifier"))
+      val df = load(spark, body)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = s"${wh.stripSuffix("/")}/graft_part_$name"
+      tsCol match {
+        case Some(ts) =>
+          // no CLUSTER BY: sort days internally on the partition key
+          // itself so row groups stay min/max-prunable on it
+          val sortCols = if (clusterCols.nonEmpty) clusterCols else Seq(ts)
+          graft.sources.Layout.writePartitioned(df, path, ts, sortCols)
+        case None if clusterCols.size == 2 =>
+          graft.sources.Layout.writeZOrdered(df, path, clusterCols.head, clusterCols(1))
+        case None =>
+          df.repartitionByRange(clusterCols.map(F.col): _*)
+            .sortWithinPartitions(clusterCols.map(F.col): _*)
+            .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).createOrReplaceTempView(name)
+      spark.table(name)
+    case _ => throw new IllegalArgumentException(
+      "not a partitioned/clustered CTAS (expected: CREATE [OR REPLACE] TABLE " +
+        "[IF NOT EXISTS] name PARTITION BY day_expr [CLUSTER BY cols] AS SELECT ...)")
+  }
 
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""".r
@@ -1859,6 +2152,108 @@ object GraftSql {
   }
 
   private val TimeTravelRe = """FOR\s+SYSTEM_TIME\s+AS\s+OF""".r
+
+  // ── BigQuery wildcard tables + _TABLE_SUFFIX ─────────────────────
+
+  /** BigQuery wildcard tables: `FROM events_*` (bare or backticked,
+    * optionally dataset-qualified — the last component carries the
+    * wildcard) matches every registered session view whose name
+    * starts with the prefix; the reference is rewritten to a temp
+    * view over the UNION BY NAME of the matches, each branch carrying
+    * `_TABLE_SUFFIX` — the characters after the prefix — as a
+    * per-branch LITERAL column.
+    *
+    * That literal is the scale contract: a `WHERE _TABLE_SUFFIX
+    * BETWEEN 'a' AND 'b'` predicate pushes through the union,
+    * CONSTANT-FOLDS inside each branch, and non-matching branches
+    * collapse to empty relations — the optimizer prunes whole
+    * TABLES' scans from the plan, not rows (spec-pinned on the
+    * physical plan), which is exactly BigQuery's sharded-table cost
+    * model. Shards may differ in schema: columns union by name,
+    * missing ones read NULL (BigQuery's rule for wildcard scans).
+    *
+    * Only FROM/JOIN table positions rewrite — `SELECT *`, `a.*`,
+    * `COUNT(*)` stars are untouched. Loud shapes: a `*` anywhere but
+    * the end of the name (BigQuery allows only a trailing wildcard),
+    * an empty prefix (`FROM *` would match the whole catalog), and a
+    * wildcard matching no registered table.
+    */
+  private[graft] def rewriteWildcardTables(spark: SparkSession, sql: String): String = {
+    if (!sql.contains("*")) return sql
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("FROM") && !upper.contains("JOIN")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if (Character.isLetter(c) && (i == 0 || !isWord(sql.charAt(i - 1)))) {
+        var j = i
+        while (j < sql.length && isWord(sql.charAt(j))) j += 1
+        val w = upper.substring(i, j)
+        out ++= sql.substring(i, j)
+        i = j
+        if (w == "FROM" || w == "JOIN") {
+          while (i < sql.length && Character.isWhitespace(sql.charAt(i))) {
+            out += sql.charAt(i); i += 1
+          }
+          if (i < sql.length && sql.charAt(i) == '`') {
+            val close = sql.indexOf('`', i + 1)
+            require(close > 0, "unterminated backtick in table reference")
+            val ref = sql.substring(i + 1, close)
+            if (ref.contains("*")) out ++= wildcardView(spark, ref)
+            else out ++= sql.substring(i, close + 1)
+            i = close + 1
+          } else if (i < sql.length &&
+            (Character.isLetter(sql.charAt(i)) || sql.charAt(i) == '_')) {
+            var k = i
+            while (k < sql.length &&
+              (isWord(sql.charAt(k)) || sql.charAt(k) == '.' || sql.charAt(k) == '*')) k += 1
+            val ref = sql.substring(i, k)
+            if (ref.contains("*")) out ++= wildcardView(spark, ref)
+            else out ++= ref
+            i = k
+          } // else: subquery `(`, VALUES, etc — untouched
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Resolve one wildcard reference to a temp view over the union of
+    * matching session views; returns the view name. See
+    * [[rewriteWildcardTables]] for semantics.
+    */
+  private def wildcardView(spark: SparkSession, ref: String): String = {
+    import org.apache.spark.sql.{functions => F}
+    require(ref.endsWith("*") && ref.indexOf('*') == ref.length - 1,
+      s"wildcard table '$ref': only a single trailing * is supported (BigQuery's rule)")
+    val base = ref.dropRight(1)
+    // dataset-qualified prefixes keep their last component (the
+    // single-part temp-catalog rule every statement here follows)
+    val prefix = base.substring(base.lastIndexOf('.') + 1)
+    require(prefix.nonEmpty,
+      s"wildcard table '$ref': empty prefix would match the whole catalog — " +
+        "name the shard family (e.g. events_*)")
+    val lower = prefix.toLowerCase(java.util.Locale.ROOT)
+    val matches = spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.toLowerCase(java.util.Locale.ROOT).startsWith(lower) &&
+        !n.contains("__wild_") && !n.contains("__asof_"))
+      .sorted.toSeq
+    require(matches.nonEmpty,
+      s"wildcard table '$ref' matches no registered table or view")
+    val unioned = matches.map { n =>
+        spark.table(n).withColumn("_TABLE_SUFFIX", F.lit(n.substring(prefix.length)))
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val view = s"__wild_${asOfCounter.incrementAndGet()}"
+    unioned.createOrReplaceTempView(view)
+    view
+  }
 
   // ── BigQuery VECTOR_SEARCH table function ────────────────────────
   //

@@ -594,6 +594,29 @@ object SparkEntry {
           |FROM expload_tgt GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // A40 driver face: BigQuery WILDCARD TABLES — the sharded-by-date
+    // dataset idiom (`FROM events_*` + `_TABLE_SUFFIX`). Three
+    // year-shards of orders register as views; the wildcard statement
+    // unions them with the suffix pseudo-column and the BETWEEN
+    // predicate prunes the 1997 shard's SCAN from the plan (the
+    // literal suffix constant-folds per branch — table pruning, not
+    // row filtering; spec-pinned in TypedSqlSpec). The oracle replays
+    // as a filtered UNION ALL, so a hash match proves shard matching,
+    // suffix values, union-by-name and the pruning cut
+    "sql_wildcard_tables" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      for (y <- 1995 to 1997)
+        o.filter(F.year(F.col("o_orderdate")) === y)
+          .createOrReplaceTempView(s"wt_orders_$y")
+      graft.GraftSql.load(s,
+        """SELECT _TABLE_SUFFIX AS yr, o_orderpriority, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+          |FROM wt_orders_*
+          |WHERE _TABLE_SUFFIX BETWEEN '1995' AND '1996'
+          |GROUP BY yr, o_orderpriority
+          |ORDER BY yr, o_orderpriority""".stripMargin)
+    }),
+
     // A33b driver face: TRANSACTIONAL DML — INSERT/DELETE/UPDATE
     // statements against a registered Versioned table land as commits
     // (INSERT as an O(batch) APPEND commit, the mutations as snapshot
@@ -1400,6 +1423,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // BigQuery JSON ARRAY surface (B21's companion): the statement
+    // builds a deterministic array payload per event, then
+    // JSON_EXTRACT_ARRAY + comma-UNNEST (both rewritten by GraftSql —
+    // the macro expansion and the LATERAL VIEW explode) fan it out
+    // and aggregate. Numeric elements, so the DuckDB json replay
+    // (json_extract + json_transform + unnest) hashes bit-for-bit
+    "q_json_array" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ja_events")
+      graft.GraftSql.load(s,
+        """WITH payload AS (
+          |  SELECT event_type,
+          |         CONCAT('{"ks": [', CAST(k AS STRING), ', ', CAST(k * 2 AS STRING),
+          |                ', ', CAST(k % 5 AS STRING), ']}') AS j
+          |  FROM (SELECT event_type,
+          |               CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+          |        FROM ja_events))
+          |SELECT event_type, COUNT(*) AS n_elems,
+          |       SUM(CAST(e AS BIGINT)) AS e_sum,
+          |       MIN(CAST(e AS BIGINT)) AS e_min,
+          |       MAX(CAST(e AS BIGINT)) AS e_max
+          |FROM payload, UNNEST(JSON_EXTRACT_ARRAY(j, '$.ks')) AS e
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // BigQuery date/time scalar surface: EXTRACT / FORMAT_DATE /
     // DATE_DIFF / DATE_ADD. Integer parts cast to long so both engines
     // hash the same width; dayofweek follows BigQuery (Sunday=1 —
@@ -1815,6 +1862,17 @@ object SparkEntry {
       graft.operators.Hybrid.bm25Leg(docs, "doc_id", "text", queries, "qid", "qtext",
           n = 10, maxDfFraction = 1.0)
         .orderBy("qid", "rank")
+    }),
+    // D11b: the INTEGER half of BM25 under the hash gate (the E15b
+    // hits discipline) — per-(q,d) matched-term count, Σtf, Σdf and
+    // dl are exactly the quantities the libm idf/saturation consumes,
+    // so search_bm25 stays rows-only ONLY for the log itself
+    "search_bm25_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(F.col("doc_id") % 250 === 0)
+        .select(F.col("doc_id").as("qid"), F.col("text").as("qtext"))
+      graft.operators.Hybrid.bm25Hits(docs, "doc_id", "text", queries, "qid", "qtext")
+        .orderBy("qid", "doc_id")
     }),
 
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -2479,6 +2537,18 @@ object SparkEntry {
           |       CAST(MAX(event_id) AS BIGINT) AS max_id
           |FROM events WHERE event_type <> 'click'
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // wildcard tables: the two kept shards replay as a filtered
+      // UNION ALL with literal suffixes
+      "sql_wildcard_tables" ->
+        """WITH u AS (
+          |  SELECT '1995' AS yr, o_orderpriority, o_totalprice FROM orders
+          |  WHERE EXTRACT(year FROM o_orderdate) = 1995
+          |  UNION ALL
+          |  SELECT '1996' AS yr, o_orderpriority, o_totalprice FROM orders
+          |  WHERE EXTRACT(year FROM o_orderdate) = 1996)
+          |SELECT yr, o_orderpriority, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+          |FROM u GROUP BY yr, o_orderpriority ORDER BY yr, o_orderpriority""".stripMargin,
       // versioned-DML replay: asof = the pinned first commit (third
       // 0); latest = thirds 0+1 minus clicks with purchase values
       // doubled (value*2 is exact in IEEE doubles)
@@ -2872,6 +2942,24 @@ object SparkEntry {
           |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
           |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the JSON array face replays with DuckDB's own json functions:
+      // json_extract pulls the array, json_transform types it, unnest
+      // fans it out — numeric elements, so values hash bit-for-bit
+      "q_json_array" ->
+        """WITH payload AS (
+          |  SELECT event_type,
+          |         CONCAT('{"ks": [', CAST(k AS VARCHAR), ', ', CAST(k * 2 AS VARCHAR),
+          |                ', ', CAST(k % 5 AS VARCHAR), ']}') AS j
+          |  FROM (SELECT event_type,
+          |               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |        FROM events)),
+          |elems AS (
+          |  SELECT event_type,
+          |         unnest(json_transform(json_extract(j, '$.ks'), '["BIGINT"]')) AS e
+          |  FROM payload)
+          |SELECT event_type, COUNT(*) AS n_elems,
+          |       CAST(SUM(e) AS BIGINT) AS e_sum, MIN(e) AS e_min, MAX(e) AS e_max
+          |FROM elems GROUP BY event_type ORDER BY event_type""".stripMargin,
       "fx_ohlc" ->
         """WITH e AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
           |             event_type, value,
@@ -4091,6 +4179,25 @@ object SparkEntry {
       // bigram counts, continuation counts derived from the SAME
       // table, then the three-way mass classification per scored
       // position; <2-token docs would surface 0s via the join-back
+      // BM25's integer half: the same tokenize → semi-join → tf/df/dl
+      // pipeline as the scorer, counts only — every column replays
+      "search_bm25_hits" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          |           FROM documents),
+          |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+          |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS token FROM t
+          |      WHERE doc_id % 250 = 0),
+          |tf AS (SELECT tok.doc_id, tok.token, COUNT(*) AS tf, MIN(tok.dl) AS dl
+          |       FROM tok WHERE tok.token IN (SELECT DISTINCT token FROM q)
+          |       GROUP BY tok.doc_id, tok.token),
+          |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+          |SELECT q.qid, tf.doc_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+          |       CAST(SUM(tf.tf) AS BIGINT) AS tf_sum,
+          |       CAST(SUM(df.df) AS BIGINT) AS df_sum,
+          |       CAST(MIN(tf.dl) AS BIGINT) AS dl
+          |FROM q JOIN tf ON q.token = tf.token JOIN df ON q.token = df.token
+          |GROUP BY q.qid, tf.doc_id ORDER BY q.qid, tf.doc_id""".stripMargin,
       "text_kn_hits" ->
         """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
           |                 THEN text || ' zq' || CAST(doc_id AS VARCHAR)

@@ -292,6 +292,66 @@ object Hybrid {
         F.col("__e.__score").as("bm25"), (F.col("__p") + 1).cast("long").as("rank"))
   }
 
+  /** The INTEGER face of [[bm25Leg]] (the E15b hits discipline): every
+    * count the BM25 score is made of — per-(query, doc) matched-term
+    * count, Σtf, Σdf over the matched tokens, and the doc length —
+    * with the libm idf/log left out, so the WHOLE frame hash-replays
+    * in a SQL oracle. Same pipeline shape as the scorer: corpus
+    * tokens semi-join the broadcast query-token set before the tf
+    * aggregate, dl rides the token stream (no second scan), df is
+    * counted over the semi-joined tf table. With `maxDfFraction < 1`
+    * the same stopword cap applies (and needs the corpus count — the
+    * lazily-staged aggregate, as in the scorer); at the default 1.0
+    * no stats pass runs at all: df ≤ N always, one streaming pass.
+    *
+    * Emits (qid, doc_id, n_terms, tf_sum, df_sum, dl) — every column
+    * a long.
+    */
+  def bm25Hits(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               maxDfFraction: Double = 1.0,
+               knownDocCount: Option[Long] = None,
+               deferStats: Boolean = true): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
+    val qTokens = queries
+      .select(F.col(qidCol).as("qid"), F.explode(
+        F.array_distinct(text.tokens(F.col(qtextCol)))).as("token"))
+    val toked0 = docs
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        text.tokens(F.col(textCol)).as("__toks"))
+    val capBites = maxDfFraction < 1.0 && knownDocCount.isEmpty
+    val toked = if (capBites) Staging.stageLazy(toked0) else toked0
+    val tf = toked
+      .select(F.col("doc_id"), F.size(F.col("__toks")).cast("long").as("__dl"),
+        F.explode(F.col("__toks")).as("token"))
+      .join(F.broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token")
+      .agg(F.count(F.lit(1)).as("tf"), F.first("__dl").as("__dl"))
+    val dfTable = tf.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
+    val keep =
+      if (maxDfFraction >= 1.0) dfTable // df <= N by construction
+      else {
+        val stats: DataFrame = knownDocCount match {
+          case Some(nd) => docs.sparkSession.range(1)
+            .select(F.lit(nd.toDouble).as("__n"))
+          case None if deferStats => toked
+            .agg(F.count(F.lit(1)).cast("double").as("__n"))
+          case None => docs.sparkSession.range(1)
+            .select(F.lit(toked.count().toDouble).as("__n"))
+        }
+        dfTable.crossJoin(F.broadcast(stats))
+          .filter(F.col("__df").cast("double") <= F.col("__n") * F.lit(maxDfFraction))
+          .select("token", "__df")
+      }
+    qTokens.join(F.broadcast(keep), "token").join(tf, "token")
+      .groupBy("qid", "doc_id")
+      .agg(F.count(F.lit(1)).cast("long").as("n_terms"),
+        F.sum("tf").cast("long").as("tf_sum"),
+        F.sum("__df").cast("long").as("df_sum"),
+        F.first("__dl").cast("long").as("dl"))
+  }
+
   /** Brute-force cosine rank list (the D1 shape): top-`n` docs per
     * query vector as (qid, doc_id, rank). Fine while the corpus fits
     * a linear scan per query batch; beyond that feed [[rrfFuse]] an

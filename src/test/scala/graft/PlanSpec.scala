@@ -264,4 +264,17 @@ class PlanSpec extends SparkSuite {
     assert(scan.contains("PartitionFilters"), scan)
     assert(pruned.count() > 0)
   }
+
+  test("PARTITION BY ... CLUSTER BY DDL: a day-filtered read of the created table shows PartitionFilters") {
+    Tables.events(spark, sf).createOrReplaceTempView("plan_pc_events")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE TABLE plan_pc_daily PARTITION BY DATE(ts) CLUSTER BY user_id
+        |AS SELECT event_id, ts, user_id, event_type, value FROM plan_pc_events""".stripMargin)
+    val pruned = spark.table("plan_pc_daily").filter(F.col("p_day") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = """PartitionFilters: \[([^\]]*)\]""".r.findFirstMatchIn(scan)
+    assert(pf.exists(_.group(1).contains("p_day")),
+      s"day filter must land in PartitionFilters, not a row filter:\n$scan")
+    assert(pruned.count() > 0)
+  }
 }

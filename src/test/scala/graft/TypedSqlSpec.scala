@@ -861,6 +861,155 @@ class TypedSqlSpec extends SparkSuite {
     assert(spark.sql("SELECT safe_num('nope') AS v").head().isNullAt(0))
   }
 
+  test("GraftSql PARTITION BY / CLUSTER BY CTAS: routes to Layout, round-trips, dispositions, louds") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+      .select(F.col("event_id"), F.col("ts"), F.col("user_id"), F.col("value"))
+    ev.createOrReplaceTempView("pc_events")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE TABLE pc_daily PARTITION BY DATE(ts) CLUSTER BY user_id
+        |AS SELECT event_id, ts, user_id, value FROM pc_events""".stripMargin)
+    val t = spark.table("pc_daily")
+    // the layout materializes the p_day directory column; content
+    // round-trips exactly
+    assert(t.columns.contains("p_day"))
+    assert(t.count() == ev.count())
+    assert(t.select(F.sum("event_id")).head().getLong(0) ==
+      ev.select(F.sum("event_id")).head().getLong(0))
+    // day dirs exist on disk
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dirs = new java.io.File(s"$wh/graft_part_pc_daily").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("p_day=")) > 5, dirs.mkString(","))
+
+    // dispositions: bare re-create raises, IF NOT EXISTS no-ops
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.load(spark,
+        "CREATE TABLE pc_daily PARTITION BY DATE(ts) AS SELECT * FROM pc_events")
+    }
+    assert(e1.getMessage.contains("already exists"))
+    GraftSql.load(spark,
+      "CREATE TABLE IF NOT EXISTS pc_daily PARTITION BY DATE(ts) AS SELECT * FROM pc_events LIMIT 1")
+    assert(spark.table("pc_daily").count() == ev.count(), "IF NOT EXISTS must no-op")
+
+    // TIMESTAMP_TRUNC day spelling and a partition-only create
+    GraftSql.load(spark,
+      """CREATE OR REPLACE TABLE pc_trunc PARTITION BY TIMESTAMP_TRUNC(ts, DAY)
+        |AS SELECT event_id, ts FROM pc_events""".stripMargin)
+    assert(spark.table("pc_trunc").count() == ev.count())
+
+    // CLUSTER BY alone with two numeric keys takes the z-order route
+    GraftSql.load(spark,
+      """CREATE OR REPLACE TABLE pc_z CLUSTER BY user_id, value
+        |AS SELECT user_id, value FROM pc_events""".stripMargin)
+    assert(spark.table("pc_z").count() == ev.count())
+    assert(spark.table("pc_z").select(F.sum("user_id")).head().getLong(0) ==
+      ev.select(F.sum("user_id")).head().getLong(0))
+
+    // louds: non-day granularity, a non-identifier cluster column
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("CREATE OR REPLACE TABLE pc_bad PARTITION BY TIMESTAMP_TRUNC(ts, MONTH) AS SELECT * FROM pc_events")
+      .contains("day partitioning"))
+    assert(bad("CREATE OR REPLACE TABLE pc_bad PARTITION BY RANGE_BUCKET(user_id, GENERATE_ARRAY(0,100,10)) AS SELECT * FROM pc_events")
+      .contains("day partitioning"))
+    assert(bad("CREATE OR REPLACE TABLE pc_bad CLUSTER BY user_id + 1 AS SELECT * FROM pc_events")
+      .contains("identifier"))
+  }
+
+  test("GraftSql JSON array surface: JSON_EXTRACT_ARRAY + UNNEST, lax paths, WITH OFFSET, louds") {
+    import spark.implicits._
+    Seq(
+      (1L, """{"ks": [1, 2, 3], "tags": ["a", "b"], "nested": [{"v": 1}, {"v": 2}]}"""),
+      (2L, """{"ks": [10], "tags": []}"""),
+      (3L, """{"tags": ["c"]}""")).toDF("id", "j").createOrReplaceTempView("jar_t")
+
+    // comma-UNNEST over the extracted array; id 3 lacks ks → lax NULL
+    // → no rows (BigQuery's comma-join semantics)
+    val got = GraftSql.load(spark,
+      "SELECT id, CAST(e AS BIGINT) AS e FROM jar_t, " +
+        "UNNEST(JSON_EXTRACT_ARRAY(j, '$.ks')) AS e ORDER BY id, e")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 10L)))
+
+    // CROSS JOIN spelling + the VALUE spelling over a string array;
+    // the empty array drops its row
+    val tags = GraftSql.load(spark,
+      "SELECT id, t FROM jar_t CROSS JOIN " +
+        "UNNEST(JSON_VALUE_ARRAY(j, '$.tags')) AS t ORDER BY id, t")
+    assert(tags.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (1L, "b"), (3L, "c")))
+
+    // WITH OFFSET AS o takes posexplode: 0-based positions
+    val off = GraftSql.load(spark,
+      "SELECT id, o, CAST(e AS BIGINT) AS e FROM jar_t, " +
+        "UNNEST(JSON_QUERY_ARRAY(j, '$.ks')) AS e WITH OFFSET AS o WHERE id = 1 ORDER BY o")
+    assert(off.collect().map(r => (r.getInt(1).toLong, r.getLong(2))).toSeq ==
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+
+    // composite elements arrive as re-parseable JSON text
+    val nested = GraftSql.load(spark,
+      "SELECT CAST(get_json_object(e, '$.v') AS BIGINT) AS v FROM jar_t, " +
+        "UNNEST(JSON_EXTRACT_ARRAY(j, '$.nested')) AS e ORDER BY v")
+    assert(nested.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // louds: no driving table, missing element alias
+    def badU(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(badU("SELECT e FROM UNNEST(JSON_EXTRACT_ARRAY('{}', '$.k')) AS e")
+      .contains("driving table"))
+    assert(badU("SELECT e FROM jar_t, UNNEST(JSON_EXTRACT_ARRAY(j, '$.ks'))")
+      .contains("alias"))
+  }
+
+  test("GraftSql wildcard tables: _TABLE_SUFFIX union by name, table-level pruning, louds") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("wt_events_20240101")
+    Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("wt_events_20240102")
+    // schema drift across shards: the Feb shard lacks `v`
+    Seq((9L, 1.5)).toDF("id", "w").createOrReplaceTempView("wt_events_20240201")
+
+    val all = GraftSql.load(spark,
+      "SELECT _TABLE_SUFFIX AS sfx, id, v FROM wt_events_* ORDER BY id")
+    assert(all.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("20240101", 1L), ("20240101", 2L), ("20240102", 3L), ("20240201", 9L)))
+    assert(all.collect().last.isNullAt(2), "missing column must read NULL on the odd shard")
+
+    // a suffix predicate prunes TABLES, not rows: one surviving scan
+    val pruned = GraftSql.load(spark,
+      "SELECT id FROM wt_events_* WHERE _TABLE_SUFFIX = '20240102'")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one surviving shard scan:\n$plan")
+
+    // range predicate keeps two shards
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM wt_events_* WHERE _TABLE_SUFFIX >= '20240102'")
+      .head().getLong(0) == 2L)
+
+    // JOIN position rewrites too
+    Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("wt_dim")
+    val j = GraftSql.load(spark,
+      "SELECT d.tag, e._TABLE_SUFFIX AS sfx FROM wt_dim d JOIN wt_events_* e ON d.id = e.id")
+    assert(j.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "20240101")))
+
+    // backticked + dataset-qualified + partial suffix: BigQuery's
+    // common spelling `ds.events_2024*`
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM `proj.ds.wt_events_202401*`").head().getLong(0) == 3L)
+
+    // stars outside FROM/JOIN table position stay untouched
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM wt_events_20240101").head().getLong(0) == 2L)
+
+    // louds: zero matches, mid-name wildcard, empty prefix
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT 1 FROM wt_zzz_*").contains("matches no registered"))
+    assert(bad("SELECT 1 FROM wt_events_*x").contains("trailing"))
+  }
+
   test("GraftSql: ORC round-trips through EXPORT DATA, EXTERNAL TABLE and LOAD DATA") {
     import graft.sources.Tables
     Tables.region(spark, sf).createOrReplaceTempView("orc_src")
