@@ -65,7 +65,15 @@ object Versioned {
   private def manifestPath(table: String, v: Long): Path =
     new Path(s"$table/$LogDir/v${"%08d".format(v)}.json")
 
-  private def dataSubdir(v: Long): String = s"$DataDir/commit=${"%08d".format(v)}"
+  // attempt-UNIQUE data directory: the version prefix keeps listings
+  // readable, the random suffix means two RACING committers of the
+  // same version never share a directory — each writes its own files,
+  // the create-exclusive manifest picks the winner, and the loser's
+  // directory is debris no manifest references (reclaimed by
+  // [[vacuum]]'s sweep). A shared version-keyed dir would let the
+  // loser's part-files pollute the winner's referenced data.
+  private def dataSubdir(v: Long): String =
+    s"$DataDir/commit=${"%08d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** All commits in version order (empty for a directory with no log). */
   def commits(spark: SparkSession, table: String): Seq[Commit] = {
@@ -144,16 +152,12 @@ object Versioned {
     val spark = df.sparkSession
     val (v, ts, prior) = nextCommit(spark, table, commitTsUs)
     val sub = dataSubdir(v)
-    // crash recovery: a data dir with NO manifest is debris from an
-    // interrupted commit (the manifest write is the commit point) —
-    // no reader can reference it, so a retry reclaims the slot. A
-    // dir WITH a manifest never reaches here (nextCommit skips past
-    // it), so concurrent same-version writers still collide loudly
-    // at the data write or the create-exclusive manifest.
+    // the data dir is attempt-unique (see dataSubdir), so the write
+    // never collides with a racing committer or with debris from an
+    // interrupted one; the MANIFEST write below is the commit point —
+    // a data dir without a manifest is unreachable debris, reclaimed
+    // by vacuum's sweep
     val f = fs(spark, table)
-    val dataPath = new Path(s"$table/$sub")
-    if (f.exists(dataPath) && !f.exists(manifestPath(table, v)))
-      f.delete(dataPath, true)
     df.write.mode("errorifexists").parquet(s"$table/$sub")
     val live =
       if (!append || prior.isEmpty) Seq(sub)
@@ -220,9 +224,20 @@ object Versioned {
 
   /** Drop history older than `horizonTsUs`, keeping every commit
     * needed to serve reads at or after the horizon (i.e. the newest
-    * commit at-or-before it, plus everything later), then delete data
-    * directories no retained manifest references. BigQuery's 7-day
+    * commit at-or-before it, plus everything later), then SWEEP the
+    * data root: any directory no retained manifest references is
+    * deleted — that covers both the dropped versions' exclusive data
+    * and commit DEBRIS (a racing loser's or crashed writer's
+    * directory, which no manifest ever referenced). BigQuery's 7-day
     * time-travel window, made an explicit maintenance verb.
+    *
+    * Concurrency contract (the [[graft.sources.Layout.compactDays]]
+    * discipline): vacuum must not run concurrently with a WRITER on
+    * the same table — an in-flight commit's data directory has no
+    * manifest yet and would be swept as debris. Readers are safe for
+    * retained versions; a frame captured over a DROPPED version fails
+    * at its next action (its files are gone — that is what dropping
+    * history means), spec-pinned.
     */
   def vacuum(spark: SparkSession, table: String, horizonTsUs: Long): Seq[Long] = {
     val all = commits(spark, table)
@@ -234,10 +249,12 @@ object Versioned {
     val (drop, keep) = all.splitAt(keepFrom)
     val liveDirs = keep.flatMap(_.live).toSet
     val f = fs(spark, table)
-    drop.foreach { c =>
-      c.live.filterNot(liveDirs).foreach(d => f.delete(new Path(s"$table/$d"), true))
-      f.delete(manifestPath(table, c.version), false)
-    }
+    drop.foreach(c => f.delete(manifestPath(table, c.version), false))
+    val dataRoot = new Path(s"$table/$DataDir")
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).map(_.getPath)
+        .filterNot(p => liveDirs.contains(s"$DataDir/${p.getName}"))
+        .foreach(p => f.delete(p, true))
     drop.map(_.version)
   }
 

@@ -40,15 +40,22 @@ class VersionedSpec extends SparkSuite {
     Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(1000L))
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // data dirs are version-prefixed with an attempt-unique suffix —
+    // discover commit 0's actual directory
+    def dirOf(v: String): String = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .map(_.getPath.getName).find(_.startsWith(s"commit=$v"))
+      .getOrElse(fail(s"no data dir for version $v"))
     def stamps(sub: String): Map[String, Long] = {
       val d = new org.apache.hadoop.fs.Path(s"$t/$sub")
       fs.listStatus(d).map(s => s.getPath.getName -> s.getModificationTime).toMap
     }
-    val before = stamps("data/commit=00000000")
+    val d0 = s"data/${dirOf("00000000")}"
+    val before = stamps(d0)
     Thread.sleep(1100) // HDFS-local mtimes are second-granular
     Versioned.append(Seq((2L, "b")).toDF("id", "v"), t, Some(2000L))
     Versioned.overwrite(Seq((3L, "c")).toDF("id", "v"), t, Some(3000L))
-    assert(stamps("data/commit=00000000") == before,
+    assert(stamps(d0) == before,
       "append/overwrite must not touch files owned by earlier commits")
     // and the overwritten version's files still serve history
     assert(rows(Versioned.readAsOf(spark, t, 2500L)) == Set((1L, "a"), (2L, "b")))
@@ -81,7 +88,9 @@ class VersionedSpec extends SparkSuite {
     assert(dropped == Seq(0L))
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/commit=00000000")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .map(_.getPath.getName).forall(!_.startsWith("commit=00000000")),
+      "version 0's data dir must be reclaimed")
     assert(rows(Versioned.readAsOf(spark, t, 2500L)) == Set((2L, "b")))
     assert(rows(Versioned.read(spark, t)) == Set((2L, "b"), (3L, "c")))
     intercept[IllegalArgumentException] { Versioned.readAsOf(spark, t, 1500L) }
@@ -141,4 +150,76 @@ class VersionedSpec extends SparkSuite {
     assert(GraftSql.parseTsLiteralUs("1970-01-01 00:00:01+00:00") == 1000000L)
     intercept[IllegalArgumentException] { GraftSql.parseTsLiteralUs("not a time") }
   }
+
+  test("two racing committers: exactly one wins the manifest; the loser's debris is swept") {
+    val t = table()
+    Versioned.append(Seq((0L, "seed")).toDF("id", "v"), t, Some(1000L))
+    // rendezvous INSIDE the data write: both racers complete
+    // nextCommit (same prior → same version) before either can reach
+    // the manifest, making the race deterministic, not scheduled
+    VersionedSpec.raceBarrier = new java.util.concurrent.CyclicBarrier(2)
+    def racerFrame(id: Long) =
+      Seq((id, s"r$id")).toDS()
+        .mapPartitions { it =>
+          VersionedSpec.raceBarrier.await(60, java.util.concurrent.TimeUnit.SECONDS); it
+        }
+        .toDF("id", "v")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val results = Await.result(Future.sequence(Seq(1L, 2L).map(id =>
+        Future(scala.util.Try(Versioned.append(racerFrame(id), t))))), 180.seconds)
+      assert(results.count(_.isSuccess) == 1 && results.count(_.isFailure) == 1,
+        s"exactly one committer must win, got $results")
+      val winner = results.collectFirst { case scala.util.Success(c) => c }.get
+      assert(winner.version == 1L)
+      // the log shows seed + winner only, and content matches
+      val cs = Versioned.commits(spark, t)
+      assert(cs.map(_.version) == Seq(0L, 1L))
+      val content = rows(Versioned.read(spark, t))
+      assert(content.size == 2 && content.contains((0L, "seed")),
+        s"winner's content only, no loser rows mixed in: $content")
+      // the loser's directory is debris: present now, swept by vacuum
+      // (horizon before all commits — vacuum drops NO history, the
+      // sweep alone reclaims the unreferenced dir)
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+        .map(_.getPath.getName).toSeq
+      assert(dataDirs.size == 3, s"seed + winner + loser debris, got $dataDirs")
+      assert(Versioned.vacuum(spark, t, 100L) == Seq.empty)
+      assert(dataDirs.size == 2, s"debris must be swept, got $dataDirs")
+      assert(rows(Versioned.read(spark, t)) == content, "sweep must not touch live data")
+      assert(rows(Versioned.readAsOf(spark, t, 1000L)) == Set((0L, "seed")))
+    } finally pool.shutdownNow()
+  }
+
+  test("vacuum during read: retained frames survive, dropped frames fail at their next action") {
+    val t = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(1000L))
+    Versioned.overwrite(Seq((2L, "b")).toDF("id", "v"), t, Some(2000L))
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), t, Some(3000L))
+    val droppedFrame = Versioned.readAsOf(spark, t, 1500L) // version 0
+    val keptFrame = Versioned.readAsOf(spark, t, 2500L)    // version 1
+    assert(rows(droppedFrame) == Set((1L, "a"))) // readable pre-vacuum
+    assert(Versioned.vacuum(spark, t, 2500L) == Seq(0L))
+    // frames over RETAINED versions keep serving — their files are
+    // untouched by both the drop and the sweep
+    assert(rows(keptFrame) == Set((2L, "b")))
+    assert(rows(Versioned.read(spark, t)) == Set((2L, "b"), (3L, "c")))
+    // the dropped version's files are gone: the captured frame fails
+    // LOUDLY at its next action instead of serving forged history
+    spark.sharedState.cacheManager.clearCache()
+    intercept[Exception] { droppedFrame.collect() }
+  }
+}
+
+object VersionedSpec {
+  /** Rendezvous for the racing-committers test — a static field so
+    * the executor-side task closure reaches the same barrier object
+    * in this single-JVM test session.
+    */
+  @volatile var raceBarrier: java.util.concurrent.CyclicBarrier = _
 }
