@@ -73,10 +73,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteUnnest(rewriteJsonArrayFns(
+    val sql = rewriteUnnest(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteTableSample(rewriteInformationSchema(spark,
         rewriteVectorSearch(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -626,6 +626,105 @@ object GraftSql {
                   sql.substring(commaAt + 1, q - 1).trim)
               require(j.nonEmpty, s"$f needs a json argument")
               out ++= s"from_json(get_json_object($j, $path), 'array<string>')"
+              i = q
+            case None => out += c; i += 1
+          }
+        }
+      }
+      out.toString
+    }
+    var cur = sql0; var n = 0
+    while (fns.exists(cur.toUpperCase(java.util.Locale.ROOT).contains) && n < 10) {
+      val next = pass(cur)
+      if (next == cur) return cur
+      cur = next; n += 1
+    }
+    cur
+  }
+
+  /** BigQuery's sequence generators as textual macros over Spark's
+    * `sequence`: `GENERATE_ARRAY(a, b [, step])`,
+    * `GENERATE_DATE_ARRAY(d1, d2 [, INTERVAL n unit])` and
+    * `GENERATE_TIMESTAMP_ARRAY(t1, t2, INTERVAL n unit)` — with
+    * UNNEST these are the date-spine / gap-fill idiom (the SQL
+    * spelling of A14's Resample).
+    *
+    * The one semantic gap is DIRECTION MISMATCH: BigQuery returns an
+    * EMPTY ARRAY when the step cannot reach the stop (e.g.
+    * GENERATE_ARRAY(5, 1) or a negative interval with stop > start),
+    * while Spark's `sequence(5, 1)` helpfully counts DOWN. The macro
+    * guards each call: numeric steps dynamically
+    * (`(stop-start)*step < 0` → empty — works for expression steps),
+    * interval steps by the literal's sign (the interval must be a
+    * literal `INTERVAL [-]n unit`, loud otherwise). The typed empty
+    * array is `slice(sequence(a, a), 1, 0)` — no untyped `array()`
+    * to trip resolution. BigQuery's fractional GENERATE_ARRAY steps
+    * have no Spark `sequence` equivalent and stay loud at analysis.
+    */
+  private[graft] def rewriteGenerateFns(sql0: String): String = {
+    val fns = Seq("GENERATE_TIMESTAMP_ARRAY", "GENERATE_DATE_ARRAY", "GENERATE_ARRAY")
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val IntervalRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
+    def emptyOf(a: String) = s"slice(sequence(($a),($a)),1,0)"
+    def pass(sql: String): String = {
+      val upper = sql.toUpperCase(java.util.Locale.ROOT)
+      val out = new StringBuilder
+      var i = 0; var inStr = false; var inTick = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '`') { out += c; inTick = true; i += 1 }
+        else {
+          val hit = if ((c == 'G' || c == 'g') && (i == 0 || !isWord(sql.charAt(i - 1))))
+            fns.find(f => upper.startsWith(f, i) &&
+              (i + f.length >= sql.length || !isWord(sql.charAt(i + f.length))))
+          else None
+          hit match {
+            case Some(f) =>
+              var p = i + f.length
+              while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+              require(p < sql.length && sql.charAt(p) == '(',
+                s"$f must be called with (start, stop [, step])")
+              var depth = 1; var q = p + 1; var s2 = false
+              val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+              while (q < sql.length && depth > 0) {
+                val ch = sql.charAt(q)
+                if (s2) { if (ch == '\'') s2 = false }
+                else if (ch == '\'') s2 = true
+                else if (ch == '(') depth += 1
+                else if (ch == ')') depth -= 1
+                else if (ch == ',' && depth == 1) commas += q
+                q += 1
+              }
+              require(depth == 0, s"unbalanced parens in $f(...)")
+              val bounds = (p +: commas.toSeq :+ (q - 1)).sliding(2)
+                .map { case Seq(x, y) => sql.substring(x + 1, y).trim }.toSeq
+              require(bounds.size == 2 || bounds.size == 3,
+                s"$f takes (start, stop [, step]), got ${bounds.size} arguments")
+              val (a, b) = (bounds(0), bounds(1))
+              val rewritten = (f, bounds.lift(2)) match {
+                case ("GENERATE_ARRAY", None) =>
+                  s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
+                case ("GENERATE_ARRAY", Some(s)) =>
+                  s"(CASE WHEN (($b) - ($a)) * ($s) < 0 THEN ${emptyOf(a)} " +
+                    s"ELSE sequence(($a),($b),($s)) END)"
+                case ("GENERATE_DATE_ARRAY", None) =>
+                  s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
+                case (_, None) => throw new IllegalArgumentException(
+                  s"$f requires an explicit INTERVAL step")
+                case (_, Some(step)) => step match {
+                  case IntervalRe(n, unit) =>
+                    val cmp = if (n.toLong >= 0) s"($b) < ($a)" else s"($b) > ($a)"
+                    s"(CASE WHEN $cmp THEN ${emptyOf(a)} " +
+                      s"ELSE sequence(($a),($b),INTERVAL $n $unit) END)"
+                  case other => throw new IllegalArgumentException(
+                    s"$f step must be a literal INTERVAL [-]n unit (got '$other') — " +
+                      "the empty-on-direction-mismatch guard needs the sign statically")
+                }
+              }
+              out ++= rewritten
               i = q
             case None => out += c; i += 1
           }

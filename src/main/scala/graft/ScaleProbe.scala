@@ -100,6 +100,89 @@ object ScaleProbe {
       return
     }
 
+    // --statements: the A33/A31 statement-tier scale contracts.
+    //  - versioned_append: append the SAME fixed batch into a 1× vs
+    //    20× Versioned table — flat timing proves the O(batch) commit
+    //    claim (copy-on-write: the manifest extends the live set, no
+    //    existing byte is touched, cost tracks the batch not the
+    //    table);
+    //  - versioned_read_deep: latest-read after 1 vs 50 commits —
+    //    flat timing proves the reader opens manifests, not history
+    //    (O(#manifests) metadata, O(live) scan);
+    //  - matview_refresh: refreshMaterialized with the SAME fixed
+    //    batch against a 1× vs 20× state table — flat timing proves
+    //    O(batch) incremental maintenance (state payload never
+    //    shuffles; the delta folds via the slim-key merge);
+    //  - sql_versioned_dml / sql_matview_refresh: the full driver
+    //    statement trajectories at 1× vs 20× events — linear slope
+    //    (each statement is one corpus pass by construction).
+    if (args.headOption.contains("--statements")) {
+      buildIfAbsent(spark, sfDir)
+      import graft.sources.Versioned
+      def eventsOf(dir: String) = graft.sources.Tables.events(spark, dir)
+        .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+      val fixedBatch = eventsOf(sfDir).filter(F.col("event_id") % 20 === 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(1000000000L))
+      def appendProbe(dir: String, tag: String): Double = {
+        val vt = s"$root/versioned_probe_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vt))
+        Versioned.overwrite(eventsOf(dir), vt, Some(1000L)) // table build: untimed
+        val t0 = System.nanoTime()
+        Versioned.append(fixedBatch, vt, Some(2000L))
+        (System.nanoTime() - t0) / 1e9 // single run: a repeat re-appends
+      }
+      val apBase = appendProbe(sfDir, "base")
+      val apBig = appendProbe(root, "big")
+      // deep-history reader: the SAME total content as 1 commit vs 50
+      // commits — the delta is pure log depth (50 manifests + 50 live
+      // dirs vs 1), isolating the reader's metadata cost from data
+      // volume
+      def readDeep(splitCommits: Boolean, tag: String): Double = {
+        val vt = s"$root/versioned_deep_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vt))
+        val slice = eventsOf(sfDir).filter(F.col("event_id") % 50 === 0)
+        val slices = (0 until 50).map(i => slice.withColumn("event_id",
+          F.col("event_id") + F.lit(i.toLong * 10000000L)))
+        if (splitCommits)
+          slices.zipWithIndex.foreach { case (s, i) =>
+            Versioned.append(s, vt, Some(1000L + i)) }
+        else Versioned.append(slices.reduce(_ unionByName _), vt, Some(1000L))
+        time(force(Versioned.read(spark, vt)))
+      }
+      val rdShallow = readDeep(splitCommits = false, "shallow")
+      val rdDeep = readDeep(splitCommits = true, "deep")
+      def mvProbe(dir: String, tag: String): Double = {
+        import org.apache.spark.sql.{functions => FF}
+        val ev = graft.sources.Tables.events(spark, dir)
+        ev.filter(FF.col("event_id") % 7 =!= 0).createOrReplaceTempView(s"svp_seed_$tag")
+        GraftSql.load(spark,
+          s"""CREATE OR REPLACE MATERIALIZED VIEW svp_mv_$tag AS
+             |SELECT event_type, SUM(CAST(value AS DECIMAL(30,6))) AS v_sum, COUNT(*) AS n
+             |FROM svp_seed_$tag GROUP BY event_type""".stripMargin)
+        val delta = graft.sources.Tables.events(spark, sfDir)
+          .filter(FF.col("event_id") % 7 === 0)
+        val t0 = System.nanoTime()
+        GraftSql.refreshMaterialized(spark, s"svp_mv_$tag", delta)
+        (System.nanoTime() - t0) / 1e9 // single run: a repeat double-folds
+      }
+      val mvBase = mvProbe(sfDir, "base")
+      val mvBig = mvProbe(root, "big")
+      force(SparkEntry.queries("q1_agg")(spark, sfDir)) // warmup for the trajectories
+      val stRows = Seq("sql_versioned_dml", "sql_matview_refresh").map { name =>
+        val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
+        val big = time(force(SparkEntry.queries(name)(spark, root)))
+        f"""{"op":"$name","base_sec":$base%.2f,"scaled_sec":$big%.2f}"""
+      }
+      println("{\"probe\":\"scale_statements\",\"ops\":[" +
+        (Seq(
+          f"""{"op":"versioned_append_fixed_batch","base_sec":$apBase%.2f,"scaled_sec":$apBig%.2f}""",
+          f"""{"op":"versioned_read_deep","base_sec":$rdShallow%.2f,"scaled_sec":$rdDeep%.2f}""",
+          f"""{"op":"matview_refresh_fixed_batch","base_sec":$mvBase%.2f,"scaled_sec":$mvBig%.2f}""") ++
+          stRows).mkString(",") + "]}")
+      spark.stop()
+      return
+    }
+
     // --x50 [ops...]: the decade-further probe — 50× docs/vectors,
     // default = the three heaviest doc families from the 10× table
     if (args.headOption.contains("--x50")) {

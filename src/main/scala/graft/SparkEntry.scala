@@ -1447,6 +1447,33 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // BigQuery GENERATE_DATE_ARRAY + UNNEST: the date-spine gap-fill
+    // idiom as one statement (the SQL spelling of A14's Resample) —
+    // the macro's sequence rewrite, the lateral-view UNNEST and the
+    // spine × types cross join all land under the hash gate; DuckDB
+    // replays the spine with generate_series
+    "q_date_spine" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("spine_events")
+      graft.GraftSql.load(s,
+        """WITH bounds AS (
+          |  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+          |         MAX(CAST(date_trunc('day', ts) AS DATE)) AS hi
+          |  FROM spine_events),
+          |spine AS (
+          |  SELECT day FROM bounds, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day),
+          |daily AS (
+          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |         COUNT(*) AS n_day, SUM(CAST(value AS DECIMAL(30,6))) AS v_day
+          |  FROM spine_events GROUP BY 1, 2),
+          |types AS (SELECT DISTINCT event_type FROM spine_events)
+          |SELECT s.day, t.event_type,
+          |       CAST(COALESCE(d.n_day, 0) AS BIGINT) AS n,
+          |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum
+          |FROM spine s CROSS JOIN types t
+          |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+          |ORDER BY s.day, t.event_type""".stripMargin)
+    }),
+
     // BigQuery date/time scalar surface: EXTRACT / FORMAT_DATE /
     // DATE_DIFF / DATE_ADD. Integer parts cast to long so both engines
     // hash the same width; dayofweek follows BigQuery (Sunday=1 —
@@ -2942,6 +2969,24 @@ object SparkEntry {
           |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
           |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the date spine replays with DuckDB's generate_series; the
+      // decimal day-sum keeps fold order out of the bytes
+      "q_date_spine" ->
+        """WITH e AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+          |                  event_type, value FROM events),
+          |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+          |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+          |          FROM bounds),
+          |daily AS (SELECT day, event_type, COUNT(*) AS n_day,
+          |                 SUM(CAST(value AS DECIMAL(30,6))) AS v_day
+          |          FROM e GROUP BY 1, 2),
+          |types AS (SELECT DISTINCT event_type FROM e)
+          |SELECT s.day, t.event_type,
+          |       CAST(COALESCE(d.n_day, 0) AS BIGINT) AS n,
+          |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum
+          |FROM spine s CROSS JOIN types t
+          |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+          |ORDER BY s.day, t.event_type""".stripMargin,
       // the JSON array face replays with DuckDB's own json functions:
       // json_extract pulls the array, json_transform types it, unnest
       // fans it out — numeric elements, so values hash bit-for-bit

@@ -962,6 +962,49 @@ class TypedSqlSpec extends SparkSuite {
       .contains("alias"))
   }
 
+  test("GraftSql GENERATE_ARRAY family: sequence semantics with BigQuery's empty-on-mismatch guard") {
+    def arr(sql: String): Seq[String] =
+      GraftSql.load(spark, sql).head().getSeq[Any](0).map(String.valueOf)
+    assert(arr("SELECT GENERATE_ARRAY(1, 4) AS a") == Seq("1", "2", "3", "4"))
+    // BigQuery: unreachable stop → EMPTY, never Spark's helpful countdown
+    assert(arr("SELECT GENERATE_ARRAY(5, 1) AS a") == Seq.empty)
+    assert(arr("SELECT GENERATE_ARRAY(5, 1, -2) AS a") == Seq("5", "3", "1"))
+    assert(arr("SELECT GENERATE_ARRAY(1, 5, -1) AS a") == Seq.empty)
+    assert(arr("SELECT GENERATE_ARRAY(0, 10, 5) AS a") == Seq("0", "5", "10"))
+    // expression step: the guard evaluates dynamically
+    assert(arr("SELECT GENERATE_ARRAY(1, 3, (SELECT -1)) AS a") == Seq.empty)
+    assert(arr("SELECT GENERATE_DATE_ARRAY(DATE'2024-01-01', DATE'2024-01-04') AS a")
+      == Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(arr("SELECT GENERATE_DATE_ARRAY(DATE'2024-01-04', DATE'2024-01-01') AS a")
+      == Seq.empty)
+    assert(arr("SELECT GENERATE_DATE_ARRAY(DATE'2024-01-05', DATE'2024-01-01', INTERVAL -2 DAY) AS a")
+      == Seq("2024-01-05", "2024-01-03", "2024-01-01"))
+    assert(arr("SELECT GENERATE_DATE_ARRAY(DATE'2024-01-01', DATE'2024-01-05', INTERVAL -1 DAY) AS a")
+      == Seq.empty)
+    assert(arr("SELECT GENERATE_TIMESTAMP_ARRAY(TIMESTAMP'2024-01-01 00:00:00', " +
+      "TIMESTAMP'2024-01-01 06:00:00', INTERVAL 3 HOUR) AS a").size == 3)
+    // the date-spine idiom: the macro composes with UNNEST
+    val spine = GraftSql.load(spark,
+      "SELECT day FROM (SELECT 1 AS one), " +
+        "UNNEST(GENERATE_DATE_ARRAY(DATE'2024-02-01', DATE'2024-02-03')) AS day ORDER BY day")
+    assert(spine.collect().map(_.get(0).toString).toSeq ==
+      Seq("2024-02-01", "2024-02-02", "2024-02-03"))
+    // louds: timestamp array needs a step; interval steps must be literal
+    def badG(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(badG("SELECT GENERATE_TIMESTAMP_ARRAY(TIMESTAMP'2024-01-01 00:00:00', " +
+      "TIMESTAMP'2024-01-02 00:00:00') AS a").contains("INTERVAL"))
+    assert(badG("SELECT GENERATE_DATE_ARRAY(DATE'2024-01-01', DATE'2024-01-05', CURRENT_DATE()) AS a")
+      .contains("literal INTERVAL"))
+  }
+
+  test("SELECT * EXCEPT / star expansion: BigQuery's column-exclusion idiom is native") {
+    import spark.implicits._
+    Seq((1L, "x", 2.0)).toDF("a", "b", "c").createOrReplaceTempView("sex_t")
+    assert(GraftSql.load(spark, "SELECT * EXCEPT (b) FROM sex_t").columns.toSeq == Seq("a", "c"))
+    assert(GraftSql.load(spark, "SELECT * EXCEPT (a, c) FROM sex_t").columns.toSeq == Seq("b"))
+  }
+
   test("GraftSql wildcard tables: _TABLE_SUFFIX union by name, table-level pruning, louds") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("wt_events_20240101")
