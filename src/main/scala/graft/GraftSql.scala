@@ -1630,37 +1630,72 @@ object GraftSql {
         s"ON clause must be a conjunction of column equalities, got: $other")
     }
 
-    // WHEN MATCHED -> all-from-source update covering every non-key column
-    val hasUpdate = m.matchedActions match {
-      case Nil => false
-      case Seq(UpdateStarAction(None)) => true
-      case Seq(u: UpdateAction) if u.condition.isEmpty =>
-        val assigned = u.assignments.map(sameNameAssignment(_, targetQuals, sourceQuals))
-        assigned.foreach(c => require(targetCols.contains(c),
-          s"UPDATE SET assigns '$c', which is not a target column"))
-        val missing = targetCols.diff(assigned ++ keys)
-        require(missing.isEmpty,
-          s"UPDATE SET must cover every non-key target column (missing: ${missing.mkString(", ")}); " +
-            "Upsert.merge takes all non-key values from the source")
-        true
-      case other => throw new IllegalArgumentException(
-        s"only one unconditional WHEN MATCHED THEN UPDATE is supported, got: $other")
+    // clause validation — values stay STRICT (all-from-source,
+    // same-name, full coverage) in every shape; what generalizes in
+    // the multi-clause path is WHICH rows each clause selects
+    def validateUpdate(u: UpdateAction): Unit = {
+      val assigned = u.assignments.map(sameNameAssignment(_, targetQuals, sourceQuals))
+      assigned.foreach(c => require(targetCols.contains(c),
+        s"UPDATE SET assigns '$c', which is not a target column"))
+      val missing = targetCols.diff(assigned ++ keys)
+      require(missing.isEmpty,
+        s"UPDATE SET must cover every non-key target column (missing: ${missing.mkString(", ")}); " +
+          "Upsert.merge takes all non-key values from the source")
     }
-
-    // WHEN NOT MATCHED -> full-row insert
-    val hasInsert = m.notMatchedActions match {
-      case Nil => false
-      case Seq(InsertStarAction(None)) => true
-      case Seq(i: InsertAction) if i.condition.isEmpty =>
-        val assigned = i.assignments.map(sameNameAssignment(_, targetQuals, sourceQuals))
-        assigned.foreach(c => require(targetCols.contains(c),
-          s"INSERT names '$c', which is not a target column"))
-        val missing = targetCols.diff(assigned)
-        require(missing.isEmpty,
-          s"INSERT must provide every target column (missing: ${missing.mkString(", ")})")
-        true
+    def validateInsert(a: InsertAction): Unit = {
+      val assigned = a.assignments.map(sameNameAssignment(_, targetQuals, sourceQuals))
+      assigned.foreach(c => require(targetCols.contains(c),
+        s"INSERT names '$c', which is not a target column"))
+      val missing = targetCols.diff(assigned)
+      require(missing.isEmpty,
+        s"INSERT must provide every target column (missing: ${missing.mkString(", ")})")
+    }
+    m.matchedActions.foreach {
+      case _: DeleteAction => ()
+      case _: UpdateStarAction => ()
+      case u: UpdateAction => validateUpdate(u)
       case other => throw new IllegalArgumentException(
-        s"only one unconditional WHEN NOT MATCHED THEN INSERT is supported, got: $other")
+        s"unsupported WHEN MATCHED action: $other (UPDATE SET [*] / DELETE only)")
+    }
+    m.notMatchedActions.foreach {
+      case _: InsertStarAction => ()
+      case a: InsertAction => validateInsert(a)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other (INSERT [*] only)")
+    }
+    // BigQuery's reachability rule: only the LAST clause of each
+    // group may omit AND <condition> — an unconditional clause
+    // swallows every row, making later clauses dead text
+    for (group <- Seq(m.matchedActions, m.notMatchedActions))
+      group.dropRight(1).foreach(a => require(a.condition.isDefined,
+        "clauses after an unconditional WHEN clause are unreachable — " +
+          "only the last clause in each group may omit AND <condition>"))
+
+    // the broadcast-optimized fast path handles the two classic
+    // single-clause unconditional shapes; everything else (clause
+    // conditions, DELETE actions, several clauses, update-only)
+    // routes through the general first-match-wins plan
+    val simpleMatched: Option[Boolean] = m.matchedActions match {
+      case Nil => Some(false)
+      case Seq(UpdateStarAction(None)) => Some(true)
+      case Seq(u: UpdateAction) if u.condition.isEmpty => Some(true)
+      case _ => None
+    }
+    val simpleInsert: Option[Boolean] = m.notMatchedActions match {
+      case Nil => Some(false)
+      case Seq(InsertStarAction(None)) => Some(true)
+      case Seq(i: InsertAction) if i.condition.isEmpty => Some(true)
+      case _ => None
+    }
+    require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty,
+      "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
+    val (hasUpdate, hasInsert) = (simpleMatched, simpleInsert) match {
+      case (Some(u), Some(ins)) if ins => (u, ins)
+      case _ =>
+        val keyNames0 = targetDf.columns.filter(c => keys.contains(c.toLowerCase)).toSeq
+        require(keyNames0.length == keys.distinct.length,
+          s"ON-clause keys ${keys.mkString(", ")} must all exist in the target")
+        return generalMerge(spark, m, targetDf, sourceDf, targetQuals, sourceQuals, keyNames0)
     }
 
     val keyNames = targetDf.columns.filter(c => keys.contains(c.toLowerCase)).toSeq
@@ -1707,12 +1742,123 @@ object GraftSql {
         // directly.
         val inserts = srcMatchable.join(targetKeys, keyNames, "left_anti")
         targetDf.unionByName(inserts).unionByName(srcNullKeyed)
-      case (true, false) => throw new IllegalArgumentException(
-        "update-only MERGE (no WHEN NOT MATCHED) is not supported; add the INSERT clause")
-      case (false, false) => throw new IllegalArgumentException(
-        "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
+      case other => throw new IllegalStateException(
+        s"unreachable fast-path shape $other — the dispatch above routes it to generalMerge")
     }
   }
+
+  /** The general MERGE plan — BigQuery's full WHEN-clause surface
+    * beyond the two broadcast-optimized unconditional shapes:
+    * multiple `WHEN MATCHED [AND cond] THEN UPDATE SET [*] | DELETE`
+    * clauses (FIRST match wins, per BigQuery; a NULL condition
+    * selects nothing) and multiple `WHEN NOT MATCHED [AND cond] THEN
+    * INSERT` clauses, including update-/delete-only statements.
+    * Values stay strict (all-from-source, validated upstream), so
+    * clause order decides WHICH action fires, never WHAT an update
+    * writes — the one frame shape serves every clause.
+    *
+    * Plan shape: one left-outer join of the target against the
+    * key-matchable source (the FULL source row rides along, so clause
+    * conditions may reference source columns outside the target
+    * schema), a first-match `__pick` CASE choosing the winning clause
+    * per matched row (DELETE picks filter out, UPDATE picks take
+    * source values, no pick keeps the target row), and the insert
+    * half as the usual slim-key anti-join with its own first-match
+    * pick. The cardinality sentinel rides the source side whenever a
+    * matched clause exists — BigQuery's MERGE_CARDINALITY_VIOLATION
+    * contract, same as the fast path. Cost: the join shuffles like
+    * any target-wide MERGE rewrite (BigQuery's DML rewrites too);
+    * the small-delta broadcast optimization belongs to the
+    * unconditional fast path.
+    */
+  private def generalMerge(spark: SparkSession, m: MergeIntoTable,
+                           targetDf: DataFrame, sourceDf: DataFrame,
+                           targetQuals: Set[String], sourceQuals: Set[String],
+                           keyNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    // clause conditions re-qualify onto the joined frame's t/s aliases
+    def remap(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, c) if targetQuals(q.toLowerCase) => UnresolvedAttribute(Seq("t", c))
+        case Seq(q, c) if sourceQuals(q.toLowerCase) => UnresolvedAttribute(Seq("s", c))
+        case _ => a // unqualified: the resolver decides (ambiguity is loud)
+      }
+    }
+    def condOf(a: MergeAction, matchedSide: Boolean): Column =
+      a.condition.map(e => F.coalesce(bridge.column(
+        if (matchedSide) remap(e) else stripSourceQual(e, sourceQuals)),
+        F.lit(false))).getOrElse(F.lit(true))
+
+    val anyKeyNull = keyNames.map(F.col(_).isNull).reduce(_ || _)
+    val srcMatchable = sourceDf.filter(!anyKeyNull)
+    val targetKeys = targetDf.select(keyNames.map(F.col): _*).distinct()
+
+    val updatedHalf: DataFrame = if (m.matchedActions.isEmpty) targetDf else {
+      // cardinality sentinel (the fast path's recipe): loud when a
+      // TARGET row matches more than one source row
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
+      val checked = srcMatchable
+        .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
+        .join(targetKeys.withColumn("__t_present", F.lit(1)), keyNames, "left")
+        .filter(F.when(F.col("__src_key_count") === 1 || F.col("__t_present").isNull, F.lit(true))
+          .otherwise(F.raise_error(F.concat(F.lit(
+            "[MERGE_CARDINALITY_VIOLATION] target row matches more than one source row for key ("),
+            F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
+        .drop("__src_key_count", "__t_present")
+      val t = targetDf.alias("t")
+      val s = checked.withColumn("__s_present", F.lit(1)).alias("s")
+      val joinCond = keyNames.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _)
+      val matched = F.col("s.__s_present").isNotNull
+      // first-match-wins pick: 0 = no clause fired (keep the row)
+      val pick = m.matchedActions.zipWithIndex.foldRight(F.lit(0): Column) {
+        case ((a, i), rest) => F.when(condOf(a, matchedSide = true), F.lit(i + 1)).otherwise(rest)
+      }
+      val withPick = t.join(s, joinCond, "left_outer")
+        .withColumn("__pick", F.when(matched, pick).otherwise(F.lit(0)))
+      val deleteIdx = m.matchedActions.zipWithIndex
+        .collect { case (_: DeleteAction, i) => i + 1 }
+      val updateIdx = m.matchedActions.zipWithIndex
+        .collect { case (a, i) if !a.isInstanceOf[DeleteAction] => i + 1 }
+      val kept = if (deleteIdx.isEmpty) withPick
+        else withPick.filter(!F.col("__pick").isin(deleteIdx.map(Integer.valueOf): _*))
+      kept.select(targetDf.columns.toSeq.map { c =>
+        if (updateIdx.isEmpty) F.col(s"t.$c").as(c)
+        else F.when(F.col("__pick").isin(updateIdx.map(Integer.valueOf): _*), F.col(s"s.$c"))
+          .otherwise(F.col(s"t.$c")).as(c)
+      }: _*)
+    }
+
+    val inserts: DataFrame = if (m.notMatchedActions.isEmpty)
+      targetDf.limit(0)
+    else {
+      // null-keyed source rows never match: pure insert candidates;
+      // the rest anti-join the slim target key projection
+      val candidates = sourceDf.filter(anyKeyNull)
+        .unionByName(srcMatchable.join(targetKeys, keyNames, "left_anti"))
+      val insPick = m.notMatchedActions.zipWithIndex.foldRight(F.lit(0): Column) {
+        case ((a, i), rest) => F.when(condOf(a, matchedSide = false), F.lit(i + 1)).otherwise(rest)
+      }
+      candidates.withColumn("__ins_pick", insPick)
+        .filter(F.col("__ins_pick") =!= 0)
+        .select(targetDf.columns.toSeq.map(c => F.col(c)): _*)
+    }
+    updatedHalf.unionByName(inserts)
+  }
+
+  /** NOT MATCHED conditions evaluate over the SOURCE frame alone
+    * (BigQuery's rule — there is no target row to reference): strip
+    * source qualifiers so `S.col` resolves on the bare frame; a
+    * target-qualified reference survives un-stripped and fails
+    * resolution loudly.
+    */
+  private def stripSourceQual(e: Expression, sourceQuals: Set[String]): Expression =
+    e.transform {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, c) if sourceQuals(q.toLowerCase) => UnresolvedAttribute(Seq(c))
+        case _ => a
+      }
+    }
 
   // ───────────── CREATE [MATERIALIZED] VIEW ─────────────
 

@@ -617,6 +617,29 @@ object SparkEntry {
           |ORDER BY yr, o_orderpriority""".stripMargin)
     }),
 
+    // A15b driver face: the GENERAL MERGE surface — conditional WHEN
+    // clauses, a DELETE action and a conditional INSERT in one
+    // statement (first-match-wins). The oracle replays the whole
+    // trajectory as a LEFT JOIN with CASE/filters, so a hash match
+    // proves clause ordering, the delete cut, the conditional insert
+    // gate and the update's all-from-source values
+    "sql_merge_conditional" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "event_type", "value")
+      e.filter(F.pmod(F.col("event_id"), F.lit(2)) === 0).createOrReplaceTempView("mc_tgt")
+      e.filter(F.pmod(F.col("event_id"), F.lit(3)) === 0).createOrReplaceTempView("mc_src")
+      graft.GraftSql.load(s,
+        """MERGE INTO mc_tgt T USING mc_src S ON T.event_id = S.event_id
+          |WHEN MATCHED AND S.event_type = 'click' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET T.event_type = S.event_type, T.value = S.value
+          |WHEN NOT MATCHED AND S.value > 1.0 THEN
+          |  INSERT (event_id, event_type, value) VALUES (S.event_id, S.event_type, S.value)""".stripMargin)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast("decimal(30,6)")).cast("double").as("v_sum"),
+          F.min("event_id").as("min_id"), F.max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // A33b driver face: TRANSACTIONAL DML — INSERT/DELETE/UPDATE
     // statements against a registered Versioned table land as commits
     // (INSERT as an O(batch) APPEND commit, the mutations as snapshot
@@ -2576,6 +2599,27 @@ object SparkEntry {
           |SELECT yr, o_orderpriority, COUNT(*) AS n,
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
           |FROM u GROUP BY yr, o_orderpriority ORDER BY yr, o_orderpriority""".stripMargin,
+      // general MERGE: kept-target half (unmatched pass, matched
+      // clicks deleted, other matched rows take source values) UNION
+      // the gated inserts — then one aggregate
+      "sql_merge_conditional" ->
+        """WITH t AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+          |s AS (SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
+          |kept AS (
+          |  SELECT t.event_id,
+          |         CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+          |         CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
+          |  FROM t LEFT JOIN s ON t.event_id = s.event_id
+          |  WHERE s.event_id IS NULL OR s.event_type <> 'click'),
+          |ins AS (
+          |  SELECT s.event_id, s.event_type, s.value
+          |  FROM s LEFT JOIN t ON s.event_id = t.event_id
+          |  WHERE t.event_id IS NULL AND s.value > 1.0),
+          |result AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+          |SELECT event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+          |FROM result GROUP BY event_type ORDER BY event_type""".stripMargin,
       // versioned-DML replay: asof = the pinned first commit (third
       // 0); latest = thirds 0+1 minus clicks with purchase values
       // doubled (value*2 is exact in IEEE doubles)

@@ -117,12 +117,95 @@ class TypedSqlSpec extends SparkSuite {
       Seq((1L, "a"), (2L, "REDELIVERED"), (3L, "c")))
     // unsupported shapes fail loudly instead of merging wrong
     for (bad <- Seq(
-      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
-      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED AND S.v = 'x' THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
       "MERGE INTO tgt T USING src S ON T.k < S.k WHEN NOT MATCHED THEN INSERT *",
-      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = S.v",
+      "MERGE INTO tgt T USING src S ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = 'const' WHEN NOT MATCHED THEN INSERT *",
       "SELECT 1"))
       intercept[IllegalArgumentException] { GraftSql.merge(spark, bad) }
+  }
+
+  test("GraftSql.merge general path: conditional clauses, DELETE actions, first-match-wins, update-only") {
+    import spark.implicits._
+    def tgt(): Unit = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "n").createOrReplaceTempView("gm_tgt")
+    // source carries an EXTRA column (flag) the target lacks — clause
+    // conditions may reference it; values still come from (k, v, n)
+    Seq((1L, "A", 11L, "upd"), (2L, "B", 21L, "del"), (4L, "D", 40L, "new"),
+      (5L, "E", 50L, "skip"))
+      .toDF("k", "v", "n", "flag").createOrReplaceTempView("gm_src")
+    def run(sql: String): Seq[(Long, String, Long)] =
+      GraftSql.merge(spark, sql).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    // DELETE + conditional UPDATE + conditional INSERT in one statement
+    tgt()
+    val got = run(
+      """MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'del' THEN DELETE
+        |WHEN MATCHED AND S.flag = 'upd' THEN UPDATE SET T.v = S.v, T.n = S.n
+        |WHEN NOT MATCHED AND S.flag = 'new' THEN INSERT (k, v, n) VALUES (S.k, S.v, S.n)""".stripMargin)
+    // 1 updated, 2 deleted, 3 untouched (no clause fired), 4 inserted,
+    // 5 filtered out by the insert condition
+    assert(got == Seq((1L, "A", 11L), (3L, "c", 30L), (4L, "D", 40L)), s"got $got")
+
+    // first-match-wins: an earlier DELETE shadows a later catch-all
+    // UPDATE for the same row
+    tgt()
+    val shadowed = run(
+      """MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(shadowed == Seq((1L, "A", 11L), (3L, "c", 30L), (4L, "D", 40L), (5L, "E", 50L)),
+      s"got $shadowed")
+
+    // update-only (no WHEN NOT MATCHED) is legal BigQuery and now runs
+    tgt()
+    val updOnly = run(
+      "MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = S.v, T.n = S.n")
+    assert(updOnly == Seq((1L, "A", 11L), (2L, "B", 21L), (3L, "c", 30L)), s"got $updOnly")
+
+    // delete-only sync: matched rows vanish, nothing inserts
+    tgt()
+    val delOnly = run("MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k WHEN MATCHED THEN DELETE")
+    assert(delOnly == Seq((3L, "c", 30L)), s"got $delOnly")
+
+    // a NULL condition selects nothing (three-valued logic): the row
+    // falls through to the next clause / stays untouched
+    tgt()
+    Seq((1L, "Z", 99L, null.asInstanceOf[String]))
+      .toDF("k", "v", "n", "flag").createOrReplaceTempView("gm_nullsrc")
+    val nullCond = run(
+      """MERGE INTO gm_tgt T USING gm_nullsrc S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET T.v = S.v, T.n = S.n""".stripMargin)
+    assert(nullCond == Seq((1L, "Z", 99L), (2L, "b", 20L), (3L, "c", 30L)), s"got $nullCond")
+
+    // cardinality: a target row matched by two source rows is loud on
+    // the general path too
+    tgt()
+    Seq((1L, "x", 1L, "upd"), (1L, "y", 2L, "upd"))
+      .toDF("k", "v", "n", "flag").createOrReplaceTempView("gm_dupsrc")
+    val e = intercept[Exception] {
+      GraftSql.merge(spark,
+        """MERGE INTO gm_tgt T USING gm_dupsrc S ON T.k = S.k
+          |WHEN MATCHED AND S.flag = 'upd' THEN UPDATE SET T.v = S.v, T.n = S.n""".stripMargin).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("MERGE_CARDINALITY_VIOLATION"), s"got: $e")
+
+    // reachability: a clause after an unconditional one is dead text —
+    // Spark's parser rejects the SQL spelling itself (ParseException);
+    // generalMerge keeps its own loud require as defense for plan-level
+    // callers
+    val r = intercept[Exception] {
+      GraftSql.merge(spark,
+        """MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN MATCHED AND S.flag = 'del' THEN DELETE""".stripMargin)
+    }
+    assert(r.getMessage.toLowerCase.contains("unreachable") ||
+      r.getMessage.toLowerCase.contains("condition"), s"got: ${r.getMessage.take(200)}")
   }
 
   test("GraftSql.merge follows SQL semantics on null keys and raises on duplicate source keys") {
