@@ -73,10 +73,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteUnnest(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteUnnest(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteTableSample(rewriteInformationSchema(spark,
         rewriteVectorSearch(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -642,6 +642,66 @@ object GraftSql {
     cur
   }
 
+  /** One pass of quote-/backtick-aware call rewriting: every
+    * top-level `NAME ( args )` call where NAME ∈ `names`
+    * (longest-first match, word-bounded, case-insensitive) is handed
+    * to `f(matchedName, args)` — args split at top-level commas —
+    * and the call text replaced by f's result. A NAME not followed
+    * by `(` is an identifier and passes through. Callers needing
+    * nested-call expansion loop to a fixpoint.
+    */
+  private def rewriteCalls(sql: String, names: Seq[String])
+                          (f: (String, Seq[String]) => String): String = {
+    val ordered = names.sortBy(-_.length)
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else {
+        val hit = if (Character.isLetter(c) && (i == 0 || !isWord(sql.charAt(i - 1))))
+          ordered.find(n => upper.startsWith(n, i) &&
+            (i + n.length >= sql.length || !isWord(sql.charAt(i + n.length))))
+        else None
+        val applied = hit.flatMap { n =>
+          var p = i + n.length
+          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+          if (p >= sql.length || sql.charAt(p) != '(') None
+          else {
+            var depth = 1; var q = p + 1; var s2 = false
+            val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+            while (q < sql.length && depth > 0) {
+              val ch = sql.charAt(q)
+              if (s2) { if (ch == '\'') s2 = false }
+              else if (ch == '\'') s2 = true
+              else if (ch == '(') depth += 1
+              else if (ch == ')') depth -= 1
+              else if (ch == ',' && depth == 1) commas += q
+              q += 1
+            }
+            require(depth == 0, s"unbalanced parens in $n(...)")
+            val inner = sql.substring(p + 1, q - 1)
+            val args =
+              if (inner.trim.isEmpty) Seq.empty[String]
+              else (p +: commas.toSeq :+ (q - 1)).sliding(2)
+                .map { case Seq(x, y) => sql.substring(x + 1, y).trim }.toSeq
+            Some((f(n, args), q))
+          }
+        }
+        applied match {
+          case Some((text, next)) => out ++= text; i = next
+          case None => out += c; i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
   /** BigQuery's sequence generators as textual macros over Spark's
     * `sequence`: `GENERATE_ARRAY(a, b [, step])`,
     * `GENERATE_DATE_ARRAY(d1, d2 [, INTERVAL n unit])` and
@@ -736,6 +796,206 @@ object GraftSql {
     while (fns.exists(cur.toUpperCase(java.util.Locale.ROOT).contains) && n < 10) {
       val next = pass(cur)
       if (next == cur) return cur
+      cur = next; n += 1
+    }
+    cur
+  }
+
+  // ── BigQuery function spellings ──────────────────────────────────
+
+  private val BqRenames = Map(
+    "COUNTIF" -> "count_if", "SAFE_DIVIDE" -> "try_divide",
+    "SAFE_ADD" -> "try_add", "SAFE_SUBTRACT" -> "try_subtract",
+    "SAFE_MULTIPLY" -> "try_multiply",
+    "LOGICAL_AND" -> "bool_and", "LOGICAL_OR" -> "bool_or",
+    "ARRAY_LENGTH" -> "size", "ARRAY_TO_STRING" -> "array_join",
+    "ARRAY_REVERSE" -> "reverse", "REGEXP_CONTAINS" -> "regexp_like",
+    "STRPOS" -> "instr", "STARTS_WITH" -> "startswith",
+    "ENDS_WITH" -> "endswith", "FORMAT" -> "format_string")
+
+  private val IntervalLitRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
+
+  private val UnitMicros = Map(
+    "MICROSECOND" -> 1L, "MILLISECOND" -> 1000L, "SECOND" -> 1000000L,
+    "MINUTE" -> 60000000L, "HOUR" -> 3600000000L, "DAY" -> 86400000000L)
+
+  /** BigQuery strftime-style format → Java datetime pattern for the
+    * shared verb subset; untranslated LETTERS are single-quoted (in a
+    * Java pattern every bare letter is a pattern char), other chars
+    * pass verbatim. Unknown % verbs are loud — a silently-wrong
+    * format string corrupts every row.
+    */
+  private def bqFormatToJava(fmt: String): String = {
+    val map = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+      'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", 'j' -> "DDD",
+      'A' -> "EEEE", 'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM",
+      'p' -> "a", 'Z' -> "zz", 'z' -> "xxx", 'e' -> "d", 'Q' -> "q")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"dangling %% in format '$fmt'")
+        val v = fmt.charAt(i + 1)
+        if (v == '%') out += '%'
+        else out ++= map.getOrElse(v, throw new IllegalArgumentException(
+          s"unsupported format verb %$v in '$fmt' (supported: ${map.keys.toSeq.sorted.mkString(", ")})"))
+        i += 2
+      } else if (Character.isLetter(c)) { out ++= s"'$c'"; i += 1 }
+      else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** BigQuery function spellings → Spark equivalents, applied to
+    * every statement before dispatch. Three tiers:
+    *
+    *  1. direct renames where semantics already match (COUNTIF →
+    *     count_if, SAFE_DIVIDE → try_divide, LOGICAL_AND → bool_and,
+    *     ARRAY_LENGTH → size, REGEXP_CONTAINS → regexp_like, STRPOS →
+    *     instr, STARTS_WITH/ENDS_WITH, FORMAT → format_string, …);
+    *  2. argument-shape macros: `TIMESTAMP_DIFF`/`DATETIME_DIFF`
+    *     (micros subtraction `div` unit — truncation toward zero,
+    *     BigQuery's rule), `DATE_DIFF(a, b, DAY)` (datediff; other
+    *     date units count calendar boundaries and are loud),
+    *     `TIMESTAMP_ADD/SUB`/`DATETIME_ADD/SUB` (± INTERVAL),
+    *     `DATE_ADD/SUB(d, INTERVAL n unit)` (date_add/add_months by
+    *     unit; a 2-arg DATE_ADD whose second argument is NOT an
+    *     interval literal is Spark's own spelling and passes
+    *     through), `FORMAT_DATE`/`FORMAT_TIMESTAMP`/`PARSE_DATE`/
+    *     `PARSE_TIMESTAMP` (strftime verbs → Java pattern, literal
+    *     formats only — see [[bqFormatToJava]]);
+    *  3. array subscripts `arr[OFFSET(i)]` → `arr[(i)]` (Spark
+    *     subscripts are 0-based; both engines error on
+    *     out-of-bounds under ANSI) and `arr[ORDINAL(i)]` →
+    *     `arr[(i) - 1]`; SAFE_OFFSET/SAFE_ORDINAL are loud with a
+    *     try_element_at pointer (a bracket rewrite cannot reach the
+    *     array operand to guard it).
+    */
+  private[graft] def rewriteBqFunctions(sql0: String): String = {
+    val shapeNames = Seq("TIMESTAMP_DIFF", "DATETIME_DIFF", "DATE_DIFF",
+      "TIMESTAMP_ADD", "TIMESTAMP_SUB", "DATETIME_ADD", "DATETIME_SUB",
+      "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
+      "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
+      "ANY_VALUE")
+    val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
+    val allNames = BqRenames.keys.toSeq ++ shapeNames
+    def unquote(lit: String, ctx: String): String = {
+      require(lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'"),
+        s"$ctx requires a literal quoted format string, got: $lit")
+      lit.substring(1, lit.length - 1).replace("''", "'")
+    }
+    def onePass(sql: String): String = rewriteCalls(sql, allNames) { (name, args) =>
+      def orig = s"$name(${args.mkString(", ")})"
+      name match {
+        case n if BqRenames.contains(n) => s"${BqRenames(n)}(${args.mkString(", ")})"
+        case "TIMESTAMP_DIFF" | "DATETIME_DIFF" =>
+          require(args.size == 3, s"$name takes (later, earlier, unit)")
+          val u = UnitMicros.getOrElse(args(2).toUpperCase(java.util.Locale.ROOT),
+            throw new IllegalArgumentException(
+              s"$name unit '${args(2)}' not supported (${UnitMicros.keys.toSeq.sorted.mkString(", ")})"))
+          s"((unix_micros(CAST((${args(0)}) AS TIMESTAMP)) - " +
+            s"unix_micros(CAST((${args(1)}) AS TIMESTAMP))) div $u)"
+        case "DATE_DIFF" =>
+          require(args.size == 3, "DATE_DIFF takes (later, earlier, unit)")
+          require(args(2).equalsIgnoreCase("DAY"),
+            s"DATE_DIFF unit '${args(2)}' not supported — only DAY maps cleanly " +
+              "(WEEK/MONTH/YEAR count calendar boundaries); use EXTRACT arithmetic instead")
+          s"CAST(datediff((${args(0)}), (${args(1)})) AS BIGINT)"
+        case "TIMESTAMP_ADD" | "DATETIME_ADD" | "TIMESTAMP_SUB" | "DATETIME_SUB" =>
+          require(args.size == 2 && IntervalLitRe.pattern.matcher(args(1)).matches(),
+            s"$name takes (ts, INTERVAL n unit) with a literal interval, got: $orig")
+          val op = if (name.endsWith("_ADD")) "+" else "-"
+          s"((${args(0)}) $op ${args(1)})"
+        case "DATE_ADD" | "DATE_SUB" =>
+          args match {
+            case Seq(d, IntervalLitRe(n, unit)) =>
+              val sign = if (name == "DATE_SUB") -1L else 1L
+              val k = n.toLong * sign
+              unit.toUpperCase(java.util.Locale.ROOT) match {
+                case "DAY" => s"date_add(($d), ${k})"
+                case "WEEK" => s"date_add(($d), ${k * 7})"
+                case "MONTH" => s"add_months(($d), ${k})"
+                case "QUARTER" => s"add_months(($d), ${k * 3})"
+                case "YEAR" => s"add_months(($d), ${k * 12})"
+                case other => throw new IllegalArgumentException(
+                  s"$name unit '$other' not supported")
+              }
+            case _ => orig // Spark's own date_add(d, n) / non-literal: untouched
+          }
+        case "FORMAT_DATE" | "FORMAT_TIMESTAMP" | "FORMAT_DATETIME" =>
+          require(args.size == 2, s"$name takes (format, value)")
+          s"date_format((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')"
+        case "PARSE_DATE" =>
+          require(args.size == 2, "PARSE_DATE takes (format, value)")
+          s"to_date((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')"
+        case "PARSE_TIMESTAMP" | "PARSE_DATETIME" =>
+          require(args.size == 2, s"$name takes (format, value)")
+          s"to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')"
+        case "ANY_VALUE" => args match {
+          // BigQuery's argmax/argmin spelling; bare ANY_VALUE is
+          // native Spark and passes through
+          case Seq(HavingRe(x, mm, y)) =>
+            s"${if (mm.equalsIgnoreCase("MAX")) "max_by" else "min_by"}(${x.trim}, ${y.trim})"
+          case _ => orig
+        }
+        case _ => orig
+      }
+    }
+    // array subscripts: [OFFSET(i)] → [(i)], [ORDINAL(i)] → [(i) - 1]
+    def subscripts(sql: String): String = {
+      val upper = sql.toUpperCase(java.util.Locale.ROOT)
+      val out = new StringBuilder
+      var i = 0; var inStr = false; var inTick = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '`') { out += c; inTick = true; i += 1 }
+        else if (c == '[') {
+          var p = i + 1
+          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+          val kw = Seq("SAFE_OFFSET", "SAFE_ORDINAL", "OFFSET", "ORDINAL")
+            .find(k => upper.startsWith(k, p) &&
+              p + k.length < sql.length &&
+              sql.substring(p + k.length).dropWhile(Character.isWhitespace).headOption.contains('('))
+          kw match {
+            case Some(k) if k.startsWith("SAFE_") =>
+              throw new IllegalArgumentException(
+                s"arr[$k(i)] has no subscript equivalent — spell it " +
+                  "try_element_at(arr, i + 1) (1-based) for NULL-on-out-of-bounds")
+            case Some(k) =>
+              var q = p + k.length
+              while (q < sql.length && Character.isWhitespace(sql.charAt(q))) q += 1
+              var depth = 1; var r = q + 1; var s2 = false
+              while (r < sql.length && depth > 0) {
+                val ch = sql.charAt(r)
+                if (s2) { if (ch == '\'') s2 = false }
+                else if (ch == '\'') s2 = true
+                else if (ch == '(') depth += 1
+                else if (ch == ')') depth -= 1
+                r += 1
+              }
+              require(depth == 0, s"unbalanced parens in [$k(...)]")
+              val idx = sql.substring(q + 1, r - 1)
+              var e = r
+              while (e < sql.length && Character.isWhitespace(sql.charAt(e))) e += 1
+              require(e < sql.length && sql.charAt(e) == ']', s"expected ] after $k(...)")
+              out ++= (if (k == "OFFSET") s"[($idx)]" else s"[($idx) - 1]")
+              i = e + 1
+            case None => out += c; i += 1
+          }
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    }
+    var cur = sql0; var n = 0
+    var changed = true
+    while (changed && n < 10) {
+      val next = subscripts(onePass(cur))
+      changed = next != cur
       cur = next; n += 1
     }
     cur

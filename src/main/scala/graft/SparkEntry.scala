@@ -1497,6 +1497,26 @@ object SparkEntry {
           |ORDER BY s.day, t.event_type""".stripMargin)
     }),
 
+    // BigQuery FUNCTION SPELLINGS (B36): one statement written in
+    // BigQuery's own function dialect — COUNTIF / LOGICAL_OR /
+    // TIMESTAMP_DIFF / DATE_ADD(.., INTERVAL) / FORMAT_DATE('%…') /
+    // STRPOS — runs through the GraftSql spelling rewrites; DuckDB
+    // replays each with ITS native spelling, so a hash match proves
+    // the semantic mapping (incl. the div-truncation rule), not just
+    // that something ran
+    "q_bq_functions" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("bqf_events")
+      graft.GraftSql.load(s,
+        """SELECT event_type,
+          |  COUNTIF(value > 1.0) AS n_big,
+          |  LOGICAL_OR(value >= 2.0) AS any_big,
+          |  TIMESTAMP_DIFF(MAX(ts), MIN(ts), HOUR) AS span_h,
+          |  TIMESTAMP_DIFF(MAX(ts), MIN(ts), DAY) AS span_d,
+          |  FORMAT_DATE('%Y/%m/%d', DATE_ADD(CAST(MIN(ts) AS DATE), INTERVAL 1 MONTH)) AS next_m,
+          |  STRPOS(event_type, 'c') AS cpos
+          |FROM bqf_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // BigQuery date/time scalar surface: EXTRACT / FORMAT_DATE /
     // DATE_DIFF / DATE_ADD. Integer parts cast to long so both engines
     // hash the same width; dayofweek follows BigQuery (Sunday=1 —
@@ -3012,6 +3032,19 @@ object SparkEntry {
           |           FROM events)
           |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
           |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the function-spelling face replays with DuckDB's OWN native
+      // spellings (count_if/bool_or/epoch_us//strftime/strpos), so
+      // the hash gates the semantic mapping itself
+      "q_bq_functions" ->
+        """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT event_type,
+          |  CAST(count_if(value > 1.0) AS BIGINT) AS n_big,
+          |  bool_or(value >= 2.0) AS any_big,
+          |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000 AS BIGINT) AS span_h,
+          |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS BIGINT) AS span_d,
+          |  strftime(CAST(CAST(MIN(ts) AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y/%m/%d') AS next_m,
+          |  CAST(strpos(event_type, 'c') AS INTEGER) AS cpos
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the date spine replays with DuckDB's generate_series; the
       // decimal day-sum keeps fold order out of the bytes

@@ -1088,6 +1088,62 @@ class TypedSqlSpec extends SparkSuite {
     assert(GraftSql.load(spark, "SELECT * EXCEPT (a, c) FROM sex_t").columns.toSeq == Seq("b"))
   }
 
+  test("GraftSql BigQuery function spellings: renames, datetime macros, format verbs, subscripts") {
+    import spark.implicits._
+    def one(sql: String) = GraftSql.load(spark, sql).head()
+    Seq((1L, 10.0, "alpha"), (2L, 0.0, "beta"), (3L, 5.0, "alphabet"))
+      .toDF("k", "x", "s").createOrReplaceTempView("bqf_t")
+    // tier 1: renames
+    val agg = one("SELECT COUNTIF(x > 1.0) AS n, LOGICAL_AND(k > 0) AS all_pos, " +
+      "LOGICAL_OR(x = 0.0) AS any_zero FROM bqf_t")
+    assert(agg.getLong(0) == 2 && agg.getBoolean(1) && agg.getBoolean(2))
+    val row = one("SELECT SAFE_DIVIDE(10.0, 0.0) AS d, STRPOS('abcab', 'b') AS p, " +
+      "STARTS_WITH('alphabet', 'alpha') AS sw, ENDS_WITH('alphabet', 'bet') AS ew, " +
+      "REGEXP_CONTAINS('alpha', '^a.*a$') AS rc, FORMAT('%d-%s', 7, 'x') AS f, " +
+      "ARRAY_LENGTH(array(1, 2, 3)) AS al, ARRAY_TO_STRING(array('a', 'b'), '|') AS ats")
+    assert(row.isNullAt(0) && row.getInt(1) == 2 && row.getBoolean(2) && row.getBoolean(3)
+      && row.getBoolean(4) && row.getString(5) == "7-x" && row.getInt(6) == 3
+      && row.getString(7) == "a|b")
+    // tier 2: datetime macros (truncation toward zero, both signs)
+    assert(one("SELECT TIMESTAMP_DIFF(TIMESTAMP'2024-01-02 06:30:00', " +
+      "TIMESTAMP'2024-01-01 00:00:00', HOUR) AS h").getLong(0) == 30L)
+    assert(one("SELECT TIMESTAMP_DIFF(TIMESTAMP'2024-01-01 00:00:00', " +
+      "TIMESTAMP'2024-01-02 06:30:00', HOUR) AS h").getLong(0) == -30L)
+    assert(one("SELECT DATE_DIFF(DATE'2024-03-01', DATE'2024-02-01', DAY) AS d").getLong(0) == 29L)
+    assert(one("SELECT TIMESTAMP_ADD(TIMESTAMP'2024-01-01 00:00:00', INTERVAL 90 MINUTE) AS t")
+      .getTimestamp(0).toString.startsWith("2024-01-01 01:30"))
+    assert(one("SELECT DATE_ADD(DATE'2024-01-31', INTERVAL 1 MONTH) AS d")
+      .getDate(0).toString == "2024-02-29")
+    assert(one("SELECT DATE_SUB(DATE'2024-01-10', INTERVAL 2 WEEK) AS d")
+      .getDate(0).toString == "2023-12-27")
+    // Spark's own 2-arg date_add passes through untouched
+    assert(one("SELECT DATE_ADD(DATE'2024-01-01', 5) AS d").getDate(0).toString == "2024-01-06")
+    // format verbs translate; literal letters survive quoted
+    assert(one("SELECT FORMAT_DATE('%Y/%m', DATE'2024-03-05') AS s").getString(0) == "2024/03")
+    assert(one("SELECT FORMAT_TIMESTAMP('%F %H:%M', TIMESTAMP'2024-01-02 03:04:05') AS s")
+      .getString(0) == "2024-01-02 03:04")
+    assert(one("SELECT PARSE_DATE('%Y-%m-%d', '2024-07-04') AS d")
+      .getDate(0).toString == "2024-07-04")
+    // ANY_VALUE(x HAVING MAX/MIN y) — BigQuery's argmax spelling;
+    // bare ANY_VALUE stays Spark-native
+    val hv = one("SELECT ANY_VALUE(s HAVING MAX x) AS top, " +
+      "ANY_VALUE(s HAVING MIN x) AS bottom, ANY_VALUE(k) AS anyk FROM bqf_t")
+    assert(hv.getString(0) == "alpha" && hv.getString(1) == "beta")
+
+    // tier 3: array subscripts (OFFSET 0-based, ORDINAL 1-based)
+    assert(one("SELECT array('a', 'b', 'c')[OFFSET(1)] AS e").getString(0) == "b")
+    assert(one("SELECT array('a', 'b', 'c')[ORDINAL(1)] AS e").getString(0) == "a")
+    // louds
+    def badF(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(badF("SELECT array(1)[SAFE_OFFSET(9)] AS e").contains("try_element_at"))
+    assert(badF("SELECT DATE_DIFF(DATE'2024-03-01', DATE'2024-02-01', MONTH) AS d")
+      .contains("boundaries"))
+    assert(badF("SELECT FORMAT_DATE('%q', DATE'2024-03-05') AS s").contains("%q"))
+    assert(badF("SELECT TIMESTAMP_ADD(TIMESTAMP'2024-01-01 00:00:00', x) AS t")
+      .contains("literal interval"))
+  }
+
   test("GraftSql wildcard tables: _TABLE_SUFFIX union by name, table-level pruning, louds") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("wt_events_20240101")

@@ -158,10 +158,15 @@ class VersionedSpec extends SparkSuite {
     // nextCommit (same prior → same version) before either can reach
     // the manifest, making the race deterministic, not scheduled
     VersionedSpec.raceBarrier = new java.util.concurrent.CyclicBarrier(2)
+    // generous rendezvous timeout: under the FULL suite other suites
+    // share this JVM's local[4] session, so the second racer's task
+    // can queue behind unrelated suites' tasks for minutes before a
+    // slot frees — a short await breaks the barrier and fails BOTH
+    // appends (observed once at 60s)
     def racerFrame(id: Long) =
       Seq((id, s"r$id")).toDS()
         .mapPartitions { it =>
-          VersionedSpec.raceBarrier.await(60, java.util.concurrent.TimeUnit.SECONDS); it
+          VersionedSpec.raceBarrier.await(300, java.util.concurrent.TimeUnit.SECONDS); it
         }
         .toDF("id", "v")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
@@ -170,7 +175,7 @@ class VersionedSpec extends SparkSuite {
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val results = Await.result(Future.sequence(Seq(1L, 2L).map(id =>
-        Future(scala.util.Try(Versioned.append(racerFrame(id), t))))), 180.seconds)
+        Future(scala.util.Try(Versioned.append(racerFrame(id), t))))), 600.seconds)
       assert(results.count(_.isSuccess) == 1 && results.count(_.isFailure) == 1,
         s"exactly one committer must win, got $results")
       val winner = results.collectFirst { case scala.util.Success(c) => c }.get
