@@ -1027,16 +1027,33 @@ object GraftSql {
       else if ((c == 'U' || c == 'u') && upper.startsWith("UNNEST", i) &&
         (i == 0 || !isWord(sql.charAt(i - 1))) &&
         (i + 6 >= sql.length || !isWord(sql.charAt(i + 6)))) {
-        // the preceding joiner: strip a trailing comma or [CROSS] JOIN
+        // the preceding joiner: strip a trailing comma or
+        // [CROSS|LEFT [OUTER]] JOIN — LEFT keeps empty/NULL-array rows
+        // (explode_outer), exactly BigQuery's LEFT JOIN UNNEST
         val tail = out.toString
         val commaM = """(?s)^(.*?),\s*$""".r.pattern.matcher(tail)
-        val joinM = """(?is)^(.*?)(?:\bCROSS\s+)?\bJOIN\s*$""".r.pattern.matcher(tail)
+        val joinM =
+          """(?is)^(.*?)\b(?:(CROSS|LEFT|RIGHT|FULL|INNER)\s+)?(?:OUTER\s+)?JOIN\s*$"""
+            .r.pattern.matcher(tail)
+        var outer = false
         val kept =
           if (commaM.matches()) commaM.group(1)
-          else if (joinM.matches()) joinM.group(1)
+          else if (joinM.matches()) {
+            val jt = Option(joinM.group(2)).map(_.toUpperCase(java.util.Locale.ROOT))
+            jt match {
+              case Some("LEFT") => outer = true
+              case Some("RIGHT") | Some("FULL") | Some("INNER") =>
+                throw new IllegalArgumentException(
+                  s"${jt.get} JOIN UNNEST is not supported — use the comma/CROSS form " +
+                    "(drops empty arrays) or LEFT JOIN UNNEST (keeps them)")
+              case _ => ()
+            }
+            joinM.group(1)
+          }
           else throw new IllegalArgumentException(
             "UNNEST is supported after a driving table only: " +
-              "`FROM t, UNNEST(expr) AS x` or `FROM t [CROSS] JOIN UNNEST(expr) AS x`")
+              "`FROM t, UNNEST(expr) AS x`, `FROM t [CROSS] JOIN UNNEST(expr) AS x` " +
+              "or `FROM t LEFT JOIN UNNEST(expr) AS x [ON TRUE]`")
         out.setLength(0); out ++= kept
         // UNNEST ( args ) — balanced, quote-aware
         var p = i + 6
@@ -1095,15 +1112,29 @@ object GraftSql {
           }
           a = w
         }
+        var end = offset.map(_ => w).getOrElse(a)
+        // a LEFT JOIN form may carry BigQuery's vestigial ON TRUE
+        if (outer) {
+          var o = end
+          while (o < sql.length && Character.isWhitespace(sql.charAt(o))) o += 1
+          if (upper.startsWith("ON", o) && (o + 2 >= sql.length || !isWord(sql.charAt(o + 2)))) {
+            var o2 = o + 2
+            while (o2 < sql.length && Character.isWhitespace(sql.charAt(o2))) o2 += 1
+            require(upper.startsWith("TRUE", o2) &&
+              (o2 + 4 >= sql.length || !isWord(sql.charAt(o2 + 4))),
+              "LEFT JOIN UNNEST supports only ON TRUE (the lateral relationship is implicit)")
+            end = o2 + 4
+          }
+        }
         val gen = s"__unnest_${asOfCounter.incrementAndGet()}"
+        val ov = if (outer) "OUTER " else ""
         offset match {
           case Some(off) =>
-            out ++= s" LATERAL VIEW posexplode($args) $gen AS $off, $alias"
-            i = w
+            out ++= s" LATERAL VIEW $ov" + s"posexplode($args) $gen AS $off, $alias"
           case None =>
-            out ++= s" LATERAL VIEW explode($args) $gen AS $alias"
-            i = a
+            out ++= s" LATERAL VIEW $ov" + s"explode($args) $gen AS $alias"
         }
+        i = end
       } else { out += c; i += 1 }
     }
     out.toString

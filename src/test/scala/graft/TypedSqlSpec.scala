@@ -1036,13 +1036,24 @@ class TypedSqlSpec extends SparkSuite {
         "UNNEST(JSON_EXTRACT_ARRAY(j, '$.nested')) AS e ORDER BY v")
     assert(nested.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
 
-    // louds: no driving table, missing element alias
+    // LEFT JOIN UNNEST keeps empty/missing-array rows with NULL
+    // elements (explode_outer), including the vestigial ON TRUE
+    val left = GraftSql.load(spark,
+      "SELECT id, t FROM jar_t LEFT JOIN " +
+        "UNNEST(JSON_VALUE_ARRAY(j, '$.tags')) AS t ON TRUE ORDER BY id, t")
+    assert(left.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) "∅" else r.getString(1))).toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, "∅"), (3L, "c")))
+
+    // louds: no driving table, missing element alias, RIGHT JOIN
     def badU(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
     assert(badU("SELECT e FROM UNNEST(JSON_EXTRACT_ARRAY('{}', '$.k')) AS e")
       .contains("driving table"))
     assert(badU("SELECT e FROM jar_t, UNNEST(JSON_EXTRACT_ARRAY(j, '$.ks'))")
       .contains("alias"))
+    assert(badU("SELECT e FROM jar_t RIGHT JOIN UNNEST(JSON_EXTRACT_ARRAY(j, '$.ks')) AS e")
+      .contains("RIGHT"))
   }
 
   test("GraftSql GENERATE_ARRAY family: sequence semantics with BigQuery's empty-on-mismatch guard") {
