@@ -98,6 +98,8 @@ object GraftSql {
       createClone(spark, sql)
     } else if (PartCtasHeadRe.pattern.matcher(sql).matches()) {
       createPartitionedTable(spark, sql)
+    } else if (DropRe.pattern.matcher(sql).matches()) {
+      dropStatement(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
     } else if (OptimizeRe.pattern.matcher(sql).matches() ||
@@ -1138,6 +1140,62 @@ object GraftSql {
       } else { out += c; i += 1 }
     }
     out.toString
+  }
+
+  // ── DROP TABLE / VIEW / FUNCTION ─────────────────────────────────
+
+  private val DropRe =
+    ("""(?is)^\s*DROP\s+(?:(MATERIALIZED)\s+)?(?:EXTERNAL\s+)?""" +
+      """(TABLE|VIEW|(?:TEMP(?:ORARY)?\s+)?FUNCTION)\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""").r
+
+  /** `DROP [EXTERNAL] TABLE | [MATERIALIZED] VIEW | [TEMP] FUNCTION
+    * [IF EXISTS] name` — the teardown half every migrated script
+    * carries. This engine's tables ARE session views (the A31/A32
+    * catalog model), so TABLE and VIEW drop the same object class —
+    * BigQuery's table-vs-view kind check has nothing to bite on and
+    * is documented away rather than faked. Dropping:
+    *
+    *  - removes the temp view (or the managed saveAsTable table — the
+    *    A13 bucketed layouts — via native DROP TABLE);
+    *  - unregisters an A33 Versioned name, so `FOR SYSTEM_TIME AS OF`
+    *    stops resolving — the on-disk commit log is NOT deleted
+    *    (BigQuery keeps dropped tables restorable; re-register
+    *    restores the name);
+    *  - clears A31 materialized-view state, so a later bare CREATE
+    *    of the same name works (no ghost registry entry);
+    *  - FUNCTION routes to Spark's own DROP TEMPORARY FUNCTION.
+    *
+    * `IF EXISTS` no-ops on a missing name; a bare DROP of a missing
+    * name is loud (BigQuery's rule).
+    */
+  def dropStatement(spark: SparkSession, sql: String): DataFrame = sql match {
+    case DropRe(mat, kind, ifExists, rawName) =>
+      val name = viewName(rawName)
+      val kindUp = kind.toUpperCase(java.util.Locale.ROOT)
+      if (kindUp.endsWith("FUNCTION")) {
+        require(mat == null, "DROP MATERIALIZED FUNCTION is not a statement")
+        val ie = if (ifExists != null) "IF EXISTS " else ""
+        spark.sql(s"DROP TEMPORARY FUNCTION $ie$name")
+        return spark.emptyDataFrame
+      }
+      val isMv = mvRegistry.contains(mvKey(spark, name))
+      require(mat == null || isMv || ifExists != null,
+        s"DROP MATERIALIZED VIEW $name: not a materialized view")
+      val isTemp = spark.catalog.tableExists(name)
+      if (!isTemp) {
+        require(ifExists != null,
+          s"DROP $kindUp $name: no such table or view (use IF EXISTS to ignore)")
+        return spark.emptyDataFrame
+      }
+      mvRegistry.remove(mvKey(spark, name))
+      graft.sources.Versioned.unregister(spark, name)
+      if (!spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
+        spark.sql(s"DROP TABLE `$name`") // a managed (saveAsTable) table
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a supported DROP statement (expected: DROP [EXTERNAL] TABLE | " +
+        "[MATERIALIZED] VIEW | [TEMP] FUNCTION [IF EXISTS] name)")
   }
 
   // ── CREATE TABLE ... PARTITION BY ... CLUSTER BY ... AS SELECT ──

@@ -280,4 +280,13 @@ object Versioned {
 
   private[graft] def registeredPath(spark: SparkSession, name: String): Option[String] =
     registry.get(key(spark, name))
+
+  /** Remove `name` from the session registry (DROP TABLE's registry
+    * half — the temp view is the caller's to drop). The on-disk
+    * commit log is NOT touched: like BigQuery's dropped-table
+    * restore window, history survives until someone vacuums or
+    * deletes the directory; re-`register` restores the name.
+    */
+  private[graft] def unregister(spark: SparkSession, name: String): Unit =
+    registry.remove(key(spark, name))
 }

@@ -1099,6 +1099,54 @@ class TypedSqlSpec extends SparkSuite {
     assert(GraftSql.load(spark, "SELECT * EXCEPT (a, c) FROM sex_t").columns.toSeq == Seq("b"))
   }
 
+  test("GraftSql DROP statements: views, materialized views, versioned names, functions, louds") {
+    import spark.implicits._
+    // plain view
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("drop_v")
+    GraftSql.load(spark, "DROP TABLE drop_v")
+    assert(!spark.catalog.tableExists("drop_v"))
+    // missing: IF EXISTS no-ops, bare is loud
+    GraftSql.load(spark, "DROP VIEW IF EXISTS drop_v")
+    val e = intercept[IllegalArgumentException] { GraftSql.load(spark, "DROP TABLE drop_v") }
+    assert(e.getMessage.contains("IF EXISTS"))
+    // materialized view: DROP clears the registry so a bare re-CREATE
+    // works (no ghost state)
+    Seq((1L, 2.0)).toDF("k", "x").createOrReplaceTempView("drop_mv_src")
+    GraftSql.load(spark,
+      "CREATE MATERIALIZED VIEW drop_mv AS SELECT k, SUM(x) AS s FROM drop_mv_src GROUP BY k")
+    GraftSql.load(spark, "DROP MATERIALIZED VIEW drop_mv")
+    assert(!spark.catalog.tableExists("drop_mv"))
+    GraftSql.load(spark,
+      "CREATE MATERIALIZED VIEW drop_mv AS SELECT k, SUM(x) AS s FROM drop_mv_src GROUP BY k")
+    assert(spark.table("drop_mv").count() == 1)
+    GraftSql.load(spark, "DROP VIEW drop_mv")
+    // DROP MATERIALIZED VIEW on a plain view is loud
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("drop_plain")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "DROP MATERIALIZED VIEW drop_plain")
+    }.getMessage.contains("not a materialized view"))
+    GraftSql.load(spark, "DROP VIEW drop_plain")
+    // versioned name: DROP unregisters — FOR SYSTEM_TIME stops
+    // resolving; the on-disk log survives and re-register restores
+    val dir = java.nio.file.Files.createTempDirectory("graft-drop-").toString
+    graft.sources.Versioned.append(Seq((1L, "a")).toDF("id", "v"), dir, Some(1000L))
+    graft.sources.Versioned.register(spark, "drop_vt", dir)
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM drop_vt FOR SYSTEM_TIME AS OF '2024-01-01'").head().getLong(0) == 1L)
+    GraftSql.load(spark, "DROP TABLE drop_vt")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM drop_vt FOR SYSTEM_TIME AS OF '2024-01-01'")
+    }.getMessage.contains("not a registered versioned table"))
+    graft.sources.Versioned.register(spark, "drop_vt", dir)
+    assert(spark.table("drop_vt").count() == 1)
+    GraftSql.load(spark, "DROP TABLE drop_vt")
+    // function
+    GraftSql.load(spark, "CREATE TEMP FUNCTION drop_fn(x INT64) AS (x + 1)")
+    GraftSql.load(spark, "DROP FUNCTION drop_fn")
+    intercept[Exception] { spark.sql("SELECT drop_fn(1)").collect() }
+    GraftSql.load(spark, "DROP FUNCTION IF EXISTS drop_fn")
+  }
+
   test("GraftSql BigQuery function spellings: renames, datetime macros, format verbs, subscripts") {
     import spark.implicits._
     def one(sql: String) = GraftSql.load(spark, sql).head()
