@@ -1371,7 +1371,7 @@ object GraftSql {
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(SNAPSHOT)\s+)?TABLE\s+""" +
       """(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
-      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+CLONE\s+""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+(CLONE|COPY|LIKE)\s+""" +
       """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""").r
 
   /** BigQuery's zero-copy clone verbs: `CREATE SNAPSHOT TABLE s CLONE
@@ -1394,22 +1394,33 @@ object GraftSql {
     * dispositions.
     */
   def createClone(spark: SparkSession, sql: String): DataFrame = sql match {
-    case CloneRe(orReplace, _, ifNotExists, rawName, rawSrc) =>
+    case CloneRe(orReplace, snapshot, ifNotExists, rawName, verb, rawSrc) =>
       val name = viewName(rawName)
       val src = viewName(rawSrc)
+      val verbUp = verb.toUpperCase(java.util.Locale.ROOT)
+      require(snapshot == null || verbUp == "CLONE",
+        s"CREATE SNAPSHOT TABLE pairs with CLONE, not $verbUp")
       val exists = spark.catalog.tableExists(name)
       if (exists && ifNotExists != null) return spark.table(name)
       require(!exists || orReplace != null,
         s"table $name already exists (use OR REPLACE or IF NOT EXISTS)")
-      val df = graft.sources.Versioned.registeredPath(spark, src) match {
+      val srcDf = graft.sources.Versioned.registeredPath(spark, src) match {
         case Some(path) => graft.sources.Versioned.read(spark, path)
         case None => spark.table(src)
       }
+      // CLONE and COPY both register the pinned frame: snapshots in
+      // this engine are immutable (a Versioned source resolves
+      // through its pinned manifest; a plain view pins its current
+      // plan), so BigQuery's zero-copy CLONE and physical COPY
+      // coincide — later writes to the source can never show through
+      // either. LIKE is BigQuery's schema-only create: same pin,
+      // zero rows.
+      val df = if (verbUp == "LIKE") srcDf.limit(0) else srcDf
       df.createOrReplaceTempView(name)
       spark.table(name)
     case _ => throw new IllegalArgumentException(
-      "not a supported CLONE statement (expected: CREATE [OR REPLACE] [SNAPSHOT] TABLE " +
-        "[IF NOT EXISTS] name CLONE source [FOR SYSTEM_TIME AS OF ts])")
+      "not a supported statement (expected: CREATE [OR REPLACE] [SNAPSHOT] TABLE " +
+        "[IF NOT EXISTS] name CLONE|COPY|LIKE source [FOR SYSTEM_TIME AS OF ts])")
   }
 
   // ───────────── CREATE [TEMP] [TABLE] FUNCTION ─────────────

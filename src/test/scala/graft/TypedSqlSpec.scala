@@ -548,11 +548,16 @@ class TypedSqlSpec extends SparkSuite {
     assert(cte.count() == 2)
     // unsupported DDL still parses to a Command and stays loud with
     // the dispatcher's own error (not a catalog error from a silent
-    // spark.sql passthrough)
+    // spark.sql passthrough); DROP is routed since round 8 and
+    // carries its own loud message for a missing target
     val e = intercept[IllegalArgumentException] {
-      GraftSql.load(spark, "DROP TABLE no_such_table_xyz")
+      GraftSql.load(spark, "ANALYZE TABLE events COMPUTE STATISTICS")
     }
     assert(e.getMessage.contains("not a DML statement"))
+    val d = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "DROP TABLE no_such_table_xyz")
+    }
+    assert(d.getMessage.contains("IF EXISTS"))
   }
 
   test("GraftSql.createExternal: EXTERNAL TABLE mounts parquet/CSV/JSON files; dispositions match BigQuery") {
@@ -1145,6 +1150,27 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "DROP FUNCTION drop_fn")
     intercept[Exception] { spark.sql("SELECT drop_fn(1)").collect() }
     GraftSql.load(spark, "DROP FUNCTION IF EXISTS drop_fn")
+  }
+
+  test("GraftSql CREATE TABLE LIKE / COPY: schema-only and pinned-snapshot creates") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("lk_src")
+    // LIKE: schema, zero rows
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE lk_empty LIKE lk_src")
+    assert(spark.table("lk_empty").columns.toSeq == Seq("k", "v"))
+    assert(spark.table("lk_empty").count() == 0)
+    // COPY: full content, pinned against source replacement
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE lk_copy COPY lk_src")
+    assert(spark.table("lk_copy").count() == 2)
+    Seq((9L, "z")).toDF("k", "v").createOrReplaceTempView("lk_src")
+    assert(spark.table("lk_copy").count() == 2,
+      "COPY must not see through to the replaced source")
+    // SNAPSHOT pairs with CLONE only
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "CREATE SNAPSHOT TABLE lk_s COPY lk_src")
+    }.getMessage.contains("CLONE"))
+    GraftSql.load(spark, "DROP TABLE lk_empty")
+    GraftSql.load(spark, "DROP TABLE lk_copy")
   }
 
   test("GraftSql BigQuery function spellings: renames, datetime macros, format verbs, subscripts") {
