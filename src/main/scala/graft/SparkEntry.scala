@@ -1477,18 +1477,22 @@ object SparkEntry {
     // replays the spine with generate_series
     "q_date_spine" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("spine_events")
+      // bounds and types derive from the DAILY aggregate: Catalyst
+      // inlines each CTE reference and column-prunes it separately,
+      // so the plan carries three corpus scans — but bounds reads ONE
+      // column and types ONE column (pruning measured in the plan),
+      // so the extra passes are thin. The library route for gap-fill
+      // at 100 TB stays A14's Resample (one pass); this face gates
+      // the SQL statement surface
       graft.GraftSql.load(s,
-        """WITH bounds AS (
-          |  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS lo,
-          |         MAX(CAST(date_trunc('day', ts) AS DATE)) AS hi
-          |  FROM spine_events),
-          |spine AS (
-          |  SELECT day FROM bounds, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day),
-          |daily AS (
+        """WITH daily AS (
           |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
           |         COUNT(*) AS n_day, SUM(CAST(value AS DECIMAL(30,6))) AS v_day
           |  FROM spine_events GROUP BY 1, 2),
-          |types AS (SELECT DISTINCT event_type FROM spine_events)
+          |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+          |spine AS (
+          |  SELECT day FROM bounds, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day),
+          |types AS (SELECT DISTINCT event_type FROM daily)
           |SELECT s.day, t.event_type,
           |       CAST(COALESCE(d.n_day, 0) AS BIGINT) AS n,
           |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum
