@@ -43,8 +43,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    EXTERNAL TABLE/LOAD DATA/VECTOR_SEARCH/time travel) as the
   *    plain statements in between.
   *
-  * LOOP/REPEAT/LEAVE/CONTINUE/CALL/RETURN/EXCEPTION are rejected
-  * loudly (use WHILE).
+  *  - `BEGIN ... EXCEPTION WHEN ERROR THEN ... END;` — BigQuery's
+  *    one exception-handler shape: a failure anywhere in the body
+  *    jumps to the handler (effects up to the failure are KEPT — a
+  *    script is not a transaction, BigQuery's rule too); the handler
+  *    reads the message via `@@error.message` (loud outside a
+  *    handler), bare `RAISE;` re-raises the caught error, and `RAISE
+  *    USING MESSAGE = expr;` raises a fresh scripted error anywhere.
+  *    Handlers nest (the inner handler's error state shadows the
+  *    outer's for its duration); an error INSIDE a handler
+  *    propagates out, as in BigQuery.
+  *
+  * LOOP/REPEAT/LEAVE/CONTINUE/CALL/RETURN are rejected loudly (use
+  * WHILE).
   *
   * Variable references are substituted TEXTUALLY (quote- and
   * backtick-aware, whole identifiers only) as typed literals before
@@ -87,9 +98,13 @@ object GraftScript {
     // `v.col` in the body
     val structVars = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Lit]]
     var last: Option[DataFrame] = None
+    // the error a running EXCEPTION handler is handling (None outside
+    // handlers); stacked save/restore supports nested BEGIN blocks
+    var currentError: Option[Throwable] = None
 
     def substitute(sql: String): String = {
-      if (vars.isEmpty && structVars.isEmpty) return sql
+      if (vars.isEmpty && structVars.isEmpty &&
+        !sql.toLowerCase(java.util.Locale.ROOT).contains("@@error")) return sql
       val out = new StringBuilder
       var i = 0; var inStr = false; var inTick = false
       var prevWord = "" // last bare word emitted (for the AS-alias rule)
@@ -99,6 +114,16 @@ object GraftScript {
         else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
         else if (c == '\'') { out += c; inStr = true; i += 1 }
         else if (c == '`') { out += c; inTick = true; prevWord = ""; i += 1 }
+        else if (c == '@' && sql.regionMatches(true, i, "@@error.message", 0, 15)) {
+          // the system variable an EXCEPTION handler reads: rendered
+          // as a string literal of the caught error's message
+          val msg = currentError.map(e => Option(e.getMessage).getOrElse(e.toString))
+            .getOrElse(throw new IllegalArgumentException(
+              "@@error.message is only valid inside an EXCEPTION handler"))
+          out ++= renderLiteral(msg, "STRING")
+          prevWord = ""
+          i += 15
+        }
         else if (Character.isLetter(c) || c == '_') {
           var j = i
           while (j < sql.length && (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j += 1
@@ -186,6 +211,27 @@ object GraftScript {
           exec(body)
         }
       case Block(body) => exec(body)
+      case TryBlock(body, handler) =>
+        try exec(body)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // effects up to the failure are kept (BigQuery's rule —
+            // a script is not a transaction); the handler sees the
+            // error through @@error.message, stacked for nesting
+            val prev = currentError
+            currentError = Some(e)
+            try exec(handler) finally currentError = prev
+        }
+      case Raise(None) =>
+        throw currentError.getOrElse(new IllegalArgumentException(
+          "bare RAISE re-raises the current error and is only valid inside " +
+            "an EXCEPTION handler; use RAISE USING MESSAGE = '...' elsewhere"))
+      case Raise(Some(expr)) =>
+        val msg = evalRaw(expr, "STRING") match {
+          case s: String => s
+          case _ => "RAISE with NULL message"
+        }
+        throw new GraftScriptException(msg)
       case ExecImmediate(sqlExpr, into, using) =>
         val dyn = evalRaw(sqlExpr, "STRING") match {
           case s: String => s
@@ -258,6 +304,8 @@ object GraftScript {
 
   private sealed trait Stmt
   private final case class Plain(sql: String) extends Stmt
+  private final case class TryBlock(body: Seq[Stmt], handler: Seq[Stmt]) extends Stmt
+  private final case class Raise(message: Option[String]) extends Stmt
   private final case class Declare(names: Seq[String], bqType: String,
                                    default: Option[String]) extends Stmt
   private final case class SetVar(name: String, expr: String) extends Stmt
@@ -433,9 +481,11 @@ object GraftScript {
       endKeyword.exists(_.exists(ks => c.peekKeyword(ks: _*)))
     while (!atEnd) {
       for (bad <- Seq("LOOP", "REPEAT", "LEAVE", "CONTINUE", "BREAK", "ITERATE",
-        "CALL", "RETURN", "EXCEPTION"))
+        "CALL", "RETURN"))
         require(!c.peekKeyword(bad),
           s"$bad is not supported in scripts here (use WHILE ... END WHILE / FOR ... IN)")
+      require(!c.peekKeyword("EXCEPTION"),
+        "EXCEPTION belongs to a BEGIN block: BEGIN ... EXCEPTION WHEN ERROR THEN ... END")
       if (c.keyword("DECLARE")) {
         val names = scala.collection.mutable.ListBuffer(c.ident())
         c.skipWs()
@@ -479,9 +529,25 @@ object GraftScript {
         c.expect("END", "WHILE"); c.semicolon()
         out += While(cond, body)
       } else if (c.keyword("BEGIN")) {
-        val body = parseBlock(c, Some(Seq(Seq("END"))))
-        c.expect("END"); c.semicolon()
-        out += Block(body)
+        val body = parseBlock(c, Some(Seq(Seq("END"), Seq("EXCEPTION"))))
+        if (c.keyword("EXCEPTION")) {
+          // BigQuery's one handler shape: EXCEPTION WHEN ERROR THEN
+          c.expect("WHEN", "ERROR", "THEN")
+          val handler = parseBlock(c, Some(Seq(Seq("END"))))
+          c.expect("END"); c.semicolon()
+          out += TryBlock(body, handler)
+        } else {
+          c.expect("END"); c.semicolon()
+          out += Block(body)
+        }
+      } else if (c.keyword("RAISE")) {
+        c.skipWs()
+        val msg = if (c.keyword("USING")) {
+          c.expect("MESSAGE"); c.skipWs(); c.expect("=")
+          Some(c.until(Nil, stopSemicolon = true))
+        } else None
+        c.semicolon()
+        out += Raise(msg)
       } else if (c.keyword("EXECUTE", "IMMEDIATE")) {
         val sqlExpr = c.until(Seq(Seq("INTO"), Seq("USING")), stopSemicolon = true)
         require(sqlExpr.nonEmpty, "EXECUTE IMMEDIATE: missing sql expression")
@@ -614,3 +680,9 @@ object GraftScript {
     // 17 significant digits round-trip any double exactly
     else s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
 }
+
+/** A scripted `RAISE USING MESSAGE = ...` error — its own class so
+  * tests and callers can distinguish deliberate script raises from
+  * engine failures.
+  */
+final class GraftScriptException(message: String) extends RuntimeException(message)

@@ -212,4 +212,78 @@ class GraftScriptSpec extends SparkSuite {
         "DECLARE r INT64; FOR r IN (SELECT id FROM for_t) DO SELECT r.id; END FOR;")
     }
   }
+
+  test("EXCEPTION handlers: failures jump to the handler, @@error.message binds, RAISE re-raises") {
+    // the body fails mid-way; pre-failure effects KEPT, handler runs
+    val out = GraftScript.run(spark,
+      """DECLARE phase STRING DEFAULT 'start';
+        |BEGIN
+        |  SET phase = 'body';
+        |  ASSERT 1 = 2 AS 'deliberate failure';
+        |  SET phase = 'unreached';
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT phase AS phase, @@error.message AS msg;
+        |END;""".stripMargin)
+    val r = out.head()
+    assert(r.getString(0) == "body", "effects before the failure must be kept")
+    assert(r.getString(1).contains("deliberate failure"),
+      s"@@error.message must carry the body's error, got: ${r.getString(1)}")
+
+    // a clean body never runs the handler
+    val clean = GraftScript.run(spark,
+      """BEGIN
+        |  SELECT 1 AS ok;
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT 0 AS ok;
+        |END;""".stripMargin)
+    assert(clean.head().getInt(0) == 1)
+
+    // bare RAISE re-raises the ORIGINAL error out of the handler
+    val re = intercept[Exception] {
+      GraftScript.run(spark,
+        """BEGIN
+          |  ASSERT FALSE AS 'original boom';
+          |EXCEPTION WHEN ERROR THEN
+          |  RAISE;
+          |END;""".stripMargin)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(re).contains("original boom"), s"got $re")
+
+    // RAISE USING MESSAGE raises a scripted error anywhere
+    val raised = intercept[GraftScriptException] {
+      GraftScript.run(spark,
+        "DECLARE n INT64 DEFAULT 3; RAISE USING MESSAGE = CONCAT('bad n=', CAST(n AS STRING));")
+    }
+    assert(raised.getMessage == "bad n=3")
+
+    // nested handlers: the inner handles its own error, the outer
+    // still sees ITS error after the inner block completed
+    val nested = GraftScript.run(spark,
+      """BEGIN
+        |  BEGIN
+        |    RAISE USING MESSAGE = 'inner';
+        |  EXCEPTION WHEN ERROR THEN
+        |    SELECT @@error.message AS inner_msg;
+        |  END;
+        |  RAISE USING MESSAGE = 'outer';
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT @@error.message AS outer_msg;
+        |END;""".stripMargin)
+    assert(nested.head().getString(0) == "outer")
+
+    // louds: @@error.message / bare RAISE outside a handler; EXCEPTION
+    // outside BEGIN
+    val e1 = intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "SELECT @@error.message AS m;")
+    }
+    assert(e1.getMessage.contains("EXCEPTION handler"))
+    val e2 = intercept[IllegalArgumentException] { GraftScript.run(spark, "RAISE;") }
+    assert(e2.getMessage.contains("only valid inside"))
+    val e3 = intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "EXCEPTION WHEN ERROR THEN SELECT 1; END;")
+    }
+    assert(e3.getMessage.contains("BEGIN"))
+  }
 }
