@@ -1972,8 +1972,14 @@ object GraftSql {
     }
 
   private def mergeParsed(spark: SparkSession, m: MergeIntoTable): DataFrame = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported: parquet-view merges are upserts, not syncs")
+    // NOT MATCHED BY SOURCE: the sync shape — DELETE actions only
+    // (an UPDATE here writes expressions over the bare target row,
+    // outside this engine's strict all-from-source value contract)
+    m.notMatchedBySourceActions.foreach {
+      case _: DeleteAction => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED BY SOURCE supports THEN DELETE only (the sync shape), got: $other")
+    }
 
     val (targetDf, targetQuals) = resolve(spark, m.targetTable)
     val (sourceDf, sourceQuals) = resolve(spark, m.sourceTable)
@@ -2026,7 +2032,7 @@ object GraftSql {
     // BigQuery's reachability rule: only the LAST clause of each
     // group may omit AND <condition> — an unconditional clause
     // swallows every row, making later clauses dead text
-    for (group <- Seq(m.matchedActions, m.notMatchedActions))
+    for (group <- Seq(m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions))
       group.dropRight(1).foreach(a => require(a.condition.isDefined,
         "clauses after an unconditional WHEN clause are unreachable — " +
           "only the last clause in each group may omit AND <condition>"))
@@ -2047,10 +2053,11 @@ object GraftSql {
       case Seq(i: InsertAction) if i.condition.isEmpty => Some(true)
       case _ => None
     }
-    require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty,
-      "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED")
+    require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
+      m.notMatchedBySourceActions.nonEmpty,
+      "MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED [BY SOURCE]")
     val (hasUpdate, hasInsert) = (simpleMatched, simpleInsert) match {
-      case (Some(u), Some(ins)) if ins => (u, ins)
+      case (Some(u), Some(ins)) if ins && m.notMatchedBySourceActions.isEmpty => (u, ins)
       case _ =>
         val keyNames0 = targetDf.columns.filter(c => keys.contains(c.toLowerCase)).toSeq
         require(keyNames0.length == keys.distinct.length,
@@ -2154,34 +2161,55 @@ object GraftSql {
     val srcMatchable = sourceDf.filter(!anyKeyNull)
     val targetKeys = targetDf.select(keyNames.map(F.col): _*).distinct()
 
-    val updatedHalf: DataFrame = if (m.matchedActions.isEmpty) targetDf else {
-      // cardinality sentinel (the fast path's recipe): loud when a
-      // TARGET row matches more than one source row
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
-      val checked = srcMatchable
-        .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
-        .join(targetKeys.withColumn("__t_present", F.lit(1)), keyNames, "left")
-        .filter(F.when(F.col("__src_key_count") === 1 || F.col("__t_present").isNull, F.lit(true))
-          .otherwise(F.raise_error(F.concat(F.lit(
-            "[MERGE_CARDINALITY_VIOLATION] target row matches more than one source row for key ("),
-            F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
-        .drop("__src_key_count", "__t_present")
+    val needJoin = m.matchedActions.nonEmpty || m.notMatchedBySourceActions.nonEmpty
+    val updatedHalf: DataFrame = if (!needJoin) targetDf else {
+      // the source side of the target join: with matched clauses the
+      // FULL checked source row rides along (clause conditions may
+      // read any source column, and the cardinality sentinel guards
+      // multi-match); with ONLY BY-SOURCE clauses a slim DISTINCT key
+      // projection carries the match flag — no fan-out is possible,
+      // so no sentinel is needed
+      val sSide: DataFrame = if (m.matchedActions.nonEmpty) {
+        // cardinality sentinel (the fast path's recipe): loud when a
+        // TARGET row matches more than one source row
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
+        srcMatchable
+          .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
+          .join(targetKeys.withColumn("__t_present", F.lit(1)), keyNames, "left")
+          .filter(F.when(F.col("__src_key_count") === 1 || F.col("__t_present").isNull, F.lit(true))
+            .otherwise(F.raise_error(F.concat(F.lit(
+              "[MERGE_CARDINALITY_VIOLATION] target row matches more than one source row for key ("),
+              F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
+          .drop("__src_key_count", "__t_present")
+      } else srcMatchable.select(keyNames.map(F.col): _*).distinct()
       val t = targetDf.alias("t")
-      val s = checked.withColumn("__s_present", F.lit(1)).alias("s")
+      val s = sSide.withColumn("__s_present", F.lit(1)).alias("s")
       val joinCond = keyNames.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _)
       val matched = F.col("s.__s_present").isNotNull
-      // first-match-wins pick: 0 = no clause fired (keep the row)
+      // first-match-wins picks: 0 = no clause fired (keep the row)
       val pick = m.matchedActions.zipWithIndex.foldRight(F.lit(0): Column) {
+        case ((a, i), rest) => F.when(condOf(a, matchedSide = true), F.lit(i + 1)).otherwise(rest)
+      }
+      // BY-SOURCE picks evaluate over the bare target row (there is
+      // no source row; BigQuery forbids source references there, and
+      // here a source reference reads NULL → the clause never fires)
+      val bsPick = m.notMatchedBySourceActions.zipWithIndex.foldRight(F.lit(0): Column) {
         case ((a, i), rest) => F.when(condOf(a, matchedSide = true), F.lit(i + 1)).otherwise(rest)
       }
       val withPick = t.join(s, joinCond, "left_outer")
         .withColumn("__pick", F.when(matched, pick).otherwise(F.lit(0)))
+        .withColumn("__bs_pick",
+          if (m.notMatchedBySourceActions.isEmpty) F.lit(0)
+          else F.when(!matched, bsPick).otherwise(F.lit(0)))
       val deleteIdx = m.matchedActions.zipWithIndex
         .collect { case (_: DeleteAction, i) => i + 1 }
       val updateIdx = m.matchedActions.zipWithIndex
         .collect { case (a, i) if !a.isInstanceOf[DeleteAction] => i + 1 }
-      val kept = if (deleteIdx.isEmpty) withPick
+      val kept0 = if (deleteIdx.isEmpty) withPick
         else withPick.filter(!F.col("__pick").isin(deleteIdx.map(Integer.valueOf): _*))
+      // every BY-SOURCE action is DELETE (validated): any pick drops
+      val kept = if (m.notMatchedBySourceActions.isEmpty) kept0
+        else kept0.filter(F.col("__bs_pick") === 0)
       kept.select(targetDf.columns.toSeq.map { c =>
         if (updateIdx.isEmpty) F.col(s"t.$c").as(c)
         else F.when(F.col("__pick").isin(updateIdx.map(Integer.valueOf): _*), F.col(s"s.$c"))

@@ -180,6 +180,33 @@ class TypedSqlSpec extends SparkSuite {
         |WHEN MATCHED THEN UPDATE SET T.v = S.v, T.n = S.n""".stripMargin)
     assert(nullCond == Seq((1L, "Z", 99L), (2L, "b", 20L), (3L, "c", 30L)), s"got $nullCond")
 
+    // NOT MATCHED BY SOURCE THEN DELETE: the full sync — the target
+    // becomes exactly the source's content
+    tgt()
+    val synced = run(
+      """MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(synced == Seq((1L, "A", 11L), (2L, "B", 21L), (4L, "D", 40L), (5L, "E", 50L)),
+      s"got $synced")
+    // conditional BY SOURCE: only stale unmatched rows below the bar
+    // are dropped (target-only condition)
+    tgt()
+    val partial = run(
+      """MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k
+        |WHEN NOT MATCHED BY SOURCE AND T.n < 25 THEN DELETE""".stripMargin)
+    assert(partial == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      s"matched rows keep, only unmatched below 25 drop: got $partial")
+    // (all of 1,2 are matched; 3 is unmatched with n=30 — survives)
+
+    // BY SOURCE UPDATE is loud (outside the all-from-source contract)
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.merge(spark,
+        """MERGE INTO gm_tgt T USING gm_src S ON T.k = S.k
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""".stripMargin)
+    }.getMessage.contains("THEN DELETE only"))
+
     // cardinality: a target row matched by two source rows is loud on
     // the general path too
     tgt()
