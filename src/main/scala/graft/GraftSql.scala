@@ -945,6 +945,93 @@ object GraftSql {
         case _ => orig
       }
     }
+    // `x [NOT] IN UNNEST(arr)` → `[NOT] array_contains((arr), x)`:
+    // BigQuery's membership-in-array idiom. The left operand is
+    // captured by a bounded BACKWARD scan — a qualified identifier
+    // chain, a parenthesized group, or a call `f(...)`; anything
+    // hairier should be parenthesized by the caller (the scan then
+    // sees one group). NULL/empty semantics already agree:
+    // array_contains is NULL on a NULL operand and FALSE on an empty
+    // array, exactly IN UNNEST's.
+    def inUnnest(sql: String): String = {
+      val upper = sql.toUpperCase(java.util.Locale.ROOT)
+      def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+      val out = new StringBuilder
+      var i = 0; var inStr = false; var inTick = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '`') { out += c; inTick = true; i += 1 }
+        else if ((c == 'I' || c == 'i') && upper.startsWith("IN", i) &&
+          (i == 0 || !isWord(sql.charAt(i - 1))) &&
+          (i + 2 >= sql.length || !isWord(sql.charAt(i + 2)))) {
+          var p = i + 2
+          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+          val isUn = upper.startsWith("UNNEST", p) &&
+            (p + 6 >= sql.length || !isWord(sql.charAt(p + 6))) && {
+              var q0 = p + 6
+              while (q0 < sql.length && Character.isWhitespace(sql.charAt(q0))) q0 += 1
+              q0 < sql.length && sql.charAt(q0) == '('
+            }
+          if (!isUn) { out += c; i += 1 }
+          else {
+            var q = sql.indexOf('(', p + 6)
+            var depth = 1; var r = q + 1; var s2 = false
+            while (r < sql.length && depth > 0) {
+              val ch = sql.charAt(r)
+              if (s2) { if (ch == '\'') s2 = false }
+              else if (ch == '\'') s2 = true
+              else if (ch == '(') depth += 1
+              else if (ch == ')') depth -= 1
+              r += 1
+            }
+            require(depth == 0, "unbalanced parens in IN UNNEST(...)")
+            val arr = sql.substring(q + 1, r - 1)
+            // backward over what's already emitted: optional NOT, then
+            // the operand (identifier chain / (...) group / f(...))
+            var tail = out.toString
+            var negated = false
+            val trimmed = tail.reverse.dropWhile(_.isWhitespace).reverse
+            if (trimmed.length >= 3 &&
+              trimmed.substring(trimmed.length - 3).equalsIgnoreCase("NOT") &&
+              (trimmed.length == 3 || !isWord(trimmed.charAt(trimmed.length - 4)))) {
+              negated = true
+              tail = trimmed.substring(0, trimmed.length - 3)
+            }
+            val t2 = tail.reverse.dropWhile(_.isWhitespace).reverse
+            var opStart = t2.length
+            if (opStart > 0 && t2.charAt(opStart - 1) == ')') {
+              var d = 0; var k = opStart - 1; var found = -1
+              while (k >= 0 && found < 0) {
+                val ch = t2.charAt(k)
+                if (ch == ')') d += 1
+                else if (ch == '(') { d -= 1; if (d == 0) found = k }
+                k -= 1
+              }
+              require(found >= 0, "IN UNNEST: unbalanced operand parens")
+              opStart = found
+              // a call: the function name belongs to the operand
+              while (opStart > 0 && isWord(t2.charAt(opStart - 1))) opStart -= 1
+            } else {
+              while (opStart > 0 && (isWord(t2.charAt(opStart - 1)) || t2.charAt(opStart - 1) == '.'))
+                opStart -= 1
+            }
+            val operand = t2.substring(opStart).trim
+            require(operand.nonEmpty,
+              "IN UNNEST: could not capture the left operand — parenthesize it")
+            out.setLength(0)
+            out ++= t2.substring(0, opStart)
+            val call = s"array_contains(($arr), ($operand))"
+            out ++= (if (negated) s"(NOT $call)" else call)
+            i = r
+          }
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    }
+
     // array subscripts: [OFFSET(i)] → [(i)], [ORDINAL(i)] → [(i) - 1]
     def subscripts(sql: String): String = {
       val upper = sql.toUpperCase(java.util.Locale.ROOT)
@@ -996,7 +1083,7 @@ object GraftSql {
     var cur = sql0; var n = 0
     var changed = true
     while (changed && n < 10) {
-      val next = subscripts(onePass(cur))
+      val next = inUnnest(subscripts(onePass(cur)))
       changed = next != cur
       cur = next; n += 1
     }

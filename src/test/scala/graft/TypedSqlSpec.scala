@@ -1242,6 +1242,16 @@ class TypedSqlSpec extends SparkSuite {
       "ANY_VALUE(s HAVING MIN x) AS bottom, ANY_VALUE(k) AS anyk FROM bqf_t")
     assert(hv.getString(0) == "alpha" && hv.getString(1) == "beta")
 
+    // x [NOT] IN UNNEST(arr) → array_contains, NULL semantics kept
+    val iu = one("SELECT 2 IN UNNEST(array(1, 2, 3)) AS a, " +
+      "9 NOT IN UNNEST(array(1, 2, 3)) AS b, " +
+      "CAST(NULL AS INT) IN UNNEST(array(1)) AS c, " +
+      "LENGTH('ab') IN UNNEST(array(2, 5)) AS d")
+    assert(iu.getBoolean(0) && iu.getBoolean(1) && iu.isNullAt(2) && iu.getBoolean(3))
+    val iuCol = GraftSql.load(spark,
+      "SELECT k FROM bqf_t WHERE k IN UNNEST(array(1, 3)) ORDER BY k")
+    assert(iuCol.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
     // tier 3: array subscripts (OFFSET 0-based, ORDINAL 1-based)
     assert(one("SELECT array('a', 'b', 'c')[OFFSET(1)] AS e").getString(0) == "b")
     assert(one("SELECT array('a', 'b', 'c')[ORDINAL(1)] AS e").getString(0) == "a")
