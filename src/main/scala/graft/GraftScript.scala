@@ -232,6 +232,35 @@ object GraftScript {
           case _ => "RAISE with NULL message"
         }
         throw new GraftScriptException(msg)
+      case CreateProc(name, orReplace, params, body) =>
+        val k = procKey(spark, name)
+        require(orReplace || !procRegistry.contains(k),
+          s"procedure $name already exists (use CREATE OR REPLACE PROCEDURE)")
+        val typed = params.map { case (pn, bq) =>
+          pn -> bqTypes.getOrElse(bq.toUpperCase(java.util.Locale.ROOT), bq) }
+        require(typed.map(_._1.toLowerCase).distinct.size == typed.size,
+          s"procedure $name: duplicate parameter names")
+        procRegistry(k) = Proc(typed, body)
+      case Call(name, argExprs) =>
+        val proc = procRegistry.getOrElse(procKey(spark, name),
+          throw new IllegalArgumentException(
+            s"CALL $name: no such procedure (CREATE PROCEDURE it first)"))
+        require(argExprs.length == proc.params.length,
+          s"CALL $name: ${argExprs.length} argument(s) for ${proc.params.length} parameter(s)")
+        // arguments evaluate in the CALLER's scope, then the body runs
+        // in a FRESH scope holding only the parameters (IN semantics —
+        // the procedure's variables never leak back)
+        val bound = proc.params.zip(argExprs).map { case ((pn, pt), e) =>
+          pn.toLowerCase -> evalScalar(e, pt) }
+        val savedVars = vars.toSeq
+        val savedStruct = structVars.toSeq
+        vars.clear(); structVars.clear()
+        bound.foreach { case (k2, v) => vars(k2) = v }
+        try exec(proc.body)
+        finally {
+          vars.clear(); vars ++= savedVars
+          structVars.clear(); structVars ++= savedStruct
+        }
       case ExecImmediate(sqlExpr, into, using) =>
         val dyn = evalRaw(sqlExpr, "STRING") match {
           case s: String => s
@@ -306,6 +335,23 @@ object GraftScript {
   private final case class Plain(sql: String) extends Stmt
   private final case class TryBlock(body: Seq[Stmt], handler: Seq[Stmt]) extends Stmt
   private final case class Raise(message: Option[String]) extends Stmt
+  private final case class CreateProc(name: String, orReplace: Boolean,
+                                      params: Seq[(String, String)],
+                                      body: Seq[Stmt]) extends Stmt
+  private final case class Call(name: String, args: Seq[String]) extends Stmt
+
+  // ── stored procedures (session registry) ─────────────────────────
+  private final case class Proc(params: Seq[(String, String)], body: Seq[Stmt])
+  private val procRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Proc]
+  private def procKey(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Remove a registered procedure (DROP PROCEDURE's registry half);
+    * returns whether it existed.
+    */
+  private[graft] def dropProcedure(spark: SparkSession, name: String): Boolean =
+    procRegistry.remove(procKey(spark, name)).isDefined
   private final case class Declare(names: Seq[String], bqType: String,
                                    default: Option[String]) extends Stmt
   private final case class SetVar(name: String, expr: String) extends Stmt
@@ -425,6 +471,45 @@ object GraftScript {
       }
     }
     private def isIdentChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    /** Raw type text: up to a top-level ',' or ')' (neither consumed);
+      * parens nest (DECIMAL(38,9)), quotes are opaque.
+      */
+    def typeText(): String = {
+      skipWs()
+      val sb = new StringBuilder
+      var depth = 0; var inStr = false; var done = false
+      while (!done && pos < text.length) {
+        val ch = text.charAt(pos)
+        if (inStr) { sb += ch; if (ch == '\'') inStr = false; pos += 1 }
+        else if (ch == '\'') { sb += ch; inStr = true; pos += 1 }
+        else if (ch == '(') { depth += 1; sb += ch; pos += 1 }
+        else if (ch == ')') {
+          if (depth == 0) done = true else { depth -= 1; sb += ch; pos += 1 }
+        }
+        else if (ch == ',' && depth == 0) done = true
+        else { sb += ch; pos += 1 }
+      }
+      sb.toString.trim
+    }
+    /** Raw text up to the ')' closing the CURRENT paren level (not
+      * consumed); top-level commas are part of the text.
+      */
+    def rawUntilCloseParen(): String = {
+      val sb = new StringBuilder
+      var depth = 0; var inStr = false; var done = false
+      while (!done && pos < text.length) {
+        val ch = text.charAt(pos)
+        if (inStr) { sb += ch; if (ch == '\'') inStr = false; pos += 1 }
+        else if (ch == '\'') { sb += ch; inStr = true; pos += 1 }
+        else if (ch == '(') { depth += 1; sb += ch; pos += 1 }
+        else if (ch == ')') {
+          if (depth == 0) done = true else { depth -= 1; sb += ch; pos += 1 }
+        }
+        else { sb += ch; pos += 1 }
+      }
+      require(done, "unterminated ( ... ) in script")
+      sb.toString
+    }
     /** Raw text up to (not consuming) the first of the given
       * STOPPERS — a top-level ';' or a top-level keyword from `stop`
       * — quote-aware, paren-aware (keywords inside parens don't
@@ -481,11 +566,54 @@ object GraftScript {
       endKeyword.exists(_.exists(ks => c.peekKeyword(ks: _*)))
     while (!atEnd) {
       for (bad <- Seq("LOOP", "REPEAT", "LEAVE", "CONTINUE", "BREAK", "ITERATE",
-        "CALL", "RETURN"))
+        "RETURN"))
         require(!c.peekKeyword(bad),
           s"$bad is not supported in scripts here (use WHILE ... END WHILE / FOR ... IN)")
       require(!c.peekKeyword("EXCEPTION"),
         "EXCEPTION belongs to a BEGIN block: BEGIN ... EXCEPTION WHEN ERROR THEN ... END")
+      if (c.peekKeyword("CREATE", "PROCEDURE") ||
+          c.peekKeyword("CREATE", "OR", "REPLACE", "PROCEDURE")) {
+        c.keyword("CREATE")
+        val orReplace = c.keyword("OR", "REPLACE")
+        c.expect("PROCEDURE")
+        val name = c.ident()
+        c.skipWs(); c.expect("(")
+        val params = scala.collection.mutable.ListBuffer.empty[(String, String)]
+        c.skipWs()
+        if (!c.keyword(")")) {
+          var go = true
+          while (go) {
+            var pn = c.ident()
+            // BigQuery parameter modes: IN is the supported default;
+            // OUT/INOUT write back to caller variables — not here
+            if (pn.equalsIgnoreCase("IN")) pn = c.ident()
+            else require(!pn.equalsIgnoreCase("OUT") && !pn.equalsIgnoreCase("INOUT"),
+              s"procedure parameter mode ${pn.toUpperCase} is not supported (IN only)")
+            val t = c.typeText()
+            require(t.nonEmpty, s"procedure parameter $pn: missing type")
+            params += ((pn, t))
+            c.skipWs()
+            if (!c.keyword(",")) { c.expect(")"); go = false }
+          }
+        }
+        c.expect("BEGIN")
+        val body = parseBlock(c, Some(Seq(Seq("END"), Seq("EXCEPTION"))))
+        val stmts = if (c.keyword("EXCEPTION")) {
+          c.expect("WHEN", "ERROR", "THEN")
+          val handler = parseBlock(c, Some(Seq(Seq("END"))))
+          Seq(TryBlock(body, handler))
+        } else body
+        c.expect("END"); c.semicolon()
+        out += CreateProc(name, orReplace, params.toSeq, stmts)
+      } else if (c.keyword("CALL")) {
+        val name = c.ident()
+        c.skipWs(); c.expect("(")
+        val raw = c.rawUntilCloseParen() // args to the matching ')'
+        c.skipWs(); c.expect(")")
+        c.semicolon()
+        val args = if (raw.trim.isEmpty) Seq.empty else splitTopLevelCommas(raw)
+        out += Call(name, args)
+      } else
       if (c.keyword("DECLARE")) {
         val names = scala.collection.mutable.ListBuffer(c.ident())
         c.skipWs()

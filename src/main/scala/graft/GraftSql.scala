@@ -100,6 +100,11 @@ object GraftSql {
       createPartitionedTable(spark, sql)
     } else if (DropRe.pattern.matcher(sql).matches()) {
       dropStatement(spark, sql)
+    } else if (ProcHeadRe.pattern.matcher(sql).matches() ||
+      CallHeadRe.pattern.matcher(sql).matches()) {
+      // stored procedures live in the scripting layer — a standalone
+      // CREATE PROCEDURE / CALL statement is a one-statement script
+      GraftScript.run(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
     } else if (OptimizeRe.pattern.matcher(sql).matches() ||
@@ -1233,8 +1238,12 @@ object GraftSql {
 
   private val DropRe =
     ("""(?is)^\s*DROP\s+(?:(MATERIALIZED)\s+)?(?:EXTERNAL\s+)?""" +
-      """(TABLE|VIEW|(?:TEMP(?:ORARY)?\s+)?FUNCTION)\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """(TABLE|VIEW|(?:TEMP(?:ORARY)?\s+)?FUNCTION|PROCEDURE)\s+(?:(IF\s+EXISTS)\s+)?""" +
       """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""").r
+
+  private val ProcHeadRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b.*""".r
+  private val CallHeadRe = """(?is)^\s*CALL\b.*""".r
 
   /** `DROP [EXTERNAL] TABLE | [MATERIALIZED] VIEW | [TEMP] FUNCTION
     * [IF EXISTS] name` — the teardown half every migrated script
@@ -1264,6 +1273,13 @@ object GraftSql {
         require(mat == null, "DROP MATERIALIZED FUNCTION is not a statement")
         val ie = if (ifExists != null) "IF EXISTS " else ""
         spark.sql(s"DROP TEMPORARY FUNCTION $ie$name")
+        return spark.emptyDataFrame
+      }
+      if (kindUp == "PROCEDURE") {
+        require(mat == null, "DROP MATERIALIZED PROCEDURE is not a statement")
+        val existed = GraftScript.dropProcedure(spark, name)
+        require(existed || ifExists != null,
+          s"DROP PROCEDURE $name: no such procedure (use IF EXISTS to ignore)")
         return spark.emptyDataFrame
       }
       val isMv = mvRegistry.contains(mvKey(spark, name))

@@ -213,6 +213,76 @@ class GraftScriptSpec extends SparkSuite {
     }
   }
 
+  test("stored procedures: CREATE PROCEDURE + CALL with IN params, fresh scope, DROP") {
+    import spark.implicits._
+    Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("id", "x").createOrReplaceTempView("proc_t")
+    // definition + call through the SQL entry point (one-statement
+    // scripts); args evaluate in the caller's scope
+    GraftSql.load(spark,
+      """CREATE OR REPLACE PROCEDURE proc_sum(lo INT64, hi INT64)
+        |BEGIN
+        |  SELECT CAST(SUM(x) AS DOUBLE) AS s FROM proc_t WHERE id BETWEEN lo AND hi;
+        |END;""".stripMargin)
+    assert(GraftSql.load(spark, "CALL proc_sum(2, 3)").head().getDouble(0) == 10.0)
+    // caller variables feed arguments; the body's scope is FRESH
+    // (caller vars invisible inside, body vars never leak out)
+    val out = GraftScript.run(spark,
+      """DECLARE lo INT64 DEFAULT 1;
+        |DECLARE unrelated STRING DEFAULT 'caller';
+        |CALL proc_sum(lo, lo + 1);
+        |SELECT unrelated AS v;""".stripMargin)
+    assert(out.head().getString(0) == "caller")
+    val leak = intercept[Exception] {
+      GraftScript.run(spark,
+        """CREATE OR REPLACE PROCEDURE p_leaky(n INT64)
+          |BEGIN SELECT secret AS v; END;""".stripMargin + "CALL p_leaky(1);")
+    } // 'secret' resolves nowhere: fresh scope has only params
+    assert(leak != null)
+    // a procedure body sees only its params, not caller variables
+    intercept[Exception] {
+      GraftScript.run(spark,
+        """DECLARE hidden INT64 DEFAULT 9;
+          |CREATE OR REPLACE PROCEDURE p_scope()
+          |BEGIN SELECT hidden AS v; END;
+          |CALL p_scope();""".stripMargin)
+    }
+    // procedures with EXCEPTION handlers; RAISE inside propagates
+    GraftSql.load(spark,
+      """CREATE OR REPLACE PROCEDURE p_guard(n INT64)
+        |BEGIN
+        |  IF n < 0 THEN RAISE USING MESSAGE = 'negative'; END IF;
+        |  SELECT n * 2 AS v;
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT -1 AS v;
+        |END;""".stripMargin)
+    assert(GraftSql.load(spark, "CALL p_guard(5)").head().getLong(0) == 10L)
+    assert(GraftSql.load(spark, "CALL p_guard(-5)").head().getInt(0) == -1)
+    // dispositions + louds
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark,
+        "CREATE PROCEDURE proc_sum(a INT64, b INT64) BEGIN SELECT 1 AS v; END;")
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "CALL proc_sum(1)")
+    }.getMessage.contains("parameter"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "CALL no_such_proc()")
+    }.getMessage.contains("no such procedure"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark,
+        "CREATE PROCEDURE p_out(OUT r INT64) BEGIN SELECT 1 AS v; END;")
+    }.getMessage.contains("IN only"))
+    // DROP PROCEDURE
+    GraftSql.load(spark, "DROP PROCEDURE proc_sum")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "CALL proc_sum(1, 2)")
+    }.getMessage.contains("no such procedure"))
+    GraftSql.load(spark, "DROP PROCEDURE IF EXISTS proc_sum")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "DROP PROCEDURE proc_sum")
+    }.getMessage.contains("IF EXISTS"))
+  }
+
   test("EXCEPTION handlers: failures jump to the handler, @@error.message binds, RAISE re-raises") {
     // the body fails mid-way; pre-failure effects KEPT, handler runs
     val out = GraftScript.run(spark,
