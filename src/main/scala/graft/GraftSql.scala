@@ -658,7 +658,7 @@ object GraftSql {
     * nested-call expansion loop to a fixpoint.
     */
   private def rewriteCalls(sql: String, names: Seq[String])
-                          (f: (String, Seq[String]) => String): String = {
+                          (f: (String, Seq[String]) => Option[String]): String = {
     val ordered = names.sortBy(-_.length)
     def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
@@ -697,7 +697,9 @@ object GraftSql {
               if (inner.trim.isEmpty) Seq.empty[String]
               else (p +: commas.toSeq :+ (q - 1)).sliding(2)
                 .map { case Seq(x, y) => sql.substring(x + 1, y).trim }.toSeq
-            Some((f(n, args), q))
+            // None from f = leave the ORIGINAL text verbatim (a
+            // Spark-native spelling must not even be re-cased)
+            Some((f(n, args).getOrElse(sql.substring(i, q)), q))
           }
         }
         applied match {
@@ -894,60 +896,59 @@ object GraftSql {
       lit.substring(1, lit.length - 1).replace("''", "'")
     }
     def onePass(sql: String): String = rewriteCalls(sql, allNames) { (name, args) =>
-      def orig = s"$name(${args.mkString(", ")})"
       name match {
-        case n if BqRenames.contains(n) => s"${BqRenames(n)}(${args.mkString(", ")})"
+        case n if BqRenames.contains(n) => Some(s"${BqRenames(n)}(${args.mkString(", ")})")
         case "TIMESTAMP_DIFF" | "DATETIME_DIFF" =>
           require(args.size == 3, s"$name takes (later, earlier, unit)")
           val u = UnitMicros.getOrElse(args(2).toUpperCase(java.util.Locale.ROOT),
             throw new IllegalArgumentException(
               s"$name unit '${args(2)}' not supported (${UnitMicros.keys.toSeq.sorted.mkString(", ")})"))
-          s"((unix_micros(CAST((${args(0)}) AS TIMESTAMP)) - " +
-            s"unix_micros(CAST((${args(1)}) AS TIMESTAMP))) div $u)"
+          Some(s"((unix_micros(CAST((${args(0)}) AS TIMESTAMP)) - " +
+            s"unix_micros(CAST((${args(1)}) AS TIMESTAMP))) div $u)")
         case "DATE_DIFF" =>
           require(args.size == 3, "DATE_DIFF takes (later, earlier, unit)")
           require(args(2).equalsIgnoreCase("DAY"),
             s"DATE_DIFF unit '${args(2)}' not supported — only DAY maps cleanly " +
               "(WEEK/MONTH/YEAR count calendar boundaries); use EXTRACT arithmetic instead")
-          s"CAST(datediff((${args(0)}), (${args(1)})) AS BIGINT)"
+          Some(s"CAST(datediff((${args(0)}), (${args(1)})) AS BIGINT)")
         case "TIMESTAMP_ADD" | "DATETIME_ADD" | "TIMESTAMP_SUB" | "DATETIME_SUB" =>
           require(args.size == 2 && IntervalLitRe.pattern.matcher(args(1)).matches(),
-            s"$name takes (ts, INTERVAL n unit) with a literal interval, got: $orig")
+            s"$name takes (ts, INTERVAL n unit) with a literal interval, got: $name(${args.mkString(", ")})")
           val op = if (name.endsWith("_ADD")) "+" else "-"
-          s"((${args(0)}) $op ${args(1)})"
+          Some(s"((${args(0)}) $op ${args(1)})")
         case "DATE_ADD" | "DATE_SUB" =>
           args match {
             case Seq(d, IntervalLitRe(n, unit)) =>
               val sign = if (name == "DATE_SUB") -1L else 1L
               val k = n.toLong * sign
               unit.toUpperCase(java.util.Locale.ROOT) match {
-                case "DAY" => s"date_add(($d), ${k})"
-                case "WEEK" => s"date_add(($d), ${k * 7})"
-                case "MONTH" => s"add_months(($d), ${k})"
-                case "QUARTER" => s"add_months(($d), ${k * 3})"
-                case "YEAR" => s"add_months(($d), ${k * 12})"
+                case "DAY" => Some(s"date_add(($d), ${k})")
+                case "WEEK" => Some(s"date_add(($d), ${k * 7})")
+                case "MONTH" => Some(s"add_months(($d), ${k})")
+                case "QUARTER" => Some(s"add_months(($d), ${k * 3})")
+                case "YEAR" => Some(s"add_months(($d), ${k * 12})")
                 case other => throw new IllegalArgumentException(
                   s"$name unit '$other' not supported")
               }
-            case _ => orig // Spark's own date_add(d, n) / non-literal: untouched
+            case _ => None // Spark's own date_add(d, n) / non-literal: untouched
           }
         case "FORMAT_DATE" | "FORMAT_TIMESTAMP" | "FORMAT_DATETIME" =>
           require(args.size == 2, s"$name takes (format, value)")
-          s"date_format((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')"
+          Some(s"date_format((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
         case "PARSE_DATE" =>
           require(args.size == 2, "PARSE_DATE takes (format, value)")
-          s"to_date((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')"
+          Some(s"to_date((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
         case "PARSE_TIMESTAMP" | "PARSE_DATETIME" =>
           require(args.size == 2, s"$name takes (format, value)")
-          s"to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')"
+          Some(s"to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
         case "ANY_VALUE" => args match {
           // BigQuery's argmax/argmin spelling; bare ANY_VALUE is
           // native Spark and passes through
           case Seq(HavingRe(x, mm, y)) =>
-            s"${if (mm.equalsIgnoreCase("MAX")) "max_by" else "min_by"}(${x.trim}, ${y.trim})"
-          case _ => orig
+            Some(s"${if (mm.equalsIgnoreCase("MAX")) "max_by" else "min_by"}(${x.trim}, ${y.trim})")
+          case _ => None
         }
-        case _ => orig
+        case _ => None
       }
     }
     // `x [NOT] IN UNNEST(arr)` → `[NOT] array_contains((arr), x)`:

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic fuzz over the textual statement rewrites — the
+  * property every scanner in GraftSql promises: QUOTED LITERAL
+  * CONTENT is opaque (a string that happens to spell `COUNTIF(` or
+  * `UNNEST(` or `[OFFSET(1)]` must survive byte-identically), rewrites
+  * are identity on trigger-free SQL, and rewriting is idempotent
+  * (applying a rewrite to its own output changes nothing — the
+  * fixpoint loops terminate because each pass is stable).
+  *
+  * Hand-rolled generator (seeded — reproducible failures) rather than
+  * scalacheck's forAll: the scalatest-plus bridge is not on this
+  * classpath, and a seeded loop gives the same coverage with plainer
+  * failure output.
+  */
+class RewriteFuzzSpec extends AnyFunSuite {
+
+  private val pool = Seq(
+    "COUNTIF(x > 1)", "SAFE_DIVIDE(a, b)", "DATE_ADD(d, INTERVAL 1 DAY)",
+    "UNNEST(arr) AS x", "TABLESAMPLE SYSTEM (10 PERCENT)",
+    "GENERATE_ARRAY(1, 9)", "JSON_EXTRACT_ARRAY(j, '$.k')",
+    "[OFFSET(1)]", "[SAFE_OFFSET(2)]", "IN UNNEST(tags)",
+    "FOR SYSTEM_TIME AS OF", "FORMAT_DATE('%Y', d)", "RAISE", "CALL p()",
+    "plain words", "commas, and, more", "(nested (parens))", "back`tick",
+    "semicolon; inside", "percent % sign", "star *", "dots.and.paths")
+
+  private def samples(rnd: scala.util.Random, n: Int): Seq[String] =
+    (1 to n).map { _ =>
+      (1 to 1 + rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    }
+
+  private val rewrites: Seq[(String, String => String)] = Seq(
+    "bqFunctions" -> (GraftSql.rewriteBqFunctions(_)),
+    "generateFns" -> (GraftSql.rewriteGenerateFns(_)),
+    "jsonArrayFns" -> (GraftSql.rewriteJsonArrayFns(_)),
+    "tableSample" -> (GraftSql.rewriteTableSample(_)),
+    "unnest" -> (GraftSql.rewriteUnnest(_)))
+
+  test("quoted literal content is opaque to every rewrite") {
+    val rnd = new scala.util.Random(42)
+    for (content <- samples(rnd, 300)) {
+      val lit = "'" + content.replace("'", "''") + "'"
+      val sql = s"SELECT $lit AS v FROM t WHERE x = $lit"
+      for ((name, f) <- rewrites) {
+        val out = f(sql)
+        assert(out.contains(lit),
+          s"$name rewrote inside a quoted literal:\n in: $sql\nout: $out")
+      }
+    }
+  }
+
+  test("rewrites are identity on trigger-free SQL") {
+    val benign = Seq(
+      "SELECT a, b, COUNT(*) AS n FROM t GROUP BY a, b ORDER BY n DESC",
+      "SELECT * FROM t JOIN u ON t.id = u.id WHERE t.x IN (1, 2, 3)",
+      "WITH c AS (SELECT 1 AS one) SELECT one FROM c",
+      "INSERT INTO t SELECT * FROM s WHERE s.v > 0",
+      "SELECT CAST(x AS DATE) AS d, date_add(d2, 5) FROM t",
+      "SELECT format_number(1234.5, 2), instr('abc', 'b') FROM t")
+    for (sql <- benign; (name, f) <- rewrites)
+      assert(f(sql) == sql, s"$name must be identity on: $sql")
+  }
+
+  test("the composed rewrite chain is idempotent on its own output") {
+    // the chain in load's order (the spark-independent stages): a
+    // rewrite applied to already-rewritten text must change nothing —
+    // this is what makes the internal fixpoint loops terminate, and
+    // what guarantees a statement containing the EXPANSION of a macro
+    // (e.g. written by hand in Spark dialect) is never re-mangled
+    def chain(sql: String): String =
+      GraftSql.rewriteUnnest(GraftSql.rewriteBqFunctions(
+        GraftSql.rewriteGenerateFns(GraftSql.rewriteJsonArrayFns(
+          GraftSql.rewriteTableSample(sql)))))
+    val triggerHeavy = Seq(
+      "SELECT COUNTIF(x > 1) AS n, SAFE_DIVIDE(a, b) AS r FROM t",
+      "SELECT GENERATE_ARRAY(1, 5, 2) AS g, GENERATE_DATE_ARRAY(lo, hi) AS d FROM t",
+      "SELECT e FROM t, UNNEST(JSON_EXTRACT_ARRAY(j, '$.k')) AS e",
+      "SELECT arr[OFFSET(1)] AS a, arr[ORDINAL(2)] AS b FROM t",
+      "SELECT x FROM t WHERE x IN UNNEST(allowed)",
+      "SELECT x FROM t WHERE x NOT IN UNNEST(f(a, b))",
+      "SELECT TIMESTAMP_DIFF(a, b, HOUR) AS h, DATE_ADD(d, INTERVAL 2 WEEK) AS w FROM t",
+      "SELECT FORMAT_DATE('%Y/%m', d) AS s, ANY_VALUE(v HAVING MAX score) AS top FROM t",
+      "SELECT * FROM big_t TABLESAMPLE SYSTEM (5 PERCENT)",
+      "SELECT day FROM b, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day WITH OFFSET AS o")
+    for (sql <- triggerHeavy) {
+      val once = chain(sql)
+      assert(chain(once) == once,
+        s"chain is not idempotent:\nonce:  $once\ntwice: ${chain(once)}")
+    }
+  }
+}
