@@ -617,6 +617,49 @@ object SparkEntry {
           |ORDER BY yr, o_orderpriority""".stripMargin)
     }),
 
+    // A41 driver face: the PARTITION BY / CLUSTER BY DDL round trip —
+    // the statement materializes a day-partitioned layout, the read
+    // back re-aggregates through the p_day directory column with a
+    // pruning day-range filter; the oracle replays the same window as
+    // a plain filtered aggregate, so a hash match proves the physical
+    // write+read preserves content and the day derivation exactly
+    "sql_partition_ddl" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(F.col("event_id"), F.col("ts"), F.col("user_id"), F.col("event_type"), F.col("value"))
+        .createOrReplaceTempView("pddl_events")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE TABLE pddl_daily PARTITION BY DATE(ts) CLUSTER BY user_id
+          |AS SELECT event_id, ts, user_id, event_type, value FROM pddl_events""".stripMargin)
+      s.table("pddl_daily")
+        .filter(F.col("p_day").between("2024-01-05", "2024-01-15"))
+        .groupBy("p_day", "event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast("decimal(30,6)")).cast("double").as("v_sum"),
+          F.min("event_id").as("min_id"), F.max("event_id").as("max_id"))
+        .withColumnRenamed("p_day", "day")
+        .orderBy("day", "event_type")
+    }),
+
+    // A36c driver face: a stored procedure defined and CALLed through
+    // the SQL surface; the procedure parameterizes a gated aggregate,
+    // the caller passes script variables — the oracle replays the
+    // fully-substituted statement, so the hash gates definition,
+    // scope binding and CALL execution
+    "sql_procedure" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("proc_events")
+      graft.GraftScript.run(s,
+        """CREATE OR REPLACE PROCEDURE evt_report(gate FLOAT64, cap INT64)
+          |BEGIN
+          |  SELECT event_type, COUNT(*) AS n,
+          |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |  FROM proc_events
+          |  WHERE value > gate AND event_id % cap != 0
+          |  GROUP BY event_type ORDER BY event_type;
+          |END;
+          |DECLARE g FLOAT64 DEFAULT 1.0;
+          |CALL evt_report(g, 7);""".stripMargin)
+    }),
+
     // A15b driver face: the GENERAL MERGE surface — conditional WHEN
     // clauses, a DELETE action and a conditional INSERT in one
     // statement (first-match-wins). The oracle replays the whole
@@ -2623,6 +2666,24 @@ object SparkEntry {
           |SELECT yr, o_orderpriority, COUNT(*) AS n,
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
           |FROM u GROUP BY yr, o_orderpriority ORDER BY yr, o_orderpriority""".stripMargin,
+      // partition-DDL round trip: the same day window as a plain
+      // filtered aggregate over the source
+      "sql_partition_ddl" ->
+        """WITH e AS (SELECT event_id, event_type, value,
+          |                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+          |           FROM events)
+          |SELECT day, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+          |FROM e WHERE day BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'
+          |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // the stored-procedure face replays as the fully-substituted
+      // statement (g=1.0, cap=7)
+      "sql_procedure" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM events WHERE value > 1.0 AND event_id % 7 != 0
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // general MERGE: kept-target half (unmatched pass, matched
       // clicks deleted, other matched rows take source values) UNION
       // the gated inserts — then one aggregate
