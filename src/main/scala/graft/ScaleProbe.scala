@@ -222,8 +222,13 @@ object ScaleProbe {
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_int8", "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_hard_negatives", "ann_matryoshka_topk",
       "ann_binary_topk",
-      "search_bm25", "text_backoff_surprisal", "mm_phash_pairs",
-      "text_normalize", "mm_frame_phash", "q_search_fn", "eval_pr_curve")
+      "search_bm25", "search_bm25_hits", "text_backoff_surprisal", "mm_phash_pairs",
+      "text_normalize", "mm_frame_phash", "q_search_fn", "eval_pr_curve",
+      // (sql_wildcard_tables reads orders, which the replica dir does
+      // not carry — its scale story is plan-level shard pruning,
+      // spec-pinned, not a growth slope)
+      "q_json_array", "q_date_spine", "q_bq_functions", "sql_merge_conditional",
+      "sql_partition_ddl")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
