@@ -67,7 +67,10 @@ object Staging {
     * Same durability trade as the `None` branch of [[stage]]: blocks
     * live on executors, so an executor loss mid-job is unrecoverable —
     * fine on local[n], use known table stats (not staging at all) on
-    * a 1000-executor cluster.
+    * a 1000-executor cluster. Storage lifetime: the cached blocks are
+    * reclaimed by Spark's ContextCleaner once the frame (its RDD)
+    * becomes unreachable — repeated operator invocations do not
+    * accumulate live blocks beyond the frames the caller still holds.
     */
   def stageLazy(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
