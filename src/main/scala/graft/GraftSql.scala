@@ -105,6 +105,8 @@ object GraftSql {
       // stored procedures live in the scripting layer — a standalone
       // CREATE PROCEDURE / CALL statement is a one-statement script
       GraftScript.run(spark, sql)
+    } else if (EmptyTableRe.pattern.matcher(sql).matches()) {
+      createEmptyTable(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
     } else if (OptimizeRe.pattern.matcher(sql).matches() ||
@@ -1233,6 +1235,49 @@ object GraftSql {
       } else { out += c; i += 1 }
     }
     out.toString
+  }
+
+  // ── CREATE TABLE (schema) — empty-table DDL ──────────────────────
+
+  private val EmptyTableRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*""" +
+      """\((.+)\)\s*;?\s*$""").r
+
+  /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] name (col TYPE, ...)`
+    * — BigQuery's plain schema-declared empty table, the natural
+    * TARGET for a later `LOAD DATA INTO` / `INSERT` (without it a
+    * migrating script's first statement has nothing to land in).
+    * Types map through the same tokenwise BigQuery→Spark map as
+    * function signatures (INT64→BIGINT, NUMERIC→DECIMAL(38,9),
+    * ARRAY<>/STRUCT<> shared); the empty frame registers under A31's
+    * three dispositions. A trailing PARTITION BY / CLUSTER BY /
+    * OPTIONS clause is loud — partitioning here is physical layout,
+    * which belongs to materialization: use the `PARTITION BY ... AS
+    * SELECT` form (A41) once there are rows to lay out.
+    */
+  def createEmptyTable(spark: SparkSession, sql: String): DataFrame = sql match {
+    case EmptyTableRe(orReplace, ifNotExists, rawName, schemaText) =>
+      require(orReplace == null || ifNotExists == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
+      val name = viewName(rawName)
+      for (bad <- Seq("PARTITION\\s+BY", "CLUSTER\\s+BY", "OPTIONS"))
+        require(!s"""(?is).*\\)\\s*$bad\\b.*""".r.pattern.matcher(sql).matches(),
+          "CREATE TABLE (schema) with PARTITION BY/CLUSTER BY/OPTIONS is not supported " +
+            "here — physical layout belongs to materialization; use CREATE TABLE ... " +
+            "PARTITION BY ... AS SELECT (A41) once there are rows")
+      val exists = spark.catalog.tableExists(name)
+      if (exists && ifNotExists != null) return spark.table(name)
+      require(!exists || orReplace != null,
+        s"table '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(mapBqTypes(schemaText))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .createOrReplaceTempView(name)
+      spark.table(name)
+    case _ => throw new IllegalArgumentException(
+      "not a CREATE TABLE (schema) statement (expected: CREATE [OR REPLACE] TABLE " +
+        "[IF NOT EXISTS] name (col TYPE, ...))")
   }
 
   // ── DROP TABLE / VIEW / FUNCTION ─────────────────────────────────

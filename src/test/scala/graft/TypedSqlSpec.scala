@@ -1179,6 +1179,40 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "DROP FUNCTION IF EXISTS drop_fn")
   }
 
+  test("GraftSql CREATE TABLE (schema): empty-table DDL with BigQuery types; LOAD target round trip") {
+    import spark.implicits._
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE sch_t (id INT64, price NUMERIC, name STRING, ok BOOL, d DATE)")
+    val t = spark.table("sch_t")
+    assert(t.count() == 0)
+    assert(t.schema.map(f => (f.name, f.dataType.sql)).toList ==
+      List(("id", "BIGINT"), ("price", "DECIMAL(38,9)"), ("name", "STRING"),
+        ("ok", "BOOLEAN"), ("d", "DATE")))
+    // nested types share the ARRAY<>/STRUCT<> syntax
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE sch_nested (tags ARRAY<STRING>, meta STRUCT<k INT64, v STRING>)")
+    assert(spark.table("sch_nested").schema("tags").dataType.sql == "ARRAY<STRING>")
+    // the natural LOAD DATA target: land rows into the declared schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-sch-").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "name").write.parquet(s"$dir/p")
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE sch_tgt (id INT64, name STRING)")
+    GraftSql.load(spark,
+      s"LOAD DATA INTO sch_tgt FROM FILES(format='PARQUET', uris=['$dir/p/*.parquet'])")
+    assert(spark.table("sch_tgt").count() == 2)
+    // dispositions + louds
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "CREATE TABLE sch_t (a INT64)")
+    }.getMessage.contains("already exists"))
+    GraftSql.load(spark, "CREATE TABLE IF NOT EXISTS sch_t (zzz STRING)")
+    assert(spark.table("sch_t").columns.length == 5, "IF NOT EXISTS must no-op")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark,
+        "CREATE TABLE sch_part (a INT64, ts TIMESTAMP) PARTITION BY DATE(ts)")
+    }.getMessage.contains("materialization"))
+    for (n <- Seq("sch_t", "sch_nested", "sch_tgt"))
+      GraftSql.load(spark, s"DROP TABLE $n")
+  }
+
   test("GraftSql CREATE TABLE LIKE / COPY: schema-only and pinned-snapshot creates") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("lk_src")
