@@ -656,6 +656,13 @@ object GraftScript {
         val body = parseBlock(c, Some(Seq(Seq("END", "WHILE"))))
         c.expect("END", "WHILE"); c.semicolon()
         out += While(cond, body)
+      } else if (c.peekKeyword("BEGIN", "TRANSACTION") ||
+        c.peekKeyword("COMMIT") || c.peekKeyword("ROLLBACK")) {
+        throw new IllegalArgumentException(
+          "multi-statement transactions are not supported: this engine's statements " +
+            "have per-statement snapshot semantics (README 'Isolation contract'); for " +
+            "atomic multi-verb mutations land the combined result as ONE Versioned " +
+            "commit (the A39 route) — the manifest write is the atomic commit point")
       } else if (c.keyword("BEGIN")) {
         val body = parseBlock(c, Some(Seq(Seq("END"), Seq("EXCEPTION"))))
         if (c.keyword("EXCEPTION")) {

@@ -355,5 +355,11 @@ class GraftScriptSpec extends SparkSuite {
       GraftScript.run(spark, "EXCEPTION WHEN ERROR THEN SELECT 1; END;")
     }
     assert(e3.getMessage.contains("BEGIN"))
+    // transactions: loud with the Versioned-commit pointer, not a
+    // confusing block-parse failure
+    for (txn <- Seq("BEGIN TRANSACTION; SELECT 1; COMMIT TRANSACTION;",
+      "COMMIT;", "ROLLBACK TRANSACTION;"))
+      assert(intercept[IllegalArgumentException] { GraftScript.run(spark, txn) }
+        .getMessage.contains("Isolation contract"), txn)
   }
 }
