@@ -74,9 +74,9 @@ object GraftSql {
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
     val sql = rewriteUnnest(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
-      rewriteTableSample(rewriteInformationSchema(spark,
+      rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         rewriteVectorSearch(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -157,6 +157,145 @@ object GraftSql {
           "ASSERT, EXPORT DATA, CREATE [MATERIALIZED] VIEW, CREATE EXTERNAL TABLE, " +
           "LOAD DATA, CREATE [TEMP] [TABLE] FUNCTION")
     }
+  }
+
+  /** BigQuery `SELECT [t.]* [EXCEPT (...)] REPLACE (expr AS col, ...)`
+    * → Spark `[t.]* EXCEPT (col, ...), (expr) AS col, ...` — the
+    * star-modifier pair, closing the round-8 `* REPLACE` trade.
+    * `EXCEPT` alone is native Spark 4 surface and passes through
+    * untouched; when `REPLACE` is present the replaced names join the
+    * EXCEPT list and the replacement expressions are appended as
+    * ordinary aliased items. SEMANTICS NOTE (the one divergence,
+    * stated): BigQuery keeps a replaced column at its ORIGINAL star
+    * position; this rewrite moves it to the end of the expansion.
+    * Values, names and types are identical — only positional order
+    * differs, so name-addressed consumers (joins, aggregates, writes
+    * by name, the driver's name-sorted gate) see no difference; a
+    * downstream UNION-by-position over the bare star should spell its
+    * projection explicitly.
+    *
+    * A `*` only counts as a star in SELECT-item position (preceded by
+    * `SELECT`/`DISTINCT`/`ALL`, a comma, `(`, or a qualifying `.`) —
+    * `x * REPLACE(s, 'a', 'b')` stays multiplication-by-function-call.
+    * Quote-aware; each REPLACE item requires a top-level ` AS name`
+    * (loud otherwise).
+    */
+  private[graft] def rewriteStarReplace(sql0: String): String = {
+    val upper = sql0.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("REPLACE")) return sql0
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    def splitTop(text: String): Seq[String] = {
+      val items = scala.collection.mutable.ListBuffer.empty[String]
+      var start = 0; var depth = 0; var s = false; var t = false; var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (t) { if (c == '`') t = false }
+        else if (c == '\'') s = true
+        else if (c == '`') t = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) { items += text.substring(start, i).trim; start = i + 1 }
+        i += 1
+      }
+      items += text.substring(start).trim
+      items.toSeq
+    }
+    // last top-level word-bounded AS in an item → (expr, name)
+    def parseItem(item: String): (String, String) = {
+      var lastAs = -1
+      var i = 0; var depth = 0; var s = false; var t = false
+      val up = item.toUpperCase(java.util.Locale.ROOT)
+      while (i < item.length) {
+        val c = item.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (t) { if (c == '`') t = false }
+        else if (c == '\'') s = true
+        else if (c == '`') t = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'A' || c == 'a') && up.startsWith("AS", i) &&
+          (i == 0 || !isWord(item.charAt(i - 1))) &&
+          (i + 2 >= item.length || !isWord(item.charAt(i + 2)))) lastAs = i
+        i += 1
+      }
+      require(lastAs > 0, s"* REPLACE item needs `expr AS name`: $item")
+      (item.substring(0, lastAs).trim, item.substring(lastAs + 2).trim)
+    }
+    // balanced-paren capture starting at an opening paren
+    def captureParen(sql: String, open: Int): Int = {
+      var depth = 1; var r = open + 1; var s = false
+      while (r < sql.length && depth > 0) {
+        val ch = sql.charAt(r)
+        if (s) { if (ch == '\'') s = false }
+        else if (ch == '\'') s = true
+        else if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        r += 1
+      }
+      require(depth == 0, "* REPLACE: unbalanced parens")
+      r // one past the closing paren
+    }
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql0.length) {
+      val c = sql0.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if (c == '*') {
+        val t2 = out.toString.reverse.dropWhile(_.isWhitespace).reverse
+        val starPosition = t2.nonEmpty && {
+          val last = t2.last
+          last == '.' || last == ',' || last == '(' || {
+            var k = t2.length
+            while (k > 0 && isWord(t2.charAt(k - 1))) k -= 1
+            val w = t2.substring(k).toUpperCase(java.util.Locale.ROOT)
+            w == "SELECT" || w == "DISTINCT" || w == "ALL"
+          }
+        }
+        if (!starPosition) { out += c; i += 1 }
+        else {
+          // optional EXCEPT (...) then REPLACE (...)
+          var p = i + 1
+          while (p < sql0.length && Character.isWhitespace(sql0.charAt(p))) p += 1
+          var exceptRaw = ""
+          var exceptEnd = -1
+          if (upper.startsWith("EXCEPT", p) &&
+            (p + 6 >= sql0.length || !isWord(sql0.charAt(p + 6)))) {
+            var q = p + 6
+            while (q < sql0.length && Character.isWhitespace(sql0.charAt(q))) q += 1
+            if (q < sql0.length && sql0.charAt(q) == '(') {
+              val e = captureParen(sql0, q)
+              exceptRaw = sql0.substring(q + 1, e - 1).trim
+              exceptEnd = e
+            }
+          }
+          var rp = if (exceptEnd >= 0) exceptEnd else i + 1
+          while (rp < sql0.length && Character.isWhitespace(sql0.charAt(rp))) rp += 1
+          val hasReplace = upper.startsWith("REPLACE", rp) &&
+            (rp + 7 >= sql0.length || !isWord(sql0.charAt(rp + 7))) && {
+              var q = rp + 7
+              while (q < sql0.length && Character.isWhitespace(sql0.charAt(q))) q += 1
+              q < sql0.length && sql0.charAt(q) == '('
+            }
+          if (!hasReplace) { out += c; i += 1 }
+          else {
+            val open = sql0.indexOf('(', rp + 7)
+            val end = captureParen(sql0, open)
+            val items = splitTop(sql0.substring(open + 1, end - 1)).map(parseItem)
+            require(items.nonEmpty, "* REPLACE needs at least one `expr AS name` item")
+            val names = items.map(_._2)
+            val exceptList = (if (exceptRaw.nonEmpty) Seq(exceptRaw) else Nil) ++ names
+            out ++= s"* EXCEPT (${exceptList.mkString(", ")}), "
+            out ++= items.map { case (e, n) => s"($e) AS $n" }.mkString(", ")
+            i = end
+          }
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** BigQuery `TABLESAMPLE SYSTEM (n PERCENT)` → Spark
@@ -880,9 +1019,18 @@ object GraftSql {
     *  3. array subscripts `arr[OFFSET(i)]` → `arr[(i)]` (Spark
     *     subscripts are 0-based; both engines error on
     *     out-of-bounds under ANSI) and `arr[ORDINAL(i)]` →
-    *     `arr[(i) - 1]`; SAFE_OFFSET/SAFE_ORDINAL are loud with a
-    *     try_element_at pointer (a bracket rewrite cannot reach the
-    *     array operand to guard it).
+    *     `arr[(i) - 1]`; `arr[SAFE_OFFSET(i)]`/`arr[SAFE_ORDINAL(i)]`
+    *     capture the array operand by the same bounded BACKWARD scan
+    *     the `IN UNNEST` rewrite uses (identifier chain, `(...)`
+    *     group, call, or a preceding `]` subscript chain) and expand
+    *     to a bounds-guarded CASE over the 0-based subscript —
+    *     NULL on any out-of-range/NULL index and on a NULL array,
+    *     BigQuery's SAFE_ semantics, under both ANSI settings. The
+    *     operand text is duplicated into the size() guard, so an
+    *     expensive call operand should be bound in a prior SELECT;
+    *     a compound arithmetic operand must be parenthesized (the
+    *     scan then sees one group) — a mis-capture fails typed at
+    *     analysis, never silently.
     */
   private[graft] def rewriteBqFunctions(sql0: String): String = {
     val shapeNames = Seq("TIMESTAMP_DIFF", "DATETIME_DIFF", "DATE_DIFF",
@@ -1059,10 +1207,6 @@ object GraftSql {
               p + k.length < sql.length &&
               sql.substring(p + k.length).dropWhile(Character.isWhitespace).headOption.contains('('))
           kw match {
-            case Some(k) if k.startsWith("SAFE_") =>
-              throw new IllegalArgumentException(
-                s"arr[$k(i)] has no subscript equivalent — spell it " +
-                  "try_element_at(arr, i + 1) (1-based) for NULL-on-out-of-bounds")
             case Some(k) =>
               var q = p + k.length
               while (q < sql.length && Character.isWhitespace(sql.charAt(q))) q += 1
@@ -1080,7 +1224,55 @@ object GraftSql {
               var e = r
               while (e < sql.length && Character.isWhitespace(sql.charAt(e))) e += 1
               require(e < sql.length && sql.charAt(e) == ']', s"expected ] after $k(...)")
-              out ++= (if (k == "OFFSET") s"[($idx)]" else s"[($idx) - 1]")
+              if (k.startsWith("SAFE_")) {
+                // BigQuery NULL-on-out-of-bounds: capture the array
+                // operand backward from what's already emitted (the
+                // IN UNNEST discipline, plus a `]` tail for chained
+                // subscripts) and guard the 0-based subscript with a
+                // size() CASE — NULL index, negative/past-end index
+                // and NULL array all yield NULL under either ANSI
+                // setting.
+                def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+                val t2 = out.toString.reverse.dropWhile(_.isWhitespace).reverse
+                var opStart = t2.length
+                var scanning = true
+                while (scanning) {
+                  scanning = false
+                  if (opStart > 0 && (t2.charAt(opStart - 1) == ')' || t2.charAt(opStart - 1) == ']')) {
+                    val (open, close) = if (t2.charAt(opStart - 1) == ')') ('(', ')') else ('[', ']')
+                    var d = 0; var j = opStart - 1; var found = -1
+                    while (j >= 0 && found < 0) {
+                      val ch = t2.charAt(j)
+                      if (ch == close) d += 1
+                      else if (ch == open) { d -= 1; if (d == 0) found = j }
+                      j -= 1
+                    }
+                    require(found >= 0, s"[$k(i)]: unbalanced operand brackets")
+                    opStart = found
+                    // a call name, or another bracket/group to the left
+                    // (chained subscripts: m['k'][SAFE_OFFSET(0)])
+                    while (opStart > 0 && (isWord(t2.charAt(opStart - 1)) || t2.charAt(opStart - 1) == '.'))
+                      opStart -= 1
+                    if (close == ']' && opStart > 0 &&
+                      (t2.charAt(opStart - 1) == ')' || t2.charAt(opStart - 1) == ']'))
+                      scanning = true
+                  } else {
+                    while (opStart > 0 && (isWord(t2.charAt(opStart - 1)) || t2.charAt(opStart - 1) == '.'))
+                      opStart -= 1
+                  }
+                }
+                val operand = t2.substring(opStart).trim
+                require(operand.nonEmpty,
+                  s"[$k(i)]: could not capture the array operand — parenthesize it")
+                out.setLength(0)
+                out ++= t2.substring(0, opStart)
+                out ++= (if (k == "SAFE_OFFSET")
+                  s"(CASE WHEN ($idx) >= 0 AND ($idx) < size(($operand)) THEN ($operand)[($idx)] END)"
+                else
+                  s"(CASE WHEN ($idx) >= 1 AND ($idx) <= size(($operand)) THEN ($operand)[($idx) - 1] END)")
+              } else {
+                out ++= (if (k == "OFFSET") s"[($idx)]" else s"[($idx) - 1]")
+              }
               i = e + 1
             case None => out += c; i += 1
           }

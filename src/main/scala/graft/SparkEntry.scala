@@ -1564,6 +1564,20 @@ object SparkEntry {
           |FROM bqf_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // BigQuery STAR MODIFIERS (B37): `* EXCEPT (...) REPLACE (expr AS
+    // col)` through the GraftSql star rewrite; the oracle replays the
+    // EXPLICIT projection the modifiers denote, so the hash gates the
+    // expansion semantics (removed column gone, replaced column same
+    // name/type with the new value, untouched columns intact)
+    "q_star_replace" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      graft.GraftSql.load(s,
+        """SELECT * EXCEPT (o_custkey)
+          |  REPLACE (o_totalprice / 100 AS o_totalprice,
+          |           upper(o_orderpriority) AS o_orderpriority)
+          |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // BigQuery date/time scalar surface: EXTRACT / FORMAT_DATE /
     // DATE_DIFF / DATE_ADD. Integer parts cast to long so both engines
     // hash the same width; dayofweek follows BigQuery (Sunday=1 —
@@ -3111,6 +3125,13 @@ object SparkEntry {
           |  strftime(CAST(CAST(MIN(ts) AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y/%m/%d') AS next_m,
           |  CAST(strpos(event_type, 'c') AS INTEGER) AS cpos
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the star-modifier face replays as the explicit projection the
+      // modifiers denote — column set and replacement values, not text
+      "q_star_replace" ->
+        """SELECT o_orderkey, o_orderstatus, o_orderdate,
+          |       o_totalprice / 100 AS o_totalprice,
+          |       upper(o_orderpriority) AS o_orderpriority
+          |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
       // the date spine replays with DuckDB's generate_series; the
       // decimal day-sum keeps fold order out of the bytes
       "q_date_spine" ->

@@ -36,6 +36,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "generateFns" -> (GraftSql.rewriteGenerateFns(_)),
     "jsonArrayFns" -> (GraftSql.rewriteJsonArrayFns(_)),
     "tableSample" -> (GraftSql.rewriteTableSample(_)),
+    "starReplace" -> (GraftSql.rewriteStarReplace(_)),
     "unnest" -> (GraftSql.rewriteUnnest(_)))
 
   test("quoted literal content is opaque to every rewrite") {
@@ -72,12 +73,15 @@ class RewriteFuzzSpec extends AnyFunSuite {
     def chain(sql: String): String =
       GraftSql.rewriteUnnest(GraftSql.rewriteBqFunctions(
         GraftSql.rewriteGenerateFns(GraftSql.rewriteJsonArrayFns(
-          GraftSql.rewriteTableSample(sql)))))
+          GraftSql.rewriteStarReplace(GraftSql.rewriteTableSample(sql))))))
     val triggerHeavy = Seq(
       "SELECT COUNTIF(x > 1) AS n, SAFE_DIVIDE(a, b) AS r FROM t",
       "SELECT GENERATE_ARRAY(1, 5, 2) AS g, GENERATE_DATE_ARRAY(lo, hi) AS d FROM t",
       "SELECT e FROM t, UNNEST(JSON_EXTRACT_ARRAY(j, '$.k')) AS e",
       "SELECT arr[OFFSET(1)] AS a, arr[ORDINAL(2)] AS b FROM t",
+      "SELECT arr[SAFE_OFFSET(1)] AS a, t.arr[SAFE_ORDINAL(2)] AS b FROM t",
+      "SELECT * REPLACE (x + 1 AS x) FROM t",
+      "SELECT t.* EXCEPT (v) REPLACE (CAST(x AS STRING) AS x) FROM t",
       "SELECT x FROM t WHERE x IN UNNEST(allowed)",
       "SELECT x FROM t WHERE x NOT IN UNNEST(f(a, b))",
       "SELECT TIMESTAMP_DIFF(a, b, HOUR) AS h, DATE_ADD(d, INTERVAL 2 WEEK) AS w FROM t",

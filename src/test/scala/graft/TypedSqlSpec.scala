@@ -1289,15 +1289,66 @@ class TypedSqlSpec extends SparkSuite {
     // tier 3: array subscripts (OFFSET 0-based, ORDINAL 1-based)
     assert(one("SELECT array('a', 'b', 'c')[OFFSET(1)] AS e").getString(0) == "b")
     assert(one("SELECT array('a', 'b', 'c')[ORDINAL(1)] AS e").getString(0) == "a")
+    // SAFE_OFFSET/SAFE_ORDINAL: NULL on any out-of-range index,
+    // never an error (BigQuery's SAFE_ contract), via the bounds-
+    // guarded subscript — in range, past end, negative, zero-ordinal
+    val so = one("SELECT array('a', 'b', 'c')[SAFE_OFFSET(1)] AS a, " +
+      "array('a', 'b', 'c')[SAFE_OFFSET(3)] AS b, " +
+      "array('a', 'b', 'c')[SAFE_OFFSET(-1)] AS c, " +
+      "array('a', 'b', 'c')[SAFE_ORDINAL(3)] AS d, " +
+      "array('a', 'b', 'c')[SAFE_ORDINAL(0)] AS e, " +
+      "array('a', 'b', 'c')[SAFE_ORDINAL(4)] AS f")
+    assert(so.getString(0) == "b" && so.isNullAt(1) && so.isNullAt(2))
+    assert(so.getString(3) == "c" && so.isNullAt(4) && so.isNullAt(5))
+    // operand capture: qualified column, call, parenthesized group,
+    // chained subscript; NULL index and NULL array both yield NULL
+    Seq((1L, Seq("x", "y"))).toDF("k", "arr").createOrReplaceTempView("safe_t")
+    val so2 = one("SELECT safe_t.arr[SAFE_OFFSET(1)] AS a, " +
+      "slice(arr, 1, 2)[SAFE_OFFSET(5)] AS b, " +
+      "(arr)[SAFE_ORDINAL(2)] AS c, " +
+      "array(array('p', 'q'))[OFFSET(0)][SAFE_OFFSET(1)] AS d, " +
+      "arr[SAFE_OFFSET(CAST(NULL AS INT))] AS e, " +
+      "CAST(NULL AS ARRAY<STRING>)[SAFE_OFFSET(0)] AS f FROM safe_t")
+    assert(so2.getString(0) == "y" && so2.isNullAt(1) && so2.getString(2) == "y")
+    assert(so2.getString(3) == "q" && so2.isNullAt(4) && so2.isNullAt(5))
     // louds
     def badF(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
-    assert(badF("SELECT array(1)[SAFE_OFFSET(9)] AS e").contains("try_element_at"))
     assert(badF("SELECT DATE_DIFF(DATE'2024-03-01', DATE'2024-02-01', MONTH) AS d")
       .contains("boundaries"))
     assert(badF("SELECT FORMAT_DATE('%q', DATE'2024-03-05') AS s").contains("%q"))
     assert(badF("SELECT TIMESTAMP_ADD(TIMESTAMP'2024-01-01 00:00:00', x) AS t")
       .contains("literal interval"))
+  }
+
+  test("GraftSql star REPLACE: value/name parity, EXCEPT composition, multiplication untouched") {
+    import spark.implicits._
+    Seq((1L, "ab", 2.5), (2L, "cd", 4.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("sr_t")
+    // bare star: replaced column keeps name and type, gets new value
+    val r = GraftSql.load(spark,
+      "SELECT * REPLACE (v * 2 AS v, upper(s) AS s) FROM sr_t ORDER BY id")
+    assert(r.columns.sorted.toSeq == Seq("id", "s", "v"))
+    assert(r.collect().map(x => (x.getAs[Long]("id"), x.getAs[String]("s"), x.getAs[Double]("v"))).toSeq ==
+      Seq((1L, "AB", 5.0), (2L, "CD", 8.0)))
+    // EXCEPT + REPLACE compose; qualified star; expression with AS inside CAST
+    val r2 = GraftSql.load(spark,
+      "SELECT t.* EXCEPT (s) REPLACE (CAST(id AS STRING) AS id) FROM sr_t t WHERE t.id = 2")
+    assert(r2.columns.sorted.toSeq == Seq("id", "v"))
+    assert(r2.collect().head.getAs[String]("id") == "2")
+    // a replaced column can be consumed by name downstream
+    val r3 = GraftSql.load(spark,
+      "SELECT sum(v) AS sv FROM (SELECT * REPLACE (v * 10 AS v) FROM sr_t)")
+    assert(r3.collect().head.getAs[Double]("sv") == 65.0)
+    // multiplication by the string function REPLACE stays untouched
+    val r4 = GraftSql.load(spark,
+      "SELECT id * REPLACE('3', 'x', 'y') AS m FROM sr_t ORDER BY id")
+    assert(r4.collect().map(_.getAs[Long]("m")).toSeq == Seq(3L, 6L))
+    // louds: item without AS
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * REPLACE (v + 1) FROM sr_t")
+    }
+    assert(e.getMessage.contains("AS name"))
   }
 
   test("GraftSql wildcard tables: _TABLE_SUFFIX union by name, table-level pruning, louds") {
