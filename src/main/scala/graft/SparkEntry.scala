@@ -1299,6 +1299,21 @@ object SparkEntry {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("token")
     }),
+    // E23: exact phrase matching over the positional token stream —
+    // adjacency, not bag-of-words; a two-term and a three-term phrase
+    // under one gate. The stream filters to the phrases' own terms
+    // before any shuffle, the adjacency is df-sized equi-joins on the
+    // normalized start position; overlapping hits count separately
+    "search_phrase" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p1 = graft.operators.InvertedIndex
+        .phraseOccurrences(docs, "doc_id", "text", Seq("table", "value"))
+        .withColumn("phrase", F.lit("table value"))
+      val p2 = graft.operators.InvertedIndex
+        .phraseOccurrences(docs, "doc_id", "text", Seq("a", "row", "fast"))
+        .withColumn("phrase", F.lit("a row fast"))
+      p1.unionByName(p2).orderBy("phrase", "doc_id")
+    }),
     // Corpus-relative rare-token signal: per doc, how many of its
     // distinct tokens appear in <= dfMax documents corpus-wide —
     // high counts flag OCR noise / gibberish / boilerplate IDs (the
@@ -1781,6 +1796,20 @@ object SparkEntry {
         .select(F.col("vec_id"), F.col("q.scale").as("scale"),
           F.posexplode(F.col("q.codes")).as(Seq("pos", "code")))
         .orderBy("vec_id", "pos")
+    }),
+
+    // D17: learned clustering over the quantized corpus — the cell
+    // design / SemDeDup prelude. Deterministic int8 k-means (seeds =
+    // the k lowest ids, 2 Lloyd steps, exact BIGINT centroid sums);
+    // the oracle replays the quantization, both iterations' integer
+    // centroid updates and the strict fold-order distances, so the
+    // WHOLE training loop sits under the hash gate
+    "cluster_kmeans" -> ((s, d) => {
+      val codes = Tables.embeddings(s, d)
+        .select(F.col("vec_id"), graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+        .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+      graft.operators.Clustering.kmeansAssign(codes, k = 8, iters = 2)
+        .orderBy("vec_id")
     }),
 
     // deterministic k-per-key sample via the bounded TopK aggregate
@@ -2525,6 +2554,30 @@ object SparkEntry {
     }.mkString("\n")
     val mmrUnion = (1 to 8).map(r => s"SELECT qid, vec_id, $r AS r, mmr FROM p$r")
       .mkString("\n  UNION ALL ")
+    // k-means replay: strict fold-order squared-L2 (mirrors
+    // NearestCentroidL2's index-order accumulation bit for bit)
+    val kmDist = (v: String, c: String) =>
+      s"list_aggregate(list_transform(list_zip($v, $c), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+    // one Lloyd iteration: assign to argmin (ties -> lowest cluster),
+    // exact integer per-(cluster, dim) sums, centroid = sum/n as ONE
+    // double division; an emptied cluster keeps its previous centroid
+    val kmIter = (i: Int) => {
+      val prev = s"kc${i - 1}"
+      s"""kd$i AS (SELECT cd.vec_id, cd.v, cc.cluster, ${kmDist("cd.v", "cc.c")} AS dist
+         |         FROM km_codes cd CROSS JOIN $prev cc),
+         |ka$i AS (SELECT vec_id, v, cluster FROM (
+         |           SELECT vec_id, v, cluster,
+         |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |           FROM kd$i) WHERE rn = 1),
+         |ks$i AS (SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS x FROM ka$i),
+         |kg$i AS (SELECT cluster, dim, SUM(x) AS sm, COUNT(*) AS n FROM ks$i GROUP BY 1, 2),
+         |kc$i AS (SELECT p.cluster, coalesce(m.c, p.c) AS c
+         |         FROM $prev p LEFT JOIN (
+         |           SELECT cluster, list(CAST(sm AS DOUBLE) / n ORDER BY dim) AS c
+         |           FROM kg$i GROUP BY cluster) m ON p.cluster = m.cluster),""".stripMargin
+    }
     Map(
       "search_mmr" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -3092,6 +3145,30 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
           |FROM tf JOIN dfx USING (token)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // phrase adjacency replays relationally: positions of each term,
+      // successive terms joined at (doc, start + i)
+      "search_phrase" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS token
+          |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          |        FROM documents)),
+          |m1 AS (SELECT p0.doc_id, p0.pos
+          |       FROM (SELECT doc_id, pos FROM toks WHERE token = 'table') p0
+          |       JOIN (SELECT doc_id, pos - 1 AS pos FROM toks WHERE token = 'value') p1
+          |         ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos),
+          |m2 AS (SELECT p0.doc_id, p0.pos
+          |       FROM (SELECT doc_id, pos FROM toks WHERE token = 'a') p0
+          |       JOIN (SELECT doc_id, pos - 1 AS pos FROM toks WHERE token = 'row') p1
+          |         ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos
+          |       JOIN (SELECT doc_id, pos - 2 AS pos FROM toks WHERE token = 'fast') p2
+          |         ON p0.doc_id = p2.doc_id AND p0.pos = p2.pos)
+          |SELECT phrase, doc_id, n_hits, first_pos FROM (
+          |  SELECT 'table value' AS phrase, doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+          |  FROM m1 GROUP BY doc_id
+          |  UNION ALL
+          |  SELECT 'a row fast' AS phrase, doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+          |  FROM m2 GROUP BY doc_id)
+          |ORDER BY phrase, doc_id""".stripMargin,
       "text_repetition" ->
         """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
           |             FROM documents),
@@ -4100,6 +4177,29 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM neg)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // the whole k-means training loop replayed: same quantization as
+      // the int8 faces, seeds = 8 lowest ids (cluster id = rank), two
+      // unrolled Lloyd iterations with exact integer centroid sums,
+      // final strict fold-order assignment
+      "cluster_kmeans" ->
+        s"""WITH qz AS (SELECT vec_id, embedding,
+          |              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+          |            FROM embeddings),
+          |km_codes AS (SELECT vec_id,
+          |               list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 127 / s) AS BIGINT)) AS v
+          |             FROM qz),
+          |km_seeds AS (SELECT vec_id FROM km_codes ORDER BY vec_id LIMIT 8),
+          |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+          |               list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+          |        FROM km_codes WHERE vec_id IN (SELECT vec_id FROM km_seeds)),
+          |${kmIter(1)}
+          |${kmIter(2)}
+          |fin AS (SELECT cd.vec_id, cc.cluster, ${kmDist("cd.v", "cc.c")} AS dist
+          |        FROM km_codes cd CROSS JOIN kc2 cc)
+          |SELECT vec_id, cluster, dist FROM (
+          |  SELECT vec_id, cluster, dist,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+          |  FROM fin) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
       "ann_bruteforce_int8" ->
         s"""WITH qz AS (SELECT vec_id, embedding,
           |              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s

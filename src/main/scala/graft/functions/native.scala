@@ -773,6 +773,57 @@ case class NearestCell(child: Expression, cells: Seq[Long], centroids: Seq[Seq[F
     copy(child = newChild)
 }
 
+/** K-means assignment step as a map-only expression: for an INTEGER
+  * vector, the (0-based) index of the nearest centroid under SQUARED
+  * L2 distance plus that distance, as a struct. Centroids are
+  * plan-embedded doubles (bounded k×dim — the payload a broadcast
+  * would ship), so assignment adds zero shuffles and zero jobs.
+  *
+  * Determinism contract (what makes [[graft.operators.Clustering]]
+  * hash-checkable against a SQL oracle): the distance accumulates in
+  * STRICT index order — Σ_d (x_d − c_d)² left to right in doubles —
+  * and a tie keeps the FIRST (lowest-index) centroid. Integer inputs
+  * convert to double exactly; when centroid components are exact
+  * integer-sum / count quotients (one correctly-rounded division),
+  * every arithmetic step is bit-reproducible across engines.
+  */
+case class NearestCentroidL2(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "NearestCentroidL2 needs at least one centroid")
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  private val cent: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var ci = 0
+    while (ci < cent.length) {
+      val c = cent(ci)
+      val n = math.min(arr.numElements(), c.length)
+      var ss = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (arr.isNullAt(i)) 0.0 else arr.getInt(i).toDouble
+        val d = x - c(i)
+        ss += d * d
+        i += 1
+      }
+      if (ss < bestD) { bestD = ss; best = ci }
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestD)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL2 =
+    copy(child = newChild)
+}
+
 /** [[JaccardSim]] over arrays the caller guarantees are DISTINCT,
   * NON-NULL and SORTED ascending in UTF8String binary order (exactly
   * what `array_sort(word_shingles(...))` produces): the intersection
@@ -1402,6 +1453,8 @@ object native {
     Bridge.column(LangGuess(Bridge.expression(tokens), lexicons))
   def nearest_cell(vec: Column, cells: Seq[Long], centroids: Seq[Array[Float]]): Column =
     Bridge.column(NearestCell(Bridge.expression(vec), cells, centroids.map(_.toSeq)))
+  def nearest_centroid_l2(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroidL2(Bridge.expression(vec), centroids))
   def strided_bytes(payload: Column, n: Int): Column =
     Bridge.column(StridedBytes(Bridge.expression(payload), n))
   def ahash64(payload: Column, thumbBytes: Int): Column =

@@ -67,6 +67,52 @@ object InvertedIndex {
       .filter(F.col("n_shared") >= minShared)
   }
 
+  /** Exact PHRASE occurrences per document — the positional-index
+    * query (`"large language models"` as adjacency, not a bag of
+    * words), the retrieval primitive SEARCH()/BM25 can't express.
+    *
+    * Scale shape: ONE corpus tokenize pass, immediately filtered to
+    * the phrase's own terms — the stream shrinks from corpus-token
+    * count to Σ df(term) before anything shuffles, and that filtered
+    * positional table is lazily staged
+    * ([[Staging.stageLazy]]) so the per-term join branches share one
+    * materialization instead of re-tokenizing per term. Adjacency is
+    * then L−1 equi-joins on (doc, normalized start position), each
+    * side df-sized, never corpus-sized; no window function, no
+    * per-doc position list collection (a hot stopword's positions
+    * never concentrate on one row). Returns
+    * (doc_id, n_hits, first_pos); overlapping occurrences count
+    * separately, exactly like a positional posting-list walk.
+    *
+    * Terms must be single tokenizer-normal tokens (lowercase,
+    * whitespace-free) — loud otherwise, since a multi-word "term"
+    * would silently never match.
+    */
+  def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    phrase.foreach { t =>
+      require(t.nonEmpty && !t.exists(_.isWhitespace),
+        s"phrase terms are single tokens, got '$t' — split the phrase into words")
+      require(t == t.toLowerCase(java.util.Locale.ROOT),
+        s"phrase terms must be lowercase (the tokenizer lowercases), got '$t'")
+    }
+    val toks = docs
+      .select(F.col(idCol).as("doc_id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col("doc_id"), F.posexplode(F.col("__toks")).as(Seq("pos", "token")))
+    val hits = Staging.stageLazy(
+      toks.filter(F.col("token").isin(phrase.distinct: _*))
+        .select(F.col("doc_id"), F.col("pos").cast("long").as("pos"), F.col("token")))
+    val start = hits.filter(F.col("token") === phrase.head).select("doc_id", "pos")
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(start) { case (acc, (term, i)) =>
+      acc.join(hits.filter(F.col("token") === term)
+          .select(F.col("doc_id"), (F.col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_hits"), F.min("pos").as("first_pos"))
+  }
+
   /** TF-IDF weights per (doc, token): tf · ln((N+1)/(df+1)). N comes in
     * as an argument so callers amortize the corpus count.
     *

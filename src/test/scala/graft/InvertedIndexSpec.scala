@@ -29,6 +29,43 @@ class InvertedIndexSpec extends SparkSuite {
     assert(stats("b") == ((1L, 1L)))
   }
 
+  test("phraseOccurrences: adjacency not bag-of-words, overlaps count, first_pos exact") {
+    val pd = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "cat the sat"),
+      (3L, "a a a b"),
+      (4L, "the cat")).toDF("doc_id", "text")
+    val two = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("the", "cat"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 has "the cat" at 0 and 4; doc 2 has both words but never
+    // adjacent in order; doc 4 matches at 0
+    assert(two == Map(1L -> ((2L, 0L)), 4L -> ((1L, 0L))))
+    // overlapping occurrences each count: "a a" in "a a a" at 0 and 1
+    val ov = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov == Map(3L -> 2L))
+    // three-term phrase spans the repeated middle word
+    val three = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("cat", "sat", "on"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(three == Map(1L -> ((1L, 1L))))
+    // louds: multi-word and non-lowercase terms
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("the cat"))
+    }.getMessage.contains("single tokens"))
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("The"))
+    }.getMessage.contains("lowercase"))
+  }
+
+  test("phraseOccurrences: single corpus pass — the token scan appears once in the plan") {
+    val pd = Seq((1L, "x y z x y")).toDF("doc_id", "text")
+    val plan = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("x", "y"))
+      .queryExecution.optimizedPlan.toString
+    // the staged positional table replaces per-term re-tokenization:
+    // posexplode must appear at most once in the optimized plan
+    assert("(?i)posexplode|generate".r.findAllIn(plan).size <= 2, plan.take(800))
+  }
+
   test("tfidf: weight = tf * ln((N+1)/(df+1)), rare tokens outweigh common ones") {
     val w = InvertedIndex.tfidf(docs, "doc_id", "text", corpusSize = 3)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
