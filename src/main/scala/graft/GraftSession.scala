@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def local(cpus: Int): SparkSession =
-    builder(cpus).master(s"local[$cpus]").getOrCreate()
+  def local(cpus: Int): SparkSession = {
+    val spark = builder(cpus).master(s"local[$cpus]").getOrCreate()
+    graft.functions.SqlFunctions.register(spark)
+    spark
+  }
 }

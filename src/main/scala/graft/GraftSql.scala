@@ -67,6 +67,10 @@ object GraftSql {
     * BigQuery user feeds their load scripts here unchanged.
     */
   def load(spark: SparkSession, sql0: String): DataFrame = {
+    // native-expression SQL spellings (COSINE_DISTANCE etc.) — cheap,
+    // idempotent, and statements must see them whatever session the
+    // caller built
+    graft.functions.SqlFunctions.register(spark)
     // BigQuery time travel + VECTOR_SEARCH: resolve `t FOR
     // SYSTEM_TIME AS OF <ts>` references against registered Versioned
     // tables and VECTOR_SEARCH(...) table-function calls BEFORE
@@ -961,7 +965,8 @@ object GraftSql {
     "ARRAY_LENGTH" -> "size", "ARRAY_TO_STRING" -> "array_join",
     "ARRAY_REVERSE" -> "reverse", "REGEXP_CONTAINS" -> "regexp_like",
     "STRPOS" -> "instr", "STARTS_WITH" -> "startswith",
-    "ENDS_WITH" -> "endswith", "FORMAT" -> "format_string")
+    "ENDS_WITH" -> "endswith", "FORMAT" -> "format_string",
+    "APPROX_COUNT_DISTINCT" -> "approx_count_distinct")
 
   private val IntervalLitRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
 
@@ -1037,8 +1042,100 @@ object GraftSql {
       "TIMESTAMP_ADD", "TIMESTAMP_SUB", "DATETIME_ADD", "DATETIME_SUB",
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
-      "ANY_VALUE")
+      "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
+      "APPROX_QUANTILES", "APPROX_TOP_COUNT")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
+    // top-level (depth-0, quote-aware) position of `ORDER BY` inside
+    // one argument's text, -1 if absent
+    def topLevelOrderBy(text: String): Int = {
+      def isW(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+      val up = text.toUpperCase(java.util.Locale.ROOT)
+      var i = 0; var depth = 0; var s = false; var t = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (t) { if (c == '`') t = false }
+        else if (c == '\'') s = true
+        else if (c == '`') t = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'O' || c == 'o') && up.startsWith("ORDER", i) &&
+          (i == 0 || !isW(text.charAt(i - 1)))) {
+          var j = i + 5
+          while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+          if (up.startsWith("BY", j) && (j + 2 >= text.length || !isW(text.charAt(j + 2))))
+            return i
+        }
+        i += 1
+      }
+      -1
+    }
+    // BigQuery's ordered aggregates: `STRING_AGG(e[, sep] ORDER BY k...)`
+    // → `listagg(e, sep) WITHIN GROUP (ORDER BY k...)`, and
+    // `ARRAY_AGG(e ORDER BY k... [LIMIT n])` → sort-by-key struct route
+    // (array_sort is total order over the key fields THEN the value —
+    // stricter than BigQuery's unspecified tie order, deterministic).
+    // NULL elements: STRING_AGG skips them in both dialects; the
+    // ARRAY_AGG route FILTERs them out (BigQuery default ERRORS on a
+    // NULL element — IGNORE NULLS semantics are what a migrated
+    // pipeline actually wants, divergence documented).
+    def orderedAgg(name: String, args: Seq[String]): Option[String] = {
+      val obHit = args.zipWithIndex
+        .map { case (a, i) => (i, topLevelOrderBy(a)) }.find(_._2 >= 0)
+      obHit.map { case (ai, ci) =>
+        val valueArgs = (args.take(ai) :+ args(ai).substring(0, ci).trim)
+          .filter(_.nonEmpty)
+        val firstKey = args(ai).substring(ci).replaceFirst("(?is)^ORDER\\s+BY\\s*", "")
+        var keys = (firstKey +: args.drop(ai + 1)).map(_.trim).filter(_.nonEmpty).toList
+        val LimitRe = """(?is)^(.*?)\s+LIMIT\s+(\d+)\s*$""".r
+        var limit: Option[Int] = None
+        keys = keys match {
+          case init :+ LimitRe(k, n) => limit = Some(n.toInt); init :+ k.trim
+          case ks => ks
+        }
+        require(keys.nonEmpty && keys.forall(_.nonEmpty), s"$name: empty ORDER BY key")
+        require(valueArgs.nonEmpty, s"$name needs a value expression")
+        var e = valueArgs.head
+        val distinct = "(?is)^DISTINCT\\s".r.findFirstIn(e).isDefined
+        if (distinct) e = e.replaceFirst("(?is)^DISTINCT\\s+", "")
+        if ("(?is)\\sIGNORE\\s+NULLS\\s*$".r.findFirstIn(e).isDefined)
+          e = e.replaceFirst("(?is)\\s+IGNORE\\s+NULLS\\s*$", "")
+        require("(?is)\\sRESPECT\\s+NULLS\\s*$".r.findFirstIn(e).isEmpty,
+          s"$name ... RESPECT NULLS is not supported on the ordered-aggregate " +
+            "rewrite (NULL elements are dropped; see scaladoc)")
+        if (name == "STRING_AGG") {
+          require(!distinct,
+            "STRING_AGG(DISTINCT ... ORDER BY ...) does not map to WITHIN GROUP — " +
+              "use the ARRAY_AGG(DISTINCT ...) route and array_join the result")
+          require(limit.isEmpty,
+            "STRING_AGG ... LIMIT has no listagg equivalent — use " +
+              "ARRAY_AGG(... ORDER BY ... LIMIT n) and array_join the result")
+          require(valueArgs.size <= 2, "STRING_AGG takes (expr[, delimiter])")
+          val sep = if (valueArgs.size >= 2) valueArgs(1) else "','"
+          s"listagg(($e), $sep) WITHIN GROUP (ORDER BY ${keys.mkString(", ")})"
+        } else {
+          require(valueArgs.size == 1, "ARRAY_AGG takes one expression")
+          val cleanKeys = keys.map(_.replaceFirst("(?is)\\s+ASC\\s*$", ""))
+          cleanKeys.foreach { k =>
+            require("(?is)\\s(DESC|NULLS\\s+FIRST|NULLS\\s+LAST)\\s*$".r.findFirstIn(k).isEmpty,
+              "ARRAY_AGG ORDER BY maps through array_sort (ascending only) — " +
+                "reverse(...) the result for DESC")
+          }
+          if (distinct) {
+            require(cleanKeys.map(_.trim) == List(e.trim),
+              "ARRAY_AGG(DISTINCT e ORDER BY k) requires k = e (BigQuery's own rule)")
+            val base = s"array_sort(array_agg(DISTINCT ($e)))"
+            limit.fold(base)(n => s"slice($base, 1, $n)")
+          } else {
+            val fields = cleanKeys.zipWithIndex
+              .map { case (k, j) => s"($k) AS __o$j" }.mkString(", ")
+            val base = s"transform(array_sort(array_agg(struct($fields, ($e) AS __v)) " +
+              s"FILTER (WHERE ($e) IS NOT NULL)), __x -> __x.__v)"
+            limit.fold(base)(n => s"slice($base, 1, $n)")
+          }
+        }
+      }
+    }
     val allNames = BqRenames.keys.toSeq ++ shapeNames
     def unquote(lit: String, ctx: String): String = {
       require(lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'"),
@@ -1098,6 +1195,29 @@ object GraftSql {
             Some(s"${if (mm.equalsIgnoreCase("MAX")) "max_by" else "min_by"}(${x.trim}, ${y.trim})")
           case _ => None
         }
+        case "STRING_AGG" | "ARRAY_AGG" => orderedAgg(name, args)
+        // BigQuery's APPROX family over Spark's sketches. QUANTILES:
+        // n+1 evenly spaced rank-selected elements via the GK sketch
+        // (accuracy 10000 — EXACT whenever the group is smaller than
+        // that, the B11b regime; genuinely approximate above it, like
+        // BigQuery's own). TOP_COUNT: native approx_top_k with the
+        // struct fields renamed to BigQuery's (value, count).
+        case "APPROX_QUANTILES" =>
+          require(args.size == 2, "APPROX_QUANTILES takes (expr, number)")
+          require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,
+            "APPROX_QUANTILES DISTINCT is not supported — deduplicate upstream")
+          val nTxt = args(1).trim
+          require(nTxt.matches("""\d+""") && nTxt.toInt >= 1,
+            s"APPROX_QUANTILES number must be a positive literal integer, got $nTxt")
+          val k = nTxt.toInt
+          val qs = (0 to k).map(i => (i.toDouble / k).toString).mkString(", ")
+          Some(s"approx_percentile((${args(0)}), array($qs), 10000)")
+        case "APPROX_TOP_COUNT" =>
+          require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
+          require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,
+            "APPROX_TOP_COUNT DISTINCT is meaningless (every count would be 1)")
+          Some(s"transform(approx_top_k((${args(0)}), ${args(1)}), " +
+            "__s -> named_struct('value', __s.item, 'count', __s.count))")
         case _ => None
       }
     }

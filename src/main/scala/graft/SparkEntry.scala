@@ -1611,6 +1611,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B39: BigQuery's APPROX_QUANTILES spelling, driven in the exact
+    // regime (groups ≪ the GK sketch's accuracy=10000 → rank-selected
+    // elements ≡ DuckDB quantile_disc, the B11b equivalence), exploded
+    // to scalar rows through the UNNEST rewrite
+    "q_approx_quantiles" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      graft.GraftSql.load(s,
+        """SELECT event_type, o AS q_idx, q AS v
+          |FROM (SELECT event_type, APPROX_QUANTILES(value, 4) AS qs
+          |      FROM events GROUP BY event_type) t,
+          |UNNEST(qs) AS q WITH OFFSET AS o
+          |ORDER BY event_type, q_idx""".stripMargin)
+    }),
+
+    // B38: BigQuery's ordered aggregates in their OWN spelling —
+    // STRING_AGG(e, sep ORDER BY k1, k2) and ARRAY_AGG(e ORDER BY k
+    // LIMIT n) through the GraftSql ordered-aggregate macros; DuckDB
+    // replays with its native ORDER BY-in-aggregate forms, so the hash
+    // gates the ordering + LIMIT semantics of the mapping
+    "q_ordered_agg" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      graft.GraftSql.load(s,
+        """SELECT user_id,
+          |  STRING_AGG(event_type, '|' ORDER BY unix_micros(ts), event_id) AS type_seq,
+          |  ARRAY_TO_STRING(ARRAY_AGG(CAST(event_id AS STRING) ORDER BY event_id LIMIT 5), ',') AS first5,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
     // BigQuery STRING_AGG surface: ordered listagg per key through the
     // spark.sql view layer (WITHIN GROUP is the ANSI form BigQuery's
     // ORDER BY argument maps to); deterministic via the event_id
@@ -1796,6 +1825,21 @@ object SparkEntry {
         .select(F.col("vec_id"), F.col("q.scale").as("scale"),
           F.posexplode(F.col("q.codes")).as(Seq("pos", "code")))
         .orderBy("vec_id", "pos")
+    }),
+
+    // BigQuery's vector scalar spellings (COSINE_DISTANCE /
+    // EUCLIDEAN_DISTANCE) in plain SQL — registry-routed to the native
+    // codegen'd VecDistance, strict fold order, so both distances
+    // hash-replay with DuckDB's ordered list folds
+    "q_vector_distance" -> ((s, d) => {
+      Tables.embeddings(s, d).createOrReplaceTempView("vd_e")
+      graft.GraftSql.load(s,
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       COSINE_DISTANCE(a.embedding, b.embedding) AS cos_d,
+          |       EUCLIDEAN_DISTANCE(a.embedding, b.embedding) AS l2_d
+          |FROM vd_e a JOIN vd_e b
+          |  ON a.vec_id < 5 AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+          |ORDER BY id_a, id_b""".stripMargin)
     }),
 
     // D17: learned clustering over the quantized corpus — the cell
@@ -3019,6 +3063,15 @@ object SparkEntry {
           |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
           |         CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
           |ORDER BY "column" """.stripMargin,
+      // APPROX_QUANTILES in the exact regime: the same quantile_disc
+      // equivalence, at the macro's evenly spaced fractions
+      "q_approx_quantiles" ->
+        """WITH g AS (SELECT event_type,
+          |             quantile_disc(value, [0.0, 0.25, 0.5, 0.75, 1.0]) AS qs
+          |           FROM events GROUP BY event_type)
+          |SELECT event_type, CAST(i - 1 AS INT) AS q_idx, qs[i] AS v
+          |FROM g, UNNEST(generate_series(1, len(qs))) AS u(i)
+          |ORDER BY event_type, q_idx""".stripMargin,
       // exact-regime GK = rank-selected element = quantile_disc
       "q_percentile_approx_exact" ->
         """SELECT event_type,
@@ -3273,6 +3326,14 @@ object SparkEntry {
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // the ordered-aggregate macros replay with DuckDB's native
+      // ORDER BY-in-aggregate forms
+      "q_ordered_agg" ->
+        """SELECT user_id,
+          |  string_agg(event_type, '|' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,
+          |  array_to_string(list_slice(list(CAST(event_id AS VARCHAR) ORDER BY event_id), 1, 5), ',') AS first5,
           |  COUNT(*) AS n
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "ann_quantize" ->
@@ -4177,6 +4238,15 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
           |  FROM neg)
           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // the scalar distance spellings replay with the same ordered
+      // folds the native expression documents
+      "q_vector_distance" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       1.0 - ${cosSql("a.embedding", "b.embedding")} AS cos_d,
+          |       sqrt(${kmDist("a.embedding", "b.embedding")}) AS l2_d
+          |FROM embeddings a JOIN embeddings b
+          |  ON a.vec_id < 5 AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+          |ORDER BY id_a, id_b""".stripMargin,
       // the whole k-means training loop replayed: same quantization as
       // the int8 faces, seeds = 8 lowest ids (cluster id = rank), two
       // unrolled Lloyd iterations with exact integer centroid sums,

@@ -1321,6 +1321,94 @@ class TypedSqlSpec extends SparkSuite {
       .contains("literal interval"))
   }
 
+  test("GraftSql ordered aggregates: STRING_AGG/ARRAY_AGG with ORDER BY, LIMIT, DISTINCT, louds") {
+    import spark.implicits._
+    Seq((1L, "c", 30L), (1L, "a", 10L), (1L, "b", 20L), (2L, "z", 5L), (2L, null, 1L))
+      .toDF("g", "v", "o").createOrReplaceTempView("oa_t")
+    def one(sql: String) = GraftSql.load(spark, sql).orderBy("g").collect()
+    // STRING_AGG orders by the key; NULL elements drop in both dialects
+    val sa = one("SELECT g, STRING_AGG(v, '|' ORDER BY o) AS s FROM oa_t GROUP BY g")
+    assert(sa.map(_.getString(1)).toSeq == Seq("a|b|c", "z"))
+    // default separator is ','; multiple keys pass through
+    val sa2 = one("SELECT g, STRING_AGG(v ORDER BY o DESC, v) AS s FROM oa_t GROUP BY g")
+    assert(sa2.map(_.getString(1)).toSeq == Seq("c,b,a", "z"))
+    // ARRAY_AGG sorts by key, drops NULL elements, LIMIT slices
+    val aa = one("SELECT g, ARRAY_AGG(v ORDER BY o) AS a, " +
+      "ARRAY_AGG(o ORDER BY o LIMIT 2) AS first2 FROM oa_t GROUP BY g")
+    assert(aa.map(_.getSeq[String](1)).toSeq == Seq(Seq("a", "b", "c"), Seq("z")))
+    assert(aa.map(_.getSeq[Long](2)).toSeq == Seq(Seq(10L, 20L), Seq(1L, 5L)))
+    // DISTINCT requires key = expr (BigQuery's own rule)
+    val ad = one("SELECT g, ARRAY_AGG(DISTINCT v ORDER BY v) AS a FROM oa_t GROUP BY g")
+    assert(ad.map(_.getSeq[String](1)).toSeq == Seq(Seq("a", "b", "c"), Seq("z")))
+    // plain forms stay native (no ORDER BY -> untouched)
+    assert(GraftSql.rewriteBqFunctions("SELECT array_agg(x) FROM t") ==
+      "SELECT array_agg(x) FROM t")
+    // louds
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT g, ARRAY_AGG(v ORDER BY o DESC) AS a FROM oa_t GROUP BY g")
+      .contains("ascending"))
+    assert(bad("SELECT g, ARRAY_AGG(DISTINCT v ORDER BY o) AS a FROM oa_t GROUP BY g")
+      .contains("k = e"))
+    assert(bad("SELECT g, STRING_AGG(v ORDER BY o LIMIT 2) AS s FROM oa_t GROUP BY g")
+      .contains("ARRAY_AGG"))
+  }
+
+  test("GraftSql APPROX spellings: QUANTILES exact regime, TOP_COUNT fields, COUNT_DISTINCT runs") {
+    import spark.implicits._
+    Seq.tabulate(40)(i => (i % 4, i.toDouble)).toDF("g", "x")
+      .createOrReplaceTempView("ap_t")
+    // small group => the GK sketch is exact: 0/25/50/75/100 percentiles
+    // of 0..36 step 4 within group g=0
+    val q = GraftSql.load(spark,
+      "SELECT APPROX_QUANTILES(x, 4) AS qs FROM ap_t WHERE g = 0").collect().head
+    assert(q.getSeq[Double](0) == Seq(0.0, 8.0, 16.0, 28.0, 36.0))
+    // TOP_COUNT: BigQuery's struct field names, exact at this scale
+    val t = GraftSql.load(spark,
+      "SELECT APPROX_TOP_COUNT(g, 2) AS tc FROM ap_t").collect().head
+    val rows = t.getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.length == 2 && rows.forall(_.getLong(1) == 10L))
+    assert(t.schema(0).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("value", "count"))
+    // COUNT_DISTINCT renames to the HLL sketch (estimate near exact here)
+    val c = GraftSql.load(spark,
+      "SELECT APPROX_COUNT_DISTINCT(x) AS n FROM ap_t").collect().head.getLong(0)
+    assert(math.abs(c - 40L) <= 3L)
+    // louds
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT APPROX_QUANTILES(x, n) AS q FROM ap_t").contains("literal integer"))
+    assert(bad("SELECT APPROX_QUANTILES(DISTINCT x, 2) AS q FROM ap_t").contains("deduplicate"))
+  }
+
+  test("vector distance SQL spellings: registry functions match the native Column API") {
+    import spark.implicits._
+    val a = Seq(1.0f, 2.0f, 2.0f)
+    val b = Seq(2.0f, 1.0f, 2.0f)
+    // BigQuery's scalar spellings resolve in plain SQL (any arg type
+    // castable to float vectors) and equal the native expressions
+    val r = spark.sql(
+      "SELECT COSINE_DISTANCE(array(1.0, 2.0, 2.0), array(2.0, 1.0, 2.0)) AS c, " +
+        "EUCLIDEAN_DISTANCE(array(1.0, 2.0, 2.0), array(2.0, 1.0, 2.0)) AS e").collect().head
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    assert(r.getDouble(0) == 1.0 - dot / (na * nb))
+    assert(r.getDouble(1) == math.sqrt(a.zip(b).map { case (x, y) =>
+      (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum))
+    // Column-API parity on a real frame
+    val df = Seq((a, b)).toDF("va", "vb")
+    val both = df.select(
+      graft.functions.native.vec_distance(F.col("va"), F.col("vb"), "cosine").as("n"),
+      F.expr("cosine_distance(va, vb)").as("s")).collect().head
+    assert(both.getDouble(0) == both.getDouble(1))
+    // arity is loud
+    assert(intercept[Exception] {
+      spark.sql("SELECT COSINE_DISTANCE(array(1.0)) AS c").collect()
+    }.getMessage.contains("2 vector arguments"))
+  }
+
   test("GraftSql star REPLACE: value/name parity, EXCEPT composition, multiplication untouched") {
     import spark.implicits._
     Seq((1L, "ab", 2.5), (2L, "cd", 4.0)).toDF("id", "s", "v")
