@@ -228,7 +228,11 @@ object ScaleProbe {
       // not carry — its scale story is plan-level shard pruning,
       // spec-pinned, not a growth slope)
       "q_json_array", "q_date_spine", "q_bq_functions", "sql_merge_conditional",
-      "sql_partition_ddl")
+      "sql_partition_ddl",
+      // round-8 late additions: learned clustering (iters × one
+      // corpus pass each) and positional phrase matching (token
+      // stream filtered to the phrase's terms before any shuffle)
+      "cluster_kmeans", "search_phrase")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

@@ -1299,7 +1299,7 @@ object SparkEntry {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("token")
     }),
-    // E23: exact phrase matching over the positional token stream —
+    // E22: exact phrase matching over the positional token stream —
     // adjacency, not bag-of-words; a two-term and a three-term phrase
     // under one gate. The stream filters to the phrases' own terms
     // before any shuffle, the adjacency is df-sized equi-joins on the
