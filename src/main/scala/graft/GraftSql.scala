@@ -79,8 +79,8 @@ object GraftSql {
     // argument may itself be an AS OF reference
     val sql = rewriteUnnest(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
-        rewriteVectorSearch(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))
+        rewriteMlPredict(spark, rewriteVectorSearch(spark,
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -98,6 +98,10 @@ object GraftSql {
       loadData(spark, sql)
     } else if (FunctionHeadRe.pattern.matcher(sql).matches()) {
       createFunction(spark, sql)
+    } else if (ModelHeadRe.pattern.matcher(sql).matches()) {
+      createModel(spark, sql)
+    } else if (DropModelRe.pattern.matcher(sql).matches()) {
+      dropModel(spark, sql)
     } else if (CloneRe.pattern.matcher(sql).matches()) {
       createClone(spark, sql)
     } else if (PartCtasHeadRe.pattern.matcher(sql).matches()) {
@@ -1043,7 +1047,7 @@ object GraftSql {
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
-      "APPROX_QUANTILES", "APPROX_TOP_COUNT")
+      "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1212,6 +1216,20 @@ object GraftSql {
           val k = nTxt.toInt
           val qs = (0 to k).map(i => (i.toDouble / k).toString).mkString(", ")
           Some(s"approx_percentile((${args(0)}), array($qs), 10000)")
+        // BigQuery ML.DISTANCE(v1, v2, 'COSINE'|'EUCLIDEAN') → the
+        // registry-routed native distance functions (B40)
+        case "ML.DISTANCE" =>
+          require(args.size == 3,
+            "ML.DISTANCE takes (vector1, vector2, 'COSINE'|'EUCLIDEAN')")
+          val metric = args(2).trim.toUpperCase(java.util.Locale.ROOT)
+          metric match {
+            case "'COSINE'" => Some(s"cosine_distance((${args(0)}), (${args(1)}))")
+            case "'EUCLIDEAN'" => Some(s"euclidean_distance((${args(0)}), (${args(1)}))")
+            case other => throw new IllegalArgumentException(
+              s"ML.DISTANCE metric $other is not supported (COSINE, EUCLIDEAN; " +
+                "DOT_PRODUCT's sign convention is engine-specific — spell the " +
+                "fold explicitly)")
+          }
         case "APPROX_TOP_COUNT" =>
           require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
           require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,
@@ -3465,6 +3483,176 @@ object GraftSql {
     graft.operators.Similarity.vectorSearch(
       spark.table(strip(tables.head)), baseCol,
       spark.table(strip(tables(1))), queryCol, topK, distance)
+  }
+
+  // ── BigQuery ML: CREATE MODEL (kmeans) + ML.PREDICT ──────────────
+  //
+  // The BQML clustering workflow as statements: `CREATE [OR REPLACE]
+  // MODEL name OPTIONS(model_type='kmeans', num_clusters=k
+  // [, max_iterations=i]) AS SELECT id, features FROM ...` trains the
+  // deterministic int8 Lloyd loop (operators.Clustering — seeds = k
+  // lowest ids, exact integer centroid sums, early stop on the
+  // centroid fixpoint like BigQuery's own), and
+  // `FROM ML.PREDICT(MODEL name, (query) | TABLE t)` resolves
+  // textually (the VECTOR_SEARCH mechanism) to the input columns plus
+  // BigQuery's (centroid_id — 1-BASED — and centroid_distance).
+  // Features must be ONE integral array column (int8_quantize floats
+  // first — the family's verifiability contract, loud otherwise);
+  // non-kmeans model_types are loud with a pointer at the operator
+  // that implements them (classifier training = TextClassifier).
+
+  private case class ModelState(centroids: Seq[Seq[Double]], idCol: String,
+                                vecCol: String, k: Int, iters: Int)
+
+  private val modelRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), ModelState]
+
+  private def modelKey(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name.toLowerCase)
+
+  private val ModelHeadRe = """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MODEL\b.*""".r
+  private val ModelRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      """OPTIONS\s*\(([^()]*)\)\s+AS\s+(.*?)\s*;?\s*$""").r
+
+  def createModel(spark: SparkSession, sql: String): DataFrame = sql match {
+    case ModelRe(orRep, ifNot, rawName, optBody, query) =>
+      require(orRep == null || ifNot == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
+      val name = viewName(rawName)
+      val key = modelKey(spark, name)
+      if (modelRegistry.contains(key)) {
+        if (ifNot != null) return spark.emptyDataFrame
+        require(orRep != null,
+          s"model '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
+      }
+      val opts = parseOptions(optBody)
+      val mtype = opts.getOrElse("model_type",
+        throw new IllegalArgumentException("CREATE MODEL requires OPTIONS(model_type = ...)"))
+      require(mtype.equalsIgnoreCase("kmeans"),
+        s"model_type '$mtype' is not supported — 'kmeans' is the implemented class " +
+          "(trained classification lives in operators.TextClassifier, " +
+          "retrieval in operators.Similarity)")
+      val unknown = opts.keySet -- Set("model_type", "num_clusters", "max_iterations")
+      require(unknown.isEmpty,
+        s"unsupported CREATE MODEL option(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+          "(supported: model_type, num_clusters, max_iterations; initialization is " +
+          "deterministic — seeds are the k lowest ids)")
+      val kTxt = opts.getOrElse("num_clusters",
+        throw new IllegalArgumentException("kmeans needs OPTIONS(num_clusters = k)"))
+      require(kTxt.matches("""\d+""") && kTxt.toInt >= 1,
+        s"num_clusters must be a positive integer literal, got $kTxt")
+      val itTxt = opts.getOrElse("max_iterations", "20") // BigQuery's default
+      require(itTxt.matches("""\d+"""), s"max_iterations must be an integer literal, got $itTxt")
+      val df = load(spark, query)
+      require(df.columns.length == 2,
+        s"CREATE MODEL kmeans AS SELECT must produce exactly (id, features) — got " +
+          s"(${df.columns.mkString(", ")}); features is one integral array column " +
+          "(int8_quantize floats first)")
+      val vecCol = df.schema.fields
+        .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .getOrElse(throw new IllegalArgumentException(
+          "CREATE MODEL kmeans: no array feature column in the AS SELECT " +
+            "(expected (id, features) with features an integral array)")).name
+      val idCol = df.columns.filterNot(_ == vecCol).head
+      val centroids = graft.operators.Clustering.kmeansTrain(
+        df, kTxt.toInt, itTxt.toInt, idCol, vecCol)
+      modelRegistry(key) = ModelState(centroids, idCol, vecCol, kTxt.toInt, itTxt.toInt)
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a CREATE MODEL statement (expected: CREATE [OR REPLACE] MODEL [IF NOT EXISTS] " +
+        "name OPTIONS(model_type = 'kmeans', num_clusters = k [, max_iterations = i]) " +
+        "AS SELECT id, features FROM ...)")
+  }
+
+  private[graft] def rewriteMlPredict(spark: SparkSession, sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("ML.PREDICT")) return sql
+    // top-level call spans, the VECTOR_SEARCH walk
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if ((c == 'M' || c == 'm') && upper.startsWith("ML.PREDICT", i) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_' &&
+          sql.charAt(i - 1) != '.')) {
+        var p = i + "ML.PREDICT".length
+        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+        if (p < sql.length && sql.charAt(p) == '(') {
+          val argStart = p + 1
+          var depth = 1; var q = argStart; var s2 = false
+          while (q < sql.length && depth > 0) {
+            val ch = sql.charAt(q)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) q += 1
+          }
+          require(depth == 0, "unbalanced parentheses in ML.PREDICT call")
+          spans += ((i, argStart, q, q + 1))
+          i = q + 1
+        } else i = p
+      } else i += 1
+    }
+    if (spans.isEmpty) return sql
+    var out = sql
+    spans.reverseIterator.foreach { case (start, argStart, argEnd, end) =>
+      val df = mlPredictFromArgs(spark, out.substring(argStart, argEnd))
+      val view = s"__ml_predict_${asOfCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      out = out.substring(0, start) + view + out.substring(end)
+    }
+    out
+  }
+
+  /** Parse an ML.PREDICT argument list and run the assignment. */
+  private def mlPredictFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val ModelArgRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*,(.*)$""".r
+    val (modelName, inputPart) = argBody match {
+      case ModelArgRe(n, rest) => (viewName(n), rest.trim)
+      case _ => throw new IllegalArgumentException(
+        "ML.PREDICT needs (MODEL name, (query) | TABLE t)")
+    }
+    val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
+      throw new IllegalArgumentException(
+        s"ML.PREDICT: no model named '$modelName' — run CREATE MODEL first"))
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    val input = inputPart match {
+      case TableRe(t) => spark.table(viewName(t))
+      case q if q.startsWith("(") && q.endsWith(")") =>
+        load(spark, q.substring(1, q.length - 1))
+      case other => throw new IllegalArgumentException(
+        s"ML.PREDICT input must be TABLE t or a parenthesized query, got: $other")
+    }
+    require(input.columns.contains(ms.vecCol),
+      s"ML.PREDICT input must carry the model's feature column '${ms.vecCol}' " +
+        s"(input columns: ${input.columns.mkString(", ")})")
+    // BigQuery shape: every input column passes through, centroid_id
+    // is 1-BASED
+    graft.operators.Clustering.withClusterColumns(
+        input, ms.centroids, ms.vecCol, "__cluster0", "centroid_distance")
+      .withColumn("centroid_id", org.apache.spark.sql.functions.col("__cluster0") + 1)
+      .drop("__cluster0")
+  }
+
+  /** Model teardown: `DROP MODEL [IF EXISTS] name`. */
+  private val DropModelRe =
+    """(?is)^\s*DROP\s+MODEL\s+(?:(IF\s+EXISTS)\s+)?((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""".r
+
+  def dropModel(spark: SparkSession, sql: String): DataFrame = sql match {
+    case DropModelRe(ifExists, rawName) =>
+      val name = viewName(rawName)
+      val removed = modelRegistry.remove(modelKey(spark, name))
+      require(removed.nonEmpty || ifExists != null,
+        s"DROP MODEL $name: no such model (use IF EXISTS to ignore)")
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException("not a DROP MODEL statement")
   }
 
   // ── INFORMATION_SCHEMA.TABLES / .COLUMNS ─────────────────────────

@@ -1856,6 +1856,25 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // A43: the BQML clustering workflow as STATEMENTS — CREATE MODEL
+    // kmeans trains the D17 loop, ML.PREDICT assigns with BigQuery's
+    // 1-based centroid_id; same DuckDB replay as cluster_kmeans
+    // shifted by one, so the statement route sits under its own hash
+    "sql_ml_kmeans" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(F.col("vec_id"), graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+        .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+        .createOrReplaceTempView("mlk_src")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE MODEL mlk_model
+          |OPTIONS(model_type = 'kmeans', num_clusters = 8, max_iterations = 2)
+          |AS SELECT vec_id, vec FROM mlk_src""".stripMargin)
+      graft.GraftSql.load(s,
+        """SELECT vec_id, centroid_id, centroid_distance
+          |FROM ML.PREDICT(MODEL mlk_model, TABLE mlk_src)
+          |ORDER BY vec_id""".stripMargin)
+    }),
+
     // deterministic k-per-key sample via the bounded TopK aggregate
     // (reservoir-sample replacement that parallelizes; md5-hash order)
     "sample_per_key" -> ((s, d) => {
@@ -4267,6 +4286,26 @@ object SparkEntry {
           |fin AS (SELECT cd.vec_id, cc.cluster, ${kmDist("cd.v", "cc.c")} AS dist
           |        FROM km_codes cd CROSS JOIN kc2 cc)
           |SELECT vec_id, cluster, dist FROM (
+          |  SELECT vec_id, cluster, dist,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+          |  FROM fin) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // the statement route: same replay, BigQuery's 1-based centroid_id
+      "sql_ml_kmeans" ->
+        s"""WITH qz AS (SELECT vec_id, embedding,
+          |              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+          |            FROM embeddings),
+          |km_codes AS (SELECT vec_id,
+          |               list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 127 / s) AS BIGINT)) AS v
+          |             FROM qz),
+          |km_seeds AS (SELECT vec_id FROM km_codes ORDER BY vec_id LIMIT 8),
+          |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+          |               list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+          |        FROM km_codes WHERE vec_id IN (SELECT vec_id FROM km_seeds)),
+          |${kmIter(1)}
+          |${kmIter(2)}
+          |fin AS (SELECT cd.vec_id, cc.cluster, ${kmDist("cd.v", "cc.c")} AS dist
+          |        FROM km_codes cd CROSS JOIN kc2 cc)
+          |SELECT vec_id, cluster + 1 AS centroid_id, dist AS centroid_distance FROM (
           |  SELECT vec_id, cluster, dist,
           |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
           |  FROM fin) WHERE rn = 1 ORDER BY vec_id""".stripMargin,

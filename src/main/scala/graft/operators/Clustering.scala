@@ -47,21 +47,43 @@ object Clustering {
     */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "vec",
-                   seedIds: Option[Seq[Long]] = None): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val elem = vectors.schema(vecCol).dataType match {
+                   seedIds: Option[Seq[Long]] = None): DataFrame =
+    assignToCentroids(vectors,
+      kmeansTrain(vectors, k, iters, idCol, vecCol, seedIds), idCol, vecCol)
+
+  /** Loud unless `vecCol` is an integral array — the family's
+    * verifiability contract.
+    */
+  private def requireIntVector(df: DataFrame, vecCol: String): Unit = {
+    val elem = df.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(e, _) => e
       case other => throw new IllegalArgumentException(
         s"$vecCol must be an array column, got $other")
     }
     require(Seq("byte", "short", "integer", "long").contains(elem.typeName),
-      s"kmeansAssign needs an INTEGER vector column (got array<${elem.typeName}>): " +
+      s"k-means needs an INTEGER vector column (got array<${elem.typeName}>): " +
         "float centroids are order-dependent and unverifiable — quantize first " +
         "(functions.native.int8_quantize), the same compression a production " +
         "embedding store scans anyway")
-    val src = vectors.select(F.col(idCol).cast("long").as("__id"),
+  }
+
+  /** Validated (id, int vector) projection — the shared entry gate. */
+  private def intSrc(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    requireIntVector(vectors, vecCol)
+    vectors.select(F.col(idCol).cast("long").as("__id"),
       F.col(vecCol).cast("array<int>").as("__v"))
+  }
+
+  /** The trained centroid matrix alone (k × dim doubles) — what a
+    * model registry persists; [[assignToCentroids]] is the predict
+    * half. Same contract as [[kmeansAssign]].
+    */
+  def kmeansTrain(vectors: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "vec",
+                  seedIds: Option[Seq[Long]] = None): Seq[Seq[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val src = intSrc(vectors, idCol, vecCol)
 
     // seed centroids: the k lowest-id vectors, cluster id = rank
     val seedFrame = seedIds match {
@@ -87,7 +109,7 @@ object Clustering {
         .agg(F.sum(F.col("__x").cast("long")).as("__s"), F.count(F.lit(1)).as("__n"))
         .collect() // bounded: k × dim rows
       val byCluster = stats.groupBy(_.getInt(0))
-      centroids = centroids.zipWithIndex.map { case (prev, j) =>
+      val next = centroids.zipWithIndex.map { case (prev, j) =>
         byCluster.get(j) match {
           case Some(rows) =>
             rows.sortBy(_.getInt(1)).toSeq
@@ -95,13 +117,39 @@ object Clustering {
           case None => prev // emptied cluster keeps its centroid
         }
       }
-      it += 1
+      // fixpoint: identical centroids make every further iteration a
+      // no-op — stop burning corpus passes (BigQuery's early stop)
+      if (next == centroids) it = iters else { centroids = next; it += 1 }
     }
+    centroids
+  }
 
-    src.withColumn("__a", native.nearest_centroid_l2(F.col("__v"), centroids))
+  /** Map-only assignment of `vectors` to a trained centroid matrix:
+    * (id, cluster, dist) with dist the squared L2 distance — the
+    * predict half of [[kmeansTrain]], also the streaming-safe half
+    * (stateless, plan-embedded centroids).
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                        idCol: String = "vec_id", vecCol: String = "vec"): DataFrame =
+    intSrc(vectors, idCol, vecCol)
+      .withColumn("__a", native.nearest_centroid_l2(F.col("__v"), centroids))
       .select(F.col("__id").as(idCol),
         F.col("__a.cluster").cast("long").as("cluster"),
         F.col("__a.dist").as("dist"))
+
+  /** Assignment that KEEPS every input column (the ML.PREDICT shape):
+    * appends (clusterCol, distCol) from the plan-embedded centroid
+    * table. Same integral-vector contract as the rest of the family.
+    */
+  def withClusterColumns(df: DataFrame, centroids: Seq[Seq[Double]], vecCol: String,
+                         clusterCol: String = "cluster",
+                         distCol: String = "dist"): DataFrame = {
+    requireIntVector(df, vecCol)
+    df.withColumn("__a",
+        native.nearest_centroid_l2(F.col(vecCol).cast("array<int>"), centroids))
+      .withColumn(clusterCol, F.col("__a.cluster").cast("long"))
+      .withColumn(distCol, F.col("__a.dist"))
+      .drop("__a")
   }
 
   /** Per-cluster summary of an assignment table: size and mean squared

@@ -252,6 +252,19 @@ object EventStream {
       .drop("__toks", "__v")
   }
 
+  /** G16: streaming cluster assignment — the D17/A43 predict half on
+    * a stream. Assignment is STATELESS map-only (the centroid matrix
+    * is plan-embedded, bounded k×dim), so it composes with any
+    * source/sink and needs no state store or watermark: train in
+    * batch ([[graft.operators.Clustering.kmeansTrain]] or CREATE
+    * MODEL), assign on arrival — the lambda-architecture shape a
+    * streaming ingest actually runs, with batch/stream column AND
+    * value parity (StreamingSpec pins it row for row).
+    */
+  def clusterAssignStream(stream: DataFrame, centroids: Seq[Seq[Double]],
+                          vecCol: String): DataFrame =
+    graft.operators.Clustering.withClusterColumns(stream, centroids, vecCol)
+
   /** G3: MERGE-upsert sink — every micro-batch merges into the target
     * via the same batch operator (reference's staged-MERGE pattern).
     * `readTarget`/`writeTarget` abstract the table store (parquet dir

@@ -417,6 +417,36 @@ class StreamingSpec extends SparkSuite {
     (accepted ++ dead).foreach(_.unpersist())
   }
 
+  test("G16: streaming cluster assignment is row-for-row identical to batch ML.PREDICT") {
+    import graft.operators.Clustering
+    // quantized embeddings as a streamable parquet dir
+    val codes = Tables.embeddings(spark, sf)
+      .select(F.col("vec_id"),
+        graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+      .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+    val d = Files.createTempDirectory("graft-g16-").toString
+    codes.write.mode("overwrite").parquet(d)
+    // batch-train (the CREATE MODEL half), assign on the stream
+    val cents = Clustering.kmeansTrain(codes, k = 4, iters = 2)
+    val stream = EventStream.clusterAssignStream(
+      spark.readStream.schema(codes.schema).parquet(d), cents, "vec")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("g16").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("g16")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
+    val batch = Clustering.withClusterColumns(codes, cents, "vec")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
+    assert(streamed == batch)
+    assert(streamed.values.map(_._1).toSet.size > 1,
+      "fixture must spread across clusters for parity to mean anything")
+    // stateless contract: input columns survive, assignment decorates
+    assert(spark.table("g16").columns.toSeq ==
+      codes.columns.toSeq ++ Seq("cluster", "dist"))
+  }
+
   test("G12: streaming corpus filter+score is row-for-row identical to the batch expressions") {
     import graft.operators.{QualityRules, TextClassifier}
     val d = Files.createTempDirectory("graft-stream-docs-").toString

@@ -1409,6 +1409,82 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("2 vector arguments"))
   }
 
+  test("PIVOT/UNPIVOT SQL spellings are native Spark surface through load") {
+    import spark.implicits._
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
+      .toDF("g", "c", "v").createOrReplaceTempView("pv_t")
+    // BigQuery's PIVOT shape parses and computes natively
+    val p = GraftSql.load(spark,
+      "SELECT * FROM (SELECT g, c, v FROM pv_t) PIVOT (SUM(v) FOR c IN ('x', 'y')) ORDER BY g")
+      .collect()
+    assert(p.map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq == Seq(("a", 1L, 2L), ("b", 3L, -1L)))
+    // and UNPIVOT (BigQuery's column-to-rows verb) — Spark 4 native
+    val u = GraftSql.load(spark,
+      "SELECT g, name, val FROM (SELECT g, SUM(v) AS s1, MAX(v) AS s2 FROM pv_t GROUP BY g) " +
+        "UNPIVOT (val FOR name IN (s1, s2)) ORDER BY g, name").collect()
+    assert(u.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "s1", 3L), ("a", "s2", 2L), ("b", "s1", 3L), ("b", "s2", 3L)))
+  }
+
+  test("GraftSql BQML: CREATE MODEL kmeans, ML.PREDICT, ML.DISTANCE, DROP MODEL, dispositions") {
+    import spark.implicits._
+    Seq((0L, Seq(0, 0)), (1L, Seq(10, 10)), (2L, Seq(1, 0)),
+      (3L, Seq(11, 10)), (4L, Seq(0, 1)), (5L, Seq(10, 11)))
+      .toDF("id", "feat").createOrReplaceTempView("ml_t")
+    GraftSql.load(spark,
+      "CREATE MODEL ml_m OPTIONS(model_type = 'kmeans', num_clusters = 2, " +
+        "max_iterations = 5) AS SELECT id, feat FROM ml_t")
+    // PREDICT over a query: input columns pass through, centroid_id is
+    // 1-based, assignment matches the library operator
+    val p = GraftSql.load(spark,
+      "SELECT id, centroid_id, centroid_distance " +
+        "FROM ML.PREDICT(MODEL ml_m, (SELECT id, feat FROM ml_t)) ORDER BY id").collect()
+    assert(p.map(_.getLong(1)).toSeq == Seq(1L, 2L, 1L, 2L, 1L, 2L))
+    val lib = graft.operators.Clustering.kmeansAssign(
+      Seq((0L, Seq(0, 0)), (1L, Seq(10, 10)), (2L, Seq(1, 0)),
+        (3L, Seq(11, 10)), (4L, Seq(0, 1)), (5L, Seq(10, 11))).toDF("id", "v"),
+      k = 2, iters = 5, idCol = "id", vecCol = "v").orderBy("id").collect()
+    assert(p.map(_.getDouble(2)).toSeq == lib.map(_.getDouble(2)).toSeq)
+    // TABLE input form; extra columns pass through
+    val p2 = GraftSql.load(spark,
+      "SELECT * FROM ML.PREDICT(MODEL ml_m, TABLE ml_t) ORDER BY id")
+    assert(p2.columns.sorted.toSeq ==
+      Seq("centroid_distance", "centroid_id", "feat", "id"))
+    // dispositions: bare duplicate raises, IF NOT EXISTS no-ops,
+    // OR REPLACE swaps
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("CREATE MODEL ml_m OPTIONS(model_type = 'kmeans', num_clusters = 2) " +
+      "AS SELECT id, feat FROM ml_t").contains("already exists"))
+    GraftSql.load(spark, "CREATE MODEL IF NOT EXISTS ml_m OPTIONS(model_type = 'kmeans', " +
+      "num_clusters = 3) AS SELECT id, feat FROM ml_t")
+    GraftSql.load(spark, "CREATE OR REPLACE MODEL ml_m OPTIONS(model_type = 'kmeans', " +
+      "num_clusters = 3, max_iterations = 1) AS SELECT id, feat FROM ml_t")
+    val p3 = GraftSql.load(spark,
+      "SELECT max(centroid_id) AS m FROM ML.PREDICT(MODEL ml_m, TABLE ml_t)")
+    assert(p3.collect().head.getLong(0) == 3L)
+    // ML.DISTANCE spellings route to the registry functions
+    val d = GraftSql.load(spark,
+      "SELECT ML.DISTANCE(array(1.0, 0.0), array(0.0, 1.0), 'EUCLIDEAN') AS e, " +
+        "ML.DISTANCE(array(1.0, 0.0), array(1.0, 0.0), 'COSINE') AS c").collect().head
+    assert(d.getDouble(0) == math.sqrt(2.0) && d.getDouble(1) == 0.0)
+    // louds: model_type, float features, missing model, bad metric
+    assert(bad("CREATE MODEL ml_x OPTIONS(model_type = 'logistic_reg', num_clusters = 2) " +
+      "AS SELECT id, feat FROM ml_t").contains("TextClassifier"))
+    assert(bad("SELECT * FROM ML.PREDICT(MODEL nope, TABLE ml_t)").contains("CREATE MODEL"))
+    assert(bad("SELECT ML.DISTANCE(array(1.0), array(1.0), 'DOT_PRODUCT') AS x")
+      .contains("DOT_PRODUCT"))
+    Seq((0L, Seq(0.5f))).toDF("id", "feat").createOrReplaceTempView("ml_f")
+    assert(bad("CREATE MODEL ml_x OPTIONS(model_type = 'kmeans', num_clusters = 1) " +
+      "AS SELECT id, feat FROM ml_f").contains("quantize"))
+    // teardown: DROP MODEL removes, bare re-drop is loud, IF EXISTS no-ops
+    GraftSql.load(spark, "DROP MODEL ml_m")
+    assert(bad("DROP MODEL ml_m").contains("no such model"))
+    GraftSql.load(spark, "DROP MODEL IF EXISTS ml_m")
+    assert(bad("SELECT * FROM ML.PREDICT(MODEL ml_m, TABLE ml_t)").contains("CREATE MODEL"))
+  }
+
   test("GraftSql star REPLACE: value/name parity, EXCEPT composition, multiplication untouched") {
     import spark.implicits._
     Seq((1L, "ab", 2.5), (2L, "cd", 4.0)).toDF("id", "s", "v")
