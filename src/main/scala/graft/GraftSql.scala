@@ -3502,7 +3502,8 @@ object GraftSql {
   // that implements them (classifier training = TextClassifier).
 
   private case class ModelState(centroids: Seq[Seq[Double]], idCol: String,
-                                vecCol: String, k: Int, iters: Int)
+                                vecCol: String, k: Int, iters: Int,
+                                trainQuery: String)
 
   private val modelRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), ModelState]
@@ -3558,7 +3559,8 @@ object GraftSql {
       val idCol = df.columns.filterNot(_ == vecCol).head
       val centroids = graft.operators.Clustering.kmeansTrain(
         df, kTxt.toInt, itTxt.toInt, idCol, vecCol)
-      modelRegistry(key) = ModelState(centroids, idCol, vecCol, kTxt.toInt, itTxt.toInt)
+      modelRegistry(key) = ModelState(centroids, idCol, vecCol, kTxt.toInt,
+        itTxt.toInt, query)
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException(
       "not a CREATE MODEL statement (expected: CREATE [OR REPLACE] MODEL [IF NOT EXISTS] " +
@@ -3566,49 +3568,54 @@ object GraftSql {
         "AS SELECT id, features FROM ...)")
   }
 
-  private[graft] def rewriteMlPredict(spark: SparkSession, sql: String): String = {
-    val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    if (!upper.contains("ML.PREDICT")) return sql
-    // top-level call spans, the VECTOR_SEARCH walk
-    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
-    var i = 0; var inStr = false; var inTick = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
-      else if (inTick) { if (c == '`') inTick = false; i += 1 }
-      else if (c == '\'') { inStr = true; i += 1 }
-      else if (c == '`') { inTick = true; i += 1 }
-      else if ((c == 'M' || c == 'm') && upper.startsWith("ML.PREDICT", i) &&
-        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_' &&
-          sql.charAt(i - 1) != '.')) {
-        var p = i + "ML.PREDICT".length
-        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-        if (p < sql.length && sql.charAt(p) == '(') {
-          val argStart = p + 1
-          var depth = 1; var q = argStart; var s2 = false
-          while (q < sql.length && depth > 0) {
-            val ch = sql.charAt(q)
-            if (s2) { if (ch == '\'') s2 = false }
-            else if (ch == '\'') s2 = true
-            else if (ch == '(') depth += 1
-            else if (ch == ')') depth -= 1
-            if (depth > 0) q += 1
-          }
-          require(depth == 0, "unbalanced parentheses in ML.PREDICT call")
-          spans += ((i, argStart, q, q + 1))
-          i = q + 1
-        } else i = p
-      } else i += 1
+  private[graft] def rewriteMlPredict(spark: SparkSession, sql0: String): String = {
+    def onePass(sql: String, fnName: String,
+                run: (SparkSession, String) => DataFrame): String = {
+      val upper = sql.toUpperCase(java.util.Locale.ROOT)
+      if (!upper.contains(fnName)) return sql
+      // top-level call spans, the VECTOR_SEARCH walk
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      var i = 0; var inStr = false; var inTick = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { inStr = true; i += 1 }
+        else if (c == '`') { inTick = true; i += 1 }
+        else if ((c == 'M' || c == 'm') && upper.startsWith(fnName, i) &&
+          (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_' &&
+            sql.charAt(i - 1) != '.')) {
+          var p = i + fnName.length
+          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+          if (p < sql.length && sql.charAt(p) == '(') {
+            val argStart = p + 1
+            var depth = 1; var q = argStart; var s2 = false
+            while (q < sql.length && depth > 0) {
+              val ch = sql.charAt(q)
+              if (s2) { if (ch == '\'') s2 = false }
+              else if (ch == '\'') s2 = true
+              else if (ch == '(') depth += 1
+              else if (ch == ')') depth -= 1
+              if (depth > 0) q += 1
+            }
+            require(depth == 0, s"unbalanced parentheses in $fnName call")
+            spans += ((i, argStart, q, q + 1))
+            i = q + 1
+          } else i = p
+        } else i += 1
+      }
+      if (spans.isEmpty) return sql
+      var out = sql
+      spans.reverseIterator.foreach { case (start, argStart, argEnd, end) =>
+        val df = run(spark, out.substring(argStart, argEnd))
+        val view = s"__ml_call_${asOfCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        out = out.substring(0, start) + view + out.substring(end)
+      }
+      out
     }
-    if (spans.isEmpty) return sql
-    var out = sql
-    spans.reverseIterator.foreach { case (start, argStart, argEnd, end) =>
-      val df = mlPredictFromArgs(spark, out.substring(argStart, argEnd))
-      val view = s"__ml_predict_${asOfCounter.incrementAndGet()}"
-      df.createOrReplaceTempView(view)
-      out = out.substring(0, start) + view + out.substring(end)
-    }
-    out
+    onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
+      "ML.EVALUATE", mlEvaluateFromArgs)
   }
 
   /** Parse an ML.PREDICT argument list and run the assignment. */
@@ -3639,6 +3646,72 @@ object GraftSql {
         input, ms.centroids, ms.vecCol, "__cluster0", "centroid_distance")
       .withColumn("centroid_id", org.apache.spark.sql.functions.col("__cluster0") + 1)
       .drop("__cluster0")
+  }
+
+  /** Parse an ML.EVALUATE argument list: BigQuery's kmeans metrics —
+    * davies_bouldin_index and mean_squared_distance, one row. With no
+    * input table, evaluates on the TRAINING query (re-run — the model
+    * stores its AS text, not data), BigQuery's own default.
+    *
+    * Exactness note (why this verb is spec-verified, not hash-gated):
+    * both metrics average DOUBLES across corpus rows — an
+    * order-dependent reduction no independent engine replays
+    * bit-for-bit. The deterministic halves (centroids, assignment)
+    * are the hash-gated cluster_kmeans/sql_ml_kmeans faces.
+    */
+  private def mlEvaluateFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val ModelOnlyRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*$""".r
+    val ModelArgRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*,(.*)$""".r
+    val (modelName, inputOpt) = argBody match {
+      case ModelOnlyRe(n) => (viewName(n), None)
+      case ModelArgRe(n, rest) => (viewName(n), Some(rest.trim))
+      case _ => throw new IllegalArgumentException(
+        "ML.EVALUATE needs (MODEL name [, (query) | TABLE t])")
+    }
+    val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
+      throw new IllegalArgumentException(
+        s"ML.EVALUATE: no model named '$modelName' — run CREATE MODEL first"))
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    val input = inputOpt match {
+      case None => load(spark, ms.trainQuery)
+      case Some(TableRe(t)) => spark.table(viewName(t))
+      case Some(q) if q.startsWith("(") && q.endsWith(")") =>
+        load(spark, q.substring(1, q.length - 1))
+      case Some(other) => throw new IllegalArgumentException(
+        s"ML.EVALUATE input must be TABLE t or a parenthesized query, got: $other")
+    }
+    require(input.columns.contains(ms.vecCol),
+      s"ML.EVALUATE input must carry the model's feature column '${ms.vecCol}'")
+    import org.apache.spark.sql.{functions => FF}
+    val assigned = graft.operators.Clustering.withClusterColumns(
+      input, ms.centroids, ms.vecCol, "__c", "__d")
+    // per-cluster scatter S_i = mean L2 distance (dist is squared),
+    // plus the global mean squared distance — one aggregation pass,
+    // k + 1 driver rows
+    val rows = assigned
+      .groupBy("__c")
+      .agg(FF.avg(FF.sqrt(FF.col("__d"))).as("s"), FF.avg("__d").as("msd"),
+        FF.count(FF.lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "ML.EVALUATE: empty input")
+    // row shape: (__c, s, msd, n)
+    val totalN = rows.map(_.getLong(3)).sum
+    val msd = rows.map(r => r.getDouble(2) * r.getLong(3)).sum / totalN
+    val scatter = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Davies–Bouldin over the populated clusters: centroid separations
+    // from the plan-embedded matrix, max over j of (S_i+S_j)/M_ij
+    val pop = scatter.keys.toSeq.sorted
+    def m(i: Long, j: Long): Double = {
+      val a = ms.centroids(i.toInt); val b = ms.centroids(j.toInt)
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val db =
+      if (pop.size < 2) 0.0
+      else pop.map { i =>
+        pop.filter(_ != i).map(j => (scatter(i) + scatter(j)) / m(i, j)).max
+      }.sum / pop.size
+    import spark.implicits._
+    Seq((db, msd)).toDF("davies_bouldin_index", "mean_squared_distance")
   }
 
   /** Model teardown: `DROP MODEL [IF EXISTS] name`. */

@@ -230,9 +230,15 @@ object ScaleProbe {
       "q_json_array", "q_date_spine", "q_bq_functions", "sql_merge_conditional",
       "sql_partition_ddl",
       // round-8 late additions: learned clustering (iters × one
-      // corpus pass each) and positional phrase matching (token
-      // stream filtered to the phrase's terms before any shuffle)
-      "cluster_kmeans", "search_phrase")
+      // corpus pass each), positional phrase matching (token stream
+      // filtered to the phrase's terms before any shuffle), and the
+      // BQML statement route over the same loop.
+      // (dedup_semantic_kmeans is deliberately absent: its face pins
+      // k=8 for the oracle, so in-cell pair counts grow quadratically
+      // with the corpus — production scales k with corpus size
+      // (cells ≈ corpus/10⁴, the C13 scaladoc) and its linear-cell
+      // slope is dedup_semantic's row above)
+      "cluster_kmeans", "search_phrase", "sql_ml_kmeans")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

@@ -1816,6 +1816,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // C13b: the PUBLISHED SemDeDup recipe end to end — k-means the
+    // embeddings (D17's deterministic int8 loop), then dedup within
+    // the LEARNED cells (dedup_semantic's pinned-centroid face gates
+    // the dedup half alone; this face gates train + assignment + pairs
+    // + components + keep rule as ONE replay)
+    "dedup_semantic_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val codes = e
+        .select(F.col("vec_id"), graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+        .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+      val cents = graft.operators.Clustering.kmeansTrain(codes, k = 8, iters = 2)
+      Dedup.semanticDedup(semanticFixture(e), "vec_id", "embedding",
+          graft.operators.Clustering.centroidsFrame(s, cents), tau = 0.98)
+        .orderBy("vec_id")
+    }),
+
     // int8 embedding quantization (4× storage/shuffle-width cut for the
     // ANN/dedup corpus): native codegen'd expression; exploded to
     // (vec_id, pos, code) scalar rows so the oracle hash is robust
@@ -3822,6 +3838,73 @@ object SparkEntry {
           |         list_transform(c, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
           |                                     ELSE CAST(x AS DOUBLE) / nrm END) AS cnorm
           |  FROM cent),
+          |assign AS (
+          |  SELECT e.vec_id, cn.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |           ORDER BY ${dot("e.embedding", "cn.cnorm")} DESC, cn.cell ASC) AS rn
+          |  FROM ed e CROSS JOIN cn),
+          |a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+          |cc AS (
+          |  SELECT a.vec_id, a.cell, ${cosSql("e.embedding", "cn.c")} AS ccos
+          |  FROM a JOIN ed e USING (vec_id) JOIN cn ON cn.cell = a.cell),
+          |p AS (
+          |  SELECT ax.vec_id AS id_a, ay.vec_id AS id_b
+          |  FROM a ax JOIN a ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+          |       JOIN ed ex ON ex.vec_id = ax.vec_id
+          |       JOIN ed ey ON ey.vec_id = ay.vec_id
+          |  WHERE ${cosSql("ex.embedding", "ey.embedding")} >= 0.98),
+          |e2 AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+          |reach AS (
+          |  SELECT u AS id, v AS r FROM e2
+          |  UNION
+          |  SELECT e2.u, reach.r FROM e2 JOIN reach ON e2.v = reach.id),
+          |rt AS (SELECT id, LEAST(id, MIN(r)) AS root FROM reach GROUP BY id),
+          |kp AS (
+          |  SELECT root, id AS keep_id FROM (
+          |    SELECT rt.root, rt.id,
+          |           row_number() OVER (PARTITION BY rt.root ORDER BY cc.ccos ASC, rt.id ASC) AS krn
+          |    FROM rt JOIN cc ON cc.vec_id = rt.id) t
+          |  WHERE krn = 1)
+          |SELECT cc.vec_id, cc.cell, COALESCE(rt.root, cc.vec_id) AS component,
+          |       cc.ccos AS cos_centroid,
+          |       (rt.id IS NULL OR cc.vec_id = kp.keep_id) AS keep
+          |FROM cc LEFT JOIN rt ON rt.id = cc.vec_id
+          |        LEFT JOIN kp ON kp.root = rt.root
+          |ORDER BY vec_id""".stripMargin,
+      // the full published SemDeDup pipeline in one replay: the
+      // kmeans training CTEs feed the cent table (double centroids
+      // cast REAL — the cell-frame storage type), then the
+      // dedup_semantic structure verbatim over the decorated corpus
+      "dedup_semantic_kmeans" ->
+        s"""WITH RECURSIVE
+          |qz AS (SELECT vec_id, embedding,
+          |         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+          |       FROM embeddings),
+          |km_codes AS (SELECT vec_id,
+          |               list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 127 / s) AS BIGINT)) AS v
+          |             FROM qz),
+          |km_seeds AS (SELECT vec_id FROM km_codes ORDER BY vec_id LIMIT 8),
+          |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+          |               list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+          |        FROM km_codes WHERE vec_id IN (SELECT vec_id FROM km_seeds)),
+          |${kmIter(1)}
+          |${kmIter(2)}
+          |ed AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 20 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id % 40 = 0),
+          |cent AS (
+          |  SELECT cluster AS cell, list_transform(c, x -> CAST(x AS REAL)) AS c
+          |  FROM kc2),
+          |cent2 AS (SELECT cell, c, sqrt(${dot("c", "c")}) AS nrm FROM cent),
+          |cn AS (
+          |  SELECT cell, c, nrm,
+          |         list_transform(c, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+          |                                     ELSE CAST(x AS DOUBLE) / nrm END) AS cnorm
+          |  FROM cent2),
           |assign AS (
           |  SELECT e.vec_id, cn.cell,
           |         row_number() OVER (PARTITION BY e.vec_id

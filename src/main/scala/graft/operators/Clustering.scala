@@ -152,6 +152,22 @@ object Clustering {
       .drop("__a")
   }
 
+  /** The trained matrix as a (cell, centroid) frame — the shape the
+    * cell consumers take ([[Similarity.ivfTopK]]'s `precomputed`,
+    * [[Dedup.semanticDedup]]'s `centroids`, `writeCellLayout`):
+    * cluster id becomes the cell id, components cast to float (the
+    * cell-table storage type). This is the glue that completes the
+    * published SemDeDup recipe — k-means the embeddings, THEN dedup
+    * within learned cells.
+    */
+  def centroidsFrame(spark: org.apache.spark.sql.SparkSession,
+                     centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+  }
+
   /** Per-cluster summary of an assignment table: size and mean squared
     * distance (inertia / size). The sum is DOUBLE and therefore
     * order-sensitive — callers wanting bit-stable output should gate

@@ -60,6 +60,27 @@ class ClusteringSpec extends SparkSuite {
     assert(a.map(_.getLong(1)).toSeq == Seq(0L, 1L, 1L))
   }
 
+  test("centroidsFrame feeds the cell consumers: ivfTopK precomputed, full-probe = brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val codes = e.select(F.col("vec_id"),
+        graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+      .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+    val cents = Clustering.centroidsFrame(spark,
+      Clustering.kmeansTrain(codes, k = 4, iters = 2))
+    val q = e.filter(F.col("vec_id") < 3)
+      .select(F.col("vec_id").as("qid"), F.col("embedding").as("qvec"))
+    // probing ALL learned cells must reduce to exact brute force —
+    // the D3 contract holds under learned centroids too
+    val ivf = graft.operators.Similarity.ivfTopK(e, q, k = 5, nprobe = 4,
+        precomputed = Some(cents))
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = graft.operators.Similarity.bruteForceTopK(e, q, 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == bf)
+  }
+
   test("clusterSizes: sizes sum to the corpus") {
     import spark.implicits._
     val vecs = (0 until 30).map(i => (i.toLong, Seq(i % 3, i % 4))).toDF("vec_id", "vec")

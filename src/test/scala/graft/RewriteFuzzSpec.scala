@@ -82,6 +82,10 @@ class RewriteFuzzSpec extends AnyFunSuite {
       "SELECT arr[SAFE_OFFSET(1)] AS a, t.arr[SAFE_ORDINAL(2)] AS b FROM t",
       "SELECT * REPLACE (x + 1 AS x) FROM t",
       "SELECT t.* EXCEPT (v) REPLACE (CAST(x AS STRING) AS x) FROM t",
+      "SELECT STRING_AGG(v, '|' ORDER BY o DESC, v) AS s FROM t GROUP BY g",
+      "SELECT ARRAY_AGG(v ORDER BY o LIMIT 3) AS a FROM t GROUP BY g",
+      "SELECT APPROX_QUANTILES(x, 4) AS q, APPROX_TOP_COUNT(c, 3) AS tc FROM t",
+      "SELECT ML.DISTANCE(va, vb, 'COSINE') AS d FROM t",
       "SELECT x FROM t WHERE x IN UNNEST(allowed)",
       "SELECT x FROM t WHERE x NOT IN UNNEST(f(a, b))",
       "SELECT TIMESTAMP_DIFF(a, b, HOUR) AS h, DATE_ADD(d, INTERVAL 2 WEEK) AS w FROM t",

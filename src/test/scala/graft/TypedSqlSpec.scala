@@ -1409,6 +1409,14 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("2 vector arguments"))
   }
 
+  test("GROUP BY ALL is native Spark surface through load") {
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").createOrReplaceTempView("gba_t")
+    val r = GraftSql.load(spark,
+      "SELECT g, SUM(v) AS s FROM gba_t GROUP BY ALL ORDER BY g").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq == Seq(("a", 3L), ("b", 3L)))
+  }
+
   test("PIVOT/UNPIVOT SQL spellings are native Spark surface through load") {
     import spark.implicits._
     Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
@@ -1469,6 +1477,20 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT ML.DISTANCE(array(1.0, 0.0), array(0.0, 1.0), 'EUCLIDEAN') AS e, " +
         "ML.DISTANCE(array(1.0, 0.0), array(1.0, 0.0), 'COSINE') AS c").collect().head
     assert(d.getDouble(0) == math.sqrt(2.0) && d.getDouble(1) == 0.0)
+    // ML.EVALUATE: BigQuery's kmeans metrics against hand-computed
+    // values (S_i, M_ij, Davies–Bouldin, mean squared distance) —
+    // defaulting to the stored TRAINING query when no input is given
+    GraftSql.load(spark, "CREATE OR REPLACE MODEL ml_ev OPTIONS(model_type = 'kmeans', " +
+      "num_clusters = 2, max_iterations = 5) AS SELECT id, feat FROM ml_t")
+    val ev = GraftSql.load(spark,
+      "SELECT * FROM ML.EVALUATE(MODEL ml_ev, (SELECT id, feat FROM ml_t))").collect().head
+    val sI = (math.sqrt(2.0) + 2 * math.sqrt(5.0)) / 9.0
+    val expDb = 2 * sI / (10.0 * math.sqrt(2.0))
+    assert(math.abs(ev.getDouble(0) - expDb) < 1e-9, s"db: ${ev.getDouble(0)} vs $expDb")
+    assert(math.abs(ev.getDouble(1) - 4.0 / 9.0) < 1e-9)
+    val evDefault = GraftSql.load(spark,
+      "SELECT * FROM ML.EVALUATE(MODEL ml_ev)").collect().head
+    assert(math.abs(evDefault.getDouble(0) - ev.getDouble(0)) < 1e-12)
     // louds: model_type, float features, missing model, bad metric
     assert(bad("CREATE MODEL ml_x OPTIONS(model_type = 'logistic_reg', num_clusters = 2) " +
       "AS SELECT id, feat FROM ml_t").contains("TextClassifier"))
