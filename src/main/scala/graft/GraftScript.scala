@@ -17,9 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    session's tables with variables substituted, cast to the
   *    declared type.
   *  - `IF cond THEN ... [ELSEIF cond THEN ...] [ELSE ...] END IF;`
-  *  - `WHILE cond DO ... END WHILE;` — bounded by `maxIterations`
-  *    (default 10 000) so a script bug fails loudly instead of
-  *    spinning the driver.
+  *  - `WHILE cond DO ... END WHILE;`, `LOOP ... END LOOP;` and
+  *    `REPEAT ... UNTIL cond END REPEAT;` — all bounded by
+  *    `maxIterations` (default 10 000) so a script bug fails loudly
+  *    instead of spinning the driver. Bare `BREAK;`/`LEAVE;` exits
+  *    and `CONTINUE;`/`ITERATE;` advances the INNERMOST loop
+  *    (labels are loud); both are control-flow signals, never caught
+  *    by an EXCEPTION handler they cross, and never cross a CALL
+  *    boundary (BigQuery's rules). REPEAT's CONTINUE jumps to the
+  *    UNTIL check.
   *  - `BEGIN ... END;` blocks (single variable scope, not BigQuery's
   *    per-block scoping — re-DECLARE in a block raises here).
   *  - `EXECUTE IMMEDIATE sql_expr [INTO v, ...] [USING expr [AS name],
@@ -54,8 +60,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    outer's for its duration); an error INSIDE a handler
   *    propagates out, as in BigQuery.
   *
-  * LOOP/REPEAT/LEAVE/CONTINUE/CALL/RETURN are rejected loudly (use
-  * WHILE).
+  * RETURN is rejected loudly (the last result-set statement is the
+  * script's result).
   *
   * Variable references are substituted TEXTUALLY (quote- and
   * backtick-aware, whole identifiers only) as typed literals before
@@ -202,18 +208,48 @@ object GraftScript {
           case None => exec(orElse)
         }
       case While(cond, body) =>
-        var n = 0
-        while (evalCond(cond)) {
+        var n = 0; var go = true
+        while (go && evalCond(cond)) {
           n += 1
           require(n <= maxIterations,
             s"WHILE exceeded $maxIterations iterations — raise maxIterations " +
               "if the loop is genuinely that long")
-          exec(body)
+          try exec(body)
+          catch { case _: ContinueSignal => (); case _: BreakSignal => go = false }
         }
+      case Loop(body) =>
+        var n = 0; var go = true
+        while (go) {
+          n += 1
+          require(n <= maxIterations,
+            s"LOOP exceeded $maxIterations iterations — BREAK/LEAVE is the only " +
+              "exit; raise maxIterations if the loop is genuinely that long")
+          try exec(body)
+          catch { case _: ContinueSignal => (); case _: BreakSignal => go = false }
+        }
+      case Repeat(body, untilCond) =>
+        // body first, then the UNTIL check — CONTINUE jumps to the
+        // check (BigQuery's REPEAT semantics)
+        var n = 0; var go = true
+        while (go) {
+          n += 1
+          require(n <= maxIterations,
+            s"REPEAT exceeded $maxIterations iterations — raise maxIterations " +
+              "if the loop is genuinely that long")
+          try { exec(body); if (evalCond(untilCond)) go = false }
+          catch {
+            case _: ContinueSignal => if (evalCond(untilCond)) go = false
+            case _: BreakSignal => go = false
+          }
+        }
+      case BreakStmt => throw new BreakSignal
+      case ContinueStmt => throw new ContinueSignal
       case Block(body) => exec(body)
       case TryBlock(body, handler) =>
         try exec(body)
         catch {
+          case s: BreakSignal => throw s
+          case s: ContinueSignal => throw s
           case scala.util.control.NonFatal(e) =>
             // effects up to the failure are kept (BigQuery's rule —
             // a script is not a transaction); the handler sees the
@@ -257,6 +293,14 @@ object GraftScript {
         vars.clear(); structVars.clear()
         bound.foreach { case (k2, v) => vars(k2) = v }
         try exec(proc.body)
+        catch {
+          case _: BreakSignal | _: ContinueSignal =>
+            // control flow never crosses a CALL boundary (BigQuery's
+            // rule: the loop must be in the same body)
+            throw new IllegalArgumentException(
+              s"BREAK/CONTINUE inside procedure $name must sit inside a loop " +
+                "in that procedure's own body")
+        }
         finally {
           vars.clear(); vars ++= savedVars
           structVars.clear(); structVars ++= savedStruct
@@ -313,19 +357,29 @@ object GraftScript {
             s"(> maxIterations=$maxIterations) — FOR iterates driver-side over a " +
             "BOUNDED result; fold large tables with a set-based statement instead")
         val fields = df.schema.fields
-        try rows.foreach { r =>
-          structVars(k) = fields.zipWithIndex.map { case (f, i2) =>
-            val t = f.dataType.sql
-            f.name.toLowerCase -> Lit(t, Option(r.get(i2)).map(renderLiteral(_, t)))
-          }.toMap
-          exec(body)
+        try {
+          val it = rows.iterator; var go = true
+          while (go && it.hasNext) {
+            val r = it.next()
+            structVars(k) = fields.zipWithIndex.map { case (f, i2) =>
+              val t = f.dataType.sql
+              f.name.toLowerCase -> Lit(t, Option(r.get(i2)).map(renderLiteral(_, t)))
+            }.toMap
+            try exec(body)
+            catch { case _: ContinueSignal => (); case _: BreakSignal => go = false }
+          }
         } finally structVars.remove(k)
       case Plain(sql) =>
         val df = GraftSql.load(spark, substitute(sql))
         if (df.schema.nonEmpty) last = Some(df)
     }
 
-    exec(stmts)
+    try exec(stmts)
+    catch {
+      case _: BreakSignal | _: ContinueSignal =>
+        throw new IllegalArgumentException(
+          "BREAK/LEAVE/CONTINUE/ITERATE outside a loop (LOOP / WHILE / REPEAT / FOR ... IN)")
+    }
     last.getOrElse(spark.emptyDataFrame)
   }
 
@@ -358,6 +412,19 @@ object GraftScript {
   private final case class If(branches: Seq[(String, Seq[Stmt])],
                               orElse: Seq[Stmt]) extends Stmt
   private final case class While(cond: String, body: Seq[Stmt]) extends Stmt
+  private final case class Loop(body: Seq[Stmt]) extends Stmt
+  private final case class Repeat(body: Seq[Stmt], untilCond: String) extends Stmt
+  private case object BreakStmt extends Stmt
+  private case object ContinueStmt extends Stmt
+  // control-flow signals, NOT errors: an EXCEPTION handler must never
+  // swallow a BREAK/CONTINUE crossing a BEGIN block (BigQuery's rule),
+  // so TryBlock rethrows these before its NonFatal arm
+  private final class BreakSignal extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private final class ContinueSignal extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
   private final case class Block(body: Seq[Stmt]) extends Stmt
   private final case class ExecImmediate(sqlExpr: String, into: Seq[String],
                                          using: Seq[(String, Option[String])]) extends Stmt
@@ -565,10 +632,9 @@ object GraftScript {
     def atEnd: Boolean = c.eof ||
       endKeyword.exists(_.exists(ks => c.peekKeyword(ks: _*)))
     while (!atEnd) {
-      for (bad <- Seq("LOOP", "REPEAT", "LEAVE", "CONTINUE", "BREAK", "ITERATE",
-        "RETURN"))
-        require(!c.peekKeyword(bad),
-          s"$bad is not supported in scripts here (use WHILE ... END WHILE / FOR ... IN)")
+      require(!c.peekKeyword("RETURN"),
+        "RETURN is not supported in scripts (the last result-set statement is the " +
+          "script's result; in a procedure, structure with IF/loops instead)")
       require(!c.peekKeyword("EXCEPTION"),
         "EXCEPTION belongs to a BEGIN block: BEGIN ... EXCEPTION WHEN ERROR THEN ... END")
       if (c.peekKeyword("CREATE", "PROCEDURE") ||
@@ -656,6 +722,29 @@ object GraftScript {
         val body = parseBlock(c, Some(Seq(Seq("END", "WHILE"))))
         c.expect("END", "WHILE"); c.semicolon()
         out += While(cond, body)
+      } else if (c.keyword("LOOP")) {
+        // BigQuery's unconditional loop: BREAK/LEAVE is the only exit
+        val body = parseBlock(c, Some(Seq(Seq("END", "LOOP"))))
+        c.expect("END", "LOOP"); c.semicolon()
+        out += Loop(body)
+      } else if (c.keyword("REPEAT")) {
+        val body = parseBlock(c, Some(Seq(Seq("UNTIL"))))
+        c.expect("UNTIL")
+        val cond = c.until(Seq(Seq("END", "REPEAT")), stopSemicolon = false)
+        c.expect("END", "REPEAT"); c.semicolon()
+        out += Repeat(body, cond)
+      } else if (c.keyword("BREAK") || c.keyword("LEAVE")) {
+        c.skipWs()
+        require(c.eof || c.text.charAt(c.pos) == ';',
+          "labeled BREAK/LEAVE is not supported — bare BREAK exits the innermost loop")
+        c.semicolon()
+        out += BreakStmt
+      } else if (c.keyword("CONTINUE") || c.keyword("ITERATE")) {
+        c.skipWs()
+        require(c.eof || c.text.charAt(c.pos) == ';',
+          "labeled CONTINUE/ITERATE is not supported — bare CONTINUE advances the innermost loop")
+        c.semicolon()
+        out += ContinueStmt
       } else if (c.peekKeyword("BEGIN", "TRANSACTION") ||
         c.peekKeyword("COMMIT") || c.peekKeyword("ROLLBACK")) {
         throw new IllegalArgumentException(

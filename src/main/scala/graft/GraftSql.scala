@@ -1039,7 +1039,17 @@ object GraftSql {
     *     expensive call operand should be bound in a prior SELECT;
     *     a compound arithmetic operand must be parenthesized (the
     *     scan then sees one group) — a mis-capture fails typed at
-    *     analysis, never silently.
+    *     analysis, never silently;
+    *  4. the `SAFE.` function prefix (NULL instead of error) for the
+    *     forms with a Spark total equivalent — SAFE.CAST (→ TRY_CAST
+    *     with the BigQuery type mapped in the cast type position —
+    *     [[mapBqTypesInCasts]] now runs statement-wide, so the plain
+    *     SAFE_CAST spelling works everywhere, not just UDF bodies),
+    *     SAFE.DIVIDE/ADD/SUBTRACT/MULTIPLY (try_*), and
+    *     SAFE.PARSE_DATE/TIMESTAMP/DATETIME (try_to_timestamp).
+    *     Only a supported name followed by `(` rewrites — `safe.tbl`
+    *     in FROM position is a qualifier and passes through; an
+    *     unsupported SAFE.fn is loud with the supported list.
     */
   private[graft] def rewriteBqFunctions(sql0: String): String = {
     val shapeNames = Seq("TIMESTAMP_DIFF", "DATETIME_DIFF", "DATE_DIFF",
@@ -1047,7 +1057,8 @@ object GraftSql {
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
-      "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE")
+      "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE",
+      "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1192,6 +1203,15 @@ object GraftSql {
         case "PARSE_TIMESTAMP" | "PARSE_DATETIME" =>
           require(args.size == 2, s"$name takes (format, value)")
           Some(s"to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
+        // the SAFE.-prefixed parse family: NULL on an unparseable
+        // value via try_to_timestamp (the date form casts the
+        // midnight timestamp down — total)
+        case "SAFE_PARSE_DATE" =>
+          require(args.size == 2, "SAFE.PARSE_DATE takes (format, value)")
+          Some(s"CAST(try_to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}') AS DATE)")
+        case "SAFE_PARSE_TIMESTAMP" | "SAFE_PARSE_DATETIME" =>
+          require(args.size == 2, s"${name.replaceFirst("SAFE_", "SAFE.")} takes (format, value)")
+          Some(s"try_to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
         case "ANY_VALUE" => args match {
           // BigQuery's argmax/argmin spelling; bare ANY_VALUE is
           // native Spark and passes through
@@ -1418,10 +1438,50 @@ object GraftSql {
       }
       out.toString
     }
+    // BigQuery's `SAFE.` function prefix (NULL instead of error) →
+    // the SAFE_-spelled forms the handlers above map. Only rewrites
+    // when a supported name is followed by `(` — `safe.tbl` in FROM
+    // position is a qualifier and passes through; an unsupported
+    // SAFE.fn is loud (most Spark scalar functions are already total:
+    // drop the prefix where the function cannot error).
+    val SafeSupported = Set("CAST", "DIVIDE", "ADD", "SUBTRACT", "MULTIPLY",
+      "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME")
+    def safePrefix(sql: String): String = {
+      val upper = sql.toUpperCase(java.util.Locale.ROOT)
+      if (!upper.contains("SAFE.")) return sql
+      def isWordC(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+      val out = new StringBuilder
+      var i = 0; var inStr = false; var inTick = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '`') { out += c; inTick = true; i += 1 }
+        else if ((c == 'S' || c == 's') && upper.startsWith("SAFE.", i) &&
+          (i == 0 || (!isWordC(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.'))) {
+          var j = i + 5
+          while (j < sql.length && isWordC(sql.charAt(j))) j += 1
+          val fn = sql.substring(i + 5, j)
+          var k = j
+          while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+          if (fn.nonEmpty && k < sql.length && sql.charAt(k) == '(') {
+            require(SafeSupported.contains(fn.toUpperCase(java.util.Locale.ROOT)),
+              s"SAFE.$fn is not supported — supported SAFE. forms: " +
+                s"${SafeSupported.toSeq.sorted.mkString(", ")}; most Spark scalar " +
+                "functions never error (drop the prefix), and SAFE_OFFSET/" +
+                "SAFE_ORDINAL are the array-subscript spellings")
+            out ++= s"SAFE_${fn.toUpperCase(java.util.Locale.ROOT)}"
+            i = j
+          } else { out += c; i += 1 }
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    }
     var cur = sql0; var n = 0
     var changed = true
     while (changed && n < 10) {
-      val next = inUnnest(subscripts(onePass(cur)))
+      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(cur)))))
       changed = next != cur
       cur = next; n += 1
     }

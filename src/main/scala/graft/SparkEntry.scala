@@ -743,6 +743,31 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // A36d driver face: the loop verbs driving a distributed statement
+    // — LOOP/BREAK doubles a step past a bound, REPEAT/UNTIL with
+    // CONTINUE folds the odd integers; all INT64 state, so the final
+    // substituted statement replays as plain SQL under the hash gate
+    "sql_script_loops" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("script_loop_events")
+      graft.GraftScript.run(s,
+        """DECLARE step INT64 DEFAULT 1;
+          |DECLARE floor_v INT64 DEFAULT 0;
+          |DECLARE i INT64 DEFAULT 0;
+          |LOOP
+          |  SET step = step * 2;
+          |  IF step >= 40 THEN BREAK; END IF;
+          |END LOOP;
+          |REPEAT
+          |  SET i = i + 1;
+          |  IF MOD(i, 2) = 0 THEN CONTINUE; END IF;
+          |  SET floor_v = floor_v + i;
+          |UNTIL i >= 9 END REPEAT;
+          |SELECT event_type, COUNT(*) AS n
+          |FROM script_loop_events
+          |WHERE event_id % step < floor_v
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // A36b driver face: the DYNAMIC half of the scripting surface —
     // FOR ... IN iterates the bounded distinct-type list, each
     // iteration binds @params into an EXECUTE IMMEDIATE count whose
@@ -2777,6 +2802,12 @@ object SparkEntry {
           |       (SELECT COUNT(*) FROM events WHERE event_type <> 'click') AS nonclick_total,
           |       CAST(4 AS BIGINT) AS buckets
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the loop verbs' replay: LOOP/BREAK doubles to 64, the
+      // REPEAT/UNTIL+CONTINUE fold of the odd integers 1..9 is 25
+      "sql_script_loops" ->
+        """SELECT event_type, COUNT(*) AS n
+          |FROM events WHERE event_id % 64 < 25
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the dynamic script's replay: the FOR/EXECUTE IMMEDIATE fold
       // over per-type gated counts equals one scalar subquery
       "sql_script_dynamic" ->

@@ -94,10 +94,73 @@ class GraftScriptSpec extends SparkSuite {
     assert(e.getMessage.contains("cap exceeded"))
   }
 
-  test("loud shapes: LOOP, undeclared SET, re-DECLARE, runaway WHILE, missing THEN") {
-    intercept[IllegalArgumentException] {
-      GraftScript.run(spark, "LOOP SELECT 1; END LOOP;")
-    }
+  test("LOOP / REPEAT / BREAK / CONTINUE: BigQuery loop verbs with signal scoping") {
+    // LOOP runs until BREAK; CONTINUE skips the rest of the iteration
+    val out = GraftScript.run(spark,
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE acc INT64 DEFAULT 0;
+        |LOOP
+        |  SET i = i + 1;
+        |  IF i >= 10 THEN BREAK; END IF;
+        |  IF MOD(i, 2) = 0 THEN CONTINUE; END IF;
+        |  SET acc = acc + i;
+        |END LOOP;
+        |SELECT acc AS acc, i AS i""".stripMargin)
+    val r = out.head()
+    assert(r.getLong(0) == 25L && r.getLong(1) == 10L) // 1+3+5+7+9
+    // REPEAT runs the body at least once, CONTINUE jumps to UNTIL
+    val rep = GraftScript.run(spark,
+      """DECLARE n INT64 DEFAULT 100;
+        |REPEAT
+        |  SET n = n + 1;
+        |  CONTINUE;
+        |  SET n = n + 1000;
+        |UNTIL n >= 101 END REPEAT;
+        |SELECT n AS n""".stripMargin)
+    assert(rep.head().getLong(0) == 101L)
+    // LEAVE is BREAK's synonym, in WHILE too
+    val wl = GraftScript.run(spark,
+      """DECLARE i INT64 DEFAULT 0;
+        |WHILE TRUE DO
+        |  SET i = i + 1;
+        |  IF i = 3 THEN LEAVE; END IF;
+        |END WHILE;
+        |SELECT i AS i""".stripMargin)
+    assert(wl.head().getLong(0) == 3L)
+    // a BREAK crossing a BEGIN...EXCEPTION block is control flow, not
+    // an error: the handler must NOT swallow it
+    val bx = GraftScript.run(spark,
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE caught INT64 DEFAULT 0;
+        |LOOP
+        |  SET i = i + 1;
+        |  BEGIN
+        |    IF i = 2 THEN BREAK; END IF;
+        |  EXCEPTION WHEN ERROR THEN
+        |    SET caught = caught + 1;
+        |  END;
+        |END LOOP;
+        |SELECT i AS i, caught AS caught""".stripMargin)
+    assert(bx.head().getLong(0) == 2L && bx.head().getLong(1) == 0L)
+    // louds: BREAK outside a loop, labels, BREAK across CALL, runaway LOOP
+    assert(intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "BREAK;")
+    }.getMessage.contains("outside a loop"))
+    assert(intercept[IllegalArgumentException] {
+      GraftScript.run(spark, "LOOP BREAK my_label; END LOOP;")
+    }.getMessage.contains("labeled"))
+    assert(intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        """CREATE OR REPLACE PROCEDURE bad_brk() BEGIN BREAK; END;
+          |LOOP CALL bad_brk(); END LOOP;""".stripMargin)
+    }.getMessage.contains("procedure"))
+    assert(intercept[IllegalArgumentException] {
+      GraftScript.run(spark,
+        "DECLARE x INT64 DEFAULT 0; LOOP SET x = 1; END LOOP;", maxIterations = 20)
+    }.getMessage.contains("20 iterations"))
+  }
+
+  test("loud shapes: undeclared SET, re-DECLARE, runaway WHILE, missing THEN") {
     intercept[IllegalArgumentException] {
       GraftScript.run(spark, "SET x = 1;")
     }

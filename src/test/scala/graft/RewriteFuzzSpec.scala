@@ -86,6 +86,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
       "SELECT ARRAY_AGG(v ORDER BY o LIMIT 3) AS a FROM t GROUP BY g",
       "SELECT APPROX_QUANTILES(x, 4) AS q, APPROX_TOP_COUNT(c, 3) AS tc FROM t",
       "SELECT ML.DISTANCE(va, vb, 'COSINE') AS d FROM t",
+      "SELECT SAFE.CAST(s AS INT64) AS a, SAFE.PARSE_DATE('%Y-%m-%d', s) AS b FROM t",
       "SELECT x FROM t WHERE x IN UNNEST(allowed)",
       "SELECT x FROM t WHERE x NOT IN UNNEST(f(a, b))",
       "SELECT TIMESTAMP_DIFF(a, b, HOUR) AS h, DATE_ADD(d, INTERVAL 2 WEEK) AS w FROM t",

@@ -1409,6 +1409,32 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("2 vector arguments"))
   }
 
+  test("GraftSql SAFE. prefix: CAST/arithmetic/parse forms NULL on error, qualifiers untouched") {
+    import spark.implicits._
+    def one(sql: String) = GraftSql.load(spark, sql).collect().head
+    // SAFE.CAST → TRY_CAST with the BigQuery type mapped in the cast
+    // type position; SAFE.DIVIDE → try_divide
+    val r = one("SELECT SAFE.CAST('abc' AS INT64) AS a, SAFE.CAST('7' AS INT64) AS b, " +
+      "SAFE.DIVIDE(1.0, 0.0) AS c, SAFE.MULTIPLY(3, 4) AS d")
+    assert(r.isNullAt(0) && r.getLong(1) == 7L && r.isNullAt(2) && r.getInt(3) == 12)
+    // SAFE.PARSE_DATE/TIMESTAMP: NULL on unparseable, value on parseable
+    val p = one("SELECT SAFE.PARSE_DATE('%Y-%m-%d', 'not a date') AS a, " +
+      "SAFE.PARSE_DATE('%Y-%m-%d', '2024-07-04') AS b, " +
+      "SAFE.PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', 'nope') AS c")
+    assert(p.isNullAt(0) && p.getDate(1).toString == "2024-07-04" && p.isNullAt(2))
+    // the plain (non-SAFE) statement-level SAFE_CAST spelling works too
+    val s2 = one("SELECT SAFE_CAST('x' AS BOOL) AS a")
+    assert(s2.isNullAt(0))
+    // a `safe` QUALIFIER is not a SAFE. call — only name( rewrites
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("safe")
+    assert(one("SELECT safe.x FROM safe").getLong(0) == 1L)
+    // unsupported SAFE. functions are loud with the supported list
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT SAFE.SUBSTR('abc', 1, 2) AS s")
+    }
+    assert(e.getMessage.contains("drop the prefix"))
+  }
+
   test("GROUP BY ALL is native Spark surface through load") {
     import spark.implicits._
     Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").createOrReplaceTempView("gba_t")
