@@ -970,7 +970,8 @@ object GraftSql {
     "ARRAY_REVERSE" -> "reverse", "REGEXP_CONTAINS" -> "regexp_like",
     "STRPOS" -> "instr", "STARTS_WITH" -> "startswith",
     "ENDS_WITH" -> "endswith", "FORMAT" -> "format_string",
-    "APPROX_COUNT_DISTINCT" -> "approx_count_distinct")
+    "APPROX_COUNT_DISTINCT" -> "approx_count_distinct",
+    "ARRAY_CONCAT" -> "concat", "GENERATE_UUID" -> "uuid")
 
   private val IntervalLitRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
 
@@ -1058,7 +1059,10 @@ object GraftSql {
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE",
-      "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME")
+      "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
+      "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
+      "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
+      "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1236,6 +1240,91 @@ object GraftSql {
           val k = nTxt.toInt
           val qs = (0 to k).map(i => (i.toDouble / k).toString).mkString(", ")
           Some(s"approx_percentile((${args(0)}), array($qs), 10000)")
+        // BigQuery's TRUNC family has the REVERSED argument order from
+        // Spark's date_trunc (value first, unit keyword second) and
+        // typed results (DATE_TRUNC → DATE, DATETIME_TRUNC → _NTZ).
+        // Spark's own date_trunc('unit', ts) spelling — string literal
+        // FIRST — passes through untouched. WEEK is loud: BigQuery
+        // weeks start Sunday, Spark's Monday — a silent one-day shift.
+        case "TIMESTAMP_TRUNC" | "DATETIME_TRUNC" | "DATE_TRUNC" =>
+          if (args.nonEmpty && args(0).trim.startsWith("'")) None // Spark spelling
+          else {
+            require(args.size == 2,
+              s"$name takes (value, unit) — the timezone argument is not supported")
+            val unit = args(1).trim.toUpperCase(java.util.Locale.ROOT)
+            require(unit != "WEEK" && !unit.startsWith("WEEK("),
+              s"$name WEEK is not supported: BigQuery weeks start SUNDAY, Spark's " +
+                "MONDAY — truncate via date_sub(date_trunc('WEEK', x), 1) explicitly " +
+                "if Monday-shifted weeks are acceptable")
+            require(Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
+              "DAY", "MONTH", "QUARTER", "YEAR").contains(unit),
+              s"$name unit '$unit' is not supported")
+            name match {
+              case "TIMESTAMP_TRUNC" => Some(s"date_trunc('$unit', (${args(0)}))")
+              case "DATETIME_TRUNC" =>
+                Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
+              case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
+            }
+          }
+        // BigQuery SPLIT: LITERAL delimiter (default ','), unlike
+        // Spark's regex split — '|' and '.' are exactly where the
+        // dialects diverge, so the two-argument literal form takes
+        // BigQuery semantics (regex-quoted). Spark regex splitting
+        // stays available through the THREE-argument form
+        // split(s, regex, limit) and through non-literal delimiters,
+        // both untouched.
+        case "SPLIT" if args.size == 3 => None // Spark's split(str, regex, limit)
+        case "SPLIT" =>
+          require(args.nonEmpty && args.size <= 2, "SPLIT takes (value[, delimiter])")
+          val d = if (args.size == 2) args(1).trim else "','"
+          if (!(d.startsWith("'") && d.endsWith("'") && d.length >= 2)) None
+          else {
+            val raw = d.substring(1, d.length - 1).replace("''", "'")
+            require(raw.nonEmpty, "SPLIT delimiter must be non-empty")
+            // double the backslashes: Spark's SQL string unescape eats
+            // one level before the regex engine sees \Q...\E
+            val quoted = java.util.regex.Pattern.quote(raw)
+              .replace("\\", "\\\\").replace("'", "''")
+            Some(s"split((${args(0)}), '$quoted', -1)")
+          }
+        // BigQuery EDIT_DISTANCE → levenshtein; the max_distance form
+        // CAPS the result at max (Spark's threshold form returns -1
+        // past it — mapped back)
+        case "EDIT_DISTANCE" =>
+          require(args.size == 2 || args.size == 3,
+            "EDIT_DISTANCE takes (a, b [, max_distance])")
+          if (args.size == 2) Some(s"levenshtein((${args(0)}), (${args(1)}))")
+          else {
+            val k = args(2).replaceFirst("(?is)^max_distance\\s*=>\\s*", "").trim
+            Some(s"ifnull(nullif(levenshtein((${args(0)}), (${args(1)}), ($k)), -1), ($k))")
+          }
+        case "TO_JSON_STRING" =>
+          require(args.size == 1,
+            "TO_JSON_STRING takes one argument (pretty-printing is not supported)")
+          Some(s"to_json((${args(0)}))")
+        case "ARRAY_FIRST" =>
+          require(args.size == 1, "ARRAY_FIRST takes one array")
+          Some(s"(${args(0)})[0]")
+        case "ARRAY_LAST" =>
+          require(args.size == 1, "ARRAY_LAST takes one array")
+          Some(s"element_at((${args(0)}), -1)")
+        // the BARE-KEYWORD form argument (NORMALIZE(x, NFKC)) cannot
+        // survive analysis as an attribute — quote it to the string
+        // literal the registry function accepts; all other shapes
+        // (1-arg, already-quoted) resolve natively
+        case "NORMALIZE" | "NORMALIZE_AND_CASEFOLD" =>
+          if (args.size == 2 && args(1).trim.matches("(?i)NFK?[CD]"))
+            Some(s"${name.toLowerCase(java.util.Locale.ROOT)}((${args(0)}), " +
+              s"'${args(1).trim.toUpperCase(java.util.Locale.ROOT)}')")
+          else None
+        // BigQuery CONTAINS_SUBSTR: NFKC-normalized case-insensitive
+        // containment over strings (the JSON/struct recursion and
+        // json_scope are not supported — strings only, typed failure
+        // otherwise)
+        case "CONTAINS_SUBSTR" =>
+          require(args.size == 2, "CONTAINS_SUBSTR takes (expr, substr)")
+          Some(s"(instr(normalize_and_casefold((${args(0)}), 'NFKC'), " +
+            s"normalize_and_casefold((${args(1)}), 'NFKC')) > 0)")
         // BigQuery ML.DISTANCE(v1, v2, 'COSINE'|'EUCLIDEAN') → the
         // registry-routed native distance functions (B40)
         case "ML.DISTANCE" =>
@@ -1796,9 +1885,13 @@ object GraftSql {
       val tsCol = pSpec.map { e =>
         val DateRe = """(?is)^DATE\s*\(\s*([A-Za-z_][\w$]*)\s*\)$""".r
         val TruncRe = """(?is)^TIMESTAMP_TRUNC\s*\(\s*([A-Za-z_][\w$]*)\s*,\s*DAY\s*\)$""".r
+        // the TIMESTAMP_TRUNC spelling arrives PRE-REWRITTEN by the
+        // function macros (BigQuery arg order → Spark's)
+        val TruncSparkRe = """(?is)^date_trunc\s*\(\s*'DAY'\s*,\s*\(?\s*([A-Za-z_][\w$]*)\s*\)?\s*\)$""".r
         e match {
           case DateRe(c) => c
           case TruncRe(c) => c
+          case TruncSparkRe(c) => c
           case c if c.matches(ident) => c
           case other => throw new IllegalArgumentException(
             s"PARTITION BY '$other' is not supported — day partitioning only: " +

@@ -1604,6 +1604,26 @@ object SparkEntry {
           |FROM bqf_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // B36c: function batch 2 in pure BigQuery dialect — TRUNC family
+    // (reversed arg order, typed results), literal-delimiter SPLIT on
+    // the regex metacharacters '|' and '.', EDIT_DISTANCE with the
+    // capping max_distance form, NFKC-casefold CONTAINS_SUBSTR, and
+    // the statement-wide INT64 cast mapping — DuckDB replays each with
+    // ITS native spelling (date_trunc/string_split/levenshtein/lower)
+    "q_bq_functions2" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("bqf2_events")
+      graft.GraftSql.load(s,
+        """SELECT event_type,
+          |  TIMESTAMP_TRUNC(MIN(ts), HOUR) AS first_hour,
+          |  DATE_TRUNC(CAST(MAX(ts) AS DATE), MONTH) AS last_month,
+          |  CAST(EDIT_DISTANCE(event_type, 'click') AS INT64) AS ed,
+          |  CAST(EDIT_DISTANCE(event_type, 'click', max_distance => 3) AS INT64) AS ed3,
+          |  CAST(ARRAY_LENGTH(SPLIT(event_type || '|x.y|z', '|')) AS INT64) AS n_parts,
+          |  ARRAY_LAST(SPLIT(event_type || '|x.y|z', '.')) AS last_dot,
+          |  CONTAINS_SUBSTR(event_type, 'IC') AS has_ic
+          |FROM bqf2_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // BigQuery STAR MODIFIERS (B37): `* EXCEPT (...) REPLACE (expr AS
     // col)` through the GraftSql star rewrite; the oracle replays the
     // EXPLICIT projection the modifiers denote, so the hash gates the
@@ -3320,6 +3340,19 @@ object SparkEntry {
           |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS BIGINT) AS span_d,
           |  strftime(CAST(CAST(MIN(ts) AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y/%m/%d') AS next_m,
           |  CAST(strpos(event_type, 'c') AS INTEGER) AS cpos
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // batch 2 replays with DuckDB's own spellings; events are ASCII
+      // so the NFKC casefold is lower()
+      "q_bq_functions2" ->
+        """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT event_type,
+          |  date_trunc('hour', MIN(ts)) AS first_hour,
+          |  CAST(date_trunc('month', CAST(MAX(ts) AS DATE)) AS DATE) AS last_month,
+          |  CAST(levenshtein(event_type, 'click') AS BIGINT) AS ed,
+          |  CAST(least(levenshtein(event_type, 'click'), 3) AS BIGINT) AS ed3,
+          |  CAST(len(string_split(event_type || '|x.y|z', '|')) AS BIGINT) AS n_parts,
+          |  (string_split(event_type || '|x.y|z', '.'))[-1] AS last_dot,
+          |  instr(lower(event_type), 'ic') > 0 AS has_ic
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the star-modifier face replays as the explicit projection the
       // modifiers denote — column set and replacement values, not text

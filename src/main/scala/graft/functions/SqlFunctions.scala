@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -31,5 +32,34 @@ object SqlFunctions {
     }
     Bridge.registerFunction(spark, "cosine_distance", dist("COSINE"))
     Bridge.registerFunction(spark, "euclidean_distance", dist("EUCLIDEAN"))
+    // BigQuery NORMALIZE / NORMALIZE_AND_CASEFOLD: the form is a BARE
+    // KEYWORD second argument (NFC default) — intercepted here before
+    // it could resolve as a column; a string literal spelling is
+    // accepted too
+    def formOf(fn: String, args: Seq[Expression]): String = {
+      if (args.length < 2) "NFC"
+      else {
+        val f = args(1) match {
+          case a: UnresolvedAttribute => a.name
+          case e if e.foldable => String.valueOf(e.eval())
+          case other => throw new IllegalArgumentException(
+            s"$fn: the form must be a bare keyword or literal (NFC/NFD/NFKC/NFKD), got $other")
+        }
+        val up = f.toUpperCase(java.util.Locale.ROOT)
+        require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(up),
+          s"$fn: unknown Unicode normalization form '$f'")
+        up
+      }
+    }
+    def norm(casefold: Boolean, fn: String)(args: Seq[Expression]): Expression = {
+      require(args.nonEmpty && args.length <= 2, s"$fn takes (value [, form])")
+      NormalizeText(args.head, formOf(fn, args), casefold)
+    }
+    Bridge.registerFunction(spark, "normalize", norm(casefold = false, "NORMALIZE"))
+    Bridge.registerFunction(spark, "normalize_and_casefold",
+      norm(casefold = true, "NORMALIZE_AND_CASEFOLD"))
+    // the graft_-prefixed native family + SEARCH, same list the
+    // extensions inject — statements should see them on any session
+    graft.functions.native.registerAll(spark)
   }
 }

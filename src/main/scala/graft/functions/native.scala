@@ -1370,7 +1370,8 @@ case class ApplyBpe(child: Expression, merges: Seq[(String, String)])
   * byte-for-byte (both implement UAX #15), which is what puts the
   * driver face under a hash oracle.
   */
-case class NormalizeText(child: Expression, form: String)
+case class NormalizeText(child: Expression, form: String,
+                         casefold: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
     s"unknown Unicode normalization form $form (NFC/NFD/NFKC/NFKD)")
@@ -1379,8 +1380,21 @@ case class NormalizeText(child: Expression, form: String)
   @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
   def compute(s: UTF8String): UTF8String = {
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, f)) s
-    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+    if (!casefold) {
+      if (java.text.Normalizer.isNormalized(str, f)) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+    } else {
+      // BigQuery's NORMALIZE_AND_CASEFOLD: normalize, then fold case.
+      // JDK approximation of Unicode full case folding: the
+      // upper-then-lower round trip (catches ß→ss, ligature splits
+      // that lower() alone misses); exotic locale-sensitive folds may
+      // differ from ICU — stated, not hidden.
+      val n = if (java.text.Normalizer.isNormalized(str, f)) str
+        else java.text.Normalizer.normalize(str, f)
+      val folded = n.toUpperCase(java.util.Locale.ROOT)
+        .toLowerCase(java.util.Locale.ROOT)
+      if (folded == str) s else UTF8String.fromString(folded)
+    }
   }
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -1409,6 +1409,55 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("2 vector arguments"))
   }
 
+  test("GraftSql function batch 2: TRUNC arg order, SPLIT literal, EDIT_DISTANCE cap, NORMALIZE") {
+    import spark.implicits._
+    def one(sql: String) = GraftSql.load(spark, sql).collect().head
+    // TIMESTAMP_TRUNC/DATE_TRUNC: BigQuery's (value, unit) order with
+    // typed results; Spark's own ('unit', value) passes through
+    val t = one("SELECT TIMESTAMP_TRUNC(TIMESTAMP'2024-03-15 13:47:11', HOUR) AS h, " +
+      "DATE_TRUNC(DATE'2024-03-15', MONTH) AS m, " +
+      "date_trunc('HOUR', TIMESTAMP'2024-03-15 13:47:11') AS sp")
+    assert(t.getTimestamp(0).toString == "2024-03-15 13:00:00.0")
+    assert(t.getDate(1).toString == "2024-03-01")
+    assert(t.getTimestamp(2) == t.getTimestamp(0))
+    // SPLIT: the 2-arg literal form takes BigQuery LITERAL-delimiter
+    // semantics — '|' and '.' are the divergence cases vs Spark's
+    // regex split; regex splitting stays on the 3-arg form
+    val sp = one("SELECT SPLIT('a|b|c', '|') AS p, SPLIT('x.y', '.') AS q, " +
+      "SPLIT('a,b') AS r, split('a1b2c', '[0-9]', -1) AS s, split('a b', '\\\\s+', -1) AS u")
+    assert(sp.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(sp.getSeq[String](1) == Seq("x", "y"))
+    assert(sp.getSeq[String](2) == Seq("a", "b"))
+    assert(sp.getSeq[String](3) == Seq("a", "b", "c"))
+    assert(sp.getSeq[String](4) == Seq("a", "b"))
+    // EDIT_DISTANCE: exact, and the max_distance form CAPS at max
+    val ed = one("SELECT EDIT_DISTANCE('kitten', 'sitting') AS d, " +
+      "EDIT_DISTANCE('kitten', 'sitting', 2) AS dc, " +
+      "EDIT_DISTANCE('kitten', 'sitting', max_distance => 10) AS dn")
+    assert(ed.getInt(0) == 3 && ed.getInt(1) == 2 && ed.getInt(2) == 3)
+    // NORMALIZE / NORMALIZE_AND_CASEFOLD: keyword forms, casefold
+    // catches the sharp s; CONTAINS_SUBSTR is the NFKC-casefold check
+    val n = one("SELECT NORMALIZE('a\\u0301') AS nfc, NORMALIZE('\\ufb01', NFKC) AS lig, " +
+      "NORMALIZE_AND_CASEFOLD('Gro\\u00dfe') AS cf, " +
+      "CONTAINS_SUBSTR('The GROSSE house', 'grosse') AS cs, " +
+      "CONTAINS_SUBSTR('abc', 'zz') AS no")
+    assert(n.getString(0) == "\u00e1" && n.getString(1) == "fi")
+    assert(n.getString(2) == "grosse")
+    assert(n.getBoolean(3) && !n.getBoolean(4))
+    // ARRAY_FIRST/ARRAY_LAST/ARRAY_CONCAT/TO_JSON_STRING
+    val a = one("SELECT ARRAY_FIRST(array(7, 8, 9)) AS f, ARRAY_LAST(array(7, 8, 9)) AS l, " +
+      "ARRAY_CONCAT(array(1), array(2, 3)) AS c, " +
+      "TO_JSON_STRING(named_struct('a', 1, 'b', 'x')) AS j")
+    assert(a.getInt(0) == 7 && a.getInt(1) == 9)
+    assert(a.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(a.getString(3) == """{"a":1,"b":"x"}""")
+    // louds: WEEK trunc boundary, empty SPLIT delimiter
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT TIMESTAMP_TRUNC(ts, WEEK) AS w FROM t").contains("SUNDAY"))
+    assert(bad("SELECT SPLIT('ab', '') AS s").contains("non-empty"))
+  }
+
   test("GraftSql SAFE. prefix: CAST/arithmetic/parse forms NULL on error, qualifiers untouched") {
     import spark.implicits._
     def one(sql: String) = GraftSql.load(spark, sql).collect().head
