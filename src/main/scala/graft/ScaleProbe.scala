@@ -238,7 +238,7 @@ object ScaleProbe {
       // with the corpus — production scales k with corpus size
       // (cells ≈ corpus/10⁴, the C13 scaladoc) and its linear-cell
       // slope is dedup_semantic's row above)
-      "cluster_kmeans", "search_phrase", "sql_ml_kmeans")
+      "cluster_kmeans", "search_phrase", "sql_ml_kmeans", "text_embed")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

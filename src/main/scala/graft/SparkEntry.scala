@@ -1319,6 +1319,24 @@ object SparkEntry {
           "doc_id", "text", minShared = 5)
         .orderBy("corpus_id", "bench_id")
     }),
+    // E24: trainless signed-feature-hashing text embeddings — the
+    // engine-native embedder that closes the documents→vectors loop
+    // (integer components feed k-means/dedup/int8 ANN exactly; the
+    // normalized float form feeds cosine retrieval). One map-only
+    // pass, never a shuffle; exploded to scalar rows for the robust
+    // compare shape
+    // NOTE the stageLazy: posexplode re-evaluates its generator input
+    // per EMITTED row (dim× — measured 0.7 s → 22 s at sf0.1), and the
+    // orderBy's range sampling doubles it again; staging materializes
+    // the embed chain once (the §4 discipline, Generate edition)
+    "text_embed" -> ((s, d) => {
+      val emb = graft.operators.Staging.stageLazy(
+        graft.operators.Embedding.hashEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32))
+      emb.select(F.col("doc_id"), F.posexplode(F.col("embedding")).as(Seq("pos", "v")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // posting-list stats: the distributed heart of TF-IDF over the corpus
     "text_tf_df" -> ((s, d) => {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
@@ -3522,6 +3540,25 @@ object SparkEntry {
           |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // the embedder replays end to end: the DSIR gram stream, the
+      // repo 52-bit md5 law into 2·dim buckets, the signed scatter as
+      // a grouped integer sum, densified over the (doc × dim) grid
+      "text_embed" ->
+        """WITH l AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+          |g AS (SELECT doc_id, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |          THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+          |          ELSE []::VARCHAR[] END) AS grams FROM l),
+          |h AS (SELECT doc_id, unnest(list_transform(grams, x ->
+          |        CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 64)) AS hv FROM g),
+          |sc AS (SELECT doc_id, CAST(hv % 32 AS INT) AS pos,
+          |              SUM(CASE WHEN hv < 32 THEN 1 ELSE -1 END) AS v
+          |       FROM h GROUP BY 1, 2),
+          |grid AS (SELECT doc_id, CAST(i AS INT) AS pos
+          |         FROM documents, UNNEST(generate_series(0, 31)) AS u(i))
+          |SELECT grid.doc_id AS doc_id, grid.pos AS pos, CAST(coalesce(sc.v, 0) AS INT) AS v
+          |FROM grid LEFT JOIN sc ON sc.doc_id = grid.doc_id AND sc.pos = grid.pos
+          |ORDER BY grid.doc_id, grid.pos""".stripMargin,
       // replays S11 end to end: unigram+bigram stream, 52-bit
       // md5-prefix bucket, the md5-derived centi-nat weight per bucket
       // (same law the Scala fixture array is built from), integer sum,

@@ -773,6 +773,44 @@ case class NearestCell(child: Expression, cells: Seq[Long], centroids: Seq[Seq[F
     copy(child = newChild)
 }
 
+/** Signed feature-hashing scatter: fold a stream of hash values
+  * h ∈ [0, 2·dim) into a dense integer vector — index h mod dim,
+  * sign +1 below dim / −1 above (Weinberger et al. 2009's hashing
+  * trick, the sign split debiasing collisions). The HASHING itself
+  * stays outside (the caller's md5 bucket law, already
+  * oracle-replayable); this expression is pure integer scatter, so
+  * the embedding components are EXACT and order-free — per-row
+  * O(grams + dim), map-only, no shuffle anywhere in embedding
+  * generation.
+  */
+case class HashedBagVector(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  def compute(arr: ArrayData): GenericArrayData = {
+    val v = new Array[Int](dim)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        val idx = (h % dim).toInt
+        if (h < dim) v(idx) += 1 else v(idx) -= 1
+      }
+      i += 1
+    }
+    new GenericArrayData(v.map(Integer.valueOf))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedBag", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedBagVector =
+    copy(child = newChild)
+}
+
 /** K-means assignment step as a map-only expression: for an INTEGER
   * vector, the (0-based) index of the nearest centroid under SQUARED
   * L2 distance plus that distance, as a struct. Centroids are
@@ -1469,6 +1507,8 @@ object native {
     Bridge.column(NearestCell(Bridge.expression(vec), cells, centroids.map(_.toSeq)))
   def nearest_centroid_l2(vec: Column, centroids: Seq[Seq[Double]]): Column =
     Bridge.column(NearestCentroidL2(Bridge.expression(vec), centroids))
+  def hashed_bag_vector(hashes: Column, dim: Int): Column =
+    Bridge.column(HashedBagVector(Bridge.expression(hashes), dim))
   def strided_bytes(payload: Column, n: Int): Column =
     Bridge.column(StridedBytes(Bridge.expression(payload), n))
   def ahash64(payload: Column, thumbBytes: Int): Column =

@@ -87,6 +87,9 @@ class RewriteFuzzSpec extends AnyFunSuite {
       "SELECT APPROX_QUANTILES(x, 4) AS q, APPROX_TOP_COUNT(c, 3) AS tc FROM t",
       "SELECT ML.DISTANCE(va, vb, 'COSINE') AS d FROM t",
       "SELECT SAFE.CAST(s AS INT64) AS a, SAFE.PARSE_DATE('%Y-%m-%d', s) AS b FROM t",
+      "SELECT TIMESTAMP_TRUNC(ts, HOUR) AS h, DATE_TRUNC(d, MONTH) AS m FROM t",
+      "SELECT SPLIT(s, '|') AS p, EDIT_DISTANCE(a, b, 2) AS e FROM t",
+      "SELECT NORMALIZE(s, NFKC) AS n, CONTAINS_SUBSTR(s, 'x') AS c FROM t",
       "SELECT x FROM t WHERE x IN UNNEST(allowed)",
       "SELECT x FROM t WHERE x NOT IN UNNEST(f(a, b))",
       "SELECT TIMESTAMP_DIFF(a, b, HOUR) AS h, DATE_ADD(d, INTERVAL 2 WEEK) AS w FROM t",

@@ -1601,6 +1601,11 @@ class TypedSqlSpec extends SparkSuite {
     val r3 = GraftSql.load(spark,
       "SELECT sum(v) AS sv FROM (SELECT * REPLACE (v * 10 AS v) FROM sr_t)")
     assert(r3.collect().head.getAs[Double]("sv") == 65.0)
+    // star REPLACE inside a CTE and under UNION branches
+    val r5 = GraftSql.load(spark,
+      "WITH c AS (SELECT * REPLACE (v + 1 AS v) FROM sr_t) " +
+        "SELECT sum(v) AS sv FROM c")
+    assert(r5.collect().head.getAs[Double]("sv") == 8.5)
     // multiplication by the string function REPLACE stays untouched
     val r4 = GraftSql.load(spark,
       "SELECT id * REPLACE('3', 'x', 'y') AS m FROM sr_t ORDER BY id")
