@@ -1337,6 +1337,23 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // E24b: END-TO-END text retrieval with NO external vectors —
+    // documents → hashed embeddings (E24) → cosine top-k (D1), all
+    // in-engine. Cosine is scale-invariant, so the integer embeddings
+    // score directly (cast to float — components are small exact
+    // ints); both sides staged (the §4 join-predicate discipline).
+    // The oracle replays embed + ranking as one statement
+    "search_text_embed" -> ((s, d) => {
+      val emb = graft.operators.Staging.stageLazy(
+        graft.operators.Embedding.hashEmbedding(
+            Tables.documents(s, d), "doc_id", "text", dim = 32)
+          .select(F.col("doc_id"), F.col("embedding").cast("array<float>").as("embedding")))
+      val q = emb.filter(F.col("doc_id") % 50 === 0)
+        .select(F.col("doc_id").as("qid"), F.col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb.withColumnRenamed("doc_id", "vec_id"), q, 5)
+        .orderBy("qid", "rank")
+    }),
+
     // posting-list stats: the distributed heart of TF-IDF over the corpus
     "text_tf_df" -> ((s, d) => {
       graft.operators.InvertedIndex.termStats(Tables.documents(s, d), "doc_id", "text")
@@ -3540,6 +3557,37 @@ object SparkEntry {
           |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // the whole retrieval pipeline in one replay: embed (the
+      // text_embed CTEs, densified to per-doc lists) then the D1
+      // cosine ranking
+      "search_text_embed" ->
+        s"""WITH l AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+          |g AS (SELECT doc_id, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |          THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+          |          ELSE []::VARCHAR[] END) AS grams FROM l),
+          |h AS (SELECT doc_id, unnest(list_transform(grams, x ->
+          |        CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 64)) AS hv FROM g),
+          |sc AS (SELECT doc_id, CAST(hv % 32 AS INT) AS pos,
+          |              SUM(CASE WHEN hv < 32 THEN 1 ELSE -1 END) AS v
+          |       FROM h GROUP BY 1, 2),
+          |grid AS (SELECT doc_id, CAST(i AS INT) AS pos
+          |         FROM documents, UNNEST(generate_series(0, 31)) AS u(i)),
+          |dense AS (SELECT grid.doc_id AS doc_id,
+          |                 list(CAST(coalesce(sc.v, 0) AS DOUBLE) ORDER BY grid.pos) AS emb
+          |          FROM grid LEFT JOIN sc ON sc.doc_id = grid.doc_id AND sc.pos = grid.pos
+          |          GROUP BY grid.doc_id),
+          |q AS (SELECT doc_id AS qid, emb AS qvec FROM dense WHERE doc_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.qid, d.doc_id AS vec_id,
+          |         ${dot("q.qvec", "d.emb")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("d.emb", "d.emb")})) AS cos
+          |  FROM q JOIN dense d ON d.doc_id <> q.qid)
+          |SELECT qid, vec_id, cos, rank FROM (
+          |  SELECT qid, vec_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
       // the embedder replays end to end: the DSIR gram stream, the
       // repo 52-bit md5 law into 2·dim buckets, the signed scatter as
       // a grouped integer sum, densified over the (doc × dim) grid
