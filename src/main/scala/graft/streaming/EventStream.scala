@@ -265,6 +265,18 @@ object EventStream {
                           vecCol: String): DataFrame =
     graft.operators.Clustering.withClusterColumns(stream, centroids, vecCol)
 
+  /** G17: streaming text embedding — E24's trainless feature-hashing
+    * embedder on a stream. Like G16 it is STATELESS map-only (tokens →
+    * grams → md5 scatter, all per-row projections), so documents
+    * arriving on a stream leave with their embedding attached and can
+    * flow straight into [[clusterAssignStream]] — the full
+    * ingest→embed→cluster lambda path with zero state stores.
+    * StreamingSpec pins batch/stream vector parity row for row.
+    */
+  def embedStream(stream: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame =
+    graft.operators.Embedding.hashEmbedding(stream, idCol, textCol, dim)
+
   /** G3: MERGE-upsert sink — every micro-batch merges into the target
     * via the same batch operator (reference's staged-MERGE pattern).
     * `readTarget`/`writeTarget` abstract the table store (parquet dir

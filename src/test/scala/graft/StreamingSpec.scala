@@ -447,6 +447,33 @@ class StreamingSpec extends SparkSuite {
       codes.columns.toSeq ++ Seq("cluster", "dist"))
   }
 
+  test("G17: streaming embed -> cluster chain matches the batch pipeline row for row") {
+    import graft.operators.{Clustering, Embedding}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val d = Files.createTempDirectory("graft-g17-").toString
+    docs.write.mode("overwrite").parquet(d)
+    val cents = Clustering.kmeansTrain(
+      Embedding.hashEmbedding(docs, "doc_id", "text", 16),
+      k = 3, iters = 2, idCol = "doc_id", vecCol = "embedding")
+    // the full stateless lambda path: stream -> embed -> assign
+    val stream = EventStream.clusterAssignStream(
+      EventStream.embedStream(
+        spark.readStream.schema(docs.schema).parquet(d), "doc_id", "text", 16),
+      cents, "embedding")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("g17").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("g17")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Seq[Int]]("embedding"), r.getAs[Long]("cluster")))).toMap
+    val batch = Clustering.withClusterColumns(
+        Embedding.hashEmbedding(docs, "doc_id", "text", 16), cents, "embedding")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Seq[Int]]("embedding"), r.getAs[Long]("cluster")))).toMap
+    assert(streamed == batch)
+    assert(streamed.values.map(_._2).toSet.size > 1)
+  }
+
   test("G12: streaming corpus filter+score is row-for-row identical to the batch expressions") {
     import graft.operators.{QualityRules, TextClassifier}
     val d = Files.createTempDirectory("graft-stream-docs-").toString
