@@ -3793,6 +3793,12 @@ object GraftSql {
     require(input.columns.contains(ms.vecCol),
       s"ML.PREDICT input must carry the model's feature column '${ms.vecCol}' " +
         s"(input columns: ${input.columns.mkString(", ")})")
+    // a silent withColumn replacement would shadow caller data
+    Seq("centroid_id", "centroid_distance").foreach { c =>
+      require(!input.columns.map(_.toLowerCase).contains(c),
+        s"ML.PREDICT input already carries a '$c' column — rename it; the " +
+          "prediction output appends centroid_id and centroid_distance")
+    }
     // BigQuery shape: every input column passes through, centroid_id
     // is 1-BASED
     graft.operators.Clustering.withClusterColumns(

@@ -76,7 +76,10 @@ object Clustering {
 
   /** The trained centroid matrix alone (k × dim doubles) — what a
     * model registry persists; [[assignToCentroids]] is the predict
-    * half. Same contract as [[kmeansAssign]].
+    * half. Same contract as [[kmeansAssign]]. NOTE: cluster ids are
+    * assigned by ASCENDING seed id (rank order), not by the order
+    * `seedIds` was passed in — determinism must not depend on a Seq's
+    * incidental ordering.
     */
   def kmeansTrain(vectors: DataFrame, k: Int, iters: Int,
                   idCol: String = "vec_id", vecCol: String = "vec",

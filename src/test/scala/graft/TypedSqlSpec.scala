@@ -1575,6 +1575,13 @@ class TypedSqlSpec extends SparkSuite {
     Seq((0L, Seq(0.5f))).toDF("id", "feat").createOrReplaceTempView("ml_f")
     assert(bad("CREATE MODEL ml_x OPTIONS(model_type = 'kmeans', num_clusters = 1) " +
       "AS SELECT id, feat FROM ml_f").contains("quantize"))
+    // an input already carrying the output column names is loud, not
+    // silently shadowed
+    GraftSql.load(spark, "CREATE OR REPLACE MODEL ml_shadow OPTIONS(model_type = 'kmeans', " +
+      "num_clusters = 1, max_iterations = 1) AS SELECT id, feat FROM ml_t")
+    assert(bad("SELECT * FROM ML.PREDICT(MODEL ml_shadow, " +
+      "(SELECT id, feat, 9 AS centroid_id FROM ml_t))").contains("rename"))
+    GraftSql.load(spark, "DROP MODEL ml_shadow")
     // teardown: DROP MODEL removes, bare re-drop is loud, IF EXISTS no-ops
     GraftSql.load(spark, "DROP MODEL ml_m")
     assert(bad("DROP MODEL ml_m").contains("no such model"))
