@@ -162,6 +162,24 @@ class PlanSpec extends SparkSuite {
       "corpus x queries must go through the broadcast join")
   }
 
+  test("embed and cluster-assign plans are shuffle-free map passes") {
+    import graft.operators.{Clustering, Embedding}
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    // embedding generation: one map pass, zero Exchange anywhere
+    val embPlan = Embedding.hashEmbedding(docs, "doc_id", "text", 16)
+      .queryExecution.executedPlan.toString
+    assert(!embPlan.contains("Exchange"), embPlan.take(1500))
+    // cluster assignment over a trained matrix: plan-embedded
+    // centroids, zero Exchange — the 100 TB predict pass
+    val emb = Embedding.hashEmbedding(docs, "doc_id", "text", 16)
+    val cents = Clustering.kmeansTrain(emb, k = 3, iters = 1,
+      idCol = "doc_id", vecCol = "embedding")
+    val assignPlan = Clustering.assignToCentroids(emb, cents,
+        idCol = "doc_id", vecCol = "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), assignPlan.take(1500))
+  }
+
   test("q_array_ops plans the bounded top-k aggregate, not a whole-group collect_list") {
     val df = SparkEntry.queries("q_array_ops")(spark, sf)
     df.collect() // finalize the AQE plan
