@@ -102,6 +102,10 @@ object GraftSql {
       createModel(spark, sql)
     } else if (DropModelRe.pattern.matcher(sql).matches()) {
       dropModel(spark, sql)
+    } else if (SearchIndexHeadRe.pattern.matcher(sql).matches()) {
+      createSearchIndex(spark, sql)
+    } else if (DropSearchIndexRe.pattern.matcher(sql).matches()) {
+      dropSearchIndex(spark, sql)
     } else if (CloneRe.pattern.matcher(sql).matches()) {
       createClone(spark, sql)
     } else if (PartCtasHeadRe.pattern.matcher(sql).matches()) {
@@ -3871,6 +3875,63 @@ object GraftSql {
       }.sum / pop.size
     import spark.implicits._
     Seq((db, msd)).toDF("davies_bouldin_index", "mean_squared_distance")
+  }
+
+  // ── CREATE SEARCH INDEX ──────────────────────────────────────────
+  //
+  // BigQuery's search-index DDL, mapped to the thing an index IS in
+  // this engine: the MATERIALIZED POSITIONAL POSTINGS table
+  // (doc_id, pos, token — InvertedIndex.positionalPostings), written
+  // once to warehouse parquet clustered by token and registered as a
+  // session view under the index name, so phrase/token queries join
+  // posting lists instead of re-tokenizing the corpus (the
+  // phraseFromPostings read half; at 100 TB the index build is the
+  // one corpus tokenize, amortized over every query after it). One
+  // stated divergence from BigQuery's `ON t(col)`: the column list
+  // here is (idCol, textCol) — postings need a row key. DROP SEARCH
+  // INDEX unregisters the view; the on-disk postings survive
+  // (re-CREATE rebuilds; the restorable-drop model).
+
+  private val SearchIndexRe =
+    ("""(?is)^\s*CREATE\s+SEARCH\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """(`[^`]+`|[A-Za-z_][\w$]*)\s+ON\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*\(\s*""" +
+      """([A-Za-z_][\w$]*)\s*,\s*([A-Za-z_][\w$]*)\s*\)\s*;?\s*$""").r
+  private val SearchIndexHeadRe = """(?is)^\s*CREATE\s+SEARCH\s+INDEX\b.*""".r
+  private val DropSearchIndexRe =
+    ("""(?is)^\s*DROP\s+SEARCH\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """(`[^`]+`|[A-Za-z_][\w$]*)(?:\s+ON\s+(?:`[^`]+`|[A-Za-z_][\w$.]*))?\s*;?\s*$""").r
+
+  def createSearchIndex(spark: SparkSession, sql: String): DataFrame = sql match {
+    case SearchIndexRe(ifNot, rawName, rawTbl, idCol, textCol) =>
+      val name = viewName(rawName)
+      if (spark.catalog.tableExists(name)) {
+        if (ifNot != null) return spark.emptyDataFrame
+        throw new IllegalArgumentException(
+          s"search index '$name' already exists (use IF NOT EXISTS, or DROP SEARCH INDEX)")
+      }
+      val postings = graft.operators.InvertedIndex.positionalPostings(
+        spark.table(viewName(rawTbl)), idCol, textCol)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = s"${wh.stripSuffix("/")}/graft_searchidx_$name"
+      import org.apache.spark.sql.{functions => FF}
+      postings.repartition(FF.col("token"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).createOrReplaceTempView(name)
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a CREATE SEARCH INDEX statement (expected: CREATE SEARCH INDEX " +
+        "[IF NOT EXISTS] name ON table (id_col, text_col) — unlike BigQuery's " +
+        "column list, postings need the row-key column named first)")
+  }
+
+  def dropSearchIndex(spark: SparkSession, sql: String): DataFrame = sql match {
+    case DropSearchIndexRe(ifExists, rawName) =>
+      val name = viewName(rawName)
+      val existed = spark.catalog.dropTempView(name)
+      require(existed || ifExists != null,
+        s"DROP SEARCH INDEX $name: no such index (use IF EXISTS to ignore)")
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException("not a DROP SEARCH INDEX statement")
   }
 
   /** Model teardown: `DROP MODEL [IF EXISTS] name`. */

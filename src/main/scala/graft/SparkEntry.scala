@@ -1319,6 +1319,23 @@ object SparkEntry {
           "doc_id", "text", minShared = 5)
         .orderBy("corpus_id", "bench_id")
     }),
+    // A44: the search-index lifecycle as STATEMENTS — the index IS the
+    // materialized positional postings view, so the phrase query joins
+    // posting lists (never re-tokenizes the corpus); DuckDB replays
+    // tokenize + adjacency directly, gating that the indexed route
+    // returns exactly the direct-scan answer
+    "sql_search_index" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("si_docs")
+      graft.GraftSql.load(s, "DROP SEARCH INDEX IF EXISTS si_docs_idx")
+      graft.GraftSql.load(s, "CREATE SEARCH INDEX si_docs_idx ON si_docs (doc_id, text)")
+      graft.GraftSql.load(s,
+        """SELECT p0.doc_id AS doc_id, COUNT(*) AS n_hits, MIN(p0.pos) AS first_pos
+          |FROM si_docs_idx p0 JOIN si_docs_idx p1
+          |  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.token = 'fast'
+          |WHERE p0.token = 'slow'
+          |GROUP BY p0.doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
     // E24: trainless signed-feature-hashing text embeddings — the
     // engine-native embedder that closes the documents→vectors loop
     // (integer components feed k-means/dedup/int8 ANN exactly; the
@@ -3557,6 +3574,19 @@ object SparkEntry {
           |       CAST(tot.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_dropped
           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // the indexed phrase route replays as the direct tokenize +
+      // adjacency — index and scan must answer identically
+      "sql_search_index" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS token
+          |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          |        FROM documents)),
+          |m AS (SELECT p0.doc_id, p0.pos
+          |      FROM (SELECT doc_id, pos FROM toks WHERE token = 'slow') p0
+          |      JOIN (SELECT doc_id, pos - 1 AS pos FROM toks WHERE token = 'fast') p1
+          |        ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos)
+          |SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // the whole retrieval pipeline in one replay: embed (the
       // text_embed CTEs, densified to per-doc lists) then the D1
       // cosine ranking

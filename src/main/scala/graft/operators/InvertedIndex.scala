@@ -97,15 +97,36 @@ object InvertedIndex {
       require(t == t.toLowerCase(java.util.Locale.ROOT),
         s"phrase terms must be lowercase (the tokenizer lowercases), got '$t'")
     }
-    val toks = docs
+    phraseFromPostings(
+      Staging.stageLazy(
+        positionalPostings(docs, idCol, textCol)
+          .filter(F.col("token").isin(phrase.distinct: _*))),
+      phrase)
+  }
+
+  /** The POSITIONAL POSTINGS table (doc_id, pos, token) — the thing a
+    * search index materializes once so queries never re-tokenize the
+    * corpus. Persist it partitioned/bucketed by token at scale; it is
+    * the input contract of [[phraseFromPostings]] and the A44
+    * `CREATE SEARCH INDEX` statement's build pass.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(F.col(idCol).as("doc_id"), text.tokens(F.col(textCol)).as("__toks"))
       .select(F.col("doc_id"), F.posexplode(F.col("__toks")).as(Seq("pos", "token")))
-    val hits = Staging.stageLazy(
-      toks.filter(F.col("token").isin(phrase.distinct: _*))
-        .select(F.col("doc_id"), F.col("pos").cast("long").as("pos"), F.col("token")))
-    val start = hits.filter(F.col("token") === phrase.head).select("doc_id", "pos")
+      .select(F.col("doc_id"), F.col("pos").cast("long").as("pos"), F.col("token"))
+
+  /** Phrase adjacency over an EXISTING postings table (same output as
+    * [[phraseOccurrences]], spec-pinned bit-equal): the read half of
+    * the index lifecycle — the corpus is never touched, each join
+    * side is one token's posting list. A token-partitioned postings
+    * layout turns the term filters into partition pruning.
+    */
+  def phraseFromPostings(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val start = postings.filter(F.col("token") === phrase.head).select("doc_id", "pos")
     val matched = phrase.zipWithIndex.drop(1).foldLeft(start) { case (acc, (term, i)) =>
-      acc.join(hits.filter(F.col("token") === term)
+      acc.join(postings.filter(F.col("token") === term)
           .select(F.col("doc_id"), (F.col("pos") - i).as("pos")),
         Seq("doc_id", "pos"))
     }

@@ -57,6 +57,22 @@ class InvertedIndexSpec extends SparkSuite {
     }.getMessage.contains("lowercase"))
   }
 
+  test("phraseFromPostings over a persisted index is bit-equal to the direct scan") {
+    val pd = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "cat the sat"),
+      (4L, "the cat")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings-").toString
+    InvertedIndex.positionalPostings(pd, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val fromIdx = InvertedIndex.phraseFromPostings(
+        spark.read.parquet(dir), Seq("the", "cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("the", "cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIdx == direct && fromIdx.nonEmpty)
+  }
+
   test("phraseOccurrences: single corpus pass — the token scan appears once in the plan") {
     val pd = Seq((1L, "x y z x y")).toDF("doc_id", "text")
     val plan = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("x", "y"))

@@ -1510,6 +1510,35 @@ class TypedSqlSpec extends SparkSuite {
       Seq(("a", "s1", 3L), ("a", "s2", 2L), ("b", "s1", 3L), ("b", "s2", 3L)))
   }
 
+  test("GraftSql CREATE SEARCH INDEX: postings view lifecycle, query parity, louds") {
+    import spark.implicits._
+    Seq((1L, "slow fast x"), (2L, "fast slow fast"), (3L, "slow"))
+      .toDF("doc_id", "text").createOrReplaceTempView("si_t")
+    GraftSql.load(spark, "CREATE SEARCH INDEX si_idx ON si_t (doc_id, text)")
+    // the index IS a queryable postings view: phrase adjacency by join
+    val r = GraftSql.load(spark,
+      """SELECT p0.doc_id AS doc_id, COUNT(*) AS n
+        |FROM si_idx p0 JOIN si_idx p1
+        |  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.token = 'fast'
+        |WHERE p0.token = 'slow'
+        |GROUP BY p0.doc_id ORDER BY doc_id""".stripMargin).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L), (2L, 1L)))
+    // the operator read-half agrees with the direct corpus scan
+    val viaIdx = graft.operators.InvertedIndex.phraseFromPostings(
+        spark.table("si_idx"), Seq("slow", "fast"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaIdx == Map(1L -> 1L, 2L -> 1L))
+    // dispositions + teardown (BigQuery's ON-table drop form accepted)
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("CREATE SEARCH INDEX si_idx ON si_t (doc_id, text)").contains("already exists"))
+    GraftSql.load(spark, "CREATE SEARCH INDEX IF NOT EXISTS si_idx ON si_t (doc_id, text)")
+    GraftSql.load(spark, "DROP SEARCH INDEX si_idx ON si_t")
+    assert(bad("DROP SEARCH INDEX si_idx").contains("no such index"))
+    GraftSql.load(spark, "DROP SEARCH INDEX IF EXISTS si_idx")
+    assert(bad("CREATE SEARCH INDEX bad_idx ON si_t (text)").contains("row-key"))
+  }
+
   test("GraftSql BQML: CREATE MODEL kmeans, ML.PREDICT, ML.DISTANCE, DROP MODEL, dispositions") {
     import spark.implicits._
     Seq((0L, Seq(0, 0)), (1L, Seq(10, 10)), (2L, Seq(1, 0)),
