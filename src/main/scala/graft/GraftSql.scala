@@ -79,8 +79,8 @@ object GraftSql {
     // argument may itself be an AS OF reference
     val sql = rewriteUnnest(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
-        rewriteMlPredict(spark, rewriteVectorSearch(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))
+        rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteChangeTvf(spark,
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -1063,6 +1063,8 @@ object GraftSql {
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE",
+      "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
+      "HLL_COUNT.EXTRACT",
       "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
       "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
@@ -1343,6 +1345,35 @@ object GraftSql {
                 "DOT_PRODUCT's sign convention is engine-specific — spell the " +
                 "fold explicitly)")
           }
+        // BigQuery's HLL_COUNT sketch family → Spark's DataSketches
+        // HLL natives — the MERGEABLE distinct-count pattern (the
+        // 100 TB idiom: INIT partial sketches per shard/day once,
+        // re-aggregate by MERGE forever; never a re-scan). Precision:
+        // BigQuery takes 10..24 (default 15), Spark's lgConfigK stops
+        // at 21 — same log2-buckets meaning, mapped through, loud
+        // above 21. The sketch BYTES are engine-specific
+        // (DataSketches, not BigQuery's wire format) — INIT output
+        // feeds this engine's MERGE/EXTRACT, not a BigQuery export.
+        case "HLL_COUNT.INIT" =>
+          require(args.size == 1 || args.size == 2,
+            "HLL_COUNT.INIT takes (expr [, precision])")
+          args.lift(1) match {
+            case None => Some(s"hll_sketch_agg((${args(0)}))")
+            case Some(p) =>
+              require(p.matches("\\d+") && p.toInt >= 10 && p.toInt <= 21,
+                s"HLL_COUNT.INIT precision must be an integer literal in 10..21 " +
+                  s"(BigQuery allows up to 24; this engine's sketches stop at 21), got $p")
+              Some(s"hll_sketch_agg((${args(0)}), $p)")
+          }
+        case "HLL_COUNT.MERGE" =>
+          require(args.size == 1, "HLL_COUNT.MERGE takes (sketch)")
+          Some(s"hll_sketch_estimate(hll_union_agg((${args(0)})))")
+        case "HLL_COUNT.MERGE_PARTIAL" =>
+          require(args.size == 1, "HLL_COUNT.MERGE_PARTIAL takes (sketch)")
+          Some(s"hll_union_agg((${args(0)}))")
+        case "HLL_COUNT.EXTRACT" =>
+          require(args.size == 1, "HLL_COUNT.EXTRACT takes (sketch)")
+          Some(s"hll_sketch_estimate((${args(0)}))")
         case "APPROX_TOP_COUNT" =>
           require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
           require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,
@@ -3640,6 +3671,118 @@ object GraftSql {
     graft.operators.Similarity.vectorSearch(
       spark.table(strip(tables.head)), baseCol,
       spark.table(strip(tables(1))), queryCol, topK, distance)
+  }
+
+  // ── BigQuery change-history TVFs: APPENDS / CHANGES ──────────────
+  //
+  // `FROM APPENDS(TABLE t, start, end)` / `FROM CHANGES(TABLE t,
+  // start, end)` over a REGISTERED Versioned table (the A33 commit
+  // log IS the change history) — resolved textually like
+  // VECTOR_SEARCH. Timestamps are UTC literals (TIMESTAMP '...' or
+  // bare '...', the time-travel dialect) or NULL (= table creation /
+  // now); BigQuery's window rule: start inclusive, end exclusive.
+  // Output = the table's columns plus `_change_type` /
+  // `_change_timestamp` pseudo-columns; the reader-half cost tiers
+  // (delta-dirs-only appends, free compacts, snapshot-diff rewrites)
+  // live on [[graft.sources.Versioned.appendsBetween]]/
+  // [[graft.sources.Versioned.changesBetween]].
+
+  private[graft] def rewriteChangeTvf(spark: SparkSession, sql: String): String = {
+    var out = sql
+    Seq("APPENDS", "CHANGES").foreach { kw =>
+      var scan = true
+      while (scan) {
+        tvfSpan(out, kw) match {
+          case None => scan = false
+          case Some((start, argStart, argEnd, end)) =>
+            val df = changeTvfFromArgs(spark, kw, out.substring(argStart, argEnd))
+            val view = s"__${kw.toLowerCase}_${asOfCounter.incrementAndGet()}"
+            df.createOrReplaceTempView(view)
+            out = out.substring(0, start) + view + out.substring(end)
+        }
+      }
+    }
+    out
+  }
+
+  /** First top-level `kw ( args )` call span in `sql` (quote-aware,
+    * balanced parens), as (start, argStart, argEnd, end); None if the
+    * keyword never occurs as a call. Only calls whose FIRST argument
+    * starts with `TABLE ` are taken — an unrelated function that
+    * happens to share the name passes through untouched.
+    */
+  private def tvfSpan(sql: String, kw: String): Option[(Int, Int, Int, Int)] = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if (upper.startsWith(kw, i) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')) {
+        var p = i + kw.length
+        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+        if (p < sql.length && sql.charAt(p) == '(') {
+          val argStart = p + 1
+          var depth = 1; var q = argStart; var s2 = false
+          while (q < sql.length && depth > 0) {
+            val ch = sql.charAt(q)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) q += 1
+          }
+          require(depth == 0, s"unbalanced parentheses in $kw call")
+          if (sql.substring(argStart, q).trim.toUpperCase(java.util.Locale.ROOT)
+              .startsWith("TABLE ")) return Some((i, argStart, q, q + 1))
+          i = q + 1
+        } else i = p
+      } else i += 1
+    }
+    None
+  }
+
+  private def changeTvfFromArgs(spark: SparkSession, kw: String,
+                                argBody: String): DataFrame = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    argBody.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; cur += c }
+      else if (c == '\'') { inStr = true; cur += c }
+      else if (c == ',') { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    val args = parts.map(_.trim).toSeq
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    val TsRe = """(?is)^(?:TIMESTAMP\s+)?'(.*)'$""".r
+    require(args.nonEmpty && args.size <= 3,
+      s"$kw needs (TABLE t [, start_timestamp [, end_timestamp]]) — literals or NULL")
+    val name = args.head match {
+      case TableRe(n) => viewName(n)
+      case other => throw new IllegalArgumentException(
+        s"$kw's first argument must be TABLE <name>, got: $other")
+    }
+    def ts(raw: String): Option[Long] = raw match {
+      case r if r.equalsIgnoreCase("NULL") => None
+      case TsRe(lit) => Some(parseTsLiteralUs(lit))
+      case other => throw new IllegalArgumentException(
+        s"$kw timestamps must be UTC literals or NULL, got: $other")
+    }
+    val startUs = args.lift(1).flatMap(ts)
+    val endUs = args.lift(2).flatMap(ts)
+    val path = graft.sources.Versioned.registeredPath(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$kw: '$name' is not a registered versioned table — change history " +
+          "lives in the commit log (Versioned.register the table first)"))
+    if (kw == "APPENDS")
+      graft.sources.Versioned.appendsBetween(spark, path, startUs, endUs)
+    else
+      graft.sources.Versioned.changesBetween(spark, path, startUs, endUs)
   }
 
   // ── BigQuery ML: CREATE MODEL (kmeans) + ML.PREDICT ──────────────

@@ -167,6 +167,19 @@ object ScaleProbe {
       }
       val mvBase = mvProbe(sfDir, "base")
       val mvBig = mvProbe(root, "big")
+      // A45: change-history read of the SAME fixed delta over a 1× vs
+      // 20× base commit — flat timing proves appendsBetween scans the
+      // delta directories the manifest names, never the table (the
+      // CDC consumer's O(changed bytes) contract)
+      def cdcProbe(dir: String, tag: String): Double = {
+        val vt = s"$root/versioned_cdc_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vt))
+        Versioned.overwrite(eventsOf(dir), vt, Some(1000L)) // base table: untimed
+        Versioned.append(fixedBatch, vt, Some(2000L))       // the fixed delta
+        time(force(Versioned.appendsBetween(spark, vt, Some(1500L), None)))
+      }
+      val cdcBase = cdcProbe(sfDir, "base")
+      val cdcBig = cdcProbe(root, "big")
       force(SparkEntry.queries("q1_agg")(spark, sfDir)) // warmup for the trajectories
       val stRows = Seq("sql_versioned_dml", "sql_matview_refresh").map { name =>
         val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
@@ -177,7 +190,8 @@ object ScaleProbe {
         (Seq(
           f"""{"op":"versioned_append_fixed_batch","base_sec":$apBase%.2f,"scaled_sec":$apBig%.2f}""",
           f"""{"op":"versioned_read_deep","base_sec":$rdShallow%.2f,"scaled_sec":$rdDeep%.2f}""",
-          f"""{"op":"matview_refresh_fixed_batch","base_sec":$mvBase%.2f,"scaled_sec":$mvBig%.2f}""") ++
+          f"""{"op":"matview_refresh_fixed_batch","base_sec":$mvBase%.2f,"scaled_sec":$mvBig%.2f}""",
+          f"""{"op":"versioned_appends_fixed_window","base_sec":$cdcBase%.2f,"scaled_sec":$cdcBig%.2f}""") ++
           stRows).mkString(",") + "]}")
       spark.stop()
       return
@@ -228,7 +242,7 @@ object ScaleProbe {
       // not carry — its scale story is plan-level shard pruning,
       // spec-pinned, not a growth slope)
       "q_json_array", "q_date_spine", "q_bq_functions", "sql_merge_conditional",
-      "sql_partition_ddl",
+      "sql_partition_ddl", "sql_appends", "sql_changes", "sql_search_index",
       // round-8 late additions: learned clustering (iters × one
       // corpus pass each), positional phrase matching (token stream
       // filtered to the phrase's terms before any shuffle), and the

@@ -50,6 +50,40 @@ object SparkEntry {
   private val rawJsonFeeds = scala.collection.mutable.Set.empty[String]
   private val versionedFixtures = scala.collection.mutable.Set.empty[String]
 
+  /** The A45 change-history fixture: a 4-commit Versioned table over
+    * event thirds at pinned timestamps — append, append, an overwrite
+    * that drops clicks and doubles purchase values (so the diff holds
+    * pure DELETEs and DELETE+INSERT update pairs), and a final
+    * append. Built once per sf dir, shared by sql_appends/sql_changes.
+    */
+  private def changesFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_changes_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    versionedFixtures.synchronized {
+      if (!versionedFixtures.contains(dir)) {
+        val have = try graft.sources.Versioned.commits(s, dir).size catch { case _: Exception => -1 }
+        if (have != 4) {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          val e = Tables.events(s, d)
+            .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+          def third(i: Int) = e.filter(F.pmod(F.col("event_id"), F.lit(3)) === i)
+          def ts(lit: String) = Some(graft.GraftSql.parseTsLiteralUs(lit))
+          graft.sources.Versioned.append(third(0), dir, ts("2024-01-01 00:00:00"))
+          graft.sources.Versioned.append(third(1), dir, ts("2024-01-02 00:00:00"))
+          val rewritten = e.filter(F.pmod(F.col("event_id"), F.lit(3)) < 2)
+            .filter(F.col("event_type") =!= "click")
+            .withColumn("value", F.when(F.col("event_type") === "purchase",
+              F.col("value") * 2).otherwise(F.col("value")))
+          graft.sources.Versioned.overwrite(rewritten, dir, ts("2024-01-03 00:00:00"))
+          graft.sources.Versioned.append(third(2), dir, ts("2024-01-04 00:00:00"))
+        }
+        versionedFixtures += dir
+      }
+    }
+    dir
+  }
+
   private val ivfPqLayouts = scala.collection.mutable.Set.empty[String]
 
   /** D8b/D12 fixture codebooks: subvector slices of every 32nd corpus
@@ -562,6 +596,35 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
           |FROM vt_events GROUP BY event_type
           |ORDER BY face, event_type""".stripMargin)
+    }),
+
+    // A45 driver faces: BigQuery's change-history TVFs over the A33
+    // commit log. sql_appends gates the CDC reading contract — the
+    // windowed INSERT stream comes from each commit's OWN delta
+    // directories (O(changed bytes), never a table scan) with the
+    // commit time as _change_timestamp; the DuckDB oracle replays the
+    // two in-window appends as filtered selects with literal
+    // timestamps. sql_changes gates the rewrite half: an overwrite's
+    // row-level history is the multiset diff (update = DELETE+INSERT,
+    // no keys at this layer), the following append rides in as
+    // INSERTs — the oracle recomputes the diff with ±1-weight
+    // grouping and |delta| expansion.
+    "sql_appends" -> ((s, d) => {
+      graft.sources.Versioned.register(s, "chg_events", changesFixture(s, d))
+      graft.GraftSql.load(s,
+        """SELECT event_type, unix_micros(_change_timestamp) AS ts_us, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM APPENDS(TABLE chg_events, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-03')
+          |GROUP BY event_type, ts_us ORDER BY event_type, ts_us""".stripMargin)
+    }),
+    "sql_changes" -> ((s, d) => {
+      graft.sources.Versioned.register(s, "chg_events", changesFixture(s, d))
+      graft.GraftSql.load(s,
+        """SELECT _change_type AS change_type, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM CHANGES(TABLE chg_events, TIMESTAMP '2024-01-03', NULL)
+          |GROUP BY _change_type, event_type
+          |ORDER BY change_type, event_type""".stripMargin)
     }),
 
     // A28+A34 driver face: the unload → load ROUND TRIP under the
@@ -1720,6 +1783,29 @@ object SparkEntry {
           |      FROM events GROUP BY event_type) t,
           |UNNEST(qs) AS q WITH OFFSET AS o
           |ORDER BY event_type, q_idx""".stripMargin)
+    }),
+
+    // B44: BigQuery's HLL_COUNT sketch family — partial sketches per
+    // (event_type, day), re-aggregated by MERGE, with the
+    // MERGE_PARTIAL→EXTRACT composition as a second column (the two
+    // routes must agree). Driven in the EXACT regime (≤200 distinct
+    // bucketed users per group keeps the DataSketches HLL in its
+    // sparse/set mode, where the estimate IS the true count), so the
+    // DuckDB COUNT(DISTINCT) replay hash-gates the spelling mapping
+    // AND the mergeability law — the 100 TB pattern this family
+    // exists for: INIT per shard/day once, MERGE forever, never
+    // re-scan. Genuinely-approximate cardinalities stay on A23's
+    // declared rows-only HLL face.
+    "q_hll_sketch" -> ((s, d) => {
+      graft.sources.Typed.registerAllViews(s, d)
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+          |         HLL_COUNT.INIT(user_id % 200, 12) AS sk
+          |  FROM events GROUP BY event_type, CAST(date_trunc('DAY', ts) AS DATE))
+          |SELECT event_type, HLL_COUNT.MERGE(sk) AS n_buckets,
+          |       HLL_COUNT.EXTRACT(HLL_COUNT.MERGE_PARTIAL(sk)) AS n_buckets2
+          |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
     // B38: BigQuery's ordered aggregates in their OWN spelling —
@@ -2981,6 +3067,39 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
           |FROM events WHERE event_id % 3 = 2 GROUP BY event_type
           |ORDER BY face, event_type""".stripMargin,
+      // the APPENDS window replays as the two in-window appended
+      // thirds with their commit times as literals
+      "sql_appends" ->
+        """WITH e AS (SELECT event_id, event_type, value FROM events),
+          |a AS (SELECT event_type, value, CAST(1704067200000000 AS BIGINT) AS ts_us
+          |      FROM e WHERE event_id % 3 = 0
+          |      UNION ALL
+          |      SELECT event_type, value, CAST(1704153600000000 AS BIGINT) AS ts_us
+          |      FROM e WHERE event_id % 3 = 1)
+          |SELECT event_type, ts_us, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM a GROUP BY event_type, ts_us ORDER BY event_type, ts_us""".stripMargin,
+      // the CHANGES window replays as the overwrite's ±1-weight
+      // multiset diff (|delta| expansion included) plus the final
+      // append's inserts
+      "sql_changes" ->
+        """WITH e AS (SELECT event_id, event_type, value FROM events),
+          |before_s AS (SELECT event_id, event_type, value FROM e WHERE event_id % 3 IN (0, 1)),
+          |after_s AS (SELECT event_id, event_type,
+          |                   CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+          |            FROM e WHERE event_id % 3 IN (0, 1) AND event_type <> 'click'),
+          |d AS (SELECT event_id, event_type, value, SUM(w) AS dd
+          |      FROM (SELECT *, 1 AS w FROM after_s UNION ALL SELECT *, -1 AS w FROM before_s) u
+          |      GROUP BY 1, 2, 3 HAVING SUM(w) <> 0),
+          |chg AS (SELECT CASE WHEN dd > 0 THEN 'INSERT' ELSE 'DELETE' END AS change_type,
+          |               event_type, value, unnest(range(CAST(abs(dd) AS BIGINT))) AS i
+          |        FROM d
+          |        UNION ALL
+          |        SELECT 'INSERT' AS change_type, event_type, value, 0 AS i
+          |        FROM e WHERE event_id % 3 = 2)
+          |SELECT change_type, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM chg GROUP BY change_type, event_type ORDER BY change_type, event_type""".stripMargin,
       "q_range_join" ->
         """WITH r AS (SELECT o_orderkey AS range_key, o_totalprice - 5000.0 AS lo,
           |                  o_totalprice + 5000.0 AS hi, o_orderpriority
@@ -3210,6 +3329,13 @@ object SparkEntry {
           |SELECT event_type, CAST(i - 1 AS INT) AS q_idx, qs[i] AS v
           |FROM g, UNNEST(generate_series(1, len(qs))) AS u(i)
           |ORDER BY event_type, q_idx""".stripMargin,
+      // HLL_COUNT driven in the sketch's exact regime: both routes
+      // (MERGE; MERGE_PARTIAL→EXTRACT) replay as the true distinct
+      "q_hll_sketch" ->
+        """SELECT event_type,
+          |       CAST(COUNT(DISTINCT user_id % 200) AS BIGINT) AS n_buckets,
+          |       CAST(COUNT(DISTINCT user_id % 200) AS BIGINT) AS n_buckets2
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // exact-regime GK = rank-selected element = quantile_disc
       "q_percentile_approx_exact" ->
         """SELECT event_type,

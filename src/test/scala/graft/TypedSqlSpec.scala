@@ -1382,6 +1382,37 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("SELECT APPROX_QUANTILES(DISTINCT x, 2) AS q FROM ap_t").contains("deduplicate"))
   }
 
+  test("GraftSql HLL_COUNT family: partial sketches merge exactly in the sparse regime, louds") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (4L, "b"), (5L, "b"))
+      .toDF("uid", "g").createOrReplaceTempView("hll_t")
+    // per-group EXTRACT and cross-group MERGE / MERGE_PARTIAL→EXTRACT:
+    // sparse-mode sketches are exact, and sketches of {1,2} and
+    // {3,4,5} union to 5 — the mergeability law itself
+    val per = GraftSql.load(spark,
+      """WITH p AS (SELECT g, HLL_COUNT.INIT(uid) AS sk FROM hll_t GROUP BY g)
+        |SELECT g, HLL_COUNT.EXTRACT(sk) AS n FROM p ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(per == Seq(("a", 2L), ("b", 3L)))
+    val merged = GraftSql.load(spark,
+      """WITH p AS (SELECT g, HLL_COUNT.INIT(uid) AS sk FROM hll_t GROUP BY g)
+        |SELECT HLL_COUNT.MERGE(sk) AS n,
+        |       HLL_COUNT.EXTRACT(HLL_COUNT.MERGE_PARTIAL(sk)) AS n2 FROM p""".stripMargin)
+      .collect().head
+    assert(merged.getLong(0) == 5L && merged.getLong(1) == 5L)
+    // precision passes through as lgConfigK (aggregates cannot nest —
+    // BigQuery's own rule — so INIT lives in the subquery)
+    assert(GraftSql.load(spark,
+      "SELECT HLL_COUNT.MERGE(sk) AS n FROM " +
+        "(SELECT g, HLL_COUNT.INIT(uid, 14) AS sk FROM hll_t GROUP BY g)")
+      .collect().head.getLong(0) == 5L)
+    // louds: BigQuery's 22..24 precision tail, arity
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT HLL_COUNT.INIT(uid, 24) AS s FROM hll_t").contains("21"))
+    assert(bad("SELECT HLL_COUNT.MERGE(uid, 2) AS n FROM hll_t").contains("sketch"))
+  }
+
   test("vector distance SQL spellings: registry functions match the native Column API") {
     import spark.implicits._
     val a = Seq(1.0f, 2.0f, 2.0f)

@@ -151,6 +151,90 @@ class VersionedSpec extends SparkSuite {
     intercept[IllegalArgumentException] { GraftSql.parseTsLiteralUs("not a time") }
   }
 
+  private def changeRows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long)] =
+    df.select(F.col("id"), F.col("v"), F.col("_change_type"),
+        F.unix_micros(F.col("_change_timestamp")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  private def changeTable(): String = {
+    val t = table()
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Some(1000L))
+    Versioned.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), t, Some(2000L))
+    Versioned.overwrite(Seq((2L, "b"), (4L, "d"), (4L, "d")).toDF("id", "v"), t, Some(3000L))
+    Versioned.compact(spark, t, Some(4000L))
+    Versioned.append(Seq((5L, "e")).toDF("id", "v"), t, Some(5000L))
+    t
+  }
+
+  test("appendsBetween: delta-dirs-only inserts, [start,end) window, loud across a rewrite") {
+    val t = changeTable()
+    // window below the overwrite: both appends, row-for-row with commit times
+    assert(changeRows(Versioned.appendsBetween(spark, t, None, Some(3000L))) == Set(
+      (1L, "a", "INSERT", 1000L), (2L, "b", "INSERT", 1000L),
+      (2L, "b", "INSERT", 2000L), (3L, "c", "INSERT", 2000L)))
+    // start is inclusive, end exclusive
+    assert(changeRows(Versioned.appendsBetween(spark, t, Some(2000L), Some(3000L))) ==
+      Set((2L, "b", "INSERT", 2000L), (3L, "c", "INSERT", 2000L)))
+    assert(changeRows(Versioned.appendsBetween(spark, t, Some(5000L), None)) ==
+      Set((5L, "e", "INSERT", 5000L)))
+    // empty window: empty frame, pseudo-columns present
+    val empty = Versioned.appendsBetween(spark, t, Some(9000L), None)
+    assert(empty.count() == 0 && empty.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_change_timestamp"))
+    // a rewrite inside the window cannot be represented as appends
+    val e = intercept[IllegalArgumentException] {
+      Versioned.appendsBetween(spark, t, None, None)
+    }
+    assert(e.getMessage.contains("CHANGES"))
+  }
+
+  test("changesBetween: inserts from deltas, multiset diff across a rewrite, free compacts") {
+    val t = changeTable()
+    assert(changeRows(Versioned.changesBetween(spark, t, None, None)) == Set(
+      (1L, "a", "INSERT", 1000L), (2L, "b", "INSERT", 1000L),
+      (2L, "b", "INSERT", 2000L), (3L, "c", "INSERT", 2000L),
+      // the overwrite's multiset diff: (2,b) had count 2, now 1 → ONE delete;
+      // (4,d) appears twice → TWO inserts (verified by count below)
+      (1L, "a", "DELETE", 3000L), (2L, "b", "DELETE", 3000L),
+      (3L, "c", "DELETE", 3000L), (4L, "d", "INSERT", 3000L),
+      (5L, "e", "INSERT", 5000L)))
+    val full = Versioned.changesBetween(spark, t, None, None)
+    // multiplicity: 4 inserts@1000/2000... total = 4 + 3 deletes + 2 inserts + 1
+    assert(full.count() == 10L)
+    assert(full.filter(F.col("id") === 4L).count() == 2L) // |count delta| expansion
+    // the compact commit contributes nothing (content-identical by contract)
+    assert(Versioned.changesBetween(spark, t, Some(4000L), Some(5000L)).count() == 0L)
+  }
+
+  test("SQL: APPENDS/CHANGES TVFs resolve through GraftSql.load with literal/NULL bounds") {
+    val t = changeTable()
+    Versioned.register(spark, "chg_t", t)
+    val ap = GraftSql.load(spark,
+      """SELECT id, v, _change_type, unix_micros(_change_timestamp) AS ts_us
+        |FROM APPENDS(TABLE chg_t, TIMESTAMP '1970-01-01 00:00:00.002',
+        |             TIMESTAMP '1970-01-01 00:00:00.003')
+        |ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(ap == Seq((2L, "b", "INSERT", 2000L), (3L, "c", "INSERT", 2000L)))
+    // NULL bounds + aggregation over the change stream
+    val ch = GraftSql.load(spark,
+      """SELECT _change_type, COUNT(*) AS n
+        |FROM CHANGES(TABLE chg_t, NULL, NULL)
+        |GROUP BY _change_type ORDER BY _change_type""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch == Seq(("DELETE", 3L), ("INSERT", 7L)))
+    // louds: unregistered table, malformed args
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM APPENDS(TABLE nosuch_t, NULL, NULL)")
+    }
+    assert(e1.getMessage.contains("not a registered versioned table"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM CHANGES(TABLE chg_t, 42, NULL)")
+    }
+    assert(e2.getMessage.contains("UTC literals or NULL"))
+    Versioned.unregister(spark, "chg_t")
+  }
+
   test("two racing committers: exactly one wins the manifest; the loser's debris is swept") {
     val t = table()
     Versioned.append(Seq((0L, "seed")).toDF("id", "v"), t, Some(1000L))
