@@ -1797,7 +1797,8 @@ object SparkEntry {
     // re-scan. Genuinely-approximate cardinalities stay on A23's
     // declared rows-only HLL face.
     "q_hll_sketch" -> ((s, d) => {
-      graft.sources.Typed.registerAllViews(s, d)
+      // events only — the replica probe dirs carry no dimension tables
+      Tables.events(s, d).createOrReplaceTempView("events")
       graft.GraftSql.load(s,
         """WITH p AS (
           |  SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
