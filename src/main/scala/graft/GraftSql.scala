@@ -833,7 +833,9 @@ object GraftSql {
           while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
           if (p >= sql.length || sql.charAt(p) != '(') None
           else {
-            var depth = 1; var q = p + 1; var s2 = false
+            // bracket depth keeps commas inside `[a, b, c]` array
+            // literals (RANGE_BUCKET's boundaries) from splitting args
+            var depth = 1; var bdepth = 0; var q = p + 1; var s2 = false
             val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
             while (q < sql.length && depth > 0) {
               val ch = sql.charAt(q)
@@ -841,7 +843,9 @@ object GraftSql {
               else if (ch == '\'') s2 = true
               else if (ch == '(') depth += 1
               else if (ch == ')') depth -= 1
-              else if (ch == ',' && depth == 1) commas += q
+              else if (ch == '[') bdepth += 1
+              else if (ch == ']') bdepth -= 1
+              else if (ch == ',' && depth == 1 && bdepth == 0) commas += q
               q += 1
             }
             require(depth == 0, s"unbalanced parens in $n(...)")
@@ -1064,7 +1068,7 @@ object GraftSql {
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
-      "HLL_COUNT.EXTRACT",
+      "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
       "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
       "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
@@ -1374,6 +1378,19 @@ object GraftSql {
         case "HLL_COUNT.EXTRACT" =>
           require(args.size == 1, "HLL_COUNT.EXTRACT takes (sketch)")
           Some(s"hll_sketch_estimate((${args(0)}))")
+        // BigQuery RANGE_BUCKET(point, boundaries) = the count of
+        // boundaries <= point (0 below the first, len past the last —
+        // the half-open [b_i, b_i+1) rule): a fixed-size array fold,
+        // so the bare `[...]` array literal is mapped to array(...)
+        // and a NULL point returns NULL (the point text is duplicated
+        // into the guard — the SAFE_OFFSET discipline, stated)
+        case "RANGE_BUCKET" =>
+          require(args.size == 2, "RANGE_BUCKET takes (point, boundaries_array)")
+          val arr0 = args(1)
+          val arr = if (arr0.startsWith("[") && arr0.endsWith("]"))
+            s"array(${arr0.substring(1, arr0.length - 1)})" else s"(${arr0})"
+          Some(s"(CASE WHEN (${args(0)}) IS NULL THEN CAST(NULL AS BIGINT) " +
+            s"ELSE CAST(size(filter($arr, __rb -> __rb <= (${args(0)}))) AS BIGINT) END)")
         case "APPROX_TOP_COUNT" =>
           require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
           require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,

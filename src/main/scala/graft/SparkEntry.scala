@@ -1398,6 +1398,17 @@ object SparkEntry {
           |WHERE p0.token = 'slow'
           |GROUP BY p0.doc_id ORDER BY doc_id""".stripMargin)
     }),
+    // A44b: SEARCH-style ALL-terms containment answered from the
+    // postings alone (searchFromPostings — one Σdf-row pass, one
+    // exchange, corpus untouched); DuckDB replays tokenize +
+    // distinct-term coverage directly
+    "search_index_terms" -> ((s, d) => {
+      val postings = graft.operators.InvertedIndex.positionalPostings(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.operators.InvertedIndex.searchFromPostings(
+          postings, Seq("slow", "fast", "the"))
+        .orderBy("doc_id")
+    }),
 
     // E24: trainless signed-feature-hashing text embeddings — the
     // engine-native embedder that closes the documents→vectors loop
@@ -1735,7 +1746,8 @@ object SparkEntry {
           |  CAST(EDIT_DISTANCE(event_type, 'click', max_distance => 3) AS INT64) AS ed3,
           |  CAST(ARRAY_LENGTH(SPLIT(event_type || '|x.y|z', '|')) AS INT64) AS n_parts,
           |  ARRAY_LAST(SPLIT(event_type || '|x.y|z', '.')) AS last_dot,
-          |  CONTAINS_SUBSTR(event_type, 'IC') AS has_ic
+          |  CONTAINS_SUBSTR(event_type, 'IC') AS has_ic,
+          |  RANGE_BUCKET(LENGTH(event_type), [3, 5, 6]) AS len_bucket
           |FROM bqf2_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
@@ -3531,7 +3543,8 @@ object SparkEntry {
           |  CAST(least(levenshtein(event_type, 'click'), 3) AS BIGINT) AS ed3,
           |  CAST(len(string_split(event_type || '|x.y|z', '|')) AS BIGINT) AS n_parts,
           |  (string_split(event_type || '|x.y|z', '.'))[-1] AS last_dot,
-          |  instr(lower(event_type), 'ic') > 0 AS has_ic
+          |  instr(lower(event_type), 'ic') > 0 AS has_ic,
+          |  CAST(len(list_filter([3, 5, 6], z -> z <= len(event_type))) AS BIGINT) AS len_bucket
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the star-modifier face replays as the explicit projection the
       // modifiers denote — column set and replacement values, not text
@@ -3714,6 +3727,14 @@ object SparkEntry {
           |        ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos)
           |SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // indexed all-terms containment ≡ tokenize + distinct-coverage
+      "search_index_terms" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          |  FROM documents),
+          |hit AS (SELECT doc_id, COUNT(DISTINCT token) AS nt
+          |        FROM toks WHERE token IN ('slow', 'fast', 'the') GROUP BY doc_id)
+          |SELECT doc_id FROM hit WHERE nt = 3 ORDER BY doc_id""".stripMargin,
       // the whole retrieval pipeline in one replay: embed (the
       // text_embed CTEs, densified to per-doc lists) then the D1
       // cosine ranking

@@ -134,6 +134,34 @@ object InvertedIndex {
       .agg(F.count(F.lit(1)).as("n_hits"), F.min("pos").as("first_pos"))
   }
 
+  /** SEARCH-style ALL-terms containment over an EXISTING postings
+    * table ([[positionalPostings]] — the A44 index): the doc_ids whose
+    * token set covers every query term. One pass over Σ df(term)
+    * posting rows and ONE exchange — filter to the query's terms,
+    * distinct (doc, term), count per doc, keep full coverage; the
+    * corpus is never touched, and a token-partitioned postings layout
+    * prunes the scan to the terms' own files. Terms must be
+    * tokenizer-normal (the [[phraseOccurrences]] louds). Stated
+    * divergence: the index tokenizer is whitespace ([[graft.functions.text.tokens]]),
+    * not B31 SEARCH()'s ASCII-run analyzer — punctuation-adjacent
+    * terms differ between the scan function and the indexed route.
+    */
+  def searchFromPostings(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val distinct = terms.distinct
+    distinct.foreach { t =>
+      require(t.nonEmpty && !t.exists(_.isWhitespace),
+        s"search terms are single tokens, got '$t' — split the query into words")
+      require(t == t.toLowerCase(java.util.Locale.ROOT),
+        s"search terms must be lowercase (the tokenizer lowercases), got '$t'")
+    }
+    postings.filter(F.col("token").isin(distinct: _*))
+      .select("doc_id", "token").distinct()
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("__n_terms"))
+      .filter(F.col("__n_terms") === distinct.size)
+      .select("doc_id")
+  }
+
   /** TF-IDF weights per (doc, token): tf · ln((N+1)/(df+1)). N comes in
     * as an argument so callers amortize the corpus count.
     *

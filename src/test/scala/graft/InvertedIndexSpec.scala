@@ -73,6 +73,26 @@ class InvertedIndexSpec extends SparkSuite {
     assert(fromIdx == direct && fromIdx.nonEmpty)
   }
 
+  test("searchFromPostings: all-terms containment equals the direct token-set recompute") {
+    val pd = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog"),
+      (3L, "cat mat"),
+      (4L, "the cat mat and more")).toDF("doc_id", "text")
+    val postings = InvertedIndex.positionalPostings(pd, "doc_id", "text")
+    def got(terms: String*) =
+      InvertedIndex.searchFromPostings(postings, terms)
+        .collect().map(_.getLong(0)).toSet
+    assert(got("the", "cat", "mat") == Set(1L, 4L))
+    assert(got("cat") == Set(1L, 3L, 4L))
+    // duplicate query terms collapse (containment, not counting)
+    assert(got("the", "the", "dog") == Set(2L))
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.searchFromPostings(postings, Seq("The"))
+    }
+    assert(e.getMessage.contains("lowercase"))
+  }
+
   test("phraseOccurrences: single corpus pass — the token scan appears once in the plan") {
     val pd = Seq((1L, "x y z x y")).toDF("doc_id", "text")
     val plan = InvertedIndex.phraseOccurrences(pd, "doc_id", "text", Seq("x", "y"))

@@ -1382,6 +1382,27 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("SELECT APPROX_QUANTILES(DISTINCT x, 2) AS q FROM ap_t").contains("deduplicate"))
   }
 
+  test("GraftSql RANGE_BUCKET: boundary count semantics, literal arrays, NULL point") {
+    import spark.implicits._
+    Seq((0, 5), (1, 10), (2, 25), (3, 35), (4, 9)).toDF("i", "x")
+      .createOrReplaceTempView("rb_t")
+    // below-first → 0; on a boundary → next bucket (half-open rule);
+    // past-last → array length
+    val r = GraftSql.load(spark,
+      "SELECT i, RANGE_BUCKET(x, [10, 20, 30]) AS b FROM rb_t ORDER BY i")
+      .collect().map(_.getLong(1)).toSeq
+    assert(r == Seq(0L, 1L, 2L, 3L, 0L))
+    // NULL point → NULL; expression arrays work too
+    val n = GraftSql.load(spark,
+      "SELECT RANGE_BUCKET(CAST(NULL AS INT), [1, 2]) AS b, " +
+        "RANGE_BUCKET(15, array(10, 20)) AS b2").collect().head
+    assert(n.isNullAt(0) && n.getLong(1) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT RANGE_BUCKET(x) AS b FROM rb_t")
+    }
+    assert(e.getMessage.contains("boundaries"))
+  }
+
   test("GraftSql HLL_COUNT family: partial sketches merge exactly in the sparse regime, louds") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (4L, "b"), (5L, "b"))
