@@ -235,6 +235,33 @@ class VersionedSpec extends SparkSuite {
     Versioned.unregister(spark, "chg_t")
   }
 
+  test("CDC consumer: APPENDS deltas fold into an incremental MV, equals snapshot recompute") {
+    // the A45×A31 composition — the 100 TB consumer shape: each
+    // catch-up reads O(changed bytes) from the commit log and folds
+    // it into O(keys) state; the table is never re-scanned
+    val t = table()
+    def df(rows: (String, Long)*) = rows.toDF("g", "x")
+    Versioned.append(df(("a", 1L), ("b", 2L)), t, Some(1000L))
+    def appendsAfter(us: Long) =
+      Versioned.appendsBetween(spark, t, Some(us), None)
+        .drop("_change_type", "_change_timestamp")
+    appendsAfter(0L).createOrReplaceTempView("cdc_seed")
+    GraftSql.load(spark,
+      "CREATE MATERIALIZED VIEW cdc_mv AS " +
+        "SELECT g, SUM(x) AS sx, COUNT(*) AS n FROM cdc_seed GROUP BY g")
+    // two commits land past the consumer's cursor; one catch-up folds both
+    Versioned.append(df(("a", 10L), ("c", 5L)), t, Some(2000L))
+    Versioned.append(df(("b", 100L)), t, Some(3000L))
+    GraftSql.refreshMaterialized(spark, "cdc_mv", appendsAfter(1001L))
+    val got = spark.table("cdc_mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Versioned.read(spark, t).groupBy("g")
+      .agg(F.sum("x").as("sx"), F.count(F.lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got == Set(("a", 11L, 2L), ("b", 102L, 2L), ("c", 5L, 1L)))
+    GraftSql.load(spark, "DROP MATERIALIZED VIEW cdc_mv")
+  }
+
   test("two racing committers: exactly one wins the manifest; the loser's debris is swept") {
     val t = table()
     Versioned.append(Seq((0L, "seed")).toDF("id", "v"), t, Some(1000L))
