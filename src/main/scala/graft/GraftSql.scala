@@ -1069,6 +1069,8 @@ object GraftSql {
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
       "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
+      "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
+      "TO_BASE64", "FROM_BASE64",
       "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
       "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
@@ -1391,6 +1393,41 @@ object GraftSql {
             s"array(${arr0.substring(1, arr0.length - 1)})" else s"(${arr0})"
           Some(s"(CASE WHEN (${args(0)}) IS NULL THEN CAST(NULL AS BIGINT) " +
             s"ELSE CAST(size(filter($arr, __rb -> __rb <= (${args(0)}))) AS BIGINT) END)")
+        // BigQuery's hash/encoding family — the fingerprint idiom
+        // (TO_HEX(MD5(x)) dedup keys, base64 payloads). BigQuery's
+        // digests return BYTES where Spark's return hex STRINGS, so
+        // the digests unhex their way back to bytes (BigQuery
+        // semantics win at this entry point, the SPLIT precedent);
+        // MD5/SHA1 route through registry functions because a textual
+        // unhex(md5(...)) would re-match its own self-named inner
+        // call on the next fixpoint pass; TO_HEX is lowercase
+        // (Spark's hex() is upper); FROM_HEX left-pads odd-length
+        // input with '0' (BigQuery's rule — Spark's unhex NULLs it).
+        case "MD5" =>
+          require(args.size == 1, "MD5 takes (input)")
+          Some(s"graft_md5_bytes((${args(0)}))")
+        case "SHA1" =>
+          require(args.size == 1, "SHA1 takes (input)")
+          Some(s"graft_sha1_bytes((${args(0)}))")
+        case "SHA256" =>
+          require(args.size == 1, "SHA256 takes (input)")
+          Some(s"unhex(sha2((${args(0)}), 256))")
+        case "SHA512" =>
+          require(args.size == 1, "SHA512 takes (input)")
+          Some(s"unhex(sha2((${args(0)}), 512))")
+        case "TO_HEX" =>
+          require(args.size == 1, "TO_HEX takes (bytes)")
+          Some(s"lower(hex((${args(0)})))")
+        case "FROM_HEX" =>
+          require(args.size == 1, "FROM_HEX takes (hex_string)")
+          val a = args(0)
+          Some(s"unhex(CASE WHEN length(($a)) % 2 = 1 THEN concat('0', ($a)) ELSE ($a) END)")
+        case "TO_BASE64" =>
+          require(args.size == 1, "TO_BASE64 takes (bytes)")
+          Some(s"base64((${args(0)}))")
+        case "FROM_BASE64" =>
+          require(args.size == 1, "FROM_BASE64 takes (string)")
+          Some(s"unbase64((${args(0)}))")
         case "APPROX_TOP_COUNT" =>
           require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
           require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,

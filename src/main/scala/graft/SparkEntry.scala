@@ -1797,6 +1797,26 @@ object SparkEntry {
           |ORDER BY event_type, q_idx""".stripMargin)
     }),
 
+    // B45: BigQuery's hash/encoding family — the fingerprint idiom
+    // (TO_HEX(MD5(x)) dedup keys, base64 payloads): digests are BYTES
+    // in BigQuery (mapped through unhex — the dialect divergence that
+    // silently breaks a migrated script), TO_HEX lowercase, FROM_HEX
+    // left-pads odd-length, base64 round trip. DuckDB replays with its
+    // own md5/sha256/base64/from_hex — the hash gates byte-for-byte
+    // digest identity through the BYTES↔hex↔base64 conversions
+    "q_bq_functions3" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("bqf3_events")
+      graft.GraftSql.load(s,
+        """SELECT event_type,
+          |  TO_HEX(MD5(event_type)) AS md5_hex,
+          |  TO_HEX(SHA256(event_type)) AS sha_hex,
+          |  TO_BASE64(MD5(event_type)) AS md5_b64,
+          |  TO_HEX(FROM_BASE64(TO_BASE64(SHA256(event_type)))) AS rt_hex,
+          |  TO_HEX(FROM_HEX('abc')) AS padded,
+          |  COUNT(*) AS n
+          |FROM bqf3_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // B44: BigQuery's HLL_COUNT sketch family — partial sketches per
     // (event_type, day), re-aggregated by MERGE, with the
     // MERGE_PARTIAL→EXTRACT composition as a second column (the two
@@ -3342,6 +3362,17 @@ object SparkEntry {
           |SELECT event_type, CAST(i - 1 AS INT) AS q_idx, qs[i] AS v
           |FROM g, UNNEST(generate_series(1, len(qs))) AS u(i)
           |ORDER BY event_type, q_idx""".stripMargin,
+      // the hash/encoding family: DuckDB's own digests replay the
+      // BYTES↔hex↔base64 pipeline
+      "q_bq_functions3" ->
+        """SELECT event_type,
+          |  md5(event_type) AS md5_hex,
+          |  sha256(event_type) AS sha_hex,
+          |  base64(from_hex(md5(event_type))) AS md5_b64,
+          |  sha256(event_type) AS rt_hex,
+          |  '0abc' AS padded,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // HLL_COUNT driven in the sketch's exact regime: both routes
       // (MERGE; MERGE_PARTIAL→EXTRACT) replay as the true distinct
       "q_hll_sketch" ->

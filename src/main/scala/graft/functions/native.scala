@@ -1570,6 +1570,18 @@ object native {
       es => { arity("graft_normalize", es, 2)
         NormalizeText(es.head,
           constStr("graft_normalize", es, 1).toUpperCase(java.util.Locale.ROOT)) }),
+    // BigQuery's BYTES digests for the GraftSql MD5/SHA1 rewrites —
+    // registry-routed (not textual unhex(md5(...))) because the
+    // dialect scanner would re-match the self-named inner call on its
+    // next fixpoint pass and wrap it again
+    ("graft_md5_bytes", "graft_md5_bytes(x) - MD5 digest as BYTES (BigQuery MD5)",
+      es => { arity("graft_md5_bytes", es, 1)
+        org.apache.spark.sql.catalyst.expressions.Unhex(
+          org.apache.spark.sql.catalyst.expressions.Md5(es.head)) }),
+    ("graft_sha1_bytes", "graft_sha1_bytes(x) - SHA1 digest as BYTES (BigQuery SHA1)",
+      es => { arity("graft_sha1_bytes", es, 1)
+        org.apache.spark.sql.catalyst.expressions.Unhex(
+          org.apache.spark.sql.catalyst.expressions.Sha1(es.head)) }),
     // registered under BigQuery's own name so migrating WHERE
     // SEARCH(col, 'terms') text runs verbatim
     ("search", "search(data, query) - BigQuery SEARCH: all query tokens appear in data",

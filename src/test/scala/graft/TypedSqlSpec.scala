@@ -1382,6 +1382,27 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("SELECT APPROX_QUANTILES(DISTINCT x, 2) AS q FROM ap_t").contains("deduplicate"))
   }
 
+  test("GraftSql hash/encoding family: BYTES digests, lowercase TO_HEX, FROM_HEX padding, base64") {
+    val r = GraftSql.load(spark,
+      "SELECT MD5('abc') AS m, TO_HEX(MD5('abc')) AS mh, TO_HEX(SHA1('abc')) AS s1, " +
+        "TO_HEX(SHA256('abc')) AS s2, TO_HEX(FROM_HEX('abc')) AS pad, " +
+        "FROM_BASE64(TO_BASE64(MD5('abc'))) AS rt, TO_BASE64(MD5('abc')) AS b64")
+      .collect().head
+    // BigQuery MD5 returns BYTES (16 of them), not Spark's hex string
+    assert(r.getAs[Array[Byte]]("m").length == 16)
+    assert(r.getAs[String]("mh") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getAs[String]("s1") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getAs[String]("s2") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getAs[String]("pad") == "0abc") // odd-length left-pads, BigQuery's rule
+    assert(r.getAs[Array[Byte]]("rt").toSeq == r.getAs[Array[Byte]]("m").toSeq)
+    assert(r.getAs[String]("b64") == "kAFQmDzST7DWlj99KOF/cg==")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT MD5('a', 'b') AS m")
+    }
+    assert(e.getMessage.contains("MD5 takes"))
+  }
+
   test("GraftSql RANGE_BUCKET: boundary count semantics, literal arrays, NULL point") {
     import spark.implicits._
     Seq((0, 5), (1, 10), (2, 25), (3, 35), (4, 9)).toDF("i", "x")
