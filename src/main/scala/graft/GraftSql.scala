@@ -1071,6 +1071,12 @@ object GraftSql {
       "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
+      "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
+      "KLL_QUANTILES.MERGE_PARTIAL",
+      "KLL_QUANTILES.MERGE_POINT_INT64", "KLL_QUANTILES.MERGE_POINT_FLOAT64",
+      "KLL_QUANTILES.EXTRACT_POINT_INT64", "KLL_QUANTILES.EXTRACT_POINT_FLOAT64",
+      "KLL_QUANTILES.MERGE_INT64", "KLL_QUANTILES.MERGE_FLOAT64",
+      "KLL_QUANTILES.EXTRACT_INT64", "KLL_QUANTILES.EXTRACT_FLOAT64",
       "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
       "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
@@ -1428,6 +1434,48 @@ object GraftSql {
         case "FROM_BASE64" =>
           require(args.size == 1, "FROM_BASE64 takes (string)")
           Some(s"unbase64((${args(0)}))")
+        // BigQuery's KLL_QUANTILES sketch family (kll.scala — the
+        // quantile analogue of HLL_COUNT): typed INIT → sketch BYTES,
+        // MERGE_PARTIAL re-aggregation, POINT/array reads; the
+        // MERGE_* read forms are EXTRACT over a MERGE_PARTIAL.
+        case n if n.startsWith("KLL_QUANTILES.") =>
+          val verb = n.stripPrefix("KLL_QUANTILES.")
+          def one(what: String) = {
+            require(args.size == 1, s"KLL_QUANTILES.$what takes (sketch)"); s"(${args(0)})"
+          }
+          def two(what: String) = {
+            require(args.size == 2, s"KLL_QUANTILES.$what takes (sketch, ${
+              if (what.contains("POINT")) "phi" else "n"})")
+            (s"(${args(0)})", s"(${args(1)})")
+          }
+          verb match {
+            case "INIT_INT64" | "INIT_FLOAT64" =>
+              require(args.size == 1 || args.size == 2,
+                s"KLL_QUANTILES.$verb takes (value [, precision])")
+              val t = if (verb == "INIT_INT64") "int64" else "float64"
+              Some(s"graft_kll_init_$t(${args.map(a => s"($a)").mkString(", ")})")
+            case "MERGE_PARTIAL" =>
+              Some(s"graft_kll_merge_partial(${one("MERGE_PARTIAL")})")
+            case "EXTRACT_POINT_INT64" | "EXTRACT_POINT_FLOAT64" =>
+              val (s1, s2) = two(verb)
+              val t = if (verb.endsWith("INT64")) "int64" else "float64"
+              Some(s"graft_kll_extract_point_$t($s1, $s2)")
+            case "EXTRACT_INT64" | "EXTRACT_FLOAT64" =>
+              val (s1, s2) = two(verb)
+              val t = if (verb.endsWith("INT64")) "int64" else "float64"
+              Some(s"graft_kll_extract_$t($s1, $s2)")
+            case "MERGE_POINT_INT64" | "MERGE_POINT_FLOAT64" =>
+              val (s1, s2) = two(verb)
+              val t = if (verb.endsWith("INT64")) "int64" else "float64"
+              Some(s"graft_kll_extract_point_$t(graft_kll_merge_partial($s1), $s2)")
+            case "MERGE_INT64" | "MERGE_FLOAT64" =>
+              val (s1, s2) = two(verb)
+              val t = if (verb.endsWith("INT64")) "int64" else "float64"
+              Some(s"graft_kll_extract_$t(graft_kll_merge_partial($s1), $s2)")
+            case other => throw new IllegalArgumentException(
+              s"KLL_QUANTILES.$other is not supported (have INIT/MERGE_PARTIAL/" +
+                "MERGE_POINT/EXTRACT_POINT/MERGE/EXTRACT in _INT64/_FLOAT64 forms)")
+          }
         case "APPROX_TOP_COUNT" =>
           require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
           require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,

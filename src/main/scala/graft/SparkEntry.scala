@@ -1797,6 +1797,30 @@ object SparkEntry {
           |ORDER BY event_type, q_idx""".stripMargin)
     }),
 
+    // B46: BigQuery's KLL_QUANTILES sketch family — the quantile
+    // analogue of B44's HLL_COUNT and the other half of the
+    // pre-aggregation pattern: per-(event_type, day) INIT partials,
+    // re-aggregated per event_type by MERGE_POINT at three fractions.
+    // Driven in the GK summary's EXACT regime (precision 10000 ≫
+    // group sizes at the gate scale keeps every sample with g=1
+    // through both the partial build AND the merge), so DuckDB's
+    // quantile_disc replay hash-gates the typed INIT → shuffle →
+    // MERGE_PARTIAL → query pipeline and the mergeability law itself;
+    // genuinely approximate regimes keep B11's declared treatment
+    "q_kll_sketch" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("kll_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+          |         KLL_QUANTILES.INIT_INT64(user_id % 97, 10000) AS sk
+          |  FROM kll_events GROUP BY event_type, CAST(date_trunc('DAY', ts) AS DATE))
+          |SELECT event_type,
+          |       KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.25) AS p25,
+          |       KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.5) AS p50,
+          |       KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.9) AS p90
+          |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // B45: BigQuery's hash/encoding family — the fingerprint idiom
     // (TO_HEX(MD5(x)) dedup keys, base64 payloads): digests are BYTES
     // in BigQuery (mapped through unhex — the dialect divergence that
@@ -3362,6 +3386,14 @@ object SparkEntry {
           |SELECT event_type, CAST(i - 1 AS INT) AS q_idx, qs[i] AS v
           |FROM g, UNNEST(generate_series(1, len(qs))) AS u(i)
           |ORDER BY event_type, q_idx""".stripMargin,
+      // KLL in the exact regime: partial-build + merge keep every
+      // sample, so the pipeline replays as plain discrete quantiles
+      "q_kll_sketch" ->
+        """SELECT event_type,
+          |  CAST(quantile_disc(user_id % 97, 0.25) AS BIGINT) AS p25,
+          |  CAST(quantile_disc(user_id % 97, 0.5) AS BIGINT) AS p50,
+          |  CAST(quantile_disc(user_id % 97, 0.9) AS BIGINT) AS p90
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the hash/encoding family: DuckDB's own digests replay the
       // BYTES↔hex↔base64 pipeline
       "q_bq_functions3" ->

@@ -1582,6 +1582,40 @@ object native {
       es => { arity("graft_sha1_bytes", es, 1)
         org.apache.spark.sql.catalyst.expressions.Unhex(
           org.apache.spark.sql.catalyst.expressions.Sha1(es.head)) }),
+    // the KLL_QUANTILES family (kll.scala) — registry-routed for the
+    // same reason as the digests: the dialect scanner must not
+    // re-match rewritten output
+    ("graft_kll_init_int64",
+      "graft_kll_init_int64(x[, k]) - mergeable quantile sketch of int64s (KLL_QUANTILES.INIT_INT64)",
+      es => { require(es.length == 1 || es.length == 2,
+          s"graft_kll_init_int64 expects (x[, precision]), got ${es.length} arguments")
+        KllInitAgg(es.head,
+          if (es.length == 2) constInt("graft_kll_init_int64", es, 1) else 1000, asLong = true) }),
+    ("graft_kll_init_float64",
+      "graft_kll_init_float64(x[, k]) - mergeable quantile sketch of doubles (KLL_QUANTILES.INIT_FLOAT64)",
+      es => { require(es.length == 1 || es.length == 2,
+          s"graft_kll_init_float64 expects (x[, precision]), got ${es.length} arguments")
+        KllInitAgg(es.head,
+          if (es.length == 2) constInt("graft_kll_init_float64", es, 1) else 1000, asLong = false) }),
+    ("graft_kll_merge_partial",
+      "graft_kll_merge_partial(sketch) - merge serialized quantile sketches (KLL_QUANTILES.MERGE_PARTIAL)",
+      es => { arity("graft_kll_merge_partial", es, 1); KllMergePartialAgg(es.head) }),
+    ("graft_kll_extract_point_int64",
+      "graft_kll_extract_point_int64(sketch, phi) - value at rank fraction phi (KLL_QUANTILES.EXTRACT_POINT_INT64)",
+      es => { arity("graft_kll_extract_point_int64", es, 2)
+        KllExtractPoint(es.head, es(1), asLong = true) }),
+    ("graft_kll_extract_point_float64",
+      "graft_kll_extract_point_float64(sketch, phi) - value at rank fraction phi (KLL_QUANTILES.EXTRACT_POINT_FLOAT64)",
+      es => { arity("graft_kll_extract_point_float64", es, 2)
+        KllExtractPoint(es.head, es(1), asLong = false) }),
+    ("graft_kll_extract_int64",
+      "graft_kll_extract_int64(sketch, n) - n+1 evenly spaced quantiles (KLL_QUANTILES.EXTRACT_INT64)",
+      es => { arity("graft_kll_extract_int64", es, 2)
+        KllExtractArray(es.head, es(1), asLong = true) }),
+    ("graft_kll_extract_float64",
+      "graft_kll_extract_float64(sketch, n) - n+1 evenly spaced quantiles (KLL_QUANTILES.EXTRACT_FLOAT64)",
+      es => { arity("graft_kll_extract_float64", es, 2)
+        KllExtractArray(es.head, es(1), asLong = false) }),
     // registered under BigQuery's own name so migrating WHERE
     // SEARCH(col, 'terms') text runs verbatim
     ("search", "search(data, query) - BigQuery SEARCH: all query tokens appear in data",

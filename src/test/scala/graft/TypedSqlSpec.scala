@@ -1403,6 +1403,52 @@ class TypedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("MD5 takes"))
   }
 
+  test("GraftSql KLL_QUANTILES family: typed sketches, partial-merge law, point/array reads, louds") {
+    import spark.implicits._
+    Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 6L), (1, 7L))
+      .toDF("g", "x").createOrReplaceTempView("kll_t")
+    // per-group INIT, then the merge law: reading the merged partials
+    // equals reading the union (exact regime — every sample kept)
+    val m = GraftSql.load(spark,
+      """WITH p AS (SELECT g, KLL_QUANTILES.INIT_INT64(x, 1000) AS sk FROM kll_t GROUP BY g)
+        |SELECT KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.5) AS med,
+        |       KLL_QUANTILES.EXTRACT_POINT_INT64(KLL_QUANTILES.MERGE_PARTIAL(sk), 0) AS lo,
+        |       KLL_QUANTILES.MERGE_INT64(sk, 2) AS qs FROM p""".stripMargin)
+      .collect().head
+    assert(m.getLong(0) == 4L && m.getLong(1) == 1L)
+    assert(m.getSeq[Long](2) == Seq(1L, 4L, 7L))
+    // per-group point reads straight off the INIT sketch
+    val per = GraftSql.load(spark,
+      """WITH p AS (SELECT g, KLL_QUANTILES.INIT_INT64(x) AS sk FROM kll_t GROUP BY g)
+        |SELECT g, KLL_QUANTILES.EXTRACT_POINT_INT64(sk, 1e0) AS mx FROM p ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(per == Seq((0, 3L), (1, 7L)))
+    // FLOAT64 route returns doubles
+    val f = GraftSql.load(spark,
+      """SELECT KLL_QUANTILES.EXTRACT_POINT_FLOAT64(
+        |  KLL_QUANTILES.INIT_FLOAT64(x / 2), 0.5) AS med FROM kll_t""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(f == 2.0)
+    // louds: typed sketches don't cross-read, precision range, verbs
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    val mism = intercept[Exception] {
+      GraftSql.load(spark,
+        """SELECT KLL_QUANTILES.EXTRACT_POINT_FLOAT64(
+          |  KLL_QUANTILES.INIT_INT64(x), 0.5) AS v FROM kll_t""".stripMargin).collect()
+    }
+    assert(root(mism).getMessage.contains("typed"))
+    val prec = intercept[Exception] {
+      GraftSql.load(spark, "SELECT KLL_QUANTILES.INIT_INT64(x, 7) AS s FROM kll_t").collect()
+    }
+    assert(root(prec).getMessage.contains("16..65536"))
+    // an unknown verb never matches the rewrite names and fails TYPED
+    // at analysis (unresolved function naming the spelling)
+    val verb = intercept[org.apache.spark.sql.AnalysisException] {
+      GraftSql.load(spark, "SELECT KLL_QUANTILES.FROBNICATE(x) AS s FROM kll_t")
+    }
+    assert(verb.getMessage.toUpperCase.contains("FROBNICATE"))
+  }
+
   test("GraftSql RANGE_BUCKET: boundary count semantics, literal arrays, NULL point") {
     import spark.implicits._
     Seq((0, 5), (1, 10), (2, 25), (3, 35), (4, 9)).toDF("i", "x")
