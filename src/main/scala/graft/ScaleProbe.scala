@@ -243,7 +243,7 @@ object ScaleProbe {
       // spec-pinned, not a growth slope)
       "q_json_array", "q_date_spine", "q_bq_functions", "sql_merge_conditional",
       "sql_partition_ddl", "sql_appends", "sql_changes", "sql_search_index",
-      "q_hll_sketch",
+      "q_hll_sketch", "q_kll_sketch", "q_bq_functions3",
       // round-8 late additions: learned clustering (iters × one
       // corpus pass each), positional phrase matching (token stream
       // filtered to the phrase's terms before any shuffle), and the
