@@ -192,6 +192,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(1500))
   }
 
+  test("q_kll_sketch aggregates two-phase: summary-sized partials cross the exchange, not rows") {
+    val df = SparkEntry.queries("q_kll_sketch")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    // the KLL INIT is a TypedImperativeAggregate: ObjectHashAggregate
+    // runs partial (map-side) and final around each exchange, so what
+    // shuffles is O(k·log n) sketch entries per group — never values;
+    // the same shape carries MERGE_PARTIAL's second-level aggregation
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("partial_kllinitagg") || p.contains("kllinitagg"), p.take(1500))
+    assert(p.contains("kllmergepartialagg"), p.take(1500))
+  }
+
   test("dedup_text_droplist_exact folds the LSH branch away: only the hash collapse executes") {
     val df = SparkEntry.queries("dedup_text_droplist_exact")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
