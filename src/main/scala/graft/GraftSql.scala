@@ -1071,6 +1071,7 @@ object GraftSql {
       "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
+      "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
       "KLL_QUANTILES.MERGE_POINT_INT64", "KLL_QUANTILES.MERGE_POINT_FLOAT64",
@@ -1434,6 +1435,23 @@ object GraftSql {
         case "FROM_BASE64" =>
           require(args.size == 1, "FROM_BASE64 takes (string)")
           Some(s"unbase64((${args(0)}))")
+        // BigQuery's NET family, the URL-curation SQL spellings:
+        // NET.HOST is a best-effort RFC-3986 host extraction
+        // (optional scheme or //, userinfo and port stripped,
+        // lowercased — the U1 normalize convention); the registrable-
+        // domain pair needs the public-suffix list, a versioned
+        // external artifact this engine deliberately does not embed
+        // (Url.domainOf's stated trade) — loud with the route.
+        case "NET.HOST" =>
+          require(args.size == 1, "NET.HOST takes (url)")
+          val u = s"(${args(0)})"
+          Some(s"nullif(lower(regexp_extract(trim($u), " +
+            "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')")
+        case "NET.REG_DOMAIN" | "NET.PUBLIC_SUFFIX" =>
+          throw new IllegalArgumentException(
+            s"$name needs the public-suffix list — a versioned external artifact this " +
+              "engine does not embed (the Url.domainOf trade, stated there); extract the " +
+              "host with NET.HOST and apply your suffix list on top")
         // BigQuery's KLL_QUANTILES sketch family (kll.scala — the
         // quantile analogue of HLL_COUNT): typed INIT → sketch BYTES,
         // MERGE_PARTIAL re-aggregation, POINT/array reads; the

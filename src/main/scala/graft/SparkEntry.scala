@@ -1837,6 +1837,7 @@ object SparkEntry {
           |  TO_BASE64(MD5(event_type)) AS md5_b64,
           |  TO_HEX(FROM_BASE64(TO_BASE64(SHA256(event_type)))) AS rt_hex,
           |  TO_HEX(FROM_HEX('abc')) AS padded,
+          |  NET.HOST('https://U@' || event_type || '.Example.COM:8080/p?q=1') AS host,
           |  COUNT(*) AS n
           |FROM bqf3_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
@@ -3403,6 +3404,7 @@ object SparkEntry {
           |  base64(from_hex(md5(event_type))) AS md5_b64,
           |  sha256(event_type) AS rt_hex,
           |  '0abc' AS padded,
+          |  lower(event_type || '.example.com') AS host,
           |  COUNT(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // HLL_COUNT driven in the sketch's exact regime: both routes

@@ -1403,6 +1403,24 @@ class TypedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("MD5 takes"))
   }
 
+  test("GraftSql NET.HOST: best-effort host extraction; REG_DOMAIN loud with the suffix-list route") {
+    val r = GraftSql.load(spark,
+      "SELECT NET.HOST('https://User@Sub.Example.COM:8080/p?q=1') AS a, " +
+        "NET.HOST('//example.com/path') AS b, " +
+        "NET.HOST('www.example.com/path') AS c, " +
+        "NET.HOST('mailto:person@example.org') AS d, " +
+        "NET.HOST('') AS e").collect().head
+    assert(r.getString(0) == "sub.example.com")
+    assert(r.getString(1) == "example.com")
+    assert(r.getString(2) == "www.example.com")
+    assert(r.getString(3) == "example.org")
+    assert(r.isNullAt(4))
+    val loud = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT NET.REG_DOMAIN('http://a.example.co.uk') AS d")
+    }
+    assert(loud.getMessage.contains("public-suffix"))
+  }
+
   test("GraftSql KLL_QUANTILES family: typed sketches, partial-merge law, point/array reads, louds") {
     import spark.implicits._
     Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 6L), (1, 7L))
