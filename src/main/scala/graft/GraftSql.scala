@@ -77,10 +77,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteUnnest(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteUnnest(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteChangeTvf(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -3791,6 +3791,170 @@ object GraftSql {
     graft.operators.Similarity.vectorSearch(
       spark.table(strip(tables.head)), baseCol,
       spark.table(strip(tables(1))), queryCol, topK, distance)
+  }
+
+  // ── BigQuery ARRAY(SELECT ...) subqueries over UNNEST ────────────
+  //
+  // THE BigQuery array-manipulation idiom — `ARRAY(SELECT f(x) FROM
+  // UNNEST(arr) AS x WHERE p(x) [ORDER BY x])` — rewritten to the
+  // higher-order-function pipeline it denotes: filter → array_sort →
+  // transform (→ array_distinct), which stays a per-row map (no
+  // Generate, no join — the 100 TB shape: element pipelines never
+  // leave the row). Scope and louds:
+  //  - FROM must be UNNEST(expr) with an alias (a table there is a
+  //    real correlated subquery — loud with the join route);
+  //  - ORDER BY supports the bare element (ASC/DESC) — sorting
+  //    happens BEFORE the transform so output order follows the
+  //    element, SQL's scoping;
+  //  - WITH OFFSET binds ORIGINAL positions, so it composes with the
+  //    transform's (x, i) lambda but not with WHERE (filtering would
+  //    renumber — loud) or ORDER BY;
+  //  - DISTINCT applies after the transform; DISTINCT + ORDER BY is
+  //    loud (sort-then-dedup would not preserve the requested order).
+  // Nested ARRAY(SELECT ...) handles recursively. Lambda bodies may
+  // reference outer row columns, as BigQuery's do.
+
+  private[graft] def rewriteArraySubquery(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if (upper.startsWith("ARRAY", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1)))) {
+        var p = i + 5
+        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+        if (p < sql.length && sql.charAt(p) == '(') {
+          var q = p + 1
+          while (q < sql.length && Character.isWhitespace(sql.charAt(q))) q += 1
+          if (upper.startsWith("SELECT", q)) {
+            // balanced span of the subquery body
+            var depth = 1; var r = p + 1; var s2 = false
+            while (r < sql.length && depth > 0) {
+              val ch = sql.charAt(r)
+              if (s2) { if (ch == '\'') s2 = false }
+              else if (ch == '\'') s2 = true
+              else if (ch == '(') depth += 1
+              else if (ch == ')') depth -= 1
+              if (depth > 0) r += 1
+            }
+            require(depth == 0, "unbalanced parentheses in ARRAY(SELECT ...)")
+            val repl = arraySubqueryToHof(sql.substring(p + 1, r))
+            return rewriteArraySubquery(sql.substring(0, i) + repl + sql.substring(r + 1))
+          } else i = p
+        } else i = p
+      } else i += 1
+    }
+    sql
+  }
+
+  /** One `SELECT ... FROM UNNEST(...) ...` body → the HOF pipeline. */
+  private def arraySubqueryToHof(body0: String): String = {
+    // nested array subqueries in any piece resolve first
+    val body = rewriteArraySubquery(body0)
+    val upper = body.toUpperCase(java.util.Locale.ROOT)
+    // depth-0, quote-aware keyword find
+    def findTop(kw: String, from: Int): Int = {
+      var i = from; var depth = 0; var s = false
+      def isW(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (c == '\'') s = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && upper.startsWith(kw, i) &&
+          (i == 0 || !isW(body.charAt(i - 1))) &&
+          (i + kw.length >= body.length || !isW(body.charAt(i + kw.length))))
+          return i
+        i += 1
+      }
+      -1
+    }
+    val selAt = findTop("SELECT", 0)
+    require(selAt >= 0, "ARRAY(...) subquery must start with SELECT")
+    var exprStart = selAt + "SELECT".length
+    val distinct = {
+      val t = body.substring(exprStart)
+      val m = """(?is)^\s*DISTINCT\s""".r.findFirstIn(t)
+      m.foreach(s => exprStart += s.length)
+      m.isDefined
+    }
+    val fromAt = findTop("FROM", exprStart)
+    require(fromAt >= 0, "ARRAY(SELECT ...) needs FROM UNNEST(array_expr) AS alias")
+    val expr = body.substring(exprStart, fromAt).trim
+    require(expr != "*", "ARRAY(SELECT * ...) is not supported — name the element")
+    var p = fromAt + 4
+    while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
+    require(upper.startsWith("UNNEST", p),
+      "ARRAY subqueries are supported over UNNEST element pipelines only — a table " +
+        "there is a correlated subquery; compose it as a join + ARRAY_AGG instead")
+    p += "UNNEST".length
+    while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
+    require(p < body.length && body.charAt(p) == '(', "UNNEST needs (array_expr)")
+    var depth = 1; var q = p + 1; var s2 = false
+    while (q < body.length && depth > 0) {
+      val ch = body.charAt(q)
+      if (s2) { if (ch == '\'') s2 = false }
+      else if (ch == '\'') s2 = true
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      if (depth > 0) q += 1
+    }
+    require(depth == 0, "unbalanced parentheses in UNNEST(...)")
+    val arrExpr = body.substring(p + 1, q).trim
+    var rest = body.substring(q + 1)
+    val AliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*""".r
+    val alias = AliasRe.findFirstMatchIn(rest) match {
+      case Some(m) if !Set("WHERE", "ORDER", "WITH").contains(
+          m.group(1).toUpperCase(java.util.Locale.ROOT)) =>
+        rest = rest.substring(m.end); m.group(1)
+      case _ => throw new IllegalArgumentException(
+        "ARRAY(SELECT ... FROM UNNEST(e) AS x): the element alias is required")
+    }
+    val OffsetRe = """(?is)^\s*WITH\s+OFFSET\s+(?:AS\s+)?([A-Za-z_]\w*)\s*""".r
+    val offset = OffsetRe.findFirstMatchIn(rest).map { m => rest = rest.substring(m.end); m.group(1) }
+    val WhereRe = """(?is)^\s*WHERE\s+(.*?)\s*(?=$|ORDER\s+BY\s)""".r
+    val pred = WhereRe.findFirstMatchIn(rest).map { m => rest = rest.substring(m.end); m.group(1) }
+    val OrderRe = """(?is)^\s*ORDER\s+BY\s+([A-Za-z_]\w*)\s*(ASC|DESC)?\s*$""".r
+    val order = OrderRe.findFirstMatchIn(rest).map { m =>
+      rest = rest.substring(m.end)
+      (m.group(1), Option(m.group(2)).forall(_.equalsIgnoreCase("ASC")))
+    }
+    require(rest.trim.isEmpty,
+      s"unsupported trailing clause in ARRAY(SELECT ...): '${rest.trim.take(60)}' " +
+        "(supported: FROM UNNEST(e) AS x [WITH OFFSET AS o] [WHERE p] [ORDER BY x [ASC|DESC]])")
+    offset.foreach { _ =>
+      require(pred.isEmpty && order.isEmpty,
+        "WITH OFFSET binds ORIGINAL array positions — WHERE/ORDER BY would renumber " +
+          "or reorder them; filter or sort on a transformed (value, offset) struct instead")
+    }
+    order.foreach { case (key, _) =>
+      require(key.equalsIgnoreCase(alias),
+        s"ARRAY(SELECT ...) ORDER BY supports the element itself ('$alias'), got '$key'")
+      require(!distinct,
+        "DISTINCT with ORDER BY in an ARRAY subquery is not supported — dedup would " +
+          "not preserve the requested order; sort the array_distinct result instead")
+    }
+    val arr = s"($arrExpr)"
+    val filtered = pred match {
+      case Some(w) => s"filter($arr, $alias -> ($w))"
+      case None => arr
+    }
+    val ordered = order match {
+      case Some((_, asc)) =>
+        if (asc) s"array_sort($filtered)" else s"reverse(array_sort($filtered))"
+      case None => filtered
+    }
+    val mapped = offset match {
+      case Some(o) => s"transform($ordered, ($alias, $o) -> ($expr))"
+      case None => s"transform($ordered, $alias -> ($expr))"
+    }
+    if (distinct) s"array_distinct($mapped)" else mapped
   }
 
   // ── BigQuery change-history TVFs: APPENDS / CHANGES ──────────────

@@ -1797,6 +1797,26 @@ object SparkEntry {
           |ORDER BY event_type, q_idx""".stripMargin)
     }),
 
+    // B47: BigQuery's ARRAY(SELECT ...) subquery idiom — the
+    // filter → sort → transform (→ distinct) element pipeline
+    // rewritten to higher-order functions, so it stays a per-row map:
+    // no Generate, no join, nothing leaves the row. DuckDB replays
+    // with list comprehensions — the hash gates filter semantics,
+    // pre-transform ordering, and the literal-delimiter SPLIT feed
+    "q_array_subquery" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("arrsub_events")
+      graft.GraftSql.load(s,
+        """SELECT DISTINCT event_type,
+          |  ARRAY_TO_STRING(ARRAY(
+          |    SELECT UPPER(p) FROM UNNEST(SPLIT(event_type || '_ab_x_cd', '_')) AS p
+          |    WHERE p <> 'x'), ',') AS parts,
+          |  ARRAY_TO_STRING(ARRAY(
+          |    SELECT CAST(x * x AS STRING)
+          |    FROM UNNEST(GENERATE_ARRAY(1, LENGTH(event_type))) AS x
+          |    WHERE MOD(x, 2) = 1 ORDER BY x DESC), ',') AS odd_sq
+          |FROM arrsub_events ORDER BY event_type""".stripMargin)
+    }),
+
     // B46: BigQuery's KLL_QUANTILES sketch family — the quantile
     // analogue of B44's HLL_COUNT and the other half of the
     // pre-aggregation pattern: per-(event_type, day) INIT partials,
@@ -3387,6 +3407,15 @@ object SparkEntry {
           |SELECT event_type, CAST(i - 1 AS INT) AS q_idx, qs[i] AS v
           |FROM g, UNNEST(generate_series(1, len(qs))) AS u(i)
           |ORDER BY event_type, q_idx""".stripMargin,
+      // the array-subquery pipeline replays as list comprehensions
+      "q_array_subquery" ->
+        """SELECT DISTINCT event_type,
+          |  array_to_string([upper(p) for p in string_split(event_type || '_ab_x_cd', '_')
+          |                   if p <> 'x'], ',') AS parts,
+          |  array_to_string([CAST(x * x AS VARCHAR)
+          |                   for x in list_reverse(generate_series(1, length(event_type)))
+          |                   if x % 2 = 1], ',') AS odd_sq
+          |FROM events ORDER BY event_type""".stripMargin,
       // KLL in the exact regime: partial-build + merge keep every
       // sample, so the pipeline replays as plain discrete quantiles
       "q_kll_sketch" ->

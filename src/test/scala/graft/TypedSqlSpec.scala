@@ -1403,6 +1403,40 @@ class TypedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("MD5 takes"))
   }
 
+  test("GraftSql ARRAY(SELECT ...) subqueries: filter/sort/transform/distinct pipeline, offsets, louds") {
+    import spark.implicits._
+    Seq((1L, Seq(3, 1, 4, 1, 5)), (2L, Seq(2, 7, 2))).toDF("id", "xs")
+      .createOrReplaceTempView("arrsub_t")
+    val r = GraftSql.load(spark,
+      """SELECT id,
+        |  ARRAY(SELECT x * 10 FROM UNNEST(xs) AS x WHERE x > 1) AS big,
+        |  ARRAY(SELECT x FROM UNNEST(xs) AS x ORDER BY x DESC) AS sorted_desc,
+        |  ARRAY(SELECT DISTINCT x + id FROM UNNEST(xs) AS x) AS dis,
+        |  ARRAY(SELECT x * 100 + o FROM UNNEST(xs) AS x WITH OFFSET AS o) AS with_pos
+        |FROM arrsub_t ORDER BY id""".stripMargin).collect()
+    assert(r(0).getSeq[Int](1) == Seq(30, 40, 50))
+    assert(r(0).getSeq[Int](2) == Seq(5, 4, 3, 1, 1))
+    assert(r(0).getSeq[Long](3) == Seq(4L, 2L, 5L, 6L)) // first-seen order, outer column bound
+    assert(r(0).getSeq[Int](4) == Seq(300, 101, 402, 103, 504))
+    assert(r(1).getSeq[Int](1) == Seq(20, 70, 20))
+    // nested subqueries resolve inner-first
+    val n = GraftSql.load(spark,
+      """SELECT ARRAY(SELECT y + 1 FROM UNNEST(
+        |  ARRAY(SELECT x * 2 FROM UNNEST(xs) AS x WHERE x > 3)) AS y) AS nested
+        |FROM arrsub_t WHERE id = 1""".stripMargin).collect().head
+    assert(n.getSeq[Int](0) == Seq(9, 11))
+    // louds: table source, offset+where, distinct+order, foreign sort key
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT ARRAY(SELECT id FROM arrsub_t) AS a").contains("UNNEST"))
+    assert(bad("SELECT ARRAY(SELECT x FROM UNNEST(xs) AS x WITH OFFSET AS o WHERE x > 1) AS a FROM arrsub_t")
+      .contains("ORIGINAL"))
+    assert(bad("SELECT ARRAY(SELECT DISTINCT x FROM UNNEST(xs) AS x ORDER BY x) AS a FROM arrsub_t")
+      .contains("DISTINCT"))
+    assert(bad("SELECT ARRAY(SELECT x FROM UNNEST(xs) AS x ORDER BY id) AS a FROM arrsub_t")
+      .contains("element itself"))
+  }
+
   test("GraftSql NET.HOST: best-effort host extraction; REG_DOMAIN loud with the suffix-list route") {
     val r = GraftSql.load(spark,
       "SELECT NET.HOST('https://User@Sub.Example.COM:8080/p?q=1') AS a, " +
