@@ -77,10 +77,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteUnnest(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteChangeTvf(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -3850,6 +3850,155 @@ object GraftSql {
       } else i += 1
     }
     sql
+  }
+
+  // ── scalar / EXISTS subqueries over UNNEST ───────────────────────
+  //
+  // The companion idiom: `(SELECT COUNT(*) FROM UNNEST(arr) AS x
+  // WHERE p)` and `EXISTS(SELECT 1 FROM UNNEST(arr) AS x WHERE p)` —
+  // again per-row HOFs (size/filter/array_max/exists), never a
+  // Generate or a correlated join. Conservative by design: only a
+  // COUNT/COUNT(*)/MAX/MIN head (or the EXISTS wrapper) rewrites, and
+  // a parenthesized SELECT in FROM/JOIN position is skipped — every
+  // other shape passes through untouched for Catalyst (real scalar
+  // subqueries over TABLES are native Spark and must keep working).
+  // SUM/AVG heads pass through too (their NULL-skipping fold is the
+  // caller's `aggregate(...)` to spell) — Catalyst then fails typed
+  // on the unparseable UNNEST, naming the spot.
+
+  private[graft] def rewriteScalarUnnestSubquery(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    def prevWord(at: Int): String = {
+      var e = at - 1
+      while (e >= 0 && Character.isWhitespace(sql.charAt(e))) e -= 1
+      if (e >= 0 && sql.charAt(e) == ',') return ","
+      val end = e
+      while (e >= 0 && isWord(sql.charAt(e))) e -= 1
+      if (end < 0) "" else upper.substring(e + 1, end + 1)
+    }
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if (c == '(') {
+        var q = i + 1
+        while (q < sql.length && Character.isWhitespace(sql.charAt(q))) q += 1
+        val exists = prevWord(i) == "EXISTS"
+        if (upper.startsWith("SELECT", q) &&
+          (exists || !Set("FROM", "JOIN", "UNNEST").contains(prevWord(i)))) {
+          var depth = 1; var r = i + 1; var s2 = false
+          while (r < sql.length && depth > 0) {
+            val ch = sql.charAt(r)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) r += 1
+          }
+          require(depth == 0, "unbalanced parentheses in subquery")
+          val body = sql.substring(i + 1, r)
+          scalarUnnestToHof(body, exists) match {
+            case Some(repl) =>
+              val start = if (exists) {
+                var e = i - 1
+                while (e >= 0 && Character.isWhitespace(sql.charAt(e))) e -= 1
+                e - "EXISTS".length + 1
+              } else i
+              return rewriteScalarUnnestSubquery(
+                sql.substring(0, start) + repl + sql.substring(r + 1))
+            case None => i += 1
+          }
+        } else i += 1
+      } else i += 1
+    }
+    sql
+  }
+
+  /** `SELECT <head> FROM UNNEST(e) AS x [WHERE p]` → Some(HOF) when
+    * the shape is confidently ours; None = leave the text alone.
+    */
+  private def scalarUnnestToHof(body: String, exists: Boolean): Option[String] = {
+    val upper = body.toUpperCase(java.util.Locale.ROOT)
+    def isW(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    def findTop(kw: String, from: Int): Int = {
+      var i = from; var depth = 0; var s = false
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (c == '\'') s = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && upper.startsWith(kw, i) &&
+          (i == 0 || !isW(body.charAt(i - 1))) &&
+          (i + kw.length >= body.length || !isW(body.charAt(i + kw.length))))
+          return i
+        i += 1
+      }
+      -1
+    }
+    val selAt = findTop("SELECT", 0)
+    val fromAt = findTop("FROM", 0)
+    if (selAt != 0 && body.substring(0, selAt).trim.nonEmpty) return None
+    if (fromAt < 0) return None
+    var p = fromAt + 4
+    while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
+    if (!upper.startsWith("UNNEST", p)) return None
+    val head = body.substring(selAt + "SELECT".length, fromAt).trim
+    p += "UNNEST".length
+    while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
+    if (p >= body.length || body.charAt(p) != '(') return None
+    var depth = 1; var q = p + 1; var s2 = false
+    while (q < body.length && depth > 0) {
+      val ch = body.charAt(q)
+      if (s2) { if (ch == '\'') s2 = false }
+      else if (ch == '\'') s2 = true
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      if (depth > 0) q += 1
+    }
+    if (depth != 0) return None
+    val arrExpr = body.substring(p + 1, q).trim
+    var rest = body.substring(q + 1)
+    val AliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*""".r
+    val alias = AliasRe.findFirstMatchIn(rest) match {
+      case Some(m) if !m.group(1).equalsIgnoreCase("WHERE") =>
+        rest = rest.substring(m.end); Some(m.group(1))
+      case _ => None
+    }
+    val WhereRe = """(?is)^\s*WHERE\s+(.*?)\s*$""".r
+    val pred = WhereRe.findFirstMatchIn(rest).map { m => rest = rest.substring(m.end); m.group(1) }
+    if (rest.trim.nonEmpty) return None
+    if (pred.isDefined && alias.isEmpty) return None // predicate with nothing to bind
+    val arr = s"($arrExpr)"
+    val filtered = pred match {
+      case Some(w) => s"filter($arr, ${alias.get} -> ($w))"
+      case None => arr
+    }
+    if (exists) return Some(s"(size($filtered) > 0)")
+    val HeadRe = """(?is)^(COUNT|MAX|MIN)\s*\(\s*(.*?)\s*\)$""".r
+    head match {
+      case HeadRe(fn, inner) =>
+        fn.toUpperCase(java.util.Locale.ROOT) match {
+          case "COUNT" if inner == "*" || inner == "1" =>
+            Some(s"CAST(size($filtered) AS BIGINT)")
+          case "COUNT" =>
+            require(alias.isDefined, "COUNT(expr) over UNNEST needs the element alias")
+            Some(s"CAST(size(filter(transform($filtered, ${alias.get} -> ($inner)), " +
+              "__c -> __c IS NOT NULL)) AS BIGINT)")
+          case "MAX" =>
+            require(alias.isDefined, "MAX(expr) over UNNEST needs the element alias")
+            Some(s"array_max(transform($filtered, ${alias.get} -> ($inner)))")
+          case "MIN" =>
+            require(alias.isDefined, "MIN(expr) over UNNEST needs the element alias")
+            Some(s"array_min(transform($filtered, ${alias.get} -> ($inner)))")
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** One `SELECT ... FROM UNNEST(...) ...` body → the HOF pipeline. */

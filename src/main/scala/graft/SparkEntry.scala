@@ -1813,7 +1813,10 @@ object SparkEntry {
           |  ARRAY_TO_STRING(ARRAY(
           |    SELECT CAST(x * x AS STRING)
           |    FROM UNNEST(GENERATE_ARRAY(1, LENGTH(event_type))) AS x
-          |    WHERE MOD(x, 2) = 1 ORDER BY x DESC), ',') AS odd_sq
+          |    WHERE MOD(x, 2) = 1 ORDER BY x DESC), ',') AS odd_sq,
+          |  (SELECT COUNT(*) FROM UNNEST(SPLIT(event_type, 'e')) AS s WHERE s <> '') AS n_frag,
+          |  EXISTS(SELECT 1 FROM UNNEST(SPLIT(event_type || '_ab', '_')) AS p
+          |         WHERE p = 'ab') AS has_ab
           |FROM arrsub_events ORDER BY event_type""".stripMargin)
     }),
 
@@ -3414,7 +3417,9 @@ object SparkEntry {
           |                   if p <> 'x'], ',') AS parts,
           |  array_to_string([CAST(x * x AS VARCHAR)
           |                   for x in list_reverse(generate_series(1, length(event_type)))
-          |                   if x % 2 = 1], ',') AS odd_sq
+          |                   if x % 2 = 1], ',') AS odd_sq,
+          |  CAST(len([s for s in string_split(event_type, 'e') if s <> '']) AS BIGINT) AS n_frag,
+          |  len([p for p in string_split(event_type || '_ab', '_') if p = 'ab']) > 0 AS has_ab
           |FROM events ORDER BY event_type""".stripMargin,
       // KLL in the exact regime: partial-build + merge keep every
       // sample, so the pipeline replays as plain discrete quantiles

@@ -1437,6 +1437,34 @@ class TypedSqlSpec extends SparkSuite {
       .contains("element itself"))
   }
 
+  test("GraftSql scalar/EXISTS subqueries over UNNEST: COUNT/MAX/MIN/EXISTS as HOFs, table forms untouched") {
+    import spark.implicits._
+    Seq((1L, Seq(3, 1, 4)), (2L, Seq.empty[Int])).toDF("id", "xs")
+      .createOrReplaceTempView("scsub_t")
+    val r = GraftSql.load(spark,
+      """SELECT id,
+        |  (SELECT COUNT(*) FROM UNNEST(xs) AS x WHERE x > 1) AS n_big,
+        |  (SELECT COUNT(x) FROM UNNEST(xs) AS x) AS n_all,
+        |  (SELECT MAX(x * 10) FROM UNNEST(xs) AS x) AS mx,
+        |  (SELECT MIN(x) FROM UNNEST(xs) AS x WHERE x > 1) AS mn,
+        |  EXISTS(SELECT 1 FROM UNNEST(xs) AS x WHERE x = 4) AS has4,
+        |  NOT EXISTS(SELECT 1 FROM UNNEST(xs) AS x WHERE x = 9) AS no9
+        |FROM scsub_t ORDER BY id""".stripMargin).collect()
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 3L)
+    assert(r(0).getInt(3) == 40 && r(0).getInt(4) == 3)
+    assert(r(0).getBoolean(5) && r(0).getBoolean(6))
+    // empty array: COUNT 0, MAX/MIN NULL, EXISTS false
+    assert(r(1).getLong(1) == 0L && r(1).isNullAt(3) && !r(1).getBoolean(5))
+    // a scalar subquery over a TABLE passes through to Catalyst untouched
+    val t = GraftSql.load(spark,
+      "SELECT (SELECT COUNT(*) FROM scsub_t) AS n").collect().head
+    assert(t.getLong(0) == 2L)
+    // a derived table over a plain SELECT is untouched too
+    val d = GraftSql.load(spark,
+      "SELECT SUM(i) AS s FROM (SELECT id AS i FROM scsub_t) sub").collect().head
+    assert(d.getLong(0) == 3L)
+  }
+
   test("GraftSql NET.HOST: best-effort host extraction; REG_DOMAIN loud with the suffix-list route") {
     val r = GraftSql.load(spark,
       "SELECT NET.HOST('https://User@Sub.Example.COM:8080/p?q=1') AS a, " +
