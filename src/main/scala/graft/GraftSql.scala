@@ -4037,6 +4037,9 @@ object GraftSql {
     require(fromAt >= 0, "ARRAY(SELECT ...) needs FROM UNNEST(array_expr) AS alias")
     val expr = body.substring(exprStart, fromAt).trim
     require(expr != "*", "ARRAY(SELECT * ...) is not supported — name the element")
+    require("""(?is)^AS\s+STRUCT\b""".r.findFirstIn(expr).isEmpty,
+      "ARRAY(SELECT AS STRUCT ...) is not supported — build the element explicitly " +
+        "with named_struct('f1', e1, ...) as the SELECT expression")
     var p = fromAt + 4
     while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
     require(upper.startsWith("UNNEST", p),

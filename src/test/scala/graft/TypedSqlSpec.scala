@@ -1435,6 +1435,8 @@ class TypedSqlSpec extends SparkSuite {
       .contains("DISTINCT"))
     assert(bad("SELECT ARRAY(SELECT x FROM UNNEST(xs) AS x ORDER BY id) AS a FROM arrsub_t")
       .contains("element itself"))
+    assert(bad("SELECT ARRAY(SELECT AS STRUCT x, x FROM UNNEST(xs) AS x) AS a FROM arrsub_t")
+      .contains("named_struct"))
   }
 
   test("GraftSql scalar/EXISTS subqueries over UNNEST: COUNT/MAX/MIN/EXISTS as HOFs, table forms untouched") {
