@@ -1072,6 +1072,7 @@ object GraftSql {
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
+      "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
       "KLL_QUANTILES.MERGE_POINT_INT64", "KLL_QUANTILES.MERGE_POINT_FLOAT64",
@@ -1435,6 +1436,34 @@ object GraftSql {
         case "FROM_BASE64" =>
           require(args.size == 1, "FROM_BASE64 takes (string)")
           Some(s"unbase64((${args(0)}))")
+        // BigQuery GREATEST/LEAST are NULL-PROPAGATING (one NULL arg
+        // → NULL) where Spark's ignore NULLs — a silent result change
+        // for any migrated expression over nullable columns, so the
+        // BigQuery semantics win at this entry point (the SPLIT/MD5
+        // precedent). The ELSE branch folds through array_max/
+        // array_min rather than greatest/least — a self-named inner
+        // call would re-match on the rewrite loop's next pass (the
+        // MD5 lesson); argument text duplicates into the null guard
+        // (the SAFE_OFFSET discipline, stated).
+        case "GREATEST" | "LEAST" =>
+          require(args.nonEmpty, s"$name takes at least one argument")
+          val anyNull = args.map(a => s"($a) IS NULL").mkString(" OR ")
+          val fold = if (name == "GREATEST") "array_max" else "array_min"
+          Some(s"(CASE WHEN $anyNull THEN NULL ELSE " +
+            s"$fold(array(${args.map(a => s"($a)").mkString(", ")})) END)")
+        // BigQuery DIV = integer division truncating toward zero —
+        // Spark's IntegralDivide exactly, via the registry (emitting
+        // the bare `div` operator would re-match this very rewrite)
+        case "DIV" =>
+          require(args.size == 2, "DIV takes (dividend, divisor)")
+          Some(s"graft_integral_div((${args(0)}), (${args(1)}))")
+        // IEEE_DIVIDE: double division with IEEE Infinity/NaN instead
+        // of errors/NULLs — under Spark 4's default ANSI mode even
+        // double `/` throws on a zero divisor, so the registry routes
+        // to a legacy-mode Divide (true IEEE-754 semantics)
+        case "IEEE_DIVIDE" =>
+          require(args.size == 2, "IEEE_DIVIDE takes (x, y)")
+          Some(s"graft_ieee_divide((${args(0)}), (${args(1)}))")
         // BigQuery's NET family, the URL-curation SQL spellings:
         // NET.HOST is a best-effort RFC-3986 host extraction
         // (optional scheme or //, userinfo and port stripped,

@@ -1747,7 +1747,11 @@ object SparkEntry {
           |  CAST(ARRAY_LENGTH(SPLIT(event_type || '|x.y|z', '|')) AS INT64) AS n_parts,
           |  ARRAY_LAST(SPLIT(event_type || '|x.y|z', '.')) AS last_dot,
           |  CONTAINS_SUBSTR(event_type, 'IC') AS has_ic,
-          |  RANGE_BUCKET(LENGTH(event_type), [3, 5, 6]) AS len_bucket
+          |  RANGE_BUCKET(LENGTH(event_type), [3, 5, 6]) AS len_bucket,
+          |  CAST(MAX(GREATEST(value, IF(event_type = 'click', CAST(NULL AS FLOAT64), 0.0)))
+          |       AS DOUBLE) AS g_max,
+          |  DIV(-7 * CAST(COUNT(*) AS INT64), 2) AS d_neg,
+          |  IEEE_DIVIDE(COUNT(*), 0) AS inf_div
           |FROM bqf2_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
@@ -3634,7 +3638,7 @@ object SparkEntry {
       // batch 2 replays with DuckDB's own spellings; events are ASCII
       // so the NFKC casefold is lower()
       "q_bq_functions2" ->
-        """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
           |SELECT event_type,
           |  date_trunc('hour', MIN(ts)) AS first_hour,
           |  CAST(date_trunc('month', CAST(MAX(ts) AS DATE)) AS DATE) AS last_month,
@@ -3643,7 +3647,11 @@ object SparkEntry {
           |  CAST(len(string_split(event_type || '|x.y|z', '|')) AS BIGINT) AS n_parts,
           |  (string_split(event_type || '|x.y|z', '.'))[-1] AS last_dot,
           |  instr(lower(event_type), 'ic') > 0 AS has_ic,
-          |  CAST(len(list_filter([3, 5, 6], z -> z <= len(event_type))) AS BIGINT) AS len_bucket
+          |  CAST(len(list_filter([3, 5, 6], z -> z <= len(event_type))) AS BIGINT) AS len_bucket,
+          |  CAST(CASE WHEN event_type = 'click' THEN NULL ELSE MAX(greatest(value, 0.0)) END
+          |       AS DOUBLE) AS g_max,
+          |  CAST(trunc(-7 * COUNT(*) / 2.0) AS BIGINT) AS d_neg,
+          |  CAST('infinity' AS DOUBLE) AS inf_div
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the star-modifier face replays as the explicit projection the
       // modifiers denote — column set and replacement values, not text

@@ -1020,6 +1020,23 @@ case class LangGuess(child: Expression, lexicons: Seq[(String, Seq[String])])
   * everything (vacuous truth, as BigQuery does); NULL data or query
   * yields NULL.
   */
+/** IEEE-754 double division — BigQuery's IEEE_DIVIDE: ±Infinity on a
+  * zero divisor, NaN for 0/0, never an error or a NULL forgery (both
+  * Spark eval modes special-case a zero divisor to throw/NULL; the
+  * JVM's own double division IS the IEEE semantics wanted here).
+  */
+case class IeeeDivide(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(a.asInstanceOf[Double] / b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $a / $b;")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IeeeDivide =
+    copy(left = l, right = r)
+}
+
 case class SearchMatch(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType, StringType)
@@ -1582,6 +1599,17 @@ object native {
       es => { arity("graft_sha1_bytes", es, 1)
         org.apache.spark.sql.catalyst.expressions.Unhex(
           org.apache.spark.sql.catalyst.expressions.Sha1(es.head)) }),
+    // BigQuery DIV: integer division truncating toward zero — the
+    // GraftSql rewrite routes here because the bare `div` operator
+    // spelling would re-match the dialect scanner (the MD5 lesson)
+    ("graft_integral_div", "graft_integral_div(x, y) - INT64 division truncating toward zero (BigQuery DIV)",
+      es => { arity("graft_integral_div", es, 2)
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(es.head, es(1)) }),
+    // IEEE-754 double division (Infinity/NaN, never an error or a
+    // NULL) — both Spark eval modes special-case a zero divisor, so
+    // the dedicated codegen'd expression carries BigQuery's semantics
+    ("graft_ieee_divide", "graft_ieee_divide(x, y) - IEEE double division (BigQuery IEEE_DIVIDE)",
+      es => { arity("graft_ieee_divide", es, 2); IeeeDivide(es.head, es(1)) }),
     // the KLL_QUANTILES family (kll.scala) — registry-routed for the
     // same reason as the digests: the dialect scanner must not
     // re-match rewritten output

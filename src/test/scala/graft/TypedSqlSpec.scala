@@ -1439,6 +1439,18 @@ class TypedSqlSpec extends SparkSuite {
       .contains("named_struct"))
   }
 
+  test("GraftSql GREATEST/LEAST null-propagation, DIV truncation, IEEE_DIVIDE infinities") {
+    val r = GraftSql.load(spark,
+      "SELECT GREATEST(1, 5, 3) AS g, GREATEST(1, CAST(NULL AS INT), 3) AS gn, " +
+        "LEAST(4, 2) AS l, LEAST(CAST(NULL AS INT), 2) AS ln, " +
+        "DIV(-7, 2) AS d, DIV(7, 2) AS d2, " +
+        "IEEE_DIVIDE(1, 0) AS inf, IEEE_DIVIDE(0, 0) AS nan").collect().head
+    assert(r.getInt(0) == 5 && r.isNullAt(1)) // BigQuery: one NULL arg -> NULL
+    assert(r.getInt(2) == 2 && r.isNullAt(3))
+    assert(r.getLong(4) == -3L && r.getLong(5) == 3L) // toward zero, both signs; INT64 result
+    assert(r.getDouble(6).isPosInfinity && r.getDouble(7).isNaN)
+  }
+
   test("named WINDOW clause: BigQuery's WINDOW w AS (...) spelling is native Spark, pinned") {
     import spark.implicits._
     Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "g", "v")
