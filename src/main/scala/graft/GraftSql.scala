@@ -1072,7 +1072,7 @@ object GraftSql {
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
-      "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE",
+      "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
       "KLL_QUANTILES.MERGE_POINT_INT64", "KLL_QUANTILES.MERGE_POINT_FLOAT64",
@@ -1464,6 +1464,28 @@ object GraftSql {
         case "IEEE_DIVIDE" =>
           require(args.size == 2, "IEEE_DIVIDE takes (x, y)")
           Some(s"graft_ieee_divide((${args(0)}), (${args(1)}))")
+        // EXTRACT is native EXCEPT for the week parts: BigQuery WEEK
+        // is Sunday-start 0-based, Spark's WEEK is ISO — silently
+        // different numbers most of the year, so bare WEEK (and the
+        // WEEK(<weekday>) variants) are LOUD and ISOWEEK maps to
+        // Spark's WEEK; every other part passes through untouched
+        // (DAYOFWEEK already agrees: Sunday=1 in both).
+        case "EXTRACT" =>
+          require(args.size == 1, "EXTRACT takes (part FROM expr)")
+          val a = args(0)
+          val WeekRe = """(?is)^\s*WEEK(\s*\([^)]*\))?\s+FROM\s+.*$""".r
+          val IsoRe = """(?is)^\s*ISOWEEK\s+FROM\s+(.*)$""".r
+          a match {
+            case WeekRe(_) => throw new IllegalArgumentException(
+              "EXTRACT(WEEK ...) diverges: BigQuery weeks are Sunday-start and 0-based, " +
+                "Spark's WEEK is ISO — use EXTRACT(ISOWEEK ...) if ISO weeks are meant, " +
+                "or spell the Sunday-week arithmetic explicitly")
+            // weekofyear, not extract(WEEK ...): an emitted EXTRACT
+            // would re-match this rewrite on the next fixpoint pass
+            // and hit the WEEK loud (the MD5 lesson)
+            case IsoRe(expr) => Some(s"weekofyear($expr)")
+            case _ => None
+          }
         // BigQuery's NET family, the URL-curation SQL spellings:
         // NET.HOST is a best-effort RFC-3986 host extraction
         // (optional scheme or //, userinfo and port stripped,

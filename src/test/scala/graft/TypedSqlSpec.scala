@@ -1449,6 +1449,20 @@ class TypedSqlSpec extends SparkSuite {
     assert(r.getInt(2) == 2 && r.isNullAt(3))
     assert(r.getLong(4) == -3L && r.getLong(5) == 3L) // toward zero, both signs; INT64 result
     assert(r.getDouble(6).isPosInfinity && r.getDouble(7).isNaN)
+    // EXTRACT: ISOWEEK maps to Spark's ISO WEEK, bare WEEK is loud
+    // (Sunday-start vs ISO — silently different most of the year),
+    // every other part passes through native
+    val w = GraftSql.load(spark,
+      "SELECT EXTRACT(ISOWEEK FROM DATE '2024-01-01') AS iw, " +
+        "EXTRACT(YEAR FROM DATE '2024-03-05') AS y").collect().head
+    assert(w.getInt(0) == 1 && w.getInt(1) == 2024)
+    val we = intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT EXTRACT(WEEK FROM DATE '2024-01-01') AS w")
+    }
+    assert(we.getMessage.contains("ISOWEEK"))
+    intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT EXTRACT(WEEK(SUNDAY) FROM DATE '2024-01-01') AS w")
+    }
   }
 
   test("named WINDOW clause: BigQuery's WINDOW w AS (...) spelling is native Spark, pinned") {
