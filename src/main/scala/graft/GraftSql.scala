@@ -205,8 +205,8 @@ object GraftSql {
         else if (t) { if (c == '`') t = false }
         else if (c == '\'') s = true
         else if (c == '`') t = true
-        else if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
         else if (c == ',' && depth == 0) { items += text.substring(start, i).trim; start = i + 1 }
         i += 1
       }
@@ -235,12 +235,16 @@ object GraftSql {
       (item.substring(0, lastAs).trim, item.substring(lastAs + 2).trim)
     }
     // balanced-paren capture starting at an opening paren
+    // (quote-aware for BOTH '…' strings and `…` identifiers — a
+    // backticked name containing parens must not move the depth)
     def captureParen(sql: String, open: Int): Int = {
-      var depth = 1; var r = open + 1; var s = false
+      var depth = 1; var r = open + 1; var s = false; var t = false
       while (r < sql.length && depth > 0) {
         val ch = sql.charAt(r)
         if (s) { if (ch == '\'') s = false }
+        else if (t) { if (ch == '`') t = false }
         else if (ch == '\'') s = true
+        else if (ch == '`') t = true
         else if (ch == '(') depth += 1
         else if (ch == ')') depth -= 1
         r += 1
@@ -1776,11 +1780,98 @@ object GraftSql {
     var cur = sql0; var n = 0
     var changed = true
     while (changed && n < 10) {
-      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(cur)))))
+      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(cur))))))
       changed = next != cur
       cur = next; n += 1
     }
     cur
+  }
+
+  /** BigQuery bare array literals: a `[` NOT in subscript position
+    * (the previous emitted non-whitespace char is not an identifier
+    * char, `)`, `]`, `` ` `` or `>`) opens an array literal and maps
+    * to Spark's `array(...)`; contents rewrite recursively so nested
+    * literals work and chained subscripts (`[1,2][OFFSET(0)]` — the
+    * second `[` follows the emitted `)`) stay subscripts. Two spans
+    * keep their own bracket syntax: `OPTIONS(...)` and `FILES(...)`
+    * lists (`uris=['...']` is option-list syntax, not an expression),
+    * and a `>`-preceded bracket (`ARRAY<INT64>[...]` typed literals)
+    * stays untouched — loud at parse, as before.
+    */
+  private val BracketKeywords: Set[String] = Set(
+    // no END: `CASE ... END[OFFSET(i)]` subscripts the CASE expression
+    "SELECT", "DISTINCT", "ALL", "AS", "WHEN", "THEN", "ELSE", "CASE",
+    "IN", "NOT", "AND", "OR", "ON", "WHERE", "HAVING", "BY", "FROM", "SET",
+    "VALUES", "UNION", "EXCEPT", "INTERSECT", "RETURN", "RETURNS", "DEFAULT",
+    "BETWEEN", "IS", "LIKE", "USING", "DO", "IF", "ELSEIF", "WHILE", "LIMIT")
+
+  private[graft] def bracketLiterals(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    var depth = 0
+    var optSpans = List.empty[Int] // paren depths at which OPTIONS(/FILES( opened
+    def prevNonWs: Char = {
+      var p = out.length - 1
+      while (p >= 0 && Character.isWhitespace(out.charAt(p))) p -= 1
+      if (p < 0) ' ' else out.charAt(p)
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if (c == '(') {
+        val pw = {
+          var e = i - 1
+          while (e >= 0 && Character.isWhitespace(sql.charAt(e))) e -= 1
+          var b = e
+          while (b >= 0 && isWord(sql.charAt(b))) b -= 1
+          if (e < 0 || b == e) "" else upper.substring(b + 1, e + 1)
+        }
+        if (pw == "OPTIONS" || pw == "FILES") optSpans ::= depth
+        depth += 1; out += c; i += 1
+      } else if (c == ')') {
+        depth -= 1
+        if (optSpans.headOption.contains(depth)) optSpans = optSpans.tail
+        out += c; i += 1
+      } else if (c == '[' && optSpans.isEmpty) {
+        val p = prevNonWs
+        // a word-preceded bracket is a SUBSCRIPT on that identifier —
+        // unless the word is a keyword (`SELECT [1,2]`, `THEN [...]`),
+        // where the bracket starts a literal
+        val wordIsKeyword = isWord(p) && {
+          var e = out.length - 1
+          while (e >= 0 && Character.isWhitespace(out.charAt(e))) e -= 1
+          var b = e
+          while (b >= 0 && isWord(out.charAt(b))) b -= 1
+          BracketKeywords(out.substring(b + 1, e + 1).toUpperCase(java.util.Locale.ROOT))
+        }
+        if ((isWord(p) && !wordIsKeyword) || p == ')' || p == ']' || p == '`' || p == '>') {
+          out += c; i += 1
+        } else {
+          // find the matching ] (quote- and bracket-depth-aware)
+          var d = 1; var r = i + 1; var s2 = false; var t2 = false
+          while (r < sql.length && d > 0) {
+            val ch = sql.charAt(r)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (t2) { if (ch == '`') t2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '`') t2 = true
+            else if (ch == '[') d += 1
+            else if (ch == ']') d -= 1
+            if (d > 0) r += 1
+          }
+          require(d == 0, s"unbalanced [ in: ${sql.substring(i).take(60)}")
+          out ++= s"array(${bracketLiterals(sql.substring(i + 1, r))})"
+          i = r + 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** BigQuery `UNNEST` in FROM position → Spark `LATERAL VIEW
@@ -2969,9 +3060,12 @@ object GraftSql {
     * per matched row (DELETE picks filter out, UPDATE picks take
     * source values, no pick keeps the target row), and the insert
     * half as the usual slim-key anti-join with its own first-match
-    * pick. The cardinality sentinel rides the source side whenever a
-    * matched clause exists — BigQuery's MERGE_CARDINALITY_VIOLATION
-    * contract, same as the fast path. Cost: the join shuffles like
+    * pick. The cardinality sentinel is DEFERRED to the picked rows —
+    * BigQuery's MERGE_CARDINALITY_VIOLATION fires only when more than
+    * one UPDATE/DELETE would actually apply to the same target row, so
+    * a multi-match whose clause conditions select at most one source
+    * row is legal (the fan-out is collapsed per target-row identity).
+    * Cost: the join shuffles like
     * any target-wide MERGE rewrite (BigQuery's DML rewrites too);
     * the small-delta broadcast optimization belongs to the
     * unconditional fast path.
@@ -3007,20 +3101,15 @@ object GraftSql {
       // multi-match); with ONLY BY-SOURCE clauses a slim DISTINCT key
       // projection carries the match flag — no fan-out is possible,
       // so no sentinel is needed
-      val sSide: DataFrame = if (m.matchedActions.nonEmpty) {
-        // cardinality sentinel (the fast path's recipe): loud when a
-        // TARGET row matches more than one source row
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(F.col): _*)
-        srcMatchable
-          .withColumn("__src_key_count", F.count(F.lit(1)).over(w))
-          .join(targetKeys.withColumn("__t_present", F.lit(1)), keyNames, "left")
-          .filter(F.when(F.col("__src_key_count") === 1 || F.col("__t_present").isNull, F.lit(true))
-            .otherwise(F.raise_error(F.concat(F.lit(
-              "[MERGE_CARDINALITY_VIOLATION] target row matches more than one source row for key ("),
-              F.concat_ws(",", keyNames.map(F.col): _*), F.lit(")"))).isNotNull))
-          .drop("__src_key_count", "__t_present")
-      } else srcMatchable.select(keyNames.map(F.col): _*).distinct()
-      val t = targetDf.alias("t")
+      val sSide: DataFrame = if (m.matchedActions.nonEmpty) srcMatchable
+        else srcMatchable.select(keyNames.map(F.col): _*).distinct()
+      // __t_id gives each target row an identity so the DEFERRED
+      // cardinality sentinel (BigQuery's actual rule: error only when
+      // >1 UPDATE/DELETE would apply to the SAME target row — a
+      // multi-match whose clause conditions select at most one source
+      // row is legal) and the fan-out collapse can both arbitrate per
+      // target row even when the target holds duplicate keys
+      val t = targetDf.withColumn("__t_id", F.monotonically_increasing_id()).alias("t")
       val s = sSide.withColumn("__s_present", F.lit(1)).alias("s")
       val joinCond = keyNames.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _)
       val matched = F.col("s.__s_present").isNotNull
@@ -3034,11 +3123,26 @@ object GraftSql {
       val bsPick = m.notMatchedBySourceActions.zipWithIndex.foldRight(F.lit(0): Column) {
         case ((a, i), rest) => F.when(condOf(a, matchedSide = true), F.lit(i + 1)).otherwise(rest)
       }
+      // deferred cardinality sentinel + fan-out collapse: partition the
+      // joined frame by target-row identity; loud when two matched
+      // clauses fire on one target row, and when the clauses select at
+      // most one source row keep exactly one copy (the firing pair if
+      // any) so a benign multi-match never duplicates the target row
+      val wT = org.apache.spark.sql.expressions.Window.partitionBy(F.col("t.__t_id"))
+      val wTOrd = wT.orderBy(F.when(F.col("__pick") =!= 0, F.lit(0)).otherwise(F.lit(1)))
       val withPick = t.join(s, joinCond, "left_outer")
         .withColumn("__pick", F.when(matched, pick).otherwise(F.lit(0)))
         .withColumn("__bs_pick",
           if (m.notMatchedBySourceActions.isEmpty) F.lit(0)
           else F.when(!matched, bsPick).otherwise(F.lit(0)))
+        .withColumn("__fire_cnt",
+          F.sum(F.when(F.col("__pick") =!= 0, F.lit(1)).otherwise(F.lit(0))).over(wT))
+        .filter(F.when(F.col("__fire_cnt") <= 1, F.lit(true))
+          .otherwise(F.raise_error(F.concat(F.lit(
+            "[MERGE_CARDINALITY_VIOLATION] more than one matched UPDATE/DELETE applies to one target row for key ("),
+            F.concat_ws(",", keyNames.map(k => F.col(s"t.$k")): _*), F.lit(")"))).isNotNull))
+        .withColumn("__t_rn", F.row_number().over(wTOrd))
+        .filter(F.col("__t_rn") === 1)
       val deleteIdx = m.matchedActions.zipWithIndex
         .collect { case (_: DeleteAction, i) => i + 1 }
       val updateIdx = m.matchedActions.zipWithIndex
@@ -3654,6 +3758,21 @@ object GraftSql {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
     if (!upper.contains("FROM") && !upper.contains("JOIN")) return sql
     def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    // SQL has an EXPRESSION `FROM` keyword inside a closed set of
+    // standard functions (`substring(s FROM n*2)`, `EXTRACT(x FROM
+    // a*b)`, `TRIM(... FROM s)`, ...). A FROM at a paren depth opened
+    // by one of those calls is NOT a table clause — arithmetic after
+    // it must never reach the wildcard resolver. Track each paren's
+    // owning word to know which kind of FROM we are looking at.
+    val exprFromFns = Set("SUBSTRING", "SUBSTR", "EXTRACT", "TRIM", "POSITION", "OVERLAY")
+    val parenStack = scala.collection.mutable.Stack.empty[Boolean]
+    def wordBefore(p: Int): String = {
+      var e = p - 1
+      while (e >= 0 && Character.isWhitespace(sql.charAt(e))) e -= 1
+      var b = e
+      while (b >= 0 && isWord(sql.charAt(b))) b -= 1
+      if (e < 0 || b == e) "" else upper.substring(b + 1, e + 1)
+    }
     val out = new StringBuilder
     var i = 0; var inStr = false; var inTick = false
     while (i < sql.length) {
@@ -3662,13 +3781,15 @@ object GraftSql {
       else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
       else if (c == '\'') { out += c; inStr = true; i += 1 }
       else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if (c == '(') { parenStack.push(exprFromFns(wordBefore(i))); out += c; i += 1 }
+      else if (c == ')') { if (parenStack.nonEmpty) parenStack.pop(); out += c; i += 1 }
       else if (Character.isLetter(c) && (i == 0 || !isWord(sql.charAt(i - 1)))) {
         var j = i
         while (j < sql.length && isWord(sql.charAt(j))) j += 1
         val w = upper.substring(i, j)
         out ++= sql.substring(i, j)
         i = j
-        if (w == "FROM" || w == "JOIN") {
+        if ((w == "FROM" || w == "JOIN") && !(parenStack.nonEmpty && parenStack.top)) {
           while (i < sql.length && Character.isWhitespace(sql.charAt(i))) {
             out += sql.charAt(i); i += 1
           }
@@ -3994,7 +4115,16 @@ object GraftSql {
     val selAt = findTop("SELECT", 0)
     val fromAt = findTop("FROM", 0)
     if (selAt != 0 && body.substring(0, selAt).trim.nonEmpty) return None
-    if (fromAt < 0) return None
+    if (fromAt < 0) {
+      // `(SELECT AS STRUCT a, b)` without FROM — BigQuery's inline
+      // struct constructor over the outer row: exactly one row, so
+      // it maps straight to named_struct with no cardinality guard
+      if (selAt != 0 || exists) return None
+      return body.substring(selAt + "SELECT".length).trim match {
+        case AsStructRe(list) => Some(s"(${structFieldList(list)})")
+        case _ => None
+      }
+    }
     var p = fromAt + 4
     while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
     if (!upper.startsWith("UNNEST", p)) return None
@@ -4029,17 +4159,33 @@ object GraftSql {
       case Some(w) => s"filter($arr, ${alias.get} -> ($w))"
       case None => arr
     }
-    if (exists) return Some(s"(size($filtered) > 0)")
+    // BigQuery treats a NULL array as empty in these positions (EXISTS →
+    // FALSE, COUNT → 0); Spark's size(NULL) is NULL under ANSI, so pin the
+    // empty-on-NULL semantics with coalesce.
+    if (exists) return Some(s"(coalesce(size($filtered), 0) > 0)")
+    // `(SELECT AS STRUCT f1, f2 FROM UNNEST(e) AS x [WHERE p])` — a
+    // scalar struct subquery: per-element structs with BigQuery's
+    // scalar-subquery cardinality contract (NULL on zero elements,
+    // loud on more than one)
+    head match {
+      case AsStructRe(list) =>
+        require(alias.isDefined, "SELECT AS STRUCT over UNNEST needs the element alias")
+        val m = s"transform($filtered, ${alias.get} -> ${structFieldList(list)})"
+        return Some(s"(CASE WHEN coalesce(size($m), 0) > 1 THEN try_element_at($m, " +
+          "CAST(raise_error('scalar subquery over UNNEST returned more than one element') AS INT)) " +
+          s"ELSE try_element_at($m, 1) END)")
+      case _ =>
+    }
     val HeadRe = """(?is)^(COUNT|MAX|MIN)\s*\(\s*(.*?)\s*\)$""".r
     head match {
       case HeadRe(fn, inner) =>
         fn.toUpperCase(java.util.Locale.ROOT) match {
           case "COUNT" if inner == "*" || inner == "1" =>
-            Some(s"CAST(size($filtered) AS BIGINT)")
+            Some(s"CAST(coalesce(size($filtered), 0) AS BIGINT)")
           case "COUNT" =>
             require(alias.isDefined, "COUNT(expr) over UNNEST needs the element alias")
-            Some(s"CAST(size(filter(transform($filtered, ${alias.get} -> ($inner)), " +
-              "__c -> __c IS NOT NULL)) AS BIGINT)")
+            Some(s"CAST(coalesce(size(filter(transform($filtered, ${alias.get} -> ($inner)), " +
+              "__c -> __c IS NOT NULL)), 0) AS BIGINT)")
           case "MAX" =>
             require(alias.isDefined, "MAX(expr) over UNNEST needs the element alias")
             Some(s"array_max(transform($filtered, ${alias.get} -> ($inner)))")
@@ -4051,6 +4197,66 @@ object GraftSql {
       case _ => None
     }
   }
+
+  /** `AS STRUCT e1 [AS f1], e2 [AS f2], ...` field list → a
+    * `named_struct('f1', (e1), ...)` expression. Field names follow
+    * BigQuery's rule: an explicit `AS name`, else a bare (possibly
+    * dotted) identifier contributes its last component; any other
+    * unnamed expression is loud (BigQuery would emit an anonymous
+    * field — unrepresentable in a Spark struct).
+    */
+  private def structFieldList(list: String): String = {
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    // top-level comma split (quote/paren/bracket aware)
+    val items = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var start = 0; var depth = 0; var s = false; var t = false; var i = 0
+      while (i < list.length) {
+        val c = list.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (t) { if (c == '`') t = false }
+        else if (c == '\'') s = true
+        else if (c == '`') t = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) { out += list.substring(start, i).trim; start = i + 1 }
+        i += 1
+      }
+      out += list.substring(start).trim
+      out.toList
+    }
+    require(items.forall(_.nonEmpty), s"empty field in AS STRUCT list: $list")
+    val fields = items.map { item =>
+      // last top-level word-bounded AS
+      var lastAs = -1
+      var i = 0; var depth = 0; var s = false; var t = false
+      val up = item.toUpperCase(java.util.Locale.ROOT)
+      while (i < item.length) {
+        val c = item.charAt(i)
+        if (s) { if (c == '\'') s = false }
+        else if (t) { if (c == '`') t = false }
+        else if (c == '\'') s = true
+        else if (c == '`') t = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && (c == 'A' || c == 'a') && up.startsWith("AS", i) &&
+          (i == 0 || !isWord(item.charAt(i - 1))) &&
+          (i + 2 >= item.length || !isWord(item.charAt(i + 2)))) lastAs = i
+        i += 1
+      }
+      if (lastAs > 0) (item.substring(0, lastAs).trim, item.substring(lastAs + 2).trim)
+      else {
+        require(item.matches("""[A-Za-z_]\w*(\.[A-Za-z_]\w*)*"""),
+          s"AS STRUCT field '$item' needs a name — BigQuery would emit an anonymous " +
+            "field, unrepresentable in a Spark struct; add `AS name`")
+        (item, item.substring(item.lastIndexOf('.') + 1))
+      }
+    }
+    fields.map { case (e, n) => s"'${n.replace("'", "''")}', ($e)" }
+      .mkString("named_struct(", ", ", ")")
+  }
+
+  private val AsStructRe = """(?is)^AS\s+STRUCT\s+(.*)$""".r
 
   /** One `SELECT ... FROM UNNEST(...) ...` body → the HOF pipeline. */
   private def arraySubqueryToHof(body0: String): String = {
@@ -4086,11 +4292,17 @@ object GraftSql {
     }
     val fromAt = findTop("FROM", exprStart)
     require(fromAt >= 0, "ARRAY(SELECT ...) needs FROM UNNEST(array_expr) AS alias")
-    val expr = body.substring(exprStart, fromAt).trim
-    require(expr != "*", "ARRAY(SELECT * ...) is not supported — name the element")
-    require("""(?is)^AS\s+STRUCT\b""".r.findFirstIn(expr).isEmpty,
-      "ARRAY(SELECT AS STRUCT ...) is not supported — build the element explicitly " +
-        "with named_struct('f1', e1, ...) as the SELECT expression")
+    val expr0 = body.substring(exprStart, fromAt).trim
+    require(expr0 != "*", "ARRAY(SELECT * ...) is not supported — name the element")
+    // `SELECT AS STRUCT f1, f2, ...` — BigQuery's repeated-record
+    // constructor: each element maps to a named struct
+    val expr = expr0 match {
+      case AsStructRe(list) =>
+        require(list.trim != "*",
+          "ARRAY(SELECT AS STRUCT * ...) is not supported — name the fields")
+        structFieldList(list)
+      case e => e
+    }
     var p = fromAt + 4
     while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
     require(upper.startsWith("UNNEST", p),

@@ -1824,6 +1824,34 @@ object SparkEntry {
           |FROM arrsub_events ORDER BY event_type""".stripMargin)
     }),
 
+    // B49: BigQuery's SELECT AS STRUCT — the repeated-record
+    // constructor. Three faces in one query: ARRAY(SELECT AS STRUCT
+    // ...) builds an array<struct> per row (then re-UNNESTed with
+    // struct field access to flatten for the oracle), the scalar
+    // (SELECT AS STRUCT ... FROM UNNEST ... WHERE pk) form with its
+    // cardinality guard, and the no-FROM inline constructor. All
+    // stay per-row HOFs — no Generate, no join; DuckDB replays the
+    // values with list comprehensions (structs never cross the gate,
+    // their FIELDS do — representation-neutral)
+    "q_array_struct" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("arrst_events")
+      graft.GraftSql.load(s,
+        """WITH g AS (
+          |  SELECT event_type, array_sort(collect_set(user_id % 53)) AS ids
+          |  FROM arrst_events GROUP BY event_type)
+          |SELECT event_type,
+          |  ARRAY_TO_STRING(ARRAY(
+          |    SELECT CAST(r.id AS STRING) || ':' || CAST(r.sq AS STRING)
+          |    FROM UNNEST(ARRAY(SELECT AS STRUCT x AS id, x * x AS sq
+          |                      FROM UNNEST(ids) AS x WHERE x > 5)) AS r), ',') AS recs,
+          |  (SELECT AS STRUCT x AS v, x * 2 AS d
+          |   FROM UNNEST(ids) AS x WHERE x = ids[OFFSET(0)]).v AS first_v,
+          |  (SELECT AS STRUCT x AS v, x * 2 AS d
+          |   FROM UNNEST(ids) AS x WHERE x = ids[OFFSET(0)]).d AS first_d,
+          |  (SELECT AS STRUCT event_type AS et, ARRAY_LENGTH(ids) AS n).n AS n_ids
+          |FROM g ORDER BY event_type""".stripMargin)
+    }),
+
     // B46: BigQuery's KLL_QUANTILES sketch family — the quantile
     // analogue of B44's HLL_COUNT and the other half of the
     // pre-aggregation pattern: per-(event_type, day) INIT partials,
@@ -3425,6 +3453,20 @@ object SparkEntry {
           |  CAST(len([s for s in string_split(event_type, 'e') if s <> '']) AS BIGINT) AS n_frag,
           |  len([p for p in string_split(event_type || '_ab', '_') if p = 'ab']) > 0 AS has_ab
           |FROM events ORDER BY event_type""".stripMargin,
+      // AS STRUCT faces flatten to strings/scalars before the gate, so
+      // DuckDB replays the VALUES with list comprehensions — struct
+      // representation never crosses the hash
+      "q_array_struct" ->
+        """WITH g AS (
+          |  SELECT event_type, list_sort(list(DISTINCT user_id % 53)) AS ids
+          |  FROM events GROUP BY event_type)
+          |SELECT event_type,
+          |  array_to_string([CAST(x AS VARCHAR) || ':' || CAST(x * x AS VARCHAR)
+          |                   for x in ids if x > 5], ',') AS recs,
+          |  ids[1] AS first_v,
+          |  ids[1] * 2 AS first_d,
+          |  CAST(len(ids) AS INT) AS n_ids
+          |FROM g ORDER BY event_type""".stripMargin,
       // KLL in the exact regime: partial-build + merge keep every
       // sample, so the pipeline replays as plain discrete quantiles
       "q_kll_sketch" ->

@@ -221,6 +221,33 @@ class TypedSqlSpec extends SparkSuite {
       if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
     assert(msgs(e).contains("MERGE_CARDINALITY_VIOLATION"), s"got: $e")
 
+    // ...but the sentinel is DEFERRED to the firing rows (BigQuery's
+    // actual rule): a multi-match whose clause condition selects
+    // exactly ONE of the source rows applies that one cleanly
+    tgt()
+    Seq((1L, "x", 1L, "upd"), (1L, "y", 2L, "skip"))
+      .toDF("k", "v", "n", "flag").createOrReplaceTempView("gm_dupsrc1")
+    val one = run(
+      """MERGE INTO gm_tgt T USING gm_dupsrc1 S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'upd' THEN UPDATE SET T.v = S.v, T.n = S.n""".stripMargin)
+    assert(one == Seq((1L, "x", 1L), (2L, "b", 20L), (3L, "c", 30L)),
+      s"single firing row of a multi-match applies, no violation: got $one")
+    // ...and a multi-match where NO clause fires keeps the target row
+    // exactly once (the fan-out collapses, no duplicate)
+    tgt()
+    val none = run(
+      """MERGE INTO gm_tgt T USING gm_dupsrc1 S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'never' THEN UPDATE SET T.v = S.v, T.n = S.n""".stripMargin)
+    assert(none == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      s"non-firing multi-match keeps the target row once: got $none")
+    // a DELETE firing on one of several matched source rows drops the row
+    tgt()
+    val delOne = run(
+      """MERGE INTO gm_tgt T USING gm_dupsrc1 S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'upd' THEN DELETE""".stripMargin)
+    assert(delOne == Seq((2L, "b", 20L), (3L, "c", 30L)),
+      s"single firing DELETE of a multi-match applies: got $delOne")
+
     // reachability: a clause after an unconditional one is dead text —
     // Spark's parser rejects the SQL spelling itself (ParseException);
     // generalMerge keeps its own loud require as defense for plan-level
@@ -1286,6 +1313,17 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT k FROM bqf_t WHERE k IN UNNEST(array(1, 3)) ORDER BY k")
     assert(iuCol.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
 
+    // bare bracket array literals (BigQuery's `[...]` spelling):
+    // literal position, chained subscript, nesting, IN UNNEST,
+    // keyword-preceded; map/array subscripts on identifiers untouched
+    assert(one("SELECT [1, 2, 3][OFFSET(1)] AS e").getInt(0) == 2)
+    assert(one("SELECT ARRAY_LENGTH([[1], [2, 3]]) AS n").getInt(0) == 2)
+    assert(one("SELECT 2 IN UNNEST([1, 2, 3]) AS a").getBoolean(0))
+    assert(one("SELECT CASE WHEN 1 = 1 THEN [1, 2] ELSE [3] END[OFFSET(0)] AS x").getInt(0) == 1)
+    assert(GraftSql.load(spark,
+      "SELECT k FROM bqf_t WHERE k IN UNNEST([1, 3]) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
     // tier 3: array subscripts (OFFSET 0-based, ORDINAL 1-based)
     assert(one("SELECT array('a', 'b', 'c')[OFFSET(1)] AS e").getString(0) == "b")
     assert(one("SELECT array('a', 'b', 'c')[ORDINAL(1)] AS e").getString(0) == "a")
@@ -1504,6 +1542,18 @@ class TypedSqlSpec extends SparkSuite {
     assert(r(0).getBoolean(5) && r(0).getBoolean(6))
     // empty array: COUNT 0, MAX/MIN NULL, EXISTS false
     assert(r(1).getLong(1) == 0L && r(1).isNullAt(3) && !r(1).getBoolean(5))
+    // NULL array follows BigQuery's empty-on-NULL rule: COUNT 0 (not
+    // NULL) and EXISTS FALSE (not NULL) even under ANSI size(NULL)=NULL
+    Seq((1L, null.asInstanceOf[Seq[Int]])).toDF("id", "xs")
+      .createOrReplaceTempView("scsub_null")
+    val nu = GraftSql.load(spark,
+      """SELECT
+        |  (SELECT COUNT(*) FROM UNNEST(xs) AS x) AS n_star,
+        |  (SELECT COUNT(x) FROM UNNEST(xs) AS x) AS n_x,
+        |  EXISTS(SELECT 1 FROM UNNEST(xs) AS x WHERE x = 4) AS hs
+        |FROM scsub_null""".stripMargin).collect().head
+    assert(nu.getLong(0) == 0L && nu.getLong(1) == 0L && !nu.getBoolean(2),
+      s"NULL array must read as empty: $nu")
     // a scalar subquery over a TABLE passes through to Catalyst untouched
     val t = GraftSql.load(spark,
       "SELECT (SELECT COUNT(*) FROM scsub_t) AS n").collect().head
@@ -1512,6 +1562,54 @@ class TypedSqlSpec extends SparkSuite {
     val d = GraftSql.load(spark,
       "SELECT SUM(i) AS s FROM (SELECT id AS i FROM scsub_t) sub").collect().head
     assert(d.getLong(0) == 3L)
+  }
+
+  test("GraftSql SELECT AS STRUCT: struct-element arrays, scalar struct subqueries, inline constructor, louds") {
+    import spark.implicits._
+    Seq((1L, Seq(3, 1, 4)), (2L, Seq.empty[Int])).toDF("id", "xs")
+      .createOrReplaceTempView("asst_t")
+    val r = GraftSql.load(spark,
+      """SELECT id,
+        |  ARRAY(SELECT AS STRUCT x AS v, x * 10 AS t
+        |        FROM UNNEST(xs) AS x WHERE x > 1 ORDER BY x) AS recs,
+        |  (SELECT AS STRUCT x AS v, x * 2 AS d FROM UNNEST(xs) AS x WHERE x = 4) AS one,
+        |  (SELECT AS STRUCT id AS i, id * 3 AS t) AS inline
+        |FROM asst_t ORDER BY id""".stripMargin).collect()
+    val recs = r(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(recs.map(x => (x.getInt(0), x.getInt(1))) == Seq((3, 30), (4, 40)), s"got $recs")
+    assert(r(0).getStruct(2).getInt(0) == 4 && r(0).getStruct(2).getInt(1) == 8)
+    assert(r(0).getStruct(3).getLong(0) == 1L && r(0).getStruct(3).getLong(1) == 3L)
+    // empty array: empty struct array, NULL scalar struct
+    assert(r(1).getSeq[org.apache.spark.sql.Row](1).isEmpty && r(1).isNullAt(2))
+    // field access composes on the rewritten scalar form
+    val f = GraftSql.load(spark,
+      "SELECT (SELECT AS STRUCT x AS v FROM UNNEST(xs) AS x WHERE x = 3).v AS v3 " +
+        "FROM asst_t WHERE id = 1").collect().head
+    assert(f.getInt(0) == 3)
+    // a bare identifier contributes its own name as the field name
+    val b = GraftSql.load(spark,
+      "SELECT ARRAY(SELECT AS STRUCT x, x + 1 AS nxt FROM UNNEST(xs) AS x WHERE x = 1) AS a " +
+        "FROM asst_t WHERE id = 1")
+    assert(b.schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("x", "nxt"))
+    assert(b.collect().head.getSeq[org.apache.spark.sql.Row](0).head.getInt(0) == 1)
+    // BigQuery's scalar-subquery cardinality contract: >1 element is loud
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    val e = intercept[Exception] {
+      GraftSql.load(spark,
+        "SELECT (SELECT AS STRUCT x AS v FROM UNNEST(xs) AS x WHERE x > 1) AS s " +
+          "FROM asst_t WHERE id = 1").collect()
+    }
+    assert(msgs(e).contains("more than one element"), s"got: $e")
+    // louds: AS STRUCT * and an unnamed expression field
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT ARRAY(SELECT AS STRUCT * FROM UNNEST(xs) AS x) AS a FROM asst_t")
+    }.getMessage.contains("name the fields"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT ARRAY(SELECT AS STRUCT x + 1 FROM UNNEST(xs) AS x) AS a FROM asst_t")
+    }.getMessage.contains("needs a name"))
   }
 
   test("GraftSql NET.HOST: best-effort host extraction; REG_DOMAIN loud with the suffix-list route") {
@@ -1894,6 +1992,19 @@ class TypedSqlSpec extends SparkSuite {
     val r4 = GraftSql.load(spark,
       "SELECT id * REPLACE('3', 'x', 'y') AS m FROM sr_t ORDER BY id")
     assert(r4.collect().map(_.getAs[Long]("m")).toSeq == Seq(3L, 6L))
+    // an item containing a bracketed array literal with commas must not
+    // mis-split, and a backticked name with parens must not move the
+    // balanced-paren capture
+    val r6 = GraftSql.load(spark,
+      "SELECT * REPLACE ([10,20,30][OFFSET(CAST(id AS INT64) - 1)] AS v, `s` AS s) " +
+        "FROM sr_t ORDER BY id")
+    assert(r6.columns.sorted.toSeq == Seq("id", "s", "v"))
+    assert(r6.collect().map(_.getAs[Int]("v")).toSeq == Seq(10, 20))
+    // backticked identifier containing a paren inside the REPLACE list
+    Seq((1L, 2L)).toDF("id", "x(y").createOrReplaceTempView("sr_bt")
+    val r7 = GraftSql.load(spark,
+      "SELECT * REPLACE (`x(y` * 2 AS `x(y`) FROM sr_bt")
+    assert(r7.collect().head.getAs[Long]("x(y") == 4L)
     // louds: item without AS
     val e = intercept[IllegalArgumentException] {
       GraftSql.load(spark, "SELECT * REPLACE (v + 1) FROM sr_t")
@@ -1941,6 +2052,19 @@ class TypedSqlSpec extends SparkSuite {
     // stars outside FROM/JOIN table position stay untouched
     assert(GraftSql.load(spark,
       "SELECT COUNT(*) AS n FROM wt_events_20240101").head().getLong(0) == 2L)
+
+    // expression-position FROM with arithmetic must NOT reach the
+    // wildcard resolver: substring/EXTRACT have their own FROM keyword
+    Seq(("abcdef", 2L)).toDF("s", "n").createOrReplaceTempView("wt_exprfrom")
+    assert(GraftSql.load(spark,
+      "SELECT substring(s FROM n*2) AS sub FROM wt_exprfrom").head().getString(0) == "def")
+    assert(GraftSql.load(spark,
+      "SELECT EXTRACT(YEAR FROM timestamp_seconds(n*250000000)) AS y FROM wt_exprfrom")
+      .head().getInt(0) == 1985)
+    // ...and a real wildcard elsewhere in the same statement still fires
+    assert(GraftSql.load(spark,
+      "SELECT substring(e.v FROM n*1 - 1) AS sub FROM wt_exprfrom x JOIN wt_events_* e ON e.id = x.n")
+      .head().getString(0) == "b")
 
     // louds: zero matches, mid-name wildcard, empty prefix
     def bad(sql: String): String =
