@@ -379,6 +379,22 @@ object GraftScript {
       case _: BreakSignal | _: ContinueSignal =>
         throw new IllegalArgumentException(
           "BREAK/LEAVE/CONTINUE/ITERATE outside a loop (LOOP / WHILE / REPEAT / FOR ... IN)")
+      case scala.util.control.NonFatal(e) =>
+        // an UNCAUGHT error fails the script: an open transaction
+        // rolls back (BigQuery's rule). A CAUGHT error — TryBlock —
+        // leaves the transaction open for the handler, which is where
+        // BigQuery's canonical `EXCEPTION WHEN ERROR THEN ROLLBACK
+        // TRANSACTION;` pattern runs.
+        if (GraftSql.txnActive(spark)) GraftSql.rollbackTransaction(spark)
+        throw e
+    }
+    if (GraftSql.txnActive(spark)) {
+      // loud, not silent: a script that opens a transaction must
+      // close it — silent rollback would discard work invisibly
+      GraftSql.rollbackTransaction(spark)
+      throw new IllegalArgumentException(
+        "script ended with an OPEN transaction — it was rolled back; " +
+          "end the transaction with COMMIT or ROLLBACK")
     }
     last.getOrElse(spark.emptyDataFrame)
   }
@@ -745,13 +761,13 @@ object GraftScript {
           "labeled CONTINUE/ITERATE is not supported — bare CONTINUE advances the innermost loop")
         c.semicolon()
         out += ContinueStmt
-      } else if (c.peekKeyword("BEGIN", "TRANSACTION") ||
-        c.peekKeyword("COMMIT") || c.peekKeyword("ROLLBACK")) {
-        throw new IllegalArgumentException(
-          "multi-statement transactions are not supported: this engine's statements " +
-            "have per-statement snapshot semantics (README 'Isolation contract'); for " +
-            "atomic multi-verb mutations land the combined result as ONE Versioned " +
-            "commit (the A39 route) — the manifest write is the atomic commit point")
+      } else if (c.peekKeyword("BEGIN", "TRANSACTION")) {
+        // a STATEMENT, not a block: BEGIN TRANSACTION routes to
+        // GraftSql's transaction dispatch (COMMIT/ROLLBACK reach it
+        // through the plain branch naturally)
+        val sql = c.until(Nil, stopSemicolon = true)
+        c.semicolon()
+        out += Plain(sql)
       } else if (c.keyword("BEGIN")) {
         val body = parseBlock(c, Some(Seq(Seq("END"), Seq("EXCEPTION"))))
         if (c.keyword("EXCEPTION")) {

@@ -85,7 +85,16 @@ object GraftSql {
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
     // empty frame
-    if (AssertRe.pattern.matcher(sql).matches()) {
+    if (BeginTxnRe.pattern.matcher(sql).matches()) {
+      beginTransaction(spark)
+      spark.emptyDataFrame
+    } else if (CommitTxnRe.pattern.matcher(sql).matches()) {
+      commitTransaction(spark)
+      spark.emptyDataFrame
+    } else if (RollbackTxnRe.pattern.matcher(sql).matches()) {
+      rollbackTransaction(spark)
+      spark.emptyDataFrame
+    } else if (AssertRe.pattern.matcher(sql).matches()) {
       assertStatement(spark, sql)
       spark.emptyDataFrame
     } else if (ExportRe.pattern.matcher(sql).matches()) {
@@ -136,9 +145,14 @@ object GraftSql {
             // the FxPipeline ingest shape), the manifest extends the
             // live set, and the pre-image stays readable AS OF
             val (_, aligned, over) = insertAligned(spark, i)
-            if (over) graft.sources.Versioned.overwrite(aligned, path, label = "insert overwrite")
-            else graft.sources.Versioned.append(aligned, path, label = "insert")
-            graft.sources.Versioned.register(spark, n, path)
+            if (txnActive(spark)) {
+              if (over) txnStageOverwrite(spark, n, path, aligned)
+              else txnStageAppend(spark, n, path, aligned)
+            } else {
+              if (over) graft.sources.Versioned.overwrite(aligned, path, label = "insert overwrite")
+              else graft.sources.Versioned.append(aligned, path, label = "insert")
+              graft.sources.Versioned.register(spark, n, path)
+            }
           case None => insertParsed(spark, i)
         }
       case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
@@ -442,6 +456,7 @@ object GraftSql {
     */
   def export(spark: SparkSession, sql: String): DataFrame = sql match {
     case ExportRe(optStr, query) =>
+      requireNoTxn(spark, "EXPORT DATA")
       val opts = parseOptions(optStr)
       val known = Set("uri", "format", "overwrite", "header", "field_delimiter", "compression")
       val unknown = opts.keySet -- known
@@ -672,6 +687,7 @@ object GraftSql {
     */
   def loadData(spark: SparkSession, sql: String): DataFrame = sql match {
     case LoadDataRe(verb, rawName, schema, optBody) =>
+      requireNoTxn(spark, "LOAD DATA")
       val name = viewName(rawName)
       val df = readFiles(spark, schema, optBody, "LOAD DATA")
       // a registered Versioned target commits the load: INTO as an
@@ -2271,6 +2287,7 @@ object GraftSql {
     * 1-row report frame.
     */
   def maintenance(spark: SparkSession, sql: String): DataFrame = {
+    requireNoTxn(spark, "OPTIMIZE/VACUUM")
     import spark.implicits._
     def path(rawName: String): (String, String) = {
       val name = viewName(rawName)
@@ -2324,6 +2341,7 @@ object GraftSql {
     */
   def createClone(spark: SparkSession, sql: String): DataFrame = sql match {
     case CloneRe(orReplace, snapshot, ifNotExists, rawName, verb, rawSrc) =>
+      requireNoTxn(spark, "CREATE TABLE CLONE/SNAPSHOT")
       val name = viewName(rawName)
       val src = viewName(rawSrc)
       val verbUp = verb.toUpperCase(java.util.Locale.ROOT)
@@ -3103,13 +3121,29 @@ object GraftSql {
       // so no sentinel is needed
       val sSide: DataFrame = if (m.matchedActions.nonEmpty) srcMatchable
         else srcMatchable.select(keyNames.map(F.col): _*).distinct()
+      // Fan-out (and therefore BigQuery's deferred cardinality rule)
+      // is only reachable when a matched clause exists AND the source
+      // holds duplicate join keys. Probe that with one slim aggregate
+      // over the key projection; the key-unique source — the
+      // overwhelmingly common case — then skips the per-target-row
+      // arbitration window (an extra full-width shuffle+sort) and the
+      // BY-SOURCE-only path (distinct key projection) never needs it.
+      val needArbitration = m.matchedActions.nonEmpty &&
+        !srcMatchable.groupBy(keyNames.map(F.col): _*).count()
+          .filter(F.col("count") > 1).isEmpty
       // __t_id gives each target row an identity so the DEFERRED
       // cardinality sentinel (BigQuery's actual rule: error only when
       // >1 UPDATE/DELETE would apply to the SAME target row — a
       // multi-match whose clause conditions select at most one source
       // row is legal) and the fan-out collapse can both arbitrate per
-      // target row even when the target holds duplicate keys
-      val t = targetDf.withColumn("__t_id", F.monotonically_increasing_id()).alias("t")
+      // target row even when the target holds duplicate keys.
+      // Caveat: monotonically_increasing_id is stable only per task
+      // attempt — under task retry with a nondeterministic upstream the
+      // ids can reassign across the window shuffle; callers with such
+      // upstreams should persist/localCheckpoint the target first.
+      val t = if (needArbitration)
+        targetDf.withColumn("__t_id", F.monotonically_increasing_id()).alias("t")
+      else targetDf.alias("t")
       val s = sSide.withColumn("__s_present", F.lit(1)).alias("s")
       val joinCond = keyNames.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _)
       val matched = F.col("s.__s_present").isNotNull
@@ -3123,26 +3157,30 @@ object GraftSql {
       val bsPick = m.notMatchedBySourceActions.zipWithIndex.foldRight(F.lit(0): Column) {
         case ((a, i), rest) => F.when(condOf(a, matchedSide = true), F.lit(i + 1)).otherwise(rest)
       }
-      // deferred cardinality sentinel + fan-out collapse: partition the
-      // joined frame by target-row identity; loud when two matched
-      // clauses fire on one target row, and when the clauses select at
-      // most one source row keep exactly one copy (the firing pair if
-      // any) so a benign multi-match never duplicates the target row
-      val wT = org.apache.spark.sql.expressions.Window.partitionBy(F.col("t.__t_id"))
-      val wTOrd = wT.orderBy(F.when(F.col("__pick") =!= 0, F.lit(0)).otherwise(F.lit(1)))
-      val withPick = t.join(s, joinCond, "left_outer")
+      val joined = t.join(s, joinCond, "left_outer")
         .withColumn("__pick", F.when(matched, pick).otherwise(F.lit(0)))
         .withColumn("__bs_pick",
           if (m.notMatchedBySourceActions.isEmpty) F.lit(0)
           else F.when(!matched, bsPick).otherwise(F.lit(0)))
-        .withColumn("__fire_cnt",
-          F.sum(F.when(F.col("__pick") =!= 0, F.lit(1)).otherwise(F.lit(0))).over(wT))
-        .filter(F.when(F.col("__fire_cnt") <= 1, F.lit(true))
-          .otherwise(F.raise_error(F.concat(F.lit(
-            "[MERGE_CARDINALITY_VIOLATION] more than one matched UPDATE/DELETE applies to one target row for key ("),
-            F.concat_ws(",", keyNames.map(k => F.col(s"t.$k")): _*), F.lit(")"))).isNotNull))
-        .withColumn("__t_rn", F.row_number().over(wTOrd))
-        .filter(F.col("__t_rn") === 1)
+      // deferred cardinality sentinel + fan-out collapse (duplicate-key
+      // sources only): partition the joined frame by target-row
+      // identity; loud when two matched clauses fire on one target
+      // row, and when the clauses select at most one source row keep
+      // exactly one copy (the firing pair if any) so a benign
+      // multi-match never duplicates the target row
+      val withPick = if (!needArbitration) joined else {
+        val wT = org.apache.spark.sql.expressions.Window.partitionBy(F.col("t.__t_id"))
+        val wTOrd = wT.orderBy(F.when(F.col("__pick") =!= 0, F.lit(0)).otherwise(F.lit(1)))
+        joined
+          .withColumn("__fire_cnt",
+            F.sum(F.when(F.col("__pick") =!= 0, F.lit(1)).otherwise(F.lit(0))).over(wT))
+          .filter(F.when(F.col("__fire_cnt") <= 1, F.lit(true))
+            .otherwise(F.raise_error(F.concat(F.lit(
+              "[MERGE_CARDINALITY_VIOLATION] more than one matched UPDATE/DELETE applies to one target row for key ("),
+              F.concat_ws(",", keyNames.map(k => F.col(s"t.$k")): _*), F.lit(")"))).isNotNull))
+          .withColumn("__t_rn", F.row_number().over(wTOrd))
+          .filter(F.col("__t_rn") === 1)
+      }
       val deleteIdx = m.matchedActions.zipWithIndex
         .collect { case (_: DeleteAction, i) => i + 1 }
       val updateIdx = m.matchedActions.zipWithIndex
@@ -3569,12 +3607,143 @@ object GraftSql {
     val hit = nameOpt.flatMap(n =>
       graft.sources.Versioned.registeredPath(spark, n).map(p => (n, p)))
     hit match {
+      case Some((n, path)) if txnActive(spark) =>
+        // inside BEGIN TRANSACTION the verb STAGES: the session view
+        // moves to the pending plan (read-your-writes) but no commit
+        // lands until COMMIT
+        txnStageOverwrite(spark, n, path, result)
       case Some((n, path)) =>
         graft.sources.Versioned.overwrite(result, path, label = action)
         graft.sources.Versioned.register(spark, n, path)
       case None => result
     }
   }
+
+  // ───────────── multi-statement transactions ─────────────
+  //
+  // BigQuery's `BEGIN TRANSACTION; <DML/SELECT...>; COMMIT;` over
+  // registered Versioned tables — the stage-then-merge shape the
+  // reference's merge DAG runs as separate jobs
+  // (fx_pipeline_with_merge.py:96-112), made atomic. Inside a
+  // transaction every DML verb whose target is a registered Versioned
+  // table STAGES its result: the session temp view refreshes to the
+  // pending (lazy) plan so later statements in the transaction read
+  // their own writes, but nothing lands on disk until COMMIT — which
+  // first writes every touched table's DATA (phase one: expensive,
+  // invisible — a data dir without a manifest is debris) and then
+  // lands the manifests in one tight metadata-only pass (phase two:
+  // each manifest write is the per-table atomic point). ROLLBACK — or
+  // a crash/error anywhere before COMMIT — restores the views to the
+  // last committed versions; the staged data is unreferenced debris,
+  // reclaimed by Versioned.vacuum. Lazy staging is sound because
+  // Versioned data files are immutable: a pending plan over version N
+  // still reads version N's bytes at COMMIT time.
+  //
+  // Scope (BigQuery's rule, narrowed to this engine's catalog): DML
+  // (INSERT/UPDATE/DELETE/MERGE/TRUNCATE) on registered Versioned
+  // tables + any read-only statement. Side-effecting statements that
+  // cannot be rolled back (EXPORT DATA, LOAD DATA, OPTIMIZE/VACUUM,
+  // CLONE) are loud inside a transaction. DML on UNregistered targets
+  // keeps its pure snapshot-return contract (no side effect, nothing
+  // to roll back). Atomicity caveat: with several tables in one
+  // transaction the manifests land sequentially — a crash INSIDE that
+  // metadata-only loop can expose a prefix; single-table transactions
+  // (the reference's shape) are fully atomic.
+
+  private final class TxnTable(val name: String, val path: String,
+                               var pending: DataFrame) {
+    var appendOnly: Boolean = true
+    var appended: Option[DataFrame] = None // union of the O(batch) insert batches
+  }
+  private final class TxnState {
+    val tables = scala.collection.mutable.LinkedHashMap.empty[String, TxnTable]
+  }
+  private val txns = scala.collection.concurrent.TrieMap.empty[Int, TxnState]
+  private def txnKey(spark: SparkSession): Int = System.identityHashCode(spark)
+  private[graft] def txnActive(spark: SparkSession): Boolean = txns.contains(txnKey(spark))
+
+  private def beginTransaction(spark: SparkSession): Unit = {
+    require(!txnActive(spark),
+      "nested BEGIN TRANSACTION is not supported (BigQuery's rule too): " +
+        "COMMIT or ROLLBACK the open transaction first")
+    txns(txnKey(spark)) = new TxnState
+  }
+
+  private[graft] def rollbackTransaction(spark: SparkSession): Unit = {
+    val st = txns.remove(txnKey(spark)).getOrElse(throw new IllegalArgumentException(
+      "ROLLBACK without an open transaction"))
+    st.tables.valuesIterator.foreach(t =>
+      graft.sources.Versioned.register(spark, t.name, t.path))
+  }
+
+  private def commitTransaction(spark: SparkSession): Unit = {
+    val key = txnKey(spark)
+    val st = txns.getOrElse(key, throw new IllegalArgumentException(
+      "COMMIT without an open transaction"))
+    val touched = st.tables.valuesIterator.toSeq
+    // phase one: stage every table's data; a failure here rolls back
+    // (the already-staged directories are unreferenced debris)
+    val staged =
+      try touched.map { t =>
+        if (t.appendOnly)
+          t -> graft.sources.Versioned.stage(t.appended.get, t.path,
+            append = true, "txn insert", None)
+        else
+          t -> graft.sources.Versioned.stage(t.pending, t.path,
+            append = false, "txn", None)
+      }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          txns.remove(key)
+          touched.foreach(t => graft.sources.Versioned.register(spark, t.name, t.path))
+          throw e
+      }
+    // phase two: the commit point — metadata-only manifest writes
+    staged.foreach { case (t, s) =>
+      graft.sources.Versioned.finishStaged(spark, s)
+      graft.sources.Versioned.register(spark, t.name, t.path)
+    }
+    txns.remove(key)
+  }
+
+  private def txnTable(spark: SparkSession, name: String, path: String): TxnTable =
+    txns(txnKey(spark)).tables.getOrElseUpdate(name.toLowerCase(java.util.Locale.ROOT),
+      new TxnTable(name, path, spark.table(name)))
+
+  /** Stage a full-snapshot verb (UPDATE/DELETE/MERGE/TRUNCATE/ALTER/
+    * INSERT OVERWRITE): the pending content becomes `result`.
+    */
+  private def txnStageOverwrite(spark: SparkSession, name: String, path: String,
+                                result: DataFrame): DataFrame = {
+    val t = txnTable(spark, name, path)
+    t.appendOnly = false; t.appended = None
+    t.pending = result
+    result.createOrReplaceTempView(name)
+    spark.table(name)
+  }
+
+  /** Stage an append-disposition INSERT: pending extends by the batch;
+    * an all-append transaction COMMITs as ONE append commit writing
+    * only the new rows (O(batch), the FxPipeline ingest shape).
+    */
+  private def txnStageAppend(spark: SparkSession, name: String, path: String,
+                             rows: DataFrame): DataFrame = {
+    val t = txnTable(spark, name, path)
+    if (t.appendOnly)
+      t.appended = Some(t.appended.map(_.unionByName(rows)).getOrElse(rows))
+    t.pending = t.pending.unionByName(rows)
+    t.pending.createOrReplaceTempView(name)
+    spark.table(name)
+  }
+
+  private def requireNoTxn(spark: SparkSession, what: String): Unit =
+    require(!txnActive(spark),
+      s"$what is not allowed inside a transaction — it cannot be rolled back " +
+        "(BigQuery forbids it in transactions too); COMMIT or ROLLBACK first")
+
+  private val BeginTxnRe = """(?is)^\s*BEGIN\s+TRANSACTION\s*;?\s*$""".r
+  private val CommitTxnRe = """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val RollbackTxnRe = """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
 
   private def resolve(spark: SparkSession, p: LogicalPlan): (DataFrame, Set[String]) = p match {
     case SubqueryAlias(ident, u: UnresolvedRelation) =>
@@ -4246,13 +4415,26 @@ object GraftSql {
       }
       if (lastAs > 0) (item.substring(0, lastAs).trim, item.substring(lastAs + 2).trim)
       else {
-        require(item.matches("""[A-Za-z_]\w*(\.[A-Za-z_]\w*)*"""),
+        require(item.matches("""(`[^`]+`|[A-Za-z_]\w*)(\.(`[^`]+`|[A-Za-z_]\w*))*"""),
           s"AS STRUCT field '$item' needs a name — BigQuery would emit an anonymous " +
             "field, unrepresentable in a Spark struct; add `AS name`")
-        (item, item.substring(item.lastIndexOf('.') + 1))
+        // last dot at depth 0 of backticks (dots inside `...` are part of the name)
+        var lastDot = -1; var inTick = false; var j = 0
+        while (j < item.length) {
+          val c = item.charAt(j)
+          if (c == '`') inTick = !inTick
+          else if (c == '.' && !inTick) lastDot = j
+          j += 1
+        }
+        (item, item.substring(lastDot + 1))
       }
     }
-    fields.map { case (e, n) => s"'${n.replace("'", "''")}', ($e)" }
+    // a quoted alias/identifier contributes its unquoted text as the name
+    val named = fields.map { case (e, n0) =>
+      val n = if (n0.length >= 2 && n0.head == '`' && n0.last == '`') n0.substring(1, n0.length - 1) else n0
+      (e, n)
+    }
+    named.map { case (e, n) => s"'${n.replace("'", "''")}', ($e)" }
       .mkString("named_struct(", ", ", ")")
   }
 

@@ -781,6 +781,54 @@ object SparkEntry {
           |ORDER BY face, event_type""".stripMargin)
     }),
 
+    // A46 driver face: BEGIN TRANSACTION ... COMMIT / ROLLBACK — a
+    // multi-statement transaction over a registered Versioned table
+    // (the reference's stage-then-merge shape,
+    // fx_pipeline_with_merge.py:96-112, as ONE atomic commit). The
+    // committed transaction's three verbs land as a single manifest
+    // commit (asserted), the rolled-back transaction's destructive
+    // DELETE leaves no trace, and the pre-image stays readable AS OF
+    // the pinned first commit. The oracle replays the committed
+    // trajectory as filters + CASE — hash-green proves staging,
+    // read-your-writes ordering, the single commit point and the
+    // rollback
+    "sql_transaction" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_txn_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Tables.events(s, d)
+        .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+      graft.sources.Versioned.overwrite(
+        e.filter(F.pmod(F.col("event_id"), F.lit(3)) === 0), dir,
+        Some(graft.GraftSql.parseTsLiteralUs("2024-01-01 00:00:00")))
+      graft.sources.Versioned.register(s, "tx_events", dir)
+      e.filter(F.pmod(F.col("event_id"), F.lit(3)) === 1 && F.col("value") > 2.0)
+        .createOrReplaceTempView("tx_incoming")
+      graft.GraftScript.run(s,
+        """BEGIN TRANSACTION;
+          |INSERT INTO tx_events SELECT * FROM tx_incoming;
+          |DELETE FROM tx_events WHERE event_type = 'click';
+          |UPDATE tx_events SET value = value * 2 WHERE event_type = 'purchase';
+          |COMMIT TRANSACTION;
+          |BEGIN TRANSACTION;
+          |DELETE FROM tx_events WHERE value >= 0;
+          |ROLLBACK TRANSACTION;""".stripMargin)
+      require(graft.sources.Versioned.commits(s, dir).map(_.action) ==
+        Seq("overwrite", "txn"),
+        "the committed transaction must land as exactly ONE commit, the rollback as none")
+      graft.GraftSql.load(s,
+        """SELECT 'asof' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM tx_events FOR SYSTEM_TIME AS OF TIMESTAMP '2024-06-01 00:00:00'
+          |GROUP BY event_type
+          |UNION ALL
+          |SELECT 'latest' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM tx_events GROUP BY event_type
+          |ORDER BY face, event_type""".stripMargin)
+    }),
+
     // A35 driver face: a BigQuery multi-statement script (DECLARE /
     // SET / IF / WHILE around distributed statements) through
     // GraftScript.run. Every variable is an INT64 scalar derived from
@@ -3153,6 +3201,26 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
           |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
           |FROM result GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // transaction replay: asof = the pinned first commit (third 0);
+      // latest = the COMMITTED transaction's trajectory (insert the
+      // gated third 1, delete clicks, double purchases — value*2 is
+      // exact in IEEE doubles); the rolled-back DELETE contributes
+      // nothing
+      "sql_transaction" ->
+        """WITH cur AS (
+          |  SELECT event_type,
+          |         CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+          |  FROM events
+          |  WHERE (event_id % 3 = 0 OR (event_id % 3 = 1 AND value > 2.0))
+          |    AND event_type <> 'click')
+          |SELECT 'asof' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+          |UNION ALL
+          |SELECT 'latest' AS face, event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum
+          |FROM cur GROUP BY event_type
+          |ORDER BY face, event_type""".stripMargin,
       // versioned-DML replay: asof = the pinned first commit (third
       // 0); latest = thirds 0+1 minus clicks with purchase values
       // doubled (value*2 is exact in IEEE doubles)

@@ -148,23 +148,46 @@ object Versioned {
     commitWrite(df, table, append = false, label, commitTsUs)
 
   private def commitWrite(df: DataFrame, table: String, append: Boolean,
-                          action: String, commitTsUs: Option[Long]): Commit = {
+                          action: String, commitTsUs: Option[Long]): Commit =
+    finishStaged(df.sparkSession, stage(df, table, append, action, commitTsUs))
+
+  /** A data write whose manifest has not landed yet — invisible to
+    * every reader (a data dir without a manifest is debris) until
+    * [[finishStaged]] makes it the table's next version.
+    */
+  final case class Staged(table: String, commit: Commit)
+
+  /** Phase one of a commit: write the DATA only (the expensive part).
+    * The table is completely unchanged for readers until
+    * [[finishStaged]] writes the manifest; an abandoned stage is
+    * unreferenced debris, reclaimed by [[vacuum]]'s sweep. Multi-table
+    * transactions stage every table first, then land the (tiny,
+    * metadata-only) manifests together — shrinking the partial-
+    * visibility window to the manifest loop alone.
+    */
+  private[graft] def stage(df: DataFrame, table: String, append: Boolean,
+                           action: String, commitTsUs: Option[Long]): Staged = {
     val spark = df.sparkSession
     val (v, ts, prior) = nextCommit(spark, table, commitTsUs)
     val sub = dataSubdir(v)
     // the data dir is attempt-unique (see dataSubdir), so the write
     // never collides with a racing committer or with debris from an
-    // interrupted one; the MANIFEST write below is the commit point —
-    // a data dir without a manifest is unreachable debris, reclaimed
-    // by vacuum's sweep
-    val f = fs(spark, table)
+    // interrupted one; the MANIFEST write (finishStaged) is the commit
+    // point — a data dir without a manifest is unreachable debris,
+    // reclaimed by vacuum's sweep
     df.write.mode("errorifexists").parquet(s"$table/$sub")
     val live =
       if (!append || prior.isEmpty) Seq(sub)
       else prior.last.live :+ sub
-    val c = Commit(v, ts, action, live)
-    writeManifest(f, table, c)
-    c
+    Staged(table, Commit(v, ts, action, live))
+  }
+
+  /** Phase two: the atomic commit point — one create-exclusive
+    * manifest write.
+    */
+  private[graft] def finishStaged(spark: SparkSession, s: Staged): Commit = {
+    writeManifest(fs(spark, s.table), s.table, s.commit)
+    s.commit
   }
 
   /** Read version `v` (default: latest). The manifest's live list,

@@ -418,11 +418,13 @@ class GraftScriptSpec extends SparkSuite {
       GraftScript.run(spark, "EXCEPTION WHEN ERROR THEN SELECT 1; END;")
     }
     assert(e3.getMessage.contains("BEGIN"))
-    // transactions: loud with the Versioned-commit pointer, not a
-    // confusing block-parse failure
-    for (txn <- Seq("BEGIN TRANSACTION; SELECT 1; COMMIT TRANSACTION;",
-      "COMMIT;", "ROLLBACK TRANSACTION;"))
+    // transactions are statements now (TransactionSpec owns the
+    // semantics): an empty read-only transaction runs clean, and a
+    // stray COMMIT/ROLLBACK is loud
+    assert(GraftScript.run(spark,
+      "BEGIN TRANSACTION; SELECT 1 AS one; COMMIT TRANSACTION;").head().getInt(0) == 1)
+    for (txn <- Seq("COMMIT;", "ROLLBACK TRANSACTION;"))
       assert(intercept[IllegalArgumentException] { GraftScript.run(spark, txn) }
-        .getMessage.contains("Isolation contract"), txn)
+        .getMessage.contains("without an open transaction"), txn)
   }
 }

@@ -262,6 +262,38 @@ class TypedSqlSpec extends SparkSuite {
       r.getMessage.toLowerCase.contains("condition"), s"got: ${r.getMessage.take(200)}")
   }
 
+  test("general MERGE pays the __t_id arbitration window ONLY for duplicate-keyed sources") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "n").createOrReplaceTempView("gw_tgt")
+    Seq((1L, "A", 11L, "upd"), (9L, "Z", 90L, "upd"))
+      .toDF("k", "v", "n", "flag").createOrReplaceTempView("gw_src")
+    // conditional clauses force the general path; a key-unique source
+    // cannot fan out, so no per-target-row window may appear
+    val unique = GraftSql.merge(spark,
+      """MERGE INTO gw_tgt T USING gw_src S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'upd' THEN UPDATE SET T.v = S.v, T.n = S.n
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (S.k, S.v, S.n)""".stripMargin)
+    assert(unique.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "key-unique source must not pay the arbitration window")
+    val got = unique.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, "A", 11L), (2L, "b", 20L), (9L, "Z", 90L)), s"got $got")
+    // BY-SOURCE-only merges join a DISTINCT key projection — never windowed
+    val bySrc = GraftSql.merge(spark,
+      "MERGE INTO gw_tgt T USING gw_src S ON T.k = S.k WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(bySrc.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "BY-SOURCE-only merge must not pay the arbitration window")
+    // a duplicate-keyed source takes the arbitration plan (the deferred
+    // sentinel + fan-out collapse need the target-row identity)
+    Seq((1L, "x", 1L, "upd"), (1L, "y", 2L, "skip"))
+      .toDF("k", "v", "n", "flag").createOrReplaceTempView("gw_dup")
+    val dup = GraftSql.merge(spark,
+      """MERGE INTO gw_tgt T USING gw_dup S ON T.k = S.k
+        |WHEN MATCHED AND S.flag = 'upd' THEN UPDATE SET T.v = S.v, T.n = S.n""".stripMargin)
+    assert(dup.queryExecution.optimizedPlan.collect { case w: LWindow => w }.nonEmpty,
+      "duplicate-keyed source must arbitrate per target row")
+  }
+
   test("GraftSql.merge follows SQL semantics on null keys and raises on duplicate source keys") {
     import spark.implicits._
     // SQL `=` never matches null: the null-keyed target row must pass
@@ -1473,8 +1505,21 @@ class TypedSqlSpec extends SparkSuite {
       .contains("DISTINCT"))
     assert(bad("SELECT ARRAY(SELECT x FROM UNNEST(xs) AS x ORDER BY id) AS a FROM arrsub_t")
       .contains("element itself"))
-    assert(bad("SELECT ARRAY(SELECT AS STRUCT x, x FROM UNNEST(xs) AS x) AS a FROM arrsub_t")
-      .contains("named_struct"))
+    // duplicate struct field names are LEGAL in BigQuery — the construction
+    // succeeds (read back positionally; by-name access would be ambiguous)
+    val dup = GraftSql.load(spark,
+      "SELECT ARRAY(SELECT AS STRUCT x, x FROM UNNEST(xs) AS x) AS a FROM arrsub_t WHERE id = 2")
+      .collect().head
+    val dupArr = dup.getSeq[org.apache.spark.sql.Row](0)
+    assert(dupArr.map(s => (s.getInt(0), s.getInt(1))) == Seq((2, 2), (7, 7), (2, 2)))
+    // an unnamed non-identifier expression stays loud (anonymous field)
+    assert(bad("SELECT ARRAY(SELECT AS STRUCT x + 1 FROM UNNEST(xs) AS x) AS a FROM arrsub_t")
+      .contains("needs a name"))
+    // backticked aliases/identifiers contribute their unquoted text
+    val bt = GraftSql.load(spark,
+      "SELECT ARRAY(SELECT AS STRUCT x AS `my field`, `x` FROM UNNEST(xs) AS x) AS a FROM arrsub_t WHERE id = 2")
+      .selectExpr("a[0].`my field` AS f1", "a[0].x AS f2").collect().head
+    assert(bt.getInt(0) == 2 && bt.getInt(1) == 2)
   }
 
   test("GraftSql GREATEST/LEAST null-propagation, DIV truncation, IEEE_DIVIDE infinities") {
