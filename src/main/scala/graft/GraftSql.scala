@@ -1485,24 +1485,36 @@ object GraftSql {
           require(args.size == 2, "IEEE_DIVIDE takes (x, y)")
           Some(s"graft_ieee_divide((${args(0)}), (${args(1)}))")
         // EXTRACT is native EXCEPT for the week parts: BigQuery WEEK
-        // is Sunday-start 0-based, Spark's WEEK is ISO — silently
-        // different numbers most of the year, so bare WEEK (and the
-        // WEEK(<weekday>) variants) are LOUD and ISOWEEK maps to
-        // Spark's WEEK; every other part passes through untouched
-        // (DAYOFWEEK already agrees: Sunday=1 in both).
+        // is Sunday-start 0-based (dates before the year's first
+        // Sunday are week 0), Spark's WEEK is ISO — silently
+        // different numbers most of the year. WEEK and the
+        // WEEK(<WEEKDAY>) variants therefore REWRITE to BigQuery's
+        // boundary-count arithmetic (week = 0 before the year's first
+        // <WEEKDAY>, else 1 + full weeks since it), ISOWEEK maps to
+        // Spark's ISO weekofyear, and every other part passes through
+        // untouched (DAYOFWEEK already agrees: Sunday=1 in both).
         case "EXTRACT" =>
           require(args.size == 1, "EXTRACT takes (part FROM expr)")
           val a = args(0)
-          val WeekRe = """(?is)^\s*WEEK(\s*\([^)]*\))?\s+FROM\s+.*$""".r
+          val WeekRe = """(?is)^\s*WEEK\s*(?:\(\s*([A-Za-z]+)\s*\))?\s+FROM\s+(.*)$""".r
           val IsoRe = """(?is)^\s*ISOWEEK\s+FROM\s+(.*)$""".r
           a match {
-            case WeekRe(_) => throw new IllegalArgumentException(
-              "EXTRACT(WEEK ...) diverges: BigQuery weeks are Sunday-start and 0-based, " +
-                "Spark's WEEK is ISO — use EXTRACT(ISOWEEK ...) if ISO weeks are meant, " +
-                "or spell the Sunday-week arithmetic explicitly")
+            case WeekRe(wd, expr) =>
+              // Spark dayofweek: Sunday=1 .. Saturday=7
+              val dows = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
+                "WEDNESDAY" -> 4, "THURSDAY" -> 5, "FRIDAY" -> 6, "SATURDAY" -> 7)
+              val dayName = Option(wd).map(_.toUpperCase(java.util.Locale.ROOT))
+                .getOrElse("SUNDAY")
+              val dw = dows.getOrElse(dayName, throw new IllegalArgumentException(
+                s"EXTRACT(WEEK($dayName) ...): unknown weekday (SUNDAY..SATURDAY)"))
+              val d = s"CAST(($expr) AS DATE)"
+              val jan1 = s"make_date(year($d), 1, 1)"
+              val first = s"date_add($jan1, pmod($dw - dayofweek($jan1), 7))"
+              Some(s"(CASE WHEN $d < $first THEN 0 " +
+                s"ELSE CAST(floor(datediff($d, $first) / 7) AS INT) + 1 END)")
             // weekofyear, not extract(WEEK ...): an emitted EXTRACT
             // would re-match this rewrite on the next fixpoint pass
-            // and hit the WEEK loud (the MD5 lesson)
+            // (the MD5 lesson)
             case IsoRe(expr) => Some(s"weekofyear($expr)")
             case _ => None
           }
@@ -1518,11 +1530,17 @@ object GraftSql {
           val u = s"(${args(0)})"
           Some(s"nullif(lower(regexp_extract(trim($u), " +
             "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')")
+        // NET.REG_DOMAIN / NET.PUBLIC_SUFFIX: the NET.HOST extraction
+        // feeding the PSL resolver (functions/PublicSuffix.scala — a
+        // documented snapshot SUBSET of publicsuffix.org; BigQuery
+        // pins its own server-side list version the same way)
         case "NET.REG_DOMAIN" | "NET.PUBLIC_SUFFIX" =>
-          throw new IllegalArgumentException(
-            s"$name needs the public-suffix list — a versioned external artifact this " +
-              "engine does not embed (the Url.domainOf trade, stated there); extract the " +
-              "host with NET.HOST and apply your suffix list on top")
+          require(args.size == 1, s"$name takes (url)")
+          val u = s"(${args(0)})"
+          val host = s"nullif(lower(regexp_extract(trim($u), " +
+            "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')"
+          val fn = if (name == "NET.REG_DOMAIN") "graft_reg_domain" else "graft_public_suffix"
+          Some(s"$fn($host)")
         // BigQuery's KLL_QUANTILES sketch family (kll.scala — the
         // quantile analogue of HLL_COUNT): typed INIT → sketch BYTES,
         // MERGE_PARTIAL re-aggregation, POINT/array reads; the

@@ -1597,6 +1597,20 @@ object SparkEntry {
         .bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // E15's INTEGER face (the E15b/c/d `_hits` discipline backported):
+    // model trained on the EVEN doc_ids, every doc scored, odd docs
+    // decorated with a never-seen token so all three Laplace classes
+    // fire — the count tables, both joins, the routing AND the count
+    // sums the estimate reads all replay in DuckDB; the libm ln stays
+    // on the rows-only sibling above
+    "text_bigram_hits" -> ((s, d) => {
+      val docs = backoffFixture(Tables.documents(s, d))
+      val even = docs.filter(F.col("doc_id") % 2 === 0)
+      val model = (graft.operators.LanguageModel.unigramCounts(even, "text"),
+        graft.operators.LanguageModel.bigramCounts(even, "text"))
+      graft.operators.LanguageModel.bigramHits(docs, "doc_id", "text", Some(model))
+        .orderBy("doc_id")
+    }),
     // E15b: Stupid Backoff trigram LM (Brants et al. 2007) — model
     // trained on the EVEN doc_ids; every doc scored, odd docs
     // decorated with a doc_id-derived never-seen token so all FOUR
@@ -1821,18 +1835,24 @@ object SparkEntry {
     // DATE_DIFF / DATE_ADD. Integer parts cast to long so both engines
     // hash the same width; dayofweek follows BigQuery (Sunday=1 —
     // DuckDB's DOW is Sunday=0, mapped in the oracle)
+    // B23: the date/part surface THROUGH the dialect layer — the
+    // BigQuery EXTRACT spellings (incl. the Sunday-start 0-based WEEK
+    // and WEEK(<WEEKDAY>) boundary arithmetic, r10) are what the hash
+    // gates, replayed by DuckDB's own week arithmetic
     "q_date_ops" -> ((s, d) => {
-      val ts = F.col("ts")
-      Tables.events(s, d).select(
-          F.col("event_id"),
-          F.year(ts).cast("long").as("y"),
-          F.month(ts).cast("long").as("m"),
-          F.dayofweek(ts).cast("long").as("dow"),
-          F.weekofyear(ts).cast("long").as("iso_week"),
-          F.date_format(ts, "yyyy-MM-dd").as("day_str"),
-          F.datediff(F.lit("2025-01-01").cast("date"), F.to_date(ts)).cast("long").as("days_to_2025"),
-          F.date_add(F.to_date(ts), 30).as("plus30"))
-        .orderBy("event_id")
+      Tables.events(s, d).createOrReplaceTempView("dateops_events")
+      graft.GraftSql.load(s,
+        """SELECT event_id,
+          |  CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS y,
+          |  CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS m,
+          |  CAST(EXTRACT(DAYOFWEEK FROM ts) AS BIGINT) AS dow,
+          |  CAST(EXTRACT(ISOWEEK FROM ts) AS BIGINT) AS iso_week,
+          |  CAST(EXTRACT(WEEK FROM ts) AS BIGINT) AS bq_week,
+          |  CAST(EXTRACT(WEEK(THURSDAY) FROM ts) AS BIGINT) AS bq_week_thu,
+          |  date_format(ts, 'yyyy-MM-dd') AS day_str,
+          |  CAST(datediff(DATE '2025-01-01', to_date(ts)) AS BIGINT) AS days_to_2025,
+          |  date_add(to_date(ts), 30) AS plus30
+          |FROM dateops_events ORDER BY event_id""".stripMargin)
     }),
 
     // B39: BigQuery's APPROX_QUANTILES spelling, driven in the exact
@@ -2023,6 +2043,34 @@ object SparkEntry {
       graft.operators.Url.capPerDomain(
           Tables.documents(s, d).withColumn("url", messyUrl), "doc_id", "url", cap = 10)
         .orderBy("domain", "doc_id")
+    }),
+    // U5 (r10): NET.PUBLIC_SUFFIX / NET.REG_DOMAIN through the SQL
+    // dialect layer — the embedded PSL snapshot resolving a crafted
+    // host mix that exercises every rule class (multi-label ccSLD,
+    // default rule, private-section suffix, wildcard *.ck, the
+    // !www.ck exception, an invalid host → NULLs). The oracle replays
+    // the expected resolution as a CASE, so the hash gates the host
+    // extraction, the PSL algorithm and the NULL contract
+    "url_reg_domain" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("regdom_docs")
+      graft.GraftSql.load(s,
+        """SELECT doc_id,
+          |  NET.HOST(u) AS host,
+          |  NET.PUBLIC_SUFFIX(u) AS suffix,
+          |  NET.REG_DOMAIN(u) AS reg_domain
+          |FROM (SELECT doc_id,
+          |        CASE CAST(doc_id % 8 AS INT)
+          |          WHEN 0 THEN 'https://www.site' || CAST(doc_id % 5 AS STRING) || '.co.uk/p'
+          |          WHEN 1 THEN 'http://a.b.site' || CAST(doc_id % 5 AS STRING) || '.com?q=1'
+          |          WHEN 2 THEN 'https://site' || CAST(doc_id % 5 AS STRING) || '.github.io'
+          |          WHEN 3 THEN 'https://deep.sub.site' || CAST(doc_id % 5 AS STRING) || '.com.au/x'
+          |          WHEN 4 THEN 'https://x.unknowntld'
+          |          WHEN 5 THEN 'https://foo.www.ck'
+          |          WHEN 6 THEN 'https://a.b.ck'
+          |          ELSE 'not a url ' || CAST(doc_id AS STRING)
+          |        END AS u
+          |      FROM regdom_docs)
+          |ORDER BY doc_id""".stripMargin)
     }),
     // domain blocklist via the A24 Bloom anti-join — definite misses
     // pass map-only, hits resolve exactly, so the result IS the plain
@@ -3820,17 +3868,27 @@ object SparkEntry {
           |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
           |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // bq_week/bq_week_thu replay BigQuery's boundary count: week 0
+      // before the year's first <weekday>, else 1 + full weeks since
+      // it (DuckDB dayofweek: Sunday=0..Saturday=6; date-date = days)
       "q_date_ops" ->
-        """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |w AS (SELECT event_id, ts, CAST(ts AS DATE) AS d,
+          |             make_date(EXTRACT(YEAR FROM ts), 1, 1) AS jan1 FROM e),
+          |w2 AS (SELECT *,
+          |         jan1 + CAST((0 - dayofweek(jan1) + 7) % 7 AS INTEGER) AS first_sun,
+          |         jan1 + CAST((4 - dayofweek(jan1) + 7) % 7 AS INTEGER) AS first_thu FROM w)
           |SELECT event_id,
           |  EXTRACT(YEAR FROM ts) AS y,
           |  EXTRACT(MONTH FROM ts) AS m,
           |  EXTRACT(DOW FROM ts) + 1 AS dow,
           |  EXTRACT(WEEK FROM ts) AS iso_week,
+          |  CASE WHEN d < first_sun THEN 0 ELSE (d - first_sun) // 7 + 1 END AS bq_week,
+          |  CASE WHEN d < first_thu THEN 0 ELSE (d - first_thu) // 7 + 1 END AS bq_week_thu,
           |  strftime(ts, '%Y-%m-%d') AS day_str,
-          |  datediff('day', CAST(ts AS DATE), DATE '2025-01-01') AS days_to_2025,
-          |  CAST(ts AS DATE) + 30 AS plus30
-          |FROM e ORDER BY event_id""".stripMargin,
+          |  datediff('day', d, DATE '2025-01-01') AS days_to_2025,
+          |  d + 30 AS plus30
+          |FROM w2 ORDER BY event_id""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,
@@ -4205,6 +4263,30 @@ object SparkEntry {
            |  FROM dom WHERE domain IS NOT NULL AND doc_id IS NOT NULL)
            |SELECT domain, doc_id FROM r WHERE rn <= 10
            |ORDER BY domain, doc_id""".stripMargin,
+      // the PSL resolution replayed as the expected CASE per rule
+      // class; the invalid row gates the NULL contract
+      "url_reg_domain" ->
+        """WITH u AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,
+          |                  CAST(doc_id % 5 AS VARCHAR) AS n FROM documents)
+          |SELECT doc_id,
+          |  CASE k WHEN 0 THEN 'www.site' || n || '.co.uk'
+          |         WHEN 1 THEN 'a.b.site' || n || '.com'
+          |         WHEN 2 THEN 'site' || n || '.github.io'
+          |         WHEN 3 THEN 'deep.sub.site' || n || '.com.au'
+          |         WHEN 4 THEN 'x.unknowntld'
+          |         WHEN 5 THEN 'foo.www.ck'
+          |         WHEN 6 THEN 'a.b.ck'
+          |         ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS host,
+          |  CASE k WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'github.io'
+          |         WHEN 3 THEN 'com.au' WHEN 4 THEN 'unknowntld' WHEN 5 THEN 'ck'
+          |         WHEN 6 THEN 'b.ck' ELSE NULL END AS suffix,
+          |  CASE k WHEN 0 THEN 'site' || n || '.co.uk'
+          |         WHEN 1 THEN 'site' || n || '.com'
+          |         WHEN 2 THEN 'site' || n || '.github.io'
+          |         WHEN 3 THEN 'site' || n || '.com.au'
+          |         WHEN 4 THEN 'x.unknowntld' WHEN 5 THEN 'www.ck'
+          |         WHEN 6 THEN 'a.b.ck' ELSE NULL END AS reg_domain
+          |FROM u ORDER BY doc_id""".stripMargin,
       // the Bloom anti-join result IS the plain anti join: survivors =
       // domains off the list, plus NULL-domain rows (nothing to block)
       "url_domain_blocklist" ->
@@ -5242,6 +5324,36 @@ object SparkEntry {
           |       CAST(MIN(tf.dl) AS BIGINT) AS dl
           |FROM q JOIN tf ON q.token = tf.token JOIN df ON q.token = df.token
           |GROUP BY q.qid, tf.doc_id ORDER BY q.qid, tf.doc_id""".stripMargin,
+      // replays E15's integer face: even-doc unigram/bigram count
+      // tables, the two left joins, the three-way Laplace class
+      // routing AND the count sums the estimate reads
+      "text_bigram_hits" ->
+        """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
+          |                 THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+          |                 ELSE text END AS text FROM documents),
+          |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM d),
+          |pos AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2
+          |        FROM (SELECT doc_id, toks, unnest(range(2, len(toks)+1)) AS i FROM t)),
+          |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pos WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+          |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+          |          SELECT unnest(toks) AS w1 FROM t WHERE doc_id % 2 = 0) GROUP BY w1),
+          |lv AS (SELECT pos.doc_id, big.c12, uni.c1
+          |       FROM pos
+          |       LEFT JOIN big ON pos.w1 = big.w1 AND pos.w2 = big.w2
+          |       LEFT JOIN uni ON pos.w1 = uni.w1),
+          |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          |         CAST(SUM(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+          |         CAST(SUM(CASE WHEN c12 IS NULL AND c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx,
+          |         CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+          |         CAST(SUM(COALESCE(c12, 0)) AS BIGINT) AS c12_sum,
+          |         CAST(SUM(COALESCE(c1, 0)) AS BIGINT) AS c1_sum
+          |       FROM lv GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(n_bigrams, 0) AS n_bigrams, coalesce(n_seen, 0) AS n_seen,
+          |       coalesce(n_ctx, 0) AS n_ctx, coalesce(n_unseen, 0) AS n_unseen,
+          |       coalesce(c12_sum, 0) AS c12_sum, coalesce(c1_sum, 0) AS c1_sum
+          |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
       "text_kn_hits" ->
         """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
           |                 THEN text || ' zq' || CAST(doc_id AS VARCHAR)

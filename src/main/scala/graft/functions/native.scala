@@ -1489,6 +1489,10 @@ object native {
 
   def normalize_text(s: Column, form: String): Column =
     Bridge.column(NormalizeText(Bridge.expression(s), form))
+  def public_suffix(host: Column): Column =
+    Bridge.column(RegistrableDomain(Bridge.expression(host), "suffix"))
+  def reg_domain(host: Column): Column =
+    Bridge.column(RegistrableDomain(Bridge.expression(host), "reg_domain"))
   def search(data: Column, query: Column): Column =
     Bridge.column(SearchMatch(Bridge.expression(data), Bridge.expression(query)))
   def minhash_signature(tokens: Column, k: Int): Column =
@@ -1587,6 +1591,10 @@ object native {
       es => { arity("graft_normalize", es, 2)
         NormalizeText(es.head,
           constStr("graft_normalize", es, 1).toUpperCase(java.util.Locale.ROOT)) }),
+    ("graft_public_suffix", "graft_public_suffix(host) - PSL public suffix of a host",
+      es => { arity("graft_public_suffix", es, 1); RegistrableDomain(es.head, "suffix") }),
+    ("graft_reg_domain", "graft_reg_domain(host) - PSL registrable domain of a host",
+      es => { arity("graft_reg_domain", es, 1); RegistrableDomain(es.head, "reg_domain") }),
     // BigQuery's BYTES digests for the GraftSql MD5/SHA1 rewrites —
     // registry-routed (not textual unhex(md5(...))) because the
     // dialect scanner would re-match the self-named inner call on its

@@ -85,6 +85,43 @@ object LanguageModel {
         F.col("avg_surprisal"))
   }
 
+  /** The INTEGER face of [[bigramSurprisal]] (the E15b/c/d `_hits`
+    * discipline backported to E15): per-doc counts of bigram positions
+    * by the Laplace term that carries them — n_seen (c(w₁w₂)
+    * observed), n_ctx (context w₁ known, bigram unseen), n_unseen
+    * (w₁ not in the vocabulary) — plus the integer count sums the
+    * estimate actually reads (Σc₁₂ and Σc₁ over the doc's positions).
+    * Count tables, both joins and the routing are integer and
+    * order-free, so the whole pipeline replays under the DuckDB hash
+    * gate; the libm `ln` stays on the rows-only sibling. Same scale
+    * shape as [[bigramSurprisal]]: two count aggregates + two
+    * equi-joins, no corpus-sized broadcast assumed.
+    */
+  def bigramHits(docs: DataFrame, idCol: String, textCol: String,
+                 model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (uni, big) = model.getOrElse((unigramCounts(docs, textCol), bigramCounts(docs, textCol)))
+    val scored = bigrams(docs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_bigrams"),
+        F.count(F.col("c12")).as("n_seen"),
+        F.sum(F.when(F.col("c12").isNull && F.col("c1").isNotNull, 1L)
+          .otherwise(0L)).as("n_ctx"),
+        F.sum(F.when(F.col("c1").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        F.sum(F.coalesce(F.col("c12"), F.lit(0L))).as("c12_sum"),
+        F.sum(F.coalesce(F.col("c1"), F.lit(0L))).as("c1_sum"))
+    docs.select(F.col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"),
+        F.coalesce(F.col("n_seen"), F.lit(0L)).as("n_seen"),
+        F.coalesce(F.col("n_ctx"), F.lit(0L)).as("n_ctx"),
+        F.coalesce(F.col("n_unseen"), F.lit(0L)).as("n_unseen"),
+        F.coalesce(F.col("c12_sum"), F.lit(0L)).as("c12_sum"),
+        F.coalesce(F.col("c1_sum"), F.lit(0L)).as("c1_sum"))
+  }
+
   /** A trained interpolated Kneser-Ney bigram model (Kneser & Ney
     * 1995; the Chen & Goodman 1999 interpolated form) — the NORMALIZED
     * smoothing beside Stupid Backoff's unnormalized ratios:

@@ -97,7 +97,12 @@ object TextClassifier {
     val labeled = df.select(F.col(idCol),
       F.coalesce(F.col(textCol), F.lit("")).as(textCol),
       F.coalesce(F.col(labelCol).cast("long"), F.lit(Long.MinValue)).as("__y"))
-    val feats = featureBuckets(labeled, idCol, textCol, buckets)
+    // the featurization (tokenize → bigram → hash) is epoch-invariant:
+    // stage it lazily so epoch 1 computes it ONCE and every later
+    // epoch's scoring pass reads the cached buckets instead of
+    // re-running the text pipeline (values are unchanged — staging
+    // truncates lineage, it does not reorder the integer trajectory)
+    val feats = Staging.stageLazy(featureBuckets(labeled, idCol, textCol, buckets))
     val w = Array.ofDim[Long](buckets)
     val history = Seq.newBuilder[Long]
     for (_ <- 1 to epochs) {
@@ -200,7 +205,9 @@ object TextClassifier {
     }
     val labeled = df.select(F.col(idCol),
       F.coalesce(F.col(textCol), F.lit("")).as(textCol), kCol.as("__k"))
-    val feats = featureBuckets(labeled, idCol, textCol, buckets, carry = Seq("__k"))
+    // epoch-invariant featurization, staged once (see train)
+    val feats = Staging.stageLazy(
+      featureBuckets(labeled, idCol, textCol, buckets, carry = Seq("__k")))
     val structT = "array<struct<k:int,b:bigint,y:bigint>>"
     val ws = Array.fill(K)(Array.ofDim[Long](buckets))
     val history = Seq.newBuilder[Seq[Long]]

@@ -69,13 +69,25 @@ object Url {
 
   /** Lowercased host of an absolute URL; NULL when there is none.
     * (Registrable-domain folding — `a.example.co.uk` → `example.co.uk`
-    * — needs the public-suffix list, a versioned external artifact;
-    * callers that have one apply it on top of this host.)
+    * — is [[registrableDomainOf]], over the embedded PSL snapshot.)
     */
   def domainOf(url: Column): Column = {
     val host = F.lower(F.regexp_extract(F.trim(url),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
     F.when(host === "", F.lit(null).cast("string")).otherwise(host)
+  }
+
+  /** Registrable domain of an absolute URL's host
+    * (`a.example.co.uk` → `example.co.uk`) via the embedded
+    * public-suffix snapshot ([[graft.functions.PublicSuffix]]);
+    * falls back to the HOST itself when nothing is registered under
+    * it (the host IS a suffix, e.g. `github.io`, or a single label)
+    * so grouping keys never silently vanish. NULL when the URL has
+    * no host.
+    */
+  def registrableDomainOf(url: Column): Column = {
+    val host = domainOf(url)
+    F.coalesce(graft.functions.native.reg_domain(host), host)
   }
 
   /** URL-exact dedup over NORMALIZED URLs: one row per distinct
@@ -91,17 +103,21 @@ object Url {
       .groupBy("url_norm")
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_dups"))
 
-  /** Per-domain cap: keep at most `cap` documents of each host — the
-    * RefinedWeb anti-mirror rule. Deterministic via the S1 law (each
-    * domain's `cap` smallest-md5(id) rows through the bounded TopK
-    * aggregate — ≤ cap rows of state per partition per domain, never
-    * a window over the corpus); RNG-free, so re-runs and incremental
-    * re-processing keep the same survivors. Emits (domain, idCol).
+  /** Per-domain cap: keep at most `cap` documents of each
+    * REGISTRABLE DOMAIN — the RefinedWeb anti-mirror rule. Keyed on
+    * [[registrableDomainOf]] (r10): subdomain-split mirrors
+    * (`a.example.com` / `b.example.com`, `www.` duplicates) share ONE
+    * cap bucket, which raw-host keying let slip. Deterministic via
+    * the S1 law (each domain's `cap` smallest-md5(id) rows through
+    * the bounded TopK aggregate — ≤ cap rows of state per partition
+    * per domain, never a window over the corpus); RNG-free, so
+    * re-runs and incremental re-processing keep the same survivors.
+    * Emits (domain, idCol).
     */
   def capPerDomain(docs: DataFrame, idCol: String, urlCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be positive, got $cap")
     docs
-      .select(domainOf(F.col(urlCol)).as("domain"), F.col(idCol))
+      .select(registrableDomainOf(F.col(urlCol)).as("domain"), F.col(idCol))
       .filter(F.col("domain").isNotNull && F.col(idCol).isNotNull)
       .groupBy("domain")
       .agg(aggregates.top_k_by_score(

@@ -37,6 +37,37 @@ class LanguageModelSpec extends SparkSuite {
     assert(got.values.exists(_._1 > 0), "fixture must contain scoreable docs")
   }
 
+  test("bigramHits: integer face matches a driver-side reference; classes partition") {
+    // train on one half, score both — all three Laplace classes fire
+    val train = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b c a b"), (1L, "a b x c"), (2L, "q"), (3L, ""))
+      .toDF("doc_id", "text")
+    val model = (LanguageModel.unigramCounts(train, "text"),
+      LanguageModel.bigramCounts(train, "text"))
+    val got = LanguageModel.bigramHits(docs, "doc_id", "text", Some(model))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // doc 0: bigrams ab bc ca ab — all seen; c12: ab=2,bc=1,ca=1 →
+    // position sum 2+1+1+2 = 6; unigrams a=2,b=2,c=1 → position sum
+    // over w1 (a,b,c,a) = 2+2+1+2 = 7
+    assert(got(0L) == ((4L, 4L, 0L, 0L, 6L, 7L)))
+    // doc 1: ab (seen, c12=2, c1(a)=2), bx (ctx: b known, bx unseen,
+    // c1(b)=2), xc (unseen: x not in vocab)
+    assert(got(1L) == ((3L, 1L, 1L, 1L, 2L, 4L)))
+    // docs with <2 tokens: all-zero row, never dropped
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // classes partition n_bigrams on a real corpus slice
+    val corpus = Tables.documents(spark, sf).limit(50)
+    val even = corpus.filter(F.col("doc_id") % 2 === 0)
+    val m2 = (LanguageModel.unigramCounts(even, "text"),
+      LanguageModel.bigramCounts(even, "text"))
+    val bad = LanguageModel.bigramHits(corpus, "doc_id", "text", Some(m2))
+      .filter(F.col("n_seen") + F.col("n_ctx") + F.col("n_unseen") =!= F.col("n_bigrams"))
+      .count()
+    assert(bad == 0L, "the three classes must partition the bigram positions")
+  }
+
   test("precomputed model scores a foreign stream; unseen grams stay finite") {
     val train = Seq((1L, "a b c a b"), (2L, "a b a b")).toDF("doc_id", "text")
     val uni = LanguageModel.unigramCounts(train, "text")

@@ -1532,19 +1532,31 @@ class TypedSqlSpec extends SparkSuite {
     assert(r.getInt(2) == 2 && r.isNullAt(3))
     assert(r.getLong(4) == -3L && r.getLong(5) == 3L) // toward zero, both signs; INT64 result
     assert(r.getDouble(6).isPosInfinity && r.getDouble(7).isNaN)
-    // EXTRACT: ISOWEEK maps to Spark's ISO WEEK, bare WEEK is loud
-    // (Sunday-start vs ISO — silently different most of the year),
-    // every other part passes through native
+    // EXTRACT: ISOWEEK maps to Spark's ISO WEEK; WEEK and
+    // WEEK(<WEEKDAY>) rewrite to BigQuery's Sunday-start 0-based
+    // boundary arithmetic; every other part passes through native
     val w = GraftSql.load(spark,
       "SELECT EXTRACT(ISOWEEK FROM DATE '2024-01-01') AS iw, " +
         "EXTRACT(YEAR FROM DATE '2024-03-05') AS y").collect().head
     assert(w.getInt(0) == 1 && w.getInt(1) == 2024)
-    val we = intercept[IllegalArgumentException] {
-      GraftSql.load(spark, "SELECT EXTRACT(WEEK FROM DATE '2024-01-01') AS w")
-    }
-    assert(we.getMessage.contains("ISOWEEK"))
+    // 2024-01-01 is a Monday: before the first Sunday (Jan 7) → week 0
+    // under WEEK and WEEK(SUNDAY); Jan 7 starts week 1; Dec 31 2023 is
+    // a Sunday → week 53 (BigQuery's documented [0,53] range).
+    // WEEK(MONDAY): Jan 1 IS the year's first Monday → week 1.
+    val wk = GraftSql.load(spark,
+      "SELECT EXTRACT(WEEK FROM DATE '2024-01-01') AS w0, " +
+        "EXTRACT(WEEK FROM DATE '2024-01-07') AS w1, " +
+        "EXTRACT(WEEK FROM DATE '2024-01-13') AS w1b, " +
+        "EXTRACT(WEEK FROM DATE '2024-01-14') AS w2, " +
+        "EXTRACT(WEEK FROM DATE '2023-12-31') AS w53, " +
+        "EXTRACT(WEEK(SUNDAY) FROM DATE '2024-01-01') AS ws, " +
+        "EXTRACT(WEEK(MONDAY) FROM DATE '2024-01-01') AS wm, " +
+        "EXTRACT(WEEK(TUESDAY) FROM DATE '2024-01-01') AS wt").collect().head
+    assert(wk.getInt(0) == 0 && wk.getInt(1) == 1 && wk.getInt(2) == 1)
+    assert(wk.getInt(3) == 2 && wk.getInt(4) == 53)
+    assert(wk.getInt(5) == 0 && wk.getInt(6) == 1 && wk.getInt(7) == 0)
     intercept[IllegalArgumentException] {
-      GraftSql.load(spark, "SELECT EXTRACT(WEEK(SUNDAY) FROM DATE '2024-01-01') AS w")
+      GraftSql.load(spark, "SELECT EXTRACT(WEEK(NODAY) FROM DATE '2024-01-01') AS w")
     }
   }
 

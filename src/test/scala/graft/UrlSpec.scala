@@ -97,4 +97,54 @@ class UrlSpec extends SparkSuite {
       Url.dropBlockedDomains(docs, "url", Seq("x").toDF("host"))
     }
   }
+
+  test("PublicSuffix follows the PSL algorithm: longest rule, wildcard, exception, default") {
+    import graft.functions.PublicSuffix._
+    // multi-label ccSLD beats the default rule
+    assert(publicSuffix("www.example.co.uk") == "co.uk")
+    assert(regDomain("www.example.co.uk") == "example.co.uk")
+    assert(regDomain("a.b.example.com.au") == "example.com.au")
+    // default rule `*`: unknown TLDs resolve like two-label hosts
+    assert(publicSuffix("deep.sub.example.com") == "com")
+    assert(regDomain("deep.sub.example.com") == "example.com")
+    assert(publicSuffix("x.unknowntld") == "unknowntld")
+    assert(regDomain("x.unknowntld") == "x.unknowntld")
+    // a host that IS a suffix registers nothing
+    assert(publicSuffix("github.io") == "github.io")
+    assert(regDomain("github.io") == null)
+    assert(regDomain("user.github.io") == "user.github.io")
+    assert(regDomain("com") == null)
+    // wildcard *.ck: one extra label is still suffix space
+    assert(publicSuffix("a.b.ck") == "b.ck")
+    assert(regDomain("a.b.ck") == "a.b.ck")
+    // exception !www.ck prevails over the wildcard
+    assert(publicSuffix("www.ck") == "ck")
+    assert(regDomain("www.ck") == "www.ck")
+    assert(regDomain("foo.www.ck") == "www.ck")
+    // invalid hosts: IPs, IPv6, empty labels, whitespace → null
+    assert(publicSuffix("192.168.0.1") == null)
+    assert(regDomain("[::1]") == null)
+    assert(regDomain("a..b.com") == null)
+    assert(regDomain("not a host") == null)
+    // FQDN trailing dot and case fold
+    assert(regDomain("WWW.Example.CO.UK.") == "example.co.uk")
+  }
+
+  test("capPerDomain buckets subdomain mirrors by registrable domain") {
+    // two mirrors of one registrable domain, 4 docs each; cap=4 keyed
+    // on raw host would keep all 8 — registrable-domain keying keeps 4
+    val docs = (0L until 8L).map { i =>
+      val sub = if (i % 2 == 0) "a" else "b"
+      (i, s"https://$sub.example.co.uk/p$i")
+    }.toDF("doc_id", "url")
+    val kept = Url.capPerDomain(docs, "doc_id", "url", cap = 4).collect()
+    assert(kept.length == 4, s"mirrors must share one bucket: got ${kept.length}")
+    assert(kept.forall(_.getString(0) == "example.co.uk"))
+    // hosts that register nothing still key (host fallback), never drop
+    val bare = Seq((1L, "https://github.io/x"), (2L, "https://localhost/y"))
+      .toDF("doc_id", "url")
+    val keptBare = Url.capPerDomain(bare, "doc_id", "url", cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(keptBare == Set(("github.io", 1L), ("localhost", 2L)))
+  }
 }
