@@ -77,10 +77,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteWindowRefinement(rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteChangeTvf(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -206,6 +206,167 @@ object GraftSql {
     * Quote-aware; each REPLACE item requires a top-level ` AS name`
     * (loud otherwise).
     */
+  /** BigQuery named-WINDOW REFINEMENT — `WINDOW w1 AS (PARTITION BY
+    * g), w2 AS (w1 ORDER BY ts)` — merged TEXTUALLY into a full spec
+    * before Catalyst (Spark's grammar has named windows, not
+    * refinement). BigQuery's composition rules are enforced loudly:
+    * the base must be defined EARLIER in the same WINDOW clause, the
+    * refinement cannot redefine PARTITION BY, may add ORDER BY only
+    * when the base has none, and a refined base must not carry a
+    * frame clause; the refinement's own frame is appended. Chains
+    * (w3 refining w2) fold left-to-right through the already-merged
+    * text. Scope: the WINDOW clause only — inline `OVER (w ...)`
+    * refinement remains unsupported (spell it in full).
+    */
+  private[graft] def rewriteWindowRefinement(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("WINDOW")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    // (partition-by, order-by, frame) thirds of a window spec body;
+    // loud on leading garbage so a half-parsed refinement can't land
+    def splitSpec(spec: String, what: String): (String, String, String) = {
+      val up = spec.toUpperCase(java.util.Locale.ROOT)
+      def topIdx(kw: String): Int = {
+        var i = 0; var depth = 0; var s = false; var t = false
+        while (i < spec.length) {
+          val c = spec.charAt(i)
+          if (s) { if (c == '\'') s = false }
+          else if (t) { if (c == '`') t = false }
+          else if (c == '\'') s = true
+          else if (c == '`') t = true
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && up.startsWith(kw, i) &&
+            (i == 0 || !isWord(spec.charAt(i - 1))) &&
+            (i + kw.length >= spec.length || !isWord(spec.charAt(i + kw.length))))
+            return i
+          i += 1
+        }
+        -1
+      }
+      val pi = topIdx("PARTITION")
+      val oi = topIdx("ORDER")
+      val fi = Seq(topIdx("ROWS"), topIdx("RANGE"), topIdx("GROUPS"))
+        .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      val marks = Seq(pi, oi, fi).filter(_ >= 0).sorted
+      val first = marks.headOption.getOrElse(spec.length)
+      require(spec.substring(0, first).trim.isEmpty,
+        s"cannot parse window spec $what: unexpected text before " +
+          s"PARTITION BY/ORDER BY/frame in '${spec.trim}'")
+      def sliceFrom(at: Int): String =
+        if (at < 0) ""
+        else spec.substring(at, marks.find(_ > at).getOrElse(spec.length)).trim
+      (sliceFrom(pi), sliceFrom(oi), sliceFrom(fi))
+    }
+    val frameKw = Set("PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS")
+    val replacements = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    var i = 0; var inS = false; var inT = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inS) { if (c == '\'') inS = false; i += 1 }
+      else if (inT) { if (c == '`') inT = false; i += 1 }
+      else if (c == '\'') { inS = true; i += 1 }
+      else if (c == '`') { inT = true; i += 1 }
+      else if (upper.startsWith("WINDOW", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1))) &&
+        (i + 6 >= sql.length || !isWord(sql.charAt(i + 6)))) {
+        // try to parse `name AS ( ... ) [, ...]` after the keyword —
+        // anything else means WINDOW was an identifier; keep scanning
+        var j = i + 6
+        val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        val spans = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+        var ok = true; var more = true
+        while (ok && more) {
+          while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+          // window name: bare identifier or backticked
+          val nameStart = j
+          if (j < sql.length && sql.charAt(j) == '`') {
+            j += 1; while (j < sql.length && sql.charAt(j) != '`') j += 1
+            if (j < sql.length) j += 1 else ok = false
+          } else {
+            while (j < sql.length && isWord(sql.charAt(j))) j += 1
+          }
+          val name = sql.substring(nameStart, j)
+          if (name.isEmpty) ok = false
+          if (ok) {
+            while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+            if (j + 2 <= sql.length && upper.startsWith("AS", j) &&
+              (j + 2 >= sql.length || !isWord(sql.charAt(j + 2)))) j += 2
+            else ok = false
+          }
+          if (ok) {
+            while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+            if (j < sql.length && sql.charAt(j) == '(') {
+              val open = j
+              var depth = 0; var s = false; var t = false
+              while (j < sql.length && (depth > 0 || j == open)) {
+                val ch = sql.charAt(j)
+                if (s) { if (ch == '\'') s = false }
+                else if (t) { if (ch == '`') t = false }
+                else if (ch == '\'') s = true
+                else if (ch == '`') t = true
+                else if (ch == '(') depth += 1
+                else if (ch == ')') depth -= 1
+                j += 1
+              }
+              if (depth == 0) {
+                val key = name.stripPrefix("`").stripSuffix("`")
+                  .toLowerCase(java.util.Locale.ROOT)
+                defs(key) = sql.substring(open + 1, j - 1)
+                spans += ((key, open + 1, j - 1))
+                var k = j
+                while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+                if (k < sql.length && sql.charAt(k) == ',') { j = k + 1 }
+                else more = false
+              } else ok = false
+            } else ok = false
+          }
+        }
+        if (spans.nonEmpty && ok) {
+          // fold refinements left-to-right through the merged text
+          val HeadIdent = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*(.*)$""".r
+          spans.foreach { case (key, bs, be) =>
+            val body = defs(key)
+            body match {
+              case HeadIdent(tok0, rest) =>
+                val tok = tok0.stripPrefix("`").stripSuffix("`")
+                  .toLowerCase(java.util.Locale.ROOT)
+                if (!frameKw(tok.toUpperCase(java.util.Locale.ROOT)) && tok != key) {
+                  require(defs.contains(tok) && defs.keysIterator.indexOf(tok) <
+                    defs.keysIterator.indexOf(key),
+                    s"window $key references '$tok0', which is not a window defined " +
+                      "EARLIER in the same WINDOW clause (BigQuery's refinement rule)")
+                  val (p1, o1, f1) = splitSpec(defs(tok), s"base $tok0")
+                  val (p2, o2, f2) = splitSpec(rest, s"refinement $key")
+                  require(p2.isEmpty,
+                    s"window $key cannot redefine PARTITION BY — it inherits $tok0's")
+                  require(o2.isEmpty || o1.isEmpty,
+                    s"window $key cannot add ORDER BY: base $tok0 already has one")
+                  require(f1.isEmpty,
+                    s"window $key cannot refine $tok0: a refined base must not have " +
+                      "a frame clause")
+                  val merged = Seq(p1, if (o2.nonEmpty) o2 else o1, f2)
+                    .filter(_.nonEmpty).mkString(" ")
+                  defs(key) = merged
+                  replacements += ((bs, be, merged))
+                }
+              case _ => // empty or keyword-led spec: plain definition
+            }
+          }
+        }
+        i += 6
+      } else i += 1
+    }
+    if (replacements.isEmpty) sql
+    else {
+      val sb = new StringBuilder(sql)
+      replacements.sortBy(-_._1).foreach { case (bs, be, txt) =>
+        sb.replace(bs, be, txt)
+      }
+      sb.toString
+    }
+  }
+
   private[graft] def rewriteStarReplace(sql0: String): String = {
     val upper = sql0.toUpperCase(java.util.Locale.ROOT)
     if (!upper.contains("REPLACE")) return sql0

@@ -1392,17 +1392,24 @@ object SparkEntry {
     }),
     // BigQuery RANGE window: trailing 7-day sum over the daily series
     // (RANGE frame with an interval bound, not a row count)
+    // B19 (+B48 refinement, r10): the trailing-7-day RANGE window,
+    // spelled as a named-WINDOW REFINEMENT CHAIN (partition → +order →
+    // +frame) through the dialect merge — the hash gates that the
+    // merged spec IS the full inline spec
     "q_range_window" -> ((s, d) => {
       graft.sources.Typed.registerAllViews(s, d)
-      s.sql("""WITH daily AS (
-              |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-              |         SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
-              |  FROM events GROUP BY 1, 2)
-              |SELECT day, event_type, CAST(daily_dec AS DOUBLE) AS daily,
-              |       CAST(SUM(daily_dec) OVER (PARTITION BY event_type ORDER BY day
-              |            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
-              |         AS trailing_7d
-              |FROM daily ORDER BY event_type, day""".stripMargin)
+      graft.GraftSql.load(s,
+        """WITH daily AS (
+          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |         SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
+          |  FROM events GROUP BY 1, 2)
+          |SELECT day, event_type, CAST(daily_dec AS DOUBLE) AS daily,
+          |       CAST(SUM(daily_dec) OVER w7 AS DOUBLE) AS trailing_7d
+          |FROM daily
+          |WINDOW wp AS (PARTITION BY event_type),
+          |       wo AS (wp ORDER BY day),
+          |       w7 AS (wo RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day""".stripMargin)
     }),
     // batch sessionization: gap>30min starts a new session; epoch-micros
     // arithmetic on both sides dodges engine interval-comparison corners

@@ -1571,14 +1571,37 @@ class TypedSqlSpec extends SparkSuite {
         |ORDER BY id""".stripMargin).collect()
       .map(x => (x.getLong(0), x.getDouble(1), x.getInt(2))).toSeq
     assert(r == Seq((1L, 10.0, 1), (2L, 30.0, 2), (3L, 30.0, 1)))
-    // BigQuery's window REFINEMENT (`w2 AS (w1 ORDER BY ...)`) is not
-    // in Spark's grammar — it fails typed at parse, naming the spot;
-    // spell the refined window in full (documented trade)
-    intercept[Exception] {
-      GraftSql.load(spark,
-        """SELECT id, RANK() OVER w2 AS rk FROM win_t
-          |WINDOW w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id)""".stripMargin).collect()
-    }
+    // BigQuery's window REFINEMENT (`w2 AS (w1 ORDER BY ...)`) merges
+    // textually into a full spec before Catalyst (r10)
+    val ref = GraftSql.load(spark,
+      """SELECT id, RANK() OVER w2 AS rk, COUNT(*) OVER w1 AS n FROM win_t
+        |WINDOW w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id DESC)
+        |ORDER BY id""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(ref == Seq((1L, 2, 2L), (2L, 1, 2L), (3L, 1, 1L)))
+    // chains fold left-to-right; the refinement may append a frame
+    val chain = GraftSql.load(spark,
+      """SELECT id, SUM(v) OVER w3 AS s FROM win_t
+        |WINDOW w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY id),
+        |       w3 AS (w2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY id""".stripMargin).collect().map(_.getDouble(1)).toSeq
+    assert(chain == Seq(10.0, 30.0, 30.0))
+    // composition louds: redefined PARTITION BY, double ORDER BY,
+    // framed base, later-defined base
+    def badw(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(badw("""SELECT id, RANK() OVER w2 AS rk FROM win_t
+        |WINDOW w1 AS (PARTITION BY g ORDER BY id), w2 AS (w1 ORDER BY v)""".stripMargin)
+      .contains("already has one"))
+    assert(badw("""SELECT id, RANK() OVER w2 AS rk FROM win_t
+        |WINDOW w1 AS (PARTITION BY g), w2 AS (w1 PARTITION BY id)""".stripMargin)
+      .contains("PARTITION BY"))
+    assert(badw("""SELECT id, SUM(v) OVER w2 AS s FROM win_t
+        |WINDOW w1 AS (ORDER BY id ROWS UNBOUNDED PRECEDING), w2 AS (w1)""".stripMargin)
+      .contains("frame"))
+    assert(badw("""SELECT id, RANK() OVER w1 AS rk FROM win_t
+        |WINDOW w1 AS (w2 ORDER BY id), w2 AS (PARTITION BY g)""".stripMargin)
+      .contains("EARLIER"))
   }
 
   test("GraftSql scalar/EXISTS subqueries over UNNEST: COUNT/MAX/MIN/EXISTS as HOFs, table forms untouched") {
