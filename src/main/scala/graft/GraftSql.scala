@@ -215,8 +215,16 @@ object GraftSql {
     * when the base has none, and a refined base must not carry a
     * frame clause; the refinement's own frame is appended. Chains
     * (w3 refining w2) fold left-to-right through the already-merged
-    * text. Scope: the WINDOW clause only — inline `OVER (w ...)`
-    * refinement remains unsupported (spell it in full).
+    * text. The INLINE form — `OVER (w ORDER BY ...)` / `OVER (w ROWS
+    * ...)`, at least as common in the wild as the clause form (round
+    * 11) — rides the same merge: every OVER body opening with a name
+    * defined in the statement's WINDOW clause folds against that
+    * (already-merged) base under the same composition rules. `OVER
+    * (w)` with no refinement is native Spark and passes through.
+    * Textual scope note: names resolve against WINDOW definitions
+    * wherever the OVER appears — with several subquery WINDOW clauses
+    * defining the SAME name the first clause's fold wins (spell such
+    * queries in full).
     */
   private[graft] def rewriteWindowRefinement(sql: String): String = {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
@@ -260,6 +268,9 @@ object GraftSql {
     }
     val frameKw = Set("PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS")
     val replacements = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    // OVER-body spans already folded (several WINDOW clauses in one
+    // statement must not re-replace the same inline site)
+    val inlineDone = scala.collection.mutable.Set.empty[Int]
     var i = 0; var inS = false; var inT = false
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -352,6 +363,67 @@ object GraftSql {
                 }
               case _ => // empty or keyword-led spec: plain definition
             }
+          }
+          // inline `OVER (w ORDER BY ... / frame)` refinement: scan
+          // every OVER site; a body opening with a name defined in
+          // THIS clause's defs merges with the (already-folded) base
+          // under the same composition rules. Bare `OVER (w)` is
+          // native Spark — only a non-empty tail is a refinement.
+          var k = 0; var kS = false; var kT = false
+          while (k < sql.length) {
+            val ch = sql.charAt(k)
+            if (kS) { if (ch == '\'') kS = false; k += 1 }
+            else if (kT) { if (ch == '`') kT = false; k += 1 }
+            else if (ch == '\'') { kS = true; k += 1 }
+            else if (ch == '`') { kT = true; k += 1 }
+            else if (upper.startsWith("OVER", k) &&
+              (k == 0 || !isWord(sql.charAt(k - 1))) &&
+              (k + 4 >= sql.length || !isWord(sql.charAt(k + 4)))) {
+              var j2 = k + 4
+              while (j2 < sql.length && Character.isWhitespace(sql.charAt(j2))) j2 += 1
+              if (j2 < sql.length && sql.charAt(j2) == '(' && !inlineDone(j2)) {
+                val open = j2
+                var depth = 0; var s = false; var t = false
+                while (j2 < sql.length && (depth > 0 || j2 == open)) {
+                  val c2 = sql.charAt(j2)
+                  if (s) { if (c2 == '\'') s = false }
+                  else if (t) { if (c2 == '`') t = false }
+                  else if (c2 == '\'') s = true
+                  else if (c2 == '`') t = true
+                  else if (c2 == '(') depth += 1
+                  else if (c2 == ')') depth -= 1
+                  j2 += 1
+                }
+                if (depth == 0) {
+                  val body = sql.substring(open + 1, j2 - 1)
+                  body match {
+                    case HeadIdent(tok0, rest) if rest.trim.nonEmpty =>
+                      val tok = tok0.stripPrefix("`").stripSuffix("`")
+                        .toLowerCase(java.util.Locale.ROOT)
+                      if (!frameKw(tok.toUpperCase(java.util.Locale.ROOT)) &&
+                        defs.contains(tok)) {
+                        val (p1, o1, f1) = splitSpec(defs(tok), s"base $tok0")
+                        val (p2, o2, f2) = splitSpec(rest, s"inline refinement of $tok0")
+                        require(p2.isEmpty,
+                          s"OVER ($tok0 ...) cannot redefine PARTITION BY — it " +
+                            s"inherits $tok0's")
+                        require(o2.isEmpty || o1.isEmpty,
+                          s"OVER ($tok0 ...) cannot add ORDER BY: base $tok0 " +
+                            "already has one")
+                        require(f1.isEmpty,
+                          s"OVER ($tok0 ...) cannot refine $tok0: a refined base " +
+                            "must not have a frame clause")
+                        val merged = Seq(p1, if (o2.nonEmpty) o2 else o1, f2)
+                          .filter(_.nonEmpty).mkString(" ")
+                        replacements += ((open + 1, j2 - 1, merged))
+                        inlineDone += open
+                      }
+                    case _ =>
+                  }
+                }
+              }
+              k += 4
+            } else k += 1
           }
         }
         i += 6
@@ -1065,8 +1137,15 @@ object GraftSql {
     * interval steps by the literal's sign (the interval must be a
     * literal `INTERVAL [-]n unit`, loud otherwise). The typed empty
     * array is `slice(sequence(a, a), 1, 0)` — no untyped `array()`
-    * to trip resolution. BigQuery's fractional GENERATE_ARRAY steps
-    * have no Spark `sequence` equivalent and stay loud at analysis.
+    * to trip resolution. FRACTIONAL bounds/steps (round 11) have no
+    * Spark `sequence` equivalent and take the transform route instead:
+    * `transform(sequence(0, floor((stop-start)/step)), i -> start +
+    * i*step)` — element count fixed up front, values by MULTIPLICATION
+    * from the start (not repeated addition), so no error accumulation;
+    * same empty-on-mismatch guard, loud zero step (BigQuery errors
+    * there too). The fractional route triggers on a fractional NUMERIC
+    * LITERAL in any argument — fractional-typed expressions keep
+    * failing at analysis (spell the literal), stated contract.
     */
   private[graft] def rewriteGenerateFns(sql0: String): String = {
     val fns = Seq("GENERATE_TIMESTAMP_ARRAY", "GENERATE_DATE_ARRAY", "GENERATE_ARRAY")
@@ -1112,11 +1191,20 @@ object GraftSql {
                 s"$f takes (start, stop [, step]), got ${bounds.size} arguments")
               val (a, b) = (bounds(0), bounds(1))
               val rewritten = (f, bounds.lift(2)) match {
-                case ("GENERATE_ARRAY", None) =>
-                  s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
-                case ("GENERATE_ARRAY", Some(s)) =>
-                  s"(CASE WHEN (($b) - ($a)) * ($s) < 0 THEN ${emptyOf(a)} " +
-                    s"ELSE sequence(($a),($b),($s)) END)"
+                case ("GENERATE_ARRAY", stepOpt) =>
+                  val FracLit = """-?(\d+\.\d*|\.\d+)([eE][-+]?\d+)?"""
+                  val s = stepOpt.getOrElse("1")
+                  if (bounds.exists(_.matches(FracLit))) {
+                    val ad = s"CAST(($a) AS DOUBLE)"
+                    s"(CASE WHEN ($s) = 0 THEN raise_error('GENERATE_ARRAY step cannot be 0') " +
+                      s"WHEN (($b) - ($a)) * ($s) < 0 THEN slice(array($ad),1,0) " +
+                      s"ELSE transform(sequence(0, CAST(floor(CAST(($b) - ($a) AS DOUBLE) / ($s)) AS BIGINT)), " +
+                      s"i -> $ad + CAST(i AS DOUBLE) * ($s)) END)"
+                  } else if (stepOpt.isEmpty)
+                    s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
+                  else
+                    s"(CASE WHEN (($b) - ($a)) * ($s) < 0 THEN ${emptyOf(a)} " +
+                      s"ELSE sequence(($a),($b),($s)) END)"
                 case ("GENERATE_DATE_ARRAY", None) =>
                   s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
                 case (_, None) => throw new IllegalArgumentException(
@@ -3307,6 +3395,14 @@ object GraftSql {
       // overwhelmingly common case — then skips the per-target-row
       // arbitration window (an extra full-width shuffle+sort) and the
       // BY-SOURCE-only path (distinct key projection) never needs it.
+      // Caveat (same class as the __t_id note below): the probe
+      // re-evaluates the source plan separately from the join, so a
+      // NONDETERMINISTIC source (rand()-derived keys, unstable
+      // sampling) can probe unique yet fan out at execution —
+      // duplicating target rows past the sentinel. Callers with such
+      // sources must persist/localCheckpoint the source first;
+      // deterministic sources (every driver face, the reference's
+      // shape) see identical data in both evaluations.
       val needArbitration = m.matchedActions.nonEmpty &&
         !srcMatchable.groupBy(keyNames.map(F.col): _*).count()
           .filter(F.col("count") > 1).isEmpty
@@ -3837,8 +3933,15 @@ object GraftSql {
   private final class TxnState {
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, TxnTable]
   }
-  private val txns = scala.collection.concurrent.TrieMap.empty[Int, TxnState]
-  private def txnKey(spark: SparkSession): Int = System.identityHashCode(spark)
+  // keyed by the SESSION OBJECT (SparkSession does not override
+  // equals, so this is reference identity), not identityHashCode:
+  // identity hash codes can collide across live sessions, and a
+  // collision here would let two sessions clobber each other's staged
+  // state — with the object key a collision degrades to a bucket
+  // share, never a clobber. An abandoned mid-transaction session is
+  // at worst a leaked entry (same exposure as Versioned's registry).
+  private val txns = scala.collection.concurrent.TrieMap.empty[SparkSession, TxnState]
+  private def txnKey(spark: SparkSession): SparkSession = spark
   private[graft] def txnActive(spark: SparkSession): Boolean = txns.contains(txnKey(spark))
 
   private def beginTransaction(spark: SparkSession): Unit = {
@@ -3854,6 +3957,12 @@ object GraftSql {
     st.tables.valuesIterator.foreach(t =>
       graft.sources.Versioned.register(spark, t.name, t.path))
   }
+
+  // crash-injection seam for the phase-two unwind spec: invoked with
+  // each table's name just before its manifest lands; production value
+  // is a no-op (TransactionSpec swaps in a thrower to pin the
+  // committed-prefix contract)
+  private[graft] var txnPhaseTwoFailpoint: String => Unit = _ => ()
 
   private def commitTransaction(spark: SparkSession): Unit = {
     val key = txnKey(spark)
@@ -3877,11 +3986,32 @@ object GraftSql {
           touched.foreach(t => graft.sources.Versioned.register(spark, t.name, t.path))
           throw e
       }
-    // phase two: the commit point — metadata-only manifest writes
-    staged.foreach { case (t, s) =>
+    // phase two: the commit point — metadata-only manifest writes.
+    // Single-table transactions are fully atomic (one create-exclusive
+    // manifest). With several tables a failure mid-loop (e.g. a racing
+    // committer's create-exclusive collision) exposes a committed
+    // PREFIX that nothing can roll back — so the unwind is LOUD: the
+    // transaction is closed, every touched view re-registered to its
+    // on-disk state (committed prefix included), and the error names
+    // exactly which tables landed.
+    val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+    try staged.foreach { case (t, s) =>
+      txnPhaseTwoFailpoint(t.name)
       graft.sources.Versioned.finishStaged(spark, s)
-      graft.sources.Versioned.register(spark, t.name, t.path)
+      landed += t.name
     }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        txns.remove(key)
+        touched.foreach(t => graft.sources.Versioned.register(spark, t.name, t.path))
+        throw new IllegalStateException(
+          s"COMMIT failed in phase two after landing [${landed.mkString(", ")}] of " +
+            s"[${touched.map(_.name).mkString(", ")}]: the landed prefix is COMMITTED " +
+            "and cannot be rolled back (manifests are the per-table atomic points); " +
+            "the remaining tables kept their previous versions. Transaction closed; " +
+            "views restored to on-disk state.", e)
+    }
+    touched.foreach(t => graft.sources.Versioned.register(spark, t.name, t.path))
     txns.remove(key)
   }
 

@@ -1404,11 +1404,12 @@ object SparkEntry {
           |         SUM(CAST(value AS DECIMAL(30,2))) AS daily_dec
           |  FROM events GROUP BY 1, 2)
           |SELECT day, event_type, CAST(daily_dec AS DOUBLE) AS daily,
-          |       CAST(SUM(daily_dec) OVER w7 AS DOUBLE) AS trailing_7d
+          |       CAST(SUM(daily_dec)
+          |            OVER (wo RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          |            AS DOUBLE) AS trailing_7d
           |FROM daily
           |WINDOW wp AS (PARTITION BY event_type),
-          |       wo AS (wp ORDER BY day),
-          |       w7 AS (wo RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          |       wo AS (wp ORDER BY day)
           |ORDER BY event_type, day""".stripMargin)
     }),
     // batch sessionization: gap>30min starts a new session; epoch-micros
@@ -1770,11 +1771,15 @@ object SparkEntry {
           |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
           |spine AS (
           |  SELECT day FROM bounds, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day),
-          |types AS (SELECT DISTINCT event_type FROM daily)
+          |types AS (SELECT DISTINCT event_type FROM daily),
+          |frac AS (
+          |  SELECT CAST(SUM(x) AS DOUBLE) AS frac_sum, COUNT(*) AS frac_n
+          |  FROM bounds, UNNEST(GENERATE_ARRAY(0.0, 2.0, 0.25)) AS x)
           |SELECT s.day, t.event_type,
           |       CAST(COALESCE(d.n_day, 0) AS BIGINT) AS n,
-          |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum
-          |FROM spine s CROSS JOIN types t
+          |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum,
+          |       f.frac_sum, f.frac_n
+          |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin)
     }),
@@ -3836,11 +3841,18 @@ object SparkEntry {
           |daily AS (SELECT day, event_type, COUNT(*) AS n_day,
           |                 SUM(CAST(value AS DECIMAL(30,6))) AS v_day
           |          FROM e GROUP BY 1, 2),
-          |types AS (SELECT DISTINCT event_type FROM e)
+          |types AS (SELECT DISTINCT event_type FROM e),
+          |frac AS (
+          |  -- the fractional-array replay: count fixed up front
+          |  -- (floor((2.0-0.0)/0.25)+1 = 9), values by multiplication —
+          |  -- exactly the engine's transform route
+          |  SELECT CAST(SUM(x) AS DOUBLE) AS frac_sum, COUNT(*) AS frac_n
+          |  FROM (SELECT CAST(i AS DOUBLE) * 0.25 AS x FROM range(0, 9) t(i)))
           |SELECT s.day, t.event_type,
           |       CAST(COALESCE(d.n_day, 0) AS BIGINT) AS n,
-          |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum
-          |FROM spine s CROSS JOIN types t
+          |       CAST(COALESCE(d.v_day, 0) AS DOUBLE) AS v_sum,
+          |       f.frac_sum, f.frac_n
+          |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
       // the JSON array face replays with DuckDB's own json functions:

@@ -364,10 +364,17 @@ object Versioned {
     * Concurrency contract (the [[graft.sources.Layout.compactDays]]
     * discipline): vacuum must not run concurrently with a WRITER on
     * the same table — an in-flight commit's data directory has no
-    * manifest yet and would be swept as debris. Readers are safe for
-    * retained versions; a frame captured over a DROPPED version fails
-    * at its next action (its files are gone — that is what dropping
-    * history means), spec-pinned.
+    * manifest yet and would be swept as debris. That explicitly
+    * includes a multi-statement TRANSACTION holding staged data on
+    * this table: between [[stage]] and COMMIT's [[finishStaged]] the
+    * staged dirs are manifest-less by design, and a concurrent vacuum
+    * (GraftSql's verb only guards the SAME session via requireNoTxn)
+    * would sweep them out from under the later manifest — a corrupt
+    * table. Vacuum is a single-writer maintenance verb, same as
+    * OPTIMIZE. Readers are safe for retained versions; a frame
+    * captured over a DROPPED version fails at its next action (its
+    * files are gone — that is what dropping history means),
+    * spec-pinned.
     */
   def vacuum(spark: SparkSession, table: String, horizonTsUs: Long): Seq[Long] = {
     val all = commits(spark, table)

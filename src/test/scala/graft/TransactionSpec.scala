@@ -149,6 +149,63 @@ class TransactionSpec extends SparkSuite {
     assert(rows(Versioned.read(spark, tb)) == Set((10L, "X")))
   }
 
+  test("phase-two crash: single-table txn stays fully atomic (nothing lands)") {
+    val t = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(1000L))
+    Versioned.register(spark, "txn_p2a", t)
+    GraftSql.txnPhaseTwoFailpoint = _ => throw new RuntimeException("injected crash")
+    try {
+      val e = intercept[IllegalStateException] {
+        GraftScript.run(spark,
+          """BEGIN TRANSACTION;
+            |INSERT INTO txn_p2a VALUES (2, 'b');
+            |COMMIT;""".stripMargin)
+      }
+      // the failure happened BEFORE the only manifest: landed prefix
+      // is empty — full atomicity, exactly the single-table contract
+      assert(e.getMessage.contains("after landing []"))
+      assert(Versioned.commits(spark, t).size == 1)
+      assert(rows(spark.table("txn_p2a")) == Set((1L, "a")), "view must restore")
+      assert(rows(Versioned.read(spark, t)) == Set((1L, "a")))
+    } finally GraftSql.txnPhaseTwoFailpoint = _ => ()
+    // the transaction is CLOSED: a fresh one opens without complaint
+    GraftSql.load(spark, "BEGIN TRANSACTION")
+    GraftSql.load(spark, "ROLLBACK")
+  }
+
+  test("phase-two crash mid-loop: multi-table prefix is COMMITTED, loudly named, txn closed") {
+    val ta = table(); val tb = table()
+    Versioned.append(Seq((1L, "a")).toDF("id", "v"), ta, Some(1000L))
+    Versioned.append(Seq((10L, "x")).toDF("id", "v"), tb, Some(1000L))
+    Versioned.register(spark, "txn_p2b1", ta)
+    Versioned.register(spark, "txn_p2b2", tb)
+    // crash on the SECOND table's manifest: the first is already the
+    // on-disk truth (manifests are the per-table atomic points — the
+    // documented multi-table prefix-exposure window)
+    GraftSql.txnPhaseTwoFailpoint =
+      name => if (name == "txn_p2b2") throw new RuntimeException("injected crash")
+    try {
+      val e = intercept[IllegalStateException] {
+        GraftScript.run(spark,
+          """BEGIN TRANSACTION;
+            |INSERT INTO txn_p2b1 VALUES (2, 'b');
+            |INSERT INTO txn_p2b2 VALUES (20, 'y');
+            |COMMIT;""".stripMargin)
+      }
+      assert(e.getMessage.contains("after landing [txn_p2b1]"))
+      assert(e.getMessage.contains("cannot be rolled back"))
+      // table A's commit LANDED; table B kept its previous version
+      assert(rows(Versioned.read(spark, ta)) == Set((1L, "a"), (2L, "b")))
+      assert(rows(Versioned.read(spark, tb)) == Set((10L, "x")))
+      // views restored to on-disk state — committed prefix included
+      assert(rows(spark.table("txn_p2b1")) == Set((1L, "a"), (2L, "b")))
+      assert(rows(spark.table("txn_p2b2")) == Set((10L, "x")))
+    } finally GraftSql.txnPhaseTwoFailpoint = _ => ()
+    // closed, not wedged: the next transaction opens cleanly
+    GraftSql.load(spark, "BEGIN TRANSACTION")
+    GraftSql.load(spark, "ROLLBACK")
+  }
+
   test("louds: nested BEGIN, stray COMMIT/ROLLBACK, open at script end, EXPORT inside") {
     val t = table()
     Versioned.append(Seq((1L, "a")).toDF("id", "v"), t, Some(1000L))

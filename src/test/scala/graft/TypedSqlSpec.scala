@@ -1181,6 +1181,20 @@ class TypedSqlSpec extends SparkSuite {
       "TIMESTAMP'2024-01-02 00:00:00') AS a").contains("INTERVAL"))
     assert(badG("SELECT GENERATE_DATE_ARRAY(DATE'2024-01-01', DATE'2024-01-05', CURRENT_DATE()) AS a")
       .contains("literal INTERVAL"))
+    // FRACTIONAL bounds/steps (r11): the transform route — count fixed
+    // up front, values by multiplication (exactly-representable cases
+    // are bit-exact)
+    assert(arr("SELECT GENERATE_ARRAY(0.0, 2.0, 0.5) AS a")
+      == Seq("0.0", "0.5", "1.0", "1.5", "2.0"))
+    assert(arr("SELECT GENERATE_ARRAY(0.5, 3.5) AS a") // fractional bounds, default step 1
+      == Seq("0.5", "1.5", "2.5", "3.5"))
+    assert(arr("SELECT GENERATE_ARRAY(2.0, 0.0, -0.5) AS a")
+      == Seq("2.0", "1.5", "1.0", "0.5", "0.0"))
+    // direction mismatch stays EMPTY; step that overshoots stops short
+    assert(arr("SELECT GENERATE_ARRAY(2.0, 0.0, 0.5) AS a") == Seq.empty)
+    assert(arr("SELECT GENERATE_ARRAY(0.0, 1.1, 0.5) AS a") == Seq("0.0", "0.5", "1.0"))
+    // zero step is loud (BigQuery errors there too)
+    intercept[Exception] { GraftSql.load(spark, "SELECT GENERATE_ARRAY(0.0, 1.0, 0.0) AS a").collect() }
   }
 
   test("SELECT * EXCEPT / star expansion: BigQuery's column-exclusion idiom is native") {
@@ -1604,6 +1618,48 @@ class TypedSqlSpec extends SparkSuite {
       .contains("EARLIER"))
   }
 
+  test("inline OVER (w ...) refinement: merges with the named base; same composition louds") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "g", "v")
+      .createOrReplaceTempView("winl_t")
+    // inline ORDER BY against an order-less base, plus a bare OVER (w)
+    // (native Spark) reading the same base in the same statement
+    val r = GraftSql.load(spark,
+      """SELECT id, RANK() OVER (w ORDER BY id DESC) AS rk, COUNT(*) OVER (w) AS n
+        |FROM winl_t
+        |WINDOW w AS (PARTITION BY g)
+        |ORDER BY id""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 2, 2L), (2L, 1, 2L), (3L, 1, 1L)))
+    // inline FRAME against a chained (already-refined) base — the
+    // q_range_window shape: wp → wo chain in the clause, frame inline
+    val s = GraftSql.load(spark,
+      """SELECT id, SUM(v) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |FROM winl_t
+        |WINDOW wp AS (PARTITION BY g), wo AS (wp ORDER BY id)
+        |ORDER BY id""".stripMargin).collect().map(_.getDouble(1)).toSeq
+    assert(s == Seq(10.0, 30.0, 30.0))
+    // the OVER site may precede the WINDOW clause textually AND be
+    // inside a QUALIFY-less subquery — both directions of the scan
+    val sub = GraftSql.load(spark,
+      """SELECT MAX(rk) AS m FROM (
+        |  SELECT RANK() OVER (w ORDER BY v) AS rk FROM winl_t WINDOW w AS (PARTITION BY g))""".stripMargin)
+      .collect().head.getInt(0)
+    assert(sub == 2)
+    def badw(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(badw("""SELECT id, RANK() OVER (w PARTITION BY id ORDER BY v) AS rk FROM winl_t
+        |WINDOW w AS (PARTITION BY g)""".stripMargin)
+      .contains("PARTITION BY"))
+    assert(badw("""SELECT id, RANK() OVER (w ORDER BY v) AS rk FROM winl_t
+        |WINDOW w AS (PARTITION BY g ORDER BY id)""".stripMargin)
+      .contains("already has one"))
+    assert(badw("""SELECT id, SUM(v) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM winl_t
+        |WINDOW w AS (ORDER BY id ROWS UNBOUNDED PRECEDING)""".stripMargin)
+      .contains("frame"))
+  }
+
   test("GraftSql scalar/EXISTS subqueries over UNNEST: COUNT/MAX/MIN/EXISTS as HOFs, table forms untouched") {
     import spark.implicits._
     Seq((1L, Seq(3, 1, 4)), (2L, Seq.empty[Int])).toDF("id", "xs")
@@ -1692,7 +1748,7 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("needs a name"))
   }
 
-  test("GraftSql NET.HOST: best-effort host extraction; REG_DOMAIN loud with the suffix-list route") {
+  test("GraftSql NET.HOST: best-effort host extraction; REG_DOMAIN/PUBLIC_SUFFIX resolve via the PSL snapshot") {
     val r = GraftSql.load(spark,
       "SELECT NET.HOST('https://User@Sub.Example.COM:8080/p?q=1') AS a, " +
         "NET.HOST('//example.com/path') AS b, " +
@@ -1704,10 +1760,22 @@ class TypedSqlSpec extends SparkSuite {
     assert(r.getString(2) == "www.example.com")
     assert(r.getString(3) == "example.org")
     assert(r.isNullAt(4))
-    val loud = intercept[IllegalArgumentException] {
-      GraftSql.load(spark, "SELECT NET.REG_DOMAIN('http://a.example.co.uk') AS d")
-    }
-    assert(loud.getMessage.contains("public-suffix"))
+    // PSL resolution: longest-match ccSLD, wildcard, exception, and the
+    // NULL contract (a host that IS a suffix has nothing registered).
+    val d = GraftSql.load(spark,
+      "SELECT NET.REG_DOMAIN('http://a.example.co.uk') AS rd, " +
+        "NET.PUBLIC_SUFFIX('http://a.example.co.uk') AS ps, " +
+        "NET.REG_DOMAIN('http://a.b.ck') AS wild, " +        // *.ck → b.ck is the suffix
+        "NET.REG_DOMAIN('http://www.ck') AS exc, " +          // !www.ck exception → suffix ck
+        "NET.REG_DOMAIN('http://co.uk') AS bare, " +          // host IS a suffix → NULL
+        "NET.REG_DOMAIN('http://192.168.0.1/x') AS ip")       // IP literal → NULL
+      .collect().head
+    assert(d.getString(0) == "example.co.uk")
+    assert(d.getString(1) == "co.uk")
+    assert(d.getString(2) == "a.b.ck")
+    assert(d.getString(3) == "www.ck")
+    assert(d.isNullAt(4))
+    assert(d.isNullAt(5))
   }
 
   test("GraftSql KLL_QUANTILES family: typed sketches, partial-merge law, point/array reads, louds") {
