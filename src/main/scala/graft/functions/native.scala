@@ -1345,6 +1345,62 @@ case class MergePair(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** One combined merge pass for a SYMBOL-DISJOINT batch of pairs (no
+  * two pairs share any symbol — [[graft.operators.Bpe]]'s batched
+  * round selects exactly such a set). Disjointness makes occurrences
+  * of different pairs non-overlapping, so a single leftmost-greedy
+  * scan merging whichever pair matches equals applying the pairs'
+  * [[MergePair]] passes sequentially in any order — the batched-BPE
+  * soundness argument, spec-pinned. Left symbols are necessarily
+  * distinct under disjointness, so the lookup is one hash probe per
+  * element.
+  */
+case class MergePairs(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pairs.nonEmpty, "MergePairs needs at least one pair")
+  require({
+    // a SELF-pair (x,x) is one symbol, not a conflict with itself —
+    // disjointness is across DIFFERENT pairs
+    val sets = pairs.map(p => Set(p._1, p._2))
+    sets.map(_.size).sum == sets.flatten.distinct.size
+  }, s"MergePairs requires symbol-disjoint pairs, got $pairs")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[UTF8String, Array[UTF8String]](pairs.size * 2)
+    pairs.foreach { case (a, b) =>
+      m.put(UTF8String.fromString(a),
+        Array(UTF8String.fromString(b), UTF8String.fromString(a + b)))
+    }
+    m
+  }
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val cur = arr.getUTF8String(i)
+        val hit = table.get(cur)
+        if (hit != null && i + 1 < n && !arr.isNullAt(i + 1) &&
+            arr.getUTF8String(i + 1).equals(hit(0))) {
+          out.add(hit(1))
+          i += 1 // consume both halves
+        } else out.add(cur)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergePairs", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergePairs =
+    copy(child = newChild)
+}
+
 /** BPE encode: apply a ranked merge table to a symbol array the way
   * training did — repeatedly find the lowest-rank merge whose pair is
   * present and run one leftmost-greedy pass for it, until no merge
@@ -1549,6 +1605,9 @@ object native {
     Bridge.column(MortonInterleave(Bridge.expression(x), Bridge.expression(y), bits))
   def merge_pair(symbols: Column, a: String, b: String): Column =
     Bridge.column(MergePair(Bridge.expression(symbols), a, b))
+
+  def merge_pairs(symbols: Column, pairs: Seq[(String, String)]): Column =
+    Bridge.column(MergePairs(Bridge.expression(symbols), pairs))
   def apply_bpe(symbols: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ApplyBpe(Bridge.expression(symbols), merges))
   /** Inverse of `int8_quantize`: codeᵢ·scale/127 as double. The lambda

@@ -13,12 +13,18 @@ import graft.functions.{native, text}
   *    distinct-word vocabulary — at 100 TB of text that is ~10⁸ rows,
   *    not 10¹² (Sennrich et al. 2016 train on exactly this dict; so
   *    do the fast reference implementations).
-  *  - Each merge round is one pair-count aggregation over the
-  *    dictionary (explode adjacent symbol pairs weighted by word
-  *    frequency, sum per pair — map-side partials collapse it) plus
-  *    one map-only [[graft.functions.MergePair]] pass. The round
-  *    winner is a single driver-side row (count desc, pair asc —
-  *    deterministic ties), the only thing the driver ever holds.
+  *  - Merge rounds are BATCHED (round 11): one pair-count aggregation
+  *    over the dictionary (explode adjacent symbol pairs weighted by
+  *    word frequency, sum per pair — map-side partials collapse it)
+  *    yields a top-(m+1) driver read, from which the round keeps the
+  *    maximal SORTED PREFIX of symbol-disjoint pairs, minus any
+  *    trailing pairs tying the first excluded weight — a set provably
+  *    merged by vanilla one-at-a-time BPE in exactly this order (see
+  *    [[bestPairs]]); the whole batch then applies in ONE map-only
+  *    [[graft.functions.MergePairs]] pass. Driver round-trips drop
+  *    from `rounds` to ~`rounds/|batch|` (natural-language top pairs
+  *    are mostly disjoint), killing the last sequential-jobs
+  *    bottleneck at production vocab sizes (30–50k merges).
   *  - Lineage truncates through [[Staging]] every `stageEvery`
   *    rounds: `None` → localCheckpoint (single JVM), `Some(dir)` →
   *    durable parquet stages (executor-loss-safe on a real cluster).
@@ -44,52 +50,72 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, rounds: Int,
             checkpointDir: Option[String] = None,
-            stageEvery: Int = 5): Seq[(String, String, Long)] = {
+            stageEvery: Int = 5, batch: Int = 32): Seq[(String, String, Long)] = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     require(stageEvery > 0, s"stageEvery must be positive, got $stageEvery")
+    require(batch > 0, s"batch must be positive, got $batch")
     // the single corpus pass: word-frequency dictionary
     val words = docs
       .select(F.explode(text.tokens(F.col(textCol))).as("__w"))
       .filter(F.length(F.col("__w")) > 0)
       .groupBy("__w").agg(F.count(F.lit(1)).as("__n"))
-    var symbols = words.select(
-      F.array_remove(F.split(F.col("__w"), ""), "").as("__sym"), F.col("__n"))
+    // stage the dictionary UP FRONT: every pair aggregation below
+    // re-executes its lineage, and without this stage that lineage is
+    // the full corpus tokenize — the "corpus touched once" contract
+    // needs the plan to actually truncate here (round 11; the first
+    // round-trip used to pay the corpus scan once per aggregation)
+    var symbols = Staging.stage(
+      words.select(
+        F.array_remove(F.split(F.col("__w"), ""), "").as("__sym"), F.col("__n")),
+      checkpointDir.map(d => s"$d/bpe"), "dict")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var round = 0
+    var trips = 0 // driver round-trips, for the staging cadence
     var exhausted = false
     var prevStage: Option[String] = None
-    while (round < rounds && !exhausted) {
-      val top = bestPair(symbols)
-      top match {
-        case None => exhausted = true
-        case Some((a, b, w)) =>
-          merges += ((a, b, w))
-          symbols = symbols.select(
-            native.merge_pair(F.col("__sym"), a, b).as("__sym"), F.col("__n"))
-          round += 1
-          if (round % stageEvery == 0 && round < rounds) {
-            symbols = Staging.stage(symbols, checkpointDir.map(d => s"$d/bpe"), s"round_$round")
-            // superseded stages are ours to drop (Staging ownership
-            // contract) — the new stage has materialized, and nothing
-            // we return reads the old one (train returns driver data)
-            checkpointDir.foreach { d =>
-              prevStage.foreach(p => Staging.drop(docs.sparkSession, p))
-              prevStage = Some(s"$d/bpe/round_$round")
-            }
+    while (merges.size < rounds && !exhausted) {
+      val kept = bestPairs(symbols, math.min(batch, rounds - merges.size))
+      if (kept.isEmpty) exhausted = true
+      else {
+        merges ++= kept
+        symbols = symbols.select(
+          native.merge_pairs(F.col("__sym"), kept.map(p => (p._1, p._2)))
+            .as("__sym"), F.col("__n"))
+        trips += 1
+        if (trips % stageEvery == 0 && merges.size < rounds) {
+          symbols = Staging.stage(symbols, checkpointDir.map(d => s"$d/bpe"), s"round_$trips")
+          // superseded stages are ours to drop (Staging ownership
+          // contract) — the new stage has materialized, and nothing
+          // we return reads the old one (train returns driver data)
+          checkpointDir.foreach { d =>
+            prevStage.foreach(p => Staging.drop(docs.sparkSession, p))
+            prevStage = Some(s"$d/bpe/round_$trips")
           }
+        }
       }
     }
     merges.toSeq
   }
 
-  /** Highest-weight adjacent pair (weight = Σ word-frequency over
-    * occurrences), ties to the lexicographically smallest pair so
-    * training is deterministic. One aggregation; the driver sees one
-    * row. Pairs with weight 1 never merge (a merge that fires once
-    * compresses nothing and pads the vocabulary).
+  /** The next batch of merges, EXACTLY the pairs vanilla one-at-a-time
+    * BPE would pick next, in its order. One aggregation over adjacent
+    * pairs (weight = Σ word-frequency over occurrences; ties to the
+    * lexicographically smallest pair — deterministic), top-(m+1) rows
+    * to the driver; keep the maximal sorted PREFIX that is pairwise
+    * symbol-disjoint, then drop trailing pairs tying the first
+    * excluded weight. Soundness: (1) merging a pair never increases
+    * any existing pair's count and every NEW pair (x,ab)/(ab,y) is
+    * bounded by a pre-merge pair count that CONFLICTS with the merged
+    * pair — and every conflicting pair sits at-or-after the stop
+    * position, so its count ≤ the first excluded weight; (2) kept
+    * pairs are mutually disjoint, so their counts are untouched by
+    * each other's merges; (3) after the tie-drop every kept weight
+    * STRICTLY exceeds anything a merge could promote. Hence vanilla's
+    * next |kept| picks are these pairs in this order (BpeSpec pins
+    * batched ≡ batch=1 on a conflict-heavy corpus). Pairs with weight
+    * 1 never merge (a merge that fires once compresses nothing).
     */
-  private def bestPair(symbols: DataFrame): Option[(String, String, Long)] = {
-    val pairs = symbols
+  private def bestPairs(symbols: DataFrame, m: Int): Seq[(String, String, Long)] = {
+    val rows = symbols
       .filter(F.size(F.col("__sym")) >= 2)
       .select(F.col("__n"), F.explode(F.arrays_zip(
         F.slice(F.col("__sym"), 1, Int.MaxValue).as("a"),
@@ -99,9 +125,27 @@ object Bpe {
       .agg(F.sum("__n").as("w"))
       .filter(F.col("w") >= 2)
       .orderBy(F.col("w").desc, F.col("a"), F.col("b"))
-      .limit(1)
+      .limit(m + 1)
       .collect()
-    pairs.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    if (rows.isEmpty) return Nil
+    val used = scala.collection.mutable.Set.empty[String]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var excluded: Option[Long] = None // weight where the prefix stopped
+    rows.foreach { case p @ (a, b, w) =>
+      if (excluded.isEmpty) {
+        if (kept.size == m || used(a) || used(b)) excluded = Some(w)
+        else { kept += p; used += a; used += b }
+      }
+    }
+    excluded match {
+      case None => kept.toSeq // the pair list is COMPLETE: every
+        // conflicting pair has weight < 2 and can never be merged
+      case Some(we) =>
+        val safe = kept.takeWhile(_._3 > we)
+        // P1 alone is always vanilla's next pick, tie or not
+        if (safe.isEmpty) kept.take(1).toSeq else safe.toSeq
+    }
   }
 
   /** The merge table as a DataFrame (rank, left, right, merged,

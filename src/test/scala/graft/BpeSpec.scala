@@ -62,6 +62,24 @@ class BpeSpec extends SparkSuite {
     assert(got.nonEmpty, "corpus should yield at least one merge")
   }
 
+  test("batched rounds equal one-at-a-time exactly on a conflict-heavy corpus") {
+    import spark.implicits._
+    // overlapping-symbol chains — the top pairs share symbols ((a,b)
+    // vs (b,a) vs (b,c)) — plus exact weight ties: the cases where a
+    // naive skip-and-continue batch reorders the merge table, and the
+    // prefix+tie-drop rule must fall back to smaller batches
+    val docs = (
+      Seq.fill(40)("ababab abab") ++ Seq.fill(39)("bcbc bcbcbc") ++
+        Seq.fill(38)("cdcdcd") ++ Seq.fill(38)("efefef") ++ // tied weights
+        Seq.fill(20)("xyxy zwzw") ++ Seq.fill(7)("qq rr ss")
+      ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val oneAtATime = Bpe.train(docs, "text", rounds = 20, batch = 1)
+    assert(oneAtATime.size > 5, "corpus must exercise several rounds")
+    for (bs <- Seq(2, 4, 16, 64))
+      assert(Bpe.train(docs, "text", rounds = 20, batch = bs) == oneAtATime,
+        s"batch=$bs diverged from one-at-a-time")
+  }
+
   test("encode reproduces end-of-training symbols (the BPE round-trip invariant)") {
     val docs = Tables.documents(spark, sf)
     val merges3 = Bpe.train(docs, "text", rounds = 12).map { case (a, b, _) => (a, b) }
@@ -150,8 +168,10 @@ class BpeSpec extends SparkSuite {
   test("durable staging path trains identically to localCheckpoint") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-stage-").toString
-    val a = Bpe.train(docs, "text", rounds = 8, checkpointDir = None, stageEvery = 3)
-    val b = Bpe.train(docs, "text", rounds = 8, checkpointDir = Some(dir), stageEvery = 3)
+    // batch = 1 forces one trip per merge so the stageEvery cadence
+    // (now counted in round-TRIPS) actually fires within 8 rounds
+    val a = Bpe.train(docs, "text", rounds = 8, checkpointDir = None, stageEvery = 3, batch = 1)
+    val b = Bpe.train(docs, "text", rounds = 8, checkpointDir = Some(dir), stageEvery = 3, batch = 1)
     assert(a == b)
     // stages actually materialized on disk
     assert(new java.io.File(s"$dir/bpe").exists())
