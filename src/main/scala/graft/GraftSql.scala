@@ -675,8 +675,8 @@ object GraftSql {
     *    (`part-NNNNN-...`) — the wildcard position inside the
     *    basename is advisory, as each engine numbers its own shards.
     *  - `format` (required): CSV | JSON (newline-delimited, BigQuery's
-    *    export JSON) | PARQUET. AVRO is rejected loudly (no connector
-    *    on this classpath).
+    *    export JSON) | PARQUET | ORC | AVRO (round 11: the engine's own
+    *    DSv2 bridge on the avro core jars — sources/AvroSource.scala).
     *  - `overwrite` (default false): false = the target directory
     *    must not already exist (BigQuery semantics: non-overwrite
     *    exports never clobber); true = replace.
@@ -703,14 +703,13 @@ object GraftSql {
         case _ => throw new IllegalArgumentException(s"uri has no directory part: $uri")
       }
       val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
-        "EXPORT DATA requires format='CSV'|'JSON'|'PARQUET'|'ORC'")).toUpperCase
+        "EXPORT DATA requires format='CSV'|'JSON'|'PARQUET'|'ORC'|'AVRO'")).toUpperCase
       val writerFmt = fmt match {
         case "CSV" => "csv"
         case "JSON" => "json" // Spark's json IS newline-delimited — BigQuery's export format
         case "PARQUET" => "parquet"
         case "ORC" => "orc" // Spark ships the ORC source natively
-        case "AVRO" => throw new IllegalArgumentException(
-          "AVRO export needs the spark-avro connector, absent from this classpath")
+        case "AVRO" => "graft-avro" // the engine's own DSv2 bridge (sources/AvroSource.scala)
         case other => throw new IllegalArgumentException(s"unsupported format: $other")
       }
       for (o <- Seq("header", "field_delimiter") if opts.contains(o))
@@ -719,9 +718,20 @@ object GraftSql {
         s"overwrite must be true or false, got: $v"))
       val overwrite = opts.get("overwrite").contains("true")
       val df = spark.sql(query)
-      var w = df.write.format(writerFmt)
-        .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
-              else org.apache.spark.sql.SaveMode.ErrorIfExists)
+      // the avro bridge is DSv2: save() accepts Append/Overwrite only,
+      // so non-overwrite existence protection is checked here (same
+      // BigQuery never-clobber semantics, same error)
+      val mode =
+        if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+        else if (writerFmt != "graft-avro") org.apache.spark.sql.SaveMode.ErrorIfExists
+        else {
+          val p = new org.apache.hadoop.fs.Path(starDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(!fs.exists(p), s"path $starDir already exists (EXPORT DATA never " +
+            "clobbers without overwrite=true)")
+          org.apache.spark.sql.SaveMode.Append
+        }
+      var w = df.write.format(writerFmt).mode(mode)
       opts.get("header").foreach(v => w = w.option("header", v))
       opts.get("field_delimiter").foreach(v => w = w.option("sep", v))
       opts.get("compression").foreach(v => w = w.option("compression", v))
@@ -827,8 +837,8 @@ object GraftSql {
     * Options: `uris` (required; each entry may carry glob wildcards —
     * Spark's reader expands them, which is BigQuery's `*` model),
     * `format` (required: PARQUET | JSON/NEWLINE_DELIMITED_JSON —
-    * Spark's json source IS newline-delimited | CSV; AVRO is rejected
-    * loudly, no connector on this classpath), and for CSV:
+    * Spark's json source IS newline-delimited | CSV | ORC | AVRO,
+    * round 11 via the engine's own DSv2 bridge), and for CSV:
     * `header`/`skip_leading_rows` (0 or 1), `field_delimiter`. The
     * optional schema list (needed for CSV/JSON typing; parquet carries
     * its own) is passed to the reader as a DDL string. Schema-less CSV
@@ -867,14 +877,13 @@ object GraftSql {
     require(unknown.isEmpty, s"unsupported $verb option(s): ${unknown.mkString(", ")}")
     require(uris.nonEmpty, s"$verb requires uris=['...']")
     val fmt = opts.getOrElse("format", throw new IllegalArgumentException(
-      s"$verb requires format='PARQUET'|'JSON'|'CSV'|'ORC'")).toUpperCase
+      s"$verb requires format='PARQUET'|'JSON'|'CSV'|'ORC'|'AVRO'")).toUpperCase
     val readerFmt = fmt match {
       case "PARQUET" => "parquet"
       case "JSON" | "NEWLINE_DELIMITED_JSON" => "json"
       case "CSV" => "csv"
       case "ORC" => "orc" // Spark ships the ORC source natively
-      case "AVRO" => throw new IllegalArgumentException(
-        "AVRO needs the spark-avro connector, absent from this classpath")
+      case "AVRO" => "graft-avro" // the engine's own DSv2 bridge (sources/AvroSource.scala)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     for (o <- Seq("header", "skip_leading_rows", "field_delimiter") if opts.contains(o))

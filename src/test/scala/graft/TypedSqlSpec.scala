@@ -2237,6 +2237,24 @@ class TypedSqlSpec extends SparkSuite {
     assert(spark.table("orc_tgt").orderBy("r_regionkey").collect().toSeq == want)
   }
 
+  test("GraftSql: AVRO round-trips through EXPORT DATA, EXTERNAL TABLE and LOAD DATA") {
+    // via the engine's own DSv2 bridge (sources/AvroSource.scala);
+    // deep typed coverage lives in AvroSpec
+    import graft.sources.Tables
+    Tables.region(spark, sf).createOrReplaceTempView("avro_rt_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-rt-").toString
+    GraftSql.load(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/out/*.avro', format='AVRO') AS SELECT * FROM avro_rt_src")
+    GraftSql.load(spark,
+      s"CREATE EXTERNAL TABLE avro_rt_ext OPTIONS(format='AVRO', uris=['$dir/out'])")
+    val want = spark.table("avro_rt_src").orderBy("r_regionkey").collect().toSeq
+    assert(spark.table("avro_rt_ext").orderBy("r_regionkey").collect().toSeq == want)
+    spark.table("avro_rt_src").limit(0).createOrReplaceTempView("avro_rt_tgt")
+    GraftSql.load(spark,
+      s"LOAD DATA INTO avro_rt_tgt FROM FILES(format='AVRO', uris=['$dir/out'])")
+    assert(spark.table("avro_rt_tgt").orderBy("r_regionkey").collect().toSeq == want)
+  }
+
   test("GraftSql: BigQuery TABLESAMPLE SYSTEM runs as Spark row sampling") {
     import graft.sources.Tables
     Tables.orders(spark, sf).createOrReplaceTempView("ts_orders")
