@@ -77,10 +77,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteWindowRefinement(rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteWindowRefinement(rewriteQualify(rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteChangeTvf(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -437,6 +437,145 @@ object GraftSql {
       }
       sb.toString
     }
+  }
+
+  /** BigQuery's `QUALIFY` clause — filter on window-function results —
+    * is not in Spark's grammar. Textual rewrite, innermost-first for
+    * nested subqueries: the owning SELECT gains `(pred) AS __qualify`
+    * as its last item, the SELECT wraps as `SELECT * EXCEPT
+    * (__qualify) FROM (...) WHERE __qualify`, and ORDER BY/LIMIT stay
+    * OUTER (BigQuery evaluates QUALIFY before ordering/limiting). A
+    * trailing WINDOW clause (BigQuery places it after QUALIFY) moves
+    * INTO the wrapped select so `OVER w` references keep resolving;
+    * the B48 refinement merge runs after this rewrite and sees the
+    * final shape. Zero extra plan cost: Catalyst collapses the wrap
+    * into the same Window + Filter it would plan natively.
+    *
+    * Scope (loud otherwise): the predicate may use window functions
+    * inline or reference select-item ALIASES (Spark's lateral column
+    * alias resolution covers the item position); `SELECT DISTINCT ...
+    * QUALIFY` and `GROUP BY ALL ... QUALIFY` are rejected — appending
+    * the predicate item would change the distinct/grouping key set.
+    */
+  private[graft] def rewriteQualify(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 32) {
+      val next = rewriteOneQualify(sql)
+      if (next == sql) return sql
+      sql = next; guard += 1
+    }
+    sql
+  }
+
+  private def rewriteOneQualify(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("QUALIFY")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    def isKw(kw: String, i: Int): Boolean =
+      upper.startsWith(kw, i) && (i == 0 || !isWord(sql.charAt(i - 1))) &&
+        (i + kw.length >= sql.length || !isWord(sql.charAt(i + kw.length)))
+    // one quote-aware scan: deepest QUALIFY token + its paren stack
+    var best = -1; var bestStack: List[Int] = Nil
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    var i = 0; var inS = false; var inT = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inT) { if (c == '`') inT = false }
+      else if (c == '\'') inS = true
+      else if (c == '`') inT = true
+      else if (c == '(') stack.push(i)
+      else if (c == ')') { if (stack.nonEmpty) stack.pop() }
+      else if (isKw("QUALIFY", i) && stack.size >= (if (best < 0) 0 else bestStack.size)) {
+        best = i; bestStack = stack.toList
+      }
+      i += 1
+    }
+    if (best < 0) return sql
+    val regionStart = bestStack.headOption.map(_ + 1).getOrElse(0)
+    val regionEnd = bestStack.headOption.map { open =>
+      // matching close paren of the innermost enclosing open
+      var depth = 1; var j = open + 1; var s = false; var t = false
+      while (j < sql.length && depth > 0) {
+        val ch = sql.charAt(j)
+        if (s) { if (ch == '\'') s = false }
+        else if (t) { if (ch == '`') t = false }
+        else if (ch == '\'') s = true
+        else if (ch == '`') t = true
+        else if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        j += 1
+      }
+      j - 1
+    }.getOrElse(sql.length)
+    // within the region: positions at region depth 0
+    def depthScan(from: Int, until: Int)(f: (Int, Int) => Unit): Unit = {
+      var d = 0; var j = from; var s = false; var t = false
+      while (j < until) {
+        val ch = sql.charAt(j)
+        if (s) { if (ch == '\'') s = false }
+        else if (t) { if (ch == '`') t = false }
+        else if (ch == '\'') s = true
+        else if (ch == '`') t = true
+        else if (ch == '(') d += 1
+        else if (ch == ')') d -= 1
+        else f(j, d)
+        j += 1
+      }
+    }
+    var selectPos = -1
+    depthScan(regionStart, best)((j, d) => if (d == 0 && isKw("SELECT", j)) selectPos = j)
+    require(selectPos >= 0, "QUALIFY without an owning SELECT")
+    var fromPos = -1
+    depthScan(selectPos, best)((j, d) =>
+      if (d == 0 && fromPos < 0 && isKw("FROM", j)) fromPos = j)
+    require(fromPos >= 0, "QUALIFY requires a FROM clause")
+    // loud scopes: DISTINCT head, GROUP BY ALL
+    val afterSelect = sql.substring(selectPos + 6).trim
+    require(!afterSelect.toUpperCase(java.util.Locale.ROOT).startsWith("DISTINCT"),
+      "SELECT DISTINCT ... QUALIFY is not supported — the predicate column would " +
+        "change the distinct key set; QUALIFY in a subquery, DISTINCT outside")
+    var groupByAll = false
+    depthScan(fromPos, best)((j, d) =>
+      if (d == 0 && isKw("GROUP", j)) {
+        val rest = sql.substring(j, math.min(sql.length, j + 40))
+          .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        if (rest.startsWith("GROUP BY ALL")) groupByAll = true
+      })
+    require(!groupByAll,
+      "GROUP BY ALL ... QUALIFY is not supported — the predicate item would join " +
+        "the inferred grouping keys; spell the GROUP BY columns")
+    // predicate end: first region-top-level WINDOW/ORDER/LIMIT/set-op
+    val predStart = best + 7
+    var predEnd = regionEnd
+    var windowStart = -1
+    depthScan(predStart, regionEnd)((j, d) =>
+      if (d == 0 && predEnd == regionEnd &&
+        (isKw("WINDOW", j) || isKw("ORDER", j) || isKw("LIMIT", j) ||
+          isKw("UNION", j) || isKw("INTERSECT", j) || isKw("EXCEPT", j))) {
+        predEnd = j
+        if (isKw("WINDOW", j)) windowStart = j
+      })
+    val pred = sql.substring(predStart, predEnd).trim
+    require(pred.nonEmpty, "QUALIFY needs a predicate")
+    // a trailing WINDOW clause moves INTO the wrap; it ends at the
+    // next region-top-level ORDER/LIMIT/set-op
+    var windowEnd = windowStart
+    if (windowStart >= 0) {
+      windowEnd = regionEnd
+      depthScan(windowStart + 6, regionEnd)((j, d) =>
+        if (d == 0 && windowEnd == regionEnd &&
+          (isKw("ORDER", j) || isKw("LIMIT", j) || isKw("UNION", j) ||
+            isKw("INTERSECT", j) || isKw("EXCEPT", j))) windowEnd = j)
+    }
+    val windowText = if (windowStart >= 0) " " + sql.substring(windowStart, windowEnd) else ""
+    val tail = if (windowStart >= 0) sql.substring(windowEnd, regionEnd)
+      else sql.substring(predEnd, regionEnd)
+    val inner = sql.substring(selectPos, fromPos) + ", (" + pred + ") AS __qualify " +
+      sql.substring(fromPos, best) + windowText
+    val rewritten = "SELECT * EXCEPT (__qualify) FROM (" + inner + ") WHERE __qualify " + tail
+    sql.substring(0, selectPos) + rewritten + sql.substring(regionEnd)
   }
 
   private[graft] def rewriteStarReplace(sql0: String): String = {

@@ -1327,14 +1327,19 @@ object SparkEntry {
     // partition shuffle, no self-join; the oracle uses DuckDB's
     // native QUALIFY clause so the idiom round-trips across engines.
     // Deterministic tie-break on o_orderkey.
+    // round 11: spelled as BigQuery's actual QUALIFY clause through
+    // GraftSql (rewriteQualify) — the DuckDB oracle runs the SAME
+    // text, so the hash gates the rewrite; Catalyst collapses the
+    // wrap into the identical Window + Filter the old DataFrame
+    // spelling planned
     "q_qualify" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").desc, F.col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") === 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
-        .orderBy("o_custkey")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      graft.GraftSql.load(s,
+        """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+          |FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey
+          |        ORDER BY o_orderdate DESC, o_orderkey) = 1
+          |ORDER BY o_custkey""".stripMargin)
     }),
 
     // distribution-window surface: NTILE / PERCENT_RANK / CUME_DIST

@@ -1618,6 +1618,58 @@ class TypedSqlSpec extends SparkSuite {
       .contains("EARLIER"))
   }
 
+  test("QUALIFY: window filters with ORDER/LIMIT outside, WINDOW clause + refinement inside, louds") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 5.0))
+      .toDF("id", "g", "v").createOrReplaceTempView("qual_t")
+    // the canonical top-1-per-group idiom, ORDER BY applied AFTER
+    val r = GraftSql.load(spark,
+      """SELECT id, g FROM qual_t
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1
+        |ORDER BY g""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(r == Seq((2L, "a"), (3L, "b")))
+    // predicate referencing a select-item ALIAS (lateral resolution)
+    val al = GraftSql.load(spark,
+      """SELECT id, RANK() OVER (PARTITION BY g ORDER BY v DESC) AS rk FROM qual_t
+        |QUALIFY rk <= 1 ORDER BY id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(al == Seq(2L, 3L))
+    // LIMIT stays outside: filter first, then limit
+    val lim = GraftSql.load(spark,
+      """SELECT id FROM qual_t
+        |QUALIFY RANK() OVER (ORDER BY v DESC) <= 3 ORDER BY id LIMIT 2""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lim == Seq(1L, 2L))
+    // named WINDOW clause AFTER the QUALIFY (BigQuery's clause order)
+    // moves into the wrap; the predicate refines it INLINE (B48)
+    val w = GraftSql.load(spark,
+      """SELECT id, g FROM qual_t
+        |QUALIFY ROW_NUMBER() OVER (w ORDER BY v DESC) = 1
+        |WINDOW w AS (PARTITION BY g)
+        |ORDER BY g""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(w == Seq((2L, "a"), (3L, "b")))
+    // nested: QUALIFY inside a subquery composes with an outer agg
+    val n = GraftSql.load(spark,
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT id FROM qual_t QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) = 1)""".stripMargin)
+      .head().getLong(0)
+    assert(n == 2L)
+    // QUALIFY after GROUP BY: windows over the aggregated rows
+    val ga = GraftSql.load(spark,
+      """SELECT g, SUM(v) AS sv FROM qual_t GROUP BY g
+        |QUALIFY RANK() OVER (ORDER BY SUM(v) DESC) = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(ga == Seq(("b", 35.0)))
+    def badQ(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(badQ("""SELECT DISTINCT g FROM qual_t
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1""".stripMargin).contains("DISTINCT"))
+    assert(badQ("""SELECT g, SUM(v) AS sv FROM qual_t GROUP BY ALL
+        |QUALIFY RANK() OVER (ORDER BY SUM(v)) = 1""".stripMargin).contains("GROUP BY ALL"))
+    assert(badQ("SELECT 1 AS x QUALIFY ROW_NUMBER() OVER (ORDER BY 1) = 1")
+      .contains("FROM"))
+  }
+
   test("inline OVER (w ...) refinement: merges with the named base; same composition louds") {
     import spark.implicits._
     Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "g", "v")
