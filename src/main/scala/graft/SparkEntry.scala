@@ -657,6 +657,37 @@ object SparkEntry {
           |FROM expload_tgt GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // the AVRO sibling of sql_export_load (round 11): the same
+    // round-trip shape routed through the engine's own DSv2 avro
+    // bridge (sources/AvroSource.scala) — EXPORT avro → EXTERNAL TABLE
+    // over the shards → LOAD DATA → aggregate. The oracle replays the
+    // SELECT+aggregate directly on the parquet source, so the hash
+    // gates write fidelity, split reads, and the type bridge
+    // (timestamp-micros column included) end to end
+    "sql_export_avro" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_expavro_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Tables.events(s, d)
+        .select(F.col("event_id"), F.col("event_type"), F.col("ts"), F.col("value"))
+        .createOrReplaceTempView("expavro_src")
+      graft.GraftSql.load(s,
+        s"EXPORT DATA OPTIONS(uri='$dir/out/part-*.avro', format='AVRO') AS " +
+          "SELECT event_id, event_type, ts, value FROM expavro_src WHERE event_type <> 'view'")
+      graft.GraftSql.load(s,
+        s"CREATE OR REPLACE EXTERNAL TABLE expavro_ext OPTIONS(format='AVRO', uris=['$dir/out'])")
+      s.sql("SELECT * FROM expavro_ext LIMIT 0").createOrReplaceTempView("expavro_tgt")
+      graft.GraftSql.load(s,
+        s"LOAD DATA INTO expavro_tgt FROM FILES(format='AVRO', uris=['$dir/out'])")
+      graft.GraftSql.load(s,
+        """SELECT event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       CAST(MIN(event_id) AS BIGINT) AS min_id, CAST(MAX(event_id) AS BIGINT) AS max_id,
+          |       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+          |FROM expavro_tgt GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // A40 driver face: BigQuery WILDCARD TABLES — the sharded-by-date
     // dataset idiom (`FROM events_*` + `_TABLE_SUFFIX`). Three
     // year-shards of orders register as views; the wildcard statement
@@ -3214,6 +3245,14 @@ object SparkEntry {
           |       CAST(MIN(event_id) AS BIGINT) AS min_id,
           |       CAST(MAX(event_id) AS BIGINT) AS max_id
           |FROM events WHERE event_type <> 'click'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "sql_export_avro" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+          |       CAST(MAX(event_id) AS BIGINT) AS max_id,
+          |       MIN(CAST(ts AS TIMESTAMP)) AS min_ts, MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+          |FROM events WHERE event_type <> 'view'
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // wildcard tables: the two kept shards replay as a filtered
       // UNION ALL with literal suffixes
