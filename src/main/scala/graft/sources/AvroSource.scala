@@ -111,7 +111,7 @@ private[sources] class AvroTable(schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, options)
@@ -119,6 +119,9 @@ private[sources] class AvroTable(schema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = AvroSource.paths(info.options).headOption.getOrElse(
       throw new IllegalArgumentException("avro write needs a path"))
+    // fail on the DRIVER, not inside a task: avro names are stricter
+    // than SQL's (unaliased `SELECT 1` yields a column named "1")
+    AvroConv.toAvroSchema(info.schema())
     new AvroWriteBuilder(info.schema(), path,
       Option(info.options.get("compression")).getOrElse("snappy"))
   }
@@ -215,10 +218,37 @@ private[sources] class AvroWriteBuilder(schema: StructType, path: String,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new AvroBatchWrite(schema, path, compression, truncateFirst)
+    // streaming: append-only epoch files (G-family sinks can stream
+    // straight to avro shards); epoch id rides the filename so task
+    // retries across epochs never collide
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new AvroStreamingWrite(schema, path, compression)
   }
 }
 
 private[sources] case class AvroCommit(file: String) extends WriterCommitMessage
+
+private[sources] class AvroStreamingWrite(schema: StructType, path: String,
+                                          compression: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+  : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new AvroStreamingWriterFactory(schema, path, compression)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.collect { case AvroCommit(f) => fs.delete(new Path(f), false) }
+  }
+}
+
+private[sources] class AvroStreamingWriterFactory(schema: StructType, path: String,
+                                                  compression: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+  : DataWriter[InternalRow] =
+    new AvroDataWriter(schema, path, compression, partitionId,
+      epochId * 1000000L + taskId)
+}
 
 private[sources] class AvroBatchWrite(schema: StructType, path: String,
                                       compression: String, truncateFirst: Boolean)

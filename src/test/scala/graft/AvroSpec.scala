@@ -134,6 +134,23 @@ class AvroSpec extends SparkSuite {
     assert(spark.read.format("graft-avro").load(s"$base/out").count() == 10L)
   }
 
+  test("streaming sink: writeStream lands epoch-unique avro shards readable as a batch") {
+    val srcDir = dir(); val outDir = dir(); val chk = dir()
+    graft.sources.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").limit(200)
+      .write.mode(SaveMode.Overwrite).parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = stream.writeStream.format("graft-avro")
+      .option("checkpointLocation", chk)
+      .option("compression", "none")
+      .start(outDir)
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.format("graft-avro").load(outDir)
+    assert(back.count() == 200L)
+    assert(back.columns.toSeq == Seq("event_id", "event_type", "value"))
+  }
+
   test("events round-trip: the FX stream survives avro with timestamps intact") {
     val d = dir()
     val ev = graft.sources.Tables.events(spark, sf)

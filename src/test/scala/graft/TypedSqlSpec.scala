@@ -607,14 +607,16 @@ class TypedSqlSpec extends SparkSuite {
       "overwrite=true) AS SELECT id FROM export_src WHERE id = 1")
     assert(spark.read.parquet(s"$dir/pq").count() == 1)
 
-    // bad shapes are loud: no wildcard, two wildcards, AVRO, unknown
-    // option, CSV-only option on parquet
+    // bad shapes are loud: no wildcard, two wildcards, unknown option,
+    // CSV-only option on parquet. AVRO stopped being a loud in round
+    // 11 (the graft-avro bridge) — it now exports for real
     intercept[IllegalArgumentException] { GraftSql.export(spark,
       s"EXPORT DATA OPTIONS(uri='$dir/x/out.csv', format='CSV') AS SELECT 1") }
     intercept[IllegalArgumentException] { GraftSql.export(spark,
       s"EXPORT DATA OPTIONS(uri='$dir/*/x-*.csv', format='CSV') AS SELECT 1") }
-    intercept[IllegalArgumentException] { GraftSql.export(spark,
-      s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='AVRO') AS SELECT 1") }
+    GraftSql.export(spark,
+      s"EXPORT DATA OPTIONS(uri='$dir/av/*', format='AVRO') AS SELECT 1 AS one")
+    assert(spark.read.format("graft-avro").load(s"$dir/av").count() == 1L)
     intercept[IllegalArgumentException] { GraftSql.export(spark,
       s"EXPORT DATA OPTIONS(uri='$dir/x/*', format='PARQUET', banana=1) AS SELECT 1") }
     intercept[IllegalArgumentException] { GraftSql.export(spark,
@@ -694,10 +696,13 @@ class TypedSqlSpec extends SparkSuite {
         s"uris=['$dir/pq/*.parquet', '$dir/pq/*.parquet'])")
     assert(spark.table("ext_pq").count() == 6, "OR REPLACE swapped to the two-uri mount")
 
-    // loud shapes: AVRO, unknown option, missing uris, missing format,
-    // contradictory dispositions, CSV-only option on parquet, >1 header row
-    intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
+    // loud shapes: AVRO over a dir with no .avro files (the format is
+    // SUPPORTED since round 11 — the loud is the empty file set),
+    // unknown option, missing uris, missing format, contradictory
+    // dispositions, CSV-only option on parquet, >1 header row
+    assert(intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
       s"CREATE EXTERNAL TABLE ext_b1 OPTIONS(format='AVRO', uris=['$dir/pq'])") }
+      .getMessage.contains("no avro files"))
     intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
       s"CREATE EXTERNAL TABLE ext_b2 OPTIONS(format='PARQUET', uris=['$dir/pq'], banana=1)") }
     intercept[IllegalArgumentException] { GraftSql.createExternal(spark,
