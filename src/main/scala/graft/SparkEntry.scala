@@ -1583,6 +1583,24 @@ object SparkEntry {
       graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10)
         .orderBy("rank")
     }),
+    // E25 (round 11): unigram-LM tokenizer, the SentencePiece
+    // algorithm beside E9's BPE. The SEED half is pure relational
+    // (substring stream weighted by word freq — integer-exact) and
+    // carries the hash; training's hard-EM is deterministic but
+    // SQL-inexpressible (Viterbi) and its ln p is libm → the vocab
+    // face is rows-only with UnigramSpec pinning the whole table
+    // against an independent driver-side reference
+    "text_unigram_seed" -> ((s, d) => {
+      graft.operators.Unigram.seedPieces(Tables.documents(s, d), "text",
+        maxPieceLen = 4, seedSize = 50)
+    }),
+    "text_unigram_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pieces = graft.operators.Unigram.train(docs, "text",
+        vocabSize = 200, rounds = 3, maxPieceLen = 4, seedSize = 400)
+      graft.operators.Unigram.tokenCount(docs, "doc_id", "text", pieces)
+        .orderBy("doc_id")
+    }),
     // E19: BPE ENCODING under a pinned well-formed merge table — the
     // apply half of the tokenizer (E9 trains; this runs the trained
     // artifact at corpus scale, the per-doc true-token-count signal).
@@ -5317,6 +5335,22 @@ object SparkEntry {
       // left-to-right replace (sequential per rank ≡ ApplyBpe's
       // min-rank loop for well-formed tables); token count = '~'
       // count / 2 - 1, encoded text = separators to spaces
+      // E25's hash half: the unigram seed table is a pure substring
+      // stream over the word-frequency dict — DuckDB replays it with
+      // two range unnests; integer weights, total (weight, piece)
+      // order, so the hash gates tokenize, weighting and the top-N cut
+      "text_unigram_seed" ->
+        """WITH t AS (SELECT list_filter(
+          |             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |           FROM documents),
+          |w0 AS (SELECT unnest(toks) AS w FROM t),
+          |words AS (SELECT w, COUNT(*) AS n FROM w0 GROUP BY w),
+          |ls AS (SELECT w, n, unnest(range(1, least(4, len(w)) + 1)) AS l FROM words),
+          |subs AS (SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece, n
+          |         FROM (SELECT w, n, l, unnest(range(1, len(w) - l + 2)) AS i FROM ls))
+          |SELECT piece, CAST(SUM(n) AS BIGINT) AS weight
+          |FROM subs GROUP BY piece
+          |ORDER BY weight DESC, piece LIMIT 50""".stripMargin,
       "text_bpe_encode" ->
         s"""WITH t AS (SELECT doc_id, list_filter(
           |             string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks

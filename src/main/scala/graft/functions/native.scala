@@ -1410,6 +1410,77 @@ case class MergePairs(child: Expression, pairs: Seq[(String, String)])
   * per row; the merge table is plan-embedded (ranks × 2 strings — the
   * payload a broadcast would ship).
   */
+/** Viterbi segmentation of one WORD under a unigram piece table
+  * (piece → natural-log probability) — the decode half of the
+  * SentencePiece unigram LM ([[graft.operators.Unigram]]; Kudo 2018).
+  * Maximum-log-probability split via left-to-right DP over character
+  * positions with backpointers; ties break to the LONGER incoming
+  * piece, then the later split point — fully deterministic.
+  * Characters absent from the table segment as single-char unknowns
+  * at [[UnigramSegment.UnknownLogp]] (training always keeps every
+  * seen single char, so this only fires on foreign text). Per-word
+  * cost O(len × maxPieceLen) hash probes — map-only at scale.
+  */
+case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pieces.nonEmpty, "UnigramSegment needs a piece table")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) => m.putIfAbsent(p, lp) }
+    m
+  }
+  @transient private lazy val maxLen = pieces.iterator.map(_._1.length).max
+  def compute(w0: UTF8String): ArrayData = {
+    val w = w0.toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val score = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, Double.NegativeInfinity)
+    score(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (score(j) > Double.NegativeInfinity) {
+          val piece = w.substring(j, i)
+          val lp = table.get(piece)
+          val s =
+            if (lp != null) score(j) + lp.doubleValue()
+            else if (i - j == 1) score(j) + UnigramSegment.UnknownLogp
+            else Double.NegativeInfinity
+          // strictly greater: j ascends, so on a tie the FIRST (small
+          // j = longer incoming piece) candidate stands — deterministic
+          if (s > score(i)) { score(i) = s; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var k = n
+    while (k > 0) { out += UTF8String.fromString(w.substring(back(k), k)); k = back(k) }
+    new GenericArrayData(out.reverseIterator.toArray)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSegment", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
+object UnigramSegment {
+  /** Floor score for characters outside the table (SentencePiece's
+    * unknown penalty) — worse than any real piece so known pieces
+    * always win.
+    */
+  val UnknownLogp: Double = -100.0
+}
+
 case class ApplyBpe(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(StringType))
@@ -1608,6 +1679,9 @@ object native {
 
   def merge_pairs(symbols: Column, pairs: Seq[(String, String)]): Column =
     Bridge.column(MergePairs(Bridge.expression(symbols), pairs))
+  def unigram_segment(word: Column, pieces: Seq[(String, Double)]): Column =
+    Bridge.column(UnigramSegment(Bridge.expression(word), pieces))
+
   def apply_bpe(symbols: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ApplyBpe(Bridge.expression(symbols), merges))
   /** Inverse of `int8_quantize`: codeᵢ·scale/127 as double. The lambda
