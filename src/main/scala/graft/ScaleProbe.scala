@@ -253,7 +253,10 @@ object ScaleProbe {
       // with the corpus — production scales k with corpus size
       // (cells ≈ corpus/10⁴, the C13 scaladoc) and its linear-cell
       // slope is dedup_semantic's row above)
-      "cluster_kmeans", "search_phrase", "sql_ml_kmeans", "text_embed")
+      "cluster_kmeans", "search_phrase", "sql_ml_kmeans", "text_embed",
+      // round-11: unigram tokenizer (dict-sized EM — replicated docs
+      // keep the dict CONSTANT, so the slope isolates the corpus pass)
+      "text_unigram_seed", "text_unigram_tokens")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

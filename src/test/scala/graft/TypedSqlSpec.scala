@@ -1675,6 +1675,26 @@ class TypedSqlSpec extends SparkSuite {
       .contains("FROM"))
   }
 
+  test("round-11 rewrites never touch string literals or identifier lookalikes") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
+    // QUALIFY inside a string literal is data, not a clause
+    assert(GraftSql.load(spark, "SELECT 'use QUALIFY rn = 1 here' AS s FROM lit_t")
+      .head().getString(0) == "use QUALIFY rn = 1 here")
+    // OVER ( inside a string with a WINDOW clause in the statement
+    val s2 = GraftSql.load(spark,
+      """SELECT 'OVER (w ORDER BY x)' AS s, COUNT(*) OVER w AS n FROM lit_t
+        |WINDOW w AS (PARTITION BY g)""".stripMargin).head()
+    assert(s2.getString(0) == "OVER (w ORDER BY x)" && s2.getLong(1) == 1L)
+    // GENERATE_ARRAY with a fractional literal inside a STRING arg of
+    // another function stays untouched
+    assert(GraftSql.load(spark, "SELECT 'GENERATE_ARRAY(0.0, 1.0, 0.5)' AS s")
+      .head().getString(0) == "GENERATE_ARRAY(0.0, 1.0, 0.5)")
+    // a column named qualify_flag is not the QUALIFY keyword
+    Seq((1L, true)).toDF("id", "qualify_flag").createOrReplaceTempView("lit_t2")
+    assert(GraftSql.load(spark, "SELECT qualify_flag FROM lit_t2").head().getBoolean(0))
+  }
+
   test("inline OVER (w ...) refinement: merges with the named base; same composition louds") {
     import spark.implicits._
     Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "g", "v")
