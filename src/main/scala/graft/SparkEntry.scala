@@ -1601,6 +1601,19 @@ object SparkEntry {
       graft.operators.Unigram.tokenCount(docs, "doc_id", "text", pieces)
         .orderBy("doc_id")
     }),
+    // subword regularization (Kudo 2018's augmentation half): sampled
+    // segmentation counts, RNG-free (md5(word ‖ doc-salt)) so the face
+    // is deterministic run-to-run yet varies across docs — rows-only
+    // (libm exp/ln in the draw), UnigramSpec pins validity, salt
+    // determinism, k=1 ≡ Viterbi, and alpha concentration
+    "text_unigram_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pieces = graft.operators.Unigram.train(docs, "text",
+        vocabSize = 200, rounds = 2, maxPieceLen = 4, seedSize = 400)
+      graft.operators.Unigram.sampledTokenCount(docs, "doc_id", "text", pieces,
+        k = 8, alpha = 0.2, salt = "r11")
+        .orderBy("doc_id")
+    }),
     // E19: BPE ENCODING under a pinned well-formed merge table — the
     // apply half of the tokenizer (E9 trains; this runs the trained
     // artifact at corpus scale, the per-doc true-token-count signal).

@@ -1481,6 +1481,120 @@ object UnigramSegment {
   val UnknownLogp: Double = -100.0
 }
 
+/** SUBWORD REGULARIZATION (Kudo 2018's headline contribution): sample
+  * a segmentation from the word's k-best list with probability
+  * ∝ exp(alpha × logP) — the training-data augmentation that makes
+  * subword models robust to segmentation ambiguity. RNG-FREE, the
+  * repo's sampling discipline: the uniform draw is the first 8 bytes
+  * of md5(word ‖ 0x00 ‖ salt), so results are deterministic per
+  * (word, salt), partition-order invariant, and resampling means
+  * changing the salt (epoch number, doc id). k-best via the standard
+  * per-position top-k DP (ties: score desc, then shorter backpointer
+  * list order — deterministic); alpha → ∞ degenerates to Viterbi,
+  * alpha = 0 is uniform over the k-best list.
+  */
+case class UnigramSample(left: Expression, right: Expression,
+                         pieces: Seq[(String, Double)], k: Int, alpha: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(pieces.nonEmpty, "UnigramSample needs a piece table")
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) => m.putIfAbsent(p, lp) }
+    m
+  }
+  @transient private lazy val maxLen = pieces.iterator.map(_._1.length).max
+
+  /** The word's k-best segmentations, best first: (score, pieces). */
+  def kBest(w: String): Seq[(Double, Seq[String])] = {
+    val n = w.length
+    if (n == 0) return Seq((0.0, Seq.empty))
+    // states(i): up to k of (score, fromPos, fromRank), sorted best-first
+    val states = Array.fill(n + 1)(Seq.empty[(Double, Int, Int)])
+    states(0) = Seq((0.0, -1, -1))
+    var i = 1
+    while (i <= n) {
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Int)]
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val piece = w.substring(j, i)
+        val lp = table.get(piece)
+        val plp =
+          if (lp != null) lp.doubleValue()
+          else if (i - j == 1) UnigramSegment.UnknownLogp
+          else Double.NaN
+        if (!plp.isNaN) {
+          var r = 0
+          val sj = states(j)
+          while (r < sj.length) {
+            cand += ((sj(r)._1 + plp, j, r))
+            r += 1
+          }
+        }
+        j += 1
+      }
+      // deterministic top-k: score desc, then smaller fromPos (longer
+      // final piece), then smaller rank
+      states(i) = cand.sortBy { case (s, j2, r) => (-s, j2, r) }.take(k).toSeq
+      i += 1
+    }
+    states(n).map { case (s, _, _) => s }.zipWithIndex.map { case (s, rank) =>
+      // reconstruct the rank-th path
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n; var r = rank
+      while (pos > 0) {
+        val (_, j2, r2) = states(pos)(r)
+        out += w.substring(j2, pos)
+        pos = j2; r = r2
+      }
+      (s, out.reverse.toSeq)
+    }
+  }
+
+  def compute(w0: UTF8String, salt0: UTF8String): ArrayData = {
+    val w = w0.toString
+    val best = kBest(w)
+    val pick =
+      if (best.size == 1) 0
+      else {
+        // deterministic uniform from md5(word \0 salt)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(w0.getBytes)
+        md.update(0.toByte)
+        md.update(salt0.getBytes)
+        val d = md.digest()
+        var bits = 0L
+        var b = 0
+        while (b < 8) { bits = (bits << 8) | (d(b) & 0xffL); b += 1 }
+        val u = (bits >>> 11).toDouble / (1L << 53).toDouble // [0, 1)
+        // softmax(alpha * score) over the k-best, max-shifted
+        val mx = best.iterator.map(_._1).max
+        val ws = best.map { case (s, _) => math.exp(alpha * (s - mx)) }
+        val total = ws.sum
+        var acc = 0.0; var idx = 0; var chosen = -1
+        while (idx < ws.length && chosen < 0) {
+          acc += ws(idx) / total
+          if (u < acc) chosen = idx
+          idx += 1
+        }
+        if (chosen < 0) ws.length - 1 // float-edge: u ≈ 1
+        else chosen
+      }
+    new GenericArrayData(best(pick)._2.map(UTF8String.fromString).toArray[Any])
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSample", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UnigramSample =
+    copy(left = l, right = r)
+}
+
 case class ApplyBpe(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(StringType))
@@ -1681,6 +1795,11 @@ object native {
     Bridge.column(MergePairs(Bridge.expression(symbols), pairs))
   def unigram_segment(word: Column, pieces: Seq[(String, Double)]): Column =
     Bridge.column(UnigramSegment(Bridge.expression(word), pieces))
+
+  def unigram_sample(word: Column, salt: Column, pieces: Seq[(String, Double)],
+                     k: Int, alpha: Double): Column =
+    Bridge.column(UnigramSample(Bridge.expression(word), Bridge.expression(salt),
+      pieces, k, alpha))
 
   def apply_bpe(symbols: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ApplyBpe(Bridge.expression(symbols), merges))

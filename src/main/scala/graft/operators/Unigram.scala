@@ -152,4 +152,31 @@ object Unigram {
   /** Segment one word column with the trained table (rank = Viterbi). */
   def encode(word: Column, pieces: Seq[(String, Double)]): Column =
     native.unigram_segment(word, pieces)
+
+  /** SUBWORD REGULARIZATION (Kudo 2018): sample a segmentation from
+    * each word's k-best list with P ∝ exp(alpha·logP) — RNG-free via
+    * md5(word ‖ salt), so an epoch resamples by changing the salt and
+    * results stay partition-order invariant. The augmentation half of
+    * the tokenizer: training pipelines feed sampled segmentations,
+    * serving uses [[encode]]'s Viterbi.
+    */
+  def sampleEncode(word: Column, salt: Column, pieces: Seq[(String, Double)],
+                   k: Int = 8, alpha: Double = 0.2): Column =
+    native.unigram_sample(word, salt, pieces, k, alpha)
+
+  /** Per-document SAMPLED token count — the rows-only driver face:
+    * salt = doc id (one draw per word occurrence position would need
+    * the position; per-word-type is the paper's `l`-best practice).
+    */
+  def sampledTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                        pieces: Seq[(String, Double)], k: Int = 8,
+                        alpha: Double = 0.2, salt: String = "0"): DataFrame =
+    docs
+      .select(F.col(idCol), F.explode(text.tokens(F.col(textCol))).as("__w"))
+      .filter(F.length(F.col("__w")) > 0)
+      .select(F.col(idCol),
+        F.size(native.unigram_sample(F.col("__w"),
+          F.concat(F.col(idCol).cast("string"), F.lit("|"), F.lit(salt)),
+          pieces, k, alpha)).as("__k"))
+      .groupBy(idCol).agg(F.sum("__k").as("n_sampled_tokens"))
 }

@@ -143,6 +143,40 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("subword regularization: valid segmentations, salt-determinism, k=1 = Viterbi, alpha shapes the draw") {
+    import graft.functions.UnigramSample
+    val table = Seq(
+      ("ab", math.log(0.30)), ("cd", math.log(0.30)), ("abc", math.log(0.25)),
+      ("a", math.log(0.05)), ("b", math.log(0.04)), ("c", math.log(0.03)),
+      ("d", math.log(0.03)))
+    def sample(w: String, salt: String, k: Int, alpha: Double): Seq[String] =
+      Seq((w, salt)).toDF("w", "s")
+        .select(Unigram.sampleEncode(F.col("w"), F.col("s"), table, k, alpha).as("x"))
+        .head().getSeq[String](0)
+    // every sample is a VALID segmentation (concat reconstructs)
+    for (salt <- (0 until 40).map(_.toString)) {
+      val s = sample("abcdabcd", salt, k = 8, alpha = 0.2)
+      assert(s.mkString == "abcdabcd", s"invalid segmentation $s")
+    }
+    // same salt → same draw (RNG-free determinism)
+    assert(sample("abcd", "s7", 8, 0.2) == sample("abcd", "s7", 8, 0.2))
+    // k = 1 degenerates to Viterbi for any salt
+    for (salt <- Seq("x", "y", "z"))
+      assert(sample("abcd", salt, 1, 0.2) == Seq("ab", "cd"))
+    // high alpha concentrates on the best segmentation
+    val highAlpha = (0 until 60).map(i => sample("abcd", s"h$i", 8, 50.0))
+    assert(highAlpha.forall(_ == Seq("ab", "cd")), "alpha=50 must pin the Viterbi split")
+    // low alpha spreads: several distinct segmentations appear
+    val spread = (0 until 60).map(i => sample("abcd", s"l$i", 8, 0.0)).distinct
+    assert(spread.size > 1, s"alpha=0 over k-best must vary, got $spread")
+    // the k-best list itself is sound: scores descend, head = Viterbi
+    val expr = UnigramSample(null, null, table, 8, 0.2)
+    val kb = expr.kBest("abcd")
+    assert(kb.head._2 == Seq("ab", "cd"))
+    assert(kb.map(_._1) == kb.map(_._1).sorted(Ordering[Double].reverse))
+    assert(kb.map(_._2).distinct.size == kb.size, "k-best paths must be distinct")
+  }
+
   test("training is partition-order invariant") {
     val docs = Tables.documents(spark, sf)
     val a = Unigram.train(docs, "text", vocabSize = 100, rounds = 2,
