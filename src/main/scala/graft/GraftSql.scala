@@ -1011,7 +1011,8 @@ object GraftSql {
                         verb: String): DataFrame = {
     val (scalarBody, uris) = extractUris(optBody)
     val opts = parseOptions(scalarBody)
-    val known = Set("format", "header", "skip_leading_rows", "field_delimiter", "compression")
+    val known = Set("format", "header", "skip_leading_rows", "field_delimiter",
+      "compression", "hive_partition_uri_prefix")
     val unknown = opts.keySet -- known
     require(unknown.isEmpty, s"unsupported $verb option(s): ${unknown.mkString(", ")}")
     require(uris.nonEmpty, s"$verb requires uris=['...']")
@@ -1036,6 +1037,18 @@ object GraftSql {
     if (readerFmt == "csv") reader = reader.option("header", header.toString)
     opts.get("field_delimiter").foreach(v => reader = reader.option("sep", v))
     opts.get("compression").foreach(v => reader = reader.option("compression", v))
+    // BigQuery's hive-partitioned external tables: the prefix anchors
+    // key=value path inference, so `day=2024-01-01/...` directories
+    // surface as a typed partition COLUMN and equality predicates
+    // prune directories from the scan (Spark's basePath is the same
+    // contract; AUTO layout — BigQuery's CUSTOM schema-in-prefix
+    // spelling is not supported, spell the keys in the paths)
+    opts.get("hive_partition_uri_prefix").foreach { prefix =>
+      require(readerFmt != "graft-avro",
+        "hive_partition_uri_prefix is not supported for AVRO (the graft-avro " +
+          "bridge lists files itself; partition the table as parquet/orc/csv/json)")
+      reader = reader.option("basePath", prefix)
+    }
     reader.load(uris: _*)
   }
 

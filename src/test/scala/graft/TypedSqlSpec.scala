@@ -2314,6 +2314,33 @@ class TypedSqlSpec extends SparkSuite {
     assert(spark.table("orc_tgt").orderBy("r_regionkey").collect().toSeq == want)
   }
 
+  test("GraftSql: hive-partitioned EXTERNAL TABLE surfaces partition columns and prunes directories") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-hive-").toString
+    Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0), (3L, "2024-01-02", 30.0))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(s"$base/t")
+    GraftSql.load(spark,
+      s"CREATE EXTERNAL TABLE hive_ext OPTIONS(format='PARQUET', " +
+        s"hive_partition_uri_prefix='$base/t', uris=['$base/t/day=*'])")
+    val ext = spark.table("hive_ext")
+    assert(ext.columns.contains("day"), "partition column must surface")
+    assert(ext.count() == 3L)
+    // equality predicate prunes the other day's DIRECTORY from the scan
+    val pruned = ext.filter(F.col("day") === "2024-01-02")
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    // the predicate lands in PartitionFilters (directory pruning),
+    // not PushedFilters (row filtering inside every file)
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day"), s"day must be a partition filter:\n$scan")
+    // AVRO + hive prefix is loud (the bridge lists files itself)
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      s"CREATE EXTERNAL TABLE hive_bad OPTIONS(format='AVRO', " +
+        s"hive_partition_uri_prefix='$base/t', uris=['$base/t/day=*'])")
+    }.getMessage.contains("hive_partition_uri_prefix"))
+  }
+
   test("GraftSql: AVRO round-trips through EXPORT DATA, EXTERNAL TABLE and LOAD DATA") {
     // via the engine's own DSv2 bridge (sources/AvroSource.scala);
     // deep typed coverage lives in AvroSpec
