@@ -1512,7 +1512,8 @@ object GraftSql {
       "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
       "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
-      "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD")
+      "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
+      "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1752,6 +1753,36 @@ object GraftSql {
           require(args.size == 1,
             "TO_JSON_STRING takes one argument (pretty-printing is not supported)")
           Some(s"to_json((${args(0)}))")
+        // BigQuery's lax JSON scalar accessors over this engine's
+        // string-typed JSON values. The PINNED coercion table (the
+        // common migration cases; objects/arrays/JSON null → NULL,
+        // quoted strings unwrap first):
+        //   LAX_INT64: bool → 1/0; integral text exact; other numeric
+        //     text via double, rounded half-away-from-zero; else NULL
+        //   LAX_FLOAT64: numeric text → double; bools → NULL
+        //   LAX_BOOL: 'true'/'false' (case-insens) → bool; numeric
+        //     text → (value ≠ 0); else NULL
+        //   LAX_STRING: quoted unwraps; numbers/bools keep their text
+        case "LAX_INT64" | "LAX_FLOAT64" | "LAX_BOOL" | "LAX_STRING" =>
+          require(args.size == 1, s"$name takes one JSON scalar")
+          val a = s"trim(CAST((${args(0)}) AS STRING))"
+          val unq = s"(CASE WHEN $a LIKE '\"%\"' THEN substring($a, 2, length($a) - 2) ELSE $a END)"
+          val guard = s"($a IS NULL OR $a = '' OR lower($a) = 'null' OR left($a, 1) IN ('{', '['))"
+          val body = name match {
+            case "LAX_STRING" => unq
+            case "LAX_FLOAT64" => s"try_cast($unq AS DOUBLE)"
+            case "LAX_BOOL" =>
+              s"(CASE WHEN lower($unq) = 'true' THEN true " +
+                s"WHEN lower($unq) = 'false' THEN false " +
+                s"WHEN try_cast($unq AS DOUBLE) IS NOT NULL " +
+                s"THEN try_cast($unq AS DOUBLE) <> CAST(0 AS DOUBLE) END)"
+            case _ => // LAX_INT64
+              s"COALESCE(CASE WHEN lower($unq) = 'true' THEN CAST(1 AS BIGINT) " +
+                s"WHEN lower($unq) = 'false' THEN CAST(0 AS BIGINT) END, " +
+                s"try_cast($unq AS BIGINT), " +
+                s"CAST(round(try_cast($unq AS DOUBLE)) AS BIGINT))"
+          }
+          Some(s"(CASE WHEN $guard THEN NULL ELSE $body END)")
         case "ARRAY_FIRST" =>
           require(args.size == 1, "ARRAY_FIRST takes one array")
           Some(s"(${args(0)})[0]")

@@ -1792,6 +1792,34 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // LAX_* JSON scalar accessors (round 11): six payload variants
+    // per event — numeric text, quoted numeric, fractional, bool,
+    // object, JSON null — pushed through all four accessors; the
+    // DuckDB oracle spells the pinned coercion table inline, so the
+    // hash gates the macro expansion and every coercion row. Double
+    // sums ride DECIMAL (the float-parity discipline)
+    "q_json_lax" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("lax_events")
+      graft.GraftSql.load(s,
+        """WITH v AS (
+          |  SELECT CASE CAST(event_id % 6 AS INT)
+          |    WHEN 0 THEN get_json_object(props, '$.k')
+          |    WHEN 1 THEN concat('"', get_json_object(props, '$.k'), '"')
+          |    WHEN 2 THEN '1.5'
+          |    WHEN 3 THEN 'true'
+          |    WHEN 4 THEN '{"o":1}'
+          |    ELSE 'null' END AS j
+          |  FROM lax_events)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(LAX_INT64(j)) AS BIGINT) AS i_sum, COUNT(LAX_INT64(j)) AS i_n,
+          |  CAST(SUM(CAST(LAX_FLOAT64(j) AS DECIMAL(30,6))) AS DOUBLE) AS f_sum,
+          |  COUNT(LAX_FLOAT64(j)) AS f_n,
+          |  CAST(SUM(CASE WHEN LAX_BOOL(j) THEN 1 ELSE 0 END) AS BIGINT) AS b_true,
+          |  COUNT(LAX_BOOL(j)) AS b_n,
+          |  COUNT(LAX_STRING(j)) AS s_n, MIN(LAX_STRING(j)) AS s_min
+          |FROM v""".stripMargin)
+    }),
+
     // BigQuery JSON ARRAY surface (B21's companion): the statement
     // builds a deterministic array payload per event, then
     // JSON_EXTRACT_ARRAY + comma-UNNEST (both rewritten by GraftSql —
@@ -3930,6 +3958,43 @@ object SparkEntry {
           |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
+      // the LAX face replays the pinned coercion table INLINE (DuckDB
+      // has no LAX_*): same guard, same unwrap, same bool/round rules
+      "q_json_lax" ->
+        """WITH v AS (
+          |  SELECT CASE CAST(event_id % 6 AS INT)
+          |    WHEN 0 THEN json_extract_string(props, '$.k')
+          |    WHEN 1 THEN concat('"', json_extract_string(props, '$.k'), '"')
+          |    WHEN 2 THEN '1.5'
+          |    WHEN 3 THEN 'true'
+          |    WHEN 4 THEN '{"o":1}'
+          |    ELSE 'null' END AS j
+          |  FROM events),
+          |q AS (SELECT trim(j) AS a,
+          |             CASE WHEN trim(j) LIKE '"%"'
+          |                  THEN substring(trim(j), 2, length(trim(j)) - 2)
+          |                  ELSE trim(j) END AS u FROM v),
+          |c AS (SELECT
+          |  (a IS NULL OR a = '' OR lower(a) = 'null' OR left(a, 1) IN ('{', '[')) AS bad,
+          |  u FROM q),
+          |x AS (SELECT
+          |  CASE WHEN bad THEN NULL ELSE COALESCE(
+          |    CASE WHEN lower(u) = 'true' THEN 1 WHEN lower(u) = 'false' THEN 0 END,
+          |    try_cast(u AS BIGINT),
+          |    CAST(round(try_cast(u AS DOUBLE)) AS BIGINT)) END AS i,
+          |  CASE WHEN bad THEN NULL ELSE try_cast(u AS DOUBLE) END AS f,
+          |  CASE WHEN bad THEN NULL ELSE
+          |    (CASE WHEN lower(u) = 'true' THEN true WHEN lower(u) = 'false' THEN false
+          |          WHEN try_cast(u AS DOUBLE) IS NOT NULL THEN try_cast(u AS DOUBLE) <> 0 END)
+          |  END AS b,
+          |  CASE WHEN bad THEN NULL ELSE u END AS s
+          |FROM c)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(i) AS BIGINT) AS i_sum, COUNT(i) AS i_n,
+          |  CAST(SUM(CAST(f AS DECIMAL(30,6))) AS DOUBLE) AS f_sum, COUNT(f) AS f_n,
+          |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_true, COUNT(b) AS b_n,
+          |  COUNT(s) AS s_n, MIN(s) AS s_min
+          |FROM x""".stripMargin,
       // the JSON array face replays with DuckDB's own json functions:
       // json_extract pulls the array, json_transform types it, unnest
       // fans it out — numeric elements, so values hash bit-for-bit

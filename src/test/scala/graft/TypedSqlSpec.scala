@@ -1675,6 +1675,44 @@ class TypedSqlSpec extends SparkSuite {
       .contains("FROM"))
   }
 
+  test("LAX_INT64/FLOAT64/BOOL/STRING: the pinned lax JSON scalar coercion table") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // INT64: exact integral, double-rounding half away, bools, junk
+    assert(one("LAX_INT64('123')").getLong(0) == 123L)
+    assert(one("LAX_INT64('\"45\"')").getLong(0) == 45L)     // quoted unwraps
+    assert(one("LAX_INT64('1.5')").getLong(0) == 2L)
+    assert(one("LAX_INT64('-1.5')").getLong(0) == -2L)       // away from zero
+    assert(one("LAX_INT64('1e2')").getLong(0) == 100L)
+    assert(one("LAX_INT64('9223372036854775807')").getLong(0) == Long.MaxValue) // no double detour
+    assert(one("LAX_INT64('true')").getLong(0) == 1L)
+    assert(one("LAX_INT64('abc')").isNullAt(0))
+    assert(one("LAX_INT64('{\"a\":1}')").isNullAt(0))        // object
+    assert(one("LAX_INT64('null')").isNullAt(0))             // JSON null
+    // FLOAT64: numerics only, bools NULL
+    assert(one("LAX_FLOAT64('1.25')").getDouble(0) == 1.25)
+    assert(one("LAX_FLOAT64('\"2.5\"')").getDouble(0) == 2.5)
+    assert(one("LAX_FLOAT64('true')").isNullAt(0))
+    // BOOL: word forms + numeric truthiness
+    assert(one("LAX_BOOL('true')").getBoolean(0))
+    assert(one("LAX_BOOL('\"FALSE\"')").getBoolean(0) == false)
+    assert(one("LAX_BOOL('10')").getBoolean(0))
+    assert(one("LAX_BOOL('0')").getBoolean(0) == false)
+    assert(one("LAX_BOOL('[1]')").isNullAt(0))               // array
+    // STRING: unwrap quoted, keep scalar text
+    assert(one("LAX_STRING('\"hi\"')").getString(0) == "hi")
+    assert(one("LAX_STRING('123')").getString(0) == "123")
+    assert(one("LAX_STRING('true')").getString(0) == "true")
+    assert(one("LAX_STRING('null')").isNullAt(0))
+    // composes with the JSON extractors (the migration idiom)
+    import spark.implicits._
+    Seq(("""{"k": "7", "f": 2.5}""")).toDF("j").createOrReplaceTempView("lax_t")
+    val r = GraftSql.load(spark,
+      "SELECT LAX_INT64(get_json_object(j, '$.k')) AS k, " +
+        "LAX_FLOAT64(get_json_object(j, '$.f')) AS f FROM lax_t").head()
+    assert(r.getLong(0) == 7L && r.getDouble(1) == 2.5)
+  }
+
   test("round-11 rewrites never touch string literals or identifier lookalikes") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
