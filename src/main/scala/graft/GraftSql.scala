@@ -1513,7 +1513,8 @@ object GraftSql {
       "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
       "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
-      "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING")
+      "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
+      "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1783,6 +1784,26 @@ object GraftSql {
                 s"CAST(round(try_cast($unq AS DOUBLE)) AS BIGINT))"
           }
           Some(s"(CASE WHEN $guard THEN NULL ELSE $body END)")
+        // the scalar JSON path accessors, on Spark 4's VARIANT:
+        //   JSON_QUERY / JSON_EXTRACT → JSON TEXT of the value
+        //     (strings stay quoted, objects/arrays verbatim, JSON null
+        //     → the text 'null', missing path / invalid JSON → NULL)
+        //   JSON_VALUE / JSON_EXTRACT_SCALAR → the UNQUOTED scalar;
+        //     objects/arrays and JSON null → NULL (BigQuery's rule —
+        //     the object guard reads the JSON form, so a string value
+        //     that merely STARTS with '{' survives)
+        // path defaults to '$'; variant paths must be constant
+        // (Spark's variant_get rule — BigQuery paths are literals in
+        // practice, non-constant paths fail typed at analysis)
+        case "JSON_QUERY" | "JSON_EXTRACT" | "JSON_VALUE" | "JSON_EXTRACT_SCALAR" =>
+          require(args.nonEmpty && args.size <= 2, s"$name takes (json [, path])")
+          val path = if (args.size == 2) s"(${args(1)})" else "'$'"
+          val v = s"try_parse_json(CAST((${args(0)}) AS STRING))"
+          if (name == "JSON_QUERY" || name == "JSON_EXTRACT")
+            Some(s"to_json(try_variant_get($v, $path))")
+          else
+            Some(s"(CASE WHEN left(to_json(try_variant_get($v, $path)), 1) IN ('{', '[') " +
+              s"THEN NULL ELSE try_variant_get($v, $path, 'string') END)")
         case "ARRAY_FIRST" =>
           require(args.size == 1, "ARRAY_FIRST takes one array")
           Some(s"(${args(0)})[0]")

@@ -1820,6 +1820,30 @@ object SparkEntry {
           |FROM v""".stripMargin)
     }),
 
+    // scalar JSON path accessors (round 11): a nested payload per
+    // event — string/number/object/array/JSON-null members — through
+    // JSON_VALUE (unquoted scalars, NULL for non-scalars) and
+    // JSON_QUERY (JSON text, quotes kept); DuckDB replays with its
+    // native json_extract/json_extract_string plus a json_type guard
+    // for the non-scalar NULL rule
+    "q_json_value" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("jv_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT concat('{"t":"', event_type, '","k":', get_json_object(props, '$.k'),
+          |                ',"o":{"c":', CAST(event_id % 7 AS STRING), '},"z":null}') AS j
+          |  FROM jv_events)
+          |SELECT COUNT(*) AS n,
+          |  COUNT(JSON_VALUE(j, '$.t')) AS t_n, MIN(JSON_VALUE(j, '$.t')) AS t_min,
+          |  CAST(SUM(CAST(JSON_VALUE(j, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          |  MIN(JSON_QUERY(j, '$.t')) AS t_q_min,
+          |  COUNT(JSON_VALUE(j, '$.o')) AS o_scalar_n,
+          |  COUNT(JSON_QUERY(j, '$.o')) AS o_query_n, MAX(JSON_QUERY(j, '$.o')) AS o_max,
+          |  COUNT(JSON_VALUE(j, '$.z')) AS z_n, MIN(JSON_QUERY(j, '$.z')) AS z_text,
+          |  COUNT(JSON_VALUE(j, '$.missing')) AS m_n
+          |FROM p""".stripMargin)
+    }),
+
     // BigQuery JSON ARRAY surface (B21's companion): the statement
     // builds a deterministic array payload per event, then
     // JSON_EXTRACT_ARRAY + comma-UNNEST (both rewritten by GraftSql —
@@ -3958,6 +3982,29 @@ object SparkEntry {
           |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
+      // JSON_VALUE/JSON_QUERY replay on DuckDB's json functions; the
+      // json_type guard reproduces the non-scalar → NULL rule
+      "q_json_value" ->
+        """WITH p AS (
+          |  SELECT concat('{"t":"', event_type, '","k":', json_extract_string(props, '$.k'),
+          |                ',"o":{"c":', CAST(event_id % 7 AS VARCHAR), '},"z":null}') AS j
+          |  FROM events)
+          |SELECT COUNT(*) AS n,
+          |  COUNT(json_extract_string(j, '$.t')) AS t_n,
+          |  MIN(json_extract_string(j, '$.t')) AS t_min,
+          |  CAST(SUM(CAST(json_extract_string(j, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          |  MIN(CAST(json_extract(j, '$.t') AS VARCHAR)) AS t_q_min,
+          |  COUNT(CASE WHEN json_type(json_extract(j, '$.o')) IN ('OBJECT', 'ARRAY')
+          |             THEN NULL ELSE json_extract_string(j, '$.o') END) AS o_scalar_n,
+          |  COUNT(CAST(json_extract(j, '$.o') AS VARCHAR)) AS o_query_n,
+          |  MAX(CAST(json_extract(j, '$.o') AS VARCHAR)) AS o_max,
+          |  COUNT(json_extract_string(j, '$.z')) AS z_n,
+          |  -- DuckDB reads a JSON null as SQL NULL; the engine's
+          |  -- JSON_QUERY returns the TEXT 'null' (BigQuery's rule)
+          |  MIN(CASE WHEN json_type(j, '$.z') = 'NULL' THEN 'null'
+          |           ELSE CAST(json_extract(j, '$.z') AS VARCHAR) END) AS z_text,
+          |  COUNT(json_extract_string(j, '$.missing')) AS m_n
+          |FROM p""".stripMargin,
       // the LAX face replays the pinned coercion table INLINE (DuckDB
       // has no LAX_*): same guard, same unwrap, same bool/round rules
       "q_json_lax" ->

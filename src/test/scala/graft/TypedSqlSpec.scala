@@ -1713,6 +1713,38 @@ class TypedSqlSpec extends SparkSuite {
     assert(r.getLong(0) == 7L && r.getDouble(1) == 2.5)
   }
 
+  test("JSON_VALUE/JSON_QUERY/JSON_EXTRACT[_SCALAR]: variant-backed scalar path accessors") {
+    import spark.implicits._
+    Seq("""{"s":"x","n":12,"f":1.5,"b":true,"o":{"c":1},"arr":[1,2],"z":null,"tricky":"{not json"}""")
+      .toDF("j").createOrReplaceTempView("jv_t")
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v FROM jv_t").collect().head
+    // JSON_QUERY/JSON_EXTRACT: JSON text — strings quoted, objects verbatim
+    assert(one("JSON_QUERY(j, '$.s')").getString(0) == "\"x\"")
+    assert(one("JSON_EXTRACT(j, '$.n')").getString(0) == "12")
+    assert(one("JSON_QUERY(j, '$.o')").getString(0) == """{"c":1}""")
+    assert(one("JSON_QUERY(j, '$.arr')").getString(0) == "[1,2]")
+    assert(one("JSON_QUERY(j, '$.z')").getString(0) == "null") // JSON null is the TEXT null
+    assert(one("JSON_QUERY(j, '$.missing')").isNullAt(0))
+    // JSON_VALUE/JSON_EXTRACT_SCALAR: unquoted scalars; non-scalars NULL
+    assert(one("JSON_VALUE(j, '$.s')").getString(0) == "x")
+    assert(one("JSON_EXTRACT_SCALAR(j, '$.n')").getString(0) == "12")
+    assert(one("JSON_VALUE(j, '$.f')").getString(0) == "1.5")
+    assert(one("JSON_VALUE(j, '$.b')").getString(0) == "true")
+    assert(one("JSON_VALUE(j, '$.o')").isNullAt(0))
+    assert(one("JSON_VALUE(j, '$.arr')").isNullAt(0))
+    assert(one("JSON_VALUE(j, '$.z')").isNullAt(0))
+    // a STRING that merely starts with '{' is still a scalar
+    assert(one("JSON_VALUE(j, '$.tricky')").getString(0) == "{not json")
+    // invalid JSON document → NULL, not an error
+    assert(one("JSON_VALUE('oops', '$.a')").isNullAt(0))
+    assert(one("JSON_QUERY('oops', '$.a')").isNullAt(0))
+    // default path is the root
+    assert(one("JSON_VALUE('\"plain\"')").getString(0) == "plain")
+    // composes with LAX_*: the full migration idiom
+    assert(one("LAX_INT64(JSON_QUERY(j, '$.f'))").getLong(0) == 2L)
+  }
+
   test("round-11 rewrites never touch string literals or identifier lookalikes") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
