@@ -77,10 +77,10 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteWindowRefinement(rewriteQualify(rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteWindowRefinement(rewriteMlScaler(rewriteQualify(rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteChangeTvf(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0))))))))))))))))
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, sql0)))))))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -457,6 +457,101 @@ object GraftSql {
     * QUALIFY` and `GROUP BY ALL ... QUALIFY` are rejected — appending
     * the predicate item would change the distinct/grouping key set.
     */
+  /** BQML's analytic PREPROCESSING scalers (the TRANSFORM-clause
+    * functions, in their standalone analytic form):
+    * `ML.MIN_MAX_SCALER(x) OVER (...)` → (x−min)/(max−min) over the
+    * window, 0.5 for a degenerate (min = max) range — the midpoint of
+    * the target interval; `ML.STANDARD_SCALER(x) OVER (...)` →
+    * (x−avg)/stddev_samp, NULL for a single-row window (sample stddev
+    * undefined) and ±∞-free via NULLIF on a zero deviation. The OVER
+    * text is DUPLICATED verbatim into each inner window function —
+    * named windows, inline refinements and the empty global `OVER ()`
+    * all ride through (B48 runs after this rewrite). The form without
+    * OVER (CREATE MODEL TRANSFORM's training-statistics version) is
+    * loud — spell the window.
+    */
+  private[graft] def rewriteMlScaler(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("ML.MIN_MAX_SCALER") && !upper.contains("ML.STANDARD_SCALER"))
+      return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val names = Seq("ML.MIN_MAX_SCALER", "ML.STANDARD_SCALER")
+    val out = new StringBuilder
+    var i = 0; var inS = false; var inT = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inS) { out += c; if (c == '\'') inS = false; i += 1 }
+      else if (inT) { out += c; if (c == '`') inT = false; i += 1 }
+      else if (c == '\'') { out += c; inS = true; i += 1 }
+      else if (c == '`') { out += c; inT = true; i += 1 }
+      else {
+        val hit = if ((c == 'M' || c == 'm') && (i == 0 || !isWord(sql.charAt(i - 1))))
+          names.find(n => upper.startsWith(n, i) &&
+            (i + n.length >= sql.length || !isWord(sql.charAt(i + n.length))))
+        else None
+        hit match {
+          case Some(n) =>
+            var p = i + n.length
+            while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+            require(p < sql.length && sql.charAt(p) == '(', s"$n must be called with (expr)")
+            var depth = 1; var q = p + 1; var s2 = false; var t2 = false
+            while (q < sql.length && depth > 0) {
+              val ch = sql.charAt(q)
+              if (s2) { if (ch == '\'') s2 = false }
+              else if (t2) { if (ch == '`') t2 = false }
+              else if (ch == '\'') s2 = true
+              else if (ch == '`') t2 = true
+              else if (ch == '(') depth += 1
+              else if (ch == ')') depth -= 1
+              q += 1
+            }
+            require(depth == 0, s"unbalanced parens in $n(...)")
+            val x = sql.substring(p + 1, q - 1).trim
+            var r = q
+            while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
+            require(upper.startsWith("OVER", r) &&
+              (r + 4 >= sql.length || !isWord(sql.charAt(r + 4))),
+              s"$n is supported in its analytic form only: $n(expr) OVER (...) — " +
+                "the OVER-less TRANSFORM spelling computes training statistics, " +
+                "which this engine spells as an explicit window")
+            r += 4
+            while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
+            // the window: a parenthesized spec or a bare window name
+            val over =
+              if (r < sql.length && sql.charAt(r) == '(') {
+                var d2 = 1; var e = r + 1; var s3 = false; var t3 = false
+                while (e < sql.length && d2 > 0) {
+                  val ch = sql.charAt(e)
+                  if (s3) { if (ch == '\'') s3 = false }
+                  else if (t3) { if (ch == '`') t3 = false }
+                  else if (ch == '\'') s3 = true
+                  else if (ch == '`') t3 = true
+                  else if (ch == '(') d2 += 1
+                  else if (ch == ')') d2 -= 1
+                  e += 1
+                }
+                require(d2 == 0, s"unbalanced parens in $n(...) OVER (...)")
+                val w = sql.substring(r, e); i = e; s"OVER $w"
+              } else {
+                var e = r
+                while (e < sql.length && isWord(sql.charAt(e))) e += 1
+                require(e > r, s"$n(...) OVER needs a window spec or name")
+                val w = sql.substring(r, e); i = e; s"OVER $w"
+              }
+            val xd = s"CAST(($x) AS DOUBLE)"
+            out ++= (if (n == "ML.MIN_MAX_SCALER")
+              s"(CASE WHEN MAX($x) $over = MIN($x) $over THEN 0.5 " +
+                s"ELSE ($xd - CAST(MIN($x) $over AS DOUBLE)) / " +
+                s"(CAST(MAX($x) $over AS DOUBLE) - CAST(MIN($x) $over AS DOUBLE)) END)"
+            else
+              s"(($xd - AVG($x) $over) / NULLIF(STDDEV_SAMP($x) $over, CAST(0 AS DOUBLE)))")
+          case None => out += c; i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
   private[graft] def rewriteQualify(sql0: String): String = {
     var sql = sql0
     var guard = 0

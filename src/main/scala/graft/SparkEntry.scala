@@ -1820,6 +1820,22 @@ object SparkEntry {
           |FROM v""".stripMargin)
     }),
 
+    // BQML analytic preprocessing (round 11): per-event-type min-max
+    // scaling, gated through a decile histogram — the scaled value is
+    // an IEEE double ratio of exact inputs, so floor(s*10) is
+    // bit-deterministic across engines (no float-sum hashing); DuckDB
+    // replays the expansion's exact formula as explicit windows
+    "q_ml_minmax" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("mm_events")
+      graft.GraftSql.load(s,
+        """WITH sc AS (
+          |  SELECT event_type,
+          |         ML.MIN_MAX_SCALER(value) OVER (PARTITION BY event_type) AS x
+          |  FROM mm_events)
+          |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, COUNT(*) AS n
+          |FROM sc GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)
+    }),
+
     // scalar JSON path accessors (round 11): a nested payload per
     // event — string/number/object/array/JSON-null members — through
     // JSON_VALUE (unquoted scalars, NULL for non-scalars) and
@@ -3982,6 +3998,18 @@ object SparkEntry {
           |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
+      // the min-max replay spells the scaler expansion's exact formula
+      // (same CASE, same CAST discipline) as explicit DuckDB windows
+      "q_ml_minmax" ->
+        """WITH sc AS (
+          |  SELECT event_type,
+          |    CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
+          |         ELSE (CAST(value AS DOUBLE) - CAST(MIN(value) OVER w AS DOUBLE)) /
+          |              (CAST(MAX(value) OVER w AS DOUBLE) - CAST(MIN(value) OVER w AS DOUBLE))
+          |    END AS x
+          |  FROM events WINDOW w AS (PARTITION BY event_type))
+          |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, COUNT(*) AS n
+          |FROM sc GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
       // JSON_VALUE/JSON_QUERY replay on DuckDB's json functions; the
       // json_type guard reproduces the non-scalar → NULL rule
       "q_json_value" ->

@@ -1745,6 +1745,39 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("LAX_INT64(JSON_QUERY(j, '$.f'))").getLong(0) == 2L)
   }
 
+  test("ML.MIN_MAX_SCALER / ML.STANDARD_SCALER: analytic preprocessing over windows") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "b", 5.0))
+      .toDF("id", "g", "v").createOrReplaceTempView("sc_t")
+    val mm = GraftSql.load(spark,
+      """SELECT id, ML.MIN_MAX_SCALER(v) OVER (PARTITION BY g) AS s
+        |FROM sc_t ORDER BY id""".stripMargin).collect().map(_.getDouble(1)).toSeq
+    assert(mm == Seq(0.0, 0.5, 1.0, 0.5)) // group b degenerates to the midpoint
+    val st = GraftSql.load(spark,
+      """SELECT id, ML.STANDARD_SCALER(v) OVER (PARTITION BY g) AS s
+        |FROM sc_t ORDER BY id""".stripMargin).collect()
+    // group a: mean 20, sample stddev 10 → -1, 0, 1
+    assert(math.abs(st(0).getDouble(1) + 1.0) < 1e-12)
+    assert(math.abs(st(1).getDouble(1)) < 1e-12)
+    assert(math.abs(st(2).getDouble(1) - 1.0) < 1e-12)
+    // single-row window: sample stddev undefined → NULL
+    assert(st(3).isNullAt(1))
+    // named windows + the empty global window both duplicate cleanly
+    val named = GraftSql.load(spark,
+      """SELECT id, ML.MIN_MAX_SCALER(v) OVER w AS s FROM sc_t
+        |WINDOW w AS (PARTITION BY g) ORDER BY id""".stripMargin)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(named == mm)
+    val global = GraftSql.load(spark,
+      "SELECT ML.MIN_MAX_SCALER(id) OVER () AS s FROM sc_t ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(global == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    // the OVER-less TRANSFORM spelling is loud
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT ML.MIN_MAX_SCALER(v) AS s FROM sc_t")
+    }.getMessage.contains("analytic form"))
+  }
+
   test("round-11 rewrites never touch string literals or identifier lookalikes") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
