@@ -472,10 +472,10 @@ object GraftSql {
     */
   private[graft] def rewriteMlScaler(sql: String): String = {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    if (!upper.contains("ML.MIN_MAX_SCALER") && !upper.contains("ML.STANDARD_SCALER"))
-      return sql
+    val names = Seq("ML.MIN_MAX_SCALER", "ML.STANDARD_SCALER",
+      "ML.QUANTILE_BUCKETIZE", "ML.IMPUTER")
+    if (!names.exists(upper.contains)) return sql
     def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-    val names = Seq("ML.MIN_MAX_SCALER", "ML.STANDARD_SCALER")
     val out = new StringBuilder
     var i = 0; var inS = false; var inT = false
     while (i < sql.length) {
@@ -516,8 +516,9 @@ object GraftSql {
                 "which this engine spells as an explicit window")
             r += 4
             while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
-            // the window: a parenthesized spec or a bare window name
-            val over =
+            // the window: a parenthesized spec (body kept for ORDER BY
+            // injection) or a bare window name
+            val specBody: Option[String] =
               if (r < sql.length && sql.charAt(r) == '(') {
                 var d2 = 1; var e = r + 1; var s3 = false; var t3 = false
                 while (e < sql.length && d2 > 0) {
@@ -531,20 +532,75 @@ object GraftSql {
                   e += 1
                 }
                 require(d2 == 0, s"unbalanced parens in $n(...) OVER (...)")
-                val w = sql.substring(r, e); i = e; s"OVER $w"
+                val w = sql.substring(r + 1, e - 1); i = e; Some(w)
               } else {
                 var e = r
                 while (e < sql.length && isWord(sql.charAt(e))) e += 1
                 require(e > r, s"$n(...) OVER needs a window spec or name")
-                val w = sql.substring(r, e); i = e; s"OVER $w"
+                i = e; None
               }
-            val xd = s"CAST(($x) AS DOUBLE)"
-            out ++= (if (n == "ML.MIN_MAX_SCALER")
-              s"(CASE WHEN MAX($x) $over = MIN($x) $over THEN 0.5 " +
-                s"ELSE ($xd - CAST(MIN($x) $over AS DOUBLE)) / " +
-                s"(CAST(MAX($x) $over AS DOUBLE) - CAST(MIN($x) $over AS DOUBLE)) END)"
-            else
-              s"(($xd - AVG($x) $over) / NULLIF(STDDEV_SAMP($x) $over, CAST(0 AS DOUBLE)))")
+            val over = specBody match {
+              case Some(b) => s"OVER ($b)"
+              case None => s"OVER ${sql.substring(r, i)}"
+            }
+            // split the call's top-level comma arguments
+            val parts = {
+              val items = scala.collection.mutable.ListBuffer.empty[String]
+              var st = 0; var d3 = 0; var s4 = false; var t4 = false; var k2 = 0
+              while (k2 < x.length) {
+                val ch = x.charAt(k2)
+                if (s4) { if (ch == '\'') s4 = false }
+                else if (t4) { if (ch == '`') t4 = false }
+                else if (ch == '\'') s4 = true
+                else if (ch == '`') t4 = true
+                else if (ch == '(' || ch == '[') d3 += 1
+                else if (ch == ')' || ch == ']') d3 -= 1
+                else if (ch == ',' && d3 == 0) { items += x.substring(st, k2).trim; st = k2 + 1 }
+                k2 += 1
+              }
+              items += x.substring(st).trim
+              items.toSeq
+            }
+            val f = parts.head
+            val xd = s"CAST(($f) AS DOUBLE)"
+            out ++= (n match {
+              case "ML.MIN_MAX_SCALER" =>
+                require(parts.size == 1, "ML.MIN_MAX_SCALER takes (feature)")
+                s"(CASE WHEN MAX($f) $over = MIN($f) $over THEN 0.5 " +
+                  s"ELSE ($xd - CAST(MIN($f) $over AS DOUBLE)) / " +
+                  s"(CAST(MAX($f) $over AS DOUBLE) - CAST(MIN($f) $over AS DOUBLE)) END)"
+              case "ML.STANDARD_SCALER" =>
+                require(parts.size == 1, "ML.STANDARD_SCALER takes (feature)")
+                s"(($xd - AVG($f) $over) / NULLIF(STDDEV_SAMP($f) $over, CAST(0 AS DOUBLE)))"
+              // equal-count bucketing IS ntile ordered by the feature:
+              // the rewrite INJECTS `ORDER BY feature` into the given
+              // spec (BigQuery's own OVER here is partition-only; a
+              // caller ORDER BY is loud — the feature defines the
+              // order). NULL features ride Spark's nulls-first rule
+              // into bin_1 (stated)
+              case "ML.QUANTILE_BUCKETIZE" =>
+                require(parts.size == 2,
+                  "ML.QUANTILE_BUCKETIZE takes (feature, num_buckets)")
+                val spec = specBody.getOrElse(throw new IllegalArgumentException(
+                  "ML.QUANTILE_BUCKETIZE needs an inline OVER (...) spec — the ORDER BY " +
+                    "injection cannot reach into a named window"))
+                require(!spec.toUpperCase(java.util.Locale.ROOT).matches("(?s).*\\bORDER\\b.*"),
+                  "ML.QUANTILE_BUCKETIZE's OVER must not carry ORDER BY — the feature " +
+                    "defines the quantile order")
+                s"concat('bin_', CAST(NTILE(${parts(1)}) OVER ($spec ORDER BY ($f)) AS STRING))"
+              case _ => // ML.IMPUTER
+                require(parts.size == 2,
+                  "ML.IMPUTER takes (feature, 'mean'|'median'|'most_frequent')")
+                val strat = parts(1).trim.stripPrefix("'").stripSuffix("'")
+                  .toLowerCase(java.util.Locale.ROOT)
+                strat match {
+                  case "mean" => s"COALESCE(($f), AVG($f) $over)"
+                  case "median" => s"COALESCE(($f), MEDIAN($f) $over)"
+                  case "most_frequent" => s"COALESCE(($f), MODE($f) $over)"
+                  case other => throw new IllegalArgumentException(
+                    s"ML.IMPUTER strategy must be 'mean', 'median' or 'most_frequent', got '$other'")
+                }
+            })
           case None => out += c; i += 1
         }
       }
@@ -1609,7 +1665,8 @@ object GraftSql {
       "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
       "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
       "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
-      "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT")
+      "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
+      "ML.BUCKETIZE")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1890,6 +1947,21 @@ object GraftSql {
         // path defaults to '$'; variant paths must be constant
         // (Spark's variant_get rule — BigQuery paths are literals in
         // practice, non-constant paths fail typed at analysis)
+        // BQML's split-point bucketizer (TRANSFORM-clause preprocessing;
+        // no window — the split points ARE the statistics): bin_1 below
+        // the first ASCENDING split, bin_{k+1} at-or-above the k-th —
+        // one codegen'd filter+size per row. BigQuery's array literal
+        // spelling [a, b, c] converts; NULL features stay NULL
+        case "ML.BUCKETIZE" =>
+          require(args.size == 2,
+            "ML.BUCKETIZE takes (feature, array_split_points) — the " +
+              "exclude_boundaries form is not supported")
+          val x = s"(${args(0)})"
+          val raw = args(1).trim
+          val arr = if (raw.startsWith("[") && raw.endsWith("]"))
+            s"array(${raw.substring(1, raw.length - 1)})" else s"($raw)"
+          Some(s"(CASE WHEN $x IS NULL THEN NULL ELSE " +
+            s"concat('bin_', CAST(size(filter($arr, p -> $x >= p)) + 1 AS STRING)) END)")
         case "JSON_QUERY" | "JSON_EXTRACT" | "JSON_VALUE" | "JSON_EXTRACT_SCALAR" =>
           require(args.nonEmpty && args.size <= 2, s"$name takes (json [, path])")
           val path = if (args.size == 2) s"(${args(1)})" else "'$'"

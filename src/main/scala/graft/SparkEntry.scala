@@ -1830,10 +1830,12 @@ object SparkEntry {
       graft.GraftSql.load(s,
         """WITH sc AS (
           |  SELECT event_type,
-          |         ML.MIN_MAX_SCALER(value) OVER (PARTITION BY event_type) AS x
+          |         ML.MIN_MAX_SCALER(value) OVER (PARTITION BY event_type) AS x,
+          |         ML.BUCKETIZE(value, [10.0, 50.0, 100.0]) AS sbin
           |  FROM mm_events)
-          |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, COUNT(*) AS n
-          |FROM sc GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)
+          |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, sbin, COUNT(*) AS n
+          |FROM sc GROUP BY event_type, bucket, sbin
+          |ORDER BY event_type, bucket, sbin""".stripMargin)
     }),
 
     // scalar JSON path accessors (round 11): a nested payload per
@@ -4006,10 +4008,13 @@ object SparkEntry {
           |    CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
           |         ELSE (CAST(value AS DOUBLE) - CAST(MIN(value) OVER w AS DOUBLE)) /
           |              (CAST(MAX(value) OVER w AS DOUBLE) - CAST(MIN(value) OVER w AS DOUBLE))
-          |    END AS x
+          |    END AS x,
+          |         concat('bin_', CAST(len(list_filter([10.0, 50.0, 100.0],
+          |                                             p -> value >= p)) + 1 AS VARCHAR)) AS sbin
           |  FROM events WINDOW w AS (PARTITION BY event_type))
-          |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, COUNT(*) AS n
-          |FROM sc GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+          |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, sbin, COUNT(*) AS n
+          |FROM sc GROUP BY event_type, bucket, sbin
+          |ORDER BY event_type, bucket, sbin""".stripMargin,
       // JSON_VALUE/JSON_QUERY replay on DuckDB's json functions; the
       // json_type guard reproduces the non-scalar → NULL rule
       "q_json_value" ->

@@ -1778,6 +1778,42 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("analytic form"))
   }
 
+  test("ML.BUCKETIZE / ML.QUANTILE_BUCKETIZE / ML.IMPUTER: the rest of the preprocessing pack") {
+    import spark.implicits._
+    Seq((1L, "a", 5.0), (2L, "a", 15.0), (3L, "a", 25.0), (4L, "a", 35.0))
+      .toDF("id", "g", "v").createOrReplaceTempView("bk_t")
+    // split-point bins: bin_1 below the first split, bin_{k+1} at it
+    val b = GraftSql.load(spark,
+      "SELECT id, ML.BUCKETIZE(v, [10, 20, 30]) AS b FROM bk_t ORDER BY id")
+      .collect().map(_.getString(1)).toSeq
+    assert(b == Seq("bin_1", "bin_2", "bin_3", "bin_4"))
+    assert(GraftSql.load(spark,
+      "SELECT ML.BUCKETIZE(CAST(NULL AS DOUBLE), [1]) AS b").head().isNullAt(0))
+    // quantile bucketize = ntile ordered by the feature
+    val qb = GraftSql.load(spark,
+      "SELECT id, ML.QUANTILE_BUCKETIZE(v, 2) OVER (PARTITION BY g) AS b FROM bk_t ORDER BY id")
+      .collect().map(_.getString(1)).toSeq
+    assert(qb == Seq("bin_1", "bin_1", "bin_2", "bin_2"))
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT ML.QUANTILE_BUCKETIZE(v, 2) OVER (ORDER BY id) AS b FROM bk_t")
+    }.getMessage.contains("ORDER BY"))
+    // imputer: mean / median / most_frequent fill NULL holes only
+    Seq((1L, Some(10.0)), (2L, None), (3L, Some(20.0)), (4L, Some(10.0)))
+      .toDF("id", "v").createOrReplaceTempView("imp_t")
+    val imp = GraftSql.load(spark,
+      """SELECT id, ML.IMPUTER(v, 'mean') OVER () AS m,
+        |       ML.IMPUTER(v, 'median') OVER () AS md,
+        |       ML.IMPUTER(v, 'most_frequent') OVER () AS mf
+        |FROM imp_t ORDER BY id""".stripMargin).collect()
+    assert(imp(1).getDouble(1) == (10.0 + 20.0 + 10.0) / 3) // mean fills
+    assert(imp(1).getDouble(2) == 10.0)                     // median fills
+    assert(imp(1).getDouble(3) == 10.0)                     // mode fills
+    assert(imp(0).getDouble(1) == 10.0 && imp(2).getDouble(2) == 20.0) // non-null untouched
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT ML.IMPUTER(v, 'zero') OVER () AS m FROM imp_t")
+    }.getMessage.contains("strategy"))
+  }
+
   test("round-11 rewrites never touch string literals or identifier lookalikes") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
