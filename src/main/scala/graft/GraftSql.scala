@@ -1666,7 +1666,7 @@ object GraftSql {
       "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
       "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
       "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
-      "ML.BUCKETIZE")
+      "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1962,6 +1962,20 @@ object GraftSql {
             s"array(${raw.substring(1, raw.length - 1)})" else s"($raw)"
           Some(s"(CASE WHEN $x IS NULL THEN NULL ELSE " +
             s"concat('bin_', CAST(size(filter($arr, p -> $x >= p)) + 1 AS STRING)) END)")
+        // the open-source FarmHash Fingerprint64 — BigQuery documents
+        // exactly this algorithm, Guava ships the reference impl, so
+        // values match BigQuery bit-for-bit (registry-routed like the
+        // digests: the scanner must not re-match rewritten output)
+        case "FARM_FINGERPRINT" =>
+          require(args.size == 1, "FARM_FINGERPRINT takes (string_or_bytes)")
+          Some(s"graft_farm_fingerprint((${args(0)}))")
+        // BQML's hash bucketizer: the PINNED assignment is
+        // pmod(fingerprint, n) — a stable bucket in [0, n) (feature
+        // hashing wants STABILITY; the exact BigQuery bucket ids are
+        // not contractual here, stated)
+        case "ML.HASH_BUCKETIZE" =>
+          require(args.size == 2, "ML.HASH_BUCKETIZE takes (feature, num_buckets)")
+          Some(s"pmod(graft_farm_fingerprint(CAST((${args(0)}) AS STRING)), (${args(1)}))")
         case "JSON_QUERY" | "JSON_EXTRACT" | "JSON_VALUE" | "JSON_EXTRACT_SCALAR" =>
           require(args.nonEmpty && args.size <= 2, s"$name takes (json [, path])")
           val path = if (args.size == 2) s"(${args(1)})" else "'$'"

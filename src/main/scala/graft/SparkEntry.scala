@@ -1820,6 +1820,19 @@ object SparkEntry {
           |FROM v""".stripMargin)
     }),
 
+    // FARM_FINGERPRINT (round 11): rows-only by necessity — DuckDB has
+    // no FarmHash — but the values are the OPEN-SOURCE Fingerprint64
+    // (Guava's reference impl, the exact algorithm BigQuery documents),
+    // spec-pinned; the face emits the stable-sampling idiom's bucket
+    // histogram, deterministic run-to-run
+    "q_farm_fingerprint" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ff_orders")
+      graft.GraftSql.load(s,
+        """SELECT MOD(ABS(FARM_FINGERPRINT(CAST(o_orderkey AS STRING))), 8) AS b,
+          |       COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS custsum
+          |FROM ff_orders GROUP BY b ORDER BY b""".stripMargin)
+    }),
+
     // BQML analytic preprocessing (round 11): per-event-type min-max
     // scaling, gated through a decile histogram — the scaled value is
     // an IEEE double ratio of exact inputs, so floor(s*10) is

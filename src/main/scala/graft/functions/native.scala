@@ -1410,6 +1410,43 @@ case class MergePairs(child: Expression, pairs: Seq[(String, String)])
   * per row; the merge table is plan-embedded (ranks × 2 strings — the
   * payload a broadcast would ship).
   */
+/** BigQuery's `FARM_FINGERPRINT`: the open-source FarmHash
+  * Fingerprint64 of a STRING's UTF-8 bytes or of BYTES — BigQuery
+  * documents exactly this algorithm, and Guava (already a Spark
+  * dependency) ships the reference implementation, so values match
+  * BigQuery bit-for-bit. THE stable-sampling/bucketing idiom
+  * (`MOD(ABS(FARM_FINGERPRINT(id)), 10)`) and ML.HASH_BUCKETIZE's
+  * hash. Codegen'd; null-propagating.
+  */
+case class FarmFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"FARM_FINGERPRINT takes STRING or BYTES, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  def compute(input: Any): Long = {
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"FARM_FINGERPRINT takes STRING or BYTES, got $other")
+    }
+    com.google.common.hash.Hashing.farmHashFingerprint64()
+      .hashBytes(bytes).asLong()
+  }
+  override def nullSafeEval(input: Any): Any = java.lang.Long.valueOf(compute(input))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("farmFp", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FarmFingerprint =
+    copy(child = newChild)
+}
+
 /** Viterbi segmentation of one WORD under a unigram piece table
   * (piece → natural-log probability) — the decode half of the
   * SentencePiece unigram LM ([[graft.operators.Unigram]]; Kudo 2018).
@@ -1847,6 +1884,9 @@ object native {
       es => { arity("graft_public_suffix", es, 1); RegistrableDomain(es.head, "suffix") }),
     ("graft_reg_domain", "graft_reg_domain(host) - PSL registrable domain of a host",
       es => { arity("graft_reg_domain", es, 1); RegistrableDomain(es.head, "reg_domain") }),
+    ("graft_farm_fingerprint",
+      "graft_farm_fingerprint(x) - FarmHash Fingerprint64 of STRING/BYTES (BigQuery FARM_FINGERPRINT)",
+      es => { arity("graft_farm_fingerprint", es, 1); FarmFingerprint(es.head) }),
     // BigQuery's BYTES digests for the GraftSql MD5/SHA1 rewrites —
     // registry-routed (not textual unhex(md5(...))) because the
     // dialect scanner would re-match the self-named inner call on its

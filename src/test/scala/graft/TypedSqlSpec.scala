@@ -1814,6 +1814,40 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("strategy"))
   }
 
+  test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
+    import spark.implicits._
+    // the reference implementation's own values (Guava = the
+    // open-source FarmHash BigQuery documents): pin a few, plus
+    // determinism, the bytes/string split, and null propagation
+    def fp(s: String): Long =
+      com.google.common.hash.Hashing.farmHashFingerprint64()
+        .hashBytes(s.getBytes("UTF-8")).asLong()
+    val r = GraftSql.load(spark,
+      "SELECT FARM_FINGERPRINT('abc') AS a, FARM_FINGERPRINT('') AS e, " +
+        "FARM_FINGERPRINT(CAST('abc' AS BINARY)) AS ab, " +
+        "FARM_FINGERPRINT(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getLong(0) == fp("abc"))
+    assert(r.getLong(1) == fp(""))
+    assert(r.getLong(2) == r.getLong(0), "bytes and the string's UTF-8 agree")
+    assert(r.isNullAt(3))
+    // the stable-sampling idiom partitions rows deterministically
+    Seq.tabulate(100)(i => (i.toLong, s"id-$i")).toDF("id", "s")
+      .createOrReplaceTempView("ff_t")
+    val counts = GraftSql.load(spark,
+      """SELECT MOD(ABS(FARM_FINGERPRINT(s)), 4) AS b, COUNT(*) AS n
+        |FROM ff_t GROUP BY b ORDER BY b""".stripMargin).collect()
+    assert(counts.map(_.getLong(1)).sum == 100L && counts.length == 4)
+    val again = GraftSql.load(spark,
+      """SELECT MOD(ABS(FARM_FINGERPRINT(s)), 4) AS b, COUNT(*) AS n
+        |FROM ff_t GROUP BY b ORDER BY b""".stripMargin).collect()
+    assert(counts.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+    // hash bucketize: every bucket in [0, n), stable
+    val hb = GraftSql.load(spark,
+      "SELECT ML.HASH_BUCKETIZE(s, 7) AS b FROM ff_t").collect().map(_.getLong(0))
+    assert(hb.forall(b => b >= 0 && b < 7))
+    assert(hb.distinct.length > 1)
+  }
+
   test("round-11 rewrites never touch string literals or identifier lookalikes") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
