@@ -1666,7 +1666,7 @@ object GraftSql {
       "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
       "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
       "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
-      "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE")
+      "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1966,6 +1966,26 @@ object GraftSql {
         // exactly this algorithm, Guava ships the reference impl, so
         // values match BigQuery bit-for-bit (registry-routed like the
         // digests: the scanner must not re-match rewritten output)
+        // BQML's n-gram generator over a token array: every n-gram for
+        // n in [lo, hi] (BigQuery's range array [n] or [lo, hi]),
+        // joined by `sep` — a pure per-row HOF pipeline (the B47
+        // shape: elements never leave the row, no Generate). The
+        // token-array argument is textually duplicated into the
+        // lambdas — pass a COLUMN, not a heavy subtree (the repo's
+        // staged-projection HOF discipline)
+        case "ML.NGRAMS" =>
+          require(args.size == 2 || args.size == 3,
+            "ML.NGRAMS takes (token_array, [n] | [lo, hi] [, separator])")
+          val x = s"(${args(0)})"
+          val raw = args(1).trim
+          val rng = if (raw.startsWith("[") && raw.endsWith("]"))
+            s"array(${raw.substring(1, raw.length - 1)})" else s"($raw)"
+          val sep = if (args.size == 3) s"(${args(2)})" else "' '"
+          Some(s"flatten(transform(sequence(element_at($rng, 1), " +
+            s"element_at($rng, size($rng))), n -> " +
+            s"CASE WHEN size($x) >= n THEN transform(sequence(1, size($x) - n + 1), " +
+            s"i -> array_join(slice($x, i, n), $sep)) " +
+            s"ELSE slice(array(''), 1, 0) END))")
         case "FARM_FINGERPRINT" =>
           require(args.size == 1, "FARM_FINGERPRINT takes (string_or_bytes)")
           Some(s"graft_farm_fingerprint((${args(0)}))")

@@ -1820,6 +1820,25 @@ object SparkEntry {
           |FROM v""".stripMargin)
     }),
 
+    // ML.NGRAMS (round 11): per-doc bigram+trigram generation as a
+    // per-row HOF pipeline (tokens staged as a COLUMN — referenced
+    // twice, so CollapseProject leaves the projection standing); the
+    // DuckDB oracle replays with list comprehensions in the same
+    // n-order, so the hash gates gram text, order and counts
+    "q_ml_ngrams" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("ngram_docs")
+      graft.GraftSql.load(s,
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         regexp_extract_all(lower(trim(text)), '[^\\s]+', 0) AS toks
+          |  FROM ngram_docs)
+          |SELECT doc_id,
+          |       CAST(size(ML.NGRAMS(toks, [2, 3], '_')) AS BIGINT) AS n_grams,
+          |       CAST(size(array_distinct(ML.NGRAMS(toks, [2, 3], '_'))) AS BIGINT) AS n_distinct,
+          |       try_element_at(ML.NGRAMS(toks, [2], '_'), 1) AS first_bigram
+          |FROM t ORDER BY doc_id""".stripMargin)
+    }),
+
     // FARM_FINGERPRINT (round 11): rows-only by necessity — DuckDB has
     // no FarmHash — but the values are the OPEN-SOURCE Fingerprint64
     // (Guava's reference impl, the exact algorithm BigQuery documents),
@@ -4013,6 +4032,21 @@ object SparkEntry {
           |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
+      // n-grams replay as DuckDB list comprehensions in the same
+      // n-order (bigrams then trigrams); inclusive 1-based slices
+      "q_ml_ngrams" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '[^\s]+') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_concat(
+          |  [array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], '_')
+          |     FOR i IN range(1, len(toks))],
+          |  [array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], '_')
+          |     FOR i IN range(1, len(toks) - 1)]) AS grams FROM t)
+          |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+          |       grams[1] AS first_bigram
+          |FROM g ORDER BY doc_id""".stripMargin,
       // the min-max replay spells the scaler expansion's exact formula
       // (same CASE, same CAST discipline) as explicit DuckDB windows
       "q_ml_minmax" ->

@@ -1848,6 +1848,27 @@ class TypedSqlSpec extends SparkSuite {
     assert(hb.distinct.length > 1)
   }
 
+  test("ML.NGRAMS: per-row n-gram pipelines over token arrays") {
+    import spark.implicits._
+    Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("x")), (3L, Seq.empty[String]))
+      .toDF("id", "toks").createOrReplaceTempView("ng_t")
+    def grams(expr: String, id: Long): Seq[String] =
+      GraftSql.load(spark, s"SELECT $expr AS g FROM ng_t WHERE id = $id")
+        .head().getSeq[String](0)
+    assert(grams("ML.NGRAMS(toks, [2])", 1L) == Seq("a b", "b c", "c d"))
+    assert(grams("ML.NGRAMS(toks, [1, 2], '_')", 1L) ==
+      Seq("a", "b", "c", "d", "a_b", "b_c", "c_d"))
+    assert(grams("ML.NGRAMS(toks, [2, 3], '-')", 1L) ==
+      Seq("a-b", "b-c", "c-d", "a-b-c", "b-c-d"))
+    // shorter-than-n inputs contribute nothing, never error
+    assert(grams("ML.NGRAMS(toks, [2, 3])", 2L) == Seq.empty)
+    assert(grams("ML.NGRAMS(toks, [1])", 3L) == Seq.empty)
+    // the plan stays per-row: no Generate/explode in the pipeline
+    val plan = GraftSql.load(spark,
+      "SELECT ML.NGRAMS(toks, [2]) AS g FROM ng_t").queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"n-grams must not explode:\n$plan")
+  }
+
   test("round-11 rewrites never touch string literals or identifier lookalikes") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("lit_t")
