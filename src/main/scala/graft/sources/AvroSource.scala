@@ -111,7 +111,8 @@ private[sources] class AvroTable(schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, options)
@@ -144,6 +145,9 @@ private[sources] class AvroScan(required: StructType, options: CaseInsensitiveSt
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "graft-avro"
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(required, options)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = AvroSource.listFiles(options)
@@ -155,6 +159,55 @@ private[sources] class AvroScan(required: StructType, options: CaseInsensitiveSt
       else (0L until len by maxBytes).map(off =>
         AvroFileSplit(st.getPath.toString, off, math.min(maxBytes, len - off)))
     }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required)
+}
+
+/** Streaming READS over a growing avro directory: the offset is a
+  * FILE-NAME WATERMARK — every file whose name sorts at-or-below the
+  * offset has been processed, a batch is the name interval
+  * (start, end]. Deterministic replay after restart needs no file log
+  * in the checkpoint because the CONTRACT is monotone arrival: new
+  * files must sort strictly after already-seen ones (the graft-avro
+  * STREAMING WRITER's epoch-prefixed names satisfy it, as does any
+  * date/sequence-named landing pattern; an out-of-order drop-in would
+  * be silently skipped — stated). Each batch splits files by sync
+  * markers exactly like the batch scan.
+  */
+private[sources] class AvroMicroBatchStream(required: StructType,
+                                            options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class NameOffset(max: String) extends Offset {
+    override def json(): String = max
+  }
+  private def names(): Seq[FileStatus] = AvroSource.listFiles(options)
+
+  override def initialOffset(): Offset = NameOffset("")
+  override def latestOffset(): Offset = {
+    val fs = names()
+    NameOffset(if (fs.isEmpty) "" else fs.map(_.getPath.getName).max)
+  }
+  override def deserializeOffset(json: String): Offset = NameOffset(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[NameOffset].max
+    val hi = end.asInstanceOf[NameOffset].max
+    val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    names()
+      .filter(f => f.getPath.getName > lo && f.getPath.getName <= hi)
+      .flatMap { st =>
+        val len = st.getLen
+        if (len <= maxBytes) Seq(AvroFileSplit(st.getPath.toString, 0L, len))
+        else (0L until len by maxBytes).map(off =>
+          AvroFileSplit(st.getPath.toString, off, math.min(maxBytes, len - off)))
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

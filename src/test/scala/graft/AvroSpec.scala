@@ -151,6 +151,38 @@ class AvroSpec extends SparkSuite {
     assert(back.columns.toSeq == Seq("event_id", "event_type", "value"))
   }
 
+  test("streaming source: readStream picks up monotone-named avro files batch by batch") {
+    val in = dir(); val chk = dir()
+    def land(n: Int, lo: Long): Unit =
+      spark.range(lo, lo + n).select(F.col("id"))
+        .coalesce(1).write.format("graft-avro")
+        .option("compression", "none").mode(SaveMode.Append).save(in)
+    land(10, 0)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType, nullable = false))))
+      .format("graft-avro").load(in)
+    val q = stream.writeStream.format("memory").queryName("avro_src_t")
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    assert(spark.table("avro_src_t").count() == 10L)
+    // a second landing (part files carry a later task id → later name
+    // ... guarantee monotone names explicitly with a sequenced prefix)
+    spark.range(10, 15).select(F.col("id")).coalesce(1)
+      .write.format("graft-avro").option("compression", "none")
+      .mode(SaveMode.Append).save(s"$in/__tmp_stage")
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$in/__tmp_stage"))
+      .filter(_.getPath.getName.endsWith(".avro"))
+    staged.zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(in, s"zz-batch2-$i.avro"))
+    }
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("avro_src_t").agg(F.count(F.lit(1)), F.sum("id")).head()
+    assert(got.getLong(0) == 15L)
+    assert(got.getLong(1) == (0L until 15L).sum)
+  }
+
   test("events round-trip: the FX stream survives avro with timestamps intact") {
     val d = dir()
     val ev = graft.sources.Tables.events(spark, sf)
