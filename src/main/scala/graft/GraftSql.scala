@@ -66,7 +66,39 @@ object GraftSql {
     * `CREATE TABLE ... AS SELECT` → [[createTableAs]]. A migrating
     * BigQuery user feeds their load scripts here unchanged.
     */
-  def load(spark: SparkSession, sql0: String): DataFrame = {
+  /** Remove SQL comments — quote-aware: `--` to end-of-line, and
+    * slash-star block comments — BEFORE the textual dialect rewrites.
+    * Every scanner below is quote-aware but none is comment-aware, so
+    * a keyword inside a comment (`-- use QUALIFY here`) would
+    * otherwise trigger a rewrite. Comments carry no statement
+    * semantics; stripping once keeps every rewrite comment-safe.
+    * Newlines survive line comments (line-anchored text stays
+    * line-anchored), block comments become one space (token
+    * separation).
+    */
+  private[graft] def stripSqlComments(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0; var inS = false; var inT = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inS) { out += c; if (c == '\'') inS = false; i += 1 }
+      else if (inT) { out += c; if (c == '`') inT = false; i += 1 }
+      else if (c == '\'') { out += c; inS = true; i += 1 }
+      else if (c == '`') { out += c; inT = true; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        require(e >= 0, "unterminated /* comment */ in statement")
+        out += ' '
+        i = e + 2
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  def load(spark: SparkSession, sql00: String): DataFrame = {
+    val sql0 = stripSqlComments(sql00)
     // native-expression SQL spellings (COSINE_DISTANCE etc.) — cheap,
     // idempotent, and statements must see them whatever session the
     // caller built

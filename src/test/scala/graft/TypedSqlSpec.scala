@@ -1887,6 +1887,18 @@ class TypedSqlSpec extends SparkSuite {
     // a column named qualify_flag is not the QUALIFY keyword
     Seq((1L, true)).toDF("id", "qualify_flag").createOrReplaceTempView("lit_t2")
     assert(GraftSql.load(spark, "SELECT qualify_flag FROM lit_t2").head().getBoolean(0))
+    // COMMENTS are stripped before the rewrites: keywords inside them
+    // can no longer trigger anything, and strings survive intact
+    val c = GraftSql.load(spark,
+      """SELECT id, -- use QUALIFY rn = 1 and GENERATE_ARRAY(0.0, 1.0) here
+        |       /* ML.IMPUTER(v, 'mean') OVER () */
+        |       'keep -- this /* and */ this' AS s
+        |FROM lit_t""".stripMargin).head()
+    assert(c.getLong(0) == 1L)
+    assert(c.getString(1) == "keep -- this /* and */ this")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT 1 /* unterminated")
+    }.getMessage.contains("unterminated"))
   }
 
   test("inline OVER (w ...) refinement: merges with the named base; same composition louds") {
