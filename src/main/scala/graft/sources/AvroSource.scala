@@ -299,8 +299,13 @@ private[sources] class AvroStreamingWriterFactory(schema: StructType, path: Stri
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
   : DataWriter[InternalRow] =
+    // epoch FIRST and zero-padded: epoch-unique names that also sort
+    // monotonically across epochs — the streaming SOURCE's file-name
+    // watermark contract feeds off exactly this ordering. (Task ids
+    // are app-global counters, so arithmetic like epoch*k+task would
+    // collide in a long-running app.)
     new AvroDataWriter(schema, path, compression, partitionId,
-      epochId * 1000000L + taskId)
+      f"e$epochId%012d-$taskId")
 }
 
 private[sources] class AvroBatchWrite(schema: StructType, path: String,
@@ -339,14 +344,14 @@ private[sources] class AvroWriterFactory(schema: StructType, path: String,
                                          compression: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(schema, path, compression, partitionId, taskId)
+    new AvroDataWriter(schema, path, compression, partitionId, taskId.toString)
 }
 
 private[sources] class AvroDataWriter(schema: StructType, path: String,
-                                      compression: String, partitionId: Int, taskId: Long)
+                                      compression: String, partitionId: Int, suffix: String)
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroConv.toAvroSchema(schema)
-  private val file = new Path(path, f"part-$partitionId%05d-$taskId.avro")
+  private val file = new Path(path, f"part-$partitionId%05d-$suffix.avro")
   private val fs = file.getFileSystem(new Configuration())
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
