@@ -735,7 +735,8 @@ object GraftSql {
     var windowStart = -1
     depthScan(predStart, regionEnd)((j, d) =>
       if (d == 0 && predEnd == regionEnd &&
-        (isKw("WINDOW", j) || isKw("ORDER", j) || isKw("LIMIT", j) ||
+        (sql.charAt(j) == ';' ||
+          isKw("WINDOW", j) || isKw("ORDER", j) || isKw("LIMIT", j) ||
           isKw("UNION", j) || isKw("INTERSECT", j) || isKw("EXCEPT", j))) {
         predEnd = j
         if (isKw("WINDOW", j)) windowStart = j
@@ -749,7 +750,8 @@ object GraftSql {
       windowEnd = regionEnd
       depthScan(windowStart + 6, regionEnd)((j, d) =>
         if (d == 0 && windowEnd == regionEnd &&
-          (isKw("ORDER", j) || isKw("LIMIT", j) || isKw("UNION", j) ||
+          (sql.charAt(j) == ';' ||
+            isKw("ORDER", j) || isKw("LIMIT", j) || isKw("UNION", j) ||
             isKw("INTERSECT", j) || isKw("EXCEPT", j))) windowEnd = j)
     }
     val windowText = if (windowStart >= 0) " " + sql.substring(windowStart, windowEnd) else ""

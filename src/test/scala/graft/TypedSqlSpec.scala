@@ -1659,6 +1659,11 @@ class TypedSqlSpec extends SparkSuite {
         |  SELECT id FROM qual_t QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) = 1)""".stripMargin)
       .head().getLong(0)
     assert(n == 2L)
+    // a trailing statement semicolon is not part of the predicate
+    val semi = GraftSql.load(spark,
+      "SELECT id FROM qual_t QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1;")
+      .collect().map(_.getLong(0)).toSet
+    assert(semi == Set(2L, 3L))
     // QUALIFY after GROUP BY: windows over the aggregated rows
     val ga = GraftSql.load(spark,
       """SELECT g, SUM(v) AS sv FROM qual_t GROUP BY g
