@@ -1681,7 +1681,7 @@ object GraftSql {
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
-      "APPROX_QUANTILES", "APPROX_TOP_COUNT", "ML.DISTANCE",
+      "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
       "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
@@ -2286,6 +2286,15 @@ object GraftSql {
             "APPROX_TOP_COUNT DISTINCT is meaningless (every count would be 1)")
           Some(s"transform(approx_top_k((${args(0)}), ${args(1)}), " +
             "__s -> named_struct('value', __s.item, 'count', __s.count))")
+        // weighted top-k by SUM — the engine's SpaceSaving aggregate
+        // (functions/topsum.scala). BigQuery's struct field is `sum`;
+        // items cast to STRING (the sketch keys on text — BigQuery
+        // also renders the value), weights to INT64
+        case "APPROX_TOP_SUM" =>
+          require(args.size == 3, "APPROX_TOP_SUM takes (expr, weight, number)")
+          Some(s"transform(graft_approx_top_sum(CAST((${args(0)}) AS STRING), " +
+            s"CAST((${args(1)}) AS BIGINT), ${args(2)}), " +
+            "__s -> named_struct('value', __s.value, 'sum', __s.sum_w))")
         case _ => None
       }
     }

@@ -1839,6 +1839,35 @@ object SparkEntry {
           |FROM t ORDER BY doc_id""".stripMargin)
     }),
 
+    // APPROX_TOP_SUM (round 11): the EXACT-REGIME face carries the
+    // hash (capacity ≥ distinct users → zero evictions → the result
+    // IS the group-sum top-k, order-free; DuckDB replays it as plain
+    // SQL — the B11/KLL exact-sibling discipline) ...
+    "q_top_sum_exact" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("tsum_events")
+      graft.GraftSql.load(s,
+        """WITH tk AS (
+          |  SELECT APPROX_TOP_SUM(user_id, CAST(event_id % 97 AS BIGINT), 20) AS a
+          |  FROM tsum_events)
+          |SELECT pos + 1 AS rank, e.value AS user_id, e.sum AS w_sum
+          |FROM tk LATERAL VIEW posexplode(a) AS pos, e
+          |ORDER BY rank""".stripMargin)
+    }),
+    // ... and the EVICTION-REGIME face (capacity 32 against ~hundreds
+    // of users) is declared rows-only: estimates depend on stream
+    // order; TopSumSpec pins the SpaceSaving bounds + heavy-hitter
+    // survival instead
+    "q_approx_top_sum" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("tsum_events2")
+      graft.GraftSql.load(s,
+        """WITH tk AS (
+          |  SELECT graft_approx_top_sum(CAST(user_id AS STRING), CAST(event_id % 97 AS BIGINT), 10, 32) AS a
+          |  FROM tsum_events2)
+          |SELECT pos + 1 AS rank, e.value AS user_id, e.sum_w AS w_est, e.error AS err
+          |FROM tk LATERAL VIEW posexplode(a) AS pos, e
+          |ORDER BY rank""".stripMargin)
+    }),
+
     // FARM_FINGERPRINT (round 11): rows-only by necessity — DuckDB has
     // no FarmHash — but the values are the OPEN-SOURCE Fingerprint64
     // (Guava's reference impl, the exact algorithm BigQuery documents),
@@ -4032,6 +4061,15 @@ object SparkEntry {
           |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
+      // the exact-regime top-sum IS the group-sum top-k, rank included
+      "q_top_sum_exact" ->
+        """WITH s AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+          |         CAST(SUM(CAST(event_id % 97 AS BIGINT)) AS BIGINT) AS w_sum
+          |  FROM events GROUP BY 1)
+          |SELECT CAST(row_number() OVER (ORDER BY w_sum DESC, user_id) AS INT) AS rank,
+          |       user_id, w_sum
+          |FROM s ORDER BY w_sum DESC, user_id LIMIT 20""".stripMargin,
       // n-grams replay as DuckDB list comprehensions in the same
       // n-order (bigrams then trigrams); inclusive 1-based slices
       "q_ml_ngrams" ->

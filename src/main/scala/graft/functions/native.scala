@@ -1887,6 +1887,14 @@ object native {
     ("graft_farm_fingerprint",
       "graft_farm_fingerprint(x) - FarmHash Fingerprint64 of STRING/BYTES (BigQuery FARM_FINGERPRINT)",
       es => { arity("graft_farm_fingerprint", es, 1); FarmFingerprint(es.head) }),
+    ("graft_approx_top_sum",
+      "graft_approx_top_sum(item, weight, k[, capacity]) - weighted SpaceSaving top-k (APPROX_TOP_SUM)",
+      es => { require(es.length == 3 || es.length == 4,
+          s"graft_approx_top_sum expects (item, weight, k[, capacity]), got ${es.length} arguments")
+        val k = constInt("graft_approx_top_sum", es, 2)
+        val cap = if (es.length == 4) constInt("graft_approx_top_sum", es, 3)
+          else math.max(k * 25, 1000)
+        ApproxTopSumAgg(es.head, es(1), k, cap) }),
     // BigQuery's BYTES digests for the GraftSql MD5/SHA1 rewrites —
     // registry-routed (not textual unhex(md5(...))) because the
     // dialect scanner would re-match the self-named inner call on its
