@@ -505,7 +505,8 @@ object GraftSql {
   private[graft] def rewriteMlScaler(sql: String): String = {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
     val names = Seq("ML.MIN_MAX_SCALER", "ML.STANDARD_SCALER",
-      "ML.QUANTILE_BUCKETIZE", "ML.IMPUTER")
+      "ML.QUANTILE_BUCKETIZE", "ML.IMPUTER", "ML.ROBUST_SCALER",
+      "ML.MAX_ABS_SCALER")
     if (!names.exists(upper.contains)) return sql
     def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
     val out = new StringBuilder
@@ -604,6 +605,16 @@ object GraftSql {
               case "ML.STANDARD_SCALER" =>
                 require(parts.size == 1, "ML.STANDARD_SCALER takes (feature)")
                 s"(($xd - AVG($f) $over) / NULLIF(STDDEV_SAMP($f) $over, CAST(0 AS DOUBLE)))"
+              // (x - median) / IQR — outlier-robust; a zero IQR is NULL
+              case "ML.ROBUST_SCALER" =>
+                require(parts.size == 1, "ML.ROBUST_SCALER takes (feature)")
+                s"(($xd - MEDIAN($f) $over) / NULLIF(" +
+                  s"CAST(PERCENTILE($f, 0.75) $over AS DOUBLE) - " +
+                  s"CAST(PERCENTILE($f, 0.25) $over AS DOUBLE), CAST(0 AS DOUBLE)))"
+              // x / max(|x|) — scales into [-1, 1]; all-zero windows NULL
+              case "ML.MAX_ABS_SCALER" =>
+                require(parts.size == 1, "ML.MAX_ABS_SCALER takes (feature)")
+                s"($xd / NULLIF(CAST(MAX(ABS($f)) $over AS DOUBLE), CAST(0 AS DOUBLE)))"
               // equal-count bucketing IS ntile ordered by the feature:
               // the rewrite INJECTS `ORDER BY feature` into the given
               // spec (BigQuery's own OVER here is partition-only; a

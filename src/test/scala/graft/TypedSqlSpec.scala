@@ -1783,6 +1783,33 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("analytic form"))
   }
 
+  test("ML.ROBUST_SCALER / ML.MAX_ABS_SCALER: the outlier-robust and [-1,1] scalers") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 1000.0))
+      .toDF("id", "v").createOrReplaceTempView("rs_t")
+    val r = GraftSql.load(spark,
+      "SELECT id, ML.ROBUST_SCALER(v) OVER () AS s FROM rs_t ORDER BY id").collect()
+    // median 30, p25 = 20, p75 = 40 (exact percentile, n=5) → IQR 20
+    assert(r.map(_.getDouble(1)).toSeq == Seq(-1.0, -0.5, 0.0, 0.5, 48.5))
+    val m = GraftSql.load(spark,
+      "SELECT id, ML.MAX_ABS_SCALER(v) OVER () AS s FROM rs_t ORDER BY id").collect()
+    assert(m.map(_.getDouble(1)).toSeq == Seq(0.01, 0.02, 0.03, 0.04, 1.0))
+    // negative values scale into [-1, 1]; an all-zero window is NULL
+    Seq((1L, -4.0), (2L, 2.0), (3L, 0.0)).toDF("id", "v")
+      .createOrReplaceTempView("rs_neg")
+    val n = GraftSql.load(spark,
+      "SELECT id, ML.MAX_ABS_SCALER(v) OVER () AS s FROM rs_neg ORDER BY id")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(n == Seq(-1.0, 0.5, 0.0))
+    Seq((1L, 0.0)).toDF("id", "v").createOrReplaceTempView("rs_zero")
+    assert(GraftSql.load(spark,
+      "SELECT ML.MAX_ABS_SCALER(v) OVER () AS s FROM rs_zero").head().isNullAt(0))
+    // constant group: zero IQR → NULL (never a divide-by-zero Inf)
+    Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v").createOrReplaceTempView("rs_const")
+    assert(GraftSql.load(spark,
+      "SELECT ML.ROBUST_SCALER(v) OVER () AS s FROM rs_const").head().isNullAt(0))
+  }
+
   test("ML.BUCKETIZE / ML.QUANTILE_BUCKETIZE / ML.IMPUTER: the rest of the preprocessing pack") {
     import spark.implicits._
     Seq((1L, "a", 5.0), (2L, "a", 15.0), (3L, "a", 25.0), (4L, "a", 35.0))
