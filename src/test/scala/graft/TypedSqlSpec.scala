@@ -1670,6 +1670,30 @@ class TypedSqlSpec extends SparkSuite {
         |QUALIFY RANK() OVER (ORDER BY SUM(v) DESC) = 1""".stripMargin)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(ga == Seq(("b", 35.0)))
+    // QUALIFY binds its own SELECT under set operations: the filtered
+    // first branch unions the raw second
+    val u = GraftSql.load(spark,
+      """SELECT id FROM qual_t
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1
+        |UNION ALL SELECT id FROM qual_t WHERE id = 4""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(u == Set(2L, 3L, 4L))
+    // ...and on the SECOND branch (the last SELECT before the clause)
+    val u2 = GraftSql.load(spark,
+      """SELECT id FROM qual_t WHERE id = 1
+        |UNION ALL SELECT id FROM qual_t
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(u2 == Set(1L, 2L, 3L))
+    // two subqueries, each with its own QUALIFY, rewrite independently
+    val dbl = GraftSql.load(spark,
+      """SELECT a.id AS x, b.id AS y FROM
+        |  (SELECT id, g FROM qual_t QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1) a
+        |JOIN
+        |  (SELECT id, g FROM qual_t QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1) b
+        |ON a.g = b.g ORDER BY x""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dbl == Seq((2L, 1L), (3L, 4L)))
     def badQ(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
     assert(badQ("""SELECT DISTINCT g FROM qual_t
