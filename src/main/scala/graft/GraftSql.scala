@@ -735,7 +735,11 @@ object GraftSql {
       if (d == 0 && isKw("GROUP", j)) {
         val rest = sql.substring(j, math.min(sql.length, j + 40))
           .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-        if (rest.startsWith("GROUP BY ALL")) groupByAll = true
+        // word boundary after ALL: `GROUP BY allocation` is a plain
+        // grouping column, not the ALL keyword
+        if (rest.startsWith("GROUP BY ALL") &&
+            (rest.length == 12 || !Character.isJavaIdentifierPart(rest.charAt(12))))
+          groupByAll = true
       })
     require(!groupByAll,
       "GROUP BY ALL ... QUALIFY is not supported — the predicate item would join " +
@@ -1978,7 +1982,10 @@ object GraftSql {
               s"COALESCE(CASE WHEN lower($unq) = 'true' THEN CAST(1 AS BIGINT) " +
                 s"WHEN lower($unq) = 'false' THEN CAST(0 AS BIGINT) END, " +
                 s"try_cast($unq AS BIGINT), " +
-                s"CAST(round(try_cast($unq AS DOUBLE)) AS BIGINT))"
+                // try_cast OUTSIDE too: under ANSI mode a plain CAST
+                // throws for numeric text beyond INT64 range (e.g.
+                // '1e30'), where BigQuery's lax rule says NULL
+                s"try_cast(round(try_cast($unq AS DOUBLE)) AS BIGINT))"
           }
           Some(s"(CASE WHEN $guard THEN NULL ELSE $body END)")
         // the scalar JSON path accessors, on Spark 4's VARIANT:

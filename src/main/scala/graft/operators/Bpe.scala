@@ -130,12 +130,22 @@ object Bpe {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     if (rows.isEmpty) return Nil
     val used = scala.collection.mutable.Set.empty[String]
+    val concats = scala.collection.mutable.Set.empty[String]
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var excluded: Option[Long] = None // weight where the prefix stopped
     rows.foreach { case p @ (a, b, w) =>
       if (excluded.isEmpty) {
-        if (kept.size == m || used(a) || used(b)) excluded = Some(w)
-        else { kept += p; used += a; used += b }
+        // conflicts: shared member symbols, AND concatenation
+        // aliasing — a member that IS a kept pair's output (the
+        // single combined pass would miss adjacencies of the
+        // just-merged symbol) or an output that IS a kept pair's
+        // member (the kept pair would consume what this one makes).
+        // Unreachable from single-char alphabets, but multi-char
+        // initial symbols make it live — guard keeps batched ≡
+        // sequential airtight.
+        val clash = used(a) || used(b) || concats(a) || concats(b) || used(a + b)
+        if (kept.size == m || clash) excluded = Some(w)
+        else { kept += p; used += a; used += b; concats += a + b }
       }
     }
     excluded match {

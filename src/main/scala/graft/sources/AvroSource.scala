@@ -21,6 +21,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Apache Avro container files as a minimal DataSource V2 — built
   * directly on the avro core jars (`org.apache.avro`, present on every
@@ -58,7 +59,7 @@ class AvroSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = AvroSource.listFiles(options)
     require(files.nonEmpty, s"no avro files found under ${AvroSource.paths(options).mkString(", ")}")
-    val conf = new Configuration()
+    val conf = AvroSource.driverConf()
     val in = new FsInput(files.head.getPath, conf)
     try {
       val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -73,6 +74,18 @@ class AvroSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object AvroSource {
+  /** Session Hadoop configuration for DRIVER-side filesystem access
+    * (listing, schema inference, commit/abort): without it,
+    * session-configured credentials and custom schemes (s3a keys
+    * etc.) would be silently dropped. Executor-side access gets the
+    * same conf via a [[SerializableConfiguration]] captured at plan /
+    * write-build time.
+    */
+  def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   def paths(options: java.util.Map[String, String]): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     // DataFrameReader.load(paths: _*) passes a JSON string array
@@ -84,10 +97,12 @@ private[sources] object AvroSource {
   }
 
   /** Expand each path: glob patterns via globStatus, directories to
-    * their `*.avro` children, plain files verbatim.
+    * their `*.avro` children, plain files verbatim. Hidden files
+    * (`.`/`_` prefixes — in-progress streaming shards, `_SUCCESS`)
+    * are skipped, the Hadoop convention.
     */
   def listFiles(options: java.util.Map[String, String]): Seq[FileStatus] = {
-    val conf = new Configuration()
+    val conf = driverConf()
     paths(options).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -96,11 +111,14 @@ private[sources] object AvroSource {
       matched.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
+            .filter(f => f.isFile && visible(f.getPath.getName))
         else Seq(st)
       }
     }.sortBy(_.getPath.toString)
   }
+
+  def visible(name: String): Boolean =
+    name.endsWith(".avro") && !name.startsWith(".") && !name.startsWith("_")
 }
 
 private[sources] class AvroTable(schema: StructType,
@@ -142,6 +160,9 @@ private[sources] case class AvroFileSplit(file: String, start: Long, length: Lon
 
 private[sources] class AvroScan(required: StructType, options: CaseInsensitiveStringMap)
     extends Scan with Batch {
+  // session hadoop conf, captured on the driver at plan time and
+  // shipped to executor-side readers
+  private val confSer = new SerializableConfiguration(AvroSource.driverConf())
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "graft-avro"
@@ -162,7 +183,7 @@ private[sources] class AvroScan(required: StructType, options: CaseInsensitiveSt
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required)
+    new AvroReaderFactory(required, confSer)
 }
 
 /** Streaming READS over a growing avro directory: the offset is a
@@ -170,16 +191,23 @@ private[sources] class AvroScan(required: StructType, options: CaseInsensitiveSt
   * offset has been processed, a batch is the name interval
   * (start, end]. Deterministic replay after restart needs no file log
   * in the checkpoint because the CONTRACT is monotone arrival: new
-  * files must sort strictly after already-seen ones (the graft-avro
-  * STREAMING WRITER's epoch-prefixed names satisfy it, as does any
-  * date/sequence-named landing pattern; an out-of-order drop-in would
-  * be silently skipped — stated). Each batch splits files by sync
-  * markers exactly like the batch scan.
+  * files must sort strictly after already-seen ones. The graft-avro
+  * STREAMING WRITER satisfies it by construction: shard names lead
+  * with the zero-padded epoch (`e<epoch>-part-...`), shards are
+  * written hidden (`.inprogress-` prefix, invisible to listFiles) and
+  * published by rename at epoch commit in ASCENDING final-name order,
+  * so at any instant the visible prefix of an epoch never sorts after
+  * a still-hidden shard of the same epoch — the max-name watermark
+  * can never step over an unpublished file. Any date/sequence-named
+  * landing pattern also satisfies the contract; an out-of-order
+  * drop-in would be silently skipped — stated. Each batch splits
+  * files by sync markers exactly like the batch scan.
   */
 private[sources] class AvroMicroBatchStream(required: StructType,
                                             options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+  private val confSer = new SerializableConfiguration(AvroSource.driverConf())
 
   private case class NameOffset(max: String) extends Offset {
     override def json(): String = max
@@ -211,18 +239,20 @@ private[sources] class AvroMicroBatchStream(required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required)
+    new AvroReaderFactory(required, confSer)
 }
 
-private[sources] class AvroReaderFactory(required: StructType)
+private[sources] class AvroReaderFactory(required: StructType,
+                                         confSer: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroPartitionReader(partition.asInstanceOf[AvroFileSplit], required)
+    new AvroPartitionReader(partition.asInstanceOf[AvroFileSplit], required, confSer.value)
 }
 
-private[sources] class AvroPartitionReader(split: AvroFileSplit, required: StructType)
+private[sources] class AvroPartitionReader(split: AvroFileSplit, required: StructType,
+                                           conf: Configuration)
     extends PartitionReader[InternalRow] {
-  private val in = new FsInput(new Path(split.file), new Configuration())
+  private val in = new FsInput(new Path(split.file), conf)
   private val reader: DataFileReader[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     // projected READER schema: the resolver skips unrequested fields
@@ -230,7 +260,7 @@ private[sources] class AvroPartitionReader(split: AvroFileSplit, required: Struc
     val projected = AvroConv.projectRecord(writerSchema, required.fieldNames)
     r.close()
     val in2Reader = new GenericDatumReader[GenericRecord](writerSchema, projected)
-    new DataFileReader[GenericRecord](new FsInput(new Path(split.file), new Configuration()), in2Reader)
+    new DataFileReader[GenericRecord](new FsInput(new Path(split.file), conf), in2Reader)
   }
   // range discipline: first sync past `start`, read until past the end
   reader.sync(split.start)
@@ -270,46 +300,68 @@ private[sources] class AvroWriteBuilder(schema: StructType, path: String,
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new AvroBatchWrite(schema, path, compression, truncateFirst)
+    // session hadoop conf, captured on the driver at write-build time
+    private val confSer = new SerializableConfiguration(AvroSource.driverConf())
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(schema, path, compression, truncateFirst, confSer)
     // streaming: append-only epoch files (G-family sinks can stream
     // straight to avro shards); epoch id rides the filename so task
     // retries across epochs never collide
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new AvroStreamingWrite(schema, path, compression)
+      new AvroStreamingWrite(schema, path, compression, confSer)
   }
 }
 
 private[sources] case class AvroCommit(file: String) extends WriterCommitMessage
 
 private[sources] class AvroStreamingWrite(schema: StructType, path: String,
-                                          compression: String)
+                                          compression: String,
+                                          confSer: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AvroStreamingWriterFactory(schema, path, compression)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    new AvroStreamingWriterFactory(schema, path, compression, confSer)
+  // tasks write HIDDEN `.inprogress-<final>` shards (invisible to the
+  // source's directory listing); the epoch commit publishes them by
+  // rename in ASCENDING final-name order, so a concurrent lister can
+  // only ever see a name-order PREFIX of the epoch — the downstream
+  // max-name watermark never steps over a still-hidden shard.
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(confSer.value)
+    messages.collect { case AvroCommit(f) => new Path(f) }
+      .sortBy(p => AvroDataWriter.publishedName(p.getName))
+      .foreach { p =>
+        val target = new Path(p.getParent, AvroDataWriter.publishedName(p.getName))
+        require(fs.rename(p, target), s"failed to publish avro shard $p -> $target")
+      }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(confSer.value)
     messages.collect { case AvroCommit(f) => fs.delete(new Path(f), false) }
   }
 }
 
 private[sources] class AvroStreamingWriterFactory(schema: StructType, path: String,
-                                                  compression: String)
+                                                  compression: String,
+                                                  confSer: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
   : DataWriter[InternalRow] =
-    // epoch FIRST and zero-padded: epoch-unique names that also sort
-    // monotonically across epochs — the streaming SOURCE's file-name
-    // watermark contract feeds off exactly this ordering. (Task ids
-    // are app-global counters, so arithmetic like epoch*k+task would
-    // collide in a long-running app.)
-    new AvroDataWriter(schema, path, compression, partitionId,
-      f"e$epochId%012d-$taskId")
+    // epoch FIRST and zero-padded, AHEAD of the partition id: epoch
+    // N+1's shards all sort strictly after every epoch-N shard no
+    // matter the partition/task ids — the streaming SOURCE's
+    // file-name watermark contract feeds off exactly this ordering.
+    // (Task ids are app-global counters, so arithmetic like
+    // epoch*k+task would collide in a long-running app.) The writer
+    // prepends `.inprogress-`, hiding the shard until epoch commit.
+    new AvroDataWriter(schema, path, compression,
+      AvroDataWriter.inProgress(f"e$epochId%012d-part-$partitionId%05d-$taskId.avro"),
+      confSer.value)
 }
 
 private[sources] class AvroBatchWrite(schema: StructType, path: String,
-                                      compression: String, truncateFirst: Boolean)
+                                      compression: String, truncateFirst: Boolean,
+                                      confSer: SerializableConfiguration)
     extends BatchWrite {
   // capture the pre-existing file set NOW (job start): overwrite
   // deletes exactly these at commit, after the new files landed —
@@ -318,41 +370,50 @@ private[sources] class AvroBatchWrite(schema: StructType, path: String,
     if (!truncateFirst) Seq.empty
     else {
       val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(confSer.value)
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
         .map(_.getPath.toString)
     }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AvroWriterFactory(schema, path, compression)
+    new AvroWriterFactory(schema, path, compression, confSer)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(confSer.value)
     preExisting.foreach(f => fs.delete(new Path(f), false))
     val ok = fs.create(new Path(path, "_SUCCESS"), true)
     ok.close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(confSer.value)
     messages.collect { case AvroCommit(f) => fs.delete(new Path(f), false) }
   }
 }
 
 private[sources] class AvroWriterFactory(schema: StructType, path: String,
-                                         compression: String)
+                                         compression: String,
+                                         confSer: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(schema, path, compression, partitionId, taskId.toString)
+    new AvroDataWriter(schema, path, compression,
+      f"part-$partitionId%05d-$taskId.avro", confSer.value)
+}
+
+private[sources] object AvroDataWriter {
+  private val InProgressPrefix = ".inprogress-"
+  def inProgress(finalName: String): String = InProgressPrefix + finalName
+  def publishedName(name: String): String = name.stripPrefix(InProgressPrefix)
 }
 
 private[sources] class AvroDataWriter(schema: StructType, path: String,
-                                      compression: String, partitionId: Int, suffix: String)
+                                      compression: String, fileName: String,
+                                      conf: Configuration)
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroConv.toAvroSchema(schema)
-  private val file = new Path(path, f"part-$partitionId%05d-$suffix.avro")
-  private val fs = file.getFileSystem(new Configuration())
+  private val file = new Path(path, fileName)
+  private val fs = file.getFileSystem(conf)
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
     compression.toLowerCase match {

@@ -183,6 +183,44 @@ class AvroSpec extends SparkSuite {
     assert(got.getLong(1) == (0L until 15L).sum)
   }
 
+  test("sink→source across epochs: multi-partition shards sort epoch-first, no file skipped") {
+    // the hazard: with partition-id-leading names, epoch 2's
+    // part-00000 shard would sort BEFORE epoch 1's part-00001 shard
+    // and fall behind the source's max-name watermark. Epoch-first
+    // names + publish-at-commit make the sink's own output a valid
+    // monotone feed for the source.
+    val srcDir = dir(); val mid = dir(); val chkSink = dir(); val chkSrc = dir()
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def land(lo: Long, n: Long): Unit =
+      spark.range(lo, lo + n).write.mode(SaveMode.Append).parquet(srcDir)
+    land(0, 10)
+    val sink = spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+      .repartition(2) // >1 shard per epoch — the multi-partition case
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", chkSink).option("compression", "none")
+      .start(mid)
+    sink.processAllAvailable()
+    val src = spark.readStream.schema(schema).format("graft-avro").load(mid)
+      .writeStream.format("memory").queryName("avro_e2e_t")
+      .option("checkpointLocation", chkSrc).start()
+    src.processAllAvailable()
+    assert(spark.table("avro_e2e_t").count() == 10L)
+    land(10, 5) // epoch 2 of the sink: 2 more shards, lower partition ids
+    sink.processAllAvailable()
+    src.processAllAvailable()
+    sink.stop(); src.stop()
+    val got = spark.table("avro_e2e_t").agg(F.count(F.lit(1)), F.sum("id")).head()
+    assert(got.getLong(0) == 15L, s"lost shards: ${got.getLong(0)} of 15 rows arrived")
+    assert(got.getLong(1) == (0L until 15L).sum)
+    // shard names: epoch id leads, partition id follows
+    val fs = new org.apache.hadoop.fs.Path(mid)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(mid))
+      .map(_.getPath.getName).filter(_.endsWith(".avro")).sorted
+    assert(names.forall(_.matches("e\\d{12}-part-\\d{5}-\\d+\\.avro")), names.mkString(","))
+    assert(names.count(_.startsWith("e000000000000-")) == 2)
+  }
+
   test("events round-trip: the FX stream survives avro with timestamps intact") {
     val d = dir()
     val ev = graft.sources.Tables.events(spark, sf)

@@ -1702,6 +1702,11 @@ class TypedSqlSpec extends SparkSuite {
         |QUALIFY RANK() OVER (ORDER BY SUM(v)) = 1""".stripMargin).contains("GROUP BY ALL"))
     assert(badQ("SELECT 1 AS x QUALIFY ROW_NUMBER() OVER (ORDER BY 1) = 1")
       .contains("FROM"))
+    // a grouping column that merely STARTS with 'all' is not GROUP BY ALL
+    val allish = GraftSql.load(spark,
+      """SELECT g AS allocation, SUM(v) AS sv FROM qual_t GROUP BY allocation
+        |QUALIFY RANK() OVER (ORDER BY SUM(v) DESC) = 1""".stripMargin).collect()
+    assert(allish.length == 1 && allish.head.getString(0) == "b")
   }
 
   test("LAX_INT64/FLOAT64/BOOL/STRING: the pinned lax JSON scalar coercion table") {
@@ -1718,6 +1723,8 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("LAX_INT64('abc')").isNullAt(0))
     assert(one("LAX_INT64('{\"a\":1}')").isNullAt(0))        // object
     assert(one("LAX_INT64('null')").isNullAt(0))             // JSON null
+    assert(one("LAX_INT64('1e30')").isNullAt(0))             // beyond INT64: NULL, not ANSI overflow
+    assert(one("LAX_INT64('-1e30')").isNullAt(0))
     // FLOAT64: numerics only, bools NULL
     assert(one("LAX_FLOAT64('1.25')").getDouble(0) == 1.25)
     assert(one("LAX_FLOAT64('\"2.5\"')").getDouble(0) == 2.5)
