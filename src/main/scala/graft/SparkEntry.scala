@@ -200,6 +200,44 @@ object SparkEntry {
       s"replace($e, '~$a~~$b~', '~$a$b~')"
     }
 
+  /** A full INDEPENDENT replay of BPE TRAINING in DuckDB: vanilla
+    * one-merge-at-a-time rounds, unrolled as chained CTEs — round i
+    * recounts adjacent pairs over the current symbol state (weight =
+    * Σ word-frequency, ties to the lexicographically smallest pair,
+    * pairs below weight 2 never merge), picks the argmax, and applies
+    * it with the same boundary-anchored replace [[bpeOracleChain]]
+    * uses (words ride as `~~`-separated symbol strings; the corpus is
+    * pure [a-z0-9 ], so `~` is free). Bpe.train's BATCHED rounds are
+    * provably equal to this sequential schedule (BpeSpec pins the
+    * equivalence), so the trained merge table hashes against the
+    * replay directly. Early exhaustion matches: an empty round leaves
+    * the state unchanged and contributes no row.
+    */
+  private[graft] def bpeTrainOracleSql(rounds: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |words AS (SELECT w, COUNT(*) AS n FROM w0 GROUP BY w),
+        |s0 AS (SELECT '~~' || regexp_replace(w, '(.)', '\1~~', 'g') AS s, n FROM words)""".stripMargin
+    val roundsSql = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(n) AS BIGINT) AS w
+         |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT list_filter(string_split(s, '~~'), x -> len(x) > 0) AS syms, n
+         |              FROM s${i - 1}))
+         |  GROUP BY a, b HAVING SUM(n) >= 2),
+         |m$i AS (SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1),
+         |s$i AS (SELECT CASE WHEN m.a IS NULL THEN s
+         |               ELSE replace(s, '~' || m.a || '~~' || m.b || '~',
+         |                            '~' || m.a || m.b || '~') END AS s, n
+         |        FROM s${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val union = (1 to rounds).map { i =>
+      s"""SELECT $i AS rank, a AS "left", b AS "right", a || b AS merged, w AS weight FROM m$i"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL ", ") ORDER BY rank")
+    head + roundsSql + union
+  }
+
   // Round-7 URL decorations (the E7 recipe): documents carry no URL,
   // so derive a deterministic messy URL per doc_id exercising every
   // normalization rule — mixed scheme/host case, default and explicit
@@ -958,8 +996,13 @@ object SparkEntry {
     // the sketch face of the same state table: COUNT(DISTINCT user) per
     // type maintained incrementally via mergeable HLL binaries — the
     // measure a raw-sum state cannot carry (distincts don't add).
-    // Rows-only in the driver (Datasketches estimates aren't SQL-
-    // reproducible); IncrementalSpec pins split-invariance + accuracy.
+    // Gate-green (round 12) by the exact-regime discipline: at gate
+    // scale the per-type cardinality sits far below the lgK=14
+    // sketch's coupon-promotion threshold, so the LIST/SET-mode
+    // estimate IS the exact distinct count and merge = coupon union is
+    // order-invariant — DuckDB replays it as COUNT(DISTINCT). Beyond
+    // coupon mode the estimate becomes approximate; IncrementalSpec
+    // pins split-invariance + accuracy there.
     "fx_incremental_users" -> ((s, d) => {
       val e = Tables.events(s, d)
       val keys = Seq("event_type")
@@ -1579,6 +1622,10 @@ object SparkEntry {
     // the merge table is fully deterministic (weight desc, pair asc
     // ties) but SQL-inexpressible — rows-only; BpeSpec pins the whole
     // table against an independent driver-side reference BPE
+    // E9 (gate-green round 12): the trained merge table hashes against
+    // a full INDEPENDENT DuckDB re-training (sequential vanilla
+    // rounds, unrolled CTEs — bpeTrainOracleSql); the batched trainer
+    // equals that schedule by the bestPairs disjoint-prefix theorem
     "text_bpe_vocab" -> ((s, d) => {
       graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10)
         .orderBy("rank")
@@ -1853,32 +1900,56 @@ object SparkEntry {
           |FROM tk LATERAL VIEW posexplode(a) AS pos, e
           |ORDER BY rank""".stripMargin)
     }),
-    // ... and the EVICTION-REGIME face (capacity 32 against ~hundreds
-    // of users) is declared rows-only: estimates depend on stream
-    // order; TopSumSpec pins the SpaceSaving bounds + heavy-hitter
-    // survival instead
+    // ... and the EVICTION-REGIME face (capacity 32, gate-green round
+    // 12): raw estimates depend on stream order, so the face puts the
+    // sketch's THEOREMS under the hash instead — guarantee-as-data.
+    // Three users are inflated to provable heavy hitters (true sum
+    // ~7× the survival threshold ΣW/capacity, so presence, est-bounds
+    // est−err ≤ true ≤ est, and top-3 membership are deterministic
+    // TRUE for ANY partitioning / merge order); DuckDB replays the
+    // exact true sums and the literal TRUEs. TopSumSpec still pins
+    // the bound proofs on adversarial streams.
     "q_approx_top_sum" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("tsum_events2")
       graft.GraftSql.load(s,
-        """WITH tk AS (
-          |  SELECT graft_approx_top_sum(CAST(user_id AS STRING), CAST(event_id % 97 AS BIGINT), 10, 32) AS a
-          |  FROM tsum_events2)
-          |SELECT pos + 1 AS rank, e.value AS user_id, e.sum_w AS w_est, e.error AS err
-          |FROM tk LATERAL VIEW posexplode(a) AS pos, e
-          |ORDER BY rank""".stripMargin)
+        """WITH src AS (
+          |  SELECT CAST(user_id AS STRING) AS u,
+          |         CASE WHEN user_id IN (1, 2, 3) THEN CAST(5000 AS BIGINT)
+          |              ELSE CAST(event_id % 97 AS BIGINT) END AS w
+          |  FROM tsum_events2),
+          |tk AS (SELECT graft_approx_top_sum(u, w, 32, 32) AS a FROM src),
+          |ent AS (
+          |  SELECT pos, e.value AS u, e.sum_w AS est, e.error AS err
+          |  FROM tk LATERAL VIEW posexplode(a) AS pos, e),
+          |tru AS (
+          |  SELECT u, CAST(SUM(w) AS BIGINT) AS true_sum FROM src
+          |  WHERE u IN ('1', '2', '3') GROUP BY u)
+          |SELECT t.u AS user_id, t.true_sum,
+          |       e.u IS NOT NULL AS in_sketch,
+          |       e.est - e.err <= t.true_sum AND t.true_sum <= e.est AS bounds_ok,
+          |       e.pos < 3 AS in_top3
+          |FROM tru t LEFT JOIN ent e ON e.u = t.u
+          |ORDER BY t.u""".stripMargin)
     }),
 
-    // FARM_FINGERPRINT (round 11): rows-only by necessity — DuckDB has
-    // no FarmHash — but the values are the OPEN-SOURCE Fingerprint64
-    // (Guava's reference impl, the exact algorithm BigQuery documents),
-    // spec-pinned; the face emits the stable-sampling idiom's bucket
-    // histogram, deterministic run-to-run
+    // FARM_FINGERPRINT (round 11; gate-green round 12): DuckDB has no
+    // FarmHash, so the oracle carries the REFERENCE values instead —
+    // Guava farmHashFingerprint64 outputs for ten pinned strings (the
+    // open-source Fingerprint64 BigQuery documents; the TypedSqlSpec
+    // derives the same vectors live from Guava, so the literals are
+    // independently cross-checked in-repo). The face computes the
+    // fingerprint AND the two bucketing idioms built on it
+    // (stable-sampling MOD ABS, ML.HASH_BUCKETIZE's pmod); DuckDB
+    // replays the bucket arithmetic from the pinned fingerprints.
     "q_farm_fingerprint" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("ff_orders")
       graft.GraftSql.load(s,
-        """SELECT MOD(ABS(FARM_FINGERPRINT(CAST(o_orderkey AS STRING))), 8) AS b,
-          |       COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS custsum
-          |FROM ff_orders GROUP BY b ORDER BY b""".stripMargin)
+        """WITH v(s) AS (VALUES ('abc'), (''), ('a'), ('graft'), ('hello world'),
+          |  ('id-42'), ('The quick brown fox jumps over the lazy dog'),
+          |  ('order-12345'), ('0123456789'), ('FX 2024-03-01 USD/EUR'))
+          |SELECT s, FARM_FINGERPRINT(s) AS fp,
+          |       MOD(ABS(FARM_FINGERPRINT(s)), 8) AS b,
+          |       ML.HASH_BUCKETIZE(s, 7) AS hb
+          |FROM v ORDER BY s""".stripMargin)
     }),
 
     // BQML analytic preprocessing (round 11): per-event-type min-max
@@ -4061,6 +4132,40 @@ object SparkEntry {
           |FROM spine s CROSS JOIN types t CROSS JOIN frac f
           |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
           |ORDER BY s.day, t.event_type""".stripMargin,
+      // the REFERENCE Fingerprint64 values (Guava
+      // farmHashFingerprint64 — the open-source algorithm BigQuery
+      // documents; TypedSqlSpec re-derives these from Guava live, so
+      // the pinned literals are independently cross-checked);
+      // bucket arithmetic replays from the pinned fingerprints
+      "q_farm_fingerprint" ->
+        """WITH v(s, fp) AS (VALUES
+          |  ('abc', 2640714258260161385),
+          |  ('', -7286425919675154353),
+          |  ('a', -5528939962900187677),
+          |  ('graft', -831107398998670908),
+          |  ('hello world', 6381520714923946011),
+          |  ('id-42', -8959445132017521126),
+          |  ('The quick brown fox jumps over the lazy dog', -6071270166956912332),
+          |  ('order-12345', 6656919207343779712),
+          |  ('0123456789', -5979335251732609813),
+          |  ('FX 2024-03-01 USD/EUR', 5312668255136597833))
+          |SELECT s, CAST(fp AS BIGINT) AS fp,
+          |       CAST(abs(fp) % 8 AS BIGINT) AS b,
+          |       CAST(((fp % 7) + 7) % 7 AS BIGINT) AS hb
+          |FROM v ORDER BY s""".stripMargin,
+      // eviction-regime guarantee-as-data: the oracle recomputes the
+      // heavy hitters' exact sums and expects the sketch theorems
+      // (presence / est-bounds / top-3) as literal TRUE
+      "q_approx_top_sum" ->
+        """WITH src AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS u,
+          |         CASE WHEN user_id IN (1, 2, 3) THEN 5000
+          |              ELSE event_id % 97 END AS w
+          |  FROM events)
+          |SELECT u AS user_id, CAST(SUM(w) AS BIGINT) AS true_sum,
+          |       TRUE AS in_sketch, TRUE AS bounds_ok, TRUE AS in_top3
+          |FROM src WHERE u IN ('1', '2', '3')
+          |GROUP BY u ORDER BY u""".stripMargin,
       // the exact-regime top-sum IS the group-sum top-k, rank included
       "q_top_sum_exact" ->
         """WITH s AS (
@@ -4956,6 +5061,13 @@ object SparkEntry {
       "fx_incremental_users_exact" ->
         """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // exact-regime HLL: below the coupon-promotion threshold the
+      // Datasketches estimate IS the distinct count (LIST/SET mode
+      // stores hashes exactly; merge is coupon union) — COUNT(DISTINCT)
+      // replays it
+      "fx_incremental_users" ->
+        """SELECT event_type, COUNT(DISTINCT user_id) AS approx_users, COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // term-for-term replay of the pinned-centroid IVF routing:
       // NearestCell normalizes each centroid component first (x/nrm,
       // double), then dots the raw float vector against it — the CASE
@@ -5578,6 +5690,10 @@ object SparkEntry {
       // left-to-right replace (sequential per rank ≡ ApplyBpe's
       // min-rank loop for well-formed tables); token count = '~'
       // count / 2 - 1, encoded text = separators to spaces
+      // E9's merge table under a FULL TRAINING replay (round 12):
+      // DuckDB re-trains vanilla sequential BPE from scratch — see
+      // bpeTrainOracleSql's scaladoc for why batched ≡ sequential
+      "text_bpe_vocab" -> bpeTrainOracleSql(10),
       // E25's hash half: the unigram seed table is a pure substring
       // stream over the word-frequency dict — DuckDB replays it with
       // two range unnests; integer weights, total (weight, piece)
