@@ -519,6 +519,21 @@ object SparkEntry {
       graft.operators.Resample.forwardFillDaily(daily, Seq("event_type"), "day", "avg_value")
         .orderBy("event_type", "day")
     }),
+    // A14's SQL spelling (round 12): the GAP_FILL TVF resolved
+    // textually onto Resample.gapFill — same densify + locf engine,
+    // BigQuery-shaped output (no observed flag)
+    "sql_gap_fill" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(F.col("event_type"), evDay(F.col("ts")).as("day"))
+        .agg(davg(F.col("value")).as("avg_value"))
+        .createOrReplaceTempView("gf_daily")
+      graft.GraftSql.load(s,
+        """SELECT * FROM GAP_FILL(TABLE gf_daily, ts_column => 'day',
+          |  bucket_width => INTERVAL 1 DAY,
+          |  partitioning_columns => ['event_type'],
+          |  value_columns => [('avg_value', 'locf')])
+          |ORDER BY event_type, day""".stripMargin)
+    }),
     // A29: the (day × key) completeness grid over a feed with
     // deterministic punched holes (clicks vanish on every 5th
     // day-of-month) — missing partitions surface as n_rows = 0
@@ -1094,6 +1109,23 @@ object SparkEntry {
           davg(F.col("l_discount")).as("avg_disc"),
           F.count(F.lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // B1 respelled through BigQuery PIPE SYNTAX (round 12) — the same
+    // decimal-cast aggregate, driven through GraftSql.rewritePipes
+    // (FROM |> WHERE |> AGGREGATE..GROUP BY |> ORDER BY); shares
+    // q1_agg's oracle text, so the hash proves pipe ≡ standard
+    "sql_pipe_syntax" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("pipe_lineitem")
+      graft.GraftSql.load(s,
+        """FROM pipe_lineitem
+          ||> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          ||> AGGREGATE
+          |     CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          |     CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+          |     CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          |     COUNT(*) AS count_order
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
     "q3_join_topn" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(F.col("c_mktsegment") === "BUILDING")
@@ -3653,6 +3685,22 @@ object SparkEntry {
           |       COALESCE(CAST(d.avg_value IS NOT NULL AS INT), 0) AS observed
           |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
           |ORDER BY event_type, day""".stripMargin,
+      // the TVF spelling replays like fx_gapfill, minus the observed
+      // extension column (BigQuery's GAP_FILL has no such flag)
+      "sql_gap_fill" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
+          |  FROM events GROUP BY 1, 2),
+          |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+          |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+          |grid AS (SELECT ks.event_type AS event_type, days.day AS day
+          |         FROM (SELECT DISTINCT event_type FROM daily) ks CROSS JOIN days)
+          |SELECT g.event_type AS event_type, g.day AS day,
+          |       last_value(d.avg_value IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+          |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+          |ORDER BY event_type, day""".stripMargin,
       "fx_completeness" ->
         """WITH src AS (
           |  SELECT * FROM events
@@ -3676,6 +3724,15 @@ object SparkEntry {
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price,
           |  CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          |  COUNT(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      // pipe face: the standard-SQL replay of the piped aggregate
+      "sql_pipe_syntax" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
           |  COUNT(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -25,11 +25,7 @@ object Resample {
   def forwardFillDaily(daily: DataFrame, keyCols: Seq[String], dayCol: String,
                        valCol: String): DataFrame = {
     val keys = keyCols.map(F.col)
-    val span = daily.agg(F.min(dayCol).as("lo"), F.max(dayCol).as("hi"))
-    val days = span.select(
-      F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))).as(dayCol))
-    val grid = daily.select(keys: _*).distinct().crossJoin(F.broadcast(days))
-    val joined = grid.join(daily, keyCols :+ dayCol, "left")
+    val joined = denseGrid(daily, keyCols, dayCol)
     val w = Window.partitionBy(keys: _*).orderBy(dayCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.select(
@@ -37,5 +33,43 @@ object Resample {
         F.col(dayCol),
         F.last(F.col(valCol), ignoreNulls = true).over(w).as(valCol),
         F.col(valCol).isNotNull.cast("int").as("observed")): _*)
+  }
+
+  /** The BigQuery `GAP_FILL` TVF's engine (day buckets): densify onto
+    * the day grid, then fill each value column by its METHOD —
+    * `locf` (last observation carried forward) or `null` (leave the
+    * gap empty). Output is BigQuery-shaped: partitioning columns, the
+    * time column, then the value columns — no extension flags. Same
+    * scale shape as [[forwardFillDaily]]: broadcast day grid, keyed
+    * left join, one window shuffle shared by every locf column.
+    */
+  def gapFill(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+              valCols: Seq[(String, String)]): DataFrame = {
+    valCols.foreach { case (c, m) =>
+      require(m == "locf" || m == "null",
+        s"GAP_FILL method '$m' for column $c is not supported (locf, null)")
+    }
+    val keys = keyCols.map(F.col)
+    val joined = denseGrid(daily, keyCols, dayCol)
+    val w = Window.partitionBy(keys: _*).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      keys ++ Seq(F.col(dayCol)) ++ valCols.map {
+        case (c, "locf") => F.last(F.col(c), ignoreNulls = true).over(w).as(c)
+        case (c, _) => F.col(c)
+      }: _*)
+  }
+
+  /** `daily` left-joined onto the full (keys × day-span) grid: the
+    * shared densify step — min/max span aggregate, broadcast day
+    * sequence, distinct keys cross join.
+    */
+  private def denseGrid(daily: DataFrame, keyCols: Seq[String], dayCol: String): DataFrame = {
+    val keys = keyCols.map(F.col)
+    val span = daily.agg(F.min(dayCol).as("lo"), F.max(dayCol).as("hi"))
+    val days = span.select(
+      F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))).as(dayCol))
+    daily.select(keys: _*).distinct().crossJoin(F.broadcast(days))
+      .join(daily, keyCols :+ dayCol, "left")
   }
 }

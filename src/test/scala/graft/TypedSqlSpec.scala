@@ -1709,6 +1709,102 @@ class TypedSqlSpec extends SparkSuite {
     assert(allish.length == 1 && allish.head.getString(0) == "b")
   }
 
+  test("pipe syntax |>: operator chain rewrites to standard SQL") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0, 1), (2L, "a", 20.0, 2), (3L, "b", 30.0, 1), (4L, "b", 5.0, 2))
+      .toDF("id", "g", "v", "k").createOrReplaceTempView("pipe_t")
+    // FROM base |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY
+    val agg = GraftSql.load(spark,
+      """FROM pipe_t
+        ||> WHERE v > 5
+        ||> AGGREGATE SUM(v) AS sv, COUNT(*) AS n GROUP BY g
+        ||> ORDER BY g""".stripMargin).collect()
+    assert(agg.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 30.0, 2L), ("b", 30.0, 1L)))
+    // WHERE after AGGREGATE filters aggregate outputs (HAVING semantics)
+    val hav = GraftSql.load(spark,
+      """FROM pipe_t |> AGGREGATE SUM(v) AS sv GROUP BY g |> WHERE sv > 31""".stripMargin)
+      .collect()
+    assert(hav.length == 1 && hav.head.getString(0) == "b")
+    // EXTEND a window column, then filter on it (the QUALIFY idiom)
+    val top = GraftSql.load(spark,
+      "FROM pipe_t |> EXTEND RANK() OVER (ORDER BY v DESC) AS rk |> WHERE rk = 1")
+      .collect()
+    assert(top.length == 1 && top.head.getLong(0) == 3L)
+    // SET / DROP / RENAME / SELECT — and || concat survives the scanner
+    val row = GraftSql.load(spark,
+      """FROM pipe_t |> SET v = v * 2 |> DROP k |> RENAME g AS grp
+        ||> EXTEND grp || '!' AS gx |> WHERE id = 1 |> SELECT id, grp, v, gx""".stripMargin)
+      .collect().head
+    assert((row.getLong(0), row.getString(1), row.getDouble(2), row.getString(3)) ==
+      (1L, "a", 20.0, "a!"))
+    // AS alias + JOIN
+    val n = GraftSql.load(spark,
+      """FROM pipe_t |> AS l |> JOIN pipe_t AS r ON l.id = r.id
+        ||> AGGREGATE COUNT(*) AS n""".stripMargin).head().getLong(0)
+    assert(n == 4L)
+    // set operation with a parenthesized operand
+    val u = GraftSql.load(spark,
+      """FROM pipe_t |> WHERE id = 1 |> SELECT id
+        ||> UNION ALL (SELECT id FROM pipe_t WHERE id = 2)""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(u == Set(1L, 2L))
+    // GROUP AND ORDER BY with direction
+    val gaob = GraftSql.load(spark,
+      "FROM pipe_t |> AGGREGATE SUM(v) AS sv GROUP AND ORDER BY g DESC").collect()
+    assert(gaob.map(_.getString(0)).toSeq == Seq("b", "a"))
+    // DISTINCT + LIMIT/OFFSET
+    assert(GraftSql.load(spark, "FROM pipe_t |> SELECT g |> DISTINCT").count() == 2L)
+    val lim = GraftSql.load(spark,
+      "FROM pipe_t |> ORDER BY id |> LIMIT 2 OFFSET 1").collect().map(_.getLong(0)).toSeq
+    assert(lim == Seq(2L, 3L))
+    // a pipe chain nested as a parenthesized subquery
+    assert(GraftSql.load(spark,
+      "SELECT * FROM (FROM pipe_t |> WHERE id <= 2) ORDER BY id").count() == 2L)
+    // louds
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("FROM pipe_t |> CALL foo()").contains("not supported"))
+    assert(bad("FROM pipe_t |> SELECT id |> UNION (SELECT id FROM pipe_t)")
+      .contains("ALL or DISTINCT"))
+    assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
+  }
+
+  test("GAP_FILL TVF: day-bucket densify with locf/null methods, louds for the rest") {
+    import spark.implicits._
+    Seq(("x", "2024-03-01", 1.0), ("x", "2024-03-04", 4.0), ("y", "2024-03-02", 2.0))
+      .toDF("k", "d", "v").select($"k", F.to_date($"d").as("d"), $"v")
+      .createOrReplaceTempView("gap_t")
+    val r = GraftSql.load(spark,
+      """SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd',
+        |  bucket_width => INTERVAL 1 DAY,
+        |  partitioning_columns => ['k'],
+        |  value_columns => [('v', 'locf')])
+        |ORDER BY k, d""".stripMargin).collect()
+    // span 03-01..03-04 × 2 keys = 8 rows; x carries 1.0 through 03-03,
+    // y is null before its first observation then carries 2.0
+    assert(r.length == 8)
+    val x = r.filter(_.getString(0) == "x").map(_.getDouble(2)).toSeq
+    assert(x == Seq(1.0, 1.0, 1.0, 4.0))
+    val y = r.filter(_.getString(0) == "y")
+    assert(y.head.isNullAt(2) && y(1).getDouble(2) == 2.0 && y(3).getDouble(2) == 2.0)
+    // 'null' method densifies without filling
+    val nl = GraftSql.load(spark,
+      """SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd',
+        |  bucket_width => INTERVAL 1 DAY, partitioning_columns => ['k'],
+        |  value_columns => [('v', 'null')]) ORDER BY k, d""".stripMargin).collect()
+    assert(nl.count(_.isNullAt(2)) == 5)
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
+      "bucket_width => INTERVAL 1 HOUR)").contains("INTERVAL 1 DAY"))
+    assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
+      "bucket_width => INTERVAL 1 DAY, value_columns => [('v', 'linear')])")
+      .contains("linear"))
+    assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
+      "bucket_width => INTERVAL 1 DAY, origin => 1)").contains("origin"))
+  }
+
   test("LAX_INT64/FLOAT64/BOOL/STRING: the pinned lax JSON scalar coercion table") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
