@@ -1982,6 +1982,7 @@ object GraftSql {
       "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
       "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
       "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
+      "JSON_SET", "JSON_REMOVE", "JSON_ARRAY_APPEND", "JSON_STRIP_NULLS",
       "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
@@ -2324,6 +2325,29 @@ object GraftSql {
           else
             Some(s"(CASE WHEN left(to_json(try_variant_get($v, $path)), 1) IN ('{', '[') " +
               s"THEN NULL ELSE try_variant_get($v, $path, 'string') END)")
+        // the JSON MUTATOR family → native jsonmut expressions; the
+        // multi-pair spellings nest one call per (path, value) pair.
+        // BigQuery named arguments (append_each_element,
+        // include_arrays, remove_empty) are loud — defaults only
+        case "JSON_SET" | "JSON_ARRAY_APPEND" =>
+          require(args.size >= 3 && args.size % 2 == 1,
+            s"$name takes (json, path, value[, path, value]...)")
+          require(!args.exists(_.contains("=>")),
+            s"$name named arguments are not supported — positional (path, value) pairs only")
+          val fn = if (name == "JSON_SET") "graft_json_set" else "graft_json_array_append"
+          Some(args.drop(1).grouped(2).foldLeft(s"CAST((${args(0)}) AS STRING)") {
+            case (acc, Seq(p, v)) => s"$fn($acc, ${p.trim}, ($v))"
+            case (acc, _) => acc
+          })
+        case "JSON_REMOVE" =>
+          require(args.size >= 2, s"$name takes (json, path[, path]...)")
+          Some(args.drop(1).foldLeft(s"CAST((${args(0)}) AS STRING)") {
+            (acc, p) => s"graft_json_remove($acc, ${p.trim})"
+          })
+        case "JSON_STRIP_NULLS" =>
+          require(args.size == 1 && !args.head.contains("=>"),
+            s"$name named arguments (include_arrays/remove_empty) are not supported — defaults only")
+          Some(s"graft_json_strip_nulls(CAST((${args(0)}) AS STRING))")
         case "ARRAY_FIRST" =>
           require(args.size == 1, "ARRAY_FIRST takes one array")
           Some(s"(${args(0)})[0]")
@@ -5842,6 +5866,16 @@ object GraftSql {
   private val modelRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), ModelState]
 
+  // logistic_reg models: the one-vs-rest hashed perceptron
+  // (operators.TextClassifier) — classes derived from the training
+  // data, weights held like kmeans centroids hold theirs
+  private case class LogisticState(classes: Seq[String], weights: Seq[Array[Int]],
+                                   idCol: String, textCol: String, labelCol: String,
+                                   buckets: Int, trainQuery: String)
+
+  private val logisticRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), LogisticState]
+
   private def modelKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name.toLowerCase)
 
@@ -5857,7 +5891,7 @@ object GraftSql {
         "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
       val name = viewName(rawName)
       val key = modelKey(spark, name)
-      if (modelRegistry.contains(key)) {
+      if (modelRegistry.contains(key) || logisticRegistry.contains(key)) {
         if (ifNot != null) return spark.emptyDataFrame
         require(orRep != null,
           s"model '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
@@ -5865,10 +5899,11 @@ object GraftSql {
       val opts = parseOptions(optBody)
       val mtype = opts.getOrElse("model_type",
         throw new IllegalArgumentException("CREATE MODEL requires OPTIONS(model_type = ...)"))
+      if (mtype.equalsIgnoreCase("logistic_reg"))
+        return createLogisticModel(spark, key, opts, query)
       require(mtype.equalsIgnoreCase("kmeans"),
-        s"model_type '$mtype' is not supported — 'kmeans' is the implemented class " +
-          "(trained classification lives in operators.TextClassifier, " +
-          "retrieval in operators.Similarity)")
+        s"model_type '$mtype' is not supported — 'kmeans' and 'logistic_reg' are the " +
+          "implemented classes (retrieval lives in operators.Similarity)")
       val unknown = opts.keySet -- Set("model_type", "num_clusters", "max_iterations")
       require(unknown.isEmpty,
         s"unsupported CREATE MODEL option(s): ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -5893,6 +5928,7 @@ object GraftSql {
       val idCol = df.columns.filterNot(_ == vecCol).head
       val centroids = graft.operators.Clustering.kmeansTrain(
         df, kTxt.toInt, itTxt.toInt, idCol, vecCol)
+      logisticRegistry.remove(key)
       modelRegistry(key) = ModelState(centroids, idCol, vecCol, kTxt.toInt,
         itTxt.toInt, query)
       spark.emptyDataFrame
@@ -5900,6 +5936,104 @@ object GraftSql {
       "not a CREATE MODEL statement (expected: CREATE [OR REPLACE] MODEL [IF NOT EXISTS] " +
         "name OPTIONS(model_type = 'kmeans', num_clusters = k [, max_iterations = i]) " +
         "AS SELECT id, features FROM ...)")
+  }
+
+  /** `model_type='logistic_reg'` — BigQuery's most-used BQML class,
+    * dispatched onto the engine's own training loop
+    * ([[graft.operators.TextClassifier.trainOneVsRest]], the
+    * distributed hashed one-vs-rest perceptron; integer weights, so
+    * predict and the confusion-derived ML.EVALUATE metrics are
+    * bit-deterministic and oracle-replayable). Contract: the AS
+    * SELECT produces exactly (id, text, label) with the label column
+    * named by `input_label_cols` (default 'label'); classes derive
+    * from the training data (≤ 64, loud above); `max_iterations`
+    * maps to perceptron epochs (BigQuery's default 20 applies).
+    * Out-of-scope options (regularization, learn_rate, transform,
+    * early_stop) are loud, not ignored.
+    */
+  private def createLogisticModel(spark: SparkSession, key: (Int, String),
+                                  opts: Map[String, String], query: String): DataFrame = {
+    val unknown = opts.keySet -- Set("model_type", "input_label_cols", "max_iterations")
+    require(unknown.isEmpty,
+      s"unsupported CREATE MODEL logistic_reg option(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        "(supported: model_type, input_label_cols, max_iterations)")
+    val labelCol = opts.get("input_label_cols") match {
+      case None => "label"
+      case Some(v) =>
+        val m = """(?i)^\[\s*'([A-Za-z_]\w*)'\s*\]$""".r
+        v.trim match {
+          case m(c) => c
+          case _ => throw new IllegalArgumentException(
+            s"input_label_cols must be ['one_column'], got: $v")
+        }
+    }
+    val itTxt = opts.getOrElse("max_iterations", "20") // BigQuery's default
+    require(itTxt.matches("""\d+""") && itTxt.toInt >= 1,
+      s"max_iterations must be a positive integer literal, got $itTxt")
+    val df = load(spark, query)
+    require(df.columns.length == 3 && df.columns.map(_.toLowerCase).contains(labelCol.toLowerCase),
+      s"CREATE MODEL logistic_reg AS SELECT must produce exactly (id, text, label) with " +
+        s"the label column named '$labelCol' — got (${df.columns.mkString(", ")})")
+    val rest = df.columns.filterNot(_.equalsIgnoreCase(labelCol))
+    val (idCol, textCol) = (rest(0), rest(1))
+    val classes = df.select(labelCol).distinct()
+      .collect().map(_.get(0)).map(v => if (v == null) null else v.toString).toSeq
+    require(!classes.contains(null), "logistic_reg training data carries NULL labels")
+    require(classes.size >= 2 && classes.size <= 64,
+      s"logistic_reg needs 2..64 distinct labels, got ${classes.size}")
+    val ordered = classes.sorted
+    val (ws, _) = graft.operators.TextClassifier.trainOneVsRest(
+      df, idCol, textCol, labelCol, ordered, buckets = 4096, epochs = itTxt.toInt)
+    modelRegistry.remove(key)
+    logisticRegistry(key) = LogisticState(ordered, ws, idCol, textCol, labelCol, 4096, query)
+    spark.emptyDataFrame
+  }
+
+  /** Classifier ML.EVALUATE: one row of BigQuery's aggregate
+    * classification metrics — `precision` / `recall` / `f1_score`
+    * MACRO-averaged over the classes in sorted-class order (a fixed
+    * left-to-right IEEE fold, so the doubles are bit-deterministic and
+    * an oracle replays them with the same textual fold) plus
+    * `accuracy`. All four derive from the integer confusion counts
+    * (≤ K² driver rows). A class never predicted (or never present)
+    * contributes precision/recall 0.0 — the deterministic rule, loud
+    * nowhere. log_loss and roc_auc are NOT emitted: both average
+    * libm doubles corpus-wide (the ML.EVALUATE-kmeans exactness note
+    * applies) — stated omission.
+    */
+  private def evaluateLogistic(spark: SparkSession, ls: LogisticState,
+                               input: DataFrame): DataFrame = {
+    require(input.columns.contains(ls.textCol) && input.columns.contains(ls.labelCol),
+      s"ML.EVALUATE input must carry the model's text ('${ls.textCol}') and " +
+        s"label ('${ls.labelCol}') columns — got (${input.columns.mkString(", ")})")
+    import org.apache.spark.sql.{functions => FF}
+    val pred = graft.operators.TextClassifier.withPrediction(
+      input.select(ls.labelCol, ls.textCol), ls.textCol, ls.classes, ls.weights, ls.buckets)
+    val counts = pred.groupBy(FF.col(ls.labelCol).as("__t"), FF.col("predicted_label").as("__p"))
+      .agg(FF.count(FF.lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = counts.map(_._3).sum
+    require(total > 0, "ML.EVALUATE: empty input")
+    val correct = counts.collect { case (t, p, n) if t == p => n }.sum
+    def perClass(c: String): (Double, Double, Double) = {
+      val tp = counts.collect { case (t, p, n) if t == c && p == c => n }.sum
+      val fp = counts.collect { case (t, p, n) if t != c && p == c => n }.sum
+      val fn = counts.collect { case (t, p, n) if t == c && p != c => n }.sum
+      val pr = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+      val rc = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+      val f1 = if (pr + rc == 0.0) 0.0 else 2.0 * pr * rc / (pr + rc)
+      (pr, rc, f1)
+    }
+    // macro averages folded in sorted-class order — the determinism
+    // contract the scaladoc states
+    val per = ls.classes.map(perClass)
+    val k = ls.classes.size.toDouble
+    val precision = per.foldLeft(0.0)(_ + _._1) / k
+    val recall = per.foldLeft(0.0)(_ + _._2) / k
+    val f1 = per.foldLeft(0.0)(_ + _._3) / k
+    import spark.implicits._
+    Seq((precision, recall, correct.toDouble / total, f1))
+      .toDF("precision", "recall", "accuracy", "f1_score")
   }
 
   private[graft] def rewriteMlPredict(spark: SparkSession, sql0: String): String = {
@@ -5960,9 +6094,6 @@ object GraftSql {
       case _ => throw new IllegalArgumentException(
         "ML.PREDICT needs (MODEL name, (query) | TABLE t)")
     }
-    val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
-      throw new IllegalArgumentException(
-        s"ML.PREDICT: no model named '$modelName' — run CREATE MODEL first"))
     val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
     val input = inputPart match {
       case TableRe(t) => spark.table(viewName(t))
@@ -5971,6 +6102,16 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"ML.PREDICT input must be TABLE t or a parenthesized query, got: $other")
     }
+    logisticRegistry.get(modelKey(spark, modelName)).foreach { ls =>
+      require(input.columns.contains(ls.textCol),
+        s"ML.PREDICT input must carry the model's text column '${ls.textCol}' " +
+          s"(input columns: ${input.columns.mkString(", ")})")
+      return graft.operators.TextClassifier.withPrediction(
+        input, ls.textCol, ls.classes, ls.weights, ls.buckets)
+    }
+    val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
+      throw new IllegalArgumentException(
+        s"ML.PREDICT: no model named '$modelName' — run CREATE MODEL first"))
     require(input.columns.contains(ms.vecCol),
       s"ML.PREDICT input must carry the model's feature column '${ms.vecCol}' " +
         s"(input columns: ${input.columns.mkString(", ")})")
@@ -6008,10 +6149,21 @@ object GraftSql {
       case _ => throw new IllegalArgumentException(
         "ML.EVALUATE needs (MODEL name [, (query) | TABLE t])")
     }
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    logisticRegistry.get(modelKey(spark, modelName)).foreach { ls =>
+      val input = inputOpt match {
+        case None => load(spark, ls.trainQuery)
+        case Some(TableRe(t)) => spark.table(viewName(t))
+        case Some(q) if q.startsWith("(") && q.endsWith(")") =>
+          load(spark, q.substring(1, q.length - 1))
+        case Some(other) => throw new IllegalArgumentException(
+          s"ML.EVALUATE input must be TABLE t or a parenthesized query, got: $other")
+      }
+      return evaluateLogistic(spark, ls, input)
+    }
     val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
       throw new IllegalArgumentException(
         s"ML.EVALUATE: no model named '$modelName' — run CREATE MODEL first"))
-    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
     val input = inputOpt match {
       case None => load(spark, ms.trainQuery)
       case Some(TableRe(t)) => spark.table(viewName(t))
@@ -6118,8 +6270,9 @@ object GraftSql {
   def dropModel(spark: SparkSession, sql: String): DataFrame = sql match {
     case DropModelRe(ifExists, rawName) =>
       val name = viewName(rawName)
-      val removed = modelRegistry.remove(modelKey(spark, name))
-      require(removed.nonEmpty || ifExists != null,
+      val key = modelKey(spark, name)
+      val removed = modelRegistry.remove(key).nonEmpty | logisticRegistry.remove(key).nonEmpty
+      require(removed || ifExists != null,
         s"DROP MODEL $name: no such model (use IF EXISTS to ignore)")
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException("not a DROP MODEL statement")

@@ -2026,6 +2026,28 @@ object SparkEntry {
           |FROM p""".stripMargin)
     }),
 
+    // the JSON MUTATOR family (round 12): a deterministic payload per
+    // event, each mutator exercised once — overwrite, nested create,
+    // remove, array append, null strip. Jackson serializes compact and
+    // insertion-ordered, so the oracle CONSTRUCTS the expected JSON
+    // text directly (DuckDB 1.0 has no json mutators) — every output
+    // byte is under the hash
+    "q_json_set" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("jm_events")
+      graft.GraftSql.load(s,
+        """WITH src AS (
+          |  SELECT event_id,
+          |         '{"a":' || CAST(event_id % 5 AS STRING) || ',"b":null,"tags":[' ||
+          |           CAST(event_id % 3 AS STRING) || ']}' AS j
+          |  FROM jm_events WHERE event_id < 50)
+          |SELECT event_id,
+          |  JSON_SET(j, '$.a', event_id % 7) AS set_scalar,
+          |  JSON_SET(j, '$.c.d', 'x') AS set_nested,
+          |  JSON_REMOVE(j, '$.b') AS removed,
+          |  JSON_ARRAY_APPEND(j, '$.tags', event_id % 2) AS appended,
+          |  JSON_STRIP_NULLS(j) AS stripped
+          |FROM src ORDER BY event_id""".stripMargin)
+    }),
     // BigQuery JSON ARRAY surface (B21's companion): the statement
     // builds a deterministic array payload per event, then
     // JSON_EXTRACT_ARRAY + comma-UNNEST (both rewritten by GraftSql —
@@ -3151,6 +3173,30 @@ object SparkEntry {
       graft.operators.TextClassifier.predictClasses(docs, "doc_id", "text", classes, ws, 4096)
         .orderBy("doc_id")
     }),
+    // A43's classification half (round 12): CREATE MODEL logistic_reg
+    // over (doc_id, text, lang) — the E18 training loop behind the
+    // BigQuery statement surface — then the confusion matrix from
+    // ML.PREDICT crossed with ML.EVALUATE's macro metrics. Integer
+    // votes end-to-end, metric doubles are fixed-order folds of
+    // integer ratios, so DuckDB replays training, confusion AND
+    // metrics term-for-term (epochs = 2, the E18 replay depth)
+    "sql_ml_logistic" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("lg_docs")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE MODEL lg_model OPTIONS(model_type = 'logistic_reg', " +
+          "input_label_cols = ['lang'], max_iterations = 2) " +
+          "AS SELECT doc_id, text, lang FROM lg_docs")
+      graft.GraftSql.load(s,
+        """WITH p AS (SELECT lang, predicted_label
+          |           FROM ML.PREDICT(MODEL lg_model, TABLE lg_docs)),
+          |cm AS (SELECT lang, predicted_label, COUNT(*) AS n
+          |       FROM p GROUP BY lang, predicted_label),
+          |e AS (SELECT * FROM ML.EVALUATE(MODEL lg_model))
+          |SELECT cm.lang, cm.predicted_label, cm.n,
+          |       e.precision, e.recall, e.accuracy, e.f1_score
+          |FROM cm CROSS JOIN e
+          |ORDER BY cm.lang, cm.predicted_label""".stripMargin)
+    }),
     // E13: the corpus health report — per-(source, lang) volume +
     // quality histogram in ONE scan; all measures exact/order-free
     // (integer sums, counts, double min/max), so it hash-replays
@@ -4262,6 +4308,20 @@ object SparkEntry {
           |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, sbin, COUNT(*) AS n
           |FROM sc GROUP BY event_type, bucket, sbin
           |ORDER BY event_type, bucket, sbin""".stripMargin,
+      // the mutator outputs reconstruct by string concatenation —
+      // compact insertion-ordered serialization is the pinned contract
+      "q_json_set" ->
+        """WITH src AS (
+          |  SELECT event_id, event_id % 5 AS a, event_id % 3 AS t,
+          |         event_id % 7 AS s7, event_id % 2 AS s2
+          |  FROM events WHERE event_id < 50)
+          |SELECT event_id,
+          |  '{"a":' || s7 || ',"b":null,"tags":[' || t || ']}' AS set_scalar,
+          |  '{"a":' || a || ',"b":null,"tags":[' || t || '],"c":{"d":"x"}}' AS set_nested,
+          |  '{"a":' || a || ',"tags":[' || t || ']}' AS removed,
+          |  '{"a":' || a || ',"b":null,"tags":[' || t || ',' || s2 || ']}' AS appended,
+          |  '{"a":' || a || ',"tags":[' || t || ']}' AS stripped
+          |FROM src ORDER BY event_id""".stripMargin,
       // JSON_VALUE/JSON_QUERY replay on DuckDB's json functions; the
       // json_type guard reproduces the non-scalar → NULL rule
       "q_json_value" ->
@@ -5706,6 +5766,72 @@ object SparkEntry {
       // update (zero weights miss every doc for every head); m1 =
       // still-missed (doc, head) pairs under w1; w2 = final weights;
       // r2 = per-(doc, head) raw; argmax ties -> lowest class index
+      // the SQL-statement face of the same trained pipeline: the E18
+      // replay through `best`, then confusion counts and the macro
+      // metrics as the SAME fixed-order folds evaluateLogistic runs
+      // (left-associative +, one division per ratio — bit-equal)
+      "sql_ml_logistic" ->
+        """WITH cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),
+          |t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+          |f AS (SELECT doc_id, lang, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+          |             ELSE []::VARCHAR[] END) AS feats FROM t),
+          |fx AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 4096 AS bucket
+          |       FROM (SELECT doc_id, lang, unnest(feats) AS x FROM f)),
+          |fxk AS (SELECT doc_id, bucket, k, CASE WHEN lang = lang_c THEN 1 ELSE -1 END AS y
+          |        FROM fx CROSS JOIN cls),
+          |w1 AS (SELECT k, bucket, SUM(y) AS w FROM fxk GROUP BY k, bucket),
+          |r1 AS (SELECT doc_id, k, any_value(y) AS y, SUM(w) AS raw
+          |       FROM fxk JOIN w1 USING (k, bucket) GROUP BY doc_id, k),
+          |m1 AS (SELECT doc_id, k FROM r1 WHERE raw * y <= 0),
+          |d1 AS (SELECT fxk.k, fxk.bucket, SUM(fxk.y) AS d
+          |       FROM fxk JOIN m1 USING (doc_id, k) GROUP BY fxk.k, fxk.bucket),
+          |w2 AS (SELECT COALESCE(w1.k, d1.k) AS k, COALESCE(w1.bucket, d1.bucket) AS bucket,
+          |              COALESCE(w1.w, 0) + COALESCE(d1.d, 0) AS w
+          |       FROM w1 FULL JOIN d1 ON w1.k = d1.k AND w1.bucket = d1.bucket),
+          |r2 AS (SELECT fx.doc_id, cls.k, COALESCE(SUM(w2.w), 0) AS raw
+          |       FROM fx CROSS JOIN cls
+          |       LEFT JOIN w2 ON w2.k = cls.k AND w2.bucket = fx.bucket
+          |       GROUP BY fx.doc_id, cls.k),
+          |best AS (SELECT doc_id, k, raw,
+          |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, k ASC) AS rn
+          |         FROM r2),
+          |pred AS (SELECT d.lang, COALESCE(cls.lang_c, 'de') AS predicted_label
+          |         FROM documents d
+          |         LEFT JOIN best ON d.doc_id = best.doc_id AND best.rn = 1
+          |         LEFT JOIN cls ON best.k = cls.k),
+          |cm AS (SELECT lang, predicted_label, COUNT(*) AS n
+          |       FROM pred GROUP BY lang, predicted_label),
+          |byc AS (SELECT c.lang_c AS c,
+          |          COALESCE((SELECT SUM(n) FROM cm WHERE lang = c.lang_c AND predicted_label = c.lang_c), 0) AS tp,
+          |          COALESCE((SELECT SUM(n) FROM cm WHERE lang <> c.lang_c AND predicted_label = c.lang_c), 0) AS fp,
+          |          COALESCE((SELECT SUM(n) FROM cm WHERE lang = c.lang_c AND predicted_label <> c.lang_c), 0) AS fn
+          |        FROM cls c),
+          |pm AS (SELECT c,
+          |         CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+          |         CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+          |       FROM byc),
+          |pf AS (SELECT c, p, r,
+          |         CASE WHEN p + r = 0.0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END AS f1
+          |       FROM pm),
+          |met AS (SELECT
+          |    ((SELECT p FROM pf WHERE c='de') + (SELECT p FROM pf WHERE c='en') +
+          |     (SELECT p FROM pf WHERE c='es') + (SELECT p FROM pf WHERE c='fr') +
+          |     (SELECT p FROM pf WHERE c='zh')) / 5 AS precision,
+          |    ((SELECT r FROM pf WHERE c='de') + (SELECT r FROM pf WHERE c='en') +
+          |     (SELECT r FROM pf WHERE c='es') + (SELECT r FROM pf WHERE c='fr') +
+          |     (SELECT r FROM pf WHERE c='zh')) / 5 AS recall,
+          |    CAST((SELECT COALESCE(SUM(n), 0) FROM cm WHERE lang = predicted_label) AS DOUBLE) /
+          |      (SELECT SUM(n) FROM cm) AS accuracy,
+          |    ((SELECT f1 FROM pf WHERE c='de') + (SELECT f1 FROM pf WHERE c='en') +
+          |     (SELECT f1 FROM pf WHERE c='es') + (SELECT f1 FROM pf WHERE c='fr') +
+          |     (SELECT f1 FROM pf WHERE c='zh')) / 5 AS f1_score
+          |  )
+          |SELECT cm.lang, cm.predicted_label, cm.n,
+          |       met.precision, met.recall, met.accuracy, met.f1_score
+          |FROM cm CROSS JOIN met
+          |ORDER BY cm.lang, cm.predicted_label""".stripMargin,
       "text_lang_id_trained" ->
         """WITH cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),
           |t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -1,0 +1,293 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, NullNode, ObjectNode}
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BigQuery's JSON MUTATOR family — JSON_SET / JSON_REMOVE /
+  * JSON_ARRAY_APPEND / JSON_STRIP_NULLS — over the engine's
+  * STRING-carried JSON (the same representation the B21/B50/B51
+  * accessor family reads; reference: the dags' raw-JSON rate
+  * payloads). Implemented as native Catalyst expressions on Jackson
+  * (already on every Spark classpath): parse → mutate → compact
+  * re-serialization (insertion-ordered fields — a set lands new keys
+  * LAST, which is also BigQuery's observable behavior).
+  *
+  * Path dialect: `$`, `$.field`, `$.a.b[0].c` — unquoted member names
+  * and non-negative array indexes; anything else is loud at bind time
+  * (paths are constructor constants, so a bad path fails the QUERY,
+  * not a row). Mutation semantics (the BigQuery rules):
+  *
+  *  - SET walks the path CREATING missing object members; a step that
+  *    hits an incompatible node (scalar where an object/array is
+  *    needed) makes the operation a NO-OP. Array indexes beyond the
+  *    end pad with JSON nulls.
+  *  - REMOVE deletes the path if present (array removal shifts left);
+  *    a missing path is a no-op; removing `$` is loud.
+  *  - ARRAY_APPEND appends one value to the array at the path; a
+  *    non-array target is a no-op.
+  *  - STRIP_NULLS removes null-valued object members and null array
+  *    elements recursively (BigQuery's include_arrays=>true default);
+  *    empty containers stay (remove_empty=>false default).
+  *
+  * Invalid or NULL input JSON yields NULL (the try_parse discipline
+  * the accessor family set). All expressions keep whole-stage codegen
+  * via the repo's compute-call pattern.
+  */
+object JsonMut {
+  private val mapper = new ObjectMapper()
+
+  /** Parsed path: Left(field) object step, Right(index) array step. */
+  type Step = Either[String, Int]
+
+  def parsePath(path: String): Seq[Step] = {
+    require(path.startsWith("$"), s"JSON path must start with $$: $path")
+    val out = scala.collection.mutable.ListBuffer.empty[Step]
+    var i = 1
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' =>
+          val e0 = path.indexWhere(c => c == '.' || c == '[', i + 1)
+          val e = if (e0 < 0) path.length else e0
+          val f = path.substring(i + 1, e)
+          require(f.nonEmpty && f.forall(c => Character.isLetterOrDigit(c) || c == '_' || c == '-'),
+            s"unsupported JSON path member '$f' in $path (unquoted names only)")
+          out += Left(f); i = e
+        case '[' =>
+          val e = path.indexOf(']', i)
+          require(e > i + 1, s"unterminated array index in JSON path $path")
+          val ix = path.substring(i + 1, e)
+          require(ix.forall(Character.isDigit), s"JSON path index must be a non-negative integer: $path")
+          out += Right(ix.toInt); i = e + 1
+        case other =>
+          throw new IllegalArgumentException(s"unsupported JSON path syntax '$other' in $path")
+      }
+    }
+    out.toSeq
+  }
+
+  def tryParse(j: UTF8String): JsonNode =
+    if (j == null) null
+    else try mapper.readTree(j.toString) catch { case _: Exception => null }
+
+  def out(n: JsonNode): UTF8String = UTF8String.fromString(mapper.writeValueAsString(n))
+
+  /** Navigate to the PARENT of the final step; null if any step is
+    * missing/incompatible. `create=true` creates missing OBJECT
+    * members as objects (the SET rule) — never overwrites scalars.
+    */
+  private def walk(root: JsonNode, steps: Seq[Step], create: Boolean): JsonNode = {
+    var cur = root
+    steps.foreach { st =>
+      if (cur == null) return null
+      (cur, st) match {
+        case (o: ObjectNode, Left(f)) =>
+          var nxt = o.get(f)
+          if (nxt == null && create) { nxt = o.putObject(f) }
+          cur = nxt
+        case (a: ArrayNode, Right(ix)) =>
+          cur = if (ix < a.size) a.get(ix) else null
+        case _ => return null
+      }
+    }
+    cur
+  }
+
+  def set(root: JsonNode, steps: Seq[Step], value: JsonNode): JsonNode = {
+    if (steps.isEmpty) return value.deepCopy[JsonNode]()
+    val parent = walk(root, steps.init, create = true)
+    (parent, steps.last) match {
+      case (o: ObjectNode, Left(f)) => o.set(f, value.deepCopy[JsonNode]()); root
+      case (a: ArrayNode, Right(ix)) =>
+        while (a.size < ix) a.add(NullNode.getInstance)
+        if (ix < a.size) a.set(ix, value.deepCopy[JsonNode]()) else a.add(value.deepCopy[JsonNode]())
+        root
+      case _ => root // incompatible parent: the whole set is a no-op
+    }
+  }
+
+  def remove(root: JsonNode, steps: Seq[Step]): JsonNode = {
+    require(steps.nonEmpty, "JSON_REMOVE of the root $ is not allowed")
+    val parent = walk(root, steps.init, create = false)
+    (parent, steps.last) match {
+      case (o: ObjectNode, Left(f)) => o.remove(f); root
+      case (a: ArrayNode, Right(ix)) => if (ix < a.size) a.remove(ix); root
+      case _ => root
+    }
+  }
+
+  def arrayAppend(root: JsonNode, steps: Seq[Step], value: JsonNode): JsonNode = {
+    val target = walk(root, steps, create = false)
+    target match {
+      case a: ArrayNode => a.add(value.deepCopy[JsonNode]()); root
+      case _ => root // non-array target: no-op
+    }
+  }
+
+  def stripNulls(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val names = scala.collection.mutable.ListBuffer.empty[String]
+      val it = o.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNull) names += e.getKey
+        else stripNulls(e.getValue)
+      }
+      names.foreach(o.remove)
+      o
+    case a: ArrayNode =>
+      var i = 0
+      while (i < a.size) {
+        if (a.get(i).isNull) a.remove(i)
+        else { stripNulls(a.get(i)); i += 1 }
+      }
+      a
+    case other => other
+  }
+
+  /** One Spark value → a Jackson node, by static type. */
+  def encode(v: Any, dt: DataType): JsonNode = {
+    if (v == null) return NullNode.getInstance
+    dt match {
+      case StringType => mapper.getNodeFactory.textNode(v.asInstanceOf[UTF8String].toString)
+      case LongType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Long])
+      case IntegerType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Int])
+      case ShortType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Short].toInt)
+      case ByteType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Byte].toInt)
+      case DoubleType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Double])
+      case FloatType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Float].toDouble)
+      case BooleanType => mapper.getNodeFactory.booleanNode(v.asInstanceOf[Boolean])
+      case d: DecimalType =>
+        mapper.getNodeFactory.numberNode(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+      case other => throw new IllegalArgumentException(
+        s"JSON mutator value type $other is not supported (scalars only)")
+    }
+  }
+}
+
+/** JSON_SET(json, '<path>', value) — one (path, value) pair; the SQL
+  * rewrite nests calls for multi-pair spellings.
+  */
+case class JsonSet(left: Expression, right: Expression, path: String)
+    extends BinaryExpression {
+  // the SQL rewrite casts the json argument to STRING; the value arg
+  // is typed freely and encoded by its static type (JsonMut.encode)
+  private val steps = JsonMut.parsePath(path)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  // the VALUE may be null (JSON null) — only a null/bad JSON input nulls out
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = left.eval(input)
+    if (j == null) return null
+    compute(j.asInstanceOf[UTF8String], right.eval(input))
+  }
+  def compute(j: UTF8String, v: Any): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null
+    else JsonMut.out(JsonMut.set(root, steps, JsonMut.encode(v, right.dataType)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonSet", this)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = ((graft.functions.JsonSet) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) ${r.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JsonSet =
+    copy(left = newLeft, right = newRight)
+}
+
+/** JSON_REMOVE(json, '<path>') — one path; the rewrite nests. */
+case class JsonRemove(child: Expression, path: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  private val steps = JsonMut.parsePath(path)
+  require(steps.nonEmpty, "JSON_REMOVE of the root $ is not allowed")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  def compute(j: UTF8String): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null else JsonMut.out(JsonMut.remove(root, steps))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonRemove", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((graft.functions.JsonRemove) $ref).compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonRemove =
+    copy(child = newChild)
+}
+
+/** JSON_ARRAY_APPEND(json, '<path>', value) — single value append. */
+case class JsonArrayAppend(left: Expression, right: Expression, path: String)
+    extends BinaryExpression {
+  // the SQL rewrite casts the json argument to STRING; the value arg
+  // is typed freely and encoded by its static type (JsonMut.encode)
+  private val steps = JsonMut.parsePath(path)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = left.eval(input)
+    if (j == null) return null
+    compute(j.asInstanceOf[UTF8String], right.eval(input))
+  }
+  def compute(j: UTF8String, v: Any): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null
+    else JsonMut.out(JsonMut.arrayAppend(root, steps, JsonMut.encode(v, right.dataType)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonArrayAppend", this)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = ((graft.functions.JsonArrayAppend) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) ${r.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JsonArrayAppend =
+    copy(left = newLeft, right = newRight)
+}
+
+/** JSON_STRIP_NULLS(json) — BigQuery defaults (include_arrays=>true,
+  * remove_empty=>false); the named-argument spellings are loud in the
+  * SQL rewrite.
+  */
+case class JsonStripNulls(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  def compute(j: UTF8String): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null else JsonMut.out(JsonMut.stripNulls(root))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonStripNulls", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((graft.functions.JsonStripNulls) $ref).compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonStripNulls =
+    copy(child = newChild)
+}

@@ -1918,6 +1918,23 @@ object native {
     // the dedicated codegen'd expression carries BigQuery's semantics
     ("graft_ieee_divide", "graft_ieee_divide(x, y) - IEEE double division (BigQuery IEEE_DIVIDE)",
       es => { arity("graft_ieee_divide", es, 2); IeeeDivide(es.head, es(1)) }),
+    // the JSON mutator family (jsonmut.scala) — registry-routed so
+    // the dialect scanner's rewritten output never re-matches
+    ("graft_json_set",
+      "graft_json_set(json, '<path>', value) - set one path in JSON text (JSON_SET)",
+      es => { arity("graft_json_set", es, 3)
+        JsonSet(es.head, es(2), constStr("graft_json_set", es, 1)) }),
+    ("graft_json_remove",
+      "graft_json_remove(json, '<path>') - remove one path from JSON text (JSON_REMOVE)",
+      es => { arity("graft_json_remove", es, 2)
+        JsonRemove(es.head, constStr("graft_json_remove", es, 1)) }),
+    ("graft_json_array_append",
+      "graft_json_array_append(json, '<path>', value) - append to the array at path (JSON_ARRAY_APPEND)",
+      es => { arity("graft_json_array_append", es, 3)
+        JsonArrayAppend(es.head, es(2), constStr("graft_json_array_append", es, 1)) }),
+    ("graft_json_strip_nulls",
+      "graft_json_strip_nulls(json) - remove JSON nulls recursively (JSON_STRIP_NULLS)",
+      es => { arity("graft_json_strip_nulls", es, 1); JsonStripNulls(es.head) }),
     // the KLL_QUANTILES family (kll.scala) — registry-routed for the
     // same reason as the digests: the dialect scanner must not
     // re-match rewritten output

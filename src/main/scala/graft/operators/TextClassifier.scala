@@ -305,6 +305,51 @@ object TextClassifier {
         F.col("__best.raw").as("best_raw"))
   }
 
+  /** Multiclass inference with FULL input passthrough — the BigQuery
+    * ML.PREDICT shape (every input column survives, prediction columns
+    * append): `predicted_label` (argmax class, ties to the lowest
+    * class index), `predicted_label_raw` (the winning head's integer
+    * vote sum — the deterministic face), and `predicted_probs`
+    * (per-class sigmoid of the mean-pooled score — the calibrated-ish
+    * probability BigQuery surfaces; libm exp ⇒ spec-gated, never
+    * hashed). Same one-projection shape as [[predictClasses]].
+    */
+  def withPrediction(df: DataFrame, textCol: String,
+                     classes: Seq[String], weights: Seq[Array[Int]],
+                     buckets: Int = 4096): DataFrame = {
+    require(weights.length == classes.length,
+      s"${weights.length} weight tables for ${classes.length} classes")
+    Seq("predicted_label", "predicted_label_raw", "predicted_probs").foreach { c =>
+      require(!df.columns.map(_.toLowerCase).contains(c),
+        s"ML.PREDICT input already carries a '$c' column — rename it")
+    }
+    val K = classes.length
+    val voteCols = (0 until K).map { k =>
+      graft.functions.native.hashed_vote_sum(F.col("__toks"), weights(k).toSeq).as(s"__v$k")
+    }
+    val packed = F.array((0 until K).map { k =>
+      F.struct(F.col(s"__v$k.raw").as("raw"), F.lit(-k).as("negk"))
+    }: _*)
+    val predCol = classes.zipWithIndex.reverse.foldLeft(F.lit(classes.head): Column) {
+      case (acc, (c, i)) => F.when(-F.col("__best.negk") === i, F.lit(c)).otherwise(acc)
+    }
+    val nF = F.col("__v0.n_features")
+    val probs = F.array((0 until K).map { k =>
+      val s = F.col(s"__v$k.raw").cast("double") /
+        (F.greatest(nF, F.lit(1L)).cast("double") * 1000.0)
+      F.struct(F.lit(classes(k)).as("label"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))).as("prob"))
+    }: _*)
+    val passthrough = df.columns.toSeq.map(F.col)
+    df.select(passthrough :+ text.tokens(F.col(textCol)).as("__toks"): _*)
+      .select(passthrough ++ voteCols: _*)
+      .select(passthrough ++ Seq(F.array_max(packed).as("__best"),
+        probs.as("predicted_probs")): _*)
+      .select(passthrough ++ Seq(predCol.as("predicted_label"),
+        F.col("__best.raw").cast("long").as("predicted_label_raw"),
+        F.col("predicted_probs")): _*)
+  }
+
   /** Score every document: (idCol, n_features, score). One map-only
     * projection (verify with `.explain` — no Exchange); the
     * unigram+bigram hash/lookup/vote fold runs as ONE codegen'd

@@ -1770,6 +1770,98 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
   }
 
+  test("JSON_SET / JSON_REMOVE / JSON_ARRAY_APPEND / JSON_STRIP_NULLS: the mutator family") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // SET: overwrite, create (new keys land LAST), nested create,
+    // array element, beyond-end padding, root replacement
+    assert(one("""JSON_SET('{"a":1}', '$.a', 2)""").getString(0) == """{"a":2}""")
+    assert(one("""JSON_SET('{"a":1}', '$.b', 'x')""").getString(0) == """{"a":1,"b":"x"}""")
+    assert(one("""JSON_SET('{}', '$.a.b', true)""").getString(0) == """{"a":{"b":true}}""")
+    assert(one("""JSON_SET('{"t":[1,2]}', '$.t[1]', 9)""").getString(0) == """{"t":[1,9]}""")
+    assert(one("""JSON_SET('{"t":[1]}', '$.t[3]', 9)""").getString(0) == """{"t":[1,null,null,9]}""")
+    assert(one("""JSON_SET('{"a":1}', '$', 5)""").getString(0) == "5")
+    // multi-pair spelling nests
+    assert(one("""JSON_SET('{}', '$.a', 1, '$.b', 2)""").getString(0) == """{"a":1,"b":2}""")
+    // incompatible path step → no-op (the BigQuery rule)
+    assert(one("""JSON_SET('{"a":1}', '$.a.b', 2)""").getString(0) == """{"a":1}""")
+    // REMOVE: object member, array shift, missing path no-op
+    assert(one("""JSON_REMOVE('{"a":1,"b":2}', '$.a')""").getString(0) == """{"b":2}""")
+    assert(one("""JSON_REMOVE('{"t":[1,2,3]}', '$.t[0]')""").getString(0) == """{"t":[2,3]}""")
+    assert(one("""JSON_REMOVE('{"a":1}', '$.zz')""").getString(0) == """{"a":1}""")
+    // ARRAY_APPEND: root array, nested path, non-array no-op
+    assert(one("""JSON_ARRAY_APPEND('[1]', '$', 2)""").getString(0) == "[1,2]")
+    assert(one("""JSON_ARRAY_APPEND('{"t":["a"]}', '$.t', 'b')""").getString(0) == """{"t":["a","b"]}""")
+    assert(one("""JSON_ARRAY_APPEND('{"t":1}', '$.t', 2)""").getString(0) == """{"t":1}""")
+    // STRIP_NULLS: objects recursively AND array elements (BigQuery
+    // include_arrays default), empties stay
+    assert(one("""JSON_STRIP_NULLS('{"a":null,"b":{"c":null,"d":1},"e":[null,2]}')""")
+      .getString(0) == """{"b":{"d":1},"e":[2]}""")
+    assert(one("""JSON_STRIP_NULLS('{"a":null}')""").getString(0) == "{}")
+    // invalid / NULL json → NULL
+    assert(one("""JSON_SET('nope{', '$.a', 1)""").isNullAt(0))
+    assert(one("""JSON_STRIP_NULLS(CAST(NULL AS STRING))""").isNullAt(0))
+    // louds: named args, root remove, bad path
+    def bad(sql: String): String =
+      intercept[Exception] { GraftSql.load(spark, s"SELECT $sql AS v").collect() }.getMessage
+    assert(bad("""JSON_STRIP_NULLS('{}', include_arrays => false)""").contains("not supported"))
+    assert(bad("""JSON_REMOVE('{"a":1}', '$')""").contains("root"))
+    assert(bad("""JSON_SET('{}', '$.a', 1, '$.b')""").contains("pairs") ||
+      bad("""JSON_SET('{}', '$.a', 1, '$.b')""").contains("takes"))
+  }
+
+  test("CREATE MODEL logistic_reg: train / ML.PREDICT / ML.EVALUATE / DROP lifecycle") {
+    import spark.implicits._
+    def bad(sql: String): String =
+      intercept[Exception] { GraftSql.load(spark, sql).collect() }.getMessage
+    // a separable two-class corpus the perceptron must fully learn
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"good great fine item$i", "pos")
+      else (i.toLong, s"bad awful poor item$i", "neg")
+    }
+    rows.toDF("id", "text", "label").createOrReplaceTempView("lg_t")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL lg_m OPTIONS(model_type = 'logistic_reg', " +
+        "input_label_cols = ['label'], max_iterations = 3) AS SELECT id, text, label FROM lg_t")
+    val pred = GraftSql.load(spark,
+      """SELECT id, label, predicted_label, predicted_label_raw, predicted_probs
+        |FROM ML.PREDICT(MODEL lg_m, TABLE lg_t) ORDER BY id""".stripMargin).collect()
+    assert(pred.length == 40)
+    val acc = pred.count(r => r.getString(1) == r.getString(2))
+    assert(acc == 40, s"separable corpus must be fully learned, got $acc/40")
+    // the probs array carries both classes; the winner's sigmoid is the larger
+    val probs = pred.head.getSeq[org.apache.spark.sql.Row](4)
+    assert(probs.map(_.getString(0)).sorted == Seq("neg", "pos"))
+    // ML.EVALUATE: perfect confusion → all four metrics 1.0; the
+    // default (no input) evaluates on the training query
+    val ev = GraftSql.load(spark, "SELECT * FROM ML.EVALUATE(MODEL lg_m)").collect().head
+    assert(Seq("precision", "recall", "accuracy", "f1_score").forall(
+      GraftSql.load(spark, "SELECT * FROM ML.EVALUATE(MODEL lg_m)").columns.contains))
+    assert((0 to 3).forall(i => ev.getDouble(i) == 1.0), ev.toString)
+    val ev2 = GraftSql.load(spark,
+      "SELECT * FROM ML.EVALUATE(MODEL lg_m, TABLE lg_t)").collect().head
+    assert(ev2 == ev)
+    // louds: unknown option, bad label list, wrong AS shape, one class
+    assert(bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg', " +
+      "l1_reg = 0.1) AS SELECT id, text, label FROM lg_t").contains("l1_reg"))
+    // a multi-column label list is loud twice over: the OPTIONS comma
+    // split rejects the bracket fragment before the shape check could
+    val multi = bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg', " +
+      "input_label_cols = ['a','b']) AS SELECT id, text, label FROM lg_t")
+    assert(multi.contains("one_column") || multi.contains("key=value"))
+    assert(bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg', " +
+      "input_label_cols = 'label') AS SELECT id, text, label FROM lg_t")
+      .contains("one_column"))
+    assert(bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg') " +
+      "AS SELECT id, text FROM lg_t").contains("(id, text, label)"))
+    assert(bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg', " +
+      "input_label_cols = ['label']) AS SELECT id, text, 'one' AS label FROM lg_t")
+      .contains("2..64"))
+    // DROP MODEL removes the logistic entry too
+    GraftSql.load(spark, "DROP MODEL lg_m")
+    assert(bad("SELECT * FROM ML.PREDICT(MODEL lg_m, TABLE lg_t)").contains("CREATE MODEL"))
+  }
+
   test("GAP_FILL TVF: day-bucket densify with locf/null methods, louds for the rest") {
     import spark.implicits._
     Seq(("x", "2024-03-01", 1.0), ("x", "2024-03-04", 4.0), ("y", "2024-03-02", 2.0))
@@ -2531,9 +2623,13 @@ class TypedSqlSpec extends SparkSuite {
     val evDefault = GraftSql.load(spark,
       "SELECT * FROM ML.EVALUATE(MODEL ml_ev)").collect().head
     assert(math.abs(evDefault.getDouble(0) - ev.getDouble(0)) < 1e-12)
-    // louds: model_type, float features, missing model, bad metric
+    // louds: model_type options, float features, missing model, bad metric
+    // (logistic_reg is implemented since round 12 — a kmeans option on
+    // it is loud, as is a genuinely unknown model class)
     assert(bad("CREATE MODEL ml_x OPTIONS(model_type = 'logistic_reg', num_clusters = 2) " +
-      "AS SELECT id, feat FROM ml_t").contains("TextClassifier"))
+      "AS SELECT id, feat FROM ml_t").contains("num_clusters"))
+    assert(bad("CREATE MODEL ml_x OPTIONS(model_type = 'arima_plus') " +
+      "AS SELECT id, feat FROM ml_t").contains("not supported"))
     assert(bad("SELECT * FROM ML.PREDICT(MODEL nope, TABLE ml_t)").contains("CREATE MODEL"))
     assert(bad("SELECT ML.DISTANCE(array(1.0), array(1.0), 'DOT_PRODUCT') AS x")
       .contains("DOT_PRODUCT"))
