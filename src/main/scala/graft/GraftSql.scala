@@ -6224,22 +6224,41 @@ object GraftSql {
   private val SearchIndexRe =
     ("""(?is)^\s*CREATE\s+SEARCH\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
       """(`[^`]+`|[A-Za-z_][\w$]*)\s+ON\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*\(\s*""" +
-      """([A-Za-z_][\w$]*)\s*,\s*([A-Za-z_][\w$]*)\s*\)\s*;?\s*$""").r
+      """([A-Za-z_][\w$]*)\s*,\s*([A-Za-z_][\w$]*)\s*\)""" +
+      """(?:\s+OPTIONS\s*\(([^()]*)\))?\s*;?\s*$""").r
   private val SearchIndexHeadRe = """(?is)^\s*CREATE\s+SEARCH\s+INDEX\b.*""".r
   private val DropSearchIndexRe =
     ("""(?is)^\s*DROP\s+SEARCH\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
       """(`[^`]+`|[A-Za-z_][\w$]*)(?:\s+ON\s+(?:`[^`]+`|[A-Za-z_][\w$.]*))?\s*;?\s*$""").r
 
   def createSearchIndex(spark: SparkSession, sql: String): DataFrame = sql match {
-    case SearchIndexRe(ifNot, rawName, rawTbl, idCol, textCol) =>
+    case SearchIndexRe(ifNot, rawName, rawTbl, idCol, textCol, optBody) =>
       val name = viewName(rawName)
       if (spark.catalog.tableExists(name)) {
         if (ifNot != null) return spark.emptyDataFrame
         throw new IllegalArgumentException(
           s"search index '$name' already exists (use IF NOT EXISTS, or DROP SEARCH INDEX)")
       }
+      // OPTIONS(analyzer = ...): LOG_ANALYZER (BigQuery's default —
+      // non-alphanumeric-run tokenization, EXACTLY the B31 SEARCH()
+      // analyzer, so the index answers what the scalar computes) or
+      // NO_OP_ANALYZER (whole value = one term). PATTERN_ANALYZER and
+      // analyzer_options are loud — a silently different token set
+      // would corrupt every query against the index.
+      val opts = Option(optBody).map(parseOptions).getOrElse(Map.empty)
+      val unknownOpts = opts.keySet -- Set("analyzer")
+      require(unknownOpts.isEmpty,
+        s"unsupported CREATE SEARCH INDEX option(s): ${unknownOpts.toSeq.sorted.mkString(", ")} " +
+          "(supported: analyzer)")
+      val analyzer = opts.getOrElse("analyzer", "LOG_ANALYZER")
+        .toUpperCase(java.util.Locale.ROOT) match {
+        case "LOG_ANALYZER" => "LOG"
+        case "NO_OP_ANALYZER" => "NO_OP"
+        case other => throw new IllegalArgumentException(
+          s"analyzer '$other' is not supported (LOG_ANALYZER, NO_OP_ANALYZER)")
+      }
       val postings = graft.operators.InvertedIndex.positionalPostings(
-        spark.table(viewName(rawTbl)), idCol, textCol)
+        spark.table(viewName(rawTbl)), idCol, textCol, analyzer)
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val path = s"${wh.stripSuffix("/")}/graft_searchidx_$name"
       import org.apache.spark.sql.{functions => FF}

@@ -1577,6 +1577,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // A44c (round 12): the ANALYZER-MATCHED index route — a
+    // punctuation-decorated corpus indexed through the statement's
+    // LOG_ANALYZER option (non-alphanumeric-run tokens, the B31
+    // SEARCH() analyzer), then all-terms containment answered from
+    // the postings; 'doc' only exists as a token if '[Doc#' split and
+    // case-folded correctly. Closes the stated A44-vs-B31 divergence.
+    "search_index_log" -> ((s, d) => {
+      Tables.documents(s, d).select(F.col("doc_id"),
+          F.concat(F.lit("[Doc#"), F.col("doc_id").cast("string"), F.lit("] "),
+            F.regexp_replace(F.col("text"), " ", ", ")).as("text"))
+        .createOrReplaceTempView("si_dirty")
+      graft.GraftSql.load(s, "DROP SEARCH INDEX IF EXISTS si_dirty_idx")
+      graft.GraftSql.load(s,
+        "CREATE SEARCH INDEX si_dirty_idx ON si_dirty (doc_id, text) " +
+          "OPTIONS(analyzer = 'LOG_ANALYZER')")
+      graft.operators.InvertedIndex.searchFromPostings(
+          s.table("si_dirty_idx"), Seq("slow", "fast", "doc"))
+        .orderBy("doc_id")
+    }),
+
     // E24: trainless signed-feature-hashing text embeddings — the
     // engine-native embedder that closes the documents→vectors loop
     // (integer components feed k-means/dedup/int8 ANN exactly; the
@@ -3181,7 +3201,11 @@ object SparkEntry {
     // integer ratios, so DuckDB replays training, confusion AND
     // metrics term-for-term (epochs = 2, the E18 replay depth)
     "sql_ml_logistic" -> ((s, d) => {
-      Tables.documents(s, d).createOrReplaceTempView("lg_docs")
+      // a quarter of the corpus: the statement face gates the SQL
+      // surface + metric replay, not corpus-scale training (E18 does
+      // that) — the subset keeps the bench sweep honest
+      Tables.documents(s, d).filter(F.col("doc_id") % 4 === 0)
+        .createOrReplaceTempView("lg_docs")
       graft.GraftSql.load(s,
         "CREATE OR REPLACE MODEL lg_model OPTIONS(model_type = 'logistic_reg', " +
           "input_label_cols = ['lang'], max_iterations = 2) " +
@@ -4556,6 +4580,21 @@ object SparkEntry {
           |hit AS (SELECT doc_id, COUNT(DISTINCT token) AS nt
           |        FROM toks WHERE token IN ('slow', 'fast', 'the') GROUP BY doc_id)
           |SELECT doc_id FROM hit WHERE nt = 3 ORDER BY doc_id""".stripMargin,
+      // the LOG_ANALYZER replay: decorate, then split on
+      // non-alphanumeric RUNS after lowercasing — '[Doc#12]' must
+      // yield tokens (doc, 12)
+      "search_index_log" ->
+        """WITH dirty AS (
+          |  SELECT doc_id,
+          |         '[Doc#' || CAST(doc_id AS VARCHAR) || '] ' || replace(text, ' ', ', ') AS text
+          |  FROM documents),
+          |toks AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS token
+          |  FROM dirty),
+          |hit AS (SELECT doc_id, COUNT(DISTINCT token) AS nt
+          |        FROM toks WHERE token IN ('slow', 'fast', 'doc') GROUP BY doc_id)
+          |SELECT doc_id FROM hit WHERE nt = 3 ORDER BY doc_id""".stripMargin,
       // the whole retrieval pipeline in one replay: embed (the
       // text_embed CTEs, densified to per-doc lists) then the D1
       // cosine ranking
@@ -5771,8 +5810,9 @@ object SparkEntry {
       // metrics as the SAME fixed-order folds evaluateLogistic runs
       // (left-associative +, one division per ratio — bit-equal)
       "sql_ml_logistic" ->
-        """WITH cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),
-          |t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        """WITH documents4 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+          |cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),
+          |t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents4),
           |f AS (SELECT doc_id, lang, list_concat(toks,
           |        CASE WHEN len(toks) >= 2
           |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
@@ -5798,7 +5838,7 @@ object SparkEntry {
           |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, k ASC) AS rn
           |         FROM r2),
           |pred AS (SELECT d.lang, COALESCE(cls.lang_c, 'de') AS predicted_label
-          |         FROM documents d
+          |         FROM documents4 d
           |         LEFT JOIN best ON d.doc_id = best.doc_id AND best.rn = 1
           |         LEFT JOIN cls ON best.k = cls.k),
           |cm AS (SELECT lang, predicted_label, COUNT(*) AS n

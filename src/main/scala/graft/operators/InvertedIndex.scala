@@ -109,12 +109,33 @@ object InvertedIndex {
     * corpus. Persist it partitioned/bucketed by token at scale; it is
     * the input contract of [[phraseFromPostings]] and the A44
     * `CREATE SEARCH INDEX` statement's build pass.
+    *
+    * `analyzer` picks the tokenization (round 12 — BigQuery's
+    * search-index OPTIONS):
+    *  - `WHITESPACE` (operator default, the E22 scan's tokenizer):
+    *    lowercase, split on whitespace runs.
+    *  - `LOG` (BigQuery's LOG_ANALYZER, the A44 statement default):
+    *    lowercase, split on non-[a-z0-9] runs — EXACTLY the B31
+    *    `SEARCH()` analyzer, so an index built this way answers the
+    *    same containment the scalar function computes.
+    *  - `NO_OP` (NO_OP_ANALYZER): the whole value is one term at
+    *    position 0, untransformed.
     */
-  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String,
+                         analyzer: String = "WHITESPACE"): DataFrame = {
+    val toks = analyzer match {
+      case "WHITESPACE" => text.tokens(F.col(textCol))
+      case "LOG" =>
+        F.array_remove(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), "")
+      case "NO_OP" => F.array(F.col(textCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown postings analyzer '$other' (WHITESPACE, LOG, NO_OP)")
+    }
     docs
-      .select(F.col(idCol).as("doc_id"), text.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col(idCol).as("doc_id"), toks.as("__toks"))
       .select(F.col("doc_id"), F.posexplode(F.col("__toks")).as(Seq("pos", "token")))
       .select(F.col("doc_id"), F.col("pos").cast("long").as("pos"), F.col("token"))
+  }
 
   /** Phrase adjacency over an EXISTING postings table (same output as
     * [[phraseOccurrences]], spec-pinned bit-equal): the read half of
@@ -141,10 +162,11 @@ object InvertedIndex {
     * distinct (doc, term), count per doc, keep full coverage; the
     * corpus is never touched, and a token-partitioned postings layout
     * prunes the scan to the terms' own files. Terms must be
-    * tokenizer-normal (the [[phraseOccurrences]] louds). Stated
-    * divergence: the index tokenizer is whitespace ([[graft.functions.text.tokens]]),
-    * not B31 SEARCH()'s ASCII-run analyzer — punctuation-adjacent
-    * terms differ between the scan function and the indexed route.
+    * tokenizer-normal (the [[phraseOccurrences]] louds). Build the
+    * postings with the `LOG` analyzer (the A44 statement's default
+    * since round 12) and this answers EXACTLY what B31's `SEARCH()`
+    * scalar computes — the formerly-stated tokenizer divergence is
+    * closed by the analyzer option.
     */
   def searchFromPostings(postings: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")

@@ -2556,9 +2556,37 @@ class TypedSqlSpec extends SparkSuite {
         spark.table("si_idx"), Seq("slow", "fast"))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(viaIdx == Map(1L -> 1L, 2L -> 1L))
+    // analyzers (round 12): the statement default is LOG_ANALYZER —
+    // non-alphanumeric-run tokens, exactly SEARCH()'s analyzer — and
+    // NO_OP_ANALYZER indexes the whole value as one term
+    Seq((1L, "Fast-Track: alpha!"), (2L, "fast track"), (3L, "alpha"))
+      .toDF("doc_id", "text").createOrReplaceTempView("si_an")
+    GraftSql.load(spark,
+      "CREATE SEARCH INDEX si_log ON si_an (doc_id, text) OPTIONS(analyzer = 'LOG_ANALYZER')")
+    val logToks = GraftSql.load(spark,
+      "SELECT token FROM si_log WHERE doc_id = 1 ORDER BY pos").collect().map(_.getString(0))
+    assert(logToks.toSeq == Seq("fast", "track", "alpha"))
+    // indexed containment == the SEARCH() scalar, punctuation included
+    val viaIdxLog = graft.operators.InvertedIndex.searchFromPostings(
+      spark.table("si_log"), Seq("fast", "track")).collect().map(_.getLong(0)).toSet
+    val viaFn = GraftSql.load(spark,
+      "SELECT doc_id FROM si_an WHERE SEARCH(text, 'fast track')")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIdxLog == viaFn && viaIdxLog == Set(1L, 2L))
+    GraftSql.load(spark,
+      "CREATE SEARCH INDEX si_noop ON si_an (doc_id, text) OPTIONS(analyzer = 'NO_OP_ANALYZER')")
+    val noop = GraftSql.load(spark,
+      "SELECT doc_id FROM si_noop WHERE token = 'Fast-Track: alpha!'").collect()
+    assert(noop.map(_.getLong(0)).toSeq == Seq(1L))
+    GraftSql.load(spark, "DROP SEARCH INDEX si_log")
+    GraftSql.load(spark, "DROP SEARCH INDEX si_noop")
     // dispositions + teardown (BigQuery's ON-table drop form accepted)
     def bad(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("CREATE SEARCH INDEX si_an2 ON si_an (doc_id, text) " +
+      "OPTIONS(analyzer = 'PATTERN_ANALYZER')").contains("not supported"))
+    assert(bad("CREATE SEARCH INDEX si_an2 ON si_an (doc_id, text) " +
+      "OPTIONS(analyzer_options = '{}')").contains("analyzer_options"))
     assert(bad("CREATE SEARCH INDEX si_idx ON si_t (doc_id, text)").contains("already exists"))
     GraftSql.load(spark, "CREATE SEARCH INDEX IF NOT EXISTS si_idx ON si_t (doc_id, text)")
     GraftSql.load(spark, "DROP SEARCH INDEX si_idx ON si_t")
