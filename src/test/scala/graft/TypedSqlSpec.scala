@@ -1761,6 +1761,16 @@ class TypedSqlSpec extends SparkSuite {
     // a pipe chain nested as a parenthesized subquery
     assert(GraftSql.load(spark,
       "SELECT * FROM (FROM pipe_t |> WHERE id <= 2) ORDER BY id").count() == 2L)
+    // the subquery nest flattens: the OPTIMIZED plan of the piped
+    // spelling equals the standard spelling's (canonicalized) — the
+    // rewrite costs nothing physically
+    val piped = GraftSql.load(spark,
+      "FROM pipe_t |> WHERE v > 5 |> AGGREGATE SUM(v) AS sv GROUP BY g |> ORDER BY g")
+      .queryExecution.optimizedPlan.canonicalized
+    val std = GraftSql.load(spark,
+      "SELECT g, SUM(v) AS sv FROM pipe_t WHERE v > 5 GROUP BY g ORDER BY g")
+      .queryExecution.optimizedPlan.canonicalized
+    assert(piped == std, s"piped plan:\n$piped\nstandard plan:\n$std")
     // louds
     def bad(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
