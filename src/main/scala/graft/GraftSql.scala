@@ -1983,6 +1983,7 @@ object GraftSql {
       "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
       "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
       "JSON_SET", "JSON_REMOVE", "JSON_ARRAY_APPEND", "JSON_STRIP_NULLS",
+      "JSON_OBJECT", "JSON_ARRAY", "PARSE_JSON", "SAFE_PARSE_JSON", "TO_JSON",
       "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
@@ -2348,6 +2349,27 @@ object GraftSql {
           require(args.size == 1 && !args.head.contains("=>"),
             s"$name named arguments (include_arrays/remove_empty) are not supported — defaults only")
           Some(s"graft_json_strip_nulls(CAST((${args(0)}) AS STRING))")
+        // JSON constructors → jsonmut natives; BigQuery's TO_JSON is
+        // TO_JSON_STRING here (no JSON type — string-carried)
+        case "JSON_OBJECT" =>
+          require(args.forall(a => !a.contains("=>")),
+            s"$name named arguments are not supported")
+          val items = args.filter(_.nonEmpty)
+          require(items.size % 2 == 0,
+            s"$name takes alternating (key, value) arguments, got ${items.size}")
+          Some(s"graft_json_object(${items.map(a => s"($a)").mkString(", ")})")
+        case "JSON_ARRAY" =>
+          val items = args.filter(_.nonEmpty)
+          Some(s"graft_json_array(${items.map(a => s"($a)").mkString(", ")})")
+        case "PARSE_JSON" | "SAFE_PARSE_JSON" =>
+          require(args.size == 1 && !args.head.contains("=>"),
+            s"$name takes one argument (wide_number_mode is not supported)")
+          val fn = if (name == "PARSE_JSON") "graft_parse_json" else "graft_try_parse_json"
+          Some(s"$fn(CAST((${args(0)}) AS STRING))")
+        case "TO_JSON" =>
+          require(args.size == 1 && !args.head.contains("=>"),
+            "TO_JSON takes one argument (stringify_wide_numbers is not supported)")
+          Some(s"to_json((${args(0)}))")
         case "ARRAY_FIRST" =>
           require(args.size == 1, "ARRAY_FIRST takes one array")
           Some(s"(${args(0)})[0]")
@@ -2793,7 +2815,7 @@ object GraftSql {
     // SAFE.fn is loud (most Spark scalar functions are already total:
     // drop the prefix where the function cannot error).
     val SafeSupported = Set("CAST", "DIVIDE", "ADD", "SUBTRACT", "MULTIPLY",
-      "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME")
+      "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME", "PARSE_JSON")
     def safePrefix(sql: String): String = {
       val upper = sql.toUpperCase(java.util.Locale.ROOT)
       if (!upper.contains("SAFE.")) return sql

@@ -2068,6 +2068,24 @@ object SparkEntry {
           |  JSON_STRIP_NULLS(j) AS stripped
           |FROM src ORDER BY event_id""".stripMargin)
     }),
+    // the JSON CONSTRUCTORS (round 12, B56's second half): objects,
+    // heterogeneous arrays, PARSE_JSON canonicalization and a
+    // constructor∘mutator composition — the oracle reconstructs every
+    // output byte by concatenation, same discipline as q_json_set
+    "q_json_object" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("jc_events")
+      graft.GraftSql.load(s,
+        """WITH src AS (
+          |  SELECT event_id, event_type, event_id % 5 AS a
+          |  FROM jc_events WHERE event_id < 50)
+          |SELECT event_id,
+          |  JSON_OBJECT('id', event_id, 'type', event_type, 'a', a) AS obj,
+          |  JSON_ARRAY(event_id, event_type, a % 2 = 0) AS arr,
+          |  PARSE_JSON('{ "k" : ' || CAST(a AS STRING) || ' , "t": [1, ' ||
+          |             CAST(event_id % 3 AS STRING) || '] }') AS canon,
+          |  JSON_SET(JSON_OBJECT('x', a), '$.y.z', event_type) AS composed
+          |FROM src ORDER BY event_id""".stripMargin)
+    }),
     // BigQuery JSON ARRAY surface (B21's companion): the statement
     // builds a deterministic array payload per event, then
     // JSON_EXTRACT_ARRAY + comma-UNNEST (both rewritten by GraftSql —
@@ -4332,6 +4350,19 @@ object SparkEntry {
           |SELECT event_type, CAST(floor(x * 10) AS BIGINT) AS bucket, sbin, COUNT(*) AS n
           |FROM sc GROUP BY event_type, bucket, sbin
           |ORDER BY event_type, bucket, sbin""".stripMargin,
+      // constructor outputs reconstruct by concatenation too —
+      // including the canonicalization's whitespace collapse
+      "q_json_object" ->
+        """WITH src AS (
+          |  SELECT event_id, event_type, event_id % 5 AS a, event_id % 3 AS t3
+          |  FROM events WHERE event_id < 50)
+          |SELECT event_id,
+          |  '{"id":' || event_id || ',"type":"' || event_type || '","a":' || a || '}' AS obj,
+          |  '[' || event_id || ',"' || event_type || '",' ||
+          |    CASE WHEN a % 2 = 0 THEN 'true' ELSE 'false' END || ']' AS arr,
+          |  '{"k":' || a || ',"t":[1,' || t3 || ']}' AS canon,
+          |  '{"x":' || a || ',"y":{"z":"' || event_type || '"}}' AS composed
+          |FROM src ORDER BY event_id""".stripMargin,
       // the mutator outputs reconstruct by string concatenation —
       // compact insertion-ordered serialization is the pinned contract
       "q_json_set" ->

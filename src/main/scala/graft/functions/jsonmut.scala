@@ -77,6 +77,9 @@ object JsonMut {
 
   def out(n: JsonNode): UTF8String = UTF8String.fromString(mapper.writeValueAsString(n))
 
+  def newObject(): ObjectNode = mapper.createObjectNode()
+  def newArray(): ArrayNode = mapper.createArrayNode()
+
   /** Navigate to the PARENT of the final step; null if any step is
     * missing/incompatible. `create=true` creates missing OBJECT
     * members as objects (the SET rule) — never overwrites scalars.
@@ -170,6 +173,105 @@ object JsonMut {
   }
 }
 
+/** JSON_OBJECT(k1, v1, k2, v2, ...) / JSON_ARRAY(v1, ...) — the JSON
+  * CONSTRUCTORS, same string-carried model as the mutators. Values
+  * encode by their SQL type ([[JsonMut.encode]] — scalars only, loud
+  * otherwise; a NULL value is a JSON null). Keys must be non-NULL
+  * strings (BigQuery raises there too). Duplicate keys: LAST wins,
+  * earlier position kept (Jackson set-on-existing semantics — matches
+  * BigQuery). Stated trade: the engine has no JSON type, so a value
+  * that is itself JSON TEXT embeds as an escaped string — spell
+  * nesting with JSON_SET over a literal object instead.
+  */
+case class JsonBuild(children: Seq[Expression], isObject: Boolean)
+    extends Expression {
+  if (isObject) require(children.size % 2 == 0,
+    "JSON_OBJECT takes alternating (key, value) arguments")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(children.map(_.eval(input)).toArray)
+  def compute(vals: Array[Any]): UTF8String = {
+    if (isObject) {
+      val o = JsonMut.newObject()
+      var i = 0
+      while (i < vals.length) {
+        val k = vals(i)
+        require(k != null, "JSON_OBJECT key is NULL")
+        require(k.isInstanceOf[UTF8String],
+          s"JSON_OBJECT keys must be strings, got ${children(i).dataType}")
+        o.set[JsonNode](k.asInstanceOf[UTF8String].toString,
+          JsonMut.encode(vals(i + 1), children(i + 1).dataType))
+        i += 2
+      }
+      JsonMut.out(o)
+    } else {
+      val a = JsonMut.newArray()
+      var i = 0
+      while (i < vals.length) {
+        a.add(JsonMut.encode(vals(i), children(i).dataType))
+        i += 1
+      }
+      JsonMut.out(a)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonBuild", this)
+    val evs = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("jsonArgs")
+    // explicit boxing: Janino has no primitive-to-Object cast boxing
+    val fills = evs.zipWithIndex.map { case (e, i) =>
+      val boxed = children(i).dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType =>
+          s"${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(children(i).dataType)}.valueOf(${e.value})"
+        case _ => s"${e.value}"
+      }
+      s"$arr[$i] = ${e.isNull} ? null : (Object) $boxed;"
+    }.mkString("\n")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    ev.copy(code = code"""
+      $childCode
+      Object[] $arr = new Object[${children.size}];
+      $fills
+      UTF8String ${ev.value} = ((graft.functions.JsonBuild) $ref).compute($arr);
+      boolean ${ev.isNull} = false;""")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JsonBuild = copy(children = newChildren)
+}
+
+/** PARSE_JSON(s) — validate + CANONICALIZE to the mutator family's
+  * compact form. Strict form raises on invalid JSON (BigQuery's
+  * behavior); the SAFE form yields NULL. NULL input is NULL in both.
+  * Stated divergence: numbers re-serialize from Jackson's parse
+  * (shortest-roundtrip doubles), so exponent-form literals like
+  * `1e2` come back as `100.0`; wide_number_mode is not supported.
+  */
+case class JsonCanon(child: Expression, safe: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  def compute(j: UTF8String): UTF8String = {
+    val n = JsonMut.tryParse(j)
+    if (n == null) {
+      if (safe) null
+      else throw new IllegalArgumentException(
+        s"PARSE_JSON: invalid JSON (use SAFE.PARSE_JSON for NULL instead): ${j.toString.take(80)}")
+    } else JsonMut.out(n)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonCanon", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((graft.functions.JsonCanon) $ref).compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonCanon =
+    copy(child = newChild)
+}
+
 /** JSON_SET(json, '<path>', value) — one (path, value) pair; the SQL
   * rewrite nests calls for multi-pair spellings.
   */
@@ -195,13 +297,20 @@ case class JsonSet(left: Expression, right: Expression, path: String)
     val ref = ctx.addReferenceObj("jsonSet", this)
     val l = left.genCode(ctx)
     val r = right.genCode(ctx)
+    // explicit boxing: Janino has no primitive-to-Object cast boxing
+    val rBoxed = right.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        s"${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(right.dataType)}.valueOf(${r.value})"
+      case _ => s"${r.value}"
+    }
     ev.copy(code = code"""
       ${l.code}
       ${r.code}
       boolean ${ev.isNull} = ${l.isNull};
       UTF8String ${ev.value} = null;
       if (!${ev.isNull}) {
-        ${ev.value} = ((graft.functions.JsonSet) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) ${r.value});
+        ${ev.value} = ((graft.functions.JsonSet) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) $rBoxed);
         ${ev.isNull} = ${ev.value} == null;
       }""")
   }
@@ -254,13 +363,20 @@ case class JsonArrayAppend(left: Expression, right: Expression, path: String)
     val ref = ctx.addReferenceObj("jsonArrayAppend", this)
     val l = left.genCode(ctx)
     val r = right.genCode(ctx)
+    // explicit boxing: Janino has no primitive-to-Object cast boxing
+    val rBoxed = right.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        s"${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(right.dataType)}.valueOf(${r.value})"
+      case _ => s"${r.value}"
+    }
     ev.copy(code = code"""
       ${l.code}
       ${r.code}
       boolean ${ev.isNull} = ${l.isNull};
       UTF8String ${ev.value} = null;
       if (!${ev.isNull}) {
-        ${ev.value} = ((graft.functions.JsonArrayAppend) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) ${r.value});
+        ${ev.value} = ((graft.functions.JsonArrayAppend) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) $rBoxed);
         ${ev.isNull} = ${ev.value} == null;
       }""")
   }

@@ -1918,6 +1918,21 @@ object native {
     // the dedicated codegen'd expression carries BigQuery's semantics
     ("graft_ieee_divide", "graft_ieee_divide(x, y) - IEEE double division (BigQuery IEEE_DIVIDE)",
       es => { arity("graft_ieee_divide", es, 2); IeeeDivide(es.head, es(1)) }),
+    // JSON constructors (jsonmut.scala)
+    ("graft_json_object",
+      "graft_json_object(k1, v1, ...) - build a JSON object from alternating pairs (JSON_OBJECT)",
+      es => { require(es.length % 2 == 0,
+          s"graft_json_object expects alternating (key, value) arguments, got ${es.length}")
+        JsonBuild(es, isObject = true) }),
+    ("graft_json_array",
+      "graft_json_array(v1, ...) - build a JSON array (JSON_ARRAY)",
+      es => JsonBuild(es, isObject = false)),
+    ("graft_parse_json",
+      "graft_parse_json(s) - validate + canonicalize JSON text (PARSE_JSON; invalid is loud)",
+      es => { arity("graft_parse_json", es, 1); JsonCanon(es.head, safe = false) }),
+    ("graft_try_parse_json",
+      "graft_try_parse_json(s) - validate + canonicalize JSON text (SAFE.PARSE_JSON; invalid is NULL)",
+      es => { arity("graft_try_parse_json", es, 1); JsonCanon(es.head, safe = true) }),
     // the JSON mutator family (jsonmut.scala) — registry-routed so
     // the dialect scanner's rewritten output never re-matches
     ("graft_json_set",

@@ -1780,6 +1780,39 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
   }
 
+  test("JSON_OBJECT / JSON_ARRAY / PARSE_JSON / TO_JSON: the constructor family") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // objects: typed values, insertion order, JSON-null for NULL
+    // values, last-wins duplicate keys
+    assert(one("""JSON_OBJECT('a', 1, 'b', 'x', 'c', true)""").getString(0) ==
+      """{"a":1,"b":"x","c":true}""")
+    assert(one("""JSON_OBJECT('a', CAST(NULL AS STRING))""").getString(0) == """{"a":null}""")
+    assert(one("""JSON_OBJECT('a', 1, 'a', 2)""").getString(0) == """{"a":2}""")
+    assert(one("JSON_OBJECT()").getString(0) == "{}")
+    // arrays: heterogeneous element types are fine (each encodes
+    // independently)
+    assert(one("""JSON_ARRAY(1, 'two', false, CAST(NULL AS INT))""").getString(0) ==
+      """[1,"two",false,null]""")
+    assert(one("JSON_ARRAY()").getString(0) == "[]")
+    // constructors compose with the mutators
+    assert(one("""JSON_SET(JSON_OBJECT('a', 1), '$.b', 2)""").getString(0) ==
+      """{"a":1,"b":2}""")
+    // PARSE_JSON canonicalizes; SAFE form nulls on junk, strict raises
+    assert(one("""PARSE_JSON('{ "a" : 1 ,"b":[ 1, 2 ] }')""").getString(0) ==
+      """{"a":1,"b":[1,2]}""")
+    assert(one("""SAFE.PARSE_JSON('nope{')""").isNullAt(0))
+    assert(one("""SAFE.PARSE_JSON(CAST(NULL AS STRING))""").isNullAt(0))
+    // TO_JSON == TO_JSON_STRING here (string-carried JSON, no JSON type)
+    assert(one("""TO_JSON(named_struct('a', 1))""").getString(0) == """{"a":1}""")
+    def bad(sql: String): String =
+      intercept[Exception] { GraftSql.load(spark, s"SELECT $sql AS v").collect() }.getMessage
+    assert(bad("""PARSE_JSON('nope{')""").contains("SAFE.PARSE_JSON"))
+    assert(bad("""JSON_OBJECT('a')""").contains("alternating"))
+    assert(bad("""JSON_OBJECT(CAST(NULL AS STRING), 1)""").contains("NULL"))
+    assert(bad("""PARSE_JSON('1', wide_number_mode => 'round')""").contains("wide_number_mode"))
+  }
+
   test("JSON_SET / JSON_REMOVE / JSON_ARRAY_APPEND / JSON_STRIP_NULLS: the mutator family") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
