@@ -1982,7 +1982,8 @@ object GraftSql {
       "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
       "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
       "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
-      "JSON_SET", "JSON_REMOVE", "JSON_ARRAY_APPEND", "JSON_STRIP_NULLS",
+      "JSON_SET", "JSON_INSERT", "JSON_REPLACE", "JSON_REMOVE",
+      "JSON_ARRAY_APPEND", "JSON_ARRAY_INSERT", "JSON_STRIP_NULLS", "JSON_TYPE",
       "JSON_OBJECT", "JSON_ARRAY", "PARSE_JSON", "SAFE_PARSE_JSON", "TO_JSON",
       "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
@@ -2330,12 +2331,13 @@ object GraftSql {
         // multi-pair spellings nest one call per (path, value) pair.
         // BigQuery named arguments (append_each_element,
         // include_arrays, remove_empty) are loud — defaults only
-        case "JSON_SET" | "JSON_ARRAY_APPEND" =>
+        case "JSON_SET" | "JSON_INSERT" | "JSON_REPLACE" | "JSON_ARRAY_APPEND" |
+             "JSON_ARRAY_INSERT" =>
           require(args.size >= 3 && args.size % 2 == 1,
             s"$name takes (json, path, value[, path, value]...)")
           require(!args.exists(_.contains("=>")),
             s"$name named arguments are not supported — positional (path, value) pairs only")
-          val fn = if (name == "JSON_SET") "graft_json_set" else "graft_json_array_append"
+          val fn = "graft_" + name.toLowerCase(java.util.Locale.ROOT)
           Some(args.drop(1).grouped(2).foldLeft(s"CAST((${args(0)}) AS STRING)") {
             case (acc, Seq(p, v)) => s"$fn($acc, ${p.trim}, ($v))"
             case (acc, _) => acc
@@ -2349,6 +2351,9 @@ object GraftSql {
           require(args.size == 1 && !args.head.contains("=>"),
             s"$name named arguments (include_arrays/remove_empty) are not supported — defaults only")
           Some(s"graft_json_strip_nulls(CAST((${args(0)}) AS STRING))")
+        case "JSON_TYPE" =>
+          require(args.size == 1, "JSON_TYPE takes one JSON argument")
+          Some(s"graft_json_type(CAST((${args(0)}) AS STRING))")
         // JSON constructors → jsonmut natives; BigQuery's TO_JSON is
         // TO_JSON_STRING here (no JSON type — string-carried)
         case "JSON_OBJECT" =>

@@ -2065,7 +2065,11 @@ object SparkEntry {
           |  JSON_SET(j, '$.c.d', 'x') AS set_nested,
           |  JSON_REMOVE(j, '$.b') AS removed,
           |  JSON_ARRAY_APPEND(j, '$.tags', event_id % 2) AS appended,
-          |  JSON_STRIP_NULLS(j) AS stripped
+          |  JSON_STRIP_NULLS(j) AS stripped,
+          |  JSON_INSERT(JSON_INSERT(j, '$.a', 99), '$.z', event_id % 2) AS inserted,
+          |  JSON_REPLACE(JSON_REPLACE(j, '$.a', event_id % 7), '$.zz', 1) AS replaced,
+          |  JSON_ARRAY_INSERT(j, '$.tags[0]', event_id % 2) AS arr_ins,
+          |  JSON_TYPE(CASE WHEN event_id % 2 = 0 THEN j ELSE '[1]' END) AS jtype
           |FROM src ORDER BY event_id""".stripMargin)
     }),
     // the JSON CONSTRUCTORS (round 12, B56's second half): objects,
@@ -4375,7 +4379,11 @@ object SparkEntry {
           |  '{"a":' || a || ',"b":null,"tags":[' || t || '],"c":{"d":"x"}}' AS set_nested,
           |  '{"a":' || a || ',"tags":[' || t || ']}' AS removed,
           |  '{"a":' || a || ',"b":null,"tags":[' || t || ',' || s2 || ']}' AS appended,
-          |  '{"a":' || a || ',"tags":[' || t || ']}' AS stripped
+          |  '{"a":' || a || ',"tags":[' || t || ']}' AS stripped,
+          |  '{"a":' || a || ',"b":null,"tags":[' || t || '],"z":' || s2 || '}' AS inserted,
+          |  '{"a":' || s7 || ',"b":null,"tags":[' || t || ']}' AS replaced,
+          |  '{"a":' || a || ',"b":null,"tags":[' || s2 || ',' || t || ']}' AS arr_ins,
+          |  CASE WHEN event_id % 2 = 0 THEN 'object' ELSE 'array' END AS jtype
           |FROM src ORDER BY event_id""".stripMargin,
       // JSON_VALUE/JSON_QUERY replay on DuckDB's json functions; the
       // json_type guard reproduces the non-scalar → NULL rule

@@ -101,18 +101,59 @@ object JsonMut {
     cur
   }
 
-  def set(root: JsonNode, steps: Seq[Step], value: JsonNode): JsonNode = {
-    if (steps.isEmpty) return value.deepCopy[JsonNode]()
-    val parent = walk(root, steps.init, create = true)
+  /** `mode`: "set" (create or overwrite — JSON_SET), "insert" (create
+    * only, existing values untouched — JSON_INSERT), "replace"
+    * (overwrite only, missing paths untouched — JSON_REPLACE). The
+    * BigQuery trio shares one walk.
+    */
+  def set(root: JsonNode, steps: Seq[Step], value: JsonNode,
+          mode: String = "set"): JsonNode = {
+    if (steps.isEmpty)
+      return if (mode == "insert") root else value.deepCopy[JsonNode]()
+    val parent = walk(root, steps.init, create = mode != "replace")
     (parent, steps.last) match {
-      case (o: ObjectNode, Left(f)) => o.set(f, value.deepCopy[JsonNode]()); root
+      case (o: ObjectNode, Left(f)) =>
+        val exists = o.get(f) != null
+        if ((mode == "insert" && exists) || (mode == "replace" && !exists)) root
+        else { o.set[JsonNode](f, value.deepCopy[JsonNode]()); root }
       case (a: ArrayNode, Right(ix)) =>
-        while (a.size < ix) a.add(NullNode.getInstance)
-        if (ix < a.size) a.set(ix, value.deepCopy[JsonNode]()) else a.add(value.deepCopy[JsonNode]())
+        if (ix < a.size) {
+          if (mode != "insert") a.set(ix, value.deepCopy[JsonNode]())
+        } else if (mode != "replace") {
+          while (a.size < ix) a.add(NullNode.getInstance)
+          a.add(value.deepCopy[JsonNode]())
+        }
         root
-      case _ => root // incompatible parent: the whole set is a no-op
+      case _ => root // incompatible parent: the whole operation no-ops
     }
   }
+
+  /** JSON_ARRAY_INSERT: insert at the path's final index, SHIFTING
+    * the tail right; beyond-end pads with JSON nulls first. The final
+    * step must be an array index and its parent an array — anything
+    * else no-ops (the mutator family's rule).
+    */
+  def arrayInsert(root: JsonNode, steps: Seq[Step], value: JsonNode): JsonNode = {
+    require(steps.nonEmpty && steps.last.isRight,
+      "JSON_ARRAY_INSERT's path must end in an array index (e.g. $.a[1])")
+    val parent = walk(root, steps.init, create = false)
+    (parent, steps.last) match {
+      case (a: ArrayNode, Right(ix)) =>
+        while (a.size < ix) a.add(NullNode.getInstance)
+        a.insert(ix, value.deepCopy[JsonNode]())
+        root
+      case _ => root
+    }
+  }
+
+  /** BigQuery JSON_TYPE names for a node. */
+  def typeName(n: JsonNode): String =
+    if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isTextual) "string"
+    else if (n.isNumber) "number"
+    else if (n.isBoolean) "boolean"
+    else "null"
 
   def remove(root: JsonNode, steps: Seq[Step]): JsonNode = {
     require(steps.nonEmpty, "JSON_REMOVE of the root $ is not allowed")
@@ -272,10 +313,12 @@ case class JsonCanon(child: Expression, safe: Boolean)
     copy(child = newChild)
 }
 
-/** JSON_SET(json, '<path>', value) — one (path, value) pair; the SQL
-  * rewrite nests calls for multi-pair spellings.
+/** JSON_SET / JSON_INSERT / JSON_REPLACE (by `mode`) — one
+  * (path, value) pair; the SQL rewrite nests calls for multi-pair
+  * spellings.
   */
-case class JsonSet(left: Expression, right: Expression, path: String)
+case class JsonSet(left: Expression, right: Expression, path: String,
+                   mode: String = "set")
     extends BinaryExpression {
   // the SQL rewrite casts the json argument to STRING; the value arg
   // is typed freely and encoded by its static type (JsonMut.encode)
@@ -291,7 +334,7 @@ case class JsonSet(left: Expression, right: Expression, path: String)
   def compute(j: UTF8String, v: Any): UTF8String = {
     val root = JsonMut.tryParse(j)
     if (root == null) null
-    else JsonMut.out(JsonMut.set(root, steps, JsonMut.encode(v, right.dataType)))
+    else JsonMut.out(JsonMut.set(root, steps, JsonMut.encode(v, right.dataType), mode))
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("jsonSet", this)
@@ -405,5 +448,70 @@ case class JsonStripNulls(child: Expression)
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): JsonStripNulls =
+    copy(child = newChild)
+}
+
+/** JSON_ARRAY_INSERT(json, '<path>[i]', value) — shifting insert. */
+case class JsonArrayInsert(left: Expression, right: Expression, path: String)
+    extends BinaryExpression {
+  private val steps = JsonMut.parsePath(path)
+  require(steps.nonEmpty && steps.last.isRight,
+    "JSON_ARRAY_INSERT's path must end in an array index (e.g. $.a[1])")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = left.eval(input)
+    if (j == null) return null
+    compute(j.asInstanceOf[UTF8String], right.eval(input))
+  }
+  def compute(j: UTF8String, v: Any): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null
+    else JsonMut.out(JsonMut.arrayInsert(root, steps, JsonMut.encode(v, right.dataType)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonArrayInsert", this)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val rBoxed = right.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        s"${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(right.dataType)}.valueOf(${r.value})"
+      case _ => s"${r.value}"
+    }
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = ((graft.functions.JsonArrayInsert) $ref).compute(${l.value}, ${r.isNull} ? null : (Object) $rBoxed);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JsonArrayInsert =
+    copy(left = newLeft, right = newRight)
+}
+
+/** JSON_TYPE(json) — 'object'/'array'/'string'/'number'/'boolean'/
+  * 'null'; invalid or NULL input is NULL.
+  */
+case class JsonTypeOf(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  def compute(j: UTF8String): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null else UTF8String.fromString(JsonMut.typeName(root))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonTypeOf", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((graft.functions.JsonTypeOf) $ref).compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonTypeOf =
     copy(child = newChild)
 }

@@ -1950,6 +1950,21 @@ object native {
     ("graft_json_strip_nulls",
       "graft_json_strip_nulls(json) - remove JSON nulls recursively (JSON_STRIP_NULLS)",
       es => { arity("graft_json_strip_nulls", es, 1); JsonStripNulls(es.head) }),
+    ("graft_json_insert",
+      "graft_json_insert(json, '<path>', value) - create-only set (JSON_INSERT)",
+      es => { arity("graft_json_insert", es, 3)
+        JsonSet(es.head, es(2), constStr("graft_json_insert", es, 1), mode = "insert") }),
+    ("graft_json_replace",
+      "graft_json_replace(json, '<path>', value) - overwrite-only set (JSON_REPLACE)",
+      es => { arity("graft_json_replace", es, 3)
+        JsonSet(es.head, es(2), constStr("graft_json_replace", es, 1), mode = "replace") }),
+    ("graft_json_array_insert",
+      "graft_json_array_insert(json, '<path>[i]', value) - shifting array insert (JSON_ARRAY_INSERT)",
+      es => { arity("graft_json_array_insert", es, 3)
+        JsonArrayInsert(es.head, es(2), constStr("graft_json_array_insert", es, 1)) }),
+    ("graft_json_type",
+      "graft_json_type(json) - object/array/string/number/boolean/null (JSON_TYPE)",
+      es => { arity("graft_json_type", es, 1); JsonTypeOf(es.head) }),
     // the KLL_QUANTILES family (kll.scala) — registry-routed for the
     // same reason as the digests: the dialect scanner must not
     // re-match rewritten output

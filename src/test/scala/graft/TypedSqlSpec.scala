@@ -1841,6 +1841,30 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("""JSON_STRIP_NULLS('{"a":null,"b":{"c":null,"d":1},"e":[null,2]}')""")
       .getString(0) == """{"b":{"d":1},"e":[2]}""")
     assert(one("""JSON_STRIP_NULLS('{"a":null}')""").getString(0) == "{}")
+    // INSERT: create-only — existing values untouched
+    assert(one("""JSON_INSERT('{"a":1}', '$.a', 2)""").getString(0) == """{"a":1}""")
+    assert(one("""JSON_INSERT('{"a":1}', '$.b', 2)""").getString(0) == """{"a":1,"b":2}""")
+    assert(one("""JSON_INSERT('{}', '$.a.b', 1)""").getString(0) == """{"a":{"b":1}}""")
+    assert(one("""JSON_INSERT('{"t":[1]}', '$.t[0]', 9)""").getString(0) == """{"t":[1]}""")
+    assert(one("""JSON_INSERT('{"t":[1]}', '$.t[2]', 9)""").getString(0) == """{"t":[1,null,9]}""")
+    // REPLACE: overwrite-only — missing paths untouched, nothing created
+    assert(one("""JSON_REPLACE('{"a":1}', '$.a', 2)""").getString(0) == """{"a":2}""")
+    assert(one("""JSON_REPLACE('{"a":1}', '$.b', 2)""").getString(0) == """{"a":1}""")
+    assert(one("""JSON_REPLACE('{}', '$.a.b', 1)""").getString(0) == "{}")
+    assert(one("""JSON_REPLACE('{"t":[1]}', '$.t[4]', 9)""").getString(0) == """{"t":[1]}""")
+    // ARRAY_INSERT: shifting, pads beyond end, non-array no-op
+    assert(one("""JSON_ARRAY_INSERT('{"t":[1,2]}', '$.t[1]', 9)""").getString(0) ==
+      """{"t":[1,9,2]}""")
+    assert(one("""JSON_ARRAY_INSERT('[1]', '$[3]', 9)""").getString(0) == "[1,null,null,9]")
+    assert(one("""JSON_ARRAY_INSERT('{"t":1}', '$.t[0]', 9)""").getString(0) == """{"t":1}""")
+    // TYPE: the six names; invalid → NULL
+    assert(one("""JSON_TYPE('{"a":1}')""").getString(0) == "object")
+    assert(one("""JSON_TYPE('[1]')""").getString(0) == "array")
+    assert(one("""JSON_TYPE('"x"')""").getString(0) == "string")
+    assert(one("""JSON_TYPE('1.5')""").getString(0) == "number")
+    assert(one("""JSON_TYPE('true')""").getString(0) == "boolean")
+    assert(one("""JSON_TYPE('null')""").getString(0) == "null")
+    assert(one("""JSON_TYPE('nope{')""").isNullAt(0))
     // invalid / NULL json → NULL
     assert(one("""JSON_SET('nope{', '$.a', 1)""").isNullAt(0))
     assert(one("""JSON_STRIP_NULLS(CAST(NULL AS STRING))""").isNullAt(0))
@@ -1851,6 +1875,7 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("""JSON_REMOVE('{"a":1}', '$')""").contains("root"))
     assert(bad("""JSON_SET('{}', '$.a', 1, '$.b')""").contains("pairs") ||
       bad("""JSON_SET('{}', '$.a', 1, '$.b')""").contains("takes"))
+    assert(bad("""JSON_ARRAY_INSERT('[1]', '$.t', 9)""").contains("array index"))
   }
 
   test("CREATE MODEL logistic_reg: train / ML.PREDICT / ML.EVALUATE / DROP lifecycle") {
