@@ -6109,8 +6109,63 @@ object GraftSql {
       }
       out
     }
-    onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
-      "ML.EVALUATE", mlEvaluateFromArgs)
+    onePass(onePass(onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
+      "ML.EVALUATE", mlEvaluateFromArgs),
+      "ML.WEIGHTS", mlWeightsFromArgs),
+      "ML.CENTROIDS", mlCentroidsFromArgs)
+  }
+
+  /** ML.WEIGHTS(MODEL m) — the trained model's weight table. For
+    * logistic_reg: (class_label, bucket, weight) over the NONZERO
+    * hashed buckets — the hashed feature space has no names, so the
+    * bucket id stands in for BigQuery's processed_input (stated
+    * divergence); integer weights, so the table hash-replays under
+    * the training-replay oracle. A kmeans model points at
+    * ML.CENTROIDS (BigQuery splits them the same way).
+    */
+  private def mlWeightsFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val ModelOnlyRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*$""".r
+    val name = argBody match {
+      case ModelOnlyRe(n) => viewName(n)
+      case _ => throw new IllegalArgumentException("ML.WEIGHTS takes (MODEL name)")
+    }
+    logisticRegistry.get(modelKey(spark, name)) match {
+      case Some(ls) =>
+        import spark.implicits._
+        ls.classes.zip(ls.weights).flatMap { case (c, w) =>
+          w.zipWithIndex.collect { case (wt, b) if wt != 0 => (c, b.toLong, wt.toLong) }
+        }.toDF("class_label", "bucket", "weight")
+      case None =>
+        require(modelRegistry.contains(modelKey(spark, name)),
+          s"ML.WEIGHTS: no model named '$name' — run CREATE MODEL first")
+        throw new IllegalArgumentException(
+          s"ML.WEIGHTS on the kmeans model '$name' — kmeans state is ML.CENTROIDS")
+    }
+  }
+
+  /** ML.CENTROIDS(MODEL m) — (centroid_id 1-based, feature 1-based
+    * POSITION, numerical_value) for a kmeans model; features are
+    * positional here (the array-feature contract), not named —
+    * stated divergence from BigQuery's feature column.
+    */
+  private def mlCentroidsFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val ModelOnlyRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*$""".r
+    val name = argBody match {
+      case ModelOnlyRe(n) => viewName(n)
+      case _ => throw new IllegalArgumentException("ML.CENTROIDS takes (MODEL name)")
+    }
+    modelRegistry.get(modelKey(spark, name)) match {
+      case Some(ms) =>
+        import spark.implicits._
+        ms.centroids.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, d) => (i + 1, d + 1, v) }
+        }.toDF("centroid_id", "feature", "numerical_value")
+      case None =>
+        require(logisticRegistry.contains(modelKey(spark, name)),
+          s"ML.CENTROIDS: no model named '$name' — run CREATE MODEL first")
+        throw new IllegalArgumentException(
+          s"ML.CENTROIDS on the logistic_reg model '$name' — classifier state is ML.WEIGHTS")
+    }
   }
 
   /** Parse an ML.PREDICT argument list and run the assignment. */

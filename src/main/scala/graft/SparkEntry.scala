@@ -3243,6 +3243,35 @@ object SparkEntry {
           |FROM cm CROSS JOIN e
           |ORDER BY cm.lang, cm.predicted_label""".stripMargin)
     }),
+    // A48b (round 12): ML.WEIGHTS — the trained classifier's weight
+    // table dumped through the statement surface; integer weights, so
+    // DuckDB re-trains (the same replay as sql_ml_logistic) and reads
+    // w2's nonzero rows straight off
+    "sql_ml_weights" -> ((s, d) => {
+      Tables.documents(s, d).filter(F.col("doc_id") % 4 === 0)
+        .createOrReplaceTempView("lgw_docs")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE MODEL lgw_model OPTIONS(model_type = 'logistic_reg', " +
+          "input_label_cols = ['lang'], max_iterations = 2) " +
+          "AS SELECT doc_id, text, lang FROM lgw_docs")
+      graft.GraftSql.load(s,
+        "SELECT * FROM ML.WEIGHTS(MODEL lgw_model) ORDER BY class_label, bucket")
+    }),
+    // A43b (round 12): ML.CENTROIDS — the kmeans model's state table;
+    // exact-integer sums + one division per component, so the kc2
+    // replay (the sql_ml_kmeans CTEs) unnests to the same doubles
+    "sql_ml_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(F.col("vec_id"), graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+        .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+        .createOrReplaceTempView("mlc_src")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE MODEL mlc_model
+          |OPTIONS(model_type = 'kmeans', num_clusters = 8, max_iterations = 2)
+          |AS SELECT vec_id, vec FROM mlc_src""".stripMargin)
+      graft.GraftSql.load(s,
+        "SELECT * FROM ML.CENTROIDS(MODEL mlc_model) ORDER BY centroid_id, feature")
+    }),
     // E13: the corpus health report — per-(source, lang) volume +
     // quality histogram in ONE scan; all measures exact/order-free
     // (integer sums, counts, double min/max), so it hash-replays
@@ -5630,6 +5659,25 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
           |  FROM fin) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
       // the statement route: same replay, BigQuery's 1-based centroid_id
+      // the model-state dump: kc2 (the trained centroids) unnested to
+      // 1-based (centroid_id, feature) positions
+      "sql_ml_centroids" ->
+        s"""WITH qz AS (SELECT vec_id, embedding,
+          |              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+          |            FROM embeddings),
+          |km_codes AS (SELECT vec_id,
+          |               list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 127 / s) AS BIGINT)) AS v
+          |             FROM qz),
+          |km_seeds AS (SELECT vec_id FROM km_codes ORDER BY vec_id LIMIT 8),
+          |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+          |               list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+          |        FROM km_codes WHERE vec_id IN (SELECT vec_id FROM km_seeds)),
+          |${kmIter(1)}
+          |${kmIter(2)}
+          |pos AS (SELECT cluster, c, unnest(range(1, len(c) + 1)) AS i FROM kc2)
+          |SELECT CAST(cluster + 1 AS INT) AS centroid_id, CAST(i AS INT) AS feature,
+          |       c[CAST(i AS INT)] AS numerical_value
+          |FROM pos ORDER BY centroid_id, feature""".stripMargin,
       "sql_ml_kmeans" ->
         s"""WITH qz AS (SELECT vec_id, embedding,
           |              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
@@ -5844,6 +5892,32 @@ object SparkEntry {
       // update (zero weights miss every doc for every head); m1 =
       // still-missed (doc, head) pairs under w1; w2 = final weights;
       // r2 = per-(doc, head) raw; argmax ties -> lowest class index
+      // ML.WEIGHTS replay: re-train through w2, read the nonzero rows
+      "sql_ml_weights" ->
+        """WITH documents4 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+          |cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),
+          |t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents4),
+          |f AS (SELECT doc_id, lang, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+          |             ELSE []::VARCHAR[] END) AS feats FROM t),
+          |fx AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 4096 AS bucket
+          |       FROM (SELECT doc_id, lang, unnest(feats) AS x FROM f)),
+          |fxk AS (SELECT doc_id, bucket, k, CASE WHEN lang = lang_c THEN 1 ELSE -1 END AS y
+          |        FROM fx CROSS JOIN cls),
+          |w1 AS (SELECT k, bucket, SUM(y) AS w FROM fxk GROUP BY k, bucket),
+          |r1 AS (SELECT doc_id, k, any_value(y) AS y, SUM(w) AS raw
+          |       FROM fxk JOIN w1 USING (k, bucket) GROUP BY doc_id, k),
+          |m1 AS (SELECT doc_id, k FROM r1 WHERE raw * y <= 0),
+          |d1 AS (SELECT fxk.k, fxk.bucket, SUM(fxk.y) AS d
+          |       FROM fxk JOIN m1 USING (doc_id, k) GROUP BY fxk.k, fxk.bucket),
+          |w2 AS (SELECT COALESCE(w1.k, d1.k) AS k, COALESCE(w1.bucket, d1.bucket) AS bucket,
+          |              COALESCE(w1.w, 0) + COALESCE(d1.d, 0) AS w
+          |       FROM w1 FULL JOIN d1 ON w1.k = d1.k AND w1.bucket = d1.bucket)
+          |SELECT cls.lang_c AS class_label, w2.bucket AS bucket, CAST(w2.w AS BIGINT) AS weight
+          |FROM w2 JOIN cls ON w2.k = cls.k
+          |WHERE w2.w <> 0
+          |ORDER BY class_label, bucket""".stripMargin,
       // the SQL-statement face of the same trained pipeline: the E18
       // replay through `best`, then confusion counts and the macro
       // metrics as the SAME fixed-order folds evaluateLogistic runs

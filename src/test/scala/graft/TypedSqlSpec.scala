@@ -1925,6 +1925,13 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg', " +
       "input_label_cols = ['label']) AS SELECT id, text, 'one' AS label FROM lg_t")
       .contains("2..64"))
+    // ML.WEIGHTS: the nonzero hashed weight table, one head per class
+    val w = GraftSql.load(spark,
+      "SELECT * FROM ML.WEIGHTS(MODEL lg_m) ORDER BY class_label, bucket").collect()
+    assert(w.nonEmpty && w.forall(r => r.getLong(2) != 0L))
+    assert(w.map(_.getString(0)).distinct.sorted.toSeq == Seq("neg", "pos"))
+    assert(w.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 4096))
+    assert(bad("SELECT * FROM ML.CENTROIDS(MODEL lg_m)").contains("ML.WEIGHTS"))
     // DROP MODEL removes the logistic entry too
     GraftSql.load(spark, "DROP MODEL lg_m")
     assert(bad("SELECT * FROM ML.PREDICT(MODEL lg_m, TABLE lg_t)").contains("CREATE MODEL"))
@@ -2687,6 +2694,12 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT * FROM ML.PREDICT(MODEL ml_m, TABLE ml_t) ORDER BY id")
     assert(p2.columns.sorted.toSeq ==
       Seq("centroid_distance", "centroid_id", "feat", "id"))
+    // ML.CENTROIDS dumps model state: k × dim rows, 1-based ids/positions
+    val cents = GraftSql.load(spark,
+      "SELECT * FROM ML.CENTROIDS(MODEL ml_m) ORDER BY centroid_id, feature").collect()
+    assert(cents.length == 2 * 2)
+    assert(cents.map(_.getInt(0)).toSeq == Seq(1, 1, 2, 2))
+    assert(cents.map(_.getInt(1)).toSeq == Seq(1, 2, 1, 2))
     // dispositions: bare duplicate raises, IF NOT EXISTS no-ops,
     // OR REPLACE swaps
     def bad(sql: String): String =
