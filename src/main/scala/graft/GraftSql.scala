@@ -5898,7 +5898,8 @@ object GraftSql {
   // data, weights held like kmeans centroids hold theirs
   private case class LogisticState(classes: Seq[String], weights: Seq[Array[Int]],
                                    idCol: String, textCol: String, labelCol: String,
-                                   buckets: Int, trainQuery: String)
+                                   buckets: Int, trainQuery: String,
+                                   transform: Option[String])
 
   private val logisticRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), LogisticState]
@@ -5910,10 +5911,15 @@ object GraftSql {
   private val ModelRe =
     ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
       """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      // TRANSFORM select-list: up to THREE paren-nesting levels —
+      // enough for the scaler/expression shapes BigQuery TRANSFORMs
+      // carry (ML.X(F(G(col)))); deeper nesting fails the statement
+      // loudly, never silently
+      """(?:TRANSFORM\s*\(((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*)\)\s+)?""" +
       """OPTIONS\s*\(([^()]*)\)\s+AS\s+(.*?)\s*;?\s*$""").r
 
   def createModel(spark: SparkSession, sql: String): DataFrame = sql match {
-    case ModelRe(orRep, ifNot, rawName, optBody, query) =>
+    case ModelRe(orRep, ifNot, rawName, transform, optBody, query) =>
       require(orRep == null || ifNot == null,
         "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
       val name = viewName(rawName)
@@ -5927,7 +5933,10 @@ object GraftSql {
       val mtype = opts.getOrElse("model_type",
         throw new IllegalArgumentException("CREATE MODEL requires OPTIONS(model_type = ...)"))
       if (mtype.equalsIgnoreCase("logistic_reg"))
-        return createLogisticModel(spark, key, opts, query)
+        return createLogisticModel(spark, key, opts, query, Option(transform).map(_.trim))
+      require(transform == null,
+        "TRANSFORM is supported for model_type='logistic_reg' only — kmeans features " +
+          "are one integral array column; preprocess in the AS SELECT instead")
       require(mtype.equalsIgnoreCase("kmeans"),
         s"model_type '$mtype' is not supported — 'kmeans' and 'logistic_reg' are the " +
           "implemented classes (retrieval lives in operators.Similarity)")
@@ -5974,12 +5983,17 @@ object GraftSql {
     * SELECT produces exactly (id, text, label) with the label column
     * named by `input_label_cols` (default 'label'); classes derive
     * from the training data (≤ 64, loud above); `max_iterations`
-    * maps to perceptron epochs (BigQuery's default 20 applies).
-    * Out-of-scope options (regularization, learn_rate, transform,
-    * early_stop) are loud, not ignored.
+    * maps to perceptron epochs (BigQuery's default 20 applies). A
+    * `TRANSFORM(select_list)` clause is honored end-to-end: training,
+    * every ML.PREDICT input (predictions join back on the id column,
+    * callers see their own columns + predicted_* — the passthrough
+    * shape) and ML.EVALUATE all pass through the SAME expressions.
+    * Out-of-scope options (regularization, learn_rate, early_stop)
+    * are loud, not ignored.
     */
   private def createLogisticModel(spark: SparkSession, key: (Int, String),
-                                  opts: Map[String, String], query: String): DataFrame = {
+                                  opts: Map[String, String], query: String,
+                                  transform: Option[String] = None): DataFrame = {
     val unknown = opts.keySet -- Set("model_type", "input_label_cols", "max_iterations")
     require(unknown.isEmpty,
       s"unsupported CREATE MODEL logistic_reg option(s): ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -5997,9 +6011,10 @@ object GraftSql {
     val itTxt = opts.getOrElse("max_iterations", "20") // BigQuery's default
     require(itTxt.matches("""\d+""") && itTxt.toInt >= 1,
       s"max_iterations must be a positive integer literal, got $itTxt")
-    val df = load(spark, query)
+    val df = applyTransform(spark, load(spark, query), transform)
     require(df.columns.length == 3 && df.columns.map(_.toLowerCase).contains(labelCol.toLowerCase),
-      s"CREATE MODEL logistic_reg AS SELECT must produce exactly (id, text, label) with " +
+      s"CREATE MODEL logistic_reg${transform.map(_ => " TRANSFORM(...)").getOrElse("")} " +
+        s"must produce exactly (id, text, label) with " +
         s"the label column named '$labelCol' — got (${df.columns.mkString(", ")})")
     val rest = df.columns.filterNot(_.equalsIgnoreCase(labelCol))
     val (idCol, textCol) = (rest(0), rest(1))
@@ -6012,9 +6027,26 @@ object GraftSql {
     val (ws, _) = graft.operators.TextClassifier.trainOneVsRest(
       df, idCol, textCol, labelCol, ordered, buckets = 4096, epochs = itTxt.toInt)
     modelRegistry.remove(key)
-    logisticRegistry(key) = LogisticState(ordered, ws, idCol, textCol, labelCol, 4096, query)
+    logisticRegistry(key) = LogisticState(ordered, ws, idCol, textCol, labelCol, 4096,
+      query, transform)
     spark.emptyDataFrame
   }
+
+  /** Apply a CREATE MODEL TRANSFORM select-list to a frame: the
+    * BigQuery preprocessing contract — training AND every later
+    * ML.PREDICT/ML.EVALUATE input pass through the SAME expressions,
+    * so the model never sees raw columns the transform didn't emit.
+    */
+  private def applyTransform(spark: SparkSession, input: DataFrame,
+                             transform: Option[String]): DataFrame =
+    transform match {
+      case None => input
+      case Some(t) =>
+        val v = s"__graft_transform_${asOfCounter.incrementAndGet()}"
+        input.createOrReplaceTempView(v)
+        try load(spark, s"SELECT $t FROM $v")
+        finally spark.catalog.dropTempView(v)
+    }
 
   /** Classifier ML.EVALUATE: one row of BigQuery's aggregate
     * classification metrics — `precision` / `recall` / `f1_score`
@@ -6185,11 +6217,36 @@ object GraftSql {
         s"ML.PREDICT input must be TABLE t or a parenthesized query, got: $other")
     }
     logisticRegistry.get(modelKey(spark, modelName)).foreach { ls =>
-      require(input.columns.contains(ls.textCol),
-        s"ML.PREDICT input must carry the model's text column '${ls.textCol}' " +
-          s"(input columns: ${input.columns.mkString(", ")})")
-      return graft.operators.TextClassifier.withPrediction(
-        input, ls.textCol, ls.classes, ls.weights, ls.buckets)
+      ls.transform match {
+        case None =>
+          require(input.columns.contains(ls.textCol),
+            s"ML.PREDICT input must carry the model's text column '${ls.textCol}' " +
+              s"(input columns: ${input.columns.mkString(", ")})")
+          return graft.operators.TextClassifier.withPrediction(
+            input, ls.textCol, ls.classes, ls.weights, ls.buckets)
+        case Some(_) =>
+          // the TRANSFORM contract: the model's expressions re-apply to
+          // the RAW input, predictions join back on the id column, and
+          // the caller sees their own columns + predicted_* (BigQuery's
+          // passthrough shape)
+          require(input.columns.contains(ls.idCol),
+            s"ML.PREDICT with a TRANSFORM model joins predictions back on " +
+              s"'${ls.idCol}' — the input must carry it (input columns: " +
+              s"${input.columns.mkString(", ")})")
+          Seq("predicted_label", "predicted_label_raw", "predicted_probs").foreach { c =>
+            require(!input.columns.map(_.toLowerCase).contains(c),
+              s"ML.PREDICT input already carries a '$c' column — rename it")
+          }
+          val transformed = applyTransform(spark, input, ls.transform)
+          require(transformed.columns.contains(ls.textCol) &&
+            transformed.columns.contains(ls.idCol),
+            s"the model's TRANSFORM must emit '${ls.idCol}' and '${ls.textCol}' " +
+              s"(emitted: ${transformed.columns.mkString(", ")})")
+          val preds = graft.operators.TextClassifier.withPrediction(
+              transformed, ls.textCol, ls.classes, ls.weights, ls.buckets)
+            .select(ls.idCol, "predicted_label", "predicted_label_raw", "predicted_probs")
+          return input.join(preds, Seq(ls.idCol))
+      }
     }
     val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
       throw new IllegalArgumentException(
@@ -6241,7 +6298,9 @@ object GraftSql {
         case Some(other) => throw new IllegalArgumentException(
           s"ML.EVALUATE input must be TABLE t or a parenthesized query, got: $other")
       }
-      return evaluateLogistic(spark, ls, input)
+      // a TRANSFORM model preprocesses evaluation input exactly like
+      // training input
+      return evaluateLogistic(spark, ls, applyTransform(spark, input, ls.transform))
     }
     val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
       throw new IllegalArgumentException(

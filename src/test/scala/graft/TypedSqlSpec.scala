@@ -1937,6 +1937,45 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("SELECT * FROM ML.PREDICT(MODEL lg_m, TABLE lg_t)").contains("CREATE MODEL"))
   }
 
+  test("CREATE MODEL TRANSFORM: preprocessing re-applies at train, predict and evaluate") {
+    import spark.implicits._
+    def bad(sql: String): String =
+      intercept[Exception] { GraftSql.load(spark, sql).collect() }.getMessage
+    // raw (title, body) columns — the TRANSFORM derives the text
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "GOOD", s"Great Fine item$i", "pos")
+      else (i.toLong, "BAD", s"Awful Poor item$i", "neg")
+    }
+    rows.toDF("id", "title", "body", "label").createOrReplaceTempView("lgt_t")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE MODEL lgt_m
+        |TRANSFORM(id, LOWER(CONCAT(title, ' ', body)) AS text, label)
+        |OPTIONS(model_type = 'logistic_reg', input_label_cols = ['label'],
+        |        max_iterations = 3)
+        |AS SELECT id, title, body, label FROM lgt_t""".stripMargin)
+    // predict on the RAW table: the transform re-applies internally,
+    // the caller sees their own columns + predicted_* (passthrough)
+    val p = GraftSql.load(spark,
+      "SELECT * FROM ML.PREDICT(MODEL lgt_m, TABLE lgt_t) ORDER BY id")
+    assert(p.columns.toSet ==
+      Set("id", "title", "body", "label", "predicted_label", "predicted_label_raw",
+        "predicted_probs"))
+    val rowsOut = p.collect()
+    assert(rowsOut.length == 40)
+    assert(rowsOut.forall(r =>
+      r.getString(r.fieldIndex("label")) == r.getString(r.fieldIndex("predicted_label"))))
+    // evaluate (default input = the training query, re-transformed)
+    val ev = GraftSql.load(spark, "SELECT * FROM ML.EVALUATE(MODEL lgt_m)").collect().head
+    assert((0 to 3).forall(i => ev.getDouble(i) == 1.0), ev.toString)
+    // louds: TRANSFORM on kmeans; transform not emitting the contract
+    assert(bad("CREATE OR REPLACE MODEL lgt_k TRANSFORM(id, v) " +
+      "OPTIONS(model_type = 'kmeans', num_clusters = 2) AS SELECT 1 AS id")
+      .contains("logistic_reg"))
+    assert(bad("CREATE OR REPLACE MODEL lgt_b TRANSFORM(id, title, body, label) " +
+      "OPTIONS(model_type = 'logistic_reg', input_label_cols = ['label']) " +
+      "AS SELECT id, title, body, label FROM lgt_t").contains("(id, text, label)"))
+  }
+
   test("GAP_FILL TVF: day-bucket densify with locf/null methods, louds for the rest") {
     import spark.implicits._
     Seq(("x", "2024-03-01", 1.0), ("x", "2024-03-04", 4.0), ("y", "2024-03-02", 2.0))
