@@ -23,6 +23,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "GENERATE_ARRAY(1, 9)", "JSON_EXTRACT_ARRAY(j, '$.k')",
     "[OFFSET(1)]", "[SAFE_OFFSET(2)]", "IN UNNEST(tags)",
     "FOR SYSTEM_TIME AS OF", "FORMAT_DATE('%Y', d)", "RAISE", "CALL p()",
+    "a |> b", "JSON_SET(j, '$.k', 1)", "GAP_FILL(TABLE t, ts_column => 'd')",
     "plain words", "commas, and, more", "(nested (parens))", "back`tick",
     "semicolon; inside", "percent % sign", "star *", "dots.and.paths")
 
@@ -37,7 +38,8 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "jsonArrayFns" -> (GraftSql.rewriteJsonArrayFns(_)),
     "tableSample" -> (GraftSql.rewriteTableSample(_)),
     "starReplace" -> (GraftSql.rewriteStarReplace(_)),
-    "unnest" -> (GraftSql.rewriteUnnest(_)))
+    "unnest" -> (GraftSql.rewriteUnnest(_)),
+    "pipes" -> (GraftSql.rewritePipes(_)))
 
   test("quoted literal content is opaque to every rewrite") {
     val rnd = new scala.util.Random(42)
@@ -73,7 +75,8 @@ class RewriteFuzzSpec extends AnyFunSuite {
     def chain(sql: String): String =
       GraftSql.rewriteUnnest(GraftSql.rewriteBqFunctions(
         GraftSql.rewriteGenerateFns(GraftSql.rewriteJsonArrayFns(
-          GraftSql.rewriteStarReplace(GraftSql.rewriteTableSample(sql))))))
+          GraftSql.rewriteStarReplace(GraftSql.rewriteTableSample(
+            GraftSql.rewritePipes(sql)))))))
     val triggerHeavy = Seq(
       "SELECT COUNTIF(x > 1) AS n, SAFE_DIVIDE(a, b) AS r FROM t",
       "SELECT GENERATE_ARRAY(1, 5, 2) AS g, GENERATE_DATE_ARRAY(lo, hi) AS d FROM t",
@@ -95,7 +98,11 @@ class RewriteFuzzSpec extends AnyFunSuite {
       "SELECT TIMESTAMP_DIFF(a, b, HOUR) AS h, DATE_ADD(d, INTERVAL 2 WEEK) AS w FROM t",
       "SELECT FORMAT_DATE('%Y/%m', d) AS s, ANY_VALUE(v HAVING MAX score) AS top FROM t",
       "SELECT * FROM big_t TABLESAMPLE SYSTEM (5 PERCENT)",
-      "SELECT day FROM b, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day WITH OFFSET AS o")
+      "SELECT day FROM b, UNNEST(GENERATE_DATE_ARRAY(lo, hi)) AS day WITH OFFSET AS o",
+      "SELECT JSON_SET(j, '$.a', 1, '$.b', 2) AS m, JSON_STRIP_NULLS(j) AS sn FROM t",
+      "SELECT JSON_OBJECT('k', v) AS o, PARSE_JSON(s) AS p, JSON_TYPE(j) AS ty FROM t",
+      "FROM t |> WHERE x > 1 |> AGGREGATE SUM(v) AS sv GROUP BY g |> ORDER BY g",
+      "FROM t |> EXTEND a || b AS ab |> SELECT ab |> LIMIT 5")
     for (sql <- triggerHeavy) {
       val once = chain(sql)
       assert(chain(once) == once,
