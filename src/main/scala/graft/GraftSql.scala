@@ -6018,14 +6018,26 @@ object GraftSql {
         s"the label column named '$labelCol' — got (${df.columns.mkString(", ")})")
     val rest = df.columns.filterNot(_.equalsIgnoreCase(labelCol))
     val (idCol, textCol) = (rest(0), rest(1))
-    val classes = df.select(labelCol).distinct()
+    // the (id, text, label) contract is positional — guard the one
+    // silent mis-order (an id in the text slot trains the tokenizer
+    // on ids with no error): the text slot must be STRING-typed
+    require(df.schema(textCol).dataType == org.apache.spark.sql.types.StringType,
+      s"CREATE MODEL logistic_reg: the AS SELECT contract is positional (id, text, label) " +
+        s"and the text column ('$textCol') must be STRING, got " +
+        s"${df.schema(textCol).dataType.simpleString} — reorder the select list")
+    // labels train as their string forms; cast ONCE here so non-string
+    // labels (e.g. INT64) compare/collect consistently end-to-end
+    val labelActual = df.columns.find(_.equalsIgnoreCase(labelCol)).get
+    val dfT = df.withColumn(labelActual,
+      org.apache.spark.sql.functions.col(labelActual).cast("string"))
+    val classes = dfT.select(labelActual).distinct()
       .collect().map(_.get(0)).map(v => if (v == null) null else v.toString).toSeq
     require(!classes.contains(null), "logistic_reg training data carries NULL labels")
     require(classes.size >= 2 && classes.size <= 64,
       s"logistic_reg needs 2..64 distinct labels, got ${classes.size}")
     val ordered = classes.sorted
     val (ws, _) = graft.operators.TextClassifier.trainOneVsRest(
-      df, idCol, textCol, labelCol, ordered, buckets = 4096, epochs = itTxt.toInt)
+      dfT, idCol, textCol, labelActual, ordered, buckets = 4096, epochs = itTxt.toInt)
     modelRegistry.remove(key)
     logisticRegistry(key) = LogisticState(ordered, ws, idCol, textCol, labelCol, 4096,
       query, transform)
@@ -6066,8 +6078,11 @@ object GraftSql {
       s"ML.EVALUATE input must carry the model's text ('${ls.textCol}') and " +
         s"label ('${ls.labelCol}') columns — got (${input.columns.mkString(", ")})")
     import org.apache.spark.sql.{functions => FF}
+    // labels trained as strings (createLogisticModel casts once) —
+    // cast the evaluate input the same way so INT64 labels work
     val pred = graft.operators.TextClassifier.withPrediction(
-      input.select(ls.labelCol, ls.textCol), ls.textCol, ls.classes, ls.weights, ls.buckets)
+      input.select(FF.col(ls.labelCol).cast("string").as(ls.labelCol), FF.col(ls.textCol)),
+      ls.textCol, ls.classes, ls.weights, ls.buckets)
     val counts = pred.groupBy(FF.col(ls.labelCol).as("__t"), FF.col("predicted_label").as("__p"))
       .agg(FF.count(FF.lit(1)).as("__n")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -23,10 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (paths are constructor constants, so a bad path fails the QUERY,
   * not a row). Mutation semantics (the BigQuery rules):
   *
-  *  - SET walks the path CREATING missing object members; a step that
-  *    hits an incompatible node (scalar where an object/array is
-  *    needed) makes the operation a NO-OP. Array indexes beyond the
-  *    end pad with JSON nulls.
+  *  - SET walks the path CREATING the missing remainder, typed by
+  *    lookahead (next step an index → array, a member → object — so
+  *    JSON_SET('{"a":1}', '$.b[2]', 9) gives {"a":1,"b":[null,null,9]},
+  *    BigQuery's recursive-creation rule); a step that hits an
+  *    incompatible PRE-EXISTING node (scalar where a container is
+  *    needed) makes the whole operation a NO-OP — and since
+  *    incompatibility is only possible before any creation starts, a
+  *    no-op leaves the input byte-identical (no created residue).
+  *    Array indexes beyond the end pad with JSON nulls.
   *  - REMOVE deletes the path if present (array removal shifts left);
   *    a missing path is a no-op; removing `$` is loud.
   *  - ARRAY_APPEND appends one value to the array at the path; a
@@ -80,23 +85,55 @@ object JsonMut {
   def newObject(): ObjectNode = mapper.createObjectNode()
   def newArray(): ArrayNode = mapper.createArrayNode()
 
-  /** Navigate to the PARENT of the final step; null if any step is
-    * missing/incompatible. `create=true` creates missing OBJECT
-    * members as objects (the SET rule) — never overwrites scalars.
+  /** Navigate along `steps`; null if any step is missing/incompatible.
+    * Read-only — never mutates.
     */
-  private def walk(root: JsonNode, steps: Seq[Step], create: Boolean): JsonNode = {
+  private def walk(root: JsonNode, steps: Seq[Step]): JsonNode = {
     var cur = root
     steps.foreach { st =>
       if (cur == null) return null
       (cur, st) match {
-        case (o: ObjectNode, Left(f)) =>
-          var nxt = o.get(f)
-          if (nxt == null && create) { nxt = o.putObject(f) }
-          cur = nxt
+        case (o: ObjectNode, Left(f)) => cur = o.get(f)
         case (a: ArrayNode, Right(ix)) =>
           cur = if (ix < a.size) a.get(ix) else null
         case _ => return null
       }
+    }
+    cur
+  }
+
+  /** Navigate to the PARENT of the final step for the SET family.
+    * `create=true` recursively creates the missing remainder of the
+    * path, TYPED BY LOOKAHEAD at the following step (next step is an
+    * index → create/pad an array; a member name → an object) — the
+    * BigQuery rule, e.g. JSON_SET('{"a":1}', '$.b[2]', 9) yields
+    * {"a":1,"b":[null,null,9]}. Never overwrites existing scalars —
+    * an incompatible PRE-EXISTING node returns null BEFORE anything
+    * is created, so a no-op truly leaves the input unchanged (once
+    * creation starts, every deeper node is fresh and lookahead-typed,
+    * so no later step can fail).
+    */
+  private def walkToParent(root: JsonNode, steps: Seq[Step], create: Boolean): JsonNode = {
+    var cur = root
+    var i = 0
+    while (i < steps.length - 1) {
+      if (cur == null) return null
+      val wantArray = steps(i + 1).isRight
+      (cur, steps(i)) match {
+        case (o: ObjectNode, Left(f)) =>
+          var nxt = o.get(f)
+          if (nxt == null && create)
+            nxt = if (wantArray) o.putArray(f) else o.putObject(f)
+          cur = nxt
+        case (a: ArrayNode, Right(ix)) =>
+          if (ix < a.size) cur = a.get(ix)
+          else if (create) {
+            while (a.size < ix) a.add(NullNode.getInstance)
+            cur = if (wantArray) a.addArray() else a.addObject()
+          } else cur = null
+        case _ => return null
+      }
+      i += 1
     }
     cur
   }
@@ -110,7 +147,7 @@ object JsonMut {
           mode: String = "set"): JsonNode = {
     if (steps.isEmpty)
       return if (mode == "insert") root else value.deepCopy[JsonNode]()
-    val parent = walk(root, steps.init, create = mode != "replace")
+    val parent = walkToParent(root, steps, create = mode != "replace")
     (parent, steps.last) match {
       case (o: ObjectNode, Left(f)) =>
         val exists = o.get(f) != null
@@ -136,7 +173,7 @@ object JsonMut {
   def arrayInsert(root: JsonNode, steps: Seq[Step], value: JsonNode): JsonNode = {
     require(steps.nonEmpty && steps.last.isRight,
       "JSON_ARRAY_INSERT's path must end in an array index (e.g. $.a[1])")
-    val parent = walk(root, steps.init, create = false)
+    val parent = walk(root, steps.init)
     (parent, steps.last) match {
       case (a: ArrayNode, Right(ix)) =>
         while (a.size < ix) a.add(NullNode.getInstance)
@@ -157,7 +194,7 @@ object JsonMut {
 
   def remove(root: JsonNode, steps: Seq[Step]): JsonNode = {
     require(steps.nonEmpty, "JSON_REMOVE of the root $ is not allowed")
-    val parent = walk(root, steps.init, create = false)
+    val parent = walk(root, steps.init)
     (parent, steps.last) match {
       case (o: ObjectNode, Left(f)) => o.remove(f); root
       case (a: ArrayNode, Right(ix)) => if (ix < a.size) a.remove(ix); root
@@ -166,7 +203,7 @@ object JsonMut {
   }
 
   def arrayAppend(root: JsonNode, steps: Seq[Step], value: JsonNode): JsonNode = {
-    val target = walk(root, steps, create = false)
+    val target = walk(root, steps)
     target match {
       case a: ArrayNode => a.add(value.deepCopy[JsonNode]()); root
       case _ => root // non-array target: no-op

@@ -155,16 +155,24 @@ object Dedup {
     // a sample-sized input usually arrives as ONE file split, which
     // would run the n² nested loop on one core; spreading the stream
     // side costs a trivial shuffle of n rows and buys full parallelism
-    val a = sh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
+    val a = sh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"),
+        F.size(F.col("sh")).as("__na"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val b = sh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))
-    // the threshold sits in the JOIN CONDITION, after the id ordering:
-    // a post-join .filter would be pushed into the condition AHEAD of
+    val b = sh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"),
+      F.size(F.col("sh")).as("__nb"))
+    // the threshold sits in the JOIN CONDITION, after the id ordering
+    // and the LENGTH FILTER (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t, the classic
+    // set-similarity-join prune — inter ≤ min, union ≥ max): a
+    // post-join .filter would be pushed into the condition AHEAD of
     // `id_a < id_b` (And evaluates left-to-right), doubling the n²
-    // jaccard evaluations; here the cheap id test short-circuits half
-    // the pairs. Survivors (a handful) recompute jaccard in the
-    // projection — noise next to the n² term it avoids.
+    // jaccard evaluations; here the cheap id + integer-size tests
+    // short-circuit the vast majority of pairs before the per-pair
+    // sorted-merge walk ever runs. Survivors (a handful) recompute
+    // jaccard in the projection — noise next to the n² term avoided.
+    val t = F.lit(threshold)
     a.join(b, F.col("id_a") < F.col("id_b") &&
+        F.col("__na").cast("double") >= t * F.col("__nb") &&
+        F.col("__nb").cast("double") >= t * F.col("__na") &&
         native.sorted_jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
       .select(F.col("id_a"), F.col("id_b"),
         native.sorted_jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))

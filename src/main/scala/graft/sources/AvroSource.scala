@@ -112,13 +112,20 @@ private[sources] object AvroSource {
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
             .filter(f => f.isFile && visible(f.getPath.getName))
-        else Seq(st)
+        // glob/plain-file matches keep an explicitly-named extension
+        // choice, but NEVER surface hidden files — a `dir/*` glob must
+        // not read `.inprogress-` streaming shards mid-epoch or
+        // `_SUCCESS`, or the publish-at-commit watermark breaks
+        else Seq(st).filter(f => !hidden(f.getPath.getName))
       }
     }.sortBy(_.getPath.toString)
   }
 
+  def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
   def visible(name: String): Boolean =
-    name.endsWith(".avro") && !name.startsWith(".") && !name.startsWith("_")
+    name.endsWith(".avro") && !hidden(name)
 }
 
 private[sources] class AvroTable(schema: StructType,

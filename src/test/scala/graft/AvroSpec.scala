@@ -98,6 +98,25 @@ class AvroSpec extends SparkSuite {
     assert(back.select(F.sum("v")).head().getLong(0) == (0L until 20000L).map(_ * 2).sum)
   }
 
+  test("glob reads skip hidden files: .inprogress shards and _SUCCESS never surface") {
+    val d = dir()
+    spark.range(0, 10).coalesce(1).write.format("graft-avro")
+      .mode(SaveMode.Append).save(d)
+    // plant a hidden in-progress shard (valid avro bytes, hidden name)
+    // and a _SUCCESS marker — a dir/* glob must read NEITHER, or the
+    // streaming publish-at-commit watermark breaks mid-epoch
+    val visible = new java.io.File(d).listFiles().filter(_.getName.endsWith(".avro")).head
+    val bytes = java.nio.file.Files.readAllBytes(visible.toPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, ".inprogress-e0-part.avro"), bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "_SUCCESS"), Array.empty[Byte])
+    assert(spark.read.format("graft-avro").load(s"$d/*").count() == 10L,
+      "glob read surfaced a hidden file")
+    // directory listing agrees (the long-standing invariant)
+    assert(spark.read.format("graft-avro").load(d).count() == 10L)
+    // an EXPLICITLY named visible file still reads verbatim
+    assert(spark.read.format("graft-avro").load(visible.toString).count() == 10L)
+  }
+
   test("EXPORT DATA / CREATE EXTERNAL TABLE / LOAD DATA speak AVRO end-to-end") {
     val base = dir()
     spark.range(0, 100).select(F.col("id"),

@@ -1828,6 +1828,21 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("""JSON_SET('{}', '$.a', 1, '$.b', 2)""").getString(0) == """{"a":1,"b":2}""")
     // incompatible path step → no-op (the BigQuery rule)
     assert(one("""JSON_SET('{"a":1}', '$.a.b', 2)""").getString(0) == """{"a":1}""")
+    // recursive creation types by LOOKAHEAD: a missing member whose
+    // next step is an index creates an ARRAY (BigQuery's rule), with
+    // beyond-zero padding; deeper mixed chains follow suit
+    assert(one("""JSON_SET('{"a":1}', '$.b[0]', 9)""").getString(0) == """{"a":1,"b":[9]}""")
+    assert(one("""JSON_SET('{"a":1}', '$.b[2]', 9)""").getString(0) == """{"a":1,"b":[null,null,9]}""")
+    assert(one("""JSON_SET('{}', '$.x.y[1].z', 9)""").getString(0) ==
+      """{"x":{"y":[null,{"z":9}]}}""")
+    // intermediate array index beyond the end pads then creates
+    assert(one("""JSON_SET('{"a":[1]}', '$.a[2].b', 9)""").getString(0) ==
+      """{"a":[1,null,{"b":9}]}""")
+    // a no-op is a TRUE no-op: the pre-existing incompatible node is
+    // hit before anything is created, so no empty-container residue
+    assert(one("""JSON_SET('{"a":1}', '$.a.b[0]', 9)""").getString(0) == """{"a":1}""")
+    assert(one("""JSON_SET('{"a":{"b":5}}', '$.a.b[0].c', 9)""").getString(0) ==
+      """{"a":{"b":5}}""")
     // REMOVE: object member, array shift, missing path no-op
     assert(one("""JSON_REMOVE('{"a":1,"b":2}', '$.a')""").getString(0) == """{"b":2}""")
     assert(one("""JSON_REMOVE('{"t":[1,2,3]}', '$.t[0]')""").getString(0) == """{"t":[2,3]}""")
@@ -1935,6 +1950,23 @@ class TypedSqlSpec extends SparkSuite {
     // DROP MODEL removes the logistic entry too
     GraftSql.load(spark, "DROP MODEL lg_m")
     assert(bad("SELECT * FROM ML.PREDICT(MODEL lg_m, TABLE lg_t)").contains("CREATE MODEL"))
+    // non-string labels: INT64 labels train (as their string forms) and
+    // ML.EVALUATE casts the input label the same way — no ClassCast
+    rows.map { case (id, t, l) => (id, t, if (l == "pos") 1L else 0L) }
+      .toDF("id", "text", "label").createOrReplaceTempView("lg_int")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL lg_mi OPTIONS(model_type = 'logistic_reg', " +
+        "max_iterations = 3) AS SELECT id, text, label FROM lg_int")
+    val evi = GraftSql.load(spark, "SELECT * FROM ML.EVALUATE(MODEL lg_mi)").collect().head
+    assert((0 to 3).forall(i => evi.getDouble(i) == 1.0), evi.toString)
+    val predi = GraftSql.load(spark,
+      "SELECT predicted_label FROM ML.PREDICT(MODEL lg_mi, TABLE lg_int)").collect()
+    assert(predi.map(_.getString(0)).toSet == Set("0", "1"))
+    GraftSql.load(spark, "DROP MODEL lg_mi")
+    // a mis-ordered select list (text in the id slot, id in the text
+    // slot) is LOUD, not a silent train-on-ids
+    assert(bad("CREATE OR REPLACE MODEL lg_x OPTIONS(model_type = 'logistic_reg') " +
+      "AS SELECT text, id, label FROM lg_t").contains("must be STRING"))
   }
 
   test("CREATE MODEL TRANSFORM: preprocessing re-applies at train, predict and evaluate") {
