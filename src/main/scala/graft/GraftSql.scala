@@ -2892,7 +2892,7 @@ object GraftSql {
     def prevNonWs: Char = {
       var p = out.length - 1
       while (p >= 0 && Character.isWhitespace(out.charAt(p))) p -= 1
-      if (p < 0) ' ' else out.charAt(p)
+      if (p < 0) '\u0000' else out.charAt(p)
     }
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -5904,6 +5904,17 @@ object GraftSql {
   private val logisticRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), LogisticState]
 
+  // linear_reg models: closed-form normal-equations OLS
+  // (graft.sql.LinearReg) — coef(0) is the intercept; idCol is the
+  // TRANSFORM join-back key (None for plain AS-SELECT models, whose
+  // predictions compute in place)
+  private case class LinearState(featureCols: Seq[String], labelCol: String,
+                                 coef: Seq[Double], trainQuery: String,
+                                 transform: Option[String], idCol: Option[String])
+
+  private val linearRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), LinearState]
+
   private def modelKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name.toLowerCase)
 
@@ -5924,7 +5935,8 @@ object GraftSql {
         "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
       val name = viewName(rawName)
       val key = modelKey(spark, name)
-      if (modelRegistry.contains(key) || logisticRegistry.contains(key)) {
+      if (modelRegistry.contains(key) || logisticRegistry.contains(key) ||
+          linearRegistry.contains(key)) {
         if (ifNot != null) return spark.emptyDataFrame
         require(orRep != null,
           s"model '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
@@ -5934,12 +5946,14 @@ object GraftSql {
         throw new IllegalArgumentException("CREATE MODEL requires OPTIONS(model_type = ...)"))
       if (mtype.equalsIgnoreCase("logistic_reg"))
         return createLogisticModel(spark, key, opts, query, Option(transform).map(_.trim))
+      if (mtype.equalsIgnoreCase("linear_reg"))
+        return createLinearModel(spark, key, opts, query, Option(transform).map(_.trim))
       require(transform == null,
-        "TRANSFORM is supported for model_type='logistic_reg' only — kmeans features " +
-          "are one integral array column; preprocess in the AS SELECT instead")
+        "TRANSFORM is supported for model_type='logistic_reg'/'linear_reg' only — kmeans " +
+          "features are one integral array column; preprocess in the AS SELECT instead")
       require(mtype.equalsIgnoreCase("kmeans"),
-        s"model_type '$mtype' is not supported — 'kmeans' and 'logistic_reg' are the " +
-          "implemented classes (retrieval lives in operators.Similarity)")
+        s"model_type '$mtype' is not supported — 'kmeans', 'logistic_reg' and 'linear_reg' " +
+          "are the implemented classes (retrieval lives in operators.Similarity)")
       val unknown = opts.keySet -- Set("model_type", "num_clusters", "max_iterations")
       require(unknown.isEmpty,
         s"unsupported CREATE MODEL option(s): ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -5965,6 +5979,7 @@ object GraftSql {
       val centroids = graft.operators.Clustering.kmeansTrain(
         df, kTxt.toInt, itTxt.toInt, idCol, vecCol)
       logisticRegistry.remove(key)
+      linearRegistry.remove(key)
       modelRegistry(key) = ModelState(centroids, idCol, vecCol, kTxt.toInt,
         itTxt.toInt, query)
       spark.emptyDataFrame
@@ -6039,8 +6054,71 @@ object GraftSql {
     val (ws, _) = graft.operators.TextClassifier.trainOneVsRest(
       dfT, idCol, textCol, labelActual, ordered, buckets = 4096, epochs = itTxt.toInt)
     modelRegistry.remove(key)
+    linearRegistry.remove(key)
     logisticRegistry(key) = LogisticState(ordered, ws, idCol, textCol, labelCol, 4096,
       query, transform)
+    spark.emptyDataFrame
+  }
+
+  /** `model_type='linear_reg'` — the last of BigQuery's big-three
+    * BQML classes, dispatched onto [[graft.sql.LinearReg]]: closed-form
+    * normal-equations OLS from ONE exact-decimal aggregate pass (no
+    * iteration — `optimize_strategy='batch_gradient_descent'` and
+    * `max_iterations` are LOUD, not ignored; BigQuery's AUTO_STRATEGY
+    * picks NORMAL_EQUATION for bounded feature lists, exactly this).
+    * Contract: the AS SELECT produces (f₁ … fₚ, label) — every
+    * non-label column is a feature (BigQuery's rule), 1..16 of them,
+    * each integral or DECIMAL-typed (doubles loud — the float-parity
+    * discipline; cast to the data's true decimal width). With a
+    * TRANSFORM(select_list) the emitted shape is (id, f₁ … fₚ, label):
+    * the leading id is the ML.PREDICT join-back key (the A48
+    * passthrough mechanism), excluded from the features.
+    */
+  private def createLinearModel(spark: SparkSession, key: (Int, String),
+                                opts: Map[String, String], query: String,
+                                transform: Option[String] = None): DataFrame = {
+    val unknown = opts.keySet -- Set("model_type", "input_label_cols", "optimize_strategy")
+    require(unknown.isEmpty,
+      s"unsupported CREATE MODEL linear_reg option(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        "(supported: model_type, input_label_cols, optimize_strategy — the closed-form " +
+        "solve has no iteration/learning-rate knobs)")
+    opts.get("optimize_strategy").foreach { s =>
+      require(s.equalsIgnoreCase("normal_equation") || s.equalsIgnoreCase("auto_strategy"),
+        s"optimize_strategy '$s' is not supported — the engine solves the normal " +
+          "equations in closed form (NORMAL_EQUATION; AUTO_STRATEGY resolves to it)")
+    }
+    val labelCol = opts.get("input_label_cols") match {
+      case None => "label"
+      case Some(v) =>
+        val m = """(?i)^\[\s*'([A-Za-z_]\w*)'\s*\]$""".r
+        v.trim match {
+          case m(c) => c
+          case _ => throw new IllegalArgumentException(
+            s"input_label_cols must be ['one_column'], got: $v")
+        }
+    }
+    val df = applyTransform(spark, load(spark, query), transform)
+    require(df.columns.exists(_.equalsIgnoreCase(labelCol)),
+      s"CREATE MODEL linear_reg: no label column '$labelCol' in " +
+        s"(${df.columns.mkString(", ")})")
+    val nonLabel = df.columns.filterNot(_.equalsIgnoreCase(labelCol)).toSeq
+    val (idCol, featureCols) = transform match {
+      case Some(_) =>
+        require(nonLabel.length >= 2,
+          "linear_reg TRANSFORM must emit (id, features..., label) — the leading id " +
+            "column is the ML.PREDICT join-back key")
+        (Some(nonLabel.head), nonLabel.tail)
+      case None => (None, nonLabel)
+    }
+    require(featureCols.nonEmpty && featureCols.length <= 16,
+      s"linear_reg supports 1..16 features, got ${featureCols.length} " +
+        s"(${featureCols.mkString(", ")})")
+    val labelActual = df.columns.find(_.equalsIgnoreCase(labelCol)).get
+    val coef = graft.sql.LinearReg.train(df, featureCols, labelActual)
+    modelRegistry.remove(key)
+    logisticRegistry.remove(key)
+    linearRegistry(key) = LinearState(featureCols, labelActual, coef.toSeq, query,
+      transform, idCol)
     spark.emptyDataFrame
   }
 
@@ -6183,6 +6261,13 @@ object GraftSql {
           w.zipWithIndex.collect { case (wt, b) if wt != 0 => (c, b.toLong, wt.toLong) }
         }.toDF("class_label", "bucket", "weight")
       case None =>
+        // linear_reg weights HAVE names (BigQuery's processed_input,
+        // '__INTERCEPT__' for the bias — its actual spelling)
+        linearRegistry.get(modelKey(spark, name)).foreach { lr =>
+          import spark.implicits._
+          return ("__INTERCEPT__" +: lr.featureCols).zip(lr.coef)
+            .toDF("processed_input", "weight")
+        }
         require(modelRegistry.contains(modelKey(spark, name)),
           s"ML.WEIGHTS: no model named '$name' — run CREATE MODEL first")
         throw new IllegalArgumentException(
@@ -6208,10 +6293,11 @@ object GraftSql {
           c.zipWithIndex.map { case (v, d) => (i + 1, d + 1, v) }
         }.toDF("centroid_id", "feature", "numerical_value")
       case None =>
-        require(logisticRegistry.contains(modelKey(spark, name)),
+        require(logisticRegistry.contains(modelKey(spark, name)) ||
+            linearRegistry.contains(modelKey(spark, name)),
           s"ML.CENTROIDS: no model named '$name' — run CREATE MODEL first")
         throw new IllegalArgumentException(
-          s"ML.CENTROIDS on the logistic_reg model '$name' — classifier state is ML.WEIGHTS")
+          s"ML.CENTROIDS on the non-kmeans model '$name' — its state is ML.WEIGHTS")
     }
   }
 
@@ -6261,6 +6347,41 @@ object GraftSql {
               transformed, ls.textCol, ls.classes, ls.weights, ls.buckets)
             .select(ls.idCol, "predicted_label", "predicted_label_raw", "predicted_probs")
           return input.join(preds, Seq(ls.idCol))
+      }
+    }
+    linearRegistry.get(modelKey(spark, modelName)).foreach { lr =>
+      // BigQuery shape: every input column passes through, plus
+      // predicted_<label> (one double expression — no join, no shuffle)
+      val predName = s"predicted_${lr.labelCol}"
+      require(!input.columns.map(_.toLowerCase).contains(predName.toLowerCase),
+        s"ML.PREDICT input already carries a '$predName' column — rename it")
+      lr.transform match {
+        case None =>
+          lr.featureCols.foreach { c =>
+            require(input.columns.contains(c),
+              s"ML.PREDICT input must carry the model's feature column '$c' " +
+                s"(input columns: ${input.columns.mkString(", ")})")
+          }
+          return input.withColumn(predName,
+            graft.sql.LinearReg.predictExpr(lr.coef, lr.featureCols))
+        case Some(_) =>
+          // the TRANSFORM contract (the A48 mechanism): re-apply the
+          // model's expressions to the RAW input, compute the
+          // prediction on the transformed frame, join back on the id
+          val id = lr.idCol.get
+          require(input.columns.contains(id),
+            s"ML.PREDICT with a TRANSFORM model joins predictions back on '$id' — " +
+              s"the input must carry it (input columns: ${input.columns.mkString(", ")})")
+          val transformed = applyTransform(spark, input, lr.transform)
+          (id +: lr.featureCols).foreach { c =>
+            require(transformed.columns.contains(c),
+              s"the model's TRANSFORM must emit '$c' (emitted: " +
+                s"${transformed.columns.mkString(", ")})")
+          }
+          val preds = transformed.withColumn(predName,
+              graft.sql.LinearReg.predictExpr(lr.coef, lr.featureCols))
+            .select(id, predName)
+          return input.join(preds, Seq(id))
       }
     }
     val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
@@ -6316,6 +6437,23 @@ object GraftSql {
       // a TRANSFORM model preprocesses evaluation input exactly like
       // training input
       return evaluateLogistic(spark, ls, applyTransform(spark, input, ls.transform))
+    }
+    linearRegistry.get(modelKey(spark, modelName)).foreach { lr =>
+      val input = inputOpt match {
+        case None => load(spark, lr.trainQuery)
+        case Some(TableRe(t)) => spark.table(viewName(t))
+        case Some(q) if q.startsWith("(") && q.endsWith(")") =>
+          load(spark, q.substring(1, q.length - 1))
+        case Some(other) => throw new IllegalArgumentException(
+          s"ML.EVALUATE input must be TABLE t or a parenthesized query, got: $other")
+      }
+      val evalFrame = applyTransform(spark, input, lr.transform)
+      (lr.featureCols :+ lr.labelCol).foreach { c =>
+        require(evalFrame.columns.contains(c),
+          s"ML.EVALUATE input must carry the model's '$c' column " +
+            s"(columns: ${evalFrame.columns.mkString(", ")})")
+      }
+      return graft.sql.LinearReg.evaluate(evalFrame, lr.featureCols, lr.labelCol, lr.coef)
     }
     val ms = modelRegistry.getOrElse(modelKey(spark, modelName),
       throw new IllegalArgumentException(
@@ -6446,7 +6584,8 @@ object GraftSql {
     case DropModelRe(ifExists, rawName) =>
       val name = viewName(rawName)
       val key = modelKey(spark, name)
-      val removed = modelRegistry.remove(key).nonEmpty | logisticRegistry.remove(key).nonEmpty
+      val removed = modelRegistry.remove(key).nonEmpty |
+        logisticRegistry.remove(key).nonEmpty | linearRegistry.remove(key).nonEmpty
       require(removed || ifExists != null,
         s"DROP MODEL $name: no such model (use IF EXISTS to ignore)")
       spark.emptyDataFrame

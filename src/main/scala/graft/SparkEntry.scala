@@ -3257,6 +3257,47 @@ object SparkEntry {
       graft.GraftSql.load(s,
         "SELECT * FROM ML.WEIGHTS(MODEL lgw_model) ORDER BY class_label, bucket")
     }),
+    // A49 (round 13): CREATE MODEL linear_reg — closed-form
+    // normal-equations OLS (graft.sql.LinearReg). The face keeps every
+    // sum INTEGER-exact (quantity as BIGINT, price as cents), so both
+    // engines fold identical exact sums into the SAME textual
+    // closed-form doubles — predictions replay bit-for-bit. This is
+    // the first fully independent cross-engine ML oracle: DuckDB
+    // re-derives slope/intercept from raw data, no training unroll
+    "sql_ml_linear" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          F.col("l_quantity").cast("bigint").as("qty"),
+          (F.col("l_extendedprice").cast("decimal(14,2)") * F.lit(100)).cast("bigint")
+            .as("label"))
+        .createOrReplaceTempView("linr_src")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE MODEL linr_model OPTIONS(model_type = 'linear_reg') " +
+          "AS SELECT qty, label FROM linr_src")
+      graft.GraftSql.load(s,
+        """SELECT l_orderkey, l_linenumber, qty, label, predicted_label
+          |FROM ML.PREDICT(MODEL linr_model, TABLE linr_src)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+    // A49b: ML.WEIGHTS (named inputs + __INTERCEPT__) × ML.EVALUATE
+    // (mean_squared_error / r2_score) for the same model — the metric
+    // fold is the stated algebraic SSE identity over the exact sums,
+    // replayed term-for-term
+    "sql_ml_linear_eval" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(F.col("l_quantity").cast("bigint").as("qty"),
+          (F.col("l_extendedprice").cast("decimal(14,2)") * F.lit(100)).cast("bigint")
+            .as("label"))
+        .createOrReplaceTempView("line_src")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE MODEL line_model OPTIONS(model_type = 'linear_reg') " +
+          "AS SELECT qty, label FROM line_src")
+      graft.GraftSql.load(s,
+        """SELECT w.processed_input, w.weight, e.mean_squared_error, e.r2_score
+          |FROM ML.WEIGHTS(MODEL line_model) w
+          |CROSS JOIN ML.EVALUATE(MODEL line_model) e
+          |ORDER BY w.processed_input""".stripMargin)
+    }),
     // A43b (round 12): ML.CENTROIDS — the kmeans model's state table;
     // exact-integer sums + one division per component, so the kc2
     // replay (the sql_ml_kmeans CTEs) unnests to the same doubles
@@ -5922,6 +5963,52 @@ object SparkEntry {
       // replay through `best`, then confusion counts and the macro
       // metrics as the SAME fixed-order folds evaluateLogistic runs
       // (left-associative +, one division per ratio — bit-equal)
+      // A49: the fully INDEPENDENT cross-engine ML oracle — DuckDB
+      // re-derives the OLS coefficients from the raw table via the
+      // same textual closed form over exact HUGEINT sums (the engine's
+      // sums are exact decimals of the same integers; both convert to
+      // doubles once, correctly rounded, then fold identically)
+      "sql_ml_linear" ->
+        """WITH src AS (SELECT l_orderkey, l_linenumber,
+          |                    CAST(l_quantity AS BIGINT) AS qty,
+          |                    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS label
+          |             FROM lineitem),
+          |sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          |                CAST(SUM(CAST(qty AS HUGEINT)) AS DOUBLE) AS sx,
+          |                CAST(SUM(CAST(label AS HUGEINT)) AS DOUBLE) AS sy,
+          |                CAST(SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS DOUBLE) AS sxx,
+          |                CAST(SUM(CAST(qty AS HUGEINT) * CAST(label AS HUGEINT)) AS DOUBLE) AS sxy
+          |         FROM src),
+          |c1 AS (SELECT n, sx, sy, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1 FROM sums),
+          |c2 AS (SELECT b1, (sy - b1 * sx) / n AS b0 FROM c1)
+          |SELECT src.l_orderkey, src.l_linenumber, src.qty, src.label,
+          |       c2.b0 + c2.b1 * CAST(src.qty AS DOUBLE) AS predicted_label
+          |FROM src CROSS JOIN c2
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      // A49b: ML.WEIGHTS + ML.EVALUATE replay — the SSE fold is the
+      // stated algebraic identity, term-for-term in the engine's
+      // left-to-right order
+      "sql_ml_linear_eval" ->
+        """WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+          |                    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS label
+          |             FROM lineitem),
+          |sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          |                CAST(SUM(CAST(qty AS HUGEINT)) AS DOUBLE) AS sx,
+          |                CAST(SUM(CAST(label AS HUGEINT)) AS DOUBLE) AS sy,
+          |                CAST(SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS DOUBLE) AS sxx,
+          |                CAST(SUM(CAST(qty AS HUGEINT) * CAST(label AS HUGEINT)) AS DOUBLE) AS sxy,
+          |                CAST(SUM(CAST(label AS HUGEINT) * CAST(label AS HUGEINT)) AS DOUBLE) AS syy
+          |         FROM src),
+          |c1 AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1 FROM sums),
+          |c2 AS (SELECT *, (sy - b1 * sx) / n AS b0 FROM c1),
+          |e1 AS (SELECT *, syy - 2 * b0 * sy - 2 * b1 * sxy + b0 * b0 * n
+          |                 + b0 * b1 * sx + b1 * b0 * sx + b1 * b1 * sxx AS sse FROM c2)
+          |SELECT w.processed_input, w.weight, e1.sse / e1.n AS mean_squared_error,
+          |       1 - e1.sse / (e1.syy - e1.sy * e1.sy / e1.n) AS r2_score
+          |FROM (SELECT '__INTERCEPT__' AS processed_input, b0 AS weight FROM c2
+          |      UNION ALL SELECT 'qty', b1 FROM c2) w
+          |CROSS JOIN e1
+          |ORDER BY w.processed_input""".stripMargin,
       "sql_ml_logistic" ->
         """WITH documents4 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
           |cls AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) c(lang_c, k)),

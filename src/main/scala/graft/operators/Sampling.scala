@@ -189,7 +189,7 @@ object Sampling {
     val leftover = if (totalW == 0) 0 else (BigInt(k) - quotas.map(_._2).sum).toInt
     val bonus = quotas.zipWithIndex
       .sortBy { case ((r, _, rem), _) =>
-        (-rem, groupCols.map(c => String.valueOf(r.getAs[Any](c))).mkString(" "))
+        (-rem, groupCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("\u0000"))
       }
       .take(leftover).map(_._2).toSet
     val allocRows = quotas.zipWithIndex.map { case ((r, base, _), i) =>

@@ -2008,6 +2008,103 @@ class TypedSqlSpec extends SparkSuite {
       "AS SELECT id, title, body, label FROM lgt_t").contains("(id, text, label)"))
   }
 
+  test("CREATE MODEL linear_reg: closed-form OLS train / ML.PREDICT / ML.EVALUATE / ML.WEIGHTS / DROP") {
+    import spark.implicits._
+    def bad(sql: String): String =
+      intercept[Exception] { GraftSql.load(spark, sql).collect() }.getMessage
+    // exactly-linear integer data: y = 3 + 2x — the closed form
+    // recovers the coefficients EXACTLY (all sums exact, the final
+    // divisions exact), so predictions and metrics are bit-pinnable
+    (0 until 20).map(i => (i.toLong, 3L + 2L * i)).toDF("x", "label")
+      .createOrReplaceTempView("lin_t")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL lin_m OPTIONS(model_type = 'linear_reg') " +
+        "AS SELECT x, label FROM lin_t")
+    val pred = GraftSql.load(spark,
+      "SELECT x, label, predicted_label FROM ML.PREDICT(MODEL lin_m, TABLE lin_t) ORDER BY x")
+      .collect()
+    assert(pred.length == 20)
+    assert(pred.forall(r => r.getDouble(2) == r.getLong(1).toDouble),
+      "exact linear data must predict exactly")
+    // ML.EVALUATE: zero residuals → mse exactly 0.0, r2 exactly 1.0
+    // (the algebraic fold is exact integer arithmetic here); default
+    // input = the training query
+    val ev = GraftSql.load(spark, "SELECT * FROM ML.EVALUATE(MODEL lin_m)").collect().head
+    assert(ev.getDouble(ev.fieldIndex("mean_squared_error")) == 0.0, ev.toString)
+    assert(ev.getDouble(ev.fieldIndex("r2_score")) == 1.0, ev.toString)
+    val ev2 = GraftSql.load(spark,
+      "SELECT * FROM ML.EVALUATE(MODEL lin_m, TABLE lin_t)").collect().head
+    assert(ev2 == ev)
+    // ML.WEIGHTS: named inputs, '__INTERCEPT__' for the bias
+    val w = GraftSql.load(spark, "SELECT * FROM ML.WEIGHTS(MODEL lin_m)").collect()
+    assert(w.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("__INTERCEPT__", 3.0), ("x", 2.0)))
+    assert(bad("SELECT * FROM ML.CENTROIDS(MODEL lin_m)").contains("ML.WEIGHTS"))
+    // multi-feature (Gaussian elimination path): y = 1 + 2a + 3b
+    (0 until 30).map(i => (i.toLong, ((i * 7) % 11).toLong, 1L + 2L * i + 3L * ((i * 7) % 11)))
+      .toDF("a", "b", "label").createOrReplaceTempView("lin2_t")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL lin2_m OPTIONS(model_type = 'linear_reg', " +
+        "optimize_strategy = 'NORMAL_EQUATION') AS SELECT a, b, label FROM lin2_t")
+    val w2 = GraftSql.load(spark, "SELECT * FROM ML.WEIGHTS(MODEL lin2_m)").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w2("__INTERCEPT__") - 1.0) < 1e-9 &&
+      math.abs(w2("a") - 2.0) < 1e-9 && math.abs(w2("b") - 3.0) < 1e-9, w2.toString)
+    // decimal features keep their scale exactly
+    (0 until 20).map(i => (BigDecimal(i) / 4, BigDecimal(3) + BigDecimal(i) / 2))
+      .toDF("x", "label").createOrReplaceTempView("lind_t")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL lind_m OPTIONS(model_type = 'linear_reg') " +
+        "AS SELECT CAST(x AS DECIMAL(9,2)) AS x, CAST(label AS DECIMAL(9,2)) AS label " +
+        "FROM lind_t")
+    val wd = GraftSql.load(spark, "SELECT * FROM ML.WEIGHTS(MODEL lind_m)").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wd("__INTERCEPT__") == 3.0 && wd("x") == 2.0, wd.toString)
+    // TRANSFORM: (id, features..., label), predictions join back on id
+    (0 until 20).map(i => (i.toLong, i.toDouble, 3L + 2L * i))
+      .toDF("id", "xr", "label").createOrReplaceTempView("lint_t")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE MODEL lint_m
+        |TRANSFORM(id, CAST(xr AS DECIMAL(9,0)) AS x, label)
+        |OPTIONS(model_type = 'linear_reg')
+        |AS SELECT id, xr, label FROM lint_t""".stripMargin)
+    val pt = GraftSql.load(spark,
+      "SELECT * FROM ML.PREDICT(MODEL lint_m, TABLE lint_t) ORDER BY id")
+    assert(pt.columns.toSet == Set("id", "xr", "label", "predicted_label"))
+    assert(pt.collect().forall(r =>
+      r.getDouble(r.fieldIndex("predicted_label")) == r.getLong(r.fieldIndex("label")).toDouble))
+    val evt = GraftSql.load(spark, "SELECT * FROM ML.EVALUATE(MODEL lint_m)").collect().head
+    assert(evt.getDouble(1) == 1.0, evt.toString)
+    // louds: double feature (no true decimal width), unknown/GD
+    // options, max_iterations (no iteration exists), missing label,
+    // NULL labels, missing predict column
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg') " +
+      "AS SELECT xr, label FROM lint_t").contains("integral or DECIMAL"))
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg', " +
+      "l2_reg = 0.1) AS SELECT x, label FROM lin_t").contains("l2_reg"))
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg', " +
+      "optimize_strategy = 'batch_gradient_descent') AS SELECT x, label FROM lin_t")
+      .contains("closed form"))
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg', " +
+      "max_iterations = 5) AS SELECT x, label FROM lin_t").contains("max_iterations"))
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg') " +
+      "AS SELECT x AS a, label AS b FROM lin_t").contains("label"))
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg') " +
+      "AS SELECT x, IF(x = 3, CAST(NULL AS BIGINT), label) AS label FROM lin_t")
+      .contains("NULL"))
+    assert(bad("SELECT * FROM ML.PREDICT(MODEL lin_m, (SELECT 1 AS z))")
+      .contains("feature column"))
+    // constant feature: singular normal equations are loud
+    assert(bad("CREATE OR REPLACE MODEL lin_x OPTIONS(model_type = 'linear_reg') " +
+      "AS SELECT CAST(7 AS BIGINT) AS x, label FROM lin_t").contains("degenerate"))
+    // DROP MODEL removes the linear entry
+    GraftSql.load(spark, "DROP MODEL lin_m")
+    assert(bad("SELECT * FROM ML.PREDICT(MODEL lin_m, TABLE lin_t)").contains("CREATE MODEL"))
+    GraftSql.load(spark, "DROP MODEL lin2_m")
+    GraftSql.load(spark, "DROP MODEL lind_m")
+    GraftSql.load(spark, "DROP MODEL lint_m")
+  }
+
   test("GAP_FILL TVF: day-bucket densify with locf/null methods, louds for the rest") {
     import spark.implicits._
     Seq(("x", "2024-03-01", 1.0), ("x", "2024-03-04", 4.0), ("y", "2024-03-02", 2.0))
