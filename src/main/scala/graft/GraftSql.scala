@@ -3190,6 +3190,7 @@ object GraftSql {
         return spark.emptyDataFrame
       }
       mvRegistry.remove(mvKey(spark, name))
+      partRegistry.remove(mvKey(spark, name))
       graft.sources.Versioned.unregister(spark, name)
       if (!spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
         spark.sql(s"DROP TABLE `$name`") // a managed (saveAsTable) table
@@ -3291,6 +3292,7 @@ object GraftSql {
             .write.mode("overwrite").parquet(path)
       }
       spark.read.parquet(path).createOrReplaceTempView(name)
+      partRegistry(mvKey(spark, name)) = path
       spark.table(name)
     case _ => throw new IllegalArgumentException(
       "not a partitioned/clustered CTAS (expected: CREATE [OR REPLACE] TABLE " +
@@ -4321,6 +4323,11 @@ object GraftSql {
 
   private val mvRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), MvState]
+
+  // A41 CTAS layouts (name → on-disk path), consulted by
+  // INFORMATION_SCHEMA.PARTITIONS — file-level metadata only
+  private val partRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   private def mvKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name.toLowerCase)
@@ -5694,8 +5701,8 @@ object GraftSql {
     * Honored surface: `ts_column => '<col>'` (required),
     * `bucket_width => INTERVAL 1 DAY` (the only width — non-day
     * buckets are loud), `partitioning_columns => ['a', ...]`
-    * (optional), `value_columns => [('col', 'locf'|'null'), ...]`
-    * (optional; `linear` is loud — [[graft.operators.Resample.gapFill]]
+    * (optional), `value_columns => [('col', 'locf'|'null'|'linear'),
+    * ...]` (optional — [[graft.operators.Resample.gapFill]]
     * carries the methods). The input table must be one row per
     * (partitioning, ts) bucket, the shape BigQuery documents.
     */
@@ -6592,7 +6599,7 @@ object GraftSql {
     case _ => throw new IllegalArgumentException("not a DROP MODEL statement")
   }
 
-  // ── INFORMATION_SCHEMA.TABLES / .COLUMNS ─────────────────────────
+  // ── INFORMATION_SCHEMA.TABLES / .COLUMNS / .PARTITIONS ───────────
   //
   // BigQuery's metadata views, scoped to this engine's session
   // catalog (temp views ARE the tables here). Resolved textually like
@@ -6611,6 +6618,7 @@ object GraftSql {
     val out = new StringBuilder
     var i = 0; var inStr = false; var inTick = false
     var replacedTables = false; var replacedColumns = false
+    var replacedPartitions = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
@@ -6627,13 +6635,17 @@ object GraftSql {
         } else if (upper.startsWith("COLUMNS", rest) &&
           (rest + 7 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 7)) && sql.charAt(rest + 7) != '_')) {
           out ++= "__information_schema_columns"; replacedColumns = true; i = rest + 7
+        } else if (upper.startsWith("PARTITIONS", rest) &&
+          (rest + 10 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 10)) && sql.charAt(rest + 10) != '_')) {
+          out ++= "__information_schema_partitions"; replacedPartitions = true; i = rest + 10
         } else throw new IllegalArgumentException(
-          "only INFORMATION_SCHEMA.TABLES and INFORMATION_SCHEMA.COLUMNS are available " +
-            "(a session catalog has no partitions/jobs/routines metadata)")
+          "only INFORMATION_SCHEMA.TABLES, .COLUMNS and .PARTITIONS are available " +
+            "(a session catalog has no jobs/routines metadata)")
       } else { out += c; i += 1 }
     }
     if (replacedTables) tablesView(spark).createOrReplaceTempView("__information_schema_tables")
     if (replacedColumns) columnsView(spark).createOrReplaceTempView("__information_schema_columns")
+    if (replacedPartitions) partitionsView(spark).createOrReplaceTempView("__information_schema_partitions")
     out.toString
   }
 
@@ -6658,6 +6670,80 @@ object GraftSql {
       }
     }.toDF("table_catalog", "table_schema", "table_name", "column_name",
       "ordinal_position", "is_nullable", "data_type")
+  }
+
+  /** BigQuery's `INFORMATION_SCHEMA.PARTITIONS` over this engine's
+    * PHYSICAL tables: one row per `p_day=` directory of an A41
+    * partitioned CTAS layout (partition_id = YYYYMMDD, BigQuery's
+    * day-partition spelling), and one unpartitioned row
+    * (partition_id NULL) for clustered-only CTAS layouts and for A33
+    * Versioned tables (latest commit's live set; last_modified_time
+    * is the commit timestamp). total_rows comes from parquet FOOTERS
+    * and sizes/mtimes from the file listing — one directory listing
+    * plus one footer read per file, never a data scan, metadata-sized
+    * like the real view. Plain temp views have no physical layout and
+    * so no row here, matching the TABLES/COLUMNS session-catalog scope
+    * note above.
+    */
+  private def partitionsView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).toSeq.filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    def footerRows(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }
+    val sid = System.identityHashCode(spark)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Option[String], Long, Long, java.sql.Timestamp)]
+    val partTables = partRegistry.toSeq
+      .collect { case ((s, n), p) if s == sid => (n, p) }.sortBy(_._1)
+    for ((name, path) <- partTables) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        val dayDirs = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+          .sortBy(_.getPath.getName)
+        if (dayDirs.nonEmpty) {
+          for (d <- dayDirs) {
+            val files = dataFiles(fs, d.getPath)
+            if (files.nonEmpty)
+              buf += (("graft", "session", name,
+                Some(d.getPath.getName.stripPrefix("p_day=").replace("-", "")),
+                files.map(footerRows).sum, files.map(_.getLen).sum,
+                new java.sql.Timestamp(files.map(_.getModificationTime).max)))
+          }
+        } else {
+          val files = dataFiles(fs, root)
+          if (files.nonEmpty)
+            buf += (("graft", "session", name, None,
+              files.map(footerRows).sum, files.map(_.getLen).sum,
+              new java.sql.Timestamp(files.map(_.getModificationTime).max)))
+        }
+      }
+    }
+    for ((name, table) <- graft.sources.Versioned.registeredTables(spark)) {
+      val cs = graft.sources.Versioned.commits(spark, table)
+      if (cs.nonEmpty) {
+        val latest = cs.maxBy(_.version)
+        val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+        val files = latest.live.flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$table/$d")
+          if (fs.exists(p)) dataFiles(fs, p) else Nil
+        }
+        buf += (("graft", "session", name, None,
+          files.map(footerRows).sum, files.map(_.getLen).sum,
+          new java.sql.Timestamp(latest.commitTsUs / 1000L)))
+      }
+    }
+    buf.toSeq.toDF("table_catalog", "table_schema", "table_name",
+      "partition_id", "total_rows", "total_logical_bytes", "last_modified_time")
   }
 
   private def bqTypeName(dt: org.apache.spark.sql.types.DataType): String = {

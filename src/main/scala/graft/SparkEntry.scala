@@ -534,6 +534,23 @@ object SparkEntry {
           |  value_columns => [('avg_value', 'locf')])
           |ORDER BY event_type, day""".stripMargin)
     }),
+    // GAP_FILL's third method (round 13): linear interpolation between
+    // the bracketing observations. Clicks lose days 7-9 of every month
+    // so interior 3-day gaps exercise fractions 1/4, 2/4, 3/4 — exact
+    // in doubles, and the fold replays textually in DuckDB
+    "sql_gap_fill_linear" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(!(F.dayofmonth(F.col("ts")).isin(7, 8, 9) && F.col("event_type") === "click"))
+        .groupBy(F.col("event_type"), evDay(F.col("ts")).as("day"))
+        .agg(davg(F.col("value")).as("avg_value"))
+        .createOrReplaceTempView("gf_daily_lin")
+      graft.GraftSql.load(s,
+        """SELECT * FROM GAP_FILL(TABLE gf_daily_lin, ts_column => 'day',
+          |  bucket_width => INTERVAL 1 DAY,
+          |  partitioning_columns => ['event_type'],
+          |  value_columns => [('avg_value', 'linear')])
+          |ORDER BY event_type, day""".stripMargin)
+    }),
     // A29: the (day × key) completeness grid over a feed with
     // deterministic punched holes (clicks vanish on every 5th
     // day-of-month) — missing partitions surface as n_rows = 0
@@ -785,6 +802,23 @@ object SparkEntry {
           F.min("event_id").as("min_id"), F.max("event_id").as("max_id"))
         .withColumnRenamed("p_day", "day")
         .orderBy("day", "event_type")
+    }),
+
+    // A37b driver face (round 13): INFORMATION_SCHEMA.PARTITIONS over
+    // an A41 day-partitioned layout — partition ids, row counts and
+    // sizes come from the file listing + parquet FOOTERS (no data
+    // scan); the oracle replays partition_id/total_rows as a direct
+    // group-by over the source
+    "sql_partition_meta" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("pmeta_events")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE TABLE pmeta_daily PARTITION BY DATE(ts) CLUSTER BY user_id
+          |AS SELECT event_id, ts, user_id, event_type, value FROM pmeta_events""".stripMargin)
+      graft.GraftSql.load(s,
+        """SELECT table_name, partition_id, total_rows
+          |FROM INFORMATION_SCHEMA.PARTITIONS
+          |WHERE table_name = 'pmeta_daily'
+          |ORDER BY partition_id""".stripMargin)
     }),
 
     // A36c driver face: a stored procedure defined and CALLed through
@@ -3704,6 +3738,13 @@ object SparkEntry {
           |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
           |FROM e WHERE day BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'
           |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // PARTITIONS metadata view: footer-derived per-day row counts
+      // replay as a direct group-by over the source table
+      "sql_partition_meta" ->
+        """SELECT 'pmeta_daily' AS table_name,
+          |       strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y%m%d') AS partition_id,
+          |       COUNT(*) AS total_rows
+          |FROM events GROUP BY 2 ORDER BY partition_id""".stripMargin,
       // the stored-procedure face replays as the fully-substituted
       // statement (g=1.0, cap=7)
       "sql_procedure" ->
@@ -3863,6 +3904,42 @@ object SparkEntry {
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
           |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
           |ORDER BY event_type, day""".stripMargin,
+      // linear method: same densify, then interpolate between the
+      // bracketing observations with the identical textual fold
+      // pv + (nv - pv) * (Δ / span) over doubles
+      "sql_gap_fill_linear" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
+          |  FROM events
+          |  WHERE NOT (date_part('day', ts) IN (7, 8, 9) AND event_type = 'click')
+          |  GROUP BY 1, 2),
+          |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+          |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+          |grid AS (SELECT ks.event_type AS event_type, days.day AS day
+          |         FROM (SELECT DISTINCT event_type FROM daily) ks CROSS JOIN days),
+          |br AS (
+          |  SELECT g.event_type AS event_type, g.day AS day, d.avg_value AS avg_value,
+          |         last_value(CASE WHEN d.avg_value IS NOT NULL THEN g.day END IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.day
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          |         last_value(d.avg_value IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.day
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          |         first_value(CASE WHEN d.avg_value IS NOT NULL THEN g.day END IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.day
+          |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+          |         first_value(d.avg_value IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.day
+          |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+          |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)
+          |SELECT event_type, day,
+          |       CASE WHEN avg_value IS NOT NULL THEN avg_value
+          |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |              pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+          |                                / CAST(date_diff('day', pd, nd) AS DOUBLE))
+          |       END AS avg_value
+          |FROM br ORDER BY event_type, day""".stripMargin,
       "fx_completeness" ->
         """WITH src AS (
           |  SELECT * FROM events

@@ -37,25 +37,51 @@ object Resample {
 
   /** The BigQuery `GAP_FILL` TVF's engine (day buckets): densify onto
     * the day grid, then fill each value column by its METHOD —
-    * `locf` (last observation carried forward) or `null` (leave the
-    * gap empty). Output is BigQuery-shaped: partitioning columns, the
-    * time column, then the value columns — no extension flags. Same
-    * scale shape as [[forwardFillDaily]]: broadcast day grid, keyed
-    * left join, one window shuffle shared by every locf column.
+    * `locf` (last observation carried forward), `null` (leave the gap
+    * empty), or `linear` (interpolate between the bracketing
+    * observations; leading/trailing gaps with no bracket on one side
+    * stay null, matching BigQuery). Output is BigQuery-shaped:
+    * partitioning columns, the time column, then the value columns —
+    * no extension flags. Same scale shape as [[forwardFillDaily]]:
+    * broadcast day grid, keyed left join, and one window sort per key
+    * shared by every fill column (the backward and forward frames
+    * share the same partition/order spec, so the densified table is
+    * sorted once).
     */
   def gapFill(daily: DataFrame, keyCols: Seq[String], dayCol: String,
               valCols: Seq[(String, String)]): DataFrame = {
     valCols.foreach { case (c, m) =>
-      require(m == "locf" || m == "null",
-        s"GAP_FILL method '$m' for column $c is not supported (locf, null)")
+      require(m == "locf" || m == "null" || m == "linear",
+        s"GAP_FILL method '$m' for column $c is not supported (locf, null, linear)")
     }
     val keys = keyCols.map(F.col)
     val joined = denseGrid(daily, keyCols, dayCol)
     val w = Window.partitionBy(keys: _*).orderBy(dayCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined.select(
+    val wf = Window.partitionBy(keys: _*).orderBy(dayCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // linear needs the bracketing (day, value) pairs on both sides;
+    // carry them as struct columns so each side is ONE window function
+    val linears = valCols.collect { case (c, "linear") => c }
+    val bracketed = linears.foldLeft(joined) { (df, c) =>
+      val obs = F.when(F.col(c).isNotNull,
+        F.struct(F.col(dayCol).as("d"), F.col(c).as("v")))
+      df.withColumn(s"__prev_$c", F.last(obs, ignoreNulls = true).over(w))
+        .withColumn(s"__next_$c", F.first(obs, ignoreNulls = true).over(wf))
+    }
+    bracketed.select(
       keys ++ Seq(F.col(dayCol)) ++ valCols.map {
         case (c, "locf") => F.last(F.col(c), ignoreNulls = true).over(w).as(c)
+        case (c, "linear") =>
+          val p = F.col(s"__prev_$c"); val n = F.col(s"__next_$c")
+          // fixed textual fold — p.v + (n.v - p.v) * (Δ/span) — so an
+          // independent engine replays the double arithmetic exactly
+          F.when(F.col(c).isNotNull, F.col(c))
+            .when(p.isNotNull && n.isNotNull,
+              p.getField("v") + (n.getField("v") - p.getField("v")) *
+                (F.datediff(F.col(dayCol), p.getField("d")).cast("double") /
+                  F.datediff(n.getField("d"), p.getField("d")).cast("double")))
+            .as(c)
         case (c, _) => F.col(c)
       }: _*)
   }

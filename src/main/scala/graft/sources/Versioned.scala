@@ -418,6 +418,15 @@ object Versioned {
   private[graft] def registeredPath(spark: SparkSession, name: String): Option[String] =
     registry.get(key(spark, name))
 
+  /** Every versioned table registered in `spark`'s session
+    * (name → on-disk table path), sorted by name —
+    * INFORMATION_SCHEMA.PARTITIONS' enumeration source.
+    */
+  private[graft] def registeredTables(spark: SparkSession): Seq[(String, String)] = {
+    val h = System.identityHashCode(spark)
+    registry.toSeq.collect { case ((s, n), p) if s == h => (n, p) }.sortBy(_._1)
+  }
+
   /** Remove `name` from the session registry (DROP TABLE's registry
     * half — the temp view is the caller's to drop). The on-disk
     * commit log is NOT touched: like BigQuery's dropped-table

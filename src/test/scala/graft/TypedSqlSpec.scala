@@ -821,11 +821,56 @@ class TypedSqlSpec extends SparkSuite {
     assert(n == 3L)
     // unsupported metadata views are loud; string literals untouched
     val e = intercept[IllegalArgumentException] {
-      GraftSql.load(spark, "SELECT * FROM INFORMATION_SCHEMA.PARTITIONS")
+      GraftSql.load(spark, "SELECT * FROM INFORMATION_SCHEMA.JOBS")
     }
     assert(e.getMessage.contains("TABLES"))
     assert(GraftSql.load(spark, "SELECT 'INFORMATION_SCHEMA.JOBS' AS s")
       .head().getString(0).contains("JOBS"))
+  }
+
+  test("GraftSql: INFORMATION_SCHEMA.PARTITIONS lists physical layouts from file metadata") {
+    import spark.implicits._
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 06:00:00"), "a", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-03-01 18:00:00"), "b", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), "a", 3.0),
+      (4L, java.sql.Timestamp.valueOf("2024-03-04 12:00:00"), "c", 4.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("ispart_src")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE TABLE ispart_t PARTITION BY DATE(ts) CLUSTER BY k
+        |AS SELECT * FROM ispart_src""".stripMargin)
+    val p = GraftSql.load(spark,
+      """SELECT partition_id, total_rows, total_logical_bytes
+        |FROM INFORMATION_SCHEMA.PARTITIONS WHERE table_name = 'ispart_t'
+        |ORDER BY partition_id""".stripMargin).collect()
+    assert(p.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("20240301", 2L), ("20240302", 1L), ("20240304", 1L)))
+    assert(p.forall(_.getLong(2) > 0L)) // real file sizes, not zeros
+    // joins to COLUMNS like any metadata table
+    val joined = GraftSql.load(spark,
+      """SELECT p.partition_id, c.n_cols, p.total_rows
+        |FROM INFORMATION_SCHEMA.PARTITIONS p
+        |JOIN (SELECT table_name, COUNT(*) AS n_cols FROM INFORMATION_SCHEMA.COLUMNS
+        |      GROUP BY table_name) c ON p.table_name = c.table_name
+        |WHERE p.table_name = 'ispart_t' ORDER BY p.partition_id""".stripMargin).collect()
+    // the layout carries (id, ts, k, v) plus the p_day partition column
+    assert(joined.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("20240301", 5L, 2L), ("20240302", 5L, 1L), ("20240304", 5L, 1L)))
+    // a Versioned table surfaces one unpartitioned row stamped with its
+    // commit time
+    val vdir = java.nio.file.Files.createTempDirectory("ispart_v").toString
+    graft.sources.Versioned.overwrite(
+      Seq((10L, "x"), (11L, "y")).toDF("id", "s"), vdir)
+    graft.sources.Versioned.register(spark, "ispart_v", vdir)
+    val v = GraftSql.load(spark,
+      """SELECT partition_id, total_rows FROM INFORMATION_SCHEMA.PARTITIONS
+        |WHERE table_name = 'ispart_v'""".stripMargin).collect()
+    assert(v.length == 1 && v(0).isNullAt(0) && v(0).getLong(1) == 2L)
+    // DROP removes the registry entry and with it the metadata row
+    GraftSql.load(spark, "DROP TABLE ispart_t")
+    assert(GraftSql.load(spark,
+      """SELECT COUNT(*) AS n FROM INFORMATION_SCHEMA.PARTITIONS
+        |WHERE table_name = 'ispart_t'""".stripMargin).head().getLong(0) == 0L)
   }
 
   test("GraftSql.createView: plain views register the stored query; dispositions match BigQuery") {
