@@ -147,6 +147,10 @@ object GraftSql {
       createSearchIndex(spark, sql)
     } else if (DropSearchIndexRe.pattern.matcher(sql).matches()) {
       dropSearchIndex(spark, sql)
+    } else if (VectorIndexHeadRe.pattern.matcher(sql).matches()) {
+      createVectorIndex(spark, sql)
+    } else if (DropVectorIndexRe.pattern.matcher(sql).matches()) {
+      dropVectorIndex(spark, sql)
     } else if (CloneRe.pattern.matcher(sql).matches()) {
       createClone(spark, sql)
     } else if (PartCtasHeadRe.pattern.matcher(sql).matches()) {
@@ -5132,10 +5136,11 @@ object GraftSql {
   // time travel (Catalyst has no TVF registry for session views): the
   // call span is replaced by a temp view over
   // `Similarity.vectorSearch`, which emits BigQuery's (query STRUCT,
-  // base STRUCT, distance) shape. `options` is rejected loudly —
-  // index choice is explicit here (Similarity.ivfTopK / ivfPqTopK),
-  // not a JSON hint. Composes with time travel: the TABLE arg may be
-  // a versioned table AS OF rewritten first.
+  // base STRUCT, distance) shape. `options =>` carries BigQuery's
+  // index switch: use_brute_force / fraction_lists_to_search route
+  // through a CREATE VECTOR INDEX cell layout (see that DDL below);
+  // no options means brute force. Composes with time travel: the
+  // TABLE arg may be a versioned table AS OF rewritten first.
 
   private[graft] def rewriteVectorSearch(spark: SparkSession, sql: String): String = {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
@@ -5222,10 +5227,7 @@ object GraftSql {
     require(tables.size == 2 && strs.nonEmpty && strs.size <= 2,
       "VECTOR_SEARCH needs (TABLE base, 'column', TABLE queries [, 'query_column'] " +
         "[, top_k => n] [, distance_type => '...'])")
-    require(!named.contains("options"),
-      "VECTOR_SEARCH options are not supported — index choice is explicit in this " +
-        "engine (Similarity.ivfTopK / ivfPqTopK for ANN; this statement is brute-force)")
-    val unknown = named.keySet -- Set("top_k", "distance_type")
+    val unknown = named.keySet -- Set("top_k", "distance_type", "options")
     require(unknown.isEmpty, s"unknown VECTOR_SEARCH named argument(s): ${unknown.mkString(", ")}")
     val topK = named.get("top_k").map { v =>
       require(v.matches("\\d+"), s"top_k must be an integer literal, got $v"); v.toInt
@@ -5238,9 +5240,60 @@ object GraftSql {
     def strip(n: String) = if (n.startsWith("`")) n.substring(1, n.length - 1) else n
     val baseCol = strs.head
     val queryCol = strs.lift(1).getOrElse(baseCol)
-    graft.operators.Similarity.vectorSearch(
-      spark.table(strip(tables.head)), baseCol,
-      spark.table(strip(tables(1))), queryCol, topK, distance)
+    // `options =>`: BigQuery's index/brute-force switch. Absent (or an
+    // empty object) → brute force, the engine's historical default.
+    // use_brute_force=false or fraction_lists_to_search → route
+    // through a registered CREATE VECTOR INDEX cell layout — loud
+    // when none exists, never a silent full scan pretending to be an
+    // index probe.
+    val opts = named.get("options").map {
+      case StrRe(v) => parseJsonOptionObject(v.replace("''", "'"), "VECTOR_SEARCH options")
+      case other => throw new IllegalArgumentException(
+        s"options must be a quoted JSON literal, got $other")
+    }.getOrElse(Map.empty[String, Any])
+    val unknownOpt = opts.keySet -- Set("use_brute_force", "fraction_lists_to_search")
+    require(unknownOpt.isEmpty,
+      s"unsupported VECTOR_SEARCH option(s): ${unknownOpt.toSeq.sorted.mkString(", ")} " +
+        "(supported: use_brute_force, fraction_lists_to_search)")
+    val bruteFlag = opts.get("use_brute_force").map {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"use_brute_force must be a JSON boolean, got $other")
+    }
+    val fraction = opts.get("fraction_lists_to_search").map {
+      case d: java.lang.Double =>
+        require(d > 0.0 && d <= 1.0,
+          s"fraction_lists_to_search must be in (0, 1], got $d")
+        d.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"fraction_lists_to_search must be a JSON number, got $other")
+    }
+    require(!(bruteFlag.contains(true) && fraction.nonEmpty),
+      "fraction_lists_to_search cannot be combined with use_brute_force = true " +
+        "(BigQuery rejects the combination too)")
+    val useIndex = bruteFlag.contains(false) || fraction.nonEmpty
+    if (useIndex) {
+      val baseName = viewName(strip(tables.head))
+      val st = vectorIndexFor(spark, baseName, baseCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"VECTOR_SEARCH use_brute_force=false: no vector index registered on " +
+            s"$baseName($baseCol) — CREATE VECTOR INDEX first, or set use_brute_force => true"))
+      require(distance.toUpperCase(java.util.Locale.ROOT) == "COSINE",
+        s"the vector index on $baseName($baseCol) was built for COSINE; " +
+          s"distance_type '$distance' cannot use it (set use_brute_force => true)")
+      // BigQuery's default fraction auto-tunes; here it is a stated 5%
+      val nprobe = math.max(1,
+        math.ceil(fraction.getOrElse(0.05) * st.numLists).toInt)
+      import spark.implicits._
+      val cents = st.centroids.toDF("cell", "centroid")
+      graft.operators.Similarity.vectorSearchFromLayout(
+        spark, st.path, cents, baseCol,
+        spark.table(strip(tables(1))), queryCol, topK, distance, nprobe)
+    } else {
+      graft.operators.Similarity.vectorSearch(
+        spark.table(strip(tables.head)), baseCol,
+        spark.table(strip(tables(1))), queryCol, topK, distance)
+    }
   }
 
   // ── BigQuery ARRAY(SELECT ...) subqueries over UNNEST ────────────
@@ -6581,6 +6634,147 @@ object GraftSql {
         s"DROP SEARCH INDEX $name: no such index (use IF EXISTS to ignore)")
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException("not a DROP SEARCH INDEX statement")
+  }
+
+  // ── CREATE VECTOR INDEX ──────────────────────────────────────────
+  //
+  // BigQuery's ANN-index DDL mapped to the D3 persisted design: the
+  // indexed table is written CELL-PARTITIONED under the warehouse
+  // (Similarity.writeCellLayout — nearest-centroid assignment as a
+  // partition directory), centroids train from a deterministic
+  // hash-seeded assignment refined by Lloyd passes, and the bounded
+  // (num_lists × dim) centroid table rides in the session registry.
+  // A VECTOR_SEARCH with `options => '{"use_brute_force": false}'`
+  // then routes through Similarity.vectorSearchFromLayout: probed
+  // cells become a literal partition filter, so at 100 TB a query
+  // reads nprobe/num_lists of the table and never lists the rest.
+  // Honored OPTIONS: index_type = 'IVF' (TREE_AH is loud — a
+  // different structure, not a knob), distance_type = 'COSINE' (the
+  // layout's probe metric; others are loud rather than silently
+  // probing under the wrong metric), ivf_options =
+  // '{"num_lists": N}'. DROP VECTOR INDEX unregisters; the on-disk
+  // layout survives (the restorable-drop model, like SEARCH INDEX).
+
+  private case class VecIndexState(table: String, col: String, path: String,
+                                   numLists: Int,
+                                   centroids: Seq[(Long, Seq[Float])])
+
+  private val vecIdxRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), VecIndexState]
+
+  private val VectorIndexRe =
+    ("""(?is)^\s*CREATE\s+VECTOR\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """(`[^`]+`|[A-Za-z_][\w$]*)\s+ON\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*\(\s*""" +
+      """([A-Za-z_][\w$]*)\s*\)(?:\s+OPTIONS\s*\((.*)\))?\s*;?\s*$""").r
+  private val VectorIndexHeadRe = """(?is)^\s*CREATE\s+VECTOR\s+INDEX\b.*""".r
+  private val DropVectorIndexRe =
+    ("""(?is)^\s*DROP\s+VECTOR\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """(`[^`]+`|[A-Za-z_][\w$]*)(?:\s+ON\s+(?:`[^`]+`|[A-Za-z_][\w$.]*))?\s*;?\s*$""").r
+
+  def createVectorIndex(spark: SparkSession, sql: String): DataFrame = sql match {
+    case VectorIndexRe(ifNot, rawName, rawTbl, vecCol, optBody) =>
+      val name = viewName(rawName)
+      val key = mvKey(spark, name)
+      if (vecIdxRegistry.contains(key)) {
+        if (ifNot != null) return spark.emptyDataFrame
+        throw new IllegalArgumentException(
+          s"vector index '$name' already exists (use IF NOT EXISTS, or DROP VECTOR INDEX)")
+      }
+      val opts = Option(optBody).map(parseOptions).getOrElse(Map.empty)
+      val unknownOpts = opts.keySet -- Set("index_type", "distance_type", "ivf_options")
+      require(unknownOpts.isEmpty,
+        s"unsupported CREATE VECTOR INDEX option(s): ${unknownOpts.toSeq.sorted.mkString(", ")} " +
+          "(supported: index_type, distance_type, ivf_options)")
+      val idxType = opts.getOrElse("index_type", "ivf").toUpperCase(java.util.Locale.ROOT)
+      require(idxType == "IVF",
+        s"index_type '$idxType' is not supported (IVF only; TREE_AH is a different " +
+          "structure, not a knob on this one)")
+      val dist = opts.getOrElse("distance_type", "cosine").toUpperCase(java.util.Locale.ROOT)
+      require(dist == "COSINE",
+        s"distance_type '$dist' is not supported for vector indexes (COSINE — the " +
+          "cell layout's probe metric; brute-force VECTOR_SEARCH serves the others)")
+      val numLists = opts.get("ivf_options").map { j =>
+        val o = parseJsonOptionObject(j, "ivf_options")
+        val unknown = o.keySet -- Set("num_lists")
+        require(unknown.isEmpty,
+          s"unsupported ivf_options key(s): ${unknown.toSeq.sorted.mkString(", ")} (supported: num_lists)")
+        o.get("num_lists") match {
+          case Some(d: java.lang.Double) =>
+            require(d == d.toInt && d.toInt >= 1, s"num_lists must be a positive integer, got $d")
+            d.toInt
+          case Some(other) => throw new IllegalArgumentException(
+            s"num_lists must be a JSON number, got $other")
+          case None => 8
+        }
+      }.getOrElse(8)
+      val base = spark.table(viewName(rawTbl))
+      require(base.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(
+        vecCol.toLowerCase(java.util.Locale.ROOT)),
+        s"CREATE VECTOR INDEX: table $rawTbl has no column '$vecCol'")
+      // deterministic seeding: hash the vector itself into num_lists
+      // cells, then Lloyd-refine under cosine (the probe metric)
+      import org.apache.spark.sql.{functions => FF}
+      val seeded = base.withColumn("__seed",
+        FF.pmod(FF.xxhash64(FF.col(vecCol)), FF.lit(numLists.toLong)))
+      val centroids = graft.operators.Similarity.trainCentroids(seeded, "__seed", vecCol, iters = 2)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = s"${wh.stripSuffix("/")}/graft_vecidx_$name"
+      graft.operators.Similarity.writeCellLayout(base, path, centroids, vecCol = vecCol)
+      val cent = centroids.select(FF.col("cell").cast("long"), FF.col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      vecIdxRegistry(key) = VecIndexState(
+        viewName(rawTbl), vecCol.toLowerCase(java.util.Locale.ROOT), path, numLists, cent)
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a CREATE VECTOR INDEX statement (expected: CREATE VECTOR INDEX " +
+        "[IF NOT EXISTS] name ON table (vector_col) [OPTIONS(index_type = 'IVF', " +
+        "distance_type = 'COSINE', ivf_options = '{\"num_lists\": n}')])")
+  }
+
+  def dropVectorIndex(spark: SparkSession, sql: String): DataFrame = sql match {
+    case DropVectorIndexRe(ifExists, rawName) =>
+      val name = viewName(rawName)
+      val existed = vecIdxRegistry.remove(mvKey(spark, name)).nonEmpty
+      require(existed || ifExists != null,
+        s"DROP VECTOR INDEX $name: no such index (use IF EXISTS to ignore)")
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException("not a DROP VECTOR INDEX statement")
+  }
+
+  /** The session's vector index on `table`(`col`), if one is registered. */
+  private def vectorIndexFor(spark: SparkSession, table: String, col: String): Option[VecIndexState] = {
+    val sid = System.identityHashCode(spark)
+    val t = table.toLowerCase(java.util.Locale.ROOT)
+    val c = col.toLowerCase(java.util.Locale.ROOT)
+    vecIdxRegistry.toSeq.sortBy(_._1._2).collectFirst {
+      case ((s, _), st) if s == sid && st.table == t && st.col == c => st
+    }
+  }
+
+  /** Parse a small JSON OBJECT literal (option payloads) to a
+    * Scala map of Boolean / Double / String values — loud on
+    * anything else; these are knobs, not documents.
+    */
+  private def parseJsonOptionObject(j: String, what: String): Map[String, Any] = {
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"$what is not valid JSON: $j", e) }
+    require(node != null && node.isObject, s"$what must be a JSON object, got: $j")
+    val buf = Map.newBuilder[String, Any]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val v: Any = e.getValue match {
+        case b if b.isBoolean => java.lang.Boolean.valueOf(b.asBoolean())
+        case n if n.isNumber => java.lang.Double.valueOf(n.asDouble())
+        case t if t.isTextual => t.asText()
+        case other => throw new IllegalArgumentException(
+          s"$what values must be scalars, got: $other")
+      }
+      buf += e.getKey -> v
+    }
+    buf.result()
   }
 
   /** Model teardown: `DROP MODEL [IF EXISTS] name`. */

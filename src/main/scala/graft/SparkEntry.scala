@@ -2970,6 +2970,30 @@ object SparkEntry {
           |  FROM VECTOR_SEARCH(TABLE vsq_base, 'embedding', TABLE vsq_q, top_k => 10)
           |) ORDER BY face, qid, distance, vec_id""".stripMargin)
     }),
+    // A35 options surface (round 13): VECTOR_SEARCH routed through a
+    // CREATE VECTOR INDEX cell layout. fraction_lists_to_search=1.0
+    // probes every list, so the probed-cell union covers the corpus
+    // and the result equals brute force bit-for-bit — gating the DDL,
+    // the centroid training, the probe ranking, the partition-filter
+    // route and the exact re-rank against a fully independent oracle;
+    // the nprobe < num_lists pruning behavior is spec-pinned
+    // (TypedSqlSpec checks the pruned scan reads fewer files)
+    "sql_vector_search_ivf" -> ((s, d) => {
+      Tables.embeddings(s, d).createOrReplaceTempView("vsi_base")
+      Tables.embeddings(s, d).filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("qid"), F.col("embedding"))
+        .createOrReplaceTempView("vsi_q")
+      graft.GraftSql.load(s,
+        """CREATE VECTOR INDEX IF NOT EXISTS vsi_idx ON vsi_base(embedding)
+          |OPTIONS(index_type = 'IVF', distance_type = 'COSINE',
+          |        ivf_options = '{"num_lists": 4}')""".stripMargin)
+      graft.GraftSql.load(s,
+        """SELECT query.qid AS qid, base.vec_id AS vec_id, distance
+          |FROM VECTOR_SEARCH(TABLE vsi_base, 'embedding', TABLE vsi_q,
+          |                   top_k => 10, distance_type => 'COSINE',
+          |                   options => '{"use_brute_force": false, "fraction_lists_to_search": 1.0}')
+          |ORDER BY qid, distance, vec_id""".stripMargin)
+    }),
     // the 4×-narrower-corpus routing of D1: float queries score int8
     // codes directly (cosine is scale-invariant) — oracle recomputes
     // the same quantization in SQL, so this one IS hash-checkable
@@ -5723,6 +5747,21 @@ object SparkEntry {
           |  FROM l2_d)
           |SELECT face, qid, vec_id, distance FROM both_f
           |WHERE rn <= 10 ORDER BY face, qid, distance, vec_id""".stripMargin,
+      // the IVF-indexed route with fraction_lists_to_search = 1.0
+      // probes every cell, so the independent replay is exactly the
+      // brute-force cosine top-10
+      "sql_vector_search_ivf" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |cos_d AS (
+          |  SELECT q.qid, e.vec_id,
+          |         1.0 - (${dot("q.qvec", "e.embedding")} /
+          |           (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")}))) AS distance
+          |  FROM q JOIN embeddings e ON TRUE),
+          |r AS (SELECT qid, vec_id, distance,
+          |        row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rn
+          |      FROM cos_d)
+          |SELECT qid, vec_id, distance FROM r WHERE rn <= 10
+          |ORDER BY qid, distance, vec_id""".stripMargin,
       // replays D13: brute-force cosine minus the (qid, qid+1/qid+2)
       // positive pairs, top-10 of the remaining negatives — equal to
       // Spark's fetch-then-anti because fetch >= k + |positives|

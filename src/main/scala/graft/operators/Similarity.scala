@@ -401,6 +401,64 @@ object Similarity {
     topK(scored, qidCol, idCol, k)
   }
 
+  /** BigQuery-shaped VECTOR_SEARCH over a cell-partitioned layout
+    * written by [[writeCellLayout]] — the SQL surface's `options =>
+    * '{"use_brute_force": false}'` route (A35 + D3 composed). Probing
+    * ranks cells per query against the bounded centroid table by
+    * cosine (the metric the layout was built under), the union of
+    * probed cell ids becomes a literal partition filter — only those
+    * directories are listed or read — and the exact
+    * [[native.vec_distance]] re-ranks inside the probed cells. Output
+    * shape and tie discipline match [[vectorSearch]] exactly: (query
+    * STRUCT, base STRUCT, distance), smaller = nearer, ties broken on
+    * a content hash of the base row, self-matches included. Recall is
+    * the IVF trade: EXACT within probed cells; a true neighbor living
+    * in an unprobed cell is unseen. `nprobe` (BigQuery's
+    * fraction_lists_to_search × num_lists) trades scan for recall;
+    * nprobe = num_lists reproduces brute force bit-for-bit.
+    */
+  def vectorSearchFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                             centroids: DataFrame, baseCol: String,
+                             queries: DataFrame, queryCol: String,
+                             topKn: Int, distanceType: String, nprobe: Int): DataFrame = {
+    val mode = distanceType.toUpperCase(java.util.Locale.ROOT)
+    require(graft.functions.VecDistance.Modes.contains(mode),
+      s"distance_type must be one of ${graft.functions.VecDistance.Modes.mkString(", ")}, got $distanceType")
+    require(topKn >= 1, s"top_k must be positive, got $topKn")
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    val qs = queries
+      .withColumn("__qrow", F.monotonically_increasing_id())
+      .select(F.col("__qrow"),
+        F.struct(queries.columns.map(F.col).toIndexedSeq: _*).as("query"),
+        F.col(queryCol).as("__qv"))
+    val probed = qs.join(F.broadcast(centroids))
+      .withColumn("__ccos", native.cosine_sim(F.col("__qv"), F.col("centroid")))
+    val probeTop = topKGeneric(probed, "__qrow", "cell", "__ccos", nprobe)
+      .withColumnRenamed("cell", "__cell")
+    val wantedCells = probeTop.select("__cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val layout = spark.read.parquet(path)
+    // literal IN on the partition column in ITS OWN type — a cast on
+    // the column side would defeat partition pruning
+    val lits: Seq[Any] = layout.schema("cell").dataType match {
+      case org.apache.spark.sql.types.LongType => wantedCells.toSeq
+      case _ => wantedCells.toSeq.map(_.toInt)
+    }
+    val pruned = layout.filter(F.col("cell").isin(lits: _*))
+    val baseCols = pruned.columns.filter(_ != "cell")
+    val bs = pruned.select(F.col("cell").cast("long").as("__cell"),
+      F.struct(baseCols.map(F.col).toIndexedSeq: _*).as("base"),
+      F.col(baseCol).as("__bv"))
+    bs.join(F.broadcast(probeTop.join(qs, "__qrow")), Seq("__cell"))
+      .withColumn("distance", native.vec_distance(F.col("__qv"), F.col("__bv"), mode))
+      .groupBy("__qrow")
+      .agg(aggregates.top_k_payload(-F.col("distance"), F.xxhash64(F.col("base")),
+        F.struct(F.col("query"), F.col("base"), F.col("distance")), topKn).as("__top"))
+      .select(F.explode(F.col("__top")).as("__e"))
+      .select(F.col("__e.query").as("query"), F.col("__e.base").as("base"),
+        F.col("__e.distance").as("distance"))
+  }
+
   /** Driver-side image of a centroid frame, sorted for deterministic
     * argmax tie-breaks (bounded: cells × dim).
     */

@@ -246,6 +246,36 @@ class SimilaritySpec extends SparkSuite {
     assert(allCells == 10, s"expected 10 cell directories, got $allCells")
   }
 
+  test("vectorSearchFromLayout: probe-all equals brute force; probing prunes the scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-vslayout-").toString + "/vecs"
+    val centroids = Similarity.ivfCentroids(corpus)
+    Similarity.writeCellLayout(corpus, path, centroids)
+    val ncells = centroids.count().toInt
+    val qs = queries.withColumnRenamed("qvec", "qv")
+    // nprobe = ncells covers the corpus: bit-for-bit brute force
+    val all = Similarity.vectorSearchFromLayout(spark, path, centroids, "embedding",
+        qs, "qv", 10, "COSINE", nprobe = ncells)
+      .selectExpr("query.qid AS qid", "base.vec_id AS vec_id", "distance")
+    val brute = Similarity.vectorSearch(
+        spark.read.parquet(path).drop("cell"), "embedding", qs, "qv", 10, "COSINE")
+      .selectExpr("query.qid AS qid", "base.vec_id AS vec_id", "distance")
+    assert(all.orderBy("qid", "distance", "vec_id").collect().toSeq ==
+      brute.orderBy("qid", "distance", "vec_id").collect().toSeq)
+    // nprobe = 1 reads only the probed cells' directories
+    val one = Similarity.vectorSearchFromLayout(spark, path, centroids, "embedding",
+      qs, "qv", 10, "COSINE", nprobe = 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
+    val scan = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("vecs")) => f
+    }.head
+    val readCells = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(readCells < ncells && readCells >= 1,
+      s"expected a pruned scan, read $readCells of $ncells cells")
+  }
+
   test("ivfTopK with a precomputed centroid table matches the inline path") {
     val centroids = Similarity.ivfCentroids(corpus)
     val inline = Similarity.ivfTopK(corpus, queries, 10, nprobe = 5)

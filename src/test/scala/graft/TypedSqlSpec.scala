@@ -788,17 +788,93 @@ class TypedSqlSpec extends SparkSuite {
     // a string literal containing the call is untouched
     assert(GraftSql.load(spark,
       "SELECT 'VECTOR_SEARCH(TABLE x)' AS s").head().getString(0).contains("VECTOR_SEARCH"))
-    // loud shapes: options, unknown named arg, missing args, bad top_k
+    // options: use_brute_force => true is the same brute-force scan
+    assert(GraftSql.load(spark,
+      """SELECT COUNT(*) AS n FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q,
+        |options => '{"use_brute_force": true}')""".stripMargin).head().getLong(0) == 3L)
+    // use_brute_force => false without a registered index is loud
     val e1 = intercept[IllegalArgumentException] { GraftSql.load(spark,
       """SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q,
-        |options => '{"use_brute_force": true}')""".stripMargin) }
-    assert(e1.getMessage.contains("ivfTopK"))
+        |options => '{"use_brute_force": false}')""".stripMargin) }
+    assert(e1.getMessage.contains("CREATE VECTOR INDEX"))
+    // fraction + brute force is the BigQuery-rejected combination
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      """SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q,
+        |options => '{"use_brute_force": true, "fraction_lists_to_search": 0.5}')""".stripMargin) }
+    // options must be a JSON object of known scalar knobs
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, options => '[1]')") }
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      """SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, options => '{"banana": 1}')""") }
     intercept[IllegalArgumentException] { GraftSql.load(spark,
       "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, banana => 1)") }
     intercept[IllegalArgumentException] { GraftSql.load(spark,
       "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, TABLE vs_q)") }
     intercept[IllegalArgumentException] { GraftSql.load(spark,
       "SELECT * FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q, top_k => 'five')") }
+  }
+
+  test("GraftSql: CREATE VECTOR INDEX routes VECTOR_SEARCH through the cell layout") {
+    import spark.implicits._
+    def v(xs: Float*) = xs.toArray
+    // two tight, well-separated clusters so probing is unambiguous
+    val base = Seq(
+      (1L, v(1f, 0.01f)), (2L, v(1f, -0.01f)), (3L, v(0.99f, 0f)),
+      (11L, v(0.01f, 1f)), (12L, v(-0.01f, 1f)), (13L, v(0f, 0.99f)))
+    base.toDF("id", "emb").createOrReplaceTempView("vix_base")
+    Seq((100L, v(1f, 0f)), (101L, v(0f, 1f)))
+      .toDF("qid", "emb").createOrReplaceTempView("vix_q")
+    GraftSql.load(spark,
+      """CREATE VECTOR INDEX vix_idx ON vix_base(emb)
+        |OPTIONS(index_type = 'IVF', distance_type = 'COSINE',
+        |        ivf_options = '{"num_lists": 2}')""".stripMargin)
+    // duplicate CREATE is loud; IF NOT EXISTS is the quiet spelling
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "CREATE VECTOR INDEX vix_idx ON vix_base(emb)") }
+    GraftSql.load(spark, "CREATE VECTOR INDEX IF NOT EXISTS vix_idx ON vix_base(emb)")
+    // fraction 1.0 probes both lists: equals brute force exactly
+    val all = GraftSql.load(spark,
+      """SELECT query.qid AS qid, base.id AS id, distance
+        |FROM VECTOR_SEARCH(TABLE vix_base, 'emb', TABLE vix_q, top_k => 3,
+        |  distance_type => 'COSINE', options => '{"fraction_lists_to_search": 1.0}')
+        |ORDER BY qid, distance, id""".stripMargin).collect()
+    val brute = GraftSql.load(spark,
+      """SELECT query.qid AS qid, base.id AS id, distance
+        |FROM VECTOR_SEARCH(TABLE vix_base, 'emb', TABLE vix_q, top_k => 3,
+        |  distance_type => 'COSINE')
+        |ORDER BY qid, distance, id""".stripMargin).collect()
+    assert(all.toSeq == brute.toSeq)
+    // fraction 0.5 probes ONE list per query: each query sees only its
+    // own cluster — exact within probed cells, the IVF contract
+    val pruned = GraftSql.load(spark,
+      """SELECT query.qid AS qid, base.id AS id
+        |FROM VECTOR_SEARCH(TABLE vix_base, 'emb', TABLE vix_q, top_k => 10,
+        |  distance_type => 'COSINE', options => '{"fraction_lists_to_search": 0.5}')
+        |ORDER BY qid, id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq == Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 11L), (101L, 12L), (101L, 13L)))
+    // the index refuses a distance type it was not built under
+    val em = intercept[IllegalArgumentException] { GraftSql.load(spark,
+      """SELECT * FROM VECTOR_SEARCH(TABLE vix_base, 'emb', TABLE vix_q,
+        |distance_type => 'EUCLIDEAN', options => '{"use_brute_force": false}')""".stripMargin) }
+    assert(em.getMessage.contains("COSINE"))
+    // DDL louds: unsupported index/distance types and option keys
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "CREATE VECTOR INDEX vix2 ON vix_base(emb) OPTIONS(index_type = 'TREE_AH')") }
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "CREATE VECTOR INDEX vix2 ON vix_base(emb) OPTIONS(distance_type = 'EUCLIDEAN')") }
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "CREATE VECTOR INDEX vix2 ON vix_base(emb) OPTIONS(banana = '1')") }
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "CREATE VECTOR INDEX vix2 ON vix_base(nope)") }
+    // DROP unregisters: the indexed route goes loud again
+    GraftSql.load(spark, "DROP VECTOR INDEX vix_idx")
+    intercept[IllegalArgumentException] { GraftSql.load(spark,
+      """SELECT * FROM VECTOR_SEARCH(TABLE vix_base, 'emb', TABLE vix_q,
+        |options => '{"use_brute_force": false}')""".stripMargin) }
+    intercept[IllegalArgumentException] { GraftSql.load(spark, "DROP VECTOR INDEX vix_idx") }
+    GraftSql.load(spark, "DROP VECTOR INDEX IF EXISTS vix_idx")
   }
 
   test("GraftSql: INFORMATION_SCHEMA.TABLES/COLUMNS expose the session catalog") {
