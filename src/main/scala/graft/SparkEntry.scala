@@ -1145,7 +1145,7 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
     // B1 respelled through BigQuery PIPE SYNTAX (round 12) — the same
-    // decimal-cast aggregate, driven through GraftSql.rewritePipes
+    // decimal-cast aggregate, driven through the sql.Pipes rewrite
     // (FROM |> WHERE |> AGGREGATE..GROUP BY |> ORDER BY); shares
     // q1_agg's oracle text, so the hash proves pipe ≡ standard
     "sql_pipe_syntax" -> ((s, d) => {
@@ -1951,6 +1951,52 @@ object SparkEntry {
           |  COUNT(LAX_BOOL(j)) AS b_n,
           |  COUNT(LAX_STRING(j)) AS s_n, MIN(LAX_STRING(j)) AS s_min
           |FROM v""".stripMargin)
+    }),
+
+    // JSON_KEYS + the STRICT typed accessors (round 13): five nested
+    // payload shapes exercise strict/depth-limited/lax/lax-recursive
+    // key enumeration (counts AND joined path text — quoting, dotting
+    // and sort order all under the hash); six scalar variants push
+    // BOOL/INT64/FLOAT64/STRING guarded to their matching rows plus
+    // the SAFE. forms everywhere. The DuckDB oracle spells the
+    // DOCUMENTED enumeration per payload shape as literals (the
+    // payloads are constants — the expectation is hand-derived from
+    // the JSON_KEYS spec, independent of this engine) and the
+    // accessor semantics as plain casts
+    "q_json_keys" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("jkeys_events")
+      graft.GraftSql.load(s,
+        """WITH v AS (
+          |  SELECT CAST(event_id % 5 AS INT) AS m, CAST(event_id % 6 AS INT) AS sm,
+          |         get_json_object(props, '$.k') AS kv
+          |  FROM jkeys_events),
+          |p AS (
+          |  SELECT m, sm,
+          |    CASE m
+          |      WHEN 0 THEN concat('{"a": ', kv, ', "b": {"c": 1}}')
+          |      WHEN 1 THEN '{"a": [{"x": 1}], "b": 2}'
+          |      WHEN 2 THEN '{"z": true, "a.b": 3}'
+          |      WHEN 3 THEN '{"a": [[{"deep": 1}]], "s": "hi"}'
+          |      ELSE '{"n": {"m": {"q": 1}}}' END AS j,
+          |    CASE sm WHEN 0 THEN kv WHEN 1 THEN '10.0' WHEN 2 THEN 'true'
+          |            WHEN 3 THEN '"hi"' WHEN 4 THEN '1.5' ELSE 'null' END AS sj
+          |  FROM v)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(size(JSON_KEYS(j))) AS BIGINT) AS k_strict_n,
+          |  CAST(SUM(size(JSON_KEYS(j, 1))) AS BIGINT) AS k_d1_n,
+          |  CAST(SUM(size(JSON_KEYS(j, mode => 'lax'))) AS BIGINT) AS k_lax_n,
+          |  CAST(SUM(size(JSON_KEYS(j, mode => 'lax recursive'))) AS BIGINT) AS k_laxr_n,
+          |  MIN(array_join(JSON_KEYS(j), ',')) AS k_min_path,
+          |  MAX(array_join(JSON_KEYS(j, mode => 'lax recursive'), ',')) AS k_max_path,
+          |  CAST(SUM(CASE WHEN sm IN (0, 1) THEN INT64(sj) END) AS BIGINT) AS i_sum,
+          |  COUNT(SAFE.INT64(sj)) AS i_n,
+          |  CAST(SUM(CASE WHEN sm IN (0, 1, 4) THEN CAST(FLOAT64(sj) AS DECIMAL(30,6)) END) AS DOUBLE) AS f_sum,
+          |  COUNT(SAFE.FLOAT64(sj)) AS f_n,
+          |  CAST(SUM(CASE WHEN sm = 2 AND BOOL(sj) THEN 1 ELSE 0 END) AS BIGINT) AS b_true,
+          |  COUNT(SAFE.BOOL(sj)) AS b_n,
+          |  MIN(CASE WHEN sm = 3 THEN STRING(sj) END) AS s_min,
+          |  COUNT(SAFE.STRING(sj)) AS s_n
+          |FROM p""".stripMargin)
     }),
 
     // ML.NGRAMS (round 11): per-doc bigram+trigram generation as a
@@ -4616,6 +4662,38 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_true, COUNT(b) AS b_n,
           |  COUNT(s) AS s_n, MIN(s) AS s_min
           |FROM x""".stripMargin,
+      // JSON_KEYS expectations are LITERALS per constant payload shape
+      // (hand-derived from the documented enumeration rule — strict
+      // recurses objects only, lax unwraps one array level, lax
+      // recursive any, non-identifier keys double-quote, paths sort);
+      // accessor semantics replay as plain casts on the pinned variants
+      "q_json_keys" ->
+        """WITH v AS (
+          |  SELECT CAST(event_id % 5 AS INT) AS m, CAST(event_id % 6 AS INT) AS sm,
+          |         json_extract_string(props, '$.k') AS kv
+          |  FROM events),
+          |p AS (SELECT m, sm,
+          |  CASE sm WHEN 0 THEN kv WHEN 1 THEN '10.0' WHEN 2 THEN 'true'
+          |          WHEN 3 THEN '"hi"' WHEN 4 THEN '1.5' ELSE 'null' END AS sj
+          |  FROM v)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(CASE m WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 3 END) AS BIGINT) AS k_strict_n,
+          |  CAST(SUM(CASE m WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 1 END) AS BIGINT) AS k_d1_n,
+          |  CAST(SUM(CASE m WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 3 END) AS BIGINT) AS k_lax_n,
+          |  CAST(SUM(CASE m WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 3 END) AS BIGINT) AS k_laxr_n,
+          |  MIN(CASE m WHEN 0 THEN 'a,b,b.c' WHEN 1 THEN 'a,b' WHEN 2 THEN '"a.b",z'
+          |             WHEN 3 THEN 'a,s' ELSE 'n,n.m,n.m.q' END) AS k_min_path,
+          |  MAX(CASE m WHEN 0 THEN 'a,b,b.c' WHEN 1 THEN 'a,a.x,b' WHEN 2 THEN '"a.b",z'
+          |             WHEN 3 THEN 'a,a.deep,s' ELSE 'n,n.m,n.m.q' END) AS k_max_path,
+          |  CAST(SUM(CASE WHEN sm = 0 THEN CAST(sj AS BIGINT) WHEN sm = 1 THEN 10 END) AS BIGINT) AS i_sum,
+          |  COUNT(CASE WHEN sm IN (0, 1) THEN 1 END) AS i_n,
+          |  CAST(SUM(CASE WHEN sm = 0 THEN CAST(sj AS DECIMAL(30,6)) WHEN sm = 1 THEN 10.0 WHEN sm = 4 THEN 1.5 END) AS DOUBLE) AS f_sum,
+          |  COUNT(CASE WHEN sm IN (0, 1, 4) THEN 1 END) AS f_n,
+          |  CAST(SUM(CASE WHEN sm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_true,
+          |  COUNT(CASE WHEN sm = 2 THEN 1 END) AS b_n,
+          |  MIN(CASE WHEN sm = 3 THEN 'hi' END) AS s_min,
+          |  COUNT(CASE WHEN sm = 3 THEN 1 END) AS s_n
+          |FROM p""".stripMargin,
       // the JSON array face replays with DuckDB's own json functions:
       // json_extract pulls the array, json_transform types it, unnest
       // fans it out — numeric elements, so values hash bit-for-bit

@@ -530,6 +530,187 @@ case class JsonArrayInsert(left: Expression, right: Expression, path: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** JSON_KEYS(json[, max_depth][, mode => ...]) — BigQuery's key
+  * enumeration: every object member reachable from the root, as a
+  * UNIQUE, SORTED array of dotted paths (`["a", "a.b", "c"]`).
+  *
+  *  - `mode = "strict"` (default): recurse into nested OBJECTS only —
+  *    arrays are opaque.
+  *  - `"lax"`: additionally unwrap ONE level of arrays at each step
+  *    (`{"a": [{"b": 1}]}` → `["a", "a.b"]`; a doubly-nested
+  *    `[[{...}]]` stays opaque).
+  *  - `"lax recursive"`: unwrap arrays of ANY nesting depth.
+  *
+  * `maxDepth` counts path segments (1 = top-level keys only); -1 (the
+  * omitted spelling) is unbounded. Pinned details: sort order is
+  * java.lang.String natural (code-unit) order; a key that is empty or
+  * contains a character outside `[A-Za-z0-9_]` is emitted wrapped in
+  * double quotes with `"` escaped (`{"a.b": 1}` → `"\"a.b\""`) so the
+  * dotted path stays parseable; a root with no reachable keys (scalar
+  * or, in strict mode, array) yields an EMPTY array — only NULL or
+  * invalid JSON input yields NULL.
+  */
+case class JsonKeys(child: Expression, maxDepth: Int, mode: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxDepth == -1 || maxDepth >= 1,
+    s"JSON_KEYS max_depth must be >= 1, got $maxDepth")
+  require(Set("strict", "lax", "lax recursive").contains(mode),
+    s"JSON_KEYS mode must be 'strict', 'lax' or 'lax recursive', got '$mode'")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def quoteKey(k: String): String =
+    if (k.nonEmpty && k.forall(c => Character.isLetterOrDigit(c) || c == '_')) k
+    else "\"" + k.replace("\"", "\\\"") + "\""
+
+  // object nodes reachable from `n` without consuming a path segment:
+  // n itself if an object; array elements per the mode's unwrap rule
+  private def objectsAt(n: JsonNode, arrayLevels: Int,
+                        out: scala.collection.mutable.ListBuffer[ObjectNode]): Unit = n match {
+    case o: ObjectNode => out += o
+    case a: ArrayNode if arrayLevels != 0 =>
+      val it = a.elements()
+      while (it.hasNext) objectsAt(it.next(), arrayLevels - 1, out)
+    case _ =>
+  }
+
+  def compute(j: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) return null
+    val keys = scala.collection.mutable.TreeSet.empty[String]
+    val unwrap = mode match {
+      case "strict" => 0
+      case "lax" => 1
+      case _ => -1 // lax recursive: any depth
+    }
+    def walk(n: JsonNode, prefix: String, depth: Int): Unit = {
+      val objs = scala.collection.mutable.ListBuffer.empty[ObjectNode]
+      objectsAt(n, unwrap, objs)
+      objs.foreach { o =>
+        val it = o.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val path = if (prefix.isEmpty) quoteKey(e.getKey)
+                     else prefix + "." + quoteKey(e.getKey)
+          keys += path
+          if (maxDepth == -1 || depth + 1 < maxDepth) walk(e.getValue, path, depth + 1)
+        }
+      }
+    }
+    walk(root, "", 0)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      keys.toArray.map(UTF8String.fromString(_): Any))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonKeys", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((graft.functions.JsonKeys) $ref).compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonKeys =
+    copy(child = newChild)
+}
+
+/** BigQuery's STRICT typed JSON accessors — BOOL / INT64 / FLOAT64 /
+  * STRING over the engine's string-carried JSON. Unlike the LAX_*
+  * family these RAISE when the JSON type does not match (BigQuery's
+  * rule); the `safe` forms (SAFE.BOOL etc.) yield NULL instead. SQL
+  * NULL input is NULL in both; invalid JSON TEXT follows the same
+  * strict/safe split (BigQuery's input is an always-valid JSON value —
+  * here the parse is part of the access, stated).
+  *
+  *  - BOOL: JSON true/false only.
+  *  - INT64: a JSON number with no fractional part, inside the INT64
+  *    domain (`10.0` → 10, `1e3` → 1000; `1.5` and `1e30` raise).
+  *  - FLOAT64: any JSON number; `wideMode = "exact"` (the BigQuery
+  *    default) raises when the double round-trip loses the decimal
+  *    value (`9007199254740993` raises — its nearest double prints
+  *    back `...992`); `"round"` accepts nearest. The round-trip test
+  *    is shortest-repr: BigDecimal(Double.toString(d)) == the parsed
+  *    decimal, numerically.
+  *  - STRING: a JSON string only, unquoted. (BigQuery's separate
+  *    STRING(timestamp) formatter is NOT this function — a timestamp
+  *    argument fails typed at analysis; use FORMAT_TIMESTAMP.)
+  */
+case class JsonStrictAccess(child: Expression, kind: String, safe: Boolean,
+                            wideMode: String = "exact")
+    extends UnaryExpression with ExpectsInputTypes {
+  require(Set("BOOL", "INT64", "FLOAT64", "STRING").contains(kind),
+    s"unknown JSON accessor kind $kind")
+  require(Set("exact", "round").contains(wideMode),
+    s"FLOAT64 wide_number_mode must be 'exact' or 'round', got '$wideMode'")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = kind match {
+    case "BOOL" => BooleanType
+    case "INT64" => LongType
+    case "FLOAT64" => DoubleType
+    case _ => StringType
+  }
+  override def nullable: Boolean = true
+  private def fail(msg: String): Any =
+    if (safe) null
+    else throw new IllegalArgumentException(
+      s"$kind: $msg (use SAFE.$kind for NULL instead)")
+  def compute(j: UTF8String): Any = {
+    val n = JsonMut.tryParse(j)
+    if (n == null) return fail(s"invalid JSON input: ${j.toString.take(80)}")
+    kind match {
+      case "BOOL" =>
+        if (n.isBoolean) java.lang.Boolean.valueOf(n.booleanValue())
+        else fail(s"JSON value is ${JsonMut.typeName(n)}, not boolean")
+      case "STRING" =>
+        if (n.isTextual) UTF8String.fromString(n.textValue())
+        else fail(s"JSON value is ${JsonMut.typeName(n)}, not string")
+      case "INT64" =>
+        if (!n.isNumber) fail(s"JSON value is ${JsonMut.typeName(n)}, not number")
+        else {
+          val bd = n.decimalValue()
+          try java.lang.Long.valueOf(bd.longValueExact())
+          catch { case _: ArithmeticException =>
+            fail(s"JSON number $bd is not an INT64 (fractional or out of range)") }
+        }
+      case _ => // FLOAT64
+        if (!n.isNumber) fail(s"JSON value is ${JsonMut.typeName(n)}, not number")
+        else {
+          val bd = n.decimalValue()
+          val d = bd.doubleValue()
+          if (wideMode == "round") java.lang.Double.valueOf(d)
+          else if (java.lang.Double.isInfinite(d) ||
+            new java.math.BigDecimal(java.lang.Double.toString(d)).compareTo(bd) != 0)
+            fail(s"JSON number $bd cannot be converted to FLOAT64 without loss " +
+              "(wide_number_mode => 'round' accepts the nearest double)")
+          else java.lang.Double.valueOf(d)
+        }
+    }
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonStrict", this)
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("jsv")
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    val dflt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.defaultValue(dataType)
+    val unbox = kind match {
+      case "BOOL" => s"((java.lang.Boolean) $tmp).booleanValue()"
+      case "INT64" => s"((java.lang.Long) $tmp).longValue()"
+      case "FLOAT64" => s"((java.lang.Double) $tmp).doubleValue()"
+      case _ => s"(UTF8String) $tmp"
+    }
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = $dflt;
+      if (!${c.isNull}) {
+        Object $tmp = ((graft.functions.JsonStrictAccess) $ref).compute(${c.value});
+        if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
+      }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonStrictAccess =
+    copy(child = newChild)
+}
+
 /** JSON_TYPE(json) — 'object'/'array'/'string'/'number'/'boolean'/
   * 'null'; invalid or NULL input is NULL.
   */

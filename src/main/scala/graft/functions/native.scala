@@ -1754,6 +1754,16 @@ object native {
     }
   }
 
+  private def constBool(fn: String, es: Seq[Expression], i: Int): Boolean = {
+    require(es.length > i, s"$fn expects ${i + 1} arguments, got ${es.length}")
+    require(es(i).foldable, s"$fn argument ${i + 1} must be a constant boolean")
+    es(i).eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a boolean, got $other")
+    }
+  }
+
   private def constInt(fn: String, es: Seq[Expression], i: Int): Int = {
     require(es.length > i, s"$fn expects ${i + 1} arguments, got ${es.length}")
     require(es(i).foldable, s"$fn argument ${i + 1} must be a constant")
@@ -1965,6 +1975,30 @@ object native {
     ("graft_json_type",
       "graft_json_type(json) - object/array/string/number/boolean/null (JSON_TYPE)",
       es => { arity("graft_json_type", es, 1); JsonTypeOf(es.head) }),
+    ("graft_json_keys",
+      "graft_json_keys(json, max_depth, 'mode') - sorted unique dotted key paths (JSON_KEYS)",
+      es => { arity("graft_json_keys", es, 3)
+        JsonKeys(es.head, constInt("graft_json_keys", es, 1),
+          constStr("graft_json_keys", es, 2)) }),
+    // the STRICT typed accessors (BOOL/INT64/FLOAT64/STRING over JSON;
+    // the boolean argument is the SAFE. spelling)
+    ("graft_json_bool",
+      "graft_json_bool(json, safe) - strict boolean accessor (BOOL / SAFE.BOOL)",
+      es => { arity("graft_json_bool", es, 2)
+        JsonStrictAccess(es.head, "BOOL", constBool("graft_json_bool", es, 1)) }),
+    ("graft_json_int64",
+      "graft_json_int64(json, safe) - strict INT64 accessor (INT64 / SAFE.INT64)",
+      es => { arity("graft_json_int64", es, 2)
+        JsonStrictAccess(es.head, "INT64", constBool("graft_json_int64", es, 1)) }),
+    ("graft_json_string",
+      "graft_json_string(json, safe) - strict string accessor (STRING / SAFE.STRING)",
+      es => { arity("graft_json_string", es, 2)
+        JsonStrictAccess(es.head, "STRING", constBool("graft_json_string", es, 1)) }),
+    ("graft_json_float64",
+      "graft_json_float64(json, 'mode', safe) - strict FLOAT64 accessor (FLOAT64 / SAFE.FLOAT64)",
+      es => { arity("graft_json_float64", es, 3)
+        JsonStrictAccess(es.head, "FLOAT64", constBool("graft_json_float64", es, 2),
+          constStr("graft_json_float64", es, 1)) }),
     // the KLL_QUANTILES family (kll.scala) — registry-routed for the
     // same reason as the digests: the dialect scanner must not
     // re-match rewritten output

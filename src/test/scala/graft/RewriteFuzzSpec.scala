@@ -39,7 +39,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "tableSample" -> (GraftSql.rewriteTableSample(_)),
     "starReplace" -> (GraftSql.rewriteStarReplace(_)),
     "unnest" -> (GraftSql.rewriteUnnest(_)),
-    "pipes" -> (GraftSql.rewritePipes(_)))
+    "pipes" -> (graft.sql.Pipes.rewritePipes(_)))
 
   test("quoted literal content is opaque to every rewrite") {
     val rnd = new scala.util.Random(42)
@@ -76,7 +76,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
       GraftSql.rewriteUnnest(GraftSql.rewriteBqFunctions(
         GraftSql.rewriteGenerateFns(GraftSql.rewriteJsonArrayFns(
           GraftSql.rewriteStarReplace(GraftSql.rewriteTableSample(
-            GraftSql.rewritePipes(sql)))))))
+            graft.sql.Pipes.rewritePipes(sql)))))))
     val triggerHeavy = Seq(
       "SELECT COUNTIF(x > 1) AS n, SAFE_DIVIDE(a, b) AS r FROM t",
       "SELECT GENERATE_ARRAY(1, 5, 2) AS g, GENERATE_DATE_ARRAY(lo, hi) AS d FROM t",

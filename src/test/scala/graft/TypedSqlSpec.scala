@@ -1901,6 +1901,61 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
   }
 
+  test("JSON_KEYS + strict typed accessors (BOOL/INT64/FLOAT64/STRING)") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    def keys(expr: String): Seq[String] = one(expr).getSeq[String](0)
+    // strict (default): nested objects recurse, arrays are opaque;
+    // sorted unique dotted paths
+    assert(keys("""JSON_KEYS('{"b": {"c": 1}, "a": 2}')""") == Seq("a", "b", "b.c"))
+    assert(keys("""JSON_KEYS('{"a": [{"x": 1}], "b": 2}')""") == Seq("a", "b"))
+    // max_depth counts path segments
+    assert(keys("""JSON_KEYS('{"a": {"b": {"c": 1}}}', 2)""") == Seq("a", "a.b"))
+    assert(keys("""JSON_KEYS('{"a": {"b": 1}, "c": 2}', 1)""") == Seq("a", "c"))
+    // lax unwraps ONE array level; lax recursive unwraps any nesting
+    assert(keys("""JSON_KEYS('{"a": [{"b": 1}]}', mode => 'lax')""") == Seq("a", "a.b"))
+    assert(keys("""JSON_KEYS('{"a": [[{"b": 1}]]}', mode => 'lax')""") == Seq("a"))
+    assert(keys("""JSON_KEYS('{"a": [[{"b": 1}]]}', mode => "lax recursive")""") ==
+      Seq("a", "a.b"))
+    // non-identifier keys come back double-quoted (pinned); scalar or
+    // (strict) array roots are EMPTY, not NULL; junk/NULL input is NULL
+    assert(keys("""JSON_KEYS('{"a.b": 1}')""") == Seq("\"a.b\""))
+    assert(keys("""JSON_KEYS('[{"a": 1}]')""") == Seq.empty)
+    assert(keys("""JSON_KEYS('7')""") == Seq.empty)
+    assert(one("""JSON_KEYS('nope{')""").isNullAt(0))
+    assert(one("""JSON_KEYS(CAST(NULL AS STRING))""").isNullAt(0))
+    // strict accessors: exact-type reads
+    assert(one("""BOOL('true')""").getBoolean(0))
+    assert(one("""INT64('42')""").getLong(0) == 42L)
+    assert(one("""INT64('10.0')""").getLong(0) == 10L) // integral fraction ok
+    assert(one("""INT64('1e3')""").getLong(0) == 1000L)
+    assert(one("""FLOAT64('1.5')""").getDouble(0) == 1.5)
+    assert(one("""STRING('"hi"')""").getString(0) == "hi")
+    // FLOAT64 wide_number_mode: exact (default) raises past the
+    // double-lossless regime; round accepts nearest
+    assert(one("""FLOAT64('9007199254740993', wide_number_mode => 'round')""")
+      .getDouble(0) == 9007199254740992.0)
+    // SAFE forms null out instead of raising
+    assert(one("""SAFE.BOOL('1')""").isNullAt(0))
+    assert(one("""SAFE.INT64('1.5')""").isNullAt(0))
+    assert(one("""SAFE.INT64('1e30')""").isNullAt(0))
+    assert(one("""SAFE.STRING('42')""").isNullAt(0))
+    assert(one("""SAFE.FLOAT64('"x"')""").isNullAt(0))
+    assert(one("""SAFE.INT64(CAST(NULL AS STRING))""").isNullAt(0))
+    // strict forms RAISE with the SAFE hint (BigQuery's behavior)
+    def bad(sql: String): String = {
+      val df = GraftSql.load(spark, s"SELECT $sql AS v")
+      intercept[Exception] { df.collect() }.getMessage
+    }
+    assert(bad("""BOOL('1')""").contains("SAFE.BOOL"))
+    assert(bad("""INT64('1.5')""").contains("SAFE.INT64"))
+    assert(bad("""STRING('42')""").contains("SAFE.STRING"))
+    assert(bad("""FLOAT64('9007199254740993')""").contains("wide_number_mode"))
+    assert(intercept[Exception] {
+      GraftSql.load(spark, """SELECT JSON_KEYS('{"a":1}', mode => 'bogus') AS v""")
+    }.getMessage.contains("mode"))
+  }
+
   test("JSON_OBJECT / JSON_ARRAY / PARSE_JSON / TO_JSON: the constructor family") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
@@ -2254,9 +2309,19 @@ class TypedSqlSpec extends SparkSuite {
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
     assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
       "bucket_width => INTERVAL 1 HOUR)").contains("INTERVAL 1 DAY"))
+    // 'linear' (round 13) interpolates between bracketing observations;
+    // unbracketed leading/trailing gaps stay null
+    val ln = GraftSql.load(spark,
+      """SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd',
+        |  bucket_width => INTERVAL 1 DAY, partitioning_columns => ['k'],
+        |  value_columns => [('v', 'linear')]) ORDER BY k, d""".stripMargin).collect()
+    val lx = ln.filter(_.getString(0) == "x").map(_.getDouble(2)).toSeq
+    assert(lx == Seq(1.0, 2.0, 3.0, 4.0))
+    val ly = ln.filter(_.getString(0) == "y")
+    assert(ly.head.isNullAt(2) && ly(1).getDouble(2) == 2.0 && ly(3).isNullAt(2))
     assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
-      "bucket_width => INTERVAL 1 DAY, value_columns => [('v', 'linear')])")
-      .contains("linear"))
+      "bucket_width => INTERVAL 1 DAY, value_columns => [('v', 'spline')])")
+      .contains("spline"))
     assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
       "bucket_width => INTERVAL 1 DAY, origin => 1)").contains("origin"))
   }
