@@ -109,7 +109,7 @@ object GraftSql {
     // dispatch, so every statement class (SELECT, INSERT ... SELECT,
     // EXPORT) can use them — time travel first, so a TVF's TABLE
     // argument may itself be an AS OF reference
-    val sql = rewriteWindowRefinement(graft.sql.Models.rewriteMlScaler(rewriteQualify(rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(rewriteBqFunctions(rewriteGenerateFns(rewriteJsonArrayFns(
+    val sql = rewriteWindowRefinement(graft.sql.Models.rewriteMlScaler(rewriteQualify(graft.sql.Functions.rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(graft.sql.Functions.rewriteBqFunctions(graft.sql.Functions.rewriteGenerateFns(graft.sql.Functions.rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
         graft.sql.Models.rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteGapFillTvf(spark, rewriteChangeTvf(spark,
           rewriteWildcardTables(spark, rewriteTimeTravel(spark, graft.sql.Pipes.rewritePipes(sql0)))))))))))))))))))
@@ -1170,1548 +1170,6 @@ object GraftSql {
         "CONNECTION / TEMP TABLE clauses are not supported)")
   }
 
-  // ───────────── DESCRIBE HISTORY ─────────────
-
-  // ── BigQuery JSON array surface + UNNEST ─────────────────────────
-
-  /** Expand the BigQuery JSON-array extractors as TEXTUAL macros —
-    * `JSON_EXTRACT_ARRAY` / `JSON_QUERY_ARRAY` (legacy and standard
-    * spellings — BigQuery differs only in path dialect, both accept
-    * `$.a.b` which is the shared subset) and `JSON_VALUE_ARRAY` /
-    * `JSON_EXTRACT_STRING_ARRAY`. Each call `FN(j [, p])` becomes
-    * `from_json(get_json_object(j, p), 'array<string>')` in place
-    * (path defaults to '$'), so the expression works ANYWHERE —
-    * including under a Generate/LATERAL VIEW, where Catalyst refuses
-    * SQL-body UDFs (`UNSUPPORTED_SQL_UDF_USAGE`) — and stays fully
-    * codegen'd. `get_json_object` is NULL on a missing path — lax
-    * semantics, matching JSON_QUERY_ARRAY's lax default. Nested calls
-    * expand via a fixpoint loop.
-    *
-    * Dialect note, deliberate: ELEMENT text follows Spark's JSON
-    * reader — scalars arrive UNQUOTED ('a', '87'), composite elements
-    * arrive as JSON text ('{"b":2}', '[1,2]', re-parseable). BigQuery
-    * quotes string scalars in the EXTRACT/QUERY spellings and
-    * unquotes them in VALUE/STRING; here the four spellings agree on
-    * the unquoted form (the one the UNNEST → CAST pipeline — the real
-    * usage — needs). The hash-gated driver face uses numeric arrays,
-    * where the engines agree bit-for-bit.
-    */
-  private[graft] def rewriteJsonArrayFns(sql0: String): String = {
-    val fns = Seq("JSON_EXTRACT_STRING_ARRAY", "JSON_EXTRACT_ARRAY",
-      "JSON_QUERY_ARRAY", "JSON_VALUE_ARRAY") // longest first
-    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-    def pass(sql: String): String = {
-      val upper = sql.toUpperCase(java.util.Locale.ROOT)
-      val out = new StringBuilder
-      var i = 0; var inStr = false; var inTick = false
-      while (i < sql.length) {
-        val c = sql.charAt(i)
-        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-        else if (c == '\'') { out += c; inStr = true; i += 1 }
-        else if (c == '`') { out += c; inTick = true; i += 1 }
-        else {
-          val hit = if ((c == 'J' || c == 'j') && (i == 0 || !isWord(sql.charAt(i - 1))))
-            fns.find(f => upper.startsWith(f, i) &&
-              (i + f.length >= sql.length || !isWord(sql.charAt(i + f.length))))
-          else None
-          hit match {
-            case Some(f) =>
-              var p = i + f.length
-              while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-              require(p < sql.length && sql.charAt(p) == '(',
-                s"$f must be called with (json [, path])")
-              // balanced, quote-aware arg scan with top-level comma split
-              var depth = 1; var q = p + 1; var s2 = false
-              var commaAt = -1
-              while (q < sql.length && depth > 0) {
-                val ch = sql.charAt(q)
-                if (s2) { if (ch == '\'') s2 = false }
-                else if (ch == '\'') s2 = true
-                else if (ch == '(') depth += 1
-                else if (ch == ')') depth -= 1
-                else if (ch == ',' && depth == 1) {
-                  require(commaAt < 0, s"$f takes at most (json, path)")
-                  commaAt = q
-                }
-                q += 1
-              }
-              require(depth == 0, s"unbalanced parens in $f(...)")
-              val (j, path) =
-                if (commaAt < 0) (sql.substring(p + 1, q - 1).trim, "'$'")
-                else (sql.substring(p + 1, commaAt).trim,
-                  sql.substring(commaAt + 1, q - 1).trim)
-              require(j.nonEmpty, s"$f needs a json argument")
-              out ++= s"from_json(get_json_object($j, $path), 'array<string>')"
-              i = q
-            case None => out += c; i += 1
-          }
-        }
-      }
-      out.toString
-    }
-    var cur = sql0; var n = 0
-    while (fns.exists(cur.toUpperCase(java.util.Locale.ROOT).contains) && n < 10) {
-      val next = pass(cur)
-      if (next == cur) return cur
-      cur = next; n += 1
-    }
-    cur
-  }
-
-  /** One pass of quote-/backtick-aware call rewriting: every
-    * top-level `NAME ( args )` call where NAME ∈ `names`
-    * (longest-first match, word-bounded, case-insensitive) is handed
-    * to `f(matchedName, args)` — args split at top-level commas —
-    * and the call text replaced by f's result. A NAME not followed
-    * by `(` is an identifier and passes through. Callers needing
-    * nested-call expansion loop to a fixpoint.
-    */
-  private def rewriteCalls(sql: String, names: Seq[String])
-                          (f: (String, Seq[String]) => Option[String]): String = {
-    val ordered = names.sortBy(-_.length)
-    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-    val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    val out = new StringBuilder
-    var i = 0; var inStr = false; var inTick = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-      else if (c == '\'') { out += c; inStr = true; i += 1 }
-      else if (c == '`') { out += c; inTick = true; i += 1 }
-      else {
-        val hit = if (Character.isLetter(c) && (i == 0 || !isWord(sql.charAt(i - 1))))
-          ordered.find(n => upper.startsWith(n, i) &&
-            (i + n.length >= sql.length || !isWord(sql.charAt(i + n.length))))
-        else None
-        val applied = hit.flatMap { n =>
-          var p = i + n.length
-          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-          if (p >= sql.length || sql.charAt(p) != '(') None
-          else {
-            // bracket depth keeps commas inside `[a, b, c]` array
-            // literals (RANGE_BUCKET's boundaries) from splitting args
-            var depth = 1; var bdepth = 0; var q = p + 1; var s2 = false
-            val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
-            while (q < sql.length && depth > 0) {
-              val ch = sql.charAt(q)
-              if (s2) { if (ch == '\'') s2 = false }
-              else if (ch == '\'') s2 = true
-              else if (ch == '(') depth += 1
-              else if (ch == ')') depth -= 1
-              else if (ch == '[') bdepth += 1
-              else if (ch == ']') bdepth -= 1
-              else if (ch == ',' && depth == 1 && bdepth == 0) commas += q
-              q += 1
-            }
-            require(depth == 0, s"unbalanced parens in $n(...)")
-            val inner = sql.substring(p + 1, q - 1)
-            val args =
-              if (inner.trim.isEmpty) Seq.empty[String]
-              else (p +: commas.toSeq :+ (q - 1)).sliding(2)
-                .map { case Seq(x, y) => sql.substring(x + 1, y).trim }.toSeq
-            // None from f = leave the ORIGINAL text verbatim (a
-            // Spark-native spelling must not even be re-cased)
-            Some((f(n, args).getOrElse(sql.substring(i, q)), q))
-          }
-        }
-        applied match {
-          case Some((text, next)) => out ++= text; i = next
-          case None => out += c; i += 1
-        }
-      }
-    }
-    out.toString
-  }
-
-  /** BigQuery's sequence generators as textual macros over Spark's
-    * `sequence`: `GENERATE_ARRAY(a, b [, step])`,
-    * `GENERATE_DATE_ARRAY(d1, d2 [, INTERVAL n unit])` and
-    * `GENERATE_TIMESTAMP_ARRAY(t1, t2, INTERVAL n unit)` — with
-    * UNNEST these are the date-spine / gap-fill idiom (the SQL
-    * spelling of A14's Resample).
-    *
-    * The one semantic gap is DIRECTION MISMATCH: BigQuery returns an
-    * EMPTY ARRAY when the step cannot reach the stop (e.g.
-    * GENERATE_ARRAY(5, 1) or a negative interval with stop > start),
-    * while Spark's `sequence(5, 1)` helpfully counts DOWN. The macro
-    * guards each call: numeric steps dynamically
-    * (`(stop-start)*step < 0` → empty — works for expression steps),
-    * interval steps by the literal's sign (the interval must be a
-    * literal `INTERVAL [-]n unit`, loud otherwise). The typed empty
-    * array is `slice(sequence(a, a), 1, 0)` — no untyped `array()`
-    * to trip resolution. FRACTIONAL bounds/steps (round 11) have no
-    * Spark `sequence` equivalent and take the transform route instead:
-    * `transform(sequence(0, floor((stop-start)/step)), i -> start +
-    * i*step)` — element count fixed up front, values by MULTIPLICATION
-    * from the start (not repeated addition), so no error accumulation;
-    * same empty-on-mismatch guard, loud zero step (BigQuery errors
-    * there too). The fractional route triggers on a fractional NUMERIC
-    * LITERAL in any argument — fractional-typed expressions keep
-    * failing at analysis (spell the literal), stated contract.
-    */
-  private[graft] def rewriteGenerateFns(sql0: String): String = {
-    val fns = Seq("GENERATE_TIMESTAMP_ARRAY", "GENERATE_DATE_ARRAY", "GENERATE_ARRAY")
-    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-    val IntervalRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
-    def emptyOf(a: String) = s"slice(sequence(($a),($a)),1,0)"
-    def pass(sql: String): String = {
-      val upper = sql.toUpperCase(java.util.Locale.ROOT)
-      val out = new StringBuilder
-      var i = 0; var inStr = false; var inTick = false
-      while (i < sql.length) {
-        val c = sql.charAt(i)
-        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-        else if (c == '\'') { out += c; inStr = true; i += 1 }
-        else if (c == '`') { out += c; inTick = true; i += 1 }
-        else {
-          val hit = if ((c == 'G' || c == 'g') && (i == 0 || !isWord(sql.charAt(i - 1))))
-            fns.find(f => upper.startsWith(f, i) &&
-              (i + f.length >= sql.length || !isWord(sql.charAt(i + f.length))))
-          else None
-          hit match {
-            case Some(f) =>
-              var p = i + f.length
-              while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-              require(p < sql.length && sql.charAt(p) == '(',
-                s"$f must be called with (start, stop [, step])")
-              var depth = 1; var q = p + 1; var s2 = false
-              val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
-              while (q < sql.length && depth > 0) {
-                val ch = sql.charAt(q)
-                if (s2) { if (ch == '\'') s2 = false }
-                else if (ch == '\'') s2 = true
-                else if (ch == '(') depth += 1
-                else if (ch == ')') depth -= 1
-                else if (ch == ',' && depth == 1) commas += q
-                q += 1
-              }
-              require(depth == 0, s"unbalanced parens in $f(...)")
-              val bounds = (p +: commas.toSeq :+ (q - 1)).sliding(2)
-                .map { case Seq(x, y) => sql.substring(x + 1, y).trim }.toSeq
-              require(bounds.size == 2 || bounds.size == 3,
-                s"$f takes (start, stop [, step]), got ${bounds.size} arguments")
-              val (a, b) = (bounds(0), bounds(1))
-              val rewritten = (f, bounds.lift(2)) match {
-                case ("GENERATE_ARRAY", stepOpt) =>
-                  val FracLit = """-?(\d+\.\d*|\.\d+)([eE][-+]?\d+)?"""
-                  val s = stepOpt.getOrElse("1")
-                  if (bounds.exists(_.matches(FracLit))) {
-                    val ad = s"CAST(($a) AS DOUBLE)"
-                    s"(CASE WHEN ($s) = 0 THEN raise_error('GENERATE_ARRAY step cannot be 0') " +
-                      s"WHEN (($b) - ($a)) * ($s) < 0 THEN slice(array($ad),1,0) " +
-                      s"ELSE transform(sequence(0, CAST(floor(CAST(($b) - ($a) AS DOUBLE) / ($s)) AS BIGINT)), " +
-                      s"i -> $ad + CAST(i AS DOUBLE) * ($s)) END)"
-                  } else if (stepOpt.isEmpty)
-                    s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
-                  else
-                    s"(CASE WHEN (($b) - ($a)) * ($s) < 0 THEN ${emptyOf(a)} " +
-                      s"ELSE sequence(($a),($b),($s)) END)"
-                case ("GENERATE_DATE_ARRAY", None) =>
-                  s"(CASE WHEN ($b) < ($a) THEN ${emptyOf(a)} ELSE sequence(($a),($b)) END)"
-                case (_, None) => throw new IllegalArgumentException(
-                  s"$f requires an explicit INTERVAL step")
-                case (_, Some(step)) => step match {
-                  case IntervalRe(n, unit) =>
-                    val cmp = if (n.toLong >= 0) s"($b) < ($a)" else s"($b) > ($a)"
-                    s"(CASE WHEN $cmp THEN ${emptyOf(a)} " +
-                      s"ELSE sequence(($a),($b),INTERVAL $n $unit) END)"
-                  case other => throw new IllegalArgumentException(
-                    s"$f step must be a literal INTERVAL [-]n unit (got '$other') — " +
-                      "the empty-on-direction-mismatch guard needs the sign statically")
-                }
-              }
-              out ++= rewritten
-              i = q
-            case None => out += c; i += 1
-          }
-        }
-      }
-      out.toString
-    }
-    var cur = sql0; var n = 0
-    while (fns.exists(cur.toUpperCase(java.util.Locale.ROOT).contains) && n < 10) {
-      val next = pass(cur)
-      if (next == cur) return cur
-      cur = next; n += 1
-    }
-    cur
-  }
-
-  // ── BigQuery function spellings ──────────────────────────────────
-
-  private val BqRenames = Map(
-    "COUNTIF" -> "count_if", "SAFE_DIVIDE" -> "try_divide",
-    "SAFE_ADD" -> "try_add", "SAFE_SUBTRACT" -> "try_subtract",
-    "SAFE_MULTIPLY" -> "try_multiply",
-    "LOGICAL_AND" -> "bool_and", "LOGICAL_OR" -> "bool_or",
-    "ARRAY_LENGTH" -> "size", "ARRAY_TO_STRING" -> "array_join",
-    "ARRAY_REVERSE" -> "reverse", "REGEXP_CONTAINS" -> "regexp_like",
-    "STRPOS" -> "instr", "STARTS_WITH" -> "startswith",
-    "ENDS_WITH" -> "endswith", "FORMAT" -> "format_string",
-    "APPROX_COUNT_DISTINCT" -> "approx_count_distinct",
-    "ARRAY_CONCAT" -> "concat", "GENERATE_UUID" -> "uuid")
-
-  private val IntervalLitRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
-
-  private val UnitMicros = Map(
-    "MICROSECOND" -> 1L, "MILLISECOND" -> 1000L, "SECOND" -> 1000000L,
-    "MINUTE" -> 60000000L, "HOUR" -> 3600000000L, "DAY" -> 86400000000L)
-
-  /** BigQuery strftime-style format → Java datetime pattern for the
-    * shared verb subset; untranslated LETTERS are single-quoted (in a
-    * Java pattern every bare letter is a pattern char), other chars
-    * pass verbatim. Unknown % verbs are loud — a silently-wrong
-    * format string corrupts every row.
-    */
-  private def bqFormatToJava(fmt: String): String = {
-    val map = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
-      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
-      'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", 'j' -> "DDD",
-      'A' -> "EEEE", 'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM",
-      'p' -> "a", 'Z' -> "zz", 'z' -> "xxx", 'e' -> "d", 'Q' -> "q")
-    val out = new StringBuilder
-    var i = 0
-    while (i < fmt.length) {
-      val c = fmt.charAt(i)
-      if (c == '%') {
-        require(i + 1 < fmt.length, s"dangling %% in format '$fmt'")
-        val v = fmt.charAt(i + 1)
-        if (v == '%') out += '%'
-        else out ++= map.getOrElse(v, throw new IllegalArgumentException(
-          s"unsupported format verb %$v in '$fmt' (supported: ${map.keys.toSeq.sorted.mkString(", ")})"))
-        i += 2
-      } else if (Character.isLetter(c)) { out ++= s"'$c'"; i += 1 }
-      else { out += c; i += 1 }
-    }
-    out.toString
-  }
-
-  /** BigQuery function spellings → Spark equivalents, applied to
-    * every statement before dispatch. Three tiers:
-    *
-    *  1. direct renames where semantics already match (COUNTIF →
-    *     count_if, SAFE_DIVIDE → try_divide, LOGICAL_AND → bool_and,
-    *     ARRAY_LENGTH → size, REGEXP_CONTAINS → regexp_like, STRPOS →
-    *     instr, STARTS_WITH/ENDS_WITH, FORMAT → format_string, …);
-    *  2. argument-shape macros: `TIMESTAMP_DIFF`/`DATETIME_DIFF`
-    *     (micros subtraction `div` unit — truncation toward zero,
-    *     BigQuery's rule), `DATE_DIFF(a, b, DAY)` (datediff; other
-    *     date units count calendar boundaries and are loud),
-    *     `TIMESTAMP_ADD/SUB`/`DATETIME_ADD/SUB` (± INTERVAL),
-    *     `DATE_ADD/SUB(d, INTERVAL n unit)` (date_add/add_months by
-    *     unit; a 2-arg DATE_ADD whose second argument is NOT an
-    *     interval literal is Spark's own spelling and passes
-    *     through), `FORMAT_DATE`/`FORMAT_TIMESTAMP`/`PARSE_DATE`/
-    *     `PARSE_TIMESTAMP` (strftime verbs → Java pattern, literal
-    *     formats only — see [[bqFormatToJava]]);
-    *  3. array subscripts `arr[OFFSET(i)]` → `arr[(i)]` (Spark
-    *     subscripts are 0-based; both engines error on
-    *     out-of-bounds under ANSI) and `arr[ORDINAL(i)]` →
-    *     `arr[(i) - 1]`; `arr[SAFE_OFFSET(i)]`/`arr[SAFE_ORDINAL(i)]`
-    *     capture the array operand by the same bounded BACKWARD scan
-    *     the `IN UNNEST` rewrite uses (identifier chain, `(...)`
-    *     group, call, or a preceding `]` subscript chain) and expand
-    *     to a bounds-guarded CASE over the 0-based subscript —
-    *     NULL on any out-of-range/NULL index and on a NULL array,
-    *     BigQuery's SAFE_ semantics, under both ANSI settings. The
-    *     operand text is duplicated into the size() guard, so an
-    *     expensive call operand should be bound in a prior SELECT;
-    *     a compound arithmetic operand must be parenthesized (the
-    *     scan then sees one group) — a mis-capture fails typed at
-    *     analysis, never silently;
-    *  4. the `SAFE.` function prefix (NULL instead of error) for the
-    *     forms with a Spark total equivalent — SAFE.CAST (→ TRY_CAST
-    *     with the BigQuery type mapped in the cast type position —
-    *     [[mapBqTypesInCasts]] now runs statement-wide, so the plain
-    *     SAFE_CAST spelling works everywhere, not just UDF bodies),
-    *     SAFE.DIVIDE/ADD/SUBTRACT/MULTIPLY (try_*), and
-    *     SAFE.PARSE_DATE/TIMESTAMP/DATETIME (try_to_timestamp).
-    *     Only a supported name followed by `(` rewrites — `safe.tbl`
-    *     in FROM position is a qualifier and passes through; an
-    *     unsupported SAFE.fn is loud with the supported list.
-    */
-  private[graft] def rewriteBqFunctions(sql0: String): String = {
-    val shapeNames = Seq("TIMESTAMP_DIFF", "DATETIME_DIFF", "DATE_DIFF",
-      "TIMESTAMP_ADD", "TIMESTAMP_SUB", "DATETIME_ADD", "DATETIME_SUB",
-      "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
-      "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
-      "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
-      "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
-      "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
-      "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
-      "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
-      "TO_BASE64", "FROM_BASE64",
-      "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
-      "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
-      "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
-      "KLL_QUANTILES.MERGE_PARTIAL",
-      "KLL_QUANTILES.MERGE_POINT_INT64", "KLL_QUANTILES.MERGE_POINT_FLOAT64",
-      "KLL_QUANTILES.EXTRACT_POINT_INT64", "KLL_QUANTILES.EXTRACT_POINT_FLOAT64",
-      "KLL_QUANTILES.MERGE_INT64", "KLL_QUANTILES.MERGE_FLOAT64",
-      "KLL_QUANTILES.EXTRACT_INT64", "KLL_QUANTILES.EXTRACT_FLOAT64",
-      "SAFE_PARSE_DATE", "SAFE_PARSE_TIMESTAMP", "SAFE_PARSE_DATETIME",
-      "TIMESTAMP_TRUNC", "DATETIME_TRUNC", "DATE_TRUNC", "SPLIT",
-      "EDIT_DISTANCE", "TO_JSON_STRING", "ARRAY_FIRST", "ARRAY_LAST",
-      "CONTAINS_SUBSTR", "NORMALIZE", "NORMALIZE_AND_CASEFOLD",
-      "LAX_INT64", "LAX_FLOAT64", "LAX_BOOL", "LAX_STRING",
-      "BOOL", "INT64", "FLOAT64", "STRING",
-      "SAFE_BOOL", "SAFE_INT64", "SAFE_FLOAT64", "SAFE_STRING", "JSON_KEYS",
-      "JSON_EXTRACT_SCALAR", "JSON_VALUE", "JSON_QUERY", "JSON_EXTRACT",
-      "JSON_SET", "JSON_INSERT", "JSON_REPLACE", "JSON_REMOVE",
-      "JSON_ARRAY_APPEND", "JSON_ARRAY_INSERT", "JSON_STRIP_NULLS", "JSON_TYPE",
-      "JSON_OBJECT", "JSON_ARRAY", "PARSE_JSON", "SAFE_PARSE_JSON", "TO_JSON",
-      "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS")
-    val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
-    // top-level (depth-0, quote-aware) position of `ORDER BY` inside
-    // one argument's text, -1 if absent
-    def topLevelOrderBy(text: String): Int = {
-      def isW(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-      val up = text.toUpperCase(java.util.Locale.ROOT)
-      var i = 0; var depth = 0; var s = false; var t = false
-      while (i < text.length) {
-        val c = text.charAt(i)
-        if (s) { if (c == '\'') s = false }
-        else if (t) { if (c == '`') t = false }
-        else if (c == '\'') s = true
-        else if (c == '`') t = true
-        else if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
-        else if (depth == 0 && (c == 'O' || c == 'o') && up.startsWith("ORDER", i) &&
-          (i == 0 || !isW(text.charAt(i - 1)))) {
-          var j = i + 5
-          while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
-          if (up.startsWith("BY", j) && (j + 2 >= text.length || !isW(text.charAt(j + 2))))
-            return i
-        }
-        i += 1
-      }
-      -1
-    }
-    // BigQuery's ordered aggregates: `STRING_AGG(e[, sep] ORDER BY k...)`
-    // → `listagg(e, sep) WITHIN GROUP (ORDER BY k...)`, and
-    // `ARRAY_AGG(e ORDER BY k... [LIMIT n])` → sort-by-key struct route
-    // (array_sort is total order over the key fields THEN the value —
-    // stricter than BigQuery's unspecified tie order, deterministic).
-    // NULL elements: STRING_AGG skips them in both dialects; the
-    // ARRAY_AGG route FILTERs them out (BigQuery default ERRORS on a
-    // NULL element — IGNORE NULLS semantics are what a migrated
-    // pipeline actually wants, divergence documented).
-    def orderedAgg(name: String, args: Seq[String]): Option[String] = {
-      val obHit = args.zipWithIndex
-        .map { case (a, i) => (i, topLevelOrderBy(a)) }.find(_._2 >= 0)
-      obHit.map { case (ai, ci) =>
-        val valueArgs = (args.take(ai) :+ args(ai).substring(0, ci).trim)
-          .filter(_.nonEmpty)
-        val firstKey = args(ai).substring(ci).replaceFirst("(?is)^ORDER\\s+BY\\s*", "")
-        var keys = (firstKey +: args.drop(ai + 1)).map(_.trim).filter(_.nonEmpty).toList
-        val LimitRe = """(?is)^(.*?)\s+LIMIT\s+(\d+)\s*$""".r
-        var limit: Option[Int] = None
-        keys = keys match {
-          case init :+ LimitRe(k, n) => limit = Some(n.toInt); init :+ k.trim
-          case ks => ks
-        }
-        require(keys.nonEmpty && keys.forall(_.nonEmpty), s"$name: empty ORDER BY key")
-        require(valueArgs.nonEmpty, s"$name needs a value expression")
-        var e = valueArgs.head
-        val distinct = "(?is)^DISTINCT\\s".r.findFirstIn(e).isDefined
-        if (distinct) e = e.replaceFirst("(?is)^DISTINCT\\s+", "")
-        if ("(?is)\\sIGNORE\\s+NULLS\\s*$".r.findFirstIn(e).isDefined)
-          e = e.replaceFirst("(?is)\\s+IGNORE\\s+NULLS\\s*$", "")
-        require("(?is)\\sRESPECT\\s+NULLS\\s*$".r.findFirstIn(e).isEmpty,
-          s"$name ... RESPECT NULLS is not supported on the ordered-aggregate " +
-            "rewrite (NULL elements are dropped; see scaladoc)")
-        if (name == "STRING_AGG") {
-          require(!distinct,
-            "STRING_AGG(DISTINCT ... ORDER BY ...) does not map to WITHIN GROUP — " +
-              "use the ARRAY_AGG(DISTINCT ...) route and array_join the result")
-          require(limit.isEmpty,
-            "STRING_AGG ... LIMIT has no listagg equivalent — use " +
-              "ARRAY_AGG(... ORDER BY ... LIMIT n) and array_join the result")
-          require(valueArgs.size <= 2, "STRING_AGG takes (expr[, delimiter])")
-          val sep = if (valueArgs.size >= 2) valueArgs(1) else "','"
-          s"listagg(($e), $sep) WITHIN GROUP (ORDER BY ${keys.mkString(", ")})"
-        } else {
-          require(valueArgs.size == 1, "ARRAY_AGG takes one expression")
-          val cleanKeys = keys.map(_.replaceFirst("(?is)\\s+ASC\\s*$", ""))
-          cleanKeys.foreach { k =>
-            require("(?is)\\s(DESC|NULLS\\s+FIRST|NULLS\\s+LAST)\\s*$".r.findFirstIn(k).isEmpty,
-              "ARRAY_AGG ORDER BY maps through array_sort (ascending only) — " +
-                "reverse(...) the result for DESC")
-          }
-          if (distinct) {
-            require(cleanKeys.map(_.trim) == List(e.trim),
-              "ARRAY_AGG(DISTINCT e ORDER BY k) requires k = e (BigQuery's own rule)")
-            val base = s"array_sort(array_agg(DISTINCT ($e)))"
-            limit.fold(base)(n => s"slice($base, 1, $n)")
-          } else {
-            val fields = cleanKeys.zipWithIndex
-              .map { case (k, j) => s"($k) AS __o$j" }.mkString(", ")
-            val base = s"transform(array_sort(array_agg(struct($fields, ($e) AS __v)) " +
-              s"FILTER (WHERE ($e) IS NOT NULL)), __x -> __x.__v)"
-            limit.fold(base)(n => s"slice($base, 1, $n)")
-          }
-        }
-      }
-    }
-    val allNames = BqRenames.keys.toSeq ++ shapeNames
-    def unquote(lit: String, ctx: String): String = {
-      require(lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'"),
-        s"$ctx requires a literal quoted format string, got: $lit")
-      lit.substring(1, lit.length - 1).replace("''", "'")
-    }
-    def onePass(sql: String): String = rewriteCalls(sql, allNames) { (name, args) =>
-      name match {
-        case n if BqRenames.contains(n) => Some(s"${BqRenames(n)}(${args.mkString(", ")})")
-        case "TIMESTAMP_DIFF" | "DATETIME_DIFF" =>
-          require(args.size == 3, s"$name takes (later, earlier, unit)")
-          val u = UnitMicros.getOrElse(args(2).toUpperCase(java.util.Locale.ROOT),
-            throw new IllegalArgumentException(
-              s"$name unit '${args(2)}' not supported (${UnitMicros.keys.toSeq.sorted.mkString(", ")})"))
-          Some(s"((unix_micros(CAST((${args(0)}) AS TIMESTAMP)) - " +
-            s"unix_micros(CAST((${args(1)}) AS TIMESTAMP))) div $u)")
-        case "DATE_DIFF" =>
-          require(args.size == 3, "DATE_DIFF takes (later, earlier, unit)")
-          require(args(2).equalsIgnoreCase("DAY"),
-            s"DATE_DIFF unit '${args(2)}' not supported — only DAY maps cleanly " +
-              "(WEEK/MONTH/YEAR count calendar boundaries); use EXTRACT arithmetic instead")
-          Some(s"CAST(datediff((${args(0)}), (${args(1)})) AS BIGINT)")
-        case "TIMESTAMP_ADD" | "DATETIME_ADD" | "TIMESTAMP_SUB" | "DATETIME_SUB" =>
-          require(args.size == 2 && IntervalLitRe.pattern.matcher(args(1)).matches(),
-            s"$name takes (ts, INTERVAL n unit) with a literal interval, got: $name(${args.mkString(", ")})")
-          val op = if (name.endsWith("_ADD")) "+" else "-"
-          Some(s"((${args(0)}) $op ${args(1)})")
-        case "DATE_ADD" | "DATE_SUB" =>
-          args match {
-            case Seq(d, IntervalLitRe(n, unit)) =>
-              val sign = if (name == "DATE_SUB") -1L else 1L
-              val k = n.toLong * sign
-              unit.toUpperCase(java.util.Locale.ROOT) match {
-                case "DAY" => Some(s"date_add(($d), ${k})")
-                case "WEEK" => Some(s"date_add(($d), ${k * 7})")
-                case "MONTH" => Some(s"add_months(($d), ${k})")
-                case "QUARTER" => Some(s"add_months(($d), ${k * 3})")
-                case "YEAR" => Some(s"add_months(($d), ${k * 12})")
-                case other => throw new IllegalArgumentException(
-                  s"$name unit '$other' not supported")
-              }
-            case _ => None // Spark's own date_add(d, n) / non-literal: untouched
-          }
-        case "FORMAT_DATE" | "FORMAT_TIMESTAMP" | "FORMAT_DATETIME" =>
-          require(args.size == 2, s"$name takes (format, value)")
-          Some(s"date_format((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
-        case "PARSE_DATE" =>
-          require(args.size == 2, "PARSE_DATE takes (format, value)")
-          Some(s"to_date((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
-        case "PARSE_TIMESTAMP" | "PARSE_DATETIME" =>
-          require(args.size == 2, s"$name takes (format, value)")
-          Some(s"to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
-        // the SAFE.-prefixed parse family: NULL on an unparseable
-        // value via try_to_timestamp (the date form casts the
-        // midnight timestamp down — total)
-        case "SAFE_PARSE_DATE" =>
-          require(args.size == 2, "SAFE.PARSE_DATE takes (format, value)")
-          Some(s"CAST(try_to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}') AS DATE)")
-        case "SAFE_PARSE_TIMESTAMP" | "SAFE_PARSE_DATETIME" =>
-          require(args.size == 2, s"${name.replaceFirst("SAFE_", "SAFE.")} takes (format, value)")
-          Some(s"try_to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
-        case "ANY_VALUE" => args match {
-          // BigQuery's argmax/argmin spelling; bare ANY_VALUE is
-          // native Spark and passes through
-          case Seq(HavingRe(x, mm, y)) =>
-            Some(s"${if (mm.equalsIgnoreCase("MAX")) "max_by" else "min_by"}(${x.trim}, ${y.trim})")
-          case _ => None
-        }
-        case "STRING_AGG" | "ARRAY_AGG" => orderedAgg(name, args)
-        // BigQuery's APPROX family over Spark's sketches. QUANTILES:
-        // n+1 evenly spaced rank-selected elements via the GK sketch
-        // (accuracy 10000 — EXACT whenever the group is smaller than
-        // that, the B11b regime; genuinely approximate above it, like
-        // BigQuery's own). TOP_COUNT: native approx_top_k with the
-        // struct fields renamed to BigQuery's (value, count).
-        case "APPROX_QUANTILES" =>
-          require(args.size == 2, "APPROX_QUANTILES takes (expr, number)")
-          require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,
-            "APPROX_QUANTILES DISTINCT is not supported — deduplicate upstream")
-          val nTxt = args(1).trim
-          require(nTxt.matches("""\d+""") && nTxt.toInt >= 1,
-            s"APPROX_QUANTILES number must be a positive literal integer, got $nTxt")
-          val k = nTxt.toInt
-          val qs = (0 to k).map(i => (i.toDouble / k).toString).mkString(", ")
-          Some(s"approx_percentile((${args(0)}), array($qs), 10000)")
-        // BigQuery's TRUNC family has the REVERSED argument order from
-        // Spark's date_trunc (value first, unit keyword second) and
-        // typed results (DATE_TRUNC → DATE, DATETIME_TRUNC → _NTZ).
-        // Spark's own date_trunc('unit', ts) spelling — string literal
-        // FIRST — passes through untouched. WEEK is loud: BigQuery
-        // weeks start Sunday, Spark's Monday — a silent one-day shift.
-        case "TIMESTAMP_TRUNC" | "DATETIME_TRUNC" | "DATE_TRUNC" =>
-          if (args.nonEmpty && args(0).trim.startsWith("'")) None // Spark spelling
-          else {
-            require(args.size == 2,
-              s"$name takes (value, unit) — the timezone argument is not supported")
-            val unit = args(1).trim.toUpperCase(java.util.Locale.ROOT)
-            require(unit != "WEEK" && !unit.startsWith("WEEK("),
-              s"$name WEEK is not supported: BigQuery weeks start SUNDAY, Spark's " +
-                "MONDAY — truncate via date_sub(date_trunc('WEEK', x), 1) explicitly " +
-                "if Monday-shifted weeks are acceptable")
-            require(Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
-              "DAY", "MONTH", "QUARTER", "YEAR").contains(unit),
-              s"$name unit '$unit' is not supported")
-            name match {
-              case "TIMESTAMP_TRUNC" => Some(s"date_trunc('$unit', (${args(0)}))")
-              case "DATETIME_TRUNC" =>
-                Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
-              case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
-            }
-          }
-        // BigQuery SPLIT: LITERAL delimiter (default ','), unlike
-        // Spark's regex split — '|' and '.' are exactly where the
-        // dialects diverge, so the two-argument literal form takes
-        // BigQuery semantics (regex-quoted). Spark regex splitting
-        // stays available through the THREE-argument form
-        // split(s, regex, limit) and through non-literal delimiters,
-        // both untouched.
-        case "SPLIT" if args.size == 3 => None // Spark's split(str, regex, limit)
-        case "SPLIT" =>
-          require(args.nonEmpty && args.size <= 2, "SPLIT takes (value[, delimiter])")
-          val d = if (args.size == 2) args(1).trim else "','"
-          if (!(d.startsWith("'") && d.endsWith("'") && d.length >= 2)) None
-          else {
-            val raw = d.substring(1, d.length - 1).replace("''", "'")
-            require(raw.nonEmpty, "SPLIT delimiter must be non-empty")
-            // double the backslashes: Spark's SQL string unescape eats
-            // one level before the regex engine sees \Q...\E
-            val quoted = java.util.regex.Pattern.quote(raw)
-              .replace("\\", "\\\\").replace("'", "''")
-            Some(s"split((${args(0)}), '$quoted', -1)")
-          }
-        // BigQuery EDIT_DISTANCE → levenshtein; the max_distance form
-        // CAPS the result at max (Spark's threshold form returns -1
-        // past it — mapped back)
-        case "EDIT_DISTANCE" =>
-          require(args.size == 2 || args.size == 3,
-            "EDIT_DISTANCE takes (a, b [, max_distance])")
-          if (args.size == 2) Some(s"levenshtein((${args(0)}), (${args(1)}))")
-          else {
-            val k = args(2).replaceFirst("(?is)^max_distance\\s*=>\\s*", "").trim
-            Some(s"ifnull(nullif(levenshtein((${args(0)}), (${args(1)}), ($k)), -1), ($k))")
-          }
-        case "TO_JSON_STRING" =>
-          require(args.size == 1,
-            "TO_JSON_STRING takes one argument (pretty-printing is not supported)")
-          Some(s"to_json((${args(0)}))")
-        // BigQuery's lax JSON scalar accessors over this engine's
-        // string-typed JSON values. The PINNED coercion table (the
-        // common migration cases; objects/arrays/JSON null → NULL,
-        // quoted strings unwrap first):
-        //   LAX_INT64: bool → 1/0; integral text exact; other numeric
-        //     text via double, rounded half-away-from-zero; else NULL
-        //   LAX_FLOAT64: numeric text → double; bools → NULL
-        //   LAX_BOOL: 'true'/'false' (case-insens) → bool; numeric
-        //     text → (value ≠ 0); else NULL
-        //   LAX_STRING: quoted unwraps; numbers/bools keep their text
-        case "LAX_INT64" | "LAX_FLOAT64" | "LAX_BOOL" | "LAX_STRING" =>
-          require(args.size == 1, s"$name takes one JSON scalar")
-          val a = s"trim(CAST((${args(0)}) AS STRING))"
-          val unq = s"(CASE WHEN $a LIKE '\"%\"' THEN substring($a, 2, length($a) - 2) ELSE $a END)"
-          val guard = s"($a IS NULL OR $a = '' OR lower($a) = 'null' OR left($a, 1) IN ('{', '['))"
-          val body = name match {
-            case "LAX_STRING" => unq
-            case "LAX_FLOAT64" => s"try_cast($unq AS DOUBLE)"
-            case "LAX_BOOL" =>
-              s"(CASE WHEN lower($unq) = 'true' THEN true " +
-                s"WHEN lower($unq) = 'false' THEN false " +
-                s"WHEN try_cast($unq AS DOUBLE) IS NOT NULL " +
-                s"THEN try_cast($unq AS DOUBLE) <> CAST(0 AS DOUBLE) END)"
-            case _ => // LAX_INT64
-              s"COALESCE(CASE WHEN lower($unq) = 'true' THEN CAST(1 AS BIGINT) " +
-                s"WHEN lower($unq) = 'false' THEN CAST(0 AS BIGINT) END, " +
-                s"try_cast($unq AS BIGINT), " +
-                // try_cast OUTSIDE too: under ANSI mode a plain CAST
-                // throws for numeric text beyond INT64 range (e.g.
-                // '1e30'), where BigQuery's lax rule says NULL
-                s"try_cast(round(try_cast($unq AS DOUBLE)) AS BIGINT))"
-          }
-          Some(s"(CASE WHEN $guard THEN NULL ELSE $body END)")
-        // the STRICT typed accessors (BOOL/INT64/FLOAT64/STRING over
-        // JSON) → jsonmut natives: RAISE on a type mismatch, the
-        // SAFE.-prefixed spellings yield NULL. FLOAT64's optional
-        // second argument is wide_number_mode => 'exact'|'round'
-        // (default 'exact' — BigQuery's). Note BigQuery's separate
-        // STRING(timestamp[, tz]) formatter is NOT mapped — a
-        // timestamp argument fails typed (use FORMAT_TIMESTAMP)
-        case "BOOL" | "INT64" | "STRING" | "SAFE_BOOL" | "SAFE_INT64" | "SAFE_STRING" =>
-          require(args.size == 1, s"${name.replaceFirst("SAFE_", "SAFE.")} takes one JSON argument")
-          val safe = name.startsWith("SAFE_")
-          val base = (if (safe) name.substring(5) else name).toLowerCase(java.util.Locale.ROOT)
-          Some(s"graft_json_$base(CAST((${args(0)}) AS STRING), $safe)")
-        case "FLOAT64" | "SAFE_FLOAT64" =>
-          require(args.nonEmpty && args.size <= 2,
-            s"${name.replaceFirst("SAFE_", "SAFE.")} takes (json[, wide_number_mode => 'exact'|'round'])")
-          val safe = name.startsWith("SAFE_")
-          val mode = if (args.size == 2) {
-            val m = args(1).trim.replaceFirst("(?is)^wide_number_mode\\s*=>\\s*", "")
-              .stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
-              .toLowerCase(java.util.Locale.ROOT)
-            require(m == "exact" || m == "round",
-              s"$name wide_number_mode must be 'exact' or 'round', got ${args(1)}")
-            m
-          } else "exact"
-          Some(s"graft_json_float64(CAST((${args(0)}) AS STRING), '$mode', $safe)")
-        // JSON_KEYS(json[, max_depth][, mode => 'strict'|'lax'|'lax
-        // recursive']) — sorted unique dotted key paths (see JsonKeys)
-        case "JSON_KEYS" =>
-          require(args.nonEmpty && args.size <= 3,
-            "JSON_KEYS takes (json[, max_depth][, mode => '...'])")
-          var depth = "-1"; var mode = "strict"
-          args.drop(1).foreach { a =>
-            val t = a.trim
-            if (t.matches("(?is)^mode\\s*=>.*")) {
-              mode = t.replaceFirst("(?is)^mode\\s*=>\\s*", "")
-                .stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
-                .toLowerCase(java.util.Locale.ROOT)
-            } else {
-              require(t.matches("-?\\d+"),
-                s"JSON_KEYS max_depth must be an integer literal, got $t")
-              depth = t
-            }
-          }
-          Some(s"graft_json_keys(CAST((${args(0)}) AS STRING), $depth, '$mode')")
-        // the scalar JSON path accessors, on Spark 4's VARIANT:
-        //   JSON_QUERY / JSON_EXTRACT → JSON TEXT of the value
-        //     (strings stay quoted, objects/arrays verbatim, JSON null
-        //     → the text 'null', missing path / invalid JSON → NULL)
-        //   JSON_VALUE / JSON_EXTRACT_SCALAR → the UNQUOTED scalar;
-        //     objects/arrays and JSON null → NULL (BigQuery's rule —
-        //     the object guard reads the JSON form, so a string value
-        //     that merely STARTS with '{' survives)
-        // path defaults to '$'; variant paths must be constant
-        // (Spark's variant_get rule — BigQuery paths are literals in
-        // practice, non-constant paths fail typed at analysis)
-        // BQML's split-point bucketizer (TRANSFORM-clause preprocessing;
-        // no window — the split points ARE the statistics): bin_1 below
-        // the first ASCENDING split, bin_{k+1} at-or-above the k-th —
-        // one codegen'd filter+size per row. BigQuery's array literal
-        // spelling [a, b, c] converts; NULL features stay NULL
-        case "ML.BUCKETIZE" =>
-          require(args.size == 2,
-            "ML.BUCKETIZE takes (feature, array_split_points) — the " +
-              "exclude_boundaries form is not supported")
-          val x = s"(${args(0)})"
-          val raw = args(1).trim
-          val arr = if (raw.startsWith("[") && raw.endsWith("]"))
-            s"array(${raw.substring(1, raw.length - 1)})" else s"($raw)"
-          Some(s"(CASE WHEN $x IS NULL THEN NULL ELSE " +
-            s"concat('bin_', CAST(size(filter($arr, p -> $x >= p)) + 1 AS STRING)) END)")
-        // the open-source FarmHash Fingerprint64 — BigQuery documents
-        // exactly this algorithm, Guava ships the reference impl, so
-        // values match BigQuery bit-for-bit (registry-routed like the
-        // digests: the scanner must not re-match rewritten output)
-        // BQML's n-gram generator over a token array: every n-gram for
-        // n in [lo, hi] (BigQuery's range array [n] or [lo, hi]),
-        // joined by `sep` — a pure per-row HOF pipeline (the B47
-        // shape: elements never leave the row, no Generate). The
-        // token-array argument is textually duplicated into the
-        // lambdas — pass a COLUMN, not a heavy subtree (the repo's
-        // staged-projection HOF discipline)
-        case "ML.NGRAMS" =>
-          require(args.size == 2 || args.size == 3,
-            "ML.NGRAMS takes (token_array, [n] | [lo, hi] [, separator])")
-          val x = s"(${args(0)})"
-          val raw = args(1).trim
-          val rng = if (raw.startsWith("[") && raw.endsWith("]"))
-            s"array(${raw.substring(1, raw.length - 1)})" else s"($raw)"
-          val sep = if (args.size == 3) s"(${args(2)})" else "' '"
-          Some(s"flatten(transform(sequence(element_at($rng, 1), " +
-            s"element_at($rng, size($rng))), n -> " +
-            s"CASE WHEN size($x) >= n THEN transform(sequence(1, size($x) - n + 1), " +
-            s"i -> array_join(slice($x, i, n), $sep)) " +
-            s"ELSE slice(array(''), 1, 0) END))")
-        case "FARM_FINGERPRINT" =>
-          require(args.size == 1, "FARM_FINGERPRINT takes (string_or_bytes)")
-          Some(s"graft_farm_fingerprint((${args(0)}))")
-        // BQML's hash bucketizer: the PINNED assignment is
-        // pmod(fingerprint, n) — a stable bucket in [0, n) (feature
-        // hashing wants STABILITY; the exact BigQuery bucket ids are
-        // not contractual here, stated)
-        case "ML.HASH_BUCKETIZE" =>
-          require(args.size == 2, "ML.HASH_BUCKETIZE takes (feature, num_buckets)")
-          Some(s"pmod(graft_farm_fingerprint(CAST((${args(0)}) AS STRING)), (${args(1)}))")
-        case "JSON_QUERY" | "JSON_EXTRACT" | "JSON_VALUE" | "JSON_EXTRACT_SCALAR" =>
-          require(args.nonEmpty && args.size <= 2, s"$name takes (json [, path])")
-          val path = if (args.size == 2) s"(${args(1)})" else "'$'"
-          val v = s"try_parse_json(CAST((${args(0)}) AS STRING))"
-          if (name == "JSON_QUERY" || name == "JSON_EXTRACT")
-            Some(s"to_json(try_variant_get($v, $path))")
-          else
-            Some(s"(CASE WHEN left(to_json(try_variant_get($v, $path)), 1) IN ('{', '[') " +
-              s"THEN NULL ELSE try_variant_get($v, $path, 'string') END)")
-        // the JSON MUTATOR family → native jsonmut expressions; the
-        // multi-pair spellings nest one call per (path, value) pair.
-        // BigQuery named arguments (append_each_element,
-        // include_arrays, remove_empty) are loud — defaults only
-        case "JSON_SET" | "JSON_INSERT" | "JSON_REPLACE" | "JSON_ARRAY_APPEND" |
-             "JSON_ARRAY_INSERT" =>
-          require(args.size >= 3 && args.size % 2 == 1,
-            s"$name takes (json, path, value[, path, value]...)")
-          require(!args.exists(_.contains("=>")),
-            s"$name named arguments are not supported — positional (path, value) pairs only")
-          val fn = "graft_" + name.toLowerCase(java.util.Locale.ROOT)
-          Some(args.drop(1).grouped(2).foldLeft(s"CAST((${args(0)}) AS STRING)") {
-            case (acc, Seq(p, v)) => s"$fn($acc, ${p.trim}, ($v))"
-            case (acc, _) => acc
-          })
-        case "JSON_REMOVE" =>
-          require(args.size >= 2, s"$name takes (json, path[, path]...)")
-          Some(args.drop(1).foldLeft(s"CAST((${args(0)}) AS STRING)") {
-            (acc, p) => s"graft_json_remove($acc, ${p.trim})"
-          })
-        case "JSON_STRIP_NULLS" =>
-          require(args.size == 1 && !args.head.contains("=>"),
-            s"$name named arguments (include_arrays/remove_empty) are not supported — defaults only")
-          Some(s"graft_json_strip_nulls(CAST((${args(0)}) AS STRING))")
-        case "JSON_TYPE" =>
-          require(args.size == 1, "JSON_TYPE takes one JSON argument")
-          Some(s"graft_json_type(CAST((${args(0)}) AS STRING))")
-        // JSON constructors → jsonmut natives; BigQuery's TO_JSON is
-        // TO_JSON_STRING here (no JSON type — string-carried)
-        case "JSON_OBJECT" =>
-          require(args.forall(a => !a.contains("=>")),
-            s"$name named arguments are not supported")
-          val items = args.filter(_.nonEmpty)
-          require(items.size % 2 == 0,
-            s"$name takes alternating (key, value) arguments, got ${items.size}")
-          Some(s"graft_json_object(${items.map(a => s"($a)").mkString(", ")})")
-        case "JSON_ARRAY" =>
-          val items = args.filter(_.nonEmpty)
-          Some(s"graft_json_array(${items.map(a => s"($a)").mkString(", ")})")
-        case "PARSE_JSON" | "SAFE_PARSE_JSON" =>
-          require(args.size == 1 && !args.head.contains("=>"),
-            s"$name takes one argument (wide_number_mode is not supported)")
-          val fn = if (name == "PARSE_JSON") "graft_parse_json" else "graft_try_parse_json"
-          Some(s"$fn(CAST((${args(0)}) AS STRING))")
-        case "TO_JSON" =>
-          require(args.size == 1 && !args.head.contains("=>"),
-            "TO_JSON takes one argument (stringify_wide_numbers is not supported)")
-          Some(s"to_json((${args(0)}))")
-        case "ARRAY_FIRST" =>
-          require(args.size == 1, "ARRAY_FIRST takes one array")
-          Some(s"(${args(0)})[0]")
-        case "ARRAY_LAST" =>
-          require(args.size == 1, "ARRAY_LAST takes one array")
-          Some(s"element_at((${args(0)}), -1)")
-        // the BARE-KEYWORD form argument (NORMALIZE(x, NFKC)) cannot
-        // survive analysis as an attribute — quote it to the string
-        // literal the registry function accepts; all other shapes
-        // (1-arg, already-quoted) resolve natively
-        case "NORMALIZE" | "NORMALIZE_AND_CASEFOLD" =>
-          if (args.size == 2 && args(1).trim.matches("(?i)NFK?[CD]"))
-            Some(s"${name.toLowerCase(java.util.Locale.ROOT)}((${args(0)}), " +
-              s"'${args(1).trim.toUpperCase(java.util.Locale.ROOT)}')")
-          else None
-        // BigQuery CONTAINS_SUBSTR: NFKC-normalized case-insensitive
-        // containment over strings (the JSON/struct recursion and
-        // json_scope are not supported — strings only, typed failure
-        // otherwise)
-        case "CONTAINS_SUBSTR" =>
-          require(args.size == 2, "CONTAINS_SUBSTR takes (expr, substr)")
-          Some(s"(instr(normalize_and_casefold((${args(0)}), 'NFKC'), " +
-            s"normalize_and_casefold((${args(1)}), 'NFKC')) > 0)")
-        // BigQuery ML.DISTANCE(v1, v2, 'COSINE'|'EUCLIDEAN') → the
-        // registry-routed native distance functions (B40)
-        case "ML.DISTANCE" =>
-          require(args.size == 3,
-            "ML.DISTANCE takes (vector1, vector2, 'COSINE'|'EUCLIDEAN')")
-          val metric = args(2).trim.toUpperCase(java.util.Locale.ROOT)
-          metric match {
-            case "'COSINE'" => Some(s"cosine_distance((${args(0)}), (${args(1)}))")
-            case "'EUCLIDEAN'" => Some(s"euclidean_distance((${args(0)}), (${args(1)}))")
-            case other => throw new IllegalArgumentException(
-              s"ML.DISTANCE metric $other is not supported (COSINE, EUCLIDEAN; " +
-                "DOT_PRODUCT's sign convention is engine-specific — spell the " +
-                "fold explicitly)")
-          }
-        // BigQuery's HLL_COUNT sketch family → Spark's DataSketches
-        // HLL natives — the MERGEABLE distinct-count pattern (the
-        // 100 TB idiom: INIT partial sketches per shard/day once,
-        // re-aggregate by MERGE forever; never a re-scan). Precision:
-        // BigQuery takes 10..24 (default 15), Spark's lgConfigK stops
-        // at 21 — same log2-buckets meaning, mapped through, loud
-        // above 21. The sketch BYTES are engine-specific
-        // (DataSketches, not BigQuery's wire format) — INIT output
-        // feeds this engine's MERGE/EXTRACT, not a BigQuery export.
-        case "HLL_COUNT.INIT" =>
-          require(args.size == 1 || args.size == 2,
-            "HLL_COUNT.INIT takes (expr [, precision])")
-          args.lift(1) match {
-            case None => Some(s"hll_sketch_agg((${args(0)}))")
-            case Some(p) =>
-              require(p.matches("\\d+") && p.toInt >= 10 && p.toInt <= 21,
-                s"HLL_COUNT.INIT precision must be an integer literal in 10..21 " +
-                  s"(BigQuery allows up to 24; this engine's sketches stop at 21), got $p")
-              Some(s"hll_sketch_agg((${args(0)}), $p)")
-          }
-        case "HLL_COUNT.MERGE" =>
-          require(args.size == 1, "HLL_COUNT.MERGE takes (sketch)")
-          Some(s"hll_sketch_estimate(hll_union_agg((${args(0)})))")
-        case "HLL_COUNT.MERGE_PARTIAL" =>
-          require(args.size == 1, "HLL_COUNT.MERGE_PARTIAL takes (sketch)")
-          Some(s"hll_union_agg((${args(0)}))")
-        case "HLL_COUNT.EXTRACT" =>
-          require(args.size == 1, "HLL_COUNT.EXTRACT takes (sketch)")
-          Some(s"hll_sketch_estimate((${args(0)}))")
-        // BigQuery RANGE_BUCKET(point, boundaries) = the count of
-        // boundaries <= point (0 below the first, len past the last —
-        // the half-open [b_i, b_i+1) rule): a fixed-size array fold,
-        // so the bare `[...]` array literal is mapped to array(...)
-        // and a NULL point returns NULL (the point text is duplicated
-        // into the guard — the SAFE_OFFSET discipline, stated)
-        case "RANGE_BUCKET" =>
-          require(args.size == 2, "RANGE_BUCKET takes (point, boundaries_array)")
-          val arr0 = args(1)
-          val arr = if (arr0.startsWith("[") && arr0.endsWith("]"))
-            s"array(${arr0.substring(1, arr0.length - 1)})" else s"(${arr0})"
-          Some(s"(CASE WHEN (${args(0)}) IS NULL THEN CAST(NULL AS BIGINT) " +
-            s"ELSE CAST(size(filter($arr, __rb -> __rb <= (${args(0)}))) AS BIGINT) END)")
-        // BigQuery's hash/encoding family — the fingerprint idiom
-        // (TO_HEX(MD5(x)) dedup keys, base64 payloads). BigQuery's
-        // digests return BYTES where Spark's return hex STRINGS, so
-        // the digests unhex their way back to bytes (BigQuery
-        // semantics win at this entry point, the SPLIT precedent);
-        // MD5/SHA1 route through registry functions because a textual
-        // unhex(md5(...)) would re-match its own self-named inner
-        // call on the next fixpoint pass; TO_HEX is lowercase
-        // (Spark's hex() is upper); FROM_HEX left-pads odd-length
-        // input with '0' (BigQuery's rule — Spark's unhex NULLs it).
-        case "MD5" =>
-          require(args.size == 1, "MD5 takes (input)")
-          Some(s"graft_md5_bytes((${args(0)}))")
-        case "SHA1" =>
-          require(args.size == 1, "SHA1 takes (input)")
-          Some(s"graft_sha1_bytes((${args(0)}))")
-        case "SHA256" =>
-          require(args.size == 1, "SHA256 takes (input)")
-          Some(s"unhex(sha2((${args(0)}), 256))")
-        case "SHA512" =>
-          require(args.size == 1, "SHA512 takes (input)")
-          Some(s"unhex(sha2((${args(0)}), 512))")
-        case "TO_HEX" =>
-          require(args.size == 1, "TO_HEX takes (bytes)")
-          Some(s"lower(hex((${args(0)})))")
-        case "FROM_HEX" =>
-          require(args.size == 1, "FROM_HEX takes (hex_string)")
-          val a = args(0)
-          Some(s"unhex(CASE WHEN length(($a)) % 2 = 1 THEN concat('0', ($a)) ELSE ($a) END)")
-        case "TO_BASE64" =>
-          require(args.size == 1, "TO_BASE64 takes (bytes)")
-          Some(s"base64((${args(0)}))")
-        case "FROM_BASE64" =>
-          require(args.size == 1, "FROM_BASE64 takes (string)")
-          Some(s"unbase64((${args(0)}))")
-        // BigQuery GREATEST/LEAST are NULL-PROPAGATING (one NULL arg
-        // → NULL) where Spark's ignore NULLs — a silent result change
-        // for any migrated expression over nullable columns, so the
-        // BigQuery semantics win at this entry point (the SPLIT/MD5
-        // precedent). The ELSE branch folds through array_max/
-        // array_min rather than greatest/least — a self-named inner
-        // call would re-match on the rewrite loop's next pass (the
-        // MD5 lesson); argument text duplicates into the null guard
-        // (the SAFE_OFFSET discipline, stated).
-        case "GREATEST" | "LEAST" =>
-          require(args.nonEmpty, s"$name takes at least one argument")
-          val anyNull = args.map(a => s"($a) IS NULL").mkString(" OR ")
-          val fold = if (name == "GREATEST") "array_max" else "array_min"
-          Some(s"(CASE WHEN $anyNull THEN NULL ELSE " +
-            s"$fold(array(${args.map(a => s"($a)").mkString(", ")})) END)")
-        // BigQuery DIV = integer division truncating toward zero —
-        // Spark's IntegralDivide exactly, via the registry (emitting
-        // the bare `div` operator would re-match this very rewrite)
-        case "DIV" =>
-          require(args.size == 2, "DIV takes (dividend, divisor)")
-          Some(s"graft_integral_div((${args(0)}), (${args(1)}))")
-        // IEEE_DIVIDE: double division with IEEE Infinity/NaN instead
-        // of errors/NULLs — under Spark 4's default ANSI mode even
-        // double `/` throws on a zero divisor, so the registry routes
-        // to a legacy-mode Divide (true IEEE-754 semantics)
-        case "IEEE_DIVIDE" =>
-          require(args.size == 2, "IEEE_DIVIDE takes (x, y)")
-          Some(s"graft_ieee_divide((${args(0)}), (${args(1)}))")
-        // EXTRACT is native EXCEPT for the week parts: BigQuery WEEK
-        // is Sunday-start 0-based (dates before the year's first
-        // Sunday are week 0), Spark's WEEK is ISO — silently
-        // different numbers most of the year. WEEK and the
-        // WEEK(<WEEKDAY>) variants therefore REWRITE to BigQuery's
-        // boundary-count arithmetic (week = 0 before the year's first
-        // <WEEKDAY>, else 1 + full weeks since it), ISOWEEK maps to
-        // Spark's ISO weekofyear, and every other part passes through
-        // untouched (DAYOFWEEK already agrees: Sunday=1 in both).
-        case "EXTRACT" =>
-          require(args.size == 1, "EXTRACT takes (part FROM expr)")
-          val a = args(0)
-          val WeekRe = """(?is)^\s*WEEK\s*(?:\(\s*([A-Za-z]+)\s*\))?\s+FROM\s+(.*)$""".r
-          val IsoRe = """(?is)^\s*ISOWEEK\s+FROM\s+(.*)$""".r
-          a match {
-            case WeekRe(wd, expr) =>
-              // Spark dayofweek: Sunday=1 .. Saturday=7
-              val dows = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
-                "WEDNESDAY" -> 4, "THURSDAY" -> 5, "FRIDAY" -> 6, "SATURDAY" -> 7)
-              val dayName = Option(wd).map(_.toUpperCase(java.util.Locale.ROOT))
-                .getOrElse("SUNDAY")
-              val dw = dows.getOrElse(dayName, throw new IllegalArgumentException(
-                s"EXTRACT(WEEK($dayName) ...): unknown weekday (SUNDAY..SATURDAY)"))
-              val d = s"CAST(($expr) AS DATE)"
-              val jan1 = s"make_date(year($d), 1, 1)"
-              val first = s"date_add($jan1, pmod($dw - dayofweek($jan1), 7))"
-              Some(s"(CASE WHEN $d < $first THEN 0 " +
-                s"ELSE CAST(floor(datediff($d, $first) / 7) AS INT) + 1 END)")
-            // weekofyear, not extract(WEEK ...): an emitted EXTRACT
-            // would re-match this rewrite on the next fixpoint pass
-            // (the MD5 lesson)
-            case IsoRe(expr) => Some(s"weekofyear($expr)")
-            case _ => None
-          }
-        // BigQuery's NET family, the URL-curation SQL spellings:
-        // NET.HOST is a best-effort RFC-3986 host extraction
-        // (optional scheme or //, userinfo and port stripped,
-        // lowercased — the U1 normalize convention); the registrable-
-        // domain pair needs the public-suffix list, a versioned
-        // external artifact this engine deliberately does not embed
-        // (Url.domainOf's stated trade) — loud with the route.
-        case "NET.HOST" =>
-          require(args.size == 1, "NET.HOST takes (url)")
-          val u = s"(${args(0)})"
-          Some(s"nullif(lower(regexp_extract(trim($u), " +
-            "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')")
-        // NET.REG_DOMAIN / NET.PUBLIC_SUFFIX: the NET.HOST extraction
-        // feeding the PSL resolver (functions/PublicSuffix.scala — a
-        // documented snapshot SUBSET of publicsuffix.org; BigQuery
-        // pins its own server-side list version the same way)
-        case "NET.REG_DOMAIN" | "NET.PUBLIC_SUFFIX" =>
-          require(args.size == 1, s"$name takes (url)")
-          val u = s"(${args(0)})"
-          val host = s"nullif(lower(regexp_extract(trim($u), " +
-            "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')"
-          val fn = if (name == "NET.REG_DOMAIN") "graft_reg_domain" else "graft_public_suffix"
-          Some(s"$fn($host)")
-        // BigQuery's KLL_QUANTILES sketch family (kll.scala — the
-        // quantile analogue of HLL_COUNT): typed INIT → sketch BYTES,
-        // MERGE_PARTIAL re-aggregation, POINT/array reads; the
-        // MERGE_* read forms are EXTRACT over a MERGE_PARTIAL.
-        case n if n.startsWith("KLL_QUANTILES.") =>
-          val verb = n.stripPrefix("KLL_QUANTILES.")
-          def one(what: String) = {
-            require(args.size == 1, s"KLL_QUANTILES.$what takes (sketch)"); s"(${args(0)})"
-          }
-          def two(what: String) = {
-            require(args.size == 2, s"KLL_QUANTILES.$what takes (sketch, ${
-              if (what.contains("POINT")) "phi" else "n"})")
-            (s"(${args(0)})", s"(${args(1)})")
-          }
-          verb match {
-            case "INIT_INT64" | "INIT_FLOAT64" =>
-              require(args.size == 1 || args.size == 2,
-                s"KLL_QUANTILES.$verb takes (value [, precision])")
-              val t = if (verb == "INIT_INT64") "int64" else "float64"
-              Some(s"graft_kll_init_$t(${args.map(a => s"($a)").mkString(", ")})")
-            case "MERGE_PARTIAL" =>
-              Some(s"graft_kll_merge_partial(${one("MERGE_PARTIAL")})")
-            case "EXTRACT_POINT_INT64" | "EXTRACT_POINT_FLOAT64" =>
-              val (s1, s2) = two(verb)
-              val t = if (verb.endsWith("INT64")) "int64" else "float64"
-              Some(s"graft_kll_extract_point_$t($s1, $s2)")
-            case "EXTRACT_INT64" | "EXTRACT_FLOAT64" =>
-              val (s1, s2) = two(verb)
-              val t = if (verb.endsWith("INT64")) "int64" else "float64"
-              Some(s"graft_kll_extract_$t($s1, $s2)")
-            case "MERGE_POINT_INT64" | "MERGE_POINT_FLOAT64" =>
-              val (s1, s2) = two(verb)
-              val t = if (verb.endsWith("INT64")) "int64" else "float64"
-              Some(s"graft_kll_extract_point_$t(graft_kll_merge_partial($s1), $s2)")
-            case "MERGE_INT64" | "MERGE_FLOAT64" =>
-              val (s1, s2) = two(verb)
-              val t = if (verb.endsWith("INT64")) "int64" else "float64"
-              Some(s"graft_kll_extract_$t(graft_kll_merge_partial($s1), $s2)")
-            case other => throw new IllegalArgumentException(
-              s"KLL_QUANTILES.$other is not supported (have INIT/MERGE_PARTIAL/" +
-                "MERGE_POINT/EXTRACT_POINT/MERGE/EXTRACT in _INT64/_FLOAT64 forms)")
-          }
-        case "APPROX_TOP_COUNT" =>
-          require(args.size == 2, "APPROX_TOP_COUNT takes (expr, number)")
-          require("(?is)^DISTINCT\\s".r.findFirstIn(args(0)).isEmpty,
-            "APPROX_TOP_COUNT DISTINCT is meaningless (every count would be 1)")
-          Some(s"transform(approx_top_k((${args(0)}), ${args(1)}), " +
-            "__s -> named_struct('value', __s.item, 'count', __s.count))")
-        // weighted top-k by SUM — the engine's SpaceSaving aggregate
-        // (functions/topsum.scala). BigQuery's struct field is `sum`;
-        // items cast to STRING (the sketch keys on text — BigQuery
-        // also renders the value), weights to INT64
-        case "APPROX_TOP_SUM" =>
-          require(args.size == 3, "APPROX_TOP_SUM takes (expr, weight, number)")
-          Some(s"transform(graft_approx_top_sum(CAST((${args(0)}) AS STRING), " +
-            s"CAST((${args(1)}) AS BIGINT), ${args(2)}), " +
-            "__s -> named_struct('value', __s.value, 'sum', __s.sum_w))")
-        case _ => None
-      }
-    }
-    // `x [NOT] IN UNNEST(arr)` → `[NOT] array_contains((arr), x)`:
-    // BigQuery's membership-in-array idiom. The left operand is
-    // captured by a bounded BACKWARD scan — a qualified identifier
-    // chain, a parenthesized group, or a call `f(...)`; anything
-    // hairier should be parenthesized by the caller (the scan then
-    // sees one group). NULL/empty semantics already agree:
-    // array_contains is NULL on a NULL operand and FALSE on an empty
-    // array, exactly IN UNNEST's.
-    def inUnnest(sql: String): String = {
-      val upper = sql.toUpperCase(java.util.Locale.ROOT)
-      def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-      val out = new StringBuilder
-      var i = 0; var inStr = false; var inTick = false
-      while (i < sql.length) {
-        val c = sql.charAt(i)
-        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-        else if (c == '\'') { out += c; inStr = true; i += 1 }
-        else if (c == '`') { out += c; inTick = true; i += 1 }
-        else if ((c == 'I' || c == 'i') && upper.startsWith("IN", i) &&
-          (i == 0 || !isWord(sql.charAt(i - 1))) &&
-          (i + 2 >= sql.length || !isWord(sql.charAt(i + 2)))) {
-          var p = i + 2
-          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-          val isUn = upper.startsWith("UNNEST", p) &&
-            (p + 6 >= sql.length || !isWord(sql.charAt(p + 6))) && {
-              var q0 = p + 6
-              while (q0 < sql.length && Character.isWhitespace(sql.charAt(q0))) q0 += 1
-              q0 < sql.length && sql.charAt(q0) == '('
-            }
-          if (!isUn) { out += c; i += 1 }
-          else {
-            var q = sql.indexOf('(', p + 6)
-            var depth = 1; var r = q + 1; var s2 = false
-            while (r < sql.length && depth > 0) {
-              val ch = sql.charAt(r)
-              if (s2) { if (ch == '\'') s2 = false }
-              else if (ch == '\'') s2 = true
-              else if (ch == '(') depth += 1
-              else if (ch == ')') depth -= 1
-              r += 1
-            }
-            require(depth == 0, "unbalanced parens in IN UNNEST(...)")
-            val arr = sql.substring(q + 1, r - 1)
-            // backward over what's already emitted: optional NOT, then
-            // the operand (identifier chain / (...) group / f(...))
-            var tail = out.toString
-            var negated = false
-            val trimmed = tail.reverse.dropWhile(_.isWhitespace).reverse
-            if (trimmed.length >= 3 &&
-              trimmed.substring(trimmed.length - 3).equalsIgnoreCase("NOT") &&
-              (trimmed.length == 3 || !isWord(trimmed.charAt(trimmed.length - 4)))) {
-              negated = true
-              tail = trimmed.substring(0, trimmed.length - 3)
-            }
-            val t2 = tail.reverse.dropWhile(_.isWhitespace).reverse
-            var opStart = t2.length
-            if (opStart > 0 && t2.charAt(opStart - 1) == ')') {
-              var d = 0; var k = opStart - 1; var found = -1
-              while (k >= 0 && found < 0) {
-                val ch = t2.charAt(k)
-                if (ch == ')') d += 1
-                else if (ch == '(') { d -= 1; if (d == 0) found = k }
-                k -= 1
-              }
-              require(found >= 0, "IN UNNEST: unbalanced operand parens")
-              opStart = found
-              // a call: the function name belongs to the operand
-              while (opStart > 0 && isWord(t2.charAt(opStart - 1))) opStart -= 1
-            } else {
-              while (opStart > 0 && (isWord(t2.charAt(opStart - 1)) || t2.charAt(opStart - 1) == '.'))
-                opStart -= 1
-            }
-            val operand = t2.substring(opStart).trim
-            require(operand.nonEmpty,
-              "IN UNNEST: could not capture the left operand — parenthesize it")
-            out.setLength(0)
-            out ++= t2.substring(0, opStart)
-            val call = s"array_contains(($arr), ($operand))"
-            out ++= (if (negated) s"(NOT $call)" else call)
-            i = r
-          }
-        } else { out += c; i += 1 }
-      }
-      out.toString
-    }
-
-    // array subscripts: [OFFSET(i)] → [(i)], [ORDINAL(i)] → [(i) - 1]
-    def subscripts(sql: String): String = {
-      val upper = sql.toUpperCase(java.util.Locale.ROOT)
-      val out = new StringBuilder
-      var i = 0; var inStr = false; var inTick = false
-      while (i < sql.length) {
-        val c = sql.charAt(i)
-        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-        else if (c == '\'') { out += c; inStr = true; i += 1 }
-        else if (c == '`') { out += c; inTick = true; i += 1 }
-        else if (c == '[') {
-          var p = i + 1
-          while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-          val kw = Seq("SAFE_OFFSET", "SAFE_ORDINAL", "OFFSET", "ORDINAL")
-            .find(k => upper.startsWith(k, p) &&
-              p + k.length < sql.length &&
-              sql.substring(p + k.length).dropWhile(Character.isWhitespace).headOption.contains('('))
-          kw match {
-            case Some(k) =>
-              var q = p + k.length
-              while (q < sql.length && Character.isWhitespace(sql.charAt(q))) q += 1
-              var depth = 1; var r = q + 1; var s2 = false
-              while (r < sql.length && depth > 0) {
-                val ch = sql.charAt(r)
-                if (s2) { if (ch == '\'') s2 = false }
-                else if (ch == '\'') s2 = true
-                else if (ch == '(') depth += 1
-                else if (ch == ')') depth -= 1
-                r += 1
-              }
-              require(depth == 0, s"unbalanced parens in [$k(...)]")
-              val idx = sql.substring(q + 1, r - 1)
-              var e = r
-              while (e < sql.length && Character.isWhitespace(sql.charAt(e))) e += 1
-              require(e < sql.length && sql.charAt(e) == ']', s"expected ] after $k(...)")
-              if (k.startsWith("SAFE_")) {
-                // BigQuery NULL-on-out-of-bounds: capture the array
-                // operand backward from what's already emitted (the
-                // IN UNNEST discipline, plus a `]` tail for chained
-                // subscripts) and guard the 0-based subscript with a
-                // size() CASE — NULL index, negative/past-end index
-                // and NULL array all yield NULL under either ANSI
-                // setting.
-                def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-                val t2 = out.toString.reverse.dropWhile(_.isWhitespace).reverse
-                var opStart = t2.length
-                var scanning = true
-                while (scanning) {
-                  scanning = false
-                  if (opStart > 0 && (t2.charAt(opStart - 1) == ')' || t2.charAt(opStart - 1) == ']')) {
-                    val (open, close) = if (t2.charAt(opStart - 1) == ')') ('(', ')') else ('[', ']')
-                    var d = 0; var j = opStart - 1; var found = -1
-                    while (j >= 0 && found < 0) {
-                      val ch = t2.charAt(j)
-                      if (ch == close) d += 1
-                      else if (ch == open) { d -= 1; if (d == 0) found = j }
-                      j -= 1
-                    }
-                    require(found >= 0, s"[$k(i)]: unbalanced operand brackets")
-                    opStart = found
-                    // a call name, or another bracket/group to the left
-                    // (chained subscripts: m['k'][SAFE_OFFSET(0)])
-                    while (opStart > 0 && (isWord(t2.charAt(opStart - 1)) || t2.charAt(opStart - 1) == '.'))
-                      opStart -= 1
-                    if (close == ']' && opStart > 0 &&
-                      (t2.charAt(opStart - 1) == ')' || t2.charAt(opStart - 1) == ']'))
-                      scanning = true
-                  } else {
-                    while (opStart > 0 && (isWord(t2.charAt(opStart - 1)) || t2.charAt(opStart - 1) == '.'))
-                      opStart -= 1
-                  }
-                }
-                val operand = t2.substring(opStart).trim
-                require(operand.nonEmpty,
-                  s"[$k(i)]: could not capture the array operand — parenthesize it")
-                out.setLength(0)
-                out ++= t2.substring(0, opStart)
-                out ++= (if (k == "SAFE_OFFSET")
-                  s"(CASE WHEN ($idx) >= 0 AND ($idx) < size(($operand)) THEN ($operand)[($idx)] END)"
-                else
-                  s"(CASE WHEN ($idx) >= 1 AND ($idx) <= size(($operand)) THEN ($operand)[($idx) - 1] END)")
-              } else {
-                out ++= (if (k == "OFFSET") s"[($idx)]" else s"[($idx) - 1]")
-              }
-              i = e + 1
-            case None => out += c; i += 1
-          }
-        } else { out += c; i += 1 }
-      }
-      out.toString
-    }
-    // BigQuery's `SAFE.` function prefix (NULL instead of error) →
-    // the SAFE_-spelled forms the handlers above map. Only rewrites
-    // when a supported name is followed by `(` — `safe.tbl` in FROM
-    // position is a qualifier and passes through; an unsupported
-    // SAFE.fn is loud (most Spark scalar functions are already total:
-    // drop the prefix where the function cannot error).
-    val SafeSupported = Set("CAST", "DIVIDE", "ADD", "SUBTRACT", "MULTIPLY",
-      "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME", "PARSE_JSON",
-      "BOOL", "INT64", "FLOAT64", "STRING")
-    def safePrefix(sql: String): String = {
-      val upper = sql.toUpperCase(java.util.Locale.ROOT)
-      if (!upper.contains("SAFE.")) return sql
-      def isWordC(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-      val out = new StringBuilder
-      var i = 0; var inStr = false; var inTick = false
-      while (i < sql.length) {
-        val c = sql.charAt(i)
-        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-        else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-        else if (c == '\'') { out += c; inStr = true; i += 1 }
-        else if (c == '`') { out += c; inTick = true; i += 1 }
-        else if ((c == 'S' || c == 's') && upper.startsWith("SAFE.", i) &&
-          (i == 0 || (!isWordC(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.'))) {
-          var j = i + 5
-          while (j < sql.length && isWordC(sql.charAt(j))) j += 1
-          val fn = sql.substring(i + 5, j)
-          var k = j
-          while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
-          if (fn.nonEmpty && k < sql.length && sql.charAt(k) == '(') {
-            require(SafeSupported.contains(fn.toUpperCase(java.util.Locale.ROOT)),
-              s"SAFE.$fn is not supported — supported SAFE. forms: " +
-                s"${SafeSupported.toSeq.sorted.mkString(", ")}; most Spark scalar " +
-                "functions never error (drop the prefix), and SAFE_OFFSET/" +
-                "SAFE_ORDINAL are the array-subscript spellings")
-            out ++= s"SAFE_${fn.toUpperCase(java.util.Locale.ROOT)}"
-            i = j
-          } else { out += c; i += 1 }
-        } else { out += c; i += 1 }
-      }
-      out.toString
-    }
-    var cur = sql0; var n = 0
-    var changed = true
-    while (changed && n < 10) {
-      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(cur))))))
-      changed = next != cur
-      cur = next; n += 1
-    }
-    cur
-  }
-
-  /** BigQuery bare array literals: a `[` NOT in subscript position
-    * (the previous emitted non-whitespace char is not an identifier
-    * char, `)`, `]`, `` ` `` or `>`) opens an array literal and maps
-    * to Spark's `array(...)`; contents rewrite recursively so nested
-    * literals work and chained subscripts (`[1,2][OFFSET(0)]` — the
-    * second `[` follows the emitted `)`) stay subscripts. Two spans
-    * keep their own bracket syntax: `OPTIONS(...)` and `FILES(...)`
-    * lists (`uris=['...']` is option-list syntax, not an expression),
-    * and a `>`-preceded bracket (`ARRAY<INT64>[...]` typed literals)
-    * stays untouched — loud at parse, as before.
-    */
-  private val BracketKeywords: Set[String] = Set(
-    // no END: `CASE ... END[OFFSET(i)]` subscripts the CASE expression
-    "SELECT", "DISTINCT", "ALL", "AS", "WHEN", "THEN", "ELSE", "CASE",
-    "IN", "NOT", "AND", "OR", "ON", "WHERE", "HAVING", "BY", "FROM", "SET",
-    "VALUES", "UNION", "EXCEPT", "INTERSECT", "RETURN", "RETURNS", "DEFAULT",
-    "BETWEEN", "IS", "LIKE", "USING", "DO", "IF", "ELSEIF", "WHILE", "LIMIT")
-
-  private[graft] def bracketLiterals(sql: String): String = {
-    if (!sql.contains('[')) return sql
-    val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-    val out = new StringBuilder
-    var i = 0; var inStr = false; var inTick = false
-    var depth = 0
-    var optSpans = List.empty[Int] // paren depths at which OPTIONS(/FILES( opened
-    def prevNonWs: Char = {
-      var p = out.length - 1
-      while (p >= 0 && Character.isWhitespace(out.charAt(p))) p -= 1
-      if (p < 0) '\u0000' else out.charAt(p)
-    }
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-      else if (c == '\'') { out += c; inStr = true; i += 1 }
-      else if (c == '`') { out += c; inTick = true; i += 1 }
-      else if (c == '(') {
-        val pw = {
-          var e = i - 1
-          while (e >= 0 && Character.isWhitespace(sql.charAt(e))) e -= 1
-          var b = e
-          while (b >= 0 && isWord(sql.charAt(b))) b -= 1
-          if (e < 0 || b == e) "" else upper.substring(b + 1, e + 1)
-        }
-        if (pw == "OPTIONS" || pw == "FILES") optSpans ::= depth
-        depth += 1; out += c; i += 1
-      } else if (c == ')') {
-        depth -= 1
-        if (optSpans.headOption.contains(depth)) optSpans = optSpans.tail
-        out += c; i += 1
-      } else if (c == '[' && optSpans.isEmpty) {
-        val p = prevNonWs
-        // a word-preceded bracket is a SUBSCRIPT on that identifier —
-        // unless the word is a keyword (`SELECT [1,2]`, `THEN [...]`),
-        // where the bracket starts a literal
-        val wordIsKeyword = isWord(p) && {
-          var e = out.length - 1
-          while (e >= 0 && Character.isWhitespace(out.charAt(e))) e -= 1
-          var b = e
-          while (b >= 0 && isWord(out.charAt(b))) b -= 1
-          BracketKeywords(out.substring(b + 1, e + 1).toUpperCase(java.util.Locale.ROOT))
-        }
-        if ((isWord(p) && !wordIsKeyword) || p == ')' || p == ']' || p == '`' || p == '>') {
-          out += c; i += 1
-        } else {
-          // find the matching ] (quote- and bracket-depth-aware)
-          var d = 1; var r = i + 1; var s2 = false; var t2 = false
-          while (r < sql.length && d > 0) {
-            val ch = sql.charAt(r)
-            if (s2) { if (ch == '\'') s2 = false }
-            else if (t2) { if (ch == '`') t2 = false }
-            else if (ch == '\'') s2 = true
-            else if (ch == '`') t2 = true
-            else if (ch == '[') d += 1
-            else if (ch == ']') d -= 1
-            if (d > 0) r += 1
-          }
-          require(d == 0, s"unbalanced [ in: ${sql.substring(i).take(60)}")
-          out ++= s"array(${bracketLiterals(sql.substring(i + 1, r))})"
-          i = r + 1
-        }
-      } else { out += c; i += 1 }
-    }
-    out.toString
-  }
-
-  /** BigQuery `UNNEST` in FROM position → Spark `LATERAL VIEW
-    * explode`: `FROM t, UNNEST(expr) AS x` and `FROM t [CROSS] JOIN
-    * UNNEST(expr) AS x` rewrite to `FROM t LATERAL VIEW explode(expr)
-    * __unnest_N AS x`; `... WITH OFFSET [AS o]` takes posexplode
-    * (offset first, element second — posexplode's output order).
-    * Same row semantics: the comma/CROSS JOIN form drops rows whose
-    * array is NULL or empty, exactly what explode does. Quote-aware;
-    * a standalone `FROM UNNEST(...)` (no driving table) and `LEFT
-    * JOIN UNNEST` are loud — spell the first as a VALUES table and
-    * the second as the comma form over a COALESCEd array.
-    */
-  private[graft] def rewriteUnnest(sql: String): String = {
-    val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    if (!upper.contains("UNNEST")) return sql
-    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-    val out = new StringBuilder
-    var i = 0; var inStr = false; var inTick = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-      else if (c == '\'') { out += c; inStr = true; i += 1 }
-      else if (c == '`') { out += c; inTick = true; i += 1 }
-      else if ((c == 'U' || c == 'u') && upper.startsWith("UNNEST", i) &&
-        (i == 0 || !isWord(sql.charAt(i - 1))) &&
-        (i + 6 >= sql.length || !isWord(sql.charAt(i + 6)))) {
-        // the preceding joiner: strip a trailing comma or
-        // [CROSS|LEFT [OUTER]] JOIN — LEFT keeps empty/NULL-array rows
-        // (explode_outer), exactly BigQuery's LEFT JOIN UNNEST
-        val tail = out.toString
-        val commaM = """(?s)^(.*?),\s*$""".r.pattern.matcher(tail)
-        val joinM =
-          """(?is)^(.*?)\b(?:(CROSS|LEFT|RIGHT|FULL|INNER)\s+)?(?:OUTER\s+)?JOIN\s*$"""
-            .r.pattern.matcher(tail)
-        var outer = false
-        val kept =
-          if (commaM.matches()) commaM.group(1)
-          else if (joinM.matches()) {
-            val jt = Option(joinM.group(2)).map(_.toUpperCase(java.util.Locale.ROOT))
-            jt match {
-              case Some("LEFT") => outer = true
-              case Some("RIGHT") | Some("FULL") | Some("INNER") =>
-                throw new IllegalArgumentException(
-                  s"${jt.get} JOIN UNNEST is not supported — use the comma/CROSS form " +
-                    "(drops empty arrays) or LEFT JOIN UNNEST (keeps them)")
-              case _ => ()
-            }
-            joinM.group(1)
-          }
-          else throw new IllegalArgumentException(
-            "UNNEST is supported after a driving table only: " +
-              "`FROM t, UNNEST(expr) AS x`, `FROM t [CROSS] JOIN UNNEST(expr) AS x` " +
-              "or `FROM t LEFT JOIN UNNEST(expr) AS x [ON TRUE]`")
-        out.setLength(0); out ++= kept
-        // UNNEST ( args ) — balanced, quote-aware
-        var p = i + 6
-        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
-        require(p < sql.length && sql.charAt(p) == '(', "UNNEST must be called with (expr)")
-        val argStart = p + 1
-        var depth = 1; var q = argStart; var s2 = false
-        while (q < sql.length && depth > 0) {
-          val ch = sql.charAt(q)
-          if (s2) { if (ch == '\'') s2 = false }
-          else if (ch == '\'') s2 = true
-          else if (ch == '(') depth += 1
-          else if (ch == ')') depth -= 1
-          q += 1
-        }
-        require(depth == 0, "unbalanced parens in UNNEST(...)")
-        val args = sql.substring(argStart, q - 1)
-        // optional [AS] alias
-        var r = q
-        while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
-        if (upper.startsWith("AS", r) && (r + 2 >= sql.length || !isWord(sql.charAt(r + 2)))) {
-          r += 2
-          while (r < sql.length && Character.isWhitespace(sql.charAt(r))) r += 1
-        }
-        var a = r
-        while (a < sql.length && isWord(sql.charAt(a))) a += 1
-        require(a > r, "UNNEST(...) needs an element alias: UNNEST(expr) AS x")
-        val alias = sql.substring(r, a)
-        require(!alias.equalsIgnoreCase("WITH"),
-          "UNNEST(...) needs an element alias before WITH OFFSET")
-        // optional WITH OFFSET [AS off]
-        var w = a
-        while (w < sql.length && Character.isWhitespace(sql.charAt(w))) w += 1
-        var offset: Option[String] = None
-        if (upper.startsWith("WITH", w) && (w + 4 >= sql.length || !isWord(sql.charAt(w + 4)))) {
-          var o = w + 4
-          while (o < sql.length && Character.isWhitespace(sql.charAt(o))) o += 1
-          require(upper.startsWith("OFFSET", o),
-            "expected WITH OFFSET after the UNNEST alias")
-          o += 6
-          var o2 = o
-          while (o2 < sql.length && Character.isWhitespace(sql.charAt(o2))) o2 += 1
-          // a custom offset name requires AS (a bare following word is
-          // the next clause keyword, not an alias)
-          if (upper.startsWith("AS", o2) && (o2 + 2 >= sql.length || !isWord(sql.charAt(o2 + 2)))) {
-            o2 += 2
-            while (o2 < sql.length && Character.isWhitespace(sql.charAt(o2))) o2 += 1
-            var o3 = o2
-            while (o3 < sql.length && isWord(sql.charAt(o3))) o3 += 1
-            require(o3 > o2, "WITH OFFSET AS needs a name")
-            offset = Some(sql.substring(o2, o3))
-            w = o3
-          } else {
-            offset = Some("offset") // BigQuery's default column name
-            w = o
-          }
-          a = w
-        }
-        var end = offset.map(_ => w).getOrElse(a)
-        // a LEFT JOIN form may carry BigQuery's vestigial ON TRUE
-        if (outer) {
-          var o = end
-          while (o < sql.length && Character.isWhitespace(sql.charAt(o))) o += 1
-          if (upper.startsWith("ON", o) && (o + 2 >= sql.length || !isWord(sql.charAt(o + 2)))) {
-            var o2 = o + 2
-            while (o2 < sql.length && Character.isWhitespace(sql.charAt(o2))) o2 += 1
-            require(upper.startsWith("TRUE", o2) &&
-              (o2 + 4 >= sql.length || !isWord(sql.charAt(o2 + 4))),
-              "LEFT JOIN UNNEST supports only ON TRUE (the lateral relationship is implicit)")
-            end = o2 + 4
-          }
-        }
-        val gen = s"__unnest_${asOfCounter.incrementAndGet()}"
-        val ov = if (outer) "OUTER " else ""
-        offset match {
-          case Some(off) =>
-            out ++= s" LATERAL VIEW $ov" + s"posexplode($args) $gen AS $off, $alias"
-          case None =>
-            out ++= s" LATERAL VIEW $ov" + s"explode($args) $gen AS $alias"
-        }
-        i = end
-      } else { out += c; i += 1 }
-    }
-    out.toString
-  }
-
   // ── CREATE TABLE (schema) — empty-table DDL ──────────────────────
 
   private val EmptyTableRe =
@@ -2745,7 +1203,7 @@ object GraftSql {
       if (exists && ifNotExists != null) return spark.table(name)
       require(!exists || orReplace != null,
         s"table '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(mapBqTypes(schemaText))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(graft.sql.Functions.mapBqTypes(schemaText))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .createOrReplaceTempView(name)
@@ -3134,7 +1592,7 @@ object GraftSql {
             j += 1
           }
           require(done > 0, s"CREATE FUNCTION $name: unbalanced RETURNS TABLE<...>")
-          returns = s"RETURNS TABLE(${mapBqTypes(tail.substring(lt + 1, done))})"
+          returns = s"RETURNS TABLE(${graft.sql.Functions.mapBqTypes(tail.substring(lt + 1, done))})"
           tail = tail.substring(done + 1).trim
           checkClauses(tail)
         } else {
@@ -3149,7 +1607,7 @@ object GraftSql {
             require(!s"""(?is).*\\b$bad\\b.*""".r.pattern.matcher(typeText).matches(),
               s"CREATE FUNCTION $name: $bad is not supported here " +
                 "(SQL-body functions only: ... [RETURNS T] AS (expr))")
-          returns = s"RETURNS ${mapBqTypes(typeText)}"
+          returns = s"RETURNS ${graft.sql.Functions.mapBqTypes(typeText)}"
           tail = tail.substring(m.group(1).length).trim
         }
       }
@@ -3168,8 +1626,8 @@ object GraftSql {
       // TRY_CAST type positions, never to bare identifiers: a column
       // named `datetime` or `bytes` passes through untouched instead
       // of being silently rewritten into a type keyword
-      val ddl = s"CREATE ${rep}TEMPORARY FUNCTION $name(${mapBqTypes(params)}) " +
-        s"$returns RETURN ${mapBqTypesInCasts(body)}"
+      val ddl = s"CREATE ${rep}TEMPORARY FUNCTION $name(${graft.sql.Functions.mapBqTypes(params)}) " +
+        s"$returns RETURN ${graft.sql.Functions.mapBqTypesInCasts(body)}"
       spark.sql(ddl)
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException(
@@ -3178,100 +1636,6 @@ object GraftSql {
         "[RETURNS T | RETURNS TABLE<a T, ...>] AS (body))")
   }
 
-  /** Tokenwise BigQuery→Spark type-name mapping over a parameter list
-    * or type text (quote-aware; identifiers in NAME position are
-    * untouched unless they collide with a BigQuery type keyword —
-    * don't name a parameter `int64`). ARRAY<...>/STRUCT<...> angle
-    * syntax is shared by both dialects and passes through.
-    */
-  private def mapBqTypes(text: String): String = {
-    val map = Map(
-      "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
-      "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
-      "DATETIME" -> "TIMESTAMP_NTZ", "BYTES" -> "BINARY")
-    val out = new StringBuilder
-    var i = 0; var inQ = false; var inTick = false
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
-      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-      else if (c == '\'') { out += c; inQ = true; i += 1 }
-      else if (c == '`') { out += c; inTick = true; i += 1 }
-      else if (Character.isLetter(c) &&
-        (i == 0 || !(Character.isLetterOrDigit(text.charAt(i - 1)) || text.charAt(i - 1) == '_'))) {
-        var j = i
-        while (j < text.length && (Character.isLetterOrDigit(text.charAt(j)) || text.charAt(j) == '_')) j += 1
-        val w = text.substring(i, j)
-        out ++= map.getOrElse(w.toUpperCase(java.util.Locale.ROOT), w)
-        i = j
-      } else { out += c; i += 1 }
-    }
-    out.toString
-  }
-
-  /** [[mapBqTypes]] restricted to TYPE POSITIONS inside a SQL
-    * expression body: only text between a `CAST(`/`SAFE_CAST(`/
-    * `TRY_CAST(` clause's top-level `AS` and its closing paren is
-    * mapped; everything else — including identifiers that happen to
-    * spell a BigQuery type keyword (`bytes`, `numeric`, `bool`,
-    * `datetime`) — passes through verbatim. An `AS` nested deeper
-    * than the cast's own paren (a subquery alias inside the cast
-    * operand) is NOT a type position. Quote- and backtick-aware,
-    * like every scanner in this file; SAFE_CAST itself is spelled to
-    * Spark's TRY_CAST.
-    */
-  private def mapBqTypesInCasts(text: String): String = {
-    val out = new StringBuilder
-    var i = 0; var inQ = false; var inTick = false
-    var depth = 0
-    // stack of open casts: paren depth at which each cast's arg list
-    // opened; typeFrom = that depth once the cast's own AS was seen
-    var castDepths = List.empty[Int]
-    var typeDepths = List.empty[Int]
-    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
-      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-      else if (c == '\'') { out += c; inQ = true; i += 1 }
-      else if (c == '`') { out += c; inTick = true; i += 1 }
-      else if (c == '(') { out += c; depth += 1; i += 1 }
-      else if (c == ')') {
-        depth -= 1
-        if (typeDepths.headOption.contains(depth)) { // cast closes
-          typeDepths = typeDepths.tail
-          castDepths = castDepths.tail
-        } else if (castDepths.headOption.contains(depth)) {
-          castDepths = castDepths.tail // cast closed before any AS
-        }
-        out += c; i += 1
-      }
-      else if (Character.isLetter(c) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
-        var j = i
-        while (j < text.length && isWordChar(text.charAt(j))) j += 1
-        val w = text.substring(i, j)
-        val up = w.toUpperCase(java.util.Locale.ROOT)
-        // lookahead: next non-space char
-        var k = j
-        while (k < text.length && Character.isWhitespace(text.charAt(k))) k += 1
-        if ((up == "CAST" || up == "SAFE_CAST" || up == "TRY_CAST") &&
-            k < text.length && text.charAt(k) == '(') {
-          out ++= (if (up == "SAFE_CAST") "TRY_CAST" else w)
-          castDepths = depth :: castDepths // arg list opens at this depth
-        } else if (up == "AS" && castDepths.nonEmpty &&
-                   castDepths.head == depth - 1 &&
-                   !typeDepths.headOption.contains(depth - 1)) {
-          // the cast's OWN top-level AS: type text runs to its close paren
-          typeDepths = (depth - 1) :: typeDepths
-          out ++= w
-        } else if (typeDepths.headOption.exists(d => depth > d)) {
-          out ++= mapBqTypes(w) // inside a cast's type text
-        } else out ++= w
-        i = j
-      } else { out += c; i += 1 }
-    }
-    out.toString
-  }
 
   /** `TRUNCATE TABLE t` — BigQuery's table reset (and the DML spelling
     * of the WRITE_TRUNCATE disposition A18's INSERT OVERWRITE covers):

@@ -33,12 +33,12 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
 
   private val rewrites: Seq[(String, String => String)] = Seq(
-    "bqFunctions" -> (GraftSql.rewriteBqFunctions(_)),
-    "generateFns" -> (GraftSql.rewriteGenerateFns(_)),
-    "jsonArrayFns" -> (GraftSql.rewriteJsonArrayFns(_)),
+    "bqFunctions" -> (graft.sql.Functions.rewriteBqFunctions(_)),
+    "generateFns" -> (graft.sql.Functions.rewriteGenerateFns(_)),
+    "jsonArrayFns" -> (graft.sql.Functions.rewriteJsonArrayFns(_)),
     "tableSample" -> (GraftSql.rewriteTableSample(_)),
     "starReplace" -> (GraftSql.rewriteStarReplace(_)),
-    "unnest" -> (GraftSql.rewriteUnnest(_)),
+    "unnest" -> (graft.sql.Functions.rewriteUnnest(_)),
     "pipes" -> (graft.sql.Pipes.rewritePipes(_)))
 
   test("quoted literal content is opaque to every rewrite") {
@@ -73,8 +73,8 @@ class RewriteFuzzSpec extends AnyFunSuite {
     // what guarantees a statement containing the EXPANSION of a macro
     // (e.g. written by hand in Spark dialect) is never re-mangled
     def chain(sql: String): String =
-      GraftSql.rewriteUnnest(GraftSql.rewriteBqFunctions(
-        GraftSql.rewriteGenerateFns(GraftSql.rewriteJsonArrayFns(
+      graft.sql.Functions.rewriteUnnest(graft.sql.Functions.rewriteBqFunctions(
+        graft.sql.Functions.rewriteGenerateFns(graft.sql.Functions.rewriteJsonArrayFns(
           GraftSql.rewriteStarReplace(GraftSql.rewriteTableSample(
             graft.sql.Pipes.rewritePipes(sql)))))))
     val triggerHeavy = Seq(

@@ -1551,7 +1551,7 @@ class TypedSqlSpec extends SparkSuite {
     val ad = one("SELECT g, ARRAY_AGG(DISTINCT v ORDER BY v) AS a FROM oa_t GROUP BY g")
     assert(ad.map(_.getSeq[String](1)).toSeq == Seq(Seq("a", "b", "c"), Seq("z")))
     // plain forms stay native (no ORDER BY -> untouched)
-    assert(GraftSql.rewriteBqFunctions("SELECT array_agg(x) FROM t") ==
+    assert(graft.sql.Functions.rewriteBqFunctions("SELECT array_agg(x) FROM t") ==
       "SELECT array_agg(x) FROM t")
     // louds
     def bad(sql: String): String =
