@@ -2312,6 +2312,45 @@ object SparkEntry {
           |FROM dateops_events ORDER BY event_id""".stripMargin)
     }),
 
+    // RANGE<DATE> surface (round 13): per-order validity ranges of
+    // varying width through the full verb set — literal, constructor,
+    // point containment (half-open), overlap vs a fixed year, 7-day
+    // splitting (partial tail counted) and both accessors; the DuckDB
+    // oracle replays every predicate as plain date comparisons and the
+    // split count as ceil(width/7) — all-integer, hash bit-for-bit
+    "q_range_type" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("rt_orders")
+      graft.GraftSql.load(s,
+        """WITH r AS (
+          |  SELECT RANGE(CAST(o_orderdate AS DATE),
+          |               date_add(CAST(o_orderdate AS DATE),
+          |                        CAST(o_orderkey % 28 + 7 AS INT))) AS rng
+          |  FROM rt_orders)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN RANGE_CONTAINS(rng, DATE '1995-06-15') THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+          |  CAST(SUM(CASE WHEN RANGE_OVERLAPS(rng, RANGE<DATE> '[1995-01-01, 1996-01-01)') THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+          |  CAST(SUM(size(GENERATE_RANGE_ARRAY(rng, INTERVAL 7 DAY))) AS BIGINT) AS n_subranges,
+          |  MIN(RANGE_START(rng)) AS min_start, MAX(RANGE_END(rng)) AS max_end
+          |FROM r""".stripMargin)
+    }),
+
+    // DATE_BUCKET / TIMESTAMP_BUCKET (round 13): anchored fixed-width
+    // buckets as exact pmod arithmetic — default 1950-01-01 origin,
+    // an explicit month-family origin, and the micros path in one
+    // grouped query; DuckDB replays the identical integer folds
+    // (datediff / epoch_us with ((x % n) + n) % n) so bucket STARTS
+    // and counts hash bit-for-bit
+    "q_date_bucket" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("db_orders")
+      graft.GraftSql.load(s,
+        """SELECT wk, qtr, tb, COUNT(*) AS n FROM (
+          |  SELECT DATE_BUCKET(o_orderdate, INTERVAL 7 DAY) AS wk,
+          |         DATE_BUCKET(o_orderdate, INTERVAL 3 MONTH, DATE '1992-01-01') AS qtr,
+          |         TIMESTAMP_BUCKET(CAST(o_orderdate AS TIMESTAMP), INTERVAL 36 HOUR) AS tb
+          |  FROM db_orders)
+          |GROUP BY wk, qtr, tb ORDER BY wk, qtr, tb""".stripMargin)
+    }),
+
     // B39: BigQuery's APPROX_QUANTILES spelling, driven in the exact
     // regime (groups ≪ the GK sketch's accuracy=10000 → rank-selected
     // elements ≡ DuckDB quantile_disc, the B11b equivalence), exploded
@@ -4726,6 +4765,37 @@ object SparkEntry {
           |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
           |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // range predicates replay as plain half-open date comparisons;
+      // the split count is ceil(width/7) — all-integer
+      "q_range_type" ->
+        """WITH r AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS s,
+          |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 28 + 7 AS INT) AS e
+          |  FROM orders)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN DATE '1995-06-15' >= s AND DATE '1995-06-15' < e THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+          |  CAST(SUM(CASE WHEN s < DATE '1996-01-01' AND DATE '1995-01-01' < e THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+          |  CAST(SUM(CAST(ceil((e - s) / 7.0) AS BIGINT)) AS BIGINT) AS n_subranges,
+          |  MIN(s) AS min_start, MAX(e) AS max_end
+          |FROM r""".stripMargin,
+      // bucket starts replay as the identical exact integer folds:
+      // date buckets via datediff + ((x % n) + n) % n (floor pmod),
+      // month buckets via month-number arithmetic, the micros path
+      // via epoch_us + make_timestamp
+      "q_date_bucket" ->
+        """WITH b AS (
+          |  SELECT
+          |    od - CAST(((datediff('day', DATE '1950-01-01', od) % 7 + 7) % 7) AS INT) AS wk,
+          |    CAST(DATE '1992-01-01' + to_months(CAST(m - ((m % 3 + 3) % 3) AS INT)) AS DATE) AS qtr,
+          |    make_timestamp(eu - ((eu - e0) % 129600000000 + 129600000000) % 129600000000) AS tb
+          |  FROM (SELECT CAST(o_orderdate AS DATE) AS od,
+          |          (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate))
+          |            - (1992 * 12 + 1) AS m,
+          |          epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS eu,
+          |          epoch_us(TIMESTAMP '1950-01-01 00:00:00') AS e0
+          |        FROM orders))
+          |SELECT wk, qtr, tb, COUNT(*) AS n FROM b
+          |GROUP BY wk, qtr, tb ORDER BY wk, qtr, tb""".stripMargin,
       // bq_week/bq_week_thu replay BigQuery's boundary count: week 0
       // before the year's first <weekday>, else 1 + full weeks since
       // it (DuckDB dayofweek: Sunday=0..Saturday=6; date-date = days)

@@ -382,6 +382,9 @@ private[graft] object Functions {
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
       "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
+      "DATE_BUCKET", "DATETIME_BUCKET", "TIMESTAMP_BUCKET",
+      "RANGE", "RANGE_START", "RANGE_END", "RANGE_CONTAINS",
+      "RANGE_OVERLAPS", "GENERATE_RANGE_ARRAY",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
@@ -606,6 +609,130 @@ private[graft] object Functions {
                 Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
               case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
             }
+          }
+        // BigQuery's RANGE<DATE> surface (round 13), carried as
+        // STRUCT<range_start DATE, range_end DATE> with NULL =
+        // UNBOUNDED — half-open [start, end) like BigQuery's. DATE
+        // ranges only (the SCD-validity shape — A25's natural SQL
+        // companion); DATETIME/TIMESTAMP ranges and RANGE_INTERSECT /
+        // RANGE_SESSIONIZE are not mapped (typed failure at analysis).
+        // Construction does NOT enforce start < end (BigQuery raises;
+        // here an inverted range simply contains nothing — stated).
+        // Range arguments are textually duplicated — pass COLUMNS.
+        case "RANGE" =>
+          require(args.size == 2, "RANGE takes (lower, upper) — NULL for UNBOUNDED")
+          Some(s"named_struct('range_start', CAST((${args(0)}) AS DATE), " +
+            s"'range_end', CAST((${args(1)}) AS DATE))")
+        case "RANGE_START" =>
+          require(args.size == 1, "RANGE_START takes one range")
+          Some(s"((${args(0)}).range_start)")
+        case "RANGE_END" =>
+          require(args.size == 1, "RANGE_END takes one range")
+          Some(s"((${args(0)}).range_end)")
+        // the point-containment form (the common predicate); the
+        // range-in-range form fails typed on the CAST — spell it as
+        // two RANGE_CONTAINS over RANGE_START/RANGE_END
+        case "RANGE_CONTAINS" =>
+          require(args.size == 2, "RANGE_CONTAINS takes (range, date_value)")
+          val r = s"(${args(0)})"
+          val v = s"CAST((${args(1)}) AS DATE)"
+          Some(s"(($r.range_start IS NULL OR $v >= $r.range_start) " +
+            s"AND ($r.range_end IS NULL OR $v < $r.range_end))")
+        case "RANGE_OVERLAPS" =>
+          require(args.size == 2, "RANGE_OVERLAPS takes (range, range)")
+          val r1 = s"(${args(0)})"
+          val r2 = s"(${args(1)})"
+          Some(s"(($r1.range_end IS NULL OR $r2.range_start IS NULL OR " +
+            s"$r2.range_start < $r1.range_end) AND " +
+            s"($r2.range_end IS NULL OR $r1.range_start IS NULL OR " +
+            s"$r1.range_start < $r2.range_end))")
+        // split a BOUNDED range into step-width sub-ranges (the last
+        // may be partial — include_last_partial_range default true is
+        // the only supported mode); an unbounded side yields NULL
+        // where BigQuery raises (stated)
+        case "GENERATE_RANGE_ARRAY" =>
+          require(args.size == 2,
+            "GENERATE_RANGE_ARRAY takes (range, step_interval) — " +
+              "include_last_partial_range is default-only")
+          val (nTxt, unitRaw) = args(1).trim match {
+            case IntervalLitRe(n, u) => (n, u)
+            case other => throw new IllegalArgumentException(
+              s"GENERATE_RANGE_ARRAY step must be a literal INTERVAL n unit, got: $other")
+          }
+          val nd = unitRaw.toUpperCase(java.util.Locale.ROOT) match {
+            case "DAY" => nTxt.toLong
+            case "WEEK" => nTxt.toLong * 7
+            case other => throw new IllegalArgumentException(
+              s"GENERATE_RANGE_ARRAY unit '$other' is not supported (DAY, WEEK)")
+          }
+          require(nd > 0, "GENERATE_RANGE_ARRAY step must be positive")
+          val r = s"(${args(0)})"
+          Some(s"transform(sequence($r.range_start, date_sub($r.range_end, 1), " +
+            s"INTERVAL $nd DAY), __s -> named_struct('range_start', __s, " +
+            s"'range_end', least(date_add(__s, $nd), $r.range_end)))")
+        // BigQuery's BUCKET family (round 13): snap a value into
+        // fixed-width buckets anchored at `origin` (default
+        // 1950-01-01, BigQuery's), returning the bucket START. Exact
+        // integer arithmetic via pmod — floor semantics on BOTH sides
+        // of the origin, never a double division (day counts are
+        // small, but micros since 1950 brush the 2^53 regime).
+        // DATE_BUCKET takes DAY/WEEK(=7d) or MONTH/QUARTER/YEAR
+        // widths (the month family requires an origin on day 1 —
+        // runtime-checked — because BigQuery buckets by month
+        // boundary); TIMESTAMP_BUCKET/DATETIME_BUCKET take
+        // MICROSECOND..DAY/WEEK fixed widths. The value expression is
+        // textually duplicated — pass a COLUMN, not a heavy subtree
+        // (the ML.NGRAMS macro discipline).
+        case "DATE_BUCKET" | "DATETIME_BUCKET" | "TIMESTAMP_BUCKET" =>
+          require(args.size == 2 || args.size == 3,
+            s"$name takes (value, bucket_width_interval [, origin])")
+          val (nTxt, unitRaw) = args(1).trim match {
+            case IntervalLitRe(n, u) => (n, u)
+            case other => throw new IllegalArgumentException(
+              s"$name bucket_width must be a literal INTERVAL n unit, got: $other")
+          }
+          val n = nTxt.toLong
+          require(n > 0, s"$name bucket_width must be positive, got $n")
+          val unit = unitRaw.toUpperCase(java.util.Locale.ROOT)
+          val v = s"(${args(0)})"
+          if (name == "DATE_BUCKET") {
+            val o = if (args.size == 3) s"CAST((${args(2)}) AS DATE)"
+                    else "DATE '1950-01-01'"
+            unit match {
+              case "DAY" | "WEEK" =>
+                val nd = if (unit == "WEEK") n * 7 else n
+                Some(s"date_sub(CAST($v AS DATE), " +
+                  s"CAST(pmod(datediff(CAST($v AS DATE), $o), $nd) AS INT))")
+              case "MONTH" | "QUARTER" | "YEAR" =>
+                val nm = unit match {
+                  case "MONTH" => n
+                  case "QUARTER" => n * 3
+                  case _ => n * 12
+                }
+                val m = s"((year($v) * 12 + month($v)) - (year($o) * 12 + month($o)))"
+                // assert_true raises when the origin is mid-month
+                // (month buckets are month-boundary-aligned in
+                // BigQuery); on pass it returns NULL -> CASE falls
+                // through to the bucket expression
+                Some(s"(CASE WHEN assert_true(day($o) = 1, " +
+                  s"'$name: a $unit width requires an origin on day 1 of a month') IS NULL " +
+                  s"THEN add_months($o, CAST($m - pmod($m, $nm) AS INT)) END)")
+              case other => throw new IllegalArgumentException(
+                s"$name unit '$other' is not supported (DAY, WEEK, MONTH, QUARTER, YEAR)")
+            }
+          } else {
+            val w = UnitMicros.get(unit).map(_ * n).getOrElse(
+              if (unit == "WEEK") n * 7 * 86400000000L
+              else throw new IllegalArgumentException(
+                s"$name unit '$unit' is not supported " +
+                  s"(${(UnitMicros.keys.toSeq :+ "WEEK").sorted.mkString(", ")})"))
+            val o = if (args.size == 3) s"unix_micros(CAST((${args(2)}) AS TIMESTAMP))"
+                    else "unix_micros(TIMESTAMP '1950-01-01 00:00:00')"
+            val a = s"unix_micros(CAST($v AS TIMESTAMP))"
+            val bucket = s"timestamp_micros($a - pmod($a - $o, ${w}L))"
+            if (name == "DATETIME_BUCKET")
+              Some(s"CAST($bucket AS TIMESTAMP_NTZ)")
+            else Some(bucket)
           }
         // BigQuery SPLIT: LITERAL delimiter (default ','), unlike
         // Spark's regex split — '|' and '.' are exactly where the
@@ -1319,11 +1446,49 @@ private[graft] object Functions {
     var cur = sql0; var n = 0
     var changed = true
     while (changed && n < 10) {
-      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(cur))))))
+      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(rangeLiterals(cur)))))))
       changed = next != cur
       cur = next; n += 1
     }
     cur
+  }
+
+  /** BigQuery RANGE literals — `RANGE<DATE> '[2023-01-01,
+    * 2023-12-31)'` (either side may be UNBOUNDED) — to the carried
+    * struct form. Quote-aware scan: the `RANGE<DATE>` head must sit
+    * OUTSIDE any string literal (the payload quotes are part of the
+    * literal itself), so quoted text containing the same characters
+    * is opaque, the fuzz-corpus contract every rewrite here keeps.
+    */
+  private val RangeLitRe =
+    """(?is)^RANGE\s*<\s*DATE\s*>\s*'\[\s*(\d{4}-\d{2}-\d{2}|UNBOUNDED)\s*,\s*(\d{4}-\d{2}-\d{2}|UNBOUNDED)\s*\)'""".r
+  private[graft] def rangeLiterals(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("RANGE")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if ((c == 'R' || c == 'r') && upper.startsWith("RANGE", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1)))) {
+        RangeLitRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            def side(v: String) =
+              if (v.equalsIgnoreCase("UNBOUNDED")) "CAST(NULL AS DATE)"
+              else s"DATE '$v'"
+            out ++= s"named_struct('range_start', ${side(m.group(1))}, " +
+              s"'range_end', ${side(m.group(2))})"
+            i += m.matched.length
+          case None => out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** BigQuery bare array literals: a `[` NOT in subscript position

@@ -1901,6 +1901,89 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
   }
 
+  test("RANGE<DATE> surface: literal, constructor, accessors, predicates, split") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // literal + accessors (half-open [start, end))
+    assert(one("RANGE_START(RANGE<DATE> '[2023-01-01, 2023-12-31)')")
+      .getDate(0).toString == "2023-01-01")
+    assert(one("RANGE_END(RANGE<DATE> '[2023-01-01, 2023-12-31)')")
+      .getDate(0).toString == "2023-12-31")
+    assert(one("RANGE_END(RANGE<DATE> '[2023-01-01, UNBOUNDED)')").isNullAt(0))
+    // constructor form mirrors the literal
+    assert(one("RANGE(DATE '2023-01-01', DATE '2023-02-01') = " +
+      "RANGE<DATE> '[2023-01-01, 2023-02-01)'").getBoolean(0))
+    // containment: start inclusive, end exclusive, unbounded sides
+    assert(one("RANGE_CONTAINS(RANGE<DATE> '[2023-01-01, 2023-02-01)', DATE '2023-01-01')").getBoolean(0))
+    assert(!one("RANGE_CONTAINS(RANGE<DATE> '[2023-01-01, 2023-02-01)', DATE '2023-02-01')").getBoolean(0))
+    assert(one("RANGE_CONTAINS(RANGE<DATE> '[UNBOUNDED, 2023-02-01)', DATE '1900-01-01')").getBoolean(0))
+    assert(one("RANGE_CONTAINS(RANGE<DATE> '[2023-01-01, UNBOUNDED)', DATE '2999-01-01')").getBoolean(0))
+    // overlap: half-open adjacency does NOT overlap
+    assert(one("RANGE_OVERLAPS(RANGE<DATE> '[2023-01-01, 2023-03-01)', " +
+      "RANGE<DATE> '[2023-02-01, 2023-04-01)')").getBoolean(0))
+    assert(!one("RANGE_OVERLAPS(RANGE<DATE> '[2023-01-01, 2023-02-01)', " +
+      "RANGE<DATE> '[2023-02-01, 2023-03-01)')").getBoolean(0))
+    assert(one("RANGE_OVERLAPS(RANGE<DATE> '[UNBOUNDED, UNBOUNDED)', " +
+      "RANGE<DATE> '[2023-02-01, 2023-03-01)')").getBoolean(0))
+    // GENERATE_RANGE_ARRAY: last sub-range partial, half-open ends meet
+    val rows = GraftSql.load(spark,
+      """SELECT explode(GENERATE_RANGE_ARRAY(
+        |  RANGE<DATE> '[2023-01-01, 2023-01-18)', INTERVAL 7 DAY)) AS r""".stripMargin)
+      .selectExpr("r.range_start", "r.range_end").collect()
+    assert(rows.map(r => (r.getDate(0).toString, r.getDate(1).toString)).toSeq == Seq(
+      ("2023-01-01", "2023-01-08"), ("2023-01-08", "2023-01-15"),
+      ("2023-01-15", "2023-01-18")))
+    // quoted text containing the literal shape stays opaque
+    assert(one("""'RANGE<DATE> ''[2023-01-01, 2023-12-31)'''""").getString(0)
+      .startsWith("RANGE<DATE>"))
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
+    assert(bad("GENERATE_RANGE_ARRAY(RANGE(DATE '2023-01-01', DATE '2023-02-01'), 7)")
+      .contains("INTERVAL"))
+    assert(bad("RANGE_CONTAINS(RANGE(DATE '2023-01-01', DATE '2023-02-01'))")
+      .contains("RANGE_CONTAINS"))
+  }
+
+  test("DATE_BUCKET / TIMESTAMP_BUCKET / DATETIME_BUCKET: anchored fixed-width buckets") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // independent expectation via java.time: default origin 1950-01-01
+    val origin = java.time.LocalDate.of(1950, 1, 1)
+    val d = java.time.LocalDate.of(2024, 3, 15)
+    val diff = java.time.temporal.ChronoUnit.DAYS.between(origin, d)
+    val expected = d.minusDays(Math.floorMod(diff, 7L))
+    assert(one("DATE_BUCKET(DATE '2024-03-15', INTERVAL 7 DAY)")
+      .getDate(0).toLocalDate == expected)
+    // floor semantics BEFORE the origin (bucket [1949-12-25, 1950-01-01))
+    assert(one("DATE_BUCKET(DATE '1949-12-31', INTERVAL 1 WEEK)")
+      .getDate(0).toString == "1949-12-25")
+    // month family with explicit day-1 origin
+    assert(one("DATE_BUCKET(DATE '2024-05-10', INTERVAL 3 MONTH, DATE '2024-01-01')")
+      .getDate(0).toString == "2024-04-01")
+    assert(one("DATE_BUCKET(DATE '2023-11-02', INTERVAL 1 YEAR, DATE '2020-01-01')")
+      .getDate(0).toString == "2023-01-01")
+    // timestamp path: 10:47 in 90-minute buckets from midnight -> 10:30
+    assert(one("TIMESTAMP_BUCKET(TIMESTAMP '2024-03-15 10:47:00', " +
+      "INTERVAL 90 MINUTE, TIMESTAMP '2024-03-15 00:00:00')")
+      .getTimestamp(0).toString.startsWith("2024-03-15 10:30:00"))
+    // DATETIME_BUCKET returns the NTZ type
+    val df = GraftSql.load(spark, "SELECT DATETIME_BUCKET(TIMESTAMP_NTZ '2024-03-15 10:47:00', " +
+      "INTERVAL 1 DAY) AS v")
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    // mid-month origin for a month width raises AT RUNTIME (assert_true)
+    assertThrows[Exception] {
+      GraftSql.load(spark,
+        "SELECT DATE_BUCKET(DATE '2024-05-10', INTERVAL 1 MONTH, DATE '2024-01-15') AS v")
+        .collect()
+    }
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
+    assert(bad("DATE_BUCKET(DATE '2024-01-01', INTERVAL 1 HOUR)").contains("HOUR"))
+    assert(bad("TIMESTAMP_BUCKET(TIMESTAMP '2024-01-01 00:00:00', INTERVAL 1 MONTH)")
+      .contains("MONTH"))
+    assert(bad("DATE_BUCKET(DATE '2024-01-01', 7)").contains("INTERVAL"))
+  }
+
   test("JSON_KEYS + strict typed accessors (BOOL/INT64/FLOAT64/STRING)") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
