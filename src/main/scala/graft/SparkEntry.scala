@@ -2312,6 +2312,25 @@ object SparkEntry {
           |FROM dateops_events ORDER BY event_id""".stripMargin)
     }),
 
+    // FORMAT + LAST_DAY (round 13): printf-rendering as the grouping
+    // key (zero-pad, hex, width — every byte under the hash, so the
+    // verb translation and Java/C formatter agreement are both gated)
+    // plus all three LAST_DAY parts; DuckDB replays with its own
+    // C-style printf and date arithmetic
+    "q_format" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("fmt_events")
+      graft.GraftSql.load(s,
+        """SELECT FORMAT('ev-%06d:%s', user_id, event_type) AS tag,
+          |       FORMAT('%x|%5d', user_id, CAST(user_id % 97 AS BIGINT)) AS codes,
+          |       LAST_DAY(CAST(ts AS DATE)) AS mend,
+          |       LAST_DAY(CAST(ts AS DATE), QUARTER) AS qend,
+          |       LAST_DAY(CAST(ts AS DATE), YEAR) AS yend,
+          |       COUNT(*) AS n
+          |FROM fmt_events
+          |GROUP BY tag, codes, mend, qend, yend
+          |ORDER BY tag, codes, mend""".stripMargin)
+    }),
+
     // RANGE<DATE> surface (round 13): per-order validity ranges of
     // varying width through the full verb set — literal, constructor,
     // point containment (half-open), overlap vs a fixed year, 7-day
@@ -4765,6 +4784,18 @@ object SparkEntry {
           |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
           |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // printf bytes replay via DuckDB's C-style printf; LAST_DAY
+      // parts via last_day + month/year arithmetic
+      "q_format" ->
+        """SELECT printf('ev-%06d:%s', user_id, event_type) AS tag,
+          |       printf('%x|%5d', user_id, user_id % 97) AS codes,
+          |       last_day(CAST(ts AS DATE)) AS mend,
+          |       last_day(CAST(date_trunc('quarter', CAST(ts AS DATE)) + to_months(2) AS DATE)) AS qend,
+          |       make_date(CAST(EXTRACT(YEAR FROM ts) AS INT), 12, 31) AS yend,
+          |       COUNT(*) AS n
+          |FROM events
+          |GROUP BY tag, codes, mend, qend, yend
+          |ORDER BY tag, codes, mend""".stripMargin,
       // range predicates replay as plain half-open date comparisons;
       // the split count is ceil(width/7) — all-integer
       "q_range_type" ->

@@ -290,7 +290,9 @@ private[graft] object Functions {
     "ARRAY_LENGTH" -> "size", "ARRAY_TO_STRING" -> "array_join",
     "ARRAY_REVERSE" -> "reverse", "REGEXP_CONTAINS" -> "regexp_like",
     "STRPOS" -> "instr", "STARTS_WITH" -> "startswith",
-    "ENDS_WITH" -> "endswith", "FORMAT" -> "format_string",
+    // FORMAT is NOT a plain rename: its case below translates %i and
+    // rejects the BigQuery-only %t/%T/%u verbs before Java sees them
+    "ENDS_WITH" -> "endswith",
     "APPROX_COUNT_DISTINCT" -> "approx_count_distinct",
     "ARRAY_CONCAT" -> "concat", "GENERATE_UUID" -> "uuid")
 
@@ -385,6 +387,7 @@ private[graft] object Functions {
       "DATE_BUCKET", "DATETIME_BUCKET", "TIMESTAMP_BUCKET",
       "RANGE", "RANGE_START", "RANGE_END", "RANGE_CONTAINS",
       "RANGE_OVERLAPS", "GENERATE_RANGE_ARRAY",
+      "FORMAT", "ERROR", "LAST_DAY",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
@@ -609,6 +612,62 @@ private[graft] object Functions {
                 Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
               case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
             }
+          }
+        // BigQuery FORMAT (round 13) → format_string: the shared
+        // printf subset (%d %s %f %e %g %x %X %o %% with flags/width/
+        // precision; %i is C's alias for %d). The BigQuery-only verbs
+        // are LOUD: %t/%T (canonical/SQL-literal rendering — no Java
+        // analog) and %u (unsigned — INT64 is signed here). The format
+        // must be a string LITERAL so the verb scan can run at rewrite
+        // time — a silently-unmapped verb would corrupt every row.
+        // Stated divergence, documented not hidden: Java's %f rounds
+        // ties HALF_UP where C rounds half-even — binary doubles
+        // almost never sit exactly on a decimal tie, but don't build
+        // dedup keys from %.1f of money values.
+        case "FORMAT" =>
+          require(args.size >= 2, "FORMAT takes (format_literal, arg, ...)")
+          val raw = args(0).trim
+          require(raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"),
+            s"FORMAT requires a literal quoted format string, got: $raw")
+          val fmt = raw.substring(1, raw.length - 1)
+          var i = 0
+          val outF = new StringBuilder
+          while (i < fmt.length) {
+            val c = fmt.charAt(i)
+            if (c == '%') {
+              var j = i + 1
+              while (j < fmt.length && "+-# 0123456789.'".indexOf(fmt.charAt(j)) >= 0) j += 1
+              require(j < fmt.length, s"FORMAT: dangling % at the end of '$fmt'")
+              val verb = fmt.charAt(j)
+              require("dioxXeEfgGs%".indexOf(verb) >= 0,
+                s"FORMAT verb %$verb is not supported (%t/%T have no Java analog, " +
+                  "%u is unsigned; shared subset: %d %i %o %x %X %e %f %g %s %%)")
+              outF ++= fmt.substring(i, j)
+              outF += (if (verb == 'i') 'd' else verb)
+              i = j + 1
+            } else { outF += c; i += 1 }
+          }
+          Some(s"format_string('${outF.toString}', ${args.drop(1).mkString(", ")})")
+        // BigQuery ERROR(msg) raises mid-expression (the CASE-guard
+        // idiom); Spark's raise_error is the same verb
+        case "ERROR" =>
+          require(args.size == 1, "ERROR takes one message argument")
+          Some(s"raise_error((${args(0)}))")
+        // LAST_DAY(d [, part]): MONTH is Spark-native; YEAR/QUARTER
+        // compose from exact date arithmetic; WEEK is loud (BigQuery
+        // weeks start Sunday — the TRUNC-family divergence)
+        case "LAST_DAY" =>
+          require(args.size == 1 || args.size == 2, "LAST_DAY takes (date [, part])")
+          val d = s"CAST((${args(0)}) AS DATE)"
+          val part = if (args.size == 2) args(1).trim.toUpperCase(java.util.Locale.ROOT)
+                     else "MONTH"
+          part match {
+            case "MONTH" => Some(s"last_day($d)")
+            case "YEAR" => Some(s"make_date(year($d), 12, 31)")
+            case "QUARTER" => Some(s"last_day(add_months(trunc($d, 'QUARTER'), 2))")
+            case other => throw new IllegalArgumentException(
+              s"LAST_DAY part '$other' is not supported (MONTH, QUARTER, YEAR; " +
+                "WEEK diverges — BigQuery weeks start SUNDAY)")
           }
         // BigQuery's RANGE<DATE> surface (round 13), carried as
         // STRUCT<range_start DATE, range_end DATE> with NULL =

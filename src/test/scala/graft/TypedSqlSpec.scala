@@ -1901,6 +1901,30 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
   }
 
+  test("FORMAT / ERROR / LAST_DAY: the everyday scalar verbs") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    assert(one("FORMAT('ev-%06d:%s', 42, 'click')").getString(0) == "ev-000042:click")
+    assert(one("FORMAT('%x|%o|%5d', 255, 8, 7)").getString(0) == "ff|10|    7")
+    assert(one("FORMAT('%i%%', 3)").getString(0) == "3%") // C's %i alias
+    assert(one("FORMAT('%.3f', CAST(1.5 AS DOUBLE))").getString(0) == "1.500")
+    assert(one("LAST_DAY(DATE '2024-02-10')").getDate(0).toString == "2024-02-29")
+    assert(one("LAST_DAY(DATE '2024-05-10', QUARTER)").getDate(0).toString == "2024-06-30")
+    assert(one("LAST_DAY(DATE '2024-05-10', YEAR)").getDate(0).toString == "2024-12-31")
+    // ERROR raises only on the taken branch
+    assert(one("CASE WHEN 1 = 1 THEN 'ok' ELSE ERROR('boom') END").getString(0) == "ok")
+    assertThrows[Exception] {
+      GraftSql.load(spark, "SELECT CASE WHEN 1 = 2 THEN 'ok' ELSE ERROR('boom') END AS v")
+        .collect()
+    }
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
+    assert(bad("FORMAT('%t', 1)").contains("%t"))
+    assert(bad("FORMAT('%u', 1)").contains("not supported"))
+    assert(bad("FORMAT(col, 1)").contains("literal"))
+    assert(bad("LAST_DAY(DATE '2024-01-01', WEEK)").contains("SUNDAY"))
+  }
+
   test("RANGE<DATE> surface: literal, constructor, accessors, predicates, split") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
