@@ -3299,6 +3299,17 @@ object SparkEntry {
     // aggregate + a window over the bounded score-level frame. Counts
     // integer, ratios exactly-rounded integer divisions — the whole
     // curve replays in DuckDB under the hash gate
+    // E21b (round 13): exact ROC AUC by Mann-Whitney average ranks —
+    // all-integer to u_x2, ONE double division at the end in a fixed
+    // order, so DuckDB replays the statistic bit-for-bit (ties on
+    // n_chars exercise the average-rank correction)
+    "eval_roc_auc" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        F.when(F.col("text").contains("data"), 1L).otherwise(-1L).as("y"),
+        F.col("n_chars").cast("double").as("s"))
+      graft.operators.Eval.binaryRocAuc(scored, "y", "s")
+    }),
+
     "eval_pr_curve" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(
         F.when(F.col("text").contains("data"), 1L).otherwise(-1L).as("y"),
@@ -6087,6 +6098,33 @@ object SparkEntry {
           |FROM e ORDER BY doc_id""".stripMargin,
       // PR-curve replay: per-score confusion counts + cumulative
       // window, ratios as exactly-rounded integer divisions
+      // the rank fold replays term-for-term: 2R1 = sum p(2cum + c + 1)
+      // over distinct scores, 2U1 = 2R1 - n1(n1+1), one double division
+      "eval_roc_auc" ->
+        """WITH r AS (
+          |  SELECT CASE WHEN strpos(text, 'data') > 0 THEN 1 ELSE -1 END AS y,
+          |         CAST(n_chars AS DOUBLE) AS s
+          |  FROM documents),
+          |tot AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |               CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+          |        FROM r),
+          |ps AS (SELECT s, CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+          |              CAST(COUNT(*) AS BIGINT) AS c
+          |       FROM r GROUP BY s),
+          |rk AS (SELECT p, c,
+          |         COALESCE(CAST(SUM(c) OVER (ORDER BY s ASC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+          |       FROM ps),
+          |agg AS (SELECT CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS r1x2,
+          |               CAST(COUNT(*) AS BIGINT) AS n_points FROM rk)
+          |SELECT (SELECT pos FROM tot) AS pos,
+          |       (SELECT neg FROM tot) AS neg,
+          |       n_points,
+          |       r1x2 - (SELECT pos FROM tot) * ((SELECT pos FROM tot) + 1) AS u_x2,
+          |       CAST(r1x2 - (SELECT pos FROM tot) * ((SELECT pos FROM tot) + 1) AS DOUBLE)
+          |         / (2.0 * CAST((SELECT pos FROM tot) AS DOUBLE)
+          |            * CAST((SELECT neg FROM tot) AS DOUBLE)) AS auc
+          |FROM agg""".stripMargin,
       "eval_pr_curve" ->
         """WITH r AS (
           |  SELECT CASE WHEN strpos(text, 'data') > 0 THEN 1 ELSE -1 END AS y,

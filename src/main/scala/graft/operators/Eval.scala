@@ -35,6 +35,60 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Eval {
 
+  /** Exact ROC AUC via the Mann-Whitney rank statistic with average
+    * ties — the threshold-free companion to [[binaryPrCurve]] (AUC is
+    * what the published filter recipes actually report).
+    *
+    * Same scale shape as the curve: one keyed aggregate collapses the
+    * corpus to a count pair per DISTINCT score, then the rank fold
+    * runs over that bounded frame. All arithmetic stays in INTEGERS
+    * doubled to clear the half-rank: a tie group g with c_g rows
+    * preceded by cum_g rows has average rank cum_g + (c_g + 1)/2, so
+    *
+    *   2·R₁ = Σ_g p_g · (2·cum_g + c_g + 1)
+    *   2·U₁ = 2·R₁ − n₁(n₁ + 1)
+    *   AUC  = 2·U₁ / (2·n₁·n₀)
+    *
+    * — one exactly-rounded double division at the very end, so the
+    * value replays bit-for-bit in a SQL oracle (and equals the
+    * pair-counting definition: P(s⁺ > s⁻) + ½P(s⁺ = s⁻), spec-pinned
+    * against an all-pairs reference). Long arithmetic holds to
+    * n ≈ 10⁹ rows (2·R₁ < 2n²); beyond that, pre-bucket scores.
+    *
+    * Output: ONE row — (pos, neg, n_points, u_x2, auc). Labels +1/−1
+    * (loud otherwise); degenerate inputs (no positives or no
+    * negatives) yield NULL auc rather than a 0/0.
+    */
+  def binaryRocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val rows = df.select(F.col(labelCol).cast("long").as("__y"),
+      F.col(scoreCol).cast("double").as("__s"))
+      .filter(F.col("__y").isNotNull && F.col("__s").isNotNull)
+    val tot = rows.agg(
+      F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__pos"),
+      F.sum(F.when(F.col("__y") === -1L, 1L).otherwise(0L)).as("__neg"),
+      F.count(F.lit(1)).as("__n")).head()
+    val (pos, neg, n) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(n > 0, "binaryRocAuc: empty input")
+    require(pos + neg == n,
+      s"binaryRocAuc: labels must be +1/-1 (found ${n - pos - neg} other values)")
+    val perScore = rows.groupBy(F.col("__s"))
+      .agg(F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__p"),
+        F.count(F.lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(F.col("__s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val r1x2 = perScore
+      .withColumn("__cum", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
+      .agg(F.sum(F.col("__p") * (F.lit(2L) * F.col("__cum") + F.col("__c") + F.lit(1L)))
+        .as("__r1x2"), F.count(F.lit(1)).as("__points")).head()
+    val ux2 = r1x2.getLong(0) - pos * (pos + 1L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((pos, neg, r1x2.getLong(1), ux2)).toDF("pos", "neg", "n_points", "u_x2")
+      .withColumn("auc",
+        if (pos == 0L || neg == 0L) F.lit(null).cast("double")
+        else F.col("u_x2").cast("double") / F.lit(2.0 * pos.toDouble * neg.toDouble))
+  }
+
   def binaryPrCurve(df: DataFrame, labelCol: String, scoreCol: String,
                     buckets: Option[Int] = None): DataFrame = {
     buckets.foreach(b => require(b >= 1, s"buckets must be positive, got $b"))

@@ -103,4 +103,31 @@ class EvalSpec extends SparkSuite {
       Seq((1L, 2.0), (-1L, 2.0)).toDF("y", "s"), "y", "s", buckets = Some(8)).collect()
     assert(flat.length == 1 && flat.head.getDouble(0) == 2.0)
   }
+
+  test("binaryRocAuc: rank AUC equals the all-pairs definition, ties averaged") {
+    // heavy ties by construction: scores are i % 5
+    val rows = (0 until 200).map(i => (if (i % 3 == 0) 1L else -1L, (i % 5).toDouble))
+    val df = rows.toDF("y", "s")
+    val got = Eval.binaryRocAuc(df, "y", "s").head()
+    val posS = rows.filter(_._1 == 1L).map(_._2)
+    val negS = rows.filter(_._1 == -1L).map(_._2)
+    // the pair-counting definition: P(s+ > s-) + 0.5 P(s+ = s-)
+    val wins = (for (p <- posS; q <- negS) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val want = wins / (posS.size.toDouble * negS.size.toDouble)
+    assert(got.getLong(0) == posS.size && got.getLong(1) == negS.size)
+    assert(got.getLong(2) == 5L) // distinct scores
+    assert(math.abs(got.getDouble(4) - want) < 1e-12, s"auc ${got.getDouble(4)} vs $want")
+    // perfect separation = 1.0; inverted = 0.0; degenerate = NULL
+    val sep = Seq((1L, 9.0), (1L, 8.0), (-1L, 1.0), (-1L, 2.0)).toDF("y", "s")
+    assert(Eval.binaryRocAuc(sep, "y", "s").head().getDouble(4) == 1.0)
+    val inv = Seq((1L, 1.0), (-1L, 9.0)).toDF("y", "s")
+    assert(Eval.binaryRocAuc(inv, "y", "s").head().getDouble(4) == 0.0)
+    val deg = Seq((1L, 1.0), (1L, 2.0)).toDF("y", "s")
+    assert(Eval.binaryRocAuc(deg, "y", "s").head().isNullAt(4))
+    // bad labels are loud
+    assertThrows[IllegalArgumentException] {
+      Eval.binaryRocAuc(Seq((0L, 1.0)).toDF("y", "s"), "y", "s").collect()
+    }
+  }
 }
