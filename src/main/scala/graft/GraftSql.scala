@@ -1272,6 +1272,7 @@ object GraftSql {
       }
       mvRegistry.remove(mvKey(spark, name))
       partRegistry.remove(mvKey(spark, name))
+      viewDefRegistry.remove(mvKey(spark, name))
       graft.sources.Versioned.unregister(spark, name)
       if (!spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
         spark.sql(s"DROP TABLE `$name`") // a managed (saveAsTable) table
@@ -2316,6 +2317,12 @@ object GraftSql {
   private val partRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  // DDL-created view definitions, for INFORMATION_SCHEMA.VIEWS —
+  // only views created through createView carry a definition (a temp
+  // view registered directly on the session has no SQL text to show)
+  private val viewDefRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   private def mvKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name.toLowerCase)
 
@@ -2366,8 +2373,11 @@ object GraftSql {
       val skipExisting = ifNotExists != null
       require(!(replace && skipExisting),
         "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
-      if (materialized != null) createMaterialized(spark, name, query, replace, skipExisting)
-      else {
+      if (materialized != null) {
+        val res = createMaterialized(spark, name, query, replace, skipExisting)
+        viewDefRegistry(mvKey(spark, name)) = query.trim
+        res
+      } else {
         val exists = spark.catalog.tableExists(name)
         if (skipExisting && exists) spark.table(name)
         else {
@@ -2377,6 +2387,7 @@ object GraftSql {
             require(!exists, s"view '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
             df.createTempView(name)
           }
+          viewDefRegistry(mvKey(spark, name)) = query.trim
           spark.table(name)
         }
       }
@@ -4150,7 +4161,7 @@ object GraftSql {
     val out = new StringBuilder
     var i = 0; var inStr = false; var inTick = false
     var replacedTables = false; var replacedColumns = false
-    var replacedPartitions = false
+    var replacedPartitions = false; var replacedViews = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
@@ -4170,15 +4181,38 @@ object GraftSql {
         } else if (upper.startsWith("PARTITIONS", rest) &&
           (rest + 10 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 10)) && sql.charAt(rest + 10) != '_')) {
           out ++= "__information_schema_partitions"; replacedPartitions = true; i = rest + 10
+        } else if (upper.startsWith("VIEWS", rest) &&
+          (rest + 5 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 5)) && sql.charAt(rest + 5) != '_')) {
+          out ++= "__information_schema_views"; replacedViews = true; i = rest + 5
         } else throw new IllegalArgumentException(
-          "only INFORMATION_SCHEMA.TABLES, .COLUMNS and .PARTITIONS are available " +
-            "(a session catalog has no jobs/routines metadata)")
+          "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS and .VIEWS are " +
+            "available (a session catalog has no jobs/routines metadata)")
       } else { out += c; i += 1 }
     }
     if (replacedTables) tablesView(spark).createOrReplaceTempView("__information_schema_tables")
     if (replacedColumns) columnsView(spark).createOrReplaceTempView("__information_schema_columns")
     if (replacedPartitions) partitionsView(spark).createOrReplaceTempView("__information_schema_partitions")
+    if (replacedViews) viewsView(spark).createOrReplaceTempView("__information_schema_views")
     out.toString
+  }
+
+  /** INFORMATION_SCHEMA.VIEWS — BigQuery's shape (table_catalog,
+    * table_schema, table_name, view_definition, check_option,
+    * use_standard_sql). Lists views created through the DDL path
+    * (CREATE [MATERIALIZED] VIEW), which are the ones with a SQL
+    * definition to show; directly-registered temp views appear in
+    * TABLES but not here (no definition text exists — stated).
+    */
+  private def viewsView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sid = System.identityHashCode(spark)
+    viewDefRegistry.toSeq
+      .collect { case ((s, n), q) if s == sid && spark.catalog.tableExists(n) =>
+        ("graft", "session", n, q, "NONE", "YES")
+      }
+      .sortBy(_._3)
+      .toDF("table_catalog", "table_schema", "table_name",
+        "view_definition", "check_option", "use_standard_sql")
   }
 
   private def sessionTables(spark: SparkSession): Seq[String] =

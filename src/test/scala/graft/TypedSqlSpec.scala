@@ -1901,6 +1901,38 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("pipe_t |> WHERE id = 1").contains("must start with FROM"))
   }
 
+  test("INFORMATION_SCHEMA.VIEWS: DDL-created view definitions") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "tag").createOrReplaceTempView("isv_base")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE VIEW isv_view AS SELECT id, upper(tag) AS tag FROM isv_base")
+    val rows = GraftSql.load(spark,
+      "SELECT table_name, view_definition, use_standard_sql FROM INFORMATION_SCHEMA.VIEWS " +
+        "WHERE table_name = 'isv_view'").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1).toUpperCase.startsWith("SELECT ID"))
+    assert(rows.head.getString(2) == "YES")
+    // joinable against TABLES; the base temp view has no definition row
+    val joined = GraftSql.load(spark,
+      """SELECT t.table_name, v.view_definition
+        |FROM INFORMATION_SCHEMA.TABLES t
+        |LEFT JOIN INFORMATION_SCHEMA.VIEWS v USING (table_name)
+        |WHERE t.table_name IN ('isv_view', 'isv_base')
+        |ORDER BY t.table_name""".stripMargin).collect()
+    assert(joined.length == 2)
+    assert(joined.head.getString(0) == "isv_base" && joined.head.isNullAt(1))
+    assert(joined(1).getString(0) == "isv_view" && !joined(1).isNullAt(1))
+    // DROP removes the definition row
+    GraftSql.load(spark, "DROP VIEW isv_view")
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.VIEWS WHERE table_name = 'isv_view'")
+      .collect().isEmpty)
+    // unknown views stay loud, naming the available set
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.load(spark, "SELECT * FROM INFORMATION_SCHEMA.ROUTINES")
+    }.getMessage.contains(".VIEWS"))
+  }
+
   test("FORMAT / ERROR / LAST_DAY: the everyday scalar verbs") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
