@@ -2312,6 +2312,23 @@ object SparkEntry {
           |FROM dateops_events ORDER BY event_id""".stripMargin)
     }),
 
+    // TIME type (round 13): the NTZ-carried time-of-day through the
+    // full verb set — constructor from a timestamp, hour truncation
+    // as the grouping key, diff-to-midnight sums, formatted min, and
+    // 90-minute wrap adds; DuckDB replays everything as exact
+    // micros-of-day integer arithmetic rendered through printf
+    "q_time_ops" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("time_events")
+      graft.GraftSql.load(s,
+        """SELECT FORMAT_TIME('%H:%M:%S', TIME_TRUNC(TIME(ts), HOUR)) AS hr,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(TIME_DIFF(TIME(ts), TIME '00:00:00', SECOND)) AS BIGINT) AS sec_sum,
+          |       MIN(FORMAT_TIME('%H:%M:%S', TIME(ts))) AS t_min,
+          |       MAX(FORMAT_TIME('%H:%M:%S', TIME_ADD(TIME(ts), INTERVAL 90 MINUTE))) AS t_add_max
+          |FROM time_events
+          |GROUP BY hr ORDER BY hr""".stripMargin)
+    }),
+
     // FORMAT + LAST_DAY (round 13): printf-rendering as the grouping
     // key (zero-pad, hex, width — every byte under the hash, so the
     // verb translation and Java/C formatter agreement are both gated)
@@ -4795,6 +4812,19 @@ object SparkEntry {
           |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
           |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // time-of-day replays as exact micros-of-day integer folds
+      // rendered through printf (epoch_us % 86400000000)
+      "q_time_ops" ->
+        """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS m FROM events),
+          |c AS (SELECT m, (m + 5400000000) % 86400000000 AS m2 FROM b)
+          |SELECT printf('%02d:00:00', m // 3600000000) AS hr,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(m // 1000000) AS BIGINT) AS sec_sum,
+          |       MIN(printf('%02d:%02d:%02d', m // 3600000000,
+          |                  (m % 3600000000) // 60000000, (m % 60000000) // 1000000)) AS t_min,
+          |       MAX(printf('%02d:%02d:%02d', m2 // 3600000000,
+          |                  (m2 % 3600000000) // 60000000, (m2 % 60000000) // 1000000)) AS t_add_max
+          |FROM c GROUP BY hr ORDER BY hr""".stripMargin,
       // printf bytes replay via DuckDB's C-style printf; LAST_DAY
       // parts via last_day + month/year arithmetic
       "q_format" ->

@@ -388,6 +388,8 @@ private[graft] object Functions {
       "RANGE", "RANGE_START", "RANGE_END", "RANGE_CONTAINS",
       "RANGE_OVERLAPS", "GENERATE_RANGE_ARRAY",
       "FORMAT", "ERROR", "LAST_DAY",
+      "TIME", "TIME_ADD", "TIME_SUB", "TIME_DIFF", "TIME_TRUNC",
+      "PARSE_TIME", "FORMAT_TIME",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
@@ -613,6 +615,65 @@ private[graft] object Functions {
               case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
             }
           }
+        // BigQuery's TIME type (round 13), carried as TIMESTAMP_NTZ
+        // pinned to 1970-01-01 — ordering, equality, grouping and
+        // parquet round-trips are all native on the carrier, and the
+        // wall-clock text is exactly the TIME's text. TIME_ADD /
+        // TIME_SUB WRAP around 24 h (BigQuery's rule — pmod keeps the
+        // carrier on day one); TIME_DIFF does NOT wrap (BigQuery
+        // measures the signed span). The session runs UTC, so the
+        // TIMESTAMP↔NTZ casts inside the micro arithmetic are
+        // wall-clock-exact (GraftSession pins the timezone).
+        case "TIME" =>
+          require(args.size == 1 || args.size == 3,
+            "TIME takes (timestamp) or (hour, minute, second)")
+          if (args.size == 3)
+            Some(s"make_timestamp_ntz(1970, 1, 1, (${args(0)}), (${args(1)}), (${args(2)}))")
+          else
+            Some(s"CAST(concat('1970-01-01 ', date_format((${args(0)}), 'HH:mm:ss.SSSSSS')) AS TIMESTAMP_NTZ)")
+        case "TIME_ADD" | "TIME_SUB" =>
+          require(args.size == 2, s"$name takes (time, INTERVAL n unit)")
+          val (nTxt, unitRaw) = args(1).trim match {
+            case IntervalLitRe(n, u) => (n, u)
+            case other => throw new IllegalArgumentException(
+              s"$name takes a literal INTERVAL n unit, got: $other")
+          }
+          val unit = unitRaw.toUpperCase(java.util.Locale.ROOT)
+          require(unit != "DAY", s"$name unit 'DAY' is not a TIME part " +
+            "(BigQuery's rule — a full day wraps to itself)")
+          val w = UnitMicros.getOrElse(unit, throw new IllegalArgumentException(
+            s"$name unit '$unit' is not supported " +
+              s"(${(UnitMicros.keys.toSet - "DAY").toSeq.sorted.mkString(", ")})"))
+          val k = nTxt.toLong * w * (if (name == "TIME_SUB") -1L else 1L)
+          Some(s"CAST(timestamp_micros(pmod(unix_micros(CAST((${args(0)}) AS TIMESTAMP)) + " +
+            s"(${k}L), 86400000000L)) AS TIMESTAMP_NTZ)")
+        case "TIME_DIFF" =>
+          require(args.size == 3, "TIME_DIFF takes (later, earlier, unit)")
+          val uu = args(2).toUpperCase(java.util.Locale.ROOT).trim
+          require(uu != "DAY", "TIME_DIFF unit 'DAY' is not a TIME part (BigQuery's rule)")
+          val u = UnitMicros.getOrElse(uu,
+            throw new IllegalArgumentException(
+              s"TIME_DIFF unit '${args(2)}' not supported " +
+                s"(${(UnitMicros.keys.toSet - "DAY").toSeq.sorted.mkString(", ")})"))
+          Some(s"((unix_micros(CAST((${args(0)}) AS TIMESTAMP)) - " +
+            s"unix_micros(CAST((${args(1)}) AS TIMESTAMP))) div $u)")
+        case "TIME_TRUNC" =>
+          require(args.size == 2, "TIME_TRUNC takes (time, unit)")
+          val unit = args(1).trim.toUpperCase(java.util.Locale.ROOT)
+          require(unit != "DAY", "TIME_TRUNC unit 'DAY' is not a TIME part (BigQuery's rule)")
+          val w = UnitMicros.getOrElse(unit, throw new IllegalArgumentException(
+            s"TIME_TRUNC unit '$unit' is not supported " +
+              s"(${(UnitMicros.keys.toSet - "DAY").toSeq.sorted.mkString(", ")})"))
+          val a = s"unix_micros(CAST((${args(0)}) AS TIMESTAMP))"
+          Some(s"CAST(timestamp_micros($a - pmod($a, ${w}L)) AS TIMESTAMP_NTZ)")
+        case "FORMAT_TIME" =>
+          require(args.size == 2, "FORMAT_TIME takes (format, time)")
+          Some(s"date_format((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
+        case "PARSE_TIME" =>
+          require(args.size == 2, "PARSE_TIME takes (format, value)")
+          // missing date fields default to the epoch in Spark's
+          // parser — exactly the 1970-01-01 carrier pin
+          Some(s"CAST(to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}') AS TIMESTAMP_NTZ)")
         // BigQuery FORMAT (round 13) → format_string: the shared
         // printf subset (%d %s %f %e %g %x %X %o %% with flags/width/
         // precision; %i is C's alias for %d). The BigQuery-only verbs
@@ -1179,7 +1240,12 @@ private[graft] object Functions {
           val a = args(0)
           val WeekRe = """(?is)^\s*WEEK\s*(?:\(\s*([A-Za-z]+)\s*\))?\s+FROM\s+(.*)$""".r
           val IsoRe = """(?is)^\s*ISOWEEK\s+FROM\s+(.*)$""".r
+          val TimeRe = """(?is)^\s*TIME\s+FROM\s+(.*)$""".r
           a match {
+            // EXTRACT(TIME FROM ts) → the NTZ-carried TIME (see the
+            // TIME case below)
+            case TimeRe(expr) =>
+              Some(s"CAST(concat('1970-01-01 ', date_format(($expr), 'HH:mm:ss.SSSSSS')) AS TIMESTAMP_NTZ)")
             case WeekRe(wd, expr) =>
               // Spark dayofweek: Sunday=1 .. Saturday=7
               val dows = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
@@ -1505,7 +1571,7 @@ private[graft] object Functions {
     var cur = sql0; var n = 0
     var changed = true
     while (changed && n < 10) {
-      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(rangeLiterals(cur)))))))
+      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(rangeLiterals(timeLiterals(cur))))))))
       changed = next != cur
       cur = next; n += 1
     }
@@ -1519,6 +1585,38 @@ private[graft] object Functions {
     * literal itself), so quoted text containing the same characters
     * is opaque, the fuzz-corpus contract every rewrite here keeps.
     */
+  /** BigQuery TIME literals — `TIME '12:34:56[.ffffff]'` — onto the
+    * 1970-01-01-pinned TIMESTAMP_NTZ carrier (see the TIME function
+    * family). Same quote-aware scan contract as the RANGE literal:
+    * the TIME keyword must sit outside any string.
+    */
+  private val TimeLitRe =
+    """(?is)^TIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
+  private[graft] def timeLiterals(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("TIME")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if ((c == 'T' || c == 't') && upper.startsWith("TIME", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1)))) {
+        TimeLitRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            out ++= s"TIMESTAMP_NTZ '1970-01-01 ${m.group(1)}'"
+            i += m.matched.length
+          case None => out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   private val RangeLitRe =
     """(?is)^RANGE\s*<\s*DATE\s*>\s*'\[\s*(\d{4}-\d{2}-\d{2}|UNBOUNDED)\s*,\s*(\d{4}-\d{2}-\d{2}|UNBOUNDED)\s*\)'""".r
   private[graft] def rangeLiterals(sql: String): String = {

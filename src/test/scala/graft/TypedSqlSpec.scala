@@ -1933,6 +1933,42 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains(".VIEWS"))
   }
 
+  test("TIME type: literal, constructor, wrap arithmetic, trunc, parse/format") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // the carrier is 1970-01-01-pinned TIMESTAMP_NTZ
+    assert(one("CAST(TIME '12:34:56' AS STRING)").getString(0) == "1970-01-01 12:34:56")
+    assert(one("FORMAT_TIME('%H:%M:%S', TIME(TIMESTAMP '2024-03-15 10:47:33'))")
+      .getString(0) == "10:47:33")
+    assert(one("FORMAT_TIME('%H:%M:%S', TIME(7, 5, 9))").getString(0) == "07:05:09")
+    // ADD/SUB wrap around 24h (BigQuery's rule)
+    assert(one("FORMAT_TIME('%H:%M:%S', TIME_ADD(TIME '23:30:00', INTERVAL 45 MINUTE))")
+      .getString(0) == "00:15:00")
+    assert(one("FORMAT_TIME('%H:%M:%S', TIME_SUB(TIME '00:15:00', INTERVAL 30 MINUTE))")
+      .getString(0) == "23:45:00")
+    // DIFF is the SIGNED span (no wrap); TRUNC snaps down
+    assert(one("TIME_DIFF(TIME '12:00:00', TIME '10:30:00', MINUTE)").getLong(0) == 90L)
+    assert(one("TIME_DIFF(TIME '10:30:00', TIME '12:00:00', MINUTE)").getLong(0) == -90L)
+    assert(one("FORMAT_TIME('%H:%M:%S', TIME_TRUNC(TIME '12:34:56', HOUR))")
+      .getString(0) == "12:00:00")
+    // parse defaults the date fields to the epoch pin
+    assert(one("FORMAT_TIME('%H:%M:%S', PARSE_TIME('%H:%M', '07:30'))")
+      .getString(0) == "07:30:00")
+    // EXTRACT(TIME FROM ts) equals the constructor; scalar parts and
+    // ordering are native on the carrier
+    assert(one("EXTRACT(TIME FROM TIMESTAMP '2024-03-15 10:47:33') = " +
+      "TIME(TIMESTAMP '2024-03-15 10:47:33')").getBoolean(0))
+    assert(one("EXTRACT(HOUR FROM TIME '12:34:56')").getInt(0) == 12)
+    assert(one("TIME '09:00:00' < TIME '10:00:00'").getBoolean(0))
+    // quoted text containing the literal shape stays opaque
+    assert(one("""'TIME ''12:00:00'''""").getString(0).startsWith("TIME"))
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
+    assert(bad("TIME_ADD(TIME '12:00:00', INTERVAL 1 DAY)").contains("DAY"))
+    assert(bad("TIME_DIFF(TIME '12:00:00', TIME '10:00:00', WEEK)").contains("WEEK"))
+    assert(bad("TIME(1, 2)").contains("TIME takes"))
+  }
+
   test("FORMAT / ERROR / LAST_DAY: the everyday scalar verbs") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
