@@ -2312,6 +2312,30 @@ object SparkEntry {
           |FROM dateops_events ORDER BY event_id""".stripMargin)
     }),
 
+    // ML.FEATURE_CROSS + ML.POLYNOMIAL_EXPAND (round 13): the
+    // combinational TRANSFORM preprocessors as rewrite-time
+    // named_struct expansion — the crossed key is the GROUPING key so
+    // name joining and value concat are both under the hash; the
+    // monomial sums ride integer-valued doubles through DECIMAL (the
+    // float-parity discipline). DuckDB replays with explicit
+    // concat/multiply
+    "q_ml_feature_cross" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("fc_events")
+      graft.GraftSql.load(s,
+        """SELECT f.et_X_vb AS cross_key, COUNT(*) AS n,
+          |       CAST(SUM(CAST(p.v_v AS DECIMAL(38,10))) AS DOUBLE) AS vv_sum,
+          |       CAST(SUM(CAST(p.v_w AS DECIMAL(38,10))) AS DOUBLE) AS vw_sum,
+          |       CAST(MAX(p.w_w) AS BIGINT) AS ww_max
+          |FROM (SELECT ML.FEATURE_CROSS(STRUCT(et, vb)) AS f,
+          |             ML.POLYNOMIAL_EXPAND(STRUCT(v, w)) AS p
+          |      FROM (SELECT event_type AS et,
+          |                   CAST(CAST(user_id % 3 AS INT) AS STRING) AS vb,
+          |                   CAST(user_id % 7 AS DOUBLE) AS v,
+          |                   CAST(user_id % 5 AS DOUBLE) AS w
+          |            FROM fc_events))
+          |GROUP BY cross_key ORDER BY cross_key""".stripMargin)
+    }),
+
     // TIME type (round 13): the NTZ-carried time-of-day through the
     // full verb set — constructor from a timestamp, hour truncation
     // as the grouping key, diff-to-midnight sums, formatted min, and
@@ -4812,6 +4836,20 @@ object SparkEntry {
           |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
           |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // the crossed key replays as concat(et, '_', vb); the monomials
+      // as exact integer products summed through DECIMAL
+      "q_ml_feature_cross" ->
+        """WITH b AS (
+          |  SELECT concat(event_type, '_', CAST(user_id % 3 AS VARCHAR)) AS cross_key,
+          |         (user_id % 7) * (user_id % 7) AS vv,
+          |         (user_id % 7) * (user_id % 5) AS vw,
+          |         (user_id % 5) * (user_id % 5) AS ww
+          |  FROM events)
+          |SELECT cross_key, COUNT(*) AS n,
+          |       CAST(SUM(CAST(vv AS DECIMAL(38,10))) AS DOUBLE) AS vv_sum,
+          |       CAST(SUM(CAST(vw AS DECIMAL(38,10))) AS DOUBLE) AS vw_sum,
+          |       CAST(MAX(ww) AS BIGINT) AS ww_max
+          |FROM b GROUP BY cross_key ORDER BY cross_key""".stripMargin,
       // time-of-day replays as exact micros-of-day integer folds
       // rendered through printf (epoch_us % 86400000000)
       "q_time_ops" ->

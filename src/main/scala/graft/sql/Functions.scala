@@ -411,7 +411,8 @@ private[graft] object Functions {
       "JSON_SET", "JSON_INSERT", "JSON_REPLACE", "JSON_REMOVE",
       "JSON_ARRAY_APPEND", "JSON_ARRAY_INSERT", "JSON_STRIP_NULLS", "JSON_TYPE",
       "JSON_OBJECT", "JSON_ARRAY", "PARSE_JSON", "SAFE_PARSE_JSON", "TO_JSON",
-      "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS")
+      "ML.BUCKETIZE", "FARM_FINGERPRINT", "ML.HASH_BUCKETIZE", "ML.NGRAMS",
+      "ML.FEATURE_CROSS", "ML.POLYNOMIAL_EXPAND")
     val HavingRe = """(?is)^(.*?)\bHAVING\s+(MAX|MIN)\s+(.+)$""".r
     // top-level (depth-0, quote-aware) position of `ORDER BY` inside
     // one argument's text, -1 if absent
@@ -1020,6 +1021,56 @@ private[graft] object Functions {
         case "FARM_FINGERPRINT" =>
           require(args.size == 1, "FARM_FINGERPRINT takes (string_or_bytes)")
           Some(s"graft_farm_fingerprint((${args(0)}))")
+        // BQML's combinational TRANSFORM preprocessors (round 13) —
+        // both expand at REWRITE time into plain named_struct text,
+        // so the output is ordinary codegen'd scalar arithmetic. The
+        // STRUCT argument must list BARE COLUMN names (the expansion
+        // needs field names; expressions are loud — alias them in a
+        // projection first). Pinned shapes: FEATURE_CROSS crosses
+        // every size-2..degree combination, field names joined with
+        // `_X_` and values concat'd with '_' (NULL propagates);
+        // POLYNOMIAL_EXPAND emits every monomial of total degree
+        // 1..degree WITH repetition (x, y, x_x, x_y, y_y at 2), names
+        // joined with '_', combinations in input order, degree-major.
+        case "ML.FEATURE_CROSS" | "ML.POLYNOMIAL_EXPAND" =>
+          require(args.size == 1 || args.size == 2,
+            s"$name takes (STRUCT(col, ...) [, degree])")
+          val StructRe = """(?is)^STRUCT\s*\((.*)\)$""".r
+          val fields = args(0).trim match {
+            case StructRe(inner) =>
+              val fs = inner.split(",").map(_.trim)
+              fs.foreach(f => require(f.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"$name STRUCT fields must be bare column names " +
+                  s"(alias expressions in a projection first), got: $f"))
+              fs.toSeq
+            case other => throw new IllegalArgumentException(
+              s"$name takes STRUCT(col, ...), got: $other")
+          }
+          require(fields.size >= 2, s"$name needs at least two features")
+          val degree = args.lift(1).map(_.trim.toInt).getOrElse(2)
+          require(degree >= 2 && degree <= 4,
+            s"$name degree must be in [2, 4], got $degree")
+          if (name == "ML.FEATURE_CROSS") {
+            // all size-k combinations (no repetition), k = 2..degree
+            def combos(k: Int): Seq[Seq[String]] =
+              fields.indices.combinations(k).map(_.map(fields)).toSeq
+            val items = (2 to math.min(degree, fields.size)).flatMap(combos).map { c =>
+              s"'${c.mkString("_X_")}', concat(${c.map(f => s"CAST($f AS STRING)").mkString(", '_', ")})"
+            }
+            Some(s"named_struct(${items.mkString(", ")})")
+          } else {
+            // monomials of total degree 1..degree, with repetition
+            def monos(k: Int): Seq[Seq[String]] =
+              if (k == 1) fields.map(Seq(_))
+              else monos(k - 1).flatMap { m =>
+                val from = fields.indexOf(m.last)
+                fields.drop(from).map(f => m :+ f)
+              }
+            val items = (1 to degree).flatMap(monos).map { m =>
+              s"'${m.mkString("_")}', (${m.map(f => s"CAST($f AS DOUBLE)").mkString(" * ")})"
+            }
+            Some(s"named_struct(${items.mkString(", ")})")
+          }
         // BQML's hash bucketizer: the PINNED assignment is
         // pmod(fingerprint, n) — a stable bucket in [0, n) (feature
         // hashing wants STABILITY; the exact BigQuery bucket ids are

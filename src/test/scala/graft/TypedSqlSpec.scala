@@ -1933,6 +1933,37 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains(".VIEWS"))
   }
 
+  test("ML.FEATURE_CROSS / ML.POLYNOMIAL_EXPAND: combinational TRANSFORM preprocessors") {
+    import spark.implicits._
+    Seq(("x", "y", "z", 2.0, 3.0)).toDF("a", "b", "c", "p", "q")
+      .createOrReplaceTempView("mlfc_t")
+    val fc = GraftSql.load(spark,
+      "SELECT ML.FEATURE_CROSS(STRUCT(a, b, c), 3) AS f FROM mlfc_t")
+      .select("f.*").collect().head
+    val fcDf = GraftSql.load(spark,
+      "SELECT ML.FEATURE_CROSS(STRUCT(a, b, c), 3) AS f FROM mlfc_t").select("f.*")
+    assert(fcDf.columns.toSeq == Seq("a_X_b", "a_X_c", "b_X_c", "a_X_b_X_c"))
+    assert(fc.getString(0) == "x_y" && fc.getString(2) == "y_z" &&
+      fc.getString(3) == "x_y_z")
+    // default degree 2 crosses pairs only
+    assert(GraftSql.load(spark,
+      "SELECT ML.FEATURE_CROSS(STRUCT(a, b, c)) AS f FROM mlfc_t")
+      .select("f.*").columns.length == 3)
+    // polynomial: monomials with repetition, degree-major, input order
+    val pe = GraftSql.load(spark,
+      "SELECT ML.POLYNOMIAL_EXPAND(STRUCT(p, q)) AS f FROM mlfc_t").select("f.*")
+    assert(pe.columns.toSeq == Seq("p", "q", "p_p", "p_q", "q_q"))
+    assert(pe.collect().head.toSeq == Seq(2.0, 3.0, 4.0, 6.0, 9.0))
+    def bad(sql: String): String =
+      intercept[Exception] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("SELECT ML.FEATURE_CROSS(STRUCT(upper(a), b)) AS f FROM mlfc_t")
+      .contains("bare column"))
+    assert(bad("SELECT ML.POLYNOMIAL_EXPAND(STRUCT(p, q), 9) AS f FROM mlfc_t")
+      .contains("degree"))
+    assert(bad("SELECT ML.FEATURE_CROSS(STRUCT(a)) AS f FROM mlfc_t")
+      .contains("two features"))
+  }
+
   test("TIME type: literal, constructor, wrap arithmetic, trunc, parse/format") {
     def one(expr: String): org.apache.spark.sql.Row =
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
