@@ -3340,6 +3340,17 @@ object SparkEntry {
     // aggregate + a window over the bounded score-level frame. Counts
     // integer, ratios exactly-rounded integer divisions — the whole
     // curve replays in DuckDB under the hash gate
+    // E21c (round 13): reliability bins — the PR-curve edge
+    // arithmetic (floor/multiply/divide over min-max, single IEEE ops)
+    // keys equal-width score bins; integer counts + one int-ratio
+    // division per bin replay bit-for-bit in DuckDB
+    "eval_calibration" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        F.when(F.col("text").contains("data"), 1L).otherwise(-1L).as("y"),
+        F.col("n_chars").cast("double").as("s"))
+      graft.operators.Eval.calibrationBins(scored, "y", "s", bins = 12)
+    }),
+
     // E21b (round 13): exact ROC AUC by Mann-Whitney average ranks —
     // all-integer to u_x2, ONE double division at the end in a fixed
     // order, so DuckDB replays the statistic bit-for-bit (ties on
@@ -6166,6 +6177,24 @@ object SparkEntry {
           |FROM e ORDER BY doc_id""".stripMargin,
       // PR-curve replay: per-score confusion counts + cumulative
       // window, ratios as exactly-rounded integer divisions
+      // bin edges replay as the identical IEEE fold: lo + least(
+      // floor((s - lo) / width), bins-1) * width with width = (hi-lo)/12
+      "eval_calibration" ->
+        """WITH r AS (
+          |  SELECT CASE WHEN strpos(text, 'data') > 0 THEN 1 ELSE -1 END AS y,
+          |         CAST(n_chars AS DOUBLE) AS s
+          |  FROM documents),
+          |t AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM r),
+          |k AS (SELECT y,
+          |        (SELECT lo FROM t) + CAST(least(floor((s - (SELECT lo FROM t))
+          |          / (((SELECT hi FROM t) - (SELECT lo FROM t)) / 12)), 11) AS DOUBLE)
+          |          * (((SELECT hi FROM t) - (SELECT lo FROM t)) / 12) AS bin_lo
+          |      FROM r)
+          |SELECT bin_lo, CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |         / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+          |FROM k GROUP BY bin_lo ORDER BY bin_lo""".stripMargin,
       // the rank fold replays term-for-term: 2R1 = sum p(2cum + c + 1)
       // over distinct scores, 2U1 = 2R1 - n1(n1+1), one double division
       "eval_roc_auc" ->

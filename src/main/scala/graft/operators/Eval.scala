@@ -89,6 +89,49 @@ object Eval {
         else F.col("u_x2").cast("double") / F.lit(2.0 * pos.toDouble * neg.toDouble))
   }
 
+  /** Reliability diagram — the calibration companion to the sweep:
+    * scores bucket into `bins` equal-width bins between the observed
+    * min and max (the [[binaryPrCurve]] edge arithmetic: floor /
+    * multiply / divide, single IEEE ops, bit-replayable in SQL), each
+    * reported at its LOWER EDGE with exact integer counts and the
+    * positive fraction as one integer-ratio division. A well-
+    * calibrated scorer has frac_pos tracking the bin position; this
+    * frame is what that judgment reads. Same scale shape as the
+    * sweep: one totals pass, one keyed aggregate, a `bins`-bounded
+    * result. Labels +1/−1 (loud otherwise); an all-equal score column
+    * degrades to the single raw-score bin.
+    */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val rows = df.select(F.col(labelCol).cast("long").as("__y"),
+      F.col(scoreCol).cast("double").as("__s"))
+      .filter(F.col("__y").isNotNull && F.col("__s").isNotNull)
+    val tot = rows.agg(
+      F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("__pos"),
+      F.sum(F.when(F.col("__y") === -1L, 1L).otherwise(0L)).as("__neg"),
+      F.count(F.lit(1)).as("__n"),
+      F.min("__s").as("__lo"), F.max("__s").as("__hi")).head()
+    val n = tot.getLong(2)
+    require(n > 0, "calibrationBins: empty input")
+    require(tot.getLong(0) + tot.getLong(1) == n,
+      s"calibrationBins: labels must be +1/-1 (found ${n - tot.getLong(0) - tot.getLong(1)} other values)")
+    val (lo, hi) = (tot.getDouble(3), tot.getDouble(4))
+    val keyed = if (lo < hi) {
+      val width = (hi - lo) / bins
+      val bucket = F.least(
+        F.floor((F.col("__s") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1L))
+      rows.select(F.col("__y"),
+        (F.lit(lo) + bucket.cast("double") * F.lit(width)).as("bin_lo"))
+    } else rows.select(F.col("__y"), F.col("__s").as("bin_lo"))
+    keyed.groupBy("bin_lo")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("__y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("frac_pos",
+        F.col("n_pos").cast("double") / F.col("n").cast("double"))
+      .orderBy("bin_lo")
+  }
+
   def binaryPrCurve(df: DataFrame, labelCol: String, scoreCol: String,
                     buckets: Option[Int] = None): DataFrame = {
     buckets.foreach(b => require(b >= 1, s"buckets must be positive, got $b"))

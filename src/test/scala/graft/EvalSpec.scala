@@ -130,4 +130,28 @@ class EvalSpec extends SparkSuite {
       Eval.binaryRocAuc(Seq((0L, 1.0)).toDF("y", "s"), "y", "s").collect()
     }
   }
+
+  test("calibrationBins: reliability bins with the PR-curve edge arithmetic") {
+    val rows = (0 until 300).map(i => (if (i % 4 == 0) 1L else -1L, (i % 50) / 2.0))
+    val df = rows.toDF("y", "s")
+    val b = 8
+    val got = Eval.calibrationBins(df, "y", "s", bins = b).collect()
+    // driver-side reference with the SAME edge arithmetic
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    val width = (hi - lo) / b
+    def edge(s: Double): Double = lo + math.min(math.floor((s - lo) / width), (b - 1).toDouble) * width
+    val want = rows.map(r => edge(r._2)).distinct.sorted.map { e =>
+      val in = rows.filter(r => edge(r._2) == e)
+      (e, in.size.toLong, in.count(_._1 == 1L).toLong)
+    }
+    assert(got.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq == want)
+    assert(got.forall(r => r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble))
+    assert(got.map(_.getLong(1)).sum == 300L)
+    // all-equal scores degrade to one raw bin; bad labels loud
+    val flat = Eval.calibrationBins(Seq((1L, 5.0), (-1L, 5.0)).toDF("y", "s"), "y", "s")
+    assert(flat.collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq == Seq((5.0, 2L)))
+    assertThrows[IllegalArgumentException] {
+      Eval.calibrationBins(Seq((2L, 1.0)).toDF("y", "s"), "y", "s").collect()
+    }
+  }
 }
