@@ -720,13 +720,16 @@ private[graft] object Functions {
         // weeks start Sunday — the TRUNC-family divergence)
         case "LAST_DAY" =>
           require(args.size == 1 || args.size == 2, "LAST_DAY takes (date [, part])")
-          val d = s"CAST((${args(0)}) AS DATE)"
-          val part = if (args.size == 2) args(1).trim.toUpperCase(java.util.Locale.ROOT)
-                     else "MONTH"
-          part match {
-            case "MONTH" => Some(s"last_day($d)")
-            case "YEAR" => Some(s"make_date(year($d), 12, 31)")
-            case "QUARTER" => Some(s"last_day(add_months(trunc($d, 'QUARTER'), 2))")
+          // the 1-arg form IS Spark's native last_day — pass through
+          // untouched (also what makes the rewrite idempotent: the
+          // part forms below emit 1-arg last_day calls, which the
+          // next fixpoint pass must leave alone — fuzz-caught)
+          if (args.size == 1) None
+          else args(1).trim.toUpperCase(java.util.Locale.ROOT) match {
+            case "MONTH" => Some(s"last_day((${args(0)}))")
+            case "YEAR" => Some(s"make_date(year((${args(0)})), 12, 31)")
+            case "QUARTER" =>
+              Some(s"last_day(add_months(trunc(CAST((${args(0)}) AS DATE), 'QUARTER'), 2))")
             case other => throw new IllegalArgumentException(
               s"LAST_DAY part '$other' is not supported (MONTH, QUARTER, YEAR; " +
                 "WEEK diverges — BigQuery weeks start SUNDAY)")

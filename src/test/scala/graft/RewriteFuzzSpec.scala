@@ -24,6 +24,9 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "[OFFSET(1)]", "[SAFE_OFFSET(2)]", "IN UNNEST(tags)",
     "FOR SYSTEM_TIME AS OF", "FORMAT_DATE('%Y', d)", "RAISE", "CALL p()",
     "a |> b", "JSON_SET(j, '$.k', 1)", "GAP_FILL(TABLE t, ts_column => 'd')",
+    "TIME '12:34:56'", "RANGE<DATE> '[2023-01-01, 2023-12-31)'",
+    "FORMAT('%d', x)", "DATE_BUCKET(d, INTERVAL 7 DAY)",
+    "JSON_KEYS(j, 1)", "INT64('42')", "STRING(j)", "ERROR('boom')",
     "plain words", "commas, and, more", "(nested (parens))", "back`tick",
     "semicolon; inside", "percent % sign", "star *", "dots.and.paths")
 
@@ -102,7 +105,16 @@ class RewriteFuzzSpec extends AnyFunSuite {
       "SELECT JSON_SET(j, '$.a', 1, '$.b', 2) AS m, JSON_STRIP_NULLS(j) AS sn FROM t",
       "SELECT JSON_OBJECT('k', v) AS o, PARSE_JSON(s) AS p, JSON_TYPE(j) AS ty FROM t",
       "FROM t |> WHERE x > 1 |> AGGREGATE SUM(v) AS sv GROUP BY g |> ORDER BY g",
-      "FROM t |> EXTEND a || b AS ab |> SELECT ab |> LIMIT 5")
+      "FROM t |> EXTEND a || b AS ab |> SELECT ab |> LIMIT 5",
+      "SELECT TIME '12:34:56' AS t, TIME_ADD(TIME(ts), INTERVAL 5 MINUTE) AS t2 FROM t",
+      "SELECT RANGE_CONTAINS(RANGE<DATE> '[2023-01-01, 2024-01-01)', d) AS c FROM t",
+      "SELECT GENERATE_RANGE_ARRAY(RANGE(a, b), INTERVAL 7 DAY) AS rs FROM t",
+      "SELECT DATE_BUCKET(d, INTERVAL 3 MONTH, DATE '1992-01-01') AS q FROM t",
+      "SELECT TIMESTAMP_BUCKET(ts, INTERVAL 90 MINUTE) AS tb FROM t",
+      "SELECT FORMAT('ev-%06d:%s', id, tag) AS f, LAST_DAY(d, QUARTER) AS le FROM t",
+      "SELECT JSON_KEYS(j, mode => 'lax recursive') AS ks, SAFE.INT64(j) AS i FROM t",
+      "SELECT BOOL(j) AS b, STRING(j2) AS s, FLOAT64(j3, wide_number_mode => 'round') AS f FROM t",
+      "SELECT ML.FEATURE_CROSS(STRUCT(a, b)) AS fc, ML.POLYNOMIAL_EXPAND(STRUCT(p, q), 3) AS pe FROM t")
     for (sql <- triggerHeavy) {
       val once = chain(sql)
       assert(chain(once) == once,
