@@ -3211,6 +3211,15 @@ object GraftSql {
           "VECTOR_SEARCH arguments out of order: TABLE base, 'column', TABLE queries " +
             "[, 'query_column'], then named arguments")
         tables :+= name
+      // BigQuery also takes a parenthesized SELECT wherever a TABLE
+      // goes — the FILTERED-search spelling (metadata predicate
+      // before the distance scan). Runs through load, so the subquery
+      // speaks the full dialect.
+      case q if q.startsWith("(") && q.endsWith(")") =>
+        require(named.isEmpty && strs.size <= (if (tables.isEmpty) 0 else 1),
+          "VECTOR_SEARCH arguments out of order: base, 'column', queries " +
+            "[, 'query_column'], then named arguments")
+        tables :+= q
       case NamedRe(key, value) => named += key.toLowerCase -> value.trim
       case StrRe(v) =>
         require(named.isEmpty, "positional arguments must precede named arguments")
@@ -3266,7 +3275,14 @@ object GraftSql {
       "fraction_lists_to_search cannot be combined with use_brute_force = true " +
         "(BigQuery rejects the combination too)")
     val useIndex = bruteFlag.contains(false) || fraction.nonEmpty
+    def resolveArg(arg: String): DataFrame =
+      if (arg.startsWith("(")) load(spark, arg.substring(1, arg.length - 1))
+      else spark.table(strip(arg))
     if (useIndex) {
+      require(!tables.head.startsWith("("),
+        "VECTOR_SEARCH with use_brute_force=false needs the indexed TABLE " +
+          "itself as the base (the index layout is registered per table) — " +
+          "filter the RESULT, or use the brute-force route for a subquery base")
       val baseName = viewName(strip(tables.head))
       val st = vectorIndexFor(spark, baseName, baseCol).getOrElse(
         throw new IllegalArgumentException(
@@ -3282,11 +3298,11 @@ object GraftSql {
       val cents = st.centroids.toDF("cell", "centroid")
       graft.operators.Similarity.vectorSearchFromLayout(
         spark, st.path, cents, baseCol,
-        spark.table(strip(tables(1))), queryCol, topK, distance, nprobe)
+        resolveArg(tables(1)), queryCol, topK, distance, nprobe)
     } else {
       graft.operators.Similarity.vectorSearch(
-        spark.table(strip(tables.head)), baseCol,
-        spark.table(strip(tables(1))), queryCol, topK, distance)
+        resolveArg(tables.head), baseCol,
+        resolveArg(tables(1)), queryCol, topK, distance)
     }
   }
 

@@ -788,6 +788,26 @@ class TypedSqlSpec extends SparkSuite {
     // a string literal containing the call is untouched
     assert(GraftSql.load(spark,
       "SELECT 'VECTOR_SEARCH(TABLE x)' AS s").head().getString(0).contains("VECTOR_SEARCH"))
+    // FILTERED search (round 13): a parenthesized SELECT as the base —
+    // the metadata predicate runs before the distance scan, so the
+    // nearest unfiltered row (id 1) cannot appear
+    val filtered = GraftSql.load(spark,
+      """SELECT base.id AS id
+        |FROM VECTOR_SEARCH((SELECT * FROM vs_base WHERE id > 1), 'emb', TABLE vs_q,
+        |                   top_k => 1, distance_type => 'COSINE')""".stripMargin)
+    assert(filtered.head().getLong(0) == 3L)
+    // subquery QUERY side works too, and speaks the dialect (pipe ok)
+    assert(GraftSql.load(spark,
+      """SELECT COUNT(*) AS n
+        |FROM VECTOR_SEARCH(TABLE vs_base, 'emb',
+        |                   (SELECT qid, emb FROM vs_q), top_k => 2)""".stripMargin)
+      .head().getLong(0) == 2L)
+    // a subquery base cannot ride the index route (the layout is per
+    // registered table) — loud, never a silent full scan
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      """SELECT * FROM VECTOR_SEARCH((SELECT * FROM vs_base), 'emb', TABLE vs_q,
+        |options => '{"use_brute_force": false}')""".stripMargin) }
+      .getMessage.contains("indexed TABLE"))
     // options: use_brute_force => true is the same brute-force scan
     assert(GraftSql.load(spark,
       """SELECT COUNT(*) AS n FROM VECTOR_SEARCH(TABLE vs_base, 'emb', TABLE vs_q,
