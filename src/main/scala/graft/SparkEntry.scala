@@ -2312,6 +2312,27 @@ object SparkEntry {
           |FROM dateops_events ORDER BY event_id""".stripMargin)
     }),
 
+    // PERCENTILE_CONT/DISC analytic spellings (round 13): per-type
+    // window percentiles over INTEGER-VALUED doubles at power-of-two
+    // fractions — every interpolation intermediate is exact, so the
+    // value is engine-independent regardless of the interpolation
+    // tree; DISC at 0.5 selects an existing element where the ANSI
+    // and DuckDB index conventions provably coincide
+    "q_percentile_window" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("pw_events")
+      graft.GraftSql.load(s,
+        """SELECT event_type,
+          |       CAST(MAX(pc) AS DOUBLE) AS p25,
+          |       CAST(MAX(pd) AS DOUBLE) AS p50_disc,
+          |       COUNT(*) AS n
+          |FROM (SELECT event_type,
+          |        PERCENTILE_CONT(v, 0.25) OVER (PARTITION BY event_type) AS pc,
+          |        PERCENTILE_DISC(v, 0.5) OVER (PARTITION BY event_type) AS pd
+          |      FROM (SELECT event_type, CAST(user_id % 101 AS DOUBLE) AS v
+          |            FROM pw_events))
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // ML.FEATURE_CROSS + ML.POLYNOMIAL_EXPAND (round 13): the
     // combinational TRANSFORM preprocessors as rewrite-time
     // named_struct expansion — the crossed key is the GROUPING key so
@@ -4847,6 +4868,16 @@ object SparkEntry {
           |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
           |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+      // window percentiles are per-partition constants, so the group
+      // aggregate replays them; exact at power-of-two fractions over
+      // integer-valued doubles
+      "q_percentile_window" ->
+        """SELECT event_type,
+          |       quantile_cont(v, 0.25) AS p25,
+          |       quantile_disc(v, 0.5) AS p50_disc,
+          |       COUNT(*) AS n
+          |FROM (SELECT event_type, CAST(user_id % 101 AS DOUBLE) AS v FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the crossed key replays as concat(et, '_', vb); the monomials
       // as exact integer products summed through DECIMAL
       "q_ml_feature_cross" ->

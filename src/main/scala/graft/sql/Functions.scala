@@ -390,6 +390,7 @@ private[graft] object Functions {
       "FORMAT", "ERROR", "LAST_DAY",
       "TIME", "TIME_ADD", "TIME_SUB", "TIME_DIFF", "TIME_TRUNC",
       "PARSE_TIME", "FORMAT_TIME",
+      "PERCENTILE_CONT", "PERCENTILE_DISC",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
@@ -615,6 +616,31 @@ private[graft] object Functions {
                 Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
               case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
             }
+          }
+        // BigQuery's analytic percentiles (round 13):
+        // PERCENTILE_CONT(x, p) [OVER w] → percentile((x), (p)) — the
+        // OVER text sits OUTSIDE the call and passes through
+        // untouched, so the window spelling lands on Spark's native
+        // window-aggregate support (probed: WITHIN GROUP + OVER both
+        // plan). PERCENTILE_DISC(x, p) → the ANSI
+        // percentile_disc(p) WITHIN GROUP (ORDER BY x) form (returns
+        // an EXISTING element, BigQuery's rule). IGNORE NULLS is the
+        // default both sides (strip it); RESPECT NULLS is loud (Spark
+        // percentiles always ignore). The 1-arg spelling is Spark's
+        // own percentile_disc output — pass through (idempotence).
+        case "PERCENTILE_CONT" | "PERCENTILE_DISC" =>
+          if (args.size == 1) None // already-rewritten / Spark-native
+          else {
+            require(args.size == 2, s"$name takes (value, fraction)")
+            var frac = args(1).trim
+            require(!frac.matches("(?is).*\\bRESPECT\\s+NULLS\\s*$"),
+              s"$name RESPECT NULLS is not supported — Spark percentiles " +
+                "ignore NULLs (BigQuery's default)")
+            frac = frac.replaceFirst("(?is)\\s+IGNORE\\s+NULLS\\s*$", "")
+            if (name == "PERCENTILE_CONT")
+              Some(s"percentile((${args(0)}), ($frac))")
+            else
+              Some(s"percentile_disc(($frac)) WITHIN GROUP (ORDER BY (${args(0)}))")
           }
         // BigQuery's TIME type (round 13), carried as TIMESTAMP_NTZ
         // pinned to 1970-01-01 — ordering, equality, grouping and

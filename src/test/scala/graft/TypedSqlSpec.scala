@@ -1953,6 +1953,32 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains(".VIEWS"))
   }
 
+  test("PERCENTILE_CONT / PERCENTILE_DISC: BigQuery's analytic percentile spellings") {
+    import spark.implicits._
+    Seq((1, 1.0), (1, 2.0), (1, 4.0), (2, 10.0)).toDF("g", "x")
+      .createOrReplaceTempView("pctw_t")
+    // the window spelling BigQuery requires — OVER passes through
+    val r = GraftSql.load(spark,
+      "SELECT DISTINCT g, PERCENTILE_CONT(x, 0.5) OVER (PARTITION BY g) AS m " +
+        "FROM pctw_t ORDER BY g").collect()
+    assert(r.map(row => (row.getInt(0), row.getDouble(1))).toSeq == Seq((1, 2.0), (2, 10.0)))
+    // DISC returns an EXISTING element (smallest with cume_dist >= p)
+    val d = GraftSql.load(spark,
+      "SELECT DISTINCT g, PERCENTILE_DISC(x, 0.5) OVER (PARTITION BY g) AS m " +
+        "FROM pctw_t ORDER BY g").collect()
+    assert(d.map(row => (row.getInt(0), row.getDouble(1))).toSeq == Seq((1, 2.0), (2, 10.0)))
+    // linear interpolation at quarter rank over {1,2,4}: 1 + 0.5*(2-1)
+    assert(GraftSql.load(spark,
+      "SELECT PERCENTILE_CONT(x, 0.25) AS m FROM pctw_t WHERE g = 1").head().getDouble(0) == 1.5)
+    // IGNORE NULLS is the default — strips; RESPECT NULLS is loud
+    assert(GraftSql.load(spark,
+      "SELECT PERCENTILE_CONT(x, 0.5 IGNORE NULLS) AS m FROM pctw_t WHERE g = 1")
+      .head().getDouble(0) == 2.0)
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT PERCENTILE_CONT(x, 0.5 RESPECT NULLS) AS m FROM pctw_t")
+    }.getMessage.contains("RESPECT"))
+  }
+
   test("ML.FEATURE_CROSS / ML.POLYNOMIAL_EXPAND: combinational TRANSFORM preprocessors") {
     import spark.implicits._
     Seq(("x", "y", "z", 2.0, 3.0)).toDF("a", "b", "c", "p", "q")
