@@ -308,4 +308,38 @@ class PlanSpec extends SparkSuite {
       s"day filter must land in PartitionFilters, not a row filter:\n$scan")
     assert(pruned.count() > 0)
   }
+
+  test("filtered VECTOR_SEARCH pushes the metadata predicate into the base scan") {
+    // the round-13 subquery-base spelling: the WHERE must reach the
+    // parquet scan as a pushed filter — pre-filtering is the POINT of
+    // the spelling (scan less, then distance-rank less)
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("plan_vs_base")
+    spark.sql("SELECT vec_id AS qid, embedding FROM plan_vs_base LIMIT 3")
+      .createOrReplaceTempView("plan_vs_q")
+    val df = GraftSql.load(spark,
+      """SELECT base.vec_id AS id, distance
+        |FROM VECTOR_SEARCH((SELECT * FROM plan_vs_base WHERE vec_id > 100), 'embedding',
+        |                   TABLE plan_vs_q, top_k => 5, distance_type => 'COSINE')""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), GreaterThan(vec_id,100)]") ||
+      p.contains("GreaterThan(vec_id,100)"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), "filtered search degenerated to a cross join")
+  }
+
+  test("q_date_bucket plans one aggregate pass: no Window, no Generate, codegen'd buckets") {
+    val df = SparkEntry.queries("q_date_bucket")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "bucket starts must be scalar arithmetic, not windows")
+    assert(!p.contains("Generate"), "bucket starts must not explode")
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("q_time_ops and q_percentile_window shuffle only on their group keys") {
+    for (q <- Seq("q_time_ops", "q_percentile_window")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan degenerated:\n${p.take(1500)}")
+    }
+  }
 }
