@@ -391,6 +391,7 @@ private[graft] object Functions {
       "TIME", "TIME_ADD", "TIME_SUB", "TIME_DIFF", "TIME_TRUNC",
       "PARSE_TIME", "FORMAT_TIME",
       "PERCENTILE_CONT", "PERCENTILE_DISC",
+      "REGEXP_INSTR", "INSTR",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
@@ -616,6 +617,33 @@ private[graft] object Functions {
                 Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
               case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
             }
+          }
+        // BigQuery's extended-argument string searches (round 13).
+        // NOTE the deliberate asymmetry with REGEXP_EXTRACT: its
+        // 3-arg form stays Spark's capture-group index (this repo's
+        // own load-routed SQL uses it — changing or rejecting it
+        // would break working Spark-dialect text; divergence
+        // documented in the README dialect note). REGEXP_INSTR's
+        // extended args are loud (BigQuery position/occurrence vs
+        // Spark's group index — unused here, so the guard is free);
+        // INSTR's 3-arg position form maps exactly onto Spark locate
+        // (swapped argument order — previously a hard analysis
+        // failure, so this only ADDS capability); 4-arg occurrence is
+        // loud.
+        case "REGEXP_INSTR" =>
+          if (args.size <= 2) None
+          else throw new IllegalArgumentException(
+            "REGEXP_INSTR(value, regex, position[, occurrence[, occurrence_position]]): " +
+              "BigQuery's extended arguments diverge from Spark's group-index " +
+              "form — compose locate/substr/regexp_extract_all explicitly")
+        case "INSTR" =>
+          args.size match {
+            case 1 | 2 => None // Spark-native (value, substring)
+            case 3 => Some(s"locate((${args(1)}), (${args(0)}), (${args(2)}))")
+            case _ => throw new IllegalArgumentException(
+              "INSTR(value, subvalue, position, occurrence): the occurrence " +
+                "argument has no Spark equivalent — compose with " +
+                "regexp_extract_all over a quoted literal, or iterate locate")
           }
         // BigQuery's analytic percentiles (round 13):
         // PERCENTILE_CONT(x, p) [OVER w] → percentile((x), (p)) — the

@@ -1953,6 +1953,22 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains(".VIEWS"))
   }
 
+  test("INSTR 3-arg position form maps to locate; REGEXP_INSTR extended args are loud") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // BigQuery INSTR(value, sub, position): search starts at position
+    assert(one("INSTR('banana', 'an', 3)").getInt(0) == 4)
+    assert(one("INSTR('banana', 'an')").getInt(0) == 2) // 2-arg native
+    assert(one("STRPOS('banana', 'na')").getInt(0) == 3) // rename still maps
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
+    assert(bad("INSTR('banana', 'an', 1, 2)").contains("occurrence"))
+    assert(bad("REGEXP_INSTR('banana', 'an', 2)").contains("group-index"))
+    // Spark's 3-arg REGEXP_EXTRACT keeps its group-index semantics
+    // (the documented deliberate divergence — see the README note)
+    assert(one("regexp_extract('a12b', '([0-9]+)([a-z])', 2)").getString(0) == "b")
+  }
+
   test("PERCENTILE_CONT / PERCENTILE_DISC: BigQuery's analytic percentile spellings") {
     import spark.implicits._
     Seq((1, 1.0), (1, 2.0), (1, 4.0), (2, 10.0)).toDF("g", "x")
