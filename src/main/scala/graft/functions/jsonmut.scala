@@ -711,6 +711,72 @@ case class JsonStrictAccess(child: Expression, kind: String, safe: Boolean,
     copy(child = newChild)
 }
 
+/** TO_JSON_STRING's `pretty_print` rendering — BigQuery's exact
+  * layout (2-space indent, `"key": value` with no space before the
+  * colon, every array element and object member on its own line,
+  * empty containers staying `{}` / `[]`), hand-walked over the
+  * Jackson tree so the bytes are pinned here rather than by a
+  * library's printer defaults. Invalid or NULL input is NULL.
+  */
+case class JsonPretty(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  private def render(n: JsonNode, indent: Int, sb: java.lang.StringBuilder): Unit = {
+    val pad = "  " * indent
+    val padIn = "  " * (indent + 1)
+    n match {
+      case o: ObjectNode if o.size() == 0 => sb.append("{}")
+      case o: ObjectNode =>
+        sb.append("{\n")
+        val it = o.fields()
+        var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(",\n")
+          first = false
+          sb.append(padIn)
+          sb.append(JsonMut.out(
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey)).toString)
+          sb.append(": ")
+          render(e.getValue, indent + 1, sb)
+        }
+        sb.append("\n").append(pad).append("}")
+      case a: ArrayNode if a.size() == 0 => sb.append("[]")
+      case a: ArrayNode =>
+        sb.append("[\n")
+        var i = 0
+        while (i < a.size()) {
+          if (i > 0) sb.append(",\n")
+          sb.append(padIn)
+          render(a.get(i), indent + 1, sb)
+          i += 1
+        }
+        sb.append("\n").append(pad).append("]")
+      case other => sb.append(JsonMut.out(other).toString)
+    }
+  }
+  def compute(j: UTF8String): UTF8String = {
+    val root = JsonMut.tryParse(j)
+    if (root == null) null
+    else {
+      val sb = new java.lang.StringBuilder
+      render(root, 0, sb)
+      UTF8String.fromString(sb.toString)
+    }
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonPretty", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((graft.functions.JsonPretty) $ref).compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonPretty =
+    copy(child = newChild)
+}
+
 /** JSON_TYPE(json) — 'object'/'array'/'string'/'number'/'boolean'/
   * 'null'; invalid or NULL input is NULL.
   */

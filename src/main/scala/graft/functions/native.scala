@@ -1975,6 +1975,9 @@ object native {
     ("graft_json_type",
       "graft_json_type(json) - object/array/string/number/boolean/null (JSON_TYPE)",
       es => { arity("graft_json_type", es, 1); JsonTypeOf(es.head) }),
+    ("graft_json_pretty",
+      "graft_json_pretty(json) - BigQuery pretty_print rendering (TO_JSON_STRING(x, true))",
+      es => { arity("graft_json_pretty", es, 1); JsonPretty(es.head) }),
     ("graft_json_keys",
       "graft_json_keys(json, max_depth, 'mode') - sorted unique dotted key paths (JSON_KEYS)",
       es => { arity("graft_json_keys", es, 3)

@@ -945,9 +945,17 @@ private[graft] object Functions {
             Some(s"ifnull(nullif(levenshtein((${args(0)}), (${args(1)}), ($k)), -1), ($k))")
           }
         case "TO_JSON_STRING" =>
-          require(args.size == 1,
-            "TO_JSON_STRING takes one argument (pretty-printing is not supported)")
-          Some(s"to_json((${args(0)}))")
+          require(args.size == 1 || args.size == 2,
+            "TO_JSON_STRING takes (value [, pretty_print])")
+          if (args.size == 2) {
+            val p = args(1).trim.toLowerCase(java.util.Locale.ROOT)
+            require(p == "true" || p == "false",
+              s"TO_JSON_STRING pretty_print must be a boolean literal, got: ${args(1)}")
+            if (p == "true")
+              // BigQuery's exact pretty layout, pinned in JsonPretty
+              Some(s"graft_json_pretty(to_json((${args(0)})))")
+            else Some(s"to_json((${args(0)}))")
+          } else Some(s"to_json((${args(0)}))")
         // BigQuery's lax JSON scalar accessors over this engine's
         // string-typed JSON values. The PINNED coercion table (the
         // common migration cases; objects/arrays/JSON null → NULL,

@@ -2249,6 +2249,17 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("""SAFE.PARSE_JSON(CAST(NULL AS STRING))""").isNullAt(0))
     // TO_JSON == TO_JSON_STRING here (string-carried JSON, no JSON type)
     assert(one("""TO_JSON(named_struct('a', 1))""").getString(0) == """{"a":1}""")
+    // pretty_print (round 13): BigQuery's exact layout — 2-space
+    // indent, no space before the colon, own-line elements, empty
+    // containers stay inline
+    assert(one("""TO_JSON_STRING(named_struct('a', 1, 'b', array(1, 2)), true)""")
+      .getString(0) == "{\n  \"a\": 1,\n  \"b\": [\n    1,\n    2\n  ]\n}")
+    assert(one("""TO_JSON_STRING(named_struct('a', 1), false)""").getString(0) == """{"a":1}""")
+    assert(one("""JSON_SET(TO_JSON_STRING(named_struct('e', array())), '$.e[0]', 1)""")
+      .getString(0) == """{"e":[1]}""")
+    assert(intercept[Exception] {
+      GraftSql.load(spark, "SELECT TO_JSON_STRING(named_struct('a', 1), maybe) AS v")
+    }.getMessage.contains("boolean literal"))
     def bad(sql: String): String =
       intercept[Exception] { GraftSql.load(spark, s"SELECT $sql AS v").collect() }.getMessage
     assert(bad("""PARSE_JSON('nope{')""").contains("SAFE.PARSE_JSON"))
