@@ -288,6 +288,7 @@ private[graft] object Functions {
     "SAFE_MULTIPLY" -> "try_multiply",
     "LOGICAL_AND" -> "bool_and", "LOGICAL_OR" -> "bool_or",
     "ARRAY_LENGTH" -> "size", "ARRAY_TO_STRING" -> "array_join",
+    "BYTE_LENGTH" -> "octet_length",
     "ARRAY_REVERSE" -> "reverse", "REGEXP_CONTAINS" -> "regexp_like",
     "STRPOS" -> "instr", "STARTS_WITH" -> "startswith",
     // FORMAT is NOT a plain rename: its case below translates %i and
@@ -391,7 +392,7 @@ private[graft] object Functions {
       "TIME", "TIME_ADD", "TIME_SUB", "TIME_DIFF", "TIME_TRUNC",
       "PARSE_TIME", "FORMAT_TIME",
       "PERCENTILE_CONT", "PERCENTILE_DISC",
-      "REGEXP_INSTR", "INSTR",
+      "REGEXP_INSTR", "INSTR", "LOG",
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
@@ -630,6 +631,20 @@ private[graft] object Functions {
         // (swapped argument order — previously a hard analysis
         // failure, so this only ADDS capability); 4-arg occurrence is
         // loud.
+        // BigQuery LOG(x, base) REVERSES Spark's log(base, x) — a
+        // migrated 2-arg call would silently compute the reciprocal
+        // exponent. Emitted as the ln ratio (exactly what Spark's own
+        // Logarithm evaluates to — math.log(x)/math.log(base) — so
+        // values match the native function bit-for-bit) because a
+        // swapped-argument `log(...)` would re-match this case and
+        // oscillate across fixpoint passes. 1-arg LOG is the natural
+        // log in both dialects — pass through.
+        case "LOG" =>
+          if (args.size <= 1) None
+          else {
+            require(args.size == 2, "LOG takes (x [, base])")
+            Some(s"(ln((${args(0)})) / ln((${args(1)})))")
+          }
         case "REGEXP_INSTR" =>
           if (args.size <= 2) None
           else throw new IllegalArgumentException(

@@ -1967,6 +1967,11 @@ class TypedSqlSpec extends SparkSuite {
     // Spark's 3-arg REGEXP_EXTRACT keeps its group-index semantics
     // (the documented deliberate divergence — see the README note)
     assert(one("regexp_extract('a12b', '([0-9]+)([a-z])', 2)").getString(0) == "b")
+    // LOG(x, base) is BigQuery's argument order (Spark's is reversed —
+    // a silent reciprocal otherwise); 1-arg LOG stays the natural log
+    assert(one("LOG(8, 2)").getDouble(0) == 3.0)
+    assert(math.abs(one("LOG(CAST(2.718281828459045 AS DOUBLE))").getDouble(0) - 1.0) < 1e-12)
+    assert(one("BYTE_LENGTH('héllo')").getInt(0) == 6)
   }
 
   test("PERCENTILE_CONT / PERCENTILE_DISC: BigQuery's analytic percentile spellings") {
