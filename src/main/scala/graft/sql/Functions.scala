@@ -654,7 +654,15 @@ private[graft] object Functions {
         case "INSTR" =>
           args.size match {
             case 1 | 2 => None // Spark-native (value, substring)
-            case 3 => Some(s"locate((${args(1)}), (${args(0)}), (${args(2)}))")
+            case 3 =>
+              // BigQuery's NEGATIVE position searches BACKWARD from
+              // the end — locate would silently return 0 there, so
+              // the guard raises at runtime instead (value-dependent,
+              // unguardable at rewrite time)
+              Some(s"(CASE WHEN (${args(2)}) < 1 THEN CAST(raise_error(" +
+                "'INSTR position must be >= 1 here (BigQuery''s negative " +
+                "position searches backward from the end — spell it with " +
+                s"reverse())') AS INT) ELSE locate((${args(1)}), (${args(0)}), (${args(2)})) END)")
             case _ => throw new IllegalArgumentException(
               "INSTR(value, subvalue, position, occurrence): the occurrence " +
                 "argument has no Spark equivalent — compose with " +

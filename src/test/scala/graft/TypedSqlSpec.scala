@@ -1958,6 +1958,11 @@ class TypedSqlSpec extends SparkSuite {
       GraftSql.load(spark, s"SELECT $expr AS v").collect().head
     // BigQuery INSTR(value, sub, position): search starts at position
     assert(one("INSTR('banana', 'an', 3)").getInt(0) == 4)
+    // negative position (BigQuery's backward search) raises at
+    // runtime instead of silently returning 0
+    assertThrows[Exception] {
+      GraftSql.load(spark, "SELECT INSTR('banana', 'an', -1) AS v").collect()
+    }
     assert(one("INSTR('banana', 'an')").getInt(0) == 2) // 2-arg native
     assert(one("STRPOS('banana', 'na')").getInt(0) == 3) // rename still maps
     def bad(sql: String): String =
