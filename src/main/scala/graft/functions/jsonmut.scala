@@ -663,8 +663,14 @@ case class JsonStrictAccess(child: Expression, kind: String, safe: Boolean,
       case "STRING" =>
         if (n.isTextual) UTF8String.fromString(n.textValue())
         else fail(s"JSON value is ${JsonMut.typeName(n)}, not string")
+      // Jackson parses an overflowing exponent ('1e400') to an
+      // INFINITE DoubleNode whose decimalValue() throws — guard it
+      // before any BigDecimal conversion (SAFE must NULL, strict must
+      // raise the TYPED message, never leak a NumberFormatException)
       case "INT64" =>
         if (!n.isNumber) fail(s"JSON value is ${JsonMut.typeName(n)}, not number")
+        else if (n.isDouble && java.lang.Double.isInfinite(n.doubleValue()))
+          fail("JSON number overflows (infinite double) — not an INT64")
         else {
           val bd = n.decimalValue()
           try java.lang.Long.valueOf(bd.longValueExact())
@@ -673,7 +679,14 @@ case class JsonStrictAccess(child: Expression, kind: String, safe: Boolean,
         }
       case _ => // FLOAT64
         if (!n.isNumber) fail(s"JSON value is ${JsonMut.typeName(n)}, not number")
-        else {
+        else if (n.isDouble && java.lang.Double.isInfinite(n.doubleValue())) {
+          // the text overflowed the double range: 'round' takes the
+          // IEEE overflow (±Infinity, what strtod rounding gives);
+          // 'exact' raises — no finite double round-trips the text
+          if (wideMode == "round") java.lang.Double.valueOf(n.doubleValue())
+          else fail("JSON number overflows FLOAT64 " +
+            "(wide_number_mode => 'round' accepts the IEEE overflow)")
+        } else {
           val bd = n.decimalValue()
           val d = bd.doubleValue()
           if (wideMode == "round") java.lang.Double.valueOf(d)

@@ -2220,6 +2220,15 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("""SAFE.STRING('42')""").isNullAt(0))
     assert(one("""SAFE.FLOAT64('"x"')""").isNullAt(0))
     assert(one("""SAFE.INT64(CAST(NULL AS STRING))""").isNullAt(0))
+    // overflowing exponents parse to an infinite double node — the
+    // SAFE forms NULL, strict raises TYPED (never a leaked
+    // NumberFormatException), and 'round' takes the IEEE overflow
+    assert(one("""SAFE.FLOAT64('1e400')""").isNullAt(0))
+    assert(one("""SAFE.INT64('1e400')""").isNullAt(0))
+    assert(one("""FLOAT64('1e400', wide_number_mode => 'round')""")
+      .getDouble(0).isPosInfinity)
+    assert(one("""SAFE.INT64('-9223372036854775808')""").getLong(0) == Long.MinValue)
+    assert(one("""SAFE.INT64('-9223372036854775809')""").isNullAt(0))
     // strict forms RAISE with the SAFE hint (BigQuery's behavior)
     def bad(sql: String): String = {
       val df = GraftSql.load(spark, s"SELECT $sql AS v")
