@@ -2393,6 +2393,36 @@ object SparkEntry {
           |ORDER BY tag, codes, mend""".stripMargin)
     }),
 
+    // NET.IP_* family (round 13): IPv4 addresses synthesized from
+    // event ids, pushed through parse → trunc → int64 round trips at
+    // VARIABLE prefixes, the /20 network as the grouping key, SAFE
+    // parse exercised on a malformed variant, plus pinned IPv6
+    // canonicalization/truncation constants; the DuckDB oracle
+    // replays every byte as pure integer arithmetic (shifts + pmods
+    // through printf) — hash bit-for-bit
+    "q_net_ip" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ip_events")
+      graft.GraftSql.load(s,
+        """WITH ips AS (
+          |  SELECT CONCAT(CAST(user_id % 223 + 1 AS STRING), '.',
+          |                CAST(user_id * 7 % 256 AS STRING), '.',
+          |                CAST(user_id * 13 % 256 AS STRING), '.',
+          |                CAST(user_id * 31 % 256 AS STRING)) AS ip_str,
+          |         CAST(user_id % 33 AS BIGINT) AS p
+          |  FROM ip_events)
+          |SELECT NET.IP_TO_STRING(NET.IP_TRUNC(NET.IP_FROM_STRING(ip_str), 20)) AS net20,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(NET.IPV4_TO_INT64(NET.IP_FROM_STRING(ip_str))) AS BIGINT) AS ip_sum,
+          |       CAST(SUM(NET.IPV4_TO_INT64(NET.IP_TRUNC(NET.IPV4_FROM_INT64(
+          |         NET.IPV4_TO_INT64(NET.IP_FROM_STRING(ip_str))), p))) AS BIGINT) AS masked_sum,
+          |       MIN(TO_HEX(NET.IP_NET_MASK(4, p))) AS mask_min,
+          |       CAST(SUM(CASE WHEN NET.SAFE_IP_FROM_STRING(CONCAT(ip_str, '.9')) IS NULL
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+          |       MAX(NET.IP_TO_STRING(NET.IP_FROM_STRING('2001:0DB8:0:0:1:0:0:1'))) AS v6canon,
+          |       MAX(TO_HEX(NET.IP_TRUNC(NET.IP_FROM_STRING('2001:db8:abcd:12ff::1'), 56))) AS v6trunc
+          |FROM ips GROUP BY net20 ORDER BY net20""".stripMargin)
+    }),
+
     // RANGE<DATE> surface (round 13): per-order validity ranges of
     // varying width through the full verb set — literal, constructor,
     // point containment (half-open), overlap vs a fixed year, 7-day
@@ -4917,6 +4947,27 @@ object SparkEntry {
           |FROM events
           |GROUP BY tag, codes, mend, qend, yend
           |ORDER BY tag, codes, mend""".stripMargin,
+      // every NET.IP_* byte replays as integer arithmetic: the /20
+      // network via % 4096, variable-prefix truncation via 1<<(32-p),
+      // masks via printf('%08x'); the IPv6 constants are hand-derived
+      // RFC 5952 literals
+      "q_net_ip" ->
+        """WITH ips AS (
+          |  SELECT ((user_id % 223 + 1) * 16777216 + (user_id * 7 % 256) * 65536
+          |          + (user_id * 13 % 256) * 256 + (user_id * 31 % 256)) AS ip,
+          |         user_id % 33 AS p
+          |  FROM events),
+          |t AS (SELECT ip, p, ip - ip % 4096 AS t20 FROM ips)
+          |SELECT printf('%d.%d.%d.%d', t20 // 16777216, (t20 // 65536) % 256,
+          |              (t20 // 256) % 256, t20 % 256) AS net20,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(ip) AS BIGINT) AS ip_sum,
+          |       CAST(SUM(ip - ip % (CAST(1 AS BIGINT) << CAST(32 - p AS INT))) AS BIGINT) AS masked_sum,
+          |       MIN(printf('%08x', 4294967295 - ((CAST(1 AS BIGINT) << CAST(32 - p AS INT)) - 1))) AS mask_min,
+          |       COUNT(*) AS n_bad,
+          |       MAX('2001:db8::1:0:0:1') AS v6canon,
+          |       MAX('20010db8abcd12000000000000000000') AS v6trunc
+          |FROM t GROUP BY net20 ORDER BY net20""".stripMargin,
       // range predicates replay as plain half-open date comparisons;
       // the split count is ceil(width/7) — all-integer
       "q_range_type" ->

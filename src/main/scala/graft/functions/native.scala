@@ -2039,7 +2039,30 @@ object native {
     // registered under BigQuery's own name so migrating WHERE
     // SEARCH(col, 'terms') text runs verbatim
     ("search", "search(data, query) - BigQuery SEARCH: all query tokens appear in data",
-      es => { arity("search", es, 2); SearchMatch(es.head, es(1)) }))
+      es => { arity("search", es, 2); SearchMatch(es.head, es(1)) }),
+    // NET.IP_* family (netip.scala): BYTES-carried addresses, exact
+    // byte arithmetic — routed here by the GraftSql NET.* rewrites
+    ("graft_ip_from_string",
+      "graft_ip_from_string(s) - parse IPv4/IPv6 text to BYTES (NET.IP_FROM_STRING)",
+      es => { arity("graft_ip_from_string", es, 1); IpFromString(es.head, safe = false) }),
+    ("graft_safe_ip_from_string",
+      "graft_safe_ip_from_string(s) - parse IPv4/IPv6 text to BYTES, NULL on invalid (NET.SAFE_IP_FROM_STRING)",
+      es => { arity("graft_safe_ip_from_string", es, 1); IpFromString(es.head, safe = true) }),
+    ("graft_ip_to_string",
+      "graft_ip_to_string(b) - RFC 5952 text of a 4/16-byte address (NET.IP_TO_STRING)",
+      es => { arity("graft_ip_to_string", es, 1); IpToString(es.head) }),
+    ("graft_ip_net_mask",
+      "graft_ip_net_mask(num_bytes, prefix) - network mask BYTES (NET.IP_NET_MASK)",
+      es => { arity("graft_ip_net_mask", es, 2); IpNetMask(es.head, es(1)) }),
+    ("graft_ip_trunc",
+      "graft_ip_trunc(b, prefix) - zero host bits below prefix (NET.IP_TRUNC)",
+      es => { arity("graft_ip_trunc", es, 2); IpTrunc(es.head, es(1)) }),
+    ("graft_ipv4_from_int64",
+      "graft_ipv4_from_int64(i) - low 32 bits as 4 address bytes (NET.IPV4_FROM_INT64)",
+      es => { arity("graft_ipv4_from_int64", es, 1); Ipv4FromInt64(es.head) }),
+    ("graft_ipv4_to_int64",
+      "graft_ipv4_to_int64(b) - 4 address bytes as uint32 in an INT64 (NET.IPV4_TO_INT64)",
+      es => { arity("graft_ipv4_to_int64", es, 1); Ipv4ToInt64(es.head) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -396,6 +396,9 @@ private[graft] object Functions {
       "MD5", "SHA1", "SHA256", "SHA512", "TO_HEX", "FROM_HEX",
       "TO_BASE64", "FROM_BASE64",
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
+      "NET.IP_FROM_STRING", "NET.SAFE_IP_FROM_STRING", "NET.IP_TO_STRING",
+      "NET.IP_NET_MASK", "NET.IP_TRUNC",
+      "NET.IPV4_FROM_INT64", "NET.IPV4_TO_INT64",
       "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
@@ -1427,6 +1430,30 @@ private[graft] object Functions {
             "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')"
           val fn = if (name == "NET.REG_DOMAIN") "graft_reg_domain" else "graft_public_suffix"
           Some(s"$fn($host)")
+        // NET.IP_* (netip.scala): BYTES-carried IPv4/IPv6 addresses,
+        // exact byte arithmetic, registry-routed natives (the
+        // graft_*-named inner calls never re-match the scanner)
+        case "NET.IP_FROM_STRING" =>
+          require(args.size == 1, "NET.IP_FROM_STRING takes (addr_str)")
+          Some(s"graft_ip_from_string((${args(0)}))")
+        case "NET.SAFE_IP_FROM_STRING" =>
+          require(args.size == 1, "NET.SAFE_IP_FROM_STRING takes (addr_str)")
+          Some(s"graft_safe_ip_from_string((${args(0)}))")
+        case "NET.IP_TO_STRING" =>
+          require(args.size == 1, "NET.IP_TO_STRING takes (addr_bytes)")
+          Some(s"graft_ip_to_string((${args(0)}))")
+        case "NET.IP_NET_MASK" =>
+          require(args.size == 2, "NET.IP_NET_MASK takes (num_output_bytes, prefix_length)")
+          Some(s"graft_ip_net_mask((${args(0)}), (${args(1)}))")
+        case "NET.IP_TRUNC" =>
+          require(args.size == 2, "NET.IP_TRUNC takes (addr_bytes, prefix_length)")
+          Some(s"graft_ip_trunc((${args(0)}), (${args(1)}))")
+        case "NET.IPV4_FROM_INT64" =>
+          require(args.size == 1, "NET.IPV4_FROM_INT64 takes (int)")
+          Some(s"graft_ipv4_from_int64((${args(0)}))")
+        case "NET.IPV4_TO_INT64" =>
+          require(args.size == 1, "NET.IPV4_TO_INT64 takes (addr_bytes)")
+          Some(s"graft_ipv4_to_int64((${args(0)}))")
         // BigQuery's KLL_QUANTILES sketch family (kll.scala — the
         // quantile analogue of HLL_COUNT): typed INIT → sketch BYTES,
         // MERGE_PARTIAL re-aggregation, POINT/array reads; the
