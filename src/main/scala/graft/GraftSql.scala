@@ -111,8 +111,8 @@ object GraftSql {
     // argument may itself be an AS OF reference
     val sql = rewriteWindowRefinement(graft.sql.Models.rewriteMlScaler(rewriteQualify(graft.sql.Functions.rewriteUnnest(rewriteScalarUnnestSubquery(rewriteArraySubquery(graft.sql.Functions.rewriteBqFunctions(graft.sql.Functions.rewriteGenerateFns(graft.sql.Functions.rewriteJsonArrayFns(
       rewriteStarReplace(rewriteTableSample(rewriteInformationSchema(spark,
-        graft.sql.Models.rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteGapFillTvf(spark, rewriteChangeTvf(spark,
-          rewriteWildcardTables(spark, rewriteTimeTravel(spark, graft.sql.Pipes.rewritePipes(sql0)))))))))))))))))))
+        graft.sql.Models.rewriteMlPredict(spark, rewriteVectorSearch(spark, rewriteRangeSessionizeTvf(spark, rewriteGapFillTvf(spark, rewriteChangeTvf(spark,
+          rewriteWildcardTables(spark, rewriteTimeTravel(spark, graft.sql.Pipes.rewritePipes(sql0))))))))))))))))))))
     // ASSERT is a BigQuery scripting verb Catalyst cannot parse —
     // recognize it before parsePlan so load scripts run unchanged;
     // it produces no result set, so a passing assertion yields the
@@ -3769,6 +3769,81 @@ object GraftSql {
     * carries the methods). The input table must be one row per
     * (partitioning, ts) bucket, the shape BigQuery documents.
     */
+  /** BigQuery `RANGE_SESSIONIZE(TABLE t, 'range_col' [, ['part', ...]]
+    * [, 'MEETS'|'OVERLAPS'])` — resolves textually like GAP_FILL (the
+    * TVF-as-view pattern) and runs Resample.sessionizeRanges. Output
+    * is the input rows plus `session_range` (BigQuery's shape).
+    */
+  private[graft] def rewriteRangeSessionizeTvf(spark: SparkSession, sql: String): String = {
+    var out = sql
+    var scan = true
+    while (scan) {
+      tvfSpan(out, "RANGE_SESSIONIZE") match {
+        case None => scan = false
+        case Some((start, argStart, argEnd, end)) =>
+          val df = rangeSessionizeFromArgs(spark, out.substring(argStart, argEnd))
+          val view = s"__range_sessionize_${asOfCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(view)
+          out = out.substring(0, start) + view + out.substring(end)
+      }
+    }
+    out
+  }
+
+  private def rangeSessionizeFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    argBody.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; cur += c }
+      else if (c == '\'') { inStr = true; cur += c }
+      else if (c == '(' || c == '[') { depth += 1; cur += c }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c }
+      else if (c == ',' && depth == 0) { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    val args = parts.map(_.trim).toSeq
+    require(args.size >= 2 && args.size <= 4,
+      "RANGE_SESSIONIZE takes (TABLE t, 'range_col' [, ['part', ...]] [, 'MEETS'|'OVERLAPS'])")
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    val name = args.head match {
+      case TableRe(n) => viewName(n)
+      case other => throw new IllegalArgumentException(
+        s"RANGE_SESSIONIZE's first argument must be TABLE <name>, got: $other")
+    }
+    def unq(s: String, what: String): String = {
+      require(s.length >= 2 && s.head == '\'' && s.last == '\'',
+        s"RANGE_SESSIONIZE expects a quoted $what, got: $s")
+      s.substring(1, s.length - 1)
+    }
+    val rangeCol = unq(args(1), "range column name")
+    def listOf(s: String): Seq[String] = {
+      require(s.startsWith("[") && s.endsWith("]"),
+        s"RANGE_SESSIONIZE expects a [bracketed] list, got: $s")
+      val body = s.substring(1, s.length - 1).trim
+      if (body.isEmpty) Nil
+      else body.split(",").map(p => unq(p.trim, "partition column")).toSeq
+    }
+    // the optional bracketed partition list and the optional trailing
+    // mode string are distinguished by their first character
+    val rest = args.drop(2)
+    val (partCols, modeTxt) = rest match {
+      case Seq() => (Nil, "MEETS")
+      case Seq(one) if one.startsWith("[") => (listOf(one), "MEETS")
+      case Seq(one) => (Nil, unq(one, "sessionize mode"))
+      case Seq(lst, m) =>
+        require(lst.startsWith("["),
+          s"RANGE_SESSIONIZE's third argument must be a [bracketed] partition list, got: $lst")
+        (listOf(lst), unq(m, "sessionize mode"))
+      case other => throw new IllegalArgumentException(
+        s"RANGE_SESSIONIZE: too many arguments: ${other.mkString(", ")}")
+    }
+    graft.operators.Resample.sessionizeRanges(
+      spark.table(name), rangeCol, partCols,
+      modeTxt.toUpperCase(java.util.Locale.ROOT))
+  }
+
   private[graft] def rewriteGapFillTvf(spark: SparkSession, sql: String): String = {
     var out = sql
     var scan = true

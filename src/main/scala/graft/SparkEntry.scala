@@ -2445,6 +2445,45 @@ object SparkEntry {
           |FROM r""".stripMargin)
     }),
 
+    // RANGE_SESSIONIZE TVF + RANGE_INTERSECT (round 13): per-customer
+    // validity ranges merged into sessions under MEETS (adjacency
+    // connects), session extents re-derived through the accessors,
+    // and each session clamped against calendar-1995 via the guarded
+    // RANGE_INTERSECT spelling; the DuckDB oracle replays the classic
+    // two-window island detection (running max-end over the same
+    // sort) and the clamp as greatest/least — all dates and integers,
+    // hash bit-for-bit
+    "sql_range_sessionize" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("rs_orders")
+      graft.GraftSql.load(s,
+        """SELECT o_custkey,
+          |       RANGE(CAST(o_orderdate AS DATE),
+          |             date_add(CAST(o_orderdate AS DATE),
+          |                      CAST(o_orderkey % 45 + 5 AS INT))) AS rng
+          |FROM rs_orders""".stripMargin).createOrReplaceTempView("rs_ranges")
+      graft.GraftSql.load(s,
+        """WITH per AS (
+          |  SELECT o_custkey, RANGE_START(session_range) AS ss,
+          |         RANGE_END(session_range) AS se, COUNT(*) AS n_in
+          |  FROM RANGE_SESSIONIZE(TABLE rs_ranges, 'rng', ['o_custkey'])
+          |  GROUP BY o_custkey, ss, se)
+          |SELECT CAST(o_custkey % 8 AS BIGINT) AS cb,
+          |       COUNT(*) AS n_sessions,
+          |       CAST(SUM(n_in) AS BIGINT) AS n_rows,
+          |       CAST(SUM(DATE_DIFF(se, ss, DAY)) AS BIGINT) AS covered_days,
+          |       CAST(SUM(CASE WHEN RANGE_OVERLAPS(RANGE(ss, se),
+          |                                          RANGE<DATE> '[1995-01-01, 1996-01-01)')
+          |         THEN DATE_DIFF(
+          |           RANGE_END(RANGE_INTERSECT(RANGE(ss, se),
+          |                                     RANGE<DATE> '[1995-01-01, 1996-01-01)')),
+          |           RANGE_START(RANGE_INTERSECT(RANGE(ss, se),
+          |                                       RANGE<DATE> '[1995-01-01, 1996-01-01)')),
+          |           DAY)
+          |         ELSE 0 END) AS BIGINT) AS days_in_1995,
+          |       MIN(ss) AS min_start, MAX(se) AS max_end
+          |FROM per GROUP BY cb ORDER BY cb""".stripMargin)
+    }),
+
     // DATE_BUCKET / TIMESTAMP_BUCKET (round 13): anchored fixed-width
     // buckets as exact pmod arithmetic — default 1950-01-01 origin,
     // an explicit month-family origin, and the micros path in one
@@ -4981,6 +5020,38 @@ object SparkEntry {
           |  CAST(SUM(CAST(ceil((e - s) / 7.0) AS BIGINT)) AS BIGINT) AS n_subranges,
           |  MIN(s) AS min_start, MAX(e) AS max_end
           |FROM r""".stripMargin,
+      // the sessionization replays as the textbook two-window island
+      // detection (running max-end over the same (start, end) sort),
+      // the session extents as min/max per island, and the 1995 clamp
+      // as greatest/least date arithmetic
+      "sql_range_sessionize" ->
+        """WITH r AS (
+          |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+          |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 + 5 AS INT) AS e
+          |  FROM orders),
+          |o AS (
+          |  SELECT o_custkey, s, e,
+          |         MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM r),
+          |g AS (
+          |  SELECT o_custkey, s, e,
+          |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY o_custkey ORDER BY s, e
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM o),
+          |per AS (
+          |  SELECT o_custkey, sid, MIN(s) AS ss, MAX(e) AS se, COUNT(*) AS n_in
+          |  FROM g GROUP BY o_custkey, sid)
+          |SELECT o_custkey % 8 AS cb,
+          |       COUNT(*) AS n_sessions,
+          |       CAST(SUM(n_in) AS BIGINT) AS n_rows,
+          |       CAST(SUM(se - ss) AS BIGINT) AS covered_days,
+          |       CAST(SUM(CASE WHEN ss < DATE '1996-01-01' AND DATE '1995-01-01' < se
+          |         THEN least(se, DATE '1996-01-01') - greatest(ss, DATE '1995-01-01')
+          |         ELSE 0 END) AS BIGINT) AS days_in_1995,
+          |       MIN(ss) AS min_start, MAX(se) AS max_end
+          |FROM per GROUP BY cb ORDER BY cb""".stripMargin,
       // bucket starts replay as the identical exact integer folds:
       // date buckets via datediff + ((x % n) + n) % n (floor pmod),
       // month buckets via month-number arithmetic, the micros path

@@ -86,6 +86,55 @@ object Resample {
       }: _*)
   }
 
+  /** BigQuery's `RANGE_SESSIONIZE` TVF engine: every input row plus a
+    * `session_range` struct covering the session of transitively
+    * connected ranges within its partition. `mode` is BigQuery's
+    * sessionize_option: `MEETS` (default) connects overlapping OR
+    * adjacent ranges (`[1,5)` and `[5,8)` share a session), `OVERLAPS`
+    * requires strict overlap. A NULL bound is UNBOUNDED on that side —
+    * an unbounded end glues every later range in the partition into
+    * the same session; a session containing any unbounded side
+    * reports that side of `session_range` as NULL.
+    *
+    * Scale shape: one shuffle on the partitioning columns; the classic
+    * interval-merge as two window passes over the SAME sort (running
+    * max-end island detection, then per-island extents) — never a
+    * self-join, never a collect. Like any sessionization the sort is
+    * per-key; a skewed key sorts long but spills, it does not break.
+    */
+  def sessionizeRanges(df: DataFrame, rangeCol: String, partCols: Seq[String],
+                       mode: String = "MEETS"): DataFrame = {
+    require(mode == "MEETS" || mode == "OVERLAPS",
+      s"RANGE_SESSIONIZE mode must be 'MEETS' or 'OVERLAPS', got '$mode'")
+    require(df.columns.contains(rangeCol),
+      s"RANGE_SESSIONIZE: no column '$rangeCol' in ${df.columns.mkString(", ")}")
+    val keys = partCols.map(F.col)
+    val s = F.col(rangeCol).getField("range_start")
+    val e = F.col(rangeCol).getField("range_end")
+    val w = Window.partitionBy(keys: _*).orderBy(s.asc_nulls_first, e.asc_nulls_last)
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSession = {
+      val punb = F.coalesce(F.max(e.isNull.cast("int")).over(prior), F.lit(0))
+      val pmax = F.max(e).over(prior)
+      val gap = if (mode == "MEETS") s > pmax else s >= pmax
+      F.when(pmax.isNull && punb === 0, 1) // first row of the partition
+        .when(punb === 1, 0)               // some prior end is +inf
+        .when(s.isNull, 0)                 // this start is -inf
+        .when(gap, 1).otherwise(0)
+    }
+    val staged = df.withColumn("__rs_sess", F.sum(newSession).over(run))
+    val w2 = Window.partitionBy(keys :+ F.col("__rs_sess"): _*)
+    val sessStart = F.when(F.max(s.isNull.cast("int")).over(w2) === 1, F.lit(null))
+      .otherwise(F.min(s).over(w2))
+    val sessEnd = F.when(F.max(e.isNull.cast("int")).over(w2) === 1, F.lit(null))
+      .otherwise(F.max(e).over(w2))
+    staged
+      .withColumn("session_range",
+        F.struct(sessStart.as("range_start"), sessEnd.as("range_end")))
+      .drop("__rs_sess")
+  }
+
   /** `daily` left-joined onto the full (keys × day-span) grid: the
     * shared densify step — min/max span aggregate, broadcast day
     * sequence, distinct keys cross join.

@@ -387,7 +387,7 @@ private[graft] object Functions {
       "HLL_COUNT.EXTRACT", "RANGE_BUCKET",
       "DATE_BUCKET", "DATETIME_BUCKET", "TIMESTAMP_BUCKET",
       "RANGE", "RANGE_START", "RANGE_END", "RANGE_CONTAINS",
-      "RANGE_OVERLAPS", "GENERATE_RANGE_ARRAY",
+      "RANGE_OVERLAPS", "RANGE_INTERSECT", "GENERATE_RANGE_ARRAY",
       "FORMAT", "ERROR", "LAST_DAY",
       "TIME", "TIME_ADD", "TIME_SUB", "TIME_DIFF", "TIME_TRUNC",
       "PARSE_TIME", "FORMAT_TIME",
@@ -818,8 +818,9 @@ private[graft] object Functions {
         // STRUCT<range_start DATE, range_end DATE> with NULL =
         // UNBOUNDED — half-open [start, end) like BigQuery's. DATE
         // ranges only (the SCD-validity shape — A25's natural SQL
-        // companion); DATETIME/TIMESTAMP ranges and RANGE_INTERSECT /
-        // RANGE_SESSIONIZE are not mapped (typed failure at analysis).
+        // companion); DATETIME/TIMESTAMP ranges are not mapped (typed
+        // failure at analysis). RANGE_INTERSECT is below;
+        // RANGE_SESSIONIZE is the GraftSql TVF.
         // Construction does NOT enforce start < end (BigQuery raises;
         // here an inverted range simply contains nothing — stated).
         // Range arguments are textually duplicated — pass COLUMNS.
@@ -850,6 +851,29 @@ private[graft] object Functions {
             s"$r2.range_start < $r1.range_end) AND " +
             s"($r2.range_end IS NULL OR $r1.range_start IS NULL OR " +
             s"$r1.range_start < $r2.range_end))")
+        // the intersection of two overlapping ranges — max of starts,
+        // min of ends, NULL = unbounded wins only when BOTH sides are
+        // unbounded; non-overlapping inputs RAISE (BigQuery's rule —
+        // guard with RANGE_OVERLAPS for the conditional spelling).
+        // Both ranges are textually duplicated several times — pass
+        // COLUMNS (the RANGE_CONTAINS discipline).
+        case "RANGE_INTERSECT" =>
+          require(args.size == 2, "RANGE_INTERSECT takes (range, range)")
+          val r1 = s"(${args(0)})"
+          val r2 = s"(${args(1)})"
+          val overlap = s"(($r1.range_end IS NULL OR $r2.range_start IS NULL OR " +
+            s"$r2.range_start < $r1.range_end) AND " +
+            s"($r2.range_end IS NULL OR $r1.range_start IS NULL OR " +
+            s"$r1.range_start < $r2.range_end))"
+          val st = s"CASE WHEN $r1.range_start IS NULL THEN $r2.range_start " +
+            s"WHEN $r2.range_start IS NULL THEN $r1.range_start " +
+            s"ELSE greatest($r1.range_start, $r2.range_start) END"
+          val en = s"CASE WHEN $r1.range_end IS NULL THEN $r2.range_end " +
+            s"WHEN $r2.range_end IS NULL THEN $r1.range_end " +
+            s"ELSE least($r1.range_end, $r2.range_end) END"
+          Some(s"(CASE WHEN $overlap THEN named_struct('range_start', $st, " +
+            s"'range_end', $en) ELSE raise_error('RANGE_INTERSECT: ranges do not " +
+            s"overlap (guard with RANGE_OVERLAPS)') END)")
         // split a BOUNDED range into step-width sub-ranges (the last
         // may be partial — include_last_partial_range default true is
         // the only supported mode); an unbounded side yields NULL

@@ -58,6 +58,89 @@ class ResampleSpec extends SparkSuite {
     assert(e.getMessage.contains("spline"))
   }
 
+  test("sessionizeRanges: MEETS merges overlapping and adjacent; OVERLAPS splits adjacency") {
+    val rows = Seq(
+      // key A: [1,5) [5,8) adjacent, [10,12) separate
+      ("A", d("2024-01-01"), d("2024-01-05")),
+      ("A", d("2024-01-05"), d("2024-01-08")),
+      ("A", d("2024-01-10"), d("2024-01-12")),
+      // key B: [1,4) [2,3) nested
+      ("B", d("2024-01-01"), d("2024-01-04")),
+      ("B", d("2024-01-02"), d("2024-01-03")))
+      .toDF("k", "s", "e")
+      .select(F.col("k"), F.struct(F.col("s").as("range_start"), F.col("e").as("range_end")).as("rng"))
+    val meets = Resample.sessionizeRanges(rows, "rng", Seq("k"), "MEETS")
+      .select("k", "session_range.range_start", "session_range.range_end").distinct().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString)).toSet
+    assert(meets == Set(
+      ("A", "2024-01-01", "2024-01-08"), ("A", "2024-01-10", "2024-01-12"),
+      ("B", "2024-01-01", "2024-01-04")))
+    val overlaps = Resample.sessionizeRanges(rows, "rng", Seq("k"), "OVERLAPS")
+      .select("k", "session_range.range_start", "session_range.range_end").distinct().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString)).toSet
+    assert(overlaps == Set(
+      ("A", "2024-01-01", "2024-01-05"), ("A", "2024-01-05", "2024-01-08"),
+      ("A", "2024-01-10", "2024-01-12"), ("B", "2024-01-01", "2024-01-04")))
+  }
+
+  test("sessionizeRanges: unbounded sides glue and surface as NULL bounds") {
+    val rows = Seq(
+      ("A", Some(d("2024-01-01")), Option.empty[java.sql.Date]), // [1, inf)
+      ("A", Some(d("2024-03-01")), Some(d("2024-03-02"))),       // glued by inf end
+      ("B", Option.empty[java.sql.Date], Some(d("2024-01-05"))), // (-inf, 5)
+      ("B", Some(d("2024-01-04")), Some(d("2024-01-09"))))
+      .toDF("k", "s", "e")
+      .select(F.col("k"), F.struct(F.col("s").as("range_start"), F.col("e").as("range_end")).as("rng"))
+    val out = Resample.sessionizeRanges(rows, "rng", Seq("k"))
+      .select("k", "session_range.range_start", "session_range.range_end").distinct().collect()
+      .map(r => (r.getString(0),
+        Option(r.getDate(1)).map(_.toString), Option(r.getDate(2)).map(_.toString))).toSet
+    assert(out == Set(
+      ("A", Some("2024-01-01"), None),
+      ("B", None, Some("2024-01-09"))))
+    intercept[IllegalArgumentException](
+      Resample.sessionizeRanges(rows, "rng", Seq("k"), "TOUCHES"))
+    intercept[IllegalArgumentException](
+      Resample.sessionizeRanges(rows, "nope", Seq("k")))
+  }
+
+  test("RANGE_SESSIONIZE TVF + RANGE_INTERSECT through GraftSql.load") {
+    Seq(
+      (1, d("2024-01-01"), d("2024-01-05")),
+      (1, d("2024-01-05"), d("2024-01-08")),
+      (1, d("2024-02-01"), d("2024-02-02")),
+      (2, d("2024-01-03"), d("2024-01-04")))
+      .toDF("id", "s", "e")
+      .select(F.col("id"), F.struct(F.col("s").as("range_start"), F.col("e").as("range_end")).as("rng"))
+      .createOrReplaceTempView("rs_tvf_in")
+    val out = GraftSql.load(spark,
+      """SELECT id, RANGE_START(session_range) AS ss, RANGE_END(session_range) AS se,
+        |       COUNT(*) AS n
+        |FROM RANGE_SESSIONIZE(TABLE rs_tvf_in, 'rng', ['id'])
+        |GROUP BY id, ss, se ORDER BY id, ss""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, "2024-01-01", "2024-01-08", 2L),
+      (1, "2024-02-01", "2024-02-02", 1L),
+      (2, "2024-01-03", "2024-01-04", 1L)))
+    // default mode omits the list; OVERLAPS splits the adjacency
+    val n = GraftSql.load(spark,
+      "SELECT COUNT(DISTINCT RANGE_START(session_range)) AS c " +
+        "FROM RANGE_SESSIONIZE(TABLE rs_tvf_in, 'rng', ['id'], 'OVERLAPS')").head().getLong(0)
+    assert(n == 4L)
+    // RANGE_INTERSECT: clamped intersection; non-overlap raises
+    val ix = GraftSql.load(spark,
+      """SELECT RANGE_START(RANGE_INTERSECT(RANGE(DATE '2024-01-01', DATE '2024-01-10'),
+        |                                   RANGE(DATE '2024-01-05', NULL))) AS s,
+        |       RANGE_END(RANGE_INTERSECT(RANGE(DATE '2024-01-01', DATE '2024-01-10'),
+        |                                 RANGE(DATE '2024-01-05', NULL))) AS e""".stripMargin).head()
+    assert(ix.getDate(0).toString == "2024-01-05" && ix.getDate(1).toString == "2024-01-10")
+    val err = intercept[Exception](GraftSql.load(spark,
+      """SELECT RANGE_INTERSECT(RANGE(DATE '2024-01-01', DATE '2024-01-02'),
+        |                       RANGE(DATE '2024-01-02', DATE '2024-01-03')) AS x""".stripMargin).collect())
+    assert(err.getMessage.contains("RANGE_INTERSECT") || err.getCause != null)
+  }
+
   test("a dense series round-trips unchanged (all rows observed)") {
     val daily = Seq(
       ("A", d("2024-02-01"), 1.0), ("A", d("2024-02-02"), 2.0), ("A", d("2024-02-03"), 3.0))
