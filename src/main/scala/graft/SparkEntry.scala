@@ -2357,6 +2357,70 @@ object SparkEntry {
           |GROUP BY cross_key ORDER BY cross_key""".stripMargin)
     }),
 
+    // ML.LABEL_ENCODER / ML.ONE_HOT_ENCODER (round 13): the
+    // categorical end of the TRANSFORM preprocessor pack in the
+    // threshold-1 regime — one dense_rank window builds the
+    // alphabetical vocabulary, the one-hot face re-reads it through
+    // the (index, value) array element; the DuckDB oracle replays the
+    // identical dense_rank — all integers, hash bit-for-bit
+    "q_ml_label_encode" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("le_events")
+      graft.GraftSql.load(s,
+        """WITH enc AS (
+          |  SELECT event_type,
+          |         ML.LABEL_ENCODER(event_type, 1000, 1) OVER () AS code,
+          |         ML.ONE_HOT_ENCODER(event_type, 'none', 1000, 1) OVER () AS oh
+          |  FROM le_events)
+          |SELECT code, event_type, COUNT(*) AS n,
+          |       CAST(SUM(oh[0].index) AS BIGINT) AS oh_index_sum,
+          |       CAST(SUM(CAST(oh[0].value AS BIGINT)) AS BIGINT) AS oh_value_sum,
+          |       CAST(MAX(size(oh)) AS BIGINT) AS oh_len
+          |FROM enc GROUP BY code, event_type ORDER BY code""".stripMargin)
+    }),
+
+    // code-point family + TEXT_ANALYZE (round 13): strings BUILT from
+    // code points (CODE_POINTS_TO_STRING over id-derived arrays,
+    // including a combining mark), read back through UNICODE/ASCII/
+    // TO_CODE_POINTS, CHR as a replayable text, byte arrays through
+    // TO_HEX, and INITCAP over delimiter-joined words; DuckDB replays
+    // code points as arithmetic + its own chr()/printf and INITCAP as
+    // ucfirst substring algebra — hash bit-for-bit
+    "q_codepoints" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("cp_events")
+      graft.GraftSql.load(s,
+        """WITH b AS (
+          |  SELECT user_id, event_type,
+          |         CODE_POINTS_TO_STRING(
+          |           [97 + user_id % 26, 98 + user_id % 24, 769]) AS str
+          |  FROM cp_events)
+          |SELECT CAST(UNICODE(str) AS BIGINT) AS first_cp,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(size(TO_CODE_POINTS(str))) AS BIGINT) AS cps_sum,
+          |       CAST(SUM(ASCII(SUBSTRING(str, 1, 1))) AS BIGINT) AS ascii_sum,
+          |       MIN(CHR(65 + user_id % 26)) AS chr_min,
+          |       MAX(TO_HEX(CODE_POINTS_TO_BYTES(
+          |         [user_id % 256, (user_id * 3) % 256]))) AS bhex_max,
+          |       MIN(INITCAP(CONCAT(event_type, '-', event_type))) AS ic_min
+          |FROM b GROUP BY first_cp ORDER BY first_cp""".stripMargin)
+    }),
+
+    // TEXT_ANALYZE (round 13): the SEARCH/A44 tokenizer as a scalar —
+    // token df/tf over documents through the SQL verb, the NO_OP leg
+    // pinning the one-term contract; DuckDB replays the identical
+    // lowercase non-[a-z0-9] split — hash bit-for-bit
+    "q_text_analyze" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("ta_docs")
+      graft.GraftSql.load(s,
+        """WITH toks AS (
+          |  SELECT doc_id, TEXT_ANALYZE(text) AS tl,
+          |         size(TEXT_ANALYZE(text, analyzer => 'NO_OP_ANALYZER')) AS noop_len
+          |  FROM ta_docs),
+          |t AS (SELECT doc_id, noop_len, explode(tl) AS token FROM toks)
+          |SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df,
+          |       CAST(MAX(noop_len) AS BIGINT) AS noop_len
+          |FROM t GROUP BY token HAVING COUNT(*) >= 20 ORDER BY token""".stripMargin)
+    }),
+
     // TIME type (round 13): the NTZ-carried time-of-day through the
     // full verb set — constructor from a timestamp, hour truncation
     // as the grouping key, diff-to-midnight sums, formatted min, and
@@ -4961,6 +5025,46 @@ object SparkEntry {
           |       CAST(SUM(CAST(vw AS DECIMAL(38,10))) AS DOUBLE) AS vw_sum,
           |       CAST(MAX(ww) AS BIGINT) AS ww_max
           |FROM b GROUP BY cross_key ORDER BY cross_key""".stripMargin,
+      // the alphabetical vocabulary replays as the identical
+      // dense_rank; the one-hot element folds are the code and the
+      // row count
+      "q_ml_label_encode" ->
+        """WITH enc AS (
+          |  SELECT event_type, DENSE_RANK() OVER (ORDER BY event_type) AS code
+          |  FROM events)
+          |SELECT code, event_type, COUNT(*) AS n,
+          |       CAST(SUM(code) AS BIGINT) AS oh_index_sum,
+          |       COUNT(*) AS oh_value_sum,
+          |       CAST(1 AS BIGINT) AS oh_len
+          |FROM enc GROUP BY code, event_type ORDER BY code""".stripMargin,
+      // code points replay as plain arithmetic (the built string's
+      // points ARE id-derived), bytes via printf, CHR via DuckDB's
+      // own chr, INITCAP as ucfirst substring algebra (the event
+      // types are single lowercase words)
+      "q_codepoints" ->
+        """WITH b AS (
+          |  SELECT user_id, event_type, 97 + user_id % 26 AS cp1 FROM events)
+          |SELECT CAST(cp1 AS BIGINT) AS first_cp,
+          |       COUNT(*) AS n,
+          |       CAST(COUNT(*) * 3 AS BIGINT) AS cps_sum,
+          |       CAST(SUM(cp1) AS BIGINT) AS ascii_sum,
+          |       MIN(chr(CAST(65 + user_id % 26 AS INT))) AS chr_min,
+          |       MAX(printf('%02x%02x', user_id % 256, (user_id * 3) % 256)) AS bhex_max,
+          |       MIN(concat(upper(substr(event_type, 1, 1)), substr(event_type, 2), '-',
+          |                  upper(substr(event_type, 1, 1)), substr(event_type, 2))) AS ic_min
+          |FROM b GROUP BY cp1 ORDER BY first_cp""".stripMargin,
+      // the LOG_ANALYZER tokenization replays as the identical
+      // lowercase non-[a-z0-9] regex split; the NO_OP leg is the
+      // constant 1
+      "q_text_analyze" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |                            x -> x <> '')) AS token
+          |  FROM documents)
+          |SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df,
+          |       CAST(1 AS BIGINT) AS noop_len
+          |FROM t GROUP BY token HAVING COUNT(*) >= 20 ORDER BY token""".stripMargin,
       // time-of-day replays as exact micros-of-day integer folds
       // rendered through printf (epoch_us % 86400000000)
       "q_time_ops" ->

@@ -2062,7 +2062,40 @@ object native {
       es => { arity("graft_ipv4_from_int64", es, 1); Ipv4FromInt64(es.head) }),
     ("graft_ipv4_to_int64",
       "graft_ipv4_to_int64(b) - 4 address bytes as uint32 in an INT64 (NET.IPV4_TO_INT64)",
-      es => { arity("graft_ipv4_to_int64", es, 1); Ipv4ToInt64(es.head) }))
+      es => { arity("graft_ipv4_to_int64", es, 1); Ipv4ToInt64(es.head) }),
+    // code-point family (codepoints.scala) — routed by the GraftSql
+    // TO_CODE_POINTS/UNICODE/ASCII/CHR/INITCAP/SOUNDEX rewrites
+    ("graft_to_code_points",
+      "graft_to_code_points(x) - STRING code points / BYTES values as ARRAY<INT64> (TO_CODE_POINTS)",
+      es => { arity("graft_to_code_points", es, 1); ToCodePoints(es.head) }),
+    ("graft_code_points_to_string",
+      "graft_code_points_to_string(a) - string from code points, raising on invalid (CODE_POINTS_TO_STRING)",
+      es => { arity("graft_code_points_to_string", es, 1); CodePointsToString(es.head) }),
+    ("graft_code_points_to_bytes",
+      "graft_code_points_to_bytes(a) - bytes from values in [0,255] (CODE_POINTS_TO_BYTES)",
+      es => { arity("graft_code_points_to_bytes", es, 1); CodePointsToBytes(es.head) }),
+    ("graft_unicode",
+      "graft_unicode(s) - first code point, 0 for empty (UNICODE)",
+      es => { arity("graft_unicode", es, 1); UnicodeCp(es.head) }),
+    ("graft_ascii",
+      "graft_ascii(s) - first code point, raising when not ASCII (ASCII)",
+      es => { arity("graft_ascii", es, 1); AsciiCp(es.head) }),
+    ("graft_chr",
+      "graft_chr(cp) - code point to string, 0 -> '' (CHR; Spark's chr wraps at 256)",
+      es => { arity("graft_chr", es, 1); ChrCp(es.head) }),
+    ("graft_initcap",
+      "graft_initcap(s[, delimiters]) - BigQuery INITCAP word capitalization",
+      es => { require(es.length == 1 || es.length == 2,
+          s"graft_initcap expects (s[, delimiters]), got ${es.length} arguments")
+        BqInitCap(es.head,
+          if (es.length == 2) constStr("graft_initcap", es, 1) else null) }),
+    // BigQuery SOUNDEX prints lowercase; registry-routed so the
+    // dialect scanner never re-matches a self-named inner call
+    ("graft_soundex",
+      "graft_soundex(s) - lowercase soundex code (BigQuery SOUNDEX)",
+      es => { arity("graft_soundex", es, 1)
+        org.apache.spark.sql.catalyst.expressions.Lower(
+          org.apache.spark.sql.catalyst.expressions.SoundEx(es.head)) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -295,7 +295,11 @@ private[graft] object Functions {
     // rejects the BigQuery-only %t/%T/%u verbs before Java sees them
     "ENDS_WITH" -> "endswith",
     "APPROX_COUNT_DISTINCT" -> "approx_count_distinct",
-    "ARRAY_CONCAT" -> "concat", "GENERATE_UUID" -> "uuid")
+    "ARRAY_CONCAT" -> "concat", "GENERATE_UUID" -> "uuid",
+    // same per-character mapping semantics; on the error case BigQuery
+    // rejects (duplicate source chars) Spark takes the first mapping —
+    // stated, an invalid-input divergence only
+    "TRANSLATE" -> "translate")
 
   private val IntervalLitRe = """(?is)^INTERVAL\s+(-?\d+)\s+([A-Za-z]+)$""".r
 
@@ -398,7 +402,9 @@ private[graft] object Functions {
       "NET.HOST", "NET.REG_DOMAIN", "NET.PUBLIC_SUFFIX",
       "NET.IP_FROM_STRING", "NET.SAFE_IP_FROM_STRING", "NET.IP_TO_STRING",
       "NET.IP_NET_MASK", "NET.IP_TRUNC",
-      "NET.IPV4_FROM_INT64", "NET.IPV4_TO_INT64",
+      "NET.IPV4_FROM_INT64", "NET.IPV4_TO_INT64", "TEXT_ANALYZE",
+      "TO_CODE_POINTS", "CODE_POINTS_TO_STRING", "CODE_POINTS_TO_BYTES",
+      "UNICODE", "ASCII", "CHR", "SOUNDEX", "INITCAP",
       "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
@@ -1454,6 +1460,73 @@ private[graft] object Functions {
             "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')"
           val fn = if (name == "NET.REG_DOMAIN") "graft_reg_domain" else "graft_public_suffix"
           Some(s"$fn($host)")
+        // the code-point family (functions/codepoints.scala):
+        // registry-routed natives with BigQuery's exact domains —
+        // notably CHR, where Spark's own chr WRAPS AT 256 (chr(233)
+        // works but chr(769) silently corrupts — the reason the
+        // BigQuery spelling never maps to Spark's)
+        case "TO_CODE_POINTS" =>
+          require(args.size == 1, "TO_CODE_POINTS takes (string_or_bytes)")
+          Some(s"graft_to_code_points((${args(0)}))")
+        case "CODE_POINTS_TO_STRING" =>
+          require(args.size == 1, "CODE_POINTS_TO_STRING takes (array<int64>)")
+          Some(s"graft_code_points_to_string((${args(0)}))")
+        case "CODE_POINTS_TO_BYTES" =>
+          require(args.size == 1, "CODE_POINTS_TO_BYTES takes (array<int64>)")
+          Some(s"graft_code_points_to_bytes((${args(0)}))")
+        case "UNICODE" =>
+          require(args.size == 1, "UNICODE takes (string)")
+          Some(s"graft_unicode((${args(0)}))")
+        case "ASCII" =>
+          require(args.size == 1, "ASCII takes (string)")
+          Some(s"graft_ascii((${args(0)}))")
+        case "CHR" =>
+          require(args.size == 1, "CHR takes (code_point)")
+          Some(s"graft_chr((${args(0)}))")
+        case "SOUNDEX" =>
+          require(args.size == 1, "SOUNDEX takes (string)")
+          Some(s"graft_soundex((${args(0)}))")
+        case "INITCAP" =>
+          require(args.size == 1 || args.size == 2,
+            "INITCAP takes (string [, delimiters])")
+          if (args.size == 1) Some(s"graft_initcap((${args(0)}))")
+          else Some(s"graft_initcap((${args(0)}), ${args(1)})")
+        // BigQuery TEXT_ANALYZE(text [, analyzer => '...']) — the
+        // tokenizer behind SEARCH/CREATE SEARCH INDEX exposed as a
+        // scalar returning ARRAY<STRING>. LOG_ANALYZER (default) is
+        // the B31/A44 analyzer EXACTLY (lowercase, split on
+        // non-[a-z0-9] runs — the documented simplification of
+        // BigQuery's delimiter list), so TEXT_ANALYZE output answers
+        // the same containment SEARCH computes. NO_OP_ANALYZER is the
+        // whole value as one term. PATTERN_ANALYZER and
+        // analyzer_options are loud — a silently different token set
+        // corrupts every downstream count.
+        case "TEXT_ANALYZE" =>
+          require(args.size == 1 || args.size == 2,
+            "TEXT_ANALYZE takes (text [, analyzer => '...'])")
+          val analyzer = if (args.size == 2) {
+            val a = args(1).trim
+            val arrow = a.indexOf("=>")
+            require(arrow > 0 &&
+              a.substring(0, arrow).trim.equalsIgnoreCase("analyzer"),
+              s"TEXT_ANALYZE's second argument is analyzer => '...', got: $a " +
+                "(analyzer_options is not supported)")
+            val v = a.substring(arrow + 2).trim
+            require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+              s"TEXT_ANALYZE analyzer must be a quoted literal, got: $v")
+            v.substring(1, v.length - 1).toUpperCase(java.util.Locale.ROOT)
+          } else "LOG_ANALYZER"
+          analyzer match {
+            case "LOG_ANALYZER" =>
+              // the THREE-argument split: the 2-arg form would be
+              // re-matched by the SPLIT literal-delimiter rewrite on
+              // the next fixpoint pass and regex-quote the pattern
+              Some(s"array_remove(split(lower((${args(0)})), '[^a-z0-9]+', -1), '')")
+            case "NO_OP_ANALYZER" => Some(s"array((${args(0)}))")
+            case other => throw new IllegalArgumentException(
+              s"TEXT_ANALYZE analyzer '$other' is not supported " +
+                "(LOG_ANALYZER, NO_OP_ANALYZER; PATTERN_ANALYZER needs analyzer_options)")
+          }
         // NET.IP_* (netip.scala): BYTES-carried IPv4/IPv6 addresses,
         // exact byte arithmetic, registry-routed natives (the
         // graft_*-named inner calls never re-match the scanner)

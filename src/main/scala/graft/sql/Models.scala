@@ -29,7 +29,7 @@ private[graft] object Models {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
     val names = Seq("ML.MIN_MAX_SCALER", "ML.STANDARD_SCALER",
       "ML.QUANTILE_BUCKETIZE", "ML.IMPUTER", "ML.ROBUST_SCALER",
-      "ML.MAX_ABS_SCALER")
+      "ML.MAX_ABS_SCALER", "ML.ONE_HOT_ENCODER", "ML.LABEL_ENCODER")
     if (!names.exists(upper.contains)) return sql
     def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
     val out = new StringBuilder
@@ -119,6 +119,34 @@ private[graft] object Models {
             }
             val f = parts.head
             val xd = s"CAST(($f) AS DOUBLE)"
+            // the encoder pair shares one vocabulary rule: every
+            // distinct non-NULL value kept (frequency_threshold=1 —
+            // the only regime ONE window expresses; BigQuery's
+            // default 5 selects the vocabulary BY FREQUENCY, which
+            // needs a pre-pass — loud, never silently different),
+            // indexed 1..k alphabetically by a dense_rank whose keys
+            // sort NULLs last; NULL encodes 0; a vocabulary larger
+            // than top_k RAISES (top-k-by-frequency selection is the
+            // same inexpressible pre-pass — raising beats silently
+            // dropping the alphabetical tail).
+            def encoderIndex(topK: String, thresh: String, what: String): String = {
+              require(thresh.trim == "1",
+                s"$what frequency_threshold must be the literal 1 — BigQuery's default " +
+                  "(5) selects the vocabulary by FREQUENCY, which needs a pre-pass no " +
+                  s"single window expresses; spell $what(..., top_k, 1)")
+              val spec = specBody.getOrElse(throw new IllegalArgumentException(
+                s"$what needs an inline OVER (...) spec — the ORDER BY injection " +
+                  "cannot reach into a named window"))
+              require(!spec.toUpperCase(java.util.Locale.ROOT).matches("(?s).*\\bORDER\\b.*"),
+                s"$what's OVER must not carry ORDER BY — the vocabulary defines the order")
+              val dr = s"DENSE_RANK() OVER ($spec ORDER BY " +
+                s"(CASE WHEN ($f) IS NULL THEN 1 ELSE 0 END), ($f))"
+              s"(CASE WHEN ($f) IS NULL THEN CAST(0 AS BIGINT) " +
+                s"WHEN $dr > ($topK) THEN CAST(raise_error(concat('$what: vocabulary " +
+                s"exceeds top_k = ', CAST(($topK) AS STRING), ' — top-k-by-frequency " +
+                s"selection needs the same pre-pass')) AS BIGINT) " +
+                s"ELSE CAST($dr AS BIGINT) END)"
+            }
             out ++= (n match {
               case "ML.MIN_MAX_SCALER" =>
                 require(parts.size == 1, "ML.MIN_MAX_SCALER takes (feature)")
@@ -154,6 +182,26 @@ private[graft] object Models {
                   "ML.QUANTILE_BUCKETIZE's OVER must not carry ORDER BY — the feature " +
                     "defines the quantile order")
                 s"concat('bin_', CAST(NTILE(${parts(1)}) OVER ($spec ORDER BY ($f)) AS STRING))"
+              // alphabetical label index, the threshold-1 regime
+              case "ML.LABEL_ENCODER" =>
+                require(parts.size == 3,
+                  "ML.LABEL_ENCODER takes (expr, top_k, frequency_threshold) — spell " +
+                    "all three (the BigQuery defaults imply frequency selection; " +
+                    "frequency_threshold must be 1)")
+                encoderIndex(parts(1), parts(2), "ML.LABEL_ENCODER")
+              // the same index as a single-element (index, 1.0) array
+              case "ML.ONE_HOT_ENCODER" =>
+                require(parts.size == 4,
+                  "ML.ONE_HOT_ENCODER takes (expr, drop, top_k, frequency_threshold) — " +
+                    "spell all four (drop 'none'; frequency_threshold must be 1)")
+                val drop = parts(1).trim.stripPrefix("'").stripSuffix("'")
+                  .toLowerCase(java.util.Locale.ROOT)
+                require(drop == "none",
+                  s"ML.ONE_HOT_ENCODER drop='$drop' is not supported ('none' only — " +
+                    "'most_frequent'/'zero_variance' need the frequency pre-pass)")
+                s"(array(named_struct('index', " +
+                  s"${encoderIndex(parts(2), parts(3), "ML.ONE_HOT_ENCODER")}, " +
+                  "'value', CAST(1.0 AS DOUBLE))))"
               case _ => // ML.IMPUTER
                 require(parts.size == 2,
                   "ML.IMPUTER takes (feature, 'mean'|'median'|'most_frequent')")

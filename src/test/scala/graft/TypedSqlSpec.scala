@@ -2792,6 +2792,93 @@ class TypedSqlSpec extends SparkSuite {
     }.getMessage.contains("strategy"))
   }
 
+  test("ML.LABEL_ENCODER / ML.ONE_HOT_ENCODER: alphabetical vocabulary, threshold-1 regime") {
+    import spark.implicits._
+    Seq((1L, Some("pear")), (2L, Some("apple")), (3L, None),
+        (4L, Some("banana")), (5L, Some("apple")))
+      .toDF("id", "fruit").createOrReplaceTempView("enc_t")
+    val le = GraftSql.load(spark,
+      "SELECT id, ML.LABEL_ENCODER(fruit, 1000, 1) OVER () AS code FROM enc_t ORDER BY id")
+      .collect().map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq
+    // apple=1, banana=2, pear=3 alphabetically; NULL encodes 0
+    assert(le == Seq(3L, 1L, 0L, 2L, 1L))
+    val oh = GraftSql.load(spark,
+      "SELECT id, ML.ONE_HOT_ENCODER(fruit, 'none', 1000, 1) OVER () AS oh FROM enc_t ORDER BY id")
+      .collect().map { r =>
+        val a = r.getSeq[org.apache.spark.sql.Row](1)
+        (a.length, a.head.getLong(0), a.head.getDouble(1))
+      }.toSeq
+    assert(oh == Seq((1, 3L, 1.0), (1, 1L, 1.0), (1, 0L, 1.0), (1, 2L, 1.0), (1, 1L, 1.0)))
+    // per-partition vocabularies via the spec
+    val pp = GraftSql.load(spark,
+      """SELECT id, ML.LABEL_ENCODER(fruit, 1000, 1) OVER (PARTITION BY id % 2) AS code
+        |FROM enc_t ORDER BY id""".stripMargin).collect().map(_.getLong(1)).toSeq
+    // odd ids {1,3,5}: apple=1, pear=2 (null row 3 -> 0);
+    // even ids {2,4}: apple=1, banana=2
+    assert(pp == Seq(2L, 1L, 0L, 2L, 1L))
+    // louds: implicit defaults, non-1 threshold, ORDER BY, drop modes,
+    // and the runtime top_k overflow raise
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT ML.LABEL_ENCODER(fruit) OVER () AS c FROM enc_t")
+    }.getMessage.contains("top_k"))
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT ML.LABEL_ENCODER(fruit, 1000, 5) OVER () AS c FROM enc_t")
+    }.getMessage.contains("FREQUENCY"))
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT ML.LABEL_ENCODER(fruit, 1000, 1) OVER (ORDER BY id) AS c FROM enc_t")
+    }.getMessage.contains("ORDER BY"))
+    assert(intercept[IllegalArgumentException] { GraftSql.load(spark,
+      "SELECT ML.ONE_HOT_ENCODER(fruit, 'most_frequent', 1000, 1) OVER () AS c FROM enc_t")
+    }.getMessage.contains("drop"))
+    val overflow = intercept[Exception] { GraftSql.load(spark,
+      "SELECT ML.LABEL_ENCODER(fruit, 2, 1) OVER () AS c FROM enc_t").collect() }
+    assert(overflow.getMessage.contains("top_k") || overflow.getCause != null)
+  }
+
+  test("TO_CODE_POINTS family + UNICODE/ASCII/CHR/SOUNDEX/INITCAP + TEXT_ANALYZE") {
+    val r = GraftSql.load(spark,
+      """SELECT TO_CODE_POINTS('abc') AS cps,
+        |       TO_CODE_POINTS(FROM_HEX('00ff')) AS bps,
+        |       CODE_POINTS_TO_STRING([99, 97, 102, 233]) AS cafe,
+        |       TO_HEX(CODE_POINTS_TO_BYTES([0, 255])) AS bhex,
+        |       UNICODE('âbcd') AS u1, UNICODE('') AS u0, ASCII('abcd') AS a1,
+        |       CHR(97) AS c1, CHR(0) AS c0, LENGTH(CHR(769)) AS clen,
+        |       SOUNDEX('Robert') AS sx, INITCAP('hello-world foo_bar aB') AS ic,
+        |       INITCAP('a.b,c', '.') AS ic2,
+        |       TEXT_ANALYZE('Hello, WORLD-42!') AS ta,
+        |       TEXT_ANALYZE('a b', analyzer => 'NO_OP_ANALYZER') AS tn""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(97L, 98L, 99L))
+    assert(r.getSeq[Long](1) == Seq(0L, 255L))
+    assert(r.getString(2) == "café")
+    assert(r.getString(3) == "00ff")
+    assert(r.getLong(4) == 226L && r.getLong(5) == 0L && r.getLong(6) == 97L)
+    assert(r.getString(7) == "a" && r.getString(8) == "" && r.getInt(9) == 1)
+    assert(r.getString(10) == "r163")
+    assert(r.getString(11) == "Hello-World Foo_Bar Ab")
+    assert(r.getString(12) == "A.B,c")
+    assert(r.getSeq[String](13) == Seq("hello", "world", "42"))
+    assert(r.getSeq[String](14) == Seq("a b"))
+    // astral characters are ONE code point, and CHR round-trips them
+    val g = GraftSql.load(spark,
+      "SELECT TO_CODE_POINTS(CHR(119070)) AS a, UNICODE(CHR(119070)) AS u").head()
+    assert(g.getSeq[Long](0) == Seq(119070L) && g.getLong(1) == 119070L)
+    // raises: non-ASCII first char, invalid code points, byte range
+    for (bad <- Seq(
+        "SELECT ASCII('âbc') AS x",
+        "SELECT CODE_POINTS_TO_STRING([55296]) AS x",
+        "SELECT CODE_POINTS_TO_STRING([1114112]) AS x",
+        "SELECT CODE_POINTS_TO_BYTES([256]) AS x",
+        "SELECT CHR(55296) AS x"))
+      intercept[Exception](GraftSql.load(spark, bad).collect())
+    // TEXT_ANALYZE louds: pattern analyzer and a stray named argument
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT TEXT_ANALYZE('x', analyzer => 'PATTERN_ANALYZER') AS t"))
+      .getMessage.contains("PATTERN_ANALYZER"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT TEXT_ANALYZE('x', analyzer_options => '{}') AS t"))
+      .getMessage.contains("analyzer"))
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
