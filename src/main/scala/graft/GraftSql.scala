@@ -1252,6 +1252,7 @@ object GraftSql {
         require(mat == null, "DROP MATERIALIZED FUNCTION is not a statement")
         val ie = if (ifExists != null) "IF EXISTS " else ""
         spark.sql(s"DROP TEMPORARY FUNCTION $ie$name")
+        routineRegistry.remove(mvKey(spark, name))
         return spark.emptyDataFrame
       }
       if (kindUp == "PROCEDURE") {
@@ -1630,6 +1631,8 @@ object GraftSql {
       val ddl = s"CREATE ${rep}TEMPORARY FUNCTION $name(${graft.sql.Functions.mapBqTypes(params)}) " +
         s"$returns RETURN ${graft.sql.Functions.mapBqTypesInCasts(body)}"
       spark.sql(ddl)
+      routineRegistry(mvKey(spark, name)) = RoutineState(
+        params, returns.stripPrefix("RETURNS").trim, body, tableFn != null)
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException(
       "not a supported CREATE FUNCTION statement (expected: CREATE [OR REPLACE] " +
@@ -4075,6 +4078,9 @@ object GraftSql {
       postings.repartition(FF.col("token"))
         .write.mode("overwrite").parquet(path)
       spark.read.parquet(path).createOrReplaceTempView(name)
+      searchIdxRegistry(mvKey(spark, name)) = SearchIdxState(
+        viewName(rawTbl), idCol, textCol,
+        if (analyzer == "LOG") "LOG_ANALYZER" else "NO_OP_ANALYZER")
       spark.emptyDataFrame
     case _ => throw new IllegalArgumentException(
       "not a CREATE SEARCH INDEX statement (expected: CREATE SEARCH INDEX " +
@@ -4086,6 +4092,7 @@ object GraftSql {
     case DropSearchIndexRe(ifExists, rawName) =>
       val name = viewName(rawName)
       val existed = spark.catalog.dropTempView(name)
+      searchIdxRegistry.remove(mvKey(spark, name))
       require(existed || ifExists != null,
         s"DROP SEARCH INDEX $name: no such index (use IF EXISTS to ignore)")
       spark.emptyDataFrame
@@ -4117,6 +4124,18 @@ object GraftSql {
 
   private val vecIdxRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), VecIndexState]
+
+  // metadata mirrors for the INFORMATION_SCHEMA.*_INDEXES / ROUTINES
+  // views — bounded (one row per DDL statement), session-keyed like
+  // vecIdxRegistry
+  private case class SearchIdxState(table: String, idCol: String,
+                                    textCol: String, analyzer: String)
+  private val searchIdxRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), SearchIdxState]
+  private case class RoutineState(params: String, dataType: String,
+                                  body: String, tableFn: Boolean)
+  private val routineRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), RoutineState]
 
   private val VectorIndexRe =
     ("""(?is)^\s*CREATE\s+VECTOR\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
@@ -4253,6 +4272,8 @@ object GraftSql {
     var i = 0; var inStr = false; var inTick = false
     var replacedTables = false; var replacedColumns = false
     var replacedPartitions = false; var replacedViews = false
+    var replacedSearchIdx = false; var replacedVectorIdx = false
+    var replacedRoutines = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
@@ -4275,16 +4296,74 @@ object GraftSql {
         } else if (upper.startsWith("VIEWS", rest) &&
           (rest + 5 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 5)) && sql.charAt(rest + 5) != '_')) {
           out ++= "__information_schema_views"; replacedViews = true; i = rest + 5
+        } else if (upper.startsWith("SEARCH_INDEXES", rest) &&
+          (rest + 14 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 14)) && sql.charAt(rest + 14) != '_')) {
+          out ++= "__information_schema_search_indexes"; replacedSearchIdx = true; i = rest + 14
+        } else if (upper.startsWith("VECTOR_INDEXES", rest) &&
+          (rest + 14 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 14)) && sql.charAt(rest + 14) != '_')) {
+          out ++= "__information_schema_vector_indexes"; replacedVectorIdx = true; i = rest + 14
+        } else if (upper.startsWith("ROUTINES", rest) &&
+          (rest + 8 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 8)) && sql.charAt(rest + 8) != '_')) {
+          out ++= "__information_schema_routines"; replacedRoutines = true; i = rest + 8
         } else throw new IllegalArgumentException(
-          "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS and .VIEWS are " +
-            "available (a session catalog has no jobs/routines metadata)")
+          "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .VIEWS, " +
+            ".SEARCH_INDEXES, .VECTOR_INDEXES and .ROUTINES are available " +
+            "(a session catalog has no jobs metadata)")
       } else { out += c; i += 1 }
     }
     if (replacedTables) tablesView(spark).createOrReplaceTempView("__information_schema_tables")
     if (replacedColumns) columnsView(spark).createOrReplaceTempView("__information_schema_columns")
     if (replacedPartitions) partitionsView(spark).createOrReplaceTempView("__information_schema_partitions")
     if (replacedViews) viewsView(spark).createOrReplaceTempView("__information_schema_views")
+    if (replacedSearchIdx)
+      searchIndexesView(spark).createOrReplaceTempView("__information_schema_search_indexes")
+    if (replacedVectorIdx)
+      vectorIndexesView(spark).createOrReplaceTempView("__information_schema_vector_indexes")
+    if (replacedRoutines)
+      routinesView(spark).createOrReplaceTempView("__information_schema_routines")
     out.toString
+  }
+
+  /** INFORMATION_SCHEMA.SEARCH_INDEXES — this session's A44 indexes
+    * from the DDL registry (one row per index; creation timestamps
+    * are deliberately OMITTED rather than faked — they are the one
+    * nondeterministic column BigQuery carries here). */
+  private def searchIndexesView(spark: SparkSession): DataFrame = {
+    val sid = System.identityHashCode(spark)
+    import spark.implicits._
+    searchIdxRegistry.toSeq.collect {
+      case ((s, n), st) if s == sid =>
+        (n, st.table, "ACTIVE", st.analyzer, st.idCol, st.textCol)
+    }.sortBy(_._1)
+      .toDF("index_name", "table_name", "index_status", "analyzer",
+        "id_column", "text_column")
+  }
+
+  /** INFORMATION_SCHEMA.VECTOR_INDEXES — this session's A50 indexes. */
+  private def vectorIndexesView(spark: SparkSession): DataFrame = {
+    val sid = System.identityHashCode(spark)
+    import spark.implicits._
+    vecIdxRegistry.toSeq.collect {
+      case ((s, n), st) if s == sid =>
+        (n, st.table, st.col, "IVF", "COSINE", st.numLists.toLong, "ACTIVE")
+    }.sortBy(_._1)
+      .toDF("index_name", "table_name", "column_name", "index_type",
+        "distance_type", "num_lists", "index_status")
+  }
+
+  /** INFORMATION_SCHEMA.ROUTINES — this session's A38 SQL functions
+    * (BigQuery's core columns; routine_body is always 'SQL' here —
+    * the only body kind the engine registers). */
+  private def routinesView(spark: SparkSession): DataFrame = {
+    val sid = System.identityHashCode(spark)
+    import spark.implicits._
+    routineRegistry.toSeq.collect {
+      case ((s, n), st) if s == sid =>
+        (n, if (st.tableFn) "TABLE FUNCTION" else "FUNCTION",
+          if (st.dataType.isEmpty) null else st.dataType, "SQL", st.body)
+    }.sortBy(_._1)
+      .toDF("routine_name", "routine_type", "data_type", "routine_body",
+        "routine_definition")
   }
 
   /** INFORMATION_SCHEMA.VIEWS — BigQuery's shape (table_catalog,

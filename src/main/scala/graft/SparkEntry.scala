@@ -821,6 +821,35 @@ object SparkEntry {
           |ORDER BY partition_id""".stripMargin)
     }),
 
+    // A37b driver face (round 13): the DDL-registry INFORMATION_SCHEMA
+    // views — a search index, a vector index and a SQL routine created
+    // through the statement surface, read back joined from
+    // SEARCH_INDEXES / VECTOR_INDEXES / ROUTINES; every column is
+    // determined by the DDL TEXT alone, so the oracle is the
+    // hand-derived literal row (the q_json_keys discipline)
+    "sql_info_schema_meta" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("ism_docs")
+      Tables.embeddings(s, d).createOrReplaceTempView("ism_emb")
+      graft.GraftSql.load(s,
+        "CREATE SEARCH INDEX IF NOT EXISTS ism_sidx ON ism_docs (doc_id, text)")
+      graft.GraftSql.load(s,
+        """CREATE VECTOR INDEX IF NOT EXISTS ism_vidx ON ism_emb (embedding)
+          |OPTIONS(index_type = 'IVF', distance_type = 'COSINE',
+          |        ivf_options = '{"num_lists": 4}')""".stripMargin)
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE TEMP FUNCTION ism_twice(x INT64) RETURNS INT64 AS (x * 2)")
+      graft.GraftSql.load(s,
+        """SELECT si.index_name, si.table_name, si.analyzer,
+          |       vi.index_name AS v_name, vi.column_name, vi.index_type,
+          |       vi.distance_type, CAST(vi.num_lists AS BIGINT) AS num_lists,
+          |       r.routine_name, r.routine_type, r.data_type, r.routine_definition
+          |FROM INFORMATION_SCHEMA.SEARCH_INDEXES si
+          |CROSS JOIN INFORMATION_SCHEMA.VECTOR_INDEXES vi
+          |CROSS JOIN INFORMATION_SCHEMA.ROUTINES r
+          |WHERE si.index_name = 'ism_sidx' AND vi.index_name = 'ism_vidx'
+          |  AND r.routine_name = 'ism_twice'""".stripMargin)
+    }),
+
     // A36c driver face: a stored procedure defined and CALLed through
     // the SQL surface; the procedure parameterizes a gated aggregate,
     // the caller passes script variables — the oracle replays the
@@ -4090,6 +4119,15 @@ object SparkEntry {
           |       strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y%m%d') AS partition_id,
           |       COUNT(*) AS total_rows
           |FROM events GROUP BY 2 ORDER BY partition_id""".stripMargin,
+      // every registry column is determined by the DDL text — the
+      // oracle IS the hand-derived literal row
+      "sql_info_schema_meta" ->
+        """SELECT 'ism_sidx' AS index_name, 'ism_docs' AS table_name,
+          |       'LOG_ANALYZER' AS analyzer, 'ism_vidx' AS v_name,
+          |       'embedding' AS column_name, 'IVF' AS index_type,
+          |       'COSINE' AS distance_type, CAST(4 AS BIGINT) AS num_lists,
+          |       'ism_twice' AS routine_name, 'FUNCTION' AS routine_type,
+          |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition""".stripMargin,
       // the stored-procedure face replays as the fully-substituted
       // statement (g=1.0, cap=7)
       "sql_procedure" ->

@@ -2879,6 +2879,50 @@ class TypedSqlSpec extends SparkSuite {
       .getMessage.contains("analyzer"))
   }
 
+  test("INFORMATION_SCHEMA.SEARCH_INDEXES / VECTOR_INDEXES / ROUTINES mirror the DDL registries") {
+    graft.sources.Typed.registerAllViews(spark, sf)
+    GraftSql.load(spark, "DROP SEARCH INDEX IF EXISTS meta_sidx")
+    GraftSql.load(spark, "DROP VECTOR INDEX IF EXISTS meta_vidx")
+    GraftSql.load(spark,
+      "CREATE SEARCH INDEX meta_sidx ON documents (doc_id, text) OPTIONS(analyzer = 'NO_OP_ANALYZER')")
+    GraftSql.load(spark,
+      """CREATE VECTOR INDEX meta_vidx ON embeddings (embedding)
+        |OPTIONS(index_type = 'IVF', distance_type = 'COSINE',
+        |        ivf_options = '{"num_lists": 4}')""".stripMargin)
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TEMP FUNCTION meta_twice(x INT64) RETURNS INT64 AS (x * 2)")
+    val si = GraftSql.load(spark,
+      """SELECT index_name, table_name, index_status, analyzer, id_column, text_column
+        |FROM INFORMATION_SCHEMA.SEARCH_INDEXES WHERE index_name = 'meta_sidx'""".stripMargin).head()
+    assert(si.getString(1) == "documents" && si.getString(2) == "ACTIVE" &&
+      si.getString(3) == "NO_OP_ANALYZER" && si.getString(4) == "doc_id" &&
+      si.getString(5) == "text")
+    val vi = GraftSql.load(spark,
+      """SELECT table_name, column_name, index_type, distance_type, num_lists, index_status
+        |FROM INFORMATION_SCHEMA.VECTOR_INDEXES WHERE index_name = 'meta_vidx'""".stripMargin).head()
+    assert(vi.getString(0) == "embeddings" && vi.getString(1) == "embedding" &&
+      vi.getString(2) == "IVF" && vi.getString(3) == "COSINE" &&
+      vi.getLong(4) == 4L && vi.getString(5) == "ACTIVE")
+    val ro = GraftSql.load(spark,
+      """SELECT routine_type, data_type, routine_body, routine_definition
+        |FROM INFORMATION_SCHEMA.ROUTINES WHERE routine_name = 'meta_twice'""".stripMargin).head()
+    assert(ro.getString(0) == "FUNCTION" && ro.getString(1) == "BIGINT" &&
+      ro.getString(2) == "SQL" && ro.getString(3) == "(x * 2)")
+    // drops unregister from the views
+    GraftSql.load(spark, "DROP SEARCH INDEX meta_sidx")
+    GraftSql.load(spark, "DROP VECTOR INDEX meta_vidx")
+    GraftSql.load(spark, "DROP FUNCTION meta_twice")
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.SEARCH_INDEXES WHERE index_name = 'meta_sidx'").count() == 0)
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.VECTOR_INDEXES WHERE index_name = 'meta_vidx'").count() == 0)
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.ROUTINES WHERE routine_name = 'meta_twice'").count() == 0)
+    // unknown views stay loud
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.JOBS")).getMessage.contains("SEARCH_INDEXES"))
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
