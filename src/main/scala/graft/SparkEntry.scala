@@ -2450,6 +2450,34 @@ object SparkEntry {
           |FROM t GROUP BY token HAVING COUNT(*) >= 20 ORDER BY token""".stripMargin)
     }),
 
+    // INTERVAL surface (round 13): BigQuery's three-part interval on
+    // Spark's CalendarInterval carrier — MAKE_INTERVAL, the JUSTIFY
+    // trio, EXTRACT, timestamp+interval arithmetic (months first,
+    // then days, then micros — both engines clamp month ends the
+    // same way), the range literal, and the canonical text as the
+    // GROUPING KEY; DuckDB replays justification as truncating
+    // integer division through printf and the arithmetic as
+    // sequential to_months/to_days/to_hours adds — hash bit-for-bit
+    "q_interval_ops" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("io_orders")
+      graft.GraftSql.load(s,
+        """WITH iv AS (
+          |  SELECT CAST(o_orderkey % 25 AS INT) AS m, CAST(o_orderkey % 40 AS INT) AS d,
+          |         CAST(o_orderkey % 30 AS INT) AS h,
+          |         CAST(o_orderdate AS TIMESTAMP) AS ts
+          |  FROM io_orders),
+          |j AS (
+          |  SELECT graft_interval_text(JUSTIFY_INTERVAL(
+          |           MAKE_INTERVAL(0, m, d, h, 0, 0))) AS jtxt,
+          |         EXTRACT(MONTH FROM JUSTIFY_DAYS(MAKE_INTERVAL(0, m, d))) AS jm,
+          |         ts + MAKE_INTERVAL(0, m, d, h, 0, 0) AS ts2
+          |  FROM iv)
+          |SELECT jtxt, COUNT(*) AS n, CAST(SUM(jm) AS BIGINT) AS jm_sum,
+          |       MIN(ts2) AS ts_min, MAX(ts2) AS ts_max,
+          |       MAX(graft_interval_text(INTERVAL '1-2 3 4:5:6.5' YEAR TO SECOND)) AS lit
+          |FROM j GROUP BY jtxt ORDER BY jtxt""".stripMargin)
+    }),
+
     // TIME type (round 13): the NTZ-carried time-of-day through the
     // full verb set — constructor from a timestamp, hour truncation
     // as the grouping key, diff-to-midnight sums, formatted min, and
@@ -5103,6 +5131,27 @@ object SparkEntry {
           |SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df,
           |       CAST(1 AS BIGINT) AS noop_len
           |FROM t GROUP BY token HAVING COUNT(*) >= 20 ORDER BY token""".stripMargin,
+      // justification replays as truncating integer division (24-hour
+      // and 30-day rolls) through printf; the timestamp arithmetic as
+      // sequential month/day/hour adds (same clamp order)
+      "q_interval_ops" ->
+        """WITH iv AS (
+          |  SELECT o_orderkey % 25 AS m, o_orderkey % 40 AS d, o_orderkey % 30 AS h,
+          |         CAST(o_orderdate AS TIMESTAMP) AS ts
+          |  FROM orders),
+          |j AS (
+          |  SELECT printf('%d-%d %d %d:%d:%d',
+          |                (m + (d + h // 24) // 30) // 12,
+          |                (m + (d + h // 24) // 30) % 12,
+          |                (d + h // 24) % 30, h % 24, 0, 0) AS jtxt,
+          |         (m + d // 30) % 12 AS jm,
+          |         ts + to_months(CAST(m AS INT)) + to_days(CAST(d AS INT))
+          |            + to_hours(CAST(h AS INT)) AS ts2
+          |  FROM iv)
+          |SELECT jtxt, COUNT(*) AS n, CAST(SUM(jm) AS BIGINT) AS jm_sum,
+          |       MIN(ts2) AS ts_min, MAX(ts2) AS ts_max,
+          |       MAX('1-2 3 4:5:6.5') AS lit
+          |FROM j GROUP BY jtxt ORDER BY jtxt""".stripMargin,
       // time-of-day replays as exact micros-of-day integer folds
       // rendered through printf (epoch_us % 86400000000)
       "q_time_ops" ->

@@ -2095,7 +2095,20 @@ object native {
       "graft_soundex(s) - lowercase soundex code (BigQuery SOUNDEX)",
       es => { arity("graft_soundex", es, 1)
         org.apache.spark.sql.catalyst.expressions.Lower(
-          org.apache.spark.sql.catalyst.expressions.SoundEx(es.head)) }))
+          org.apache.spark.sql.catalyst.expressions.SoundEx(es.head)) }),
+    // INTERVAL verbs (interval.scala) — the CalendarInterval carrier
+    ("graft_justify_days",
+      "graft_justify_days(i) - roll 30-day blocks into months (JUSTIFY_DAYS)",
+      es => { arity("graft_justify_days", es, 1); JustifyCalInterval(es.head, "days") }),
+    ("graft_justify_hours",
+      "graft_justify_hours(i) - roll 24-hour blocks into days (JUSTIFY_HOURS)",
+      es => { arity("graft_justify_hours", es, 1); JustifyCalInterval(es.head, "hours") }),
+    ("graft_justify_interval",
+      "graft_justify_interval(i) - justify hours then days (JUSTIFY_INTERVAL)",
+      es => { arity("graft_justify_interval", es, 1); JustifyCalInterval(es.head, "interval") }),
+    ("graft_interval_text",
+      "graft_interval_text(i) - BigQuery canonical '[-]Y-M [-]D [-]H:M:S[.F]' text",
+      es => { arity("graft_interval_text", es, 1); CalIntervalText(es.head) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -151,9 +151,18 @@ private[graft] object Functions {
               if (inner.trim.isEmpty) Seq.empty[String]
               else (p +: commas.toSeq :+ (q - 1)).sliding(2)
                 .map { case Seq(x, y) => sql.substring(x + 1, y).trim }.toSeq
-            // None from f = leave the ORIGINAL text verbatim (a
-            // Spark-native spelling must not even be re-cased)
-            Some((f(n, args).getOrElse(sql.substring(i, q)), q))
+            // None from f = leave the CALL HEAD verbatim (a
+            // Spark-native spelling must not even be re-cased) but
+            // keep scanning INSIDE the parens: a registered name
+            // nested in a passthrough call (EXTRACT(YEAR FROM
+            // DATE_ADD(...)), SPLIT's 3-arg form) must still
+            // rewrite — skipping the whole span left the interior
+            // BigQuery-spelled forever, because the same outer name
+            // re-matched (and re-passed) on every fixpoint pass
+            f(n, args) match {
+              case Some(text) => Some((text, q))
+              case None => Some((sql.substring(i, p + 1), p + 1))
+            }
           }
         }
         applied match {
@@ -405,6 +414,7 @@ private[graft] object Functions {
       "NET.IPV4_FROM_INT64", "NET.IPV4_TO_INT64", "TEXT_ANALYZE",
       "TO_CODE_POINTS", "CODE_POINTS_TO_STRING", "CODE_POINTS_TO_BYTES",
       "UNICODE", "ASCII", "CHR", "SOUNDEX", "INITCAP",
+      "MAKE_INTERVAL", "JUSTIFY_DAYS", "JUSTIFY_HOURS", "JUSTIFY_INTERVAL",
       "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
@@ -1460,6 +1470,48 @@ private[graft] object Functions {
             "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]*)', 1)), '')"
           val fn = if (name == "NET.REG_DOMAIN") "graft_reg_domain" else "graft_public_suffix"
           Some(s"$fn($host)")
+        // BigQuery MAKE_INTERVAL([year][, month][, day][, hour]
+        // [, minute][, second]) — positional OR named (`day => 2`),
+        // never mixed — onto Spark's make_interval (whose extra
+        // `weeks` slot pins to 0). The result is a CalendarInterval:
+        // BigQuery's exact three-part model, with EXTRACT, timestamp
+        // arithmetic and interval addition already Spark-native.
+        // Spark's own 7-arg spelling (with the weeks slot) — also what
+        // this rewrite itself emits — passes through untouched, so the
+        // fixpoint pass never re-matches its own output (the SPLIT
+        // 3-arg discipline)
+        case "MAKE_INTERVAL" if args.size == 7 => None
+        case "MAKE_INTERVAL" =>
+          require(args.size <= 6,
+            "MAKE_INTERVAL takes at most (year, month, day, hour, minute, second)")
+          val slots = Seq("year", "month", "day", "hour", "minute", "second")
+          val named = args.filter(_.contains("=>"))
+          require(named.isEmpty || named.size == args.size,
+            "MAKE_INTERVAL: don't mix named (part => value) and positional arguments")
+          val byName: Seq[String] =
+            if (named.isEmpty) slots.indices.map(i => if (i < args.size) s"(${args(i)})" else "0")
+            else {
+              val m = named.map { a =>
+                val arrow = a.indexOf("=>")
+                val k = a.substring(0, arrow).trim.toLowerCase(java.util.Locale.ROOT)
+                require(slots.contains(k),
+                  s"MAKE_INTERVAL: unknown part '$k' (year, month, day, hour, minute, second)")
+                k -> s"(${a.substring(arrow + 2).trim})"
+              }.toMap
+              require(m.size == named.size, "MAKE_INTERVAL: duplicate named part")
+              slots.map(k => m.getOrElse(k, "0"))
+            }
+          Some(s"make_interval(${byName(0)}, ${byName(1)}, 0, ${byName(2)}, " +
+            s"${byName(3)}, ${byName(4)}, ${byName(5)})")
+        case "JUSTIFY_DAYS" =>
+          require(args.size == 1, "JUSTIFY_DAYS takes (interval)")
+          Some(s"graft_justify_days((${args(0)}))")
+        case "JUSTIFY_HOURS" =>
+          require(args.size == 1, "JUSTIFY_HOURS takes (interval)")
+          Some(s"graft_justify_hours((${args(0)}))")
+        case "JUSTIFY_INTERVAL" =>
+          require(args.size == 1, "JUSTIFY_INTERVAL takes (interval)")
+          Some(s"graft_justify_interval((${args(0)}))")
         // the code-point family (functions/codepoints.scala):
         // registry-routed natives with BigQuery's exact domains —
         // notably CHR, where Spark's own chr WRAPS AT 256 (chr(233)
@@ -1834,7 +1886,7 @@ private[graft] object Functions {
     var cur = sql0; var n = 0
     var changed = true
     while (changed && n < 10) {
-      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(rangeLiterals(timeLiterals(cur))))))))
+      val next = mapBqTypesInCasts(inUnnest(subscripts(onePass(safePrefix(bracketLiterals(rangeLiterals(timeLiterals(intervalLiterals(cur)))))))))
       changed = next != cur
       cur = next; n += 1
     }
@@ -1878,6 +1930,110 @@ private[graft] object Functions {
       } else { out += c; i += 1 }
     }
     out.toString
+  }
+
+  /** BigQuery range-form INTERVAL literals — `INTERVAL '1-2 3 4:5:6'
+    * YEAR TO SECOND` (any contiguous part range) — parsed at REWRITE
+    * time into Spark's make_interval, the CalendarInterval carrier.
+    * Groups carry their own signs, BigQuery's payload grammar:
+    * `[-]Y-M`, `[-]D`, `[-]H:M:S[.F]` (subsets per the part range,
+    * fraction only when the range ends at SECOND). Bare single-part
+    * `INTERVAL n unit` stays Spark-native (same semantics). Same
+    * quote-aware scan contract as the TIME/RANGE literals.
+    */
+  private val IntervalRangeLitRe =
+    ("""(?is)^INTERVAL\s+'([^']*)'\s+""" +
+      """(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\s+TO\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)""").r
+  private val IntervalParts = Seq("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND")
+  private[graft] def intervalLiterals(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("INTERVAL")) return sql
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '`') { out += c; inTick = true; i += 1 }
+      else if ((c == 'I' || c == 'i') && upper.startsWith("INTERVAL", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1)))) {
+        IntervalRangeLitRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            out ++= intervalLiteralToMakeInterval(m.group(1).trim,
+              m.group(2).toUpperCase(java.util.Locale.ROOT),
+              m.group(3).toUpperCase(java.util.Locale.ROOT))
+            i += m.matched.length
+          case None => out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  private def intervalLiteralToMakeInterval(payload: String, p1: String, p2: String): String = {
+    val lo = IntervalParts.indexOf(p1)
+    val hi = IntervalParts.indexOf(p2)
+    require(lo <= hi, s"INTERVAL literal: $p1 TO $p2 is not a valid part range")
+    // split into the up-to-three space-separated groups the range implies
+    val hasYm = lo <= 1
+    val hasDay = lo <= 2 && hi >= 2
+    val hasTime = hi >= 3
+    val groups = payload.split("\\s+").toSeq.filter(_.nonEmpty)
+    val expected = Seq(hasYm, hasDay, hasTime).count(identity)
+    require(groups.size == expected,
+      s"INTERVAL '$payload' $p1 TO $p2: expected $expected space-separated group(s), " +
+        s"got ${groups.size}")
+    var gi = 0
+    def nextGroup(): String = { val g = groups(gi); gi += 1; g }
+    def signOf(g: String): (Long, String) =
+      if (g.startsWith("-")) (-1L, g.substring(1)) else (1L, g.stripPrefix("+"))
+    var months = 0L; var days = 0L
+    var hours = 0L; var minutes = 0L; var secondsTxt = "0"
+    var timeSign = 1L
+    if (hasYm) {
+      val (sg, body) = signOf(nextGroup())
+      val parts = body.split("-", -1)
+      (lo, math.min(hi, 1)) match {
+        case (0, 0) =>
+          require(parts.length == 1, s"INTERVAL ym group '$body': expected Y")
+          months = sg * parts(0).toLong * 12
+        case (0, 1) =>
+          require(parts.length == 2, s"INTERVAL ym group '$body': expected Y-M")
+          months = sg * (parts(0).toLong * 12 + parts(1).toLong)
+        case _ => // MONTH-led
+          require(parts.length == 1, s"INTERVAL ym group '$body': expected M")
+          months = sg * parts(0).toLong
+      }
+    }
+    if (hasDay) {
+      val (sg, body) = signOf(nextGroup())
+      days = sg * body.toLong
+    }
+    if (hasTime) {
+      val (sg, body) = signOf(nextGroup())
+      timeSign = sg
+      val t = body.split(":", -1)
+      val tLo = math.max(lo, 3); val n = hi - tLo + 1
+      require(t.length == n,
+        s"INTERVAL time group '$body': expected $n ':'-separated field(s) for " +
+          s"${IntervalParts(tLo)} TO $p2")
+      val vals = IntervalParts.slice(tLo, hi + 1).zip(t)
+      vals.foreach { case (part, v) =>
+        part match {
+          case "HOUR" => hours = v.toLong
+          case "MINUTE" => minutes = v.toLong
+          case "SECOND" =>
+            require(v.matches("""\d+(\.\d{1,6})?"""),
+              s"INTERVAL seconds field '$v' is not a number")
+            secondsTxt = v
+        }
+      }
+    }
+    val secSigned = if (timeSign < 0) s"-$secondsTxt" else secondsTxt
+    s"make_interval(0, $months, 0, $days, ${timeSign * hours}, " +
+      s"${timeSign * minutes}, CAST($secSigned AS DECIMAL(18,6)))"
   }
 
   private val RangeLitRe =

@@ -1947,9 +1947,10 @@ class TypedSqlSpec extends SparkSuite {
     assert(GraftSql.load(spark,
       "SELECT * FROM INFORMATION_SCHEMA.VIEWS WHERE table_name = 'isv_view'")
       .collect().isEmpty)
-    // unknown views stay loud, naming the available set
+    // unknown views stay loud, naming the available set (ROUTINES
+    // graduated to a real view in round 13 — JOBS is the stand-in)
     assert(intercept[IllegalArgumentException] {
-      GraftSql.load(spark, "SELECT * FROM INFORMATION_SCHEMA.ROUTINES")
+      GraftSql.load(spark, "SELECT * FROM INFORMATION_SCHEMA.JOBS")
     }.getMessage.contains(".VIEWS"))
   }
 
@@ -2921,6 +2922,54 @@ class TypedSqlSpec extends SparkSuite {
     // unknown views stay loud
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT * FROM INFORMATION_SCHEMA.JOBS")).getMessage.contains("SEARCH_INDEXES"))
+  }
+
+  test("INTERVAL: range literals, MAKE_INTERVAL, JUSTIFY trio, canonical text, arithmetic") {
+    def one(q: String) = GraftSql.load(spark, q).head()
+    // the range literal parses at rewrite time; graft_interval_text is
+    // BigQuery's canonical CAST(i AS STRING) byte layout
+    assert(one("SELECT graft_interval_text(INTERVAL '1-2 3 4:5:6.5' YEAR TO SECOND) AS t")
+      .getString(0) == "1-2 3 4:5:6.5")
+    assert(one("SELECT graft_interval_text(INTERVAL '10:20:30' HOUR TO SECOND) AS t")
+      .getString(0) == "0-0 0 10:20:30")
+    assert(one("SELECT graft_interval_text(INTERVAL '-1-2 -3 -4:5:6' YEAR TO SECOND) AS t")
+      .getString(0) == "-1-2 -3 -4:5:6")
+    assert(one("SELECT graft_interval_text(INTERVAL '2 12' DAY TO HOUR) AS t")
+      .getString(0) == "0-0 2 12:0:0")
+    // MAKE_INTERVAL: positional, named, and Spark's own 7-arg untouched
+    assert(one("SELECT graft_interval_text(MAKE_INTERVAL(1, 2, 3, 4, 5, 6)) AS t")
+      .getString(0) == "1-2 3 4:5:6")
+    assert(one("SELECT graft_interval_text(MAKE_INTERVAL(day => 3, year => 1)) AS t")
+      .getString(0) == "1-0 3 0:0:0")
+    assert(one("SELECT graft_interval_text(make_interval(1, 2, 0, 3, 4, 5, 6)) AS t")
+      .getString(0) == "1-2 3 4:5:6")
+    // EXTRACT and timestamp arithmetic are Spark-native on the carrier
+    val ex = one(
+      """SELECT EXTRACT(YEAR FROM MAKE_INTERVAL(1, 14)) AS y,
+        |       EXTRACT(MONTH FROM MAKE_INTERVAL(1, 14)) AS m,
+        |       TIMESTAMP '2024-01-31 00:00:00' + MAKE_INTERVAL(0, 1) AS ts,
+        |       graft_interval_text(MAKE_INTERVAL(0, 1, 1) + MAKE_INTERVAL(0, 1, 2)) AS s2""".stripMargin)
+    assert(ex.getAs[Number](0).longValue == 2L && ex.getAs[Number](1).longValue == 2L)
+    assert(ex.getTimestamp(2).toString.startsWith("2024-02-29"))
+    assert(ex.getString(3) == "0-2 3 0:0:0")
+    // JUSTIFY: 30-day and 24-hour rolls, truncation toward zero on negatives
+    assert(one("SELECT graft_interval_text(JUSTIFY_DAYS(INTERVAL '0-0 65 0:0:0' YEAR TO SECOND)) AS t")
+      .getString(0) == "0-2 5 0:0:0")
+    assert(one("SELECT graft_interval_text(JUSTIFY_HOURS(INTERVAL '50:0:0' HOUR TO SECOND)) AS t")
+      .getString(0) == "0-0 2 2:0:0")
+    assert(one("SELECT graft_interval_text(JUSTIFY_INTERVAL(INTERVAL '0-0 35 49:30:0' YEAR TO SECOND)) AS t")
+      .getString(0) == "0-1 7 1:30:0")
+    assert(one("SELECT graft_interval_text(JUSTIFY_DAYS(INTERVAL '0-0 -65 0:0:0' YEAR TO SECOND)) AS t")
+      .getString(0) == "-0-2 -5 0:0:0")
+    // louds: mixed args, unknown part, malformed payloads
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT MAKE_INTERVAL(1, day => 2) AS i")).getMessage.contains("mix"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT MAKE_INTERVAL(week => 2) AS i")).getMessage.contains("unknown part"))
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT INTERVAL '1-2' YEAR TO SECOND AS i"))
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT INTERVAL '1:2:3:4' HOUR TO SECOND AS i"))
   }
 
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
