@@ -342,4 +342,39 @@ class PlanSpec extends SparkSuite {
         s"$q plan degenerated:\n${p.take(1500)}")
     }
   }
+
+  test("sessionizeRanges plans exactly one shuffle: both window passes share the sort") {
+    // the interval-merge shape: island detection (running max-end)
+    // and per-island extents are two Window operators over the SAME
+    // (partition keys) exchange — a second exchange would mean the
+    // session-extent pass re-shuffled what the detection pass
+    // already co-located
+    import org.apache.spark.sql.{functions => F}
+    val rows = spark.range(2000).select(
+      (F.col("id") % 7).as("k"),
+      F.struct(
+        F.date_add(F.lit(java.sql.Date.valueOf("2024-01-01")),
+          (F.col("id") % 300).cast("int")).as("range_start"),
+        F.date_add(F.lit(java.sql.Date.valueOf("2024-01-01")),
+          (F.col("id") % 300 + F.col("id") % 20 + 1).cast("int")).as("range_end")).as("rng"))
+    val out = graft.operators.Resample.sessionizeRanges(rows, "rng", Seq("k"))
+    val p = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected ONE hash exchange, got $exchanges:\n${p.take(2000)}")
+    assert("Window".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
+  test("round-13 faces stay join-degeneracy-free, scans stay pruned") {
+    // (no WholeStageCodegen assertion here: the AQE preview plan
+    // inserts codegen per query stage at EXECUTION, so the marker is
+    // absent from executedPlan.toString before a collect)
+    for (q <- Seq("q_net_ip", "q_codepoints", "q_interval_ops", "q_ml_label_encode",
+        "sql_range_sessionize", "q_text_analyze")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan degenerated:\n${p.take(1500)}")
+    }
+    // the NET.IP face reads exactly ONE column of the 5-column events
+    assert(plan("q_net_ip").contains("ReadSchema: struct<user_id:bigint>"))
+  }
 }

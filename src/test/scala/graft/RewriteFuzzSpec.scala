@@ -27,6 +27,10 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "TIME '12:34:56'", "RANGE<DATE> '[2023-01-01, 2023-12-31)'",
     "FORMAT('%d', x)", "DATE_BUCKET(d, INTERVAL 7 DAY)",
     "JSON_KEYS(j, 1)", "INT64('42')", "STRING(j)", "ERROR('boom')",
+    "NET.IP_FROM_STRING('1.2.3.4')", "TO_CODE_POINTS(s)", "CHR(97)",
+    "MAKE_INTERVAL(1, 2)", "JUSTIFY_DAYS(i)", "TEXT_ANALYZE(t)",
+    "INTERVAL '1-2 3 4:5:6' YEAR TO SECOND", "INITCAP(s, '.')",
+    "RANGE_INTERSECT(r1, r2)", "ML.LABEL_ENCODER(f, 10, 1)",
     "plain words", "commas, and, more", "(nested (parens))", "back`tick",
     "semicolon; inside", "percent % sign", "star *", "dots.and.paths")
 
@@ -114,7 +118,18 @@ class RewriteFuzzSpec extends AnyFunSuite {
       "SELECT FORMAT('ev-%06d:%s', id, tag) AS f, LAST_DAY(d, QUARTER) AS le FROM t",
       "SELECT JSON_KEYS(j, mode => 'lax recursive') AS ks, SAFE.INT64(j) AS i FROM t",
       "SELECT BOOL(j) AS b, STRING(j2) AS s, FLOAT64(j3, wide_number_mode => 'round') AS f FROM t",
-      "SELECT ML.FEATURE_CROSS(STRUCT(a, b)) AS fc, ML.POLYNOMIAL_EXPAND(STRUCT(p, q), 3) AS pe FROM t")
+      "SELECT ML.FEATURE_CROSS(STRUCT(a, b)) AS fc, ML.POLYNOMIAL_EXPAND(STRUCT(p, q), 3) AS pe FROM t",
+      "SELECT NET.IP_TO_STRING(NET.IP_TRUNC(NET.IP_FROM_STRING(s), 24)) AS n, NET.IPV4_TO_INT64(b) AS i FROM t",
+      "SELECT TO_CODE_POINTS(s) AS c, CODE_POINTS_TO_STRING(a) AS r, UNICODE(s) AS u, CHR(x) AS ch FROM t",
+      "SELECT INITCAP(s) AS i, INITCAP(s, '-') AS i2, SOUNDEX(s) AS sx, TRANSLATE(s, 'ab', 'xy') AS tr FROM t",
+      "SELECT TEXT_ANALYZE(t1) AS ta, TEXT_ANALYZE(t2, analyzer => 'NO_OP_ANALYZER') AS tn FROM t",
+      "SELECT MAKE_INTERVAL(1, 2, 3) AS i, MAKE_INTERVAL(day => 3, hour => 4) AS j FROM t",
+      "SELECT JUSTIFY_INTERVAL(MAKE_INTERVAL(0, m, d)) AS ji, JUSTIFY_HOURS(i) AS jh FROM t",
+      "SELECT EXTRACT(MONTH FROM JUSTIFY_DAYS(MAKE_INTERVAL(0, m, d))) AS jm FROM t",
+      "SELECT ts + INTERVAL '1-2 3 4:5:6.5' YEAR TO SECOND AS t2, INTERVAL '10:20:30' HOUR TO SECOND AS hs FROM t",
+      "SELECT EXTRACT(YEAR FROM DATE_ADD(d, INTERVAL 2 WEEK)) AS y FROM t",
+      "SELECT RANGE_INTERSECT(RANGE(a, b), RANGE<DATE> '[1995-01-01, 1996-01-01)') AS ix FROM t",
+      "SELECT ML.LABEL_ENCODER(f, 1000, 1) OVER () AS le, ML.ONE_HOT_ENCODER(f, 'none', 9, 1) OVER () AS oh FROM t")
     for (sql <- triggerHeavy) {
       val once = chain(sql)
       assert(chain(once) == once,
