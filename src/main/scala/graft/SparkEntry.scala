@@ -3715,6 +3715,31 @@ object SparkEntry {
           |FROM ML.PREDICT(MODEL linr_model, TABLE linr_src)
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     }),
+    // A52: ML.TRANSFORM (round 13) — the stored TRANSFORM select-list
+    // re-applied to raw rows, BigQuery's pre-processing replay TVF;
+    // the DuckDB oracle replays the TRANSFORM expressions textually,
+    // fully independent of the model machinery
+    "sql_ml_transform" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(F.col("l_orderkey").as("k"), F.col("l_linenumber").as("ln"),
+          F.col("l_quantity").cast("bigint").as("qty"),
+          (F.col("l_extendedprice").cast("decimal(14,2)") * F.lit(100)).cast("bigint")
+            .as("label"))
+        .createOrReplaceTempView("mtf_src")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE MODEL mtf_model
+          |TRANSFORM(k * 10 + ln AS rid, qty + ln AS qsum, label)
+          |OPTIONS(model_type = 'linear_reg')
+          |AS SELECT k, ln, qty, label FROM mtf_src""".stripMargin)
+      graft.GraftSql.load(s,
+        """SELECT CAST(rid % 7 AS BIGINT) AS rb, COUNT(*) AS n,
+          |       CAST(SUM(qsum) AS BIGINT) AS qsum_sum,
+          |       CAST(SUM(label) AS BIGINT) AS label_sum,
+          |       CAST(MIN(rid) AS BIGINT) AS rid_min, CAST(MAX(rid) AS BIGINT) AS rid_max
+          |FROM ML.TRANSFORM(MODEL mtf_model, TABLE mtf_src)
+          |GROUP BY rb ORDER BY rb""".stripMargin)
+    }),
+
     // A49b: ML.WEIGHTS (named inputs + __INTERCEPT__) × ML.EVALUATE
     // (mean_squared_error / r2_score) for the same model — the metric
     // fold is the stated algebraic SSE identity over the exact sums,
@@ -6742,6 +6767,19 @@ object SparkEntry {
       // same textual closed form over exact HUGEINT sums (the engine's
       // sums are exact decimals of the same integers; both convert to
       // doubles once, correctly rounded, then fold identically)
+      // the TRANSFORM expressions replay textually on the raw table —
+      // fully independent of the model machinery
+      "sql_ml_transform" ->
+        """WITH t AS (
+          |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+          |         CAST(l_quantity AS BIGINT) + l_linenumber AS qsum,
+          |         CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS label
+          |  FROM lineitem)
+          |SELECT CAST(rid % 7 AS BIGINT) AS rb, COUNT(*) AS n,
+          |       CAST(SUM(qsum) AS BIGINT) AS qsum_sum,
+          |       CAST(SUM(label) AS BIGINT) AS label_sum,
+          |       CAST(MIN(rid) AS BIGINT) AS rid_min, CAST(MAX(rid) AS BIGINT) AS rid_max
+          |FROM t GROUP BY rb ORDER BY rb""".stripMargin,
       "sql_ml_linear" ->
         """WITH src AS (SELECT l_orderkey, l_linenumber,
           |                    CAST(l_quantity AS BIGINT) AS qty,

@@ -586,10 +586,43 @@ private[graft] object Models {
       }
       out
     }
-    onePass(onePass(onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
+    onePass(onePass(onePass(onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
       "ML.EVALUATE", mlEvaluateFromArgs),
       "ML.WEIGHTS", mlWeightsFromArgs),
-      "ML.CENTROIDS", mlCentroidsFromArgs)
+      "ML.CENTROIDS", mlCentroidsFromArgs),
+      "ML.TRANSFORM", mlTransformFromArgs)
+  }
+
+  /** ML.TRANSFORM(MODEL m, TABLE t | (query)) — the input AS THE MODEL
+    * SEES IT: the stored TRANSFORM select-list re-applied to the raw
+    * rows (BigQuery's pre-processing replay — the debugging TVF for
+    * "what did my TRANSFORM actually produce"). A model created
+    * without TRANSFORM is the identity pass-through, BigQuery's
+    * default TRANSFORM clause.
+    */
+  private def mlTransformFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val ModelArgRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*,(.*)$""".r
+    val (modelName, inputPart) = argBody match {
+      case ModelArgRe(n, rest) => (GraftSql.viewName(n), rest.trim)
+      case _ => throw new IllegalArgumentException(
+        "ML.TRANSFORM needs (MODEL name, (query) | TABLE t)")
+    }
+    val TableRe = """(?is)^TABLE\s+(`[^`]+`|[A-Za-z_][\w$.]*)$""".r
+    val input = inputPart match {
+      case TableRe(t) => spark.table(GraftSql.viewName(t))
+      case q if q.startsWith("(") && q.endsWith(")") =>
+        GraftSql.load(spark, q.substring(1, q.length - 1))
+      case other => throw new IllegalArgumentException(
+        s"ML.TRANSFORM input must be TABLE t or a parenthesized query, got: $other")
+    }
+    val key = modelKey(spark, modelName)
+    val transform: Option[String] =
+      logisticRegistry.get(key).map(_.transform)
+        .orElse(linearRegistry.get(key).map(_.transform))
+        .orElse(modelRegistry.get(key).map(_ => Option.empty[String]))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ML.TRANSFORM: no model '$modelName' (CREATE MODEL it first)"))
+    applyTransform(spark, input, transform)
   }
 
   /** ML.WEIGHTS(MODEL m) — the trained model's weight table. For

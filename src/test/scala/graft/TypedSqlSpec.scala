@@ -2972,6 +2972,36 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT INTERVAL '1:2:3:4' HOUR TO SECOND AS i"))
   }
 
+  test("ML.TRANSFORM replays the stored TRANSFORM; no-TRANSFORM models pass through") {
+    import spark.implicits._
+    Seq((1L, 2L, 10L, 100L), (2L, 1L, 20L, 210L), (3L, 3L, 30L, 290L), (4L, 1L, 40L, 410L))
+      .toDF("k", "ln", "qty", "label").createOrReplaceTempView("mt_src")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE MODEL mt_model
+        |TRANSFORM(k * 10 + ln AS rid, qty + ln AS qsum, label)
+        |OPTIONS(model_type = 'linear_reg')
+        |AS SELECT k, ln, qty, label FROM mt_src""".stripMargin)
+    val out = GraftSql.load(spark,
+      "SELECT rid, qsum, label FROM ML.TRANSFORM(MODEL mt_model, TABLE mt_src) ORDER BY rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((12L, 12L, 100L), (21L, 21L, 210L), (33L, 33L, 290L), (41L, 41L, 410L)))
+    // a subquery input works; a no-TRANSFORM model is the identity
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM ML.TRANSFORM(MODEL mt_model, (SELECT * FROM mt_src WHERE k > 1))")
+      .head().getLong(0) == 3L)
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL mt_plain OPTIONS(model_type = 'linear_reg') " +
+        "AS SELECT qty, label FROM mt_src")
+    val plain = GraftSql.load(spark,
+      "SELECT * FROM ML.TRANSFORM(MODEL mt_plain, TABLE mt_src)")
+    assert(plain.columns.toSeq == Seq("k", "ln", "qty", "label") && plain.count() == 4L)
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT * FROM ML.TRANSFORM(MODEL nope_model, TABLE mt_src)"))
+      .getMessage.contains("no model"))
+    GraftSql.load(spark, "DROP MODEL mt_model")
+    GraftSql.load(spark, "DROP MODEL mt_plain")
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
