@@ -2433,6 +2433,31 @@ object SparkEntry {
           |FROM b GROUP BY first_cp ORDER BY first_cp""".stripMargin)
     }),
 
+    // base32 + strict UTF-8 (round 13): 3-byte payloads BUILT from
+    // event ids, encoded to RFC 4648 base32 AS THE GROUPING KEY,
+    // decoded back through the strict UTF-8 SAFE converter and the
+    // hex round trip; the DuckDB oracle re-derives every base32
+    // character from first principles — 5-bit groups as integer
+    // shifts indexing the alphabet string — fully independent of any
+    // base32 library, hash bit-for-bit
+    "q_base32" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("b32_events")
+      graft.GraftSql.load(s,
+        """WITH b AS (
+          |  SELECT user_id,
+          |         CODE_POINTS_TO_BYTES(
+          |           [user_id % 256, user_id * 7 % 256, user_id * 13 % 256]) AS payload
+          |  FROM b32_events)
+          |SELECT TO_BASE32(payload) AS b32, COUNT(*) AS n,
+          |       MIN(TO_HEX(FROM_BASE32(TO_BASE32(payload)))) AS rt_hex,
+          |       MIN(SAFE_CONVERT_BYTES_TO_STRING(
+          |         CODE_POINTS_TO_BYTES([65 + user_id % 26]))) AS s_ok,
+          |       CAST(SUM(CASE WHEN SAFE_CONVERT_BYTES_TO_STRING(
+          |         CODE_POINTS_TO_BYTES([255, 254])) IS NULL THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_bad
+          |FROM b GROUP BY b32 ORDER BY b32""".stripMargin)
+    }),
+
     // TEXT_ANALYZE (round 13): the SEARCH/A44 tokenizer as a scalar —
     // token df/tf over documents through the SQL verb, the NO_OP leg
     // pinning the one-term contract; DuckDB replays the identical
@@ -5144,6 +5169,29 @@ object SparkEntry {
           |       MIN(concat(upper(substr(event_type, 1, 1)), substr(event_type, 2), '-',
           |                  upper(substr(event_type, 1, 1)), substr(event_type, 2))) AS ic_min
           |FROM b GROUP BY cp1 ORDER BY first_cp""".stripMargin,
+      // every base32 character re-derived from first principles:
+      // the 24 payload bits split into five 5-bit groups by integer
+      // shifts, each indexing the RFC 4648 alphabet; '===' padding
+      // is the 3-byte block's fixed tail
+      "q_base32" ->
+        """WITH b AS (
+          |  SELECT user_id % 256 AS b1, user_id * 7 % 256 AS b2,
+          |         user_id * 13 % 256 AS b3, user_id
+          |  FROM events),
+          |e AS (
+          |  SELECT user_id, b1, b2, b3,
+          |         substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567', CAST(b1 // 8 AS INT) + 1, 1) ||
+          |         substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567', CAST((b1 % 8) * 4 + b2 // 64 AS INT) + 1, 1) ||
+          |         substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567', CAST((b2 // 2) % 32 AS INT) + 1, 1) ||
+          |         substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567', CAST((b2 % 2) * 16 + b3 // 16 AS INT) + 1, 1) ||
+          |         substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567', CAST((b3 % 16) * 2 AS INT) + 1, 1) ||
+          |         '===' AS b32
+          |  FROM b)
+          |SELECT b32, COUNT(*) AS n,
+          |       MIN(printf('%02x%02x%02x', b1, b2, b3)) AS rt_hex,
+          |       MIN(chr(CAST(65 + user_id % 26 AS INT))) AS s_ok,
+          |       COUNT(*) AS n_bad
+          |FROM e GROUP BY b32 ORDER BY b32""".stripMargin,
       // the LOG_ANALYZER tokenization replays as the identical
       // lowercase non-[a-z0-9] regex split; the NO_OP leg is the
       // constant 1

@@ -129,6 +129,122 @@ object CodePointOps {
   }
 }
 
+/** RFC 4648 base32 + strict UTF-8 decoding — the remaining BYTES
+  * text-codec verbs (TO_BASE64/FROM_BASE64/TO_HEX/FROM_HEX live in
+  * the GraftSql rewrite on Spark natives; base32 has no Spark
+  * native). Encoding uses the standard uppercase alphabet with '='
+  * padding; decoding accepts either case, requires canonical padding,
+  * and raises on anything else. SAFE_CONVERT_BYTES_TO_STRING decodes
+  * strict UTF-8 and returns NULL on malformed input — where Spark's
+  * CAST(b AS STRING) silently substitutes U+FFFD (the reason the
+  * BigQuery verb never maps to a bare cast).
+  */
+object ByteCodecs {
+  private val Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  def toBase32(b: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder((b.length + 4) / 5 * 8)
+    var i = 0
+    while (i < b.length) {
+      val chunk = math.min(5, b.length - i)
+      var acc = 0L
+      var j = 0
+      while (j < chunk) { acc = (acc << 8) | (b(i + j) & 0xFFL); j += 1 }
+      acc <<= (5 - chunk) * 8
+      val outChars = chunk match {
+        case 1 => 2; case 2 => 4; case 3 => 5; case 4 => 7; case 5 => 8
+      }
+      var k = 0
+      while (k < outChars) { sb.append(Alphabet.charAt(((acc >> (35 - k * 5)) & 31L).toInt)); k += 1 }
+      var pad = 8 - outChars
+      while (pad > 0) { sb.append('='); pad -= 1 }
+      i += chunk
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def fromBase32(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    require(str.length % 8 == 0,
+      s"FROM_BASE32: length ${str.length} is not a multiple of 8 (canonical padding required)")
+    if (str.isEmpty) return Array.emptyByteArray
+    var pad = 0
+    while (pad < str.length && str.charAt(str.length - 1 - pad) == '=') pad += 1
+    require(Set(0, 1, 3, 4, 6).contains(pad), s"FROM_BASE32: invalid padding of $pad '='")
+    val dataChars = str.length - pad
+    val nBytes = dataChars * 5 / 8
+    val out = new Array[Byte](nBytes)
+    var acc = 0L; var bits = 0; var oi = 0; var i = 0
+    while (i < dataChars) {
+      val c = Character.toUpperCase(str.charAt(i))
+      val v = Alphabet.indexOf(c)
+      require(v >= 0, s"FROM_BASE32: invalid character '${str.charAt(i)}'")
+      acc = (acc << 5) | v; bits += 5
+      if (bits >= 8) { bits -= 8; out(oi) = ((acc >> bits) & 0xFF).toByte; oi += 1 }
+      i += 1
+    }
+    require((acc & ((1L << bits) - 1)) == 0,
+      "FROM_BASE32: non-zero trailing bits (not a canonical encoding)")
+    out
+  }
+
+  def utf8OrNull(b: Array[Byte]): UTF8String =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+}
+
+/** TO_BASE32(bytes). */
+case class ToBase32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  def compute(b: Array[Byte]): UTF8String = ByteCodecs.toBase32(b)
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("toBase32", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ToBase32 =
+    copy(child = newChild)
+}
+
+/** FROM_BASE32(string) — raises on non-canonical input. */
+case class FromBase32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  def compute(s: UTF8String): Array[Byte] = ByteCodecs.fromBase32(s)
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fromBase32", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FromBase32 =
+    copy(child = newChild)
+}
+
+/** SAFE_CONVERT_BYTES_TO_STRING — strict UTF-8, NULL on malformed. */
+case class SafeBytesToString(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  def compute(b: Array[Byte]): UTF8String = ByteCodecs.utf8OrNull(b)
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("safeBytesToString", this)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = $ref.compute($a);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SafeBytesToString =
+    copy(child = newChild)
+}
+
 /** TO_CODE_POINTS — STRING → code points, BYTES → unsigned byte values. */
 case class ToCodePoints(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

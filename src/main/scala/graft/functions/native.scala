@@ -2108,7 +2108,16 @@ object native {
       es => { arity("graft_justify_interval", es, 1); JustifyCalInterval(es.head, "interval") }),
     ("graft_interval_text",
       "graft_interval_text(i) - BigQuery canonical '[-]Y-M [-]D [-]H:M:S[.F]' text",
-      es => { arity("graft_interval_text", es, 1); CalIntervalText(es.head) }))
+      es => { arity("graft_interval_text", es, 1); CalIntervalText(es.head) }),
+    ("graft_to_base32",
+      "graft_to_base32(b) - RFC 4648 base32 text of BYTES (TO_BASE32)",
+      es => { arity("graft_to_base32", es, 1); ToBase32(es.head) }),
+    ("graft_from_base32",
+      "graft_from_base32(s) - BYTES from canonical base32, raising on invalid (FROM_BASE32)",
+      es => { arity("graft_from_base32", es, 1); FromBase32(es.head) }),
+    ("graft_safe_bytes_to_string",
+      "graft_safe_bytes_to_string(b) - strict UTF-8 decode, NULL on malformed (SAFE_CONVERT_BYTES_TO_STRING)",
+      es => { arity("graft_safe_bytes_to_string", es, 1); SafeBytesToString(es.head) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -415,6 +415,7 @@ private[graft] object Functions {
       "TO_CODE_POINTS", "CODE_POINTS_TO_STRING", "CODE_POINTS_TO_BYTES",
       "UNICODE", "ASCII", "CHR", "SOUNDEX", "INITCAP",
       "MAKE_INTERVAL", "JUSTIFY_DAYS", "JUSTIFY_HOURS", "JUSTIFY_INTERVAL",
+      "TO_BASE32", "FROM_BASE32", "SAFE_CONVERT_BYTES_TO_STRING",
       "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
@@ -1512,6 +1513,18 @@ private[graft] object Functions {
         case "JUSTIFY_INTERVAL" =>
           require(args.size == 1, "JUSTIFY_INTERVAL takes (interval)")
           Some(s"graft_justify_interval((${args(0)}))")
+        // the remaining BYTES codecs: base32 has no Spark native, and
+        // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
+        // substitutes U+FFFD where BigQuery's SAFE form returns NULL)
+        case "TO_BASE32" =>
+          require(args.size == 1, "TO_BASE32 takes (bytes)")
+          Some(s"graft_to_base32((${args(0)}))")
+        case "FROM_BASE32" =>
+          require(args.size == 1, "FROM_BASE32 takes (string)")
+          Some(s"graft_from_base32((${args(0)}))")
+        case "SAFE_CONVERT_BYTES_TO_STRING" =>
+          require(args.size == 1, "SAFE_CONVERT_BYTES_TO_STRING takes (bytes)")
+          Some(s"graft_safe_bytes_to_string((${args(0)}))")
         // the code-point family (functions/codepoints.scala):
         // registry-routed natives with BigQuery's exact domains —
         // notably CHR, where Spark's own chr WRAPS AT 256 (chr(233)

@@ -3002,6 +3002,30 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "DROP MODEL mt_plain")
   }
 
+  test("TO_BASE32 / FROM_BASE32 / SAFE_CONVERT_BYTES_TO_STRING") {
+    def one(q: String) = GraftSql.load(spark, q).head()
+    // RFC 4648 test vectors ('foobar' family)
+    val vectors = Seq(
+      "" -> "", "f" -> "MY======", "fo" -> "MZXQ====", "foo" -> "MZXW6===",
+      "foob" -> "MZXW6YQ=", "fooba" -> "MZXW6YTB", "foobar" -> "MZXW6YTBOI======")
+    for ((in, b32) <- vectors) {
+      val r = one(s"SELECT TO_BASE32(CAST('$in' AS BINARY)) AS e, " +
+        s"SAFE_CONVERT_BYTES_TO_STRING(FROM_BASE32('$b32')) AS d")
+      assert(r.getString(0) == b32, s"encode '$in'")
+      assert(r.getString(1) == in, s"decode '$b32'")
+    }
+    // lowercase decodes; non-canonical forms raise
+    assert(one("SELECT SAFE_CONVERT_BYTES_TO_STRING(FROM_BASE32('mzxw6ytb')) AS d")
+      .getString(0) == "fooba")
+    for (bad <- Seq("MZXW6", "MZXW6Y==", "M=======", "1ZXW6===", "MZXW6==="))
+      if (bad != "MZXW6===") // that one IS canonical ('foo')
+        intercept[Exception](GraftSql.load(spark, s"SELECT FROM_BASE32('$bad') AS x").collect())
+    // strict UTF-8: valid passes, malformed is NULL (never U+FFFD)
+    val u = one("SELECT SAFE_CONVERT_BYTES_TO_STRING(CODE_POINTS_TO_BYTES([99, 97, 102, 195, 169])) AS ok, " +
+      "SAFE_CONVERT_BYTES_TO_STRING(CODE_POINTS_TO_BYTES([255, 254])) AS bad")
+    assert(u.getString(0) == "café" && u.isNullAt(1))
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
