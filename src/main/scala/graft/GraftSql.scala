@@ -4273,7 +4273,7 @@ object GraftSql {
     var replacedTables = false; var replacedColumns = false
     var replacedPartitions = false; var replacedViews = false
     var replacedSearchIdx = false; var replacedVectorIdx = false
-    var replacedRoutines = false
+    var replacedRoutines = false; var replacedModels = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
@@ -4305,10 +4305,13 @@ object GraftSql {
         } else if (upper.startsWith("ROUTINES", rest) &&
           (rest + 8 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 8)) && sql.charAt(rest + 8) != '_')) {
           out ++= "__information_schema_routines"; replacedRoutines = true; i = rest + 8
+        } else if (upper.startsWith("MODELS", rest) &&
+          (rest + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 6)) && sql.charAt(rest + 6) != '_')) {
+          out ++= "__information_schema_models"; replacedModels = true; i = rest + 6
         } else throw new IllegalArgumentException(
           "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .VIEWS, " +
-            ".SEARCH_INDEXES, .VECTOR_INDEXES and .ROUTINES are available " +
-            "(a session catalog has no jobs metadata)")
+            ".SEARCH_INDEXES, .VECTOR_INDEXES, .ROUTINES and .MODELS are " +
+            "available (a session catalog has no jobs metadata)")
       } else { out += c; i += 1 }
     }
     if (replacedTables) tablesView(spark).createOrReplaceTempView("__information_schema_tables")
@@ -4321,6 +4324,8 @@ object GraftSql {
       vectorIndexesView(spark).createOrReplaceTempView("__information_schema_vector_indexes")
     if (replacedRoutines)
       routinesView(spark).createOrReplaceTempView("__information_schema_routines")
+    if (replacedModels)
+      graft.sql.Models.modelsView(spark).createOrReplaceTempView("__information_schema_models")
     out.toString
   }
 

@@ -3765,6 +3765,29 @@ object SparkEntry {
           |GROUP BY rb ORDER BY rb""".stripMargin)
     }),
 
+    // A53: ML.FEATURE_INFO + INFORMATION_SCHEMA.MODELS (round 13) —
+    // per-feature training statistics captured at CREATE MODEL time;
+    // mean/stddev derive from the stored EXACT sums by a fixed double
+    // fold (sqrt is IEEE-correctly-rounded), so DuckDB recomputing
+    // the same fold from the raw table matches bit-for-bit
+    "sql_ml_feature_info" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(F.col("l_quantity").cast("bigint").as("qty"),
+          (F.col("l_extendedprice").cast("decimal(14,2)") * F.lit(100)).cast("bigint")
+            .as("label"))
+        .createOrReplaceTempView("finfo_src")
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE MODEL finfo_model OPTIONS(model_type = 'linear_reg') " +
+          "AS SELECT qty, label FROM finfo_src")
+      graft.GraftSql.load(s,
+        """SELECT f.input, f.min, f.max, f.mean, f.median, f.stddev,
+          |       f.category_count, f.null_count, m.model_type
+          |FROM ML.FEATURE_INFO(MODEL finfo_model) f
+          |CROSS JOIN (SELECT model_type FROM INFORMATION_SCHEMA.MODELS
+          |            WHERE model_name = 'finfo_model') m
+          |ORDER BY f.input""".stripMargin)
+    }),
+
     // A49b: ML.WEIGHTS (named inputs + __INTERCEPT__) × ML.EVALUATE
     // (mean_squared_error / r2_score) for the same model — the metric
     // fold is the stated algebraic SSE identity over the exact sums,
@@ -6815,6 +6838,23 @@ object SparkEntry {
       // same textual closed form over exact HUGEINT sums (the engine's
       // sums are exact decimals of the same integers; both convert to
       // doubles once, correctly rounded, then fold identically)
+      // the training statistics recompute from the raw table with the
+      // identical folds: exact HUGEINT sums cast to double at the same
+      // points, the same sqrt((ss - s*s/n)/(n-1)) expression
+      "sql_ml_feature_info" ->
+        """WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+          |a AS (SELECT COUNT(qty) AS n,
+          |             CAST(SUM(CAST(qty AS HUGEINT)) AS DOUBLE) AS s,
+          |             CAST(SUM(CAST(qty AS HUGEINT) * qty) AS DOUBLE) AS ss,
+          |             CAST(MIN(qty) AS DOUBLE) AS mn, CAST(MAX(qty) AS DOUBLE) AS mx,
+          |             quantile_cont(qty, 0.5) AS med
+          |      FROM src)
+          |SELECT 'qty' AS input, mn AS min, mx AS max, s / n AS mean, med AS median,
+          |       sqrt((ss - s * s / n) / (n - 1)) AS stddev,
+          |       CAST(NULL AS BIGINT) AS category_count,
+          |       CAST(0 AS BIGINT) AS null_count,
+          |       'LINEAR_REGRESSION' AS model_type
+          |FROM a""".stripMargin,
       // the TRANSFORM expressions replay textually on the raw table —
       // fully independent of the model machinery
       "sql_ml_transform" ->

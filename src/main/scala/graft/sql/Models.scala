@@ -260,9 +260,21 @@ private[graft] object Models {
   // (graft.sql.LinearReg) — coef(0) is the intercept; idCol is the
   // TRANSFORM join-back key (None for plain AS-SELECT models, whose
   // predictions compute in place)
+  /** Per-feature training statistics captured at CREATE MODEL time
+    * (BigQuery computes FEATURE_INFO during training too): exact
+    * min/max/counts, exact DECIMAL sum/sum-of-squares (mean and
+    * stddev derive from them by a FIXED double fold at read time —
+    * sqrt is IEEE-correctly-rounded, so the fold replays bit-for-bit
+    * in any engine), and the exact interpolated median. */
+  private case class FeatureStats(name: String, n: Long, nulls: Long,
+                                  min: Double, max: Double,
+                                  sum: java.math.BigDecimal,
+                                  sumSq: java.math.BigDecimal, median: Double)
+
   private case class LinearState(featureCols: Seq[String], labelCol: String,
                                  coef: Seq[Double], trainQuery: String,
-                                 transform: Option[String], idCol: Option[String])
+                                 transform: Option[String], idCol: Option[String],
+                                 stats: Seq[FeatureStats])
 
   private val linearRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), LinearState]
@@ -467,10 +479,31 @@ private[graft] object Models {
         s"(${featureCols.mkString(", ")})")
     val labelActual = df.columns.find(_.equalsIgnoreCase(labelCol)).get
     val coef = graft.sql.LinearReg.train(df, featureCols, labelActual)
+    // FEATURE_INFO statistics: one aggregate pass, bounded 7 columns
+    // per feature (<= 16 features), exact sums as DECIMAL
+    val stats = {
+      import org.apache.spark.sql.{functions => F}
+      val aggs = featureCols.flatMap { f =>
+        Seq(F.count(F.col(f)).as(s"n_$f"),
+          F.sum(F.when(F.col(f).isNull, 1L).otherwise(0L)).as(s"z_$f"),
+          F.min(F.col(f)).cast("double").as(s"mn_$f"),
+          F.max(F.col(f)).cast("double").as(s"mx_$f"),
+          F.sum(F.col(f).cast("decimal(38,6)")).as(s"s_$f"),
+          F.sum(F.col(f).cast("decimal(38,6)") * F.col(f).cast("decimal(38,6)")).as(s"q_$f"),
+          F.expr(s"percentile($f, 0.5)").as(s"md_$f"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      featureCols.map { f =>
+        FeatureStats(f, r.getAs[Long](s"n_$f"), r.getAs[Long](s"z_$f"),
+          r.getAs[Double](s"mn_$f"), r.getAs[Double](s"mx_$f"),
+          r.getAs[java.math.BigDecimal](s"s_$f"),
+          r.getAs[java.math.BigDecimal](s"q_$f"), r.getAs[Double](s"md_$f"))
+      }
+    }
     modelRegistry.remove(key)
     logisticRegistry.remove(key)
     linearRegistry(key) = LinearState(featureCols, labelActual, coef.toSeq, query,
-      transform, idCol)
+      transform, idCol, stats)
     spark.emptyDataFrame
   }
 
@@ -586,11 +619,68 @@ private[graft] object Models {
       }
       out
     }
-    onePass(onePass(onePass(onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
+    onePass(onePass(onePass(onePass(onePass(onePass(sql0, "ML.PREDICT", mlPredictFromArgs),
       "ML.EVALUATE", mlEvaluateFromArgs),
       "ML.WEIGHTS", mlWeightsFromArgs),
       "ML.CENTROIDS", mlCentroidsFromArgs),
-      "ML.TRANSFORM", mlTransformFromArgs)
+      "ML.TRANSFORM", mlTransformFromArgs),
+      "ML.FEATURE_INFO", mlFeatureInfoFromArgs)
+  }
+
+  /** ML.FEATURE_INFO(MODEL m) — BigQuery's per-feature training
+    * statistics, captured at CREATE MODEL time for linear_reg models
+    * (the numeric-feature class where per-column stats are
+    * meaningful): (input, min, max, mean, median, stddev,
+    * category_count NULL for numerics, null_count). mean and stddev
+    * derive from the stored EXACT sums by a fixed double fold —
+    * mean = S/N; stddev = sqrt((SS − S·S/N)/(N−1)), NULL for N < 2 —
+    * so an independent engine recomputing the same fold from the raw
+    * table matches bit-for-bit (sqrt is IEEE-correctly-rounded).
+    * kmeans/logistic models are LOUD: their features are vectors or
+    * hashed text, with no per-column statistics to report.
+    */
+  private def mlFeatureInfoFromArgs(spark: SparkSession, argBody: String): DataFrame = {
+    val ModelOnlyRe = """(?is)^\s*MODEL\s+(`[^`]+`|[A-Za-z_][\w$.]*)\s*$""".r
+    val name = argBody match {
+      case ModelOnlyRe(n) => GraftSql.viewName(n)
+      case _ => throw new IllegalArgumentException("ML.FEATURE_INFO takes (MODEL name)")
+    }
+    val key = modelKey(spark, name)
+    linearRegistry.get(key) match {
+      case Some(ls) =>
+        import spark.implicits._
+        ls.stats.map { st =>
+          val nD = st.n.toDouble
+          val sD = st.sum.doubleValue
+          val ssD = st.sumSq.doubleValue
+          val mean = sD / nD
+          val stddev: Option[Double] =
+            if (st.n < 2) None
+            else Some(math.sqrt((ssD - sD * sD / nD) / (nD - 1.0)))
+          (st.name, st.min, st.max, mean, st.median, stddev,
+            Option.empty[Long], st.nulls)
+        }.toDF("input", "min", "max", "mean", "median", "stddev",
+          "category_count", "null_count")
+      case None =>
+        require(!logisticRegistry.contains(key) && !modelRegistry.contains(key),
+          s"ML.FEATURE_INFO: model '$name' is not linear_reg — kmeans features " +
+            "are vectors and logistic features are hashed text; neither has " +
+            "per-column statistics (use ML.CENTROIDS / ML.WEIGHTS)")
+        throw new IllegalArgumentException(
+          s"ML.FEATURE_INFO: no model '$name' (CREATE MODEL it first)")
+    }
+  }
+
+  /** INFORMATION_SCHEMA.MODELS — this session's registered models
+    * (BigQuery's model_type spellings). */
+  private[graft] def modelsView(spark: SparkSession): DataFrame = {
+    val sid = System.identityHashCode(spark)
+    import spark.implicits._
+    val rows =
+      modelRegistry.toSeq.collect { case ((s, n), _) if s == sid => (n, "KMEANS") } ++
+      logisticRegistry.toSeq.collect { case ((s, n), _) if s == sid => (n, "LOGISTIC_REGRESSION") } ++
+      linearRegistry.toSeq.collect { case ((s, n), _) if s == sid => (n, "LINEAR_REGRESSION") }
+    rows.sortBy(_._1).toDF("model_name", "model_type")
   }
 
   /** ML.TRANSFORM(MODEL m, TABLE t | (query)) — the input AS THE MODEL

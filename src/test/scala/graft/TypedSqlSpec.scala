@@ -3026,6 +3026,42 @@ class TypedSqlSpec extends SparkSuite {
     assert(u.getString(0) == "café" && u.isNullAt(1))
   }
 
+  test("ML.FEATURE_INFO training stats + INFORMATION_SCHEMA.MODELS") {
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (2L, 19L, 210L), (3L, 31L, 290L), (4L, 40L, 410L))
+      .toDF("qty", "w", "label").createOrReplaceTempView("fi_src")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL fi_model OPTIONS(model_type = 'linear_reg') " +
+        "AS SELECT qty, w, label FROM fi_src")
+    val fi = GraftSql.load(spark,
+      "SELECT * FROM ML.FEATURE_INFO(MODEL fi_model) ORDER BY input").collect()
+    assert(fi.map(_.getString(0)).toSeq == Seq("qty", "w"))
+    val q = fi.head
+    assert(q.getDouble(1) == 1.0 && q.getDouble(2) == 4.0) // min, max
+    assert(q.getDouble(3) == 2.5 && q.getDouble(4) == 2.5) // mean, median
+    assert(math.abs(q.getDouble(5) - math.sqrt(5.0 / 3.0)) < 1e-15) // stddev
+    assert(q.isNullAt(6) && q.getLong(7) == 0L) // category_count, null_count
+    // MODELS lists every registry with BigQuery's type spellings
+    val m = GraftSql.load(spark,
+      "SELECT model_type FROM INFORMATION_SCHEMA.MODELS WHERE model_name = 'fi_model'").head()
+    assert(m.getString(0) == "LINEAR_REGRESSION")
+    // non-linear models are loud, unknown models are loud
+    Seq((1L, "a b", "x"), (2L, "c d", "y"), (3L, "a d", "x"), (4L, "b c", "y"))
+      .toDF("id", "text", "label").createOrReplaceTempView("fi_log_src")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE MODEL fi_log OPTIONS(model_type = 'logistic_reg') " +
+        "AS SELECT id, text, label FROM fi_log_src")
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT * FROM ML.FEATURE_INFO(MODEL fi_log)")).getMessage.contains("hashed"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT * FROM ML.FEATURE_INFO(MODEL fi_nope)")).getMessage.contains("no model"))
+    GraftSql.load(spark, "DROP MODEL fi_model")
+    GraftSql.load(spark, "DROP MODEL fi_log")
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.MODELS WHERE model_name IN ('fi_model', 'fi_log')")
+      .count() == 0)
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
