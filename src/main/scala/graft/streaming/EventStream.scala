@@ -378,6 +378,65 @@ object EventStream {
           .foreach(writeState(_, batchId))
       }
 
+  /** One micro-batch of streaming interval sessionization (the
+    * streaming face of B63's RANGE_SESSIONIZE, round 13): the state
+    * is the current SESSION table — (partition keys..., rangeCol) of
+    * already-merged intervals. Interval merging is ASSOCIATIVE over
+    * merged results (a session range preserves exactly its members'
+    * coverage, and both MEETS adjacency and OVERLAPS strict-overlap
+    * connectivity are determined by coverage), so a batch needs only
+    * the sessions of the KEYS IT TOUCHES: re-sessionize (touched
+    * sessions ∪ batch ranges), pass untouched keys through — O(batch
+    * + touched-state) per tick, never a full re-merge. Same atomic
+    * (state, batchId) replay guard as [[applyReportBatch]] — merging
+    * the same batch twice is NOT idempotent for counts downstream
+    * even though coverage would be.
+    */
+  def applySessionizeBatch(state: Option[(DataFrame, Long)], batch: DataFrame,
+                           batchId: Long, rangeCol: String, partCols: Seq[String],
+                           mode: String = "MEETS"): Option[DataFrame] = {
+    import org.apache.spark.sql.{functions => F}
+    state match {
+      case Some((_, last)) if batchId <= last => None
+      case _ =>
+        val batchRanges = batch.select(partCols.map(F.col) :+ F.col(rangeCol): _*)
+        val merged = state match {
+          case None =>
+            graft.operators.Resample.sessionizeRanges(batchRanges, rangeCol, partCols, mode)
+              .select(partCols.map(F.col) :+ F.col("session_range").as(rangeCol): _*)
+              .distinct()
+          case Some((st, _)) =>
+            val touchedKeys = batch.select(partCols.map(F.col): _*).distinct()
+            val touched = st.join(F.broadcast(touchedKeys), partCols, "left_semi")
+            val untouched = st.join(F.broadcast(touchedKeys), partCols, "left_anti")
+            val re = graft.operators.Resample.sessionizeRanges(
+              touched.unionByName(batchRanges), rangeCol, partCols, mode)
+              .select(partCols.map(F.col) :+ F.col("session_range").as(rangeCol): _*)
+              .distinct()
+            untouched.unionByName(re)
+        }
+        Some(merged)
+    }
+  }
+
+  /** G20: streaming interval-sessionization sink — maintains the
+    * merged session table across micro-batches. Same store contract
+    * as [[incrementalReportSink]]: writeState must commit (state,
+    * batchId) atomically.
+    */
+  def rangeSessionizeSink(stream: DataFrame, rangeCol: String, partCols: Seq[String],
+                          readState: () => Option[(DataFrame, Long)],
+                          writeState: (DataFrame, Long) => Unit,
+                          mode: String = "MEETS")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySessionizeBatch(readState(), batch, batchId, rangeCol, partCols, mode)
+          .foreach(writeState(_, batchId))
+      }
+
   /** One micro-batch of the SCD2 sink: fold the batch's observations
     * into the interval table via [[graft.operators.Scd2.applyBatch]]
     * — UNLESS this batchId is already applied. applyBatch is NOT

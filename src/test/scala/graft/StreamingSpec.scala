@@ -276,6 +276,39 @@ class StreamingSpec extends SparkSuite {
       == Tables.events(spark, sf).count() + 10)
   }
 
+  test("G20: range-sessionize sink equals the one-shot interval merge; replays skipped") {
+    val dir = eventsDir
+    def toRanges(df: DataFrame): DataFrame = df.select(F.col("user_id"),
+      F.struct(F.to_date(F.col("ts")).as("range_start"),
+        F.date_add(F.to_date(F.col("ts")),
+          (F.pmod(F.col("user_id"), F.lit(5)) + 1).cast("int")).as("range_end")).as("rng"))
+    var state: Option[(DataFrame, Long)] = None
+    val q = EventStream.rangeSessionizeSink(
+        toRanges(EventStream.readEvents(spark, dir)), "rng", Seq("user_id"),
+        () => state, (st, id) => state = Some((st.cache(), id)))
+      .start()
+    q.awaitTermination(60000)
+    val (got, lastId) = state.get
+    // batch parity: the maintained table IS the one-shot sessionize
+    val want = graft.operators.Resample
+      .sessionizeRanges(toRanges(Tables.events(spark, sf)), "rng", Seq("user_id"))
+      .select(F.col("user_id"), F.col("session_range").as("rng")).distinct()
+    def canon(df: DataFrame) = df
+      .select(F.col("user_id"), F.col("rng.range_start"), F.col("rng.range_end"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(got) == canon(want))
+    // sessions really merged: fewer sessions than raw rows
+    assert(got.count() < Tables.events(spark, sf).count())
+    // replay guard: already-seen batchIds are no-ops; the next id folds
+    val extra = toRanges(Tables.events(spark, sf).limit(5))
+    assert(EventStream.applySessionizeBatch(state, extra, lastId, "rng", Seq("user_id")).isEmpty)
+    assert(EventStream.applySessionizeBatch(state, extra, 0L, "rng", Seq("user_id")).isEmpty)
+    val next = EventStream.applySessionizeBatch(state, extra, lastId + 1, "rng", Seq("user_id"))
+    assert(next.isDefined)
+    // folding already-covered ranges changes nothing (coverage is idempotent)
+    assert(canon(next.get.select(F.col("user_id"), F.col("rng"))) == canon(want))
+  }
+
   test("G13: materialized-view sink folds stream batches; view equals the recompute; replays skipped") {
     val dir = eventsDir
     // MV created over an EMPTY seed via the A31 statement — every row
