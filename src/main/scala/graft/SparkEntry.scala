@@ -2433,6 +2433,51 @@ object SparkEntry {
           |FROM b GROUP BY first_cp ORDER BY first_cp""".stripMargin)
     }),
 
+    // REGEXP_REPLACE backreferences (round 13): BigQuery's \1 group
+    // refs and literal $ mapped through the three-layer escape
+    // transform, with the replaced text AS THE GROUPING KEY; the
+    // DuckDB oracle runs the BigQuery-spelled replacement nearly
+    // verbatim (RE2 backrefs are its native dialect) under the 'g'
+    // flag — hash bit-for-bit
+    "q_regexp_backref" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("rb_events")
+      graft.GraftSql.load(s,
+        """SELECT REGEXP_REPLACE(event_type, '([aeiou])', '<\\1>') AS marked,
+          |       REGEXP_REPLACE(CONCAT(event_type, CAST(user_id % 100 AS STRING)),
+          |                      '([0-9]+)', '$\\1') AS priced,
+          |       ARRAY_TO_STRING(
+          |         REGEXP_EXTRACT_ALL(CONCAT(event_type, '-', event_type), '[a-z]+'),
+          |         '|') AS toks,
+          |       COUNT(*) AS n
+          |FROM rb_events
+          |GROUP BY marked, priced, toks ORDER BY marked, priced""".stripMargin)
+    }),
+
+    // the epoch-conversion family (round 13): Spark-NATIVE under
+    // BigQuery's exact names (TIMESTAMP_SECONDS/MILLIS/MICROS,
+    // UNIX_SECONDS/MILLIS/MICROS, UNIX_DATE, DATE_FROM_UNIX_DATE) —
+    // this face pins the parity; DuckDB replays as epoch_us integer
+    // arithmetic — hash bit-for-bit
+    "q_epoch_fns" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ep_events")
+      graft.GraftSql.load(s,
+        """WITH b AS (
+          |  SELECT DATE_FROM_UNIX_DATE(UNIX_DATE(CAST(ts AS DATE))) AS d2,
+          |         UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS us,
+          |         UNIX_MILLIS(CAST(ts AS TIMESTAMP)) AS ms,
+          |         UNIX_SECONDS(CAST(ts AS TIMESTAMP)) AS sec,
+          |         TIMESTAMP_SECONDS(UNIX_SECONDS(CAST(ts AS TIMESTAMP))) AS t_sec,
+          |         TIMESTAMP_MILLIS(UNIX_MILLIS(CAST(ts AS TIMESTAMP))) AS t_ms,
+          |         CAST(UNIX_DATE(CAST(ts AS DATE)) AS BIGINT) AS ud
+          |  FROM ep_events)
+          |SELECT d2, COUNT(*) AS n,
+          |       MIN(us) AS us_min, MAX(ms) AS ms_max,
+          |       CAST(SUM(us % 86400000000) AS BIGINT) AS us_day_sum,
+          |       CAST(SUM(sec % 86400) AS BIGINT) AS sec_day_sum,
+          |       MIN(t_sec) AS tsec_min, MAX(t_ms) AS tms_max, MIN(ud) AS ud_min
+          |FROM b GROUP BY d2 ORDER BY d2""".stripMargin)
+    }),
+
     // base32 + strict UTF-8 (round 13): 3-byte payloads BUILT from
     // event ids, encoded to RFC 4648 base32 AS THE GROUPING KEY,
     // decoded back through the strict UTF-8 SAFE converter and the
@@ -5192,6 +5237,33 @@ object SparkEntry {
           |       MIN(concat(upper(substr(event_type, 1, 1)), substr(event_type, 2), '-',
           |                  upper(substr(event_type, 1, 1)), substr(event_type, 2))) AS ic_min
           |FROM b GROUP BY cp1 ORDER BY first_cp""".stripMargin,
+      // DuckDB's replacement dialect IS RE2 backrefs — the BigQuery
+      // spelling runs nearly verbatim (plus the 'g' flag; BigQuery
+      // and Spark replace globally by default)
+      "q_regexp_backref" ->
+        """SELECT regexp_replace(event_type, '([aeiou])', '<\1>', 'g') AS marked,
+          |       regexp_replace(event_type || CAST(user_id % 100 AS VARCHAR),
+          |                      '([0-9]+)', '$\1', 'g') AS priced,
+          |       array_to_string(
+          |         regexp_extract_all(event_type || '-' || event_type, '[a-z]+'), '|') AS toks,
+          |       COUNT(*) AS n
+          |FROM events
+          |GROUP BY marked, priced, toks ORDER BY marked, priced""".stripMargin,
+      // epoch conversions replay as epoch_us integer arithmetic; the
+      // truncating second/milli folds divide exactly
+      "q_epoch_fns" ->
+        """WITH b AS (
+          |  SELECT CAST(ts AS DATE) AS d2,
+          |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          |  FROM events)
+          |SELECT d2, COUNT(*) AS n,
+          |       MIN(us) AS us_min, MAX(us // 1000) AS ms_max,
+          |       CAST(SUM(us % 86400000000) AS BIGINT) AS us_day_sum,
+          |       CAST(SUM((us // 1000000) % 86400) AS BIGINT) AS sec_day_sum,
+          |       MIN(make_timestamp(us - us % 1000000)) AS tsec_min,
+          |       MAX(make_timestamp((us // 1000) * 1000)) AS tms_max,
+          |       MIN(CAST(datediff('day', DATE '1970-01-01', d2) AS BIGINT)) AS ud_min
+          |FROM b GROUP BY d2 ORDER BY d2""".stripMargin,
       // every base32 character re-derived from first principles:
       // the 24 payload bits split into five 5-bit groups by integer
       // shifts, each indexing the RFC 4648 alphabet; '===' padding

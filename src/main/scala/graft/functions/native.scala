@@ -2115,6 +2115,13 @@ object native {
     ("graft_from_base32",
       "graft_from_base32(s) - BYTES from canonical base32, raising on invalid (FROM_BASE32)",
       es => { arity("graft_from_base32", es, 1); FromBase32(es.head) }),
+    // Java-semantics regexp_replace under a scanner-stable name: the
+    // REGEXP_REPLACE rewrite emits its TRANSLATED replacement here so
+    // the fixpoint pass never re-escapes its own output
+    ("graft_regexp_replace",
+      "graft_regexp_replace(v, re, rep) - regexp_replace with the replacement already in Java syntax",
+      es => { arity("graft_regexp_replace", es, 3)
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(es.head, es(1), es(2)) }),
     ("graft_safe_bytes_to_string",
       "graft_safe_bytes_to_string(b) - strict UTF-8 decode, NULL on malformed (SAFE_CONVERT_BYTES_TO_STRING)",
       es => { arity("graft_safe_bytes_to_string", es, 1); SafeBytesToString(es.head) }))

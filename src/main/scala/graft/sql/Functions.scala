@@ -416,6 +416,7 @@ private[graft] object Functions {
       "UNICODE", "ASCII", "CHR", "SOUNDEX", "INITCAP",
       "MAKE_INTERVAL", "JUSTIFY_DAYS", "JUSTIFY_HOURS", "JUSTIFY_INTERVAL",
       "TO_BASE32", "FROM_BASE32", "SAFE_CONVERT_BYTES_TO_STRING",
+      "REGEXP_REPLACE", "REGEXP_EXTRACT_ALL",
       "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
@@ -528,6 +529,25 @@ private[graft] object Functions {
         }
       }
     }
+    // the Spark lexer's backslash layer, enough for the regexp
+    // rewrites: `\\` -> `\`, `''` -> `'`, any other `\x` -> the pair
+    // kept AS AN ESCAPE (so regex escapes like `\.` survive into the
+    // parsed text exactly as the lexer delivers them)
+    def unescapeLiteral(raw: String): String = {
+      val out2 = new StringBuilder(raw.length)
+      var i2 = 0
+      while (i2 < raw.length) {
+        val c2 = raw.charAt(i2)
+        if (c2 == '\\' && i2 + 1 < raw.length && raw.charAt(i2 + 1) == '\\') {
+          out2 += '\\'; i2 += 2
+        } else if (c2 == '\'' && i2 + 1 < raw.length && raw.charAt(i2 + 1) == '\'') {
+          out2 += '\''; i2 += 2
+        } else { out2 += c2; i2 += 1 }
+      }
+      out2.toString
+    }
+    def escapeLiteral(parsed: String): String =
+      parsed.replace("\\", "\\\\").replace("'", "''")
     val allNames = BqRenames.keys.toSeq ++ shapeNames
     def unquote(lit: String, ctx: String): String = {
       require(lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'"),
@@ -1513,6 +1533,73 @@ private[graft] object Functions {
         case "JUSTIFY_INTERVAL" =>
           require(args.size == 1, "JUSTIFY_INTERVAL takes (interval)")
           Some(s"graft_justify_interval((${args(0)}))")
+        // BigQuery REGEXP_REPLACE writes backreferences re2-style —
+        // `\1` in the (parsed) replacement — where Java's replaceAll
+        // wants `$1` and treats `\1` as an ESCAPED LITERAL '1', and
+        // conversely BigQuery's literal `$` is Java's group-ref
+        // opener. A plain rename silently corrupts both directions
+        // (the LOG/CHR divergence class). For a LITERAL replacement
+        // the mapping is exact and runs in three explicit layers:
+        // UNESCAPE the SQL literal the way Spark's lexer will,
+        // transform the PARSED replacement (`\N` → `$N`, `\\` stays a
+        // Java-escaped literal backslash, `\x` stays an escape-
+        // literal, `$` → `\$`), then RE-ESCAPE back into SQL-literal
+        // text. A non-literal replacement passes through under Java
+        // semantics — stated.
+        case "REGEXP_REPLACE" =>
+          require(args.size == 3, "REGEXP_REPLACE takes (value, regexp, replacement)")
+          val rep = args(2).trim
+          if (!(rep.length >= 2 && rep.head == '\'' && rep.last == '\'')) None
+          else {
+            val parsed = unescapeLiteral(rep.substring(1, rep.length - 1))
+            val java = new StringBuilder
+            var i2 = 0
+            while (i2 < parsed.length) {
+              val c2 = parsed.charAt(i2)
+              if (c2 == '\\' && i2 + 1 < parsed.length) {
+                val n2 = parsed.charAt(i2 + 1)
+                if (Character.isDigit(n2)) { java += '$'; java += n2 }
+                else { java += '\\'; java += n2 } // Java escape-literal
+                i2 += 2
+              } else if (c2 == '$') { java ++= "\\$"; i2 += 1 }
+              else { java += c2; i2 += 1 }
+            }
+            // registry-routed: a plain lowercase spelling would
+            // re-match this case on the next fixpoint pass and
+            // $-escape its own output
+            Some(s"graft_regexp_replace((${args(0)}), ${args(1)}, " +
+              s"'${escapeLiteral(java.toString)}')")
+          }
+        // BigQuery REGEXP_EXTRACT_ALL(v, re): a group-free regex
+        // returns FULL matches (Spark's default group index 1 would
+        // raise); exactly one group matches Spark's default; two or
+        // more is a BigQuery ERROR — kept loud. Only a literal regex
+        // can be counted (unescaped first — a raw `\\(` is a REGEX
+        // LITERAL paren, not a group); Spark's own 3-arg form passes
+        // through.
+        case "REGEXP_EXTRACT_ALL" if args.size == 3 => None
+        case "REGEXP_EXTRACT_ALL" =>
+          require(args.size == 2, "REGEXP_EXTRACT_ALL takes (value, regexp)")
+          val re = args(1).trim
+          if (!(re.length >= 2 && re.head == '\'' && re.last == '\'')) None
+          else {
+            val parsed = unescapeLiteral(re.substring(1, re.length - 1))
+            var groups = 0; var i2 = 0
+            while (i2 < parsed.length) {
+              val c2 = parsed.charAt(i2)
+              if (c2 == '\\') i2 += 2
+              else {
+                if (c2 == '(' && (i2 + 1 >= parsed.length || parsed.charAt(i2 + 1) != '?'))
+                  groups += 1
+                i2 += 1
+              }
+            }
+            require(groups <= 1,
+              s"REGEXP_EXTRACT_ALL: regex has $groups capturing groups — BigQuery " +
+                "allows at most one (wrap extras as (?:...))")
+            if (groups == 1) None // Spark's default group index 1 IS BigQuery's rule
+            else Some(s"regexp_extract_all((${args(0)}), ${args(1)}, 0)")
+          }
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

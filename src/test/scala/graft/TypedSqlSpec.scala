@@ -3062,6 +3062,54 @@ class TypedSqlSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("REGEXP_REPLACE backreferences and REGEXP_EXTRACT_ALL group rules") {
+    def one(q: String) = GraftSql.load(spark, q).head()
+    // BigQuery \N backreference (raw text \\1) -> Java $N; literal $ stays literal
+    assert(one("SELECT REGEXP_REPLACE('banana', '(an)', '<\\\\1>') AS r").getString(0)
+      == "b<an><an>a")
+    assert(one("SELECT REGEXP_REPLACE('cost 25 and 7', '([0-9]+)', '$\\\\1') AS r").getString(0)
+      == "cost $25 and $7")
+    // an escaped backslash means the same in both dialects
+    assert(one("SELECT REGEXP_REPLACE('a.b', '\\\\.', '\\\\\\\\') AS r").getString(0)
+      == "a\\b")
+    // idempotence across the fixpoint: the rewritten text survives a
+    // second pass byte-identically
+    val once = graft.sql.Functions.rewriteBqFunctions(
+      "SELECT REGEXP_REPLACE(x, '(a)', '$\\\\1') AS r FROM t")
+    assert(graft.sql.Functions.rewriteBqFunctions(once) == once)
+    // EXTRACT_ALL: group-free regex returns FULL matches; one group
+    // extracts it; two is BigQuery's own error
+    assert(one("SELECT REGEXP_EXTRACT_ALL('a1 b22 c3', '[0-9]+') AS r")
+      .getSeq[String](0) == Seq("1", "22", "3"))
+    assert(one("SELECT REGEXP_EXTRACT_ALL('a1 b22', '[a-z]([0-9]+)') AS r")
+      .getSeq[String](0) == Seq("1", "22"))
+    assert(one("SELECT REGEXP_EXTRACT_ALL('a(1)', 'a\\\\((.)\\\\)') AS r")
+      .getSeq[String](0) == Seq("1")) // escaped parens don't count as groups
+    assert(one("SELECT REGEXP_EXTRACT_ALL('xab', '(?:x)(a)') AS r")
+      .getSeq[String](0) == Seq("a")) // (?: doesn't count
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT REGEXP_EXTRACT_ALL('a', '(a)(b)') AS r")).getMessage.contains("capturing"))
+  }
+
+  test("the epoch-conversion family is Spark-native under BigQuery's names") {
+    val r = GraftSql.load(spark,
+      """SELECT UNIX_SECONDS(TIMESTAMP '2024-01-02 03:04:05') AS us,
+        |       UNIX_MILLIS(TIMESTAMP '2024-01-02 03:04:05.678') AS ms,
+        |       UNIX_MICROS(TIMESTAMP '2024-01-02 03:04:05.678901') AS mu,
+        |       TIMESTAMP_SECONDS(1704164645) AS ts,
+        |       TIMESTAMP_MILLIS(1704164645678) AS tm,
+        |       TIMESTAMP_MICROS(1704164645678901) AS tu,
+        |       UNIX_DATE(DATE '2024-01-02') AS ud,
+        |       DATE_FROM_UNIX_DATE(19724) AS d2""".stripMargin).head()
+    assert(r.getLong(0) == 1704164645L)
+    assert(r.getLong(1) == 1704164645678L)
+    assert(r.getLong(2) == 1704164645678901L)
+    assert(r.getTimestamp(3).toString.startsWith("2024-01-02 03:04:05"))
+    assert(r.getTimestamp(4).toString.startsWith("2024-01-02 03:04:05.678"))
+    assert(r.getTimestamp(5).toString.startsWith("2024-01-02 03:04:05.678901"))
+    assert(r.getInt(6) == 19724 && r.getDate(7).toString == "2024-01-02")
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
