@@ -2433,6 +2433,22 @@ object SparkEntry {
           |FROM b GROUP BY first_cp ORDER BY first_cp""".stripMargin)
     }),
 
+    // PARSE_NUMERIC / SAFE.PARSE_NUMERIC (round 13): exponent-form
+    // decimal parsing onto NUMERIC's DECIMAL(38,9) carrier; DuckDB
+    // replays as its own decimal cast — exact at this scale
+    "q_parse_numeric" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("pn_events")
+      graft.GraftSql.load(s,
+        """WITH b AS (
+          |  SELECT CONCAT(CAST(user_id AS STRING), '.',
+          |                CAST(user_id * 7 % 10 AS STRING), '5e2') AS str
+          |  FROM pn_events)
+          |SELECT PARSE_NUMERIC(str) AS v,
+          |       SAFE.PARSE_NUMERIC(CONCAT(str, 'x')) AS bad,
+          |       COUNT(*) AS n
+          |FROM b GROUP BY v, bad ORDER BY v""".stripMargin)
+    }),
+
     // REGEXP_REPLACE backreferences (round 13): BigQuery's \1 group
     // refs and literal $ mapped through the three-layer escape
     // transform, with the replaced text AS THE GROUPING KEY; the
@@ -5237,6 +5253,17 @@ object SparkEntry {
           |       MIN(concat(upper(substr(event_type, 1, 1)), substr(event_type, 2), '-',
           |                  upper(substr(event_type, 1, 1)), substr(event_type, 2))) AS ic_min
           |FROM b GROUP BY cp1 ORDER BY first_cp""".stripMargin,
+      // the decimal parse replays as DuckDB's own cast (exponent
+      // form, exact at scale 9); the SAFE leg via try_cast
+      "q_parse_numeric" ->
+        """WITH b AS (
+          |  SELECT CAST(user_id AS VARCHAR) || '.' ||
+          |         CAST(user_id * 7 % 10 AS VARCHAR) || '5e2' AS str
+          |  FROM events)
+          |SELECT CAST(str AS DECIMAL(38,9)) AS v,
+          |       TRY_CAST(str || 'x' AS DECIMAL(38,9)) AS bad,
+          |       COUNT(*) AS n
+          |FROM b GROUP BY v, bad ORDER BY v""".stripMargin,
       // DuckDB's replacement dialect IS RE2 backrefs — the BigQuery
       // spelling runs nearly verbatim (plus the 'g' flag; BigQuery
       // and Spark replace globally by default)

@@ -417,6 +417,8 @@ private[graft] object Functions {
       "MAKE_INTERVAL", "JUSTIFY_DAYS", "JUSTIFY_HOURS", "JUSTIFY_INTERVAL",
       "TO_BASE32", "FROM_BASE32", "SAFE_CONVERT_BYTES_TO_STRING",
       "REGEXP_REPLACE", "REGEXP_EXTRACT_ALL",
+      "PARSE_NUMERIC", "PARSE_BIGNUMERIC",
+      "SAFE_PARSE_NUMERIC", "SAFE_PARSE_BIGNUMERIC",
       "GREATEST", "LEAST", "DIV", "IEEE_DIVIDE", "EXTRACT",
       "KLL_QUANTILES.INIT_INT64", "KLL_QUANTILES.INIT_FLOAT64",
       "KLL_QUANTILES.MERGE_PARTIAL",
@@ -1600,6 +1602,26 @@ private[graft] object Functions {
             if (groups == 1) None // Spark's default group index 1 IS BigQuery's rule
             else Some(s"regexp_extract_all((${args(0)}), ${args(1)}, 0)")
           }
+        // BigQuery's decimal parsers: whitespace/exponent-tolerant
+        // string -> NUMERIC, rounding half away from zero — exactly
+        // Spark's string->DECIMAL cast (HALF_UP, trims, reads
+        // scientific notation; ANSI raises on junk where BigQuery
+        // does too). The type widths follow the mapBqTypes contract:
+        // NUMERIC = DECIMAL(38,9); BIGNUMERIC narrows to
+        // DECIMAL(38,18) (Spark's 38-digit ceiling — the stated
+        // type-map narrowing, applied consistently here).
+        case "PARSE_NUMERIC" =>
+          require(args.size == 1, "PARSE_NUMERIC takes (string)")
+          Some(s"CAST((${args(0)}) AS DECIMAL(38,9))")
+        case "PARSE_BIGNUMERIC" =>
+          require(args.size == 1, "PARSE_BIGNUMERIC takes (string)")
+          Some(s"CAST((${args(0)}) AS DECIMAL(38,18))")
+        case "SAFE_PARSE_NUMERIC" =>
+          require(args.size == 1, "SAFE.PARSE_NUMERIC takes (string)")
+          Some(s"TRY_CAST((${args(0)}) AS DECIMAL(38,9))")
+        case "SAFE_PARSE_BIGNUMERIC" =>
+          require(args.size == 1, "SAFE.PARSE_BIGNUMERIC takes (string)")
+          Some(s"TRY_CAST((${args(0)}) AS DECIMAL(38,18))")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)
@@ -1950,7 +1972,8 @@ private[graft] object Functions {
     // drop the prefix where the function cannot error).
     val SafeSupported = Set("CAST", "DIVIDE", "ADD", "SUBTRACT", "MULTIPLY",
       "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME", "PARSE_JSON",
-      "BOOL", "INT64", "FLOAT64", "STRING")
+      "BOOL", "INT64", "FLOAT64", "STRING",
+      "PARSE_NUMERIC", "PARSE_BIGNUMERIC")
     def safePrefix(sql: String): String = {
       val upper = sql.toUpperCase(java.util.Locale.ROOT)
       if (!upper.contains("SAFE.")) return sql

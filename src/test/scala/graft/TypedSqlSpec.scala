@@ -3110,6 +3110,23 @@ class TypedSqlSpec extends SparkSuite {
     assert(r.getInt(6) == 19724 && r.getDate(7).toString == "2024-01-02")
   }
 
+  test("PARSE_NUMERIC / PARSE_BIGNUMERIC and their SAFE forms") {
+    val r = GraftSql.load(spark,
+      """SELECT PARSE_NUMERIC(' 12.345678901 ') AS a,
+        |       PARSE_NUMERIC('1.5e3') AS b,
+        |       PARSE_NUMERIC('-0.0000000005') AS c,
+        |       PARSE_BIGNUMERIC('0.123456789012345678') AS d,
+        |       SAFE.PARSE_NUMERIC('not a number') AS e""".stripMargin).head()
+    // NUMERIC scale 9, half away from zero
+    assert(r.getDecimal(0).toPlainString == "12.345678901")
+    assert(r.getDecimal(1).toPlainString == "1500.000000000")
+    assert(r.getDecimal(2).toPlainString == "-0.000000001") // |-5e-10| rounds AWAY
+    assert(r.getDecimal(3).toPlainString == "0.123456789012345678")
+    assert(r.isNullAt(4))
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT PARSE_NUMERIC('junk') AS x").collect())
+  }
+
   test("FARM_FINGERPRINT / ML.HASH_BUCKETIZE: FarmHash Fingerprint64 stable hashing") {
     import spark.implicits._
     // the reference implementation's own values (Guava = the
