@@ -3765,8 +3765,10 @@ object GraftSql {
     * APPENDS/CHANGES (A45): build the gap-filled frame from the named
     * arguments, register it as a temp view, splice the view name in.
     * Honored surface: `ts_column => '<col>'` (required),
-    * `bucket_width => INTERVAL 1 DAY` (the only width — non-day
-    * buckets are loud), `partitioning_columns => ['a', ...]`
+    * `bucket_width => INTERVAL 1 DAY` (date grid) or a sub-day
+    * `INTERVAL n HOUR|MINUTE|SECOND` (timestamp grid, round 13 —
+    * month-family widths stay loud, a month grid is not
+    * fixed-width), `partitioning_columns => ['a', ...]`
     * (optional), `value_columns => [('col', 'locf'|'null'|'linear'),
     * ...]` (optional — [[graft.operators.Resample.gapFill]]
     * carries the methods). The input table must be one row per
@@ -3903,9 +3905,30 @@ object GraftSql {
     val tsCol = unq(named.getOrElse("ts_column",
       throw new IllegalArgumentException("GAP_FILL requires ts_column => '<col>'")))
     val width = named.getOrElse("bucket_width",
-      throw new IllegalArgumentException("GAP_FILL requires bucket_width => INTERVAL 1 DAY"))
-    require(width.matches("(?is)INTERVAL\\s+'?1'?\\s+DAY"),
-      s"GAP_FILL bucket_width '$width' is not supported — INTERVAL 1 DAY only")
+      throw new IllegalArgumentException(
+        "GAP_FILL requires bucket_width => INTERVAL n unit"))
+    // INTERVAL 1 DAY rides the date-grid engine; sub-day widths
+    // (HOUR/MINUTE/SECOND, any positive n) ride the timestamp grid
+    // (Resample.gapFillTs, round 13). Multi-day/month widths stay
+    // loud — a month grid is not fixed-width.
+    val WidthRe = """(?is)INTERVAL\s+'?(\d+)'?\s+([A-Za-z]+)""".r
+    val stepMicros: Option[Long] = width.trim match {
+      case WidthRe(nTxt, unit) => unit.toUpperCase(java.util.Locale.ROOT) match {
+        case "DAY" =>
+          require(nTxt == "1",
+            s"GAP_FILL bucket_width '$width' is not supported — INTERVAL 1 DAY, " +
+              "or a sub-day HOUR/MINUTE/SECOND width")
+          None
+        case "HOUR" => Some(nTxt.toLong * 3600000000L)
+        case "MINUTE" => Some(nTxt.toLong * 60000000L)
+        case "SECOND" => Some(nTxt.toLong * 1000000L)
+        case other => throw new IllegalArgumentException(
+          s"GAP_FILL bucket_width unit '$other' is not supported " +
+            "(DAY, HOUR, MINUTE, SECOND — month-family grids are not fixed-width)")
+      }
+      case other => throw new IllegalArgumentException(
+        s"GAP_FILL bucket_width must be INTERVAL n unit, got: $other")
+    }
     def listItems(s: String): Seq[String] = {
       require(s.startsWith("[") && s.endsWith("]"),
         s"GAP_FILL expects a [bracketed] list, got: $s")
@@ -3935,7 +3958,12 @@ object GraftSql {
       require(halves.length == 2, s"GAP_FILL value_columns pair needs (col, method): $p")
       (unq(halves(0)), unq(halves(1)).toLowerCase(java.util.Locale.ROOT))
     }).getOrElse(Nil)
-    graft.operators.Resample.gapFill(spark.table(name), partCols, tsCol, valCols)
+    stepMicros match {
+      case None =>
+        graft.operators.Resample.gapFill(spark.table(name), partCols, tsCol, valCols)
+      case Some(us) =>
+        graft.operators.Resample.gapFillTs(spark.table(name), partCols, tsCol, valCols, us)
+    }
   }
 
   /** First top-level `kw ( args )` call span in `sql` (quote-aware,

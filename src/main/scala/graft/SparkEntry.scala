@@ -551,6 +551,24 @@ object SparkEntry {
           |  value_columns => [('avg_value', 'linear')])
           |ORDER BY event_type, day""".stripMargin)
     }),
+    // A47c (round 13): the sub-day GAP_FILL — hourly buckets on the
+    // timestamp grid with deterministic 3-hour holes, linear filled
+    // on the MICROS axis; the DuckDB oracle replays the identical
+    // epoch_us fraction fold
+    "sql_gap_fill_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(!(F.hour(F.col("ts")).isin(5, 6, 7) && F.col("event_type") === "click"))
+        .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hr"))
+        .agg(davg(F.col("value")).as("avg_value"))
+        .createOrReplaceTempView("gf_hourly_f")
+      graft.GraftSql.load(s,
+        """SELECT * FROM GAP_FILL(TABLE gf_hourly_f, ts_column => 'hr',
+          |  bucket_width => INTERVAL 1 HOUR,
+          |  partitioning_columns => ['event_type'],
+          |  value_columns => [('avg_value', 'linear')])
+          |ORDER BY event_type, hr""".stripMargin)
+    }),
+
     // A29: the (day × key) completeness grid over a feed with
     // deterministic punched holes (clicks vanish on every 5th
     // day-of-month) — missing partitions surface as n_rows = 0
@@ -4485,6 +4503,41 @@ object SparkEntry {
           |                                / CAST(date_diff('day', pd, nd) AS DOUBLE))
           |       END AS avg_value
           |FROM br ORDER BY event_type, day""".stripMargin,
+      // the hourly grid replays on the timestamp axis; the linear
+      // fraction is the identical epoch_us integer-diff fold
+      "sql_gap_fill_hourly" ->
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
+          |  FROM events
+          |  WHERE NOT (date_part('hour', ts) IN (5, 6, 7) AND event_type = 'click')
+          |  GROUP BY 1, 2),
+          |span AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+          |hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM span),
+          |grid AS (SELECT ks.event_type AS event_type, hrs.hr AS hr
+          |         FROM (SELECT DISTINCT event_type FROM hourly) ks CROSS JOIN hrs),
+          |br AS (
+          |  SELECT g.event_type AS event_type, g.hr AS hr, d.avg_value AS avg_value,
+          |         last_value(CASE WHEN d.avg_value IS NOT NULL THEN g.hr END IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.hr
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          |         last_value(d.avg_value IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.hr
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          |         first_value(CASE WHEN d.avg_value IS NOT NULL THEN g.hr END IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.hr
+          |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+          |         first_value(d.avg_value IGNORE NULLS)
+          |           OVER (PARTITION BY g.event_type ORDER BY g.hr
+          |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+          |  FROM grid g LEFT JOIN hourly d ON g.event_type = d.event_type AND g.hr = d.hr)
+          |SELECT event_type, hr,
+          |       CASE WHEN avg_value IS NOT NULL THEN avg_value
+          |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |              pv + (nv - pv) * (CAST(epoch_us(hr) - epoch_us(pd) AS DOUBLE)
+          |                                / CAST(epoch_us(nd) - epoch_us(pd) AS DOUBLE))
+          |       END AS avg_value
+          |FROM br ORDER BY event_type, hr""".stripMargin,
       "fx_completeness" ->
         """WITH src AS (
           |  SELECT * FROM events

@@ -86,6 +86,55 @@ object Resample {
       }: _*)
   }
 
+  /** The sub-day GAP_FILL engine (round 13 — lifts the day-only
+    * restriction): same contract as [[gapFill]] but on a TIMESTAMP
+    * grid of `stepMicros`-wide buckets from the observed min to max.
+    * `linear` interpolates on the micros axis — the fraction is a
+    * fixed `(t−p)/(n−p)` fold over unix_micros longs, so an
+    * independent engine replays the double arithmetic exactly. Same
+    * scale shape: 1-row span aggregate, broadcast grid, keyed left
+    * join, ONE window sort per key shared by every fill column.
+    */
+  def gapFillTs(daily: DataFrame, keyCols: Seq[String], tsCol: String,
+                valCols: Seq[(String, String)], stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"GAP_FILL bucket width must be positive, got $stepMicros micros")
+    valCols.foreach { case (c, m) =>
+      require(m == "locf" || m == "null" || m == "linear",
+        s"GAP_FILL method '$m' for column $c is not supported (locf, null, linear)")
+    }
+    val keys = keyCols.map(F.col)
+    val span = daily.agg(F.min(tsCol).as("lo"), F.max(tsCol).as("hi"))
+    val grid = span.select(F.explode(F.expr(
+      s"sequence(lo, hi, INTERVAL $stepMicros MICROSECOND)")).as(tsCol))
+    val joined = daily.select(keys: _*).distinct().crossJoin(F.broadcast(grid))
+      .join(daily, keyCols :+ tsCol, "left")
+    val w = Window.partitionBy(keys: _*).orderBy(tsCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys: _*).orderBy(tsCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val linears = valCols.collect { case (c, "linear") => c }
+    val bracketed = linears.foldLeft(joined) { (df, c) =>
+      val obs = F.when(F.col(c).isNotNull,
+        F.struct(F.col(tsCol).as("d"), F.col(c).as("v")))
+      df.withColumn(s"__prev_$c", F.last(obs, ignoreNulls = true).over(w))
+        .withColumn(s"__next_$c", F.first(obs, ignoreNulls = true).over(wf))
+    }
+    def micros(c: org.apache.spark.sql.Column) = F.unix_micros(c)
+    bracketed.select(
+      keys ++ Seq(F.col(tsCol)) ++ valCols.map {
+        case (c, "locf") => F.last(F.col(c), ignoreNulls = true).over(w).as(c)
+        case (c, "linear") =>
+          val p = F.col(s"__prev_$c"); val n = F.col(s"__next_$c")
+          F.when(F.col(c).isNotNull, F.col(c))
+            .when(p.isNotNull && n.isNotNull,
+              p.getField("v") + (n.getField("v") - p.getField("v")) *
+                ((micros(F.col(tsCol)) - micros(p.getField("d"))).cast("double") /
+                  (micros(n.getField("d")) - micros(p.getField("d"))).cast("double")))
+            .as(c)
+        case (c, _) => F.col(c)
+      }: _*)
+  }
+
   /** BigQuery's `RANGE_SESSIONIZE` TVF engine: every input row plus a
     * `session_range` struct covering the session of transitively
     * connected ranges within its partition. `mode` is BigQuery's

@@ -141,6 +141,44 @@ class ResampleSpec extends SparkSuite {
     assert(err.getMessage.contains("RANGE_INTERSECT") || err.getCause != null)
   }
 
+  test("gapFillTs densifies an hourly grid; locf and micros-linear fill") {
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val hourly = Seq(
+      ("A", t("2024-01-01 00:00:00"), Some(10.0)),
+      ("A", t("2024-01-01 03:00:00"), Some(40.0)), // 2 missing hours
+      ("B", t("2024-01-01 01:00:00"), Some(5.0)))
+      .toDF("k", "ts", "v")
+    val out = Resample.gapFillTs(hourly, Seq("k"), "ts", Seq("v" -> "locf"), 3600000000L)
+    // grid spans 00:00..03:00 for BOTH keys (shared span)
+    assert(out.filter(F.col("k") === "A").count() == 4)
+    val locf = out.filter(F.col("k") === "A").orderBy("ts")
+      .collect().map(r => Option(r.get(2)).map(_.toString).orNull).toSeq
+    assert(locf == Seq("10.0", "10.0", "10.0", "40.0"))
+    // linear: interior hours interpolate on the micros axis
+    val lin = Resample.gapFillTs(hourly, Seq("k"), "ts", Seq("v" -> "linear"), 3600000000L)
+      .filter(F.col("k") === "A").orderBy("ts")
+      .collect().map(r => Option(r.get(2)).map(_.toString).orNull).toSeq
+    assert(lin == Seq("10.0", "20.0", "30.0", "40.0"))
+    // the TVF accepts sub-day widths; month-family widths stay loud
+    hourly.createOrReplaceTempView("gf_hourly")
+    val sql = GraftSql.load(spark,
+      """SELECT k, ts, v FROM GAP_FILL(TABLE gf_hourly, ts_column => 'ts',
+        |bucket_width => INTERVAL 1 HOUR,
+        |partitioning_columns => ['k'],
+        |value_columns => [('v', 'linear')])
+        |WHERE k = 'A' ORDER BY ts""".stripMargin)
+      .collect().map(r => Option(r.get(2)).map(_.toString).orNull).toSeq
+    assert(sql == Seq("10.0", "20.0", "30.0", "40.0"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      """SELECT * FROM GAP_FILL(TABLE gf_hourly, ts_column => 'ts',
+        |bucket_width => INTERVAL 1 MONTH)""".stripMargin))
+      .getMessage.contains("MONTH"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      """SELECT * FROM GAP_FILL(TABLE gf_hourly, ts_column => 'ts',
+        |bucket_width => INTERVAL 2 DAY)""".stripMargin))
+      .getMessage.contains("INTERVAL 1 DAY"))
+  }
+
   test("a dense series round-trips unchanged (all rows observed)") {
     val daily = Seq(
       ("A", d("2024-02-01"), 1.0), ("A", d("2024-02-02"), 2.0), ("A", d("2024-02-03"), 3.0))
