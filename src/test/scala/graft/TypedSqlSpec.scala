@@ -2606,8 +2606,12 @@ class TypedSqlSpec extends SparkSuite {
     assert(nl.count(_.isNullAt(2)) == 5)
     def bad(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    // hour buckets graduated to the timestamp grid late in round 13;
+    // month-family and multi-day widths stay loud
     assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
-      "bucket_width => INTERVAL 1 HOUR)").contains("INTERVAL 1 DAY"))
+      "bucket_width => INTERVAL 1 MONTH)").contains("MONTH"))
+    assert(bad("SELECT * FROM GAP_FILL(TABLE gap_t, ts_column => 'd', " +
+      "bucket_width => INTERVAL 3 DAY)").contains("INTERVAL 1 DAY"))
     // 'linear' (round 13) interpolates between bracketing observations;
     // unbracketed leading/trailing gaps stay null
     val ln = GraftSql.load(spark,
