@@ -2453,7 +2453,14 @@ object SparkEntry {
 
     // PARSE_NUMERIC / SAFE.PARSE_NUMERIC (round 13): exponent-form
     // decimal parsing onto NUMERIC's DECIMAL(38,9) carrier; DuckDB
-    // replays as its own decimal cast — exact at this scale
+    // replays as its own decimal cast — exact at this scale. The
+    // outputs are projected through CAST(... AS STRING) because the
+    // driver's value-hash is carrier-sensitive: Spark dumps parquet
+    // fixed-len DECIMAL(38,9) while DuckDB's decimal surfaces as
+    // float64 through the driver's reader (round-13 red row). The
+    // decimal SEMANTICS stay pinned by TypedSqlSpec's vectors; the
+    // gate face compares the scale-9 textual rendering, which both
+    // engines print identically.
     "q_parse_numeric" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("pn_events")
       graft.GraftSql.load(s,
@@ -2461,10 +2468,10 @@ object SparkEntry {
           |  SELECT CONCAT(CAST(user_id AS STRING), '.',
           |                CAST(user_id * 7 % 10 AS STRING), '5e2') AS str
           |  FROM pn_events)
-          |SELECT PARSE_NUMERIC(str) AS v,
-          |       SAFE.PARSE_NUMERIC(CONCAT(str, 'x')) AS bad,
+          |SELECT CAST(PARSE_NUMERIC(str) AS STRING) AS v,
+          |       CAST(SAFE.PARSE_NUMERIC(CONCAT(str, 'x')) AS STRING) AS bad,
           |       COUNT(*) AS n
-          |FROM b GROUP BY v, bad ORDER BY v""".stripMargin)
+          |FROM b GROUP BY 1, 2 ORDER BY v""".stripMargin)
     }),
 
     // REGEXP_REPLACE backreferences (round 13): BigQuery's \1 group
@@ -5307,16 +5314,19 @@ object SparkEntry {
           |                  upper(substr(event_type, 1, 1)), substr(event_type, 2))) AS ic_min
           |FROM b GROUP BY cp1 ORDER BY first_cp""".stripMargin,
       // the decimal parse replays as DuckDB's own cast (exponent
-      // form, exact at scale 9); the SAFE leg via try_cast
+      // form, exact at scale 9); the SAFE leg via try_cast. Both
+      // sides render through the scale-9 textual form — DECIMAL is
+      // not carrier-stable across the two parquet writers (round-13
+      // hash miss)
       "q_parse_numeric" ->
         """WITH b AS (
           |  SELECT CAST(user_id AS VARCHAR) || '.' ||
           |         CAST(user_id * 7 % 10 AS VARCHAR) || '5e2' AS str
           |  FROM events)
-          |SELECT CAST(str AS DECIMAL(38,9)) AS v,
-          |       TRY_CAST(str || 'x' AS DECIMAL(38,9)) AS bad,
+          |SELECT CAST(CAST(str AS DECIMAL(38,9)) AS VARCHAR) AS v,
+          |       CAST(TRY_CAST(str || 'x' AS DECIMAL(38,9)) AS VARCHAR) AS bad,
           |       COUNT(*) AS n
-          |FROM b GROUP BY v, bad ORDER BY v""".stripMargin,
+          |FROM b GROUP BY 1, 2 ORDER BY v""".stripMargin,
       // DuckDB's replacement dialect IS RE2 backrefs — the BigQuery
       // spelling runs nearly verbatim (plus the 'g' flag; BigQuery
       // and Spark replace globally by default)

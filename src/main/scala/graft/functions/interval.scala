@@ -15,9 +15,12 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
   *  - the JUSTIFY trio (Postgres/BigQuery semantics): JUSTIFY_HOURS
   *    rolls whole 24-hour blocks of the micros part into days,
   *    JUSTIFY_DAYS rolls whole 30-day blocks into months,
-  *    JUSTIFY_INTERVAL composes hours-then-days. Divisions truncate
-  *    toward zero (a negative part keeps its sign — the C rule both
-  *    engines share).
+  *    JUSTIFY_INTERVAL composes hours-then-days and then applies the
+  *    Postgres mixed-sign borrow (a lower-order part with the
+  *    opposite sign of the result borrows one unit from the field
+  *    above, so '1 month -1 hour' → 29 days 23:00:00). Divisions
+  *    truncate toward zero (a negative part keeps its sign — the C
+  *    rule both engines share).
   *  - BigQuery's canonical text form `[-]Y-M [-]D [-]H:M:S[.F]` —
   *    sign carried PER GROUP, components unpadded, the fractional
   *    part printed only when nonzero and trimmed of trailing zeros
@@ -37,6 +40,21 @@ object IntervalOps {
     if (mode == "days" || mode == "interval") {
       months += days / 30L
       days %= 30L
+    }
+    // JUSTIFY_INTERVAL only (Postgres interval_justify, the semantics
+    // BigQuery documents): after the whole-block rolls, mixed-sign
+    // parts borrow one unit from the next-higher field so every part
+    // carries the sign of the whole — '1 month -1 hour' normalizes to
+    // 29 days 23:00:00, not 1 month -1:00:00. JUSTIFY_HOURS and
+    // JUSTIFY_DAYS deliberately do NOT borrow (also the Postgres rule).
+    if (mode == "interval") {
+      if (months > 0 && (days < 0 || (days == 0 && micros < 0))) {
+        days += 30; months -= 1
+      } else if (months < 0 && (days > 0 || (days == 0 && micros > 0))) {
+        days -= 30; months += 1
+      }
+      if (days > 0 && micros < 0) { micros += 86400000000L; days -= 1 }
+      else if (days < 0 && micros > 0) { micros -= 86400000000L; days += 1 }
     }
     require(months >= Int.MinValue && months <= Int.MaxValue &&
       days >= Int.MinValue && days <= Int.MaxValue,

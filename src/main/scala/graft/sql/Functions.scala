@@ -531,19 +531,51 @@ private[graft] object Functions {
         }
       }
     }
-    // the Spark lexer's backslash layer, enough for the regexp
-    // rewrites: `\\` -> `\`, `''` -> `'`, any other `\x` -> the pair
-    // kept AS AN ESCAPE (so regex escapes like `\.` survive into the
-    // parsed text exactly as the lexer delivers them)
+    // the Spark lexer's full backslash layer (ParserUtils
+    // .unescapeSQLString, default escapedStringLiterals=false): `''`
+    // -> `'`, `\uXXXX` -> the code point, `\ooo` (three octal digits)
+    // -> the byte, the named two-char escapes (\0 \' \" \b \n \r \t
+    // \Z \\) -> their chars, `\%`/`\_` kept as the PAIR (the MySQL
+    // LIKE rule Spark inherits), and any other `\x` -> bare `x` (the
+    // lexer drops the backslash). Modeling the whole set matters: a
+    // replacement literal '\n' IS a newline after Spark lexes it, and
+    // the earlier keep-the-pair model re-escaped it into a Java
+    // replaceAll escape that silently substituted the letter n.
     def unescapeLiteral(raw: String): String = {
       val out2 = new StringBuilder(raw.length)
       var i2 = 0
+      def hex(k: Int) = {
+        val h = raw.charAt(k)
+        (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F')
+      }
       while (i2 < raw.length) {
         val c2 = raw.charAt(i2)
-        if (c2 == '\\' && i2 + 1 < raw.length && raw.charAt(i2 + 1) == '\\') {
-          out2 += '\\'; i2 += 2
-        } else if (c2 == '\'' && i2 + 1 < raw.length && raw.charAt(i2 + 1) == '\'') {
+        if (c2 == '\'' && i2 + 1 < raw.length && raw.charAt(i2 + 1) == '\'') {
           out2 += '\''; i2 += 2
+        } else if (c2 == '\\' && i2 + 1 < raw.length) {
+          val n2 = raw.charAt(i2 + 1)
+          if (n2 == 'u' && i2 + 5 < raw.length && (2 to 5).forall(k => hex(i2 + k))) {
+            out2 += Integer.parseInt(raw.substring(i2 + 2, i2 + 6), 16).toChar
+            i2 += 6
+          } else if (n2 >= '0' && n2 <= '7' && i2 + 3 < raw.length &&
+              raw.charAt(i2 + 2) >= '0' && raw.charAt(i2 + 2) <= '7' &&
+              raw.charAt(i2 + 3) >= '0' && raw.charAt(i2 + 3) <= '7') {
+            out2 += Integer.parseInt(raw.substring(i2 + 1, i2 + 4), 8).toChar
+            i2 += 4
+          } else {
+            n2 match {
+              case '0' => out2 += 0.toChar
+              case 'b' => out2 += '\b'
+              case 'n' => out2 += '\n'
+              case 'r' => out2 += '\r'
+              case 't' => out2 += '\t'
+              case 'Z' => out2 += 26.toChar // SUB, the MySQL ctrl-Z escape
+              case '%' => out2 ++= "\\%"
+              case '_' => out2 ++= "\\_"
+              case other => out2 += other // incl. \\ \' \" and bare-char fallback
+            }
+            i2 += 2
+          }
         } else { out2 += c2; i2 += 1 }
       }
       out2.toString
@@ -1548,6 +1580,10 @@ private[graft] object Functions {
         // literal, `$` → `\$`), then RE-ESCAPE back into SQL-literal
         // text. A non-literal replacement passes through under Java
         // semantics — stated.
+        // Spark's own 4-arg regexp_replace(str, pattern, rep, position)
+        // is not a BigQuery spelling — pass it through untouched under
+        // Java semantics (the MAKE_INTERVAL/SPLIT arity discipline)
+        case "REGEXP_REPLACE" if args.size == 4 => None
         case "REGEXP_REPLACE" =>
           require(args.size == 3, "REGEXP_REPLACE takes (value, regexp, replacement)")
           val rep = args(2).trim
@@ -1586,13 +1622,26 @@ private[graft] object Functions {
           if (!(re.length >= 2 && re.head == '\'' && re.last == '\'')) None
           else {
             val parsed = unescapeLiteral(re.substring(1, re.length - 1))
+            // named groups ARE capturing in both re2 and Java: count
+            // (?<name>...); reject re2's (?P<name>...) loudly (Java's
+            // regex engine cannot run it at all). Lookbehinds (?<= and
+            // (?<! stay non-capturing.
+            require(!parsed.contains("(?P<"),
+              "REGEXP_EXTRACT_ALL: (?P<name>...) is re2-only syntax Java regex " +
+                "rejects — respell as (?<name>...)")
             var groups = 0; var i2 = 0
             while (i2 < parsed.length) {
               val c2 = parsed.charAt(i2)
               if (c2 == '\\') i2 += 2
               else {
-                if (c2 == '(' && (i2 + 1 >= parsed.length || parsed.charAt(i2 + 1) != '?'))
-                  groups += 1
+                if (c2 == '(') {
+                  val isPlain = i2 + 1 >= parsed.length || parsed.charAt(i2 + 1) != '?'
+                  val isNamed = i2 + 2 < parsed.length && parsed.charAt(i2 + 1) == '?' &&
+                    parsed.charAt(i2 + 2) == '<' &&
+                    (i2 + 3 >= parsed.length ||
+                      (parsed.charAt(i2 + 3) != '=' && parsed.charAt(i2 + 3) != '!'))
+                  if (isPlain || isNamed) groups += 1
+                }
                 i2 += 1
               }
             }

@@ -2965,6 +2965,15 @@ class TypedSqlSpec extends SparkSuite {
       .getString(0) == "0-1 7 1:30:0")
     assert(one("SELECT graft_interval_text(JUSTIFY_DAYS(INTERVAL '0-0 -65 0:0:0' YEAR TO SECOND)) AS t")
       .getString(0) == "-0-2 -5 0:0:0")
+    // JUSTIFY_INTERVAL's mixed-sign borrow (Postgres interval_justify):
+    // '1 month -1 hour' normalizes down to 29 days 23:00:00, and the
+    // mirrored input to its negation; JUSTIFY_HOURS alone must NOT borrow
+    assert(one("SELECT graft_interval_text(JUSTIFY_INTERVAL(MAKE_INTERVAL(0, 1, 0, -1))) AS t")
+      .getString(0) == "0-0 29 23:0:0")
+    assert(one("SELECT graft_interval_text(JUSTIFY_INTERVAL(MAKE_INTERVAL(0, -1, 0, 1))) AS t")
+      .getString(0) == "0-0 -29 -23:0:0")
+    assert(one("SELECT graft_interval_text(JUSTIFY_HOURS(MAKE_INTERVAL(0, 1, 0, -1))) AS t")
+      .getString(0) == "0-1 0 -1:0:0")
     // louds: mixed args, unknown part, malformed payloads
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT MAKE_INTERVAL(1, day => 2) AS i")).getMessage.contains("mix"))
@@ -3093,6 +3102,23 @@ class TypedSqlSpec extends SparkSuite {
       .getSeq[String](0) == Seq("a")) // (?: doesn't count
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT REGEXP_EXTRACT_ALL('a', '(a)(b)') AS r")).getMessage.contains("capturing"))
+    // lexer escapes in the replacement keep their PARSED meaning: '\n'
+    // is a newline after Spark lexes it, never Java's escaped letter n
+    assert(one("SELECT REGEXP_REPLACE('a b', ' ', '\\n') AS r").getString(0) == "a\nb")
+    assert(one("SELECT REGEXP_REPLACE('a b', ' ', '\\t') AS r").getString(0) == "a\tb")
+    assert(one("SELECT REGEXP_REPLACE('a b', ' ', '\\u0041') AS r").getString(0) == "aAb")
+    // Spark's own 4-arg form (position) passes through under Java semantics
+    assert(one("SELECT REGEXP_REPLACE('aaa', 'a', 'b', 2) AS r").getString(0) == "abb")
+    // named groups ARE capturing (re2 and Java agree): one named group
+    // extracts it; lookbehind stays non-capturing; (?P< is Java-fatal → loud
+    assert(one("SELECT REGEXP_EXTRACT_ALL('a1 b22', '[a-z](?<d>[0-9]+)') AS r")
+      .getSeq[String](0) == Seq("1", "22"))
+    assert(one("SELECT REGEXP_EXTRACT_ALL('a1 b2', '(?<=a)[0-9]') AS r")
+      .getSeq[String](0) == Seq("1"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT REGEXP_EXTRACT_ALL('a1', '(?P<d>[0-9])') AS r")).getMessage.contains("re2-only"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT REGEXP_EXTRACT_ALL('a1', '(?<d>a)(b)') AS r")).getMessage.contains("capturing"))
   }
 
   test("the epoch-conversion family is Spark-native under BigQuery's names") {

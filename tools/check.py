@@ -31,19 +31,51 @@ for name in expected:
         print(f"[rows-only] {name}: {len(got)} rows")
         continue
     want = con.execute(oracle[name]).fetchdf()
+    # DECIMAL is not a hash-stable carrier: DuckDB's pandas reader
+    # flattens it to float64 (so the value-compare below can't see the
+    # divergence) while the driver's reader keeps Spark's parquet
+    # fixed-len decimal as decimal.Decimal — the round-13
+    # q_parse_numeric miss. Flag a decimal column on EITHER side
+    # before the values are even compared: project through
+    # CAST(... AS STRING) or FLOAT64 instead.
+    decs = []
+    try:
+        import pyarrow.parquet as pq
+        for f in glob.glob(f"{qdir}/*.parquet"):
+            sch = pq.read_schema(f)
+            decs += [f"{n} (dump: {t})" for n, t in zip(sch.names, sch.types)
+                     if "decimal" in str(t)]
+            break
+    except Exception:
+        pass
+    decs += [f"{r[0]} (oracle: {r[1]})"
+             for r in con.execute("DESCRIBE " + oracle[name]).fetchall()
+             if str(r[1]).startswith("DECIMAL")]
+    if decs:
+        fails += 1
+        print(f"[FAIL] {name}: decimal carrier is not hash-stable across the "
+              f"driver's readers — project CAST(... AS STRING): {decs}")
+        continue
     got = got.reindex(sorted(got.columns), axis=1)
     want = want.reindex(sorted(want.columns), axis=1)
     status = []
     if list(got.columns) != list(want.columns):
         status.append(f"schema: got {list(got.columns)} want {list(want.columns)}")
     else:
-        # the driver's value-hash is dtype-sensitive across the int/float
-        # divide (bigint 3 vs HUGEINT->float64 3.0 hash differently even
-        # when values match) — flag that class here so it can't slip
+        # the driver's value-hash is dtype-sensitive across CARRIER
+        # classes: bigint 3 vs HUGEINT->float64 3.0 hash differently,
+        # and (round 13) a Spark parquet DECIMAL(38,9) vs DuckDB
+        # decimal->float64 sailed through check_dtype=False while the
+        # driver flagged it. Compare the dtype CLASS of every column:
+        # ints are one class (width doesn't matter to the value hash),
+        # everything else must match kind-for-kind — float vs object
+        # (decimal.Decimal), float vs int, datetime vs object all trip.
+        def klass(k):
+            return "int" if k in ("i", "u") else k
         for c in got.columns:
             gk, wk = got[c].dtype.kind, want[c].dtype.kind
-            if {gk, wk} <= {"i", "u", "f"} and ("f" in (gk, wk)) != (gk == wk == "f"):
-                status.append(f"dtype-class: {c} got {got[c].dtype} want {want[c].dtype} (int vs float hashes differently)")
+            if klass(gk) != klass(wk):
+                status.append(f"dtype-class: {c} got {got[c].dtype} want {want[c].dtype} (carrier classes hash differently)")
     if len(got) != len(want):
         status.append(f"rows: got {len(got)} want {len(want)}")
     if not status:
