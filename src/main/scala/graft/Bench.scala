@@ -42,6 +42,13 @@ object Bench {
       // queries that time flat in isolation). One explicit GC per
       // query makes the sweep measure plans, not accumulated history.
       System.gc()
+      // one UNTIMED warmup rep per query: the first execution of a
+      // query class carries its codegen compile + JIT (observed 2-3x
+      // inflation in both round-13 sweeps, and a partially-warmed
+      // second rep can still drag the median). After it, the three
+      // timed reps are homogeneous and consecutive sweeps on unchanged
+      // code land within a few percent.
+      try force(name) catch { case _: Throwable => }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { force(name); (System.nanoTime() - t0) / 1e9 }

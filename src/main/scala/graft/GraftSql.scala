@@ -103,6 +103,32 @@ object GraftSql {
     // idempotent, and statements must see them whatever session the
     // caller built
     graft.functions.SqlFunctions.register(spark)
+    // CREATE TABLE / [MATERIALIZED] VIEW carrying an OPTIONS(...)
+    // metadata clause (round 14): split the clause off textually,
+    // dispatch the stripped statement as usual, then record the pairs
+    // for INFORMATION_SCHEMA.TABLE_OPTIONS (a re-create WITHOUT the
+    // clause clears stale metadata — recorded only after the create
+    // succeeds, so a failed statement leaves the old rows alone).
+    // Scoped to plain TABLE/VIEW heads — EXTERNAL TABLE,
+    // SNAPSHOT/CLONE, index and model DDL don't match and keep
+    // consuming their own OPTIONS. An IF NOT EXISTS no-op keeps the
+    // existing table's recorded options (BigQuery's disposition).
+    sql0 match {
+      case CreateOptionsHeadRe(ine, rawName) =>
+        val (stripped, bodyOpt) = splitOptionsClause(sql0)
+        val name = viewName(rawName)
+        val existed = spark.catalog.tableExists(name)
+        val res = loadDispatch(spark, stripped)
+        if (ine == null || !existed) bodyOpt match {
+          case Some(body) => recordTableOptions(spark, name, body)
+          case None => tableOptionsRegistry.remove(mvKey(spark, name))
+        }
+        res
+      case _ => loadDispatch(spark, sql0)
+    }
+  }
+
+  private def loadDispatch(spark: SparkSession, sql0: String): DataFrame = {
     // BigQuery time travel + VECTOR_SEARCH: resolve `t FOR
     // SYSTEM_TIME AS OF <ts>` references against registered Versioned
     // tables and VECTOR_SEARCH(...) table-function calls BEFORE
@@ -191,7 +217,8 @@ object GraftSql {
             }
           case None => insertParsed(spark, i)
         }
-      case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
+      case c: CreateTableAsSelect => ctasParsed(spark, c.name, sql)
+      case r: ReplaceTableAsSelect => ctasParsed(spark, r.name, sql, replace = true)
       case d: DeleteFromTable =>
         commitIfVersioned(spark, dmlTargetName(d.table), "delete")(deleteParsed(spark, d))
       case u: UpdateTable =>
@@ -1274,6 +1301,7 @@ object GraftSql {
       mvRegistry.remove(mvKey(spark, name))
       partRegistry.remove(mvKey(spark, name))
       viewDefRegistry.remove(mvKey(spark, name))
+      tableOptionsRegistry.remove(mvKey(spark, name))
       graft.sources.Versioned.unregister(spark, name)
       if (!spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
         spark.sql(s"DROP TABLE `$name`") // a managed (saveAsTable) table
@@ -1937,26 +1965,53 @@ object GraftSql {
     */
   def createTableAs(spark: SparkSession, sql: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sql) match {
-      case c: CreateTableAsSelect => ctasParsed(spark, c, sql)
+      case c: CreateTableAsSelect => ctasParsed(spark, c.name, sql)
+      case r: ReplaceTableAsSelect => ctasParsed(spark, r.name, sql, replace = true)
       case other => throw new IllegalArgumentException(
         s"not a CTAS statement (parsed to ${other.nodeName})")
     }
 
-  private def ctasParsed(spark: SparkSession, c: CreateTableAsSelect, sql: String): DataFrame = {
-    val name = c.name match {
+  private def ctasParsed(spark: SparkSession, nameNode: LogicalPlan, sql: String,
+                         replace: Boolean = false): DataFrame = {
+    val name = nameNode match {
       case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
         // re-quote each part: a quoted name containing '.' must not be
         // re-parsed as database.table
         parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
       case other => throw new IllegalArgumentException(s"unexpected CTAS identifier: $other")
     }
+    // the V1 session catalog has no REPLACE TABLE AS SELECT — emulate
+    // BigQuery's OR REPLACE disposition: drop any existing name
+    // (temp view or managed table), then run the statement as a plain
+    // CTAS with the OR REPLACE stripped
+    val sqlRun =
+      if (!replace) sql
+      else {
+        if (spark.catalog.tableExists(name) &&
+          !spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
+          spark.sql(s"DROP TABLE $name")
+        // the in-memory catalog forgets managed tables across sessions
+        // but their warehouse directories persist — an OR REPLACE must
+        // clear a stale location too (replace destroys the previous
+        // table in BigQuery; a single-part default-db name only, the
+        // managed-CTAS shape this engine produces)
+        val bare = name.replace("`", "")
+        if (!bare.contains(".")) {
+          val wh = spark.conf.get("spark.sql.warehouse.dir")
+          val loc = new org.apache.hadoop.fs.Path(
+            s"${wh.stripSuffix("/")}/${bare.toLowerCase(java.util.Locale.ROOT)}")
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        sql.replaceFirst("(?is)^(\\s*CREATE\\s+)OR\\s+REPLACE\\s+", "$1")
+      }
     // bare CTAS (no USING) must mean a parquet table, not a Hive one —
     // applied only for THIS statement (save/restore: a library call
     // must not change the session's behavior for unrelated user SQL)
     val key = "spark.sql.legacy.createHiveTableByDefault"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try spark.sql(sql)
+    try spark.sql(sqlRun)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -2326,8 +2381,119 @@ object GraftSql {
   private val viewDefRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  // OPTIONS(description=..., labels=[...]) metadata attached by CREATE
+  // TABLE / CREATE [MATERIALIZED] VIEW, surfaced through
+  // INFORMATION_SCHEMA.TABLE_OPTIONS — rows are (option_name,
+  // option_type, option_value) in BigQuery's own rendering
+  private val tableOptionsRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[(String, String, String)]]
+
+  // a plain TABLE/VIEW create head (no EXTERNAL / SNAPSHOT / index /
+  // model keyword can appear between CREATE and the kind) — the only
+  // statements whose OPTIONS clause is bare table metadata
+  private val CreateOptionsHeadRe =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)[\s(].*""").r
+
   private def mvKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name.toLowerCase)
+
+  /** Split one top-level `OPTIONS ( ... )` clause out of a DDL
+    * statement — quote-, backtick- and balance-aware, and stopping at
+    * the first top-level `AS` keyword so an OPTIONS-shaped call inside
+    * the query body is never touched. Returns (sql without the clause,
+    * the raw body if one was found).
+    */
+  private[graft] def splitOptionsClause(sql: String): (String, Option[String]) = {
+    def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    var i = 0; var inStr = false; var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if ((c == 'A' || c == 'a') && upper.startsWith("AS", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1))) &&
+        (i + 2 >= sql.length || !isWord(sql.charAt(i + 2)))) {
+        return (sql, None) // the query body starts — nothing before it
+      } else if ((c == 'O' || c == 'o') && upper.startsWith("OPTIONS", i) &&
+        (i == 0 || !isWord(sql.charAt(i - 1))) &&
+        (i + 7 >= sql.length || !isWord(sql.charAt(i + 7)))) {
+        var p = i + 7
+        while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
+        if (p >= sql.length || sql.charAt(p) != '(') { i += 1 }
+        else {
+          var depth = 1; var q = p + 1; var s2 = false
+          while (q < sql.length && depth > 0) {
+            val ch = sql.charAt(q)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            q += 1
+          }
+          require(depth == 0, s"unbalanced OPTIONS(...) in: ${sql.take(80)}")
+          return (sql.substring(0, i) + sql.substring(q), Some(sql.substring(p + 1, q - 1)))
+        }
+      } else i += 1
+    }
+    (sql, None)
+  }
+
+  /** OPTIONS body → ordered (key, raw value) pairs. Unlike
+    * [[parseOptions]] this split is BRACKET-aware: a labels list
+    * `labels=[('k','v'), ('k2','v2')]` keeps its inner commas.
+    */
+  private def parseOptionPairs(body: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var q = false
+    body.foreach { c =>
+      if (q) { cur += c; if (c == '\'') q = false }
+      else c match {
+        case '\'' => q = true; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    require(!q, s"unterminated string in OPTIONS: $body")
+    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    parts.toSeq.filter(_.trim.nonEmpty).map { p =>
+      val eq = p.indexOf('=')
+      require(eq > 0, s"OPTIONS entry is not key=value: '$p'")
+      (p.substring(0, eq).trim.toLowerCase, p.substring(eq + 1).trim)
+    }
+  }
+
+  /** One TABLE_OPTIONS row in BigQuery's rendering: strings
+    * double-quoted, booleans lowercase, numbers as written, a labels
+    * list as `[STRUCT("k", "v"), ...]`; anything else surfaces as its
+    * literal text under STRING.
+    */
+  private def optionRow(k: String, raw: String): (String, String, String) = {
+    val t = raw.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      (k, "STRING", "\"" + t.substring(1, t.length - 1).replace("''", "'") + "\"")
+    else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false"))
+      (k, "BOOL", t.toLowerCase)
+    else if (t.matches("[-+]?\\d+")) (k, "INT64", t)
+    else if (t.matches("[-+]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][-+]?\\d+)?")) (k, "FLOAT64", t)
+    else if (t.startsWith("[")) {
+      val TupleRe = """\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+      val tuples = TupleRe.findAllMatchIn(t)
+        .map(m => s"""STRUCT("${m.group(1)}", "${m.group(2)}")""").toSeq
+      (k, "ARRAY<STRUCT<STRING, STRING>>", tuples.mkString("[", ", ", "]"))
+    } else (k, "STRING", t)
+  }
+
+  private[graft] def recordTableOptions(spark: SparkSession, name: String, body: String): Unit =
+    tableOptionsRegistry(mvKey(spark, name)) =
+      parseOptionPairs(body).map { case (k, v) => optionRow(k, v) }
 
   /** `CREATE [OR REPLACE] [MATERIALIZED] VIEW name [IF NOT EXISTS] AS
     * SELECT ...` — the last BigQuery DDL verbs a daily user hits.
@@ -4300,6 +4466,7 @@ object GraftSql {
     var i = 0; var inStr = false; var inTick = false
     var replacedTables = false; var replacedColumns = false
     var replacedPartitions = false; var replacedViews = false
+    var replacedTableOptions = false
     var replacedSearchIdx = false; var replacedVectorIdx = false
     var replacedRoutines = false; var replacedModels = false
     while (i < sql.length) {
@@ -4321,6 +4488,9 @@ object GraftSql {
         } else if (upper.startsWith("PARTITIONS", rest) &&
           (rest + 10 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 10)) && sql.charAt(rest + 10) != '_')) {
           out ++= "__information_schema_partitions"; replacedPartitions = true; i = rest + 10
+        } else if (upper.startsWith("TABLE_OPTIONS", rest) &&
+          (rest + 13 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 13)) && sql.charAt(rest + 13) != '_')) {
+          out ++= "__information_schema_table_options"; replacedTableOptions = true; i = rest + 13
         } else if (upper.startsWith("VIEWS", rest) &&
           (rest + 5 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 5)) && sql.charAt(rest + 5) != '_')) {
           out ++= "__information_schema_views"; replacedViews = true; i = rest + 5
@@ -4337,8 +4507,8 @@ object GraftSql {
           (rest + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 6)) && sql.charAt(rest + 6) != '_')) {
           out ++= "__information_schema_models"; replacedModels = true; i = rest + 6
         } else throw new IllegalArgumentException(
-          "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .VIEWS, " +
-            ".SEARCH_INDEXES, .VECTOR_INDEXES, .ROUTINES and .MODELS are " +
+          "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .TABLE_OPTIONS, " +
+            ".VIEWS, .SEARCH_INDEXES, .VECTOR_INDEXES, .ROUTINES and .MODELS are " +
             "available (a session catalog has no jobs metadata)")
       } else { out += c; i += 1 }
     }
@@ -4346,6 +4516,8 @@ object GraftSql {
     if (replacedColumns) columnsView(spark).createOrReplaceTempView("__information_schema_columns")
     if (replacedPartitions) partitionsView(spark).createOrReplaceTempView("__information_schema_partitions")
     if (replacedViews) viewsView(spark).createOrReplaceTempView("__information_schema_views")
+    if (replacedTableOptions)
+      tableOptionsView(spark).createOrReplaceTempView("__information_schema_table_options")
     if (replacedSearchIdx)
       searchIndexesView(spark).createOrReplaceTempView("__information_schema_search_indexes")
     if (replacedVectorIdx)
@@ -4416,6 +4588,26 @@ object GraftSql {
       .sortBy(_._3)
       .toDF("table_catalog", "table_schema", "table_name",
         "view_definition", "check_option", "use_standard_sql")
+  }
+
+  /** BigQuery's `INFORMATION_SCHEMA.TABLE_OPTIONS`: one row per
+    * OPTIONS(...) pair attached by CREATE TABLE / [MATERIALIZED] VIEW,
+    * in BigQuery's rendering (strings double-quoted, labels as
+    * `[STRUCT("k", "v"), ...]`). Scoped like TABLES: dropped names
+    * disappear (the drop clears the registry AND the exists filter
+    * guards a direct catalog drop).
+    */
+  private def tableOptionsView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sid = System.identityHashCode(spark)
+    tableOptionsRegistry.toSeq
+      .collect { case ((s, n), rows) if s == sid && spark.catalog.tableExists(n) =>
+        rows.map { case (k, t, v) => ("graft", "session", n, k, t, v) }
+      }
+      .flatten
+      .sortBy(r => (r._3, r._4))
+      .toDF("table_catalog", "table_schema", "table_name",
+        "option_name", "option_type", "option_value")
   }
 
   private def sessionTables(spark: SparkSession): Seq[String] =

@@ -868,6 +868,33 @@ object SparkEntry {
           |  AND r.routine_name = 'ism_twice'""".stripMargin)
     }),
 
+    // A54 driver face (round 14): OPTIONS(...) metadata on CREATE
+    // TABLE / VIEW surfaced through INFORMATION_SCHEMA.TABLE_OPTIONS —
+    // the hash pins the clause split, the pair parsing (labels keep
+    // their bracketed inner commas), BigQuery's value rendering
+    // (strings double-quoted, labels as [STRUCT("k", "v"), ...]) and
+    // the TABLES join
+    "sql_table_options" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("topt_events")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE TABLE topt_daily
+          |OPTIONS(description = 'daily fx report',
+          |        labels = [('team', 'fx'), ('env', 'prod')],
+          |        friendly_name = 'Daily FX', partition_expiration_days = 30,
+          |        require_partition_filter = false)
+          |AS SELECT event_type, COUNT(*) AS n FROM topt_events GROUP BY event_type""".stripMargin)
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE VIEW topt_view OPTIONS(description = 'view over the daily table')
+          |AS SELECT * FROM topt_daily""".stripMargin)
+      graft.GraftSql.load(s,
+        """SELECT o.table_name, o.option_name, o.option_type, o.option_value,
+          |       t.table_type
+          |FROM INFORMATION_SCHEMA.TABLE_OPTIONS o
+          |JOIN INFORMATION_SCHEMA.TABLES t ON t.table_name = o.table_name
+          |WHERE o.table_name IN ('topt_daily', 'topt_view')
+          |ORDER BY o.table_name, o.option_name""".stripMargin)
+    }),
+
     // A36c driver face: a stored procedure defined and CALLed through
     // the SQL surface; the procedure parameterizes a gated aggregate,
     // the caller passes script variables — the oracle replays the
@@ -2357,6 +2384,58 @@ object SparkEntry {
           |  CAST(datediff(DATE '2025-01-01', to_date(ts)) AS BIGINT) AS days_to_2025,
           |  date_add(to_date(ts), 30) AS plus30
           |FROM dateops_events ORDER BY event_id""".stripMargin)
+    }),
+
+    // timezone-argument date/time forms (round 14): TIMESTAMP_TRUNC /
+    // DATE / FORMAT_TIMESTAMP / PARSE_TIMESTAMP with a NAMED ZONE. The
+    // per-row day offset fans the January event stream out across
+    // Jan–May 2024, so the Europe/Paris leg crosses the 2024-03-31
+    // spring-forward boundary with real data on both sides;
+    // America/Lima is a fixed-offset (no-DST) zone and Asia/Kathmandu
+    // exercises a +05:45 half-quarter offset under HOUR truncation.
+    // The FORMAT→PARSE round trip is gap-safe by construction: a
+    // rendering of a real instant never falls inside the missing hour.
+    "q_tz_ops" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("tz_events")
+      graft.GraftSql.load(s,
+        """WITH b AS (
+          |  SELECT event_id,
+          |         timestampadd(DAY, CAST(user_id % 120 AS INT), ts) AS t
+          |  FROM tz_events)
+          |SELECT event_id,
+          |  TIMESTAMP_TRUNC(t, DAY, 'Europe/Paris') AS day_paris,
+          |  TIMESTAMP_TRUNC(t, DAY, 'America/Lima') AS day_lima,
+          |  TIMESTAMP_TRUNC(t, HOUR, 'Asia/Kathmandu') AS hour_ktm,
+          |  DATE(t, 'Asia/Tokyo') AS d_tokyo,
+          |  FORMAT_TIMESTAMP('%Y-%m-%d %H:%M', t, 'Europe/Paris') AS fmt_paris,
+          |  PARSE_TIMESTAMP('%Y-%m-%d %H:%M',
+          |    FORMAT_TIMESTAMP('%Y-%m-%d %H:%M', t, 'Europe/Paris'),
+          |    'Europe/Paris') AS rt_paris
+          |FROM b ORDER BY event_id""".stripMargin)
+    }),
+
+    // GEOGRAPHY point core (round 14): ST_GEOGPOINT / ST_DISTANCE /
+    // ST_DWITHIN / ST_X / ST_Y on the STRUCT<lng,lat> carrier —
+    // haversine on the R=6371010 m sphere, spelled with natives both
+    // engines evaluate. Distances group through FLOOR(km) (Spark's
+    // double→int cast truncates where DuckDB's rounds, so the fold is
+    // explicit); the ~1e-9 m libm-vs-Math ulp never moves a km bucket.
+    "q_st_point" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("st_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT event_id,
+          |         ST_GEOGPOINT(-180.0 + CAST(user_id * 7 % 360 AS DOUBLE) + 0.5,
+          |                      -80.0 + CAST(user_id * 13 % 160 AS DOUBLE) + 0.25) AS g1,
+          |         ST_GEOGPOINT(-180.0 + CAST(event_id % 360 AS DOUBLE) + 0.5,
+          |                      -80.0 + CAST(event_id * 3 % 160 AS DOUBLE) + 0.25) AS g2
+          |  FROM st_events)
+          |SELECT CAST(FLOOR(ST_DISTANCE(g1, g2) / 1000.0) AS BIGINT) AS dist_km,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CASE WHEN ST_DWITHIN(g1, g2, 5000000.0) THEN 1 ELSE 0 END) AS BIGINT) AS within_5000km,
+          |       MIN(ST_X(g1)) AS min_lng,
+          |       MAX(ST_Y(g2)) AS max_lat
+          |FROM p GROUP BY dist_km ORDER BY dist_km""".stripMargin)
     }),
 
     // PERCENTILE_CONT/DISC analytic spellings (round 13): per-type
@@ -4315,6 +4394,19 @@ object SparkEntry {
           |       'COSINE' AS distance_type, CAST(4 AS BIGINT) AS num_lists,
           |       'ism_twice' AS routine_name, 'FUNCTION' AS routine_type,
           |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition""".stripMargin,
+      // table-options metadata is session-catalog state with a pinned
+      // rendering — the oracle is the literal expected rows
+      "sql_table_options" ->
+        """SELECT * FROM (VALUES
+          |  ('topt_daily', 'description', 'STRING', '"daily fx report"', 'VIEW'),
+          |  ('topt_daily', 'friendly_name', 'STRING', '"Daily FX"', 'VIEW'),
+          |  ('topt_daily', 'labels', 'ARRAY<STRUCT<STRING, STRING>>',
+          |   '[STRUCT("team", "fx"), STRUCT("env", "prod")]', 'VIEW'),
+          |  ('topt_daily', 'partition_expiration_days', 'INT64', '30', 'VIEW'),
+          |  ('topt_daily', 'require_partition_filter', 'BOOL', 'false', 'VIEW'),
+          |  ('topt_view', 'description', 'STRING', '"view over the daily table"', 'VIEW')
+          |) AS t(table_name, option_name, option_type, option_value, table_type)
+          |ORDER BY table_name, option_name""".stripMargin,
       // the stored-procedure face replays as the fully-substituted
       // statement (g=1.0, cap=7)
       "sql_procedure" ->
@@ -5540,6 +5632,49 @@ object SparkEntry {
           |  datediff('day', d, DATE '2025-01-01') AS days_to_2025,
           |  d + 30 AS plus30
           |FROM w2 ORDER BY event_id""".stripMargin,
+      // the tz-argument forms replay as DuckDB's two-step AT TIME ZONE
+      // chain: timezone('UTC', naive) lifts the UTC-instant carrier to
+      // timestamptz, timezone(tz, tstz) renders the zone's wall clock,
+      // and the mirrored pair reads a civil time back to the instant —
+      // ICU's tzdata rules agree with java.time on every named zone
+      "q_tz_ops" ->
+        """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |b AS (SELECT event_id, ts + to_days(CAST(user_id % 120 AS INTEGER)) AS t FROM e)
+          |SELECT event_id,
+          |  timezone('UTC', timezone('Europe/Paris', date_trunc('day',
+          |    timezone('Europe/Paris', timezone('UTC', t))))) AS day_paris,
+          |  timezone('UTC', timezone('America/Lima', date_trunc('day',
+          |    timezone('America/Lima', timezone('UTC', t))))) AS day_lima,
+          |  timezone('UTC', timezone('Asia/Kathmandu', date_trunc('hour',
+          |    timezone('Asia/Kathmandu', timezone('UTC', t))))) AS hour_ktm,
+          |  CAST(timezone('Asia/Tokyo', timezone('UTC', t)) AS DATE) AS d_tokyo,
+          |  strftime(timezone('Europe/Paris', timezone('UTC', t)), '%Y-%m-%d %H:%M') AS fmt_paris,
+          |  timezone('UTC', timezone('Europe/Paris', strptime(
+          |    strftime(timezone('Europe/Paris', timezone('UTC', t)), '%Y-%m-%d %H:%M'),
+          |    '%Y-%m-%d %H:%M'))) AS rt_paris
+          |FROM b ORDER BY event_id""".stripMargin,
+      // the same haversine text on the same sphere, flattened onto
+      // bare lng/lat columns (DuckDB needs no struct carrier)
+      "q_st_point" ->
+        """WITH p AS (
+          |  SELECT event_id,
+          |         -180.0 + CAST(user_id * 7 % 360 AS DOUBLE) + 0.5 AS lng1,
+          |         -80.0 + CAST(user_id * 13 % 160 AS DOUBLE) + 0.25 AS lat1,
+          |         -180.0 + CAST(event_id % 360 AS DOUBLE) + 0.5 AS lng2,
+          |         -80.0 + CAST(event_id * 3 % 160 AS DOUBLE) + 0.25 AS lat2
+          |  FROM events),
+          |d AS (SELECT *,
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((lat2 - lat1) / 2.0)) * sin(radians((lat2 - lat1) / 2.0)) +
+          |          cos(radians(lat1)) * cos(radians(lat2)) *
+          |          sin(radians((lng2 - lng1) / 2.0)) * sin(radians((lng2 - lng1) / 2.0)))) AS dist
+          |      FROM p)
+          |SELECT CAST(FLOOR(dist / 1000.0) AS BIGINT) AS dist_km,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CASE WHEN dist <= 5000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS within_5000km,
+          |       MIN(lng1) AS min_lng,
+          |       MAX(lat2) AS max_lat
+          |FROM d GROUP BY dist_km ORDER BY dist_km""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,

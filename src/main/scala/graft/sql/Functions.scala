@@ -394,6 +394,17 @@ private[graft] object Functions {
       "TIMESTAMP_ADD", "TIMESTAMP_SUB", "DATETIME_ADD", "DATETIME_SUB",
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
+      "DATE", "DATETIME", "TIMESTAMP", "CURRENT_DATE",
+      // the point-geography core + the loud non-point surface
+      "ST_GEOGPOINT", "ST_X", "ST_Y", "ST_DISTANCE", "ST_DWITHIN",
+      "ST_GEOGFROMTEXT", "ST_ASTEXT", "ST_ASGEOJSON", "ST_GEOGFROMGEOJSON",
+      "ST_CONTAINS", "ST_INTERSECTS", "ST_WITHIN", "ST_COVERS", "ST_COVEREDBY",
+      "ST_TOUCHES", "ST_DISJOINT", "ST_EQUALS", "ST_AREA", "ST_LENGTH",
+      "ST_PERIMETER", "ST_BUFFER", "ST_UNION", "ST_UNION_AGG",
+      "ST_INTERSECTION", "ST_DIFFERENCE", "ST_CENTROID", "ST_MAKELINE",
+      "ST_MAKEPOLYGON", "ST_GEOHASH", "ST_SNAPTOGRID", "ST_SIMPLIFY",
+      "ST_NUMPOINTS", "ST_DUMP", "ST_CLOSESTPOINT", "ST_BOUNDINGBOX",
+      "ST_MAXDISTANCE", "ST_CONVEXHULL",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
@@ -582,6 +593,18 @@ private[graft] object Functions {
     }
     def escapeLiteral(parsed: String): String =
       parsed.replace("\\", "\\\\").replace("'", "''")
+    // great-circle distance between two STRUCT<lng,lat> points on the
+    // R=6371010 m sphere — haversine, spelled only with functions both
+    // Spark and DuckDB evaluate natively (radians/sin/cos/asin/sqrt;
+    // squares as self-products, not pow). The sin terms are duplicated
+    // textually: there is no LET in SQL, and whole-stage codegen CSEs
+    // the repeated subtree anyway.
+    def stHaversine(a: String, b: String): String = {
+      val dlat = s"sin(radians(((${b}).lat - (${a}).lat) / 2.0D))"
+      val dlng = s"sin(radians(((${b}).lng - (${a}).lng) / 2.0D))"
+      s"(2.0D * 6371010.0D * asin(sqrt($dlat * $dlat + " +
+        s"cos(radians((${a}).lat)) * cos(radians((${b}).lat)) * $dlng * $dlng)))"
+    }
     val allNames = BqRenames.keys.toSeq ++ shapeNames
     def unquote(lit: String, ctx: String): String = {
       require(lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'"),
@@ -625,15 +648,67 @@ private[graft] object Functions {
               }
             case _ => None // Spark's own date_add(d, n) / non-literal: untouched
           }
+        // the timezone-argument forms (round 14): a TIMESTAMP column
+        // is a UTC instant on this engine's carrier (GraftSession pins
+        // the session zone to UTC), so a named-zone rendering is the
+        // from_utc_timestamp/to_utc_timestamp pair — Spark's own DST
+        // rules via java.time, replayed in DuckDB with the mirrored
+        // AT TIME ZONE chain. FORMAT_TIMESTAMP(fmt, ts, tz) formats
+        // the wall clock IN tz; PARSE_TIMESTAMP(fmt, s, tz) reads s AS
+        // a wall clock in tz and returns the instant.
         case "FORMAT_DATE" | "FORMAT_TIMESTAMP" | "FORMAT_DATETIME" =>
-          require(args.size == 2, s"$name takes (format, value)")
-          Some(s"date_format((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
+          require(args.size == 2 || (name == "FORMAT_TIMESTAMP" && args.size == 3),
+            s"$name takes (format, value${if (name == "FORMAT_TIMESTAMP") "[, timezone]" else ""})")
+          val fmtj = bqFormatToJava(unquote(args(0), name)).replace("'", "''")
+          if (args.size == 3)
+            Some(s"date_format(from_utc_timestamp((${args(1)}), (${args(2)})), '$fmtj')")
+          else Some(s"date_format((${args(1)}), '$fmtj')")
         case "PARSE_DATE" =>
           require(args.size == 2, "PARSE_DATE takes (format, value)")
           Some(s"to_date((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
         case "PARSE_TIMESTAMP" | "PARSE_DATETIME" =>
-          require(args.size == 2, s"$name takes (format, value)")
-          Some(s"to_timestamp((${args(1)}), '${bqFormatToJava(unquote(args(0), name)).replace("'", "''")}')")
+          require(args.size == 2 || (name == "PARSE_TIMESTAMP" && args.size == 3),
+            s"$name takes (format, value${if (name == "PARSE_TIMESTAMP") "[, timezone]" else ""})")
+          val fmtj = bqFormatToJava(unquote(args(0), name)).replace("'", "''")
+          if (args.size == 3)
+            Some(s"to_utc_timestamp(to_timestamp((${args(1)}), '$fmtj'), (${args(2)}))")
+          else Some(s"to_timestamp((${args(1)}), '$fmtj')")
+        // DATE(ts, tz): the civil date of the instant in tz. DATE(x)
+        // passes through (Spark's own cast-function). DATETIME(ts, tz)
+        // is the civil wall clock itself on the _NTZ carrier;
+        // TIMESTAMP(x, tz) interprets a civil value in tz and returns
+        // the instant; CURRENT_DATE(tz) is today in tz.
+        case "DATE" =>
+          if (args.size <= 1) None // Spark's own cast-function
+          else if (args.size == 3) // BigQuery's civil constructor
+            Some(s"make_date((${args(0)}), (${args(1)}), (${args(2)}))")
+          else {
+            require(args.size == 2, "DATE takes (timestamp[, timezone]) or (y, m, d)")
+            Some(s"CAST(from_utc_timestamp((${args(0)}), (${args(1)})) AS DATE)")
+          }
+        case "DATETIME" =>
+          // no Spark native to pass through to — both arities rewrite
+          require(args.size == 1 || args.size == 2,
+            "DATETIME takes (timestamp[, timezone]) — the 6-part civil " +
+              "constructor is not supported; spell it make_timestamp_ntz(...)")
+          if (args.size == 2)
+            Some(s"CAST(from_utc_timestamp((${args(0)}), (${args(1)})) AS TIMESTAMP_NTZ)")
+          else Some(s"CAST((${args(0)}) AS TIMESTAMP_NTZ)")
+        case "TIMESTAMP" =>
+          if (args.size <= 1) None
+          else {
+            require(args.size == 2, "TIMESTAMP takes (value[, timezone])")
+            // the cast lands string/_NTZ/date inputs on the session-UTC
+            // carrier with the SAME wall clock, which to_utc_timestamp
+            // then re-reads as a civil time in tz — BigQuery's rule
+            Some(s"to_utc_timestamp(CAST((${args(0)}) AS TIMESTAMP), (${args(1)}))")
+          }
+        case "CURRENT_DATE" =>
+          if (args.isEmpty) None
+          else {
+            require(args.size == 1, "CURRENT_DATE takes ([timezone])")
+            Some(s"CAST(from_utc_timestamp(current_timestamp(), (${args(0)})) AS DATE)")
+          }
         // the SAFE.-prefixed parse family: NULL on an unparseable
         // value via try_to_timestamp (the date form casts the
         // midnight timestamp down — total)
@@ -676,8 +751,9 @@ private[graft] object Functions {
         case "TIMESTAMP_TRUNC" | "DATETIME_TRUNC" | "DATE_TRUNC" =>
           if (args.nonEmpty && args(0).trim.startsWith("'")) None // Spark spelling
           else {
-            require(args.size == 2,
-              s"$name takes (value, unit) — the timezone argument is not supported")
+            require(args.size == 2 || (name == "TIMESTAMP_TRUNC" && args.size == 3),
+              s"$name takes (value, unit${if (name == "TIMESTAMP_TRUNC") "[, timezone]"
+              else " — the timezone argument applies to TIMESTAMP_TRUNC only"})")
             val unit = args(1).trim.toUpperCase(java.util.Locale.ROOT)
             require(unit != "WEEK" && !unit.startsWith("WEEK("),
               s"$name WEEK is not supported: BigQuery weeks start SUNDAY, Spark's " +
@@ -687,6 +763,12 @@ private[graft] object Functions {
               "DAY", "MONTH", "QUARTER", "YEAR").contains(unit),
               s"$name unit '$unit' is not supported")
             name match {
+              case "TIMESTAMP_TRUNC" if args.size == 3 =>
+                // truncate at the unit boundary OF THE NAMED ZONE and
+                // return the instant: render the instant as tz wall
+                // clock, truncate there, read the wall clock back
+                Some(s"to_utc_timestamp(date_trunc('$unit', " +
+                  s"from_utc_timestamp((${args(0)}), (${args(2)}))), (${args(2)}))")
               case "TIMESTAMP_TRUNC" => Some(s"date_trunc('$unit', (${args(0)}))")
               case "DATETIME_TRUNC" =>
                 Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
@@ -1671,6 +1753,44 @@ private[graft] object Functions {
         case "SAFE_PARSE_BIGNUMERIC" =>
           require(args.size == 1, "SAFE.PARSE_BIGNUMERIC takes (string)")
           Some(s"TRY_CAST((${args(0)}) AS DECIMAL(38,18))")
+        // GEOGRAPHY point core (round 14): the carrier is
+        // STRUCT<lng DOUBLE, lat DOUBLE> — a parquet-native, codegen-
+        // friendly shape (no geometry blob, no UDT). ST_DISTANCE is
+        // the great-circle haversine on BigQuery's documented
+        // spherical model (R = 6371010 m); the whole formula is a
+        // TEXTUAL fold onto Spark's native radians/sin/cos/asin/sqrt
+        // so it stays inside whole-stage codegen, and DuckDB replays
+        // the identical text for the oracle (libm-vs-Math ulps are
+        // ~1e-9 m at Earth scale — integer-meter grouping keys absorb
+        // them). Latitude outside ±90 is a runtime raise, matching
+        // BigQuery; longitude passes through (BigQuery wraps it on
+        // the sphere — sin/cos are periodic, so the math agrees).
+        // Non-point geography (lines, polygons, predicates, WKT) is
+        // loud below.
+        case "ST_GEOGPOINT" =>
+          require(args.size == 2, "ST_GEOGPOINT takes (longitude, latitude)")
+          Some(s"named_struct('lng', CAST((${args(0)}) AS DOUBLE), " +
+            s"'lat', CASE WHEN abs(CAST((${args(1)}) AS DOUBLE)) > 90.0D " +
+            "THEN CAST(raise_error('ST_GEOGPOINT: latitude must be in [-90, 90]') AS DOUBLE) " +
+            s"ELSE CAST((${args(1)}) AS DOUBLE) END)")
+        case "ST_X" =>
+          require(args.size == 1, "ST_X takes (point)")
+          Some(s"(${args(0)}).lng")
+        case "ST_Y" =>
+          require(args.size == 1, "ST_Y takes (point)")
+          Some(s"(${args(0)}).lat")
+        case "ST_DISTANCE" =>
+          require(args.size == 2, "ST_DISTANCE takes (point, point) — the " +
+            "use_spheroid argument is not supported (the spherical model only)")
+          Some(stHaversine(args(0), args(1)))
+        case "ST_DWITHIN" =>
+          require(args.size == 3, "ST_DWITHIN takes (point, point, meters)")
+          Some(s"(${stHaversine(args(0), args(1))} <= CAST((${args(2)}) AS DOUBLE))")
+        case n2 if n2.startsWith("ST_") =>
+          throw new IllegalArgumentException(
+            s"$n2: only POINT geography is supported (ST_GEOGPOINT, ST_X, ST_Y, " +
+              "ST_DISTANCE, ST_DWITHIN on the STRUCT<lng, lat> carrier) — lines, " +
+              "polygons, WKT parsing and spatial predicates are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

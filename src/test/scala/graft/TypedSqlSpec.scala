@@ -3140,6 +3140,112 @@ class TypedSqlSpec extends SparkSuite {
     assert(r.getInt(6) == 19724 && r.getDate(7).toString == "2024-01-02")
   }
 
+  test("timezone-argument forms: TRUNC/DATE/FORMAT/PARSE/CURRENT_DATE with a named zone") {
+    // fixed instants bracketing the Europe/Paris 2024-03-31 spring-forward
+    // (01:00 UTC): before it Paris is CET (+1), after CEST (+2)
+    val r = GraftSql.load(spark,
+      """SELECT
+        |  TIMESTAMP_TRUNC(TIMESTAMP '2024-03-31 00:30:00', DAY, 'Europe/Paris') AS t_before,
+        |  TIMESTAMP_TRUNC(TIMESTAMP '2024-03-31 01:30:00', DAY, 'Europe/Paris') AS t_after,
+        |  TIMESTAMP_TRUNC(TIMESTAMP '2024-03-31 01:30:00', HOUR, 'Asia/Kathmandu') AS t_ktm,
+        |  DATE(TIMESTAMP '2024-03-31 20:30:00', 'Asia/Tokyo') AS d_tokyo,
+        |  DATE(TIMESTAMP '2024-03-31 20:30:00', 'America/Lima') AS d_lima,
+        |  FORMAT_TIMESTAMP('%Y-%m-%d %H:%M', TIMESTAMP '2024-03-31 01:30:00', 'Europe/Paris') AS f,
+        |  PARSE_TIMESTAMP('%Y-%m-%d %H:%M', '2024-03-31 03:30', 'Europe/Paris') AS p,
+        |  TIMESTAMP('2024-03-31 03:30:00', 'Europe/Paris') AS t2,
+        |  DATETIME(TIMESTAMP '2024-03-31 01:30:00', 'Europe/Paris') AS dt,
+        |  DATE(2024, 3, 31) AS mk""".stripMargin).head()
+    // Paris midnight on the DST day is still CET: 23:00 UTC the day before
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-30 23:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-30 23:00:00"))
+    // +05:45 offset: hour boundaries land on :15 UTC
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-31 01:15:00"))
+    assert(r.getDate(3).toString == "2024-04-01" && r.getDate(4).toString == "2024-03-31")
+    // 01:30 UTC is 03:30 CEST (clock jumped 02:00→03:00 half an hour earlier)
+    assert(r.getString(5) == "2024-03-31 03:30")
+    // reading the civil time back crosses the gap correctly: 03:30 CEST = 01:30 UTC
+    assert(r.getTimestamp(6).toString.startsWith("2024-03-31 01:30:00"))
+    assert(r.getTimestamp(7).toString.startsWith("2024-03-31 01:30:00"))
+    assert(r.getAs[java.time.LocalDateTime](8).toString.startsWith("2024-03-31T03:30")) // civil NTZ
+    assert(r.getDate(9).toString == "2024-03-31")
+    // CURRENT_DATE(tz): runs, and the tz rendering stays within one day
+    // of UTC's today in a no-DST zone either side of the dateline
+    val cd = GraftSql.load(spark,
+      """SELECT CURRENT_DATE() AS utc, CURRENT_DATE('Pacific/Kiritimati') AS east,
+        |       CURRENT_DATE('Etc/GMT+12') AS west""".stripMargin).head()
+    assert(!cd.isNullAt(1) && !cd.isNullAt(2))
+    assert(cd.getDate(1).toLocalDate.toEpochDay - cd.getDate(2).toLocalDate.toEpochDay >= 0L)
+    // louds: tz on the DATE/DATETIME_TRUNC forms, 6-part DATETIME
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT DATE_TRUNC(DATE '2024-01-01', DAY, 'Europe/Paris') AS x"))
+      .getMessage.contains("TIMESTAMP_TRUNC only"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT DATETIME(2024, 1, 1, 0, 0, 0) AS x"))
+      .getMessage.contains("make_timestamp_ntz"))
+  }
+
+  test("OPTIONS(...) on CREATE TABLE/VIEW + INFORMATION_SCHEMA.TABLE_OPTIONS") {
+    GraftSql.load(spark, "CREATE OR REPLACE VIEW topts_src AS SELECT 1 AS x, 2 AS y")
+    GraftSql.load(spark,
+      """CREATE OR REPLACE VIEW topts_v
+        |OPTIONS(description = 'it''s a view', labels = [('a', 'b')])
+        |AS SELECT x FROM topts_src""".stripMargin)
+    val rows = GraftSql.load(spark,
+      """SELECT option_name, option_type, option_value
+        |FROM INFORMATION_SCHEMA.TABLE_OPTIONS
+        |WHERE table_name = 'topts_v' ORDER BY option_name""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("description", "labels"))
+    assert(rows(0).getString(2) == "\"it's a view\"") // '' unescapes, BigQuery double-quotes
+    assert(rows(0).getString(1) == "STRING")
+    assert(rows(1).getString(2) == "[STRUCT(\"a\", \"b\")]")
+    assert(rows(1).getString(1) == "ARRAY<STRUCT<STRING, STRING>>")
+    // OR REPLACE without OPTIONS clears the recorded metadata
+    GraftSql.load(spark, "CREATE OR REPLACE VIEW topts_v AS SELECT y FROM topts_src")
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.TABLE_OPTIONS WHERE table_name = 'topts_v'")
+      .count() == 0)
+    // schema-DDL table form + INT64/BOOL typing; DROP clears the rows
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE topts_t (a INT64) OPTIONS(partition_expiration_days = 7, require_partition_filter = true)")
+    val t = GraftSql.load(spark,
+      """SELECT option_name, option_type, option_value FROM INFORMATION_SCHEMA.TABLE_OPTIONS
+        |WHERE table_name = 'topts_t' ORDER BY option_name""".stripMargin).collect()
+    assert(t.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("partition_expiration_days", "INT64", "7"),
+        ("require_partition_filter", "BOOL", "true")))
+    GraftSql.load(spark, "DROP TABLE topts_t")
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.TABLE_OPTIONS WHERE table_name = 'topts_t'")
+      .count() == 0)
+    GraftSql.load(spark, "DROP VIEW topts_v")
+    GraftSql.load(spark, "DROP VIEW topts_src")
+  }
+
+  test("ST_GEOGPOINT / ST_DISTANCE / ST_DWITHIN / ST_X / ST_Y: the point-geography core") {
+    val r = GraftSql.load(spark,
+      """SELECT ST_DISTANCE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 90)) AS quarter,
+        |       ST_DISTANCE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(180, 0)) AS half,
+        |       ST_DISTANCE(ST_GEOGPOINT(2.3522, 48.8566), ST_GEOGPOINT(2.3522, 48.8566)) AS zero,
+        |       ST_DWITHIN(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0), 112000) AS near,
+        |       ST_DWITHIN(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0), 111000) AS far,
+        |       ST_X(ST_GEOGPOINT(2.3522, 48.8566)) AS x,
+        |       ST_Y(ST_GEOGPOINT(2.3522, 48.8566)) AS y""".stripMargin).head()
+    // quarter / half great circles on the R=6371010 sphere: πR/2, πR
+    assert(math.abs(r.getDouble(0) - math.Pi * 6371010.0 / 2) < 1e-3)
+    assert(math.abs(r.getDouble(1) - math.Pi * 6371010.0) < 1e-3)
+    assert(r.getDouble(2) == 0.0)
+    // 1° of longitude at the equator ≈ 111,195 m on this sphere
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getDouble(5) == 2.3522 && r.getDouble(6) == 48.8566)
+    // latitude domain raises at runtime; non-point surface is loud at rewrite
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT ST_DISTANCE(ST_GEOGPOINT(0, 91), ST_GEOGPOINT(0, 0)) AS d").collect())
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT ST_CONTAINS(a, b) AS c FROM t")).getMessage.contains("POINT"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT ST_GEOGFROMTEXT('POINT(1 2)') AS g")).getMessage.contains("POINT"))
+  }
+
   test("PARSE_NUMERIC / PARSE_BIGNUMERIC and their SAFE forms") {
     val r = GraftSql.load(spark,
       """SELECT PARSE_NUMERIC(' 12.345678901 ') AS a,
