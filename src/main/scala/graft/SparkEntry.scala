@@ -2414,6 +2414,30 @@ object SparkEntry {
           |FROM b ORDER BY event_id""".stripMargin)
     }),
 
+    // week-unit calendar family (round 14): Sunday-start WEEK +
+    // WEEK(<WEEKDAY>) + ISOWEEK truncation (pure date arithmetic —
+    // Spark's date_trunc week is Monday-only), LAST_DAY(d, WEEK),
+    // boundary-counting DATE_DIFF over WEEK/MONTH/QUARTER/ISOYEAR and
+    // DATETIME_DIFF's civil HOUR boundaries (01:59→02:01 is ONE hour
+    // crossed). Everything is integer calendar arithmetic — DuckDB
+    // replays each form exactly.
+    "q_week_ops" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("wk_events")
+      graft.GraftSql.load(s,
+        """SELECT event_id,
+          |  DATE_TRUNC(DATE(ts), WEEK) AS wk_sun,
+          |  DATE_TRUNC(DATE(ts), WEEK(TUESDAY)) AS wk_tue,
+          |  TIMESTAMP_TRUNC(ts, ISOWEEK) AS wk_iso_ts,
+          |  TIMESTAMP_TRUNC(ts, WEEK, 'Asia/Tokyo') AS wk_tokyo,
+          |  LAST_DAY(DATE(ts), WEEK) AS ld_wk,
+          |  DATE_DIFF(DATE '2025-03-15', DATE(ts), WEEK) AS wdiff,
+          |  DATE_DIFF(DATE '2025-03-15', DATE(ts), MONTH) AS mdiff,
+          |  DATE_DIFF(DATE '2025-03-15', DATE(ts), QUARTER) AS qdiff,
+          |  DATE_DIFF(DATE '2025-03-15', DATE(ts), ISOYEAR) AS iydiff,
+          |  DATETIME_DIFF(TIMESTAMP '2024-01-15 07:29:59', ts, HOUR) AS hdiff
+          |FROM wk_events ORDER BY event_id""".stripMargin)
+    }),
+
     // GEOGRAPHY point core (round 14): ST_GEOGPOINT / ST_DISTANCE /
     // ST_DWITHIN / ST_X / ST_Y on the STRUCT<lng,lat> carrier —
     // haversine on the R=6371010 m sphere, spelled with natives both
@@ -5653,6 +5677,34 @@ object SparkEntry {
           |    strftime(timezone('Europe/Paris', timezone('UTC', t)), '%Y-%m-%d %H:%M'),
           |    '%Y-%m-%d %H:%M'))) AS rt_paris
           |FROM b ORDER BY event_id""".stripMargin,
+      // week truncation replays as date arithmetic off DuckDB's
+      // 0=Sunday dayofweek (Spark's is 1=Sunday — the shift constants
+      // differ by one); the diffs are the same integer calendar folds
+      "q_week_ops" ->
+        """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+          |w AS (SELECT *,
+          |        d - CAST((dayofweek(d) - 0 + 7) % 7 AS INTEGER) AS wk_sun,
+          |        d - CAST((dayofweek(d) - 2 + 7) % 7 AS INTEGER) AS wk_tue,
+          |        d - CAST((dayofweek(d) - 1 + 7) % 7 AS INTEGER) AS wk_mon,
+          |        CAST(timezone('Asia/Tokyo', timezone('UTC', ts)) AS DATE) AS dtok,
+          |        DATE '2025-03-15' AS a FROM e),
+          |w2 AS (SELECT *,
+          |         dtok - CAST((dayofweek(dtok) - 0 + 7) % 7 AS INTEGER) AS wtok,
+          |         a - CAST((dayofweek(a) - 0 + 7) % 7 AS INTEGER) AS a_sun FROM w)
+          |SELECT event_id,
+          |  wk_sun,
+          |  wk_tue,
+          |  CAST(wk_mon AS TIMESTAMP) AS wk_iso_ts,
+          |  timezone('UTC', timezone('Asia/Tokyo', CAST(wtok AS TIMESTAMP))) AS wk_tokyo,
+          |  wk_sun + 6 AS ld_wk,
+          |  CAST((a_sun - wk_sun) // 7 AS BIGINT) AS wdiff,
+          |  CAST((year(a) * 12 + month(a)) - (year(d) * 12 + month(d)) AS BIGINT) AS mdiff,
+          |  CAST((year(a) * 4 + quarter(a)) - (year(d) * 4 + quarter(d)) AS BIGINT) AS qdiff,
+          |  CAST(isoyear(a) - isoyear(d) AS BIGINT) AS iydiff,
+          |  CAST((epoch_us(date_trunc('hour', TIMESTAMP '2024-01-15 07:29:59')) -
+          |        epoch_us(date_trunc('hour', ts))) // 3600000000 AS BIGINT) AS hdiff
+          |FROM w2 ORDER BY event_id""".stripMargin,
       // the same haversine text on the same sphere, flattened onto
       // bare lng/lat columns (DuckDB needs no struct carrier)
       "q_st_point" ->

@@ -593,6 +593,26 @@ private[graft] object Functions {
     }
     def escapeLiteral(parsed: String): String =
       parsed.replace("\\", "\\\\").replace("'", "''")
+    // BigQuery's week units (round 14): WEEK starts SUNDAY,
+    // WEEK(<WEEKDAY>) starts the named day, ISOWEEK starts Monday.
+    // Each maps to its Spark dayofweek index (1=Sunday..7=Saturday);
+    // truncation is then pure date arithmetic — subtract the days
+    // since the most recent start day — exact in both engines (no
+    // date_trunc, whose week is Monday-only).
+    val WeekdayIdx = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
+      "WEDNESDAY" -> 4, "THURSDAY" -> 5, "FRIDAY" -> 6, "SATURDAY" -> 7)
+    val WeekUnitRe = """(?is)^WEEK\s*\(\s*([A-Za-z]+)\s*\)$""".r
+    def weekStart(unit: String): Option[Int] = unit.trim.toUpperCase(java.util.Locale.ROOT) match {
+      case "WEEK" => Some(1)
+      case "ISOWEEK" => Some(2)
+      case WeekUnitRe(day) => Some(WeekdayIdx.getOrElse(day.toUpperCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"WEEK($day): unknown weekday (${WeekdayIdx.keys.toSeq.sorted.mkString(", ")})")))
+      case _ => None
+    }
+    // most recent week-start on or before the DATE-typed expression
+    def weekTruncDate(x: String, k: Int): String =
+      s"date_sub(($x), pmod(dayofweek(($x)) - $k, 7))"
     // great-circle distance between two STRUCT<lng,lat> points on the
     // R=6371010 m sphere — haversine, spelled only with functions both
     // Spark and DuckDB evaluate natively (radians/sin/cos/asin/sqrt;
@@ -614,19 +634,52 @@ private[graft] object Functions {
     def onePass(sql: String): String = rewriteCalls(sql, allNames) { (name, args) =>
       name match {
         case n if BqRenames.contains(n) => Some(s"${BqRenames(n)}(${args.mkString(", ")})")
-        case "TIMESTAMP_DIFF" | "DATETIME_DIFF" =>
+        // TIMESTAMP_DIFF counts WHOLE unit spans (truncated division of
+        // the microsecond difference — BigQuery's rule for timestamps);
+        // DATETIME_DIFF and DATE_DIFF count BOUNDARY CROSSINGS
+        // (BigQuery's rule for civil values): each side truncates to
+        // the unit first, then the difference divides exactly. Week
+        // units shift to the named start day (SUNDAY default), month/
+        // quarter/year/isoyear are integer calendar arithmetic — every
+        // form replays exactly in DuckDB.
+        case "TIMESTAMP_DIFF" =>
           require(args.size == 3, s"$name takes (later, earlier, unit)")
           val u = UnitMicros.getOrElse(args(2).toUpperCase(java.util.Locale.ROOT),
             throw new IllegalArgumentException(
               s"$name unit '${args(2)}' not supported (${UnitMicros.keys.toSeq.sorted.mkString(", ")})"))
           Some(s"((unix_micros(CAST((${args(0)}) AS TIMESTAMP)) - " +
             s"unix_micros(CAST((${args(1)}) AS TIMESTAMP))) div $u)")
-        case "DATE_DIFF" =>
-          require(args.size == 3, "DATE_DIFF takes (later, earlier, unit)")
-          require(args(2).equalsIgnoreCase("DAY"),
-            s"DATE_DIFF unit '${args(2)}' not supported — only DAY maps cleanly " +
-              "(WEEK/MONTH/YEAR count calendar boundaries); use EXTRACT arithmetic instead")
-          Some(s"CAST(datediff((${args(0)}), (${args(1)})) AS BIGINT)")
+        case "DATETIME_DIFF" | "DATE_DIFF" =>
+          require(args.size == 3, s"$name takes (later, earlier, unit)")
+          val u = args(2).trim.toUpperCase(java.util.Locale.ROOT)
+          val da = s"CAST((${args(0)}) AS DATE)"
+          val db = s"CAST((${args(1)}) AS DATE)"
+          weekStart(u) match {
+            case Some(k) =>
+              Some(s"CAST((datediff(${weekTruncDate(da, k)}, ${weekTruncDate(db, k)}) div 7) AS BIGINT)")
+            case None => u match {
+              case "DAY" => Some(s"CAST(datediff(($da), ($db)) AS BIGINT)")
+              case "MONTH" => Some(s"CAST((year($da) * 12 + month($da)) - " +
+                s"(year($db) * 12 + month($db)) AS BIGINT)")
+              case "QUARTER" => Some(s"CAST((year($da) * 4 + quarter($da)) - " +
+                s"(year($db) * 4 + quarter($db)) AS BIGINT)")
+              case "YEAR" => Some(s"CAST(year($da) - year($db) AS BIGINT)")
+              case "ISOYEAR" => Some(s"CAST(extract(YEAROFWEEK FROM $da) - " +
+                s"extract(YEAROFWEEK FROM $db) AS BIGINT)")
+              case sub if name == "DATETIME_DIFF" && UnitMicros.contains(sub) =>
+                // sub-day boundary crossings: truncate both sides to
+                // the unit, then the micros difference divides exactly
+                // (01:59→02:01 IS one HOUR boundary, though the span
+                // is two minutes — the civil-value rule)
+                val ta = s"date_trunc('$sub', CAST((${args(0)}) AS TIMESTAMP))"
+                val tb = s"date_trunc('$sub', CAST((${args(1)}) AS TIMESTAMP))"
+                Some(s"((unix_micros($ta) - unix_micros($tb)) div ${UnitMicros(sub)})")
+              case other => throw new IllegalArgumentException(
+                s"$name unit '$other' not supported (DAY, WEEK, WEEK(<WEEKDAY>), " +
+                  "ISOWEEK, MONTH, QUARTER, YEAR, ISOYEAR" +
+                  (if (name == "DATETIME_DIFF") ", MICROSECOND..HOUR" else "") + ")")
+            }
+          }
         case "TIMESTAMP_ADD" | "DATETIME_ADD" | "TIMESTAMP_SUB" | "DATETIME_SUB" =>
           require(args.size == 2 && IntervalLitRe.pattern.matcher(args(1)).matches(),
             s"$name takes (ts, INTERVAL n unit) with a literal interval, got: $name(${args.mkString(", ")})")
@@ -755,24 +808,37 @@ private[graft] object Functions {
               s"$name takes (value, unit${if (name == "TIMESTAMP_TRUNC") "[, timezone]"
               else " — the timezone argument applies to TIMESTAMP_TRUNC only"})")
             val unit = args(1).trim.toUpperCase(java.util.Locale.ROOT)
-            require(unit != "WEEK" && !unit.startsWith("WEEK("),
-              s"$name WEEK is not supported: BigQuery weeks start SUNDAY, Spark's " +
-                "MONDAY — truncate via date_sub(date_trunc('WEEK', x), 1) explicitly " +
-                "if Monday-shifted weeks are acceptable")
-            require(Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
-              "DAY", "MONTH", "QUARTER", "YEAR").contains(unit),
-              s"$name unit '$unit' is not supported")
-            name match {
-              case "TIMESTAMP_TRUNC" if args.size == 3 =>
-                // truncate at the unit boundary OF THE NAMED ZONE and
-                // return the instant: render the instant as tz wall
-                // clock, truncate there, read the wall clock back
-                Some(s"to_utc_timestamp(date_trunc('$unit', " +
-                  s"from_utc_timestamp((${args(0)}), (${args(2)}))), (${args(2)}))")
-              case "TIMESTAMP_TRUNC" => Some(s"date_trunc('$unit', (${args(0)}))")
-              case "DATETIME_TRUNC" =>
-                Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
-              case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
+            weekStart(unit) match {
+              // WEEK / WEEK(<WEEKDAY>) / ISOWEEK: pure date arithmetic
+              // off the day-truncated value (BigQuery weeks start
+              // Sunday — Spark's date_trunc WEEK is Monday-only, so
+              // the shift is explicit)
+              case Some(k) => name match {
+                case "TIMESTAMP_TRUNC" if args.size == 3 =>
+                  val local = s"CAST(from_utc_timestamp((${args(0)}), (${args(2)})) AS DATE)"
+                  Some(s"to_utc_timestamp(CAST(${weekTruncDate(local, k)} AS TIMESTAMP), (${args(2)}))")
+                case "TIMESTAMP_TRUNC" =>
+                  Some(s"CAST(${weekTruncDate(s"CAST((${args(0)}) AS DATE)", k)} AS TIMESTAMP)")
+                case "DATETIME_TRUNC" =>
+                  Some(s"CAST(${weekTruncDate(s"CAST((${args(0)}) AS DATE)", k)} AS TIMESTAMP_NTZ)")
+                case _ => Some(weekTruncDate(s"CAST((${args(0)}) AS DATE)", k))
+              }
+              case None =>
+                require(Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
+                  "DAY", "MONTH", "QUARTER", "YEAR").contains(unit),
+                  s"$name unit '$unit' is not supported")
+                name match {
+                  case "TIMESTAMP_TRUNC" if args.size == 3 =>
+                    // truncate at the unit boundary OF THE NAMED ZONE and
+                    // return the instant: render the instant as tz wall
+                    // clock, truncate there, read the wall clock back
+                    Some(s"to_utc_timestamp(date_trunc('$unit', " +
+                      s"from_utc_timestamp((${args(0)}), (${args(2)}))), (${args(2)}))")
+                  case "TIMESTAMP_TRUNC" => Some(s"date_trunc('$unit', (${args(0)}))")
+                  case "DATETIME_TRUNC" =>
+                    Some(s"CAST(date_trunc('$unit', (${args(0)})) AS TIMESTAMP_NTZ)")
+                  case _ => Some(s"CAST(date_trunc('$unit', (${args(0)})) AS DATE)")
+                }
             }
           }
         // BigQuery's extended-argument string searches (round 13).
@@ -859,12 +925,17 @@ private[graft] object Functions {
         // TIMESTAMP↔NTZ casts inside the micro arithmetic are
         // wall-clock-exact (GraftSession pins the timezone).
         case "TIME" =>
-          require(args.size == 1 || args.size == 3,
-            "TIME takes (timestamp) or (hour, minute, second)")
+          require(args.size >= 1 && args.size <= 3,
+            "TIME takes (timestamp[, timezone]) or (hour, minute, second)")
           if (args.size == 3)
             Some(s"make_timestamp_ntz(1970, 1, 1, (${args(0)}), (${args(1)}), (${args(2)}))")
-          else
-            Some(s"CAST(concat('1970-01-01 ', date_format((${args(0)}), 'HH:mm:ss.SSSSSS')) AS TIMESTAMP_NTZ)")
+          else {
+            // the 2-arg form is the wall-clock time IN the named zone
+            // (the B72 tz family applied to the TIME carrier)
+            val src = if (args.size == 2)
+              s"from_utc_timestamp((${args(0)}), (${args(1)}))" else s"(${args(0)})"
+            Some(s"CAST(concat('1970-01-01 ', date_format($src, 'HH:mm:ss.SSSSSS')) AS TIMESTAMP_NTZ)")
+          }
         case "TIME_ADD" | "TIME_SUB" =>
           require(args.size == 2, s"$name takes (time, INTERVAL n unit)")
           val (nTxt, unitRaw) = args(1).trim match {
@@ -958,14 +1029,20 @@ private[graft] object Functions {
           // part forms below emit 1-arg last_day calls, which the
           // next fixpoint pass must leave alone — fuzz-caught)
           if (args.size == 1) None
-          else args(1).trim.toUpperCase(java.util.Locale.ROOT) match {
-            case "MONTH" => Some(s"last_day((${args(0)}))")
-            case "YEAR" => Some(s"make_date(year((${args(0)})), 12, 31)")
-            case "QUARTER" =>
-              Some(s"last_day(add_months(trunc(CAST((${args(0)}) AS DATE), 'QUARTER'), 2))")
-            case other => throw new IllegalArgumentException(
-              s"LAST_DAY part '$other' is not supported (MONTH, QUARTER, YEAR; " +
-                "WEEK diverges — BigQuery weeks start SUNDAY)")
+          else weekStart(args(1)) match {
+            // the week's last day = start + 6 (SUNDAY-start default,
+            // WEEK(<WEEKDAY>) and ISOWEEK via the shared shift)
+            case Some(k) =>
+              Some(s"date_add(${weekTruncDate(s"CAST((${args(0)}) AS DATE)", k)}, 6)")
+            case None => args(1).trim.toUpperCase(java.util.Locale.ROOT) match {
+              case "MONTH" => Some(s"last_day((${args(0)}))")
+              case "YEAR" => Some(s"make_date(year((${args(0)})), 12, 31)")
+              case "QUARTER" =>
+                Some(s"last_day(add_months(trunc(CAST((${args(0)}) AS DATE), 'QUARTER'), 2))")
+              case other => throw new IllegalArgumentException(
+                s"LAST_DAY part '$other' is not supported (WEEK, WEEK(<WEEKDAY>), " +
+                  "ISOWEEK, MONTH, QUARTER, YEAR)")
+            }
           }
         // BigQuery's RANGE<DATE> surface (round 13), carried as
         // STRUCT<range_start DATE, range_end DATE> with NULL =

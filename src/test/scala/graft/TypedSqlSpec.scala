@@ -1544,8 +1544,12 @@ class TypedSqlSpec extends SparkSuite {
     // louds
     def badF(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
-    assert(badF("SELECT DATE_DIFF(DATE'2024-03-01', DATE'2024-02-01', MONTH) AS d")
-      .contains("boundaries"))
+    // MONTH boundaries count now (round 14): exactly one Feb→Mar crossing
+    assert(GraftSql.load(spark,
+      "SELECT DATE_DIFF(DATE'2024-03-01', DATE'2024-02-01', MONTH) AS d")
+      .head().getLong(0) == 1L)
+    assert(badF("SELECT DATE_DIFF(DATE'2024-03-01', DATE'2024-02-01', DECADE) AS d")
+      .contains("not supported"))
     assert(badF("SELECT FORMAT_DATE('%q', DATE'2024-03-05') AS s").contains("%q"))
     assert(badF("SELECT TIMESTAMP_ADD(TIMESTAMP'2024-01-01 00:00:00', x) AS t")
       .contains("literal interval"))
@@ -2070,7 +2074,9 @@ class TypedSqlSpec extends SparkSuite {
       intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
     assert(bad("TIME_ADD(TIME '12:00:00', INTERVAL 1 DAY)").contains("DAY"))
     assert(bad("TIME_DIFF(TIME '12:00:00', TIME '10:00:00', WEEK)").contains("WEEK"))
-    assert(bad("TIME(1, 2)").contains("TIME takes"))
+    // the 2-arg form is TIME(ts, tz) — the named zone's wall clock
+    assert(one("TIME(TIMESTAMP '2024-01-01 23:30:00', 'Asia/Tokyo')")
+      .getAs[java.time.LocalDateTime](0).toString.startsWith("1970-01-01T08:30"))
   }
 
   test("FORMAT / ERROR / LAST_DAY: the everyday scalar verbs") {
@@ -2094,7 +2100,8 @@ class TypedSqlSpec extends SparkSuite {
     assert(bad("FORMAT('%t', 1)").contains("%t"))
     assert(bad("FORMAT('%u', 1)").contains("not supported"))
     assert(bad("FORMAT(col, 1)").contains("literal"))
-    assert(bad("LAST_DAY(DATE '2024-01-01', WEEK)").contains("SUNDAY"))
+    assert(one("LAST_DAY(DATE '2024-01-01', WEEK)").getDate(0).toString == "2024-01-06")
+    assert(bad("LAST_DAY(DATE '2024-01-01', DECADE)").contains("not supported"))
   }
 
   test("RANGE<DATE> surface: literal, constructor, accessors, predicates, split") {
@@ -3184,6 +3191,44 @@ class TypedSqlSpec extends SparkSuite {
       .getMessage.contains("make_timestamp_ntz"))
   }
 
+  test("week units: WEEK/WEEK(<WEEKDAY>)/ISOWEEK truncation, LAST_DAY, boundary DIFFs") {
+    // 2024-01-06 is a SATURDAY; 2024-01-07 a Sunday
+    val r = GraftSql.load(spark,
+      """SELECT DATE_TRUNC(DATE '2024-01-06', WEEK) AS sat_sun,
+        |       DATE_TRUNC(DATE '2024-01-07', WEEK) AS sun_sun,
+        |       DATE_TRUNC(DATE '2024-01-06', ISOWEEK) AS sat_mon,
+        |       DATE_TRUNC(DATE '2024-01-06', WEEK(SATURDAY)) AS sat_sat,
+        |       TIMESTAMP_TRUNC(TIMESTAMP '2024-01-06 22:15:00', WEEK) AS ts_sun,
+        |       LAST_DAY(DATE '2024-01-06', WEEK) AS ld_wk,
+        |       LAST_DAY(DATE '2024-01-06', ISOWEEK) AS ld_iso,
+        |       DATE_DIFF(DATE '2024-01-07', DATE '2024-01-06', WEEK) AS wd,
+        |       DATE_DIFF(DATE '2024-01-08', DATE '2024-01-07', WEEK) AS wd0,
+        |       DATE_DIFF(DATE '2024-02-01', DATE '2024-01-31', MONTH) AS md,
+        |       DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', QUARTER) AS qd,
+        |       DATE_DIFF(DATE '2024-12-30', DATE '2024-12-29', ISOYEAR) AS iyd,
+        |       DATETIME_DIFF(TIMESTAMP '2024-01-01 02:01:00',
+        |                     TIMESTAMP '2024-01-01 01:59:00', HOUR) AS hb,
+        |       TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 02:01:00',
+        |                      TIMESTAMP '2024-01-01 01:59:00', HOUR) AS hs""".stripMargin).head()
+    assert(r.getDate(0).toString == "2023-12-31") // Saturday's week began last Sunday
+    assert(r.getDate(1).toString == "2024-01-07") // a Sunday starts its own week
+    assert(r.getDate(2).toString == "2024-01-01") // ISO week: Monday
+    assert(r.getDate(3).toString == "2024-01-06") // Saturday-start week: itself
+    assert(r.getTimestamp(4).toString.startsWith("2023-12-31 00:00:00"))
+    assert(r.getDate(5).toString == "2024-01-06") // Sunday-start week ends Saturday
+    assert(r.getDate(6).toString == "2024-01-07") // ISO week ends Sunday
+    // boundary semantics: Sat→Sun crosses a week boundary, Sun→Mon doesn't
+    assert(r.getLong(7) == 1L && r.getLong(8) == 0L)
+    assert(r.getLong(9) == 1L && r.getLong(10) == 1L)
+    // 2024-12-30 is ISO year 2025; 2024-12-29 is ISO year 2024
+    assert(r.getLong(11) == 1L)
+    // civil HOUR boundary crossed vs zero whole timestamp hours
+    assert(r.getLong(12) == 1L && r.getLong(13) == 0L)
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT DATE_TRUNC(DATE '2024-01-06', WEEK(CASUALDAY)) AS x"))
+      .getMessage.contains("unknown weekday"))
+  }
+
   test("OPTIONS(...) on CREATE TABLE/VIEW + INFORMATION_SCHEMA.TABLE_OPTIONS") {
     GraftSql.load(spark, "CREATE OR REPLACE VIEW topts_src AS SELECT 1 AS x, 2 AS y")
     GraftSql.load(spark,
@@ -3677,10 +3722,12 @@ class TypedSqlSpec extends SparkSuite {
     assert(a.getInt(0) == 7 && a.getInt(1) == 9)
     assert(a.getSeq[Int](2) == Seq(1, 2, 3))
     assert(a.getString(3) == """{"a":1,"b":"x"}""")
-    // louds: WEEK trunc boundary, empty SPLIT delimiter
+    // WEEK truncation is Sunday-start arithmetic now; SPLIT '' stays loud
     def bad(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
-    assert(bad("SELECT TIMESTAMP_TRUNC(ts, WEEK) AS w FROM t").contains("SUNDAY"))
+    assert(GraftSql.load(spark,
+      "SELECT TIMESTAMP_TRUNC(TIMESTAMP '2024-01-06 10:00:00', WEEK) AS w")
+      .head().getTimestamp(0).toString.startsWith("2023-12-31 00:00:00"))
     assert(bad("SELECT SPLIT('ab', '') AS s").contains("non-empty"))
   }
 
