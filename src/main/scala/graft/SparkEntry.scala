@@ -2458,7 +2458,8 @@ object SparkEntry {
           |       COUNT(*) AS n,
           |       CAST(SUM(CASE WHEN ST_DWITHIN(g1, g2, 5000000.0) THEN 1 ELSE 0 END) AS BIGINT) AS within_5000km,
           |       MIN(ST_X(g1)) AS min_lng,
-          |       MAX(ST_Y(g2)) AS max_lat
+          |       MAX(ST_Y(g2)) AS max_lat,
+          |       MIN(ST_GEOHASH(g1, 6)) AS gh_min
           |FROM p GROUP BY dist_km ORDER BY dist_km""".stripMargin)
     }),
 
@@ -2942,6 +2943,8 @@ object SparkEntry {
           |  TO_HEX(FROM_BASE64(TO_BASE64(SHA256(event_type)))) AS rt_hex,
           |  TO_HEX(FROM_HEX('abc')) AS padded,
           |  NET.HOST('https://U@' || event_type || '.Example.COM:8080/p?q=1') AS host,
+          |  LOGICAL_AND(NOT IS_INF(value)) AS all_finite,
+          |  LOGICAL_OR(IS_NAN(CAST('NaN' AS FLOAT64) * value)) AS has_nan,
           |  COUNT(*) AS n
           |FROM bqf3_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
@@ -4907,6 +4910,8 @@ object SparkEntry {
           |  sha256(event_type) AS rt_hex,
           |  '0abc' AS padded,
           |  lower(event_type || '.example.com') AS host,
+          |  bool_and(NOT isinf(value)) AS all_finite,
+          |  bool_or(isnan('NaN'::DOUBLE * value)) AS has_nan,
           |  COUNT(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // HLL_COUNT driven in the sketch's exact regime: both routes
@@ -5719,14 +5724,39 @@ object SparkEntry {
           |        2.0 * 6371010.0 * asin(sqrt(
           |          sin(radians((lat2 - lat1) / 2.0)) * sin(radians((lat2 - lat1) / 2.0)) +
           |          cos(radians(lat1)) * cos(radians(lat2)) *
-          |          sin(radians((lng2 - lng1) / 2.0)) * sin(radians((lng2 - lng1) / 2.0)))) AS dist
-          |      FROM p)
+          |          sin(radians((lng2 - lng1) / 2.0)) * sin(radians((lng2 - lng1) / 2.0)))) AS dist,
+          |        LEAST(GREATEST(CAST(floor((lng1 + 180.0) / 360.0 * 32768.0) AS BIGINT), 0), 32767) AS lq,
+          |        LEAST(GREATEST(CAST(floor((lat1 + 90.0) / 180.0 * 32768.0) AS BIGINT), 0), 32767) AS aq
+          |      FROM p),
+          |g AS (SELECT *,
+          |        ((lq >> 0) & 1) * 2 + ((aq >> 0) & 1) * 1 +
+          |        ((lq >> 1) & 1) * 8 + ((aq >> 1) & 1) * 4 +
+          |        ((lq >> 2) & 1) * 32 + ((aq >> 2) & 1) * 16 +
+          |        ((lq >> 3) & 1) * 128 + ((aq >> 3) & 1) * 64 +
+          |        ((lq >> 4) & 1) * 512 + ((aq >> 4) & 1) * 256 +
+          |        ((lq >> 5) & 1) * 2048 + ((aq >> 5) & 1) * 1024 +
+          |        ((lq >> 6) & 1) * 8192 + ((aq >> 6) & 1) * 4096 +
+          |        ((lq >> 7) & 1) * 32768 + ((aq >> 7) & 1) * 16384 +
+          |        ((lq >> 8) & 1) * 131072 + ((aq >> 8) & 1) * 65536 +
+          |        ((lq >> 9) & 1) * 524288 + ((aq >> 9) & 1) * 262144 +
+          |        ((lq >> 10) & 1) * 2097152 + ((aq >> 10) & 1) * 1048576 +
+          |        ((lq >> 11) & 1) * 8388608 + ((aq >> 11) & 1) * 4194304 +
+          |        ((lq >> 12) & 1) * 33554432 + ((aq >> 12) & 1) * 16777216 +
+          |        ((lq >> 13) & 1) * 134217728 + ((aq >> 13) & 1) * 67108864 +
+          |        ((lq >> 14) & 1) * 536870912 + ((aq >> 14) & 1) * 268435456 AS b
+          |      FROM d)
           |SELECT CAST(FLOOR(dist / 1000.0) AS BIGINT) AS dist_km,
           |       COUNT(*) AS n,
           |       CAST(SUM(CASE WHEN dist <= 5000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS within_5000km,
           |       MIN(lng1) AS min_lng,
-          |       MAX(lat2) AS max_lat
-          |FROM d GROUP BY dist_km ORDER BY dist_km""".stripMargin,
+          |       MAX(lat2) AS max_lat,
+          |       MIN(substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 25) & 31 AS INTEGER) + 1, 1) ||
+          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 20) & 31 AS INTEGER) + 1, 1) ||
+          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 15) & 31 AS INTEGER) + 1, 1) ||
+          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 10) & 31 AS INTEGER) + 1, 1) ||
+          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 5) & 31 AS INTEGER) + 1, 1) ||
+          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(b & 31 AS INTEGER) + 1, 1)) AS gh_min
+          |FROM g GROUP BY dist_km ORDER BY dist_km""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,

@@ -1738,6 +1738,63 @@ case class NormalizeText(child: Expression, form: String,
     copy(child = newChild)
 }
 
+/** Geohash base32 cell id of a (lng, lat) point — BigQuery
+  * ST_GEOHASH's deterministic spatial bucketing verb (the 100 TB use:
+  * a GROUP BY / join key that co-locates nearby points without a
+  * spatial index). Bits alternate lng-first; each coordinate
+  * quantizes by the FIXED IEEE fold `floor((v + off) / span * 2^bits)`
+  * clamped to the top cell — +, /, * and floor are correctly-rounded
+  * IEEE ops, so a DuckDB oracle spelling the identical fold matches
+  * bit-for-bit (no libm anywhere). At cell boundaries this fold can
+  * differ from a bisection-loop implementation by one ulp's worth of
+  * cell — stated; reference geohash libraries quantize the same way.
+  */
+case class StGeohash(lng: Expression, lat: Expression, nchars: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(nchars >= 1 && nchars <= 12,
+    s"ST_GEOHASH maxchars must be in [1, 12], got $nchars")
+  override def left: Expression = lng
+  override def right: Expression = lat
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = StringType
+  private val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+  def compute(x: Double, y: Double): UTF8String = {
+    val total = 5 * nchars
+    val lngBits = (total + 1) / 2
+    val latBits = total / 2
+    def quant(v: Double, off: Double, span: Double, bits: Int): Long = {
+      val q = math.floor((v + off) / span * (1L << bits).toDouble).toLong
+      math.max(0L, math.min((1L << bits) - 1L, q))
+    }
+    val lq = quant(x, 180.0, 360.0, lngBits)
+    val aq = quant(y, 90.0, 180.0, latBits)
+    var b = 0L
+    var p = 0; var li = lngBits - 1; var ai = latBits - 1
+    while (p < total) {
+      val bit =
+        if (p % 2 == 0) { val v = (lq >> li) & 1L; li -= 1; v }
+        else { val v = (aq >> ai) & 1L; ai -= 1; v }
+      b = (b << 1) | bit
+      p += 1
+    }
+    val sb = new java.lang.StringBuilder(nchars)
+    var c = nchars - 1
+    while (c >= 0) {
+      sb.append(alphabet.charAt(((b >> (5 * c)) & 31L).toInt))
+      c -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[Double], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stGeohash", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StGeohash =
+    copy(lng = l, lat = r)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -2124,7 +2181,11 @@ object native {
         org.apache.spark.sql.catalyst.expressions.RegExpReplace(es.head, es(1), es(2)) }),
     ("graft_safe_bytes_to_string",
       "graft_safe_bytes_to_string(b) - strict UTF-8 decode, NULL on malformed (SAFE_CONVERT_BYTES_TO_STRING)",
-      es => { arity("graft_safe_bytes_to_string", es, 1); SafeBytesToString(es.head) }))
+      es => { arity("graft_safe_bytes_to_string", es, 1); SafeBytesToString(es.head) }),
+    ("graft_st_geohash",
+      "graft_st_geohash(lng, lat, n) - geohash base32 cell id, n chars (ST_GEOHASH)",
+      es => { arity("graft_st_geohash", es, 3)
+        StGeohash(es.head, es(1), constInt("graft_st_geohash", es, 2)) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

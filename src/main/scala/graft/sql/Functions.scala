@@ -305,6 +305,7 @@ private[graft] object Functions {
     "ENDS_WITH" -> "endswith",
     "APPROX_COUNT_DISTINCT" -> "approx_count_distinct",
     "ARRAY_CONCAT" -> "concat", "GENERATE_UUID" -> "uuid",
+    "SESSION_USER" -> "current_user",
     // same per-character mapping semantics; on the error case BigQuery
     // rejects (duplicate source chars) Spark takes the first mapping —
     // stated, an invalid-input divergence only
@@ -395,6 +396,7 @@ private[graft] object Functions {
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "DATE", "DATETIME", "TIMESTAMP", "CURRENT_DATE",
+      "IS_NAN", "IS_INF",
       // the point-geography core + the loud non-point surface
       "ST_GEOGPOINT", "ST_X", "ST_Y", "ST_DISTANCE", "ST_DWITHIN",
       "ST_GEOGFROMTEXT", "ST_ASTEXT", "ST_ASGEOJSON", "ST_GEOGFROMGEOJSON",
@@ -1844,6 +1846,17 @@ private[graft] object Functions {
         // the sphere — sin/cos are periodic, so the math agrees).
         // Non-point geography (lines, polygons, predicates, WKT) is
         // loud below.
+        // IEEE special-value predicates (round 14): Spark's isnan(NULL)
+        // is FALSE where BigQuery returns NULL — the CASE restores the
+        // three-valued rule; IS_INF via the abs-equality (NULL → NULL,
+        // NaN → false, both BigQuery's table)
+        case "IS_NAN" =>
+          require(args.size == 1, "IS_NAN takes (x)")
+          Some(s"(CASE WHEN (${args(0)}) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+            s"ELSE isnan((${args(0)})) END)")
+        case "IS_INF" =>
+          require(args.size == 1, "IS_INF takes (x)")
+          Some(s"(abs(CAST((${args(0)}) AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
         case "ST_GEOGPOINT" =>
           require(args.size == 2, "ST_GEOGPOINT takes (longitude, latitude)")
           Some(s"named_struct('lng', CAST((${args(0)}) AS DOUBLE), " +
@@ -1863,11 +1876,19 @@ private[graft] object Functions {
         case "ST_DWITHIN" =>
           require(args.size == 3, "ST_DWITHIN takes (point, point, meters)")
           Some(s"(${stHaversine(args(0), args(1))} <= CAST((${args(2)}) AS DOUBLE))")
+        case "ST_GEOHASH" =>
+          require(args.size == 1 || args.size == 2, "ST_GEOHASH takes (point[, maxchars])")
+          val n = if (args.size == 2) {
+            val t = args(1).trim
+            require(t.matches("""\d+"""), s"ST_GEOHASH maxchars must be a literal integer, got $t")
+            t
+          } else "12"
+          Some(s"graft_st_geohash((${args(0)}).lng, (${args(0)}).lat, $n)")
         case n2 if n2.startsWith("ST_") =>
           throw new IllegalArgumentException(
             s"$n2: only POINT geography is supported (ST_GEOGPOINT, ST_X, ST_Y, " +
-              "ST_DISTANCE, ST_DWITHIN on the STRUCT<lng, lat> carrier) — lines, " +
-              "polygons, WKT parsing and spatial predicates are not implemented")
+              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH on the STRUCT<lng, lat> carrier) — " +
+              "lines, polygons, WKT parsing and spatial predicates are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

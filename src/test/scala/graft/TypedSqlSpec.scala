@@ -2097,6 +2097,14 @@ class TypedSqlSpec extends SparkSuite {
     }
     def bad(sql: String): String =
       intercept[IllegalArgumentException] { GraftSql.load(spark, s"SELECT $sql AS v") }.getMessage
+    // IEEE predicates under BigQuery's three-valued table
+    val ie = one("struct(IS_NAN(CAST('NaN' AS FLOAT64)), IS_NAN(1.0), " +
+      "IS_NAN(CAST(NULL AS FLOAT64)), IS_INF(CAST('Infinity' AS FLOAT64)), " +
+      "IS_INF(CAST('-Infinity' AS FLOAT64)), IS_INF(CAST('NaN' AS FLOAT64)), " +
+      "IS_INF(CAST(NULL AS FLOAT64)))").getStruct(0)
+    assert(ie.getBoolean(0) && !ie.getBoolean(1) && ie.isNullAt(2))
+    assert(ie.getBoolean(3) && ie.getBoolean(4) && !ie.getBoolean(5) && ie.isNullAt(6))
+    assert(one("SESSION_USER()").getString(0).nonEmpty)
     assert(bad("FORMAT('%t', 1)").contains("%t"))
     assert(bad("FORMAT('%u', 1)").contains("not supported"))
     assert(bad("FORMAT(col, 1)").contains("literal"))
@@ -3282,6 +3290,16 @@ class TypedSqlSpec extends SparkSuite {
     // 1° of longitude at the equator ≈ 111,195 m on this sphere
     assert(r.getBoolean(3) && !r.getBoolean(4))
     assert(r.getDouble(5) == 2.3522 && r.getDouble(6) == 48.8566)
+    // ST_GEOHASH against the published test vectors (lng-first
+    // interleave, base32): Wikipedia's (57.64911N, 10.40744E) →
+    // u4pruydqqvj and (42.6N, 5.6W) → ezs42
+    val gh = GraftSql.load(spark,
+      """SELECT ST_GEOHASH(ST_GEOGPOINT(10.40744, 57.64911), 11) AS a,
+        |       ST_GEOHASH(ST_GEOGPOINT(-5.6, 42.6), 5) AS b,
+        |       ST_GEOHASH(ST_GEOGPOINT(-5.6, 42.6)) AS c""".stripMargin).head()
+    assert(gh.getString(0) == "u4pruydqqvj")
+    assert(gh.getString(1) == "ezs42")
+    assert(gh.getString(2).length == 12 && gh.getString(2).startsWith("ezs42"))
     // latitude domain raises at runtime; non-point surface is loud at rewrite
     intercept[Exception](GraftSql.load(spark,
       "SELECT ST_DISTANCE(ST_GEOGPOINT(0, 91), ST_GEOGPOINT(0, 0)) AS d").collect())
