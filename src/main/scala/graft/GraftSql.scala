@@ -1230,14 +1230,89 @@ object GraftSql {
       if (exists && ifNotExists != null) return spark.table(name)
       require(!exists || orReplace != null,
         s"table '$name' already exists (use OR REPLACE or IF NOT EXISTS)")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(graft.sql.Functions.mapBqTypes(schemaText))
+      // split PRIMARY KEY / FOREIGN KEY ... NOT ENFORCED clauses off
+      // the column list (BigQuery's unenforced metadata constraints —
+      // surfaced through TABLE_CONSTRAINTS / KEY_COLUMN_USAGE, never
+      // validated: NOT ENFORCED is the only BigQuery mode)
+      val (colDefs, constraints) = splitConstraintClauses(name, schemaText)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        graft.sql.Functions.mapBqTypes(colDefs.mkString(", ")))
+      // key columns must exist in THIS table (referenced-table columns
+      // are unchecked — BigQuery resolves them lazily too)
+      constraints.foreach(c => c.columns.foreach(col =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(col)),
+          s"constraint ${c.name}: no such column '$col' in $name")))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .createOrReplaceTempView(name)
+      if (constraints.nonEmpty) constraintRegistry(mvKey(spark, name)) = constraints
+      else constraintRegistry.remove(mvKey(spark, name))
       spark.table(name)
     case _ => throw new IllegalArgumentException(
       "not a CREATE TABLE (schema) statement (expected: CREATE [OR REPLACE] TABLE " +
         "[IF NOT EXISTS] name (col TYPE, ...))")
+  }
+
+  /** One unenforced table constraint: PRIMARY KEY or FOREIGN KEY with
+    * its column list and (FK only) referenced table/columns.
+    */
+  private[graft] case class TableConstraint(name: String, kind: String,
+                                            columns: Seq[String],
+                                            refTable: String, refColumns: Seq[String])
+
+  private val constraintRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[TableConstraint]]
+
+  private val PkClauseRe =
+    """(?is)^(?:CONSTRAINT\s+([A-Za-z_][\w$]*)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*((?:NOT\s+)?ENFORCED)?$""".r
+  private val FkClauseRe =
+    ("""(?is)^(?:CONSTRAINT\s+([A-Za-z_][\w$]*)\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*""" +
+      """REFERENCES\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*""" +
+      """\(([^)]*)\)\s*((?:NOT\s+)?ENFORCED)?$""").r
+
+  /** Separate a CREATE TABLE body into column definitions and
+    * constraint clauses. The comma split is paren/angle/quote-aware
+    * (STRUCT<a INT64, b STRING> columns keep their commas). Unnamed
+    * constraints take BigQuery's generated spellings (`pk$`, `fk$N`);
+    * a bare ENFORCED is loud — BigQuery only accepts NOT ENFORCED.
+    */
+  private def splitConstraintClauses(table: String, body: String)
+      : (Seq[String], Seq[TableConstraint]) = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var q = false
+    body.foreach { ch =>
+      if (q) { cur += ch; if (ch == '\'') q = false }
+      else ch match {
+        case '\'' => q = true; cur += ch
+        case '(' | '<' | '[' => depth += 1; cur += ch
+        case ')' | '>' | ']' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    val cols = scala.collection.mutable.ListBuffer.empty[String]
+    val cons = scala.collection.mutable.ListBuffer.empty[TableConstraint]
+    var fkN = 0
+    parts.map(_.trim).filter(_.nonEmpty).foreach {
+      case PkClauseRe(nm, colList, enforced) =>
+        require(enforced != null && enforced.toUpperCase(java.util.Locale.ROOT).startsWith("NOT"),
+          s"PRIMARY KEY on $table must be declared NOT ENFORCED (BigQuery's only mode)")
+        require(!cons.exists(_.kind == "PRIMARY KEY"),
+          s"table $table declares more than one PRIMARY KEY")
+        cons += TableConstraint(Option(nm).getOrElse(s"$table.pk$$"), "PRIMARY KEY",
+          colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq, "", Nil)
+      case FkClauseRe(nm, colList, refTbl, refCols, enforced) =>
+        require(enforced != null && enforced.toUpperCase(java.util.Locale.ROOT).startsWith("NOT"),
+          s"FOREIGN KEY on $table must be declared NOT ENFORCED (BigQuery's only mode)")
+        fkN += 1
+        cons += TableConstraint(Option(nm).getOrElse(s"$table.fk$$$fkN"), "FOREIGN KEY",
+          colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          viewName(refTbl), refCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case colDef => cols += colDef
+    }
+    (cols.toSeq, cons.toSeq)
   }
 
   // ── DROP TABLE / VIEW / FUNCTION ─────────────────────────────────
@@ -1302,6 +1377,7 @@ object GraftSql {
       partRegistry.remove(mvKey(spark, name))
       viewDefRegistry.remove(mvKey(spark, name))
       tableOptionsRegistry.remove(mvKey(spark, name))
+      constraintRegistry.remove(mvKey(spark, name))
       graft.sources.Versioned.unregister(spark, name)
       if (!spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
         spark.sql(s"DROP TABLE `$name`") // a managed (saveAsTable) table
@@ -4467,6 +4543,7 @@ object GraftSql {
     var replacedTables = false; var replacedColumns = false
     var replacedPartitions = false; var replacedViews = false
     var replacedTableOptions = false
+    var replacedTableConstraints = false; var replacedKeyColUsage = false
     var replacedSearchIdx = false; var replacedVectorIdx = false
     var replacedRoutines = false; var replacedModels = false
     while (i < sql.length) {
@@ -4491,6 +4568,12 @@ object GraftSql {
         } else if (upper.startsWith("TABLE_OPTIONS", rest) &&
           (rest + 13 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 13)) && sql.charAt(rest + 13) != '_')) {
           out ++= "__information_schema_table_options"; replacedTableOptions = true; i = rest + 13
+        } else if (upper.startsWith("TABLE_CONSTRAINTS", rest) &&
+          (rest + 17 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 17)) && sql.charAt(rest + 17) != '_')) {
+          out ++= "__information_schema_table_constraints"; replacedTableConstraints = true; i = rest + 17
+        } else if (upper.startsWith("KEY_COLUMN_USAGE", rest) &&
+          (rest + 16 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 16)) && sql.charAt(rest + 16) != '_')) {
+          out ++= "__information_schema_key_column_usage"; replacedKeyColUsage = true; i = rest + 16
         } else if (upper.startsWith("VIEWS", rest) &&
           (rest + 5 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 5)) && sql.charAt(rest + 5) != '_')) {
           out ++= "__information_schema_views"; replacedViews = true; i = rest + 5
@@ -4508,8 +4591,9 @@ object GraftSql {
           out ++= "__information_schema_models"; replacedModels = true; i = rest + 6
         } else throw new IllegalArgumentException(
           "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .TABLE_OPTIONS, " +
-            ".VIEWS, .SEARCH_INDEXES, .VECTOR_INDEXES, .ROUTINES and .MODELS are " +
-            "available (a session catalog has no jobs metadata)")
+            ".TABLE_CONSTRAINTS, .KEY_COLUMN_USAGE, .VIEWS, .SEARCH_INDEXES, " +
+            ".VECTOR_INDEXES, .ROUTINES and .MODELS are available (a session " +
+            "catalog has no jobs metadata)")
       } else { out += c; i += 1 }
     }
     if (replacedTables) tablesView(spark).createOrReplaceTempView("__information_schema_tables")
@@ -4518,6 +4602,10 @@ object GraftSql {
     if (replacedViews) viewsView(spark).createOrReplaceTempView("__information_schema_views")
     if (replacedTableOptions)
       tableOptionsView(spark).createOrReplaceTempView("__information_schema_table_options")
+    if (replacedTableConstraints)
+      tableConstraintsView(spark).createOrReplaceTempView("__information_schema_table_constraints")
+    if (replacedKeyColUsage)
+      keyColumnUsageView(spark).createOrReplaceTempView("__information_schema_key_column_usage")
     if (replacedSearchIdx)
       searchIndexesView(spark).createOrReplaceTempView("__information_schema_search_indexes")
     if (replacedVectorIdx)
@@ -4608,6 +4696,46 @@ object GraftSql {
       .sortBy(r => (r._3, r._4))
       .toDF("table_catalog", "table_schema", "table_name",
         "option_name", "option_type", "option_value")
+  }
+
+  /** BigQuery's `INFORMATION_SCHEMA.TABLE_CONSTRAINTS`: one row per
+    * declared (unenforced) PRIMARY KEY / FOREIGN KEY. `enforced` is
+    * always NO — NOT ENFORCED is BigQuery's only constraint mode.
+    */
+  private def tableConstraintsView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sid = System.identityHashCode(spark)
+    constraintRegistry.toSeq
+      .collect { case ((s, n), rows) if s == sid && spark.catalog.tableExists(n) =>
+        rows.map(c => ("graft", "session", c.name, "graft", "session", n,
+          c.kind, "NO", "NO", "NO"))
+      }
+      .flatten.sortBy(r => (r._6, r._3))
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_catalog", "table_schema", "table_name",
+        "constraint_type", "is_deferrable", "initially_deferred", "enforced")
+  }
+
+  /** BigQuery's `INFORMATION_SCHEMA.KEY_COLUMN_USAGE`: one row per key
+    * column of each constraint, 1-based ordinal; FK rows carry
+    * `position_in_unique_constraint` (the referenced-key ordinal), PK
+    * rows NULL there — BigQuery's shape.
+    */
+  private def keyColumnUsageView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sid = System.identityHashCode(spark)
+    constraintRegistry.toSeq
+      .collect { case ((s, n), rows) if s == sid && spark.catalog.tableExists(n) =>
+        rows.flatMap(c => c.columns.zipWithIndex.map { case (col, i) =>
+          ("graft", "session", c.name, "graft", "session", n, col,
+            (i + 1).toLong,
+            if (c.kind == "FOREIGN KEY") Option((i + 1).toLong) else None)
+        })
+      }
+      .flatten.sortBy(r => (r._6, r._3, r._8))
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "position_in_unique_constraint")
   }
 
   private def sessionTables(spark: SparkSession): Seq[String] =

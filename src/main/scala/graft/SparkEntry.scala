@@ -895,6 +895,31 @@ object SparkEntry {
           |ORDER BY o.table_name, o.option_name""".stripMargin)
     }),
 
+    // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
+    // constraints on CREATE TABLE, surfaced through
+    // INFORMATION_SCHEMA.TABLE_CONSTRAINTS × KEY_COLUMN_USAGE — the
+    // hash pins the clause split (STRUCT commas survive), BigQuery's
+    // generated names (pk$, fk$N), the enforced=NO invariant and the
+    // key-column ordinals
+    "sql_constraints_meta" -> ((s, d) => {
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE TABLE cm_orders (o_id INT64 NOT NULL, PRIMARY KEY (o_id) NOT ENFORCED)")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE TABLE cm_items (
+          |  i_id INT64 NOT NULL, o_id INT64, p_id INT64,
+          |  meta STRUCT<a INT64, b STRING>,
+          |  PRIMARY KEY (i_id) NOT ENFORCED,
+          |  CONSTRAINT fk_order FOREIGN KEY (o_id) REFERENCES cm_orders(o_id) NOT ENFORCED,
+          |  FOREIGN KEY (p_id) REFERENCES cm_parts(p_id) NOT ENFORCED)""".stripMargin)
+      graft.GraftSql.load(s,
+        """SELECT tc.table_name, tc.constraint_name, tc.constraint_type, tc.enforced,
+          |       k.column_name, CAST(k.ordinal_position AS BIGINT) AS ord
+          |FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
+          |JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE k ON k.constraint_name = tc.constraint_name
+          |WHERE tc.table_name IN ('cm_orders', 'cm_items')
+          |ORDER BY tc.table_name, tc.constraint_name, ord""".stripMargin)
+    }),
+
     // A36c driver face: a stored procedure defined and CALLed through
     // the SQL surface; the procedure parameterizes a gated aggregate,
     // the caller passes script variables — the oracle replays the
@@ -4421,6 +4446,16 @@ object SparkEntry {
           |       'COSINE' AS distance_type, CAST(4 AS BIGINT) AS num_lists,
           |       'ism_twice' AS routine_name, 'FUNCTION' AS routine_type,
           |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition""".stripMargin,
+      // constraint metadata is session-catalog state with a pinned
+      // rendering — the oracle is the literal expected rows
+      "sql_constraints_meta" ->
+        """SELECT * FROM (VALUES
+          |  ('cm_items', 'cm_items.fk$2', 'FOREIGN KEY', 'NO', 'p_id', CAST(1 AS BIGINT)),
+          |  ('cm_items', 'cm_items.pk$', 'PRIMARY KEY', 'NO', 'i_id', CAST(1 AS BIGINT)),
+          |  ('cm_items', 'fk_order', 'FOREIGN KEY', 'NO', 'o_id', CAST(1 AS BIGINT)),
+          |  ('cm_orders', 'cm_orders.pk$', 'PRIMARY KEY', 'NO', 'o_id', CAST(1 AS BIGINT))
+          |) AS t(table_name, constraint_name, constraint_type, enforced, column_name, ord)
+          |ORDER BY table_name, constraint_name, ord""".stripMargin,
       // table-options metadata is session-catalog state with a pinned
       // rendering — the oracle is the literal expected rows
       "sql_table_options" ->

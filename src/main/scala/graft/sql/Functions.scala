@@ -1884,11 +1884,34 @@ private[graft] object Functions {
             t
           } else "12"
           Some(s"graft_st_geohash((${args(0)}).lng, (${args(0)}).lat, $n)")
+        // WKT I/O for the point carrier. GEOGFROMTEXT guards both
+        // coordinates on the same RLIKE so whichever argument evaluates
+        // first raises the typed message (non-POINT WKT is a runtime
+        // raise — the shape is data); the emitted ST_GEOGPOINT rewrites
+        // on the next fixpoint pass and brings the latitude check.
+        // ASTEXT renders through CAST(double AS STRING): for
+        // coordinate-range magnitudes (|v| in [1e-3, 1e7)) both Spark
+        // and DuckDB print the same shortest plain-decimal form —
+        // stated; scientific-notation thresholds differ outside it.
+        case "ST_GEOGFROMTEXT" =>
+          require(args.size == 1, "ST_GEOGFROMTEXT takes (wkt) — POINT only")
+          val pat = """(?i)^\\s*POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"""
+          def coord(group: Int) =
+            s"CASE WHEN (${args(0)}) RLIKE '$pat' " +
+              s"THEN CAST(regexp_extract((${args(0)}), '$pat', $group) AS DOUBLE) " +
+              s"ELSE CAST(raise_error(concat('ST_GEOGFROMTEXT: only POINT(lng lat) " +
+              s"WKT is supported, got ', (${args(0)}))) AS DOUBLE) END"
+          Some(s"ST_GEOGPOINT(${coord(1)}, ${coord(2)})")
+        case "ST_ASTEXT" =>
+          require(args.size == 1, "ST_ASTEXT takes (point)")
+          Some(s"concat('POINT(', CAST((${args(0)}).lng AS STRING), ' ', " +
+            s"CAST((${args(0)}).lat AS STRING), ')')")
         case n2 if n2.startsWith("ST_") =>
           throw new IllegalArgumentException(
             s"$n2: only POINT geography is supported (ST_GEOGPOINT, ST_X, ST_Y, " +
-              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH on the STRUCT<lng, lat> carrier) — " +
-              "lines, polygons, WKT parsing and spatial predicates are not implemented")
+              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH, ST_GEOGFROMTEXT/ST_ASTEXT on the " +
+              "STRUCT<lng, lat> carrier) — lines, polygons and spatial predicates " +
+              "are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

@@ -3237,6 +3237,44 @@ class TypedSqlSpec extends SparkSuite {
       .getMessage.contains("unknown weekday"))
   }
 
+  test("PRIMARY KEY / FOREIGN KEY NOT ENFORCED + TABLE_CONSTRAINTS/KEY_COLUMN_USAGE") {
+    GraftSql.load(spark,
+      """CREATE OR REPLACE TABLE kc_t (
+        |  a INT64 NOT NULL, b INT64, c STRUCT<x INT64, y STRING>,
+        |  PRIMARY KEY (a) NOT ENFORCED,
+        |  CONSTRAINT fk_b FOREIGN KEY (b) REFERENCES other(z) NOT ENFORCED)""".stripMargin)
+    val tc = GraftSql.load(spark,
+      """SELECT constraint_name, constraint_type, enforced
+        |FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS WHERE table_name = 'kc_t'
+        |ORDER BY constraint_name""".stripMargin).collect()
+    assert(tc.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("fk_b", "FOREIGN KEY", "NO"), ("kc_t.pk$", "PRIMARY KEY", "NO")))
+    val kcu = GraftSql.load(spark,
+      """SELECT constraint_name, column_name, CAST(ordinal_position AS BIGINT) AS o,
+        |       position_in_unique_constraint IS NULL AS pk_null
+        |FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE WHERE table_name = 'kc_t'
+        |ORDER BY constraint_name""".stripMargin).collect()
+    assert(kcu.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq(("fk_b", "b", 1L, false), ("kc_t.pk$", "a", 1L, true)))
+    // the STRUCT column survived the clause split with its comma
+    assert(spark.table("kc_t").schema("c").dataType.typeName == "struct")
+    // louds: bare ENFORCED, duplicate PK, unknown key column
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { GraftSql.load(spark, sql) }.getMessage
+    assert(bad("CREATE OR REPLACE TABLE kc_e (a INT64, PRIMARY KEY (a) ENFORCED)")
+      .contains("NOT ENFORCED"))
+    assert(bad("CREATE OR REPLACE TABLE kc_d (a INT64, b INT64, " +
+      "PRIMARY KEY (a) NOT ENFORCED, PRIMARY KEY (b) NOT ENFORCED)")
+      .contains("more than one"))
+    assert(bad("CREATE OR REPLACE TABLE kc_m (a INT64, PRIMARY KEY (zz) NOT ENFORCED)")
+      .contains("no such column"))
+    // drop clears the rows
+    GraftSql.load(spark, "DROP TABLE kc_t")
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS WHERE table_name = 'kc_t'")
+      .count() == 0)
+  }
+
   test("OPTIONS(...) on CREATE TABLE/VIEW + INFORMATION_SCHEMA.TABLE_OPTIONS") {
     GraftSql.load(spark, "CREATE OR REPLACE VIEW topts_src AS SELECT 1 AS x, 2 AS y")
     GraftSql.load(spark,
@@ -3300,13 +3338,24 @@ class TypedSqlSpec extends SparkSuite {
     assert(gh.getString(0) == "u4pruydqqvj")
     assert(gh.getString(1) == "ezs42")
     assert(gh.getString(2).length == 12 && gh.getString(2).startsWith("ezs42"))
+    // WKT I/O: parse, render, round-trip; non-POINT WKT raises at runtime
+    val wk = GraftSql.load(spark,
+      """SELECT ST_X(ST_GEOGFROMTEXT('POINT(10.40744 57.64911)')) AS x,
+        |       ST_Y(ST_GEOGFROMTEXT(' point( -5.6  42.6 ) ')) AS y,
+        |       ST_ASTEXT(ST_GEOGPOINT(-5.6, 42.6)) AS t,
+        |       ST_ASTEXT(ST_GEOGFROMTEXT(ST_ASTEXT(ST_GEOGPOINT(10.40744, 57.64911)))) AS rt""".stripMargin).head()
+    assert(wk.getDouble(0) == 10.40744 && wk.getDouble(1) == 42.6)
+    assert(wk.getString(2) == "POINT(-5.6 42.6)")
+    assert(wk.getString(3) == "POINT(10.40744 57.64911)")
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT ST_X(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)')) AS x").collect())
     // latitude domain raises at runtime; non-point surface is loud at rewrite
     intercept[Exception](GraftSql.load(spark,
       "SELECT ST_DISTANCE(ST_GEOGPOINT(0, 91), ST_GEOGPOINT(0, 0)) AS d").collect())
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT ST_CONTAINS(a, b) AS c FROM t")).getMessage.contains("POINT"))
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT ST_GEOGFROMTEXT('POINT(1 2)') AS g")).getMessage.contains("POINT"))
+      "SELECT ST_MAKELINE(a, b) AS g FROM t")).getMessage.contains("POINT"))
   }
 
   test("PARSE_NUMERIC / PARSE_BIGNUMERIC and their SAFE forms") {
