@@ -192,6 +192,10 @@ object GraftSql {
       createEmptyTable(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
+    } else if (AlterOptionsRe.pattern.matcher(sql).matches()) {
+      alterSetOptions(spark, sql)
+    } else if (AlterConstraintHeadRe.pattern.matcher(sql).matches()) {
+      alterConstraint(spark, sql)
     } else if (OptimizeRe.pattern.matcher(sql).matches() ||
       VacuumRe.pattern.matcher(sql).matches()) {
       maintenance(spark, sql)
@@ -2571,6 +2575,114 @@ object GraftSql {
     tableOptionsRegistry(mvKey(spark, name)) =
       parseOptionPairs(body).map { case (k, v) => optionRow(k, v) }
 
+  private val AlterOptionsRe =
+    ("""(?is)^\s*ALTER\s+(?:TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      """SET\s+OPTIONS\s*\(.*\)\s*;?\s*$""").r
+
+  /** `ALTER TABLE|[MATERIALIZED] VIEW [IF EXISTS] name SET
+    * OPTIONS(...)` — BigQuery's metadata update verb: listed options
+    * MERGE over the recorded set; an option set to NULL clears
+    * (BigQuery's remove spelling). IF EXISTS no-ops on a missing name.
+    */
+  def alterSetOptions(spark: SparkSession, sql: String): DataFrame = sql match {
+    case AlterOptionsRe(ifExists, rawName) =>
+      val name = viewName(rawName)
+      if (!spark.catalog.tableExists(name)) {
+        require(ifExists != null,
+          s"ALTER ... SET OPTIONS: no such table or view '$name' (use IF EXISTS)")
+        return spark.emptyDataFrame
+      }
+      val (_, bodyOpt) = splitOptionsClause(sql)
+      val pairs = parseOptionPairs(bodyOpt.getOrElse(""))
+      val existing = tableOptionsRegistry.getOrElse(mvKey(spark, name), Nil)
+      val (cleared, set) = pairs.partition(_._2.trim.equalsIgnoreCase("NULL"))
+      val clearedKeys = cleared.map(_._1).toSet
+      val setRows = set.map { case (k, v) => optionRow(k, v) }
+      val setKeys = setRows.map(_._1).toSet
+      val merged = existing.filterNot(r => clearedKeys(r._1) || setKeys(r._1)) ++ setRows
+      if (merged.nonEmpty) tableOptionsRegistry(mvKey(spark, name)) = merged
+      else tableOptionsRegistry.remove(mvKey(spark, name))
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not an ALTER ... SET OPTIONS statement")
+  }
+
+  private val AlterConstraintHeadRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:`[^`]+`|[A-Za-z_][\w$]*)""" +
+      """(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*\s+(?:ADD\s+(?:CONSTRAINT\b|PRIMARY\s+KEY|FOREIGN\s+KEY)|""" +
+      """DROP\s+(?:CONSTRAINT\b|PRIMARY\s+KEY)).*$""").r
+  private val AlterAddRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      """ADD\s+(.*?)\s*;?\s*$""").r
+  private val AlterDropRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      """DROP\s+(?:CONSTRAINT\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w$.]*)|(PRIMARY\s+KEY))\s*;?\s*$""").r
+
+  /** `ALTER TABLE t ADD [CONSTRAINT name] PRIMARY KEY|FOREIGN KEY ...
+    * NOT ENFORCED` and `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name
+    * | DROP PRIMARY KEY` — the post-create halves of A55's constraint
+    * DDL, reusing the CREATE-time clause parser (so the same NOT
+    * ENFORCED / name / column rules apply).
+    */
+  def alterConstraint(spark: SparkSession, sql: String): DataFrame = sql match {
+    case AlterAddRe(ifExists, rawName, clause) =>
+      val name = viewName(rawName)
+      if (!spark.catalog.tableExists(name)) {
+        require(ifExists != null,
+          s"ALTER TABLE: no such table '$name' (use IF EXISTS)")
+        return spark.emptyDataFrame
+      }
+      val existing = constraintRegistry.getOrElse(mvKey(spark, name), Nil)
+      // reparse through the CREATE-time splitter with the existing
+      // FK count folded in (generated fk$N names keep advancing)
+      val (_, parsed) = splitConstraintClauses(name, clause)
+      require(parsed.size == 1 && parsed.head.columns.nonEmpty,
+        s"ALTER TABLE $name ADD: expected one PRIMARY KEY / FOREIGN KEY ... NOT ENFORCED clause, got: $clause")
+      var c = parsed.head
+      if (c.kind == "FOREIGN KEY" && c.name == s"$name.fk$$1") {
+        val n = existing.count(_.kind == "FOREIGN KEY") + 1
+        c = c.copy(name = s"$name.fk$$$n")
+      }
+      require(!(c.kind == "PRIMARY KEY" && existing.exists(_.kind == "PRIMARY KEY")),
+        s"table $name already has a PRIMARY KEY — DROP PRIMARY KEY first")
+      require(!existing.exists(_.name == c.name),
+        s"table $name already has a constraint named '${c.name}'")
+      val schema = spark.table(name).schema
+      c.columns.foreach(col => require(schema.fieldNames.exists(_.equalsIgnoreCase(col)),
+        s"constraint ${c.name}: no such column '$col' in $name"))
+      constraintRegistry(mvKey(spark, name)) = existing :+ c
+      spark.emptyDataFrame
+    case AlterDropRe(ifExists, rawName, conIfExists, conName, pk) =>
+      val name = viewName(rawName)
+      if (!spark.catalog.tableExists(name)) {
+        require(ifExists != null,
+          s"ALTER TABLE: no such table '$name' (use IF EXISTS)")
+        return spark.emptyDataFrame
+      }
+      val existing = constraintRegistry.getOrElse(mvKey(spark, name), Nil)
+      val remaining =
+        if (pk != null) {
+          require(existing.exists(_.kind == "PRIMARY KEY"),
+            s"table $name has no PRIMARY KEY to drop")
+          existing.filterNot(_.kind == "PRIMARY KEY")
+        } else {
+          val hit = existing.exists(_.name == conName)
+          require(hit || conIfExists != null,
+            s"table $name has no constraint named '$conName' (use IF EXISTS)")
+          existing.filterNot(_.name == conName)
+        }
+      if (remaining.nonEmpty) constraintRegistry(mvKey(spark, name)) = remaining
+      else constraintRegistry.remove(mvKey(spark, name))
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a supported ALTER TABLE constraint statement (expected: ADD [CONSTRAINT " +
+        "name] PRIMARY KEY|FOREIGN KEY ... NOT ENFORCED, DROP CONSTRAINT [IF EXISTS] " +
+        "name, DROP PRIMARY KEY)")
+  }
+
   /** `CREATE [OR REPLACE] [MATERIALIZED] VIEW name [IF NOT EXISTS] AS
     * SELECT ...` — the last BigQuery DDL verbs a daily user hits.
     *
@@ -4544,6 +4656,7 @@ object GraftSql {
     var replacedPartitions = false; var replacedViews = false
     var replacedTableOptions = false
     var replacedTableConstraints = false; var replacedKeyColUsage = false
+    var replacedFieldPaths = false
     var replacedSearchIdx = false; var replacedVectorIdx = false
     var replacedRoutines = false; var replacedModels = false
     while (i < sql.length) {
@@ -4571,6 +4684,9 @@ object GraftSql {
         } else if (upper.startsWith("TABLE_CONSTRAINTS", rest) &&
           (rest + 17 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 17)) && sql.charAt(rest + 17) != '_')) {
           out ++= "__information_schema_table_constraints"; replacedTableConstraints = true; i = rest + 17
+        } else if (upper.startsWith("COLUMN_FIELD_PATHS", rest) &&
+          (rest + 18 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 18)) && sql.charAt(rest + 18) != '_')) {
+          out ++= "__information_schema_column_field_paths"; replacedFieldPaths = true; i = rest + 18
         } else if (upper.startsWith("KEY_COLUMN_USAGE", rest) &&
           (rest + 16 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 16)) && sql.charAt(rest + 16) != '_')) {
           out ++= "__information_schema_key_column_usage"; replacedKeyColUsage = true; i = rest + 16
@@ -4591,7 +4707,7 @@ object GraftSql {
           out ++= "__information_schema_models"; replacedModels = true; i = rest + 6
         } else throw new IllegalArgumentException(
           "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .TABLE_OPTIONS, " +
-            ".TABLE_CONSTRAINTS, .KEY_COLUMN_USAGE, .VIEWS, .SEARCH_INDEXES, " +
+            ".TABLE_CONSTRAINTS, .KEY_COLUMN_USAGE, .COLUMN_FIELD_PATHS, .VIEWS, .SEARCH_INDEXES, " +
             ".VECTOR_INDEXES, .ROUTINES and .MODELS are available (a session " +
             "catalog has no jobs metadata)")
       } else { out += c; i += 1 }
@@ -4606,6 +4722,8 @@ object GraftSql {
       tableConstraintsView(spark).createOrReplaceTempView("__information_schema_table_constraints")
     if (replacedKeyColUsage)
       keyColumnUsageView(spark).createOrReplaceTempView("__information_schema_key_column_usage")
+    if (replacedFieldPaths)
+      columnFieldPathsView(spark).createOrReplaceTempView("__information_schema_column_field_paths")
     if (replacedSearchIdx)
       searchIndexesView(spark).createOrReplaceTempView("__information_schema_search_indexes")
     if (replacedVectorIdx)
@@ -4742,6 +4860,34 @@ object GraftSql {
     spark.catalog.listTables().collect().toSeq
       .filter(t => !t.name.startsWith("__"))
       .map(_.name).sorted
+
+  /** BigQuery's `INFORMATION_SCHEMA.COLUMN_FIELD_PATHS`: one row per
+    * column AND per nested STRUCT field (dotted path — repeated
+    * structs recurse through the array element without an index step,
+    * BigQuery's shape), with the BigQuery type spelling at each step.
+    */
+  private def columnFieldPathsView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def walk(path: String, dt: DataType): Seq[(String, String)] = {
+      val here = Seq(path -> bqTypeName(dt))
+      dt match {
+        case s: StructType =>
+          here ++ s.fields.flatMap(f => walk(s"$path.${f.name}", f.dataType))
+        case a: ArrayType => a.elementType match {
+          case s: StructType =>
+            here ++ s.fields.flatMap(f => walk(s"$path.${f.name}", f.dataType))
+          case _ => here
+        }
+        case _ => here
+      }
+    }
+    sessionTables(spark).flatMap { n =>
+      spark.table(n).schema.fields.flatMap(f =>
+        walk(f.name, f.dataType).map { case (p, t) => ("graft", "session", n, f.name, p, t) })
+    }.toDF("table_catalog", "table_schema", "table_name",
+      "column_name", "field_path", "data_type")
+  }
 
   private def tablesView(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -920,6 +920,36 @@ object SparkEntry {
           |ORDER BY tc.table_name, tc.constraint_name, ord""".stripMargin)
     }),
 
+    // A56 driver face (round 14): the metadata LIFECYCLE verbs —
+    // ALTER ... SET OPTIONS (merge + NULL-clears), ALTER TABLE
+    // ADD/DROP CONSTRAINT, and the nested-schema COLUMN_FIELD_PATHS
+    // walk (struct fields recurse; repeated structs recurse through
+    // the array element, BigQuery's shape) — one pinned-literal hash
+    "sql_meta_lifecycle" -> ((s, d) => {
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE TABLE ml_t (a INT64, b INT64,
+          |  meta STRUCT<x INT64, tags ARRAY<STRUCT<k STRING, v STRING>>>)""".stripMargin)
+      graft.GraftSql.load(s,
+        "ALTER TABLE ml_t SET OPTIONS(description = 'altered', labels = [('t', 'x')])")
+      graft.GraftSql.load(s,
+        "ALTER TABLE ml_t SET OPTIONS(labels = NULL, owner = 'fx-team')")
+      graft.GraftSql.load(s, "ALTER TABLE ml_t ADD PRIMARY KEY (a) NOT ENFORCED")
+      graft.GraftSql.load(s,
+        "ALTER TABLE ml_t ADD CONSTRAINT fk_b FOREIGN KEY (b) REFERENCES o(x) NOT ENFORCED")
+      graft.GraftSql.load(s, "ALTER TABLE ml_t DROP CONSTRAINT fk_b")
+      graft.GraftSql.load(s,
+        """SELECT 'opt' AS kind, option_name AS name, option_value AS val
+          |FROM INFORMATION_SCHEMA.TABLE_OPTIONS WHERE table_name = 'ml_t'
+          |UNION ALL
+          |SELECT 'con', constraint_name, constraint_type
+          |FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS WHERE table_name = 'ml_t'
+          |UNION ALL
+          |SELECT 'fp', field_path, data_type
+          |FROM INFORMATION_SCHEMA.COLUMN_FIELD_PATHS
+          |WHERE table_name = 'ml_t' AND column_name = 'meta'
+          |ORDER BY kind, name""".stripMargin)
+    }),
+
     // A36c driver face: a stored procedure defined and CALLed through
     // the SQL surface; the procedure parameterizes a gated aggregate,
     // the caller passes script variables — the oracle replays the
@@ -4446,6 +4476,18 @@ object SparkEntry {
           |       'COSINE' AS distance_type, CAST(4 AS BIGINT) AS num_lists,
           |       'ism_twice' AS routine_name, 'FUNCTION' AS routine_type,
           |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition""".stripMargin,
+      // the lifecycle face pins the post-ALTER state literally
+      "sql_meta_lifecycle" ->
+        """SELECT * FROM (VALUES
+          |  ('con', 'ml_t.pk$', 'PRIMARY KEY'),
+          |  ('fp', 'meta', 'STRUCT<x INT64, tags ARRAY<STRUCT<k STRING, v STRING>>>'),
+          |  ('fp', 'meta.tags', 'ARRAY<STRUCT<k STRING, v STRING>>'),
+          |  ('fp', 'meta.tags.k', 'STRING'),
+          |  ('fp', 'meta.tags.v', 'STRING'),
+          |  ('fp', 'meta.x', 'INT64'),
+          |  ('opt', 'description', '"altered"'),
+          |  ('opt', 'owner', '"fx-team"')
+          |) AS t(kind, name, val) ORDER BY kind, name""".stripMargin,
       // constraint metadata is session-catalog state with a pinned
       // rendering — the oracle is the literal expected rows
       "sql_constraints_meta" ->

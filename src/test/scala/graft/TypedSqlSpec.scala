@@ -3268,6 +3268,26 @@ class TypedSqlSpec extends SparkSuite {
       .contains("more than one"))
     assert(bad("CREATE OR REPLACE TABLE kc_m (a INT64, PRIMARY KEY (zz) NOT ENFORCED)")
       .contains("no such column"))
+    // ALTER lifecycle: ADD keeps fk$N advancing past CREATE-time FKs,
+    // DROP PRIMARY KEY removes just the PK, SET OPTIONS merges + clears
+    GraftSql.load(spark,
+      "ALTER TABLE kc_t ADD FOREIGN KEY (b) REFERENCES other2(w) NOT ENFORCED")
+    assert(GraftSql.load(spark,
+      "SELECT constraint_name FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS " +
+        "WHERE table_name = 'kc_t' ORDER BY constraint_name")
+      .collect().map(_.getString(0)).toSeq == Seq("fk_b", "kc_t.fk$2", "kc_t.pk$"))
+    GraftSql.load(spark, "ALTER TABLE kc_t DROP PRIMARY KEY")
+    assert(bad("ALTER TABLE kc_t ADD CONSTRAINT fk_b FOREIGN KEY (b) " +
+      "REFERENCES z(z) NOT ENFORCED").contains("already has a constraint"))
+    assert(bad("ALTER TABLE kc_t DROP CONSTRAINT nope").contains("no constraint"))
+    GraftSql.load(spark, "ALTER TABLE IF EXISTS kc_gone SET OPTIONS(description = 'x')")
+    GraftSql.load(spark, "ALTER TABLE kc_t SET OPTIONS(description = 'd1', tier = 'hot')")
+    GraftSql.load(spark, "ALTER TABLE kc_t SET OPTIONS(description = NULL, tier = 'cold')")
+    assert(GraftSql.load(spark,
+      "SELECT option_name, option_value FROM INFORMATION_SCHEMA.TABLE_OPTIONS " +
+        "WHERE table_name = 'kc_t' ORDER BY option_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("tier", "\"cold\"")))
     // drop clears the rows
     GraftSql.load(spark, "DROP TABLE kc_t")
     assert(GraftSql.load(spark,
