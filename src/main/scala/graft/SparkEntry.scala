@@ -2399,7 +2399,9 @@ object SparkEntry {
           |  CAST(MAX(GREATEST(value, IF(event_type = 'click', CAST(NULL AS FLOAT64), 0.0)))
           |       AS DOUBLE) AS g_max,
           |  DIV(-7 * CAST(COUNT(*) AS INT64), 2) AS d_neg,
-          |  IEEE_DIVIDE(COUNT(*), 0) AS inf_div
+          |  IEEE_DIVIDE(COUNT(*), 0) AS inf_div,
+          |  ARRAY_TO_STRING(ARRAY_SLICE(SPLIT(event_type || '|x.y|z', '|'), 1, -1), '/') AS mid_parts,
+          |  ARRAY_TO_STRING(ARRAY_SLICE(SPLIT(event_type || '|x.y|z', '|'), -2, 9), '/') AS tail_parts
           |FROM bqf2_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
@@ -5197,7 +5199,12 @@ object SparkEntry {
           |  CAST(CASE WHEN event_type = 'click' THEN NULL ELSE MAX(greatest(value, 0.0)) END
           |       AS DOUBLE) AS g_max,
           |  CAST(trunc(-7 * COUNT(*) / 2.0) AS BIGINT) AS d_neg,
-          |  CAST('infinity' AS DOUBLE) AS inf_div
+          |  CAST('infinity' AS DOUBLE) AS inf_div,
+          |  array_to_string(list_slice(string_split(event_type || '|x.y|z', '|'), 2,
+          |             len(string_split(event_type || '|x.y|z', '|'))), '/') AS mid_parts,
+          |  array_to_string(list_slice(string_split(event_type || '|x.y|z', '|'),
+          |             len(string_split(event_type || '|x.y|z', '|')) - 1,
+          |             len(string_split(event_type || '|x.y|z', '|'))), '/') AS tail_parts
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the star-modifier face replays as the explicit projection the
       // modifiers denote — column set and replacement values, not text

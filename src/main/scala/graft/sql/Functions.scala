@@ -396,7 +396,7 @@ private[graft] object Functions {
       "DATE_ADD", "DATE_SUB", "FORMAT_DATE", "FORMAT_TIMESTAMP",
       "FORMAT_DATETIME", "PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME",
       "DATE", "DATETIME", "TIMESTAMP", "CURRENT_DATE",
-      "IS_NAN", "IS_INF",
+      "IS_NAN", "IS_INF", "ARRAY_SLICE",
       // the point-geography core + the loud non-point surface
       "ST_GEOGPOINT", "ST_X", "ST_Y", "ST_DISTANCE", "ST_DWITHIN",
       "ST_GEOGFROMTEXT", "ST_ASTEXT", "ST_ASGEOJSON", "ST_GEOGFROMGEOJSON",
@@ -1846,6 +1846,18 @@ private[graft] object Functions {
         // the sphere — sin/cos are periodic, so the math agrees).
         // Non-point geography (lines, polygons, predicates, WKT) is
         // loud below.
+        // BigQuery ARRAY_SLICE(arr, start_offset, end_offset): ZERO-based
+        // INCLUSIVE offsets, negatives counting from the end, out-of-range
+        // clamping, NULL in → NULL out — normalized onto Spark's 1-based
+        // (start, length) slice
+        case "ARRAY_SLICE" =>
+          require(args.size == 3, "ARRAY_SLICE takes (array, start_offset, end_offset)")
+          val (a, s0, e0) = (args(0), args(1), args(2))
+          val sz = s"size(($a))"
+          val sN = s"greatest(CASE WHEN ($s0) < 0 THEN $sz + ($s0) ELSE ($s0) END, 0)"
+          val eN = s"least(CASE WHEN ($e0) < 0 THEN $sz + ($e0) ELSE ($e0) END, $sz - 1)"
+          Some(s"(CASE WHEN ($a) IS NULL OR ($s0) IS NULL OR ($e0) IS NULL THEN NULL " +
+            s"ELSE slice(($a), ($sN) + 1, greatest(($eN) - ($sN) + 1, 0)) END)")
         // IEEE special-value predicates (round 14): Spark's isnan(NULL)
         // is FALSE where BigQuery returns NULL — the CASE restores the
         // three-valued rule; IS_INF via the abs-equality (NULL → NULL,

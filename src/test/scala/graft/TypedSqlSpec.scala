@@ -2105,6 +2105,17 @@ class TypedSqlSpec extends SparkSuite {
     assert(ie.getBoolean(0) && !ie.getBoolean(1) && ie.isNullAt(2))
     assert(ie.getBoolean(3) && ie.getBoolean(4) && !ie.getBoolean(5) && ie.isNullAt(6))
     assert(one("SESSION_USER()").getString(0).nonEmpty)
+    // ARRAY_SLICE: zero-based inclusive, negative from end, clamping, NULLs
+    val sl = one("struct(ARRAY_SLICE([1, 2, 3, 4, 5], 1, 3), " +
+      "ARRAY_SLICE([1, 2, 3, 4, 5], -2, -1), ARRAY_SLICE([1, 2, 3], 2, 9), " +
+      "ARRAY_SLICE([1, 2, 3], 2, 1), ARRAY_SLICE([1, 2, 3], -9, 0), " +
+      "ARRAY_SLICE(CAST(NULL AS ARRAY<INT>), 0, 1))").getStruct(0)
+    assert(sl.getSeq[Int](0) == Seq(2, 3, 4))
+    assert(sl.getSeq[Int](1) == Seq(4, 5))
+    assert(sl.getSeq[Int](2) == Seq(3))       // end clamps to the last slot
+    assert(sl.getSeq[Int](3) == Seq())        // start > end → empty
+    assert(sl.getSeq[Int](4) == Seq(1))       // start clamps to 0
+    assert(sl.isNullAt(5))
     assert(bad("FORMAT('%t', 1)").contains("%t"))
     assert(bad("FORMAT('%u', 1)").contains("not supported"))
     assert(bad("FORMAT(col, 1)").contains("literal"))
