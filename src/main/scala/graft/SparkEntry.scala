@@ -3326,6 +3326,25 @@ object SparkEntry {
 
     // deterministic k-per-key sample via the bounded TopK aggregate
     // (reservoir-sample replacement that parallelizes; md5-hash order)
+    // S14 (round 14): SOFT dedup — duplicate-cluster members keep with
+    // probability 1/|cluster| via the integer hash threshold, singletons
+    // always survive; clusters from the C9 components over embedding
+    // near-dup pairs, so the face gates the whole clusters→sizes→
+    // threshold pipeline (the oracle replays components recursively AND
+    // the md5 threshold arithmetic)
+    "sample_soft_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", threshold = 0.35)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      graft.operators.Sampling.softDedup(
+          e.select("vec_id"), "vec_id", clusters)
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.when(F.col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          F.min(F.when(F.col("kept"), F.col("vec_id"))).as("min_kept"))
+        .orderBy("cluster_size")
+    }),
+
     "sample_per_key" -> ((s, d) => {
       graft.operators.Sampling.perKeyDeterministic(
           Tables.events(s, d), Seq("user_id"), "event_id", k = 3)
@@ -6408,6 +6427,32 @@ object SparkEntry {
           |SELECT r.id, r.root, c.cluster_size
           |FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)
           |ORDER BY id""".stripMargin,
+      // the C9 components replay feeding the 2^52-div-size integer
+      // threshold; singletons (no pair) coalesce to size 1
+      "sample_soft_dedup" ->
+        s"""WITH RECURSIVE
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.label = b.label AND a.vec_id < b.vec_id
+          |  WHERE ${dot("a.embedding", "b.embedding")} /
+          |        (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= 0.35),
+          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+          |reach AS (
+          |  SELECT u AS id, v AS r FROM e
+          |  UNION
+          |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+          |root AS (SELECT id, LEAST(id, MIN(r)) AS root FROM reach GROUP BY id),
+          |cz AS (SELECT r.id, c.cluster_size
+          |       FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)),
+          |k AS (SELECT vec_id, COALESCE(cz.cluster_size, 1) AS cluster_size,
+          |             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          |               < (4503599627370496 // COALESCE(cz.cluster_size, 1)) AS kept
+          |      FROM embeddings LEFT JOIN cz ON cz.id = embeddings.vec_id)
+          |SELECT cluster_size, COUNT(*) AS n,
+          |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       MIN(CASE WHEN kept THEN vec_id END) AS min_kept
+          |FROM k GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
       // term-for-term SemDeDup replay: decorated corpus, pinned-cell
       // assignment (normalized-centroid dot, lowest cell on ties),
       // within-cell pairs at cos >= 0.98, recursive-CTE components

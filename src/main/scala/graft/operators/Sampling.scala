@@ -249,4 +249,34 @@ object Sampling {
       .select(F.explode(F.col("top")).as("__r"))
       .select(F.col("__r.*"))
   }
+
+  /** SOFT dedup (round 14): instead of hard-dropping duplicate-cluster
+    * members, keep each member with probability 1/|cluster| — in
+    * EXPECTATION one representative per cluster survives, but WHICH
+    * member survives varies by id hash rather than a keep-lowest rule,
+    * so repeated corpus builds don't systematically privilege the same
+    * member and a cluster's survivors stay spread across its diversity
+    * (the SoftDeDup idea applied to exact/near-dup cluster tables).
+    * Deterministic and RNG-free like every sampler here: keep iff
+    * hash52(id) < 2^52 div |cluster| — an INTEGER threshold both
+    * engines compute exactly (a double threshold would round 2^52/3
+    * and flip boundary rows). Rows absent from `clusters` are
+    * singletons (|cluster| = 1 → always kept): cluster tables list
+    * only ids that had a duplicate pair, which also keeps the join
+    * side DUPLICATES-SIZED, not corpus-sized — at 100 TB the corpus
+    * left-joins a much smaller cluster map (broadcast when it fits,
+    * AQE otherwise) and everything after is map-only.
+    * Output: the input columns + (cluster_size, kept).
+    */
+  def softDedup(df: DataFrame, idCol: String, clusters: DataFrame,
+                clusterIdCol: String = "id",
+                sizeCol: String = "cluster_size"): DataFrame = {
+    val slim = clusters.select(F.col(clusterIdCol).as("__cid"),
+      F.col(sizeCol).cast("long").as("__csize"))
+    df.join(slim, df(idCol) === F.col("__cid"), "left")
+      .withColumn("cluster_size", F.coalesce(F.col("__csize"), F.lit(1L)))
+      .withColumn("kept",
+        hash52(F.col(idCol)) < F.expr(s"${1L << 52}L div cluster_size"))
+      .drop("__cid", "__csize")
+  }
 }

@@ -234,4 +234,36 @@ class SamplingSpec extends SparkSuite {
       assert(sampled(u) == ids.minBy(i => (refHash(i), i)),
         s"user $u: sampler disagrees with reference md5 argmin")
   }
+
+  test("softDedup: singletons always kept, members gate on the exact integer threshold") {
+    import org.apache.spark.sql.{functions => F}
+    import java.security.MessageDigest
+    def refHash(i: Long): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = (1L to 400L).toDF("id")
+    // a synthetic cluster map: ids 1..60 in clusters of size 3, 61..100 size 40
+    val clusters = ((1L to 60L).map(i => (i, ((i - 1) / 3) * 3 + 1, 3L)) ++
+      (61L to 100L).map(i => (i, 61L, 40L))).toDF("id", "root", "cluster_size")
+    val out = Sampling.softDedup(corpus, "id", clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out.size == 400)
+    // singletons (101..400) are all kept
+    assert(out.filter(_._1 > 100).forall { case (_, sz, kept) => sz == 1 && kept })
+    // members gate exactly on hash < 2^52 div size — the reference replay
+    for ((id, sz, kept) <- out.filter(_._1 <= 100))
+      assert(kept == (refHash(id) < (1L << 52) / sz),
+        s"id $id size $sz: threshold disagrees with the md5 reference")
+    // expectation sanity: size-40 cluster keeps FAR fewer than size-3 ones
+    val kept40 = out.count { case (id, _, k) => id >= 61 && id <= 100 && k }
+    val kept3 = out.count { case (id, _, k) => id <= 60 && k }
+    assert(kept40 <= 6 && kept3 >= 10 && kept3 <= 30,
+      s"kept40=$kept40 kept3=$kept3 out of expectation bands")
+    // determinism under repartitioning
+    val out2 = Sampling.softDedup(corpus.repartition(7), "id", clusters.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out2 == out.toSet)
+  }
 }
