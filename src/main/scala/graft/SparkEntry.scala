@@ -3231,6 +3231,16 @@ object SparkEntry {
     // rounds of keyed shuffles); every id gets its canonical min-id
     // root — the oracle recomputes the same clusters with a DuckDB
     // recursive CTE (transitive closure, fine at oracle scale)
+    // C15 (round 14): fuzzy string join — q-gram banded candidates +
+    // exact levenshtein verify. Supplier names are long enough
+    // (≥ q·(k+1)) that the banding is provably COMPLETE, so the DuckDB
+    // oracle is the INDEPENDENT all-pairs levenshtein — a hash match
+    // proves the candidate generation lost nothing
+    "dedup_fuzzy_pairs" -> ((s, d) => {
+      Dedup.editDistancePairs(Tables.supplier(s, d), "s_suppkey", "s_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.embeddingPairs(
         Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.35)
@@ -6427,6 +6437,14 @@ object SparkEntry {
           |SELECT r.id, r.root, c.cluster_size
           |FROM root r JOIN (SELECT root, COUNT(*) AS cluster_size FROM root GROUP BY root) c USING (root)
           |ORDER BY id""".stripMargin,
+      // the INDEPENDENT all-pairs verify: banding completeness means
+      // the candidate route must reproduce the brute-force answer
+      "dedup_fuzzy_pairs" ->
+        """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+          |       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+          |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+          |WHERE levenshtein(a.s_name, b.s_name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin,
       // the C9 components replay feeding the 2^52-div-size integer
       // threshold; singletons (no pair) coalesce to size 1
       "sample_soft_dedup" ->

@@ -196,6 +196,47 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
   }
 
+  /** Fuzzy string join (round 14): all pairs within edit distance
+    * `maxDist`, for SHORT strings (names, titles, product labels —
+    * the entity-resolution shape). Candidate generation is the q-gram
+    * signature join: an edit destroys at most q q-grams, so two
+    * strings within distance k share at least
+    * `max(len) − q + 1 − k·q` q-grams — candidates are COMPLETE
+    * whenever `max(len) ≥ q·(k+1)` (q=3, k=2 → length ≥ 9; shorter
+    * pairs may be missed — stated, tested). The join is an equi-join
+    * on the gram (never a cross join), pre-filtered by the length
+    * band |len_a − len_b| ≤ k (an edit changes length by ≤ 1), pairs
+    * deduplicated BEFORE the levenshtein verify so each pair pays the
+    * O(len²) DP once. The gram explode sits over a staged frame (the
+    * Generate re-evaluation rule); per-row gram work is O(len·q) —
+    * this is a short-string operator, run it on name columns, not
+    * documents.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 2, q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val base = Staging.stageLazy(
+      df.select(F.col(idCol).as("id"), F.col(strCol).as("s"))
+        .filter(F.col("s").isNotNull)
+        .withColumn("len", F.length(F.col("s")))
+        .withColumn("gs", F.array_distinct(F.expr(
+          s"transform(sequence(1, greatest(length(s) - ${q - 1}, 1)), i -> substring(s, i, $q))"))))
+    val grams = base.select(F.col("id"), F.col("s"), F.col("len"),
+      F.explode(F.col("gs")).as("g"))
+    val a = grams.select(F.col("g"), F.col("id").as("id_a"),
+      F.col("s").as("s_a"), F.col("len").as("len_a"))
+    val b = grams.select(F.col("g"), F.col("id").as("id_b"),
+      F.col("s").as("s_b"), F.col("len").as("len_b"))
+    a.join(b, Seq("g"))
+      .filter(F.col("id_a") < F.col("id_b") &&
+        F.abs(F.col("len_a") - F.col("len_b")) <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", F.levenshtein(F.col("s_a"), F.col("s_b")))
+      .filter(F.col("dist") <= maxDist)
+      .select(F.col("id_a"), F.col("id_b"), F.col("dist"))
+  }
+
   /** (id, sim) per document, staged: tokens → simhash. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol).as("id"), text.tokens(F.col(textCol)).as("__toks"))

@@ -309,4 +309,33 @@ class DedupSpec extends SparkSuite {
     } yield (ia, ib)).toSet
     assert(got == want)
   }
+
+  test("editDistancePairs matches brute-force levenshtein where banding is complete") {
+    import org.apache.spark.sql.{functions => F}
+    val spark2 = spark
+    import spark2.implicits._
+    val names = Seq(
+      "lavender chiffon", "lavender chiffox", "lavender chiffonne", // 1 and 2 edits
+      "midnight plum", "midnight plumb", "midnight pluum",
+      "crimson steel", "completely different phrase", "crimson steal")
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = graft.operators.Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      i <- names.indices; j <- names.indices
+      if i < j && lev(names(i), names(j)) <= 2
+    } yield (i.toLong, j.toLong, lev(names(i), names(j)))).toSet
+    // every name is >= q*(k+1) = 9 chars, so candidates are complete
+    assert(got == want && want.nonEmpty)
+    // the threshold bites: a 3-edit pair exists and is excluded
+    assert(lev(names(0), names(2)) <= 2 && lev(names(3), names(5)) <= 2)
+    assert(!got.exists { case (a, b, _) => (a, b) == (6L, 7L) })
+  }
 }
