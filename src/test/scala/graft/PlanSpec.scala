@@ -377,4 +377,27 @@ class PlanSpec extends SparkSuite {
     // the NET.IP face reads exactly ONE column of the 5-column events
     assert(plan("q_net_ip").contains("ReadSchema: struct<user_id:bigint>"))
   }
+
+  test("round-14 faces: banded equi-joins, pruned scans, partial aggregation") {
+    // fuzzy join: the q-gram join IS the banding — no cross-join
+    // degeneracy anywhere in the candidate path
+    val fz = plan("dedup_fuzzy_pairs")
+    assert(!fz.contains("CartesianProduct") && !fz.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated:\n${fz.take(1500)}")
+    // soft dedup joins the duplicates-sized cluster map, no cross join
+    val sd = plan("sample_soft_dedup")
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"))
+    // geography: the scan reads exactly the two id columns (the struct
+    // carrier and all trig fold into the projection), and the
+    // aggregation is partial before its exchange (map-side combine)
+    val st = plan("q_st_point")
+    assert(st.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), st.take(800))
+    assert(st.contains("partial_count"), "no map-side partial aggregation")
+    // tz and week faces are pure map passes: one exchange each (the
+    // ORDER BY range partitioning), nothing else shuffles
+    for (q <- Seq("q_tz_ops", "q_week_ops")) {
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size == 1, s"$q shuffles more than the sort:\n$p")
+    }
+  }
 }
