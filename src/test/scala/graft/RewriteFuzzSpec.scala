@@ -31,6 +31,14 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "MAKE_INTERVAL(1, 2)", "JUSTIFY_DAYS(i)", "TEXT_ANALYZE(t)",
     "INTERVAL '1-2 3 4:5:6' YEAR TO SECOND", "INITCAP(s, '.')",
     "RANGE_INTERSECT(r1, r2)", "ML.LABEL_ENCODER(f, 10, 1)",
+    "ST_GEOGPOINT(lng, lat)", "ST_DISTANCE(g1, g2)", "ST_GEOHASH(g, 6)",
+    "ST_GEOGFROMTEXT('POINT(1 2)')", "ST_ASTEXT(g)",
+    "TIMESTAMP_TRUNC(ts, DAY, 'Europe/Paris')", "DATE(ts, 'Asia/Tokyo')",
+    "DATE_TRUNC(d, WEEK(TUESDAY))", "LAST_DAY(d, ISOWEEK)",
+    "DATE_DIFF(a, b, MONTH)", "DATETIME_DIFF(a, b, HOUR)",
+    "ARRAY_SLICE(arr, 1, -1)", "IS_NAN(x)", "IS_INF(x)",
+    "PARSE_TIMESTAMP('%Y-%m-%d %H:%M', s, 'Europe/Paris')",
+    "CURRENT_DATE('Etc/GMT+12')", "SESSION_USER()", "TIME(ts, 'Asia/Tokyo')",
     "plain words", "commas, and, more", "(nested (parens))", "back`tick",
     "semicolon; inside", "percent % sign", "star *", "dots.and.paths")
 
