@@ -2467,7 +2467,9 @@ object SparkEntry {
           |  FORMAT_TIMESTAMP('%Y-%m-%d %H:%M', t, 'Europe/Paris') AS fmt_paris,
           |  PARSE_TIMESTAMP('%Y-%m-%d %H:%M',
           |    FORMAT_TIMESTAMP('%Y-%m-%d %H:%M', t, 'Europe/Paris'),
-          |    'Europe/Paris') AS rt_paris
+          |    'Europe/Paris') AS rt_paris,
+          |  CAST(EXTRACT(HOUR FROM t AT TIME ZONE 'Europe/Paris') AS BIGINT) AS h_paris,
+          |  EXTRACT(DATE FROM t AT TIME ZONE 'Asia/Tokyo') AS d2_tokyo
           |FROM b ORDER BY event_id""".stripMargin)
     }),
 
@@ -5793,7 +5795,9 @@ object SparkEntry {
           |  strftime(timezone('Europe/Paris', timezone('UTC', t)), '%Y-%m-%d %H:%M') AS fmt_paris,
           |  timezone('UTC', timezone('Europe/Paris', strptime(
           |    strftime(timezone('Europe/Paris', timezone('UTC', t)), '%Y-%m-%d %H:%M'),
-          |    '%Y-%m-%d %H:%M'))) AS rt_paris
+          |    '%Y-%m-%d %H:%M'))) AS rt_paris,
+          |  CAST(EXTRACT(HOUR FROM timezone('Europe/Paris', timezone('UTC', t))) AS BIGINT) AS h_paris,
+          |  CAST(timezone('Asia/Tokyo', timezone('UTC', t)) AS DATE) AS d2_tokyo
           |FROM b ORDER BY event_id""".stripMargin,
       // week truncation replays as date arithmetic off DuckDB's
       // 0=Sunday dayofweek (Spark's is 1=Sunday — the shift constants

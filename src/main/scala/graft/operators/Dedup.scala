@@ -252,8 +252,10 @@ object Dedup {
       .filter(F.col("id_a") < F.col("id_b") &&
         F.abs(F.col("len_a") - F.col("len_b")) <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      .withColumn("dist", F.levenshtein(F.col("s_a"), F.col("s_b")))
-      .filter(F.col("dist") <= maxDist)
+      // thresholded 3-arg levenshtein: the banded DP costs O(k·len)
+      // instead of O(len²) and returns -1 past the threshold
+      .withColumn("dist", F.expr(s"levenshtein(s_a, s_b, $maxDist)"))
+      .filter(F.col("dist") >= 0)
       .select(F.col("id_a"), F.col("id_b"), F.col("dist"))
   }
 

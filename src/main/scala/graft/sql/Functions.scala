@@ -1639,11 +1639,23 @@ private[graft] object Functions {
           val WeekRe = """(?is)^\s*WEEK\s*(?:\(\s*([A-Za-z]+)\s*\))?\s+FROM\s+(.*)$""".r
           val IsoRe = """(?is)^\s*ISOWEEK\s+FROM\s+(.*)$""".r
           val TimeRe = """(?is)^\s*TIME\s+FROM\s+(.*)$""".r
+          val DatePartRe = """(?is)^\s*DATE\s+FROM\s+(.*)$""".r
+          val DatetimePartRe = """(?is)^\s*DATETIME\s+FROM\s+(.*)$""".r
+          // BigQuery's localized extraction: EXTRACT(part FROM ts AT
+          // TIME ZONE 'zone') — peel the zone onto the B72 rendering
+          // pair and re-emit; the next fixpoint pass handles the part
+          val AtTzRe =
+            """(?is)^\s*([A-Za-z_]+(?:\s*\([^)]*\))?)\s+FROM\s+(.*\S)\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')\s*$""".r
           a match {
+            case AtTzRe(part, expr, tz) =>
+              Some(s"EXTRACT($part FROM from_utc_timestamp(($expr), $tz))")
             // EXTRACT(TIME FROM ts) → the NTZ-carried TIME (see the
-            // TIME case below)
+            // TIME case below); DATE/DATETIME parts are BigQuery-only
+            // spellings Spark's extract lacks — plain casts
             case TimeRe(expr) =>
               Some(s"CAST(concat('1970-01-01 ', date_format(($expr), 'HH:mm:ss.SSSSSS')) AS TIMESTAMP_NTZ)")
+            case DatePartRe(expr) => Some(s"CAST(($expr) AS DATE)")
+            case DatetimePartRe(expr) => Some(s"CAST(($expr) AS TIMESTAMP_NTZ)")
             case WeekRe(wd, expr) =>
               // Spark dayofweek: Sunday=1 .. Saturday=7
               val dows = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,

@@ -3201,6 +3201,16 @@ class TypedSqlSpec extends SparkSuite {
         |       CURRENT_DATE('Etc/GMT+12') AS west""".stripMargin).head()
     assert(!cd.isNullAt(1) && !cd.isNullAt(2))
     assert(cd.getDate(1).toLocalDate.toEpochDay - cd.getDate(2).toLocalDate.toEpochDay >= 0L)
+    // EXTRACT ... AT TIME ZONE: localized parts, composing with the
+    // WEEK rewrite on the next fixpoint pass
+    val ex = GraftSql.load(spark,
+      """SELECT EXTRACT(HOUR FROM TIMESTAMP '2024-03-31 01:30:00' AT TIME ZONE 'Europe/Paris') AS h,
+        |       EXTRACT(DATE FROM TIMESTAMP '2024-03-31 20:30:00' AT TIME ZONE 'Asia/Tokyo') AS d,
+        |       EXTRACT(WEEK FROM TIMESTAMP '2024-01-06 23:30:00' AT TIME ZONE 'Asia/Tokyo') AS w""".stripMargin).head()
+    assert(ex.getAs[Number](0).intValue == 3) // 01:30 UTC = 03:30 CEST
+    assert(ex.getDate(1).toString == "2024-04-01")
+    // Jan 6 23:30 UTC is Jan 7 in Tokyo — a Sunday, starting BQ week 1
+    assert(ex.getAs[Number](2).intValue == 1)
     // louds: tz on the DATE/DATETIME_TRUNC forms, 6-part DATETIME
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT DATE_TRUNC(DATE '2024-01-01', DAY, 'Europe/Paris') AS x"))
