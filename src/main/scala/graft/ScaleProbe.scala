@@ -256,7 +256,13 @@ object ScaleProbe {
       "cluster_kmeans", "search_phrase", "sql_ml_kmeans", "text_embed",
       // round-11: unigram tokenizer (dict-sized EM — replicated docs
       // keep the dict CONSTANT, so the slope isolates the corpus pass)
-      "text_unigram_seed", "text_unigram_tokens")
+      "text_unigram_seed", "text_unigram_tokens",
+      // round-14: soft dedup (cluster map join + map-only threshold —
+      // the slope tracks dedup_clusters' components cost above it).
+      // dedup_fuzzy_pairs is absent: the replica dir carries no
+      // supplier table; its scale shape (prefix-filtered equi-join) is
+      // PlanSpec-pinned instead
+      "sample_soft_dedup")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>
