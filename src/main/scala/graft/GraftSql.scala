@@ -192,6 +192,8 @@ object GraftSql {
       createEmptyTable(spark, sql)
     } else if (HistoryRe.pattern.matcher(sql).matches()) {
       describeHistory(spark, sql)
+    } else if (RowPolicyHeadRe.pattern.matcher(sql).matches()) {
+      rowAccessPolicy(spark, sql)
     } else if (AlterOptionsRe.pattern.matcher(sql).matches()) {
       alterSetOptions(spark, sql)
     } else if (AlterConstraintHeadRe.pattern.matcher(sql).matches()) {
@@ -1382,6 +1384,8 @@ object GraftSql {
       viewDefRegistry.remove(mvKey(spark, name))
       tableOptionsRegistry.remove(mvKey(spark, name))
       constraintRegistry.remove(mvKey(spark, name))
+      rowPolicyRegistry.remove(mvKey(spark, name))
+      rowPolicyRawRegistry.remove(mvKey(spark, name))
       graft.sources.Versioned.unregister(spark, name)
       if (!spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
         spark.sql(s"DROP TABLE `$name`") // a managed (saveAsTable) table
@@ -2574,6 +2578,98 @@ object GraftSql {
   private[graft] def recordTableOptions(spark: SparkSession, name: String, body: String): Unit =
     tableOptionsRegistry(mvKey(spark, name)) =
       parseOptionPairs(body).map { case (k, v) => optionRow(k, v) }
+
+  // ── ROW ACCESS POLICIES ──────────────────────────────────────────
+  //
+  // BigQuery's row-level security on the session-catalog model: a
+  // policy re-registers the table's view as (raw rows) FILTER (OR of
+  // all policy predicates) — BigQuery's rule that a user sees a row
+  // if ANY policy grants it. The FIRST policy captures the raw frame;
+  // dropping the last restores it. GRANT TO grantees parse and are
+  // recorded but do not gate (a single-principal session engine —
+  // stated); policy metadata surfaces through the registry used by
+  // DROP ALL.
+
+  private case class RowPolicy(filter: String, grantees: String)
+  private val rowPolicyRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Map[String, RowPolicy]]
+  private val rowPolicyRawRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] val RowPolicyHeadRe =
+    """(?is)^\s*(?:CREATE|DROP)\s+(?:OR\s+REPLACE\s+)?(?:ALL\s+)?ROW\s+ACCESS\s+POLIC(?:Y|IES)\b.*""".r
+  private val CreateRowPolicyRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?ROW\s+ACCESS\s+POLICY\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """([A-Za-z_][\w$]*)\s+ON\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s+""" +
+      """(?:GRANT\s+TO\s*\((.*?)\)\s+)?FILTER\s+USING\s*\((.*)\)\s*;?\s*$""").r
+  private val DropRowPolicyRe =
+    ("""(?is)^\s*DROP\s+ROW\s+ACCESS\s+POLICY\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w$]*)\s+""" +
+      """ON\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""").r
+  private val DropAllRowPoliciesRe =
+    ("""(?is)^\s*DROP\s+ALL\s+ROW\s+ACCESS\s+POLICIES\s+""" +
+      """ON\s+((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)\s*;?\s*$""").r
+
+  private def reapplyRowPolicies(spark: SparkSession, name: String): Unit = {
+    val key = mvKey(spark, name)
+    val raw = rowPolicyRawRegistry.getOrElse(key,
+      throw new IllegalStateException(s"row-policy raw frame missing for $name"))
+    rowPolicyRegistry.getOrElse(key, Map.empty) match {
+      case ps if ps.isEmpty =>
+        raw.createOrReplaceTempView(name)
+        rowPolicyRawRegistry.remove(key)
+      case ps =>
+        val pred = ps.values.map(p => s"(${p.filter})").mkString(" OR ")
+        raw.filter(pred).createOrReplaceTempView(name)
+    }
+  }
+
+  def rowAccessPolicy(spark: SparkSession, sql: String): DataFrame = sql match {
+    case CreateRowPolicyRe(orReplace, ifNotExists, pName, rawName, grantees, filter) =>
+      require(orReplace == null || ifNotExists == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive (BigQuery rejects the combination)")
+      val name = viewName(rawName)
+      require(spark.catalog.tableExists(name),
+        s"CREATE ROW ACCESS POLICY: no such table or view '$name'")
+      val key = mvKey(spark, name)
+      val existing = rowPolicyRegistry.getOrElse(key, Map.empty)
+      if (existing.contains(pName) && ifNotExists != null) return spark.emptyDataFrame
+      require(!existing.contains(pName) || orReplace != null,
+        s"row access policy '$pName' already exists on $name (use OR REPLACE or IF NOT EXISTS)")
+      // first policy captures the RAW frame before any filtering
+      if (!rowPolicyRawRegistry.contains(key))
+        rowPolicyRawRegistry(key) = spark.table(name)
+      rowPolicyRegistry(key) = existing +
+        (pName -> RowPolicy(filter.trim, Option(grantees).map(_.trim).getOrElse("")))
+      reapplyRowPolicies(spark, name)
+      spark.emptyDataFrame
+    case DropRowPolicyRe(ifExists, pName, rawName) =>
+      val name = viewName(rawName)
+      val key = mvKey(spark, name)
+      val existing = rowPolicyRegistry.getOrElse(key, Map.empty)
+      if (!existing.contains(pName)) {
+        require(ifExists != null,
+          s"DROP ROW ACCESS POLICY: no policy '$pName' on $name (use IF EXISTS)")
+        return spark.emptyDataFrame
+      }
+      val remaining = existing - pName
+      if (remaining.isEmpty) rowPolicyRegistry.remove(key)
+      else rowPolicyRegistry(key) = remaining
+      reapplyRowPolicies(spark, name)
+      spark.emptyDataFrame
+    case DropAllRowPoliciesRe(rawName) =>
+      val name = viewName(rawName)
+      val key = mvKey(spark, name)
+      if (rowPolicyRegistry.contains(key)) {
+        rowPolicyRegistry.remove(key)
+        reapplyRowPolicies(spark, name)
+      }
+      spark.emptyDataFrame
+    case _ => throw new IllegalArgumentException(
+      "not a ROW ACCESS POLICY statement (expected: CREATE [OR REPLACE] ROW ACCESS " +
+        "POLICY [IF NOT EXISTS] name ON table [GRANT TO (...)] FILTER USING (expr), " +
+        "DROP ROW ACCESS POLICY [IF EXISTS] name ON table, " +
+        "DROP ALL ROW ACCESS POLICIES ON table)")
+  }
 
   private val AlterOptionsRe =
     ("""(?is)^\s*ALTER\s+(?:TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:(IF\s+EXISTS)\s+)?""" +

@@ -950,6 +950,29 @@ object SparkEntry {
           |ORDER BY kind, name""".stripMargin)
     }),
 
+    // A57 driver face (round 14): ROW ACCESS POLICIES — BigQuery's
+    // row-level security on the session-catalog model. The face hashes
+    // BOTH regimes in one frame: two policies active (a row passes if
+    // ANY grants it — the OR rule) and the post-DROP single-policy
+    // view; the returned plans are analyzed eagerly, so the first
+    // SELECT keeps its two-policy semantics after the drop
+    "sql_row_policy" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("rp_events")
+      graft.GraftSql.load(s, "DROP ALL ROW ACCESS POLICIES ON rp_events")
+      graft.GraftSql.load(s,
+        """CREATE ROW ACCESS POLICY p_click ON rp_events
+          |GRANT TO ('user:analyst@example.com') FILTER USING (event_type = 'click')""".stripMargin)
+      graft.GraftSql.load(s,
+        "CREATE ROW ACCESS POLICY p_big ON rp_events FILTER USING (value > 4.0)")
+      val q = """SELECT event_type, COUNT(*) AS n,
+                |       CAST(MIN(event_id) AS BIGINT) AS min_id
+                |FROM rp_events GROUP BY event_type""".stripMargin
+      val both = graft.GraftSql.load(s, q).withColumn("phase", F.lit("both"))
+      graft.GraftSql.load(s, "DROP ROW ACCESS POLICY p_big ON rp_events")
+      val one = graft.GraftSql.load(s, q).withColumn("phase", F.lit("click_only"))
+      both.unionByName(one).orderBy("phase", "event_type")
+    }),
+
     // A36c driver face: a stored procedure defined and CALLed through
     // the SQL surface; the procedure parameterizes a gated aggregate,
     // the caller passes script variables — the oracle replays the
@@ -4509,6 +4532,19 @@ object SparkEntry {
           |       'COSINE' AS distance_type, CAST(4 AS BIGINT) AS num_lists,
           |       'ism_twice' AS routine_name, 'FUNCTION' AS routine_type,
           |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition""".stripMargin,
+      // row policies replay as WHERE clauses: OR of actives, then the
+      // single survivor
+      "sql_row_policy" ->
+        """WITH b AS (
+          |  SELECT event_type, COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS min_id,
+          |         'both' AS phase
+          |  FROM events WHERE event_type = 'click' OR value > 4.0 GROUP BY event_type),
+          |o AS (
+          |  SELECT event_type, COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS min_id,
+          |         'click_only' AS phase
+          |  FROM events WHERE event_type = 'click' GROUP BY event_type)
+          |SELECT * FROM b UNION ALL SELECT * FROM o
+          |ORDER BY phase, event_type""".stripMargin,
       // the lifecycle face pins the post-ALTER state literally
       "sql_meta_lifecycle" ->
         """SELECT * FROM (VALUES

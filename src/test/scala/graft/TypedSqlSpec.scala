@@ -3316,6 +3316,36 @@ class TypedSqlSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("ROW ACCESS POLICY: OR of grants, drop restores, louds") {
+    GraftSql.load(spark,
+      "CREATE OR REPLACE VIEW rap_t AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'a')) AS t(id, k)")
+    GraftSql.load(spark, "CREATE ROW ACCESS POLICY ra ON rap_t FILTER USING (k = 'a')")
+    assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 2)
+    GraftSql.load(spark, "CREATE ROW ACCESS POLICY rb ON rap_t FILTER USING (id = 3)")
+    // ANY policy grants → 3 rows visible
+    assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 3)
+    // IF NOT EXISTS no-ops; bare duplicate is loud; OR REPLACE swaps
+    GraftSql.load(spark, "CREATE ROW ACCESS POLICY IF NOT EXISTS ra ON rap_t FILTER USING (k = 'zz')")
+    assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 3)
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "CREATE ROW ACCESS POLICY ra ON rap_t FILTER USING (k = 'zz')"))
+      .getMessage.contains("already exists"))
+    GraftSql.load(spark, "CREATE OR REPLACE ROW ACCESS POLICY ra ON rap_t FILTER USING (k = 'b')")
+    assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 2) // b + id=3
+    // drops: one, unknown (loud / IF EXISTS), all restores the raw view
+    GraftSql.load(spark, "DROP ROW ACCESS POLICY rb ON rap_t")
+    assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 1)
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "DROP ROW ACCESS POLICY nope ON rap_t")).getMessage.contains("no policy"))
+    GraftSql.load(spark, "DROP ROW ACCESS POLICY IF EXISTS nope ON rap_t")
+    GraftSql.load(spark, "DROP ALL ROW ACCESS POLICIES ON rap_t")
+    assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 4)
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "CREATE ROW ACCESS POLICY x ON rap_gone FILTER USING (1 = 1)"))
+      .getMessage.contains("no such table"))
+    GraftSql.load(spark, "DROP VIEW rap_t")
+  }
+
   test("OPTIONS(...) on CREATE TABLE/VIEW + INFORMATION_SCHEMA.TABLE_OPTIONS") {
     GraftSql.load(spark, "CREATE OR REPLACE VIEW topts_src AS SELECT 1 AS x, 2 AS y")
     GraftSql.load(spark,
