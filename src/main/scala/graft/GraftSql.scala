@@ -4752,7 +4752,7 @@ object GraftSql {
     var replacedPartitions = false; var replacedViews = false
     var replacedTableOptions = false
     var replacedTableConstraints = false; var replacedKeyColUsage = false
-    var replacedFieldPaths = false
+    var replacedFieldPaths = false; var replacedRowPolicies = false
     var replacedSearchIdx = false; var replacedVectorIdx = false
     var replacedRoutines = false; var replacedModels = false
     while (i < sql.length) {
@@ -4783,6 +4783,9 @@ object GraftSql {
         } else if (upper.startsWith("COLUMN_FIELD_PATHS", rest) &&
           (rest + 18 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 18)) && sql.charAt(rest + 18) != '_')) {
           out ++= "__information_schema_column_field_paths"; replacedFieldPaths = true; i = rest + 18
+        } else if (upper.startsWith("ROW_ACCESS_POLICIES", rest) &&
+          (rest + 19 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 19)) && sql.charAt(rest + 19) != '_')) {
+          out ++= "__information_schema_row_access_policies"; replacedRowPolicies = true; i = rest + 19
         } else if (upper.startsWith("KEY_COLUMN_USAGE", rest) &&
           (rest + 16 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 16)) && sql.charAt(rest + 16) != '_')) {
           out ++= "__information_schema_key_column_usage"; replacedKeyColUsage = true; i = rest + 16
@@ -4803,7 +4806,8 @@ object GraftSql {
           out ++= "__information_schema_models"; replacedModels = true; i = rest + 6
         } else throw new IllegalArgumentException(
           "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .TABLE_OPTIONS, " +
-            ".TABLE_CONSTRAINTS, .KEY_COLUMN_USAGE, .COLUMN_FIELD_PATHS, .VIEWS, .SEARCH_INDEXES, " +
+            ".TABLE_CONSTRAINTS, .KEY_COLUMN_USAGE, .COLUMN_FIELD_PATHS, " +
+            ".ROW_ACCESS_POLICIES, .VIEWS, .SEARCH_INDEXES, " +
             ".VECTOR_INDEXES, .ROUTINES and .MODELS are available (a session " +
             "catalog has no jobs metadata)")
       } else { out += c; i += 1 }
@@ -4820,6 +4824,8 @@ object GraftSql {
       keyColumnUsageView(spark).createOrReplaceTempView("__information_schema_key_column_usage")
     if (replacedFieldPaths)
       columnFieldPathsView(spark).createOrReplaceTempView("__information_schema_column_field_paths")
+    if (replacedRowPolicies)
+      rowAccessPoliciesView(spark).createOrReplaceTempView("__information_schema_row_access_policies")
     if (replacedSearchIdx)
       searchIndexesView(spark).createOrReplaceTempView("__information_schema_search_indexes")
     if (replacedVectorIdx)
@@ -4950,6 +4956,25 @@ object GraftSql {
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_catalog", "table_schema", "table_name", "column_name",
         "ordinal_position", "position_in_unique_constraint")
+  }
+
+  /** BigQuery's `INFORMATION_SCHEMA.ROW_ACCESS_POLICIES`: one row per
+    * active policy with its filter predicate text and recorded
+    * grantees (informational — the session engine does not gate by
+    * principal, stated at the DDL).
+    */
+  private def rowAccessPoliciesView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sid = System.identityHashCode(spark)
+    rowPolicyRegistry.toSeq
+      .collect { case ((s, n), ps) if s == sid && spark.catalog.tableExists(n) =>
+        ps.toSeq.map { case (pn, p) =>
+          ("graft", "session", n, pn, p.filter, p.grantees)
+        }
+      }
+      .flatten.sortBy(r => (r._3, r._4))
+      .toDF("table_catalog", "table_schema", "table_name",
+        "row_access_policy_name", "filter_predicate", "grantees")
   }
 
   private def sessionTables(spark: SparkSession): Seq[String] =

@@ -3338,8 +3338,20 @@ class TypedSqlSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "DROP ROW ACCESS POLICY nope ON rap_t")).getMessage.contains("no policy"))
     GraftSql.load(spark, "DROP ROW ACCESS POLICY IF EXISTS nope ON rap_t")
+    // the metadata view lists the active policy with predicate + grantees
+    GraftSql.load(spark,
+      "CREATE ROW ACCESS POLICY rg ON rap_t GRANT TO ('user:x@y.z') FILTER USING (id < 2)")
+    val pol = GraftSql.load(spark,
+      """SELECT row_access_policy_name, filter_predicate, grantees
+        |FROM INFORMATION_SCHEMA.ROW_ACCESS_POLICIES WHERE table_name = 'rap_t'
+        |ORDER BY row_access_policy_name""".stripMargin).collect()
+    assert(pol.map(_.getString(0)).toSeq == Seq("ra", "rg"))
+    assert(pol(1).getString(1) == "id < 2" && pol(1).getString(2) == "'user:x@y.z'")
     GraftSql.load(spark, "DROP ALL ROW ACCESS POLICIES ON rap_t")
     assert(GraftSql.load(spark, "SELECT * FROM rap_t").count() == 4)
+    assert(GraftSql.load(spark,
+      "SELECT * FROM INFORMATION_SCHEMA.ROW_ACCESS_POLICIES WHERE table_name = 'rap_t'")
+      .count() == 0)
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "CREATE ROW ACCESS POLICY x ON rap_gone FILTER USING (1 = 1)"))
       .getMessage.contains("no such table"))
