@@ -119,9 +119,15 @@ object GraftSql {
         val name = viewName(rawName)
         val existed = spark.catalog.tableExists(name)
         val res = loadDispatch(spark, stripped)
-        if (ine == null || !existed) bodyOpt match {
-          case Some(body) => recordTableOptions(spark, name, body)
-          case None => tableOptionsRegistry.remove(mvKey(spark, name))
+        if (ine == null || !existed) {
+          bodyOpt match {
+            case Some(body) => recordTableOptions(spark, name, body)
+            case None => tableOptionsRegistry.remove(mvKey(spark, name))
+          }
+          // replacing a table/view drops its row policies (BigQuery's
+          // rule) — the stale raw frame must never shadow the new one
+          rowPolicyRegistry.remove(mvKey(spark, name))
+          rowPolicyRawRegistry.remove(mvKey(spark, name))
         }
         res
       case _ => loadDispatch(spark, sql0)
