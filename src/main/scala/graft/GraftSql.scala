@@ -230,7 +230,15 @@ object GraftSql {
           case None => insertParsed(spark, i)
         }
       case c: CreateTableAsSelect => ctasParsed(spark, c.name, sql)
-      case r: ReplaceTableAsSelect => ctasParsed(spark, r.name, sql, replace = true)
+      case r: ReplaceTableAsSelect =>
+        // resolve the REPLACEMENT query before the old table is
+        // touched: analysis errors (missing columns/tables) are the
+        // common failure class and must leave the original intact. A
+        // runtime failure mid-write can still lose it — the V1 session
+        // catalog has no atomic swap (stated; BigQuery's OR REPLACE is
+        // atomic)
+        spark.sessionState.executePlan(r.query).assertAnalyzed()
+        ctasParsed(spark, r.name, sql, replace = true)
       case d: DeleteFromTable =>
         commitIfVersioned(spark, dmlTargetName(d.table), "delete")(deleteParsed(spark, d))
       case u: UpdateTable =>
@@ -1322,7 +1330,11 @@ object GraftSql {
         cons += TableConstraint(Option(nm).getOrElse(s"$table.fk$$$fkN"), "FOREIGN KEY",
           colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           viewName(refTbl), refCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case colDef => cols += colDef
+      case colDef =>
+        require(!"(?is).*\\bOPTIONS\\s*\\(.*".r.pattern.matcher(colDef).matches(),
+          s"column-level OPTIONS(...) is not supported (column: ${colDef.take(40)}) — " +
+            "this engine records TABLE-level OPTIONS only")
+        cols += colDef
     }
     (cols.toSeq, cons.toSeq)
   }
@@ -2056,7 +2068,15 @@ object GraftSql {
   def createTableAs(spark: SparkSession, sql: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case c: CreateTableAsSelect => ctasParsed(spark, c.name, sql)
-      case r: ReplaceTableAsSelect => ctasParsed(spark, r.name, sql, replace = true)
+      case r: ReplaceTableAsSelect =>
+        // resolve the REPLACEMENT query before the old table is
+        // touched: analysis errors (missing columns/tables) are the
+        // common failure class and must leave the original intact. A
+        // runtime failure mid-write can still lose it — the V1 session
+        // catalog has no atomic swap (stated; BigQuery's OR REPLACE is
+        // atomic)
+        spark.sessionState.executePlan(r.query).assertAnalyzed()
+        ctasParsed(spark, r.name, sql, replace = true)
       case other => throw new IllegalArgumentException(
         s"not a CTAS statement (parsed to ${other.nodeName})")
     }
@@ -2080,6 +2100,16 @@ object GraftSql {
         if (spark.catalog.tableExists(name) &&
           !spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
           spark.sql(s"DROP TABLE $name")
+        // replace destroys the previous object in BigQuery — every
+        // piece of its recorded state goes with it (a stale MV entry
+        // would let REFRESH overwrite the new table with the old query)
+        mvRegistry.remove(mvKey(spark, name))
+        viewDefRegistry.remove(mvKey(spark, name))
+        partRegistry.remove(mvKey(spark, name))
+        constraintRegistry.remove(mvKey(spark, name))
+        tableOptionsRegistry.remove(mvKey(spark, name))
+        rowPolicyRegistry.remove(mvKey(spark, name))
+        rowPolicyRawRegistry.remove(mvKey(spark, name))
         // the in-memory catalog forgets managed tables across sessions
         // but their warehouse directories persist — an OR REPLACE must
         // clear a stale location too (replace destroys the previous
@@ -2484,7 +2514,9 @@ object GraftSql {
   private val CreateOptionsHeadRe =
     ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+""" +
       """(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
-      """((?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*)[\s(].*""").r
+      // single-part names only (the session-catalog model viewName
+      // enforces), and never CREATE TABLE FUNCTION's keyword
+      """(?!FUNCTION\b)(`[^`.]+`|[A-Za-z_][\w$]*)[\s(].*""").r
 
   private def mvKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name.toLowerCase)
@@ -2498,13 +2530,19 @@ object GraftSql {
   private[graft] def splitOptionsClause(sql: String): (String, Option[String]) = {
     def isWord(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
-    var i = 0; var inStr = false; var inTick = false
+    var i = 0; var inStr = false; var inTick = false; var depth = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
       else if (inTick) { if (c == '`') inTick = false; i += 1 }
       else if (c == '\'') { inStr = true; i += 1 }
       else if (c == '`') { inTick = true; i += 1 }
+      // only a TOP-LEVEL clause is table metadata: a column-level
+      // OPTIONS(...) sits inside the column-list parens and must stay
+      // put (the schema splitter rejects it loudly)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth > 0) { i += 1 }
       else if ((c == 'A' || c == 'a') && upper.startsWith("AS", i) &&
         (i == 0 || !isWord(sql.charAt(i - 1))) &&
         (i + 2 >= sql.length || !isWord(sql.charAt(i + 2)))) {
@@ -2745,7 +2783,11 @@ object GraftSql {
         s"ALTER TABLE $name ADD: expected one PRIMARY KEY / FOREIGN KEY ... NOT ENFORCED clause, got: $clause")
       var c = parsed.head
       if (c.kind == "FOREIGN KEY" && c.name == s"$name.fk$$1") {
-        val n = existing.count(_.kind == "FOREIGN KEY") + 1
+        // first FREE generated name (count+1 collides after a drop:
+        // fk$1 dropped of {fk$1, fk$2} would regenerate fk$2)
+        val used = existing.map(_.name).toSet
+        var n = 1
+        while (used(s"$name.fk$$$n")) n += 1
         c = c.copy(name = s"$name.fk$$$n")
       }
       require(!(c.kind == "PRIMARY KEY" && existing.exists(_.kind == "PRIMARY KEY")),

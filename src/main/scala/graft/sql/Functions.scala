@@ -570,7 +570,10 @@ private[graft] object Functions {
           if (n2 == 'u' && i2 + 5 < raw.length && (2 to 5).forall(k => hex(i2 + k))) {
             out2 += Integer.parseInt(raw.substring(i2 + 2, i2 + 6), 16).toChar
             i2 += 6
-          } else if (n2 >= '0' && n2 <= '7' && i2 + 3 < raw.length &&
+          } else if (n2 >= '0' && n2 <= '1' && i2 + 3 < raw.length &&
+              // Spark's unescapeSQLString accepts octal ONLY with a
+              // 0-1 first digit (verified on 4.1.2): '\234' lexes to
+              // the three chars "234", not U+009C
               raw.charAt(i2 + 2) >= '0' && raw.charAt(i2 + 2) <= '7' &&
               raw.charAt(i2 + 3) >= '0' && raw.charAt(i2 + 3) <= '7') {
             out2 += Integer.parseInt(raw.substring(i2 + 1, i2 + 4), 8).toChar
@@ -1657,12 +1660,10 @@ private[graft] object Functions {
             case DatePartRe(expr) => Some(s"CAST(($expr) AS DATE)")
             case DatetimePartRe(expr) => Some(s"CAST(($expr) AS TIMESTAMP_NTZ)")
             case WeekRe(wd, expr) =>
-              // Spark dayofweek: Sunday=1 .. Saturday=7
-              val dows = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
-                "WEDNESDAY" -> 4, "THURSDAY" -> 5, "FRIDAY" -> 6, "SATURDAY" -> 7)
+              // Spark dayofweek: Sunday=1 .. Saturday=7 (the shared map)
               val dayName = Option(wd).map(_.toUpperCase(java.util.Locale.ROOT))
                 .getOrElse("SUNDAY")
-              val dw = dows.getOrElse(dayName, throw new IllegalArgumentException(
+              val dw = WeekdayIdx.getOrElse(dayName, throw new IllegalArgumentException(
                 s"EXTRACT(WEEK($dayName) ...): unknown weekday (SUNDAY..SATURDAY)"))
               val d = s"CAST(($expr) AS DATE)"
               val jan1 = s"make_date(year($d), 1, 1)"
@@ -1802,10 +1803,12 @@ private[graft] object Functions {
             require(!parsed.contains("(?P<"),
               "REGEXP_EXTRACT_ALL: (?P<name>...) is re2-only syntax Java regex " +
                 "rejects — respell as (?<name>...)")
-            var groups = 0; var i2 = 0
+            var groups = 0; var i2 = 0; var inClass = false
             while (i2 < parsed.length) {
               val c2 = parsed.charAt(i2)
               if (c2 == '\\') i2 += 2
+              else if (inClass) { if (c2 == ']') inClass = false; i2 += 1 }
+              else if (c2 == '[') { inClass = true; i2 += 1 }
               else {
                 if (c2 == '(') {
                   val isPlain = i2 + 1 >= parsed.length || parsed.charAt(i2 + 1) != '?'

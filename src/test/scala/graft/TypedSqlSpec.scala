@@ -3131,6 +3131,13 @@ class TypedSqlSpec extends SparkSuite {
     // lexer escapes in the replacement keep their PARSED meaning: '\n'
     // is a newline after Spark lexes it, never Java's escaped letter n
     assert(one("SELECT REGEXP_REPLACE('a b', ' ', '\\n') AS r").getString(0) == "a\nb")
+    // Spark's octal escapes only fire for a 0-1 first digit: '\234'
+    // lexes to the THREE chars "234" (review-caught model divergence)
+    assert(one("SELECT REGEXP_REPLACE('x', 'x', '\\234') AS r").getString(0) == "234")
+    assert(one("SELECT REGEXP_REPLACE('x', 'x', '\\101') AS r").getString(0) == "A")
+    // '(' inside a character class is not a capturing group
+    assert(one("SELECT REGEXP_EXTRACT_ALL('(1)', '[(]([0-9])') AS r")
+      .getSeq[String](0) == Seq("1"))
     assert(one("SELECT REGEXP_REPLACE('a b', ' ', '\\t') AS r").getString(0) == "a\tb")
     assert(one("SELECT REGEXP_REPLACE('a b', ' ', '\\u0041') AS r").getString(0) == "aAb")
     // Spark's own 4-arg form (position) passes through under Java semantics
@@ -3296,7 +3303,20 @@ class TypedSqlSpec extends SparkSuite {
     assert(GraftSql.load(spark,
       "SELECT constraint_name FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS " +
         "WHERE table_name = 'kc_t' ORDER BY constraint_name")
-      .collect().map(_.getString(0)).toSeq == Seq("fk_b", "kc_t.fk$2", "kc_t.pk$"))
+      .collect().map(_.getString(0)).toSeq == Seq("fk_b", "kc_t.fk$1", "kc_t.pk$"))
+    // generated names take the first FREE slot: after a drop, re-adding
+    // regenerates fk$1 instead of colliding with a survivor
+    GraftSql.load(spark,
+      "ALTER TABLE kc_t ADD FOREIGN KEY (a) REFERENCES other3(v) NOT ENFORCED")
+    GraftSql.load(spark, "ALTER TABLE kc_t DROP CONSTRAINT kc_t.fk$1")
+    GraftSql.load(spark,
+      "ALTER TABLE kc_t ADD FOREIGN KEY (b) REFERENCES other4(u) NOT ENFORCED")
+    assert(GraftSql.load(spark,
+      "SELECT constraint_name FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS " +
+        "WHERE table_name = 'kc_t' AND constraint_type = 'FOREIGN KEY' ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq == Seq("fk_b", "kc_t.fk$1", "kc_t.fk$2"))
+    GraftSql.load(spark, "ALTER TABLE kc_t DROP CONSTRAINT kc_t.fk$1")
+    GraftSql.load(spark, "ALTER TABLE kc_t DROP CONSTRAINT kc_t.fk$2")
     GraftSql.load(spark, "ALTER TABLE kc_t DROP PRIMARY KEY")
     assert(bad("ALTER TABLE kc_t ADD CONSTRAINT fk_b FOREIGN KEY (b) " +
       "REFERENCES z(z) NOT ENFORCED").contains("already has a constraint"))
@@ -3378,6 +3398,16 @@ class TypedSqlSpec extends SparkSuite {
     assert(GraftSql.load(spark,
       "SELECT * FROM INFORMATION_SCHEMA.TABLE_OPTIONS WHERE table_name = 'topts_v'")
       .count() == 0)
+    // column-level OPTIONS is loud, never silently table metadata
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE topts_c (a INT64 OPTIONS(description = 'col'), b STRING)"))
+      .getMessage.contains("column-level OPTIONS"))
+    // a FAILING replacement query leaves the original table intact
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE topts_keep AS SELECT 1 AS x")
+    intercept[Exception](GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE topts_keep AS SELECT no_such_col FROM topts_src"))
+    assert(GraftSql.load(spark, "SELECT x FROM topts_keep").head().getInt(0) == 1)
+    GraftSql.load(spark, "DROP TABLE topts_keep")
     // schema-DDL table form + INT64/BOOL typing; DROP clears the rows
     GraftSql.load(spark,
       "CREATE OR REPLACE TABLE topts_t (a INT64) OPTIONS(partition_expiration_days = 7, require_partition_filter = true)")
