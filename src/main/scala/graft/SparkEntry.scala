@@ -2541,7 +2541,11 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN ST_DWITHIN(g1, g2, 5000000.0) THEN 1 ELSE 0 END) AS BIGINT) AS within_5000km,
           |       MIN(ST_X(g1)) AS min_lng,
           |       MAX(ST_Y(g2)) AS max_lat,
-          |       MIN(ST_GEOHASH(g1, 6)) AS gh_min
+          |       MIN(ST_GEOHASH(g1, 6)) AS gh_min,
+          |       MIN(ST_ASTEXT(g2)) AS wkt_min,
+          |       CAST(SUM(CASE WHEN ST_X(ST_GEOGFROMTEXT(ST_ASTEXT(g1))) = ST_X(g1)
+          |                      AND ST_Y(ST_GEOGFROMTEXT(ST_ASTEXT(g1))) = ST_Y(g1)
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
           |FROM p GROUP BY dist_km ORDER BY dist_km""".stripMargin)
     }),
 
@@ -5908,7 +5912,9 @@ object SparkEntry {
           |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 15) & 31 AS INTEGER) + 1, 1) ||
           |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 10) & 31 AS INTEGER) + 1, 1) ||
           |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 5) & 31 AS INTEGER) + 1, 1) ||
-          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(b & 31 AS INTEGER) + 1, 1)) AS gh_min
+          |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(b & 31 AS INTEGER) + 1, 1)) AS gh_min,
+          |       MIN('POINT(' || CAST(lng2 AS VARCHAR) || ' ' || CAST(lat2 AS VARCHAR) || ')') AS wkt_min,
+          |       COUNT(*) AS rt_ok
           |FROM g GROUP BY dist_km ORDER BY dist_km""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
