@@ -2081,49 +2081,63 @@ object GraftSql {
         s"not a CTAS statement (parsed to ${other.nodeName})")
     }
 
+  // delete a managed warehouse directory for a single-part default-db
+  // name (the managed-CTAS shape this engine produces) — the in-memory
+  // catalog forgets tables across sessions but their directories
+  // persist, so creates and renames must clear stale remnants. Called
+  // ONLY when no live catalog entry can still point at the location.
+  private def deleteWarehouseDir(spark: SparkSession, quotedName: String): Unit = {
+    val bare = quotedName.replace("`", "")
+    if (!bare.contains(".")) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${wh.stripSuffix("/")}/${bare.toLowerCase(java.util.Locale.ROOT)}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
+  // swap the target identifier of a `CREATE OR REPLACE TABLE name`
+  // header for the staging name, dropping the OR REPLACE — the
+  // materialize-first half of the RTAS swap below
+  private def swapRtasHeader(sql: String, tmpQuoted: String): String = {
+    val HeadRe = ("""(?is)^(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+)""" +
+      """((?:`[^`]*`|[A-Za-z_][\w$]*)(?:\s*\.\s*(?:`[^`]*`|[A-Za-z_][\w$]*))*)""").r
+    HeadRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        sql.substring(0, m.start) + m.group(1) + m.group(2) + tmpQuoted + sql.substring(m.end)
+      case None => throw new IllegalArgumentException(
+        s"cannot rewrite REPLACE TABLE header in: ${sql.take(80)}")
+    }
+  }
+
   private def ctasParsed(spark: SparkSession, nameNode: LogicalPlan, sql: String,
                          replace: Boolean = false): DataFrame = {
-    val name = nameNode match {
-      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
-        // re-quote each part: a quoted name containing '.' must not be
-        // re-parsed as database.table
-        parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    val parts = nameNode match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(ps, _) => ps
       case other => throw new IllegalArgumentException(s"unexpected CTAS identifier: $other")
     }
+    // re-quote each part: a quoted name containing '.' must not be
+    // re-parsed as database.table
+    def quote(ps: Seq[String]) = ps.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    val name = quote(parts)
     // the V1 session catalog has no REPLACE TABLE AS SELECT — emulate
-    // BigQuery's OR REPLACE disposition: drop any existing name
-    // (temp view or managed table), then run the statement as a plain
-    // CTAS with the OR REPLACE stripped
+    // BigQuery's OR REPLACE disposition WITHOUT dropping first: the
+    // replacement is materialized under a staging name (so a
+    // self-referencing `CREATE OR REPLACE TABLE t AS SELECT ... FROM t`
+    // still reads the old t, and ANY failure — analysis or runtime —
+    // leaves the original untouched), then the old object is dropped
+    // and the staging table renamed into place. The drop+rename window
+    // is the only non-atomic residue (stated; BigQuery's OR REPLACE is
+    // fully atomic).
+    val tmpName = if (replace) quote(parts.init :+ (parts.last + "__rtas_tmp")) else ""
     val sqlRun =
       if (!replace) sql
       else {
-        if (spark.catalog.tableExists(name) &&
-          !spark.catalog.dropTempView(name) && !spark.catalog.dropGlobalTempView(name))
-          spark.sql(s"DROP TABLE $name")
-        // replace destroys the previous object in BigQuery — every
-        // piece of its recorded state goes with it (a stale MV entry
-        // would let REFRESH overwrite the new table with the old query)
-        mvRegistry.remove(mvKey(spark, name))
-        viewDefRegistry.remove(mvKey(spark, name))
-        partRegistry.remove(mvKey(spark, name))
-        constraintRegistry.remove(mvKey(spark, name))
-        tableOptionsRegistry.remove(mvKey(spark, name))
-        rowPolicyRegistry.remove(mvKey(spark, name))
-        rowPolicyRawRegistry.remove(mvKey(spark, name))
-        // the in-memory catalog forgets managed tables across sessions
-        // but their warehouse directories persist — an OR REPLACE must
-        // clear a stale location too (replace destroys the previous
-        // table in BigQuery; a single-part default-db name only, the
-        // managed-CTAS shape this engine produces)
-        val bare = name.replace("`", "")
-        if (!bare.contains(".")) {
-          val wh = spark.conf.get("spark.sql.warehouse.dir")
-          val loc = new org.apache.hadoop.fs.Path(
-            s"${wh.stripSuffix("/")}/${bare.toLowerCase(java.util.Locale.ROOT)}")
-          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-        }
-        sql.replaceFirst("(?is)^(\\s*CREATE\\s+)OR\\s+REPLACE\\s+", "$1")
+        // clear any staging leftovers from a crashed earlier run
+        spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+        deleteWarehouseDir(spark, tmpName)
+        swapRtasHeader(sql, tmpName)
       }
     // bare CTAS (no USING) must mean a parquet table, not a Hive one —
     // applied only for THIS statement (save/restore: a library call
@@ -2135,6 +2149,32 @@ object GraftSql {
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
+    }
+    if (replace) {
+      // the replacement exists under the staging name — NOW destroy
+      // the previous object: a shadowing temp view AND any same-named
+      // catalog table both go (BigQuery replaces "the name"). The
+      // catalog API takes RAW names (no backticks), and the temp view
+      // must go first so DROP TABLE hits the actual table.
+      spark.catalog.dropTempView(parts.last)
+      spark.catalog.dropGlobalTempView(parts.last)
+      if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
+      // only now is a location delete safe: no catalog entry survives
+      // the drops above, so anything left at the target location is a
+      // forgotten-across-sessions remnant (a temp-view-only drop used
+      // to delete a live managed table's data here)
+      deleteWarehouseDir(spark, name)
+      // replace destroys the previous object in BigQuery — every
+      // piece of its recorded state goes with it (a stale MV entry
+      // would let REFRESH overwrite the new table with the old query)
+      mvRegistry.remove(mvKey(spark, name))
+      viewDefRegistry.remove(mvKey(spark, name))
+      partRegistry.remove(mvKey(spark, name))
+      constraintRegistry.remove(mvKey(spark, name))
+      tableOptionsRegistry.remove(mvKey(spark, name))
+      rowPolicyRegistry.remove(mvKey(spark, name))
+      rowPolicyRawRegistry.remove(mvKey(spark, name))
+      spark.sql(s"ALTER TABLE $tmpName RENAME TO $name")
     }
     spark.table(name)
   }
@@ -2612,9 +2652,12 @@ object GraftSql {
     else if (t.matches("[-+]?\\d+")) (k, "INT64", t)
     else if (t.matches("[-+]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][-+]?\\d+)?")) (k, "FLOAT64", t)
     else if (t.startsWith("[")) {
-      val TupleRe = """\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+      // quoted members match through the '' escape (same rule the
+      // scalar string path applies), and unescape before rendering
+      val TupleRe = """\(\s*'((?:[^']|'')*)'\s*,\s*'((?:[^']|'')*)'\s*\)""".r
+      def unesc(s: String) = s.replace("''", "'")
       val tuples = TupleRe.findAllMatchIn(t)
-        .map(m => s"""STRUCT("${m.group(1)}", "${m.group(2)}")""").toSeq
+        .map(m => s"""STRUCT("${unesc(m.group(1))}", "${unesc(m.group(2))}")""").toSeq
       (k, "ARRAY<STRUCT<STRING, STRING>>", tuples.mkString("[", ", ", "]"))
     } else (k, "STRING", t)
   }
@@ -2635,10 +2678,16 @@ object GraftSql {
   // DROP ALL.
 
   private case class RowPolicy(filter: String, grantees: String)
+  // the raw capture remembers whether the policed name was a CATALOG
+  // object (managed table / view) rather than a temp view: the policy
+  // filter shadows a catalog table with a temp view, and dropping the
+  // last policy must then drop the shadow — not re-register the raw
+  // frame as a fresh temp view that never existed before
+  private case class RowPolicyRaw(frame: DataFrame, shadowsCatalogObject: Boolean)
   private val rowPolicyRegistry =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Map[String, RowPolicy]]
   private val rowPolicyRawRegistry =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), RowPolicyRaw]
 
   private[graft] val RowPolicyHeadRe =
     """(?is)^\s*(?:CREATE|DROP)\s+(?:OR\s+REPLACE\s+)?(?:ALL\s+)?ROW\s+ACCESS\s+POLIC(?:Y|IES)\b.*""".r
@@ -2659,11 +2708,15 @@ object GraftSql {
       throw new IllegalStateException(s"row-policy raw frame missing for $name"))
     rowPolicyRegistry.getOrElse(key, Map.empty) match {
       case ps if ps.isEmpty =>
-        raw.createOrReplaceTempView(name)
+        // last policy gone: a catalog table gets its shadow temp view
+        // dropped (reads resolve back to the table itself); a name
+        // that WAS a temp view gets the raw frame re-registered
+        if (raw.shadowsCatalogObject) spark.catalog.dropTempView(name)
+        else raw.frame.createOrReplaceTempView(name)
         rowPolicyRawRegistry.remove(key)
       case ps =>
         val pred = ps.values.map(p => s"(${p.filter})").mkString(" OR ")
-        raw.filter(pred).createOrReplaceTempView(name)
+        raw.frame.filter(pred).createOrReplaceTempView(name)
     }
   }
 
@@ -2679,9 +2732,15 @@ object GraftSql {
       if (existing.contains(pName) && ifNotExists != null) return spark.emptyDataFrame
       require(!existing.contains(pName) || orReplace != null,
         s"row access policy '$pName' already exists on $name (use OR REPLACE or IF NOT EXISTS)")
-      // first policy captures the RAW frame before any filtering
-      if (!rowPolicyRawRegistry.contains(key))
-        rowPolicyRawRegistry(key) = spark.table(name)
+      // first policy captures the RAW frame before any filtering,
+      // recording whether the name resolved to a catalog object (the
+      // shadow-vs-restore distinction above)
+      if (!rowPolicyRawRegistry.contains(key)) {
+        val isCatalogObject =
+          spark.sessionState.catalog.getTempView(name).isEmpty &&
+            spark.sessionState.catalog.getGlobalTempView(name).isEmpty
+        rowPolicyRawRegistry(key) = RowPolicyRaw(spark.table(name), isCatalogObject)
+      }
       rowPolicyRegistry(key) = existing +
         (pName -> RowPolicy(filter.trim, Option(grantees).map(_.trim).getOrElse("")))
       reapplyRowPolicies(spark, name)

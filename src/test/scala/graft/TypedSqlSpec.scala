@@ -3425,6 +3425,55 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "DROP VIEW topts_src")
   }
 
+  test("RTAS materializes before dropping: self-reference, shadowed tables, '' labels") {
+    // self-referencing replace reads the OLD table (BigQuery's common
+    // `CREATE OR REPLACE TABLE t AS SELECT ... FROM t` pattern)
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE rtas_self AS SELECT 1 AS x")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE rtas_self AS SELECT x + 1 AS x FROM rtas_self")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE rtas_self AS SELECT x + 10 AS x FROM rtas_self")
+    assert(GraftSql.load(spark, "SELECT x FROM rtas_self").head().getInt(0) == 12)
+    // a RUNTIME failure mid-replacement leaves the original intact too
+    // (not just analysis errors): the replacement materializes first
+    intercept[Exception](GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE rtas_self AS " +
+        "SELECT CAST(raise_error('boom') AS INT) AS x FROM rtas_self"))
+    assert(GraftSql.load(spark, "SELECT x FROM rtas_self").head().getInt(0) == 12)
+    GraftSql.load(spark, "DROP TABLE rtas_self")
+    // a temp view shadowing a same-named managed table: replace
+    // destroys BOTH and the new table's data survives readable
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE rtas_shadow AS SELECT 1 AS x")
+    spark.sql("SELECT 99 AS x").createOrReplaceTempView("rtas_shadow")
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE rtas_shadow AS SELECT 7 AS x")
+    assert(GraftSql.load(spark, "SELECT x FROM rtas_shadow").head().getInt(0) == 7)
+    assert(spark.sessionState.catalog.getTempView("rtas_shadow").isEmpty)
+    GraftSql.load(spark, "DROP TABLE rtas_shadow")
+    // labels tuples carry the '' quote escape, like scalar strings
+    GraftSql.load(spark,
+      """CREATE OR REPLACE VIEW rtas_lbl OPTIONS(labels = [('k', 'it''s')])
+        |AS SELECT 1 AS x""".stripMargin)
+    val lbl = GraftSql.load(spark,
+      "SELECT option_value FROM INFORMATION_SCHEMA.TABLE_OPTIONS " +
+        "WHERE table_name = 'rtas_lbl'").head().getString(0)
+    assert(lbl == "[STRUCT(\"k\", \"it's\")]")
+    GraftSql.load(spark, "DROP VIEW rtas_lbl")
+  }
+
+  test("ROW ACCESS POLICY on a managed table: dropping the last policy drops the shadow") {
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE rap_mt AS " +
+      "SELECT * FROM (SELECT 1 AS id, 'a' AS k UNION ALL SELECT 2, 'b')")
+    GraftSql.load(spark, "CREATE ROW ACCESS POLICY p1 ON rap_mt FILTER USING (k = 'a')")
+    assert(GraftSql.load(spark, "SELECT * FROM rap_mt").count() == 1)
+    // the filter rides a shadow temp view over the catalog table
+    assert(spark.sessionState.catalog.getTempView("rap_mt").isDefined)
+    GraftSql.load(spark, "DROP ROW ACCESS POLICY p1 ON rap_mt")
+    // restore must NOT leave a temp view where none existed before
+    assert(spark.sessionState.catalog.getTempView("rap_mt").isEmpty)
+    assert(GraftSql.load(spark, "SELECT * FROM rap_mt").count() == 2)
+    GraftSql.load(spark, "DROP TABLE rap_mt")
+  }
+
   test("ST_GEOGPOINT / ST_DISTANCE / ST_DWITHIN / ST_X / ST_Y: the point-geography core") {
     val r = GraftSql.load(spark,
       """SELECT ST_DISTANCE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 90)) AS quarter,
