@@ -2549,6 +2549,84 @@ object SparkEntry {
           |FROM p GROUP BY dist_km ORDER BY dist_km""".stripMargin)
     }),
 
+    // Non-point geography, line core (round 15): ST_MAKELINE /
+    // ST_LENGTH / ST_NUMPOINTS over the ARRAY<STRUCT<lng,lat>>
+    // carrier — the length is a left-to-right haversine segment fold
+    // the DuckDB oracle replays as explicit two-segment arithmetic
+    // (0.0 + s1 + s2 is bit-equal to the fold). 10-km FLOOR buckets
+    // absorb the ~1e-9 libm ulps; every rendered coordinate is a
+    // dyadic quarter so both engines print the identical shortest
+    // decimal; the round-trip column re-parses the rendered WKT and
+    // compares the arrays EXACTLY (Double.toString/parseDouble are
+    // exact inverses). The line column is staged in its own CTE and
+    // consumed 4× so CollapseProject never inlines the constructor
+    // into the fold lambdas (SURVEY §4 discipline).
+    "q_st_line" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("stl_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT event_id,
+          |         -170.0 + CAST(user_id * 7 % 340 AS DOUBLE) + 0.5 AS lng1,
+          |         -60.0 + CAST(user_id * 13 % 120 AS DOUBLE) + 0.25 AS lat1,
+          |         CAST(event_id % 3 AS DOUBLE) AS dx,
+          |         CAST(event_id % 2 AS DOUBLE) AS dy
+          |  FROM stl_events),
+          |l AS (
+          |  SELECT event_id,
+          |         ST_MAKELINE(ST_GEOGPOINT(lng1, lat1),
+          |                     ST_GEOGPOINT(lng1 + 1.0 + dx * 0.5, lat1 - 0.5 - dy * 0.25),
+          |                     ST_GEOGPOINT(lng1 - 0.75, lat1 + 1.5)) AS ln
+          |  FROM p)
+          |SELECT CAST(FLOOR(ST_LENGTH(ln) / 10000.0) AS BIGINT) AS len_10km,
+          |       COUNT(*) AS n,
+          |       CAST(MAX(ST_NUMPOINTS(ln)) AS BIGINT) AS np,
+          |       MIN(ST_ASTEXT(ln)) AS wkt_min,
+          |       CAST(SUM(CASE WHEN ST_LINEFROMTEXT(ST_ASTEXT(ln)) = ln
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
+          |FROM l GROUP BY len_10km ORDER BY len_10km""".stripMargin)
+    }),
+
+    // Non-point geography, ring core (round 15): ST_MAKEPOLYGON
+    // closes the ST_MAKELINE quad; ST_AREA is the spherical-shoelace
+    // fold (Chamberlain–Duquette — exact for these constant-latitude
+    // edges), ST_PERIMETER the haversine boundary sum, and the three
+    // predicates ride the planar even-odd ray cast, which is PURE
+    // IEEE compare/multiply/divide — the oracle replays the crossing
+    // count exactly, not approximately (test offsets ±0.35°/±0.7°
+    // never collide with the dyadic half-widths). Area groups in
+    // 1000-km² buckets; WKT renders dyadic quarters only and
+    // round-trips through ST_POLYGONFROMTEXT per row.
+    "q_st_poly" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("stp_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT event_id,
+          |         -160.0 + CAST(user_id * 11 % 320 AS DOUBLE) + 0.5 AS clng,
+          |         -55.0 + CAST(user_id * 17 % 110 AS DOUBLE) + 0.25 AS clat,
+          |         0.5 + CAST(event_id % 4 AS DOUBLE) * 0.25 AS w,
+          |         0.25 + CAST(user_id % 3 AS DOUBLE) * 0.25 AS h,
+          |         CAST(event_id % 5 AS DOUBLE) * 0.35 - 0.7 AS toff
+          |  FROM stp_events),
+          |g AS (
+          |  SELECT event_id,
+          |         ST_MAKEPOLYGON(ST_MAKELINE(
+          |           ST_GEOGPOINT(clng - w, clat - h), ST_GEOGPOINT(clng + w, clat - h),
+          |           ST_GEOGPOINT(clng + w, clat + h), ST_GEOGPOINT(clng - w, clat + h))) AS poly,
+          |         ST_GEOGPOINT(clng + toff, clat) AS tp
+          |  FROM p)
+          |SELECT CAST(FLOOR(ST_AREA(poly) / 1000000000.0) AS BIGINT) AS area_gm2,
+          |       COUNT(*) AS n,
+          |       CAST(MIN(FLOOR(ST_PERIMETER(poly) / 1000.0)) AS BIGINT) AS perim_km_min,
+          |       CAST(MAX(ST_NUMPOINTS(poly)) AS BIGINT) AS np,
+          |       CAST(SUM(CASE WHEN ST_CONTAINS(poly, tp) THEN 1 ELSE 0 END) AS BIGINT) AS inside_n,
+          |       CAST(SUM(CASE WHEN ST_WITHIN(tp, poly) THEN 1 ELSE 0 END) AS BIGINT) AS within_n,
+          |       CAST(SUM(CASE WHEN ST_DISJOINT(poly, tp) THEN 1 ELSE 0 END) AS BIGINT) AS disjoint_n,
+          |       MIN(ST_ASTEXT(poly)) AS wkt_min,
+          |       CAST(SUM(CASE WHEN ST_POLYGONFROMTEXT(ST_ASTEXT(poly)) = poly
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
+          |FROM g GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin)
+    }),
+
     // PERCENTILE_CONT/DISC analytic spellings (round 13): per-type
     // window percentiles over INTEGER-VALUED doubles at power-of-two
     // fractions — every interpolation intermediate is exact, so the
@@ -5916,6 +5994,101 @@ object SparkEntry {
           |       MIN('POINT(' || CAST(lng2 AS VARCHAR) || ' ' || CAST(lat2 AS VARCHAR) || ')') AS wkt_min,
           |       COUNT(*) AS rt_ok
           |FROM g GROUP BY dist_km ORDER BY dist_km""".stripMargin,
+      // the line face flattened onto scalar columns: the two-segment
+      // haversine sum in fold order (0.0 + s1 + s2 ≡ s1 + s2 exactly),
+      // WKT rebuilt from the same dyadic coordinates, round-trip
+      // identically true (Double parse∘render is the identity)
+      "q_st_line" ->
+        """WITH p AS (
+          |  SELECT event_id,
+          |         -170.0 + CAST(user_id * 7 % 340 AS DOUBLE) + 0.5 AS lng1,
+          |         -60.0 + CAST(user_id * 13 % 120 AS DOUBLE) + 0.25 AS lat1,
+          |         CAST(event_id % 3 AS DOUBLE) AS dx,
+          |         CAST(event_id % 2 AS DOUBLE) AS dy
+          |  FROM events),
+          |c AS (SELECT event_id, lng1, lat1,
+          |        lng1 + 1.0 + dx * 0.5 AS lng2, lat1 - 0.5 - dy * 0.25 AS lat2,
+          |        lng1 - 0.75 AS lng3, lat1 + 1.5 AS lat3
+          |      FROM p),
+          |d AS (SELECT *,
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((lat2 - lat1) / 2.0)) * sin(radians((lat2 - lat1) / 2.0)) +
+          |          cos(radians(lat1)) * cos(radians(lat2)) *
+          |          sin(radians((lng2 - lng1) / 2.0)) * sin(radians((lng2 - lng1) / 2.0)))) +
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((lat3 - lat2) / 2.0)) * sin(radians((lat3 - lat2) / 2.0)) +
+          |          cos(radians(lat2)) * cos(radians(lat3)) *
+          |          sin(radians((lng3 - lng2) / 2.0)) * sin(radians((lng3 - lng2) / 2.0)))) AS len
+          |      FROM c)
+          |SELECT CAST(FLOOR(len / 10000.0) AS BIGINT) AS len_10km,
+          |       COUNT(*) AS n,
+          |       CAST(3 AS BIGINT) AS np,
+          |       MIN('LINESTRING(' || CAST(lng1 AS VARCHAR) || ' ' || CAST(lat1 AS VARCHAR) || ', ' ||
+          |           CAST(lng2 AS VARCHAR) || ' ' || CAST(lat2 AS VARCHAR) || ', ' ||
+          |           CAST(lng3 AS VARCHAR) || ' ' || CAST(lat3 AS VARCHAR) || ')') AS wkt_min,
+          |       COUNT(*) AS rt_ok
+          |FROM d GROUP BY len_10km ORDER BY len_10km""".stripMargin,
+      // the ring face flattened: Chamberlain–Duquette signed-area sum
+      // in fold order over the four edges (the Δλ wrap term is exactly
+      // 0 at these widths, so dl replays it bit-for-bit), haversine
+      // perimeter, and the even-odd ray cast on the two VERTICAL edges
+      // only (the horizontal-edge terms are exactly 0 under the strict
+      // lat rule — integer adds, so parity replays exactly)
+      "q_st_poly" ->
+        """WITH p AS (
+          |  SELECT event_id,
+          |         -160.0 + CAST(user_id * 11 % 320 AS DOUBLE) + 0.5 AS clng,
+          |         -55.0 + CAST(user_id * 17 % 110 AS DOUBLE) + 0.25 AS clat,
+          |         0.5 + CAST(event_id % 4 AS DOUBLE) * 0.25 AS w,
+          |         0.25 + CAST(user_id % 3 AS DOUBLE) * 0.25 AS h,
+          |         CAST(event_id % 5 AS DOUBLE) * 0.35 - 0.7 AS toff
+          |  FROM events),
+          |v AS (SELECT event_id, clng + toff AS cx, clat AS cy,
+          |        clng - w AS x1, clat - h AS y1, clng + w AS x2, clat - h AS y2,
+          |        clng + w AS x3, clat + h AS y3, clng - w AS x4, clat + h AS y4
+          |      FROM p),
+          |m AS (SELECT *,
+          |        abs((radians(x2) - radians(x1)) * (2.0 + sin(radians(y1)) + sin(radians(y2))) +
+          |            (radians(x3) - radians(x2)) * (2.0 + sin(radians(y2)) + sin(radians(y3))) +
+          |            (radians(x4) - radians(x3)) * (2.0 + sin(radians(y3)) + sin(radians(y4))) +
+          |            (radians(x1) - radians(x4)) * (2.0 + sin(radians(y4)) + sin(radians(y1))))
+          |          * 6371010.0 * 6371010.0 / 2.0 AS area,
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((y2 - y1) / 2.0)) * sin(radians((y2 - y1) / 2.0)) +
+          |          cos(radians(y1)) * cos(radians(y2)) *
+          |          sin(radians((x2 - x1) / 2.0)) * sin(radians((x2 - x1) / 2.0)))) +
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((y3 - y2) / 2.0)) * sin(radians((y3 - y2) / 2.0)) +
+          |          cos(radians(y2)) * cos(radians(y3)) *
+          |          sin(radians((x3 - x2) / 2.0)) * sin(radians((x3 - x2) / 2.0)))) +
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((y4 - y3) / 2.0)) * sin(radians((y4 - y3) / 2.0)) +
+          |          cos(radians(y3)) * cos(radians(y4)) *
+          |          sin(radians((x4 - x3) / 2.0)) * sin(radians((x4 - x3) / 2.0)))) +
+          |        2.0 * 6371010.0 * asin(sqrt(
+          |          sin(radians((y1 - y4) / 2.0)) * sin(radians((y1 - y4) / 2.0)) +
+          |          cos(radians(y4)) * cos(radians(y1)) *
+          |          sin(radians((x1 - x4) / 2.0)) * sin(radians((x1 - x4) / 2.0)))) AS perim,
+          |        ((CASE WHEN (y2 > cy) != (y3 > cy)
+          |               AND cx < (x3 - x2) * (cy - y2) / (y3 - y2) + x2 THEN 1 ELSE 0 END) +
+          |         (CASE WHEN (y4 > cy) != (y1 > cy)
+          |               AND cx < (x1 - x4) * (cy - y4) / (y1 - y4) + x4 THEN 1 ELSE 0 END)
+          |        ) % 2 = 1 AS inside
+          |      FROM v)
+          |SELECT CAST(FLOOR(area / 1000000000.0) AS BIGINT) AS area_gm2,
+          |       COUNT(*) AS n,
+          |       CAST(MIN(FLOOR(perim / 1000.0)) AS BIGINT) AS perim_km_min,
+          |       CAST(5 AS BIGINT) AS np,
+          |       CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS inside_n,
+          |       CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS within_n,
+          |       CAST(SUM(CASE WHEN NOT inside THEN 1 ELSE 0 END) AS BIGINT) AS disjoint_n,
+          |       MIN('POLYGON((' || CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' ||
+          |           CAST(x2 AS VARCHAR) || ' ' || CAST(y2 AS VARCHAR) || ', ' ||
+          |           CAST(x3 AS VARCHAR) || ' ' || CAST(y3 AS VARCHAR) || ', ' ||
+          |           CAST(x4 AS VARCHAR) || ' ' || CAST(y4 AS VARCHAR) || ', ' ||
+          |           CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || '))') AS wkt_min,
+          |       COUNT(*) AS rt_ok
+          |FROM m GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,

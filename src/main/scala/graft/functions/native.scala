@@ -1795,6 +1795,151 @@ case class StGeohash(lng: Expression, lat: Expression, nchars: Int)
     copy(lng = l, lat = r)
 }
 
+/** WKT renderer over BOTH geography carriers — the point
+  * STRUCT<lng, lat> and the line/ring ARRAY<STRUCT<lng, lat>> (the
+  * round-15 non-point core; see BigQuery's ST_ASTEXT). The carrier
+  * type dispatches at ANALYSIS time (struct → POINT, array → line or
+  * ring), and a closed ring of ≥ 4 vertices renders as POLYGON((…)) —
+  * the only value-level distinction the one-array carrier leaves, and
+  * exactly the shape [[GeogFromText]] parses back. Coordinates print
+  * through `Double.toString`, the same shortest-or-Java form Spark's
+  * own double→string cast uses on this JVM, so the point rendering is
+  * byte-identical to the round-14 textual CAST path it replaces.
+  * Empty arrays render BigQuery's empty-geography spelling.
+  */
+case class GeogAsText(child: Expression) extends UnaryExpression {
+  private def isPointStruct(s: StructType): Boolean =
+    s.fields.length == 2 && s.fields.forall(_.dataType == DoubleType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if isPointStruct(s) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(s: StructType, _) if isPointStruct(s) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ST_ASTEXT expects the STRUCT<lng, lat> point carrier or the " +
+          s"ARRAY<STRUCT<lng, lat>> line/ring carrier, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StringType
+  private lazy val isArray = child.dataType.isInstanceOf[ArrayType]
+  private def pt(sb: java.lang.StringBuilder, lng: Double, lat: Double): Unit = {
+    sb.append(java.lang.Double.toString(lng)).append(' ')
+      .append(java.lang.Double.toString(lat))
+  }
+  def compute(v: Any): UTF8String = {
+    val sb = new java.lang.StringBuilder(32)
+    if (!isArray) {
+      val r = v.asInstanceOf[InternalRow]
+      sb.append("POINT(")
+      pt(sb, r.getDouble(0), r.getDouble(1))
+      sb.append(')')
+    } else {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n == 0) sb.append("GEOMETRYCOLLECTION EMPTY")
+      else {
+        val first = a.getStruct(0, 2)
+        val last = a.getStruct(n - 1, 2)
+        val ring = n >= 4 && first.getDouble(0) == last.getDouble(0) &&
+          first.getDouble(1) == last.getDouble(1)
+        sb.append(if (ring) "POLYGON((" else if (n == 1) "POINT(" else "LINESTRING(")
+        var i = 0
+        while (i < n) {
+          if (i > 0) sb.append(", ")
+          val r = a.getStruct(i, 2)
+          pt(sb, r.getDouble(0), r.getDouble(1))
+          i += 1
+        }
+        sb.append(if (ring) "))" else ")")
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geogAsText", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GeogAsText =
+    copy(child = newChild)
+}
+
+/** WKT parser for the ARRAY<STRUCT<lng, lat>> carrier — the OGC
+  * SQL/MM spellings ST_LINEFROMTEXT / ST_POLYGONFROMTEXT (BigQuery's
+  * single ST_GEOGFROMTEXT cannot serve the non-point carriers: its
+  * return type would have to depend on the VALUE of its argument, and
+  * SQL expressions are single-typed — so the engine routes each
+  * carrier through its own standard name, and the POINT-only
+  * ST_GEOGFROMTEXT's raise message points here). LINESTRING parses to
+  * the open vertex array; POLYGON parses its single outer ring,
+  * closed-as-written (first = last enforced, ≥ 4 vertices). Holes
+  * (a second ring) and MULTI* are loud — stated, not silently the
+  * outer ring. Coordinates parse through `Double.parseDouble`, the
+  * exact inverse of [[GeogAsText]]'s rendering, so
+  * parse(render(g)) = g bit-for-bit — the round-trip row the faces
+  * gate on.
+  */
+case class GeogFromText(child: Expression, polygon: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("lng", DoubleType, nullable = false),
+      StructField("lat", DoubleType, nullable = false))), containsNull = false)
+  private val fn = if (polygon) "ST_POLYGONFROMTEXT" else "ST_LINEFROMTEXT"
+  private def fail(wkt: String, why: String): Nothing =
+    throw new IllegalArgumentException(s"$fn: $why, got '$wkt'")
+  private def parseRing(wkt: String, body: String): Array[InternalRow] = {
+    val parts = body.split(",")
+    val out = new Array[InternalRow](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val xy = parts(i).trim.split("\\s+")
+      if (xy.length != 2) fail(wkt, s"vertex ${i + 1} is not 'lng lat'")
+      try out(i) = InternalRow(xy(0).toDouble, xy(1).toDouble)
+      catch { case _: NumberFormatException =>
+        fail(wkt, s"vertex ${i + 1} has a non-numeric coordinate") }
+      i += 1
+    }
+    out
+  }
+  def compute(s: UTF8String): GenericArrayData = {
+    val wkt = s.toString.trim
+    val upper = wkt.toUpperCase(java.util.Locale.ROOT)
+    if (!polygon) {
+      if (!upper.startsWith("LINESTRING"))
+        fail(wkt, "only LINESTRING(lng lat, ...) WKT is supported")
+      val open = wkt.indexOf('(')
+      if (open < 0 || !wkt.endsWith(")")) fail(wkt, "malformed LINESTRING body")
+      val body = wkt.substring(open + 1, wkt.length - 1)
+      if (body.contains("(")) fail(wkt, "nested rings are not a LINESTRING")
+      val ring = parseRing(wkt, body)
+      if (ring.length < 2) fail(wkt, "a LINESTRING needs at least 2 vertices")
+      new GenericArrayData(ring.asInstanceOf[Array[Any]])
+    } else {
+      if (!upper.startsWith("POLYGON"))
+        fail(wkt, "only POLYGON((lng lat, ...)) WKT is supported")
+      val open = wkt.indexOf("((")
+      if (open < 0 || !wkt.endsWith("))")) fail(wkt, "malformed POLYGON body")
+      val body = wkt.substring(open + 2, wkt.length - 2)
+      if (body.contains(")"))
+        fail(wkt, "multi-ring polygons (holes) are not supported — outer ring only")
+      val ring = parseRing(wkt, body)
+      if (ring.length < 4) fail(wkt, "a POLYGON ring needs at least 4 vertices (closed)")
+      if (ring.head.getDouble(0) != ring.last.getDouble(0) ||
+        ring.head.getDouble(1) != ring.last.getDouble(1))
+        fail(wkt, "the POLYGON ring must be closed (first vertex = last)")
+      new GenericArrayData(ring.asInstanceOf[Array[Any]])
+    }
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geogFromText", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GeogFromText =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -2185,7 +2330,16 @@ object native {
     ("graft_st_geohash",
       "graft_st_geohash(lng, lat, n) - geohash base32 cell id, n chars (ST_GEOHASH)",
       es => { arity("graft_st_geohash", es, 3)
-        StGeohash(es.head, es(1), constInt("graft_st_geohash", es, 2)) }))
+        StGeohash(es.head, es(1), constInt("graft_st_geohash", es, 2)) }),
+    ("graft_st_astext",
+      "graft_st_astext(g) - WKT of a point STRUCT or line/ring ARRAY carrier (ST_ASTEXT)",
+      es => { arity("graft_st_astext", es, 1); GeogAsText(es.head) }),
+    ("graft_st_linefromtext",
+      "graft_st_linefromtext(wkt) - LINESTRING WKT to the ARRAY<STRUCT<lng, lat>> carrier (ST_LINEFROMTEXT)",
+      es => { arity("graft_st_linefromtext", es, 1); GeogFromText(es.head, polygon = false) }),
+    ("graft_st_polyfromtext",
+      "graft_st_polyfromtext(wkt) - single-ring POLYGON WKT to the closed ARRAY carrier (ST_POLYGONFROMTEXT)",
+      es => { arity("graft_st_polyfromtext", es, 1); GeogFromText(es.head, polygon = true) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -406,7 +406,7 @@ private[graft] object Functions {
       "ST_INTERSECTION", "ST_DIFFERENCE", "ST_CENTROID", "ST_MAKELINE",
       "ST_MAKEPOLYGON", "ST_GEOHASH", "ST_SNAPTOGRID", "ST_SIMPLIFY",
       "ST_NUMPOINTS", "ST_DUMP", "ST_CLOSESTPOINT", "ST_BOUNDINGBOX",
-      "ST_MAXDISTANCE", "ST_CONVEXHULL",
+      "ST_MAXDISTANCE", "ST_CONVEXHULL", "ST_LINEFROMTEXT", "ST_POLYGONFROMTEXT",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
@@ -629,6 +629,59 @@ private[graft] object Functions {
       val dlng = s"sin(radians(((${b}).lng - (${a}).lng) / 2.0D))"
       s"(2.0D * 6371010.0D * asin(sqrt($dlat * $dlat + " +
         s"cos(radians((${a}).lat)) * cos(radians((${b}).lat)) * $dlng * $dlng)))"
+    }
+    // ── non-point geography (round 15): folds over the
+    // ARRAY<STRUCT<lng, lat>> line/ring carrier. All three are
+    // LEFT-TO-RIGHT aggregate() folds of correctly-rounded IEEE
+    // arithmetic plus the same libm names the point core uses
+    // (sin/cos/asin) — a DuckDB oracle spelling the identical fold
+    // stays within ~1e-9 relative, which integer metric buckets
+    // absorb. The fold is O(vertices) per row, map-only.
+    //
+    // sum of haversine segment lengths (ST_LENGTH on a linestring,
+    // ST_PERIMETER on a closed ring — BigQuery defines both as the
+    // geodesic boundary length; a sub-2-vertex array is 0)
+    def stSegmentSum(g: String): String = {
+      val a = s"element_at(($g), i)"
+      val b = s"element_at(($g), i + 1)"
+      s"(CASE WHEN size(($g)) < 2 THEN CAST(0.0 AS DOUBLE) ELSE " +
+        s"aggregate(sequence(1, size(($g)) - 1), CAST(0.0 AS DOUBLE), " +
+        s"(acc, i) -> acc + ${stHaversine(a, b)}) END)"
+    }
+    // spherical shoelace (Chamberlain–Duquette, JPL pub. 07-03): the
+    // signed-area fold |Σ Δλ·(2 + sin φᵢ + sin φᵢ₊₁)|·R²/2 over the
+    // closed ring, with Δλ wrapped into [-π, π] through a floor()
+    // (antimeridian-crossing edges take the short way, like BigQuery;
+    // floor is IEEE-exact so the wrap replays). Exact for constant-
+    // latitude edges, a small-polygon approximation of BigQuery's S2
+    // geodesic edges otherwise — stated in SURVEY §2.
+    def stAreaText(p: String): String = {
+      val la = s"radians(element_at(($p), i).lng)"
+      val lb = s"radians(element_at(($p), i + 1).lng)"
+      val dl = s"($lb - $la)"
+      val dln = s"($dl - 2.0D * pi() * floor($dl / (2.0D * pi()) + 0.5D))"
+      val term = s"$dln * (2.0D + sin(radians(element_at(($p), i).lat)) + " +
+        s"sin(radians(element_at(($p), i + 1).lat)))"
+      s"(CASE WHEN size(($p)) < 4 THEN CAST(0.0 AS DOUBLE) ELSE " +
+        s"abs(aggregate(sequence(1, size(($p)) - 1), CAST(0.0 AS DOUBLE), " +
+        s"(acc, i) -> acc + $term)) * 6371010.0D * 6371010.0D / 2.0D END)"
+    }
+    // even-odd ray cast of a point against the ring, in PLANAR
+    // lng/lat space (BigQuery's edges are geodesics — for the
+    // sub-degree rings this engine's carriers target the planar test
+    // agrees; stated). Strict inequalities: boundary points follow
+    // the ray rule (BigQuery ST_CONTAINS also excludes the boundary).
+    // Pure compare/multiply/divide — bit-exact in any IEEE engine, so
+    // the oracle replays crossing counts EXACTLY, not approximately.
+    def stRayCast(p: String, q: String): String = {
+      val a = s"element_at(($p), i)"
+      val b = s"element_at(($p), i + 1)"
+      s"(CASE WHEN size(($p)) < 4 THEN false ELSE " +
+        s"aggregate(sequence(1, size(($p)) - 1), 0, (acc, i) -> acc + (CASE WHEN " +
+        s"(($a).lat > ($q).lat) != (($b).lat > ($q).lat) AND " +
+        s"($q).lng < (($b).lng - ($a).lng) * (($q).lat - ($a).lat) / " +
+        s"(($b).lat - ($a).lat) + ($a).lng " +
+        s"THEN 1 ELSE 0 END)) % 2 = 1 END)"
     }
     val allNames = BqRenames.keys.toSeq ++ shapeNames
     def unquote(lit: String, ctx: String): String = {
@@ -1921,24 +1974,81 @@ private[graft] object Functions {
         // and DuckDB print the same shortest plain-decimal form —
         // stated; scientific-notation thresholds differ outside it.
         case "ST_GEOGFROMTEXT" =>
-          require(args.size == 1, "ST_GEOGFROMTEXT takes (wkt) — POINT only")
+          require(args.size == 1, "ST_GEOGFROMTEXT takes (wkt) — POINT only; " +
+            "LINESTRING/POLYGON WKT parses through ST_LINEFROMTEXT / ST_POLYGONFROMTEXT " +
+            "(the ARRAY carrier has a different SQL type, so the parse is type-directed)")
           val pat = """(?i)^\\s*POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"""
           def coord(group: Int) =
             s"CASE WHEN (${args(0)}) RLIKE '$pat' " +
               s"THEN CAST(regexp_extract((${args(0)}), '$pat', $group) AS DOUBLE) " +
               s"ELSE CAST(raise_error(concat('ST_GEOGFROMTEXT: only POINT(lng lat) " +
-              s"WKT is supported, got ', (${args(0)}))) AS DOUBLE) END"
+              s"WKT is supported (use ST_LINEFROMTEXT / ST_POLYGONFROMTEXT for the " +
+              s"line and ring carriers), got ', (${args(0)}))) AS DOUBLE) END"
           Some(s"ST_GEOGPOINT(${coord(1)}, ${coord(2)})")
         case "ST_ASTEXT" =>
-          require(args.size == 1, "ST_ASTEXT takes (point)")
-          Some(s"concat('POINT(', CAST((${args(0)}).lng AS STRING), ' ', " +
-            s"CAST((${args(0)}).lat AS STRING), ')')")
+          require(args.size == 1, "ST_ASTEXT takes (geography)")
+          Some(s"graft_st_astext((${args(0)}))")
+        case "ST_LINEFROMTEXT" =>
+          require(args.size == 1, "ST_LINEFROMTEXT takes (wkt)")
+          Some(s"graft_st_linefromtext((${args(0)}))")
+        case "ST_POLYGONFROMTEXT" =>
+          require(args.size == 1, "ST_POLYGONFROMTEXT takes (wkt) — single outer ring")
+          Some(s"graft_st_polyfromtext((${args(0)}))")
+        // non-point constructors and measures on the
+        // ARRAY<STRUCT<lng, lat>> carrier (round 15). Type errors are
+        // ANALYSIS-loud: applying a line measure to a point struct
+        // fails to resolve rather than silently computing.
+        case "ST_MAKELINE" =>
+          require(args.nonEmpty,
+            "ST_MAKELINE takes (point, point, ...) or (array_of_points) — " +
+              "the linestring-concatenation form is not supported")
+          if (args.size == 1) Some(s"(${args(0)})")
+          else Some(s"array(${args.map(a => s"($a)").mkString(", ")})")
+        case "ST_MAKEPOLYGON" =>
+          require(args.size == 1,
+            "ST_MAKEPOLYGON takes (linestring) — holes are not supported")
+          val l = args(0)
+          Some(s"(CASE WHEN size(($l)) < 3 THEN CAST(raise_error(" +
+            s"'ST_MAKEPOLYGON: the ring needs at least 3 vertices') AS " +
+            s"ARRAY<STRUCT<lng: DOUBLE, lat: DOUBLE>>) " +
+            s"WHEN element_at(($l), 1) = element_at(($l), size(($l))) THEN ($l) " +
+            s"ELSE concat(($l), array(element_at(($l), 1))) END)")
+        case "ST_NUMPOINTS" =>
+          require(args.size == 1, "ST_NUMPOINTS takes (line or ring)")
+          Some(s"size((${args(0)}))")
+        case "ST_LENGTH" =>
+          require(args.size == 1, "ST_LENGTH takes (linestring) — the " +
+            "use_spheroid argument is not supported (the spherical model only)")
+          Some(stSegmentSum(args(0)))
+        case "ST_PERIMETER" =>
+          require(args.size == 1, "ST_PERIMETER takes (polygon ring) — the " +
+            "use_spheroid argument is not supported (the spherical model only)")
+          Some(stSegmentSum(args(0)))
+        case "ST_AREA" =>
+          require(args.size == 1, "ST_AREA takes (polygon ring) — the " +
+            "use_spheroid argument is not supported (the spherical model only)")
+          Some(stAreaText(args(0)))
+        case "ST_CONTAINS" =>
+          require(args.size == 2, "ST_CONTAINS takes (polygon ring, point)")
+          Some(stRayCast(args(0), args(1)))
+        case "ST_INTERSECTS" =>
+          require(args.size == 2, "ST_INTERSECTS takes (polygon ring, point) — " +
+            "the interior even-odd test (boundary points follow the ray rule)")
+          Some(stRayCast(args(0), args(1)))
+        case "ST_WITHIN" =>
+          require(args.size == 2, "ST_WITHIN takes (point, polygon ring)")
+          Some(stRayCast(args(1), args(0)))
+        case "ST_DISJOINT" =>
+          require(args.size == 2, "ST_DISJOINT takes (polygon ring, point)")
+          Some(s"(NOT ${stRayCast(args(0), args(1))})")
         case n2 if n2.startsWith("ST_") =>
           throw new IllegalArgumentException(
-            s"$n2: only POINT geography is supported (ST_GEOGPOINT, ST_X, ST_Y, " +
-              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH, ST_GEOGFROMTEXT/ST_ASTEXT on the " +
-              "STRUCT<lng, lat> carrier) — lines, polygons and spatial predicates " +
-              "are not implemented")
+            s"$n2: supported geography is the POINT core (ST_GEOGPOINT, ST_X, ST_Y, " +
+              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH, ST_GEOGFROMTEXT) plus the " +
+              "ARRAY<STRUCT<lng, lat>> line/ring core (ST_MAKELINE, ST_MAKEPOLYGON, " +
+              "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
+              "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +
+              "ST_DISJOINT, ST_ASTEXT) — other spatial verbs are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

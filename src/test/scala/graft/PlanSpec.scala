@@ -400,4 +400,16 @@ class PlanSpec extends SparkSuite {
       assert("Exchange".r.findAllIn(p).size == 1, s"$q shuffles more than the sort:\n$p")
     }
   }
+
+  test("round-15 faces: line/ring geography stays a pruned map-side-combined scan") {
+    // the non-point carriers fold entirely in the projection: a
+    // 2-column pruned scan, partial aggregation before the one
+    // group-by exchange, and no join of any kind
+    for (q <- Seq("q_st_line", "q_st_poly")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), p.take(800))
+      assert(p.contains("partial_count"), s"$q: no map-side partial aggregation")
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(1200)}")
+    }
+  }
 }

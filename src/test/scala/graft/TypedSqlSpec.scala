@@ -3515,9 +3515,78 @@ class TypedSqlSpec extends SparkSuite {
     intercept[Exception](GraftSql.load(spark,
       "SELECT ST_DISTANCE(ST_GEOGPOINT(0, 91), ST_GEOGPOINT(0, 0)) AS d").collect())
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT ST_CONTAINS(a, b) AS c FROM t")).getMessage.contains("POINT"))
+      "SELECT ST_BUFFER(a, 10) AS c FROM t")).getMessage.contains("not implemented"))
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT ST_MAKELINE(a, b) AS g FROM t")).getMessage.contains("POINT"))
+      "SELECT ST_CENTROID(a) AS g FROM t")).getMessage.contains("not implemented"))
+  }
+
+  test("non-point geography: ST_MAKELINE/LENGTH/MAKEPOLYGON/AREA/CONTAINS + WKT round-trips") {
+    val R = 6371010.0
+    // lengths on known great-circle arcs: quarter meridian, then a
+    // 2-segment polyline summing two quarters
+    val len = GraftSql.load(spark,
+      """SELECT ST_LENGTH(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 90))) AS quarter,
+        |       ST_LENGTH(ST_MAKELINE(ST_GEOGPOINT(0, -90), ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 90))) AS half,
+        |       ST_NUMPOINTS(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 1), ST_GEOGPOINT(2, 0))) AS np,
+        |       ST_LENGTH(ST_MAKELINE(array(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(90, 0)))) AS arrform""".stripMargin).head()
+    assert(math.abs(len.getDouble(0) - math.Pi * R / 2) < 1e-3)
+    assert(math.abs(len.getDouble(1) - math.Pi * R) < 1e-3)
+    assert(len.getInt(2) == 3)
+    assert(math.abs(len.getDouble(3) - math.Pi * R / 2) < 1e-3)
+    // ST_MAKEPOLYGON closes an open ring; ST_PERIMETER sums it
+    val quad = "ST_MAKEPOLYGON(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(2, 0), " +
+      "ST_GEOGPOINT(2, 2), ST_GEOGPOINT(0, 2)))"
+    val poly = GraftSql.load(spark,
+      s"""SELECT ST_NUMPOINTS($quad) AS np,
+         |       ST_AREA($quad) AS area,
+         |       ST_PERIMETER($quad) AS perim,
+         |       ST_CONTAINS($quad, ST_GEOGPOINT(1, 1)) AS inside,
+         |       ST_CONTAINS($quad, ST_GEOGPOINT(3, 1)) AS outside,
+         |       ST_INTERSECTS($quad, ST_GEOGPOINT(0.1, 0.1)) AS corner_in,
+         |       ST_WITHIN(ST_GEOGPOINT(1, 1), $quad) AS within_in,
+         |       ST_DISJOINT($quad, ST_GEOGPOINT(3, 1)) AS disj""".stripMargin).head()
+    assert(poly.getInt(0) == 5)
+    // 2°×2° band at the equator: exactly R²·Δλ·(sin 2° − sin 0) on
+    // the spherical shoelace (constant-lat edges are exact)
+    val expected = R * R * (2 * math.Pi / 180) * math.sin(math.toRadians(2))
+    assert(math.abs(poly.getDouble(1) - expected) / expected < 1e-12)
+    assert(poly.getDouble(2) > 4 * 111000 * 2 * 0.98 && poly.getDouble(2) < 4 * 111320 * 2)
+    assert(poly.getBoolean(3) && !poly.getBoolean(4) && poly.getBoolean(5))
+    assert(poly.getBoolean(6) && poly.getBoolean(7))
+    // a NON-CONVEX ring (arrow): the notch point is outside
+    val arrow = "ST_MAKEPOLYGON(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(4, 0), " +
+      "ST_GEOGPOINT(4, 4), ST_GEOGPOINT(2, 1), ST_GEOGPOINT(0, 4)))"
+    val nc = GraftSql.load(spark,
+      s"""SELECT ST_CONTAINS($arrow, ST_GEOGPOINT(2, 2)) AS notch,
+         |       ST_CONTAINS($arrow, ST_GEOGPOINT(0.5, 0.5)) AS lobe""".stripMargin).head()
+    assert(!nc.getBoolean(0) && nc.getBoolean(1))
+    // hemisphere ring along the equator (4 antimeridian-wrapped
+    // constant-lat edges): area 2πR², perimeter 2πR
+    val hemi = "ST_MAKEPOLYGON(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(90, 0), " +
+      "ST_GEOGPOINT(180, 0), ST_GEOGPOINT(-90, 0)))"
+    val h = GraftSql.load(spark,
+      s"SELECT ST_AREA($hemi) AS a, ST_PERIMETER($hemi) AS p").head()
+    assert(math.abs(h.getDouble(0) - 2 * math.Pi * R * R) / (2 * math.Pi * R * R) < 1e-12)
+    assert(math.abs(h.getDouble(1) - 2 * math.Pi * R) < 1e-3)
+    // WKT: render + exact parse round-trip for both carriers
+    val wkt = GraftSql.load(spark,
+      s"""SELECT ST_ASTEXT(ST_MAKELINE(ST_GEOGPOINT(-5.6, 42.6), ST_GEOGPOINT(10.25, -3.5))) AS lt,
+         |       ST_ASTEXT($quad) AS pt,
+         |       ST_LINEFROMTEXT('LINESTRING(-5.6 42.6, 10.25 -3.5)') =
+         |         ST_MAKELINE(ST_GEOGPOINT(-5.6, 42.6), ST_GEOGPOINT(10.25, -3.5)) AS lrt,
+         |       ST_POLYGONFROMTEXT(ST_ASTEXT($quad)) = $quad AS prt,
+         |       ST_ASTEXT(ST_GEOGPOINT(-5.6, 42.6)) AS ptx""".stripMargin).head()
+    assert(wkt.getString(0) == "LINESTRING(-5.6 42.6, 10.25 -3.5)")
+    assert(wkt.getString(1) == "POLYGON((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    assert(wkt.getBoolean(2) && wkt.getBoolean(3))
+    assert(wkt.getString(4) == "POINT(-5.6 42.6)")
+    // louds: open-ring polygon WKT, holes, degenerate MAKEPOLYGON
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 1 1))') AS g").collect())
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT ST_POLYGONFROMTEXT('POLYGON((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 2 2, 1 1))') AS g").collect())
+    intercept[Exception](GraftSql.load(spark,
+      "SELECT ST_MAKEPOLYGON(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 1))) AS g").collect())
   }
 
   test("PARSE_NUMERIC / PARSE_BIGNUMERIC and their SAFE forms") {
