@@ -4862,6 +4862,7 @@ object GraftSql {
     var replacedFieldPaths = false; var replacedRowPolicies = false
     var replacedSearchIdx = false; var replacedVectorIdx = false
     var replacedRoutines = false; var replacedModels = false
+    var replacedSchemata = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
@@ -4911,10 +4912,13 @@ object GraftSql {
         } else if (upper.startsWith("MODELS", rest) &&
           (rest + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 6)) && sql.charAt(rest + 6) != '_')) {
           out ++= "__information_schema_models"; replacedModels = true; i = rest + 6
+        } else if (upper.startsWith("SCHEMATA", rest) &&
+          (rest + 8 >= sql.length || !Character.isLetterOrDigit(sql.charAt(rest + 8)) && sql.charAt(rest + 8) != '_')) {
+          out ++= "__information_schema_schemata"; replacedSchemata = true; i = rest + 8
         } else throw new IllegalArgumentException(
           "only INFORMATION_SCHEMA.TABLES, .COLUMNS, .PARTITIONS, .TABLE_OPTIONS, " +
             ".TABLE_CONSTRAINTS, .KEY_COLUMN_USAGE, .COLUMN_FIELD_PATHS, " +
-            ".ROW_ACCESS_POLICIES, .VIEWS, .SEARCH_INDEXES, " +
+            ".ROW_ACCESS_POLICIES, .VIEWS, .SCHEMATA, .SEARCH_INDEXES, " +
             ".VECTOR_INDEXES, .ROUTINES and .MODELS are available (a session " +
             "catalog has no jobs metadata)")
       } else { out += c; i += 1 }
@@ -4941,7 +4945,26 @@ object GraftSql {
       routinesView(spark).createOrReplaceTempView("__information_schema_routines")
     if (replacedModels)
       graft.sql.Models.modelsView(spark).createOrReplaceTempView("__information_schema_models")
+    if (replacedSchemata)
+      schemataView(spark).createOrReplaceTempView("__information_schema_schemata")
     out.toString
+  }
+
+  /** INFORMATION_SCHEMA.SCHEMATA — BigQuery's dataset listing. A
+    * session catalog has exactly ONE dataset (the session scope every
+    * other metadata view reports as table_schema = 'session'), so the
+    * view is that single row in BigQuery's column shape; the
+    * timestamps are NULL (a session has no persisted creation time —
+    * stated, and it keeps the row deterministic for the oracle).
+    */
+  private def schemataView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("graft", "session", null: String, "graft-session"))
+      .toDF("catalog_name", "schema_name", "schema_owner", "location")
+      .withColumn("creation_time",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+      .withColumn("last_modified_time",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp"))
   }
 
   /** INFORMATION_SCHEMA.SEARCH_INDEXES — this session's A44 indexes

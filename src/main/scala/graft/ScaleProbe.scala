@@ -197,6 +197,37 @@ object ScaleProbe {
       return
     }
 
+    // --fuzzy: C15 fuzzy edit-distance join at 1× vs 10× names under
+    // the WORST-case prefix skew (every supplier name shares the
+    // 'Supplier#0000' boilerplate prefix — exactly the blowup the
+    // Ed-Join kq+1-rarest-grams prefix filter exists to kill).
+    // Replicas perturb the tail so they are near-dups, not exact
+    // dups: output pairs grow with input, candidates must not grow
+    // quadratically. The replica dirs carry no supplier table, so the
+    // fixture builds in-memory from sfDir.
+    if (args.headOption.contains("--fuzzy")) {
+      import graft.operators.Dedup
+      def names(mult: Int): DataFrame = {
+        val s0 = graft.sources.Tables.supplier(spark, sfDir)
+          .select(F.col("s_suppkey").as("id0"), F.col("s_name").as("nm"))
+        (0 until mult).map { i =>
+          s0.select((F.col("id0") + F.lit(i * 10000000L)).as("id"),
+            (if (i == 0) F.col("nm")
+             else F.concat(F.col("nm"), F.lit((i % 10).toString))).as("nm"))
+        }.reduce(_ unionByName _)
+      }
+      def probe(mult: Int): Double = {
+        val df = names(mult)
+        time(force(Dedup.editDistancePairs(df, "id", "nm", maxDist = 1)))
+      }
+      probe(1) // warmup
+      val f1 = probe(1)
+      val f10 = probe(10)
+      println(f"""{"probe":"scale_fuzzy","ops":[{"op":"dedup_fuzzy_pairs_skew","base_sec":$f1%.2f,"x10_sec":$f10%.2f}]}""")
+      spark.stop()
+      return
+    }
+
     // --x50 [ops...]: the decade-further probe — 50× docs/vectors,
     // default = the three heaviest doc families from the 10× table
     if (args.headOption.contains("--x50")) {
@@ -259,10 +290,13 @@ object ScaleProbe {
       "text_unigram_seed", "text_unigram_tokens",
       // round-14: soft dedup (cluster map join + map-only threshold —
       // the slope tracks dedup_clusters' components cost above it).
-      // dedup_fuzzy_pairs is absent: the replica dir carries no
-      // supplier table; its scale shape (prefix-filtered equi-join) is
-      // PlanSpec-pinned instead
-      "sample_soft_dedup")
+      // dedup_fuzzy_pairs is absent from THIS list: the replica dir
+      // carries no supplier table — its 10× skewed-prefix slope runs
+      // under the dedicated --fuzzy probe above
+      "sample_soft_dedup",
+      // round-15: geography folds over 20× events — map-only scans
+      // whose slope must track the row count, nothing else
+      "q_st_point", "q_st_line", "q_st_poly")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

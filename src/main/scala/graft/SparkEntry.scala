@@ -213,13 +213,19 @@ object SparkEntry {
     * replay directly. Early exhaustion matches: an empty round leaves
     * the state unchanged and contributes no row.
     */
-  private[graft] def bpeTrainOracleSql(rounds: Int): String = {
+  private[graft] def bpeTrainOracleSql(rounds: Int, byteLevel: Boolean = false): String = {
+    // byte level: round-0 symbols are the word's UTF-8 bytes as
+    // fixed-width hex pairs — hex(encode(w)) chunked by twos replays
+    // Spark's substr(hex(CAST(w AS BINARY))) tokens exactly
+    val s0 =
+      if (byteLevel) """s0 AS (SELECT '~~' || regexp_replace(hex(encode(w)), '(..)', '\1~~', 'g') AS s, n FROM words)"""
+      else """s0 AS (SELECT '~~' || regexp_replace(w, '(.)', '\1~~', 'g') AS s, n FROM words)"""
     val head =
       """WITH w0 AS (SELECT unnest(list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
         |  FROM documents),
         |words AS (SELECT w, COUNT(*) AS n FROM w0 GROUP BY w),
-        |s0 AS (SELECT '~~' || regexp_replace(w, '(.)', '\1~~', 'g') AS s, n FROM words)""".stripMargin
+        |""".stripMargin + s0
     val roundsSql = (1 to rounds).map { i =>
       s"""p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(n) AS BIGINT) AS w
          |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
@@ -856,16 +862,24 @@ object SparkEntry {
           |        ivf_options = '{"num_lists": 4}')""".stripMargin)
       graft.GraftSql.load(s,
         "CREATE OR REPLACE TEMP FUNCTION ism_twice(x INT64) RETURNS INT64 AS (x * 2)")
+      // round 15: the VIEWS definition text and the single-dataset
+      // SCHEMATA row join the same one-row metadata gate
+      graft.GraftSql.load(s,
+        "CREATE OR REPLACE VIEW ism_view AS SELECT doc_id FROM ism_docs")
       graft.GraftSql.load(s,
         """SELECT si.index_name, si.table_name, si.analyzer,
           |       vi.index_name AS v_name, vi.column_name, vi.index_type,
           |       vi.distance_type, CAST(vi.num_lists AS BIGINT) AS num_lists,
-          |       r.routine_name, r.routine_type, r.data_type, r.routine_definition
+          |       r.routine_name, r.routine_type, r.data_type, r.routine_definition,
+          |       w.table_name AS view_name, w.view_definition, w.use_standard_sql,
+          |       sc.catalog_name, sc.schema_name, sc.location
           |FROM INFORMATION_SCHEMA.SEARCH_INDEXES si
           |CROSS JOIN INFORMATION_SCHEMA.VECTOR_INDEXES vi
           |CROSS JOIN INFORMATION_SCHEMA.ROUTINES r
+          |CROSS JOIN INFORMATION_SCHEMA.VIEWS w
+          |CROSS JOIN INFORMATION_SCHEMA.SCHEMATA sc
           |WHERE si.index_name = 'ism_sidx' AND vi.index_name = 'ism_vidx'
-          |  AND r.routine_name = 'ism_twice'""".stripMargin)
+          |  AND r.routine_name = 'ism_twice' AND w.table_name = 'ism_view'""".stripMargin)
     }),
 
     // A54 driver face (round 14): OPTIONS(...) metadata on CREATE
@@ -893,6 +907,58 @@ object SparkEntry {
           |JOIN INFORMATION_SCHEMA.TABLES t ON t.table_name = o.table_name
           |WHERE o.table_name IN ('topt_daily', 'topt_view')
           |ORDER BY o.table_name, o.option_name""".stripMargin)
+    }),
+
+    // A20/A30/A42 driver face (round 15): the DDL/DML lifecycle verbs
+    // that were spec-only — ALTER TABLE ADD/RENAME/DROP COLUMN, UPDATE,
+    // DELETE, DROP TABLE, TRUNCATE — gated through one content +
+    // metadata hash: the surviving rows of the mutated table aggregate
+    // under the hash beside the INFORMATION_SCHEMA.COLUMNS shape
+    // (names, ordinals, BigQuery type names) after the column surgery,
+    // a TABLES probe proving the dropped table is GONE, and a count
+    // proving TRUNCATE emptied its target. The oracle replays the
+    // whole lifecycle as plain relational algebra over events.
+    "sql_ddl_lifecycle" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ddl_events")
+      // ALTER/UPDATE/DELETE/TRUNCATE persist through the Versioned
+      // commit path (on an unregistered target the verbs keep their
+      // pure snapshot-return contract and would not compose)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ddl_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ts = Some(graft.GraftSql.parseTsLiteralUs("2024-01-01 00:00:00"))
+      for ((name, dir) <- Seq("ddl_t" -> s"$base/t", "ddl_trunc" -> s"$base/trunc")) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val df =
+          if (name == "ddl_t")
+            Tables.events(s, d).select(F.col("event_id"), F.col("user_id"),
+              F.col("event_type"),
+              ((F.col("user_id") * 13 + F.col("event_id")) % 100).cast("long").as("v"))
+          else Tables.events(s, d).filter(F.col("event_id") % 2 === 0).select("event_id")
+        graft.sources.Versioned.overwrite(df, dir, ts)
+        graft.sources.Versioned.register(s, name, dir)
+      }
+      graft.GraftSql.load(s, "ALTER TABLE ddl_t ADD COLUMN flag STRING")
+      graft.GraftSql.load(s, "UPDATE ddl_t SET flag = 'hi' WHERE v >= 50")
+      graft.GraftSql.load(s, "DELETE FROM ddl_t WHERE v % 7 = 0")
+      graft.GraftSql.load(s, "ALTER TABLE ddl_t RENAME COLUMN event_type TO etype")
+      graft.GraftSql.load(s, "ALTER TABLE ddl_t DROP COLUMN user_id")
+      graft.GraftSql.load(s, "CREATE OR REPLACE TABLE ddl_gone AS SELECT 1 AS x")
+      graft.GraftSql.load(s, "DROP TABLE ddl_gone")
+      graft.GraftSql.load(s, "TRUNCATE TABLE ddl_trunc")
+      graft.GraftSql.load(s,
+        """SELECT c.column_name, CAST(c.ordinal_position AS BIGINT) AS pos, c.data_type,
+          |       s.n, s.hi_n, s.v_sum, s.gone_n, s.trunc_n
+          |FROM INFORMATION_SCHEMA.COLUMNS c
+          |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |                   CAST(SUM(CASE WHEN flag = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS hi_n,
+          |                   CAST(SUM(v) AS BIGINT) AS v_sum,
+          |                   (SELECT CAST(COUNT(*) AS BIGINT) FROM INFORMATION_SCHEMA.TABLES
+          |                    WHERE table_name = 'ddl_gone') AS gone_n,
+          |                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ddl_trunc) AS trunc_n
+          |            FROM ddl_t) s
+          |WHERE c.table_name = 'ddl_t'
+          |ORDER BY pos""".stripMargin)
     }),
 
     // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
@@ -1867,6 +1933,14 @@ object SparkEntry {
     "text_bpe_vocab" -> ((s, d) => {
       graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10)
         .orderBy("rank")
+    }),
+    // E9b (round 15): BYTE-level BPE training — the GPT-2-family
+    // production regime (UTF-8 bytes as fixed-width hex tokens, byte
+    // fallback by construction). Same batched trainer, same oracle
+    // replay with hex(encode(w)) as the round-0 symbol string
+    "text_bpe_bytes" -> ((s, d) => {
+      graft.operators.Bpe.mergeTable(Tables.documents(s, d), "text", rounds = 10,
+        byteLevel = true).orderBy("rank")
     }),
     // E25 (round 11): unigram-LM tokenizer, the SentencePiece
     // algorithm beside E9's BPE. The SEED half is pure relational
@@ -2862,6 +2936,11 @@ object SparkEntry {
     // as the grouping key, diff-to-midnight sums, formatted min, and
     // 90-minute wrap adds; DuckDB replays everything as exact
     // micros-of-day integer arithmetic rendered through printf
+    // round 15 adds the civil constructors to the vector: the 6-part
+    // DATETIME (make_timestamp_ntz), the 3-part TIME and
+    // TIMESTAMP(date) — each per-row from ids so every group hashes
+    // constructed values, replayed in DuckDB via make_timestamp /
+    // printf / the date→timestamp cast
     "q_time_ops" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("time_events")
       graft.GraftSql.load(s,
@@ -2869,7 +2948,14 @@ object SparkEntry {
           |       COUNT(*) AS n,
           |       CAST(SUM(TIME_DIFF(TIME(ts), TIME '00:00:00', SECOND)) AS BIGINT) AS sec_sum,
           |       MIN(FORMAT_TIME('%H:%M:%S', TIME(ts))) AS t_min,
-          |       MAX(FORMAT_TIME('%H:%M:%S', TIME_ADD(TIME(ts), INTERVAL 90 MINUTE))) AS t_add_max
+          |       MAX(FORMAT_TIME('%H:%M:%S', TIME_ADD(TIME(ts), INTERVAL 90 MINUTE))) AS t_add_max,
+          |       MIN(DATETIME(2024, 3, CAST(user_id % 28 AS BIGINT) + 1,
+          |                    CAST(event_id % 24 AS BIGINT), CAST(user_id % 60 AS BIGINT),
+          |                    CAST(event_id % 60 AS BIGINT))) AS dt6_min,
+          |       MAX(FORMAT_TIME('%H:%M:%S',
+          |                       TIME(CAST(event_id % 24 AS BIGINT), CAST(user_id % 60 AS BIGINT),
+          |                            CAST(event_id % 60 AS BIGINT)))) AS t3_max,
+          |       MIN(TIMESTAMP(DATE(ts))) AS day_start
           |FROM time_events
           |GROUP BY hr ORDER BY hr""".stripMargin)
     }),
@@ -4613,7 +4699,34 @@ object SparkEntry {
           |       'embedding' AS column_name, 'IVF' AS index_type,
           |       'COSINE' AS distance_type, CAST(4 AS BIGINT) AS num_lists,
           |       'ism_twice' AS routine_name, 'FUNCTION' AS routine_type,
-          |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition""".stripMargin,
+          |       'BIGINT' AS data_type, '(x * 2)' AS routine_definition,
+          |       'ism_view' AS view_name,
+          |       'SELECT doc_id FROM ism_docs' AS view_definition,
+          |       'YES' AS use_standard_sql,
+          |       'graft' AS catalog_name, 'session' AS schema_name,
+          |       'graft-session' AS location""".stripMargin,
+      // the DDL lifecycle replays as plain relational algebra: the
+      // UPDATE is the CASE projection, the DELETE the filter, the
+      // column surgery a fixed VALUES shape, and the drop/truncate
+      // probes are literal zeros (the objects must not exist / be
+      // empty when the Spark side hashes)
+      "sql_ddl_lifecycle" ->
+        """WITH t AS (SELECT event_id, user_id,
+          |             CAST((user_id * 13 + event_id) % 100 AS BIGINT) AS v FROM events),
+          |r AS (SELECT * FROM t WHERE v % 7 <> 0),
+          |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |             CAST(SUM(CASE WHEN v >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS hi_n,
+          |             CAST(SUM(v) AS BIGINT) AS v_sum,
+          |             CAST(0 AS BIGINT) AS gone_n, CAST(0 AS BIGINT) AS trunc_n
+          |      FROM r)
+          |SELECT col.column_name, col.pos, col.data_type,
+          |       s.n, s.hi_n, s.v_sum, s.gone_n, s.trunc_n
+          |FROM (VALUES ('event_id', CAST(1 AS BIGINT), 'INT64'),
+          |             ('etype', CAST(2 AS BIGINT), 'STRING'),
+          |             ('v', CAST(3 AS BIGINT), 'INT64'),
+          |             ('flag', CAST(4 AS BIGINT), 'STRING'))
+          |     AS col(column_name, pos, data_type)
+          |CROSS JOIN s ORDER BY pos""".stripMargin,
       // row policies replay as WHERE clauses: OR of actives, then the
       // single survivor
       "sql_row_policy" ->
@@ -5767,15 +5880,21 @@ object SparkEntry {
       // time-of-day replays as exact micros-of-day integer folds
       // rendered through printf (epoch_us % 86400000000)
       "q_time_ops" ->
-        """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS m FROM events),
-          |c AS (SELECT m, (m + 5400000000) % 86400000000 AS m2 FROM b)
+        """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS m,
+          |                  user_id, event_id, CAST(ts AS TIMESTAMP) AS tts FROM events),
+          |c AS (SELECT *, (m + 5400000000) % 86400000000 AS m2 FROM b)
           |SELECT printf('%02d:00:00', m // 3600000000) AS hr,
           |       COUNT(*) AS n,
           |       CAST(SUM(m // 1000000) AS BIGINT) AS sec_sum,
           |       MIN(printf('%02d:%02d:%02d', m // 3600000000,
           |                  (m % 3600000000) // 60000000, (m % 60000000) // 1000000)) AS t_min,
           |       MAX(printf('%02d:%02d:%02d', m2 // 3600000000,
-          |                  (m2 % 3600000000) // 60000000, (m2 % 60000000) // 1000000)) AS t_add_max
+          |                  (m2 % 3600000000) // 60000000, (m2 % 60000000) // 1000000)) AS t_add_max,
+          |       MIN(make_timestamp(2024, 3, CAST(user_id % 28 + 1 AS BIGINT),
+          |                          CAST(event_id % 24 AS BIGINT), CAST(user_id % 60 AS BIGINT),
+          |                          CAST(event_id % 60 AS DOUBLE))) AS dt6_min,
+          |       MAX(printf('%02d:%02d:%02d', event_id % 24, user_id % 60, event_id % 60)) AS t3_max,
+          |       MIN(CAST(CAST(tts AS DATE) AS TIMESTAMP)) AS day_start
           |FROM c GROUP BY hr ORDER BY hr""".stripMargin,
       // printf bytes replay via DuckDB's C-style printf; LAST_DAY
       // parts via last_day + month/year arithmetic
@@ -7762,6 +7881,7 @@ object SparkEntry {
       // DuckDB re-trains vanilla sequential BPE from scratch — see
       // bpeTrainOracleSql's scaladoc for why batched ≡ sequential
       "text_bpe_vocab" -> bpeTrainOracleSql(10),
+      "text_bpe_bytes" -> bpeTrainOracleSql(10, byteLevel = true),
       // E25's hash half: the unigram seed table is a pure substring
       // stream over the word-frequency dict — DuckDB replays it with
       // two range unnests; integer weights, total (weight, piece)

@@ -50,7 +50,8 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, rounds: Int,
             checkpointDir: Option[String] = None,
-            stageEvery: Int = 5, batch: Int = 32): Seq[(String, String, Long)] = {
+            stageEvery: Int = 5, batch: Int = 32,
+            byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     require(stageEvery > 0, s"stageEvery must be positive, got $stageEvery")
     require(batch > 0, s"batch must be positive, got $batch")
@@ -65,8 +66,7 @@ object Bpe {
     // needs the plan to actually truncate here (round 11; the first
     // round-trip used to pay the corpus scan once per aggregation)
     var symbols = Staging.stage(
-      words.select(
-        F.array_remove(F.split(F.col("__w"), ""), "").as("__sym"), F.col("__n")),
+      words.select(initialSymbols(byteLevel).as("__sym"), F.col("__n")),
       checkpointDir.map(d => s"$d/bpe"), "dict")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var trips = 0 // driver round-trips, for the staging cadence
@@ -95,6 +95,23 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** The initial symbol array of a dictionary word (column `__w`).
+    * Char level splits to characters; BYTE level (round 15 — the
+    * GPT-2-family production regime, with byte fallback by
+    * construction) splits the word's UTF-8 bytes, each carried as its
+    * fixed-width 2-hex-digit token. Fixed width makes plain string
+    * concatenation (`a + b`, what MergePairs/ApplyBpe and the merged
+    * column already do) EXACTLY byte-sequence concatenation — the
+    * whole char-level merge machinery, batching proof included, lifts
+    * unchanged, and the DuckDB oracle replays hex(encode(w)) the same
+    * way it replays the char split. Upper-case hex on both engines.
+    */
+  private def initialSymbols(byteLevel: Boolean): org.apache.spark.sql.Column =
+    if (byteLevel)
+      F.expr("transform(sequence(1, octet_length(__w)), " +
+        "i -> substr(hex(CAST(__w AS BINARY)), 2 * i - 1, 2))")
+    else F.array_remove(F.split(F.col("__w"), ""), "")
 
   /** The next batch of merges, EXACTLY the pairs vanilla one-at-a-time
     * BPE would pick next, in its order. One aggregation over adjacent
@@ -163,10 +180,11 @@ object Bpe {
     * surface.
     */
   def mergeTable(docs: DataFrame, textCol: String, rounds: Int,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, textCol, rounds, checkpointDir).zipWithIndex
+    train(docs, textCol, rounds, checkpointDir, byteLevel = byteLevel).zipWithIndex
       .map { case ((a, b, w), i) => (i + 1, a, b, a + b, w) }
       .toDF("rank", "left", "right", "merged", "weight")
   }

@@ -798,11 +798,18 @@ private[graft] object Functions {
             Some(s"CAST(from_utc_timestamp((${args(0)}), (${args(1)})) AS DATE)")
           }
         case "DATETIME" =>
-          // no Spark native to pass through to — both arities rewrite
-          require(args.size == 1 || args.size == 2,
-            "DATETIME takes (timestamp[, timezone]) — the 6-part civil " +
-              "constructor is not supported; spell it make_timestamp_ntz(...)")
-          if (args.size == 2)
+          // no Spark native to pass through to — every arity rewrites.
+          // The 6-part civil constructor (round 15) is exactly Spark's
+          // make_timestamp_ntz; the 2-arg form stays (timestamp,
+          // timezone) — BigQuery's (date, time) overload would need
+          // type dispatch the textual rewriter cannot do (stated)
+          require(args.size == 1 || args.size == 2 || args.size == 6,
+            "DATETIME takes (timestamp[, timezone]) or the 6-part civil " +
+              "constructor (year, month, day, hour, minute, second) — " +
+              "the (date, time) overload is not supported")
+          if (args.size == 6)
+            Some(s"make_timestamp_ntz(${args.map(a => s"($a)").mkString(", ")})")
+          else if (args.size == 2)
             Some(s"CAST(from_utc_timestamp((${args(0)}), (${args(1)})) AS TIMESTAMP_NTZ)")
           else Some(s"CAST((${args(0)}) AS TIMESTAMP_NTZ)")
         case "TIMESTAMP" =>

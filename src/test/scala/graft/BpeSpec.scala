@@ -62,6 +62,26 @@ class BpeSpec extends SparkSuite {
     assert(got.nonEmpty, "corpus should yield at least one merge")
   }
 
+  test("byte-level train: hex-renamed char table on ASCII, UTF-8 byte split beyond it") {
+    import spark.implicits._
+    // pure-ASCII corpus: byte-level BPE IS char-level BPE under the
+    // 2-hex renaming (1 char = 1 byte), so the tables must agree
+    // merge for merge after mapping chars to their hex bytes
+    val ascii = Seq.fill(6)("the cat sat on the mat").toDF("text")
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    val chars = Bpe.train(ascii, "text", rounds = 8)
+    val bytes = Bpe.train(ascii, "text", rounds = 8, byteLevel = true)
+    assert(bytes == chars.map { case (a, b, w) => (hexOf(a), hexOf(b), w) },
+      s"\nchar: $chars\nbyte: $bytes")
+    // multi-byte chars split into their UTF-8 bytes: 'éé' repeated
+    // makes (C3, A9) the top pair — a merge INSIDE one character,
+    // exactly what byte fallback means
+    val multi = Seq.fill(4)("éé zz").toDF("text")
+    val m = Bpe.train(multi, "text", rounds = 1, byteLevel = true)
+    assert(m.head._1 == "C3" && m.head._2 == "A9", m.toString)
+  }
+
   test("batched rounds equal one-at-a-time exactly on a conflict-heavy corpus") {
     import spark.implicits._
     // overlapping-symbol chains — the top pairs share symbols ((a,b)

@@ -2077,6 +2077,16 @@ class TypedSqlSpec extends SparkSuite {
     // the 2-arg form is TIME(ts, tz) — the named zone's wall clock
     assert(one("TIME(TIMESTAMP '2024-01-01 23:30:00', 'Asia/Tokyo')")
       .getAs[java.time.LocalDateTime](0).toString.startsWith("1970-01-01T08:30"))
+    // the 6-part civil DATETIME constructor (round 15) lands on the
+    // _NTZ carrier; the (date, time) overload stays loud
+    assert(one("DATETIME(2024, 2, 29, 23, 5, 7)")
+      .getAs[java.time.LocalDateTime](0).toString == "2024-02-29T23:05:07")
+    assert(one("DATETIME(2024, 2, 29, 23, 5, 7) = TIMESTAMP_NTZ '2024-02-29 23:05:07'")
+      .getBoolean(0))
+    assert(bad("DATETIME(DATE '2024-01-01', TIME '10:00:00', 'x')").contains("6-part"))
+    // TIMESTAMP(date): midnight of the civil date as the UTC instant
+    assert(one("TIMESTAMP(DATE '2024-07-04') = TIMESTAMP '2024-07-04 00:00:00'")
+      .getBoolean(0))
   }
 
   test("FORMAT / ERROR / LAST_DAY: the everyday scalar verbs") {
@@ -3218,13 +3228,13 @@ class TypedSqlSpec extends SparkSuite {
     assert(ex.getDate(1).toString == "2024-04-01")
     // Jan 6 23:30 UTC is Jan 7 in Tokyo — a Sunday, starting BQ week 1
     assert(ex.getAs[Number](2).intValue == 1)
-    // louds: tz on the DATE/DATETIME_TRUNC forms, 6-part DATETIME
+    // loud: tz on the DATE/DATETIME_TRUNC forms; the 6-part DATETIME
+    // constructor is implemented since round 15 (civil constructors)
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT DATE_TRUNC(DATE '2024-01-01', DAY, 'Europe/Paris') AS x"))
       .getMessage.contains("TIMESTAMP_TRUNC only"))
-    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT DATETIME(2024, 1, 1, 0, 0, 0) AS x"))
-      .getMessage.contains("make_timestamp_ntz"))
+    assert(GraftSql.load(spark, "SELECT DATETIME(2024, 1, 1, 6, 30, 0) AS x")
+      .head().getAs[java.time.LocalDateTime](0).toString == "2024-01-01T06:30")
   }
 
   test("week units: WEEK/WEEK(<WEEKDAY>)/ISOWEEK truncation, LAST_DAY, boundary DIFFs") {
