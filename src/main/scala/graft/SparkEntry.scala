@@ -2656,7 +2656,10 @@ object SparkEntry {
           |       CAST(MAX(ST_NUMPOINTS(ln)) AS BIGINT) AS np,
           |       MIN(ST_ASTEXT(ln)) AS wkt_min,
           |       CAST(SUM(CASE WHEN ST_LINEFROMTEXT(ST_ASTEXT(ln)) = ln
-          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
+          |       MIN(ST_BOUNDINGBOX(ln).xmin) AS bb_xmin,
+          |       MAX(ST_BOUNDINGBOX(ln).ymax) AS bb_ymax,
+          |       CAST(MAX(FLOOR(ST_MAXDISTANCE(ln, ln) / 1000.0)) AS BIGINT) AS maxd_km
           |FROM l GROUP BY len_10km ORDER BY len_10km""".stripMargin)
     }),
 
@@ -2699,6 +2702,41 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN ST_POLYGONFROMTEXT(ST_ASTEXT(poly)) = poly
           |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
           |FROM g GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin)
+    }),
+
+    // AEAD / KEYS column encryption (round 15): AES-GCM on the
+    // JSON-carried keyset. ENCRYPT is nondeterministic (fresh IV per
+    // row, BigQuery's model too), so the gate hashes what IS
+    // deterministic: the DECRYPT∘ENCRYPT round-trip count (the
+    // ciphertext column stays its own projection — CollapseProject
+    // never merges nondeterministic projects, so the aggregate sees
+    // one ciphertext per row), exact ciphertext LENGTH sums
+    // (1 + 4 + 12 + |pt| + 16), the wrong-AAD SAFE-NULL count, and a
+    // PINNED ciphertext vector generated by an independent AES-GCM
+    // implementation.
+    "q_aead" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("aead_events")
+      val ks = """{"primaryKeyId":1,"key":[{"keyId":1,"type":"AES_GCM",""" +
+        """"key":"000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"}]}"""
+      val pinned = "01000000016465666768696a6b6c6d6e6f3c73bb461e9b37f84a423a86bd" +
+        "0c0498060c763237a55f482470e6f03e4a6d5b"
+      graft.GraftSql.load(s,
+        s"""WITH p AS (SELECT event_type,
+           |                  CONCAT(event_type, '-', CAST(event_id AS STRING)) AS pt,
+           |                  CAST(user_id AS STRING) AS aad
+           |           FROM aead_events),
+           |e AS (SELECT event_type, pt, aad,
+           |             AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON('$ks'), pt, aad) AS ct
+           |      FROM p)
+           |SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('$ks'), ct, aad) = pt
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
+           |  CAST(SUM(BYTE_LENGTH(ct)) AS BIGINT) AS ct_bytes,
+           |  CAST(SUM(CASE WHEN SAFE.AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('$ks'), ct,
+           |                                              CONCAT(aad, 'x')) IS NULL
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS bad_aad,
+           |  MIN(AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('$ks'), FROM_HEX('$pinned'), 'ad1')) AS pinned
+           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
     // PERCENTILE_CONT/DISC analytic spellings (round 13): per-type
@@ -6145,7 +6183,23 @@ object SparkEntry {
           |       MIN('LINESTRING(' || CAST(lng1 AS VARCHAR) || ' ' || CAST(lat1 AS VARCHAR) || ', ' ||
           |           CAST(lng2 AS VARCHAR) || ' ' || CAST(lat2 AS VARCHAR) || ', ' ||
           |           CAST(lng3 AS VARCHAR) || ' ' || CAST(lat3 AS VARCHAR) || ')') AS wkt_min,
-          |       COUNT(*) AS rt_ok
+          |       COUNT(*) AS rt_ok,
+          |       MIN(LEAST(lng1, lng2, lng3)) AS bb_xmin,
+          |       MAX(GREATEST(lat1, lat2, lat3)) AS bb_ymax,
+          |       CAST(MAX(FLOOR(GREATEST(
+          |         2.0 * 6371010.0 * asin(sqrt(
+          |           sin(radians((lat2 - lat1) / 2.0)) * sin(radians((lat2 - lat1) / 2.0)) +
+          |           cos(radians(lat1)) * cos(radians(lat2)) *
+          |           sin(radians((lng2 - lng1) / 2.0)) * sin(radians((lng2 - lng1) / 2.0)))),
+          |         2.0 * 6371010.0 * asin(sqrt(
+          |           sin(radians((lat3 - lat1) / 2.0)) * sin(radians((lat3 - lat1) / 2.0)) +
+          |           cos(radians(lat1)) * cos(radians(lat3)) *
+          |           sin(radians((lng3 - lng1) / 2.0)) * sin(radians((lng3 - lng1) / 2.0)))),
+          |         2.0 * 6371010.0 * asin(sqrt(
+          |           sin(radians((lat3 - lat2) / 2.0)) * sin(radians((lat3 - lat2) / 2.0)) +
+          |           cos(radians(lat2)) * cos(radians(lat3)) *
+          |           sin(radians((lng3 - lng2) / 2.0)) * sin(radians((lng3 - lng2) / 2.0))))
+          |       ) / 1000.0)) AS BIGINT) AS maxd_km
           |FROM d GROUP BY len_10km ORDER BY len_10km""".stripMargin,
       // the ring face flattened: Chamberlain–Duquette signed-area sum
       // in fold order over the four edges (the Δλ wrap term is exactly
@@ -6208,6 +6262,20 @@ object SparkEntry {
           |           CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || '))') AS wkt_min,
           |       COUNT(*) AS rt_ok
           |FROM m GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin,
+      // AEAD: every gated column is deterministic — the round-trip and
+      // SAFE-NULL counts are identically n (GCM is correct or the
+      // Spark side would not produce these counts), ciphertext length
+      // is 33 + |pt| exactly, and the pinned decrypt is a literal
+      "q_aead" ->
+        """WITH p AS (SELECT event_type,
+          |                  CONCAT(event_type, '-', CAST(event_id AS VARCHAR)) AS pt
+          |           FROM events)
+          |SELECT event_type, COUNT(*) AS n,
+          |       CAST(COUNT(*) AS BIGINT) AS rt_ok,
+          |       CAST(SUM(33 + octet_length(encode(pt))) AS BIGINT) AS ct_bytes,
+          |       CAST(COUNT(*) AS BIGINT) AS bad_aad,
+          |       'the graft engine' AS pinned
+          |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q_string_agg" ->
         """SELECT user_id,
           |  string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS type_seq,

@@ -1940,6 +1940,49 @@ case class GeogFromText(child: Expression, polygon: Boolean)
     copy(child = newChild)
 }
 
+/** The 2-argument `DATETIME(a, b)` overloads that textual rewriting
+  * cannot split: BigQuery dispatches `DATETIME(date, time)` (combine
+  * two civil values) vs `DATETIME(timestamp, timezone)` (project the
+  * instant into the zone) on ARGUMENT TYPES. The rewriter routes
+  * quoted-LITERAL second arguments through the established textual
+  * from_utc_timestamp path (q_tz_ops' form, unchanged); every other
+  * 2-arg spelling lands here and dispatches at ANALYSIS time:
+  *  - (DATE, TIME-carrier _NTZ)  → days·86 400 000 000 + time micros
+  *  - (TIMESTAMP, STRING column) → the zone's wall clock via
+  *    java.time rules (the same tzdata from_utc_timestamp uses)
+  */
+case class CivilDatetime2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val combineMode = left.dataType == DateType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DateType, TimestampNTZType) | (TimestampType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"DATETIME(a, b) takes (DATE, TIME) or (TIMESTAMP, timezone STRING), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = TimestampNTZType
+  def compute(a: Any, b: Any): Long =
+    if (combineMode) a.asInstanceOf[Int].toLong * 86400000000L + b.asInstanceOf[Long]
+    else {
+      val micros = a.asInstanceOf[Long]
+      val zone = java.time.ZoneId.of(b.asInstanceOf[UTF8String].toString)
+      val instant = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+      val ldt = java.time.LocalDateTime.ofInstant(instant, zone)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = java.lang.Long.valueOf(compute(a, b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("civilDt2", this)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.compute(((Object) $a), ((Object) $b));")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CivilDatetime2 =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -2339,7 +2382,38 @@ object native {
       es => { arity("graft_st_linefromtext", es, 1); GeogFromText(es.head, polygon = false) }),
     ("graft_st_polyfromtext",
       "graft_st_polyfromtext(wkt) - single-ring POLYGON WKT to the closed ARRAY carrier (ST_POLYGONFROMTEXT)",
-      es => { arity("graft_st_polyfromtext", es, 1); GeogFromText(es.head, polygon = true) }))
+      es => { arity("graft_st_polyfromtext", es, 1); GeogFromText(es.head, polygon = true) }),
+    // AEAD / KEYS column encryption (aead.scala) — AES-GCM on the
+    // JSON-carried keyset; routed by the GraftSql AEAD.* / KEYS.*
+    // rewrites
+    ("graft_civil_datetime",
+      "graft_civil_datetime(a, b) - DATETIME(date, time) / DATETIME(ts, tz column) type dispatch",
+      es => { arity("graft_civil_datetime", es, 2); CivilDatetime2(es.head, es(1)) }),
+    ("graft_keyset_from_json",
+      "graft_keyset_from_json(json) - keyset BYTES from canonical JSON (KEYS.KEYSET_FROM_JSON)",
+      es => { arity("graft_keyset_from_json", es, 1); KeysetFromJson(es.head) }),
+    ("graft_keyset_to_json",
+      "graft_keyset_to_json(ks) - canonical JSON text of a keyset (KEYS.KEYSET_TO_JSON)",
+      es => { arity("graft_keyset_to_json", es, 1); KeysetToJson(es.head) }),
+    ("graft_new_keyset",
+      "graft_new_keyset('AEAD_AES_GCM_256') - fresh random keyset (KEYS.NEW_KEYSET)",
+      es => { arity("graft_new_keyset", es, 1); NewKeyset(constStr("graft_new_keyset", es, 0)) }),
+    ("graft_add_key_raw",
+      "graft_add_key_raw(ks, raw) - append an AES_GCM raw key (KEYS.ADD_KEY_FROM_RAW_BYTES)",
+      es => { arity("graft_add_key_raw", es, 2); AddKeyFromRawBytes(es.head, "AES_GCM", es(1)) }),
+    ("graft_aead_encrypt",
+      "graft_aead_encrypt(ks, pt, aad) - AES-GCM encrypt under the primary key (AEAD.ENCRYPT)",
+      es => { arity("graft_aead_encrypt", es, 3); AeadEncrypt(es.head, es(1), es(2)) }),
+    ("graft_aead_decrypt_string",
+      "graft_aead_decrypt_string(ks, ct, aad, safe) - decrypt to STRING (AEAD.DECRYPT_STRING)",
+      es => { arity("graft_aead_decrypt_string", es, 4)
+        AeadDecrypt(es.head, es(1), es(2), asString = true,
+          safe = constBool("graft_aead_decrypt_string", es, 3)) }),
+    ("graft_aead_decrypt_bytes",
+      "graft_aead_decrypt_bytes(ks, ct, aad, safe) - decrypt to BYTES (AEAD.DECRYPT_BYTES)",
+      es => { arity("graft_aead_decrypt_bytes", es, 4)
+        AeadDecrypt(es.head, es(1), es(2), asString = false,
+          safe = constBool("graft_aead_decrypt_bytes", es, 3)) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -407,6 +407,15 @@ private[graft] object Functions {
       "ST_MAKEPOLYGON", "ST_GEOHASH", "ST_SNAPTOGRID", "ST_SIMPLIFY",
       "ST_NUMPOINTS", "ST_DUMP", "ST_CLOSESTPOINT", "ST_BOUNDINGBOX",
       "ST_MAXDISTANCE", "ST_CONVEXHULL", "ST_LINEFROMTEXT", "ST_POLYGONFROMTEXT",
+      // AEAD / KEYS column encryption (round 15) + the loud AES-SIV
+      // deterministic family
+      "AEAD.ENCRYPT", "AEAD.DECRYPT_STRING", "AEAD.DECRYPT_BYTES",
+      "SAFE.AEAD.DECRYPT_STRING", "SAFE.AEAD.DECRYPT_BYTES",
+      "KEYS.NEW_KEYSET", "KEYS.ADD_KEY_FROM_RAW_BYTES", "KEYS.KEYSET_FROM_JSON",
+      "KEYS.KEYSET_TO_JSON", "KEYS.KEYSET_LENGTH", "KEYS.ROTATE_KEYSET",
+      "KEYS.NEW_WRAPPED_KEYSET", "KEYS.REWRAP_KEYSET", "KEYS.KEYSET_CHAIN",
+      "DETERMINISTIC_ENCRYPT", "DETERMINISTIC_DECRYPT_STRING",
+      "DETERMINISTIC_DECRYPT_BYTES",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
@@ -804,13 +813,19 @@ private[graft] object Functions {
           // timezone) — BigQuery's (date, time) overload would need
           // type dispatch the textual rewriter cannot do (stated)
           require(args.size == 1 || args.size == 2 || args.size == 6,
-            "DATETIME takes (timestamp[, timezone]) or the 6-part civil " +
-              "constructor (year, month, day, hour, minute, second) — " +
-              "the (date, time) overload is not supported")
+            "DATETIME takes (timestamp[, timezone]), (date, time), or the 6-part " +
+              "civil constructor (year, month, day, hour, minute, second)")
           if (args.size == 6)
             Some(s"make_timestamp_ntz(${args.map(a => s"($a)").mkString(", ")})")
-          else if (args.size == 2)
-            Some(s"CAST(from_utc_timestamp((${args(0)}), (${args(1)})) AS TIMESTAMP_NTZ)")
+          else if (args.size == 2) {
+            // a quoted-LITERAL second argument is unambiguously the
+            // timezone form and keeps the established textual path;
+            // any other spelling type-dispatches at analysis inside
+            // the native ((date, time) combine vs (ts, tz column))
+            if (args(1).trim.startsWith("'"))
+              Some(s"CAST(from_utc_timestamp((${args(0)}), (${args(1)})) AS TIMESTAMP_NTZ)")
+            else Some(s"graft_civil_datetime((${args(0)}), (${args(1)}))")
+          }
           else Some(s"CAST((${args(0)}) AS TIMESTAMP_NTZ)")
         case "TIMESTAMP" =>
           if (args.size <= 1) None
@@ -2048,6 +2063,78 @@ private[graft] object Functions {
         case "ST_DISJOINT" =>
           require(args.size == 2, "ST_DISJOINT takes (polygon ring, point)")
           Some(s"(NOT ${stRayCast(args(0), args(1))})")
+        // ST_BOUNDINGBOX: exact min/max folds over the vertex array —
+        // BigQuery's STRUCT<xmin, ymin, xmax, ymax> shape, replayable
+        // as LEAST/GREATEST arithmetic
+        case "ST_BOUNDINGBOX" =>
+          require(args.size == 1, "ST_BOUNDINGBOX takes (line or ring)")
+          val g = args(0)
+          Some(s"named_struct(" +
+            s"'xmin', array_min(transform(($g), p -> p.lng)), " +
+            s"'ymin', array_min(transform(($g), p -> p.lat)), " +
+            s"'xmax', array_max(transform(($g), p -> p.lng)), " +
+            s"'ymax', array_max(transform(($g), p -> p.lat)))")
+        // ST_MAXDISTANCE over the vertex-array carriers: great-circle
+        // distance to a geodesic segment is maximized at an ENDPOINT
+        // (d(P, X(t)) is quasiconvex along a sub-half-circumference
+        // geodesic), so the max over vertex pairs is EXACT — an
+        // O(m·n) in-row fold. Point arguments are analysis-loud
+        // (wrap them: ST_MAKELINE(p, p) is a 2-vertex carrier).
+        case "ST_MAXDISTANCE" =>
+          require(args.size == 2,
+            "ST_MAXDISTANCE takes (line/ring, line/ring) — wrap a point as ST_MAKELINE(p, p)")
+          Some(s"array_max(flatten(transform((${args(0)}), " +
+            s"a -> transform((${args(1)}), b -> ${stHaversine("a", "b")}))))")
+        // ── AEAD / KEYS column encryption (round 15): AES-GCM on the
+        // JSON-carried keyset (aead.scala — see the carrier and wire
+        // notes there). ENCRYPT is nondeterministic (fresh IV, like
+        // BigQuery); DECRYPT raises on auth failure, the SAFE. forms
+        // return NULL. The AES-SIV DETERMINISTIC_ family has no JDK
+        // primitive and is loud.
+        case "AEAD.ENCRYPT" =>
+          require(args.size == 3, "AEAD.ENCRYPT takes (keyset, plaintext, additional_data)")
+          Some(s"graft_aead_encrypt((${args(0)}), (${args(1)}), (${args(2)}))")
+        case "AEAD.DECRYPT_STRING" | "AEAD.DECRYPT_BYTES" =>
+          require(args.size == 3, s"$name takes (keyset, ciphertext, additional_data)")
+          val f = if (name.endsWith("STRING")) "graft_aead_decrypt_string"
+            else "graft_aead_decrypt_bytes"
+          Some(s"$f((${args(0)}), (${args(1)}), (${args(2)}), false)")
+        case "SAFE.AEAD.DECRYPT_STRING" | "SAFE.AEAD.DECRYPT_BYTES" =>
+          require(args.size == 3, s"$name takes (keyset, ciphertext, additional_data)")
+          val f = if (name.endsWith("STRING")) "graft_aead_decrypt_string"
+            else "graft_aead_decrypt_bytes"
+          Some(s"$f((${args(0)}), (${args(1)}), (${args(2)}), true)")
+        case "KEYS.NEW_KEYSET" =>
+          require(args.size == 1, "KEYS.NEW_KEYSET takes (key_type)")
+          Some(s"graft_new_keyset(${args(0)})")
+        case "KEYS.ADD_KEY_FROM_RAW_BYTES" =>
+          require(args.size == 3,
+            "KEYS.ADD_KEY_FROM_RAW_BYTES takes (keyset, key_type, raw_key_bytes)")
+          val kt = unquote(args(1), "KEYS.ADD_KEY_FROM_RAW_BYTES key_type")
+          require(kt == "AES_GCM",
+            s"KEYS.ADD_KEY_FROM_RAW_BYTES supports key_type 'AES_GCM', got '$kt'")
+          Some(s"graft_add_key_raw((${args(0)}), (${args(2)}))")
+        case "KEYS.KEYSET_FROM_JSON" =>
+          require(args.size == 1, "KEYS.KEYSET_FROM_JSON takes (json_string)")
+          Some(s"graft_keyset_from_json((${args(0)}))")
+        case "KEYS.KEYSET_TO_JSON" =>
+          require(args.size == 1, "KEYS.KEYSET_TO_JSON takes (keyset)")
+          Some(s"graft_keyset_to_json((${args(0)}))")
+        case "KEYS.KEYSET_LENGTH" =>
+          require(args.size == 1, "KEYS.KEYSET_LENGTH takes (keyset)")
+          Some(s"CAST(json_array_length(get_json_object(CAST((${args(0)}) AS STRING), " +
+            s"'$$.key')) AS BIGINT)")
+        case n2 if n2.startsWith("KEYS.") =>
+          throw new IllegalArgumentException(
+            s"$n2: supported KEYS verbs are NEW_KEYSET, ADD_KEY_FROM_RAW_BYTES, " +
+              "KEYSET_FROM_JSON, KEYSET_TO_JSON, KEYSET_LENGTH — wrapped keysets " +
+              "(Cloud KMS envelope) and ROTATE have no engine here")
+        case "DETERMINISTIC_ENCRYPT" | "DETERMINISTIC_DECRYPT_STRING" |
+             "DETERMINISTIC_DECRYPT_BYTES" =>
+          throw new IllegalArgumentException(
+            s"$name: the deterministic AEAD family is AES-SIV " +
+              "(DETERMINISTIC_AEAD_AES_SIV_CMAC_256), which the JDK has no " +
+              "primitive for — use AEAD.ENCRYPT/DECRYPT_* (non-deterministic GCM)")
         case n2 if n2.startsWith("ST_") =>
           throw new IllegalArgumentException(
             s"$n2: supported geography is the POINT core (ST_GEOGPOINT, ST_X, ST_Y, " +
@@ -2055,7 +2142,8 @@ private[graft] object Functions {
               "ARRAY<STRUCT<lng, lat>> line/ring core (ST_MAKELINE, ST_MAKEPOLYGON, " +
               "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
               "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +
-              "ST_DISJOINT, ST_ASTEXT) — other spatial verbs are not implemented")
+              "ST_DISJOINT, ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_ASTEXT) — other " +
+              "spatial verbs are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

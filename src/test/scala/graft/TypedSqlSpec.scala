@@ -2078,12 +2078,19 @@ class TypedSqlSpec extends SparkSuite {
     assert(one("TIME(TIMESTAMP '2024-01-01 23:30:00', 'Asia/Tokyo')")
       .getAs[java.time.LocalDateTime](0).toString.startsWith("1970-01-01T08:30"))
     // the 6-part civil DATETIME constructor (round 15) lands on the
-    // _NTZ carrier; the (date, time) overload stays loud
+    // _NTZ carrier
     assert(one("DATETIME(2024, 2, 29, 23, 5, 7)")
       .getAs[java.time.LocalDateTime](0).toString == "2024-02-29T23:05:07")
     assert(one("DATETIME(2024, 2, 29, 23, 5, 7) = TIMESTAMP_NTZ '2024-02-29 23:05:07'")
       .getBoolean(0))
-    assert(bad("DATETIME(DATE '2024-01-01', TIME '10:00:00', 'x')").contains("6-part"))
+    assert(bad("DATETIME(DATE '2024-01-01', TIME '10:00:00', 'x')").contains("DATETIME takes"))
+    // the (date, time) COMBINE overload type-dispatches at analysis
+    // (a non-literal second argument routes the native; a literal
+    // string keeps the timezone path)
+    assert(one("DATETIME(DATE '2024-02-29', TIME '23:05:07')")
+      .getAs[java.time.LocalDateTime](0).toString == "2024-02-29T23:05:07")
+    assert(one("DATETIME(TIMESTAMP '2024-01-01 23:30:00', concat('Asia/', 'Tokyo'))")
+      .getAs[java.time.LocalDateTime](0).toString == "2024-01-02T08:30")
     // TIMESTAMP(date): midnight of the civil date as the UTC instant
     assert(one("TIMESTAMP(DATE '2024-07-04') = TIMESTAMP '2024-07-04 00:00:00'")
       .getBoolean(0))
@@ -3530,6 +3537,61 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT ST_CENTROID(a) AS g FROM t")).getMessage.contains("not implemented"))
   }
 
+  test("AEAD/KEYS: keyset JSON carrier, GCM round-trips, pinned vector, SAFE forms, louds") {
+    val ksJson = """{"primaryKeyId":1,"key":[{"keyId":1,"type":"AES_GCM",""" +
+      """"key":"000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"}]}"""
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark,
+        s"WITH k AS (SELECT KEYS.KEYSET_FROM_JSON('$ksJson') AS ks) SELECT $expr AS v FROM k")
+        .collect().head
+    // carrier round-trip + key count
+    assert(one("KEYS.KEYSET_TO_JSON(ks)").getString(0) == ksJson)
+    assert(one("KEYS.KEYSET_LENGTH(ks)").getLong(0) == 1L)
+    // encrypt/decrypt round-trips, string and bytes; AAD is bound
+    assert(one("AEAD.DECRYPT_STRING(ks, AEAD.ENCRYPT(ks, 'héllo wörld', 'ad'), 'ad')")
+      .getString(0) == "héllo wörld")
+    assert(one("AEAD.DECRYPT_BYTES(ks, AEAD.ENCRYPT(ks, 'raw', 'x'), 'x')")
+      .getAs[Array[Byte]](0).toSeq == "raw".getBytes("UTF-8").toSeq)
+    // ciphertext length is 1 + 4 + 12 + |pt| + 16, deterministic
+    assert(one("BYTE_LENGTH(AEAD.ENCRYPT(ks, 'abcde', ''))").getAs[Number](0).longValue == 38L)
+    // the PINNED vector: a fixed key + IV ciphertext generated by an
+    // independent AES-GCM implementation decrypts to the known text
+    val pinned = "01000000016465666768696a6b6c6d6e6f3c73bb461e9b37f84a423a86bd" +
+      "0c0498060c763237a55f482470e6f03e4a6d5b"
+    assert(one(s"AEAD.DECRYPT_STRING(ks, FROM_HEX('$pinned'), 'ad1')")
+      .getString(0) == "the graft engine")
+    // wrong AAD: loud on the plain form, NULL on SAFE.
+    intercept[Exception](
+      one(s"AEAD.DECRYPT_STRING(ks, FROM_HEX('$pinned'), 'wrong')"))
+    assert(one(s"SAFE.AEAD.DECRYPT_STRING(ks, FROM_HEX('$pinned'), 'wrong')").isNullAt(0))
+    // an added raw key decrypts what the base keyset cannot: the base
+    // holds only keyId 0 (wrong bytes); ADD assigns max+1 = 1, exactly
+    // the id the pinned blob routes to. A keyset whose keyId 1 holds
+    // the WRONG bytes fails loudly — prefix routing is exact
+    val ksWrong = ksJson.replace("000102", "ff0102")
+    val ksBase = """{"primaryKeyId":0,"key":[{"keyId":0,"type":"AES_GCM",""" +
+      """"key":"ff0102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"}]}"""
+    assert(one(
+      s"""AEAD.DECRYPT_STRING(
+         |  KEYS.ADD_KEY_FROM_RAW_BYTES(KEYS.KEYSET_FROM_JSON('$ksBase'), 'AES_GCM',
+         |                              FROM_HEX('000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f')),
+         |  FROM_HEX('$pinned'), 'ad1')""".stripMargin).getString(0) == "the graft engine")
+    intercept[Exception](one(
+      s"AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('$ksWrong'), FROM_HEX('$pinned'), 'ad1')"))
+    // NEW_KEYSET: random but well-formed — round-trips its own data
+    assert(GraftSql.load(spark,
+      """WITH k AS (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS ks)
+        |SELECT AEAD.DECRYPT_STRING(ks, AEAD.ENCRYPT(ks, 'spin', 'a'), 'a') AS v
+        |FROM k""".stripMargin).head().getString(0) == "spin")
+    // louds: AES-SIV family, wrapped keysets, junk keyset bytes
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT DETERMINISTIC_ENCRYPT(b'x', 'p', 'a') AS v")).getMessage.contains("AES-SIV"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT KEYS.ROTATE_KEYSET(b'x', 'AEAD_AES_GCM_256') AS v"))
+      .getMessage.contains("NEW_KEYSET"))
+    intercept[Exception](one("AEAD.DECRYPT_STRING(CAST('junk' AS BYTES), ks, 'a')"))
+  }
+
   test("non-point geography: ST_MAKELINE/LENGTH/MAKEPOLYGON/AREA/CONTAINS + WKT round-trips") {
     val R = 6371010.0
     // lengths on known great-circle arcs: quarter meridian, then a
@@ -3590,6 +3652,18 @@ class TypedSqlSpec extends SparkSuite {
     assert(wkt.getString(1) == "POLYGON((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
     assert(wkt.getBoolean(2) && wkt.getBoolean(3))
     assert(wkt.getString(4) == "POINT(-5.6 42.6)")
+    // ST_BOUNDINGBOX: exact min/max folds; ST_MAXDISTANCE: the vertex
+    // diameter (exact for vertex carriers — endpoint quasiconvexity)
+    val bb = GraftSql.load(spark,
+      """SELECT ST_BOUNDINGBOX(ST_MAKELINE(ST_GEOGPOINT(-5.5, 2.25), ST_GEOGPOINT(10.75, -3.5),
+        |                                  ST_GEOGPOINT(0.25, 7.0))) AS b,
+        |       ST_MAXDISTANCE(ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 45)),
+        |                      ST_MAKELINE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, -45))) AS m""".stripMargin).head()
+    val box = bb.getStruct(0)
+    assert(box.getDouble(0) == -5.5 && box.getDouble(1) == -3.5 &&
+      box.getDouble(2) == 10.75 && box.getDouble(3) == 7.0)
+    // farthest vertices are lat +45 vs -45: a quarter great circle
+    assert(math.abs(bb.getDouble(1) - math.Pi * R / 2) < 1e-3)
     // louds: open-ring polygon WKT, holes, degenerate MAKEPOLYGON
     intercept[Exception](GraftSql.load(spark,
       "SELECT ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 1 1))') AS g").collect())
