@@ -2619,7 +2619,11 @@ object SparkEntry {
           |       MIN(ST_ASTEXT(g2)) AS wkt_min,
           |       CAST(SUM(CASE WHEN ST_X(ST_GEOGFROMTEXT(ST_ASTEXT(g1))) = ST_X(g1)
           |                      AND ST_Y(ST_GEOGFROMTEXT(ST_ASTEXT(g1))) = ST_Y(g1)
-          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
+          |       MIN(ST_ASGEOJSON(g2)) AS gj_min,
+          |       CAST(SUM(CASE WHEN ST_X(ST_GEOGFROMGEOJSON(ST_ASGEOJSON(g1))) = ST_X(g1)
+          |                      AND ST_Y(ST_GEOGFROMGEOJSON(ST_ASGEOJSON(g1))) = ST_Y(g1)
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS gj_rt
           |FROM p GROUP BY dist_km ORDER BY dist_km""".stripMargin)
     }),
 
@@ -2659,7 +2663,8 @@ object SparkEntry {
           |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
           |       MIN(ST_BOUNDINGBOX(ln).xmin) AS bb_xmin,
           |       MAX(ST_BOUNDINGBOX(ln).ymax) AS bb_ymax,
-          |       CAST(MAX(FLOOR(ST_MAXDISTANCE(ln, ln) / 1000.0)) AS BIGINT) AS maxd_km
+          |       CAST(MAX(FLOOR(ST_MAXDISTANCE(ln, ln) / 1000.0)) AS BIGINT) AS maxd_km,
+          |       MIN(ST_ASGEOJSON(ln)) AS gj_min
           |FROM l GROUP BY len_10km ORDER BY len_10km""".stripMargin)
     }),
 
@@ -6149,7 +6154,10 @@ object SparkEntry {
           |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((b >> 5) & 31 AS INTEGER) + 1, 1) ||
           |           substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(b & 31 AS INTEGER) + 1, 1)) AS gh_min,
           |       MIN('POINT(' || CAST(lng2 AS VARCHAR) || ' ' || CAST(lat2 AS VARCHAR) || ')') AS wkt_min,
-          |       COUNT(*) AS rt_ok
+          |       COUNT(*) AS rt_ok,
+          |       MIN('{"type":"Point","coordinates":[' || CAST(lng2 AS VARCHAR) || ',' ||
+          |           CAST(lat2 AS VARCHAR) || ']}') AS gj_min,
+          |       COUNT(*) AS gj_rt
           |FROM g GROUP BY dist_km ORDER BY dist_km""".stripMargin,
       // the line face flattened onto scalar columns: the two-segment
       // haversine sum in fold order (0.0 + s1 + s2 ≡ s1 + s2 exactly),
@@ -6199,7 +6207,11 @@ object SparkEntry {
           |           sin(radians((lat3 - lat2) / 2.0)) * sin(radians((lat3 - lat2) / 2.0)) +
           |           cos(radians(lat2)) * cos(radians(lat3)) *
           |           sin(radians((lng3 - lng2) / 2.0)) * sin(radians((lng3 - lng2) / 2.0))))
-          |       ) / 1000.0)) AS BIGINT) AS maxd_km
+          |       ) / 1000.0)) AS BIGINT) AS maxd_km,
+          |       MIN('{"type":"LineString","coordinates":[[' ||
+          |           CAST(lng1 AS VARCHAR) || ',' || CAST(lat1 AS VARCHAR) || '],[' ||
+          |           CAST(lng2 AS VARCHAR) || ',' || CAST(lat2 AS VARCHAR) || '],[' ||
+          |           CAST(lng3 AS VARCHAR) || ',' || CAST(lat3 AS VARCHAR) || ']]}') AS gj_min
           |FROM d GROUP BY len_10km ORDER BY len_10km""".stripMargin,
       // the ring face flattened: Chamberlain–Duquette signed-area sum
       // in fold order over the four edges (the Δλ wrap term is exactly

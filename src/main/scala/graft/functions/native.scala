@@ -1807,9 +1807,11 @@ case class StGeohash(lng: Expression, lat: Expression, nchars: Int)
   * byte-identical to the round-14 textual CAST path it replaces.
   * Empty arrays render BigQuery's empty-geography spelling.
   */
-case class GeogAsText(child: Expression) extends UnaryExpression {
+case class GeogAsText(child: Expression, geojson: Boolean = false)
+    extends UnaryExpression {
   private def isPointStruct(s: StructType): Boolean =
     s.fields.length == 2 && s.fields.forall(_.dataType == DoubleType)
+  private def fn = if (geojson) "ST_ASGEOJSON" else "ST_ASTEXT"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case s: StructType if isPointStruct(s) =>
@@ -1817,40 +1819,57 @@ case class GeogAsText(child: Expression) extends UnaryExpression {
       case ArrayType(s: StructType, _) if isPointStruct(s) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"ST_ASTEXT expects the STRUCT<lng, lat> point carrier or the " +
+        s"$fn expects the STRUCT<lng, lat> point carrier or the " +
           s"ARRAY<STRUCT<lng, lat>> line/ring carrier, got ${other.simpleString}")
     }
   override def dataType: DataType = StringType
   private lazy val isArray = child.dataType.isInstanceOf[ArrayType]
-  private def pt(sb: java.lang.StringBuilder, lng: Double, lat: Double): Unit = {
-    sb.append(java.lang.Double.toString(lng)).append(' ')
-      .append(java.lang.Double.toString(lat))
-  }
+  private def pt(sb: java.lang.StringBuilder, lng: Double, lat: Double): Unit =
+    if (geojson)
+      sb.append('[').append(java.lang.Double.toString(lng)).append(',')
+        .append(java.lang.Double.toString(lat)).append(']')
+    else
+      sb.append(java.lang.Double.toString(lng)).append(' ')
+        .append(java.lang.Double.toString(lat))
   def compute(v: Any): UTF8String = {
     val sb = new java.lang.StringBuilder(32)
     if (!isArray) {
       val r = v.asInstanceOf[InternalRow]
-      sb.append("POINT(")
-      pt(sb, r.getDouble(0), r.getDouble(1))
-      sb.append(')')
+      if (geojson) {
+        sb.append("{\"type\":\"Point\",\"coordinates\":")
+        pt(sb, r.getDouble(0), r.getDouble(1))
+        sb.append('}')
+      } else {
+        sb.append("POINT(")
+        pt(sb, r.getDouble(0), r.getDouble(1))
+        sb.append(')')
+      }
     } else {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
-      if (n == 0) sb.append("GEOMETRYCOLLECTION EMPTY")
+      if (n == 0)
+        sb.append(if (geojson) "{\"type\":\"GeometryCollection\",\"geometries\":[]}"
+          else "GEOMETRYCOLLECTION EMPTY")
       else {
         val first = a.getStruct(0, 2)
         val last = a.getStruct(n - 1, 2)
         val ring = n >= 4 && first.getDouble(0) == last.getDouble(0) &&
           first.getDouble(1) == last.getDouble(1)
-        sb.append(if (ring) "POLYGON((" else if (n == 1) "POINT(" else "LINESTRING(")
+        if (geojson)
+          sb.append(if (ring) "{\"type\":\"Polygon\",\"coordinates\":[["
+            else if (n == 1) "{\"type\":\"Point\",\"coordinates\":"
+            else "{\"type\":\"LineString\",\"coordinates\":[")
+        else
+          sb.append(if (ring) "POLYGON((" else if (n == 1) "POINT(" else "LINESTRING(")
         var i = 0
         while (i < n) {
-          if (i > 0) sb.append(", ")
+          if (i > 0) sb.append(if (geojson) "," else ", ")
           val r = a.getStruct(i, 2)
           pt(sb, r.getDouble(0), r.getDouble(1))
           i += 1
         }
-        sb.append(if (ring) "))" else ")")
+        if (geojson) sb.append(if (ring) "]]}" else if (n == 1) "}" else "]}")
+        else sb.append(if (ring) "))" else ")")
       }
     }
     UTF8String.fromString(sb.toString)
@@ -2377,6 +2396,9 @@ object native {
     ("graft_st_astext",
       "graft_st_astext(g) - WKT of a point STRUCT or line/ring ARRAY carrier (ST_ASTEXT)",
       es => { arity("graft_st_astext", es, 1); GeogAsText(es.head) }),
+    ("graft_st_asgeojson",
+      "graft_st_asgeojson(g) - RFC 7946 GeoJSON of a point/line/ring carrier (ST_ASGEOJSON)",
+      es => { arity("graft_st_asgeojson", es, 1); GeogAsText(es.head, geojson = true) }),
     ("graft_st_linefromtext",
       "graft_st_linefromtext(wkt) - LINESTRING WKT to the ARRAY<STRUCT<lng, lat>> carrier (ST_LINEFROMTEXT)",
       es => { arity("graft_st_linefromtext", es, 1); GeogFromText(es.head, polygon = false) }),

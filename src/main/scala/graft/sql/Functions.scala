@@ -2010,6 +2010,23 @@ private[graft] object Functions {
         case "ST_ASTEXT" =>
           require(args.size == 1, "ST_ASTEXT takes (geography)")
           Some(s"graft_st_astext((${args(0)}))")
+        case "ST_ASGEOJSON" =>
+          require(args.size == 1, "ST_ASGEOJSON takes (geography)")
+          Some(s"graft_st_asgeojson((${args(0)}))")
+        // GeoJSON parse is POINT-only for the same value-dependent-
+        // type reason as ST_GEOGFROMTEXT; validated + extracted with
+        // native JSON path functions, so DuckDB replays the identical
+        // accessor chain. Lines/rings parse through the WKT names.
+        case "ST_GEOGFROMGEOJSON" =>
+          require(args.size == 1, "ST_GEOGFROMGEOJSON takes (json) — POINT only; " +
+            "LINESTRING/POLYGON parse through ST_LINEFROMTEXT / ST_POLYGONFROMTEXT")
+          val j = args(0)
+          def cjs(i: Int) =
+            s"CASE WHEN get_json_object(($j), '$$.type') = 'Point' " +
+              s"THEN CAST(get_json_object(($j), '$$.coordinates[$i]') AS DOUBLE) " +
+              s"ELSE CAST(raise_error(concat('ST_GEOGFROMGEOJSON: only " +
+              s"{\"type\":\"Point\",...} is supported, got ', ($j))) AS DOUBLE) END"
+          Some(s"ST_GEOGPOINT(${cjs(0)}, ${cjs(1)})")
         case "ST_LINEFROMTEXT" =>
           require(args.size == 1, "ST_LINEFROMTEXT takes (wkt)")
           Some(s"graft_st_linefromtext((${args(0)}))")
@@ -2138,7 +2155,8 @@ private[graft] object Functions {
         case n2 if n2.startsWith("ST_") =>
           throw new IllegalArgumentException(
             s"$n2: supported geography is the POINT core (ST_GEOGPOINT, ST_X, ST_Y, " +
-              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH, ST_GEOGFROMTEXT) plus the " +
+              "ST_DISTANCE, ST_DWITHIN, ST_GEOHASH, ST_GEOGFROMTEXT, " +
+              "ST_GEOGFROMGEOJSON, ST_ASGEOJSON) plus the " +
               "ARRAY<STRUCT<lng, lat>> line/ring core (ST_MAKELINE, ST_MAKEPOLYGON, " +
               "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
               "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +

@@ -3664,6 +3664,19 @@ class TypedSqlSpec extends SparkSuite {
       box.getDouble(2) == 10.75 && box.getDouble(3) == 7.0)
     // farthest vertices are lat +45 vs -45: a quarter great circle
     assert(math.abs(bb.getDouble(1) - math.Pi * R / 2) < 1e-3)
+    // GeoJSON render on all three carriers + exact point parse
+    val gj = GraftSql.load(spark,
+      s"""SELECT ST_ASGEOJSON(ST_GEOGPOINT(-5.6, 42.6)) AS p,
+         |       ST_ASGEOJSON(ST_MAKELINE(ST_GEOGPOINT(0.5, 1.25), ST_GEOGPOINT(2.75, -3.5))) AS l,
+         |       ST_ASGEOJSON($quad) AS po,
+         |       ST_X(ST_GEOGFROMGEOJSON(ST_ASGEOJSON(ST_GEOGPOINT(-5.6, 42.6)))) AS rx""".stripMargin).head()
+    assert(gj.getString(0) == """{"type":"Point","coordinates":[-5.6,42.6]}""")
+    assert(gj.getString(1) == """{"type":"LineString","coordinates":[[0.5,1.25],[2.75,-3.5]]}""")
+    assert(gj.getString(2).startsWith("""{"type":"Polygon","coordinates":[[[0.0,0.0],"""))
+    assert(gj.getDouble(3) == -5.6)
+    intercept[Exception](GraftSql.load(spark,
+      """SELECT ST_GEOGFROMGEOJSON('{"type":"LineString","coordinates":[[0,0],[1,1]]}') AS g""")
+      .collect())
     // louds: open-ring polygon WKT, holes, degenerate MAKEPOLYGON
     intercept[Exception](GraftSql.load(spark,
       "SELECT ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 1 1))') AS g").collect())
