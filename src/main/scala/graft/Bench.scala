@@ -82,8 +82,16 @@ object Bench {
     // parquet footer caches, and shuffle machinery
     try { force("q1_agg"); force("dedup_exact") } catch { case _: Throwable => }
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep (local
+    // iteration / exercising the rerun path cheaply); the driver's
+    // full sweep never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = names.map { name =>
       quiesce()
       // one UNTIMED warmup rep per query: the first execution of a
       // query class carries its codegen compile + JIT (observed 2-3x

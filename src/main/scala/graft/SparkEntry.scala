@@ -2705,7 +2705,9 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN ST_DISJOINT(poly, tp) THEN 1 ELSE 0 END) AS BIGINT) AS disjoint_n,
           |       MIN(ST_ASTEXT(poly)) AS wkt_min,
           |       CAST(SUM(CASE WHEN ST_POLYGONFROMTEXT(ST_ASTEXT(poly)) = poly
-          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
+          |       MIN(ST_X(ST_CENTROID(poly))) AS cx_min,
+          |       MAX(ST_Y(ST_CENTROID(poly))) AS cy_max
           |FROM g GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin)
     }),
 
@@ -6272,7 +6274,15 @@ object SparkEntry {
           |           CAST(x3 AS VARCHAR) || ' ' || CAST(y3 AS VARCHAR) || ', ' ||
           |           CAST(x4 AS VARCHAR) || ' ' || CAST(y4 AS VARCHAR) || ', ' ||
           |           CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || '))') AS wkt_min,
-          |       COUNT(*) AS rt_ok
+          |       COUNT(*) AS rt_ok,
+          |       MIN(((x1 + x2) * (x1 * y2 - x2 * y1) + (x2 + x3) * (x2 * y3 - x3 * y2) +
+          |            (x3 + x4) * (x3 * y4 - x4 * y3) + (x4 + x1) * (x4 * y1 - x1 * y4)) /
+          |           (3.0 * ((x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) +
+          |                   (x3 * y4 - x4 * y3) + (x4 * y1 - x1 * y4)))) AS cx_min,
+          |       MAX(((y1 + y2) * (x1 * y2 - x2 * y1) + (y2 + y3) * (x2 * y3 - x3 * y2) +
+          |            (y3 + y4) * (x3 * y4 - x4 * y3) + (y4 + y1) * (x4 * y1 - x1 * y4)) /
+          |           (3.0 * ((x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) +
+          |                   (x3 * y4 - x4 * y3) + (x4 * y1 - x1 * y4)))) AS cy_max
           |FROM m GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin,
       // AEAD: every gated column is deterministic — the round-trip and
       // SAFE-NULL counts are identically n (GCM is correct or the

@@ -2091,6 +2091,30 @@ private[graft] object Functions {
             s"'ymin', array_min(transform(($g), p -> p.lat)), " +
             s"'xmax', array_max(transform(($g), p -> p.lng)), " +
             s"'ymax', array_max(transform(($g), p -> p.lat)))")
+        // ST_CENTROID of a closed ring: the planar shoelace centroid
+        // in lng/lat — one fold carrying (2·area, Σ(xᵢ+xᵢ₊₁)·crossᵢ,
+        // Σ(yᵢ+yᵢ₊₁)·crossᵢ), finished by the /(3·2A) division. Pure
+        // IEEE multiply/add/divide in a fixed order — the oracle
+        // replays it bit-for-bit, no bucketing needed. BigQuery
+        // computes the SPHERICAL surface centroid; the planar form
+        // agrees to small-polygon tolerance (stated — same model line
+        // as the ray cast). A degenerate zero-area ring divides by
+        // zero → IEEE NaN/Inf, not an error (the shape is data).
+        case "ST_CENTROID" =>
+          require(args.size == 1, "ST_CENTROID takes (polygon ring) — the planar " +
+            "shoelace centroid; point/line centroids are not supported")
+          val p = args(0)
+          def x(e: String) = s"element_at(($p), $e).lng"
+          def y(e: String) = s"element_at(($p), $e).lat"
+          val cr = s"(${x("i")} * ${y("i + 1")} - ${x("i + 1")} * ${y("i")})"
+          Some(s"aggregate(sequence(1, size(($p)) - 1), " +
+            s"named_struct('a', CAST(0.0 AS DOUBLE), 'x', CAST(0.0 AS DOUBLE), " +
+            s"'y', CAST(0.0 AS DOUBLE)), " +
+            s"(acc, i) -> named_struct('a', acc.a + $cr, " +
+            s"'x', acc.x + (${x("i")} + ${x("i + 1")}) * $cr, " +
+            s"'y', acc.y + (${y("i")} + ${y("i + 1")}) * $cr), " +
+            s"acc -> named_struct('lng', acc.x / (3.0D * acc.a), " +
+            s"'lat', acc.y / (3.0D * acc.a)))")
         // ST_MAXDISTANCE over the vertex-array carriers: great-circle
         // distance to a geodesic segment is maximized at an ENDPOINT
         // (d(P, X(t)) is quasiconvex along a sub-half-circumference
@@ -2160,8 +2184,8 @@ private[graft] object Functions {
               "ARRAY<STRUCT<lng, lat>> line/ring core (ST_MAKELINE, ST_MAKEPOLYGON, " +
               "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
               "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +
-              "ST_DISJOINT, ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_ASTEXT) — other " +
-              "spatial verbs are not implemented")
+              "ST_DISJOINT, ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_CENTROID, " +
+              "ST_ASTEXT) — other spatial verbs are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

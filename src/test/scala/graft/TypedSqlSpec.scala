@@ -3664,6 +3664,14 @@ class TypedSqlSpec extends SparkSuite {
       box.getDouble(2) == 10.75 && box.getDouble(3) == 7.0)
     // farthest vertices are lat +45 vs -45: a quarter great circle
     assert(math.abs(bb.getDouble(1) - math.Pi * R / 2) < 1e-3)
+    // ST_CENTROID: planar shoelace centroid — exact on the quad, and
+    // correct on the NON-CONVEX arrow (not the vertex mean)
+    val ce = GraftSql.load(spark,
+      s"""SELECT ST_X(ST_CENTROID($quad)) AS x, ST_Y(ST_CENTROID($quad)) AS y,
+         |       ST_Y(ST_CENTROID($arrow)) AS ay""".stripMargin).head()
+    assert(ce.getDouble(0) == 1.0 && ce.getDouble(1) == 1.0)
+    // the arrow's mass sits low: centroid y below the 1.8 vertex mean
+    assert(ce.getDouble(2) < 1.8 && ce.getDouble(2) > 0.0)
     // GeoJSON render on all three carriers + exact point parse
     val gj = GraftSql.load(spark,
       s"""SELECT ST_ASGEOJSON(ST_GEOGPOINT(-5.6, 42.6)) AS p,
