@@ -196,8 +196,21 @@ object SparkEntry {
     * only its own inner separators.
     */
   private[graft] def bpeOracleChain(base: String): String =
-    bpeFixtureMerges.foldLeft(base) { case (e, (a, b)) =>
+    bpeOracleChainOf(base, bpeFixtureMerges)
+
+  private[graft] def bpeOracleChainOf(base: String,
+                                      ms: Seq[(String, String)]): String =
+    ms.foldLeft(base) { case (e, (a, b)) =>
       s"replace($e, '~$a~~$b~', '~$a$b~')"
+    }
+
+  // the SAME fixture under the byte-level 2-hex renaming: on a pure-
+  // ASCII corpus byte-level BPE IS char-level BPE with hex symbol
+  // names (1 char = 1 byte), so the table transports verbatim
+  private[graft] val bpeByteFixtureMerges: Seq[(String, String)] =
+    bpeFixtureMerges.map { case (a, b) =>
+      def hx(s: String) = s.getBytes("UTF-8").map(c => f"${c & 0xff}%02X").mkString
+      (hx(a), hx(b))
     }
 
   /** A full INDEPENDENT replay of BPE TRAINING in DuckDB: vanilla
@@ -2002,6 +2015,35 @@ object SparkEntry {
           F.coalesce(F.col("enc"), F.lit("")).as("enc"))
         .orderBy("doc_id")
     }),
+    // E19b (round 15): BYTE-level BPE ENCODING under the hex-renamed
+    // pinned table — the apply half of text_bpe_bytes, same map-only
+    // shape as text_bpe_encode (explode words, one codegen'd ApplyBpe
+    // over the byte tokens, per-doc bounded fold); the oracle replays
+    // the chained boundary-anchored replaces over hex(encode(word))
+    "text_bpe_bytes_encode" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(F.col("doc_id"), F.posexplode_outer(T.tokens(F.col("text"))).as(Seq("pos", "__w")))
+        .filter(F.length(F.col("__w")) > 0)
+      val enc = words.select(F.col("doc_id"), F.col("pos"),
+        graft.operators.Bpe.encode(
+          F.expr("transform(sequence(1, octet_length(__w)), " +
+            "i -> substr(hex(CAST(__w AS BINARY)), 2 * i - 1, 2))"),
+          bpeByteFixtureMerges).as("__sym"))
+      val agg = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).as("n_words"),
+        F.sum(F.size(F.col("__sym"))).as("n_bpe_tokens"),
+        F.array_join(
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("__sym")))),
+            (x: Column) => F.array_join(x.getField("__sym"), " ")), " ").as("enc"))
+      Tables.documents(s, d).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("n_words"), F.lit(0L)).as("n_words"),
+          F.coalesce(F.col("n_bpe_tokens"), F.lit(0L)).as("n_bpe_tokens"),
+          F.coalesce(F.col("enc"), F.lit("")).as("enc"))
+        .orderBy("doc_id")
+    }),
+
     // unigram cross-entropy under the corpus's own unigram LM — the
     // CCNet-family perplexity quality signal (high = rare-token-heavy
     // doc). ln() lands in doubles whose bit pattern is libm-dependent,
@@ -7972,6 +8014,26 @@ object SparkEntry {
       // bpeTrainOracleSql's scaladoc for why batched ≡ sequential
       "text_bpe_vocab" -> bpeTrainOracleSql(10),
       "text_bpe_bytes" -> bpeTrainOracleSql(10, byteLevel = true),
+      // byte-level encode: the char replay with hex(encode(word)) as
+      // the round-0 symbol string and the hex-renamed merge chain
+      "text_bpe_bytes_encode" ->
+        s"""WITH t AS (SELECT doc_id, list_filter(
+          |             string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+          |           FROM documents),
+          |w AS (SELECT doc_id, i AS pos, toks[i] AS word
+          |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+          |s0 AS (SELECT doc_id, pos,
+          |         '~~' || regexp_replace(hex(encode(word)), '(..)', '\\1~~', 'g') AS s FROM w),
+          |sk AS (SELECT doc_id, pos, ${bpeOracleChainOf("s", bpeByteFixtureMerges)} AS s FROM s0),
+          |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+          |               SUM((length(s) - length(replace(s, '~', ''))) // 2 - 1) AS n_bpe_tokens,
+          |               string_agg(trim(replace(s, '~~', ' ')), ' ' ORDER BY pos) AS enc
+          |        FROM sk GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+          |       CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+          |       COALESCE(enc, '') AS enc
+          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
       // E25's hash half: the unigram seed table is a pure substring
       // stream over the word-frequency dict — DuckDB replays it with
       // two range unnests; integer weights, total (weight, piece)

@@ -1927,9 +1927,12 @@ case class GeogFromText(child: Expression, polygon: Boolean)
     if (!polygon) {
       if (!upper.startsWith("LINESTRING"))
         fail(wkt, "only LINESTRING(lng lat, ...) WKT is supported")
-      val open = wkt.indexOf('(')
-      if (open < 0 || !wkt.endsWith(")")) fail(wkt, "malformed LINESTRING body")
-      val body = wkt.substring(open + 1, wkt.length - 1)
+      // the body must follow the keyword directly (whitespace aside) —
+      // 'LINESTRINGZ(...)' and friends are malformed, not lenient
+      val rest = wkt.substring("LINESTRING".length).trim
+      if (!rest.startsWith("(") || !rest.endsWith(")"))
+        fail(wkt, "malformed LINESTRING body")
+      val body = rest.substring(1, rest.length - 1)
       if (body.contains("(")) fail(wkt, "nested rings are not a LINESTRING")
       val ring = parseRing(wkt, body)
       if (ring.length < 2) fail(wkt, "a LINESTRING needs at least 2 vertices")
@@ -1937,9 +1940,10 @@ case class GeogFromText(child: Expression, polygon: Boolean)
     } else {
       if (!upper.startsWith("POLYGON"))
         fail(wkt, "only POLYGON((lng lat, ...)) WKT is supported")
-      val open = wkt.indexOf("((")
-      if (open < 0 || !wkt.endsWith("))")) fail(wkt, "malformed POLYGON body")
-      val body = wkt.substring(open + 2, wkt.length - 2)
+      val rest = wkt.substring("POLYGON".length).trim
+      if (!rest.startsWith("((") || !rest.endsWith("))"))
+        fail(wkt, "malformed POLYGON body")
+      val body = rest.substring(2, rest.length - 2)
       if (body.contains(")"))
         fail(wkt, "multi-ring polygons (holes) are not supported — outer ring only")
       val ring = parseRing(wkt, body)

@@ -3534,7 +3534,7 @@ class TypedSqlSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT ST_BUFFER(a, 10) AS c FROM t")).getMessage.contains("not implemented"))
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT ST_CENTROID(a) AS g FROM t")).getMessage.contains("not implemented"))
+      "SELECT ST_CONVEXHULL(a) AS g FROM t")).getMessage.contains("not implemented"))
   }
 
   test("AEAD/KEYS: keyset JSON carrier, GCM round-trips, pinned vector, SAFE forms, louds") {
