@@ -411,5 +411,12 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("partial_count"), s"$q: no map-side partial aggregation")
       assert(!p.contains("Join"), s"$q grew a join:\n${p.take(1200)}")
     }
+    // AEAD: the nondeterministic ENCRYPT projection must stay its own
+    // node (CollapseProject would re-encrypt per consuming expression
+    // and the aggregate would reject nondeterminism), the aggregation
+    // partial, and nothing joins
+    val ae = plan("q_aead")
+    assert(ae.contains("partial_count"), "q_aead: no map-side partial aggregation")
+    assert(!ae.contains("Join"), s"q_aead grew a join:\n${ae.take(1200)}")
   }
 }
