@@ -42,9 +42,13 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(outPath),
         java.nio.charset.StandardCharsets.UTF_8)
       val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
-      val entry = """"([A-Za-z0-9_]+)":(-?[0-9.eE+]+)""".r
+      // the number class must admit negative exponents (sub-ms medians
+      // serialize as 8.3E-4), and one malformed entry must only lose
+      // ITSELF, not silently disable the whole rerun defense
+      val entry = """"([A-Za-z0-9_]+)":(-?[0-9.eE+\-]+)""".r
       entry.findAllMatchIn(body.substring(0, body.indexOf('}')))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .toMap
     } catch { case _: Throwable => Map.empty }
 
     def force(name: String): Unit =

@@ -2134,7 +2134,10 @@ object GraftSql {
     val sqlRun =
       if (!replace) sql
       else {
-        // clear any staging leftovers from a crashed earlier run
+        // clear any staging leftovers from a crashed earlier run.
+        // The `__rtas_tmp` suffix is RESERVED for this swap: a user
+        // table deliberately named <t>__rtas_tmp is indistinguishable
+        // from crash debris and will be cleared here (stated).
         spark.sql(s"DROP TABLE IF EXISTS $tmpName")
         deleteWarehouseDir(spark, tmpName)
         swapRtasHeader(sql, tmpName)
@@ -2154,10 +2157,14 @@ object GraftSql {
       // the replacement exists under the staging name — NOW destroy
       // the previous object: a shadowing temp view AND any same-named
       // catalog table both go (BigQuery replaces "the name"). The
-      // catalog API takes RAW names (no backticks), and the temp view
-      // must go first so DROP TABLE hits the actual table.
-      spark.catalog.dropTempView(parts.last)
-      spark.catalog.dropGlobalTempView(parts.last)
+      // catalog API takes RAW names (no backticks); the temp view
+      // must go first so DROP TABLE hits the actual table — and only
+      // for SINGLE-part targets (a multi-part somedb.t must never
+      // take down an unrelated session view named t).
+      if (parts.size == 1) {
+        spark.catalog.dropTempView(parts.last)
+        spark.catalog.dropGlobalTempView(parts.last)
+      }
       if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE $name")
       // only now is a location delete safe: no catalog entry survives
       // the drops above, so anything left at the target location is a
@@ -2166,14 +2173,21 @@ object GraftSql {
       deleteWarehouseDir(spark, name)
       // replace destroys the previous object in BigQuery — every
       // piece of its recorded state goes with it (a stale MV entry
-      // would let REFRESH overwrite the new table with the old query)
-      mvRegistry.remove(mvKey(spark, name))
-      viewDefRegistry.remove(mvKey(spark, name))
-      partRegistry.remove(mvKey(spark, name))
-      constraintRegistry.remove(mvKey(spark, name))
-      tableOptionsRegistry.remove(mvKey(spark, name))
-      rowPolicyRegistry.remove(mvKey(spark, name))
-      rowPolicyRawRegistry.remove(mvKey(spark, name))
+      // would let REFRESH overwrite the new table with the old
+      // query). Registry keys may carry either the quoted or the
+      // bare spelling depending on which DDL recorded them — clear
+      // both, and unregister a Versioned name so later DML can never
+      // route through the replaced table's old commit log.
+      for (k <- Seq(name, parts.last)) {
+        mvRegistry.remove(mvKey(spark, k))
+        viewDefRegistry.remove(mvKey(spark, k))
+        partRegistry.remove(mvKey(spark, k))
+        constraintRegistry.remove(mvKey(spark, k))
+        tableOptionsRegistry.remove(mvKey(spark, k))
+        rowPolicyRegistry.remove(mvKey(spark, k))
+        rowPolicyRawRegistry.remove(mvKey(spark, k))
+      }
+      if (parts.size == 1) graft.sources.Versioned.unregister(spark, parts.last)
       spark.sql(s"ALTER TABLE $tmpName RENAME TO $name")
     }
     spark.table(name)
@@ -4959,12 +4973,15 @@ object GraftSql {
     */
   private def schemataView(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(("graft", "session", null: String, "graft-session"))
-      .toDF("catalog_name", "schema_name", "schema_owner", "location")
+    // BigQuery's positional order: catalog, schema, owner, the two
+    // timestamps, then location (SELECT * consumers see the same shape)
+    Seq(("graft", "session", null: String))
+      .toDF("catalog_name", "schema_name", "schema_owner")
       .withColumn("creation_time",
         org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       .withColumn("last_modified_time",
         org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+      .withColumn("location", org.apache.spark.sql.functions.lit("graft-session"))
   }
 
   /** INFORMATION_SCHEMA.SEARCH_INDEXES — this session's A44 indexes

@@ -2026,8 +2026,7 @@ object SparkEntry {
         .filter(F.length(F.col("__w")) > 0)
       val enc = words.select(F.col("doc_id"), F.col("pos"),
         graft.operators.Bpe.encode(
-          F.expr("transform(sequence(1, octet_length(__w)), " +
-            "i -> substr(hex(CAST(__w AS BINARY)), 2 * i - 1, 2))"),
+          graft.operators.Bpe.initialSymbols(byteLevel = true),
           bpeByteFixtureMerges).as("__sym"))
       val agg = enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).as("n_words"),

@@ -1893,10 +1893,14 @@ case class GeogAsText(child: Expression, geojson: Boolean = false)
   * the open vertex array; POLYGON parses its single outer ring,
   * closed-as-written (first = last enforced, ≥ 4 vertices). Holes
   * (a second ring) and MULTI* are loud — stated, not silently the
-  * outer ring. Coordinates parse through `Double.parseDouble`, the
-  * exact inverse of [[GeogAsText]]'s rendering, so
-  * parse(render(g)) = g bit-for-bit — the round-trip row the faces
-  * gate on.
+  * outer ring. Coordinates parse through `Double.parseDouble` after a
+  * strict WKT-numeric check, the exact inverse of [[GeogAsText]]'s
+  * rendering, so parse(render(g)) = g bit-for-bit FOR EACH value
+  * class under its own parser: OPEN arrays round-trip through
+  * ST_LINEFROMTEXT, closed ≥4-vertex arrays render as POLYGON and
+  * round-trip through ST_POLYGONFROMTEXT (the single-carrier
+  * convention: a closed array IS a ring — a "closed linestring" has
+  * no distinct representation on this carrier; stated).
   */
 case class GeogFromText(child: Expression, polygon: Boolean)
     extends UnaryExpression with ExpectsInputTypes {
@@ -1907,6 +1911,10 @@ case class GeogFromText(child: Expression, polygon: Boolean)
   private val fn = if (polygon) "ST_POLYGONFROMTEXT" else "ST_LINEFROMTEXT"
   private def fail(wkt: String, why: String): Nothing =
     throw new IllegalArgumentException(s"$fn: $why, got '$wkt'")
+  // WKT numeric tokens only: plain decimal with optional exponent.
+  // Java's parseDouble is far more lenient ('1d', '0x1p3', 'NaN',
+  // 'Infinity') — none of those are WKT and all must fail loud.
+  private val WktNum = """[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?""".r
   private def parseRing(wkt: String, body: String): Array[InternalRow] = {
     val parts = body.split(",")
     val out = new Array[InternalRow](parts.length)
@@ -1914,9 +1922,9 @@ case class GeogFromText(child: Expression, polygon: Boolean)
     while (i < parts.length) {
       val xy = parts(i).trim.split("\\s+")
       if (xy.length != 2) fail(wkt, s"vertex ${i + 1} is not 'lng lat'")
-      try out(i) = InternalRow(xy(0).toDouble, xy(1).toDouble)
-      catch { case _: NumberFormatException =>
-        fail(wkt, s"vertex ${i + 1} has a non-numeric coordinate") }
+      if (!WktNum.matches(xy(0)) || !WktNum.matches(xy(1)))
+        fail(wkt, s"vertex ${i + 1} has a non-numeric coordinate")
+      out(i) = InternalRow(xy(0).toDouble, xy(1).toDouble)
       i += 1
     }
     out

@@ -107,7 +107,7 @@ object Bpe {
     * unchanged, and the DuckDB oracle replays hex(encode(w)) the same
     * way it replays the char split. Upper-case hex on both engines.
     */
-  private def initialSymbols(byteLevel: Boolean): org.apache.spark.sql.Column =
+  private[graft] def initialSymbols(byteLevel: Boolean): org.apache.spark.sql.Column =
     if (byteLevel)
       F.expr("transform(sequence(1, octet_length(__w)), " +
         "i -> substr(hex(CAST(__w AS BINARY)), 2 * i - 1, 2))")

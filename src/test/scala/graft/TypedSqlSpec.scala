@@ -3466,6 +3466,26 @@ class TypedSqlSpec extends SparkSuite {
     assert(GraftSql.load(spark, "SELECT x FROM rtas_shadow").head().getInt(0) == 7)
     assert(spark.sessionState.catalog.getTempView("rtas_shadow").isEmpty)
     GraftSql.load(spark, "DROP TABLE rtas_shadow")
+    // a replaced VERSIONED name loses its commit-log registration —
+    // later DML must never route through the old table's path
+    val vdir = s"${System.getProperty("java.io.tmpdir")}/graft_rtas_v_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+    graft.sources.Versioned.overwrite(spark.sql("SELECT 1 AS x"), vdir)
+    graft.sources.Versioned.register(spark, "rtas_v", vdir)
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE rtas_v AS SELECT 5 AS x")
+    assert(GraftSql.load(spark, "SELECT x FROM rtas_v").head().getInt(0) == 5)
+    assert(graft.sources.Versioned.registeredPath(spark, "rtas_v").isEmpty,
+      "replace must unregister the Versioned name")
+    GraftSql.load(spark, "DROP TABLE rtas_v")
+    // a MULTI-part replace target must not take down an unrelated
+    // session temp view sharing the last name part
+    spark.sql("SELECT 42 AS x").createOrReplaceTempView("rtas_mp")
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE default.rtas_mp AS SELECT 7 AS x")
+    assert(spark.sessionState.catalog.getTempView("rtas_mp").isDefined,
+      "unrelated temp view must survive a qualified replace")
+    assert(spark.sql("SELECT x FROM rtas_mp").head().getInt(0) == 42)
+    spark.catalog.dropTempView("rtas_mp")
+    spark.sql("DROP TABLE default.rtas_mp")
     // labels tuples carry the '' quote escape, like scalar strings
     GraftSql.load(spark,
       """CREATE OR REPLACE VIEW rtas_lbl OPTIONS(labels = [('k', 'it''s')])
