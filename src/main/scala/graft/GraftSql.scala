@@ -252,6 +252,8 @@ object GraftSql {
         commitIfVersioned(spark, alterTargetName(dc.table), "alter")(dropColumnsParsed(spark, dc))
       case r: RenameColumn =>
         commitIfVersioned(spark, alterTargetName(r.table), "alter")(renameColumnParsed(spark, r))
+      case rt: org.apache.spark.sql.catalyst.plans.logical.RenameTable =>
+        renameTableParsed(spark, rt)
       // a plain query (SELECT / WITH / UNION / VALUES / TABLE) — the
       // statements BigQuery scripts interleave with their DML; any
       // parsed NON-command plan runs over the registered views, so
@@ -1872,6 +1874,58 @@ object GraftSql {
     require(dropSet.size < df.columns.length,
       "DROP COLUMN would remove every column of the table")
     df.drop(present.map(c => byLower(c.toLowerCase)): _*)
+  }
+
+  /** `ALTER TABLE t RENAME TO t2` — BigQuery's table rename on the
+    * session-catalog model: the object moves (Versioned registration
+    * follows its commit log, a temp view re-registers, a managed
+    * table renames natively with its directory), and EVERY recorded
+    * metadata entry — MV state, view definition, partition layout,
+    * constraints, table options, row policies — rides to the new key
+    * (BigQuery renames carry their metadata too).
+    */
+  private def renameTableParsed(spark: SparkSession,
+      rt: org.apache.spark.sql.catalyst.plans.logical.RenameTable): DataFrame = {
+    val oldParts = rt.child match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        u.multipartIdentifier
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        u.multipartIdentifier
+      case other => throw new IllegalArgumentException(
+        s"RENAME target must be a named table, got: ${other.nodeName}")
+    }
+    require(oldParts.size == 1 && rt.newName.size == 1,
+      "ALTER TABLE ... RENAME TO supports single-part names (the session-catalog model)")
+    val (oldN, newN) = (oldParts.head, rt.newName.head)
+    require(spark.catalog.tableExists(oldN),
+      s"ALTER TABLE RENAME: no such table or view '$oldN'")
+    require(!spark.catalog.tableExists(newN),
+      s"ALTER TABLE RENAME: target name '$newN' already exists")
+    def move[V](m: scala.collection.concurrent.TrieMap[(Int, String), V]): Unit =
+      m.remove(mvKey(spark, oldN)).foreach(v => m(mvKey(spark, newN)) = v)
+    move(mvRegistry); move(viewDefRegistry); move(partRegistry)
+    move(constraintRegistry); move(tableOptionsRegistry)
+    move(rowPolicyRegistry); move(rowPolicyRawRegistry)
+    graft.sources.Versioned.registeredPath(spark, oldN) match {
+      case Some(path) =>
+        graft.sources.Versioned.unregister(spark, oldN)
+        spark.catalog.dropTempView(oldN)
+        graft.sources.Versioned.register(spark, newN, path)
+      case None =>
+        if (spark.sessionState.catalog.getTempView(oldN).isDefined) {
+          val df = spark.table(oldN)
+          spark.catalog.dropTempView(oldN)
+          df.createOrReplaceTempView(newN)
+        } else {
+          // no live catalog entry carries the target name (required
+          // above), so anything at its warehouse location is a
+          // forgotten-across-sessions remnant the native rename would
+          // otherwise trip over (LOCATION_ALREADY_EXISTS)
+          deleteWarehouseDir(spark, newN)
+          spark.sql(s"ALTER TABLE `$oldN` RENAME TO `$newN`")
+        }
+    }
+    spark.emptyDataFrame
   }
 
   private def renameColumnParsed(spark: SparkSession, r: RenameColumn): DataFrame = {

@@ -959,9 +959,17 @@ object SparkEntry {
       graft.GraftSql.load(s, "CREATE OR REPLACE TABLE ddl_gone AS SELECT 1 AS x")
       graft.GraftSql.load(s, "DROP TABLE ddl_gone")
       graft.GraftSql.load(s, "TRUNCATE TABLE ddl_trunc")
+      // table rename: the old name disappears, the new one carries
+      // the rows (drop first — Bench repeats faces in one session)
+      graft.GraftSql.load(s, "DROP TABLE IF EXISTS ddl_ren2")
+      graft.GraftSql.load(s, "CREATE OR REPLACE TABLE ddl_ren AS SELECT 11 AS y")
+      graft.GraftSql.load(s, "ALTER TABLE ddl_ren RENAME TO ddl_ren2")
       graft.GraftSql.load(s,
         """SELECT c.column_name, CAST(c.ordinal_position AS BIGINT) AS pos, c.data_type,
-          |       s.n, s.hi_n, s.v_sum, s.gone_n, s.trunc_n
+          |       s.n, s.hi_n, s.v_sum, s.gone_n, s.trunc_n,
+          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM INFORMATION_SCHEMA.TABLES
+          |        WHERE table_name = 'ddl_ren') AS ren_old_n,
+          |       (SELECT CAST(MAX(y) AS BIGINT) FROM ddl_ren2) AS ren_y
           |FROM INFORMATION_SCHEMA.COLUMNS c
           |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |                   CAST(SUM(CASE WHEN flag = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS hi_n,
@@ -4803,10 +4811,11 @@ object SparkEntry {
           |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |             CAST(SUM(CASE WHEN v >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS hi_n,
           |             CAST(SUM(v) AS BIGINT) AS v_sum,
-          |             CAST(0 AS BIGINT) AS gone_n, CAST(0 AS BIGINT) AS trunc_n
+          |             CAST(0 AS BIGINT) AS gone_n, CAST(0 AS BIGINT) AS trunc_n,
+          |             CAST(0 AS BIGINT) AS ren_old_n, CAST(11 AS BIGINT) AS ren_y
           |      FROM r)
           |SELECT col.column_name, col.pos, col.data_type,
-          |       s.n, s.hi_n, s.v_sum, s.gone_n, s.trunc_n
+          |       s.n, s.hi_n, s.v_sum, s.gone_n, s.trunc_n, s.ren_old_n, s.ren_y
           |FROM (VALUES ('event_id', CAST(1 AS BIGINT), 'INT64'),
           |             ('etype', CAST(2 AS BIGINT), 'STRING'),
           |             ('v', CAST(3 AS BIGINT), 'INT64'),

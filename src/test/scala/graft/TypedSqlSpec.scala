@@ -3497,6 +3497,37 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "DROP VIEW rtas_lbl")
   }
 
+  test("ALTER TABLE RENAME TO: object, data and recorded metadata move together") {
+    GraftSql.load(spark, "DROP TABLE IF EXISTS ren_b")
+    GraftSql.load(spark,
+      "CREATE OR REPLACE TABLE ren_a OPTIONS(description = 'keep me') AS SELECT 3 AS x")
+    GraftSql.load(spark, "ALTER TABLE ren_a RENAME TO ren_b")
+    assert(GraftSql.load(spark, "SELECT x FROM ren_b").head().getInt(0) == 3)
+    assert(GraftSql.load(spark,
+      "SELECT COUNT(*) AS n FROM INFORMATION_SCHEMA.TABLES WHERE table_name = 'ren_a'")
+      .head().getLong(0) == 0L)
+    // recorded OPTIONS metadata rides to the new name
+    assert(GraftSql.load(spark,
+      "SELECT option_value FROM INFORMATION_SCHEMA.TABLE_OPTIONS WHERE table_name = 'ren_b'")
+      .head().getString(0) == "\"keep me\"")
+    // a VERSIONED registration follows its commit log
+    val vdir = s"${System.getProperty("java.io.tmpdir")}/graft_ren_v_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+    graft.sources.Versioned.overwrite(spark.sql("SELECT 9 AS x"), vdir)
+    graft.sources.Versioned.register(spark, "ren_v", vdir)
+    GraftSql.load(spark, "ALTER TABLE ren_v RENAME TO ren_v2")
+    assert(graft.sources.Versioned.registeredPath(spark, "ren_v").isEmpty)
+    assert(graft.sources.Versioned.registeredPath(spark, "ren_v2").contains(vdir))
+    assert(GraftSql.load(spark, "SELECT x FROM ren_v2").head().getInt(0) == 9)
+    spark.catalog.dropTempView("ren_v2")
+    // louds: missing source, existing target
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "ALTER TABLE ren_missing RENAME TO zz")).getMessage.contains("no such"))
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "ALTER TABLE ren_b RENAME TO ren_b")).getMessage.contains("already exists"))
+    GraftSql.load(spark, "DROP TABLE ren_b")
+  }
+
   test("ROW ACCESS POLICY on a managed table: dropping the last policy drops the shadow") {
     GraftSql.load(spark, "CREATE OR REPLACE TABLE rap_mt AS " +
       "SELECT * FROM (SELECT 1 AS id, 'a' AS k UNION ALL SELECT 2, 'b')")
