@@ -2713,7 +2713,8 @@ object SparkEntry {
           |       MIN(ST_BOUNDINGBOX(ln).xmin) AS bb_xmin,
           |       MAX(ST_BOUNDINGBOX(ln).ymax) AS bb_ymax,
           |       CAST(MAX(FLOOR(ST_MAXDISTANCE(ln, ln) / 1000.0)) AS BIGINT) AS maxd_km,
-          |       MIN(ST_ASGEOJSON(ln)) AS gj_min
+          |       MIN(ST_ASGEOJSON(ln)) AS gj_min,
+          |       MIN(ST_ASTEXT(ST_SNAPTOGRID(ln, 0.5))) AS snap_min
           |FROM l GROUP BY len_10km ORDER BY len_10km""".stripMargin)
     }),
 
@@ -6263,7 +6264,14 @@ object SparkEntry {
           |       MIN('{"type":"LineString","coordinates":[[' ||
           |           CAST(lng1 AS VARCHAR) || ',' || CAST(lat1 AS VARCHAR) || '],[' ||
           |           CAST(lng2 AS VARCHAR) || ',' || CAST(lat2 AS VARCHAR) || '],[' ||
-          |           CAST(lng3 AS VARCHAR) || ',' || CAST(lat3 AS VARCHAR) || ']]}') AS gj_min
+          |           CAST(lng3 AS VARCHAR) || ',' || CAST(lat3 AS VARCHAR) || ']]}') AS gj_min,
+          |       MIN('LINESTRING(' ||
+          |           CAST(floor(lng1 / 0.5 + 0.5) * 0.5 AS VARCHAR) || ' ' ||
+          |           CAST(floor(lat1 / 0.5 + 0.5) * 0.5 AS VARCHAR) || ', ' ||
+          |           CAST(floor(lng2 / 0.5 + 0.5) * 0.5 AS VARCHAR) || ' ' ||
+          |           CAST(floor(lat2 / 0.5 + 0.5) * 0.5 AS VARCHAR) || ', ' ||
+          |           CAST(floor(lng3 / 0.5 + 0.5) * 0.5 AS VARCHAR) || ' ' ||
+          |           CAST(floor(lat3 / 0.5 + 0.5) * 0.5 AS VARCHAR) || ')') AS snap_min
           |FROM d GROUP BY len_10km ORDER BY len_10km""".stripMargin,
       // the ring face flattened: Chamberlain–Duquette signed-area sum
       // in fold order over the four edges (the Δλ wrap term is exactly

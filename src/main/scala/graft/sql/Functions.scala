@@ -2115,6 +2115,20 @@ private[graft] object Functions {
             s"'y', acc.y + (${y("i")} + ${y("i + 1")}) * $cr), " +
             s"acc -> named_struct('lng', acc.x / (3.0D * acc.a), " +
             s"'lat', acc.y / (3.0D * acc.a)))")
+        // ST_SNAPTOGRID over the vertex-array carriers: each
+        // coordinate snaps to the nearest grid multiple via the
+        // IEEE-exact floor(x/s + 0.5)·s fold (deterministic in any
+        // IEEE engine — same discipline as the StGeohash quantizer;
+        // ties at exact half-cells round up in both engines).
+        case "ST_SNAPTOGRID" =>
+          require(args.size == 2, "ST_SNAPTOGRID takes (line or ring, grid_size)")
+          val g = args(0)
+          // the grid size must ride as DOUBLE: a bare 0.5 literal is
+          // DECIMAL and would silently turn the carrier decimal-typed
+          val gs = s"CAST((${args(1)}) AS DOUBLE)"
+          Some(s"transform(($g), p -> named_struct(" +
+            s"'lng', floor(p.lng / $gs + 0.5D) * $gs, " +
+            s"'lat', floor(p.lat / $gs + 0.5D) * $gs))")
         // ST_MAXDISTANCE over the vertex-array carriers: great-circle
         // distance to a geodesic segment is maximized at an ENDPOINT
         // (d(P, X(t)) is quasiconvex along a sub-half-circumference
@@ -2185,7 +2199,7 @@ private[graft] object Functions {
               "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
               "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +
               "ST_DISJOINT, ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_CENTROID, " +
-              "ST_ASTEXT) — other spatial verbs are not implemented")
+              "ST_SNAPTOGRID, ST_ASTEXT) — other spatial verbs are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

@@ -3723,6 +3723,11 @@ class TypedSqlSpec extends SparkSuite {
     assert(ce.getDouble(0) == 1.0 && ce.getDouble(1) == 1.0)
     // the arrow's mass sits low: centroid y below the 1.8 vertex mean
     assert(ce.getDouble(2) < 1.8 && ce.getDouble(2) > 0.0)
+    // ST_SNAPTOGRID: nearest-multiple snap, IEEE-exact fold
+    assert(GraftSql.load(spark,
+      "SELECT ST_ASTEXT(ST_SNAPTOGRID(ST_MAKELINE(ST_GEOGPOINT(0.3, 1.26), " +
+        "ST_GEOGPOINT(-0.3, -1.26)), 0.5)) AS t").head().getString(0) ==
+      "LINESTRING(0.5 1.5, -0.5 -1.5)")
     // GeoJSON render on all three carriers + exact point parse
     val gj = GraftSql.load(spark,
       s"""SELECT ST_ASGEOJSON(ST_GEOGPOINT(-5.6, 42.6)) AS p,
