@@ -1901,6 +1901,18 @@ object GraftSql {
       s"ALTER TABLE RENAME: no such table or view '$oldN'")
     require(!spark.catalog.tableExists(newN),
       s"ALTER TABLE RENAME: target name '$newN' already exists")
+    // a temp view shadowing a catalog table is only legal to rename
+    // when the row-policy machinery created the shadow — reject the
+    // unrelated-shadow case BEFORE any registry mutation
+    val tempShadow0 = spark.sessionState.catalog.getTempView(oldN).isDefined
+    val catalogTable0 = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(oldN))
+    if (tempShadow0 && catalogTable0 &&
+        graft.sources.Versioned.registeredPath(spark, oldN).isEmpty)
+      require(rowPolicyRawRegistry.contains(mvKey(spark, oldN)),
+        s"ALTER TABLE RENAME: '$oldN' is a catalog table shadowed by an " +
+          "unrelated temp view — drop or rename the temp view first " +
+          "(only row-access-policy shadows ride a table rename)")
     def move[V](m: scala.collection.concurrent.TrieMap[(Int, String), V]): Unit =
       m.remove(mvKey(spark, oldN)).foreach(v => m(mvKey(spark, newN)) = v)
     move(mvRegistry); move(viewDefRegistry); move(partRegistry)
@@ -1912,7 +1924,29 @@ object GraftSql {
         spark.catalog.dropTempView(oldN)
         graft.sources.Versioned.register(spark, newN, path)
       case None =>
-        if (spark.sessionState.catalog.getTempView(oldN).isDefined) {
+        val tempShadow = spark.sessionState.catalog.getTempView(oldN).isDefined
+        val catalogTable = spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(oldN))
+        if (tempShadow && catalogTable) {
+          // a temp view SHADOWING a catalog table (the row-access-policy
+          // filter view is the one producer of this pairing here).
+          // Re-registering only the view would leave the underlying
+          // table readable — unfiltered — under the old name: rename
+          // the TABLE natively and rebuild the shadow at the new name.
+          spark.catalog.dropTempView(oldN)
+          deleteWarehouseDir(spark, newN)
+          spark.sql(s"ALTER TABLE `$oldN` RENAME TO `$newN`")
+          val newKey = mvKey(spark, newN)
+          // the pre-mutation guard above proved this is a row-policy
+          // shadow, and move() relocated its raw capture to newKey:
+          // re-capture the raw frame against the renamed table (the old
+          // capture's file index points at the moved directory), then
+          // re-apply the moved policies as the new shadow view
+          val raw = rowPolicyRawRegistry(newKey)
+          rowPolicyRawRegistry(newKey) =
+            RowPolicyRaw(spark.table(newN), raw.shadowsCatalogObject)
+          reapplyRowPolicies(spark, newN)
+        } else if (tempShadow) {
           val df = spark.table(oldN)
           spark.catalog.dropTempView(oldN)
           df.createOrReplaceTempView(newN)
@@ -2626,8 +2660,17 @@ object GraftSql {
       // enforces), and never CREATE TABLE FUNCTION's keyword
       """(?!FUNCTION\b)(`[^`.]+`|[A-Za-z_][\w$]*)[\s(].*""").r
 
-  private def mvKey(spark: SparkSession, name: String): (Int, String) =
-    (System.identityHashCode(spark), name.toLowerCase)
+  private def mvKey(spark: SparkSession, name: String): (Int, String) = {
+    // strip one level of backtick quoting so `t` and t share a key:
+    // DDL paths record metadata under whichever spelling the statement
+    // used, and a rename/replace that only relocated the bare spelling
+    // would strand `quoted` entries under the old name
+    val n =
+      if (name.length >= 2 && name.head == '`' && name.last == '`')
+        name.substring(1, name.length - 1).replace("``", "`")
+      else name
+    (System.identityHashCode(spark), n.toLowerCase)
+  }
 
   /** Split one top-level `OPTIONS ( ... )` clause out of a DDL
     * statement — quote-, backtick- and balance-aware, and stopping at

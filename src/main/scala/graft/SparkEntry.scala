@@ -2796,6 +2796,44 @@ object SparkEntry {
            |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // DETERMINISTIC AEAD (round 16): RFC 5297 AES-SIV — same
+    // (keyset, aad, pt) → same ciphertext, so beyond the GCM face's
+    // round-trip/length/SAFE gates this face hashes what GCM cannot:
+    // COUNT(DISTINCT ct) equals COUNT(DISTINCT pt) (joinable
+    // ciphertext — the family's whole point), an independent
+    // re-encrypt compares EQUAL to the first, and a ciphertext PINNED
+    // at build time decrypts to its literal. The engine's SIV is
+    // pinned to the RFC's A.1/A.2 vectors in NativeExprSpec.
+    "q_aead_det" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("det_events")
+      val ks = """{"primaryKeyId":1,"key":[{"keyId":1,"type":"AES_SIV",""" +
+        """"key":"fffefdfcfbfaf9f8f7f6f5f4f3f2f1f0f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff"}]}"""
+      val pinned = "010000000139c085bfcaa1a2651aa8675595c9530167ae7057" +
+        "690710a77c64da0a1bf3f721"
+      graft.GraftSql.load(s,
+        s"""WITH p AS (SELECT event_type,
+           |                  CONCAT(event_type, '-', CAST(user_id % 50 AS STRING)) AS pt
+           |           FROM det_events),
+           |e AS (SELECT event_type, pt,
+           |             DETERMINISTIC_ENCRYPT(KEYS.KEYSET_FROM_JSON('$ks'), pt, 'corp') AS ct
+           |      FROM p)
+           |SELECT event_type, COUNT(*) AS n,
+           |  COUNT(DISTINCT ct) AS distinct_ct,
+           |  CAST(SUM(CASE WHEN DETERMINISTIC_DECRYPT_STRING(
+           |                       KEYS.KEYSET_FROM_JSON('$ks'), ct, 'corp') = pt
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
+           |  CAST(SUM(BYTE_LENGTH(ct)) AS BIGINT) AS ct_bytes,
+           |  CAST(SUM(CASE WHEN SAFE.DETERMINISTIC_DECRYPT_STRING(
+           |                       KEYS.KEYSET_FROM_JSON('$ks'), ct, 'wrong') IS NULL
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS bad_aad,
+           |  CAST(SUM(CASE WHEN DETERMINISTIC_ENCRYPT(
+           |                       KEYS.KEYSET_FROM_JSON('$ks'), pt, 'corp') = ct
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS det_eq,
+           |  MIN(DETERMINISTIC_DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('$ks'),
+           |                                   FROM_HEX('$pinned'), 'ad1')) AS pinned
+           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // PERCENTILE_CONT/DISC analytic spellings (round 13): per-type
     // window percentiles over INTEGER-VALUED doubles at power-of-two
     // fractions — every interpolation intermediate is exact, so the
@@ -6354,6 +6392,22 @@ object SparkEntry {
           |       CAST(COUNT(*) AS BIGINT) AS rt_ok,
           |       CAST(SUM(33 + octet_length(encode(pt))) AS BIGINT) AS ct_bytes,
           |       CAST(COUNT(*) AS BIGINT) AS bad_aad,
+          |       'the graft engine' AS pinned
+          |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // deterministic AEAD: ciphertext is a bijection of plaintext
+      // under a fixed (key, aad) — distinct counts transfer, the
+      // re-encrypt equality is identically true, V||C wire overhead
+      // is 21 bytes exactly, and the pinned decrypt is a literal
+      "q_aead_det" ->
+        """WITH p AS (SELECT event_type,
+          |                  CONCAT(event_type, '-', CAST(user_id % 50 AS VARCHAR)) AS pt
+          |           FROM events)
+          |SELECT event_type, COUNT(*) AS n,
+          |       COUNT(DISTINCT pt) AS distinct_ct,
+          |       CAST(COUNT(*) AS BIGINT) AS rt_ok,
+          |       CAST(SUM(21 + octet_length(encode(pt))) AS BIGINT) AS ct_bytes,
+          |       CAST(COUNT(*) AS BIGINT) AS bad_aad,
+          |       CAST(COUNT(*) AS BIGINT) AS det_eq,
           |       'the graft engine' AS pinned
           |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q_string_agg" ->

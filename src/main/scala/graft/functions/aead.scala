@@ -28,14 +28,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * PINNED ciphertext vectors — all deterministic. DECRYPT raises on
   * authentication failure like BigQuery; the SAFE. forms return NULL.
   *
-  * DETERMINISTIC_ENCRYPT (AES-SIV) has no JDK primitive and stays
-  * loud in the rewriter.
+  * DETERMINISTIC_ENCRYPT / DETERMINISTIC_DECRYPT_* (round 16) are
+  * RFC 5297 AES-SIV (S2V = AES-CMAC per RFC 4493; CTR under the
+  * rightmost key half with the 31st/63rd counter bits cleared), built
+  * from the JDK's AES-ECB / AES-CTR primitives — the construction the
+  * public RFC specifies, pinned against its A.1 test vector. Key type
+  * `AES_SIV`, raw length 32 (RFC two-half key) or 64 (Tink's
+  * AES256-SIV shape); same `[0x01][keyId][payload]` wire, payload
+  * `V || C`. Deterministic by construction — same (key, aad, pt) →
+  * same ciphertext, so equality joins and GROUP BY work on the
+  * ciphertext column (the whole point of the family).
   */
 object Aead {
-  final case class Keyset(primaryKeyId: Int, keys: Seq[(Int, Array[Byte])]) {
-    def primary: (Int, Array[Byte]) = keys.find(_._1 == primaryKeyId).getOrElse(
+  final case class Key(id: Int, keyType: String, raw: Array[Byte])
+  final case class Keyset(primaryKeyId: Int, keys: Seq[Key]) {
+    def primary: Key = keys.find(_.id == primaryKeyId).getOrElse(
       throw new IllegalArgumentException(
         s"keyset has no key with primaryKeyId=$primaryKeyId"))
+  }
+
+  private[graft] def validKeyLen(keyType: String, len: Int): Boolean = keyType match {
+    case "AES_GCM" => len == 16 || len == 32
+    case "AES_SIV" => len == 32 || len == 64
+    case _ => false
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -49,17 +64,19 @@ object Aead {
     require(root.has("primaryKeyId") && root.has("key"),
       "keyset JSON needs primaryKeyId and key[]")
     val keys = root.get("key").elements()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Key]
     while (keys.hasNext) {
       val k = keys.next()
       require(k.has("keyId") && k.has("type") && k.has("key"),
         "each keyset entry needs keyId, type, key")
-      require(k.get("type").asText() == "AES_GCM",
-        s"unsupported key type '${k.get("type").asText()}' (AES_GCM only)")
+      val kt = k.get("type").asText()
+      require(kt == "AES_GCM" || kt == "AES_SIV",
+        s"unsupported key type '$kt' (AES_GCM or AES_SIV)")
       val raw = hexToBytes(k.get("key").asText())
-      require(raw.length == 16 || raw.length == 32,
-        s"AES_GCM key must be 16 or 32 bytes, got ${raw.length}")
-      out += ((k.get("keyId").asInt(), raw))
+      require(validKeyLen(kt, raw.length),
+        s"$kt key must be ${if (kt == "AES_SIV") "32 or 64" else "16 or 32"} " +
+          s"bytes, got ${raw.length}")
+      out += Key(k.get("keyId").asInt(), kt, raw)
     }
     require(out.nonEmpty, "keyset has no keys")
     val ks = Keyset(root.get("primaryKeyId").asInt(), out.toSeq)
@@ -68,8 +85,8 @@ object Aead {
   }
 
   def render(ks: Keyset): String = {
-    val entries = ks.keys.map { case (id, raw) =>
-      s"""{"keyId":$id,"type":"AES_GCM","key":"${bytesToHex(raw)}"}"""
+    val entries = ks.keys.map { k =>
+      s"""{"keyId":${k.id},"type":"${k.keyType}","key":"${bytesToHex(k.raw)}"}"""
     }
     s"""{"primaryKeyId":${ks.primaryKeyId},"key":[${entries.mkString(",")}]}"""
   }
@@ -93,13 +110,24 @@ object Aead {
   /** `[0x01][keyId BE][IV][ct+tag]` under the PRIMARY key. */
   def encrypt(ks: Keyset, pt: Array[Byte], aad: Array[Byte],
               rng: java.security.SecureRandom): Array[Byte] = {
-    val (kid, key) = ks.primary
+    val pk = ks.primary
+    require(pk.keyType == "AES_GCM",
+      s"AEAD.ENCRYPT needs an AES_GCM primary key, the keyset's primary is ${pk.keyType} " +
+        "(use DETERMINISTIC_ENCRYPT for AES_SIV keysets)")
     val iv = new Array[Byte](12)
     rng.nextBytes(iv)
-    val ct = cipher(javax.crypto.Cipher.ENCRYPT_MODE, key, iv, aad).doFinal(pt)
+    val ct = cipher(javax.crypto.Cipher.ENCRYPT_MODE, pk.raw, iv, aad).doFinal(pt)
     val out = java.nio.ByteBuffer.allocate(1 + 4 + 12 + ct.length)
-    out.put(1.toByte).putInt(kid).put(iv).put(ct)
+    out.put(1.toByte).putInt(pk.id).put(iv).put(ct)
     out.array()
+  }
+
+  private def keyFor(ks: Keyset, kid: Int, wantType: String): Array[Byte] = {
+    val k = ks.keys.find(_.id == kid).getOrElse(
+      throw new IllegalArgumentException(s"ciphertext key id $kid is not in the keyset"))
+    require(k.keyType == wantType,
+      s"ciphertext key id $kid is ${k.keyType}, this decrypt needs $wantType")
+    k.raw
   }
 
   /** Decrypt by keyId prefix; raises on unknown key or a failed tag
@@ -111,11 +139,173 @@ object Aead {
     val buf = java.nio.ByteBuffer.wrap(blob)
     buf.get()
     val kid = buf.getInt
-    val key = ks.keys.find(_._1 == kid).map(_._2).getOrElse(
-      throw new IllegalArgumentException(s"ciphertext key id $kid is not in the keyset"))
+    val key = keyFor(ks, kid, "AES_GCM")
     val iv = new Array[Byte](12); buf.get(iv)
     val ct = new Array[Byte](buf.remaining()); buf.get(ct)
     cipher(javax.crypto.Cipher.DECRYPT_MODE, key, iv, aad).doFinal(ct)
+  }
+
+  /** `[0x01][keyId BE][V || C]` under the PRIMARY key — RFC 5297
+    * AES-SIV, deterministic by construction.
+    */
+  def detEncrypt(ks: Keyset, pt: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val pk = ks.primary
+    require(pk.keyType == "AES_SIV",
+      s"DETERMINISTIC_ENCRYPT needs an AES_SIV primary key, the keyset's primary is " +
+        s"${pk.keyType} (use AEAD.ENCRYPT for AES_GCM keysets)")
+    val vc = AesSiv.encrypt(pk.raw, pt, aad)
+    val out = java.nio.ByteBuffer.allocate(1 + 4 + vc.length)
+    out.put(1.toByte).putInt(pk.id).put(vc)
+    out.array()
+  }
+
+  /** Raises on an S2V mismatch (wrong key / aad / corrupt ciphertext)
+    * exactly like GCM's tag failure; SAFE. forms map to NULL upstream.
+    */
+  def detDecrypt(ks: Keyset, blob: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    require(blob.length >= 1 + 4 + 16 && blob(0) == 1.toByte,
+      s"not a DETERMINISTIC_ENCRYPT ciphertext (${blob.length} bytes)")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+    buf.get()
+    val kid = buf.getInt
+    val key = keyFor(ks, kid, "AES_SIV")
+    val vc = new Array[Byte](buf.remaining()); buf.get(vc)
+    AesSiv.decrypt(key, vc, aad)
+  }
+}
+
+/** RFC 5297 AES-SIV from JDK primitives: S2V over AES-CMAC (RFC 4493)
+  * keyed by the LEFTMOST key half, AES-CTR keyed by the RIGHTMOST
+  * half with the 31st and 63rd bits of the synthetic IV cleared
+  * before counting (RFC 5297 §2.5-2.7). The S2V component vector is
+  * always `[additional_data, plaintext]` — Tink's single-AD DAEAD
+  * shape, which BigQuery's DETERMINISTIC_ family exposes. Pinned
+  * against the RFC's A.1 vector (AeadSpec + the q_aead_det face) and
+  * A.2's S2V chain (AeadSpec, via the multi-component entry point).
+  */
+object AesSiv {
+  private def aesBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.doFinal(block)
+  }
+
+  /** GF(2^128) doubling: shift left one bit, xor 0x87 into the last
+    * byte when the shifted-out bit was set (RFC 4493 subkey rule).
+    */
+  private[graft] def dbl(in: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 15) {
+      out(i) = (((in(i) << 1) & 0xff) | ((in(i + 1) & 0xff) >>> 7)).toByte
+      i += 1
+    }
+    out(15) = ((in(15) << 1) & 0xff).toByte
+    if ((in(0) & 0x80) != 0) out(15) = (out(15) ^ 0x87).toByte
+    out
+  }
+
+  private def xor16(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 16) { out(i) = (a(i) ^ b(i)).toByte; i += 1 }
+    out
+  }
+
+  /** AES-CMAC (RFC 4493). */
+  private[graft] def cmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val k1 = dbl(aesBlock(key, new Array[Byte](16)))
+    val k2 = dbl(k1)
+    val n = if (msg.length == 0) 1 else (msg.length + 15) / 16
+    val complete = msg.length > 0 && msg.length % 16 == 0
+    val last = new Array[Byte](16)
+    val off = (n - 1) * 16
+    if (complete) {
+      var i = 0
+      while (i < 16) { last(i) = (msg(off + i) ^ k1(i)).toByte; i += 1 }
+    } else {
+      val rem = msg.length - off
+      var i = 0
+      while (i < rem) { last(i) = (msg(off + i) ^ k2(i)).toByte; i += 1 }
+      last(rem) = (0x80 ^ k2(rem)).toByte
+      i = rem + 1
+      while (i < 16) { last(i) = k2(i); i += 1 }
+    }
+    var x = new Array[Byte](16)
+    var b = 0
+    while (b < n - 1) {
+      val blk = new Array[Byte](16)
+      var i = 0
+      while (i < 16) { blk(i) = (x(i) ^ msg(b * 16 + i)).toByte; i += 1 }
+      x = aesBlock(key, blk)
+      b += 1
+    }
+    aesBlock(key, xor16(x, last))
+  }
+
+  /** S2V (RFC 5297 §2.4) over a non-empty component vector, the last
+    * component being the plaintext.
+    */
+  private[graft] def s2v(key: Array[Byte], components: Seq[Array[Byte]]): Array[Byte] = {
+    require(components.nonEmpty, "S2V needs at least one component")
+    var d = cmac(key, new Array[Byte](16))
+    for (s <- components.dropRight(1)) d = xor16(dbl(d), cmac(key, s))
+    val sn = components.last
+    val t =
+      if (sn.length >= 16) {
+        // xorend: D xors into the LAST 16 bytes of Sn
+        val out = sn.clone()
+        val off = sn.length - 16
+        var i = 0
+        while (i < 16) { out(off + i) = (out(off + i) ^ d(i)).toByte; i += 1 }
+        out
+      } else {
+        val padded = new Array[Byte](16)
+        System.arraycopy(sn, 0, padded, 0, sn.length)
+        padded(sn.length) = 0x80.toByte
+        xor16(dbl(d), padded)
+      }
+    cmac(key, t)
+  }
+
+  private def ctr(key: Array[Byte], v: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val q = java.util.Arrays.copyOf(v, 16)
+    q(8) = (q(8) & 0x7f).toByte
+    q(12) = (q(12) & 0x7f).toByte
+    val c = javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(q))
+    c.doFinal(data)
+  }
+
+  private def halves(sivKey: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(sivKey.length == 32 || sivKey.length == 64,
+      s"AES-SIV key must be 32 or 64 bytes, got ${sivKey.length}")
+    val h = sivKey.length / 2
+    (java.util.Arrays.copyOfRange(sivKey, 0, h),
+      java.util.Arrays.copyOfRange(sivKey, h, sivKey.length))
+  }
+
+  /** Returns `V || C` (no wire prefix — [[Aead.detEncrypt]] adds it). */
+  def encrypt(sivKey: Array[Byte], pt: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val (k1, k2) = halves(sivKey)
+    val v = s2v(k1, Seq(aad, pt))
+    v ++ ctr(k2, v, pt)
+  }
+
+  def decrypt(sivKey: Array[Byte], vc: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    require(vc.length >= 16, s"AES-SIV payload needs >= 16 bytes, got ${vc.length}")
+    val (k1, k2) = halves(sivKey)
+    val v = java.util.Arrays.copyOf(vc, 16)
+    val pt = ctr(k2, v, java.util.Arrays.copyOfRange(vc, 16, vc.length))
+    val check = s2v(k1, Seq(aad, pt))
+    if (!java.util.Arrays.equals(check, v))
+      throw new javax.crypto.AEADBadTagException(
+        "DETERMINISTIC_DECRYPT: authentication failed (wrong key, wrong " +
+          "additional_data, or corrupted ciphertext)")
+    pt
   }
 }
 
@@ -155,22 +345,29 @@ case class KeysetToJson(child: Expression)
     copy(child = newChild)
 }
 
-/** KEYS.NEW_KEYSET('AEAD_AES_GCM_256') — one fresh random 256-bit key,
-  * keyId 1, primary. NONDETERMINISTIC like BigQuery's (deterministic
-  * overridden so the optimizer never folds or CSEs it).
+/** KEYS.NEW_KEYSET(key_type) — one fresh random key, keyId 1,
+  * primary. `AEAD_AES_GCM_{128,256}` mint AES_GCM keys;
+  * `DETERMINISTIC_AEAD_AES_SIV_CMAC_256` mints the 64-byte AES_SIV
+  * key (Tink's AES256-SIV shape: two 32-byte halves). NONDETERMINISTIC
+  * like BigQuery's (deterministic overridden so the optimizer never
+  * folds or CSEs it).
   */
 case class NewKeyset(keyType: String) extends Expression {
-  require(keyType == "AEAD_AES_GCM_256" || keyType == "AEAD_AES_GCM_128",
-    s"KEYS.NEW_KEYSET supports AEAD_AES_GCM_256 / AEAD_AES_GCM_128, got '$keyType'")
+  require(keyType == "AEAD_AES_GCM_256" || keyType == "AEAD_AES_GCM_128" ||
+      keyType == "DETERMINISTIC_AEAD_AES_SIV_CMAC_256",
+    s"KEYS.NEW_KEYSET supports AEAD_AES_GCM_256 / AEAD_AES_GCM_128 / " +
+      s"DETERMINISTIC_AEAD_AES_SIV_CMAC_256, got '$keyType'")
   override def children: Seq[Expression] = Nil
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override lazy val deterministic: Boolean = false
   @transient private lazy val rng = new java.security.SecureRandom()
   def compute(): Array[Byte] = {
-    val raw = new Array[Byte](if (keyType.endsWith("128")) 16 else 32)
+    val siv = keyType.startsWith("DETERMINISTIC")
+    val raw = new Array[Byte](if (siv) 64 else if (keyType.endsWith("128")) 16 else 32)
     rng.nextBytes(raw)
-    Aead.render(Aead.Keyset(1, Seq((1, raw)))).getBytes("UTF-8")
+    val kt = if (siv) "AES_SIV" else "AES_GCM"
+    Aead.render(Aead.Keyset(1, Seq(Aead.Key(1, kt, raw)))).getBytes("UTF-8")
   }
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = compute()
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -190,17 +387,19 @@ case class NewKeyset(keyType: String) extends Expression {
   */
 case class AddKeyFromRawBytes(first: Expression, keyType: String, third: Expression)
     extends BinaryExpression with ExpectsInputTypes {
-  require(keyType == "AES_GCM", s"ADD_KEY_FROM_RAW_BYTES supports 'AES_GCM', got '$keyType'")
+  require(keyType == "AES_GCM" || keyType == "AES_SIV",
+    s"ADD_KEY_FROM_RAW_BYTES supports 'AES_GCM' or 'AES_SIV', got '$keyType'")
   override def left: Expression = first
   override def right: Expression = third
   override def inputTypes = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
   def compute(ksb: Array[Byte], raw: Array[Byte]): Array[Byte] = {
-    require(raw.length == 16 || raw.length == 32,
-      s"AES_GCM raw key must be 16 or 32 bytes, got ${raw.length}")
+    require(Aead.validKeyLen(keyType, raw.length),
+      s"$keyType raw key must be ${if (keyType == "AES_SIV") "32 or 64" else "16 or 32"} " +
+        s"bytes, got ${raw.length}")
     val ks = Aead.parse(ksb)
-    val nid = ks.keys.map(_._1).max + 1
-    Aead.render(ks.copy(keys = ks.keys :+ ((nid, raw)))).getBytes("UTF-8")
+    val nid = ks.keys.map(_.id).max + 1
+    Aead.render(ks.copy(keys = ks.keys :+ Aead.Key(nid, keyType, raw))).getBytes("UTF-8")
   }
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -270,5 +469,65 @@ case class AeadDecrypt(first: Expression, second: Expression, third: Expression,
          |""".stripMargin)
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): AeadDecrypt =
+    copy(first = a, second = b, third = c)
+}
+
+/** DETERMINISTIC_ENCRYPT(keyset, plaintext STRING, additional_data
+  * STRING) — RFC 5297 AES-SIV under the keyset's primary AES_SIV key.
+  * DETERMINISTIC (the family's contract): same inputs → same
+  * ciphertext, so the column supports equality joins and GROUP BY.
+  */
+case class DeterministicEncrypt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, StringType, StringType)
+  override def dataType: DataType = BinaryType
+  def compute(ks: Array[Byte], pt: UTF8String, aad: UTF8String): Array[Byte] =
+    Aead.detEncrypt(Aead.parse(ks), pt.getBytes, aad.getBytes)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("detEnc", this)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): DeterministicEncrypt =
+    copy(first = a, second = b, third = c)
+}
+
+/** DETERMINISTIC_DECRYPT_STRING / _BYTES(keyset, ciphertext, aad) —
+  * raises on the S2V check failing (BigQuery raises too); `safe = true`
+  * routes the SAFE. forms to NULL instead.
+  */
+case class DeterministicDecrypt(first: Expression, second: Expression, third: Expression,
+                                asString: Boolean, safe: Boolean = false)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType, StringType)
+  override def dataType: DataType = if (asString) StringType else BinaryType
+  override def nullable: Boolean = true
+  def compute(ks: Array[Byte], ct: Array[Byte], aad: UTF8String): Any = {
+    try {
+      val pt = Aead.detDecrypt(Aead.parse(ks), ct, aad.getBytes)
+      if (!asString) pt
+      else {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(pt)).toString)
+      }
+    } catch {
+      case _: Exception if safe => null
+      case e: javax.crypto.AEADBadTagException => throw new IllegalArgumentException(
+        "DETERMINISTIC_DECRYPT: authentication failed (wrong key, wrong " +
+          "additional_data, or corrupted ciphertext)", e)
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("detDec", this)
+    val javaType = if (asString) "UTF8String" else "byte[]"
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""Object r = $ref.compute($a, $b, $c);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ($javaType) r; }
+         |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): DeterministicDecrypt =
     copy(first = a, second = b, third = c)
 }

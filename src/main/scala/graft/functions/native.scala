@@ -1810,7 +1810,12 @@ case class StGeohash(lng: Expression, lat: Expression, nchars: Int)
 case class GeogAsText(child: Expression, geojson: Boolean = false)
     extends UnaryExpression {
   private def isPointStruct(s: StructType): Boolean =
-    s.fields.length == 2 && s.fields.forall(_.dataType == DoubleType)
+    // the field NAMES gate too: a STRUCT<lat, lng> (or any unrelated
+    // two-double struct) must fail at analysis, not render silently
+    // with transposed coordinates
+    s.fields.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+      s.fields(0).name.equalsIgnoreCase("lng") &&
+      s.fields(1).name.equalsIgnoreCase("lat")
   private def fn = if (geojson) "ST_ASGEOJSON" else "ST_ASTEXT"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -2433,8 +2438,9 @@ object native {
       "graft_new_keyset('AEAD_AES_GCM_256') - fresh random keyset (KEYS.NEW_KEYSET)",
       es => { arity("graft_new_keyset", es, 1); NewKeyset(constStr("graft_new_keyset", es, 0)) }),
     ("graft_add_key_raw",
-      "graft_add_key_raw(ks, raw) - append an AES_GCM raw key (KEYS.ADD_KEY_FROM_RAW_BYTES)",
-      es => { arity("graft_add_key_raw", es, 2); AddKeyFromRawBytes(es.head, "AES_GCM", es(1)) }),
+      "graft_add_key_raw(ks, key_type, raw) - append a raw AES_GCM/AES_SIV key (KEYS.ADD_KEY_FROM_RAW_BYTES)",
+      es => { arity("graft_add_key_raw", es, 3)
+        AddKeyFromRawBytes(es.head, constStr("graft_add_key_raw", es, 1), es(2)) }),
     ("graft_aead_encrypt",
       "graft_aead_encrypt(ks, pt, aad) - AES-GCM encrypt under the primary key (AEAD.ENCRYPT)",
       es => { arity("graft_aead_encrypt", es, 3); AeadEncrypt(es.head, es(1), es(2)) }),
@@ -2447,7 +2453,20 @@ object native {
       "graft_aead_decrypt_bytes(ks, ct, aad, safe) - decrypt to BYTES (AEAD.DECRYPT_BYTES)",
       es => { arity("graft_aead_decrypt_bytes", es, 4)
         AeadDecrypt(es.head, es(1), es(2), asString = false,
-          safe = constBool("graft_aead_decrypt_bytes", es, 3)) }))
+          safe = constBool("graft_aead_decrypt_bytes", es, 3)) }),
+    ("graft_det_encrypt",
+      "graft_det_encrypt(ks, pt, aad) - RFC 5297 AES-SIV encrypt (DETERMINISTIC_ENCRYPT)",
+      es => { arity("graft_det_encrypt", es, 3); DeterministicEncrypt(es.head, es(1), es(2)) }),
+    ("graft_det_decrypt_string",
+      "graft_det_decrypt_string(ks, ct, aad, safe) - AES-SIV decrypt to STRING",
+      es => { arity("graft_det_decrypt_string", es, 4)
+        DeterministicDecrypt(es.head, es(1), es(2), asString = true,
+          safe = constBool("graft_det_decrypt_string", es, 3)) }),
+    ("graft_det_decrypt_bytes",
+      "graft_det_decrypt_bytes(ks, ct, aad, safe) - AES-SIV decrypt to BYTES",
+      es => { arity("graft_det_decrypt_bytes", es, 4)
+        DeterministicDecrypt(es.head, es(1), es(2), asString = false,
+          safe = constBool("graft_det_decrypt_bytes", es, 3)) }))
 
   /** Register the SQL names on a live session for spark.sql use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

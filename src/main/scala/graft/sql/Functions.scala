@@ -415,7 +415,8 @@ private[graft] object Functions {
       "KEYS.KEYSET_TO_JSON", "KEYS.KEYSET_LENGTH", "KEYS.ROTATE_KEYSET",
       "KEYS.NEW_WRAPPED_KEYSET", "KEYS.REWRAP_KEYSET", "KEYS.KEYSET_CHAIN",
       "DETERMINISTIC_ENCRYPT", "DETERMINISTIC_DECRYPT_STRING",
-      "DETERMINISTIC_DECRYPT_BYTES",
+      "DETERMINISTIC_DECRYPT_BYTES", "SAFE.DETERMINISTIC_DECRYPT_STRING",
+      "SAFE.DETERMINISTIC_DECRYPT_BYTES",
       "ANY_VALUE", "STRING_AGG", "ARRAY_AGG",
       "APPROX_QUANTILES", "APPROX_TOP_COUNT", "APPROX_TOP_SUM", "ML.DISTANCE",
       "HLL_COUNT.INIT", "HLL_COUNT.MERGE_PARTIAL", "HLL_COUNT.MERGE",
@@ -691,6 +692,24 @@ private[graft] object Functions {
         s"($q).lng < (($b).lng - ($a).lng) * (($q).lat - ($a).lat) / " +
         s"(($b).lat - ($a).lat) + ($a).lng " +
         s"THEN 1 ELSE 0 END)) % 2 = 1 END)"
+    }
+    // point-on-boundary test against the ring/line's segments, in the
+    // same planar lng/lat space as the ray cast: exact collinearity
+    // (cross product equals zero) AND the point inside the segment's
+    // bounding box. Pure IEEE multiply/compare in a fixed order — the
+    // oracle replays it bit-for-bit. This is the boundary half the
+    // strict ray cast deliberately excludes; COVERS/TOUCHES compose it.
+    def stOnBoundary(p: String, q: String): String = {
+      val a = s"element_at(($p), i)"
+      val b = s"element_at(($p), i + 1)"
+      s"(CASE WHEN size(($p)) < 2 THEN false ELSE " +
+        s"aggregate(sequence(1, size(($p)) - 1), false, (acc, i) -> acc OR (" +
+        s"(($b).lng - ($a).lng) * (($q).lat - ($a).lat) = " +
+        s"(($b).lat - ($a).lat) * (($q).lng - ($a).lng) AND " +
+        s"($q).lng >= least(($a).lng, ($b).lng) AND " +
+        s"($q).lng <= greatest(($a).lng, ($b).lng) AND " +
+        s"($q).lat >= least(($a).lat, ($b).lat) AND " +
+        s"($q).lat <= greatest(($a).lat, ($b).lat))) END)"
     }
     val allNames = BqRenames.keys.toSeq ++ shapeNames
     def unquote(lit: String, ctx: String): String = {
@@ -2041,7 +2060,15 @@ private[graft] object Functions {
           require(args.nonEmpty,
             "ST_MAKELINE takes (point, point, ...) or (array_of_points) — " +
               "the linestring-concatenation form is not supported")
-          if (args.size == 1) Some(s"(${args(0)})")
+          // the single-argument form must already BE the array carrier:
+          // a lone point struct passed through unchecked would claim a
+          // line type and only fail later, confusingly, in whatever
+          // measure consumes it. size() resolves only on arrays, so
+          // misuse fails AT this rewrite, loudly, and the identity CASE
+          // (both branches the argument) changes no value or nullness.
+          if (args.size == 1)
+            Some(s"(CASE WHEN size((${args(0)})) IS NOT NULL THEN (${args(0)}) " +
+              s"ELSE (${args(0)}) END)")
           else Some(s"array(${args.map(a => s"($a)").mkString(", ")})")
         case "ST_MAKEPOLYGON" =>
           require(args.size == 1,
@@ -2080,6 +2107,30 @@ private[graft] object Functions {
         case "ST_DISJOINT" =>
           require(args.size == 2, "ST_DISJOINT takes (polygon ring, point)")
           Some(s"(NOT ${stRayCast(args(0), args(1))})")
+        // boundary-INCLUSIVE predicates (BigQuery: COVERS = interior ∪
+        // boundary; CONTAINS above excludes the boundary): the strict
+        // even-odd ray cast OR'd with the exact on-segment test
+        case "ST_COVERS" =>
+          require(args.size == 2, "ST_COVERS takes (polygon ring, point)")
+          Some(s"(${stRayCast(args(0), args(1))} OR ${stOnBoundary(args(0), args(1))})")
+        case "ST_COVEREDBY" =>
+          require(args.size == 2, "ST_COVEREDBY takes (point, polygon ring)")
+          Some(s"(${stRayCast(args(1), args(0))} OR ${stOnBoundary(args(1), args(0))})")
+        // a point TOUCHES a ring/line exactly when it lies ON the
+        // boundary (interiors cannot intersect: a point's interior is
+        // itself, and a boundary point is by definition not interior)
+        case "ST_TOUCHES" =>
+          require(args.size == 2, "ST_TOUCHES takes (polygon ring or line, point)")
+          Some(stOnBoundary(args(0), args(1)))
+        // ST_EQUALS over this engine's carriers is VERTEX-SEQUENCE
+        // equality (point = point coordinates; line/ring = same vertex
+        // array) — stated: BigQuery's geometric equality also admits
+        // rotated/reversed rings, which the one-array carrier does not
+        // canonicalize
+        case "ST_EQUALS" =>
+          require(args.size == 2, "ST_EQUALS takes two geographies of the SAME " +
+            "carrier (point/point or line/ring with identical vertex sequence)")
+          Some(s"((${args(0)}) = (${args(1)}))")
         // ST_BOUNDINGBOX: exact min/max folds over the vertex array —
         // BigQuery's STRUCT<xmin, ymin, xmax, ymax> shape, replayable
         // as LEAST/GREATEST arithmetic
@@ -2166,9 +2217,9 @@ private[graft] object Functions {
           require(args.size == 3,
             "KEYS.ADD_KEY_FROM_RAW_BYTES takes (keyset, key_type, raw_key_bytes)")
           val kt = unquote(args(1), "KEYS.ADD_KEY_FROM_RAW_BYTES key_type")
-          require(kt == "AES_GCM",
-            s"KEYS.ADD_KEY_FROM_RAW_BYTES supports key_type 'AES_GCM', got '$kt'")
-          Some(s"graft_add_key_raw((${args(0)}), (${args(2)}))")
+          require(kt == "AES_GCM" || kt == "AES_SIV",
+            s"KEYS.ADD_KEY_FROM_RAW_BYTES supports key_type 'AES_GCM' or 'AES_SIV', got '$kt'")
+          Some(s"graft_add_key_raw((${args(0)}), '$kt', (${args(2)}))")
         case "KEYS.KEYSET_FROM_JSON" =>
           require(args.size == 1, "KEYS.KEYSET_FROM_JSON takes (json_string)")
           Some(s"graft_keyset_from_json((${args(0)}))")
@@ -2184,12 +2235,23 @@ private[graft] object Functions {
             s"$n2: supported KEYS verbs are NEW_KEYSET, ADD_KEY_FROM_RAW_BYTES, " +
               "KEYSET_FROM_JSON, KEYSET_TO_JSON, KEYSET_LENGTH — wrapped keysets " +
               "(Cloud KMS envelope) and ROTATE have no engine here")
-        case "DETERMINISTIC_ENCRYPT" | "DETERMINISTIC_DECRYPT_STRING" |
-             "DETERMINISTIC_DECRYPT_BYTES" =>
-          throw new IllegalArgumentException(
-            s"$name: the deterministic AEAD family is AES-SIV " +
-              "(DETERMINISTIC_AEAD_AES_SIV_CMAC_256), which the JDK has no " +
-              "primitive for — use AEAD.ENCRYPT/DECRYPT_* (non-deterministic GCM)")
+        // the deterministic family (round 16): RFC 5297 AES-SIV built
+        // from JDK AES-ECB/CTR — same (keyset, pt, aad) → same
+        // ciphertext, so the column is joinable/groupable
+        case "DETERMINISTIC_ENCRYPT" =>
+          require(args.size == 3,
+            "DETERMINISTIC_ENCRYPT takes (keyset, plaintext, additional_data)")
+          Some(s"graft_det_encrypt((${args(0)}), (${args(1)}), (${args(2)}))")
+        case "DETERMINISTIC_DECRYPT_STRING" | "DETERMINISTIC_DECRYPT_BYTES" =>
+          require(args.size == 3, s"$name takes (keyset, ciphertext, additional_data)")
+          val f = if (name.endsWith("STRING")) "graft_det_decrypt_string"
+            else "graft_det_decrypt_bytes"
+          Some(s"$f((${args(0)}), (${args(1)}), (${args(2)}), false)")
+        case "SAFE.DETERMINISTIC_DECRYPT_STRING" | "SAFE.DETERMINISTIC_DECRYPT_BYTES" =>
+          require(args.size == 3, s"$name takes (keyset, ciphertext, additional_data)")
+          val f = if (name.endsWith("STRING")) "graft_det_decrypt_string"
+            else "graft_det_decrypt_bytes"
+          Some(s"$f((${args(0)}), (${args(1)}), (${args(2)}), true)")
         case n2 if n2.startsWith("ST_") =>
           throw new IllegalArgumentException(
             s"$n2: supported geography is the POINT core (ST_GEOGPOINT, ST_X, ST_Y, " +
@@ -2198,7 +2260,8 @@ private[graft] object Functions {
               "ARRAY<STRUCT<lng, lat>> line/ring core (ST_MAKELINE, ST_MAKEPOLYGON, " +
               "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
               "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +
-              "ST_DISJOINT, ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_CENTROID, " +
+              "ST_DISJOINT, ST_COVERS, ST_COVEREDBY, ST_TOUCHES, ST_EQUALS, " +
+              "ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_CENTROID, " +
               "ST_SNAPTOGRID, ST_ASTEXT) — other spatial verbs are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
@@ -2571,7 +2634,15 @@ private[graft] object Functions {
           val fn = sql.substring(i + 5, j)
           var k = j
           while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
-          if (fn.nonEmpty && k < sql.length && sql.charAt(k) == '(') {
+          val fnUp = fn.toUpperCase(java.util.Locale.ROOT)
+          if (fn.nonEmpty && k < sql.length && sql.charAt(k) == '(' &&
+              (fnUp == "DETERMINISTIC_DECRYPT_STRING" || fnUp == "DETERMINISTIC_DECRYPT_BYTES")) {
+            // the dotted name SAFE.DETERMINISTIC_DECRYPT_* is a
+            // rewriteCalls-handled AEAD form, not a SAFE_ respelling —
+            // pass it through untouched for that pass
+            out ++= sql.substring(i, j)
+            i = j
+          } else if (fn.nonEmpty && k < sql.length && sql.charAt(k) == '(') {
             require(SafeSupported.contains(fn.toUpperCase(java.util.Locale.ROOT)),
               s"SAFE.$fn is not supported — supported SAFE. forms: " +
                 s"${SafeSupported.toSeq.sorted.mkString(", ")}; most Spark scalar " +

@@ -184,4 +184,38 @@ class NativeExprSpec extends SparkSuite {
       assert(l == r, s"k=$k window hashes diverged")
     }
   }
+
+  test("AES-SIV pins RFC 5297 A.1 and A.2 test vectors exactly") {
+    import graft.functions.{Aead, AesSiv}
+    def hx(s: String): Array[Byte] = Aead.hexToBytes(s)
+    def toHex(b: Array[Byte]): String = Aead.bytesToHex(b)
+    // A.1 Deterministic Authenticated Encryption Example (RFC 5297):
+    // one AD component + plaintext, 32-byte key
+    val k1 = hx("fffefdfcfbfaf9f8f7f6f5f4f3f2f1f0f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff")
+    val ad1 = hx("101112131415161718191a1b1c1d1e1f2021222324252627")
+    val pt1 = hx("112233445566778899aabbccddee")
+    val out1 = AesSiv.encrypt(k1, pt1, ad1)
+    assert(toHex(out1) ==
+      "85632d07c6e8f37f950acd320a2ecc93" + // V (the synthetic IV / tag)
+        "40c02b9690c4dc04daef7f6afe5c")    // C (CTR keystream xor pt)
+    assert(AesSiv.decrypt(k1, out1, ad1).toSeq == pt1.toSeq)
+    // tamper: flip one ciphertext bit → auth failure, loud
+    val bad = out1.clone(); bad(20) = (bad(20) ^ 1).toByte
+    intercept[javax.crypto.AEADBadTagException](AesSiv.decrypt(k1, bad, ad1))
+    intercept[javax.crypto.AEADBadTagException](
+      AesSiv.decrypt(k1, out1, "other".getBytes))
+    // A.2 Nonce-Based Authenticated Encryption Example: the S2V chain
+    // over THREE leading components (ad1, ad2, nonce) + plaintext —
+    // exercises the dbl/xor fold and the >=16-byte xorend branch
+    val k2 = hx("7f7e7d7c7b7a797877767574737271704041424344454647" +
+      "48494a4b4c4d4e4f")
+    val a21 = hx("00112233445566778899aabbccddeeffdeaddadadeaddada" +
+      "ffeeddccbbaa99887766554433221100")
+    val a22 = hx("102030405060708090a0")
+    val nonce = hx("09f911029d74e35bd84156c5635688c0")
+    val pt2 = "this is some plaintext to encrypt using SIV-AES".getBytes("US-ASCII")
+    val v2 = AesSiv.s2v(java.util.Arrays.copyOfRange(k2, 0, 16),
+      Seq(a21, a22, nonce, pt2))
+    assert(toHex(v2) == "7bdb6e3b432667eb06f4d14bff2fbd0f")
+  }
 }

@@ -3634,13 +3634,62 @@ class TypedSqlSpec extends SparkSuite {
       """WITH k AS (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS ks)
         |SELECT AEAD.DECRYPT_STRING(ks, AEAD.ENCRYPT(ks, 'spin', 'a'), 'a') AS v
         |FROM k""".stripMargin).head().getString(0) == "spin")
-    // louds: AES-SIV family, wrapped keysets, junk keyset bytes
-    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT DETERMINISTIC_ENCRYPT(b'x', 'p', 'a') AS v")).getMessage.contains("AES-SIV"))
+    // louds: wrapped keysets, junk keyset bytes, GCM encrypt on a SIV keyset
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
       "SELECT KEYS.ROTATE_KEYSET(b'x', 'AEAD_AES_GCM_256') AS v"))
       .getMessage.contains("NEW_KEYSET"))
     intercept[Exception](one("AEAD.DECRYPT_STRING(CAST('junk' AS BYTES), ks, 'a')"))
+  }
+
+  test("DETERMINISTIC AEAD: AES-SIV round-trips, determinism, SAFE forms, key-type gates") {
+    val sivJson = """{"primaryKeyId":1,"key":[{"keyId":1,"type":"AES_SIV",""" +
+      """"key":"fffefdfcfbfaf9f8f7f6f5f4f3f2f1f0f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff"}]}"""
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark,
+        s"WITH k AS (SELECT KEYS.KEYSET_FROM_JSON('$sivJson') AS ks) SELECT $expr AS v FROM k")
+        .collect().head
+    // round-trips, string and bytes; AAD is bound
+    assert(one("DETERMINISTIC_DECRYPT_STRING(ks, DETERMINISTIC_ENCRYPT(ks, 'héllo wörld', 'ad'), 'ad')")
+      .getString(0) == "héllo wörld")
+    assert(one("DETERMINISTIC_DECRYPT_BYTES(ks, DETERMINISTIC_ENCRYPT(ks, 'raw', 'x'), 'x')")
+      .getAs[Array[Byte]](0).toSeq == "raw".getBytes("UTF-8").toSeq)
+    // DETERMINISM — the family's contract: two independent calls yield
+    // the same bytes (GCM's fresh-IV ENCRYPT never does)
+    assert(one("DETERMINISTIC_ENCRYPT(ks, 'same', 'ad') = DETERMINISTIC_ENCRYPT(ks, 'same', 'ad')")
+      .getBoolean(0))
+    assert(!one("DETERMINISTIC_ENCRYPT(ks, 'same', 'ad') = DETERMINISTIC_ENCRYPT(ks, 'diff', 'ad')")
+      .getBoolean(0))
+    // ciphertext length: 1 + 4 (wire) + 16 (V) + |pt| (CTR stream)
+    assert(one("BYTE_LENGTH(DETERMINISTIC_ENCRYPT(ks, 'abcde', ''))").getAs[Number](0).longValue == 26L)
+    // wrong AAD: loud plain, NULL SAFE.
+    intercept[Exception](one(
+      "DETERMINISTIC_DECRYPT_STRING(ks, DETERMINISTIC_ENCRYPT(ks, 'p', 'a'), 'wrong')"))
+    assert(one(
+      "SAFE.DETERMINISTIC_DECRYPT_STRING(ks, DETERMINISTIC_ENCRYPT(ks, 'p', 'a'), 'wrong')")
+      .isNullAt(0))
+    // key-type gates: GCM encrypt rejects a SIV primary and vice versa
+    intercept[Exception](one("AEAD.ENCRYPT(ks, 'p', 'a')"))
+    val gcmJson = """{"primaryKeyId":1,"key":[{"keyId":1,"type":"AES_GCM",""" +
+      """"key":"000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"}]}"""
+    intercept[Exception](GraftSql.load(spark,
+      s"SELECT DETERMINISTIC_ENCRYPT(KEYS.KEYSET_FROM_JSON('$gcmJson'), 'p', 'a') AS v")
+      .collect())
+    // NEW_KEYSET mints a working SIV keyset; ADD_KEY_FROM_RAW_BYTES
+    // appends a SIV key that decrypts what the base cannot
+    assert(GraftSql.load(spark,
+      """WITH k AS (SELECT KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS ks)
+        |SELECT DETERMINISTIC_DECRYPT_STRING(ks, DETERMINISTIC_ENCRYPT(ks, 'spin', 'a'), 'a') AS v
+        |FROM k""".stripMargin).head().getString(0) == "spin")
+    val ct = one("TO_HEX(DETERMINISTIC_ENCRYPT(ks, 'routed', 'z'))").getString(0)
+    // the base holds only keyId 0; ADD assigns max+1 = 1, exactly the
+    // id the ciphertext's wire prefix routes to
+    val base = """{"primaryKeyId":0,"key":[{"keyId":0,"type":"AES_GCM",""" +
+      """"key":"00000000000000000000000000000000"}]}"""
+    assert(GraftSql.load(spark,
+      s"""SELECT DETERMINISTIC_DECRYPT_STRING(
+         |  KEYS.ADD_KEY_FROM_RAW_BYTES(KEYS.KEYSET_FROM_JSON('$base'), 'AES_SIV',
+         |    FROM_HEX('fffefdfcfbfaf9f8f7f6f5f4f3f2f1f0f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff')),
+         |  FROM_HEX('$ct'), 'z') AS v""".stripMargin).head().getString(0) == "routed")
   }
 
   test("non-point geography: ST_MAKELINE/LENGTH/MAKEPOLYGON/AREA/CONTAINS + WKT round-trips") {
