@@ -44,6 +44,21 @@ object SparkEntry {
 
   private def evDay(c: Column): Column = F.to_date(F.date_trunc("day", c))
 
+  /** Fresh scratch base for a streaming face: one deterministic path
+    * per (face, sf), wiped at face start so every run — including the
+    * repeated in-session Bench reps — replays the identical trajectory
+    * from an empty checkpoint.
+    */
+  private def streamScratch(s: SparkSession, d: String, tag: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${tag}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    base
+  }
+
   // Reference load-strategy fixtures: the "existing table" is events
   // minus every 10th row; the incoming "batch" is every 3rd row (so it
   // overlaps the table — the interesting idempotency case).
@@ -980,6 +995,120 @@ object SparkEntry {
           |            FROM ddl_t) s
           |WHERE c.table_name = 'ddl_t'
           |ORDER BY pos""".stripMargin)
+    }),
+
+    // ─────────── G-family driver faces (round 16): streaming sinks
+    // under the batch CORRECTNESS gate. graft.streaming.Replay writes
+    // the input as modification-time-ordered single-file slices and
+    // streams them back one file per micro-batch under
+    // Trigger.AvailableNow — the whole trajectory is deterministic, so
+    // the sink's FINAL state is exactly what a plain batch SQL oracle
+    // computes. Reference anchor: the every-minute idempotent ingest
+    // loop (idempotent_fx_pipeline.py:75-92) IS this shape — files
+    // land, each lands once, state folds forward.
+
+    // G3 gate: foreachBatch MERGE-upsert with the EVENT-TIME-wins
+    // merge policy — the final table is the latest (ts, event_id) row
+    // per (user_id, event_type) no matter how rows split across
+    // micro-batches, which is the same row fx_dedup_latest's oracle
+    // selects. State persists via stage-per-generation parquet (the
+    // production shape: never overwrite the file you are reading).
+    "stream_merge_upsert" -> ((s, d) => {
+      val base = streamScratch(s, d, "smu")
+      val e = Tables.events(s, d)
+        .select("user_id", "event_type", "event_id", "value", "ts")
+      val schema = graft.streaming.Replay.writeSlices(
+        e, s"$base/in", F.pmod(F.col("event_id"), F.lit(4)), 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      var gen = 0
+      var statePath: Option[String] = None
+      val q = graft.streaming.EventStream.mergeSink(
+          stream, Seq("user_id", "event_type"),
+          () => statePath.map(s.read.parquet(_)),
+          merged => {
+            gen += 1
+            val p = s"$base/state/$gen"
+            merged.write.mode("overwrite").parquet(p)
+            statePath = Some(p)
+          },
+          orderCol = Some("ts"), byEventTime = true, tieBreak = Seq("event_id"))
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      s.read.parquet(statePath.getOrElse(
+          throw new IllegalStateException("stream produced no state")))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // G8 gate: incremental-report sink — four micro-batches fold
+    // O(batch) decimal partials into the persisted state; additive
+    // decimal sums commute, so the final state equals the one-shot
+    // aggregate bit-for-bit (fx_incremental_report's oracle). The
+    // (state, batchId) pair persists atomically per batch — the
+    // replay guard the sink documents.
+    "stream_incremental_report" -> ((s, d) => {
+      val base = streamScratch(s, d, "sir")
+      val e = Tables.events(s, d).withColumn("day", evDay(F.col("ts")))
+        .select("day", "event_type", "value", "event_id")
+      val schema = graft.streaming.Replay.writeSlices(
+        e, s"$base/in", F.pmod(F.col("event_id"), F.lit(4)), 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      val keys = Seq("day", "event_type")
+      val measures = Seq(
+        F.sum(F.col("value").cast("decimal(30,2)")).as("value_sum"),
+        F.count(F.lit(1)).as("n_cnt"))
+      var state: Option[(String, Long)] = None
+      val q = graft.streaming.EventStream.incrementalReportSink(
+          stream, keys, measures,
+          () => state.map { case (p, id) => (s.read.parquet(p), id) },
+          (st, id) => {
+            val p = s"$base/state/$id"
+            st.write.mode("overwrite").parquet(p)
+            state = Some((p, id))
+          })
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      s.read.parquet(state.getOrElse(
+          throw new IllegalStateException("stream produced no state"))._1)
+        .select(F.col("day"), F.col("event_type"),
+          (F.col("value_sum").cast("double") / F.col("n_cnt")).as("avg_value"),
+          F.col("n_cnt").as("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // G7 gate: streaming corpus ingest against the persisted
+    // DedupIndex. The fixture makes every near-dup decision EXACT
+    // while still driving the full MinHash/banded machinery: doc
+    // content is eight repetitions of its group token, so docs of one
+    // group share an identical single shingle (est-Jaccard 1.0) and
+    // docs of different groups share none (est ~0 — a cross-group
+    // slot collision needs a 64-bit hash collision). Groups 0-9 are
+    // pre-seeded into the index; the survivor of every other group is
+    // its first-processed doc = min (slice, doc_id), which the oracle
+    // replays as one ROW_NUMBER.
+    "stream_dedup_ingest" -> ((s, d) => {
+      val base = streamScratch(s, d, "sdi")
+      val token = F.concat(F.lit("g"), F.col("grp").cast("string"))
+      def withText(df: DataFrame): DataFrame = df.withColumn("text",
+        F.concat_ws(" ", F.array(Seq.fill(8)(token): _*)))
+      val docs = withText(Tables.orders(s, d)
+        .filter(F.col("o_orderkey") % 11 === 0)
+        .select(F.col("o_orderkey").as("doc_id"),
+          (F.col("o_orderkey") % 25).as("grp")))
+      val seed = withText(s.range(0, 10).select(
+        (F.col("id") + 10000000L).as("doc_id"), F.col("id").as("grp")))
+      graft.operators.DedupIndex.create(s, "sdi16_idx", s"$base/index",
+        seed, "doc_id", "text", k = 64, bands = 16, buckets = 4)
+      val schema = graft.streaming.Replay.writeSlices(
+        docs, s"$base/in", F.pmod(F.col("doc_id"), F.lit(4)), 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      val q = graft.streaming.EventStream.dedupIngestSink(
+          stream, "sdi16_idx", s"$base/index", "doc_id", "text",
+          writeSurvivors = sv =>
+            sv.select("doc_id", "grp").write.mode("append").parquet(s"$base/out"))
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("doc_id")
     }),
 
     // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
@@ -4741,6 +4870,32 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // streaming G-family gates: the Replay trajectory is
+      // deterministic and the sinks' final states are trajectory-
+      // independent by design (event-time-wins merge; commuting
+      // decimal partials; first-processed-survives dedup with pinned
+      // slice order), so each oracle is the plain batch semantics
+      "stream_merge_upsert" ->
+        """SELECT user_id, event_type, event_id, value FROM (
+          |  SELECT user_id, event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1
+          |ORDER BY user_id, event_type""".stripMargin,
+      "stream_incremental_report" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "stream_dedup_ingest" ->
+        """WITH docs AS (SELECT o_orderkey AS doc_id, o_orderkey % 25 AS grp
+          |              FROM orders WHERE o_orderkey % 11 = 0),
+          |ranked AS (SELECT doc_id, grp,
+          |                  ROW_NUMBER() OVER (PARTITION BY grp
+          |                                     ORDER BY doc_id % 4, doc_id) AS rn
+          |           FROM docs)
+          |SELECT doc_id, grp FROM ranked WHERE rn = 1 AND grp >= 10
+          |ORDER BY doc_id""".stripMargin,
       // the MV lifecycle's oracle is the one-shot aggregate over ALL
       // events: a hash match proves create + 2 refreshes ≡ recompute
       "sql_matview_refresh" ->

@@ -285,7 +285,9 @@ object EventStream {
   def mergeSink(stream: DataFrame, keys: Seq[String],
                 readTarget: () => Option[DataFrame],
                 writeTarget: DataFrame => Unit,
-                orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+                orderCol: Option[String] = None,
+                byEventTime: Boolean = false,
+                tieBreak: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -295,10 +297,20 @@ object EventStream {
         // With an order column the newest row wins deterministically;
         // without one, duplicates are assumed to be exact redeliveries.
         val deduped = orderCol match {
-          case Some(ts) => Upsert.dedupLatest(batch, keys, ts)
+          case Some(ts) => Upsert.dedupLatest(batch, keys, ts, tieBreak)
           case None     => batch.dropDuplicates(keys)
         }
         val merged = readTarget() match {
+          case Some(t) if byEventTime =>
+            // EVENT-TIME wins, not arrival order: a matched key keeps
+            // whichever row carries the greater (orderCol, tieBreak) —
+            // out-of-order micro-batches (backfill replay, partition
+            // catch-up after an executor stall) then converge to the
+            // SAME final state as the in-order run, which is what lets
+            // a batch oracle gate the whole trajectory
+            val ts = orderCol.getOrElse(throw new IllegalArgumentException(
+              "byEventTime merge needs orderCol"))
+            Upsert.dedupLatest(t.unionByName(deduped), keys, ts, tieBreak)
           case Some(t) => Upsert.merge(t, deduped, keys)
           case None    => deduped
         }

@@ -696,4 +696,59 @@ class StreamingSpec extends SparkSuite {
     val legacy = EventStream.readEvents(spark, legacyDir, Some(LongType))
     assert(legacy.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
   }
+
+  test("Replay: slices stream back one per micro-batch, in slice-index order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replay-").toString
+    val df = (0 until 40).map(i => (i.toLong, s"row$i")).toDF("id", "tag")
+    val schema = graft.streaming.Replay.writeSlices(df, dir, F.pmod(F.col("id"), F.lit(4)), 4)
+    var batches = Seq.empty[(Long, Set[Long])]
+    val q = graft.streaming.Replay.readSliced(spark, dir, schema)
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches = batches :+ (id -> b.select("id").collect().map(_.getLong(0)).toSet)
+      }.start()
+    q.awaitTermination()
+    // exactly 4 micro-batches, batch i carrying slice i (pmod(id,4)=i),
+    // in index order — the determinism the stream_* faces stand on
+    assert(batches.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    for ((id, ids) <- batches) {
+      assert(ids.nonEmpty && ids.forall(_ % 4 == id), s"batch $id got $ids")
+    }
+    assert(batches.flatMap(_._2).toSet == (0L until 40L).toSet)
+    // a slice expression that loses rows is loud, not silent
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Replay.writeSlices(df,
+        Files.createTempDirectory("graft-replay-bad-").toString,
+        F.pmod(F.col("id"), F.lit(5)), 4)
+    }
+    assert(ex.getMessage.contains("outside slices"))
+  }
+
+  test("G3 byEventTime: out-of-order micro-batches converge to the in-order final state") {
+    import spark.implicits._
+    // key K's NEWEST row (by ts) arrives in the FIRST micro-batch; an
+    // arrival-order merge would let the older row from batch 1
+    // overwrite it — byEventTime must keep the newest
+    val rows = Seq(
+      (1L, "a", 100L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 9.0), // newest, batch 0
+      (1L, "a", 101L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0), // older, batch 1
+      (2L, "b", 200L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0), // batch 0
+      (2L, "b", 201L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3.0)  // tie ts, batch 1: max event_id wins
+    ).toDF("user_id", "event_type", "event_id", "ts", "value")
+    val dir = Files.createTempDirectory("graft-g3et-").toString
+    val schema = graft.streaming.Replay.writeSlices(rows, dir,
+      F.pmod(F.col("event_id"), F.lit(2)), 2)
+    var state: Option[DataFrame] = None
+    val q = EventStream.mergeSink(graft.streaming.Replay.readSliced(spark, dir, schema),
+        Seq("user_id", "event_type"),
+        () => state, m => state = Some(m.cache()),
+        orderCol = Some("ts"), byEventTime = true, tieBreak = Seq("event_id"))
+      .option("checkpointLocation", s"$dir-chk").start()
+    q.awaitTermination()
+    val got = state.get.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 201L)),
+      s"event-time merge must keep max (ts, event_id): $got")
+  }
 }
