@@ -2890,6 +2890,66 @@ object SparkEntry {
           |FROM g GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin)
     }),
 
+    // boundary-INCLUSIVE geography predicates (round 16): ST_COVERS /
+    // ST_COVEREDBY / ST_TOUCHES / ST_EQUALS. The fixture parks each
+    // test point in a KNOWN position class — interior, edge midpoint,
+    // corner vertex, strictly outside, top edge — built from the same
+    // dyadic arithmetic as the ring's own vertices, so the on-segment
+    // cross-product test is EXACTLY zero on boundary classes in any
+    // IEEE engine and the oracle is pure CASE arithmetic on the class
+    // id (no geometry replay needed).
+    "q_st_pred" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("sp_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT -160.0 + CAST(user_id * 11 % 320 AS DOUBLE) + 0.5 AS clng,
+          |         -55.0 + CAST(user_id * 17 % 110 AS DOUBLE) + 0.25 AS clat,
+          |         0.5 + CAST(event_id % 4 AS DOUBLE) * 0.25 AS w,
+          |         0.25 + CAST(user_id % 3 AS DOUBLE) * 0.25 AS h,
+          |         CAST(event_id % 5 AS BIGINT) AS cse
+          |  FROM sp_events),
+          |g AS (
+          |  SELECT cse, clng, clat,
+          |         ST_MAKEPOLYGON(ST_MAKELINE(
+          |           ST_GEOGPOINT(clng - w, clat - h), ST_GEOGPOINT(clng + w, clat - h),
+          |           ST_GEOGPOINT(clng + w, clat + h), ST_GEOGPOINT(clng - w, clat + h))) AS poly,
+          |         CASE cse WHEN 0 THEN ST_GEOGPOINT(clng, clat)
+          |                  WHEN 1 THEN ST_GEOGPOINT(clng + w, clat)
+          |                  WHEN 2 THEN ST_GEOGPOINT(clng - w, clat - h)
+          |                  WHEN 3 THEN ST_GEOGPOINT(clng + w + 0.5, clat)
+          |                  ELSE ST_GEOGPOINT(clng, clat + h) END AS tp
+          |  FROM p)
+          |SELECT cse, COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN ST_COVERS(poly, tp) THEN 1 ELSE 0 END) AS BIGINT) AS covers_n,
+          |  CAST(SUM(CASE WHEN ST_COVEREDBY(tp, poly) THEN 1 ELSE 0 END) AS BIGINT) AS coveredby_n,
+          |  CAST(SUM(CASE WHEN ST_TOUCHES(poly, tp) THEN 1 ELSE 0 END) AS BIGINT) AS touches_n,
+          |  CAST(SUM(CASE WHEN ST_EQUALS(tp, ST_GEOGPOINT(clng, clat)) THEN 1 ELSE 0 END) AS BIGINT) AS eq_center_n,
+          |  CAST(SUM(CASE WHEN ST_EQUALS(poly, poly) THEN 1 ELSE 0 END) AS BIGINT) AS eq_poly_n
+          |FROM g GROUP BY cse ORDER BY cse""".stripMargin)
+    }),
+
+    // spatial DWITHIN pair JOIN (round 16): the 100 TB pair-finding
+    // face — grid-cell candidate generation + exact haversine verify
+    // (operators/Geo.dwithinJoin), the geo analog of the LSH band
+    // join. PlanSpec pins: no CartesianProduct/BNLJ. The oracle is the
+    // deliberately-bounded n² join with the identical haversine — the
+    // grid join must find EXACTLY the true pairs.
+    "q_st_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        F.col("c_custkey").as("cust_id"),
+        ((F.col("c_custkey") * 7 % 200).cast("double") / 10.0 - 10.0).as("c_lng"),
+        ((F.col("c_custkey") * 13 % 100).cast("double") / 10.0 - 5.0).as("c_lat"))
+      val supp = Tables.supplier(s, d).select(
+        F.col("s_suppkey").as("supp_id"),
+        ((F.col("s_suppkey") * 11 % 200).cast("double") / 10.0 - 10.0).as("s_lng"),
+        ((F.col("s_suppkey") * 17 % 100).cast("double") / 10.0 - 5.0).as("s_lat"))
+      graft.operators.Geo.dwithinJoin(cust, "c_lng", "c_lat",
+          supp, "s_lng", "s_lat", 25000.0)
+        .select(F.col("cust_id"), F.col("supp_id"),
+          F.floor(F.col("distance_m") / 100.0).cast("long").as("dist_hm"))
+        .orderBy("cust_id", "supp_id")
+    }),
+
     // AEAD / KEYS column encryption (round 15): AES-GCM on the
     // JSON-carried keyset. ENCRYPT is nondeterministic (fresh IV per
     // row, BigQuery's model too), so the gate hashes what IS
@@ -6535,6 +6595,37 @@ object SparkEntry {
           |           (3.0 * ((x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) +
           |                   (x3 * y4 - x4 * y3) + (x4 * y1 - x1 * y4)))) AS cy_max
           |FROM m GROUP BY area_gm2 ORDER BY area_gm2""".stripMargin,
+      // boundary predicates: truth is a pure function of the position
+      // class (interior / edge / corner / outside / top edge) — no
+      // geometry replay, just CASE arithmetic on the class id
+      "q_st_pred" ->
+        """WITH p AS (SELECT CAST(event_id % 5 AS BIGINT) AS cse FROM events)
+          |SELECT cse, COUNT(*) AS n,
+          |  CAST(CASE WHEN cse IN (0, 1, 2, 4) THEN COUNT(*) ELSE 0 END AS BIGINT) AS covers_n,
+          |  CAST(CASE WHEN cse IN (0, 1, 2, 4) THEN COUNT(*) ELSE 0 END AS BIGINT) AS coveredby_n,
+          |  CAST(CASE WHEN cse IN (1, 2, 4) THEN COUNT(*) ELSE 0 END AS BIGINT) AS touches_n,
+          |  CAST(CASE WHEN cse = 0 THEN COUNT(*) ELSE 0 END AS BIGINT) AS eq_center_n,
+          |  CAST(COUNT(*) AS BIGINT) AS eq_poly_n
+          |FROM p GROUP BY cse ORDER BY cse""".stripMargin,
+      // the grid-bucketed DWITHIN join must equal the bounded n² join
+      // with the identical haversine spelling
+      "q_st_join" ->
+        """WITH c AS (SELECT c_custkey AS cust_id,
+          |                  CAST(c_custkey * 7 % 200 AS DOUBLE) / 10.0 - 10.0 AS c_lng,
+          |                  CAST(c_custkey * 13 % 100 AS DOUBLE) / 10.0 - 5.0 AS c_lat
+          |           FROM customer),
+          |     s AS (SELECT s_suppkey AS supp_id,
+          |                  CAST(s_suppkey * 11 % 200 AS DOUBLE) / 10.0 - 10.0 AS s_lng,
+          |                  CAST(s_suppkey * 17 % 100 AS DOUBLE) / 10.0 - 5.0 AS s_lat
+          |           FROM supplier),
+          |     p AS (SELECT cust_id, supp_id,
+          |                  2.0 * 6371010.0 * asin(sqrt(
+          |                    sin(radians((s_lat - c_lat) / 2.0)) * sin(radians((s_lat - c_lat) / 2.0)) +
+          |                    cos(radians(c_lat)) * cos(radians(s_lat)) *
+          |                    sin(radians((s_lng - c_lng) / 2.0)) * sin(radians((s_lng - c_lng) / 2.0)))) AS d
+          |           FROM c CROSS JOIN s)
+          |SELECT cust_id, supp_id, CAST(FLOOR(d / 100.0) AS BIGINT) AS dist_hm
+          |FROM p WHERE d <= 25000.0 ORDER BY cust_id, supp_id""".stripMargin,
       // AEAD: every gated column is deterministic — the round-trip and
       // SAFE-NULL counts are identically n (GCM is correct or the
       // Spark side would not produce these counts), ciphertext length

@@ -2040,11 +2040,19 @@ private[graft] object Functions {
           require(args.size == 1, "ST_GEOGFROMGEOJSON takes (json) — POINT only; " +
             "LINESTRING/POLYGON parse through ST_LINEFROMTEXT / ST_POLYGONFROMTEXT")
           val j = args(0)
-          def cjs(i: Int) =
+          // missing or non-numeric coordinates raise — the same
+          // strictness as the WKT parser; a silent CAST-to-NULL here
+          // would hand downstream measures a null point for garbage
+          // input (round-16 fix, caught by the negative-path suite)
+          def cjs(i: Int) = {
+            val coord = s"CAST(get_json_object(($j), '$$.coordinates[$i]') AS DOUBLE)"
             s"CASE WHEN get_json_object(($j), '$$.type') = 'Point' " +
-              s"THEN CAST(get_json_object(($j), '$$.coordinates[$i]') AS DOUBLE) " +
+              s"THEN (CASE WHEN $coord IS NOT NULL THEN $coord " +
+              s"ELSE CAST(raise_error(concat('ST_GEOGFROMGEOJSON: coordinates[$i] " +
+              s"missing or not a number in ', ($j))) AS DOUBLE) END) " +
               s"ELSE CAST(raise_error(concat('ST_GEOGFROMGEOJSON: only " +
               s"{\"type\":\"Point\",...} is supported, got ', ($j))) AS DOUBLE) END"
+          }
           Some(s"ST_GEOGPOINT(${cjs(0)}, ${cjs(1)})")
         case "ST_LINEFROMTEXT" =>
           require(args.size == 1, "ST_LINEFROMTEXT takes (wkt)")

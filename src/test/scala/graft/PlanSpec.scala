@@ -419,4 +419,25 @@ class PlanSpec extends SparkSuite {
     assert(ae.contains("partial_count"), "q_aead: no map-side partial aggregation")
     assert(!ae.contains("Join"), s"q_aead grew a join:\n${ae.take(1200)}")
   }
+
+  test("round-16 faces: spatial join buckets, deterministic AEAD stays map-only") {
+    // the DWITHIN pair join must be the grid-cell equi-join — NEVER a
+    // cartesian/broadcast-nested-loop all-pairs (the 100 TB contract)
+    val sj = plan("q_st_join")
+    assert(!sj.contains("CartesianProduct"), s"q_st_join went all-pairs:\n${sj.take(1200)}")
+    assert(!sj.contains("BroadcastNestedLoopJoin"), s"q_st_join went BNLJ:\n${sj.take(1200)}")
+    assert(sj.contains("Join"), "q_st_join lost its equi-join")
+    // the predicate face folds in the projection like the other
+    // geography faces: pruned scan, partial agg, no join
+    val sp = plan("q_st_pred")
+    assert(sp.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), sp.take(800))
+    assert(sp.contains("partial_count"), "q_st_pred: no map-side partial aggregation")
+    assert(!sp.contains("Join"), s"q_st_pred grew a join:\n${sp.take(1200)}")
+    // deterministic AEAD: DETERMINISTIC_ENCRYPT may CSE (it is
+    // deterministic — the opposite of GCM's contract) but the face
+    // must stay an aggregation over a scan, no join
+    val ad = plan("q_aead_det")
+    assert(ad.contains("partial_count"), "q_aead_det: no map-side partial aggregation")
+    assert(!ad.contains("Join"), s"q_aead_det grew a join:\n${ad.take(1200)}")
+  }
 }

@@ -33,6 +33,15 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "RANGE_INTERSECT(r1, r2)", "ML.LABEL_ENCODER(f, 10, 1)",
     "ST_GEOGPOINT(lng, lat)", "ST_DISTANCE(g1, g2)", "ST_GEOHASH(g, 6)",
     "ST_GEOGFROMTEXT('POINT(1 2)')", "ST_ASTEXT(g)",
+    // malformed WKT/GeoJSON as LITERAL CONTENT: the rewrites must pass
+    // the bytes through untouched — loudness belongs to the runtime
+    // parser, never to a scanner mangling the quoted text
+    "ST_GEOGFROMTEXT('POINT(1d 2)')", "ST_LINEFROMTEXT('LINESTRING(1 2')",
+    "ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 0 0))')",
+    "ST_GEOGFROMGEOJSON('{\"type\":\"Pointy\",\"coordinates\":[1,2]}')",
+    "ST_COVERS(poly, tp)", "ST_TOUCHES(poly, tp)", "ST_EQUALS(a, b)",
+    "DETERMINISTIC_ENCRYPT(ks, pt, ad)",
+    "SAFE.DETERMINISTIC_DECRYPT_STRING(ks, ct, ad)",
     "TIMESTAMP_TRUNC(ts, DAY, 'Europe/Paris')", "DATE(ts, 'Asia/Tokyo')",
     "DATE_TRUNC(d, WEEK(TUESDAY))", "LAST_DAY(d, ISOWEEK)",
     "DATE_DIFF(a, b, MONTH)", "DATETIME_DIFF(a, b, HOUR)",

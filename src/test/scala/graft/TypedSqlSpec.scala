@@ -3641,6 +3641,39 @@ class TypedSqlSpec extends SparkSuite {
     intercept[Exception](one("AEAD.DECRYPT_STRING(CAST('junk' AS BYTES), ks, 'a')"))
   }
 
+  test("WKT/GeoJSON negative paths stay loud: malformed numerics, arity, structure") {
+    def loud(expr: String): Unit = withClue(expr) {
+      intercept[Exception](GraftSql.load(spark, s"SELECT $expr AS v").collect())
+    }
+    // numeric strictness (round-15 rule): Java-isms like '1d' or hex
+    // floats are NOT WKT numbers
+    loud("ST_GEOGFROMTEXT('POINT(1d 2)')")
+    loud("ST_GEOGFROMTEXT('POINT(0x1p3 2)')")
+    loud("ST_LINEFROMTEXT('LINESTRING(0 0, 3 Infinity)')")
+    // structure: unbalanced parens, wrong arity, nested rings
+    loud("ST_GEOGFROMTEXT('POINT(1 2')")
+    loud("ST_GEOGFROMTEXT('POINT(1)')")
+    loud("ST_GEOGFROMTEXT('POINT(1 2 3)')")
+    loud("ST_LINEFROMTEXT('LINESTRING(1 2)')")
+    loud("ST_LINEFROMTEXT('LINESTRING((0 0, 1 1))')")
+    loud("ST_POLYGONFROMTEXT('POLYGON(0 0, 1 0, 1 1, 0 0)')")
+    loud("ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 1 1, 0 0), (2 2, 3 2, 3 3, 2 2))')")
+    // ring closure and minimum size
+    loud("ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 1 1, 2 2))')")
+    loud("ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 0 0))')")
+    // shape/name mismatches are loud, not coerced
+    loud("ST_LINEFROMTEXT('POLYGON((0 0, 1 0, 1 1, 0 0))')")
+    loud("ST_POLYGONFROMTEXT('LINESTRING(0 0, 1 1)')")
+    loud("ST_GEOGFROMTEXT('MULTIPOINT(1 2, 3 4)')")
+    // GeoJSON: missing/garbled fields, non-numeric coordinates,
+    // unsupported shapes
+    loud("""ST_GEOGFROMGEOJSON('{"type":"Point"}')""")
+    loud("""ST_GEOGFROMGEOJSON('{"type":"Pointy","coordinates":[1,2]}')""")
+    loud("""ST_GEOGFROMGEOJSON('{"type":"Point","coordinates":[1,"x"]}')""")
+    loud("""ST_GEOGFROMGEOJSON('{"type":"LineString","coordinates":[[0,0],[1,1]]}')""")
+    loud("""ST_GEOGFROMGEOJSON('not json at all')""")
+  }
+
   test("DETERMINISTIC AEAD: AES-SIV round-trips, determinism, SAFE forms, key-type gates") {
     val sivJson = """{"primaryKeyId":1,"key":[{"keyId":1,"type":"AES_SIV",""" +
       """"key":"fffefdfcfbfaf9f8f7f6f5f4f3f2f1f0f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff"}]}"""
