@@ -1111,6 +1111,63 @@ object SparkEntry {
       s.read.parquet(s"$base/out").orderBy("doc_id")
     }),
 
+    // A18/A32/B35/B41/B42 driver face (round 16): the statement forms
+    // that were spec-only, under one content hash. A Versioned target
+    // takes two INSERT shapes (positional + explicit column list; the
+    // src marker equals event_id % 3 by construction, so the oracle
+    // replays it arithmetically), CTAS snapshots the post-insert
+    // state, CREATE EXTERNAL TABLE mounts the raw events parquet, and
+    // the probe query runs SELECT * EXCEPT, the PIVOT and UNPIVOT
+    // clauses (round-tripping: unpivoting the pivot restores the
+    // per-type count), and GROUP BY ALL.
+    "sql_statement_forms" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("stf_events")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stf_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val ts = Some(graft.GraftSql.parseTsLiteralUs("2024-01-01 00:00:00"))
+      val seedDf = Tables.events(s, d).filter(F.col("event_id") % 3 === 0)
+        .select(F.col("event_id"), F.col("event_type"), F.col("value"),
+          F.lit(0L).as("src"))
+      graft.sources.Versioned.overwrite(seedDf, s"$base/t", ts)
+      graft.sources.Versioned.register(s, "stf_t", s"$base/t")
+      graft.GraftSql.load(s,
+        """INSERT INTO stf_t
+          |SELECT event_id, event_type, value, 1 FROM stf_events
+          |WHERE event_id % 3 = 1""".stripMargin)
+      graft.GraftSql.load(s,
+        """INSERT INTO stf_t (event_id, event_type, value, src)
+          |SELECT event_id, event_type, value, 2 FROM stf_events
+          |WHERE event_id % 3 = 2""".stripMargin)
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE TABLE stf_ctas AS
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ctas_n
+          |FROM stf_t GROUP BY event_type""".stripMargin)
+      graft.GraftSql.load(s,
+        s"CREATE OR REPLACE EXTERNAL TABLE stf_ext " +
+          s"OPTIONS(format = 'PARQUET', uris = ['$d/events.parquet'])")
+      graft.GraftSql.load(s,
+        """WITH gba AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS gba_n
+          |             FROM stf_events GROUP BY ALL),
+          |     exc AS (SELECT * EXCEPT (props, ts) FROM stf_ext),
+          |     pvt AS (SELECT * FROM (SELECT event_type, event_id % 2 AS par FROM stf_events)
+          |             PIVOT (COUNT(*) FOR par IN (0 AS even, 1 AS odd))),
+          |     unp AS (SELECT event_type, k, v FROM pvt UNPIVOT (v FOR k IN (even, odd))),
+          |     t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t,
+          |                  CAST(SUM(src) AS BIGINT) AS src_sum
+          |           FROM stf_t GROUP BY event_type)
+          |SELECT t.event_type, t.n_t, t.src_sum, c.ctas_n, g.gba_n,
+          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM exc) AS exc_n,
+          |       CAST(p.even AS BIGINT) AS even, CAST(p.odd AS BIGINT) AS odd,
+          |       (SELECT CAST(SUM(v) AS BIGINT) FROM unp
+          |        WHERE unp.event_type = t.event_type) AS unp_sum
+          |FROM t JOIN stf_ctas c ON c.event_type = t.event_type
+          |       JOIN gba g ON g.event_type = t.event_type
+          |       JOIN pvt p ON p.event_type = t.event_type
+          |ORDER BY t.event_type""".stripMargin)
+    }),
+
     // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
     // constraints on CREATE TABLE, surfaced through
     // INFORMATION_SCHEMA.TABLE_CONSTRAINTS × KEY_COLUMN_USAGE — the
@@ -3684,11 +3741,17 @@ object SparkEntry {
     // the exact all-pairs face of C4 (no banding): every pair's true
     // shingle Jaccard, fully replayed by DuckDB list arithmetic — the
     // hash gate for the shingle/jaccard machinery the LSH face reuses.
-    // All-pairs is the point here (calibration-sized input), not the
-    // corpus-scale routing — that stays dedup_ngram_jaccard.
+    // All-pairs is the point here, so the input is CAPPED at a
+    // calibration size (doc_id < 1000 — the full sf0.01 slice, a
+    // bounded prefix of larger sfs): the algebra pins identically,
+    // and the n² term stops scaling with sf (round 16 — this face was
+    // 8% of the r15 driver sweep at sf0.1 for zero added coverage).
+    // Corpus-scale routing stays dedup_ngram_jaccard.
     "dedup_ngram_jaccard_exact" -> ((s, d) => {
       Dedup.ngramJaccardAllPairs(
-          Tables.documents(s, d).filter(F.col("doc_id") % 2 === 0), "doc_id", "text")
+          Tables.documents(s, d)
+            .filter(F.col("doc_id") % 2 === 0 && F.col("doc_id") < 1000),
+          "doc_id", "text")
         .orderBy("id_a", "id_b")
     }),
     "dedup_simhash" -> ((s, d) => {
@@ -4930,6 +4993,20 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // statement forms: src equals event_id % 3 by construction;
+      // CTAS/GROUP BY ALL/unpivot all replay as the same per-type
+      // count; the pivot legs split it by event_id parity
+      "sql_statement_forms" ->
+        """WITH t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t,
+          |                  CAST(SUM(event_id % 3) AS BIGINT) AS src_sum,
+          |                  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even,
+          |                  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS odd
+          |           FROM events GROUP BY event_type)
+          |SELECT event_type, n_t, src_sum,
+          |       n_t AS ctas_n, n_t AS gba_n,
+          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS exc_n,
+          |       even, odd, n_t AS unp_sum
+          |FROM t ORDER BY event_type""".stripMargin,
       // streaming G-family gates: the Replay trajectory is
       // deterministic and the sinks' final states are trajectory-
       // independent by design (event-time-wins merge; commuting
@@ -7166,7 +7243,7 @@ object SparkEntry {
           |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin,
       "dedup_ngram_jaccard_exact" ->
         """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-          |           FROM documents WHERE doc_id % 2 = 0),
+          |           FROM documents WHERE doc_id % 2 = 0 AND doc_id < 1000),
           |sh AS (SELECT doc_id,
           |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
           |           i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS s

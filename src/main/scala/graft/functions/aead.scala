@@ -55,6 +55,24 @@ object Aead {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  // the keyset column is constant (or near-constant) across a query's
+  // rows, but expressions evaluate per row — cache the JSON parse per
+  // thread so the hot path pays array-hash lookup, not Jackson
+  private val parseCache = new ThreadLocal[java.util.HashMap[java.nio.ByteBuffer, Keyset]] {
+    override def initialValue() = new java.util.HashMap[java.nio.ByteBuffer, Keyset]()
+  }
+
+  def parseCached(bytes: Array[Byte]): Keyset = {
+    val cache = parseCache.get()
+    val k = java.nio.ByteBuffer.wrap(bytes)
+    var ks = cache.get(k)
+    if (ks == null) {
+      ks = parse(bytes)
+      cache.put(java.nio.ByteBuffer.wrap(bytes.clone()), ks)
+    }
+    ks
+  }
+
   def parse(bytes: Array[Byte]): Keyset = {
     val root = try mapper.readTree(new String(bytes, "UTF-8"))
     catch { case e: Exception => throw new IllegalArgumentException(
@@ -184,13 +202,6 @@ object Aead {
   * A.2's S2V chain (AeadSpec, via the multi-component entry point).
   */
 object AesSiv {
-  private def aesBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
-    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
-    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-      new javax.crypto.spec.SecretKeySpec(key, "AES"))
-    c.doFinal(block)
-  }
-
   /** GF(2^128) doubling: shift left one bit, xor 0x87 into the last
     * byte when the shifted-out bit was set (RFC 4493 subkey rule).
     */
@@ -213,94 +224,130 @@ object AesSiv {
     out
   }
 
-  /** AES-CMAC (RFC 4493). */
-  private[graft] def cmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
-    val k1 = dbl(aesBlock(key, new Array[Byte](16)))
-    val k2 = dbl(k1)
-    val n = if (msg.length == 0) 1 else (msg.length + 15) / 16
-    val complete = msg.length > 0 && msg.length % 16 == 0
-    val last = new Array[Byte](16)
-    val off = (n - 1) * 16
-    if (complete) {
-      var i = 0
-      while (i < 16) { last(i) = (msg(off + i) ^ k1(i)).toByte; i += 1 }
-    } else {
-      val rem = msg.length - off
-      var i = 0
-      while (i < rem) { last(i) = (msg(off + i) ^ k2(i)).toByte; i += 1 }
-      last(rem) = (0x80 ^ k2(rem)).toByte
-      i = rem + 1
-      while (i < 16) { last(i) = k2(i); i += 1 }
-    }
-    var x = new Array[Byte](16)
-    var b = 0
-    while (b < n - 1) {
-      val blk = new Array[Byte](16)
-      var i = 0
-      while (i < 16) { blk(i) = (x(i) ^ msg(b * 16 + i)).toByte; i += 1 }
-      x = aesBlock(key, blk)
-      b += 1
-    }
-    aesBlock(key, xor16(x, last))
-  }
-
-  /** S2V (RFC 5297 §2.4) over a non-empty component vector, the last
-    * component being the plaintext.
+  /** One key's cipher state, built once and reused across rows:
+    * `Cipher.getInstance` (a provider lookup) per 16-byte block was
+    * the measured hot-path cost of the first cut — a projection over
+    * 600 k rows paid it ~10× per row. The engine holds ONE ECB cipher
+    * (CMAC subkeys pre-derived) and ONE CTR cipher re-`init`ed per
+    * row (init is cheap; instance lookup is not). Cipher objects are
+    * stateful, so engines are cached PER THREAD (codegen evaluates
+    * expressions single-threaded per task).
     */
-  private[graft] def s2v(key: Array[Byte], components: Seq[Array[Byte]]): Array[Byte] = {
-    require(components.nonEmpty, "S2V needs at least one component")
-    var d = cmac(key, new Array[Byte](16))
-    for (s <- components.dropRight(1)) d = xor16(dbl(d), cmac(key, s))
-    val sn = components.last
-    val t =
-      if (sn.length >= 16) {
-        // xorend: D xors into the LAST 16 bytes of Sn
-        val out = sn.clone()
-        val off = sn.length - 16
+  private final class Engine(cmacKey: Array[Byte], ctrKey: Array[Byte]) {
+    private val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(cmacKey, "AES"))
+    def block(b: Array[Byte]): Array[Byte] = ecb.doFinal(b)
+    private val sub1: Array[Byte] = dbl(block(new Array[Byte](16)))
+    private val sub2: Array[Byte] = dbl(sub1)
+    private val ctrCipher =
+      if (ctrKey == null) null else javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
+    private val ctrSpec =
+      if (ctrKey == null) null else new javax.crypto.spec.SecretKeySpec(ctrKey, "AES")
+
+    /** AES-CMAC (RFC 4493). */
+    def cmac(msg: Array[Byte]): Array[Byte] = {
+      val n = if (msg.length == 0) 1 else (msg.length + 15) / 16
+      val complete = msg.length > 0 && msg.length % 16 == 0
+      val last = new Array[Byte](16)
+      val off = (n - 1) * 16
+      if (complete) {
         var i = 0
-        while (i < 16) { out(off + i) = (out(off + i) ^ d(i)).toByte; i += 1 }
-        out
+        while (i < 16) { last(i) = (msg(off + i) ^ sub1(i)).toByte; i += 1 }
       } else {
-        val padded = new Array[Byte](16)
-        System.arraycopy(sn, 0, padded, 0, sn.length)
-        padded(sn.length) = 0x80.toByte
-        xor16(dbl(d), padded)
+        val rem = msg.length - off
+        var i = 0
+        while (i < rem) { last(i) = (msg(off + i) ^ sub2(i)).toByte; i += 1 }
+        last(rem) = (0x80 ^ sub2(rem)).toByte
+        i = rem + 1
+        while (i < 16) { last(i) = sub2(i); i += 1 }
       }
-    cmac(key, t)
+      var x = new Array[Byte](16)
+      var b = 0
+      while (b < n - 1) {
+        val blk = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { blk(i) = (x(i) ^ msg(b * 16 + i)).toByte; i += 1 }
+        x = block(blk)
+        b += 1
+      }
+      block(xor16(x, last))
+    }
+
+    /** S2V (RFC 5297 §2.4) over a non-empty component vector, the
+      * last component being the plaintext.
+      */
+    def s2v(components: Seq[Array[Byte]]): Array[Byte] = {
+      require(components.nonEmpty, "S2V needs at least one component")
+      var d = cmac(new Array[Byte](16))
+      for (s <- components.dropRight(1)) d = xor16(dbl(d), cmac(s))
+      val sn = components.last
+      val t =
+        if (sn.length >= 16) {
+          // xorend: D xors into the LAST 16 bytes of Sn
+          val out = sn.clone()
+          val off = sn.length - 16
+          var i = 0
+          while (i < 16) { out(off + i) = (out(off + i) ^ d(i)).toByte; i += 1 }
+          out
+        } else {
+          val padded = new Array[Byte](16)
+          System.arraycopy(sn, 0, padded, 0, sn.length)
+          padded(sn.length) = 0x80.toByte
+          xor16(dbl(d), padded)
+        }
+      cmac(t)
+    }
+
+    def ctr(v: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val q = java.util.Arrays.copyOf(v, 16)
+      q(8) = (q(8) & 0x7f).toByte
+      q(12) = (q(12) & 0x7f).toByte
+      ctrCipher.init(javax.crypto.Cipher.ENCRYPT_MODE, ctrSpec,
+        new javax.crypto.spec.IvParameterSpec(q))
+      ctrCipher.doFinal(data)
+    }
   }
 
-  private def ctr(key: Array[Byte], v: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val q = java.util.Arrays.copyOf(v, 16)
-    q(8) = (q(8) & 0x7f).toByte
-    q(12) = (q(12) & 0x7f).toByte
-    val c = javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
-    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-      new javax.crypto.spec.SecretKeySpec(key, "AES"),
-      new javax.crypto.spec.IvParameterSpec(q))
-    c.doFinal(data)
+  private val engines = new ThreadLocal[java.util.HashMap[java.nio.ByteBuffer, Engine]] {
+    override def initialValue() = new java.util.HashMap[java.nio.ByteBuffer, Engine]()
   }
 
-  private def halves(sivKey: Array[Byte]): (Array[Byte], Array[Byte]) = {
+  private def engineFor(sivKey: Array[Byte]): Engine = {
     require(sivKey.length == 32 || sivKey.length == 64,
       s"AES-SIV key must be 32 or 64 bytes, got ${sivKey.length}")
-    val h = sivKey.length / 2
-    (java.util.Arrays.copyOfRange(sivKey, 0, h),
-      java.util.Arrays.copyOfRange(sivKey, h, sivKey.length))
+    val cache = engines.get()
+    val k = java.nio.ByteBuffer.wrap(sivKey) // content-based equals/hashCode
+    var e = cache.get(k)
+    if (e == null) {
+      val h = sivKey.length / 2
+      e = new Engine(java.util.Arrays.copyOfRange(sivKey, 0, h),
+        java.util.Arrays.copyOfRange(sivKey, h, sivKey.length))
+      // defensive copy for the key (the caller's buffer could be reused)
+      cache.put(java.nio.ByteBuffer.wrap(sivKey.clone()), e)
+    }
+    e
   }
+
+  /** Test entry points over the raw CMAC key (no CTR half). */
+  private[graft] def cmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] =
+    new Engine(key, null).cmac(msg)
+  private[graft] def s2v(key: Array[Byte], components: Seq[Array[Byte]]): Array[Byte] =
+    new Engine(key, null).s2v(components)
 
   /** Returns `V || C` (no wire prefix — [[Aead.detEncrypt]] adds it). */
   def encrypt(sivKey: Array[Byte], pt: Array[Byte], aad: Array[Byte]): Array[Byte] = {
-    val (k1, k2) = halves(sivKey)
-    val v = s2v(k1, Seq(aad, pt))
-    v ++ ctr(k2, v, pt)
+    val e = engineFor(sivKey)
+    val v = e.s2v(Seq(aad, pt))
+    v ++ e.ctr(v, pt)
   }
 
   def decrypt(sivKey: Array[Byte], vc: Array[Byte], aad: Array[Byte]): Array[Byte] = {
     require(vc.length >= 16, s"AES-SIV payload needs >= 16 bytes, got ${vc.length}")
-    val (k1, k2) = halves(sivKey)
+    val e = engineFor(sivKey)
     val v = java.util.Arrays.copyOf(vc, 16)
-    val pt = ctr(k2, v, java.util.Arrays.copyOfRange(vc, 16, vc.length))
-    val check = s2v(k1, Seq(aad, pt))
+    val pt = e.ctr(v, java.util.Arrays.copyOfRange(vc, 16, vc.length))
+    val check = e.s2v(Seq(aad, pt))
     if (!java.util.Arrays.equals(check, v))
       throw new javax.crypto.AEADBadTagException(
         "DETERMINISTIC_DECRYPT: authentication failed (wrong key, wrong " +
@@ -421,7 +468,7 @@ case class AeadEncrypt(first: Expression, second: Expression, third: Expression)
   override lazy val deterministic: Boolean = false
   @transient private lazy val rng = new java.security.SecureRandom()
   def compute(ks: Array[Byte], pt: UTF8String, aad: UTF8String): Array[Byte] =
-    Aead.encrypt(Aead.parse(ks), pt.getBytes, aad.getBytes, rng)
+    Aead.encrypt(Aead.parseCached(ks), pt.getBytes, aad.getBytes, rng)
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -445,7 +492,7 @@ case class AeadDecrypt(first: Expression, second: Expression, third: Expression,
   override def nullable: Boolean = true
   def compute(ks: Array[Byte], ct: Array[Byte], aad: UTF8String): Any = {
     try {
-      val pt = Aead.decrypt(Aead.parse(ks), ct, aad.getBytes)
+      val pt = Aead.decrypt(Aead.parseCached(ks), ct, aad.getBytes)
       if (!asString) pt
       else {
         val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
@@ -482,7 +529,7 @@ case class DeterministicEncrypt(first: Expression, second: Expression, third: Ex
   override def inputTypes = Seq(BinaryType, StringType, StringType)
   override def dataType: DataType = BinaryType
   def compute(ks: Array[Byte], pt: UTF8String, aad: UTF8String): Array[Byte] =
-    Aead.detEncrypt(Aead.parse(ks), pt.getBytes, aad.getBytes)
+    Aead.detEncrypt(Aead.parseCached(ks), pt.getBytes, aad.getBytes)
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -505,7 +552,7 @@ case class DeterministicDecrypt(first: Expression, second: Expression, third: Ex
   override def nullable: Boolean = true
   def compute(ks: Array[Byte], ct: Array[Byte], aad: UTF8String): Any = {
     try {
-      val pt = Aead.detDecrypt(Aead.parse(ks), ct, aad.getBytes)
+      val pt = Aead.detDecrypt(Aead.parseCached(ks), ct, aad.getBytes)
       if (!asString) pt
       else {
         val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
