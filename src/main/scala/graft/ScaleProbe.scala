@@ -63,6 +63,22 @@ object ScaleProbe {
     done.createNewFile()
   }
 
+  /** 50× events (separate marker — only the geography decade probe
+    * needs it; 30 M rows, built on demand).
+    */
+  private def buildX50Events(spark: SparkSession, sfDir: String): Unit = {
+    val done = new java.io.File(s"$root50/_BUILT_EVENTS")
+    if (done.exists()) return
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val maxId = e.agg(F.max("event_id")).head().getLong(0) + 1
+    (0 until 50).map { i =>
+      e.withColumn("event_id", F.col("event_id") + F.lit(i * maxId))
+        .withColumn("ts", F.col("ts") + F.expr(s"INTERVAL ${i % 25} DAYS"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root50/events.parquet")
+    done.createNewFile()
+  }
+
   /** median-of-3 wall seconds (same policy as Bench: robust to one
     * outlier in either direction, where min would mask a regression
     * behind one lucky cached run).
@@ -228,12 +244,49 @@ object ScaleProbe {
       return
     }
 
+    // --geo: the q_st_join pair-finding slope — 10× points spread over
+    // 10× AREA (each replica shifts 25° in longitude, so replicas
+    // never pair with each other): output grows ×10 with input, and a
+    // flat per-input-row cost is exactly the output-bounded claim the
+    // grid-cell candidate join makes. A densifying replica (same
+    // window) would grow output quadratically — that is a property of
+    // the DATA, not the operator, and is not probed here.
+    if (args.headOption.contains("--geo")) {
+      import graft.operators.Geo
+      def pts(mult: Int, keyCol: String, tag: String): DataFrame = {
+        val base = graft.sources.Tables.customer(spark, sfDir).select(
+          F.col("c_custkey").as(keyCol),
+          ((F.col("c_custkey") * 7 % 200).cast("double") / 10.0 - 10.0).as(s"${tag}_lng0"),
+          ((F.col("c_custkey") * 13 % 100).cast("double") / 10.0 - 5.0).as(s"${tag}_lat"))
+        (0 until mult).map { i =>
+          base.select((F.col(keyCol) + F.lit(i * 10000000L)).as(keyCol),
+            (F.col(s"${tag}_lng0") + F.lit((i % 13) * 25.0 - 150.0)).as(s"${tag}_lng"),
+            F.col(s"${tag}_lat"))
+        }.reduce(_ unionByName _)
+      }
+      def probe(mult: Int): Double =
+        time(force(Geo.dwithinJoin(
+          pts(mult, "lid", "l"), "l_lng", "l_lat",
+          pts(mult, "rid", "r"), "r_lng", "r_lat", 25000.0)))
+      probe(1) // warmup
+      val g1 = probe(1)
+      val g10 = probe(10)
+      println(f"""{"probe":"scale_geo","ops":[{"op":"q_st_join_spread","base_sec":$g1%.2f,"x10_sec":$g10%.2f}]}""")
+      spark.stop()
+      return
+    }
+
     // --x50 [ops...]: the decade-further probe — 50× docs/vectors,
-    // default = the three heaviest doc families from the 10× table
+    // default = the three heaviest doc families from the 10× table.
+    // Ops that read EVENTS (the geography faces) trigger the separate
+    // 50× events build.
     if (args.headOption.contains("--x50")) {
       buildX50(spark, sfDir)
       val ops50 = if (args.length > 1) args.drop(1).toSeq
         else Seq("dedup_spans", "dedup_semantic", "text_backoff_hits")
+      val eventsOps = Set("q_st_line", "q_st_poly", "q_st_point", "q_st_pred",
+        "q_aead", "q_aead_det")
+      if (ops50.exists(eventsOps)) buildX50Events(spark, sfDir)
       force(SparkEntry.queries("dedup_exact")(spark, sfDir)) // warmup
       val rows50 = ops50.map { name =>
         val base = time(force(SparkEntry.queries(name)(spark, sfDir)))
@@ -296,7 +349,13 @@ object ScaleProbe {
       "sample_soft_dedup",
       // round-15: geography folds over 20× events — map-only scans
       // whose slope must track the row count, nothing else
-      "q_st_point", "q_st_line", "q_st_poly")
+      "q_st_point", "q_st_line", "q_st_poly",
+      // round-16: per-row cipher cost (the AEAD slope IS the per-row
+      // AES work — map-only), boundary predicates (projection folds),
+      // the statement trajectories (each statement one corpus pass),
+      // and the streaming replay (slice write + 4 O(batch) folds)
+      "q_aead", "q_aead_det", "q_st_pred", "sql_ddl_lifecycle",
+      "sql_statement_forms", "text_bpe_bytes_encode", "stream_incremental_report")
     val ops = if (only.isEmpty) allOps else allOps.filter(only)
     force(SparkEntry.queries("fx_daily_report")(spark, sfDir)) // warmup
     val rows = ops.map { name =>

@@ -2985,6 +2985,62 @@ object SparkEntry {
           |FROM g GROUP BY cse ORDER BY cse""".stripMargin)
     }),
 
+    // geography shape operators (round 16): ST_BUFFER / ST_SIMPLIFY /
+    // ST_CONVEXHULL / ST_CLOSESTPOINT / ST_DUMP. Every gate is either
+    // an exact integer/boolean (DP margins hundreds of meters vs the
+    // tolerance; hull and projection arithmetic dyadic-exact) or a
+    // FLOOR bucket with engineered margin (the 32-gon/circle area
+    // ratio is 0.99358... — FLOOR(×1000) = 993 with 0.4 of slack
+    // against the ~1e-4-relative spherical/libm noise), so the oracle
+    // is pure class arithmetic.
+    "q_st_shape" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ss_events")
+      graft.GraftSql.load(s,
+        """WITH p AS (
+          |  SELECT -160.0 + CAST(user_id * 11 % 320 AS DOUBLE) + 0.5 AS clng,
+          |         -55.0 + CAST(user_id * 17 % 110 AS DOUBLE) + 0.25 AS clat,
+          |         0.5 + CAST(event_id % 4 AS DOUBLE) * 0.25 AS w,
+          |         0.25 + CAST(user_id % 3 AS DOUBLE) * 0.25 AS h,
+          |         10000.0 + CAST(event_id % 3 AS DOUBLE) * 5000.0 AS r,
+          |         CAST(event_id % 3 AS BIGINT) AS rk
+          |  FROM ss_events WHERE event_id % 16 = 0),
+          |g AS (
+          |  SELECT rk, clng, clat, r,
+          |         ST_BUFFER(ST_GEOGPOINT(clng, clat), r) AS buf,
+          |         ST_MAKELINE(ST_GEOGPOINT(clng, clat),
+          |                     ST_GEOGPOINT(clng + 0.5, clat + 0.001),
+          |                     ST_GEOGPOINT(clng + 1.0, clat),
+          |                     ST_GEOGPOINT(clng + 1.5, clat + 0.01),
+          |                     ST_GEOGPOINT(clng + 2.0, clat)) AS wiggle,
+          |         ST_CONVEXHULL(ST_MAKELINE(
+          |           ST_GEOGPOINT(clng + w, clat + h), ST_GEOGPOINT(clng - w, clat - h),
+          |           ST_GEOGPOINT(clng, clat), ST_GEOGPOINT(clng + w, clat - h),
+          |           ST_GEOGPOINT(clng - w, clat + h), ST_GEOGPOINT(clng, clat - h),
+          |           ST_GEOGPOINT(clng - w, clat - h))) AS hull,
+          |         ST_MAKEPOLYGON(ST_MAKELINE(
+          |           ST_GEOGPOINT(clng - w, clat - h), ST_GEOGPOINT(clng + w, clat - h),
+          |           ST_GEOGPOINT(clng + w, clat + h), ST_GEOGPOINT(clng - w, clat + h))) AS rect,
+          |         ST_MAKELINE(ST_GEOGPOINT(clng, clat - 1.0),
+          |                     ST_GEOGPOINT(clng, clat + 1.0)) AS seg
+          |  FROM p)
+          |SELECT rk, COUNT(*) AS n,
+          |  CAST(MIN(ST_NUMPOINTS(buf)) AS BIGINT) AS buf_np,
+          |  CAST(SUM(CASE WHEN ST_CONTAINS(buf, ST_GEOGPOINT(clng, clat)) THEN 1 ELSE 0 END) AS BIGINT) AS buf_ctr,
+          |  CAST(MIN(FLOOR(ST_AREA(buf) / (pi() * r * r) * 1000)) AS BIGINT) AS ratio_lo,
+          |  CAST(MAX(FLOOR(ST_AREA(buf) / (pi() * r * r) * 1000)) AS BIGINT) AS ratio_hi,
+          |  CAST(MAX(ST_NUMPOINTS(ST_SIMPLIFY(wiggle, 500.0))) AS BIGINT) AS simp_np,
+          |  CAST(MIN(ST_NUMPOINTS(ST_SIMPLIFY(wiggle, 0.0))) AS BIGINT) AS simp0_np,
+          |  CAST(SUM(CASE WHEN ST_EQUALS(hull, rect) THEN 1 ELSE 0 END) AS BIGINT) AS hull_ok,
+          |  CAST(SUM(CASE WHEN ST_EQUALS(ST_CLOSESTPOINT(seg, ST_GEOGPOINT(clng + 0.5, clat + 0.25)),
+          |                               ST_GEOGPOINT(clng, clat + 0.25)) THEN 1 ELSE 0 END) AS BIGINT) AS cp_ok,
+          |  CAST(SUM(CASE WHEN ST_EQUALS(ST_CLOSESTPOINT(seg, ST_GEOGPOINT(clng + 0.5, clat + 2.0)),
+          |                               ST_GEOGPOINT(clng, clat + 1.0)) THEN 1 ELSE 0 END) AS BIGINT) AS cp_clamp_ok,
+          |  CAST(SUM(CASE WHEN size(ST_DUMP(seg)) = 1
+          |                 AND ST_EQUALS(element_at(ST_DUMP(seg), 1), seg)
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS dump_ok
+          |FROM g GROUP BY rk ORDER BY rk""".stripMargin)
+    }),
+
     // spatial DWITHIN pair JOIN (round 16): the 100 TB pair-finding
     // face — grid-cell candidate generation + exact haversine verify
     // (operators/Geo.dwithinJoin), the geo analog of the LSH band
@@ -6684,6 +6740,24 @@ object SparkEntry {
           |  CAST(CASE WHEN cse = 0 THEN COUNT(*) ELSE 0 END AS BIGINT) AS eq_center_n,
           |  CAST(COUNT(*) AS BIGINT) AS eq_poly_n
           |FROM p GROUP BY cse ORDER BY cse""".stripMargin,
+      // shape operators: every gate is a constant or the group count
+      // by construction (exact dyadic hull/projection equality, DP
+      // margins of hundreds of meters, the 993 area-ratio bucket)
+      "q_st_shape" ->
+        """WITH p AS (SELECT CAST(event_id % 3 AS BIGINT) AS rk
+          |           FROM events WHERE event_id % 16 = 0)
+          |SELECT rk, COUNT(*) AS n,
+          |  CAST(33 AS BIGINT) AS buf_np,
+          |  CAST(COUNT(*) AS BIGINT) AS buf_ctr,
+          |  CAST(993 AS BIGINT) AS ratio_lo,
+          |  CAST(993 AS BIGINT) AS ratio_hi,
+          |  CAST(4 AS BIGINT) AS simp_np,
+          |  CAST(5 AS BIGINT) AS simp0_np,
+          |  CAST(COUNT(*) AS BIGINT) AS hull_ok,
+          |  CAST(COUNT(*) AS BIGINT) AS cp_ok,
+          |  CAST(COUNT(*) AS BIGINT) AS cp_clamp_ok,
+          |  CAST(COUNT(*) AS BIGINT) AS dump_ok
+          |FROM p GROUP BY rk ORDER BY rk""".stripMargin,
       // the grid-bucketed DWITHIN join must equal the bounded n² join
       // with the identical haversine spelling
       "q_st_join" ->

@@ -116,11 +116,31 @@ object Aead {
   }
   def bytesToHex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
 
+  // one GCM cipher instance per thread, re-init'ed per call:
+  // Cipher.getInstance is a provider lookup and was paid per ROW in
+  // the encrypt/decrypt hot path (same finding as AesSiv's engine
+  // cache — init with a fresh IV is cheap, the lookup is not)
+  private val gcmCipher = new ThreadLocal[javax.crypto.Cipher] {
+    override def initialValue(): javax.crypto.Cipher =
+      javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+  }
+  private val gcmKeySpecs =
+    new ThreadLocal[java.util.HashMap[java.nio.ByteBuffer, javax.crypto.spec.SecretKeySpec]] {
+      override def initialValue() =
+        new java.util.HashMap[java.nio.ByteBuffer, javax.crypto.spec.SecretKeySpec]()
+    }
+
   private def cipher(mode: Int, key: Array[Byte], iv: Array[Byte],
                      aad: Array[Byte]): javax.crypto.Cipher = {
-    val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
-    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
-      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    val specs = gcmKeySpecs.get()
+    val k = java.nio.ByteBuffer.wrap(key)
+    var spec = specs.get(k)
+    if (spec == null) {
+      spec = new javax.crypto.spec.SecretKeySpec(key, "AES")
+      specs.put(java.nio.ByteBuffer.wrap(key.clone()), spec)
+    }
+    val c = gcmCipher.get()
+    c.init(mode, spec, new javax.crypto.spec.GCMParameterSpec(128, iv))
     if (aad.nonEmpty) c.updateAAD(aad)
     c
   }

@@ -2454,6 +2454,15 @@ object native {
       es => { arity("graft_aead_decrypt_bytes", es, 4)
         AeadDecrypt(es.head, es(1), es(2), asString = false,
           safe = constBool("graft_aead_decrypt_bytes", es, 3)) }),
+    ("graft_st_convexhull",
+      "graft_st_convexhull(g) - planar convex hull of the vertex carrier (ST_CONVEXHULL)",
+      es => { arity("graft_st_convexhull", es, 1); ConvexHull(es.head) }),
+    ("graft_st_simplify",
+      "graft_st_simplify(g, tol_m) - Douglas-Peucker simplification (ST_SIMPLIFY)",
+      es => { arity("graft_st_simplify", es, 2); SimplifyGeo(es.head, es(1)) }),
+    ("graft_st_closestpoint",
+      "graft_st_closestpoint(g, p) - closest point of a line/ring to a point (ST_CLOSESTPOINT)",
+      es => { arity("graft_st_closestpoint", es, 2); ClosestPointGeo(es.head, es(1)) }),
     ("graft_det_encrypt",
       "graft_det_encrypt(ks, pt, aad) - RFC 5297 AES-SIV encrypt (DETERMINISTIC_ENCRYPT)",
       es => { arity("graft_det_encrypt", es, 3); DeterministicEncrypt(es.head, es(1), es(2)) }),

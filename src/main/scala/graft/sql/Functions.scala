@@ -2188,6 +2188,42 @@ private[graft] object Functions {
           Some(s"transform(($g), p -> named_struct(" +
             s"'lng', floor(p.lng / $gs + 0.5D) * $gs, " +
             s"'lat', floor(p.lat / $gs + 0.5D) * $gs))")
+        // shape operators (round 16): the remaining loud names that
+        // fit the carriers honestly. ST_BUFFER builds BigQuery's
+        // default 32-gon (num_seg_quarter_circle = 8) around a point
+        // via the spherical destination formula — sin/cos/asin/atan2,
+        // the same libm family the point core already uses; the
+        // closure vertex is i % 32 = 0, BIT-identical to the first.
+        case "ST_BUFFER" =>
+          require(args.size == 2, "ST_BUFFER takes (point, radius_meters) — " +
+            "num_seg_quarter_circle is fixed at 8 (BigQuery's default: a 32-gon)")
+          val p = args(0)
+          val dl = s"(CAST((${args(1)}) AS DOUBLE) / 6371010.0D)"
+          val phi = s"radians((($p)).lat)"
+          val th = s"(CAST((i % 32) AS DOUBLE) * pi() / 16.0D)"
+          val sinLat2 = s"(sin($phi) * cos($dl) + cos($phi) * sin($dl) * cos($th))"
+          val lng2 = s"(radians((($p)).lng) + " +
+            s"atan2(sin($th) * sin($dl) * cos($phi), cos($dl) - sin($phi) * $sinLat2))"
+          Some(s"transform(sequence(0, 32), i -> named_struct(" +
+            s"'lng', degrees($lng2), 'lat', degrees(asin($sinLat2))))")
+        case "ST_SIMPLIFY" =>
+          require(args.size == 2, "ST_SIMPLIFY takes (line or ring, tolerance_meters)")
+          Some(s"graft_st_simplify((${args(0)}), CAST((${args(1)}) AS DOUBLE))")
+        case "ST_CONVEXHULL" =>
+          require(args.size == 1, "ST_CONVEXHULL takes (line or ring vertex carrier)")
+          Some(s"graft_st_convexhull((${args(0)}))")
+        case "ST_CLOSESTPOINT" =>
+          require(args.size == 2, "ST_CLOSESTPOINT takes (line or ring, point)")
+          Some(s"graft_st_closestpoint((${args(0)}), (${args(1)}))")
+        // ST_DUMP on this engine's single-shape carriers is the
+        // identity wrap: every carrier value IS one simple geography,
+        // so the component array is [g] (BigQuery returns the simple
+        // components; a simple input returns itself). The max_dimension
+        // argument is not supported.
+        case "ST_DUMP" =>
+          require(args.size == 1, "ST_DUMP takes (geography) — " +
+            "the max_dimension argument is not supported")
+          Some(s"array((${args(0)}))")
         // ST_MAXDISTANCE over the vertex-array carriers: great-circle
         // distance to a geodesic segment is maximized at an ENDPOINT
         // (d(P, X(t)) is quasiconvex along a sub-half-circumference
@@ -2269,8 +2305,10 @@ private[graft] object Functions {
               "ST_LINEFROMTEXT, ST_POLYGONFROMTEXT, ST_NUMPOINTS, ST_LENGTH, " +
               "ST_PERIMETER, ST_AREA, ST_CONTAINS, ST_INTERSECTS, ST_WITHIN, " +
               "ST_DISJOINT, ST_COVERS, ST_COVEREDBY, ST_TOUCHES, ST_EQUALS, " +
-              "ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_CENTROID, " +
-              "ST_SNAPTOGRID, ST_ASTEXT) — other spatial verbs are not implemented")
+              "ST_BOUNDINGBOX, ST_MAXDISTANCE, ST_CENTROID, ST_SNAPTOGRID, " +
+              "ST_BUFFER, ST_SIMPLIFY, ST_CONVEXHULL, ST_CLOSESTPOINT, ST_DUMP, " +
+              "ST_ASTEXT) — polygon boolean ops (ST_UNION/ST_INTERSECTION/" +
+              "ST_DIFFERENCE) need a full clipping kernel and are not implemented")
         // the remaining BYTES codecs: base32 has no Spark native, and
         // SAFE_CONVERT_BYTES_TO_STRING must NOT be a bare cast (Spark
         // substitutes U+FFFD where BigQuery's SAFE form returns NULL)

@@ -429,10 +429,14 @@ class PlanSpec extends SparkSuite {
     assert(sj.contains("Join"), "q_st_join lost its equi-join")
     // the predicate face folds in the projection like the other
     // geography faces: pruned scan, partial agg, no join
-    val sp = plan("q_st_pred")
-    assert(sp.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), sp.take(800))
-    assert(sp.contains("partial_count"), "q_st_pred: no map-side partial aggregation")
-    assert(!sp.contains("Join"), s"q_st_pred grew a join:\n${sp.take(1200)}")
+    for (q <- Seq("q_st_pred", "q_st_shape")) {
+      val sp = plan(q)
+      assert(sp.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), sp.take(800))
+      assert(sp.contains("partial_count"), s"$q: no map-side partial aggregation")
+      assert(!sp.contains("Join"), s"$q grew a join:\n${sp.take(1200)}")
+    }
+    // the shape face's calibration filter must reach the scan
+    assert(plan("q_st_shape").contains("PushedFilters"), "q_st_shape: filter not pushed")
     // deterministic AEAD: DETERMINISTIC_ENCRYPT may CSE (it is
     // deterministic — the opposite of GCM's contract) but the face
     // must stay an aggregation over a scan, no join

@@ -40,6 +40,8 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "ST_POLYGONFROMTEXT('POLYGON((0 0, 1 0, 0 0))')",
     "ST_GEOGFROMGEOJSON('{\"type\":\"Pointy\",\"coordinates\":[1,2]}')",
     "ST_COVERS(poly, tp)", "ST_TOUCHES(poly, tp)", "ST_EQUALS(a, b)",
+    "ST_BUFFER(p, 100)", "ST_SIMPLIFY(g, 10)", "ST_CONVEXHULL(g)",
+    "ST_CLOSESTPOINT(g, p)", "ST_DUMP(g)",
     "DETERMINISTIC_ENCRYPT(ks, pt, ad)",
     "SAFE.DETERMINISTIC_DECRYPT_STRING(ks, ct, ad)",
     "TIMESTAMP_TRUNC(ts, DAY, 'Europe/Paris')", "DATE(ts, 'Asia/Tokyo')",

@@ -3528,6 +3528,35 @@ class TypedSqlSpec extends SparkSuite {
     GraftSql.load(spark, "DROP TABLE ren_b")
   }
 
+  test("RENAME TO on a row-policed table renames the TABLE and rebuilds the shadow") {
+    // regression (round-16 advice): a temp view shadowing a catalog
+    // table must not ride alone — renaming only the shadow would leave
+    // the underlying table readable, UNFILTERED, under the old name
+    GraftSql.load(spark, "DROP TABLE IF EXISTS ren_pol2")
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE ren_pol AS " +
+      "SELECT * FROM (SELECT 1 AS id, 'a' AS k UNION ALL SELECT 2, 'b')")
+    GraftSql.load(spark, "CREATE ROW ACCESS POLICY p1 ON ren_pol FILTER USING (k = 'a')")
+    assert(GraftSql.load(spark, "SELECT * FROM ren_pol").count() == 1)
+    GraftSql.load(spark, "ALTER TABLE ren_pol RENAME TO ren_pol2")
+    // old name is GONE entirely — no unfiltered table left behind
+    assert(!spark.catalog.tableExists("ren_pol"))
+    // new name reads FILTERED (the policy moved and re-applied)
+    assert(GraftSql.load(spark, "SELECT * FROM ren_pol2").count() == 1)
+    // dropping the policy at the new name restores the full table
+    GraftSql.load(spark, "DROP ALL ROW ACCESS POLICIES ON ren_pol2")
+    assert(GraftSql.load(spark, "SELECT * FROM ren_pol2").count() == 2)
+    GraftSql.load(spark, "DROP TABLE ren_pol2")
+    // an UNRELATED temp view shadowing a catalog table refuses the
+    // rename before any state moves
+    GraftSql.load(spark, "CREATE OR REPLACE TABLE ren_shad AS SELECT 5 AS x")
+    spark.sql("SELECT 6 AS x").createOrReplaceTempView("ren_shad")
+    val ex = intercept[IllegalArgumentException](GraftSql.load(spark,
+      "ALTER TABLE ren_shad RENAME TO ren_shad2"))
+    assert(ex.getMessage.contains("shadowed"))
+    spark.catalog.dropTempView("ren_shad")
+    GraftSql.load(spark, "DROP TABLE ren_shad")
+  }
+
   test("ROW ACCESS POLICY on a managed table: dropping the last policy drops the shadow") {
     GraftSql.load(spark, "CREATE OR REPLACE TABLE rap_mt AS " +
       "SELECT * FROM (SELECT 1 AS id, 'a' AS k UNION ALL SELECT 2, 'b')")
@@ -3583,9 +3612,9 @@ class TypedSqlSpec extends SparkSuite {
     intercept[Exception](GraftSql.load(spark,
       "SELECT ST_DISTANCE(ST_GEOGPOINT(0, 91), ST_GEOGPOINT(0, 0)) AS d").collect())
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT ST_BUFFER(a, 10) AS c FROM t")).getMessage.contains("not implemented"))
+      "SELECT ST_UNION(a, b) AS c FROM t")).getMessage.contains("not implemented"))
     assert(intercept[IllegalArgumentException](GraftSql.load(spark,
-      "SELECT ST_CONVEXHULL(a) AS g FROM t")).getMessage.contains("not implemented"))
+      "SELECT ST_INTERSECTION(a, b) AS g FROM t")).getMessage.contains("not implemented"))
   }
 
   test("AEAD/KEYS: keyset JSON carrier, GCM round-trips, pinned vector, SAFE forms, louds") {
@@ -3639,6 +3668,59 @@ class TypedSqlSpec extends SparkSuite {
       "SELECT KEYS.ROTATE_KEYSET(b'x', 'AEAD_AES_GCM_256') AS v"))
       .getMessage.contains("NEW_KEYSET"))
     intercept[Exception](one("AEAD.DECRYPT_STRING(CAST('junk' AS BYTES), ks, 'a')"))
+  }
+
+  test("geo shape ops: BUFFER 32-gon, SIMPLIFY DP, CONVEXHULL canonical ring, CLOSESTPOINT, DUMP") {
+    def one(expr: String): org.apache.spark.sql.Row =
+      GraftSql.load(spark, s"SELECT $expr AS v").collect().head
+    // BUFFER: 33 vertices (closed bit-exactly), contains its center,
+    // area within a 32-gon's ratio of the circle (0.99358...)
+    val buf = GraftSql.load(spark,
+      """SELECT ST_NUMPOINTS(b) AS np,
+        |       element_at(b, 1) = element_at(b, 33) AS closed,
+        |       ST_CONTAINS(b, ST_GEOGPOINT(10.0, 45.0)) AS has_center,
+        |       FLOOR(ST_AREA(b) / (pi() * 20000.0 * 20000.0) * 1000) AS ratio_m
+        |FROM (SELECT ST_BUFFER(ST_GEOGPOINT(10.0, 45.0), 20000.0) AS b)""".stripMargin).head()
+    assert(buf.getInt(0) == 33 && buf.getBoolean(1) && buf.getBoolean(2))
+    assert(buf.getLong(3) == 993L, s"32-gon/circle area ratio: ${buf.getLong(3)}")
+    // SIMPLIFY: sub-tolerance wiggles drop, super-tolerance ones stay;
+    // tolerance 0 keeps every non-collinear vertex and drops the
+    // exactly-collinear one
+    val line = "ST_MAKELINE(ST_GEOGPOINT(0.0, 0.0), ST_GEOGPOINT(0.5, 0.001), " +
+      "ST_GEOGPOINT(1.0, 0.0), ST_GEOGPOINT(1.5, 0.01), ST_GEOGPOINT(2.0, 0.0))"
+    assert(one(s"ST_NUMPOINTS(ST_SIMPLIFY($line, 500.0))").getInt(0) == 4)
+    assert(one(s"ST_NUMPOINTS(ST_SIMPLIFY($line, 0.0))").getInt(0) == 5)
+    assert(one(s"ST_NUMPOINTS(ST_SIMPLIFY($line, 2000.0))").getInt(0) == 2)
+    val collinear = "ST_MAKELINE(ST_GEOGPOINT(0.0, 0.0), ST_GEOGPOINT(1.0, 1.0), " +
+      "ST_GEOGPOINT(2.0, 2.0))"
+    assert(one(s"ST_NUMPOINTS(ST_SIMPLIFY($collinear, 0.0))").getInt(0) == 2)
+    // a closed ring keeps its closure and its shape at small tolerance
+    val ring = "ST_MAKEPOLYGON(ST_MAKELINE(ST_GEOGPOINT(0.0, 0.0), ST_GEOGPOINT(2.0, 0.0), " +
+      "ST_GEOGPOINT(2.0, 2.0), ST_GEOGPOINT(0.0, 2.0)))"
+    assert(one(s"ST_EQUALS(ST_SIMPLIFY($ring, 10.0), $ring)").getBoolean(0))
+    // CONVEXHULL: canonical closed CCW ring from the lexicographically
+    // smallest vertex; interior/edge/duplicate points never surface
+    val cloud = "ST_MAKELINE(ST_GEOGPOINT(2.0, 2.0), ST_GEOGPOINT(0.0, 0.0), " +
+      "ST_GEOGPOINT(1.0, 1.0), ST_GEOGPOINT(2.0, 0.0), ST_GEOGPOINT(0.0, 2.0), " +
+      "ST_GEOGPOINT(1.0, 0.0), ST_GEOGPOINT(0.0, 0.0))"
+    assert(one(s"ST_ASTEXT(ST_CONVEXHULL($cloud))").getString(0) ==
+      "POLYGON((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    // collinear cloud degenerates to the extreme segment
+    assert(one(s"ST_ASTEXT(ST_CONVEXHULL($collinear))").getString(0) ==
+      "LINESTRING(0.0 0.0, 2.0 2.0)")
+    // CLOSESTPOINT: vertical segment, dyadic projection is EXACT;
+    // beyond the end it clamps to the endpoint
+    val seg = "ST_MAKELINE(ST_GEOGPOINT(5.0, 9.0), ST_GEOGPOINT(5.0, 11.0))"
+    assert(one(s"ST_EQUALS(ST_CLOSESTPOINT($seg, ST_GEOGPOINT(5.5, 10.25)), " +
+      "ST_GEOGPOINT(5.0, 10.25))").getBoolean(0))
+    assert(one(s"ST_EQUALS(ST_CLOSESTPOINT($seg, ST_GEOGPOINT(5.5, 12.0)), " +
+      "ST_GEOGPOINT(5.0, 11.0))").getBoolean(0))
+    // DUMP: the single-shape carriers wrap to a one-element array
+    assert(one(s"size(ST_DUMP($seg))").getInt(0) == 1)
+    assert(one(s"ST_EQUALS(element_at(ST_DUMP($seg), 1), $seg)").getBoolean(0))
+    // boolean ops stay loud, with the kernel named
+    assert(intercept[IllegalArgumentException](GraftSql.load(spark,
+      "SELECT ST_UNION(a, b) AS u FROM t")).getMessage.contains("clipping"))
   }
 
   test("WKT/GeoJSON negative paths stay loud: malformed numerics, arity, structure") {
