@@ -1168,6 +1168,100 @@ object SparkEntry {
           |ORDER BY t.event_type""".stripMargin)
     }),
 
+    // G9 gate: streaming SCD2 maintenance. Observations slice by
+    // EVENT-TIME week (the sink's time-ordered-per-key contract: a
+    // later micro-batch carries later observations), and applyBatch ≡
+    // full recompute is the Scd2 law the spec pins — so the oracle is
+    // the SAME full-history SQL as fx_scd2.
+    "stream_scd2" -> ((s, d) => {
+      val base = streamScratch(s, d, "ssc")
+      val t0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch micros
+      val h = Tables.events(s, d).select(
+        F.col("event_type"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"),
+        F.floor(F.col("value") / 10).cast("long").as("band"))
+      val weekSlice = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.col("ts_us") - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(h, s"$base/in", weekSlice, 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      var state: Option[(String, Long)] = None
+      val q = graft.streaming.EventStream.scd2Sink(
+          stream, Seq("event_type"), "ts_us", "event_id", Seq("band"),
+          () => state.map { case (p, id) => (s.read.parquet(p), id) },
+          (st, id) => {
+            val p = s"$base/state/$id"
+            st.write.mode("overwrite").parquet(p)
+            state = Some((p, id))
+          })
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      s.read.parquet(state.getOrElse(
+          throw new IllegalStateException("stream produced no state"))._1)
+        .select(F.col("event_type"), F.col("band"),
+          F.col("valid_from").as("vf_us"), F.col("valid_to").as("vt_us"),
+          F.col("is_current"))
+        .orderBy("event_type", "vf_us")
+    }),
+
+    // G13 gate: streaming materialized-view maintenance — four
+    // micro-batches fold into an EMPTY-seeded MV through
+    // refreshMaterialized; the registered view's final state must
+    // equal the one-shot aggregate (the sql_matview_refresh oracle).
+    "stream_matview" -> ((s, d) => {
+      val base = streamScratch(s, d, "smv")
+      val ev = Tables.events(s, d)
+      ev.filter(F.lit(false)).createOrReplaceTempView("smv_seed")
+      graft.GraftSql.load(s,
+        """CREATE OR REPLACE MATERIALIZED VIEW smv_report AS
+          |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       SUM(CAST(value AS DECIMAL(30,6))) AS v_sum, COUNT(*) AS n,
+          |       MIN(value) AS v_min, MAX(value) AS v_max
+          |FROM smv_seed WHERE event_type <> 'click' GROUP BY 1, 2""".stripMargin)
+      val src = ev.select("event_id", "event_type", "value", "ts")
+      val schema = graft.streaming.Replay.writeSlices(
+        src, s"$base/in", F.pmod(F.col("event_id"), F.lit(4)), 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      var last: Option[Long] = None
+      val q = graft.streaming.EventStream.materializedViewSink(
+          stream, "smv_report", () => last, id => last = Some(id))
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      s.table("smv_report")
+        .select(F.col("day"), F.col("event_type"),
+          F.col("v_sum").cast("double").as("v_sum"),
+          F.col("n"), F.col("v_min"), F.col("v_max"))
+        .orderBy("day", "event_type")
+    }),
+
+    // G14 gate: streaming versioned-commit sink — each micro-batch
+    // lands as a time-travelable commit at baseTsUs + batchId (the
+    // manifest IS the exactly-once ledger). Week-sliced input makes
+    // every AS OF cut a TIME PREFIX, so the oracle replays the
+    // time-travel read as a plain ts predicate; the commit count pins
+    // the ledger itself.
+    "stream_versioned" -> ((s, d) => {
+      val base = streamScratch(s, d, "svn")
+      val t0 = 1704067200000000L
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts")
+      val weekSlice = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(ev, s"$base/in", weekSlice, 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      val q = graft.streaming.EventStream.versionedAppendSink(stream, s"$base/t", 1000000L)
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      val full = graft.sources.Versioned.read(s, s"$base/t")
+        .groupBy("event_type").agg(F.count(F.lit(1)).as("n_total"))
+      val asOf1 = graft.sources.Versioned.readAsOf(s, s"$base/t", 1000001L)
+        .groupBy("event_type").agg(F.count(F.lit(1)).as("n_asof1"))
+      val nCommits = graft.sources.Versioned.commits(s, s"$base/t").length.toLong
+      full.join(asOf1, Seq("event_type"), "left")
+        .select(F.col("event_type"), F.col("n_total"),
+          F.coalesce(F.col("n_asof1"), F.lit(0L)).as("n_asof1"),
+          F.lit(nCommits).as("commits"))
+        .orderBy("event_type")
+    }),
+
     // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
     // constraints on CREATE TABLE, surfaced through
     // INFORMATION_SCHEMA.TABLE_CONSTRAINTS × KEY_COLUMN_USAGE — the
@@ -5080,6 +5174,25 @@ object SparkEntry {
           |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // G9: applyBatch ≡ full recompute (the Scd2 law) — the oracle is
+      // fx_scd2's full-history SQL verbatim
+      "stream_scd2" -> scd2OracleSql,
+      // G13: empty-seeded MV + 4 refreshes ≡ the one-shot aggregate
+      "stream_matview" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_sum,
+          |       COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max
+          |FROM events WHERE event_type <> 'click'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // G14: week-sliced commits make AS OF a plain time predicate;
+      // the ledger holds exactly 4 commits
+      "stream_versioned" ->
+        """SELECT event_type, COUNT(*) AS n_total,
+          |       CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+          |                          1704067200000000 + 16 * 86400000000 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_asof1,
+          |       CAST(4 AS BIGINT) AS commits
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "stream_dedup_ingest" ->
         """WITH docs AS (SELECT o_orderkey AS doc_id, o_orderkey % 25 AS grp
           |              FROM orders WHERE o_orderkey % 11 = 0),
