@@ -49,6 +49,21 @@ object SparkEntry {
     * repeated in-session Bench reps — replays the identical trajectory
     * from an empty checkpoint.
     */
+  /** Run `f` with a reduced shuffle-partition count: a stateful
+    * streaming query creates one state-store instance per shuffle
+    * partition PER micro-batch (checkpoint delta files included), so
+    * at calibration scale the default 32 partitions cost more in
+    * store commits than in data — 8 keeps the operator exercised at
+    * a quarter of the fixed overhead. The state partition count is
+    * pinned at the checkpoint's FIRST run; the stream faces wipe
+    * their checkpoints per run, so the setting always takes.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def streamScratch(s: SparkSession, d: String, tag: String): String = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1260,6 +1275,328 @@ object SparkEntry {
           F.coalesce(F.col("n_asof1"), F.lit(0L)).as("n_asof1"),
           F.lit(nCommits).as("commits"))
         .orderBy("event_type")
+    }),
+
+    // G15 gate: streaming MERGE into a versioned table. The input is
+    // pre-collapsed to one row per (key, week) — merge's unique-
+    // source-keys contract — and week order makes last-merge-wins
+    // coincide with global latest-per-key; AS OF commit 1 replays as
+    // latest-per-key over the first two weeks.
+    "stream_versioned_merge" -> ((s, d) => {
+      val base = streamScratch(s, d, "svm")
+      val t0 = 1704067200000000L
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_type", "event_id", "value", "ts")
+      val week = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val perWeek = Upsert.dedupLatest(ev.withColumn("wk", week),
+        Seq("user_id", "event_type", "wk"), "ts", Seq("event_id"))
+      val schema = graft.streaming.Replay.writeSlices(perWeek, s"$base/in", F.col("wk"), 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+      val q = graft.streaming.EventStream.versionedMergeSink(
+          stream, s"$base/t", Seq("user_id", "event_type"), 2000000L)
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      val commits = graft.sources.Versioned.commits(s, s"$base/t").length.toLong
+      val asof1 = graft.sources.Versioned.readAsOf(s, s"$base/t", 2000001L).count()
+      graft.sources.Versioned.read(s, s"$base/t")
+        .select("user_id", "event_type", "event_id", "value")
+        .withColumn("commits", F.lit(commits))
+        .withColumn("asof1_n", F.lit(asof1))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // G2 gate: the STATE-STORE dedup path (dropDuplicatesWithinWatermark)
+    // — unlike the foreachBatch sinks this drives Spark's stateful
+    // operator itself. Every third event is duplicated INSIDE its
+    // event-time-week slice (same id, same ts — so the duplicate pair
+    // always shares a micro-batch and the watermark can never expire
+    // between them), and time-ordered slices keep every row on or
+    // ahead of the watermark (no late drops): the emitted set is each
+    // event exactly once.
+    "stream_dedup_state" -> ((s, d) => withShufflePartitions(s, 8) {
+      val base = streamScratch(s, d, "sdd")
+      val t0 = 1704067200000000L
+      val ev = Tables.events(s, d)
+        .filter(F.col("event_id") % 4 === 0)
+        .select("event_id", "event_type", "user_id", "value", "ts")
+      val src = ev.unionByName(ev.filter(F.col("event_id") % 3 === 0))
+      val week = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(src, s"$base/in", week, 4)
+      val deduped = graft.streaming.EventStream.dedupStream(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema))
+      val q = deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.countDistinct(F.col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    }),
+
+    // G16 gate: streaming cluster assignment — centroids train in
+    // BATCH (the lambda shape), the stream assigns statelessly; the
+    // emitted set equals the batch kmeansAssign, so the oracle is
+    // cluster_kmeans' DuckDB k-means replay verbatim.
+    "stream_cluster_assign" -> ((s, d) => {
+      val base = streamScratch(s, d, "sca")
+      val codes = Tables.embeddings(s, d)
+        .select(F.col("vec_id"), graft.functions.native.int8_quantize(F.col("embedding")).as("q"))
+        .select(F.col("vec_id"), F.col("q.codes").cast("array<int>").as("vec"))
+      val centroids = graft.operators.Clustering.kmeansTrain(codes, k = 8, iters = 2)
+      val schema = graft.streaming.Replay.writeSlices(
+        codes, s"$base/in", F.pmod(F.col("vec_id"), F.lit(4)), 4)
+      val assigned = graft.streaming.EventStream.clusterAssignStream(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema), centroids, "vec")
+      val q = assigned.select("vec_id", "cluster", "dist")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("vec_id")
+    }),
+
+    // G17 gate: streaming text embedding — E24's trainless embedder on
+    // a stream; emitted vectors equal the batch pipeline, so the
+    // oracle is text_embed's replay verbatim.
+    "stream_embed" -> ((s, d) => {
+      val base = streamScratch(s, d, "sem")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val schema = graft.streaming.Replay.writeSlices(
+        docs, s"$base/in", F.pmod(F.col("doc_id"), F.lit(4)), 4)
+      val embedded = graft.streaming.EventStream.embedStream(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema), "doc_id", "text", 32)
+      val q = embedded.select("doc_id", "embedding")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(F.col("doc_id"), F.posexplode(F.col("embedding")).as(Seq("pos", "v")))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // G6 gate: the stream-stream interval join — Spark's buffered
+    // two-sided join state, driven across four event-time-week
+    // micro-batches. State retention follows watermark − interval, so
+    // boundary pairs (purchase early in week N, signup late in week
+    // N−1 within the hour) survive eviction and the emitted set is
+    // EXACTLY the batch interval join, each pair once.
+    "stream_join" -> ((s, d) => withShufflePartitions(s, 8) {
+      val base = streamScratch(s, d, "ssj")
+      val t0 = 1704067200000000L
+      // calibration cap: the buffered two-sided state is the cost —
+      // a quarter of the users exercises it identically
+      val ev = Tables.events(s, d)
+        .filter(F.pmod(F.col("user_id"), F.lit(4)) === 0)
+        .select("event_id", "event_type", "user_id", "value", "ts")
+      val week = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(ev, s"$base/in", week, 4)
+      val joined = graft.streaming.EventStream.enrichPurchases(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema))
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(F.col("event_id"), F.col("user_id"),
+          F.unix_micros(F.col("p_ts")).as("p_us"), F.col("amount"),
+          F.unix_micros(F.col("s_ts")).as("s_us"), F.col("rate"))
+        .orderBy("event_id", "s_us", "rate")
+    }),
+
+    // G1 gate: the event-time windowed aggregate WITH watermark —
+    // Spark's stateful window operator itself. Day windows, zero-lag
+    // watermark, event-time-week slices (time-ordered, so no late
+    // drops); after the final no-data watermark-advance batch the
+    // emitted set is every day window strictly before the data's last
+    // day (the last day's window end exceeds max event time, so it
+    // never finalizes) — a pure batch predicate for the oracle.
+    "stream_windowed_report" -> ((s, d) => withShufflePartitions(s, 8) {
+      val base = streamScratch(s, d, "swr")
+      val t0 = 1704067200000000L
+      val ev = Tables.events(s, d)
+        .filter(F.col("event_id") % 4 === 0)
+        .select("event_id", "event_type", "value", "ts")
+      val week = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(ev, s"$base/in", week, 4)
+      val report = graft.streaming.EventStream.windowedReport(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema),
+        window = "1 day", watermark = "0 seconds")
+      val q = report.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(F.col("window_start"), F.col("event_type"), F.col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // G20 gate: the range-sessionize sink — interval merging is
+    // associative over merged results, so the maintained session
+    // table is trajectory-independent and equals the one-shot merge;
+    // the oracle is the classic gaps-and-islands rewrite.
+    "stream_range_sessionize" -> ((s, d) => {
+      val base = streamScratch(s, d, "srs")
+      val ranges = Tables.events(s, d).select(F.col("user_id"),
+        F.struct(evDay(F.col("ts")).as("range_start"),
+          F.date_add(evDay(F.col("ts")),
+            (F.pmod(F.col("user_id"), F.lit(5)) + 1).cast("int")).as("range_end")).as("rng"),
+        F.col("event_id"))
+      val schema = graft.streaming.Replay.writeSlices(
+        ranges, s"$base/in", F.pmod(F.col("event_id"), F.lit(4)), 4)
+      val stream = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+        .drop("event_id")
+      var state: Option[(String, Long)] = None
+      val q = graft.streaming.EventStream.rangeSessionizeSink(
+          stream, "rng", Seq("user_id"),
+          () => state.map { case (p, id) => (s.read.parquet(p), id) },
+          (st, id) => {
+            val p = s"$base/state/$id"
+            st.write.mode("overwrite").parquet(p)
+            state = Some((p, id))
+          })
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      s.read.parquet(state.getOrElse(
+          throw new IllegalStateException("stream produced no state"))._1)
+        .select(F.col("user_id"), F.col("rng.range_start").as("ss"),
+          F.col("rng.range_end").as("se"))
+        .orderBy("user_id", "ss")
+    }),
+
+    // G11 gate: stream-static enrich join — the dim broadcasts into
+    // every micro-batch, left_outer keeps unmatched events flowing
+    // with NULL attributes; the emitted set is the plain batch join.
+    "stream_enrich_dim" -> ((s, d) => {
+      import s.implicits._
+      val base = streamScratch(s, d, "sed")
+      val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 3L))
+        .toDF("event_type", "type_rank")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value", "ts")
+      val schema = graft.streaming.Replay.writeSlices(
+        ev, s"$base/in", F.pmod(F.col("event_id"), F.lit(4)), 4)
+      val enriched = graft.streaming.EventStream.enrichFromDim(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema),
+        dim, Seq("event_type"))
+      val q = enriched.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("event_type", "type_rank")
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // G10 gate: the streaming constraints gate — clean rows to the
+    // accept sink, violators quarantined with their per-row blame
+    // list AND the batch id (event-time-week slices make the batch id
+    // itself oracle-computable). Two Satisfies rules with controlled
+    // labels keep the violated-array rendering deterministic.
+    "stream_constraints_gate" -> ((s, d) => {
+      val base = streamScratch(s, d, "scg")
+      val t0 = 1704067200000000L
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value", "ts")
+      val week = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(ev, s"$base/in", week, 4)
+      val rules = Seq(
+        graft.operators.Constraints.Satisfies("value_small", F.col("value") < 40),
+        graft.operators.Constraints.Satisfies("user_even",
+          F.pmod(F.col("user_id"), F.lit(2)) === 0))
+      val q = graft.streaming.EventStream.constraintsGateSink(
+          graft.streaming.Replay.readSliced(s, s"$base/in", schema), rules,
+          ok => ok.write.mode("append").parquet(s"$base/ok"),
+          dead => dead
+            .select(F.col("event_type"), F.col("batch_id"),
+              F.array_join(F.col("violated"), ",").as("violated"))
+            .write.mode("append").parquet(s"$base/dead"))
+        .option("checkpointLocation", s"$base/chk").start()
+      q.awaitTermination()
+      val ok = s.read.parquet(s"$base/ok").groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.lit("ok").as("kind"), F.col("event_type"),
+          F.lit(-1L).as("batch_id"), F.lit("").as("violated"), F.col("n"))
+      val dead = s.read.parquet(s"$base/dead")
+        .groupBy("event_type", "batch_id", "violated")
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.lit("dead").as("kind"), F.col("event_type"),
+          F.col("batch_id"), F.col("violated"), F.col("n"))
+      ok.unionByName(dead).orderBy("kind", "event_type", "batch_id", "violated")
+    }),
+
+    // G4 gate: custom-state sessionization (flatMapGroupsWithState,
+    // event-time timeout). Week slices + a zero-lag watermark pin the
+    // trajectory; a session emits when its successor opens or when the
+    // final no-data watermark advance times it out — so the emitted
+    // set is every gap-rule session except a user's LAST session
+    // whose (end + gap) is not strictly below the global max event
+    // time. Session arithmetic runs at the sink's millisecond
+    // precision (java.sql.Timestamp.getTime); the fixture was checked
+    // free of ms/µs boundary and timeout-equality edges at every sf.
+    // The double `total_value` column is excluded (stream add order
+    // differs) — start/end/count are exact.
+    "stream_sessionize" -> ((s, d) => withShufflePartitions(s, 8) {
+      val base = streamScratch(s, d, "sss")
+      val t0 = 1704067200000000L
+      val ev = Tables.events(s, d)
+        .filter(F.pmod(F.col("user_id"), F.lit(4)) === 0)
+        .select("user_id", "value", "ts")
+      val week = F.greatest(F.lit(0), F.least(F.lit(3),
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(t0)) / F.lit(8L * 86400000000L)))).cast("int")
+      val schema = graft.streaming.Replay.writeSlices(ev, s"$base/in", week, 4)
+      val sessions = graft.streaming.EventStream.sessionize(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema),
+        gapMinutes = 30, watermark = "0 seconds")
+      val q = sessions.toDF.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(F.col("user_id"),
+          F.unix_micros(F.col("session_start")).as("start_us"),
+          F.unix_micros(F.col("session_end")).as("end_us"),
+          F.col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // G18+G19 gate: the avro streaming SINK and SOURCE back to back —
+    // four parquet micro-batches land as epoch-unique avro shards
+    // (G18), then the file-name-watermark avro source streams them
+    // back out (G19); content must round-trip bit-for-bit.
+    "stream_avro_roundtrip" -> ((s, d) => {
+      val base = streamScratch(s, d, "sar")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value")
+      val schema = graft.streaming.Replay.writeSlices(
+        ev, s"$base/in", F.pmod(F.col("event_id"), F.lit(4)), 4)
+      val q1 = graft.streaming.Replay.readSliced(s, s"$base/in", schema)
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", s"$base/chk1")
+        .option("compression", "none")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/avro")
+      q1.awaitTermination()
+      val q2 = s.readStream.schema(schema).format("graft-avro").load(s"$base/avro")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
     // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
@@ -5039,7 +5376,7 @@ object SparkEntry {
          |           SELECT cluster, list(CAST(sm AS DOUBLE) / n ORDER BY dim) AS c
          |           FROM kg$i GROUP BY cluster) m ON p.cluster = m.cluster),""".stripMargin
     }
-    Map(
+    val base = Map(
       "search_mmr" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
            |scored AS (
@@ -9126,5 +9463,124 @@ object SparkEntry {
           |FROM sets a JOIN sets b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin
     )
+    // round-16 streaming parity gates whose oracles ARE the batch
+    // faces' oracles (stateless map parity / trained-in-batch assign):
+    // reuse the strings so the two can never drift
+    base ++ Map(
+      "stream_cluster_assign" -> base("cluster_kmeans"),
+      "stream_embed" -> base("text_embed"),
+      // G15: last-merge-wins over per-week-latest slices = global
+      // latest per key; AS OF commit 1 = distinct keys of weeks 0-1
+      "stream_versioned_merge" ->
+        """WITH r AS (SELECT user_id, event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |           FROM events),
+          |a AS (SELECT user_id, event_type,
+          |        row_number() OVER (PARTITION BY user_id, event_type
+          |                           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |      FROM events
+          |      WHERE epoch_us(CAST(ts AS TIMESTAMP)) < 1704067200000000 + 16 * 86400000000)
+          |SELECT user_id, event_type, event_id, value,
+          |       CAST(4 AS BIGINT) AS commits,
+          |       (SELECT COUNT(*) FROM a WHERE rn = 1) AS asof1_n
+          |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+      // G6: the stream-stream interval join emits exactly the batch
+      // interval join's pairs
+      "stream_join" ->
+        """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+          |                  value AS amount
+          |           FROM events WHERE event_type = 'purchase' AND user_id % 4 = 0),
+          |     g AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS s_ts,
+          |                  value AS rate
+          |           FROM events WHERE event_type = 'signup' AND user_id % 4 = 0)
+          |SELECT event_id, user_id, epoch_us(p_ts) AS p_us, amount,
+          |       epoch_us(s_ts) AS s_us, rate
+          |FROM p JOIN g ON user_id = s_user AND s_ts <= p_ts
+          |              AND s_ts >= p_ts - INTERVAL 1 HOUR
+          |ORDER BY event_id, s_us, rate""".stripMargin,
+      // G1: day windows finalize strictly before the data's last day
+      "stream_windowed_report" ->
+        """WITH src AS (SELECT * FROM events WHERE event_id % 4 = 0),
+          |mx AS (SELECT date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS m FROM src)
+          |SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+          |       event_type, COUNT(*) AS n
+          |FROM src
+          |WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) < (SELECT m FROM mx)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // G20: interval merge as gaps-and-islands — a new island starts
+      // where the range start exceeds every previous end (MEETS:
+      // adjacency merges, so strict > starts the island)
+      "stream_range_sessionize" ->
+        """WITH r AS (SELECT user_id,
+          |                  CAST(date_trunc('day', ts) AS DATE) AS rs,
+          |                  CAST(date_trunc('day', ts) AS DATE) + CAST(user_id % 5 + 1 AS INT) AS re
+          |           FROM events),
+          |d AS (SELECT DISTINCT user_id, rs, re FROM r),
+          |o AS (SELECT user_id, rs, re,
+          |             MAX(re) OVER (PARTITION BY user_id ORDER BY rs, re
+          |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |      FROM d),
+          |i AS (SELECT *, SUM(CASE WHEN pm IS NULL OR rs > pm THEN 1 ELSE 0 END)
+          |               OVER (PARTITION BY user_id ORDER BY rs, re) AS island
+          |      FROM o)
+          |SELECT user_id, MIN(rs) AS ss, MAX(re) AS se
+          |FROM i GROUP BY user_id, island ORDER BY user_id, ss""".stripMargin,
+      // G11: the broadcast enrich equals the plain left join
+      "stream_enrich_dim" ->
+        """SELECT event_type,
+          |       CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+          |                            WHEN 'purchase' THEN 3 END AS BIGINT) AS type_rank,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      // G10: the gate partition + per-row blame + the week batch id
+      "stream_constraints_gate" ->
+        """WITH e AS (SELECT event_type, user_id, value,
+          |             GREATEST(0, LEAST(3, CAST(FLOOR(
+          |               (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+          |               / (8 * 86400000000)) AS BIGINT))) AS batch_id,
+          |             (NOT COALESCE(value < 40, FALSE)) AS v1,
+          |             (NOT COALESCE(user_id % 2 = 0, FALSE)) AS v2
+          |           FROM events)
+          |SELECT * FROM (
+          |  SELECT 'ok' AS kind, event_type, CAST(-1 AS BIGINT) AS batch_id,
+          |         '' AS violated, COUNT(*) AS n
+          |  FROM e WHERE NOT v1 AND NOT v2 GROUP BY event_type
+          |  UNION ALL
+          |  SELECT 'dead', event_type, batch_id,
+          |         CASE WHEN v1 AND v2 THEN 'satisfies(value_small),satisfies(user_even)'
+          |              WHEN v1 THEN 'satisfies(value_small)' ELSE 'satisfies(user_even)' END,
+          |         COUNT(*)
+          |  FROM e WHERE v1 OR v2 GROUP BY 1, 2, 3, 4)
+          |ORDER BY kind, event_type, batch_id, violated""".stripMargin,
+      // G4: gap-rule sessions at millisecond precision; a user's last
+      // session survives only if timed out by the final watermark
+      "stream_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+          |           FROM events WHERE user_id % 4 = 0),
+          |mx AS (SELECT MAX(tms) AS m FROM e),
+          |o AS (SELECT user_id, tms,
+          |             lag(tms) OVER (PARTITION BY user_id ORDER BY tms) AS pt FROM e),
+          |i AS (SELECT user_id, tms,
+          |             SUM(CASE WHEN pt IS NULL OR tms - pt > 1800000 THEN 1 ELSE 0 END)
+          |               OVER (PARTITION BY user_id ORDER BY tms) AS island FROM o),
+          |sess AS (SELECT user_id, island, MIN(tms) AS sms, MAX(tms) AS ems,
+          |                COUNT(*) AS n_events
+          |         FROM i GROUP BY user_id, island),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sms DESC) AS r
+          |       FROM sess)
+          |SELECT user_id, sms * 1000 AS start_us, ems * 1000 AS end_us, n_events
+          |FROM rk WHERE r > 1 OR ems + 1800000 < (SELECT m FROM mx)
+          |ORDER BY user_id, start_us""".stripMargin,
+      // G18/G19: sink→source avro round-trip is the identity
+      "stream_avro_roundtrip" ->
+        """SELECT event_id, event_type, user_id, value
+          |FROM events ORDER BY event_id""".stripMargin,
+      // G2: the state-store dedup emits each id exactly once
+      "stream_dedup_state" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |       COUNT(DISTINCT event_id) AS n_ids
+          |FROM events WHERE event_id % 4 = 0
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 }
