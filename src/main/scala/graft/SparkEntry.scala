@@ -1599,6 +1599,35 @@ object SparkEntry {
       s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
+    // G12 gate: the streaming corpus filter+score front door —
+    // stateless map-only, so the emitted set is the batch expressions'
+    // verdict doc for doc. The oracle replays all three signal
+    // families (Gopher rule gate at DEFAULT thresholds, quality
+    // floor, hashed classifier score): every gate ratio is the same
+    // IEEE double in both engines, so the threshold compares are
+    // exact.
+    "stream_corpus_filter" -> ((s, d) => {
+      val base = streamScratch(s, d, "scf")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val schema = graft.streaming.Replay.writeSlices(
+        docs, s"$base/in", F.pmod(F.col("doc_id"), F.lit(4)), 4)
+      // thresholds matched to the synthetic corpus (the E16 face's
+      // discipline — the default stopword octet barely appears in it)
+      val filtered = graft.streaming.EventStream.corpusFilterStream(
+        graft.streaming.Replay.readSliced(s, s"$base/in", schema), "text",
+        graft.operators.QualityRules.GopherThresholds(minWords = 40,
+          maxMeanWordLen = 6.0, stopwords = Seq("the", "a", "and", "of", "to")),
+        minQuality = 0.6,
+        weights = graft.operators.TextClassifier.hashedWeights(4096))
+      val q = filtered.select("doc_id", "clf_score")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("doc_id")
+    }),
+
     // A55 driver face (round 14): unenforced PRIMARY KEY / FOREIGN KEY
     // constraints on CREATE TABLE, surfaced through
     // INFORMATION_SCHEMA.TABLE_CONSTRAINTS × KEY_COLUMN_USAGE — the
@@ -9576,6 +9605,47 @@ object SparkEntry {
       "stream_avro_roundtrip" ->
         """SELECT event_id, event_type, user_id, value
           |FROM events ORDER BY event_id""".stripMargin,
+      // G12: gopher DEFAULT thresholds ∧ quality floor ∧ the hashed
+      // classifier score — all three signal replays composed
+      "stream_corpus_filter" ->
+        """WITH m AS (
+          |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks,
+          |    string_split(text, chr(10)) AS ls,
+          |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+          |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell_cnt
+          |  FROM documents),
+          |g AS (SELECT doc_id, toks,
+          |    CAST(len(toks) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mwl,
+          |    CAST(hash_cnt + ell_cnt AS DOUBLE) / len(toks) AS swr,
+          |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '-')
+          |                                OR starts_with(ltrim(l), '*'))) AS DOUBLE) / len(ls) AS blf,
+          |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+          |      / len(ls) AS elf,
+          |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) AS awf,
+          |    CAST(len(list_intersect(list_distinct(toks),
+          |         ['the','a','and','of','to'])) AS BIGINT) AS nsd,
+          |    (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.3)
+          |     + ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4)
+          |     + ((1.0 - ABS((CAST(len(list_filter(toks,
+          |          t -> t IN ('the','a','an','of','to','and','in','is','on','for','with','at','by'))) AS DOUBLE)
+          |         / len(toks)) - 0.3)) * 0.3) AS quality
+          |  FROM m),
+          |p AS (SELECT doc_id, toks FROM g
+          |      WHERE n_words >= 40 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 6.0
+          |        AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8 AND nsd >= 2
+          |        AND quality >= 0.6),
+          |f AS (SELECT doc_id, list_concat(toks,
+          |        CASE WHEN len(toks) >= 2
+          |             THEN [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+          |             ELSE []::VARCHAR[] END) AS feats FROM p),
+          |sc AS (SELECT doc_id, len(feats) AS n,
+          |        list_sum(list_transform(feats, x ->
+          |          (((CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % 4096)
+          |            * 2654435761) % 1001) - 500)) AS raw
+          |       FROM f)
+          |SELECT doc_id, CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS clf_score
+          |FROM sc ORDER BY doc_id""".stripMargin,
       // G2: the state-store dedup emits each id exactly once
       "stream_dedup_state" ->
         """SELECT event_type, COUNT(*) AS n,
