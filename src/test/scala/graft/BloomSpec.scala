@@ -10,7 +10,7 @@ class BloomSpec extends SparkSuite {
   import spark.implicits._
 
   private def sig(df: DataFrame): Map[String, Long] =
-    df.select(F.md5(F.concat_ws("", df.columns.map(c => F.col(c).cast("string")): _*)).as("h"))
+    df.select(F.md5(F.concat_ws(1.toChar.toString, df.columns.map(c => F.col(c).cast("string")): _*)).as("h"))
       .groupBy("h").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
   test("BloomBuffer has no false negatives and honours the fpp bound") {

@@ -96,7 +96,7 @@ class PackingSpec extends SparkSuite {
   test("exportSequences writes slot-ordered shards bounded by maxSeqsPerFile") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pack-export-").toString
     Packing.exportSequences(docs, "doc_id", "text", "n_chars", budget, buckets,
-      dir, maxSeqsPerFile = 5, sep = "")
+      dir, maxSeqsPerFile = 5, sep = 1.toChar.toString)
     val shards = spark.read.parquet(dir)
     // every sequence from the assignment is exported, docs conserved
     val nSeqs = packed.select("bucket", "seq").distinct().count()
@@ -106,7 +106,7 @@ class PackingSpec extends SparkSuite {
     // text is the members joined in slot order
     val wantText = packed.join(docs.select("doc_id", "text"), "doc_id")
       .groupBy("bucket", "seq")
-      .agg(F.concat_ws("",
+      .agg(F.concat_ws(1.toChar.toString,
         F.transform(F.array_sort(F.collect_list(F.struct(F.col("slot"), F.col("text")))),
           x => x.getField("text"))).as("want"))
     val joined = shards.join(wantText, Seq("bucket", "seq"))

@@ -16,7 +16,7 @@ class SkewSpec extends SparkSuite {
     assert(salted.count() == plain.count())
     // full multiset equality via a per-row signature
     def sig(df: org.apache.spark.sql.DataFrame) =
-      df.select(F.md5(F.concat_ws("", df.columns.map(c => F.col(c).cast("string")): _*)).as("h"))
+      df.select(F.md5(F.concat_ws(1.toChar.toString, df.columns.map(c => F.col(c).cast("string")): _*)).as("h"))
         .groupBy("h").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(sig(salted) == sig(plain))
   }
