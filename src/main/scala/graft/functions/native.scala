@@ -2454,6 +2454,42 @@ object native {
       es => { arity("graft_aead_decrypt_bytes", es, 4)
         AeadDecrypt(es.head, es(1), es(2), asString = false,
           safe = constBool("graft_aead_decrypt_bytes", es, 3)) }),
+    // r16 optimization round: the vertex-array folds as native codegen
+    // expressions (geofold.scala) — identical arithmetic to the old
+    // aggregate()/transform() HOF spellings, which ran interpreted
+    ("graft_st_segsum",
+      "graft_st_segsum(g) - haversine segment-sum fold over the vertex carrier (ST_LENGTH/ST_PERIMETER)",
+      es => { arity("graft_st_segsum", es, 1); GeoSegmentSum(es.head) }),
+    ("graft_st_area",
+      "graft_st_area(g) - spherical-shoelace ring area (ST_AREA)",
+      es => { arity("graft_st_area", es, 1); GeoRingArea(es.head) }),
+    ("graft_st_raycast",
+      "graft_st_raycast(ring, p) - planar even-odd ray cast, strict boundary (ST_CONTAINS family)",
+      es => { arity("graft_st_raycast", es, 2); GeoRayCast(es.head, es(1)) }),
+    ("graft_st_onboundary",
+      "graft_st_onboundary(g, p) - exact on-segment test (ST_TOUCHES / ST_COVERS boundary half)",
+      es => { arity("graft_st_onboundary", es, 2); GeoOnBoundary(es.head, es(1)) }),
+    ("graft_st_centroid",
+      "graft_st_centroid(ring) - planar shoelace centroid (ST_CENTROID)",
+      es => { arity("graft_st_centroid", es, 1); GeoCentroid(es.head) }),
+    ("graft_st_bbox",
+      "graft_st_bbox(g) - one-pass extrema of the vertex carrier (ST_BOUNDINGBOX)",
+      es => { arity("graft_st_bbox", es, 1); GeoBoundingBox(es.head) }),
+    ("graft_st_maxdistance",
+      "graft_st_maxdistance(a, b) - max vertex-pair haversine (ST_MAXDISTANCE)",
+      es => { arity("graft_st_maxdistance", es, 2); GeoMaxDistance(es.head, es(1)) }),
+    ("graft_st_snaptogrid",
+      "graft_st_snaptogrid(g, s) - nearest-grid-multiple quantization (ST_SNAPTOGRID)",
+      es => { arity("graft_st_snaptogrid", es, 2); GeoSnapToGrid(es.head, es(1)) }),
+    ("graft_st_buffer",
+      "graft_st_buffer(p, r_m) - BigQuery default 32-gon around a point (ST_BUFFER)",
+      es => { arity("graft_st_buffer", es, 2); GeoBuffer(es.head, es(1)) }),
+    ("graft_st_pointfromtext",
+      "graft_st_pointfromtext(wkt) - POINT WKT to the STRUCT<lng, lat> carrier (ST_GEOGFROMTEXT)",
+      es => { arity("graft_st_pointfromtext", es, 1); GeogPointFromText(es.head) }),
+    ("graft_st_pointfromgeojson",
+      "graft_st_pointfromgeojson(json) - GeoJSON Point to the STRUCT<lng, lat> carrier (ST_GEOGFROMGEOJSON)",
+      es => { arity("graft_st_pointfromgeojson", es, 1); GeogPointFromGeoJson(es.head) }),
     ("graft_st_convexhull",
       "graft_st_convexhull(g) - planar convex hull of the vertex carrier (ST_CONVEXHULL)",
       es => { arity("graft_st_convexhull", es, 1); ConvexHull(es.head) }),

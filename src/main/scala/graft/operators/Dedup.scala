@@ -68,8 +68,17 @@ object Dedup {
                    k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0,
       s"k=$k must be a multiple of bands=$bands (trailing signature slots would be silently unbanded)")
-    val rows = k / bands
     val sigs = signatures(df, idCol, textCol, k).select("id", "sig")
+    minhashPairsFromSignatures(sigs, bands, k / bands, threshold)
+  }
+
+  /** [[minhashPairs]] from an already-computed `(id, sig)` table —
+    * callers that hold staged signatures (e.g. [[DedupIndex.ingest]])
+    * skip the re-sketch pass; values are identical because a doc's
+    * signature is a pure function of its text.
+    */
+  def minhashPairsFromSignatures(sigs: DataFrame, bands: Int, rows: Int,
+                                 threshold: Double): DataFrame = {
     val sigA = sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a"))
     val sigB = sigs.select(F.col("id").as("id_b"), F.col("sig").as("sig_b"))
     candidatesFromSignatures(sigs, bands, rows)

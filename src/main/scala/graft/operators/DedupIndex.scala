@@ -142,7 +142,15 @@ object DedupIndex {
       .select("batch_id").distinct()
     val afterCorpus = batch.join(dropVsCorpus,
       batch(idCol) === dropVsCorpus("batch_id"), "left_anti")
-    val internalDrops = Dedup.minhashPairs(afterCorpus, idCol, textCol, m.k, m.bands, threshold)
+    // internal (batch-vs-batch) pairs from the ALREADY-STAGED batch
+    // signatures, filtered to the corpus survivors — a signature is a
+    // pure function of the text, so this equals re-sketching
+    // afterCorpus while skipping one tokenize→shingle→minhash pass per
+    // batch (r16: guide §1.2, don't recompute what you hold)
+    val afterCorpusSigs = bsigs.join(dropVsCorpus,
+      bsigs("id") === dropVsCorpus("batch_id"), "left_anti")
+    val internalDrops = Dedup.minhashPairsFromSignatures(
+        afterCorpusSigs, m.bands, m.k / m.bands, threshold)
       .select(F.col("id_b").as("__drop")).distinct()
     // MATERIALIZE before appending: the returned frame must reflect
     // the pre-append index state — lazily evaluated after the append,
@@ -153,13 +161,19 @@ object DedupIndex {
       afterCorpus.join(internalDrops,
         afterCorpus(idCol) === internalDrops("__drop"), "left_anti"),
       checkpointDir, "survivors")
-    // the survivors stage is durable: the batch-sigs stage (feeding
-    // only the pre-survivor joins) is garbage in BOTH the append and
-    // dry-run paths
-    checkpointDir.foreach(d => Staging.drop(spark, s"$d/batch-sigs"))
+    // the survivors stage is durable; the batch-sigs stage still feeds
+    // the append path's newSigs semi-join, so it is dropped only once
+    // nothing reads it (end of the append branch / right here on a
+    // dry run)
+    if (!append) checkpointDir.foreach(d => Staging.drop(spark, s"$d/batch-sigs"))
     if (append) {
+      // survivors' signatures = the staged batch signatures semi-joined
+      // to the survivor ids (same purity argument as afterCorpusSigs) —
+      // the third re-sketch pass of the old shape, gone
       val newSigs = Staging.stage(
-        Dedup.signatures(survivors, idCol, textCol, m.k).select("id", "sig"),
+        bsigs.join(survivors.select(F.col(idCol).as("__sid")),
+            bsigs("id") === F.col("__sid"), "left_semi")
+          .select("id", "sig"),
         checkpointDir, "new-sigs")
       newSigs.write.mode("append").format("parquet")
         .bucketBy(m.buckets, "id").sortBy("id").saveAsTable(sigTable(name))

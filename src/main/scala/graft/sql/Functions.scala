@@ -2018,14 +2018,7 @@ private[graft] object Functions {
           require(args.size == 1, "ST_GEOGFROMTEXT takes (wkt) — POINT only; " +
             "LINESTRING/POLYGON WKT parses through ST_LINEFROMTEXT / ST_POLYGONFROMTEXT " +
             "(the ARRAY carrier has a different SQL type, so the parse is type-directed)")
-          val pat = """(?i)^\\s*POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"""
-          def coord(group: Int) =
-            s"CASE WHEN (${args(0)}) RLIKE '$pat' " +
-              s"THEN CAST(regexp_extract((${args(0)}), '$pat', $group) AS DOUBLE) " +
-              s"ELSE CAST(raise_error(concat('ST_GEOGFROMTEXT: only POINT(lng lat) " +
-              s"WKT is supported (use ST_LINEFROMTEXT / ST_POLYGONFROMTEXT for the " +
-              s"line and ring carriers), got ', (${args(0)}))) AS DOUBLE) END"
-          Some(s"ST_GEOGPOINT(${coord(1)}, ${coord(2)})")
+          Some(s"graft_st_pointfromtext((${args(0)}))")
         case "ST_ASTEXT" =>
           require(args.size == 1, "ST_ASTEXT takes (geography)")
           Some(s"graft_st_astext((${args(0)}))")
@@ -2039,21 +2032,7 @@ private[graft] object Functions {
         case "ST_GEOGFROMGEOJSON" =>
           require(args.size == 1, "ST_GEOGFROMGEOJSON takes (json) — POINT only; " +
             "LINESTRING/POLYGON parse through ST_LINEFROMTEXT / ST_POLYGONFROMTEXT")
-          val j = args(0)
-          // missing or non-numeric coordinates raise — the same
-          // strictness as the WKT parser; a silent CAST-to-NULL here
-          // would hand downstream measures a null point for garbage
-          // input (round-16 fix, caught by the negative-path suite)
-          def cjs(i: Int) = {
-            val coord = s"CAST(get_json_object(($j), '$$.coordinates[$i]') AS DOUBLE)"
-            s"CASE WHEN get_json_object(($j), '$$.type') = 'Point' " +
-              s"THEN (CASE WHEN $coord IS NOT NULL THEN $coord " +
-              s"ELSE CAST(raise_error(concat('ST_GEOGFROMGEOJSON: coordinates[$i] " +
-              s"missing or not a number in ', ($j))) AS DOUBLE) END) " +
-              s"ELSE CAST(raise_error(concat('ST_GEOGFROMGEOJSON: only " +
-              s"{\"type\":\"Point\",...} is supported, got ', ($j))) AS DOUBLE) END"
-          }
-          Some(s"ST_GEOGPOINT(${cjs(0)}, ${cjs(1)})")
+          Some(s"graft_st_pointfromgeojson((${args(0)}))")
         case "ST_LINEFROMTEXT" =>
           require(args.size == 1, "ST_LINEFROMTEXT takes (wkt)")
           Some(s"graft_st_linefromtext((${args(0)}))")
@@ -2093,43 +2072,43 @@ private[graft] object Functions {
         case "ST_LENGTH" =>
           require(args.size == 1, "ST_LENGTH takes (linestring) — the " +
             "use_spheroid argument is not supported (the spherical model only)")
-          Some(stSegmentSum(args(0)))
+          Some(s"graft_st_segsum((${args(0)}))")
         case "ST_PERIMETER" =>
           require(args.size == 1, "ST_PERIMETER takes (polygon ring) — the " +
             "use_spheroid argument is not supported (the spherical model only)")
-          Some(stSegmentSum(args(0)))
+          Some(s"graft_st_segsum((${args(0)}))")
         case "ST_AREA" =>
           require(args.size == 1, "ST_AREA takes (polygon ring) — the " +
             "use_spheroid argument is not supported (the spherical model only)")
-          Some(stAreaText(args(0)))
+          Some(s"graft_st_area((${args(0)}))")
         case "ST_CONTAINS" =>
           require(args.size == 2, "ST_CONTAINS takes (polygon ring, point)")
-          Some(stRayCast(args(0), args(1)))
+          Some(s"graft_st_raycast((${args(0)}), (${args(1)}))")
         case "ST_INTERSECTS" =>
           require(args.size == 2, "ST_INTERSECTS takes (polygon ring, point) — " +
             "the interior even-odd test (boundary points follow the ray rule)")
-          Some(stRayCast(args(0), args(1)))
+          Some(s"graft_st_raycast((${args(0)}), (${args(1)}))")
         case "ST_WITHIN" =>
           require(args.size == 2, "ST_WITHIN takes (point, polygon ring)")
-          Some(stRayCast(args(1), args(0)))
+          Some(s"graft_st_raycast((${args(1)}), (${args(0)}))")
         case "ST_DISJOINT" =>
           require(args.size == 2, "ST_DISJOINT takes (polygon ring, point)")
-          Some(s"(NOT ${stRayCast(args(0), args(1))})")
+          Some(s"(NOT graft_st_raycast((${args(0)}), (${args(1)})))")
         // boundary-INCLUSIVE predicates (BigQuery: COVERS = interior ∪
         // boundary; CONTAINS above excludes the boundary): the strict
         // even-odd ray cast OR'd with the exact on-segment test
         case "ST_COVERS" =>
           require(args.size == 2, "ST_COVERS takes (polygon ring, point)")
-          Some(s"(${stRayCast(args(0), args(1))} OR ${stOnBoundary(args(0), args(1))})")
+          Some(s"(graft_st_raycast((${args(0)}), (${args(1)})) OR graft_st_onboundary((${args(0)}), (${args(1)})))")
         case "ST_COVEREDBY" =>
           require(args.size == 2, "ST_COVEREDBY takes (point, polygon ring)")
-          Some(s"(${stRayCast(args(1), args(0))} OR ${stOnBoundary(args(1), args(0))})")
+          Some(s"(graft_st_raycast((${args(1)}), (${args(0)})) OR graft_st_onboundary((${args(1)}), (${args(0)})))")
         // a point TOUCHES a ring/line exactly when it lies ON the
         // boundary (interiors cannot intersect: a point's interior is
         // itself, and a boundary point is by definition not interior)
         case "ST_TOUCHES" =>
           require(args.size == 2, "ST_TOUCHES takes (polygon ring or line, point)")
-          Some(stOnBoundary(args(0), args(1)))
+          Some(s"graft_st_onboundary((${args(0)}), (${args(1)}))")
         // ST_EQUALS over this engine's carriers is VERTEX-SEQUENCE
         // equality (point = point coordinates; line/ring = same vertex
         // array) — stated: BigQuery's geometric equality also admits
@@ -2144,12 +2123,7 @@ private[graft] object Functions {
         // as LEAST/GREATEST arithmetic
         case "ST_BOUNDINGBOX" =>
           require(args.size == 1, "ST_BOUNDINGBOX takes (line or ring)")
-          val g = args(0)
-          Some(s"named_struct(" +
-            s"'xmin', array_min(transform(($g), p -> p.lng)), " +
-            s"'ymin', array_min(transform(($g), p -> p.lat)), " +
-            s"'xmax', array_max(transform(($g), p -> p.lng)), " +
-            s"'ymax', array_max(transform(($g), p -> p.lat)))")
+          Some(s"graft_st_bbox((${args(0)}))")
         // ST_CENTROID of a closed ring: the planar shoelace centroid
         // in lng/lat — one fold carrying (2·area, Σ(xᵢ+xᵢ₊₁)·crossᵢ,
         // Σ(yᵢ+yᵢ₊₁)·crossᵢ), finished by the /(3·2A) division. Pure
@@ -2162,18 +2136,7 @@ private[graft] object Functions {
         case "ST_CENTROID" =>
           require(args.size == 1, "ST_CENTROID takes (polygon ring) — the planar " +
             "shoelace centroid; point/line centroids are not supported")
-          val p = args(0)
-          def x(e: String) = s"element_at(($p), $e).lng"
-          def y(e: String) = s"element_at(($p), $e).lat"
-          val cr = s"(${x("i")} * ${y("i + 1")} - ${x("i + 1")} * ${y("i")})"
-          Some(s"aggregate(sequence(1, size(($p)) - 1), " +
-            s"named_struct('a', CAST(0.0 AS DOUBLE), 'x', CAST(0.0 AS DOUBLE), " +
-            s"'y', CAST(0.0 AS DOUBLE)), " +
-            s"(acc, i) -> named_struct('a', acc.a + $cr, " +
-            s"'x', acc.x + (${x("i")} + ${x("i + 1")}) * $cr, " +
-            s"'y', acc.y + (${y("i")} + ${y("i + 1")}) * $cr), " +
-            s"acc -> named_struct('lng', acc.x / (3.0D * acc.a), " +
-            s"'lat', acc.y / (3.0D * acc.a)))")
+          Some(s"graft_st_centroid((${args(0)}))")
         // ST_SNAPTOGRID over the vertex-array carriers: each
         // coordinate snaps to the nearest grid multiple via the
         // IEEE-exact floor(x/s + 0.5)·s fold (deterministic in any
@@ -2181,13 +2144,9 @@ private[graft] object Functions {
         // ties at exact half-cells round up in both engines).
         case "ST_SNAPTOGRID" =>
           require(args.size == 2, "ST_SNAPTOGRID takes (line or ring, grid_size)")
-          val g = args(0)
           // the grid size must ride as DOUBLE: a bare 0.5 literal is
           // DECIMAL and would silently turn the carrier decimal-typed
-          val gs = s"CAST((${args(1)}) AS DOUBLE)"
-          Some(s"transform(($g), p -> named_struct(" +
-            s"'lng', floor(p.lng / $gs + 0.5D) * $gs, " +
-            s"'lat', floor(p.lat / $gs + 0.5D) * $gs))")
+          Some(s"graft_st_snaptogrid((${args(0)}), CAST((${args(1)}) AS DOUBLE))")
         // shape operators (round 16): the remaining loud names that
         // fit the carriers honestly. ST_BUFFER builds BigQuery's
         // default 32-gon (num_seg_quarter_circle = 8) around a point
@@ -2197,15 +2156,7 @@ private[graft] object Functions {
         case "ST_BUFFER" =>
           require(args.size == 2, "ST_BUFFER takes (point, radius_meters) — " +
             "num_seg_quarter_circle is fixed at 8 (BigQuery's default: a 32-gon)")
-          val p = args(0)
-          val dl = s"(CAST((${args(1)}) AS DOUBLE) / 6371010.0D)"
-          val phi = s"radians((($p)).lat)"
-          val th = s"(CAST((i % 32) AS DOUBLE) * pi() / 16.0D)"
-          val sinLat2 = s"(sin($phi) * cos($dl) + cos($phi) * sin($dl) * cos($th))"
-          val lng2 = s"(radians((($p)).lng) + " +
-            s"atan2(sin($th) * sin($dl) * cos($phi), cos($dl) - sin($phi) * $sinLat2))"
-          Some(s"transform(sequence(0, 32), i -> named_struct(" +
-            s"'lng', degrees($lng2), 'lat', degrees(asin($sinLat2))))")
+          Some(s"graft_st_buffer((${args(0)}), CAST((${args(1)}) AS DOUBLE))")
         case "ST_SIMPLIFY" =>
           require(args.size == 2, "ST_SIMPLIFY takes (line or ring, tolerance_meters)")
           Some(s"graft_st_simplify((${args(0)}), CAST((${args(1)}) AS DOUBLE))")
@@ -2233,8 +2184,7 @@ private[graft] object Functions {
         case "ST_MAXDISTANCE" =>
           require(args.size == 2,
             "ST_MAXDISTANCE takes (line/ring, line/ring) — wrap a point as ST_MAKELINE(p, p)")
-          Some(s"array_max(flatten(transform((${args(0)}), " +
-            s"a -> transform((${args(1)}), b -> ${stHaversine("a", "b")}))))")
+          Some(s"graft_st_maxdistance((${args(0)}), (${args(1)}))")
         // ── AEAD / KEYS column encryption (round 15): AES-GCM on the
         // JSON-carried keyset (aead.scala — see the carrier and wire
         // notes there). ENCRYPT is nondeterministic (fresh IV, like

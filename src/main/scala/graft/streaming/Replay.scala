@@ -33,6 +33,15 @@ object Replay {
     * read needs it before the first batch). Rows whose slice value
     * falls outside [0, splits) are REJECTED loudly — silently dropping
     * them would ship a stream that disagrees with the batch oracle.
+    *
+    * ONE pass over the input (r16 optimization — guide §2.4): the old
+    * shape ran `splits` serial filter+coalesce(1) writes plus a
+    * validation count = splits+1 full scans. Now a single
+    * repartition-by-slice + partitionBy write emits every slice at
+    * once — hash partitioning puts each slice value wholly inside one
+    * task, so each slice directory holds exactly one part file — and
+    * out-of-range/NULL slice rows surface as unexpected partition
+    * directories, caught by listing instead of a dedicated scan.
     */
   def writeSlices(df: DataFrame, dir: String, sliceExpr: Column, splits: Int): StructType = {
     require(splits >= 1, s"splits must be >= 1, got $splits")
@@ -41,25 +50,48 @@ object Replay {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(hPath)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_tmp_slices")
+    sliced.repartition(splits, F.col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
+    val sliceDirs = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("__slice="))
+      .map(p => p.getName.stripPrefix("__slice=") -> p).toMap
+    val strayKeys = sliceDirs.keys.filterNot(v =>
+      scala.util.Try(v.toInt).toOption.exists(i => i >= 0 && i < splits)).toSeq.sorted
+    if (strayKeys.nonEmpty) {
+      // bounded: only the stray directories are read back for the count
+      val bad = strayKeys.map { k =>
+        spark.read.schema(df.schema).parquet(sliceDirs(k).toString).count()
+      }.sum
+      throw new IllegalArgumentException(
+        s"requirement failed: $bad rows fell outside slices [0, $splits) — " +
+          "the replay would lose them")
+    }
     for (i <- 0 until splits) {
-      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_$i")
-      sliced.filter(F.col("__slice") === i).drop("__slice")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      require(part.length == 1, s"slice $i: expected one part file, got ${part.length}")
       val dest = new org.apache.hadoop.fs.Path(dir, f"slice_$i%05d.parquet")
       fs.delete(dest, false)
-      require(fs.rename(part.head, dest), s"could not place slice file $dest")
-      fs.delete(tmp, true)
+      sliceDirs.get(i.toString) match {
+        case Some(sd) =>
+          val part = fs.listStatus(sd).map(_.getPath)
+            .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          require(part.length == 1, s"slice $i: expected one part file, got ${part.length}")
+          require(fs.rename(part.head, dest), s"could not place slice file $dest")
+        case None =>
+          // empty slice: still a real (zero-row) file, so the stream
+          // sees exactly `splits` micro-batches like the old writer
+          val emptyTmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_empty_$i")
+          df.limit(0).coalesce(1).write.mode("overwrite").parquet(emptyTmp.toString)
+          val part = fs.listStatus(emptyTmp).map(_.getPath)
+            .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          require(part.length == 1, s"slice $i: expected one part file, got ${part.length}")
+          require(fs.rename(part.head, dest), s"could not place slice file $dest")
+          fs.delete(emptyTmp, true)
+      }
       // strictly increasing, minutes apart — unambiguous ordering even
       // on filesystems with coarse mtime granularity
       fs.setTimes(dest, ModTimeBase + i * 60000L, -1)
     }
-    val bad = sliced.filter(F.col("__slice").isNull ||
-      F.col("__slice") < 0 || F.col("__slice") >= splits).count()
-    require(bad == 0,
-      s"$bad rows fell outside slices [0, $splits) — the replay would lose them")
+    fs.delete(tmp, true)
     df.schema
   }
 
